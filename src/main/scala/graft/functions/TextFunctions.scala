@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID heuristic,
+  * shingling and document fingerprinting.
+  *
+  * All pure `Column` expressions built from codegen'd builtins — no UDFs —
+  * so they stay inside WholeStageCodegen and scale linearly with input.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. Empty string → empty array (not [""]). */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /** Token count (whitespace). Long for schema stability at scale. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword-count estimate: words plus an extra token per 4 chars
+    * of word length beyond the first 4 — a cheap deterministic proxy for
+    * byte-pair-encoding token counts (long words split into pieces). */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => acc + greatest(lit(1L), ceil(length(w).cast("double") / 4.0).cast("long")))
+
+  /** Punctuation-character ratio of the raw text (0 when empty). */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / len.cast("double"))
+  }
+
+  /** Ratio of alphabetic characters. */
+  def alphaRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / len.cast("double"))
+  }
+
+  /** Mean token length in characters (0 when no tokens). */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    when(n === 0, 0.0).otherwise(
+      aggregate(ts, lit(0L), (acc, w) => acc + length(w).cast("long")).cast("double")
+        / n.cast("double"))
+  }
+
+  private val enStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Fraction of tokens that are (lowercased) English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val n = size(ts)
+    val sw = array(enStopwords.map(lit): _*)
+    when(n === 0, 0.0).otherwise(
+      size(filter(ts, t => array_contains(sw, t))).cast("double") / n.cast("double"))
+  }
+
+  /** Composite document quality score in [0,1]: rewards presence of
+    * stopwords (natural language signal), reasonable mean token length,
+    * low punctuation density, and non-trivial length. Deterministic and
+    * SQL-expressible so it is oracle-checkable. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val mtl = meanTokenLen(text)
+    val mtlScore = when(mtl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore * 0.3 + swScore * 0.3 + punctScore * 0.2 + mtlScore * 0.2), 4)
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von"))
+
+  /** Language-ID heuristic: argmax of marker-word hit counts; `und` when no
+    * marker hits. Deterministic tie-break = declaration order above. */
+  def langIdHeuristic(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, ws) =>
+      val sw = array(ws.map(lit): _*)
+      lang -> size(filter(ts, t => array_contains(sw, t)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, s)) =>
+      acc.when(s === best, lang)
+    }.otherwise("und")
+  }
+
+  /** Word n-gram shingles: array of space-joined n-token windows.
+    * Documents shorter than n tokens get a single shingle of all tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(lower(text))
+    val cnt = size(ts)
+    when(cnt <= n, array(array_join(ts, " ")))
+      .otherwise(transform(
+        sequence(lit(0), cnt - n),
+        i => array_join(slice(ts, i + 1, lit(n)), " ")))
+  }
+
+  /** Character n-gram shingles over the lowercased, space-collapsed text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = regexp_replace(lower(text), "\\s+", " ")
+    val len = length(t)
+    when(len <= n, array(t)).otherwise(
+      transform(sequence(lit(1), len - n + 1), i => substring(t, i, lit(n))))
+  }
+
+  /** 128-bit content fingerprint (hex md5 of normalized text) — exact-dup
+    * key; identical in DuckDB (`md5`) for oracle checks. */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** 64-bit rolling (polynomial) hash over tokens: h = h*31 + xxhash64(tok).
+    * Order-sensitive — distinguishes permuted documents, unlike a bag hash. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(lower(text)), lit(0L), (acc, w) => acc * 31L + xxhash64(w))
+
+  private def substring(c: Column, pos: Column, len: Column): Column =
+    c.substr(pos, len)
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.Column
+
+/** Minimal bridge into Spark's `private[sql]` Column ↔ Expression
+  * converters (Spark 4 moved them under `classic`). Lives in the spark
+  * namespace purely for access; everything else in the engine is in
+  * `graft.*`. This is the sanctioned pattern for Catalyst extensions that
+  * expose native Expressions as user-facing Columns.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

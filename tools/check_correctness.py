@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local dev-loop mimic of the driver's correctness gate:
+runs Verify's parquet dumps against DuckDB oracles on the same sf dir.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), na_position="first",
+                        ignore_index=True, kind="mergesort")
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: load/exec error: {e}")
+            n_fail += 1
+            continue
+        s, d = normalize(spark_df), normalize(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}")
+            n_fail += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows {len(s)} vs {len(d)}")
+            n_fail += 1
+            continue
+        mismatches = []
+        for c in s.columns:
+            a, b = s[c], d[c]
+            try:
+                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                    af = a.astype(float)
+                    bf = b.astype(float)
+                    bad = ~((af == bf) | (af.isna() & bf.isna()))
+                else:
+                    aa = a.astype(str).where(~a.isna(), "<NA>")
+                    bb = b.astype(str).where(~b.isna(), "<NA>")
+                    bad = aa != bb
+            except Exception as e:
+                mismatches.append((c, f"compare error {e}"))
+                continue
+            if bad.any():
+                i = bad.idxmax()
+                mismatches.append((c, f"{int(bad.sum())} diffs, first@{i}: "
+                                      f"{a[i]!r} vs {b[i]!r} (dtypes {a.dtype}/{b.dtype})"))
+        if mismatches:
+            print(f"FAIL {name}: {mismatches}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
