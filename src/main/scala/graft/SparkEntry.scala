@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.StayCategory
-import graft.operators.Enrich
+import graft.functions.{StayCategory, TextFunctions}
+import graft.operators.{Dedup, Enrich, Multimodal, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,6 +35,27 @@ object SparkEntry {
     val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
     val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
     Enrich.withStayCategoryFromDates(joined, "o_orderdate", "l_shipdate")
+  }
+
+  /** documents ∪ exact copies (id+1e6) ∪ near-dup copies (id+2e6, tail
+    * appended) — deterministic corpus with known duplicates so the dedup
+    * operators have recall to demonstrate on synthetic data. */
+  private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val exact = d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" graft near dup tail")).as("text"))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  /** embeddings ∪ rescaled copies (same direction ⇒ cosine ≈ 1). */
+  private def augmentedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val near = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(0.9)).cast("float")).as("embedding"))
+    e.unionByName(near)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -228,7 +249,7 @@ object SparkEntry {
 
     "set_except" -> ((s, dir) => {
       val a = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
-      val b = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+      val b = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
         .select(col("o_custkey").as("custkey"))
       a.except(b).orderBy("custkey")
     }),
@@ -245,6 +266,115 @@ object SparkEntry {
           sum(dec(col("value"))).cast("double").as("sum_value"),
           countDistinct(col("user_id")).as("distinct_users"))
         .orderBy("hour", "event_type")
+    }),
+
+    // ---- text analysis (training-data pipeline ops) ----
+
+    "text_token_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenEstimate(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langIdHeuristic(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    "text_hashes" -> ((s, dir) => {
+      // SimHash + order-sensitive rolling hash (engine-native hashes; no
+      // SQL oracle — covered by ScalaTest invariants instead)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Dedup.simhash64(col("text")).as("simhash"),
+          TextFunctions.rollingHash(col("text")).as("rolling_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- deduplication ----
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp")
+    }),
+
+    "dedup_exact_keep" -> ((s, dir) => {
+      val aug = augmentedDocs(s, dir)
+        .filter(col("doc_id") < 2000000L) // originals + exact copies only
+      Dedup.exactDedup(aug, "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(augmentedDocs(s, dir), "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(augmentedDocs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      Dedup.embeddingPairs(augmentedEmbeddings(s, dir), "vec_id", "embedding",
+        minCosine = 0.95, bits = 16, bands = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search ----
+
+    "similarity_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "similarity_topk_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(e, q, k = 10, bits = 8, bands = 4)
+        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // ---- multimodal columns ----
+
+    "multimodal_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRecord]
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"), col("byte_len"))
+        .orderBy("media_id")
+    }),
+
+    "multimodal_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, 4)
+        .select(col("media_id"), col("kind"), col("frame_no").cast("long").as("frame_no"))
+        .orderBy("media_id", "frame_no")
     })
   )
 
@@ -388,7 +518,7 @@ object SparkEntry {
     "set_except" ->
       """SELECT c_custkey AS custkey FROM customer
          EXCEPT
-         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0
+         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
          ORDER BY custkey""",
 
     "event_window_agg" ->
@@ -396,6 +526,107 @@ object SparkEntry {
            count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            count(DISTINCT user_id) AS distinct_users
-         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "text_token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+             w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "text_quality" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\s+') AS toks,
+             length(text) AS tlen
+           FROM documents
+         ), m AS (
+           SELECT doc_id,
+             least(tlen / 200.0, 1.0) AS len_score,
+             CASE WHEN tlen = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                       / CAST(tlen AS DOUBLE) END AS punct_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> list_contains(
+                    ['the','a','an','and','or','of','to','in','is','it','on','for'], t))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS sw_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS mtl
+           FROM b
+         )
+         SELECT doc_id,
+           round(len_score * 0.3
+                 + least(sw_ratio * 4.0, 1.0) * 0.3
+                 + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2
+                 + (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+                 4) AS quality
+         FROM m ORDER BY doc_id""",
+
+    "text_langid" ->
+      """WITH b AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents
+         ), s AS (
+           SELECT doc_id,
+             len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des'], t))) AS s_fr,
+             len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','von'], t))) AS s_de
+           FROM b
+         )
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                ELSE 'und' END AS lang_guess
+         FROM s ORDER BY doc_id""",
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_dupes
+         FROM documents GROUP BY fp ORDER BY fp""",
+
+    "dedup_exact_keep" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents)
+         SELECT min(doc_id) AS doc_id FROM aug
+         GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+         ORDER BY doc_id""",
+
+    "similarity_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5
+         ), sc AS (
+           SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cosine
+           FROM embeddings e CROSS JOIN q
+         ), r AS (
+           SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rnk
+           FROM sc
+         )
+         SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+         FROM documents ORDER BY media_id""",
+
+    "multimodal_frame_sample" ->
+      """SELECT doc_id AS media_id, 'video' AS kind, CAST(f AS BIGINT) AS frame_no
+         FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f)
+         WHERE doc_id % 3 = 2 ORDER BY media_id, frame_no"""
   )
 }

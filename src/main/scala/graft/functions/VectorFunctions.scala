@@ -87,31 +87,31 @@ object VectorFunctions {
   /** L2 norm via builtins (aggregate HOF) — reference implementation used
     * in tests to cross-check the native expressions. */
   def cosineSimBuiltin(a: Column, b: Column): Column = {
-    val dot = F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0.0), (s, v) => s + v)
-    val na = F.sqrt(F.aggregate(F.transform(a, x => x * x), F.lit(0.0), (s, v) => s + v))
-    val nb = F.sqrt(F.aggregate(F.transform(b, x => x * x), F.lit(0.0), (s, v) => s + v))
-    F.when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
+    def d(c: Column) = c.cast("double")
+    val dot = F.aggregate(F.zip_with(a, b, (x, y) => d(x) * d(y)), F.lit(0.0), (s, v) => s + v)
+    val na = F.aggregate(F.transform(a, x => d(x) * d(x)), F.lit(0.0), (s, v) => s + v)
+    val nb = F.aggregate(F.transform(b, x => d(x) * d(x)), F.lit(0.0), (s, v) => s + v)
+    F.when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / F.sqrt(na * nb))
   }
 
   /** Random-hyperplane (SimHash) LSH signature of a float vector: `bits`
     * sign bits packed into a long. Deterministic pseudo-hyperplanes derived
     * from xxhash64-style mixing of (bit, dim) — no stored model needed. */
-  def hyperplaneSignature(v: Column, bits: Int): Column = {
-    // plane(b, d) = mix(b * 1315423911 + d * 2654435761) mapped to [-1, 1]
+  def hyperplaneSignature(v: Column, bits: Int, seed: Int = 0): Column = {
     val dims = F.size(v)
     val sigBits = (0 until bits).map { b =>
       val proj = F.aggregate(
         F.zip_with(v, F.sequence(F.lit(0), dims - 1),
-          (x, d) => x * planeCoef(F.lit(b), d)),
+          (x, d) => x * planeCoef(F.lit(seed), F.lit(b), d)),
         F.lit(0.0), (s, x) => s + x)
       F.when(proj >= 0, F.shiftleft(F.lit(1L), b)).otherwise(F.lit(0L))
     }
     sigBits.reduce(_ bitwiseOR _)
   }
 
-  /** Deterministic pseudo-random coefficient in [-1,1] for plane b, dim d. */
-  private def planeCoef(b: Column, d: Column): Column = {
-    val h = F.xxhash64(b, d)
+  /** Deterministic pseudo-random coefficient in [-1,1] for plane (seed, b, d). */
+  private def planeCoef(seed: Column, b: Column, d: Column): Column = {
+    val h = F.xxhash64(seed, b, d)
     (F.pmod(h, F.lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
   }
 

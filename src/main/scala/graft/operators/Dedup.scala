@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Five escalating strategies, all shuffle-architected for 100 TB:
+  *   1. exact        — hash-groupBy on a content fingerprint (one shuffle
+  *                     of (fp, id), never of document bodies)
+  *   2. MinHash+LSH  — shingle → k-minhash signature → banded bucket join;
+  *                     only same-bucket pairs are compared, so candidate
+  *                     generation is ~linear instead of O(n²)
+  *   3. SimHash      — 64-bit near-dup fingerprint; pigeonhole banding on
+  *                     16-bit chunks guarantees recall for hamming ≤ 3
+  *   4. n-gram Jaccard — exact verify step over candidate pairs only
+  *   5. embedding    — random-hyperplane LSH buckets + exact cosine verify
+  *
+  * Everything is built from codegen'd builtins (xxhash64, transform,
+  * array_min, aggregate) — no UDFs, no driver-side loops.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group by normalized-content fingerprint; keep the lowest
+    * id as canonical. Output one row per distinct content. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.contentFingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Exact dedup that returns the surviving rows (canonical doc per
+    * fingerprint). Window-free formulation: min-id join back, so the heavy
+    * side shuffles once on the fingerprint. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** k-MinHash signature over a shingle array — native one-pass
+    * expression (graft.functions.MinHashSignature). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.HashFunctions.minhashSignature(shingles, numHashes)
+
+  /** Docs → (id, band, bandKey) exploded LSH bucket table.
+    * numHashes = bands * rowsPerBand; bandKey hashes the signature slice. */
+  def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignature(
+      TextFunctions.wordShingles(col(textCol), shingleSize), bands * rowsPerBand)
+    docs
+      .select(col(idCol), sig.as("sig"))
+      .select(col(idCol), posexplode(
+        array((0 until bands).map { b =>
+          xxhash64(lit(b), array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ","))
+        }: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Candidate near-dup pairs from banded MinHash: same (band, band_key)
+    * bucket ⇒ candidate. Pairs deduped across bands. The self-join is on
+    * the bucket key, so work is Σ bucket² not n². */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, bands: Int = 16,
+                        rowsPerBand: Int = 4): DataFrame = {
+    val b = minhashBuckets(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+    val l = b.select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val r = b.select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash near-dup pairs with an exact n-gram Jaccard verify step over
+    * the candidates (strategy 4 fused as the verifier). */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                   threshold: Double = 0.8): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+    withJaccard(cands, docs, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard for given (id_a, id_b) pairs: joins each side to
+    * its distinct shingle set, then |∩| / |∪|. */
+  def withJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                  textCol: String, shingleSize: Int): DataFrame = {
+    val sh = docs.select(
+      col(idCol),
+      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word tokens — native one-pass expression
+    * (graft.functions.SimHash64). */
+  def simhash64(text: Column): Column =
+    graft.functions.HashFunctions.simhash64(TextFunctions.tokens(lower(text)))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the fingerprint into 4×16-bit chunks and
+    * bucket-join (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal, so
+    * recall is exact for maxHamming ≤ 3), then verify with bit_count. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol), simhash64(col(textCol)).as("fp"))
+    val banded = fp.select(col(idCol), col("fp"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("chunk", "chunk_val")))
+    val l = banded.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------- embedding near-dup
+
+  /** Embedding near-duplicates: random-hyperplane LSH signature buckets
+    * (multi-probe via `bands` independent bit-groups) + exact cosine
+    * verify with the native CosineSimilarity expression. */
+  def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double = 0.95, bits: Int = 16,
+                     bands: Int = 4): DataFrame = {
+    // one independent hyperplane family per band (seed = band index)
+    val banded = embs.select(col(idCol), col(vecCol), posexplode(
+      array((0 until bands).map(b =>
+        VectorFunctions.hyperplaneSignature(col(vecCol), bits, b)): _*))
+      .as(Seq("band", "band_key")))
+    val l = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `bruteForceTopK` — exact: broadcast the (small) query set against the
+  *    corpus, native-expression cosine, per-query top-k. O(|corpus|·|Q|)
+  *    but embarrassingly parallel and shuffle-free until the final top-k;
+  *    the right baseline and the correctness oracle for the ANN paths.
+  *  - `lshTopK` — scale path: random-hyperplane signatures bucket the
+  *    corpus; queries probe matching buckets across `bands` independent
+  *    hash families; candidates are re-ranked with exact cosine. Work per
+  *    query is bucket-sized, not corpus-sized.
+  *
+  * Top-k uses a window row_number with deterministic tie-break (cosine
+  * desc, then corpus id) — stable across engines and runs.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: every (query, corpus) pair, k best per query. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(q))
+      .withColumn("cosine", VectorFunctions.cosineSim(col(vecCol), col("q_vec")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
+  /** LSH-bucketed ANN top-k: probe `bands` independent hyperplane
+    * signatures, union candidates, exact-rerank. Recall < 1 by design;
+    * raise `bands` (or lower `bits`) for higher recall. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 12, bands: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), col(vec), posexplode(
+        array((0 until bands).map(b =>
+          VectorFunctions.hyperplaneSignature(col(vec), bits, b)): _*))
+        .as(Seq("band", "band_key")))
+    val c = banded(corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
+    val q = banded(queries.select(col(queryIdCol), col(vecCol).as("q_vec")),
+      queryIdCol, "q_vec")
+    val cands = c.join(broadcast(q), Seq("band", "band_key"))
+      .select(col(queryIdCol), col(idCol), col(vecCol), col("q_vec"))
+      .dropDuplicates(queryIdCol, idCol)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    cands
+      .withColumn("cosine", VectorFunctions.cosineSim(col(vecCol), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
+  /** IVF-style coarse quantization: assign every vector to the nearest of
+    * `centroids` (a small broadcast table of (centroid_id, vector)); ANN
+    * then searches only the probed cells. This is the classic inverted-file
+    * layout — at 100 TB the corpus is written partitioned by cell id so a
+    * query touches a handful of partitions. */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        centroidIdCol: String = "centroid_id"): DataFrame = {
+    val scored = corpus
+      .join(broadcast(centroids.select(col(centroidIdCol), col(vecCol).as("c_vec"))))
+      .withColumn("cosine", VectorFunctions.cosineSim(col(vecCol), col("c_vec")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cosine").desc, col(centroidIdCol))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "c_vec")
+  }
+}

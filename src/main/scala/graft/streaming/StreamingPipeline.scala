@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.operators.Enrich
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** The reference topology (SURVEY.md §3) as Structured Streaming plans.
+  *
+  * Reference stages:
+  *   expedia topic → Faust enrich (stay_category) → expedia_ext topic →
+  *   ksqlDB CTAS group-by (count + count-distinct) → HOTELS_COUNT changelog
+  *   (/root/reference/src/main.py:35-95, ci_cd/ksql/create_table.json:2)
+  *
+  * Spark-native realization: the SAME declarative transforms as the batch
+  * path (Enrich.*) applied to an unbounded DataFrame; Catalyst's
+  * IncrementalExecution turns the aggregation into stateful operators with
+  * update-mode changelog emission — ksqlDB's EMIT CHANGES, per micro-batch.
+  *
+  * Sources are pluggable: Kafka (`readStream.format("kafka")` +
+  * `fromJsonPayload`) in production, file/rate/MemoryStream in tests —
+  * the plan downstream of the payload parse is identical, which is the
+  * point (SURVEY.md §2.9 T7: fused topology).
+  */
+object StreamingPipeline {
+
+  /** The reference's 21-field expedia schema (SURVEY.md §1.2, FIXTURES.md).
+    * id/hotel_id widened to LONG per the KSQL layer's BIGINT declaration. */
+  val expediaSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("date_time", StringType),
+    StructField("site_name", IntegerType),
+    StructField("posa_container", IntegerType),
+    StructField("user_location_country", IntegerType),
+    StructField("user_location_region", IntegerType),
+    StructField("user_location_city", IntegerType),
+    StructField("orig_destination_distance", DoubleType),
+    StructField("user_id", LongType),
+    StructField("is_mobile", IntegerType),
+    StructField("is_package", IntegerType),
+    StructField("channel", IntegerType),
+    StructField("srch_ci", StringType),
+    StructField("srch_co", StringType),
+    StructField("srch_adults_cnt", IntegerType),
+    StructField("srch_children_cnt", IntegerType),
+    StructField("srch_rm_cnt", IntegerType),
+    StructField("srch_destination_id", IntegerType),
+    StructField("srch_destination_type_id", IntegerType),
+    StructField("hotel_id", LongType)))
+
+  /** S2/S3 parity — JSON payload column → typed columns. Fields absent
+    * from the schema are dropped (KSQL schema-on-read semantics,
+    * /root/reference/ci_cd/ksql/create_stream.json:2); null payloads
+    * survive as null structs and are dropped by the P3 guard. */
+  def fromJsonPayload(raw: DataFrame, payloadCol: String = "value",
+                      schema: StructType = expediaSchema): DataFrame =
+    raw
+      .filter(col(payloadCol).isNotNull)
+      .select(from_json(col(payloadCol).cast("string"), schema).as("r"))
+      .filter(col("r").isNotNull)
+      .select("r.*")
+
+  /** Stage 1 parity — the Faust enrichment (D1–D4 + P3):
+    * append stay_category from the check-in/check-out strings. */
+  def enrich(records: DataFrame): DataFrame =
+    Enrich.withStayCategory(records, "srch_ci", "srch_co")
+
+  /** K1 parity — back to a single JSON payload column for a Kafka sink. */
+  def toJsonPayload(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Stage 2 parity — the CTAS aggregation over the enriched stream
+    * (A1–A3). `exact=true` keeps ksqlDB's exact COUNT_DISTINCT via a
+    * collect_set (bounded real-world cardinality per category); at
+    * 100 TB scale pass exact=false for an HLL sketch with bounded state
+    * (documented deviation, SURVEY.md §7.3). */
+  def hotelsCount(enriched: DataFrame, exact: Boolean = true): DataFrame = {
+    val distinctAgg =
+      if (exact) size(collect_set(col("hotel_id"))).cast("long")
+      else approx_count_distinct(col("hotel_id"))
+    enriched
+      .groupBy(col("stay_category"))
+      .agg(
+        count(col("hotel_id")).as("hotels_amount"),
+        distinctAgg.as("distinct_hotels"))
+  }
+
+  /** Wire a streaming source through enrich → hotels_count and emit the
+    * changelog (K2/K3 parity: outputMode("update") ≙ EMIT CHANGES). */
+  def changelogWriter(records: DataFrame, exact: Boolean = true): DataStreamWriter[Row] =
+    hotelsCount(enrich(records), exact)
+      .writeStream
+      .outputMode(OutputMode.Update())
+
+  /** Run the full pipeline onto an in-memory table (K3 push-query parity:
+    * clients read `SELECT * FROM <name>`). */
+  def startMemoryChangelog(records: DataFrame, name: String,
+                           exact: Boolean = true): StreamingQuery =
+    changelogWriter(records, exact)
+      .format("memory")
+      .queryName(name)
+      .start()
+
+  /** Event-time windowed aggregation with a watermark — the T4 extension
+    * the reference lacks but 100 TB state-boundedness requires: state for
+    * closed windows is dropped after `delay`. */
+  def windowedEventCounts(events: DataFrame, tsCol: String, delay: String,
+                          window: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+}

@@ -1,0 +1,131 @@
+package graft
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** Text, vector, and hash function invariants. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ text
+
+  test("tokenCount: whitespace handling") {
+    val df = Seq("a b c", "  a   b  ", "", "   ", "one").toDF("t")
+      .select(TextFunctions.tokenCount(col("t")).as("n")).as[Long].collect()
+    assert(df.toSeq == Seq(3L, 2L, 0L, 0L, 1L))
+  }
+
+  test("wordShingles: n-token windows, short docs get one shingle") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("contentFingerprint: whitespace/case-insensitive, content-sensitive") {
+    val fps = Seq("Hello  World", "hello world", "hello world!").toDF("t")
+      .select(TextFunctions.contentFingerprint(col("t")).as("f"))
+      .as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("qualityScore in [0,1]; natural text beats punctuation soup") {
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the hills",
+      "!!! ### $$$ %%% ^^^ &&& *** ((( )))").toDF("t")
+      .select(TextFunctions.qualityScore(col("t")).as("q")).as[Double].collect()
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0))
+    assert(rows(0) > rows(1))
+  }
+
+  test("langIdHeuristic picks marker-dominant language") {
+    val got = Seq(
+      "the cat and the dog of the house is in the garden",
+      "el perro de la casa y los gatos de la ciudad",
+      "le chat et les chiens de la maison et des jardins",
+      "der hund und die katze ist von das haus",
+      "xyzzy plugh").toDF("t")
+      .select(TextFunctions.langIdHeuristic(col("t")).as("l")).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("rollingHash is order-sensitive") {
+    val hs = Seq("alpha beta gamma", "gamma beta alpha").toDF("t")
+      .select(TextFunctions.rollingHash(col("t")).as("h")).as[Long].collect()
+    assert(hs(0) != hs(1))
+  }
+
+  // ------------------------------------------------------------ vectors
+
+  test("cosineSim native matches builtin HOF formulation") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      (Array.fill(16)(rnd.nextFloat() * 2 - 1), Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("a", "b").select(
+      VectorFunctions.cosineSim(col("a"), col("b")).as("native"),
+      VectorFunctions.cosineSimBuiltin(col("a"), col("b")).as("hof"))
+    val bad = df.filter(abs(col("native") - col("hof")) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("cosineSim: parallel=1, antiparallel=-1, orthogonal=0, zero-vec=0") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(2f, 4f, 6f)),
+      (Array(1f, 0f, 0f), Array(-1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    assert(math.abs(df(0) - 1.0) < 1e-12)
+    assert(math.abs(df(1) + 1.0) < 1e-12)
+    assert(math.abs(df(2)) < 1e-12)
+    assert(df(3) == 0.0)
+  }
+
+  test("hyperplaneSignature: deterministic, seed-dependent, in range") {
+    val v = Seq(Array.tabulate(8)(i => (i + 1).toFloat)).toDF("v")
+    val s1 = v.select(VectorFunctions.hyperplaneSignature(col("v"), 12, 0).as("s")).as[Long].head()
+    val s1b = v.select(VectorFunctions.hyperplaneSignature(col("v"), 12, 0).as("s")).as[Long].head()
+    val s2 = v.select(VectorFunctions.hyperplaneSignature(col("v"), 12, 1).as("s")).as[Long].head()
+    assert(s1 == s1b)
+    assert(s1 >= 0 && s1 < (1L << 12))
+    assert(s1 != s2) // different hyperplane family
+  }
+
+  // ------------------------------------------------------------ hashes
+
+  test("simhash64: equal texts equal; near texts close; far texts far") {
+    val texts = Seq(
+      "spark is a unified analytics engine for large scale data processing",
+      "spark is a unified analytics engine for large scale data processing",
+      "spark is a unified analytics engine for large scale data processing today",
+      "completely different words about gardening tulips roses and daffodils bloom")
+    val hs = texts.toDF("t")
+      .select(HashFunctions.simhash64(TextFunctions.tokens(lower(col("t")))).as("h"))
+      .as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(0) == hs(1))
+    assert(ham(hs(0), hs(2)) <= 12)
+    assert(ham(hs(0), hs(3)) > 12)
+  }
+
+  test("minhash signature: deterministic, k slots, jaccard-correlated") {
+    val df = Seq(
+      "a b c d e f g h i j k l m n o p",
+      "a b c d e f g h i j k l m n o q",  // ~high overlap
+      "z y x w v u t s r q p o n m l k"). // low overlap vs first
+      toDF("t").select(
+        graft.operators.Dedup.minhashSignature(
+          TextFunctions.wordShingles(col("t"), 2), 64).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs.forall(_.size == 64))
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(0), sigs(1)) > agree(sigs(0), sigs(2)))
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators.{Dedup, Enrich, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / enrich / multimodal operator behavior on small
+  * constructed fixtures with known answers. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"), // near dup of 1
+    (4L, "completely unrelated text about cooking pasta with tomatoes and basil leaves"),
+    (5L, "THE  QUICK  BROWN  FOX jumps over the lazy dog near the river bank today")) // normalized dup of 1
+    .toDF("doc_id", "text")
+
+  test("exactGroups/exactDedup: normalized duplicates collapse to min id") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 3) // {1,2,5}, {3}, {4}
+    val big = groups.find(_.getAs[Long]("n_dupes") == 3L).get
+    assert(big.getAs[Long]("keep_id") == 1L)
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("minhashPairs: finds exact and near dup, not the unrelated doc") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.contains((1L, 3L))) // near dup above 0.5 jaccard
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("withJaccard computes exact set jaccard") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.withJaccard(pairs, docs, "doc_id", "text", 2)
+      .orderBy("id_b").select("jaccard").as[Double].collect()
+    assert(j(0) == 1.0)
+    assert(j(1) < 0.2)
+  }
+
+  test("simhashPairs: exact dups at hamming 0; unrelated doc excluded") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    val p12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(p12.nonEmpty && p12.get._3 == 0)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embeddingPairs: scaled copy found at cosine ~1") {
+    val embs = Seq(
+      (1L, Array.tabulate(16)(i => math.sin(i + 1).toFloat)),
+      (2L, Array.tabulate(16)(i => (math.sin(i + 1) * 0.9).toFloat)),
+      (3L, Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(embs, "vec_id", "embedding",
+      minCosine = 0.99, bits = 8, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("bruteForceTopK: self is rank 1, k respected, descending cosine") {
+    val e = Tables().embeddings
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Similarity.bruteForceTopK(e, q, k = 5).collect()
+    assert(top.length == 15)
+    val byQ = top.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.head.getAs[Long]("vec_id") == qid) // self first
+      assert(math.abs(sorted.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines == cosines.sortBy(-_))
+    }
+  }
+
+  test("lshTopK results are a subset of brute-force ranking universe") {
+    val e = Tables().embeddings
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val lsh = Similarity.lshTopK(e, q, k = 5, bits = 6, bands = 4).collect()
+    assert(lsh.nonEmpty)
+    // every (query, id, cosine) in LSH output must equal the exact cosine
+    val brute = Similarity.bruteForceTopK(e, q, k = 1000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      assert(math.abs(brute(key) - r.getAs[Double]("cosine")) < 1e-12)
+    }
+  }
+
+  test("hotelsCount: manual fixture counts") {
+    val df = Seq(
+      ("2020-01-01", "2020-01-03", 100L), // Short
+      ("2020-01-01", "2020-01-03", 100L), // Short (same hotel)
+      ("2020-01-01", "2020-01-03", 200L), // Short (other hotel)
+      ("2020-01-01", "2020-01-08", 300L), // Standard
+      ("bad", "2020-01-08", 400L))        // Erroneous
+      .toDF("srch_ci", "srch_co", "hotel_id")
+    val enriched = Enrich.withStayCategory(df, "srch_ci", "srch_co")
+    val agg = Enrich.hotelsCount(enriched, "hotel_id")
+      .collect().map(r => r.getAs[String]("stay_category") ->
+        (r.getAs[Long]("hotels_amount"), r.getAs[Long]("distinct_hotels"))).toMap
+    assert(agg("Short stay") == (3L, 2L))
+    assert(agg("Standard stay") == (1L, 1L))
+    assert(agg("Erroneous data") == (1L, 1L))
+  }
+
+  test("maskField and nullGuard") {
+    val df = Seq(Some("2020-01-01 10:00:00"), None).toDF("date_time")
+    assert(Enrich.maskField(df, "date_time").select("date_time")
+      .as[String].collect().toSet == Set("0000-00-00 00:00:00"))
+    assert(Enrich.nullGuard(df, "date_time").count() == 1)
+  }
+
+  test("multimodal: feature shape, determinism, frame sampling") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Multimodal.syntheticMedia(
+      Tables().documents.limit(30), "doc_id", "text")
+      .as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length == 30)
+    assert(feats.forall(_.feature.length == 8))
+    assert(feats.forall(f => f.feature.forall(v => v >= -1f && v <= 1f)))
+    val again = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.checksum == b.checksum && a.feature.sameElements(b.feature) })
+    val frames = Multimodal.sampleFrames(media.toDF(), 3)
+    val videos = media.filter(_.kind == "video").count()
+    assert(frames.count() == videos * 3)
+  }
+
+  private case class Tabs(documents: org.apache.spark.sql.DataFrame,
+                          embeddings: org.apache.spark.sql.DataFrame)
+  private def Tables(): Tabs = Tabs(
+    graft.sources.Tables.load(spark, sfDir, "documents"),
+    graft.sources.Tables.load(spark, sfDir, "embeddings"))
+}

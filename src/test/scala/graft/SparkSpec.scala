@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide session keeps the
+  * suite wall-clock sane; tests must not mutate global session state). */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = GraftSession
+      .builder(master = "local[4]", appName = "graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Top-level so the Dataset encoder can codegen-instantiate it. */
+case class Booking(srch_ci: String, srch_co: String, hotel_id: Long)
+
+/** Streaming parity (SURVEY.md §2.9): the enrich → hotels_count topology
+  * run as Structured Streaming with update-mode changelog emission, fed by
+  * MemoryStream; asserts the BASELINE.md semantic fixtures (category
+  * domain, per-key monotone counts, exact distinct). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("enrich → hotels_count changelog over two micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Booking]
+    val query = StreamingPipeline.startMemoryChangelog(
+      input.toDF(), "hotels_count_test")
+    try {
+      input.addData(
+        Booking("2020-01-01", "2020-01-03", 100L), // Short
+        Booking("2020-01-01", "2020-01-08", 300L), // Standard
+        Booking("bad-date", "2020-01-08", 400L))   // Erroneous
+      query.processAllAvailable()
+      val snap1 = spark.table("hotels_count_test")
+        .groupBy("stay_category")
+        .agg(max("hotels_amount").as("hotels_amount"),
+          max("distinct_hotels").as("distinct_hotels"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(snap1("Short stay") == (1L, 1L))
+      assert(snap1("Standard stay") == (1L, 1L))
+      assert(snap1("Erroneous data") == (1L, 1L))
+
+      input.addData(
+        Booking("2020-01-01", "2020-01-03", 100L), // Short again, same hotel
+        Booking("2020-01-01", "2020-01-03", 200L)) // Short, new hotel
+      query.processAllAvailable()
+      val snap2 = spark.table("hotels_count_test")
+        .groupBy("stay_category")
+        .agg(max("hotels_amount").as("hotels_amount"),
+          max("distinct_hotels").as("distinct_hotels"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // per-key monotone growth; exact distinct plateaus at true cardinality
+      assert(snap2("Short stay") == (3L, 2L))
+      assert(snap2("Standard stay") == (1L, 1L))
+      // category domain invariant (BASELINE.md)
+      assert(spark.table("hotels_count_test").select("stay_category")
+        .distinct().as[String].collect().toSet
+        .subsetOf(graft.functions.StayCategory.domain.toSet))
+    } finally query.stop()
+  }
+
+  test("json payload roundtrip (Kafka wire parity, S2/S3/K1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val parsed = StreamingPipeline.fromJsonPayload(
+      input.toDF().withColumnRenamed("value", "value"))
+    val enriched = StreamingPipeline.enrich(parsed)
+    val q = StreamingPipeline.toJsonPayload(enriched)
+      .writeStream.format("memory").queryName("ext_topic").outputMode("append")
+      .start()
+    try {
+      input.addData(
+        """{"id":1,"hotel_id":100,"srch_ci":"2020-01-01","srch_co":"2020-01-03","site_name":2}""",
+        "not json at all",
+        """{"id":2,"hotel_id":200,"srch_ci":"2020-01-01","srch_co":"2020-01-20"}""")
+      q.processAllAvailable()
+      val out = spark.table("ext_topic").as[String].collect().sorted
+      // malformed row: from_json yields null struct for all fields → id null
+      assert(out.length == 3)
+      val cats = out.map(s =>
+        "\"stay_category\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1)))
+      assert(cats.flatten.toSet == Set("Short stay", "Long stay", "Erroneous data"))
+    } finally q.stop()
+  }
+
+  test("windowed event counts with watermark (T4 extension)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingPipeline.windowedEventCounts(df, "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .groupBy("window_start", "event_type").agg(max("n").as("n"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(rows(("2024-01-01 10:00:00.0", "click")) == 2L)
+      assert(rows(("2024-01-01 11:00:00.0", "view")) == 1L)
+    } finally q.stop()
+  }
+}
