@@ -268,6 +268,37 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    "identity_projection" -> ((s, dir) => {
+      // P1 parity: the reference's record rebuild is select("*") in Spark
+      t(s, dir, "supplier").select("*").orderBy("s_suppkey")
+    }),
+
+    "json_wire_roundtrip" -> ((s, dir) => {
+      // S2/S3/K1 parity in batch: the reference's JSON topic serde —
+      // struct → JSON string → schema-on-read parse (extra fields dropped)
+      val o = t(s, dir, "orders")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType)))
+      o.select(to_json(struct(o.columns.map(col): _*)).as("value"))
+        .select(from_json(col("value"), schema).as("r"))
+        .select("r.o_orderkey", "r.o_totalprice", "r.o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      // grouping-set aggregation (beyond the reference's single GROUP BY)
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
     // ---- text analysis (training-data pipeline ops) ----
 
     "text_token_count" -> ((s, dir) => {
@@ -527,6 +558,22 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            count(DISTINCT user_id) AS distinct_users
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "identity_projection" ->
+      """SELECT * FROM supplier ORDER BY s_suppkey""",
+
+    "json_wire_roundtrip" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+         FROM orders ORDER BY o_orderkey""",
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
 
     "text_token_count" ->
       """SELECT doc_id,

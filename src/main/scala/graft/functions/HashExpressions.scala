@@ -77,6 +77,94 @@ object HashOps {
     }
     new GenericArrayData(mins)
   }
+
+  /** Word n-gram shingle hashes straight from a token array — the
+    * shingle strings are never materialized (the HOF formulation
+    * `transform(sequence…, array_join(slice…))` allocates one string per
+    * shingle and dominates MinHash cost). Polynomial combine of per-token
+    * FNV hashes; ≤ n tokens → a single all-token shingle hash. */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      th(i) = if (tokens.isNullAt(i)) 0L else fnv64(tokens.getUTF8String(i))
+      i += 1
+    }
+    if (cnt <= n) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < cnt) { h = h * 31L + th(j); j += 1 }
+      new GenericArrayData(Array(h))
+    } else {
+      val out = new Array[Long](cnt - n + 1)
+      var s = 0
+      while (s <= cnt - n) {
+        var h = 1125899906842597L
+        var j = 0
+        while (j < n) { h = h * 31L + th(s + j); j += 1 }
+        out(s) = h
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** k-MinHash over already-hashed shingles (array<long>) — one pass. */
+  def minhashFromHashes(hashes: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var t = 0
+    while (t < n) {
+      val base = hashes.getLong(t)
+      var j = 0
+      while (j < k) {
+        val h = mix64(base ^ (j * 0x9e3779b97f4a7c15L))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Deterministic pseudo-random plane coefficient in [-1,1]. */
+  def planeCoef(seed: Int, bit: Int, dim: Int): Double = {
+    val h = mix64((seed.toLong << 40) ^ (bit.toLong << 20) ^ dim.toLong)
+    // top 53 bits → uniform double in [0,1) → [-1,1)
+    ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+  }
+
+  /** Random-hyperplane signature of a float vector: `bits` sign bits. */
+  def hyperplaneSig(v: ArrayData, bits: Int, seed: Int): Long = {
+    val x = v.toFloatArray()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var proj = 0.0
+      var d = 0
+      while (d < x.length) { proj += x(d).toDouble * planeCoef(seed, b, d); d += 1 }
+      if (proj >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** `hyperplane_sig(array<float>, bits, seed) -> long` — random-hyperplane
+  * LSH signature as ONE native pass: bit b = sign(Σ_d v[d]·plane(seed,b,d))
+  * with pseudo-random plane coefficients in [-1,1] derived from mix64.
+  * The HOF formulation costs bits×dims lambda evaluations per row; this
+  * is a single fused loop. */
+case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+  override protected def nullSafeEval(in: Any): Any =
+    HashOps.hyperplaneSig(in.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.hyperplaneSig($c, $bits, $seed)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** `simhash64(array<string>) -> long` as a native, codegen'd expression. */
@@ -104,10 +192,39 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `shingle_hashes(array<string>, n) -> array<long>`. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(in: Any): Any =
+    HashOps.shingleHashes(in.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `minhash_hashes(array<long>, k) -> array<long>`. */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_hashes"
+  override protected def nullSafeEval(in: Any): Any =
+    HashOps.minhashFromHashes(in.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.minhashFromHashes($c, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashFunctions {
   import org.apache.spark.sql.graft.Bridge
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def minhashSignature(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), k))
+  def shingleHashes(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(tokens), n))
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    Bridge.column(MinHashFromHashes(Bridge.expression(hashes), k))
+  def hyperplaneSignature(vec: Column, bits: Int, seed: Int): Column =
+    Bridge.column(HyperplaneSignature(Bridge.expression(vec), bits, seed))
 }

@@ -95,25 +95,12 @@ object VectorFunctions {
   }
 
   /** Random-hyperplane (SimHash) LSH signature of a float vector: `bits`
-    * sign bits packed into a long. Deterministic pseudo-hyperplanes derived
-    * from xxhash64-style mixing of (bit, dim) — no stored model needed. */
-  def hyperplaneSignature(v: Column, bits: Int, seed: Int = 0): Column = {
-    val dims = F.size(v)
-    val sigBits = (0 until bits).map { b =>
-      val proj = F.aggregate(
-        F.zip_with(v, F.sequence(F.lit(0), dims - 1),
-          (x, d) => x * planeCoef(F.lit(seed), F.lit(b), d)),
-        F.lit(0.0), (s, x) => s + x)
-      F.when(proj >= 0, F.shiftleft(F.lit(1L), b)).otherwise(F.lit(0L))
-    }
-    sigBits.reduce(_ bitwiseOR _)
-  }
-
-  /** Deterministic pseudo-random coefficient in [-1,1] for plane (seed, b, d). */
-  private def planeCoef(seed: Column, b: Column, d: Column): Column = {
-    val h = F.xxhash64(seed, b, d)
-    (F.pmod(h, F.lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
-  }
+    * sign bits packed into a long. Deterministic pseudo-hyperplanes — no
+    * stored model needed. Native one-pass expression
+    * (graft.functions.HyperplaneSignature); the HOF formulation it
+    * replaced cost bits×dims lambda evals per row. */
+  def hyperplaneSignature(v: Column, bits: Int, seed: Int = 0): Column =
+    HashFunctions.hyperplaneSignature(v, bits, seed)
 
   private def expr(c: Column): Expression =
     org.apache.spark.sql.graft.Bridge.expression(c)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -47,12 +47,17 @@ object Dedup {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     graft.functions.HashFunctions.minhashSignature(shingles, numHashes)
 
+  /** Token n-gram shingle hashes (native one-pass; shingle strings never
+    * materialize — see HashOps.shingleHashes). */
+  def hashedShingles(text: Column, shingleSize: Int): Column =
+    HashFunctions.shingleHashes(TextFunctions.tokens(lower(text)), shingleSize)
+
   /** Docs → (id, band, bandKey) exploded LSH bucket table.
     * numHashes = bands * rowsPerBand; bandKey hashes the signature slice. */
   def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignature(
-      TextFunctions.wordShingles(col(textCol), shingleSize), bands * rowsPerBand)
+    val sig = HashFunctions.minhashFromHashes(
+      hashedShingles(col(textCol), shingleSize), bands * rowsPerBand)
     docs
       .select(col(idCol), sig.as("sig"))
       .select(col(idCol), posexplode(
@@ -67,7 +72,11 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, bands: Int = 16,
                         rowsPerBand: Int = 4): DataFrame = {
+    // persist: both sides of the bucket self-join read this table; without
+    // it the shingle+minhash pipeline runs twice (at warehouse scale this
+    // table would be materialized to storage instead)
     val b = minhashBuckets(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.select(col("band"), col("band_key"), col(idCol).as("id_a"))
     val r = b.select(col("band"), col("band_key"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "band_key"))
@@ -91,7 +100,8 @@ object Dedup {
                   textCol: String, shingleSize: Int): DataFrame = {
     val sh = docs.select(
       col(idCol),
-      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
+      array_distinct(hashedShingles(col(textCol), shingleSize)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -121,6 +131,7 @@ object Dedup {
       array((0 until 4).map(c =>
         shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .as(Seq("chunk", "chunk_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("chunk"), col("chunk_val"),
       col(idCol).as("id_a"), col("fp").as("fp_a"))
     val r = banded.select(col("chunk"), col("chunk_val"),
@@ -146,6 +157,7 @@ object Dedup {
       array((0 until bands).map(b =>
         VectorFunctions.hyperplaneSignature(col(vecCol), bits, b)): _*))
       .as(Seq("band", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("band_key"),
       col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val r = banded.select(col("band"), col("band_key"),
