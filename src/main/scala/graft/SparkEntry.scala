@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{StayCategory, TextFunctions}
-import graft.operators.{Dedup, Enrich, Multimodal, Similarity}
+import graft.operators.{Dedup, Enrich, Multimodal, Similarity, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -299,6 +299,82 @@ object SparkEntry {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
+    "event_sessionize" -> ((s, dir) => {
+      // gaps-and-islands sessionization: 30-min inactivity gap
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val isNew = when(
+        lag(us, 1).over(w).isNull || (us - lag(us, 1).over(w)) > 1800L * 1000000L, 1)
+        .otherwise(0)
+      e.withColumn("session_id",
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).cast("timestamp_ntz").as("session_start"),
+          max(col("ts")).cast("timestamp_ntz").as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "string_funcs" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          col("c_name").substr(lit(3), lit(5)).as("mid"),
+          concat(col("c_mktsegment"), lit("-"), col("c_name")).as("seg_name"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          when(col("c_name").like("%1%"), 1L).otherwise(0L).as("has_one"),
+          length(col("c_name")).cast("long").as("name_len"))
+        .orderBy("c_custkey")
+    }),
+
+    "agg_collect" -> ((s, dir) => {
+      // ordered collect: per-nation sorted supplier list as CSV string
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          array_join(sort_array(collect_list(col("s_suppkey"))), ",").as("suppliers"),
+          count(lit(1)).as("n_sup"))
+        .orderBy("n_name")
+    }),
+
+    "agg_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (not the approx sketch)
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "join_salted" -> ((s, dir) => {
+      // skew-mitigation: salted equi-join (result ≡ plain join)
+      val li = t(s, dir, "lineitem")
+        .withColumnRenamed("l_suppkey", "suppkey")
+      val sup = t(s, dir, "supplier")
+        .withColumnRenamed("s_suppkey", "suppkey")
+      Skew.saltedEquiJoin(li, sup, "suppkey", 16, col("l_orderkey"))
+        .groupBy(col("s_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy("s_name")
+    }),
+
+    "skew_salted_agg" -> ((s, dir) => {
+      // two-phase salted aggregation (result ≡ direct groupBy)
+      val e = t(s, dir, "events")
+      Skew.saltedCountSum(e, Seq("event_type"), dec(col("value")), 16, col("event_id"))
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy("event_type")
+    }),
+
     // ---- text analysis (training-data pipeline ops) ----
 
     "text_token_count" -> ((s, dir) => {
@@ -574,6 +650,61 @@ object SparkEntry {
            JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)
          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "event_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events
+         ), y AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM x
+         ), z AS (
+           SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM y
+         )
+         SELECT user_id, session_id, count(*) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end
+         FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "string_funcs" ->
+      """SELECT c_custkey,
+           upper(c_name) AS uname,
+           substring(c_name, 3, 5) AS mid,
+           concat(c_mktsegment, '-', c_name) AS seg_name,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           CAST(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS BIGINT) AS has_one,
+           CAST(length(c_name) AS BIGINT) AS name_len
+         FROM customer ORDER BY c_custkey""",
+
+    "agg_collect" ->
+      """SELECT n_name,
+           array_to_string(list(s_suppkey ORDER BY s_suppkey), ',') AS suppliers,
+           count(*) AS n_sup
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "join_salted" ->
+      """SELECT s_name, count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name ORDER BY s_name""",
+
+    "skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "text_token_count" ->
       """SELECT doc_id,

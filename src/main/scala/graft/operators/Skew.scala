@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Skew-mitigation operators for 100 TB shuffles.
+  *
+  * AQE's skew-join splitting (on in GraftSession) handles most runtime
+  * skew; these are the *explicit* formulations for cases AQE can't see —
+  * a priori known hot keys, or aggregations whose single hot group would
+  * bottleneck one reducer.
+  *
+  * Both are deterministic: the salt is derived by hashing a caller-chosen
+  * column (never rand()), so replays and retries produce identical
+  * results.
+  */
+object Skew {
+
+  /** Equi-join with salted replication: the large side's rows are salted
+    * by `hash(saltSource) % buckets`; the small side is replicated once
+    * per bucket. The shuffle key becomes (key, salt), spreading a hot key
+    * over `buckets` reducers. Result is exactly the plain equi-join. */
+  def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
+                     buckets: Int, saltSource: Column): DataFrame = {
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(buckets.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase (salted) count+sum aggregation: phase 1 groups by
+    * (keys, salt) — spreading a hot group across reducers — phase 2
+    * combines the partials. Equivalent to a direct groupBy; Spark's own
+    * partial aggregation usually suffices, but when a single group's
+    * *final* aggregation state is huge (e.g. exact-distinct sets), the
+    * explicit two-phase form is the scale-out. */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: Column,
+                     buckets: Int, saltSource: Column): DataFrame = {
+    val phase1 = df
+      .withColumn("__salt", pmod(xxhash64(saltSource), lit(buckets.toLong)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_value"))
+  }
+}

@@ -24,10 +24,11 @@ object Tables {
     // TIMESTAMP, keeping both engines value-identical.
     df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) if name == "events" =>
+        // integer division — `/` would go through double and lose precision
+        // at 1.7e18 ns (above 2^53), shifting timestamps by ±1 µs
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.floor(
-              org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df
     }
   }
