@@ -299,6 +299,20 @@ object SparkEntry {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
+    "agg_bounded_distinct" -> ((s, dir) => {
+      // custom TypedImperativeAggregate: exact below threshold ⇒ oracle-able
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.BoundedDistinct
+            .boundedCountDistinct(col("l_partkey"), threshold = 1000000)
+            .as("distinct_parts"),
+          graft.functions.BoundedDistinct
+            .boundedCountDistinct(col("l_suppkey"), threshold = 1000000)
+            .as("distinct_supps"))
+        .orderBy("l_returnflag")
+    }),
+
     "event_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization: 30-min inactivity gap
       val e = t(s, dir, "events")
@@ -650,6 +664,12 @@ object SparkEntry {
            JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)
          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "agg_bounded_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "event_sessionize" ->
       """WITH x AS (

@@ -86,6 +86,19 @@ object StreamingPipeline {
         distinctAgg.as("distinct_hotels"))
   }
 
+  /** The 100 TB answer (SURVEY.md §7.3): per-group state is an exact set
+    * only while the group is small, an HLL sketch after — so the common
+    * small-cardinality groups stay ksqlDB-exact while a pathological
+    * group cannot blow up the state store. */
+  def hotelsCountBounded(enriched: DataFrame, threshold: Int = 100000): DataFrame =
+    enriched
+      .groupBy(col("stay_category"))
+      .agg(
+        count(col("hotel_id")).as("hotels_amount"),
+        graft.functions.BoundedDistinct
+          .boundedCountDistinct(col("hotel_id"), threshold)
+          .as("distinct_hotels"))
+
   /** Wire a streaming source through enrich → hotels_count and emit the
     * changelog (K2/K3 parity: outputMode("update") ≙ EMIT CHANGES). */
   def changelogWriter(records: DataFrame, exact: Boolean = true): DataStreamWriter[Row] =
