@@ -479,6 +479,18 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "similarity_topk_ivf" -> ((s, dir) => {
+      // IVF cell-probe ANN: k-means coarse quantizer + nprobe cell search
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val centroids = Similarity.kmeansCentroids(e, k = 8, iters = 2)
+      Similarity.ivfTopK(e, q, centroids, k = 10, nprobe = 2)
+        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // ---- multimodal columns ----
 
     "multimodal_meta" -> ((s, dir) => {

@@ -65,6 +65,69 @@ object Similarity {
       .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** Deterministic Lloyd's k-means over an Array[Float] embedding column —
+    * trains the IVF coarse quantizer. Init = first k vectors by id (spread
+    * is irrelevant for bucketing quality at few iterations; determinism
+    * is what the correctness harness needs). The per-iteration reduce is
+    * the classic explode-to-(cell, dim) shape: one shuffle of (cell, dim,
+    * value) triples, never of whole vectors. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    var centroids = corpus.orderBy(col(idCol)).limit(k)
+      .select(row_number().over(Window.orderBy(col(idCol))).cast("long").minus(1)
+        .as(centroidIdCol), col(vecCol))
+      .persist()
+    centroids.count()
+    (0 until iters).foreach { _ =>
+      val assigned = assignToCentroids(corpus, centroids, idCol, vecCol, centroidIdCol)
+      val next = assigned
+        .select(col(centroidIdCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col(centroidIdCol), col("dim"))
+        .agg(avg(col("v")).as("v"))
+        .groupBy(col(centroidIdCol))
+        .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("dv"))
+        .select(col(centroidIdCol),
+          transform(col("dv"), e => e.getField("v").cast("float")).as(vecCol))
+        .persist()
+      next.count()
+      centroids.unpersist()
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN: corpus pre-assigned to its nearest centroid
+    * cell; a query probes its `nprobe` closest cells and reranks only
+    * those cells' vectors with exact cosine. At warehouse scale the
+    * assigned corpus is written partitioned by cell id, so a query reads
+    * a handful of partitions instead of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id",
+              centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cells = assignToCentroids(corpus, centroids, idCol, vecCol, centroidIdCol)
+      .select(col(centroidIdCol), col(idCol), col(vecCol))
+    val qScored = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .join(broadcast(centroids.select(col(centroidIdCol), col(vecCol).as("c_vec"))))
+      .withColumn("c_cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+    val wq = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("c_cos").desc, col(centroidIdCol))
+    val probes = qScored
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col(queryIdCol), col(centroidIdCol), col("q_vec"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    cells.join(broadcast(probes), Seq(centroidIdCol))
+      .withColumn("cosine", VectorFunctions.cosineSim(col(vecCol), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
   /** IVF-style coarse quantization: assign every vector to the nearest of
     * `centroids` (a small broadcast table of (centroid_id, vector)); ANN
     * then searches only the probed cells. This is the classic inverted-file

@@ -98,6 +98,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK: self found at rank 1; cosines exact") {
+    val e = Tables().embeddings
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val centroids = Similarity.kmeansCentroids(e, k = 4, iters = 2)
+    assert(centroids.count() == 4)
+    val ivf = Similarity.ivfTopK(e, q, centroids, k = 5, nprobe = 2).collect()
+    assert(ivf.nonEmpty)
+    val byQ = ivf.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (qid, rows) =>
+      val first = rows.minBy(_.getAs[Int]("rank"))
+      // the query vector itself lives in the probed cell → rank 1, cos 1
+      assert(first.getAs[Long]("vec_id") == qid)
+      assert(math.abs(first.getAs[Double]("cosine") - 1.0) < 1e-9)
+    }
+  }
+
   test("hotelsCount: manual fixture counts") {
     val df = Seq(
       ("2020-01-01", "2020-01-03", 100L), // Short
