@@ -457,6 +457,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "pipeline_e2e" -> ((s, dir) => {
+      // the composite training-data pipeline: quality gate → language
+      // gate → exact dedup → per-source stats
+      val d = t(s, dir, "documents")
+      val gated = d
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("lang_guess", TextFunctions.langIdHeuristic(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang_guess") === "en")
+      val deduped = Dedup.exactDedup(gated, "doc_id", "text")
+      deduped.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy("source")
+    }),
+
     // ---- similarity search ----
 
     "similarity_topk" -> ((s, dir) => {
@@ -808,6 +825,49 @@ object SparkEntry {
          SELECT min(doc_id) AS doc_id FROM aug
          GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
          ORDER BY doc_id""",
+
+    "pipeline_e2e" ->
+      """WITH scored AS (
+           SELECT doc_id, text, source, n_chars,
+             round(
+               least(length(text) / 200.0, 1.0) * 0.3
+               + least((CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], t))) AS DOUBLE)
+                     / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) END) * 4.0, 1.0) * 0.3
+               + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.2
+               + (CASE WHEN (CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'), w -> length(w))) AS DOUBLE)
+                     / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) END)
+                   BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+               4) AS quality,
+             (SELECT CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                  ELSE 'und' END
+              FROM (SELECT
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['the','and','of','to','is','in'], t))) AS s_en,
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['le','la','de','et','les','des'], t))) AS s_fr,
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['der','die','und','das','ist','von'], t))) AS s_de
+              )) AS lang_guess
+           FROM documents
+         ), gated AS (
+           SELECT * FROM scored WHERE quality >= 0.5 AND lang_guess = 'en'
+         ), keep AS (
+           SELECT min(doc_id) AS doc_id
+           FROM gated
+           GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+         )
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(quality), 4) AS avg_quality
+         FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)
+         GROUP BY source ORDER BY source""",
 
     "similarity_topk" ->
       """WITH q AS (

@@ -115,6 +115,21 @@ object StreamingPipeline {
       .queryName(name)
       .start()
 
+  /** Streaming exact deduplication on key columns — the training-pipeline
+    * dedup operator in its incremental form. With an event-time column +
+    * watermark the dedup state is bounded (old keys dropped once the
+    * watermark passes); without one it matches the reference's grow-
+    * forever state semantics. */
+  def dedupStream(records: DataFrame, keyCols: Seq[String],
+                  eventTimeCol: Option[String] = None,
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    eventTimeCol match {
+      case Some(ts) =>
+        records.withWatermark(ts, watermarkDelay)
+          .dropDuplicates(keyCols :+ ts)
+      case None => records.dropDuplicates(keyCols)
+    }
+
   /** Event-time windowed aggregation with a watermark — the T4 extension
     * the reference lacks but 100 TB state-boundedness requires: state for
     * closed windows is dropped after `delay`. */

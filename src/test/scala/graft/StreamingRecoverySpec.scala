@@ -35,6 +35,28 @@ class StreamingRecoverySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeats across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Booking]
+    val q = StreamingPipeline.dedupStream(input.toDF(), Seq("hotel_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Booking("2020-01-01", "2020-01-03", 100L),
+        Booking("2020-01-01", "2020-01-03", 100L), // dup in-batch
+        Booking("2020-01-01", "2020-01-08", 200L))
+      q.processAllAvailable()
+      input.addData(
+        Booking("2020-01-02", "2020-01-04", 100L), // dup across batches
+        Booking("2020-01-02", "2020-01-04", 300L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("hotel_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(100L, 200L, 300L))
+    } finally q.stop()
+  }
+
   test("file source + checkpoint: restart resumes exactly-once") {
     val base = Files.createTempDirectory("graft_recovery").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
