@@ -457,6 +457,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "sql_interface" -> ((s, dir) => {
+      // the SQL entry point: temp views + registered native functions
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+               bounded_count_distinct(l_partkey, 1000000, 12) AS distinct_parts,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }),
+
     "pipeline_e2e" -> ((s, dir) => {
       // the composite training-data pipeline: quality gate → language
       // gate → exact dedup → per-source stats
@@ -825,6 +838,12 @@ object SparkEntry {
          SELECT min(doc_id) AS doc_id FROM aug
          GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
          ORDER BY doc_id""",
+
+    "sql_interface" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "pipeline_e2e" ->
       """WITH scored AS (

@@ -13,4 +13,13 @@ import org.apache.spark.sql.Column
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder in the session's FunctionRegistry so it
+    * is callable from `spark.sql(...)` — the sanctioned temp-function
+    * route (same mechanism as `createOrReplaceTempFunction`). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -115,6 +115,23 @@ class FunctionsSpec extends SparkSpec {
     assert(ham(hs(0), hs(3)) > 12)
   }
 
+  test("SQL surface: registered native functions callable from spark.sql") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq((Array(1f, 0f), Array(1f, 0f), "a b c a b c")).toDF("x", "y", "t")
+      .createOrReplaceTempView("sqlfn_test")
+    val r = spark.sql("""
+      SELECT cosine_similarity(x, y) AS cos,
+             simhash64(split(t, ' ')) AS sh,
+             minhash_hashes(shingle_hashes(split(t, ' '), 2), 8) AS mh
+      FROM sqlfn_test""").collect().head
+    assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(r.getSeq[Long](r.fieldIndex("mh")).size == 8)
+    val agg = spark.sql(
+      "SELECT bounded_count_distinct(id, 1000, 12) FROM range(500)")
+      .collect().head.getLong(0)
+    assert(agg == 500L)
+  }
+
   test("minhash signature: deterministic, k slots, jaccard-correlated") {
     val df = Seq(
       "a b c d e f g h i j k l m n o p",
