@@ -30,6 +30,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
 
+  /** RocksDB state store provider (ships with Spark core; rocksdbjni is on
+    * the classpath). The 100 TB streaming-state answer: per-key state
+    * spills to local disk instead of executor heap — required once
+    * aggregation state (e.g. distinct sets) outgrows memory. Set it on a
+    * session before starting stateful queries:
+    * `spark.conf.set(StateStoreProviderConf, RocksDbProvider)`. */
+  val StateStoreProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -94,6 +94,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Corpus-level MinHash dedup: returns the surviving documents. A doc is
+    * dropped iff it appears as the *larger* id of a verified near-dup pair
+    * — the one-pass approximation of connected components (for chains
+    * a~b~c it keeps a; full CC needs iteration, which a training pipeline
+    * rarely pays for). */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                   threshold: Double = 0.8): DataFrame = {
+    val doomed = minhashPairs(docs, idCol, textCol, shingleSize, bands,
+      rowsPerBand, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for given (id_a, id_b) pairs: joins each side to
     * its distinct shingle set, then |∩| / |∪|. */
   def withJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,

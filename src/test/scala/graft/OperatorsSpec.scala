@@ -36,6 +36,13 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhashDedup keeps the lowest id of each near-dup cluster") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L)) // 2,3,5 are (near-)dups of 1
+  }
+
   test("withJaccard computes exact set jaccard") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.withJaccard(pairs, docs, "doc_id", "text", 2)

@@ -35,6 +35,29 @@ class StreamingRecoverySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store provider runs the stateful changelog") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(GraftSession.StateStoreProviderConf)
+    spark.conf.set(GraftSession.StateStoreProviderConf, GraftSession.RocksDbProvider)
+    try {
+      val input = MemoryStream[Booking]
+      val q = StreamingPipeline.startMemoryChangelog(input.toDF(), "hc_rocksdb")
+      try {
+        input.addData(Booking("2020-01-01", "2020-01-03", 100L))
+        q.processAllAvailable()
+        input.addData(Booking("2020-01-01", "2020-01-03", 200L))
+        q.processAllAvailable()
+        val m = spark.table("hc_rocksdb").groupBy("stay_category")
+          .agg(max("hotels_amount").as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(m("Short stay") == 2L) // state survived across batches in RocksDB
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(GraftSession.StateStoreProviderConf, v)
+      case None => spark.conf.unset(GraftSession.StateStoreProviderConf)
+    }
+  }
+
   test("streaming dedup drops repeats across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Booking]
