@@ -34,7 +34,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // throughput of the reference's core topology (enrich → hotels_count)
+    // in records/sec — the number to hold against the reference's
+    // single-replica interpreted-Python processor (BASELINE.md)
+    val rows = graft.sources.Tables.load(spark, sfDir, "lineitem").count()
+    val t0 = System.nanoTime()
+    SparkEntry.queries("hotels_count")(spark, sfDir).collect()
+    val enrichSec = (System.nanoTime() - t0) / 1e9
+    val rps = (rows / enrichSec).toLong
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","enrich_rows_per_sec":$rps}""")
     spark.stop()
   }
 }
