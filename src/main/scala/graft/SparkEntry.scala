@@ -457,6 +457,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "profile_columns" -> ((s, dir) => {
+      // data-profiling operator: one row of stats per profiled column
+      val o = t(s, dir, "orders")
+      def prof(c: String) = o.agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n"),
+        count(lit(1)).minus(count(col(c))).as("nulls"),
+        countDistinct(col(c)).as("n_distinct"))
+      prof("o_custkey")
+        .unionByName(prof("o_orderstatus"))
+        .unionByName(prof("o_orderpriority"))
+        .orderBy("col_name")
+    }),
+
+    "json_props_extract" -> ((s, dir) => {
+      // JSON scalar extraction from the events props payload column
+      val e = t(s, dir, "events")
+      e.select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+
     "sql_interface" -> ((s, dir) => {
       // the SQL entry point: temp views + registered native functions
       graft.functions.GraftFunctions.registerAll(s)
@@ -838,6 +861,24 @@ object SparkEntry {
          SELECT min(doc_id) AS doc_id FROM aug
          GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
          ORDER BY doc_id""",
+
+    "profile_columns" ->
+      """SELECT * FROM (
+           SELECT 'o_custkey' AS col_name, count(*) AS n,
+             count(*) - count(o_custkey) AS nulls,
+             count(DISTINCT o_custkey) AS n_distinct FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus) FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority) FROM orders)
+         ORDER BY col_name""",
+
+    "json_props_extract" ->
+      """SELECT event_id,
+           CAST(regexp_extract(props, '"k": ?(-?[0-9]+)', 1) AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
 
     "sql_interface" ->
       """SELECT l_returnflag,

@@ -53,6 +53,23 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("approx-distinct mode (HLL) tracks exact at small cardinality") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Booking]
+    val q = StreamingPipeline.startMemoryChangelog(
+      input.toDF(), "hc_approx", exact = false)
+    try {
+      input.addData(
+        Booking("2020-01-01", "2020-01-03", 100L),
+        Booking("2020-01-01", "2020-01-03", 200L),
+        Booking("2020-01-01", "2020-01-03", 300L))
+      q.processAllAvailable()
+      val d = spark.table("hc_approx").filter(col("stay_category") === "Short stay")
+        .agg(max("distinct_hotels")).collect().head.getLong(0)
+      assert(d == 3L) // HLL is exact at tiny cardinalities
+    } finally q.stop()
+  }
+
   test("json payload roundtrip (Kafka wire parity, S2/S3/K1)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
