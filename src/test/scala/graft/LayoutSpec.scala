@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Storage-layout behavior: partition pruning, bucketed shuffle-free
+  * aggregation, dynamic partition overwrite. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned write + partition pruning in the scan") {
+    val base = Files.createTempDirectory("graft_layout").toString
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    Layout.writePartitioned(li, s"$base/li", Seq("l_returnflag"))
+
+    val pruned = spark.read.parquet(s"$base/li")
+      .filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"partition filter missing:\n$plan")
+    val expected = li.filter(col("l_returnflag") === "R").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("bucketed table: aggregation on bucket key plans no exchange") {
+    val o = graft.sources.Tables.load(spark, sfDir, "orders")
+    Layout.writeBucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_bucketed", "o_custkey", 4)
+    try {
+      val agg = spark.table("orders_bucketed")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+        s"bucketed agg still shuffles:\n$plan")
+      assert(agg.count() == o.select("o_custkey").distinct().count())
+    } finally spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+  }
+
+  test("dynamic partition overwrite replaces only the written partition") {
+    val base = Files.createTempDirectory("graft_dpo").toString + "/t"
+    val v1 = Seq(("a", 1), ("a", 2), ("b", 10)).toDF("p", "v")
+    Layout.writePartitioned(v1, base, Seq("p"))
+    assert(spark.read.parquet(base).count() == 3)
+    // rewrite only partition a
+    val v2 = Seq(("a", 99)).toDF("p", "v")
+    Layout.overwritePartitions(v2, base, Seq("p"))
+    val after = spark.read.parquet(base)
+    assert(after.count() == 2) // a:99 + untouched b:10
+    assert(after.filter(col("p") === "b").count() == 1)
+  }
+}

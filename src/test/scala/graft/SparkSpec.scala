@@ -10,6 +10,8 @@ object TestSession {
     val s = GraftSession
       .builder(master = "local[4]", appName = "graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
