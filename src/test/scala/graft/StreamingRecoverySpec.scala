@@ -35,6 +35,30 @@ class StreamingRecoverySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join with watermarks and a time-range condition") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val impressions = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val imp = impressions.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "10 minutes")
+    val clk = clicks.toDF().toDF("c_ad_id", "click_ts").withWatermark("click_ts", "10 minutes")
+    val joined = imp.join(clk,
+      expr("""ad_id = c_ad_id AND
+              click_ts >= imp_ts AND click_ts <= imp_ts + interval 1 hour"""))
+    val q = joined.select("ad_id", "imp_ts", "click_ts")
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      impressions.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:30:00")),  // within the hour → joins
+        (2L, ts("2024-01-01 11:30:00")),  // outside the window → dropped
+        (3L, ts("2024-01-01 10:10:00")))  // no impression → dropped
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("RocksDB state store provider runs the stateful changelog") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption(GraftSession.StateStoreProviderConf)
