@@ -71,14 +71,22 @@ object Dedup {
     * the bucket key, so work is Σ bucket² not n². */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, bands: Int = 16,
-                        rowsPerBand: Int = 4): DataFrame = {
+                        rowsPerBand: Int = 4,
+                        maxBucketSize: Int = 1000): DataFrame = {
     // persist: both sides of the bucket self-join read this table; without
     // it the shingle+minhash pipeline runs twice (at warehouse scale this
     // table would be materialized to storage instead)
     val b = minhashBuckets(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = b.select(col("band"), col("band_key"), col(idCol).as("id_a"))
-    val r = b.select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    // cap pathological buckets: boilerplate-heavy corpora put thousands of
+    // docs in one bucket and the self-join goes quadratic; such docs still
+    // pair up in their other (non-degenerate) bands
+    val ok = b.groupBy("band", "band_key").count()
+      .filter(col("count") <= maxBucketSize)
+      .select("band", "band_key")
+    val capped = b.join(broadcast(ok), Seq("band", "band_key"))
+    val l = capped.select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val r = capped.select(col("band"), col("band_key"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

@@ -128,6 +128,49 @@ object Similarity {
       .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** Materialize the IVF index: corpus assigned to cells, written
+    * partitioned BY CELL ID. A probe then reads only its cells'
+    * directories (PartitionFilters) — at 100 TB this is the difference
+    * between scanning the corpus and scanning nprobe/k of it. */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroidIdCol: String = "centroid_id"): Unit =
+    Layout.writePartitioned(
+      assignToCentroids(corpus, centroids, idCol, vecCol, centroidIdCol)
+        .select(col(centroidIdCol), col(idCol), col(vecCol)),
+      path, Seq(centroidIdCol))
+
+  /** Query a materialized IVF index. Probe cell ids are resolved on the
+    * driver (|Q|·nprobe longs — metadata, not data) so the cell filter is
+    * a literal IN-list that prunes partitions at scan time. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, centroids: DataFrame, k: Int,
+                       nprobe: Int = 2,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       queryIdCol: String = "query_id",
+                       centroidIdCol: String = "centroid_id"): DataFrame = {
+    val qScored = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .join(broadcast(centroids.select(col(centroidIdCol), col(vecCol).as("c_vec"))))
+      .withColumn("c_cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+    val wq = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("c_cos").desc, col(centroidIdCol))
+    val probes = qScored
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col(queryIdCol), col(centroidIdCol), col("q_vec"))
+    val probeCells = probes.select(centroidIdCol).distinct()
+      .collect().map(_.getLong(0))
+    val cells = spark.read.parquet(path)
+      .filter(col(centroidIdCol).isin(probeCells: _*))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    cells.join(broadcast(probes), Seq(centroidIdCol))
+      .withColumn("cosine", VectorFunctions.cosineSim(col(vecCol), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
   /** IVF-style coarse quantization: assign every vector to the nearest of
     * `centroids` (a small broadcast table of (centroid_id, vector)); ANN
     * then searches only the probed cells. This is the classic inverted-file

@@ -122,6 +122,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("minhash bucket cap drops degenerate buckets") {
+    // 60 identical docs: every band bucket holds all 60 → capped away
+    val degenerate = (1L to 60L)
+      .map(i => (i, "the same boilerplate text repeated in every document here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(degenerate, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minhashCandidates(degenerate, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, maxBucketSize = 1000)
+    assert(uncapped.count() == 60L * 59 / 2)
+  }
+
+  test("IVF index on disk: partition-pruned probe matches in-memory IVF") {
+    val e = Tables().embeddings
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val centroids = Similarity.kmeansCentroids(e, k = 4, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    Similarity.writeIvfIndex(e, centroids, path)
+
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, path, q, centroids,
+      k = 5, nprobe = 2)
+    // pruning visible in the plan
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"), plan)
+    // same results as the non-materialized path
+    val inMem = Similarity.ivfTopK(e, q, centroids, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    fromIndex.collect().foreach { r =>
+      assert(inMem((r.getLong(0), r.getInt(1))) == r.getLong(2))
+    }
+  }
+
   test("hotelsCount: manual fixture counts") {
     val df = Seq(
       ("2020-01-01", "2020-01-03", 100L), // Short
