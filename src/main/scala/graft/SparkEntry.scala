@@ -201,6 +201,23 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "join_cross" -> ((s, dir) => {
+      // explicit cartesian: every (region, nation) combination
+      val r = t(s, dir, "region").select(col("r_name"))
+      val n = t(s, dir, "nation").select(col("n_name"))
+      r.crossJoin(n).orderBy("r_name", "n_name")
+    }),
+
+    "join_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_name"))
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 350000.0)
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
     // ---- window functions (SURVEY.md §2.7) ----
 
     "window_topk_per_group" -> ((s, dir) => {
@@ -669,6 +686,18 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
          ORDER BY c_custkey""",
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+
+    "join_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey
+         FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0) c
+         FULL OUTER JOIN
+              (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 350000.0) o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
 
     "window_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (

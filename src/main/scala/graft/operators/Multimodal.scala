@@ -74,6 +74,25 @@ object Multimodal {
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("width", lit(w)).withColumn("height", lit(h))
 
+  /** Per-frame feature extraction for video rows: frame-sample then decode
+    * each (media, frame) — the stub varies the feature by frame number the
+    * way a real decoder would vary it by frame content. One generator +
+    * one mapPartitions pass, no shuffle. */
+  def extractFrameFeatures(media: Dataset[MediaRecord], framesPerVideo: Int,
+                           dim: Int = 16)
+                          (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.filter(_.kind == "video")
+      .flatMap { m =>
+        (0 until framesPerVideo).iterator.map { f =>
+          // real impl: decode frame f's pixels; stub: payload hash ⊕ frame
+          val feat = decodeStub(m.payload :+ f.toByte, dim)
+          (m.media_id, f, feat)
+        }
+      }
+      .toDF("media_id", "frame_no", "feature")
+  }
+
   /** Frame sampling for video rows: emit `n` (media_id, frame_no) rows per
     * video — posexplode keeps it one shuffle-free generator. */
   def sampleFrames(media: DataFrame, n: Int): DataFrame =

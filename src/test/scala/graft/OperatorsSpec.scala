@@ -195,6 +195,16 @@ class OperatorsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media.toDF(), 3)
     val videos = media.filter(_.kind == "video").count()
     assert(frames.count() == videos * 3)
+    // per-frame features: one row per (video, frame), frame-dependent
+    val ff = Multimodal.extractFrameFeatures(media, framesPerVideo = 2, dim = 4)
+      .collect()
+    assert(ff.length == videos * 2)
+    val byMedia = ff.groupBy(_.getAs[Long]("media_id"))
+    byMedia.values.foreach { rows =>
+      val f0 = rows.find(_.getAs[Int]("frame_no") == 0).get.getSeq[Float](2)
+      val f1 = rows.find(_.getAs[Int]("frame_no") == 1).get.getSeq[Float](2)
+      assert(f0 != f1) // frame content varies the feature
+    }
   }
 
   private case class Tabs(documents: org.apache.spark.sql.DataFrame,
