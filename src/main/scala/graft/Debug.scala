@@ -28,10 +28,10 @@ object Debug {
     println(s"bucket stats in ${(System.nanoTime() - t0) / 1e9}s")
     val t1 = System.nanoTime()
     println("docs=" + docs.count())
-    val sig = docs.select(graft.operators.Dedup.minhashSignature(
-      graft.functions.TextFunctions.wordShingles(col("text"), 3), 64).as("sig"))
+    val sig = docs.select(graft.functions.HashFunctions.minhashFromHashes(
+      graft.operators.Dedup.hashedShingles(col("text"), 3), 64).as("sig"))
     println("sig checksum=" + sig.select(sum(element_at(col("sig"), 1))).first().getLong(0))
-    println(s"signature pass in ${(System.nanoTime() - t1) / 1e9}s")
+    println(s"signature pass (hashed shingles) in ${(System.nanoTime() - t1) / 1e9}s")
     spark.stop()
   }
 }
