@@ -429,6 +429,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "token_frequencies" -> ((s, dir) => {
+      // generator surface: explode tokens → corpus-wide term frequencies
+      val d = t(s, dir, "documents")
+      d.select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(20)
+    }),
+
+    "pivot_events" -> ((s, dir) => {
+      // pivoted per-user event counts over a fixed category list
+      val e = t(s, dir, "events")
+      e.groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
     "text_hashes" -> ((s, dir) => {
       // SimHash + order-sensitive rolling hash (engine-native hashes; no
       // SQL oracle — covered by ScalaTest invariants instead)
@@ -876,6 +896,21 @@ object SparkEntry {
                 WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
                 ELSE 'und' END AS lang_guess
          FROM s ORDER BY doc_id""",
+
+    "token_frequencies" ->
+      """SELECT token, count(*) AS freq
+         FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+
+    "pivot_events" ->
+      """SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
