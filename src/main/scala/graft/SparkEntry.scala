@@ -230,6 +230,19 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    "window_rank_lead" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "window_running_sum" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val w = Window.partitionBy(col("user_id"))
@@ -726,6 +739,16 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "window_rank_lead" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           lag(o_orderkey, 1) OVER w AS prev_order,
+           lead(o_orderkey, 1) OVER w AS next_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
 
     "window_running_sum" ->
       """SELECT event_id, user_id,
