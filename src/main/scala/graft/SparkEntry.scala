@@ -208,6 +208,16 @@ object SparkEntry {
       r.crossJoin(n).orderBy("r_name", "n_name")
     }),
 
+    "join_left_outer" -> ((s, dir) => {
+      // every customer, orders only when above the threshold (null-extended)
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 350000.0)
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
     "join_full_outer" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_acctbal") < 0)
         .select(col("c_custkey"), col("c_name"))
@@ -723,6 +733,14 @@ object SparkEntry {
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
          ORDER BY r_name, n_name""",
+
+    "join_left_outer" ->
+      """SELECT c_custkey, c_mktsegment, o_orderkey
+         FROM customer
+         LEFT OUTER JOIN
+              (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 350000.0) o
+           ON c_custkey = o.o_custkey
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
 
     "join_full_outer" ->
       """SELECT c_custkey, c_name, o_orderkey

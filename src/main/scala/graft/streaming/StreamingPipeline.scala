@@ -2,9 +2,16 @@ package graft.streaming
 
 import graft.operators.Enrich
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+
+/** Input row for the custom-state operator (top-level for encoders). */
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+/** Arbitrary per-key state maintained by flatMapGroupsWithState. */
+case class UserTotalsState(n_events: Long, total_value: Double, last_seen_ms: Long)
+/** One changelog row per updated key per micro-batch. */
+case class UserTotalsUpdate(user_id: Long, n_events: Long, total_value: Double)
 
 /** The reference topology (SURVEY.md §3) as Structured Streaming plans.
   *
@@ -114,6 +121,31 @@ object StreamingPipeline {
       .format("memory")
       .queryName(name)
       .start()
+
+  /** Arbitrary stateful processing via `flatMapGroupsWithState` — the
+    * escape hatch for state machines the declarative aggregates can't
+    * express (custom counters, session objects, model state). Keeps a
+    * per-user running total + event count across micro-batches and emits
+    * one update row per touched key per batch (update-mode changelog).
+    * State lives in the state store (RocksDB-capable, checkpointed). */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotalsUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotalsState, UserTotalsUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserTotalsState]) =>
+          val prev = state.getOption.getOrElse(UserTotalsState(0L, 0.0, 0L))
+          var n = prev.n_events
+          var total = prev.total_value
+          var last = prev.last_seen_ms
+          it.foreach { e =>
+            n += 1; total += e.value; last = math.max(last, e.ts.getTime)
+          }
+          state.update(UserTotalsState(n, total, last))
+          Iterator(UserTotalsUpdate(uid, n, total))
+      }
+  }
 
   /** Streaming exact deduplication on key columns — the training-pipeline
     * dedup operator in its incremental form. With an event-time column +

@@ -94,6 +94,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: custom per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{UserEvent, UserTotalsUpdate}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[UserEvent]
+    val q = StreamingPipeline.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00"), 10.0),
+        UserEvent(1L, ts("2024-01-01 10:01:00"), 5.0),
+        UserEvent(2L, ts("2024-01-01 10:02:00"), 7.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, ts("2024-01-01 11:00:00"), 1.0))
+      q.processAllAvailable()
+      val m = spark.table("user_totals").as[UserTotalsUpdate].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(m(1L).n_events == 3L && math.abs(m(1L).total_value - 16.0) < 1e-9)
+      assert(m(2L).n_events == 1L && math.abs(m(2L).total_value - 7.0) < 1e-9)
+    } finally q.stop()
+  }
+
   test("windowed event counts with watermark (T4 extension)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
