@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * A warmup pass at sf0.001 runs first so JIT/codegen/parquet-footer
   * costs don't land on whichever query happens to execute first; timed
   * queries then run in sorted name order.
+  *
+  * Failure policy: a query that throws during the timed pass reports
+  * duration -1 (an impossible value, never mistakable for a fast run)
+  * and its name is listed in the top-level "errors" array, so a broken
+  * query can never make the totals look like an improvement.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,12 +33,19 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // cached intermediates (LSH bucket/shingle tables etc.) are dropped
+      // between queries so they never accumulate across the session
+      spark.catalog.clearCache()
+      (name, if (ok) sec else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
 
     // throughput of the reference's core topology (enrich → hotels_count)
     // in records/sec — the number to hold against the reference's
@@ -44,7 +56,7 @@ object Bench {
     val enrichSec = (System.nanoTime() - t0) / 1e9
     val rps = (rows / enrichSec).toLong
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","enrich_rows_per_sec":$rps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","enrich_rows_per_sec":$rps}""")
     spark.stop()
   }
 }

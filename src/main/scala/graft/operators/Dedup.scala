@@ -75,7 +75,10 @@ object Dedup {
                         maxBucketSize: Int = 1000): DataFrame = {
     // persist: both sides of the bucket self-join read this table; without
     // it the shingle+minhash pipeline runs twice (at warehouse scale this
-    // table would be materialized to storage instead)
+    // table would be materialized to storage instead). The cache entry is
+    // released by the caller's session hygiene — Verify/Bench clearCache()
+    // between queries — because unpersisting here, before the consuming
+    // join materializes, would defeat the reuse.
     val b = minhashBuckets(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cap pathological buckets: boilerplate-heavy corpora put thousands of

@@ -148,17 +148,19 @@ object StreamingPipeline {
   }
 
   /** Streaming exact deduplication on key columns — the training-pipeline
-    * dedup operator in its incremental form. With an event-time column +
-    * watermark the dedup state is bounded (old keys dropped once the
-    * watermark passes); without one it matches the reference's grow-
-    * forever state semantics. */
+    * dedup operator in its incremental form. Both branches dedup on the
+    * key columns ALONE: with an event-time column + watermark the state is
+    * bounded via `dropDuplicatesWithinWatermark` (a key's state is dropped
+    * once the watermark passes its event time, so a duplicate arriving
+    * within the watermark delay is suppressed while state stays finite);
+    * without one it matches the reference's grow-forever state semantics. */
   def dedupStream(records: DataFrame, keyCols: Seq[String],
                   eventTimeCol: Option[String] = None,
                   watermarkDelay: String = "1 hour"): DataFrame =
     eventTimeCol match {
       case Some(ts) =>
         records.withWatermark(ts, watermarkDelay)
-          .dropDuplicates(keyCols :+ ts)
+          .dropDuplicatesWithinWatermark(keyCols)
       case None => records.dropDuplicates(keyCols)
     }
 

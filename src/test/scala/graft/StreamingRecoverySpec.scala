@@ -104,6 +104,28 @@ class StreamingRecoverySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked dedup is key-only: same key, different ts, one survivor") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingPipeline.dedupStream(
+        input.toDF().toDF("k", "ts"), Seq("k"),
+        eventTimeCol = Some("ts"), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:05:00")), // same key, later ts → suppressed
+        (2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:10:00"))) // still within watermark
+      q.processAllAvailable()
+      val ks = spark.table("dedup_wm").select("k").as[Long].collect().sorted
+      assert(ks.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("file source + checkpoint: restart resumes exactly-once") {
     val base = Files.createTempDirectory("graft_recovery").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
