@@ -473,8 +473,9 @@ object SparkEntry {
     }),
 
     "text_hashes" -> ((s, dir) => {
-      // SimHash + order-sensitive rolling hash (engine-native hashes; no
-      // SQL oracle — covered by ScalaTest invariants instead)
+      // SimHash + order-sensitive rolling hash. Both are FNV-1a-64-based
+      // one-pass native expressions, so the DuckDB oracle replicates them
+      // bit-exactly with mod-2^64 HUGEINT arithmetic (see fnvSql below).
       t(s, dir, "documents")
         .select(
           col("doc_id"),
@@ -624,9 +625,143 @@ object SparkEntry {
     })
   )
 
+  // ---- DuckDB-side replication of the engine's hash kernels ------------
+  // The sketch operators (SimHash, MinHash shingles, rolling hash) are all
+  // built on FNV-1a 64 (HashOps.fnv64) precisely so the oracle can
+  // recompute them in pure SQL: HUGEINT (int128) arithmetic mod 2^64
+  // reproduces the JVM's wrapping-Long semantics bit-for-bit. The LSH
+  // queries are then checked against the *exact* all-pairs formulation —
+  // at verification scale the banded LSH output must equal the exact
+  // answer (full recall), which is itself a meaningful property check.
+
+  /** Unsigned FNV-1a 64 of a UTF-8 string expression, as HUGEINT in
+    * [0, 2^64): fold (h ^ byte) * prime mod 2^64 over the bytes, seeded
+    * with the offset basis via list_prepend (list_reduce has no init). */
+  private def fnvSql(t: String): String = {
+    val hx = s"hex(encode($t))"
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       list_transform(range(1, octet_length(encode($t))*2, 2),
+         i -> CAST((strpos('0123456789ABCDEF', substr($hx, CAST(i AS INT), 1))-1)*16
+              + (strpos('0123456789ABCDEF', substr($hx, CAST(i AS INT)+1, 1))-1) AS HUGEINT))),
+       (a,b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"""
+  }
+
+  /** Two's-complement reinterpretation: HUGEINT in [0,2^64) → BIGINT. */
+  private def signedSql(h: String): String =
+    s"""CAST(CASE WHEN $h >= 9223372036854775808::HUGEINT
+        THEN $h - 18446744073709551616::HUGEINT ELSE $h END AS BIGINT)"""
+
+  /** TextFunctions.tokens semantics in DuckDB: null-safe, ''→[]. */
+  private val toksSql: String =
+    """CASE WHEN text IS NULL THEN NULL WHEN trim(text) = '' THEN []
+       ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+
+  /** The augmentedDocs corpus (originals ∪ exact copies ∪ near-dup tails)
+    * as a CTE body. */
+  private val augDocsSql: String =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 1000000, text FROM documents
+       UNION ALL SELECT doc_id + 2000000, text || ' graft near dup tail'
+         FROM documents WHERE doc_id % 5 = 0"""
+
+  /** CTE chain computing HashOps.simhash64 per doc of relation `src`
+    * (which must have doc_id, text): yields fp(doc_id, fp BIGINT). */
+  private def simhashCtes(src: String): String =
+    s"""docs AS (SELECT doc_id, $toksSql AS toks FROM $src),
+       tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+       th AS (SELECT doc_id, ${fnvSql("tok")} AS h FROM tok),
+       votes AS (
+         SELECT doc_id, b.b AS b,
+           sum(CASE WHEN (h >> CAST(b.b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+         GROUP BY doc_id, b.b),
+       fp0 AS (
+         SELECT doc_id,
+           sum(CASE WHEN vote > 0 THEN (1::HUGEINT << CAST(b AS INT))
+               ELSE 0::HUGEINT END) AS fpu
+         FROM votes GROUP BY doc_id),
+       fp AS (
+         SELECT d.doc_id,
+           CASE WHEN d.toks IS NULL THEN NULL
+                ELSE ${signedSql("coalesce(f.fpu, 0::HUGEINT)")} END AS fp
+         FROM docs d LEFT JOIN fp0 f ON d.doc_id = f.doc_id)"""
+
+  /** CTE chain computing HashOps.shingleHashes(tokens, 3) distinct sets per
+    * doc of relation `src`: yields shd(doc_id, sh LIST(HUGEINT)). */
+  private def shingleCtes(src: String): String = {
+    val m = "18446744073709551616::HUGEINT"
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM $src),
+       thl AS (SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th FROM d),
+       sh AS (SELECT doc_id,
+         CASE WHEN len(th) <= 3
+           THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
+                 (a,b) -> (a * 31 + b) % $m)]
+           ELSE list_transform(range(1, len(th) - 1),
+             s -> ((((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)]) % $m) * 31
+                   + th[CAST(s AS INT)+1]) % $m * 31 + th[CAST(s AS INT)+2]) % $m)
+         END AS sh FROM thl),
+       shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh)"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+
+    "text_hashes" ->
+      s"""WITH src AS (SELECT doc_id, text FROM documents),
+         ${simhashCtes("src")},
+         roll AS (
+           SELECT doc_id,
+             CASE WHEN th IS NULL THEN NULL
+                  ELSE ${signedSql(
+                    """list_reduce(list_prepend(0::HUGEINT, th),
+                       (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)""")}
+             END AS rolling_hash
+           FROM (SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th
+                 FROM docs))
+         SELECT fp.doc_id, fp.fp AS simhash, roll.rolling_hash
+         FROM fp JOIN roll ON fp.doc_id = roll.doc_id
+         ORDER BY fp.doc_id""",
+
+    "dedup_simhash_pairs" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${simhashCtes("aug")}
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY id_a, id_b""",
+
+    "dedup_minhash_pairs" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+         FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6
+         ORDER BY id_a, id_b""",
+
+    "dedup_embedding_pairs" ->
+      """WITH aug AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(CAST(x * CAST(0.9 AS DOUBLE) AS FLOAT) AS DOUBLE))
+           FROM embeddings WHERE vec_id % 10 = 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+         ORDER BY id_a, id_b""",
 
     "hotels_count" ->
       """SELECT stay_category,

@@ -128,6 +128,23 @@ object HashOps {
     new GenericArrayData(mins)
   }
 
+  /** Order-sensitive 64-bit rolling (polynomial) hash over a token array:
+    * h = h*31 + fnv64(token), wrapping. Distinguishes permuted documents,
+    * unlike a bag-of-tokens hash, and — being FNV-based — is exactly
+    * replicable in unsigned-128-bit SQL (mod-2^64 HUGEINT arithmetic) for
+    * oracle checks. */
+  def rollingHash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val t = if (tokens.isNullAt(i)) 0L else fnv64(tokens.getUTF8String(i))
+      h = h * 31L + t
+      i += 1
+    }
+    h
+  }
+
   /** Deterministic pseudo-random plane coefficient in [-1,1]. */
   def planeCoef(seed: Int, bit: Int, dim: Int): Double = {
     val h = mix64((seed.toLong << 40) ^ (bit.toLong << 20) ^ dim.toLong)
@@ -203,6 +220,18 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `rolling_hash(array<string>) -> long` — order-sensitive polynomial
+  * fingerprint (HashOps.rollingHash) as a native codegen'd expression. */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override protected def nullSafeEval(in: Any): Any =
+    HashOps.rollingHash(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `minhash_hashes(array<long>, k) -> array<long>`. */
 case class MinHashFromHashes(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -225,6 +254,8 @@ object HashFunctions {
     Bridge.column(ShingleHashes(Bridge.expression(tokens), n))
   def minhashFromHashes(hashes: Column, k: Int): Column =
     Bridge.column(MinHashFromHashes(Bridge.expression(hashes), k))
+  def rollingHash(tokens: Column): Column =
+    Bridge.column(RollingHash64(Bridge.expression(tokens)))
   def hyperplaneSignature(vec: Column, bits: Int, seed: Int): Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(vec), bits, seed))
 }

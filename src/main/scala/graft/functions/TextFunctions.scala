@@ -124,10 +124,12 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
-  /** 64-bit rolling (polynomial) hash over tokens: h = h*31 + xxhash64(tok).
-    * Order-sensitive — distinguishes permuted documents, unlike a bag hash. */
+  /** 64-bit rolling (polynomial) hash over tokens: h = h*31 + fnv64(tok).
+    * Order-sensitive — distinguishes permuted documents, unlike a bag hash.
+    * One native pass (no HOF lambda per token); FNV-based so the DuckDB
+    * oracle can replicate it exactly with mod-2^64 HUGEINT arithmetic. */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(lower(text)), lit(0L), (acc, w) => acc * 31L + xxhash64(w))
+    HashFunctions.rollingHash(tokens(lower(text)))
 
   private def substring(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
