@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{StayCategory, TextFunctions}
-import graft.operators.{Dedup, Enrich, Multimodal, Similarity, Skew}
+import graft.operators.{AsOf, Dedup, Enrich, Multimodal, Similarity, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -228,7 +228,102 @@ object SparkEntry {
         .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
     }),
 
+    // ---- time-series joins: as-of + range (engine extensions) ----
+
+    "join_asof" -> ((s, dir) => {
+      // backward as-of: latest click at or before each purchase, per user.
+      // One shuffle (union + keyed window) — see operators/AsOf.scala.
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOf.asofBackward(purchases, clicks, "user_id", "ts", "ts",
+        "click_id", "asof_click_id")
+        .select("event_id", "user_id", "asof_click_id")
+        .orderBy("event_id")
+    }),
+
+    "join_range" -> ((s, dir) => {
+      // time-range join: clicks in the 30 min before each purchase.
+      // Equi-key (user) + range residual ⇒ hash join, never a BNLJ.
+      val e = t(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      p.join(c, p("user_id") === col("c_user") &&
+          col("c_ts") > p("ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= p("ts"), "left_outer")
+        .groupBy(p("event_id"), p("user_id"))
+        .agg(count(col("c_ts")).as("n_clicks"),
+          sum(dec(col("c_value"))).cast("double").as("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- grouping sets / cube / correlated-subquery surface ----
+
+    "agg_cube" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy(asc_nulls_first("c_mktsegment"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
+    "agg_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (not expressible as rollup/cube): per-segment
+      // and per-priority marginals in one pass over the join
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+        ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }),
+
+    "subquery_above_avg" -> ((s, dir) => {
+      // correlated "above own group average" — decorrelated into one
+      // window pass (no per-row subquery execution)
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+      o.withColumn("cust_avg",
+          sum(dec(col("o_totalprice"))).over(w).cast("double")
+            / count(lit(1)).over(w).cast("double"))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+        .orderBy("o_orderkey")
+    }),
+
     // ---- window functions (SURVEY.md §2.7) ----
+
+    "window_range_frame" -> ((s, dir) => {
+      // RANGE frame keyed on days-since-epoch: trailing-90-day revenue
+      val o = t(s, dir, "orders")
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1990-01-01").cast("date"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(day)
+        .rangeBetween(-90, Window.currentRow)
+      o.withColumn("trailing_90d",
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select("o_orderkey", "o_custkey", "trailing_90d")
+        .orderBy("o_orderkey")
+    }),
+
+    "window_ntile" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      c.select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("c_custkey")
+    }),
 
     "window_topk_per_group" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -462,6 +557,41 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "text_tfidf" -> ((s, dir) => {
+      // corpus-wide TF-IDF, top-3 terms per document. df and N are plain
+      // aggregations; N joins in via a broadcast of a 1-row frame.
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score", col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df").cast("double")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    "vector_norms" -> ((s, dir) => {
+      // array-column math surface: per-embedding L2 norm and max |x|.
+      // Lambdas cast to double FIRST — HOFs over float arrays otherwise
+      // accumulate in float.
+      val e = t(s, dir, "embeddings")
+      e.select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("l2_norm"),
+          round(array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))), 6).as("max_abs"))
+        .orderBy("vec_id")
+    }),
+
     "pivot_events" -> ((s, dir) => {
       // pivoted per-user event counts over a fixed category list
       val e = t(s, dir, "events")
@@ -509,6 +639,23 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(augmentedDocs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // EXACT n-gram Jaccard pairs via shingle inverted index (recall 1.0)
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_clusters" -> ((s, dir) => {
+      // full-transitive cluster dedup: verified near-dup pairs → connected
+      // components (label = min doc id per component)
+      val pairs = Dedup.minhashPairs(augmentedDocs(s, dir), "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs).orderBy("doc_id")
     }),
 
     "dedup_embedding_pairs" -> ((s, dir) => {
@@ -748,6 +895,143 @@ object SparkEntry {
            JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6
          ORDER BY id_a, id_b""",
+
+    "join_asof" ->
+      """SELECT e.event_id, e.user_id,
+           (SELECT c.event_id FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts <= e.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_click_id
+         FROM events e WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""",
+
+    "join_range" ->
+      """SELECT p.event_id, p.user_id,
+           count(c.c_ts) AS n_clicks,
+           CAST(sum(CAST(c.c_value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts, value AS c_value
+                    FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.c_user
+          AND c.c_ts > p.ts - INTERVAL 30 MINUTE
+          AND c.c_ts <= p.ts
+         GROUP BY p.event_id, p.user_id ORDER BY p.event_id""",
+
+    "agg_cube" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY CUBE(c_mktsegment, o_orderpriority)
+         ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "agg_grouping_sets" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+         ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "subquery_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_avg
+           FROM orders)
+         WHERE o_totalprice > cust_avg ORDER BY o_orderkey""",
+
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_90d
+         FROM orders ORDER BY o_orderkey""",
+
+    "window_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH src AS (SELECT doc_id, text FROM documents),
+         ${shingleCtes("src")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+         FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
+         edges AS (
+           SELECT id_a AS s, id_b AS t FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e2.s, r.lbl FROM edges e2 JOIN reach r ON e2.t = r.id)
+         SELECT id AS doc_id, min(lbl) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "text_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+             ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS nd FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE)
+               * ln(CAST(n.nd AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+           FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+         r AS (
+           SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS rnk
+           FROM scored)
+         SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
+           round(score, 6) AS tfidf
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+
+    "vector_norms" ->
+      """SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt(list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+             (a, b) -> a + b)), 6) AS l2_norm,
+           round(list_aggregate(
+             list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),
+             'max'), 6) AS max_abs
+         FROM embeddings ORDER BY vec_id""",
 
     "dedup_embedding_pairs" ->
       """WITH aug AS (

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series join operators the built-in join types don't cover.
+  *
+  * The backward as-of join ("latest right row at or before each left row,
+  * per key") is implemented with the union + ordered-window formulation:
+  * tag both inputs, union them, and run `last(right_value, ignoreNulls)`
+  * over a (key, time)-ordered window. This costs exactly ONE shuffle of
+  * (left ∪ right) on the key — the same price as a plain equi-join — and
+  * never materializes the quadratic (left × right-history) space a naive
+  * range join would. At 100 TB this is the only formulation that holds:
+  * state per key is a running scalar, skew behaves like any keyed sort,
+  * and AQE/range-partition handling applies unchanged.
+  */
+object AsOf {
+
+  /** Backward (inclusive) as-of join: for every left row, the `rightVal`
+    * of the latest right row with the same `key` and right time ≤ left
+    * time. Ties on time prefer the larger `rightVal` (deterministic).
+    * Output = all left rows + `outCol` (null when no right row precedes).
+    *
+    * `rightVal` must be an orderable type (used as the tie-break). */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   rightVal: String, outCol: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rvType = right.select(rightVal).schema.head.dataType
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    // right side carries only (key, ts, value); left payload columns are
+    // null-filled so the union schema matches
+    val r = lCols.foldLeft(
+      right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+        col(rightVal).as("__rv"))
+        .withColumn("__side", lit(0))
+    ) { (df, c) =>
+      if (c == key) df.withColumn(c, col("__k"))
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.drop("__k")
+
+    val unified = (lCols ++ Seq("__ts", "__side", "__rv")).map(col)
+    val u = l.select(unified: _*).unionByName(r.select(unified: _*))
+
+    // right rows sort before left rows at equal time (inclusive semantics);
+    // right ties sort by value so `last` picks the largest
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(outCol,
+        last(when(col("__side") === 0, col("__rv")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__ts", "__side", "__rv")
+  }
+}

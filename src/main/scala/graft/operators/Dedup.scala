@@ -136,6 +136,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs — no LSH, no recall loss. The
+    * shuffle key is the shingle hash (inverted index), so only pairs that
+    * actually share a shingle are ever scored: cost is Σ_shingle df² —
+    * near-linear on natural corpora — instead of n². The exact counterpart
+    * to minhashPairs for when recall must be 1.0; at 100 TB, popular
+    * boilerplate shingles are the skew risk (cap via maxShingleDf). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Int = 100000): DataFrame = {
+    val sh = docs.select(
+      col(idCol),
+      array_distinct(hashedShingles(col(textCol), shingleSize)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
+    val e = sh.select(col(idCol), explode(col("sh")).as("h"))
+    val rare = e.groupBy("h").count().filter(col("count") <= maxShingleDf)
+      .select("h")
+    val capped = e.join(broadcast(rare), Seq("h"))
+    val common = capped.select(col("h"), col(idCol).as("id_a"))
+      .join(capped.select(col("h"), col(idCol).as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Connected components over an undirected near-dup edge list by
+    * iterative min-label propagation: every node's label converges to the
+    * minimum id in its component (deterministic fixpoint, independent of
+    * execution order). Each iteration is one equi-join + one aggregation —
+    * both plain shuffles on the node id — and the loop runs O(diameter)
+    * times, which for near-dup clusters (small, dense) is a handful.
+    * `localCheckpoint` truncates the lineage so plans stay flat.
+    *
+    * This turns pairwise dedup into cluster dedup: keep min(id) per
+    * component, drop the rest — the full-transitive version of
+    * minhashDedup's one-hop approximation. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("id"), col("lbl"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens — native one-pass expression

@@ -207,6 +207,52 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("asofBackward: latest right row at or before, ties prefer larger value") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after r2 → picks 21
+      (2L, 10L, ts("2024-01-01 09:00:00")), // exactly at r1 (inclusive) → 20
+      (3L, 10L, ts("2024-01-01 08:00:00")), // before any right row → null
+      (4L, 99L, ts("2024-01-01 10:00:00"))  // key with no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 20L),
+      (10L, ts("2024-01-01 09:30:00"), 21L),
+      (10L, ts("2024-01-01 09:30:00"), 19L), // tie on ts → 21 wins over 19
+      (10L, ts("2024-01-01 11:00:00"), 22L)  // in the future of all lefts
+    ).toDF("user_id", "ts", "click_id")
+    val out = graft.operators.AsOf
+      .asofBackward(left, right, "user_id", "ts", "ts", "click_id", "asof")
+      .select("event_id", "asof").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(1L -> 21L, 2L -> 20L, 3L -> -1L, 4L -> -1L))
+  }
+
+  test("connectedComponents: min label per component, chains included") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("ngramJaccardPairs: exact dups score 1.0, disjoint docs absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "alpha beta gamma delta zeta"),    // near dup of 1
+      (4L, "completely different words entirely here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out.contains(1L -> 3L) && out((1L, 3L)) < 1.0)
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   private case class Tabs(documents: org.apache.spark.sql.DataFrame,
                           embeddings: org.apache.spark.sql.DataFrame)
   private def Tables(): Tabs = Tabs(
