@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{StayCategory, TextFunctions}
+import graft.functions.{HashFunctions, StayCategory, TextFunctions}
 import graft.operators.{AsOf, Dedup, Enrich, Multimodal, Similarity, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -769,6 +769,151 @@ object SparkEntry {
       Multimodal.sampleFrames(media, 4)
         .select(col("media_id"), col("kind"), col("frame_no").cast("long").as("frame_no"))
         .orderBy("media_id", "frame_no")
+    }),
+
+    // ---- deterministic sampling (training-data pipeline) ----
+
+    "sample_stratified" -> ((s, dir) => {
+      // hash-based per-stratum sampling: keep rows whose fnv64(row key)
+      // lands in the first 10 of 100 residue classes. Unlike rand() the
+      // sample is reproducible across runs AND engines, so membership is
+      // oracle-checkable; per-stratum sampled-vs-total counts prove the
+      // ~10% rate holds within every stratum.
+      val li = t(s, dir, "lineitem")
+      val h = HashFunctions.fnv64(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+      li.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(pmod(h, lit(100L)) < 10, 1)).as("n_sampled"))
+        .orderBy("l_returnflag")
+    }),
+
+    "sample_reservoir" -> ((s, dir) => {
+      // deterministic fixed-size per-stratum sample ("reservoir" of 20):
+      // rank rows inside each stratum by their content hash and keep the
+      // first 20 — a uniform-without-replacement sample that is stable
+      // across runs, engines, and (unlike rand-ranked) partitionings.
+      val li = t(s, dir, "lineitem")
+      val h = HashFunctions.fnv64(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(h.asc, col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+        .orderBy("l_returnflag", "rn")
+    }),
+
+    // ---- event analytics beyond the reference surface ----
+
+    "events_funnel" -> ((s, dir) => {
+      // ordered funnel signup → click → purchase: each later stage counts
+      // only events strictly after the user's previous-stage time. Three
+      // keyed aggregations + two equi-joins on user_id — every shuffle is
+      // on the same key, so at scale the stages co-partition.
+      val e = t(s, dir, "events")
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val cl = e.filter(col("event_type") === "click")
+        .join(su, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(cl, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      su.agg(count(lit(1)).as("n_users")).withColumn("step", lit("1_signup"))
+        .unionByName(cl.agg(count(lit(1)).as("n_users")).withColumn("step", lit("2_click")))
+        .unionByName(pu.agg(count(lit(1)).as("n_users")).withColumn("step", lit("3_purchase")))
+        .select(col("step"), col("n_users"))
+        .orderBy("step")
+    }),
+
+    "retention_cohorts" -> ((s, dir) => {
+      // weekly cohort retention: cohort = ISO week of a user's first
+      // event; a cell counts users of that cohort active N weeks later.
+      val e = t(s, dir, "events")
+      val first = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = e
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      active.join(first, "user_id")
+        .withColumn("weeks_since",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+        .groupBy("cohort_week", "weeks_since")
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+          col("weeks_since"), col("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    }),
+
+    "anomaly_zscore" -> ((s, dir) => {
+      // z-score outliers per event_type. Moments come from exact DECIMAL
+      // sums (order-independent, engine-identical); the float math after
+      // that is a fixed expression tree over identical inputs, so the
+      // rounded z is bit-stable between Spark and the oracle.
+      val e = t(s, dir, "events")
+      val v = dec(col("value"))
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(v).cast("double").as("s1"),
+        sum(v * v).cast("double").as("s2"))
+      val nD = col("n").cast("double")
+      e.join(broadcast(stats), "event_type")
+        .withColumn("mu", col("s1") / nD)
+        .withColumn("sd",
+          sqrt((col("s2") - col("s1") * col("s1") / nD) / (nD - 1.0)))
+        .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+        .filter(abs(col("z")) >= 3.0)
+        .select(col("event_id"), col("event_type"), col("z"))
+        .orderBy("event_id")
+    }),
+
+    // ---- text cleaning / repetition quality gates ----
+
+    "quality_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals: duplicate-token fraction and
+      // most-frequent-token fraction. Pure array expressions per row —
+      // no shuffle at all until the final presentation sort.
+      val d = t(s, dir, "documents")
+      val base = d.select(col("doc_id"),
+        TextFunctions.tokens(lower(col("text"))).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("top_cnt", when(col("n_tokens") === 0, 0L).otherwise(
+          array_max(transform(array_distinct(col("toks")),
+            u => size(filter(col("toks"), x => x === u)))).cast("long")))
+      base
+        .withColumn("dup_token_frac", when(col("n_tokens") === 0, 0.0).otherwise(
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6)))
+        .withColumn("top_token_frac", when(col("n_tokens") === 0, 0.0).otherwise(
+          round(col("top_cnt").cast("double") / col("n_tokens").cast("double"), 6)))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("dup_token_frac"), col("top_token_frac"))
+        .orderBy("doc_id")
+    }),
+
+    "text_normalize" -> ((s, dir) => {
+      // canonical text cleaning: lowercase → strip non-printable-ASCII →
+      // collapse whitespace → trim. The full normalized string is the
+      // output (strong equality check), plus before/after char counts.
+      val d = t(s, dir, "documents")
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^ -~]", ""), "\\s+", " "))
+      d.select(col("doc_id"), norm.as("norm_text"),
+          length(col("text")).cast("long").as("n_raw"))
+        .withColumn("n_norm", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_minhash_survivors" -> ((s, dir) => {
+      // corpus-level near-dup dedup: the documents that SURVIVE MinHash
+      // dedup (drop the larger id of every verified near-dup pair)
+      Dedup.minhashDedup(augmentedDocs(s, dir), "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1481,6 +1626,126 @@ object SparkEntry {
     "multimodal_frame_sample" ->
       """SELECT doc_id AS media_id, 'video' AS kind, CAST(f AS BIGINT) AS frame_no
          FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f)
-         WHERE doc_id % 3 = 2 ORDER BY media_id, frame_no"""
+         WHERE doc_id % 3 = 2 ORDER BY media_id, frame_no""",
+
+    "sample_stratified" -> {
+      val key = "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+      s"""WITH h AS (
+           SELECT l_returnflag, ${signedSql(fnvSql(key))} AS hv FROM lineitem)
+         SELECT l_returnflag, count(*) AS n_total,
+           count(CASE WHEN ((hv % 100) + 100) % 100 < 10 THEN 1 END) AS n_sampled
+         FROM h GROUP BY l_returnflag ORDER BY l_returnflag"""
+    },
+
+    "sample_reservoir" -> {
+      val key = "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+      s"""WITH h AS (
+           SELECT l_returnflag, l_orderkey, l_linenumber,
+             ${signedSql(fnvSql(key))} AS hv
+           FROM lineitem
+         ), r AS (
+           SELECT l_returnflag, l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY hv, l_orderkey, l_linenumber) AS rn
+           FROM h
+         )
+         SELECT l_returnflag, rn, l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber
+         FROM r WHERE rn <= 20 ORDER BY l_returnflag, rn"""
+    },
+
+    "events_funnel" ->
+      """WITH su AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id
+         ), cl AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN su ON e.user_id = su.user_id
+           WHERE e.event_type = 'click' AND e.ts > su.t1 GROUP BY e.user_id
+         ), pu AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN cl ON e.user_id = cl.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > cl.t2 GROUP BY e.user_id
+         )
+         SELECT '1_signup' AS step, count(*) AS n_users FROM su
+         UNION ALL SELECT '2_click', count(*) FROM cl
+         UNION ALL SELECT '3_purchase', count(*) FROM pu
+         ORDER BY step""",
+
+    "retention_cohorts" ->
+      """WITH first AS (
+           SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+           FROM events GROUP BY user_id
+         ), active AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+         )
+         SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS weeks_since,
+           count(*) AS n_users
+         FROM active JOIN first USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "anomaly_zscore" ->
+      """WITH stats AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+           FROM events GROUP BY event_type
+         ), z AS (
+           SELECT e.event_id, e.event_type,
+             round((e.value - s.s1 / CAST(s.n AS DOUBLE))
+               / sqrt((s.s2 - s.s1 * s.s1 / CAST(s.n AS DOUBLE))
+                      / (CAST(s.n AS DOUBLE) - 1.0)), 4) AS z
+           FROM events e JOIN stats s ON e.event_type = s.event_type
+         )
+         SELECT event_id, event_type, z FROM z
+         WHERE abs(z) >= 3.0 ORDER BY event_id""",
+
+    "quality_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CASE WHEN len(toks) = 0 THEN 0
+               ELSE list_max(list_transform(list_distinct(toks),
+                 u -> len(list_filter(toks, x -> x = u)))) END AS top_cnt
+           FROM d
+         )
+         SELECT doc_id, n_tokens, n_distinct,
+           CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           END AS dup_token_frac,
+           CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE round(CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           END AS top_token_frac
+         FROM m ORDER BY doc_id""",
+
+    "text_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', '', 'g'),
+                '\s+', ' ', 'g')) AS norm_text,
+           CAST(length(text) AS BIGINT) AS n_raw,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', '', 'g'),
+                '\s+', ' ', 'g'))) AS BIGINT) AS n_norm
+         FROM documents ORDER BY doc_id""",
+
+    "dedup_minhash_survivors" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         doomed AS (
+           SELECT DISTINCT id_b FROM common
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6)
+         SELECT doc_id FROM aug
+         WHERE doc_id NOT IN (SELECT id_b FROM doomed)
+         ORDER BY doc_id"""
   )
 }

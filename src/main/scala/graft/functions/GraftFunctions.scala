@@ -21,6 +21,8 @@ object GraftFunctions {
       es => CosineSimilarity(es(0), es(1)))
     Bridge.registerFunction(spark, "dot_product",
       es => DotProduct(es(0), es(1)))
+    Bridge.registerFunction(spark, "fnv64",
+      es => Fnv64(es.head))
     Bridge.registerFunction(spark, "simhash64",
       es => SimHash64(es.head))
     Bridge.registerFunction(spark, "minhash",

@@ -168,6 +168,21 @@ object HashOps {
   }
 }
 
+/** `fnv64(string) -> long` — FNV-1a 64 of the UTF-8 bytes as a native
+  * codegen'd expression. The deterministic row-hash for hash-based
+  * sampling: unlike `rand()` it is reproducible across runs/engines, so a
+  * sample is re-derivable and oracle-checkable (the DuckDB side replicates
+  * the fold with mod-2^64 HUGEINT arithmetic). */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+  override protected def nullSafeEval(in: Any): Any =
+    HashOps.fnv64(in.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.fnv64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `hyperplane_sig(array<float>, bits, seed) -> long` — random-hyperplane
   * LSH signature as ONE native pass: bit b = sign(Σ_d v[d]·plane(seed,b,d))
   * with pseudo-random plane coefficients in [-1,1] derived from mix64.
@@ -246,6 +261,8 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
 
 object HashFunctions {
   import org.apache.spark.sql.graft.Bridge
+  def fnv64(s: Column): Column =
+    Bridge.column(Fnv64(Bridge.expression(s)))
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def minhashSignature(shingles: Column, k: Int): Column =

@@ -52,13 +52,26 @@ object Dedup {
   def hashedShingles(text: Column, shingleSize: Int): Column =
     HashFunctions.shingleHashes(TextFunctions.tokens(lower(text)), shingleSize)
 
+  /** Docs → (id, hs) hashed-shingle table: the one expensive text pass
+    * (tokenize → n-gram → FNV) that every MinHash stage derives from.
+    * Compute it once, persist (or materialize to storage at warehouse
+    * scale), and feed it to both candidate generation and verification. */
+  def hashedShingleTable(docs: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int): DataFrame =
+    docs.select(col(idCol), hashedShingles(col(textCol), shingleSize).as("hs"))
+
   /** Docs → (id, band, bandKey) exploded LSH bucket table.
     * numHashes = bands * rowsPerBand; bandKey hashes the signature slice. */
   def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
-                     shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = HashFunctions.minhashFromHashes(
-      hashedShingles(col(textCol), shingleSize), bands * rowsPerBand)
-    docs
+                     shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    bucketsFromShingles(hashedShingleTable(docs, idCol, textCol, shingleSize),
+      idCol, bands, rowsPerBand)
+
+  /** (id, hs) → (id, band, bandKey) bucket table (see minhashBuckets). */
+  def bucketsFromShingles(sh: DataFrame, idCol: String,
+                          bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = HashFunctions.minhashFromHashes(col("hs"), bands * rowsPerBand)
+    sh
       .select(col(idCol), sig.as("sig"))
       .select(col(idCol), posexplode(
         array((0 until bands).map { b =>
@@ -72,14 +85,22 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, bands: Int = 16,
                         rowsPerBand: Int = 4,
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 1000): DataFrame =
+    candidatesFromBuckets(
+      minhashBuckets(docs, idCol, textCol, shingleSize, bands, rowsPerBand),
+      idCol, maxBucketSize)
+
+  /** Bucket table → deduped candidate pairs: same (band, band_key) bucket ⇒
+    * candidate, so work is Σ bucket² not n². */
+  private def candidatesFromBuckets(buckets: DataFrame, idCol: String,
+                                    maxBucketSize: Int): DataFrame = {
     // persist: both sides of the bucket self-join read this table; without
     // it the shingle+minhash pipeline runs twice (at warehouse scale this
     // table would be materialized to storage instead). The cache entry is
     // released by the caller's session hygiene — Verify/Bench clearCache()
     // between queries — because unpersisting here, before the consuming
     // join materializes, would defeat the reuse.
-    val b = minhashBuckets(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+    val b = buckets
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cap pathological buckets: boilerplate-heavy corpora put thousands of
     // docs in one bucket and the self-join goes quadratic; such docs still
@@ -96,12 +117,20 @@ object Dedup {
   }
 
   /** MinHash near-dup pairs with an exact n-gram Jaccard verify step over
-    * the candidates (strategy 4 fused as the verifier). */
+    * the candidates (strategy 4 fused as the verifier). The corpus is
+    * shingled ONCE: candidate generation minhashes the shared hashed-shingle
+    * table and the verify join reads its distinct sets — at 100 TB that is
+    * one full text pass instead of two. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.8): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
-    withJaccard(cands, docs, idCol, textCol, shingleSize)
+    val sh = hashedShingleTable(docs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatesFromBuckets(
+      bucketsFromShingles(sh, idCol, bands = bands, rowsPerBand = rowsPerBand),
+      idCol, maxBucketSize = 1000)
+    val shd = sh.select(col(idCol), array_distinct(col("hs")).as("sh"))
+    jaccardOverShingleSets(cands, shd, idCol)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -127,14 +156,19 @@ object Dedup {
       col(idCol),
       array_distinct(hashedShingles(col(textCol), shingleSize)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardOverShingleSets(pairs, sh, idCol)
+  }
+
+  /** Exact Jaccard over precomputed distinct shingle sets `shd(id, sh)`. */
+  private def jaccardOverShingleSets(pairs: DataFrame, shd: DataFrame,
+                                     idCol: String): DataFrame =
     pairs
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shd.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shd.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** EXACT n-gram Jaccard near-dup pairs — no LSH, no recall loss. The
     * shuffle key is the shingle hash (inverted index), so only pairs that

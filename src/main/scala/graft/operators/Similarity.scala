@@ -182,11 +182,18 @@ object Similarity {
     val scored = corpus
       .join(broadcast(centroids.select(col(centroidIdCol), col(vecCol).as("c_vec"))))
       .withColumn("cosine", VectorFunctions.cosineSim(col(vecCol), col("c_vec")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cosine").desc, col(centroidIdCol))
+      .drop("c_vec")
+    // argmax via max_by, not a window row_number: the partial aggregate
+    // combines the k candidate rows per vector map-side, so the shuffle
+    // carries ~|corpus| rows instead of |corpus|·k, and nothing is sorted.
+    // Tie-break matches the old formulation: highest cosine, then lowest
+    // centroid id (negate() flips the struct ordering's second field).
+    val payload = scored.columns.filterNot(_ == idCol).map(col)
     scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "c_vec")
+      .groupBy(col(idCol))
+      .agg(max_by(struct(payload: _*),
+        struct(col("cosine"), negate(col(centroidIdCol)))).as("_best"))
+      .select(col(idCol) +: scored.columns.filterNot(_ == idCol)
+        .map(c => col(s"_best.$c").as(c)): _*)
   }
 }

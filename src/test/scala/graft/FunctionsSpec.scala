@@ -54,6 +54,20 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "es", "fr", "de", "und"))
   }
 
+  test("fnv64: reference vectors, null-safe, SQL-registered") {
+    // vectors recomputed independently (FNV-1a 64, two's-complement)
+    val df = Seq("a", "hello world", "").toDF("s")
+      .select(HashFunctions.fnv64(col("s")).as("h"))
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      Seq(-5808556873153909620L, 8618312879776256743L, -3750763034362895579L))
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(HashFunctions.fnv64(col("s"))).collect()
+    assert(n.head.isNullAt(0))
+    graft.functions.GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT fnv64('a') h").collect().head.getLong(0) ===
+      -5808556873153909620L)
+  }
+
   test("rollingHash is order-sensitive") {
     val hs = Seq("alpha beta gamma", "gamma beta alpha").toDF("t")
       .select(TextFunctions.rollingHash(col("t")).as("h")).as[Long].collect()
