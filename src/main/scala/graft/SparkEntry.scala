@@ -943,6 +943,92 @@ object SparkEntry {
     s"""CAST(CASE WHEN $h >= 9223372036854775808::HUGEINT
         THEN $h - 18446744073709551616::HUGEINT ELSE $h END AS BIGINT)"""
 
+  /** (a * c) mod 2^64 without INT128 overflow: split `a` into 32-bit
+    * halves (c is a 64-bit constant, so each partial fits in 96 bits). */
+  private def mulModSql(a: String, c: String): String =
+    s"""((($a) % 4294967296::HUGEINT) * $c::HUGEINT
+        + ((($a) // 4294967296::HUGEINT) * $c::HUGEINT % 4294967296::HUGEINT)
+          * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT"""
+
+  /** VecOps.cosine replicated exactly: three sequential ascending-index
+    * folds (dot, |a|², |b|²) — the same IEEE addition order as the JVM
+    * loop — then d / sqrt(nx·ny) with the zero-norm guard. */
+  private def cosSql(a: String, b: String): String = {
+    def fold(e: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(len($a)),
+          i -> $e)), (acc, t) -> acc + t)"""
+    val dot = fold(s"$a[CAST(i AS INT)+1] * $b[CAST(i AS INT)+1]")
+    val nx = fold(s"$a[CAST(i AS INT)+1] * $a[CAST(i AS INT)+1]")
+    val ny = fold(s"$b[CAST(i AS INT)+1] * $b[CAST(i AS INT)+1]")
+    s"""(CASE WHEN $nx = 0.0 OR $ny = 0.0 THEN 0.0
+        ELSE ($dot) / sqrt(($nx) * ($ny)) END)"""
+  }
+
+  /** One Lloyd iteration of Similarity.kmeansCentroids (exactMeans mode)
+    * over CTE `corpus(vec_id, v)`: assign every vector to its best `prev`
+    * centroid (cosine desc, cid asc — the max_by tie-break), then each
+    * centroid coordinate is the ascending-id sequential double fold of its
+    * members divided by the member count, rounded through FLOAT exactly as
+    * the engine's `.cast("float")`. Emits CTEs `$a`s/$a/$a`e`/`$c`. */
+  private def kmeansIterSql(prev: String, a: String, c: String): String =
+    s"""${a}s AS (
+         SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
+         FROM corpus p CROSS JOIN $prev c),
+       $a AS (
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid) AS rn FROM ${a}s) WHERE rn = 1),
+       ${a}e AS (
+         SELECT a.cid, p.vec_id, d.d AS dim, p.v[CAST(d.d AS INT)+1] AS x
+         FROM $a a JOIN corpus p USING (vec_id)
+         CROSS JOIN (SELECT unnest(range((SELECT max(len(v)) FROM corpus))) AS d) d),
+       $c AS (
+         SELECT cid, list(CAST(CAST(mv AS FLOAT) AS DOUBLE) ORDER BY dim) AS cv
+         FROM (
+           SELECT cid, dim,
+             list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)), (a, b) -> a + b)
+               / count(*) AS mv
+           FROM ${a}e GROUP BY cid, dim)
+         GROUP BY cid)"""
+
+  /** CTE chain replicating HashOps.hyperplaneSig over relation `src`
+    * (must yield vec_id, v DOUBLE[]): splitmix64 plane coefficients in
+    * staged mod-2^64 HUGEINT arithmetic (unsigned shifts = floor division),
+    * then the per-bit projection as an ORDER BY d sequential fold — the
+    * same ascending-dim double-add order as the JVM loop, so the sign bits
+    * are bit-identical. Yields sig(vec_id, band, band_key BIGINT). */
+  private def hyperplaneSigCtes(src: String, bits: Int, bands: Int): String =
+    s"""xd AS (
+         SELECT c.vec_id, p.band, b.bit, d.d AS d, c.v[CAST(d.d AS INT)+1] AS val
+         FROM $src c
+         CROSS JOIN (SELECT unnest(range($bands)) AS band) p
+         CROSS JOIN (SELECT unnest(range($bits)) AS bit) b
+         CROSS JOIN (SELECT unnest(range((SELECT max(len(v)) FROM $src))) AS d) d),
+       hm1 AS (
+         SELECT *, ((band * 1099511627776 + bit * 1048576 + d)::HUGEINT
+           + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z1
+         FROM xd),
+       hy1 AS (SELECT *, xor(z1, z1 // 1073741824::HUGEINT) AS w1 FROM hm1),
+       hm2 AS (SELECT *, ${mulModSql("w1", "13787848793156543929")} AS z2 FROM hy1),
+       hy2 AS (SELECT *, xor(z2, z2 // 134217728::HUGEINT) AS w2 FROM hm2),
+       hm3 AS (SELECT *, ${mulModSql("w2", "10723151780598845931")} AS z3 FROM hy2),
+       hf AS (
+         SELECT vec_id, band, bit, d, val,
+           xor(z3, z3 // 2147483648::HUGEINT) AS h
+         FROM hm3),
+       hco AS (
+         SELECT vec_id, band, bit, d,
+           val * (CAST(h // 2048::HUGEINT AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0) AS prod
+         FROM hf),
+       hpr AS (
+         SELECT vec_id, band, bit,
+           list_reduce(list_prepend(0.0, list(prod ORDER BY d)), (a, b) -> a + b) AS proj
+         FROM hco GROUP BY vec_id, band, bit),
+       sig AS (
+         SELECT vec_id, band,
+           CAST(sum(CASE WHEN proj >= 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS band_key
+         FROM hpr GROUP BY vec_id, band)"""
+
   /** TextFunctions.tokens semantics in DuckDB: null-safe, ''→[]. */
   private val toksSql: String =
     """CASE WHEN text IS NULL THEN NULL WHEN trim(text) = '' THEN []
@@ -1627,6 +1713,67 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'video' AS kind, CAST(f AS BIGINT) AS frame_no
          FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f)
          WHERE doc_id % 3 = 2 ORDER BY media_id, frame_no""",
+
+    "similarity_topk_lsh" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ${hyperplaneSigCtes("corpus", bits = 8, bands = 4)},
+         qs AS (
+           SELECT vec_id AS query_id, band, band_key FROM sig WHERE vec_id < 5),
+         cands AS (
+           SELECT DISTINCT q.query_id, s.vec_id
+           FROM sig s JOIN qs q USING (band, band_key)),
+         sc AS (
+           SELECT ca.query_id, ca.vec_id,
+             list_cosine_similarity(cv.v, qv.v) AS cosine
+           FROM cands ca
+           JOIN corpus cv ON cv.vec_id = ca.vec_id
+           JOIN corpus qv ON qv.vec_id = ca.query_id),
+         r AS (
+           SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rnk
+           FROM sc)
+         SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "similarity_topk_ivf" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             v AS cv
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+         ${kmeansIterSql("c0", "a1", "c1")},
+         ${kmeansIterSql("c1", "a2", "c2")},
+         cellsc AS (
+           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
+           FROM corpus p CROSS JOIN c2 c),
+         cells AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1),
+         qsc AS (
+           SELECT q.vec_id AS query_id, c.cid, ${cosSql("q.v", "c.cv")} AS c_cos
+           FROM corpus q CROSS JOIN c2 c WHERE q.vec_id < 5),
+         probes AS (
+           SELECT query_id, cid FROM (
+             SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+               ORDER BY c_cos DESC, cid) AS pr FROM qsc) WHERE pr <= 2),
+         cand AS (
+           SELECT p.query_id, ce.vec_id FROM probes p JOIN cells ce USING (cid)),
+         sc AS (
+           SELECT ca.query_id, ca.vec_id, ${cosSql("cv.v", "qv.v")} AS cosine
+           FROM cand ca
+           JOIN corpus cv ON cv.vec_id = ca.vec_id
+           JOIN corpus qv ON qv.vec_id = ca.query_id),
+         r AS (
+           SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rnk
+           FROM sc)
+         SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
 
     "sample_stratified" -> {
       val key = "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"

@@ -70,10 +70,19 @@ object Similarity {
     * is irrelevant for bucketing quality at few iterations; determinism
     * is what the correctness harness needs). The per-iteration reduce is
     * the classic explode-to-(cell, dim) shape: one shuffle of (cell, dim,
-    * value) triples, never of whole vectors. */
+    * value) triples, never of whole vectors.
+    *
+    * `exactMeans = true` (default) computes each centroid coordinate as a
+    * sequential double fold in ascending-id order — run-stable and
+    * replicable bit-for-bit by an external oracle, at the cost of
+    * collecting each cell's members per dimension (fine while cells fit
+    * in memory). `false` uses streaming `avg`: scales to arbitrarily
+    * large cells but the FP addition order — hence the last ulp of each
+    * centroid — depends on partitioning. */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      centroidIdCol: String = "centroid_id"): DataFrame = {
+                      centroidIdCol: String = "centroid_id",
+                      exactMeans: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     var centroids = corpus.orderBy(col(idCol)).limit(k)
       .select(row_number().over(Window.orderBy(col(idCol))).cast("long").minus(1)
@@ -82,10 +91,17 @@ object Similarity {
     centroids.count()
     (0 until iters).foreach { _ =>
       val assigned = assignToCentroids(corpus, centroids, idCol, vecCol, centroidIdCol)
+      val meanExpr =
+        if (exactMeans)
+          aggregate(
+            sort_array(collect_list(struct(col(idCol), col("v").cast("double").as("x")))),
+            lit(0.0), (acc, e) => acc + e.getField("x")) /
+            count(lit(1)).cast("double")
+        else avg(col("v"))
       val next = assigned
-        .select(col(centroidIdCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .select(col(centroidIdCol), col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy(col(centroidIdCol), col("dim"))
-        .agg(avg(col("v")).as("v"))
+        .agg(meanExpr.as("v"))
         .groupBy(col(centroidIdCol))
         .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("dv"))
         .select(col(centroidIdCol),
