@@ -705,10 +705,16 @@ object SparkEntry {
       // the composite training-data pipeline: quality gate → language
       // gate → exact dedup → per-source stats
       val d = t(s, dir, "documents")
+      // persist the gate output: the quality/lang-id expressions are
+      // interpreted HOFs (the most expensive per-row work in the plan) and
+      // three consumers read the gated table (dedup keep-set, semi join,
+      // final agg) — without the cache the gate re-runs per consumer. The
+      // 100 TB shape is the same: materialize the gate, then dedup+agg.
       val gated = d
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .withColumn("lang_guess", TextFunctions.langIdHeuristic(col("text")))
         .filter(col("quality") >= 0.5 && col("lang_guess") === "en")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deduped = Dedup.exactDedup(gated, "doc_id", "text")
       deduped.groupBy(col("source"))
         .agg(

@@ -185,7 +185,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
     val e = sh.select(col(idCol), explode(col("sh")).as("h"))
-    val rare = e.groupBy("h").count().filter(col("count") <= maxShingleDf)
+    // df = 1 shingles can never contribute a pair — dropping them before
+    // the self-join removes the (dominant) unique-shingle tail from the
+    // shuffle; the upper cap bounds Σ df² against boilerplate skew
+    val rare = e.groupBy("h").count()
+      .filter(col("count").between(2, maxShingleDf))
       .select("h")
     val capped = e.join(broadcast(rare), Seq("h"))
     val common = capped.select(col("h"), col(idCol).as("id_a"))
@@ -221,18 +225,28 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
-    var changed = 1L
+    // Convergence check without a per-iteration join: labels only ever
+    // DECREASE under min-propagation, so Σ lbl is strictly monotone while
+    // anything changes — one tiny aggregate over the checkpointed labels
+    // replaces the join+filter+count job.
+    // decimal(38,0) sum: exact and overflow-free even for 10^10 nodes with
+    // 2^40-range ids; null (empty graph) coalesces to 0 = immediate stop
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (!converged && iter < maxIters) {
       val viaNbr = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
         .select(col("src").as("id"), col("lbl"))
       val next = labels.unionByName(viaNbr)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
-        .filter(col("lbl") =!= col("prev")).count()
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
