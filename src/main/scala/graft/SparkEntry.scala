@@ -777,6 +777,36 @@ object SparkEntry {
         .orderBy("media_id", "frame_no")
     }),
 
+    "multimodal_resize_meta" -> ((s, dir) => {
+      // aspect-preserving fit into 224×224, exact integer binding-side
+      // decision — metadata-only: payload bytes never touched
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resizeMeta(media, 224, 224)
+        .select(col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_w"), col("out_h"))
+        .orderBy("media_id")
+    }),
+
+    "multimodal_frame_features" -> ((s, dir) => {
+      // the typed mapPartitions decode path end-to-end: frame-sample each
+      // video, run the (deterministic) decode stub per frame, emit the
+      // 4-dim feature — every float is oracle-recomputed from the payload
+      // bytes, so the whole Dataset pipeline is hash-checked
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRecord]
+      Multimodal.extractFrameFeatures(media, framesPerVideo = 2, dim = 4)
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("feature"), 2).cast("double"), 6).as("f1"),
+          round(element_at(col("feature"), 3).cast("double"), 6).as("f2"),
+          round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
+        .orderBy("media_id", "frame_no")
+    }),
+
     // ---- deterministic sampling (training-data pipeline) ----
 
     "sample_stratified" -> ((s, dir) => {
@@ -955,6 +985,20 @@ object SparkEntry {
     s"""((($a) % 4294967296::HUGEINT) * $c::HUGEINT
         + ((($a) // 4294967296::HUGEINT) * $c::HUGEINT % 4294967296::HUGEINT)
           * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT"""
+
+  /** CTE chain applying HashOps.mix64 to column `x` (HUGEINT in [0,2^64))
+    * of CTE `src`: staged adds/xors/shift-divides with split multiplies,
+    * yielding CTE `out` = src's columns (minus intermediates) plus
+    * `h` (HUGEINT). */
+  private def mix64Ctes(src: String, out: String): String =
+    s"""${out}_m1 AS (SELECT *, (x + 11400714819323198485::HUGEINT)
+           % 18446744073709551616::HUGEINT AS z1 FROM $src),
+       ${out}_y1 AS (SELECT *, xor(z1, z1 // 1073741824::HUGEINT) AS w1 FROM ${out}_m1),
+       ${out}_m2 AS (SELECT *, ${mulModSql("w1", "13787848793156543929")} AS z2 FROM ${out}_y1),
+       ${out}_y2 AS (SELECT *, xor(z2, z2 // 134217728::HUGEINT) AS w2 FROM ${out}_m2),
+       ${out}_m3 AS (SELECT *, ${mulModSql("w2", "10723151780598845931")} AS z3 FROM ${out}_y2),
+       $out AS (SELECT * EXCLUDE (x, z1, w1, z2, w2, z3),
+           xor(z3, z3 // 2147483648::HUGEINT) AS h FROM ${out}_m3)"""
 
   /** VecOps.cosine replicated exactly: three sequential ascending-index
     * folds (dot, |a|², |b|²) — the same IEEE addition order as the JVM
@@ -1780,6 +1824,54 @@ object SparkEntry {
            FROM sc)
          SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "multimodal_resize_meta" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(doc_id % 640 + 32 AS BIGINT) AS width,
+             CAST(doc_id % 480 + 32 AS BIGINT) AS height
+           FROM documents)
+         SELECT media_id, kind, width, height,
+           CASE WHEN width <= 224 AND height <= 224 THEN width
+                WHEN width * 224 >= height * 224
+                  THEN 224
+                ELSE CAST(floor(width * 224 / CAST(height AS DOUBLE)) AS BIGINT)
+           END AS out_w,
+           CASE WHEN width <= 224 AND height <= 224 THEN height
+                WHEN width * 224 >= height * 224
+                  THEN CAST(floor(height * 224 / CAST(width AS DOUBLE)) AS BIGINT)
+                ELSE 224
+           END AS out_h
+         FROM m ORDER BY media_id""",
+
+    "multimodal_frame_features" -> {
+      val toFloat = (h: String) =>
+        s"CAST(CAST(${signedSql(h)} AS DOUBLE) / 9223372036854775807.0 AS FLOAT)"
+      s"""WITH vids AS (
+           SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+         vf AS (
+           SELECT media_id, text, f.f AS frame_no
+           FROM vids CROSS JOIN (SELECT unnest(range(2)) AS f) f),
+         hb AS (
+           SELECT media_id, frame_no,
+             (xor(${fnvSql("text")}, frame_no::HUGEINT) * 1099511628211::HUGEINT)
+               % 18446744073709551616::HUGEINT AS hp
+           FROM vf),
+         hd AS (
+           SELECT media_id, frame_no, d.d AS d, xor(hp, d.d::HUGEINT) AS x
+           FROM hb CROSS JOIN (SELECT unnest(range(4)) AS d) d),
+         ${mix64Ctes("hd", "mx")},
+         ft AS (
+           SELECT media_id, frame_no, d, ${toFloat("h")} AS fv FROM mx)
+         SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+           round(CAST(max(CASE WHEN d = 0 THEN fv END) AS DOUBLE), 6) AS f0,
+           round(CAST(max(CASE WHEN d = 1 THEN fv END) AS DOUBLE), 6) AS f1,
+           round(CAST(max(CASE WHEN d = 2 THEN fv END) AS DOUBLE), 6) AS f2,
+           round(CAST(max(CASE WHEN d = 3 THEN fv END) AS DOUBLE), 6) AS f3
+         FROM ft GROUP BY media_id, frame_no ORDER BY media_id, frame_no"""
+    },
 
     "sample_stratified" -> {
       val key = "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"

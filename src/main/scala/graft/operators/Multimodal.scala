@@ -74,6 +74,28 @@ object Multimodal {
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("width", lit(w)).withColumn("height", lit(h))
 
+  /** Aspect-preserving fit-within-box resize metadata: no upscaling; the
+    * binding side (decided in exact integer arithmetic: width binds iff
+    * w·maxH ≥ h·maxW) maps to the box edge, the other side scales by the
+    * same ratio with floor. Pure column math — at scale this annotates
+    * billions of rows without touching payload bytes; the real resampler
+    * consumes (out_w, out_h) per row afterwards. */
+  def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val fits = w <= maxW && h <= maxH
+    val widthBinds = w * maxH >= h * maxW
+    media
+      .withColumn("out_w",
+        when(fits, w).otherwise(
+          when(widthBinds, lit(maxW.toLong))
+            .otherwise(floor(w * maxH / h).cast("long"))))
+      .withColumn("out_h",
+        when(fits, h).otherwise(
+          when(widthBinds, floor(h * maxW / w).cast("long"))
+            .otherwise(lit(maxH.toLong))))
+  }
+
   /** Per-frame feature extraction for video rows: frame-sample then decode
     * each (media, frame) — the stub varies the feature by frame number the
     * way a real decoder would vary it by frame content. One generator +
