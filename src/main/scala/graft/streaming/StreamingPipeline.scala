@@ -164,6 +164,21 @@ object StreamingPipeline {
       case None => records.dropDuplicates(keyCols)
     }
 
+  /** Session-windowed aggregation (gap-based, event-time): the streaming
+    * form of the batch gaps-and-islands sessionization. `session_window`
+    * merges events closer than `gap` into one growing window; with the
+    * watermark, a session finalizes (and its state drops) once the
+    * watermark passes its end — bounded state for unbounded streams. */
+  def sessionWindowedCounts(events: DataFrame, tsCol: String, delay: String,
+                            gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Event-time windowed aggregation with a watermark — the T4 extension
     * the reference lacks but 100 TB state-boundedness requires: state for
     * closed windows is dropped after `delay`. */

@@ -35,4 +35,33 @@ class PlanSpec extends SparkSpec {
     val p = plan("sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("sample_stratified: single agg pass, no join, no window") {
+    val p = plan("sample_stratified")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial+final
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("anomaly_zscore: stats join is broadcast, fact not shuffled") {
+    val p = plan("anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("assignToCentroids: argmax combines map-side (partial_max_by), no window over corpus×k") {
+    val e = sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val cents = operators.Similarity.kmeansCentroids(e, k = 4, iters = 1)
+    val p = operators.Similarity.assignToCentroids(e, cents)
+      .queryExecution.executedPlan.toString
+    // partial aggregation before the exchange ⇒ the shuffle carries ~|corpus|
+    // combined rows, not |corpus|·k candidate rows (the old window shape)
+    assert(p.contains("partial_max_by"), p)
+  }
+
+  test("multimodal_frame_features: generator pipeline plans no shuffle before the sort") {
+    val p = plan("multimodal_frame_features")
+    // one exchange only: the final presentation orderBy
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
 }

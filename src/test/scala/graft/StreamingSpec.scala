@@ -138,4 +138,38 @@ class StreamingSpec extends SparkSpec {
       assert(rows(("2024-01-01 11:00:00.0", "view")) == 1L)
     } finally q.stop()
   }
+
+  test("session windows: gap-merged, finalized by watermark, state dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingPipeline.sessionWindowedCounts(
+      df, "ts", delay = "10 minutes", gap = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sess_counts")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // two events 10 min apart (one session), a third 80 min later (new
+      // session); then sentinels push the watermark past both session ends
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "click", 1.0),
+        (ts("2024-01-01 10:10:00"), "click", 2.0),
+        (ts("2024-01-01 11:30:00"), "click", 4.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 13:00:00"), "zz", 0.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 13:01:00"), "zz", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_counts")
+        .filter(col("event_type") === "click")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getLong(3), r.getDouble(4)))
+        .toSet
+      // session end = last event + gap; both sessions closed by watermark
+      assert(rows === Set(
+        ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L, 3.0),
+        ("2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", 1L, 4.0)))
+    } finally q.stop()
+  }
 }
