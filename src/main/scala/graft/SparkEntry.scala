@@ -943,6 +943,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "decontaminate_overlap" -> ((s, dir) => {
+      // benchmark decontamination: training docs sharing ≥3 distinct
+      // shingles with the (deterministic) held-out benchmark slice
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val train = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      Dedup.crossCorpusOverlap(train, bench, "doc_id", "text",
+        shingleSize = 3, minShared = 3)
+        .orderBy("train_id", "bench_id")
+    }),
+
+    "dedup_incremental" -> ((s, dir) => {
+      // rolling-ingestion dedup: the augmented batch (exact copies +
+      // near-dup tails) deduped against the base corpus — survivors only
+      val aug = augmentedDocs(s, dir)
+      val newDocs = aug.filter(col("doc_id") >= 1000000L)
+      val corpus = aug.filter(col("doc_id") < 1000000L)
+      Dedup.incrementalDedup(newDocs, corpus, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_minhash_survivors" -> ((s, dir) => {
       // corpus-level near-dup dedup: the documents that SURVIVE MinHash
       // dedup (drop the larger id of every verified near-dup pair)
@@ -1974,6 +1997,45 @@ object SparkEntry {
            CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', '', 'g'),
                 '\s+', ' ', 'g'))) AS BIGINT) AS n_norm
          FROM documents ORDER BY doc_id""",
+
+    "decontaminate_overlap" ->
+      s"""WITH ${shingleCtes("documents")},
+         te AS (SELECT doc_id AS train_id, unnest(sh) AS h
+                FROM shd WHERE doc_id % 97 <> 0),
+         be AS (SELECT doc_id AS bench_id, unnest(sh) AS h
+                FROM shd WHERE doc_id % 97 = 0)
+         SELECT train_id, bench_id, count(*) AS n_shared
+         FROM te JOIN be USING (h)
+         GROUP BY train_id, bench_id
+         HAVING count(*) >= 3
+         ORDER BY train_id, bench_id""",
+
+    "dedup_incremental" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         newdocs AS (SELECT doc_id, text FROM aug WHERE doc_id >= 1000000),
+         base AS (SELECT doc_id, text FROM aug WHERE doc_id < 1000000),
+         exact_doomed AS (
+           SELECT DISTINCT n.doc_id FROM newdocs n JOIN base b
+             ON md5(regexp_replace(trim(lower(n.text)), '\\s+', ' ', 'g'))
+              = md5(regexp_replace(trim(lower(b.text)), '\\s+', ' ', 'g'))),
+         ne AS (SELECT doc_id AS id_a, unnest(sh) AS h
+                FROM shd WHERE doc_id >= 1000000),
+         be AS (SELECT doc_id AS id_b, unnest(sh) AS h
+                FROM shd WHERE doc_id < 1000000),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
+         common AS (
+           SELECT id_a, id_b, count(*) AS c
+           FROM ne JOIN be USING (h) GROUP BY id_a, id_b),
+         near_doomed AS (
+           SELECT DISTINCT id_a AS doc_id FROM common
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8)
+         SELECT doc_id FROM newdocs
+         WHERE doc_id NOT IN (SELECT doc_id FROM exact_doomed
+                              UNION SELECT doc_id FROM near_doomed)
+         ORDER BY doc_id""",
 
     "dedup_minhash_survivors" ->
       s"""WITH aug AS ($augDocsSql),

@@ -254,6 +254,62 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Benchmark decontamination: (train, bench, n_shared) for every train
+    * doc sharing ≥ `minShared` distinct shingles with an eval/benchmark
+    * doc. Shuffle key is the shingle hash (inverted index) — the bench
+    * side is tiny in practice, so the join is bench-bounded; `maxShingleDf`
+    * caps boilerplate skew exactly as in ngramJaccardPairs. */
+  def crossCorpusOverlap(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, shingleSize: Int = 3,
+                         minShared: Int = 3,
+                         maxShingleDf: Int = 100000): DataFrame = {
+    def exploded(d: DataFrame, as: String) = d.select(
+      col(idCol).as(as),
+      explode(array_distinct(hashedShingles(col(textCol), shingleSize))).as("h"))
+    val te = exploded(train, "train_id")
+    val be = exploded(bench, "bench_id")
+    val rare = be.groupBy("h").count().filter(col("count") <= maxShingleDf)
+      .select("h")
+    te.join(be.join(broadcast(rare), Seq("h")), Seq("h"))
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Incremental dedup: drop from `newDocs` everything that exactly or
+    * nearly duplicates the EXISTING `corpus` (ids must be disjoint). The
+    * production shape for rolling ingestion — each batch dedups against
+    * the accumulated corpus without re-pairing the corpus with itself:
+    * exact via fingerprint semi-join, near via MinHash buckets of both
+    * sides joined new×corpus only, then exact-Jaccard verified. */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+                       textCol: String, shingleSize: Int = 3, bands: Int = 16,
+                       rowsPerBand: Int = 4,
+                       threshold: Double = 0.8): DataFrame = {
+    def fp(d: DataFrame) = d.select(
+      col(idCol), TextFunctions.contentFingerprint(col(textCol)).as("fp"))
+    val exactDoomed = fp(newDocs)
+      .join(fp(corpus).select("fp").distinct(), Seq("fp"))
+      .select(col(idCol))
+    val shNew = hashedShingleTable(newDocs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shOld = hashedShingleTable(corpus, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bNew = bucketsFromShingles(shNew, idCol, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val bOld = bucketsFromShingles(shOld, idCol, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    val cands = bNew.join(bOld, Seq("band", "band_key"))
+      .select("id_a", "id_b").distinct()
+    val shd = shNew.unionByName(shOld)
+      .select(col(idCol), array_distinct(col("hs")).as("sh"))
+    val nearDoomed = jaccardOverShingleSets(cands, shd, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as(idCol))
+    val doomed = exactDoomed.unionByName(nearDoomed).distinct()
+    newDocs.join(doomed, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens — native one-pass expression
