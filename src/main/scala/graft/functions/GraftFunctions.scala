@@ -7,7 +7,8 @@ import org.apache.spark.sql.graft.Bridge
 /** SQL-surface registration: makes the engine's native expressions
   * callable from `spark.sql(...)` under stable names. A user of the
   * DataFrame API uses the typed wrappers (VectorFunctions / HashFunctions
-  * / BoundedDistinct); a SQL user calls these. */
+  * / BoundedDistinct); a SQL user calls these — either per-session via
+  * `registerAll` or automatically via `spark.sql.extensions=graft.GraftExtensions`. */
 object GraftFunctions {
 
   private def intLit(e: Expression, what: String): Int = e match {
@@ -16,29 +17,24 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
-  def registerAll(spark: SparkSession): Unit = {
-    Bridge.registerFunction(spark, "cosine_similarity",
-      es => CosineSimilarity(es(0), es(1)))
-    Bridge.registerFunction(spark, "dot_product",
-      es => DotProduct(es(0), es(1)))
-    Bridge.registerFunction(spark, "fnv64",
-      es => Fnv64(es.head))
-    Bridge.registerFunction(spark, "simhash64",
-      es => SimHash64(es.head))
-    Bridge.registerFunction(spark, "minhash",
-      es => MinHashSignature(es(0), intLit(es(1), "minhash k")))
-    Bridge.registerFunction(spark, "minhash_hashes",
-      es => MinHashFromHashes(es(0), intLit(es(1), "minhash k")))
-    Bridge.registerFunction(spark, "shingle_hashes",
-      es => ShingleHashes(es(0), intLit(es(1), "shingle n")))
-    Bridge.registerFunction(spark, "hyperplane_sig",
-      es => HyperplaneSignature(es(0), intLit(es(1), "bits"),
-        if (es.length > 2) intLit(es(2), "seed") else 0))
-    Bridge.registerFunction(spark, "bounded_count_distinct",
-      es => BoundedCountDistinct(
-        es.head,
-        if (es.length > 1) intLit(es(1), "threshold") else 100000,
-        if (es.length > 2) intLit(es(2), "p") else 12)
-        .toAggregateExpression(isDistinct = false))
-  }
+  /** Name → expression builder for every native function the engine
+    * exposes to SQL. Single source of truth for both registration routes. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "fnv64" -> (es => Fnv64(es.head)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "minhash" -> (es => MinHashSignature(es(0), intLit(es(1), "minhash k"))),
+    "minhash_hashes" -> (es => MinHashFromHashes(es(0), intLit(es(1), "minhash k"))),
+    "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle n"))),
+    "hyperplane_sig" -> (es => HyperplaneSignature(es(0), intLit(es(1), "bits"),
+      if (es.length > 2) intLit(es(2), "seed") else 0)),
+    "bounded_count_distinct" -> (es => BoundedCountDistinct(
+      es.head,
+      if (es.length > 1) intLit(es(1), "threshold") else 100000,
+      if (es.length > 2) intLit(es(2), "p") else 12)
+      .toAggregateExpression(isDistinct = false)))
+
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }
 }

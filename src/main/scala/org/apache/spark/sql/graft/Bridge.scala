@@ -22,4 +22,14 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Apply a SparkSessionExtensions' injected functions to a fresh
+    * registry — lets tests assert the `spark.sql.extensions` route without
+    * building a whole new SparkSession (`registerFunctions` is
+    * private[sql]). */
+  def appliedFunctionRegistry(
+      ext: org.apache.spark.sql.SparkSessionExtensions)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(
+      new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry)
 }

@@ -68,6 +68,14 @@ class FunctionsSpec extends SparkSpec {
       -5808556873153909620L)
   }
 
+  test("GraftExtensions injects every native function (spark.sql.extensions route)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.graft.Bridge.appliedFunctionRegistry(ext)
+    for (f <- graft.functions.GraftFunctions.builders.map(_._1))
+      assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(f)), f)
+  }
+
   test("rollingHash is order-sensitive") {
     val hs = Seq("alpha beta gamma", "gamma beta alpha").toDF("t")
       .select(TextFunctions.rollingHash(col("t")).as("h")).as[Long].collect()
