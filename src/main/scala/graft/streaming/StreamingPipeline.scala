@@ -13,6 +13,34 @@ case class UserTotalsState(n_events: Long, total_value: Double, last_seen_ms: Lo
 /** One changelog row per updated key per micro-batch. */
 case class UserTotalsUpdate(user_id: Long, n_events: Long, total_value: Double)
 
+/** StatefulProcessor for `runningUserTotalsTws`: one ValueState slot per
+  * user holding (n_events, total_value, last_seen_ms). Top-level class —
+  * the processor is serialized to executors. */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserEvent, UserTotalsUpdate] {
+  import org.apache.spark.sql.{Encoders, streaming => ss}
+
+  @transient private var totals: ss.ValueState[UserTotalsState] = _
+
+  override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =
+    totals = getHandle.getValueState[UserTotalsState](
+      "totals", Encoders.product[UserTotalsState], ss.TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+                               timers: ss.TimerValues): Iterator[UserTotalsUpdate] = {
+    val prev = Option(totals.get()).getOrElse(UserTotalsState(0L, 0.0, 0L))
+    var n = prev.n_events
+    var total = prev.total_value
+    var last = prev.last_seen_ms
+    rows.foreach { e =>
+      n += 1; total += e.value; last = math.max(last, e.ts.getTime)
+    }
+    totals.update(UserTotalsState(n, total, last))
+    Iterator.single(UserTotalsUpdate(uid, n, total))
+  }
+}
+
 /** The reference topology (SURVEY.md §3) as Structured Streaming plans.
   *
   * Reference stages:
@@ -145,6 +173,20 @@ object StreamingPipeline {
           state.update(UserTotalsState(n, total, last))
           Iterator(UserTotalsUpdate(uid, n, total))
       }
+  }
+
+  /** The same running-totals state machine on `transformWithState` — the
+    * Spark-4 arbitrary-state API that replaces flatMapGroupsWithState:
+    * typed state handles (ValueState here; List/Map state and timers for
+    * richer machines) instead of one opaque state object, and state
+    * evolution/TTL managed by the store. Requires the RocksDB state store
+    * provider. Emits one update row per touched key per batch. */
+  def runningUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserTotalsUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming exact deduplication on key columns — the training-pipeline

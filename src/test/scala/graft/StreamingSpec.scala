@@ -117,6 +117,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: running totals via the Spark-4 state API (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{UserEvent, UserTotalsUpdate}
+    spark.conf.set(GraftSession.StateStoreProviderConf, GraftSession.RocksDbProvider)
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val input = MemoryStream[UserEvent]
+      val q = StreamingPipeline.runningUserTotalsTws(input.toDS())
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").start()
+      try {
+        input.addData(
+          UserEvent(1L, ts("2024-01-01 10:00:00"), 10.0),
+          UserEvent(1L, ts("2024-01-01 10:01:00"), 5.0),
+          UserEvent(2L, ts("2024-01-01 10:02:00"), 1.0))
+        q.processAllAvailable()
+        input.addData(UserEvent(1L, ts("2024-01-01 10:05:00"), 2.5))
+        q.processAllAvailable()
+        val byUser = spark.table("tws_totals")
+          .collect().map(r => UserTotalsUpdate(r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+        assert(byUser(1L) === UserTotalsUpdate(1L, 3L, 17.5))
+        assert(byUser(2L) === UserTotalsUpdate(2L, 1L, 1.0))
+      } finally q.stop()
+    } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
+  }
+
   test("windowed event counts with watermark (T4 extension)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
