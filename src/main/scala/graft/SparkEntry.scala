@@ -807,6 +807,36 @@ object SparkEntry {
         .orderBy("media_id", "frame_no")
     }),
 
+    "agg_mode" -> ((s, dir) => {
+      // per-group mode: count sub-groups, then argmax via max_by with a
+      // deterministic (count, value) tie-break — two partial+final aggs,
+      // no window over the fact
+      val li = t(s, dir, "lineitem")
+      li.groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(
+          max_by(col("l_linestatus"), struct(col("c"), col("l_linestatus")))
+            .as("mode_status"),
+          max(col("c")).as("mode_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    "text_edit_distance" -> ((s, dir) => {
+      // fuzzy matching: Levenshtein over nation-blocked candidate pairs —
+      // the classic blocked edit-distance dedup shape (block key bounds
+      // the quadratic term)
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 100)
+      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+        col("c_nationkey"))
+      val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+        col("c_nationkey"))
+      a.join(b, "c_nationkey").filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- deterministic sampling (training-data pipeline) ----
 
     "sample_stratified" -> ((s, dir) => {
@@ -1847,6 +1877,28 @@ object SparkEntry {
            FROM sc)
          SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "agg_mode" ->
+      """WITH counts AS (
+           SELECT l_returnflag, l_linestatus, count(*) AS c
+           FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ), r AS (
+           SELECT l_returnflag, l_linestatus, c,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY c DESC, l_linestatus DESC) AS rn
+           FROM counts
+         )
+         SELECT l_returnflag, l_linestatus AS mode_status, c AS mode_count
+         FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+
+    "text_edit_distance" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE a.c_custkey < 100 AND b.c_custkey < 100
+           AND levenshtein(a.c_name, b.c_name) <= 2
+         ORDER BY id_a, id_b""",
 
     "multimodal_resize_meta" ->
       """WITH m AS (

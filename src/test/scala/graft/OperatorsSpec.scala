@@ -51,6 +51,35 @@ class OperatorsSpec extends SparkSpec {
     assert(j(1) < 0.2)
   }
 
+  test("incrementalDedup: exact/near dups of corpus dropped, fresh doc kept") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text about spark engines and shuffles"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again extra"),
+      (12L, "utterly unrelated fresh content with entirely novel words here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(newDocs, corpus, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(12L))
+  }
+
+  test("crossCorpusOverlap counts shared distinct shingles above the floor") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma delta y"), // shares 2 tri-shingles
+      (2L, "nothing in common at all zz"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.crossCorpusOverlap(train, bench, "doc_id", "text",
+      shingleSize = 3, minShared = 2)
+      .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Long]("n_shared")))
+    assert(hits.toSeq == Seq((1L, 100L, 2L)))
+  }
+
   test("simhashPairs: exact dups at hamming 0; unrelated doc excluded") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
