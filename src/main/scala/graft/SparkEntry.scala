@@ -807,6 +807,48 @@ object SparkEntry {
         .orderBy("media_id", "frame_no")
     }),
 
+    "cdc_apply" -> ((s, dir) => {
+      // CDC/merge apply without a table format: base minus deletes,
+      // updates override via left join + coalesce, inserts unioned.
+      // Every shuffle keys on o_orderkey, so the three steps co-partition.
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val deletes = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey"))
+      val updates = base.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select(col("o_orderkey"),
+          // exact decimal×decimal (x.xx × 1.1 has exactly 3 decimals), so
+          // the half-up round sees a true .5 identically in both engines —
+          // a double multiply here would make boundary rounding diverge
+          round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
+            .cast("double").as("new_price"))
+      val inserts = base.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      base
+        .join(deletes, Seq("o_orderkey"), "left_anti")
+        .join(updates, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"),
+          coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
+        .unionByName(inserts)
+        .orderBy("o_orderkey")
+    }),
+
+    "dedup_latest" -> ((s, dir) => {
+      // CDC compaction: keep each user's LATEST event (max ts, then max
+      // event_id) — max_by partial-aggregates map-side, so the shuffle
+      // carries one combined row per key, not every event (same argument
+      // as the centroid assignment; a window row_number would sort)
+      val e = t(s, dir, "events")
+      e.groupBy("user_id")
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.event_id").as("event_id"),
+          col("last.event_type").as("event_type"), col("last.value").as("value"))
+        .orderBy("user_id")
+    }),
+
     "agg_mode" -> ((s, dir) => {
       // per-group mode: count sub-groups, then argmax via max_by with a
       // deterministic (count, value) tie-break — two partial+final aggs,
@@ -1877,6 +1919,36 @@ object SparkEntry {
            FROM sc)
          SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "cdc_apply" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ), deletes AS (
+           SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0
+         ), updates AS (
+           SELECT o_orderkey,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE) AS new_price
+           FROM base WHERE o_orderkey % 100 = 0
+         ), inserts AS (
+           SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
+           FROM base WHERE o_orderkey % 101 = 0
+         )
+         SELECT b.o_orderkey, b.o_custkey,
+           coalesce(u.new_price, b.o_totalprice) AS o_totalprice
+         FROM base b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
+         WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+         UNION ALL SELECT * FROM inserts
+         ORDER BY o_orderkey""",
+
+    "dedup_latest" ->
+      """WITH r AS (
+           SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events
+         )
+         SELECT user_id, event_id, event_type, value
+         FROM r WHERE rn = 1 ORDER BY user_id""",
 
     "agg_mode" ->
       """WITH counts AS (
