@@ -25,6 +25,19 @@ object VecOps {
     math.sqrt(s)
   }
 
+  /** Plain-array cosine for typed (non-Catalyst) call sites, e.g. the
+    * streaming broadcast-index probe. Same accumulation order as
+    * `cosine(ArrayData, ArrayData)`. */
+  def cosineArrays(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      d += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else d / math.sqrt(nx * ny)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val x = a.toFloatArray(); val y = b.toFloatArray()
     val n = math.min(x.length, y.length)

@@ -187,6 +187,38 @@ object Similarity {
       .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** One streaming top-k hit. */
+  case class TopKHit(query_id: Long, rank: Int, vec_id: Long, cosine: Double)
+
+  /** Streaming (or batch) top-k against a BROADCAST index: the
+    * static-corpus / streaming-queries shape of interactive similarity
+    * search — the index ships once per executor, each arriving query is
+    * scored in a tight local loop, no shuffle at all. `corpus` must fit
+    * in executor memory (exact scan); at warehouse scale the same probe
+    * runs against per-cell IVF sub-indexes (ivfTopKFromIndex) instead.
+    * Works identically on a MemoryStream/Kafka source or a batch Dataset
+    * because it is a pure mapPartitions. */
+  def topKStream(queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                 corpus: Array[(Long, Array[Float])],
+                 k: Int): org.apache.spark.sql.Dataset[TopKHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(corpus)
+    queries.mapPartitions { it =>
+      val corp = bc.value
+      it.flatMap { case (qid, qv) =>
+        corp.iterator
+          .map { case (id, v) => (id, graft.functions.VecOps.cosineArrays(qv, v)) }
+          .toArray
+          .sortBy { case (id, cos) => (-cos, id) }
+          .take(k)
+          .iterator
+          .zipWithIndex
+          .map { case ((id, cos), i) => TopKHit(qid, i + 1, id, cos) }
+      }
+    }
+  }
+
   /** IVF-style coarse quantization: assign every vector to the nearest of
     * `centroids` (a small broadcast table of (centroid_id, vector)); ANN
     * then searches only the probed cells. This is the classic inverted-file

@@ -117,6 +117,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKStream: streaming probes against a broadcast index match batch brute force") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val corpusDf = sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val corpus = corpusDf.as[(Long, Array[Float])].collect()
+    val queryVecs = corpus.filter(_._1 < 3)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.topKStream(input.toDS(), corpus, k = 5)
+      .writeStream.format("memory").queryName("tws_topk").outputMode("append")
+      .start()
+    try {
+      input.addData(queryVecs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("tws_topk")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = Similarity.bruteForceTopK(
+        corpusDf,
+        corpusDf.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.exists { case (qid, rank, vid) => qid == 0L && rank == 1 && vid == 0L })
+    } finally q.stop()
+  }
+
   test("transformWithState: running totals via the Spark-4 state API (RocksDB)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{UserEvent, UserTotalsUpdate}
