@@ -807,6 +807,18 @@ object SparkEntry {
         .orderBy("media_id", "frame_no")
     }),
 
+    "timeseries_motif" -> ((s, dir) => {
+      // time-series subsequence similarity: per user, the window of 5
+      // consecutive event values whose z-normalized shape best matches an
+      // up-trend pattern — HOF folds only, one shuffle (the per-key
+      // collect), scoring parallel per key
+      val e = t(s, dir, "events")
+      operators.TimeSeries.bestMotif(e, "user_id", "ts", "event_id", "value",
+        pattern = Seq(1.0, 2.0, 3.0, 4.0, 5.0), m = 5)
+        .withColumn("dist", round(col("dist"), 6))
+        .orderBy("user_id")
+    }),
+
     "cdc_apply" -> ((s, dir) => {
       // CDC/merge apply without a table format: base minus deletes,
       // updates override via left join + coalesce, inserts unioned.
@@ -1919,6 +1931,56 @@ object SparkEntry {
            FROM sc)
          SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "timeseries_motif" -> {
+      // znorm + squared distance as ORDER-preserving list_reduce folds —
+      // the same left-to-right IEEE addition order as the engine's HOFs
+      val m = 5
+      def fsum(l: String) =
+        s"list_reduce(list_prepend(0.0, $l), (a, x) -> a + x)"
+      def znormed(w: String, mean: String, std: String) =
+        s"""CASE WHEN $std = 0.0
+            THEN list_transform($w, x -> 0.0)
+            ELSE list_transform($w, x -> (x - $mean) / $std) END"""
+      s"""WITH srt AS (
+           SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+           FROM events GROUP BY user_id
+         ), f AS (
+           SELECT user_id, vals FROM srt WHERE len(vals) >= $m
+         ), pw AS (
+           SELECT CAST([1.0, 2.0, 3.0, 4.0, 5.0] AS DOUBLE[]) AS p
+         ), pz AS (
+           SELECT p, ${fsum("p")} / $m AS pmean,
+             sqrt(${fsum(s"list_transform(p, x -> (x - ${fsum("p")} / $m) * (x - ${fsum("p")} / $m))")} / $m) AS pstd
+           FROM pw
+         ), wins AS (
+           SELECT user_id, st.s AS start,
+             list_slice(vals, CAST(st.s AS INT) + 1, CAST(st.s AS INT) + $m) AS w
+           FROM f CROSS JOIN LATERAL
+             (SELECT unnest(range(len(vals) - $m + 1)) AS s) st
+         ), stats AS (
+           SELECT user_id, start, w, ${fsum("w")} / $m AS wmean
+           FROM wins
+         ), stats2 AS (
+           SELECT user_id, start, w, wmean,
+             sqrt(${fsum("list_transform(w, x -> (x - wmean) * (x - wmean))")} / $m) AS wstd
+           FROM stats
+         ), scored AS (
+           SELECT s2.user_id, s2.start,
+             ${fsum(s"""list_transform(range($m), i ->
+               (${znormed("s2.w", "s2.wmean", "s2.wstd")}[CAST(i AS INT) + 1]
+                - ${znormed("z.p", "z.pmean", "z.pstd")}[CAST(i AS INT) + 1])
+               * (${znormed("s2.w", "s2.wmean", "s2.wstd")}[CAST(i AS INT) + 1]
+                  - ${znormed("z.p", "z.pmean", "z.pstd")}[CAST(i AS INT) + 1]))""")} AS dist
+           FROM stats2 s2 CROSS JOIN pz z
+         ), best AS (
+           SELECT user_id, start, dist,
+             row_number() OVER (PARTITION BY user_id ORDER BY dist, start) AS rn
+           FROM scored
+         )
+         SELECT user_id, CAST(start AS BIGINT) AS start, round(dist, 6) AS dist
+         FROM best WHERE rn = 1 ORDER BY user_id"""
+    },
 
     "cdc_apply" ->
       """WITH base AS (

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Time-series subsequence similarity (motif search) over keyed event
+  * streams — the batch form of streaming time-series similarity search:
+  * for every key, find the window of length m whose z-normalized shape is
+  * closest (squared Euclidean) to a query pattern.
+  *
+  * Everything is higher-order-function folds over per-key ordered value
+  * lists, which evaluate left-to-right — the same IEEE addition order as
+  * any external reimplementation folding ascending, so results are
+  * engine-replicable bit-for-bit. One shuffle (the per-key collect); the
+  * window scoring is embarrassingly parallel per key.
+  *
+  * At 100 TB the per-key series must be bounded (sessions, days, devices);
+  * for unbounded keys the same scoring runs inside
+  * flatMapGroupsWithState/transformWithState over a sliding buffer.
+  */
+object TimeSeries {
+
+  /** Sum fold in ascending index order. */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (a, x) => a + x)
+
+  /** z-normalize an array column: (x - mean) / std, all-zero when the
+    * window is constant (std = 0). Population std, sequential folds. */
+  def znorm(arr: Column, m: Int): Column = {
+    val mean = fsum(arr) / m
+    val variance = aggregate(arr, lit(0.0), (a, x) => a + (x - mean) * (x - mean)) / m
+    val std = sqrt(variance)
+    when(std === 0.0, transform(arr, _ => lit(0.0)))
+      .otherwise(transform(arr, x => (x - mean) / std))
+  }
+
+  /** Squared Euclidean distance of two equal-length arrays (fold over
+    * indices, ascending). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Per key: the best (lowest z-normalized distance) window of length `m`
+    * against `pattern`. Output: (key, start, dist) with `start` 0-based in
+    * event order; ties broken by the earliest start. Keys with fewer than
+    * `m` events are dropped. */
+  def bestMotif(events: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, valCol: String, pattern: Seq[Double],
+                m: Int): DataFrame = {
+    require(pattern.length == m, s"pattern length ${pattern.length} != m $m")
+    val p = array(pattern.map(lit): _*)
+    val pz = znorm(p, m)
+    val series = events
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(
+        struct(col(tsCol), col(tieCol), col(valCol).as("v")))).as("evs"))
+      .select(col(keyCol), transform(col("evs"), e => e.getField("v")).as("vals"))
+      .filter(size(col("vals")) >= m)
+    series
+      .select(col(keyCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("vals")) - m),
+          s => slice(col("vals"), s + 1, lit(m)))).as(Seq("start", "w")))
+      .withColumn("dist", sqDist(znorm(col("w"), m), pz))
+      .groupBy(col(keyCol))
+      .agg(min_by(struct(col("start"), col("dist")),
+        struct(col("dist"), col("start"))).as("best"))
+      .select(col(keyCol), col("best.start").cast("long").as("start"),
+        col("best.dist").as("dist"))
+  }
+}
