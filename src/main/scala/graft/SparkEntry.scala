@@ -807,6 +807,14 @@ object SparkEntry {
         .orderBy("media_id", "frame_no")
     }),
 
+    "timeseries_gap_fill" -> ((s, dir) => {
+      // hourly resample + forward fill for a bounded key slice — the
+      // classic feature-store densification step
+      val e = t(s, dir, "events").filter(col("user_id") < 50)
+      operators.TimeSeries.gapFillHourly(e, "user_id", "ts", "event_id", "value")
+        .orderBy("user_id", "hour")
+    }),
+
     "timeseries_motif" -> ((s, dir) => {
       // time-series subsequence similarity: per user, the window of 5
       // consecutive event values whose z-normalized shape best matches an
@@ -1931,6 +1939,30 @@ object SparkEntry {
            FROM sc)
          SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "timeseries_gap_fill" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, value FROM events WHERE user_id < 50
+         ), hourly AS (
+           SELECT user_id, date_trunc('hour', ts) AS hour,
+             last(value ORDER BY ts, event_id) AS last_val
+           FROM e GROUP BY user_id, date_trunc('hour', ts)
+         ), bounds AS (
+           SELECT user_id, min(hour) AS h0, max(hour) AS h1
+           FROM hourly GROUP BY user_id
+         ), grid AS (
+           SELECT user_id, g.g AS hour
+           FROM bounds CROSS JOIN LATERAL
+             (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g) g
+         )
+         SELECT g.user_id, CAST(g.hour AS TIMESTAMP) AS hour,
+           last_value(h.last_val IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS UNBOUNDED PRECEDING) AS value_filled,
+           CAST(CASE WHEN h.last_val IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed
+         FROM grid g LEFT JOIN hourly h
+           ON g.user_id = h.user_id AND g.hour = h.hour
+         ORDER BY g.user_id, g.hour""",
 
     "timeseries_motif" -> {
       // znorm + squared distance as ORDER-preserving list_reduce folds —

@@ -41,6 +41,35 @@ object TimeSeries {
       zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, d) => acc + d)
 
+  /** Resample a keyed event stream onto a fixed hourly grid with forward
+    * fill: one row per (key, hour) between the key's first and last
+    * events, carrying the most recent observed value. The grid explodes
+    * from per-key bounds (no cross join with a global calendar), the fill
+    * is a running `last(ignoreNulls)` over the per-key hour order — one
+    * window pass after one aggregation, both keyed on `keyCol`. */
+  def gapFillHourly(events: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hour = date_trunc("hour", col(tsCol))
+    val hourly = events
+      .groupBy(col(keyCol), hour.as("hour"))
+      .agg(max_by(col(valCol), struct(col(tsCol), col(tieCol))).as("last_val"))
+    val grid = hourly
+      .groupBy(col(keyCol))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col(keyCol),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(hourly, Seq(keyCol, "hour"), "left")
+      .withColumn("value_filled", last(col("last_val"), ignoreNulls = true).over(w))
+      .withColumn("observed",
+        when(col("last_val").isNotNull, 1L).otherwise(0L))
+      .select(col(keyCol), col("hour").cast("timestamp_ntz").as("hour"),
+        col("value_filled"), col("observed"))
+  }
+
   /** Per key: the best (lowest z-normalized distance) window of length `m`
     * against `pattern`. Output: (key, start, dist) with `start` 0-based in
     * event order; ties broken by the earliest start. Keys with fewer than
