@@ -899,6 +899,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "multimodal_pipeline" -> ((s, dir) => {
+      // the fused media pipeline: metadata resize → typed batched decode —
+      // every output (dims, checksum, feature) recomputed by the oracle
+      // from the payload bytes
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+      val resized = Multimodal.resizeMeta(media, 224, 224)
+      val feats = Multimodal.extractFeatures(
+        media.as[Multimodal.MediaRecord], dim = 2)
+        .select(col("media_id"), col("byte_len"), col("checksum"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+      resized.select(col("media_id"), col("kind"), col("out_w"), col("out_h"))
+        .join(feats, Seq("media_id"))
+        .orderBy("media_id")
+    }),
+
     // ---- deterministic sampling (training-data pipeline) ----
 
     "sample_stratified" -> ((s, dir) => {
@@ -2112,6 +2129,42 @@ object SparkEntry {
            round(CAST(max(CASE WHEN d = 2 THEN fv END) AS DOUBLE), 6) AS f2,
            round(CAST(max(CASE WHEN d = 3 THEN fv END) AS DOUBLE), 6) AS f3
          FROM ft GROUP BY media_id, frame_no ORDER BY media_id, frame_no"""
+    },
+
+    "multimodal_pipeline" -> {
+      val toFloat = (h: String) =>
+        s"CAST(CAST(${signedSql(h)} AS DOUBLE) / 9223372036854775807.0 AS FLOAT)"
+      s"""WITH m AS (
+           SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(doc_id % 640 + 32 AS BIGINT) AS width,
+             CAST(doc_id % 480 + 32 AS BIGINT) AS height,
+             text
+           FROM documents),
+         rz AS (
+           SELECT media_id, kind, text,
+             CASE WHEN width <= 224 AND height <= 224 THEN width
+                  WHEN width * 224 >= height * 224 THEN 224
+                  ELSE CAST(floor(width * 224 / CAST(height AS DOUBLE)) AS BIGINT)
+             END AS out_w,
+             CASE WHEN width <= 224 AND height <= 224 THEN height
+                  WHEN width * 224 >= height * 224
+                    THEN CAST(floor(height * 224 / CAST(width AS DOUBLE)) AS BIGINT)
+                  ELSE 224
+             END AS out_h
+           FROM m),
+         hb AS (
+           SELECT media_id, kind, out_w, out_h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             ${fnvSql("text")} AS fp
+           FROM rz),
+         hd AS (SELECT *, fp AS x FROM hb),
+         ${mix64Ctes("hd", "mx")}
+         SELECT media_id, kind, out_w, out_h, byte_len,
+           ${signedSql("fp")} AS checksum,
+           round(CAST(${toFloat("h")} AS DOUBLE), 6) AS f0
+         FROM mx ORDER BY media_id"""
     },
 
     "sample_stratified" -> {
