@@ -219,6 +219,62 @@ object Similarity {
     }
   }
 
+  /** Streaming IVF probe: `topKStream` with cell pruning — the broadcast
+    * index is pre-grouped by centroid cell, a query scores the (few,
+    * small) centroids first and scans only its `nprobe` best cells. Same
+    * zero-shuffle mapPartitions shape as `topKStream`; work per query is
+    * cell-sized, not corpus-sized — the scale path for streaming
+    * similarity once the corpus outgrows a flat broadcast scan. */
+  def topKStreamIvf(queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                    centroids: Array[(Long, Array[Float])],
+                    cells: Map[Long, Array[(Long, Array[Float])]],
+                    k: Int, nprobe: Int = 2): org.apache.spark.sql.Dataset[TopKHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(centroids)
+    val bcCells = spark.sparkContext.broadcast(cells)
+    queries.mapPartitions { it =>
+      val cents = bcCents.value
+      val byCell = bcCells.value
+      it.flatMap { case (qid, qv) =>
+        val probes = cents
+          .map { case (cid, cv) => (cid, graft.functions.VecOps.cosineArrays(qv, cv)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(nprobe)
+          .map(_._1)
+        probes.iterator
+          .flatMap(cid => byCell.getOrElse(cid, Array.empty[(Long, Array[Float])]))
+          .map { case (id, v) => (id, graft.functions.VecOps.cosineArrays(qv, v)) }
+          .toArray
+          .sortBy { case (id, cos) => (-cos, id) }
+          .take(k)
+          .iterator
+          .zipWithIndex
+          .map { case ((id, cos), i) => TopKHit(qid, i + 1, id, cos) }
+      }
+    }
+  }
+
+  /** Build the broadcastable cell map for `topKStreamIvf` from a corpus
+    * and trained centroids (driver-side collect — the index must fit in
+    * memory by construction). */
+  def collectCells(corpus: DataFrame, centroids: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   centroidIdCol: String = "centroid_id")
+      : (Array[(Long, Array[Float])], Map[Long, Array[(Long, Array[Float])]]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col(centroidIdCol), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol, centroidIdCol)
+      .select(col(centroidIdCol), col(idCol), col(vecCol))
+      .as[(Long, Long, Array[Float])].collect()
+    val cells = assigned.groupBy(_._1).map { case (cid, rows) =>
+      cid -> rows.map(r => (r._2, r._3))
+    }
+    (cents, cells)
+  }
+
   /** IVF-style coarse quantization: assign every vector to the nearest of
     * `centroids` (a small broadcast table of (centroid_id, vector)); ANN
     * then searches only the probed cells. This is the classic inverted-file

@@ -145,6 +145,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKStreamIvf: cell-pruned streaming probe matches the batch IVF path") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val corpusDf = sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val centroidsDf = Similarity.kmeansCentroids(corpusDf, k = 4, iters = 2)
+    val (cents, cells) = Similarity.collectCells(corpusDf, centroidsDf)
+    val queryVecs = corpusDf.as[(Long, Array[Float])].collect().filter(_._1 < 3)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.topKStreamIvf(input.toDS(), cents, cells, k = 5, nprobe = 2)
+      .writeStream.format("memory").queryName("tws_topk_ivf").outputMode("append")
+      .start()
+    try {
+      input.addData(queryVecs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("tws_topk_ivf")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = Similarity.ivfTopK(
+        corpusDf,
+        corpusDf.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        centroidsDf, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("transformWithState: running totals via the Spark-4 state API (RocksDB)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{UserEvent, UserTotalsUpdate}
