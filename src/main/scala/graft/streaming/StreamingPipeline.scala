@@ -13,6 +13,55 @@ case class UserTotalsState(n_events: Long, total_value: Double, last_seen_ms: Lo
 /** One changelog row per updated key per micro-batch. */
 case class UserTotalsUpdate(user_id: Long, n_events: Long, total_value: Double)
 
+case class SessionAccum(n_events: Long, total_value: Double,
+                        start_ms: Long, end_ms: Long)
+
+case class SessionSummary(user_id: Long, n_events: Long, total_value: Double,
+                          start_ms: Long, end_ms: Long)
+
+/** StatefulProcessor for `sessionSummaries`: accumulate per-user, keep one
+  * event-time timer at (last event + gap); on expiry emit and clear. */
+class SessionSummaryProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserEvent, SessionSummary] {
+  import org.apache.spark.sql.{Encoders, streaming => ss}
+
+  @transient private var acc: ss.ValueState[SessionAccum] = _
+
+  override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =
+    acc = getHandle.getValueState[SessionAccum](
+      "acc", Encoders.product[SessionAccum], ss.TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+                               timers: ss.TimerValues): Iterator[SessionSummary] = {
+    val prev = Option(acc.get()).getOrElse(
+      SessionAccum(0L, 0.0, Long.MaxValue, Long.MinValue))
+    var n = prev.n_events
+    var total = prev.total_value
+    var lo = prev.start_ms
+    var hi = prev.end_ms
+    rows.foreach { e =>
+      val t = e.ts.getTime
+      n += 1; total += e.value; lo = math.min(lo, t); hi = math.max(hi, t)
+    }
+    acc.update(SessionAccum(n, total, lo, hi))
+    // one live timer per key: replace whatever was scheduled
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(hi + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(uid: Long, timers: ss.TimerValues,
+                                  info: ss.ExpiredTimerInfo): Iterator[SessionSummary] = {
+    val a = acc.get()
+    if (a == null) Iterator.empty
+    else {
+      acc.clear()
+      Iterator.single(SessionSummary(uid, a.n_events, a.total_value, a.start_ms, a.end_ms))
+    }
+  }
+}
+
 /** StatefulProcessor for `runningUserTotalsTws`: one ValueState slot per
   * user holding (n_events, total_value, last_seen_ms). Top-level class —
   * the processor is serialized to executors. */
@@ -187,6 +236,22 @@ object StreamingPipeline {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor(),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Timer-driven session summaries on `transformWithState`: per-user
+    * accumulator plus ONE event-time timer at (last event + gap); when the
+    * watermark passes it, the session summary is emitted and state is
+    * cleared. The timer API is what flatMapGroupsWithState's timeout enum
+    * could not express: multiple independent timers per key, exact
+    * event-time semantics, state dropped at the moment of emission. */
+  def sessionSummaries(events: Dataset[UserEvent], gapMs: Long = 600000L,
+                       delay: String = "0 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionSummaryProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming exact deduplication on key columns — the training-pipeline

@@ -222,6 +222,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState timers: session summaries emitted on watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{SessionSummary, UserEvent}
+    spark.conf.set(GraftSession.StateStoreProviderConf, GraftSession.RocksDbProvider)
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val input = MemoryStream[UserEvent]
+      val q = StreamingPipeline.sessionSummaries(input.toDS(), gapMs = 600000L)
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+          UserEvent(1L, ts("2024-01-01 10:05:00"), 2.0),
+          UserEvent(2L, ts("2024-01-01 10:01:00"), 7.0))
+        q.processAllAvailable()
+        // advance the watermark far past both sessions' (last + gap) timers
+        input.addData(UserEvent(99L, ts("2024-01-01 12:00:00"), 0.0))
+        q.processAllAvailable()
+        input.addData(UserEvent(99L, ts("2024-01-01 12:00:01"), 0.0))
+        q.processAllAvailable()
+        val out = spark.table("tws_sessions").as[SessionSummary].collect()
+          .filter(_.user_id < 90).map(s => (s.user_id, s.n_events, s.total_value)).toSet
+        assert(out === Set((1L, 2L, 3.0), (2L, 1L, 7.0)))
+      } finally q.stop()
+    } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
+  }
+
   test("session windows: gap-merged, finalized by watermark, state dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
