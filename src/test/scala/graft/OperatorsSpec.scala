@@ -80,6 +80,24 @@ class OperatorsSpec extends SparkSpec {
     assert(hits.toSeq == Seq((1L, 100L, 2L)))
   }
 
+  test("bestMotif: exact pattern occurrence scores distance 0 at the right offset") {
+    import graft.operators.TimeSeries
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    // key 1: values 9,1,2,3,4,5,9 — window [1..5] at start 1 matches the
+    // pattern shape exactly (z-normalized); key 2: constant series (std=0
+    // windows) must still return a best row, not crash
+    val rows = Seq(9.0, 1.0, 2.0, 3.0, 4.0, 5.0, 9.0).zipWithIndex
+      .map { case (v, i) => (1L, ts(i), i.toLong, v) } ++
+      (0 until 6).map(i => (2L, ts(i), (100 + i).toLong, 7.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val best = TimeSeries.bestMotif(df, "user_id", "ts", "event_id", "value",
+      pattern = Seq(1.0, 2.0, 3.0, 4.0, 5.0), m = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(best(1L)._1 == 1L)
+    assert(math.abs(best(1L)._2) < 1e-12)
+    assert(best(2L)._1 == 0L) // ties (all-equal windows) -> earliest start
+  }
+
   test("simhashPairs: exact dups at hamming 0; unrelated doc excluded") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
