@@ -234,7 +234,9 @@ object Dedup {
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-    var prevSum = lblSum(labels)
+    // no baseline job: the first iteration cannot be declared converged,
+    // so the first sum it produces becomes the baseline
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -245,7 +247,7 @@ object Dedup {
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
       val nextSum = lblSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
+      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
       iter += 1
