@@ -30,11 +30,16 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // warmup: exercise codegen + scan machinery on the smallest SF
+    // warmup: exercise codegen + scan machinery on the smallest SF, and
+    // record each query's warmup time — it anchors the outlier re-time
+    // threshold below (a query can't hide contention behind "it's just
+    // slow": slow relative to its own sf0.001 shape is the signal).
     val warmupDir = "/root/testdata/sf0.001"
-    selected.foreach { case (_, fn) =>
+    val warmupSec: Map[String, Double] = selected.map { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, warmupDir).count() catch { case _: Throwable => () }
-    }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     spark.catalog.clearCache()
 
     val results = selected.map { case (name, fn) =>
@@ -48,14 +53,24 @@ object Bench {
         spark.catalog.clearCache()
         (sec, ok)
       }
-      // min of two passes: a shared host makes single-shot timings noisy
-      // (2× swings observed); the min is the standard noise-robust
-      // estimator. Queries slower than 4 s keep a single pass so the
-      // second pass cannot blow the bench's wall-time budget.
+      // Noise policy for a contended shared host (2-3× swings observed):
+      // ALWAYS min-of-2 — a first pass poisoned by contention must never
+      // be the recorded number. If the best of two still exceeds ~5× the
+      // query's own sf0.001 warmup time (floor 2 s, so genuinely heavy
+      // queries aren't re-run forever), both passes likely landed in the
+      // same contention window: take one more and keep the overall min.
       val (s1, ok1) = timed()
       val (sec, ok) =
-        if (ok1 && s1 < 4.0) { val (s2, ok2) = timed(); (math.min(s1, s2), ok2) }
-        else (s1, ok1)
+        if (!ok1) (s1, ok1)
+        else {
+          val (s2, ok2) = timed()
+          val best = if (ok2) math.min(s1, s2) else s1
+          val threshold = math.max(2.0, 5.0 * warmupSec.getOrElse(name, 0.0))
+          if (ok2 && best > threshold) {
+            val (s3, ok3) = timed()
+            (if (ok3) math.min(best, s3) else best, true)
+          } else (best, ok1 && ok2)
+        }
       (name, if (ok) sec else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

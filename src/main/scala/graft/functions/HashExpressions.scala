@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass hashing kernels for sketch/fingerprint operators.
@@ -175,6 +176,13 @@ object HashOps {
   * the fold with mod-2^64 HUGEINT arithmetic). */
 case class Fnv64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  // declared input check: fnv64(123) is now a clean analysis error instead
+  // of an executor-side ClassCastException (the expression is exposed to
+  // raw SQL via GraftExtensions, so bad-type calls are reachable)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fnv64 requires a STRING argument, got ${child.dataType.catalogString}")
   override def prettyName: String = "fnv64"
   override protected def nullSafeEval(in: Any): Any =
     HashOps.fnv64(in.asInstanceOf[UTF8String])

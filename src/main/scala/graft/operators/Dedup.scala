@@ -234,8 +234,6 @@ object Dedup {
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-    // no baseline job: the first iteration cannot be declared converged,
-    // so the first sum it produces becomes the baseline
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
@@ -243,12 +241,28 @@ object Dedup {
       val viaNbr = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
         .select(col("src").as("id"), col("lbl"))
-      val next = labels.unionByName(viaNbr)
+      val prop = labels.unionByName(viaNbr)
         .groupBy("id").agg(min("lbl").as("lbl"))
+      // pointer jump (path doubling): remap each label through its own
+      // label — L'(id) = L(L(id)). Every label is a member node's id
+      // (≤ its own), so the self-join always matches; the reachable
+      // distance doubles per iteration and the loop runs O(log diameter)
+      // times instead of O(diameter). The join is label-table-sized, far
+      // smaller than the edge join it replaces iterations of.
+      val next = prop
+        .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
         .localCheckpoint()
-      val nextSum = lblSum(next)
-      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      // convergence aggregate only from iteration 1 (baseline) onwards:
+      // iteration 0 can never be DECLARED converged (no baseline), so its
+      // sum job was pure overhead. Near-dup graphs fixpoint in 1-2 jumped
+      // iterations; first possible stop is iteration 2.
+      if (iter >= 1) {
+        val nextSum = lblSum(next)
+        converged = prevSum != null && nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      }
       labels = next
       iter += 1
     }
@@ -324,18 +338,29 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the fingerprint into 4×16-bit chunks and
     * bucket-join (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal, so
-    * recall is exact for maxHamming ≤ 3), then verify with bit_count. */
+    * recall is exact for maxHamming ≤ 3), then verify with bit_count.
+    *
+    * `maxBucketSize` caps degenerate chunk buckets exactly like MinHash's
+    * candidatesFromBuckets: a boilerplate-heavy corpus puts thousands of
+    * docs with an identical 16-bit chunk into one bucket and the self-join
+    * goes quadratic. Docs dropped from one oversized bucket still meet in
+    * their other, non-degenerate chunks; fully identical documents (all
+    * four chunks degenerate) are exact-dedup's job, not simhash's. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val fp = docs.select(col(idCol), simhash64(col(textCol)).as("fp"))
     val banded = fp.select(col(idCol), col("fp"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .as(Seq("chunk", "chunk_val")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = banded.select(col("chunk"), col("chunk_val"),
+    val ok = banded.groupBy("chunk", "chunk_val").count()
+      .filter(col("count") <= maxBucketSize)
+      .select("chunk", "chunk_val")
+    val capped = banded.join(broadcast(ok), Seq("chunk", "chunk_val"))
+    val l = capped.select(col("chunk"), col("chunk_val"),
       col(idCol).as("id_a"), col("fp").as("fp_a"))
-    val r = banded.select(col("chunk"), col("chunk_val"),
+    val r = capped.select(col("chunk"), col("chunk_val"),
       col(idCol).as("id_b"), col("fp").as("fp_b"))
     l.join(r, Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
@@ -352,13 +377,19 @@ object Dedup {
     * verify with the native CosineSimilarity expression. */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double = 0.95, bits: Int = 16,
-                     bands: Int = 4): DataFrame = {
+                     bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
     // one independent hyperplane family per band (seed = band index)
-    val banded = embs.select(col(idCol), col(vecCol), posexplode(
+    val allBanded = embs.select(col(idCol), col(vecCol), posexplode(
       array((0 until bands).map(b =>
         VectorFunctions.hyperplaneSignature(col(vecCol), bits, b)): _*))
       .as(Seq("band", "band_key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same degenerate-bucket cap as simhashPairs/candidatesFromBuckets:
+    // a mass of identical embeddings would make one bucket quadratic
+    val ok = allBanded.groupBy("band", "band_key").count()
+      .filter(col("count") <= maxBucketSize)
+      .select("band", "band_key")
+    val banded = allBanded.join(broadcast(ok), Seq("band", "band_key"))
     val l = banded.select(col("band"), col("band_key"),
       col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val r = banded.select(col("band"), col("band_key"),

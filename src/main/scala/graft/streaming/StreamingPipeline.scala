@@ -45,8 +45,12 @@ class SessionSummaryProcessor(gapMs: Long)
       n += 1; total += e.value; lo = math.min(lo, t); hi = math.max(hi, t)
     }
     acc.update(SessionAccum(n, total, lo, hi))
-    // one live timer per key: replace whatever was scheduled
-    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    // one live timer per key: replace whatever was scheduled. Materialize
+    // before deleting — mutating the store under a live listTimers()
+    // iterator is only defined for RocksDB snapshots; the HDFS-backed
+    // provider may throw or skip entries.
+    getHandle.listTimers().toList
+      .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
     getHandle.registerTimer(hi + gapMs)
     Iterator.empty
   }

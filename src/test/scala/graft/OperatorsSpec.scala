@@ -182,6 +182,41 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped.count() == 60L * 59 / 2)
   }
 
+  test("simhashPairs: 10k identical docs complete with capped (zero) pair count") {
+    // every doc has the same fingerprint, so all four 16-bit chunk buckets
+    // hold 10k entries — uncapped, the self-join would build ~2×10^8 pairs.
+    // With the cap the oversized buckets are dropped (identical docs are
+    // exact-dedup's job) and the query completes with no pairs.
+    val many = spark.range(1, 10001)
+      .select(col("id").as("doc_id"),
+        lit("the same boilerplate paragraph stamped on every page").as("text"))
+    val pairs = Dedup.simhashPairs(many, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 1000)
+    assert(pairs.count() == 0)
+    // sanity: same corpus under the cap still pairs fully
+    val few = spark.range(1, 21)
+      .select(col("id").as("doc_id"),
+        lit("the same boilerplate paragraph stamped on every page").as("text"))
+    assert(Dedup.simhashPairs(few, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 1000).count() == 20L * 19 / 2)
+  }
+
+  test("embeddingPairs: degenerate signature buckets are capped") {
+    val vec = Array.fill(8)(1.0f)
+    val many = spark.range(1, 5001)
+      .select(col("id").as("vec_id"),
+        typedLit(vec.toSeq).cast("array<float>").as("embedding"))
+    val capped = Dedup.embeddingPairs(many, "vec_id", "embedding",
+      minCosine = 0.9, bits = 8, bands = 2, maxBucketSize = 1000)
+    assert(capped.count() == 0)
+    val few = spark.range(1, 11)
+      .select(col("id").as("vec_id"),
+        typedLit(vec.toSeq).cast("array<float>").as("embedding"))
+    assert(Dedup.embeddingPairs(few, "vec_id", "embedding",
+      minCosine = 0.9, bits = 8, bands = 2, maxBucketSize = 1000)
+      .count() == 10L * 9 / 2)
+  }
+
   test("IVF index on disk: partition-pruned probe matches in-memory IVF") {
     val e = Tables().embeddings
     val q = e.filter(col("vec_id") < 3)

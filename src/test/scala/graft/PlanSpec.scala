@@ -64,4 +64,36 @@ class PlanSpec extends SparkSpec {
     // one exchange only: the final presentation orderBy
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
+
+  test("similarity_topk_ivf_index: probe scan prunes index partitions") {
+    val p = plan("similarity_topk_ivf_index")
+    // the materialized IVF index is partitioned by centroid_id; the probe's
+    // IN-list must appear as PartitionFilters (directory pruning), not as
+    // a post-scan data filter — at 100 TB this is nprobe/k of the corpus
+    val pf = "PartitionFilters: \\[([^\\]]*)".r
+      .findAllMatchIn(p).map(_.group(1)).mkString("; ")
+    assert(pf.contains("centroid_id"), s"no centroid_id partition filter:\n$p")
+  }
+
+  test("join_bucketed: co-located join and agg plan zero hash exchanges") {
+    val p = plan("join_bucketed")
+    // both sides bucketed+sorted on the order key: the sort-merge join AND
+    // the groupBy on that key must reuse the bucket layout — the only
+    // allowed exchange is the final presentation orderBy's range partition
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("profile_columns: one scan of orders (single aggregate, no union of scans)") {
+    val p = plan("profile_columns")
+    assert("Scan parquet".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Union"), p)
+  }
+
+  test("events_funnel: shared stages cached, events scanned once per stage") {
+    val p = plan("events_funnel")
+    // su and cl are persisted: the union's three branches must read the
+    // cached stage outputs (InMemoryTableScan), not re-derive them
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
 }
