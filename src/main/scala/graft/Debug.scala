@@ -8,6 +8,7 @@ object Debug {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
+    if (args.length > 1 && args(1) == "cc") { ccBreakdown(spark, sfDir); spark.stop(); return }
     val docs = {
       val d = graft.sources.Tables.load(spark, sfDir, "documents").select("doc_id", "text")
       val exact = d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -33,5 +34,60 @@ object Debug {
     println("sig checksum=" + sig.select(sum(element_at(col("sig"), 1))).first().getLong(0))
     println(s"signature pass (hashed shingles) in ${(System.nanoTime() - t1) / 1e9}s")
     spark.stop()
+  }
+
+  /** Phase timing for dedup_clusters: pairs pipeline vs CC loop. */
+  private def ccBreakdown(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    val docs = {
+      val d = graft.sources.Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      val exact = d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val near = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" graft near dup tail")).as("text"))
+      d.unionByName(exact).unionByName(near)
+    }
+    def tm[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[cc] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+      .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tm("pairs materialize")(pairs.count())
+    val edges = tm("edges distinct+persist") {
+      val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    var labels = tm("labels init ckpt") {
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+    }
+    (0 until 3).foreach { i =>
+      val viaNbr = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("id"), col("lbl"))
+      val prop = tm(s"iter$i prop ckpt") {
+        labels.unionByName(viaNbr)
+          .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint()
+      }
+      val next = tm(s"iter$i jump ckpt") {
+        prop.join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+            Seq("lbl"), "left")
+          .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+      tm(s"iter$i sum") {
+        next.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+      }
+      labels = next
+    }
+    tm("full dedup_clusters query") {
+      SparkEntry.queries("dedup_clusters")(spark, sfDir).count()
+    }
   }
 }

@@ -30,6 +30,12 @@ object GraftSession {
       // rejects; read as long and convert in the loader (Tables.load)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // fresh warehouse per JVM: the in-memory catalog starts empty every
+      // run, so a leftover on-disk table location from a previous run
+      // would make saveAsTable throw LOCATION_ALREADY_EXISTS (and a
+      // warehouse inside the repo checkout is pollution anyway)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse_").toString)
 
   /** RocksDB state store provider (ships with Spark core; rocksdbjni is on
     * the classpath). The 100 TB streaming-state answer: per-key state

