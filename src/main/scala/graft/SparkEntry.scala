@@ -89,6 +89,23 @@ object SparkEntry {
     (centroidsDf(s, cents), path)
   }
 
+  /** Avro container-file copy of a lineitem projection, written once per
+    * sf dir (executor-side, one file per partition) and memoized — the
+    * ingest-format fixture for the Avro wire-format read path (SURVEY.md
+    * §2.1 S1). */
+  private val avroDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def avroLineitemDir(s: SparkSession, dir: String): String =
+    avroDirs.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_avro_").toString
+      graft.sources.AvroSource.write(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+        path)
+      path
+    })
+
   /** Bucketed lineitem/orders tables (bucket + sort key = the order key),
     * built once per sf dir and memoized — layout work is offline, queries
     * pay only the co-located join. Table names carry a dir hash so sf0.001
@@ -492,6 +509,16 @@ object SparkEntry {
         .select(from_json(col("value"), schema).as("r"))
         .select("r.o_orderkey", "r.o_totalprice", "r.o_orderstatus")
         .orderBy("o_orderkey")
+    }),
+
+    "avro_wire_roundtrip" -> ((s, dir) => {
+      // S1 parity at the WIRE-FORMAT level: lineitem projection written as
+      // Avro object-container files (once per sf dir, executor-side), read
+      // back through the avro-core reader — the reference's blob-connector
+      // ingest format (azure-source-cc.json:9) decoded distributed
+      val path = avroLineitemDir(s, dir)
+      graft.sources.AvroSource.read(s, path)
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     "agg_rollup" -> ((s, dir) => {
@@ -1698,6 +1725,10 @@ object SparkEntry {
            JOIN nation ON c_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "avro_wire_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "join_bucketed" ->
       """SELECT o_orderkey, count(*) AS n_items,

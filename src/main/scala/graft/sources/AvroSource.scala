@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.catalyst.expressions.GenericRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** Avro object-container-file source/sink built directly on avro-core
+  * (the spark-avro connector is not in this container; the Avro runtime
+  * is — /opt/spark/jars/avro-1.12.1.jar).
+  *
+  * This closes SURVEY.md §2.1 S1 at the wire-format level: the reference
+  * ingests Avro container files from blob storage
+  * (/root/reference/azure-source-cc.json:9, README.md:2003-2019); this
+  * reader decodes the same container format distributed — one Spark task
+  * per file, records streamed (never a whole file materialized as
+  * objects), schema resolved once on the driver from the first file
+  * header and broadcast as JSON.
+  *
+  * Scale notes: Avro container files are splittable on sync markers; this
+  * reader parallelizes per FILE, not per block, which is the right grain
+  * when ingest produces many files (the blob-connector layout) but would
+  * under-parallelize a single giant file — documented limitation, the
+  * fix (sync-marker seek per split) changes only `read`'s partitioning.
+  *
+  * Type surface: null, boolean, int, long, float, double, string, bytes,
+  * fixed, nullable unions [null, T], and arrays of the above. Enums
+  * decode as strings. Nested records, maps, and logical types are
+  * rejected with a clear error — the engine's tables are flat.
+  */
+object AvroSource {
+
+  // ------------------------------------------------------------ schema map
+
+  /** Avro schema → Spark schema (flat records, see type surface above). */
+  def toStructType(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD,
+      s"top-level Avro type must be a record, got ${schema.getType}")
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = fieldType(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  private def fieldType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+      require(branches.size == 1,
+        s"only [null, T] unions are supported, got $s")
+      (fieldType(branches.head)._1, true)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT => (IntegerType, false)
+    case Schema.Type.LONG => (LongType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.ENUM => (StringType, false)
+    case Schema.Type.BYTES | Schema.Type.FIXED => (BinaryType, false)
+    case Schema.Type.ARRAY =>
+      val (et, en) = fieldType(s.getElementType)
+      (ArrayType(et, containsNull = en), false)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported Avro type for this engine's flat tables: $other in $s")
+  }
+
+  /** Spark schema → Avro record schema (inverse of toStructType). */
+  def toAvroSchema(st: StructType, name: String = "graft_record"): Schema = {
+    val fields = st.fields.map { f =>
+      val base = avroType(f.dataType)
+      val sch = if (f.nullable)
+        Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+      else base
+      new Schema.Field(f.name, sch, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toList.asJava)
+  }
+
+  private def avroType(dt: DataType): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case ArrayType(et, containsNull) =>
+      val elem = avroType(et)
+      Schema.createArray(
+        if (containsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), elem)
+        else elem)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported Spark type for Avro write: $other")
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Read a directory (or glob) of Avro container files as a DataFrame.
+    * One task per file; records are streamed off the DataFileStream and
+    * converted row-by-row. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.sparkContext.binaryFiles(path)
+    // schema from the first file's header, on the driver; ship as JSON
+    // (org.apache.avro.Schema serialization is version-sensitive)
+    val headerStream = files.first()._2.open()
+    val schemaJson =
+      try new DataFileStream(headerStream,
+        new GenericDatumReader[GenericRecord]()).getSchema.toString
+      finally headerStream.close()
+    val structType = toStructType(new Schema.Parser().parse(schemaJson))
+    val width = structType.size
+    val rows = files.flatMap { case (_, pds) =>
+      val reader = new DataFileStream(pds.open(),
+        new GenericDatumReader[GenericRecord](new Schema.Parser().parse(schemaJson)))
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+        def next(): Row = {
+          val rec = reader.next()
+          val vals = new Array[Any](width)
+          var i = 0
+          while (i < width) { vals(i) = fromAvro(rec.get(i)); i += 1 }
+          new GenericRow(vals)
+        }
+      }
+    }
+    spark.createDataFrame(rows, structType)
+  }
+
+  private def fromAvro(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case s: CharSequence => s.toString
+    case e: GenericData.EnumSymbol => e.toString
+    case b: java.nio.ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case f: GenericData.Fixed => f.bytes().clone()
+    case a: java.util.Collection[_] => a.asScala.toSeq.map(fromAvro)
+    case a: GenericData.Array[_] => a.asScala.toSeq.map(fromAvro)
+    case other => other // boolean / int / long / float / double pass through
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Write a DataFrame as Avro container files, one file per partition,
+    * executor-side (no driver collect). The target must be a filesystem
+    * every executor can reach — true in local mode and on any cluster
+    * with shared storage, which is where a blob-connector layout lives
+    * anyway. DEV/TEST writer: the production sink for this engine remains
+    * parquet; this exists to exercise the Avro read path end-to-end. */
+  def write(df: DataFrame, path: String): Unit = {
+    val st = df.schema
+    val avroJson = toAvroSchema(st).toString
+    val width = st.size
+    new java.io.File(path).mkdirs()
+    df.rdd.foreachPartition { it =>
+      val schema = new Schema.Parser().parse(avroJson)
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val out = new java.io.FileOutputStream(s"$path/part-$pid.avro")
+      val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      writer.create(schema, out)
+      try {
+        it.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < width) {
+            rec.put(i, toAvro(row.get(i), schema.getFields.get(i).schema()))
+            i += 1
+          }
+          writer.append(rec)
+        }
+      } finally writer.close()
+    }
+    // empty partitions write empty (schema-only) files — valid Avro, and
+    // the reader's per-file stream handles them
+  }
+
+  private def toAvro(v: Any, s: Schema): Any = v match {
+    case null => null
+    case arr: scala.collection.Seq[_] =>
+      val elemSchema = nonNull(s).getElementType
+      arr.map(toAvro(_, elemSchema)).asJava
+    case bytes: Array[Byte] => java.nio.ByteBuffer.wrap(bytes)
+    case other => other // primitives and strings pass through
+  }
+
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+}
