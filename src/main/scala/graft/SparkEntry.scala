@@ -1172,6 +1172,65 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_pii_mask" -> ((s, dir) => {
+      // PII redaction: deterministic synthetic PII (email / IPv4 / phone,
+      // derived from doc_id) is injected ahead of the real text, then the
+      // mask chain runs — output proves every injected item is caught
+      val d = t(s, dir, "documents")
+      val withPii = concat(
+        lit("contact user"), col("doc_id"), lit("@mail.example.com or "),
+        lit("10.2."), pmod(col("doc_id"), lit(256)), lit(".7 tel "),
+        lit("555-123-4567 :: "), col("text"))
+      d.select(col("doc_id"), TextFunctions.maskPii(withPii).as("masked"))
+        .withColumn("n_emails_left",
+          size(split(col("masked"), "@", -1)).cast("long") - 1L)
+        .orderBy("doc_id")
+    }),
+
+    "chunk_documents" -> ((s, dir) => {
+      // sequence prep: 64-token chunks, stride 48 (16-token overlap);
+      // one output row per chunk, empty docs contribute nothing
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          posexplode(TextFunctions.tokenChunks(col("text"), 64, 48))
+            .as(Seq("chunk_no", "chunk_text")))
+        .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+          TextFunctions.tokenCount(col("chunk_text")).as("n_chunk_tokens"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_no")
+    }),
+
+    "url_canonicalize" -> ((s, dir) => {
+      // URL-keyed dedup prep: synthetic messy URLs (mixed case, default
+      // port, utm params, fragments — all doc_id-derived) → canonical form
+      // + group sizes per canonical URL
+      val d = t(s, dir, "documents")
+      val url = concat(
+        lit("HTTPS://Example"), pmod(col("doc_id"), lit(5)),
+        lit(".COM:443/Path/"), pmod(col("doc_id"), lit(40)),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("?utm_source=feed&utm_medium=rss&id="), pmod(col("doc_id"), lit(7))))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit("/?id="), pmod(col("doc_id"), lit(7)), lit("&utm_campaign=x")))
+          .otherwise(lit("/#section-2")))
+      val canon = d.select(col("doc_id"), url.as("url"))
+        .withColumn("canonical_url", TextFunctions.canonicalUrl(col("url")))
+      canon.groupBy("canonical_url")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_urls"))
+        .orderBy("canonical_url")
+    }),
+
+    "multimodal_dedup" -> ((s, dir) => {
+      // content-hash dedup over the BINARY payload column (image-dedup
+      // shape): group by md5 of the bytes, keep the lowest media id. The
+      // augmented corpus has exact payload copies, so groups are real.
+      val media = Multimodal.syntheticMedia(augmentedDocs(s, dir), "doc_id", "text")
+      media.groupBy(md5(col("payload")).as("payload_md5"))
+        .agg(min(col("media_id")).as("keep_media_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("payload_md5")
+    }),
+
     "text_normalize" -> ((s, dir) => {
       // canonical text cleaning: lowercase → strip non-printable-ASCII →
       // collapse whitespace → trim. The full normalized string is the
@@ -2415,6 +2474,85 @@ object SparkEntry {
              ELSE round(CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
            END AS top_token_frac
          FROM m ORDER BY doc_id""",
+
+    "text_pii_mask" ->
+      """WITH src AS (
+           SELECT doc_id,
+             'contact user' || doc_id || '@mail.example.com or 10.2.'
+               || (doc_id % 256) || '.7 tel 555-123-4567 :: ' || text AS raw
+           FROM documents
+         ), masked AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+               '(\+\d{1,2}[- ])?\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '[PHONE]', 'g') AS masked
+           FROM src
+         )
+         SELECT doc_id, masked,
+           CAST(len(string_split(masked, '@')) - 1 AS BIGINT) AS n_emails_left
+         FROM masked ORDER BY doc_id""",
+
+    "chunk_documents" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS ts
+           FROM documents
+         ), f AS (
+           SELECT doc_id, ts, len(ts) AS n FROM tk WHERE len(ts) > 0
+         ), ch AS (
+           SELECT doc_id, st.s AS s, n,
+             array_to_string(ts[CAST(st.s AS INT) + 1 : CAST(st.s AS INT) + 64], ' ') AS chunk_text
+           FROM f CROSS JOIN LATERAL
+             (SELECT unnest(range(0, n, 48)) AS s) st
+         )
+         SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_no,
+           CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens, chunk_text
+         FROM ch ORDER BY doc_id, chunk_no""",
+
+    "url_canonicalize" ->
+      """WITH src AS (
+           SELECT doc_id,
+             'HTTPS://Example' || (doc_id % 5) || '.COM:443/Path/' || (doc_id % 40)
+               || CASE WHEN doc_id % 3 = 0
+                    THEN '?utm_source=feed&utm_medium=rss&id=' || (doc_id % 7)
+                  WHEN doc_id % 3 = 1
+                    THEN '/?id=' || (doc_id % 7) || '&utm_campaign=x'
+                  ELSE '/#section-2' END AS url
+           FROM documents
+         ), canon AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                             '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                           || regexp_replace(regexp_replace(url, '#.*$', ''),
+                                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                           '^(https://[^/?#:]+):443([/?]|$)', '\1\2'),
+                         '^(http://[^/?#:]+):80([/?]|$)', '\1\2'),
+                       '([?&])utm_[A-Za-z]+=[^&]*&', '\1', 'g'),
+                     '([?&])utm_[A-Za-z]+=[^&]*&', '\1', 'g'),
+                   '[?&]utm_[A-Za-z]+=[^&]*$', '', 'g'),
+                 '[?&]$', '', 'g'),
+               '/$', '', 'g') AS canonical_url
+           FROM src
+         )
+         SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_urls
+         FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
+
+    "multimodal_dedup" ->
+      s"""WITH aug AS ($augDocsSql)
+         SELECT md5(text) AS payload_md5, min(doc_id) AS keep_media_id,
+           count(*) AS n_copies
+         FROM aug GROUP BY md5(text) ORDER BY payload_md5""",
 
     "text_normalize" ->
       """SELECT doc_id,

@@ -119,6 +119,58 @@ object TextFunctions {
       transform(sequence(lit(1), len - n + 1), i => substring(t, i, lit(n))))
   }
 
+  /** PII redaction for training corpora: emails → [EMAIL], IPv4 → [IP],
+    * phone-shaped numbers → [PHONE]. Patterns are RE2-compatible (no
+    * lookaround, no backrefs) so the DuckDB oracle applies the IDENTICAL
+    * chain; order matters (emails first — they contain dots that the IP
+    * pattern must not see). Regex-only redaction is the standard first
+    * pass at corpus scale; an NER pass would layer on top. */
+  def maskPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]")
+    regexp_replace(ip,
+      "(\\+\\d{1,2}[- ])?\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b", "[PHONE]")
+  }
+
+  /** Fixed-size token chunks with stride — the sequence-prep step of a
+    * training pipeline (long documents split into model-window pieces,
+    * consecutive chunks overlapping by chunkSize − stride tokens). A chunk
+    * starts at every stride-th token offset < n, so tail chunks may be
+    * short; an empty document yields no chunks. Pure array expressions —
+    * no shuffle, no UDF. */
+  def tokenChunks(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val ts = tokens(text)
+    val n = size(ts)
+    when(n === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), n - 1, lit(stride)),
+        s => array_join(slice(ts, s + 1, lit(chunkSize)), " ")))
+  }
+
+  /** URL canonicalization for URL-keyed dedup: drop the fragment,
+    * lowercase scheme+authority, strip default ports (:80 http, :443
+    * https), remove utm_* tracking params (two bounded passes + tail pass
+    * — handles runs of three; same fixed chain in the oracle), tidy
+    * leftover separators, strip one trailing slash. All RE2-compatible
+    * regex passes; replacement backrefs are written `$n` here and `\n` in
+    * the DuckDB oracle (syntax differs, semantics identical). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+      regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/?#:]+):443([/?]|$)", "$1$2"),
+      "^(http://[^/?#:]+):80([/?]|$)", "$1$2")
+    val utm1 = regexp_replace(noPort, "([?&])utm_[A-Za-z]+=[^&]*&", "$1")
+    val utm2 = regexp_replace(utm1, "([?&])utm_[A-Za-z]+=[^&]*&", "$1")
+    val utm3 = regexp_replace(utm2, "[?&]utm_[A-Za-z]+=[^&]*$", "")
+    val tidy = regexp_replace(utm3, "[?&]$", "")
+    regexp_replace(tidy, "/$", "")
+  }
+
   /** 128-bit content fingerprint (hex md5 of normalized text) — exact-dup
     * key; identical in DuckDB (`md5`) for oracle checks. */
   def contentFingerprint(text: Column): Column =

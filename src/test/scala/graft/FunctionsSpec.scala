@@ -154,6 +154,56 @@ class FunctionsSpec extends SparkSpec {
     assert(agg == 500L)
   }
 
+  test("maskPii: email/ip/phone redacted, ordinary text and versions untouched") {
+    val masked = Seq(
+      "mail a.b+c@sub.example.org now",
+      "host 10.0.255.7 and phone +1 555-123-4567 or 555 1234 5678",
+      "version 1.2.3 stays, 1.2.3.4.5 keeps tail, a@b stays (no tld)")
+      .toDF("t").select(TextFunctions.maskPii(col("t")).as("m"))
+      .as[String].collect()
+    assert(masked(0) == "mail [EMAIL] now")
+    assert(masked(1) == "host [IP] and phone [PHONE] or [PHONE]")
+    // 1.2.3 is not an IPv4; 1.2.3.4.5 — the first four octets match, the
+    // dangling .5 survives; a@b lacks a dot-TLD so it is not an email
+    assert(masked(2) == "version 1.2.3 stays, [IP].5 keeps tail, a@b stays (no tld)")
+  }
+
+  test("tokenChunks: stride windows, short tail, exact-fit, empty doc") {
+    val chunks = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "   "),
+      (4L, (1 to 8).map(i => s"v$i").mkString(" ")))  // exact 2 strides
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.tokenChunks(col("t"), 4, 4).as("c"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(chunks(1L) == Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+    assert(chunks(2L) == Seq("only three tokens"))
+    assert(chunks(3L) == Seq.empty)
+    assert(chunks(4L) == Seq("v1 v2 v3 v4", "v5 v6 v7 v8"))
+    // overlapping: stride < chunk
+    val ov = Seq("a b c d e").toDF("t")
+      .select(TextFunctions.tokenChunks(col("t"), 3, 2).as("c"))
+      .as[Seq[String]].head()
+    assert(ov == Seq("a b c", "c d e", "e"))
+  }
+
+  test("canonicalUrl: case, ports, utm runs, fragments, trailing slash") {
+    val canon = Seq(
+      "HTTPS://Ex.COM:443/Path/X?utm_source=a&utm_medium=b&utm_term=c&id=9#frag",
+      "http://ex.com:80/",
+      "https://ex.com/p/?utm_campaign=x",
+      "https://ex.com:8443/keep-port",
+      "https://ex.com/a?id=1&utm_source=t")
+      .toDF("u").select(TextFunctions.canonicalUrl(col("u")).as("c"))
+      .as[String].collect()
+    assert(canon(0) == "https://ex.com/Path/X?id=9")
+    assert(canon(1) == "http://ex.com")
+    assert(canon(2) == "https://ex.com/p")
+    assert(canon(3) == "https://ex.com:8443/keep-port") // non-default port kept
+    assert(canon(4) == "https://ex.com/a?id=1")
+  }
+
   test("minhash signature: deterministic, k slots, jaccard-correlated") {
     val df = Seq(
       "a b c d e f g h i j k l m n o p",
