@@ -275,6 +275,43 @@ object StreamingPipeline {
       case None => records.dropDuplicates(keyCols)
     }
 
+  /** Streaming near-dup dedup against a STATIC corpus — the rolling-ingest
+    * dedup shape as a live stream, wired through `foreachBatch`: each
+    * micro-batch is a plain batch DataFrame, so the full exact+near dedup
+    * machinery (`Dedup.incrementalDedup`: fingerprint semi-join, cross-
+    * corpus MinHash buckets, exact-Jaccard verify, anti-join) runs
+    * unchanged. This is the idiomatic Spark pattern when per-record logic
+    * needs batch-only operators (distinct / anti-join would be illegal
+    * stream-stream ops in a single continuous plan).
+    *
+    * Scale shape: per micro-batch the work is new×corpus only (the corpus
+    * is never re-paired with itself), and the corpus side should be a
+    * PERSISTED/materialized table — refresh it by replacing the parquet it
+    * reads from. No streaming state at all; delivery inherits foreachBatch
+    * exactly-once-per-epoch semantics with an idempotent sink.
+    *
+    * Returns the started query; `sink` receives each micro-batch's
+    * SURVIVORS (documents that do not exactly or nearly duplicate the
+    * corpus — `Dedup.incrementalDedup` contract; within-batch pairs are
+    * deliberately NOT checked, matching the batch operator, so compose
+    * with `minhashDedupSurvivors` on the batch if intra-batch dedup is
+    * also wanted). */
+  def dedupStreamAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               sink: (DataFrame, Long) => Unit,
+                               shingleSize: Int = 3, bands: Int = 16,
+                               rowsPerBand: Int = 4, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val survivors = graft.operators.Dedup.incrementalDedup(
+          batch, corpus, idCol, textCol, shingleSize, bands, rowsPerBand,
+          threshold)
+        sink(survivors, epochId)
+      }
+      .start()
+
   /** Session-windowed aggregation (gap-based, event-time): the streaming
     * form of the batch gaps-and-islands sessionization. `session_window`
     * merges events closer than `gap` into one growing window; with the

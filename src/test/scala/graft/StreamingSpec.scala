@@ -283,4 +283,41 @@ class StreamingSpec extends SparkSpec {
         ("2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("dedupStreamAgainstCorpus: foreachBatch survivors match batch incrementalDedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "training data pipelines need deduplication at scale to stay clean")
+    )).toDF("doc_id", "text")
+    // 10: exact dup of corpus 1; 11: near-dup of corpus 2 (one word tweak);
+    // 12: unique; 13: near-dup of 12 WITHIN the batch — survives, because
+    // incrementalDedup checks new×corpus only (contract)
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "training data pipelines need deduplication at scale to remain clean"),
+      (12L, "completely unrelated sentence about spark catalyst optimizer rules"),
+      (13L, "completely unrelated sentence about spark catalyst optimizer rule"))
+
+    val expected = Dedup.incrementalDedup(
+      spark.createDataFrame(newDocs).toDF("doc_id", "text"), corpus,
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+
+    val collected = scala.collection.mutable.Set[Long]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.dedupStreamAgainstCorpus(
+      input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      sink = (batch, _) =>
+        collected.synchronized { collected ++= batch.collect().map(_.getLong(0)) },
+      threshold = 0.5)
+    try {
+      input.addData(newDocs)
+      q.processAllAvailable()
+      assert(collected.toSet === expected)
+      assert(!collected.contains(10L) && !collected.contains(11L))
+      assert(collected.contains(12L) && collected.contains(13L))
+    } finally q.stop()
+  }
 }
