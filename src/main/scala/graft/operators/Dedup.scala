@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -337,6 +337,72 @@ object Dedup {
       .select(col(idCol), array_distinct(col("hs")).as("sh"))
     val nearDoomed = jaccardOverShingleSets(cands, shd, idCol)
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as(idCol))
+    val doomed = exactDoomed.unionByName(nearDoomed).distinct()
+    newDocs.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------- persisted dedup index
+
+  /** Materialize the corpus side of incremental dedup ONCE, so rolling
+    * ingestion never re-shingles the corpus. Three artifacts under `path`:
+    *   fp/       — distinct content fingerprints (exact-dup check)
+    *   buckets/  — (band, band_key, id) MinHash LSH bucket table
+    *   shingles/ — (id, sh) distinct hashed-shingle sets (Jaccard verify)
+    * At 100 TB this is THE incremental-dedup enabler: the per-batch cost
+    * becomes shingle(new) + three joins against on-disk artifacts instead
+    * of a full corpus text pass per batch. The corpus is shingled exactly
+    * once here (shared persist feeds both buckets and shingles). Extend
+    * the index by appending the same three artifacts for each accepted
+    * batch (ids are disjoint, all three are unioned by construction). */
+  def writeDedupIndex(corpus: DataFrame, path: String, idCol: String,
+                      textCol: String, shingleSize: Int = 3, bands: Int = 16,
+                      rowsPerBand: Int = 4): Unit = {
+    val sh = hashedShingleTable(corpus, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      corpus.select(TextFunctions.contentFingerprint(col(textCol)).as("fp"))
+        .distinct()
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/fp")
+      bucketsFromShingles(sh, idCol, bands, rowsPerBand)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/buckets")
+      sh.select(col(idCol), array_distinct(col("hs")).as("sh"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
+    } finally { sh.unpersist(); () }
+  }
+
+  /** `incrementalDedup` against a materialized index (same semantics, same
+    * LSH parameters as the `writeDedupIndex` call — band keys must line
+    * up). Only the NEW batch is shingled; the corpus side arrives as three
+    * parquet scans. The candidate join keys on (band, band_key) with the
+    * small new side driving, and the verify join fetches corpus shingle
+    * sets only for candidate ids. */
+  def incrementalDedupFromIndex(spark: SparkSession, path: String,
+                                newDocs: DataFrame, idCol: String,
+                                textCol: String, shingleSize: Int = 3,
+                                bands: Int = 16, rowsPerBand: Int = 4,
+                                threshold: Double = 0.8): DataFrame = {
+    val exactDoomed = newDocs
+      .select(col(idCol), TextFunctions.contentFingerprint(col(textCol)).as("fp"))
+      .join(spark.read.parquet(s"$path/fp"), Seq("fp"))
+      .select(col(idCol))
+    val shNew = hashedShingleTable(newDocs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bNew = bucketsFromShingles(shNew, idCol, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val bOld = spark.read.parquet(s"$path/buckets")
+      .select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    val cands = bNew.join(bOld, Seq("band", "band_key"))
+      .select("id_a", "id_b").distinct()
+    val scored = cands
+      .join(shNew.select(col(idCol).as("id_a"),
+        array_distinct(col("hs")).as("sh_a")), Seq("id_a"))
+      .join(spark.read.parquet(s"$path/shingles")
+        .select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    val nearDoomed = scored
+      .filter(col("uni") > 0 && col("inter") / col("uni") >= threshold)
       .select(col("id_a").as(idCol))
     val doomed = exactDoomed.unionByName(nearDoomed).distinct()
     newDocs.join(doomed, Seq(idCol), "left_anti")

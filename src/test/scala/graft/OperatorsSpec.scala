@@ -67,6 +67,29 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(12L))
   }
 
+  test("incrementalDedupFromIndex: materialized index matches direct incrementalDedup") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text about spark engines and shuffles"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again extra"),
+      (12L, "utterly unrelated fresh content with entirely novel words here"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_test_idx").toString
+    Dedup.writeDedupIndex(corpus, idx, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4)
+    val direct = Dedup.incrementalDedup(newDocs, corpus, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    val viaIndex = Dedup.incrementalDedupFromIndex(spark, idx, newDocs,
+      "doc_id", "text", shingleSize = 2, bands = 16, rowsPerBand = 4,
+      threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaIndex.toSeq == direct.toSeq && viaIndex.toSeq == Seq(12L))
+  }
+
   test("crossCorpusOverlap counts shared distinct shingles above the floor") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(

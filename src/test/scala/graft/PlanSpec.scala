@@ -96,4 +96,14 @@ class PlanSpec extends SparkSpec {
     // cached stage outputs (InMemoryTableScan), not re-derive them
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
+
+  test("dedup_incremental_index: probe reads materialized index, corpus never re-shingled") {
+    val p = plan("dedup_incremental_index")
+    // the three index artifacts arrive as parquet scans of the temp index
+    // dir; only the NEW batch runs the shingle/minhash expressions
+    assert("graft_dedup_idx".r.findAllIn(p).size >= 3, p)
+    // corpus text is never read: the only documents.parquet scans belong
+    // to the new-batch side (augmentedDocs filters doc_id >= 1000000)
+    assert(p.contains("shingle_hashes") || p.contains("minhash"), p)
+  }
 }
