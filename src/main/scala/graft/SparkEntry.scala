@@ -1304,6 +1304,36 @@ object SparkEntry {
         shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
         .select(col("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    "paragraph_dedup" -> ((s, dir) => {
+      // C4-style boilerplate scrub on a synthetic paragraph corpus: every
+      // doc = unique intro ⊕ shared license paragraph ⊕ tail (every 7th
+      // doc also a newsletter blurb). Repeated paragraphs survive only at
+      // their lowest-(doc,pos) occurrence; docs are reassembled from the
+      // survivors.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val docs = d.select(col("doc_id"), concat_ws("\n\n",
+        substring(col("text"), 1, 120),
+        lit("this content is licensed under the terms of the example license"),
+        substring(col("text"), 121, 1000000),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("subscribe to our newsletter for updates"))).as("text"))
+      Dedup.paragraphDedup(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "similarity_topk_int8" -> ((s, dir) => {
+      // ANN over int8-quantized embeddings: scores are EXACT integer dot
+      // products (order-independent, engine-reproducible BIGINTs) on
+      // vectors 4× smaller than float32 — the broadcast-index memory play.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.int8TopK(e, q, k = 10)
+        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
+          col("qdot"))
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -2639,7 +2669,58 @@ object SparkEntry {
            WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6)
          SELECT doc_id FROM aug
          WHERE doc_id NOT IN (SELECT id_b FROM doomed)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    "paragraph_dedup" ->
+      """WITH docs AS (
+           SELECT doc_id,
+             concat_ws(chr(10)||chr(10),
+               substr(text, 1, 120),
+               'this content is licensed under the terms of the example license',
+               substr(text, 121),
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'subscribe to our newsletter for updates' END) AS text
+           FROM documents),
+         sp AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ss
+                FROM docs),
+         paras AS (
+           SELECT doc_id, unnest(ss) AS para, unnest(range(len(ss))) AS pos
+           FROM sp),
+         pp AS (SELECT doc_id, pos, para, doc_id*1000000 + pos AS loc
+                FROM paras WHERE trim(para) <> ''),
+         keep AS (SELECT min(loc) AS loc FROM pp
+                  GROUP BY md5(regexp_replace(trim(lower(para)), '\s+', ' ', 'g'))),
+         kept AS (SELECT * FROM pp WHERE loc IN (SELECT loc FROM keep))
+         SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    // int8 scores are integral in both engines: the DuckDB side quantizes
+    // with the same (x*127.0)/m + round-half-away expression tree, and the
+    // dot of integer-valued doubles is exact far below 2^53, so CAST AS
+    // BIGINT equals the engine's native long dot bit-for-bit
+    "similarity_topk_int8" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+         qn AS (
+           SELECT vec_id, dv,
+             list_max(list_transform(dv, x -> abs(x))) AS m FROM v),
+         qv AS (
+           SELECT vec_id,
+             CASE WHEN m = 0 THEN list_transform(dv, x -> 0.0)
+                  ELSE list_transform(dv, x -> round(x * 127.0 / m)) END AS q
+           FROM qn),
+         qs AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 5),
+         sc AS (
+           SELECT qs.query_id, c.vec_id,
+             CAST(list_dot_product(c.q, qs.qq) AS BIGINT) AS qdot
+           FROM qv c CROSS JOIN qs),
+         r AS (
+           SELECT query_id, vec_id, qdot,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, vec_id) AS rnk
+           FROM sc)
+         SELECT query_id, rnk, vec_id, qdot FROM r WHERE rnk <= 10
+         ORDER BY query_id, rnk"""
   )
 
   private lazy val incrementalDedupOracleSql: String =

@@ -22,6 +22,7 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "int8_dot" -> (es => Int8Dot(es(0), es(1))),
     "fnv64" -> (es => Fnv64(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
     "minhash" -> (es => MinHashSignature(es(0), intLit(es(1), "minhash k"))),

@@ -342,6 +342,39 @@ object Dedup {
     newDocs.join(doomed, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------ paragraph-level dedup
+
+  /** C4-style paragraph-level dedup: drop every repeated paragraph except
+    * its FIRST occurrence (ordered by (doc id, position)), then reassemble
+    * each document from its surviving paragraphs — the standard boilerplate
+    * scrub (license footers, nav text, newsletter blurbs) that document-
+    * level dedup cannot touch. Documents whose every paragraph is a repeat
+    * disappear entirely, as in C4.
+    *
+    * Shuffle shape: first-occurrence election shuffles only (fingerprint,
+    * 64-bit location) pairs — never paragraph text; the survivors are then
+    * selected by a semi-join on the unique location key and reassembled
+    * with one groupBy on the doc id. Requires < 10^6 paragraphs per doc
+    * (location key = id·10^6 + position). */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("loc", col(idCol) * 1000000L + col("pos"))
+    val keepLocs = paras
+      .select(TextFunctions.contentFingerprint(col("para")).as("fp"), col("loc"))
+      .groupBy("fp").agg(min("loc").as("loc"))
+      .select("loc")
+    paras.join(keepLocs, Seq("loc"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x("para")), sep).as(textCol))
+  }
+
   // ------------------------------------------------- persisted dedup index
 
   /** Materialize the corpus side of incremental dedup ONCE, so rolling

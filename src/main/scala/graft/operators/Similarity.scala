@@ -38,6 +38,29 @@ object Similarity {
       .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** Top-k by symmetric int8-quantized dot product: both sides quantized
+    * (`VectorFunctions.quantizeInt8`, 4× smaller than float32), scored
+    * with the exact integer dot — scores are order-independent BIGINTs,
+    * reproducible bit-for-bit on any engine or partitioning. The memory
+    * path for ANN at 100 TB: a quantized broadcast index ships 4× more
+    * vectors per executor; re-rank the short list with float cosine when
+    * exact ordering matters. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol),
+      VectorFunctions.quantizeInt8(col(vecCol)).as("qv"))
+    val q = queries.select(col(queryIdCol),
+      VectorFunctions.quantizeInt8(col(vecCol)).as("qq"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("qdot").desc, col(idCol))
+    c.join(broadcast(q))
+      .withColumn("qdot", VectorFunctions.int8Dot(col("qv"), col("qq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("qdot"))
+  }
+
   /** LSH-bucketed ANN top-k: probe `bands` independent hyperplane
     * signatures, union candidates, exact-rerank. Recall < 1 by design;
     * raise `bands` (or lower `bits`) for higher recall. */

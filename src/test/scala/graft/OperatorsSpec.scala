@@ -90,6 +90,37 @@ class OperatorsSpec extends SparkSpec {
     assert(viaIndex.toSeq == direct.toSeq && viaIndex.toSeq == Seq(12L))
   }
 
+  test("paragraphDedup: repeated paragraphs survive only at first (doc,pos); all-dup doc disappears") {
+    val docs = Seq(
+      (1L, "unique intro one\n\nshared license text\n\nunique tail one"),
+      (2L, "unique intro two\n\nshared license text\n\nunique tail two"),
+      (3L, "shared license text")) // nothing but the repeat — drops entirely
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "unique intro one\n\nshared license text\n\nunique tail one"),
+      (2L, "unique intro two\n\nunique tail two")))
+  }
+
+  test("int8TopK: self is rank 1 with exact integer self-dot") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -2.0f, 0.5f)),
+      (1L, Array(0.1f, 0.2f, 0.3f)),
+      (2L, Array(-1.0f, 2.0f, -0.5f))) // antipode of 0
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val rows = Similarity.int8TopK(vecs, q, k = 3)
+      .orderBy("rank")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // quantized [1,-2,.5]/2*127 = [64,-127,32] (round half-up); self dot
+    // = 64² + 127² + 32² = 21249; the antipode scores the exact negative
+    assert(rows.head == (0L, 1, 0L, 21249L))
+    assert(rows.last == (0L, 3, 2L, -21249L))
+  }
+
   test("crossCorpusOverlap counts shared distinct shingles above the floor") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(
