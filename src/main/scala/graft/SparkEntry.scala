@@ -1334,6 +1334,39 @@ object SparkEntry {
         .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
           col("qdot"))
         .orderBy("query_id", "rnk")
+    }),
+
+    "embedding_project" -> ((s, dir) => {
+      // Johnson-Lindenstrauss dimensionality reduction 64 → 8: the native
+      // random_projection expression, one fused loop per row, zero
+      // shuffle. Exploded per output dim so the oracle hash covers every
+      // coefficient.
+      val e = t(s, dir, "embeddings")
+      e.select(col("vec_id"),
+        posexplode(graft.functions.HashFunctions
+          .randomProjection(col("embedding"), dims = 8, seed = 0))
+          .as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim"), round(col("v"), 6).as("val"))
+        .orderBy("vec_id", "dim")
+    }),
+
+    "text_rarity" -> ((s, dir) => {
+      // per-doc corpus-frequency profile (rare-token quality signal):
+      // every aggregated stat is an integer sum — order-independent and
+      // engine-exact; mean_tf is one division of exact integers. The
+      // token→tf join keys the shuffle on the token (vocab-sized right
+      // side), the profile agg on doc_id.
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val tf = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+      tok.join(tf, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct"),
+          min(col("tf")).as("min_tf"),
+          round(sum(col("tf")).cast("double") / count(lit(1)), 4).as("mean_tf"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2720,7 +2753,29 @@ object SparkEntry {
                ORDER BY qdot DESC, vec_id) AS rnk
            FROM sc)
          SELECT query_id, rnk, vec_id, qdot FROM r WHERE rnk <= 10
-         ORDER BY query_id, rnk"""
+         ORDER BY query_id, rnk""",
+
+    // reuses the hyperplane CTE machinery with bands=1: hpr.proj IS the
+    // JL projection (same planes, same d-ascending fold) before signing
+    "embedding_project" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ${hyperplaneSigCtes("corpus", bits = 8, bands = 1)}
+         SELECT vec_id, bit AS dim, round(proj, 6) AS val
+         FROM hpr WHERE band = 0 ORDER BY vec_id, dim""",
+
+    "text_rarity" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok)
+         SELECT doc_id, count(*) AS n_tokens,
+           count(DISTINCT t.tok) AS n_distinct,
+           min(tf.tf) AS min_tf,
+           round(CAST(sum(tf.tf) AS DOUBLE) / count(*), 4) AS mean_tf
+         FROM tok t JOIN tf USING (tok)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 
   private lazy val incrementalDedupOracleSql: String =

@@ -30,6 +30,8 @@ object GraftFunctions {
     "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle n"))),
     "hyperplane_sig" -> (es => HyperplaneSignature(es(0), intLit(es(1), "bits"),
       if (es.length > 2) intLit(es(2), "seed") else 0)),
+    "random_projection" -> (es => RandomProjection(es(0), intLit(es(1), "dims"),
+      if (es.length > 2) intLit(es(2), "seed") else 0)),
     "bounded_count_distinct" -> (es => BoundedCountDistinct(
       es.head,
       if (es.length > 1) intLit(es(1), "threshold") else 100000,

@@ -153,6 +153,23 @@ object HashOps {
     ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
   }
 
+  /** JL random projection: proj[j] = Σ_d v[d]·planeCoef(seed, j, d) — the
+    * same planes (and the same d-ascending accumulation order, so results
+    * are externally replicable) as `hyperplaneSig`, unsigned. */
+  def randomProjection(v: ArrayData, dims: Int, seed: Int): ArrayData = {
+    val x = v.toFloatArray()
+    val out = new Array[Any](dims)
+    var j = 0
+    while (j < dims) {
+      var proj = 0.0
+      var d = 0
+      while (d < x.length) { proj += x(d).toDouble * planeCoef(seed, j, d); d += 1 }
+      out(j) = proj
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Random-hyperplane signature of a float vector: `bits` sign bits. */
   def hyperplaneSig(v: ArrayData, bits: Int, seed: Int): Long = {
     val x = v.toFloatArray()
@@ -196,6 +213,24 @@ case class Fnv64(child: Expression) extends UnaryExpression {
   * with pseudo-random plane coefficients in [-1,1] derived from mix64.
   * The HOF formulation costs bits×dims lambda evaluations per row; this
   * is a single fused loop. */
+/** `random_projection(array<float>, dims, seed) -> array<double>` —
+  * Johnson-Lindenstrauss random projection onto `dims` deterministic
+  * pseudo-random hyperplanes (the same `planeCoef` planes the LSH
+  * signature signs; this keeps the raw projection values). One fused
+  * loop per row; distances are preserved within (1±ε) at
+  * dims ≈ 8·ln(n)/ε², so downstream ANN/clustering runs on vectors
+  * dims/d the size. */
+case class RandomProjection(child: Expression, dims: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.DoubleType)
+  override def prettyName: String = "random_projection"
+  override protected def nullSafeEval(in: Any): Any =
+    HashOps.randomProjection(in.asInstanceOf[ArrayData], dims, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.randomProjection($c, $dims, $seed)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -283,4 +318,6 @@ object HashFunctions {
     Bridge.column(RollingHash64(Bridge.expression(tokens)))
   def hyperplaneSignature(vec: Column, bits: Int, seed: Int): Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(vec), bits, seed))
+  def randomProjection(vec: Column, dims: Int, seed: Int): Column =
+    Bridge.column(RandomProjection(Bridge.expression(vec), dims, seed))
 }

@@ -76,6 +76,26 @@ class FunctionsSpec extends SparkSpec {
       assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(f)), f)
   }
 
+  test("randomProjection: dims respected, signs agree with hyperplaneSig bits, SQL route") {
+    val df = Seq((1L, Array(0.5f, -1.25f, 2.0f, 0.75f)))
+      .toDF("vec_id", "embedding")
+      .select(
+        HashFunctions.randomProjection(col("embedding"), 8, 0).as("proj"),
+        HashFunctions.hyperplaneSignature(col("embedding"), 8, 0).as("sig"))
+    val row = df.collect().head
+    val proj = row.getSeq[Double](0)
+    val sig = row.getLong(1)
+    assert(proj.length == 8)
+    // the signature signs exactly these projections
+    for (b <- 0 until 8)
+      assert(((sig >> b) & 1L) == (if (proj(b) >= 0) 1L else 0L), s"bit $b of $proj")
+    graft.functions.GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT random_projection(array(CAST(1.0 AS FLOAT)), 2, 0) p")
+      .collect().head.getSeq[Double](0)
+    assert(viaSql.length == 2)
+  }
+
   test("rollingHash is order-sensitive") {
     val hs = Seq("alpha beta gamma", "gamma beta alpha").toDF("t")
       .select(TextFunctions.rollingHash(col("t")).as("h")).as[Long].collect()
