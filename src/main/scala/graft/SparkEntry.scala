@@ -1350,6 +1350,66 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    "dedup_containment_pairs" -> ((s, dir) => {
+      // near-SUPERSET dups: containment |A∩B|/min(|A|,|B|) catches a doc
+      // embedded verbatim in a longer one where symmetric Jaccard fails
+      // (100 shingles inside 1000 → J=0.1 but containment=1.0)
+      Dedup.containmentPairs(augmentedDocs(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_best_of_cluster" -> ((s, dir) => {
+      // cluster dedup with QUALITY-based canonical selection: per near-dup
+      // component keep the highest-quality member (min id on quality
+      // ties). Two-step argmax (max quality, then min id among the best)
+      // keeps the election replicable; both aggregations key on the small
+      // post-CC cluster table.
+      val aug = augmentedDocs(s, dir)
+      val pairs = Dedup.minhashPairs(aug, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+        .select("id_a", "id_b")
+      val memb = Dedup.connectedComponents(pairs)
+        .join(aug.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality")), Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val best = memb.groupBy("cluster_id")
+        .agg(max(col("quality")).as("best_quality"),
+          count(lit(1)).as("n_members"))
+      val keep = memb.join(best, Seq("cluster_id"))
+        .filter(col("quality") === col("best_quality"))
+        .groupBy("cluster_id").agg(min(col("doc_id")).as("keep_id"))
+      keep.join(best, Seq("cluster_id"))
+        .select(col("cluster_id"), col("keep_id"), col("n_members"),
+          col("best_quality"))
+        .orderBy("cluster_id")
+    }),
+
+    "similarity_topk_rp" -> ((s, dir) => {
+      // ANN in JL-reduced space (64 → 16): project the corpus once, rank
+      // by reduced-space cosine — 4× fewer multiplies per candidate and a
+      // 4× smaller broadcast index; the standard recall/cost dial placed
+      // in front of an exact re-rank.
+      val e = t(s, dir, "embeddings")
+      val red = e.select(col("vec_id"),
+        graft.functions.HashFunctions
+          .randomProjection(col("embedding"), dims = 16, seed = 0).as("rv"))
+      val q = red.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("rv").as("q_vec"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      red.join(broadcast(q))
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.cosineSimD(col("rv"), col("q_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "text_rarity" -> ((s, dir) => {
       // per-doc corpus-frequency profile (rare-token quality signal):
       // every aggregated stat is an integer sum — order-independent and
@@ -2763,6 +2823,112 @@ object SparkEntry {
          ${hyperplaneSigCtes("corpus", bits = 8, bands = 1)}
          SELECT vec_id, bit AS dim, round(proj, 6) AS val
          FROM hpr WHERE band = 0 ORDER BY vec_id, dim""",
+
+    // reduced vectors reassembled from the projection CTEs (list ordered
+    // by output dim), then scored with the exact cosSql fold
+    "similarity_topk_rp" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ${hyperplaneSigCtes("corpus", bits = 16, bands = 1)},
+         red AS (
+           SELECT vec_id, list(proj ORDER BY bit) AS rv
+           FROM hpr WHERE band = 0 GROUP BY vec_id),
+         qs AS (SELECT vec_id AS query_id, rv AS qv FROM red WHERE vec_id < 5),
+         sc AS (
+           SELECT qs.query_id, c.vec_id, ${cosSql("c.rv", "qs.qv")} AS cosine
+           FROM red c CROSS JOIN qs),
+         r AS (
+           SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rnk
+           FROM sc)
+         SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "dedup_containment_pairs" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sc AS (
+           SELECT id_a, id_b,
+             CAST(c AS DOUBLE) / least(sa.n, sb.n) AS containment
+           FROM common
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b, round(containment, 6) AS containment
+         FROM sc WHERE containment >= 0.9
+         ORDER BY id_a, id_b""",
+
+    "dedup_best_of_cluster" ->
+      s"""WITH RECURSIVE aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
+         edges AS (
+           SELECT id_a AS s, id_b AS t FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e2.s, r.lbl FROM edges e2 JOIN reach r ON e2.t = r.id),
+         comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+                  FROM reach GROUP BY id),
+         qb AS (
+           SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks,
+             length(text) AS tlen
+           FROM aug),
+         qm AS (
+           SELECT doc_id,
+             least(tlen / 200.0, 1.0) AS len_score,
+             CASE WHEN tlen = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                       / CAST(tlen AS DOUBLE) END AS punct_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> list_contains(
+                    ['the','a','an','and','or','of','to','in','is','it','on','for'], t))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS sw_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS mtl
+           FROM qb),
+         qual AS (
+           SELECT doc_id,
+             round(len_score * 0.3
+                   + least(sw_ratio * 4.0, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2
+                   + (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+                   4) AS quality
+           FROM qm),
+         memb AS (
+           SELECT c.cluster_id, c.doc_id, q.quality
+           FROM comp c JOIN qual q USING (doc_id)),
+         best AS (
+           SELECT cluster_id, max(quality) AS best_quality,
+             count(*) AS n_members
+           FROM memb GROUP BY cluster_id),
+         keep AS (
+           SELECT m.cluster_id, min(m.doc_id) AS keep_id
+           FROM memb m JOIN best b
+             ON m.cluster_id = b.cluster_id AND m.quality = b.best_quality
+           GROUP BY m.cluster_id)
+         SELECT k.cluster_id, k.keep_id, b.n_members, b.best_quality
+         FROM keep k JOIN best b USING (cluster_id)
+         ORDER BY cluster_id""",
 
     "text_rarity" ->
       """WITH tok AS (

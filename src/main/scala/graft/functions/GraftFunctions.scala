@@ -21,6 +21,7 @@ object GraftFunctions {
     * exposes to SQL. Single source of truth for both registration routes. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "cosine_similarity_d" -> (es => CosineSimilarityD(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "int8_dot" -> (es => Int8Dot(es(0), es(1))),
     "fnv64" -> (es => Fnv64(es.head)),

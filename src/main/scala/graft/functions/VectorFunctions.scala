@@ -61,6 +61,19 @@ object VecOps {
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else d / math.sqrt(nx * ny)
   }
+
+  /** Cosine over array<double> vectors (e.g. JL-projected embeddings) —
+    * same accumulation order as `cosine`, double storage instead of
+    * float. */
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else d / math.sqrt(nx * ny)
+  }
 }
 
 /** Native Catalyst expression: cosine similarity of two float vectors.
@@ -119,10 +132,30 @@ case class Int8Dot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Cosine similarity of two array<double> vectors (same codegen
+  * strategy as CosineSimilarity, double element type). */
+case class CosineSimilarityD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosineD($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level vector API. */
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     internal(CosineSimilarity(expr(a), expr(b)))
+
+  def cosineSimD(a: Column, b: Column): Column =
+    internal(CosineSimilarityD(expr(a), expr(b)))
 
   def dotProduct(a: Column, b: Column): Column =
     internal(DotProduct(expr(a), expr(b)))

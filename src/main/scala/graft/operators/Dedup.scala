@@ -205,6 +205,38 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Shingle CONTAINMENT pairs: score = |A∩B| / min(|A|, |B|) — catches
+    * near-SUPERSET duplicates (a doc embedded verbatim inside a longer
+    * one) that symmetric Jaccard misses when lengths differ: a 100-shingle
+    * doc fully inside a 1000-shingle doc has Jaccard 0.1 but containment
+    * 1.0. Same inverted-index shuffle shape as `ngramJaccardPairs`
+    * (Σ df² with df∈[2, maxShingleDf], never n²). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.8,
+                       maxShingleDf: Int = 100000): DataFrame = {
+    val sh = docs.select(
+      col(idCol),
+      array_distinct(hashedShingles(col(textCol), shingleSize)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
+    val e = sh.select(col(idCol), explode(col("sh")).as("h"))
+    val rare = e.groupBy("h").count()
+      .filter(col("count").between(2, maxShingleDf))
+      .select("h")
+    val capped = e.join(broadcast(rare), Seq("h"))
+    val common = capped.select(col("h"), col(idCol).as("id_a"))
+      .join(capped.select(col("h"), col(idCol).as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("containment",
+        col("c").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Connected components over an undirected near-dup edge list by
     * iterative min-label propagation: every node's label converges to the
     * minimum id in its component (deterministic fixpoint, independent of

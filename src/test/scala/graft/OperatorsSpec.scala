@@ -121,6 +121,24 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.last == (0L, 3, 2L, -21249L))
   }
 
+  test("containmentPairs: embedded doc scores 1.0 where Jaccard would miss it") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                   // short doc
+      (2L, base + " " + (100 to 160).map(i => s"pad$i").mkString(" ")), // superset
+      (3L, "entirely different words " + (200 to 240).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 == 1.0) // every shingle of 1 appears in 2
+    // sanity: the same pair fails a 0.9 Jaccard bar (sizes differ ~2.5×)
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9).count()
+    assert(j == 0)
+  }
+
   test("crossCorpusOverlap counts shared distinct shingles above the floor") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(
