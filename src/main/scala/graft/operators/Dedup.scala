@@ -390,12 +390,16 @@ object Dedup {
     * (location key = id·10^6 + position). */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n"): DataFrame = {
+    // persisted: both the first-occurrence election and the survivor
+    // semi-join read this table — without it the split/explode text pass
+    // runs twice (materialize to storage instead at warehouse scale)
     val paras = docs
       .select(col(idCol), posexplode(
         split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
       .filter(trim(col("para")) =!= "")
       .withColumn("loc", col(idCol) * 1000000L + col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepLocs = paras
       .select(TextFunctions.contentFingerprint(col("para")).as("fp"), col("loc"))
       .groupBy("fp").agg(min("loc").as("loc"))
