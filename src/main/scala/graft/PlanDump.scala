@@ -5,7 +5,7 @@ object PlanDump {
     val dir = "/root/testdata/sf0.01"
     for (q <- args) {
       println(s"===== $q =====")
-      println(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString.take(4000))
+      println(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString.take(40000))
     }
     spark.stop()
   }

@@ -145,6 +145,22 @@ object SparkEntry {
       path
     })
 
+  /** Bucketed-catalog-table variant of the dedup index (band_key / fp /
+    * id bucketing), built once per sf dir; table names carry a dir hash so
+    * warmup and timed SFs never collide. */
+  private val dedupBucketedIdx =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def dedupBucketedPrefix(s: SparkSession, dir: String): String =
+    dedupBucketedIdx.getOrElseUpdate(dir, {
+      val prefix = s"graft_dedup_bkt_${java.lang.Integer.toHexString(dir.hashCode)}"
+      Dedup.writeDedupIndexBucketed(
+        augmentedDocs(s, dir).filter(col("doc_id") < 1000000L),
+        prefix, "doc_id", "text", shingleSize = 3, bands = 16,
+        rowsPerBand = 4, buckets = 8)
+      prefix
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is the reference's one real query (hotels_count CTAS,
     * /root/reference/ci_cd/ksql/create_table.json:2) on the test schema. */
@@ -1348,6 +1364,22 @@ object SparkEntry {
           .as(Seq("dim", "v")))
         .select(col("vec_id"), col("dim"), round(col("v"), 6).as("val"))
         .orderBy("vec_id", "dim")
+    }),
+
+    "dedup_incremental_bucketed" -> ((s, dir) => {
+      // the bucketed-index probe: every corpus-side join (fp semi,
+      // candidate buckets, shingle verify) reads a table bucketed+sorted
+      // on exactly its join key — the corpus is never shuffled, only the
+      // new batch repartitions to match (PlanSpec asserts the corpus
+      // bucket scan feeds its join with no exchange). Same survivors,
+      // same oracle as dedup_incremental.
+      val prefix = dedupBucketedPrefix(s, dir)
+      val newDocs = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
+      Dedup.incrementalDedupFromBucketedIndex(s, prefix, newDocs,
+        "doc_id", "text", shingleSize = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.8)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
     }),
 
     "dedup_containment_pairs" -> ((s, dir) => {
@@ -2741,10 +2773,11 @@ object SparkEntry {
     // corpus is proven 1.0, which is what licenses the stricter oracle.)
     "dedup_incremental" -> incrementalDedupOracleSql,
 
-    // identical results by construction: the index probe materializes the
-    // corpus artifacts but computes the same survivor set, so it shares
+    // identical results by construction: the index probes materialize the
+    // corpus artifacts but compute the same survivor set, so they share
     // the incremental oracle verbatim
     "dedup_incremental_index" -> incrementalDedupOracleSql,
+    "dedup_incremental_bucketed" -> incrementalDedupOracleSql,
 
     "dedup_minhash_survivors" ->
       s"""WITH aug AS ($augDocsSql),

@@ -440,6 +440,81 @@ object Dedup {
     } finally { sh.unpersist(); () }
   }
 
+  /** `writeDedupIndex` with BUCKETED layout (catalog tables, not paths):
+    * `<prefix>_fp` bucketed by fp, `<prefix>_buckets` by band_key,
+    * `<prefix>_shingles` by the id — each bucketed+sorted on exactly the
+    * key its probe join uses, so the CORPUS side of every probe join is
+    * read pre-partitioned with ZERO exchange; only the (small) new batch
+    * shuffles to match. This is the 100 TB form: the index is written
+    * once, and no ingest batch ever re-shuffles it. Any existing tables
+    * under the prefix are replaced. */
+  def writeDedupIndexBucketed(corpus: DataFrame, tablePrefix: String,
+                              idCol: String, textCol: String,
+                              shingleSize: Int = 3, bands: Int = 16,
+                              rowsPerBand: Int = 4, buckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    Seq("fp", "buckets", "shingles").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_$sfx"))
+    val sh = hashedShingleTable(corpus, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Layout.writeBucketed(
+        corpus.select(TextFunctions.contentFingerprint(col(textCol)).as("fp"))
+          .distinct(),
+        s"${tablePrefix}_fp", "fp", buckets)
+      Layout.writeBucketed(
+        bucketsFromShingles(sh, idCol, bands, rowsPerBand),
+        s"${tablePrefix}_buckets", "band_key", buckets)
+      Layout.writeBucketed(
+        sh.select(col(idCol), array_distinct(col("hs")).as("sh")),
+        s"${tablePrefix}_shingles", idCol, buckets)
+    } finally { sh.unpersist(); () }
+  }
+
+  /** Probe the BUCKETED index: `incrementalDedupFromIndex` semantics with
+    * every corpus-side join reading the bucketed tables in place. The
+    * merge hints pin sort-merge joins so the bucketed layout is actually
+    * used — with a bucketed corpus that is the deliberate choice (a
+    * broadcast of the new side would also work for tiny batches, but the
+    * bucketed plan is the one that survives arbitrarily large batches). */
+  def incrementalDedupFromBucketedIndex(spark: SparkSession,
+                                        tablePrefix: String,
+                                        newDocs: DataFrame, idCol: String,
+                                        textCol: String, shingleSize: Int = 3,
+                                        bands: Int = 16, rowsPerBand: Int = 4,
+                                        threshold: Double = 0.8): DataFrame = {
+    val exactDoomed = newDocs
+      .select(col(idCol), TextFunctions.contentFingerprint(col(textCol)).as("fp"))
+      .join(spark.table(s"${tablePrefix}_fp").hint("merge"), Seq("fp"))
+      .select(col(idCol))
+    val shNew = hashedShingleTable(newDocs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate join on band_key ALONE: the band index is already hashed
+    // into band_key (xxhash64(band, slice)), so a cross-band match is a
+    // 64-bit hash collision whose spurious candidate the exact-Jaccard
+    // verify drops — and a single-column join key equal to the bucket
+    // column is what lets the V1 bucketed scan feed the sort-merge join
+    // with zero corpus-side exchange (join keys must equal bucket cols)
+    val bNew = bucketsFromShingles(shNew, idCol, bands, rowsPerBand)
+      .select(col("band_key"), col(idCol).as("id_a"))
+    val bOld = spark.table(s"${tablePrefix}_buckets").hint("merge")
+      .select(col("band_key"), col(idCol).as("id_b"))
+    val cands = bNew.join(bOld, Seq("band_key"))
+      .select("id_a", "id_b").distinct()
+    val scored = cands
+      .join(shNew.select(col(idCol).as("id_a"),
+        array_distinct(col("hs")).as("sh_a")), Seq("id_a"))
+      .join(spark.table(s"${tablePrefix}_shingles").hint("merge")
+        .select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    val nearDoomed = scored
+      .filter(col("uni") > 0 && col("inter") / col("uni") >= threshold)
+      .select(col("id_a").as(idCol))
+    val doomed = exactDoomed.unionByName(nearDoomed).distinct()
+    newDocs.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** `incrementalDedup` against a materialized index (same semantics, same
     * LSH parameters as the `writeDedupIndex` call — band keys must line
     * up). Only the NEW batch is shingled; the corpus side arrives as three

@@ -97,6 +97,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
 
+  test("dedup_incremental_bucketed: every corpus scan bucketed, none disabled by planner") {
+    val p = plan("dedup_incremental_bucketed")
+    // all three index tables must be read through their bucketed layout —
+    // "Bucketed: false (disabled by query planner)" is exactly what
+    // appears when the join keys stop lining up with the bucket columns
+    // and the corpus-side exchange comes back
+    assert("Bucketed: true".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("Bucketed: false"), p)
+    assert(p.contains("SortMergeJoin") && p.contains("graft_dedup_bkt"), p)
+  }
+
   test("dedup_incremental_index: probe reads materialized index, corpus never re-shingled") {
     val p = plan("dedup_incremental_index")
     // the three index artifacts arrive as parquet scans of the temp index
