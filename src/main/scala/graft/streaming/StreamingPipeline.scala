@@ -158,6 +158,38 @@ object StreamingPipeline {
   def toJsonPayload(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** Stream–static dimension enrichment: left-join each arriving record
+    * to a (small) static dimension, broadcast so the stream is NEVER
+    * shuffled — the per-micro-batch plan is scan → broadcast hash join,
+    * stateless, no watermark needed. The dim DataFrame is re-resolved per
+    * micro-batch when it reads from a file source, so slowly-changing
+    * dims refresh by rewriting their storage. At 100 TB/day stream rates
+    * this is the only join shape with zero streaming state. */
+  def enrichWithStaticDim(stream: DataFrame, dim: DataFrame,
+                          keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Stream–stream INTERVAL join (the ad-attribution shape): match right
+    * events to left events with the same key when the right timestamp
+    * falls in [left ts, left ts + maxGap]. Watermarks on BOTH sides bound
+    * the join state: each side buffers only rows newer than its watermark
+    * minus the interval, so state is O(rate × window), not unbounded.
+    * Inner join — matches emit as soon as both rows have arrived. Column
+    * names must be disjoint apart from `keyCol`. */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+                               keyCol: String, leftTsCol: String,
+                               rightTsCol: String,
+                               delay: String = "10 minutes",
+                               maxGap: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, delay).alias("l")
+    val r = right.withWatermark(rightTsCol, delay).alias("r")
+    l.join(r, expr(
+      s"""l.$keyCol = r.$keyCol AND
+          r.$rightTsCol >= l.$leftTsCol AND
+          r.$rightTsCol <= l.$leftTsCol + INTERVAL $maxGap"""))
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** Stage 2 parity — the CTAS aggregation over the enriched stream
     * (A1–A3). `exact=true` keeps ksqlDB's exact COUNT_DISTINCT via a
     * collect_set (bounded real-world cardinality per category); at

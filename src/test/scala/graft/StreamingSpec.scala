@@ -284,6 +284,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithStaticDim: stream rows pick up dim columns, misses stay null") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val q = StreamingPipeline.enrichWithStaticDim(
+      input.toDF().toDF("user_id", "amount"), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("dim_enrich")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (3L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("dim_enrich")
+        .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      assert(rows === Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("streamStreamIntervalJoin: clicks attribute to impressions within the gap only") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingPipeline.streamStreamIntervalJoin(
+      imps.toDF().toDF("user_id", "imp_ts"),
+      clicks.toDF().toDF("user_id", "click_ts"),
+      keyCol = "user_id", leftTsCol = "imp_ts", rightTsCol = "click_ts",
+      delay = "10 minutes", maxGap = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:10:00")),  // within 30 min -> match
+        (1L, ts("2024-01-01 10:50:00")),  // outside the gap -> no match
+        (2L, ts("2024-01-01 10:05:00")))  // no impression -> no match
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2).toString)).toSet
+      assert(rows === Set((1L, "2024-01-01 10:10:00.0")))
+    } finally q.stop()
+  }
+
   test("dedupStreamAgainstCorpus: foreachBatch survivors match batch incrementalDedup") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
