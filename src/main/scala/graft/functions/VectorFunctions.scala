@@ -62,6 +62,34 @@ object VecOps {
     if (nx == 0.0 || ny == 0.0) 0.0 else d / math.sqrt(nx * ny)
   }
 
+  /** Plain-array int8 quantizer for typed (non-Catalyst) call sites, e.g.
+    * the streaming broadcast-index probe. Bit-identical to the Column
+    * `VectorFunctions.quantizeInt8` (same max-abs scale, same
+    * BigDecimal HALF_UP rounding Spark's `round` uses on doubles), but
+    * packed into BYTES — values lie in [-127, 127], so the broadcast
+    * index really is 4× smaller than float32, the whole point at scale. */
+  def quantizeInt8Bytes(v: Array[Float]): Array[Byte] = {
+    var m = 0.0; var i = 0
+    while (i < v.length) { val a = math.abs(v(i).toDouble); if (a > m) m = a; i += 1 }
+    val out = new Array[Byte](v.length)
+    if (m == 0.0) return out
+    i = 0
+    while (i < v.length) {
+      out(i) = java.math.BigDecimal.valueOf(v(i).toDouble * 127.0 / m)
+        .setScale(0, java.math.RoundingMode.HALF_UP).byteValue
+      i += 1
+    }
+    out
+  }
+
+  /** Exact integer dot of two byte-packed int8 vectors. */
+  def dotBytes(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L; var i = 0
+    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+
   /** Cosine over array<double> vectors (e.g. JL-projected embeddings) —
     * same accumulation order as `cosine`, double storage instead of
     * float. */

@@ -213,6 +213,39 @@ object Similarity {
   /** One streaming top-k hit. */
   case class TopKHit(query_id: Long, rank: Int, vec_id: Long, cosine: Double)
 
+  /** One streaming int8 hit — integer-exact score. */
+  case class TopKHitInt8(query_id: Long, rank: Int, vec_id: Long, qdot: Long)
+
+  /** Streaming top-k against an int8-QUANTIZED broadcast index: the
+    * corpus ships as BYTE-packed vectors — genuinely 4× smaller than the
+    * float32 broadcast of `topKStream`, so an executor holds 4× the
+    * corpus before needing the IVF escape hatch. Scores are exact integer
+    * dots (same quantization as the batch `int8TopK`, rank-parity
+    * tested). Zero shuffle, zero streaming state. */
+  def topKStreamInt8(queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                     corpus: Array[(Long, Array[Float])],
+                     k: Int): org.apache.spark.sql.Dataset[TopKHitInt8] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val packed = corpus.map { case (id, v) =>
+      (id, graft.functions.VecOps.quantizeInt8Bytes(v)) }
+    val bc = spark.sparkContext.broadcast(packed)
+    queries.mapPartitions { it =>
+      val corp = bc.value
+      it.flatMap { case (qid, qv) =>
+        val qq = graft.functions.VecOps.quantizeInt8Bytes(qv)
+        corp.iterator
+          .map { case (id, v) => (id, graft.functions.VecOps.dotBytes(qq, v)) }
+          .toArray
+          .sortBy { case (id, d) => (-d, id) }
+          .take(k)
+          .iterator
+          .zipWithIndex
+          .map { case ((id, d), i) => TopKHitInt8(qid, i + 1, id, d) }
+      }
+    }
+  }
+
   /** Streaming (or batch) top-k against a BROADCAST index: the
     * static-corpus / streaming-queries shape of interactive similarity
     * search — the index ships once per executor, each arriving query is

@@ -145,6 +145,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKStreamInt8: byte-packed broadcast probe matches batch int8TopK") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val corpusDf = sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val corpus = corpusDf.as[(Long, Array[Float])].collect()
+    val queryVecs = corpus.filter(_._1 < 3)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.topKStreamInt8(input.toDS(), corpus, k = 5)
+      .writeStream.format("memory").queryName("tws_topk_i8").outputMode("append")
+      .start()
+    try {
+      input.addData(queryVecs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("tws_topk_i8")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = Similarity.int8TopK(
+        corpusDf,
+        corpusDf.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("topKStreamIvf: cell-pruned streaming probe matches the batch IVF path") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Similarity
