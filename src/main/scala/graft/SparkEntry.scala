@@ -1366,6 +1366,19 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    "dedup_embedding_clusters" -> ((s, dir) => {
+      // SEMANTIC cluster dedup: embedding near-dup pairs (hyperplane LSH
+      // + exact cosine verify) closed into components — the
+      // embedding-space analog of dedup_clusters, for paraphrase-level
+      // duplicates no text fingerprint can see
+      val pairs = Dedup.embeddingPairs(augmentedEmbeddings(s, dir),
+        "vec_id", "embedding", minCosine = 0.95, bits = 16, bands = 4)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     "dedup_incremental_bucketed" -> ((s, dir) => {
       // the bucketed-index probe: every corpus-side join (fp semi,
       // candidate buckets, shingle verify) reads a table bucketed+sorted
@@ -1879,6 +1892,31 @@ object SparkEntry {
          FROM aug a JOIN aug b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.95
          ORDER BY id_a, id_b""",
+
+    // same licensing note as dedup_embedding_pairs: the oracle scores
+    // exact all-pairs cosine; LSH recall is proven 1.0 on this corpus, so
+    // the component closure over identical edge sets must match
+    "dedup_embedding_clusters" ->
+      """WITH RECURSIVE aug AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(CAST(x * CAST(0.9 AS DOUBLE) AS FLOAT) AS DOUBLE))
+           FROM embeddings WHERE vec_id % 10 = 0),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+         edges AS (
+           SELECT id_a AS s, id_b AS t FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e2.s, r.lbl FROM edges e2 JOIN reach r ON e2.t = r.id)
+         SELECT id AS vec_id, min(lbl) AS cluster_id
+         FROM reach GROUP BY id ORDER BY vec_id""",
 
     "hotels_count" ->
       """SELECT stay_category,
