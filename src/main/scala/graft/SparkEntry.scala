@@ -1366,6 +1366,34 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    "pipeline_curation" -> ((s, dir) => {
+      // the COMPLETE curation funnel: quality + language gate → exact
+      // dedup → MinHash near-dup dedup → chunk/token accounting per
+      // source — what a training-data team actually ships. One lazy plan;
+      // the gate output is the only materialization point (three
+      // consumers: exact keep-set, semi-join, near-dup shingles).
+      val d = t(s, dir, "documents")
+      val gated = d
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("lang_guess", TextFunctions.langIdHeuristic(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang_guess") === "en")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = Dedup.exactDedup(gated, "doc_id", "text")
+      val survivors = Dedup.minhashDedup(exact, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+      survivors
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .withColumn("n_chunks",
+          when(col("n_tokens") > 0,
+            expr("(n_tokens + 47) div 48")).otherwise(0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chunks")).as("total_chunks"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy("source")
+    }),
+
     "dedup_embedding_clusters" -> ((s, dir) => {
       // SEMANTIC cluster dedup: embedding near-dup pairs (hyperplane LSH
       // + exact cosine verify) closed into components — the
@@ -2292,47 +2320,43 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "pipeline_e2e" ->
-      """WITH scored AS (
-           SELECT doc_id, text, source, n_chars,
-             round(
-               least(length(text) / 200.0, 1.0) * 0.3
-               + least((CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0 THEN 0.0
-                   ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                     t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], t))) AS DOUBLE)
-                     / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) END) * 4.0, 1.0) * 0.3
-               + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-                   ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-                     / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.2
-               + (CASE WHEN (CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0 THEN 0.0
-                   ELSE CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'), w -> length(w))) AS DOUBLE)
-                     / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) END)
-                   BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
-               4) AS quality,
-             (SELECT CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
-                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-                  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-                  ELSE 'und' END
-              FROM (SELECT
-                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['the','and','of','to','is','in'], t))) AS s_en,
-                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
-                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['le','la','de','et','les','des'], t))) AS s_fr,
-                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['der','die','und','das','ist','von'], t))) AS s_de
-              )) AS lang_guess
-           FROM documents
-         ), gated AS (
-           SELECT * FROM scored WHERE quality >= 0.5 AND lang_guess = 'en'
-         ), keep AS (
-           SELECT min(doc_id) AS doc_id
-           FROM gated
-           GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
-         )
+      s"""WITH $curationGateCtes
          SELECT source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(avg(quality), 4) AS avg_quality
          FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)
          GROUP BY source ORDER BY source""",
+
+    "pipeline_curation" ->
+      s"""WITH $curationGateCtes,
+         kept AS (
+           SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)),
+         ${shingleCtes("kept")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         doomed AS (
+           SELECT DISTINCT id_b FROM common
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
+         surv AS (
+           SELECT * FROM kept
+           WHERE doc_id NOT IN (SELECT id_b FROM doomed)),
+         tk AS (
+           SELECT source, quality,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+           FROM surv)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_tokens > 0 THEN (n_tokens + 47) // 48
+                         ELSE 0 END) AS BIGINT) AS total_chunks,
+           round(avg(quality), 4) AS avg_quality
+         FROM tk GROUP BY source ORDER BY source""",
 
     "similarity_topk" ->
       """WITH q AS (
@@ -3014,6 +3038,48 @@ object SparkEntry {
          FROM tok t JOIN tf USING (tok)
          GROUP BY doc_id ORDER BY doc_id"""
   )
+
+  /** scored/gated/keep CTEs — the DuckDB replication of the quality +
+    * language gate and exact-dedup election shared by pipeline_e2e and
+    * pipeline_curation. Plain (non-interpolated) string: single-backslash
+    * regexes are literal here. */
+  private val curationGateCtes: String =
+      """scored AS (
+           SELECT doc_id, text, source, n_chars,
+             round(
+               least(length(text) / 200.0, 1.0) * 0.3
+               + least((CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], t))) AS DOUBLE)
+                     / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) END) * 4.0, 1.0) * 0.3
+               + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.2
+               + (CASE WHEN (CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'), w -> length(w))) AS DOUBLE)
+                     / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) END)
+                   BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+               4) AS quality,
+             (SELECT CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                  ELSE 'und' END
+              FROM (SELECT
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['the','and','of','to','is','in'], t))) AS s_en,
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['le','la','de','et','les','des'], t))) AS s_fr,
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['der','die','und','das','ist','von'], t))) AS s_de
+              )) AS lang_guess
+           FROM documents
+         ), gated AS (
+           SELECT * FROM scored WHERE quality >= 0.5 AND lang_guess = 'en'
+         ), keep AS (
+           SELECT min(doc_id) AS doc_id
+           FROM gated
+           GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+         )"""
 
   private lazy val incrementalDedupOracleSql: String =
       s"""WITH aug AS ($augDocsSql),
