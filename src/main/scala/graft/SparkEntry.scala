@@ -1447,16 +1447,9 @@ object SparkEntry {
       val memb = Dedup.connectedComponents(pairs)
         .join(aug.select(col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality")), Seq("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val best = memb.groupBy("cluster_id")
-        .agg(max(col("quality")).as("best_quality"),
-          count(lit(1)).as("n_members"))
-      val keep = memb.join(best, Seq("cluster_id"))
-        .filter(col("quality") === col("best_quality"))
-        .groupBy("cluster_id").agg(min(col("doc_id")).as("keep_id"))
-      keep.join(best, Seq("cluster_id"))
+      Dedup.bestOfCluster(memb, "cluster_id", "doc_id", "quality")
         .select(col("cluster_id"), col("keep_id"), col("n_members"),
-          col("best_quality"))
+          col("best_score").as("best_quality"))
         .orderBy("cluster_id")
     }),
 

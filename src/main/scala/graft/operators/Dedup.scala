@@ -205,6 +205,26 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Per-cluster canonical election: for each cluster keep the member
+    * with the highest score, breaking score ties by minimum id. Two-step
+    * (max score, then min id among the best) so the election is exactly
+    * replicable on any engine without relying on arg_max/struct-comparison
+    * semantics; both aggregations key on the (small) cluster table.
+    * Returns (clusterCol, keep_id, n_members, best_score). */
+  def bestOfCluster(members: DataFrame, clusterCol: String, idCol: String,
+                    scoreCol: String): DataFrame = {
+    val m = members
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val best = m.groupBy(clusterCol)
+      .agg(max(col(scoreCol)).as("best_score"), count(lit(1)).as("n_members"))
+    val keep = m.join(best, Seq(clusterCol))
+      .filter(col(scoreCol) === col("best_score"))
+      .groupBy(clusterCol).agg(min(col(idCol)).as("keep_id"))
+    keep.join(best, Seq(clusterCol))
+      .select(col(clusterCol), col("keep_id"), col("n_members"),
+        col("best_score"))
+  }
+
   /** Shingle CONTAINMENT pairs: score = |A∩B| / min(|A|, |B|) — catches
     * near-SUPERSET duplicates (a doc embedded verbatim inside a longer
     * one) that symmetric Jaccard misses when lengths differ: a 100-shingle

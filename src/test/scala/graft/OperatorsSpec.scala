@@ -139,6 +139,17 @@ class OperatorsSpec extends SparkSpec {
     assert(j == 0)
   }
 
+  test("bestOfCluster: higher score wins over lower id; ties fall back to min id") {
+    val memb = Seq(
+      (10L, 1L, 0.4), (10L, 2L, 0.9),            // higher score, HIGHER id wins
+      (20L, 5L, 0.7), (20L, 6L, 0.7), (20L, 7L, 0.1)) // score tie -> min id
+      .toDF("cluster_id", "doc_id", "quality")
+    val out = Dedup.bestOfCluster(memb, "cluster_id", "doc_id", "quality")
+      .orderBy("cluster_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((10L, 2L, 2L, 0.9), (20L, 5L, 3L, 0.7)))
+  }
+
   test("crossCorpusOverlap counts shared distinct shingles above the floor") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(
