@@ -97,6 +97,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
 
+  test("paragraph_dedup: exploded paragraph table cached, split/explode runs once") {
+    val p = plan("paragraph_dedup")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
+
+  test("pipeline_curation: gate output cached for its three consumers") {
+    val p = plan("pipeline_curation")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
+
   test("dedup_incremental_bucketed: every corpus scan bucketed, none disabled by planner") {
     val p = plan("dedup_incremental_bucketed")
     // all three index tables must be read through their bucketed layout —
