@@ -1180,6 +1180,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "anomaly_mad" -> ((s, dir) => {
+      // robust (MAD-based) outliers per event_type — median/MAD resist
+      // exactly the outliers that dilute a z-score. Two grouped passes
+      // (median, then median absolute deviation) + a broadcast join back:
+      // the fact table is never shuffled. Modified z-score
+      // 0.6745·(x−med)/MAD, flag |z| ≥ 3.5 (Iglewicz–Hoaglin).
+      val e = t(s, dir, "events")
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = e.join(broadcast(med), Seq("event_type"))
+        .groupBy("event_type", "med")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      e.join(broadcast(mad), Seq("event_type"))
+        .filter(col("mad") > 0)
+        .withColumn("rz",
+          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
+        .filter(abs(col("rz")) >= 3.5)
+        .select(col("event_id"), col("event_type"), col("rz"))
+        .orderBy("event_id")
+    }),
+
     // ---- text cleaning / repetition quality gates ----
 
     "quality_repetition" -> ((s, dir) => {
@@ -3017,6 +3038,22 @@ object SparkEntry {
          SELECT k.cluster_id, k.keep_id, b.n_members, b.best_quality
          FROM keep k JOIN best b USING (cluster_id)
          ORDER BY cluster_id""",
+
+    "anomaly_mad" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         mad AS (
+           SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+           FROM events e JOIN med m USING (event_type)
+           GROUP BY e.event_type, m.med)
+         SELECT e.event_id, e.event_type,
+           round(0.6745 * (e.value - d.med) / d.mad, 4) AS rz
+         FROM events e JOIN mad d USING (event_type)
+         WHERE d.mad > 0
+           AND abs(round(0.6745 * (e.value - d.med) / d.mad, 4)) >= 3.5
+         ORDER BY e.event_id""",
 
     "text_rarity" ->
       """WITH tok AS (
