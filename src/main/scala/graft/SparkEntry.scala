@@ -1444,6 +1444,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_minhash_estimate" -> ((s, dir) => {
+      // signature-only Jaccard estimate over shared-shingle candidates:
+      // the triage path that never joins shingle sets. The oracle
+      // recomputes the k=16 MinHash signature itself (xor + splitmix64 in
+      // mod-2^64 HUGEINT CTEs, signed min), so this checks the sketch
+      // kernel end-to-end, not just the estimate arithmetic.
+      Dedup.minhashEstimatePairs(augmentedDocs(s, dir), "doc_id", "text",
+        shingleSize = 3, k = 16, minEstimate = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_containment_pairs" -> ((s, dir) => {
       // near-SUPERSET dups: containment |A∩B|/min(|A|,|B|) catches a doc
       // embedded verbatim in a longer one where symmetric Jaccard fails
@@ -2953,6 +2964,38 @@ object SparkEntry {
            FROM sc)
          SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    // full replication of HashOps.minhashFromHashes: per (doc, j<16)
+    // component = signed min over shingle hashes of
+    // mix64(h XOR (j·GOLDEN mod 2^64)); estimate = matches/16, threshold
+    // on the INTEGER match count (>= 8), so no float boundary exists
+    "dedup_minhash_estimate" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         xj AS (
+           SELECT doc_id, jj.j AS j,
+             xor(h, (jj.j * 11400714819323198485::HUGEINT)
+                 % 18446744073709551616::HUGEINT) AS x
+           FROM e CROSS JOIN (SELECT unnest(range(16)) AS j) jj),
+         ${mix64Ctes("xj", "mx")},
+         sig AS (
+           SELECT doc_id, j, min(${signedSql("h")}) AS c
+           FROM mx GROUP BY doc_id, j),
+         mcount AS (
+           SELECT ca.id_a, ca.id_b,
+             sum(CASE WHEN sa.c = sb.c THEN 1 ELSE 0 END) AS m
+           FROM common ca
+             JOIN sig sa ON sa.doc_id = ca.id_a
+             JOIN sig sb ON sb.doc_id = ca.id_b AND sb.j = sa.j
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, round(CAST(m AS DOUBLE) / 16, 4) AS est_jaccard
+         FROM mcount WHERE m >= 8
+         ORDER BY id_a, id_b""",
 
     "dedup_containment_pairs" ->
       s"""WITH aug AS ($augDocsSql),

@@ -134,6 +134,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Signature-based Jaccard ESTIMATE pairs — the verify-free fast path:
+    * est = (1/k)·Σ 1[sig_a[j] = sig_b[j]], an unbiased estimator of the
+    * true Jaccard with σ = √(J(1−J)/k). At 100 TB this skips the
+    * shingle-set verify join entirely (one signature pass + a k-word
+    * comparison per candidate); use it to TRIAGE when ranking near-dups
+    * is enough, and `minhashPairs` when the exact value gates a drop.
+    * Candidates come from the shared-shingle inverted index (df ≥ 2,
+    * df ≤ maxShingleDf — Σdf², never n²); the threshold is applied to
+    * the integer match count (≥ ⌈minEstimate·k⌉), so no float boundary
+    * can disagree across engines. */
+  def minhashEstimatePairs(docs: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 3, k: Int = 16,
+                           minEstimate: Double = 0.5,
+                           maxShingleDf: Int = 100000): DataFrame = {
+    val sh = hashedShingleTable(docs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sh.select(col(idCol),
+      HashFunctions.minhashFromHashes(col("hs"), k).as("sig"))
+    val e = sh.select(col(idCol), explode(array_distinct(col("hs"))).as("h"))
+    val rare = e.groupBy("h").count()
+      .filter(col("count").between(2, maxShingleDf))
+      .select("h")
+    val capped = e.join(broadcast(rare), Seq("h"))
+    val cands = capped.select(col("h"), col(idCol).as("id_a"))
+      .join(capped.select(col("h"), col(idCol).as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val minMatches = math.ceil(minEstimate * k).toInt
+    cands
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("m", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (a, v) => a + v))
+      .filter(col("m") >= minMatches)
+      .withColumn("est_jaccard", round(col("m").cast("double") / k, 4))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** Corpus-level MinHash dedup: returns the surviving documents. A doc is
     * dropped iff it appears as the *larger* id of a verified near-dup pair
     * — the one-pass approximation of connected components (for chains

@@ -139,6 +139,16 @@ class OperatorsSpec extends SparkSpec {
     assert(j == 0)
   }
 
+  test("minhashEstimatePairs: exact dup estimates 1.0; unrelated doc absent") {
+    val pairs = Dedup.minhashEstimatePairs(docs, "doc_id", "text",
+      shingleSize = 3, k = 16, minEstimate = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    // docs 1 and 2 are identical -> every signature component matches
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    // doc 4 (unrelated) shares no shingles, so it never becomes a candidate
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("bestOfCluster: higher score wins over lower id; ties fall back to min id") {
     val memb = Seq(
       (10L, 1L, 0.4), (10L, 2L, 0.9),            // higher score, HIGHER id wins
