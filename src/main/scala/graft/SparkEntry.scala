@@ -1444,6 +1444,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_winnowing_pairs" -> ((s, dir) => {
+      // MOSS-style winnowing: contiguous-overlap pairs over a fingerprint
+      // index ~window× smaller than the full shingle index
+      Dedup.winnowingPairs(augmentedDocs(s, dir), "doc_id", "text",
+        shingleSize = 3, window = 4, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_minhash_estimate" -> ((s, dir) => {
       // signature-only Jaccard estimate over shared-shingle candidates:
       // the triage path that never joins shingle sets. The oracle
@@ -2964,6 +2972,29 @@ object SparkEntry {
            FROM sc)
          SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    // winnowing replicated on the ORDERED (pre-distinct) shingle list:
+    // signed min per sliding window of 4, deduplicated; pair = >= 2
+    // shared prints. The df cap (100000) can't bind at this scale, so the
+    // oracle omits it.
+    "dedup_winnowing_pairs" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         ss AS (SELECT doc_id,
+             list_transform(sh, h -> ${signedSql("h")}) AS s
+           FROM sh),
+         winp AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(s) <= 4 THEN [list_min(s)]
+               ELSE list_transform(range(0, len(s) - 3),
+                 i -> list_min(s[CAST(i AS INT)+1 : CAST(i AS INT)+4]))
+               END) AS prints
+           FROM ss),
+         pe AS (SELECT doc_id, unnest(prints) AS p FROM winp)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared
+         FROM pe a JOIN pe b ON a.p = b.p AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY id_a, id_b""",
 
     // full replication of HashOps.minhashFromHashes: per (doc, j<16)
     // component = signed min over shingle hashes of

@@ -134,6 +134,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Winnowing fingerprints (the MOSS plagiarism-detection scheme): the
+    * minimum shingle hash of every sliding `window` of consecutive
+    * shingles, deduplicated. Guarantees any shared run of ≥
+    * window+shingleSize−1 tokens yields a shared print, while keeping
+    * ~1/window of the shingle hashes — at 100 TB the inverted index is
+    * `window`× smaller than a full shingle index for the same
+    * contiguous-overlap detection. Pure array expressions, zero shuffle. */
+  def winnowedPrints(text: Column, shingleSize: Int = 3,
+                     window: Int = 4): Column = {
+    val hs = hashedShingles(text, shingleSize)
+    val n = size(hs)
+    val wins = transform(sequence(lit(0), n - lit(window)),
+      i => array_min(slice(hs, i + 1, lit(window))))
+    array_distinct(
+      when(n <= window, array(array_min(hs))).otherwise(wins))
+  }
+
+  /** Contiguous-overlap pairs via winnowing: docs sharing ≥ `minShared`
+    * winnowed fingerprints. Same df-capped inverted-index shuffle shape
+    * as the shingle variants, over an index `window`× smaller. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3, window: Int = 4,
+                     minShared: Int = 2,
+                     maxPrintDf: Int = 100000): DataFrame = {
+    val e = docs.select(col(idCol),
+      explode(winnowedPrints(col(textCol), shingleSize, window)).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = e.groupBy("p").count()
+      .filter(col("count").between(2, maxPrintDf))
+      .select("p")
+    val capped = e.join(broadcast(ok), Seq("p"))
+    capped.select(col("p"), col(idCol).as("id_a"))
+      .join(capped.select(col("p"), col(idCol).as("id_b")), Seq("p"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Signature-based Jaccard ESTIMATE pairs — the verify-free fast path:
     * est = (1/k)·Σ 1[sig_a[j] = sig_b[j]], an unbiased estimator of the
     * true Jaccard with σ = √(J(1−J)/k). At 100 TB this skips the

@@ -139,6 +139,22 @@ class OperatorsSpec extends SparkSpec {
     assert(j == 0)
   }
 
+  test("winnowingPairs: a shared contiguous run pairs up; disjoint docs never do") {
+    val run = (1 to 20).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"zeta eta theta $run iota kappa"),  // same 20-token run embedded
+      (3L, "entirely different content with no overlap at all here today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+      shingleSize = 3, window = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    // winnowing guarantee: a shared run of >= window+shingle-1 tokens
+    // must yield shared prints — 20 >> 6, so several
+    assert(pairs.head._3 >= 2)
+  }
+
   test("minhashEstimatePairs: exact dup estimates 1.0; unrelated doc absent") {
     val pairs = Dedup.minhashEstimatePairs(docs, "doc_id", "text",
       shingleSize = 3, k = 16, minEstimate = 0.5)
