@@ -170,6 +170,39 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Winnowing: distinct sliding-window minima of a hash array (first-
+    * occurrence order, matching `array_distinct` of the HOF formulation).
+    * Monotonic-deque sliding min — O(n) total instead of O(n·window)
+    * slice+min lambda evaluations. n = 0 can't occur (`shingleHashes`
+    * emits the seed hash even for empty docs). */
+  def winnow(hashes: ArrayData, window: Int): ArrayData = {
+    val n = hashes.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n <= window) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) { val h = hashes.getLong(i); if (h < m) m = h; i += 1 }
+      seen.add(m)
+    } else {
+      val deque = new Array[Int](n)
+      var head = 0; var tail = 0 // indices into `deque`; deque holds positions
+      var i = 0
+      while (i < n) {
+        val h = hashes.getLong(i)
+        while (tail > head && hashes.getLong(deque(tail - 1)) >= h) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - window) head += 1
+        if (i >= window - 1) seen.add(hashes.getLong(deque(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Random-hyperplane signature of a float vector: `bits` sign bits. */
   def hyperplaneSig(v: ArrayData, bits: Int, seed: Int): Long = {
     val x = v.toFloatArray()
@@ -213,6 +246,19 @@ case class Fnv64(child: Expression) extends UnaryExpression {
   * with pseudo-random plane coefficients in [-1,1] derived from mix64.
   * The HOF formulation costs bits×dims lambda evaluations per row; this
   * is a single fused loop. */
+/** `winnow(array<long>, window) -> array<long>` — winnowing fingerprints
+  * (distinct sliding-window minima) as one fused monotonic-deque pass;
+  * the HOF formulation costs an O(window) slice+min per position. */
+case class Winnow(child: Expression, window: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+  override protected def nullSafeEval(in: Any): Any =
+    HashOps.winnow(in.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.winnow($c, $window)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `random_projection(array<float>, dims, seed) -> array<double>` —
   * Johnson-Lindenstrauss random projection onto `dims` deterministic
   * pseudo-random hyperplanes (the same `planeCoef` planes the LSH
@@ -320,4 +366,6 @@ object HashFunctions {
     Bridge.column(HyperplaneSignature(Bridge.expression(vec), bits, seed))
   def randomProjection(vec: Column, dims: Int, seed: Int): Column =
     Bridge.column(RandomProjection(Bridge.expression(vec), dims, seed))
+  def winnow(hashes: Column, window: Int): Column =
+    Bridge.column(Winnow(Bridge.expression(hashes), window))
 }

@@ -142,14 +142,8 @@ object Dedup {
     * `window`× smaller than a full shingle index for the same
     * contiguous-overlap detection. Pure array expressions, zero shuffle. */
   def winnowedPrints(text: Column, shingleSize: Int = 3,
-                     window: Int = 4): Column = {
-    val hs = hashedShingles(text, shingleSize)
-    val n = size(hs)
-    val wins = transform(sequence(lit(0), n - lit(window)),
-      i => array_min(slice(hs, i + 1, lit(window))))
-    array_distinct(
-      when(n <= window, array(array_min(hs))).otherwise(wins))
-  }
+                     window: Int = 4): Column =
+    HashFunctions.winnow(hashedShingles(text, shingleSize), window)
 
   /** Contiguous-overlap pairs via winnowing: docs sharing ≥ `minShared`
     * winnowed fingerprints. Same df-capped inverted-index shuffle shape
