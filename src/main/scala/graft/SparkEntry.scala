@@ -3004,10 +3004,6 @@ object SparkEntry {
       s"""WITH aug AS ($augDocsSql),
          ${shingleCtes("aug")},
          e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
          xj AS (
            SELECT doc_id, jj.j AS j,
              xor(h, (jj.j * 11400714819323198485::HUGEINT)
@@ -3016,16 +3012,12 @@ object SparkEntry {
          ${mix64Ctes("xj", "mx")},
          sig AS (
            SELECT doc_id, j, min(${signedSql("h")}) AS c
-           FROM mx GROUP BY doc_id, j),
-         mcount AS (
-           SELECT ca.id_a, ca.id_b,
-             sum(CASE WHEN sa.c = sb.c THEN 1 ELSE 0 END) AS m
-           FROM common ca
-             JOIN sig sa ON sa.doc_id = ca.id_a
-             JOIN sig sb ON sb.doc_id = ca.id_b AND sb.j = sa.j
-           GROUP BY 1, 2)
-         SELECT id_a, id_b, round(CAST(m AS DOUBLE) / 16, 4) AS est_jaccard
-         FROM mcount WHERE m >= 8
+           FROM mx GROUP BY doc_id, j)
+         SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+           round(CAST(count(*) AS DOUBLE) / 16, 4) AS est_jaccard
+         FROM sig sa JOIN sig sb
+           ON sa.j = sb.j AND sa.c = sb.c AND sa.doc_id < sb.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 8
          ORDER BY id_a, id_b""",
 
     "dedup_containment_pairs" ->

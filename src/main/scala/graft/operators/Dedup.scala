@@ -179,28 +179,27 @@ object Dedup {
   def minhashEstimatePairs(docs: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int = 3, k: Int = 16,
                            minEstimate: Double = 0.5,
-                           maxShingleDf: Int = 100000): DataFrame = {
-    val sh = hashedShingleTable(docs, idCol, textCol, shingleSize)
+                           maxComponentDf: Int = 100000): DataFrame = {
+    // the signature IS the index: explode (j, component) and self-join on
+    // component equality — each matching (j, c) row pair is one matching
+    // signature position, so count(*) per doc pair = m directly. k rows
+    // per doc instead of a full shingle inverted index (~|doc|/k× less
+    // shuffle), and no shingle-set or zip-compare step at all.
+    val sigs = docs.select(col(idCol), HashFunctions.minhashFromHashes(
+        hashedShingles(col(textCol), shingleSize), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = sh.select(col(idCol),
-      HashFunctions.minhashFromHashes(col("hs"), k).as("sig"))
-    val e = sh.select(col(idCol), explode(array_distinct(col("hs"))).as("h"))
-    val rare = e.groupBy("h").count()
-      .filter(col("count").between(2, maxShingleDf))
-      .select("h")
-    val capped = e.join(broadcast(rare), Seq("h"))
-    val cands = capped.select(col("h"), col(idCol).as("id_a"))
-      .join(capped.select(col("h"), col(idCol).as("id_b")), Seq("h"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val e = sigs.select(col(idCol), posexplode(col("sig")).as(Seq("j", "c")))
+    // df=1 components can't match; the upper cap bounds boilerplate-heavy
+    // corpora exactly like the bucket caps elsewhere
+    val ok = e.groupBy("j", "c").count()
+      .filter(col("count").between(2, maxComponentDf))
+      .select("j", "c")
+    val capped = e.join(broadcast(ok), Seq("j", "c"))
     val minMatches = math.ceil(minEstimate * k).toInt
-    cands
-      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("m", aggregate(
-        zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (a, v) => a + v))
+    capped.select(col("j"), col("c"), col(idCol).as("id_a"))
+      .join(capped.select(col("j"), col("c"), col(idCol).as("id_b")), Seq("j", "c"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("m"))
       .filter(col("m") >= minMatches)
       .withColumn("est_jaccard", round(col("m").cast("double") / k, 4))
       .select("id_a", "id_b", "est_jaccard")
