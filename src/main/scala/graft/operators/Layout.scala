@@ -30,6 +30,33 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(totalBytes / targetFileBytes) files. At warehouse scale the
+    * long tail of KB-sized files from incremental appends dominates
+    * scan/driver/namenode overhead — periodic compaction is the fix.
+    * Rewrites through a sibling temp dir then swaps, so a concurrent
+    * reader sees either the old or the new layout, never a half-written
+    * one. Returns the new file count. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 256L * 1024 * 1024): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // roll back
+      throw new java.io.IOException(s"compact: cannot install $tmp")
+    }
+    fs.delete(old, true)
+    n
+  }
+
   /** Idempotent partition replacement: with dynamic partition overwrite,
     * rewriting one partition's data leaves every other partition intact —
     * the retry-safe incremental-batch pattern (no Delta/iceberg needed). */

@@ -38,6 +38,24 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS orders_bucketed")
   }
 
+  test("compact: many small files collapse to the target count, data intact") {
+    val base = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(0, 10000).toDF("id")
+    df.repartition(32).write.parquet(base)
+    def parquetFiles() = new java.io.File(base).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 32)
+    // huge target -> everything fits in one file
+    val n = Layout.compact(spark, base, targetFileBytes = 1L << 30)
+    assert(n == 1 && parquetFiles() == 1)
+    val after = spark.read.parquet(base)
+    assert(after.count() == 10000)
+    assert(after.agg(sum(col("id"))).head().getLong(0) == 49995000L)
+    // temp/old dirs cleaned up
+    assert(!new java.io.File(base + "_compact_tmp").exists())
+    assert(!new java.io.File(base + "_compact_old").exists())
+  }
+
   test("dynamic partition overwrite replaces only the written partition") {
     val base = Files.createTempDirectory("graft_dpo").toString + "/t"
     val v1 = Seq(("a", 1), ("a", 2), ("b", 10)).toDF("p", "v")
