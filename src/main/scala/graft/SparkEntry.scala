@@ -106,6 +106,33 @@ object SparkEntry {
       path
     })
 
+  /** Lineitem projection written once per (sf dir, format) in a text/
+    * columnar wire format and memoized — the multi-format ingest fixtures
+    * (CSV with header, ORC, JSON lines). Reads use the parquet schema
+    * explicitly: production ingestion never trusts inference. */
+  private val formatDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def formatLineitemDir(s: SparkSession, dir: String,
+                                fmt: String): String =
+    formatDirs.getOrElseUpdate((dir, fmt), {
+      val path =
+        java.nio.file.Files.createTempDirectory(s"graft_${fmt}_").toString + "/t"
+      val df = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      fmt match {
+        case "csv"  => df.write.option("header", "true").csv(path)
+        case "orc"  => df.write.orc(path)
+        case "json" => df.write.json(path)
+      }
+      path
+    })
+
+  private def lineitemWireSchema(s: SparkSession, dir: String) =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .schema
+
   /** Bucketed lineitem/orders tables (bucket + sort key = the order key),
     * built once per sf dir and memoized — layout work is offline, queries
     * pay only the co-located join. Table names carry a dir hash so sf0.001
@@ -550,6 +577,29 @@ object SparkEntry {
       // ingest format (azure-source-cc.json:9) decoded distributed
       val path = avroLineitemDir(s, dir)
       graft.sources.AvroSource.read(s, path)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "csv_wire_roundtrip" -> ((s, dir) => {
+      // CSV ingest with an EXPLICIT schema (inference is a full extra scan
+      // and a type lottery — never at 100 TB). Java's double→string is
+      // round-trippable, so numeric values survive the text format exactly.
+      s.read.schema(lineitemWireSchema(s, dir)).option("header", "true")
+        .csv(formatLineitemDir(s, dir, "csv"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "orc_wire_roundtrip" -> ((s, dir) => {
+      // ORC columnar ingest — schema travels with the file
+      s.read.orc(formatLineitemDir(s, dir, "orc"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "jsonl_file_roundtrip" -> ((s, dir) => {
+      // JSON-lines file ingest (one object per line, splittable), explicit
+      // schema; complements json_wire_roundtrip's in-payload serde parity
+      s.read.schema(lineitemWireSchema(s, dir))
+        .json(formatLineitemDir(s, dir, "json"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -2070,6 +2120,18 @@ object SparkEntry {
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
 
     "avro_wire_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "csv_wire_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "orc_wire_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "jsonl_file_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
