@@ -133,6 +133,25 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       .schema
 
+  /** Two parquet "schema versions" of lineitem (v1 without l_returnflag,
+    * v2 with it), written once per sf dir — the rolling-schema-upgrade
+    * ingest fixture for mergeSchema reads. */
+  private val evoDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def evolutionDirs(s: SparkSession, dir: String): (String, String) =
+    evoDirs.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+      val li = t(s, dir, "lineitem")
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .write.parquet(s"$base/v1")
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.parquet(s"$base/v2")
+      (s"$base/v1", s"$base/v2")
+    })
+
   /** Bucketed lineitem/orders tables (bucket + sort key = the order key),
     * built once per sf dir and memoized — layout work is offline, queries
     * pay only the co-located join. Table names carry a dir hash so sf0.001
@@ -601,6 +620,20 @@ object SparkEntry {
       s.read.schema(lineitemWireSchema(s, dir))
         .json(formatLineitemDir(s, dir, "json"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "schema_evolution_merge" -> ((s, dir) => {
+      // rolling schema upgrade: old files lack l_returnflag, new files
+      // carry it; mergeSchema unions the schemas and backfills null — the
+      // only sane read mode when a 100 TB table's files span producer
+      // versions. Aggregate proves the null group and the typed groups
+      // both survive.
+      val (v1, v2) = evolutionDirs(s, dir)
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 
     "agg_rollup" -> ((s, dir) => {
@@ -2134,6 +2167,13 @@ object SparkEntry {
     "jsonl_file_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "schema_evolution_merge" ->
+      """SELECT CASE WHEN l_orderkey % 2 = 0 THEN NULL
+                     ELSE l_returnflag END AS l_returnflag,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1 NULLS FIRST""",
 
     "join_bucketed" ->
       """SELECT o_orderkey, count(*) AS n_items,
