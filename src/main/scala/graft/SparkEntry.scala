@@ -350,6 +350,23 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
+    "join_shuffle_hash" -> ((s, dir) => {
+      // the third join strategy: SHUFFLED hash join — for fact×fact joins
+      // where neither side fits a broadcast and sort-merge's two sorts are
+      // wasted work (build side hashes instead). At 100 TB this is the
+      // right call when one side is much smaller but still over the
+      // broadcast threshold; PlanSpec asserts the strategy sticks.
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      li.join(o.hint("shuffle_hash"), li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     "join_semi" -> ((s, dir) => {
       // customers with at least one high-value order (EXISTS)
       val c = t(s, dir, "customer")
@@ -2167,6 +2184,13 @@ object SparkEntry {
     "jsonl_file_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "join_shuffle_hash" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "schema_evolution_merge" ->
       """SELECT CASE WHEN l_orderkey % 2 = 0 THEN NULL

@@ -97,6 +97,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
 
+  test("join_shuffle_hash: hint holds — ShuffledHashJoin, no sort-merge, no broadcast of the fact") {
+    val p = plan("join_shuffle_hash")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("paragraph_dedup: exploded paragraph table cached, split/explode runs once") {
     val p = plan("paragraph_dedup")
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
