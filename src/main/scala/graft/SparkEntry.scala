@@ -1234,6 +1234,24 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    "events_top_paths" -> ((s, dir) => {
+      // top 3-step event paths: per-user ordered trigrams via two leads
+      // over ONE window (a single shuffle on user_id), then a count —
+      // the Markov-ish complement to the funnel. Deterministic order
+      // inside a user: (ts, event_id) breaks timestamp ties.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws("->", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
     "retention_cohorts" -> ((s, dir) => {
       // weekly cohort retention: cohort = ISO week of a user's first
       // event; a cell counts users of that cohort active N weeks later.
@@ -3230,6 +3248,18 @@ object SparkEntry {
          SELECT k.cluster_id, k.keep_id, b.n_members, b.best_quality
          FROM keep k JOIN best b USING (cluster_id)
          ORDER BY cluster_id""",
+
+    "events_top_paths" ->
+      """WITH o AS (
+           SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_type || '->' || e2 || '->' || e3 AS path,
+           count(*) AS n
+         FROM o WHERE e3 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
 
     "anomaly_mad" ->
       """WITH med AS (
