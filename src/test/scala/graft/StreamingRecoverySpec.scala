@@ -157,4 +157,43 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(out.select("stay_category").distinct().as[String].collect().toSeq
       == Seq("Short stay"))
   }
+
+  test("stream-stream interval join: buffered side survives a checkpointed restart") {
+    val base = Files.createTempDirectory("graft_ssj_recovery").toString
+    val impDir = s"$base/imps"; val clkDir = s"$base/clicks"
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(impDir).mkdirs(); new java.io.File(clkDir).mkdirs()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val impSchema = Seq((0L, ts("2024-01-01 00:00:00"))).toDF("user_id", "imp_ts").schema
+    val clkSchema = Seq((0L, ts("2024-01-01 00:00:00"))).toDF("user_id", "click_ts").schema
+
+    def startQuery() = StreamingPipeline.streamStreamIntervalJoin(
+      spark.readStream.schema(impSchema).parquet(impDir),
+      spark.readStream.schema(clkSchema).parquet(clkDir),
+      keyCol = "user_id", leftTsCol = "imp_ts", rightTsCol = "click_ts",
+      delay = "10 minutes", maxGap = "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // phase 1: only the impression arrives — it must be BUFFERED in the
+    // join state store, nothing emitted
+    Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "imp_ts")
+      .coalesce(1).write.mode("append").parquet(impDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: RESTART from the checkpoint, then the matching click (and a
+    // keyless control) arrive — the match only exists if the buffered
+    // impression was restored from state
+    Seq((1L, ts("2024-01-01 10:05:00")), (2L, ts("2024-01-01 10:06:00")))
+      .toDF("user_id", "click_ts")
+      .coalesce(1).write.mode("append").parquet(clkDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2).toString)).toSet
+    assert(out === Set((1L, "2024-01-01 10:05:00.0")))
+  }
 }
