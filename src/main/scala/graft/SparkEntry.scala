@@ -1234,6 +1234,23 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    "token_bigrams" -> ((s, dir) => {
+      // corpus bigram frequencies (LM / tokenizer-training prep): adjacent
+      // token pairs via one zip of the token array with its own tail —
+      // no self-join, single agg shuffle on the bigram
+      val d = t(s, dir, "documents")
+      val toks = TextFunctions.tokens(lower(col("text")))
+      val n = size(toks)
+      val bigrams = when(n < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+          (a, b) => concat_ws(" ", a, b)))
+      d.select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(20)
+    }),
+
     "events_top_paths" -> ((s, dir) => {
       // top 3-step event paths: per-user ordered trigrams via two leads
       // over ONE window (a single shuffle on user_id), then a count —
@@ -3248,6 +3265,18 @@ object SparkEntry {
          SELECT k.cluster_id, k.keep_id, b.n_members, b.best_quality
          FROM keep k JOIN best b USING (cluster_id)
          ORDER BY cluster_id""",
+
+    "token_bigrams" ->
+      """WITH tk AS (
+           SELECT CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM documents),
+         bg AS (
+           SELECT unnest(list_transform(range(1, len(ts)),
+             i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1])) AS bigram
+           FROM tk WHERE len(ts) >= 2)
+         SELECT bigram, count(*) AS freq FROM bg
+         GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""",
 
     "events_top_paths" ->
       """WITH o AS (
