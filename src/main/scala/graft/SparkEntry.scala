@@ -1668,6 +1668,157 @@ object SparkEntry {
           min(col("tf")).as("min_tf"),
           round(sum(col("tf")).cast("double") / count(lit(1)), 4).as("mean_tf"))
         .orderBy("doc_id")
+    }),
+
+    "agg_corr" -> ((s, dir) => {
+      // Pearson correlation + covariance from EXACT decimal co-moments:
+      // Σx, Σy, Σxy, Σx², Σy² over decimal(18,2)/(37,4) are exact and
+      // order-independent (plain sums = map-side combinable, the shape a
+      // 100 TB aggregation wants), and the closing formulas are one double
+      // expression over those exact scalars — bit-identical on any engine,
+      // unlike corr()/covar_samp() built-ins whose streaming co-moment
+      // updates are accumulation-order-dependent.
+      val li = t(s, dir, "lineitem")
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      val sums = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      val nD = col("n").cast("double")
+      def d(c: String): Column = col(c).cast("double")
+      val cov = nD * d("sxy") - d("sx") * d("sy")
+      sums.select(col("l_returnflag"), col("n"),
+          round(cov / (sqrt(nD * d("sxx") - d("sx") * d("sx")) *
+            sqrt(nD * d("syy") - d("sy") * d("sy"))), 6).as("corr_qty_price"),
+          round(cov / (nD * nD), 6).as("covar_pop"),
+          round(cov / (nD * (nD - lit(1.0))), 6).as("covar_samp"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_histogram" -> ((s, dir) => {
+      // equi-width revenue histogram on integer cents — exact bucket
+      // edges, no float-boundary ambiguity: bucket i covers
+      // [i·50000, (i+1)·50000). One groupBy on a derived integer key;
+      // partial aggregation makes it a single narrow shuffle at any scale.
+      val o = t(s, dir, "orders")
+      o.withColumn("bucket",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("bucket_revenue"))
+        .orderBy("bucket")
+    }),
+
+    "train_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment by stable content hash
+      // (pmod(fnv64(id), 1000): <800 train, <900 val, else test) — the
+      // split survives reruns, repartitioning, and engine changes, unlike
+      // rand(). Integer outputs only (counts, char totals, min id).
+      val d = t(s, dir, "documents")
+      val h = pmod(HashFunctions.fnv64(col("doc_id").cast("string")), lit(1000L))
+      d.withColumn("split",
+          when(h < 800, "train").when(h < 900, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "split")
+    }),
+
+    "sample_balanced_lang" -> ((s, dir) => {
+      // language-balanced subsample: fixed quota of 20 docs per language,
+      // chosen by content hash — the standard remedy for head-language
+      // dominance in a multilingual pretraining corpus. Per-group top-k by
+      // hash rank, so the only shuffle is the window partition on lang.
+      val d = t(s, dir, "documents")
+      val h = HashFunctions.fnv64(col("doc_id").cast("string"))
+      val w = Window.partitionBy("lang").orderBy(h.asc, col("doc_id"))
+      d.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy("lang", "rn")
+    }),
+
+    "export_shards" -> ((s, dir) => {
+      // training-export sharding: every doc lands in one of 16 shards by
+      // stable hash; the per-shard counts/char totals prove the layout is
+      // balanced. Writer-side this is exactly
+      // .repartition(n, shard) / partitionBy("shard") + maxRecordsPerFile —
+      // the deterministic global-shuffle layout a 100 TB training dump
+      // needs (no rand(), so a re-run or a different engine produces the
+      // identical shard assignment).
+      val d = t(s, dir, "documents")
+      val h = HashFunctions.fnv64(col("doc_id").cast("string"))
+      d.withColumn("shard", pmod(h, lit(16L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("shard")
+    }),
+
+    "timeseries_ewma" -> ((s, dir) => {
+      // adjusted EWMA (α = 1/2) of each user's event-value series via an
+      // explicit 8-term lag kernel: every weight is a power of two (exact
+      // scaling), and numerator/denominator are the SAME left-associated
+      // addition tree the oracle writes — so the doubles are bit-identical
+      // across engines. A recurrence would be inherently sequential; the
+      // lag kernel is one window pass, fully parallel across users.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val terms = (0 to 7).map { k =>
+        val wk = lit(math.pow(0.5, k))
+        if (k == 0) (col("value") * wk, wk)
+        else {
+          val lk = lag(col("value"), k).over(w)
+          (coalesce(lk * wk, lit(0.0)),
+            when(lk.isNotNull, wk).otherwise(lit(0.0)))
+        }
+      }
+      val num = terms.map(_._1).reduceLeft(_ + _)
+      val den = terms.map(_._2).reduceLeft(_ + _)
+      e.select(col("event_id"), col("user_id"), col("value"),
+          (num / den).as("ewma"))
+        .orderBy("event_id")
+    }),
+
+    "graph_pagerank" -> ((s, dir) => {
+      // fixed-point (integer-scaled) PageRank over the bipartite
+      // supplier–part co-purchase graph: rank mass is scaled by 10^12 and
+      // ALL arithmetic is 64-bit integer with explicit integer division —
+      // exact, order-independent, engine-independent (float PageRank sums
+      // are partition-order-dependent). Two damped (d=0.85) iterations
+      // from the uniform start; each iteration is one join + one
+      // aggregation keyed on the node id, the same shape GraphX/Pregel
+      // lowers to, so it scales linearly in |E|.
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select(
+          concat(lit("S"), col("l_suppkey")).as("src"),
+          concat(lit("P"), col("l_partkey")).as("dst"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val und = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val n = deg.agg(count(lit(1)).as("n_nodes"))
+      val nodes = deg.crossJoin(broadcast(n))
+        .select(col("src").as("node"), col("outdeg"), col("n_nodes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var rank = nodes.withColumn("rank", expr("1000000000000L div n_nodes"))
+      for (_ <- 1 to 2) {
+        val c = und.join(rank.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("sc"))
+        rank = nodes.join(c, Seq("node"))
+          .withColumn("rank",
+            expr("15000000000000L div (100 * n_nodes) + (85 * sc) div 100"))
+      }
+      val out = rank
+        .select(col("node"), col("rank").as("pagerank"),
+          col("outdeg").as("degree"))
+        .orderBy("node")
+      out
     })
   )
 
@@ -3317,7 +3468,121 @@ object SparkEntry {
            min(tf.tf) AS min_tf,
            round(CAST(sum(tf.tf) AS DOUBLE) / count(*), 4) AS mean_tf
          FROM tok t JOIN tf USING (tok)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "agg_corr" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS covar_samp
+         FROM m ORDER BY l_returnflag""",
+
+    "agg_histogram" ->
+      """SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_revenue
+         FROM orders
+         GROUP BY 1 ORDER BY bucket""",
+
+    "train_split" -> {
+      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
+      s"""WITH h AS (
+           SELECT lang, n_chars, doc_id,
+             (($hv % 1000) + 1000) % 1000 AS hv
+           FROM documents)
+         SELECT lang,
+           CASE WHEN hv < 800 THEN 'train'
+                WHEN hv < 900 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc
+         FROM h GROUP BY 1, 2 ORDER BY lang, split"""
+    },
+
+    "sample_balanced_lang" -> {
+      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
+      s"""WITH h AS (SELECT lang, doc_id, $hv AS hv FROM documents),
+         r AS (SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+           FROM h)
+         SELECT lang, rn, doc_id FROM r WHERE rn <= 20 ORDER BY lang, rn"""
+    },
+
+    "export_shards" -> {
+      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
+      s"""WITH h AS (
+           SELECT doc_id, n_chars, (($hv % 16) + 16) % 16 AS shard
+           FROM documents)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc
+         FROM h GROUP BY shard ORDER BY shard"""
+    },
+
+    "timeseries_ewma" ->
+      """WITH l AS (
+           SELECT event_id, user_id, value,
+             lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+             lag(value, 5) OVER w AS l5, lag(value, 6) OVER w AS l6,
+             lag(value, 7) OVER w AS l7
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id, user_id, value,
+           (value * 1.0 + coalesce(l1 * 0.5, 0.0) + coalesce(l2 * 0.25, 0.0)
+            + coalesce(l3 * 0.125, 0.0) + coalesce(l4 * 0.0625, 0.0)
+            + coalesce(l5 * 0.03125, 0.0) + coalesce(l6 * 0.015625, 0.0)
+            + coalesce(l7 * 0.0078125, 0.0))
+           / (1.0 + (CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END)
+              + (CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END)
+              + (CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END)
+              + (CASE WHEN l5 IS NOT NULL THEN 0.03125 ELSE 0.0 END)
+              + (CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0.0 END)
+              + (CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END)) AS ewma
+         FROM l ORDER BY event_id""",
+
+    "graph_pagerank" ->
+      """WITH e0 AS (
+           SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+             'P' || CAST(l_partkey AS VARCHAR) AS dst
+           FROM lineitem),
+         und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         deg AS (SELECT src AS node, count(*) AS outdeg FROM und GROUP BY src),
+         nn AS (SELECT count(*) AS n_nodes FROM deg),
+         nodes AS (SELECT node, outdeg, n_nodes FROM deg, nn),
+         r0 AS (SELECT node, outdeg, n_nodes,
+                  1000000000000 // n_nodes AS rank FROM nodes),
+         c1 AS (SELECT u.dst AS node,
+                  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS sc
+                FROM und u JOIN r0 r ON u.src = r.node GROUP BY u.dst),
+         r1 AS (SELECT s.node, s.outdeg, s.n_nodes,
+                  15000000000000 // (100 * s.n_nodes) + (85 * c.sc) // 100 AS rank
+                FROM nodes s JOIN c1 c USING (node)),
+         c2 AS (SELECT u.dst AS node,
+                  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS sc
+                FROM und u JOIN r1 r ON u.src = r.node GROUP BY u.dst),
+         r2 AS (SELECT s.node, s.outdeg, s.n_nodes,
+                  15000000000000 // (100 * s.n_nodes) + (85 * c.sc) // 100 AS rank
+                FROM nodes s JOIN c2 c USING (node))
+         SELECT node, CAST(rank AS BIGINT) AS pagerank,
+           CAST(outdeg AS BIGINT) AS degree
+         FROM r2 ORDER BY node"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

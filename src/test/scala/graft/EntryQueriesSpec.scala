@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Semantic invariants of the round-3 analytics/pipeline queries on
+  * sf0.001 — properties the DuckDB oracle equivalence alone would not
+  * prove (mass conservation, partition completeness, quota bounds). */
+class EntryQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("graph_pagerank: positive ranks, damped mass bound, degree column sane") {
+    val rows = q("graph_pagerank")
+      .select("pagerank", "degree").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (r, d) => r > 0L && d >= 1L })
+    // total mass starts at ~10^12 and only shrinks (integer-division leak
+    // + no dangling-mass redistribution), never grows
+    val total = rows.map(_._1).sum
+    assert(total <= 1000000000000L)
+    assert(total >= 800000000000L, s"mass leaked too far: $total")
+  }
+
+  test("train_split: splits partition the corpus (disjoint + complete)") {
+    val out = q("train_split")
+      .select("split", "n_docs").as[(String, Long)].collect()
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    val total = out.map(_._2).sum
+    val docs = sources.Tables.load(spark, sfDir, "documents").count()
+    assert(total == docs)
+    // with pmod(h,1000)<800 the train share must dominate
+    val train = out.filter(_._1 == "train").map(_._2).sum
+    assert(train > total / 2)
+  }
+
+  test("sample_balanced_lang: per-language quota of 20, contiguous ranks") {
+    val out = q("sample_balanced_lang")
+      .select("lang", "rn").as[(String, Long)].collect()
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val rns = rows.map(_._2).sorted
+      assert(rns.length <= 20, s"$lang over quota")
+      assert(rns.toSeq == (1L to rns.length).toSeq, s"$lang ranks not contiguous")
+    }
+  }
+
+  test("export_shards: 16 shards cover every document exactly once") {
+    val out = q("export_shards").select("shard", "n_docs").as[(Long, Long)].collect()
+    assert(out.map(_._1).toSet.subsetOf((0L until 16L).toSet))
+    val docs = sources.Tables.load(spark, sfDir, "documents").count()
+    assert(out.map(_._2).sum == docs)
+  }
+
+  test("timeseries_ewma: first event per user is its own EWMA") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val firstIds = e.withColumn("rn",
+        row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1).select("event_id").as[Long].collect().toSet
+    val out = q("timeseries_ewma")
+      .select("event_id", "value", "ewma").as[(Long, Double, Double)].collect()
+    val firsts = out.filter(r => firstIds.contains(r._1))
+    assert(firsts.nonEmpty)
+    assert(firsts.forall(r => r._2 == r._3),
+      "head-of-series EWMA must equal the raw value")
+  }
+
+  test("agg_corr: correlation bounded, covariances consistent") {
+    val rows = q("agg_corr")
+      .select("n", "corr_qty_price", "covar_pop", "covar_samp")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, corr, cpop, csamp) =>
+      assert(math.abs(corr) <= 1.0)
+      // covar_samp = covar_pop * n/(n-1) up to the two independent round(6)s
+      assert(math.abs(csamp - cpop * n / (n - 1.0)) < 2e-6)
+    }
+  }
+
+  test("agg_histogram: buckets cover all orders, revenue positive") {
+    val out = q("agg_histogram")
+      .select("bucket", "n_orders", "bucket_revenue")
+      .as[(Long, Long, Double)].collect()
+    val orders = sources.Tables.load(spark, sfDir, "orders").count()
+    assert(out.map(_._2).sum == orders)
+    assert(out.forall(r => r._1 >= 0 && r._3 > 0.0))
+  }
+}
