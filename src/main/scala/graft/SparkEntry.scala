@@ -1792,19 +1792,23 @@ object SparkEntry {
       // from the uniform start; each iteration is one join + one
       // aggregation keyed on the node id, the same shape GraphX/Pregel
       // lowers to, so it scales linearly in |E|.
+      // nodes are LONGS (supplier 2k, part 2k+1 — parity encodes the
+      // side): integer join/shuffle keys, not strings, so every exchange
+      // moves 8-byte keys. The two persists are filled by the n_nodes
+      // job, so degree computation runs once.
       val li = t(s, dir, "lineitem")
       val e0 = li.select(
-          concat(lit("S"), col("l_suppkey")).as("src"),
-          concat(lit("P"), col("l_partkey")).as("dst"))
+          (col("l_suppkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val und = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       val deg = und.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = deg.agg(count(lit(1)).as("n_nodes"))
       val nodes = deg.crossJoin(broadcast(n))
         .select(col("src").as("node"), col("outdeg"), col("n_nodes"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var rank = nodes.withColumn("rank", expr("1000000000000L div n_nodes"))
       for (_ <- 1 to 2) {
         val c = und.join(rank.withColumnRenamed("node", "src"), Seq("src"))
@@ -3559,8 +3563,7 @@ object SparkEntry {
 
     "graph_pagerank" ->
       """WITH e0 AS (
-           SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
-             'P' || CAST(l_partkey AS VARCHAR) AS dst
+           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
            FROM lineitem),
          und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
          deg AS (SELECT src AS node, count(*) AS outdeg FROM und GROUP BY src),

@@ -68,8 +68,15 @@ class SessionSummaryProcessor(gapMs: Long)
 
 /** StatefulProcessor for `runningUserTotalsTws`: one ValueState slot per
   * user holding (n_events, total_value, last_seen_ms). Top-level class —
-  * the processor is serialized to executors. */
-class RunningTotalsProcessor
+  * the processor is serialized to executors.
+  *
+  * `ttlMs > 0` opts the state into store-managed expiry (requires
+  * processing-time mode): a key idle longer than the TTL is dropped by
+  * the store itself and its totals restart from zero — the bounded-state
+  * answer for key spaces that grow forever (the reference's KSQL table
+  * state grows without bound; at 100 TB an unbounded per-user slot is a
+  * guaranteed OOM, TTL is the standard hygiene). */
+class RunningTotalsProcessor(ttlMs: Long = 0L)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, UserEvent, UserTotalsUpdate] {
   import org.apache.spark.sql.{Encoders, streaming => ss}
@@ -78,7 +85,9 @@ class RunningTotalsProcessor
 
   override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =
     totals = getHandle.getValueState[UserTotalsState](
-      "totals", Encoders.product[UserTotalsState], ss.TTLConfig.NONE)
+      "totals", Encoders.product[UserTotalsState],
+      if (ttlMs > 0L) ss.TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      else ss.TTLConfig.NONE)
 
   override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
                                timers: ss.TimerValues): Iterator[UserTotalsUpdate] = {
@@ -272,6 +281,21 @@ object StreamingPipeline {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor(),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** `runningUserTotalsTws` with store-managed state TTL: a user idle for
+    * `ttlMs` of processing time has their slot dropped by the store (no
+    * timers, no manual sweep) and restarts from zero on their next event.
+    * This is the bounded-state configuration an unbounded key space needs
+    * in production; TTL state requires processing-time mode. */
+  def runningUserTotalsTtl(events: Dataset[UserEvent],
+                           ttlMs: Long): Dataset[UserTotalsUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
   }
 
   /** Timer-driven session summaries on `transformWithState`: per-user

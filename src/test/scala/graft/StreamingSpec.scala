@@ -227,6 +227,44 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
   }
 
+  test("transformWithState: TTL'd state expires an idle key and restarts clean") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.UserEvent
+    spark.conf.set(GraftSession.StateStoreProviderConf, GraftSession.RocksDbProvider)
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val input = MemoryStream[UserEvent]
+      // 8 s TTL: long enough that the two live batches can't be split by
+      // host contention, short enough to lapse during the sleep below.
+      // TTL forces processing-time mode, where the engine keeps scheduling
+      // micro-batches to evaluate expiry — processAllAvailable never sees
+      // an idle stream, so the test polls the sink (with a throttling
+      // trigger so the empty batches don't spin the checkpoint dir).
+      val q = StreamingPipeline.runningUserTotalsTtl(input.toDS(), ttlMs = 8000L)
+        .writeStream.format("memory").queryName("ttl_totals")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+        .outputMode("update").start()
+      def rows(): Seq[(Long, Double)] = spark.table("ttl_totals")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq.sorted
+      def waitFor(what: String)(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis + 60000L
+        while (!cond && System.currentTimeMillis < deadline) Thread.sleep(200L)
+        assert(cond, s"timed out waiting for $what: ${rows()}")
+      }
+      try {
+        input.addData(UserEvent(1L, ts("2024-01-01 10:00:00"), 10.0))
+        input.addData(UserEvent(1L, ts("2024-01-01 10:00:30"), 5.0))
+        // both events land within the TTL: totals reach n=2
+        waitFor("pre-TTL accumulation")(rows().contains((2L, 15.0)))
+        Thread.sleep(10000L) // let the TTL lapse in processing time
+        input.addData(UserEvent(1L, ts("2024-01-01 10:01:00"), 1.0))
+        // slot was dropped by the store: restart at n=1, never n=3
+        waitFor("post-TTL restart")(rows().contains((1L, 1.0)))
+        assert(!rows().exists(_._1 == 3L), s"state survived the TTL: ${rows()}")
+      } finally q.stop()
+    } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
+  }
+
   test("windowed event counts with watermark (T4 extension)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
