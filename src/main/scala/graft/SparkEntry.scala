@@ -1783,6 +1783,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "agg_distinct_rollup" -> ((s, dir) => {
+      // exact COUNT(DISTINCT) across a rollup hierarchy: Catalyst plans
+      // this as Expand + two-phase distinct aggregation — every level's
+      // distinct sets come out of ONE pass over the fact table with
+      // map-side partials, instead of one scan per hierarchy level (the
+      // naive UNION ALL shape, which at 100 TB is 3 scans for 3 levels).
+      val li = t(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       // fixed-point (integer-scaled) PageRank over the bipartite
       // supplier–part co-purchase graph: rank mass is scaled by 10^12 and
@@ -3560,6 +3575,15 @@ object SparkEntry {
               + (CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0.0 END)
               + (CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END)) AS ewma
          FROM l ORDER BY event_id""",
+
+    "agg_distinct_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
     "graph_pagerank" ->
       """WITH e0 AS (

@@ -133,4 +133,34 @@ class PlanSpec extends SparkSpec {
     // to the new-batch side (augmentedDocs filters doc_id >= 1000000)
     assert(p.contains("shingle_hashes") || p.contains("minhash"), p)
   }
+
+  test("runtime bloom filter: selective dim predicate reaches the fact side of a shuffle join") {
+    // When a shuffle join's small side carries a selective filter, the
+    // optimizer builds a bloom filter from it and injects
+    // bloom_filter_might_contain on the fact side — rows that can't match
+    // die at the scan instead of riding the exchange. This is the runtime
+    // row-pruning mechanism that matters when the fact side is 100 TB and
+    // the dim filter kills 99% of it. (Thresholds are production-sized, so
+    // the test lowers the application-side floor to observe the rewrite at
+    // test scale; broadcast is disabled because a broadcast join already
+    // prunes without needing the bloom.)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = sources.Tables.load(spark, sfDir, "lineitem")
+      val part = sources.Tables.load(spark, sfDir, "part")
+        .filter(col("p_size") === 1)
+      val joined = li.join(part, li("l_partkey") === part("p_partkey"))
+        .groupBy("p_size").agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
