@@ -1619,9 +1619,13 @@ object SparkEntry {
       val pairs = Dedup.minhashPairs(aug, "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
         .select("id_a", "id_b")
+      // join first, score after: quality is a regex-heavy expression, and
+      // only cluster MEMBERS (the near-dup minority) need it — scoring
+      // the whole corpus before the join would do ~10× the regex work
       val memb = Dedup.connectedComponents(pairs)
-        .join(aug.select(col("doc_id"),
-          TextFunctions.qualityScore(col("text")).as("quality")), Seq("doc_id"))
+        .join(aug.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .drop("text")
       Dedup.bestOfCluster(memb, "cluster_id", "doc_id", "quality")
         .select(col("cluster_id"), col("keep_id"), col("n_members"),
           col("best_score").as("best_quality"))
