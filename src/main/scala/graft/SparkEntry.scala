@@ -1787,6 +1787,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "pack_sequences" -> ((s, dir) => {
+      // training-batch sequence packing: documents are laid out in a
+      // deterministic hash order inside each shard, token counts are
+      // accumulated, and every doc is assigned the 512-token sequence its
+      // first token lands in (greedy boundary-split packing, 512-token window). All integer
+      // arithmetic over a per-shard window — 8 independent partitions, no
+      // global sort, so the layout parallelizes across any cluster size.
+      val d = t(s, dir, "documents")
+      val h = HashFunctions.fnv64(col("doc_id").cast("string"))
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          pmod(h, lit(8L)).as("shard"), h.as("h"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("seq_id", expr("(cum - n_tokens) div 512"))
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("started_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("shard", "seq_id")
+    }),
+
     "agg_distinct_rollup" -> ((s, dir) => {
       // exact COUNT(DISTINCT) across a rollup hierarchy: Catalyst plans
       // this as Expand + two-phase distinct aggregation — every level's
@@ -3579,6 +3602,25 @@ object SparkEntry {
               + (CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0.0 END)
               + (CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END)) AS ewma
          FROM l ORDER BY event_id""",
+
+    "pack_sequences" -> {
+      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
+      s"""WITH tk AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             $hv AS h
+           FROM documents),
+         sh AS (SELECT doc_id, n_tokens, h, ((h % 8) + 8) % 8 AS shard FROM tk),
+         c AS (SELECT shard, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM sh)
+         SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS started_tokens,
+           min(doc_id) AS first_doc
+         FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
+    },
 
     "agg_distinct_rollup" ->
       """SELECT l_returnflag, l_linestatus,
