@@ -68,4 +68,42 @@ class LayoutSpec extends SparkSpec {
     assert(after.count() == 2) // a:99 + untouched b:10
     assert(after.filter(col("p") === "b").count() == 1)
   }
+
+  test("zValue interleaves bits (Morton order fixture)") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (0xFFFFL, 0L),
+      (0L, 0xFFFFL), (0b1010L, 0b0101L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b")).as("z")).as[Long].collect()
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 3L, 0x55555555L, 0xAAAAAAAAL,
+      0b01100110L))
+  }
+
+  test("z-ordered layout: files cover rectangles, so point predicates on the SECOND dim prune") {
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+    // same data, two layouts: linear sort on partkey vs z-order on both
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    Layout.writeZOrdered(li, s"$base/zorder", "l_partkey", "l_suppkey", 8)
+
+    // per-file [min,max] of l_suppkey — how many files would a point
+    // lookup on the NON-sort dimension have to open?
+    def filesContaining(path: String, v: Long): Long = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_suppkey").as("lo"), max("l_suppkey").as("hi"))
+      spans.filter(col("lo") <= v && col("hi") >= v).count()
+    }
+    val mid = li.agg(max("l_suppkey")).head().getLong(0) / 2
+    val zHits = filesContaining(s"$base/zorder", mid)
+    val linHits = filesContaining(s"$base/linear", mid)
+    // linear-by-partkey stripes span the full suppkey range in EVERY file;
+    // z-order confines each file to a rectangle, so at most ~half the
+    // files can contain any given suppkey value
+    assert(linHits == 8L, s"linear layout should be unpruned: $linHits")
+    assert(zHits <= 4L, s"z-order should prune suppkey lookups: $zHits")
+    // layout must not lose or duplicate rows
+    assert(spark.read.parquet(s"$base/zorder").count() == li.count())
+  }
 }
