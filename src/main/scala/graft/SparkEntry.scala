@@ -1810,6 +1810,36 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "graph_triangles" -> ((s, dir) => {
+      // triangle enumeration over the embedding near-dup graph (the
+      // local-clustering signal that separates a tight dup cluster from a
+      // chain of pairwise matches). Edges are oriented id_a < id_b, so
+      // every triangle a<b<c is produced exactly ONCE by the two-hop join
+      // plus the closing-edge check — no symmetric-edge explosion, join
+      // volume Σdeg² on the oriented (half-degree) graph, the standard
+      // distributed triangle recipe. Corpus: each 10th vector gets TWO
+      // rescaled copies (same direction ⇒ cosine ≈ 1), so every triple is
+      // one triangle with a known id shape.
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      def scaled(offset: Long, f: Double) =
+        e.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select((col("vec_id") + offset).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(f)).cast("float"))
+              .as("embedding"))
+      val aug = e.unionByName(scaled(1000000L, 0.9))
+        .unionByName(scaled(2000000L, 0.8))
+      val p = Dedup.embeddingPairs(aug, "vec_id", "embedding",
+          minCosine = 0.95, bits = 16, bands = 4)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ab = p.select(col("id_a").as("a"), col("id_b").as("b"))
+      val bc = p.select(col("id_a").as("b"), col("id_b").as("c"))
+      val ac = p.select(col("id_a").as("a"), col("id_b").as("c"))
+      ab.join(bc, Seq("b")).join(ac, Seq("a", "c"))
+        .select("a", "b", "c")
+        .orderBy("a", "b", "c")
+    }),
+
     "agg_distinct_rollup" -> ((s, dir) => {
       // exact COUNT(DISTINCT) across a rollup hierarchy: Catalyst plans
       // this as Expand + two-phase distinct aggregation — every level's
@@ -3621,6 +3651,29 @@ object SparkEntry {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+    "graph_triangles" ->
+      """WITH aug AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(CAST(x * CAST(0.9 AS DOUBLE) AS FLOAT) AS DOUBLE))
+           FROM embeddings WHERE vec_id % 10 = 0
+           UNION ALL
+           SELECT vec_id + 2000000,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(CAST(x * CAST(0.8 AS DOUBLE) AS FLOAT) AS DOUBLE))
+           FROM embeddings WHERE vec_id % 10 = 0),
+         e AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib
+           FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+         SELECT ab.ia AS a, ab.ib AS b, bc.ib AS c
+         FROM e ab
+           JOIN e bc ON ab.ib = bc.ia
+           JOIN e ac ON ac.ia = ab.ia AND ac.ib = bc.ib
+         ORDER BY a, b, c""",
 
     "agg_distinct_rollup" ->
       """SELECT l_returnflag, l_linestatus,

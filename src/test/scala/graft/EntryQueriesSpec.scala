@@ -23,6 +23,25 @@ class EntryQueriesSpec extends SparkSpec {
     assert(total >= 800000000000L, s"mass leaked too far: $total")
   }
 
+  test("graph_triangles: every triangle is one vector with its two rescaled copies") {
+    val tri = q("graph_triangles").as[(Long, Long, Long)].collect()
+    assert(tri.nonEmpty)
+    tri.foreach { case (a, b, c) =>
+      assert(b == a + 1000000L && c == a + 2000000L, s"unexpected triangle ($a,$b,$c)")
+    }
+  }
+
+  test("pack_sequences: token mass is conserved and sequences are shard-local") {
+    val out = q("pack_sequences")
+      .select("shard", "started_tokens").as[(Long, Long)].collect()
+    val total = sources.Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.expr(
+        "sum(CASE WHEN trim(text) = '' THEN 0 ELSE size(split(trim(text), '\\\\s+')) END)"))
+      .head().getLong(0)
+    assert(out.map(_._2).sum == total, "packing must not lose tokens")
+    assert(out.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+  }
+
   test("train_split: splits partition the corpus (disjoint + complete)") {
     val out = q("train_split")
       .select("split", "n_docs").as[(String, Long)].collect()
