@@ -1810,6 +1810,22 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "unpivot_metrics" -> ((s, dir) => {
+      // wide→long reshaping (melt): three exact decimal totals per group
+      // unpivoted into (metric, total) rows via the native Unpivot node —
+      // an Expand over the already-aggregated (tiny) table, so the scan
+      // and shuffle happen once regardless of how many metrics unfold.
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy("l_returnflag").agg(
+        sum(dec(col("l_quantity"))).cast("double").as("qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("price"),
+        sum(dec(col("l_discount"))).cast("double").as("discount"))
+      agg.unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("discount")),
+          "metric", "total")
+        .orderBy("l_returnflag", "metric")
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       // triangle enumeration over the embedding near-dup graph (the
       // local-clustering signal that separates a tight dup cluster from a
@@ -3651,6 +3667,20 @@ object SparkEntry {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+    "unpivot_metrics" ->
+      """WITH a AS (
+           SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'qty' AS metric, qty AS total FROM a
+         UNION ALL
+         SELECT l_returnflag, 'price', price FROM a
+         UNION ALL
+         SELECT l_returnflag, 'discount', discount FROM a
+         ORDER BY l_returnflag, metric""",
 
     "graph_triangles" ->
       """WITH aug AS (
