@@ -1810,6 +1810,42 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "text_bm25" -> ((s, dir) => {
+      // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query,
+      // with RATIONAL idf ((N−df+0.5)/(df+0.5), no ln) so every score is
+      // one fixed double expression tree over exact integer tf/df/dl —
+      // bit-identical on any engine (ln differs by ulps across libms).
+      // Per-doc tf comes from array exprs (no explode), corpus stats from
+      // ONE aggregate broadcast back — a single scan + a metadata join,
+      // the shape that holds at any corpus size. Term order in the sum is
+      // fixed (join, vector, stream), so no accumulation reordering.
+      val d = t(s, dir, "documents")
+      val terms = Seq("join", "vector", "stream")
+      def tfOf(term: String) =
+        size(filter(TextFunctions.tokens(lower(col("text"))),
+          x => x === term)).cast("long")
+      val base = d.select(
+        col("doc_id") +: TextFunctions.tokenCount(col("text")).as("dl") +:
+        terms.map(w => tfOf(w).as(s"tf_$w")): _*)
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
+        terms.map(w => count(when(col(s"tf_$w") > 0, 1)).as(s"df_$w"))
+      val stats = base.agg(aggs.head, aggs.tail: _*)
+      val j = base.crossJoin(broadcast(stats))
+      val avgdl = col("sdl").cast("double") / col("n").cast("double")
+      def score(w: String): Column = {
+        val tf = col(s"tf_$w").cast("double")
+        val df = col(s"df_$w").cast("double")
+        ((col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5))) *
+          ((tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / avgdl))))
+      }
+      j.withColumn("score", terms.map(score).reduceLeft(_ + _))
+        .filter(col("score") > 0)
+        .select("doc_id", "dl", "score")
+        .orderBy("doc_id")
+    }),
+
     "unpivot_metrics" -> ((s, dir) => {
       // wide→long reshaping (melt): three exact decimal totals per group
       // unpivoted into (metric, total) rows via the native Unpivot node —
@@ -3667,6 +3703,39 @@ object SparkEntry {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+    "text_bm25" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ts,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+           FROM documents),
+         base AS (
+           SELECT doc_id, dl,
+             CAST(len(list_filter(ts, x -> x = 'join')) AS BIGINT) AS tf_join,
+             CAST(len(list_filter(ts, x -> x = 'vector')) AS BIGINT) AS tf_vector,
+             CAST(len(list_filter(ts, x -> x = 'stream')) AS BIGINT) AS tf_stream
+           FROM tk),
+         stats AS (
+           SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl,
+             count(CASE WHEN tf_join > 0 THEN 1 END) AS df_join,
+             count(CASE WHEN tf_vector > 0 THEN 1 END) AS df_vector,
+             count(CASE WHEN tf_stream > 0 THEN 1 END) AS df_stream
+           FROM base),
+         scored AS (
+           SELECT doc_id, dl,
+             ((CAST(n AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5))
+               * ((CAST(tf_join AS DOUBLE) * 2.2)
+                  / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             + ((CAST(n AS DOUBLE) - CAST(df_vector AS DOUBLE) + 0.5) / (CAST(df_vector AS DOUBLE) + 0.5))
+               * ((CAST(tf_vector AS DOUBLE) * 2.2)
+                  / (CAST(tf_vector AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             + ((CAST(n AS DOUBLE) - CAST(df_stream AS DOUBLE) + 0.5) / (CAST(df_stream AS DOUBLE) + 0.5))
+               * ((CAST(tf_stream AS DOUBLE) * 2.2)
+                  / (CAST(tf_stream AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS score
+           FROM base, stats)
+         SELECT doc_id, dl, score FROM scored WHERE score > 0
+         ORDER BY doc_id""",
 
     "unpivot_metrics" ->
       """WITH a AS (
