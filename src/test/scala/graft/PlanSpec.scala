@@ -134,6 +134,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("shingle_hashes") || p.contains("minhash"), p)
   }
 
+  test("text_bm25: one corpus scan, stats broadcast back, no explode") {
+    val p = plan("text_bm25")
+    // per-doc tf is array arithmetic — a Generate (explode) here would
+    // mean the tf computation regressed to an exploded token join
+    assert(!p.contains("Generate"), p)
+    // the one-row stats aggregate returns via a broadcast nested-loop join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pack_sequences: window runs per shard, never single-partition") {
+    val p = plan("pack_sequences")
+    assert(p.contains("Window"), p)
+    // the cumsum window must be keyed on shard — an empty partition spec
+    // would serialize the whole table through one task
+    assert(p.contains("windowspecdefinition(shard"), p)
+  }
+
+  test("graph_pagerank: rank updates aggregate partially before the exchange") {
+    val p = plan("graph_pagerank")
+    // contribution sums must map-side combine (partial_sum before the
+    // shuffle) — at |E| >> |V| scale the exchange carries combined rows
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("runtime bloom filter: selective dim predicate reaches the fact side of a shuffle join") {
     // When a shuffle join's small side carries a selective filter, the
     // optimizer builds a bloom filter from it and injects
