@@ -1810,6 +1810,69 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "train_split_grouped" -> ((s, dir) => {
+      // GROUP-aware train/val/test split: the hash is taken over the
+      // doc's source, not the doc itself, so every document from one
+      // source lands in the same split — the standard guard against
+      // near-duplicate leakage across splits (per-doc hashing happily
+      // puts a page and its mirror on opposite sides of the eval line).
+      val d = t(s, dir, "documents")
+      val h = pmod(HashFunctions.fnv64(col("source")), lit(1000L))
+      d.withColumn("split",
+          when(h < 800, "train").when(h < 900, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("split")
+    }),
+
+    "leakage_audit" -> ((s, dir) => {
+      // eval-contamination audit: how many NEAR-DUP pairs straddle the
+      // train/val/test line under a naive per-doc split? Near-dup pairs
+      // come from the banded-LSH pipeline (verified Jaccard ≥ 0.8); each
+      // pair is labeled with its endpoints' splits (unordered, so
+      // (train,test) and (test,train) collapse). Nonzero off-diagonal
+      // counts are exactly the leakage a grouped split prevents.
+      val aug = augmentedDocs(s, dir)
+      val pairs = Dedup.minhashPairs(aug, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      def splitOf(c: Column): Column = {
+        val h = pmod(HashFunctions.fnv64(c.cast("string")), lit(1000L))
+        when(h < 800, "train").when(h < 900, "val").otherwise("test")
+      }
+      pairs
+        .withColumn("sa", splitOf(col("id_a")))
+        .withColumn("sb", splitOf(col("id_b")))
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_lo", "split_hi")
+    }),
+
+    "vocab_coverage" -> ((s, dir) => {
+      // tokenizer-design query: the smallest frequency-ranked vocabulary
+      // covering 90% of corpus token mass. Coverage test is INTEGER
+      // arithmetic ((cum−freq)·10 < total·9 — no float division), so the
+      // boundary token is engine-exact. One explode + one agg + one
+      // ranked window over the (vocab-sized) count table.
+      val d = t(s, dir, "documents")
+      val tok = d.select(
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val counts = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(col("freq").desc, col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = counts.agg(sum(col("freq")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
+        .withColumn("cum", sum(col("freq")).over(w))
+        .filter((col("cum") - col("freq")) * 10 < col("total") * 9)
+        .select("rank", "tok", "freq", "cum")
+        .orderBy("rank")
+    }),
+
     "text_bm25" -> ((s, dir) => {
       // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query,
       // with RATIONAL idf ((N−df+0.5)/(df+0.5), no ln) so every score is
@@ -3703,6 +3766,69 @@ object SparkEntry {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+    "train_split_grouped" -> {
+      val hv = signedSql(fnvSql("source"))
+      s"""WITH h AS (
+           SELECT source, n_chars, (($hv % 1000) + 1000) % 1000 AS hv
+           FROM documents)
+         SELECT CASE WHEN hv < 800 THEN 'train'
+                     WHEN hv < 900 THEN 'val' ELSE 'test' END AS split,
+           count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM h GROUP BY 1 ORDER BY split"""
+    },
+
+    // NOTE: like dedup_incremental, this oracle scores exact all-pairs
+    // Jaccard while the engine verifies LSH candidates — they agree only
+    // because the synthetic near-dups land in a shared band with
+    // certainty (recall 1.0 proven for this corpus at bands=16, r=4).
+    "leakage_audit" -> {
+      val hvA = signedSql(fnvSql("CAST(id_a AS VARCHAR)"))
+      val hvB = signedSql(fnvSql("CAST(id_b AS VARCHAR)"))
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         p AS (
+           SELECT id_a, id_b FROM common
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
+         hs AS (
+           SELECT (($hvA % 1000) + 1000) % 1000 AS ha,
+                  (($hvB % 1000) + 1000) % 1000 AS hb
+           FROM p),
+         sp AS (
+           SELECT
+             CASE WHEN ha < 800 THEN 'train'
+                  WHEN ha < 900 THEN 'val' ELSE 'test' END AS sa2,
+             CASE WHEN hb < 800 THEN 'train'
+                  WHEN hb < 900 THEN 'val' ELSE 'test' END AS sb2
+           FROM hs)
+         SELECT least(sa2, sb2) AS split_lo, greatest(sa2, sb2) AS split_hi,
+           count(*) AS n_pairs
+         FROM sp GROUP BY 1, 2 ORDER BY split_lo, split_hi"""
+    },
+
+    "vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         counts AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
+         tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts),
+         r AS (SELECT tok, freq,
+                 row_number() OVER (ORDER BY freq DESC, tok) AS rank,
+                 CAST(sum(freq) OVER (ORDER BY freq DESC, tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM counts)
+         SELECT rank, tok, freq, cum FROM r, tot
+         WHERE (cum - freq) * 10 < total * 9
+         ORDER BY rank""",
 
     "text_bm25" ->
       """WITH tk AS (
