@@ -1810,6 +1810,34 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "timeseries_autocorr" -> ((s, dir) => {
+      // lag-1 autocorrelation per event type — the "is this series
+      // momentum or noise" statistic — with the same engine-exact
+      // discipline as agg_corr: (x_t, x_{t−1}) pairs from one keyed
+      // window pass, co-moments as EXACT decimal sums (2-dp inputs ⇒
+      // 4-dp products), and the Pearson formula as one double tree over
+      // those exact scalars. No streaming-covariance built-ins, no
+      // accumulation-order dependence.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val base = e.select(col("event_type"), dec(col("value")).as("x"),
+          lag(dec(col("value")), 1).over(w).as("y"))
+        .filter(col("y").isNotNull)
+      val sums = base.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("double")
+      def d(c: String): Column = col(c).cast("double")
+      sums.select(col("event_type"), col("n"),
+          round((nD * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(nD * d("sxx") - d("sx") * d("sx")) *
+             sqrt(nD * d("syy") - d("sy") * d("sy"))), 6).as("autocorr_lag1"))
+        .orderBy("event_type")
+    }),
+
     "train_split_grouped" -> ((s, dir) => {
       // GROUP-aware train/val/test split: the hash is taken over the
       // doc's source, not the doc itself, so every document from one
@@ -3766,6 +3794,26 @@ object SparkEntry {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+    "timeseries_autocorr" ->
+      """WITH lagged AS (
+           SELECT event_type,
+             CAST(value AS DECIMAL(18,2)) AS x,
+             lag(CAST(value AS DECIMAL(18,2)), 1) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS y
+           FROM events),
+         m AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+           FROM lagged WHERE y IS NOT NULL GROUP BY event_type)
+         SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS autocorr_lag1
+         FROM m ORDER BY event_type""",
 
     "train_split_grouped" -> {
       val hv = signedSql(fnvSql("source"))

@@ -368,6 +368,51 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming dedup with a GROWING corpus — the true production shape of
+    * rolling ingestion: each micro-batch is deduped (1) against itself
+    * (a batch can carry its own duplicates), (2) against everything
+    * accepted so far, and then (3) its survivors are appended to the
+    * corpus, so the NEXT batch dedups against them too.
+    *
+    * The corpus lives as an epoch-partitioned parquet directory and each
+    * epoch's survivors are written `epoch=<id>` with overwrite — a batch
+    * RETRY rewrites the same partition instead of double-appending, which
+    * is what makes the grown corpus exactly-once. Seed the corpus by
+    * writing initial docs to `<corpusPath>/epoch=seed`. Batches execute
+    * strictly sequentially, so read-then-append needs no external lock. */
+  def dedupStreamGrowingCorpus(docs: DataFrame, corpusPath: String,
+                               idCol: String, textCol: String,
+                               sink: (DataFrame, Long) => Unit = (_, _) => (),
+                               shingleSize: Int = 3, bands: Int = 16,
+                               rowsPerBand: Int = 4, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Dedup
+        val internal = Dedup.minhashDedup(
+          Dedup.exactDedup(batch, idCol, textCol), idCol, textCol,
+          shingleSize, bands, rowsPerBand, threshold)
+        // the shared FileStatusCache remembers the previous batch's
+        // directory listing FOREVER (metadataCacheTTLSeconds = -1), so a
+        // fresh read would miss the epochs appended since — invalidate
+        // the path before every corpus read
+        spark.catalog.refreshByPath(corpusPath)
+        val corpus = spark.read.parquet(corpusPath).select(idCol, textCol)
+        val survivors = Dedup.incrementalDedup(
+            internal, corpus, idCol, textCol, shingleSize, bands,
+            rowsPerBand, threshold)
+          .select(idCol, textCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$corpusPath/epoch=$epochId")
+        sink(survivors, epochId)
+        survivors.unpersist()
+        ()
+      }
+      .start()
+
   /** Session-windowed aggregation (gap-based, event-time): the streaming
     * form of the batch gaps-and-islands sessionization. `session_window`
     * merges events closer than `gap` into one growing window; with the

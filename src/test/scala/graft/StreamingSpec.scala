@@ -227,6 +227,39 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
   }
 
+  test("growing-corpus streaming dedup: later batches dedup against earlier survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_grow").toString + "/corpus"
+    val textA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"
+    val textB = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen"
+    val textC = "red orange yellow green blue indigo violet crimson amber teal navy maroon olive silver"
+    val textD = "spark flink trino presto duck goose swan eagle falcon hawk owl raven crow sparrow"
+    Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      .write.parquet(s"$base/epoch=seed")
+    val input = MemoryStream[(Long, String)]
+    var survivorSets = Map.empty[Long, Set[Long]]
+    val q = StreamingPipeline.dedupStreamGrowingCorpus(
+      input.toDF().toDF("doc_id", "text"), base, "doc_id", "text",
+      sink = (df, epoch) => survivorSets +=
+        epoch -> df.select("doc_id").collect().map(_.getLong(0)).toSet)
+    try {
+      // batch 0: exact dup of seed doc A, new doc C, near-dup of C INSIDE
+      // the same batch — only C survives
+      input.addData((10L, textA), (11L, textC), (12L, textC + " extra"))
+      q.processAllAvailable()
+      // batch 1: near-dup of the batch-0 SURVIVOR (proves the corpus
+      // grew), plus a genuinely new doc
+      input.addData((20L, textC + " tail"), (21L, textD))
+      q.processAllAvailable()
+      assert(survivorSets.values.flatten.toSet == Set(11L, 21L),
+        s"unexpected survivors: $survivorSets")
+      val corpusIds = spark.read.parquet(base)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpusIds == Set(1L, 2L, 11L, 21L), s"corpus: $corpusIds")
+    } finally q.stop()
+  }
+
   test("transformWithState: TTL'd state expires an idle key and restarts clean") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.UserEvent
