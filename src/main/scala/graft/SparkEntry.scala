@@ -1810,6 +1810,77 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "dq_checks" -> ((s, dir) => {
+      // data-quality audit over a corpus with KNOWN (synthetic,
+      // id-derived) corruption: orphaned foreign keys, duplicate primary
+      // keys, and range violations are injected deterministically so the
+      // checks demonstrably FIRE and the exact violation counts are
+      // oracle-checkable. (The dup-PK check also catches that this
+      // testdata's lineitem genuinely violates the TPC-H (orderkey,
+      // linenumber) PK — a real finding, reported as-is.) Each check is
+      // one aggregate or one anti-join — the report costs two scans of
+      // the fact table total.
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val seed = li.filter(pmod(col("l_orderkey"), lit(997)) === 1 &&
+        col("l_linenumber") === 1)
+      val orphans = seed.select(
+        (col("l_orderkey") + 1000000000L).as("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      val dupPk = seed
+      val rangeViol = seed.select(col("l_orderkey"),
+        lit(99).cast("int").as("l_linenumber"),
+        lit(999.0).as("l_quantity"))
+      val all = li.unionByName(orphans).unionByName(dupPk)
+        .unionByName(rangeViol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val o = t(s, dir, "orders").select("o_orderkey")
+      val nOrphan = all.join(o, all("l_orderkey") === o("o_orderkey"),
+        "left_anti").agg(count(lit(1)).as("n_orphan_fk"))
+      val nDup = all.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_dup_pk"))
+      val nRange = all.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(!col("l_quantity").between(1.0, 50.0), 1))
+          .as("n_range_violations"))
+      nRange.crossJoin(nOrphan).crossJoin(nDup)
+        .select("n_rows", "n_orphan_fk", "n_dup_pk", "n_range_violations")
+    }),
+
+    "skew_profile" -> ((s, dir) => {
+      // skew diagnostics — the measurement that decides whether a join
+      // needs salting BEFORE it melts an executor: per-key cardinality
+      // distribution (max, p50/p99, max/mean ratio) from one count
+      // aggregate plus one summary aggregate over the (key-sized) table.
+      val e = t(s, dir, "events")
+      val c = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+      c.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_per_key"),
+          round(expr("percentile(n, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n, 0.99)"), 6).as("p99"))
+        .withColumn("skew_ratio",
+          round(col("max_per_key").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys").cast("double")), 6))
+    }),
+
+    "agg_equidepth" -> ((s, dir) => {
+      // equi-DEPTH histogram (the optimizer-statistics shape): ntile(10)
+      // over a total order gives deterministic bucket membership; output
+      // is per-bucket count + exact value bounds. Complements the
+      // equi-width agg_histogram.
+      val o = t(s, dir, "orders")
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      o.withColumn("bucket", ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")
+    }),
+
     "timeseries_autocorr" -> ((s, dir) => {
       // lag-1 autocorrelation per event type — the "is this series
       // momentum or noise" statistic — with the same engine-exact
@@ -3794,6 +3865,53 @@ object SparkEntry {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+    "dq_checks" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem),
+         seed AS (
+           SELECT * FROM li WHERE l_orderkey % 997 = 1 AND l_linenumber = 1),
+         bad AS (
+           SELECT l_orderkey + 1000000000 AS l_orderkey, l_linenumber, l_quantity FROM seed
+           UNION ALL SELECT * FROM seed
+           UNION ALL SELECT l_orderkey, 99, 999.0 FROM seed),
+         al AS (SELECT * FROM li UNION ALL SELECT * FROM bad),
+         orphan AS (
+           SELECT count(*) AS n_orphan_fk FROM al
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+         dup AS (
+           SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_dup_pk
+           FROM (SELECT count(*) AS c FROM al
+                 GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
+         rng AS (
+           SELECT count(*) AS n_rows,
+             count(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 END)
+               AS n_range_violations
+           FROM al)
+         SELECT n_rows, n_orphan_fk, n_dup_pk, n_range_violations
+         FROM rng, orphan, dup""",
+
+    "skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+         s AS (
+           SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+             max(n) AS max_per_key,
+             round(quantile_cont(n, 0.5), 6) AS p50,
+             round(quantile_cont(n, 0.99), 6) AS p99
+           FROM c)
+         SELECT n_keys, n_rows, max_per_key, p50, p99,
+           round(CAST(max_per_key AS DOUBLE)
+             / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_ratio
+         FROM s""",
+
+    "agg_equidepth" ->
+      """WITH b AS (
+           SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+           FROM orders)
+         SELECT bucket, count(*) AS n_orders,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         FROM b GROUP BY bucket ORDER BY bucket""",
 
     "timeseries_autocorr" ->
       """WITH lagged AS (
