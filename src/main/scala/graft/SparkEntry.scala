@@ -1810,6 +1810,31 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "nested_event_gaps" -> ((s, dir) => {
+      // nested-type analytics: each user's history collected into an
+      // ordered array-of-structs, then processed entirely with array
+      // HOFs — slice/zip_with pair each event with its predecessor, so
+      // inter-event gaps come out WITHOUT a second window pass or
+      // self-join. All integer milliseconds (exact). The collect is
+      // per-user (bounded-key); the same shape streams through
+      // transformWithState when the history must stay incremental.
+      val e = t(s, dir, "events")
+      val arr = e.groupBy("user_id").agg(
+        sort_array(collect_list(struct(
+          expr("unix_millis(ts)").as("ms"), col("event_id")))).as("evs"))
+      val ms = transform(col("evs"), x => x.getField("ms"))
+      val gaps = zip_with(
+        slice(ms, lit(2), size(col("evs")) - 1),
+        slice(ms, lit(1), size(col("evs")) - 1),
+        (a, b) => a - b)
+      arr.select(col("user_id"),
+          size(col("evs")).cast("long").as("n_events"),
+          (element_at(ms, -1) - element_at(ms, 1)).as("span_ms"),
+          when(size(col("evs")) < 2, lit(null).cast("long"))
+            .otherwise(array_max(gaps)).as("max_gap_ms"))
+        .orderBy("user_id")
+    }),
+
     "dq_checks" -> ((s, dir) => {
       // data-quality audit over a corpus with KNOWN (synthetic,
       // id-derived) corruption: orphaned foreign keys, duplicate primary
@@ -3865,6 +3890,18 @@ object SparkEntry {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+    "nested_event_gaps" ->
+      """WITH a AS (
+           SELECT user_id, list(epoch_ms(ts) ORDER BY ts, event_id) AS ms
+           FROM events GROUP BY user_id)
+         SELECT user_id, CAST(len(ms) AS BIGINT) AS n_events,
+           ms[len(ms)] - ms[1] AS span_ms,
+           CASE WHEN len(ms) < 2 THEN NULL
+                ELSE list_max(list_transform(range(2, len(ms) + 1),
+                  i -> ms[CAST(i AS INT)] - ms[CAST(i AS INT) - 1])) END
+             AS max_gap_ms
+         FROM a ORDER BY user_id""",
 
     "dq_checks" ->
       """WITH li AS (
