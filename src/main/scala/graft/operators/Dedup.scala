@@ -284,8 +284,12 @@ object Dedup {
     * Returns (clusterCol, keep_id, n_members, best_score). */
   def bestOfCluster(members: DataFrame, clusterCol: String, idCol: String,
                     scoreCol: String): DataFrame = {
-    val m = members
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: the member table is consumed by BOTH
+    // election steps, and a lazy persist costs an extra materialization
+    // job before the first consumer — checkpointing eagerly once is
+    // cheaper for a post-CC (small) table and truncates the upstream
+    // CC lineage at the same time
+    val m = members.localCheckpoint()
     val best = m.groupBy(clusterCol)
       .agg(max(col(scoreCol)).as("best_score"), count(lit(1)).as("n_members"))
     val keep = m.join(best, Seq(clusterCol))
