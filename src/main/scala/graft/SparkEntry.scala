@@ -1810,6 +1810,24 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "outlier_trim" -> ((s, dir) => {
+      // winsorization prep: per-type p01/p99 fences (exact interpolated
+      // percentiles, rounded once so both engines clip against the SAME
+      // bound) and the count of values outside them — the trim report a
+      // feature pipeline applies before normalization. One tiny stats
+      // aggregate broadcast back; the fact table is never shuffled.
+      val e = t(s, dir, "events")
+      val stats = e.groupBy("event_type").agg(
+        round(expr("percentile(value, 0.01)"), 6).as("p01"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .groupBy("event_type", "p01", "p99")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("value") < col("p01"), 1)).as("n_below"),
+          count(when(col("value") > col("p99"), 1)).as("n_above"))
+        .orderBy("event_type")
+    }),
+
     "nested_event_gaps" -> ((s, dir) => {
       // nested-type analytics: each user's history collected into an
       // ordered array-of-structs, then processed entirely with array
@@ -3890,6 +3908,20 @@ object SparkEntry {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+    "outlier_trim" ->
+      """WITH stats AS (
+           SELECT event_type,
+             round(quantile_cont(value, 0.01), 6) AS p01,
+             round(quantile_cont(value, 0.99), 6) AS p99
+           FROM events GROUP BY event_type)
+         SELECT e.event_type, s.p01, s.p99,
+           count(*) AS n_total,
+           count(CASE WHEN e.value < s.p01 THEN 1 END) AS n_below,
+           count(CASE WHEN e.value > s.p99 THEN 1 END) AS n_above
+         FROM events e JOIN stats s USING (event_type)
+         GROUP BY e.event_type, s.p01, s.p99
+         ORDER BY e.event_type""",
 
     "nested_event_gaps" ->
       """WITH a AS (
