@@ -4112,6 +4112,10 @@ object SparkEntry {
          SELECT l_returnflag, 'discount', discount FROM a
          ORDER BY l_returnflag, metric""",
 
+    // NOTE: like dedup_incremental / leakage_audit, this oracle builds the
+    // edge set from exact all-pairs cosine while the engine uses hyperplane
+    // LSH candidates — equal only because rescaled copies share the exact
+    // signature (same direction ⇒ same signs), giving recall 1.0 here.
     "graph_triangles" ->
       """WITH aug AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

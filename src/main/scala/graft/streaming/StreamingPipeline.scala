@@ -368,6 +368,60 @@ object StreamingPipeline {
       }
       .start()
 
+  /** File-backed materialized changelog: the reference's "queryable KSQL
+    * table" (K2/K3) as versioned parquet ANY engine can read. Each batch
+    * merges its updates into the previous snapshot (latest row per key by
+    * (tsCol, batch-wins) ordering) and writes a complete new snapshot
+    * `v=<epoch>`; readers always see a whole version, never a partial
+    * write, and a batch RETRY rewrites its own version (reads the max
+    * version BELOW the epoch) — exactly-once without a table format.
+    * Old snapshots are pruned down to `keepVersions`. */
+  def materializeChangelog(updates: DataFrame, path: String,
+                           keyCols: Seq[String], tsCol: String,
+                           keepVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val versions =
+          if (!fs.exists(hPath)) Seq.empty[Long]
+          else fs.listStatus(hPath).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+        val cur = versions.filter(_ < epochId).sorted.lastOption
+        val withSrc = batch.withColumn("_src", lit(1))
+        val all = cur
+          .map(v => spark.read.parquet(s"$path/v=$v").withColumn("_src", lit(0))
+            .unionByName(withSrc))
+          .getOrElse(withSrc)
+        val others = all.columns.toSeq
+          .filterNot(c => keyCols.contains(c) || c == "_src")
+        val merged = all.groupBy(keyCols.map(col): _*)
+          .agg(max_by(struct(others.map(col): _*),
+            struct(col(tsCol), col("_src"))).as("r"))
+          .select(keyCols.map(col) ++
+            others.map(c => col(s"r.$c").as(c)): _*)
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/v=$epochId")
+        versions.filter(_ < epochId).sorted.dropRight(keepVersions - 1)
+          .foreach(v => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
+        ()
+      }
+      .start()
+
+  /** Read the newest complete snapshot written by `materializeChangelog`. */
+  def readMaterialized(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(hPath).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong).max
+    spark.read.parquet(s"$path/v=$latest")
+  }
+
   /** Streaming dedup with a GROWING corpus — the true production shape of
     * rolling ingestion: each micro-batch is deduped (1) against itself
     * (a batch can carry its own duplicates), (2) against everything

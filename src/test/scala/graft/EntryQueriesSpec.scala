@@ -99,6 +99,36 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dq_checks: injected corruption is detected") {
+    val r = q("dq_checks").head()
+    assert(r.getAs[Long]("n_orphan_fk") > 0)
+    assert(r.getAs[Long]("n_range_violations") > 0)
+    assert(r.getAs[Long]("n_dup_pk") >= r.getAs[Long]("n_orphan_fk"),
+      "dup count must include at least the injected duplicates")
+  }
+
+  test("agg_equidepth: buckets are balanced and ordered") {
+    val rows = q("agg_equidepth")
+      .select("bucket", "n_orders", "lo", "hi")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.length == 10)
+    val ns = rows.map(_._2)
+    assert(ns.max - ns.min <= 1, s"equi-depth buckets unbalanced: ${ns.toSeq}")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bucket bounds overlap: $a vs $b")
+    }
+  }
+
+  test("timeseries_autocorr and outlier_trim: statistics within bounds") {
+    val ac = q("timeseries_autocorr")
+      .select("autocorr_lag1").as[Double].collect()
+    assert(ac.nonEmpty && ac.forall(v => math.abs(v) <= 1.0))
+    val ot = q("outlier_trim")
+      .select("n_total", "n_below", "n_above").as[(Long, Long, Long)].collect()
+    // ~1% outside each fence by construction of the percentile bounds
+    assert(ot.forall { case (n, lo, hi) => lo <= n / 50 && hi <= n / 50 })
+  }
+
   test("agg_histogram: buckets cover all orders, revenue positive") {
     val out = q("agg_histogram")
       .select("bucket", "n_orders", "bucket_revenue")

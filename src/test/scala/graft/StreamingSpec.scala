@@ -227,6 +227,30 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
   }
 
+  test("materialized changelog: snapshots upsert by key, old versions pruned") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_mat").toString + "/table"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingPipeline.materializeChangelog(
+      input.toDF().toDF("key", "ts", "v"), base, Seq("key"), "ts")
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 10.0),
+        (2L, ts("2024-01-01 10:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 11:00:00"), 99.0))
+      q.processAllAvailable()
+      val snap = StreamingPipeline.readMaterialized(spark, base)
+        .select("key", "v").as[(Long, Double)].collect().toMap
+      assert(snap == Map(1L -> 99.0, 2L -> 5.0), s"snapshot: $snap")
+      // snapshot chain pruned to keepVersions
+      val vs = new java.io.File(base).listFiles().map(_.getName)
+        .filter(_.startsWith("v=")).sorted
+      assert(vs.length <= 2, s"versions not pruned: ${vs.toSeq}")
+    } finally q.stop()
+  }
+
   test("growing-corpus streaming dedup: later batches dedup against earlier survivors") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
