@@ -26,6 +26,25 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Dialect-common analytics SQL — the `sql_analytics` query AND its
+    * oracle are this same string: it must stay inside the syntax both
+    * Spark and DuckDB accept (no QUALIFY, explicit subquery for the
+    * rank filter, ANSI casts). */
+  private val sqlAnalyticsText: String =
+    """WITH rev AS (
+         SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY o_custkey),
+       ranked AS (
+         SELECT c.c_mktsegment AS segment, rev.o_custkey AS custkey,
+           rev.revenue,
+           rank() OVER (PARTITION BY c.c_mktsegment
+             ORDER BY rev.revenue DESC, rev.o_custkey) AS rnk
+         FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey)
+       SELECT segment, rnk, custkey, revenue
+       FROM ranked WHERE rnk <= 5
+       ORDER BY segment, rnk, custkey"""
+
   /** lineitem ⋈ orders with the reference's stay-category enrichment:
     * o_orderdate plays check-in, l_shipdate check-out (SURVEY.md §2.4).
     * The join key (l_orderkey = o_orderkey) is the natural co-partitioning
@@ -1808,6 +1827,15 @@ object SparkEntry {
           sum(col("n_tokens")).as("started_tokens"),
           min(col("doc_id")).as("first_doc"))
         .orderBy("shard", "seq_id")
+    }),
+
+    "sql_analytics" -> ((s, dir) => {
+      // dialect-common SQL: this EXACT string (sqlAnalyticsText) runs
+      // unchanged on Spark and on the DuckDB oracle — CTE + decimal-exact
+      // aggregation + ranked window + top-k filter, proving the SQL
+      // surface handles real analytics without engine-specific syntax.
+      Tables.registerAll(s, dir)
+      s.sql(sqlAnalyticsText)
     }),
 
     "outlier_trim" -> ((s, dir) => {
@@ -3908,6 +3936,8 @@ object SparkEntry {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+    "sql_analytics" -> sqlAnalyticsText,
 
     "outlier_trim" ->
       """WITH stats AS (

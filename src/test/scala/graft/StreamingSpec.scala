@@ -227,6 +227,29 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
   }
 
+  test("watermark observability: late rows are dropped AND counted in progress metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingPipeline.windowedEventCounts(df, "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wm_obs")
+      .outputMode("update").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-01-01 10:00:00"), "click", 1.0),
+        (ts("2024-01-01 11:00:00"), "click", 1.0))
+      q.processAllAvailable() // watermark now 10:50
+      input.addData((ts("2024-01-01 09:00:00"), "late", 1.0))
+      q.processAllAvailable()
+      val dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1, s"late row not counted as dropped (dropped=$dropped)")
+      // and the late row must not have produced a 'late' window
+      assert(spark.table("wm_obs")
+        .filter(col("event_type") === "late").count() == 0)
+    } finally q.stop()
+  }
+
   test("materialized changelog: snapshots upsert by key, old versions pruned") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
