@@ -199,6 +199,27 @@ object StreamingPipeline {
       .drop(col(s"r.$keyCol"))
   }
 
+  /** LEFT OUTER stream-stream interval join: same attribution shape as
+    * `streamStreamIntervalJoin`, but an impression with NO conversion
+    * inside the gap is still emitted (right columns null) — once the
+    * watermark proves no match can arrive. The null-padded row is thus
+    * deliberately LATE by up to delay+maxGap; that delay is the price of
+    * a correct "did not convert" verdict on an unbounded stream. */
+  def streamStreamLeftOuterJoin(left: DataFrame, right: DataFrame,
+                                keyCol: String, leftTsCol: String,
+                                rightTsCol: String,
+                                delay: String = "10 minutes",
+                                maxGap: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, delay).alias("l")
+    val r = right.withWatermark(rightTsCol, delay).alias("r")
+    l.join(r, expr(
+      s"""l.$keyCol = r.$keyCol AND
+          r.$rightTsCol >= l.$leftTsCol AND
+          r.$rightTsCol <= l.$leftTsCol + INTERVAL $maxGap"""),
+      "leftOuter")
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** Stage 2 parity — the CTAS aggregation over the enriched stream
     * (A1–A3). `exact=true` keeps ksqlDB's exact COUNT_DISTINCT via a
     * collect_set (bounded real-world cardinality per category); at

@@ -51,6 +51,27 @@ class IngestSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("ingestion rate control: maxFilesPerTrigger bounds each micro-batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rate").toString + "/in"
+    (1 to 3).foreach(i => Seq((i.toLong, s"f$i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir))
+    val sch = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.format("memory").queryName("rate_ctl")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // backlog of 3 files drains one file per micro-batch — the backfill
+      // throttle that keeps a catch-up from flooding downstream state
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.length == 3 && batches.forall(_ == 1L),
+        s"expected 3 batches of 1 row: ${batches.toSeq}")
+      assert(spark.table("rate_ctl").count() == 3)
+    } finally q.stop()
+  }
+
   test("FAILFAST surfaces the first corrupt line as an error") {
     val dir = writeFixture()
     val ex = intercept[org.apache.spark.SparkException] {

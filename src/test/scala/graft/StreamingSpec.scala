@@ -227,6 +227,43 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
   }
 
+  test("left-outer interval join: non-converting impression emits null-padded after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingPipeline.streamStreamLeftOuterJoin(
+      imps.toDF().toDF("user_id", "imp_ts"),
+      clks.toDF().toDF("user_id", "click_ts"),
+      keyCol = "user_id", leftTsCol = "imp_ts", rightTsCol = "click_ts",
+      delay = "10 minutes", maxGap = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("louter")
+      .outputMode("append").start()
+    try {
+      // user 1 converts inside the gap; user 2 never does
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clks.addData((1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // push the GLOBAL watermark (min over both inputs) far past
+      // imp_ts + maxGap; the null-padded row emits in a FOLLOWING batch,
+      // so trigger twice
+      imps.addData((98L, ts("2024-01-01 13:00:00")))
+      clks.addData((99L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      imps.addData((98L, ts("2024-01-01 13:30:00")))
+      clks.addData((99L, ts("2024-01-01 13:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("louter")
+        .select("user_id", "click_ts").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)).map(_.toString)))
+        .toSet
+      assert(rows.contains((1L, Some("2024-01-01 10:10:00.0"))),
+        s"converted impression missing: $rows")
+      assert(rows.contains((2L, None)),
+        s"null-padded non-conversion missing: $rows")
+    } finally q.stop()
+  }
+
   test("watermark observability: late rows are dropped AND counted in progress metrics") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
