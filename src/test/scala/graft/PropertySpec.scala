@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property-style sweeps of the pure kernels: invariants that must hold
+  * across the input space, not just the fixtures the example tests pin.
+  * Inputs come from a seeded RNG (deterministic runs) and each property
+  * is evaluated as ONE DataFrame pass, so the sweep adds a handful of
+  * Spark jobs total. (scalacheck's scalatest bridge isn't in the offline
+  * cache, so the generators are hand-rolled.) */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(0xC0FFEE)
+
+  test("zValue: interleave is a bijection on 16-bit pairs") {
+    val pairs = Seq.fill(300)((rnd.nextLong().abs & 0xFFFFL,
+      rnd.nextLong().abs & 0xFFFFL)) ++
+      Seq((0L, 0L), (0xFFFFL, 0xFFFFL), (0xFFFFL, 0L), (0L, 0xFFFFL))
+    val zs = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        operators.Layout.zValue(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    zs.foreach { case (a, b, z) =>
+      var (ra, rb) = (0L, 0L)
+      (0 until 16).foreach { i =>
+        ra |= ((z >> (2 * i)) & 1L) << i
+        rb |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra == a && rb == b, s"z=$z lost ($a,$b) -> ($ra,$rb)")
+    }
+    // bijection ⇒ no collisions across distinct pairs
+    assert(zs.map(_._3).distinct.length == zs.map(t => (t._1, t._2)).distinct.length)
+  }
+
+  test("zValue: monotone in each argument when the other is fixed") {
+    val fixed = 0x1234L
+    val as = (0L to 0xFFFFL by 97L).toSeq
+    val zA = as.map((_, fixed)).toDF("a", "b")
+      .select(operators.Layout.zValue(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    assert(zA.sliding(2).forall(w => w(0) < w(1)), "not monotone in a")
+    val zB = as.map((fixed, _)).toDF("a", "b")
+      .select(operators.Layout.zValue(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    assert(zB.sliding(2).forall(w => w(0) < w(1)), "not monotone in b")
+  }
+
+  test("fnv64: Column route and SQL route agree on arbitrary strings") {
+    functions.GraftFunctions.registerAll(spark)
+    val strs = Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      Seq("", " ", "a b  c", "ünïcödé ✓", "\ttab\nnewline")
+    strs.distinct.toDF("s").createOrReplaceTempView("prop_fnv")
+    val mismatches = spark.sql(
+      "SELECT s FROM prop_fnv WHERE fnv64(s) IS DISTINCT FROM fnv64(s)")
+      .count()
+    val viaCol = strs.distinct.toDF("s")
+      .select(col("s"), functions.HashFunctions.fnv64(col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    val viaSql = spark.sql("SELECT s, fnv64(s) FROM prop_fnv")
+      .as[(String, Long)].collect().toMap
+    assert(mismatches == 0)
+    assert(viaCol == viaSql)
+  }
+
+  test("categoryOfNights: total function — every duration lands in its one bucket") {
+    val model: Int => String = d =>
+      if (d >= 1 && d <= 4) "Short stay"
+      else if (d >= 5 && d <= 10) "Standard stay"
+      else if (d >= 11 && d <= 14) "Standard extended stay"
+      else if (d > 14) "Long stay"
+      else "Erroneous data"
+    val out = (-1000 to 1000).toDF("d")
+      .select(col("d"), functions.StayCategory.categoryOfNights(col("d")).as("c"))
+      .as[(Int, String)].collect()
+    out.foreach { case (d, c) =>
+      assert(c == model(d), s"duration $d -> $c, expected ${model(d)}")
+    }
+  }
+
+  test("quantizeInt8: range bound and max-|component| saturation for random vectors") {
+    val vecs = Seq.fill(100)(
+      Array.fill(1 + rnd.nextInt(32))((rnd.nextFloat() - 0.5f) * 200f))
+      .filter(_.exists(_ != 0.0f))
+    val out = vecs.map(Tuple1(_)).toDF("v")
+      .select(col("v"), functions.VectorFunctions.quantizeInt8(col("v")).as("q"))
+      .as[(Array[Float], Array[Int])].collect()
+    out.foreach { case (v, q) =>
+      assert(q.length == v.length)
+      assert(q.forall(b => b >= -127 && b <= 127))
+      val maxAbsIdx = v.indices.maxBy(i => math.abs(v(i)))
+      assert(math.abs(q(maxAbsIdx)) == 127,
+        s"largest component must saturate: ${v.toSeq} -> ${q.toSeq}")
+    }
+  }
+
+  test("tokenChunks: stride==chunkSize chunks reassemble to the exact token stream") {
+    val words = Array("alpha", "bravo", "charlie", "delta", "echo")
+    val cases = for {
+      _ <- 1 to 100
+      n = rnd.nextInt(12)
+      size = 1 + rnd.nextInt(7)
+    } yield (Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "), size)
+    cases.groupBy(_._2).foreach { case (size, group) =>
+      val texts = group.map(_._1)
+      val out = texts.toDF("t")
+        .select(col("t"),
+          functions.TextFunctions.tokenChunks(col("t"), size, size).as("c"))
+        .as[(String, Seq[String])].collect()
+      out.foreach { case (text, chunks) =>
+        val tokens = text.trim match {
+          case "" => Seq.empty[String]
+          case t => t.split("\\s+").toSeq
+        }
+        assert(chunks.flatMap(c =>
+          if (c.isEmpty) Nil else c.split(" ").toSeq) == tokens,
+          s"'$text' size=$size -> $chunks")
+      }
+    }
+  }
+}
