@@ -977,7 +977,8 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
-          round(avg(col("quality")), 4).as("avg_quality"))
+          round(sum(col("quality").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("avg_quality"))
         .orderBy("source")
     }),
 
@@ -1565,7 +1566,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
           sum(col("n_chunks")).as("total_chunks"),
-          round(avg(col("quality")), 4).as("avg_quality"))
+          round(sum(col("quality").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("avg_quality"))
         .orderBy("source")
     }),
 
@@ -3029,7 +3031,8 @@ object SparkEntry {
       s"""WITH $curationGateCtes
          SELECT source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(avg(quality), 4) AS avg_quality
+           round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS avg_quality
          FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)
          GROUP BY source ORDER BY source""",
 
@@ -3061,7 +3064,8 @@ object SparkEntry {
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(CASE WHEN n_tokens > 0 THEN (n_tokens + 47) // 48
                          ELSE 0 END) AS BIGINT) AS total_chunks,
-           round(avg(quality), 4) AS avg_quality
+           round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS avg_quality
          FROM tk GROUP BY source ORDER BY source""",
 
     "similarity_topk" ->
