@@ -1831,6 +1831,45 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "attribution_last_touch" -> ((s, dir) => {
+      // marketing attribution as an as-of join on the event stream: every
+      // purchase is credited to the same user's LATEST click at or before
+      // it (ties → larger click id, AsOf's deterministic rule). Reuses the
+      // single-shuffle union+window as-of operator on a second domain —
+      // no per-key loops, no range self-join blowup.
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      AsOf.asofBackward(purchases, clicks, "user_id", "p_ts", "c_ts",
+          "click_id", "attributed_click")
+        .select("purchase_id", "user_id", "attributed_click")
+        .orderBy("purchase_id")
+    }),
+
+    "mixture_weights" -> ((s, dir) => {
+      // domain-mixing weights: the per-source keep-rate that moves the
+      // corpus toward a UNIFORM source mix, bounded by availability
+      // (rate = min(1, target/n)). One vocab-sized aggregate + a scalar
+      // broadcast — the sampling plan that precedes a weighted export.
+      val d = t(s, dir, "documents")
+      val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).as("k"))
+      val rate = least(lit(1.0),
+        (col("total").cast("double") / col("k").cast("double")) /
+          col("n_docs").cast("double"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(rate, 6).as("rate"),
+          floor(rate * col("n_docs").cast("double")).cast("long")
+            .as("expected_kept"))
+        .orderBy("source")
+    }),
+
     "sql_analytics" -> ((s, dir) => {
       // dialect-common SQL: this EXACT string (sqlAnalyticsText) runs
       // unchanged on Spark and on the DuckDB oracle — CTE + decimal-exact
@@ -3940,6 +3979,40 @@ object SparkEntry {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+    "attribution_last_touch" ->
+      """WITH c AS (
+           SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT event_id AS purchase_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         j AS (
+           SELECT p.purchase_id, p.user_id, c.event_id AS click_id,
+             row_number() OVER (PARTITION BY p.purchase_id
+               ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+         SELECT purchase_id, user_id, click_id AS attributed_click
+         FROM j WHERE rn = 1
+         UNION ALL
+         SELECT purchase_id, user_id, NULL FROM p
+         WHERE purchase_id NOT IN (SELECT purchase_id FROM j)
+         ORDER BY purchase_id""",
+
+    "mixture_weights" ->
+      """WITH counts AS (
+           SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         tot AS (
+           SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS k
+           FROM counts)
+         SELECT source, n_docs,
+           round(least(1.0,
+             (CAST(total AS DOUBLE) / CAST(k AS DOUBLE))
+               / CAST(n_docs AS DOUBLE)), 6) AS rate,
+           CAST(floor(least(1.0,
+             (CAST(total AS DOUBLE) / CAST(k AS DOUBLE))
+               / CAST(n_docs AS DOUBLE)) * CAST(n_docs AS DOUBLE)) AS BIGINT)
+             AS expected_kept
+         FROM counts, tot ORDER BY source""",
 
     "sql_analytics" -> sqlAnalyticsText,
 
