@@ -1831,6 +1831,57 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "ab_test_lift" -> ((s, dir) => {
+      // experimentation readout: users assigned to arms by stable hash
+      // parity (reproducible — re-running the analysis can't reshuffle
+      // the arms), conversion = user had ≥1 purchase. Counts are exact
+      // integers; the rates and lift are single double divisions of
+      // exact counts, so the readout is engine-exact.
+      val e = t(s, dir, "events")
+      val users = e.groupBy("user_id").agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      val armed = users.withColumn("arm",
+        when(pmod(HashFunctions.fnv64(col("user_id").cast("string")),
+          lit(2L)) === 0, "control").otherwise("treatment"))
+      val per = armed.groupBy("arm").agg(
+        count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+      val rates = per.withColumn("rate",
+        col("n_converted").cast("double") / col("n_users").cast("double"))
+      val c = rates.filter(col("arm") === "control")
+        .select(col("rate").as("control_rate"))
+      rates.crossJoin(broadcast(c))
+        .select(col("arm"), col("n_users"), col("n_converted"),
+          round(col("rate"), 6).as("conversion_rate"),
+          round(col("rate") / col("control_rate"), 6).as("lift_vs_control"))
+        .orderBy("arm")
+    }),
+
+    "funnel_time_to_convert" -> ((s, dir) => {
+      // conversion-latency distribution: per user, first signup → first
+      // purchase AFTER it; report count + quartiles of the latency in
+      // integer milliseconds (exact interpolated percentiles, the
+      // quantile_cont-parity discipline). Both firsts come from ONE
+      // grouped aggregate over the events scan — no window, no self-join.
+      val e = t(s, dir, "events")
+      val firsts = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "signup",
+          expr("unix_millis(ts)"))).as("signup_ms"),
+        min(when(col("event_type") === "purchase",
+          expr("unix_millis(ts)"))).as("purchase_ms"))
+      val lat = firsts
+        .filter(col("signup_ms").isNotNull && col("purchase_ms").isNotNull &&
+          col("purchase_ms") >= col("signup_ms"))
+        .select((col("purchase_ms") - col("signup_ms")).as("latency_ms"))
+      lat.agg(
+        count(lit(1)).as("n_converting_users"),
+        round(expr("percentile(latency_ms, 0.25)"), 4).as("p25"),
+        round(expr("percentile(latency_ms, 0.5)"), 4).as("p50"),
+        round(expr("percentile(latency_ms, 0.75)"), 4).as("p75"),
+        max(col("latency_ms")).as("max_ms"))
+    }),
+
     "attribution_last_touch" -> ((s, dir) => {
       // marketing attribution as an as-of join on the event stream: every
       // purchase is credited to the same user's LATEST click at or before
@@ -3979,6 +4030,51 @@ object SparkEntry {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+    "ab_test_lift" -> {
+      val hv = signedSql(fnvSql("CAST(user_id AS VARCHAR)"))
+      s"""WITH users AS (
+           SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+           FROM events GROUP BY user_id),
+         armed AS (
+           SELECT CASE WHEN (($hv % 2) + 2) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm, converted
+           FROM users),
+         per AS (
+           SELECT arm, count(*) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+           FROM armed GROUP BY arm),
+         rates AS (
+           SELECT arm, n_users, n_converted,
+             CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate
+           FROM per),
+         c AS (SELECT rate AS control_rate FROM rates WHERE arm = 'control')
+         SELECT arm, n_users, n_converted,
+           round(rate, 6) AS conversion_rate,
+           round(rate / control_rate, 6) AS lift_vs_control
+         FROM rates, c ORDER BY arm"""
+    },
+
+    "funnel_time_to_convert" ->
+      """WITH firsts AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+               AS signup_ms,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+               AS purchase_ms
+           FROM events GROUP BY user_id),
+         lat AS (
+           SELECT purchase_ms - signup_ms AS latency_ms FROM firsts
+           WHERE signup_ms IS NOT NULL AND purchase_ms IS NOT NULL
+             AND purchase_ms >= signup_ms)
+         SELECT count(*) AS n_converting_users,
+           round(quantile_cont(latency_ms, 0.25), 4) AS p25,
+           round(quantile_cont(latency_ms, 0.5), 4) AS p50,
+           round(quantile_cont(latency_ms, 0.75), 4) AS p75,
+           CAST(max(latency_ms) AS BIGINT) AS max_ms
+         FROM lat""",
 
     "attribution_last_touch" ->
       """WITH c AS (
