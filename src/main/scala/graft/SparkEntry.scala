@@ -1860,20 +1860,22 @@ object SparkEntry {
 
     "funnel_time_to_convert" -> ((s, dir) => {
       // conversion-latency distribution: per user, first signup → first
-      // purchase AFTER it; report count + quartiles of the latency in
-      // integer milliseconds (exact interpolated percentiles, the
-      // quantile_cont-parity discipline). Both firsts come from ONE
-      // grouped aggregate over the events scan — no window, no self-join.
+      // purchase AT OR AFTER it; report count + quartiles of the latency
+      // in integer milliseconds (exact interpolated percentiles, the
+      // quantile_cont-parity discipline). The signup floor joins back
+      // (broadcast, user-count-sized) so pre-signup purchases are
+      // EXCLUDED from the min rather than disqualifying the user.
       val e = t(s, dir, "events")
-      val firsts = e.groupBy("user_id").agg(
-        min(when(col("event_type") === "signup",
-          expr("unix_millis(ts)"))).as("signup_ms"),
-        min(when(col("event_type") === "purchase",
-          expr("unix_millis(ts)"))).as("purchase_ms"))
-      val lat = firsts
-        .filter(col("signup_ms").isNotNull && col("purchase_ms").isNotNull &&
-          col("purchase_ms") >= col("signup_ms"))
-        .select((col("purchase_ms") - col("signup_ms")).as("latency_ms"))
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(expr("unix_millis(ts)")).as("signup_ms"))
+      val lat = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_millis(ts)").as("pms"))
+        .join(signups, Seq("user_id"))
+        .filter(col("pms") >= col("signup_ms"))
+        .groupBy("user_id", "signup_ms")
+        .agg(min(col("pms")).as("first_after"))
+        .select((col("first_after") - col("signup_ms")).as("latency_ms"))
       lat.agg(
         count(lit(1)).as("n_converting_users"),
         round(expr("percentile(latency_ms, 0.25)"), 4).as("p25"),
@@ -4016,7 +4018,9 @@ object SparkEntry {
       val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
       s"""WITH tk AS (
            SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             END AS n_tokens,
              $hv AS h
            FROM documents),
          sh AS (SELECT doc_id, n_tokens, h, ((h % 8) + 8) % 8 AS shard FROM tk),
@@ -4058,17 +4062,14 @@ object SparkEntry {
     },
 
     "funnel_time_to_convert" ->
-      """WITH firsts AS (
-           SELECT user_id,
-             min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
-               AS signup_ms,
-             min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
-               AS purchase_ms
-           FROM events GROUP BY user_id),
+      """WITH signups AS (
+           SELECT user_id, min(epoch_ms(ts)) AS signup_ms
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
          lat AS (
-           SELECT purchase_ms - signup_ms AS latency_ms FROM firsts
-           WHERE signup_ms IS NOT NULL AND purchase_ms IS NOT NULL
-             AND purchase_ms >= signup_ms)
+           SELECT min(epoch_ms(e.ts)) - s.signup_ms AS latency_ms
+           FROM events e JOIN signups s USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.signup_ms
+           GROUP BY e.user_id, s.signup_ms)
          SELECT count(*) AS n_converting_users,
            round(quantile_cont(latency_ms, 0.25), 4) AS p25,
            round(quantile_cont(latency_ms, 0.5), 4) AS p50,
@@ -4256,7 +4257,7 @@ object SparkEntry {
     "vocab_coverage" ->
       """WITH tok AS (
            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-           FROM documents),
+           FROM documents WHERE trim(lower(text)) <> ''),
          counts AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
          tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts),
          r AS (SELECT tok, freq,
@@ -4272,7 +4273,9 @@ object SparkEntry {
       """WITH tk AS (
            SELECT doc_id,
              string_split_regex(trim(lower(text)), '\s+') AS ts,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             END AS dl
            FROM documents),
          base AS (
            SELECT doc_id, dl,

@@ -79,7 +79,12 @@ object Layout {
     * min/max skipping prunes files for predicates on EITHER column — the
     * multi-dimensional clustering a single-column sort can't give. This is
     * what makes "WHERE a = x AND b BETWEEN .." scans cheap at 100 TB when
-    * the table can only be written once. Returns the quantization ranges.
+    * the table can only be written once.
+    *
+    * Columns are clustered on their integer part (cast to BIGINT before
+    * quantization) — exact for integral columns; fractional columns
+    * cluster at whole-number resolution, which parquet min/max pruning
+    * still benefits from.
     *
     * Reference point: the same layout trick Delta/Iceberg OPTIMIZE ZORDER
     * applies; here it is a plain parquet write with deterministic
@@ -91,8 +96,8 @@ object Layout {
       min(col(colB)).cast("long").as("zb_min"), max(col(colB)).cast("long").as("zb_max"))
     val q = df.crossJoin(broadcast(stats))
       .withColumn("z", zValue(
-        expr(s"(($colA - za_min) * 65535) div (za_max - za_min + 1)"),
-        expr(s"(($colB - zb_min) * 65535) div (zb_max - zb_min + 1)")))
+        expr(s"((CAST($colA AS BIGINT) - za_min) * 65535) div (za_max - za_min + 1)"),
+        expr(s"((CAST($colB AS BIGINT) - zb_min) * 65535) div (zb_max - zb_min + 1)")))
       .drop("za_min", "za_max", "zb_min", "zb_max")
     q.repartitionByRange(numFiles, col("z"))
       .sortWithinPartitions("z")

@@ -190,13 +190,8 @@ object StreamingPipeline {
                                rightTsCol: String,
                                delay: String = "10 minutes",
                                maxGap: String = "30 minutes"): DataFrame = {
-    val l = left.withWatermark(leftTsCol, delay).alias("l")
-    val r = right.withWatermark(rightTsCol, delay).alias("r")
-    l.join(r, expr(
-      s"""l.$keyCol = r.$keyCol AND
-          r.$rightTsCol >= l.$leftTsCol AND
-          r.$rightTsCol <= l.$leftTsCol + INTERVAL $maxGap"""))
-      .drop(col(s"r.$keyCol"))
+    intervalJoin(left, right, keyCol, leftTsCol, rightTsCol, delay, maxGap,
+      "inner")
   }
 
   /** LEFT OUTER stream-stream interval join: same attribution shape as
@@ -209,14 +204,21 @@ object StreamingPipeline {
                                 keyCol: String, leftTsCol: String,
                                 rightTsCol: String,
                                 delay: String = "10 minutes",
-                                maxGap: String = "30 minutes"): DataFrame = {
+                                maxGap: String = "30 minutes"): DataFrame =
+    intervalJoin(left, right, keyCol, leftTsCol, rightTsCol, delay, maxGap,
+      "leftOuter")
+
+  private def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                           leftTsCol: String, rightTsCol: String,
+                           delay: String, maxGap: String,
+                           joinType: String): DataFrame = {
     val l = left.withWatermark(leftTsCol, delay).alias("l")
     val r = right.withWatermark(rightTsCol, delay).alias("r")
     l.join(r, expr(
       s"""l.$keyCol = r.$keyCol AND
           r.$rightTsCol >= l.$leftTsCol AND
           r.$rightTsCol <= l.$leftTsCol + INTERVAL $maxGap"""),
-      "leftOuter")
+      joinType)
       .drop(col(s"r.$keyCol"))
   }
 
@@ -400,7 +402,13 @@ object StreamingPipeline {
   def materializeChangelog(updates: DataFrame, path: String,
                            keyCols: Seq[String], tsCol: String,
                            keepVersions: Int = 2)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // keepVersions == 1 would delete the merge BASE right after writing:
+    // a retry of the next epoch would then find no pre-epoch snapshot and
+    // rebuild the table from its lone micro-batch — permanent key loss
+    require(keepVersions >= 2,
+      s"keepVersions must be >= 2 (the newest pre-epoch snapshot is the " +
+        s"retry merge base); got $keepVersions")
     updates.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -432,6 +440,7 @@ object StreamingPipeline {
         ()
       }
       .start()
+  }
 
   /** Read the newest complete snapshot written by `materializeChangelog`. */
   def readMaterialized(spark: org.apache.spark.sql.SparkSession,
@@ -464,29 +473,48 @@ object StreamingPipeline {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val spark = batch.sparkSession
-        import graft.operators.Dedup
-        val internal = Dedup.minhashDedup(
-          Dedup.exactDedup(batch, idCol, textCol), idCol, textCol,
+        growCorpusBatch(batch, corpusPath, epochId, idCol, textCol, sink,
           shingleSize, bands, rowsPerBand, threshold)
-        // the shared FileStatusCache remembers the previous batch's
-        // directory listing FOREVER (metadataCacheTTLSeconds = -1), so a
-        // fresh read would miss the epochs appended since — invalidate
-        // the path before every corpus read
-        spark.catalog.refreshByPath(corpusPath)
-        val corpus = spark.read.parquet(corpusPath).select(idCol, textCol)
-        val survivors = Dedup.incrementalDedup(
-            internal, corpus, idCol, textCol, shingleSize, bands,
-            rowsPerBand, threshold)
-          .select(idCol, textCol)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$corpusPath/epoch=$epochId")
-        sink(survivors, epochId)
-        survivors.unpersist()
-        ()
       }
       .start()
+
+  /** One micro-batch of the growing-corpus dedup (factored out so a batch
+    * RETRY can be exercised directly in tests). The corpus read EXCLUDES
+    * the current epoch's own partition: a retried batch must not doom its
+    * survivors against the half-committed copy of itself it wrote on the
+    * failed attempt — with the exclusion, re-running an epoch recomputes
+    * the identical survivor set and overwrites the same partition. */
+  private[graft] def growCorpusBatch(batch: DataFrame, corpusPath: String,
+                                     epochId: Long, idCol: String,
+                                     textCol: String,
+                                     sink: (DataFrame, Long) => Unit,
+                                     shingleSize: Int, bands: Int,
+                                     rowsPerBand: Int,
+                                     threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    import graft.operators.Dedup
+    val internal = Dedup.minhashDedup(
+      Dedup.exactDedup(batch, idCol, textCol), idCol, textCol,
+      shingleSize, bands, rowsPerBand, threshold)
+    // the shared FileStatusCache remembers the previous batch's
+    // directory listing FOREVER (metadataCacheTTLSeconds = -1), so a
+    // fresh read would miss the epochs appended since — invalidate
+    // the path before every corpus read
+    spark.catalog.refreshByPath(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+      .filter(col("epoch") =!= epochId.toString)
+      .select(idCol, textCol)
+    val survivors = Dedup.incrementalDedup(
+        internal, corpus, idCol, textCol, shingleSize, bands,
+        rowsPerBand, threshold)
+      .select(idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$corpusPath/epoch=$epochId")
+    sink(survivors, epochId)
+    survivors.unpersist()
+    ()
+  }
 
   /** Session-windowed aggregation (gap-based, event-time): the streaming
     * form of the batch gaps-and-islands sessionization. `session_window`

@@ -344,6 +344,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("growing-corpus dedup: a RETRIED epoch recomputes identical survivors (no self-doom)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_retry").toString + "/corpus"
+    val textA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val textC = "red orange yellow green blue indigo violet crimson amber teal navy maroon"
+    Seq((1L, textA)).toDF("doc_id", "text").write.parquet(s"$base/epoch=seed")
+    val batch = Seq((11L, textC)).toDF("doc_id", "text")
+    var out = Set.empty[Long]
+    def run(): Unit = StreamingPipeline.growCorpusBatch(batch, base, 7L,
+      "doc_id", "text",
+      (df, _) => out = df.select("doc_id").collect().map(_.getLong(0)).toSet,
+      3, 16, 4, 0.8)
+    run()
+    assert(out == Set(11L))
+    // retry of the SAME epoch: the corpus read must exclude epoch=7's own
+    // half-committed write, or the survivor dooms itself and vanishes
+    run()
+    assert(out == Set(11L), "retry doomed its own survivors")
+    val corpus = spark.read.parquet(base)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 11L))
+  }
+
+  test("materializeChangelog rejects keepVersions < 2 (would delete the retry merge base)") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      StreamingPipeline.materializeChangelog(
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+          .toDF("key", "ts", "v"),
+        "/tmp/unused", Seq("key"), "ts", keepVersions = 1)
+    }
+    assert(ex.getMessage.contains("keepVersions"))
+  }
+
   test("transformWithState: TTL'd state expires an idle key and restarts clean") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.UserEvent
