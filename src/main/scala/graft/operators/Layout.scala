@@ -94,10 +94,28 @@ object Layout {
     val stats = df.agg(
       min(col(colA)).cast("long").as("za_min"), max(col(colA)).cast("long").as("za_max"),
       min(col(colB)).cast("long").as("zb_min"), max(col(colB)).cast("long").as("zb_max"))
+    // Quantize to a FULL 16-bit bucket space in both regimes:
+    //  - small range (< 2^46): multiply-first (offset*65535 div range+1)
+    //    scales narrow domains UP so both dimensions contribute 16
+    //    balanced bits to the interleave (identity/divide-first would
+    //    leave a narrow column only a few significant bits and the
+    //    z-curve would degenerate to a single-column sort);
+    //  - huge range (≥ 2^46, e.g. epoch-micros/nanos or hash-derived
+    //    keys): multiply-first overflows Long past ~2^47 and wraps
+    //    buckets negative, so divide-first (offset div (range div 65536
+    //    + 1)) — which loses only sub-bucket resolution the 16-bit
+    //    quantizer discards anyway.
+    def bucket16(c: String, minC: String, maxC: String): Column = expr(
+      s"""CASE WHEN ($maxC - $minC) < ${1L << 46}
+         |  THEN ((CAST($c AS BIGINT) - $minC) * 65535)
+         |       div ($maxC - $minC + 1)
+         |  ELSE (CAST($c AS BIGINT) - $minC)
+         |       div ((($maxC - $minC) div 65536) + 1)
+         |END""".stripMargin)
     val q = df.crossJoin(broadcast(stats))
       .withColumn("z", zValue(
-        expr(s"((CAST($colA AS BIGINT) - za_min) * 65535) div (za_max - za_min + 1)"),
-        expr(s"((CAST($colB AS BIGINT) - zb_min) * 65535) div (zb_max - zb_min + 1)")))
+        bucket16(colA, "za_min", "za_max"),
+        bucket16(colB, "zb_min", "zb_max")))
       .drop("za_min", "za_max", "zb_min", "zb_max")
     q.repartitionByRange(numFiles, col("z"))
       .sortWithinPartitions("z")

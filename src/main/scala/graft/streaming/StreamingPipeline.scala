@@ -398,10 +398,18 @@ object StreamingPipeline {
     * `v=<epoch>`; readers always see a whole version, never a partial
     * write, and a batch RETRY rewrites its own version (reads the max
     * version BELOW the epoch) — exactly-once without a table format.
-    * Old snapshots are pruned down to `keepVersions`. */
+    * Old snapshots are pruned down to `keepVersions`.
+    *
+    * Exactly-once across QUERY RESTARTS requires `checkpointLocation`:
+    * without it Spark restarts epochIds at 0, the merge-base lookup
+    * (`versions < epochId`) finds nothing, and the first post-restart
+    * batch silently rebuilds v=0 from one micro-batch. With it, epoch
+    * IDs continue monotonically and the merge chain is unbroken. Only
+    * omit it for single-run tests. */
   def materializeChangelog(updates: DataFrame, path: String,
                            keyCols: Seq[String], tsCol: String,
-                           keepVersions: Int = 2)
+                           keepVersions: Int = 2,
+                           checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // keepVersions == 1 would delete the merge BASE right after writing:
     // a retry of the next epoch would then find no pre-epoch snapshot and
@@ -409,16 +417,16 @@ object StreamingPipeline {
     require(keepVersions >= 2,
       s"keepVersions must be >= 2 (the newest pre-epoch snapshot is the " +
         s"retry merge base); got $keepVersions")
-    updates.writeStream
+    val writer = updates.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
         val hPath = new org.apache.hadoop.fs.Path(path)
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val versions =
-          if (!fs.exists(hPath)) Seq.empty[Long]
-          else fs.listStatus(hPath).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+        // only COMPLETE snapshots (job-committed, _SUCCESS present) are
+        // merge-base candidates — a version left half-written by a crash
+        // mid-overwrite must never seed the next merge
+        val versions = completeVersions(fs, hPath)
         val cur = versions.filter(_ < epochId).sorted.lastOption
         val withSrc = batch.withColumn("_src", lit(1))
         val all = cur
@@ -427,9 +435,14 @@ object StreamingPipeline {
           .getOrElse(withSrc)
         val others = all.columns.toSeq
           .filterNot(c => keyCols.contains(c) || c == "_src")
+        // ordering: event time, then batch-beats-snapshot, then a stable
+        // content hash — two same-key updates with equal tsCol in one
+        // batch would otherwise tie at (ts, 1) and a retry could pick the
+        // other row, rewriting v=<epoch> with different contents
         val merged = all.groupBy(keyCols.map(col): _*)
           .agg(max_by(struct(others.map(col): _*),
-            struct(col(tsCol), col("_src"))).as("r"))
+            struct(col(tsCol), col("_src"),
+              xxhash64(others.map(col): _*))).as("r"))
           .select(keyCols.map(col) ++
             others.map(c => col(s"r.$c").as(c)): _*)
         merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -439,17 +452,32 @@ object StreamingPipeline {
             new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
         ()
       }
-      .start()
+    checkpointLocation.foreach(cp => writer.option("checkpointLocation", cp))
+    writer.start()
   }
 
-  /** Read the newest complete snapshot written by `materializeChangelog`. */
+  /** Versions under `path` whose parquet job commit finished (`_SUCCESS`
+    * present). A `v=<epoch>` directory is visible to listStatus the moment
+    * the overwrite starts, so readers and merge-base lookups must ignore
+    * in-progress or crashed-partial snapshots. */
+  private def completeVersions(fs: org.apache.hadoop.fs.FileSystem,
+                               hPath: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(hPath)) Seq.empty[Long]
+    else fs.listStatus(hPath).toSeq
+      .filter(st => st.getPath.getName.startsWith("v=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(2).toLong)
+
+  /** Read the newest COMPLETE snapshot written by `materializeChangelog` —
+    * only versions whose `_SUCCESS` marker exists are considered, so a
+    * concurrent reader never sees the in-progress epoch as "latest". */
   def readMaterialized(spark: org.apache.spark.sql.SparkSession,
                        path: String): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val latest = fs.listStatus(hPath).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong).max
-    spark.read.parquet(s"$path/v=$latest")
+    val versions = completeVersions(fs, hPath)
+    require(versions.nonEmpty, s"no complete snapshot under $path")
+    spark.read.parquet(s"$path/v=${versions.max}")
   }
 
   /** Streaming dedup with a GROWING corpus — the true production shape of
@@ -463,20 +491,28 @@ object StreamingPipeline {
     * RETRY rewrites the same partition instead of double-appending, which
     * is what makes the grown corpus exactly-once. Seed the corpus by
     * writing initial docs to `<corpusPath>/epoch=seed`. Batches execute
-    * strictly sequentially, so read-then-append needs no external lock. */
+    * strictly sequentially, so read-then-append needs no external lock.
+    *
+    * As with [[materializeChangelog]], pass `checkpointLocation` for any
+    * query that may RESTART: a restart without it resets epochId to 0 and
+    * the retry-exclusion (`epoch =!= epochId`) would then exclude — and
+    * the overwrite would clobber — epoch=0 survivors from the prior run. */
   def dedupStreamGrowingCorpus(docs: DataFrame, corpusPath: String,
                                idCol: String, textCol: String,
                                sink: (DataFrame, Long) => Unit = (_, _) => (),
                                shingleSize: Int = 3, bands: Int = 16,
-                               rowsPerBand: Int = 4, threshold: Double = 0.8)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+                               rowsPerBand: Int = 4, threshold: Double = 0.8,
+                               checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         growCorpusBatch(batch, corpusPath, epochId, idCol, textCol, sink,
           shingleSize, bands, rowsPerBand, threshold)
       }
-      .start()
+    checkpointLocation.foreach(cp => writer.option("checkpointLocation", cp))
+    writer.start()
+  }
 
   /** One micro-batch of the growing-corpus dedup (factored out so a batch
     * RETRY can be exercised directly in tests). The corpus read EXCLUDES

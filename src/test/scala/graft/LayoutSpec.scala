@@ -106,4 +106,26 @@ class LayoutSpec extends SparkSpec {
     // layout must not lose or duplicate rows
     assert(spark.read.parquet(s"$base/zorder").count() == li.count())
   }
+
+  test("z-ordered layout survives value ranges past 2^47 (epoch-nanos keys)") {
+    val base = Files.createTempDirectory("graft_zorder_big").toString
+    // ranges ~2^53: the multiply-first quantization ((x-min)*65535)
+    // overflowed Long here and wrapped buckets negative
+    val big = spark.range(0, 4096).selectExpr(
+      "id * 2199023255552L AS t_nanos", // step 2^41, range ~2^53
+      "(4095 - id) * 2199023255552L AS k_hash",
+      "id AS v")
+    Layout.writeZOrdered(big, s"$base/z", "t_nanos", "k_hash", 8)
+    val back = spark.read.parquet(s"$base/z")
+    assert(back.count() == 4096)
+    // clustering must survive: a point-range lookup on the SECOND dim
+    // touches a strict subset of files (wrapped z-values would scatter
+    // every key range across all files)
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg(min("k_hash").as("lo"), max("k_hash").as("hi"))
+    val mid = 2048L * 2199023255552L
+    val hits = spans.filter(col("lo") <= mid && col("hi") >= mid).count()
+    val total = spans.count()
+    assert(hits < total, s"no pruning on huge-range keys: $hits/$total")
+  }
 }

@@ -367,6 +367,75 @@ class StreamingSpec extends SparkSpec {
     assert(corpus == Set(1L, 11L))
   }
 
+  test("materialized changelog: checkpointed RESTART continues the merge chain (no key loss)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat_restart")
+    val base = dir.toString + "/table"
+    val cp = dir.toString + "/cp"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("key", "ts", "v")
+    val q1 = StreamingPipeline.materializeChangelog(df, base, Seq("key"), "ts",
+      checkpointLocation = Some(cp))
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 10.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: epochId must CONTINUE past the
+    // pre-restart snapshot, so the new batch merges with it instead of
+    // rebuilding v=0 from one micro-batch and dropping key 1
+    input.addData((2L, ts("2024-01-01 11:00:00"), 5.0))
+    val q2 = StreamingPipeline.materializeChangelog(df, base, Seq("key"), "ts",
+      checkpointLocation = Some(cp))
+    try q2.processAllAvailable() finally q2.stop()
+    val snap = StreamingPipeline.readMaterialized(spark, base)
+      .select("key", "v").as[(Long, Double)].collect().toMap
+    assert(snap == Map(1L -> 10.0, 2L -> 5.0),
+      s"restart lost pre-restart keys: $snap")
+  }
+
+  test("readMaterialized ignores an in-progress/crashed version (no _SUCCESS)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_mat_atomic")
+      .toString + "/table"
+    Seq((1L, 10.0)).toDF("key", "v").write.parquet(s"$base/v=0")
+    // simulate a crash mid-overwrite of v=1: directory exists, files
+    // half-written, no _SUCCESS job-commit marker
+    val v1 = new java.io.File(s"$base/v=1")
+    v1.mkdirs()
+    java.nio.file.Files.write(v1.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    val snap = StreamingPipeline.readMaterialized(spark, base)
+      .select("key", "v").as[(Long, Double)].collect().toMap
+    assert(snap == Map(1L -> 10.0), s"read a partial snapshot: $snap")
+  }
+
+  test("changelog merge breaks equal-timestamp ties deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two updates for the SAME key with the SAME ts in one batch: the
+    // winner must be the same on every (re)run or a batch retry rewrites
+    // the version with different contents
+    def runOnce(): Map[Long, Double] = {
+      val base = java.nio.file.Files.createTempDirectory("graft_mat_tie")
+        .toString + "/table"
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val q = StreamingPipeline.materializeChangelog(
+        input.toDF().toDF("key", "ts", "v"), base, Seq("key"), "ts")
+      try {
+        input.addData((1L, ts("2024-01-01 10:00:00"), 10.0),
+          (1L, ts("2024-01-01 10:00:00"), 99.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      StreamingPipeline.readMaterialized(spark, base)
+        .select("key", "v").as[(Long, Double)].collect().toMap
+    }
+    val runs = (1 to 3).map(_ => runOnce())
+    assert(runs.distinct.size == 1, s"tie-break nondeterministic: $runs")
+  }
+
   test("materializeChangelog rejects keepVersions < 2 (would delete the retry merge base)") {
     import spark.implicits._
     val ex = intercept[IllegalArgumentException] {
