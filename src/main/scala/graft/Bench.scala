@@ -1,9 +1,17 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout.
+  * SPARK_GRAFT_SF_DIR and prints its results as JSON on stdout.
+  *
+  * Output is TWO lines, compact headline first: the full per-query map
+  * grew past the driver's tail-capture buffer in round 3 (`parsed:
+  * null`), so the parse-critical totals (total, errors, enrich rps,
+  * worst-5, streaming metrics) now print as their own short line BEFORE
+  * the per-query line — whatever the buffer truncates, the headline
+  * stays parseable.
   *
   * A warmup pass at sf0.001 runs first so JIT/codegen/parquet-footer
   * costs don't land on whichever query happens to execute first; timed
@@ -15,6 +23,73 @@ import org.apache.spark.sql.SparkSession
   * query can never make the totals look like an improvement.
   */
 object Bench {
+
+  /** Steady-state result of the streaming leg. Latencies are per-micro-
+    * batch trigger-to-commit durations in ms over the steady window. */
+  final case class StreamingLegResult(rowsPerSec: Long, p50Ms: Double,
+                                      p99Ms: Double, batches: Int,
+                                      rows: Long)
+
+  /** Time the reference's ACTUAL topology — an unbounded record stream
+    * through enrich → hotels_count emitting an update-mode changelog —
+    * rather than its batch restatement. The sf dir's lineitem⋈orders
+    * records are staged as `nFiles` parquet files and streamed back with
+    * maxFilesPerTrigger=1, so each file is one micro-batch; the first
+    * `warmupBatches` batches (state-store + codegen warmup) are excluded
+    * from the steady-state window.
+    *
+    * Drain detection POLLS the progress feed until every staged row is
+    * consumed (the NOTES_r3 protocol: `processAllAvailable` hangs on
+    * state-TTL queries, so the bench harness never depends on it). */
+  private[graft] def streamingLeg(spark: SparkSession, sfDir: String,
+                                  nFiles: Int = 24, warmupBatches: Int = 3,
+                                  timeoutSec: Int = 600): StreamingLegResult = {
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_stream_bench").toString + "/records"
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_shipdate")
+    val o = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderdate")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey").as("id"),
+        col("l_partkey").as("hotel_id"),
+        col("o_orderdate").cast("string").as("srch_ci"),
+        col("l_shipdate").cast("string").as("srch_co"))
+      .repartition(nFiles)
+      .write.parquet(staging)
+    val total = spark.read.parquet(staging).count()
+    val schema = spark.read.parquet(staging).schema
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging)
+    val q = graft.streaming.StreamingPipeline.changelogWriter(stream)
+      .format("memory")
+      .queryName(s"stream_bench_${System.nanoTime()}")
+      .start()
+    try {
+      val deadline = System.nanoTime() + timeoutSec * 1000L * 1000 * 1000
+      def consumed(): Long = q.recentProgress.map(_.numInputRows).sum
+      while (consumed() < total && q.exception.isEmpty &&
+             System.nanoTime() < deadline)
+        Thread.sleep(100)
+      q.exception.foreach(throw _)
+      require(consumed() >= total,
+        s"streaming leg timed out: ${consumed()}/$total rows in ${timeoutSec}s")
+
+      val batches = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0).sortBy(_.batchId)
+      val steady = batches.drop(math.min(warmupBatches, batches.size - 1))
+      val durs = steady
+        .map(_.durationMs.get("triggerExecution").toDouble).sorted
+      def pct(p: Double): Double =
+        durs(math.min(durs.size - 1, (p * durs.size).toInt))
+      val steadyRows = steady.map(_.numInputRows).sum
+      val rps = (steadyRows / math.max(1e-9, durs.sum / 1000.0)).toLong
+      StreamingLegResult(rps, pct(0.50), pct(0.99), steady.size, steadyRows)
+    } finally {
+      if (q.isActive) q.stop()
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -73,11 +148,15 @@ object Bench {
         }
       (name, if (ok) sec else -1.0, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    val worst5 = results.filter(_._3).sortBy(-_._2).take(5)
+      .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
 
     // throughput of the reference's core topology (enrich → hotels_count)
     // in records/sec — the number to hold against the reference's
@@ -88,7 +167,23 @@ object Bench {
     val enrichSec = (System.nanoTime() - t0) / 1e9
     val rps = (rows / enrichSec).toLong
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","enrich_rows_per_sec":$rps}""")
+    // streaming leg — the reference topology as an actual stream (skipped
+    // in the SPARK_GRAFT_BENCH_ONLY dev loop or with
+    // SPARK_GRAFT_BENCH_STREAMING=0)
+    val streaming =
+      if (only.isDefined ||
+          sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0")) None
+      else Some(streamingLeg(spark, sfDir))
+    val streamingJson = streaming.map(r =>
+      s""","streaming_rows_per_sec":${r.rowsPerSec}""" +
+      s""","streaming_latency_ms_p50":${f3(r.p50Ms)}""" +
+      s""","streaming_latency_ms_p99":${f3(r.p99Ms)}""" +
+      s""","streaming_batches":${r.batches}""").getOrElse("")
+
+    // compact parse-critical headline FIRST (short enough to always fit
+    // the driver's tail buffer), full per-query map second
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":$errors,"sf":"$sfDir","enrich_rows_per_sec":$rps,"worst5":$worst5$streamingJson}""")
+    println(s"""{"metric":"queries","unit":"sec","sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

@@ -1213,13 +1213,38 @@ object SparkEntry {
       // rank rows inside each stratum by their content hash and keep the
       // first 20 — a uniform-without-replacement sample that is stable
       // across runs, engines, and (unlike rand-ranked) partitionings.
+      //
+      // Scale shape: ranking every row would shuffle+sort the whole table
+      // to keep 20 rows per group. Instead a cheap count pass sets a
+      // per-stratum hash THRESHOLD admitting ~k·margin expected rows
+      // (margin 10 ⇒ ~200), the threshold broadcast-joins back, and the
+      // window ranks only the survivors — the sort sees ~200 rows per
+      // stratum whether the table is 60 k rows or 100 TB. Recall-safe:
+      // the top-20-by-hash all lie below the threshold unless a stratum
+      // draws < 20 of an expected 200 uniform hashes (P < 1e-60); strata
+      // too small to thin (n ≤ 2·k·margin, where the f ≥ ½ scaling could
+      // also overflow the Long cast) skip the filter entirely.
+      val k = 20L
+      val margin = 10L
       val li = t(s, dir, "lineitem")
       val h = HashFunctions.fnv64(
         concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+      val withH = li.withColumn("_h", h)
+      val thresholds = withH.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("_n"))
+        .withColumn("_thresh",
+          when(col("_n") <= lit(2L * k * margin), lit(Long.MaxValue))
+            .otherwise(lit(Long.MinValue) +
+              (lit((k * margin).toDouble * math.pow(2.0, 64)) / col("_n"))
+                .cast("long")))
+        .select("l_returnflag", "_thresh")
+      val pref = withH
+        .join(broadcast(thresholds), "l_returnflag")
+        .filter(col("_h") <= col("_thresh"))
       val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(h.asc, col("l_orderkey"), col("l_linenumber"))
-      li.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 20)
+        .orderBy(col("_h").asc, col("l_orderkey"), col("l_linenumber"))
+      pref.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
         .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"))
         .orderBy("l_returnflag", "rn")

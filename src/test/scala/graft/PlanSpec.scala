@@ -42,6 +42,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("sample_reservoir: hash-threshold filter runs BELOW the window, threshold broadcast") {
+    val p = plan("sample_reservoir")
+    // the pre-filter must gate the window's input (filter printed deeper
+    // than the Window node in the top-down tree), so the sort ranks only
+    // ~k·margin survivors per stratum, never the whole table
+    val winIdx = p.indexOf("Window")
+    // the predicate folds into the broadcast join: (_h#N <= _thresh#M)
+    val filterIdx = "_h#\\d+L? <= _thresh#\\d+L?".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(winIdx >= 0 && filterIdx >= 0, p)
+    assert(filterIdx > winIdx, s"threshold filter not below the window:\n$p")
+    // per-stratum thresholds are metadata-sized: broadcast, never SMJ
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("anomaly_zscore: stats join is broadcast, fact not shuffled") {
     val p = plan("anomaly_zscore")
     assert(p.contains("BroadcastHashJoin"), p)

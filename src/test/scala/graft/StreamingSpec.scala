@@ -436,6 +436,15 @@ class StreamingSpec extends SparkSpec {
     assert(runs.distinct.size == 1, s"tie-break nondeterministic: $runs")
   }
 
+  test("streaming bench leg drains via sink-polling and reports sane metrics") {
+    val r = Bench.streamingLeg(spark, sfDir, nFiles = 6, warmupBatches = 2,
+      timeoutSec = 180)
+    assert(r.batches >= 1, s"no steady-state batches: $r")
+    assert(r.rows > 0, s"no rows in steady window: $r")
+    assert(r.rowsPerSec > 0, s"zero throughput: $r")
+    assert(r.p99Ms >= r.p50Ms && r.p50Ms > 0, s"latency quantiles broken: $r")
+  }
+
   test("materializeChangelog rejects keepVersions < 2 (would delete the retry merge base)") {
     import spark.implicits._
     val ex = intercept[IllegalArgumentException] {
