@@ -23,11 +23,15 @@ import scala.jdk.CollectionConverters._
   * objects), schema resolved once on the driver from the first file
   * header and broadcast as JSON.
   *
-  * Scale notes: Avro container files are splittable on sync markers; this
-  * reader parallelizes per FILE, not per block, which is the right grain
-  * when ingest produces many files (the blob-connector layout) but would
-  * under-parallelize a single giant file — documented limitation, the
-  * fix (sync-marker seek per split) changes only `read`'s partitioning.
+  * Scale notes: Avro container files are splittable on sync markers and
+  * this reader SPLITS WITHIN files: each file is cut into `splitBytes`
+  * byte ranges, a task seeks to the first 16-byte sync marker after its
+  * range start (`DataFileReader.sync`) and reads whole blocks until the
+  * marker past its range end (`pastSync`) — the classic Hadoop Avro
+  * split protocol, so a single giant container file reads with
+  * length/splitBytes-way parallelism and every block is consumed by
+  * exactly one task (a block belongs to the range containing its
+  * preceding sync marker).
   *
   * Type surface: null, boolean, int, long, float, double, string, bytes,
   * fixed, nullable unions [null, T], and arrays of the above. Enums
@@ -101,34 +105,87 @@ object AvroSource {
 
   // ----------------------------------------------------------------- read
 
-  /** Read a directory (or glob) of Avro container files as a DataFrame.
-    * One task per file; records are streamed off the DataFileStream and
-    * converted row-by-row. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.sparkContext.binaryFiles(path)
-    // schema from the first file's header, on the driver; ship as JSON
-    // (org.apache.avro.Schema serialization is version-sensitive)
-    val headerStream = files.first()._2.open()
+  /** `SeekableInput` over a Hadoop filesystem stream — what
+    * `DataFileReader.sync`/`pastSync` need to split on markers. The
+    * executor re-opens the filesystem from the file URI with a default
+    * Configuration (site configs resolve from the executor classpath on a
+    * real cluster; local/file URIs need none). */
+  private class HadoopSeekableInput(uri: String)
+      extends org.apache.avro.file.SeekableInput {
+    private val p = new org.apache.hadoop.fs.Path(uri)
+    private val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    private val len = fs.getFileStatus(p).getLen
+    private val in = fs.open(p)
+    def length(): Long = len
+    def seek(pos: Long): Unit = in.seek(pos)
+    def tell(): Long = in.getPos
+    def read(b: Array[Byte], off: Int, n: Int): Int = in.read(b, off, n)
+    def close(): Unit = in.close()
+  }
+
+  /** One byte-range split of one container file. */
+  private case class AvroSplit(uri: String, start: Long, end: Long)
+
+  /** Read a directory (or single file) of Avro container files as a
+    * DataFrame, one task per `splitBytes` byte range of each file.
+    * Records stream off the DataFileReader block by block — a whole file
+    * is never materialized. Schema comes from the first file's header on
+    * the driver and ships as JSON (org.apache.avro.Schema serialization
+    * is version-sensitive). */
+  def read(spark: SparkSession, path: String,
+           splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(splitBytes > 0, s"splitBytes must be positive: $splitBytes")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = (if (fs.getFileStatus(hPath).isDirectory)
+      fs.listStatus(hPath).toSeq else Seq(fs.getFileStatus(hPath)))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+    require(files.nonEmpty, s"no Avro files under $path")
+
+    val headerStream = fs.open(files.head.getPath)
     val schemaJson =
       try new DataFileStream(headerStream,
         new GenericDatumReader[GenericRecord]()).getSchema.toString
       finally headerStream.close()
     val structType = toStructType(new Schema.Parser().parse(schemaJson))
     val width = structType.size
-    val rows = files.flatMap { case (_, pds) =>
-      val reader = new DataFileStream(pds.open(),
-        new GenericDatumReader[GenericRecord](new Schema.Parser().parse(schemaJson)))
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
-        def next(): Row = {
-          val rec = reader.next()
-          val vals = new Array[Any](width)
-          var i = 0
-          while (i < width) { vals(i) = fromAvro(rec.get(i)); i += 1 }
-          new GenericRow(vals)
+
+    val splits = files.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map(i => AvroSplit(st.getPath.toString, i * splitBytes,
+        math.min((i + 1) * splitBytes, len)))
+    }
+    val rows = spark.sparkContext
+      .parallelize(splits, splits.size)
+      .flatMap { split =>
+        val reader = new org.apache.avro.file.DataFileReader(
+          new HadoopSeekableInput(split.uri),
+          new GenericDatumReader[GenericRecord](
+            new Schema.Parser().parse(schemaJson)))
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
+        // Hadoop Avro split protocol: position at the first sync marker
+        // after `start`, stop once past the first marker after `end` —
+        // each block is read by exactly the split owning its preceding
+        // marker (the header's trailing marker for the first block)
+        reader.sync(split.start)
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = reader.hasNext && !reader.pastSync(split.end)
+            if (!h) reader.close()
+            h
+          }
+          def next(): Row = {
+            val rec = reader.next()
+            val vals = new Array[Any](width)
+            var i = 0
+            while (i < width) { vals(i) = fromAvro(rec.get(i)); i += 1 }
+            new GenericRow(vals)
+          }
         }
       }
-    }
     spark.createDataFrame(rows, structType)
   }
 
@@ -153,7 +210,8 @@ object AvroSource {
     * with shared storage, which is where a blob-connector layout lives
     * anyway. DEV/TEST writer: the production sink for this engine remains
     * parquet; this exists to exercise the Avro read path end-to-end. */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String,
+            syncIntervalBytes: Int = 64000): Unit = {
     val st = df.schema
     val avroJson = toAvroSchema(st).toString
     val width = st.size
@@ -163,6 +221,9 @@ object AvroSource {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val out = new java.io.FileOutputStream(s"$path/part-$pid.avro")
       val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      // small intervals ⇒ many blocks ⇒ many sync markers: what makes a
+      // single big file splittable for the range reader
+      writer.setSyncInterval(syncIntervalBytes)
       writer.create(schema, out)
       try {
         it.foreach { row =>

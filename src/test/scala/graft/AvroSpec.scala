@@ -74,6 +74,34 @@ class AvroSpec extends SparkSpec {
     assert(st("b").dataType == StringType)
   }
 
+  test("a single multi-block file splits on sync markers: >1 task, every record exactly once") {
+    // ONE writer partition -> ONE container file; a tiny sync interval
+    // forces many blocks/markers inside it
+    val df = spark.range(0, 20000).coalesce(1)
+      .select(col("id"), concat(lit("payload-"), col("id")).as("label"))
+    val dir = Files.createTempDirectory("graft_avro_split").toString
+    AvroSource.write(df, dir, syncIntervalBytes = 2048)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1, s"expected one file: ${files.toSeq}")
+    val fileLen = files.head.length()
+    // split ~8 ways
+    val back = AvroSource.read(spark, dir, splitBytes = fileLen / 8 + 1)
+    assert(back.rdd.getNumPartitions > 1,
+      s"single file not split: ${back.rdd.getNumPartitions} partitions")
+    // no record lost or duplicated across split boundaries
+    assert(back.count() == 20000)
+    assert(back.select("id").distinct().count() == 20000)
+    assert(back.agg(sum("id")).head().getLong(0) == 199990000L)
+    // more than one split actually carries rows (blocks distribute)
+    val nonEmpty = back.rdd.mapPartitions(it => Iterator(it.size))
+      .collect().count(_ > 0)
+    assert(nonEmpty > 1, s"all rows landed in one split: $nonEmpty")
+    // degenerate splits (range smaller than a block) still lose nothing
+    val tiny = AvroSource.read(spark, dir, splitBytes = 1500)
+    assert(tiny.count() == 20000)
+    assert(tiny.select("id").distinct().count() == 20000)
+  }
+
   test("lineitem projection roundtrips against the parquet original") {
     val li = sources.Tables.load(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
