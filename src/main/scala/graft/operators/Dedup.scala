@@ -123,8 +123,21 @@ object Dedup {
     * one full text pass instead of two. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                   threshold: Double = 0.8): DataFrame = {
-    val sh = hashedShingleTable(docs, idCol, textCol, shingleSize)
+                   threshold: Double = 0.8): DataFrame =
+    minhashPairsFromShingles(
+      hashedShingleTable(docs, idCol, textCol, shingleSize), idCol,
+      bands, rowsPerBand, threshold)
+
+  /** `minhashPairs` over a PRECOMPUTED (id, hs) hashed-shingle table —
+    * the shape that lets one materialized shingle pass feed the whole
+    * dedup family (pairs, clusters, survivors, best-of-cluster) instead
+    * of each re-tokenizing the corpus. At 100 TB the shingle table is an
+    * index artifact on storage; here it is whatever DataFrame the caller
+    * memoized. */
+  def minhashPairsFromShingles(sh0: DataFrame, idCol: String,
+                               bands: Int = 16, rowsPerBand: Int = 4,
+                               threshold: Double = 0.8): DataFrame = {
+    val sh = sh0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatesFromBuckets(
       bucketsFromShingles(sh, idCol, bands = bands, rowsPerBand = rowsPerBand),
@@ -151,9 +164,19 @@ object Dedup {
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 3, window: Int = 4,
                      minShared: Int = 2,
-                     maxPrintDf: Int = 100000): DataFrame = {
-    val e = docs.select(col(idCol),
-      explode(winnowedPrints(col(textCol), shingleSize, window)).as("p"))
+                     maxPrintDf: Int = 100000): DataFrame =
+    winnowingPairsFromShingles(
+      hashedShingleTable(docs, idCol, textCol, shingleSize), idCol,
+      window, minShared, maxPrintDf)
+
+  /** `winnowingPairs` over a precomputed (id, hs) shingle table. `hs`
+    * must be the RAW (ordered, undeduplicated) shingle sequence —
+    * winnowing slides over consecutive shingles. */
+  def winnowingPairsFromShingles(sh0: DataFrame, idCol: String,
+                                 window: Int = 4, minShared: Int = 2,
+                                 maxPrintDf: Int = 100000): DataFrame = {
+    val e = sh0.select(col(idCol),
+      explode(HashFunctions.winnow(col("hs"), window)).as("p"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = e.groupBy("p").count()
       .filter(col("count").between(2, maxPrintDf))
@@ -179,14 +202,23 @@ object Dedup {
   def minhashEstimatePairs(docs: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int = 3, k: Int = 16,
                            minEstimate: Double = 0.5,
-                           maxComponentDf: Int = 100000): DataFrame = {
+                           maxComponentDf: Int = 100000): DataFrame =
+    minhashEstimatePairsFromShingles(
+      hashedShingleTable(docs, idCol, textCol, shingleSize), idCol,
+      k, minEstimate, maxComponentDf)
+
+  /** `minhashEstimatePairs` over a precomputed (id, hs) shingle table. */
+  def minhashEstimatePairsFromShingles(sh0: DataFrame, idCol: String,
+                                       k: Int = 16,
+                                       minEstimate: Double = 0.5,
+                                       maxComponentDf: Int = 100000): DataFrame = {
     // the signature IS the index: explode (j, component) and self-join on
     // component equality — each matching (j, c) row pair is one matching
     // signature position, so count(*) per doc pair = m directly. k rows
     // per doc instead of a full shingle inverted index (~|doc|/k× less
     // shuffle), and no shingle-set or zip-compare step at all.
-    val sigs = docs.select(col(idCol), HashFunctions.minhashFromHashes(
-        hashedShingles(col(textCol), shingleSize), k).as("sig"))
+    val sigs = sh0.select(col(idCol),
+        HashFunctions.minhashFromHashes(col("hs"), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = sigs.select(col(idCol), posexplode(col("sig")).as(Seq("j", "c")))
     // df=1 components can't match; the upper cap bounds boilerplate-heavy
@@ -215,6 +247,17 @@ object Dedup {
                    threshold: Double = 0.8): DataFrame = {
     val doomed = minhashPairs(docs, idCol, textCol, shingleSize, bands,
       rowsPerBand, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  /** `minhashDedup` with the pair generation fed by a precomputed (id, hs)
+    * shingle table for `docs`. */
+  def minhashDedupFromShingles(docs: DataFrame, sh: DataFrame, idCol: String,
+                               bands: Int = 16, rowsPerBand: Int = 4,
+                               threshold: Double = 0.8): DataFrame = {
+    val doomed = minhashPairsFromShingles(sh, idCol, bands, rowsPerBand,
+      threshold)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(doomed, Seq(idCol), "left_anti")
   }
@@ -308,10 +351,16 @@ object Dedup {
     * (Σ df² with df∈[2, maxShingleDf], never n²). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, threshold: Double = 0.8,
-                       maxShingleDf: Int = 100000): DataFrame = {
-    val sh = docs.select(
-      col(idCol),
-      array_distinct(hashedShingles(col(textCol), shingleSize)).as("sh"))
+                       maxShingleDf: Int = 100000): DataFrame =
+    containmentPairsFromShingles(
+      hashedShingleTable(docs, idCol, textCol, shingleSize), idCol,
+      threshold, maxShingleDf)
+
+  /** `containmentPairs` over a precomputed (id, hs) shingle table. */
+  def containmentPairsFromShingles(sh0: DataFrame, idCol: String,
+                                   threshold: Double = 0.8,
+                                   maxShingleDf: Int = 100000): DataFrame = {
+    val sh = sh0.select(col(idCol), array_distinct(col("hs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
     val e = sh.select(col(idCol), explode(col("sh")).as("h"))
