@@ -14,9 +14,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   * engine-replicable bit-for-bit. One shuffle (the per-key collect); the
   * window scoring is embarrassingly parallel per key.
   *
-  * At 100 TB the per-key series must be bounded (sessions, days, devices);
-  * for unbounded keys the same scoring runs inside
-  * flatMapGroupsWithState/transformWithState over a sliding buffer.
+  * At 100 TB the per-key series must be bounded: `bestMotif` collects each
+  * key's full series into one array row, so a key is limited to
+  * `maxPointsPerKey` points (default 1,000,000 ≈ 8 MB of doubles — well
+  * inside a task's memory; two years of minutely data per device). The
+  * bound is ENFORCED — an oversized key fails the job with a clear error
+  * instead of silently OOMing an executor. For genuinely unbounded keys
+  * the same scoring runs inside flatMapGroupsWithState/transformWithState
+  * over a sliding buffer.
   */
 object TimeSeries {
 
@@ -73,11 +78,15 @@ object TimeSeries {
   /** Per key: the best (lowest z-normalized distance) window of length `m`
     * against `pattern`. Output: (key, start, dist) with `start` 0-based in
     * event order; ties broken by the earliest start. Keys with fewer than
-    * `m` events are dropped. */
+    * `m` events are dropped; keys with MORE than `maxPointsPerKey` events
+    * fail the job fast (see the object doc — this operator collects each
+    * key's series into a single array row by design). */
   def bestMotif(events: DataFrame, keyCol: String, tsCol: String,
                 tieCol: String, valCol: String, pattern: Seq[Double],
-                m: Int): DataFrame = {
+                m: Int, maxPointsPerKey: Int = 1000000): DataFrame = {
     require(pattern.length == m, s"pattern length ${pattern.length} != m $m")
+    require(maxPointsPerKey >= m,
+      s"maxPointsPerKey $maxPointsPerKey < window m $m")
     val p = array(pattern.map(lit): _*)
     val pz = znorm(p, m)
     val series = events
@@ -85,6 +94,17 @@ object TimeSeries {
       .agg(array_sort(collect_list(
         struct(col(tsCol), col(tieCol), col(valCol).as("v")))).as("evs"))
       .select(col(keyCol), transform(col("evs"), e => e.getField("v")).as("vals"))
+      // fail fast on an unbounded key rather than OOM an executor: the
+      // per-key array is this operator's documented contract boundary
+      .withColumn("vals",
+        when(size(col("vals")) > maxPointsPerKey,
+          raise_error(concat(
+            lit("bestMotif: key "), col(keyCol).cast("string"),
+            lit(" has "), size(col("vals")).cast("string"),
+            lit(s" points > maxPointsPerKey=$maxPointsPerKey; " +
+              "use the transformWithState sliding-buffer variant " +
+              "for unbounded keys"))))
+          .otherwise(col("vals")))
       .filter(size(col("vals")) >= m)
     series
       .select(col(keyCol),

@@ -207,6 +207,26 @@ class OperatorsSpec extends SparkSpec {
     assert(best(2L)._1 == 0L) // ties (all-equal windows) -> earliest start
   }
 
+  test("bestMotif: a key past maxPointsPerKey fails fast with a clear error") {
+    import graft.operators.TimeSeries
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    val rows = (0 until 50).map(i => (1L, ts(i), i.toLong, i.toDouble))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val ex = intercept[Exception] {
+      TimeSeries.bestMotif(df, "user_id", "ts", "event_id", "value",
+        pattern = Seq(1.0, 2.0, 3.0), m = 3, maxPointsPerKey = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("maxPointsPerKey")),
+      s"unexpected error: $ex")
+    // and the bound itself must admit the window
+    intercept[IllegalArgumentException] {
+      TimeSeries.bestMotif(df, "user_id", "ts", "event_id", "value",
+        pattern = Seq(1.0, 2.0, 3.0), m = 3, maxPointsPerKey = 2)
+    }
+  }
+
   test("simhashPairs: exact dups at hamming 0; unrelated doc excluded") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
@@ -427,6 +447,34 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponentsStar: agrees with label propagation on chains, stars, cliques") {
+    // chain (worst case for propagation), two components, clique, and a
+    // long path — both algorithms must produce identical labelings
+    val fixtures = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 4L)),
+      Seq((5L, 1L), (5L, 2L), (5L, 3L)),                      // star, center not min
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L)),            // clique + edge
+      (1L to 9L).map(i => (i, i + 1L)),                       // path 1..10
+      Seq((4L, 9L), (9L, 2L), (2L, 7L), (7L, 11L), (11L, 3L)) // zig-zag ids
+    )
+    for (fx <- fixtures) {
+      val pairs = fx.toDF("id_a", "id_b")
+      val viaProp = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStar = Dedup.connectedComponentsStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaProp, s"fixture $fx: star=$viaStar prop=$viaProp")
+    }
+  }
+
+  test("connectedComponentsStar: empty edge list yields empty labeling") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    assert(Dedup.connectedComponentsStar(empty).count() == 0)
   }
 
   test("ngramJaccardPairs: exact dups score 1.0, disjoint docs absent") {
