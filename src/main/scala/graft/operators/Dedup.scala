@@ -139,12 +139,33 @@ object Dedup {
                                threshold: Double = 0.8): DataFrame = {
     val sh = sh0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = candidatesFromBuckets(
+    minhashPairsFromIndex(sh,
       bucketsFromShingles(sh, idCol, bands = bands, rowsPerBand = rowsPerBand),
-      idCol, maxBucketSize = 1000)
+      idCol, threshold)
+  }
+
+  /** `minhashPairs` over a fully PREBUILT LSH index: the (id, hs) shingle
+    * table AND the (id, band, band_key) bucket table, both typically
+    * materialized on storage. Skips signature computation entirely — the
+    * k·|shingles| hash evaluations are the dominant CPU cost of candidate
+    * generation, and a real LSH index stores its buckets. */
+  def minhashPairsFromIndex(sh: DataFrame, buckets: DataFrame, idCol: String,
+                            threshold: Double = 0.8,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val cands = candidatesFromBuckets(buckets, idCol, maxBucketSize)
     val shd = sh.select(col(idCol), array_distinct(col("hs")).as("sh"))
     jaccardOverShingleSets(cands, shd, idCol)
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** `minhashDedup` over the prebuilt index pair (see
+    * [[minhashPairsFromIndex]]). */
+  def minhashDedupFromIndexTables(docs: DataFrame, sh: DataFrame,
+                                  buckets: DataFrame, idCol: String,
+                                  threshold: Double = 0.8): DataFrame = {
+    val doomed = minhashPairsFromIndex(sh, buckets, idCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(doomed, Seq(idCol), "left_anti")
   }
 
   /** Winnowing fingerprints (the MOSS plagiarism-detection scheme): the
