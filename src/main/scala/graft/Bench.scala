@@ -43,7 +43,9 @@ object Bench {
     * state-TTL queries, so the bench harness never depends on it). */
   private[graft] def streamingLeg(spark: SparkSession, sfDir: String,
                                   nFiles: Int = 24, warmupBatches: Int = 3,
-                                  timeoutSec: Int = 600): StreamingLegResult = {
+                                  timeoutSec: Int = 600,
+                                  shufflePartitions: Option[Int] = Some(8))
+      : StreamingLegResult = {
     val staging = java.nio.file.Files
       .createTempDirectory("graft_stream_bench").toString + "/records"
     val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
@@ -62,10 +64,22 @@ object Bench {
 
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(staging)
-    val q = graft.streaming.StreamingPipeline.changelogWriter(stream)
-      .format("memory")
-      .queryName(s"stream_bench_${System.nanoTime()}")
-      .start()
+    // a 5-key changelog aggregation does not need 32 state partitions:
+    // state-store open/commit overhead is per partition per batch, so
+    // sizing partitions to the topology (a query-start-time decision —
+    // Spark pins the state layout from this conf at checkpoint creation)
+    // is the real streaming tuning knob. Restored after the run.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    val q = try {
+      graft.streaming.StreamingPipeline.changelogWriter(stream)
+        .format("memory")
+        .queryName(s"stream_bench_${System.nanoTime()}")
+        .start()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     try {
       val deadline = System.nanoTime() + timeoutSec * 1000L * 1000 * 1000
       def consumed(): Long = q.recentProgress.map(_.numInputRows).sum
@@ -99,11 +113,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // dev loop: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed set
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed set;
+    // SPARK_GRAFT_BENCH_STREAMING=only runs just the streaming leg
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val streamingOnly =
+      sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("only")
+    val selected =
+      if (streamingOnly) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // warmup: exercise codegen + scan machinery on the smallest SF, and
     // record each query's warmup time — it anchors the outlier re-time
@@ -174,6 +193,9 @@ object Bench {
       if (only.isDefined ||
           sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0")) None
       else Some(streamingLeg(spark, sfDir))
+    if (streamingOnly && streaming.isEmpty)
+      throw new IllegalStateException(
+        "BENCH_STREAMING=only is incompatible with BENCH_ONLY")
     val streamingJson = streaming.map(r =>
       s""","streaming_rows_per_sec":${r.rowsPerSec}""" +
       s""","streaming_latency_ms_p50":${f3(r.p50Ms)}""" +
