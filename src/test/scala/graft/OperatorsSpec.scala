@@ -449,6 +449,28 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("minhashPairsFromIndex: prebuilt shingle+bucket tables reproduce the text-path pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val direct = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.hashedShingleTable(docs, "doc_id", "text", 3)
+    val buckets = Dedup.bucketsFromShingles(sh, "doc_id", 16, 4)
+    val viaIndex = Dedup.minhashPairsFromIndex(sh, buckets, "doc_id",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == direct && direct.contains((1L, 2L)), s"$viaIndex vs $direct")
+    val survivors = Dedup.minhashDedupFromIndexTables(docs, sh, buckets,
+      "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L), s"$survivors")
+  }
+
   test("connectedComponentsStar: agrees with label propagation on chains, stars, cliques") {
     // chain (worst case for propagation), two components, clique, and a
     // long path — both algorithms must produce identical labelings
