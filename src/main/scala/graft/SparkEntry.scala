@@ -934,6 +934,39 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // WITHIN-document repetition metrics (the Gopher/MassiveText
+      // repetition filters, Rae et al. 2021 §A1.1): fraction of word
+      // 2-gram occurrences that are duplicates + the most-repeated
+      // 2-gram's count. Every third doc is made self-repetitive
+      // (text ⊕ its own first 120 chars) so the fixture has known
+      // positives. Shuffle is keyed (doc_id, bigram) — per-doc
+      // cardinality is bounded by doc length, fully distributed, no
+      // per-doc collect.
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat_ws(" ", col("text"), substring(col("text"), 1, 120)))
+          .otherwise(col("text")).as("text"))
+      val toks = fixture.select(col("doc_id"),
+        TextFunctions.tokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val per = toks.select(col("doc_id"),
+          (size(col("tk")) - 1).cast("long").as("n_bigrams"),
+          explode(expr(
+            "transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))"))
+            .as("b"))
+        .groupBy("doc_id", "n_bigrams", "b").agg(count(lit(1)).as("c"))
+      per.groupBy("doc_id", "n_bigrams")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+          .as("dup_bigrams"),
+          max(col("c")).as("top_bigram_count"))
+        .select(col("doc_id"), col("n_bigrams"), col("dup_bigrams"),
+          col("top_bigram_count"),
+          round(col("dup_bigrams").cast("double") /
+            col("n_bigrams").cast("double"), 6).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       // full-transitive cluster dedup: verified near-dup pairs → connected
       // components (label = min doc id per component)
@@ -2682,6 +2715,30 @@ object SparkEntry {
            JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
+
+    "text_repetition" ->
+      s"""WITH fixture AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN text || ' ' || substr(text, 1, 120) ELSE text END AS text
+           FROM documents),
+         tok AS (SELECT doc_id, $toksSql AS tk FROM fixture),
+         bg AS (SELECT doc_id, len(tk) - 1 AS n_bigrams,
+             list_transform(range(1, len(tk)),
+               i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]) AS bgs
+           FROM tok WHERE len(tk) >= 2),
+         e AS (SELECT doc_id, n_bigrams, unnest(bgs) AS b FROM bg),
+         per AS (SELECT doc_id, n_bigrams, b, count(*) AS c
+           FROM e GROUP BY 1, 2, 3),
+         agg AS (SELECT doc_id, n_bigrams,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_bigrams,
+             max(c) AS top_bigram_count
+           FROM per GROUP BY 1, 2)
+         SELECT doc_id, n_bigrams, dup_bigrams, top_bigram_count,
+           round(CAST(dup_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+             AS dup_bigram_frac
+         FROM agg ORDER BY doc_id""",
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE aug AS ($augDocsSql),
