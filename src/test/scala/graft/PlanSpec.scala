@@ -42,6 +42,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("dedup_minhash_pairs: candidates read the materialized bucket index, zero signature compute") {
+    val p = plan("dedup_minhash_pairs")
+    // the LSH index is prebuilt: the plan must scan the buckets parquet
+    // and must NOT re-evaluate the minhash signature expression
+    assert(p.contains("/buckets"), p)
+    assert(!p.contains("minhash("), s"signature recomputed at query time:\n$p")
+  }
+
   test("sample_reservoir: hash-threshold filter runs BELOW the window, threshold broadcast") {
     val p = plan("sample_reservoir")
     // the pre-filter must gate the window's input (filter printed deeper
