@@ -326,7 +326,10 @@ object Dedup {
     val rare = e.groupBy("h").count()
       .filter(col("count").between(2, maxShingleDf))
       .select("h")
+    // persist the capped exploded index — both self-join sides read it
+    // (see containmentPairsFromShingles)
     val capped = e.join(broadcast(rare), Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val common = capped.select(col("h"), col(idCol).as("id_a"))
       .join(capped.select(col("h"), col(idCol).as("id_b")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
@@ -388,7 +391,11 @@ object Dedup {
     val rare = e.groupBy("h").count()
       .filter(col("count").between(2, maxShingleDf))
       .select("h")
+    // persist the CAPPED exploded index, not just the array table: both
+    // sides of the self-join consume it, and without the cache each side
+    // re-runs explode + broadcast-filter over the full shingle table
     val capped = e.join(broadcast(rare), Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val common = capped.select(col("h"), col(idCol).as("id_a"))
       .join(capped.select(col("h"), col(idCol).as("id_b")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
