@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   *    index appended), so copies are NOT near-duplicates of each other —
   *    10 identical copies would inflate every shingle's df 10× and make
   *    dedup look quadratically worse than 10× organic data actually is;
-  *  - embeddings get a per-component, copy-dependent rescale that changes
-  *    direction (cross-copy cosine < the 0.95 near-dup bar) while keeping
-  *    within-copy structure intact;
+  *  - embeddings get a per-copy diagonal ±1 sign-flip (component j of
+  *    copy i flips iff murmur3(j, i) is odd): an orthogonal transform, so
+  *    ALL within-copy angles/norms are preserved exactly, while any
+  *    cross-copy pair has ~half its energy sign-flipped → cosine ≈ 0,
+  *    far below the 0.95 near-dup bar. (A magnitude-only rescale, used
+  *    through round 4, left cross-copy cosine ≈ 0.97 — every cross-copy
+  *    pair counted as a near-dup and the scale timings were quadratically
+  *    pessimistic; ScaleUpSpec now asserts the cross-copy cosine.)
   *  - tiny dimension tables (region, nation) copy through unscaled, like
   *    real reference data.
   */
@@ -27,7 +32,7 @@ object ScaleUp {
     "l_orderkey", "l_partkey", "l_suppkey", "event_id", "user_id",
     "doc_id", "vec_id")
 
-  private def copyOf(df: DataFrame, table: String, i: Int): DataFrame = {
+  private[graft] def copyOf(df: DataFrame, table: String, i: Int): DataFrame = {
     val off = i.toLong * 1000000000L
     var out = df
     for (c <- df.columns if shiftCols(c))
@@ -39,7 +44,8 @@ object ScaleUp {
     if (i > 0 && table == "embeddings")
       out = out.withColumn("embedding",
         transform(col("embedding"), (x, j) =>
-          (x * (lit(1.0) + lit(0.1) * ((j + lit(i)) % 5 - 2))).cast("float")))
+          when(pmod(hash(j, lit(i)), 2) === 1, -x).otherwise(x)
+            .cast("float")))
     out
   }
 

@@ -105,12 +105,22 @@ object Layout {
     //    buckets negative, so divide-first (offset div (range div 65536
     //    + 1)) — which loses only sub-bucket resolution the 16-bit
     //    quantizer discards anyway.
+    // Overflow discipline: `max - min` itself wraps negative when the
+    // keys span more than the signed-Long range (full-range fnv64 keys),
+    // which would silently take the multiply-first branch and produce
+    // garbage z-values. So the regime test halves BEFORE subtracting
+    // (max/2 - min/2 ≈ range/2, never overflows), and the huge-range
+    // branch divides each operand by the step BEFORE differencing
+    // (c div step - min div step ∈ [0, ~65537]) — no subexpression can
+    // exceed Long anywhere. div truncates toward zero, which is still
+    // monotone in c, so bucket ordering (all z-order needs) is preserved.
     def bucket16(c: String, minC: String, maxC: String): Column = expr(
-      s"""CASE WHEN ($maxC - $minC) < ${1L << 46}
+      s"""CASE WHEN ($maxC div 2) - ($minC div 2) < ${1L << 45}
          |  THEN ((CAST($c AS BIGINT) - $minC) * 65535)
          |       div ($maxC - $minC + 1)
-         |  ELSE (CAST($c AS BIGINT) - $minC)
-         |       div ((($maxC - $minC) div 65536) + 1)
+         |  ELSE least(greatest(
+         |         (CAST($c AS BIGINT) div (((($maxC div 2) - ($minC div 2)) div 32768) + 1))
+         |       - ($minC div (((($maxC div 2) - ($minC div 2)) div 32768) + 1)), 0L), 65535L)
          |END""".stripMargin)
     val q = df.crossJoin(broadcast(stats))
       .withColumn("z", zValue(

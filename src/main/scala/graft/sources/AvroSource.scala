@@ -107,13 +107,16 @@ object AvroSource {
 
   /** `SeekableInput` over a Hadoop filesystem stream — what
     * `DataFileReader.sync`/`pastSync` need to split on markers. The
-    * executor re-opens the filesystem from the file URI with a default
-    * Configuration (site configs resolve from the executor classpath on a
-    * real cluster; local/file URIs need none). */
-  private class HadoopSeekableInput(uri: String)
+    * executor re-opens the filesystem from the file URI with the DRIVER's
+    * Hadoop configuration (broadcast by `read`): settings applied
+    * programmatically to the session — object-store credentials, fs
+    * implementations — must reach executor-side split reads, not just the
+    * driver-side listing/header pass. */
+  private class HadoopSeekableInput(
+      uri: String, conf: org.apache.hadoop.conf.Configuration)
       extends org.apache.avro.file.SeekableInput {
     private val p = new org.apache.hadoop.fs.Path(uri)
-    private val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    private val fs = p.getFileSystem(conf)
     private val len = fs.getFileStatus(p).getLen
     private val in = fs.open(p)
     def length(): Long = len
@@ -157,11 +160,14 @@ object AvroSource {
       (0L until n).map(i => AvroSplit(st.getPath.toString, i * splitBytes,
         math.min((i + 1) * splitBytes, len)))
     }
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val rows = spark.sparkContext
       .parallelize(splits, splits.size)
       .flatMap { split =>
         val reader = new org.apache.avro.file.DataFileReader(
-          new HadoopSeekableInput(split.uri),
+          new HadoopSeekableInput(split.uri, confBc.value.value),
           new GenericDatumReader[GenericRecord](
             new Schema.Parser().parse(schemaJson)))
         Option(org.apache.spark.TaskContext.get())

@@ -450,6 +450,19 @@ object StreamingPipeline {
         versions.filter(_ < epochId).sorted.dropRight(keepVersions - 1)
           .foreach(v => fs.delete(
             new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
+        // crashed-partial snapshots (v= dir, no _SUCCESS) below the
+        // current epoch can never become merge bases — only that exact
+        // epoch's retry would overwrite them, and a lower epoch never
+        // retries once this one runs. Without this sweep they accumulate
+        // under the table path forever.
+        val complete = versions.toSet
+        fs.listStatus(hPath).toSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("v=") && n.length > 2 && n.drop(2).forall(_.isDigit) &&
+              n.drop(2).toLong < epochId && !complete(n.drop(2).toLong)
+          }
+          .foreach(st => fs.delete(st.getPath, true))
         ()
       }
     checkpointLocation.foreach(cp => writer.option("checkpointLocation", cp))
