@@ -44,7 +44,7 @@ object ScaleUp {
     if (i > 0 && table == "embeddings")
       out = out.withColumn("embedding",
         transform(col("embedding"), (x, j) =>
-          when(pmod(hash(j, lit(i)), 2) === 1, -x).otherwise(x)
+          when(pmod(hash(j, lit(i)), lit(2)) === lit(1), -x).otherwise(x)
             .cast("float")))
     out
   }
