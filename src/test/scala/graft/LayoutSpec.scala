@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.operators.Layout
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Storage-layout behavior: partition pruning, bucketed shuffle-free
@@ -127,5 +128,32 @@ class LayoutSpec extends SparkSpec {
     val hits = spans.filter(col("lo") <= mid && col("hi") >= mid).count()
     val total = spans.count()
     assert(hits < total, s"no pruning on huge-range keys: $hits/$total")
+  }
+
+  test("z-order survives full signed-Long-range keys where max-min wraps") {
+    val base = Files.createTempDirectory("graft_zorder_wrap").toString
+    // fnv64-style hash keys span negative-to-positive near Long.Min/Max,
+    // so a naive `max - min` range wraps NEGATIVE — the regime the
+    // halve-before-differencing branch exists for.
+    val big = spark.range(0, 4096).selectExpr(
+      "xxhash64(id) AS h1",
+      "xxhash64(id + 100000) AS h2",
+      "id AS v")
+    val Row(lo: Long, hi: Long) =
+      big.agg(min("h1"), max("h1")).head()
+    assert(hi - lo < 0L,
+      s"fixture must span enough of the Long range to wrap: $lo..$hi")
+    Layout.writeZOrdered(big, s"$base/z", "h1", "h2", 8)
+    val back = spark.read.parquet(s"$base/z")
+    assert(back.count() == 4096)
+    assert(back.agg(sum("v")).head().getLong(0) == 4095L * 4096 / 2)
+    // wrapped z-values would scatter every h2 range across all files; the
+    // overflow-safe branch must keep each file to a z-rectangle so a
+    // point lookup on the second dim prunes
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg(min("h2").as("lo"), max("h2").as("hi"))
+    val hits = spans.filter(col("lo") <= 0L && col("hi") >= 0L).count()
+    val total = spans.count()
+    assert(hits < total, s"no pruning on wrapped-range keys: $hits/$total")
   }
 }
