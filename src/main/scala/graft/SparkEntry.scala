@@ -1701,6 +1701,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_substring_spans" -> ((s, dir) => {
+      // exact substring-level dedup (Lee et al. 2022 ExactSubstr class):
+      // maximal verbatim token runs of ≥ 8 tokens (6 consecutive shared
+      // 3-shingles) shared across docs → merged per-doc removal spans.
+      // Runs on augmentedDocs, so every doc has at least its exact-copy
+      // full-text span and the %5 near-dups share their original prefix.
+      Dedup.substringSpans(augmentedDocs(s, dir), "doc_id", "text",
+        shingleSize = 3, minRun = 6)
+        .orderBy("doc_id", "span_start")
+    }),
+
     "dedup_minhash_estimate" -> ((s, dir) => {
       // signature-only Jaccard estimate over shared-shingle candidates:
       // the triage path that never joins shingle sets. The oracle
@@ -3881,6 +3892,53 @@ object SparkEntry {
          FROM pe a JOIN pe b ON a.p = b.p AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY id_a, id_b""",
+
+    // positional (undeduplicated) shingles from the same shingleCtes
+    // chain (`sh` is the ordered list; pos = 0-based slot), then the same
+    // df-capped self-join → consecutive-run islands → per-doc interval
+    // union as Dedup.substringSpans. Integer-only, so no float boundary.
+    "dedup_substring_spans" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         pe AS (SELECT doc_id, unnest(range(len(sh))) AS pos,
+             unnest(sh) AS h FROM sh),
+         df AS (SELECT h FROM pe GROUP BY h
+           HAVING count(*) BETWEEN 2 AND 100000),
+         cap AS (SELECT pe.* FROM pe JOIN df USING (h)),
+         m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, a.pos - b.pos AS diff
+           FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id),
+         runs AS (SELECT id_a, id_b, diff, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, diff
+               ORDER BY pa) AS grp
+           FROM m),
+         r AS (SELECT id_a, id_b, diff, min(pa) AS run_start,
+             count(*) AS run_len
+           FROM runs GROUP BY id_a, id_b, diff, grp
+           HAVING count(*) >= 6),
+         spans0 AS (
+           SELECT id_a AS doc_id, run_start AS s,
+             run_start + run_len + 2 AS e FROM r
+           UNION ALL
+           SELECT id_b, run_start - diff,
+             run_start - diff + run_len + 2 FROM r),
+         -- distinct makes the (s, e) window order TOTAL; with duplicate
+         -- spans the island-start flag and the island cumulative sum can
+         -- order tied rows differently and split an island
+         spans AS (SELECT DISTINCT doc_id, s, e FROM spans0),
+         isl AS (SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+           FROM spans),
+         isl2 AS (SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM isl)
+         SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+           max(e) - min(s) AS span_tokens
+         FROM isl2 GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
 
     // full replication of HashOps.minhashFromHashes: per (doc, j<16)
     // component = signed min over shingle hashes of

@@ -689,6 +689,85 @@ object Dedup {
           x => x("para")), sep).as(textCol))
   }
 
+  // ------------------------------------------------ exact substring spans
+
+  /** Exact substring-level dedup (the ExactSubstr family of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * find maximal verbatim token runs of length ≥ L shared across
+    * documents and return per-document removal spans. The paper builds a
+    * monolithic suffix array — not a distributed-friendly artifact at
+    * 100 TB — but its output is exactly recoverable from the positional
+    * shingle index this engine already builds: a shared substring of
+    * t ≥ L tokens appears as a run of t−k+1 consecutive shared
+    * k-shingles at a constant position delta, and conversely every run
+    * of m ≥ minRun consecutive shared shingles is a verbatim(-modulo-
+    * hash-collision) shared substring of m+k−1 tokens, so L = minRun+k−1.
+    *
+    * Shuffle shape: one positional shingle pass — only (id, pos, hash64)
+    * triples ever shuffle, never text — then a df-capped inverted-index
+    * self-join (Σdf², never n²), a run-island window keyed on
+    * (id_a, id_b, pos-delta), and a per-doc interval-union window. All
+    * stages are linear in the number of shingle matches at any scale.
+    *
+    * Returns (doc_id, span_start, span_end, span_tokens): merged maximal
+    * token intervals [span_start, span_end) whose text appears verbatim
+    * in at least one other document. Downstream removal = cut these
+    * spans (keeping one canonical occurrence is a policy layer on top). */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3, minRun: Int = 6,
+                     maxShingleDf: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persisted: the df filter and the capped self-join both read it
+    val sh = docs.select(col(idCol).as("id"),
+        posexplode(hashedShingles(col(textCol), shingleSize))
+          .as(Seq("pos", "h")))
+      .withColumn("pos", col("pos").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df ≥ 2 occurrences or the shingle can't match across docs; the cap
+    // bounds Σdf² against boilerplate skew (matches the other families)
+    val shared = sh.groupBy("h").count()
+      .filter(col("count").between(2, maxShingleDf)).select("h")
+    val capped = sh.join(broadcast(shared), Seq("h"))
+    val matches = capped
+      .select(col("h"), col("id").as("id_a"), col("pos").as("pa"))
+      .join(capped.select(col("h"), col("id").as("id_b"), col("pos").as("pb")),
+        Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("diff", col("pa") - col("pb"))
+    // gaps-and-islands: within a (pair, delta) group, consecutive pa
+    // values share (pa − row_number), so each island is one maximal run
+    val wRun = Window.partitionBy("id_a", "id_b", "diff").orderBy("pa")
+    val runs = matches
+      .withColumn("grp", col("pa") - row_number().over(wRun))
+      .groupBy("id_a", "id_b", "diff", "grp")
+      .agg(min("pa").as("run_start"), count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+    // a run of m shingles starting at token p covers tokens [p, p+m+k−1)
+    val spanEnd = col("run_start") + col("run_len") + lit(shingleSize - 1L)
+    val spans = runs.select(col("id_a").as("doc_id"),
+        col("run_start").as("s"), spanEnd.as("e"))
+      .unionByName(runs.select(col("id_b").as("doc_id"),
+        (col("run_start") - col("diff")).as("s"),
+        (spanEnd - col("diff")).as("e")))
+    // union overlapping/adjacent spans per doc (second islands pass over
+    // the running max of span ends). distinct first: many partners emit
+    // the same (doc, s, e) span, and only with unique rows is the
+    // (s, e) window order TOTAL — with duplicates, the island-start flag
+    // and the cumulative island sum can see tied rows in different
+    // orders and split one island into two identical groups.
+    val wDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val prevMax = max("e")
+      .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+    spans.distinct()
+      .withColumn("ni",
+        when(col("s") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(wDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
   // ------------------------------------------------- persisted dedup index
 
   /** Materialize the corpus side of incremental dedup ONCE, so rolling

@@ -155,6 +155,34 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head._3 >= 2)
   }
 
+  test("substringSpans: planted verbatim runs detected, merged, short runs dropped") {
+    // doc 1 is a 100-token sequence x0..x99; the others embed verbatim
+    // slices of it between unique filler. k=3, minRun=6 ⇒ spans need
+    // ≥ 8 shared tokens.
+    val xs = (0 until 100).map(i => s"x$i")
+    def toks(pre: String, slice: Seq[String], post: String) =
+      ((0 until 10).map(i => s"$pre$i") ++ slice ++
+        (0 until 10).map(i => s"$post$i")).mkString(" ")
+    val fix = Seq(
+      (1L, xs.mkString(" ")),
+      (2L, toks("y", xs.slice(40, 50), "z")), // 10 shared tokens
+      (3L, toks("p", xs.slice(20, 32), "q")), // 12 shared tokens
+      (4L, toks("r", xs.slice(28, 40), "s")), // 12, overlaps doc 3's slice
+      (5L, toks("g", xs.slice(60, 67), "h"))) // 7 < 8 — below threshold
+      .toDF("doc_id", "text")
+    val got = Dedup.substringSpans(fix, "doc_id", "text",
+        shingleSize = 3, minRun = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: [20,32)∪[28,40) overlap and [40,50) is adjacent → one
+    // merged span [20,50); docs 3/4 share only 4 tokens of doc 1 with
+    // each other (2 shingles < minRun) so no cross-span; doc 5 absent.
+    assert(got == Set(
+      (1L, 20L, 50L),
+      (2L, 10L, 20L),
+      (3L, 10L, 22L),
+      (4L, 10L, 22L)), s"unexpected spans: $got")
+  }
+
   test("minhashEstimatePairs: exact dup estimates 1.0; unrelated doc absent") {
     val pairs = Dedup.minhashEstimatePairs(docs, "doc_id", "text",
       shingleSize = 3, k = 16, minEstimate = 0.5)
