@@ -261,6 +261,23 @@ object SparkEntry {
       prefix
     })
 
+  /** Materialized positional-shingle substring index
+    * (Dedup.writeSubstrIndex) over the base corpus, built once per sf
+    * dir and memoized — the incremental form of exact-substring dedup:
+    * batches probe (id, pos, h) parquet, corpus text is never
+    * re-tokenized. */
+  private val substrIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def substrIndexDir(s: SparkSession, dir: String): String =
+    substrIndexDirs.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_substr_idx_").toString
+      Dedup.writeSubstrIndex(
+        augmentedDocs(s, dir).filter(col("doc_id") < 1000000L),
+        path, "doc_id", "text", shingleSize = 3)
+      path
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is the reference's one real query (hotels_count CTAS,
     * /root/reference/ci_cd/ksql/create_table.json:2) on the test schema. */
@@ -1708,6 +1725,33 @@ object SparkEntry {
       // Runs on augmentedDocs, so every doc has at least its exact-copy
       // full-text span and the %5 near-dups share their original prefix.
       Dedup.substringSpans(augmentedDocs(s, dir), "doc_id", "text",
+        shingleSize = 3, minRun = 6)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    "dedup_substring_apply" -> ((s, dir) => {
+      // the full Lee et al. 2022 ExactSubstr PIPELINE: keep-first spans
+      // (only the higher id of each matching pair is flagged, so every
+      // duplicated substring survives at its lowest-id occurrence) cut
+      // out of the corpus — emits the cleaned canonical token stream
+      // plus removal accounting per doc. Exact copies (id+1e6) lose
+      // their full text; originals keep theirs.
+      val docs = augmentedDocs(s, dir)
+      val spans = Dedup.substringSpans(docs, "doc_id", "text",
+        shingleSize = 3, minRun = 6, keepFirst = true)
+      Dedup.applySpans(docs, spans, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "dedup_substring_index" -> ((s, dir) => {
+      // incremental exact-substring dedup: the augmented batch's spans
+      // against the MATERIALIZED corpus positional-shingle index — only
+      // batch text is shingled, matching is batch × index, never
+      // corpus × corpus. The rolling-ingest form of
+      // dedup_substring_spans at 100 TB.
+      val idx = substrIndexDir(s, dir)
+      val newDocs = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
+      Dedup.substringSpansFromIndex(s, idx, newDocs, "doc_id", "text",
         shingleSize = 3, minRun = 6)
         .orderBy("doc_id", "span_start")
     }),
@@ -3925,6 +3969,108 @@ object SparkEntry {
          -- distinct makes the (s, e) window order TOTAL; with duplicate
          -- spans the island-start flag and the island cumulative sum can
          -- order tied rows differently and split an island
+         spans AS (SELECT DISTINCT doc_id, s, e FROM spans0),
+         isl AS (SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+           FROM spans),
+         isl2 AS (SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM isl)
+         SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+           max(e) - min(s) AS span_tokens
+         FROM isl2 GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
+
+    // keep-first spans (id_b side only of the same match pipeline — the
+    // lowest-id occurrence of every duplicated substring is never
+    // flagged) cut out of the canonical token stream; token positions
+    // and the cut are integer-only, clean_text is a deterministic
+    // ORDER BY pos string_agg
+    "dedup_substring_apply" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         pe AS (SELECT doc_id, unnest(range(len(sh))) AS pos,
+             unnest(sh) AS h FROM sh),
+         df AS (SELECT h FROM pe GROUP BY h
+           HAVING count(*) BETWEEN 2 AND 100000),
+         cap AS (SELECT pe.* FROM pe JOIN df USING (h)),
+         m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, a.pos - b.pos AS diff
+           FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id),
+         rn AS (SELECT id_a, id_b, diff, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, diff
+               ORDER BY pa) AS grp
+           FROM m),
+         r AS (SELECT id_a, id_b, diff, min(pa) AS run_start,
+             count(*) AS run_len
+           FROM rn GROUP BY id_a, id_b, diff, grp
+           HAVING count(*) >= 6),
+         spans0 AS (SELECT id_b AS doc_id, run_start - diff AS s,
+             run_start - diff + run_len + 2 AS e FROM r),
+         spans AS (SELECT DISTINCT doc_id, s, e FROM spans0),
+         isl AS (SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+           FROM spans),
+         isl2 AS (SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM isl),
+         merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+           FROM isl2 GROUP BY doc_id, island),
+         toks AS (SELECT doc_id, $toksSql AS toks FROM aug),
+         tokp AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+             unnest(toks) AS tok FROM toks),
+         rem AS (SELECT DISTINCT t.doc_id, t.pos FROM tokp t
+           JOIN merged mg ON t.doc_id = mg.doc_id
+             AND t.pos >= mg.s AND t.pos < mg.e),
+         kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokp t
+           LEFT JOIN rem rm ON t.doc_id = rm.doc_id AND t.pos = rm.pos
+           WHERE rm.doc_id IS NULL),
+         agg AS (SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           CASE WHEN d.toks IS NULL THEN NULL
+                ELSE coalesce(a.clean_text, '') END AS clean_text,
+           CASE WHEN d.toks IS NULL THEN NULL
+                ELSE len(d.toks) END AS n_tokens,
+           CASE WHEN d.toks IS NULL THEN NULL
+                ELSE len(d.toks) - coalesce(a.n_kept, 0) END AS n_removed
+         FROM toks d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
+
+    // incremental form: new-batch positional shingles vs the CORPUS-side
+    // positional index (df cap computed over the corpus only, no lower
+    // bound — any cross-set match is already cross-doc); spans for new
+    // docs only, same run-islands + interval union
+    "dedup_substring_index" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         pe AS (SELECT doc_id, unnest(range(len(sh))) AS pos,
+             unnest(sh) AS h FROM sh),
+         newpe AS (SELECT * FROM pe WHERE doc_id >= 1000000),
+         corpe AS (SELECT * FROM pe WHERE doc_id < 1000000),
+         df AS (SELECT h FROM corpe GROUP BY h HAVING count(*) <= 100000),
+         capc AS (SELECT corpe.* FROM corpe JOIN df USING (h)),
+         m AS (SELECT n.doc_id AS id_n, c.doc_id AS id_c,
+             n.pos AS pn, n.pos - c.pos AS diff
+           FROM newpe n JOIN capc c ON n.h = c.h),
+         rn AS (SELECT id_n, id_c, diff, pn,
+             pn - row_number() OVER (PARTITION BY id_n, id_c, diff
+               ORDER BY pn) AS grp
+           FROM m),
+         r AS (SELECT id_n, id_c, diff, min(pn) AS run_start,
+             count(*) AS run_len
+           FROM rn GROUP BY id_n, id_c, diff, grp
+           HAVING count(*) >= 6),
+         spans0 AS (SELECT id_n AS doc_id, run_start AS s,
+             run_start + run_len + 2 AS e FROM r),
          spans AS (SELECT DISTINCT doc_id, s, e FROM spans0),
          isl AS (SELECT doc_id, s, e,
              CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id

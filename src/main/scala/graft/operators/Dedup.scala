@@ -715,7 +715,8 @@ object Dedup {
     * spans (keeping one canonical occurrence is a policy layer on top). */
   def substringSpans(docs: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 3, minRun: Int = 6,
-                     maxShingleDf: Int = 100000): DataFrame = {
+                     maxShingleDf: Int = 100000,
+                     keepFirst: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // persisted: the df filter and the capped self-join both read it
     val sh = docs.select(col(idCol).as("id"),
@@ -744,17 +745,30 @@ object Dedup {
       .filter(col("run_len") >= minRun)
     // a run of m shingles starting at token p covers tokens [p, p+m+k−1)
     val spanEnd = col("run_start") + col("run_len") + lit(shingleSize - 1L)
-    val spans = runs.select(col("id_a").as("doc_id"),
-        col("run_start").as("s"), spanEnd.as("e"))
-      .unionByName(runs.select(col("id_b").as("doc_id"),
-        (col("run_start") - col("diff")).as("s"),
-        (spanEnd - col("diff")).as("e")))
-    // union overlapping/adjacent spans per doc (second islands pass over
-    // the running max of span ends). distinct first: many partners emit
-    // the same (doc, s, e) span, and only with unique rows is the
-    // (s, e) window order TOTAL — with duplicates, the island-start flag
-    // and the cumulative island sum can see tied rows in different
-    // orders and split one island into two identical groups.
+    val bSide = runs.select(col("id_b").as("doc_id"),
+      (col("run_start") - col("diff")).as("s"),
+      (spanEnd - col("diff")).as("e"))
+    // keepFirst: flag only the HIGHER id of every pair, so the globally
+    // minimal doc containing a duplicated substring is never flagged for
+    // it (it can't be id_b of any matching pair) — each distinct
+    // substring survives in at least one document, which is exactly the
+    // keep-one-occurrence policy of Lee et al. 2022 §3.2
+    val spans =
+      if (keepFirst) bSide
+      else runs.select(col("id_a").as("doc_id"),
+        col("run_start").as("s"), spanEnd.as("e")).unionByName(bSide)
+    mergeSpans(spans)
+  }
+
+  /** Per-doc interval union of (doc_id, s, e) half-open token spans →
+    * (doc_id, span_start, span_end, span_tokens). distinct first: many
+    * partners emit the same (doc, s, e) span, and only with unique rows
+    * is the (s, e) window order TOTAL — with duplicates, the
+    * island-start flag and the cumulative island sum can see tied rows
+    * in different orders and split one island into two identical
+    * groups. */
+  private def mergeSpans(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy("doc_id").orderBy("s", "e")
     val prevMax = max("e")
       .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -766,6 +780,97 @@ object Dedup {
       .agg(min("s").as("span_start"), max("e").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Apply substring-removal spans to the corpus: cut the flagged token
+    * ranges out of each document and return
+    * (id, clean_text, n_tokens, n_removed). Pair with
+    * `substringSpans(keepFirst = true)` for the full Lee et al. 2022
+    * ExactSubstr pipeline: every duplicated substring keeps exactly its
+    * lowest-id occurrence and is cut everywhere else.
+    *
+    * Scale shape: the span table collapses to one small array per
+    * flagged doc and LEFT-joins the corpus (docs with no spans pass
+    * through untouched); the cut itself is a codegen'd higher-order
+    * filter over the token array — no explode, no per-token shuffle,
+    * text shuffles zero times. clean_text is the canonical token stream
+    * (lowercased, single-space), i.e. the same normalization the
+    * shingle positions were computed over. */
+  def applySpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val sp = spans.groupBy(col("doc_id").as(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    val emptySpans = array().cast("array<struct<s:bigint,e:bigint>>")
+    docs.select(col(idCol), col(textCol))
+      .join(sp, Seq(idCol), "left")
+      .withColumn("toks", TextFunctions.tokens(lower(col(textCol))))
+      .withColumn("sp", coalesce(col("spans"), emptySpans))
+      .withColumn("kept", filter(col("toks"), (t, i) =>
+        !exists(col("sp"), span =>
+          i.cast("long") >= span.getField("s") &&
+            i.cast("long") < span.getField("e"))))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
+  /** Materialize the positional-shingle index of a corpus for
+    * INCREMENTAL substring dedup: (id, pos, h) triples, pre-filtered to
+    * hashes with corpus document frequency ≤ maxShingleDf (boilerplate
+    * cap — identical matches would be found for them by every batch,
+    * uselessly). Built once offline; every ingest batch probes it
+    * without re-tokenizing a byte of corpus text. */
+  def writeSubstrIndex(corpus: DataFrame, path: String, idCol: String,
+                       textCol: String, shingleSize: Int = 3,
+                       maxShingleDf: Int = 100000): Unit = {
+    val pos = corpus.select(col(idCol).as("id"),
+        posexplode(hashedShingles(col(textCol), shingleSize))
+          .as(Seq("pos", "h")))
+      .withColumn("pos", col("pos").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keep = pos.groupBy("h").count()
+        .filter(col("count") <= maxShingleDf).select("h")
+      pos.join(broadcast(keep), Seq("h"))
+        .select("id", "pos", "h")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/pos")
+    } finally { pos.unpersist(); () }
+  }
+
+  /** Incremental exact-substring dedup: removal spans of a NEW batch
+    * against the materialized corpus positional index
+    * ([[writeSubstrIndex]]). Only batch text is shingled; matching is
+    * batch × index (never corpus × corpus), runs and interval union as
+    * [[substringSpans]]. Spans are emitted for the new docs only — the
+    * corpus is the kept canonical side, which is keep-first with the
+    * corpus as "first". At 100 TB this is the rolling-ingest form: per
+    * batch, text work is O(batch) and match work is Σ df(batch shingle)
+    * over the capped index. */
+  def substringSpansFromIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String, newDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleSize: Int = 3,
+                              minRun: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = spark.read.parquet(s"$path/pos")
+    val np = newDocs.select(col(idCol).as("id_n"),
+        posexplode(hashedShingles(col(textCol), shingleSize))
+          .as(Seq("pn", "h")))
+      .withColumn("pn", col("pn").cast("long"))
+    val matches = np.join(idx.select(col("h"), col("id").as("id_c"),
+        col("pos").as("pc")), Seq("h"))
+      .withColumn("diff", col("pn") - col("pc"))
+    val wRun = Window.partitionBy("id_n", "id_c", "diff").orderBy("pn")
+    val runs = matches
+      .withColumn("grp", col("pn") - row_number().over(wRun))
+      .groupBy("id_n", "id_c", "diff", "grp")
+      .agg(min("pn").as("run_start"), count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+    val spanEnd = col("run_start") + col("run_len") + lit(shingleSize - 1L)
+    mergeSpans(runs.select(col("id_n").as("doc_id"),
+      col("run_start").as("s"), spanEnd.as("e")))
   }
 
   // ------------------------------------------------- persisted dedup index

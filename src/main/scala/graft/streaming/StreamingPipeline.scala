@@ -391,6 +391,35 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming exact-substring SCRUB against a materialized corpus
+    * positional-shingle index (`Dedup.writeSubstrIndex`): each
+    * micro-batch's verbatim token runs of ≥ minRun+shingleSize−1 tokens
+    * that already appear in the corpus are located
+    * (`Dedup.substringSpansFromIndex`) and CUT (`Dedup.applySpans`) —
+    * the sink receives every batch doc with its cleaned canonical token
+    * stream and removal accounting, ready for downstream ingest.
+    *
+    * The streaming face of the Lee et al. 2022 ExactSubstr pipeline:
+    * per batch, text work is O(batch) (the index is probed, corpus text
+    * never re-tokenized), so it sustains rolling ingest at corpus sizes
+    * where re-deduplicating from scratch is impossible. Stateless —
+    * delivery inherits foreachBatch epoch semantics. */
+  def substrScrubStream(docs: DataFrame, indexPath: String,
+                        idCol: String, textCol: String,
+                        sink: (DataFrame, Long) => Unit,
+                        shingleSize: Int = 3, minRun: Int = 6)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val spans = graft.operators.Dedup.substringSpansFromIndex(
+          spark, indexPath, batch, idCol, textCol, shingleSize, minRun)
+        sink(graft.operators.Dedup.applySpans(batch, spans, idCol, textCol),
+          epochId)
+      }
+      .start()
+
   /** File-backed materialized changelog: the reference's "queryable KSQL
     * table" (K2/K3) as versioned parquet ANY engine can read. Each batch
     * merges its updates into the previous snapshot (latest row per key by

@@ -183,6 +183,53 @@ class OperatorsSpec extends SparkSpec {
       (4L, 10L, 22L)), s"unexpected spans: $got")
   }
 
+  test("substringSpans keepFirst + applySpans: dup substring cut everywhere but lowest id") {
+    val xs = (0 until 100).map(i => s"x$i")
+    def toks(pre: String, slice: Seq[String], post: String) =
+      ((0 until 10).map(i => s"$pre$i") ++ slice ++
+        (0 until 10).map(i => s"$post$i")).mkString(" ")
+    val fix = Seq(
+      (1L, xs.mkString(" ")),
+      (2L, toks("y", xs.slice(40, 50), "z")),
+      (5L, toks("g", xs.slice(60, 67), "h"))) // below threshold — untouched
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(fix, "doc_id", "text",
+      shingleSize = 3, minRun = 6, keepFirst = true)
+    // only doc 2 (the higher id of the (1,2) pair) is flagged
+    assert(spans.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == Set((2L, 10L, 20L)))
+    val cleaned = Dedup.applySpans(fix, spans, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toList.sortBy(_._1)
+    val doc2Clean = ((0 until 10).map(i => s"y$i") ++
+      (0 until 10).map(i => s"z$i")).mkString(" ")
+    assert(cleaned.map(c => (c._1, c._3, c._4)) ==
+      List((1L, 100L, 0L), (2L, 30L, 10L), (5L, 27L, 0L)))
+    assert(cleaned(1)._2 == doc2Clean)
+    assert(cleaned(0)._2 == xs.mkString(" ")) // canonical occurrence kept
+  }
+
+  test("substringSpansFromIndex: batch spans vs materialized corpus index") {
+    val xs = (0 until 100).map(i => s"x$i")
+    def toks(pre: String, slice: Seq[String], post: String) =
+      ((0 until 10).map(i => s"$pre$i") ++ slice ++
+        (0 until 10).map(i => s"$post$i")).mkString(" ")
+    val corpus = Seq((1L, xs.mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (12L, toks("y", xs.slice(40, 50), "z")),  // 10 shared tokens
+      (13L, toks("p", xs.slice(20, 32), "q")),  // 12 shared tokens
+      (14L, toks("g", xs.slice(60, 67), "h")),  // 7 < 8 — below threshold
+      (15L, (0 until 30).map(i => s"f$i").mkString(" "))) // fresh
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_substr_test_").toString
+    Dedup.writeSubstrIndex(corpus, path, "doc_id", "text", shingleSize = 3)
+    val got = Dedup.substringSpansFromIndex(spark, path, batch,
+        "doc_id", "text", shingleSize = 3, minRun = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((12L, 10L, 20L), (13L, 10L, 22L)), s"got $got")
+  }
+
   test("minhashEstimatePairs: exact dup estimates 1.0; unrelated doc absent") {
     val pairs = Dedup.minhashEstimatePairs(docs, "doc_id", "text",
       shingleSize = 3, k = 16, minEstimate = 0.5)

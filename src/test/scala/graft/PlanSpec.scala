@@ -158,6 +158,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("shingle_hashes") || p.contains("minhash"), p)
   }
 
+  test("dedup_substring_index: probe reads positional index, corpus never re-shingled") {
+    val p = plan("dedup_substring_index")
+    // the (id, pos, h) index arrives as a parquet scan of the temp index
+    // dir; only the NEW batch runs shingle_hashes
+    assert(p.contains("graft_substr_idx"), p)
+    assert(p.contains("shingle_hashes"), p)
+  }
+
   test("text_bm25: one corpus scan, stats broadcast back, no explode") {
     val p = plan("text_bm25")
     // per-doc tf is array arithmetic — a Generate (explode) here would

@@ -656,4 +656,34 @@ class StreamingSpec extends SparkSpec {
       assert(collected.contains(12L) && collected.contains(13L))
     } finally q.stop()
   }
+
+  test("substrScrubStream: batch docs scrubbed of verbatim corpus runs via the index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val xs = (0 until 40).map(i => s"x$i")
+    val corpus = Seq((1L, xs.mkString(" "))).toDF("doc_id", "text")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_substr_stream_").toString
+    Dedup.writeSubstrIndex(corpus, idxPath, "doc_id", "text", shingleSize = 3)
+    // 10: embeds a 10-token verbatim corpus slice between unique filler;
+    // 11: fresh text — passes through untouched
+    val batch = Seq(
+      (10L, ("a0 a1 a2 " + xs.slice(20, 30).mkString(" ") + " b0 b1 b2")),
+      (11L, (0 until 12).map(i => s"f$i").mkString(" ")))
+
+    val got = scala.collection.mutable.Map[Long, (String, Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.substrScrubStream(
+      input.toDF().toDF("doc_id", "text"), idxPath, "doc_id", "text",
+      sink = (cleaned, _) => got.synchronized {
+        cleaned.collect().foreach(r =>
+          got(r.getLong(0)) = (r.getString(1), r.getLong(2), r.getLong(3)))
+      })
+    try {
+      input.addData(batch)
+      q.processAllAvailable()
+      assert(got(10L) === (("a0 a1 a2 b0 b1 b2", 16L, 10L)))
+      assert(got(11L) === (((0 until 12).map(i => s"f$i").mkString(" "), 12L, 0L)))
+    } finally q.stop()
+  }
 }
