@@ -2123,6 +2123,17 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "dataset_fingerprint" -> ((s, dir) => {
+      // layout-independent replica-integrity fingerprint: wrapping
+      // mod-2^64 sum of per-row FNV hashes — same value for ANY
+      // partitioning/ordering of the same rows (LayoutSpec proves the
+      // invariance; the oracle proves the value). One pass,
+      // map-side-combinable, bytes not rows cross the wire.
+      Layout.datasetFingerprint(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+    }),
+
     "dq_checks" -> ((s, dir) => {
       // data-quality audit over a corpus with KNOWN (synthetic,
       // id-derived) corruption: orphaned foreign keys, duplicate primary
@@ -4459,6 +4470,17 @@ object SparkEntry {
                   i -> ms[CAST(i AS INT)] - ms[CAST(i AS INT) - 1])) END
              AS max_gap_ms
          FROM a ORDER BY user_id""",
+
+    // per-row FNV over the same '|'-joined canonical string, summed in
+    // HUGEINT and reduced mod 2^64 — bit-exact vs Spark's wrapping
+    // LongType sum; integer/char columns only, so the string cast is
+    // format-stable across engines
+    "dataset_fingerprint" ->
+      s"""SELECT count(*) AS n_rows,
+         ${signedSql(s"""(sum(${fnvSql(
+           "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")})
+           % 18446744073709551616::HUGEINT)""")} AS content_hash
+         FROM lineitem""",
 
     "dq_checks" ->
       """WITH li AS (

@@ -156,4 +156,25 @@ class LayoutSpec extends SparkSpec {
     val total = spans.count()
     assert(hits < total, s"no pruning on wrapped-range keys: $hits/$total")
   }
+
+  test("datasetFingerprint: layout-independent, content-sensitive, null-safe") {
+    val df = spark.range(0, 1000)
+      .selectExpr("id AS k", "concat('v', id % 7) AS v")
+    def fp(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Layout.datasetFingerprint(d, Seq("k", "v")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val base = fp(df)
+    // any layout of the same rows fingerprints identically
+    assert(fp(df.repartition(7)) == base)
+    assert(fp(df.orderBy(desc("v"), desc("k"))) == base)
+    assert(fp(df.coalesce(1)) == base)
+    // one edited row changes it; dropping a row changes it
+    assert(fp(df.selectExpr("k", "CASE WHEN k = 500 THEN 'x' ELSE v END AS v")) != base)
+    assert(fp(df.filter("k <> 500")) != base)
+    // null is distinct from every cast output (concat_ws would skip it)
+    val a = fp(Seq((1L, null: String)).toDF("k", "v"))
+    val b = fp(Seq((1L, "")).toDF("k", "v"))
+    assert(a != b)
+  }
 }
