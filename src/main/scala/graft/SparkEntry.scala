@@ -1573,6 +1573,24 @@ object SparkEntry {
         .orderBy("train_id", "bench_id")
     }),
 
+    "decontaminate_scrub" -> ((s, dir) => {
+      // verbatim-span decontamination — the frontier practice behind
+      // overlap COUNTING (decontaminate_overlap): ≥8-token runs of
+      // benchmark text are CUT from training docs, not just flagged.
+      // Composition of the substring family: crossCorpusSpans (train
+      // probe × benchmark corpus, never train × train) + applySpans.
+      // Training batch = the augmented copies, so copies of benchmark
+      // docs are provably scrubbed to empty while non-benchmark docs
+      // pass through byte-identical.
+      val bench = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+      val train = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
+      val spans = Dedup.crossCorpusSpans(train, bench, "doc_id", "text",
+        shingleSize = 3, minRun = 6)
+      Dedup.applySpans(train, spans, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // rolling-ingestion dedup: the augmented batch (exact copies +
       // near-dup tails) deduped against the base corpus — survivors only
@@ -2132,6 +2150,15 @@ object SparkEntry {
       Layout.datasetFingerprint(
         t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+    }),
+
+    "dataset_fingerprint_by" -> ((s, dir) => {
+      // Merkle-style per-group fingerprints: compare replicas group by
+      // group and re-read only the groups whose hashes differ
+      Layout.datasetFingerprintBy(
+        t(s, dir, "lineitem"),
+        Seq("l_returnflag"), Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_returnflag")
     }),
 
     "dq_checks" -> ((s, dir) => {
@@ -4481,6 +4508,76 @@ object SparkEntry {
            "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")})
            % 18446744073709551616::HUGEINT)""")} AS content_hash
          FROM lineitem""",
+
+    "dataset_fingerprint_by" ->
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         ${signedSql(s"""(sum(${fnvSql(
+           "concat_ws('|', l_orderkey, l_linenumber)")})
+           % 18446744073709551616::HUGEINT)""")} AS content_hash
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // train-side positional shingles (aug ids >= 1e6) probed against the
+    // BENCHMARK slice's (base ids % 97 = 0, corpus-df-capped), then the
+    // same run-islands → interval-union → token-cut chain as
+    // dedup_substring_apply
+    "decontaminate_scrub" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         pe AS (SELECT doc_id, unnest(range(len(sh))) AS pos,
+             unnest(sh) AS h FROM sh),
+         benchpe AS (SELECT * FROM pe
+           WHERE doc_id < 1000000 AND doc_id % 97 = 0),
+         trainpe AS (SELECT * FROM pe WHERE doc_id >= 1000000),
+         df AS (SELECT h FROM benchpe GROUP BY h HAVING count(*) <= 100000),
+         capb AS (SELECT benchpe.* FROM benchpe JOIN df USING (h)),
+         m AS (SELECT t.doc_id AS id_n, b.doc_id AS id_c,
+             t.pos AS pn, t.pos - b.pos AS diff
+           FROM trainpe t JOIN capb b ON t.h = b.h),
+         rn AS (SELECT id_n, id_c, diff, pn,
+             pn - row_number() OVER (PARTITION BY id_n, id_c, diff
+               ORDER BY pn) AS grp
+           FROM m),
+         r AS (SELECT id_n, id_c, diff, min(pn) AS run_start,
+             count(*) AS run_len
+           FROM rn GROUP BY id_n, id_c, diff, grp
+           HAVING count(*) >= 6),
+         spans0 AS (SELECT id_n AS doc_id, run_start AS s,
+             run_start + run_len + 2 AS e FROM r),
+         spans AS (SELECT DISTINCT doc_id, s, e FROM spans0),
+         isl AS (SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+           FROM spans),
+         isl2 AS (SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM isl),
+         merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+           FROM isl2 GROUP BY doc_id, island),
+         toks AS (SELECT doc_id, $toksSql AS toks FROM aug
+           WHERE doc_id >= 1000000),
+         tokp AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+             unnest(toks) AS tok FROM toks),
+         rem AS (SELECT DISTINCT t.doc_id, t.pos FROM tokp t
+           JOIN merged mg ON t.doc_id = mg.doc_id
+             AND t.pos >= mg.s AND t.pos < mg.e),
+         kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokp t
+           LEFT JOIN rem rm ON t.doc_id = rm.doc_id AND t.pos = rm.pos
+           WHERE rm.doc_id IS NULL),
+         agg AS (SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           CASE WHEN d.toks IS NULL THEN NULL
+                ELSE coalesce(a.clean_text, '') END AS clean_text,
+           CASE WHEN d.toks IS NULL THEN NULL
+                ELSE len(d.toks) END AS n_tokens,
+           CASE WHEN d.toks IS NULL THEN NULL
+                ELSE len(d.toks) - coalesce(a.n_kept, 0) END AS n_removed
+         FROM toks d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
 
     "dq_checks" ->
       """WITH li AS (

@@ -852,14 +852,48 @@ object Dedup {
                               path: String, newDocs: DataFrame,
                               idCol: String, textCol: String,
                               shingleSize: Int = 3,
-                              minRun: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val idx = spark.read.parquet(s"$path/pos")
-    val np = newDocs.select(col(idCol).as("id_n"),
+                              minRun: Int = 6): DataFrame =
+    spansAgainstPositional(
+      positionalShingles(newDocs, idCol, textCol, shingleSize),
+      spark.read.parquet(s"$path/pos"), shingleSize, minRun)
+
+  /** Cross-corpus exact-substring spans WITHOUT a materialized index:
+    * verbatim runs of probe docs that appear anywhere in `corpus`,
+    * corpus shingled inline with the df cap applied. Same semantics as
+    * [[substringSpansFromIndex]] over a just-built index — use this
+    * when the corpus is small or ad hoc (e.g. a benchmark suite for
+    * decontamination), the index form for a large standing corpus. */
+  def crossCorpusSpans(probe: DataFrame, corpus: DataFrame, idCol: String,
+                       textCol: String, shingleSize: Int = 3,
+                       minRun: Int = 6,
+                       maxShingleDf: Int = 100000): DataFrame = {
+    val cp = positionalShingles(corpus, idCol, textCol, shingleSize)
+    val keep = cp.groupBy("h").count()
+      .filter(col("count") <= maxShingleDf).select("h")
+    spansAgainstPositional(
+      positionalShingles(probe, idCol, textCol, shingleSize),
+      cp.join(broadcast(keep), Seq("h")), shingleSize, minRun)
+  }
+
+  /** Docs → (id, pos, h) positional shingle triples. */
+  private def positionalShingles(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
         posexplode(hashedShingles(col(textCol), shingleSize))
-          .as(Seq("pn", "h")))
-      .withColumn("pn", col("pn").cast("long"))
-    val matches = np.join(idx.select(col("h"), col("id").as("id_c"),
+          .as(Seq("pos", "h")))
+      .withColumn("pos", col("pos").cast("long"))
+
+  /** Probe-side positional shingles vs a corpus-side positional table:
+    * run-islands per (probe, corpus, delta), spans for PROBE docs only,
+    * merged per doc. */
+  private def spansAgainstPositional(np: DataFrame, cp: DataFrame,
+                                     shingleSize: Int,
+                                     minRun: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matches = np
+      .select(col("h"), col("id").as("id_n"), col("pos").as("pn"))
+      .join(cp.select(col("h"), col("id").as("id_c"),
         col("pos").as("pc")), Seq("h"))
       .withColumn("diff", col("pn") - col("pc"))
     val wRun = Window.partitionBy("id_n", "id_c", "diff").orderBy("pn")

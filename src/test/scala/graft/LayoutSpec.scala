@@ -177,4 +177,21 @@ class LayoutSpec extends SparkSpec {
     val b = fp(Seq((1L, "")).toDF("k", "v"))
     assert(a != b)
   }
+
+  test("datasetFingerprintBy: group fingerprints localize the changed group") {
+    val df = spark.range(0, 900)
+      .selectExpr("id % 3 AS g", "id AS k", "concat('v', id) AS v")
+    def byG(d: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      Layout.datasetFingerprintBy(d, Seq("g"), Seq("k", "v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = byG(df)
+    assert(base.keySet == Set(0L, 1L, 2L))
+    // layout-independent per group
+    assert(byG(df.repartition(11)) == base)
+    // edit one row in group 1 → ONLY group 1's hash moves
+    val edited = byG(df.selectExpr("g", "k",
+      "CASE WHEN k = 301 THEN 'tampered' ELSE v END AS v"))
+    assert(edited(0L) == base(0L) && edited(2L) == base(2L))
+    assert(edited(1L) != base(1L))
+  }
 }

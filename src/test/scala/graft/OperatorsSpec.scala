@@ -230,6 +230,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((12L, 10L, 20L), (13L, 10L, 22L)), s"got $got")
   }
 
+  test("crossCorpusSpans: probe runs vs ad-hoc corpus; corpus docs never flagged") {
+    val xs = (0 until 100).map(i => s"x$i")
+    def toks(pre: String, slice: Seq[String], post: String) =
+      ((0 until 10).map(i => s"$pre$i") ++ slice ++
+        (0 until 10).map(i => s"$post$i")).mkString(" ")
+    val bench = Seq((1L, xs.mkString(" "))).toDF("doc_id", "text")
+    val train = Seq(
+      (12L, toks("y", xs.slice(40, 50), "z")),
+      (13L, xs.slice(10, 40).mkString(" ")),   // pure benchmark slice
+      (14L, (0 until 30).map(i => s"f$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Dedup.crossCorpusSpans(train, bench, "doc_id", "text",
+      shingleSize = 3, minRun = 6)
+    val got = spans.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((12L, 10L, 20L), (13L, 0L, 30L)), s"got $got")
+    // scrub: doc 13 empties, doc 14 passes through byte-identical
+    val cleaned = Dedup.applySpans(train, spans, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cleaned(13L) == "")
+    assert(cleaned(14L) == (0 until 30).map(i => s"f$i").mkString(" "))
+  }
+
   test("minhashEstimatePairs: exact dup estimates 1.0; unrelated doc absent") {
     val pairs = Dedup.minhashEstimatePairs(docs, "doc_id", "text",
       shingleSize = 3, k = 16, minEstimate = 0.5)
