@@ -2161,6 +2161,37 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "replica_diff" -> ((s, dir) => {
+      // replica verification demo with DETERMINISTIC divergence: replica
+      // B tampers one returnflag stripe (keys ≡ 7 mod 4096 → only bucket
+      // 7 of 16 differs) and drops bucket 11 wholesale. The diff is
+      // 16 rows of metadata out of two full scans; only the flagged
+      // buckets would be re-read at 100 TB.
+      val a = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+      val b = a.select(col("l_orderkey"), col("l_linenumber"),
+          when(pmod(col("l_orderkey"), lit(4096)) === 7, lit("X"))
+            .otherwise(col("l_returnflag")).as("l_returnflag"))
+        .filter(pmod(col("l_orderkey"), lit(16)) =!= 11)
+      def bucketed(df: DataFrame) =
+        df.withColumn("bucket", pmod(col("l_orderkey"), lit(16)))
+      Layout.replicaDiff(bucketed(a), bucketed(b), Seq("bucket"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+        .orderBy("bucket")
+    }),
+
+    "embedding_clusters" -> ((s, dir) => {
+      // domain clustering for data mixing: every embedding assigned to
+      // its nearest trained centroid (same deterministic k-means and
+      // argmax tie-break as the IVF family), reduced to per-cluster
+      // sizes — the cluster histogram that drives mixture reweighting
+      val (cents, _) = ivfIndex(s, dir)
+      Similarity.assignToCentroids(t(s, dir, "embeddings"), cents)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
+        .orderBy("centroid_id")
+    }),
+
     "dq_checks" -> ((s, dir) => {
       // data-quality audit over a corpus with KNOWN (synthetic,
       // id-derived) corruption: orphaned foreign keys, duplicate primary
@@ -4578,6 +4609,61 @@ object SparkEntry {
                 ELSE len(d.toks) - coalesce(a.n_kept, 0) END AS n_removed
          FROM toks d LEFT JOIN agg a USING (doc_id)
          ORDER BY doc_id""",
+
+    // both replicas' per-bucket (count, mod-2^64 hash sum) rebuilt in
+    // HUGEINT, full join + the same status CASE; divergence is
+    // deterministic (stripe ≡7 mod 4096 tampered, bucket 11 dropped)
+    "replica_diff" ->
+      s"""WITH src AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem),
+         a AS (SELECT l_orderkey % 16 AS bucket, ${fnvSql(
+             "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")} AS h
+           FROM src),
+         b0 AS (SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 4096 = 7 THEN 'X'
+                  ELSE l_returnflag END AS l_returnflag
+           FROM src WHERE l_orderkey % 16 <> 11),
+         b AS (SELECT l_orderkey % 16 AS bucket, ${fnvSql(
+             "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")} AS h
+           FROM b0),
+         fa AS (SELECT bucket, count(*) AS n_rows_a,
+             ${signedSql("(sum(h) % 18446744073709551616::HUGEINT)")}
+               AS hash_a
+           FROM a GROUP BY bucket),
+         fb AS (SELECT bucket, count(*) AS n_rows_b,
+             ${signedSql("(sum(h) % 18446744073709551616::HUGEINT)")}
+               AS hash_b
+           FROM b GROUP BY bucket)
+         SELECT bucket, n_rows_a, hash_a, n_rows_b, hash_b,
+           CASE WHEN hash_a IS NULL THEN 'missing_in_a'
+                WHEN hash_b IS NULL THEN 'missing_in_b'
+                WHEN hash_a = hash_b AND n_rows_a = n_rows_b THEN 'match'
+                ELSE 'differs' END AS status
+         FROM fa FULL JOIN fb USING (bucket)
+         ORDER BY bucket""",
+
+    // same deterministic k-means (2 exactMeans iterations from the
+    // first-8 seed) and argmax tie-break (cosine DESC, cid) as the IVF
+    // oracles, reduced to cluster sizes
+    "embedding_clusters" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             v AS cv
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+         ${kmeansIterSql("c0", "a1", "c1")},
+         ${kmeansIterSql("c1", "a2", "c2")},
+         cellsc AS (
+           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
+           FROM corpus p CROSS JOIN c2 c),
+         cells AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1)
+         SELECT cid AS centroid_id, count(*) AS n_vectors,
+           min(vec_id) AS min_vec_id
+         FROM cells GROUP BY cid ORDER BY centroid_id""",
 
     "dq_checks" ->
       """WITH li AS (

@@ -161,14 +161,20 @@ object Layout {
     * partition, never rows). Commutative-sum fingerprints are standard
     * in storage systems (e.g. incremental checksums); FNV keeps the
     * row hash engine-reproducible. */
-  def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val canonical = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
-    df.select(graft.functions.HashFunctions.fnv64(canonical).as("h"))
+  /** The per-row hash behind the fingerprint family: FNV-1a over the
+    * '|'-joined canonical string of `cols` (nulls → a NUL sentinel
+    * distinct from any cast output; concat_ws would silently skip
+    * them). Shared by batch, grouped, and streaming fingerprints so
+    * their values are interchangeable. */
+  def rowHash(cols: Seq[String]): Column =
+    graft.functions.HashFunctions.fnv64(concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+
+  def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(rowHash(cols).as("h"))
       .agg(count(lit(1)).as("n_rows"),
         // LongType sum wraps on overflow (ANSI off) = exact mod-2^64
         sum(col("h")).as("content_hash"))
-  }
 
   /** Per-group [[datasetFingerprint]] — the Merkle-style incremental
     * sync primitive: fingerprint each partition/group of two replicas,
@@ -178,13 +184,33 @@ object Layout {
     * re-reads. One shuffle of (group, partial count, partial sum) —
     * map-side combined, rows never move. */
   def datasetFingerprintBy(df: DataFrame, groupCols: Seq[String],
-                           cols: Seq[String]): DataFrame = {
-    val canonical = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
-    df.select(groupCols.map(col) :+
-        graft.functions.HashFunctions.fnv64(canonical).as("h"): _*)
+                           cols: Seq[String]): DataFrame =
+    df.select(groupCols.map(col) :+ rowHash(cols).as("h"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         sum(col("h")).as("content_hash"))
+
+  /** Replica diff from group fingerprints: full-outer-join the per-group
+    * fingerprints of two replicas and classify each group —
+    * `match` (hash and count equal), `differs`, `missing_in_a`,
+    * `missing_in_b`. The output is group-cardinality-sized (metadata,
+    * not data); only `differs`/`missing` groups need row-level
+    * re-reads. Both replicas are scanned exactly once, nothing but
+    * (group, count, hash) ever shuffles. */
+  def replicaDiff(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                  cols: Seq[String]): DataFrame = {
+    val fa = datasetFingerprintBy(a, groupCols, cols)
+      .withColumnRenamed("n_rows", "n_rows_a")
+      .withColumnRenamed("content_hash", "hash_a")
+    val fb = datasetFingerprintBy(b, groupCols, cols)
+      .withColumnRenamed("n_rows", "n_rows_b")
+      .withColumnRenamed("content_hash", "hash_b")
+    fa.join(fb, groupCols, "full_outer")
+      .withColumn("status",
+        when(col("hash_a").isNull, lit("missing_in_a"))
+          .when(col("hash_b").isNull, lit("missing_in_b"))
+          .when(col("hash_a") === col("hash_b") &&
+            col("n_rows_a") === col("n_rows_b"), lit("match"))
+          .otherwise(lit("differs")))
   }
 }

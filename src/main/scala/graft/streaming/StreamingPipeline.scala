@@ -420,6 +420,20 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming dataset fingerprint: the running
+    * `Layout.datasetFingerprint` of everything ingested so far,
+    * maintained incrementally per micro-batch. Because the fingerprint
+    * is a COMMUTATIVE wrapping sum of per-row hashes, the streaming
+    * aggregate state is two longs and the result after any prefix of
+    * batches equals the batch fingerprint of the union of those batches
+    * — verify a 100 TB ingest continuously, never rescanning. Emit in
+    * complete/update mode. */
+  def fingerprintStream(records: DataFrame, cols: Seq[String]): DataFrame =
+    records
+      .select(graft.operators.Layout.rowHash(cols).as("h"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("content_hash"))
+
   /** File-backed materialized changelog: the reference's "queryable KSQL
     * table" (K2/K3) as versioned parquet ANY engine can read. Each batch
     * merges its updates into the previous snapshot (latest row per key by

@@ -686,4 +686,29 @@ class StreamingSpec extends SparkSpec {
       assert(got(11L) === (((0 until 12).map(i => s"f$i").mkString(" "), 12L, 0L)))
     } finally q.stop()
   }
+
+  test("fingerprintStream: running fingerprint equals batch fingerprint of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 500L).map(i => (i, s"v${i % 13}"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.fingerprintStream(
+        input.toDF().toDF("k", "v"), Seq("k", "v"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("fp_stream").start()
+    try {
+      // two uneven batches; the commutative-sum state makes the running
+      // value equal the batch fingerprint of everything so far
+      input.addData(rows.take(123))
+      q.processAllAvailable()
+      input.addData(rows.drop(123))
+      q.processAllAvailable()
+      val streamed = spark.table("fp_stream")
+        .select("n_rows", "content_hash").head()
+      val batch = graft.operators.Layout.datasetFingerprint(
+        rows.toDF("k", "v"), Seq("k", "v")).head()
+      assert(streamed.getLong(0) == 500L)
+      assert((streamed.getLong(0), streamed.getLong(1)) ==
+        ((batch.getLong(0), batch.getLong(1))))
+    } finally q.stop()
+  }
 }
