@@ -2161,6 +2161,33 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "dataset_fingerprint_cdc" -> ((s, dir) => {
+      // the algebra that makes fingerprinting rescan-free under change
+      // capture: an UPDATE stripe (keys ≡ 7 mod 4096, returnflag → 'X')
+      // is modeled as delete+insert; the incrementally-maintained
+      // fingerprint (old − Σdel + Σins, from the change batch ALONE)
+      // must equal a full recompute over the updated table. Both paths
+      // and their agreement are oracle-checked.
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
+      val base = t(s, dir, "lineitem")
+        .select(cols.map(col): _*)
+      val stripe = pmod(col("l_orderkey"), lit(4096)) === 7
+      val deletes = base.filter(stripe)
+      val inserts = deletes.withColumn("l_returnflag", lit("X"))
+      val updated = base.filter(!stripe).unionByName(inserts)
+      val direct = Layout.datasetFingerprint(updated, cols)
+        .withColumnRenamed("n_rows", "n_direct")
+        .withColumnRenamed("content_hash", "h_direct")
+      val incr = Layout.incrementalFingerprint(
+          Layout.datasetFingerprint(base, cols), inserts, deletes, cols)
+        .withColumnRenamed("n_rows", "n_incr")
+        .withColumnRenamed("content_hash", "h_incr")
+      direct.crossJoin(incr)
+        .withColumn("consistent",
+          (col("n_direct") === col("n_incr") &&
+            col("h_direct") === col("h_incr")).cast("long"))
+    }),
+
     "replica_diff" -> ((s, dir) => {
       // replica verification demo with DETERMINISTIC divergence: replica
       // B tampers one returnflag stripe (keys ≡ 7 mod 4096 → only bucket
@@ -4609,6 +4636,45 @@ object SparkEntry {
                 ELSE len(d.toks) - coalesce(a.n_kept, 0) END AS n_removed
          FROM toks d LEFT JOIN agg a USING (doc_id)
          ORDER BY doc_id""",
+
+    // direct recompute over the updated table vs the algebraic update
+    // (base − Σdel + Σins), both in HUGEINT mod 2^64 (negative-safe
+    // double-mod); consistency asserted inside the oracle itself
+    "dataset_fingerprint_cdc" ->
+      s"""WITH src AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem),
+         upd AS (SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 4096 = 7 THEN 'X'
+                  ELSE l_returnflag END AS l_returnflag FROM src),
+         dh AS (SELECT count(*) AS n_direct, sum(${fnvSql(
+             "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")})
+             AS s FROM upd),
+         bh AS (SELECT count(*) AS nb, sum(${fnvSql(
+             "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")})
+             AS sb FROM src),
+         delh AS (SELECT count(*) AS nd,
+             coalesce(sum(${fnvSql(
+               "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")}),
+               0::HUGEINT) AS sd
+           FROM src WHERE l_orderkey % 4096 = 7),
+         insh AS (SELECT count(*) AS ni,
+             coalesce(sum(${fnvSql(
+               "concat_ws('|', l_orderkey, l_linenumber, 'X')")}),
+               0::HUGEINT) AS si
+           FROM src WHERE l_orderkey % 4096 = 7),
+         paths AS (
+           SELECT n_direct,
+             ${signedSql("(s % 18446744073709551616::HUGEINT)")} AS h_direct,
+             nb + ni - nd AS n_incr,
+             ${signedSql(
+               """(((sb - sd + si) % 18446744073709551616::HUGEINT
+                  + 18446744073709551616::HUGEINT)
+                  % 18446744073709551616::HUGEINT)""")} AS h_incr
+           FROM dh, bh, delh, insh)
+         SELECT n_direct, h_direct, n_incr, h_incr,
+           CAST(n_direct = n_incr AND h_direct = h_incr AS BIGINT)
+             AS consistent
+         FROM paths""",
 
     // both replicas' per-bucket (count, mod-2^64 hash sum) rebuilt in
     // HUGEINT, full join + the same status CASE; divergence is

@@ -213,4 +213,29 @@ object Layout {
             col("n_rows_a") === col("n_rows_b"), lit("match"))
           .otherwise(lit("differs")))
   }
+
+  /** Incremental fingerprint maintenance under CDC: because the
+    * fingerprint is a commutative wrapping sum,
+    * fingerprint(T ∖ deletes ∪ inserts)
+    *   = fingerprint(T) − Σ hash(deletes) + Σ hash(inserts)  (mod 2^64)
+    * — so a 100 TB table's fingerprint is maintained per change batch
+    * from the BATCH alone, never rescanning the table (an update is a
+    * delete + insert of the same key). `prev` is a 1-row
+    * (n_rows, content_hash) frame as produced by
+    * [[datasetFingerprint]]; the result has the same shape and equals
+    * what a full recompute over the updated table would produce. */
+  def incrementalFingerprint(prev: DataFrame, inserts: DataFrame,
+                             deletes: DataFrame,
+                             cols: Seq[String]): DataFrame = {
+    def folded(df: DataFrame, n: String, h: String) =
+      df.select(rowHash(cols).as("h"))
+        .agg(count(lit(1)).as(n), coalesce(sum(col("h")), lit(0L)).as(h))
+    prev
+      .crossJoin(folded(inserts, "n_i", "h_i"))
+      .crossJoin(folded(deletes, "n_d", "h_d"))
+      .select(
+        (col("n_rows") + col("n_i") - col("n_d")).as("n_rows"),
+        // LongType +/- wrap (ANSI off) = exact mod-2^64 group ops
+        (col("content_hash") + col("h_i") - col("h_d")).as("content_hash"))
+  }
 }

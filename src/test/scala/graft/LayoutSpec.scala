@@ -194,4 +194,25 @@ class LayoutSpec extends SparkSpec {
     assert(edited(0L) == base(0L) && edited(2L) == base(2L))
     assert(edited(1L) != base(1L))
   }
+
+  test("incrementalFingerprint: algebraic CDC update equals full recompute") {
+    val cols = Seq("k", "v")
+    val base = spark.range(0, 800).selectExpr("id AS k", "concat('v', id) AS v")
+    val deletes = base.filter("k % 7 = 3")           // genuine deletes
+    val inserts = spark.range(1000, 1100)            // genuine inserts
+      .selectExpr("id AS k", "concat('n', id) AS v")
+    val updated = base.filter("k % 7 <> 3").unionByName(inserts)
+    val direct = Layout.datasetFingerprint(updated, cols).head()
+    val incr = Layout.incrementalFingerprint(
+      Layout.datasetFingerprint(base, cols), inserts, deletes, cols).head()
+    assert((incr.getLong(0), incr.getLong(1)) ==
+      ((direct.getLong(0), direct.getLong(1))))
+    // empty change batch is the identity
+    val idFp = Layout.incrementalFingerprint(
+      Layout.datasetFingerprint(base, cols),
+      base.filter("false"), base.filter("false"), cols).head()
+    val baseFp = Layout.datasetFingerprint(base, cols).head()
+    assert((idFp.getLong(0), idFp.getLong(1)) ==
+      ((baseFp.getLong(0), baseFp.getLong(1))))
+  }
 }
