@@ -2207,6 +2207,23 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    "similarity_hard_negatives" -> ((s, dir) => {
+      // contrastive-training data prep: the most-confusable vectors
+      // OUTSIDE each query's own k-means cell — same deterministic
+      // clustering as embedding_clusters, same cosine/tie-break as the
+      // topk family
+      val (cents, _) = ivfIndex(s, dir)
+      val e = t(s, dir, "embeddings")
+      val cells = Similarity.assignToCentroids(e, cents)
+        .select("vec_id", "centroid_id")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.hardNegatives(e, q, cells, k = 10)
+        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "embedding_clusters" -> ((s, dir) => {
       // domain clustering for data mixing: every embedding assigned to
       // its nearest trained centroid (same deterministic k-means and
@@ -4707,6 +4724,43 @@ object SparkEntry {
                 ELSE 'differs' END AS status
          FROM fa FULL JOIN fb USING (bucket)
          ORDER BY bucket""",
+
+    // the embedding_clusters cell assignment + the similarity_topk
+    // ranking, restricted to candidates whose cell differs from the
+    // query's
+    "similarity_hard_negatives" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             v AS cv
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+         ${kmeansIterSql("c0", "a1", "c1")},
+         ${kmeansIterSql("c1", "a2", "c2")},
+         cellsc AS (
+           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
+           FROM corpus p CROSS JOIN c2 c),
+         cells AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1),
+         q AS (
+           SELECT c.vec_id AS query_id, c.v AS qv, cl.cid AS q_cell
+           FROM corpus c JOIN cells cl ON c.vec_id = cl.vec_id
+           WHERE c.vec_id < 5),
+         sc AS (
+           SELECT q.query_id, p.vec_id,
+             list_cosine_similarity(p.v, q.qv) AS cosine
+           FROM corpus p
+           JOIN cells pc ON p.vec_id = pc.vec_id
+           JOIN q ON pc.cid <> q.q_cell),
+         r AS (
+           SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rnk
+           FROM sc)
+         SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
 
     // same deterministic k-means (2 exactMeans iterations from the
     // first-8 seed) and argmax tie-break (cosine DESC, cid) as the IVF

@@ -336,6 +336,40 @@ object Similarity {
     * then searches only the probed cells. This is the classic inverted-file
     * layout — at 100 TB the corpus is written partitioned by cell id so a
     * query touches a handful of partitions. */
+  /** Hard-negative mining for contrastive / embedding training: for
+    * each query, the top-k most-similar corpus vectors drawn from a
+    * DIFFERENT cluster than the query's own. Same-cluster neighbors are
+    * the easy positives/near-dups; the highest-cosine vectors OUTSIDE
+    * the query's cell are exactly the confusable negatives a contrastive
+    * objective needs. `cells` is (id, centroid_id) as produced by
+    * [[assignToCentroids]] — at warehouse scale a materialized table,
+    * assigned once per corpus version, not per mining run.
+    *
+    * Scale shape: queries (with their cell) broadcast; the corpus is
+    * scanned once, joined to its cell table on the id, scored against
+    * the broadcast, and top-k'd per query — Spark 4's WindowGroupLimit
+    * caps the rank shuffle at k rows per query per partition. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    cells: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .join(broadcast(cells.select(col(idCol).as(queryIdCol),
+        col("centroid_id").as("q_cell"))), Seq(queryIdCol))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(cells.select(col(idCol), col("centroid_id").as("c_cell")),
+        Seq(idCol))
+      .join(broadcast(q))
+      .filter(col("c_cell") =!= col("q_cell"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col(vecCol), col("q_vec")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         centroidIdCol: String = "centroid_id"): DataFrame = {

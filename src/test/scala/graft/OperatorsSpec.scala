@@ -253,6 +253,28 @@ class OperatorsSpec extends SparkSpec {
     assert(cleaned(14L) == (0 until 30).map(i => s"f$i").mkString(" "))
   }
 
+  test("hardNegatives: only other-cluster vectors, ranked by cosine") {
+    // cluster 0 hugs the x-axis, cluster 1 the y-axis; the query sits in
+    // cluster 0, so its hard negatives must all come from cluster 1,
+    // nearest-angle first
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // query, cell 0
+      (2L, Array(0.9f, 0.1f)),   // cell 0 — excluded however similar
+      (3L, Array(0.1f, 0.9f)),   // cell 1 — the closest hard negative
+      (4L, Array(0.0f, 1.0f)),   // cell 1 — orthogonal, ranks after 3
+      (5L, Array(-0.2f, 0.9f)))  // cell 1 — negative cosine, last
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "embedding")
+    val cells = Similarity.assignToCentroids(corpus, cents)
+      .select("vec_id", "centroid_id")
+    val q = corpus.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.hardNegatives(corpus, q, cells, k = 10)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toList == List((1, 3L), (2, 4L), (3, 5L)), got.toList)
+  }
+
   test("minhashEstimatePairs: exact dup estimates 1.0; unrelated doc absent") {
     val pairs = Dedup.minhashEstimatePairs(docs, "doc_id", "text",
       shingleSize = 3, k = 16, minEstimate = 0.5)
