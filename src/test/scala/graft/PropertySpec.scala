@@ -13,6 +13,36 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(0xC0FFEE)
 
+  test("datasetFingerprint: permutation/partition invariance + CDC algebra on random multisets") {
+    import operators.Layout
+    // random multiset WITH duplicates (so the sum must weight
+    // multiplicity, not set membership)
+    val rows = Seq.fill(400)((rnd.nextInt(40).toLong,
+      s"v${rnd.nextInt(25)}")) ++ Seq.fill(20)((7L, "v7"))
+    val cols = Seq("k", "v")
+    def fp(d: org.apache.spark.sql.DataFrame) = {
+      val r = Layout.datasetFingerprint(d, cols).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val df = rows.toDF("k", "v")
+    val base = fp(df)
+    // random reshuffles and partitionings never move the fingerprint
+    assert(fp(rows.reverse.toDF("k", "v")) == base)
+    assert(fp(new scala.util.Random(rnd.nextLong())
+      .shuffle(rows).toDF("k", "v")) == base)
+    assert(fp(df.repartition(1 + rnd.nextInt(13))) == base)
+    // CDC algebra on a random split: delete a random subset, insert
+    // fresh rows; incremental update == recompute of the edited multiset
+    val (del, keep) = rows.partition(_ => rnd.nextBoolean())
+    val ins = Seq.fill(50)((100L + rnd.nextInt(40),
+      s"n${rnd.nextInt(25)}"))
+    val direct = fp((keep ++ ins).toDF("k", "v"))
+    val incrRow = Layout.incrementalFingerprint(
+      Layout.datasetFingerprint(df, cols),
+      ins.toDF("k", "v"), del.toDF("k", "v"), cols).head()
+    assert((incrRow.getLong(0), incrRow.getLong(1)) == direct)
+  }
+
   test("zValue: interleave is a bijection on 16-bit pairs") {
     val pairs = Seq.fill(300)((rnd.nextLong().abs & 0xFFFFL,
       rnd.nextLong().abs & 0xFFFFL)) ++
