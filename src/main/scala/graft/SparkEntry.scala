@@ -1603,6 +1603,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      // dedup_incremental behind a broadcast Bloom prefilter: the batch
+      // probes ~100 KB corpus-key blooms (content fingerprints + LSH band
+      // keys) locally and only might-contain suspects enter the confirm
+      // joins. Bloom FPs die in the exact confirm ⇒ same oracle as
+      // dedup_incremental.
+      val aug = augmentedDocs(s, dir)
+      val newDocs = aug.filter(col("doc_id") >= 1000000L)
+      val corpus = aug.filter(col("doc_id") < 1000000L)
+      Dedup.incrementalDedupBloom(newDocs, corpus, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_minhash_survivors" -> ((s, dir) => {
       // corpus-level near-dup dedup: the documents that SURVIVE MinHash
       // dedup (drop the larger id of every verified near-dup pair)
@@ -3926,6 +3941,8 @@ object SparkEntry {
     // corpus artifacts but compute the same survivor set, so they share
     // the incremental oracle verbatim
     "dedup_incremental_index" -> incrementalDedupOracleSql,
+    // bloom prefilter + exact confirm ⇒ bit-identical to dedup_incremental
+    "dedup_incremental_bloom" -> incrementalDedupOracleSql,
     "dedup_incremental_bucketed" -> incrementalDedupOracleSql,
 
     "dedup_minhash_survivors" ->

@@ -652,6 +652,63 @@ object Dedup {
     newDocs.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** [[incrementalDedup]] with a broadcast Bloom prefilter on BOTH corpus
+    * key sets (exact content fingerprints and LSH band keys): the batch
+    * side is first filtered to bloom might-contain suspects, and only the
+    * suspects pay the exact confirm joins. Semantics are IDENTICAL to
+    * incrementalDedup (bloom false positives die in the confirm joins,
+    * false negatives are impossible), so the two share an oracle.
+    *
+    * The 100 TB shape: the corpus blooms are built once, offline, next to
+    * the dedup index (~10 bits per corpus key — a 10-billion-doc corpus
+    * with 16 bands is ~200 GB of band keys but only ~20 GB of bloom, and
+    * per-table blooms can be sharded; here one in-memory filter stands in
+    * for that artifact). Each ingest batch then broadcast-probes the
+    * bloom locally and ships ONLY suspects into the shuffle join against
+    * the corpus key table — for mostly-novel batches (the common case)
+    * that's a >100× reduction of the join's probe side. */
+  def incrementalDedupBloom(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+                            textCol: String, shingleSize: Int = 3, bands: Int = 16,
+                            rowsPerBand: Int = 4, threshold: Double = 0.8,
+                            bloomWords: Int = 16384, bloomK: Int = 7): DataFrame = {
+    import graft.functions.Bloom
+    def fp(d: DataFrame) = d.select(
+      col(idCol), TextFunctions.contentFingerprint(col(textCol)).as("fp"))
+    val corpusFp = fp(corpus)
+    val fpBloom = Bloom.build(
+      corpusFp.select(xxhash64(col("fp")).as("key")), "key", bloomWords, bloomK)
+    val fpSuspects = fp(newDocs).crossJoin(broadcast(fpBloom))
+      .filter(Bloom.mightContain(col("bloom"), xxhash64(col("fp")), bloomWords, bloomK))
+      .select(col(idCol), col("fp"))
+    val exactDoomed = fpSuspects
+      .join(corpusFp.select("fp").distinct(), Seq("fp"))
+      .select(col(idCol))
+    val shNew = hashedShingleTable(newDocs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shOld = hashedShingleTable(corpus, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bNew = bucketsFromShingles(shNew, idCol, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val bOld = bucketsFromShingles(shOld, idCol, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    val bandBloom = Bloom.build(
+      bOld.select(xxhash64(col("band"), col("band_key")).as("key")),
+      "key", bloomWords, bloomK)
+    val bNewSuspects = bNew.crossJoin(broadcast(bandBloom))
+      .filter(Bloom.mightContain(col("bloom"),
+        xxhash64(col("band"), col("band_key")), bloomWords, bloomK))
+      .select("band", "band_key", "id_a")
+    val cands = bNewSuspects.join(bOld, Seq("band", "band_key"))
+      .select("id_a", "id_b").distinct()
+    val shd = shNew.unionByName(shOld)
+      .select(col(idCol), array_distinct(col("hs")).as("sh"))
+    val nearDoomed = jaccardOverShingleSets(cands, shd, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as(idCol))
+    val doomed = exactDoomed.unionByName(nearDoomed).distinct()
+    newDocs.join(doomed, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------ paragraph-level dedup
 
   /** C4-style paragraph-level dedup: drop every repeated paragraph except
