@@ -108,6 +108,36 @@ object SparkEntry {
     (centroidsDf(s, cents), path)
   }
 
+  /** PQ index (4 subspaces × 16 dims, 8 codes, 2 Lloyd iterations):
+    * driver-memoized codebooks (4·8 sub-vectors — metadata) plus the
+    * MATERIALIZED (vec_id, sub, code) code table on storage, built once
+    * per sf dir like `ivfIndexes`. The code table is the 100 TB ANN
+    * index: ~4 bytes of codes standing in for a 256-byte float vector. */
+  private val pqIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[(Int, Long, Array[Float])], String)]
+
+  private def pqBooksDf(s: SparkSession,
+                        cb: Array[(Int, Long, Array[Float])]): DataFrame = {
+    import s.implicits._
+    s.createDataset(cb.toSeq).toDF("sub", "centroid_id", "embedding")
+  }
+
+  private def pqIndex(s: SparkSession, dir: String): (DataFrame, String) = {
+    import s.implicits._
+    val (cb, path) = pqIndexes.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      val books = Similarity
+        .pqCodebooks(e, subspaces = 4, subDim = 16, codes = 8, iters = 2)
+        .select(col("sub"), col("centroid_id"), col("embedding"))
+        .as[(Int, Long, Array[Float])].collect().sortBy(x => (x._1, x._2))
+      val idxPath = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+      Similarity.pqEncode(e, pqBooksDf(s, books), subDim = 16)
+        .write.mode("overwrite").parquet(s"$idxPath/codes")
+      (books, idxPath)
+    })
+    (pqBooksDf(s, cb), path)
+  }
+
   /** Materialized (doc_id, hs) hashed-shingle table of the augmented
     * corpus, shingleSize=3, written once per sf dir and memoized like
     * `ivfIndexes` — the one expensive text pass (tokenize → n-gram → FNV)
@@ -1112,6 +1142,38 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (centroids, path) = ivfIndex(s, dir)
       Similarity.ivfTopKFromIndex(s, path, q, centroids, k = 10, nprobe = 2)
+        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "similarity_topk_pq" -> ((s, dir) => {
+      // product-quantization ANN: per-subspace codebooks (memoized index
+      // build), ADC scoring via a broadcast (query × codeword) LUT over
+      // the code table, exact-cosine rerank of the top-50. The memory
+      // play beyond int8: 64-dim float32 → 4 code bytes (~64×).
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (books, _) = pqIndex(s, dir)
+      Similarity.pqTopK(e, q, books, k = 10, rerank = 50, subDim = 16)
+        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "similarity_topk_pq_index" -> ((s, dir) => {
+      // the stored-index form: ADC probes the MATERIALIZED (vec_id, sub,
+      // code) parquet — the scan reads code ids, never embeddings; full
+      // vectors are fetched only for the |Q|·50 rerank rows. Same result
+      // as similarity_topk_pq by construction ⇒ same oracle.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (books, path) = pqIndex(s, dir)
+      val cells = s.read.parquet(s"$path/codes")
+      Similarity.pqTopKOverCells(cells, e, q, books, k = 10, rerank = 50,
+        subDim = 16)
         .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rnk")
@@ -2614,24 +2676,31 @@ object SparkEntry {
         ELSE ($dot) / sqrt(($nx) * ($ny)) END)"""
   }
 
+  /** Plain (un-normalized) dot product as the same ascending-index
+    * sequential double fold as `VectorFunctions.dotProduct`'s loop. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(len($a)),
+        i -> $a[CAST(i AS INT)+1] * $b[CAST(i AS INT)+1])), (acc, t) -> acc + t)"""
+
   /** One Lloyd iteration of Similarity.kmeansCentroids (exactMeans mode)
     * over CTE `corpus(vec_id, v)`: assign every vector to its best `prev`
     * centroid (cosine desc, cid asc — the max_by tie-break), then each
     * centroid coordinate is the ascending-id sequential double fold of its
     * members divided by the member count, rounded through FLOAT exactly as
     * the engine's `.cast("float")`. Emits CTEs `$a`s/$a/$a`e`/`$c`. */
-  private def kmeansIterSql(prev: String, a: String, c: String): String =
+  private def kmeansIterSql(prev: String, a: String, c: String,
+                            corpusRel: String = "corpus"): String =
     s"""${a}s AS (
          SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
-         FROM corpus p CROSS JOIN $prev c),
+         FROM $corpusRel p CROSS JOIN $prev c),
        $a AS (
          SELECT vec_id, cid FROM (
            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
              ORDER BY cs DESC, cid) AS rn FROM ${a}s) WHERE rn = 1),
        ${a}e AS (
          SELECT a.cid, p.vec_id, d.d AS dim, p.v[CAST(d.d AS INT)+1] AS x
-         FROM $a a JOIN corpus p USING (vec_id)
-         CROSS JOIN (SELECT unnest(range((SELECT max(len(v)) FROM corpus))) AS d) d),
+         FROM $a a JOIN $corpusRel p USING (vec_id)
+         CROSS JOIN (SELECT unnest(range((SELECT max(len(v)) FROM $corpusRel))) AS d) d),
        $c AS (
          SELECT cid, list(CAST(CAST(mv AS FLOAT) AS DOUBLE) ORDER BY dim) AS cv
          FROM (
@@ -2773,6 +2842,75 @@ object SparkEntry {
          FROM sc)
        SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
        FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** PQ ANN oracle: replicates the per-subspace codebooks (same Lloyd
+    * machinery as the IVF oracle, run on the 4 sub-vector slices), the
+    * code assignment, the ADC lookup-table scoring with its sub-ascending
+    * double fold, the top-50 candidate cut, and the exact-cosine rerank.
+    * Shared by similarity_topk_pq (inline encode) and
+    * similarity_topk_pq_index (materialized code table) — identical
+    * results by construction. */
+  private lazy val pqOracleSql: String = {
+    val subspaces = 4
+    val subDim = 16
+    val subChains = (0 until subspaces).map { sNo =>
+      val lo = sNo * subDim + 1
+      val hi = sNo * subDim + subDim
+      s"""sub$sNo AS (SELECT vec_id, v[$lo:$hi] AS v FROM corpusfull),
+         pqc0_$sNo AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             v AS cv
+           FROM (SELECT vec_id, v FROM sub$sNo ORDER BY vec_id LIMIT 8)),
+         ${kmeansIterSql(s"pqc0_$sNo", s"pka$sNo", s"pqc1_$sNo", s"sub$sNo")},
+         ${kmeansIterSql(s"pqc1_$sNo", s"pkb$sNo", s"pqc2_$sNo", s"sub$sNo")}"""
+    }.mkString(",\n")
+    val cbUnion = (0 until subspaces)
+      .map(sNo => s"SELECT $sNo AS sub, cid, cv FROM pqc2_$sNo")
+      .mkString(" UNION ALL ")
+    val subvUnion = (0 until subspaces)
+      .map(sNo => s"SELECT vec_id, $sNo AS sub, v FROM sub$sNo")
+      .mkString(" UNION ALL ")
+    s"""WITH corpusfull AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       $subChains,
+       cb AS ($cbUnion),
+       subv AS ($subvUnion),
+       encsc AS (
+         SELECT p.vec_id, p.sub, c.cid, ${cosSql("p.v", "c.cv")} AS cs
+         FROM subv p JOIN cb c ON p.sub = c.sub),
+       enc AS (
+         SELECT vec_id, sub, cid AS code FROM (
+           SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub
+             ORDER BY cs DESC, cid) AS rn FROM encsc) WHERE rn = 1),
+       lutq AS (SELECT vec_id AS query_id, sub, v FROM subv WHERE vec_id < 5),
+       lut AS (
+         SELECT q.query_id, q.sub, c.cid AS code, ${dotSql("q.v", "c.cv")} AS part
+         FROM lutq q JOIN cb c ON q.sub = c.sub),
+       adcp AS (
+         SELECT l.query_id, e.vec_id, e.sub, l.part
+         FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code),
+       adc AS (
+         SELECT query_id, vec_id,
+           list_reduce(list_prepend(0.0, list(part ORDER BY sub)),
+             (a, b) -> a + b) AS adc
+         FROM adcp GROUP BY query_id, vec_id),
+       cand AS (
+         SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc DESC, vec_id) AS cr FROM adc) WHERE cr <= 50),
+       sc AS (
+         SELECT ca.query_id, ca.vec_id, ${cosSql("cv.v", "qv.v")} AS cosine
+         FROM cand ca
+         JOIN corpusfull cv ON cv.vec_id = ca.vec_id
+         JOIN corpusfull qv ON qv.vec_id = ca.query_id),
+       r AS (
+         SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rnk
+         FROM sc)
+       SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
+       FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -3518,6 +3656,8 @@ object SparkEntry {
     // both queries share one oracle
     "similarity_topk_ivf" -> ivfOracleSql,
     "similarity_topk_ivf_index" -> ivfOracleSql,
+    "similarity_topk_pq" -> pqOracleSql,
+    "similarity_topk_pq_index" -> pqOracleSql,
 
     "timeseries_gap_fill" ->
       """WITH e AS (

@@ -210,6 +210,100 @@ object Similarity {
       .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  // -------------------------------------------- product quantization (PQ)
+
+  /** Product-quantization codebooks: each vector is split into
+    * `subspaces` contiguous sub-vectors of `subDim` dims, and every
+    * subspace trains its own `codes`-centroid codebook with the SAME
+    * deterministic Lloyd iterations as the IVF coarse quantizer (first-k
+    * init, cosine assignment with (cosine desc, cid asc) tie-break,
+    * exact ascending-id mean folds) — so the DuckDB oracle replicates it
+    * bit-for-bit per subspace. Returns (sub, centroid_id, vecCol). */
+  def pqCodebooks(corpus: DataFrame, subspaces: Int, subDim: Int,
+                  codes: Int, iters: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    (0 until subspaces).map { sub =>
+      kmeansCentroids(
+        corpus.select(col(idCol),
+          slice(col(vecCol), sub * subDim + 1, subDim).as(vecCol)),
+        codes, iters, idCol, vecCol)
+        .select(lit(sub).as("sub"), col("centroid_id"), col(vecCol))
+    }.reduce(_ unionByName _)
+
+  /** PQ-encode the corpus: one (id, sub, code) row per subspace, the
+    * nearest codeword under the same cosine/tie-break rule as
+    * assignToCentroids. THIS is the stored ANN index at 100 TB:
+    * `subspaces` small ints per vector instead of 4·dim bytes of floats
+    * (64-dim float32 → 4 codes ≈ 64× less index than the raw vectors),
+    * so an executor's memory holds the whole corpus's codes and the
+    * shuffle ships code ids, never embeddings. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame,
+               subDim: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(codebooks.select(col("sub"), col("centroid_id"),
+        col(vecCol).as("c_vec"))))
+      .withColumn("cs", VectorFunctions.cosineSim(
+        slice(col(vecCol), col("sub") * subDim + lit(1), lit(subDim)),
+        col("c_vec")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("cs"), negate(col("centroid_id")))).as("code"))
+
+  /** PQ asymmetric-distance top-k: queries stay full precision; each
+    * (query, subspace, codeword) dot product is computed ONCE into a
+    * |Q|·subspaces·codes lookup table, broadcast to the codes; a corpus
+    * vector's approximate score is the sub-ascending fold of its codes'
+    * LUT entries (deterministic double order — reproducible on any
+    * partitioning), and only the top `rerank` candidates per query pay
+    * the exact-cosine rerank against their full vectors. At warehouse
+    * scale the ADC phase touches ONLY the code index; the rerank is a
+    * |Q|·rerank point-lookup join. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+             k: Int, rerank: Int = 50, subDim: Int = 16,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             queryIdCol: String = "query_id"): DataFrame =
+    pqTopKOverCells(pqEncode(corpus, codebooks, subDim, idCol, vecCol),
+      corpus, queries, codebooks, k, rerank, subDim, idCol, vecCol, queryIdCol)
+
+  /** ADC + rerank over an already-encoded (id, sub, code) cell table —
+    * shared by the inline and materialized-index forms. */
+  def pqTopKOverCells(cells: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, codebooks: DataFrame,
+                      k: Int, rerank: Int, subDim: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      queryIdCol: String = "query_id"): DataFrame = {
+    val lut = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .join(broadcast(codebooks.select(col("sub"),
+        col("centroid_id").as("code"), col(vecCol).as("c_vec"))))
+      .select(col(queryIdCol), col("sub"), col("code"),
+        VectorFunctions.dotProduct(
+          slice(col("q_vec"), col("sub") * subDim + lit(1), lit(subDim)),
+          col("c_vec")).as("part"))
+    val adc = cells.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("sub"), col("part")))),
+        lit(0.0), (acc, e) => acc + e.getField("part")).as("adc"))
+    val wc = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("adc").desc, col(idCol))
+    val cand = adc
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= rerank)
+      .select(col(queryIdCol), col(idCol))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    cand.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(queryIdCol), col(vecCol).as("q_vec"))),
+        Seq(queryIdCol))
+      .withColumn("cosine", VectorFunctions.cosineSim(col(vecCol), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
   /** One streaming top-k hit. */
   case class TopKHit(query_id: Long, rank: Int, vec_id: Long, cosine: Double)
 
