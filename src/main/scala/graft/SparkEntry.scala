@@ -879,6 +879,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "quality_model_score" -> ((s, dir) => {
+      // fastText-style hashed linear quality classifier: unigram+bigram
+      // features via the hashing trick, deterministic integer weights
+      // w(h) = (mix64(h) & 1023) − 512 (a trained model would broadcast
+      // real weights; the scoring plumbing is what's exercised). The
+      // margin is an exact integer sum inside one codegen'd expression —
+      // zero shuffle, O(corpus) scan, embarrassingly parallel at 100 TB.
+      val toks = TextFunctions.tokens(lower(col("text")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (size(toks) + size(HashFunctions.shingleHashes(toks, 2)))
+            .cast("long").as("n_features"),
+          HashFunctions.linearMargin(toks).as("margin"))
+        .withColumn("score",
+          round(col("margin").cast("double") / col("n_features"), 6))
+        .withColumn("keep", col("margin") > 0)
+        .orderBy("doc_id")
+    }),
+
     "token_frequencies" -> ((s, dir) => {
       // generator surface: explode tokens → corpus-wide term frequencies
       val d = t(s, dir, "documents")
@@ -3503,6 +3522,40 @@ object SparkEntry {
                 WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
                 ELSE 'und' END AS lang_guess
          FROM s ORDER BY doc_id""",
+
+    // unigram FNV + bigram shingle hashes → splitmix64 → low-10-bit
+    // integer weights, summed exactly; score is the one double division.
+    "quality_model_score" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         thx AS (
+           SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th
+           FROM docs WHERE toks IS NOT NULL),
+         big AS (
+           SELECT doc_id, th,
+             CASE WHEN len(th) <= 2
+               THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
+                     (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
+               ELSE list_transform(range(1, len(th)),
+                 s -> (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
+                       % 18446744073709551616::HUGEINT) * 31
+                       + th[CAST(s AS INT)+1]) % 18446744073709551616::HUGEINT)
+             END AS bh
+           FROM thx),
+         feats AS (
+           SELECT doc_id, CAST(len(th) + len(bh) AS BIGINT) AS n_features,
+             list_concat(th, bh) AS fh
+           FROM big),
+         fe AS (SELECT doc_id, n_features, unnest(fh) AS x FROM feats),
+         ${mix64Ctes("fe", "mx")},
+         ws AS (
+           SELECT doc_id, max(n_features) AS n_features,
+             CAST(sum(CAST(h % 1024 AS BIGINT) - 512) AS BIGINT) AS margin
+           FROM mx GROUP BY doc_id)
+         SELECT d.doc_id, w.n_features, w.margin,
+           round(CAST(w.margin AS DOUBLE) / w.n_features, 6) AS score,
+           w.margin > 0 AS keep
+         FROM docs d LEFT JOIN ws w ON d.doc_id = w.doc_id
+         ORDER BY d.doc_id""",
 
     "token_frequencies" ->
       """SELECT token, count(*) AS freq

@@ -29,6 +29,7 @@ object GraftFunctions {
     "minhash" -> (es => MinHashSignature(es(0), intLit(es(1), "minhash k"))),
     "minhash_hashes" -> (es => MinHashFromHashes(es(0), intLit(es(1), "minhash k"))),
     "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle n"))),
+    "linear_margin" -> (es => LinearMargin(es.head)),
     "winnow" -> (es => Winnow(es(0), intLit(es(1), "window"))),
     "hyperplane_sig" -> (es => HyperplaneSignature(es(0), intLit(es(1), "bits"),
       if (es.length > 2) intLit(es(2), "seed") else 0)),

@@ -111,6 +111,34 @@ object HashOps {
     }
   }
 
+  /** Hashed-feature linear classifier margin (fastText-style scoring
+    * with the training factored out): features are the unigram FNV
+    * hashes plus the bigram shingle hashes ([[shingleHashes]] n=2);
+    * each feature contributes a deterministic pseudo-random integer
+    * weight w(h) = (mix64(h) & 1023) − 512, and the margin is their
+    * plain integer sum — order-free, exact, reproducible on any engine
+    * or partitioning (a trained model would ship real weights via a
+    * broadcast table; the hashing-trick plumbing is identical). One
+    * pass, no allocation beyond the token-hash buffer. */
+  def linearMargin(tokens: ArrayData): Long = {
+    val cnt = tokens.numElements()
+    var margin = 0L
+    var i = 0
+    while (i < cnt) {
+      val h = if (tokens.isNullAt(i)) 0L else fnv64(tokens.getUTF8String(i))
+      margin += (mix64(h) & 1023L) - 512L
+      i += 1
+    }
+    val bi = shingleHashes(tokens, 2)
+    val bn = bi.numElements()
+    var s = 0
+    while (s < bn) {
+      margin += (mix64(bi.getLong(s)) & 1023L) - 512L
+      s += 1
+    }
+    margin
+  }
+
   /** k-MinHash over already-hashed shingles (array<long>) — one pass. */
   def minhashFromHashes(hashes: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
@@ -336,6 +364,18 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `linear_margin(array<string>) -> long` — hashed-feature linear
+  * classifier margin (see [[HashOps.linearMargin]]). */
+case class LinearMargin(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "linear_margin"
+  override protected def nullSafeEval(in: Any): Any =
+    HashOps.linearMargin(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.linearMargin($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `minhash_hashes(array<long>, k) -> array<long>`. */
 case class MinHashFromHashes(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -362,6 +402,8 @@ object HashFunctions {
     Bridge.column(MinHashFromHashes(Bridge.expression(hashes), k))
   def rollingHash(tokens: Column): Column =
     Bridge.column(RollingHash64(Bridge.expression(tokens)))
+  def linearMargin(tokens: Column): Column =
+    Bridge.column(LinearMargin(Bridge.expression(tokens)))
   def hyperplaneSignature(vec: Column, bits: Int, seed: Int): Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(vec), bits, seed))
   def randomProjection(vec: Column, dims: Int, seed: Int): Column =

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{HashFunctions, HashOps, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.functions._
 
 /** Text, vector, and hash function invariants. */
@@ -100,6 +100,31 @@ class FunctionsSpec extends SparkSpec {
     val hs = Seq("alpha beta gamma", "gamma beta alpha").toDF("t")
       .select(TextFunctions.rollingHash(col("t")).as("h")).as[Long].collect()
     assert(hs(0) != hs(1))
+  }
+
+  test("linearMargin: matches per-feature weight sum, order-sensitive, null-safe") {
+    // reference: unigram fnv weights + bigram shingle weights, by hand
+    def w(h: Long) = (HashOps.mix64(h) & 1023L) - 512L
+    def fnv(s: String) =
+      HashOps.fnv64(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    val toks = Seq("alpha", "beta", "gamma")
+    val uni = toks.map(t => w(fnv(t))).sum
+    val th = toks.map(fnv)
+    val bi = th.sliding(2).map(p =>
+      w((1125899906842597L * 31L + p(0)) * 31L + p(1))).sum
+    val got = Seq((Some("alpha beta gamma"), 1), (None, 2))
+      .toDF("text", "id")
+      .select(HashFunctions.linearMargin(
+        TextFunctions.tokens(lower(col("text")))).as("m"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got(0) === Some(uni + bi))
+    assert(got(1) === None)
+    // permuted tokens change bigram features ⇒ (almost surely) the margin
+    val p = Seq("gamma beta alpha").toDF("text")
+      .select(HashFunctions.linearMargin(
+        TextFunctions.tokens(lower(col("text")))).as("m"))
+      .as[Long].head()
+    assert(p !== (uni + bi))
   }
 
   // ------------------------------------------------------------ vectors
