@@ -1166,6 +1166,30 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "dedup_semantic_cells" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): k-means cells bound the pairwise
+      // search — exact cosine is computed WITHIN cells only (Σ|cell|²,
+      // never n²), and the higher id of every ≥0.95 pair is dropped.
+      // Same goal as dedup_embedding_clusters but the cluster-bounded
+      // plan: at 100 TB the cells are the IVF index partitions, so the
+      // self-join is cell-local — co-partitioned, no global pair shuffle.
+      val (cents, _) = ivfIndex(s, dir)
+      val aug = augmentedEmbeddings(s, dir)
+      val cells = Similarity.assignToCentroids(aug, cents)
+        .select(col("centroid_id"), col("vec_id"), col("embedding"))
+      val doomed = cells
+        .select(col("centroid_id"), col("vec_id").as("id_a"),
+          col("embedding").as("va"))
+        .join(cells.select(col("centroid_id"), col("vec_id").as("id_b"),
+          col("embedding").as("vb")), Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")) >= 0.95)
+        .select(col("id_b").as("vec_id")).distinct()
+      aug.join(doomed, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     "similarity_topk_pq" -> ((s, dir) => {
       // product-quantization ANN: per-subspace codebooks (memoized index
       // build), ADC scoring via a broadcast (query × codeword) LUT over
@@ -3711,6 +3735,42 @@ object SparkEntry {
     "similarity_topk_ivf_index" -> ivfOracleSql,
     "similarity_topk_pq" -> pqOracleSql,
     "similarity_topk_pq_index" -> pqOracleSql,
+
+    // SemDeDup: same trained quantizer as the IVF oracle, augmented
+    // corpus assigned to cells, exact cosine within cells only, higher
+    // id of every >= 0.95 pair dropped.
+    "dedup_semantic_cells" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         aug AS (
+           SELECT vec_id, v FROM corpus
+           UNION ALL
+           SELECT vec_id + 1000000,
+             list_transform(v, x -> CAST(CAST(x * CAST(0.9 AS DOUBLE) AS FLOAT) AS DOUBLE))
+           FROM corpus WHERE vec_id % 10 = 0),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             v AS cv
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+         ${kmeansIterSql("c0", "a1", "c1")},
+         ${kmeansIterSql("c1", "a2", "c2")},
+         cellsc AS (
+           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
+           FROM aug p CROSS JOIN c2 c),
+         cells AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1),
+         doomed AS (
+           SELECT DISTINCT cb.vec_id AS vec_id
+           FROM cells ca JOIN cells cb
+             ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+           JOIN aug a ON a.vec_id = ca.vec_id
+           JOIN aug b ON b.vec_id = cb.vec_id
+           WHERE ${cosSql("a.v", "b.v")} >= 0.95)
+         SELECT vec_id FROM aug
+         WHERE vec_id NOT IN (SELECT vec_id FROM doomed)
+         ORDER BY vec_id""",
 
     "timeseries_gap_fill" ->
       """WITH e AS (

@@ -634,6 +634,18 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("dedup_semantic_cells: planted scaled copies dropped, every original kept") {
+    val survivors = SparkEntry.queries("dedup_semantic_cells")(spark, sfDir)
+      .as[Long].collect().toSet
+    val originals = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id").as[Long].collect().toSet
+    // the 0.9-scaled copies (vec_id ≥ 1000000) are colinear with their
+    // originals (cosine ≈ 1), share the original's cell, and must all be
+    // dropped (copy id > original id); originals are random vectors, so
+    // none of them pair above 0.95 with each other
+    assert(survivors === originals)
+  }
+
   private case class Tabs(documents: org.apache.spark.sql.DataFrame,
                           embeddings: org.apache.spark.sql.DataFrame)
   private def Tables(): Tabs = Tabs(

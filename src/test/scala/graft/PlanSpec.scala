@@ -166,6 +166,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("shingle_hashes"), p)
   }
 
+  test("similarity_topk_pq_index: ADC scans the code table, embeddings only for rerank") {
+    val p = plan("similarity_topk_pq_index")
+    // the (vec_id, sub, code) index arrives as a parquet scan of the pq
+    // temp dir; the LUT and rerank query vectors are broadcast
+    assert(p.contains("graft_pq_"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the ADC join is broadcast, never sort-merge (the LUT is |Q|·m·k rows)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_incremental_bloom: bloom probes broadcast one-row filters, band join stays hashed") {
+    val p = plan("dedup_incremental_bloom")
+    // two one-row bloom builds cross-join in via BroadcastNestedLoopJoin
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
+    // probe expressions are native bit tests (shiftright over xxhash64),
+    // inside codegen — no UDF nodes anywhere
+    assert(p.contains("shiftright"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("text_bm25: one corpus scan, stats broadcast back, no explode") {
     val p = plan("text_bm25")
     // per-doc tf is array arithmetic — a Generate (explode) here would
