@@ -2037,6 +2037,37 @@ object SparkEntry {
         .orderBy("lang", "split")
     }),
 
+    "sample_temperature" -> ((s, dir) => {
+      // temperature-flattened mixture sampling (τ = 1/2, the common
+      // multilingual sqrt rule): target share p_s ∝ √n_s, half-corpus
+      // budget, per-source quota = min(n_s, floor(T·p_s)). The kept rows
+      // are chosen by content-hash rank, so the sample is deterministic
+      // and reproducible on any partitioning. Z is a sources-ascending
+      // ordered fold (bit-stable double sum); sqrt/floor are IEEE-exact.
+      // One vocab-sized aggregate broadcast back — no second corpus pass.
+      val d = t(s, dir, "documents")
+      val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val z = counts.agg(
+        aggregate(
+          sort_array(collect_list(struct(col("source"),
+            sqrt(col("n_docs").cast("double")).as("sq")))),
+          lit(0.0), (a, e) => a + e.getField("sq")).as("z"),
+        sum(col("n_docs")).as("total"))
+      val quotas = counts.crossJoin(broadcast(z))
+        .select(col("source"),
+          least(col("n_docs"),
+            floor((col("total").cast("double") / lit(2.0)) *
+              (sqrt(col("n_docs").cast("double")) / col("z")))
+              .cast("long")).as("quota"))
+      val h = HashFunctions.fnv64(col("doc_id").cast("string"))
+      val w = Window.partitionBy("source").orderBy(h.asc, col("doc_id"))
+      d.withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    }),
+
     "sample_balanced_lang" -> ((s, dir) => {
       // language-balanced subsample: fixed quota of 20 docs per language,
       // chosen by content hash — the standard remedy for head-language
@@ -4673,6 +4704,30 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS first_doc
          FROM h GROUP BY 1, 2 ORDER BY lang, split"""
+    },
+
+    "sample_temperature" -> {
+      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
+      s"""WITH counts AS (
+           SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         z AS (
+           SELECT list_reduce(list_prepend(0.0,
+               list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+               (a, b) -> a + b) AS z,
+             CAST(sum(n_docs) AS BIGINT) AS total
+           FROM counts),
+         q AS (
+           SELECT source, least(n_docs,
+             CAST(floor((CAST(total AS DOUBLE) / 2.0) *
+               (sqrt(CAST(n_docs AS DOUBLE)) / z)) AS BIGINT)) AS quota
+           FROM counts CROSS JOIN z),
+         h AS (SELECT source, doc_id, $hv AS hv FROM documents),
+         r AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+           FROM h)
+         SELECT r.source, r.rn, r.doc_id
+         FROM r JOIN q ON r.source = q.source
+         WHERE r.rn <= q.quota ORDER BY r.source, r.rn"""
     },
 
     "sample_balanced_lang" -> {

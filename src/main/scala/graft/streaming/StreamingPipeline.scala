@@ -420,6 +420,19 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming quality gate: score every arriving document with the
+    * hashed linear classifier (`HashOps.linearMargin` — one codegen'd
+    * expression, exact integer margin) and pass only positive-margin
+    * docs. Completely STATELESS — no state store, no watermark, no
+    * shuffle — so it composes in front of any sink or downstream
+    * stateful stage at full ingest rate. The ingest-time form of the
+    * batch `quality_model_score` (same margin, same keep rule). */
+  def qualityGateStream(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("margin", graft.functions.HashFunctions.linearMargin(
+        graft.functions.TextFunctions.tokens(lower(col(textCol)))))
+      .filter(col("margin") > 0)
+
   /** Streaming dataset fingerprint: the running
     * `Layout.datasetFingerprint` of everything ingested so far,
     * maintained incrementally per micro-batch. Because the fingerprint

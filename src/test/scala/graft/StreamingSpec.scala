@@ -687,6 +687,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityGateStream: streamed keepers equal the batch keep set, stateless plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamingPipeline.qualityGateStream(
+      input.toDF().toDF("doc_id", "text"), "text")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("quality_gate").start()
+    try {
+      input.addData(docs.take(200))
+      input.addData(docs.drop(200))
+      q.processAllAvailable()
+      val streamed = spark.table("quality_gate")
+        .select("doc_id").as[Long].collect().toSet
+      val batchKeep = SparkEntry.queries("quality_model_score")(spark, sfDir)
+        .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+      assert(streamed === batchKeep)
+      assert(streamed.nonEmpty && streamed.size < docs.size)
+    } finally q.stop()
+  }
+
   test("fingerprintStream: running fingerprint equals batch fingerprint of the union") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (0L until 500L).map(i => (i, s"v${i % 13}"))
