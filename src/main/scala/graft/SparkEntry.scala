@@ -780,6 +780,35 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "agg_heavy_hitters" -> ((s, dir) => {
+      // heavy-hitter detection without a full groupBy: a Misra-Gries
+      // summary (k=16 counters, mergeable — ≤ k counters per partition
+      // cross the wire) nominates candidates; an exact count confirms
+      // ONLY those ≤ 16 keys, so the confirm shuffle carries candidate
+      // rows, never every distinct key. MG guarantees every key above
+      // n/(k+1) is nominated under any merge order, and the exact
+      // confirm makes the output deterministic — the fixture plants two
+      // bot users (16.1% and 9.4% of traffic) in otherwise-uniform
+      // clickstream; threshold via the integer cross-multiply 17·c > n.
+      val ev = t(s, dir, "events").select("event_id", "user_id")
+      val botA = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+        .select(col("event_id"), lit(777777L).as("user_id"))
+      val botB = ev.filter(pmod(col("event_id"), lit(8)) === 0)
+        .select(col("event_id"), lit(888888L).as("user_id"))
+      val aug = ev.unionByName(botA).unionByName(botB)
+      val mg = aug.agg(graft.functions.HeavyHitters
+        .mgCandidates(col("user_id"), 16).as("mg"))
+      val cands = mg.select(col("mg.n").as("n"),
+          explode(col("mg.items")).as("it"))
+        .select(col("n"), col("it.key").as("user_id"))
+      aug.join(broadcast(cands), Seq("user_id"))
+        .groupBy(col("user_id"), col("n"))
+        .agg(count(lit(1)).as("n_events"))
+        .filter(col("n_events") * 17 > col("n"))
+        .select(col("user_id"), col("n_events"))
+        .orderBy("user_id")
+    }),
+
     "event_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization: 30-min inactivity gap
       val e = t(s, dir, "events")
@@ -3465,6 +3494,19 @@ object SparkEntry {
            count(DISTINCT l_partkey) AS distinct_parts,
            count(DISTINCT l_suppkey) AS distinct_supps
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // the sketch nominates a superset of the > n/17 keys (MG guarantee);
+    // the exact confirm makes the final set independent of merge order,
+    // so the oracle is plain exact SQL over the augmented stream
+    "agg_heavy_hitters" ->
+      """WITH aug AS (
+           SELECT event_id, user_id FROM events
+           UNION ALL SELECT event_id, 777777 FROM events WHERE event_id % 5 = 0
+           UNION ALL SELECT event_id, 888888 FROM events WHERE event_id % 8 = 0),
+         tot AS (SELECT count(*) AS n FROM aug),
+         c AS (SELECT user_id, count(*) AS n_events FROM aug GROUP BY user_id)
+         SELECT user_id, n_events FROM c CROSS JOIN tot
+         WHERE n_events * 17 > n ORDER BY user_id""",
 
     "event_sessionize" ->
       """WITH x AS (

@@ -35,6 +35,10 @@ object GraftFunctions {
       if (es.length > 2) intLit(es(2), "seed") else 0)),
     "random_projection" -> (es => RandomProjection(es(0), intLit(es(1), "dims"),
       if (es.length > 2) intLit(es(2), "seed") else 0)),
+    "mg_candidates" -> (es => MisraGriesCandidates(
+      es.head,
+      if (es.length > 1) intLit(es(1), "k") else 16)
+      .toAggregateExpression(isDistinct = false)),
     "bounded_count_distinct" -> (es => BoundedCountDistinct(
       es.head,
       if (es.length > 1) intLit(es(1), "threshold") else 100000,
