@@ -1204,8 +1204,13 @@ object SparkEntry {
       // self-join is cell-local — co-partitioned, no global pair shuffle.
       val (cents, _) = ivfIndex(s, dir)
       val aug = augmentedEmbeddings(s, dir)
+      // persist the cell table: it feeds both sides of the self-join and
+      // the survivor anti-join (without it the assignment — and the
+      // augmented union behind it — is recomputed four times; at scale
+      // this is the materialized IVF assignment read back from storage)
       val cells = Similarity.assignToCentroids(aug, cents)
         .select(col("centroid_id"), col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val doomed = cells
         .select(col("centroid_id"), col("vec_id").as("id_a"),
           col("embedding").as("va"))
@@ -1214,8 +1219,8 @@ object SparkEntry {
         .filter(col("id_a") < col("id_b"))
         .filter(graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")) >= 0.95)
         .select(col("id_b").as("vec_id")).distinct()
-      aug.join(doomed, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"))
+      cells.select(col("vec_id"))
+        .join(doomed, Seq("vec_id"), "left_anti")
         .orderBy("vec_id")
     }),
 
