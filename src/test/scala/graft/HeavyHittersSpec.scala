@@ -61,6 +61,26 @@ class HeavyHittersSpec extends SparkSpec {
     assert(confirmed(32) === expected)
   }
 
+  test("streaming: mg_candidates aggregates across micro-batches (update mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val agg = input.toDF().toDF("k")
+      .agg(HeavyHitters.mgCandidates(col("k"), 8).as("mg"))
+      .select(col("mg.n").as("n"), col("mg.items.key").as("keys"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("mg_stream").start()
+    try {
+      input.addData(stream.take(1500))
+      q.processAllAvailable()
+      input.addData(stream.drop(1500))
+      q.processAllAvailable()
+      val last = spark.table("mg_stream").orderBy(col("n").desc).head()
+      assert(last.getLong(0) === stream.size.toLong)
+      assert(last.getSeq[Long](1).contains(1L))
+    } finally q.stop()
+  }
+
   test("SQL surface: mg_candidates registered") {
     graft.functions.GraftFunctions.registerAll(spark)
     stream.toDF("k").createOrReplaceTempView("mg_in")
