@@ -9,6 +9,7 @@ object Debug {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
     if (args.length > 1 && args(1) == "cc") { ccBreakdown(spark, sfDir); spark.stop(); return }
+    if (args.length > 1 && args(1) == "bloom") { bloomBreakdown(spark, sfDir); spark.stop(); return }
     val docs = {
       val d = graft.sources.Tables.load(spark, sfDir, "documents").select("doc_id", "text")
       val exact = d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -34,6 +35,54 @@ object Debug {
     println("sig checksum=" + sig.select(sum(element_at(col("sig"), 1))).first().getLong(0))
     println(s"signature pass (hashed shingles) in ${(System.nanoTime() - t1) / 1e9}s")
     spark.stop()
+  }
+
+  /** Phase timing for incrementalDedupBloom. */
+  private def bloomBreakdown(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import graft.functions.Bloom
+    import graft.operators.Dedup
+    val d = graft.sources.Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val exact = d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" graft near dup tail")).as("text"))
+    val aug = d.unionByName(exact).unionByName(near)
+    val newDocs = aug.filter(col("doc_id") >= 1000000L)
+    val corpus = aug.filter(col("doc_id") < 1000000L)
+    def tm[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[bloom] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val words = 16384
+    def fp(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp"))
+    val fpWords = tm("fp bloom build")(Bloom.buildWords(
+      fp(corpus).select(xxhash64(col("fp")).as("key")), "key", words))
+    val fpB = Bloom.literal(fpWords)
+    tm("fp suspects count")(fp(newDocs)
+      .filter(Bloom.mightContain(fpB, xxhash64(col("fp")), words)).count())
+    val shOld = Dedup.hashedShingleTable(corpus, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tm("shOld materialize")(shOld.count())
+    val bOld = Dedup.bucketsFromShingles(shOld, "doc_id", 16, 4)
+      .select(col("band"), col("band_key"), col("doc_id").as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tm("bOld materialize")(bOld.count())
+    val bandWords = tm("band bloom build")(Bloom.buildWords(
+      bOld.select(xxhash64(col("band"), col("band_key")).as("key")), "key", words))
+    val bandB = Bloom.literal(bandWords)
+    val shNew = Dedup.hashedShingleTable(newDocs, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tm("shNew materialize")(shNew.count())
+    val bNew = Dedup.bucketsFromShingles(shNew, "doc_id", 16, 4)
+      .select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+    tm("bNew suspects count")(bNew
+      .filter(Bloom.mightContain(bandB,
+        xxhash64(col("band"), col("band_key")), words)).count())
+    tm("full incrementalDedupBloom")(
+      Dedup.incrementalDedupBloom(newDocs, corpus, "doc_id", "text").count())
+    tm("full incrementalDedup")(
+      Dedup.incrementalDedup(newDocs, corpus, "doc_id", "text").count())
   }
 
   /** Phase timing for dedup_clusters: pairs pipeline vs CC loop. */

@@ -4,15 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed Bloom filter built and probed with native (codegen'd)
-  * column expressions only — no UDFs, no driver-side bit twiddling.
+  * column expressions only — no UDFs, no per-row filter copies.
   *
-  * Shape: the filter is ONE ROW holding an `array<long>` of `words`
-  * 64-bit words (m = words·64 bits). Build is a map-side-combinable
-  * `bit_or` aggregate over the key column — each executor contributes
-  * partial words, and only `words × 8` bytes per partition cross the
-  * wire. Probe broadcasts that single row (`crossJoin(broadcast(...))`)
-  * and tests the k bit positions with `shiftright`/`pmod`/bitwiseAND —
-  * all inside whole-stage codegen.
+  * Shape: the filter is an `array<long>` of `words` 64-bit words
+  * (m = words·64 bits). Build is a map-side-combinable `bit_or`
+  * aggregate over the key column — each executor contributes partial
+  * words, and only `words × 8` bytes per partition cross the wire;
+  * the result is then an INDEX ARTIFACT, collected to the driver
+  * ([[buildWords]]) and inlined into the probe plan as a literal
+  * ([[literal]]) — a constant reference in generated code. The probe
+  * tests the k bit positions with `shiftright`/`pmod`/bitwiseAND in a
+  * plain `filter`, all inside whole-stage codegen.
   *
   * Why it matters at 100 TB: rolling-ingest dedup joins a small batch
   * against an enormous corpus key set. Shipping a ~100 KB bloom of the
@@ -43,26 +45,43 @@ object Bloom {
   private def position(key: Column, i: Int, words: Int): Column =
     pmod(xxhash64(key, lit(i)), lit(words.toLong * 64L))
 
-  /** Build the filter over `keys(keyCol)` (any hashable type): returns a
-    * ONE-ROW DataFrame with column `bloom` = array<long> of length
-    * `words`. Null keys are ignored (a null never matches the probe). */
-  def build(keys: DataFrame, keyCol: String, words: Int, k: Int = 7): DataFrame = {
-    val pos = keys.filter(col(keyCol).isNotNull)
+  /** The distributed half of the build: explode each key into its k bit
+    * positions, partial-`bit_or` per 64-bit word. At most `words` tiny
+    * rows survive the (map-side combined) aggregate. Null keys are
+    * ignored (a null never matches the probe). */
+  private def wordRows(keys: DataFrame, keyCol: String, words: Int, k: Int): DataFrame =
+    keys.filter(col(keyCol).isNotNull)
       .select(explode(array((0 until k).map(i =>
         position(col(keyCol), i, words)): _*)).as("pos"))
-    val wordRows = pos
       .select(shiftright(col("pos"), 6).cast("int").as("w"),
         call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64L)).cast("int")).as("m"))
       .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
-    wordRows
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("wm"))
-      .select(transform(sequence(lit(0), lit(words - 1)),
-        w => coalesce(element_at(col("wm"), w), lit(0L))).as("bloom"))
+
+  /** Build the filter: the `bit_or` aggregate runs distributed
+    * (map-side combined — `words × 8` bytes per partition cross the
+    * wire), and the ≤ `words` surviving (word, bits) rows are assembled
+    * into the dense array by a trivial driver loop. The result is an
+    * INDEX ARTIFACT (like the memoized IVF centroids), meant to be
+    * inlined into probe plans via [[literal]] — a constant reference in
+    * generated code. Two shapes NOT to use, both measured ~10× the
+    * entire dedup runtime at words=16384: assembling the dense array
+    * relationally (`transform(sequence…, element_at(map…))` is
+    * words×words interpreted map scans), and cross-joining a one-row
+    * build frame into the probe (copies the whole array into every
+    * probe row's UnsafeRow). */
+  def buildWords(keys: DataFrame, keyCol: String, words: Int, k: Int = 7): Array[Long] = {
+    val arr = new Array[Long](words)
+    wordRows(keys, keyCol, words, k).collect()
+      .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
   }
 
-  /** Probe: true iff all k bits for `key` are set in `bloom` (an
-    * array<long> column from [[build]]). Pure column expression —
-    * usable in `filter` after `crossJoin(broadcast(bloomDf))`. */
+  /** The collected filter as a plan literal for [[mightContain]]. */
+  def literal(bloomWords: Array[Long]): Column = typedLit(bloomWords)
+
+  /** Probe: true iff all k bits for `key` are set in `bloom` (a literal
+    * from [[literal]], or any array<long> column). Pure codegen'd
+    * column expression — a plain `filter`, no join. */
   def mightContain(bloom: Column, key: Column, words: Int, k: Int = 7): Column =
     (0 until k).map { i =>
       val pos = position(key, i, words)

@@ -672,13 +672,23 @@ object Dedup {
                             rowsPerBand: Int = 4, threshold: Double = 0.8,
                             bloomWords: Int = 16384, bloomK: Int = 7): DataFrame = {
     import graft.functions.Bloom
+    // the 64-bit probe KEY is projected once and persisted: the filter's
+    // k conjuncts would otherwise each inline the md5+regex fingerprint
+    // (no cross-conjunct subexpression elimination — measured as the
+    // whole probe cost); the fp frames also each feed two consumers
     def fp(d: DataFrame) = d.select(
       col(idCol), TextFunctions.contentFingerprint(col(textCol)).as("fp"))
+      .withColumn("key", xxhash64(col("fp")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusFp = fp(corpus)
-    val fpBloom = Bloom.build(
-      corpusFp.select(xxhash64(col("fp")).as("key")), "key", bloomWords, bloomK)
-    val fpSuspects = fp(newDocs).crossJoin(broadcast(fpBloom))
-      .filter(Bloom.mightContain(col("bloom"), xxhash64(col("fp")), bloomWords, bloomK))
+    // blooms are index artifacts: built distributed (map-side bit_or),
+    // reduced to words×8 bytes on the driver, inlined as plan LITERALS —
+    // the probe is a plain codegen'd filter, no join, no per-row copy of
+    // the filter array (offline, they'd be built next to the dedup index)
+    val fpBloom = Bloom.literal(
+      Bloom.buildWords(corpusFp, "key", bloomWords, bloomK))
+    val fpSuspects = fp(newDocs)
+      .filter(Bloom.mightContain(fpBloom, col("key"), bloomWords, bloomK))
       .select(col(idCol), col("fp"))
     val exactDoomed = fpSuspects
       .join(corpusFp.select("fp").distinct(), Seq("fp"))
@@ -689,13 +699,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bNew = bucketsFromShingles(shNew, idCol, bands, rowsPerBand)
       .select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    // persisted: the bloom build consumes the corpus bucket table once;
+    // without the persist the minhash signatures would be recomputed for
+    // the candidate join
     val bOld = bucketsFromShingles(shOld, idCol, bands, rowsPerBand)
       .select(col("band"), col("band_key"), col(idCol).as("id_b"))
-    val bandBloom = Bloom.build(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandBloom = Bloom.literal(Bloom.buildWords(
       bOld.select(xxhash64(col("band"), col("band_key")).as("key")),
-      "key", bloomWords, bloomK)
-    val bNewSuspects = bNew.crossJoin(broadcast(bandBloom))
-      .filter(Bloom.mightContain(col("bloom"),
+      "key", bloomWords, bloomK))
+    val bNewSuspects = bNew
+      .filter(Bloom.mightContain(bandBloom,
         xxhash64(col("band"), col("band_key")), bloomWords, bloomK))
       .select("band", "band_key", "id_a")
     val cands = bNewSuspects.join(bOld, Seq("band", "band_key"))

@@ -16,19 +16,19 @@ class BloomSpec extends SparkSpec {
 
   test("no false negatives: every inserted key probes true") {
     val keys = (1L to 200L).map(_ * 2654435761L).toDF("key")
-    val bloom = Bloom.build(keys, "key", words)
-    val misses = keys.crossJoin(broadcast(bloom))
-      .filter(!Bloom.mightContain(col("bloom"), col("key"), words))
+    val bloom = Bloom.literal(Bloom.buildWords(keys, "key", words))
+    val misses = keys
+      .filter(!Bloom.mightContain(bloom, col("key"), words))
       .count()
     assert(misses === 0L)
   }
 
   test("false-positive rate on disjoint keys stays near the 10-bit/key design point") {
     val inserted = (1L to 200L).map(_ * 2654435761L).toDF("key")
-    val bloom = Bloom.build(inserted, "key", words)
+    val bloom = Bloom.literal(Bloom.buildWords(inserted, "key", words))
     val probes = (1_000_000L to 1_010_000L).toDF("key")
-    val hits = probes.crossJoin(broadcast(bloom))
-      .filter(Bloom.mightContain(col("bloom"), col("key"), words))
+    val hits = probes
+      .filter(Bloom.mightContain(bloom, col("key"), words))
       .count()
     // 10 bits/key, k=7 ⇒ design fp ≈ 0.8%; allow generous slack
     assert(hits.toDouble / 10001 < 0.05,
@@ -37,10 +37,9 @@ class BloomSpec extends SparkSpec {
 
   test("null keys are ignored on build and never match on probe") {
     val keys = Seq(Some(1L), None, Some(2L)).toDF("key")
-    val bloom = Bloom.build(keys, "key", words)
+    val bloom = Bloom.literal(Bloom.buildWords(keys, "key", words))
     val nullProbe = Seq(Option.empty[Long]).toDF("key")
-      .crossJoin(broadcast(bloom))
-      .filter(Bloom.mightContain(col("bloom"), col("key"), words))
+      .filter(Bloom.mightContain(bloom, col("key"), words))
     assert(nullProbe.count() === 0L)
   }
 
@@ -70,10 +69,10 @@ class BloomSpec extends SparkSpec {
       .map(i => (i, s"completely fresh ingest item $i nothing alike"))
       .toDF("doc_id", "text")
     val w = Bloom.wordsFor(500)
-    val bloom = Bloom.build(
-      corpus.select(xxhash64(md5(col("text"))).as("key")), "key", w)
-    val survivors = batch.crossJoin(broadcast(bloom))
-      .filter(Bloom.mightContain(col("bloom"), xxhash64(md5(col("text"))), w))
+    val bloom = Bloom.literal(Bloom.buildWords(
+      corpus.select(xxhash64(md5(col("text"))).as("key")), "key", w))
+    val survivors = batch
+      .filter(Bloom.mightContain(bloom, xxhash64(md5(col("text"))), w))
       .count()
     assert(survivors < 25, s"bloom passed $survivors of 500 novel docs")
   }
