@@ -268,13 +268,14 @@ object Similarity {
     pqTopKOverCells(pqEncode(corpus, codebooks, subDim, idCol, vecCol),
       corpus, queries, codebooks, k, rerank, subDim, idCol, vecCol, queryIdCol)
 
-  /** ADC + rerank over an already-encoded (id, sub, code) cell table —
-    * shared by the inline and materialized-index forms. */
-  def pqTopKOverCells(cells: DataFrame, corpus: DataFrame,
-                      queries: DataFrame, codebooks: DataFrame,
-                      k: Int, rerank: Int, subDim: Int,
-                      idCol: String = "vec_id", vecCol: String = "embedding",
-                      queryIdCol: String = "query_id"): DataFrame = {
+  /** The ADC scoring stage alone: (queryIdCol, idCol, adc) for every
+    * (query, corpus vector) pair — the sub-ascending double fold of the
+    * query's LUT entries at the vector's codes. Exposed so the
+    * streaming probe can be parity-tested against it bit-for-bit. */
+  def pqAdcScores(cells: DataFrame, queries: DataFrame,
+                  codebooks: DataFrame, subDim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  queryIdCol: String = "query_id"): DataFrame = {
     val lut = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
       .join(broadcast(codebooks.select(col("sub"),
         col("centroid_id").as("code"), col(vecCol).as("c_vec"))))
@@ -282,11 +283,22 @@ object Similarity {
         VectorFunctions.dotProduct(
           slice(col("q_vec"), col("sub") * subDim + lit(1), lit(subDim)),
           col("c_vec")).as("part"))
-    val adc = cells.join(broadcast(lut), Seq("sub", "code"))
+    cells.join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(aggregate(
         sort_array(collect_list(struct(col("sub"), col("part")))),
         lit(0.0), (acc, e) => acc + e.getField("part")).as("adc"))
+  }
+
+  /** ADC + rerank over an already-encoded (id, sub, code) cell table —
+    * shared by the inline and materialized-index forms. */
+  def pqTopKOverCells(cells: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, codebooks: DataFrame,
+                      k: Int, rerank: Int, subDim: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      queryIdCol: String = "query_id"): DataFrame = {
+    val adc = pqAdcScores(cells, queries, codebooks, subDim,
+      idCol, vecCol, queryIdCol)
     val wc = Window.partitionBy(col(queryIdCol))
       .orderBy(col("adc").desc, col(idCol))
     val cand = adc
@@ -306,6 +318,57 @@ object Similarity {
 
   /** One streaming top-k hit. */
   case class TopKHit(query_id: Long, rank: Int, vec_id: Long, cosine: Double)
+
+  /** One streaming PQ hit — ADC (asymmetric-distance) score. */
+  case class TopKHitAdc(query_id: Long, rank: Int, vec_id: Long, adc: Double)
+
+  /** Streaming PQ probe: the broadcast index is the CODE table plus the
+    * codebooks — `subspaces` small ints per corpus vector instead of
+    * 4·dim bytes (64-dim float32 → ~64× more vectors per executor than
+    * a flat float broadcast, ~16× more than int8). Each arriving query
+    * builds its subspaces×codes dot-product LUT once, then scores every
+    * corpus vector with `subspaces` array lookups, summed in
+    * sub-ascending order — bit-identical to the batch [[pqAdcScores]]
+    * fold (parity-tested). Ordering is the ADC approximation; the exact
+    * rerank of the emitted ids happens downstream as a point-lookup.
+    * Zero shuffle, zero state. */
+  def topKStreamPq(queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                   books: Array[(Int, Long, Array[Float])],
+                   codes: Array[(Long, Array[Int])],
+                   k: Int, subDim: Int = 16): org.apache.spark.sql.Dataset[TopKHitAdc] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcCodes = spark.sparkContext.broadcast(codes)
+    queries.mapPartitions { it =>
+      val bks = bcBooks.value
+      val subspaces = bks.iterator.map(_._1).max + 1
+      val nCodes = bks.iterator.map(_._2).max.toInt + 1
+      it.flatMap { case (qid, qv) =>
+        val lut = Array.ofDim[Double](subspaces, nCodes)
+        bks.foreach { case (sub, code, cv) =>
+          var s = 0.0
+          var i = 0
+          while (i < cv.length) {
+            s += qv(sub * subDim + i).toDouble * cv(i).toDouble
+            i += 1
+          }
+          lut(sub)(code.toInt) = s
+        }
+        bcCodes.value.iterator.map { case (id, cs) =>
+          var s = 0.0
+          var j = 0
+          while (j < cs.length) { s += lut(j)(cs(j)); j += 1 }
+          (id, s)
+        }.toArray
+          .sortBy { case (id, s) => (-s, id) }
+          .take(k)
+          .iterator
+          .zipWithIndex
+          .map { case ((id, s), i) => TopKHitAdc(qid, i + 1, id, s) }
+      }
+    }
+  }
 
   /** One streaming int8 hit — integer-exact score. */
   case class TopKHitInt8(query_id: Long, rank: Int, vec_id: Long, qdot: Long)

@@ -172,6 +172,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKStreamPq: code-broadcast streaming ADC matches the batch ADC fold bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val e = sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(e, subspaces = 4, subDim = 16,
+      codes = 8, iters = 1)
+      .select(col("sub"), col("centroid_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])].collect().sortBy(x => (x._1, x._2))
+    val booksDf = books.toSeq.toDF("sub", "centroid_id", "embedding")
+    val cells = Similarity.pqEncode(e, booksDf, subDim = 16)
+    val codes = cells.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"),
+        expr("transform(sc, x -> cast(x.code as int))").as("codes"))
+      .as[(Long, Array[Int])].collect().sortBy(_._1)
+    val queryVecs = e.filter(col("vec_id") < 3).as[(Long, Array[Float])].collect()
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.topKStreamPq(input.toDS(), books, codes, k = 10)
+      .writeStream.format("memory").queryName("tws_topk_pq").outputMode("append")
+      .start()
+    try {
+      input.addData(queryVecs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("tws_topk_pq")
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+      val ref = Similarity.pqAdcScores(cells,
+        e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        booksDf, subDim = 16)
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("query_id", "rank", "vec_id", "adc")
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      // same double-add order on both paths ⇒ exact equality, scores included
+      assert(streamed === ref)
+    } finally q.stop()
+  }
+
   test("topKStreamIvf: cell-pruned streaming probe matches the batch IVF path") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Similarity
