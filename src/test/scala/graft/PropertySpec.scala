@@ -43,6 +43,40 @@ class PropertySpec extends SparkSpec {
     assert((incrRow.getLong(0), incrRow.getLong(1)) == direct)
   }
 
+  test("MGSummary: frequency guarantee + lower bounds on random zipfish streams and merges") {
+    import functions.MGSummary
+    // 50 random trials: random stream (skewed by construction), random
+    // capacity, random partitioning into sub-summaries merged pairwise
+    for (_ <- 0 until 50) {
+      val k = 4 + rnd.nextInt(29)
+      val n = 500 + rnd.nextInt(2000)
+      // zipf-ish: key j drawn with weight ~ 1/(j+1)
+      val keys = Array.tabulate(n) { _ =>
+        val u = rnd.nextDouble()
+        (math.pow(200.0, u) - 1.0).toLong // denser near 0
+      }
+      val parts = 1 + rnd.nextInt(8)
+      val chunks = keys.grouped(math.max(1, n / parts)).map { ch =>
+        val s = new MGSummary(k); ch.foreach(s.add); s
+      }.toSeq
+      val merged = chunks.reduce { (a, b) => a.merge(b); a }
+      val (total, items) = merged.result()
+      assert(total === n.toLong)
+      assert(items.length <= k)
+      val trueCounts = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val found = items.map(_._1).toSet
+      val threshold = n.toDouble / (k + 1)
+      trueCounts.foreach { case (key, c) =>
+        if (c > threshold)
+          assert(found.contains(key),
+            s"key $key (count $c > n/(k+1)=$threshold, k=$k, parts=$parts) lost")
+      }
+      items.foreach { case (key, lb) =>
+        assert(lb <= trueCounts(key), s"lb for $key above true count")
+      }
+    }
+  }
+
   test("zValue: interleave is a bijection on 16-bit pairs") {
     val pairs = Seq.fill(300)((rnd.nextLong().abs & 0xFFFFL,
       rnd.nextLong().abs & 0xFFFFL)) ++
