@@ -1996,6 +1996,43 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "text_bigram_coherence" -> ((s, dir) => {
+      // bigram-LM fluency proxy: per-doc mean of fixed-point conditional
+      // ratios floor(1000·c(w_i,w_{i+1})/c(w_i)) over corpus counts —
+      // incoherent token transitions (rare bigram, common head) score
+      // near 0, formulaic text near 1000. Integer ratios and sums are
+      // engine-exact; the corpus count tables are vocab-sized (broadcast
+      // back), the per-doc agg keys the only fact-sized shuffle on
+      // (doc, position). Docs with < 2 tokens score null.
+      val d = t(s, dir, "documents")
+      val toks = TextFunctions.tokens(lower(col("text")))
+      val base = d.select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val pos = base
+        .select(col("doc_id"), col("toks"),
+          posexplode(HashFunctions.shingleHashes(col("toks"), 2))
+            .as(Seq("p", "bh")))
+        .select(col("doc_id"), col("bh"),
+          HashFunctions.fnv64(element_at(col("toks"), col("p") + 1)).as("uh"))
+      val uc = d.select(explode(toks).as("tok"))
+        .select(HashFunctions.fnv64(col("tok")).as("uh"))
+        .groupBy("uh").agg(count(lit(1)).as("c1"))
+      val bc = base.select(explode(
+          HashFunctions.shingleHashes(col("toks"), 2)).as("bh"))
+        .groupBy("bh").agg(count(lit(1)).as("c2"))
+      val scored = pos
+        .join(broadcast(bc), Seq("bh"))
+        .join(broadcast(uc), Seq("uh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("(c2 * 1000L) div c1")).as("coherence_sum"))
+      d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bigrams"), col("coherence_sum"),
+          round(col("coherence_sum").cast("double") / col("n_bigrams"), 6)
+            .as("score"))
+        .orderBy("doc_id")
+    }),
+
     "text_rarity" -> ((s, dir) => {
       // per-doc corpus-frequency profile (rare-token quality signal):
       // every aggregated stat is an integer sum — order-independent and
@@ -3657,6 +3694,46 @@ object SparkEntry {
            round(CAST(w.margin AS DOUBLE) / w.n_features, 6) AS score,
            w.margin > 0 AS keep
          FROM docs d LEFT JOIN ws w ON d.doc_id = w.doc_id
+         ORDER BY d.doc_id""",
+
+    // per-bigram ratios are exact integer floor divisions (div / //),
+    // summed exactly; only the closing mean is a double division
+    "text_bigram_coherence" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         thx AS (
+           SELECT doc_id, toks, list_transform(toks, t -> ${fnvSql("t")}) AS th
+           FROM docs WHERE toks IS NOT NULL),
+         base AS (SELECT doc_id, th FROM thx WHERE len(th) >= 2),
+         big AS (
+           SELECT doc_id, th,
+             CASE WHEN len(th) <= 2
+               THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
+                     (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
+               ELSE list_transform(range(1, len(th)),
+                 s -> (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
+                       % 18446744073709551616::HUGEINT) * 31
+                       + th[CAST(s AS INT)+1]) % 18446744073709551616::HUGEINT)
+             END AS bh
+           FROM base),
+         posx AS (
+           SELECT doc_id, bh, th, unnest(range(len(bh))) AS p FROM big),
+         pos AS (
+           SELECT doc_id, bh[CAST(p AS INT)+1] AS b1, th[CAST(p AS INT)+1] AS uh
+           FROM posx),
+         uc AS (
+           SELECT u AS uh, count(*) AS c1 FROM (
+             SELECT unnest(th) AS u FROM thx) GROUP BY u),
+         bc AS (
+           SELECT b AS b1, count(*) AS c2 FROM (
+             SELECT unnest(bh) AS b FROM big) GROUP BY b),
+         sc AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum((c2 * 1000) // c1) AS BIGINT) AS coherence_sum
+           FROM pos JOIN bc USING (b1) JOIN uc USING (uh)
+           GROUP BY doc_id)
+         SELECT d.doc_id, sc.n_bigrams, sc.coherence_sum,
+           round(CAST(sc.coherence_sum AS DOUBLE) / sc.n_bigrams, 6) AS score
+         FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY d.doc_id""",
 
     "token_frequencies" ->

@@ -34,6 +34,21 @@ class PqSpec extends SparkSpec {
     assert(inline0.nonEmpty)
   }
 
+  test("ADC + rerank recall@10 vs exact brute force stays above the floor") {
+    val pq = SparkEntry.queries("similarity_topk_pq")(spark, sfDir)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val bf = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val hits = (pq intersect bf).size
+    // deterministic data: currently 37/50; floor leaves headroom for
+    // parameter tweaks without letting recall silently collapse
+    assert(hits >= 30, s"recall@10 dropped to $hits/50")
+  }
+
   test("corpus-member queries recall themselves at rank 1 with cosine 1") {
     val top1 = SparkEntry.queries("similarity_topk_pq")(spark, sfDir)
       .filter(col("rnk") === 1)
