@@ -2171,6 +2171,34 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    "timeseries_cusum" -> ((s, dir) => {
+      // CUSUM burst/changepoint detection in its prefix-min formulation:
+      // S_t = cum_t − min_{i≤t} cum_i over dev = value − level, so the
+      // inherently-sequential recurrence max(0, S+dev) becomes two
+      // ordered window passes — parallel across users, exact decimals
+      // throughout (engine-exact on any partitioning). level/threshold
+      // are config constants here; a trained baseline would broadcast
+      // per-key levels. Emitted as a per-user alarm summary.
+      val e = t(s, dir, "events")
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dev = col("value").cast("decimal(18,2)") -
+        lit("60.00").cast("decimal(18,2)")
+      val withCum = e.select(col("user_id"), col("event_id"), col("ts"),
+        sum(dev).over(ord).as("cum"))
+      // the prefix min must include the virtual cum_0 = 0, or an
+      // all-positive prefix zeroes S_1 instead of starting at dev_1
+      val withS = withCum.select(col("user_id"),
+        (col("cum") - least(lit("0.00").cast("decimal(18,2)"),
+          min(col("cum")).over(ord))).as("s"))
+      withS.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(col("s")).cast("double").as("max_s"),
+          sum(when(col("s") > lit("300.00").cast("decimal(18,2)"), 1L)
+            .otherwise(0L)).as("n_alarms"))
+        .orderBy("user_id")
+    }),
+
     "timeseries_ewma" -> ((s, dir) => {
       // adjusted EWMA (α = 1/2) of each user's event-value series via an
       // explicit 8-term lag kernel: every weight is a power of two (exact
@@ -4873,6 +4901,32 @@ object SparkEntry {
            min(doc_id) AS min_doc
          FROM h GROUP BY shard ORDER BY shard"""
     },
+
+    "timeseries_cusum" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+           FROM events),
+         c AS (
+           SELECT user_id, event_id, ts,
+             sum(v - 60.00) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM o),
+         cm AS (
+           SELECT user_id, cum,
+             min(cum) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS mn
+           FROM c),
+         -- least() on DECIMAL(38,2) silently returns DOUBLE in DuckDB;
+         -- CASE keeps the exact decimal
+         s AS (
+           SELECT user_id,
+             cum - (CASE WHEN mn < CAST(0.00 AS DECIMAL(38,2)) THEN mn
+                    ELSE CAST(0.00 AS DECIMAL(38,2)) END) AS sv
+           FROM cm)
+         SELECT user_id, count(*) AS n_events,
+           CAST(max(sv) AS DOUBLE) AS max_s,
+           CAST(sum(CASE WHEN sv > 300.00 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+         FROM s GROUP BY user_id ORDER BY user_id""",
 
     "timeseries_ewma" ->
       """WITH l AS (

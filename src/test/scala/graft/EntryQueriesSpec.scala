@@ -129,6 +129,39 @@ class EntryQueriesSpec extends SparkSpec {
     assert(ot.forall { case (n, lo, hi) => lo <= n / 50 && hi <= n / 50 })
   }
 
+  test("timeseries_cusum: window formulation equals the sequential recurrence") {
+    // S_t = max(0, S_{t-1} + dev_t) replayed per user on the driver must
+    // match the prefix-min window formulation exactly (decimal-exact)
+    val e = sources.Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "value")
+      .orderBy("user_id", "ts", "event_id")
+      .collect()
+    val perUser = e.groupBy(_.getLong(0)).map { case (u, rows) =>
+      var s = BigDecimal(0)
+      var maxS = BigDecimal(0)
+      var alarms = 0L
+      rows.foreach { r =>
+        val dev = BigDecimal(r.getDouble(3)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) - BigDecimal("60.00")
+        s = (s + dev).max(BigDecimal(0))
+        if (s > maxS) maxS = s
+        if (s > BigDecimal("300.00")) alarms += 1
+      }
+      u -> ((rows.length.toLong, maxS.toDouble, alarms))
+    }
+    val out = q("timeseries_cusum")
+      .select("user_id", "n_events", "max_s", "n_alarms")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (u, n, maxS, alarms) =>
+      val (rn, rMax, rAlarms) = perUser(u)
+      assert(n === rn)
+      assert(math.abs(maxS - rMax) < 1e-9, s"user $u max_s $maxS vs $rMax")
+      assert(alarms === rAlarms, s"user $u alarms")
+    }
+    assert(out.map(_._4).sum > 0, "fixture should produce some alarms")
+  }
+
   test("agg_histogram: buckets cover all orders, revenue positive") {
     val out = q("agg_histogram")
       .select("bucket", "n_orders", "bucket_revenue")
