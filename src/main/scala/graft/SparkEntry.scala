@@ -2474,6 +2474,26 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "embedding_centroids" -> ((s, dir) => {
+      // per-label exact mean embedding (domain prototype vectors for
+      // mixing/steering): the mean of each (label, dim) is the same
+      // ascending-id sequential fold the k-means trainer uses — engine-
+      // exact — rounded through FLOAT like a stored centroid. Emitted
+      // exploded (label, dim, mean) so the gate hash-compares scalars.
+      // One narrow shuffle keyed (label, dim); at 100 TB this is a
+      // map-side-combinable sum/count pair per (label, dim).
+      val e = t(s, dir, "embeddings")
+      e.select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          (aggregate(
+            sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("x")))),
+            lit(0.0), (acc, el) => acc + el.getField("x")) /
+            count(lit(1)).cast("double")).cast("float").cast("double").as("mean_v"))
+        .orderBy("label", "dim")
+    }),
+
     "embedding_clusters" -> ((s, dir) => {
       // domain clustering for data mixing: every embedding assigned to
       // its nearest trained centroid (same deterministic k-means and
@@ -3916,6 +3936,19 @@ object SparkEntry {
     // both queries share one oracle
     "similarity_topk_ivf" -> ivfOracleSql,
     "similarity_topk_ivf_index" -> ivfOracleSql,
+    "embedding_centroids" ->
+      """WITH x AS (
+           SELECT label, vec_id, d.d AS dim,
+             CAST(embedding[CAST(d.d AS INT)+1] AS DOUBLE) AS v
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(64)) AS d) d)
+         SELECT label, dim, count(*) AS n,
+           CAST(CAST(
+             list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)),
+               (a, b) -> a + b) / count(*)
+             AS FLOAT) AS DOUBLE) AS mean_v
+         FROM x GROUP BY label, dim ORDER BY label, dim""",
+
     "similarity_topk_pq" -> pqOracleSql,
     "similarity_topk_pq_index" -> pqOracleSql,
 
