@@ -1928,6 +1928,19 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    "dedup_substring_bloom" -> ((s, dir) => {
+      // dedup_substring_index behind the index's stored shingle bloom:
+      // the batch probes the ~10-bit/hash filter locally and only
+      // might-contain shingles enter the shuffle join. Identical output
+      // (dropped shingles had no index rows; FPs join to nothing) ⇒
+      // same oracle. The streaming-scrub acceleration path at 100 TB.
+      val idx = substrIndexDir(s, dir)
+      val newDocs = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
+      Dedup.substringSpansFromIndexBloom(s, idx, newDocs, "doc_id", "text",
+        shingleSize = 3, minRun = 6)
+        .orderBy("doc_id", "span_start")
+    }),
+
     "dedup_minhash_estimate" -> ((s, dir) => {
       // signature-only Jaccard estimate over shared-shingle candidates:
       // the triage path that never joins shingle sets. The oracle
@@ -3107,7 +3120,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // bloom prefilter + exact join ⇒ bit-identical to the index probe
+    ("dedup_substring_bloom" -> oracleSqlBase("dedup_substring_index"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
 
     "text_hashes" ->
       s"""WITH src AS (SELECT doc_id, text FROM documents),

@@ -904,10 +904,52 @@ object Dedup {
     try {
       val keep = pos.groupBy("h").count()
         .filter(col("count") <= maxShingleDf).select("h")
-      pos.join(broadcast(keep), Seq("h"))
-        .select("id", "pos", "h")
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/pos")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        pos.join(broadcast(keep), Seq("h"))
+          .select("id", "pos", "h")
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/pos")
+        // bloom of the index's distinct shingle hashes, stored NEXT TO
+        // the index: a batch probe drops non-matching shingles before
+        // the shuffle join ([[substringSpansFromIndexBloom]]). ~10 bits
+        // per distinct kept hash.
+        import graft.functions.Bloom
+        val sp = corpus.sparkSession
+        import sp.implicits._
+        val words = Bloom.wordsFor(keep.count())
+        val bw = Bloom.buildWords(keep, "h", words)
+        bw.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+          .toDF("i", "w")
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/bloom")
+        Seq((words, 7)).toDF("words", "k")
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/bloommeta")
+      } finally { keep.unpersist(); () }
     } finally { pos.unpersist(); () }
+  }
+
+  /** [[substringSpansFromIndex]] with the stored index bloom as a batch
+    * prefilter: the batch's positional shingles are probed against the
+    * ~10-bit/hash filter LOCALLY, and only might-contain shingles enter
+    * the shuffle join against the index. Results are IDENTICAL — a
+    * dropped shingle had no matching index rows, and a false positive
+    * simply joins to nothing — but for mostly-novel ingest the join's
+    * probe side shrinks to the (rare) genuinely-shared shingles. */
+  def substringSpansFromIndexBloom(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, newDocs: DataFrame,
+                                   idCol: String, textCol: String,
+                                   shingleSize: Int = 3,
+                                   minRun: Int = 6): DataFrame = {
+    import graft.functions.Bloom
+    val meta = spark.read.parquet(s"$path/bloommeta").head()
+    val (words, k) = (meta.getInt(0), meta.getInt(1))
+    val arr = new Array[Long](words)
+    spark.read.parquet(s"$path/bloom").collect()
+      .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    val bl = Bloom.literal(arr)
+    spansAgainstPositional(
+      positionalShingles(newDocs, idCol, textCol, shingleSize)
+        .filter(Bloom.mightContain(bl, col("h"), words, k)),
+      spark.read.parquet(s"$path/pos"), shingleSize, minRun)
   }
 
   /** Incremental exact-substring dedup: removal spans of a NEW batch

@@ -634,6 +634,15 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("substringSpansFromIndexBloom: bloom-prefiltered probe is bit-identical to the plain probe") {
+    val spans = SparkEntry.queries("dedup_substring_index")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val bloomed = SparkEntry.queries("dedup_substring_bloom")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(bloomed === spans)
+    assert(spans.nonEmpty)
+  }
+
   test("dedup_semantic_cells: planted scaled copies dropped, every original kept") {
     val survivors = SparkEntry.queries("dedup_semantic_cells")(spark, sfDir)
       .as[Long].collect().toSet
