@@ -515,6 +515,21 @@ object SparkEntry {
 
     // ---- time-series joins: as-of + range (engine extensions) ----
 
+    "join_asof_nearest" -> ((s, dir) => {
+      // nearest as-of (pandas merge_asof direction='nearest'): the click
+      // minimizing |Δt| around each purchase, equidistant ties backward.
+      // Same one-shuffle union + window formulation as join_asof.
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOf.asofNearest(purchases, clicks, "user_id", "ts", "ts",
+        "click_id", "nearest_click_id")
+        .select("event_id", "user_id", "nearest_click_id")
+        .orderBy("event_id")
+    }),
+
     "join_asof" -> ((s, dir) => {
       // backward as-of: latest click at or before each purchase, per user.
       // One shuffle (union + keyed window) — see operators/AsOf.scala.
@@ -3167,6 +3182,17 @@ object SparkEntry {
            JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6
          ORDER BY id_a, id_b""",
+
+    "join_asof_nearest" ->
+      """SELECT e.event_id, e.user_id,
+           (SELECT c.event_id FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+            ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)) ASC,
+              (CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END) ASC,
+              (CASE WHEN c.ts <= e.ts THEN -c.event_id ELSE c.event_id END) ASC
+            LIMIT 1) AS nearest_click_id
+         FROM events e WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""",
 
     "join_asof" ->
       """SELECT e.event_id, e.user_id,

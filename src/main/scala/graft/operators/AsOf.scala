@@ -57,4 +57,55 @@ object AsOf {
       .filter(col("__side") === 1)
       .drop("__ts", "__side", "__rv")
   }
+
+  /** Nearest as-of join (pandas merge_asof direction='nearest'): the
+    * right row minimizing |Δt| per key, equidistant ties resolved to
+    * the BACKWARD side; equal-time ties within a side pick the largest
+    * value backward / smallest forward (both deterministic). Same
+    * union + ordered-window formulation — the backward candidate is a
+    * running `last` over the preceding frame, the forward candidate a
+    * `first` over the following frame — so the cost is still ONE
+    * keyed shuffle of (left ∪ right) and per-key state is two scalars,
+    * never a (left × right) range product. Timestamps compare in
+    * microseconds. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  rightVal: String, outCol: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rvType = right.select(rightVal).schema.head.dataType
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val r = lCols.foldLeft(
+      right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+        col(rightVal).as("__rv"))
+        .withColumn("__side", lit(0))
+    ) { (df, c) =>
+      if (c == key) df.withColumn(c, col("__k"))
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.drop("__k")
+    val unified = (lCols ++ Seq("__ts", "__side", "__rv")).map(col)
+    val u = l.select(unified: _*).unionByName(r.select(unified: _*))
+      .withColumn("__us", unix_micros(col("__ts").cast("timestamp")))
+
+    val ord = Seq(col("__us").asc, col("__side").asc, col("__rv").asc)
+    val wB = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cand = when(col("__side") === 0,
+      struct(col("__us").as("cus"), col("__rv").as("cv")))
+    val picked = u
+      .withColumn("__b", last(cand, ignoreNulls = true).over(wB))
+      .withColumn("__f", first(cand, ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+      .withColumn(outCol,
+        when(col("__f").isNull, col("__b.cv"))
+          .when(col("__b").isNull, col("__f.cv"))
+          .when(col("__us") - col("__b.cus") <= col("__f.cus") - col("__us"),
+            col("__b.cv"))
+          .otherwise(col("__f.cv")))
+    picked.drop("__ts", "__side", "__rv", "__us", "__b", "__f")
+  }
 }

@@ -560,6 +560,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> 21L, 2L -> 20L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("asofNearest: min |Δt|, equidistant prefers backward, side-local tie rules hold") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // 30min to 09:30, 60min to 11:00 → 21
+      (2L, 10L, ts("2024-01-01 10:15:00")), // equidistant 09:30/11:00 → backward 21
+      (3L, 10L, ts("2024-01-01 08:00:00")), // before all rights → forward 20
+      (4L, 10L, ts("2024-01-01 12:00:00")), // after all rights → backward 22
+      (5L, 99L, ts("2024-01-01 10:00:00"))  // key with no rights → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 20L),
+      (10L, ts("2024-01-01 09:30:00"), 21L),
+      (10L, ts("2024-01-01 09:30:00"), 19L), // backward equal-ts tie → larger (21)
+      (10L, ts("2024-01-01 11:00:00"), 22L)
+    ).toDF("user_id", "ts", "click_id")
+    val out = graft.operators.AsOf
+      .asofNearest(left, right, "user_id", "ts", "ts", "click_id", "near")
+      .select("event_id", "near").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(1L -> 21L, 2L -> 21L, 3L -> 20L, 4L -> 22L, 5L -> -1L))
+  }
+
   test("connectedComponents: min label per component, chains included") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 4L))
       .toDF("id_a", "id_b")
