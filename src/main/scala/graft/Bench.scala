@@ -142,6 +142,24 @@ object Bench {
     }.toMap
     spark.catalog.clearCache()
 
+    // contention indicator: throughput of the reference's core topology
+    // (enrich → hotels_count) in records/sec, sampled TWICE — here, before
+    // the timed loop, and again after it — so a host that is loaded during
+    // only part of the run still yields one clean sample. The headline
+    // reports the max (the host's observed capability, same rationale as
+    // per-query min-of-2) plus both raw samples and a `contended` flag
+    // against the quiet-band floor recorded in NOTES_r6 (quiet runs:
+    // 651–696k rows/s at sf0.1; contended runs seen: 90k/322k/442k). The
+    // floor only applies at sf0.1-scale inputs — at smaller SFs fixed
+    // per-query overhead dominates and rps is not comparable.
+    val enrichRows = graft.sources.Tables.load(spark, sfDir, "lineitem").count()
+    def enrichRps(): Long = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries("hotels_count")(spark, sfDir).collect()
+      (enrichRows / ((System.nanoTime() - t0) / 1e9)).toLong
+    }
+    val rpsPre = enrichRps()
+
     val results = selected.map { case (name, fn) =>
       def timed(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -186,14 +204,13 @@ object Bench {
       .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
 
-    // throughput of the reference's core topology (enrich → hotels_count)
-    // in records/sec — the number to hold against the reference's
-    // single-replica interpreted-Python processor (BASELINE.md)
-    val rows = graft.sources.Tables.load(spark, sfDir, "lineitem").count()
-    val t0 = System.nanoTime()
-    SparkEntry.queries("hotels_count")(spark, sfDir).collect()
-    val enrichSec = (System.nanoTime() - t0) / 1e9
-    val rps = (rows / enrichSec).toLong
+    // post-run contention sample (see pre-run comment); the headline rps —
+    // the number held against the reference's single-replica
+    // interpreted-Python processor (BASELINE.md) — is the max of the two
+    val rpsPost = enrichRps()
+    val rps = math.max(rpsPre, rpsPost)
+    val quietFloorRps = 400000L
+    val contended = enrichRows >= 300000L && rps < quietFloorRps
 
     // streaming leg — the reference topology as an actual stream (skipped
     // in the SPARK_GRAFT_BENCH_ONLY dev loop or with
@@ -217,6 +234,8 @@ object Bench {
       results.collect { case (k, v, true) if k.startsWith(prefix) => v }.sum
     val headline =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":$errors,"sf":"$sfDir","enrich_rows_per_sec":$rps""" +
+      s""","enrich_rps_pre":$rpsPre,"enrich_rps_post":$rpsPost""" +
+      s""","contended":$contended,"quiet_floor_rps":$quietFloorRps""" +
       s""","dedup_total_sec":${f3(familySum("dedup_"))}""" +
       s""","similarity_total_sec":${f3(familySum("similarity_"))}""" +
       s""","text_total_sec":${f3(familySum("text_"))}""" +

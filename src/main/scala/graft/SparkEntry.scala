@@ -98,7 +98,10 @@ object SparkEntry {
     import s.implicits._
     val (cents, path) = ivfIndexes.getOrElseUpdate(dir, {
       val e = t(s, dir, "embeddings")
-      val trained = Similarity.kmeansCentroids(e, k = 8, iters = 2)
+      // k scales with the corpus (⌈√n⌉, floor 8 — see Similarity.autoK):
+      // a fixed k would grow cell population linearly with corpus size
+      val trained = Similarity.kmeansCentroids(
+          e, k = Similarity.autoK(e.count()), iters = 2)
         .select(col("centroid_id"), col("embedding"))
         .as[(Long, Array[Float])].collect().sortBy(_._1)
       val idxPath = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
@@ -527,6 +530,21 @@ object SparkEntry {
       AsOf.asofNearest(purchases, clicks, "user_id", "ts", "ts",
         "click_id", "nearest_click_id")
         .select("event_id", "user_id", "nearest_click_id")
+        .orderBy("event_id")
+    }),
+
+    "join_asof_forward" -> ((s, dir) => {
+      // forward as-of (pandas merge_asof direction='forward'): earliest
+      // click at or after each purchase, per user. Same one-shuffle
+      // union + keyed-window formulation — see operators/AsOf.scala.
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOf.asofForward(purchases, clicks, "user_id", "ts", "ts",
+        "click_id", "fwd_click_id")
+        .select("event_id", "user_id", "fwd_click_id")
         .orderBy("event_id")
     }),
 
@@ -3032,7 +3050,9 @@ object SparkEntry {
        c0 AS (
          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
            v AS cv
-         FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+         FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                   FROM corpus))),
        ${kmeansIterSql("c0", "a1", "c1")},
        ${kmeansIterSql("c1", "a2", "c2")},
        cellsc AS (
@@ -3191,6 +3211,15 @@ object SparkEntry {
               (CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END) ASC,
               (CASE WHEN c.ts <= e.ts THEN -c.event_id ELSE c.event_id END) ASC
             LIMIT 1) AS nearest_click_id
+         FROM events e WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""",
+
+    "join_asof_forward" ->
+      """SELECT e.event_id, e.user_id,
+           (SELECT c.event_id FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts >= e.ts
+            ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS fwd_click_id
          FROM events e WHERE e.event_type = 'purchase'
          ORDER BY e.event_id""",
 
@@ -4010,7 +4039,9 @@ object SparkEntry {
          c0 AS (
            SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
              v AS cv
-           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                   FROM corpus))),
          ${kmeansIterSql("c0", "a1", "c1")},
          ${kmeansIterSql("c1", "a2", "c2")},
          cellsc AS (
@@ -5313,7 +5344,9 @@ object SparkEntry {
          c0 AS (
            SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
              v AS cv
-           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                   FROM corpus))),
          ${kmeansIterSql("c0", "a1", "c1")},
          ${kmeansIterSql("c1", "a2", "c2")},
          cellsc AS (
@@ -5350,7 +5383,9 @@ object SparkEntry {
          c0 AS (
            SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
              v AS cv
-           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                   FROM corpus))),
          ${kmeansIterSql("c0", "a1", "c1")},
          ${kmeansIterSql("c1", "a2", "c2")},
          cellsc AS (

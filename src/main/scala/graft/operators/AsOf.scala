@@ -58,6 +58,50 @@ object AsOf {
       .drop("__ts", "__side", "__rv")
   }
 
+  /** Forward (inclusive) as-of join (pandas merge_asof
+    * direction='forward'): for every left row, the `rightVal` of the
+    * EARLIEST right row with the same `key` and right time ≥ left time.
+    * Ties on time prefer the smaller `rightVal` (deterministic, mirroring
+    * the backward variant's largest-value rule). Output = all left rows +
+    * `outCol` (null when no right row follows).
+    *
+    * Same union + ordered-window formulation as [[asofBackward]], run over
+    * the FOLLOWING frame: right rows sort after left rows at equal time so
+    * an equal-time right row lands in the left row's following frame
+    * (inclusive semantics). Still exactly ONE keyed shuffle of
+    * (left ∪ right); per-key state is a single running scalar. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  rightVal: String, outCol: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rvType = right.select(rightVal).schema.head.dataType
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val r = lCols.foldLeft(
+      right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+        col(rightVal).as("__rv"))
+        .withColumn("__side", lit(0))
+    ) { (df, c) =>
+      if (c == key) df.withColumn(c, col("__k"))
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.drop("__k")
+
+    val unified = (lCols ++ Seq("__ts", "__side", "__rv")).map(col)
+    val u = l.select(unified: _*).unionByName(r.select(unified: _*))
+
+    // left rows sort before right rows at equal time (inclusive forward
+    // semantics); right ties sort by value so `first` picks the smallest
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__side").desc, col("__rv").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn(outCol,
+        first(when(col("__side") === 0, col("__rv")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__ts", "__side", "__rv")
+  }
+
   /** Nearest as-of join (pandas merge_asof direction='nearest'): the
     * right row minimizing |Δt| per key, equidistant ties resolved to
     * the BACKWARD side; equal-time ties within a side pick the largest

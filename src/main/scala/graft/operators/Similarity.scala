@@ -88,6 +88,23 @@ object Similarity {
       .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** Quantizer cell count for a corpus of `n` vectors: ⌈√n⌉, clamped to
+    * [kMin, kMax]. A FIXED k is the classic IVF scale bug — cell
+    * population grows linearly with the corpus, so within-cell work
+    * (Σ|cell|² in SemDeDup, per-cell probe scans in IVF) and per-cell
+    * file sizes grow without bound. k = √n balances the two costs that
+    * pull against each other: coarse-quantizer assignment is O(n·k) and
+    * per-cell probe work is O(n/k), so their product is minimized (and
+    * each cell holds ~√n vectors) at k = √n — the standard IVF sizing
+    * rule (FAISS's nlist guidance). At n = 10⁹ (a ~100 TB corpus of
+    * 256-byte vectors) this gives k ≈ 31,623 centroids ≈ 8 MB — still
+    * comfortably driver-collectable and broadcastable. `kMax` caps the
+    * centroid table at a broadcast-safe size; past it, shard the corpus
+    * and train per-shard quantizers. */
+  def autoK(n: Long, kMin: Int = 8, kMax: Int = 1 << 18): Int =
+    math.min(kMax.toLong, math.max(kMin.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
   /** Deterministic Lloyd's k-means over an Array[Float] embedding column —
     * trains the IVF coarse quantizer. Init = first k vectors by id (spread
     * is irrelevant for bucketing quality at few iterations; determinism

@@ -538,6 +538,15 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("autoK: ⌈√n⌉ clamped — cells scale with corpus instead of growing linearly") {
+    import graft.operators.Similarity.autoK
+    assert(autoK(10) == 8)          // floor
+    assert(autoK(500) == 23)
+    assert(autoK(2000) == 45)
+    assert(autoK(1000000000L) == 31623) // 100 TB-scale corpus: ~8 MB of centroids
+    assert(autoK(Long.MaxValue) == (1 << 18)) // broadcast-safety cap
+  }
+
   test("asofBackward: latest right row at or before, ties prefer larger value") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq(
@@ -558,6 +567,28 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
       .toMap
     assert(out == Map(1L -> 21L, 2L -> 20L, 3L -> -1L, 4L -> -1L))
+  }
+
+  test("asofForward: earliest right row at or after, ties prefer smaller value") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // before 11:00 → 22
+      (2L, 10L, ts("2024-01-01 09:30:00")), // exactly at tie pair (inclusive) → 19
+      (3L, 10L, ts("2024-01-01 12:00:00")), // after all right rows → null
+      (4L, 99L, ts("2024-01-01 10:00:00"))  // key with no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 20L), // in the past of all lefts
+      (10L, ts("2024-01-01 09:30:00"), 21L),
+      (10L, ts("2024-01-01 09:30:00"), 19L), // tie on ts → 19 wins over 21
+      (10L, ts("2024-01-01 11:00:00"), 22L)
+    ).toDF("user_id", "ts", "click_id")
+    val out = graft.operators.AsOf
+      .asofForward(left, right, "user_id", "ts", "ts", "click_id", "fwd")
+      .select("event_id", "fwd").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(1L -> 22L, 2L -> 19L, 3L -> -1L, 4L -> -1L))
   }
 
   test("asofNearest: min |Δt|, equidistant prefers backward, side-local tie rules hold") {
