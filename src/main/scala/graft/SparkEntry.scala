@@ -548,6 +548,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "join_asof_tolerance" -> ((s, dir) => {
+      // bounded-lookback as-of (pandas merge_asof tolerance=1h): the
+      // latest click at most one hour before each purchase; older
+      // candidates yield null. Same one-shuffle union + window plan —
+      // the Δt bound is applied to the carried candidate after the
+      // window pass, so no extra exchange.
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOf.asofBackward(purchases, clicks, "user_id", "ts", "ts",
+        "click_id", "tol_click_id", toleranceUs = Some(3600L * 1000 * 1000))
+        .select("event_id", "user_id", "tol_click_id")
+        .orderBy("event_id")
+    }),
+
     "join_asof" -> ((s, dir) => {
       // backward as-of: latest click at or before each purchase, per user.
       // One shuffle (union + keyed window) — see operators/AsOf.scala.
@@ -1257,6 +1274,34 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "similarity_knn_graph" -> ((s, dir) => {
+      // cell-bounded k-NN graph: every vector's top-3 neighbors by exact
+      // cosine WITHIN its IVF cell — the all-pairs graph a clustering/
+      // SemDeDup pass consumes, built at Σ|cell|² cost (autoK keeps that
+      // ~n·√n), never the n² cross join. The self-join is co-partitioned
+      // on centroid_id, so at 100 TB it's cell-local with no global pair
+      // shuffle.
+      val (cents, _) = ivfIndex(s, dir)
+      val e = t(s, dir, "embeddings")
+      val cells = Similarity.assignToCentroids(e, cents)
+        .select(col("centroid_id"), col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = cells
+        .select(col("centroid_id"), col("vec_id"), col("embedding").as("va"))
+        .join(cells.select(col("centroid_id"), col("vec_id").as("nbr_id"),
+          col("embedding").as("vb")), Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("nbr_id"))
+      pairs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("vec_id"), col("rnk"), col("nbr_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("vec_id", "rnk")
+    }),
+
     "similarity_topk_pq" -> ((s, dir) => {
       // product-quantization ANN: per-subspace codebooks (memoized index
       // build), ADC scoring via a broadcast (query × codeword) LUT over
@@ -1383,6 +1428,33 @@ object SparkEntry {
           coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
         .unionByName(inserts)
         .orderBy("o_orderkey")
+    }),
+
+    "scd2_build" -> ((s, dir) => {
+      // type-2 slowly-changing-dimension history from a changelog: 'view'
+      // events carry each user's attribute (props.k); consecutive no-op
+      // updates are suppressed (lag), then validity intervals come from
+      // lead over the surviving changes. Both window passes share one
+      // (user_id)-keyed sort, so the whole build is a single shuffle —
+      // the formulation that holds when the changelog is 100 TB: state
+      // per key is one scalar, never the full history in memory.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val updates = t(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val changes = updates
+        .withColumn("prev_k", lag(col("k"), 1).over(w))
+        .filter(col("prev_k").isNull || col("k") =!= col("prev_k"))
+        .drop("prev_k")
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("k"),
+          col("ts").cast("timestamp_ntz").as("valid_from"),
+          col("valid_to").cast("timestamp_ntz").as("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
     }),
 
     "dedup_latest" -> ((s, dir) => {
@@ -2124,6 +2196,33 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "agg_regression" -> ((s, dir) => {
+      // per-group least squares (price ~ quantity): slope, intercept, R²
+      // closed over the same EXACT decimal co-moments as agg_corr — plain
+      // sums partial-aggregate map-side (the 100 TB shape: five scalars
+      // per group cross the wire), and the closing formulas are written
+      // as the identical double expression in both engines. This is the
+      // scaling-law fit primitive: group = config, x = log-compute …
+      val li = t(s, dir, "lineitem")
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      val sums = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      val nD = col("n").cast("double")
+      def d(c: String): Column = col(c).cast("double")
+      val num = nD * d("sxy") - d("sx") * d("sy")
+      val denx = nD * d("sxx") - d("sx") * d("sx")
+      val deny = nD * d("syy") - d("sy") * d("sy")
+      val slope = num / denx
+      sums.select(col("l_returnflag"), col("n"),
+          round(slope, 6).as("slope"),
+          round((d("sy") - slope * d("sx")) / nD, 6).as("intercept"),
+          round((num * num) / (denx * deny), 6).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_histogram" -> ((s, dir) => {
       // equi-width revenue histogram on integer cents — exact bucket
       // edges, no float-boundary ambiguity: bucket i covers
@@ -2243,6 +2342,25 @@ object SparkEntry {
           sum(when(col("s") > lit("300.00").cast("decimal(18,2)"), 1L)
             .otherwise(0L)).as("n_alarms"))
         .orderBy("user_id")
+    }),
+
+    "timeseries_rolling_median" -> ((s, dir) => {
+      // exact rolling median (last-5 frame) of each user's click values:
+      // sort the frame's collected array and average the two middles —
+      // deterministic doubles (same two operands → same IEEE mean in any
+      // engine), no approx-percentile sketch. One keyed window pass,
+      // parallel across users; the frame is O(5), never the whole series.
+      val e = t(s, dir, "events").filter(col("event_type") === "click")
+      val w5 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      val arr = sort_array(collect_list(col("value")).over(w5))
+      val n = size(arr)
+      val med = (element_at(arr, ((n + 1) / 2).cast("int")) +
+        element_at(arr, (n / 2 + 1).cast("int"))) / 2.0
+      e.select(col("event_id"), col("user_id"), col("value"),
+          med.as("rolling_median"))
+        .orderBy("event_id")
     }),
 
     "timeseries_ewma" -> ((s, dir) => {
@@ -2435,6 +2553,33 @@ object SparkEntry {
           when(size(col("evs")) < 2, lit(null).cast("long"))
             .otherwise(array_max(gaps)).as("max_gap_ms"))
         .orderBy("user_id")
+    }),
+
+    "layout_zorder" -> ((s, dir) => {
+      // Z-order layout profile: Morton-interleave (l_partkey, l_suppkey),
+      // bucket by the key's high bits, and report each bucket's (part,
+      // supp) bounding box. Every bucket covers a small rectangle in BOTH
+      // dimensions — the property that makes parquet min/max pruning work
+      // for predicates on either column once the table is range-written
+      // by zkey (Layout.zOrderKey doc). Pure codegen bit ops, one narrow
+      // groupBy shuffle of 4 scalars per bucket.
+      // "file" = 256 consecutive rows of the z-sorted order, modeled as
+      // (coarse z-prefix, 256-row chunk within it): the ranking window is
+      // partitioned by the prefix, so no global single-partition sort —
+      // the same decomposition repartitionByRange(zkey) gives at scale.
+      // Ties inside the window are full duplicates (zkey injectively
+      // encodes the pair at these ranges), so chunk boxes are stable.
+      val li = t(s, dir, "lineitem")
+      val z = Layout.zOrderKey(col("l_partkey"), col("l_suppkey"), bits = 16)
+      val w = Window.partitionBy(col("z_prefix")).orderBy(col("zkey"))
+      li.select(col("l_partkey"), col("l_suppkey"), z.as("zkey"))
+        .withColumn("z_prefix", shiftright(col("zkey"), 16))
+        .withColumn("chunk", ((row_number().over(w) - 1) / 256).cast("long"))
+        .groupBy(col("z_prefix"), col("chunk"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("part_lo"), max("l_partkey").as("part_hi"),
+          min("l_suppkey").as("supp_lo"), max("l_suppkey").as("supp_hi"))
+        .orderBy("z_prefix", "chunk")
     }),
 
     "dataset_fingerprint" -> ((s, dir) => {
@@ -2915,6 +3060,13 @@ object SparkEntry {
         ELSE ($dot) / sqrt(($nx) * ($ny)) END)"""
   }
 
+  /** Layout.zOrderKey as DuckDB bit arithmetic: the same 16 interleave
+    * steps (a's bits odd, b's bits even), fully parenthesized. */
+  private def zOrderSql(a: String, b: String, bits: Int = 16): String =
+    (0 until bits).map(i =>
+      s"(((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i}))")
+      .mkString("(", " | ", ")")
+
   /** Plain (un-normalized) dot product as the same ascending-index
     * sequential double fold as `VectorFunctions.dotProduct`'s loop. */
   private def dotSql(a: String, b: String): String =
@@ -3229,6 +3381,15 @@ object SparkEntry {
             WHERE c.user_id = e.user_id AND c.event_type = 'click'
               AND c.ts <= e.ts
             ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_click_id
+         FROM events e WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""",
+
+    "join_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id,
+           (SELECT c.event_id FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS tol_click_id
          FROM events e WHERE e.event_type = 'purchase'
          ORDER BY e.event_id""",
 
@@ -4166,6 +4327,25 @@ object SparkEntry {
          SELECT user_id, event_id, event_type, value
          FROM r WHERE rn = 1 ORDER BY user_id""",
 
+    "scd2_build" ->
+      """WITH updates AS (
+           SELECT user_id, ts, event_id,
+             CAST(regexp_extract(props, '"k": ?(-?[0-9]+)', 1) AS BIGINT) AS k
+           FROM events WHERE event_type = 'view'
+         ), changes AS (
+           SELECT user_id, ts, event_id, k FROM (
+             SELECT *, lag(k) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_k
+             FROM updates)
+           WHERE prev_k IS NULL OR k <> prev_k
+         )
+         SELECT user_id, k, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+         FROM changes
+         ORDER BY user_id, valid_from""",
+
     "agg_mode" ->
       """WITH counts AS (
            SELECT l_returnflag, l_linestatus, count(*) AS c
@@ -4943,6 +5123,30 @@ object SparkEntry {
              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS covar_samp
          FROM m ORDER BY l_returnflag""",
 
+    "agg_regression" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag),
+         t AS (
+           SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS denx,
+             CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+             sx, sy FROM m)
+         SELECT l_returnflag, n,
+           round(num / denx, 6) AS slope,
+           round((sy - (num / denx) * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+           round((num * num) / (denx * deny), 6) AS r2
+         FROM t ORDER BY l_returnflag""",
+
     "agg_histogram" ->
       """SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket,
            count(*) AS n_orders,
@@ -5034,6 +5238,22 @@ object SparkEntry {
            CAST(max(sv) AS DOUBLE) AS max_s,
            CAST(sum(CASE WHEN sv > 300.00 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
          FROM s GROUP BY user_id ORDER BY user_id""",
+
+    "timeseries_rolling_median" ->
+      """WITH c AS (
+           SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click'
+         ), f AS (
+           SELECT event_id, user_id, value,
+             list_sort(list(value) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+           FROM c
+         )
+         SELECT event_id, user_id, value,
+           (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+             AS rolling_median
+         FROM f ORDER BY event_id""",
 
     "timeseries_ewma" ->
       """WITH l AS (
@@ -5187,6 +5407,21 @@ object SparkEntry {
     // HUGEINT and reduced mod 2^64 — bit-exact vs Spark's wrapping
     // LongType sum; integer/char columns only, so the string cast is
     // format-stable across engines
+    "layout_zorder" ->
+      s"""WITH z AS (
+           SELECT l_partkey, l_suppkey,
+             ${zOrderSql("l_partkey", "l_suppkey")} AS zkey
+           FROM lineitem),
+         zc AS (
+           SELECT l_partkey, l_suppkey, zkey, (zkey >> 16) AS z_prefix,
+             (row_number() OVER (PARTITION BY (zkey >> 16) ORDER BY zkey)
+               - 1) // 256 AS chunk
+           FROM z)
+         SELECT z_prefix, chunk, count(*) AS n_rows,
+           min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+           min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+         FROM zc GROUP BY z_prefix, chunk ORDER BY z_prefix, chunk""",
+
     "dataset_fingerprint" ->
       s"""SELECT count(*) AS n_rows,
          ${signedSql(s"""(sum(${fnvSql(
@@ -5338,6 +5573,41 @@ object SparkEntry {
     // the embedding_clusters cell assignment + the similarity_topk
     // ranking, restricted to candidates whose cell differs from the
     // query's
+    // same deterministic k-means cells as the IVF oracles, then exact
+    // within-cell cosine pairs ranked per vector
+    "similarity_knn_graph" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             v AS cv
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                   FROM corpus))),
+         ${kmeansIterSql("c0", "a1", "c1")},
+         ${kmeansIterSql("c1", "a2", "c2")},
+         cellsc AS (
+           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
+           FROM corpus p CROSS JOIN c2 c),
+         cells AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1),
+         cv AS (
+           SELECT c.vec_id, c.cid, p.v
+           FROM cells c JOIN corpus p USING (vec_id)),
+         pairs AS (
+           SELECT a.vec_id, b.vec_id AS nbr_id,
+             list_cosine_similarity(a.v, b.v) AS cosine
+           FROM cv a JOIN cv b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         r AS (
+           SELECT vec_id, nbr_id, cosine,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cosine DESC, nbr_id) AS rnk
+           FROM pairs)
+         SELECT vec_id, rnk, nbr_id, round(cosine, 6) AS cosine
+         FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""",
+
     "similarity_hard_negatives" ->
       s"""WITH corpus AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -23,10 +23,16 @@ object AsOf {
     * time. Ties on time prefer the larger `rightVal` (deterministic).
     * Output = all left rows + `outCol` (null when no right row precedes).
     *
+    * `toleranceUs` (pandas merge_asof `tolerance`) bounds the lookback:
+    * a preceding right row farther than that many microseconds yields
+    * null instead. Requires timestamp-typed time columns (the default
+    * unbounded form accepts any orderable type).
+    *
     * `rightVal` must be an orderable type (used as the tie-break). */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
-                   rightVal: String, outCol: String): DataFrame = {
+                   rightVal: String, outCol: String,
+                   toleranceUs: Option[Long] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val rvType = right.select(rightVal).schema.head.dataType
     val l = left
@@ -52,10 +58,23 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn(outCol,
-        last(when(col("__side") === 0, col("__rv")), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .drop("__ts", "__side", "__rv")
+    toleranceUs match {
+      case None =>
+        u.withColumn(outCol,
+            last(when(col("__side") === 0, col("__rv")), ignoreNulls = true).over(w))
+          .filter(col("__side") === 1)
+          .drop("__ts", "__side", "__rv")
+      case Some(tol) =>
+        // carry the candidate's time alongside its value so the Δt bound
+        // is applied AFTER the window pass — still one keyed shuffle
+        val us = unix_micros(col("__ts").cast("timestamp"))
+        val cand = when(col("__side") === 0, struct(us.as("cus"), col("__rv").as("cv")))
+        u.withColumn("__b", last(cand, ignoreNulls = true).over(w))
+          .filter(col("__side") === 1)
+          .withColumn(outCol,
+            when(us - col("__b.cus") <= tol, col("__b.cv")))
+          .drop("__ts", "__side", "__rv", "__b")
+    }
   }
 
   /** Forward (inclusive) as-of join (pandas merge_asof

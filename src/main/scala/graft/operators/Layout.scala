@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Z-order (Morton) key: interleave the low `bits` bits of two long
+    * columns, `a`'s bits in the odd positions. Sorting/range-partitioning
+    * a table by this key clusters rows that are close in BOTH dimensions
+    * into the same files, so parquet min/max (or partition) pruning works
+    * for predicates on either column — the standard multi-dimensional
+    * layout trick (Delta/Iceberg OPTIMIZE ZORDER) expressed as a plain
+    * codegen-friendly column: 16 interleave steps of shift/and/or, no
+    * UDF. At 100 TB: `df.repartitionByRange(col(zkey)).sortWithinPartitions`
+    * then write — every file covers a small (a, b) rectangle. */
+  def zOrderKey(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
   /** Write partitioned by low-cardinality predicate columns. Queries with
     * equality/IN filters on those columns scan only matching directories
     * (PartitionFilters in the plan, not data filters). */

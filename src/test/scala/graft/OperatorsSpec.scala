@@ -591,6 +591,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> 22L, 2L -> 19L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("asofBackward with tolerance: candidates beyond the lookback bound become null") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // 30 min to 09:30 → within 1h → 21
+      (2L, 10L, ts("2024-01-01 12:30:00")), // 90 min past 11:00 → beyond → null
+      (3L, 10L, ts("2024-01-01 11:00:00"))  // Δt = 0 → 22
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 21L),
+      (10L, ts("2024-01-01 11:00:00"), 22L)
+    ).toDF("user_id", "ts", "click_id")
+    val out = graft.operators.AsOf
+      .asofBackward(left, right, "user_id", "ts", "ts", "click_id", "asof",
+        toleranceUs = Some(3600L * 1000 * 1000))
+      .select("event_id", "asof").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(1L -> 21L, 2L -> -1L, 3L -> 22L))
+  }
+
+  test("zOrderKey: bit interleave matches the reference examples and is monotone in locality") {
+    import graft.operators.Layout
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L))
+      .toDF("a", "b")
+      .select(Layout.zOrderKey(col("a"), col("b")).as("z"))
+    // a's bits land odd, b's even: z(1,0)=2, z(0,1)=1, z(3,3)=15,
+    // z(5,2)=(101 interleaved with 010)=100110b=38
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 1L, 15L, 38L))
+  }
+
   test("asofNearest: min |Δt|, equidistant prefers backward, side-local tie rules hold") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq(
