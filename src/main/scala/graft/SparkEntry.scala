@@ -1643,6 +1643,27 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "markov_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix over each user's event
+      // sequence: P(dst | src) from exact bigram counts — one keyed
+      // window shuffle for the lead, one (src, dst) aggregation, and the
+      // per-src normalizer is an integer window sum, so the probability
+      // is a single exact division. Map-side combinable end to end; the
+      // output is |event_type|² rows regardless of corpus size.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = e.select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      val cnt = pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      val bySrc = Window.partitionBy(col("src"))
+      cnt.select(col("src"), col("dst"), col("n"),
+          round(col("n").cast("double") /
+            sum(col("n")).over(bySrc).cast("double"), 6).as("p"))
+        .orderBy("src", "dst")
+    }),
+
     "retention_cohorts" -> ((s, dir) => {
       // weekly cohort retention: cohort = ISO week of a user's first
       // event; a cell counts users of that cohort active N weeks later.
@@ -2170,6 +2191,90 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_entropy" -> ((s, dir) => {
+      // per-doc token Shannon entropy (quality signal: repetitive docs
+      // score low). H = ln(n) − (Σ c·ln c)/n over exact token counts; the
+      // Σ is an ORDER-canonical sequential fold (tokens sorted), so the
+      // double is bit-identical in any engine — same policy as the vector
+      // folds. Per-doc state is the doc's distinct-token list, never the
+      // corpus.
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val tc = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tc.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          aggregate(sort_array(collect_list(struct(col("tok"), col("c")))),
+            lit(0.0), (acc, x) => acc + x.getField("c").cast("double")
+              * log(x.getField("c").cast("double"))).as("s"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round((log(col("n_tokens").cast("double"))
+            - col("s") / col("n_tokens").cast("double")) / log(lit(2.0)), 6)
+            .as("entropy_bits"))
+        .orderBy("doc_id")
+    }),
+
+    "text_ngram_lm" -> ((s, dir) => {
+      // bigram language-model score per doc (the CCNet/KenLM-style
+      // quality filter): add-one-smoothed P(w2|w1) trained on the corpus
+      // itself, scored as the mean log-prob over the doc's bigrams.
+      // Counts are plain integer aggregations; the per-doc Σ ln p is an
+      // ORDER-canonical fold by position. The model (bigram + head
+      // counts) joins in by key — never a driver-side table — so at
+      // 100 TB it shuffle-joins like any dimension.
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(lower(col("text")))).as(Seq("pos", "w")))
+      val wseq = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tok.select(col("doc_id"), col("pos"), col("w").as("w1"),
+          lead(col("w"), 1).over(wseq).as("w2"))
+        .filter(col("w2").isNotNull)
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = tok.agg(countDistinct(col("w")).as("v"))
+      big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .withColumn("lp", log((col("c2") + 1).cast("double")
+          / (col("c1") + col("v")).cast("double")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(sort_array(collect_list(struct(col("pos"), col("lp")))),
+            lit(0.0), (acc, x) => acc + x.getField("lp")).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("s") / col("n_bigrams").cast("double"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
+    "mixture_divergence" -> ((s, dir) => {
+      // per-language KL divergence of the token distribution vs the whole
+      // corpus (domain-shift / mixture diagnostics): Σ p·ln(p/q) with
+      // p, q exact count ratios, folded in token order so the double sum
+      // is engine-exact. Per-lang state here is the lang's vocab list;
+      // the 100 TB variant folds per (lang, token-bucket) first and then
+      // folds the bucket partials in bucket order — same result, bounded
+      // group state.
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("lang"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val cl = tok.groupBy("lang", "tok").agg(count(lit(1)).as("cl"))
+      val nl = tok.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val cg = tok.groupBy("tok").agg(count(lit(1)).as("cg"))
+      val ng = tok.agg(count(lit(1)).as("ng"))
+      val p = col("cl").cast("double") / col("nl").cast("double")
+      val q = col("cg").cast("double") / col("ng").cast("double")
+      cl.join(cg, Seq("tok")).join(nl, Seq("lang")).crossJoin(broadcast(ng))
+        .withColumn("term", p * log(p / q))
+        .groupBy("lang")
+        .agg(max(col("nl")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          aggregate(sort_array(collect_list(struct(col("tok"), col("term")))),
+            lit(0.0), (acc, x) => acc + x.getField("term")).as("kl_nats"))
+        .select(col("lang"), col("n_tokens"), col("n_distinct"),
+          round(col("kl_nats") / log(lit(2.0)), 6).as("kl_bits"))
+        .orderBy("lang")
+    }),
+
     "agg_corr" -> ((s, dir) => {
       // Pearson correlation + covariance from EXACT decimal co-moments:
       // Σx, Σy, Σxy, Σx², Σy² over decimal(18,2)/(37,4) are exact and
@@ -2361,6 +2466,33 @@ object SparkEntry {
       e.select(col("event_id"), col("user_id"), col("value"),
           med.as("rolling_median"))
         .orderBy("event_id")
+    }),
+
+    "timeseries_ohlc" -> ((s, dir) => {
+      // OHLC downsample: hourly bars over the click stream — open/close
+      // are the first/last value in (ts, event_id) order, picked by two
+      // row_number passes that share the bucket-keyed sort with the final
+      // aggregation (one shuffle); volume is the exact decimal sum. The
+      // bar count is bounded by the time range, never the row count.
+      val e = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(date_trunc("hour", col("ts")).as("bkt"),
+          col("ts"), col("event_id"), col("value"))
+      val wa = Window.partitionBy(col("bkt"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wd = Window.partitionBy(col("bkt"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn_a", row_number().over(wa))
+        .withColumn("rn_d", row_number().over(wd))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n_ticks"),
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          sum(dec(col("value"))).cast("double").as("volume"))
+        .select(col("bkt").cast("timestamp_ntz").as("bkt"), col("n_ticks"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
+        .orderBy("bkt")
     }),
 
     "timeseries_ewma" -> ((s, dir) => {
@@ -4496,6 +4628,19 @@ object SparkEntry {
          UNION ALL SELECT '3_purchase', count(*) FROM pu
          ORDER BY step""",
 
+    "markov_transitions" ->
+      """WITH o AS (
+           SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS dst
+           FROM events),
+         c AS (SELECT src, dst, count(*) AS n FROM o
+               WHERE dst IS NOT NULL GROUP BY 1, 2)
+         SELECT src, dst, n,
+           round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+         FROM c ORDER BY src, dst""",
+
     "retention_cohorts" ->
       """WITH first AS (
            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
@@ -5101,6 +5246,65 @@ object SparkEntry {
          FROM tok t JOIN tf USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
 
+    "text_entropy" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         a AS (
+           SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
+             list_reduce(list_prepend(0.0,
+               list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY tok)),
+               (acc, x) -> acc + x) AS s
+           FROM tc GROUP BY doc_id)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_distinct,
+           round((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE))
+             / ln(2.0), 6) AS entropy_bits
+         FROM a ORDER BY doc_id""",
+
+    "text_ngram_lm" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         big AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+               i -> {'pos': i, 'w1': toks[CAST(i AS INT)],
+                     'w2': toks[CAST(i AS INT) + 1]})) AS b
+           FROM d WHERE len(toks) >= 2),
+         bf AS (SELECT doc_id, b.pos AS pos, b.w1 AS w1, b.w2 AS w2 FROM big),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bf GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bf GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS v
+               FROM (SELECT unnest(toks) AS tok FROM d)),
+         sc AS (
+           SELECT bf.doc_id, bf.pos,
+             ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) AS lp
+           FROM bf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+             (a, b) -> a + b) / CAST(count(*) AS DOUBLE), 6) AS avg_logp
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    "mixture_divergence" ->
+      s"""WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
+         tok AS (SELECT lang, unnest(toks) AS tok FROM d),
+         cl AS (SELECT lang, tok, count(*) AS cl FROM tok GROUP BY 1, 2),
+         nl AS (SELECT lang, count(*) AS nl FROM tok GROUP BY 1),
+         cg AS (SELECT tok, count(*) AS cg FROM tok GROUP BY 1),
+         ng AS (SELECT count(*) AS ng FROM tok),
+         sc AS (
+           SELECT cl.lang, cl.tok,
+             (CAST(cl.cl AS DOUBLE) / CAST(nl.nl AS DOUBLE))
+               * ln((CAST(cl.cl AS DOUBLE) / CAST(nl.nl AS DOUBLE))
+                     / (CAST(cg.cg AS DOUBLE) / CAST(ng.ng AS DOUBLE))) AS term
+           FROM cl JOIN cg USING (tok) JOIN nl USING (lang) CROSS JOIN ng),
+         a AS (
+           SELECT lang, count(*) AS n_distinct,
+             list_reduce(list_prepend(0.0, list(term ORDER BY tok)),
+               (x, y) -> x + y) AS kl
+           FROM sc GROUP BY lang)
+         SELECT a.lang, nl.nl AS n_tokens, a.n_distinct,
+           round(a.kl / ln(2.0), 6) AS kl_bits
+         FROM a JOIN nl USING (lang) ORDER BY lang""",
+
     "agg_corr" ->
       """WITH m AS (
            SELECT l_returnflag, count(*) AS n,
@@ -5254,6 +5458,24 @@ object SparkEntry {
            (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0
              AS rolling_median
          FROM f ORDER BY event_id""",
+
+    "timeseries_ohlc" ->
+      """WITH c AS (
+           SELECT date_trunc('hour', ts) AS bkt, ts, event_id, value
+           FROM events WHERE event_type = 'click'),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY bkt
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY bkt
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM c)
+         SELECT bkt, count(*) AS n_ticks,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+         FROM r GROUP BY bkt ORDER BY bkt""",
 
     "timeseries_ewma" ->
       """WITH l AS (
