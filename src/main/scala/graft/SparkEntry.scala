@@ -2224,14 +2224,19 @@ object SparkEntry {
       // counts) joins in by key — never a driver-side table — so at
       // 100 TB it shuffle-joins like any dimension.
       val d = t(s, dir, "documents")
+      // tok and big are each consumed by several counts — persist so the
+      // corpus is tokenized and the bigram window shuffled exactly ONCE
+      // (c1 re-aggregates the small c2 table instead of the corpus)
       val tok = d.select(col("doc_id"),
-        posexplode(TextFunctions.tokens(lower(col("text")))).as(Seq("pos", "w")))
+          posexplode(TextFunctions.tokens(lower(col("text")))).as(Seq("pos", "w")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wseq = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val big = tok.select(col("doc_id"), col("pos"), col("w").as("w1"),
           lead(col("w"), 1).over(wseq).as("w2"))
         .filter(col("w2").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
       val v = tok.agg(countDistinct(col("w")).as("v"))
       big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
         .crossJoin(broadcast(v))
@@ -2257,10 +2262,13 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val tok = d.select(col("lang"),
         explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      // every marginal derives from the persisted (lang, tok) counts, so
+      // the corpus is tokenized and count-aggregated exactly ONCE
       val cl = tok.groupBy("lang", "tok").agg(count(lit(1)).as("cl"))
-      val nl = tok.groupBy("lang").agg(count(lit(1)).as("nl"))
-      val cg = tok.groupBy("tok").agg(count(lit(1)).as("cg"))
-      val ng = tok.agg(count(lit(1)).as("ng"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nl = cl.groupBy("lang").agg(sum(col("cl")).as("nl"))
+      val cg = cl.groupBy("tok").agg(sum(col("cl")).as("cg"))
+      val ng = cl.agg(sum(col("cl")).as("ng"))
       val p = col("cl").cast("double") / col("nl").cast("double")
       val q = col("cg").cast("double") / col("ng").cast("double")
       cl.join(cg, Seq("tok")).join(nl, Seq("lang")).crossJoin(broadcast(ng))
