@@ -1625,6 +1625,43 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "tokenizer_bpe_step" -> ((s, dir) => {
+      // one BPE-training iteration: the most frequent adjacent character
+      // pairs inside words, corpus-wide — the primitive a byte-pair
+      // tokenizer trainer runs repeatedly (merge the top pair, recount).
+      // Pure explode + count: map-side combinable, one shuffle on the
+      // pair; the candidate space is alphabet², never corpus-sized.
+      val d = t(s, dir, "documents")
+      val w = d.select(explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) >= 2)
+      w.select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
+    "sample_weighted" -> ((s, dir) => {
+      // weighted sampling without replacement (Efraimidis–Spirakis),
+      // rand-free: each row's priority is ln(u)/w with u a uniform drawn
+      // from the row's stable content hash (top 53 bits — exact in a
+      // double) and w its weight; the k largest priorities ARE a weighted
+      // sample, stable across runs, engines, and partitionings.
+      // orderBy+limit plans as TakeOrderedAndProject: per-partition top-k
+      // then a k-row merge — the same plan at 60 k rows or 100 TB.
+      val li = t(s, dir, "lineitem")
+      val u = shiftrightunsigned(HashFunctions.fnv64(
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 11)
+        .cast("double") / lit(9007199254740992.0)
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (log(u) / col("l_quantity").cast("double")).as("pri"))
+        .orderBy(col("pri").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("pri"), 6).as("pri"))
+    }),
+
     "events_top_paths" -> ((s, dir) => {
       // top 3-step event paths: per-user ordered trigrams via two leads
       // over ONE window (a single shuffle on user_id), then a count —
@@ -4635,6 +4672,27 @@ object SparkEntry {
          UNION ALL SELECT '2_click', count(*) FROM cl
          UNION ALL SELECT '3_purchase', count(*) FROM pu
          ORDER BY step""",
+
+    "tokenizer_bpe_step" ->
+      s"""WITH d AS (SELECT $toksSql AS toks FROM documents),
+         w AS (SELECT unnest(toks) AS w FROM d),
+         p AS (SELECT unnest(list_transform(range(1, length(w)),
+             i -> substr(w, CAST(i AS INT), 2))) AS pair
+           FROM w WHERE length(w) >= 2)
+         SELECT pair, count(*) AS n FROM p
+         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    "sample_weighted" -> {
+      val hv = fnvSql(
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")
+      s"""WITH h AS (
+           SELECT l_orderkey, l_linenumber, l_quantity,
+             ln(CAST($hv // 2048::HUGEINT AS DOUBLE) / 9007199254740992.0)
+               / CAST(l_quantity AS DOUBLE) AS pri
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_quantity, round(pri, 6) AS pri
+         FROM h ORDER BY pri DESC, l_orderkey, l_linenumber LIMIT 20"""
+    },
 
     "markov_transitions" ->
       """WITH o AS (
