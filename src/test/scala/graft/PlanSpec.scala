@@ -211,6 +211,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("timeseries_ohlc: both window passes and the bar agg share ONE bucket exchange") {
+    val p = plan("timeseries_ohlc")
+    // one hash exchange on bkt feeds rn_a's sort, rn_d's re-sort, and the
+    // final partial+final aggregation; only the output sort re-exchanges
+    assert("Exchange hashpartitioning\\(bkt".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size == 2, p)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)"), p)
+  }
+
+  test("scd2_build: lag and lead share one user-keyed sort, filter pushed to the scan") {
+    val p = plan("scd2_build")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(p.contains("EqualTo(event_type,view)"), p)
+  }
+
+  test("sample_weighted plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("text_ngram_lm: token and bigram frames cached — corpus tokenized once") {
+    val p = plan("text_ngram_lm")
+    // every count table reads the InMemoryRelation (the cache-population
+    // subtree is PRINTED per reference but runs once); three consumers of
+    // the cached frames must all plan as cache reads
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("markov_transitions: bigram counts partial-aggregate before the exchange") {
+    val p = plan("markov_transitions")
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
   test("runtime bloom filter: selective dim predicate reaches the fact side of a shuffle join") {
     // When a shuffle join's small side carries a selective filter, the
     // optimizer builds a bloom filter from it and injects
