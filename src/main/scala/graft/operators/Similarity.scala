@@ -505,6 +505,56 @@ object Similarity {
     (cents, cells)
   }
 
+  /** Distributed streaming ANN probe — the corpus NEVER leaves the
+    * executors. Per micro-batch: each query scores the broadcast
+    * centroids (driver-sized by construction: autoK ⇒ ~√n of them) and
+    * keeps its `nprobe` best cells, the batch equijoins the STATIC
+    * cell-keyed corpus frame on centroid_id, and the per-query top-k of
+    * the exact cosines goes to the sink. Contrast `topKStreamIvf`, whose
+    * `collectCells` index is a driver-collected serving cache: this is
+    * the probe that still works when the corpus is 100 TB — with the
+    * corpus written partitioned by cell the join prunes to the probed
+    * cells' partitions, and the shuffle carries only the micro-batch's
+    * (query × nprobe) rows, never the corpus. Cell scoring uses the same
+    * ascending-index cosine fold as the batch paths, so results match
+    * `topKStreamIvf` exactly. */
+  def topKStreamJoin(queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                     corpusCells: DataFrame,
+                     centroids: Array[(Long, Array[Float])],
+                     sink: (DataFrame, Long) => Unit,
+                     k: Int, nprobe: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(centroids)
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                       epochId: Long) =>
+        val probed = batch.mapPartitions { it =>
+          val cents = bcCents.value
+          it.flatMap { case (qid, qv) =>
+            cents
+              .map { case (cid, cv) =>
+                (cid, graft.functions.VecOps.cosineArrays(qv, cv)) }
+              .sortBy { case (cid, cos) => (-cos, cid) }
+              .take(nprobe)
+              .map { case (cid, _) => (qid, qv, cid) }
+          }
+        }.toDF("query_id", "qv", "centroid_id")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        val topk = probed.join(corpusCells, Seq("centroid_id"))
+          .withColumn("cosine",
+            graft.functions.VectorFunctions.cosineSim(col("qv"), col("embedding")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+        sink(topk, epochId)
+      }
+      .start()
+  }
+
   /** IVF-style coarse quantization: assign every vector to the nearest of
     * `centroids` (a small broadcast table of (centroid_id, vector)); ANN
     * then searches only the probed cells. This is the classic inverted-file

@@ -243,6 +243,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKStreamJoin: distributed cell-join probe matches the collected-index probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val corpusDf = sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val centroidsDf = Similarity.kmeansCentroids(corpusDf, k = 4, iters = 2)
+    val (cents, cells) = Similarity.collectCells(corpusDf, centroidsDf)
+    // the distributed probe's corpus side: a static cell-keyed FRAME —
+    // never collected to the driver (the broadcast is centroids only)
+    val corpusCells = Similarity.assignToCentroids(corpusDf, centroidsDf)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+    val queryVecs = corpusDf.as[(Long, Array[Float])].collect().filter(_._1 < 3)
+
+    val refInput = MemoryStream[(Long, Array[Float])]
+    val refQ = Similarity.topKStreamIvf(refInput.toDS(), cents, cells, k = 5, nprobe = 2)
+      .writeStream.format("memory").queryName("twsj_ref").outputMode("append")
+      .start()
+    val expected = try {
+      refInput.addData(queryVecs.toSeq)
+      refQ.processAllAvailable()
+      spark.table("twsj_ref")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    } finally refQ.stop()
+
+    val collected = scala.collection.mutable.Set[(Long, Int, Long)]()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.topKStreamJoin(input.toDS(), corpusCells, cents,
+      sink = (topk, _) => collected.synchronized {
+        collected ++= topk.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      }, k = 5, nprobe = 2)
+    try {
+      input.addData(queryVecs.toSeq)
+      q.processAllAvailable()
+      assert(collected.toSet === expected)
+      assert(collected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("transformWithState: running totals via the Spark-4 state API (RocksDB)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{UserEvent, UserTotalsUpdate}
