@@ -1703,6 +1703,51 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "attribution_position" -> ((s, dir) => {
+      // position-based (U-shaped) multi-touch attribution: each click is
+      // attributed to the user's NEXT purchase (forward as-of — one keyed
+      // shuffle), then credit splits 40/20/40 across the conversion's
+      // click sequence (n=1 → 1.0, n=2 → 0.5/0.5, middles share 0.2).
+      // Both window passes ride the conv_id sort; credits are single
+      // exact divisions.
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val attributed = AsOf.asofForward(clicks, purchases, "user_id",
+          "ts", "ts", "event_id", "conv_id")
+        .filter(col("conv_id").isNotNull)
+      val byConv = Window.partitionBy(col("conv_id"))
+      val w = byConv.orderBy(col("ts"), col("click_id"))
+      attributed
+        .withColumn("n", count(lit(1)).over(byConv))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("credit",
+          when(col("n") === 1, lit(1.0))
+            .when(col("n") === 2, lit(0.5))
+            .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+            .otherwise(lit(0.2) / (col("n") - 2).cast("double")))
+        .select(col("click_id"), col("user_id"), col("conv_id"),
+          round(col("credit"), 6).as("credit"))
+        .orderBy("click_id")
+    }),
+
+    "dataset_card_stats" -> ((s, dir) => {
+      // datasheet/"dataset card" summary per (source, lang): doc and
+      // token counts are exact integers, mean length one division — the
+      // composition table a corpus release publishes. Single agg pass,
+      // source×lang-sized output.
+      val d = t(s, dir, "documents")
+      d.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(lower(col("text")))).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
+            .as("mean_chars"))
+        .orderBy("source", "lang")
+    }),
+
     "markov_transitions" -> ((s, dir) => {
       // first-order Markov transition matrix over each user's event
       // sequence: P(dst | src) from exact bigram counts — one keyed
@@ -4739,6 +4784,42 @@ object SparkEntry {
          SELECT l_orderkey, l_linenumber, l_quantity, round(pri, 6) AS pri
          FROM h ORDER BY pri DESC, l_orderkey, l_linenumber LIMIT 20"""
     },
+
+    "attribution_position" ->
+      """WITH c AS (
+           SELECT user_id, ts, event_id AS click_id FROM events
+           WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+         a AS (
+           SELECT c.click_id, c.user_id, c.ts,
+             (SELECT p.event_id FROM p
+              WHERE p.user_id = c.user_id AND p.ts >= c.ts
+              ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS conv_id
+           FROM c),
+         g AS (
+           SELECT click_id, user_id, conv_id,
+             count(*) OVER (PARTITION BY conv_id) AS n,
+             row_number() OVER (PARTITION BY conv_id
+               ORDER BY ts, click_id) AS rn
+           FROM a WHERE conv_id IS NOT NULL)
+         SELECT click_id, user_id, conv_id,
+           round(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+             WHEN rn = 1 OR rn = n THEN 0.4
+             ELSE 0.2 / CAST(n - 2 AS DOUBLE) END, 6) AS credit
+         FROM g ORDER BY click_id""",
+
+    "dataset_card_stats" ->
+      s"""WITH d AS (
+           SELECT source, lang, n_chars,
+             len($toksSql) AS n_toks
+           FROM documents)
+         SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS mean_chars
+         FROM d GROUP BY source, lang ORDER BY source, lang""",
 
     "markov_transitions" ->
       """WITH o AS (
