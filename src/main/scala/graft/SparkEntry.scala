@@ -936,6 +936,48 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "agg_percentiles_sketch" -> ((s, dir) => {
+      // EXACT percentiles via the bounded-memory path: a mergeable GK
+      // sketch (functions/GKQuantile.scala) nominates, per group and
+      // quantile, a value window guaranteed to contain the interpolation
+      // ranks; one exact second pass counts below the window and sorts
+      // ONLY the ~2εn in-window rows. Same output as agg_percentiles
+      // (exact interpolated), but per-group state is O(1/ε·log εn)
+      // instead of Spark percentile's per-distinct-value map — the shape
+      // that survives a 100 TB group. The sketch table is group×q-sized
+      // and broadcast back.
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sk = li.groupBy("l_returnflag")
+        .agg(graft.functions.GKQuantile
+          .gkBounds(col("l_quantity"), 0.005, Seq(0.5, 0.9)).as("gk"))
+        .select(col("l_returnflag"), col("gk.n").as("n"),
+          explode(col("gk.bounds")).as("b"))
+        .select(col("l_returnflag"), col("n"), col("b.q").as("q"),
+          col("b.lo").as("lo"), col("b.hi").as("hi"))
+        .withColumn("p", col("q") * (col("n") - 1).cast("double"))
+        .withColumn("k1", floor(col("p")).cast("long") + 1)
+        .withColumn("f", col("p") - floor(col("p")))
+      val joined = li.join(broadcast(sk), Seq("l_returnflag"))
+      val below = joined.filter(col("l_quantity") < col("lo"))
+        .groupBy("l_returnflag", "q").agg(count(lit(1)).as("n_below"))
+      val w = Window.partitionBy(col("l_returnflag"), col("q"))
+        .orderBy(col("l_quantity"))
+      joined.filter(col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+        .withColumn("rn", row_number().over(w))
+        .join(below, Seq("l_returnflag", "q"), "left")
+        .withColumn("rk", col("rn") + coalesce(col("n_below"), lit(0L)))
+        .filter(col("rk") === col("k1") || col("rk") === col("k1") + 1)
+        .groupBy("l_returnflag", "q")
+        .agg(max(col("f")).as("f"),
+          max(when(col("rk") === col("k1"), col("l_quantity"))).as("v1"),
+          max(when(col("rk") === col("k1") + 1, col("l_quantity"))).as("v2"))
+        .select(col("l_returnflag"), col("q"),
+          round(col("v1") + (coalesce(col("v2"), col("v1")) - col("v1"))
+            * col("f"), 4).as("pctl"))
+        .orderBy("l_returnflag", "q")
+    }),
+
     "join_salted" -> ((s, dir) => {
       // skew-mitigation: salted equi-join (result ≡ plain join)
       val li = t(s, dir, "lineitem")
@@ -4135,6 +4177,18 @@ object SparkEntry {
            count(*) AS n_sup
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+
+    "agg_percentiles_sketch" ->
+      """WITH p AS (
+           SELECT l_returnflag, 0.5 AS q,
+             round(quantile_cont(l_quantity, 0.5), 4) AS pctl
+           FROM lineitem GROUP BY l_returnflag
+           UNION ALL
+           SELECT l_returnflag, 0.9,
+             round(quantile_cont(l_quantity, 0.9), 4)
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, q, pctl FROM p
+         ORDER BY l_returnflag, q""",
 
     "agg_percentiles" ->
       """SELECT l_returnflag,

@@ -591,6 +591,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> 22L, 2L -> 19L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("GK sketch: rank windows contain the true order statistics under any partitioning") {
+    val n = 5000
+    val vals = (0 until n).map(i => ((i * 2654435761L) % 100003).toDouble / 100.0)
+    val sorted = vals.sorted
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.99, 1.0)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").repartition(parts)
+      val row = df
+        .agg(graft.functions.GKQuantile.gkBounds(col("v"), 0.01, qs).as("gk"))
+        .select(col("gk.n"), col("gk.bounds")).collect()(0)
+      assert(row.getLong(0) == n.toLong)
+      val bounds = row.getSeq[org.apache.spark.sql.Row](1)
+      assert(bounds.map(_.getDouble(0)) == qs)
+      for (b <- bounds) {
+        val (q, lo, hi) = (b.getDouble(0), b.getDouble(1), b.getDouble(2))
+        val p = q * (n - 1)
+        val k1 = math.floor(p).toInt // 0-indexed lower interpolation rank
+        val k2 = math.min(n - 1, k1 + 1)
+        assert(lo <= sorted(k1) && sorted(k2) <= hi,
+          s"q=$q parts=$parts window [$lo,$hi] misses [${sorted(k1)},${sorted(k2)}]")
+        // the window must also be NARROW (sketch useful, not degenerate):
+        // ≤ ~6% of the value range at eps=0.01 with two merge levels
+        assert(hi - lo <= (sorted.last - sorted.head) * 0.06 + 1e-9,
+          s"q=$q parts=$parts window [$lo,$hi] too wide")
+      }
+    }
+  }
+
   test("asofBackward with tolerance: candidates beyond the lookback bound become null") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq(
