@@ -43,7 +43,26 @@ object GraftFunctions {
       es.head,
       if (es.length > 1) intLit(es(1), "threshold") else 100000,
       if (es.length > 2) intLit(es(2), "p") else 12)
+      .toAggregateExpression(isDistinct = false)),
+    "gk_bounds" -> (es => GKQuantileBounds(
+      es.head,
+      doubleLit(es(1), "gk_bounds eps"),
+      doubleArrayLit(es(2), "gk_bounds quantiles"))
       .toAggregateExpression(isDistinct = false)))
+
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  private def doubleArrayLit(e: Expression, what: String): Seq[Double] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+      items.map(doubleLit(_, what))
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array literal, got $other")
+  }
 
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }
