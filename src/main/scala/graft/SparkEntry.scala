@@ -2398,6 +2398,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_zipf_fit" -> ((s, dir) => {
+      // Zipf-law fit over the corpus vocabulary: regress ln(freq) on
+      // ln(rank) — the corpus-health diagnostic (natural text ≈ −1;
+      // templated/spammy corpora deviate). The ranked table is
+      // VOCAB-sized (never the corpus), so the global rank sort and the
+      // ordered co-moment folds touch ~√corpus rows; folds are
+      // rank-ordered so the doubles are engine-exact.
+      val d = t(s, dir, "documents")
+      val tok = d.select(
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val tf = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
+      val wr = Window.orderBy(col("freq").desc, col("tok"))
+      val l = tf.select(col("freq"), row_number().over(wr).as("rank"))
+        .select(col("rank"),
+          log(col("rank").cast("double")).as("x"),
+          log(col("freq").cast("double")).as("y"))
+        .withColumn("xy", col("x") * col("y"))
+        .withColumn("xx", col("x") * col("x"))
+        .withColumn("yy", col("y") * col("y"))
+      def fold(c: String): Column =
+        aggregate(sort_array(collect_list(struct(col("rank"), col(c).as("v")))),
+          lit(0.0), (p, s) => p + s.getField("v"))
+      val a = l.agg(count(lit(1)).as("n"), fold("x").as("sx"), fold("y").as("sy"),
+        fold("xy").as("sxy"), fold("xx").as("sxx"), fold("yy").as("syy"))
+      val nD = col("n").cast("double")
+      val num = nD * col("sxy") - col("sx") * col("sy")
+      val denx = nD * col("sxx") - col("sx") * col("sx")
+      val deny = nD * col("syy") - col("sy") * col("sy")
+      val slope = num / denx
+      a.select(col("n").as("n_vocab"),
+          round(slope, 6).as("zipf_slope"),
+          round((col("sy") - slope * col("sx")) / nD, 6).as("intercept"),
+          round((num * num) / (denx * deny), 6).as("r2"))
+    }),
+
     "mixture_divergence" -> ((s, dir) => {
       // per-language KL divergence of the token distribution vs the whole
       // corpus (domain-shift / mixture diagnostics): Σ p·ln(p/q) with
@@ -2620,6 +2655,25 @@ object SparkEntry {
         element_at(arr, (n / 2 + 1).cast("int"))) / 2.0
       e.select(col("event_id"), col("user_id"), col("value"),
           med.as("rolling_median"))
+        .orderBy("event_id")
+    }),
+
+    "timeseries_seasonal_diff" -> ((s, dir) => {
+      // seasonal-baseline residuals: each click's value vs the mean of
+      // its (user, hour-of-day) cell — the profile that separates
+      // "normal at 9am" from "anomalous at 3am". The baseline table is
+      // an exact decimal mean over a users×24-sized agg joined back;
+      // map-side combinable, one extra shuffle.
+      val e = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"),
+          hour(col("ts")).cast("long").as("hod"))
+      val base = e.groupBy("user_id", "hod")
+        .agg(count(lit(1)).as("n_cell"), sum(dec(col("value"))).as("sum_cell"))
+      val baseline = col("sum_cell").cast("double") / col("n_cell").cast("double")
+      e.join(base, Seq("user_id", "hod"))
+        .select(col("event_id"), col("user_id"), col("hod"), col("value"),
+          round(baseline, 6).as("baseline"),
+          round(col("value") - baseline, 6).as("residual"))
         .orderBy("event_id")
     }),
 
@@ -5705,6 +5759,57 @@ object SparkEntry {
            (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0
              AS rolling_median
          FROM f ORDER BY event_id""",
+
+    "timeseries_seasonal_diff" ->
+      """WITH c AS (
+           SELECT event_id, user_id, value, CAST(hour(ts) AS BIGINT) AS hod
+           FROM events WHERE event_type = 'click'),
+         b AS (
+           SELECT user_id, hod, count(*) AS n_cell,
+             sum(CAST(value AS DECIMAL(18,2))) AS sum_cell
+           FROM c GROUP BY 1, 2)
+         SELECT event_id, user_id, hod, value,
+           round(CAST(sum_cell AS DOUBLE) / CAST(n_cell AS DOUBLE), 6)
+             AS baseline,
+           round(value - CAST(sum_cell AS DOUBLE) / CAST(n_cell AS DOUBLE), 6)
+             AS residual
+         FROM c JOIN b USING (user_id, hod) ORDER BY event_id""",
+
+    "text_zipf_fit" ->
+      s"""WITH d AS (SELECT $toksSql AS toks FROM documents),
+         tok AS (SELECT unnest(toks) AS tok FROM d),
+         tf AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
+         r AS (SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rank
+           FROM tf),
+         l AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+           FROM r),
+         a AS (
+           SELECT count(*) AS n,
+             list_reduce(list_prepend(0.0, list(x ORDER BY rank)),
+               (p, q) -> p + q) AS sx,
+             list_reduce(list_prepend(0.0, list(y ORDER BY rank)),
+               (p, q) -> p + q) AS sy,
+             list_reduce(list_prepend(0.0, list(x * y ORDER BY rank)),
+               (p, q) -> p + q) AS sxy,
+             list_reduce(list_prepend(0.0, list(x * x ORDER BY rank)),
+               (p, q) -> p + q) AS sxx,
+             list_reduce(list_prepend(0.0, list(y * y ORDER BY rank)),
+               (p, q) -> p + q) AS syy
+           FROM l),
+         t AS (
+           SELECT CAST(n AS BIGINT) AS n_vocab,
+             CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS denx,
+             CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+             sx, sy, n
+           FROM a)
+         SELECT n_vocab,
+           round(num / denx, 6) AS zipf_slope,
+           round((sy - (num / denx) * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+           round((num * num) / (denx * deny), 6) AS r2
+         FROM t""",
 
     "timeseries_ohlc" ->
       """WITH c AS (
