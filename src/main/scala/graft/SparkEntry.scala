@@ -1790,6 +1790,25 @@ object SparkEntry {
         .orderBy("source", "lang")
     }),
 
+    "window_streaks" -> ((s, dir) => {
+      // gaps-and-islands: each user's streaks of CONSECUTIVE active
+      // days via the date − row_number() anchor trick — consecutive
+      // dates share a constant anchor, so ONE keyed window + one agg
+      // finds every island (no self-join, no iteration). The distinct
+      // day table is user×day-sized, never event-sized.
+      val e = t(s, dir, "events")
+      val days = e.select(col("user_id"), col("ts").cast("date").as("d"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      days.withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+          count(lit(1)).as("len_days"))
+        .select(col("user_id"), col("streak_start"), col("streak_end"),
+          col("len_days"))
+        .orderBy("user_id", "streak_start")
+    }),
+
     "markov_transitions" -> ((s, dir) => {
       // first-order Markov transition matrix over each user's event
       // sequence: P(dst | src) from exact bigram counts — one keyed
@@ -4892,6 +4911,19 @@ object SparkEntry {
          SELECT l_orderkey, l_linenumber, l_quantity, round(pri, 6) AS pri
          FROM h ORDER BY pri DESC, l_orderkey, l_linenumber LIMIT 20"""
     },
+
+    "window_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         a AS (
+           SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY d) AS INT) AS anchor
+           FROM days)
+         SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+           count(*) AS len_days
+         FROM a GROUP BY user_id, anchor
+         ORDER BY user_id, streak_start""",
 
     "attribution_position" ->
       """WITH c AS (
