@@ -1790,6 +1790,31 @@ object SparkEntry {
         .orderBy("source", "lang")
     }),
 
+    "events_cooccurrence" -> ((s, dir) => {
+      // user-level co-occurrence + PMI per event-type pair — the "users
+      // who did X also did Y" association table (recommender / embedding
+      // prep). Distinct (user, type) first (user×types-sized, never
+      // event-sized), self-join co-partitioned on user; PMI is one ln
+      // over exact integer count products, engine-exact.
+      val e = t(s, dir, "events")
+      val ut = e.select(col("user_id"), col("event_type")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nu = e.agg(countDistinct(col("user_id")).as("n_users"))
+      val tc = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val pairs = ut.as("a").join(ut.as("b"), Seq("user_id"))
+        .filter(col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("x"), col("b.event_type").as("y"))
+        .agg(count(lit(1)).as("n_xy"))
+      pairs
+        .join(tc.select(col("event_type").as("x"), col("n").as("n_x")), Seq("x"))
+        .join(tc.select(col("event_type").as("y"), col("n").as("n_y")), Seq("y"))
+        .crossJoin(broadcast(nu))
+        .select(col("x"), col("y"), col("n_xy"),
+          round(log((col("n_xy") * col("n_users")).cast("double")
+            / (col("n_x") * col("n_y")).cast("double")), 6).as("pmi"))
+        .orderBy("x", "y")
+    }),
+
     "window_streaks" -> ((s, dir) => {
       // gaps-and-islands: each user's streaks of CONSECUTIVE active
       // days via the date − row_number() anchor trick — consecutive
@@ -4911,6 +4936,23 @@ object SparkEntry {
          SELECT l_orderkey, l_linenumber, l_quantity, round(pri, 6) AS pri
          FROM h ORDER BY pri DESC, l_orderkey, l_linenumber LIMIT 20"""
     },
+
+    "events_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+         tc AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS x, b.event_type AS y, count(*) AS n_xy
+           FROM ut a JOIN ut b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT x, y, n_xy,
+           round(ln(CAST(n_xy * nu.n_users AS DOUBLE)
+             / CAST(tx.n * ty.n AS DOUBLE)), 6) AS pmi
+         FROM p CROSS JOIN nu
+         JOIN tc tx ON tx.event_type = p.x
+         JOIN tc ty ON ty.event_type = p.y
+         ORDER BY x, y""",
 
     "window_streaks" ->
       """WITH days AS (
