@@ -159,6 +159,12 @@ object Bench {
       (enrichRows / ((System.nanoTime() - t0) / 1e9)).toLong
     }
     val rpsPre = enrichRps()
+    // The pre sample itself warms OS page cache / JIT / parquet footers;
+    // drop anything it cached so the first timed query starts from the
+    // same state rounds 1–6 measured from (methodology pinned r8 —
+    // earlier rounds sampled rps before clearCache, so r7's first-query
+    // times ran very slightly warm relative to the r1–r6 record).
+    spark.catalog.clearCache()
 
     val results = selected.map { case (name, fn) =>
       def timed(): (Double, Boolean) = {

@@ -2912,10 +2912,11 @@ object SparkEntry {
     }),
 
     "sql_recursive" -> ((s, dir) => {
-      // recursive-CTE surface (Spark 4): the month-spine calendar fill —
+      // recursive-CTE surface (Spark 4): the year-spine calendar fill —
       // this EXACT string (sqlRecursiveText) also runs on DuckDB. The
-      // spine is time-range-sized (~80 rows), so the recursion cost is
-      // independent of the orders row count at any scale.
+      // spine is time-range-sized (~7 rows at the testdata date range),
+      // so the recursion cost is independent of the orders row count at
+      // any scale.
       Tables.registerAll(s, dir)
       s.sql(sqlRecursiveText)
     }),
@@ -4749,8 +4750,14 @@ object SparkEntry {
 
     "scd2_build" ->
       """WITH updates AS (
+           -- native JSON extraction (shared semantics with Spark's
+           -- get_json_object: real parsing, not a regexp over the text);
+           -- the integer guard mirrors Spark's string->long cast, which
+           -- nulls non-integer values where DuckDB's cast would round
            SELECT user_id, ts, event_id,
-             CAST(regexp_extract(props, '"k": ?(-?[0-9]+)', 1) AS BIGINT) AS k
+             CAST(CASE WHEN json_extract_string(props, '$.k')
+                            SIMILAR TO '-?[0-9]+'
+                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
            FROM events WHERE event_type = 'view'
          ), changes AS (
            SELECT user_id, ts, event_id, k FROM (

@@ -12,11 +12,14 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Greenwald-Khanna ε-approximate quantile summary (Greenwald & Khanna
-  * 2001), merged with the conservative rank-uncertainty addition of
-  * Agarwal et al. 2012 ("Mergeable summaries"): entries from one side
-  * inherit the other side's maximum Δ, so the rank invariant
-  * rmin(e) ≤ true-rank(v_e) ≤ rmin(e)+Δ(e) survives ANY merge topology
-  * (error adds per merge level; tightness degrades, validity does not).
+  * 2001), merged with the precise successor rank-uncertainty rule (the
+  * form Spark's `QuantileSummaries` adopted in SPARK-21184, after
+  * Agarwal et al. 2012 "Mergeable summaries"): an entry from one side
+  * inherits g(succ)+Δ(succ)−1 of its successor in the other side, so the
+  * rank invariant rmin(e) ≤ true-rank(v_e) ≤ rmin(e)+Δ(e) survives ANY
+  * merge topology — including sorted partitions, where uncertainty is
+  * carried by g (Δ=0) and a max-Δ rule would under-count (error adds per
+  * merge level; tightness degrades, validity does not).
   *
   * The engine uses it the way `MGSummary` is used for heavy hitters: the
   * sketch NOMINATES a value window guaranteed to contain each requested
@@ -74,10 +77,13 @@ final class GKSummary(val eps: Double) {
       n = other.n
       return
     }
-    // conservative mergeable rule: each side's entries inherit the other
-    // side's max Δ (≥ the Δ of any neighbour the precise rule would pick)
-    val maxDelSelf = if (dels.isEmpty) 0L else dels.max
-    val maxDelOther = if (other.dels.isEmpty) 0L else other.dels.max
+    // Precise neighbour rule (the SPARK-21184 form): an entry taken from
+    // side A inherits the rank uncertainty of its SUCCESSOR in side B,
+    // g_B(succ) + Δ_B(succ) − 1 — the number of B rows that may land on
+    // either side of it. Inheriting only B's max Δ (the previous rule)
+    // under-counts when B's uncertainty lives in g rather than Δ (e.g.
+    // near-sorted partitions compress to Δ=0, g≈2εn), which broke the
+    // containment invariant; g+Δ covers both carriers.
     val mv = new ArrayBuffer[Double](vs.length + other.vs.length)
     val mg = new ArrayBuffer[Long](vs.length + other.vs.length)
     val md = new ArrayBuffer[Long](vs.length + other.vs.length)
@@ -87,9 +93,13 @@ final class GKSummary(val eps: Double) {
       val takeSelf = j >= other.vs.length ||
         (i < vs.length && vs(i) <= other.vs(j))
       if (takeSelf) {
-        mv += vs(i); mg += gs(i); md += dels(i) + maxDelOther; i += 1
+        val inc = if (j < other.vs.length)
+          math.max(0L, other.gs(j) + other.dels(j) - 1L) else 0L
+        mv += vs(i); mg += gs(i); md += dels(i) + inc; i += 1
       } else {
-        mv += other.vs(j); mg += other.gs(j); md += other.dels(j) + maxDelSelf
+        val inc = if (i < vs.length)
+          math.max(0L, gs(i) + dels(i) - 1L) else 0L
+        mv += other.vs(j); mg += other.gs(j); md += other.dels(j) + inc
         j += 1
       }
     }
@@ -161,7 +171,8 @@ case class GKQuantileBounds(
   extends TypedImperativeAggregate[GKSummary] {
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // null for an empty relation / all-null group (no windows to report)
+  override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),
     StructField("bounds", ArrayType(StructType(Seq(
@@ -195,6 +206,7 @@ case class GKQuantileBounds(
 
   override def eval(buffer: GKSummary): Any = {
     val n = buffer.n
+    if (n == 0L) return null
     val rows: Array[Any] = quantiles.toArray.map { q =>
       val p = q * (n - 1).toDouble
       val k1 = math.floor(p).toLong + 1 // 1-indexed lower interpolation rank

@@ -36,6 +36,55 @@ class GKQuantileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("merge of SORTED-partition summaries keeps rank containment (g-carried uncertainty)") {
+    // Each partition sees ascending input → compress leaves Δ=0 and the
+    // uncertainty lives entirely in g. The old max-Δ merge rule added 0
+    // here and broke containment; the successor g+Δ−1 rule must not.
+    import graft.functions.GKSummary
+    val n = 20000
+    val data = (0 until n).map(_.toDouble)
+    val sorted = data.toArray // already sorted
+    for (parts <- Seq(2, 5, 16)) {
+      val chunks = data.grouped(math.ceil(n.toDouble / parts).toInt).toSeq
+      val summaries = chunks.map { c =>
+        val s = new GKSummary(0.01); c.foreach(s.add); s.compress(); s
+      }
+      // chain merge (worst topology for error accumulation)
+      val chained = summaries.reduceLeft { (a, b) => a.merge(b); a }
+      assert(chained.n === n.toLong)
+      for (r <- Seq(1L, n / 4L, n / 2L, 3L * n / 4L, n - 1L, n.toLong)) {
+        val (lo, hi) = chained.window(r)
+        val v = sorted((r - 1).toInt)
+        assert(lo <= v && v <= hi,
+          s"parts=$parts rank=$r window [$lo,$hi] misses $v (sorted input)")
+      }
+    }
+    // interleaved sorted halves (evens/odds) through a tree merge
+    val a = new GKSummary(0.01); data.filter(_ % 2 == 0).foreach(a.add)
+    val b = new GKSummary(0.01); data.filter(_ % 2 == 1).foreach(b.add)
+    a.merge(b)
+    for (r <- Seq(1L, n / 3L, n / 2L, n.toLong)) {
+      val (lo, hi) = a.window(r)
+      val v = sorted((r - 1).toInt)
+      assert(lo <= v && v <= hi, s"evens/odds rank=$r window [$lo,$hi] misses $v")
+    }
+  }
+
+  test("gk_bounds over an empty relation / all-null group yields null, not an error") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq.empty[Double].toDF("v").createOrReplaceTempView("gk_empty")
+    val r1 = spark.sql(
+      "SELECT gk_bounds(v, 0.01D, array(0.5D)) AS gk FROM gk_empty").head()
+    assert(r1.isNullAt(0))
+    Seq[(String, Option[Double])]("a" -> None, "a" -> None, "b" -> Some(1.0))
+      .toDF("k", "v").createOrReplaceTempView("gk_nulls")
+    val rows = spark.sql(
+      """SELECT k, gk_bounds(v, 0.01D, array(0.5D)) AS gk
+         FROM gk_nulls GROUP BY k ORDER BY k""").collect()
+    assert(rows(0).isNullAt(1), "all-null group must be null")
+    assert(!rows(1).isNullAt(1), "non-null group must produce bounds")
+  }
+
   test("SQL surface: gk_bounds registered (eps + quantile-array literals)") {
     graft.functions.GraftFunctions.registerAll(spark)
     vals.toDF("v").createOrReplaceTempView("gk_in")
