@@ -3376,8 +3376,10 @@ object SparkEntry {
       // lowers to, so it scales linearly in |E|.
       // nodes are LONGS (supplier 2k, part 2k+1 — parity encodes the
       // side): integer join/shuffle keys, not strings, so every exchange
-      // moves 8-byte keys. The two persists are filled by the n_nodes
-      // job, so degree computation runs once.
+      // moves 8-byte keys. `und` (the symmetrized edge list) feeds THREE
+      // consumers — degree computation and both iteration joins — so it
+      // is the frame that gets persisted: the scan+distinct+union chain
+      // runs once, and each iteration reads cached 16-byte edge rows.
       val li = t(s, dir, "lineitem")
       val e0 = li.select(
           (col("l_suppkey") * 2L).as("src"),
@@ -3385,7 +3387,8 @@ object SparkEntry {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val und = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = und.groupBy("src").agg(count(lit(1)).as("outdeg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = deg.agg(count(lit(1)).as("n_nodes"))
