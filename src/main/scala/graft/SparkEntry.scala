@@ -1707,6 +1707,16 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "tokenizer_bpe_train" -> ((s, dir) => {
+      // FULL BPE trainer (vs the single-step primitive above): 8 merges
+      // driver-looped over executor-held state — corpus scanned once
+      // into the distinct-word table, pair counts maintained as deltas
+      // of only the affected words each step. See operators/Bpe.scala
+      // for the cell-string representation that makes Spark's and
+      // DuckDB's literal replace() exactly the greedy merge application.
+      graft.operators.Bpe.train(s, t(s, dir, "documents"), 8)
+    }),
+
     "sample_weighted" -> ((s, dir) => {
       // weighted sampling without replacement (Efraimidis–Spirakis),
       // rand-free: each row's priority is ln(u)/w with u a uniform drawn
@@ -4934,6 +4944,40 @@ object SparkEntry {
            FROM w WHERE length(w) >= 2)
          SELECT pair, count(*) AS n FROM p
          GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    "tokenizer_bpe_train" -> {
+      // replays the 8-merge trainer in pure SQL: same cell-string word
+      // representation, and DuckDB's literal replace() is the same
+      // left-to-right non-overlapping scan as Spark's, so one pass per
+      // step IS the greedy merge application (operators/Bpe.scala doc)
+      val steps = (1 to 8).map { k =>
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        s"""l$k AS (SELECT string_split(substr(s, 2, length(s) - 2), e'\n ') AS l,
+             freq FROM $prev),
+         pr$k AS (SELECT l[i] AS a, l[i + 1] AS b, freq
+           FROM (SELECT l, freq, unnest(range(1, len(l))) AS i
+                 FROM l$k WHERE len(l) >= 2)),
+         p$k AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+           FROM pr$k GROUP BY 1, 2),
+         t$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+         s$k AS (SELECT replace(s, ' ' || a || e'\n ' || b || e'\n',
+             ' ' || a || b || e'\n') AS s, freq
+           FROM $prev CROSS JOIN t$k)"""
+      }.mkString(",\n         ")
+      val sel = (1 to 8).map(k =>
+        s"SELECT CAST($k AS INTEGER) AS step, a AS lhs, b AS rhs, a || b AS merged, n FROM t$k")
+        .mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT $toksSql AS toks FROM documents),
+         tw AS (SELECT unnest(toks) AS w FROM d),
+         w0 AS (SELECT w, count(*) AS freq FROM tw
+           WHERE length(w) >= 2 GROUP BY w),
+         s0 AS (SELECT ' ' || array_to_string(
+             list_transform(range(1, length(w) + 1),
+               i -> substr(w, CAST(i AS INT), 1)), e'\n ') || e'\n' AS s,
+             freq FROM w0),
+         $steps
+         SELECT * FROM ($sel) ORDER BY step"""
+    },
 
     "sample_weighted" -> {
       val hv = fnvSql(
