@@ -1399,6 +1399,55 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "similarity_recall" -> ((s, dir) => {
+      // recall@10 scoreboard: every approximate probe family graded
+      // against the exact brute-force top-10 on one 32-query fixture, at
+      // DEGRADED settings (nprobe=1, a single LSH band, reduced-space
+      // ranking without rerank) so the measurement sits in the recall<1
+      // regime a production tuning pass actually reads. The exact side is
+      // the expensive grader — at 100 TB it runs on a SAMPLED query set
+      // exactly like this, never the full query log, and each probe's
+      // plan is the same scale-safe construction as its headline query.
+      // recall_bp = floor(hits·10⁴/total) — fixed-point basis points, so
+      // the metric is independent of engine round-half semantics.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val (cents, _) = ivfIndex(s, dir)
+      def ids(df: DataFrame, m: String): DataFrame =
+        df.select(lit(m).as("method"), col("query_id"), col("vec_id"))
+      val red = e.select(col("vec_id"),
+        graft.functions.HashFunctions
+          .randomProjection(col("embedding"), dims = 16, seed = 0).as("rv"))
+      val rq = red.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("rv").as("q_vec"))
+      val wrp = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val rp = red.join(broadcast(rq))
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.cosineSimD(col("rv"), col("q_vec")))
+        .withColumn("rank", row_number().over(wrp))
+        .filter(col("rank") <= 10)
+      val approx = ids(Similarity.ivfTopK(e, q, cents, k = 10, nprobe = 1),
+          "ivf_nprobe1")
+        .unionByName(ids(
+          Similarity.lshTopK(e, q, k = 10, bits = 12, bands = 1), "lsh_band1"))
+        .unionByName(ids(Similarity.int8TopK(e, q, k = 10), "int8"))
+        .unionByName(ids(rp, "rp16"))
+      val hits = approx
+        .join(exact.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"),
+          "left")
+        .groupBy("method")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      val total = exact.agg(count(lit(1)).as("total"))
+      hits.crossJoin(total)
+        .select(col("method"), col("hits"), col("total"),
+          floor(col("hits") * lit(10000) / col("total")).as("recall_bp"))
+        .orderBy("method")
+    }),
+
     // ---- multimodal columns ----
 
     "multimodal_meta" -> ((s, dir) => {
@@ -3613,13 +3662,13 @@ object SparkEntry {
        shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh)"""
   }
 
-  /** IVF ANN oracle: replicates the k-means quantizer (2 exactMeans
-    * iterations), cell assignment, probe selection, and rerank bit-for-bit
-    * in DuckDB SQL. Shared by similarity_topk_ivf (inline assignment) and
-    * similarity_topk_ivf_index (materialized cell-partitioned index) —
-    * both produce identical results by construction. */
-  private lazy val ivfOracleSql: String =
-    s"""WITH corpus AS (
+  /** IVF ANN probe CTE chain, parameterized on probe width and query-set
+    * predicate: replicates the k-means quantizer (2 exactMeans
+    * iterations), cell assignment, probe selection, and rerank
+    * bit-for-bit in DuckDB SQL. Yields CTE `r(query_id, vec_id, cosine,
+    * rnk)`; callers filter rnk and shape the output. */
+  private def ivfProbeCtes(nprobe: Int, qPred: String): String =
+    s"""corpus AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        c0 AS (
          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
@@ -3638,11 +3687,11 @@ object SparkEntry {
              ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1),
        qsc AS (
          SELECT q.vec_id AS query_id, c.cid, ${cosSql("q.v", "c.cv")} AS c_cos
-         FROM corpus q CROSS JOIN c2 c WHERE q.vec_id < 5),
+         FROM corpus q CROSS JOIN c2 c WHERE $qPred),
        probes AS (
          SELECT query_id, cid FROM (
            SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
-             ORDER BY c_cos DESC, cid) AS pr FROM qsc) WHERE pr <= 2),
+             ORDER BY c_cos DESC, cid) AS pr FROM qsc) WHERE pr <= $nprobe),
        cand AS (
          SELECT p.query_id, ce.vec_id FROM probes p JOIN cells ce USING (cid)),
        sc AS (
@@ -3654,9 +3703,107 @@ object SparkEntry {
          SELECT query_id, vec_id, cosine,
            row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id) AS rnk
-         FROM sc)
+         FROM sc)"""
+
+  /** Shared by similarity_topk_ivf (inline assignment) and
+    * similarity_topk_ivf_index (materialized cell-partitioned index) —
+    * both produce identical results by construction. */
+  private lazy val ivfOracleSql: String =
+    s"""WITH ${ivfProbeCtes(nprobe = 2, qPred = "q.vec_id < 5")}
        SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
        FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** ANN recall@10 scoreboard oracle: each approximate probe's id set
+    * (nested-WITH replica of its engine construction, at the DEGRADED
+    * recall<1 settings) left-joined against the exact brute-force top-10
+    * over the same 32-query fixture. Fixed-point basis points
+    * (floor(hits·10⁴/total)) instead of a rounded double keep the metric
+    * independent of engine round-half semantics. */
+  private lazy val similarityRecallOracleSql: String =
+    s"""WITH exact AS (
+         SELECT query_id, vec_id FROM (
+           WITH corpus AS (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 32),
+           sc AS (
+             SELECT q.query_id, e.vec_id, ${cosSql("e.v", "q.qv")} AS cosine
+             FROM corpus e CROSS JOIN q),
+           r AS (
+             SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+           SELECT query_id, vec_id FROM r WHERE rnk <= 10)),
+       m_ivf AS (
+         SELECT 'ivf_nprobe1' AS method, query_id, vec_id FROM (
+           WITH ${ivfProbeCtes(nprobe = 1, qPred = "q.vec_id < 32")}
+           SELECT query_id, vec_id FROM r WHERE rnk <= 10)),
+       m_lsh AS (
+         SELECT 'lsh_band1' AS method, query_id, vec_id FROM (
+           WITH corpus AS (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           ${hyperplaneSigCtes("corpus", bits = 12, bands = 1)},
+           qs AS (
+             SELECT vec_id AS query_id, band, band_key FROM sig WHERE vec_id < 32),
+           cands AS (
+             SELECT DISTINCT q.query_id, s.vec_id
+             FROM sig s JOIN qs q USING (band, band_key)),
+           sc AS (
+             SELECT ca.query_id, ca.vec_id, ${cosSql("cv.v", "qv.v")} AS cosine
+             FROM cands ca
+             JOIN corpus cv ON cv.vec_id = ca.vec_id
+             JOIN corpus qv ON qv.vec_id = ca.query_id),
+           r AS (
+             SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+           SELECT query_id, vec_id FROM r WHERE rnk <= 10)),
+       m_int8 AS (
+         SELECT 'int8' AS method, query_id, vec_id FROM (
+           WITH v AS (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+           qn AS (
+             SELECT vec_id, dv,
+               list_max(list_transform(dv, x -> abs(x))) AS m FROM v),
+           qv AS (
+             SELECT vec_id,
+               CASE WHEN m = 0 THEN list_transform(dv, x -> 0.0)
+                    ELSE list_transform(dv, x -> round(x * 127.0 / m)) END AS q
+             FROM qn),
+           qs AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 32),
+           sc AS (
+             SELECT qs.query_id, c.vec_id,
+               CAST(list_dot_product(c.q, qs.qq) AS BIGINT) AS qdot
+             FROM qv c CROSS JOIN qs),
+           r AS (
+             SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, vec_id) AS rnk FROM sc)
+           SELECT query_id, vec_id FROM r WHERE rnk <= 10)),
+       m_rp AS (
+         SELECT 'rp16' AS method, query_id, vec_id FROM (
+           WITH corpus AS (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           ${hyperplaneSigCtes("corpus", bits = 16, bands = 1)},
+           red AS (
+             SELECT vec_id, list(proj ORDER BY bit) AS rv
+             FROM hpr WHERE band = 0 GROUP BY vec_id),
+           qs AS (SELECT vec_id AS query_id, rv AS qv FROM red WHERE vec_id < 32),
+           sc AS (
+             SELECT qs.query_id, c.vec_id, ${cosSql("c.rv", "qs.qv")} AS cosine
+             FROM red c CROSS JOIN qs),
+           r AS (
+             SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+           SELECT query_id, vec_id FROM r WHERE rnk <= 10)),
+       appx AS (
+         SELECT * FROM m_ivf UNION ALL SELECT * FROM m_lsh
+         UNION ALL SELECT * FROM m_int8 UNION ALL SELECT * FROM m_rp)
+       SELECT a.method,
+         CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits,
+         (SELECT count(*) FROM exact) AS total,
+         CAST(floor(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           * 10000.0 / (SELECT count(*) FROM exact)) AS BIGINT) AS recall_bp
+       FROM appx a
+       LEFT JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+       GROUP BY a.method ORDER BY a.method"""
 
   /** PQ ANN oracle: replicates the per-subspace codebooks (same Lloyd
     * machinery as the IVF oracle, run on the 4 sub-vector slices), the
@@ -4603,6 +4750,7 @@ object SparkEntry {
     // both queries share one oracle
     "similarity_topk_ivf" -> ivfOracleSql,
     "similarity_topk_ivf_index" -> ivfOracleSql,
+    "similarity_recall" -> similarityRecallOracleSql,
     "embedding_centroids" ->
       """WITH x AS (
            SELECT label, vec_id, d.d AS dim,
