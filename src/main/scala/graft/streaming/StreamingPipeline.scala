@@ -103,6 +103,108 @@ class RunningTotalsProcessor(ttlMs: Long = 0L)
   }
 }
 
+/** Right-side input row for the streaming as-of join. */
+case class QuoteEvent(user_id: Long, ts: java.sql.Timestamp, quote: Double)
+/** Tagged union row feeding the as-of processor (side 1 = left probe,
+  * side 0 = right quote; one schema so one watermark governs both). */
+case class AsOfInput(user_id: Long, ts: java.sql.Timestamp, side: Int,
+                     value: Double)
+/** One finalized left row: payload + the matched right value (None when
+  * no right row precedes it within the lookback). */
+case class AsOfJoined(user_id: Long, ts: java.sql.Timestamp, value: Double,
+                      quote_ts: Option[java.sql.Timestamp],
+                      quote: Option[Double])
+/** Buffered left row awaiting watermark finalization. */
+case class AsOfPendingLeft(ts_ms: Long, value: Double)
+/** Buffered right row (the per-key quote history within the lookback). */
+case class AsOfRightRow(ts_ms: Long, quote: Double)
+
+/** StatefulProcessor for `asofBackwardStream`: the state-store-buffered,
+  * watermark-bounded stream-stream BACKWARD as-of join.
+  *
+  * Semantics match `AsOf.asofBackward` exactly: for every left row, the
+  * quote of the latest right row with the same key and right ts ≤ left
+  * ts (inclusive; ties on ts prefer the larger quote), null when none —
+  * optionally bounded by `toleranceMs` lookback.
+  *
+  * Why a left row can NEVER be answered on arrival: a right row with a
+  * smaller event time may still be in flight. The watermark is the
+  * completeness contract — once it passes the left row's time, any
+  * not-yet-arrived right row at-or-before that time would be late and
+  * dropped at the operator input, so the buffered history is final.
+  * Hence: buffer both sides in list state, register one event-time timer
+  * per left row at its own timestamp, finalize on expiry.
+  *
+  * State is watermark-bounded, the 100 TB requirement: on each expiry,
+  * emitted lefts leave the store, and the right history is pruned to
+  * what future lefts can still reach — everything newer than
+  * (expiry − tolerance), or, in the unbounded form, the single latest
+  * quote at-or-before the expiry (the "current value") plus anything
+  * newer. Per-key state is O(lookback window), never O(stream). */
+class AsOfJoinProcessor(toleranceMs: Long = 0L)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, AsOfInput, AsOfJoined] {
+  import org.apache.spark.sql.{Encoders, streaming => ss}
+
+  @transient private var lefts: ss.ListState[AsOfPendingLeft] = _
+  @transient private var rights: ss.ListState[AsOfRightRow] = _
+
+  override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit = {
+    lefts = getHandle.getListState[AsOfPendingLeft](
+      "lefts", Encoders.product[AsOfPendingLeft], ss.TTLConfig.NONE)
+    rights = getHandle.getListState[AsOfRightRow](
+      "rights", Encoders.product[AsOfRightRow], ss.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[AsOfInput],
+                               timers: ss.TimerValues): Iterator[AsOfJoined] = {
+    rows.foreach { r =>
+      val t = r.ts.getTime
+      if (r.side == 1) {
+        lefts.appendValue(AsOfPendingLeft(t, r.value))
+        // fires once the watermark passes this left row's own event time
+        getHandle.registerTimer(t)
+      } else rights.appendValue(AsOfRightRow(t, r.value))
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(uid: Long, timers: ss.TimerValues,
+                                  info: ss.ExpiredTimerInfo): Iterator[AsOfJoined] = {
+    val expiry = info.getExpiryTimeInMs()
+    val pend = lefts.get().toList
+    val rs = rights.get().toList
+    val (ready, later) = pend.partition(_.ts_ms <= expiry)
+    if (ready.isEmpty) Iterator.empty
+    else {
+      if (later.isEmpty) lefts.clear() else lefts.put(later.toArray)
+      // prune the right history to what a FUTURE left (ts > expiry) can
+      // still match — state stays lookback-bounded
+      val keep =
+        if (toleranceMs > 0L) rs.filter(_.ts_ms >= expiry - toleranceMs)
+        else {
+          val past = rs.filter(_.ts_ms <= expiry)
+          val cur =
+            if (past.isEmpty) Nil
+            else List(past.maxBy(r => (r.ts_ms, r.quote)))
+          cur ++ rs.filter(_.ts_ms > expiry)
+        }
+      if (keep.isEmpty) rights.clear() else rights.put(keep.toArray)
+      ready.sortBy(l => (l.ts_ms, l.value)).iterator.map { l =>
+        val cands = rs.filter(r => r.ts_ms <= l.ts_ms &&
+          (toleranceMs <= 0L || r.ts_ms >= l.ts_ms - toleranceMs))
+        if (cands.isEmpty)
+          AsOfJoined(uid, new java.sql.Timestamp(l.ts_ms), l.value, None, None)
+        else {
+          val m = cands.maxBy(r => (r.ts_ms, r.quote))
+          AsOfJoined(uid, new java.sql.Timestamp(l.ts_ms), l.value,
+            Some(new java.sql.Timestamp(m.ts_ms)), Some(m.quote))
+        }
+      }
+    }
+  }
+}
+
 /** The reference topology (SURVEY.md §3) as Structured Streaming plans.
   *
   * Reference stages:
@@ -319,6 +421,28 @@ object StreamingPipeline {
       .transformWithState(new RunningTotalsProcessor(ttlMs),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Update())
+  }
+
+  /** Stream-stream BACKWARD as-of join — the streaming sibling of
+    * `AsOf.asofBackward`, the standard enrichment join of a feature
+    * pipeline (each probe event picks up the latest preceding quote per
+    * key). Both streams are tagged into one schema so a single watermark
+    * governs completeness on both sides; [[AsOfJoinProcessor]] buffers
+    * per-key state and finalizes each left row when the watermark passes
+    * its event time. `toleranceMs > 0` bounds the lookback (and the
+    * right-history state) exactly like the batch `toleranceUs` knob. */
+  def asofBackwardStream(left: Dataset[UserEvent], right: Dataset[QuoteEvent],
+                         delay: String = "0 seconds",
+                         toleranceMs: Long = 0L): Dataset[AsOfJoined] = {
+    import left.sparkSession.implicits._
+    val l = left.map(e => AsOfInput(e.user_id, e.ts, 1, e.value))
+    val r = right.map(q => AsOfInput(q.user_id, q.ts, 0, q.quote))
+    l.unionByName(r)
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfJoinProcessor(toleranceMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Timer-driven session summaries on `transformWithState`: per-user
