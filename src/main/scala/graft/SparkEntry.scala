@@ -1766,6 +1766,19 @@ object SparkEntry {
       graft.operators.Bpe.train(s, t(s, dir, "documents"), 8)
     }),
 
+    "tokenizer_bpe_apply" -> ((s, dir) => {
+      // the trained tokenizer APPLIED: replay the 8 merges in rank order
+      // over the corpus and report per-doc token statistics. The corpus
+      // is never encoded row-by-row — the DISTINCT vocab is encoded once
+      // and joined back (dictionary encode), so per-token work is one
+      // lookup; see Bpe.encodeStats.
+      val d = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(s, d, 8)
+        .orderBy("step").select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.operators.Bpe.encodeStats(d, merges)
+    }),
+
     "sample_weighted" -> ((s, dir) => {
       // weighted sampling without replacement (Efraimidis–Spirakis),
       // rand-free: each row's priority is ln(u)/w with u a uniform drawn
@@ -3615,6 +3628,38 @@ object SparkEntry {
     """CASE WHEN text IS NULL THEN NULL WHEN trim(text) = '' THEN []
        ELSE string_split_regex(trim(lower(text)), '\s+') END"""
 
+  /** Shared CTE chain replaying the 8-merge BPE trainer in pure SQL:
+    * same cell-string word representation as `Bpe.train`, and DuckDB's
+    * literal replace() is the same left-to-right non-overlapping scan as
+    * Spark's, so one pass per step IS the greedy merge application
+    * (operators/Bpe.scala doc). Yields `d(doc_id, toks)` and the merge
+    * picks `t1..t8(a, b, n)` for downstream train/apply oracles. */
+  private lazy val bpeTrainCtePrefix: String = {
+    val steps = (1 to 8).map { k =>
+      val prev = if (k == 1) "s0" else s"s${k - 1}"
+      s"""l$k AS (SELECT string_split(substr(s, 2, length(s) - 2), e'\n ') AS l,
+           freq FROM $prev),
+       pr$k AS (SELECT l[i] AS a, l[i + 1] AS b, freq
+         FROM (SELECT l, freq, unnest(range(1, len(l))) AS i
+               FROM l$k WHERE len(l) >= 2)),
+       p$k AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+         FROM pr$k GROUP BY 1, 2),
+       t$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+       s$k AS (SELECT replace(s, ' ' || a || e'\n ' || b || e'\n',
+           ' ' || a || b || e'\n') AS s, freq
+         FROM $prev CROSS JOIN t$k)"""
+    }.mkString(",\n         ")
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       tw AS (SELECT unnest(toks) AS w FROM d),
+       w0 AS (SELECT w, count(*) AS freq FROM tw
+         WHERE length(w) >= 2 GROUP BY w),
+       s0 AS (SELECT ' ' || array_to_string(
+           list_transform(range(1, length(w) + 1),
+             i -> substr(w, CAST(i AS INT), 1)), e'\n ') || e'\n' AS s,
+           freq FROM w0),
+       $steps"""
+  }
+
   /** The augmentedDocs corpus (originals ∪ exact copies ∪ near-dup tails)
     * as a CTE body. */
   private val augDocsSql: String =
@@ -5093,38 +5138,39 @@ object SparkEntry {
          SELECT pair, count(*) AS n FROM p
          GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
 
-    "tokenizer_bpe_train" -> {
-      // replays the 8-merge trainer in pure SQL: same cell-string word
-      // representation, and DuckDB's literal replace() is the same
-      // left-to-right non-overlapping scan as Spark's, so one pass per
-      // step IS the greedy merge application (operators/Bpe.scala doc)
-      val steps = (1 to 8).map { k =>
-        val prev = if (k == 1) "s0" else s"s${k - 1}"
-        s"""l$k AS (SELECT string_split(substr(s, 2, length(s) - 2), e'\n ') AS l,
-             freq FROM $prev),
-         pr$k AS (SELECT l[i] AS a, l[i + 1] AS b, freq
-           FROM (SELECT l, freq, unnest(range(1, len(l))) AS i
-                 FROM l$k WHERE len(l) >= 2)),
-         p$k AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
-           FROM pr$k GROUP BY 1, 2),
-         t$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
-         s$k AS (SELECT replace(s, ' ' || a || e'\n ' || b || e'\n',
-             ' ' || a || b || e'\n') AS s, freq
+    "tokenizer_bpe_train" ->
+      s"""WITH $bpeTrainCtePrefix
+         SELECT * FROM (${(1 to 8).map(k =>
+           s"SELECT CAST($k AS INTEGER) AS step, a AS lhs, b AS rhs, a || b AS merged, n FROM t$k")
+           .mkString(" UNION ALL ")}) ORDER BY step""",
+
+    "tokenizer_bpe_apply" -> {
+      // trains the same 8 merges (shared CTE prefix), then ENCODES the
+      // full distinct vocabulary by replaying them in rank order — the
+      // same chained literal replace() — and rolls stats up per doc
+      val applies = (1 to 8).map { k =>
+        val prev = if (k == 1) "e0" else s"e${k - 1}"
+        s"""e$k AS (SELECT w, replace(s, ' ' || t$k.a || e'\n ' || t$k.b || e'\n',
+             ' ' || t$k.a || t$k.b || e'\n') AS s
            FROM $prev CROSS JOIN t$k)"""
       }.mkString(",\n         ")
-      val sel = (1 to 8).map(k =>
-        s"SELECT CAST($k AS INTEGER) AS step, a AS lhs, b AS rhs, a || b AS merged, n FROM t$k")
-        .mkString(" UNION ALL ")
-      s"""WITH d AS (SELECT $toksSql AS toks FROM documents),
-         tw AS (SELECT unnest(toks) AS w FROM d),
-         w0 AS (SELECT w, count(*) AS freq FROM tw
-           WHERE length(w) >= 2 GROUP BY w),
-         s0 AS (SELECT ' ' || array_to_string(
+      s"""WITH $bpeTrainCtePrefix,
+         va AS (SELECT DISTINCT w FROM (SELECT unnest(toks) AS w FROM d)),
+         e0 AS (SELECT w, ' ' || array_to_string(
              list_transform(range(1, length(w) + 1),
-               i -> substr(w, CAST(i AS INT), 1)), e'\n ') || e'\n' AS s,
-             freq FROM w0),
-         $steps
-         SELECT * FROM ($sel) ORDER BY step"""
+               i -> substr(w, CAST(i AS INT), 1)), e'\n ') || e'\n' AS s
+           FROM va),
+         $applies,
+         enc AS (SELECT w, CAST(length(s) - length(replace(s, e'\n', ''))
+             AS BIGINT) AS n_sym FROM e8),
+         dt AS (SELECT doc_id, unnest(toks) AS w FROM d)
+         SELECT dt.doc_id, count(*) AS n_tokens,
+           CAST(sum(length(dt.w)) AS BIGINT) AS n_chars,
+           CAST(sum(enc.n_sym) AS BIGINT) AS n_symbols,
+           CAST(floor(CAST(sum(length(dt.w)) AS BIGINT) * 10000.0
+             / CAST(sum(enc.n_sym) AS BIGINT)) AS BIGINT) AS ratio_bp
+         FROM dt JOIN enc ON enc.w = dt.w
+         GROUP BY dt.doc_id ORDER BY dt.doc_id"""
     },
 
     "sample_weighted" -> {

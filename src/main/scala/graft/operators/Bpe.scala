@@ -124,4 +124,37 @@ object Bpe {
     pairs.unpersist(); grandparent.foreach(_.unpersist()); words0.unpersist()
     out
   }
+
+  /** ENCODE with a trained merge table (the standard BPE apply: replay
+    * the merges in rank order), reported as per-document token stats —
+    * (doc_id, n_tokens, n_chars, n_symbols, ratio_bp) where ratio_bp is
+    * chars-per-symbol in fixed-point basis points.
+    *
+    * Scale design: the corpus token stream is NEVER encoded row-by-row —
+    * the DISTINCT vocabulary is encoded once (vocab grows sublinearly,
+    * merges are k narrow replace passes over a vocab-sized frame) and
+    * joined back to the token stream, so per-token work is one
+    * dictionary lookup (broadcast at small vocab; a keyed join at web
+    * scale). The per-doc rollup is one map-side-combinable aggregation. */
+  def encodeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(lower(col("text")))
+    val dt = docs.select(col("doc_id"), explode(toks).as("w"))
+    val enc0 = dt.select("w").distinct().withColumn("s", cellString(col("w")))
+    val enc = merges.foldLeft(enc0) { case (df, (a, b)) =>
+        df.withColumn("s", call_function("replace", col("s"),
+          lit(s" $a\n $b\n"), lit(s" $a$b\n")))
+      }
+      // every cell ends in '\n', so the symbol count is the '\n' count
+      .withColumn("n_sym", (length(col("s")) -
+        length(call_function("replace", col("s"), lit("\n"), lit("")))).cast("long"))
+      .select("w", "n_sym")
+    dt.join(enc, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_sym")).as("n_symbols"))
+      .withColumn("ratio_bp",
+        floor(col("n_chars") * lit(10000) / col("n_symbols")))
+      .orderBy("doc_id")
+  }
 }

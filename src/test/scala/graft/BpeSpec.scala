@@ -68,4 +68,39 @@ class BpeSpec extends SparkSpec {
     assert(got.length == 1) // only one pair exists; then every word is a single symbol
     assert(got(0).getString(3) == "ab")
   }
+
+  /** Reference encode: replay merges in rank order over a word's symbol
+    * list with the same greedy left-to-right application. */
+  private def referenceEncode(w: String, merges: Seq[(String, String)]): Int =
+    merges.foldLeft(w.map(_.toString).toList) { case (syms, (a, b)) =>
+      def m(s: List[String]): List[String] = s match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: m(rest)
+        case x :: rest => x :: m(rest)
+        case Nil => Nil
+      }
+      m(syms)
+    }.length
+
+  test("encodeStats matches the reference encode per doc, with sane bounds") {
+    val docs = Seq(
+      "the cat sat on the mat", "the dog ate the food",
+      "then there was the thing", "aaaaa aaaaa b",
+      "x yz the then")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = referenceTrain(docs, 8).map(m => (m._2, m._3))
+    val got = graft.operators.Bpe.encodeStats(df, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet === docs.indices.map(_.toLong).toSet)
+    docs.zipWithIndex.foreach { case (text, i) =>
+      val words = text.trim.toLowerCase.split("\\s+").toSeq
+      val (nTok, nChars, nSyms, ratio) = got(i.toLong)
+      assert(nTok === words.length.toLong)
+      assert(nChars === words.map(_.length).sum.toLong)
+      assert(nSyms === words.map(referenceEncode(_, merges)).sum.toLong,
+        s"doc $i symbol count")
+      assert(nSyms >= nTok && nSyms <= nChars) // every token >= 1 symbol; merges only shrink
+      assert(ratio === nChars * 10000L / nSyms)
+    }
+  }
 }
