@@ -1310,6 +1310,35 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "similarity_recall_sweep" -> ((s, dir) => {
+      // the IVF tuning curve: recall@10 as a function of nprobe (1/2/4)
+      // against the exact top-10 — the artifact that picks the
+      // recall/cost operating point before a 100 TB rollout. Probe work
+      // scales linearly with nprobe while the quantizer, corpus
+      // assignment, and exact grader are shared; the sweep reads the
+      // SAME memoized index the headline queries probe.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val (cents, _) = ivfIndex(s, dir)
+      val approx = Seq(1, 2, 4).map { np =>
+        Similarity.ivfTopK(e, q, cents, k = 10, nprobe = np)
+          .select(lit(np).as("nprobe"), col("query_id"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      val hits = approx
+        .join(exact.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"),
+          "left")
+        .groupBy("nprobe")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      val total = exact.agg(count(lit(1)).as("total"))
+      hits.crossJoin(total)
+        .select(col("nprobe"), col("hits"), col("total"),
+          floor(col("hits") * lit(10000) / col("total")).as("recall_bp"))
+        .orderBy("nprobe")
+    }),
+
     "dedup_semantic_cells" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): k-means cells bound the pairwise
       // search — exact cosine is computed WITHIN cells only (Σ|cell|²,
@@ -3437,6 +3466,40 @@ object SparkEntry {
           asc_nulls_first("l_linestatus"))
     }),
 
+    "graph_jaccard_neighbors" -> ((s, dir) => {
+      // neighborhood-Jaccard similarity (the common-neighbors link score
+      // of collaborative filtering / graph dedup): suppliers scored by
+      // |shared parts| / |union of parts|, top-20. Pairs are generated
+      // BY PART (the two-hop join), so join volume is Σdeg(part)² — and
+      // hub parts, which add |hub|² pairs of near-zero signal, are
+      // df-capped at 64 exactly like the dedup shingle cap; degrees and
+      // the Jaccard are computed over the same capped graph, so the
+      // score is exact on the graph actually searched. Fixed-point
+      // basis points keep it engine-exact; top-20 plans as
+      // TakeOrderedAndProject, never a global sort.
+      val li = t(s, dir, "lineitem")
+      val sp = li.select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+      val capped = sp.join(
+          sp.groupBy("p").agg(count(lit(1)).as("pd"))
+            .filter(col("pd") <= 64).select("p"),
+          Seq("p"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = capped.groupBy("s").agg(count(lit(1)).as("d"))
+      val pairs = capped.select(col("p"), col("s").as("sa"))
+        .join(capped.select(col("p"), col("s").as("sb")), Seq("p"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
+      pairs
+        .join(deg.select(col("s").as("sa"), col("d").as("da")), Seq("sa"))
+        .join(deg.select(col("s").as("sb"), col("d").as("db")), Seq("sb"))
+        .withColumn("jaccard_bp", floor(col("common") * lit(10000)
+          / (col("da") + col("db") - col("common"))))
+        .select("sa", "sb", "common", "da", "db", "jaccard_bp")
+        .orderBy(col("jaccard_bp").desc, col("sa"), col("sb"))
+        .limit(20)
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       // fixed-point (integer-scaled) PageRank over the bipartite
       // supplier–part co-purchase graph: rank mass is scaled by 10^12 and
@@ -4796,6 +4859,39 @@ object SparkEntry {
     "similarity_topk_ivf" -> ivfOracleSql,
     "similarity_topk_ivf_index" -> ivfOracleSql,
     "similarity_recall" -> similarityRecallOracleSql,
+    "similarity_recall_sweep" -> {
+      val probes = Seq(1, 2, 4).map { np =>
+        s"""m_np$np AS (
+           SELECT $np AS nprobe, query_id, vec_id FROM (
+             WITH ${ivfProbeCtes(nprobe = np, qPred = "q.vec_id < 32")}
+             SELECT query_id, vec_id FROM r WHERE rnk <= 10))"""
+      }.mkString(",\n         ")
+      s"""WITH exact AS (
+           SELECT query_id, vec_id FROM (
+             WITH corpus AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 32),
+             sc AS (
+               SELECT q.query_id, e.vec_id, ${cosSql("e.v", "q.qv")} AS cosine
+               FROM corpus e CROSS JOIN q),
+             r AS (
+               SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+             SELECT query_id, vec_id FROM r WHERE rnk <= 10)),
+         $probes,
+         appx AS (
+           SELECT * FROM m_np1 UNION ALL SELECT * FROM m_np2
+           UNION ALL SELECT * FROM m_np4)
+         SELECT a.nprobe,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits,
+           (SELECT count(*) FROM exact) AS total,
+           CAST(floor(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 10000.0 / (SELECT count(*) FROM exact)) AS BIGINT) AS recall_bp
+         FROM appx a
+         LEFT JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         GROUP BY a.nprobe ORDER BY a.nprobe"""
+    },
     "embedding_centroids" ->
       """WITH x AS (
            SELECT label, vec_id, d.d AS dim,
@@ -6755,6 +6851,26 @@ object SparkEntry {
     // edge set from exact all-pairs cosine while the engine uses hyperplane
     // LSH candidates — equal only because rescaled copies share the exact
     // signature (same direction ⇒ same signs), giving recall 1.0 here.
+    "graph_jaccard_neighbors" ->
+      """WITH sp AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+         keepp AS (
+           SELECT p FROM sp GROUP BY p HAVING count(*) <= 64),
+         capped AS (SELECT sp.s, sp.p FROM sp JOIN keepp USING (p)),
+         deg AS (SELECT s, count(*) AS d FROM capped GROUP BY s),
+         pairs AS (
+           SELECT a.s AS sa, b.s AS sb, count(*) AS common
+           FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+           GROUP BY 1, 2)
+         SELECT pairs.sa, pairs.sb, pairs.common,
+           da.d AS da, db.d AS db,
+           CAST(floor(pairs.common * 10000.0
+             / (da.d + db.d - pairs.common)) AS BIGINT) AS jaccard_bp
+         FROM pairs
+         JOIN deg da ON da.s = pairs.sa
+         JOIN deg db ON db.s = pairs.sb
+         ORDER BY jaccard_bp DESC, sa, sb LIMIT 20""",
+
     "graph_triangles" ->
       """WITH aug AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

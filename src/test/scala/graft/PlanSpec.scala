@@ -246,6 +246,20 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
   }
 
+  test("graph_jaccard_neighbors: cached capped graph, partial pair agg, top-k not global sort") {
+    val p = plan("graph_jaccard_neighbors")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the df-capped (s, p) frame is cached and feeds BOTH sides of the
+    // two-hop self-join — the cap chain must not be recomputed
+    assert(p.contains("InMemoryTableScan"), p)
+    // pair counts combine map-side before the (sa, sb) exchange
+    assert(p.contains("partial_count"), p)
+    // the scan reads only the two join columns
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("l_partkey") && read.contains("l_suppkey"), read)
+    assert(!read.contains("l_quantity") && !read.contains("l_orderkey"), read)
+  }
+
   test("runtime bloom filter: selective dim predicate reaches the fact side of a shuffle join") {
     // When a shuffle join's small side carries a selective filter, the
     // optimizer builds a bloom filter from it and injects

@@ -59,4 +59,16 @@ class RecallSpec extends SparkSpec {
     assert(rows("ivf_nprobe1")._3 > rows("rp16")._3)
     assert(rows("ivf_nprobe1")._3 > rows("lsh_band1")._3)
   }
+
+  test("recall sweep is monotone in nprobe and the curve actually rises") {
+    val sw = SparkEntry.queries("similarity_recall_sweep")(spark, sfDir)
+      .select(col("nprobe"), col("recall_bp"))
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(sw.map(_._1) === Seq(1, 2, 4))
+    // widening the probe set can only add candidates: recall is monotone
+    sw.sliding(2).foreach { case Seq((_, lo), (_, hi)) => assert(lo <= hi) }
+    assert(sw.last._2 > sw.head._2, s"flat curve: $sw")
+    // nprobe=1 must agree with the scoreboard's ivf_nprobe1 row
+    assert(sw.head._2 === rows("ivf_nprobe1")._3)
+  }
 }
