@@ -3466,6 +3466,37 @@ object SparkEntry {
           asc_nulls_first("l_linestatus"))
     }),
 
+    "pipeline_quality_gate" -> ((s, dir) => {
+      // the END-TO-END preprocessing funnel a pretraining corpus actually
+      // runs — language filter → model-score gate → exact dedup → near
+      // dedup — reported as per-stage survivor counts (the attrition
+      // table on every dataset card). Composes the library's own
+      // operators: langIdHeuristic + linearMargin fuse into ONE codegen'd
+      // corpus scan (per-doc expressions, zero shuffle), exact dedup is
+      // one fingerprint shuffle, and the near stage is ngramJaccardPairs'
+      // df-capped inverted index (Σdf², never n²) over only the docs that
+      // survived the cheap stages — the standard cost ordering: O(scan)
+      // filters first, the shuffle-bearing dedups on the shrunken tail.
+      val d = t(s, dir, "documents")
+      val en = d.filter(TextFunctions.langIdHeuristic(col("text")) === "en")
+      val qual = en.filter(HashFunctions.linearMargin(
+        TextFunctions.tokens(lower(col("text")))) > 0)
+      val exact = Dedup.exactDedup(qual, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val doomed = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
+          shingleSize = 3, threshold = 0.6)
+        .select(col("id_b").as("doc_id")).distinct()
+      val near = exact.join(doomed, Seq("doc_id"), "left_anti")
+      def stage(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      Seq(stage("0_ingest", d), stage("1_lang_en", en),
+          stage("2_quality", qual), stage("3_exact_dedup", exact),
+          stage("4_near_dedup", near))
+        .reduce(_ unionByName _)
+        .orderBy("stage")
+    }),
+
     "graph_jaccard_neighbors" -> ((s, dir) => {
       // neighborhood-Jaccard similarity (the common-neighbors link score
       // of collaborative filtering / graph dedup): suppliers scored by
@@ -6851,6 +6882,89 @@ object SparkEntry {
     // edge set from exact all-pairs cosine while the engine uses hyperplane
     // LSH candidates — equal only because rescaled copies share the exact
     // signature (same direction ⇒ same signs), giving recall 1.0 here.
+    // the funnel composed from the same per-stage constructions the
+    // standalone oracles use: langid lists, the hashed-linear margin
+    // chain (nested WITH, so its CTE names stay scoped), md5-normalized
+    // exact groups, and the TRUE-Jaccard >= 0.6 near-dup rule of
+    // dedup_minhash_survivors
+    "pipeline_quality_gate" ->
+      s"""WITH docs0 AS (SELECT doc_id, text FROM documents),
+         lg AS (
+           SELECT doc_id,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                  ELSE 'und' END AS lang_guess
+           FROM (
+             SELECT doc_id,
+               len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in'], t))) AS s_en,
+               len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
+               len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des'], t))) AS s_fr,
+               len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','von'], t))) AS s_de
+             FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents))),
+         en AS (
+           SELECT d0.doc_id, d0.text FROM docs0 d0
+           JOIN lg USING (doc_id) WHERE lg.lang_guess = 'en'),
+         mw AS (
+           SELECT doc_id, margin FROM (
+             WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             thx AS (
+               SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th
+               FROM docs WHERE toks IS NOT NULL),
+             big AS (
+               SELECT doc_id, th,
+                 CASE WHEN len(th) <= 2
+                   THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
+                         (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
+                   ELSE list_transform(range(1, len(th)),
+                     s -> (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
+                           % 18446744073709551616::HUGEINT) * 31
+                           + th[CAST(s AS INT)+1]) % 18446744073709551616::HUGEINT)
+                 END AS bh
+               FROM thx),
+             feats AS (
+               SELECT doc_id, list_concat(th, bh) AS fh FROM big),
+             fe AS (SELECT doc_id, unnest(fh) AS x FROM feats),
+             ${mix64Ctes("fe", "mx")},
+             ws AS (
+               SELECT doc_id,
+                 CAST(sum(CAST(h % 1024 AS BIGINT) - 512) AS BIGINT) AS margin
+               FROM mx GROUP BY doc_id)
+             SELECT doc_id, margin FROM ws)),
+         qual AS (
+           SELECT en.doc_id, en.text FROM en
+           JOIN mw USING (doc_id) WHERE mw.margin > 0),
+         ex AS (
+           SELECT min(doc_id) AS doc_id FROM qual
+           GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+         exd AS (SELECT q.doc_id, q.text FROM qual q JOIN ex USING (doc_id)),
+         ${shingleCtes("exd")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         doomed AS (
+           SELECT DISTINCT id_b FROM common
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
+         near AS (
+           SELECT doc_id FROM exd
+           WHERE doc_id NOT IN (SELECT id_b FROM doomed))
+         SELECT stage, n_docs FROM (
+           SELECT '0_ingest' AS stage, count(*) AS n_docs FROM docs0
+           UNION ALL SELECT '1_lang_en', count(*) FROM en
+           UNION ALL SELECT '2_quality', count(*) FROM qual
+           UNION ALL SELECT '3_exact_dedup', count(*) FROM ex
+           UNION ALL SELECT '4_near_dedup', count(*) FROM near)
+         ORDER BY stage""",
+
     "graph_jaccard_neighbors" ->
       """WITH sp AS (
            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
