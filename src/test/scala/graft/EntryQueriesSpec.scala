@@ -31,6 +31,30 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_quality_gate: funnel is monotone and every stage is live") {
+    val st = q("pipeline_quality_gate")
+      .select("stage", "n_docs").as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(st.map(_._1) === Seq("0_ingest", "1_lang_en", "2_quality",
+      "3_exact_dedup", "4_near_dedup"))
+    val ns = st.map(_._2)
+    ns.sliding(2).foreach { case Seq(a, b) => assert(b <= a, s"funnel grew: $st") }
+    assert(ns.last > 0L, s"funnel collapsed to zero: $st")
+    assert(ns.last < ns.head, s"funnel filtered nothing: $st")
+  }
+
+  test("graph_jaccard_neighbors: scores bounded, common <= min degree, sorted") {
+    val rows = q("graph_jaccard_neighbors")
+      .select("common", "da", "db", "jaccard_bp")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size === 20)
+    rows.foreach { case (c, da, db, bp) =>
+      assert(c >= 1L && c <= math.min(da, db))
+      assert(bp >= 1L && bp <= 10000L)
+      assert(bp === c * 10000L / (da + db - c))
+    }
+    assert(rows.map(_._4) === rows.map(_._4).sorted.reverse, "not sorted desc")
+  }
+
   test("pack_sequences: token mass is conserved and sequences are shard-local") {
     val out = q("pack_sequences")
       .select("shard", "started_tokens").as[(Long, Long)].collect()
