@@ -205,6 +205,72 @@ class AsOfJoinProcessor(toleranceMs: Long = 0L)
   }
 }
 
+/** StatefulProcessor for `asofForwardStream`: the FORWARD sibling of
+  * [[AsOfJoinProcessor]] — each left row matches the EARLIEST right row
+  * with right ts ≥ left ts (inclusive; equal-time ties prefer the
+  * smaller quote, mirroring `AsOf.asofForward`), bounded by a mandatory
+  * `horizonMs`. Forward streaming REQUIRES the horizon: without one a
+  * left row could only finalize at end-of-stream (a better right may
+  * always still arrive), so the horizon is both the semantic bound and
+  * the state bound. A left's timer fires at (left ts + horizon); on
+  * expiry the window [ts, ts+horizon] is provably complete (any missing
+  * right in it would be late-dropped), and rights at-or-before
+  * (expiry − horizon) can never match a still-pending left, so state
+  * stays O(horizon) per key. */
+class AsOfForwardJoinProcessor(horizonMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, AsOfInput, AsOfJoined] {
+  import org.apache.spark.sql.{Encoders, streaming => ss}
+  require(horizonMs > 0L, "forward as-of needs a positive horizon")
+
+  @transient private var lefts: ss.ListState[AsOfPendingLeft] = _
+  @transient private var rights: ss.ListState[AsOfRightRow] = _
+
+  override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit = {
+    lefts = getHandle.getListState[AsOfPendingLeft](
+      "lefts", Encoders.product[AsOfPendingLeft], ss.TTLConfig.NONE)
+    rights = getHandle.getListState[AsOfRightRow](
+      "rights", Encoders.product[AsOfRightRow], ss.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[AsOfInput],
+                               timers: ss.TimerValues): Iterator[AsOfJoined] = {
+    rows.foreach { r =>
+      val t = r.ts.getTime
+      if (r.side == 1) {
+        lefts.appendValue(AsOfPendingLeft(t, r.value))
+        getHandle.registerTimer(t + horizonMs)
+      } else rights.appendValue(AsOfRightRow(t, r.value))
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(uid: Long, timers: ss.TimerValues,
+                                  info: ss.ExpiredTimerInfo): Iterator[AsOfJoined] = {
+    val expiry = info.getExpiryTimeInMs()
+    val pend = lefts.get().toList
+    val rs = rights.get().toList
+    val (ready, later) = pend.partition(_.ts_ms + horizonMs <= expiry)
+    if (ready.isEmpty) Iterator.empty
+    else {
+      if (later.isEmpty) lefts.clear() else lefts.put(later.toArray)
+      val keep = rs.filter(_.ts_ms > expiry - horizonMs)
+      if (keep.isEmpty) rights.clear() else rights.put(keep.toArray)
+      ready.sortBy(l => (l.ts_ms, l.value)).iterator.map { l =>
+        val cands = rs.filter(r =>
+          r.ts_ms >= l.ts_ms && r.ts_ms <= l.ts_ms + horizonMs)
+        if (cands.isEmpty)
+          AsOfJoined(uid, new java.sql.Timestamp(l.ts_ms), l.value, None, None)
+        else {
+          val m = cands.minBy(r => (r.ts_ms, r.quote))
+          AsOfJoined(uid, new java.sql.Timestamp(l.ts_ms), l.value,
+            Some(new java.sql.Timestamp(m.ts_ms)), Some(m.quote))
+        }
+      }
+    }
+  }
+}
+
 /** The reference topology (SURVEY.md §3) as Structured Streaming plans.
   *
   * Reference stages:
@@ -441,6 +507,26 @@ object StreamingPipeline {
       .withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .transformWithState(new AsOfJoinProcessor(toleranceMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Stream-stream FORWARD as-of join — streaming `AsOf.asofForward`
+    * bounded by a mandatory horizon: each left row matches the earliest
+    * right row in [left ts, left ts + horizon] per key. The horizon is
+    * non-optional in streaming (an unbounded forward wait never
+    * finalizes) and doubles as the state bound; see
+    * [[AsOfForwardJoinProcessor]]. */
+  def asofForwardStream(left: Dataset[UserEvent], right: Dataset[QuoteEvent],
+                        horizonMs: Long,
+                        delay: String = "0 seconds"): Dataset[AsOfJoined] = {
+    import left.sparkSession.implicits._
+    val l = left.map(e => AsOfInput(e.user_id, e.ts, 1, e.value))
+    val r = right.map(q => AsOfInput(q.user_id, q.ts, 0, q.quote))
+    l.unionByName(r)
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfForwardJoinProcessor(horizonMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }

@@ -850,7 +850,7 @@ class StreamingSpec extends SparkSpec {
           if (r.isNullAt(3)) None else Some(r.getDouble(3)))
       }.toSet
 
-  private def runAsofStream(toleranceMs: Long)(
+  private def runAsofStream(toleranceMs: Long, forwardHorizonMs: Long = 0L)(
       feed: (MemoryStream[UserEvent], MemoryStream[QuoteEvent],
              org.apache.spark.sql.streaming.StreamingQuery) => Unit): Seq[AsOfJoined] = {
     implicit val sqlCtx = spark.sqlContext
@@ -859,8 +859,14 @@ class StreamingSpec extends SparkSpec {
       val li = MemoryStream[UserEvent]
       val ri = MemoryStream[QuoteEvent]
       val name = s"asof_stream_${System.nanoTime()}"
-      val q = StreamingPipeline.asofBackwardStream(
-          li.toDS(), ri.toDS(), delay = "1 hour", toleranceMs = toleranceMs)
+      val joined =
+        if (forwardHorizonMs > 0L)
+          StreamingPipeline.asofForwardStream(
+            li.toDS(), ri.toDS(), horizonMs = forwardHorizonMs, delay = "1 hour")
+        else
+          StreamingPipeline.asofBackwardStream(
+            li.toDS(), ri.toDS(), delay = "1 hour", toleranceMs = toleranceMs)
+      val q = joined
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
@@ -904,6 +910,34 @@ class StreamingSpec extends SparkSpec {
     // bounded and unbounded forms genuinely differ somewhere
     assert((asofBatchTruth(Some(tolMs * 1000L)) != asofBatchTruth(None)) ||
       out.exists(_.quote.isEmpty))
+  }
+
+  test("stream-stream FORWARD as-of join matches batch asofForward inside the horizon") {
+    // 30-min horizon covers every true forward gap on this fixture (10:00
+    // →10:10, 10:10→10:10, 10:05→10:06) and the unmatched lefts have NO
+    // later rights at all — so the horizon-bounded stream equals the
+    // unbounded batch form, including the equal-time smaller-quote
+    // tie-break (10:10 picks 105 over 110)
+    val out = runAsofStream(toleranceMs = 0L, forwardHorizonMs = 30L * 60L * 1000L) {
+      (li, ri, q) =>
+        li.addData(asofLefts)
+        ri.addData(asofRights)
+        q.processAllAvailable()
+    }
+    val batch = graft.operators.AsOf.asofForward(
+        asofLefts.toDF(), asofRights.toDF(),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightVal = "quote", outCol = "quote")
+      .collect().map { r =>
+        (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      }.toSet
+    assert(out.map(j => (j.user_id, j.ts, j.value, j.quote)).toSet === batch)
+    // every match's quote_ts is at-or-after its probe ts, within horizon
+    out.foreach(j => j.quote_ts.foreach { qt =>
+      assert(!qt.before(j.ts))
+      assert(qt.getTime - j.ts.getTime <= 30L * 60L * 1000L)
+    })
   }
 
   test("as-of state buffers across batches: a right arriving later still matches") {
