@@ -689,6 +689,25 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "window_distribution" -> ((s, dir) => {
+      // the distribution window functions (percent_rank / cume_dist /
+      // nth_value) completing the SQL-window surface beyond rank/ntile:
+      // one keyed sort, no self-join. The partition-key sample filter
+      // sits BELOW the window (predicate on the partition column pushes
+      // past WindowExec), so pruned customers never enter the sort.
+      // Fixed-point ppm (floor(x·10⁶)) instead of round: both engines
+      // compute the same (rank−1)/(n−1) doubles, floor is half-free.
+      val o = t(s, dir, "orders")
+        .filter(pmod(col("o_custkey"), lit(100)) === 0)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          floor(percent_rank().over(w) * lit(1000000)).as("pr_ppm"),
+          floor(cume_dist().over(w) * lit(1000000)).as("cd_ppm"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "window_topk_per_group" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val w = Window.partitionBy(col("o_custkey"))
@@ -3505,6 +3524,34 @@ object SparkEntry {
           stage("4_near_dedup", near))
         .reduce(_ unionByName _)
         .orderBy("stage")
+    }),
+
+    "graph_shortest_paths" -> ((s, dir) => {
+      // multi-source BFS (unweighted SSSP) over the supplier–part graph —
+      // the canonical iterative graph workload next to PageRank: three
+      // rounds of min-distance propagation from suppliers 1–3. Same
+      // integer node encoding and persisted symmetrized edge list as
+      // graph_pagerank; each round is one |E|-keyed join + one min-agg
+      // (map-side combinable), the exact Pregel lowering, linear in |E|
+      // per round. All-integer distances — engine-exact.
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select(
+          (col("l_suppkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
+        .distinct()
+      val und = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var dist = li.filter(col("l_suppkey") <= 3)
+        .select((col("l_suppkey") * 2L).as("node")).distinct()
+        .withColumn("dist", lit(0L))
+      for (_ <- 1 to 3) {
+        val next = und.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        dist = dist.unionByName(next)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+      }
+      dist.orderBy("node")
     }),
 
     "graph_jaccard_neighbors" -> ((s, dir) => {
@@ -6974,6 +7021,36 @@ object SparkEntry {
            UNION ALL SELECT '3_exact_dedup', count(*) FROM ex
            UNION ALL SELECT '4_near_dedup', count(*) FROM near)
          ORDER BY stage""",
+
+    "window_distribution" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm,
+           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+         FROM orders WHERE o_custkey % 100 = 0
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "graph_shortest_paths" -> {
+      val steps = (1 to 3).map { k =>
+        s"""s$k AS (SELECT u.dst AS node, d.dist + 1 AS dist
+             FROM und u JOIN d${k - 1} d ON u.src = d.node),
+           d$k AS (SELECT node, min(dist) AS dist FROM (
+             SELECT * FROM d${k - 1} UNION ALL SELECT * FROM s$k)
+             GROUP BY node)"""
+      }.mkString(",\n         ")
+      s"""WITH e0 AS (
+           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           FROM lineitem),
+         und AS (SELECT src, dst FROM e0
+           UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         d0 AS (
+           SELECT DISTINCT l_suppkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+           FROM lineitem WHERE l_suppkey <= 3),
+         $steps
+         SELECT node, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY node"""
+    },
 
     "graph_jaccard_neighbors" ->
       """WITH sp AS (

@@ -55,6 +55,31 @@ class EntryQueriesSpec extends SparkSpec {
     assert(rows.map(_._4) === rows.map(_._4).sorted.reverse, "not sorted desc")
   }
 
+  test("graph_shortest_paths: BFS levels respect bipartite parity and source zeros") {
+    val d = q("graph_shortest_paths")
+      .select("node", "dist").as[(Long, Long)].collect().toSeq
+    assert(d.nonEmpty)
+    d.foreach { case (node, dist) =>
+      assert(dist >= 0L && dist <= 3L)
+      // suppliers are even nodes, parts odd: on a bipartite graph every
+      // BFS level flips sides, so dist parity must equal node parity
+      assert(dist % 2 === node % 2, s"parity violated at ($node, $dist)")
+    }
+    val zeros = d.filter(_._2 == 0L).map(_._1).sorted
+    assert(zeros.nonEmpty && zeros.forall(n => n % 2 == 0 && n <= 6L))
+  }
+
+  test("window_distribution: ppm bounds and nth_value frame semantics") {
+    val rows = q("window_distribution")
+      .select("pr_ppm", "cd_ppm").as[(Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (pr, cd) =>
+      assert(pr >= 0L && pr <= 1000000L)
+      assert(cd >= 1L && cd <= 1000000L) // cume_dist is strictly positive
+      assert(pr <= cd) // (rank-1)/(n-1) <= rank/n for rank >= 1
+    }
+  }
+
   test("pack_sequences: token mass is conserved and sequences are shard-local") {
     val out = q("pack_sequences")
       .select("shard", "started_tokens").as[(Long, Long)].collect()
