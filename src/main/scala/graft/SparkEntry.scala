@@ -864,6 +864,34 @@ object SparkEntry {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
+    "agg_count_min" -> ((s, dir) => {
+      // Count–Min point-frequency sketch completing the sketch family
+      // (Misra–Gries: which keys are heavy; GK: ranks; Bloom:
+      // membership; CMS: how often is THIS key — askable after the
+      // pass). One 4×1024 grid (32 KB) aggregates the fact table with
+      // element-wise-addition merges (partition-order independent, one
+      // row to the driver at any corpus size); the top-20 exact keys are
+      // then estimated via min over their 4 cells, entirely as Column
+      // arithmetic on the broadcast grid. overest = est − exact ≥ 0 by
+      // construction — the sketch's one-sided error made visible.
+      val li = t(s, dir, "lineitem")
+      val key = col("l_partkey").cast("string")
+      val top = li.groupBy(key.as("key")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("key")).limit(20)
+      val grid = li.agg(graft.functions.CountMinFunctions
+        .cmsSketch(key, depth = 4, width = 1024).as("grid"))
+      top.crossJoin(grid)
+        .withColumn("cells", graft.functions.CountMinFunctions
+          .cmsCells(col("key"), depth = 4, width = 1024))
+        .withColumn("cms_est", array_min(transform(
+          sequence(lit(0), lit(3)),
+          r => element_at(col("grid"),
+            (r * 1024 + element_at(col("cells"), r + 1) + 1).cast("int")))))
+        .select(col("key"), col("exact"), col("cms_est"),
+          (col("cms_est") - col("exact")).as("overest"))
+        .orderBy(col("exact").desc, col("key"))
+    }),
+
     "agg_bounded_distinct" -> ((s, dir) => {
       // custom TypedImperativeAggregate: exact below threshold ⇒ oracle-able
       val li = t(s, dir, "lineitem")
@@ -7021,6 +7049,34 @@ object SparkEntry {
            UNION ALL SELECT '3_exact_dedup', count(*) FROM ex
            UNION ALL SELECT '4_near_dedup', count(*) FROM near)
          ORDER BY stage""",
+
+    // rebuilds the identical 4×1024 grid from exact per-key counts: a
+    // CMS counter is by definition the sum of the counts of every key
+    // hashing into that cell, so per-(row, cell) sums over the exact
+    // count table ARE the counters; estimates are the min over each
+    // key's four cells — same fnv64+splitmix64 chain as the engine
+    "agg_count_min" ->
+      s"""WITH k AS (
+           SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS exact
+           FROM lineitem GROUP BY 1),
+         cellsrc AS (
+           SELECT key, exact, r,
+             (${fnvSql("key")} + CAST(r AS HUGEINT) * 11400714819323198485::HUGEINT)
+               % 18446744073709551616::HUGEINT AS x
+           FROM k CROSS JOIN (SELECT unnest(range(4)) AS r) rr),
+         ${mix64Ctes("cellsrc", "mx")},
+         cells AS (
+           SELECT key, exact, r, CAST(h % 1024 AS BIGINT) AS cell FROM mx),
+         counters AS (
+           SELECT r, cell, CAST(sum(exact) AS BIGINT) AS cnt
+           FROM cells GROUP BY r, cell),
+         est AS (
+           SELECT c.key, min(ct.cnt) AS cms_est
+           FROM cells c JOIN counters ct USING (r, cell) GROUP BY c.key),
+         top AS (SELECT key, exact FROM k ORDER BY exact DESC, key LIMIT 20)
+         SELECT t.key, t.exact, e.cms_est, e.cms_est - t.exact AS overest
+         FROM top t JOIN est e USING (key)
+         ORDER BY t.exact DESC, t.key""",
 
     "window_distribution" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

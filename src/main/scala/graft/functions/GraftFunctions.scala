@@ -44,6 +44,15 @@ object GraftFunctions {
       if (es.length > 1) intLit(es(1), "threshold") else 100000,
       if (es.length > 2) intLit(es(2), "p") else 12)
       .toAggregateExpression(isDistinct = false)),
+    "cms_sketch" -> (es => CmsSketchAgg(
+      es.head,
+      if (es.length > 1) intLit(es(1), "cms depth") else 4,
+      if (es.length > 2) intLit(es(2), "cms width") else 1024)
+      .toAggregateExpression(isDistinct = false)),
+    "cms_cells" -> (es => CmsCells(
+      es.head,
+      if (es.length > 1) intLit(es(1), "cms depth") else 4,
+      if (es.length > 2) intLit(es(2), "cms width") else 1024)),
     "gk_bounds" -> (es => GKQuantileBounds(
       es.head,
       doubleLit(es(1), "gk_bounds eps"),
