@@ -3602,8 +3602,18 @@ object SparkEntry {
           Seq("p"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = capped.groupBy("s").agg(count(lit(1)).as("d"))
-      val pairs = capped.select(col("p"), col("s").as("sa"))
-        .join(capped.select(col("p"), col("s").as("sb")), Seq("p"))
+      // the two-hop self-join is FORCED to a shuffle hash join: the
+      // capped graph is corpus-sized, and Spark's size estimate of the
+      // cached frame otherwise flips it under the broadcast threshold —
+      // at the sf1 leg that meant driver-collecting 6M edge rows per
+      // run, which at 100 TB is a guaranteed driver OOM. Co-partitioning
+      // both sides on p is the plan that scales. (Wall time at sf1 is
+      // dominated by the Σdeg(part)² pair aggregation itself — 87M pair
+      // rows at sf1, exactly 10×/decade, the textbook linear cost of
+      // exact common-neighbor counting — profiled in NOTES_r8.)
+      val pairs = capped.select(col("p"), col("s").as("sa")).hint("shuffle_hash")
+        .join(capped.select(col("p"), col("s").as("sb")).hint("shuffle_hash"),
+          Seq("p"))
         .filter(col("sa") < col("sb"))
         .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
       pairs

@@ -254,6 +254,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
     // pair counts combine map-side before the (sa, sb) exchange
     assert(p.contains("partial_count"), p)
+    // the corpus-sized self-join must NOT broadcast (Spark's estimate of
+    // the cached frame would otherwise driver-collect the edge list at
+    // scale): both sides co-partition on p into a shuffled hash join
+    assert("ShuffledHashJoin \\[p#".r.findFirstIn(p).isDefined, p)
     // the scan reads only the two join columns
     val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
     assert(read.contains("l_partkey") && read.contains("l_suppkey"), read)
