@@ -816,6 +816,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cms_sketch aggregates across micro-batches to the exact batch grid") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 400).map(i => s"k${i % 37}")
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("key")
+      .groupBy()
+      .agg(graft.functions.CountMinFunctions.cmsSketch(col("key")).as("grid"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(150))
+      q.processAllAvailable()
+      input.addData(rows.drop(150))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").as[Seq[Long]].head()
+      val batch = rows.toDF("key")
+        .agg(graft.functions.CountMinFunctions.cmsSketch(col("key")).as("grid"))
+        .as[Seq[Long]].head()
+      // element-wise-add merges make the streamed grid bit-equal to the
+      // one-shot batch grid — the mergeable-sketch contract under
+      // incremental state
+      assert(streamed === batch)
+      assert(streamed.sum === 400L * 4)
+    } finally q.stop()
+  }
+
   // ------------------------------------------ stream-stream as-of join
 
   import graft.streaming.{AsOfJoined, QuoteEvent, UserEvent}
