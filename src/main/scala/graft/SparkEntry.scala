@@ -864,6 +864,27 @@ object SparkEntry {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
+    "table_stats" -> ((s, dir) => {
+      // ANALYZE-style column statistics — the CBO inputs (per-column
+      // ndv + null count) every engine's stats collector gathers — in
+      // ONE pass: the table unpivots through a stack/Expand (11 columns
+      // cost one scan, not 11), then one shuffle keyed by column name
+      // with Spark's two-phase distinct aggregation. String-casting is
+      // purely the union-typing device: casts are injective per column,
+      // so the distinct count is exact.
+      val li = t(s, dir, "lineitem")
+      val cols = li.columns.toSeq
+      val stackExpr = s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', cast($c as string)").mkString(", ") +
+        ") as (col_name, v)"
+      li.select(expr(stackExpr))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("v")).as("ndv"))
+        .orderBy("col_name")
+    }),
+
     "agg_count_min" -> ((s, dir) => {
       // Count–Min point-frequency sketch completing the sketch family
       // (Misra–Gries: which keys are heavy; GK: ranks; Bloom:
@@ -7059,6 +7080,17 @@ object SparkEntry {
            UNION ALL SELECT '3_exact_dedup', count(*) FROM ex
            UNION ALL SELECT '4_near_dedup', count(*) FROM near)
          ORDER BY stage""",
+
+    "table_stats" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+            CAST(count(*) - count($c) AS BIGINT) AS n_null,
+            CAST(count(DISTINCT $c) AS BIGINT) AS ndv FROM lineitem""")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
 
     // rebuilds the identical 4×1024 grid from exact per-key counts: a
     // CMS counter is by definition the sum of the counts of every key
