@@ -966,6 +966,43 @@ class StreamingSpec extends SparkSpec {
     })
   }
 
+  test("as-of stream matches batch on randomized fixtures (ties, dup timestamps, split batches)") {
+    // three seeded random fixtures: 5 keys, duplicate timestamps, value
+    // ties, random batch split — watermark delay (1h) exceeds the
+    // fixture's 50-min ts range, so the split never late-drops and the
+    // stream must reproduce the batch join exactly, exercising the
+    // processor's duplicate-timer and eviction paths
+    for (seed <- Seq(11, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      def ts(min: Int) = new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + min * 60000L)
+      val lefts = (1 to 20).map(_ =>
+        UserEvent(1L + rnd.nextInt(5), ts(rnd.nextInt(50)), rnd.nextInt(10).toDouble))
+      val rights = (1 to 20).map(_ =>
+        QuoteEvent(1L + rnd.nextInt(5), ts(rnd.nextInt(50)), rnd.nextInt(5) * 10.0))
+      val cut = rnd.nextInt(20)
+      val out = runAsofStream(toleranceMs = 0L) { (li, ri, q) =>
+        li.addData(lefts.take(cut)); ri.addData(rights.take(cut))
+        q.processAllAvailable()
+        li.addData(lefts.drop(cut)); ri.addData(rights.drop(cut))
+        q.processAllAvailable()
+      }
+      val batch = graft.operators.AsOf.asofBackward(
+          lefts.toDF(), rights.toDF(),
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          rightVal = "quote", outCol = "quote")
+        .collect().map { r =>
+          (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+        }.toSeq.sorted(Ordering.by((x: (Long, java.sql.Timestamp, Double, Option[Double])) =>
+          (x._1, x._2.getTime, x._3, x._4.getOrElse(Double.MinValue))))
+      val streamed = out.map(j => (j.user_id, j.ts, j.value, j.quote))
+        .sorted(Ordering.by((x: (Long, java.sql.Timestamp, Double, Option[Double])) =>
+          (x._1, x._2.getTime, x._3, x._4.getOrElse(Double.MinValue))))
+      assert(streamed === batch, s"seed $seed mismatch")
+    }
+  }
+
   test("as-of state buffers across batches: a right arriving later still matches") {
     // the left arrives a full batch BEFORE its matching quote; a per-batch
     // join would emit null — the state-store buffer holds the left until
