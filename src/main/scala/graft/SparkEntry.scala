@@ -867,11 +867,16 @@ object SparkEntry {
     "table_stats" -> ((s, dir) => {
       // ANALYZE-style column statistics — the CBO inputs (per-column
       // ndv + null count) every engine's stats collector gathers — in
-      // ONE pass: the table unpivots through a stack/Expand (11 columns
-      // cost one scan, not 11), then one shuffle keyed by column name
-      // with Spark's two-phase distinct aggregation. String-casting is
-      // purely the union-typing device: casts are injective per column,
-      // so the distinct count is exact.
+      // ONE pass over EVERY column of the widest table: a stack/Expand
+      // unpivot (11 columns cost one scan, not 11), then one shuffle
+      // keyed by column name with two-phase distinct aggregation.
+      // Complements profile_columns, which profiles a FIXED column list
+      // via multi-distinct in a single wide aggregate: that shape wins
+      // for a few columns, the unpivot shape generalizes to
+      // hundreds-of-columns tables where a 2·k-aggregate wide row
+      // explodes the Expand multiplier. String-casting is purely the
+      // union-typing device: casts are injective per column, so the
+      // distinct count is exact.
       val li = t(s, dir, "lineitem")
       val cols = li.columns.toSeq
       val stackExpr = s"stack(${cols.length}, " +
