@@ -57,9 +57,17 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     for (t <- graft.sources.Tables.all) {
       val base = graft.sources.Tables.load(spark, srcDir, t)
-      val scaled =
+      val scaled0 =
         if (t == "region" || t == "nation") base
         else (0 until factor).map(copyOf(base, t, _)).reduce(_ unionByName _)
+      // write timestamps NTZ so the replica's parquet encoding matches
+      // the driver testdata (a tz-aware write would make DuckDB read the
+      // oracle side tz-aware while query outputs stay naive)
+      val scaled = scaled0.schema.fields.foldLeft(scaled0) { (df, f) =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+          df.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        else df
+      }
       scaled.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"$t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
     }

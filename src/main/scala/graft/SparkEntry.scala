@@ -1196,8 +1196,13 @@ object SparkEntry {
     }),
 
     "dedup_exact_keep" -> ((s, dir) => {
-      val aug = augmentedDocs(s, dir)
-        .filter(col("doc_id") < 2000000L) // originals + exact copies only
+      // originals + exact copies only, built directly (not by filtering
+      // augmentedDocs on an id range — an id-scheme assumption that the
+      // ScaleUp replica's k·10⁹ key shift would violate; caught by the
+      // sf1 correctness leg, NOTES_r8)
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val aug = d.unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.exactDedup(aug, "doc_id", "text")
         .select("doc_id")
         .orderBy("doc_id")
@@ -2097,12 +2102,17 @@ object SparkEntry {
       val mad = e.join(broadcast(med), Seq("event_type"))
         .groupBy("event_type", "med")
         .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      // fixed-point output (floor, half-free) and the flag tested on the
+      // UNROUNDED score: round(x, 4) disagreed between engines at an
+      // exact decimal tie on the sf1 leg (3.85225 — HALF_UP vs binary
+      // nearbyint), the same latent-parity class as the r7 scd2 advice
       e.join(broadcast(mad), Seq("event_type"))
         .filter(col("mad") > 0)
-        .withColumn("rz",
-          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
-        .filter(abs(col("rz")) >= 3.5)
-        .select(col("event_id"), col("event_type"), col("rz"))
+        .withColumn("rz_raw",
+          lit(0.6745) * (col("value") - col("med")) / col("mad"))
+        .filter(abs(col("rz_raw")) >= 3.5)
+        .select(col("event_id"), col("event_type"),
+          floor(col("rz_raw") * lit(10000)).as("rz_e4"))
         .orderBy("event_id")
     }),
 
@@ -6098,10 +6108,11 @@ object SparkEntry {
            FROM events e JOIN med m USING (event_type)
            GROUP BY e.event_type, m.med)
          SELECT e.event_id, e.event_type,
-           round(0.6745 * (e.value - d.med) / d.mad, 4) AS rz
+           CAST(floor(0.6745 * (e.value - d.med) / d.mad * 10000) AS BIGINT)
+             AS rz_e4
          FROM events e JOIN mad d USING (event_type)
          WHERE d.mad > 0
-           AND abs(round(0.6745 * (e.value - d.med) / d.mad, 4)) >= 3.5
+           AND abs(0.6745 * (e.value - d.med) / d.mad) >= 3.5
          ORDER BY e.event_id""",
 
     "text_rarity" ->

@@ -6,6 +6,7 @@ Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
 """
 import json
 import sys
+import os
 
 import duckdb
 import pandas as pd
@@ -24,8 +25,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata is one file per table; ScaleUp replicas are
+        # Spark-written directories of part files — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
