@@ -196,4 +196,60 @@ class StreamingRecoverySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getTimestamp(2).toString)).toSet
     assert(out === Set((1L, "2024-01-01 10:05:00.0")))
   }
+
+  test("stream-stream as-of join: buffered lefts and quote history survive restart") {
+    import graft.streaming.{QuoteEvent, UserEvent}
+    spark.conf.set(GraftSession.StateStoreProviderConf, GraftSession.RocksDbProvider)
+    try {
+      val base = Files.createTempDirectory("graft_asof_recovery").toString
+      val lDir = s"$base/lefts"; val rDir = s"$base/rights"
+      val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      new java.io.File(lDir).mkdirs(); new java.io.File(rDir).mkdirs()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val lSchema = Seq(UserEvent(0L, ts("2024-01-01 00:00:00"), 0.0)).toDS().schema
+      val rSchema = Seq(QuoteEvent(0L, ts("2024-01-01 00:00:00"), 0.0)).toDS().schema
+
+      def startQuery() = StreamingPipeline.asofBackwardStream(
+          spark.readStream.schema(lSchema).parquet(lDir).as[UserEvent],
+          spark.readStream.schema(rSchema).parquet(rDir).as[QuoteEvent],
+          delay = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+      // phase 1: the probe AND its preceding quote arrive, but the
+      // watermark (max ts − 1 h) has not passed the probe's time — both
+      // must be BUFFERED in list state, nothing emitted
+      Seq(UserEvent(7L, ts("2024-01-01 10:10:00"), 1.0)).toDS()
+        .coalesce(1).write.mode("append").parquet(lDir)
+      Seq(QuoteEvent(7L, ts("2024-01-01 10:05:00"), 77.0)).toDS()
+        .coalesce(1).write.mode("append").parquet(rDir)
+      val q1 = startQuery()
+      try {
+        q1.processAllAvailable()
+        assert(!new java.io.File(outDir).exists() ||
+          spark.read.parquet(outDir).filter(col("user_id") === 7L).count() == 0L,
+          "emitted before the watermark passed the probe")
+      } finally q1.stop()
+
+      // phase 2: RESTART from the checkpoint; sentinels push the
+      // watermark past the probe — the match only exists if both the
+      // pending left and the quote history were restored from state
+      val q2 = startQuery()
+      try {
+        Seq(QuoteEvent(99L, ts("2024-01-01 23:00:00"), 0.0)).toDS()
+          .coalesce(1).write.mode("append").parquet(rDir)
+        q2.processAllAvailable()
+        Seq(QuoteEvent(99L, ts("2024-01-01 23:00:01"), 0.0)).toDS()
+          .coalesce(1).write.mode("append").parquet(rDir)
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      val out = spark.read.parquet(outDir).filter(col("user_id") === 7L)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getDouble(2), r.getTimestamp(3).toString, r.getDouble(4)))
+      assert(out.toSeq === Seq((7L, "2024-01-01 10:10:00.0", 1.0,
+        "2024-01-01 10:05:00.0", 77.0)))
+    } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
+  }
 }
