@@ -4912,7 +4912,9 @@ object SparkEntry {
 
     "json_props_extract" ->
       """SELECT event_id,
-           CAST(regexp_extract(props, '"k": ?(-?[0-9]+)', 1) AS BIGINT) AS k
+           CAST(CASE WHEN json_extract_string(props, '$.k')
+                          SIMILAR TO '-?[0-9]+'
+                THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
          FROM events ORDER BY event_id""",
 
     "sql_interface" ->
