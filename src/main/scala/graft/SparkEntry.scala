@@ -3705,6 +3705,91 @@ object SparkEntry {
           col("outdeg").as("degree"))
         .orderBy("node")
       out
+    }),
+
+    "search_hybrid_rrf" -> ((s, dir) => {
+      // Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack &
+      // Clarke SIGIR'09) — the RAG-stack query: one query document
+      // (doc 0) expressed BOTH lexically (its distinct tokens probed
+      // against the token inverted index with integer rarity weights
+      // 1e6 div (df+1)) and densely (its embedding ranked by exact
+      // cosine); each leg yields a top-20 candidate list and the fused
+      // score is the fixed-point 1e6 div (60 + rank) sum. Every score
+      // the ORDER depends on is 64-bit integer except the cosine leg
+      // (whose cross-engine double parity the similarity_topk family
+      // already locks), so fusion is engine-exact by construction.
+      // Scale shape: the broadcast query-term semi-join prunes the
+      // postings shuffle to query-term rows BEFORE df/score work; the
+      // per-doc score is a map-side-combinable integer sum; each leg
+      // tops out through TakeOrderedAndProject (per-partition top-k,
+      // k-row merge — no global sort); fusion full-outer-joins two
+      // 20-row frames. Works unchanged at any corpus size.
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val tok = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      val postings = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      val qterms = tok.filter(col("doc_id") === 0).select("term").distinct()
+      val qpost = postings.join(broadcast(qterms), "term")
+      val dfreq = qpost.groupBy("term").agg(count(lit(1)).as("df"))
+      val lex = qpost.join(broadcast(dfreq), "term")
+        .filter(col("doc_id") =!= 0)
+        .withColumn("w", expr("1000000L div (df + 1)"))
+        .groupBy("doc_id").agg(sum(col("tf") * col("w")).as("lex_score"))
+      // rank AFTER the k-row top-k, so the unpartitioned window sorts 20
+      // rows on one task, never the corpus
+      val lexTop = lex.orderBy(col("lex_score").desc, col("doc_id")).limit(20)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("lex_score").desc, col("doc_id"))).cast("long"))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+      val dense = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.VectorFunctions.cosineSim(col("embedding"), col("q_vec"))
+            .as("cosine"))
+      val denseTop = dense.orderBy(col("cosine").desc, col("doc_id")).limit(20)
+        .withColumn("dense_rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+      lexTop.select("doc_id", "lex_rank")
+        .join(denseTop.select("doc_id", "dense_rank"), Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          expr("coalesce(1000000L div (60 + lex_rank), 0L)" +
+            " + coalesce(1000000L div (60 + dense_rank), 0L)"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select("doc_id", "lex_rank", "dense_rank", "rrf")
+    }),
+
+    "graph_label_propagation" -> ((s, dir) => {
+      // community detection by synchronous label propagation (Raghavan
+      // et al. 2007) over the same supplier(2k)–part(2k+1) co-purchase
+      // graph as pagerank: labels start as node ids; each round every
+      // node adopts the MODE of its neighbors' labels (ties → smallest
+      // label — the argmax is exact integer, so rounds are fully
+      // deterministic and engine-independent, unlike async LPA). Two
+      // rounds, then the community-size table (top 20). Each round is
+      // one |E| join + a (node, label) count + a max_by argmax — the
+      // count combines map-side and the argmax shuffles ONE row per
+      // (node, label), so per-round cost is linear in |E| with no sort;
+      // `und` feeds both rounds and is the persisted frame.
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select(
+          (col("l_suppkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
+        .distinct()
+      val und = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = und.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      for (_ <- 1 to 2) {
+        labels = und.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("src"))
+          .agg(max_by(col("label"), struct(col("cnt"), negate(col("label"))))
+            .as("label"))
+          .select(col("src").as("id"), col("label"))
+      }
+      labels.groupBy("label").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("label")).limit(20)
     })
   )
 
@@ -7244,7 +7329,76 @@ object SparkEntry {
                 FROM nodes s JOIN c2 c USING (node))
          SELECT node, CAST(rank AS BIGINT) AS pagerank,
            CAST(outdeg AS BIGINT) AS degree
-         FROM r2 ORDER BY node"""
+         FROM r2 ORDER BY node""",
+
+    "search_hybrid_rrf" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE trim(text) <> ''),
+         postings AS (
+           SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         qterms AS (SELECT DISTINCT term FROM tok WHERE doc_id = 0),
+         qpost AS (SELECT p.* FROM postings p JOIN qterms USING (term)),
+         dfreq AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM qpost GROUP BY 1),
+         lex AS (
+           SELECT doc_id,
+             CAST(sum(tf * (1000000 // (df + 1))) AS BIGINT) AS lex_score
+           FROM qpost JOIN dfreq USING (term)
+           WHERE doc_id <> 0 GROUP BY 1),
+         lex_top AS (
+           SELECT doc_id, lex_rank FROM (
+             SELECT doc_id, row_number() OVER (
+               ORDER BY lex_score DESC, doc_id) AS lex_rank
+             FROM lex) WHERE lex_rank <= 20),
+         q AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         dense AS (
+           SELECT e.vec_id AS doc_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         dense_top AS (
+           SELECT doc_id, dense_rank FROM (
+             SELECT doc_id, row_number() OVER (
+               ORDER BY cosine DESC, doc_id) AS dense_rank
+             FROM dense) WHERE dense_rank <= 20)
+         SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id,
+           l.lex_rank, dn.dense_rank,
+           CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+              + coalesce(1000000 // (60 + dn.dense_rank), 0) AS BIGINT) AS rrf
+         FROM lex_top l FULL OUTER JOIN dense_top dn ON l.doc_id = dn.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
+
+    "graph_label_propagation" ->
+      """WITH e0 AS (
+           SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
+             CAST(l_partkey * 2 + 1 AS BIGINT) AS dst
+           FROM lineitem),
+         und AS (SELECT src, dst FROM e0
+                 UNION SELECT dst, src FROM e0),
+         l0 AS (SELECT DISTINCT src AS id, src AS label FROM und),
+         c1 AS (
+           SELECT u.src, l.label, count(*) AS cnt
+           FROM und u JOIN l0 l ON u.dst = l.id GROUP BY 1, 2),
+         l1 AS (
+           SELECT src AS id, label FROM (
+             SELECT src, label, row_number() OVER (
+               PARTITION BY src ORDER BY cnt DESC, label) AS rn
+             FROM c1) WHERE rn = 1),
+         c2 AS (
+           SELECT u.src, l.label, count(*) AS cnt
+           FROM und u JOIN l1 l ON u.dst = l.id GROUP BY 1, 2),
+         l2 AS (
+           SELECT src AS id, label FROM (
+             SELECT src, label, row_number() OVER (
+               PARTITION BY src ORDER BY cnt DESC, label) AS rn
+             FROM c2) WHERE rn = 1)
+         SELECT label, CAST(count(*) AS BIGINT) AS size
+         FROM l2 GROUP BY 1 ORDER BY size DESC, label LIMIT 20"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

@@ -219,4 +219,42 @@ class EntryQueriesSpec extends SparkSpec {
     assert(out.map(_._2).sum == orders)
     assert(out.forall(r => r._1 >= 0 && r._3 > 0.0))
   }
+
+  test("search_hybrid_rrf: ranks in window, fusion arithmetic exact, sorted") {
+    val out = q("search_hybrid_rrf")
+      .select("doc_id", "lex_rank", "dense_rank", "rrf")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(out.nonEmpty && out.size <= 10)
+    assert(out.forall(_._1 != 0L), "query doc must not retrieve itself")
+    out.foreach { case (id, lr, dr, rrf) =>
+      assert(lr.forall(r => r >= 1 && r <= 20), s"doc $id lex_rank $lr")
+      assert(dr.forall(r => r >= 1 && r <= 20), s"doc $id dense_rank $dr")
+      assert(lr.isDefined || dr.isDefined, s"doc $id in neither leg")
+      // fused score is exactly the fixed-point RRF of the two ranks
+      val expect = lr.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        dr.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf === expect, s"doc $id rrf $rrf vs $expect")
+    }
+    // result is the top of the fused ordering
+    assert(out.map(r => (-r._4, r._1)) === out.map(r => (-r._4, r._1)).sorted)
+    // a doc present in BOTH legs at equal rank beats one in a single leg
+    val both = out.filter(r => r._2.isDefined && r._3.isDefined)
+    val single = out.filter(r => r._2.isEmpty || r._3.isEmpty)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_._4).max > single.map(_._4).min)
+  }
+
+  test("graph_label_propagation: community mass conserved, sizes ordered") {
+    val out = q("graph_label_propagation")
+      .select("label", "size").as[(Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.size <= 20)
+    assert(out.forall(_._2 >= 1L))
+    // sizes arrive in (size desc, label asc) order
+    assert(out.map(r => (-r._2, r._1)) === out.map(r => (-r._2, r._1)).sorted)
+    // labels are node ids from the encoded domain (supplier 2k / part 2k+1)
+    val li = sources.Tables.load(spark, sfDir, "lineitem")
+    val nNodes = li.select((($"l_suppkey" * 2).as("n"))).distinct().count() +
+      li.select((($"l_partkey" * 2 + 1).as("n"))).distinct().count()
+    assert(out.map(_._2).sum <= nNodes, "top-20 community mass exceeds node count")
+  }
 }
