@@ -271,6 +271,93 @@ class AsOfForwardJoinProcessor(horizonMs: Long)
   }
 }
 
+/** StatefulProcessor for `asofNearestStream`: the NEAREST sibling —
+  * each left row matches the right row minimizing |Δt|, with
+  * equidistant ties resolved BACKWARD, exactly `AsOf.asofNearest`
+  * (backward candidate = latest right at-or-before, equal-time ties to
+  * the larger quote; forward candidate = earliest right strictly after,
+  * ties to the smaller quote). The forward search is bounded by a
+  * mandatory `horizonMs` — same argument as the forward join: an
+  * unbounded "is anything closer still coming?" wait never finalizes,
+  * so the horizon is both the semantic bound and the state bound. A
+  * left's timer fires at (left ts + horizon): at that point both the
+  * backward history and the full forward window are watermark-complete.
+  * Right-history pruning combines both siblings' rules at the cutoff
+  * (expiry − horizon) — the single latest quote at-or-before the cutoff
+  * (some future left's backward "current value") plus everything newer
+  * — so per-key state is O(horizon window), never O(stream). */
+class AsOfNearestJoinProcessor(horizonMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, AsOfInput, AsOfJoined] {
+  import org.apache.spark.sql.{Encoders, streaming => ss}
+  require(horizonMs > 0L, "nearest as-of needs a positive forward horizon")
+
+  @transient private var lefts: ss.ListState[AsOfPendingLeft] = _
+  @transient private var rights: ss.ListState[AsOfRightRow] = _
+
+  override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit = {
+    lefts = getHandle.getListState[AsOfPendingLeft](
+      "lefts", Encoders.product[AsOfPendingLeft], ss.TTLConfig.NONE)
+    rights = getHandle.getListState[AsOfRightRow](
+      "rights", Encoders.product[AsOfRightRow], ss.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[AsOfInput],
+                               timers: ss.TimerValues): Iterator[AsOfJoined] = {
+    rows.foreach { r =>
+      val t = r.ts.getTime
+      if (r.side == 1) {
+        lefts.appendValue(AsOfPendingLeft(t, r.value))
+        getHandle.registerTimer(t + horizonMs)
+      } else rights.appendValue(AsOfRightRow(t, r.value))
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(uid: Long, timers: ss.TimerValues,
+                                  info: ss.ExpiredTimerInfo): Iterator[AsOfJoined] = {
+    val expiry = info.getExpiryTimeInMs()
+    val pend = lefts.get().toList
+    val rs = rights.get().toList
+    val (ready, later) = pend.partition(_.ts_ms + horizonMs <= expiry)
+    if (ready.isEmpty) Iterator.empty
+    else {
+      if (later.isEmpty) lefts.clear() else lefts.put(later.toArray)
+      // pending lefts all have ts > expiry − horizon: keep the one
+      // backward "current value" at the cutoff plus everything newer
+      val cutoff = expiry - horizonMs
+      val past = rs.filter(_.ts_ms <= cutoff)
+      val cur = if (past.isEmpty) Nil
+                else List(past.maxBy(r => (r.ts_ms, r.quote)))
+      val keep = cur ++ rs.filter(_.ts_ms > cutoff)
+      if (keep.isEmpty) rights.clear() else rights.put(keep.toArray)
+      ready.sortBy(l => (l.ts_ms, l.value)).iterator.map { l =>
+        val back = rs.filter(_.ts_ms <= l.ts_ms) match {
+          case Nil => None
+          case bs  => Some(bs.maxBy(r => (r.ts_ms, r.quote)))
+        }
+        val fwd = rs.filter(r =>
+          r.ts_ms > l.ts_ms && r.ts_ms <= l.ts_ms + horizonMs) match {
+          case Nil => None
+          case fs  => Some(fs.minBy(r => (r.ts_ms, r.quote)))
+        }
+        val m = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (l.ts_ms - b.ts_ms <= f.ts_ms - l.ts_ms) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+        m match {
+          case None =>
+            AsOfJoined(uid, new java.sql.Timestamp(l.ts_ms), l.value, None, None)
+          case Some(r) =>
+            AsOfJoined(uid, new java.sql.Timestamp(l.ts_ms), l.value,
+              Some(new java.sql.Timestamp(r.ts_ms)), Some(r.quote))
+        }
+      }
+    }
+  }
+}
+
 /** The reference topology (SURVEY.md §3) as Structured Streaming plans.
   *
   * Reference stages:
@@ -527,6 +614,26 @@ object StreamingPipeline {
       .withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .transformWithState(new AsOfForwardJoinProcessor(horizonMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Stream-stream NEAREST as-of join — streaming `AsOf.asofNearest`
+    * with the forward search bounded by a mandatory horizon: each left
+    * row matches the |Δt|-minimizing right row among {latest at-or-
+    * before} ∪ {earliest in (ts, ts + horizon]}, equidistant ties
+    * backward. Matches the batch operator exactly whenever the batch
+    * match lies within the horizon; see [[AsOfNearestJoinProcessor]]. */
+  def asofNearestStream(left: Dataset[UserEvent], right: Dataset[QuoteEvent],
+                        horizonMs: Long,
+                        delay: String = "0 seconds"): Dataset[AsOfJoined] = {
+    import left.sparkSession.implicits._
+    val l = left.map(e => AsOfInput(e.user_id, e.ts, 1, e.value))
+    val r = right.map(q => AsOfInput(q.user_id, q.ts, 0, q.quote))
+    l.unionByName(r)
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfNearestJoinProcessor(horizonMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }

@@ -876,7 +876,8 @@ class StreamingSpec extends SparkSpec {
           if (r.isNullAt(3)) None else Some(r.getDouble(3)))
       }.toSet
 
-  private def runAsofStream(toleranceMs: Long, forwardHorizonMs: Long = 0L)(
+  private def runAsofStream(toleranceMs: Long, forwardHorizonMs: Long = 0L,
+                            nearestHorizonMs: Long = 0L)(
       feed: (MemoryStream[UserEvent], MemoryStream[QuoteEvent],
              org.apache.spark.sql.streaming.StreamingQuery) => Unit): Seq[AsOfJoined] = {
     implicit val sqlCtx = spark.sqlContext
@@ -886,7 +887,10 @@ class StreamingSpec extends SparkSpec {
       val ri = MemoryStream[QuoteEvent]
       val name = s"asof_stream_${System.nanoTime()}"
       val joined =
-        if (forwardHorizonMs > 0L)
+        if (nearestHorizonMs > 0L)
+          StreamingPipeline.asofNearestStream(
+            li.toDS(), ri.toDS(), horizonMs = nearestHorizonMs, delay = "1 hour")
+        else if (forwardHorizonMs > 0L)
           StreamingPipeline.asofForwardStream(
             li.toDS(), ri.toDS(), horizonMs = forwardHorizonMs, delay = "1 hour")
         else
@@ -988,6 +992,71 @@ class StreamingSpec extends SparkSpec {
         q.processAllAvailable()
       }
       val batch = graft.operators.AsOf.asofBackward(
+          lefts.toDF(), rights.toDF(),
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          rightVal = "quote", outCol = "quote")
+        .collect().map { r =>
+          (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+        }.toSeq.sorted(Ordering.by((x: (Long, java.sql.Timestamp, Double, Option[Double])) =>
+          (x._1, x._2.getTime, x._3, x._4.getOrElse(Double.MinValue))))
+      val streamed = out.map(j => (j.user_id, j.ts, j.value, j.quote))
+        .sorted(Ordering.by((x: (Long, java.sql.Timestamp, Double, Option[Double])) =>
+          (x._1, x._2.getTime, x._3, x._4.getOrElse(Double.MinValue))))
+      assert(streamed === batch, s"seed $seed mismatch")
+    }
+  }
+
+  test("stream-stream NEAREST as-of join matches batch asofNearest inside the horizon") {
+    // 30-min horizon covers every true forward gap on the fixture, so the
+    // horizon-bounded stream equals the unbounded batch nearest — incl.
+    // the equidistant→backward rule and both equal-time tie-breaks
+    // (backward larger-quote at 10:10 vs forward smaller-quote)
+    val out = runAsofStream(toleranceMs = 0L,
+        nearestHorizonMs = 30L * 60L * 1000L) { (li, ri, q) =>
+      li.addData(asofLefts)
+      ri.addData(asofRights)
+      q.processAllAvailable()
+    }
+    val batch = graft.operators.AsOf.asofNearest(
+        asofLefts.toDF(), asofRights.toDF(),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightVal = "quote", outCol = "quote")
+      .collect().map { r =>
+        (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      }.toSet
+    assert(out.map(j => (j.user_id, j.ts, j.value, j.quote)).toSet === batch)
+    // nearest genuinely differs from plain backward on this fixture
+    // (10:00 is closer to its 09:55 past quote than 10:20 is — but 10:20's
+    // nearest is the FUTURE 10:15 quote plain backward also finds; the
+    // discriminating row is any left whose forward candidate wins)
+    assert(out.map(j => (j.user_id, j.ts, j.value, j.quote)).toSet !=
+      asofBatchTruth(None),
+      "fixture does not discriminate nearest from backward")
+  }
+
+  test("NEAREST as-of stream matches batch on randomized fixtures") {
+    // 60-min horizon exceeds the 50-min ts range, so the horizon never
+    // binds and the streamed nearest must equal the unbounded batch
+    // nearest on every seeded fixture (dup timestamps, ties, batch split)
+    for (seed <- Seq(7, 23, 61)) {
+      val rnd = new scala.util.Random(seed)
+      def ts(min: Int) = new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + min * 60000L)
+      val lefts = (1 to 20).map(_ =>
+        UserEvent(1L + rnd.nextInt(5), ts(rnd.nextInt(50)), rnd.nextInt(10).toDouble))
+      val rights = (1 to 20).map(_ =>
+        QuoteEvent(1L + rnd.nextInt(5), ts(rnd.nextInt(50)), rnd.nextInt(5) * 10.0))
+      val cut = rnd.nextInt(20)
+      val out = runAsofStream(toleranceMs = 0L,
+          nearestHorizonMs = 60L * 60L * 1000L) { (li, ri, q) =>
+        li.addData(lefts.take(cut)); ri.addData(rights.take(cut))
+        q.processAllAvailable()
+        li.addData(lefts.drop(cut)); ri.addData(rights.drop(cut))
+        q.processAllAvailable()
+      }
+      val batch = graft.operators.AsOf.asofNearest(
           lefts.toDF(), rights.toDF(),
           key = "user_id", leftTs = "ts", rightTs = "ts",
           rightVal = "quote", outCol = "quote")
