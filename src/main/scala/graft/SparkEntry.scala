@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HashFunctions, StayCategory, TextFunctions}
+import graft.functions.{HashFunctions, KmvFunctions, StayCategory, TextFunctions}
 import graft.operators.{AsOf, Dedup, Enrich, Layout, Multimodal, Similarity, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -3790,6 +3790,40 @@ object SparkEntry {
       }
       labels.groupBy("label").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("label")).limit(20)
+    }),
+
+    "agg_theta_sketch" -> ((s, dir) => {
+      // KMV/theta distinct-count sketch with SET ALGEBRA (functions/
+      // KmvSketch.scala): two overlapping key sets — the lower and upper
+      // two-thirds of the part key space, overlap = the middle third —
+      // each sketched to its 256 smallest distinct splitmix64 hashes in
+      // one pass; |A|, |B| estimated from the sketches, |A∪B| from the
+      // merged sketch (KMV is closed under union), |A∩B| by inclusion–
+      // exclusion. The estimator is deterministic (sorted distinct
+      // hash set, no rand) and its arithmetic is one exact-decimal
+      // unflip + a fixed 3-op double tree, so the DuckDB oracle rebuilds
+      // the identical sketches AND estimates. Exact distinct counts ride
+      // along to exhibit the estimation error. At 100 TB: state is k
+      // longs per group, merges move 2 KB sketches, and the union/
+      // intersection questions need NO second scan of either input.
+      val k = 256
+      val p = t(s, dir, "part").select(col("p_partkey"))
+      val n = p.agg(count(lit(1)).as("n"))
+      val keyed = p.crossJoin(broadcast(n))
+      val a = keyed.filter(col("p_partkey") * 3 < col("n") * 2)
+      val b = keyed.filter(col("p_partkey") * 3 >= col("n"))
+      val skA = a.agg(KmvFunctions.kmvSketch(col("p_partkey"), k).as("sk_a"),
+        countDistinct(col("p_partkey")).as("n_a"))
+      val skB = b.agg(KmvFunctions.kmvSketch(col("p_partkey"), k).as("sk_b"),
+        countDistinct(col("p_partkey")).as("n_b"))
+      skA.crossJoin(skB)
+        .withColumn("est_a", KmvFunctions.kmvEstimate(col("sk_a"), k))
+        .withColumn("est_b", KmvFunctions.kmvEstimate(col("sk_b"), k))
+        .withColumn("est_union", KmvFunctions.kmvEstimate(
+          KmvFunctions.kmvUnion(col("sk_a"), col("sk_b"), k), k))
+        .withColumn("est_intersect", greatest(lit(0.0),
+          col("est_a") + col("est_b") - col("est_union")))
+        .select("n_a", "n_b", "est_a", "est_b", "est_union", "est_intersect")
     })
   )
 
@@ -7398,7 +7432,45 @@ object SparkEntry {
                PARTITION BY src ORDER BY cnt DESC, label) AS rn
              FROM c2) WHERE rn = 1)
          SELECT label, CAST(count(*) AS BIGINT) AS size
-         FROM l2 GROUP BY 1 ORDER BY size DESC, label LIMIT 20"""
+         FROM l2 GROUP BY 1 ORDER BY size DESC, label LIMIT 20""",
+
+    // KMV/theta sketch rebuilt hash-for-hash: same splitmix64 chain
+    // (mix64Ctes), same sign-flipped ordering, same k smallest, same
+    // exact-integer unflip single-rounded to double for the estimate
+    "agg_theta_sketch" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM part),
+         keys_a AS (
+           SELECT DISTINCT CAST(p_partkey AS HUGEINT) AS x
+           FROM part, nn WHERE p_partkey * 3 < n * 2),
+         keys_b AS (
+           SELECT DISTINCT CAST(p_partkey AS HUGEINT) AS x
+           FROM part, nn WHERE p_partkey * 3 >= n),
+         ${mix64Ctes("keys_a", "ha")},
+         ${mix64Ctes("keys_b", "hb")},
+         ka AS (SELECT h FROM (
+           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha)
+           WHERE rn <= 256),
+         kb AS (SELECT h FROM (
+           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb)
+           WHERE rn <= 256),
+         ku AS (SELECT h FROM (
+           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM
+             (SELECT h FROM ka UNION SELECT h FROM kb))
+           WHERE rn <= 256),
+         esta AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
+           END AS est_a FROM ka),
+         estb AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
+           END AS est_b FROM kb),
+         estu AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
+           END AS est_union FROM ku),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM keys_a),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM keys_b)
+         SELECT n_a, n_b, est_a, est_b, est_union,
+           greatest(0e0, est_a + est_b - est_union) AS est_intersect
+         FROM na, nb, esta, estb, estu"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

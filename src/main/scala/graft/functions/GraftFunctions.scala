@@ -57,6 +57,10 @@ object GraftFunctions {
       es.head,
       doubleLit(es(1), "gk_bounds eps"),
       doubleArrayLit(es(2), "gk_bounds quantiles"))
+      .toAggregateExpression(isDistinct = false)),
+    "kmv_sketch" -> (es => KmvSketchAgg(
+      es.head,
+      if (es.length > 1) intLit(es(1), "kmv k") else 256)
       .toAggregateExpression(isDistinct = false)))
 
   private def doubleLit(e: Expression, what: String): Double = e match {
