@@ -3105,6 +3105,25 @@ object SparkEntry {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    "privacy_l_diversity" -> ((s, dir) => {
+      // l-diversity audit (Machanavajjhala et al. 2007) — the
+      // homogeneity-attack complement to k-anonymity: a group can be
+      // k-anonymous yet leak its SENSITIVE attribute when every member
+      // shares it. Per QI group (nation, segment), count the DISTINCT
+      // sensitive values (account-balance 1000-bands); groups below
+      // l = 5 are vulnerable. Two-phase distinct agg = one Expand +
+      // one keyed shuffle; report is QI-combination-sized.
+      val l = 5L
+      val c = t(s, dir, "customer")
+        .withColumn("sens_band",
+          floor(col("c_acctbal") / 1000.0).cast("long"))
+      c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct(col("sens_band")).as("l_distinct"))
+        .withColumn("vulnerable", col("l_distinct") < l)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     "sql_recursive" -> ((s, dir) => {
       // recursive-CTE surface (Spark 4): the year-spine calendar fill —
       // this EXACT string (sqlRecursiveText) also runs on DuckDB. The
@@ -6658,6 +6677,12 @@ object SparkEntry {
     "privacy_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
            (count(*) < 5) AS at_risk
+         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "privacy_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+           count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_distinct,
+           (count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 5) AS vulnerable
          FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "outlier_trim" ->

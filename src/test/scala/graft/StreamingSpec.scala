@@ -842,6 +842,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmv_sketch aggregates across micro-batches to the exact batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 2000L).map(i => i % 700L) // 700 distinct, k=256 fills
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("k")
+      .groupBy()
+      .agg(graft.functions.KmvFunctions.kmvSketch(col("k")).as("sk"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(777))
+      q.processAllAvailable()
+      input.addData(rows.drop(777))
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream").as[Seq[Long]].head()
+      val batch = rows.toDF("k")
+        .agg(graft.functions.KmvFunctions.kmvSketch(col("k")).as("sk"))
+        .as[Seq[Long]].head()
+      // set-union merges make the incremental sketch bit-equal to the
+      // one-shot batch sketch regardless of the batch split
+      assert(streamed === batch)
+      assert(streamed.length === 256)
+    } finally q.stop()
+  }
+
   // ------------------------------------------ stream-stream as-of join
 
   import graft.streaming.{AsOfJoined, QuoteEvent, UserEvent}
