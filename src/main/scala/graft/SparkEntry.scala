@@ -2729,6 +2729,42 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "agg_spearman" -> ((s, dir) => {
+      // Spearman rank correlation per group — the ROBUST companion to
+      // agg_corr's Pearson on the same (quantity, price) pairs: rank
+      // both variables, ρ = 1 − 6Σd²/(n³−n). Every rank is an exact
+      // integer from row_number with a canonical-id tie chain (ties
+      // ordered by a per-group id that is itself ranked over the full
+      // tuple, so even bit-identical duplicate rows get consistent
+      // relative order in BOTH rankings — Σd² is a pure function of the
+      // row multiset, engine-independent); Σd² is an exact long and the
+      // closing formula one fixed 3-op double tree. All three window
+      // passes share ONE l_returnflag exchange (same partition key);
+      // at 100 TB this is the per-group-sort shape, no co-moment
+      // streaming-order hazards.
+      val li = t(s, dir, "lineitem")
+      val grp = Window.partitionBy("l_returnflag")
+      val idW = grp.orderBy(col("l_quantity"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val ranked = li
+        .withColumn("rid", row_number().over(idW))
+        .withColumn("rx", row_number().over(
+          grp.orderBy(col("l_quantity"), col("rid"))))
+        .withColumn("ry", row_number().over(
+          grp.orderBy(col("l_extendedprice"), col("rid"))))
+      val d = (col("rx") - col("ry")).cast("long")
+      ranked.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(d * d).as("sd2"))
+        // floor fixed-point (ppm), not round(): identical doubles floor
+        // identically in both engines, with no HALF_UP tie exposure
+        .withColumn("rho_ppm", floor(lit(1000000.0) * (lit(1.0) -
+          lit(6.0) * col("sd2").cast("double") /
+            (col("n") * col("n") * col("n") - col("n")).cast("double")))
+          .cast("long"))
+        .select("l_returnflag", "n", "rho_ppm")
+        .orderBy("l_returnflag")
+    }),
+
     "agg_regression" -> ((s, dir) => {
       // per-group least squares (price ~ quantity): slope, intercept, R²
       // closed over the same EXACT decimal co-moments as agg_corr — plain
@@ -6678,6 +6714,27 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
            (count(*) < 5) AS at_risk
          FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "agg_spearman" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_quantity, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity, l_extendedprice, l_orderkey,
+                        l_linenumber, l_partkey, l_suppkey) AS rid
+           FROM lineitem),
+         rr AS (
+           SELECT l_returnflag,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity, rid) AS rx,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, rid) AS ry
+           FROM r)
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(1000000.0 * (1.0 -
+             6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE)
+               / CAST(count(*) * count(*) * count(*) - count(*) AS DOUBLE)))
+             AS BIGINT) AS rho_ppm
+         FROM rr GROUP BY 1 ORDER BY 1""",
 
     "privacy_l_diversity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
