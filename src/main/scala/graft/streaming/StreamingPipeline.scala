@@ -638,6 +638,27 @@ object StreamingPipeline {
         OutputMode.Append())
   }
 
+  /** Windowed trending-key detection: per tumbling event-time window,
+    * the Misra–Gries candidate summary over the key column — "what's
+    * hot RIGHT NOW", the streaming sibling of `agg_heavy_hitters`.
+    * State per window is the k-counter MG summary (not the key space),
+    * merged across micro-batches by the aggregate's own merge path, so
+    * an unbounded key stream holds O(k · open windows) state; the
+    * watermark closes windows and append mode emits each exactly once.
+    * MG's guarantee survives arbitrary merge orders: every key with
+    * more than n_window/(k+1) occurrences in the window is nominated,
+    * and every reported count is a lower bound within n_window/(k+1). */
+  def trendingStream(events: Dataset[UserEvent],
+                     windowDur: String = "10 minutes",
+                     k: Int = 16,
+                     delay: String = "0 seconds"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(graft.functions.HeavyHitters.mgCandidates(col("user_id"), k).as("mg"))
+      .select(col("window.start").as("win_start"),
+        col("mg.n").as("n_window"), col("mg.items").as("candidates"))
+
   /** Timer-driven session summaries on `transformWithState`: per-user
     * accumulator plus ONE event-time timer at (last event + gap); when the
     * watermark passes it, the session summary is emitted and state is

@@ -867,6 +867,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendingStream: per-window MG candidates honor the heavy-hitter guarantee") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + min * 60000L)
+    // three 10-min windows; window w plants bot user (700+w) at ~29% of
+    // traffic over a 20-user uniform background (well above the 1/17
+    // nomination threshold at k=16)
+    val events = (0 until 3).flatMap { w =>
+      val base = (0 until 200).map(i =>
+        graft.streaming.UserEvent((i % 20).toLong, ts(w * 10 + (i % 10)), 1.0))
+      val bot = (0 until 80).map(i =>
+        graft.streaming.UserEvent(700L + w, ts(w * 10 + (i % 10)), 1.0))
+      base ++ bot
+    }
+    val input = MemoryStream[graft.streaming.UserEvent]
+    val q = StreamingPipeline.trendingStream(
+        input.toDS(), "10 minutes", k = 16, delay = "0 seconds")
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("append").start()
+    try {
+      // split mid-window: the second half still merges into w1's open
+      // MG state before the watermark closes it
+      val (a, b) = events.splitAt(events.size / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(graft.streaming.UserEvent(999L, ts(100), 0.0)); q.processAllAvailable()
+      input.addData(graft.streaming.UserEvent(999L, ts(101), 0.0)); q.processAllAvailable()
+      val out = spark.table("trending").collect()
+        .filter(_.getLong(1) > 1L) // drop the sentinel's window
+      assert(out.length === 3, out.mkString("; "))
+      out.foreach { r =>
+        val winStart = r.getTimestamp(0)
+        val w = ((winStart.getTime - ts(0).getTime) / 600000L).toInt
+        val n = r.getLong(1)
+        assert(n === 280L, s"window $w n=$n")
+        val items = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(i => i.getLong(0) -> i.getLong(1)).toMap
+        // every key above n/(k+1) must be nominated; counts are lower
+        // bounds within n/(k+1) of truth
+        assert(items.contains(700L + w), s"window $w missing its bot: $items")
+        val c = items(700L + w)
+        assert(c <= 80L && c >= 80L - 280L / 17L, s"window $w bot count $c")
+      }
+    } finally q.stop()
+  }
+
   // ------------------------------------------ stream-stream as-of join
 
   import graft.streaming.{AsOfJoined, QuoteEvent, UserEvent}
