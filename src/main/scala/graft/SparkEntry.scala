@@ -3847,6 +3847,42 @@ object SparkEntry {
         .orderBy(col("size").desc, col("label")).limit(20)
     }),
 
+    "entity_resolution" -> ((s, dir) => {
+      // entity resolution end-to-end: blocked fuzzy candidate pairs
+      // (nation block bounds the quadratic term; Levenshtein ≤ 1 over
+      // names) → transitive closure (the shared min-label CC operator) →
+      // canonical-record election (min id per entity). The fixture
+      // injects typo'd copies (id + 1e6, one char appended ⇒ distance 1)
+      // of every 7th record; sequential customer names also merge
+      // digit-neighbor records within a block — realistic dirty-data
+      // clusters, fully deterministic. Singletons keep their own id via
+      // the left join (CC only labels nodes that appear in an edge).
+      // Scale: pair volume is Σ|block|², never n²; closure is the
+      // pointer-jumping CC; election rides the closure labels.
+      val c0 = t(s, dir, "customer").filter(col("c_custkey") < 200)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey"))
+      val typos = c0.filter(pmod(col("id"), lit(7)) === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(col("name"), lit("x")).as("name"), col("c_nationkey"))
+      val recs = c0.unionByName(typos)
+      val a = recs.select(col("id").as("id_a"), col("name").as("name_a"),
+        col("c_nationkey"))
+      val b = recs.select(col("id").as("id_b"), col("name").as("name_b"),
+        col("c_nationkey"))
+      val pairs = a.join(b, "c_nationkey")
+        .filter(col("id_a") < col("id_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+        .select("id_a", "id_b")
+      val labels = Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("id"), col("cluster_id"))
+      recs.join(labels, Seq("id"), "left")
+        .select(col("id").as("rec_id"),
+          coalesce(col("cluster_id"), col("id")).as("entity_id"))
+        .withColumn("is_canonical", col("rec_id") === col("entity_id"))
+        .orderBy("rec_id")
+    }),
+
     "agg_theta_sketch" -> ((s, dir) => {
       // KMV/theta distinct-count sketch with SET ALGEBRA (functions/
       // KmvSketch.scala): two overlapping key sets — the lower and upper
@@ -7515,6 +7551,33 @@ object SparkEntry {
              FROM c2) WHERE rn = 1)
          SELECT label, CAST(count(*) AS BIGINT) AS size
          FROM l2 GROUP BY 1 ORDER BY size DESC, label LIMIT 20""",
+
+    "entity_resolution" ->
+      """WITH RECURSIVE c0 AS (
+           SELECT c_custkey AS id, c_name AS name, c_nationkey
+           FROM customer WHERE c_custkey < 200),
+         typos AS (
+           SELECT id + 1000000 AS id, name || 'x' AS name, c_nationkey
+           FROM c0 WHERE id % 7 = 0),
+         recs AS (SELECT * FROM c0 UNION ALL SELECT * FROM typos),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM recs a JOIN recs b
+             ON a.c_nationkey = b.c_nationkey AND a.id < b.id
+           WHERE levenshtein(a.name, b.name) <= 1),
+         edges AS (
+           SELECT id_a AS s, id_b AS t FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e2.s, r.lbl FROM edges e2 JOIN reach r ON e2.t = r.id),
+         lbls AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         SELECT r.id AS rec_id,
+           coalesce(l.cluster_id, r.id) AS entity_id,
+           (r.id = coalesce(l.cluster_id, r.id)) AS is_canonical
+         FROM recs r LEFT JOIN lbls l ON r.id = l.id
+         ORDER BY rec_id""",
 
     // KMV/theta sketch rebuilt hash-for-hash: same splitmix64 chain
     // (mix64Ctes), same sign-flipped ordering, same k smallest, same
