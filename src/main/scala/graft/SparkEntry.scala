@@ -3915,6 +3915,300 @@ object SparkEntry {
         .withColumn("est_intersect", greatest(lit(0.0),
           col("est_a") + col("est_b") - col("est_union")))
         .select("n_a", "n_b", "est_a", "est_b", "est_union", "est_intersect")
+    }),
+
+    "stats_ks_test" -> ((s, dir) => {
+      // two-sample Kolmogorov–Smirnov distance between the order-price
+      // distributions of URGENT vs LOW priority orders — the
+      // distribution-drift gate a training pipeline runs between data
+      // snapshots. Exact-integer formulation: prices become cents
+      // (exact 2-decimal doubles), counts aggregate PER DISTINCT VALUE
+      // first (the rows→values reduction — the global cumulative scan
+      // then touches the value domain, never the row count, the same
+      // vocab-sized-global-sort shape as text_zipf_fit), and the CDF
+      // gap is |cumA·nB − cumB·nA| — a cross-multiplied integer, so the
+      // max and its argmin value are engine-exact with no float CDF
+      // division anywhere. Only the final D statistic divides, as a
+      // floor fixed-point ppm. At 100 TB the per-value table is price-
+      // domain-sized; wider domains bucket to fixed-width cents bins
+      // first (same algebra on the binned CDF).
+      val o = t(s, dir, "orders")
+      val two = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("is_a"))
+      val per = two.groupBy("cents").agg(
+        sum(col("is_a")).as("ca"),
+        sum(lit(1L) - col("is_a")).as("cb"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = per.select(col("cents"),
+        sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+      val tot = per.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val dd = cum.crossJoin(broadcast(tot))
+        .withColumn("diff",
+          abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      val mx = dd.agg(max(col("diff")).as("dmax"))
+      dd.crossJoin(broadcast(mx))
+        .filter(col("diff") === col("dmax"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          max(col("dmax")).as("dm"), min(col("cents")).as("d_at_cents"))
+        .select(col("n_a"), col("n_b"),
+          expr("(1000000 * dm) div (n_a * n_b)").as("d_ppm"),
+          col("d_at_cents"))
+    }),
+
+    "stats_mann_whitney" -> ((s, dir) => {
+      // Mann–Whitney rank-sum test on the same two samples — the
+      // nonparametric companion to stats_ks_test (sensitive to location
+      // shift rather than any CDF gap). Tie-corrected midranks stay in
+      // 64-bit integers by DOUBLING: the midrank of the rows at value v
+      // is (2·cum_before + t + 1)/2, so 2·R_A = Σ cA·(2·cum_before+t+1)
+      // is exact, as are 2·U_A = 2R_A − nA(nA+1) and the tie term
+      // Σ(t³−t). The normal-approximation z closes over those exact
+      // integers in ONE fixed double tree (engine-exact), floored to
+      // ppm. Same rows→values reduction as the KS test: every scan
+      // after the first groupBy is value-domain-sized.
+      val o = t(s, dir, "orders")
+      val two = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("is_a"))
+      val per = two.groupBy("cents").agg(
+        sum(col("is_a")).as("ca"),
+        sum(lit(1L) - col("is_a")).as("cb"))
+      val wBefore = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = per
+        .withColumn("t", col("ca") + col("cb"))
+        .withColumn("cum_before",
+          coalesce(sum(col("t")).over(wBefore), lit(0L)))
+      val agg0 = ranked.agg(
+        sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * (lit(2L) * col("cum_before") + col("t") + lit(1L)))
+          .as("r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_term"))
+      agg0
+        .withColumn("u2_a", col("r2a") - col("n_a") * (col("n_a") + lit(1L)))
+        .withColumn("z_ppm", expr(
+          """CAST(floor(1000000.0 *
+               (CAST(u2_a - n_a * n_b AS DOUBLE) / 2.0) /
+               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 (CAST(n_a + n_b + 1 AS DOUBLE) -
+                  CAST(tie_term AS DOUBLE) /
+                    (CAST(n_a + n_b AS DOUBLE) *
+                     CAST(n_a + n_b - 1 AS DOUBLE))))) AS BIGINT)"""))
+        .select("n_a", "n_b", "u2_a", "tie_term", "z_ppm")
+    }),
+
+    "stats_chi_square" -> ((s, dir) => {
+      // chi-square independence test of order priority × status, with
+      // Cramér's V effect size. The contingency table INCLUDES empty
+      // cells (distinct-priorities × distinct-statuses left-joined to
+      // the observed counts — a missing combination still has positive
+      // expectation and must contribute): the per-cell term is
+      // (obs·N − rowN·colN)²/(N·rowN·colN), integer-exact inside the
+      // square, and the 15-cell sum folds in (priority, status) order so
+      // the double total is engine-exact. Everything after the one
+      // groupBy is cells-sized; at 100 TB only the contingency counts
+      // cross the wire (map-side combinable).
+      val o = t(s, dir, "orders")
+      val obs = o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("obs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = obs.groupBy("o_orderpriority").agg(sum("obs").as("rn"))
+      val cols = obs.groupBy("o_orderstatus").agg(sum("obs").as("cn"))
+      val nTot = obs.agg(sum("obs").as("n"))
+      val cells = rows.crossJoin(cols).crossJoin(broadcast(nTot))
+        .join(obs, Seq("o_orderpriority", "o_orderstatus"), "left")
+        .withColumn("ob", coalesce(col("obs"), lit(0L)))
+        .withColumn("dlt", col("ob") * col("n") - col("rn") * col("cn"))
+        .withColumn("term", expr(
+          """CAST(dlt AS DOUBLE) * CAST(dlt AS DOUBLE) /
+             (CAST(n AS DOUBLE) * CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE))"""))
+      val shape = cells.agg(
+        countDistinct(col("o_orderpriority")).as("r"),
+        countDistinct(col("o_orderstatus")).as("c"))
+      cells.agg(
+          max(col("n")).as("n"),
+          aggregate(sort_array(collect_list(struct(
+              col("o_orderpriority"), col("o_orderstatus"),
+              col("term").as("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v")).as("chi2"))
+        .crossJoin(broadcast(shape))
+        .select(col("n"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(col("chi2"), 6).as("chi2"),
+          round(sqrt(col("chi2") /
+            (col("n").cast("double") *
+             least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    }),
+
+    "ab_cuped_lift" -> ((s, dir) => {
+      // CUPED variance reduction (Deng et al. WSDM'13) on the A/B
+      // readout: per user, metric Y = purchase spend and pre-exposure
+      // covariate X = view engagement; θ = cov(X,Y)/var(X) is pooled
+      // across arms and each arm's adjusted mean is ȳ − θ(x̄ − x̄_global).
+      // Arms reuse ab_test_lift's stable-hash parity. X/Y are EXACT
+      // decimal sums per user, θ and ρ² close over exact decimal
+      // co-moments in one fixed double tree (the agg_corr discipline),
+      // so the adjusted means are engine-exact. One user-keyed shuffle +
+      // arm-sized aggregates; nothing row-sized crosses the wire twice.
+      val e = t(s, dir, "events")
+      val users = e.groupBy("user_id").agg(
+        sum(when(col("event_type") === "view", dec(col("value")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("x"),
+        sum(when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("y"))
+      val armed = users.withColumn("arm",
+        when(pmod(HashFunctions.fnv64(col("user_id").cast("string")),
+          lit(2L)) === 0, "control").otherwise("treatment"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pooled = armed.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val per = armed.groupBy("arm").agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+      per.crossJoin(broadcast(pooled))
+        .withColumn("theta", expr(
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""))
+        .withColumn("rho2", expr(
+          """pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2) /
+             ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""))
+        .withColumn("mean_y", expr(
+          "CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)"))
+        .withColumn("mean_y_cuped", expr(
+          """CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) - theta *
+             (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE) -
+              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"""))
+        .select(col("arm"), col("n_users"),
+          round(col("mean_y"), 6).as("mean_y"),
+          round(col("mean_y_cuped"), 6).as("mean_y_cuped"),
+          round(col("theta"), 6).as("theta"),
+          round(col("rho2"), 6).as("var_reduction"))
+        .orderBy("arm")
+    }),
+
+    "privacy_t_closeness" -> ((s, dir) => {
+      // t-closeness audit (Li et al. ICDE'07) — completes the
+      // k-anonymity / l-diversity trio: a group can be diverse yet
+      // SKEWED (e.g. 90% of one sensitive band), leaking probabilistic
+      // information. Per QI group (nation, segment), the total variation
+      // distance ½Σ|p_g − p_global| over acctbal 1000-bands, in EXACT
+      // integers via the absent-band identity: Σ over bands PRESENT in
+      // the group of (|c_gb·N − c_b·n_g| − c_b·n_g) + N·n_g equals the
+      // full-domain numerator — absent bands never materialize, so the
+      // join stays (group × present-band)-sized. One ppm division at
+      // the end; groups above t = 0.4 are flagged. All aggregates are
+      // map-side combinable; the report is QI-combination-sized.
+      val c = t(s, dir, "customer")
+        .withColumn("sens_band",
+          floor(col("c_acctbal") / 1000.0).cast("long"))
+      val cl = c.groupBy("c_nationkey", "c_mktsegment", "sens_band")
+        .agg(count(lit(1)).as("cgb"))
+      val ng = c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_g"))
+      val cb = c.groupBy("sens_band").agg(count(lit(1)).as("cb"))
+      val nt = c.agg(count(lit(1)).as("nt"))
+      cl.join(broadcast(cb), Seq("sens_band"))
+        .join(ng, Seq("c_nationkey", "c_mktsegment"))
+        .crossJoin(broadcast(nt))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(max(col("n_g")).as("group_size"),
+          (sum(abs(col("cgb") * col("nt") - col("cb") * col("n_g")) -
+            col("cb") * col("n_g")) +
+            max(col("nt") * col("n_g"))).as("tvd_num"),
+          max(col("nt")).as("n_total"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
+          expr("(1000000 * tvd_num) div (2 * group_size * n_total)")
+            .as("tvd_ppm"))
+        .withColumn("breach", col("tvd_ppm") > 400000L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    "feature_target_encode" -> ((s, dir) => {
+      // leave-one-out target encoding of customer nation against order
+      // revenue — the categorical-feature workhorse. LOO with additive
+      // smoothing toward the global mean: enc_i =
+      // (S_nation − y_i + m·μ) / (n_nation − 1 + m), m = 10 — each row's
+      // own target is EXCLUDED (the leakage rule) yet the group sums
+      // are computed once per nation via a shared window, not per row.
+      // Revenue sums are exact decimals; only the final encode divides.
+      // One customer-keyed join shuffle + one nation-keyed window
+      // exchange; at 100 TB the window carries two extra columns on a
+      // partition key with bounded group count.
+      val cust = t(s, dir, "customer")
+      val rev = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val y = cust.join(rev, cust("c_custkey") === rev("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          coalesce(col("rev"), lit(0).cast("decimal(18,2)")).as("y"))
+      val wN = Window.partitionBy("c_nationkey")
+      val glob = y.agg(sum(col("y")).as("s_all"), count(lit(1)).as("n_all"))
+      y.withColumn("s_g", sum(col("y")).over(wN))
+        .withColumn("n_g", count(lit(1)).over(wN))
+        .crossJoin(broadcast(glob))
+        .withColumn("enc_loo", expr(
+          """(CAST(s_g AS DOUBLE) - CAST(y AS DOUBLE) +
+              10.0 * CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)) /
+             (CAST(n_g AS DOUBLE) - 1.0 + 10.0)"""))
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("y").cast("double").as("revenue"),
+          round(col("enc_loo"), 6).as("enc_loo"))
+        .orderBy("c_custkey")
+    }),
+
+    "graph_degree_distribution" -> ((s, dir) => {
+      // degree distribution of the supplier–part co-purchase graph (the
+      // same symmetrized bipartite edge list as graph_pagerank) with an
+      // integer-exact CCDF and a Hill power-law tail estimate
+      // α = 1 + n_tail / Σ ln(d_i / (d_min − ½)) (Clauset–Shalizi–Newman
+      // 2009 discrete form) — the graph-health diagnostic that says
+      // whether hub-aware strategies (salting, vertex-cut) are needed
+      // before scale-up. Node degrees reduce to a DEGREE-VALUE-sized
+      // table before any global work; the Hill sum folds per distinct
+      // degree in degree order, so the double is engine-exact.
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select(
+          (col("l_suppkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
+        .distinct()
+      val und = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("degree"))
+      val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      val tot = hist.agg(sum(col("n_nodes")).as("n"))
+      val dmin = 5L
+      val hill = hist.filter(col("degree") >= dmin)
+        .agg(sum(col("n_nodes")).as("n_tail"),
+          aggregate(sort_array(collect_list(struct(col("degree"),
+              (col("n_nodes").cast("double") *
+                log(col("degree").cast("double") / (dmin - 0.5))).as("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v")).as("hill_sum"))
+        .select(col("n_tail"),
+          round(lit(1.0) + col("n_tail").cast("double") / col("hill_sum"), 6)
+            .as("alpha_hill"))
+      val wGe = Window.orderBy(col("degree").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum_ge", sum(col("n_nodes")).over(wGe))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(hill))
+        .select(col("degree"), col("n_nodes"),
+          expr("(1000000 * cum_ge) div n").as("ccdf_ppm"),
+          col("n_tail"), col("alpha_hill"))
+        .orderBy("degree")
     })
   )
 
@@ -7615,7 +7909,235 @@ object SparkEntry {
          nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM keys_b)
          SELECT n_a, n_b, est_a, est_b, est_union,
            greatest(0e0, est_a + est_b - est_union) AS est_intersect
-         FROM na, nb, esta, estb, estu"""
+         FROM na, nb, esta, estb, estu""",
+
+    "stats_ks_test" ->
+      """WITH two AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         per AS (
+           SELECT cents, CAST(sum(is_a) AS BIGINT) AS ca,
+             CAST(sum(1 - is_a) AS BIGINT) AS cb
+           FROM two GROUP BY cents),
+         cum AS (
+           SELECT cents,
+             CAST(sum(ca) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cuma,
+             CAST(sum(cb) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumb
+           FROM per),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM per),
+         dd AS (
+           SELECT cents, abs(cuma * nb - cumb * na) AS diff, na, nb
+           FROM cum CROSS JOIN tot),
+         mx AS (SELECT max(diff) AS dmax FROM dd)
+         SELECT max(na) AS n_a, max(nb) AS n_b,
+           (1000000 * max(dmax)) // (max(na) * max(nb)) AS d_ppm,
+           min(cents) AS d_at_cents
+         FROM dd CROSS JOIN mx WHERE diff = dmax""",
+
+    "stats_mann_whitney" ->
+      """WITH two AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         per AS (
+           SELECT cents, CAST(sum(is_a) AS BIGINT) AS ca,
+             CAST(sum(1 - is_a) AS BIGINT) AS cb
+           FROM two GROUP BY cents),
+         ranked AS (
+           SELECT cents, ca, cb, ca + cb AS t,
+             coalesce(CAST(sum(ca + cb) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS cum_before
+           FROM per),
+         agg0 AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(ca * (2 * cum_before + t + 1)) AS BIGINT) AS r2a,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+           FROM ranked),
+         u AS (
+           SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a, tie_term
+           FROM agg0)
+         SELECT n_a, n_b, u2_a, tie_term,
+           CAST(floor(1000000.0 *
+             (CAST(u2_a - n_a * n_b AS DOUBLE) / 2.0) /
+             sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+               (CAST(n_a + n_b + 1 AS DOUBLE) -
+                CAST(tie_term AS DOUBLE) /
+                  (CAST(n_a + n_b AS DOUBLE) *
+                   CAST(n_a + n_b - 1 AS DOUBLE))))) AS BIGINT) AS z_ppm
+         FROM u""",
+
+    "stats_chi_square" ->
+      """WITH obs AS (
+           SELECT o_orderpriority, o_orderstatus, count(*) AS obs
+           FROM orders GROUP BY 1, 2),
+         rows_ AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS rn
+           FROM obs GROUP BY 1),
+         cols_ AS (SELECT o_orderstatus, CAST(sum(obs) AS BIGINT) AS cn
+           FROM obs GROUP BY 1),
+         nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs),
+         cells AS (
+           SELECT r.o_orderpriority, c.o_orderstatus, r.rn, c.cn, nt.n,
+             coalesce(o.obs, 0) AS ob
+           FROM rows_ r CROSS JOIN cols_ c CROSS JOIN nt
+           LEFT JOIN obs o ON o.o_orderpriority = r.o_orderpriority
+             AND o.o_orderstatus = c.o_orderstatus),
+         terms AS (
+           SELECT o_orderpriority, o_orderstatus, n,
+             CAST(ob * n - rn * cn AS DOUBLE) *
+               CAST(ob * n - rn * cn AS DOUBLE) /
+               (CAST(n AS DOUBLE) * CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE))
+               AS term
+           FROM cells),
+         shape AS (
+           SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c
+           FROM cells),
+         folded AS (
+           SELECT max(n) AS n,
+             list_reduce(list_prepend(0.0,
+               list(term ORDER BY o_orderpriority, o_orderstatus)),
+               (p, q) -> p + q) AS chi2
+           FROM terms)
+         SELECT n, (r - 1) * (c - 1) AS dof,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE) *
+             CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+         FROM folded CROSS JOIN shape""",
+
+    "ab_cuped_lift" -> {
+      val hv = signedSql(fnvSql("CAST(user_id AS VARCHAR)"))
+      s"""WITH users AS (
+           SELECT user_id,
+             sum(CASE WHEN event_type = 'view'
+               THEN CAST(value AS DECIMAL(18,2))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+             sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(18,2))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+           FROM events GROUP BY user_id),
+         armed AS (
+           SELECT CASE WHEN (($hv % 2) + 2) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm, x, y
+           FROM users),
+         pooled AS (
+           SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM armed),
+         per AS (
+           SELECT arm, count(*) AS n_users, sum(x) AS sxa, sum(y) AS sya
+           FROM armed GROUP BY arm),
+         j AS (
+           SELECT arm, n_users, sxa, sya, n, sx, sy, sxy, sxx, syy,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+             pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2) /
+             ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho2
+           FROM per CROSS JOIN pooled)
+         SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_y,
+           round(CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) - theta *
+             (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE) -
+              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS mean_y_cuped,
+           round(theta, 6) AS theta,
+           round(rho2, 6) AS var_reduction
+         FROM j ORDER BY arm"""
+    },
+
+    "privacy_t_closeness" ->
+      """WITH c AS (
+           SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens_band
+           FROM customer),
+         cl AS (
+           SELECT c_nationkey, c_mktsegment, sens_band, count(*) AS cgb
+           FROM c GROUP BY 1, 2, 3),
+         ng AS (
+           SELECT c_nationkey, c_mktsegment, count(*) AS n_g
+           FROM c GROUP BY 1, 2),
+         cb AS (SELECT sens_band, count(*) AS cb FROM c GROUP BY 1),
+         nt AS (SELECT count(*) AS nt FROM c),
+         g AS (
+           SELECT l.c_nationkey, l.c_mktsegment,
+             max(g2.n_g) AS group_size,
+             CAST(sum(abs(l.cgb * nt.nt - b.cb * g2.n_g) - b.cb * g2.n_g)
+               + max(nt.nt * g2.n_g) AS BIGINT) AS tvd_num,
+             max(nt.nt) AS n_total
+           FROM cl l
+           JOIN cb b ON l.sens_band = b.sens_band
+           JOIN ng g2 ON l.c_nationkey = g2.c_nationkey
+             AND l.c_mktsegment = g2.c_mktsegment
+           CROSS JOIN nt
+           GROUP BY 1, 2)
+         SELECT c_nationkey, c_mktsegment, group_size,
+           (1000000 * tvd_num) // (2 * group_size * n_total) AS tvd_ppm,
+           ((1000000 * tvd_num) // (2 * group_size * n_total)) > 400000
+             AS breach
+         FROM g ORDER BY c_nationkey, c_mktsegment""",
+
+    "feature_target_encode" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY o_custkey),
+         y AS (
+           SELECT c.c_custkey, c.c_nationkey,
+             coalesce(r.rev, CAST(0 AS DECIMAL(18,2))) AS y
+           FROM customer c LEFT JOIN rev r ON c.c_custkey = r.o_custkey),
+         gl AS (SELECT sum(y) AS s_all, count(*) AS n_all FROM y),
+         w AS (
+           SELECT c_custkey, c_nationkey, y,
+             sum(y) OVER (PARTITION BY c_nationkey) AS s_g,
+             count(*) OVER (PARTITION BY c_nationkey) AS n_g
+           FROM y)
+         SELECT c_custkey, c_nationkey,
+           CAST(y AS DOUBLE) AS revenue,
+           round((CAST(s_g AS DOUBLE) - CAST(y AS DOUBLE) +
+               10.0 * CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)) /
+             (CAST(n_g AS DOUBLE) - 1.0 + 10.0), 6) AS enc_loo
+         FROM w CROSS JOIN gl ORDER BY c_custkey""",
+
+    "graph_degree_distribution" ->
+      """WITH e0 AS (
+           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           FROM lineitem),
+         und AS (
+           SELECT src, dst FROM e0
+           UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         deg AS (SELECT src, count(*) AS degree FROM und GROUP BY src),
+         hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree),
+         tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n FROM hist),
+         hill AS (
+           SELECT CAST(sum(n_nodes) AS BIGINT) AS n_tail,
+             round(1.0 + CAST(sum(n_nodes) AS DOUBLE) /
+               list_reduce(list_prepend(0.0,
+                 list(CAST(n_nodes AS DOUBLE) *
+                   ln(CAST(degree AS DOUBLE) / 4.5) ORDER BY degree)),
+                 (p, q) -> p + q), 6) AS alpha_hill
+           FROM hist WHERE degree >= 5),
+         cum AS (
+           SELECT degree, n_nodes,
+             CAST(sum(n_nodes) OVER (ORDER BY degree DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_ge
+           FROM hist)
+         SELECT degree, n_nodes, (1000000 * cum_ge) // n AS ccdf_ppm,
+           n_tail, alpha_hill
+         FROM cum CROSS JOIN tot CROSS JOIN hill
+         ORDER BY degree"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

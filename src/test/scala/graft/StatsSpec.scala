@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Oracle-independent recomputation of the statistics / experimentation
+  * family on sf0.001: each test collects the RAW table(s), recomputes
+  * the statistic in plain in-JVM Scala (a third implementation,
+  * independent of both the Spark plan and the DuckDB SQL), and compares
+  * exactly — plus the closed-form invariants (CUPED mean preservation,
+  * CCDF monotonicity) that no engine-vs-engine diff can prove.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  /** (cents, isA) rows of the two-priority order sample. */
+  private lazy val twoSample: Seq[(Long, Boolean)] = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderpriority", "o_totalprice")
+      .as[(String, Double)].collect().toSeq
+    o.collect {
+      case (p, v) if p == "1-URGENT" || p == "5-LOW" =>
+        (math.round(v * 100), p == "1-URGENT")
+    }
+  }
+
+  test("stats_ks_test equals a direct in-JVM KS computation") {
+    val a = twoSample.filter(_._2).map(_._1).sorted
+    val b = twoSample.filterNot(_._2).map(_._1).sorted
+    val values = (a ++ b).distinct.sorted
+    def cdfCount(s: Seq[Long], v: Long): Long = s.count(_ <= v).toLong
+    val diffs = values.map(v =>
+      (v, math.abs(cdfCount(a, v) * b.size - cdfCount(b, v) * a.size)))
+    val dmax = diffs.map(_._2).max
+    val dAt = diffs.filter(_._2 == dmax).map(_._1).min
+    val expPpm = 1000000L * dmax / (a.size.toLong * b.size.toLong)
+
+    val row = q("stats_ks_test").head()
+    assert(row.getLong(row.fieldIndex("n_a")) == a.size.toLong)
+    assert(row.getLong(row.fieldIndex("n_b")) == b.size.toLong)
+    assert(row.getLong(row.fieldIndex("d_ppm")) == expPpm)
+    assert(row.getLong(row.fieldIndex("d_at_cents")) == dAt)
+    assert(expPpm > 0L && expPpm < 1000000L) // fixture is neither equal nor disjoint
+  }
+
+  test("stats_mann_whitney equals direct midrank computation; U symmetry") {
+    val a = twoSample.filter(_._2).map(_._1)
+    val b = twoSample.filterNot(_._2).map(_._1)
+    val all = (a.map((_, true)) ++ b.map((_, false))).sortBy(_._1)
+    // tie-corrected midranks, doubled to stay integral
+    val byVal = all.groupBy(_._1).toSeq.sortBy(_._1)
+    var cumBefore = 0L
+    var r2a = 0L
+    var tie = 0L
+    byVal.foreach { case (_, rows) =>
+      val t = rows.size.toLong
+      val ca = rows.count(_._2).toLong
+      r2a += ca * (2 * cumBefore + t + 1)
+      tie += t * t * t - t
+      cumBefore += t
+    }
+    val na = a.size.toLong
+    val nb = b.size.toLong
+    val u2a = r2a - na * (na + 1)
+
+    val row = q("stats_mann_whitney").head()
+    assert(row.getLong(row.fieldIndex("n_a")) == na)
+    assert(row.getLong(row.fieldIndex("n_b")) == nb)
+    assert(row.getLong(row.fieldIndex("u2_a")) == u2a)
+    assert(row.getLong(row.fieldIndex("tie_term")) == tie)
+    // U_A + U_B = nA·nB  ⇒  2U_A ∈ [0, 2·nA·nB]
+    assert(u2a >= 0L && u2a <= 2 * na * nb)
+    val z = (u2a - na * nb).toDouble / 2.0 /
+      math.sqrt(na.toDouble * nb / 12.0 *
+        ((na + nb + 1).toDouble - tie.toDouble /
+          ((na + nb).toDouble * (na + nb - 1))))
+    assert(row.getLong(row.fieldIndex("z_ppm")) == math.floor(1000000.0 * z).toLong)
+  }
+
+  test("stats_chi_square equals direct contingency computation, includes empty cells") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderpriority", "o_orderstatus")
+      .as[(String, String)].collect().toSeq
+    val n = o.size.toLong
+    val obs = o.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val rs = o.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val cs = o.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    // fold in (priority, status) order — the query's deterministic order
+    val chi2 = (for {
+      (p, rn) <- rs.toSeq.sortBy(_._1)
+      (c, cn) <- cs.toSeq.sortBy(_._1)
+    } yield {
+      val ob = obs.getOrElse((p, c), 0L)
+      val d = (ob * n - rn * cn).toDouble
+      ((p, c), d * d / (n.toDouble * rn * cn))
+    }).sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    val dof = (rs.size - 1).toLong * (cs.size - 1).toLong
+
+    val row = q("stats_chi_square").head()
+    assert(row.getLong(row.fieldIndex("n")) == n)
+    assert(row.getLong(row.fieldIndex("dof")) == dof)
+    assert(row.getDouble(row.fieldIndex("chi2")) ==
+      BigDecimal(chi2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the direct recompute above iterates the FULL r×c grid (obs
+    // defaulted to 0), so the equality check covers the empty-cell
+    // algebra whether or not this sf's fixture happens to have one
+    assert(chi2 > 0.0)
+  }
+
+  test("ab_cuped_lift: mean preservation identity and variance-reduction bounds") {
+    val rows = q("ab_cuped_lift").collect()
+    assert(rows.length == 2)
+    val byArm = rows.map(r => (r.getString(r.fieldIndex("arm")), r)).toMap
+    assert(byArm.keySet == Set("control", "treatment"))
+    val nTot = rows.map(_.getLong(1)).sum
+    // Σ_arm n_arm·(x̄_arm − x̄_global) = 0 exactly, so the user-weighted
+    // mean of CUPED-adjusted arm means equals the weighted raw mean.
+    def weighted(col: String): Double = rows.map { r =>
+      r.getLong(r.fieldIndex("n_users")) *
+        r.getDouble(r.fieldIndex(col))
+    }.sum / nTot
+    assert(math.abs(weighted("mean_y_cuped") - weighted("mean_y")) < 1e-4)
+    val r0 = rows.head
+    val rho2 = r0.getDouble(r0.fieldIndex("var_reduction"))
+    assert(rho2 >= 0.0 && rho2 <= 1.0)
+    // theta identical across arms (pooled)
+    assert(rows.map(_.getDouble(r0.fieldIndex("theta"))).distinct.length == 1)
+  }
+
+  test("privacy_t_closeness equals direct TVD over the full band domain") {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_nationkey", "c_mktsegment", "c_acctbal")
+      .as[(Int, String, Double)].collect().toSeq
+      .map { case (n, s, b) => ((n, s), math.floor(b / 1000.0).toLong) }
+    val nTot = c.size.toLong
+    val global = c.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    val out = q("privacy_t_closeness")
+      .select("c_nationkey", "c_mktsegment", "group_size", "tvd_ppm")
+      .collect()
+      .map(r => ((r.getInt(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val groups = c.groupBy(_._1)
+    assert(out.keySet == groups.keySet)
+    groups.foreach { case (qi, members) =>
+      val ng = members.size.toLong
+      val local = members.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+      // direct TVD over the FULL global band domain (absent bands included)
+      // NB: iterate the map's ENTRIES — mapping over `keys` (a Set view)
+      // would dedup equal terms before the sum
+      val num = global.iterator.map { case (band, cg) =>
+        val cl = local.getOrElse(band, 0L)
+        math.abs(cl * nTot - cg * ng)
+      }.sum
+      val (gotN, gotPpm) = out(qi)
+      assert(gotN == ng)
+      assert(gotPpm == 1000000L * num / (2 * ng * nTot),
+        s"group $qi: got $gotPpm")
+    }
+  }
+
+  test("feature_target_encode: LOO excludes own row, smoothing pulls to global mean") {
+    val rows = q("feature_target_encode")
+      .select("c_custkey", "c_nationkey", "revenue", "enc_loo")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    val byNation = rows.groupBy(_._2)
+    val sAll = rows.map(_._3).sum
+    val mu = sAll / rows.size
+    rows.foreach { case (_, nat, y, enc) =>
+      val grp = byNation(nat)
+      val sg = grp.map(_._3).sum
+      val exp = (sg - y + 10.0 * mu) / (grp.size - 1.0 + 10.0)
+      assert(math.abs(enc - exp) < 1e-3, s"nation $nat enc $enc != $exp")
+    }
+    // a singleton nation's encode is the pure smoothed prior — never NaN
+    assert(rows.forall(r => !r._4.isNaN && !r._4.isInfinite))
+  }
+
+  test("graph_degree_distribution: ccdf monotone, mass accounted, Hill alpha recomputed") {
+    val rows = q("graph_degree_distribution")
+      .select("degree", "n_nodes", "ccdf_ppm", "n_tail", "alpha_hill")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1) == rows.map(_._1).sorted) // ordered by degree
+    // ccdf decreases as degree rises; lowest degree row covers all nodes
+    val ccdf = rows.map(_._3)
+    ccdf.sliding(2).foreach { case Seq(hi, lo) => assert(lo <= hi); case _ => }
+    assert(ccdf.head == 1000000L)
+    val n = rows.map(_._2).sum
+    val tailRows = rows.filter(_._1 >= 5L)
+    val nTail = tailRows.map(_._2).sum
+    assert(rows.head._4 == nTail)
+    val hillSum = tailRows.sortBy(_._1).map { case (d, cnt, _, _, _) =>
+      cnt.toDouble * math.log(d.toDouble / 4.5)
+    }.foldLeft(0.0)(_ + _)
+    val alpha = BigDecimal(1.0 + nTail.toDouble / hillSum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head._5 == alpha)
+    assert(alpha > 1.0)
+    assert(n > 0L)
+  }
+}
