@@ -659,6 +659,55 @@ object StreamingPipeline {
       .select(col("window.start").as("win_start"),
         col("mg.n").as("n_window"), col("mg.items").as("candidates"))
 
+  /** Streaming distribution-drift monitor — the streaming sibling of
+    * `stats_ks_test`/`privacy_t_closeness`'s TVD algebra: per tumbling
+    * event-time window, the total-variation distance between the
+    * window's `value` histogram and a broadcast REFERENCE histogram
+    * (the training-snapshot artifact), as an exact-integer ppm.
+    *
+    * Shape: two CHAINED stateful aggregations in append mode (Spark 4
+    * watermark propagation). Agg 1 finalizes exact (window, bin) counts
+    * — state per window is BIN-DOMAIN-sized, never row-sized; agg 2
+    * re-windows those finalized rows and folds the bin list against the
+    * reference map with the absent-bin identity
+    * Σ_present(|c·Nref − r·Nwin| − r·Nwin) + Nref·Nwin, so bins missing
+    * from either side are accounted without ever materializing. All
+    * arithmetic before the single ppm division is 64-bit integer —
+    * the emitted drift number is exact, not a float estimate.
+    *
+    * The reference histogram is a bins-sized artifact (like the IVF
+    * centroids): broadcast as a map literal, no stream-static shuffle. */
+  def driftStream(events: Dataset[UserEvent],
+                  refHist: Map[Long, Long],
+                  binWidthCents: Long = 10000L,
+                  windowDur: String = "10 minutes",
+                  delay: String = "0 seconds",
+                  thresholdPpm: Long = 200000L): DataFrame = {
+    require(refHist.nonEmpty, "driftStream: empty reference histogram")
+    val nRef = refHist.values.sum
+    val refCol = typedlit(refHist)
+    val perBin = events.toDF()
+      .withWatermark("ts", delay)
+      .withColumn("bin",
+        expr(s"CAST(round(value * 100) AS BIGINT) div $binWidthCents"))
+      .groupBy(window(col("ts"), windowDur), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    perBin
+      .groupBy(window(col("window"), windowDur))
+      .agg(collect_list(struct(col("bin"), col("cnt"))).as("bins"))
+      .withColumn("n_win", aggregate(col("bins"), lit(0L),
+        (acc, x) => acc + x.getField("cnt")))
+      .withColumn("tvd_num", aggregate(col("bins"), lit(0L),
+        (acc, x) => {
+          val r = coalesce(element_at(refCol, x.getField("bin")), lit(0L))
+          acc + abs(x.getField("cnt") * lit(nRef) - r * col("n_win")) -
+            r * col("n_win")
+        }) + lit(nRef) * col("n_win"))
+      .select(col("window.start").as("win_start"), col("n_win"),
+        expr(s"(1000000 * tvd_num) div (2 * n_win * ${nRef}L)").as("tvd_ppm"))
+      .withColumn("drifted", col("tvd_ppm") > thresholdPpm)
+  }
+
   /** Timer-driven session summaries on `transformWithState`: per-user
     * accumulator plus ONE event-time timer at (last event + gap); when the
     * watermark passes it, the session summary is emitted and state is

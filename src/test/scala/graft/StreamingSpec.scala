@@ -913,6 +913,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftStream: chained-agg TVD equals direct recompute; shifted window flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + min * 60000L)
+    // reference distribution over $1 bins: 60% bin 0, 30% bin 1, 10% bin 2
+    val refHist = Map(0L -> 60L, 1L -> 30L, 2L -> 10L)
+    // window 0 matches the reference proportions exactly (TVD 0);
+    // window 1 shifts mass up AND introduces bin 5, absent from the
+    // reference (exercises the window-only-bin term c·Nref); bin 0 is
+    // absent from window 1 (exercises the ref-only-bin mass)
+    val w0 = (0 until 6).map(i => graft.streaming.UserEvent(1L, ts(i), 0.50)) ++
+      (0 until 3).map(i => graft.streaming.UserEvent(2L, ts(i), 1.50)) ++
+      Seq(graft.streaming.UserEvent(3L, ts(3), 2.50))
+    val w1 = (0 until 4).map(i => graft.streaming.UserEvent(1L, ts(10 + i), 2.50)) ++
+      (0 until 6).map(i => graft.streaming.UserEvent(2L, ts(10 + i), 5.50))
+    def directPpm(values: Seq[Double]): Long = {
+      val nRef = refHist.values.sum
+      val counts = values.groupBy(v => math.round(v * 100) / 100)
+        .map { case (b, vs) => (b, vs.size.toLong) }
+      val nWin = counts.values.sum
+      val num = (refHist.keySet ++ counts.keySet).toSeq.map { b =>
+        math.abs(counts.getOrElse(b, 0L) * nRef -
+          refHist.getOrElse(b, 0L) * nWin)
+      }.sum
+      1000000L * num / (2 * nWin * nRef)
+    }
+    val input = MemoryStream[graft.streaming.UserEvent]
+    val q = StreamingPipeline.driftStream(input.toDS(), refHist,
+        binWidthCents = 100L, windowDur = "10 minutes",
+        delay = "0 seconds", thresholdPpm = 200000L)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    try {
+      // split mid-window so agg-1 state merges across micro-batches
+      val all = (w0 ++ w1).sortBy(_.ts.getTime)
+      val (a, b) = all.splitAt(all.size / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      // sentinels push the watermark past both windows (two advances:
+      // one to close agg-1's windows, one to flush agg-2)
+      input.addData(graft.streaming.UserEvent(99L, ts(40), 0.5)); q.processAllAvailable()
+      input.addData(graft.streaming.UserEvent(99L, ts(60), 0.5)); q.processAllAvailable()
+      val out = spark.table("drift").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))
+        .filter(_._2 > 1L) // drop sentinel windows
+        .sortBy(_._1.getTime)
+      assert(out.length === 2, out.mkString("; "))
+      val Seq(r0, r1) = out.toSeq
+      assert(r0._2 === 10L && r1._2 === 10L)
+      assert(r0._3 === directPpm(w0.map(_.value)))
+      assert(r0._3 === 0L) // exact proportional match
+      assert(r1._3 === directPpm(w1.map(_.value)))
+      assert(!r0._4 && r1._4, s"drift flags: $out")
+    } finally q.stop()
+  }
+
   // ------------------------------------------ stream-stream as-of join
 
   import graft.streaming.{AsOfJoined, QuoteEvent, UserEvent}
