@@ -4209,6 +4209,73 @@ object SparkEntry {
           expr("(1000000 * cum_ge) div n").as("ccdf_ppm"),
           col("n_tail"), col("alpha_hill"))
         .orderBy("degree")
+    }),
+
+    "join_band_bucketed" -> ((s, dir) => {
+      // band join WITHOUT an equi-key — |balance_a − balance_b| ≤ $5
+      // customer pairs (fuzzy numeric matching: near-identical amounts,
+      // sensor readings, coordinates). A raw inequality join is a
+      // nested-loop O(n²) plan; the bucket trick makes it an EQUI-join:
+      // bucket width = the band δ, probe side exploded to its bucket ±1
+      // (3 rows) — every qualifying pair lands in EXACTLY one bucket
+      // match (|c_a − c_b| ≤ δ ⇒ buckets differ by ≤ 1, and the 3
+      // exploded buckets are distinct), then the exact |Δ| ≤ δ residual
+      // filters in the join. Cost: 3n shuffled rows + per-bucket
+      // products (Σ|bucket|² — data-density-bounded), never n². The
+      // k < k2 residual keeps one orientation of each unordered pair.
+      val sup = t(s, dir, "customer").select(col("c_custkey").as("k"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c"))
+      val deltaCents = 500L
+      val left = sup.withColumn("bucket", expr(s"c div $deltaCents"))
+      val right = sup.select(col("k").as("k2"), col("c").as("c2"))
+        .withColumn("bucket", explode(array(
+          expr(s"c2 div $deltaCents - 1"),
+          expr(s"c2 div $deltaCents"),
+          expr(s"c2 div $deltaCents + 1"))))
+      left.join(right, Seq("bucket"))
+        .filter(col("k") < col("k2") &&
+          abs(col("c") - col("c2")) <= deltaCents)
+        .select(col("k").as("id_a"), col("k2").as("id_b"),
+          abs(col("c") - col("c2")).as("delta_cents"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "timeseries_decompose" -> ((s, dir) => {
+      // classical additive decomposition of the hourly click-revenue
+      // series: trend = centered ±12 h moving mean, seasonal = hour-of-
+      // day mean of the detrended series, residual = the rest. Exactness
+      // discipline: the hourly series and the frame sums are exact
+      // decimals; trend divides ONCE to a double and is floored to
+      // integer micros, so detrended/seasonal/residual stay in 64-bit
+      // integers (seasonal = integer-div mean over the hod group) —
+      // engine-exact with no float accumulation anywhere. The series is
+      // TIME-RANGE-sized (hours), so the global windows scan the bar
+      // table, never the event table — the same values-domain reduction
+      // as stats_ks_test.
+      val e = t(s, dir, "events")
+      val hourly = e.filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("bkt"))
+        .agg(sum(dec(col("value"))).as("v"))
+      val wFrame = Window.orderBy("bkt").rowsBetween(-12, 12)
+      val trended = hourly
+        .withColumn("frame_sum", sum(col("v")).over(wFrame))
+        .withColumn("frame_n", count(lit(1)).over(wFrame))
+        .withColumn("trend_micro", expr(
+          """CAST(floor(1000000.0 * CAST(frame_sum AS DOUBLE) /
+               CAST(frame_n AS DOUBLE)) AS BIGINT)"""))
+        .withColumn("detrended_micro", expr(
+          "CAST(round(v * 1000000) AS BIGINT) - trend_micro"))
+      val wHod = Window.partitionBy(hour(col("bkt")))
+      trended
+        .withColumn("seasonal_micro", expr(
+          "sum(detrended_micro) OVER (PARTITION BY hour(bkt)) div " +
+          "count(1) OVER (PARTITION BY hour(bkt))"))
+        .select(col("bkt").cast("timestamp_ntz").as("bkt"),
+          col("v").cast("double").as("revenue"),
+          col("trend_micro"), col("seasonal_micro"),
+          (col("detrended_micro") - col("seasonal_micro"))
+            .as("residual_micro"))
+        .orderBy("bkt")
     })
   )
 
@@ -8137,7 +8204,47 @@ object SparkEntry {
          SELECT degree, n_nodes, (1000000 * cum_ge) // n AS ccdf_ppm,
            n_tail, alpha_hill
          FROM cum CROSS JOIN tot CROSS JOIN hill
-         ORDER BY degree"""
+         ORDER BY degree""",
+
+    // the oracle states the band join DECLARATIVELY (DuckDB's IEJoin
+    // handles the inequality); equality proves the bucket construction
+    // finds every pair exactly once
+    "join_band_bucketed" ->
+      """WITH s AS (
+           SELECT c_custkey AS k,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS c
+           FROM customer)
+         SELECT a.k AS id_a, b.k AS id_b, abs(a.c - b.c) AS delta_cents
+         FROM s a JOIN s b
+           ON a.k < b.k AND abs(a.c - b.c) <= 500
+         ORDER BY id_a, id_b""",
+
+    "timeseries_decompose" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS bkt,
+             sum(CAST(value AS DECIMAL(18,2))) AS v
+           FROM events WHERE event_type = 'click'
+           GROUP BY 1),
+         trended AS (
+           SELECT bkt, v,
+             CAST(floor(1000000.0 *
+               CAST(sum(v) OVER w AS DOUBLE) /
+               CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend_micro,
+             CAST(round(v * 1000000) AS BIGINT) AS v_micro
+           FROM hourly
+           WINDOW w AS (ORDER BY bkt
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         seasonal AS (
+           SELECT bkt, v, trend_micro,
+             v_micro - trend_micro AS detrended_micro,
+             CAST(sum(v_micro - trend_micro)
+                 OVER (PARTITION BY hour(bkt)) AS BIGINT) //
+               CAST(count(*) OVER (PARTITION BY hour(bkt)) AS BIGINT)
+               AS seasonal_micro
+           FROM trended)
+         SELECT bkt, CAST(v AS DOUBLE) AS revenue, trend_micro,
+           seasonal_micro, detrended_micro - seasonal_micro AS residual_micro
+         FROM seasonal ORDER BY bkt"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

@@ -308,6 +308,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("join_band_bucketed: bucket equi-join, never a nested loop") {
+    val p = plan("join_band_bucketed")
+    // the whole point of the bucket trick: the band predicate must ride
+    // an equi-join on bucket, not degrade to BNLJ/cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bucket"), p)
+  }
+
+  test("feature_target_encode: both group stats share ONE nation-keyed window exchange") {
+    val p = plan("feature_target_encode")
+    assert("Exchange hashpartitioning\\(c_nationkey".r.findAllIn(p).size == 1, p)
+  }
+
+  test("stats_ks_test: rows reduce to per-value counts (partial agg) before the global window") {
+    val p = plan("stats_ks_test")
+    assert(p.contains("partial_sum"), p)
+    // exactly one single-partition exchange feeds the values-sized scan
+    assert("Exchange SinglePartition".r.findAllIn(p).size >= 1, p)
+  }
+
   test("graph_label_propagation: per-round label counts partial-aggregate before exchange") {
     val p = plan("graph_label_propagation")
     // two rounds × (count agg + argmax agg) + final size agg — each with
