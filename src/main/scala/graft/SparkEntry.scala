@@ -4276,6 +4276,117 @@ object SparkEntry {
           (col("detrended_micro") - col("seasonal_micro"))
             .as("residual_micro"))
         .orderBy("bkt")
+    }),
+
+    "stats_mutual_information" -> ((s, dir) => {
+      // mutual information + normalized MI of priority × status — the
+      // feature-selection companion to stats_chi_square on the same
+      // contingency machinery: MI = Σ (c/N)·ln(c·N/(rn·cn)) over
+      // OBSERVED cells (empty cells contribute 0 to MI, unlike χ²),
+      // entropies H from the marginals; every ln term closes over exact
+      // integers and folds in cell/marginal order, so the doubles are
+      // engine-exact. NMI = MI/√(H_r·H_c) ∈ [0, 1]. Everything after
+      // one groupBy is cells-sized.
+      val o = t(s, dir, "orders")
+      val obs = o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = obs.groupBy("o_orderpriority").agg(sum("c").as("rn"))
+      val cols = obs.groupBy("o_orderstatus").agg(sum("c").as("cn"))
+      val nTot = obs.agg(sum("c").as("n"))
+      // H = ln N − (Σ m·ln m)/N: the fold carries only the marginal
+      // counts (ordered, engine-exact); N closes the identity afterwards
+      def mLogM(cnt: String, ord: String): Column =
+        aggregate(sort_array(collect_list(struct(col(ord), col(cnt).as("m")))),
+          lit(0.0), (acc, x) => acc +
+            x.getField("m").cast("double") * log(x.getField("m").cast("double")))
+      val hr = rows.crossJoin(broadcast(nTot))
+        .agg(max(col("n")).as("n"), mLogM("rn", "o_orderpriority").as("sm"))
+        .select(col("n"),
+          (log(col("n").cast("double")) - col("sm") / col("n").cast("double"))
+            .as("h_rows"))
+      val hc = cols.crossJoin(broadcast(nTot))
+        .agg(max(col("n")).as("n2"), mLogM("cn", "o_orderstatus").as("sm"))
+        .select((log(col("n2").cast("double")) - col("sm") / col("n2").cast("double"))
+          .as("h_cols"))
+      val mi = obs
+        .join(rows, Seq("o_orderpriority"))
+        .join(cols, Seq("o_orderstatus"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("term",
+          (col("c").cast("double") / col("n").cast("double")) *
+          log((col("c") * col("n")).cast("double") /
+              (col("rn") * col("cn")).cast("double")))
+        .agg(aggregate(sort_array(collect_list(struct(
+            col("o_orderpriority"), col("o_orderstatus"),
+            col("term").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("mi_nats"))
+      mi.crossJoin(broadcast(hr)).crossJoin(broadcast(hc))
+        .select(col("n"),
+          round(col("mi_nats"), 6).as("mi_nats"),
+          round(col("h_rows"), 6).as("h_rows"),
+          round(col("h_cols"), 6).as("h_cols"),
+          round(col("mi_nats") / sqrt(col("h_rows") * col("h_cols")), 6)
+            .as("nmi"))
+    }),
+
+    "stats_gini_lorenz" -> ((s, dir) => {
+      // revenue-concentration audit: Lorenz deciles + Gini of per-
+      // customer revenue. Revenue reduces to exact CENTS longs, ranks
+      // are deterministic (revenue, custkey) row_numbers, so
+      // Σ i·x_i and the decile sums are exact integers — Gini closes in
+      // one double division and each decile's revenue share is an
+      // integer ppm. The global sort is CUSTOMER-sized (already one row
+      // per customer after the first aggregate), the
+      // same values-domain reduction as stats_ks_test; Σ i·x_i needs
+      // decimal widening past ~10⁷ customers (documented, not hit here).
+      val o = t(s, dir, "orders")
+      val rev = o.groupBy("o_custkey").agg(
+        expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100) AS BIGINT)")
+          .as("cents"))
+      val w = Window.orderBy(col("cents"), col("o_custkey"))
+      val ranked = rev
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = ranked.agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        sum(col("i") * col("cents")).as("s1"))
+      ranked.groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("decile_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"),
+          expr("(1000000 * decile_cents) div s").as("revenue_share_ppm"),
+          round((lit(2.0) * col("s1").cast("double") -
+              (col("n") + 1).cast("double") * col("s").cast("double")) /
+            (col("n").cast("double") * col("s").cast("double")), 6)
+            .as("gini"))
+        .orderBy("decile")
+    }),
+
+    "dq_benford" -> ((s, dir) => {
+      // Benford first-digit audit of order totals — the fabricated-data
+      // / unit-mix smoke test a finance-grade DQ suite runs. First
+      // significant digit via the cents STRING head (integer-exact,
+      // scale-free); per-digit observed share as integer ppm vs the
+      // Benford expectation floor(10⁶·log10(1+1/d)) — log10 of the 9
+      // fixed rationals is IEEE-identical on both engines. One
+      // map-side-combinable groupBy; the report is 9 rows at any scale.
+      val o = t(s, dir, "orders")
+      val d = o.select(expr(
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      val per = d.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = per.agg(sum(col("n_obs")).as("n"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(1000000 * n_obs) div n"))
+        .withColumn("benford_ppm", expr(
+          "CAST(floor(1000000 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS BIGINT)"))
+        .select(col("digit"), col("n_obs"), col("share_ppm"),
+          col("benford_ppm"),
+          abs(col("share_ppm") - col("benford_ppm")).as("dev_ppm"))
+        .orderBy("digit")
     })
   )
 
@@ -8244,7 +8355,94 @@ object SparkEntry {
            FROM trended)
          SELECT bkt, CAST(v AS DOUBLE) AS revenue, trend_micro,
            seasonal_micro, detrended_micro - seasonal_micro AS residual_micro
-         FROM seasonal ORDER BY bkt"""
+         FROM seasonal ORDER BY bkt""",
+
+    "stats_mutual_information" ->
+      """WITH obs AS (
+           SELECT o_orderpriority, o_orderstatus, count(*) AS c
+           FROM orders GROUP BY 1, 2),
+         rws AS (SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS rn
+           FROM obs GROUP BY 1),
+         cls AS (SELECT o_orderstatus, CAST(sum(c) AS BIGINT) AS cn
+           FROM obs GROUP BY 1),
+         nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM obs),
+         hr AS (
+           SELECT max(n) AS n,
+             list_reduce(list_prepend(0.0,
+               list(CAST(rn AS DOUBLE) * ln(CAST(rn AS DOUBLE))
+                 ORDER BY o_orderpriority)), (p, q) -> p + q) AS sm
+           FROM rws CROSS JOIN nt),
+         hr2 AS (SELECT n,
+             ln(CAST(n AS DOUBLE)) - sm / CAST(n AS DOUBLE) AS h_rows
+           FROM hr),
+         hc AS (
+           SELECT max(n) AS n2,
+             list_reduce(list_prepend(0.0,
+               list(CAST(cn AS DOUBLE) * ln(CAST(cn AS DOUBLE))
+                 ORDER BY o_orderstatus)), (p, q) -> p + q) AS sm
+           FROM cls CROSS JOIN nt),
+         hc2 AS (SELECT
+             ln(CAST(n2 AS DOUBLE)) - sm / CAST(n2 AS DOUBLE) AS h_cols
+           FROM hc),
+         terms AS (
+           SELECT o.o_orderpriority, o.o_orderstatus,
+             (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+               ln(CAST(c * n AS DOUBLE) / CAST(rn * cn AS DOUBLE)) AS term
+           FROM obs o
+           JOIN rws USING (o_orderpriority)
+           JOIN cls USING (o_orderstatus)
+           CROSS JOIN nt),
+         mi AS (
+           SELECT list_reduce(list_prepend(0.0,
+               list(term ORDER BY o_orderpriority, o_orderstatus)),
+               (p, q) -> p + q) AS mi_nats
+           FROM terms)
+         SELECT n, round(mi_nats, 6) AS mi_nats,
+           round(h_rows, 6) AS h_rows, round(h_cols, 6) AS h_cols,
+           round(mi_nats / sqrt(h_rows * h_cols), 6) AS nmi
+         FROM mi CROSS JOIN hr2 CROSS JOIN hc2""",
+
+    "stats_gini_lorenz" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         ranked AS (
+           SELECT o_custkey, cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS i,
+             CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS decile
+           FROM rev),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(i * cents) AS BIGINT) AS s1
+           FROM ranked)
+         SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           (1000000 * CAST(sum(cents) AS BIGINT)) // s AS revenue_share_ppm,
+           round((2.0 * CAST(s1 AS DOUBLE) -
+               CAST(n + 1 AS DOUBLE) * CAST(s AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+         FROM ranked CROSS JOIN tot
+         GROUP BY decile, n, s, s1 ORDER BY decile""",
+
+    "dq_benford" ->
+      """WITH d AS (
+           SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+             AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM orders),
+         per AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM per)
+         SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           (1000000 * n_obs) // n AS share_ppm,
+           CAST(floor(1000000 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+             AS BIGINT) AS benford_ppm,
+           abs((1000000 * n_obs) // n -
+             CAST(floor(1000000 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+               AS BIGINT)) AS dev_ppm
+         FROM per CROSS JOIN tot ORDER BY digit"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

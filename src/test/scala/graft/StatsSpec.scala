@@ -179,6 +179,78 @@ class StatsSpec extends SparkSpec {
     assert(rows.forall(r => !r._4.isNaN && !r._4.isInfinite))
   }
 
+  test("stats_mutual_information: direct recompute, information inequalities hold") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderpriority", "o_orderstatus")
+      .as[(String, String)].collect().toSeq
+    val n = o.size.toDouble
+    val obs = o.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val rs = o.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val cs = o.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    def h(m: Iterable[Long]): Double =
+      math.log(n) - m.toSeq.sorted.map(c => c * math.log(c.toDouble))
+        .foldLeft(0.0)(_ + _) / n
+    // fold MI terms in (priority, status) order like the query
+    val mi = obs.toSeq.sortBy(_._1).map { case ((p, c), cnt) =>
+      (cnt / n) * math.log(cnt * n.toLong * n / (n * rs(p) * cs(c)))
+    }.foldLeft(0.0)(_ + _)
+    val row = q("stats_mutual_information").head()
+    def g(c: String) = row.getDouble(row.fieldIndex(c))
+    val (miQ, hrQ, hcQ, nmiQ) = (g("mi_nats"), g("h_rows"), g("h_cols"), g("nmi"))
+    assert(math.abs(miQ - mi) < 2e-6, s"$miQ vs $mi")
+    // independent recompute of the entropies via the same identity; the
+    // fold order differs (count order vs label order) so compare loosely
+    assert(math.abs(hrQ - h(rs.values)) < 1e-6)
+    assert(math.abs(hcQ - h(cs.values)) < 1e-6)
+    assert(miQ >= 0.0 && miQ <= math.min(hrQ, hcQ) + 1e-9)
+    assert(nmiQ >= 0.0 && nmiQ <= 1.0)
+  }
+
+  test("stats_gini_lorenz: direct Gini recompute, Lorenz shares monotone and complete") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey", "o_totalprice")
+      .as[(Long, Double)].collect().toSeq
+    val cents = o.groupBy(_._1).toSeq
+      .map { case (k, v) =>
+        (k, v.map(t => BigDecimal(t._2).setScale(2)).sum.*(100).toLongExact) }
+      .sortBy(t => (t._2, t._1))
+    val nC = cents.size.toLong
+    val s = cents.map(_._2).sum
+    val s1 = cents.zipWithIndex.map { case ((_, c), i) => (i + 1) * c }.sum
+    val gini = (2.0 * s1 - (nC + 1).toDouble * s) / (nC.toDouble * s)
+    val rows = q("stats_gini_lorenz")
+      .select("decile", "n_customers", "revenue_share_ppm", "gini")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == (1L to 10L))
+    assert(rows.map(_._2).sum == nC)
+    assert(rows.head._4 == BigDecimal(gini).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // Lorenz shares rise with the decile and floor-sum to ≤ 1e6
+    rows.map(_._3).sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b); case _ => }
+    val total = rows.map(_._3).sum
+    assert(total <= 1000000L && total > 1000000L - 10L)
+  }
+
+  test("dq_benford: digit domain, share accounting, deviation arithmetic") {
+    val rows = q("dq_benford")
+      .select("digit", "n_obs", "share_ppm", "benford_ppm", "dev_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(rows.map(_._1).forall(d => d >= 1L && d <= 9L))
+    val n = rows.map(_._2).sum
+    rows.foreach { case (d, nd, share, ben, dev) =>
+      assert(share == 1000000L * nd / n)
+      assert(ben == math.floor(1000000.0 * math.log10(1.0 + 1.0 / d)).toLong)
+      assert(dev == math.abs(share - ben))
+    }
+    // Benford expectations themselves floor-sum to ~1e6
+    val benSum = (1L to 9L).map(d =>
+      math.floor(1000000.0 * math.log10(1.0 + 1.0 / d)).toLong).sum
+    assert(benSum <= 1000000L && benSum > 1000000L - 10L)
+  }
+
   test("graph_degree_distribution: ccdf monotone, mass accounted, Hill alpha recomputed") {
     val rows = q("graph_degree_distribution")
       .select("degree", "n_nodes", "ccdf_ppm", "n_tail", "alpha_hill")
