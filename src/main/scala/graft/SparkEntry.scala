@@ -3240,6 +3240,32 @@ object SparkEntry {
         .orderBy("z_prefix", "chunk")
     }),
 
+    "layout_hilbert" -> ((s, dir) => {
+      // Hilbert-curve layout profile — layout_zorder's stronger sibling
+      // on the SAME chunk decomposition, so the two reports compare
+      // directly: the Hilbert curve never takes the Morton curve's long
+      // diagonal jumps, so 256-row chunks cover tighter (part, supp)
+      // rectangles (LayoutSpec asserts the aggregate advantage). The key
+      // is `Layout.withHilbertKey`: 16 materialized projection steps of
+      // pure integer CASE/shift arithmetic (no UDF, no shuffle); d is a
+      // bijection of the coordinate pair, so chunk boxes are stable
+      // under any row order. Same scale shape as zorder: one narrow
+      // groupBy of 4 scalars per chunk.
+      val li = t(s, dir, "lineitem")
+      val keyed = Layout.withHilbertKey(
+        li.select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", "hkey", bits = 16)
+      val w = Window.partitionBy(col("h_prefix")).orderBy(col("hkey"))
+      keyed
+        .withColumn("h_prefix", shiftright(col("hkey"), 16))
+        .withColumn("chunk", ((row_number().over(w) - 1) / 256).cast("long"))
+        .groupBy(col("h_prefix"), col("chunk"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("part_lo"), max("l_partkey").as("part_hi"),
+          min("l_suppkey").as("supp_lo"), max("l_suppkey").as("supp_hi"))
+        .orderBy("h_prefix", "chunk")
+    }),
+
     "dataset_fingerprint" -> ((s, dir) => {
       // layout-independent replica-integrity fingerprint: wrapping
       // mod-2^64 sum of per-row FNV hashes — same value for ANY
@@ -4457,6 +4483,36 @@ object SparkEntry {
     (0 until bits).map(i =>
       s"(((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i}))")
       .mkString("(", " | ", ")")
+
+  /** Layout.withHilbertKey as a chain of DuckDB CTEs — one per bit, most
+    * significant first, each materializing the rotated (x, y, d) exactly
+    * like the engine's per-step projections. `src` must provide columns
+    * (l_partkey, l_suppkey); the chain ends in CTE `hend(l_partkey,
+    * l_suppkey, d)`. */
+  private def hilbertCtes(src: String, bits: Int = 16): String = {
+    val n = 1L << bits
+    val seed = s"""hseed AS (
+       SELECT l_partkey, l_suppkey, CAST(l_partkey AS BIGINT) AS x,
+         CAST(l_suppkey AS BIGINT) AS y, CAST(0 AS BIGINT) AS d
+       FROM $src)"""
+    val steps = (bits - 1 to 0 by -1).map { k =>
+      val s = 1L << k
+      val prev = if (k == bits - 1) "hseed" else s"h${k + 1}"
+      s"""h$k AS (
+         SELECT l_partkey, l_suppkey,
+           CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - y ELSE y END)
+                ELSE x END AS x,
+           CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - x ELSE x END)
+                ELSE y END AS y,
+           d + ${s * s} * (CASE WHEN rx = 1 AND ry = 1 THEN 2
+                                WHEN rx = 1 THEN 3
+                                WHEN ry = 1 THEN 1 ELSE 0 END) AS d
+         FROM (SELECT l_partkey, l_suppkey, x, y, d,
+             (x >> $k) & 1 AS rx, (y >> $k) & 1 AS ry FROM $prev))"""
+    }
+    (Seq(seed) ++ steps).mkString(",\n") +
+      ",\nhend AS (SELECT l_partkey, l_suppkey, d FROM h0)"
+  }
 
   /** Plain (un-normalized) dot product as the same ascending-index
     * sequential double fold as `VectorFunctions.dotProduct`'s loop. */
@@ -7294,6 +7350,18 @@ object SparkEntry {
            min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
            min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
          FROM zc GROUP BY z_prefix, chunk ORDER BY z_prefix, chunk""",
+
+    "layout_hilbert" ->
+      s"""WITH ${hilbertCtes("lineitem")},
+         hc AS (
+           SELECT l_partkey, l_suppkey, d, (d >> 16) AS h_prefix,
+             (row_number() OVER (PARTITION BY (d >> 16) ORDER BY d)
+               - 1) // 256 AS chunk
+           FROM hend)
+         SELECT h_prefix, chunk, count(*) AS n_rows,
+           min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+           min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+         FROM hc GROUP BY h_prefix, chunk ORDER BY h_prefix, chunk""",
 
     "dataset_fingerprint" ->
       s"""SELECT count(*) AS n_rows,

@@ -149,6 +149,59 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Hilbert-curve index of two `bits`-bit coordinates — Z-order's
+    * stronger sibling: the Hilbert curve has NO long diagonal jumps, so
+    * consecutive index ranges cover tighter (a, b) rectangles than the
+    * Morton curve's (the property Delta Lake's OPTIMIZE switched to
+    * Hilbert for; see also Moon et al., "Analysis of the Clustering
+    * Properties of the Hilbert Space-Filling Curve", TKDE 2001).
+    *
+    * Implementation: the classic xy2d bit-level walk (one step per bit,
+    * most-significant first; each step adds the quadrant's s² offset and
+    * applies the reflect+swap rotation). Each step MATERIALIZES (x, y, d)
+    * as a projection — the rotation makes both next coordinates depend on
+    * both current ones, so nesting the steps as one expression would
+    * double the tree per step; as chained projections it is 16 narrow
+    * codegen'd selects, no UDF, no shuffle. Output column `outCol` in
+    * [0, 4^bits); input coords must already be in [0, 2^bits). */
+  def withHilbertKey(df: DataFrame, aCol: String, bCol: String,
+                     outCol: String, bits: Int = 16): DataFrame = {
+    val n = 1L << bits
+    val seeded = df
+      .withColumn("_hx", col(aCol).cast("long"))
+      .withColumn("_hy", col(bCol).cast("long"))
+      .withColumn(outCol, lit(0L))
+    val walked = (bits - 1 to 0 by -1).foldLeft(seeded) { (d, k) =>
+      val s = 1L << k
+      val rx = when(shiftright(col("_hx"), k).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(0L)
+      val ry = when(shiftright(col("_hy"), k).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(0L)
+      // (3·rx) XOR ry spelled as a CASE so the oracle can use the exact
+      // same portable arithmetic (no xor builtin dependency)
+      val quad = when(col("_rx") === 1L && col("_ry") === 1L, 2L)
+        .when(col("_rx") === 1L, 3L)
+        .when(col("_ry") === 1L, 1L)
+        .otherwise(0L)
+      d.withColumn("_rx", rx).withColumn("_ry", ry)
+        .withColumn(outCol, col(outCol) + lit(s * s) * quad)
+        // rot: if ry==0 reflect (when rx==1) then swap x/y
+        .withColumn("_hx2",
+          when(col("_ry") === 0L,
+            when(col("_rx") === 1L, lit(n - 1) - col("_hy"))
+              .otherwise(col("_hy")))
+          .otherwise(col("_hx")))
+        .withColumn("_hy2",
+          when(col("_ry") === 0L,
+            when(col("_rx") === 1L, lit(n - 1) - col("_hx"))
+              .otherwise(col("_hx")))
+          .otherwise(col("_hy")))
+        .withColumn("_hx", col("_hx2")).withColumn("_hy", col("_hy2"))
+        .drop("_hx2", "_hy2")
+    }
+    walked.drop("_hx", "_hy", "_rx", "_ry")
+  }
+
   /** Idempotent partition replacement: with dynamic partition overwrite,
     * rewriting one partition's data leaves every other partition intact —
     * the retry-safe incremental-batch pattern (no Delta/iceberg needed). */

@@ -11,6 +11,97 @@ import org.apache.spark.sql.functions._
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hilbertKey: exact parity with the reference xy2d walk, bijective on a grid") {
+    import spark.implicits._
+    // reference implementation (Wikipedia xy2d, n = 2^16) — a third
+    // implementation independent of both the Column chain and the oracle
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << 15
+      val n = 1L << 16
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val rnd = new scala.util.Random(0x417BE27)
+    val coords = (Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (1L, 0L), (0L, 1L), (32768L, 32767L)) ++
+      Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)))
+      .distinct
+    val got = Layout.withHilbertKey(
+        coords.toDF("l_partkey", "l_suppkey"), "l_partkey", "l_suppkey", "hkey")
+      .select("l_partkey", "l_suppkey", "hkey")
+      .as[(Long, Long, Long)].collect().toSeq
+    got.foreach { case (x, y, d) =>
+      assert(d == xy2d(x, y), s"($x,$y): got $d expected ${xy2d(x, y)}")
+    }
+    // bijectivity + curve-adjacency on a full 8x8 subgrid: consecutive d
+    // values along the curve move exactly one grid step (the no-jumps
+    // property Z-order lacks)
+    val grid = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y)
+    val keys = grid.map { case (x, y) => ((x, y), xy2d(x, y)) }
+    assert(keys.map(_._2).distinct.size == 64)
+    val sorted = keys.sortBy(_._2).map(_._1)
+    sorted.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumped: ($x1,$y1)->($x2,$y2)"); case _ => }
+  }
+
+  test("hilbert needs fewer curve segments per query rectangle than z-order") {
+    // the clustering result the curve choice rests on (Moon et al., TKDE
+    // 2001): a range query over (a, b) reads one contiguous key run per
+    // "cluster" of the space-filling curve inside the rectangle — each
+    // run is one seek/scan range at the storage layer. Hilbert averages
+    // FEWER clusters than Morton for the same rectangles. Measured here
+    // exhaustively: random rectangles on a 64x64 grid, runs counted on
+    // the reference walks. (Box tightness of ALIGNED 4^k chunks is a
+    // wash — both curves tile perfectly there — so run count, not box
+    // size, is the honest metric.)
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << 15
+      val n = 1L << 16
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i)))
+    def clusters(key: (Long, Long) => Long,
+                 x0: Long, x1: Long, y0: Long, y1: Long): Int = {
+      val ks = (for { x <- x0 to x1; y <- y0 to y1 } yield key(x, y)).sorted
+      1 + ks.sliding(2).count { case Seq(a, b) => b != a + 1; case _ => false }
+    }
+    val rnd = new scala.util.Random(0xBEEF)
+    var hTot = 0L
+    var zTot = 0L
+    for (_ <- 0 until 50) {
+      val (w, h) = (2 + rnd.nextInt(14), 2 + rnd.nextInt(14))
+      val x0 = rnd.nextInt(64 - w).toLong
+      val y0 = rnd.nextInt(64 - h).toLong
+      hTot += clusters(xy2d, x0, x0 + w, y0, y0 + h)
+      zTot += clusters(morton, x0, x0 + w, y0, y0 + h)
+    }
+    assert(hTot < zTot, s"hilbert clusters $hTot not fewer than morton $zTot")
+  }
+
   test("partitioned write + partition pruning in the scan") {
     val base = Files.createTempDirectory("graft_layout").toString
     val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
