@@ -4413,6 +4413,68 @@ object SparkEntry {
           col("benford_ppm"),
           abs(col("share_ppm") - col("benford_ppm")).as("dev_ppm"))
         .orderBy("digit")
+    }),
+
+    "agg_incremental_update" -> ((s, dir) => {
+      // incremental aggregate maintenance (the IVM algebra a maintained
+      // dashboard table runs): a per-flag (count, Σqty) snapshot is
+      // updated by a delta batch of INSERTS and DELETES as SIGNED
+      // partial aggregates — one union + one keyed groupBy of three
+      // signed scalars per group, NEVER a rescan of the base table. The
+      // oracle recomputes from the edited multiset directly, so
+      // equality proves the Σ-algebra (count/sum are abelian-group
+      // aggregates; deletes are +(−x)). At 100 TB the delta path costs
+      // |Δ| + |groups|, the recompute costs |base|.
+      val li = t(s, dir, "lineitem")
+      val base = li.filter(pmod(col("l_orderkey"), lit(97)) =!= 0)
+      val inserts = li.filter(pmod(col("l_orderkey"), lit(97)) === 0)
+      val deletes = base.filter(pmod(col("l_orderkey"), lit(89)) === 0)
+      def signedAgg(df: DataFrame, sign: Int): DataFrame =
+        df.groupBy("l_returnflag").agg(
+          (count(lit(1)) * sign).as("dn"),
+          (sum(dec(col("l_quantity"))) * sign).as("dq"))
+      signedAgg(base, 1)
+        .unionByName(signedAgg(inserts, 1))
+        .unionByName(signedAgg(deletes, -1))
+        .groupBy("l_returnflag")
+        .agg(sum(col("dn")).as("n"),
+          sum(col("dq")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "events_rolling_active" -> ((s, dir) => {
+      // rolling 7-day active users + event volume (the WAU table of a
+      // product dashboard): sliding window(7 days, 1 day) fans each
+      // event into its 7 covering windows (a bounded ×7 Expand, the
+      // standard slide shape), then one two-phase distinct agg per
+      // window. Report is DAY-sized at any event scale; the distinct
+      // shuffle carries (window, user) pairs — user-bounded per day.
+      val e = t(s, dir, "events")
+      e.groupBy(window(col("ts"), "7 days", "1 day"))
+        .agg(countDistinct(col("user_id")).as("active_users_7d"),
+          count(lit(1)).as("n_events_7d"))
+        .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+          col("active_users_7d"), col("n_events_7d"))
+        .orderBy("win_start")
+    }),
+
+    "feature_binning" -> ((s, dir) => {
+      // percentile-fence binning (the SERVING form of discretization,
+      // vs ntile's rank form): decile fences are computed ONCE from
+      // exact interpolated percentiles, rounded once to 4dp so both
+      // engines clip against the same bounds (the outlier_trim
+      // discipline), broadcast, and each row's bin is 1 + (fences
+      // strictly below its value) — new rows bin identically without
+      // re-ranking the table. One stats pass + one scan; the fact
+      // table is never shuffled.
+      val o = t(s, dir, "orders")
+      val fences = o.agg(array((1 to 9).map(d =>
+        round(expr(s"percentile(o_totalprice, 0.$d)"), 4)): _*).as("fences"))
+      o.crossJoin(broadcast(fences))
+        .withColumn("bin", aggregate(col("fences"), lit(1L),
+          (acc, f) => acc + when(col("o_totalprice") > f, 1L).otherwise(0L)))
+        .select(col("o_orderkey"), col("o_totalprice"), col("bin"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -8510,7 +8572,49 @@ object SparkEntry {
            abs((1000000 * n_obs) // n -
              CAST(floor(1000000 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
                AS BIGINT)) AS dev_ppm
-         FROM per CROSS JOIN tot ORDER BY digit"""
+         FROM per CROSS JOIN tot ORDER BY digit""",
+
+    // the oracle recomputes from the EDITED MULTISET — equality proves
+    // the signed-partial-aggregate algebra never rescans the base
+    "agg_incremental_update" ->
+      """WITH edited AS (
+           SELECT l_returnflag, l_quantity FROM lineitem
+           WHERE l_orderkey % 97 <> 0 AND NOT
+             (l_orderkey % 97 <> 0 AND l_orderkey % 89 = 0)
+           UNION ALL
+           SELECT l_returnflag, l_quantity FROM lineitem
+           WHERE l_orderkey % 97 = 0)
+         SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM edited GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "events_rolling_active" ->
+      """WITH fanned AS (
+           SELECT date_trunc('day', ts) - INTERVAL (k) DAY AS win_start,
+             user_id
+           FROM events CROSS JOIN range(0, 7) r(k))
+         SELECT win_start, count(DISTINCT user_id) AS active_users_7d,
+           count(*) AS n_events_7d
+         FROM fanned GROUP BY win_start ORDER BY win_start""",
+
+    "feature_binning" ->
+      """WITH f AS (
+           SELECT [round(quantile_cont(o_totalprice, 0.1), 4),
+                   round(quantile_cont(o_totalprice, 0.2), 4),
+                   round(quantile_cont(o_totalprice, 0.3), 4),
+                   round(quantile_cont(o_totalprice, 0.4), 4),
+                   round(quantile_cont(o_totalprice, 0.5), 4),
+                   round(quantile_cont(o_totalprice, 0.6), 4),
+                   round(quantile_cont(o_totalprice, 0.7), 4),
+                   round(quantile_cont(o_totalprice, 0.8), 4),
+                   round(quantile_cont(o_totalprice, 0.9), 4)] AS fences
+           FROM orders)
+         SELECT o_orderkey, o_totalprice,
+           CAST(1 + list_reduce(list_prepend(0,
+             list_transform(fences,
+               x -> CASE WHEN o_totalprice > x THEN 1 ELSE 0 END)),
+             (p, q) -> p + q) AS BIGINT) AS bin
+         FROM orders CROSS JOIN f ORDER BY o_orderkey"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

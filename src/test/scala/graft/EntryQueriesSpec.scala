@@ -11,6 +11,58 @@ class EntryQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("agg_incremental_update: delta algebra equals an independent in-engine recompute") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val edited = li.filter(pmod(col("l_orderkey"), lit(97)) =!= 0)
+      .filter(pmod(col("l_orderkey"), lit(89)) =!= 0 ||
+        pmod(col("l_orderkey"), lit(97)) === 0)
+      .unionByName(li.filter(pmod(col("l_orderkey"), lit(97)) === 0))
+    val direct = edited.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val got = q("agg_incremental_update")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == direct, s"$got vs $direct")
+  }
+
+  test("events_rolling_active: window accounting vs daily actives") {
+    import org.apache.spark.sql.functions._
+    val rows = q("events_rolling_active")
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime,
+        (r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (ws, wau, nev) =>
+      val days = (0 until 7).flatMap(k =>
+        daily.get(ws + k * 86400000L))
+      assert(days.nonEmpty)
+      // WAU is bounded by [max daily, sum daily]; events sum exactly
+      assert(wau >= days.map(_._1).max && wau <= days.map(_._1).sum,
+        s"window $ws wau $wau vs $days")
+      assert(nev == days.map(_._2).sum, s"window $ws n $nev")
+    }
+  }
+
+  test("feature_binning: bins span 1..10, near-equal occupancy, monotone in value") {
+    val rows = q("feature_binning")
+      .select("o_totalprice", "bin")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val n = rows.size
+    assert(rows.map(_._2).distinct.sorted == (1L to 10L))
+    val sizes = rows.groupBy(_._2).values.map(_.size)
+    sizes.foreach(sz => assert(math.abs(sz - n / 10.0) < 0.02 * n,
+      s"bin occupancy skew: $sizes"))
+    rows.sortBy(_._1).map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b); case _ => }
+  }
+
   test("graph_pagerank: positive ranks, damped mass bound, degree column sane") {
     val rows = q("graph_pagerank")
       .select("pagerank", "degree").as[(Long, Long)].collect()
