@@ -140,6 +140,28 @@ object SparkEntry {
     (centroidsDf(s, cents), path)
   }
 
+  /** Cell-bounded ranked neighbor edges shared by `similarity_knn_graph`
+    * (rnk ≤ 3 slice) and `similarity_mutual_knn` (rnk = 1 + mutuality):
+    * within-cell exact-cosine pairs ranked per vector. Co-partitioned
+    * cell-local self-join — Σ|cell|² under autoK, never n². */
+  private def knnRankedEdges(s: SparkSession, dir: String): DataFrame = {
+    val (cents, _) = ivfIndex(s, dir)
+    val e = t(s, dir, "embeddings")
+    val cells = Similarity.assignToCentroids(e, cents)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = cells
+      .select(col("centroid_id"), col("vec_id"), col("embedding").as("va"))
+      .join(cells.select(col("centroid_id"), col("vec_id").as("nbr_id"),
+        col("embedding").as("vb")), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+  }
+
   /** PQ index (4 subspaces × 16 dims, 8 codes, 2 Lloyd iterations):
     * driver-memoized codebooks (4·8 sub-vectors — metadata) plus the
     * MATERIALIZED (vec_id, sub, code) code table on storage, built once
@@ -1459,25 +1481,31 @@ object SparkEntry {
       // ~n·√n), never the n² cross join. The self-join is co-partitioned
       // on centroid_id, so at 100 TB it's cell-local with no global pair
       // shuffle.
-      val (cents, _) = ivfIndex(s, dir)
-      val e = t(s, dir, "embeddings")
-      val cells = Similarity.assignToCentroids(e, cents)
-        .select(col("centroid_id"), col("vec_id"), col("embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = cells
-        .select(col("centroid_id"), col("vec_id"), col("embedding").as("va"))
-        .join(cells.select(col("centroid_id"), col("vec_id").as("nbr_id"),
-          col("embedding").as("vb")), Seq("centroid_id"))
-        .filter(col("vec_id") =!= col("nbr_id"))
-        .withColumn("cosine",
-          graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("nbr_id"))
-      pairs.withColumn("rnk", row_number().over(w))
+      knnRankedEdges(s, dir)
         .filter(col("rnk") <= 3)
         .select(col("vec_id"), col("rnk"), col("nbr_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("vec_id", "rnk")
+    }),
+
+    "similarity_mutual_knn" -> ((s, dir) => {
+      // reciprocal-best-match pairs — the entity-linking / translation-
+      // mining rule (a, b) is a match iff b is a's NEAREST neighbor AND
+      // a is b's: one-sided nearest produces hub-dominated many-to-one
+      // links; mutuality is the standard high-precision filter (e.g.
+      // margin-based bitext mining). Built as the rnk=1 slice of the
+      // cell-bounded k-NN graph self-joined against itself on the
+      // reversed pair — edge-list-sized (n rows), cell-local before it,
+      // never an extra pass over the vectors.
+      val e1 = knnRankedEdges(s, dir).filter(col("rnk") === 1)
+        .select(col("vec_id"), col("nbr_id"), col("cosine"))
+      val e2 = e1.select(col("vec_id").as("b_vec"), col("nbr_id").as("b_nbr"))
+      e1.join(e2, col("vec_id") === col("b_nbr") &&
+          col("nbr_id") === col("b_vec"))
+        .filter(col("vec_id") < col("nbr_id"))
+        .select(col("vec_id").as("id_a"), col("nbr_id").as("id_b"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a")
     }),
 
     "similarity_topk_pq" -> ((s, dir) => {
@@ -4475,6 +4503,45 @@ object SparkEntry {
           (acc, f) => acc + when(col("o_totalprice") > f, 1L).otherwise(0L)))
         .select(col("o_orderkey"), col("o_totalprice"), col("bin"))
         .orderBy("o_orderkey")
+    }),
+
+    "events_funnel_windowed" -> ((s, dir) => {
+      // conversion-window funnel — events_funnel with PER-STEP DEADLINES
+      // (the semantics product analytics actually bills: a click only
+      // converts within 24 h of signup, a purchase within 24 h of that
+      // click). Same co-partitioned shape: per-stage min-ts aggregates
+      // joined on user_id, each with an upper time bound; step-over-step
+      // conversion is an integer ppm of exact counts. Persisted stages
+      // scan events once each; all shuffles share the user key.
+      val e = t(s, dir, "events")
+      val win = expr("INTERVAL 24 HOURS")
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cl = e.filter(col("event_type") === "click")
+        .join(su, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(cl, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val n1 = su.agg(count(lit(1)).as("n1"))
+      val n2 = cl.agg(count(lit(1)).as("n2"))
+      val n3 = pu.agg(count(lit(1)).as("n3"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
+        .select(
+          struct(lit("1_signup").as("step"), col("n1").as("n_users"),
+            lit(1000000L).as("conv_ppm")).as("a"),
+          struct(lit("2_click_24h").as("step"), col("n2").as("n_users"),
+            expr("(1000000 * n2) div n1").as("conv_ppm")).as("b"),
+          struct(lit("3_purchase_24h").as("step"), col("n3").as("n_users"),
+            expr("(1000000 * n3) div n2").as("conv_ppm")).as("c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("s"))
+        .select(col("s.step").as("step"), col("s.n_users").as("n_users"),
+          col("s.conv_ppm").as("conv_ppm"))
+        .orderBy("step")
     })
   )
 
@@ -4545,6 +4612,41 @@ object SparkEntry {
     (0 until bits).map(i =>
       s"(((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i}))")
       .mkString("(", " | ", ")")
+
+  /** The cell-bounded ranked-neighbor CTE chain shared by the
+    * similarity_knn_graph and similarity_mutual_knn oracles: trained
+    * quantizer → cell assignment → within-cell exact-cosine pairs →
+    * per-vector rank, ending in CTE `r(vec_id, nbr_id, cosine, rnk)`. */
+  private lazy val knnEdgesCteSql: String =
+    s"""corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             v AS cv
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                   FROM corpus))),
+         ${kmeansIterSql("c0", "a1", "c1")},
+         ${kmeansIterSql("c1", "a2", "c2")},
+         cellsc AS (
+           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
+           FROM corpus p CROSS JOIN c2 c),
+         cells AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1),
+         cv AS (
+           SELECT c.vec_id, c.cid, p.v
+           FROM cells c JOIN corpus p USING (vec_id)),
+         pairs AS (
+           SELECT a.vec_id, b.vec_id AS nbr_id,
+             list_cosine_similarity(a.v, b.v) AS cosine
+           FROM cv a JOIN cv b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         r AS (
+           SELECT vec_id, nbr_id, cosine,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cosine DESC, nbr_id) AS rnk
+           FROM pairs)"""
 
   /** Layout.withHilbertKey as a chain of DuckDB CTEs — one per bit, most
     * significant first, each materializing the rotated (x, y, d) exactly
@@ -7579,37 +7681,19 @@ object SparkEntry {
     // same deterministic k-means cells as the IVF oracles, then exact
     // within-cell cosine pairs ranked per vector
     "similarity_knn_graph" ->
-      s"""WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
-             v AS cv
-           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
-            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
-                   FROM corpus))),
-         ${kmeansIterSql("c0", "a1", "c1")},
-         ${kmeansIterSql("c1", "a2", "c2")},
-         cellsc AS (
-           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
-           FROM corpus p CROSS JOIN c2 c),
-         cells AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1),
-         cv AS (
-           SELECT c.vec_id, c.cid, p.v
-           FROM cells c JOIN corpus p USING (vec_id)),
-         pairs AS (
-           SELECT a.vec_id, b.vec_id AS nbr_id,
-             list_cosine_similarity(a.v, b.v) AS cosine
-           FROM cv a JOIN cv b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
-         r AS (
-           SELECT vec_id, nbr_id, cosine,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY cosine DESC, nbr_id) AS rnk
-           FROM pairs)
+      s"""WITH $knnEdgesCteSql
          SELECT vec_id, rnk, nbr_id, round(cosine, 6) AS cosine
          FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""",
+
+    "similarity_mutual_knn" ->
+      s"""WITH $knnEdgesCteSql,
+         e1 AS (SELECT vec_id, nbr_id, cosine FROM r WHERE rnk = 1)
+         SELECT a.vec_id AS id_a, a.nbr_id AS id_b,
+           round(a.cosine, 6) AS cosine
+         FROM e1 a JOIN e1 b
+           ON a.nbr_id = b.vec_id AND b.nbr_id = a.vec_id
+         WHERE a.vec_id < a.nbr_id
+         ORDER BY id_a""",
 
     "similarity_hard_negatives" ->
       s"""WITH corpus AS (
@@ -8614,7 +8698,36 @@ object SparkEntry {
              list_transform(fences,
                x -> CASE WHEN o_totalprice > x THEN 1 ELSE 0 END)),
              (p, q) -> p + q) AS BIGINT) AS bin
-         FROM orders CROSS JOIN f ORDER BY o_orderkey"""
+         FROM orders CROSS JOIN f ORDER BY o_orderkey""",
+
+    "events_funnel_windowed" ->
+      """WITH su AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         cl AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN su ON e.user_id = su.user_id
+           WHERE e.event_type = 'click' AND e.ts > su.t1
+             AND e.ts <= su.t1 + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+         pu AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN cl ON e.user_id = cl.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > cl.t2
+             AND e.ts <= cl.t2 + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+         ns AS (
+           SELECT (SELECT count(*) FROM su) AS n1,
+             (SELECT count(*) FROM cl) AS n2,
+             (SELECT count(*) FROM pu) AS n3)
+         SELECT step, n_users, conv_ppm FROM (
+           SELECT '1_signup' AS step, n1 AS n_users,
+             CAST(1000000 AS BIGINT) AS conv_ppm FROM ns
+           UNION ALL
+           SELECT '2_click_24h', n2, (1000000 * n2) // n1 FROM ns
+           UNION ALL
+           SELECT '3_purchase_24h', n3, (1000000 * n3) // n2 FROM ns)
+         ORDER BY step"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

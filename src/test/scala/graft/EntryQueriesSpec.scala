@@ -11,6 +11,37 @@ class EntryQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("similarity_mutual_knn: exactly the symmetric slice of the rank-1 edge list") {
+    val rank1 = q("similarity_knn_graph")
+      .filter(org.apache.spark.sql.functions.col("rnk") === 1)
+      .select("vec_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = rank1.filter { case (a, b) => a < b && rank1((b, a)) }
+    val got = q("similarity_mutual_knn")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("events_funnel_windowed: dominated by the unbounded funnel, ppm arithmetic exact") {
+    val wf = q("events_funnel_windowed")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    val uf = q("events_funnel")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(wf.map(_._1) == Seq("1_signup", "2_click_24h", "3_purchase_24h"))
+    // step 1 identical; deadline steps can only lose users vs unbounded
+    assert(wf(0)._2 == uf(0)._2)
+    assert(wf(1)._2 <= uf(1)._2 && wf(2)._2 <= uf(2)._2)
+    // funnel monotone + live
+    assert(wf(0)._2 >= wf(1)._2 && wf(1)._2 >= wf(2)._2)
+    assert(wf(2)._2 > 0L)
+    assert(wf(0)._3 == 1000000L)
+    assert(wf(1)._3 == 1000000L * wf(1)._2 / wf(0)._2)
+    assert(wf(2)._3 == 1000000L * wf(2)._2 / wf(1)._2)
+  }
+
   test("agg_incremental_update: delta algebra equals an independent in-engine recompute") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
