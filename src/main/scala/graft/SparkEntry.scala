@@ -4542,6 +4542,101 @@ object SparkEntry {
         .select(col("s.step").as("step"), col("s.n_users").as("n_users"),
           col("s.conv_ppm").as("conv_ppm"))
         .orderBy("step")
+    }),
+
+    "stats_did" -> ((s, dir) => {
+      // difference-in-differences readout — the quasi-experimental
+      // estimator when an A/B split exists but exposure has a before/
+      // after boundary: DiD = (T̄post − T̄pre) − (C̄post − C̄pre) on
+      // purchase value. Periods split at the stream's midpoint (derived
+      // from exact min/max epoch micros — deterministic, no config),
+      // arms by the stable-hash parity every experiment query shares.
+      // Four cell means from exact decimal sums close in one double
+      // tree. One user-less groupBy of 4 cells; nothing row-sized
+      // crosses the wire twice.
+      val e = t(s, dir, "events")
+      val bounds = e.agg(
+        min(expr("unix_micros(ts)")).as("lo"),
+        max(expr("unix_micros(ts)")).as("hi"))
+      val cells = e.filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(bounds))
+        .withColumn("arm",
+          when(pmod(HashFunctions.fnv64(col("user_id").cast("string")),
+            lit(2L)) === 0, "control").otherwise("treatment"))
+        .withColumn("period",
+          when(expr("unix_micros(ts) * 2 < lo + hi"), "pre")
+            .otherwise("post"))
+        .groupBy("arm", "period")
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+        .withColumn("mean_v",
+          expr("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"))
+      val wide = cells.groupBy()
+        .pivot(concat_ws("_", col("arm"), col("period")),
+          Seq("control_pre", "control_post", "treatment_pre",
+            "treatment_post"))
+        .agg(max(col("mean_v")))
+      wide.select(
+        round(col("control_pre"), 6).as("control_pre"),
+        round(col("control_post"), 6).as("control_post"),
+        round(col("treatment_pre"), 6).as("treatment_pre"),
+        round(col("treatment_post"), 6).as("treatment_post"),
+        round((col("treatment_post") - col("treatment_pre")) -
+          (col("control_post") - col("control_pre")), 6).as("did"))
+    }),
+
+    "dq_partition_audit" -> ((s, dir) => {
+      // ingestion-volume audit: daily row counts vs the table's median
+      // day, days under half the median flagged (the "partition didn't
+      // land" alarm a freshness monitor fires). Day counts are DAY-
+      // domain-sized; the median is one exact interpolated percentile
+      // over them, broadcast back — no second scan of events.
+      val e = t(s, dir, "events")
+      val daily = e.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+      val med = daily.agg(
+        round(expr("percentile(n_rows, 0.5)"), 4).as("median_rows"))
+      daily.crossJoin(broadcast(med))
+        .withColumn("low_volume",
+          col("n_rows").cast("double") < col("median_rows") * 0.5)
+        .select(col("day").cast("timestamp_ntz").as("day"), col("n_rows"),
+          col("median_rows"), col("low_volume"))
+        .orderBy("day")
+    }),
+
+    "graph_kcore" -> ((s, dir) => {
+      // bounded k-core peel (three rounds) over the supplier–part graph
+      // — the graph-summarization / spam-subgraph filter. k is DATA-
+      // ADAPTIVE: ⌊p25 of the initial degree distribution⌋, so ~a
+      // quarter of the nodes start below the bar and cascading removals
+      // are actually exercised at every SF (a fixed k either peels
+      // nothing on a dense graph or everything on a sparse one). Each
+      // round is two |E| semi-joins + one map-side-combinable degree
+      // agg (the Pregel lowering); |E| shrinks monotonically. Reports
+      // surviving nodes with residual degree.
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select(
+          (col("l_suppkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
+        .distinct()
+      var edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val kRow = deg0.agg(
+        expr("CAST(floor(percentile(deg, 0.25)) AS BIGINT)").as("k"))
+      for (_ <- 1 to 3) {
+        val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .crossJoin(broadcast(kRow))
+          .filter(col("deg") >= col("k"))
+          .select(col("src").as("node"))
+        edges = edges
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      edges.groupBy("src").agg(count(lit(1)).as("degree"))
+        .select(col("src").as("node"), col("degree"))
+        .orderBy("node")
     })
   )
 
@@ -8727,7 +8822,79 @@ object SparkEntry {
            SELECT '2_click_24h', n2, (1000000 * n2) // n1 FROM ns
            UNION ALL
            SELECT '3_purchase_24h', n3, (1000000 * n3) // n2 FROM ns)
-         ORDER BY step"""
+         ORDER BY step""",
+
+    "stats_did" -> {
+      val hv = signedSql(fnvSql("CAST(user_id AS VARCHAR)"))
+      s"""WITH b AS (
+           SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+           FROM events),
+         cells AS (
+           SELECT CASE WHEN (($hv % 2) + 2) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+             CASE WHEN epoch_us(ts) * 2 < lo + hi
+                  THEN 'pre' ELSE 'post' END AS period,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sv
+           FROM events CROSS JOIN b
+           WHERE event_type = 'purchase'
+           GROUP BY 1, 2),
+         m AS (
+           SELECT arm || '_' || period AS cell,
+             CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v
+           FROM cells),
+         wide AS (
+           SELECT max(CASE WHEN cell = 'control_pre' THEN mean_v END)
+               AS control_pre,
+             max(CASE WHEN cell = 'control_post' THEN mean_v END)
+               AS control_post,
+             max(CASE WHEN cell = 'treatment_pre' THEN mean_v END)
+               AS treatment_pre,
+             max(CASE WHEN cell = 'treatment_post' THEN mean_v END)
+               AS treatment_post
+           FROM m)
+         SELECT round(control_pre, 6) AS control_pre,
+           round(control_post, 6) AS control_post,
+           round(treatment_pre, 6) AS treatment_pre,
+           round(treatment_post, 6) AS treatment_post,
+           round((treatment_post - treatment_pre) -
+             (control_post - control_pre), 6) AS did
+         FROM wide"""
+    },
+
+    "dq_partition_audit" ->
+      """WITH daily AS (
+           SELECT date_trunc('day', ts) AS day, count(*) AS n_rows
+           FROM events GROUP BY 1),
+         med AS (
+           SELECT round(quantile_cont(n_rows, 0.5), 4) AS median_rows
+           FROM daily)
+         SELECT day, n_rows, median_rows,
+           CAST(n_rows AS DOUBLE) < median_rows * 0.5 AS low_volume
+         FROM daily CROSS JOIN med ORDER BY day""",
+
+    "graph_kcore" ->
+      """WITH e0 AS (
+           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           FROM lineitem),
+         g0 AS (SELECT src, dst FROM e0
+           UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         kv AS (
+           SELECT CAST(floor(quantile_cont(deg, 0.25)) AS BIGINT) AS k
+           FROM (SELECT src, count(*) AS deg FROM g0 GROUP BY src)),
+         k1 AS (SELECT src AS node FROM g0 CROSS JOIN kv GROUP BY src, k
+           HAVING count(*) >= k),
+         g1 AS (SELECT g.src, g.dst FROM g0 g
+           JOIN k1 a ON g.src = a.node JOIN k1 b ON g.dst = b.node),
+         k2 AS (SELECT src AS node FROM g1 CROSS JOIN kv GROUP BY src, k
+           HAVING count(*) >= k),
+         g2 AS (SELECT g.src, g.dst FROM g1 g
+           JOIN k2 a ON g.src = a.node JOIN k2 b ON g.dst = b.node),
+         k3 AS (SELECT src AS node FROM g2 CROSS JOIN kv GROUP BY src, k
+           HAVING count(*) >= k),
+         g3 AS (SELECT g.src, g.dst FROM g2 g
+           JOIN k3 a ON g.src = a.node JOIN k3 b ON g.dst = b.node)
+         SELECT src AS node, count(*) AS degree
+         FROM g3 GROUP BY src ORDER BY node"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

@@ -11,6 +11,69 @@ class EntryQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("graph_kcore: true k-core at the fixpoint — residual degrees >= k, 4th peel inert") {
+    import org.apache.spark.sql.functions._
+    val out = q("graph_kcore")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // rebuild the graph + adaptive k directly
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val e0 = li.select((col("l_suppkey") * 2L).as("src"),
+        (col("l_partkey") * 2L + 1L).as("dst")).distinct()
+    val und = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val deg0 = und.groupBy(_._1).map { case (n, es) => (n, es.size) }
+    val degs = deg0.values.toSeq.sorted
+    val p25 = {
+      val pos = 0.25 * (degs.size - 1)
+      val lo = degs(pos.toInt); val hi = degs(math.ceil(pos).toInt)
+      math.floor(lo + (pos - pos.toInt) * (hi - lo)).toLong
+    }
+    val allNodes = deg0.keySet
+    assert(out.keySet.subsetOf(allNodes))
+    assert(out.size < allNodes.size, "peel removed nothing")
+    // every survivor's residual degree within the surviving subgraph >= k
+    val surv = out.keySet
+    val resDeg = und.filter(e => surv(e._1) && surv(e._2))
+      .groupBy(_._1).map { case (n, es) => (n, es.size.toLong) }
+    assert(resDeg.keySet == surv)
+    resDeg.foreach { case (n, d) =>
+      assert(d >= p25, s"node $n residual degree $d < k=$p25")
+      assert(out(n) == d)
+    }
+  }
+
+  test("stats_did: cell means and estimator equal a direct recompute") {
+    import org.apache.spark.sql.functions._
+    val row = q("stats_did").head()
+    def g(c: String) = row.getDouble(row.fieldIndex(c))
+    // the parallel-trends arithmetic must close exactly over the cells
+    val did = BigDecimal((g("treatment_post") - g("treatment_pre")) -
+      (g("control_post") - g("control_pre")))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(g("did") - did) <= 2e-6)
+    // every cell mean is positive and the four cells are distinct numbers
+    val cells = Seq(g("control_pre"), g("control_post"),
+      g("treatment_pre"), g("treatment_post"))
+    assert(cells.forall(_ > 0.0))
+    assert(cells.distinct.size == 4)
+  }
+
+  test("dq_partition_audit: median recomputed, flags consistent") {
+    val rows = q("dq_partition_audit")
+      .select("n_rows", "median_rows", "low_volume")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(rows.nonEmpty)
+    val counts = rows.map(_._1).sorted
+    val pos = 0.5 * (counts.size - 1)
+    val med = counts(pos.toInt) +
+      (pos - pos.toInt) * (counts(math.ceil(pos).toInt) - counts(pos.toInt))
+    val medQ = rows.head._2
+    assert(math.abs(medQ - med) < 1e-4)
+    rows.foreach { case (n, m, flag) =>
+      assert(flag == (n.toDouble < m * 0.5), s"day n=$n m=$m flag=$flag")
+    }
+  }
+
   test("similarity_mutual_knn: exactly the symmetric slice of the rank-1 edge list") {
     val rank1 = q("similarity_knn_graph")
       .filter(org.apache.spark.sql.functions.col("rnk") === 1)
