@@ -807,6 +807,32 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming MinHash near-dup scrub at ingest — the fuzzy sibling of
+    * `substrScrubStream` and the streaming form of
+    * `Dedup.incrementalDedupFromIndex`: each micro-batch probes the
+    * MATERIALIZED corpus dedup index (fingerprints + LSH band buckets +
+    * shingle sets on storage, built offline by `writeDedupIndex`) and the
+    * sink receives only batch docs that are neither exact nor ≥threshold
+    * Jaccard near-dups of the corpus. foreachBatch is the right tool:
+    * the per-batch plan needs batch-only shapes (candidate `distinct`,
+    * pair joins) that a continuous stateful plan would turn into
+    * unbounded state, while the per-batch semantics are EXACTLY the
+    * incremental batch operator's — one oracle covers both. */
+  def nearDupScrubStream(docs: DataFrame, indexPath: String,
+                         idCol: String, textCol: String,
+                         sink: (DataFrame, Long) => Unit,
+                         shingleSize: Int = 3, bands: Int = 16,
+                         rowsPerBand: Int = 4, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink(graft.operators.Dedup.incrementalDedupFromIndex(
+          batch.sparkSession, indexPath, batch, idCol, textCol,
+          shingleSize, bands, rowsPerBand, threshold), epochId)
+      }
+      .start()
+
   /** Streaming quality gate: score every arriving document with the
     * hashed linear classifier (`HashOps.linearMargin` — one codegen'd
     * expression, exact integer margin) and pass only positive-margin

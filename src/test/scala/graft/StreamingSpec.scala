@@ -769,6 +769,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupScrubStream: per-batch survivors equal the incremental batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(100)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_neardup_stream_").toString
+    Dedup.writeDedupIndex(corpus, idxPath, "doc_id", "text")
+    val base = corpus.as[(Long, String)].collect().toSeq
+    // batch 1: an exact corpus copy (doomed) + a novel doc (survives);
+    // batch 2: a tail-appended near-dup (doomed by Jaccard) + novel
+    val novel1 = (0 until 60).map(i => s"n$i").mkString(" ")
+    val novel2 = (0 until 60).map(i => s"m$i").mkString(" ")
+    val b1 = Seq((1001L, base.head._2), (1002L, novel1))
+    val b2 = Seq((1003L, base(1)._2 + " tiny tail"), (1004L, novel2))
+
+    val perEpoch = scala.collection.mutable.Map[Long, Set[Long]]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.nearDupScrubStream(
+      input.toDF().toDF("doc_id", "text"), idxPath, "doc_id", "text",
+      sink = (kept, epoch) => perEpoch.synchronized {
+        perEpoch(epoch) = kept.select("doc_id").as[Long].collect().toSet
+      })
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val streamed = perEpoch.values.reduce(_ ++ _)
+      // oracle: the BATCH incremental operator on the union of batches
+      val batchKeep = Dedup.incrementalDedupFromIndex(
+          spark, idxPath, (b1 ++ b2).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed === batchKeep, s"$perEpoch vs $batchKeep")
+      assert(streamed === Set(1002L, 1004L))
+      // batch boundaries respected: each epoch only reports its own docs
+      assert(perEpoch.values.forall(s => s.subsetOf(Set(1002L, 1004L))))
+    } finally q.stop()
+  }
+
   test("qualityGateStream: streamed keepers equal the batch keep set, stateless plan") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
