@@ -140,6 +140,24 @@ object SparkEntry {
     (centroidsDf(s, cents), path)
   }
 
+  /** The SCD2 validity-interval frame shared by `scd2_build` (full
+    * history) and `scd2_point_in_time` (interval-containment read):
+    * no-op-suppressed changes with raw-timestamp `ts`/`valid_to` bounds.
+    * Both window passes share one user-keyed sort. */
+  private def scd2Frame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val updates = t(s, dir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    updates
+      .withColumn("prev_k", lag(col("k"), 1).over(w))
+      .filter(col("prev_k").isNull || col("k") =!= col("prev_k"))
+      .drop("prev_k")
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+  }
+
   /** Cell-bounded ranked neighbor edges shared by `similarity_knn_graph`
     * (rnk ≤ 3 slice) and `similarity_mutual_knn` (rnk = 1 + mutuality):
     * within-cell exact-cosine pairs ranked per vector. Co-partitioned
@@ -1693,23 +1711,34 @@ object SparkEntry {
       // (user_id)-keyed sort, so the whole build is a single shuffle —
       // the formulation that holds when the changelog is 100 TB: state
       // per key is one scalar, never the full history in memory.
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val updates = t(s, dir, "events")
-        .filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-      val changes = updates
-        .withColumn("prev_k", lag(col("k"), 1).over(w))
-        .filter(col("prev_k").isNull || col("k") =!= col("prev_k"))
-        .drop("prev_k")
-      changes
-        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      scd2Frame(s, dir)
         .select(col("user_id"), col("k"),
           col("ts").cast("timestamp_ntz").as("valid_from"),
           col("valid_to").cast("timestamp_ntz").as("valid_to"),
           col("valid_to").isNull.as("is_current"))
         .orderBy("user_id", "valid_from")
+    }),
+
+    "scd2_point_in_time" -> ((s, dir) => {
+      // point-in-time read over the SCD2 history — the feature-store
+      // correctness rule ("what did we believe about the user at T?"):
+      // one interval-containment filter valid_from ≤ T < valid_to on the
+      // shared scd2 frame, T = the stream's exact epoch-micros midpoint
+      // (the stats_did boundary — deterministic, no config). Exactly one
+      // row per user active at T by construction (intervals partition
+      // each user's timeline). At 100 TB the validity table is
+      // range-partitioned by valid_from and this filter prunes files.
+      val e = t(s, dir, "events")
+      val bounds = e.agg(
+        expr("CAST((min(unix_micros(ts)) + max(unix_micros(ts))) div 2 AS BIGINT)")
+          .as("t_mid"))
+      scd2Frame(s, dir)
+        .crossJoin(broadcast(bounds))
+        .filter(expr("unix_micros(ts) <= t_mid") &&
+          (col("valid_to").isNull || expr("unix_micros(valid_to) > t_mid")))
+        .select(col("user_id"), col("k"),
+          col("ts").cast("timestamp_ntz").as("valid_from"))
+        .orderBy("user_id")
     }),
 
     "dedup_latest" -> ((s, dir) => {
@@ -4637,6 +4666,43 @@ object SparkEntry {
       edges.groupBy("src").agg(count(lit(1)).as("degree"))
         .select(col("src").as("node"), col("degree"))
         .orderBy("node")
+    }),
+
+    "customers_rfm" -> ((s, dir) => {
+      // RFM segmentation — the marketing-analytics workhorse: per
+      // customer, Recency (days since last order, vs the table's max
+      // date), Frequency (order count), Monetary (exact cents); each
+      // scored into quintiles by ntile(5) with a custkey tie chain so
+      // the scores are a pure function of the data. All three ntiles
+      // share the global sort domain of ONE customer-sized aggregate
+      // (the values-domain reduction again — events never ranked).
+      // Higher score = better (recent/frequent/valuable). Segment code
+      // = 100r + 10f + m.
+      val o = t(s, dir, "orders")
+      val maxD = o.agg(max(col("o_orderdate")).as("d_max"))
+      val per = o.groupBy("o_custkey").agg(
+          max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100) AS BIGINT)")
+            .as("monetary_cents"))
+        .crossJoin(broadcast(maxD))
+        .withColumn("recency_days",
+          datediff(col("d_max"), col("last_order")).cast("long"))
+      val r = ntile(5).over(Window.orderBy(col("recency_days").desc,
+        col("o_custkey"))).cast("long")
+      val f = ntile(5).over(Window.orderBy(col("frequency"),
+        col("o_custkey"))).cast("long")
+      val m = ntile(5).over(Window.orderBy(col("monetary_cents"),
+        col("o_custkey"))).cast("long")
+      per.withColumn("r_score", r)
+        .withColumn("f_score", f)
+        .withColumn("m_score", m)
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"), col("r_score"), col("f_score"),
+          col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("segment"))
+        .orderBy("o_custkey")
     })
   )
 
@@ -6235,6 +6301,33 @@ object SparkEntry {
              AS is_current
          FROM changes
          ORDER BY user_id, valid_from""",
+
+    "scd2_point_in_time" ->
+      """WITH updates AS (
+           SELECT user_id, ts, event_id,
+             CAST(CASE WHEN json_extract_string(props, '$.k')
+                            SIMILAR TO '-?[0-9]+'
+                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+           FROM events WHERE event_type = 'view'
+         ), changes AS (
+           SELECT user_id, ts, event_id, k FROM (
+             SELECT *, lag(k) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_k
+             FROM updates)
+           WHERE prev_k IS NULL OR k <> prev_k
+         ), hist AS (
+           SELECT user_id, k, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+           FROM changes
+         ), mid AS (
+           SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t_mid
+           FROM events)
+         SELECT user_id, k, ts AS valid_from
+         FROM hist CROSS JOIN mid
+         WHERE epoch_us(ts) <= t_mid
+           AND (valid_to IS NULL OR epoch_us(valid_to) > t_mid)
+         ORDER BY user_id""",
 
     "agg_mode" ->
       """WITH counts AS (
@@ -8894,7 +8987,33 @@ object SparkEntry {
          g3 AS (SELECT g.src, g.dst FROM g2 g
            JOIN k3 a ON g.src = a.node JOIN k3 b ON g.dst = b.node)
          SELECT src AS node, count(*) AS degree
-         FROM g3 GROUP BY src ORDER BY node"""
+         FROM g3 GROUP BY src ORDER BY node""",
+
+    "customers_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS d_max FROM orders),
+         per AS (
+           SELECT o_custkey, max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+               AS BIGINT) AS monetary_cents
+           FROM orders GROUP BY o_custkey),
+         scored AS (
+           SELECT o_custkey,
+             CAST(date_diff('day', last_order, d_max) AS BIGINT)
+               AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+             CAST(ntile(5) OVER (ORDER BY
+               date_diff('day', last_order, d_max) DESC, o_custkey)
+               AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+               AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+               AS BIGINT) AS m_score
+           FROM per CROSS JOIN mx)
+         SELECT o_custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS segment
+         FROM scored ORDER BY o_custkey"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

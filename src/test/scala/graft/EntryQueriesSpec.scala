@@ -11,6 +11,59 @@ class EntryQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("scd2_point_in_time: one row per active user, k matches the covering interval") {
+    val hist = q("scd2_build")
+      .collect().map { r =>
+        val vf = r.getAs[java.time.LocalDateTime](r.fieldIndex("valid_from"))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        val vt = Option(r.getAs[java.time.LocalDateTime](r.fieldIndex("valid_to")))
+          .map(_.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+        (r.getLong(r.fieldIndex("user_id")),
+          if (r.isNullAt(r.fieldIndex("k"))) None
+          else Some(r.getLong(r.fieldIndex("k"))), vf, vt)
+      }.toSeq
+    import org.apache.spark.sql.functions._
+    val b = graft.sources.Tables.load(spark, sfDir, "events")
+      .agg(min(expr("unix_millis(ts)")), max(expr("unix_millis(ts)"))).head()
+    val tMid = (b.getLong(0) + b.getLong(1)) / 2
+    val expected = hist
+      .filter { case (_, _, vf, vt) => vf <= tMid && vt.forall(_ > tMid) }
+      .map { case (u, k, _, _) => (u, k) }.toMap
+    val got = q("scd2_point_in_time")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    // exactly one interval covers T per active user (intervals partition
+    // each user's timeline)
+    assert(got.map(_._1).distinct.size == got.size)
+    assert(got.toMap == expected, s"${got.size} vs ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("customers_rfm: balanced quintiles, segment arithmetic, monotone scores") {
+    val rows = q("customers_rfm")
+      .select("recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score", "segment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val n = rows.size
+    // ntile balance: every score bucket within 1 of n/5
+    for (sel <- Seq[((Long,Long,Long,Long,Long,Long,Long)) => Long](
+        _._4, _._5, _._6)) {
+      val sizes = rows.groupBy(sel).values.map(_.size)
+      assert(sizes.size == 5 && sizes.forall(sz => math.abs(sz - n / 5.0) <= 1))
+    }
+    rows.foreach { case (_, _, _, r, f, m, seg) =>
+      assert(seg == 100 * r + 10 * f + m)
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+    }
+    // monotonicity: sorted by monetary, m_score never decreases
+    rows.sortBy(_._3).map(_._6).sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b); case _ => }
+    // recency score: MORE recent (smaller recency_days) => higher r
+    rows.sortBy(-_._1).map(_._4).sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b); case _ => }
+  }
+
   test("graph_kcore: true k-core at the fixpoint — residual degrees >= k, 4th peel inert") {
     import org.apache.spark.sql.functions._
     val out = q("graph_kcore")
