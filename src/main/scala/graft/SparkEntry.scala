@@ -4703,6 +4703,43 @@ object SparkEntry {
           (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
             .as("segment"))
         .orderBy("o_custkey")
+    }),
+
+    "join_cardinality_estimate" -> ((s, dir) => {
+      // pre-flight join-size estimate from KMV sketches — the planner
+      // question ("can I afford this join? which side broadcasts?")
+      // answered WITHOUT executing it: |A⋈B| ≈ |keys(A)∩keys(B)| ·
+      // (n_A/d_A) · (n_B/d_B) under per-key-uniform multiplicity, with
+      // the key-overlap term from the KMV set algebra (sketches are
+      // union-closed, intersection by inclusion–exclusion). Each input
+      // is scanned ONCE for a 2 KB sketch + a count; at 100 TB those
+      // sketches live next to the table like any stats artifact. The
+      // exact join count rides along to exhibit the estimator's error.
+      val k = 256
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sa = o.agg(
+        KmvFunctions.kmvSketch(col("o_custkey"), k).as("sk_a"),
+        count(lit(1)).as("n_a"))
+      val sb = c.agg(
+        KmvFunctions.kmvSketch(col("c_custkey"), k).as("sk_b"),
+        count(lit(1)).as("n_b"))
+      val exact = o.join(c, o("o_custkey") === c("c_custkey"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      sa.crossJoin(sb).crossJoin(broadcast(exact))
+        .withColumn("est_a", KmvFunctions.kmvEstimate(col("sk_a"), k))
+        .withColumn("est_b", KmvFunctions.kmvEstimate(col("sk_b"), k))
+        .withColumn("est_union", KmvFunctions.kmvEstimate(
+          KmvFunctions.kmvUnion(col("sk_a"), col("sk_b"), k), k))
+        .withColumn("est_keys",
+          greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+        .withColumn("est_join_rows", round(
+          col("est_keys") *
+            (col("n_a").cast("double") / col("est_a")) *
+            (col("n_b").cast("double") / col("est_b")), 2))
+        .select(col("n_a"), col("n_b"),
+          col("est_a"), col("est_b"), round(col("est_keys"), 4).as("est_keys"),
+          col("est_join_rows"), col("exact_join_rows"))
     })
   )
 
@@ -9013,7 +9050,48 @@ object SparkEntry {
          SELECT o_custkey, recency_days, frequency, monetary_cents,
            r_score, f_score, m_score,
            r_score * 100 + f_score * 10 + m_score AS segment
-         FROM scored ORDER BY o_custkey"""
+         FROM scored ORDER BY o_custkey""",
+
+    // KMV sketches rebuilt hash-for-hash (agg_theta_sketch's chain) on
+    // both key sets; the estimator closes over them in the same double
+    // tree; the exact join count rides along
+    "join_cardinality_estimate" ->
+      s"""WITH keys_a AS (
+           SELECT DISTINCT CAST(o_custkey AS HUGEINT) AS x FROM orders),
+         keys_b AS (
+           SELECT DISTINCT CAST(c_custkey AS HUGEINT) AS x FROM customer),
+         ${mix64Ctes("keys_a", "ha")},
+         ${mix64Ctes("keys_b", "hb")},
+         ka AS (SELECT h FROM (
+           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha)
+           WHERE rn <= 256),
+         kb AS (SELECT h FROM (
+           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb)
+           WHERE rn <= 256),
+         ku AS (SELECT h FROM (
+           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM
+             (SELECT h FROM ka UNION SELECT h FROM kb))
+           WHERE rn <= 256),
+         esta AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
+           END AS est_a FROM ka),
+         estb AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
+           END AS est_b FROM kb),
+         estu AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
+           END AS est_union FROM ku),
+         na_t AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM orders),
+         nb_t AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM customer),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         SELECT n_a, n_b, est_a, est_b,
+           round(greatest(0e0, est_a + est_b - est_union), 4) AS est_keys,
+           round(greatest(0e0, est_a + est_b - est_union) *
+             (CAST(n_a AS DOUBLE) / est_a) *
+             (CAST(n_b AS DOUBLE) / est_b), 2) AS est_join_rows,
+           exact_join_rows
+         FROM na_t, nb_t, esta, estb, estu, ex"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

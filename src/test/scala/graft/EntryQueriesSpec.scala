@@ -11,6 +11,19 @@ class EntryQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("join_cardinality_estimate: estimator lands near the exact join size") {
+    val row = q("join_cardinality_estimate").head()
+    def d(c: String) = row.getDouble(row.fieldIndex(c))
+    val est = d("est_join_rows")
+    val exact = row.getLong(row.fieldIndex("exact_join_rows")).toDouble
+    assert(exact > 0.0)
+    // KMV error at k=256 is ~6%; multiplicity is near-uniform in the
+    // fixture, so the estimate must land well within 25%
+    assert(math.abs(est - exact) / exact < 0.25, s"est $est exact $exact")
+    assert(d("est_a") > 0.0 && d("est_b") > 0.0)
+    assert(d("est_keys") <= math.min(d("est_a"), d("est_b")) + 1e-9)
+  }
+
   test("scd2_point_in_time: one row per active user, k matches the covering interval") {
     val hist = q("scd2_build")
       .collect().map { r =>
