@@ -4650,11 +4650,15 @@ object SparkEntry {
       var edges = e0.unionByName(
           e0.select(col("dst").as("src"), col("src").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // round 1 reuses the SAME persisted degree table the adaptive bar
+      // is derived from — one degree aggregation, two consumers
       val deg0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kRow = deg0.agg(
         expr("CAST(floor(percentile(deg, 0.25)) AS BIGINT)").as("k"))
+      var deg = deg0
       for (_ <- 1 to 3) {
-        val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val keep = deg
           .crossJoin(broadcast(kRow))
           .filter(col("deg") >= col("k"))
           .select(col("src").as("node"))
@@ -4662,6 +4666,7 @@ object SparkEntry {
           .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       }
       edges.groupBy("src").agg(count(lit(1)).as("degree"))
         .select(col("src").as("node"), col("degree"))
