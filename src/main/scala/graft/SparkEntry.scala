@@ -4710,6 +4710,26 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "text_langid_eval" -> ((s, dir) => {
+      // language-ID evaluation against the corpus's stored labels — the
+      // confusion matrix + per-class recall every classifier that gates
+      // a data pipeline must publish (an unevaluated langid silently
+      // skews the training mixture). Counts are exact integers; recall
+      // is one integer-ppm division per cell. Output is |langs|²-sized
+      // regardless of corpus size; one groupBy + a broadcast-joined
+      // per-class total.
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("lang"),
+        TextFunctions.langIdHeuristic(col("text")).as("lang_guess"))
+      val cells = scored.groupBy("lang", "lang_guess")
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("lang").agg(sum(col("n")).as("lang_total"))
+      cells.join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("lang_guess"), col("n"), col("lang_total"),
+          expr("(1000000 * n) div lang_total").as("cell_ppm"))
+        .orderBy("lang", "lang_guess")
+    }),
+
     "join_cardinality_estimate" -> ((s, dir) => {
       // pre-flight join-size estimate from KMV sketches — the planner
       // question ("can I afford this join? which side broadcasts?")
@@ -5898,6 +5918,37 @@ object SparkEntry {
                 WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
                 ELSE 'und' END AS lang_guess
          FROM s ORDER BY doc_id""",
+
+    "text_langid_eval" ->
+      """WITH b AS (
+           SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents
+         ), s AS (
+           SELECT doc_id, lang,
+             len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des'], t))) AS s_fr,
+             len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','von'], t))) AS s_de
+           FROM b
+         ), g AS (
+           SELECT lang,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                  ELSE 'und' END AS lang_guess
+           FROM s
+         ), cells AS (
+           SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2
+         ), tot AS (
+           SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total
+           FROM cells GROUP BY lang)
+         SELECT c.lang, c.lang_guess, c.n, t.lang_total,
+           (1000000 * c.n) // t.lang_total AS cell_ppm
+         FROM cells c JOIN tot t ON c.lang = t.lang
+         ORDER BY c.lang, c.lang_guess""",
 
     // unigram FNV + bigram shingle hashes → splitmix64 → low-10-bit
     // integer weights, summed exactly; score is the one double division.
