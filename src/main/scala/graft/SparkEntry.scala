@@ -4710,6 +4710,107 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "stats_welch_ttest" -> ((s, dir) => {
+      // Welch's unequal-variance t-test on the same two order-price
+      // samples as the KS / Mann–Whitney pair — the parametric corner
+      // of the classical-tests family. Means and variances close over
+      // exact decimal sums (Σx, Σx² per group, map-side combinable; the
+      // agg_corr discipline), then t and the Welch–Satterthwaite dof
+      // are one fixed double tree each, floored to ppm/milli.
+      val o = t(s, dir, "orders")
+      val two = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("is_a"), dec(col("o_totalprice")).as("x"))
+      val g = two.groupBy("is_a").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val a = g.filter(col("is_a") === 1)
+        .select(col("n").as("n_a"), col("sx").as("sxa"), col("sxx").as("sxxa"))
+      val b = g.filter(col("is_a") === 0)
+        .select(col("n").as("n_b"), col("sx").as("sxb"), col("sxx").as("sxxb"))
+      a.crossJoin(broadcast(b))
+        .withColumn("va", expr(
+          """(CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)
+               / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)"""))
+        .withColumn("vb", expr(
+          """(CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)
+               / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)"""))
+        .withColumn("se2", expr(
+          "va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)"))
+        .select(col("n_a"), col("n_b"),
+          expr("""CAST(floor(1000000.0 *
+            (CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) -
+             CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(se2))
+            AS BIGINT)""").as("t_ppm"),
+          expr("""CAST(floor(1000.0 * se2 * se2 /
+            (va * va / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)
+               * CAST(n_a - 1 AS DOUBLE)) +
+             vb * vb / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+               * CAST(n_b - 1 AS DOUBLE)))) AS BIGINT)""").as("dof_milli"))
+    }),
+
+    "stats_proportion_ztest" -> ((s, dir) => {
+      // two-proportion z-test on the A/B conversion readout — the
+      // significance column ab_test_lift deliberately leaves out: pooled
+      // p̂ from exact integer counts, z = (p̂_t − p̂_c)/√(p̂(1−p̂)(1/n_t +
+      // 1/n_c)) in one double tree, floored to ppm. Same stable-hash
+      // arms as the whole experiment family. Conversion is the
+      // POWER-USER bar (≥ 14 purchases, ~50% base rate in the fixture)
+      // — any-purchase is degenerate at p̂ = 1 where z is undefined.
+      val e = t(s, dir, "events")
+      val users = e.groupBy("user_id").agg(
+        when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 14L, 1L).otherwise(0L).as("conv"))
+      val armed = users.withColumn("is_t",
+        when(pmod(HashFunctions.fnv64(col("user_id").cast("string")),
+          lit(2L)) === 0, 0L).otherwise(1L))
+      val g = armed.groupBy("is_t").agg(
+        count(lit(1)).as("n"), sum(col("conv")).as("k"))
+      val tr = g.filter(col("is_t") === 1)
+        .select(col("n").as("n_t"), col("k").as("k_t"))
+      val ct = g.filter(col("is_t") === 0)
+        .select(col("n").as("n_c"), col("k").as("k_c"))
+      tr.crossJoin(broadcast(ct))
+        .withColumn("z_ppm", expr(
+          """CAST(floor(1000000.0 *
+               (CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+                CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE)) /
+               sqrt((CAST(k_t + k_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)) *
+                 (1.0 - CAST(k_t + k_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)) *
+                 (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE))))
+             AS BIGINT)"""))
+        .select("n_t", "k_t", "n_c", "k_c", "z_ppm")
+    }),
+
+    "text_keywords_tfidf" -> ((s, dir) => {
+      // per-document keyword extraction: top-3 TF-IDF terms (the tag /
+      // index-term generator of a corpus catalog). TF and DF are exact
+      // integer counts from ONE tokenize pass; the score ORDER is the
+      // integer pair (tf · idf_fixed) with idf_fixed = 10⁶·ln(N/df)
+      // floored — so ranking is engine-exact with no float ties — and
+      // ties break by term. Per-doc window top-k, never a global sort.
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df_, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("idf_fixed", expr(
+          """CAST(floor(1000000.0 * ln(CAST(n_docs AS DOUBLE)
+               / CAST(df AS DOUBLE))) AS BIGINT)"""))
+        .withColumn("score_fixed", col("tf") * col("idf_fixed"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_fixed").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("term"), col("tf"), col("score_fixed"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     "text_langid_eval" -> ((s, dir) => {
       // language-ID evaluation against the corpus's stored labels — the
       // confusion matrix + per-class recall every classifier that gates
@@ -5918,6 +6019,88 @@ object SparkEntry {
                 WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
                 ELSE 'und' END AS lang_guess
          FROM s ORDER BY doc_id""",
+
+    "stats_welch_ttest" ->
+      """WITH two AS (
+           SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS is_a,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS x
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         g AS (
+           SELECT is_a, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+             sum(x * x) AS sxx
+           FROM two GROUP BY is_a),
+         a AS (SELECT n AS n_a, sx AS sxa, sxx AS sxxa FROM g WHERE is_a = 1),
+         b AS (SELECT n AS n_b, sx AS sxb, sxx AS sxxb FROM g WHERE is_a = 0),
+         v AS (
+           SELECT n_a, n_b, sxa, sxb,
+             (CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)
+               / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) AS va,
+             (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)
+               / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE) AS vb
+           FROM a CROSS JOIN b),
+         s AS (
+           SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)
+             AS se2
+           FROM v)
+         SELECT n_a, n_b,
+           CAST(floor(1000000.0 *
+             (CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) -
+              CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(se2))
+             AS BIGINT) AS t_ppm,
+           CAST(floor(1000.0 * se2 * se2 /
+             (va * va / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)
+                * CAST(n_a - 1 AS DOUBLE)) +
+              vb * vb / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+                * CAST(n_b - 1 AS DOUBLE)))) AS BIGINT) AS dof_milli
+         FROM s""",
+
+    "stats_proportion_ztest" -> {
+      val hv = signedSql(fnvSql("CAST(user_id AS VARCHAR)"))
+      s"""WITH users AS (
+           SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                  THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+           FROM events GROUP BY user_id),
+         armed AS (
+           SELECT CASE WHEN (($hv % 2) + 2) % 2 = 0 THEN 0 ELSE 1 END
+               AS is_t, conv
+           FROM users),
+         g AS (
+           SELECT is_t, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+           FROM armed GROUP BY is_t),
+         tr AS (SELECT n AS n_t, k AS k_t FROM g WHERE is_t = 1),
+         ct AS (SELECT n AS n_c, k AS k_c FROM g WHERE is_t = 0)
+         SELECT n_t, k_t, n_c, k_c,
+           CAST(floor(1000000.0 *
+             (CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+              CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE)) /
+             sqrt((CAST(k_t + k_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)) *
+               (1.0 - CAST(k_t + k_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)) *
+               (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE))))
+             AS BIGINT) AS z_ppm
+         FROM tr CROSS JOIN ct"""
+    },
+
+    "text_keywords_tfidf" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+             CAST(floor(1000000.0 * ln(CAST(n_docs AS DOUBLE)
+               / CAST(df AS DOUBLE))) AS BIGINT) AS idf_fixed
+           FROM tf t JOIN dfq USING (term) CROSS JOIN nd),
+         r AS (
+           SELECT doc_id, term, tf, tf * idf_fixed AS score_fixed,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf * idf_fixed DESC, term) AS rnk
+           FROM scored)
+         SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, score_fixed
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
 
     "text_langid_eval" ->
       """WITH b AS (

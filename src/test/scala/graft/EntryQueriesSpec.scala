@@ -11,6 +11,32 @@ class EntryQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("text_keywords_tfidf: top-3 per doc recomputed from raw term counts") {
+    import org.apache.spark.sql.functions._
+    val tok = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .as("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val tf = tok.groupBy(identity).map { case ((d, t), v) => ((d, t), v.size.toLong) }
+    val df_ = tf.keys.groupBy(_._2).map { case (t, v) => (t, v.size.toLong) }
+    val expected = tf.toSeq.groupBy(_._1._1).map { case (d, terms) =>
+      val scored = terms.map { case ((_, t), f) =>
+        val idf = math.floor(1000000.0 * math.log(nDocs.toDouble / df_(t))).toLong
+        (t, f, f * idf)
+      }
+      (d, scored.sortBy(x => (-x._3, x._1)).take(3)
+        .zipWithIndex.map { case ((t, f, s), i) => (i + 1L, t, f, s) })
+    }
+    val got = q("text_keywords_tfidf")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))).toSeq
+      .groupBy(_._1).map { case (d, v) => (d, v.map(_._2).sortBy(_._1)) }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (d, ks) => assert(ks == expected(d), s"doc $d") }
+  }
+
   test("join_cardinality_estimate: estimator lands near the exact join size") {
     val row = q("join_cardinality_estimate").head()
     def d(c: String) = row.getDouble(row.fieldIndex(c))

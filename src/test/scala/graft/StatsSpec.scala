@@ -251,6 +251,63 @@ class StatsSpec extends SparkSpec {
     assert(benSum <= 1000000L && benSum > 1000000L - 10L)
   }
 
+  test("stats_welch_ttest equals direct computation; agrees in sign with Mann-Whitney") {
+    val a = twoSample.filter(_._2).map(_._1.toDouble / 100.0)
+    val b = twoSample.filterNot(_._2).map(_._1.toDouble / 100.0)
+    def sums(s: Seq[Double]) = (s.size.toLong,
+      s.map(BigDecimal(_)).sum, s.map(v => BigDecimal(v) * BigDecimal(v)).sum)
+    val (na, sxa, sxxa) = sums(a)
+    val (nb, sxb, sxxb) = sums(b)
+    val va = (sxxa.toDouble - sxa.toDouble * sxa.toDouble / na) / (na - 1)
+    val vb = (sxxb.toDouble - sxb.toDouble * sxb.toDouble / nb) / (nb - 1)
+    val se2 = va / na + vb / nb
+    val tExp = math.floor(1000000.0 *
+      (sxa.toDouble / na - sxb.toDouble / nb) / math.sqrt(se2)).toLong
+    val dofExp = math.floor(1000.0 * se2 * se2 /
+      (va * va / (na.toDouble * na * (na - 1)) +
+       vb * vb / (nb.toDouble * nb * (nb - 1)))).toLong
+    val row = q("stats_welch_ttest").head()
+    assert(row.getLong(row.fieldIndex("n_a")) == na)
+    assert(row.getLong(row.fieldIndex("n_b")) == nb)
+    val tQ = row.getLong(row.fieldIndex("t_ppm"))
+    assert(tQ == tExp, s"$tQ vs $tExp")
+    assert(row.getLong(row.fieldIndex("dof_milli")) == dofExp)
+    // dof bounded by min(n)-1 and n_a+n_b-2 (Welch-Satterthwaite range)
+    val dof = dofExp / 1000.0
+    assert(dof >= math.min(na, nb) - 1 - 1e-6 && dof <= na + nb - 2 + 1e-6)
+    // parametric and rank tests must agree on the shift DIRECTION
+    val mw = q("stats_mann_whitney").head()
+    assert(tQ.sign == mw.getLong(mw.fieldIndex("z_ppm")).sign)
+  }
+
+  test("stats_proportion_ztest: z recomputed from independently-derived cells") {
+    import org.apache.spark.sql.functions._
+    // rebuild the (arm, converted) cells with a separate plan: per-user
+    // purchase counts -> >= 14 bar -> stable-hash arm parity
+    val cells = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)) >= 14L, 1L).otherwise(0L).as("conv"))
+      .withColumn("is_t", when(pmod(
+        graft.functions.HashFunctions.fnv64(col("user_id").cast("string")),
+        lit(2L)) === 0, 0L).otherwise(1L))
+      .groupBy("is_t").agg(count(lit(1)).as("n"), sum("conv").as("k"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val (nC, kC) = cells(0L)
+    val (nT, kT) = cells(1L)
+    assert(kC > 0L && kC < nC && kT > 0L && kT < nT) // non-degenerate
+    val p = (kT + kC).toDouble / (nT + nC)
+    val zExp = math.floor(1000000.0 *
+      (kT.toDouble / nT - kC.toDouble / nC) /
+      math.sqrt(p * (1 - p) * (1.0 / nT + 1.0 / nC))).toLong
+    val row = q("stats_proportion_ztest").head()
+    assert(row.getLong(row.fieldIndex("n_t")) == nT)
+    assert(row.getLong(row.fieldIndex("k_t")) == kT)
+    assert(row.getLong(row.fieldIndex("n_c")) == nC)
+    assert(row.getLong(row.fieldIndex("k_c")) == kC)
+    assert(row.getLong(row.fieldIndex("z_ppm")) == zExp)
+  }
+
   test("graph_degree_distribution: ccdf monotone, mass accounted, Hill alpha recomputed") {
     val rows = q("graph_degree_distribution")
       .select("degree", "n_nodes", "ccdf_ppm", "n_tail", "alpha_hill")
