@@ -55,6 +55,40 @@ class LayoutSpec extends SparkSpec {
         s"curve jumped: ($x1,$y1)->($x2,$y2)"); case _ => }
   }
 
+  test("hilbertKey: parity with the reference walk at every bits width") {
+    import spark.implicits._
+    // the packed state machine must agree with the textbook walk at ANY
+    // recursion depth, not just the 16-bit default (the n-1 reflection
+    // constant depends on bits; a depth-dependent bug would hide at 16)
+    def xy2dAt(bits: Int)(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (bits - 1)
+      val n = 1L << bits
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    for (bits <- Seq(2, 4, 8)) {
+      val m = (1L << bits) - 1
+      val coords = (for { x <- 0L to math.min(m, 15L); y <- 0L to math.min(m, 15L) }
+        yield (x, y)).toSeq
+      val got = Layout.withHilbertKey(
+          coords.toDF("a", "b"), "a", "b", "hk", bits = bits)
+        .select("a", "b", "hk").as[(Long, Long, Long)].collect()
+      got.foreach { case (x, y, d) =>
+        assert(d == xy2dAt(bits)(x, y), s"bits=$bits ($x,$y)")
+      }
+    }
+  }
+
   test("hilbert needs fewer curve segments per query rectangle than z-order") {
     // the clustering result the curve choice rests on (Moon et al., TKDE
     // 2001): a range query over (a, b) reads one contiguous key run per
