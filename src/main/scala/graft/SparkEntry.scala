@@ -4710,6 +4710,33 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "part_skyline" -> ((s, dir) => {
+      // 2-D skyline (Pareto front): parts not dominated on (price ↓,
+      // size ↑) — the multi-objective shortlist operator ("no cheaper
+      // part is at least as large"). The textbook formulation is an
+      // O(n²) dominance anti-join; the sort-sweep makes it two window
+      // passes over exact integers: a row is dominated iff some
+      // STRICTLY cheaper part has size ≥ its own (running range-frame
+      // max) or an equal-priced part has size strictly greater
+      // (per-price max). Identical (price, size) pairs do not dominate
+      // each other (no strict coordinate) and both survive. Both
+      // windows share the price sort order; at 100 TB this is a
+      // range-partitioned sort, never a pair join.
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+          col("p_size").cast("long").as("size"))
+      val wLt = Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy("price_cents")
+      p.withColumn("max_s_lt", max(col("size")).over(wLt))
+        .withColumn("max_s_eq", max(col("size")).over(wEq))
+        .filter((col("max_s_lt").isNull || col("max_s_lt") < col("size")) &&
+          col("size") === col("max_s_eq"))
+        .select("p_partkey", "price_cents", "size")
+        .orderBy("p_partkey")
+    }),
+
     "stats_welch_ttest" -> ((s, dir) => {
       // Welch's unequal-variance t-test on the same two order-price
       // samples as the KS / Mann–Whitney pair — the parametric corner
@@ -6019,6 +6046,22 @@ object SparkEntry {
                 WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
                 ELSE 'und' END AS lang_guess
          FROM s ORDER BY doc_id""",
+
+    // the oracle is the DECLARATIVE dominance anti-join — equality
+    // proves the sort-sweep finds exactly the non-dominated set
+    "part_skyline" ->
+      """WITH p AS (
+           SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+           FROM part)
+         SELECT b.p_partkey, b.price_cents, b.size
+         FROM p b
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p a
+           WHERE a.price_cents <= b.price_cents AND a.size >= b.size
+             AND (a.price_cents < b.price_cents OR a.size > b.size))
+         ORDER BY b.p_partkey""",
 
     "stats_welch_ttest" ->
       """WITH two AS (

@@ -11,6 +11,28 @@ class EntryQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("part_skyline: equals brute-force dominance; front is a strict staircase") {
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_retailprice", "p_size")
+      .collect().map(r => (r.getLong(0),
+        math.round(r.getDouble(1) * 100), r.getInt(2).toLong)).toSeq
+    val expected = parts.filter { case (_, pb, sb) =>
+      !parts.exists { case (_, pa, sa) =>
+        pa <= pb && sa >= sb && (pa < pb || sa > sb) }
+    }.map(_._1).toSet
+    val got = q("part_skyline")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1).toSet == expected)
+    assert(got.nonEmpty && got.size < parts.size)
+    // staircase property of a (min price, max size) front: paying more
+    // must buy strictly more size, else the cheaper point dominates
+    val front = got.sortBy(t => (t._2, t._3))
+    front.sliding(2).foreach {
+      case Seq((_, p1, s1), (_, p2, s2)) =>
+        if (p1 != p2) assert(s2 > s1, s"front not a staircase: $front")
+      case _ => }
+  }
+
   test("text_keywords_tfidf: top-3 per doc recomputed from raw term counts") {
     import org.apache.spark.sql.functions._
     val tok = spark.read.parquet(s"$sfDir/documents.parquet")
