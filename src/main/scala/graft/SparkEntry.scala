@@ -140,6 +140,33 @@ object SparkEntry {
     (centroidsDf(s, cents), path)
   }
 
+  /** The additive decomposition frame shared by `timeseries_decompose`
+    * (full report) and `timeseries_anomaly_decomposed` (residual MAD
+    * flags): hourly click revenue → centered ±12 h trend → hour-of-day
+    * seasonal → residual, all exact fixed-point micros after ONE
+    * floored division. Columns: bkt (raw ts), v (decimal),
+    * trend_micro, seasonal_micro, residual_micro. */
+  private def timeseriesDecomposed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val hourly = e.filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("bkt"))
+      .agg(sum(dec(col("value"))).as("v"))
+    val wFrame = Window.orderBy("bkt").rowsBetween(-12, 12)
+    hourly
+      .withColumn("frame_sum", sum(col("v")).over(wFrame))
+      .withColumn("frame_n", count(lit(1)).over(wFrame))
+      .withColumn("trend_micro", expr(
+        """CAST(floor(1000000.0 * CAST(frame_sum AS DOUBLE) /
+             CAST(frame_n AS DOUBLE)) AS BIGINT)"""))
+      .withColumn("detrended_micro", expr(
+        "CAST(round(v * 1000000) AS BIGINT) - trend_micro"))
+      .withColumn("seasonal_micro", expr(
+        "sum(detrended_micro) OVER (PARTITION BY hour(bkt)) div " +
+        "count(1) OVER (PARTITION BY hour(bkt))"))
+      .withColumn("residual_micro",
+        col("detrended_micro") - col("seasonal_micro"))
+  }
+
   /** The SCD2 validity-interval frame shared by `scd2_build` (full
     * history) and `scd2_point_in_time` (interval-containment read):
     * no-op-suppressed changes with raw-timestamp `ts`/`valid_to` bounds.
@@ -4335,29 +4362,10 @@ object SparkEntry {
       // TIME-RANGE-sized (hours), so the global windows scan the bar
       // table, never the event table — the same values-domain reduction
       // as stats_ks_test.
-      val e = t(s, dir, "events")
-      val hourly = e.filter(col("event_type") === "click")
-        .groupBy(date_trunc("hour", col("ts")).as("bkt"))
-        .agg(sum(dec(col("value"))).as("v"))
-      val wFrame = Window.orderBy("bkt").rowsBetween(-12, 12)
-      val trended = hourly
-        .withColumn("frame_sum", sum(col("v")).over(wFrame))
-        .withColumn("frame_n", count(lit(1)).over(wFrame))
-        .withColumn("trend_micro", expr(
-          """CAST(floor(1000000.0 * CAST(frame_sum AS DOUBLE) /
-               CAST(frame_n AS DOUBLE)) AS BIGINT)"""))
-        .withColumn("detrended_micro", expr(
-          "CAST(round(v * 1000000) AS BIGINT) - trend_micro"))
-      val wHod = Window.partitionBy(hour(col("bkt")))
-      trended
-        .withColumn("seasonal_micro", expr(
-          "sum(detrended_micro) OVER (PARTITION BY hour(bkt)) div " +
-          "count(1) OVER (PARTITION BY hour(bkt))"))
+      timeseriesDecomposed(s, dir)
         .select(col("bkt").cast("timestamp_ntz").as("bkt"),
           col("v").cast("double").as("revenue"),
-          col("trend_micro"), col("seasonal_micro"),
-          (col("detrended_micro") - col("seasonal_micro"))
-            .as("residual_micro"))
+          col("trend_micro"), col("seasonal_micro"), col("residual_micro"))
         .orderBy("bkt")
     }),
 
@@ -4708,6 +4716,35 @@ object SparkEntry {
           (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
             .as("segment"))
         .orderBy("o_custkey")
+    }),
+
+    "timeseries_anomaly_decomposed" -> ((s, dir) => {
+      // seasonality-aware anomaly detection — the reason
+      // timeseries_decompose exists: flag hours whose RESIDUAL (what's
+      // left after trend + hour-of-day seasonality) deviates more than
+      // 3 robust sigmas (MAD · 1.4826). A plain z-score on the raw
+      // series would fire on every rush hour; the residual test only
+      // fires on genuinely unseasonal volume. Residuals are the exact
+      // fixed-point micros of the shared decomposition; the median/MAD
+      // fences are two exact interpolated percentiles over the
+      // HOURS-sized residual table, rounded once so both engines clip
+      // identically (the outlier_trim discipline).
+      val dec = timeseriesDecomposed(s, dir)
+        .select(col("bkt"), col("v"), col("residual_micro"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val med = dec.agg(
+        round(expr("percentile(residual_micro, 0.5)"), 4).as("med"))
+      val mad = dec.crossJoin(broadcast(med))
+        .agg(max(col("med")).as("med"),
+          round(expr("percentile(abs(residual_micro - med), 0.5)"), 4)
+            .as("mad"))
+      dec.crossJoin(broadcast(mad))
+        .withColumn("dev", abs(col("residual_micro") - col("med")))
+        .filter(col("dev") > col("mad") * 1.4826 * 3.0)
+        .select(col("bkt").cast("timestamp_ntz").as("bkt"),
+          col("v").cast("double").as("revenue"),
+          col("residual_micro"), col("dev").cast("long").as("dev_micro"))
+        .orderBy("bkt")
     }),
 
     "part_skyline" -> ((s, dir) => {
@@ -6046,6 +6083,42 @@ object SparkEntry {
                 WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
                 ELSE 'und' END AS lang_guess
          FROM s ORDER BY doc_id""",
+
+    "timeseries_anomaly_decomposed" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS bkt,
+             sum(CAST(value AS DECIMAL(18,2))) AS v
+           FROM events WHERE event_type = 'click'
+           GROUP BY 1),
+         trended AS (
+           SELECT bkt, v,
+             CAST(floor(1000000.0 *
+               CAST(sum(v) OVER w AS DOUBLE) /
+               CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend_micro,
+             CAST(round(v * 1000000) AS BIGINT) AS v_micro
+           FROM hourly
+           WINDOW w AS (ORDER BY bkt
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         r AS (
+           SELECT bkt, v,
+             (v_micro - trend_micro) -
+             (CAST(sum(v_micro - trend_micro)
+                 OVER (PARTITION BY hour(bkt)) AS BIGINT) //
+               CAST(count(*) OVER (PARTITION BY hour(bkt)) AS BIGINT))
+               AS residual_micro
+           FROM trended),
+         med AS (
+           SELECT round(quantile_cont(residual_micro, 0.5), 4) AS med
+           FROM r),
+         madt AS (
+           SELECT max(med) AS med,
+             round(quantile_cont(abs(residual_micro - med), 0.5), 4) AS mad
+           FROM r CROSS JOIN med)
+         SELECT bkt, CAST(v AS DOUBLE) AS revenue, residual_micro,
+           CAST(abs(residual_micro - med) AS BIGINT) AS dev_micro
+         FROM r CROSS JOIN madt
+         WHERE abs(residual_micro - med) > mad * 1.4826 * 3.0
+         ORDER BY bkt""",
 
     // the oracle is the DECLARATIVE dominance anti-join — equality
     // proves the sort-sweep finds exactly the non-dominated set
