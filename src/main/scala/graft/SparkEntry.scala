@@ -4718,6 +4718,79 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "orders_basket_lift" -> ((s, dir) => {
+      // market-basket association: part pairs co-purchased in one order,
+      // scored by lift = P(a,b)/(P(a)·P(b)) — the retail classic. Pair
+      // generation is a within-order self-join, Σ|basket|² with baskets
+      // ≤ 7 lines — linear in orders at any scale, never parts². Counts
+      // are exact integers; the ORDER is (pair_count desc, lift_ppm
+      // desc, keys) with lift as floor fixed-point of an exact integer
+      // ratio — no float in any sort key. Top-20 via
+      // TakeOrderedAndProject.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nOrders = li.select("l_orderkey").distinct().count()
+      val single = li.groupBy("l_partkey").agg(count(lit(1)).as("na"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(single.select(col("l_partkey").as("pa"), col("na")), Seq("pa"))
+        .join(single.select(col("l_partkey").as("pb"),
+          col("na").as("nb")), Seq("pb"))
+        .withColumn("lift_ppm", expr(
+          s"(1000000 * n_ab * ${nOrders}L) div (na * nb)"))
+        .orderBy(col("n_ab").desc, col("lift_ppm").desc, col("pa"), col("pb"))
+        .limit(20)
+        .select("pa", "pb", "n_ab", "na", "nb", "lift_ppm")
+    }),
+
+    "sessions_concurrency" -> ((s, dir) => {
+      // peak concurrent sessions per day — the capacity-planning number
+      // (simultaneous connections/streams): each session contributes a
+      // +1 boundary at start and a −1 at end (half-open: at an exact
+      // tie the departure is processed first, so touching sessions
+      // never double-count), and the running sum over the day's ordered
+      // boundaries peaks at the answer. The sweep table is
+      // 2×sessions-sized, grouped per day — boundary-domain work, never
+      // event-domain; all integer.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val isNew = when(
+        lag(us, 1).over(w).isNull ||
+          (us - lag(us, 1).over(w)) > 1800L * 1000000L, 1)
+        .otherwise(0)
+      val sessions = e.withColumn("session_id",
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(us).as("s_us"), max(us).as("e_us"))
+      val bounds = sessions.select(col("s_us").as("t_us"), lit(1L).as("delta"))
+        .unionByName(sessions.select(col("e_us").as("t_us"),
+          lit(-1L).as("delta")))
+      // the running sum is GLOBAL (sessions span midnight — a per-day
+      // partition would lose the carried-in level); per-day peak takes
+      // greatest(level at boundary, level JUST BEFORE it) so a day
+      // whose first in-day move is a departure still reports the level
+      // it inherited at 00:00
+      val wAll = Window.orderBy(col("t_us"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds
+        .withColumn("running", sum(col("delta")).over(wAll))
+        .withColumn("day", expr(
+          "CAST(date_trunc('day', timestamp_micros(t_us)) AS TIMESTAMP_NTZ)"))
+        .groupBy("day")
+        .agg(max(greatest(col("running"), col("running") - col("delta")))
+          .as("peak_concurrent"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L))
+            .as("n_session_starts"))
+        .orderBy("day")
+    }),
+
     "timeseries_anomaly_decomposed" -> ((s, dir) => {
       // seasonality-aware anomaly detection — the reason
       // timeseries_decompose exists: flag hours whose RESIDUAL (what's
@@ -6083,6 +6156,61 @@ object SparkEntry {
                 WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
                 ELSE 'und' END AS lang_guess
          FROM s ORDER BY doc_id""",
+
+    "orders_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         no_t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+         single AS (SELECT l_partkey, count(*) AS na FROM li GROUP BY 1),
+         pairs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+             CAST(sa.na AS BIGINT) AS na, CAST(sb.na AS BIGINT) AS nb,
+             CAST((1000000 * n_ab * n_orders) // (sa.na * sb.na) AS BIGINT)
+               AS lift_ppm
+           FROM pairs
+           JOIN single sa ON pa = sa.l_partkey
+           JOIN single sb ON pb = sb.l_partkey
+           CROSS JOIN no_t)
+         SELECT pa, pb, n_ab, na, nb, lift_ppm FROM scored
+         ORDER BY n_ab DESC, lift_ppm DESC, pa, pb LIMIT 20""",
+
+    "sessions_concurrency" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events
+         ), y AS (
+           SELECT user_id, event_id, ts, us,
+             CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM x
+         ), z AS (
+           SELECT user_id, us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM y
+         ), sess AS (
+           SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+           FROM z GROUP BY 1, 2
+         ), bounds AS (
+           SELECT s_us AS t_us, CAST(1 AS BIGINT) AS delta FROM sess
+           UNION ALL
+           SELECT e_us AS t_us, CAST(-1 AS BIGINT) AS delta FROM sess
+         ), r AS (
+           SELECT t_us, delta,
+             CAST(sum(delta) OVER (ORDER BY t_us, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS running
+           FROM bounds)
+         SELECT CAST(date_trunc('day', make_timestamp(t_us)) AS TIMESTAMP)
+             AS day,
+           max(greatest(running, running - delta)) AS peak_concurrent,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_session_starts
+         FROM r GROUP BY 1 ORDER BY day""",
 
     "timeseries_anomaly_decomposed" ->
       """WITH hourly AS (

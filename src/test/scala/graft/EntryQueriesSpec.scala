@@ -11,6 +11,61 @@ class EntryQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("sessions_concurrency: equals a direct interval sweep over the session set") {
+    val sess = q("event_sessionize")
+      .select("session_start", "session_end")
+      .collect().map { r =>
+        def us(i: Int) = r.getAs[java.time.LocalDateTime](i)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        (us(0), us(1))
+      }.toSeq
+    // direct sweep: -1 processed before +1 at equal time (half-open)
+    val bounds = (sess.map(s => (s._1, 1L)) ++ sess.map(s => (s._2, -1L)))
+      .sortBy(b => (b._1, b._2))
+    var level = 0L
+    val dayPeaks = scala.collection.mutable.Map[Long, Long]()
+    val dayStarts = scala.collection.mutable.Map[Long, Long]()
+    bounds.foreach { case (t, d) =>
+      val day = t / 86400000000L * 86400000000L
+      val before = level
+      level += d
+      dayPeaks(day) = math.max(dayPeaks.getOrElse(day, Long.MinValue),
+        math.max(level, before))
+      if (d == 1L) dayStarts(day) = dayStarts.getOrElse(day, 0L) + 1L
+    }
+    val got = q("sessions_concurrency")
+      .collect().map { r =>
+        val day = r.getAs[java.time.LocalDateTime](0)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        (day, (r.getLong(1), r.getLong(2)))
+      }.toMap
+    assert(got.keySet == dayPeaks.keySet.toSet)
+    got.foreach { case (day, (peak, starts)) =>
+      assert(peak == dayPeaks(day), s"day $day peak $peak != ${dayPeaks(day)}")
+      assert(starts == dayStarts.getOrElse(day, 0L))
+    }
+    assert(got.values.map(_._1).max > 1L) // fixture has real overlap
+  }
+
+  test("orders_basket_lift: top-20 equals brute-force basket counting") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    val nOrders = li.map(_._1).distinct.size.toLong
+    val na = li.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    val pairs = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for { i <- ps.indices; j <- i + 1 until ps.size } yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val expected = pairs.toSeq.map { case ((a, b), nab) =>
+      (a, b, nab, na(a), na(b), 1000000L * nab * nOrders / (na(a) * na(b)))
+    }.sortBy(t => (-t._3, -t._6, t._1, t._2)).take(20)
+    val got = q("orders_basket_lift")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+  }
+
   test("part_skyline: equals brute-force dominance; front is a strict staircase") {
     val parts = spark.read.parquet(s"$sfDir/part.parquet")
       .select("p_partkey", "p_retailprice", "p_size")
