@@ -24,6 +24,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # spill OUTSIDE the repo: duckdb's default temp dir is cwd/.tmp, and a
+    # big oracle once left a 63 GB spill there (one file even got staged
+    # by a concurrent `git add -A`)
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver testdata is one file per table; ScaleUp replicas are
         # Spark-written directories of part files — glob those
