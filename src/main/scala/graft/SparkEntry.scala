@@ -4335,18 +4335,8 @@ object SparkEntry {
       // k < k2 residual keeps one orientation of each unordered pair.
       val sup = t(s, dir, "customer").select(col("c_custkey").as("k"),
         expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c"))
-      val deltaCents = 500L
-      val left = sup.withColumn("bucket", expr(s"c div $deltaCents"))
-      val right = sup.select(col("k").as("k2"), col("c").as("c2"))
-        .withColumn("bucket", explode(array(
-          expr(s"c2 div $deltaCents - 1"),
-          expr(s"c2 div $deltaCents"),
-          expr(s"c2 div $deltaCents + 1"))))
-      left.join(right, Seq("bucket"))
-        .filter(col("k") < col("k2") &&
-          abs(col("c") - col("c2")) <= deltaCents)
-        .select(col("k").as("id_a"), col("k2").as("id_b"),
-          abs(col("c") - col("c2")).as("delta_cents"))
+      Skew.bandJoinPairs(sup, "k", "c", delta = 500L)
+        .withColumnRenamed("delta_abs", "delta_cents")
         .orderBy("id_a", "id_b")
     }),
 

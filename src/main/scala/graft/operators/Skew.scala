@@ -29,6 +29,33 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Band join with NO equi-key — all (a, b) pairs with
+    * |val_a − val_b| ≤ delta — via the bucket trick: bucket width =
+    * delta, probe side exploded to bucket ± 1, exact residual filtered
+    * in the join. Every qualifying unordered pair is found EXACTLY once
+    * (|Δ| ≤ delta ⇒ buckets differ by ≤ 1; the three exploded buckets
+    * are distinct; id_a < id_b keeps one orientation), through an
+    * EQUI-join — never the nested-loop plan a raw inequality join gets.
+    * Cost: 3n shuffled rows + Σ|bucket|² (data-density-bounded).
+    * `div` truncation is orientation-consistent for negative values too
+    * (both sides bucket with the same div), covered by the randomized
+    * PropertySpec sweep. Returns (id_a, id_b, delta_abs). */
+  def bandJoinPairs(df: DataFrame, idCol: String, valCol: String,
+                    delta: Long): DataFrame = {
+    val base = df.select(col(idCol).as("__k"), col(valCol).as("__c"))
+    val left = base.withColumn("__bucket", expr(s"__c div $delta"))
+    val right = base.select(col("__k").as("__k2"), col("__c").as("__c2"))
+      .withColumn("__bucket", explode(array(
+        expr(s"__c2 div $delta - 1"),
+        expr(s"__c2 div $delta"),
+        expr(s"__c2 div $delta + 1"))))
+    left.join(right, Seq("__bucket"))
+      .filter(col("__k") < col("__k2") &&
+        abs(col("__c") - col("__c2")) <= delta)
+      .select(col("__k").as("id_a"), col("__k2").as("id_b"),
+        abs(col("__c") - col("__c2")).as("delta_abs"))
+  }
+
   /** Two-phase (salted) count+sum aggregation: phase 1 groups by
     * (keys, salt) — spreading a hot group across reducers — phase 2
     * combines the partials. Equivalent to a direct groupBy; Spark's own

@@ -123,6 +123,28 @@ class PropertySpec extends SparkSpec {
     assert(viaCol == viaSql)
   }
 
+  test("bandJoinPairs: equals brute force on random values incl. negatives and exact-delta ties") {
+    import graft.operators.Skew
+    // 10 trials: random deltas, values spanning zero (the truncating-div
+    // bucket around 0 is WIDER than delta — the case a floor-div proof
+    // doesn't cover), plus planted exact-boundary pairs
+    for (trial <- 0 until 10) {
+      val delta = 1L + rnd.nextInt(50)
+      val n = 40 + rnd.nextInt(80)
+      val vals = Seq.tabulate(n)(i =>
+        (i.toLong, rnd.nextInt(40 * delta.toInt).toLong - 20L * delta)) ++
+        Seq((1000L, 7L), (1001L, 7L + delta), (1002L, 7L - delta))
+      val expected = (for {
+        (ka, va) <- vals; (kb, vb) <- vals
+        if ka < kb && math.abs(va - vb) <= delta
+      } yield (ka, kb, math.abs(va - vb))).toSet
+      val got = Skew.bandJoinPairs(vals.toDF("id", "v"), "id", "v", delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"trial $trial delta=$delta: ${got.size} vs ${expected.size}")
+    }
+  }
+
   test("categoryOfNights: total function — every duration lands in its one bucket") {
     val model: Int => String = d =>
       if (d >= 1 && d <= 4) "Short stay"
