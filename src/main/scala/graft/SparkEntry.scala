@@ -4708,6 +4708,51 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "join_edit_distance_prefix" -> ((s, dir) => {
+      // edit-distance self-join (d ≤ 1) with Q-GRAM PREFIX FILTERING
+      // (Gravano et al. 2001 / Ed-Join): one edit destroys at most q
+      // distinct 2-gram TYPES, so if a string's q·d+1 = 3 globally-
+      // rarest gram types were ALL absent from a partner's gram set,
+      // the pair cannot be within distance 1 — candidates are
+      // (3-rarest grams of one side) ⋈ (full gram set of the other),
+      // both orientations, then exact levenshtein verifies. Naive
+      // distance joins are n²·lev; here the inverted index carries only
+      // rare grams on the probe side (Σdf² over RARE grams — the
+      // df-capped-shingle rule again), so boilerplate-shared prefixes
+      // like 'Customer#00' never generate pairs. Fixture: customer
+      // names (key-subset % 4) — ids differing in one digit are
+      // organic distance-1 pairs.
+      val names = t(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(4)) === 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grams = names.select(col("id"), col("nm"),
+          explode(TextFunctions.charShingles(col("nm"), 2)).as("g"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df_ = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      val wRare = Window.partitionBy("id").orderBy(col("df"), col("g"))
+      val prefix = grams.join(df_, Seq("g"))
+        .withColumn("rnk", row_number().over(wRare))
+        .filter(col("rnk") <= 3)
+        .select(col("id"), col("g"))
+      val cands = prefix.join(
+          grams.select(col("id").as("id2"), col("g")), Seq("g"))
+        .filter(col("id") =!= col("id2"))
+        .select(least(col("id"), col("id2")).as("id_a"),
+          greatest(col("id"), col("id2")).as("id_b"))
+        .distinct()
+      cands
+        .join(names.select(col("id").as("id_a"), col("nm").as("name_a")),
+          Seq("id_a"))
+        .join(names.select(col("id").as("id_b"), col("nm").as("name_b")),
+          Seq("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 1)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "orders_basket_lift" -> ((s, dir) => {
       // market-basket association: part pairs co-purchased in one order,
       // scored by lift = P(a,b)/(P(a)·P(b)) — the retail classic. Pair
@@ -6146,6 +6191,19 @@ object SparkEntry {
                 WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
                 ELSE 'und' END AS lang_guess
          FROM s ORDER BY doc_id""",
+
+    // declarative distance join — equality proves the prefix filter
+    // generates a COMPLETE candidate set (a false negative would show
+    // as a missing row, not just a slow plan)
+    "join_edit_distance_prefix" ->
+      """WITH names AS (
+           SELECT c_custkey AS id, c_name AS nm FROM customer
+           WHERE c_custkey % 4 = 0)
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+         FROM names a JOIN names b
+           ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1
+         ORDER BY id_a, id_b""",
 
     "orders_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
