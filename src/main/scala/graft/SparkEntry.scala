@@ -5151,9 +5151,15 @@ object SparkEntry {
     * l_suppkey, d)`. */
   private def hilbertCtes(src: String, bits: Int = 16): String = {
     val n = 1L << bits
+    // inputs masked to the low `bits` like the engine's walk (which
+    // reads only bits bits-1..0 — keys past the grid wrap rather than
+    // driving the reflection out of range; caught by the sf1 leg where
+    // ScaleUp-shifted keys exceed 2^16)
     val seed = s"""hseed AS (
-       SELECT l_partkey, l_suppkey, CAST(l_partkey AS BIGINT) AS x,
-         CAST(l_suppkey AS BIGINT) AS y, CAST(0 AS BIGINT) AS d
+       SELECT l_partkey, l_suppkey,
+         (CAST(l_partkey AS BIGINT) & ${n - 1}) AS x,
+         (CAST(l_suppkey AS BIGINT) & ${n - 1}) AS y,
+         CAST(0 AS BIGINT) AS d
        FROM $src)"""
     val steps = (bits - 1 to 0 by -1).map { k =>
       val s = 1L << k
@@ -5164,7 +5170,7 @@ object SparkEntry {
                 ELSE x END AS x,
            CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - x ELSE x END)
                 ELSE y END AS y,
-           d + ${s * s} * (CASE WHEN rx = 1 AND ry = 1 THEN 2
+           d + CAST(${s * s} AS BIGINT) * (CASE WHEN rx = 1 AND ry = 1 THEN 2
                                 WHEN rx = 1 THEN 3
                                 WHEN ry = 1 THEN 1 ELSE 0 END) AS d
          FROM (SELECT l_partkey, l_suppkey, x, y, d,
