@@ -11,6 +11,29 @@ class EntryQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("join_edit_distance_prefix: equals brute-force levenshtein over the subset") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 4 == 0).toSeq
+    val expected = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka < kb && lev(na, nb) <= 1
+    } yield (ka, kb, lev(na, nb).toLong)).toSet
+    val got = q("join_edit_distance_prefix")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
   test("sessions_concurrency: equals a direct interval sweep over the session set") {
     val sess = q("event_sessionize")
       .select("session_start", "session_end")
