@@ -9540,25 +9540,32 @@ object SparkEntry {
          FROM daily CROSS JOIN med ORDER BY day""",
 
     "graph_kcore" ->
-      """WITH e0 AS (
+      // every round's frame is multiply-referenced — MATERIALIZED stops
+      // DuckDB's CTE inlining from re-executing the whole upstream chain
+      // per reference (the sf1 leg hit exponential recompute + an 80 GB
+      // spill without it)
+      """WITH e0 AS MATERIALIZED (
            SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
            FROM lineitem),
-         g0 AS (SELECT src, dst FROM e0
+         g0 AS MATERIALIZED (SELECT src, dst FROM e0
            UNION ALL SELECT dst AS src, src AS dst FROM e0),
-         kv AS (
+         kv AS MATERIALIZED (
            SELECT CAST(floor(quantile_cont(deg, 0.25)) AS BIGINT) AS k
            FROM (SELECT src, count(*) AS deg FROM g0 GROUP BY src)),
-         k1 AS (SELECT src AS node FROM g0 CROSS JOIN kv GROUP BY src, k
+         k1 AS MATERIALIZED (SELECT src AS node
+           FROM g0 CROSS JOIN kv GROUP BY src, k
            HAVING count(*) >= k),
-         g1 AS (SELECT g.src, g.dst FROM g0 g
+         g1 AS MATERIALIZED (SELECT g.src, g.dst FROM g0 g
            JOIN k1 a ON g.src = a.node JOIN k1 b ON g.dst = b.node),
-         k2 AS (SELECT src AS node FROM g1 CROSS JOIN kv GROUP BY src, k
+         k2 AS MATERIALIZED (SELECT src AS node
+           FROM g1 CROSS JOIN kv GROUP BY src, k
            HAVING count(*) >= k),
-         g2 AS (SELECT g.src, g.dst FROM g1 g
+         g2 AS MATERIALIZED (SELECT g.src, g.dst FROM g1 g
            JOIN k2 a ON g.src = a.node JOIN k2 b ON g.dst = b.node),
-         k3 AS (SELECT src AS node FROM g2 CROSS JOIN kv GROUP BY src, k
+         k3 AS MATERIALIZED (SELECT src AS node
+           FROM g2 CROSS JOIN kv GROUP BY src, k
            HAVING count(*) >= k),
-         g3 AS (SELECT g.src, g.dst FROM g2 g
+         g3 AS MATERIALIZED (SELECT g.src, g.dst FROM g2 g
            JOIN k3 a ON g.src = a.node JOIN k3 b ON g.dst = b.node)
          SELECT src AS node, count(*) AS degree
          FROM g3 GROUP BY src ORDER BY node""",
