@@ -4708,6 +4708,80 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "survival_km" -> ((s, dir) => {
+      // Kaplan–Meier survival curve for signup → first purchase, WITH
+      // right-censoring (users who never purchase are censored at their
+      // last observed event — dropping them would bias conversion
+      // latency low, the classic churn-analysis mistake). Durations
+      // bucket to whole hours, so the curve table is TIME-DOMAIN-sized;
+      // at each event time t: at-risk n = N − (durations < t),
+      // S(t) = Π(1 − d/n) computed as exp of the ordered cumulative
+      // Σ ln(1 − d/n) — the window sum runs in duration order, so the
+      // doubles are engine-exact; output floor ppm.
+      val e = t(s, dir, "events")
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("t0"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("pt"))
+      val lastSeen = e.groupBy("user_id")
+        .agg(max(expr("unix_micros(ts)")).as("lt"))
+      val firstPurchase = pu.join(su, Seq("user_id"))
+        .filter(col("pt") >= col("t0"))
+        .groupBy("user_id").agg(min(col("pt")).as("ev"))
+      // administrative right-censoring at the 72 h study cutoff (the
+      // standard analysis-window design): conversions past the horizon
+      // are censored AT the horizon, plus users with no conversion are
+      // censored at last-seen — without a cutoff this fixture would
+      // have zero censored mass (every signup eventually purchases)
+      val horizonH = 72L
+      val durs = su
+        .join(lastSeen, Seq("user_id"))
+        .join(firstPurchase, Seq("user_id"), "left")
+        .withColumn("raw_h",
+          when(col("ev").isNotNull, expr("(ev - t0) div 3600000000"))
+            .otherwise(expr("(lt - t0) div 3600000000")))
+        .select(col("user_id"),
+          least(col("raw_h"), lit(horizonH)).as("dur_h"),
+          (col("ev").isNotNull && col("raw_h") < horizonH).as("is_event"))
+      val per = durs.groupBy("dur_h").agg(
+        sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("c"))
+      val tot = per.agg(sum(col("d") + col("c")).as("n"))
+      val wBefore = Window.orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withRisk = per.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n") - coalesce(sum(col("d") + col("c")).over(wBefore), lit(0L)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the running product Π(1 − d/n) is a SEQUENTIAL recurrence; a
+      // window-sum of logs drifts a ULP between engines at floor
+      // boundaries, so the product folds in duration order over the
+      // TIME-DOMAIN-sized table — same multiplications, same order,
+      // bit-identical; d = n_risk contributes an exact 0 factor (the
+      // absorbing state) with no ln involved
+      val items = sort_array(collect_list(struct(
+        col("dur_h"), col("d"), col("n_risk"))))
+      val zero = struct(lit(1.0).as("s"),
+        expr("CAST(array() AS ARRAY<STRUCT<dur_h: BIGINT, s: DOUBLE>>)")
+          .as("out"))
+      val curve = withRisk
+        .agg(aggregate(items, zero, (acc, x) => {
+          val f = lit(1.0) -
+            x.getField("d").cast("double") / x.getField("n_risk").cast("double")
+          struct((acc.getField("s") * f).as("s"),
+            concat(acc.getField("out"), array(struct(
+              x.getField("dur_h").as("dur_h"),
+              (acc.getField("s") * f).as("s")))).as("out"))
+        }).getField("out").as("out"))
+        .select(explode(col("out")).as("u"))
+        .select(col("u.dur_h").as("dur_h"),
+          expr("CAST(floor(1000000.0 * u.s) AS BIGINT)").as("s_ppm"))
+      withRisk.join(curve, Seq("dur_h"))
+        .select(col("dur_h"), col("d").as("n_events"),
+          col("c").as("n_censored"), col("n_risk"), col("s_ppm"))
+        .orderBy("dur_h")
+    }),
+
     "join_edit_distance_prefix" -> ((s, dir) => {
       // edit-distance self-join (d ≤ 1) with Q-GRAM PREFIX FILTERING
       // (Gravano et al. 2001 / Ed-Join): one edit destroys at most q
@@ -6197,6 +6271,59 @@ object SparkEntry {
                 WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
                 ELSE 'und' END AS lang_guess
          FROM s ORDER BY doc_id""",
+
+    "survival_km" ->
+      """WITH su AS (
+           SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         ls AS (SELECT user_id, max(epoch_us(ts)) AS lt
+           FROM events GROUP BY 1),
+         fp AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS ev
+           FROM events e JOIN su USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.t0
+           GROUP BY 1),
+         durs AS (
+           SELECT user_id, least(raw_h, 72) AS dur_h,
+             (has_ev AND raw_h < 72) AS is_event
+           FROM (
+             SELECT su.user_id,
+               CASE WHEN fp.ev IS NOT NULL
+                    THEN (fp.ev - su.t0) // 3600000000
+                    ELSE (ls.lt - su.t0) // 3600000000 END AS raw_h,
+               fp.ev IS NOT NULL AS has_ev
+             FROM su JOIN ls USING (user_id)
+             LEFT JOIN fp USING (user_id))),
+         per AS (
+           SELECT dur_h,
+             CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM durs GROUP BY 1),
+         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM per),
+         r AS (
+           SELECT dur_h, d, c,
+             n - coalesce(CAST(sum(d + c) OVER (ORDER BY dur_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS n_risk
+           FROM per CROSS JOIN tot),
+         -- duckdb 1.0's list_reduce mis-evaluates struct accumulators
+         -- (verified on a minimal case), so the oracle computes each
+         -- row's prefix product with its own ordered scalar fold —
+         -- identical multiplications in identical order to the
+         -- engine's single-pass fold, O(T^2) only over the time domain
+         curve AS (
+           SELECT r.dur_h,
+             CAST(floor(1000000.0 * (
+               SELECT list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                 list(1.0 - CAST(d2.d AS DOUBLE) / CAST(d2.n_risk AS DOUBLE)
+                   ORDER BY d2.dur_h)),
+                 (a, b) -> a * b)
+               FROM r d2 WHERE d2.dur_h <= r.dur_h)) AS BIGINT) AS s_ppm
+           FROM r)
+         SELECT r.dur_h, r.d AS n_events, r.c AS n_censored, r.n_risk,
+           curve.s_ppm
+         FROM r JOIN curve ON r.dur_h = curve.dur_h
+         ORDER BY r.dur_h""",
 
     // declarative distance join — equality proves the prefix filter
     // generates a COMPLETE candidate set (a false negative would show

@@ -308,6 +308,56 @@ class StatsSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("z_ppm")) == zExp)
   }
 
+  test("survival_km: direct KM recompute with censoring; curve invariants") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val t0 = e.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, v) => (u, v.map(_._3).min) }
+    val lastSeen = e.groupBy(_._1).map { case (u, v) => (u, v.map(_._3).max) }
+    val durs = t0.toSeq.map { case (u, s) =>
+      val ev = e.filter(x => x._1 == u && x._2 == "purchase" && x._3 >= s)
+        .map(_._3).sorted.headOption
+      val rawH = ev match {
+        case Some(p) => (p - s) / 3600000000L
+        case None => (lastSeen(u) - s) / 3600000000L
+      }
+      (math.min(rawH, 72L), ev.isDefined && rawH < 72L)
+    }
+    val n = durs.size.toLong
+    val per = durs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, v) =>
+      (t, v.count(_._2).toLong, v.count(!_._2).toLong)
+    }
+    var s = 1.0
+    var seen = 0L
+    val expected = per.map { case (t, d, c) =>
+      val nRisk = n - seen
+      s *= 1.0 - d.toDouble / nRisk
+      seen += d + c
+      (t, (d, c, nRisk, math.floor(1000000.0 * s).toLong))
+    }.toMap
+    val got = q("survival_km")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+    // invariants: S nonincreasing; censoring-only rows keep S flat;
+    // at-risk counts strictly decrease
+    val rows = got.toSeq.sortBy(_._1)
+    rows.map(_._2._4).sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a); case _ => }
+    rows.sliding(2).foreach {
+      case Seq((_, (_, _, _, s1)), (_, (d2, _, _, s2))) =>
+        if (d2 == 0L) assert(s2 == s1)
+      case _ => }
+    // the 72 h administrative cutoff guarantees real censored mass
+    assert(durs.exists(!_._2), "no censored users despite the cutoff")
+    // the censored tail keeps the curve OFF zero (KM's whole point:
+    // the naive CDF would pretend those users never convert)
+    assert(rows.last._2._4 > 0L)
+  }
+
   test("graph_degree_distribution: ccdf monotone, mass accounted, Hill alpha recomputed") {
     val rows = q("graph_degree_distribution")
       .select("degree", "n_nodes", "ccdf_ppm", "n_tail", "alpha_hill")
