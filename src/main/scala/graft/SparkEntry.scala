@@ -4783,44 +4783,50 @@ object SparkEntry {
     }),
 
     "join_edit_distance_prefix" -> ((s, dir) => {
-      // edit-distance self-join (d ≤ 1) with Q-GRAM PREFIX FILTERING
-      // (Gravano et al. 2001 / Ed-Join): one edit destroys at most q
-      // distinct 2-gram TYPES, so if a string's q·d+1 = 3 globally-
-      // rarest gram types were ALL absent from a partner's gram set,
-      // the pair cannot be within distance 1 — candidates are
-      // (3-rarest grams of one side) ⋈ (full gram set of the other),
-      // both orientations, then exact levenshtein verifies. Naive
-      // distance joins are n²·lev; here the inverted index carries only
-      // rare grams on the probe side (Σdf² over RARE grams — the
-      // df-capped-shingle rule again), so boilerplate-shared prefixes
-      // like 'Customer#00' never generate pairs. Fixture: customer
-      // names (key-subset % 4) — ids differing in one digit are
-      // organic distance-1 pairs.
+      // edit-distance self-join (d ≤ 1) via the DELETION-NEIGHBORHOOD
+      // join (FastSS, Bocek et al. 2007 / SymSpell): D(s) = {s} ∪
+      // {s minus one char}. ed(a,b) ≤ 1 ⟹ D(a) ∩ D(b) ≠ ∅ — equal
+      // strings share themselves, a substitution shares the deletion at
+      // the edited position, an insert/delete pair shares the shorter
+      // string — so a hash-join on deletion variants is a COMPLETE
+      // candidate generator (the declarative levenshtein oracle proves
+      // it); exact levenshtein then verifies (the implication is one-
+      // way: "ab"/"ba" share "a" at distance 2, and 64-bit variant
+      // hashes can collide). Candidates stay LINEAR in n: a variant
+      // bucket only holds strings one edit from each other (+hash
+      // collisions), so |bucket| is bounded by the per-position
+      // alphabet, never by n. This replaced q-gram prefix filtering
+      // (Gravano 2001), which the sf1 decade leg killed at 121× (q=2)
+      // and 114× (q=3): on fixed-format low-entropy keys the gram
+      // vocabulary saturates — df of the "rarest" grams grows with n
+      // and the Σdf² candidate term goes quadratic. Deletion variants
+      // are near-full strings, so their collision domain cubes no
+      // matter how low the per-char entropy. Fixture: customer names
+      // (key-subset % 4) — ids differing in one digit are organic
+      // distance-1 pairs.
       val names = t(s, dir, "customer")
         .filter(pmod(col("c_custkey"), lit(4)) === 0)
         .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      // {nm} ∪ one-char deletions, deduped per row (repeated chars give
+      // equal variants), hashed to 64 bits so the shuffle carries
+      // (id, nm, h) and never the variant strings themselves
+      val delAt = sequence(lit(1), length(col("nm")))
+      val variants = array_union(
+        array(col("nm")),
+        transform(delAt, i => concat(
+          col("nm").substr(lit(1), i - lit(1)),
+          col("nm").substr(i + lit(1), length(col("nm"))))))
+      val verts = names
+        .select(col("id"), col("nm"), explode(variants).as("v"))
+        .select(col("id"), col("nm"), xxhash64(col("v")).as("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val grams = names.select(col("id"), col("nm"),
-          explode(TextFunctions.charShingles(col("nm"), 2)).as("g"))
+      verts.join(
+          verts.select(col("id").as("id_b"), col("nm").as("name_b"),
+            col("h")), Seq("h"))
+        .filter(col("id") < col("id_b"))
+        .select(col("id").as("id_a"), col("nm").as("name_a"),
+          col("id_b"), col("name_b"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val df_ = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      val wRare = Window.partitionBy("id").orderBy(col("df"), col("g"))
-      val prefix = grams.join(df_, Seq("g"))
-        .withColumn("rnk", row_number().over(wRare))
-        .filter(col("rnk") <= 3)
-        .select(col("id"), col("g"))
-      val cands = prefix.join(
-          grams.select(col("id").as("id2"), col("g")), Seq("g"))
-        .filter(col("id") =!= col("id2"))
-        .select(least(col("id"), col("id2")).as("id_a"),
-          greatest(col("id"), col("id2")).as("id_b"))
-        .distinct()
-      cands
-        .join(names.select(col("id").as("id_a"), col("nm").as("name_a")),
-          Seq("id_a"))
-        .join(names.select(col("id").as("id_b"), col("nm").as("name_b")),
-          Seq("id_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 1)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
