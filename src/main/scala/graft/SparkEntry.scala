@@ -4833,6 +4833,77 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "orders_cohort_ltv" -> ((s, dir) => {
+      // cohort lifetime-value curves — the subscription-analytics
+      // staple: customers cohorted by first-order month, revenue
+      // accumulated by month offset since acquisition, normalized per
+      // cohort user. One shuffle on o_custkey serves both the
+      // first-order agg and the offset join (co-partitioned); the
+      // cumulative window runs over cohort×offset rows — months², never
+      // order-sized. Revenue in exact cents; per-user LTV is integer
+      // floor division — engine-exact end to end.
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .as("m"))
+      val first = o.groupBy("o_custkey").agg(min(col("m")).as("cohort_m"))
+      val sizes = first.groupBy("cohort_m")
+        .agg(count(lit(1)).as("cohort_users"))
+      val cur = o.join(first, Seq("o_custkey"))
+        .withColumn("m_offset", col("m") - col("cohort_m"))
+        .groupBy("cohort_m", "m_offset")
+        .agg(sum(col("cents")).as("rev_cents"),
+          countDistinct(col("o_custkey")).as("active_users"))
+      val w = Window.partitionBy("cohort_m").orderBy("m_offset")
+      cur.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .join(sizes, Seq("cohort_m"))
+        .withColumn("ltv_cents_per_user",
+          expr("cum_rev_cents div cohort_users"))
+        .select(col("cohort_m"), col("m_offset"), col("active_users"),
+          col("rev_cents"), col("cum_rev_cents"), col("cohort_users"),
+          col("ltv_cents_per_user"))
+        .orderBy("cohort_m", "m_offset")
+    }),
+
+    "graph_closeness" -> ((s, dir) => {
+      // harmonic centrality by pivot sampling (Eppstein–Wang 2004): the
+      // exact harmonic sum Σ 1/d(v, s) over k = 8 fixed seed suppliers
+      // estimates n/k of the full centrality — the standard way to rank
+      // central nodes without n BFS runs. One multi-source BFS carries
+      // all seeds at once: state keyed by (node, seed) (≤ k·|V| rows),
+      // each round one |E|-keyed join + min-agg (map-side combinable,
+      // the Pregel lowering shared with graph_shortest_paths), radius 4
+      // covers the bipartite supplier–part graph's small diameter.
+      // Contributions 10⁶ div d are exact integers; top-20 plans as
+      // TakeOrderedAndProject, never a global sort.
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select(
+          (col("l_suppkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
+        .distinct()
+      val und = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var dist = li.filter(col("l_suppkey") <= 8)
+        .select((col("l_suppkey") * 2L).as("node")).distinct()
+        .withColumn("seed", col("node"))
+        .withColumn("dist", lit(0L))
+      for (_ <- 1 to 4) {
+        val next = und.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), col("seed"),
+            (col("dist") + 1L).as("dist"))
+        dist = dist.unionByName(next)
+          .groupBy("node", "seed").agg(min(col("dist")).as("dist"))
+      }
+      dist.filter(col("dist") > 0)
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("1000000 div dist")).as("harmonic_ppm"))
+        .orderBy(desc("harmonic_ppm"), desc("n_reached"), col("node"))
+        .limit(20)
+    }),
+
     "orders_basket_lift" -> ((s, dir) => {
       // market-basket association: part pairs co-purchased in one order,
       // scored by lift = P(a,b)/(P(a)·P(b)) — the retail classic. Pair
@@ -6343,6 +6414,70 @@ object SparkEntry {
          FROM names a JOIN names b
            ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1
          ORDER BY id_a, id_b""",
+
+    "orders_cohort_ltv" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+           FROM orders),
+         first_o AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+         sizes AS (
+           SELECT cohort_m, count(*) AS cohort_users FROM first_o GROUP BY 1),
+         cur AS (
+           SELECT cohort_m, m - cohort_m AS m_offset,
+             CAST(sum(cents) AS BIGINT) AS rev_cents,
+             count(DISTINCT o.o_custkey) AS active_users
+           FROM o JOIN first_o USING (o_custkey) GROUP BY 1, 2),
+         cum AS (
+           SELECT cohort_m, m_offset, active_users, rev_cents,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort_m
+               ORDER BY m_offset) AS BIGINT) AS cum_rev_cents
+           FROM cur)
+         SELECT cohort_m, m_offset, active_users, rev_cents, cum_rev_cents,
+           cohort_users, cum_rev_cents // cohort_users AS ltv_cents_per_user
+         FROM cum JOIN sizes USING (cohort_m)
+         ORDER BY cohort_m, m_offset""",
+
+    "graph_closeness" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           FROM lineitem),
+         und AS MATERIALIZED (
+           SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         d0 AS MATERIALIZED (
+           SELECT DISTINCT l_suppkey * 2 AS node, l_suppkey * 2 AS seed,
+             CAST(0 AS BIGINT) AS dist
+           FROM lineitem WHERE l_suppkey <= 8),
+         d1 AS MATERIALIZED (
+           SELECT node, seed, min(dist) AS dist FROM (
+             SELECT node, seed, dist FROM d0
+             UNION ALL
+             SELECT und.dst AS node, d0.seed, d0.dist + 1 AS dist
+             FROM und JOIN d0 ON und.src = d0.node) GROUP BY 1, 2),
+         d2 AS MATERIALIZED (
+           SELECT node, seed, min(dist) AS dist FROM (
+             SELECT node, seed, dist FROM d1
+             UNION ALL
+             SELECT und.dst AS node, d1.seed, d1.dist + 1 AS dist
+             FROM und JOIN d1 ON und.src = d1.node) GROUP BY 1, 2),
+         d3 AS MATERIALIZED (
+           SELECT node, seed, min(dist) AS dist FROM (
+             SELECT node, seed, dist FROM d2
+             UNION ALL
+             SELECT und.dst AS node, d2.seed, d2.dist + 1 AS dist
+             FROM und JOIN d2 ON und.src = d2.node) GROUP BY 1, 2),
+         d4 AS MATERIALIZED (
+           SELECT node, seed, min(dist) AS dist FROM (
+             SELECT node, seed, dist FROM d3
+             UNION ALL
+             SELECT und.dst AS node, d3.seed, d3.dist + 1 AS dist
+             FROM und JOIN d3 ON und.src = d3.node) GROUP BY 1, 2)
+         SELECT node, count(*) AS n_reached,
+           CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
+         FROM d4 WHERE dist > 0 GROUP BY node
+         ORDER BY harmonic_ppm DESC, n_reached DESC, node LIMIT 20""",
 
     "orders_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
