@@ -4904,6 +4904,82 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "feature_hashing" -> ((s, dir) => {
+      // the hashing trick (Weinberger et al. 2009): tokens land in a
+      // fixed 64-bucket feature space via bucket = fnv64(term) mod 64,
+      // signed by the next hash bit so collisions cancel in expectation
+      // — the unbounded-vocabulary featurizer that needs NO vocab table,
+      // broadcast, or second pass at 100 TB (compare text_tfidf's
+      // df join). Per-doc signed counts reduce map-side; the emitted
+      // surface is the 64-row bucket profile (occupancy, signed mass,
+      // collision width), all exact integers.
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      val h = HashFunctions.fnv64(col("term"))
+      val feat = tok
+        .withColumn("bucket", pmod(h, lit(64L)))
+        .withColumn("sgn",
+          when(pmod(shiftright(h, 6), lit(2L)) === 0L, 1L).otherwise(-1L))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("sgn")).as("v"), count_distinct(col("term")).as("nt"))
+      feat.filter(col("v") =!= 0)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs_nonzero"),
+          sum(col("v")).as("sum_val"),
+          sum(abs(col("v"))).as("sum_abs"),
+          max(abs(col("v"))).as("max_abs"),
+          max(col("nt")).as("max_terms_per_doc"))
+        .orderBy("bucket")
+    }),
+
+    "stats_bootstrap" -> ((s, dir) => {
+      // Poisson bootstrap (Efron 1979 via the streaming form, Chamandy
+      // et al. 2012): resampling n rows WITH replacement ≈ giving each
+      // row an independent Poisson(1) multiplicity, which needs no
+      // global sample — each replicate's mean closes over one map-side-
+      // combinable pass. Weights are DETERMINISTIC: inverse-CDF lookup
+      // on the stable content hash of (row, replicate) against integer
+      // Poisson(1) CDF thresholds (ppm), so the oracle replays the
+      // exact draw — the train_split rule applied to resampling. B = 32
+      // replicates explode in one pass; means are exact integer floor
+      // divisions in centi-cents; the CI is rank-selected (5th/95th
+      // ≈ ranks 2/31), never interpolated.
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val u = pmod(HashFunctions.fnv64(concat(
+        col("o_orderkey").cast("string"), lit("|"),
+        col("rep").cast("string"))), lit(1000000L))
+      val means = o
+        .select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(31))).as("rep"))
+        .withColumn("w",
+          when(u < 367879L, 0L).when(u < 735759L, 1L)
+            .when(u < 919699L, 2L).when(u < 981012L, 3L)
+            .when(u < 996340L, 4L).when(u < 999406L, 5L)
+            .when(u < 999917L, 6L).otherwise(7L))
+        .groupBy("rep")
+        .agg(sum(col("w") * col("cents")).as("sw"), sum(col("w")).as("wn"))
+        .withColumn("mean_centi", expr("(100 * sw) div wn"))
+      // constant partition key: 32 replicate rows, silences the
+      // global-window warning without changing the plan's data motion
+      val ranked = means.withColumn("rk",
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("mean_centi"), col("rep"))))
+      val full = o.agg(
+        expr("(100 * sum(cents)) div count(1)").as("mean_centi_full"))
+      ranked.agg(
+          count(lit(1)).as("n_reps"),
+          min(col("mean_centi")).as("boot_min"),
+          max(col("mean_centi")).as("boot_max"),
+          max(when(col("rk") === 2, col("mean_centi"))).as("boot_lo"),
+          max(when(col("rk") === 16, col("mean_centi"))).as("boot_med"),
+          max(when(col("rk") === 31, col("mean_centi"))).as("boot_hi"))
+        .crossJoin(broadcast(full))
+    }),
+
     "orders_basket_lift" -> ((s, dir) => {
       // market-basket association: part pairs co-purchased in one order,
       // scored by lift = P(a,b)/(P(a)·P(b)) — the retail classic. Pair
@@ -6478,6 +6554,65 @@ object SparkEntry {
            CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
          FROM d4 WHERE dist > 0 GROUP BY node
          ORDER BY harmonic_ppm DESC, n_reached DESC, node LIMIT 20""",
+
+    "feature_hashing" -> {
+      val hv = fnvSql("term")
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+         hashed AS (
+           SELECT doc_id, term,
+             CAST($hv % 64 AS BIGINT) AS bucket,
+             CASE WHEN ($hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+           FROM tok),
+         feat AS (
+           SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v,
+             count(DISTINCT term) AS nt
+           FROM hashed GROUP BY 1, 2)
+         SELECT bucket, count(*) AS n_docs_nonzero,
+           CAST(sum(v) AS BIGINT) AS sum_val,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS BIGINT) AS max_abs,
+           CAST(max(nt) AS BIGINT) AS max_terms_per_doc
+         FROM feat WHERE v <> 0 GROUP BY bucket ORDER BY bucket"""
+    },
+
+    "stats_bootstrap" -> {
+      val hv = signedSql(fnvSql(
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(rep AS VARCHAR)"))
+      s"""WITH o AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM orders),
+         b AS (
+           SELECT o_orderkey, cents, rep,
+             (($hv % 1000000) + 1000000) % 1000000 AS u
+           FROM o CROSS JOIN (SELECT range AS rep FROM range(0, 32)) reps),
+         wts AS (
+           SELECT rep, cents,
+             CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                  WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                  WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+                  WHEN u < 999917 THEN 6 ELSE 7 END AS w
+           FROM b),
+         m AS (
+           SELECT rep,
+             CAST((100 * sum(w * cents)) // sum(w) AS BIGINT) AS mean_centi
+           FROM wts GROUP BY rep),
+         r AS (
+           SELECT rep, mean_centi,
+             row_number() OVER (ORDER BY mean_centi, rep) AS rk FROM m),
+         f AS (
+           SELECT CAST((100 * sum(cents)) // count(*) AS BIGINT)
+             AS mean_centi_full FROM o)
+         SELECT count(*) AS n_reps,
+           min(mean_centi) AS boot_min, max(mean_centi) AS boot_max,
+           max(CASE WHEN rk = 2 THEN mean_centi END) AS boot_lo,
+           max(CASE WHEN rk = 16 THEN mean_centi END) AS boot_med,
+           max(CASE WHEN rk = 31 THEN mean_centi END) AS boot_hi,
+           (SELECT mean_centi_full FROM f) AS mean_centi_full
+         FROM r"""
+    },
 
     "orders_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
