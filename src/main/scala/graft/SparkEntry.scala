@@ -4980,6 +4980,80 @@ object SparkEntry {
         .crossJoin(broadcast(full))
     }),
 
+    "join_spatial_grid" -> ((s, dir) => {
+      // 2-D radius self-join (Chebyshev r = ($1, 1 size unit) on the
+      // part price×size plane) via GRID BUCKETING — the spatial
+      // generalization of join_band_bucketed's 1-D trick: cell side =
+      // radius, left rows keyed by their OWN cell, right rows
+      // replicated to the 3×3 stencil, so every qualifying pair meets
+      // in exactly one (cell-of-a, stencil-replica-of-b) slot — an
+      // equi-join with no dedupe and provably complete (Δ ≤ r ⟹ cell
+      // distance ≤ 1). Candidates are Σ|cell|² over radius-sized cells
+      // vs the n² of a naive distance join; the 9× replication is of
+      // (id, x, y) triples only. All-integer cents/sizes — hash-exact.
+      val p = t(s, dir, "part").select(col("p_partkey").as("id"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("xc"),
+        col("p_size").cast("long").as("yc"))
+      val cell = p
+        .withColumn("cx", expr("xc div 100"))
+        .withColumn("cy", col("yc"))
+      val right = cell
+        .select(col("id").as("id_b"), col("xc").as("xc2"),
+          col("yc").as("yc2"), col("cx"), col("cy"))
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("id_b"), col("xc2"), col("yc2"),
+          (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+      cell.select(col("id"), col("xc"), col("yc"), col("cx"), col("cy"))
+        .join(right, Seq("cx", "cy"))
+        .filter(col("id") < col("id_b") &&
+          abs(col("xc") - col("xc2")) <= 100 &&
+          abs(col("yc") - col("yc2")) <= 1)
+        .select(col("id").as("id_a"), col("id_b"),
+          (col("xc2") - col("xc")).as("d_price_cents"),
+          (col("yc2") - col("yc")).as("d_size"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "timeseries_theil_sen" -> ((s, dir) => {
+      // Theil–Sen robust trend (Sen 1968): per-user slope = the median
+      // of all pairwise slopes — 29% breakdown vs least-squares' zero.
+      // Pairs are generated WITHIN user (the basket-lift rule: Σ|series|²
+      // with bounded series, linear in users at any scale — never
+      // events²). Slopes are exact integer divisions (10⁶ × cents/sec;
+      // Spark's `div` and DuckDB's `//` BOTH truncate toward zero on
+      // negatives — measured, not assumed: -967 div 2 = -483 on each),
+      // and the median is RANK-SELECTED (lower median at row_number
+      // ⌈m/2⌉ over a total order), never interpolated — engine-exact
+      // on negatives and ties.
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_millis(ts)").as("tms"),
+          (dec(col("value")) * 100).cast("long").as("vc"))
+      val a = e.select(col("user_id"), col("event_id").as("ia"),
+        col("tms").as("ta"), col("vc").as("va"))
+      val b = e.select(col("user_id"), col("event_id").as("ib"),
+        col("tms").as("tb"), col("vc").as("vb"))
+      val pairs = a.join(b, Seq("user_id"))
+        .filter(col("ta") < col("tb") ||
+          (col("ta") === col("tb") && col("ia") < col("ib")))
+        .filter(col("tb") =!= col("ta"))
+        .withColumn("num", (col("vb") - col("va")) * 1000000000L)
+        .withColumn("dt", col("tb") - col("ta"))
+        .withColumn("slope", expr("num div dt"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("slope"), col("ia"), col("ib"))
+      val med = pairs
+        .withColumn("rk", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("rk") === expr("(m + 1) div 2"))
+        .select(col("user_id"), col("m").as("n_pairs"),
+          col("slope").as("slope_med"))
+      e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .join(med, Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
     "orders_basket_lift" -> ((s, dir) => {
       // market-basket association: part pairs co-purchased in one order,
       // scored by lift = P(a,b)/(P(a)·P(b)) — the retail classic. Pair
@@ -6613,6 +6687,47 @@ object SparkEntry {
            (SELECT mean_centi_full FROM f) AS mean_centi_full
          FROM r"""
     },
+
+    "join_spatial_grid" ->
+      """WITH p AS (
+           SELECT p_partkey AS id,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS xc,
+             CAST(p_size AS BIGINT) AS yc
+           FROM part)
+         SELECT a.id AS id_a, b.id AS id_b,
+           b.xc - a.xc AS d_price_cents, b.yc - a.yc AS d_size
+         FROM p a JOIN p b
+           ON a.id < b.id AND abs(a.xc - b.xc) <= 100
+           AND abs(a.yc - b.yc) <= 1
+         ORDER BY id_a, id_b""",
+
+    "timeseries_theil_sen" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS tms,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+           FROM events),
+         pairs AS (
+           SELECT a.user_id,
+             (b.vc - a.vc) * 1000000000 // (b.tms - a.tms) AS slope,
+             a.event_id AS ia, b.event_id AS ib
+           FROM e a JOIN e b ON a.user_id = b.user_id
+             AND (a.tms < b.tms
+               OR (a.tms = b.tms AND a.event_id < b.event_id))
+             AND a.tms <> b.tms),
+         ranked AS (
+           SELECT user_id, slope,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY slope, ia, ib) AS rk,
+             count(*) OVER (PARTITION BY user_id) AS m
+           FROM pairs),
+         med AS (
+           SELECT user_id, m AS n_pairs, CAST(slope AS BIGINT) AS slope_med
+           FROM ranked WHERE rk = (m + 1) // 2),
+         sizes AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY 1)
+         SELECT s.user_id, s.n_events, med.n_pairs, med.slope_med
+         FROM sizes s JOIN med USING (user_id)
+         ORDER BY user_id""",
 
     "orders_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
