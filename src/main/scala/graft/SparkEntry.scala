@@ -26,6 +26,28 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Kruskal–Wallis shared pieces: the five TPC-H market segments in
+    * the FIXED fold order, and the H double trees as ONE expression
+    * string evaluated verbatim by both Spark and DuckDB (bit-identical
+    * doubles before the ppm floor). r1..r5 are DOUBLED rank sums, so
+    * Σ R_s²/n_s = Σ r_i²/(4·n_i) and 12/4 = 3. */
+  private val kwSegs =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val kwH: String = {
+    val sumTerm = (1 to 5).map(i =>
+      s"CAST(r$i AS DOUBLE) * CAST(r$i AS DOUBLE) / CAST(n$i AS DOUBLE)")
+      .mkString(" + ")
+    s"""(3.0 * ($sumTerm) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        - 3.0 * CAST(n + 1 AS DOUBLE))"""
+  }
+  private val kwHppm: String =
+    s"CAST(floor(1000000.0 * $kwH) AS BIGINT)"
+  private val kwHcorrPpm: String =
+    s"""CAST(floor(1000000.0 * $kwH /
+        (1.0 - CAST(tie_term AS DOUBLE) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           - CAST(n AS DOUBLE)))) AS BIGINT)"""
+
   /** Dialect-common analytics SQL — the `sql_analytics` query AND its
     * oracle are this same string: it must stay inside the syntax both
     * Spark and DuckDB accept (no QUALIFY, explicit subquery for the
@@ -5054,6 +5076,47 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "stats_kruskal_wallis" -> ((s, dir) => {
+      // Kruskal–Wallis H (rank one-way ANOVA) of account balance across
+      // the five market segments — the k-group extension of
+      // stats_mann_whitney, same integer discipline: doubled midranks
+      // keep tie-corrected rank sums exact in 64 bits, every scan after
+      // the first groupBy is value-domain-sized, and the five per-group
+      // (n_s, 2R_s) pairs PIVOT into one row so the H double tree folds
+      // in a FIXED segment order (group-sum order out of an agg is
+      // nondeterministic; a pivoted expression is not). H and its
+      // tie-corrected form close over exact integers in one shared
+      // expression string — the same text evaluates in Spark and
+      // DuckDB, so the doubles are bit-identical before the ppm floor.
+      val c0 = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val segCols = kwSegs.zipWithIndex.map { case (sg, i) =>
+        sum(when(col("seg") === sg, 1L).otherwise(0L)).as(s"c${i + 1}")
+      }
+      val per = c0.groupBy("cents").agg(segCols.head, segCols.tail: _*)
+      val wBefore = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = per
+        .withColumn("t", expr("c1 + c2 + c3 + c4 + c5"))
+        .withColumn("cum_before",
+          coalesce(sum(col("t")).over(wBefore), lit(0L)))
+      val aggCols = (kwSegs.indices.map { i =>
+        sum(col(s"c${i + 1}")).as(s"n${i + 1}")
+      } ++ kwSegs.indices.map { i =>
+        sum(col(s"c${i + 1}") *
+          (lit(2L) * col("cum_before") + col("t") + lit(1L)))
+          .as(s"r${i + 1}")
+      }) :+ sum(col("t") * col("t") * col("t") - col("t")).as("tie_term")
+      val agg0 = ranked.agg(aggCols.head, aggCols.tail: _*)
+      agg0
+        .withColumn("n", expr("n1 + n2 + n3 + n4 + n5"))
+        .withColumn("h_ppm", expr(kwHppm))
+        .withColumn("h_corr_ppm", expr(kwHcorrPpm))
+        .select("n", "n1", "n2", "n3", "n4", "n5", "tie_term",
+          "h_ppm", "h_corr_ppm")
+    }),
+
     "orders_basket_lift" -> ((s, dir) => {
       // market-basket association: part pairs co-purchased in one order,
       // scored by lift = P(a,b)/(P(a)·P(b)) — the retail classic. Pair
@@ -6728,6 +6791,43 @@ object SparkEntry {
          SELECT s.user_id, s.n_events, med.n_pairs, med.slope_med
          FROM sizes s JOIN med USING (user_id)
          ORDER BY user_id""",
+
+    "stats_kruskal_wallis" -> {
+      val cs = kwSegs.zipWithIndex.map { case (sg, i) =>
+        s"CAST(sum(CASE WHEN seg = '$sg' THEN 1 ELSE 0 END) AS BIGINT) AS c${i + 1}"
+      }.mkString(",\n             ")
+      val ns = (1 to 5).map(i =>
+        s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")
+      val rs = (1 to 5).map(i =>
+        s"CAST(sum(c$i * (2 * cum_before + t + 1)) AS BIGINT) AS r$i")
+        .mkString(",\n             ")
+      s"""WITH c0 AS (
+           SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         per AS (
+           SELECT cents,
+             $cs
+           FROM c0 GROUP BY cents),
+         ranked AS (
+           SELECT cents, c1, c2, c3, c4, c5,
+             c1 + c2 + c3 + c4 + c5 AS t,
+             COALESCE(CAST(sum(c1 + c2 + c3 + c4 + c5) OVER (
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cum_before
+           FROM per),
+         agg0 AS (
+           SELECT $ns,
+             $rs,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+           FROM ranked),
+         wn AS (SELECT agg0.*, n1 + n2 + n3 + n4 + n5 AS n FROM agg0)
+         SELECT n, n1, n2, n3, n4, n5, tie_term,
+           $kwHppm AS h_ppm,
+           $kwHcorrPpm AS h_corr_ppm
+         FROM wn"""
+    },
 
     "orders_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
