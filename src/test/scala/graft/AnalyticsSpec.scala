@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Semantic invariants / third-implementation recomputes for the
+  * round-8 fifth-sitting analytics batch (cohort LTV, closeness,
+  * hashing trick, bootstrap, spatial grid, Theil–Sen, Kruskal–Wallis)
+  * on sf0.001 — properties the DuckDB oracle alone would not prove. */
+class AnalyticsSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  private def fnv(s: String): Long =
+    functions.HashOps.fnv64(UTF8String.fromString(s))
+
+  test("orders_cohort_ltv: running sums close, cohort month 0 holds every member") {
+    val rows = q("orders_cohort_ltv")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // offset 0 exists and contains the whole cohort (everyone's first
+      // order lands there by construction of the cohort)
+      assert(sorted.head._2 == 0, s"cohort $cohort missing offset 0")
+      assert(sorted.head._3 == sorted.head._6,
+        s"cohort $cohort offset-0 actives != cohort size")
+      // cum_rev_cents is exactly the running sum of rev_cents
+      var cum = 0L
+      sorted.foreach { case (_, _, active, rev, cumGot, size, ltv) =>
+        cum += rev
+        assert(cumGot == cum, s"cohort $cohort cumulative drift")
+        assert(active >= 1L && active <= size)
+        assert(ltv == cum / size)
+      }
+    }
+  }
+
+  test("graph_closeness: equals a driver BFS from the 8 seeds") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_suppkey", "l_partkey")
+      .collect().map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1)).distinct
+    val adj = (li ++ li.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => (n, es.map(_._2).toSet) }
+    val seeds = li.map(_._1).filter(_ <= 16).distinct
+    assert(seeds.nonEmpty)
+    val dist = scala.collection.mutable.Map[(Long, Long), Long]()
+    seeds.foreach { s0 =>
+      var frontier = Set(s0)
+      dist((s0, s0)) = 0L
+      for (d <- 1L to 4L) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filter(n => !dist.contains((n, s0)))
+        frontier.foreach(n => dist((n, s0)) = d)
+      }
+    }
+    val harm = dist.toSeq.filter(_._2 > 0)
+      .groupBy(_._1._1)
+      .map { case (n, ds) =>
+        (n, ds.size.toLong, ds.map(d => 1000000L / d._2).sum)
+      }.toSeq
+    val expected = harm.sortBy(t => (-t._3, -t._2, t._1)).take(20)
+    val got = q("graph_closeness")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+  }
+
+  test("feature_hashing: equals a driver recompute over raw tokens") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val perDoc = docs.flatMap { case (id, text) =>
+      val t = Option(text).map(_.trim).getOrElse("")
+      val toks = if (t.isEmpty) Array.empty[String]
+                 else t.toLowerCase.split("\\s+")
+      toks.map { term =>
+        val h = fnv(term)
+        val bucket = ((h % 64) + 64) % 64
+        val sgn = if (math.floorMod(h >> 6, 2L) == 0L) 1L else -1L
+        ((id, bucket), (sgn, term))
+      }
+    }.groupBy(_._1).map { case ((id, b), vs) =>
+      ((id, b), (vs.map(_._2._1).sum, vs.map(_._2._2).distinct.size.toLong))
+    }.filter(_._2._1 != 0L)
+    val expected = perDoc.toSeq.groupBy(_._1._2).map { case (b, vs) =>
+      (b, (vs.size.toLong, vs.map(_._2._1).sum, vs.map(_._2._1.abs).sum,
+        vs.map(_._2._1.abs).max, vs.map(_._2._2).max))
+    }
+    val got = q("feature_hashing")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"${got.size} buckets vs ${expected.size}")
+    assert(got.keys.forall(b => b >= 0 && b < 64))
+  }
+
+  test("stats_bootstrap: rank order sane, full mean and one replicate replayed") {
+    val r = q("stats_bootstrap").head()
+    def g(c: String) = r.getLong(r.fieldIndex(c))
+    assert(g("n_reps") == 32L)
+    assert(g("boot_min") <= g("boot_lo") && g("boot_lo") <= g("boot_med"))
+    assert(g("boot_med") <= g("boot_hi") && g("boot_hi") <= g("boot_max"))
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .collect().map(x => (x.getLong(0), math.round(x.getDouble(1) * 100))).toSeq
+    assert(g("mean_centi_full") == 100L * o.map(_._2).sum / o.size)
+    // replay replicate 0's Poisson weights and mean; it must land inside
+    // the emitted min/max envelope
+    def w(u: Long): Long =
+      if (u < 367879) 0 else if (u < 735759) 1 else if (u < 919699) 2
+      else if (u < 981012) 3 else if (u < 996340) 4 else if (u < 999406) 5
+      else if (u < 999917) 6 else 7
+    val ws = o.map { case (k, c) =>
+      (w(math.floorMod(fnv(s"$k|0"), 1000000L)), c) }
+    val m0 = 100L * ws.map(p => p._1 * p._2).sum / ws.map(_._1).sum
+    assert(m0 >= g("boot_min") && m0 <= g("boot_max"),
+      s"replicate-0 mean $m0 outside [${g("boot_min")}, ${g("boot_max")}]")
+    // weights look Poisson(1): mean within 10% of 1 at n=1500
+    val wbar = ws.map(_._1).sum.toDouble / ws.size
+    assert(math.abs(wbar - 1.0) < 0.1, s"weight mean $wbar")
+  }
+
+  test("join_spatial_grid: equals the brute-force radius join") {
+    val p = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_retailprice", "p_size")
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100),
+        r.getInt(2).toLong)).toSeq
+    val expected = (for {
+      (ia, xa, ya) <- p; (ib, xb, yb) <- p
+      if ia < ib && math.abs(xa - xb) <= 100 && math.abs(ya - yb) <= 1
+    } yield (ia, ib, xb - xa, yb - ya)).toSet
+    val got = q("join_spatial_grid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("timeseries_theil_sen: equals the brute-force pairwise-slope median") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id", "event_id", "unix_millis(ts) AS tms",
+        "CAST(round(value * 100) AS BIGINT) AS vc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val expected = e.groupBy(_._1).flatMap { case (u, rows) =>
+      val pairs = for {
+        (_, ia, ta, va) <- rows; (_, ib, tb, vb) <- rows
+        if (ta < tb || (ta == tb && ia < ib)) && ta != tb
+      } yield (((vb - va) * 1000000000L) / (tb - ta), ia, ib)
+      if (pairs.isEmpty) None
+      else {
+        val sorted = pairs.sortBy(p => (p._1, p._2, p._3))
+        val m = sorted.size
+        Some((u, (rows.size.toLong, m.toLong, sorted((m + 1) / 2 - 1)._1)))
+      }
+    }
+    val got = q("timeseries_theil_sen")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == expected.toMap, s"${got.size} vs ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("stats_kruskal_wallis: H recomputed directly; integer stats exact") {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_mktsegment", "c_acctbal")
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .toSeq
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val n = c.size
+    // doubled midranks: value v at 1-indexed positions [cb+1, cb+t] has
+    // doubled midrank 2*cb + t + 1
+    val byV = c.groupBy(_._2).toSeq.sortBy(_._1)
+    var cb = 0L
+    var r2 = Map[String, Long]().withDefaultValue(0L)
+    var tie = 0L
+    byV.foreach { case (_, rows) =>
+      val t = rows.size.toLong
+      rows.foreach { case (s, _) => r2 += s -> (r2(s) + 2 * cb + t + 1) }
+      tie += t * t * t - t
+      cb += t
+    }
+    val ns = segs.map(s => c.count(_._1 == s).toLong)
+    val sumTerm = segs.zip(ns).map { case (s, nsz) =>
+      r2(s).toDouble * r2(s).toDouble / nsz.toDouble }.sum
+    val h = 3.0 * sumTerm / (n.toDouble * (n + 1.0)) - 3.0 * (n + 1.0)
+    val hCorr = h / (1.0 - tie.toDouble /
+      (n.toDouble * n.toDouble * n.toDouble - n.toDouble))
+    val row = q("stats_kruskal_wallis").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    assert(g("n") == n.toLong)
+    assert(segs.indices.forall(i => g(s"n${i + 1}") == ns(i)))
+    assert(g("tie_term") == tie)
+    assert(math.abs(g("h_ppm") / 1e6 - h) < 1e-3, s"${g("h_ppm")} vs $h")
+    assert(math.abs(g("h_corr_ppm") / 1e6 - hCorr) < 1e-3)
+    // with 5 groups H should be positive on organic data
+    assert(g("h_ppm") > 0L)
+  }
+}
