@@ -44,7 +44,7 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1)).distinct
     val adj = (li ++ li.map(e => (e._2, e._1)))
       .groupBy(_._1).map { case (n, es) => (n, es.map(_._2).toSet) }
-    val seeds = li.map(_._1).filter(_ <= 16).distinct
+    val seeds = li.map(_._1).filter(_ < 16).distinct
     assert(seeds.nonEmpty)
     val dist = scala.collection.mutable.Map[(Long, Long), Long]()
     seeds.foreach { s0 =>
