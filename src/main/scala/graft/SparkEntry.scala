@@ -48,6 +48,27 @@ object SparkEntry {
           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
            - CAST(n AS DOUBLE)))) AS BIGINT)"""
 
+  /** One-way ANOVA shared pieces, same contract as the KW strings:
+    * evaluated verbatim by Spark and DuckDB over the pivoted exact
+    * sufficient statistics (n_i, s_i = Σcents, q_i = Σcents²). */
+  private val anovaSterm: String = (1 to 5).map(i =>
+    s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE)")
+    .mkString(" + ")
+  private val anovaSsb: String =
+    s"""(($anovaSterm)
+        - CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE)
+          * CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE) / CAST(n AS DOUBLE))"""
+  private val anovaFppm: String =
+    s"""CAST(floor(1000000.0 * ($anovaSsb * CAST(n - 5 AS DOUBLE))
+        / ((CAST(q1 + q2 + q3 + q4 + q5 AS DOUBLE) - ($anovaSterm)) * 4.0))
+        AS BIGINT)"""
+  private val anovaEta2Ppm: String =
+    s"""CAST(floor(1000000.0 * $anovaSsb
+        / (CAST(q1 + q2 + q3 + q4 + q5 AS DOUBLE)
+           - CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE)
+             * CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE) / CAST(n AS DOUBLE)))
+        AS BIGINT)"""
+
   /** Dialect-common analytics SQL — the `sql_analytics` query AND its
     * oracle are this same string: it must stay inside the syntax both
     * Spark and DuckDB accept (no QUALIFY, explicit subquery for the
@@ -5150,6 +5171,149 @@ object SparkEntry {
           "h_ppm", "h_corr_ppm")
     }),
 
+    "stats_anova_f" -> ((s, dir) => {
+      // one-way ANOVA F of account balance across the five market
+      // segments — the parametric companion to stats_kruskal_wallis,
+      // same discipline: per-group sufficient statistics (n, Σx, Σx²)
+      // close over exact integers (Σx² in decimal(38,0): cents² sums
+      // cross 2^63 past sf1), PIVOT into one row for a fixed fold
+      // order, and F / η² evaluate in ONE expression string shared
+      // verbatim with DuckDB — bit-identical doubles before the floor.
+      val c0 = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val aCols = kwSegs.zipWithIndex.flatMap { case (sg, i) =>
+        Seq(
+          sum(when(col("seg") === sg, 1L).otherwise(0L)).as(s"n${i + 1}"),
+          sum(when(col("seg") === sg, col("cents")).otherwise(0L))
+            .as(s"s${i + 1}"),
+          sum(when(col("seg") === sg,
+            col("cents").cast("decimal(38,0)") * col("cents"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"q${i + 1}"))
+      }
+      val agg0 = c0.agg(aCols.head, aCols.tail: _*)
+      agg0
+        .withColumn("n", expr("n1 + n2 + n3 + n4 + n5"))
+        .withColumn("f_ppm", expr(anovaFppm))
+        .withColumn("eta2_ppm", expr(anovaEta2Ppm))
+        .select("n", "n1", "n2", "n3", "n4", "n5", "f_ppm", "eta2_ppm")
+    }),
+
+    "stats_permutation_test" -> ((s, dir) => {
+      // randomization test for the urgent-vs-low mean gap: B = 64
+      // label reassignments drawn DETERMINISTICALLY (content hash of
+      // (row, replicate) vs the integer threshold n_a·10⁶ div n — the
+      // stats_bootstrap rule), statistic = |mean gap| in floor
+      // centi-cents, p = share of replicates at or above the observed
+      // gap. I.i.d. relabeling approximates the exact fixed-margin
+      // permutation distribution at these n (the Monte-Carlo form);
+      // every replicate closes over one map-side-combinable pass and
+      // the comparison is all-integer — engine-exact.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("is_a"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = o.agg(sum(col("is_a")).as("n_a"),
+        count(lit(1)).as("n"),
+        sum(when(col("is_a") === 1L, col("cents"))).as("s_a"),
+        sum(when(col("is_a") === 0L, col("cents"))).as("s_b"))
+      val obs = base.select(col("n_a"), col("n"),
+        expr("abs((100 * s_a) div n_a - (100 * s_b) div (n - n_a))")
+          .as("obs_diff_centi"))
+      val u = pmod(HashFunctions.fnv64(concat(
+        col("o_orderkey").cast("string"), lit("#"),
+        col("rep").cast("string"))), lit(1000000L))
+      val perms = o
+        .select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(63))).as("rep"))
+        .crossJoin(broadcast(obs.select(col("n_a"), col("n"))))
+        .withColumn("to_a",
+          (u < expr("(n_a * 1000000) div n")).cast("long"))
+        .groupBy("rep")
+        .agg(sum(col("to_a") * col("cents")).as("pa"),
+          sum(col("to_a")).as("ka"),
+          sum((lit(1L) - col("to_a")) * col("cents")).as("pb"),
+          sum(lit(1L) - col("to_a")).as("kb"))
+        .withColumn("pd",
+          expr("abs((100 * pa) div ka - (100 * pb) div kb)"))
+      perms.crossJoin(broadcast(obs))
+        .agg(count(lit(1)).as("n_perms"),
+          sum(when(col("pd") >= col("obs_diff_centi"), 1L).otherwise(0L))
+            .as("n_ge"),
+          max(col("obs_diff_centi")).as("obs_diff_centi"),
+          max(col("n_a")).as("n_a"), max(col("n")).as("n"))
+        .withColumn("p_ppm", expr("(n_ge * 1000000) div n_perms"))
+        .select("n", "n_a", "n_perms", "obs_diff_centi", "n_ge", "p_ppm")
+    }),
+
+    "timeseries_changepoint" -> ((s, dir) => {
+      // single change-point by max-CUSUM (the first split of binary
+      // segmentation, Scott–Knott / AMOC form): on the daily revenue
+      // series, G_t = n·cum_t − t·total is n× the centered CUSUM — an
+      // EXACT integer (cents), so argmax needs no float anywhere. The
+      // day series is tiny after the first groupBy; the argmax is a
+      // days-sized sort with a total tie order (|G| desc, day asc).
+      // Emits the split point with exact pre/post mean centi-cents.
+      val e = t(s, dir, "events")
+        .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"),
+          (dec(col("value")) * 100).cast("long").as("vc"))
+      val daily = e.groupBy("d").agg(sum(col("vc")).as("x"))
+      val wOrd = Window.partitionBy(lit(0)).orderBy("d")
+      val wAll = Window.partitionBy(lit(0))
+      val cum = daily
+        .withColumn("tt", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum(col("x")).over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("total", sum(col("x")).over(wAll))
+        .filter(col("tt") < col("n")) // a split needs a non-empty tail
+        .withColumn("g", col("n") * col("cum") - col("tt") * col("total"))
+      cum.orderBy(abs(col("g")).desc, col("d")).limit(1)
+        .select(col("d").as("split_day"), col("tt").as("t_split"),
+          col("n").as("n_days"), abs(col("g")).as("g_abs"),
+          expr("(100 * cum) div tt").as("pre_mean_centi"),
+          expr("(100 * (total - cum)) div (n - tt)").as("post_mean_centi"))
+    }),
+
+    "events_user_lifecycle" -> ((s, dir) => {
+      // growth accounting (the GitHub/a16z "new–retained–resurrected–
+      // churned" decomposition): per active (user, week), classify by
+      // the user's previous active week — lag is per-user (one keyed
+      // sort, never a global scan); churn for week w is closed-form
+      // actives(w−7d) − retained(w), a week-level self-join on a
+      // weeks-sized frame. Weekly grain keeps every count exact.
+      val e = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("timestamp_ntz").as("w"))
+        .distinct()
+      val lagW = Window.partitionBy("user_id").orderBy("w")
+      val classified = e
+        .withColumn("prev_w", lag(col("w"), 1).over(lagW))
+        .withColumn("status",
+          when(col("prev_w").isNull, "new")
+            .when(col("prev_w") === expr("w - INTERVAL 7 DAYS"), "retained")
+            .otherwise("resurrected"))
+      val perWeek = classified.groupBy("w")
+        .agg(count(lit(1)).as("actives"),
+          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("status") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+      perWeek
+        .join(perWeek.select(
+            expr("w + INTERVAL 7 DAYS").as("w"),
+            col("actives").as("prev_actives")),
+          Seq("w"), "left")
+        .withColumn("n_churned",
+          coalesce(col("prev_actives"), lit(0L)) - col("n_retained"))
+        .select(col("w"), col("actives"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), col("n_churned"))
+        .orderBy("w")
+    }),
+
     "orders_basket_lift" -> ((s, dir) => {
       // market-basket association: part pairs co-purchased in one order,
       // scored by lift = P(a,b)/(P(a)·P(b)) — the retail classic. Pair
@@ -6861,6 +7025,119 @@ object SparkEntry {
            $kwHcorrPpm AS h_corr_ppm
          FROM wn"""
     },
+
+    "stats_anova_f" -> {
+      val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>
+        s"""CAST(sum(CASE WHEN seg = '$sg' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n${i + 1},
+           CAST(sum(CASE WHEN seg = '$sg' THEN cents ELSE 0 END) AS BIGINT)
+             AS s${i + 1},
+           sum(CASE WHEN seg = '$sg'
+             THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS q${i + 1}"""
+      }.mkString(",\n           ")
+      s"""WITH c0 AS (
+           SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         agg0 AS (
+           SELECT $aggs
+           FROM c0),
+         wn AS (SELECT agg0.*, n1 + n2 + n3 + n4 + n5 AS n FROM agg0)
+         SELECT n, n1, n2, n3, n4, n5,
+           $anovaFppm AS f_ppm,
+           $anovaEta2Ppm AS eta2_ppm
+         FROM wn"""
+    },
+
+    "stats_permutation_test" -> {
+      val hv = signedSql(fnvSql(
+        "CAST(o_orderkey AS VARCHAR) || '#' || CAST(rep AS VARCHAR)"))
+      s"""WITH o AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS is_a,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         base AS (
+           SELECT CAST(sum(is_a) AS BIGINT) AS n_a, count(*) AS n,
+             CAST(sum(CASE WHEN is_a = 1 THEN cents END) AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN is_a = 0 THEN cents END) AS BIGINT) AS s_b
+           FROM o),
+         obs AS (
+           SELECT n_a, n,
+             abs((100 * s_a) // n_a - (100 * s_b) // (n - n_a))
+               AS obs_diff_centi
+           FROM base),
+         b AS (
+           SELECT o_orderkey, cents, rep,
+             CASE WHEN (($hv % 1000000) + 1000000) % 1000000
+               < (obs.n_a * 1000000) // obs.n THEN 1 ELSE 0 END AS to_a
+           FROM o
+           CROSS JOIN (SELECT range AS rep FROM range(0, 64)) reps
+           CROSS JOIN obs),
+         perms AS (
+           SELECT rep,
+             abs((100 * sum(to_a * cents)) // sum(to_a)
+               - (100 * sum((1 - to_a) * cents)) // sum(1 - to_a)) AS pd
+           FROM b GROUP BY rep)
+         SELECT CAST(obs.n AS BIGINT) AS n, obs.n_a AS n_a,
+           count(*) AS n_perms,
+           CAST(obs.obs_diff_centi AS BIGINT) AS obs_diff_centi,
+           CAST(sum(CASE WHEN pd >= obs.obs_diff_centi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_ge,
+           CAST((sum(CASE WHEN pd >= obs.obs_diff_centi THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS BIGINT) AS p_ppm
+         FROM perms CROSS JOIN obs
+         GROUP BY obs.n, obs.n_a, obs.obs_diff_centi"""
+    },
+
+    "timeseries_changepoint" ->
+      """WITH daily AS (
+           SELECT date_trunc('day', ts) AS d,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         cum AS (
+           SELECT d, x,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS tt,
+             CAST(sum(x) OVER (ORDER BY d) AS BIGINT) AS cum,
+             count(*) OVER () AS n,
+             CAST(sum(x) OVER () AS BIGINT) AS total
+           FROM daily),
+         g AS (
+           SELECT d, tt, n, cum, total, n * cum - tt * total AS g
+           FROM cum WHERE tt < n)
+         SELECT d AS split_day, tt AS t_split, n AS n_days,
+           abs(g) AS g_abs,
+           (100 * cum) // tt AS pre_mean_centi,
+           (100 * (total - cum)) // (n - tt) AS post_mean_centi
+         FROM g ORDER BY abs(g) DESC, d LIMIT 1""",
+
+    "events_user_lifecycle" ->
+      """WITH e AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+           FROM events),
+         classified AS (
+           SELECT user_id, w,
+             lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w
+           FROM e),
+         per_week AS (
+           SELECT w, count(*) AS actives,
+             CAST(sum(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN prev_w = w - INTERVAL 7 DAY THEN 1
+               ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN prev_w IS NOT NULL
+               AND prev_w < w - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_resurrected
+           FROM classified GROUP BY w)
+         SELECT a.w, a.actives, a.n_new, a.n_retained, a.n_resurrected,
+           COALESCE(p.actives, 0) - a.n_retained AS n_churned
+         FROM per_week a
+         LEFT JOIN per_week p ON p.w + INTERVAL 7 DAY = a.w
+         ORDER BY a.w""",
 
     "orders_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -162,6 +162,106 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stats_anova_f: F and eta2 recomputed directly; group sizes exact") {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_mktsegment", "c_acctbal")
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .toSeq
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val n = c.size.toDouble
+    val by = segs.map(s => c.filter(_._1 == s).map(_._2))
+    val sterm = by.map(xs =>
+      xs.sum.toDouble * xs.sum.toDouble / xs.size.toDouble).sum
+    val stot = c.map(_._2).sum.toDouble
+    val qtot = c.map(x => x._2.toDouble * x._2.toDouble).sum
+    val ssb = sterm - stot * stot / n
+    val ssw = qtot - sterm
+    val f = ssb * (n - 5.0) / (ssw * 4.0)
+    val eta2 = ssb / (qtot - stot * stot / n)
+    val row = q("stats_anova_f").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    assert(g("n") == c.size.toLong)
+    assert(segs.indices.forall(i =>
+      g(s"n${i + 1}") == by(i).size.toLong))
+    assert(math.abs(g("f_ppm") / 1e6 - f) < 1e-3, s"${g("f_ppm")} vs $f")
+    assert(math.abs(g("eta2_ppm") / 1e6 - eta2) < 1e-3)
+    assert(g("eta2_ppm") >= 0L && g("eta2_ppm") <= 1000000L)
+  }
+
+  test("stats_permutation_test: observed gap replayed; p-value well-formed") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+      .filter(r => r._2 == "1-URGENT" || r._2 == "5-LOW").toSeq
+    val (as, bs) = o.partition(_._2 == "1-URGENT")
+    val obs = math.abs(100L * as.map(_._3).sum / as.size -
+      100L * bs.map(_._3).sum / bs.size)
+    val row = q("stats_permutation_test").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    assert(g("n") == o.size.toLong && g("n_a") == as.size.toLong)
+    assert(g("obs_diff_centi") == obs)
+    assert(g("n_perms") == 64L)
+    assert(g("n_ge") >= 0L && g("n_ge") <= 64L)
+    assert(g("p_ppm") == g("n_ge") * 1000000L / 64L)
+    // replicate 0 replayed end-to-end must produce a gap the engine
+    // could have counted (sanity on the weight threshold arithmetic)
+    val thr = as.size.toLong * 1000000L / o.size
+    val (pa, pb) = o.partition(r =>
+      math.floorMod(fnv(s"${r._1}#0"), 1000000L) < thr)
+    assert(pa.nonEmpty && pb.nonEmpty)
+  }
+
+  test("timeseries_changepoint: equals the driver argmax of the exact CUSUM") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+      .selectExpr("CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS vc")
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0),
+        r.getLong(1))).toSeq
+    val daily = e.groupBy(_._1).map { case (d, xs) =>
+      (d, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val n = daily.size.toLong
+    val total = daily.map(_._2).sum
+    var cum = 0L
+    val gs = daily.zipWithIndex.init.map { case ((d, x), i) =>
+      cum += x
+      (d, i + 1L, n * cum - (i + 1L) * total, cum)
+    }
+    val best = gs.minBy(t => (-math.abs(t._3), t._1))
+    val row = q("timeseries_changepoint").head()
+    assert(row.getAs[java.time.LocalDateTime]("split_day") == best._1)
+    assert(row.getAs[Long]("t_split") == best._2)
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[Long]("g_abs") == math.abs(best._3))
+    assert(row.getAs[Long]("pre_mean_centi") == 100L * best._4 / best._2)
+    assert(row.getAs[Long]("post_mean_centi") ==
+      100L * (total - best._4) / (n - best._2))
+  }
+
+  test("events_user_lifecycle: growth accounting closes over the user set") {
+    val rows = q("events_user_lifecycle")
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toSeq
+    assert(rows.nonEmpty)
+    // actives decompose exactly; churn never negative
+    rows.foreach { case (w, (act, nw, ret, res, chu)) =>
+      assert(act == nw + ret + res, s"week $w decomposition")
+      assert(chu >= 0L, s"week $w negative churn")
+    }
+    // every user is new exactly once
+    val users = sources.Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2._2).sum == users)
+    // churn bookkeeping: actives(prev week) - retained(w)
+    val byW = rows.toMap
+    rows.foreach { case (w, (_, _, ret, _, chu)) =>
+      val prev = byW.get(w.minusDays(7)).map(_._1).getOrElse(0L)
+      assert(chu == prev - ret, s"week $w churn vs $prev - $ret")
+    }
+  }
+
   test("stats_kruskal_wallis: H recomputed directly; integer stats exact") {
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
       .select("c_mktsegment", "c_acctbal")
