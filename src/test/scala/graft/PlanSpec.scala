@@ -339,4 +339,28 @@ class PlanSpec extends SparkSpec {
     // the symmetrized edge list is served from cache
     assert(p.contains("InMemoryTableScan"), p)
   }
+
+  test("join_spatial_grid: cell equi-join, never a nested loop") {
+    val p = plan("join_spatial_grid")
+    // the grid trick's point: the radius predicate rides an equi-join
+    // on (cx, cy), not BNLJ/cartesian (the band-bucket rule in 2-D)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cx"), p)
+  }
+
+  test("graph_closeness: rounds served from cache, top-20 via TakeOrdered") {
+    val p = plan("graph_closeness")
+    // persisted per-round state — the naive chain re-executes rounds
+    // exponentially (measured 14.1 s vs 3.2 s at sf0.1)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("feature_hashing: bucket profile partial-aggregates map-side") {
+    val p = plan("feature_hashing")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    // no join anywhere: the hashing trick needs no vocab table
+    assert(!p.contains("Join"), p)
+  }
 }
