@@ -5314,6 +5314,85 @@ object SparkEntry {
         .orderBy("w")
     }),
 
+    "orders_abc_analysis" -> ((s, dir) => {
+      // ABC / Pareto classification of parts by revenue (the inventory
+      // classic: A ≈ top 80% of revenue, B next 15, C the tail): one
+      // parts-sized aggregate, ONE ordered cumulative window over the
+      // value domain (never the fact table), and the class test is
+      // all-integer (cum·100 vs total·k — no float shares until the
+      // final ppm readout). Class boundaries INCLUDE the crossing part
+      // (the part that tips cumulative share past 80% is still A).
+      val li = t(s, dir, "lineitem")
+      val rev = li.groupBy("l_partkey")
+        .agg(sum((dec(col("l_extendedprice")) * 100).cast("long"))
+          .as("rev_cents"))
+      val wOrd = Window.partitionBy(lit(0))
+        .orderBy(desc("rev_cents"), col("l_partkey"))
+      val wAll = Window.partitionBy(lit(0))
+      rev
+        .withColumn("cum", sum(col("rev_cents")).over(wOrd))
+        .withColumn("total", sum(col("rev_cents")).over(wAll))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev_cents")).as("class_rev_cents"),
+          max(col("total")).as("total_cents"))
+        .withColumn("share_ppm",
+          expr("(class_rev_cents * 1000000) div total_cents"))
+        .select("cls", "n_parts", "class_rev_cents", "share_ppm")
+        .orderBy("cls")
+    }),
+
+    "text_lexical_diversity" -> ((s, dir) => {
+      // lexical-diversity profile per document — type-token ratio and
+      // hapax fraction, the cheap fluency signals next to
+      // text_quality's surface stats: one tokenize pass, one
+      // (doc, term) groupBy, everything after is per-doc-vocabulary-
+      // sized; ratios are integer floor ppm (no float ties).
+      val d = t(s, dir, "documents")
+      val tf = d.select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      tf.groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr_ppm", expr("(n_types * 1000000) div n_tokens"))
+        .withColumn("hapax_ppm", expr("(n_hapax * 1000000) div n_types"))
+        .orderBy("doc_id")
+    }),
+
+    "events_anomaly_rate_spike" -> ((s, dir) => {
+      // volume-spike detection under a Poisson arrival model: for each
+      // (event_type, day) with 7 PRIOR OBSERVED days (rows-frame — on
+      // the dense fixture that is the trailing calendar week), λ̂ =
+      // their mean and z = (x − λ̂)/√λ̂ — the sqrt-stabilized Poisson z that
+      // flags genuine rate spikes where a global z-score fires on any
+      // busy type. Day counts aggregate once (map-side combinable);
+      // the trailing window runs over the type×day frame. z closes in
+      // one double tree from the exact integers (x, s7), floored ppm.
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
+      val daily = e.groupBy("event_type", "d").agg(count(lit(1)).as("x"))
+      val w7 = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("s7", sum(col("x")).over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .filter(col("n7") === 7L)
+        .withColumn("z_ppm", expr(
+          """CAST(floor(1000000.0 *
+               (CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) /
+               sqrt(CAST(s7 AS DOUBLE) / 7.0)) AS BIGINT)"""))
+        .withColumn("spike", col("z_ppm") > 3000000L)
+        .select("event_type", "d", "x", "s7", "z_ppm", "spike")
+        .orderBy("event_type", "d")
+    }),
+
     "orders_basket_lift" -> ((s, dir) => {
       // market-basket association: part pairs co-purchased in one order,
       // scored by lift = P(a,b)/(P(a)·P(b)) — the retail classic. Pair
@@ -7138,6 +7217,66 @@ object SparkEntry {
          FROM per_week a
          LEFT JOIN per_week p ON p.w + INTERVAL 7 DAY = a.w
          ORDER BY a.w""",
+
+    "orders_abc_analysis" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM lineitem GROUP BY 1),
+         cum AS (
+           SELECT l_partkey, rev_cents,
+             CAST(sum(rev_cents) OVER (
+               ORDER BY rev_cents DESC, l_partkey) AS BIGINT) AS cum,
+             CAST(sum(rev_cents) OVER () AS BIGINT) AS total
+           FROM rev),
+         classed AS (
+           SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                       WHEN cum * 100 <= total * 95 THEN 'B'
+                       ELSE 'C' END AS cls,
+             rev_cents, total
+           FROM cum)
+         SELECT cls, count(*) AS n_parts,
+           CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents,
+           (CAST(sum(rev_cents) AS BIGINT) * 1000000) // max(total)
+             AS share_ppm
+         FROM classed GROUP BY cls ORDER BY cls""",
+
+    "text_lexical_diversity" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           (count(*) * 1000000) // CAST(sum(tf) AS BIGINT) AS ttr_ppm,
+           (CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000) // count(*) AS hapax_ppm
+         FROM tf GROUP BY doc_id ORDER BY doc_id""",
+
+    "events_anomaly_rate_spike" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS d,
+             count(*) AS x
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, d, x,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7,
+             count(*) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+           FROM daily)
+         SELECT event_type, d, x, s7,
+           CAST(floor(1000000.0 *
+               (CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) /
+               sqrt(CAST(s7 AS DOUBLE) / 7.0)) AS BIGINT) AS z_ppm,
+           CAST(floor(1000000.0 *
+               (CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) /
+               sqrt(CAST(s7 AS DOUBLE) / 7.0)) AS BIGINT) > 3000000
+             AS spike
+         FROM win WHERE n7 = 7 ORDER BY event_type, d""",
 
     "orders_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

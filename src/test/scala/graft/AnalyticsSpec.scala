@@ -262,6 +262,81 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("orders_abc_analysis: classes recomputed; shares close to one million") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_partkey", "l_extendedprice")
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .toSeq
+    val rev = li.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      .toSeq.sortBy(t => (-t._2, t._1))
+    val total = rev.map(_._2).sum
+    var cum = 0L
+    val classed = rev.map { case (p, rc) =>
+      cum += rc
+      val cls = if (cum * 100 <= total * 80) "A"
+                else if (cum * 100 <= total * 95) "B" else "C"
+      (cls, rc)
+    }
+    val expected = classed.groupBy(_._1).map { case (c, xs) =>
+      (c, (xs.size.toLong, xs.map(_._2).sum,
+        xs.map(_._2).sum * 1000000L / total))
+    }
+    val got = q("orders_abc_analysis")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, s"$got vs $expected")
+    // floor-ppm shares can only undershoot one million
+    val s = got.values.map(_._3).sum
+    assert(s > 999000L && s <= 1000000L, s"shares sum $s")
+  }
+
+  test("text_lexical_diversity: per-doc profile equals raw token counts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = docs.flatMap { case (id, text) =>
+      val t = Option(text).map(_.trim).getOrElse("")
+      val toks = if (t.isEmpty) Array.empty[String]
+                 else t.toLowerCase.split("\\s+")
+      if (toks.isEmpty) None
+      else {
+        val tf = toks.groupBy(identity).map { case (_, v) => v.length }
+        val nTok = toks.length.toLong
+        val nTyp = tf.size.toLong
+        val nHap = tf.count(_ == 1).toLong
+        Some((id, (nTok, nTyp, nHap,
+          nTyp * 1000000L / nTok, nHap * 1000000L / nTyp)))
+      }
+    }.toMap
+    val got = q("text_lexical_diversity")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+  }
+
+  test("events_anomaly_rate_spike: z replayed from exact counts; flags consistent") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+      .selectExpr("event_type", "CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ) AS d")
+      .collect().map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1)))
+      .toSeq
+    val daily = e.groupBy(identity).map { case ((t, d), v) =>
+      (t, d, v.size.toLong) }.toSeq
+    val expected = daily.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zipWithIndex.collect { case ((t, d, x), i) if i >= 7 =>
+        val s7 = sorted.slice(i - 7, i).map(_._3).sum
+        val z = math.floor(1000000.0 * (x.toDouble - s7.toDouble / 7.0) /
+          math.sqrt(s7.toDouble / 7.0)).toLong
+        ((t, d), (x, s7, z, z > 3000000L))
+      }
+    }
+    val got = q("events_anomaly_rate_spike")
+      .collect().map(r => ((r.getString(0), r.getAs[java.time.LocalDateTime](1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got == expected.toMap, s"${got.size} vs ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
   test("stats_kruskal_wallis: H recomputed directly; integer stats exact") {
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
       .select("c_mktsegment", "c_acctbal")
