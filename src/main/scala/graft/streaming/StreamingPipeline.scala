@@ -119,6 +119,69 @@ case class AsOfPendingLeft(ts_ms: Long, value: Double)
 /** Buffered right row (the per-key quote history within the lookback). */
 case class AsOfRightRow(ts_ms: Long, quote: Double)
 
+/** Buffered event awaiting watermark-ordered CUSUM folding. */
+case class CusumPending(ts_ms: Long, vc: Long)
+/** The four-long CUSUM fold state (all exact integer cents). */
+case class CusumFold(s: Long, n: Long, max_s: Long, alarms: Long)
+/** Per-user CUSUM summary — schema matches batch `timeseries_cusum`. */
+case class CusumSummary(user_id: Long, n_events: Long, max_s: Double,
+                        n_alarms: Long)
+
+/** StatefulProcessor for [[StreamingPipeline.cusumStream]]: buffers
+  * rows per key, folds everything at-or-before each expiring watermark
+  * timer in (ts, value) order through S = max(0, S + (v − level)), and
+  * emits the running per-key summary. Mirrors the batch query's
+  * prefix-min formulation exactly on in-order-per-timestamp data (ties
+  * break by value here; the batch form breaks by event_id, which the
+  * stream schema does not carry — fixtures keep per-user timestamps
+  * unique). */
+class CusumProcessor(levelCents: Long, thresholdCents: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserEvent, CusumSummary] {
+  import org.apache.spark.sql.{Encoders, streaming => ss}
+
+  @transient private var pending: ss.ListState[CusumPending] = _
+  @transient private var fold: ss.ValueState[CusumFold] = _
+
+  override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit = {
+    pending = getHandle.getListState[CusumPending](
+      "pending", Encoders.product[CusumPending], ss.TTLConfig.NONE)
+    fold = getHandle.getValueState[CusumFold](
+      "fold", Encoders.product[CusumFold], ss.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+                               timers: ss.TimerValues): Iterator[CusumSummary] = {
+    rows.foreach { r =>
+      val t = r.ts.getTime
+      pending.appendValue(CusumPending(t, math.round(r.value * 100)))
+      getHandle.registerTimer(t)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(uid: Long, timers: ss.TimerValues,
+                                  info: ss.ExpiredTimerInfo): Iterator[CusumSummary] = {
+    val expiry = info.getExpiryTimeInMs()
+    val all = pending.get().toList
+    val (ready, later) = all.partition(_.ts_ms <= expiry)
+    if (ready.isEmpty) Iterator.empty
+    else {
+      if (later.isEmpty) pending.clear() else pending.put(later.toArray)
+      var st = Option(fold.get()).getOrElse(CusumFold(0L, 0L, 0L, 0L))
+      ready.sortBy(p => (p.ts_ms, p.vc)).foreach { p =>
+        val s = math.max(0L, st.s + (p.vc - levelCents))
+        st = CusumFold(s, st.n + 1,
+          math.max(st.max_s, s),
+          st.alarms + (if (s > thresholdCents) 1L else 0L))
+      }
+      fold.update(st)
+      Iterator.single(
+        CusumSummary(uid, st.n, st.max_s / 100.0, st.alarms))
+    }
+  }
+}
+
 /** StatefulProcessor for `asofBackwardStream`: the state-store-buffered,
   * watermark-bounded stream-stream BACKWARD as-of join.
   *
@@ -634,6 +697,31 @@ object StreamingPipeline {
       .withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .transformWithState(new AsOfNearestJoinProcessor(horizonMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Streaming CUSUM burst detection — the streaming sibling of the
+    * batch `timeseries_cusum` query (SparkEntry), same recurrence
+    * S_t = max(0, S_{t−1} + (value − level)) in exact integer cents.
+    *
+    * The recurrence is inherently SEQUENTIAL per key, so out-of-order
+    * arrival cannot be folded on sight: rows buffer in list state with
+    * one event-time timer each, and on expiry every row at-or-before
+    * the watermark is final (anything earlier would be late-dropped) —
+    * fold them in (ts, value) order, carry (S, n, max_S, alarms) in
+    * value state, emit the updated per-user summary. State per key is
+    * O(in-flight window), never O(stream); the fold state is four
+    * longs. */
+  def cusumStream(events: Dataset[UserEvent],
+                  delay: String = "0 seconds",
+                  levelCents: Long = 6000L,
+                  thresholdCents: Long = 30000L): Dataset[CusumSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor(levelCents, thresholdCents),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }

@@ -1253,4 +1253,75 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq(AsOfJoined(7L, asofTs("2024-01-01 10:10:00"), 1.0,
       Some(asofTs("2024-01-01 10:05:00")), Some(77.0))))
   }
+
+  test("cusumStream: watermark-ordered fold equals the sequential recurrence, " +
+      "late rows fold in event order, state carries across epochs") {
+    import graft.streaming.{CusumSummary, UserEvent}
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(GraftSession.StateStoreProviderConf,
+      GraftSession.RocksDbProvider)
+    try {
+      val in = MemoryStream[UserEvent]
+      val name = s"cusum_stream_${System.nanoTime()}"
+      val q = StreamingPipeline.cusumStream(in.toDS(), delay = "1 hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val allRows = Seq(
+        UserEvent(1L, ts("2024-01-01 10:00:00"), 100.0),
+        UserEvent(1L, ts("2024-01-01 10:05:00"), 400.0), // delivered LATE
+        UserEvent(1L, ts("2024-01-01 10:10:00"), 200.0),
+        UserEvent(1L, ts("2024-01-01 11:30:00"), 20.0), // second epoch
+        UserEvent(2L, ts("2024-01-01 10:05:00"), 10.0),
+        UserEvent(2L, ts("2024-01-01 10:15:00"), 500.0))
+      try {
+        // batch 1 in order minus the 10:05 row; batch 2 delivers it late
+        // (still inside the 1 h delay), plus u2's alarm row
+        in.addData(allRows(0), allRows(2), allRows(4))
+        q.processAllAvailable()
+        in.addData(allRows(1), allRows(5))
+        q.processAllAvailable()
+        // watermark to 11:00: epoch-1 timers fire, folding the buffered
+        // rows in EVENT order (10:00, 10:05, 10:10) despite arrival order
+        in.addData(UserEvent(99L, ts("2024-01-01 12:00:00"), 0.0))
+        q.processAllAvailable()
+        in.addData(UserEvent(99L, ts("2024-01-01 12:00:01"), 0.0))
+        q.processAllAvailable()
+        // epoch 2: one more u1 row after the first fold committed
+        in.addData(allRows(3))
+        q.processAllAvailable()
+        in.addData(UserEvent(99L, ts("2024-01-02 00:00:00"), 0.0))
+        q.processAllAvailable()
+        in.addData(UserEvent(99L, ts("2024-01-02 00:00:01"), 0.0))
+        q.processAllAvailable()
+        val rows = spark.table(name).as[CusumSummary].collect().toSeq
+          .filter(_.user_id < 90L)
+        // driver replay of the exact recurrence over the full fixture
+        val expected = allRows.groupBy(_.user_id).map { case (u, rs) =>
+          var s = 0L; var maxS = 0L; var alarms = 0L
+          rs.sortBy(r => (r.ts.getTime, r.value)).foreach { r =>
+            s = math.max(0L, s + (math.round(r.value * 100) - 6000L))
+            maxS = math.max(maxS, s)
+            if (s > 30000L) alarms += 1
+          }
+          u -> ((rs.size.toLong, maxS / 100.0, alarms))
+        }
+        val last = rows.groupBy(_.user_id)
+          .map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+        assert(last.keySet === Set(1L, 2L))
+        last.foreach { case (u, got) =>
+          val (n, maxS, alarms) = expected(u)
+          assert(got.n_events === n, s"user $u n")
+          assert(got.max_s === maxS, s"user $u max_s")
+          assert(got.n_alarms === alarms, s"user $u alarms")
+        }
+        // the fold really ran twice for u1: an epoch-1 summary with three
+        // events must exist alongside the final four-event one
+        assert(rows.exists(r => r.user_id == 1L && r.n_events == 3L),
+          s"missing intermediate epoch summary: $rows")
+        // and the fixture genuinely alarms
+        assert(last(1L).n_alarms > 0L && last(2L).n_alarms > 0L)
+      } finally q.stop()
+    } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
+  }
 }
