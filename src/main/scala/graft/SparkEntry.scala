@@ -5393,6 +5393,83 @@ object SparkEntry {
         .orderBy("event_type", "d")
     }),
 
+    "orders_interarrival" -> ((s, dir) => {
+      // inter-purchase rhythm per repeat customer: lag gaps over one
+      // keyed sort (never a global scan), exact integer day sums, and
+      // the coefficient of variation — the regularity score that
+      // separates metronome buyers from bursty ones — closes in one
+      // shared double tree over (n, Σgap, Σgap²). Customers need ≥ 2
+      // gaps and a positive total (all-same-day histories have no
+      // defined rhythm).
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = o
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), col("prev")).cast("long"))
+      gaps.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_days")).as("sum_days"),
+          min(col("gap_days")).as("min_days"),
+          max(col("gap_days")).as("max_days"),
+          sum(col("gap_days") * col("gap_days")).as("sumsq"))
+        .filter(col("n_gaps") >= 2L && col("sum_days") > 0L)
+        .withColumn("mean_milli", expr("(sum_days * 1000) div n_gaps"))
+        .withColumn("cv_ppm", expr(
+          """CAST(floor(1000000.0 *
+               sqrt((CAST(n_gaps AS DOUBLE) * CAST(sumsq AS DOUBLE)
+                 - CAST(sum_days AS DOUBLE) * CAST(sum_days AS DOUBLE))
+                 / CAST(n_gaps AS DOUBLE))
+               / (CAST(sum_days AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+             AS BIGINT)"""))
+        .select("o_custkey", "n_gaps", "sum_days", "min_days", "max_days",
+          "mean_milli", "cv_ppm")
+        .orderBy("o_custkey")
+    }),
+
+    "features_point_in_time" -> ((s, dir) => {
+      // feature-store POINT-IN-TIME join — the leakage-correctness rule
+      // of ML labeling ("what was known about the user when the label
+      // happened?"): labels are purchase events; each picks up (1) the
+      // last CLICK value at-or-before label time via the shared as-of
+      // operator (one shuffle, ties prefer the larger value — AsOf's
+      // documented rule) and (2) the strict-past 7-day event count via
+      // an equi-key + time-range residual join. No feature reads a
+      // timestamp after its label — the bug this operator exists to
+      // make impossible.
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"),
+          (dec(col("value")) * 100).cast("long").as("vc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("label_id"), col("user_id"),
+          col("ts").as("label_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("vc"))
+      val f1 = operators.AsOf.asofBackward(
+        labels, clicks,
+        key = "user_id", leftTs = "label_ts", rightTs = "ts",
+        rightVal = "vc", outCol = "last_click_cents")
+      val f2 = labels.as("l")
+        .join(e.select(col("user_id"), col("ts")).as("r"),
+          col("l.user_id") === col("r.user_id") &&
+            col("r.ts") < col("l.label_ts") &&
+            col("r.ts") >= expr("l.label_ts - INTERVAL 7 DAYS"),
+          "left")
+        .groupBy(col("l.label_id").as("label_id"))
+        .agg(sum(when(col("r.ts").isNotNull, 1L).otherwise(0L))
+          .as("n_events_7d"))
+      f1.join(f2, Seq("label_id"))
+        .select(col("label_id"), col("user_id"),
+          col("label_ts").cast("timestamp_ntz").as("label_ts"),
+          col("last_click_cents"), col("n_events_7d"))
+        .orderBy("label_id")
+    }),
+
     "orders_basket_lift" -> ((s, dir) => {
       // market-basket association: part pairs co-purchased in one order,
       // scored by lift = P(a,b)/(P(a)·P(b)) — the retail classic. Pair
@@ -7277,6 +7354,61 @@ object SparkEntry {
                sqrt(CAST(s7 AS DOUBLE) / 7.0)) AS BIGINT) > 3000000
              AS spike
          FROM win WHERE n7 = 7 ORDER BY event_type, d""",
+
+    "orders_interarrival" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         gaps AS (
+           SELECT o_custkey,
+             CAST(date_diff('day', prev, o_orderdate) AS BIGINT) AS gap_days
+           FROM o WHERE prev IS NOT NULL),
+         agg AS (
+           SELECT o_custkey, count(*) AS n_gaps,
+             CAST(sum(gap_days) AS BIGINT) AS sum_days,
+             min(gap_days) AS min_days, max(gap_days) AS max_days,
+             CAST(sum(gap_days * gap_days) AS BIGINT) AS sumsq
+           FROM gaps GROUP BY 1)
+         SELECT o_custkey, n_gaps, sum_days, min_days, max_days,
+           (sum_days * 1000) // n_gaps AS mean_milli,
+           CAST(floor(1000000.0 *
+               sqrt((CAST(n_gaps AS DOUBLE) * CAST(sumsq AS DOUBLE)
+                 - CAST(sum_days AS DOUBLE) * CAST(sum_days AS DOUBLE))
+                 / CAST(n_gaps AS DOUBLE))
+               / (CAST(sum_days AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+             AS BIGINT) AS cv_ppm
+         FROM agg WHERE n_gaps >= 2 AND sum_days > 0
+         ORDER BY o_custkey""",
+
+    "features_point_in_time" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+           FROM events),
+         labels AS (
+           SELECT event_id AS label_id, user_id, ts AS label_ts
+           FROM e WHERE event_type = 'purchase'),
+         f1 AS (
+           SELECT l.label_id,
+             (SELECT c.vc FROM e c
+              WHERE c.event_type = 'click' AND c.user_id = l.user_id
+                AND c.ts <= l.label_ts
+              ORDER BY c.ts DESC, c.vc DESC LIMIT 1) AS last_click_cents
+           FROM labels l),
+         f2 AS (
+           SELECT l.label_id,
+             (SELECT count(*) FROM e r
+              WHERE r.user_id = l.user_id AND r.ts < l.label_ts
+                AND r.ts >= l.label_ts - INTERVAL 7 DAY) AS n_events_7d
+           FROM labels l)
+         SELECT l.label_id, l.user_id, l.label_ts,
+           f1.last_click_cents,
+           CAST(f2.n_events_7d AS BIGINT) AS n_events_7d
+         FROM labels l
+         JOIN f1 USING (label_id) JOIN f2 USING (label_id)
+         ORDER BY label_id""",
 
     "orders_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

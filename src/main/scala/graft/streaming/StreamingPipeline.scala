@@ -119,6 +119,55 @@ case class AsOfPendingLeft(ts_ms: Long, value: Double)
 /** Buffered right row (the per-key quote history within the lookback). */
 case class AsOfRightRow(ts_ms: Long, quote: Double)
 
+/** A typed event for per-type rate accounting. */
+case class TypedEvent(event_type: String, ts: java.sql.Timestamp)
+/** One CLOSED daily count emitted by the windowed pre-aggregation. */
+case class DayCount(event_type: String, day_start: java.sql.Timestamp, x: Long)
+/** A scored day: batch `events_anomaly_rate_spike`'s row shape. */
+case class SpikeDay(event_type: String, day_start: java.sql.Timestamp,
+                    x: Long, s7: Long, z_ppm: Long, spike: Boolean)
+/** Deque entry: one of the last 7 closed days for a type. */
+case class SpikeHistEntry(day_ms: Long, x: Long)
+
+/** StatefulProcessor for [[StreamingPipeline.rateSpikeStream]]: consumes
+  * watermark-CLOSED daily counts (the upstream window agg in append mode
+  * guarantees each day arrives exactly once, final), keeps only the last
+  * 7 days per type in list state, and scores each arriving day against
+  * its trailing week with the same shared z tree as the batch query.
+  * State per key is seven (ms, count) pairs — independent of stream
+  * length; no timers needed because the input is already finalized. */
+class RateSpikeProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, DayCount, SpikeDay] {
+  import org.apache.spark.sql.{Encoders, streaming => ss}
+
+  @transient private var hist: ss.ListState[SpikeHistEntry] = _
+
+  override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =
+    hist = getHandle.getListState[SpikeHistEntry](
+      "hist", Encoders.product[SpikeHistEntry], ss.TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[DayCount],
+                               timers: ss.TimerValues): Iterator[SpikeDay] = {
+    val out = scala.collection.mutable.ArrayBuffer[SpikeDay]()
+    var h = hist.get().toList.sortBy(_.day_ms)
+    rows.toList.sortBy(_.day_start.getTime).foreach { d =>
+      val t = d.day_start.getTime
+      val prior = h.filter(_.day_ms < t).takeRight(7)
+      if (prior.size == 7) {
+        val s7 = prior.map(_.x).sum
+        val z = math.floor(1000000.0 *
+          (d.x.toDouble - s7.toDouble / 7.0) /
+          math.sqrt(s7.toDouble / 7.0)).toLong
+        out += SpikeDay(key, d.day_start, d.x, s7, z, z > 3000000L)
+      }
+      h = (h :+ SpikeHistEntry(t, d.x)).sortBy(_.day_ms).takeRight(7)
+    }
+    if (h.isEmpty) hist.clear() else hist.put(h.toArray)
+    out.iterator
+  }
+}
+
 /** Buffered event awaiting watermark-ordered CUSUM folding. */
 case class CusumPending(ts_ms: Long, vc: Long)
 /** The four-long CUSUM fold state (all exact integer cents). */
@@ -723,6 +772,29 @@ object StreamingPipeline {
       .groupByKey(_.user_id)
       .transformWithState(new CusumProcessor(levelCents, thresholdCents),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Streaming Poisson rate-spike detection — the streaming sibling of
+    * the batch `events_anomaly_rate_spike` query: a watermark-closed
+    * 1-day tumbling count per event type CHAINS into a
+    * [[RateSpikeProcessor]] that scores each closed day against its
+    * trailing 7 observed days (z = (x − λ̂)/√λ̂, same shared double
+    * tree). Two stateful operators, both bounded: the window agg holds
+    * open windows only, the processor seven pairs per type. */
+  def rateSpikeStream(events: Dataset[TypedEvent],
+                      delay: String = "0 seconds"): Dataset[SpikeDay] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withWatermark("ts", delay)
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("event_type"), col("window.start").as("day_start"),
+        col("x"))
+      .as[DayCount]
+      .groupByKey(_.event_type)
+      .transformWithState(new RateSpikeProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
 

@@ -337,6 +337,62 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("orders_interarrival: gap statistics equal a driver replay") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(o_orderdate AS DATE) AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Date](2).toLocalDate)).toSeq
+    val expected = o.groupBy(_._1).flatMap { case (c, rows) =>
+      val sorted = rows.sortBy(r => (r._3.toEpochDay, r._2))
+      val gaps = sorted.sliding(2).collect {
+        case Seq(a, b) => b._3.toEpochDay - a._3.toEpochDay }.toSeq
+      val sum = gaps.sum
+      if (gaps.size < 2 || sum <= 0) None
+      else {
+        val n = gaps.size.toLong
+        val sumsq = gaps.map(g => g * g).sum
+        val cv = math.floor(1000000.0 *
+          math.sqrt((n.toDouble * sumsq.toDouble -
+            sum.toDouble * sum.toDouble) / n.toDouble) /
+          (sum.toDouble / n.toDouble)).toLong
+        Some(c -> ((n, sum, gaps.min, gaps.max, sum * 1000L / n, cv)))
+      }
+    }
+    val got = q("orders_interarrival")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected.toMap, s"${got.size} vs ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("features_point_in_time: no feature reads past its label; values replayed") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id", "event_id", "unix_millis(ts) AS tms",
+        "event_type", "CAST(round(value * 100) AS BIGINT) AS vc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val labels = e.filter(_._4 == "purchase")
+    val expected = labels.map { case (u, id, lms, _, _) =>
+      val clicks = e.filter(r => r._4 == "click" && r._1 == u && r._3 <= lms)
+      val last = if (clicks.isEmpty) None
+        else Some(clicks.maxBy(r => (r._3, r._5))._5)
+      val n7 = e.count(r => r._1 == u && r._3 < lms &&
+        r._3 >= lms - 7L * 86400000L).toLong
+      id -> ((u, last, n7))
+    }.toMap
+    val got = q("features_point_in_time")
+      .collect().map(r => (r.getLong(0), (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4)))).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+    assert(got.nonEmpty)
+    // the fixture must exercise both a real match and a no-history label,
+    // and some labels must have genuine prior-week activity
+    assert(got.values.exists(_._2.isDefined))
+    assert(got.values.exists(_._3 > 0L))
+  }
+
   test("stats_kruskal_wallis: H recomputed directly; integer stats exact") {
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
       .select("c_mktsegment", "c_acctbal")

@@ -1254,6 +1254,59 @@ class StreamingSpec extends SparkSpec {
       Some(asofTs("2024-01-01 10:05:00")), Some(77.0))))
   }
 
+  test("rateSpikeStream: closed-day scores match the batch trailing-week formula") {
+    import graft.streaming.{SpikeDay, TypedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(GraftSession.StateStoreProviderConf,
+      GraftSession.RocksDbProvider)
+    try {
+      val in = MemoryStream[TypedEvent]
+      val name = s"spike_stream_${System.nanoTime()}"
+      val q = StreamingPipeline.rateSpikeStream(in.toDS(), delay = "1 hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // 10 days of 'click': flat week, then a 5x spike on day 9, calm day 10;
+      // 'view' has only 3 days — must never be scored
+      val perDay = Seq(3L, 4L, 3L, 5L, 4L, 3L, 4L, 3L, 20L, 4L)
+      val clicks = perDay.zipWithIndex.flatMap { case (n, i) =>
+        (0L until n).map(k =>
+          TypedEvent("click", ts(f"2024-01-${i + 1}%02d 0${k % 9 + 1}:00:00")))
+      }
+      val views = (0 until 3).flatMap(i =>
+        Seq(TypedEvent("view", ts(f"2024-01-${i + 1}%02d 05:00:00"))))
+      try {
+        // split mid-history so the deque state must survive micro-batches
+        val (early, late) = clicks.partition(_.ts.before(ts("2024-01-06 00:00:00")))
+        in.addData(early ++ views)
+        q.processAllAvailable()
+        in.addData(late)
+        q.processAllAvailable()
+        in.addData(TypedEvent("pad", ts("2024-01-12 02:00:00")))
+        q.processAllAvailable()
+        in.addData(TypedEvent("pad", ts("2024-01-12 02:00:01")))
+        q.processAllAvailable()
+        val got = spark.table(name).as[SpikeDay].collect().toSeq
+          .filter(_.event_type == "click")
+          .sortBy(_.day_start.getTime)
+        // batch formula replay: day i >= 7 scored against prior 7 days
+        val expected = perDay.zipWithIndex.drop(7).map { case (x, i) =>
+          val s7 = perDay.slice(i - 7, i).sum
+          val z = math.floor(1000000.0 * (x.toDouble - s7.toDouble / 7.0) /
+            math.sqrt(s7.toDouble / 7.0)).toLong
+          (ts(f"2024-01-${i + 1}%02d 00:00:00"), x, s7, z, z > 3000000L)
+        }
+        assert(got.map(g => (g.day_start, g.x, g.s7, g.z_ppm, g.spike)) ===
+          expected)
+        // the 5x day really flags and the calm day really does not
+        assert(got.exists(_.spike) && got.exists(!_.spike))
+        // under-history type never scored
+        assert(!spark.table(name).as[SpikeDay].collect()
+          .exists(_.event_type == "view"))
+      } finally q.stop()
+    } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
+  }
+
   test("cusumStream: watermark-ordered fold equals the sequential recurrence, " +
       "late rows fold in event order, state carries across epochs") {
     import graft.streaming.{CusumSummary, UserEvent}
