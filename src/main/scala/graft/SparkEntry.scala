@@ -48,6 +48,16 @@ object SparkEntry {
           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
            - CAST(n AS DOUBLE)))) AS BIGINT)"""
 
+  /** Degree-assortativity r in ppm — one shared double tree over the
+    * exact sums (n, Σx, Σx², Σxy); the symmetrized edge list makes both
+    * endpoint marginals identical so no (Σy, Σy²) terms are needed. */
+  private val assortativityPpm: String =
+    """CAST(floor(1000000.0 *
+        (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)"""
+
   /** One-way ANOVA shared pieces, same contract as the KW strings:
     * evaluated verbatim by Spark and DuckDB over the pivoted exact
     * sufficient statistics (n_i, s_i = Σcents, q_i = Σcents²). */
@@ -3998,6 +4008,103 @@ object SparkEntry {
       }
       labels.groupBy("label").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("label")).limit(20)
+    }),
+
+    "graph_assortativity" -> ((s, dir) => {
+      // degree assortativity (Newman 2002): the Pearson correlation of
+      // endpoint degrees across edges — do hubs link hubs (r > 0,
+      // social graphs) or leaves (r < 0, bipartite/infrastructure)?
+      // One degree agg + two edge-keyed joins; sums in decimal(38,0)
+      // (Σ deg² over edges crosses 2^63 around sf10). The symmetrized
+      // edge list makes both endpoint marginals identical, so r needs
+      // only (n, Σx, Σx², Σxy) and closes in one shared double tree.
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select(
+          (col("l_suppkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
+        .distinct()
+      val und = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+      val joined = und
+        .join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("d").as("dy")),
+          Seq("dst"))
+      joined.agg(
+          count(lit(1)).as("n_edges"),
+          sum(col("dx").cast("decimal(38,0)")).as("sx"),
+          sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"),
+          sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"))
+        .withColumn("r_ppm", expr(assortativityPpm))
+        .select(col("n_edges"), col("sx").cast("long").as("sum_deg"),
+          col("r_ppm"))
+    }),
+
+    "graph_modularity" -> ((s, dir) => {
+      // modularity Q of a labeled partition — the readout that says
+      // whether a grouping beats random wiring: Q = intra/2m −
+      // Σ_c (deg_c/2m)². The co-purchase graph was measured
+      // structureless under ANY deterministic LPA variant (synchronous
+      // and self-damped two-color to Q = −½ exactly — the Raghavan
+      // oscillation — and the semi-synchronous fix collapses the
+      // near-complete bipartite fixture to ONE community, Q = 0), so
+      // the operator grades a partition with REAL planted structure:
+      // nodes are customers, communities are nations, intra edges are
+      // same-nation pairs within key distance 100 (a band join — the
+      // Σ|band| trick keeps this linear), noise edges are the key-
+      // adjacent chain (mostly cross-nation). The statistic stays
+      // INTEGER until one final division: q_ppm = (10⁶·(intra·2m −
+      // Σdeg_c²)) div (2m)² — no float anywhere, bit-for-bit across
+      // engines.
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          col("c_nationkey").cast("long").as("nation"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // band-bucket trick (join_band_bucketed's rule): id2 ∈ (id,
+      // id+100] ⇒ bucket(id2) ∈ {bucket(id), bucket(id)+1}, so the
+      // range rides an equi-join on (nation, bucket) with the right
+      // side replicated twice — candidates are Σ|nation∩bucket|²,
+      // never per-nation n²
+      val withB = c.withColumn("bk", expr("id div 100"))
+      val right = withB
+        .select(col("id").as("id2"), col("nation").as("nation2"),
+          col("bk"))
+        .withColumn("dbk", explode(array(lit(0L), lit(1L))))
+        .select(col("id2"), col("nation2"),
+          (col("bk") - col("dbk")).as("bk2"))
+      val near = withB.join(right,
+          col("bk") === col("bk2") && col("nation") === col("nation2") &&
+            col("id2") > col("id") && col("id2") <= col("id") + 100)
+        .select(col("id").as("src"), col("id2").as("dst"))
+      val chain = c.join(
+          c.select(col("id").as("id2"), col("nation").as("nation2")),
+          col("id2") === col("id") + 1)
+        .select(col("id").as("src"), col("id2").as("dst"))
+      val e0 = near.unionByName(chain).distinct()
+      val und = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = c.select(col("id"), col("nation").as("label"))
+      val m2t = und.agg(count(lit(1)).as("m2"))
+      val intra = und
+        .join(labels.select(col("id").as("src"), col("label").as("ls")),
+          Seq("src"))
+        .join(labels.select(col("id").as("dst"), col("label").as("ld")),
+          Seq("dst"))
+        .filter(col("ls") === col("ld"))
+        .agg(count(lit(1)).as("intra"))
+      val degc = und.groupBy("src").agg(count(lit(1)).as("d"))
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy("label").agg(sum(col("d")).as("deg_c"))
+      val stats = degc.agg(count(lit(1)).as("n_communities"),
+        sum(col("deg_c") * col("deg_c")).as("sum_deg_sq"))
+      m2t.crossJoin(broadcast(intra)).crossJoin(broadcast(stats))
+        .withColumn("q_ppm", expr(
+          // decimal(38,0): 10⁶·intra·2m crosses 2^63 already at sf1
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) *
+               (CAST(intra AS DECIMAL(38,0)) * m2 - sum_deg_sq))
+             div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)"""))
+        .select("m2", "intra", "n_communities", "sum_deg_sq", "q_ppm")
     }),
 
     "entity_resolution" -> ((s, dir) => {
@@ -10198,6 +10305,70 @@ object SparkEntry {
              FROM c2) WHERE rn = 1)
          SELECT label, CAST(count(*) AS BIGINT) AS size
          FROM l2 GROUP BY 1 ORDER BY size DESC, label LIMIT 20""",
+
+    "graph_assortativity" ->
+      s"""WITH e0 AS (
+           SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
+             CAST(l_partkey * 2 + 1 AS BIGINT) AS dst
+           FROM lineitem),
+         und AS (SELECT src, dst FROM e0
+                 UNION ALL SELECT dst, src FROM e0),
+         deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+         joined AS (
+           SELECT dx.d AS dx, dy.d AS dy
+           FROM und u
+           JOIN deg dx ON u.src = dx.src
+           JOIN deg dy ON u.dst = dy.src),
+         agg AS (
+           SELECT count(*) AS n_edges,
+             sum(CAST(dx AS HUGEINT)) AS sx,
+             sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+             sum(CAST(dx AS HUGEINT) * dy) AS sxy
+           FROM joined)
+         SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(sx AS BIGINT) AS sum_deg,
+           $assortativityPpm AS r_ppm
+         FROM agg""",
+
+    "graph_modularity" ->
+      """WITH c AS (
+           SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nation
+           FROM customer),
+         near AS (
+           SELECT a.id AS src, b.id AS dst
+           FROM c a JOIN c b
+             ON b.id > a.id AND b.id <= a.id + 100
+             AND b.nation = a.nation),
+         chain AS (
+           SELECT a.id AS src, b.id AS dst
+           FROM c a JOIN c b ON b.id = a.id + 1),
+         e0 AS (SELECT DISTINCT src, dst FROM
+                (SELECT * FROM near UNION ALL SELECT * FROM chain)),
+         und AS MATERIALIZED (SELECT src, dst FROM e0
+                 UNION ALL SELECT dst, src FROM e0),
+         m2t AS (SELECT count(*) AS m2 FROM und),
+         intra AS (
+           SELECT count(*) AS intra
+           FROM und u
+           JOIN c ls ON u.src = ls.id
+           JOIN c ld ON u.dst = ld.id
+           WHERE ls.nation = ld.nation),
+         degc AS (
+           SELECT l.nation AS label, CAST(sum(d.cnt) AS BIGINT) AS deg_c
+           FROM (SELECT src, count(*) AS cnt FROM und GROUP BY src) d
+           JOIN c l ON d.src = l.id
+           GROUP BY l.nation),
+         stats AS (
+           SELECT count(*) AS n_communities,
+             CAST(sum(CAST(deg_c AS HUGEINT) * deg_c) AS BIGINT)
+               AS sum_deg_sq
+           FROM degc)
+         SELECT CAST(m2 AS BIGINT) AS m2, CAST(intra AS BIGINT) AS intra,
+           CAST(n_communities AS BIGINT) AS n_communities, sum_deg_sq,
+           CAST((1000000::HUGEINT *
+               (CAST(intra AS HUGEINT) * m2 - sum_deg_sq))
+             // (CAST(m2 AS HUGEINT) * m2) AS BIGINT) AS q_ppm
+         FROM m2t CROSS JOIN intra CROSS JOIN stats""",
 
     "entity_resolution" ->
       """WITH RECURSIVE c0 AS (

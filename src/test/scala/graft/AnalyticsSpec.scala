@@ -393,6 +393,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 0L))
   }
 
+  test("graph_assortativity: r recomputed from raw degrees; bipartite sign sane") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_suppkey", "l_partkey")
+      .collect().map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1)).distinct
+    val und = li ++ li.map(e => (e._2, e._1))
+    val deg = und.groupBy(_._1).map { case (n, es) => (n, es.size.toLong) }
+    val xs = und.map { case (s, d) => (deg(s), deg(d)) }
+    val n = xs.size.toDouble
+    val sx = xs.map(_._1).sum.toDouble
+    val sxx = xs.map(p => p._1 * p._1).sum.toDouble
+    val sxy = xs.map(p => p._1 * p._2).sum.toDouble
+    val r = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    val row = q("graph_assortativity").head()
+    assert(row.getAs[Long]("n_edges") == und.size.toLong)
+    assert(row.getAs[Long]("sum_deg") == xs.map(_._1).sum)
+    assert(math.abs(row.getAs[Long]("r_ppm") / 1e6 - r) < 1e-3)
+    assert(math.abs(r) <= 1.0)
+  }
+
+  test("graph_modularity: Q recomputed exactly; planted structure detected") {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_nationkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSeq
+    val nation = c.toMap
+    val e0 = (for {
+      (a, na) <- c; (b2, nb) <- c
+      if (b2 > a && b2 <= a + 100 && nb == na) || b2 == a + 1
+    } yield (a, b2)).distinct
+    val und = e0 ++ e0.map(e => (e._2, e._1))
+    val m2 = und.size.toLong
+    val intra = und.count(e => nation(e._1) == nation(e._2)).toLong
+    val deg = und.groupBy(_._1).map { case (n, es) => (n, es.size.toLong) }
+    val degC = deg.toSeq.groupBy(p => nation(p._1))
+      .map { case (_, v) => v.map(_._2).sum }
+    val sumDegSq = degC.map(d => d * d).sum
+    val qPpm = (BigInt(1000000) * (BigInt(intra) * m2 - sumDegSq) /
+      (BigInt(m2) * m2)).toLong
+    val row = q("graph_modularity").head()
+    assert(row.getAs[Long]("m2") == m2)
+    assert(row.getAs[Long]("intra") == intra)
+    assert(row.getAs[Long]("n_communities") == degC.size.toLong)
+    assert(row.getAs[Long]("sum_deg_sq") == sumDegSq)
+    assert(row.getAs[Long]("q_ppm") == qPpm)
+    // the nation partition genuinely beats random wiring on the planted
+    // graph, and the chain noise keeps it honestly below perfect
+    assert(row.getAs[Long]("q_ppm") > 500000L, s"q=${row.getAs[Long]("q_ppm")}")
+    assert(row.getAs[Long]("q_ppm") < 1000000L)
+  }
+
   test("stats_kruskal_wallis: H recomputed directly; integer stats exact") {
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
       .select("c_mktsegment", "c_acctbal")
