@@ -58,6 +58,19 @@ object SparkEntry {
         / (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)"""
 
+  /** Wald–Wolfowitz runs-test z in ppm — one shared double tree over
+    * the exact integers (n, n_plus, n_minus, r_runs). */
+  private val runsZppm: String =
+    """CAST(floor(1000000.0 *
+        (CAST(r_runs AS DOUBLE)
+         - (2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+            / CAST(n AS DOUBLE) + 1.0))
+        / sqrt(2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+            * (2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+               - CAST(n AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               * CAST(n - 1 AS DOUBLE)))) AS BIGINT)"""
+
   /** One-way ANOVA shared pieces, same contract as the KW strings:
     * evaluated verbatim by Spark and DuckDB over the pivoted exact
     * sufficient statistics (n_i, s_i = Σcents, q_i = Σcents²). */
@@ -5278,6 +5291,102 @@ object SparkEntry {
           "h_ppm", "h_corr_ppm")
     }),
 
+    "stats_levene" -> ((s, dir) => {
+      // Brown–Forsythe spread-equality test (the robust Levene variant:
+      // deviations from the MEDIAN, not the mean) across the five
+      // market segments — the gatekeeper before trusting ANOVA's equal-
+      // variance story. Deviations are EXACT integers in doubled cents
+      // (2·median of integers is an integer or twice-a-half — round
+      // strips the fp dust), and the test statistic is the one-way F of
+      // the z_i = |2x − 2·med_g| values, reusing the SAME pivoted
+      // sufficient-statistics fold and shared F expression string as
+      // stats_anova_f — bit-identical doubles before the ppm floor.
+      val c0 = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val med = c0.groupBy("seg")
+        .agg(expr("CAST(round(2 * percentile(cents, 0.5)) AS BIGINT)")
+          .as("med2"))
+      val z = c0.join(broadcast(med), Seq("seg"))
+        .select(col("seg"), abs(col("cents") * 2 - col("med2")).as("zz"))
+      val aCols = kwSegs.zipWithIndex.flatMap { case (sg, i) =>
+        Seq(
+          sum(when(col("seg") === sg, 1L).otherwise(0L)).as(s"n${i + 1}"),
+          sum(when(col("seg") === sg, col("zz")).otherwise(0L))
+            .as(s"s${i + 1}"),
+          sum(when(col("seg") === sg,
+            col("zz").cast("decimal(38,0)") * col("zz"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"q${i + 1}"))
+      }
+      z.agg(aCols.head, aCols.tail: _*)
+        .withColumn("n", expr("n1 + n2 + n3 + n4 + n5"))
+        .withColumn("f_ppm", expr(anovaFppm))
+        .select("n", "n1", "n2", "n3", "n4", "n5", "f_ppm")
+    }),
+
+    "stats_runs_test" -> ((s, dir) => {
+      // Wald–Wolfowitz runs test on the SIGN SEQUENCE of day-over-day
+      // revenue changes — is the series random or momentum-driven?
+      // Exact ties drop (the standard rule); R = 1 + sign changes, and
+      // (R, n₊, n₋) are exact integers from two ordered window passes
+      // over the DAYS-sized frame, so only the final z is float — one
+      // shared tree. A trending series runs long (R ≪ μ_R, z < 0); an
+      // alternating one zig-zags (z > 0).
+      val o = t(s, dir, "orders")
+        .select(date_trunc("day", col("o_orderdate")).as("d"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val daily = o.groupBy("d").agg(sum(col("cents")).as("x"))
+      val wd = Window.partitionBy(lit(0)).orderBy("d")
+      val signs = daily
+        .withColumn("prev", lag(col("x"), 1).over(wd))
+        .filter(col("prev").isNotNull && col("x") =!= col("prev"))
+        .withColumn("sgn", when(col("x") > col("prev"), 1L).otherwise(0L))
+      val runs = signs
+        .withColumn("prev_sgn", lag(col("sgn"), 1).over(wd))
+        .agg(count(lit(1)).as("n"),
+          sum(col("sgn")).as("n_plus"),
+          (sum(when(col("prev_sgn").isNotNull &&
+            col("sgn") =!= col("prev_sgn"), 1L).otherwise(0L)) + 1L)
+            .as("r_runs"))
+      runs
+        .withColumn("n_minus", col("n") - col("n_plus"))
+        .withColumn("z_ppm", expr(runsZppm))
+        .select("n", "n_plus", "n_minus", "r_runs", "z_ppm")
+    }),
+
+    "stats_cohens_kappa" -> ((s, dir) => {
+      // Cohen's kappa for the langid classifier vs the stored labels —
+      // the chance-corrected agreement number text_langid_eval's raw
+      // confusion matrix doesn't give, and exactly the metric that
+      // EXPOSES this fixture: the synthetic corpus text carries no
+      // language signal, so raw accuracy (~32%, which reads like
+      // something) collapses to kappa ≈ 0 (measured −0.02/+0.003
+      // across SFs) — a chance-level classifier unmasked. With P =
+      // Σ_c row_c·col_c, kappa = (N·diag − P)/(N² − P) is a ratio of
+      // EXACT integers — engine-exact with no float anywhere, emitted
+      // as truncated ppm. One doc scan for (pred, actual), then
+      // everything is |langs|²-sized.
+      val d = t(s, dir, "documents")
+        .select(col("lang").as("actual"),
+          TextFunctions.langIdHeuristic(col("text")).as("pred"))
+      val cells = d.groupBy("pred", "actual").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = cells.agg(sum(col("c")).as("n_docs"),
+        sum(when(col("pred") === col("actual"), col("c")).otherwise(0L))
+          .as("diag"))
+      val marg = cells.groupBy("pred").agg(sum(col("c")).as("row_n"))
+        .join(cells.groupBy("actual").agg(sum(col("c")).as("col_n"))
+            .withColumnRenamed("actual", "pred"),
+          Seq("pred"), "full_outer")
+        .agg(sum(coalesce(col("row_n"), lit(0L)) *
+          coalesce(col("col_n"), lit(0L))).as("p_chance"))
+      tot.crossJoin(broadcast(marg))
+        .withColumn("kappa_ppm", expr(
+          """(1000000 * (n_docs * diag - p_chance))
+             div (n_docs * n_docs - p_chance)"""))
+        .select("n_docs", "diag", "p_chance", "kappa_ppm")
+    }),
+
     "stats_anova_f" -> ((s, dir) => {
       // one-way ANOVA F of account balance across the five market
       // segments — the parametric companion to stats_kruskal_wallis,
@@ -7288,6 +7397,99 @@ object SparkEntry {
            $kwHcorrPpm AS h_corr_ppm
          FROM wn"""
     },
+
+    "stats_levene" -> {
+      val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>
+        s"""CAST(sum(CASE WHEN seg = '$sg' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n${i + 1},
+           CAST(sum(CASE WHEN seg = '$sg' THEN zz ELSE 0 END) AS BIGINT)
+             AS s${i + 1},
+           sum(CASE WHEN seg = '$sg'
+             THEN CAST(zz AS HUGEINT) * zz ELSE 0 END) AS q${i + 1}"""
+      }.mkString(",\n           ")
+      s"""WITH c0 AS (
+           SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         med AS (
+           SELECT seg,
+             CAST(round(2 * quantile_cont(cents, 0.5)) AS BIGINT) AS med2
+           FROM c0 GROUP BY seg),
+         z AS (
+           SELECT c0.seg, abs(c0.cents * 2 - med.med2) AS zz
+           FROM c0 JOIN med USING (seg)),
+         agg0 AS (
+           SELECT $aggs
+           FROM z),
+         wn AS (SELECT agg0.*, n1 + n2 + n3 + n4 + n5 AS n FROM agg0)
+         SELECT n, n1, n2, n3, n4, n5,
+           $anovaFppm AS f_ppm
+         FROM wn"""
+    },
+
+    "stats_runs_test" ->
+      s"""WITH daily AS (
+           SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         signs AS (
+           SELECT d, x,
+             CASE WHEN x > prev THEN 1 ELSE 0 END AS sgn
+           FROM (SELECT d, x, lag(x) OVER (ORDER BY d) AS prev FROM daily)
+           WHERE prev IS NOT NULL AND x <> prev),
+         runs AS (
+           SELECT count(*) AS n,
+             CAST(sum(sgn) AS BIGINT) AS n_plus,
+             CAST(sum(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
+               THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r_runs
+           FROM (SELECT sgn, lag(sgn) OVER (ORDER BY d) AS prev_sgn
+                 FROM signs)),
+         wn AS (SELECT n, n_plus, n - n_plus AS n_minus, r_runs FROM runs)
+         SELECT n, n_plus, n_minus, r_runs,
+           $runsZppm AS z_ppm
+         FROM wn""",
+
+    "stats_cohens_kappa" ->
+      """WITH b AS (
+           SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents
+         ), s AS (
+           SELECT doc_id, lang,
+             len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des'], t))) AS s_fr,
+             len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','von'], t))) AS s_de
+           FROM b
+         ), g AS (
+           SELECT lang AS actual,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                  ELSE 'und' END AS pred
+           FROM s
+         ), cells AS (
+           SELECT pred, actual, count(*) AS c FROM g GROUP BY 1, 2
+         ), tot AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN pred = actual THEN c ELSE 0 END)
+               AS BIGINT) AS diag
+           FROM cells
+         ), marg AS (
+           SELECT CAST(sum(COALESCE(r.row_n, 0) * COALESCE(a.col_n, 0))
+               AS BIGINT) AS p_chance
+           FROM (SELECT pred, CAST(sum(c) AS BIGINT) AS row_n
+                 FROM cells GROUP BY pred) r
+           FULL OUTER JOIN
+                (SELECT actual AS pred, CAST(sum(c) AS BIGINT) AS col_n
+                 FROM cells GROUP BY actual) a USING (pred))
+         SELECT n_docs, diag, p_chance,
+           (1000000 * (n_docs * diag - p_chance))
+             // (n_docs * n_docs - p_chance) AS kappa_ppm
+         FROM tot CROSS JOIN marg""",
 
     "stats_anova_f" -> {
       val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>

@@ -442,6 +442,103 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getAs[Long]("q_ppm") < 1000000L)
   }
 
+  test("stats_levene: Brown-Forsythe F recomputed from raw deviations") {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_mktsegment", "c_acctbal")
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .toSeq
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    // Spark percentile(x, .5): sorted, pos = .5(n-1), linear interp
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val p = 0.5 * (s.size - 1)
+      val lo = s(p.toInt); val hi = s(math.ceil(p).toInt)
+      math.round(2.0 * (lo + (p - p.toInt) * (hi - lo)))
+    }
+    val zBySeg = segs.map { sg =>
+      val xs = c.filter(_._1 == sg).map(_._2)
+      val m2 = med2(xs)
+      xs.map(x => math.abs(2 * x - m2))
+    }
+    val n = zBySeg.map(_.size).sum.toDouble
+    val sterm = zBySeg.map(z =>
+      z.sum.toDouble * z.sum.toDouble / z.size.toDouble).sum
+    val stot = zBySeg.map(_.sum).sum.toDouble
+    val qtot = zBySeg.flatMap(_.map(z => z.toDouble * z.toDouble)).sum
+    val f = (sterm - stot * stot / n) * (n - 5.0) / ((qtot - sterm) * 4.0)
+    val row = q("stats_levene").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    assert(g("n") == c.size.toLong)
+    assert(segs.indices.forall(i =>
+      g(s"n${i + 1}") == zBySeg(i).size.toLong))
+    assert(math.abs(g("f_ppm") / 1e6 - f) < 1e-3, s"${g("f_ppm")} vs $f")
+  }
+
+  test("stats_runs_test: runs replayed from the daily sign sequence") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(date_trunc('day', o_orderdate) AS DATE) AS d",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getAs[java.sql.Date](0).toLocalDate,
+        r.getLong(1))).toSeq
+    val daily = o.groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1.toEpochDay)
+    val signs = daily.sliding(2).collect {
+      case Seq((_, a), (_, b)) if a != b => if (b > a) 1L else 0L }.toSeq
+    val n = signs.size.toLong
+    val nPlus = signs.count(_ == 1L).toLong
+    val nMinus = n - nPlus
+    val r = 1L + signs.sliding(2).count {
+      case Seq(a, b) => a != b; case _ => false }
+    val mu = 2.0 * nPlus * nMinus / n + 1.0
+    val sig = math.sqrt(2.0 * nPlus * nMinus *
+      (2.0 * nPlus * nMinus - n) / (n.toDouble * n * (n - 1.0)))
+    val z = (r - mu) / sig
+    val row = q("stats_runs_test").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    assert(g("n") == n && g("n_plus") == nPlus && g("n_minus") == nMinus)
+    assert(g("r_runs") == r)
+    assert(math.abs(g("z_ppm") / 1e6 - z) < 1e-3)
+  }
+
+  test("stats_cohens_kappa: exact-integer kappa replayed with the langid rule") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val stop = Seq(
+      "en" -> Set("the", "and", "of", "to", "is", "in"),
+      "es" -> Set("el", "la", "de", "que", "y", "los"),
+      "fr" -> Set("le", "la", "de", "et", "les", "des"),
+      "de" -> Set("der", "die", "und", "das", "ist", "von"))
+    val pairs = docs.map { case (actual, text) =>
+      val t = Option(text).map(_.trim).getOrElse("")
+      val toks = if (t.isEmpty) Array.empty[String]
+                 else t.toLowerCase.split("\\s+")
+      val scores = stop.map { case (l, ws) => (l, toks.count(ws)) }
+      val mx = scores.map(_._2).max
+      val pred = if (mx <= 0) "und" else scores.find(_._2 == mx).get._1
+      (pred, actual)
+    }
+    val nDocs = pairs.size.toLong
+    val diag = pairs.count(p => p._1 == p._2).toLong
+    val rows = pairs.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val cols = pairs.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    val pChance = (rows.keySet ++ cols.keySet).toSeq
+      .map(k => rows.getOrElse(k, 0L) * cols.getOrElse(k, 0L)).sum
+    val kappa = 1000000L * (nDocs * diag - pChance) /
+      (nDocs * nDocs - pChance)
+    val row = q("stats_cohens_kappa").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    assert(g("n_docs") == nDocs && g("diag") == diag)
+    assert(g("p_chance") == pChance)
+    assert(g("kappa_ppm") == kappa)
+    // the corpus text carries no language signal, so the chance-
+    // corrected score must sit at ~0 even though raw accuracy (~32%)
+    // looks non-trivial — kappa is the metric that exposes that
+    assert(math.abs(g("kappa_ppm")) < 100000L, s"kappa=${g("kappa_ppm")}")
+    assert(diag * 4 > nDocs, "raw accuracy should still look non-trivial")
+  }
+
   test("stats_kruskal_wallis: H recomputed directly; integer stats exact") {
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
       .select("c_mktsegment", "c_acctbal")
