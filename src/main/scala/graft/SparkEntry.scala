@@ -5556,8 +5556,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_parts"),
           sum(col("rev_cents")).as("class_rev_cents"),
           max(col("total")).as("total_cents"))
-        .withColumn("share_ppm",
-          expr("(class_rev_cents * 1000000) div total_cents"))
+        // decimal(38,0): class_cents·10⁶ crosses 2^63 at sf1 — DuckDB
+        // errors loudly there, Spark long math would wrap SILENTLY
+        .withColumn("share_ppm", expr(
+          """CAST((CAST(class_rev_cents AS DECIMAL(38,0)) * 1000000)
+             div total_cents AS BIGINT)"""))
         .select("cls", "n_parts", "class_rev_cents", "share_ppm")
         .orderBy("cls")
     }),
@@ -7624,8 +7627,8 @@ object SparkEntry {
            FROM cum)
          SELECT cls, count(*) AS n_parts,
            CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents,
-           (CAST(sum(rev_cents) AS BIGINT) * 1000000) // max(total)
-             AS share_ppm
+           CAST((CAST(sum(rev_cents) AS HUGEINT) * 1000000) // max(total)
+             AS BIGINT) AS share_ppm
          FROM classed GROUP BY cls ORDER BY cls""",
 
     "text_lexical_diversity" ->
