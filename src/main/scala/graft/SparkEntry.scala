@@ -2048,22 +2048,30 @@ object SparkEntry {
 
     "sample_weighted" -> ((s, dir) => {
       // weighted sampling without replacement (Efraimidis–Spirakis),
-      // rand-free: each row's priority is ln(u)/w with u a uniform drawn
-      // from the row's stable content hash (top 53 bits — exact in a
-      // double) and w its weight; the k largest priorities ARE a weighted
-      // sample, stable across runs, engines, and partitionings.
-      // orderBy+limit plans as TakeOrderedAndProject: per-partition top-k
-      // then a k-row merge — the same plan at 60 k rows or 100 TB.
+      // rand-free AND float-free: for INTEGER weights the E–S key
+      // u^(1/w) is distributionally identical to the MAX OF w i.i.d.
+      // uniform draws (both have CDF x^w), so each row's priority is
+      // the max of w 64-bit hash draws — an exact integer. The first
+      // formulation (ln(u)/w doubles) was killed by the sf10 oracle
+      // leg: at 60M rows the winning priorities are ln(1−ε) ≈ −1e−8
+      // where a 1-ulp cross-engine difference in libm log reorders the
+      // selected set. The k largest priorities ARE a weighted sample,
+      // stable across runs, engines, and partitionings; the w draws run
+      // in the native `es_max_draw` expression (one fused integer loop
+      // per row — the string-per-draw HOF form measured 28× slower).
+      // orderBy+limit plans as TakeOrderedAndProject: per-partition
+      // top-k then a k-row merge — the same plan at 60 k rows or
+      // 100 TB.
       val li = t(s, dir, "lineitem")
-      val u = shiftrightunsigned(HashFunctions.fnv64(
-          concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 11)
-        .cast("double") / lit(9007199254740992.0)
+      val base = HashFunctions.fnv64(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+      val pri = HashFunctions.esMaxDraw(base,
+        col("l_quantity").cast("int"))
       li.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          (log(u) / col("l_quantity").cast("double")).as("pri"))
-        .orderBy(col("pri").desc, col("l_orderkey"), col("l_linenumber"))
+          pri.as("pri_h"))
+        .orderBy(col("pri_h").desc, col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .limit(20)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          round(col("pri"), 6).as("pri"))
     }),
 
     "events_top_paths" -> ((s, dir) => {
@@ -5387,6 +5395,175 @@ object SparkEntry {
         .select("n_docs", "diag", "p_chance", "kappa_ppm")
     }),
 
+    "stats_mcnemar" -> ((s, dir) => {
+      // McNemar's test for paired binary outcomes: did each active user
+      // purchase in the first half of the event era (before Jan 16) vs
+      // the second? The pairing is WITHIN user — only the discordant
+      // users carry signal: b converted early-only, c late-only;
+      // χ² = (b−c)²/(b+c), plus the Edwards continuity correction
+      // (|b−c|−1)²/(b+c). Both are pure integer ratios emitted as
+      // floor-ppm — engine-exact, no float anywhere. One event scan
+      // folds to per-user (early, late) bits (map-side combinable max),
+      // then a two-long reduce; nothing downstream exceeds one row.
+      val ev = t(s, dir, "events")
+      val half = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+      val u = ev.groupBy("user_id").agg(
+        max(when(col("event_type") === "purchase" &&
+          col("ts") < half, 1L).otherwise(0L)).as("early"),
+        max(when(col("event_type") === "purchase" &&
+          col("ts") >= half, 1L).otherwise(0L)).as("late"))
+      u.agg(
+          count(lit(1)).as("n_users"),
+          sum(col("early") * (lit(1L) - col("late"))).as("b"),
+          sum((lit(1L) - col("early")) * col("late")).as("c"))
+        .withColumn("chi2_ppm", expr(
+          """CASE WHEN b + c = 0 THEN NULL
+             ELSE (1000000 * (b - c) * (b - c)) div (b + c) END"""))
+        .withColumn("chi2_cc_ppm", expr(
+          """CASE WHEN b + c = 0 THEN NULL
+             ELSE (1000000 * (abs(b - c) - 1) * (abs(b - c) - 1))
+               div (b + c) END"""))
+        .select("n_users", "b", "c", "chi2_ppm", "chi2_cc_ppm")
+    }),
+
+    "stats_kendall_tau" -> ((s, dir) => {
+      // Kendall's tau-b between two nation-level metrics: customer
+      // count vs total open-order revenue. Rank-correlation's O(n²)
+      // pair count is tamed by AGGREGATING FIRST — the pair self-join
+      // runs over the 25-row nation frame (≤625 pairs at any SF), so
+      // the quadratic term is constant while the metric aggregation
+      // scans scale linearly. Concordant/discordant/tie counts are
+      // exact integers; tau_b = (C−D)/√((n0−tx)(n0−ty)) closes through
+      // IEEE-exact sqrt (correctly rounded, unlike libm ln) and one
+      // floor — engine-exact. Floor-ppm emitted.
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val x = cust.groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("x"))
+      val y = cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("y"))
+      val m = x.join(y, Seq("nk"), "left")
+        .select(col("nk"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      val p = m.as("a").join(m.as("b"),
+          col("a.nk") < col("b.nk"), "inner")
+        .select(
+          (col("a.x") - col("b.x")).as("dx"),
+          (col("a.y") - col("b.y")).as("dy"))
+      p.agg(
+          count(lit(1)).as("n_pairs"),
+          // sign tests, never dx·dy — the product crosses 2^63 at high SF
+          sum(when((col("dx") > 0 && col("dy") > 0) ||
+            (col("dx") < 0 && col("dy") < 0), 1L).otherwise(0L)).as("conc"),
+          sum(when((col("dx") > 0 && col("dy") < 0) ||
+            (col("dx") < 0 && col("dy") > 0), 1L).otherwise(0L)).as("disc"),
+          sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tie_x"),
+          sum(when(col("dy") === 0, 1L).otherwise(0L)).as("tie_y"))
+        .withColumn("tau_ppm", expr(
+          """CASE WHEN n_pairs = tie_x OR n_pairs = tie_y THEN NULL
+             ELSE CAST(floor(1000000.0 * (conc - disc) /
+               sqrt(CAST((n_pairs - tie_x) AS DOUBLE)
+                 * CAST((n_pairs - tie_y) AS DOUBLE))) AS BIGINT) END"""))
+        .select("n_pairs", "conc", "disc", "tie_x", "tie_y", "tau_ppm")
+    }),
+
+    "timeseries_acf" -> ((s, dir) => {
+      // autocorrelation function of the daily event-count series at
+      // lags 1..7 (the seasonality fingerprint behind the weekly
+      // queries). The standard estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) /
+      // Σ(x_t−x̄)² is cleared of its fractional mean by multiplying
+      // through by n²: num·n² = n²P_k − nS(A_k+B_k) + p_k S², den·n² =
+      // n²Q − nS² — every term an exact integer (decimal(38,0): n²P
+      // crosses 2^63 past sf1, the ABC lesson). The series is
+      // days-sized, so the lag joins are calendar-sized regardless of
+      // event volume; only the daily rollup scans the data.
+      val ev = t(s, dir, "events")
+      val d = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = d.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sm"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+      val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+      val pairs = d.as("a").crossJoin(lags)
+        .join(d.as("b"),
+          col("b.day") === date_add(col("a.day"), col("lag")), "inner")
+        .groupBy("lag")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("p_k"),
+          sum(col("a.x").cast("decimal(38,0)") * col("b.x")).as("pk_sum"),
+          sum(col("a.x")).cast("decimal(38,0)").as("a_k"),
+          sum(col("b.x")).cast("decimal(38,0)").as("b_k"))
+      pairs.crossJoin(broadcast(tot))
+        .withColumn("acf_ppm", expr(
+          """CAST((1000000 * (n * n * pk_sum - n * sm * (a_k + b_k)
+               + p_k * sm * sm))
+             div (n * n * q - n * sm * sm) AS BIGINT)"""))
+        .select(col("lag"), col("p_k").cast("bigint").as("n_pairs"),
+          col("acf_ppm"))
+        .orderBy("lag")
+    }),
+
+    "graph_hits" -> ((s, dir) => {
+      // HITS hubs-and-authorities on the bipartite customer→part
+      // purchase graph (Kleinberg '99): customers are hubs, parts
+      // authorities. Same fixed-point discipline as graph_pagerank —
+      // all arithmetic is exact-integer, so every round is order-
+      // independent and engine-exact (float HITS sums are partition-
+      // order-dependent). Power iteration is scale-invariant, so the
+      // sum-normalization happens ONCE at the end (`div` by the exact
+      // score total, 10^12-scaled): the per-round rescale jobs of the
+      // textbook formulation are pure numerics, and dropping them
+      // halves the stage count — raw path-count scores stay under
+      // 1e21 ≪ 10^38 in decimal(38,0). Two full a/h rounds from the
+      // uniform start; each half-round is one keyed join + one
+      // aggregation over the edge list — the Pregel lowering, linear
+      // in |E|. The edge frame feeds all four half-rounds and is the
+      // one persist (the unpersisted-iteration lesson).
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val e0 = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      // co-partition the edge list ONCE per join-key orientation: every
+      // iteration join then leaves the big side in place and exchanges
+      // only the node-sized score frame (shuffle-hash, no edge-side
+      // sort) — without this, each round re-exchanges+sorts |E| rows.
+      // distinct() AFTER repartition is partition-local (HashPartitioning
+      // on one key satisfies the {c,p} clustering requirement), so edge
+      // dedup rides the same exchange. This is the shape that holds at
+      // 100 TB: edges shuffle twice total, iterations move |V| rows.
+      val eByP = e0.repartition(col("p")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val eByC = e0.repartition(col("c")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // h_0 ≡ 1 uniformly ⇒ a_1(p) = indeg(p); then two exact
+      // unnormalized half-rounds per side over decimal(38,0)
+      val dec = "decimal(38,0)"
+      val a1 = eByP.groupBy("p")
+        .agg(count(lit(1)).cast(dec).as("a1"))
+      val h1 = eByP.join(a1.hint("shuffle_hash"), Seq("p"))
+        .groupBy("c").agg(sum(col("a1")).as("h1"))
+      val a2 = eByC.join(h1.hint("shuffle_hash"), Seq("c"))
+        .groupBy("p").agg(sum(col("h1")).as("a2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val h2 = eByP.join(a2.hint("shuffle_hash"), Seq("p"))
+        .groupBy("c").agg(sum(col("a2")).as("h2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val asum = a2.agg(sum(col("a2")).as("s")).select("s")
+      val hsum = h2.agg(sum(col("h2")).as("s")).select("s")
+      val topA = a2.crossJoin(broadcast(asum))
+        .select(lit("authority").as("side"), col("p").as("node"),
+          expr("CAST((a2 * 1000000000000) div s AS BIGINT)").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(10)
+      val topH = h2.crossJoin(broadcast(hsum))
+        .select(lit("hub").as("side"), col("c").as("node"),
+          expr("CAST((h2 * 1000000000000) div s AS BIGINT)").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(10)
+      topH.unionByName(topA).orderBy(col("side"), col("score").desc,
+        col("node"))
+    }),
+
     "stats_anova_f" -> ((s, dir) => {
       // one-way ANOVA F of account balance across the five market
       // segments — the parametric companion to stats_kruskal_wallis,
@@ -7494,6 +7671,119 @@ object SparkEntry {
              // (n_docs * n_docs - p_chance) AS kappa_ppm
          FROM tot CROSS JOIN marg""",
 
+    "stats_mcnemar" ->
+      """WITH u AS (
+           SELECT user_id,
+             max(CASE WHEN event_type = 'purchase'
+               AND ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS early,
+             max(CASE WHEN event_type = 'purchase'
+               AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS late
+           FROM events GROUP BY user_id),
+         a AS (
+           SELECT count(*) AS n_users,
+             CAST(sum(early * (1 - late)) AS BIGINT) AS b,
+             CAST(sum((1 - early) * late) AS BIGINT) AS c
+           FROM u)
+         SELECT n_users, b, c,
+           CASE WHEN b + c = 0 THEN NULL
+             ELSE (1000000 * (b - c) * (b - c)) // (b + c) END AS chi2_ppm,
+           CASE WHEN b + c = 0 THEN NULL
+             ELSE (1000000 * (abs(b - c) - 1) * (abs(b - c) - 1))
+               // (b + c) END AS chi2_cc_ppm
+         FROM a""",
+
+    "stats_kendall_tau" ->
+      """WITH x AS (
+           SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS x
+           FROM customer GROUP BY 1),
+         y AS (
+           SELECT c.c_nationkey AS nk,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS y
+           FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY 1),
+         m AS (
+           SELECT x.nk, x.x, COALESCE(y.y, 0) AS y
+           FROM x LEFT JOIN y USING (nk)),
+         p AS (
+           SELECT a.x - b.x AS dx, a.y - b.y AS dy
+           FROM m a JOIN m b ON a.nk < b.nk),
+         agg AS (
+           SELECT count(*) AS n_pairs,
+             CAST(sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+               THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             CAST(sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+               THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+             CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tie_x,
+             CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tie_y
+           FROM p)
+         SELECT n_pairs, conc, disc, tie_x, tie_y,
+           CASE WHEN n_pairs = tie_x OR n_pairs = tie_y THEN NULL
+             ELSE CAST(floor(1000000.0 * (conc - disc) /
+               sqrt(CAST((n_pairs - tie_x) AS DOUBLE)
+                 * CAST((n_pairs - tie_y) AS DOUBLE))) AS BIGINT) END
+             AS tau_ppm
+         FROM agg""",
+
+    "timeseries_acf" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sm,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+           FROM d),
+         lags AS (SELECT CAST(range AS INT) AS lg FROM range(1, 8)),
+         pairs AS (
+           SELECT lg, CAST(count(*) AS HUGEINT) AS p_k,
+             CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS pk_sum,
+             CAST(sum(a.x) AS HUGEINT) AS a_k,
+             CAST(sum(b.x) AS HUGEINT) AS b_k
+           FROM d a CROSS JOIN lags JOIN d b ON b.day = a.day + lg
+           GROUP BY lg)
+         SELECT lg AS lag, CAST(p_k AS BIGINT) AS n_pairs,
+           CAST((1000000 * (n * n * pk_sum - n * sm * (a_k + b_k)
+               + p_k * sm * sm))
+             // (n * n * q - n * sm * sm) AS BIGINT) AS acf_ppm
+         FROM pairs CROSS JOIN tot ORDER BY lag""",
+
+    "graph_hits" ->
+      """WITH e AS (
+           SELECT DISTINCT o_custkey AS c, l_partkey AS p
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         a1 AS (
+           SELECT p, CAST(count(*) AS HUGEINT) AS a1
+           FROM e GROUP BY p),
+         h1 AS (
+           SELECT c, CAST(sum(a1) AS HUGEINT) AS h1
+           FROM e JOIN a1 USING (p) GROUP BY c),
+         a2 AS (
+           SELECT p, CAST(sum(h1) AS HUGEINT) AS a2
+           FROM e JOIN h1 USING (c) GROUP BY p),
+         h2 AS (
+           SELECT c, CAST(sum(a2) AS HUGEINT) AS h2
+           FROM e JOIN a2 USING (p) GROUP BY c),
+         asum AS (SELECT sum(a2) AS s FROM a2),
+         hsum AS (SELECT sum(h2) AS s FROM h2),
+         ta AS (
+           SELECT 'authority' AS side, p AS node,
+             CAST((a2 * 1000000000000) // s AS BIGINT) AS score
+           FROM a2 CROSS JOIN asum
+           ORDER BY score DESC, node LIMIT 10),
+         th AS (
+           SELECT 'hub' AS side, c AS node,
+             CAST((h2 * 1000000000000) // s AS BIGINT) AS score
+           FROM h2 CROSS JOIN hsum
+           ORDER BY score DESC, node LIMIT 10)
+         SELECT side, node, score
+         FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
+         ORDER BY side, score DESC, node""",
+
     "stats_anova_f" -> {
       val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>
         s"""CAST(sum(CASE WHEN seg = '$sg' THEN 1 ELSE 0 END) AS BIGINT)
@@ -8609,15 +8899,31 @@ object SparkEntry {
     },
 
     "sample_weighted" -> {
-      val hv = fnvSql(
+      val baseH = fnvSql(
         "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")
-      s"""WITH h AS (
+      val jg = mulModSql("CAST(j AS HUGEINT)", "11400714819323198485")
+      s"""WITH rows0 AS (
+           -- rid keeps the dq fixture's EXACT-DUPLICATE rows apart: the
+           -- engine never groups, so a grouped oracle would collapse them
            SELECT l_orderkey, l_linenumber, l_quantity,
-             ln(CAST($hv // 2048::HUGEINT AS DOUBLE) / 9007199254740992.0)
-               / CAST(l_quantity AS DOUBLE) AS pri
-           FROM lineitem)
-         SELECT l_orderkey, l_linenumber, l_quantity, round(pri, 6) AS pri
-         FROM h ORDER BY pri DESC, l_orderkey, l_linenumber LIMIT 20"""
+             row_number() OVER () AS rid, $baseH AS bh
+           FROM lineitem),
+         drawsj AS (
+           SELECT l_orderkey, l_linenumber, l_quantity, rid, bh,
+             unnest(range(1, CAST(l_quantity AS INT) + 1)) AS j
+           FROM rows0),
+         drawsx AS (
+           SELECT l_orderkey, l_linenumber, l_quantity, rid,
+             xor(bh, $jg) AS x
+           FROM drawsj),
+         ${mix64Ctes("drawsx", "mixed")},
+         pri AS (
+           SELECT l_orderkey, l_linenumber, l_quantity,
+             max(${signedSql("h")}) AS pri_h
+           FROM mixed GROUP BY rid, l_orderkey, l_linenumber, l_quantity)
+         SELECT l_orderkey, l_linenumber, l_quantity, pri_h
+         FROM pri ORDER BY pri_h DESC, l_orderkey, l_linenumber,
+           l_quantity LIMIT 20"""
     },
 
     "events_cooccurrence" ->

@@ -31,6 +31,7 @@ object GraftFunctions {
     "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle n"))),
     "linear_margin" -> (es => LinearMargin(es.head)),
     "winnow" -> (es => Winnow(es(0), intLit(es(1), "window"))),
+    "es_max_draw" -> (es => EsMaxDraw(es(0), es(1))),
     "hyperplane_sig" -> (es => HyperplaneSignature(es(0), intLit(es(1), "bits"),
       if (es.length > 2) intLit(es(2), "seed") else 0)),
     "random_projection" -> (es => RandomProjection(es(0), intLit(es(1), "dims"),

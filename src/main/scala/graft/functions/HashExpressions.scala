@@ -34,6 +34,23 @@ object HashOps {
     z ^ (z >>> 31)
   }
 
+  /** Efraimidis–Spirakis integer priority: the max of `w` seeded
+    * splitmix64 draws off one base hash. For integer weights, max of w
+    * i.i.d. uniforms is distributionally identical to the E–S key
+    * u^(1/w) (both CDFs are x^w), and 64-bit integer draws make the
+    * top-k selection EXACT across engines — the ln(u)/w double form
+    * reorders the extreme tail on cross-engine libm ULP differences. */
+  def esMaxDraw(base: Long, w: Int): Long = {
+    var best = Long.MinValue
+    var j = 1
+    while (j <= w) {
+      val h = mix64(base ^ (j * 0x9e3779b97f4a7c15L))
+      if (h > best) best = h
+      j += 1
+    }
+    best
+  }
+
   /** 64-bit SimHash over a token array: bit i = sign of Σ_tokens ±1 by
     * bit i of the token hash. One pass over tokens, 64 counters. */
   def simhash64(tokens: ArrayData): Long = {
@@ -269,6 +286,28 @@ case class Fnv64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `es_max_draw(base: long, w: int) -> long` — Efraimidis–Spirakis
+  * integer sampling priority (max of w seeded splitmix64 draws); one
+  * fused loop per row, no per-draw string hashing or explode. */
+case class EsMaxDraw(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType &&
+        right.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"es_max_draw requires (BIGINT, INT), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def prettyName: String = "es_max_draw"
+  override protected def nullSafeEval(b: Any, w: Any): Any =
+    HashOps.esMaxDraw(b.asInstanceOf[Long], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, w) => s"graft.functions.HashOps.esMaxDraw($b, $w)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** `hyperplane_sig(array<float>, bits, seed) -> long` — random-hyperplane
   * LSH signature as ONE native pass: bit b = sign(Σ_d v[d]·plane(seed,b,d))
   * with pseudo-random plane coefficients in [-1,1] derived from mix64.
@@ -410,4 +449,6 @@ object HashFunctions {
     Bridge.column(RandomProjection(Bridge.expression(vec), dims, seed))
   def winnow(hashes: Column, window: Int): Column =
     Bridge.column(Winnow(Bridge.expression(hashes), window))
+  def esMaxDraw(base: Column, w: Column): Column =
+    Bridge.column(EsMaxDraw(Bridge.expression(base), Bridge.expression(w)))
 }

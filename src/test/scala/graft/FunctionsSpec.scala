@@ -68,6 +68,27 @@ class FunctionsSpec extends SparkSpec {
       -5808556873153909620L)
   }
 
+  test("es_max_draw: matches independent recompute, monotone in w, SQL-registered") {
+    // independent recompute: max of w seeded splitmix64 draws
+    def ref(base: Long, w: Int): Long =
+      (1 to w).map(j => HashOps.mix64(base ^ (j * 0x9e3779b97f4a7c15L))).max
+    val cases = Seq((0L, 1), (42L, 1), (42L, 7), (-1L, 25), (123456789L, 50))
+    val got = cases.toDF("b", "w")
+      .select(HashFunctions.esMaxDraw(col("b"), col("w")).as("p"))
+      .as[Long].collect().toSeq
+    assert(got === cases.map { case (b, w) => ref(b, w) })
+    // max over a superset of draws can only grow: priority is monotone
+    // non-decreasing in w for a fixed base (the E–S weight ordering)
+    val inc = (1 to 60).map(w => ref(9876L, w))
+    assert(inc.zip(inc.tail).forall { case (a, b) => a <= b })
+    graft.functions.GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT es_max_draw(42L, 7) p").collect().head.getLong(0)
+      === ref(42L, 7))
+    // null-safe both sides
+    assert(spark.sql("SELECT es_max_draw(CAST(NULL AS BIGINT), 7) p")
+      .collect().head.isNullAt(0))
+  }
+
   test("GraftExtensions injects every native function (spark.sql.extensions route)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
