@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HashFunctions, KmvFunctions, StayCategory, TextFunctions}
+import graft.functions.{HashFunctions, KmvFunctions, StayCategory, TextFunctions, VectorFunctions}
 import graft.operators.{AsOf, Dedup, Enrich, Layout, Multimodal, Similarity, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -5564,6 +5564,134 @@ object SparkEntry {
         col("node"))
     }),
 
+    "text_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights (Xie et al. 2023, "Data Selection for
+      // Language Models via Importance Resampling") — the corpus-
+      // curation score that says how target-like each raw document is.
+      // Features are hashed unigrams (V=4096 buckets, the paper's
+      // hashed n-gram trick: bounded model size at any corpus scale);
+      // target distribution = the English docs, raw = the rest. Per-doc
+      // weight = Σ_occurrences [ln p̂_t(f) − ln p̂_r(f)] with add-one
+      // smoothing. Scale shape: the corpus is tokenized ONCE (persisted
+      // frame feeds both the count tables and the scoring join), the
+      // model is V-bounded and joins by bucket key — never a driver
+      // table; the per-doc Σ is the ORDER-canonical sequential fold
+      // (positions ascending) so the double is engine-identical.
+      val d = t(s, dir, "documents")
+      val V = 4096
+      val tok = d.select(col("doc_id"), col("lang"),
+          posexplode(TextFunctions.tokens(lower(col("text"))))
+            .as(Seq("pos", "w")))
+        .withColumn("b", pmod(HashFunctions.fnv64(col("w")), lit(V.toLong)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = tok.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nr"))
+      val tots = counts.agg(sum(col("nt")).as("tt"), sum(col("nr")).as("tr"))
+      val lr = counts.crossJoin(broadcast(tots))
+        .select(col("b"),
+          (log((col("nt") + 1).cast("double") / (col("tt") + V).cast("double"))
+            - log((col("nr") + 1).cast("double") / (col("tr") + V).cast("double")))
+            .as("lr"))
+      tok.join(lr, Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+          aggregate(sort_array(collect_list(struct(col("pos"), col("lr")))),
+            lit(0.0), (acc, x) => acc + x.getField("lr")).as("s"))
+        .select(col("doc_id"), col("n_feats"),
+          round(col("s"), 6).as("dsir_weight"))
+        .orderBy("doc_id")
+    }),
+
+    "similarity_mmr_topk" -> ((s, dir) => {
+      // Maximal Marginal Relevance diversified top-k (Carbonell &
+      // Goldstein, SIGIR'98) — the training-data selection pattern
+      // "most relevant AND not redundant": greedily pick argmax of
+      // λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s), λ=0.7, k=8 from an M=30
+      // candidate pool. Scale shape: the candidate pool comes from the
+      // DISTRIBUTED brute-force pass (TakeOrdered top-M; swap in the
+      // IVF probe at corpus scale) and the M×M sim matrix is computed
+      // distributed; only the M-row pool crosses to the driver for the
+      // O(k·M) greedy — index-build-sized, like the codebook builds.
+      // Cross-engine determinism: rel and sims are rounded to 6dp
+      // BEFORE any comparison, so near-ULP score ties become exact
+      // ties broken by vec_id — both engines walk the same path.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cands = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          round(VectorFunctions.cosineSim(col("embedding"), col("qv")), 6)
+            .as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(30)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = cands.select(col("vec_id").as("ai"), col("embedding").as("av"))
+        .crossJoin(cands.select(col("vec_id").as("bi"), col("embedding").as("bv")))
+        .filter(col("ai") =!= col("bi"))
+        .select(col("ai"), col("bi"),
+          round(VectorFunctions.cosineSim(col("av"), col("bv")), 6).as("sim"))
+      val rel = cands.select("vec_id", "rel").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val sim = pairs.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      var selected = Vector.empty[Long]
+      val out = collection.mutable.ArrayBuffer[(Int, Long, Double,
+        Option[Double], Double)]()
+      for (step <- 1 to 8) {
+        val remaining = rel.filterNot { case (id, _) => selected.contains(id) }
+        if (selected.isEmpty) {
+          val first = remaining.reduce[(Long, Double)] { (a, b) =>
+            if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a }
+          out += ((step, first._1, first._2, None, first._2))
+          selected :+= first._1
+        } else {
+          val scored = remaining.map { case (id, r) =>
+            val ms = selected.map(sid => sim((id, sid))).max
+            (id, r, ms, 0.7 * r - 0.3 * ms)
+          }
+          val best = scored.reduce { (a, b) =>
+            if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a }
+          out += ((step, best._1, best._2, Some(best._3), best._4))
+          selected :+= best._1
+        }
+      }
+      import s.implicits._
+      out.toSeq.toDF("rnk", "vec_id", "rel", "max_sim", "mmr")
+        .select(col("rnk"), col("vec_id"), col("rel"), col("max_sim"),
+          round(col("mmr"), 6).as("mmr"))
+        .orderBy("rnk")
+    }),
+
+    "embedding_pca_power" -> ((s, dir) => {
+      // distributed PCA, top principal direction of the embedding
+      // corpus: ONE pass accumulates the exact integer Gram (scatter)
+      // matrix via the native `gram_matrix` TypedImperativeAggregate
+      // (state = d(d+1)/2 longs per partition, ~16 KB at d=64 — only
+      // fixed-size buffers cross the wire, never n·d² explode rows),
+      // then the d×d eigen step runs driver-side as 24 deterministic
+      // power-iteration rounds (max-abs normalization, ascending-j
+      // folds — every double op reproduced verbatim by the oracle, so
+      // the iterates are engine-identical). Embeddings are quantized
+      // q = round(v·10⁴) first: integer Gram sums are exact and
+      // order-independent where float accumulation would be partition-
+      // order-dependent. Output: the 64 eigenvector components and the
+      // Rayleigh eigenvalue rescaled to the float domain (÷10⁸).
+      val e = t(s, dir, "embeddings")
+      val d = 64
+      val q = e.select(expr(
+        "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))")
+        .as("q"))
+      val packed = q.agg(graft.functions.GramMatrix.gramMatrix(col("q"), d)
+          .as("g"))
+        .head().getSeq[Long](0).toArray
+      val (vec, lam) = graft.functions.GramMatrix.powerIteration(packed, d, 24)
+      import s.implicits._
+      vec.zipWithIndex.map { case (v, i) => (i + 1, v, lam / 1.0e8) }.toSeq
+        .toDF("dim", "component", "eigenvalue")
+        .select(col("dim"), round(col("component"), 6).as("component"),
+          round(col("eigenvalue"), 6).as("eigenvalue"))
+        .orderBy("dim")
+    }),
+
     "stats_anova_f" -> ((s, dir) => {
       // one-way ANOVA F of account balance across the five market
       // segments — the parametric companion to stats_kruskal_wallis,
@@ -7783,6 +7911,136 @@ object SparkEntry {
          SELECT side, node, score
          FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
          ORDER BY side, score DESC, node""",
+
+    "text_dsir_weights" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         tok AS (
+           SELECT doc_id, lang,
+             unnest(list_transform(range(len(toks)),
+               i -> {'pos': i, 'w': toks[CAST(i AS INT)+1]})) AS t
+           FROM d),
+         tf AS (SELECT doc_id, lang, t.pos AS pos, t.w AS w FROM tok),
+         tb AS (
+           SELECT doc_id, lang, pos,
+             CAST(${fnvSql("w")} % 4096 AS BIGINT) AS b
+           FROM tf),
+         counts AS (
+           SELECT b,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nt,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nr
+           FROM tb GROUP BY b),
+         tots AS (
+           SELECT CAST(sum(nt) AS BIGINT) AS tt,
+             CAST(sum(nr) AS BIGINT) AS tr
+           FROM counts),
+         lr AS (
+           SELECT b,
+             ln(CAST(nt + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+               - ln(CAST(nr + 1 AS DOUBLE) / CAST(tr + 4096 AS DOUBLE)) AS lr
+           FROM counts CROSS JOIN tots),
+         j AS (SELECT doc_id, pos, lr FROM tb JOIN lr USING (b)),
+         a AS (
+           SELECT doc_id, count(*) AS n_feats,
+             list_reduce(list_prepend(0.0, list(lr ORDER BY pos)),
+               (acc, x) -> acc + x) AS s
+           FROM j GROUP BY doc_id)
+         SELECT doc_id, n_feats, round(s, 6) AS dsir_weight
+         FROM a ORDER BY doc_id""",
+
+    "similarity_mmr_topk" -> {
+      // every selu_i is referenced twice by step i+1 (the max-sim join
+      // and the NOT IN) — without MATERIALIZED, CTE inlining re-executes
+      // the whole prefix 2^k times (measured: step 6 already 7 s)
+      val steps = (2 to 8).map { i =>
+        s"""sel$i AS MATERIALIZED (
+           SELECT $i AS rnk, c.vec_id, c.rel, ms.ms AS max_sim,
+             0.7 * c.rel - 0.3 * ms.ms AS mmr
+           FROM cand c JOIN (
+             SELECT p.ai, max(p.sim) AS ms FROM p
+             JOIN selu${i - 1} s ON p.bi = s.vec_id GROUP BY p.ai) ms
+             ON ms.ai = c.vec_id
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM selu${i - 1})
+           ORDER BY mmr DESC, c.vec_id LIMIT 1),
+         selu$i AS MATERIALIZED (SELECT * FROM selu${i - 1}
+           UNION ALL SELECT * FROM sel$i)"""
+      }.mkString(",\n         ")
+      s"""WITH qv AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id = 0),
+         cand AS MATERIALIZED (
+           SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             round(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), q.v), 6) AS rel
+           FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
+           ORDER BY rel DESC, vec_id LIMIT 30),
+         p AS MATERIALIZED (
+           SELECT a.vec_id AS ai, b.vec_id AS bi,
+             round(list_cosine_similarity(a.v, b.v), 6) AS sim
+           FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         sel1 AS (
+           SELECT 1 AS rnk, vec_id, rel, CAST(NULL AS DOUBLE) AS max_sim,
+             rel AS mmr
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         selu1 AS MATERIALIZED (SELECT * FROM sel1),
+         $steps
+         SELECT rnk, vec_id, rel, max_sim, round(mmr, 6) AS mmr
+         FROM selu8 ORDER BY rnk"""
+    },
+
+    "embedding_pca_power" -> {
+      // 24 unrolled power-iteration CTEs replaying
+      // GramMatrix.powerIteration verbatim: ascending-j matvec folds,
+      // max-abs normalization — bit-identical double sequences.
+      val matvec =
+        """list_transform(range(1, 65),
+           i -> list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             j -> g[CAST(i AS INT)][CAST(j AS INT)] * x[CAST(j AS INT)])),
+             (a, b) -> a + b))"""
+      val iters = (1 to 24).map { k =>
+        val prev = if (k == 1) "it0" else s"it${k - 1}"
+        s"""it$k AS (
+           SELECT g, list_transform(y, t -> t / m) AS x FROM (
+             SELECT g, y,
+               list_reduce(list_prepend(0.0,
+                 list_transform(y, t -> abs(t))),
+                 (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS m
+             FROM (SELECT g, $matvec AS y FROM $prev)))"""
+      }.mkString(",\n         ")
+      s"""WITH src AS (
+           SELECT list_transform(CAST(embedding AS DOUBLE[]),
+             v -> CAST(round(v * 10000) AS BIGINT)) AS q
+           FROM embeddings),
+         idx AS (SELECT CAST(range AS INT) AS i FROM range(1, 65)),
+         cells AS (
+           SELECT i.i AS i, j.i AS j,
+             CAST(sum(CAST(q[i.i] AS HUGEINT) * q[j.i]) AS HUGEINT) AS g
+           FROM src CROSS JOIN idx i CROSS JOIN idx j
+           GROUP BY 1, 2),
+         gm AS (
+           SELECT list(grow ORDER BY i) AS g FROM (
+             SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS grow
+             FROM cells GROUP BY i)),
+         it0 AS (
+           SELECT g, list_transform(range(64), r -> 1.0) AS x FROM gm),
+         $iters,
+         ray AS (
+           SELECT x,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+               i -> x[CAST(i AS INT)]
+                 * list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                     j -> g[CAST(i AS INT)][CAST(j AS INT)]
+                       * x[CAST(j AS INT)])),
+                     (a, b) -> a + b))),
+               (a, b) -> a + b) AS num,
+             list_reduce(list_prepend(0.0,
+               list_transform(x, t -> t * t)), (a, b) -> a + b) AS den
+           FROM it24)
+         SELECT d.i AS dim, round(x[d.i], 6) AS component,
+           round(num / den / 100000000.0, 6) AS eigenvalue
+         FROM ray CROSS JOIN idx d ORDER BY dim"""
+    },
 
     "stats_anova_f" -> {
       val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>

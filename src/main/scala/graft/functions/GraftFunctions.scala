@@ -32,6 +32,8 @@ object GraftFunctions {
     "linear_margin" -> (es => LinearMargin(es.head)),
     "winnow" -> (es => Winnow(es(0), intLit(es(1), "window"))),
     "es_max_draw" -> (es => EsMaxDraw(es(0), es(1))),
+    "gram_matrix" -> (es => GramMatrixAgg(es(0), intLit(es(1), "gram d"))
+      .toAggregateExpression(isDistinct = false)),
     "hyperplane_sig" -> (es => HyperplaneSignature(es(0), intLit(es(1), "bits"),
       if (es.length > 2) intLit(es(2), "seed") else 0)),
     "random_projection" -> (es => RandomProjection(es(0), intLit(es(1), "dims"),
