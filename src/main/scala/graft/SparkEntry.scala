@@ -5692,6 +5692,91 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "curriculum_interleave" -> ((s, dir) => {
+      // curriculum-ordered training export: easy-first within each
+      // source (difficulty proxy = n_chars), sources interleaved
+      // round-robin so no early training window is dominated by one
+      // domain — the standard curriculum/data-mixing export order.
+      // ONE keyed window sort per source (rank_in_source), then the
+      // global (rank, source) order tops out through
+      // TakeOrderedAndProject — per-partition top-k and a k-row merge,
+      // no global sort, the same plan at any corpus size. All-integer.
+      val d = t(s, dir, "documents")
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars"), col("doc_id"))
+      d.select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rank_in_source", row_number().over(w))
+        .orderBy(col("rank_in_source"), col("source"), col("doc_id"))
+        .limit(60)
+    }),
+
+    "feature_standardize" -> ((s, dir) => {
+      // per-segment feature scaling, both flavors a feature pipeline
+      // ships: z-score (n·x−S over √(nQ−S²) — the mean cleared by
+      // multiplying through by n, so everything under the IEEE-exact
+      // sqrt is an exact integer) and robust (median/MAD in the
+      // doubled/quadrupled-cents trick — interpolated medians of
+      // integers are half-integers, doubling keeps them exact). The
+      // group stats are one map-side-combinable pass + one exact
+      // percentile per segment; each row then scales against its
+      // broadcast segment row. Emitted as floor-ppm.
+      val c0 = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val stats = c0.groupBy("seg").agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("q"),
+        expr("CAST(round(2 * percentile(cents, 0.5)) AS BIGINT)").as("med2"))
+      val dev = c0.join(broadcast(stats), Seq("seg"))
+        .withColumn("dev2", col("cents") * 2 - col("med2"))
+      val mad = dev.groupBy("seg")
+        .agg(expr("CAST(round(2 * percentile(abs(dev2), 0.5)) AS BIGINT)")
+          .as("mad4"))
+      dev.join(broadcast(mad), Seq("seg"))
+        .withColumn("z_ppm", expr(
+          """CASE WHEN n * q - CAST(s AS DECIMAL(38,0)) * s <= 0 THEN NULL
+             ELSE CAST(floor(1000000.0 * CAST(n * cents - s AS DOUBLE)
+               / sqrt(CAST(n * q - CAST(s AS DECIMAL(38,0)) * s
+                 AS DOUBLE))) AS BIGINT) END"""))
+        .withColumn("rz_ppm", expr(
+          """CASE WHEN mad4 = 0 THEN NULL
+             ELSE (dev2 * 2 * 1000000) div mad4 END"""))
+        .select(col("c_custkey"), col("seg"), col("cents"),
+          col("z_ppm"), col("rz_ppm"))
+        .orderBy("c_custkey")
+    }),
+
+    "stats_cochran_q" -> ((s, dir) => {
+      // Cochran's Q — the k-treatment generalization of McNemar: did
+      // each active user do each of the five event types at least once?
+      // Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣL_i − ΣL_i²) over the
+      // binary user×type incidence matrix: G_j = per-type totals
+      // (k-sized), L_i = per-user row totals. Every term is an exact
+      // integer — emitted as floor-ppm. One distinct (user, type) scan;
+      // the row-total moments fold map-side; the column totals are a
+      // k-sized frame. Users with all-k or all-0 rows contribute
+      // nothing to Q's information but ARE part of the standard
+      // statistic — kept, matching the textbook form.
+      val ev = t(s, dir, "events")
+      val inc = ev.select(col("user_id"), col("event_type")).distinct()
+      val k = lit(5L)
+      val rowT = inc.groupBy("user_id").agg(count(lit(1)).as("l"))
+        .agg(sum(col("l")).as("sum_l"),
+          sum(col("l") * col("l")).as("sum_l2"),
+          count(lit(1)).as("n_users"))
+      val colT = inc.groupBy("event_type").agg(count(lit(1)).as("g"))
+        .agg(sum(col("g").cast("decimal(38,0)") * col("g")).as("sum_g2"),
+          sum(col("g")).as("sum_g"))
+      rowT.crossJoin(broadcast(colT))
+        .withColumn("q_ppm", expr(
+          """CASE WHEN 5 * sum_l - sum_l2 <= 0 THEN NULL
+             ELSE CAST((4000000 * (5 * sum_g2
+                 - CAST(sum_g AS DECIMAL(38,0)) * sum_g))
+               div CAST(5 * sum_l - sum_l2 AS DECIMAL(38,0)) AS BIGINT) END"""))
+        .select("n_users", "sum_l", "sum_l2", "sum_g", "q_ppm")
+    }),
+
     "stats_anova_f" -> ((s, dir) => {
       // one-way ANOVA F of account balance across the five market
       // segments — the parametric companion to stats_kruskal_wallis,
@@ -8041,6 +8126,64 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "curriculum_interleave" ->
+      """WITH r AS (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS rank_in_source
+           FROM documents)
+         SELECT doc_id, source, n_chars, rank_in_source
+         FROM r ORDER BY rank_in_source, source, doc_id LIMIT 60""",
+
+    "feature_standardize" ->
+      """WITH c0 AS (
+           SELECT c_custkey, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         stats AS (
+           SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q,
+             CAST(round(2 * median(cents)) AS BIGINT) AS med2
+           FROM c0 GROUP BY seg),
+         dev AS (
+           SELECT c0.c_custkey, c0.seg, c0.cents, stats.n, stats.s,
+             stats.q, cents * 2 - med2 AS dev2
+           FROM c0 JOIN stats USING (seg)),
+         mad AS (
+           SELECT seg, CAST(round(2 * median(abs(dev2))) AS BIGINT) AS mad4
+           FROM dev GROUP BY seg)
+         SELECT c_custkey, seg, cents,
+           CASE WHEN n * q - CAST(s AS HUGEINT) * s <= 0 THEN NULL
+             ELSE CAST(floor(1000000.0 * CAST(n * cents - s AS DOUBLE)
+               / sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)))
+               AS BIGINT) END AS z_ppm,
+           CASE WHEN mad4 = 0 THEN NULL
+             ELSE (dev2 * 2 * 1000000) // mad4 END AS rz_ppm
+         FROM dev JOIN mad USING (seg)
+         ORDER BY c_custkey""",
+
+    "stats_cochran_q" ->
+      """WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
+         rt AS (
+           SELECT CAST(sum(l) AS BIGINT) AS sum_l,
+             CAST(sum(l * l) AS BIGINT) AS sum_l2,
+             count(*) AS n_users
+           FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS l
+                 FROM inc GROUP BY user_id)),
+         ct AS (
+           SELECT CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sum_g2,
+             CAST(sum(g) AS BIGINT) AS sum_g
+           FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS g
+                 FROM inc GROUP BY event_type))
+         SELECT n_users, sum_l, sum_l2, sum_g,
+           CASE WHEN 5 * sum_l - sum_l2 <= 0 THEN NULL
+             ELSE CAST((4000000 * (5 * sum_g2
+                 - CAST(sum_g AS HUGEINT) * sum_g))
+               // CAST(5 * sum_l - sum_l2 AS HUGEINT) AS BIGINT) END
+             AS q_ppm
+         FROM rt CROSS JOIN ct""",
 
     "stats_anova_f" -> {
       val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>

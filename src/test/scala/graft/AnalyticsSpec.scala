@@ -731,6 +731,80 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == expect.toSeq)
   }
 
+  test("curriculum_interleave: round-robin order replayed from raw docs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ranked = docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy(d => (d._3, d._1)).zipWithIndex
+        .map { case (d, i) => (d._1, d._2, d._3, i + 1) }
+    }
+    val expect = ranked.sortBy { case (id, src, _, r) => (r, src, id) }.take(60)
+    val got = q("curriculum_interleave").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got == expect)
+    // interleave property: ranks non-decreasing, sources cycle within rank
+    assert(got.map(_._4).sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("feature_standardize: z and robust z replayed per segment") {
+    val rows = q("feature_standardize").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == cust.length)
+    val bySeg = cust.groupBy(_._2)
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    bySeg.foreach { case (seg, cs) =>
+      val xs = cs.map(_._3)
+      val n = xs.length.toLong
+      val sm = xs.sum
+      val q2 = xs.map(x => BigInt(x) * x).sum
+      val m2 = med2(xs)
+      val mad4 = med2(cs.map(c => math.abs(c._3 * 2 - m2)))
+      val mine = rows.filter(_._2 == seg)
+      mine.take(25).foreach { case (ck, _, cents, z, rz) =>
+        val zExp = math.floor(1000000.0 * (n * cents - sm).toDouble /
+          math.sqrt((BigInt(n) * q2 - BigInt(sm) * BigInt(sm)).toDouble)).toLong
+        assert(z.contains(zExp), s"cust $ck z")
+        val d2 = cents * 2 - m2
+        if (mad4 == 0) assert(rz.isEmpty)
+        else assert(rz.contains(d2 * 2 * 1000000 / mad4), s"cust $ck rz")
+      }
+      // z-scores are centred: Σz over the segment within rounding slack
+      val zsum = mine.flatMap(_._4).sum
+      assert(math.abs(zsum) <= mine.size.toLong, s"seg $seg z not centred")
+    }
+  }
+
+  test("stats_cochran_q: incidence moments replayed; degenerate guard") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ls = ev.groupBy(_._1).map(_._2.size.toLong).toSeq
+    val gs = ev.groupBy(_._2).map(_._2.size.toLong).toSeq
+    val row = q("stats_cochran_q").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    assert(g("n_users") == ls.size.toLong)
+    assert(g("sum_l") == ls.sum && g("sum_l2") == ls.map(l => l * l).sum)
+    assert(g("sum_g") == gs.sum)
+    val den = 5 * ls.sum - ls.map(l => l * l).sum
+    if (den <= 0) assert(row.isNullAt(row.fieldIndex("q_ppm")))
+    else {
+      val num = BigInt(4000000) * (BigInt(5) * gs.map(x => BigInt(x) * x).sum
+        - BigInt(gs.sum) * BigInt(gs.sum))
+      assert(g("q_ppm") == (num / BigInt(den)).toLong)
+    }
+  }
+
   test("embedding_pca_power: eigen residual small, gram partition-invariant") {
     val rows = q("embedding_pca_power").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
