@@ -92,6 +92,34 @@ object SparkEntry {
              * CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE) / CAST(n AS DOUBLE)))
         AS BIGINT)"""
 
+  /** Jarque–Bera building blocks over exact raw moment sums
+    * (n, s1..s4): central-moment algebra runs in doubles but every
+    * input is an exactly-cast integer and the expression TREES are
+    * shared verbatim with the DuckDB oracle — bit-identical results
+    * before the ppm floor. */
+  private val jbMu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val jbM2 =
+    s"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - $jbMu * $jbMu)"
+  private val jbM3 =
+    s"""(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        - 3.0 * $jbMu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        + 2.0 * $jbMu * $jbMu * $jbMu)"""
+  private val jbM4 =
+    s"""(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+        - 4.0 * $jbMu * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        + 6.0 * $jbMu * $jbMu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        - 3.0 * $jbMu * $jbMu * $jbMu * $jbMu)"""
+  private val jbSkew = s"($jbM3 / ($jbM2 * sqrt($jbM2)))"
+  private val jbKurt = s"($jbM4 / ($jbM2 * $jbM2) - 3.0)"
+  private val jbSkewPpm =
+    s"CAST(floor(1000000.0 * $jbSkew) AS BIGINT)"
+  private val jbKurtPpm =
+    s"CAST(floor(1000000.0 * $jbKurt) AS BIGINT)"
+  private val jbStatPpm =
+    s"""CAST(floor(1000000.0 * CAST(n AS DOUBLE)
+        * ($jbSkew * $jbSkew / 6.0 + $jbKurt * $jbKurt / 24.0))
+        AS BIGINT)"""
+
   /** Dialect-common analytics SQL — the `sql_analytics` query AND its
     * oracle are this same string: it must stay inside the syntax both
     * Spark and DuckDB accept (no QUALIFY, explicit subquery for the
@@ -5777,6 +5805,133 @@ object SparkEntry {
         .select("n_users", "sum_l", "sum_l2", "sum_g", "q_ppm")
     }),
 
+    "graph_clustering_coeff" -> ((s, dir) => {
+      // local clustering coefficient over the part–part co-purchase
+      // projection (parts bought together in one order): lcc(v) =
+      // 2·T(v)/(deg(v)(deg(v)−1)) — the per-node tight-community
+      // signal. Projection pairs are bounded by order size² (orders
+      // hold a handful of items), never |parts|². Triangle enumeration
+      // uses DEGREE-ORDERED orientation (edges point low→high in the
+      // (deg, id) total order — the standard distributed-triangle
+      // mitigation): wedge-join volume is Σ outdeg², which the
+      // orientation minimizes, so hub parts don't quadratically
+      // explode. Each triangle is found exactly once at its minimum
+      // node and credits all three endpoints. All-integer; floor-ppm.
+      // fixture bound: even part keys only — the synthetic baskets are
+      // uniform-random, so the full projection is an unusually DENSE
+      // random graph (avg deg ~85 at sf0.1 ⇒ 36M wedges of pure noise);
+      // halving the parts quarters the edges and 16ths the wedge volume
+      // while exercising the identical plan
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(2)) === 0)
+      val items = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("p")).distinct()
+      val e0 = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+      val deg = e0.select(col("u").as("node"))
+        .unionByName(e0.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lowU = (col("du") < col("dv")) ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      // deg is nodes-sized — broadcast it onto the edge list; e1 is
+      // repartitioned ONCE by the wedge key so the self-join below is
+      // exchange-free on both sides (same cached partitioning)
+      val e1 = e0
+        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))),
+          Seq("u"))
+        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))),
+          Seq("v"))
+        .select(when(lowU, col("u")).otherwise(col("v")).as("src"),
+          when(lowU, col("v")).otherwise(col("u")).as("dst"),
+          when(lowU, col("dv")).otherwise(col("du")).as("ddst"))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ab = e1.select(col("src").as("a"), col("dst").as("b"),
+        col("ddst").as("db"))
+      val ac = e1.select(col("src").as("a"), col("dst").as("c"),
+        col("ddst").as("dc"))
+      val wedges = ab.join(ac, Seq("a"))
+        .filter(col("db") < col("dc") ||
+          (col("db") === col("dc") && col("b") < col("c")))
+      // shuffle-hash: the wedge stream is the big probe side — never
+      // sort it; only the edge list re-keys to (b, c)
+      val tris = wedges
+        .join(e1.select(col("src").as("b"), col("dst").as("c"))
+          .hint("shuffle_hash"), Seq("b", "c"))
+        .select("a", "b", "c")
+      val perNode = tris
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("t"))
+      deg.join(broadcast(perNode), Seq("node"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"),
+          coalesce(col("t"), lit(0L)).as("triangles"))
+        .withColumn("lcc_ppm",
+          expr("(2000000 * triangles) div (deg * (deg - 1))"))
+        .orderBy(col("lcc_ppm").desc, col("node")).limit(20)
+    }),
+
+    "timeseries_ccf" -> ((s, dir) => {
+      // cross-correlation function between the daily click and purchase
+      // series at lags −7..+7 (does activity LEAD conversion?): per lag,
+      // the Pearson r of the lag-aligned day pairs — every sufficient
+      // statistic an exact integer in decimal(38,0), closed through one
+      // shared double tree (IEEE-exact sqrt) and a floor. The series
+      // are days-sized, so all fifteen lag joins are calendar-sized;
+      // only the two daily rollups scan events.
+      val ev = t(s, dir, "events")
+      def daily(tpe: String, cn: String) =
+        ev.filter(col("event_type") === tpe)
+          .groupBy(to_date(col("ts")).as(cn + "day"))
+          .agg(count(lit(1)).as(cn))
+      val x = daily("click", "x")
+      val y = daily("purchase", "y")
+      val lags = s.range(-7, 8).select(col("id").cast("int").as("lag"))
+      val dec = "decimal(38,0)"
+      val j = x.crossJoin(lags)
+        .join(y, col("yday") === date_add(col("xday"), col("lag")))
+        .groupBy("lag").agg(
+          count(lit(1)).cast(dec).as("no"),
+          sum(col("x")).cast(dec).as("sx"),
+          sum(col("y")).cast(dec).as("sy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"))
+      j.withColumn("ccf_ppm", expr(
+          """CASE WHEN no * sxx - sx * sx <= 0 OR no * syy - sy * sy <= 0
+             THEN NULL
+             ELSE CAST(floor(1000000.0 * CAST(no * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(no * sxx - sx * sx AS DOUBLE)
+                 * CAST(no * syy - sy * sy AS DOUBLE))) AS BIGINT) END"""))
+        .select(col("lag"), col("no").cast("bigint").as("n_pairs"),
+          col("ccf_ppm"))
+        .orderBy("lag")
+    }),
+
+    "stats_jarque_bera" -> ((s, dir) => {
+      // Jarque–Bera normality test on order totals (the gatekeeper for
+      // every z/t-flavored readout upstream): skewness, excess
+      // kurtosis, and JB = n(S²/6 + K²/24) from the first four raw
+      // moment sums — ONE map-side-combinable pass in decimal(38,0)
+      // (dollar grain: cents⁴ would overflow even decimal38 at sf10),
+      // central-moment algebra in a shared double tree, floor-ppm out.
+      val o = t(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice) AS BIGINT)").as("d"))
+      val dd = col("d").cast("decimal(38,0)")
+      o.agg(
+          count(lit(1)).as("n"),
+          sum(col("d")).as("s1"),
+          sum(dd * dd).as("s2"),
+          sum(dd * dd * dd).as("s3"),
+          sum(dd * dd * dd * dd).as("s4"))
+        .withColumn("skew_ppm", expr(jbSkewPpm))
+        .withColumn("kurt_ppm", expr(jbKurtPpm))
+        .withColumn("jb_ppm", expr(jbStatPpm))
+        .select("n", "skew_ppm", "kurt_ppm", "jb_ppm")
+    }),
+
     "stats_anova_f" -> ((s, dir) => {
       // one-way ANOVA F of account balance across the five market
       // segments — the parametric companion to stats_kruskal_wallis,
@@ -8184,6 +8339,84 @@ object SparkEntry {
                // CAST(5 * sum_l - sum_l2 AS HUGEINT) AS BIGINT) END
              AS q_ppm
          FROM rt CROSS JOIN ct""",
+
+    "graph_clustering_coeff" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+           WHERE l_partkey % 2 = 0),
+         e0 AS (
+           SELECT DISTINCT x.p AS u, y.p AS v
+           FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+         deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+             SELECT u AS node FROM e0
+             UNION ALL SELECT v AS node FROM e0) GROUP BY node),
+         e1 AS (
+           SELECT
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+               THEN u ELSE v END AS src,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+               THEN v ELSE u END AS dst,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+               THEN d2.deg ELSE d1.deg END AS ddst
+           FROM e0 JOIN deg d1 ON e0.u = d1.node
+           JOIN deg d2 ON e0.v = d2.node),
+         tri AS (
+           SELECT ab.a, ab.b, ac.c
+           FROM (SELECT src AS a, dst AS b, ddst AS db FROM e1) ab
+           JOIN (SELECT src AS a, dst AS c, ddst AS dc FROM e1) ac
+             USING (a)
+           JOIN (SELECT src AS b, dst AS c FROM e1) cl
+             ON ab.b = cl.b AND ac.c = cl.c
+           WHERE ab.db < ac.dc OR (ab.db = ac.dc AND ab.b < ac.c)),
+         pn AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b AS node FROM tri
+             UNION ALL SELECT c AS node FROM tri) GROUP BY node)
+         SELECT node, deg, COALESCE(t, 0) AS triangles,
+           (2000000 * COALESCE(t, 0)) // (deg * (deg - 1)) AS lcc_ppm
+         FROM deg LEFT JOIN pn USING (node) WHERE deg >= 2
+         ORDER BY lcc_ppm DESC, node LIMIT 20""",
+
+    "timeseries_ccf" ->
+      """WITH x AS (
+           SELECT CAST(ts AS DATE) AS xday, CAST(count(*) AS BIGINT) AS x
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         y AS (
+           SELECT CAST(ts AS DATE) AS yday, CAST(count(*) AS BIGINT) AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         lags AS (SELECT CAST(range AS INT) AS lg FROM range(-7, 8)),
+         j AS (
+           SELECT lg, CAST(count(*) AS HUGEINT) AS no,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+           FROM x CROSS JOIN lags JOIN y ON yday = xday + lg
+           GROUP BY lg)
+         SELECT lg AS lag, CAST(no AS BIGINT) AS n_pairs,
+           CASE WHEN no * sxx - sx * sx <= 0 OR no * syy - sy * sy <= 0
+           THEN NULL
+           ELSE CAST(floor(1000000.0 * CAST(no * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(no * sxx - sx * sx AS DOUBLE)
+               * CAST(no * syy - sy * sy AS DOUBLE))) AS BIGINT) END
+           AS ccf_ppm
+         FROM j ORDER BY lag""",
+
+    "stats_jarque_bera" ->
+      s"""WITH m AS (
+           SELECT count(*) AS n,
+             CAST(sum(d) AS BIGINT) AS s1,
+             CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS s2,
+             CAST(sum(CAST(d AS HUGEINT) * d * d) AS HUGEINT) AS s3,
+             CAST(sum(CAST(d AS HUGEINT) * d * d * d) AS HUGEINT) AS s4
+           FROM (SELECT CAST(round(o_totalprice) AS BIGINT) AS d
+                 FROM orders))
+         SELECT n, $jbSkewPpm AS skew_ppm, $jbKurtPpm AS kurt_ppm,
+           $jbStatPpm AS jb_ppm
+         FROM m""",
 
     "stats_anova_f" -> {
       val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>

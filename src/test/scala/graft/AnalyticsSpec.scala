@@ -805,6 +805,74 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("graph_clustering_coeff: lcc replayed from a driver triangle count") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 % 2 == 0)
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.distinct
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    val lcc = adj.filter(_._2.size >= 2).map { case (n, nbrs) =>
+      val t = nbrs.toSeq.combinations(2)
+        .count(p => adj(p(0)).contains(p(1)))
+      val d = nbrs.size.toLong
+      (n, d, t.toLong, 2000000L * t / (d * (d - 1)))
+    }
+    val expect = lcc.toSeq.sortBy { case (n, _, _, l) => (-l, n) }.take(20)
+      .map { case (n, d, t, l) => (n, d, t, l) }
+    val got = q("graph_clustering_coeff").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"$got vs $expect")
+  }
+
+  test("timeseries_ccf: per-lag Pearson replayed from daily counts") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime.toLocalDate))
+    def daily(t: String) = ev.filter(_._1 == t).groupBy(_._2)
+      .map { case (d, rs) => d.toEpochDay -> rs.size.toLong }
+    val x = daily("click"); val y = daily("purchase")
+    val rows = q("timeseries_ccf").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (-7 to 7))
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      val pairs = x.toSeq.collect { case (d, xv) if y.contains(d + k) =>
+        (xv.toDouble, y(d + k).toDouble) }
+      assert(r.getLong(1) == pairs.size.toLong)
+      if (!r.isNullAt(2)) {
+        val n = pairs.size.toDouble
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val num = n * pairs.map(p => p._1 * p._2).sum - sx * sy
+        val den = math.sqrt((n * pairs.map(p => p._1 * p._1).sum - sx * sx) *
+          (n * pairs.map(p => p._2 * p._2).sum - sy * sy))
+        assert(math.abs(r.getLong(2) / 1e6 - num / den) < 2e-6, s"lag $k")
+      }
+    }
+  }
+
+  test("stats_jarque_bera: moments and statistic replayed from raw dollars") {
+    val ds = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice) AS BIGINT) d").collect()
+      .map(_.getLong(0))
+    val n = ds.length.toDouble
+    val mu = ds.sum / n
+    def cm(p: Int) = ds.map(d => math.pow(d - mu, p)).sum / n
+    val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+    val skew = m3 / (m2 * math.sqrt(m2))
+    val kurt = m4 / (m2 * m2) - 3.0
+    val jb = n * (skew * skew / 6.0 + kurt * kurt / 24.0)
+    val row = q("stats_jarque_bera").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    assert(g("n") == ds.length.toLong)
+    assert(math.abs(g("skew_ppm") / 1e6 - skew) < 1e-4, s"${g("skew_ppm")} vs $skew")
+    assert(math.abs(g("kurt_ppm") / 1e6 - kurt) < 1e-4)
+    assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
+  }
+
   test("embedding_pca_power: eigen residual small, gram partition-invariant") {
     val rows = q("embedding_pca_power").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
