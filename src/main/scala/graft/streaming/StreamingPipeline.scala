@@ -618,6 +618,20 @@ object StreamingPipeline {
           .boundedCountDistinct(col("hotel_id"), threshold)
           .as("distinct_hotels"))
 
+  /** Incremental Gram/covariance maintenance over a stream of quantized
+    * embedding rows — the streaming sibling of `embedding_pca_power`'s
+    * batch pass: an update-mode GLOBAL aggregation whose state is the
+    * single d(d+1)/2-long `gram_matrix` buffer (~16 KB at d=64,
+    * independent of stream length), merged across micro-batches by the
+    * aggregate's own exact-integer merge path. Each emitted update is
+    * the full running scatter matrix + row count, so a monitoring job
+    * can re-derive covariance/top-PC drift after every batch without
+    * ever rescanning history. */
+  def gramStream(vecs: DataFrame, d: Int, vecCol: String = "q"): DataFrame =
+    vecs.groupBy().agg(
+      count(lit(1)).as("n_rows"),
+      graft.functions.GramMatrix.gramMatrix(col(vecCol), d).as("gram"))
+
   /** Wire a streaming source through enrich → hotels_count and emit the
     * changelog (K2/K3 parity: outputMode("update") ≙ EMIT CHANGES). */
   def changelogWriter(records: DataFrame, exact: Boolean = true): DataStreamWriter[Row] =

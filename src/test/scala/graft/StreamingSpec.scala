@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 /** Top-level so the Dataset encoder can codegen-instantiate it. */
 case class Booking(srch_ci: String, srch_co: String, hotel_id: Long)
 
+/** Quantized embedding row for the streaming Gram maintenance test. */
+case class VecRow(vec_id: Long, q: Array[Long])
+
 /** Streaming parity (SURVEY.md §2.9): the enrich → hotels_count topology
   * run as Structured Streaming with update-mode changelog emission, fed by
   * MemoryStream; asserts the BASELINE.md semantic fixtures (category
@@ -1376,5 +1379,41 @@ class StreamingSpec extends SparkSpec {
         assert(last(1L).n_alarms > 0L && last(2L).n_alarms > 0L)
       } finally q.stop()
     } finally spark.conf.unset(GraftSession.StateStoreProviderConf)
+  }
+
+  test("gramStream: running scatter matrix equals the batch aggregate after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = 3
+    def batchGram(rows: Seq[VecRow]): (Long, Seq[Long]) = {
+      val r = rows.toDF().agg(
+        count(lit(1)).as("n_rows"),
+        graft.functions.GramMatrix.gramMatrix(col("q"), d).as("gram")).head()
+      (r.getLong(0), r.getSeq[Long](1).toSeq)
+    }
+    def snap(): (Long, Seq[Long]) = {
+      val r = spark.table("gram_stream_test").head()
+      (r.getLong(0), r.getSeq[Long](1).toSeq)
+    }
+    val input = MemoryStream[VecRow]
+    // complete mode: the memory table always holds exactly the current
+    // running aggregate — state is the one packed-triangle buffer
+    val q = StreamingPipeline.gramStream(input.toDF(), d)
+      .writeStream.format("memory").queryName("gram_stream_test")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(VecRow(1L, Array(1L, 2L, 3L)), VecRow(2L, Array(-1L, 0L, 5L)))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(snap() == batchGram(b1))
+      val b2 = Seq(VecRow(3L, Array(10L, -7L, 2L)), VecRow(4L, Array(0L, 0L, 0L)))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // incremental maintenance across micro-batches == one batch pass
+      assert(snap() == batchGram(b1 ++ b2))
+      // and the triangle is the exact integer outer-product sum
+      val expect = Seq((1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3)).map {
+        case (i, j) => (b1 ++ b2).map(v => v.q(i - 1) * v.q(j - 1)).sum }
+      assert(snap()._2 == expect)
+    } finally q.stop()
   }
 }
