@@ -5720,6 +5720,109 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "embedding_pca_top2" -> ((s, dir) => {
+      // top-2 principal directions via DEFLATION: the same one-pass
+      // integer Gram + power iteration as embedding_pca_power, then
+      // G₂ = G − λ₁(v₁v₁ᵀ)/(v₁ᵀv₁) removes the top component and an
+      // identical second pass extracts the runner-up — the standard
+      // sequential-deflation construction, still one data scan total.
+      // Every deflation entry and fold is replayed verbatim by the
+      // oracle: both eigenpairs hash-match bit-for-bit.
+      val e = t(s, dir, "embeddings")
+      val d = 64
+      val q = e.select(expr(
+        "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))")
+        .as("q"))
+      val packed = q.agg(graft.functions.GramMatrix.gramMatrix(col("q"), d)
+          .as("g"))
+        .head().getSeq[Long](0).toArray
+      val ((v1, l1), (v2, l2)) =
+        graft.functions.GramMatrix.top2(packed, d, 24)
+      import s.implicits._
+      val rows =
+        v1.zipWithIndex.map { case (v, i) => (1, i + 1, v, l1 / 1.0e8) } ++
+        v2.zipWithIndex.map { case (v, i) => (2, i + 1, v, l2 / 1.0e8) }
+      rows.toSeq.toDF("pc", "dim", "component", "eigenvalue")
+        .select(col("pc"), col("dim"),
+          round(col("component"), 6).as("component"),
+          round(col("eigenvalue"), 6).as("eigenvalue"))
+        .orderBy("pc", "dim")
+    }),
+
+    "stats_friedman" -> ((s, dir) => {
+      // Friedman repeated-measures rank test: blocks = users,
+      // treatments = the five event types, response = per-type event
+      // count (absent cells densified to 0 — every block ranks all k
+      // treatments). Within-block midranks use the DOUBLED-rank trick
+      // (2·count_less + count_eq + 1 — exact integers, the
+      // stats_kruskal_wallis discipline), so the tie-corrected
+      // statistic (k−1)·ΣD_j²/(A₂−C) closes over pure integers with
+      // one ppm floor. Per-block ranking is one keyed window over
+      // k-sized partitions; everything after is k-sized.
+      val ev = t(s, dir, "events")
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      import s.implicits._
+      val typesDf = types.toDF("event_type")
+      val counts = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val users = ev.select("user_id").distinct()
+      val cells = users.crossJoin(broadcast(typesDf))
+        .join(counts, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("v"))
+      val wR = Window.partitionBy("user_id").orderBy("v")
+      val wEq = Window.partitionBy("user_id", "v")
+      val ranked = cells.withColumn("r2",
+        lit(2L) * rank().over(wR) + count(lit(1)).over(wEq) - 1L)
+      val aggCols =
+        types.zipWithIndex.map { case (tp, i) =>
+          sum(when(col("event_type") === tp, col("r2")).otherwise(0L))
+            .as(s"r2_$tp")
+        } ++ Seq(
+          sum(col("r2").cast("decimal(38,0)") * col("r2")).as("a22"),
+          (count(lit(1)) / 5).cast("long").as("n_users"))
+      ranked.agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("chi2_ppm", expr(
+          s"""CASE WHEN a22 - 180 * n_users <= 0 THEN NULL
+             ELSE CAST((4000000 * (
+                 ${types.map(tp => s"CAST(r2_$tp - 6 * n_users AS DECIMAL(38,0)) * (r2_$tp - 6 * n_users)").mkString(" + ")}))
+               div (a22 - 180 * n_users) AS BIGINT) END"""))
+        .select((Seq(col("n_users")) ++
+          types.map(tp => col(s"r2_$tp")) :+ col("chi2_ppm")): _*)
+    }),
+
+    "text_novelty" -> ((s, dir) => {
+      // per-doc n-gram novelty (the memorization/duplication signal a
+      // curation pipeline tracks): share of a doc's DISTINCT token
+      // trigrams that appear in no other document (corpus df = 1).
+      // One tokenize pass, trigram assembly by two leads over the one
+      // per-doc keyed sort, df by gram key — never an all-pairs
+      // comparison. String grams keep the oracle replication exact; at
+      // corpus scale the same pipeline runs over `shingle_hashes` so
+      // only 8-byte keys shuffle (the dedup-family path).
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(lower(col("text"))))
+          .as(Seq("pos", "w")))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val tri = tok
+        .withColumn("w2", lead(col("w"), 1).over(wd))
+        .withColumn("w3", lead(col("w"), 2).over(wd))
+        .filter(col("w3").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("w"), col("w2"), col("w3")).as("g"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = tri.groupBy("g").agg(count(lit(1)).as("df"))
+      tri.join(dfreq, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty_ppm",
+          expr("(1000000 * n_unique) div n_grams"))
+        .orderBy("doc_id")
+    }),
+
     "curriculum_interleave" -> ((s, dir) => {
       // curriculum-ordered training export: easy-first within each
       // source (difficulty proxy = n_chars), sources interleaved
@@ -8281,6 +8384,134 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "embedding_pca_top2" -> {
+      val matvec =
+        """list_transform(range(1, 65),
+           i -> list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             j -> g[CAST(i AS INT)][CAST(j AS INT)] * x[CAST(j AS INT)])),
+             (a, b) -> a + b))"""
+      def chain(p: String, first: String, carry: String, n: Int): String =
+        (1 to n).map { k =>
+          val prev = if (k == 1) first else s"$p${k - 1}"
+          s"""$p$k AS (
+           SELECT ${carry}g, list_transform(y, t -> t / m) AS x FROM (
+             SELECT ${carry}g, y,
+               list_reduce(list_prepend(0.0,
+                 list_transform(y, t -> abs(t))),
+                 (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS m
+             FROM (SELECT ${carry}g, $matvec AS y FROM $prev)))"""
+        }.mkString(",\n         ")
+      val rayFold =
+        """list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+           i -> x[CAST(i AS INT)]
+             * list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                 j -> g[CAST(i AS INT)][CAST(j AS INT)]
+                   * x[CAST(j AS INT)])),
+                 (a, b) -> a + b))),
+           (a, b) -> a + b)"""
+      val denFold =
+        """list_reduce(list_prepend(0.0,
+           list_transform(x, t -> t * t)), (a, b) -> a + b)"""
+      s"""WITH src AS (
+           SELECT list_transform(CAST(embedding AS DOUBLE[]),
+             v -> CAST(round(v * 10000) AS BIGINT)) AS q
+           FROM embeddings),
+         idx AS (SELECT CAST(range AS INT) AS i FROM range(1, 65)),
+         cells AS (
+           SELECT i.i AS i, j.i AS j,
+             CAST(sum(CAST(q[i.i] AS HUGEINT) * q[j.i]) AS HUGEINT) AS g
+           FROM src CROSS JOIN idx i CROSS JOIN idx j
+           GROUP BY 1, 2),
+         gm AS (
+           SELECT list(grow ORDER BY i) AS g FROM (
+             SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS grow
+             FROM cells GROUP BY i)),
+         it0 AS (
+           SELECT g, list_transform(range(64), r -> 1.0) AS x FROM gm),
+         ${chain("it", "it0", "", 24)},
+         ray AS (
+           SELECT g, x, $rayFold AS num, $denFold AS den FROM it24),
+         defl AS (
+           SELECT x AS x1, num AS num1, den AS den1,
+             list_transform(range(1, 65),
+               i -> list_transform(range(1, 65),
+                 j -> g[CAST(i AS INT)][CAST(j AS INT)]
+                   - (num / den) * x[CAST(i AS INT)]
+                     * x[CAST(j AS INT)] / den)) AS g
+           FROM ray),
+         jt0 AS (
+           SELECT x1, num1, den1, g,
+             list_transform(range(64), r -> 1.0) AS x
+           FROM defl),
+         ${chain("jt", "jt0", "x1, num1, den1, ", 24)},
+         ray2 AS (
+           SELECT x1, num1, den1, x, $rayFold AS num2, $denFold AS den2
+           FROM jt24)
+         SELECT pc, dim, component, eigenvalue FROM (
+           SELECT 1 AS pc, d.i AS dim, round(x1[d.i], 6) AS component,
+             round(num1 / den1 / 100000000.0, 6) AS eigenvalue
+           FROM ray2 CROSS JOIN idx d
+           UNION ALL
+           SELECT 2 AS pc, d.i AS dim, round(x[d.i], 6) AS component,
+             round(num2 / den2 / 100000000.0, 6) AS eigenvalue
+           FROM ray2 CROSS JOIN idx d)
+         ORDER BY pc, dim"""
+    },
+
+    "stats_friedman" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val sums = types.map(tp =>
+        s"""CAST(sum(CASE WHEN event_type = '$tp' THEN r2 ELSE 0 END)
+           AS BIGINT) AS r2_$tp""").mkString(",\n           ")
+      val dsq = types.map(tp =>
+        s"CAST(r2_$tp - 6 * n_users AS HUGEINT) * (r2_$tp - 6 * n_users)")
+        .mkString(" + ")
+      s"""WITH counts AS (
+           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         users AS (SELECT DISTINCT user_id FROM events),
+         types AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+           'view']) AS event_type),
+         cells AS (
+           SELECT u.user_id, t.event_type, COALESCE(c.c, 0) AS v
+           FROM users u CROSS JOIN types t
+           LEFT JOIN counts c ON c.user_id = u.user_id
+             AND c.event_type = t.event_type),
+         ranked AS (
+           SELECT user_id, event_type,
+             2 * rank() OVER (PARTITION BY user_id ORDER BY v)
+               + count(*) OVER (PARTITION BY user_id, v) - 1 AS r2
+           FROM cells),
+         agg AS (
+           SELECT $sums,
+             CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS a22,
+             CAST(count(*) // 5 AS BIGINT) AS n_users
+           FROM ranked)
+         SELECT n_users, ${types.map(tp => s"r2_$tp").mkString(", ")},
+           CASE WHEN a22 - 180 * n_users <= 0 THEN NULL
+             ELSE CAST((4000000 * ($dsq))
+               // (a22 - 180 * n_users) AS BIGINT) END AS chi2_ppm
+         FROM agg"""
+    },
+
+    "text_novelty" ->
+      s"""WITH dt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tri AS (
+           SELECT DISTINCT doc_id,
+             toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+               || ' ' || toks[CAST(i AS INT) + 2] AS g
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+                 FROM dt WHERE len(toks) >= 3)),
+         dfreq AS (SELECT g, count(*) AS df FROM tri GROUP BY g),
+         a AS (
+           SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+           FROM tri JOIN dfreq USING (g) GROUP BY doc_id)
+         SELECT doc_id, n_grams, n_unique,
+           (1000000 * n_unique) // n_grams AS novelty_ppm
+         FROM a ORDER BY doc_id""",
 
     "curriculum_interleave" ->
       """WITH r AS (

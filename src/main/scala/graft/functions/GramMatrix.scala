@@ -103,6 +103,59 @@ object GramMatrix {
       GramMatrixAgg(org.apache.spark.sql.graft.Bridge.expression(q), d)
         .toAggregateExpression(isDistinct = false))
 
+  /** Top TWO principal directions via deflation: after the first
+    * power-iteration pass, G₂ = G − λ₁·(v vᵀ)/(vᵀv) removes the top
+    * component and a second identical pass extracts the runner-up.
+    * Every arithmetic step (deflation entries g[i][j] − λ·x[i]·x[j]/den,
+    * the same ascending-j folds, max-abs normalization) is reproduced
+    * verbatim by the oracle — both eigenpairs are bit-identical
+    * cross-engine. Returns ((v1, λ1), (v2, λ2)). */
+  def top2(packed: Array[Long], d: Int, iters: Int)
+      : ((Array[Double], Double), (Array[Double], Double)) = {
+    val (v1, lam1) = powerIteration(packed, d, iters)
+    var den = 0.0
+    var i = 0
+    while (i < d) { den += v1(i) * v1(i); i += 1 }
+    def at(i: Int, j: Int): Double = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      packed(a * d - a * (a - 1) / 2 + (b - a)).toDouble
+    }
+    val g2 = Array.tabulate(d, d)((i, j) => at(i, j) - lam1 * v1(i) * v1(j) / den)
+    var x = Array.fill(d)(1.0)
+    var it = 0
+    while (it < iters) {
+      val y = new Array[Double](d)
+      i = 0
+      while (i < d) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += g2(i)(j) * x(j); j += 1 }
+        y(i) = s
+        i += 1
+      }
+      var m = 0.0
+      i = 0
+      while (i < d) { val a = math.abs(y(i)); if (a > m) m = a; i += 1 }
+      if (m == 0.0) return ((v1, lam1), (y, 0.0))
+      i = 0
+      while (i < d) { y(i) = y(i) / m; i += 1 }
+      x = y
+      it += 1
+    }
+    var num2 = 0.0
+    var den2 = 0.0
+    i = 0
+    while (i < d) {
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += g2(i)(j) * x(j); j += 1 }
+      num2 += x(i) * s
+      den2 += x(i) * x(i)
+      i += 1
+    }
+    ((v1, lam1), (x, num2 / den2))
+  }
+
   /** Driver-side power iteration on the packed triangle — the d×d eigen
     * step of the distributed PCA: G is metadata-sized (d(d+1)/2 longs),
     * so this is index-build-style driver work, not a data scan. The

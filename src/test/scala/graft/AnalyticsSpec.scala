@@ -873,6 +873,79 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("embedding_pca_top2: components orthogonal-ish, spectrum ordered") {
+    val rows = q("embedding_pca_top2").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 128)
+    val v1 = rows.filter(_._1 == 1).sortBy(_._2).map(_._3)
+    val v2 = rows.filter(_._1 == 2).sortBy(_._2).map(_._3)
+    val (l1, l2) = (rows.find(_._1 == 1).get._4, rows.find(_._1 == 2).get._4)
+    // λ1 from the deflated pass can't exceed the top eigenvalue
+    assert(l1 >= l2 && l2 > 0.0, s"$l1 vs $l2")
+    // pc1 matches the single-component query exactly
+    val pc1 = q("embedding_pca_power").collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(v1.toSeq == pc1.toSeq)
+    // deflation removes v1: the iterates stay near-orthogonal to it
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    val n1 = math.sqrt(v1.map(x => x * x).sum)
+    val n2 = math.sqrt(v2.map(x => x * x).sum)
+    assert(math.abs(dot / (n1 * n2)) < 0.05, s"cos(v1,v2)=${dot / (n1 * n2)}")
+  }
+
+  test("stats_friedman: doubled midranks and statistic replayed") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val byUser = ev.groupBy(_._1).map { case (u, rs) =>
+      u -> types.map(tp => rs.count(_._2 == tp).toLong)
+    }
+    val r2ByUser = byUser.map { case (u, vs) =>
+      u -> vs.map(v => 2L * vs.count(_ < v) + vs.count(_ == v) + 1L)
+    }
+    val colSums = types.indices.map(j => r2ByUser.values.map(_(j)).sum)
+    val a22 = r2ByUser.values.flatten.map(r => BigInt(r) * r).sum
+    val n = byUser.size.toLong
+    val row = q("stats_friedman").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    assert(g("n_users") == n)
+    types.zipWithIndex.foreach { case (tp, j) =>
+      assert(g(s"r2_$tp") == colSums(j), tp)
+    }
+    val den = a22 - BigInt(180) * n
+    if (den <= 0) assert(row.isNullAt(row.fieldIndex("chi2_ppm")))
+    else {
+      val num = BigInt(4000000) *
+        colSums.map(rj => BigInt(rj - 6 * n) * BigInt(rj - 6 * n)).sum
+      assert(g("chi2_ppm") == (num / den).toLong)
+    }
+  }
+
+  test("text_novelty: df=1 share replayed from raw trigrams") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      if (t == null || t.trim.isEmpty) Seq.empty
+      else t.trim.toLowerCase.split("\\s+").toSeq
+    val grams = docs.map { case (id, t) =>
+      val w = toks(t)
+      id -> w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val df = grams.flatMap { case (id, gs) => gs.map(g => (g, id)) }
+      .groupBy(_._1).map { case (g, rs) => g -> rs.size }
+    val got = q("text_novelty").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == grams.length)
+    grams.foreach { case (id, gs) =>
+      val uniq = gs.count(df(_) == 1).toLong
+      assert(got(id) == (gs.size.toLong, uniq,
+        1000000L * uniq / gs.size), s"doc $id")
+    }
+  }
+
   test("embedding_pca_power: eigen residual small, gram partition-invariant") {
     val rows = q("embedding_pca_power").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
