@@ -5720,6 +5720,77 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "attribution_markov" -> ((s, dir) => {
+      // Markov removal-effect attribution (the data-driven sibling of
+      // the last-touch / U-shaped / position-based family): model each
+      // user's journey (events up to the first purchase, ordered by
+      // (ts, event_id)) as a first-order chain over
+      // start → {click,error,signup,view} → purchase | null; the value
+      // of a channel is the relative drop in conversion probability
+      // when transitions into it are redirected to null (the standard
+      // removal-effect construction). Transition counts are ONE
+      // windowed pass (lag over the per-user keyed sort) — exact
+      // integers; the absorption probabilities solve on the driver as
+      // 40 deterministic fixed-order iterations over the 5×6 matrix
+      // (metadata-sized, like the PCA eigen step) that the oracle
+      // replays verbatim — bit-identical doubles.
+      val ev = t(s, dir, "events")
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts")).as("fp_ts"))
+      val j0 = ev.join(fp, Seq("user_id"), "left")
+        .filter(col("fp_ts").isNull || col("ts") <= col("fp_ts"))
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val steps = j0
+        .withColumn("prev", lag(col("event_type"), 1).over(wu))
+        .select(coalesce(col("prev"), lit("start")).as("src"),
+          col("event_type").as("dst"))
+      val lastRows = j0
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1 && col("event_type") =!= "purchase")
+        .select(col("event_type").as("src"), lit("null").as("dst"))
+      val trans = steps.unionByName(lastRows)
+        .filter(col("src") =!= "purchase")
+      val counts = trans.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val srcs = Seq("start", "click", "error", "signup", "view")
+      val dsts = Seq("click", "error", "signup", "view", "purchase", "null")
+      val chans = Seq("click", "error", "signup", "view")
+      val cMap = counts.map { case (a, b, c) => (a, b) -> c }.toMap
+        .withDefaultValue(0L)
+      val rs = srcs.map(sr => sr -> dsts.map(d => cMap((sr, d))).sum).toMap
+      def pr(sr: String, d: String): Double =
+        if (rs(sr) == 0L) 0.0 else cMap((sr, d)).toDouble / rs(sr).toDouble
+      def absorb(removed: Option[String]): Double = {
+        val a = collection.mutable.Map(chans.map(_ -> 0.0): _*)
+        for (_ <- 1 to 40) {
+          val prev = chans.map(c => c -> a(c)).toMap
+          chans.foreach { c =>
+            if (removed.contains(c)) a(c) = 0.0
+            else {
+              var sAcc = pr(c, "purchase")
+              chans.foreach(d => sAcc += pr(c, d) * prev(d))
+              a(c) = sAcc
+            }
+          }
+        }
+        var p = pr("start", "purchase")
+        chans.foreach(d => p += pr("start", d) * a(d))
+        p
+      }
+      val pBase = absorb(None)
+      import s.implicits._
+      val rows = ("base", pBase, 0.0) +: chans.map { c =>
+        val pc = absorb(Some(c))
+        (c, pc, 1.0 - pc / pBase)
+      }
+      rows.toDF("variant", "p_conv", "removal_effect")
+        .select(col("variant"), round(col("p_conv"), 6).as("p_conv"),
+          round(col("removal_effect"), 6).as("removal_effect"))
+        .orderBy("variant")
+    }),
+
     "embedding_pca_top2" -> ((s, dir) => {
       // top-2 principal directions via DEFLATION: the same one-pass
       // integer Gram + power iteration as embedding_pca_power, then
@@ -8383,6 +8454,83 @@ object SparkEntry {
          SELECT d.i AS dim, round(x[d.i], 6) AS component,
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
+    },
+
+    "attribution_markov" -> {
+      val srcs = Seq("start", "click", "error", "signup", "view")
+      val dsts = Seq("click", "error", "signup", "view", "purchase", "null")
+      val chans = Seq("click", "error", "signup", "view")
+      val cCols = (for (sr <- srcs; d <- dsts) yield
+        s"""CAST(sum(CASE WHEN src = '$sr' AND dst = '$d' THEN c ELSE 0 END)
+           AS BIGINT) AS c_${sr}_$d""").mkString(",\n           ")
+      val rsCols = srcs.map(sr =>
+        s"(${dsts.map(d => s"c_${sr}_$d").mkString(" + ")}) AS rs_$sr")
+        .mkString(",\n           ")
+      def pr(sr: String, d: String): String =
+        s"""(CASE WHEN rs_$sr = 0 THEN 0.0
+           ELSE CAST(c_${sr}_$d AS DOUBLE) / CAST(rs_$sr AS DOUBLE) END)"""
+      def aExpr(c: String, removed: String): String =
+        if (c == removed) "0.0"
+        else s"${pr(c, "purchase")}" +
+          chans.map(d => s" + ${pr(c, d)} * a_$d").mkString
+      def chainFor(v: String, removed: String): String = {
+        val init = s"""mk${v}_0 AS (
+           SELECT p.*, ${chans.map(c => s"0.0 AS a_$c").mkString(", ")}
+           FROM p)"""
+        val iters = (1 to 40).map { k =>
+          s"""mk${v}_$k AS (
+           SELECT * REPLACE (${chans.map(c =>
+              s"(${aExpr(c, removed)}) AS a_$c").mkString(",\n             ")})
+           FROM mk${v}_${k - 1})"""
+        }
+        (init +: iters).mkString(",\n         ")
+      }
+      def pStart: String =
+        s"${pr("start", "purchase")}" +
+          chans.map(d => s" + ${pr("start", d)} * a_$d").mkString
+      val variants = ("base", "") +: chans.map(c => (c, c))
+      val chains = variants.map { case (v, r) => chainFor(v, r) }
+        .mkString(",\n         ")
+      val vRows = variants.map { case (v, _) =>
+        s"SELECT '$v' AS variant, ($pStart) AS p_conv FROM mk${v}_40"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH fp AS (
+           SELECT user_id, min(ts) AS fp_ts FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id),
+         j0 AS (
+           SELECT e.user_id, e.event_id, e.ts, e.event_type
+           FROM events e LEFT JOIN fp USING (user_id)
+           WHERE fp.fp_ts IS NULL OR e.ts <= fp.fp_ts),
+         steps AS (
+           SELECT COALESCE(lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id), 'start') AS src,
+             event_type AS dst
+           FROM j0),
+         lastrows AS (
+           SELECT event_type AS src, 'null' AS dst FROM (
+             SELECT event_type, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+             FROM j0) WHERE rn = 1 AND event_type <> 'purchase'),
+         trans AS (
+           SELECT src, dst FROM (
+             SELECT * FROM steps UNION ALL SELECT * FROM lastrows)
+           WHERE src <> 'purchase'),
+         counts AS (SELECT src, dst, count(*) AS c FROM trans GROUP BY 1, 2),
+         mat AS (
+           SELECT $cCols
+           FROM counts),
+         p AS (
+           SELECT *,
+           $rsCols
+           FROM mat),
+         $chains,
+         vs AS (
+           $vRows),
+         base AS (SELECT p_conv AS p_base FROM vs WHERE variant = 'base')
+         SELECT variant, round(p_conv, 6) AS p_conv,
+           round(CASE WHEN variant = 'base' THEN 0.0
+             ELSE 1.0 - p_conv / p_base END, 6) AS removal_effect
+         FROM vs CROSS JOIN base ORDER BY variant"""
     },
 
     "embedding_pca_top2" -> {

@@ -873,6 +873,59 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("attribution_markov: matches an exact (I-Q)a=r linear solve") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val chans = Seq("click", "error", "signup", "view")
+    // independent journey construction + transition counts
+    val trans = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3.getTime, r._2)).map(_._4)
+      val cut = sorted.indexOf("purchase")
+      val j = if (cut >= 0) sorted.take(cut + 1) else sorted
+      val steps = ("start" +: j).sliding(2).map(p => (p(0), p(1))).toSeq
+      if (cut >= 0) steps else steps :+ (j.last, "null")
+    }.filter(_._1 != "purchase").toSeq
+    val c = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .withDefaultValue(0L)
+    val rsum = (chans :+ "start").map(sr =>
+      sr -> (chans ++ Seq("purchase", "null")).map(d => c((sr, d))).sum).toMap
+    def pr(sr: String, d: String): Double =
+      if (rsum(sr) == 0L) 0.0 else c((sr, d)).toDouble / rsum(sr)
+    // exact absorption: solve (I - Q) a = r by Gaussian elimination
+    def solve(removed: Option[String]): Double = {
+      val act = chans.filterNot(removed.contains)
+      val n = act.length
+      val m = Array.tabulate(n, n + 1) { (i, j) =>
+        if (j == n) pr(act(i), "purchase")
+        else (if (i == j) 1.0 else 0.0) - pr(act(i), act(j))
+      }
+      for (col0 <- 0 until n) {
+        val piv = (col0 until n).maxBy(r => math.abs(m(r)(col0)))
+        val tmp = m(col0); m(col0) = m(piv); m(piv) = tmp
+        for (r <- 0 until n if r != col0) {
+          val f = m(r)(col0) / m(col0)(col0)
+          for (j2 <- col0 to n) m(r)(j2) -= f * m(col0)(j2)
+        }
+      }
+      val a = act.indices.map(i => m(i)(n) / m(i)(i))
+      pr("start", "purchase") +
+        act.indices.map(i => pr("start", act(i)) * a(i)).sum
+    }
+    val got = q("attribution_markov").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val pBase = solve(None)
+    assert(math.abs(got("base")._1 - pBase) < 1e-3,
+      s"${got("base")._1} vs $pBase")
+    assert(got("base")._2 == 0.0)
+    chans.foreach { ch =>
+      val pc = solve(Some(ch))
+      assert(math.abs(got(ch)._1 - pc) < 1e-3, s"$ch: ${got(ch)._1} vs $pc")
+      assert(math.abs(got(ch)._2 - (1.0 - pc / pBase)) < 2e-3, ch)
+      assert(got(ch)._1 >= 0.0 && got(ch)._1 <= 1.0)
+    }
+  }
+
   test("embedding_pca_top2: components orthogonal-ish, spectrum ordered") {
     val rows = q("embedding_pca_top2").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
