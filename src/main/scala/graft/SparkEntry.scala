@@ -5720,6 +5720,98 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "feature_woe_iv" -> ((s, dir) => {
+      // weight-of-evidence / information value — the credit-scoring
+      // feature-screening classic: decile-bin account balance, label =
+      // customer has placed an order, WOE_b = ln of the smoothed
+      // good/bad odds ratio, IV = Σ_b (g_b/G − b_b/B)·WOE_b. Bin edges
+      // are the exact global percentiles BROADCAST back (never an
+      // ntile over one partition — the percentile-fence discipline);
+      // the label join is a key-side semi join; IV closes over a
+      // bin-ascending canonical fold so the 10-term double sum is
+      // engine-identical.
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val buyers = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      val lab = cust.join(buyers,
+          cust("c_custkey") === buyers("o_custkey"), "left")
+        .select(col("cents"),
+          when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("good"))
+      val edges = lab.agg(expr(
+        """percentile(cents, array(0.1, 0.2, 0.3, 0.4, 0.5,
+           0.6, 0.7, 0.8, 0.9))""").as("es"))
+      val binned = lab.crossJoin(broadcast(edges))
+        .withColumn("bin", expr(
+          """aggregate(es, 0, (acc, e) ->
+             acc + CASE WHEN CAST(cents AS DOUBLE) > e THEN 1 ELSE 0 END)"""))
+      val bins = binned.groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum(col("good")).as("n_good"),
+          (count(lit(1)) - sum(col("good"))).as("n_bad"))
+      val tot = bins.agg(sum(col("n_good")).as("tg"), sum(col("n_bad")).as("tb"))
+      val woe = bins.crossJoin(broadcast(tot))
+        .withColumn("woe", expr(
+          """CASE WHEN tg = 0 OR tb = 0 THEN NULL
+             ELSE ln(((CAST(n_good AS DOUBLE) + 0.5) / CAST(tg AS DOUBLE))
+               / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(tb AS DOUBLE)))
+             END"""))
+        .withColumn("iv_term", expr(
+          """(CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
+             - CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)) * woe"""))
+      val iv = woe
+        .agg(aggregate(sort_array(collect_list(struct(col("bin"),
+            col("iv_term")))), lit(0.0),
+            (acc, x) => acc + x.getField("iv_term")).as("iv"))
+      woe.crossJoin(broadcast(iv))
+        .select(col("bin"), col("n"), col("n_good"), col("n_bad"),
+          round(col("woe"), 6).as("woe"), round(col("iv"), 6).as("iv"))
+        .orderBy("bin")
+    }),
+
+    "timeseries_periodogram" -> ((s, dir) => {
+      // Schuster periodogram of the daily event-count series at trial
+      // periods 2..10 days — the spectral way to FIND the weekly cycle
+      // the seasonal queries assume. Power_p = (Σ(x−x̄)cos(2πt/p))² +
+      // (Σ(x−x̄)sin(2πt/p))², folded in day-ascending canonical order;
+      // emitted as each period's SHARE of total power in floor-ppm
+      // (ratios cancel the libm-ulp scale, so the floor is stable
+      // cross-engine). The series is days-sized; only the daily rollup
+      // scans events.
+      val ev = t(s, dir, "events")
+      val d0 = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val base = d0.agg(min(col("day")).as("d0"),
+        count(lit(1)).as("n"), sum(col("x")).as("sm"))
+      val days = d0.crossJoin(broadcast(base))
+        .select(datediff(col("day"), col("d0")).as("t"), col("x"),
+          col("n"), col("sm"))
+      val periods = s.range(2, 11).select(col("id").cast("int").as("period"))
+      val terms = days.crossJoin(periods)
+        .withColumn("dev", expr(
+          "CAST(x AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("c", expr(
+          "dev * cos(6.283185307179586 * t / period)"))
+        .withColumn("sn", expr(
+          "dev * sin(6.283185307179586 * t / period)"))
+      val pw = terms.groupBy("period").agg(
+          aggregate(sort_array(collect_list(struct(col("t"), col("c")))),
+            lit(0.0), (a, x) => a + x.getField("c")).as("sc"),
+          aggregate(sort_array(collect_list(struct(col("t"), col("sn")))),
+            lit(0.0), (a, x) => a + x.getField("sn")).as("ss"),
+          count(lit(1)).as("n_days"))
+        .withColumn("power", expr("sc * sc + ss * ss"))
+      val totp = pw
+        .agg(aggregate(sort_array(collect_list(struct(col("period"),
+            col("power")))), lit(0.0),
+            (a, x) => a + x.getField("power")).as("tp"))
+      pw.crossJoin(broadcast(totp))
+        .select(col("period"), col("n_days"),
+          expr("CAST(floor(1000000.0 * power / tp) AS BIGINT)")
+            .as("power_share_ppm"))
+        .orderBy("period")
+    }),
+
     "attribution_markov" -> ((s, dir) => {
       // Markov removal-effect attribution (the data-driven sibling of
       // the last-touch / U-shaped / position-based family): model each
@@ -8455,6 +8547,89 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "feature_woe_iv" ->
+      """WITH cust AS (
+           SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         buyers AS (SELECT DISTINCT o_custkey FROM orders),
+         lab AS (
+           SELECT cents,
+             CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS good
+           FROM cust LEFT JOIN buyers b ON cust.c_custkey = b.o_custkey),
+         edges AS (
+           SELECT quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5,
+             0.6, 0.7, 0.8, 0.9]) AS es
+           FROM lab),
+         binned AS (
+           SELECT good,
+             list_reduce(list_prepend(0, list_transform(es,
+               e -> CASE WHEN CAST(cents AS DOUBLE) > e
+                 THEN 1 ELSE 0 END)), (acc, v) -> acc + v) AS bin
+           FROM lab CROSS JOIN edges),
+         bins AS (
+           SELECT bin, count(*) AS n,
+             CAST(sum(good) AS BIGINT) AS n_good,
+             CAST(count(*) - sum(good) AS BIGINT) AS n_bad
+           FROM binned GROUP BY bin),
+         tot AS (
+           SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+             CAST(sum(n_bad) AS BIGINT) AS tb
+           FROM bins),
+         woe AS (
+           SELECT bin, n, n_good, n_bad,
+             CASE WHEN tg = 0 OR tb = 0 THEN NULL
+               ELSE ln(((CAST(n_good AS DOUBLE) + 0.5) / CAST(tg AS DOUBLE))
+                 / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(tb AS DOUBLE)))
+               END AS woe,
+             (CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
+               - CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)) AS sh
+           FROM bins CROSS JOIN tot),
+         iv AS (
+           SELECT list_reduce(list_prepend(0.0,
+             list(sh * woe ORDER BY bin)), (a, x) -> a + x) AS iv
+           FROM woe)
+         SELECT bin, n, n_good, n_bad, round(woe, 6) AS woe,
+           round(iv, 6) AS iv
+         FROM woe CROSS JOIN iv ORDER BY bin""",
+
+    "timeseries_periodogram" ->
+      """WITH d0 AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         base AS (
+           SELECT min(day) AS dmin, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sm
+           FROM d0),
+         days AS (
+           SELECT date_diff('day', dmin, day) AS t, x, n, sm
+           FROM d0 CROSS JOIN base),
+         periods AS (SELECT CAST(range AS INT) AS period FROM range(2, 11)),
+         terms AS (
+           SELECT period, t,
+             (CAST(x AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+               * cos(6.283185307179586 * t / period) AS c,
+             (CAST(x AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+               * sin(6.283185307179586 * t / period) AS sn
+           FROM days CROSS JOIN periods),
+         pw AS (
+           SELECT period,
+             list_reduce(list_prepend(0.0, list(c ORDER BY t)),
+               (a, x) -> a + x) AS sc,
+             list_reduce(list_prepend(0.0, list(sn ORDER BY t)),
+               (a, x) -> a + x) AS ss,
+             count(*) AS n_days
+           FROM terms GROUP BY period),
+         pw2 AS (SELECT period, n_days, sc * sc + ss * ss AS power FROM pw),
+         totp AS (
+           SELECT list_reduce(list_prepend(0.0,
+             list(power ORDER BY period)), (a, x) -> a + x) AS tp
+           FROM pw2)
+         SELECT period, n_days,
+           CAST(floor(1000000.0 * power / tp) AS BIGINT)
+             AS power_share_ppm
+         FROM pw2 CROSS JOIN totp ORDER BY period""",
 
     "attribution_markov" -> {
       val srcs = Seq("start", "click", "error", "signup", "view")

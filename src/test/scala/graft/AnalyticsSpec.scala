@@ -873,6 +873,82 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("feature_woe_iv: bins, odds, and IV replayed from raw balances") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey", "CAST(round(c_acctbal * 100) AS BIGINT) cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val buyers = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    // exact interpolated percentiles, Spark's percentile() convention
+    val sorted = cust.map(_._2.toDouble).sorted
+    def pct(q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == sorted.length - 1) sorted(lo)
+      else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val edges = (1 to 9).map(i => pct(i / 10.0))
+    val binned = cust.map { case (ck, c) =>
+      (edges.count(e => c.toDouble > e), if (buyers(ck)) 1L else 0L)
+    }
+    val byBin = binned.groupBy(_._1).map { case (b, rs) =>
+      b -> (rs.size.toLong, rs.map(_._2).sum)
+    }
+    val tg = binned.map(_._2).sum
+    val tb = binned.length - tg
+    val rows = q("feature_woe_iv").collect()
+    val got = rows.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+      r.getLong(3))).toMap
+    assert(got.keySet == byBin.keySet)
+    if (tb == 0 || tg == 0) {
+      // sf0.001 is degenerate (every customer buys) — guards must fire
+      assert(rows.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+      byBin.foreach { case (b, (n, g)) =>
+        assert(got(b) == (n, g, n - g), s"bin $b")
+      }
+    } else {
+      val woeGot = rows.map(r => r.getInt(0) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+      var iv = 0.0
+      byBin.toSeq.sortBy(_._1).foreach { case (b, (n, g)) =>
+        val bad = n - g
+        val woe = math.log(((g + 0.5) / tg) / ((bad + 0.5) / tb))
+        iv += (g.toDouble / tg - bad.toDouble / tb) * woe
+        assert(got(b) == (n, g, bad), s"bin $b")
+        assert(math.abs(woeGot(b)._1 - woe) < 1e-5, s"bin $b woe")
+      }
+      woeGot.values.foreach(v => assert(math.abs(v._2 - iv) < 1e-5))
+    }
+  }
+
+  test("timeseries_periodogram: spectral shares replayed; shares sum to ~1e6") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("ts").collect()
+      .map(_.getTimestamp(0).toLocalDateTime.toLocalDate)
+    val daily = ev.groupBy(identity).map { case (d, rs) =>
+      d.toEpochDay -> rs.size.toDouble }.toSeq.sortBy(_._1)
+    val dmin = daily.map(_._1).min
+    val mean = daily.map(_._2).sum / daily.length
+    def power(p: Int): Double = {
+      val sc = daily.map { case (d, x) =>
+        (x - mean) * math.cos(2 * math.Pi * (d - dmin) / p) }.sum
+      val ss = daily.map { case (d, x) =>
+        (x - mean) * math.sin(2 * math.Pi * (d - dmin) / p) }.sum
+      sc * sc + ss * ss
+    }
+    val pows = (2 to 10).map(p => p -> power(p))
+    val tp = pows.map(_._2).sum
+    val rows = q("timeseries_periodogram").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (2 to 10))
+    assert(rows.forall(_._2 == daily.length.toLong))
+    rows.foreach { case (p, _, share) =>
+      val exp = pows.find(_._1 == p).get._2 / tp
+      assert(math.abs(share / 1e6 - exp) < 1e-4, s"period $p")
+    }
+    assert(rows.map(_._3).sum <= 1000000L)
+  }
+
   test("attribution_markov: matches an exact (I-Q)a=r linear solve") {
     val ev = sources.Tables.load(spark, sfDir, "events")
       .select("user_id", "event_id", "ts", "event_type").collect()
