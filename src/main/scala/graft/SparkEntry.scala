@@ -5720,6 +5720,66 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "search_prf_rocchio" -> ((s, dir) => {
+      // pseudo-relevance feedback (Rocchio-style PRF, the classic IR
+      // second pass): BM25 first pass for the fixed 3-term query →
+      // top-10 feedback docs → top-5 expansion terms by integer
+      // rarity-weighted feedback tf (fbtf · (10⁶ div (df+1)), the
+      // search_hybrid_rrf weight — the expansion CHOICE is all-integer,
+      // so both engines pick the same terms) → second BM25 pass over
+      // original (weight 1.0) + expansion (weight 0.5) terms, summed in
+      // alphabetical term order so the double fold is engine-identical.
+      // The expansion set is metadata-sized: collecting 5 terms to the
+      // driver is the codebook pattern, and at corpus scale both BM25
+      // passes stay one-scan + broadcast-stats shapes.
+      val d = t(s, dir, "documents")
+      val origTerms = Seq("join", "vector", "stream")
+      def tfOf(term: String) =
+        size(filter(TextFunctions.tokens(lower(col("text"))),
+          x => x === term)).cast("long")
+      def bm25Pass(terms: Seq[String], weights: Map[String, Double]) = {
+        val base = d.select(
+          col("doc_id") +: TextFunctions.tokenCount(col("text")).as("dl") +:
+          terms.map(w => tfOf(w).as(s"tf_$w")): _*)
+        val aggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
+          terms.map(w => count(when(col(s"tf_$w") > 0, 1)).as(s"df_$w"))
+        val stats = base.agg(aggs.head, aggs.tail: _*)
+        val j = base.crossJoin(broadcast(stats))
+        val avgdl = col("sdl").cast("double") / col("n").cast("double")
+        def score(w: String): Column =
+          lit(weights(w)) *
+            (((col("n").cast("double") - col(s"df_$w").cast("double")
+              + lit(0.5)) / (col(s"df_$w").cast("double") + lit(0.5))) *
+              ((col(s"tf_$w").cast("double") * lit(2.2)) /
+                (col(s"tf_$w").cast("double") + lit(1.2) * (lit(0.25) +
+                  lit(0.75) * (col("dl").cast("double") / avgdl)))))
+        j.withColumn("score",
+          terms.sorted.map(score).reduceLeft(_ + _))
+      }
+      val fb = bm25Pass(origTerms, origTerms.map(_ -> 1.0).toMap)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .select("doc_id")
+      val tok = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      val fbTf = tok.join(broadcast(fb), Seq("doc_id"))
+        .groupBy("term").agg(count(lit(1)).as("fbtf"))
+      val dfAll = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val expTerms = fbTf.join(dfAll, Seq("term"))
+        .filter(!col("term").isin(origTerms: _*))
+        .withColumn("w", expr("fbtf * (1000000 div (df + 1))"))
+        .orderBy(col("w").desc, col("term")).limit(5)
+        .select("term").collect().map(_.getString(0)).toSeq
+      val all = origTerms ++ expTerms
+      val weights = (origTerms.map(_ -> 1.0) ++ expTerms.map(_ -> 0.5)).toMap
+      val scored = bm25Pass(all, weights)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+      scored
+        .withColumn("rnk", row_number().over(Window.orderBy(
+          col("score").desc, col("doc_id"))))
+        .select(col("rnk"), col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("rnk")
+    }),
+
     "feature_woe_iv" -> ((s, dir) => {
       // weight-of-evidence / information value — the credit-scoring
       // feature-screening classic: decile-bin account balance, label =
@@ -8546,6 +8606,77 @@ object SparkEntry {
          SELECT d.i AS dim, round(x[d.i], 6) AS component,
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
+    },
+
+    "search_prf_rocchio" -> {
+      val bmTerm =
+        """(((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * 2.2)
+              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                * (CAST(dl AS DOUBLE)
+                   / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))))"""
+      s"""WITH tk AS (
+           SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS ts,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS BIGINT)
+             END AS dl
+           FROM documents),
+         g1 AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM tk),
+         terms1 AS (
+           SELECT unnest(['join', 'stream', 'vector']) AS term),
+         t1 AS (
+           SELECT doc_id, dl, term,
+             CAST(len(list_filter(ts, x -> x = term)) AS BIGINT) AS tf
+           FROM tk CROSS JOIN terms1),
+         s1 AS (
+           SELECT term, count(CASE WHEN tf > 0 THEN 1 END) AS df
+           FROM t1 GROUP BY term),
+         sc1 AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(0.0,
+               list(1.0 * $bmTerm ORDER BY term)), (a, x) -> a + x) AS score
+           FROM t1 JOIN s1 USING (term) CROSS JOIN g1
+           GROUP BY doc_id, dl, n, sdl),
+         fb AS (
+           SELECT doc_id FROM sc1 ORDER BY score DESC, doc_id LIMIT 10),
+         tok AS (SELECT doc_id, unnest(ts) AS term FROM tk),
+         fbtf AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS fbtf
+           FROM tok JOIN fb USING (doc_id) GROUP BY term),
+         dfall AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+         expt AS (
+           SELECT term FROM (
+             SELECT f.term, f.fbtf * (1000000 // (d.df + 1)) AS w
+             FROM fbtf f JOIN dfall d USING (term)
+             WHERE f.term NOT IN ('join', 'stream', 'vector'))
+           ORDER BY w DESC, term LIMIT 5),
+         terms2 AS (
+           SELECT term, 1.0 AS wt FROM terms1
+           UNION ALL SELECT term, 0.5 AS wt FROM expt),
+         t2 AS (
+           SELECT doc_id, dl, term, wt,
+             CAST(len(list_filter(ts, x -> x = term)) AS BIGINT) AS tf
+           FROM tk CROSS JOIN terms2),
+         s2 AS (
+           SELECT term, count(CASE WHEN tf > 0 THEN 1 END) AS df
+           FROM t2 GROUP BY term),
+         sc2 AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(0.0,
+               list(wt * $bmTerm ORDER BY term)), (a, x) -> a + x) AS score
+           FROM t2 JOIN s2 USING (term) CROSS JOIN g1
+           GROUP BY doc_id, dl, n, sdl),
+         top AS (
+           SELECT doc_id, score FROM sc2
+           ORDER BY score DESC, doc_id LIMIT 10)
+         SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+           doc_id, round(score, 6) AS score
+         FROM top ORDER BY rnk"""
     },
 
     "feature_woe_iv" ->

@@ -873,6 +873,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("search_prf_rocchio: two-pass PRF replayed from raw text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      if (t == null || t.trim.isEmpty) Seq.empty
+      else t.trim.toLowerCase.split("\\s+").toSeq
+    val tk = docs.map { case (id, t) => (id, toks(t)) }
+    val n = tk.length.toDouble
+    val sdl = tk.map(_._2.length.toLong).sum.toDouble
+    def bm25(terms: Seq[(String, Double)]): Map[Long, Double] = {
+      val df = terms.map { case (w, _) =>
+        w -> tk.count(_._2.contains(w)).toDouble }.toMap
+      tk.map { case (id, ts) =>
+        val dl = ts.length.toDouble
+        val sc = terms.sortBy(_._1).map { case (w, wt) =>
+          val tf = ts.count(_ == w).toDouble
+          wt * (((n - df(w) + 0.5) / (df(w) + 0.5)) *
+            ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (sdl / n))))))
+        }.sum
+        id -> sc
+      }.toMap
+    }
+    val orig = Seq("join", "stream", "vector")
+    val s1 = bm25(orig.map(_ -> 1.0))
+    val fb = s1.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+      .map(_._1).toSet
+    val fbtf = tk.filter(t => fb(t._1)).flatMap(_._2)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val dfAll = tk.flatMap { case (id, ts) => ts.distinct.map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, o) => w -> o.size.toLong }
+    val exp = fbtf.toSeq.filterNot(t => orig.contains(t._1))
+      .map { case (w, f) => (w, f * (1000000L / (dfAll(w) + 1))) }
+      .sortBy { case (w, wgt) => (-wgt, w) }.take(5).map(_._1)
+    val s2 = bm25(orig.map(_ -> 1.0) ++ exp.map(_ -> 0.5))
+    val expectTop = s2.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val got = q("search_prf_rocchio").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (1 to 10))
+    assert(got.map(_._2).toSeq == expectTop.map(_._1))
+    got.zip(expectTop).foreach { case ((_, _, sc), (_, exp2)) =>
+      assert(math.abs(sc - exp2) < 1e-5) }
+    // scores non-increasing
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("feature_woe_iv: bins, odds, and IV replayed from raw balances") {
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
       .selectExpr("c_custkey", "CAST(round(c_acctbal * 100) AS BIGINT) cents")
