@@ -120,6 +120,38 @@ object SparkEntry {
         * ($jbSkew * $jbSkew / 6.0 + $jbKurt * $jbKurt / 24.0))
         AS BIGINT)"""
 
+  /** Lag-1 Granger F over n-scaled centered sums (n, st, stt, so, soo,
+    * sx, sxx, sot, sxt, sox): restricted AR(1) RSS minus the
+    * unrestricted 2-regressor RSS (closed-form normal-equation solve),
+    * F = (RSSr−RSSu)·(n−3)/RSSu — every input an exactly-cast integer,
+    * the tree shared verbatim with the DuckDB oracle. */
+  private val grangerRssU: String =
+    """(CAST(n * stt - st * st AS DOUBLE)
+       - ((CAST(n * sot - so * st AS DOUBLE)
+           * CAST(n * sxx - sx * sx AS DOUBLE)
+           - CAST(n * sxt - sx * st AS DOUBLE)
+             * CAST(n * sox - so * sx AS DOUBLE))
+          * CAST(n * sot - so * st AS DOUBLE)
+          + (CAST(n * sxt - sx * st AS DOUBLE)
+             * CAST(n * soo - so * so AS DOUBLE)
+             - CAST(n * sot - so * st AS DOUBLE)
+               * CAST(n * sox - so * sx AS DOUBLE))
+            * CAST(n * sxt - sx * st AS DOUBLE))
+         / (CAST(n * soo - so * so AS DOUBLE)
+            * CAST(n * sxx - sx * sx AS DOUBLE)
+            - CAST(n * sox - so * sx AS DOUBLE)
+              * CAST(n * sox - so * sx AS DOUBLE)))"""
+  private val grangerFppm: String =
+    s"""CASE WHEN n <= 3 THEN NULL ELSE
+       CAST(floor(1000000.0 * (
+         ((CAST(n * stt - st * st AS DOUBLE)
+           - CAST(n * sot - so * st AS DOUBLE)
+             * CAST(n * sot - so * st AS DOUBLE)
+             / CAST(n * soo - so * so AS DOUBLE))
+          - $grangerRssU)
+         / ($grangerRssU / CAST(n - 3 AS DOUBLE))))
+       AS BIGINT) END"""
+
   /** Dialect-common analytics SQL — the `sql_analytics` query AND its
     * oracle are this same string: it must stay inside the syntax both
     * Spark and DuckDB accept (no QUALIFY, explicit subquery for the
@@ -5720,6 +5752,48 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "timeseries_granger" -> ((s, dir) => {
+      // lag-1 Granger causality between the daily click and purchase
+      // series, BOTH directions (does activity predict conversion, or
+      // the reverse?): F compares the restricted AR(1) fit of the
+      // target against the unrestricted fit adding the other series'
+      // lag. Every normal-equation term is an n-scaled CENTERED sum of
+      // exact integers in decimal(38,0); the closed-form 2-regressor
+      // solve and F close through one verbatim-shared double tree with
+      // a floor-ppm emission. The regression frame is days-sized.
+      val ev = t(s, dir, "events")
+      def daily(tpe: String, cn: String) =
+        ev.filter(col("event_type") === tpe)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as(cn))
+      val xy = daily("click", "x").join(daily("purchase", "y"), Seq("day"))
+      val lagged = xy.as("c").join(xy.as("p"),
+          col("c.day") === date_add(col("p.day"), 1))
+        .select(col("c.x").as("x"), col("c.y").as("y"),
+          col("p.x").as("xl"), col("p.y").as("yl"))
+      val dec = "decimal(38,0)"
+      def sums(tgt: String, ownLag: String, otherLag: String) = {
+        val T = col(tgt).cast(dec)
+        val O = col(ownLag).cast(dec)
+        val X = col(otherLag).cast(dec)
+        lagged.agg(
+          count(lit(1)).cast(dec).as("n"),
+          sum(T).as("st"), sum(T * col(tgt)).as("stt"),
+          sum(O).as("so"), sum(O * col(ownLag)).as("soo"),
+          sum(X).as("sx"), sum(X * col(otherLag)).as("sxx"),
+          sum(O * col(tgt)).as("sot"),
+          sum(X * col(tgt)).as("sxt"),
+          sum(O * col(otherLag)).as("sox"))
+      }
+      val fExpr = grangerFppm
+      val f1 = sums("y", "yl", "xl")
+        .select(lit("click_to_purchase").as("direction"),
+          col("n").cast("bigint").as("n"), expr(fExpr).as("f_ppm"))
+      val f2 = sums("x", "xl", "yl")
+        .select(lit("purchase_to_click").as("direction"),
+          col("n").cast("bigint").as("n"), expr(fExpr).as("f_ppm"))
+      f1.unionByName(f2).orderBy("direction")
+    }),
+
     "search_prf_rocchio" -> ((s, dir) => {
       // pseudo-relevance feedback (Rocchio-style PRF, the classic IR
       // second pass): BM25 first pass for the fixed 3-term query →
@@ -8606,6 +8680,40 @@ object SparkEntry {
          SELECT d.i AS dim, round(x[d.i], 6) AS component,
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
+    },
+
+    "timeseries_granger" -> {
+      def sumsSql(tgt: String, own: String, other: String): String =
+        s"""SELECT CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum($tgt) AS HUGEINT) AS st,
+           CAST(sum(CAST($tgt AS HUGEINT) * $tgt) AS HUGEINT) AS stt,
+           CAST(sum($own) AS HUGEINT) AS so,
+           CAST(sum(CAST($own AS HUGEINT) * $own) AS HUGEINT) AS soo,
+           CAST(sum($other) AS HUGEINT) AS sx,
+           CAST(sum(CAST($other AS HUGEINT) * $other) AS HUGEINT) AS sxx,
+           CAST(sum(CAST($own AS HUGEINT) * $tgt) AS HUGEINT) AS sot,
+           CAST(sum(CAST($other AS HUGEINT) * $tgt) AS HUGEINT) AS sxt,
+           CAST(sum(CAST($own AS HUGEINT) * $other) AS HUGEINT) AS sox
+           FROM lagged"""
+      s"""WITH x0 AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         y0 AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         xy AS (SELECT x0.day, x, y FROM x0 JOIN y0 USING (day)),
+         lagged AS (
+           SELECT c.x AS x, c.y AS y, p.x AS xl, p.y AS yl
+           FROM xy c JOIN xy p ON c.day = p.day + 1),
+         s1 AS (${sumsSql("y", "yl", "xl")}),
+         s2 AS (${sumsSql("x", "xl", "yl")})
+         SELECT direction, n, f_ppm FROM (
+           SELECT 'click_to_purchase' AS direction,
+             CAST(n AS BIGINT) AS n, $grangerFppm AS f_ppm FROM s1
+           UNION ALL
+           SELECT 'purchase_to_click' AS direction,
+             CAST(n AS BIGINT) AS n, $grangerFppm AS f_ppm FROM s2)
+         ORDER BY direction"""
     },
 
     "search_prf_rocchio" -> {

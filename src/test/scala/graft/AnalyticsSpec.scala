@@ -873,6 +873,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("timeseries_granger: F matches an independent OLS fit both directions") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime.toLocalDate))
+    def daily(t: String) = ev.filter(_._1 == t).groupBy(_._2)
+      .map { case (d, rs) => d.toEpochDay -> rs.size.toDouble }
+    val x = daily("click"); val y = daily("purchase")
+    val days = x.keySet.intersect(y.keySet)
+    val rows = days.toSeq.sorted.collect {
+      case d if days.contains(d - 1) =>
+        (x(d), y(d), x(d - 1), y(d - 1))
+    }
+    def ols(ys: Seq[Double], xs: Seq[Seq[Double]]): Double = {
+      // RSS of least squares with intercept, via normal equations
+      val n = ys.length
+      val k = xs.length
+      val cols = Seq.fill(n)(1.0) +: xs
+      val m = Array.tabulate(k + 1, k + 2) { (i, j) =>
+        if (j == k + 1) cols(i).zip(ys).map(p => p._1 * p._2).sum
+        else cols(i).zip(cols(j)).map(p => p._1 * p._2).sum
+      }
+      for (c <- 0 to k) {
+        val piv = (c to k).maxBy(r => math.abs(m(r)(c)))
+        val tmp = m(c); m(c) = m(piv); m(piv) = tmp
+        for (r <- 0 to k if r != c) {
+          val f = m(r)(c) / m(c)(c)
+          for (j <- c to k + 1) m(r)(j) -= f * m(c)(j)
+        }
+      }
+      val beta = (0 to k).map(i => m(i)(k + 1) / m(i)(i))
+      ys.indices.map { t =>
+        val pred = (0 to k).map(i => beta(i) * cols(i)(t)).sum
+        val e = ys(t) - pred; e * e
+      }.sum
+    }
+    def f(tgt: Seq[Double], own: Seq[Double], other: Seq[Double]): Double = {
+      val rssR = ols(tgt, Seq(own))
+      val rssU = ols(tgt, Seq(own, other))
+      (rssR - rssU) / (rssU / (tgt.length - 3))
+    }
+    val got = q("timeseries_granger").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (xs, ys2, xls, yls) = (rows.map(_._1), rows.map(_._2),
+      rows.map(_._3), rows.map(_._4))
+    assert(got("click_to_purchase")._1 == rows.length.toLong)
+    val f1 = f(ys2, yls, xls)
+    val f2 = f(xs, xls, yls)
+    assert(math.abs(got("click_to_purchase")._2 / 1e6 - f1) < 1e-3,
+      s"${got("click_to_purchase")._2} vs $f1")
+    assert(math.abs(got("purchase_to_click")._2 / 1e6 - f2) < 1e-3)
+    // F is non-negative by construction (restricted RSS >= unrestricted)
+    assert(got.values.forall(_._2 >= 0L))
+  }
+
   test("search_prf_rocchio: two-pass PRF replayed from raw text") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
