@@ -5752,6 +5752,67 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "model_calibration" -> ((s, dir) => {
+      // reliability diagram for the hashed linear classifier: decile-bin
+      // the integer margins (broadcast exact percentile fences — the
+      // WOE discipline) against the lang=en label and report per-bin
+      // empirical positive rate — the calibration readout every scoring
+      // model ships with. Counts and the floor-ppm rate are exact
+      // integers; one corpus scan + a fences broadcast.
+      val d = t(s, dir, "documents")
+      val scored = d.select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"),
+        HashFunctions.linearMargin(
+          TextFunctions.tokens(lower(col("text")))).as("margin"))
+      val edges = scored.agg(expr(
+        """percentile(margin, array(0.1, 0.2, 0.3, 0.4, 0.5,
+           0.6, 0.7, 0.8, 0.9))""").as("es"))
+      scored.crossJoin(broadcast(edges))
+        .withColumn("bin", expr(
+          """aggregate(es, 0, (acc, e) ->
+             acc + CASE WHEN CAST(margin AS DOUBLE) > e THEN 1 ELSE 0 END)"""))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum(col("label")).as("n_pos"),
+          min(col("margin")).as("min_margin"),
+          max(col("margin")).as("max_margin"))
+        .withColumn("pos_rate_ppm", expr("(1000000 * n_pos) div n"))
+        .orderBy("bin")
+    }),
+
+    "text_readability" -> ((s, dir) => {
+      // Flesch reading ease per document — the classic readability
+      // quality gate: 206.835 − 1.015·(words/sentences) −
+      // 84.6·(syllables/words). Sentences count the terminator
+      // characters via exact length arithmetic; syllables are vowel
+      // RUNS per token (regexp_extract_all — same semantics both
+      // engines); words/syllables fold per doc. No libm anywhere:
+      // the formula over exact integers is bitwise engine-identical
+      // before round(6).
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+      val syl = tok.groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(greatest(lit(1L),
+          size(expr("regexp_extract_all(w, '[aeiouy]+', 0)")).cast("long")))
+          .as("n_syllables"))
+      val sent = d.select(col("doc_id"), expr(
+        """greatest(1, CAST(
+           (length(text) - length(replace(text, '.', '')))
+           + (length(text) - length(replace(text, '!', '')))
+           + (length(text) - length(replace(text, '?', '')))
+           AS BIGINT))""").as("n_sentences"))
+      syl.join(sent, Seq("doc_id"))
+        .withColumn("flesch", expr(
+          """round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             6)"""))
+        .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch")
+        .orderBy("doc_id")
+    }),
+
     "timeseries_granger" -> ((s, dir) => {
       // lag-1 Granger causality between the daily click and purchase
       // series, BOTH directions (does activity predict conversion, or
@@ -8681,6 +8742,75 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "model_calibration" ->
+      s"""WITH docs AS (
+           SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         thx AS (
+           SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th
+           FROM docs WHERE toks IS NOT NULL),
+         big AS (
+           SELECT doc_id, th,
+             CASE WHEN len(th) <= 2
+               THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
+                     (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
+               ELSE list_transform(range(1, len(th)),
+                 s -> (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
+                       % 18446744073709551616::HUGEINT) * 31
+                       + th[CAST(s AS INT)+1]) % 18446744073709551616::HUGEINT)
+             END AS bh
+           FROM thx),
+         fe AS (
+           SELECT doc_id, unnest(list_concat(th, bh)) AS x FROM big),
+         ${mix64Ctes("fe", "mx")},
+         ws AS (
+           SELECT doc_id,
+             CAST(sum(CAST(h % 1024 AS BIGINT) - 512) AS BIGINT) AS margin
+           FROM mx GROUP BY doc_id),
+         scored AS (
+           SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label,
+             w.margin
+           FROM docs d JOIN ws w ON d.doc_id = w.doc_id),
+         edges AS (
+           SELECT quantile_cont(margin, [0.1, 0.2, 0.3, 0.4, 0.5,
+             0.6, 0.7, 0.8, 0.9]) AS es
+           FROM scored),
+         binned AS (
+           SELECT label, margin,
+             list_reduce(list_prepend(0, list_transform(es,
+               e -> CASE WHEN CAST(margin AS DOUBLE) > e
+                 THEN 1 ELSE 0 END)), (acc, v) -> acc + v) AS bin
+           FROM scored CROSS JOIN edges)
+         SELECT bin, count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
+           min(margin) AS min_margin, max(margin) AS max_margin,
+           (1000000 * CAST(sum(label) AS BIGINT)) // count(*)
+             AS pos_rate_ppm
+         FROM binned GROUP BY bin ORDER BY bin""",
+
+    "text_readability" ->
+      s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+         syl AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(greatest(1,
+               len(regexp_extract_all(w, '[aeiouy]+', 0)))) AS BIGINT)
+               AS n_syllables
+           FROM tok GROUP BY doc_id),
+         sent AS (
+           SELECT doc_id, greatest(1, CAST(
+             (length(text) - length(replace(text, '.', '')))
+             + (length(text) - length(replace(text, '!', '')))
+             + (length(text) - length(replace(text, '?', '')))
+             AS BIGINT)) AS n_sentences
+           FROM d)
+         SELECT s.doc_id, s.n_words, t.n_sentences, s.n_syllables,
+           round(206.835
+             - 1.015 * (CAST(s.n_words AS DOUBLE)
+               / CAST(t.n_sentences AS DOUBLE))
+             - 84.6 * (CAST(s.n_syllables AS DOUBLE)
+               / CAST(s.n_words AS DOUBLE)), 6) AS flesch
+         FROM syl s JOIN sent t USING (doc_id)
+         ORDER BY doc_id""",
 
     "timeseries_granger" -> {
       def sumsSql(tgt: String, own: String, other: String): String =

@@ -873,6 +873,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("model_calibration: bin accounting closes; rates exact") {
+    val rows = q("model_calibration").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_._2).sum == total)
+    val en = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    assert(rows.map(_._3).sum == en)
+    rows.foreach { case (b, n, pos, mn, mx, rate) =>
+      assert(pos >= 0 && pos <= n)
+      assert(mn <= mx)
+      assert(rate == 1000000L * pos / n, s"bin $b")
+    }
+    // margin ranges are non-overlapping and ordered across bins
+    val sorted = rows.sortBy(_._1)
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(a._5 <= b._4, s"bins ${a._1}/${b._1} overlap")
+    }
+  }
+
+  test("text_readability: word/sentence/syllable counts replayed") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      if (t == null || t.trim.isEmpty) Seq.empty
+      else t.trim.toLowerCase.split("\\s+").toSeq
+    val got = q("text_readability").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val withToks = docs.filter(d => toks(d._2).nonEmpty)
+    assert(got.size == withToks.length)
+    withToks.take(30).foreach { case (id, text) =>
+      val ws = toks(text)
+      val syl = ws.map(w =>
+        math.max(1, "[aeiouy]+".r.findAllIn(w).length).toLong).sum
+      val sents = math.max(1L, text.count(c => ".!?".contains(c)).toLong)
+      val flesch = 206.835 - 1.015 * (ws.length.toDouble / sents) -
+        84.6 * (syl.toDouble / ws.length)
+      val (gw, gs, gy, gf) = got(id)
+      assert(gw == ws.length.toLong && gs == sents && gy == syl, s"doc $id")
+      assert(math.abs(gf - flesch) < 1e-5, s"doc $id flesch")
+    }
+  }
+
   test("timeseries_granger: F matches an independent OLS fit both directions") {
     val ev = sources.Tables.load(spark, sfDir, "events")
       .select("event_type", "ts").collect()
