@@ -5752,6 +5752,47 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "graph_ktruss" -> ((s, dir) => {
+      // 4-truss peeling (three fixed rounds, the graph_kcore recipe
+      // lifted from nodes to EDGES): an edge survives a round iff it
+      // participates in ≥ 2 triangles of the current graph — the
+      // cohesive-subgraph detector that's stricter than k-core. Each
+      // round is one oriented wedge join (volume Σdeg² of the oriented
+      // graph) + an edge-keyed support count; rounds persist their
+      // shrinking edge frame (the unpersisted-iteration lesson).
+      // Fixture bounded to part keys ≡ 0 (mod 4): truss enumeration
+      // triples the triangle work of graph_clustering_coeff, so the
+      // graph is kept a quarter of that query's (identical plan).
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      val items = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("p")).distinct()
+      var e = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      for (_ <- 1 to 3) {
+        val ab = e.select(col("u").as("a"), col("v").as("b"))
+        val tris = ab.join(ab.select(col("a"), col("b").as("c")), Seq("a"))
+          .filter(col("b") < col("c"))
+          .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+          .select("a", "b", "c")
+        val sup = tris.select(explode(array(
+            struct(col("a").as("x"), col("b").as("y")),
+            struct(col("a").as("x"), col("c").as("y")),
+            struct(col("b").as("x"), col("c").as("y")))).as("ed"))
+          .select(col("ed.x").as("u"), col("ed.y").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+        e = e.join(sup, Seq("u", "v"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= 2)
+          .select("u", "v")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("truss_degree"))
+        .orderBy(col("truss_degree").desc, col("node")).limit(30)
+    }),
+
     "model_calibration" -> ((s, dir) => {
       // reliability diagram for the hashed linear classifier: decile-bin
       // the integer margins (broadcast exact percentile fences — the
@@ -8741,6 +8782,39 @@ object SparkEntry {
          SELECT d.i AS dim, round(x[d.i], 6) AS component,
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
+    },
+
+    "graph_ktruss" -> {
+      def round(ein: String, eout: String): String =
+        s"""${eout}_t AS MATERIALIZED (
+           SELECT ab.a, ab.b, ac.c
+           FROM (SELECT u AS a, v AS b FROM $ein) ab
+           JOIN (SELECT u AS a, v AS c FROM $ein) ac USING (a)
+           JOIN (SELECT u AS b, v AS c FROM $ein) cl
+             ON ab.b = cl.b AND ac.c = cl.c
+           WHERE ab.b < ac.c),
+         ${eout}_s AS MATERIALIZED (
+           SELECT x AS u, y AS v, count(*) AS sup FROM (
+             SELECT a AS x, b AS y FROM ${eout}_t
+             UNION ALL SELECT a AS x, c AS y FROM ${eout}_t
+             UNION ALL SELECT b AS x, c AS y FROM ${eout}_t)
+           GROUP BY x, y),
+         $eout AS MATERIALIZED (
+           SELECT e.u, e.v FROM $ein e
+           JOIN ${eout}_s s ON e.u = s.u AND e.v = s.v
+           WHERE s.sup >= 2)"""
+      s"""WITH items AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+           WHERE l_partkey % 4 = 0),
+         e0 AS MATERIALIZED (
+           SELECT DISTINCT x.p AS u, y.p AS v
+           FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+         ${round("e0", "e1")},
+         ${round("e1", "e2")},
+         ${round("e2", "e3")}
+         SELECT node, CAST(count(*) AS BIGINT) AS truss_degree FROM (
+           SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
+         GROUP BY node ORDER BY truss_degree DESC, node LIMIT 30"""
     },
 
     "model_calibration" ->

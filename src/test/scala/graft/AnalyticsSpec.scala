@@ -873,6 +873,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("graph_ktruss: three peel rounds replayed on the driver") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 % 4 == 0)
+    var edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    for (_ <- 1 to 3) {
+      val es = edges
+      def tri(e: (Long, Long)): Int = {
+        val (u, v) = e
+        // support = common neighbors of u and v in the current graph
+        val nu = es.collect { case (a, b) if a == u => b
+                              case (a, b) if b == u => a }
+        nu.count(w => w != v &&
+          es.contains((math.min(w, v), math.max(w, v))))
+      }
+      edges = es.filter(e => tri(e) >= 2)
+    }
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, o) => (n, o.size.toLong) }
+    val expect = deg.toSeq.sortBy { case (n, d) => (-d, n) }.take(30)
+    val got = q("graph_ktruss").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, s"$got vs $expect")
+  }
+
   test("model_calibration: bin accounting closes; rates exact") {
     val rows = q("model_calibration").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
