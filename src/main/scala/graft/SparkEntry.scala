@@ -5752,6 +5752,76 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "orders_backlog_aging" -> ((s, dir) => {
+      // operational backlog aging: open (non-finished) orders bucketed
+      // by age at the dataset's own reference instant (max order date —
+      // broadcast, so the report is reproducible from the data alone),
+      // with count, open value, and the floor-ppm share of open value
+      // per bucket. All-integer; one scan + a 1-row broadcast.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "F")
+        .select(col("o_orderdate"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val ref = o.agg(max(col("o_orderdate")).as("refd"))
+      val bucketed = o.crossJoin(broadcast(ref))
+        .withColumn("age", datediff(col("refd"), col("o_orderdate")))
+        .withColumn("bucket",
+          when(col("age") <= 30, "a_0_30")
+            .when(col("age") <= 60, "b_31_60")
+            .when(col("age") <= 90, "c_61_90")
+            .otherwise("d_90_plus"))
+      val agg = bucketed.groupBy("bucket").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("value_cents"))
+      val tot = agg.agg(sum(col("value_cents")).as("tv"))
+      agg.crossJoin(broadcast(tot))
+        .withColumn("value_share_ppm",
+          expr("(1000000 * value_cents) div tv"))
+        .select("bucket", "n_orders", "value_cents", "value_share_ppm")
+        .orderBy("bucket")
+    }),
+
+    "events_hourly_heatmap" -> ((s, dir) => {
+      // weekday × hour activity heatmap (the ops-dashboard staple):
+      // exact counts per (weekday, hour) cell plus each cell's
+      // floor-ppm share of all events. weekday() is 0=Monday in Spark
+      // ≡ isodow−1 in DuckDB (dayofweek() conventions DIFFER — pinned
+      // here as the parity-safe pair). One scan, 168-cell output.
+      val ev = t(s, dir, "events")
+      val cells = ev.groupBy(weekday(col("ts")).as("dow"),
+          hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("tn"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(1000000 * n) div tn"))
+        .select("dow", "hr", "n", "share_ppm")
+        .orderBy("dow", "hr")
+    }),
+
+    "orders_priority_sla" -> ((s, dir) => {
+      // ship-latency SLA readout per order priority: line-level gap
+      // from order date to ship date, exact doubled-median (the
+      // half-integer-safe percentile trick) and the floor-ppm share
+      // shipped within 60 days — the fulfillment dashboard row. One
+      // join keyed on the order key, per-priority combinable stats.
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("priority"), col("o_orderdate"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_shipdate"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("gap", datediff(col("l_shipdate"), col("o_orderdate")))
+        .groupBy("priority").agg(
+          count(lit(1)).as("n_lines"),
+          expr("CAST(round(2 * percentile(gap, 0.5)) AS BIGINT)")
+            .as("p50_gap_x2"),
+          sum(when(col("gap") <= 60, 1L).otherwise(0L)).as("n_within_60"))
+        .withColumn("within_60d_ppm",
+          expr("(1000000 * n_within_60) div n_lines"))
+        .select("priority", "n_lines", "p50_gap_x2", "within_60d_ppm")
+        .orderBy("priority")
+    }),
+
     "graph_ktruss" -> ((s, dir) => {
       // 4-truss peeling (three fixed rounds, the graph_kcore recipe
       // lifted from nodes to EDGES): an edge survives a round iff it
@@ -8783,6 +8853,52 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "orders_backlog_aging" ->
+      """WITH o AS (
+           SELECT o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM orders WHERE o_orderstatus <> 'F'),
+         ref AS (SELECT max(o_orderdate) AS refd FROM o),
+         b AS (
+           SELECT cents,
+             CASE WHEN date_diff('day', o_orderdate, refd) <= 30
+                  THEN 'a_0_30'
+                  WHEN date_diff('day', o_orderdate, refd) <= 60
+                  THEN 'b_31_60'
+                  WHEN date_diff('day', o_orderdate, refd) <= 90
+                  THEN 'c_61_90'
+                  ELSE 'd_90_plus' END AS bucket
+           FROM o CROSS JOIN ref),
+         agg AS (
+           SELECT bucket, count(*) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS value_cents
+           FROM b GROUP BY bucket),
+         tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tv FROM agg)
+         SELECT bucket, n_orders, value_cents,
+           (1000000 * value_cents) // tv AS value_share_ppm
+         FROM agg CROSS JOIN tot ORDER BY bucket""",
+
+    "events_hourly_heatmap" ->
+      """WITH cells AS (
+           SELECT isodow(ts) - 1 AS dow, hour(ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM cells)
+         SELECT dow, hr, n, (1000000 * n) // tn AS share_ppm
+         FROM cells CROSS JOIN tot ORDER BY dow, hr""",
+
+    "orders_priority_sla" ->
+      """WITH j AS (
+           SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS gap
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+         SELECT priority, count(*) AS n_lines,
+           CAST(round(2 * median(gap)) AS BIGINT) AS p50_gap_x2,
+           (1000000 * CAST(sum(CASE WHEN gap <= 60 THEN 1 ELSE 0 END)
+             AS BIGINT)) // count(*) AS within_60d_ppm
+         FROM j GROUP BY priority ORDER BY priority""",
 
     "graph_ktruss" -> {
       def round(ein: String, eout: String): String =

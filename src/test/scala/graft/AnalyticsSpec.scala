@@ -873,6 +873,73 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("orders_backlog_aging: buckets and shares replayed") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") =!= "F")
+      .selectExpr("o_orderdate",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) cents")
+      .collect().map(r =>
+        (r.getAs[java.time.LocalDateTime](0).toLocalDate, r.getLong(1)))
+    val ref = o.map(_._1.toEpochDay).max
+    def bucket(age: Long) =
+      if (age <= 30) "a_0_30" else if (age <= 60) "b_31_60"
+      else if (age <= 90) "c_61_90" else "d_90_plus"
+    val byB = o.groupBy(r => bucket(ref - r._1.toEpochDay))
+      .map { case (b, rs) => b -> (rs.size.toLong, rs.map(_._2).sum) }
+    val tv = o.map(_._2).sum
+    val got = q("orders_backlog_aging").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == byB.keySet)
+    byB.foreach { case (b, (n, v)) =>
+      assert(got(b) == (n, v, 1000000L * v / tv), b)
+    }
+  }
+
+  test("events_hourly_heatmap: full grid, counts close, Monday-zero dow") {
+    val rows = q("events_hourly_heatmap").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+    assert(rows.forall { case ((d, h), _) =>
+      d >= 0 && d <= 6 && h >= 0 && h <= 23 })
+    val total = sources.Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_._2._1).sum == total)
+    // spot-check one cell against a driver recompute
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("ts").collect().map(_.getTimestamp(0).toLocalDateTime)
+    val cell = ev.groupBy(t =>
+      (t.getDayOfWeek.getValue - 1, t.getHour))
+      .map { case (k, o) => k -> o.size.toLong }
+    rows.foreach { case (k, (n, share)) =>
+      assert(cell(k) == n, s"cell $k")
+      assert(share == 1000000L * n / total)
+    }
+  }
+
+  test("orders_priority_sla: gap stats replayed per priority") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority", "o_orderdate").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[java.time.LocalDateTime](2).toLocalDate))
+      .toMap
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate))
+    val gaps = li.map { case (ok, sd) =>
+      val (p, od) = o(ok); (p, sd.toEpochDay - od.toEpochDay)
+    }
+    val got = q("orders_priority_sla").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    gaps.groupBy(_._1).foreach { case (p, rs) =>
+      val gs = rs.map(_._2).sorted
+      val n = gs.length
+      val med2 = if (n % 2 == 1) 2 * gs(n / 2) else gs(n / 2 - 1) + gs(n / 2)
+      val w = gs.count(_ <= 60).toLong
+      assert(got(p) == (n.toLong, med2, 1000000L * w / n), p)
+    }
+  }
+
   test("graph_ktruss: three peel rounds replayed on the driver") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_partkey").collect()
