@@ -5752,6 +5752,70 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "events_session_stats" -> ((s, dir) => {
+      // session-quality rollup over the SAME 30-min gaps-and-islands
+      // rule as event_sessionize: depth-bucketed session counts (the
+      // bounce bucket is depth 1), each bucket's floor-ppm share, and
+      // the exact doubled-median session duration in seconds. One
+      // per-user keyed window pass, then bucket-sized aggregates.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val isNew = when(lag(us, 1).over(w).isNull ||
+        (us - lag(us, 1).over(w)) > 1800L * 1000000L, 1).otherwise(0)
+      val sess = e.withColumn("session_id", sum(isNew).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            / lit(1000000L)).cast("long").as("dur_sec"))
+      val bucketed = sess.withColumn("depth_bucket",
+        when(col("n_events") === 1, "a_bounce")
+          .when(col("n_events") <= 4, "b_2_4")
+          .when(col("n_events") <= 9, "c_5_9")
+          .otherwise("d_10_plus"))
+      val agg = bucketed.groupBy("depth_bucket").agg(
+        count(lit(1)).as("n_sessions"),
+        expr("CAST(round(2 * percentile(dur_sec, 0.5)) AS BIGINT)")
+          .as("med2_dur_sec"))
+      val tot = agg.agg(sum(col("n_sessions")).as("ts0"))
+      agg.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(1000000 * n_sessions) div ts0"))
+        .select("depth_bucket", "n_sessions", "share_ppm", "med2_dur_sec")
+        .orderBy("depth_bucket")
+    }),
+
+    "events_entropy_rate" -> ((s, dir) => {
+      // behavioral entropy rate of the per-user event-type chain: with
+      // transition counts c_ij (one windowed lag pass, no session
+      // split — the raw chain), H = −Σ_ij (c_ij/T)·ln(c_ij/c_i), plus
+      // perplexity e^H — "how predictable is the next action". The
+      // cell table is k²-bounded; the ln fold runs in (src, dst)
+      // canonical order so the double is engine-identical.
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type").as("src"), col("nxt").as("dst"))
+      val cells = tr.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rowT = cells.groupBy("src").agg(sum(col("c")).as("cs"))
+      val tot = cells.agg(sum(col("c")).as("tt"))
+      val terms = cells.join(broadcast(rowT), Seq("src"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term", expr(
+          """-(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+             * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))"""))
+      terms
+        .agg(max(col("tt")).as("n_transitions"),
+          aggregate(sort_array(collect_list(struct(col("src"), col("dst"),
+            col("term")))), lit(0.0),
+            (a, x) => a + x.getField("term")).as("h"))
+        .select(col("n_transitions"), round(col("h"), 6).as("entropy_rate"),
+          round(exp(col("h")), 6).as("perplexity"))
+    }),
+
     "orders_backlog_aging" -> ((s, dir) => {
       // operational backlog aging: open (non-finished) orders bucketed
       // by age at the dataset's own reference instant (max order date —
@@ -8853,6 +8917,68 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "events_session_stats" ->
+      """WITH s0 AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)
+                 > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+           FROM events),
+         s1 AS (
+           SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM s0),
+         sess AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000
+               AS dur_sec
+           FROM s1 GROUP BY user_id, session_id),
+         b AS (
+           SELECT CASE WHEN n_events = 1 THEN 'a_bounce'
+                       WHEN n_events <= 4 THEN 'b_2_4'
+                       WHEN n_events <= 9 THEN 'c_5_9'
+                       ELSE 'd_10_plus' END AS depth_bucket, dur_sec
+           FROM sess),
+         agg AS (
+           SELECT depth_bucket, count(*) AS n_sessions,
+             CAST(round(2 * median(dur_sec)) AS BIGINT) AS med2_dur_sec
+           FROM b GROUP BY depth_bucket),
+         tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS ts0 FROM agg)
+         SELECT depth_bucket, n_sessions,
+           (1000000 * n_sessions) // ts0 AS share_ppm, med2_dur_sec
+         FROM agg CROSS JOIN tot ORDER BY depth_bucket""",
+
+    "events_entropy_rate" ->
+      """WITH tr AS (
+           SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS dst
+           FROM events),
+         cells AS (
+           SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+           FROM tr WHERE dst IS NOT NULL GROUP BY src, dst),
+         rt AS (SELECT src, CAST(sum(c) AS BIGINT) AS cs
+                FROM cells GROUP BY src),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cells),
+         terms AS (
+           SELECT src, dst,
+             -(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)) AS term,
+             tt
+           FROM cells JOIN rt USING (src) CROSS JOIN tot),
+         h AS (
+           SELECT max(tt) AS n_transitions,
+             list_reduce(list_prepend(0.0,
+               list(term ORDER BY src, dst)), (a, x) -> a + x) AS h
+           FROM terms)
+         SELECT n_transitions, round(h, 6) AS entropy_rate,
+           round(exp(h), 6) AS perplexity
+         FROM h""",
 
     "orders_backlog_aging" ->
       """WITH o AS (

@@ -873,6 +873,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("events_session_stats: sessions replayed with the 30-min gap rule") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val cuts = ts.indices.filter(i =>
+        i == 0 || ts(i) - ts(i - 1) > 1800000L)
+      (cuts :+ ts.length).sliding(2).map { w =>
+        val seg = ts.slice(w(0), w(1))
+        (seg.length, (seg.max - seg.min) / 1000L)
+      }
+    }.toSeq
+    def bucket(n: Int) = if (n == 1) "a_bounce" else if (n <= 4) "b_2_4"
+      else if (n <= 9) "c_5_9" else "d_10_plus"
+    val byB = sessions.groupBy(s => bucket(s._1))
+    val total = sessions.size.toLong
+    val got = q("events_session_stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == byB.keySet)
+    byB.foreach { case (b, ss) =>
+      val ds = ss.map(_._2).sorted
+      val n = ds.length
+      val med2 = if (n % 2 == 1) 2 * ds(n / 2) else ds(n / 2 - 1) + ds(n / 2)
+      assert(got(b) == (n.toLong, 1000000L * n / total, med2), b)
+    }
+  }
+
+  test("events_entropy_rate: H and perplexity replayed from the chain") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { rows =>
+      val seq2 = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      seq2.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)))
+    }.toSeq
+    val c = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cs = trans.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val tt = trans.size.toDouble
+    val h = c.toSeq.sortBy(_._1).map { case ((i, _), cij) =>
+      -(cij / tt) * math.log(cij.toDouble / cs(i))
+    }.sum
+    val row = q("events_entropy_rate").head()
+    assert(row.getLong(0) == trans.size.toLong)
+    assert(math.abs(row.getDouble(1) - h) < 1e-5)
+    assert(math.abs(row.getDouble(2) - math.exp(h)) < 1e-4)
+    // entropy rate of a 5-symbol chain is bounded by ln 5
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= math.log(5.0) + 1e-9)
+  }
+
   test("orders_backlog_aging: buckets and shares replayed") {
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
       .filter(org.apache.spark.sql.functions.col("o_orderstatus") =!= "F")
