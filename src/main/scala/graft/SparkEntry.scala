@@ -5752,6 +5752,67 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "dedup_minhash_pr" -> ((s, dir) => {
+      // threshold-calibration curve for the MinHash signature estimate:
+      // precision/recall of "m of k=16 positions match ≥ t" against the
+      // EXACT shingle-Jaccard ≥ 0.7 ground truth, at t ∈ {8,10,12,14}
+      // — the number a dedup operator owner reads before picking the
+      // production threshold. Candidates come from the signature
+      // position self-join (k rows/doc), truth from the df-capped
+      // exact inverted index; both counts and the 0.7 cut are pure
+      // integers (10c ≥ 7(na+nb−c)), so the confusion matrix is
+      // engine-exact.
+      val sh = augShingles(s, dir)
+      val sigs = sh.select(col("doc_id"),
+          HashFunctions.minhashFromHashes(col("hs"), 16).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e2 = sigs.select(col("doc_id"),
+        posexplode(col("sig")).as(Seq("j", "c")))
+      val est = e2.select(col("j"), col("c"), col("doc_id").as("id_a"))
+        .join(e2.select(col("j"), col("c"), col("doc_id").as("id_b")),
+          Seq("j", "c"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 8)
+      val shd = sh.select(col("doc_id"),
+          array_distinct(col("hs")).as("shh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = shd.select(col("doc_id"), size(col("shh")).cast("long").as("n"))
+      val ex = shd.select(col("doc_id"), explode(col("shh")).as("h"))
+      val common = ex.select(col("h"), col("doc_id").as("id_a"))
+        .join(ex.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      val truth = common
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+          Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+          Seq("id_b"))
+        .filter(col("c") * 10 >= (col("na") + col("nb") - col("c")) * 7)
+        .select(col("id_a"), col("id_b"), lit(1L).as("dup"))
+      val jf = est.join(truth, Seq("id_a", "id_b"), "full_outer")
+        .select(coalesce(col("m"), lit(0L)).as("m"),
+          coalesce(col("dup"), lit(0L)).as("dup"))
+      val th = s.range(0, 4)
+        .select((col("id") * 2 + 8).cast("int").as("min_matches"))
+      jf.crossJoin(th).groupBy("min_matches").agg(
+          sum(when(col("m") >= col("min_matches") && col("dup") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("m") >= col("min_matches") && col("dup") === 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("m") < col("min_matches") && col("dup") === 1, 1L)
+            .otherwise(0L)).as("fn"))
+        .withColumn("precision_ppm", expr(
+          """CASE WHEN tp + fp = 0 THEN NULL
+             ELSE (1000000 * tp) div (tp + fp) END"""))
+        .withColumn("recall_ppm", expr(
+          """CASE WHEN tp + fn = 0 THEN NULL
+             ELSE (1000000 * tp) div (tp + fn) END"""))
+        .select("min_matches", "tp", "fp", "fn", "precision_ppm",
+          "recall_ppm")
+        .orderBy("min_matches")
+    }),
+
     "events_session_stats" -> ((s, dir) => {
       // session-quality rollup over the SAME 30-min gaps-and-islands
       // rule as event_sessionize: depth-bucketed session counts (the
@@ -8917,6 +8978,58 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "dedup_minhash_pr" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shd),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         truth AS (
+           SELECT id_a, id_b, 1 AS dup
+           FROM common
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+           WHERE c * 10 >= (sa.n + sb.n - c) * 7),
+         xj AS (
+           SELECT doc_id, jj.j AS j,
+             xor(h, (jj.j * 11400714819323198485::HUGEINT)
+                 % 18446744073709551616::HUGEINT) AS x
+           FROM e CROSS JOIN (SELECT unnest(range(16)) AS j) jj),
+         ${mix64Ctes("xj", "mx")},
+         sig AS (
+           SELECT doc_id, j, min(${signedSql("h")}) AS c
+           FROM mx GROUP BY doc_id, j),
+         est AS (
+           SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS m
+           FROM sig sa JOIN sig sb
+             ON sa.j = sb.j AND sa.c = sb.c AND sa.doc_id < sb.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 8),
+         jf AS (
+           SELECT COALESCE(est.m, 0) AS m,
+             COALESCE(truth.dup, 0) AS dup
+           FROM est FULL OUTER JOIN truth USING (id_a, id_b)),
+         th AS (SELECT CAST(unnest([8, 10, 12, 14]) AS INT) AS min_matches),
+         agg AS (
+           SELECT min_matches,
+             CAST(sum(CASE WHEN m >= min_matches AND dup = 1
+               THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN m >= min_matches AND dup = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN m < min_matches AND dup = 1
+               THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM jf CROSS JOIN th GROUP BY min_matches)
+         SELECT min_matches, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+             ELSE (1000000 * tp) // (tp + fp) END AS precision_ppm,
+           CASE WHEN tp + fn = 0 THEN NULL
+             ELSE (1000000 * tp) // (tp + fn) END AS recall_ppm
+         FROM agg ORDER BY min_matches""",
 
     "events_session_stats" ->
       """WITH s0 AS (

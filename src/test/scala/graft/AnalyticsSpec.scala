@@ -873,6 +873,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("dedup_minhash_pr: confusion matrix closes and moves monotonically") {
+    val rows = q("dedup_minhash_pr").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(8, 10, 12, 14))
+    // tp + fn = total truth pairs, constant across thresholds
+    val totals = rows.map(r => r._2 + r._4).distinct
+    assert(totals.length == 1 && totals.head > 0L)
+    // raising the threshold can only drop detections
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3 && b._4 >= a._4)
+    }
+    rows.foreach { case (_, tp, fp, fn, p, r) =>
+      if (tp + fp > 0) assert(p == 1000000L * tp / (tp + fp))
+      if (tp + fn > 0) assert(r == 1000000L * tp / (tp + fn))
+    }
+  }
+
   test("events_session_stats: sessions replayed with the 30-min gap rule") {
     val ev = sources.Tables.load(spark, sfDir, "events")
       .select("user_id", "event_id", "ts").collect()
