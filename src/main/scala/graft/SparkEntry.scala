@@ -5752,6 +5752,56 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "events_user_stickiness" -> ((s, dir) => {
+      // DAU/MAU-style stickiness per ISO week: average daily actives
+      // over the week divided by weekly actives — the product-health
+      // ratio. Exact integers throughout: Σ daily-active counts and the
+      // weekly distinct both come from (user, day)-deduped rows, and
+      // the ratio is a floor-ppm of avg-DAU·7 construction-free form:
+      // stickiness_ppm = (10⁶ · Σ_day DAU) div (n_days · WAU).
+      val ev = t(s, dir, "events")
+      val ud = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("wk", date_trunc("week", col("day")).cast("date"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dau = ud.groupBy("wk", "day").agg(count(lit(1)).as("dau"))
+        .groupBy("wk").agg(sum(col("dau")).as("sum_dau"),
+          count(lit(1)).as("n_days"))
+      val wau = ud.select("wk", "user_id").distinct()
+        .groupBy("wk").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("wk"))
+        .withColumn("stickiness_ppm",
+          expr("(1000000 * sum_dau) div (n_days * wau)"))
+        .select("wk", "n_days", "sum_dau", "wau", "stickiness_ppm")
+        .orderBy("wk")
+    }),
+
+    "supplier_return_wilson" -> ((s, dir) => {
+      // "worst suppliers" ranked by the Wilson lower confidence bound
+      // of their return rate (returnflag = R) — the classic fix for
+      // naive rate ranking where 1-of-1 beats 40-of-100. Counts are
+      // exact integers; the z=1.96 Wilson bound closes through one
+      // verbatim-shared double tree (sqrt is IEEE-exact) and a floor.
+      // One scan, supplier-keyed combinable aggregate, TakeOrdered.
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy(col("l_suppkey").as("supplier"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("returns"))
+      agg.withColumn("wilson_lb_ppm", expr(
+          """CAST(floor(1000000.0 * (
+             (CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
+               + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+               - 1.96 * sqrt((CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / CAST(n AS DOUBLE)
+                 + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE)))) AS BIGINT)"""))
+        .orderBy(col("wilson_lb_ppm").desc, col("supplier")).limit(20)
+        .select("supplier", "n", "returns", "wilson_lb_ppm")
+    }),
+
     "dedup_minhash_pr" -> ((s, dir) => {
       // threshold-calibration curve for the MinHash signature estimate:
       // precision/recall of "m of k=16 positions match ≥ t" against the
@@ -8978,6 +9028,44 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "events_user_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         udw AS (
+           SELECT user_id, day,
+             CAST(date_trunc('week', day) AS DATE) AS wk
+           FROM ud),
+         dau AS (
+           SELECT wk, CAST(sum(dau) AS BIGINT) AS sum_dau,
+             count(*) AS n_days
+           FROM (SELECT wk, day, count(*) AS dau FROM udw GROUP BY wk, day)
+           GROUP BY wk),
+         wau AS (
+           SELECT wk, CAST(count(*) AS BIGINT) AS wau
+           FROM (SELECT DISTINCT wk, user_id FROM udw) GROUP BY wk)
+         SELECT dau.wk, n_days, sum_dau, wau,
+           (1000000 * sum_dau) // (n_days * wau) AS stickiness_ppm
+         FROM dau JOIN wau USING (wk) ORDER BY wk""",
+
+    "supplier_return_wilson" ->
+      """WITH agg AS (
+           SELECT l_suppkey AS supplier, count(*) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS returns
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT supplier, n, returns,
+           CAST(floor(1000000.0 * (
+             (CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
+               + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+               - 1.96 * sqrt((CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / CAST(n AS DOUBLE)
+                 + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE)))) AS BIGINT)
+             AS wilson_lb_ppm
+         FROM agg ORDER BY wilson_lb_ppm DESC, supplier LIMIT 20""",
 
     "dedup_minhash_pr" ->
       s"""WITH aug AS ($augDocsSql),

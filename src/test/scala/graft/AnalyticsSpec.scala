@@ -873,6 +873,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("events_user_stickiness: ratio bounded and replayed per week") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toLocalDateTime.toLocalDate))
+      .distinct
+    val byWk = ev.map { case (u, d) =>
+      (d.minusDays(d.getDayOfWeek.getValue - 1L), u, d)
+    }.distinct.groupBy(_._1)
+    val got = q("events_user_stickiness").collect()
+      .map(r => (r.getDate(0).toLocalDate,
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == byWk.keySet)
+    byWk.foreach { case (wk, rows) =>
+      val days = rows.map(_._3).distinct.size.toLong
+      val sumDau = rows.map(r => (r._3, r._2)).distinct.size.toLong
+      val wau = rows.map(_._2).distinct.size.toLong
+      val (gd, gs, gw, gp) = got(wk)
+      assert(gd == days && gs == sumDau && gw == wau, s"week $wk")
+      assert(gp == 1000000L * sumDau / (days * wau))
+      // stickiness is a ratio of actives: at most 1
+      assert(gp <= 1000000L)
+    }
+  }
+
+  test("supplier_return_wilson: bound replayed; ordering by the bound") {
+    def wilson(ret: Long, n: Long): Double = {
+      val p = ret.toDouble / n
+      (p + 3.8416 / (2.0 * n) -
+        1.96 * math.sqrt(p * (1 - p) / n + 3.8416 / (4.0 * n * n))) /
+        (1.0 + 3.8416 / n)
+    }
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val agg = li.groupBy(_._1).map { case (sup, rs) =>
+      (sup, rs.size.toLong, rs.count(_._2 == "R").toLong) }
+    val expect = agg.map { case (sup, n, ret) =>
+      (sup, n, ret, math.floor(1000000.0 * wilson(ret, n)).toLong) }
+      .toSeq.sortBy { case (sup, _, _, w) => (-w, sup) }.take(20)
+    val got = q("supplier_return_wilson").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"$got vs $expect")
+    // the bound is below the naive rate (it is a LOWER bound)
+    got.foreach { case (_, n, ret, w) =>
+      assert(w <= 1000000L * ret / n + 1)
+    }
+  }
+
   test("dedup_minhash_pr: confusion matrix closes and moves monotonically") {
     val rows = q("dedup_minhash_pr").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
