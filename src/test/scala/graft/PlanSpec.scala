@@ -363,4 +363,32 @@ class PlanSpec extends SparkSpec {
     // no join anywhere: the hashing trick needs no vocab table
     assert(!p.contains("Join"), p)
   }
+
+  test("graph_hits: iteration joins are shuffle-hash over the cached co-partitioned edges") {
+    val p = plan("graph_hits")
+    // the three score joins must not sort-merge (no edge-side sort) and
+    // must read the persisted, pre-partitioned edge frames
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("graph_clustering_coeff: degrees broadcast, closing join shuffle-hash") {
+    val p = plan("graph_clustering_coeff")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("curriculum_interleave: head served by TakeOrderedAndProject, no global sort") {
+    val p = plan("curriculum_interleave")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("supplier_return_wilson: top-k is TakeOrderedAndProject over one combinable aggregate") {
+    val p = plan("supplier_return_wilson")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }
