@@ -5950,9 +5950,13 @@ object SparkEntry {
         count(lit(1)).as("n_orders"),
         sum(col("cents")).as("value_cents"))
       val tot = agg.agg(sum(col("value_cents")).as("tv"))
+      // the ppm numerator crosses 2^63 past sf1 (the ABC lesson, caught
+      // again by the decade-up oracle leg: DuckDB errors loudly, Spark
+      // long arithmetic would wrap silently) — decimal(38,0) div
       agg.crossJoin(broadcast(tot))
-        .withColumn("value_share_ppm",
-          expr("(1000000 * value_cents) div tv"))
+        .withColumn("value_share_ppm", expr(
+          """CAST((1000000 * CAST(value_cents AS DECIMAL(38,0)))
+             div CAST(tv AS DECIMAL(38,0)) AS BIGINT)"""))
         .select("bucket", "n_orders", "value_cents", "value_share_ppm")
         .orderBy("bucket")
     }),
@@ -9202,9 +9206,10 @@ object SparkEntry {
            SELECT bucket, count(*) AS n_orders,
              CAST(sum(cents) AS BIGINT) AS value_cents
            FROM b GROUP BY bucket),
-         tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tv FROM agg)
+         tot AS (SELECT CAST(sum(value_cents) AS HUGEINT) AS tv FROM agg)
          SELECT bucket, n_orders, value_cents,
-           (1000000 * value_cents) // tv AS value_share_ppm
+           CAST((1000000 * CAST(value_cents AS HUGEINT)) // tv AS BIGINT)
+             AS value_share_ppm
          FROM agg CROSS JOIN tot ORDER BY bucket""",
 
     "events_hourly_heatmap" ->
