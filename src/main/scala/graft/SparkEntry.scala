@@ -5752,6 +5752,70 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "model_auc" -> ((s, dir) => {
+      // ROC-AUC of the hashed linear classifier against the lang=en
+      // label via the Mann–Whitney identity AUC = U/(n₁n₀) — no curve
+      // sweep, ONE value-domain rank pass (the stats_mann_whitney
+      // doubled-midrank machinery on integer margins, ties handled
+      // exactly). AUC and Gini emit as exact integer ppm. The
+      // companion to model_calibration: discrimination + calibration
+      // are the standard model-eval pair.
+      val d = t(s, dir, "documents")
+      val scored = d.select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
+        HashFunctions.linearMargin(
+          TextFunctions.tokens(lower(col("text")))).as("margin"))
+      val per = scored.groupBy("margin").agg(
+        sum(col("is_a")).as("ca"),
+        sum(lit(1L) - col("is_a")).as("cb"))
+      val wBefore = Window.orderBy("margin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = per
+        .withColumn("t", col("ca") + col("cb"))
+        .withColumn("cum_before",
+          coalesce(sum(col("t")).over(wBefore), lit(0L)))
+      ranked.agg(
+          sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"),
+          sum(col("ca") * (lit(2L) * col("cum_before") + col("t") + lit(1L)))
+            .as("r2a"))
+        .withColumn("u2", col("r2a") - col("n_pos") * (col("n_pos") + lit(1L)))
+        .withColumn("auc_ppm", expr(
+          """CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+             ELSE (1000000 * u2) div (2 * n_pos * n_neg) END"""))
+        .withColumn("gini_ppm", expr("2 * auc_ppm - 1000000"))
+        .select("n_pos", "n_neg", "u2", "auc_ppm", "gini_ppm")
+    }),
+
+    "embedding_norm_audit" -> ((s, dir) => {
+      // embedding-column hygiene: the squared-norm distribution (exact
+      // integers after the ×10⁴ quantization — the gram_matrix
+      // discipline) with doubled-median/MAD robust fences and the
+      // top-10 outlier vectors by deviation — catches the broken
+      // encoder batch before it poisons the ANN index. One scan; the
+      // fences broadcast back.
+      val e = t(s, dir, "embeddings")
+      val sq = e.select(col("vec_id"), expr(
+        """aggregate(transform(embedding,
+             v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)),
+           0L, (a, x) -> a + x * x)""").as("sqnorm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val med = sq.agg(
+        expr("CAST(round(2 * percentile(sqnorm, 0.5)) AS BIGINT)").as("med2"),
+        count(lit(1)).as("n"))
+      val dev = sq.crossJoin(broadcast(med))
+        .withColumn("dev2", abs(col("sqnorm") * 2 - col("med2")))
+      val mad = dev.agg(
+        expr("CAST(round(2 * percentile(dev2, 0.5)) AS BIGINT)").as("mad4"))
+      val flagged = dev.crossJoin(broadcast(mad))
+        .withColumn("is_outlier", col("dev2") * 2 > col("mad4") * 10)
+      val nOut = flagged.agg(
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      flagged.crossJoin(broadcast(nOut))
+        .orderBy(col("dev2").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), col("sqnorm"), col("dev2"), col("n"),
+          col("med2"), col("mad4"), col("n_outliers"))
+    }),
+
     "events_user_stickiness" -> ((s, dir) => {
       // DAU/MAU-style stickiness per ISO week: average daily actives
       // over the week divided by weekly actives — the product-health
@@ -9032,6 +9096,85 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "model_auc" ->
+      s"""WITH docs AS (
+           SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         thx AS (
+           SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th
+           FROM docs WHERE toks IS NOT NULL),
+         big AS (
+           SELECT doc_id, th,
+             CASE WHEN len(th) <= 2
+               THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
+                     (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
+               ELSE list_transform(range(1, len(th)),
+                 s -> (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
+                       % 18446744073709551616::HUGEINT) * 31
+                       + th[CAST(s AS INT)+1]) % 18446744073709551616::HUGEINT)
+             END AS bh
+           FROM thx),
+         fe AS (
+           SELECT doc_id, unnest(list_concat(th, bh)) AS x FROM big),
+         ${mix64Ctes("fe", "mx")},
+         ws AS (
+           SELECT doc_id,
+             CAST(sum(CAST(h % 1024 AS BIGINT) - 512) AS BIGINT) AS margin
+           FROM mx GROUP BY doc_id),
+         scored AS (
+           SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_a,
+             w.margin
+           FROM docs d JOIN ws w ON d.doc_id = w.doc_id),
+         per AS (
+           SELECT margin, CAST(sum(is_a) AS BIGINT) AS ca,
+             CAST(sum(1 - is_a) AS BIGINT) AS cb
+           FROM scored GROUP BY margin),
+         ranked AS (
+           SELECT ca, cb, ca + cb AS t,
+             COALESCE(sum(ca + cb) OVER (ORDER BY margin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+           FROM per),
+         agg AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
+             CAST(sum(cb) AS BIGINT) AS n_neg,
+             CAST(sum(ca * (2 * cum_before + t + 1)) AS BIGINT) AS r2a
+           FROM ranked),
+         u AS (SELECT n_pos, n_neg,
+             r2a - n_pos * (n_pos + 1) AS u2 FROM agg)
+         SELECT n_pos, n_neg, u2,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+             ELSE (1000000 * u2) // (2 * n_pos * n_neg) END AS auc_ppm,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+             ELSE 2 * ((1000000 * u2) // (2 * n_pos * n_neg)) - 1000000
+             END AS gini_ppm
+         FROM u""",
+
+    "embedding_norm_audit" ->
+      """WITH sq AS (
+           SELECT vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> CAST(round(v * 10000) AS BIGINT))),
+               (a, x) -> a + x * x) AS sqnorm
+           FROM embeddings),
+         med AS (
+           SELECT CAST(round(2 * median(sqnorm)) AS BIGINT) AS med2,
+             count(*) AS n
+           FROM sq),
+         dev AS (
+           SELECT vec_id, sqnorm, abs(sqnorm * 2 - med2) AS dev2, n, med2
+           FROM sq CROSS JOIN med),
+         mad AS (
+           SELECT CAST(round(2 * median(dev2)) AS BIGINT) AS mad4 FROM dev),
+         fl AS (
+           SELECT dev.*, mad4,
+             CASE WHEN dev2 * 2 > mad4 * 10 THEN 1 ELSE 0 END AS is_out
+           FROM dev CROSS JOIN mad),
+         nout AS (SELECT CAST(sum(is_out) AS BIGINT) AS n_outliers FROM fl)
+         SELECT vec_id, sqnorm, dev2, n, med2, mad4, n_outliers
+         FROM fl CROSS JOIN nout
+         ORDER BY dev2 DESC, vec_id LIMIT 10""",
 
     "events_user_stickiness" ->
       """WITH ud AS (

@@ -873,6 +873,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("model_auc: equals a direct pairwise AUC count") {
+    val scored = q("quality_model_score").collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("margin")))
+    val lang = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val pos = scored.filter(s => lang(s._1) == "en").map(_._2)
+    val neg = scored.filter(s => lang(s._1) != "en").map(_._2)
+    // direct O(n1·n0) definition: P(pos > neg) + ½P(tie)
+    var wins = 0L; var ties = 0L
+    for (p <- pos; ng <- neg) {
+      if (p > ng) wins += 1 else if (p == ng) ties += 1
+    }
+    val u2 = 2 * wins + ties
+    val row = q("model_auc").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    assert(g("n_pos") == pos.length.toLong && g("n_neg") == neg.length.toLong)
+    assert(g("u2") == u2, s"${g("u2")} vs $u2")
+    assert(g("auc_ppm") == 1000000L * u2 / (2L * pos.length * neg.length))
+    assert(g("gini_ppm") == 2 * g("auc_ppm") - 1000000L)
+  }
+
+  test("embedding_norm_audit: fences and outliers replayed") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val sq = embs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 10000)).map(q => q * q).sum
+    }
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    val m2 = med2(sq.map(_._2).toSeq)
+    val devs = sq.map { case (id, x) => (id, x, math.abs(2 * x - m2)) }
+    val m4 = med2(devs.map(_._3).toSeq)
+    val nOut = devs.count(d => d._3 * 2 > m4 * 10).toLong
+    val expect = devs.sortBy { case (id, _, d) => (-d, id) }.take(10)
+      .map { case (id, x, d) => (id, x, d) }.toSeq
+    val got = q("embedding_norm_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == expect)
+    got.foreach { r =>
+      assert(r._4 == embs.length.toLong && r._5 == m2 && r._6 == m4 &&
+        r._7 == nOut)
+    }
+  }
+
   test("events_user_stickiness: ratio bounded and replayed per week") {
     val ev = sources.Tables.load(spark, sfDir, "events")
       .select("user_id", "ts").collect()
