@@ -5752,6 +5752,67 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "orders_customer_migration" -> ((s, dir) => {
+      // customer value-migration matrix: tercile customers by spend in
+      // each half of the order-date range (fences = exact global
+      // percentiles of each half, broadcast) and count the 3×3
+      // transitions — who moved up, who churned down, the CRM
+      // migration readout. Share of customers holding their tercile
+      // emits per cell as floor-ppm. All-integer; two scans + two
+      // 1-row broadcasts.
+      val o = t(s, dir, "orders")
+      val base = o.select(col("o_custkey"),
+        col("o_orderdate").cast("date").as("od"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val mid = base.agg(min(col("od")).as("d0"), max(col("od")).as("d1"))
+        .select(expr("d0 + CAST((datediff(d1, d0) / 2) AS INT)").as("dm"))
+      val halves = base.crossJoin(broadcast(mid))
+        .withColumn("h", when(col("od") < col("dm"), 1).otherwise(2))
+        .groupBy("o_custkey", "h").agg(sum(col("cents")).as("spend"))
+      def terc(h: Int): DataFrame = {
+        val hh = halves.filter(col("h") === h)
+        val fences = hh.agg(expr(
+          "percentile(spend, array(0.3333333333333333, 0.6666666666666666))")
+          .as("es"))
+        hh.crossJoin(broadcast(fences))
+          .select(col("o_custkey"), (expr(
+            """aggregate(es, 0, (acc, e) ->
+               acc + CASE WHEN CAST(spend AS DOUBLE) > e
+                 THEN 1 ELSE 0 END)""") + 1).as(s"terc$h"))
+      }
+      val m = terc(1).join(terc(2), Seq("o_custkey"))
+      val cells = m.groupBy("terc1", "terc2").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("tn"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(1000000 * n) div tn"))
+        .select("terc1", "terc2", "n", "share_ppm")
+        .orderBy("terc1", "terc2")
+    }),
+
+    "part_supplier_herfindahl" -> ((s, dir) => {
+      // supplier-concentration HHI per part: Σ(q_s/Q)² over each
+      // part's supplier quantity shares — the procurement single-
+      // source-risk index. hhi_ppm = (10⁶·Σq_s²) div Q² is exact
+      // integer arithmetic end-to-end; two keyed combinable aggregates
+      // and a TakeOrdered head of the most concentrated multi-supplier
+      // parts.
+      val li = t(s, dir, "lineitem")
+      val ps = li.groupBy(col("l_partkey").as("part"),
+          col("l_suppkey").as("supplier"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+      ps.groupBy("part").agg(
+          count(lit(1)).as("n_suppliers"),
+          sum(col("q")).as("total_q"),
+          sum(col("q") * col("q")).as("sum_q2"))
+        .filter(col("n_suppliers") >= 2)
+        .withColumn("hhi_ppm", expr(
+          """CAST((1000000 * CAST(sum_q2 AS DECIMAL(38,0)))
+             div (CAST(total_q AS DECIMAL(38,0)) * total_q) AS BIGINT)"""))
+        .orderBy(col("hhi_ppm").desc, col("part")).limit(20)
+        .select("part", "n_suppliers", "total_q", "hhi_ppm")
+    }),
+
     "model_auc" -> ((s, dir) => {
       // ROC-AUC of the hashed linear classifier against the lang=en
       // label via the Mann–Whitney identity AUC = U/(n₁n₀) — no curve
@@ -9096,6 +9157,65 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "orders_customer_migration" ->
+      """WITH base AS (
+           SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM orders),
+         mid AS (
+           SELECT min(od) + CAST(date_diff('day', min(od), max(od)) // 2
+             AS INT) AS dm
+           FROM base),
+         halves AS (
+           SELECT o_custkey,
+             CASE WHEN od < dm THEN 1 ELSE 2 END AS h,
+             CAST(sum(cents) AS BIGINT) AS spend
+           FROM base CROSS JOIN mid
+           GROUP BY o_custkey, CASE WHEN od < dm THEN 1 ELSE 2 END),
+         f1 AS (
+           SELECT quantile_cont(spend,
+             [0.3333333333333333, 0.6666666666666666]) AS es
+           FROM halves WHERE h = 1),
+         f2 AS (
+           SELECT quantile_cont(spend,
+             [0.3333333333333333, 0.6666666666666666]) AS es
+           FROM halves WHERE h = 2),
+         t1 AS (
+           SELECT o_custkey,
+             list_reduce(list_prepend(0, list_transform(es,
+               e -> CASE WHEN CAST(spend AS DOUBLE) > e
+                 THEN 1 ELSE 0 END)), (a, v) -> a + v) + 1 AS terc1
+           FROM halves CROSS JOIN f1 WHERE h = 1),
+         t2 AS (
+           SELECT o_custkey,
+             list_reduce(list_prepend(0, list_transform(es,
+               e -> CASE WHEN CAST(spend AS DOUBLE) > e
+                 THEN 1 ELSE 0 END)), (a, v) -> a + v) + 1 AS terc2
+           FROM halves CROSS JOIN f2 WHERE h = 2),
+         cells AS (
+           SELECT terc1, terc2, count(*) AS n
+           FROM t1 JOIN t2 USING (o_custkey) GROUP BY terc1, terc2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM cells)
+         SELECT terc1, terc2, n, (1000000 * n) // tn AS share_ppm
+         FROM cells CROSS JOIN tot ORDER BY terc1, terc2""",
+
+    "part_supplier_herfindahl" ->
+      """WITH ps AS (
+           SELECT l_partkey AS part, l_suppkey AS supplier,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem GROUP BY 1, 2),
+         agg AS (
+           SELECT part, count(*) AS n_suppliers,
+             CAST(sum(q) AS BIGINT) AS total_q,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sum_q2
+           FROM ps GROUP BY part)
+         SELECT part, n_suppliers, total_q,
+           CAST((1000000 * sum_q2)
+             // (CAST(total_q AS HUGEINT) * total_q) AS BIGINT) AS hhi_ppm
+         FROM agg WHERE n_suppliers >= 2
+         ORDER BY hhi_ppm DESC, part LIMIT 20""",
 
     "model_auc" ->
       s"""WITH docs AS (

@@ -873,6 +873,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("orders_customer_migration: matrix closes over both-half customers") {
+    val rows = q("orders_customer_migration").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+    assert(rows.forall { case ((a, b), _) =>
+      a >= 1 && a <= 3 && b >= 1 && b <= 3 })
+    val total = rows.map(_._2._1).sum
+    rows.foreach { case (_, (n, share)) =>
+      assert(share == 1000000L * n / total)
+    }
+    // terciles are ~equal-mass: each terc1 row-group holds ~n/3
+    val byT1 = rows.groupBy(_._1._1).view.mapValues(_.map(_._2._1).sum)
+    byT1.values.foreach(v =>
+      assert(math.abs(v - total / 3.0) <= total * 0.1 + 3, byT1.toString))
+  }
+
+  test("part_supplier_herfindahl: HHI replayed; bounded by (1/n, 1]") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_partkey", "l_suppkey", "CAST(l_quantity AS BIGINT) q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPart = li.groupBy(_._1).view.mapValues { rs =>
+      rs.groupBy(_._2).map { case (_, ss) => ss.map(_._3).sum }.toSeq
+    }.toMap.filter(_._2.size >= 2)
+    val expect = byPart.map { case (p, qs) =>
+      val tq = qs.sum
+      (p, qs.size.toLong, tq,
+        (BigInt(1000000) * qs.map(x => BigInt(x) * x).sum /
+          (BigInt(tq) * tq)).toLong)
+    }.toSeq.sortBy { case (p, _, _, h) => (-h, p) }.take(20)
+    val got = q("part_supplier_herfindahl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"$got vs $expect")
+    got.foreach { case (_, n, _, h) =>
+      assert(h <= 1000000L && h >= 1000000L / n - 1)
+    }
+  }
+
   test("model_auc: equals a direct pairwise AUC count") {
     val scored = q("quality_model_score").collect()
       .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("margin")))
