@@ -120,6 +120,28 @@ object SparkEntry {
         * ($jbSkew * $jbSkew / 6.0 + $jbKurt * $jbKurt / 24.0))
         AS BIGINT)"""
 
+  /** Bartlett's test over the five pivoted sufficient-statistic columns
+    * (n, n1..n5, s1..s5, q1..q5 — the stats_anova_f fold): sample
+    * variances are ratios of exactly-cast integers, the statistic and
+    * its correction close in one tree shared verbatim with DuckDB. */
+  private val bartlettTppm: String = {
+    def v(i: Int) =
+      s"""((CAST(n$i AS DOUBLE) * CAST(q$i AS DOUBLE)
+         - CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE))
+         / (CAST(n$i AS DOUBLE) * (CAST(n$i AS DOUBLE) - 1.0)))"""
+    val pooled =
+      s"""((${(1 to 5).map(i => s"(CAST(n$i AS DOUBLE) - 1.0) * ${v(i)}")
+        .mkString(" + ")}) / CAST(n - 5 AS DOUBLE))"""
+    val num =
+      s"""(CAST(n - 5 AS DOUBLE) * ln($pooled)
+         - (${(1 to 5).map(i => s"(CAST(n$i AS DOUBLE) - 1.0) * ln(${v(i)})")
+        .mkString(" + ")}))"""
+    val corr =
+      s"""(1.0 + ((${(1 to 5).map(i => s"1.0 / (CAST(n$i AS DOUBLE) - 1.0)")
+        .mkString(" + ")}) - 1.0 / CAST(n - 5 AS DOUBLE)) / 12.0)"""
+    s"CAST(floor(1000000.0 * $num / $corr) AS BIGINT)"
+  }
+
   /** Lag-1 Granger F over n-scaled centered sums (n, st, stt, so, soo,
     * sx, sxx, sot, sxt, sox): restricted AR(1) RSS minus the
     * unrestricted 2-regressor RSS (closed-form normal-equation solve),
@@ -5752,6 +5774,80 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "stats_bartlett" -> ((s, dir) => {
+      // Bartlett's variance-equality test across the five market
+      // segments — the parametric member completing the spread-test
+      // family (stats_levene is the robust Brown–Forsythe). Reuses the
+      // stats_anova_f pivoted sufficient-statistic fold (exact
+      // integers; Σx² in decimal(38,0)); the statistic and its
+      // 1+(Σ1/(nᵢ−1)−1/(N−k))/(3(k−1)) correction evaluate in ONE
+      // verbatim-shared double tree, floor-ppm out.
+      val c0 = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val aCols = kwSegs.zipWithIndex.flatMap { case (sg, i) =>
+        Seq(
+          sum(when(col("seg") === sg, 1L).otherwise(0L)).as(s"n${i + 1}"),
+          sum(when(col("seg") === sg, col("cents")).otherwise(0L))
+            .as(s"s${i + 1}"),
+          sum(when(col("seg") === sg,
+            col("cents").cast("decimal(38,0)") * col("cents"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"q${i + 1}"))
+      }
+      c0.agg(aCols.head, aCols.tail: _*)
+        .withColumn("n", expr("n1 + n2 + n3 + n4 + n5"))
+        .withColumn("t_ppm", expr(bartlettTppm))
+        .select("n", "n1", "n2", "n3", "n4", "n5", "t_ppm")
+    }),
+
+    "graph_conductance" -> ((s, dir) => {
+      // per-community conductance φ_c = cut(c)/min(vol(c), 2m−vol(c))
+      // of the SAME planted nation-band partition graph_modularity
+      // grades — the cut-quality view of the same structure (low φ =
+      // well-separated community). Every count is an exact integer;
+      // the one division is a floor-ppm. Same band-bucket edge
+      // construction (Σ|band| candidates, never n²); cut and volume
+      // are one labeled-edge aggregation each.
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          col("c_nationkey").cast("long").as("nation"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val withB = c.withColumn("bk", expr("id div 100"))
+      val right = withB
+        .select(col("id").as("id2"), col("nation").as("nation2"),
+          col("bk"))
+        .withColumn("dbk", explode(array(lit(0L), lit(1L))))
+        .select(col("id2"), col("nation2"), (col("bk") - col("dbk")).as("bk2"))
+      val near = withB.join(right,
+          col("bk") === col("bk2") && col("nation") === col("nation2") &&
+            col("id2") > col("id") && col("id2") <= col("id") + 100)
+        .select(col("id").as("src"), col("id2").as("dst"))
+      val chain = c.join(
+          c.select(col("id").as("id2"), col("nation").as("nation2")),
+          col("id2") === col("id") + 1)
+        .select(col("id").as("src"), col("id2").as("dst"))
+      val e0 = near.unionByName(chain).distinct()
+      val und = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+      val lbl = c.select(col("id"), col("nation").as("label"))
+      val le = und
+        .join(lbl.select(col("id").as("src"), col("label").as("ls")),
+          Seq("src"))
+        .join(lbl.select(col("id").as("dst"), col("label").as("ld")),
+          Seq("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m2t = le.agg(count(lit(1)).as("m2"))
+      val per = le.groupBy(col("ls").as("label")).agg(
+        count(lit(1)).as("vol"),
+        sum(when(col("ls") =!= col("ld"), 1L).otherwise(0L)).as("cut"))
+      per.crossJoin(broadcast(m2t))
+        .withColumn("phi_ppm", expr(
+          """CASE WHEN least(vol, m2 - vol) = 0 THEN NULL
+             ELSE (1000000 * cut) div least(vol, m2 - vol) END"""))
+        .select("label", "vol", "cut", "phi_ppm")
+        .orderBy("label")
+    }),
+
     "orders_customer_migration" -> ((s, dir) => {
       // customer value-migration matrix: tercile customers by spend in
       // each half of the order-date range (fences = exact global
@@ -9157,6 +9253,60 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "stats_bartlett" -> {
+      val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>
+        s"""CAST(sum(CASE WHEN seg = '$sg' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n${i + 1},
+           CAST(sum(CASE WHEN seg = '$sg' THEN cents ELSE 0 END) AS BIGINT)
+             AS s${i + 1},
+           sum(CASE WHEN seg = '$sg'
+             THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS q${i + 1}"""
+      }.mkString(",\n           ")
+      s"""WITH c0 AS (
+           SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         agg0 AS (
+           SELECT $aggs
+           FROM c0),
+         wn AS (SELECT agg0.*, n1 + n2 + n3 + n4 + n5 AS n FROM agg0)
+         SELECT n, n1, n2, n3, n4, n5,
+           $bartlettTppm AS t_ppm
+         FROM wn"""
+    },
+
+    "graph_conductance" ->
+      """WITH c AS (
+           SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nation
+           FROM customer),
+         near AS (
+           SELECT a.id AS src, b.id AS dst
+           FROM c a JOIN c b
+             ON b.id > a.id AND b.id <= a.id + 100
+             AND b.nation = a.nation),
+         chain AS (
+           SELECT a.id AS src, b.id AS dst
+           FROM c a JOIN c b ON b.id = a.id + 1),
+         e0 AS (SELECT DISTINCT src, dst FROM
+                (SELECT * FROM near UNION ALL SELECT * FROM chain)),
+         und AS MATERIALIZED (SELECT src, dst FROM e0
+                 UNION ALL SELECT dst, src FROM e0),
+         le AS MATERIALIZED (
+           SELECT u.src, u.dst, ls.nation AS ls, ld.nation AS ld
+           FROM und u
+           JOIN c ls ON u.src = ls.id
+           JOIN c ld ON u.dst = ld.id),
+         m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM le),
+         per AS (
+           SELECT ls AS label, count(*) AS vol,
+             CAST(sum(CASE WHEN ls <> ld THEN 1 ELSE 0 END) AS BIGINT)
+               AS cut
+           FROM le GROUP BY ls)
+         SELECT label, vol, cut,
+           CASE WHEN least(vol, m2 - vol) = 0 THEN NULL
+             ELSE (1000000 * cut) // least(vol, m2 - vol) END AS phi_ppm
+         FROM per CROSS JOIN m2t ORDER BY label""",
 
     "orders_customer_migration" ->
       """WITH base AS (

@@ -873,6 +873,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("stats_bartlett: statistic replayed from raw per-segment variances") {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_mktsegment", "CAST(round(c_acctbal * 100) AS BIGINT) x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val segs = c.groupBy(_._1).values.map(_.map(_._2.toDouble)).toSeq
+    val k = segs.length
+    val nT = c.length.toDouble
+    def svar(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val pooled = segs.map(g => (g.length - 1) * svar(g)).sum / (nT - k)
+    val num = (nT - k) * math.log(pooled) -
+      segs.map(g => (g.length - 1) * math.log(svar(g))).sum
+    val corr = 1.0 + (segs.map(g => 1.0 / (g.length - 1)).sum -
+      1.0 / (nT - k)) / (3.0 * (k - 1))
+    val t0 = num / corr
+    val row = q("stats_bartlett").head()
+    assert(row.getLong(0) == c.length.toLong)
+    assert(math.abs(row.getLong(row.fieldIndex("t_ppm")) / 1e6 - t0)
+      < math.abs(t0) * 1e-6 + 1e-3, s"${row.getLong(6)} vs $t0")
+  }
+
+  test("graph_conductance: cut/volume replayed on the planted graph") {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nation = c.toMap
+    val ids = c.map(_._1).toSet
+    val near = for {
+      (id, nat) <- c
+      id2 <- (id + 1) to (id + 100) if ids.contains(id2) &&
+        nation(id2) == nat
+    } yield (id, id2)
+    val chain = c.collect { case (id, _) if ids.contains(id + 1) =>
+      (id, id + 1) }
+    val e0 = (near ++ chain).distinct
+    val und = e0 ++ e0.map(_.swap)
+    val m2 = und.size.toLong
+    val byLabel = und.groupBy(e => nation(e._1))
+    val got = q("graph_conductance").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == byLabel.keySet.map(identity))
+    byLabel.foreach { case (lab, es) =>
+      val vol = es.size.toLong
+      val cut = es.count(e => nation(e._2) != lab).toLong
+      assert(got(lab) == (vol, cut,
+        1000000L * cut / math.min(vol, m2 - vol)), s"label $lab")
+    }
+    // the planted structure is real: median conductance well below 1/2
+    val phis = got.values.map(_._3).toSeq.sorted
+    assert(phis(phis.length / 2) < 500000L, phis.toString)
+  }
+
   test("orders_customer_migration: matrix closes over both-half customers") {
     val rows = q("orders_customer_migration").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
