@@ -5774,6 +5774,86 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "orders_discount_response" -> ((s, dir) => {
+      // discount-response curve: per discount band (percent grain —
+      // l_discount is a 2-decimal rate), exact order-line counts,
+      // doubled-median and exact-mean quantity in centi-units, and
+      // revenue share — the pricing team's elasticity readout. Bands
+      // are integer percent values (round(discount·100): exact from
+      // the 2-decimal fixture doubles), everything downstream is
+      // integer or floor-ppm.
+      val li = t(s, dir, "lineitem")
+        .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("rev_c"))
+      val agg = li.groupBy("disc_pct").agg(
+        count(lit(1)).as("n_lines"),
+        expr("CAST(round(2 * percentile(qty_c, 0.5)) AS BIGINT)")
+          .as("med2_qty_c"),
+        sum(col("qty_c")).as("sum_qty_c"),
+        sum(col("rev_c")).as("rev_c"))
+      val tot = agg.agg(sum(col("rev_c")).as("tr"))
+      agg.crossJoin(broadcast(tot))
+        .withColumn("mean_qty_c_ppm", expr(
+          """CAST((1000000 * CAST(sum_qty_c AS DECIMAL(38,0)))
+             div CAST(n_lines AS DECIMAL(38,0)) AS BIGINT)"""))
+        .withColumn("rev_share_ppm", expr(
+          """CAST((1000000 * CAST(rev_c AS DECIMAL(38,0)))
+             div CAST(tr AS DECIMAL(38,0)) AS BIGINT)"""))
+        .select("disc_pct", "n_lines", "med2_qty_c", "mean_qty_c_ppm",
+          "rev_share_ppm")
+        .orderBy("disc_pct")
+    }),
+
+    "graph_richclub" -> ((s, dir) => {
+      // rich-club coefficient φ(k) = 2·E_k/(N_k(N_k−1)) at degree
+      // cuts k ∈ {2,4,8,16,32}: do the best-connected parts of the
+      // co-purchase graph preferentially link to each other? N_k and
+      // E_k are exact integer counts (degrees broadcast onto the edge
+      // list, edges kept iff BOTH endpoints pass the cut); one edge
+      // scan per nothing — all five cuts ride a single conditional
+      // aggregation. Same bounded even-part projection as
+      // graph_clustering_coeff.
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(2)) === 0)
+      val items = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("p")).distinct()
+      val e0 = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e0.select(col("u").as("node"))
+        .unionByName(e0.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cuts = Seq(2L, 4L, 8L, 16L, 32L)
+      val ed = e0
+        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))),
+          Seq("u"))
+        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))),
+          Seq("v"))
+      val ekCols = cuts.map(k =>
+        sum(when(col("du") > k && col("dv") > k, 1L).otherwise(0L))
+          .as(s"e_$k"))
+      val ek = ed.agg(ekCols.head, ekCols.tail: _*)
+      val nkCols = cuts.map(k =>
+        sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k"))
+      val nk = deg.agg(nkCols.head, nkCols.tail: _*)
+      import s.implicits._
+      val cutsDf = cuts.toDF("k")
+      cutsDf.crossJoin(broadcast(ek)).crossJoin(broadcast(nk))
+        .select(col("k"),
+          cuts.foldLeft(lit(0L)) { (acc, kk) =>
+            when(col("k") === kk, col(s"n_$kk")).otherwise(acc) }.as("n_k"),
+          cuts.foldLeft(lit(0L)) { (acc, kk) =>
+            when(col("k") === kk, col(s"e_$kk")).otherwise(acc) }.as("e_k"))
+        .withColumn("phi_ppm", expr(
+          """CASE WHEN n_k < 2 THEN NULL
+             ELSE (1000000 * 2 * e_k) div (n_k * (n_k - 1)) END"""))
+        .orderBy("k")
+    }),
+
     "stats_bartlett" -> ((s, dir) => {
       // Bartlett's variance-equality test across the five market
       // segments — the parametric member completing the spread-test
@@ -9253,6 +9333,55 @@ object SparkEntry {
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
     },
+
+    "orders_discount_response" ->
+      """WITH li AS (
+           SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS rev_c
+           FROM lineitem),
+         agg AS (
+           SELECT disc_pct, count(*) AS n_lines,
+             CAST(round(2 * median(qty_c)) AS BIGINT) AS med2_qty_c,
+             CAST(sum(qty_c) AS HUGEINT) AS sum_qty_c,
+             CAST(sum(rev_c) AS HUGEINT) AS rev_c
+           FROM li GROUP BY disc_pct),
+         tot AS (SELECT CAST(sum(rev_c) AS HUGEINT) AS tr FROM agg)
+         SELECT disc_pct, n_lines, med2_qty_c,
+           CAST((1000000 * sum_qty_c) // CAST(n_lines AS HUGEINT)
+             AS BIGINT) AS mean_qty_c_ppm,
+           CAST((1000000 * rev_c) // tr AS BIGINT) AS rev_share_ppm
+         FROM agg CROSS JOIN tot ORDER BY disc_pct""",
+
+    "graph_richclub" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+           WHERE l_partkey % 2 = 0),
+         e0 AS (
+           SELECT DISTINCT x.p AS u, y.p AS v
+           FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+         deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+             SELECT u AS node FROM e0
+             UNION ALL SELECT v AS node FROM e0) GROUP BY node),
+         ed AS (
+           SELECT d1.deg AS du, d2.deg AS dv
+           FROM e0 JOIN deg d1 ON e0.u = d1.node
+           JOIN deg d2 ON e0.v = d2.node),
+         ks AS (SELECT CAST(unnest([2, 4, 8, 16, 32]) AS BIGINT) AS k),
+         ek AS (
+           SELECT k, CAST(sum(CASE WHEN du > k AND dv > k THEN 1 ELSE 0 END)
+             AS BIGINT) AS e_k
+           FROM ed CROSS JOIN ks GROUP BY k),
+         nk AS (
+           SELECT k, CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_k
+           FROM deg CROSS JOIN ks GROUP BY k)
+         SELECT ek.k AS k, n_k, e_k,
+           CASE WHEN n_k < 2 THEN NULL
+             ELSE (1000000 * 2 * e_k) // (n_k * (n_k - 1)) END AS phi_ppm
+         FROM ek JOIN nk ON ek.k = nk.k ORDER BY k""",
 
     "stats_bartlett" -> {
       val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>

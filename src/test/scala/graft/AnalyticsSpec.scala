@@ -873,6 +873,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("orders_discount_response: band stats replayed; shares close") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("CAST(round(l_discount * 100) AS BIGINT) d",
+        "CAST(round(l_quantity * 100) AS BIGINT) q",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) r")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val byD = li.groupBy(_._1)
+    val tr = li.map(x => BigInt(x._3)).sum
+    val got = q("orders_discount_response").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == byD.keySet)
+    byD.foreach { case (d, rs) =>
+      val qs = rs.map(_._2).sorted
+      val n = qs.length
+      val med2 = if (n % 2 == 1) 2 * qs(n / 2) else qs(n / 2 - 1) + qs(n / 2)
+      val (gn, gm, gmean, gshare) = got(d)
+      assert(gn == n.toLong && gm == med2, s"band $d")
+      assert(gmean == (BigInt(1000000) * qs.map(BigInt(_)).sum /
+        BigInt(n)).toLong)
+      assert(gshare == (BigInt(1000000) * rs.map(x => BigInt(x._3)).sum /
+        tr).toLong)
+    }
+  }
+
+  test("graph_richclub: phi replayed; density grows toward the club") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 % 2 == 0)
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.distinct
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (n, o) => n -> o.size.toLong }
+    val got = q("graph_richclub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L, 32L))
+    got.foreach { case (k, nk, ek2, phi) =>
+      val nkE = deg.values.count(_ > k).toLong
+      val ekE = edges.count(e => deg(e._1) > k && deg(e._2) > k).toLong
+      assert(nk == nkE && ek2 == ekE, s"k=$k")
+      if (nkE >= 2)
+        assert(phi == 1000000L * 2 * ekE / (nkE * (nkE - 1)), s"k=$k")
+      else assert(phi == -1L)
+    }
+  }
+
   test("stats_bartlett: statistic replayed from raw per-segment variances") {
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
       .selectExpr("c_mktsegment", "CAST(round(c_acctbal * 100) AS BIGINT) x")
