@@ -120,6 +120,22 @@ object SparkEntry {
         * ($jbSkew * $jbSkew / 6.0 + $jbKurt * $jbKurt / 24.0))
         AS BIGINT)"""
 
+  /** Poisson goodness-of-fit χ² over the pivoted order-size columns
+    * (n, tl, obs_1..obs_7): λ = tl/n, expected_k = n·e^{−λ}λ^k/k!,
+    * χ² = Σ(obs−exp)²/exp folded k-ascending — one tree shared
+    * verbatim with DuckDB (exp() fed by an identical rational). */
+  private val poissonChi2Ppm: String = {
+    val lam = "(CAST(tl AS DOUBLE) / CAST(n AS DOUBLE))"
+    def fact(k: Int): Long = (1 to k).map(_.toLong).product
+    def ex(k: Int) =
+      s"""(CAST(n AS DOUBLE) * exp(-$lam)
+         * ${(1 to k).map(_ => lam).mkString(" * ")} / ${fact(k)}.0)"""
+    val terms = (1 to 7).map(k =>
+      s"""((CAST(obs_$k AS DOUBLE) - ${ex(k)})
+         * (CAST(obs_$k AS DOUBLE) - ${ex(k)}) / ${ex(k)})""")
+    s"CAST(floor(1000000.0 * (${terms.mkString(" + ")})) AS BIGINT)"
+  }
+
   /** Bartlett's test over the five pivoted sufficient-statistic columns
     * (n, n1..n5, s1..s5, q1..q5 — the stats_anova_f fold): sample
     * variances are ratios of exactly-cast integers, the statistic and
@@ -5774,6 +5790,25 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "orders_size_poisson_fit" -> ((s, dir) => {
+      // does basket size follow a Poisson law? Observed lines-per-order
+      // histogram (sizes 1..7 — the fixture domain) vs the Poisson(λ̂)
+      // expectation with λ̂ the exact-rational mean, χ² over the seven
+      // buckets in one verbatim-shared tree (exp() fed by the identical
+      // tl/n double). One keyed count + a 7-column pivot; everything
+      // before the tree is exact integers.
+      val li = t(s, dir, "lineitem")
+      val sizes = li.groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("sz")).as("tl")) ++
+        (1 to 7).map(k =>
+          sum(when(col("sz") === k, 1L).otherwise(0L)).as(s"obs_$k"))
+      sizes.agg(aggs.head, aggs.tail: _*)
+        .withColumn("lambda_ppm", expr("(1000000 * tl) div n"))
+        .withColumn("chi2_ppm", expr(poissonChi2Ppm))
+        .select(Seq(col("n"), col("tl"), col("lambda_ppm")) ++
+          (1 to 7).map(k => col(s"obs_$k")) :+ col("chi2_ppm"): _*)
+    }),
+
     "orders_discount_response" -> ((s, dir) => {
       // discount-response curve: per discount band (percent grain —
       // l_discount is a 2-decimal rate), exact order-line counts,
@@ -9332,6 +9367,23 @@ object SparkEntry {
          SELECT d.i AS dim, round(x[d.i], 6) AS component,
            round(num / den / 100000000.0, 6) AS eigenvalue
          FROM ray CROSS JOIN idx d ORDER BY dim"""
+    },
+
+    "orders_size_poisson_fit" -> {
+      val obs = (1 to 7).map(k =>
+        s"CAST(sum(CASE WHEN sz = $k THEN 1 ELSE 0 END) AS BIGINT) AS obs_$k")
+        .mkString(",\n           ")
+      s"""WITH sizes AS (
+           SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
+           FROM lineitem GROUP BY l_orderkey),
+         agg AS (
+           SELECT count(*) AS n, CAST(sum(sz) AS BIGINT) AS tl,
+           $obs
+           FROM sizes)
+         SELECT n, tl, (1000000 * tl) // n AS lambda_ppm,
+           ${(1 to 7).map(k => s"obs_$k").mkString(", ")},
+           $poissonChi2Ppm AS chi2_ppm
+         FROM agg"""
     },
 
     "orders_discount_response" ->

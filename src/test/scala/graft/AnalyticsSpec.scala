@@ -873,6 +873,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(g("jb_ppm") / 1e6 - jb) < jb.abs * 1e-3 + 1e-3)
   }
 
+  test("orders_size_poisson_fit: histogram and chi2 replayed") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val sizes = li.groupBy(identity).map(_._2.size)
+    val n = sizes.size.toDouble
+    val tl = li.length.toDouble
+    val lam = tl / n
+    def fact(k: Int): Double = (1 to k).product.toDouble
+    val obs = (1 to 7).map(k => sizes.count(_ == k).toLong)
+    val chi2 = (1 to 7).map { k =>
+      val e = n * math.exp(-lam) * math.pow(lam, k) / fact(k)
+      val o = obs(k - 1).toDouble
+      (o - e) * (o - e) / e
+    }.sum
+    val row = q("orders_size_poisson_fit").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    assert(g("n") == sizes.size.toLong && g("tl") == li.length.toLong)
+    (1 to 7).foreach(k => assert(g(s"obs_$k") == obs(k - 1), s"obs_$k"))
+    assert(g("lambda_ppm") == (1000000L * li.length / sizes.size))
+    assert(math.abs(g("chi2_ppm") / 1e6 - chi2) < chi2 * 1e-6 + 1e-3,
+      s"${g("chi2_ppm")} vs $chi2")
+    assert(obs.sum == sizes.size.toLong)
+  }
+
   test("orders_discount_response: band stats replayed; shares close") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("CAST(round(l_discount * 100) AS BIGINT) d",
