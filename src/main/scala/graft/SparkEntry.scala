@@ -127,12 +127,19 @@ object SparkEntry {
   private val poissonChi2Ppm: String = {
     val lam = "(CAST(tl AS DOUBLE) / CAST(n AS DOUBLE))"
     def fact(k: Int): Long = (1 to k).map(_.toLong).product
-    def ex(k: Int) =
-      s"""(CAST(n AS DOUBLE) * exp(-$lam)
+    def ex(k: Int): String =
+      if (k == 0) s"(CAST(n AS DOUBLE) * exp(-$lam))"
+      else s"""(CAST(n AS DOUBLE) * exp(-$lam)
          * ${(1 to k).map(_ => lam).mkString(" * ")} / ${fact(k)}.0)"""
-    val terms = (1 to 7).map(k =>
-      s"""((CAST(obs_$k AS DOUBLE) - ${ex(k)})
-         * (CAST(obs_$k AS DOUBLE) - ${ex(k)}) / ${ex(k)})""")
+    // expected tail mass = n − Σ_{k=0..7} e_k (no zero-line orders
+    // exist, so obs_0 = 0 contributes (0−e_0)²/e_0 like any bucket)
+    val exTail = s"(CAST(n AS DOUBLE) - (${(0 to 7).map(ex).mkString(" + ")}))"
+    val terms = (0 to 7).map { k =>
+      val o = if (k == 0) "0.0" else s"CAST(obs_$k AS DOUBLE)"
+      s"(($o - ${ex(k)}) * ($o - ${ex(k)}) / ${ex(k)})"
+    } :+
+      s"""((CAST(obs_8p AS DOUBLE) - $exTail)
+         * (CAST(obs_8p AS DOUBLE) - $exTail) / $exTail)"""
     s"CAST(floor(1000000.0 * (${terms.mkString(" + ")})) AS BIGINT)"
   }
 
@@ -5801,12 +5808,14 @@ object SparkEntry {
       val sizes = li.groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
       val aggs = Seq(count(lit(1)).as("n"), sum(col("sz")).as("tl")) ++
         (1 to 7).map(k =>
-          sum(when(col("sz") === k, 1L).otherwise(0L)).as(s"obs_$k"))
+          sum(when(col("sz") === k, 1L).otherwise(0L)).as(s"obs_$k")) :+
+        sum(when(col("sz") >= 8, 1L).otherwise(0L)).as("obs_8p")
       sizes.agg(aggs.head, aggs.tail: _*)
         .withColumn("lambda_ppm", expr("(1000000 * tl) div n"))
         .withColumn("chi2_ppm", expr(poissonChi2Ppm))
         .select(Seq(col("n"), col("tl"), col("lambda_ppm")) ++
-          (1 to 7).map(k => col(s"obs_$k")) :+ col("chi2_ppm"): _*)
+          (1 to 7).map(k => col(s"obs_$k")) ++
+          Seq(col("obs_8p"), col("chi2_ppm")): _*)
     }),
 
     "orders_discount_response" -> ((s, dir) => {
@@ -9370,8 +9379,9 @@ object SparkEntry {
     },
 
     "orders_size_poisson_fit" -> {
-      val obs = (1 to 7).map(k =>
+      val obs = ((1 to 7).map(k =>
         s"CAST(sum(CASE WHEN sz = $k THEN 1 ELSE 0 END) AS BIGINT) AS obs_$k")
+        :+ "CAST(sum(CASE WHEN sz >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS obs_8p")
         .mkString(",\n           ")
       s"""WITH sizes AS (
            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
@@ -9381,7 +9391,7 @@ object SparkEntry {
            $obs
            FROM sizes)
          SELECT n, tl, (1000000 * tl) // n AS lambda_ppm,
-           ${(1 to 7).map(k => s"obs_$k").mkString(", ")},
+           ${(1 to 7).map(k => s"obs_$k").mkString(", ")}, obs_8p,
            $poissonChi2Ppm AS chi2_ppm
          FROM agg"""
     },

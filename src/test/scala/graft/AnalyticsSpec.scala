@@ -881,20 +881,24 @@ class AnalyticsSpec extends SparkSpec {
     val tl = li.length.toDouble
     val lam = tl / n
     def fact(k: Int): Double = (1 to k).product.toDouble
+    def e(k: Int): Double = n * math.exp(-lam) * math.pow(lam, k) / fact(k)
     val obs = (1 to 7).map(k => sizes.count(_ == k).toLong)
-    val chi2 = (1 to 7).map { k =>
-      val e = n * math.exp(-lam) * math.pow(lam, k) / fact(k)
-      val o = obs(k - 1).toDouble
-      (o - e) * (o - e) / e
-    }.sum
+    val obsTail = sizes.count(_ >= 8).toLong
+    val eTail = n - (0 to 7).map(e).sum
+    val chi2 = (0 to 7).map { k =>
+      val o = if (k == 0) 0.0 else obs(k - 1).toDouble
+      (o - e(k)) * (o - e(k)) / e(k)
+    }.sum + (obsTail - eTail) * (obsTail - eTail) / eTail
     val row = q("orders_size_poisson_fit").head()
     def g(cn: String) = row.getLong(row.fieldIndex(cn))
     assert(g("n") == sizes.size.toLong && g("tl") == li.length.toLong)
     (1 to 7).foreach(k => assert(g(s"obs_$k") == obs(k - 1), s"obs_$k"))
+    assert(g("obs_8p") == obsTail)
     assert(g("lambda_ppm") == (1000000L * li.length / sizes.size))
     assert(math.abs(g("chi2_ppm") / 1e6 - chi2) < chi2 * 1e-6 + 1e-3,
       s"${g("chi2_ppm")} vs $chi2")
-    assert(obs.sum == sizes.size.toLong)
+    // the histogram closes over all orders once the tail bucket exists
+    assert(obs.sum + obsTail == sizes.size.toLong)
   }
 
   test("orders_discount_response: band stats replayed; shares close") {
