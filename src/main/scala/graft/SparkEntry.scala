@@ -6642,6 +6642,64 @@ object SparkEntry {
         .orderBy("period")
     }),
 
+    "attribution_shapley" -> ((s, dir) => {
+      // simplified-Shapley attribution (the game-theoretic member
+      // completing last-touch / U-shaped / position / Markov): the
+      // "coalition" of a user's journey is their distinct channel set
+      // (pre-first-purchase, purchase excluded), v(S) = observed
+      // conversion rate of users with exactly set S, and each
+      // channel's value is the exact Shapley sum Σ w(|S|)·(v(S∪{i}) −
+      // v(S)) over the 8 subsets of the other three channels. The
+      // subset table is 2⁴-bounded (one distinct-set aggregation);
+      // the combinatorial sum runs driver-side in a FIXED enumeration
+      // order with weights m/24.0 generated from the same text as the
+      // oracle — bit-identical doubles before round(6). Coalitions are
+      // FIRST-ACTIVE-DAY journeys (did the user convert on day one?):
+      // whole-history journeys are vacuous on this fixture — every
+      // user eventually purchases, so v ≈ 1 for every subset and all
+      // marginal contributions collapse to 0 (measured) — while
+      // day-one sets are sparse and day-one conversion genuinely
+      // varies by coalition.
+      val ev = t(s, dir, "events")
+      val fd = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"))
+      val j0 = ev.join(fd, Seq("user_id"))
+        .filter(to_date(col("ts")) === col("d0"))
+      val sets = j0.groupBy("user_id").agg(
+        concat_ws(",", array_sort(array_distinct(collect_list(
+          when(col("event_type") =!= "purchase", col("event_type"))))))
+          .as("subset"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val table = sets.groupBy("subset").agg(
+          count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val chans = Seq("click", "error", "signup", "view")
+      def key(sub: Seq[String]): String = sub.sorted.mkString(",")
+      def v(sub: Seq[String]): Double = table.get(key(sub)) match {
+        case Some((n, c)) if n > 0 => c.toDouble / n.toDouble
+        case _ => 0.0
+      }
+      def fact(k: Int): Long = (1 to k).map(_.toLong).product
+      // fixed enumeration: subsets of the OTHER three channels in
+      // lexicographic order of their sorted key
+      val rows = chans.map { ch =>
+        val others = chans.filterNot(_ == ch)
+        val subs = (0 to 3).flatMap(k => others.combinations(k).toSeq)
+          .sortBy(key)
+        val sh = subs.foldLeft(0.0) { (acc, sub) =>
+          val w = (fact(sub.size) * fact(3 - sub.size)).toDouble / 24.0
+          acc + w * (v(sub :+ ch) - v(sub))
+        }
+        (ch, sh)
+      }
+      import s.implicits._
+      rows.toDF("channel", "shapley")
+        .select(col("channel"), round(col("shapley"), 6).as("shapley"))
+        .orderBy("channel")
+    }),
+
     "attribution_markov" -> ((s, dir) => {
       // Markov removal-effect attribution (the data-driven sibling of
       // the last-touch / U-shaped / position-based family): model each
@@ -10125,6 +10183,55 @@ object SparkEntry {
            CAST(floor(1000000.0 * power / tp) AS BIGINT)
              AS power_share_ppm
          FROM pw2 CROSS JOIN totp ORDER BY period""",
+
+    "attribution_shapley" -> {
+      val chans = Seq("click", "error", "signup", "view")
+      def key(sub: Seq[String]): String = sub.sorted.mkString(",")
+      val allSubs = (0 to 4).flatMap(k => chans.combinations(k).toSeq)
+        .map(key).sorted
+      val vIdx = allSubs.zipWithIndex.toMap
+      def fact(k: Int): Long = (1 to k).map(_.toLong).product
+      val vCols = allSubs.zipWithIndex.map { case (sk, i) =>
+        s"""COALESCE(max(CASE WHEN subset = '$sk'
+           THEN CAST(c AS DOUBLE) / CAST(n AS DOUBLE) END), 0.0) AS v$i"""
+      }.mkString(",\n           ")
+      val shRows = chans.map { ch =>
+        val others = chans.filterNot(_ == ch)
+        val subs = (0 to 3).flatMap(k => others.combinations(k).toSeq)
+          .sortBy(key)
+        val terms = subs.map { sub =>
+          val w = s"${fact(sub.size) * fact(3 - sub.size)}.0 / 24.0"
+          s"($w) * (v${vIdx(key(sub :+ ch))} - v${vIdx(key(sub))})"
+        }.mkString(" + ")
+        s"SELECT '$ch' AS channel, round(0.0 + $terms, 6) AS shapley FROM vv"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH fd AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+           GROUP BY user_id),
+         j0 AS (
+           SELECT e.user_id, e.event_type
+           FROM events e JOIN fd USING (user_id)
+           WHERE CAST(e.ts AS DATE) = fd.d0),
+         sets AS (
+           SELECT user_id,
+             COALESCE(array_to_string(list_sort(list_distinct(
+               list(event_type) FILTER (WHERE event_type <> 'purchase'))),
+               ','), '') AS subset,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+           FROM j0 GROUP BY user_id),
+         tab AS (
+           SELECT subset, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS c
+           FROM sets GROUP BY subset),
+         vv AS (
+           SELECT
+           $vCols
+           FROM tab)
+         SELECT channel, shapley FROM (
+           $shRows)
+         ORDER BY channel"""
+    },
 
     "attribution_markov" -> {
       val srcs = Seq("start", "click", "error", "signup", "view")

@@ -1527,6 +1527,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._3).sum <= 1000000L)
   }
 
+  test("attribution_shapley: full replay + the efficiency identity") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toLocalDateTime.toLocalDate,
+        r.getString(2)))
+    val sets = ev.groupBy(_._1).values.map { rows =>
+      val d0 = rows.map(_._2).min
+      val day1 = rows.filter(_._2 == d0)
+      val subset = day1.map(_._3).filter(_ != "purchase").distinct.sorted
+        .mkString(",")
+      (subset, if (day1.exists(_._3 == "purchase")) 1L else 0L)
+    }.toSeq
+    val tab = sets.groupBy(_._1).map { case (k, rs) =>
+      k -> (rs.size.toLong, rs.map(_._2).sum) }
+    def v(sub: Seq[String]): Double = tab.get(sub.sorted.mkString(",")) match {
+      case Some((n, c)) if n > 0 => c.toDouble / n
+      case _ => 0.0
+    }
+    val chans = Seq("click", "error", "signup", "view")
+    def fact(k: Int): Long = (1 to k).map(_.toLong).product
+    val expect = chans.map { ch =>
+      val others = chans.filterNot(_ == ch)
+      val subs = (0 to 3).flatMap(k => others.combinations(k).toSeq)
+        .sortBy(_.sorted.mkString(","))
+      ch -> subs.foldLeft(0.0) { (acc, sub) =>
+        acc + (fact(sub.size) * fact(3 - sub.size)).toDouble / 24.0 *
+          (v(sub :+ ch) - v(sub))
+      }
+    }.toMap
+    val got = q("attribution_shapley").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    chans.foreach(ch =>
+      assert(math.abs(got(ch) - expect(ch)) < 1e-5, ch))
+    // efficiency: Σ φ_i = v(grand coalition) − v(∅) — the Shapley axiom
+    val eff = v(chans) - v(Seq.empty)
+    assert(math.abs(got.values.sum - eff) < 1e-4,
+      s"${got.values.sum} vs $eff")
+  }
+
   test("attribution_markov: matches an exact (I-Q)a=r linear solve") {
     val ev = sources.Tables.load(spark, sfDir, "events")
       .select("user_id", "event_id", "ts", "event_type").collect()
