@@ -6642,6 +6642,39 @@ object SparkEntry {
         .orderBy("period")
     }),
 
+    "events_error_pchart" -> ((s, dir) => {
+      // p-chart (the canonical SPC control chart) on the daily error
+      // share: centre line p̄ = global error rate, limits p̄ ±
+      // 3·√(p̄(1−p̄)/nᵢ) with per-day nᵢ — flags out-of-control days.
+      // Counts exact; p̄ and the limits close through one verbatim-
+      // shared tree (IEEE-exact sqrt); the flag compares the exact
+      // integer rate nᵢ-scaled against the limit once, identically in
+      // both engines. Days-sized output.
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(to_date(col("ts")).as("day")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errs"))
+      val tot = daily.agg(sum(col("n")).as("tn"), sum(col("errs")).as("te"))
+      daily.crossJoin(broadcast(tot))
+        .withColumn("p_ppm", expr("(1000000 * errs) div n"))
+        .withColumn("pbar", expr(
+          "CAST(te AS DOUBLE) / CAST(tn AS DOUBLE)"))
+        .withColumn("sigma", expr(
+          "sqrt(pbar * (1.0 - pbar) / CAST(n AS DOUBLE))"))
+        .withColumn("ucl_ppm", expr(
+          "CAST(floor(1000000.0 * (pbar + 3.0 * sigma)) AS BIGINT)"))
+        .withColumn("lcl_ppm", expr(
+          "CAST(floor(1000000.0 * (pbar - 3.0 * sigma)) AS BIGINT)"))
+        .withColumn("out_of_control", expr(
+          """CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) > pbar + 3.0 * sigma
+             OR CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)
+               < pbar - 3.0 * sigma"""))
+        .select("day", "n", "errs", "p_ppm", "ucl_ppm", "lcl_ppm",
+          "out_of_control")
+        .orderBy("day")
+    }),
+
     "attribution_shapley" -> ((s, dir) => {
       // simplified-Shapley attribution (the game-theoretic member
       // completing last-touch / U-shaped / position / Markov): the
@@ -10183,6 +10216,34 @@ object SparkEntry {
            CAST(floor(1000000.0 * power / tp) AS BIGINT)
              AS power_share_ppm
          FROM pw2 CROSS JOIN totp ORDER BY period""",
+
+    "events_error_pchart" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS errs
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(errs) AS BIGINT) AS te
+           FROM daily),
+         x AS (
+           SELECT day, n, errs,
+             (1000000 * errs) // n AS p_ppm,
+             CAST(te AS DOUBLE) / CAST(tn AS DOUBLE) AS pbar,
+             sqrt((CAST(te AS DOUBLE) / CAST(tn AS DOUBLE))
+               * (1.0 - CAST(te AS DOUBLE) / CAST(tn AS DOUBLE))
+               / CAST(n AS DOUBLE)) AS sigma
+           FROM daily CROSS JOIN tot)
+         SELECT day, n, errs, p_ppm,
+           CAST(floor(1000000.0 * (pbar + 3.0 * sigma)) AS BIGINT)
+             AS ucl_ppm,
+           CAST(floor(1000000.0 * (pbar - 3.0 * sigma)) AS BIGINT)
+             AS lcl_ppm,
+           (CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) > pbar + 3.0 * sigma
+            OR CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)
+              < pbar - 3.0 * sigma) AS out_of_control
+         FROM x ORDER BY day""",
 
     "attribution_shapley" -> {
       val chans = Seq("click", "error", "signup", "view")

@@ -1527,6 +1527,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._3).sum <= 1000000L)
   }
 
+  test("events_error_pchart: limits and flags replayed per day") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select("ts", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate,
+        r.getString(1)))
+    val daily = ev.groupBy(_._1).map { case (d, rs) =>
+      (d, rs.size.toLong, rs.count(_._2 == "error").toLong) }.toSeq
+    val tn = daily.map(_._2).sum.toDouble
+    val te = daily.map(_._3).sum.toDouble
+    val pbar = te / tn
+    val got = q("events_error_pchart").collect()
+      .map(r => (r.getDate(0).toLocalDate,
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got.size == daily.size)
+    daily.foreach { case (d, n, e) =>
+      val sigma = math.sqrt(pbar * (1 - pbar) / n)
+      val (gn, ge, gp, gu, gl, gf) = got(d)
+      assert(gn == n && ge == e, s"day $d")
+      assert(gp == 1000000L * e / n)
+      assert(gu == math.floor(1000000.0 * (pbar + 3 * sigma)).toLong)
+      assert(gl == math.floor(1000000.0 * (pbar - 3 * sigma)).toLong)
+      val p = e.toDouble / n
+      assert(gf == (p > pbar + 3 * sigma || p < pbar - 3 * sigma), s"day $d")
+    }
+  }
+
   test("attribution_shapley: full replay + the efficiency identity") {
     val ev = sources.Tables.load(spark, sfDir, "events")
       .select("user_id", "ts", "event_type").collect()
