@@ -6642,6 +6642,69 @@ object SparkEntry {
         .orderBy("period")
     }),
 
+    "text_heaps_law" -> ((s, dir) => {
+      // Heaps'-law fit V(n) = K·n^β of vocabulary growth — the
+      // corpus-scaling law a tokenizer owner reads before sizing a
+      // vocab. The vocabulary unit is the token TRIGRAM: the synthetic
+      // corpus draws from a ~31-word list, so unigram vocabulary
+      // saturates at the first checkpoint (β = 0 exactly, measured —
+      // the no-signal-fixture lesson again); the ~30k-type trigram
+      // space genuinely grows across checkpoints. Ten doc-id-decile
+      // checkpoints (broadcast percentile fences); V_i counts types
+      // whose FIRST document lands at or before the fence (one
+      // min-aggregation — cumulative distinct without any sequential
+      // scan), n_i the occurrences up to it. The log–log OLS closes
+      // over checkpoint-ascending canonical ln folds and one shared
+      // tree; β in ppm, K in milli.
+      val d = t(s, dir, "documents")
+      val t0 = d.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(lower(col("text"))))
+          .as(Seq("pos", "w0")))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val tok = t0
+        .withColumn("w2", lead(col("w0"), 1).over(wd))
+        .withColumn("w3", lead(col("w0"), 2).over(wd))
+        .filter(col("w3").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("w0"), col("w2"), col("w3")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fences = d.agg(expr(
+        """percentile(doc_id, array(0.1, 0.2, 0.3, 0.4, 0.5,
+           0.6, 0.7, 0.8, 0.9, 1.0))""").as("es"))
+      val cps = fences.select(posexplode(col("es")).as(Seq("i", "fence")))
+      val firstDoc = tok.groupBy("w").agg(min(col("doc_id")).as("fd"))
+      val vocab = firstDoc.crossJoin(broadcast(cps))
+        .filter(col("fd").cast("double") <= col("fence"))
+        .groupBy("i").agg(count(lit(1)).as("v"))
+      val ntok = tok.crossJoin(broadcast(cps))
+        .filter(col("doc_id").cast("double") <= col("fence"))
+        .groupBy("i").agg(count(lit(1)).as("n"))
+      val pts = vocab.join(ntok, Seq("i"))
+        .select(col("i"), expr("ln(CAST(n AS DOUBLE))").as("lx"),
+          expr("ln(CAST(v AS DOUBLE))").as("ly"))
+      val agg = pts.agg(
+        count(lit(1)).cast("double").as("m"),
+        aggregate(sort_array(collect_list(struct(col("i"), col("lx")))),
+          lit(0.0), (a, x) => a + x.getField("lx")).as("sx"),
+        aggregate(sort_array(collect_list(struct(col("i"), col("ly")))),
+          lit(0.0), (a, x) => a + x.getField("ly")).as("sy"),
+        aggregate(sort_array(collect_list(struct(col("i"),
+          (col("lx") * col("ly")).as("p")))),
+          lit(0.0), (a, x) => a + x.getField("p")).as("sxy"),
+        aggregate(sort_array(collect_list(struct(col("i"),
+          (col("lx") * col("lx")).as("p")))),
+          lit(0.0), (a, x) => a + x.getField("p")).as("sxx"))
+      agg
+        .withColumn("beta_ppm", expr(
+          """CAST(floor(1000000.0 * (m * sxy - sx * sy)
+             / (m * sxx - sx * sx)) AS BIGINT)"""))
+        .withColumn("k_milli", expr(
+          """CAST(floor(1000.0 * exp((sy - ((m * sxy - sx * sy)
+             / (m * sxx - sx * sx)) * sx) / m)) AS BIGINT)"""))
+        .select(col("m").cast("bigint").as("n_checkpoints"),
+          col("beta_ppm"), col("k_milli"))
+    }),
+
     "events_error_pchart" -> ((s, dir) => {
       // p-chart (the canonical SPC control chart) on the daily error
       // share: centre line p̄ = global error rate, limits p̄ ±
@@ -10216,6 +10279,53 @@ object SparkEntry {
            CAST(floor(1000000.0 * power / tp) AS BIGINT)
              AS power_share_ppm
          FROM pw2 CROSS JOIN totp ORDER BY period""",
+
+    "text_heaps_law" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tok AS (
+           SELECT doc_id,
+             toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+               || ' ' || toks[CAST(i AS INT) + 2] AS w
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+                 FROM d WHERE len(toks) >= 3)),
+         fences AS (
+           SELECT quantile_cont(doc_id, [0.1, 0.2, 0.3, 0.4, 0.5,
+             0.6, 0.7, 0.8, 0.9, 1.0]) AS es
+           FROM documents),
+         cps AS (
+           SELECT CAST(generate_subscripts(es, 1) AS INT) - 1 AS i,
+             unnest(es) AS fence
+           FROM fences),
+         fdoc AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+         vocab AS (
+           SELECT i, CAST(count(*) AS BIGINT) AS v
+           FROM fdoc CROSS JOIN cps
+           WHERE CAST(fd AS DOUBLE) <= fence GROUP BY i),
+         ntok AS (
+           SELECT i, CAST(count(*) AS BIGINT) AS n
+           FROM tok CROSS JOIN cps
+           WHERE CAST(doc_id AS DOUBLE) <= fence GROUP BY i),
+         pts AS (
+           SELECT vocab.i AS i, ln(CAST(n AS DOUBLE)) AS lx,
+             ln(CAST(v AS DOUBLE)) AS ly
+           FROM vocab JOIN ntok ON vocab.i = ntok.i),
+         agg AS (
+           SELECT CAST(count(*) AS DOUBLE) AS m,
+             list_reduce(list_prepend(0.0, list(lx ORDER BY i)),
+               (a, x) -> a + x) AS sx,
+             list_reduce(list_prepend(0.0, list(ly ORDER BY i)),
+               (a, x) -> a + x) AS sy,
+             list_reduce(list_prepend(0.0, list(lx * ly ORDER BY i)),
+               (a, x) -> a + x) AS sxy,
+             list_reduce(list_prepend(0.0, list(lx * lx ORDER BY i)),
+               (a, x) -> a + x) AS sxx
+           FROM pts)
+         SELECT CAST(m AS BIGINT) AS n_checkpoints,
+           CAST(floor(1000000.0 * (m * sxy - sx * sy)
+             / (m * sxx - sx * sx)) AS BIGINT) AS beta_ppm,
+           CAST(floor(1000.0 * exp((sy - ((m * sxy - sx * sy)
+             / (m * sxx - sx * sx)) * sx) / m)) AS BIGINT) AS k_milli
+         FROM agg""",
 
     "events_error_pchart" ->
       """WITH daily AS (

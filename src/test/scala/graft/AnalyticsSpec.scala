@@ -1527,6 +1527,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._3).sum <= 1000000L)
   }
 
+  test("text_heaps_law: log-log fit replayed from cumulative trigram vocab") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def tris(t: String): Seq[String] =
+      if (t == null || t.trim.isEmpty) Seq.empty
+      else t.trim.toLowerCase.split("\\s+").toSeq
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+    val ids = docs.map(_._1.toDouble).sorted
+    def pct(q: Double): Double = {
+      val pos = q * (ids.length - 1)
+      val lo = pos.toInt
+      if (lo == ids.length - 1) ids(lo)
+      else ids(lo) + (pos - lo) * (ids(lo + 1) - ids(lo))
+    }
+    val fences = (1 to 10).map(i => pct(i / 10.0))
+    val grams = docs.flatMap { case (id, t) => tris(t).map(g => (id, g)) }
+    val fdoc = grams.groupBy(_._2).map { case (g, o) => g -> o.map(_._1).min }
+    val pts = fences.map { f =>
+      val v = fdoc.values.count(_.toDouble <= f).toDouble
+      val n = grams.count(_._1.toDouble <= f).toDouble
+      (math.log(n), math.log(v))
+    }
+    val m = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val k = math.exp((sy - beta * sx) / m)
+    val row = q("text_heaps_law").head()
+    assert(row.getLong(0) == 10L)
+    assert(math.abs(row.getLong(1) / 1e6 - beta) < 1e-4,
+      s"${row.getLong(1)} vs $beta")
+    assert(math.abs(row.getLong(2) / 1e3 - k) < k * 1e-4 + 1e-2)
+    // a growing (non-saturated) vocabulary: 0 < beta <= 1
+    assert(row.getLong(1) > 0L && row.getLong(1) <= 1000000L)
+  }
+
   test("events_error_pchart: limits and flags replayed per day") {
     val ev = sources.Tables.load(spark, sfDir, "events")
       .select("ts", "event_type").collect()
