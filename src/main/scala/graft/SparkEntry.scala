@@ -7769,6 +7769,183 @@ object SparkEntry {
         .select(col("n_a"), col("n_b"),
           col("est_a"), col("est_b"), round(col("est_keys"), 4).as("est_keys"),
           col("est_join_rows"), col("exact_join_rows"))
+    }),
+
+    "stats_wilcoxon_signed_rank" -> ((s, dir) => {
+      // Wilcoxon signed-rank test on the paired per-user purchase
+      // counts (first vs second half of the event era — the McNemar
+      // pairing upgraded from binary to magnitude). Zero differences
+      // drop per Wilcoxon; ranks of |d| use DOUBLED midranks
+      // (2·avg = 2·cum_before + t + 1 — the Mann–Whitney integer
+      // machinery, ties exact), so W⁺ enters the z as the exact
+      // integer 2W⁺. z = (2·w2_pos − n(n+1)) / √((2n(n+1)(2n+1) −
+      // Σ(t³−t))/3) — one integer numerator, one IEEE-exact sqrt,
+      // one divide: engine-exact at round-6. One event scan folds to
+      // per-user pairs; everything downstream is |d|-domain-sized.
+      val ev = t(s, dir, "events")
+      val half = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+      val u = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(
+          sum(when(col("ts") < half, 1L).otherwise(0L)).as("early"),
+          sum(when(col("ts") >= half, 1L).otherwise(0L)).as("late"))
+        .withColumn("d", col("late") - col("early"))
+        .filter(col("d") =!= 0)
+        .withColumn("ad", abs(col("d")))
+      val per = u.groupBy("ad").agg(
+        count(lit(1)).as("t"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("tpos"))
+      val wBefore = Window.orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = per.withColumn("cum_before",
+        coalesce(sum(col("t")).over(wBefore), lit(0L)))
+      ranked.agg(
+          sum(col("t")).as("n"),
+          sum(col("tpos") * (lit(2L) * col("cum_before") + col("t") + lit(1L)))
+            .as("w2_pos"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+        .withColumn("z", expr(
+          """CASE WHEN n < 2 THEN NULL
+             ELSE round((2 * w2_pos - n * (n + 1)) /
+               sqrt((2.0 * n * (n + 1) * (2 * n + 1) - tie3) / 3.0), 6) END"""))
+        .select("n", "w2_pos", "tie3", "z")
+    }),
+
+    "stats_durbin_watson" -> ((s, dir) => {
+      // Durbin–Watson autocorrelation-of-residuals test on the daily
+      // event-count series detrended by closed-form OLS on the day
+      // index. Residuals are kept EXACT by multiplying through by the
+      // integer OLS denominator: e′_t = nD·y_t − (D·Sy − N1·Sx) −
+      // nN1·x_t where N1 = nSxy − SxSy, D = nSxx − Sx² — every term an
+      // integer, so DW = Σ(Δe′)²/Σe′² is a pure integer ratio (the
+      // scale cancels) emitted as floor-ppm with zero float anywhere.
+      // decimal(38,0) squares: nD·y ≈ 1e15 at sf1, squared 1e30 — the
+      // ABC overflow lesson applied up front. The series is days-sized;
+      // only the daily rollup scans events.
+      val ev = t(s, dir, "events")
+      val d = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val xd = d.withColumn("x",
+        row_number().over(Window.orderBy("day")).cast("long"))
+      val sums = xd.agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val resid = xd.crossJoin(broadcast(sums))
+        .withColumn("n1", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dd", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("e", (col("n").cast("decimal(38,0)") * col("dd") * col("y")
+          - (col("dd").cast("decimal(38,0)") * col("sy")
+             - col("n1").cast("decimal(38,0)") * col("sx"))
+          - col("n").cast("decimal(38,0)") * col("n1") * col("x")))
+        .withColumn("e_prev", lag(col("e"), 1).over(Window.orderBy("x")))
+      resid.agg(
+          max(col("n")).as("n_days"),
+          max(expr("""CASE WHEN dd = 0 THEN NULL
+                      ELSE (1000000 * n1) div dd END""")).as("slope_ppm"),
+          sum(col("e") * col("e")).as("sse"),
+          sum(when(col("e_prev").isNotNull,
+            (col("e") - col("e_prev")) * (col("e") - col("e_prev")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("ssd"))
+        .withColumn("dw_ppm", expr(
+          """CASE WHEN sse = 0 THEN NULL
+             ELSE CAST((1000000 * ssd) div sse AS BIGINT) END"""))
+        .select("n_days", "slope_ppm", "dw_ppm")
+    }),
+
+    "timeseries_pacf" -> ((s, dir) => {
+      // partial autocorrelation of the daily event-count series at lags
+      // 1..3 via the Durbin–Levinson recursion unrolled over the EXACT
+      // integer ACF rationals (timeseries_acf's n²-cleared numerators):
+      // r_k enters as one correctly-rounded decimal→double division,
+      // then φ11, φ22, φ33 close in a fixed IEEE tree — engine-exact at
+      // round-6 (the rational arithmetic would need decimal(114) by
+      // φ33; doubles after exact integers is the sample_weighted
+      // lesson applied in reverse). Calendar-sized joins only.
+      val ev = t(s, dir, "events")
+      val d = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = d.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sm"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+      val lags = s.range(1, 4).select(col("id").cast("int").as("lag"))
+      val pairs = d.as("a").crossJoin(lags)
+        .join(d.as("b"),
+          col("b.day") === date_add(col("a.day"), col("lag")), "inner")
+        .groupBy("lag")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("p_k"),
+          sum(col("a.x").cast("decimal(38,0)") * col("b.x")).as("pk_sum"),
+          sum(col("a.x")).cast("decimal(38,0)").as("a_k"),
+          sum(col("b.x")).cast("decimal(38,0)").as("b_k"))
+      // the lag frame is 3 rows; pivot to one row of doubles
+      val piv = pairs.crossJoin(broadcast(tot))
+        .withColumn("num", expr(
+          "n * n * pk_sum - n * sm * (a_k + b_k) + p_k * sm * sm"))
+        .withColumn("den", expr("n * n * q - n * sm * sm"))
+        .withColumn("r", expr(
+          """CASE WHEN den = 0 THEN NULL
+             ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END"""))
+        .groupBy()
+        .agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+          max(when(col("lag") === 2, col("r"))).as("r2"),
+          max(when(col("lag") === 3, col("r"))).as("r3"))
+      piv
+        .withColumn("p11", col("r1"))
+        .withColumn("p22", expr(
+          """CASE WHEN 1.0 - r1 * r1 = 0 THEN NULL
+             ELSE (r2 - r1 * r1) / (1.0 - r1 * r1) END"""))
+        .withColumn("a21", expr("r1 - p22 * r1"))
+        .withColumn("p33", expr(
+          """CASE WHEN 1.0 - a21 * r1 - p22 * r2 = 0 THEN NULL
+             ELSE (r3 - a21 * r2 - p22 * r1)
+                  / (1.0 - a21 * r1 - p22 * r2) END"""))
+        .select(round(col("p11"), 6).as("pacf1"),
+          round(col("p22"), 6).as("pacf2"),
+          round(col("p33"), 6).as("pacf3"))
+    }),
+
+    "timeseries_ljung_box" -> ((s, dir) => {
+      // Ljung–Box portmanteau whiteness test over the first 7 daily-
+      // series autocorrelations: Q = n(n+2)·Σ r_k²/(n−k). Same exact-
+      // integer ACF rationals as timeseries_pacf; the 7-term sum folds
+      // in FIXED ascending-k order inside one expression (the
+      // canonical-fold lesson), so Q is engine-exact at round-6. dof
+      // rides along for the χ²₇ lookup downstream.
+      val ev = t(s, dir, "events")
+      val d = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = d.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sm"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+      val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+      val pairs = d.as("a").crossJoin(lags)
+        .join(d.as("b"),
+          col("b.day") === date_add(col("a.day"), col("lag")), "inner")
+        .groupBy("lag")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("p_k"),
+          sum(col("a.x").cast("decimal(38,0)") * col("b.x")).as("pk_sum"),
+          sum(col("a.x")).cast("decimal(38,0)").as("a_k"),
+          sum(col("b.x")).cast("decimal(38,0)").as("b_k"))
+      pairs.crossJoin(broadcast(tot))
+        .withColumn("num", expr(
+          "n * n * pk_sum - n * sm * (a_k + b_k) + p_k * sm * sm"))
+        .withColumn("den", expr("n * n * q - n * sm * sm"))
+        .withColumn("r", expr(
+          """CASE WHEN den = 0 THEN NULL
+             ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END"""))
+        .withColumn("term", expr(
+          "r * r / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE))"))
+        .groupBy()
+        .agg(max(col("n").cast("bigint")).as("n_days"),
+          aggregate(sort_array(collect_list(struct(col("lag"),
+            col("term").as("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v")).as("tsum"))
+        .select(col("n_days"), lit(7L).as("dof"),
+          round(col("n_days") * (col("n_days") + lit(2L)) * col("tsum"), 6)
+            .as("q_stat"))
     })
   )
 
@@ -14477,7 +14654,150 @@ object SparkEntry {
              (CAST(n_a AS DOUBLE) / est_a) *
              (CAST(n_b AS DOUBLE) / est_b), 2) AS est_join_rows,
            exact_join_rows
-         FROM na_t, nb_t, esta, estb, estu, ex"""
+         FROM na_t, nb_t, esta, estb, estu, ex""",
+
+    "stats_wilcoxon_signed_rank" ->
+      """WITH u AS (
+           SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 0 END) AS early,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 0 END) AS late
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         nz AS (
+           SELECT late - early AS d, abs(late - early) AS ad
+           FROM u WHERE late <> early),
+         per AS (
+           SELECT ad, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tpos
+           FROM nz GROUP BY ad),
+         ranked AS (
+           SELECT *, coalesce(sum(t) OVER (ORDER BY ad
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM per),
+         agg AS (
+           SELECT CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(tpos * (2 * cum_before + t + 1)) AS BIGINT) AS w2_pos,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+           FROM ranked)
+         SELECT n, w2_pos, tie3,
+           CASE WHEN n < 2 THEN NULL
+                ELSE round((2 * w2_pos - n * (n + 1)) /
+                  sqrt((2.0 * n * (n + 1) * (2 * n + 1) - tie3) / 3.0), 6)
+           END AS z
+         FROM agg""",
+
+    "stats_durbin_watson" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         xd AS (
+           SELECT day, y,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x
+           FROM d),
+         sums AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM xd),
+         coef AS (
+           SELECT n, sx, sy,
+             n * sxy - sx * sy AS n1, n * sxx - sx * sx AS dd
+           FROM sums),
+         resid AS (
+           SELECT x,
+             CAST(n AS HUGEINT) * dd * y
+               - (CAST(dd AS HUGEINT) * sy - CAST(n1 AS HUGEINT) * sx)
+               - CAST(n AS HUGEINT) * n1 * x AS e
+           FROM xd CROSS JOIN coef),
+         lagd AS (
+           SELECT e, lag(e) OVER (ORDER BY x) AS e_prev FROM resid)
+         SELECT (SELECT n FROM coef) AS n_days,
+           (SELECT CASE WHEN dd = 0 THEN NULL
+                   ELSE CAST((1000000 * CAST(n1 AS HUGEINT)) // dd AS BIGINT)
+                   END FROM coef) AS slope_ppm,
+           CASE WHEN sum(e * e) = 0 THEN NULL
+                ELSE CAST((1000000 * sum(CASE WHEN e_prev IS NOT NULL
+                    THEN (e - e_prev) * (e - e_prev)
+                    ELSE 0::HUGEINT END)) // sum(e * e) AS BIGINT)
+           END AS dw_ppm
+         FROM lagd""",
+
+    "timeseries_pacf" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sm,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+           FROM d),
+         lags AS (SELECT CAST(range AS INT) AS lg FROM range(1, 4)),
+         pairs AS (
+           SELECT lg, CAST(count(*) AS HUGEINT) AS p_k,
+             CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS pk_sum,
+             CAST(sum(a.x) AS HUGEINT) AS a_k,
+             CAST(sum(b.x) AS HUGEINT) AS b_k
+           FROM d a CROSS JOIN lags JOIN d b ON b.day = a.day + lg
+           GROUP BY lg),
+         rr AS (
+           SELECT lg,
+             CASE WHEN (n * n * q - n * sm * sm) = 0 THEN NULL
+                  ELSE CAST(n * n * pk_sum - n * sm * (a_k + b_k)
+                            + p_k * sm * sm AS DOUBLE)
+                       / CAST(n * n * q - n * sm * sm AS DOUBLE)
+             END AS r
+           FROM pairs CROSS JOIN tot),
+         piv AS (
+           SELECT max(CASE WHEN lg = 1 THEN r END) AS r1,
+             max(CASE WHEN lg = 2 THEN r END) AS r2,
+             max(CASE WHEN lg = 3 THEN r END) AS r3
+           FROM rr),
+         st AS (
+           SELECT r1, r2, r3, r1 AS p11,
+             CASE WHEN 1.0 - r1 * r1 = 0 THEN NULL
+                  ELSE (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p22
+           FROM piv),
+         st2 AS (SELECT *, r1 - p22 * r1 AS a21 FROM st)
+         SELECT round(p11, 6) AS pacf1, round(p22, 6) AS pacf2,
+           round(CASE WHEN 1.0 - a21 * r1 - p22 * r2 = 0 THEN NULL
+                 ELSE (r3 - a21 * r2 - p22 * r1)
+                      / (1.0 - a21 * r1 - p22 * r2) END, 6) AS pacf3
+         FROM st2""",
+
+    "timeseries_ljung_box" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sm,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+           FROM d),
+         lags AS (SELECT CAST(range AS INT) AS lg FROM range(1, 8)),
+         pairs AS (
+           SELECT lg, CAST(count(*) AS HUGEINT) AS p_k,
+             CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS pk_sum,
+             CAST(sum(a.x) AS HUGEINT) AS a_k,
+             CAST(sum(b.x) AS HUGEINT) AS b_k
+           FROM d a CROSS JOIN lags JOIN d b ON b.day = a.day + lg
+           GROUP BY lg),
+         terms AS (
+           SELECT lg,
+             CASE WHEN (n * n * q - n * sm * sm) = 0 THEN NULL
+                  ELSE CAST(n * n * pk_sum - n * sm * (a_k + b_k)
+                            + p_k * sm * sm AS DOUBLE)
+                       / CAST(n * n * q - n * sm * sm AS DOUBLE)
+             END AS r,
+             CAST(n AS BIGINT) AS nb
+           FROM pairs CROSS JOIN tot)
+         SELECT max(nb) AS n_days, CAST(7 AS BIGINT) AS dof,
+           round(max(nb) * (max(nb) + 2) *
+             list_reduce(list_prepend(0.0,
+               list(r * r / (CAST(nb AS DOUBLE) - CAST(lg AS DOUBLE))
+                    ORDER BY lg)),
+               (a, b) -> a + b), 6) AS q_stat
+         FROM terms"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

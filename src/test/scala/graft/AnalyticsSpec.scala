@@ -1797,4 +1797,119 @@ class AnalyticsSpec extends SparkSpec {
       .head().getSeq[Long](0).toSeq
     assert(gram(1) == gram(13))
   }
+
+  test("stats_wilcoxon_signed_rank: W+ and z replayed with midranks") {
+    val r = q("stats_wilcoxon_signed_rank").head()
+    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter("event_type = 'purchase'")
+      .select("user_id", "ts").collect()
+      .map(row => (row.getLong(0),
+        row.getAs[java.time.LocalDateTime](1)))
+    val half = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+    val ds = evs.groupBy(_._1).values.map { es =>
+      es.count(_._2.isAfter(half.minusNanos(1))) -
+        es.count(_._2.isBefore(half))
+    }.filter(_ != 0).toSeq
+    assert(r.getLong(0) == ds.length)
+    if (ds.length >= 2) {
+      // average ranks of |d| (doubled to stay integer)
+      val sorted = ds.map(math.abs).sorted
+      def rank2(ad: Int): Long = {
+        val lt = sorted.count(_ < ad); val t = sorted.count(_ == ad)
+        2L * lt + t + 1L
+      }
+      val w2 = ds.filter(_ > 0).map(d => rank2(math.abs(d))).sum
+      assert(r.getLong(1) == w2, "doubled W+ mismatch")
+      val n = ds.length.toLong
+      val tie3 = sorted.distinct.map { v =>
+        val t = sorted.count(_ == v).toLong; t * t * t - t
+      }.sum
+      assert(r.getLong(2) == tie3)
+      val z = (2.0 * w2 - n * (n + 1)) /
+        math.sqrt((2.0 * n * (n + 1) * (2 * n + 1) - tie3) / 3.0)
+      assert(math.abs(r.getDouble(3) - z) < 1e-5, s"z ${r.getDouble(3)} vs $z")
+    }
+  }
+
+  test("stats_durbin_watson: DW replayed from a double OLS fit") {
+    val r = q("stats_durbin_watson").head()
+    val days = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("CAST(ts AS DATE) AS day").groupBy("day").count()
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val n = days.length
+    assert(r.getLong(0) == n.toLong)
+    if (n >= 3) {
+      val xs = (1 to n).map(_.toDouble)
+      val sx = xs.sum; val sy = days.sum
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(days).map { case (x, y) => x * y }.sum
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy - b * sx) / n
+      val e = xs.zip(days).map { case (x, y) => y - a - b * x }
+      val dw = e.sliding(2).map(p => math.pow(p(1) - p(0), 2)).sum /
+        e.map(v => v * v).sum
+      assert(math.abs(r.getLong(2) / 1e6 - dw) < 1e-4,
+        s"dw ${r.getLong(2) / 1e6} vs $dw")
+      // un-autocorrelated daily noise sits near 2; sanity-band it
+      assert(r.getLong(2) > 0L && r.getLong(2) < 4000000L)
+    }
+  }
+
+  test("timeseries_pacf: Durbin–Levinson replayed from a driver ACF") {
+    val r = q("timeseries_pacf").head()
+    val days = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("CAST(ts AS DATE) AS day").groupBy("day").count()
+      .orderBy("day").collect().map(d => (d.getDate(0).toLocalDate, d.getLong(1)))
+    val byDay = days.toMap
+    val n = days.length.toDouble
+    val sm = days.map(_._2).sum.toDouble
+    val qq = days.map(d => d._2.toDouble * d._2).sum
+    def acf(k: Int): Double = {
+      val pts = days.flatMap { case (d0, x) =>
+        byDay.get(d0.plusDays(k)).map(y => (x.toDouble, y.toDouble))
+      }
+      val pk = pts.length.toDouble
+      val pkSum = pts.map(p => p._1 * p._2).sum
+      val ak = pts.map(_._1).sum; val bk = pts.map(_._2).sum
+      (n * n * pkSum - n * sm * (ak + bk) + pk * sm * sm) /
+        (n * n * qq - n * sm * sm)
+    }
+    val (r1, r2, r3) = (acf(1), acf(2), acf(3))
+    val p11 = r1
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val a21 = r1 - p22 * r1
+    val p33 = (r3 - a21 * r2 - p22 * r1) / (1.0 - a21 * r1 - p22 * r2)
+    assert(math.abs(r.getDouble(0) - p11) < 1e-5)
+    assert(math.abs(r.getDouble(1) - p22) < 1e-5)
+    assert(math.abs(r.getDouble(2) - p33) < 1e-5)
+    // pacf1 must equal acf1 by definition
+    assert(math.abs(r.getDouble(0) - r1) < 1e-6)
+  }
+
+  test("timeseries_ljung_box: Q replayed; positive and finite") {
+    val r = q("timeseries_ljung_box").head()
+    val days = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("CAST(ts AS DATE) AS day").groupBy("day").count()
+      .orderBy("day").collect().map(d => (d.getDate(0).toLocalDate, d.getLong(1)))
+    val byDay = days.toMap
+    val n = days.length.toDouble
+    val sm = days.map(_._2).sum.toDouble
+    val qq = days.map(d => d._2.toDouble * d._2).sum
+    def acf(k: Int): Double = {
+      val pts = days.flatMap { case (d0, x) =>
+        byDay.get(d0.plusDays(k)).map(y => (x.toDouble, y.toDouble))
+      }
+      val pk = pts.length.toDouble
+      val pkSum = pts.map(p => p._1 * p._2).sum
+      val ak = pts.map(_._1).sum; val bk = pts.map(_._2).sum
+      (n * n * pkSum - n * sm * (ak + bk) + pk * sm * sm) /
+        (n * n * qq - n * sm * sm)
+    }
+    val expQ = n * (n + 2) *
+      (1 to 7).map(k => math.pow(acf(k), 2) / (n - k)).sum
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == 7L)
+    assert(math.abs(r.getDouble(2) - expQ) < 1e-4,
+      s"Q ${r.getDouble(2)} vs $expQ")
+    assert(r.getDouble(2) >= 0.0)
+  }
 }
