@@ -7946,6 +7946,116 @@ object SparkEntry {
         .select(col("n_days"), lit(7L).as("dof"),
           round(col("n_days") * (col("n_days") + lit(2L)) * col("tsum"), 6)
             .as("q_stat"))
+    }),
+
+    "model_ks" -> ((s, dir) => {
+      // Kolmogorov–Smirnov separation of the hashed linear classifier:
+      // KS = max_m |F₁(m) − F₀(m)| over the margin domain, the standard
+      // credit-scoring discrimination readout beside AUC. Cumulatives
+      // run over the margin-GROUPED frame (domain-sized, not row-
+      // sized), and the statistic is the exact integer ratio
+      // |cpos·n_neg − cneg·n_pos|/(n_pos·n_neg) in decimal(38,0)
+      // (cpos·n_neg crosses 2^63 past ~10⁹ docs) — floor-ppm, no float
+      // anywhere. argmax tie breaks to the smallest margin.
+      val d = t(s, dir, "documents")
+      val scored = d.select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
+        HashFunctions.linearMargin(
+          TextFunctions.tokens(lower(col("text")))).as("margin"))
+      val per = scored.groupBy("margin").agg(
+        sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+      val w = Window.orderBy("margin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = per
+        .withColumn("cpos", sum(col("ca")).over(w))
+        .withColumn("cneg", sum(col("cb")).over(w))
+      val tot = per.agg(sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("d_ppm", expr(
+          """CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+             ELSE CAST((1000000 * abs(CAST(cpos AS DECIMAL(38,0)) * n_neg
+                        - CAST(cneg AS DECIMAL(38,0)) * n_pos))
+                  div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END"""))
+        .orderBy(col("d_ppm").desc, col("margin"))
+        .limit(1)
+        .select(col("n_pos"), col("n_neg"),
+          col("d_ppm").as("ks_ppm"), col("margin").as("at_margin"))
+    }),
+
+    "model_lift_gain" -> ((s, dir) => {
+      // decile lift & gain chart of the hashed classifier: documents
+      // ranked by margin descending (doc_id tiebreak — ntile over ties
+      // is otherwise nondeterministic), cumulative positive share
+      // (gain) and response-rate ratio (lift) per decile as exact
+      // integer floor-ppm. The ntile window is the one row-sized sort;
+      // everything after is 10 rows. cum_pos·tot_rows crosses 2^63 at
+      // ~10⁹ docs — decimal(38,0) division, the ABC lesson.
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
+        HashFunctions.linearMargin(
+          TextFunctions.tokens(lower(col("text")))).as("margin"))
+      val wd = Window.orderBy(col("margin").desc, col("doc_id"))
+      val dec10 = scored.withColumn("decile", ntile(10).over(wd))
+      val perd = dec10.groupBy("decile").agg(
+        count(lit(1)).as("n_rows"), sum(col("is_a")).as("pos"))
+      val wc = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = perd
+        .withColumn("cum_rows", sum(col("n_rows")).over(wc))
+        .withColumn("cum_pos", sum(col("pos")).over(wc))
+      val tot = perd.agg(sum(col("n_rows")).as("tot_rows"),
+        sum(col("pos")).as("tot_pos"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("gain_ppm", expr(
+          """CASE WHEN tot_pos = 0 THEN NULL
+             ELSE (1000000 * cum_pos) div tot_pos END"""))
+        .withColumn("lift_ppm", expr(
+          """CASE WHEN tot_pos = 0 OR cum_rows = 0 THEN NULL
+             ELSE CAST((1000000 * CAST(cum_pos AS DECIMAL(38,0)) * tot_rows)
+                  div (CAST(cum_rows AS DECIMAL(38,0)) * tot_pos)
+                  AS BIGINT) END"""))
+        .select(col("decile"), col("n_rows"), col("pos"), col("cum_pos"),
+          col("gain_ppm"), col("lift_ppm"))
+        .orderBy("decile")
+    }),
+
+    "model_pr_auc" -> ((s, dir) => {
+      // average precision (PR-AUC, step form): AP = Σ_thresholds
+      // (ΔRecall)·Precision = Σ_margin-groups (ca/n_pos)·(cpos/call) —
+      // the ranking metric that, unlike ROC-AUC, degrades under class
+      // imbalance. Cumulatives are margin-DESC over the grouped domain
+      // frame; each term closes exact-int→double (two correctly-
+      // rounded divides + one product), and the group terms fold in
+      // FIXED ascending-margin order (the canonical-fold lesson) —
+      // engine-exact at round-6. Domain-sized everywhere after one
+      // grouped scan.
+      val d = t(s, dir, "documents")
+      val scored = d.select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
+        HashFunctions.linearMargin(
+          TextFunctions.tokens(lower(col("text")))).as("margin"))
+      val per = scored.groupBy("margin").agg(
+        sum(col("is_a")).as("ca"), count(lit(1)).as("call"))
+      val wd = Window.orderBy(col("margin").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = per
+        .withColumn("cpos", sum(col("ca")).over(wd))
+        .withColumn("call_cum", sum(col("call")).over(wd))
+      val tot = per.agg(sum(col("ca")).as("n_pos"),
+        sum(col("call") - col("ca")).as("n_neg"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("term", expr(
+          """CASE WHEN n_pos = 0 THEN 0.0
+             ELSE (CAST(ca AS DOUBLE) / CAST(n_pos AS DOUBLE))
+                  * (CAST(cpos AS DOUBLE) / CAST(call_cum AS DOUBLE)) END"""))
+        .groupBy()
+        .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
+          aggregate(sort_array(collect_list(struct(col("margin"),
+            col("term").as("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v")).as("tsum"))
+        .select(col("n_pos"), col("n_neg"),
+          round(col("tsum"), 6).as("ap"))
     })
   )
 
@@ -8164,6 +8274,39 @@ object SparkEntry {
   private val toksSql: String =
     """CASE WHEN text IS NULL THEN NULL WHEN trim(text) = '' THEN []
        ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+
+  /** Shared CTE chain replaying HashFunctions.linearMargin per doc and
+    * labeling lang=en — the scored frame behind model_auc / model_ks /
+    * model_lift_gain / model_pr_auc: unigram+bigram FNV features,
+    * mix64-finalized, signed hashed weights in [-512, 512). */
+  private lazy val marginScoredCtes: String =
+    s"""docs AS (
+         SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       thx AS (
+         SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th
+         FROM docs WHERE toks IS NOT NULL),
+       big AS (
+         SELECT doc_id, th,
+           CASE WHEN len(th) <= 2
+             THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
+                   (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
+             ELSE list_transform(range(1, len(th)),
+               s -> (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
+                     % 18446744073709551616::HUGEINT) * 31
+                     + th[CAST(s AS INT)+1]) % 18446744073709551616::HUGEINT)
+           END AS bh
+         FROM thx),
+       fe AS (
+         SELECT doc_id, unnest(list_concat(th, bh)) AS x FROM big),
+       ${mix64Ctes("fe", "mx")},
+       ws AS (
+         SELECT doc_id,
+           CAST(sum(CAST(h % 1024 AS BIGINT) - 512) AS BIGINT) AS margin
+         FROM mx GROUP BY doc_id),
+       scored AS (
+         SELECT d.doc_id,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_a, w.margin
+         FROM docs d JOIN ws w ON d.doc_id = w.doc_id)"""
 
   /** Shared CTE chain replaying the 8-merge BPE trainer in pure SQL:
     * same cell-string word representation as `Bpe.train`, and DuckDB's
@@ -14797,6 +14940,89 @@ object SparkEntry {
                list(r * r / (CAST(nb AS DOUBLE) - CAST(lg AS DOUBLE))
                     ORDER BY lg)),
                (a, b) -> a + b), 6) AS q_stat
+         FROM terms""",
+
+    "model_ks" ->
+      s"""WITH $marginScoredCtes,
+         per AS (
+           SELECT margin, CAST(sum(is_a) AS BIGINT) AS ca,
+             CAST(sum(1 - is_a) AS BIGINT) AS cb
+           FROM scored GROUP BY margin),
+         cum AS (
+           SELECT margin,
+             sum(ca) OVER (ORDER BY margin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+             sum(cb) OVER (ORDER BY margin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cneg
+           FROM per),
+         tot AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
+             CAST(sum(cb) AS BIGINT) AS n_neg FROM per),
+         dd AS (
+           SELECT n_pos, n_neg, margin,
+             CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+               ELSE CAST((1000000 * abs(CAST(cpos AS HUGEINT) * n_neg
+                          - CAST(cneg AS HUGEINT) * n_pos))
+                    // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END AS d_ppm
+           FROM cum CROSS JOIN tot)
+         SELECT n_pos, n_neg, d_ppm AS ks_ppm, margin AS at_margin
+         FROM dd ORDER BY d_ppm DESC, margin LIMIT 1""",
+
+    "model_lift_gain" ->
+      s"""WITH $marginScoredCtes,
+         dec10 AS (
+           SELECT is_a,
+             ntile(10) OVER (ORDER BY margin DESC, doc_id) AS decile
+           FROM scored),
+         perd AS (
+           SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(is_a) AS BIGINT) AS pos
+           FROM dec10 GROUP BY decile),
+         cum AS (
+           SELECT decile, n_rows, pos,
+             sum(n_rows) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
+             sum(pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+           FROM perd),
+         tot AS (
+           SELECT CAST(sum(n_rows) AS BIGINT) AS tot_rows,
+             CAST(sum(pos) AS BIGINT) AS tot_pos FROM perd)
+         SELECT decile, n_rows, pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+           CASE WHEN tot_pos = 0 THEN NULL
+             ELSE (1000000 * cum_pos) // tot_pos END AS gain_ppm,
+           CASE WHEN tot_pos = 0 OR cum_rows = 0 THEN NULL
+             ELSE CAST((1000000 * CAST(cum_pos AS HUGEINT) * tot_rows)
+                  // (CAST(cum_rows AS HUGEINT) * tot_pos) AS BIGINT)
+           END AS lift_ppm
+         FROM cum CROSS JOIN tot ORDER BY decile""",
+
+    "model_pr_auc" ->
+      s"""WITH $marginScoredCtes,
+         per AS (
+           SELECT margin, CAST(sum(is_a) AS BIGINT) AS ca,
+             CAST(count(*) AS BIGINT) AS call
+           FROM scored GROUP BY margin),
+         cum AS (
+           SELECT margin, ca, call,
+             sum(ca) OVER (ORDER BY margin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+             sum(call) OVER (ORDER BY margin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS call_cum
+           FROM per),
+         tot AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
+             CAST(sum(call - ca) AS BIGINT) AS n_neg FROM per),
+         terms AS (
+           SELECT margin, n_pos, n_neg,
+             CASE WHEN n_pos = 0 THEN 0.0
+               ELSE (CAST(ca AS DOUBLE) / CAST(n_pos AS DOUBLE))
+                    * (CAST(cpos AS DOUBLE) / CAST(call_cum AS DOUBLE)) END
+               AS v
+           FROM cum CROSS JOIN tot)
+         SELECT max(n_pos) AS n_pos, max(n_neg) AS n_neg,
+           round(list_reduce(list_prepend(0.0, list(v ORDER BY margin)),
+             (a, b) -> a + b), 6) AS ap
          FROM terms"""
   )
 

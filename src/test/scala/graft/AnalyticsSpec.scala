@@ -1886,6 +1886,72 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - r1) < 1e-6)
   }
 
+  private def scoredDocs(): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, lower, when, lit}
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
+        functions.HashFunctions.linearMargin(
+          functions.TextFunctions.tokens(lower(col("text")))).as("margin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("model_ks: statistic replayed as a max over empirical CDF gaps") {
+    val r = q("model_ks").head()
+    val sc = scoredDocs()
+    val nPos = sc.count(_._1 == 1L).toLong
+    val nNeg = sc.size - nPos
+    assert(r.getLong(0) == nPos && r.getLong(1) == nNeg)
+    val margins = sc.map(_._2).distinct.sorted
+    val best = margins.map { m =>
+      val cpos = sc.count(p => p._1 == 1L && p._2 <= m).toLong
+      val cneg = sc.count(p => p._1 == 0L && p._2 <= m).toLong
+      (1000000L * math.abs(cpos * nNeg - cneg * nPos) / (nPos * nNeg), m)
+    }.maxBy(p => (p._1, -p._2))
+    assert(r.getLong(2) == best._1, s"ks ${r.getLong(2)} vs ${best._1}")
+    assert(r.getLong(3) == best._2)
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+  }
+
+  test("model_lift_gain: deciles partition, gain monotone, last decile closes") {
+    val rows = q("model_lift_gain").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    val sc = scoredDocs()
+    assert(rows.map(_._2).sum == sc.size.toLong)
+    assert(rows.map(_._3).sum == sc.count(_._1 == 1L).toLong)
+    // cumulative positives are a running sum; gain is monotone to 1e6
+    var cum = 0L
+    rows.foreach { r => cum += r._3; assert(r._4 == cum) }
+    assert(rows.last._5 == 1000000L, "final gain must be 100%")
+    assert(rows.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+    // lift_ppm of the full population is exactly 1e6
+    assert(rows.last._6 == 1000000L)
+    // decile sizes differ by at most 1 (ntile contract)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1L)
+  }
+
+  test("model_pr_auc: average precision replayed from the scored list") {
+    val r = q("model_pr_auc").head()
+    val sc = scoredDocs()
+    val nPos = sc.count(_._1 == 1L).toLong
+    assert(r.getLong(0) == nPos)
+    assert(r.getLong(1) == sc.size - nPos)
+    // group by margin, walk thresholds descending
+    val groups = sc.groupBy(_._2).toSeq.sortBy(-_._1)
+    var cpos = 0L; var call = 0L
+    val ap = groups.map { case (_, g) =>
+      val ca = g.count(_._1 == 1L).toLong
+      cpos += ca; call += g.size
+      if (nPos == 0) 0.0
+      else (ca.toDouble / nPos) * (cpos.toDouble / call)
+    }.sum
+    assert(math.abs(r.getDouble(2) - ap) < 1e-5, s"ap ${r.getDouble(2)} vs $ap")
+    // AP of a classifier must be >= the positive base rate achieved at
+    // full recall times... just sanity-band (0, 1]
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+  }
+
   test("timeseries_ljung_box: Q replayed; positive and finite") {
     val r = q("timeseries_ljung_box").head()
     val days = spark.read.parquet(s"$sfDir/events.parquet")
