@@ -8056,6 +8056,111 @@ object SparkEntry {
             lit(0.0), (acc, x) => acc + x.getField("v")).as("tsum"))
         .select(col("n_pos"), col("n_neg"),
           round(col("tsum"), 6).as("ap"))
+    }),
+
+    "recsys_item_cf" -> ((s, dir) => {
+      // item-item collaborative filtering on the customer×part purchase
+      // matrix: cosine(i,j) = |buyers(i)∩buyers(j)| / √(deg_i·deg_j),
+      // top-5 neighbours for the 20 highest-degree parts. The pair
+      // generation is the classic Σ_c deg(c)² basket self-join — linear
+      // in practice because basket sizes are bounded; the edge frame is
+      // co-partitioned by customer ONCE so the self-join is exchange-
+      // free (the k-truss lesson), and only part-keyed counts leave the
+      // executors. Integer commons + IEEE-exact sqrt ⇒ floor-ppm
+      // cosines are engine-exact.
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val e = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .repartition(col("c")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e.groupBy("p").agg(count(lit(1)).as("deg"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("common"))
+      val sym = pairs.unionByName(pairs.select(
+        col("p2").as("p1"), col("p1").as("p2"), col("common")))
+      val top = deg.orderBy(col("deg").desc, col("p")).limit(20)
+        .select(col("p").as("p1"), col("deg").as("deg1"))
+      val scoredPairs = sym.join(broadcast(top), Seq("p1"))
+        .join(deg.withColumnRenamed("p", "p2").withColumnRenamed("deg", "deg2"),
+          Seq("p2"))
+        .withColumn("cos_ppm", expr(
+          """CAST(floor(1000000.0 * common /
+             sqrt(CAST(deg1 AS DOUBLE) * CAST(deg2 AS DOUBLE))) AS BIGINT)"""))
+      val wr = Window.partitionBy("p1")
+        .orderBy(col("cos_ppm").desc, col("p2"))
+      scoredPairs.withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 5)
+        .select(col("p1"), col("deg1"), col("rnk"), col("p2"),
+          col("common"), col("cos_ppm"))
+        .orderBy("p1", "rnk")
+    }),
+
+    "graph_eigenvector" -> ((s, dir) => {
+      // eigenvector centrality on the symmetrized supplier–part
+      // bipartite graph (nodes 2k/2k+1-encoded): two exact-integer
+      // power-iteration rounds from the degree vector (x₁ = A·1),
+      // normalized ONCE at the end — the graph_hits discipline (scale-
+      // invariance makes per-round normalization pure numerics; exact
+      // decimal(38,0) sums are partition-order-independent, so the
+      // iterate is engine-exact). Edge frame co-partitioned by source
+      // once; each round exchanges only the node-sized score frame.
+      // Top-20 nodes by final score.
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select((col("l_suppkey") * 2).as("u"),
+          (col("l_partkey") * 2 + 1).as("v")).distinct()
+      val und = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val x1 = und.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("x"))
+      val x2 = und.join(x1.withColumnRenamed("node", "u").hint("shuffle_hash"),
+          Seq("u"))
+        .groupBy(col("v").as("node")).agg(sum(col("x")).as("x"))
+      val x3 = und.join(x2.withColumnRenamed("node", "u").hint("shuffle_hash"),
+          Seq("u"))
+        .groupBy(col("v").as("node")).agg(sum(col("x")).as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = x3.agg(sum(col("x")).as("xsum"))
+      x3.crossJoin(broadcast(tot))
+        .withColumn("score_ppm",
+          expr("CAST((1000000 * x) div xsum AS BIGINT)"))
+        .orderBy(col("x").desc, col("node"))
+        .limit(20)
+        .select(col("node").cast("bigint").as("node"),
+          col("x").cast("decimal(38,0)").as("x3"), col("score_ppm"))
+    }),
+
+    "layout_compaction_plan" -> ((s, dir) => {
+      // small-file compaction planner (the OPTIMIZE/bin-packing step of
+      // any lakehouse table service): documents are bucketed into 197
+      // pseudo-files (stable doc_id hash — the simulation stand-in for
+      // a real file listing), then files are assigned to target-size
+      // output bins by cumulative-size division in file-key order — the
+      // deterministic streaming analogue of first-fit that needs ONE
+      // window pass over the FILE METADATA, never the data. Emitted
+      // per bin: file count, bytes, fill-ppm vs the 128 KB target.
+      // At 100 TB the frame is files-sized (millions, not rows) and
+      // the plan is what the rewrite job executes.
+      val d = t(s, dir, "documents")
+      val target = 131072L
+      val files = d.groupBy(pmod(col("doc_id"), lit(197L)).as("file_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val w = Window.orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_before div ${target}L"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
+          sum(col("bytes")).as("bytes"),
+          min(col("file_id")).as("first_file"),
+          max(col("file_id")).as("last_file"))
+        .withColumn("fill_ppm",
+          expr(s"(1000000 * bytes) div ${target}L"))
+        .orderBy("bin")
     })
   )
 
@@ -15023,7 +15128,77 @@ object SparkEntry {
          SELECT max(n_pos) AS n_pos, max(n_neg) AS n_neg,
            round(list_reduce(list_prepend(0.0, list(v ORDER BY margin)),
              (a, b) -> a + b), 6) AS ap
-         FROM terms"""
+         FROM terms""",
+
+    "recsys_item_cf" ->
+      """WITH e AS (
+           SELECT DISTINCT o_custkey AS c, l_partkey AS p
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY p),
+         pairs AS (
+           SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS common
+           FROM e a JOIN e b ON a.c = b.c AND a.p < b.p
+           GROUP BY a.p, b.p),
+         sym AS (
+           SELECT p1, p2, common FROM pairs
+           UNION ALL SELECT p2, p1, common FROM pairs),
+         top AS (
+           SELECT p AS p1, deg AS deg1 FROM deg
+           ORDER BY deg DESC, p LIMIT 20),
+         sc AS (
+           SELECT s.p1, t.deg1, s.p2, s.common,
+             CAST(floor(1000000.0 * s.common /
+               sqrt(CAST(t.deg1 AS DOUBLE) * CAST(d2.deg AS DOUBLE)))
+               AS BIGINT) AS cos_ppm
+           FROM sym s JOIN top t ON s.p1 = t.p1
+           JOIN deg d2 ON s.p2 = d2.p),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY p1
+             ORDER BY cos_ppm DESC, p2) AS rnk
+           FROM sc)
+         SELECT p1, deg1, rnk, p2, common, cos_ppm
+         FROM rk WHERE rnk <= 5 ORDER BY p1, rnk""",
+
+    "graph_eigenvector" ->
+      """WITH e0 AS (
+           SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v
+           FROM lineitem),
+         und AS (
+           SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         x1 AS (
+           SELECT u AS node, CAST(count(*) AS HUGEINT) AS x
+           FROM und GROUP BY u),
+         x2 AS (
+           SELECT und.v AS node, CAST(sum(x1.x) AS HUGEINT) AS x
+           FROM und JOIN x1 ON und.u = x1.node GROUP BY und.v),
+         x3 AS (
+           SELECT und.v AS node, CAST(sum(x2.x) AS HUGEINT) AS x
+           FROM und JOIN x2 ON und.u = x2.node GROUP BY und.v),
+         tot AS (SELECT CAST(sum(x) AS HUGEINT) AS xsum FROM x3)
+         SELECT CAST(node AS BIGINT) AS node,
+           CAST(x AS DECIMAL(38,0)) AS x3,
+           CAST((1000000 * x) // xsum AS BIGINT) AS score_ppm
+         FROM x3 CROSS JOIN tot
+         ORDER BY x DESC, node LIMIT 20""",
+
+    "layout_compaction_plan" ->
+      """WITH files AS (
+           SELECT doc_id % 197 AS file_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+           FROM documents GROUP BY 1),
+         cb AS (
+           SELECT file_id, n_docs, bytes,
+             coalesce(sum(bytes) OVER (ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+           FROM files)
+         SELECT cum_before // 131072 AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           min(file_id) AS first_file, max(file_id) AS last_file,
+           (1000000 * CAST(sum(bytes) AS BIGINT)) // 131072 AS fill_ppm
+         FROM cb GROUP BY 1 ORDER BY bin"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

@@ -1952,6 +1952,82 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
   }
 
+  test("recsys_item_cf: cosines replayed from driver baskets") {
+    val rows = q("recsys_item_cf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val e = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .select("o_custkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = e.groupBy(_._2).map { case (p, xs) => (p, xs.length.toLong) }
+    val byC = e.groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).toSet) }
+    rows.foreach { case (p1, deg1, rnk, p2, common, cosPpm) =>
+      assert(deg(p1) == deg1)
+      val exp = byC.values.count(b => b.contains(p1) && b.contains(p2)).toLong
+      assert(exp == common, s"common($p1,$p2) $common vs $exp")
+      val expCos = math.floor(1000000.0 * common /
+        math.sqrt(deg(p1).toDouble * deg(p2).toDouble)).toLong
+      assert(cosPpm == expCos)
+      assert(rnk >= 1 && rnk <= 5)
+    }
+    // per-part neighbour lists are cosine-descending
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._6).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("graph_eigenvector: two power rounds replayed on the driver") {
+    val rows = q("graph_eigenvector").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toBigInteger, r.getLong(2)))
+    assert(rows.length == 20)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_suppkey", "l_partkey").collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1)).distinct
+    val und = li ++ li.map(e => (e._2, e._1))
+    val adj = und.groupBy(_._1).map { case (n, es) => (n, es.map(_._2)) }
+    val x1 = adj.map { case (n, ns) => (n, BigInt(ns.length)) }
+    def round(x: Map[Long, BigInt]): Map[Long, BigInt] =
+      und.groupBy(_._2).map { case (v, es) =>
+        (v, es.map(e => x.getOrElse(e._1, BigInt(0))).sum)
+      }
+    val x3 = round(round(x1))
+    val total = x3.values.sum
+    val top = x3.toSeq.sortBy { case (n, x) => (-x, n) }.take(20)
+    rows.zip(top).foreach { case ((node, x3got, ppm), (expN, expX)) =>
+      assert(node == expN, s"node order $node vs $expN")
+      assert(BigInt(x3got) == expX)
+      assert(ppm == (BigInt(1000000) * expX / total).toLong)
+    }
+  }
+
+  test("layout_compaction_plan: bins partition files; sizes close") {
+    val rows = q("layout_compaction_plan").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id % 197 AS f", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // totals close over all bins
+    assert(rows.map(_._2).sum == d.map(_._1).distinct.length.toLong)
+    assert(rows.map(_._3).sum == d.length.toLong)
+    assert(rows.map(_._4).sum == d.map(_._2).sum)
+    // bins are contiguous, non-overlapping file-key ranges
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0)._6 < p(1)._5,
+        "bin file ranges must not overlap")
+    }
+    // every bin except possibly the last holds >= target bytes once its
+    // first file lands past the boundary: fill_ppm is bytes/target
+    rows.foreach { r => assert(r._7 == 1000000L * r._4 / 131072L) }
+  }
+
   test("timeseries_ljung_box: Q replayed; positive and finite") {
     val r = q("timeseries_ljung_box").head()
     val days = spark.read.parquet(s"$sfDir/events.parquet")
