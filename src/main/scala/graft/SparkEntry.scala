@@ -239,6 +239,33 @@ object SparkEntry {
          ON CAST(date_trunc('year', o.o_orderdate) AS DATE) = y.y
        GROUP BY y.y ORDER BY y.y"""
 
+  /** Dialect-common RECURSIVE SQL for Holt's linear smoothing of the
+    * weekly event-count series (α = β = 0.3, e-notation so both engines
+    * parse DOUBLE; init l₁ = y₁, b₁ = y₂ − y₁). Runs verbatim on Spark 4
+    * and DuckDB; recursion depth = #weeks. */
+  private val holtSqlText: String =
+    """WITH RECURSIVE wk AS (
+         SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(count(*) AS DOUBLE) AS y
+         FROM events GROUP BY 1),
+       idx AS (
+         SELECT week, y, CAST(row_number() OVER (ORDER BY week) AS INT) AS i
+         FROM wk),
+       hw(i, l, b) AS (
+         SELECT CAST(1 AS INT), a.y, b2.y - a.y
+         FROM idx a JOIN idx b2 ON a.i = 1 AND b2.i = 2
+         UNION ALL
+         SELECT x.i,
+           0.3e0 * x.y + 0.7e0 * (h.l + h.b),
+           0.3e0 * ((0.3e0 * x.y + 0.7e0 * (h.l + h.b)) - h.l)
+             + 0.7e0 * h.b
+         FROM hw h JOIN idx x ON x.i = h.i + 1)
+       SELECT h.i AS week_idx, x.week AS week, CAST(x.y AS BIGINT) AS y,
+         round(h.l, 6) AS level, round(h.b, 6) AS trend,
+         round(h.l + h.b, 6) AS forecast_next
+       FROM hw h JOIN idx x ON x.i = h.i
+       ORDER BY week_idx"""
+
   /** lineitem ⋈ orders with the reference's stay-category enrichment:
     * o_orderdate plays check-in, l_shipdate check-out (SURVEY.md §2.4).
     * The join key (l_orderkey = o_orderkey) is the natural co-partitioning
@@ -8161,6 +8188,153 @@ object SparkEntry {
         .withColumn("fill_ppm",
           expr(s"(1000000 * bytes) div ${target}L"))
         .orderBy("bin")
+    }),
+
+    "timeseries_holt" -> ((s, dir) => {
+      // Holt's linear (double-exponential) smoothing of the WEEKLY
+      // event-count series — the trend-aware sibling of
+      // timeseries_ewma. The two-state recursion l_t = αy_t +
+      // (1−α)(l+b), b_t = β(l_t−l) + (1−β)b has no window-function
+      // form, so it runs as a RECURSIVE CTE over the week spine — the
+      // same dialect-common text on both engines (the sql_recursive
+      // mechanism), with e-notation constants so both parse α as
+      // DOUBLE. Recursion depth = #weeks (~12): calendar-sized at any
+      // data scale; only the weekly rollup scans events.
+      Tables.registerAll(s, dir)
+      s.sql(holtSqlText)
+    }),
+
+    "stats_fisher_exact" -> ((s, dir) => {
+      // Fisher's exact test (one-sided upper) on the daily 2×2:
+      // weekend × error-heavy day (share above the overall error rate
+      // — the p-chart centre line, compared by EXACT integer cross-
+      // multiplication). The hypergeometric tail runs over the
+      // ln-factorial spine (cumulative ln fold over 0..n_days — the
+      // sequential window makes the fold order canonical), each term
+      // one exp(), summed in ascending-k order: at ~100 days the
+      // accumulated libm drift is ≤1e-12, far inside round-6. The 2×2
+      // itself folds from one day-grained scan; everything after is
+      // spine-sized regardless of event volume.
+      val ev = t(s, dir, "events")
+      val byDay = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("tot"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("errs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val overall = byDay.agg(sum("tot").as("gt"), sum("errs").as("ge"))
+      val cells = byDay.crossJoin(broadcast(overall))
+        .withColumn("weekend", (weekday(col("day")) >= 5).cast("int"))
+        .withColumn("above",
+          (col("errs") * col("gt") > col("ge") * col("tot")).cast("int"))
+        .agg(sum(expr("weekend * above")).as("a"),
+          sum(expr("weekend * (1 - above)")).as("b"),
+          sum(expr("(1 - weekend) * above")).as("c"),
+          sum(expr("(1 - weekend) * (1 - above)")).as("d"))
+        .withColumn("r1", col("a") + col("b"))
+        .withColumn("r2", col("c") + col("d"))
+        .withColumn("c1", col("a") + col("c"))
+        .withColumn("n", col("r1") + col("r2"))
+      val nDays = cells.select(col("n")).head().getLong(0)
+      val lf = s.range(0, nDays + 1).select(col("id").as("m"))
+        .withColumn("lnm", when(col("m") === 0, 0.0).otherwise(log(col("m"))))
+        .withColumn("lfact", sum(col("lnm")).over(
+          Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)))
+        .select("m", "lfact")
+      val ks = s.range(0, nDays + 1).select(col("id").as("k"))
+      def lfAs(tag: String) = lf.select(col("m").as(s"m_$tag"),
+        col("lfact").as(s"lf_$tag"))
+      val terms = cells.crossJoin(ks)
+        .filter(col("k") >= col("a") &&
+          col("k") >= col("c1") - col("r2") &&
+          col("k") <= least(col("r1"), col("c1")))
+        .join(lfAs("k"), col("m_k") === col("k")).drop("m_k")
+        .join(lfAs("r1"), col("m_r1") === col("r1")).drop("m_r1")
+        .join(lfAs("r1k"), col("m_r1k") === col("r1") - col("k")).drop("m_r1k")
+        .join(lfAs("r2"), col("m_r2") === col("r2")).drop("m_r2")
+        .join(lfAs("c1k"), col("m_c1k") === col("c1") - col("k")).drop("m_c1k")
+        .join(lfAs("r2c1k"),
+          col("m_r2c1k") === col("r2") - col("c1") + col("k")).drop("m_r2c1k")
+        .join(lfAs("n"), col("m_n") === col("n")).drop("m_n")
+        .join(lfAs("c1"), col("m_c1") === col("c1")).drop("m_c1")
+        .join(lfAs("nc1"), col("m_nc1") === col("n") - col("c1")).drop("m_nc1")
+        .withColumn("term", exp(
+          col("lf_r1") - col("lf_k") - col("lf_r1k")
+          + col("lf_r2") - col("lf_c1k") - col("lf_r2c1k")
+          - col("lf_n") + col("lf_c1") + col("lf_nc1")))
+      terms.groupBy("a", "b", "c", "d")
+        .agg(aggregate(sort_array(collect_list(struct(col("k"),
+            col("term").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("psum"),
+          min(when(col("k") === col("a"), col("term"))).as("p0"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          round(col("p0"), 6).as("p_observed"),
+          round(col("psum"), 6).as("p_upper"))
+    }),
+
+    "timeseries_hurst" -> ((s, dir) => {
+      // Hurst exponent of the daily event-count series by rescaled-
+      // range analysis: for block sizes w ∈ {8,16,32}, R/S per
+      // complete block stays EXACT-integer under the ×w clearing
+      // (wZ_j = w·cum_j − j·S_blk; R/S = wR / √(wΣy²−S²) — integers
+      // into one IEEE sqrt), block averages fold in ascending block
+      // order, and H is the closed-form log-log OLS slope over the
+      // three (ln w, ln R̄/S̄) points in one fixed tree. Blocks are
+      // calendar-sized; one scan builds the day series.
+      val ev = t(s, dir, "events")
+      val d = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val idx = d.withColumn("i",
+        (row_number().over(Window.orderBy("day")) - 1).cast("long"))
+      val ws = s.range(3, 6).select(
+        expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("w"))
+      val blocks = idx.crossJoin(ws)
+        .withColumn("blk", expr("i div w"))
+        .withColumn("j", expr("i % w + 1"))
+      val wcum = Window.partitionBy("w", "blk").orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wall = Window.partitionBy("w", "blk")
+      val stats = blocks
+        .withColumn("cum", sum(col("y")).over(wcum))
+        .withColumn("sblk", sum(col("y")).over(wall))
+        .withColumn("z", col("w") * col("cum") - col("j") * col("sblk"))
+        .groupBy("w", "blk")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          max(col("z")).as("zmax"), min(col("z")).as("zmin"))
+      val rs = stats.filter(col("cnt") === col("w"))
+        .withColumn("rs", expr(
+          """CASE WHEN w * syy - sy * sy = 0 THEN NULL
+             ELSE (CAST(zmax AS DOUBLE) - CAST(zmin AS DOUBLE))
+                  / sqrt(CAST(w * syy - sy * sy AS DOUBLE)) END"""))
+        .filter(col("rs").isNotNull)
+        .groupBy("w")
+        .agg(count(lit(1)).as("n_blocks"),
+          aggregate(sort_array(collect_list(struct(col("blk"),
+            col("rs").as("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v")).as("rssum"))
+        .withColumn("rs_avg", col("rssum") / col("n_blocks").cast("double"))
+      val fit = rs.agg(
+        count(lit(1)).as("np"),
+        aggregate(sort_array(collect_list(struct(col("w"),
+          struct(log(col("w")).as("x"), log(col("rs_avg")).as("y"))
+            .as("p")))),
+          struct(lit(0.0).as("sx"), lit(0.0).as("sy"),
+            lit(0.0).as("sxx"), lit(0.0).as("sxy")),
+          (acc, e) => struct(
+            (acc.getField("sx") + e.getField("p").getField("x")).as("sx"),
+            (acc.getField("sy") + e.getField("p").getField("y")).as("sy"),
+            (acc.getField("sxx") + e.getField("p").getField("x")
+              * e.getField("p").getField("x")).as("sxx"),
+            (acc.getField("sxy") + e.getField("p").getField("x")
+              * e.getField("p").getField("y")).as("sxy"))).as("s"))
+        .select(col("np"), expr(
+          """round((np * s.sxy - s.sx * s.sy)
+             / (np * s.sxx - s.sx * s.sx), 6)""").as("h_est"))
+      rs.crossJoin(broadcast(fit))
+        .select(col("w"), col("n_blocks"), round(col("rs_avg"), 6)
+          .as("rs_avg"), col("h_est"))
+        .orderBy("w")
     })
   )
 
@@ -15198,7 +15372,116 @@ object SparkEntry {
            CAST(sum(bytes) AS BIGINT) AS bytes,
            min(file_id) AS first_file, max(file_id) AS last_file,
            (1000000 * CAST(sum(bytes) AS BIGINT)) // 131072 AS fill_ppm
-         FROM cb GROUP BY 1 ORDER BY bin"""
+         FROM cb GROUP BY 1 ORDER BY bin""",
+
+    "timeseries_holt" -> holtSqlText,
+
+    "stats_fisher_exact" ->
+      """WITH byday AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS tot,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS errs
+           FROM events GROUP BY 1),
+         overall AS (
+           SELECT CAST(sum(tot) AS BIGINT) AS gt,
+             CAST(sum(errs) AS BIGINT) AS ge FROM byday),
+         cells AS (
+           SELECT
+             CAST(sum(weekend * above) AS BIGINT) AS a,
+             CAST(sum(weekend * (1 - above)) AS BIGINT) AS b,
+             CAST(sum((1 - weekend) * above) AS BIGINT) AS c,
+             CAST(sum((1 - weekend) * (1 - above)) AS BIGINT) AS d
+           FROM (
+             SELECT CASE WHEN isodow(day) - 1 >= 5 THEN 1 ELSE 0 END
+                 AS weekend,
+               CASE WHEN errs * gt > ge * tot THEN 1 ELSE 0 END AS above
+             FROM byday CROSS JOIN overall)),
+         marg AS (
+           SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+             a + b + c + d AS n
+           FROM cells),
+         lf AS (
+           SELECT m,
+             sum(CASE WHEN m = 0 THEN 0.0 ELSE ln(m) END)
+               OVER (ORDER BY m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lfact
+           FROM (SELECT range AS m FROM range(0, 2001)
+                 WHERE range <= (SELECT n FROM marg))),
+         terms AS (
+           SELECT g.a, g.b, g.c, g.d, k.m AS k,
+             exp(fr1.lfact - fk.lfact - fr1k.lfact
+                 + fr2.lfact - fc1k.lfact - fr2c1k.lfact
+                 - fn.lfact + fc1.lfact + fnc1.lfact) AS term
+           FROM marg g
+           JOIN lf k ON k.m >= g.a AND k.m >= g.c1 - g.r2
+             AND k.m <= least(g.r1, g.c1)
+           JOIN lf fk ON fk.m = k.m
+           JOIN lf fr1 ON fr1.m = g.r1
+           JOIN lf fr1k ON fr1k.m = g.r1 - k.m
+           JOIN lf fr2 ON fr2.m = g.r2
+           JOIN lf fc1k ON fc1k.m = g.c1 - k.m
+           JOIN lf fr2c1k ON fr2c1k.m = g.r2 - g.c1 + k.m
+           JOIN lf fn ON fn.m = g.n
+           JOIN lf fc1 ON fc1.m = g.c1
+           JOIN lf fnc1 ON fnc1.m = g.n - g.c1)
+         SELECT a, b, c, d,
+           round(min(CASE WHEN k = a THEN term END), 6) AS p_observed,
+           round(list_reduce(list_prepend(0.0, list(term ORDER BY k)),
+             (x, y) -> x + y), 6) AS p_upper
+         FROM terms GROUP BY a, b, c, d""",
+
+    "timeseries_hurst" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         idx AS (
+           SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1
+             AS i
+           FROM d),
+         ws AS (SELECT CAST(1 << CAST(range AS INT) AS BIGINT) AS w
+                FROM range(3, 6)),
+         blocks AS (
+           SELECT w, i // w AS blk, i % w + 1 AS j, y
+           FROM idx CROSS JOIN ws),
+         z AS (
+           SELECT w, blk, j, y,
+             w * sum(y) OVER (PARTITION BY w, blk ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - j * sum(y) OVER (PARTITION BY w, blk) AS zv
+           FROM blocks),
+         stats AS (
+           SELECT w, blk, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             max(zv) AS zmax, min(zv) AS zmin
+           FROM z GROUP BY w, blk),
+         rs AS (
+           SELECT w, blk,
+             CASE WHEN w * syy - sy * sy = 0 THEN NULL
+               ELSE (CAST(zmax AS DOUBLE) - CAST(zmin AS DOUBLE))
+                    / sqrt(CAST(w * syy - sy * sy AS DOUBLE)) END AS rsv
+           FROM stats WHERE cnt = w),
+         avgd AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+             list_reduce(list_prepend(0.0, list(rsv ORDER BY blk)),
+               (x, y) -> x + y) / count(*) AS rs_avg
+           FROM rs WHERE rsv IS NOT NULL GROUP BY w),
+         pts AS (
+           SELECT w, ln(CAST(w AS DOUBLE)) AS x, ln(rs_avg) AS y
+           FROM avgd),
+         folded AS (
+           SELECT count(*) AS np,
+             list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0],
+               list([x, y, x * x, x * y] ORDER BY w)),
+               (acc, e) -> [acc[1] + e[1], acc[2] + e[2],
+                 acc[3] + e[3], acc[4] + e[4]]) AS s
+           FROM pts),
+         fit AS (
+           SELECT round((np * s[4] - s[1] * s[2])
+             / (np * s[3] - s[1] * s[1]), 6) AS h_est
+           FROM folded)
+         SELECT w, n_blocks, round(rs_avg, 6) AS rs_avg, h_est
+         FROM avgd CROSS JOIN fit ORDER BY w"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

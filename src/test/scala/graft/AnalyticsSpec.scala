@@ -2028,6 +2028,88 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach { r => assert(r._7 == 1000000L * r._4 / 131072L) }
   }
 
+  test("timeseries_holt: recursion replayed from weekly counts") {
+    val rows = q("timeseries_holt").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(rows.length >= 2)
+    val wk = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("CAST(date_trunc('week', ts) AS DATE) AS week")
+      .groupBy("week").count().orderBy("week").collect()
+      .map(_.getLong(1).toDouble)
+    assert(rows.length == wk.length)
+    var l = wk(0); var b = wk(1) - wk(0)
+    rows.zipWithIndex.foreach { case ((i, y, lg, bg, f), ix) =>
+      assert(i == ix + 1 && y == wk(ix).toLong)
+      if (ix > 0) {
+        val nl = 0.3 * wk(ix) + 0.7 * (l + b)
+        b = 0.3 * (nl - l) + 0.7 * b
+        l = nl
+      }
+      assert(math.abs(lg - l) < 1e-4, s"level $lg vs $l at $ix")
+      assert(math.abs(bg - b) < 1e-4)
+      assert(math.abs(f - (l + b)) < 1e-4)
+    }
+  }
+
+  test("stats_fisher_exact: p matches an exact BigInt hypergeometric") {
+    val r = q("stats_fisher_exact").head()
+    val (a, b, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (r1, r2, c1, n) = (a + b, c + d, a + c, a + b + c + d)
+    assert(n > 0)
+    def fact(m: Long): BigInt = (BigInt(1) to BigInt(m)).product
+    def choose(nn: Long, kk: Long): BigInt =
+      if (kk < 0 || kk > nn) BigInt(0)
+      else fact(nn) / (fact(kk) * fact(nn - kk))
+    val denom = choose(n, c1)
+    def pK(k: Long): Double =
+      (BigDecimal(choose(r1, k) * choose(r2, c1 - k)) /
+        BigDecimal(denom)).toDouble
+    val pUpper = (a to math.min(r1, c1)).map(pK).sum
+    assert(math.abs(r.getDouble(5) - pUpper) < 1e-5,
+      s"p_upper ${r.getDouble(5)} vs $pUpper")
+    assert(math.abs(r.getDouble(4) - pK(a)) < 1e-5)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.000001)
+    // tail sum dominates the point probability
+    assert(r.getDouble(5) >= r.getDouble(4) - 1e-9)
+  }
+
+  test("timeseries_hurst: R/S replayed for w=8; H consistent with points") {
+    val rows = q("timeseries_hurst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val days = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("CAST(ts AS DATE) AS day").groupBy("day").count()
+      .orderBy("day").collect().map(_.getLong(1))
+    def rsAvg(w: Int): (Long, Double) = {
+      val blocks = days.grouped(w).filter(_.length == w).toSeq
+      val vals = blocks.map { blk =>
+        val sy = blk.sum
+        val syy = blk.map(y => BigInt(y) * BigInt(y)).sum
+        var cum = 0L
+        val zs = blk.zipWithIndex.map { case (y, j) =>
+          cum += y; w * cum - (j + 1).toLong * sy
+        }
+        val den = BigInt(w) * syy - BigInt(sy) * BigInt(sy)
+        (zs.max - zs.min).toDouble / math.sqrt(den.toDouble)
+      }
+      (blocks.length.toLong, vals.sum / vals.length)
+    }
+    rows.foreach { case (w, nb, avg, _) =>
+      val (enb, eavg) = rsAvg(w.toInt)
+      assert(nb == enb)
+      assert(math.abs(avg - eavg) < 1e-5, s"rs_avg($w) $avg vs $eavg")
+    }
+    // H from the emitted points reproduces h_est
+    val pts = rows.map(r => (math.log(r._1.toDouble), math.log(r._3)))
+    val np = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val h = (np * sxy - sx * sy) / (np * sxx - sx * sx)
+    assert(math.abs(rows.head._4 - h) < 1e-3, s"h ${rows.head._4} vs $h")
+  }
+
   test("timeseries_ljung_box: Q replayed; positive and finite") {
     val r = q("timeseries_ljung_box").head()
     val days = spark.read.parquet(s"$sfDir/events.parquet")
