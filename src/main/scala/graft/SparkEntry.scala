@@ -8102,17 +8102,21 @@ object SparkEntry {
         .repartition(col("c")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = e.groupBy("p").agg(count(lit(1)).as("deg"))
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.c") === col("b.c") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-        .agg(count(lit(1)).as("common"))
-      val sym = pairs.unionByName(pairs.select(
-        col("p2").as("p1"), col("p1").as("p2"), col("common")))
       val top = deg.orderBy(col("deg").desc, col("p")).limit(20)
         .select(col("p").as("p1"), col("deg").as("deg1"))
-      val scoredPairs = sym.join(broadcast(top), Seq("p1"))
-        .join(deg.withColumnRenamed("p", "p2").withColumnRenamed("deg", "deg2"),
-          Seq("p2"))
+      // probe-side pushdown: only baskets containing a top-20 part can
+      // contribute an emitted pair, so the quadratic Σdeg(c)² self-join
+      // shrinks to Σ deg_top(c)·deg(c) — the broadcast-semi shape that
+      // holds at 100 TB. Both join legs derive from `e`'s one customer
+      // partitioning (broadcast preserves it), so the basket join is
+      // exchange-free shuffle-hash, never a sorted SMJ.
+      val ea = e.join(broadcast(top), col("p") === col("p1")).drop("p")
+      val scoredPairs = ea.join(e.hint("shuffle_hash"), Seq("c"))
+        .filter(col("p") =!= col("p1"))
+        .groupBy(col("p1"), col("deg1"), col("p").as("p2"))
+        .agg(count(lit(1)).as("common"))
+        .join(deg.withColumnRenamed("p", "p2").withColumnRenamed("deg", "deg2")
+          .hint("shuffle_hash"), Seq("p2"))
         .withColumn("cos_ppm", expr(
           """CAST(floor(1000000.0 * common /
              sqrt(CAST(deg1 AS DOUBLE) * CAST(deg2 AS DOUBLE))) AS BIGINT)"""))
