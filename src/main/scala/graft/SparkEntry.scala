@@ -8023,7 +8023,8 @@ object SparkEntry {
         HashFunctions.linearMargin(
           TextFunctions.tokens(lower(col("text")))).as("margin"))
       val wd = Window.orderBy(col("margin").desc, col("doc_id"))
-      val dec10 = scored.withColumn("decile", ntile(10).over(wd))
+      val dec10 = scored.withColumn("decile",
+        ntile(10).over(wd).cast("bigint"))
       val perd = dec10.groupBy("decile").agg(
         count(lit(1)).as("n_rows"), sum(col("is_a")).as("pos"))
       val wc = Window.orderBy("decile")
@@ -8161,7 +8162,7 @@ object SparkEntry {
         .orderBy(col("x").desc, col("node"))
         .limit(20)
         .select(col("node").cast("bigint").as("node"),
-          col("x").cast("decimal(38,0)").as("x3"), col("score_ppm"))
+          col("x").cast("bigint").as("x3"), col("score_ppm"))
     }),
 
     "layout_compaction_plan" -> ((s, dir) => {
@@ -15273,7 +15274,8 @@ object SparkEntry {
              CAST(sum(pos) AS BIGINT) AS tot_pos FROM perd)
          SELECT decile, n_rows, pos, CAST(cum_pos AS BIGINT) AS cum_pos,
            CASE WHEN tot_pos = 0 THEN NULL
-             ELSE (1000000 * cum_pos) // tot_pos END AS gain_ppm,
+             ELSE CAST((1000000 * cum_pos) // tot_pos AS BIGINT)
+           END AS gain_ppm,
            CASE WHEN tot_pos = 0 OR cum_rows = 0 THEN NULL
              ELSE CAST((1000000 * CAST(cum_pos AS HUGEINT) * tot_rows)
                   // (CAST(cum_rows AS HUGEINT) * tot_pos) AS BIGINT)
@@ -15354,7 +15356,7 @@ object SparkEntry {
            FROM und JOIN x2 ON und.u = x2.node GROUP BY und.v),
          tot AS (SELECT CAST(sum(x) AS HUGEINT) AS xsum FROM x3)
          SELECT CAST(node AS BIGINT) AS node,
-           CAST(x AS DECIMAL(38,0)) AS x3,
+           CAST(x AS BIGINT) AS x3,
            CAST((1000000 * x) // xsum AS BIGINT) AS score_ppm
          FROM x3 CROSS JOIN tot
          ORDER BY x DESC, node LIMIT 20""",
@@ -15370,12 +15372,13 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_before
            FROM files)
-         SELECT cum_before // 131072 AS bin,
+         SELECT CAST(cum_before // 131072 AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n_files,
            CAST(sum(n_docs) AS BIGINT) AS n_docs,
            CAST(sum(bytes) AS BIGINT) AS bytes,
            min(file_id) AS first_file, max(file_id) AS last_file,
-           (1000000 * CAST(sum(bytes) AS BIGINT)) // 131072 AS fill_ppm
+           CAST((1000000 * CAST(sum(bytes) AS BIGINT)) // 131072
+                AS BIGINT) AS fill_ppm
          FROM cb GROUP BY 1 ORDER BY bin""",
 
     "timeseries_holt" -> holtSqlText,

@@ -58,7 +58,18 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in s.columns:
             a, b = s[c], d[c]
             try:
-                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                # dtype-strict, like the driver's hash: one side float and
+                # the other integer/Decimal/object is a FAIL even when the
+                # values coincide (this exact leniency let the r8
+                # HUGEINT->float64 oracle leaks ship red — VERDICT r8 #2)
+                fa = pd.api.types.is_float_dtype(a)
+                fb = pd.api.types.is_float_dtype(b)
+                if fa != fb:
+                    mismatches.append(
+                        (c, f"dtype disagreement: {a.dtype} vs {b.dtype} "
+                            "(driver hash is dtype-strict)"))
+                    continue
+                if fa and fb:
                     af = a.astype(float)
                     bf = b.astype(float)
                     bad = ~((af == bf) | (af.isna() & bf.isna()))
