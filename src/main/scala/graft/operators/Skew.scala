@@ -42,6 +42,9 @@ object Skew {
     * PropertySpec sweep. Returns (id_a, id_b, delta_abs). */
   def bandJoinPairs(df: DataFrame, idCol: String, valCol: String,
                     delta: Long): DataFrame = {
+    // delta = 0 makes `__c div 0` NULL in non-ANSI mode (silent empty
+    // join); negative delta inverts the bucket semantics — fail loudly
+    require(delta > 0, s"bandJoinPairs requires delta > 0, got $delta")
     val base = df.select(col(idCol).as("__k"), col(valCol).as("__c"))
     val left = base.withColumn("__bucket", expr(s"__c div $delta"))
     val right = base.select(col("__k").as("__k2"), col("__c").as("__c2"))

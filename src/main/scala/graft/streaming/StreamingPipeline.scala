@@ -878,7 +878,12 @@ object StreamingPipeline {
             r * col("n_win")
         }) + lit(nRef) * col("n_win"))
       .select(col("window.start").as("win_start"), col("n_win"),
-        expr(s"(1000000 * tvd_num) div (2 * n_win * ${nRef}L)").as("tvd_ppm"))
+        // tvd_num ≤ 2·n_win·nRef, so 1000000·tvd_num wraps BIGINT once
+        // n_win·nRef exceeds ~4.6e12 (large ref corpus × busy window) —
+        // route the ppm through decimal(38,0), exact-integer discipline
+        expr(s"""CAST((1000000 * CAST(tvd_num AS DECIMAL(38,0)))
+                 div (2 * CAST(n_win AS DECIMAL(38,0)) * ${nRef}L)
+                 AS BIGINT)""").as("tvd_ppm"))
       .withColumn("drifted", col("tvd_ppm") > thresholdPpm)
   }
 
