@@ -3732,9 +3732,20 @@ object SparkEntry {
       // over a total order gives deterministic bucket membership; output
       // is per-bucket count + exact value bounds. Complements the
       // equi-width agg_histogram.
-      val o = t(s, dir, "orders")
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      o.withColumn("bucket", ntile(10).over(w))
+      // r9 reshape: the straight ntile window funnels every row through
+      // one task (Exchange SinglePartition → WindowExec). Instead: exact
+      // global rank via range-repartition + per-partition offsets
+      // (operators/Rank), then the ntile bucket in closed form — same
+      // output, no row-sized single-task stage anywhere.
+      val o = t(s, dir, "orders").select("o_totalprice", "o_orderkey")
+      val ranked = graft.operators.Rank.globalRowNumber(o, 32, "__rn",
+        col("o_totalprice"), col("o_orderkey"))
+      val tot = o.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("q", expr("n div 10"))
+        .withColumn("r", expr("n % 10"))
+        .withColumn("bucket",
+          expr(graft.operators.Rank.ntileExprSql("__rn")).cast("int"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_orders"),
           min(col("o_totalprice")).as("lo"),
@@ -8022,9 +8033,18 @@ object SparkEntry {
         when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
         HashFunctions.linearMargin(
           TextFunctions.tokens(lower(col("text")))).as("margin"))
-      val wd = Window.orderBy(col("margin").desc, col("doc_id"))
-      val dec10 = scored.withColumn("decile",
-        ntile(10).over(wd).cast("bigint"))
+      // r9 reshape: exact global rank via range-repartition +
+      // per-partition offsets (operators/Rank) replaces the row-sized
+      // single-task ntile window; the decile comes from the closed-form
+      // ntile arithmetic over that rank. Same output, fully partitioned.
+      val ranked = graft.operators.Rank.globalRowNumber(scored, 32, "__rn",
+        col("margin").desc, col("doc_id"))
+      val totN = scored.agg(count(lit(1)).as("n"))
+      val dec10 = ranked.crossJoin(broadcast(totN))
+        .withColumn("q", expr("n div 10"))
+        .withColumn("r", expr("n % 10"))
+        .withColumn("decile",
+          expr(graft.operators.Rank.ntileExprSql("__rn")))
       val perd = dec10.groupBy("decile").agg(
         count(lit(1)).as("n_rows"), sum(col("is_a")).as("pos"))
       val wc = Window.orderBy("decile")

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed total-order ranking — the scale-safe replacement for the
+  * unpartitioned `row_number()`/`ntile()` window, whose physical plan
+  * (`Exchange SinglePartition` → `WindowExec`) funnels the ENTIRE input
+  * through one task: fine at fixture SF, a single-task sort of 10⁹ rows
+  * at 100 TB.
+  *
+  * Shape: range-repartition on the sort keys (each partition holds a
+  * contiguous key range, so partition id order IS global order), rank
+  * within partitions (a partitioned window — parallel), then add
+  * per-partition row-count offsets (a partition-count-sized frame, the
+  * only unpartitioned window, over P rows of metadata). The ranked frame
+  * is persisted so the offset pass and the rank pass see the same
+  * sampled range boundaries.
+  *
+  * Exactness does not depend on the sampled boundaries being balanced —
+  * only on the keys forming a total order (callers must include a
+  * unique tiebreak column), because offset + within-partition rank is
+  * the exact global position for ANY contiguous range split.
+  */
+object Rank {
+
+  /** Appends `rnCol` = exact global row_number (1-based, BIGINT) of the
+    * total order given by `order`. Adds no other columns. */
+  def globalRowNumber(df: DataFrame, numPartitions: Int, rnCol: String,
+                      order: Column*): DataFrame = {
+    val rp = df.repartitionByRange(numPartitions, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = rp.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // P rows of metadata — the only single-partition window
+    val wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wo), lit(0L)))
+      .drop("__cnt")
+    val wr = Window.partitionBy("__pid").orderBy(order: _*)
+    rp.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rnCol,
+        row_number().over(wr).cast("bigint") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** `ntile(k)` bucket (1-based, BIGINT) of a 1-based position in a
+    * total order — the closed form of the SQL ntile contract (first
+    * `n mod k` buckets get `⌈n/k⌉` rows, the rest `⌊n/k⌋`), so the
+    * bucket can be computed from a distributed global rank instead of a
+    * single-task window. SQL-text form for use inside `expr(...)`:
+    * requires BIGINT columns `q` (= n div k) and `r` (= n % k) in scope
+    * and takes the 1-based position expression text. The ELSE branch is
+    * unreachable when q = 0 (pos ≤ n = r·1 then), so its `div q` never
+    * divides by zero. */
+  def ntileExprSql(posSql: String): String =
+    s"""CASE WHEN ($posSql) <= r * (q + 1)
+          THEN (($posSql) + q) div (q + 1)
+          ELSE r + (($posSql) - r * (q + 1) + q - 1) div q END"""
+}

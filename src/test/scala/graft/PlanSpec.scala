@@ -391,4 +391,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("agg_equidepth: no row-sized single-task ntile window — ranked via range repartition") {
+    val p = plan("agg_equidepth")
+    // the r9 reshape: exact global rank from RangePartitioning +
+    // per-partition offsets; the only remaining single-partition window
+    // runs over the P-row offsets frame, never the row set
+    assert(!p.contains("ntile("), p)
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+  }
+
+  test("model_lift_gain: no row-sized single-task ntile window — ranked via range repartition") {
+    val p = plan("model_lift_gain")
+    assert(!p.contains("ntile("), p)
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+  }
 }
