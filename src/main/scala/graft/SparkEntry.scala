@@ -338,6 +338,34 @@ object SparkEntry {
     (centroidsDf(s, cents), path)
   }
 
+  /** Memoized append-grown IVF index per sf dir: centroids trained on
+    * the BASE corpus only (vec_id % 7 != 0 — yesterday's data), index
+    * written from the base, then the held-out batch (vec_id % 7 = 0 —
+    * today's ingest) appended via Similarity.appendToIvfIndex WITHOUT
+    * re-clustering. Memoization keeps the append exactly-once per JVM
+    * (SaveMode.Append is not idempotent). */
+  private val ivfAppendIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[(Long, Array[Float])], String)]
+
+  private def ivfAppendIndex(s: SparkSession, dir: String): (DataFrame, String) = {
+    import s.implicits._
+    val (cents, path) = ivfAppendIndexes.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(pmod(col("vec_id"), lit(7L)) =!= 0L)
+      val batch = e.filter(pmod(col("vec_id"), lit(7L)) === 0L)
+      val trained = Similarity.kmeansCentroids(
+          base, k = Similarity.autoK(base.count()), iters = 2)
+        .select(col("centroid_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val idxPath =
+        java.nio.file.Files.createTempDirectory("graft_ivf_app_").toString
+      Similarity.writeIvfIndex(base, centroidsDf(s, trained), idxPath)
+      Similarity.appendToIvfIndex(batch, centroidsDf(s, trained), idxPath)
+      (trained, idxPath)
+    })
+    (centroidsDf(s, cents), path)
+  }
+
   /** The additive decomposition frame shared by `timeseries_decompose`
     * (full report) and `timeseries_anomaly_decomposed` (residual MAD
     * flags): hourly click revenue → centered ±12 h trend → hour-of-day
@@ -1653,6 +1681,26 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (centroids, path) = ivfIndex(s, dir)
+      Similarity.ivfTopKFromIndex(s, path, q, centroids, k = 10, nprobe = 2)
+        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "similarity_topk_ivf_append" -> ((s, dir) => {
+      // incremental ingest into a LIVE IVF index: centroids trained on
+      // the base corpus (vec_id % 7 != 0), base cells materialized, then
+      // the held-out batch appended to the existing cells WITHOUT
+      // re-clustering (Similarity.appendToIvfIndex) — the daily-ingest
+      // path that avoids a full index rebuild per batch at 100 TB. The
+      // probe then runs over the grown index; because cell membership is
+      // a pure function of (vector, centroids), the result is EXACTLY
+      // the scratch-rebuilt index's answer (OperatorsSpec parity), and
+      // the oracle replays train-on-base/assign-all in SQL.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (centroids, path) = ivfAppendIndex(s, dir)
       Similarity.ivfTopKFromIndex(s, path, q, centroids, k = 10, nprobe = 2)
         .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"))
@@ -8696,17 +8744,28 @@ object SparkEntry {
     * iterations), cell assignment, probe selection, and rerank
     * bit-for-bit in DuckDB SQL. Yields CTE `r(query_id, vec_id, cosine,
     * rnk)`; callers filter rnk and shape the output. */
-  private def ivfProbeCtes(nprobe: Int, qPred: String): String =
+  /** `trainPred` restricts the k-means TRAINING corpus (autoK count,
+    * first-k init, both Lloyd iterations) while cell assignment and the
+    * probe still run over the FULL corpus — the oracle shape for the
+    * append-grown index, whose quantizer was trained before today's
+    * batch arrived. The default "TRUE" emits the original text. */
+  private def ivfProbeCtes(nprobe: Int, qPred: String,
+                           trainPred: String = "TRUE"): String = {
+    val train = if (trainPred == "TRUE") "corpus" else "trainc"
+    val trainCte = if (trainPred == "TRUE") ""
+      else s"""trainc AS (
+         SELECT vec_id, v FROM corpus WHERE $trainPred),
+       """
     s"""corpus AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       c0 AS (
+       ${trainCte}c0 AS (
          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
            v AS cv
-         FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+         FROM (SELECT vec_id, v FROM $train ORDER BY vec_id
             LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
-                   FROM corpus))),
-       ${kmeansIterSql("c0", "a1", "c1")},
-       ${kmeansIterSql("c1", "a2", "c2")},
+                   FROM $train))),
+       ${kmeansIterSql("c0", "a1", "c1", corpusRel = train)},
+       ${kmeansIterSql("c1", "a2", "c2", corpusRel = train)},
        cellsc AS (
          SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
          FROM corpus p CROSS JOIN c2 c),
@@ -8733,12 +8792,24 @@ object SparkEntry {
            row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id) AS rnk
          FROM sc)"""
+  }
 
   /** Shared by similarity_topk_ivf (inline assignment) and
     * similarity_topk_ivf_index (materialized cell-partitioned index) —
     * both produce identical results by construction. */
   private lazy val ivfOracleSql: String =
     s"""WITH ${ivfProbeCtes(nprobe = 2, qPred = "q.vec_id < 5")}
+       SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
+       FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** similarity_topk_ivf_append: quantizer trained on the base corpus
+    * (vec_id % 7 != 0) only, assignment + probe over the full grown
+    * corpus — exactly what the engine's append-without-recluster
+    * produces, since cell membership depends only on (vector,
+    * centroids). */
+  private lazy val ivfAppendOracleSql: String =
+    s"""WITH ${ivfProbeCtes(nprobe = 2, qPred = "q.vec_id < 5",
+                            trainPred = "vec_id % 7 != 0")}
        SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
        FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
 
@@ -12045,6 +12116,7 @@ object SparkEntry {
     // both queries share one oracle
     "similarity_topk_ivf" -> ivfOracleSql,
     "similarity_topk_ivf_index" -> ivfOracleSql,
+    "similarity_topk_ivf_append" -> ivfAppendOracleSql,
     "similarity_recall" -> similarityRecallOracleSql,
     "similarity_recall_sweep" -> {
       val probes = Seq(1, 2, 4).map { np =>

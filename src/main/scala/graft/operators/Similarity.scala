@@ -196,6 +196,39 @@ object Similarity {
         .select(col(centroidIdCol), col(idCol), col(vecCol)),
       path, Seq(centroidIdCol))
 
+  /** Incremental IVF index append — the streaming-ingest sibling of
+    * `incrementalDedupFromIndex`. Newly ingested vectors are assigned to
+    * the EXISTING coarse quantizer's cells and written as NEW files into
+    * the cell-partitioned layout (SaveMode.Append): no re-cluster, no
+    * rewrite of existing cells — at 100 TB the corpus grows daily and a
+    * full rebuild per batch is exactly what this avoids. Cell membership
+    * is a pure function of (vector, centroids), so append-then-probe is
+    * EXACTLY equal to rebuild-then-probe under the same centroids
+    * (OperatorsSpec asserts the parity).
+    *
+    * Returns the per-cell appended counts plus the batch's mean
+    * assignment cosine per cell — the drift signal: when appended mass
+    * concentrates in few cells or assignment cosines degrade vs the
+    * training epoch, that is the re-cluster trigger (tracked by the
+    * caller across batches; the index itself never needs it to stay
+    * exact). */
+  def appendToIvfIndex(batch: DataFrame, centroids: DataFrame, path: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       centroidIdCol: String = "centroid_id"): DataFrame = {
+    val assigned = assignToCentroids(batch, centroids, idCol, vecCol,
+        centroidIdCol)
+      .select(col(centroidIdCol), col(idCol), col(vecCol))
+    Layout.writePartitioned(assigned, path, Seq(centroidIdCol),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assigned
+      .join(broadcast(centroids.select(col(centroidIdCol),
+        col(vecCol).as("c_vec"))), Seq(centroidIdCol))
+      .withColumn("a_cos", VectorFunctions.cosineSim(col(vecCol), col("c_vec")))
+      .groupBy(col(centroidIdCol))
+      .agg(count(lit(1)).as("n_appended"),
+        avg(col("a_cos")).as("mean_assign_cos"))
+  }
+
   /** Query a materialized IVF index. Probe cell ids are resolved on the
     * driver (|Q|·nprobe longs — metadata, not data) so the cell filter is
     * a literal IN-list that prunes partitions at scan time. */

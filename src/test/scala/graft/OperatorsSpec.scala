@@ -487,6 +487,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("appendToIvfIndex: append-then-probe equals scratch rebuild on the grown corpus") {
+    val e = Tables().embeddings
+    val base = e.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
+    val batch = e.filter(pmod(col("vec_id"), lit(5L)) === 0L)
+    val centroids = Similarity.kmeansCentroids(base, k = 4, iters = 2)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+
+    // grown incrementally: base written, batch appended w/o recluster
+    val appended = tmp + "/appended"
+    Similarity.writeIvfIndex(base, centroids, appended)
+    val drift = Similarity.appendToIvfIndex(batch, centroids, appended)
+      .collect()
+    // drift frame covers exactly the appended rows
+    assert(drift.map(_.getAs[Long]("n_appended")).sum == batch.count())
+    drift.foreach(r =>
+      assert(r.getAs[Double]("mean_assign_cos") <= 1.0 + 1e-9))
+
+    // rebuilt from scratch over the SAME grown corpus + quantizer
+    val rebuilt = tmp + "/rebuilt"
+    Similarity.writeIvfIndex(e, centroids, rebuilt)
+
+    def probe(path: String) =
+      Similarity.ivfTopKFromIndex(spark, path, q, centroids, k = 5, nprobe = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), r.getAs[Double]("cosine"))).toMap
+    val a = probe(appended)
+    val b = probe(rebuilt)
+    assert(a == b, s"append/rebuild probe diverged: $a vs $b")
+    // batch members are findable: vec_id 0 queries itself at rank 1
+    assert(a((0L, 1))._1 == 0L)
+  }
+
   test("hotelsCount: manual fixture counts") {
     val df = Seq(
       ("2020-01-01", "2020-01-03", 100L), // Short

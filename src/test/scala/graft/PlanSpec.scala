@@ -99,6 +99,17 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("centroid_id"), s"no centroid_id partition filter:\n$p")
   }
 
+  test("similarity_topk_ivf_append: probe over the append-grown index still prunes partitions") {
+    val p = plan("similarity_topk_ivf_append")
+    // appended cell files land under the same centroid_id=N directories,
+    // so the probe's IN-list prunes to probed cells exactly as on the
+    // freshly built index — base + appended files of unprobed cells are
+    // never opened
+    val pf = "PartitionFilters: \\[([^\\]]*)".r
+      .findAllMatchIn(p).map(_.group(1)).mkString("; ")
+    assert(pf.contains("centroid_id"), s"no centroid_id partition filter:\n$p")
+  }
+
   test("join_bucketed: co-located join and agg plan zero hash exchanges") {
     val p = plan("join_bucketed")
     // both sides bucketed+sorted on the order key: the sort-merge join AND
