@@ -1707,6 +1707,36 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "similarity_ivf_drift" -> ((s, dir) => {
+      // the re-cluster trigger readout for the append-grown IVF index:
+      // per cell, how many of today's batch landed there (share_ppm —
+      // concentration means the quantizer no longer spreads new data)
+      // and the batch's mean assignment cosine (degrading means new
+      // data sits far from every centroid). Mean is the canonical
+      // ascending-id double fold (sort_array(collect_list) → aggregate)
+      // so the sum order — and hence the hash — matches the oracle's
+      // ORDER BY vec_id list_reduce exactly. Work: one broadcast-assign
+      // pass over the BATCH only, never the corpus.
+      val e = t(s, dir, "embeddings")
+      val batch = e.filter(pmod(col("vec_id"), lit(7L)) === 0L)
+      val (centroids, _) = ivfAppendIndex(s, dir)
+      val assigned = Similarity.assignToCentroids(batch, centroids)
+        .select(col("centroid_id"), col("vec_id"), col("cosine"))
+      val tot = batch.agg(count(lit(1)).as("nb"))
+      assigned.groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_appended"),
+          (aggregate(
+            sort_array(collect_list(struct(col("vec_id"), col("cosine")))),
+            lit(0.0), (acc, x) => acc + x.getField("cosine")) /
+            count(lit(1)).cast("double")).as("m"))
+        .crossJoin(broadcast(tot))
+        .select(col("centroid_id"), col("n_appended"),
+          round(col("m"), 6).as("mean_assign_cos"),
+          expr("CAST((1000000 * n_appended) div nb AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy("centroid_id")
+    }),
+
     "similarity_recall_sweep" -> ((s, dir) => {
       // the IVF tuning curve: recall@10 as a function of nprobe (1/2/4)
       // against the exact top-10 — the artifact that picks the
@@ -8802,6 +8832,40 @@ object SparkEntry {
        SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
        FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
 
+  /** similarity_ivf_drift: batch (vec_id % 7 = 0) assigned to the
+    * base-trained quantizer; per-cell count, share, and canonical
+    * ascending-id mean assignment cosine. */
+  private lazy val ivfDriftOracleSql: String = {
+    val train = "trainc"
+    s"""WITH corpus AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       trainc AS (
+         SELECT vec_id, v FROM corpus WHERE vec_id % 7 != 0),
+       c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+           v AS cv
+         FROM (SELECT vec_id, v FROM $train ORDER BY vec_id
+            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                   FROM $train))),
+       ${kmeansIterSql("c0", "a1", "c1", corpusRel = train)},
+       ${kmeansIterSql("c1", "a2", "c2", corpusRel = train)},
+       batch AS (SELECT vec_id, v FROM corpus WHERE vec_id % 7 = 0),
+       asgc AS (
+         SELECT b.vec_id, c.cid, ${cosSql("b.v", "c.cv")} AS cs
+         FROM batch b CROSS JOIN c2 c),
+       asg AS (
+         SELECT vec_id, cid, cs FROM (
+           SELECT vec_id, cid, cs, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid) AS rn FROM asgc) WHERE rn = 1),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM batch)
+       SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_appended,
+         round(list_reduce(list_prepend(0.0, list(cs ORDER BY vec_id)),
+           (a, b) -> a + b) / count(*), 6) AS mean_assign_cos,
+         CAST((1000000 * CAST(count(*) AS BIGINT)) // nb AS BIGINT)
+           AS share_ppm
+       FROM asg CROSS JOIN tot GROUP BY cid, nb ORDER BY centroid_id"""
+  }
+
   /** similarity_topk_ivf_append: quantizer trained on the base corpus
     * (vec_id % 7 != 0) only, assignment + probe over the full grown
     * corpus — exactly what the engine's append-without-recluster
@@ -12117,6 +12181,7 @@ object SparkEntry {
     "similarity_topk_ivf" -> ivfOracleSql,
     "similarity_topk_ivf_index" -> ivfOracleSql,
     "similarity_topk_ivf_append" -> ivfAppendOracleSql,
+    "similarity_ivf_drift" -> ivfDriftOracleSql,
     "similarity_recall" -> similarityRecallOracleSql,
     "similarity_recall_sweep" -> {
       val probes = Seq(1, 2, 4).map { np =>
