@@ -8146,6 +8146,144 @@ object SparkEntry {
         .orderBy("decile")
     }),
 
+    "orders_market_basket" -> ((s, dir) => {
+      // association rules over order baskets (Apriori's candidate
+      // bound, not its passes): only items with support ≥ 0.2% of
+      // baskets enter the per-basket self-join, so pair volume is
+      // Σ_basket deg_freq(basket)² — bounded by the frequent-item
+      // filter, never #items² — and the join key is the basket id (an
+      // equi-shuffle that AQE can split on hot baskets). Emits the top
+      // 20 pairs by co-occurrence with exact floor-ppm support,
+      // directional confidence, and lift.
+      val li = t(s, dir, "lineitem")
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("item")).distinct()
+      val tot = b.agg(countDistinct(col("ok")).as("n_orders"))
+      val freq = b.groupBy("item").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 1000 >= col("n_orders") * 2)
+        .select("item", "cnt")
+      val bf = b.join(freq, "item")
+      val pairs = bf.as("x").join(bf.as("y"),
+          col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+        .agg(count(lit(1)).as("cnt_ab"),
+          max(col("x.cnt")).as("cnt_a"), max(col("y.cnt")).as("cnt_b"))
+      pairs.crossJoin(broadcast(tot))
+        .select(col("item_a"), col("item_b"), col("cnt_ab"), col("cnt_a"),
+          col("cnt_b"),
+          expr("CAST((1000000 * cnt_ab) div n_orders AS BIGINT)")
+            .as("support_ppm"),
+          expr("CAST((1000000 * cnt_ab) div cnt_a AS BIGINT)")
+            .as("conf_ab_ppm"),
+          expr("""CAST((1000000 * CAST(cnt_ab AS DECIMAL(38,0)) * n_orders)
+                  div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)""")
+            .as("lift_ppm"))
+        .orderBy(col("cnt_ab").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
+
+    "feature_target_encoding" -> ((s, dir) => {
+      // the target-encoding TABLE for a categorical feature (source →
+      // P(lang=en)): leave-one-out and m-estimate-smoothed (m=20)
+      // variants as exact floor-ppm. The key insight making this
+      // domain-sized: the LOO encoding of a row depends only on
+      // (category, own label), so the full encoder artifact is one row
+      // per (source, is_a) — joinable back to 10⁹ training rows at
+      // serving time without ever materializing per-row encodings.
+      val d = t(s, dir, "documents")
+      val lab = d.select(col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"))
+      val per = lab.groupBy("source").agg(
+        count(lit(1)).as("n"), sum(col("is_a")).as("pos"))
+      val glob = lab.agg(count(lit(1)).as("gn"), sum(col("is_a")).as("gp"))
+      per.crossJoin(broadcast(glob))
+        .withColumn("is_a", explode(array(lit(0L), lit(1L))))
+        .withColumn("n_label",
+          when(col("is_a") === 1L, col("pos")).otherwise(col("n") - col("pos")))
+        .filter(col("n_label") > 0)
+        .withColumn("pos_excl",
+          when(col("is_a") === 1L, col("pos") - 1).otherwise(col("pos")))
+        .select(col("source"), col("is_a"), col("n_label"),
+          expr("""CASE WHEN n = 1 THEN NULL
+                  ELSE CAST((1000000 * pos_excl) div (n - 1) AS BIGINT)
+                  END""").as("loo_ppm"),
+          expr("""CAST((1000000 * (CAST(pos_excl AS DECIMAL(38,0)) * gn
+                    + 20 * gp))
+                  div (CAST(n - 1 + 20 AS DECIMAL(38,0)) * gn)
+                  AS BIGINT)""").as("smooth_ppm"))
+        .orderBy("source", "is_a")
+    }),
+
+    "stats_cramers_v" -> ((s, dir) => {
+      // Cramér's V association between nation and market segment: the
+      // χ² over the r×k contingency table of EXACT counts, then
+      // V = √(χ²/(n·min(r−1,k−1))). Cell terms (o·n − r·c)²/(n·r·c)
+      // fold in canonical (nation, segment) order so the double sum is
+      // engine-exact; the table itself is domain-sized (r·k cells) from
+      // one grouped pass.
+      val c = t(s, dir, "customer")
+      val cell = c.groupBy(col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("o"))
+      val rowt = cell.groupBy("nk").agg(sum(col("o")).as("rt"))
+      val colt = cell.groupBy("seg").agg(sum(col("o")).as("ct"))
+      val nr = cell.agg(sum(col("o")).as("n"),
+        countDistinct(col("nk")).as("r"), countDistinct(col("seg")).as("k"))
+      val terms = cell.join(broadcast(rowt), "nk").join(broadcast(colt), "seg")
+        .crossJoin(broadcast(nr))
+        .withColumn("term", expr(
+          """POWER(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE), 2)
+             / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))"""))
+      terms
+        .groupBy("n", "r", "k")
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("nk"), col("seg"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"))
+        .select(col("n"), col("r").cast("bigint").as("r"),
+          col("k").cast("bigint").as("k"),
+          round(col("chi2"), 6).as("chi2"),
+          round(sqrt(col("chi2") / (col("n").cast("double") *
+            least(col("r") - 1, col("k") - 1).cast("double"))), 6).as("v"))
+    }),
+
+    "model_threshold_sweep" -> ((s, dir) => {
+      // operating-point table for the hashed classifier: confusion
+      // counts and exact floor-ppm precision/recall/accuracy at five
+      // fixed margin thresholds — ONE pass over the scored rows
+      // (threshold list exploded, conditional sums), domain-sized
+      // output. The artifact that picks the deployment threshold.
+      val d = t(s, dir, "documents")
+      val scored = d.select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
+        HashFunctions.linearMargin(
+          TextFunctions.tokens(lower(col("text")))).as("margin"))
+      val thr = Seq(-300L, -100L, 0L, 100L, 300L)
+      scored
+        .withColumn("thr", explode(array(thr.map(lit): _*)))
+        .groupBy("thr")
+        .agg(
+          sum(when(col("margin") >= col("thr"), col("is_a"))
+            .otherwise(0L)).as("tp"),
+          sum(when(col("margin") >= col("thr"), lit(1L) - col("is_a"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("margin") < col("thr"), col("is_a"))
+            .otherwise(0L)).as("fn"),
+          sum(when(col("margin") < col("thr"), lit(1L) - col("is_a"))
+            .otherwise(0L)).as("tn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("""CASE WHEN tp + fp = 0 THEN NULL
+                  ELSE CAST((1000000 * tp) div (tp + fp) AS BIGINT)
+                  END""").as("precision_ppm"),
+          expr("""CASE WHEN tp + fn = 0 THEN NULL
+                  ELSE CAST((1000000 * tp) div (tp + fn) AS BIGINT)
+                  END""").as("recall_ppm"),
+          expr("""CAST((1000000 * (tp + tn)) div (tp + fp + fn + tn)
+                  AS BIGINT)""").as("accuracy_ppm"))
+        .orderBy("thr")
+    }),
+
     "model_pr_auc" -> ((s, dir) => {
       // average precision (PR-AUC, step form): AP = Σ_thresholds
       // (ΔRecall)·Precision = Σ_margin-groups (ca/n_pos)·(cpos/call) —
@@ -15438,6 +15576,113 @@ object SparkEntry {
                   // (CAST(cum_rows AS HUGEINT) * tot_pos) AS BIGINT)
            END AS lift_ppm
          FROM cum CROSS JOIN tot ORDER BY decile""",
+
+    "model_threshold_sweep" ->
+      s"""WITH $marginScoredCtes,
+         thr AS (SELECT unnest([-300, -100, 0, 100, 300]) AS thr),
+         cm AS (
+           SELECT t.thr,
+             CAST(sum(CASE WHEN s.margin >= t.thr THEN s.is_a ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s.margin >= t.thr THEN 1 - s.is_a ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s.margin < t.thr THEN s.is_a ELSE 0 END)
+               AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN s.margin < t.thr THEN 1 - s.is_a ELSE 0 END)
+               AS BIGINT) AS tn
+           FROM scored s CROSS JOIN thr t GROUP BY t.thr)
+         SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+           CASE WHEN tp + fp = 0 THEN NULL
+             ELSE CAST((1000000 * tp) // (tp + fp) AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN tp + fn = 0 THEN NULL
+             ELSE CAST((1000000 * tp) // (tp + fn) AS BIGINT)
+           END AS recall_ppm,
+           CAST((1000000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT)
+             AS accuracy_ppm
+         FROM cm ORDER BY thr""",
+
+    "orders_market_basket" ->
+      """WITH b AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+         tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+         freq AS (
+           SELECT item, CAST(count(*) AS BIGINT) AS cnt
+           FROM b CROSS JOIN tot GROUP BY item, n_orders
+           HAVING count(*) * 1000 >= n_orders * 2),
+         bf AS (SELECT b.ok, b.item, f.cnt FROM b JOIN freq f USING (item)),
+         pairs AS (
+           SELECT x.item AS item_a, y.item AS item_b,
+             CAST(count(*) AS BIGINT) AS cnt_ab,
+             max(x.cnt) AS cnt_a, max(y.cnt) AS cnt_b
+           FROM bf x JOIN bf y ON x.ok = y.ok AND x.item < y.item
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, cnt_ab, cnt_a, cnt_b,
+           CAST((1000000 * cnt_ab) // n_orders AS BIGINT) AS support_ppm,
+           CAST((1000000 * cnt_ab) // cnt_a AS BIGINT) AS conf_ab_ppm,
+           CAST((1000000 * CAST(cnt_ab AS HUGEINT) * n_orders)
+             // (CAST(cnt_a AS HUGEINT) * cnt_b) AS BIGINT) AS lift_ppm
+         FROM pairs CROSS JOIN tot
+         ORDER BY cnt_ab DESC, item_a, item_b LIMIT 20""",
+
+    "feature_target_encoding" ->
+      """WITH lab AS (
+           SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
+           FROM documents),
+         per AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(is_a) AS BIGINT) AS pos
+           FROM lab GROUP BY source),
+         gl AS (
+           SELECT CAST(count(*) AS BIGINT) AS gn,
+             CAST(sum(is_a) AS BIGINT) AS gp FROM lab),
+         ex AS (
+           SELECT source, n, pos, gn, gp, u.is_a
+           FROM per CROSS JOIN gl
+           CROSS JOIN (VALUES (0), (1)) AS u(is_a)),
+         lb AS (
+           SELECT source, CAST(is_a AS BIGINT) AS is_a, n, gn, gp,
+             CASE WHEN is_a = 1 THEN pos ELSE n - pos END AS n_label,
+             CASE WHEN is_a = 1 THEN pos - 1 ELSE pos END AS pos_excl
+           FROM ex)
+         SELECT source, is_a, n_label,
+           CASE WHEN n = 1 THEN NULL
+             ELSE CAST((1000000 * pos_excl) // (n - 1) AS BIGINT)
+           END AS loo_ppm,
+           CAST((1000000 * (CAST(pos_excl AS HUGEINT) * gn + 20 * gp))
+             // (CAST(n - 1 + 20 AS HUGEINT) * gn) AS BIGINT) AS smooth_ppm
+         FROM lb WHERE n_label > 0 ORDER BY source, is_a""",
+
+    "stats_cramers_v" ->
+      """WITH cell AS (
+           SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS o
+           FROM customer GROUP BY 1, 2),
+         rowt AS (SELECT nk, CAST(sum(o) AS BIGINT) AS rt FROM cell GROUP BY nk),
+         colt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS ct FROM cell GROUP BY seg),
+         nr AS (
+           SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT nk) AS BIGINT) AS r,
+             CAST(count(DISTINCT seg) AS BIGINT) AS k
+           FROM cell),
+         terms AS (
+           SELECT cell.nk, cell.seg,
+             POWER(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE), 2)
+               / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+               AS term
+           FROM cell JOIN rowt USING (nk) JOIN colt USING (seg)
+           CROSS JOIN nr),
+         chi AS (
+           SELECT n, r, k,
+             list_reduce(list_prepend(0.0, list(term ORDER BY nk, seg)),
+               (a, b) -> a + b) AS chi2
+           FROM terms CROSS JOIN nr GROUP BY n, r, k)
+         SELECT n, r, k, round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+             * CAST(least(r - 1, k - 1) AS DOUBLE))), 6) AS v
+         FROM chi""",
 
     "model_pr_auc" ->
       s"""WITH $marginScoredCtes,
