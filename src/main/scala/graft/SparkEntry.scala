@@ -8183,10 +8183,12 @@ object SparkEntry {
         .limit(20)
     }),
 
-    "feature_target_encoding" -> ((s, dir) => {
-      // the target-encoding TABLE for a categorical feature (source →
-      // P(lang=en)): leave-one-out and m-estimate-smoothed (m=20)
-      // variants as exact floor-ppm. The key insight making this
+    "feature_encoder_table" -> ((s, dir) => {
+      // the target-encoding TABLE for a categorical feature against a
+      // BINARY target (source → P(lang=en)): leave-one-out and
+      // m-estimate-smoothed (m=20) variants as exact floor-ppm — the
+      // domain-sized sibling of feature_target_encode (which emits
+      // per-row encodings of a continuous target). The key insight making this
       // domain-sized: the LOO encoding of a row depends only on
       // (category, own label), so the full encoder artifact is one row
       // per (source, is_a) — joinable back to 10⁹ training rows at
@@ -15625,7 +15627,7 @@ object SparkEntry {
          FROM pairs CROSS JOIN tot
          ORDER BY cnt_ab DESC, item_a, item_b LIMIT 20""",
 
-    "feature_target_encoding" ->
+    "feature_encoder_table" ->
       """WITH lab AS (
            SELECT source,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
