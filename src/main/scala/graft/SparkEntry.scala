@@ -8146,6 +8146,62 @@ object SparkEntry {
         .orderBy("decile")
     }),
 
+    "events_sequence_mining" -> ((s, dir) => {
+      // frequent consecutive event-type trigrams across user journeys —
+      // sequential-pattern mining's workhorse cut. One user-partitioned
+      // window pass forms the trigrams (no self-joins: lead() over the
+      // per-user order), then support = distinct users + occurrences per
+      // pattern. Top-15 via TakeOrderedAndProject. At 100 TB the window
+      // is partitioned on user_id (bounded per-user history) and the
+      // pattern space is |types|³ — domain-sized aggregation state.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_users").desc, col("n_occurrences").desc,
+          col("e1"), col("e2"), col("e3"))
+        .limit(15)
+    }),
+
+    "search_phrase" -> ((s, dir) => {
+      // positional phrase search: the corpus's most frequent bigram
+      // (deterministic tie-break) searched as a PHRASE via the
+      // positional inverted index — both phrase terms' posting lists
+      // (doc_id, pos) are pre-filtered BEFORE the adjacency equi-join
+      // on (doc_id, pos+1), so the match cost is |posting(t1)| ⋈
+      // |posting(t2)|, never a corpus scan — the standard IR phrase
+      // plan. Emits the top-20 docs by phrase frequency.
+      val d = t(s, dir, "documents")
+      val tokp = d.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(lower(col("text"))))
+          .as(Seq("pos", "tok")))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val top = tokp.withColumn("nxt", lead(col("tok"), 1).over(wd))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t1"), col("t2"))
+        .limit(1)
+      val aSide = tokp.join(broadcast(top), col("tok") === col("t1"))
+        .select(col("doc_id"), col("pos"), col("t1"), col("t2"))
+      val bSide = tokp.join(
+          broadcast(top.select(col("t2").as("t2b"))),
+          col("tok") === col("t2b"))
+        .select(col("doc_id").as("d2"), col("pos").as("p2"))
+      aSide.join(bSide,
+          col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+        .groupBy("t1", "t2", "doc_id")
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("n_matches").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     "orders_market_basket" -> ((s, dir) => {
       // association rules over order baskets (Apriori's candidate
       // bound, not its passes): only items with support ≥ 0.2% of
@@ -15603,6 +15659,47 @@ object SparkEntry {
            CAST((1000000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT)
              AS accuracy_ppm
          FROM cm ORDER BY thr""",
+
+    "events_sequence_mining" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+           FROM events)
+         SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         GROUP BY e1, e2, e3
+         ORDER BY n_users DESC, n_occurrences DESC, e1, e2, e3 LIMIT 15""",
+
+    "search_phrase" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tokp AS (
+           SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM d),
+         tp AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             toks[CAST(i AS INT) + 1] AS tok
+           FROM tokp),
+         bi AS (
+           SELECT doc_id, tok AS a,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+           FROM tp),
+         topb AS (
+           SELECT a AS t1, b AS t2, CAST(count(*) AS BIGINT) AS cnt
+           FROM bi WHERE b IS NOT NULL GROUP BY 1, 2
+           ORDER BY cnt DESC, t1, t2 LIMIT 1),
+         m AS (
+           SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+           FROM tp x
+           JOIN topb ON x.tok = topb.t1
+           JOIN tp y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+                    AND y.tok = topb.t2
+           GROUP BY x.doc_id)
+         SELECT t1, t2, doc_id, n_matches
+         FROM m CROSS JOIN topb
+         ORDER BY n_matches DESC, doc_id LIMIT 20""",
 
     "orders_market_basket" ->
       """WITH b AS (
