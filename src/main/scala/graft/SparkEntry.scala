@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{HashFunctions, KmvFunctions, StayCategory, TextFunctions, VectorFunctions}
-import graft.operators.{AsOf, Dedup, Enrich, Layout, Multimodal, Similarity, Skew}
+import graft.operators.{AsOf, Dedup, Enrich, Layout, Multimodal, Rank, Similarity, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -8634,6 +8634,313 @@ object SparkEntry {
         .select(col("w"), col("n_blocks"), round(col("rs_avg"), 6)
           .as("rs_avg"), col("h_est"))
         .orderBy("w")
+    }),
+
+    "model_brier" -> ((s, dir) => {
+      // Brier score with the Murphy reliability/resolution/uncertainty
+      // decomposition, all in EXACT scaled integers: the hashed margin
+      // maps to a ppm probability (clamped affine), every squared term is
+      // (sum-scaled integer)² div (exact integer) through decimal(38,0) —
+      // one floor per bin, no float accumulation anywhere. ONE grouped
+      // pass builds the 10 calibration bins (map-side combinable sums of
+      // p_ppm and labels); the closing row is arithmetic over ~10 cells.
+      // brier ≈ reliability − resolution + uncertainty up to the
+      // documented per-bin floors.
+      val d = t(s, dir, "documents")
+      val scored = d.select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
+          HashFunctions.linearMargin(
+            TextFunctions.tokens(lower(col("text")))).as("margin"))
+        .withColumn("p_ppm",
+          least(greatest(lit(500000L) + lit(100L) * col("margin"), lit(0L)),
+            lit(1000000L)))
+        .withColumn("bin", least(expr("p_ppm div 100000"), lit(9L)))
+      val bins = scored.groupBy("bin").agg(
+        count(lit(1)).as("n_k"),
+        sum(col("p_ppm")).as("sp_k"),
+        sum(col("is_a")).as("so_k"),
+        sum(expr("""CAST(p_ppm - 1000000 * is_a AS DECIMAL(38,0))
+                    * CAST(p_ppm - 1000000 * is_a AS DECIMAL(38,0))"""))
+          .as("sq_k"))
+      val tot = bins.agg(sum(col("n_k")).as("n"), sum(col("so_k")).as("n_pos"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("n"), col("n_pos"), col("sq_k"),
+          expr("""CAST(sp_k - 1000000 * so_k AS DECIMAL(38,0))
+                  * CAST(sp_k - 1000000 * so_k AS DECIMAL(38,0))
+                  div n_k""").as("rel_k"),
+          expr("""(CAST(so_k AS DECIMAL(38,0)) * n
+                    - CAST(n_k AS DECIMAL(38,0)) * n_pos)
+                  * (CAST(so_k AS DECIMAL(38,0)) * n
+                    - CAST(n_k AS DECIMAL(38,0)) * n_pos)
+                  * 1000000 * 1000000
+                  div (CAST(n_k AS DECIMAL(38,0)) * n * n)""").as("res_k"))
+        .groupBy("n", "n_pos")
+        .agg(sum(col("sq_k")).as("sq"), sum(col("rel_k")).as("rel"),
+          sum(col("res_k")).as("res"))
+        .select(col("n").cast("bigint").as("n"),
+          col("n_pos").cast("bigint").as("n_pos"),
+          expr("CAST(sq div n AS BIGINT)").as("brier_e12"),
+          expr("CAST(rel div n AS BIGINT)").as("rel_e12"),
+          expr("CAST(res div n AS BIGINT)").as("res_e12"),
+          expr("""CAST(CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos)
+                       * 1000000 * 1000000 div (CAST(n AS DECIMAL(38,0)) * n)
+                       div n AS BIGINT)""").as("unc_e12"))
+    }),
+
+    "model_fairness_slices" -> ((s, dir) => {
+      // per-slice classifier audit (the fairness table every model card
+      // needs): confusion counts by document source at threshold 0, exact
+      // floor-ppm TPR/FPR/accuracy, and each slice's TPR/FPR gap vs the
+      // pooled rates (demographic-parity style deltas). ONE grouped pass
+      // over the scored rows; the global row is a broadcast of the
+      // slice-level sums re-aggregated — never a second scan.
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
+        (HashFunctions.linearMargin(
+          TextFunctions.tokens(lower(col("text")))) >= 0L).as("pred"))
+      val per = scored.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pred") && col("is_a") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("pred") && col("is_a") === 0L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("pred") && col("is_a") === 1L, 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!col("pred") && col("is_a") === 0L, 1L).otherwise(0L))
+          .as("tn"))
+      val glob = per.agg(sum(col("tp")).as("gtp"), sum(col("fp")).as("gfp"),
+        sum(col("fn")).as("gfn"), sum(col("tn")).as("gtn"))
+      per.crossJoin(broadcast(glob))
+        .select(col("source"), col("n"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          expr("""CASE WHEN tp + fn = 0 THEN NULL
+                  ELSE CAST((1000000 * tp) div (tp + fn) AS BIGINT)
+                  END""").as("tpr_ppm"),
+          expr("""CASE WHEN fp + tn = 0 THEN NULL
+                  ELSE CAST((1000000 * fp) div (fp + tn) AS BIGINT)
+                  END""").as("fpr_ppm"),
+          expr("CAST((1000000 * (tp + tn)) div n AS BIGINT)").as("acc_ppm"),
+          expr("""CASE WHEN tp + fn = 0 THEN NULL
+                  ELSE CAST((1000000 * tp) div (tp + fn)
+                       - (1000000 * gtp) div (gtp + gfn) AS BIGINT)
+                  END""").as("tpr_gap_ppm"),
+          expr("""CASE WHEN fp + tn = 0 THEN NULL
+                  ELSE CAST((1000000 * fp) div (fp + tn)
+                       - (1000000 * gfp) div (gfp + gtn) AS BIGINT)
+                  END""").as("fpr_gap_ppm"))
+        .orderBy("source")
+    }),
+
+    "dq_psi_drift" -> ((s, dir) => {
+      // population-stability-index drift between the pre-1998 and
+      // post-1998 order-value distributions: 10 fixed 50k-wide bins,
+      // Laplace-smoothed shares ((cnt+1)/(n+10) — defined even for empty
+      // cells), per-bin PSI terms (p−q)·ln(p/q) from exact counts. The
+      // serving-vs-training drift monitor: counts are ONE grouped pass
+      // (map-side combinable), the bin frame is domain-sized (10 rows),
+      // and the closing math is double-on-exact-scalars only.
+      val o = t(s, dir, "orders")
+      val binned = o.select(
+        least(expr("CAST(floor(o_totalprice / 50000.0D) AS BIGINT)"), lit(9L))
+          .as("bin"),
+        when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1L)
+          .otherwise(0L).as("is_ref"))
+      val counts = binned.groupBy("bin").agg(
+        sum(col("is_ref")).as("cnt_ref"),
+        sum(lit(1L) - col("is_ref")).as("cnt_cur"))
+      val tot = counts.agg(sum(col("cnt_ref")).as("n_ref"),
+        sum(col("cnt_cur")).as("n_cur"))
+      val frame = s.range(0, 10).select(col("id").as("bin"))
+        .join(counts, Seq("bin"), "left")
+        .na.fill(0L, Seq("cnt_ref", "cnt_cur"))
+      frame.crossJoin(broadcast(tot))
+        .withColumn("p", (col("cnt_ref") + 1L).cast("double") /
+          (col("n_ref") + 10L).cast("double"))
+        .withColumn("q", (col("cnt_cur") + 1L).cast("double") /
+          (col("n_cur") + 10L).cast("double"))
+        .select(col("bin"), col("cnt_ref"), col("cnt_cur"),
+          expr("CAST((1000000 * cnt_ref) div n_ref AS BIGINT)")
+            .as("ref_ppm"),
+          expr("CAST((1000000 * cnt_cur) div n_cur AS BIGINT)")
+            .as("cur_ppm"),
+          round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+            .as("psi_term"))
+        .orderBy("bin")
+    }),
+
+    "text_boilerplate" -> ((s, dir) => {
+      // per-domain boilerplate-line table (the CCNet move): lines whose
+      // document frequency within a source crosses 30% are boilerplate
+      // (nav bars, license footers); the synthetic corpus plants a
+      // license line in EVERY doc and a newsletter blurb in every 7th.
+      // The artifact is domain-sized — (source, repeated line) rows only,
+      // df ≥ 2 — which is what makes the apply step a broadcast join
+      // against 10⁹ docs instead of a self-join. ONE explode + grouped
+      // count builds it.
+      val d = t(s, dir, "documents").select("doc_id", "source", "text")
+      val docs = d.select(col("doc_id"), col("source"), concat_ws("\n\n",
+        substring(col("text"), 1, 120),
+        lit("this content is licensed under the terms of the example license"),
+        substring(col("text"), 121, 1000000),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("subscribe to our newsletter for updates"))).as("text"))
+      val lines = docs.select(col("doc_id"), col("source"),
+          explode(split(col("text"), "\n\n")).as("line"))
+        .filter(trim(col("line")) =!= "")
+        .withColumn("key",
+          regexp_replace(trim(lower(col("line"))), "\\s+", " "))
+      val nd = docs.groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      lines.groupBy("source", "key")
+        .agg(countDistinct(col("doc_id")).as("df"), min(col("line")).as("line"))
+        .filter(col("df") >= 2)
+        .join(broadcast(nd), "source")
+        .select(col("source"), col("line"), col("df"), col("n_docs"),
+          expr("CAST((1000000 * df) div n_docs AS BIGINT)").as("df_ppm"),
+          expr("CAST(CASE WHEN 10 * df >= 3 * n_docs THEN 1 ELSE 0 END " +
+            "AS BIGINT)").as("is_boiler"))
+        .orderBy(col("source"), col("df").desc, col("line"))
+    }),
+
+    "text_boilerplate_apply" -> ((s, dir) => {
+      // the scrub side of text_boilerplate: docs reassembled from the
+      // lines that are NOT domain boilerplate (df ≥ 30% of the source's
+      // docs). The boilerplate table is tiny (domain-sized), so the strip
+      // is a broadcast LEFT ANTI join on (source, normalized line) — the
+      // only full-data pass is the explode/reassemble, shuffled once on
+      // doc_id.
+      val d = t(s, dir, "documents").select("doc_id", "source", "text")
+      val docs = d.select(col("doc_id"), col("source"), concat_ws("\n\n",
+        substring(col("text"), 1, 120),
+        lit("this content is licensed under the terms of the example license"),
+        substring(col("text"), 121, 1000000),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("subscribe to our newsletter for updates"))).as("text"))
+      val lines = docs.select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), "\n\n")).as(Seq("pos", "line")))
+        .filter(trim(col("line")) =!= "")
+        .withColumn("key",
+          regexp_replace(trim(lower(col("line"))), "\\s+", " "))
+      val nd = docs.groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val boiler = lines.groupBy("source", "key")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .join(broadcast(nd), "source")
+        .filter(col("df") * 10 >= col("n_docs") * 3)
+        .select("source", "key")
+      lines.join(broadcast(boiler), Seq("source", "key"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws("\n\n", array_sort(collect_list(struct(col("pos"),
+            col("line")))).getField("line")).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    "layout_zonemap_prune" -> ((s, dir) => {
+      // zone-map (min/max) file-skipping readout — the measurement behind
+      // every "why sort/cluster the table" decision: rows are assigned to
+      // pseudo-files under two layouts (natural = contiguous orderkey
+      // ranges; sorted = contiguous ranks of the distributed
+      // Rank.globalRowNumber order on ship date), per-file min/max zone
+      // maps are ONE grouped pass over (file, date) — metadata-sized from
+      // there — and a month predicate is evaluated against the maps.
+      // Sorted layout prunes all but the files overlapping the month;
+      // natural layout scans nearly everything. At 100 TB this table IS
+      // the expected-scan-cost model for the compaction planner.
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+      val lo = lit("1997-06-01").cast("timestamp")
+      val hi = lit("1997-06-30").cast("timestamp")
+      def zones(withFile: DataFrame, name: String): DataFrame =
+        withFile.groupBy("file_id")
+          .agg(count(lit(1)).as("rws"),
+            min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"),
+            sum(when(col("l_shipdate").between(lo, hi), 1L).otherwise(0L))
+              .as("mrows"))
+          .agg(lit(name).as("layout"),
+            count(lit(1)).as("n_files"),
+            sum(when(col("mx") >= lo && col("mn") <= hi, 1L).otherwise(0L))
+              .as("files_scanned"),
+            sum(col("rws")).as("rows_total"),
+            sum(when(col("mx") >= lo && col("mn") <= hi, col("rws"))
+              .otherwise(0L)).as("rows_scanned"),
+            sum(col("mrows")).as("rows_match"))
+      val nat = li.withColumn("file_id", expr("l_orderkey div 128"))
+      val srt = Rank.globalRowNumber(li, 32, "rn",
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("file_id", expr("(rn - 1) div 4096"))
+      zones(nat, "natural").unionAll(zones(srt, "sorted"))
+        .select(col("layout"), col("n_files"), col("files_scanned"),
+          col("rows_total"), col("rows_scanned"), col("rows_match"),
+          expr("""CAST((1000000 * (n_files - files_scanned)) div n_files
+                  AS BIGINT)""").as("file_prune_ppm"),
+          expr("""CAST((1000000 * (rows_total - rows_scanned)) div rows_total
+                  AS BIGINT)""").as("row_prune_ppm"))
+        .orderBy("layout")
+    }),
+
+    "agg_weighted_median" -> ((s, dir) => {
+      // exact weighted median (quantity-weighted extended price) per
+      // return flag by DOMAIN reduction: collapse rows to (flag, price,
+      // Σweight) — the value domain, orders of magnitude smaller than the
+      // row count — cumulate weight per flag in price order (a
+      // partitioned window, parallel across flags), and pick the first
+      // price whose doubled cumulative weight reaches the flag total.
+      // Weights are integral-valued doubles, so the BIGINT casts are
+      // exact and the pick is integer-compare-only.
+      val li = t(s, dir, "lineitem")
+      val dom = li.groupBy(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("price"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("w"))
+      val wc = Window.partitionBy("flag").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy("flag")
+      dom
+        .withColumn("cum", sum(col("w")).over(wc))
+        .withColumn("tot", sum(col("w")).over(wt))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("flag")
+        .agg(min(col("price")).as("wmedian"), max(col("tot")).as("total_w"))
+        .orderBy("flag")
+    }),
+
+    "feature_corr_matrix" -> ((s, dir) => {
+      // the full pairwise Pearson matrix over four lineitem measures from
+      // ONE aggregation pass: every Σx, Σx², Σxy is an exact
+      // decimal(18,2)/(37,4) sum (order-independent, map-side
+      // combinable — the agg_corr discipline widened to all pairs), and
+      // the 6 upper-triangle correlations are closed-form doubles over
+      // those exact scalars, exploded from the single moments row. At
+      // 100 TB this is one scan producing k² cells — never k² scans.
+      val li = t(s, dir, "lineitem")
+      val m = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+        "d" -> "l_discount", "t" -> "l_tax")
+      val names = Map("q" -> "qty", "p" -> "price", "d" -> "disc",
+        "t" -> "tax")
+      def c(k: String): Column = col(m(k)).cast("decimal(18,2)")
+      val keys = Seq("q", "p", "d", "t")
+      val firsts = keys.map(k => sum(c(k)).as(s"s_$k"))
+      val seconds = for { i <- keys.indices; j <- i until keys.size }
+        yield sum(c(keys(i)) * c(keys(j)))
+          .as(s"s_${keys(i)}${keys(j)}")
+      val sums = li.agg(count(lit(1)).as("n"),
+        (firsts ++ seconds): _*)
+      def corrExpr(a: String, b: String): Column = expr(
+        s"""round((CAST(n AS DOUBLE) * CAST(s_$a$b AS DOUBLE)
+               - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(s_$a$a AS DOUBLE)
+                 - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(s_$b$b AS DOUBLE)
+                 - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)""")
+      val cells = for { i <- keys.indices; j <- (i + 1) until keys.size }
+        yield struct(lit(names(keys(i))).as("col_a"),
+          lit(names(keys(j))).as("col_b"),
+          corrExpr(keys(i), keys(j)).as("corr"))
+      sums.select(col("n"), explode(array(cells: _*)).as("cell"))
+        .select(col("cell.col_a").as("col_a"), col("cell.col_b").as("col_b"),
+          col("n"), col("cell.corr").as("corr"))
+        .orderBy("col_a", "col_b")
     })
   )
 
@@ -15989,7 +16296,319 @@ object SparkEntry {
              / (np * s[3] - s[1] * s[1]), 6) AS h_est
            FROM folded)
          SELECT w, n_blocks, round(rs_avg, 6) AS rs_avg, h_est
-         FROM avgd CROSS JOIN fit ORDER BY w"""
+         FROM avgd CROSS JOIN fit ORDER BY w""",
+
+    "model_brier" ->
+      s"""WITH $marginScoredCtes,
+         sc AS (
+           SELECT is_a,
+             least(greatest(500000 + 100 * margin, 0), 1000000) AS p_ppm
+           FROM scored),
+         sb AS (
+           SELECT is_a, p_ppm, least(p_ppm // 100000, 9) AS bin FROM sc),
+         bins AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n_k,
+             CAST(sum(p_ppm) AS BIGINT) AS sp_k,
+             CAST(sum(is_a) AS BIGINT) AS so_k,
+             sum(CAST(p_ppm - 1000000 * is_a AS HUGEINT)
+                 * CAST(p_ppm - 1000000 * is_a AS HUGEINT)) AS sq_k
+           FROM sb GROUP BY bin),
+         tot AS (
+           SELECT CAST(sum(n_k) AS BIGINT) AS n,
+             CAST(sum(so_k) AS BIGINT) AS n_pos FROM bins),
+         terms AS (
+           SELECT n, n_pos, sq_k,
+             CAST(sp_k - 1000000 * so_k AS HUGEINT)
+               * CAST(sp_k - 1000000 * so_k AS HUGEINT) // n_k AS rel_k,
+             (CAST(so_k AS HUGEINT) * n - CAST(n_k AS HUGEINT) * n_pos)
+               * (CAST(so_k AS HUGEINT) * n - CAST(n_k AS HUGEINT) * n_pos)
+               * 1000000 * 1000000
+               // (CAST(n_k AS HUGEINT) * n * n) AS res_k
+           FROM bins CROSS JOIN tot)
+         SELECT n, n_pos,
+           CAST(sum(sq_k) // n AS BIGINT) AS brier_e12,
+           CAST(sum(rel_k) // n AS BIGINT) AS rel_e12,
+           CAST(sum(res_k) // n AS BIGINT) AS res_e12,
+           CAST(CAST(n_pos AS HUGEINT) * (n - n_pos) * 1000000 * 1000000
+             // (CAST(n AS HUGEINT) * n) // n AS BIGINT) AS unc_e12
+         FROM terms GROUP BY n, n_pos""",
+
+    "model_fairness_slices" ->
+      s"""WITH $marginScoredCtes,
+         sl AS (
+           SELECT d.source, s.is_a, s.margin >= 0 AS pred
+           FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+         per AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pred AND is_a = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred AND is_a = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN NOT pred AND is_a = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT pred AND is_a = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn
+           FROM sl GROUP BY source),
+         gtot AS (
+           SELECT CAST(sum(tp) AS BIGINT) AS gtp,
+             CAST(sum(fp) AS BIGINT) AS gfp,
+             CAST(sum(fn) AS BIGINT) AS gfn,
+             CAST(sum(tn) AS BIGINT) AS gtn
+           FROM per)
+         SELECT source, n, tp, fp, fn, tn,
+           CASE WHEN tp + fn = 0 THEN NULL
+             ELSE CAST((1000000 * tp) // (tp + fn) AS BIGINT) END AS tpr_ppm,
+           CASE WHEN fp + tn = 0 THEN NULL
+             ELSE CAST((1000000 * fp) // (fp + tn) AS BIGINT) END AS fpr_ppm,
+           CAST((1000000 * (tp + tn)) // n AS BIGINT) AS acc_ppm,
+           CASE WHEN tp + fn = 0 THEN NULL
+             ELSE CAST((1000000 * tp) // (tp + fn)
+                  - (1000000 * gtp) // (gtp + gfn) AS BIGINT)
+           END AS tpr_gap_ppm,
+           CASE WHEN fp + tn = 0 THEN NULL
+             ELSE CAST((1000000 * fp) // (fp + tn)
+                  - (1000000 * gfp) // (gfp + gtn) AS BIGINT)
+           END AS fpr_gap_ppm
+         FROM per CROSS JOIN gtot ORDER BY source""",
+
+    "dq_psi_drift" ->
+      """WITH binned AS (
+           SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)
+               AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0
+               END AS is_ref
+           FROM orders),
+         counts AS (
+           SELECT bin, CAST(sum(is_ref) AS BIGINT) AS cnt_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS cnt_cur
+           FROM binned GROUP BY bin),
+         tot AS (
+           SELECT CAST(sum(cnt_ref) AS BIGINT) AS n_ref,
+             CAST(sum(cnt_cur) AS BIGINT) AS n_cur FROM counts),
+         frame AS (
+           SELECT CAST(range AS BIGINT) AS bin,
+             coalesce(cnt_ref, 0) AS cnt_ref, coalesce(cnt_cur, 0) AS cnt_cur
+           FROM range(0, 10) LEFT JOIN counts ON range = bin),
+         sm AS (
+           SELECT bin, cnt_ref, cnt_cur, n_ref, n_cur,
+             CAST(cnt_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE) AS p,
+             CAST(cnt_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE) AS q
+           FROM frame CROSS JOIN tot)
+         SELECT bin, cnt_ref, cnt_cur,
+           CAST((1000000 * cnt_ref) // n_ref AS BIGINT) AS ref_ppm,
+           CAST((1000000 * cnt_cur) // n_cur AS BIGINT) AS cur_ppm,
+           round((p - q) * ln(p / q), 6) AS psi_term
+         FROM sm ORDER BY bin""",
+
+    "text_boilerplate" ->
+      """WITH docs AS (
+           SELECT doc_id, source,
+             concat_ws(chr(10)||chr(10),
+               substr(text, 1, 120),
+               'this content is licensed under the terms of the example license',
+               substr(text, 121),
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'subscribe to our newsletter for updates' END) AS text
+           FROM documents),
+         sp AS (SELECT doc_id, source,
+                  string_split(text, chr(10)||chr(10)) AS ss
+                FROM docs),
+         lines AS (
+           SELECT doc_id, source, unnest(ss) AS line FROM sp),
+         keyed AS (
+           SELECT doc_id, source, line,
+             regexp_replace(trim(lower(line)), '\s+', ' ', 'g') AS key
+           FROM lines WHERE trim(line) <> ''),
+         nd AS (
+           SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM docs GROUP BY source),
+         dfk AS (
+           SELECT source, key, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+             min(line) AS line
+           FROM keyed GROUP BY source, key)
+         SELECT d.source, d.line, d.df, n.n_docs,
+           CAST((1000000 * d.df) // n.n_docs AS BIGINT) AS df_ppm,
+           CAST(CASE WHEN 10 * d.df >= 3 * n.n_docs THEN 1 ELSE 0 END
+             AS BIGINT) AS is_boiler
+         FROM dfk d JOIN nd n USING (source)
+         WHERE d.df >= 2
+         ORDER BY d.source, d.df DESC, d.line""",
+
+    "text_boilerplate_apply" ->
+      """WITH docs AS (
+           SELECT doc_id, source,
+             concat_ws(chr(10)||chr(10),
+               substr(text, 1, 120),
+               'this content is licensed under the terms of the example license',
+               substr(text, 121),
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'subscribe to our newsletter for updates' END) AS text
+           FROM documents),
+         sp AS (SELECT doc_id, source,
+                  string_split(text, chr(10)||chr(10)) AS ss
+                FROM docs),
+         lines AS (
+           SELECT doc_id, source, unnest(ss) AS line,
+             unnest(range(len(ss))) AS pos
+           FROM sp),
+         keyed AS (
+           SELECT doc_id, source, pos, line,
+             regexp_replace(trim(lower(line)), '\s+', ' ', 'g') AS key
+           FROM lines WHERE trim(line) <> ''),
+         nd AS (
+           SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM docs GROUP BY source),
+         boiler AS (
+           SELECT k.source, k.key
+           FROM keyed k GROUP BY k.source, k.key
+           HAVING 10 * count(DISTINCT k.doc_id) >=
+             3 * (SELECT n_docs FROM nd WHERE nd.source = k.source)),
+         kept AS (
+           SELECT doc_id, pos, line FROM keyed k
+           WHERE NOT EXISTS (SELECT 1 FROM boiler b
+             WHERE b.source = k.source AND b.key = k.key))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(line, chr(10)||chr(10) ORDER BY pos) AS text
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    "layout_zonemap_prune" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem),
+         nat AS (
+           SELECT l_shipdate, l_orderkey // 128 AS file_id FROM li),
+         srt AS (
+           SELECT l_shipdate,
+             (row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+                l_linenumber) - 1) // 4096 AS file_id
+           FROM li),
+         lay AS (
+           SELECT 'natural' AS layout, l_shipdate, file_id FROM nat
+           UNION ALL
+           SELECT 'sorted' AS layout, l_shipdate, file_id FROM srt),
+         zones AS (
+           SELECT layout, file_id, CAST(count(*) AS BIGINT) AS rws,
+             min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+             CAST(sum(CASE WHEN l_shipdate BETWEEN TIMESTAMP '1997-06-01'
+               AND TIMESTAMP '1997-06-30' THEN 1 ELSE 0 END) AS BIGINT)
+               AS mrows
+           FROM lay GROUP BY layout, file_id),
+         agg AS (
+           SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN mx >= TIMESTAMP '1997-06-01'
+               AND mn <= TIMESTAMP '1997-06-30' THEN 1 ELSE 0 END)
+               AS BIGINT) AS files_scanned,
+             CAST(sum(rws) AS BIGINT) AS rows_total,
+             CAST(sum(CASE WHEN mx >= TIMESTAMP '1997-06-01'
+               AND mn <= TIMESTAMP '1997-06-30' THEN rws ELSE 0 END)
+               AS BIGINT) AS rows_scanned,
+             CAST(sum(mrows) AS BIGINT) AS rows_match
+           FROM zones GROUP BY layout)
+         SELECT layout, n_files, files_scanned, rows_total, rows_scanned,
+           rows_match,
+           CAST((1000000 * (n_files - files_scanned)) // n_files AS BIGINT)
+             AS file_prune_ppm,
+           CAST((1000000 * (rows_total - rows_scanned)) // rows_total
+             AS BIGINT) AS row_prune_ppm
+         FROM agg ORDER BY layout""",
+
+    "agg_weighted_median" ->
+      """WITH dom AS (
+           SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (
+           SELECT flag, price, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY flag) AS tot
+           FROM dom)
+         SELECT flag, min(price) AS wmedian,
+           CAST(max(tot) AS BIGINT) AS total_w
+         FROM cum WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag""",
+
+    "feature_corr_matrix" ->
+      """WITH s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p,
+             sum(CAST(l_discount AS DECIMAL(18,2))) AS s_d,
+             sum(CAST(l_tax AS DECIMAL(18,2))) AS s_t,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS s_qq,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS s_qp,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS s_qd,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_tax AS DECIMAL(18,2))) AS s_qt,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS s_pp,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS s_pd,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_tax AS DECIMAL(18,2))) AS s_pt,
+             sum(CAST(l_discount AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS s_dd,
+             sum(CAST(l_discount AS DECIMAL(18,2))
+               * CAST(l_tax AS DECIMAL(18,2))) AS s_dt,
+             sum(CAST(l_tax AS DECIMAL(18,2))
+               * CAST(l_tax AS DECIMAL(18,2))) AS s_tt
+           FROM lineitem),
+         cells AS (
+           SELECT 'qty' AS col_a, 'price' AS col_b, n,
+             round((CAST(n AS DOUBLE) * CAST(s_qp AS DOUBLE)
+                 - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+                   - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+                   - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 6) AS corr
+           FROM s
+           UNION ALL
+           SELECT 'qty', 'disc', n,
+             round((CAST(n AS DOUBLE) * CAST(s_qd AS DOUBLE)
+                 - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+                   - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
+                   - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 6)
+           FROM s
+           UNION ALL
+           SELECT 'qty', 'tax', n,
+             round((CAST(n AS DOUBLE) * CAST(s_qt AS DOUBLE)
+                 - CAST(s_q AS DOUBLE) * CAST(s_t AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+                   - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE)
+                   - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 6)
+           FROM s
+           UNION ALL
+           SELECT 'price', 'disc', n,
+             round((CAST(n AS DOUBLE) * CAST(s_pd AS DOUBLE)
+                 - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+                   - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
+                   - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 6)
+           FROM s
+           UNION ALL
+           SELECT 'price', 'tax', n,
+             round((CAST(n AS DOUBLE) * CAST(s_pt AS DOUBLE)
+                 - CAST(s_p AS DOUBLE) * CAST(s_t AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+                   - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE)
+                   - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 6)
+           FROM s
+           UNION ALL
+           SELECT 'disc', 'tax', n,
+             round((CAST(n AS DOUBLE) * CAST(s_dt AS DOUBLE)
+                 - CAST(s_d AS DOUBLE) * CAST(s_t AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
+                   - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE)
+                   - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 6)
+           FROM s)
+         SELECT col_a, col_b, n, corr FROM cells ORDER BY col_a, col_b"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

@@ -1914,9 +1914,9 @@ class AnalyticsSpec extends SparkSpec {
 
   test("model_lift_gain: deciles partition, gain monotone, last decile closes") {
     val rows = q("model_lift_gain").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
-    assert(rows.map(_._1).toSeq == (1 to 10))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
     val sc = scoredDocs()
     assert(rows.map(_._2).sum == sc.size.toLong)
     assert(rows.map(_._3).sum == sc.count(_._1 == 1L).toLong)
@@ -1983,7 +1983,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("graph_eigenvector: two power rounds replayed on the driver") {
     val rows = q("graph_eigenvector").collect()
-      .map(r => (r.getLong(0), r.getDecimal(1).toBigInteger, r.getLong(2)))
+      .map(r => (r.getLong(0), BigInt(r.getLong(1)).bigInteger, r.getLong(2)))
     assert(rows.length == 20)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_suppkey", "l_partkey").collect()
@@ -2135,5 +2135,185 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - expQ) < 1e-4,
       s"Q ${r.getDouble(2)} vs $expQ")
     assert(r.getDouble(2) >= 0.0)
+  }
+
+  test("model_brier: exact decomposition replayed with BigInt floors") {
+    val r = q("model_brier").head()
+    val sc = scoredDocs().map { case (y, m) =>
+      (y, math.min(math.max(500000L + 100L * m, 0L), 1000000L))
+    }
+    val n = BigInt(sc.size)
+    val nPos = BigInt(sc.count(_._1 == 1L))
+    val sq = sc.map { case (y, p) =>
+      val d = BigInt(p) - BigInt(1000000) * y; d * d
+    }.sum
+    val bins = sc.groupBy { case (_, p) => math.min(p / 100000L, 9L) }
+    val rel = bins.values.map { g =>
+      val d = BigInt(g.map(_._2).sum) - BigInt(1000000) * g.count(_._1 == 1L)
+      d * d / g.size
+    }.sum
+    val res = bins.values.map { g =>
+      val d = BigInt(g.count(_._1 == 1L)) * n - BigInt(g.size) * nPos
+      d * d * BigInt(1000000) * BigInt(1000000) / (BigInt(g.size) * n * n)
+    }.sum
+    val unc = nPos * (n - nPos) * BigInt(1000000) * BigInt(1000000) /
+      (n * n) / n
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == nPos.toLong)
+    assert(r.getLong(2) == (sq / n).toLong, "brier")
+    assert(r.getLong(3) == (rel / n).toLong, "reliability")
+    assert(r.getLong(4) == (res / n).toLong, "resolution")
+    assert(r.getLong(5) == unc.toLong, "uncertainty")
+    // NOTE: brier = rel − res + unc holds only for discrete forecasts;
+    // binned continuous p leaves a within-bin variance/covariance
+    // residual, so the identity is deliberately NOT asserted here.
+  }
+
+  test("model_fairness_slices: per-slice confusions replayed, gaps vs pooled") {
+    import org.apache.spark.sql.functions.{col, lower, when}
+    val sc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
+        functions.HashFunctions.linearMargin(
+          functions.TextFunctions.tokens(lower(col("text")))).as("margin"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2) >= 0L))
+    val per = sc.groupBy(_._1).view.mapValues { g =>
+      (g.count(x => x._3 && x._2 == 1L).toLong,
+       g.count(x => x._3 && x._2 == 0L).toLong,
+       g.count(x => !x._3 && x._2 == 1L).toLong,
+       g.count(x => !x._3 && x._2 == 0L).toLong)
+    }.toMap
+    val gtp = per.values.map(_._1).sum; val gfp = per.values.map(_._2).sum
+    val gfn = per.values.map(_._3).sum; val gtn = per.values.map(_._4).sum
+    val rows = q("model_fairness_slices").collect()
+    assert(rows.length == per.size)
+    rows.foreach { r =>
+      val (tp, fp, fn, tn) = per(r.getString(0))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        == ((tp, fp, fn, tn)))
+      assert(r.getLong(1) == tp + fp + fn + tn)
+      if (tp + fn > 0) {
+        assert(r.getLong(6) == Math.floorDiv(1000000L * tp, tp + fn))
+        assert(r.getLong(9) == Math.floorDiv(1000000L * tp, tp + fn)
+          - Math.floorDiv(1000000L * gtp, gtp + gfn))
+      }
+      if (fp + tn > 0)
+        assert(r.getLong(7) == Math.floorDiv(1000000L * fp, fp + tn))
+    }
+  }
+
+  test("dq_psi_drift: bins partition orders, smoothed terms replayed") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_totalprice", "o_orderdate").collect()
+      .map(r => (math.min(math.floor(r.getDouble(0) / 50000.0).toLong, 9L),
+        r.getAs[java.time.LocalDateTime](1)
+          .isBefore(java.time.LocalDateTime.parse("1998-01-01T00:00"))))
+    val rows = q("dq_psi_drift").collect()
+    assert(rows.length == 10 && rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    assert(rows.map(_.getLong(1)).sum == o.count(_._2).toLong)
+    assert(rows.map(_.getLong(2)).sum == o.count(!_._2).toLong)
+    val nRef = o.count(_._2).toDouble; val nCur = o.size - nRef
+    rows.foreach { r =>
+      val cr = o.count(x => x._1 == r.getLong(0) && x._2).toLong
+      val cc = o.count(x => x._1 == r.getLong(0) && !x._2).toLong
+      assert(r.getLong(1) == cr && r.getLong(2) == cc)
+      val p = (cr + 1.0) / (nRef + 10.0); val qq = (cc + 1.0) / (nCur + 10.0)
+      val term = BigDecimal((p - qq) * math.log(p / qq))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - term) < 1e-9)
+    }
+  }
+
+  test("text_boilerplate: license flagged everywhere, newsletter below bar") {
+    val rows = q("text_boilerplate").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      val lic = rs.filter(_._2.contains("licensed under"))
+      assert(lic.length == 1, s"$src license row")
+      assert(lic.head._3 == lic.head._4 && lic.head._5 == 1L,
+        s"$src license df=${lic.head._3} n=${lic.head._4}")
+      rs.filter(_._2.contains("newsletter")).foreach { nl =>
+        assert((nl._5 == 1L) == (10 * nl._3 >= 3 * nl._4))
+      }
+    }
+  }
+
+  test("text_boilerplate_apply: full driver replay of the strip") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val assembled = docs.map { case (id, src, txt) =>
+      val parts = Seq(txt.take(120),
+        "this content is licensed under the terms of the example license",
+        txt.drop(120)) ++
+        (if (id % 7 == 0) Seq("subscribe to our newsletter for updates")
+         else Seq.empty)
+      (id, src, parts.filter(_.trim.nonEmpty))
+    }
+    def key(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val nDocs = assembled.groupBy(_._2).view.mapValues(_.length).toMap
+    val dfm = assembled.flatMap { case (id, src, ls) =>
+      ls.map(l => (src, key(l), id))
+    }.distinct.groupBy(x => (x._1, x._2)).view.mapValues(_.length).toMap
+    val expect = assembled.map { case (id, src, ls) =>
+      val kept = ls.filterNot(l => 10 * dfm((src, key(l))) >= 3 * nDocs(src))
+      (id, (kept.length.toLong, kept.mkString("\n\n")))
+    }.toMap
+    val rows = q("text_boilerplate_apply").collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (nk, txt) = expect(r.getLong(0))
+      assert(r.getLong(1) == nk && r.getString(2) == txt,
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("layout_zonemap_prune: sorted layout dominates, match counts agree") {
+    val rows = q("layout_zonemap_prune").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.map(_._1).toSeq == Seq("natural", "sorted"))
+    val Seq(nat, srt) = rows.toSeq
+    // same data, same predicate: identical totals and match counts
+    assert(nat._4 == srt._4 && nat._6 == srt._6)
+    // zone maps never under-scan: scanned rows cover every matching row
+    assert(nat._5 >= nat._6 && srt._5 >= srt._6)
+    // the point of sorting: strictly better row pruning than natural
+    assert(srt._8 >= nat._8, s"sorted ${srt._8} vs natural ${nat._8}")
+    assert(srt._3 <= srt._2 && nat._3 <= nat._2)
+  }
+
+  test("agg_weighted_median: replayed from the value domain") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2).toLong))
+    val rows = q("agg_weighted_median").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getString(0))
+      val tot = g.map(_._3).sum
+      val dom = g.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val med = dom.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      assert(r.getDouble(1) == med && r.getLong(2) == tot)
+    }
+  }
+
+  test("feature_corr_matrix: cells match the built-in corr within 1e-6") {
+    import org.apache.spark.sql.functions.corr
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val names = Map("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    val rows = q("feature_corr_matrix").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val ref = li.agg(corr(names(r.getString(0)), names(r.getString(1))))
+        .head().getDouble(0)
+      assert(math.abs(r.getDouble(3) - ref) < 1e-6,
+        s"${r.getString(0)}/${r.getString(1)}")
+    }
   }
 }

@@ -417,4 +417,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ntile("), p)
     assert(p.toLowerCase.contains("rangepartitioning"), p)
   }
+
+  test("layout_zonemap_prune: sorted layout ranks via range repartition, no single-task row window") {
+    val p = plan("layout_zonemap_prune")
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(!p.contains("ntile("), p)
+  }
+
+  test("text_boilerplate_apply: boilerplate strip is a broadcast anti join") {
+    val p = plan("text_boilerplate_apply")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("feature_corr_matrix: one combinable aggregation pass, no join") {
+    val p = plan("feature_corr_matrix")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("agg_weighted_median: domain-reduced before the per-flag cumulative window") {
+    val p = plan("agg_weighted_median")
+    // the cumulative window must consume the (flag, price) domain — i.e.
+    // sit ABOVE a grouped aggregate — and be partitioned (parallel)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
