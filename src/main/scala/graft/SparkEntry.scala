@@ -8941,6 +8941,146 @@ object SparkEntry {
         .select(col("cell.col_a").as("col_a"), col("cell.col_b").as("col_b"),
           col("n"), col("cell.corr").as("corr"))
         .orderBy("col_a", "col_b")
+    }),
+
+    "agg_hll_estimate" -> ((s, dir) => {
+      // HyperLogLog distinct-count estimate (p=12, 4096 registers) next
+      // to the exact count, per return flag: splitmix64 the key, bucket =
+      // top 12 bits, rho = leading-zero rank of the remaining 52. The
+      // register table is the ONLY state — domain-sized (groups × ≤4096
+      // rows), built by one grouped max (map-side combinable), mergeable
+      // across shards/days by the same max — the whole reason HLL exists
+      // at 100 TB. The harmonic sum folds exact dyadic terms (1/2^reg,
+      // never libm pow) in canonical bucket order; the small-range branch
+      // applies linear counting off the zero-register count.
+      val li = t(s, dir, "lineitem")
+      val m = 4096L
+      val rho = li.select(col("l_returnflag").as("flag"), col("l_partkey"))
+        .withColumn("z1", expr(s"l_partkey + ${0x9e3779b97f4a7c15L}L"))
+        .withColumn("z2",
+          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
+        .withColumn("z3",
+          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
+        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
+        .withColumn("bucket", expr("shiftrightunsigned(h, 52)"))
+        .withColumn("rest", expr(s"h & ${(1L << 52) - 1}L"))
+        .withColumn("rho", expr(
+          "CASE WHEN rest = 0 THEN 53L ELSE 53L - length(bin(rest)) END"))
+      val regs = rho.groupBy("flag", "bucket").agg(max(col("rho")).as("reg"))
+        .withColumn("term",
+          expr("1.0D / CAST(shiftleft(1L, CAST(reg AS INT)) AS DOUBLE)"))
+      val exact = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      regs.groupBy("flag")
+        .agg(count(lit(1)).as("present"),
+          aggregate(sort_array(collect_list(struct(col("bucket"),
+              col("term")))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("term")).as("hsum"))
+        .join(broadcast(exact), "flag")
+        .withColumn("v_zero", lit(m) - col("present"))
+        .withColumn("sum_all",
+          col("hsum") + col("v_zero").cast("double"))
+        .withColumn("e_raw",
+          lit(0.7213 / (1.0 + 1.079 / m)) * lit(m.toDouble) *
+            lit(m.toDouble) / col("sum_all"))
+        .withColumn("est", expr(
+          s"""CASE WHEN e_raw <= 2.5 * $m AND v_zero > 0
+              THEN $m * ln(CAST($m AS DOUBLE) / v_zero)
+              ELSE e_raw END"""))
+        .select(col("flag"), col("n_exact"), lit(m).as("m"), col("v_zero"),
+          round(col("e_raw"), 4).as("e_raw"), round(col("est"), 4).as("est"),
+          expr("""CAST(floor(1000000 * abs(est / n_exact - 1.0)) AS BIGINT)
+               """).as("err_ppm"))
+        .orderBy("flag")
+    }),
+
+    "dq_referential_integrity" -> ((s, dir) => {
+      // foreign-key orphan audit across the star schema's six edges — the
+      // referential-integrity gate a lakehouse runs per ingest. Each edge
+      // is ONE pass over the child: broadcast-left-join the (distinct)
+      // parent key and count rows/null-FKs/orphans from the hit flag —
+      // never a second scan, never a shuffle of the child (every parent
+      // here is dimension-sized; a fact-sized parent would flip to a
+      // shuffle join on the same plan).
+      def edge(child: DataFrame, childName: String, fk: String,
+               parent: DataFrame, parentName: String, pk: String) = {
+        val p = parent.select(col(pk).cast("bigint").as("__pk")).distinct()
+          .withColumn("__hit", lit(1))
+        child.select(col(fk).cast("bigint").as("__fk"))
+          .join(broadcast(p), col("__fk") === col("__pk"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+            sum(when(col("__fk").isNotNull && col("__hit").isNull, 1L)
+              .otherwise(0L)).as("n_orphans"))
+          .select(lit(childName).as("child_table"), lit(fk).as("fk_col"),
+            lit(parentName).as("parent_table"), col("n_rows"),
+            col("n_null_fk"), col("n_orphans"),
+            expr("CAST((1000000 * n_orphans) div n_rows AS BIGINT)")
+              .as("orphan_ppm"))
+      }
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val p = t(s, dir, "part"); val n = t(s, dir, "nation")
+      val ev = t(s, dir, "events")
+      edge(li, "lineitem", "l_orderkey", o, "orders", "o_orderkey")
+        .unionAll(edge(li, "lineitem", "l_partkey", p, "part", "p_partkey"))
+        .unionAll(edge(li, "lineitem", "l_suppkey", su, "supplier",
+          "s_suppkey"))
+        .unionAll(edge(o, "orders", "o_custkey", c, "customer", "c_custkey"))
+        .unionAll(edge(c, "customer", "c_nationkey", n, "nation",
+          "n_nationkey"))
+        .unionAll(edge(ev, "events", "user_id", c, "customer", "c_custkey"))
+        .orderBy("child_table", "fk_col")
+    }),
+
+    "sample_systematic" -> ((s, dir) => {
+      // systematic 1-in-250 sample in (order date, order key) order — the
+      // deterministic evenly-spaced audit sample (row rn ≡ 1 mod 250).
+      // The global position comes from Rank.globalRowNumber (range
+      // repartition + per-partition offsets), so no single-task window
+      // touches the row set; at 100 TB the pick is a filter over an
+      // embarrassingly parallel rank.
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      Rank.globalRowNumber(o, 32, "rn",
+          col("o_orderdate"), col("o_orderkey"))
+        .filter(expr("rn % 250 = 1"))
+        .select(col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("rn")
+    }),
+
+    "privacy_dp_counts" -> ((s, dir) => {
+      // Laplace-noised per-nation customer counts, the differential-
+      // privacy release shape (sensitivity 1, ε = 0.5, b = 1/ε = 2):
+      // noise = −b·sign(u−½)·ln(1−2|u−½|) by inverse CDF. The uniform u
+      // is splitmix64(nationkey)-seeded — DETERMINISTIC on purpose so the
+      // release is oracle-checkable and replayable; a production release
+      // would draw real entropy at exactly this point (and would not emit
+      // the exact count beside it — kept here as the calibration
+      // readout). Counts are one grouped pass; the noise math is
+      // per-GROUP arithmetic on a domain-sized frame.
+      val c = t(s, dir, "customer")
+      c.groupBy(col("c_nationkey").cast("bigint").as("nation"))
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("z1", expr(s"nation + ${0x9e3779b97f4a7c15L}L"))
+        .withColumn("z2",
+          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
+        .withColumn("z3",
+          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
+        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
+        // u ∈ (0,1): top 52 bits of h over 2^52, offset by 2^-53
+        .withColumn("u", expr(
+          s"""(CAST(shiftrightunsigned(h, 12) AS DOUBLE)
+               + 0.5) / ${(1L << 52).toDouble}"""))
+        .withColumn("noise", expr(
+          """-2.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+             * ln(1.0 - 2.0 * abs(u - 0.5))"""))
+        .select(col("nation"), col("n_exact"),
+          round(col("noise"), 4).as("noise"),
+          expr("CAST(round(n_exact + noise, 0) AS BIGINT)")
+            .as("n_released"))
+        .orderBy("nation")
     })
   )
 
@@ -16608,7 +16748,147 @@ object SparkEntry {
                  * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE)
                    - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 6)
            FROM s)
-         SELECT col_a, col_b, n, corr FROM cells ORDER BY col_a, col_b"""
+         SELECT col_a, col_b, n, corr FROM cells ORDER BY col_a, col_b""",
+
+    "agg_hll_estimate" ->
+      s"""WITH src AS (
+           SELECT l_returnflag AS flag,
+             CAST(l_partkey AS HUGEINT) AS x
+           FROM lineitem),
+         ${mix64Ctes("src", "mx")},
+         rho AS (
+           SELECT flag, h // 4503599627370496::HUGEINT AS bucket,
+             CASE WHEN h % 4503599627370496::HUGEINT = 0 THEN 53
+               ELSE 53 - length(bin(CAST(h % 4503599627370496::HUGEINT
+                 AS BIGINT))) END AS rho
+           FROM mx),
+         regs AS (
+           SELECT flag, CAST(bucket AS BIGINT) AS bucket,
+             CAST(max(rho) AS BIGINT) AS reg
+           FROM rho GROUP BY flag, bucket),
+         folded AS (
+           SELECT flag, CAST(count(*) AS BIGINT) AS present,
+             list_reduce(list_prepend(0.0,
+               list(1.0 / CAST(1::BIGINT << reg AS DOUBLE) ORDER BY bucket)),
+               (a, b) -> a + b) AS hsum
+           FROM regs GROUP BY flag),
+         exact AS (
+           SELECT l_returnflag AS flag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+           FROM lineitem GROUP BY 1),
+         est0 AS (
+           SELECT f.flag, e.n_exact, CAST(4096 AS BIGINT) AS m,
+             4096 - f.present AS v_zero,
+             (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
+               / (f.hsum + CAST(4096 - f.present AS DOUBLE)) AS e_raw
+           FROM folded f JOIN exact e USING (flag)),
+         est1 AS (
+           SELECT flag, n_exact, m, v_zero, e_raw,
+             CASE WHEN e_raw <= 2.5 * 4096 AND v_zero > 0
+               THEN 4096 * ln(CAST(4096 AS DOUBLE) / v_zero)
+               ELSE e_raw END AS est
+           FROM est0)
+         SELECT flag, n_exact, m, v_zero, round(e_raw, 4) AS e_raw,
+           round(est, 4) AS est,
+           CAST(floor(1000000 * abs(est / n_exact - 1.0)) AS BIGINT)
+             AS err_ppm
+         FROM est1 ORDER BY flag""",
+
+    "dq_referential_integrity" ->
+      """WITH
+         e1 AS (
+           SELECT 'lineitem' AS child_table, 'l_orderkey' AS fk_col,
+             'orders' AS parent_table, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_fk,
+             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           FROM (SELECT CAST(l_orderkey AS BIGINT) AS fk FROM lineitem) c
+           LEFT JOIN (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS pk
+             FROM orders) p ON c.fk = p.pk),
+         e2 AS (
+           SELECT 'lineitem', 'l_partkey', 'part',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT CAST(l_partkey AS BIGINT) AS fk FROM lineitem) c
+           LEFT JOIN (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS pk
+             FROM part) p ON c.fk = p.pk),
+         e3 AS (
+           SELECT 'lineitem', 'l_suppkey', 'supplier',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT CAST(l_suppkey AS BIGINT) AS fk FROM lineitem) c
+           LEFT JOIN (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS pk
+             FROM supplier) p ON c.fk = p.pk),
+         e4 AS (
+           SELECT 'orders', 'o_custkey', 'customer',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT CAST(o_custkey AS BIGINT) AS fk FROM orders) c
+           LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS pk
+             FROM customer) p ON c.fk = p.pk),
+         e5 AS (
+           SELECT 'customer', 'c_nationkey', 'nation',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT CAST(c_nationkey AS BIGINT) AS fk FROM customer) c
+           LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS pk
+             FROM nation) p ON c.fk = p.pk),
+         e6 AS (
+           SELECT 'events', 'user_id', 'customer',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT CAST(user_id AS BIGINT) AS fk FROM events) c
+           LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS pk
+             FROM customer) p ON c.fk = p.pk),
+         uni AS (
+           SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+           UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6)
+         SELECT child_table, fk_col, parent_table, n_rows, n_null_fk,
+           n_orphans,
+           CAST((1000000 * n_orphans) // n_rows AS BIGINT) AS orphan_ppm
+         FROM uni ORDER BY child_table, fk_col""",
+
+    "sample_systematic" ->
+      """WITH r AS (
+           SELECT o_orderkey, o_totalprice,
+             CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+               AS BIGINT) AS rn
+           FROM orders)
+         SELECT rn, o_orderkey, o_totalprice
+         FROM r WHERE rn % 250 = 1 ORDER BY rn""",
+
+    "privacy_dp_counts" ->
+      s"""WITH cnt AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(count(*) AS BIGINT) AS n_exact
+           FROM customer GROUP BY 1),
+         src AS (
+           SELECT nation, n_exact, CAST(nation AS HUGEINT) AS x FROM cnt),
+         ${mix64Ctes("src", "mx")},
+         uu AS (
+           SELECT nation, n_exact,
+             (CAST(h // 4096 AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+           FROM mx),
+         nz AS (
+           SELECT nation, n_exact,
+             -2.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+               * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+           FROM uu)
+         SELECT nation, n_exact, round(noise, 4) AS noise,
+           CAST(round(n_exact + noise, 0) AS BIGINT) AS n_released
+         FROM nz ORDER BY nation"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

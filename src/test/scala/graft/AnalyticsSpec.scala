@@ -2302,6 +2302,96 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("agg_hll_estimate: registers and estimate replayed with HashOps.mix64") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_partkey").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = q("agg_hll_estimate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val keys = li.filter(_._1 == flag).map(_._2)
+      assert(r.getLong(1) == keys.distinct.length.toLong)
+      val regs = scala.collection.mutable.Map[Long, Long]()
+      keys.foreach { k =>
+        val h = functions.HashOps.mix64(k)
+        val bucket = h >>> 52
+        val rest = h & ((1L << 52) - 1)
+        val rho = if (rest == 0) 53L
+          else 53L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        regs(bucket) = math.max(regs.getOrElse(bucket, 0L), rho)
+      }
+      val vZero = 4096L - regs.size
+      assert(r.getLong(3) == vZero)
+      val hsum = regs.toSeq.sortBy(_._1).map(x => 1.0 / (1L << x._2)).sum
+      val eRaw = (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0 /
+        (hsum + vZero.toDouble)
+      val est = if (eRaw <= 2.5 * 4096 && vZero > 0)
+        4096 * math.log(4096.0 / vZero) else eRaw
+      assert(math.abs(r.getDouble(5) - est) < 1e-3, s"$flag est")
+      // an HLL at p=12 on thousands of keys should sit within ~5%
+      assert(math.abs(est / r.getLong(1) - 1.0) < 0.05, s"$flag accuracy")
+    }
+  }
+
+  test("dq_referential_integrity: clean star edges, events orphans replayed") {
+    val rows = q("dq_referential_integrity").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.size == 6)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(rows(("lineitem", "l_orderkey"))._1 == li)
+    // the star edges are referentially clean by construction
+    Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+      ("lineitem", "l_suppkey"), ("orders", "o_custkey"),
+      ("customer", "c_nationkey")).foreach { e =>
+      assert(rows(e)._3 == 0L, s"$e orphans")
+    }
+    val custs = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").collect().map(_.getLong(0))
+    assert(rows(("events", "user_id"))._1 == ev.length.toLong)
+    assert(rows(("events", "user_id"))._3 ==
+      ev.count(u => !custs.contains(u)).toLong)
+  }
+
+  test("sample_systematic: evenly spaced positions over the date order") {
+    val rows = q("sample_systematic").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(rows.length == ((n + 249) / 250).toInt)
+    assert(rows.map(_._1).toSeq ==
+      rows.indices.map(i => 1L + 250L * i))
+    // replay the total order on the driver
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderdate", "o_orderkey").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1)))
+      .sortBy(identity).map(_._2)
+    rows.foreach { case (rn, ok) =>
+      assert(ord((rn - 1).toInt) == ok, s"rank $rn")
+    }
+  }
+
+  test("privacy_dp_counts: noise replayed from the seeded inverse CDF") {
+    val rows = q("privacy_dp_counts").collect()
+    val byNation = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_nationkey").collect().map(_.getInt(0).toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == byNation.size)
+    rows.foreach { r =>
+      val nation = r.getLong(0)
+      assert(r.getLong(1) == byNation(nation))
+      val h = functions.HashOps.mix64(nation)
+      val u = ((h >>> 12).toDouble + 0.5) / (1L << 52).toDouble
+      val noise = -2.0 * (if (u >= 0.5) 1.0 else -1.0) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      assert(math.abs(r.getDouble(2) - noise) < 1e-4)
+      assert(r.getLong(3) == math.round(r.getLong(1) + noise))
+    }
+  }
+
   test("feature_corr_matrix: cells match the built-in corr within 1e-6") {
     import org.apache.spark.sql.functions.corr
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -436,6 +436,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("dq_referential_integrity: every parent broadcast, child never shuffled") {
+    val p = plan("dq_referential_integrity")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 6, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("agg_hll_estimate: register build is a combinable grouped max") {
+    val p = plan("agg_hll_estimate")
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("agg_weighted_median: domain-reduced before the per-flag cumulative window") {
     val p = plan("agg_weighted_median")
     // the cumulative window must consume the (flag, price) domain — i.e.
