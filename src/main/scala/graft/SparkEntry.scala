@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HashFunctions, KmvFunctions, StayCategory, TextFunctions, VectorFunctions}
+import graft.functions.{Bloom, HashFunctions, KmvFunctions, StayCategory, TextFunctions, VectorFunctions}
 import graft.operators.{AsOf, Dedup, Enrich, Layout, Multimodal, Rank, Similarity, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -9081,6 +9081,70 @@ object SparkEntry {
           expr("CAST(round(n_exact + noise, 0) AS BIGINT)")
             .as("n_released"))
         .orderBy("nation")
+    }),
+
+    "join_bloom_prefilter" -> ((s, dir) => {
+      // the broadcast-bloom semi-join: revenue of lineitems belonging to
+      // high-value orders, where the fact scan is prefiltered by a
+      // ~10-bits-per-key Bloom of the qualifying order keys INLINED AS A
+      // PLAN LITERAL (a constant in generated code — no shuffle, no
+      // per-row filter copy), and only the might-contain survivors pay
+      // the exact broadcast semi join. False positives die at the
+      // confirm, so the answer is exactly the plain semi join's — which
+      // is the oracle — while at 100 TB the bloom turns "shuffle the
+      // fact table" into "scan + local bit test".
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val hot = o.filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      val words = Bloom.wordsFor(4096L)
+      val bloom = Bloom.literal(Bloom.buildWords(hot, "o_orderkey", words))
+      li.filter(Bloom.mightContain(bloom, col("l_orderkey"), words))
+        .join(broadcast(hot), li("l_orderkey") === hot("o_orderkey"),
+          "left_semi")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("flag")
+    }),
+
+    "timeseries_sax" -> ((s, dir) => {
+      // SAX symbolization of the daily event-count series: z-normalize
+      // against exact integer sums, PAA-average over 3-day segments
+      // (ascending-day folds — no float reorder), then quantize into 4
+      // symbols at the standard N(0,1) quartile breakpoints ±0.6745/0.
+      // The frame is calendar-sized end to end (days → thirds of days),
+      // which is what makes the discretization free at any row scale —
+      // the only row-sized work is the daily count.
+      val ev = t(s, dir, "events")
+      val d = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val tot = d.agg(count(lit(1)).as("n"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      val idx = d.withColumn("i",
+        (row_number().over(Window.orderBy("day")) - 1).cast("long"))
+      idx.crossJoin(broadcast(tot))
+        .withColumn("mean", col("sy").cast("double") / col("n").cast("double"))
+        .withColumn("sd", expr(
+          """sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+             / CAST(n AS DOUBLE)"""))
+        .withColumn("z", (col("y").cast("double") - col("mean")) / col("sd"))
+        .withColumn("seg", expr("i div 3"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_days"),
+          aggregate(sort_array(collect_list(struct(col("i"),
+              col("z").as("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v")).as("zsum"))
+        .withColumn("paa", col("zsum") / col("n_days").cast("double"))
+        .select(col("seg"), col("n_days"), round(col("paa"), 6).as("paa"),
+          expr("""CASE WHEN paa < -0.6745 THEN 'a'
+                  WHEN paa < 0.0 THEN 'b'
+                  WHEN paa < 0.6745 THEN 'c'
+                  ELSE 'd' END""").as("symbol"))
+        .orderBy("seg")
     })
   )
 
@@ -16888,7 +16952,52 @@ object SparkEntry {
            FROM uu)
          SELECT nation, n_exact, round(noise, 4) AS noise,
            CAST(round(n_exact + noise, 0) AS BIGINT) AS n_released
-         FROM nz ORDER BY nation"""
+         FROM nz ORDER BY nation""",
+
+    // the bloom is a prefilter whose false positives die at the exact
+    // confirm join, so the oracle is the PLAIN semi join (same pattern as
+    // dedup_substring_bloom ↔ its index sibling)
+    "join_bloom_prefilter" ->
+      """WITH hot AS (
+           SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+         SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM hot)
+         GROUP BY 1 ORDER BY 1""",
+
+    "timeseries_sax" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM d),
+         idx AS (
+           SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1
+             AS i
+           FROM d),
+         z AS (
+           SELECT i, i // 3 AS seg,
+             (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                  / CAST(n AS DOUBLE)) AS zv
+           FROM idx CROSS JOIN tot),
+         paa AS (
+           SELECT seg, CAST(count(*) AS BIGINT) AS n_days,
+             list_reduce(list_prepend(0.0, list(zv ORDER BY i)),
+               (a, b) -> a + b) / count(*) AS paa
+           FROM z GROUP BY seg)
+         SELECT seg, n_days, round(paa, 6) AS paa,
+           CASE WHEN paa < -0.6745 THEN 'a'
+                WHEN paa < 0.0 THEN 'b'
+                WHEN paa < 0.6745 THEN 'c'
+                ELSE 'd' END AS symbol
+         FROM paa ORDER BY seg"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

@@ -2392,6 +2392,47 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("join_bloom_prefilter: identical to the plain semi join, bloom admits all true keys") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val hotKeys = o.filter(col("o_totalprice") > 400000.0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val plain = li.collect()
+      .filter(r => hotKeys.contains(r.getAs[Long]("l_orderkey")))
+      .groupBy(_.getAs[String]("l_returnflag"))
+      .view.mapValues(_.length.toLong).toMap
+    val rows = q("join_bloom_prefilter").collect()
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == plain)
+    // revenue positive and flags complete
+    rows.foreach(r => assert(r.getDouble(2) > 0.0))
+  }
+
+  test("timeseries_sax: z-normalized PAA symbols replayed on the driver") {
+    val days = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"))
+      .count().collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val n = days.length.toDouble
+    val sy = days.sum.toDouble; val syy = days.map(d => d * d).sum.toDouble
+    val mean = sy / n
+    val sd = math.sqrt(n * syy - sy * sy) / n
+    val z = days.map(y => (y - mean) / sd)
+    val rows = q("timeseries_sax").collect()
+    assert(rows.length == (days.length + 2) / 3)
+    rows.foreach { r =>
+      val seg = r.getLong(0).toInt
+      val zs = z.slice(seg * 3, seg * 3 + 3)
+      assert(r.getLong(1) == zs.length.toLong)
+      val paa = zs.sum / zs.length
+      assert(math.abs(r.getDouble(2) - paa) < 1e-6)
+      val sym = if (paa < -0.6745) "a" else if (paa < 0.0) "b"
+        else if (paa < 0.6745) "c" else "d"
+      assert(r.getString(3) == sym)
+    }
+  }
+
   test("feature_corr_matrix: cells match the built-in corr within 1e-6") {
     import org.apache.spark.sql.functions.corr
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

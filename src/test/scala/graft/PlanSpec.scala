@@ -448,6 +448,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("join_bloom_prefilter: literal bloom probe before a broadcast semi join") {
+    val p = plan("join_bloom_prefilter")
+    // the bloom probe is a plain filter of xxhash64 bit tests over a
+    // plan-literal array — visible in the Filter, before the confirm join
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("agg_weighted_median: domain-reduced before the per-flag cumulative window") {
     val p = plan("agg_weighted_median")
     // the cumulative window must consume the (flag, price) domain — i.e.
