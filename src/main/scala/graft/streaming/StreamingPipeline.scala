@@ -632,6 +632,30 @@ object StreamingPipeline {
       count(lit(1)).as("n_rows"),
       graft.functions.GramMatrix.gramMatrix(col(vecCol), d).as("gram"))
 
+  /** Streaming HyperLogLog registers (p=12): the distinct-user sketch as
+    * an update-mode streaming aggregation — bucket = top 12 bits of
+    * splitmix64(user_id), register = leading-zero rank of the remaining
+    * 52. State is AT MOST 4096 tiny rows regardless of stream volume; the
+    * update is a grouped max (map-side combinable, and retry-idempotent:
+    * a replayed row can never move a register backwards — the
+    * exactly-once-friendly property); registers from different
+    * shards/streams/days merge by the same max. The closing
+    * harmonic-estimate fold is domain-sized serving-side arithmetic,
+    * identical to batch `agg_hll_estimate`. */
+  def hllStream(events: Dataset[UserEvent]): DataFrame =
+    events.toDF()
+      .withColumn("z1", expr(s"user_id + ${0x9e3779b97f4a7c15L}L"))
+      .withColumn("z2",
+        expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
+      .withColumn("z3",
+        expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
+      .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
+      .withColumn("bucket", expr("shiftrightunsigned(h, 52)"))
+      .withColumn("rest", expr(s"h & ${(1L << 52) - 1}L"))
+      .withColumn("rho", expr(
+        "CASE WHEN rest = 0 THEN 53L ELSE 53L - length(bin(rest)) END"))
+      .groupBy("bucket").agg(max(col("rho")).as("reg"))
+
   /** Wire a streaming source through enrich → hotels_count and emit the
     * changelog (K2/K3 parity: outputMode("update") ≙ EMIT CHANGES). */
   def changelogWriter(records: DataFrame, exact: Boolean = true): DataStreamWriter[Row] =

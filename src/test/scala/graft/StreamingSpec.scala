@@ -1416,4 +1416,45 @@ class StreamingSpec extends SparkSpec {
       assert(snap()._2 == expect)
     } finally q.stop()
   }
+
+  test("hllStream: registers equal the driver sketch, replays are idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[UserEvent]
+    val q = StreamingPipeline.hllStream(input.toDS())
+      .writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode("update").start()
+    def registers(): Map[Long, Long] =
+      spark.table("hll_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    def driverSketch(ids: Seq[Long]): Map[Long, Long] =
+      ids.distinct.map { k =>
+        val h = functions.HashOps.mix64(k)
+        val rest = h & ((1L << 52) - 1)
+        val rho = if (rest == 0) 53L
+          else 53L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        (h >>> 52, rho)
+      }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    try {
+      val b1 = (1L to 200L).map(u =>
+        UserEvent(u, ts("2024-01-01 10:00:00"), 1.0))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(registers() == driverSketch(b1.map(_.user_id)))
+      // second batch: 100 replayed users (must not move any register) +
+      // 100 new ones
+      val b2 = (101L to 300L).map(u =>
+        UserEvent(u, ts("2024-01-01 10:05:00"), 1.0))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val regs = registers()
+      assert(regs == driverSketch((1L to 300L)))
+      // serving-side closing fold (same as batch agg_hll_estimate):
+      // small-range branch → linear counting, within 5% of 300 truth
+      val vZero = 4096L - regs.size
+      val est = 4096 * math.log(4096.0 / vZero)
+      assert(math.abs(est / 300.0 - 1.0) < 0.05, s"est $est")
+    } finally q.stop()
+  }
 }
