@@ -9145,6 +9145,94 @@ object SparkEntry {
                   WHEN paa < 0.6745 THEN 'c'
                   ELSE 'd' END""").as("symbol"))
         .orderBy("seg")
+    }),
+
+    "recsys_coverage" -> ((s, dir) => {
+      // catalog coverage / novelty / popularity-bias audit of the
+      // item-CF top-5 lists (the recsys_item_cf pipeline replayed to its
+      // rec rows, then closed into ONE readout row): coverage = distinct
+      // recommended items over the catalog, novelty = mean −log2
+      // popularity share (ascending (p1, rnk) fold), pop-share as an
+      // exact-integer ppm. The closing pass is rec-list-sized (top-20 ×
+      // 5 rows) — the audit costs nothing beyond the CF itself.
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val e = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .repartition(col("c")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e.groupBy("p").agg(count(lit(1)).as("deg"))
+      val top = deg.orderBy(col("deg").desc, col("p")).limit(20)
+        .select(col("p").as("p1"), col("deg").as("deg1"))
+      val ea = e.join(broadcast(top), col("p") === col("p1")).drop("p")
+      val scored = ea.join(e.hint("shuffle_hash"), Seq("c"))
+        .filter(col("p") =!= col("p1"))
+        .groupBy(col("p1"), col("deg1"), col("p").as("p2"))
+        .agg(count(lit(1)).as("common"))
+        .join(deg.withColumnRenamed("p", "p2").withColumnRenamed("deg", "deg2")
+          .hint("shuffle_hash"), Seq("p2"))
+        .withColumn("cos_ppm", expr(
+          """CAST(floor(1000000.0 * common /
+             sqrt(CAST(deg1 AS DOUBLE) * CAST(deg2 AS DOUBLE))) AS BIGINT)"""))
+      val wr = Window.partitionBy("p1")
+        .orderBy(col("cos_ppm").desc, col("p2"))
+      val recs = scored.withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 5)
+        .select("p1", "rnk", "p2", "deg2")
+      val catalog = t(s, dir, "part")
+        .agg(count(lit(1)).as("catalog_n"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      recs
+        .agg(count(lit(1)).as("n_recs"),
+          countDistinct(col("p2")).as("n_distinct_rec"),
+          sum(col("deg2")).as("sum_deg2"),
+          collect_list(struct(col("p1"), col("rnk"), col("deg2"))).as("cells"))
+        .crossJoin(broadcast(catalog)).crossJoin(broadcast(edges))
+        .select(col("n_recs"), col("n_distinct_rec"), col("catalog_n"),
+          expr("CAST((1000000 * n_distinct_rec) div catalog_n AS BIGINT)")
+            .as("coverage_ppm"),
+          round(aggregate(sort_array(col("cells")), lit(0.0),
+            (acc, x) => acc +
+              log(2.0,
+                col("n_edges").cast("double") /
+                  x.getField("deg2").cast("double")))
+            / col("n_recs").cast("double"), 6).as("novelty"),
+          expr("""CAST((1000000 * sum_deg2) div (n_recs * n_edges)
+                  AS BIGINT)""").as("pop_share_ppm"))
+    }),
+
+    "events_cep_match" -> ((s, dir) => {
+      // complex-event-pattern detection: for each (trigger → outcome)
+      // pair, count trigger events followed by the outcome for the SAME
+      // user within 30 minutes, plus the distinct users matched. Each
+      // leg scans events with the event-type filter PUSHED to parquet;
+      // the match is a user-keyed semi join (AQE splits hot users) whose
+      // per-user work is session-bounded — the declarative form of a CEP
+      // engine's NFA step at 100 TB.
+      val ev = t(s, dir, "events").select("user_id", "event_id",
+        "event_type", "ts")
+      def leg(a: String, b: String): DataFrame = {
+        val ta = ev.filter(col("event_type") === a)
+          .select(col("user_id"), col("event_id"), col("ts").as("ts_a"))
+        val tb = ev.filter(col("event_type") === b)
+          .select(col("user_id").as("ub"), col("ts").as("ts_b"))
+        val matched = ta.join(tb,
+          col("user_id") === col("ub") && col("ts_b") > col("ts_a") &&
+            col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTES"),
+          "left_semi")
+          .agg(count(lit(1)).as("n_matched"),
+            countDistinct(col("user_id")).as("n_users"))
+        val na = ta.agg(count(lit(1)).as("n_triggers"))
+        matched.crossJoin(broadcast(na))
+          .select(lit(s"$a->$b").as("pattern"), col("n_triggers"),
+            col("n_matched"), col("n_users"),
+            expr("CAST((1000000 * n_matched) div n_triggers AS BIGINT)")
+              .as("match_ppm"))
+      }
+      leg("view", "purchase")
+        .unionAll(leg("signup", "purchase"))
+        .unionAll(leg("error", "purchase"))
+        .orderBy("pattern")
     })
   )
 
@@ -16997,7 +17085,93 @@ object SparkEntry {
                 WHEN paa < 0.0 THEN 'b'
                 WHEN paa < 0.6745 THEN 'c'
                 ELSE 'd' END AS symbol
-         FROM paa ORDER BY seg"""
+         FROM paa ORDER BY seg""",
+
+    "recsys_coverage" ->
+      """WITH e AS (
+           SELECT DISTINCT o_custkey AS c, l_partkey AS p
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY p),
+         pairs AS (
+           SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS common
+           FROM e a JOIN e b ON a.c = b.c AND a.p < b.p
+           GROUP BY a.p, b.p),
+         sym AS (
+           SELECT p1, p2, common FROM pairs
+           UNION ALL SELECT p2, p1, common FROM pairs),
+         top AS (
+           SELECT p AS p1, deg AS deg1 FROM deg
+           ORDER BY deg DESC, p LIMIT 20),
+         sc AS (
+           SELECT s.p1, t.deg1, s.p2, s.common, d2.deg AS deg2,
+             CAST(floor(1000000.0 * s.common /
+               sqrt(CAST(t.deg1 AS DOUBLE) * CAST(d2.deg AS DOUBLE)))
+               AS BIGINT) AS cos_ppm
+           FROM sym s JOIN top t ON s.p1 = t.p1
+           JOIN deg d2 ON s.p2 = d2.p),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY p1
+             ORDER BY cos_ppm DESC, p2) AS rnk
+           FROM sc),
+         recs AS (SELECT p1, rnk, p2, deg2 FROM rk WHERE rnk <= 5),
+         cat AS (SELECT CAST(count(*) AS BIGINT) AS catalog_n FROM part),
+         ed AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         closing AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_recs,
+             CAST(count(DISTINCT p2) AS BIGINT) AS n_distinct_rec,
+             CAST(sum(deg2) AS BIGINT) AS sum_deg2,
+             list_reduce(list_prepend(0.0,
+               list(ln(CAST(n_edges AS DOUBLE) / CAST(deg2 AS DOUBLE))
+                    / ln(2.0) ORDER BY p1, rnk)),
+               (a, b) -> a + b) AS novsum
+           FROM recs CROSS JOIN ed)
+         SELECT n_recs, n_distinct_rec, catalog_n,
+           CAST((1000000 * n_distinct_rec) // catalog_n AS BIGINT)
+             AS coverage_ppm,
+           round(novsum / CAST(n_recs AS DOUBLE), 6) AS novelty,
+           CAST((1000000 * sum_deg2) // (n_recs * n_edges) AS BIGINT)
+             AS pop_share_ppm
+         FROM closing CROSS JOIN cat CROSS JOIN ed""",
+
+    "events_cep_match" ->
+      """WITH
+         a1 AS (SELECT user_id, ts AS ts_a FROM events
+                WHERE event_type = 'view'),
+         m1 AS (SELECT a.user_id FROM a1 a WHERE EXISTS (
+             SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+               AND b.user_id = a.user_id AND b.ts > a.ts_a
+               AND b.ts <= a.ts_a + INTERVAL 30 MINUTE)),
+         l1 AS (SELECT 'view->purchase' AS pattern,
+             (SELECT CAST(count(*) AS BIGINT) FROM a1) AS n_triggers,
+             CAST(count(*) AS BIGINT) AS n_matched,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM m1),
+         a2 AS (SELECT user_id, ts AS ts_a FROM events
+                WHERE event_type = 'signup'),
+         m2 AS (SELECT a.user_id FROM a2 a WHERE EXISTS (
+             SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+               AND b.user_id = a.user_id AND b.ts > a.ts_a
+               AND b.ts <= a.ts_a + INTERVAL 30 MINUTE)),
+         l2 AS (SELECT 'signup->purchase',
+             (SELECT CAST(count(*) AS BIGINT) FROM a2),
+             CAST(count(*) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT)
+           FROM m2),
+         a3 AS (SELECT user_id, ts AS ts_a FROM events
+                WHERE event_type = 'error'),
+         m3 AS (SELECT a.user_id FROM a3 a WHERE EXISTS (
+             SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+               AND b.user_id = a.user_id AND b.ts > a.ts_a
+               AND b.ts <= a.ts_a + INTERVAL 30 MINUTE)),
+         l3 AS (SELECT 'error->purchase',
+             (SELECT CAST(count(*) AS BIGINT) FROM a3),
+             CAST(count(*) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT)
+           FROM m3),
+         uni AS (
+           SELECT * FROM l1 UNION ALL SELECT * FROM l2
+           UNION ALL SELECT * FROM l3)
+         SELECT pattern, n_triggers, n_matched, n_users,
+           CAST((1000000 * n_matched) // n_triggers AS BIGINT) AS match_ppm
+         FROM uni ORDER BY pattern"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

@@ -2433,6 +2433,49 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("recsys_coverage: closing audit consistent with the item-CF rec lists") {
+    val cf = q("recsys_item_cf").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    val r = q("recsys_coverage").head()
+    assert(r.getLong(0) == cf.length.toLong, "n_recs")
+    assert(r.getLong(1) == cf.map(_._3).distinct.length.toLong)
+    val catalogN = spark.read.parquet(s"$sfDir/part.parquet").count()
+    assert(r.getLong(2) == catalogN)
+    assert(r.getLong(3) ==
+      Math.floorDiv(1000000L * r.getLong(1), r.getLong(2)))
+    // novelty is a mean of −log2(share) over shares < 1 → positive
+    assert(r.getDouble(4) > 0.0)
+    assert(r.getLong(5) > 0L && r.getLong(5) < 1000000L)
+  }
+
+  test("events_cep_match: matches replayed with a driver scan") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2)))
+    def replay(a: String, b: String): (Long, Long, Long) = {
+      val ta = ev.filter(_._2 == a)
+      val tb = ev.filter(_._2 == b)
+      val byUser: Map[Long, Seq[java.time.LocalDateTime]] =
+        tb.groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+      val matched = ta.filter { case (u, _, t0) =>
+        byUser.getOrElse(u, Seq.empty).exists(t1 =>
+          t1.isAfter(t0) && !t1.isAfter(t0.plusMinutes(30)))
+      }
+      (ta.length.toLong, matched.length.toLong,
+        matched.map(_._1).distinct.length.toLong)
+    }
+    val rows = q("events_cep_match").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val Array(a, b) = r.getString(0).split("->")
+      val (nt, nm, nu) = replay(a, b)
+      assert(r.getLong(1) == nt && r.getLong(2) == nm && r.getLong(3) == nu,
+        r.getString(0))
+      assert(r.getLong(4) == Math.floorDiv(1000000L * nm, nt))
+    }
+  }
+
   test("feature_corr_matrix: cells match the built-in corr within 1e-6") {
     import org.apache.spark.sql.functions.corr
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -457,6 +457,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("events_cep_match: event-type filters reach the parquet scan, no SMJ") {
+    val p = plan("events_cep_match")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("agg_weighted_median: domain-reduced before the per-flag cumulative window") {
     val p = plan("agg_weighted_median")
     // the cumulative window must consume the (flag, price) domain — i.e.
