@@ -9233,6 +9233,67 @@ object SparkEntry {
         .unionAll(leg("signup", "purchase"))
         .unionAll(leg("error", "purchase"))
         .orderBy("pattern")
+    }),
+
+    "stats_power_analysis" -> ((s, dir) => {
+      // experiment sizing table: per absolute effect size δ, the
+      // required per-arm n for a two-proportion z-test at α=0.05
+      // (two-sided) and 80% power, seeded by the observed purchase share
+      // of events — the pre-experiment readout every A/B platform
+      // serves. ONE counting pass; the closing row set is 3 cells of
+      // arithmetic over exact scalars (z constants are shared literals,
+      // so both engines square identical doubles).
+      val ev = t(s, dir, "events")
+      val base = ev.agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("pos"))
+      val za = 1.959963984540054; val zb = 0.8416212335729143
+      base
+        .withColumn("delta_ppm",
+          explode(array(lit(10000L), lit(20000L), lit(50000L))))
+        .withColumn("p1", col("pos").cast("double") / col("n").cast("double"))
+        .withColumn("p2", col("p1") + col("delta_ppm").cast("double") / 1e6)
+        .withColumn("pbar", (col("p1") + col("p2")) / 2.0)
+        .withColumn("num", expr(
+          s"""$za * sqrt(2.0 * pbar * (1.0 - pbar))
+              + $zb * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))"""))
+        .select(col("delta_ppm"),
+          expr("CAST((1000000 * pos) div n AS BIGINT)").as("p1_ppm"),
+          expr("""CAST(ceil(num * num /
+                  (CAST(delta_ppm AS DOUBLE) / 1000000.0
+                   * CAST(delta_ppm AS DOUBLE) / 1000000.0)) AS BIGINT)""")
+            .as("n_per_arm"))
+        .orderBy("delta_ppm")
+    }),
+
+    "ab_srm_check" -> ((s, dir) => {
+      // sample-ratio-mismatch guardrail: the stable-hash 50/50 customer
+      // assignment (the train_split discipline — no rand()) counted per
+      // arm, χ² against the expected equal split, flagged at the 0.05
+      // critical value. The check every experiment readout must pass
+      // before any lift number is believed. One grouped pass; the χ² is
+      // arithmetic over two exact counts.
+      val c = t(s, dir, "customer")
+      c.select(col("c_custkey"))
+        .withColumn("z1", expr(s"c_custkey + ${0x9e3779b97f4a7c15L}L"))
+        .withColumn("z2",
+          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
+        .withColumn("z3",
+          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
+        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
+        .withColumn("arm_a", expr("(h & 1) = 0"))
+        .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"))
+        .withColumn("expected", (col("n_a") + col("n_b")).cast("double") / 2.0)
+        .withColumn("chi2_raw", expr(
+          """(CAST(n_a AS DOUBLE) - expected)
+             * (CAST(n_a AS DOUBLE) - expected) / expected
+             + (CAST(n_b AS DOUBLE) - expected)
+             * (CAST(n_b AS DOUBLE) - expected) / expected"""))
+        .select(col("n_a"), col("n_b"),
+          round(col("chi2_raw"), 6).as("chi2"),
+          expr("CAST(CASE WHEN chi2_raw > 3.841 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("srm"))
     })
   )
 
@@ -17171,7 +17232,61 @@ object SparkEntry {
            UNION ALL SELECT * FROM l3)
          SELECT pattern, n_triggers, n_matched, n_users,
            CAST((1000000 * n_matched) // n_triggers AS BIGINT) AS match_ppm
-         FROM uni ORDER BY pattern"""
+         FROM uni ORDER BY pattern""",
+
+    "stats_power_analysis" ->
+      """WITH base AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pos
+           FROM events),
+         d AS (SELECT CAST(unnest([10000, 20000, 50000]) AS BIGINT)
+                 AS delta_ppm),
+         cells AS (
+           SELECT delta_ppm, n, pos,
+             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+               + CAST(delta_ppm AS DOUBLE) / 1e6 AS p2
+           FROM base CROSS JOIN d),
+         num AS (
+           SELECT delta_ppm, n, pos, p1, p2,
+             1.959963984540054 * sqrt(2.0 * ((p1 + p2) / 2.0)
+               * (1.0 - (p1 + p2) / 2.0))
+             + 0.8416212335729143 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+               AS z
+           FROM cells)
+         SELECT delta_ppm,
+           CAST((1000000 * pos) // n AS BIGINT) AS p1_ppm,
+           CAST(ceil(z * z / (CAST(delta_ppm AS DOUBLE) / 1000000.0
+             * CAST(delta_ppm AS DOUBLE) / 1000000.0)) AS BIGINT)
+             AS n_per_arm
+         FROM num ORDER BY delta_ppm""",
+
+    "ab_srm_check" ->
+      s"""WITH src AS (
+           SELECT CAST(c_custkey AS HUGEINT) AS x FROM customer),
+         ${mix64Ctes("src", "mx")},
+         arms AS (
+           SELECT CAST(sum(CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN h % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+           FROM mx),
+         chi AS (
+           SELECT n_a, n_b,
+             CAST(n_a + n_b AS DOUBLE) / 2.0 AS expected
+           FROM arms),
+         cc AS (
+           SELECT n_a, n_b,
+             (CAST(n_a AS DOUBLE) - expected)
+               * (CAST(n_a AS DOUBLE) - expected) / expected
+             + (CAST(n_b AS DOUBLE) - expected)
+               * (CAST(n_b AS DOUBLE) - expected) / expected AS chi2_raw
+           FROM chi)
+         SELECT n_a, n_b, round(chi2_raw, 6) AS chi2,
+           CAST(CASE WHEN chi2_raw > 3.841 THEN 1 ELSE 0 END AS BIGINT)
+             AS srm
+         FROM cc"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

@@ -2476,6 +2476,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("stats_power_analysis: per-arm n replayed from the closed form") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_type").collect().map(_.getString(0))
+    val n = ev.length.toDouble
+    val pos = ev.count(_ == "purchase").toDouble
+    val rows = q("stats_power_analysis").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10000L, 20000L, 50000L))
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val delta = r.getLong(0).toDouble / 1e6
+      val p1 = pos / n; val p2 = p1 + delta; val pbar = (p1 + p2) / 2.0
+      val z = 1.959963984540054 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+        0.8416212335729143 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+      assert(r.getLong(2) == math.ceil(z * z / (delta * delta)).toLong)
+      // bigger detectable effect → smaller experiment
+      assert(r.getLong(2) < prev); prev = r.getLong(2)
+    }
+  }
+
+  test("ab_srm_check: hash split is balanced and chi-square replays") {
+    val keys = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val nA = keys.count(k => (functions.HashOps.mix64(k) & 1L) == 0L).toLong
+    val nB = keys.length - nA
+    val r = q("ab_srm_check").head()
+    assert(r.getLong(0) == nA && r.getLong(1) == nB)
+    val e = (nA + nB).toDouble / 2.0
+    val chi2 = (nA - e) * (nA - e) / e + (nB - e) * (nB - e) / e
+    assert(math.abs(r.getDouble(2) - chi2) < 1e-6)
+    assert(r.getLong(3) == (if (chi2 > 3.841) 1L else 0L))
+    // a healthy stable-hash split must not trip its own guardrail
+    assert(r.getLong(3) == 0L)
+  }
+
   test("feature_corr_matrix: cells match the built-in corr within 1e-6") {
     import org.apache.spark.sql.functions.corr
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
