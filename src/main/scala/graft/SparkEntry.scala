@@ -9294,6 +9294,86 @@ object SparkEntry {
           round(col("chi2_raw"), 6).as("chi2"),
           expr("CAST(CASE WHEN chi2_raw > 3.841 THEN 1 ELSE 0 END AS BIGINT)")
             .as("srm"))
+    }),
+
+    "tokenizer_fertility" -> ((s, dir) => {
+      // tokenizer health per source: fertility (BPE symbols per word) and
+      // compression (chars per symbol) after the 8 trained merges — the
+      // readout that tells you which domain the vocabulary under-serves.
+      // Rides Bpe.encodeStats (distinct vocab encoded ONCE, dictionary
+      // join back), so the per-source rollup adds one broadcast join +
+      // grouped sums to work already done; the merge table is the same
+      // driver-memoized artifact as tokenizer_bpe_apply's.
+      val d = t(s, dir, "documents")
+      val merges = bpeMerges.getOrElseUpdate(dir,
+        graft.operators.Bpe.train(s, d, 8)
+          .orderBy("step").select("lhs", "rhs").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq)
+      graft.operators.Bpe.encodeStats(d, merges)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_words"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("n_symbols")).as("n_symbols"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_symbols"),
+          expr("CAST((1000000 * n_symbols) div n_words AS BIGINT)")
+            .as("fertility_ppm"),
+          expr("CAST(floor(n_chars * 10000.0 / n_symbols) AS BIGINT)")
+            .as("chars_per_sym_bp"))
+        .orderBy("source")
+    }),
+
+    "timeseries_forecast_eval" -> ((s, dir) => {
+      // one-step-ahead backtest of three deterministic baselines on the
+      // daily event-count series — naive (yesterday), seasonal-naive
+      // (last week), expanding mean — scored by MAE and MAPE over the
+      // days where all three are defined. Errors derive from exact
+      // integer counts (the expanding mean stays a rational c·y − sy
+      // over c); the series and the scorecard are calendar-sized, so the
+      // whole evaluation is metadata work after the daily count.
+      val ev = t(s, dir, "events")
+      val d = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.orderBy("day")
+      val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+      val scored = d
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("naive", lag(col("y"), 1).over(w))
+        .withColumn("snaive", lag(col("y"), 7).over(w))
+        .withColumn("sy_prev", sum(col("y")).over(wp))
+        .withColumn("c_prev", count(lit(1)).over(wp))
+        .filter(col("snaive").isNotNull)
+      val errs = scored.select(col("i"), col("y"),
+        abs(col("y") - col("naive")).cast("double").as("e_naive"),
+        abs(col("y") - col("snaive")).cast("double").as("e_snaive"),
+        (abs(col("y") * col("c_prev") - col("sy_prev")).cast("double") /
+          col("c_prev").cast("double")).as("e_mean"))
+      errs
+        .agg(count(lit(1)).as("n_evals"),
+          collect_list(struct(col("i"), col("y"), col("e_naive"),
+            col("e_snaive"), col("e_mean"))).as("cells"))
+        .select(col("n_evals"), explode(array(
+          struct(lit("expanding_mean").as("method"), lit("e_mean").as("f")),
+          struct(lit("naive").as("method"), lit("e_naive").as("f")),
+          struct(lit("seasonal_naive").as("method"), lit("e_snaive").as("f"))
+        )).as("m"), col("cells"))
+        .select(col("m.method").as("method"), col("n_evals"),
+          round(aggregate(sort_array(col("cells")), lit(0.0),
+            (acc, x) => acc + when(col("m.f") === "e_naive",
+                x.getField("e_naive"))
+              .when(col("m.f") === "e_snaive", x.getField("e_snaive"))
+              .otherwise(x.getField("e_mean")))
+            / col("n_evals").cast("double"), 6).as("mae"),
+          round(aggregate(sort_array(col("cells")), lit(0.0),
+            (acc, x) => acc + when(col("m.f") === "e_naive",
+                x.getField("e_naive"))
+              .when(col("m.f") === "e_snaive", x.getField("e_snaive"))
+              .otherwise(x.getField("e_mean"))
+              / x.getField("y").cast("double"))
+            / col("n_evals").cast("double"), 6).as("mape"))
+        .orderBy("method")
     })
   )
 
@@ -17286,7 +17366,91 @@ object SparkEntry {
          SELECT n_a, n_b, round(chi2_raw, 6) AS chi2,
            CAST(CASE WHEN chi2_raw > 3.841 THEN 1 ELSE 0 END AS BIGINT)
              AS srm
-         FROM cc"""
+         FROM cc""",
+
+    "tokenizer_fertility" -> {
+      val applies = (1 to 8).map { k =>
+        val prev = if (k == 1) "e0" else s"e${k - 1}"
+        s"""e$k AS (SELECT w, replace(s, ' ' || t$k.a || e'\n ' || t$k.b || e'\n',
+             ' ' || t$k.a || t$k.b || e'\n') AS s
+           FROM $prev CROSS JOIN t$k)"""
+      }.mkString(",\n         ")
+      s"""WITH $bpeTrainCtePrefix,
+         va AS (SELECT DISTINCT w FROM (SELECT unnest(toks) AS w FROM d)),
+         e0 AS (SELECT w, ' ' || array_to_string(
+             list_transform(range(1, length(w) + 1),
+               i -> substr(w, CAST(i AS INT), 1)), e'\n ') || e'\n' AS s
+           FROM va),
+         $applies,
+         enc AS (SELECT w, CAST(length(s) - length(replace(s, e'\n', ''))
+             AS BIGINT) AS n_sym FROM e8),
+         dt AS (SELECT doc_id, unnest(toks) AS w FROM d),
+         per AS (
+           SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(length(dt.w)) AS BIGINT) AS n_chars,
+             CAST(sum(enc.n_sym) AS BIGINT) AS n_symbols
+           FROM dt JOIN enc ON enc.w = dt.w GROUP BY dt.doc_id)
+         SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(per.n_tokens) AS BIGINT) AS n_words,
+           CAST(sum(per.n_symbols) AS BIGINT) AS n_symbols,
+           CAST((1000000 * sum(per.n_symbols)) // sum(per.n_tokens)
+             AS BIGINT) AS fertility_ppm,
+           CAST(floor(sum(per.n_chars) * 10000.0 / sum(per.n_symbols))
+             AS BIGINT) AS chars_per_sym_bp
+         FROM per JOIN documents doc ON per.doc_id = doc.doc_id
+         GROUP BY doc.source ORDER BY doc.source"""
+    },
+
+    "timeseries_forecast_eval" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         idx AS (
+           SELECT y,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             lag(y, 1) OVER (ORDER BY day) AS naive,
+             lag(y, 7) OVER (ORDER BY day) AS snaive,
+             sum(y) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sy_prev,
+             count(*) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_prev
+           FROM d),
+         errs AS (
+           SELECT i, y,
+             CAST(abs(y - naive) AS DOUBLE) AS e_naive,
+             CAST(abs(y - snaive) AS DOUBLE) AS e_snaive,
+             CAST(abs(y * c_prev - sy_prev) AS DOUBLE)
+               / CAST(c_prev AS DOUBLE) AS e_mean
+           FROM idx WHERE snaive IS NOT NULL),
+         folded AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_evals,
+             list_reduce(list_prepend(0.0, list(e_naive ORDER BY i)),
+               (a, b) -> a + b) AS s_naive,
+             list_reduce(list_prepend(0.0, list(e_snaive ORDER BY i)),
+               (a, b) -> a + b) AS s_snaive,
+             list_reduce(list_prepend(0.0, list(e_mean ORDER BY i)),
+               (a, b) -> a + b) AS s_mean,
+             list_reduce(list_prepend(0.0,
+               list(e_naive / CAST(y AS DOUBLE) ORDER BY i)),
+               (a, b) -> a + b) AS p_naive,
+             list_reduce(list_prepend(0.0,
+               list(e_snaive / CAST(y AS DOUBLE) ORDER BY i)),
+               (a, b) -> a + b) AS p_snaive,
+             list_reduce(list_prepend(0.0,
+               list(e_mean / CAST(y AS DOUBLE) ORDER BY i)),
+               (a, b) -> a + b) AS p_mean
+           FROM errs),
+         uni AS (
+           SELECT 'expanding_mean' AS method, n_evals,
+             round(s_mean / n_evals, 6) AS mae,
+             round(p_mean / n_evals, 6) AS mape FROM folded
+           UNION ALL
+           SELECT 'naive', n_evals, round(s_naive / n_evals, 6),
+             round(p_naive / n_evals, 6) FROM folded
+           UNION ALL
+           SELECT 'seasonal_naive', n_evals, round(s_snaive / n_evals, 6),
+             round(p_snaive / n_evals, 6) FROM folded)
+         SELECT method, n_evals, mae, mape FROM uni ORDER BY method"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

@@ -2510,6 +2510,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(3) == 0L)
   }
 
+  test("tokenizer_fertility: per-source rollup of the per-doc encode stats") {
+    val perDoc = q("tokenizer_bpe_apply").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val bySource = perDoc.toSeq.groupBy(x => src(x._1))
+    val rows = q("tokenizer_fertility").collect()
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val g = bySource(r.getString(0)).map(_._2)
+      val words = g.map(_._1).sum; val syms = g.map(_._3).sum
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == words && r.getLong(3) == syms)
+      assert(r.getLong(4) == Math.floorDiv(1000000L * syms, words))
+      // BPE merges only ever shrink: fertility ≤ chars per word
+      assert(r.getLong(4) >= 1000000L, "at least one symbol per word")
+    }
+  }
+
+  test("timeseries_forecast_eval: backtest errors replayed on the driver") {
+    val days = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"))
+      .count().collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val evalIdx = days.indices.drop(7)
+    val n = evalIdx.length.toDouble
+    def score(fc: Int => Double): (Double, Double) = {
+      val es = evalIdx.map(i => (math.abs(days(i) - fc(i)), days(i)))
+      (es.map(_._1).sum / n, es.map(e => e._1 / e._2).sum / n)
+    }
+    val exp = Map(
+      "naive" -> score(i => days(i - 1).toDouble),
+      "seasonal_naive" -> score(i => days(i - 7).toDouble),
+      "expanding_mean" -> score(i => days.take(i).sum.toDouble / i))
+    val rows = q("timeseries_forecast_eval").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (mae, mape) = exp(r.getString(0))
+      assert(r.getLong(1) == evalIdx.length.toLong)
+      assert(math.abs(r.getDouble(2) - mae) < 1e-5, s"${r.getString(0)} mae")
+      assert(math.abs(r.getDouble(3) - mape) < 1e-5, s"${r.getString(0)} mape")
+    }
+  }
+
   test("feature_corr_matrix: cells match the built-in corr within 1e-6") {
     import org.apache.spark.sql.functions.corr
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
