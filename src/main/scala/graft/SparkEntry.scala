@@ -9374,6 +9374,137 @@ object SparkEntry {
               / x.getField("y").cast("double"))
             / col("n_evals").cast("double"), 6).as("mape"))
         .orderBy("method")
+    }),
+
+    "graph_ppr" -> ((s, dir) => {
+      // personalized PageRank from an 8-supplier seed set on the same
+      // integer-scaled bipartite graph as graph_pagerank: teleport mass
+      // goes ONLY to the seeds (15% div |S|), so rank concentrates in
+      // the seeds' neighborhood — the similarity/recommendation walk.
+      // Same exact-integer discipline (order-independent sums, explicit
+      // div) and the same persisted-once edge frame; each of the two
+      // rounds is one join + one aggregation keyed on the node id.
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select(
+          (col("l_suppkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val und = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = und.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val seeds = deg.filter(col("src") < 16L && pmod(col("src"), lit(2L)) === 0L)
+      val ns = seeds.agg(count(lit(1)).as("n_seeds"))
+      val nodes = deg.crossJoin(broadcast(ns))
+        .select(col("src").as("node"), col("outdeg"), col("n_seeds"),
+          (col("src") < 16L && pmod(col("src"), lit(2L)) === 0L).as("is_seed"))
+      var rank = nodes.withColumn("rank",
+        expr("CASE WHEN is_seed THEN 1000000000000L div n_seeds ELSE 0L END"))
+      for (_ <- 1 to 2) {
+        val c = und.join(rank.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("sc"))
+        rank = nodes.join(c, Seq("node"))
+          .withColumn("rank", expr(
+            """CASE WHEN is_seed THEN 15000000000000L div (100 * n_seeds)
+               ELSE 0L END + (85 * sc) div 100"""))
+      }
+      rank
+        .select(col("node"), col("rank").as("ppr"),
+          col("outdeg").as("degree"),
+          expr("CAST(CASE WHEN is_seed THEN 1 ELSE 0 END AS BIGINT)")
+            .as("is_seed"))
+        .orderBy(col("ppr").desc, col("node"))
+        .limit(20)
+    }),
+
+    "agg_hll_merge" -> ((s, dir) => {
+      // the PROOF of HLL mergeability: per-return-flag register tables
+      // merged by bucket-max equal the registers built directly on the
+      // union — max is associative/commutative/idempotent, so sharded or
+      // daily sketches combine into exactly the sketch of the whole at
+      // 8 bytes·4096 per shard, never a re-scan. Emits both estimates
+      // (bit-identical) plus the exact global count and the equality
+      // flag the property rests on.
+      val li = t(s, dir, "lineitem")
+      val rho = li.select(col("l_returnflag").as("flag"), col("l_partkey"))
+        .withColumn("z1", expr(s"l_partkey + ${0x9e3779b97f4a7c15L}L"))
+        .withColumn("z2",
+          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
+        .withColumn("z3",
+          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
+        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
+        .withColumn("bucket", expr("shiftrightunsigned(h, 52)"))
+        .withColumn("rest", expr(s"h & ${(1L << 52) - 1}L"))
+        .withColumn("rho", expr(
+          "CASE WHEN rest = 0 THEN 53L ELSE 53L - length(bin(rest)) END"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shard = rho.groupBy("flag", "bucket").agg(max(col("rho")).as("reg"))
+      val merged = shard.groupBy("bucket").agg(max(col("reg")).as("reg"))
+      val direct = rho.groupBy("bucket").agg(max(col("rho")).as("reg"))
+      def close(regs: DataFrame, estName: String): DataFrame =
+        regs
+          .withColumn("term",
+            expr("1.0D / CAST(shiftleft(1L, CAST(reg AS INT)) AS DOUBLE)"))
+          .agg(count(lit(1)).as("present"),
+            aggregate(sort_array(collect_list(struct(col("bucket"),
+                col("term")))),
+              lit(0.0), (acc, x) => acc + x.getField("term")).as("hsum"))
+          .withColumn("v_zero", lit(4096L) - col("present"))
+          .withColumn("e_raw",
+            lit(0.7213 / (1.0 + 1.079 / 4096)) * lit(4096.0) * lit(4096.0) /
+              (col("hsum") + col("v_zero").cast("double")))
+          .select(col("v_zero").as(s"v_zero_$estName"), expr(
+            """CASE WHEN e_raw <= 2.5 * 4096 AND v_zero > 0
+               THEN 4096 * ln(CAST(4096 AS DOUBLE) / v_zero)
+               ELSE e_raw END""").as(estName))
+      val eq = merged.withColumnRenamed("reg", "reg_m")
+        .join(direct.withColumnRenamed("reg", "reg_d"), Seq("bucket"), "full")
+        .agg(sum(when(col("reg_m") === col("reg_d"), 0L).otherwise(1L))
+          .as("n_register_diffs"))
+      val exact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+      close(merged, "est_merged")
+        .crossJoin(close(direct, "est_direct"))
+        .crossJoin(broadcast(eq)).crossJoin(broadcast(exact))
+        .select(col("n_exact"),
+          col("v_zero_est_merged").as("v_zero_merged"),
+          round(col("est_merged"), 4).as("est_merged"),
+          round(col("est_direct"), 4).as("est_direct"),
+          col("n_register_diffs"))
+    }),
+
+    "layout_repartition_plan" -> ((s, dir) => {
+      // day-partition right-sizing plan for the events table: per-day
+      // row/byte stats (bytes = a fixed-width estimate + payload
+      // lengths — one grouped pass), then each day is classified
+      // against the 256 KB target: SPLIT into ⌈bytes/target⌉ files,
+      // MERGE (grouped with neighbor small days by cumulative-bytes
+      // division — the compaction-planner move), or KEEP. The plan
+      // frame is calendar-sized; the rewrite job it drives is the only
+      // thing that touches data.
+      val ev = t(s, dir, "events")
+      val target = 262144L
+      val days = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(length(col("props"))) + count(lit(1)) * 64L).as("bytes"))
+      val act = days.withColumn("action", expr(
+        s"""CASE WHEN bytes * 2 > 3 * ${target}L THEN 'split'
+            WHEN bytes * 2 < ${target}L THEN 'merge'
+            ELSE 'keep' END"""))
+      val wm = Window.partitionBy("action").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      act
+        .withColumn("cum_small",
+          when(col("action") === "merge",
+            coalesce(sum(col("bytes")).over(wm), lit(0L))))
+        .select(col("day"), col("n_rows"), col("bytes"), col("action"),
+          expr(s"""CASE WHEN action = 'split'
+                   THEN CAST(ceil(bytes / ${target.toDouble}) AS BIGINT)
+                   ELSE 1L END""").as("n_out_files"),
+          expr(s"""CASE WHEN action = 'merge'
+                   THEN cum_small div ${target}L END""").as("merge_group"))
+        .orderBy("day")
     })
   )
 
@@ -17450,7 +17581,127 @@ object SparkEntry {
            UNION ALL
            SELECT 'seasonal_naive', n_evals, round(s_snaive / n_evals, 6),
              round(p_snaive / n_evals, 6) FROM folded)
-         SELECT method, n_evals, mae, mape FROM uni ORDER BY method"""
+         SELECT method, n_evals, mae, mape FROM uni ORDER BY method""",
+
+    "graph_ppr" ->
+      """WITH e0 AS (
+           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           FROM lineitem),
+         und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         deg AS (SELECT src AS node, count(*) AS outdeg FROM und GROUP BY src),
+         ns AS (SELECT count(*) AS n_seeds FROM deg
+                WHERE node < 16 AND node % 2 = 0),
+         nodes AS (
+           SELECT node, outdeg, n_seeds,
+             node < 16 AND node % 2 = 0 AS is_seed
+           FROM deg, ns),
+         r0 AS (SELECT node, outdeg, n_seeds, is_seed,
+                  CASE WHEN is_seed THEN 1000000000000 // n_seeds
+                       ELSE 0 END AS rank
+                FROM nodes),
+         c1 AS (SELECT u.dst AS node,
+                  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS sc
+                FROM und u JOIN r0 r ON u.src = r.node GROUP BY u.dst),
+         r1 AS (SELECT s.node, s.outdeg, s.n_seeds, s.is_seed,
+                  CASE WHEN s.is_seed THEN 15000000000000 // (100 * s.n_seeds)
+                       ELSE 0 END + (85 * c.sc) // 100 AS rank
+                FROM nodes s JOIN c1 c USING (node)),
+         c2 AS (SELECT u.dst AS node,
+                  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS sc
+                FROM und u JOIN r1 r ON u.src = r.node GROUP BY u.dst),
+         r2 AS (SELECT s.node, s.outdeg, s.n_seeds, s.is_seed,
+                  CASE WHEN s.is_seed THEN 15000000000000 // (100 * s.n_seeds)
+                       ELSE 0 END + (85 * c.sc) // 100 AS rank
+                FROM nodes s JOIN c2 c USING (node))
+         SELECT node, CAST(rank AS BIGINT) AS ppr,
+           CAST(outdeg AS BIGINT) AS degree,
+           CAST(CASE WHEN is_seed THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+         FROM r2 ORDER BY rank DESC, node LIMIT 20""",
+
+    "agg_hll_merge" ->
+      s"""WITH src AS (
+           SELECT l_returnflag AS flag, CAST(l_partkey AS HUGEINT) AS x
+           FROM lineitem),
+         ${mix64Ctes("src", "mx")},
+         rho AS (
+           SELECT flag, CAST(h // 4503599627370496::HUGEINT AS BIGINT)
+               AS bucket,
+             CASE WHEN h % 4503599627370496::HUGEINT = 0 THEN 53
+               ELSE 53 - length(bin(CAST(h % 4503599627370496::HUGEINT
+                 AS BIGINT))) END AS rho
+           FROM mx),
+         shard AS (
+           SELECT flag, bucket, CAST(max(rho) AS BIGINT) AS reg
+           FROM rho GROUP BY flag, bucket),
+         merged AS (
+           SELECT bucket, max(reg) AS reg FROM shard GROUP BY bucket),
+         direct AS (
+           SELECT bucket, CAST(max(rho) AS BIGINT) AS reg
+           FROM rho GROUP BY bucket),
+         cm AS (
+           SELECT CAST(count(*) AS BIGINT) AS present,
+             list_reduce(list_prepend(0.0,
+               list(1.0 / CAST(1::BIGINT << reg AS DOUBLE) ORDER BY bucket)),
+               (a, b) -> a + b) AS hsum
+           FROM merged),
+         cd AS (
+           SELECT CAST(count(*) AS BIGINT) AS present,
+             list_reduce(list_prepend(0.0,
+               list(1.0 / CAST(1::BIGINT << reg AS DOUBLE) ORDER BY bucket)),
+               (a, b) -> a + b) AS hsum
+           FROM direct),
+         em AS (
+           SELECT 4096 - present AS v_zero,
+             (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
+               / (hsum + CAST(4096 - present AS DOUBLE)) AS e_raw
+           FROM cm),
+         ed AS (
+           SELECT 4096 - present AS v_zero,
+             (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
+               / (hsum + CAST(4096 - present AS DOUBLE)) AS e_raw
+           FROM cd),
+         eqc AS (
+           SELECT CAST(sum(CASE WHEN m.reg = d.reg THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_register_diffs
+           FROM merged m FULL JOIN direct d USING (bucket)),
+         ex AS (
+           SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+           FROM lineitem)
+         SELECT n_exact, CAST(em.v_zero AS BIGINT) AS v_zero_merged,
+           round(CASE WHEN em.e_raw <= 2.5 * 4096 AND em.v_zero > 0
+             THEN 4096 * ln(CAST(4096 AS DOUBLE) / em.v_zero)
+             ELSE em.e_raw END, 4) AS est_merged,
+           round(CASE WHEN ed.e_raw <= 2.5 * 4096 AND ed.v_zero > 0
+             THEN 4096 * ln(CAST(4096 AS DOUBLE) / ed.v_zero)
+             ELSE ed.e_raw END, 4) AS est_direct,
+           n_register_diffs
+         FROM em CROSS JOIN ed CROSS JOIN eqc CROSS JOIN ex""",
+
+    "layout_repartition_plan" ->
+      """WITH days AS (
+           SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(length(props)) + count(*) * 64 AS BIGINT) AS bytes
+           FROM events GROUP BY 1),
+         act AS (
+           SELECT day, n_rows, bytes,
+             CASE WHEN bytes * 2 > 3 * 262144 THEN 'split'
+                  WHEN bytes * 2 < 262144 THEN 'merge'
+                  ELSE 'keep' END AS action
+           FROM days),
+         cum AS (
+           SELECT day, n_rows, bytes, action,
+             CASE WHEN action = 'merge' THEN
+               coalesce(sum(bytes) OVER (PARTITION BY action ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             END AS cum_small
+           FROM act)
+         SELECT day, n_rows, bytes, action,
+           CASE WHEN action = 'split'
+             THEN CAST(ceil(bytes / 262144.0) AS BIGINT)
+             ELSE 1 END AS n_out_files,
+           CAST(cum_small // 262144 AS BIGINT) AS merge_group
+         FROM cum ORDER BY day"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
