@@ -9505,6 +9505,125 @@ object SparkEntry {
           expr(s"""CASE WHEN action = 'merge'
                    THEN cum_small div ${target}L END""").as("merge_group"))
         .orderBy("day")
+    }),
+
+    "stats_benjamini_hochberg" -> ((s, dir) => {
+      // multiple-testing control for the per-slice audit family: one
+      // two-proportion z-test per nation (high-priority order share vs
+      // the rest of the world), normal p-values via the Abramowitz &
+      // Stegun 7.1.26 polynomial (identical Horner tree in both
+      // engines), then the Benjamini–Hochberg step-up at FDR 5% on the
+      // ppm-floored p-values. The heavy part is one orders⇄customer
+      // join + a 25-row nation rollup; BH itself runs on the
+      // nation-sized frame (the repo's calendar-sized window rule).
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val per = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("k"))
+      val tot = per.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"))
+      val m = per.agg(count(lit(1)).as("m"))
+      val pv = per.crossJoin(broadcast(tot)).crossJoin(broadcast(m))
+        .withColumn("z", expr(
+          """(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(kk - k AS DOUBLE) / CAST(nn - n AS DOUBLE))
+             / sqrt((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (1.0 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nn - n AS DOUBLE)))"""))
+        .withColumn("az", abs(col("z")))
+        .withColumn("tt", expr("1.0 / (1.0 + 0.2316419 * az)"))
+        .withColumn("p_ppm", expr(
+          """CAST(floor(1000000.0 * 2.0 * (exp(-az * az / 2.0)
+               / sqrt(2.0 * pi()))
+             * (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt
+                 - 0.356563782) * tt + 0.319381530) * tt)) AS BIGINT)"""))
+      val wr = Window.orderBy(col("p_ppm"), col("c_nationkey"))
+      val ranked = pv
+        .withColumn("p_rank", row_number().over(wr).cast("long"))
+        .withColumn("ok", when(col("p_ppm") * col("m")
+          <= col("p_rank") * lit(50000L), col("p_rank")).otherwise(0L))
+      val cutoff = ranked.agg(max(col("ok")).as("k_max"))
+      ranked.crossJoin(broadcast(cutoff))
+        .select(col("c_nationkey").as("nationkey"), col("n"), col("k"),
+          expr("CAST(floor(1000000.0 * z) AS BIGINT)").as("z_ppm"),
+          col("p_ppm"), col("p_rank"),
+          when(col("p_rank") <= col("k_max"), 1L).otherwise(0L)
+            .as("rejected"))
+        .orderBy("p_rank")
+    }),
+
+    "ab_sequential_sprt" -> ((s, dir) => {
+      // sequential probability ratio test over the experiment's daily
+      // looks: treatment-arm events are Bernoulli trials
+      // (purchase = success), cumulative counts per day feed Wald's
+      // log-likelihood ratio for H0 p=0.20 vs H1 p=0.24, with the
+      // (alpha=0.05, beta=0.20) boundaries ln(16) / ln(0.2/0.95). The
+      // per-day rollup is the only data-sized pass; the cumulative
+      // window runs over the 30-row calendar frame. LLR is integer
+      // counts x constant logs, ppm-floored — engine-exact.
+      val e = t(s, dir, "events")
+      val arm = e.filter(pmod(HashFunctions.fnv64(
+        col("user_id").cast("string")), lit(2L)) =!= 0)
+      val daily = arm.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_d"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("k_d"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("n_cum", sum(col("n_d")).over(w))
+        .withColumn("k_cum", sum(col("k_d")).over(w))
+        .withColumn("llr_ppm", expr(
+          """CAST(floor(1000000.0 *
+               (CAST(k_cum AS DOUBLE) * ln(0.24 / 0.20)
+                + CAST(n_cum - k_cum AS DOUBLE) * ln(0.76 / 0.80)))
+             AS BIGINT)"""))
+        .withColumn("decision", expr(
+          """CASE WHEN llr_ppm >= CAST(floor(1000000.0 * ln(0.80 / 0.05))
+                 AS BIGINT) THEN 'reject_h0'
+             WHEN llr_ppm <= CAST(floor(1000000.0 * ln(0.20 / 0.95))
+                 AS BIGINT) THEN 'accept_h0'
+             ELSE 'continue' END"""))
+        .select("day", "n_cum", "k_cum", "llr_ppm", "decision")
+        .orderBy("day")
+    }),
+
+    "stats_xi_correlation" -> ((s, dir) => {
+      // Chatterjee's xi coefficient (JASA 2021) between daily order
+      // count and daily revenue — the rank-based dependence measure
+      // that catches non-monotone association where Spearman reads 0.
+      // One grouped pass reduces orders to the ~2,400-row calendar
+      // frame; ranks r (#y<=y_i) and l (#y>=y_i) come from RANGE-frame
+      // counts, the consecutive-|r| differences from a lead() over the
+      // x-order (day tiebreak, documented). All-integer numerator and
+      // denominator; only the final ratio is a double, ppm-floored.
+      val o = t(s, dir, "orders")
+      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)"
+            + " AS BIGINT)").as("y"))
+      val wy = Window.orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wyd = Window.orderBy(col("y").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wx = Window.orderBy("x", "day")
+      val ranked = days
+        .withColumn("r", count(lit(1)).over(wy))
+        .withColumn("l", count(lit(1)).over(wyd))
+        .withColumn("dr", abs(lead(col("r"), 1).over(wx) - col("r")))
+      val n = days.agg(count(lit(1)).as("n_days"))
+      ranked.crossJoin(broadcast(n))
+        .agg(first(col("n_days")).as("n_days"),
+          sum(col("dr")).as("sum_dr"),
+          sum(col("l") * (col("n_days") - col("l"))).as("denom2"))
+        .select(col("n_days"), col("sum_dr"),
+          (col("denom2") * 2L).as("denom"),
+          expr("""CAST(floor(1000000.0 *
+              (1.0 - CAST(n_days * sum_dr AS DOUBLE)
+                     / CAST(2 * denom2 AS DOUBLE))) AS BIGINT)""")
+            .as("xi_ppm"))
     })
   )
 
@@ -17701,7 +17820,111 @@ object SparkEntry {
              THEN CAST(ceil(bytes / 262144.0) AS BIGINT)
              ELSE 1 END AS n_out_files,
            CAST(cum_small // 262144 AS BIGINT) AS merge_group
-         FROM cum ORDER BY day"""
+         FROM cum ORDER BY day""",
+
+    "stats_benjamini_hochberg" ->
+      s"""WITH per AS (
+           SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS k
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_nationkey),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(k) AS BIGINT) AS kk FROM per),
+         mq AS (SELECT CAST(count(*) AS BIGINT) AS m FROM per),
+         zq AS (
+           SELECT c_nationkey, n, k, m,
+             (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(kk - k AS DOUBLE) / CAST(nn - n AS DOUBLE))
+             / sqrt((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (1.0 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nn - n AS DOUBLE)))
+               AS z
+           FROM per CROSS JOIN tot CROSS JOIN mq),
+         tq AS (
+           SELECT *, abs(z) AS az, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
+           FROM zq),
+         pq AS (
+           SELECT *,
+             CAST(floor(1000000.0 * 2.0 * (exp(-az * az / 2.0)
+                 / sqrt(2.0 * pi()))
+               * (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937)
+                   * tt - 0.356563782) * tt + 0.319381530) * tt))
+               AS BIGINT) AS p_ppm
+           FROM tq),
+         rq AS (
+           SELECT *, CAST(row_number() OVER (ORDER BY p_ppm, c_nationkey)
+               AS BIGINT) AS p_rank
+           FROM pq),
+         cq AS (
+           SELECT max(CASE WHEN p_ppm * m <= p_rank * 50000
+             THEN p_rank ELSE 0 END) AS k_max FROM rq)
+         SELECT c_nationkey AS nationkey, n, k,
+           CAST(floor(1000000.0 * z) AS BIGINT) AS z_ppm, p_ppm, p_rank,
+           CAST(CASE WHEN p_rank <= k_max THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+         FROM rq CROSS JOIN cq ORDER BY p_rank""",
+
+    "ab_sequential_sprt" -> {
+      val hv = signedSql(fnvSql("CAST(user_id AS VARCHAR)"))
+      s"""WITH arm AS (
+           SELECT CAST(ts AS DATE) AS day, event_type FROM events
+           WHERE (($hv % 2) + 2) % 2 <> 0),
+         daily AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k_d
+           FROM arm GROUP BY day),
+         cum AS (
+           SELECT day,
+             CAST(sum(n_d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+             CAST(sum(k_d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS k_cum
+           FROM daily),
+         llr AS (
+           SELECT day, n_cum, k_cum,
+             CAST(floor(1000000.0 *
+               (CAST(k_cum AS DOUBLE) * ln(0.24 / 0.20)
+                + CAST(n_cum - k_cum AS DOUBLE) * ln(0.76 / 0.80)))
+               AS BIGINT) AS llr_ppm
+           FROM cum)
+         SELECT day, n_cum, k_cum, llr_ppm,
+           CASE WHEN llr_ppm >= CAST(floor(1000000.0 * ln(0.80 / 0.05))
+               AS BIGINT) THEN 'reject_h0'
+             WHEN llr_ppm <= CAST(floor(1000000.0 * ln(0.20 / 0.95))
+               AS BIGINT) THEN 'accept_h0'
+             ELSE 'continue' END AS decision
+         FROM llr ORDER BY day"""
+    },
+
+    "stats_xi_correlation" ->
+      """WITH days AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+               AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days),
+         rk AS (
+           SELECT day, x, y,
+             CAST(count(*) OVER (ORDER BY y RANGE BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS r,
+             CAST(count(*) OVER (ORDER BY y DESC RANGE BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS l
+           FROM days),
+         dq AS (
+           SELECT r, l, abs(lead(r) OVER (ORDER BY x, day) - r) AS dr
+           FROM rk),
+         ag AS (
+           SELECT n_days, CAST(sum(dr) AS BIGINT) AS sum_dr,
+             CAST(sum(l * (n_days - l)) AS BIGINT) AS denom2
+           FROM dq CROSS JOIN nq GROUP BY n_days)
+         SELECT n_days, sum_dr, denom2 * 2 AS denom,
+           CAST(floor(1000000.0 *
+             (1.0 - CAST(n_days * sum_dr AS DOUBLE)
+                    / CAST(2 * denom2 AS DOUBLE))) AS BIGINT) AS xi_ppm
+         FROM ag"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
