@@ -9624,6 +9624,129 @@ object SparkEntry {
               (1.0 - CAST(n_days * sum_dr AS DOUBLE)
                      / CAST(2 * denom2 AS DOUBLE))) AS BIGINT)""")
             .as("xi_ppm"))
+    }),
+
+    "agg_topk_merge" -> ((s, dir) => {
+      // distributed top-k with deterministic error bounds (the TPUT /
+      // three-phase-uniform-threshold shape): each shard (return flag)
+      // publishes its exact per-key counts truncated to the top 32 plus
+      // ONE number — the largest dropped count. Merged: est_lo = sum of
+      // present counts (certain mass), est_hi adds each absent shard's
+      // bound. The `contained` column is the algebraic guarantee
+      // est_lo <= exact <= est_hi, re-checked against a full groupBy —
+      // at 100 TB the shard summaries are KB-sized and the full scan
+      // never happens.
+      val li = t(s, dir, "lineitem")
+      val cnt = li.groupBy("l_returnflag", "l_partkey")
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("c").desc, col("l_partkey"))
+      val rk = cnt.withColumn("rn", row_number().over(w).cast("long"))
+      val kept = rk.filter(col("rn") <= 32L)
+      val bnd = rk.filter(col("rn") > 32L)
+        .groupBy("l_returnflag").agg(max(col("c")).as("bound"))
+      val tb = bnd.agg(coalesce(sum(col("bound")), lit(0L))
+        .as("total_bound"))
+      val perKey = kept.join(bnd, Seq("l_returnflag"), "left")
+        .groupBy("l_partkey")
+        .agg(sum(col("c")).as("est_lo"),
+          sum(coalesce(col("bound"), lit(0L))).as("present_bound"))
+      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("exact"))
+      perKey.crossJoin(broadcast(tb))
+        .withColumn("est_hi",
+          col("est_lo") + (col("total_bound") - col("present_bound")))
+        .join(exact, Seq("l_partkey"))
+        .select(col("l_partkey"), col("est_lo"), col("est_hi"),
+          col("exact"),
+          when(col("est_lo") <= col("exact")
+            && col("exact") <= col("est_hi"), 1L).otherwise(0L)
+            .as("contained"))
+        .orderBy(col("est_lo").desc, col("l_partkey"))
+        .limit(20)
+    }),
+
+    "layout_clustering_depth" -> ((s, dir) => {
+      // how well is the table clustered on its scan key? Two simulated
+      // file layouts over lineitem — hash-scatter (32 files keyed on
+      // the row id) vs date-clustered (one file per ship month) — each
+      // reduced to its zone maps (per-file min/max ship date), then two
+      // quality metrics on the file-sized frames: average overlap depth
+      // (files whose ranges intersect each file's range) and average
+      // files scanned per month-start probe. The data-sized work is ONE
+      // grouped pass per layout; everything after runs on <100 rows.
+      // The date-clustered layout should read ~1 file per probe, the
+      // scatter all 32 — the number the z-order/compaction ops optimize.
+      val li = t(s, dir, "lineitem")
+      val base = li.select(to_date(col("l_shipdate")).as("day"),
+        pmod(col("l_orderkey") * 8L + col("l_linenumber").cast("long"),
+          lit(32L)).cast("string").as("f_hash"),
+        date_trunc("month", col("l_shipdate")).cast("date")
+          .cast("string").as("f_month"))
+      def zones(fileCol: String, name: String): DataFrame =
+        base.groupBy(col(fileCol).as("file"))
+          .agg(min("day").as("lo"), max("day").as("hi"))
+          .withColumn("layout", lit(name))
+      val zm = zones("f_hash", "hash_scatter")
+        .unionByName(zones("f_month", "date_clustered"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ov = zm.as("a").join(zm.as("b"),
+          col("a.layout") === col("b.layout")
+            && col("a.file") =!= col("b.file")
+            && col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+        .groupBy(col("a.layout").as("layout"))
+        .agg(count(lit(1)).as("n_overlaps"))
+      val probes = base
+        .select(date_trunc("month", col("day")).cast("date").as("p"))
+        .distinct()
+      val ph = zm.join(probes,
+          col("p") >= col("lo") && col("p") <= col("hi"))
+        .groupBy("layout").agg(count(lit(1)).as("n_hits"))
+      val np = probes.agg(count(lit(1)).as("n_probes"))
+      val nf = zm.groupBy("layout").agg(count(lit(1)).as("n_files"))
+      nf.join(ov, Seq("layout"), "left").join(ph, Seq("layout"), "left")
+        .crossJoin(broadcast(np))
+        .select(col("layout"), col("n_files"),
+          expr("""CAST(floor(1000000.0 * coalesce(n_overlaps, 0)
+              / n_files) AS BIGINT)""").as("avg_overlap_depth_ppm"),
+          expr("""CAST(floor(1000000.0 * coalesce(n_hits, 0)
+              / n_probes) AS BIGINT)""").as("avg_probe_files_ppm"))
+        .orderBy("layout")
+    }),
+
+    "recsys_als_step" -> ((s, dir) => {
+      // one exact ALS half-step (user-factor solve, d=2) on the
+      // customer x part purchase-count matrix: item factors are a
+      // deterministic fixed-point init (q = [10, partkey%97 - 48] at
+      // scale 10), each user's 2x2 normal equations (A = sum qq' +
+      // lambda*S^2*I, v = S * sum r*q) accumulate as exact BIGINT sums
+      // — order-independent, co-grouped on the user key, the
+      // distributed-ALS shuffle shape — and the closed-form 2x2
+      // inverse emits ppm-floored factors. lambda = 1.
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val r = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("r"))
+      val q = r.withColumn("q2s", pmod(col("item"), lit(97L)) - 48L)
+        .withColumn("q1s", lit(10L))
+      val m = q.groupBy("user").agg(
+        count(lit(1)).as("n_items"),
+        (sum(col("q1s") * col("q1s")) + 100L).as("m11"),
+        sum(col("q1s") * col("q2s")).as("m12"),
+        (sum(col("q2s") * col("q2s")) + 100L).as("m22"),
+        (sum(col("r") * col("q1s")) * 10L).as("u1"),
+        (sum(col("r") * col("q2s")) * 10L).as("u2"))
+      m.withColumn("det", col("m11") * col("m22") - col("m12") * col("m12"))
+        .select(col("user"), col("n_items"), col("det"),
+          expr("""CAST(floor(1000000.0 *
+              CAST(m22 * u1 - m12 * u2 AS DOUBLE) / CAST(det AS DOUBLE))
+            AS BIGINT)""").as("p1_ppm"),
+          expr("""CAST(floor(1000000.0 *
+              CAST(m11 * u2 - m12 * u1 AS DOUBLE) / CAST(det AS DOUBLE))
+            AS BIGINT)""").as("p2_ppm"))
+        .orderBy(col("n_items").desc, col("user"))
+        .limit(20)
     })
   )
 
@@ -17924,7 +18047,103 @@ object SparkEntry {
            CAST(floor(1000000.0 *
              (1.0 - CAST(n_days * sum_dr AS DOUBLE)
                     / CAST(2 * denom2 AS DOUBLE))) AS BIGINT) AS xi_ppm
-         FROM ag"""
+         FROM ag""",
+
+    "agg_topk_merge" ->
+      """WITH cnt AS (
+           SELECT l_returnflag, l_partkey, CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2),
+         rk AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY c DESC, l_partkey) AS BIGINT) AS rn
+           FROM cnt),
+         kept AS (SELECT * FROM rk WHERE rn <= 32),
+         bnd AS (
+           SELECT l_returnflag, CAST(max(c) AS BIGINT) AS bound
+           FROM rk WHERE rn > 32 GROUP BY l_returnflag),
+         tb AS (SELECT CAST(coalesce(sum(bound), 0) AS BIGINT)
+                  AS total_bound FROM bnd),
+         perkey AS (
+           SELECT l_partkey, CAST(sum(c) AS BIGINT) AS est_lo,
+             CAST(sum(coalesce(bound, 0)) AS BIGINT) AS present_bound
+           FROM kept LEFT JOIN bnd USING (l_returnflag)
+           GROUP BY l_partkey),
+         exact AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact
+           FROM lineitem GROUP BY l_partkey)
+         SELECT l_partkey, est_lo,
+           est_lo + (total_bound - present_bound) AS est_hi, exact,
+           CAST(CASE WHEN est_lo <= exact
+             AND exact <= est_lo + (total_bound - present_bound)
+             THEN 1 ELSE 0 END AS BIGINT) AS contained
+         FROM perkey CROSS JOIN tb JOIN exact USING (l_partkey)
+         ORDER BY est_lo DESC, l_partkey LIMIT 20""",
+
+    "layout_clustering_depth" ->
+      """WITH base AS (
+           SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST((((l_orderkey * 8 + l_linenumber) % 32) + 32) % 32
+               AS VARCHAR) AS f_hash,
+             CAST(date_trunc('month', CAST(l_shipdate AS DATE))
+               AS VARCHAR) AS f_month
+           FROM lineitem),
+         zm AS (
+           SELECT f_hash AS file, min(day) AS lo, max(day) AS hi,
+             'hash_scatter' AS layout
+           FROM base GROUP BY f_hash
+           UNION ALL
+           SELECT f_month, min(day), max(day), 'date_clustered'
+           FROM base GROUP BY f_month),
+         ov AS (
+           SELECT a.layout, CAST(count(*) AS BIGINT) AS n_overlaps
+           FROM zm a JOIN zm b
+             ON a.layout = b.layout AND a.file <> b.file
+             AND a.lo <= b.hi AND b.lo <= a.hi
+           GROUP BY a.layout),
+         probes AS (
+           SELECT DISTINCT date_trunc('month', day) AS p FROM base),
+         ph AS (
+           SELECT layout, CAST(count(*) AS BIGINT) AS n_hits
+           FROM zm JOIN probes ON p >= lo AND p <= hi
+           GROUP BY layout),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+         nf AS (
+           SELECT layout, CAST(count(*) AS BIGINT) AS n_files
+           FROM zm GROUP BY layout)
+         SELECT layout, n_files,
+           CAST(floor(1000000.0 * coalesce(n_overlaps, 0) / n_files)
+             AS BIGINT) AS avg_overlap_depth_ppm,
+           CAST(floor(1000000.0 * coalesce(n_hits, 0) / n_probes)
+             AS BIGINT) AS avg_probe_files_ppm
+         FROM nf LEFT JOIN ov USING (layout) LEFT JOIN ph USING (layout)
+         CROSS JOIN np ORDER BY layout""",
+
+    "recsys_als_step" ->
+      """WITH r AS (
+           SELECT o_custkey AS usr, l_partkey AS item,
+             CAST(count(*) AS BIGINT) AS r
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         q AS (
+           SELECT usr, item, r, 10 AS q1s,
+             CAST(((item % 97) + 97) % 97 - 48 AS BIGINT) AS q2s
+           FROM r),
+         m AS (
+           SELECT usr AS "user", CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(q1s * q1s) + 100 AS BIGINT) AS m11,
+             CAST(sum(q1s * q2s) AS BIGINT) AS m12,
+             CAST(sum(q2s * q2s) + 100 AS BIGINT) AS m22,
+             CAST(sum(r * q1s) * 10 AS BIGINT) AS u1,
+             CAST(sum(r * q2s) * 10 AS BIGINT) AS u2
+           FROM q GROUP BY usr)
+         SELECT "user", n_items, m11 * m22 - m12 * m12 AS det,
+           CAST(floor(1000000.0 *
+             CAST(m22 * u1 - m12 * u2 AS DOUBLE)
+             / CAST(m11 * m22 - m12 * m12 AS DOUBLE)) AS BIGINT) AS p1_ppm,
+           CAST(floor(1000000.0 *
+             CAST(m11 * u2 - m12 * u1 AS DOUBLE)
+             / CAST(m11 * m22 - m12 * m12 AS DOUBLE)) AS BIGINT) AS p2_ppm
+         FROM m ORDER BY n_items DESC, "user" LIMIT 20"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
