@@ -9747,6 +9747,120 @@ object SparkEntry {
             AS BIGINT)""").as("p2_ppm"))
         .orderBy(col("n_items").desc, col("user"))
         .limit(20)
+    }),
+
+    "text_pmi_cooccur" -> ((s, dir) => {
+      // windowed PMI co-occurrence — the PPMI/SGNS statistic behind
+      // count-based word embeddings: token pairs within distance <= 2
+      // built by zipping the token array against its own offsets (NO
+      // positional self-join), pair order canonicalized inside the zip
+      // so the count is symmetric. PMI = ln(c_xy*N_u^2 / (N_p*c_x*c_y))
+      // over exact integer counts, ppm-floored; min support 20.
+      val d = t(s, dir, "documents")
+      val toks = TextFunctions.tokens(lower(col("text")))
+      val n = size(toks)
+      def canon(a: Column, b: Column): Column =
+        when(a <= b, concat_ws(" ", a, b)).otherwise(concat_ws(" ", b, a))
+      val p1 = when(n < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1), canon))
+      val p2 = when(n < 3, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(toks, lit(1), n - 2), slice(toks, lit(3), n - 2), canon))
+      val pc = d.select(explode(concat(p1, p2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c_xy"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uni = d.select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val nu = uni.agg(sum(col("c")).as("n_uni"))
+      val np = pc.agg(sum(col("c_xy")).as("n_pairs"))
+      pc.filter(col("c_xy") >= 20L)
+        .withColumn("x", split(col("pair"), " ").getItem(0))
+        .withColumn("y", split(col("pair"), " ").getItem(1))
+        .join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+        .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(np))
+        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+          expr("""CAST(floor(1000000.0 * ln(
+              ((CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE))
+                * CAST(n_uni AS DOUBLE))
+              / ((CAST(n_pairs AS DOUBLE) * CAST(c_x AS DOUBLE))
+                * CAST(c_y AS DOUBLE)))) AS BIGINT)""").as("pmi_fixed"))
+        .orderBy(col("pmi_fixed").desc, col("x"), col("y"))
+        .limit(20)
+    }),
+
+    "events_bot_score" -> ((s, dir) => {
+      // bot-likelihood audit per user, three deterministic heuristics
+      // over one user-keyed pass each: volume (>= 78 events in the
+      // window), inter-arrival regularity (population CV^2 of the gap
+      // seconds < 0.25 — machines are metronomes, humans are bursty;
+      // exact-integer k*S2-S1^2 over S1^2), and event-type entropy
+      // < 1.5 nats (canonical ascending-type fold). The flags sum to
+      // bot_score; every input statistic is emitted for the reviewer.
+      val e = t(s, dir, "events")
+      val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = e.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap",
+          unix_timestamp(col("ts"))
+            - unix_timestamp(lag(col("ts"), 1).over(wu)))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("k"),
+          sum(col("gap")).as("s1"),
+          sum(col("gap") * col("gap")).as("s2"))
+      val ent = e.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id").agg(sum(col("c")).as("n_ev"),
+          sort_array(collect_list(struct(col("event_type"), col("c"))))
+            .as("tc"))
+        .withColumn("ent_ppm", expr(
+          """CAST(floor(1000000.0 * aggregate(tc, 0.0d, (acc, t) ->
+               acc - (CAST(t.c AS DOUBLE) / CAST(n_ev AS DOUBLE))
+                 * ln(CAST(t.c AS DOUBLE) / CAST(n_ev AS DOUBLE))))
+             AS BIGINT)"""))
+        .drop("tc")
+      ent.join(gaps, Seq("user_id"))
+        .withColumn("cv2_ppm", expr(
+          """CASE WHEN s1 = 0 THEN NULL ELSE
+             CAST(floor(1000000.0 *
+               (CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)
+             END"""))
+        .withColumn("bot_score",
+          when(col("n_ev") >= 78L, 1L).otherwise(0L)
+            + when(col("cv2_ppm").isNotNull
+                && col("cv2_ppm") < 250000L, 1L).otherwise(0L)
+            + when(col("ent_ppm") < 1500000L, 1L).otherwise(0L))
+        .select("user_id", "n_ev", "ent_ppm", "cv2_ppm", "bot_score")
+        .orderBy(col("bot_score").desc, col("n_ev").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    "timeseries_kalman_level" -> ((s, dir) => {
+      // local-level Kalman filter over the daily order-count series:
+      // predict P+q, gain K = P/(P+r), update x += K(y-x) with q=25,
+      // r=100 and a diffuse P0=1e6 — the adaptive sibling of the
+      // fixed-alpha EWMA. The data-sized work is one grouped pass to
+      // the calendar frame; the recursion is a single canonical
+      // ascending-day fold (identical IEEE tree in both engines),
+      // emitting the final level and posterior variance.
+      val o = t(s, dir, "orders")
+      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      days.agg(sort_array(collect_list(struct(col("day"), col("y"))))
+          .as("sv"))
+        .withColumn("ys", expr("transform(sv, t -> t.y)"))
+        .withColumn("st", expr(
+          """aggregate(ys, named_struct('x', 0.0d, 'p', 1000000.0d),
+             (acc, y) -> named_struct(
+               'x', acc.x + ((acc.p + 25.0d) / ((acc.p + 25.0d) + 100.0d))
+                 * (y - acc.x),
+               'p', (1.0d - (acc.p + 25.0d) / ((acc.p + 25.0d) + 100.0d))
+                 * (acc.p + 25.0d)))"""))
+        .select(expr("CAST(size(ys) AS BIGINT)").as("n_days"),
+          expr("CAST(floor(1000000.0 * st.x) AS BIGINT)").as("level_ppm"),
+          expr("CAST(floor(1000000.0 * st.p) AS BIGINT)").as("p_var_ppm"))
     })
   )
 
@@ -18143,7 +18257,114 @@ object SparkEntry {
            CAST(floor(1000000.0 *
              CAST(m11 * u2 - m12 * u1 AS DOUBLE)
              / CAST(m11 * m22 - m12 * m12 AS DOUBLE)) AS BIGINT) AS p2_ppm
-         FROM m ORDER BY n_items DESC, "user" LIMIT 20"""
+         FROM m ORDER BY n_items DESC, "user" LIMIT 20""",
+
+    "text_pmi_cooccur" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tok AS (SELECT unnest(toks) AS tok FROM docs
+                 WHERE toks IS NOT NULL),
+         uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY tok),
+         nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+         p1 AS (
+           SELECT unnest(list_transform(range(1, len(toks)), i ->
+             CASE WHEN toks[CAST(i AS INT)] <= toks[CAST(i AS INT) + 1]
+               THEN toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+               ELSE toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT)]
+             END)) AS pair
+           FROM docs WHERE toks IS NOT NULL AND len(toks) >= 2),
+         p2 AS (
+           SELECT unnest(list_transform(range(1, len(toks) - 1), i ->
+             CASE WHEN toks[CAST(i AS INT)] <= toks[CAST(i AS INT) + 2]
+               THEN toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 2]
+               ELSE toks[CAST(i AS INT) + 2] || ' ' || toks[CAST(i AS INT)]
+             END)) AS pair
+           FROM docs WHERE toks IS NOT NULL AND len(toks) >= 3),
+         pairs AS (SELECT pair FROM p1 UNION ALL SELECT pair FROM p2),
+         pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS c_xy
+                FROM pairs GROUP BY pair),
+         np AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_pairs FROM pc),
+         f AS (
+           SELECT pair, c_xy,
+             string_split(pair, ' ')[1] AS x,
+             string_split(pair, ' ')[2] AS y
+           FROM pc WHERE c_xy >= 20)
+         SELECT x, y, c_xy, ux.c AS c_x, uy.c AS c_y,
+           CAST(floor(1000000.0 * ln(
+             ((CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE))
+               * CAST(n_uni AS DOUBLE))
+             / ((CAST(n_pairs AS DOUBLE) * CAST(ux.c AS DOUBLE))
+               * CAST(uy.c AS DOUBLE)))) AS BIGINT) AS pmi_fixed
+         FROM f JOIN uni ux ON f.x = ux.tok JOIN uni uy ON f.y = uy.tok
+         CROSS JOIN nu CROSS JOIN np
+         ORDER BY pmi_fixed DESC, x, y LIMIT 20""",
+
+    "events_bot_score" ->
+      """WITH g0 AS (
+           SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+         gaps AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(gap) AS BIGINT) AS s1,
+             CAST(sum(gap * gap) AS BIGINT) AS s2
+           FROM g0 WHERE gap IS NOT NULL GROUP BY user_id),
+         tc AS (
+           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         tn AS (
+           SELECT user_id, CAST(sum(c) AS BIGINT) AS n_ev
+           FROM tc GROUP BY user_id),
+         ent AS (
+           SELECT user_id, n_ev,
+             CAST(floor(1000000.0 * list_reduce(list_prepend(0.0,
+               list(0.0 - (CAST(c AS DOUBLE) / CAST(n_ev AS DOUBLE))
+                 * ln(CAST(c AS DOUBLE) / CAST(n_ev AS DOUBLE))
+                 ORDER BY event_type)),
+               (a, b) -> a + b)) AS BIGINT) AS ent_ppm
+           FROM tc JOIN tn USING (user_id) GROUP BY user_id, n_ev),
+         j AS (
+           SELECT e.user_id, e.n_ev, e.ent_ppm,
+             CASE WHEN s1 = 0 THEN NULL ELSE
+               CAST(floor(1000000.0 *
+                 (CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)
+             END AS cv2_ppm
+           FROM ent e JOIN gaps USING (user_id))
+         SELECT user_id, n_ev, ent_ppm, cv2_ppm,
+           CAST(CASE WHEN n_ev >= 78 THEN 1 ELSE 0 END
+             + CASE WHEN cv2_ppm IS NOT NULL AND cv2_ppm < 250000
+               THEN 1 ELSE 0 END
+             + CASE WHEN ent_ppm < 1500000 THEN 1 ELSE 0 END AS BIGINT)
+             AS bot_score
+         FROM j
+         ORDER BY bot_score DESC, n_ev DESC, user_id LIMIT 20""",
+
+    "timeseries_kalman_level" ->
+      """WITH days AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+           FROM orders GROUP BY 1),
+         ys AS (SELECT list(y ORDER BY day) AS ys FROM days),
+         st AS (
+           SELECT ys, list_reduce(
+             list_prepend({'x': CAST(0.0 AS DOUBLE),
+                 'p': CAST(1000000.0 AS DOUBLE)},
+               list_transform(ys, y -> {'x': CAST(y AS DOUBLE),
+                 'p': CAST(0.0 AS DOUBLE)})),
+             (acc, e) -> {
+               'x': acc.x + ((acc.p + 25.0) / ((acc.p + 25.0) + 100.0))
+                 * (e.x - acc.x),
+               'p': (1.0 - (acc.p + 25.0) / ((acc.p + 25.0) + 100.0))
+                 * (acc.p + 25.0)}) AS s
+           FROM ys)
+         SELECT CAST(len(ys) AS BIGINT) AS n_days,
+           CAST(floor(1000000.0 * s.x) AS BIGINT) AS level_ppm,
+           CAST(floor(1000000.0 * s.p) AS BIGINT) AS p_var_ppm
+         FROM st"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
