@@ -9867,6 +9867,129 @@ object SparkEntry {
         .select(expr("CAST(size(ys) AS BIGINT)").as("n_days"),
           expr("CAST(floor(1000000.0 * st.x) AS BIGINT)").as("level_ppm"),
           expr("CAST(floor(1000000.0 * st.p) AS BIGINT)").as("p_var_ppm"))
+    }),
+
+    "sample_reservoir_merge" -> ((s, dir) => {
+      // distributed-reservoir mergeability proof, completing the
+      // HLL/top-k trilogy: a uniform k=100 sample IS the k smallest
+      // splitmix64 keys, and top-k(union of shard top-ks) equals
+      // top-k(all rows) algebraically — so shards sample independently
+      // and the coordinator merges 100-row summaries, never rows.
+      // n_diffs (full-join disagreement count) is the proof column;
+      // the checksum pins the sample identity.
+      // the sampled unit is the DISTINCT row id (the synthetic lineitem
+      // repeats (orderkey, linenumber) pairs, so raw rows would tie);
+      // shards are a 4-way id-hash split, the ingest-shard shape
+      val li = t(s, dir, "lineitem")
+      val rows = li.select(
+          (col("l_orderkey") * 8L + col("l_linenumber").cast("long"))
+            .as("rid"))
+        .distinct()
+        .withColumn("shard", pmod(col("rid"), lit(4L)))
+        .withColumn("z1", expr(s"rid + ${0x9e3779b97f4a7c15L}L"))
+        .withColumn("z2",
+          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
+        .withColumn("z3",
+          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
+        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
+        .select("shard", "rid", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ws = Window.partitionBy("shard").orderBy(col("h"), col("rid"))
+      val shardTop = rows.withColumn("rn", row_number().over(ws))
+        .filter(col("rn") <= 100).drop("rn")
+      val mergedTop = shardTop.orderBy(col("h"), col("rid")).limit(100)
+        .select(col("rid").as("rid_m"))
+      val directTop = rows.orderBy(col("h"), col("rid")).limit(100)
+        .select(col("rid").as("rid_d"))
+      val diffs = mergedTop.join(directTop,
+          mergedTop("rid_m") === directTop("rid_d"), "full")
+        .agg(sum(when(col("rid_m").isNull || col("rid_d").isNull, 1L)
+          .otherwise(0L)).as("n_diffs"),
+          sum(when(col("rid_m").isNotNull, 1L).otherwise(0L))
+            .as("n_merged"),
+          sum(when(col("rid_d").isNotNull, 1L).otherwise(0L))
+            .as("n_direct"))
+      val chk = directTop.agg(sum(col("rid_d")).as("sample_rid_sum"))
+      diffs.crossJoin(broadcast(chk))
+        .select(lit(100L).as("k"), col("n_merged"), col("n_direct"),
+          col("n_diffs"), col("sample_rid_sum"))
+    }),
+
+    "privacy_dp_quantile" -> ((s, dir) => {
+      // exponential-mechanism median release over the order-value
+      // histogram: 25k-wide bins (domain-sized frame), utility
+      // -|2*cum_before + cnt - n| (integer halves of distance-to-
+      // median), weight exp(-d/4) (eps = 1, sensitivity 1), and the
+      // winning bin picked by inverse CDF against a splitmix64(42)-
+      // seeded uniform — deterministic on purpose, same documented
+      // stand-in as privacy_dp_counts (a production release draws real
+      // entropy at exactly that point). Cumulatives run over the
+      // ~25-row bin frame; the only data-sized work is one grouped
+      // pass.
+      val o = t(s, dir, "orders")
+      val bins = o.groupBy(expr("CAST(floor(o_totalprice / 25000.0) AS BIGINT)")
+          .as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = bins.agg(sum(col("cnt")).as("n_total"))
+      val wb = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wcum = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seed = 42L
+      val z1 = seed + 0x9e3779b97f4a7c15L
+      val z2 = (z1 ^ (z1 >>> 30)) * 0xbf58476d1ce4e5b9L
+      val z3 = (z2 ^ (z2 >>> 27)) * 0x94d049bb133111ebL
+      val h = z3 ^ (z3 >>> 31)
+      val u = ((h >>> 12).toDouble + 0.5) / (1L << 52).toDouble
+      val scored = bins.crossJoin(broadcast(n))
+        .withColumn("cum_before",
+          coalesce(sum(col("cnt")).over(wb), lit(0L)))
+        .withColumn("d",
+          abs(col("cum_before") * 2L + col("cnt") - col("n_total")))
+        .withColumn("w", expr("exp(-0.25 * CAST(d AS DOUBLE))"))
+        .withColumn("cum_w", sum(col("w")).over(wcum))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = scored.agg(max(col("cum_w")).as("tot_w"))
+      val chosen = scored.crossJoin(broadcast(tot))
+        .filter(col("cum_w") > lit(u) * col("tot_w"))
+        .orderBy("bin").limit(1)
+        .select(col("bin").as("chosen_bin"), col("d").as("d_chosen"),
+          col("n_total"))
+      val truth = scored
+        .filter(col("cum_before") * 2L + col("cnt") * 2L >= col("n_total"))
+        .orderBy("bin").limit(1).select(col("bin").as("true_median_bin"))
+      chosen.crossJoin(broadcast(truth))
+        .select(col("n_total"), col("chosen_bin"),
+          (col("chosen_bin") * 25000L).as("chosen_lo"),
+          col("true_median_bin"), col("d_chosen"),
+          round(lit(u), 6).as("u_draw"))
+    }),
+
+    "text_burstiness" -> ((s, dir) => {
+      // Church–Gale term burstiness: among documents that contain a
+      // term, how hard does it repeat? burst = E[tf | tf>0] and the
+      // per-doc tf variance-to-mean ratio, both exact rationals from
+      // one tokenize pass (df, sum tf, sum tf^2 per term) — the
+      // stopword/keyword discriminator (function words are frequent
+      // but NOT bursty; topical words burst). Min df 30; top 20 by
+      // fixed-point burstiness.
+      val d = t(s, dir, "documents")
+      val tf = d.select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      tf.groupBy("term").agg(count(lit(1)).as("df"),
+          sum(col("tf")).as("s1"),
+          sum(col("tf") * col("tf")).as("s2"))
+        .filter(col("df") >= 30L)
+        .select(col("term"), col("df"), col("s1"),
+          expr("(s1 * 1000000L) div df").as("burst_ppm"),
+          expr("""CAST(floor(1000000.0 *
+              (CAST(df AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(df AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)""")
+            .as("vmr_ppm"))
+        .orderBy(col("burst_ppm").desc, col("term"))
+        .limit(20)
     })
   )
 
@@ -18370,7 +18493,109 @@ object SparkEntry {
          SELECT CAST(len(ys) AS BIGINT) AS n_days,
            CAST(floor(1000000.0 * s.x) AS BIGINT) AS level_ppm,
            CAST(floor(1000000.0 * s.p) AS BIGINT) AS p_var_ppm
-         FROM st"""
+         FROM st""",
+
+    "sample_reservoir_merge" -> {
+      s"""WITH ids AS (
+           SELECT DISTINCT CAST(l_orderkey * 8 + l_linenumber AS BIGINT)
+             AS rid
+           FROM lineitem),
+         src AS (
+           SELECT rid, ((rid % 4) + 4) % 4 AS shard,
+             CAST(rid AS HUGEINT) AS x
+           FROM ids),
+         ${mix64Ctes("src", "mx")},
+         rows_ AS (
+           SELECT shard, rid, ${signedSql("h")} AS hs FROM mx),
+         stop AS (
+           SELECT shard, rid, hs, row_number() OVER (PARTITION BY shard
+             ORDER BY hs, rid) AS rn
+           FROM rows_),
+         merged AS (
+           SELECT rid AS rid_m FROM stop WHERE rn <= 100
+           ORDER BY hs, rid LIMIT 100),
+         direct AS (
+           SELECT rid AS rid_d FROM rows_ ORDER BY hs, rid LIMIT 100),
+         diffs AS (
+           SELECT
+             CAST(sum(CASE WHEN rid_m IS NULL OR rid_d IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_diffs,
+             CAST(sum(CASE WHEN rid_m IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_merged,
+             CAST(sum(CASE WHEN rid_d IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_direct
+           FROM merged FULL JOIN direct ON rid_m = rid_d),
+         chk AS (
+           SELECT CAST(sum(rid_d) AS BIGINT) AS sample_rid_sum
+           FROM direct)
+         SELECT CAST(100 AS BIGINT) AS k, n_merged, n_direct, n_diffs,
+           sample_rid_sum
+         FROM diffs CROSS JOIN chk"""
+    },
+
+    "privacy_dp_quantile" -> {
+      val seed = 42L
+      val z1 = seed + 0x9e3779b97f4a7c15L
+      val z2 = (z1 ^ (z1 >>> 30)) * 0xbf58476d1ce4e5b9L
+      val z3 = (z2 ^ (z2 >>> 27)) * 0x94d049bb133111ebL
+      val h = z3 ^ (z3 >>> 31)
+      val u = ((h >>> 12).toDouble + 0.5) / (1L << 52).toDouble
+      s"""WITH bins AS (
+           SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY 1),
+         nq AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM bins),
+         cb AS (
+           SELECT bin, cnt, n_total,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+           FROM bins CROSS JOIN nq),
+         sc AS (
+           SELECT *, abs(cum_before * 2 + cnt - n_total) AS d,
+             exp(-0.25 * CAST(abs(cum_before * 2 + cnt - n_total)
+               AS DOUBLE)) AS w
+           FROM cb),
+         cw AS (
+           SELECT *, sum(w) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS cum_w
+           FROM sc),
+         tot AS (SELECT max(cum_w) AS tot_w FROM cw),
+         chosen AS (
+           SELECT bin AS chosen_bin, d AS d_chosen, n_total
+           FROM cw CROSS JOIN tot
+           WHERE cum_w > $u * tot_w ORDER BY bin LIMIT 1),
+         truth AS (
+           SELECT bin AS true_median_bin FROM cw
+           WHERE cum_before * 2 + cnt * 2 >= n_total
+           ORDER BY bin LIMIT 1)
+         SELECT n_total, chosen_bin,
+           CAST(chosen_bin * 25000 AS BIGINT) AS chosen_lo,
+           true_median_bin, CAST(d_chosen AS BIGINT) AS d_chosen,
+           round($u, 6) AS u_draw
+         FROM chosen CROSS JOIN truth"""
+    },
+
+    "text_burstiness" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM docs
+                 WHERE toks IS NOT NULL),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2),
+         st AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS s1,
+             CAST(sum(tf * tf) AS BIGINT) AS s2
+           FROM tf GROUP BY term)
+         SELECT term, df, s1,
+           CAST((s1 * 1000000) // df AS BIGINT) AS burst_ppm,
+           CAST(floor(1000000.0 *
+             (CAST(df AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(df AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)
+             AS vmr_ppm
+         FROM st WHERE df >= 30
+         ORDER BY burst_ppm DESC, term LIMIT 20"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

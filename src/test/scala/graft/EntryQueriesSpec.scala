@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.to_date
 
 /** Semantic invariants of the round-3 analytics/pipeline queries on
   * sf0.001 — properties the DuckDB oracle equivalence alone would not
@@ -594,5 +595,100 @@ class EntryQueriesSpec extends SparkSpec {
     val nNodes = li.select((($"l_suppkey" * 2).as("n"))).distinct().count() +
       li.select((($"l_partkey" * 2 + 1).as("n"))).distinct().count()
     assert(out.map(_._2).sum <= nNodes, "top-20 community mass exceeds node count")
+  }
+
+  test("agg_topk_merge: bounds contain the exact count, certain mass below it") {
+    val out = q("agg_topk_merge")
+      .select("l_partkey", "est_lo", "est_hi", "exact", "contained")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 20)
+    val direct = sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy($"l_partkey").count()
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (k, lo, hi, ex, c) =>
+      assert(ex == direct(k), s"key $k exact column drifted")
+      assert(lo <= ex && ex <= hi, s"key $k bounds [$lo,$hi] miss exact $ex")
+      assert(c == 1L)
+    }
+  }
+
+  test("agg_hll_merge: merged registers equal direct, estimate near exact") {
+    val r = q("agg_hll_merge")
+      .select("n_exact", "est_merged", "est_direct", "n_register_diffs")
+      .as[(Long, Double, Double, Long)].collect().head
+    assert(r._4 == 0L, "bucket-max merge must equal the direct sketch")
+    assert(r._2 == r._3, "merged and direct estimates must be bit-identical")
+    // 4096 registers: standard error ~1.04/sqrt(4096) = 1.6%; allow 5%
+    assert(math.abs(r._2 - r._1.toDouble) / r._1.toDouble < 0.05,
+      s"estimate ${r._2} vs exact ${r._1}")
+  }
+
+  test("sample_reservoir_merge: shard-merged sample equals the direct sample") {
+    val r = q("sample_reservoir_merge")
+      .select("k", "n_merged", "n_direct", "n_diffs")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r._1 == 100L && r._2 == 100L && r._3 == 100L)
+    assert(r._4 == 0L, "top-k of shard top-ks must equal global top-k")
+  }
+
+  test("stats_xi_correlation: xi within [-1, 1], integer parts consistent") {
+    val r = q("stats_xi_correlation")
+      .select("n_days", "sum_dr", "denom", "xi_ppm")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r._1 > 0 && r._3 > 0)
+    assert(r._4 >= -1000000L && r._4 <= 1000000L)
+    // xi_ppm is exactly the floored ratio of the emitted integer parts
+    val expect = math.floor(1e6 *
+      (1.0 - (r._1 * r._2).toDouble / r._3.toDouble)).toLong
+    assert(r._4 == expect)
+  }
+
+  test("stats_benjamini_hochberg: rejections are a prefix of the p-value order") {
+    val out = q("stats_benjamini_hochberg")
+      .select("p_rank", "p_ppm", "rejected")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.nonEmpty)
+    assert(out.map(_._1) == (1L to out.size.toLong))
+    // p_ppm non-decreasing in rank; rejected rows form a prefix
+    assert(out.map(_._2) == out.map(_._2).sorted)
+    val firstKeep = out.indexWhere(_._3 == 0L)
+    if (firstKeep >= 0)
+      assert(out.drop(firstKeep).forall(_._3 == 0L),
+        "step-up must reject a prefix of the ranked p-values")
+  }
+
+  test("timeseries_kalman_level: matches a driver-side recursion exactly") {
+    val days = sources.Tables.load(spark, sfDir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day")).count()
+      .orderBy("day").select($"count".cast("double"))
+      .as[Double].collect()
+    var x = 0.0; var p = 1000000.0
+    days.foreach { y =>
+      val pp = p + 25.0
+      val k = pp / (pp + 100.0)
+      x = x + k * (y - x)
+      p = (1.0 - k) * pp
+    }
+    val r = q("timeseries_kalman_level")
+      .select("n_days", "level_ppm", "p_var_ppm")
+      .as[(Long, Long, Long)].collect().head
+    assert(r._1 == days.length.toLong)
+    assert(r._2 == math.floor(1e6 * x).toLong)
+    assert(r._3 == math.floor(1e6 * p).toLong)
+    // posterior variance sits in (0, steady-state+q]
+    assert(r._3 > 0L && r._3 <= 65000000L)
+  }
+
+  test("graph_ppr: mass concentrates on seeds, encodings respected") {
+    val out = q("graph_ppr")
+      .select("node", "ppr", "degree", "is_seed")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.size <= 20)
+    assert(out.forall(_._2 >= 0L), "rank mass is non-negative")
+    out.filter(_._4 == 1L).foreach { case (n, _, _, _) =>
+      assert(n < 16 && n % 2 == 0, s"seed $n outside the seed predicate")
+    }
+    // teleport goes only to seeds, so the top entry must be a seed
+    assert(out.head._4 == 1L, "highest personalized rank must be a seed")
   }
 }
