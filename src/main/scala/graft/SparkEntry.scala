@@ -9990,6 +9990,118 @@ object SparkEntry {
             .as("vmr_ppm"))
         .orderBy(col("burst_ppm").desc, col("term"))
         .limit(20)
+    }),
+
+    "graph_betweenness" -> ((s, dir) => {
+      // source-truncated betweenness (Brandes 2001, depth-3 BFS from
+      // the 4-supplier seed set (keys 0-3)): forward pass accumulates exact
+      // integer path counts sigma level by level (3 unrolled rounds —
+      // no data-dependent loop), backward pass folds the dependency
+      // delta = sum sigma_v/sigma_w * (1+delta_w) over successors in
+      // canonical ascending-w order (engine-exact IEEE trees).
+      // Unnormalized, seeds excluded as sources per Brandes. The graph
+      // is BIPARTITE (suppliers even / parts odd), so BFS levels
+      // alternate sides and "already visited" reduces to an anti-join
+      // against the same-parity level two back — no visited-union
+      // chain, a shallow 7-stage DAG over the persisted-once edges.
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select((col("l_suppkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst")).distinct()
+      val und = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def expand(prev: DataFrame): DataFrame = und
+        .join(prev.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node"), col("sigma"))
+        .groupBy("seed", "node").agg(sum(col("sigma")).as("sigma"))
+      val l0 = und.select(col("src").as("node")).distinct()
+        .filter(col("node") < 8L && pmod(col("node"), lit(2L)) === 0L)
+        .select(col("node").as("seed"), col("node"), lit(1L).as("sigma"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l1 = expand(l0) // odd side, first visit by parity
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l2 = expand(l1)
+        .join(l0.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l3 = expand(l2)
+        .join(l1.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def backward(cur: DataFrame, nxt: DataFrame): DataFrame = {
+        val w = nxt.select(col("seed"), col("node").as("w"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+        val d = und
+          .join(cur.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("seed"), col("src").as("node"),
+            col("sigma").as("sigma_v"), col("dst").as("w"))
+          .join(w, Seq("seed", "w"))
+          .withColumn("term", expr(
+            """(CAST(sigma_v AS DOUBLE) / CAST(sigma_w AS DOUBLE))
+               * (1.0d + delta_w)"""))
+          .groupBy("seed", "node")
+          .agg(aggregate(
+            sort_array(collect_list(struct(col("w"), col("term")))),
+            lit(0.0), (acc, x) => acc + x.getField("term")).as("delta"))
+        cur.select("seed", "node")
+          .join(d, Seq("seed", "node"), "left")
+          .withColumn("delta", coalesce(col("delta"), lit(0.0)))
+      }
+      val d3 = l3.withColumn("delta", lit(0.0))
+      val d2 = backward(l2, d3)
+        .join(l2, Seq("seed", "node")) // re-attach sigma for the next hop
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val d1 = backward(l1, d2)
+      d1.select("seed", "node", "delta")
+        .unionByName(d2.select("seed", "node", "delta"))
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_seeds"),
+          aggregate(
+            sort_array(collect_list(struct(col("seed"), col("delta")))),
+            lit(0.0), (acc, x) => acc + x.getField("delta")).as("bw"))
+        .select(col("node"), col("n_seeds"),
+          expr("CAST(floor(1000000.0 * bw) AS BIGINT)").as("bw_ppm"))
+        .orderBy(col("bw_ppm").desc, col("node"))
+        .limit(20)
+    }),
+
+    "stats_tost_equivalence" -> ((s, dir) => {
+      // TOST equivalence (non-inferiority both ways) on the same
+      // URGENT/LOW order-price pair as the Welch test: two one-sided
+      // Welch z statistics against the +-5000 margin; the pair is
+      // EQUIVALENT at alpha=0.05 iff min(t_lower, t_upper) > 1.645.
+      // Sums close over exact decimals (the agg_corr discipline); the
+      // two statistics are one double tree each, ppm-floored.
+      val o = t(s, dir, "orders")
+      val two = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(when(col("o_orderpriority") === "1-URGENT", 1L)
+          .otherwise(0L).as("is_a"), dec(col("o_totalprice")).as("x"))
+      val g = two.groupBy("is_a").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val a = g.filter(col("is_a") === 1).select(col("n").as("n_a"),
+        col("sx").as("sxa"), col("sxx").as("sxxa"))
+      val b = g.filter(col("is_a") === 0).select(col("n").as("n_b"),
+        col("sx").as("sxb"), col("sxx").as("sxxb"))
+      a.crossJoin(broadcast(b))
+        .withColumn("se", expr(
+          """sqrt((CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)
+                * CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))
+              / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+            + (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE)
+                * CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))"""))
+        .withColumn("diff", expr(
+          """CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)"""))
+        .select(col("n_a"), col("n_b"),
+          expr("CAST(floor(1000.0 * diff) AS BIGINT)").as("diff_milli"),
+          expr("CAST(floor(1000000.0 * (diff + 5000.0) / se) AS BIGINT)")
+            .as("t_lower_ppm"),
+          expr("CAST(floor(1000000.0 * (5000.0 - diff) / se) AS BIGINT)")
+            .as("t_upper_ppm"),
+          expr("""CAST(CASE WHEN floor(1000000.0 * (diff + 5000.0) / se)
+                > 1645000 AND floor(1000000.0 * (5000.0 - diff) / se)
+                > 1645000 THEN 1 ELSE 0 END AS BIGINT)""")
+            .as("equivalent"))
     })
   )
 
@@ -18595,7 +18707,105 @@ object SparkEntry {
              / (CAST(df AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)
              AS vmr_ppm
          FROM st WHERE df >= 30
-         ORDER BY burst_ppm DESC, term LIMIT 20"""
+         ORDER BY burst_ppm DESC, term LIMIT 20""",
+
+    "graph_betweenness" -> {
+      def bwd(l: Int, next: String) =
+        s"""t$l AS (
+             SELECT c.seed, c.node, c.sigma AS sigma_v, w.w, w.sigma_w,
+               w.delta_w
+             FROM und u
+             JOIN l$l c ON u.src = c.node
+             JOIN (SELECT seed, node AS w, sigma AS sigma_w,
+                     delta AS delta_w FROM $next) w
+               ON w.seed = c.seed AND w.w = u.dst),
+           g$l AS (
+             SELECT seed, node,
+               list_reduce(list_prepend(0.0, list(
+                 (CAST(sigma_v AS DOUBLE) / CAST(sigma_w AS DOUBLE))
+                   * (1.0 + delta_w) ORDER BY w)),
+                 (a, b) -> a + b) AS delta
+             FROM t$l GROUP BY seed, node),
+           d$l AS (
+             SELECT l.seed, l.node, l.sigma, coalesce(g.delta, 0.0)
+               AS delta
+             FROM l$l l LEFT JOIN g$l g
+               ON g.seed = l.seed AND g.node = l.node)"""
+      s"""WITH e0 AS (
+           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           FROM lineitem),
+         und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         l0 AS (
+           SELECT node AS seed, node, 1::BIGINT AS sigma
+           FROM (SELECT DISTINCT src AS node FROM und
+                 WHERE src < 8 AND src % 2 = 0)),
+         l1 AS (
+           SELECT l.seed, u.dst AS node, CAST(sum(l.sigma) AS BIGINT)
+             AS sigma
+           FROM und u JOIN l0 l ON u.src = l.node GROUP BY 1, 2),
+         n2 AS (
+           SELECT l.seed, u.dst AS node, CAST(sum(l.sigma) AS BIGINT)
+             AS sigma
+           FROM und u JOIN l1 l ON u.src = l.node GROUP BY 1, 2),
+         l2 AS (
+           SELECT seed, node, sigma FROM n2
+           WHERE NOT EXISTS (SELECT 1 FROM l0 v
+             WHERE v.seed = n2.seed AND v.node = n2.node)),
+         n3 AS (
+           SELECT l.seed, u.dst AS node, CAST(sum(l.sigma) AS BIGINT)
+             AS sigma
+           FROM und u JOIN l2 l ON u.src = l.node GROUP BY 1, 2),
+         l3 AS (
+           SELECT seed, node, sigma FROM n3
+           WHERE NOT EXISTS (SELECT 1 FROM l1 v
+             WHERE v.seed = n3.seed AND v.node = n3.node)),
+         d3 AS (SELECT seed, node, sigma, 0.0 AS delta FROM l3),
+         ${bwd(2, "d3")}, ${bwd(1, "d2")},
+         alld AS (
+           SELECT seed, node, delta FROM d1
+           UNION ALL SELECT seed, node, delta FROM d2)
+         SELECT node, CAST(count(*) AS BIGINT) AS n_seeds,
+           CAST(floor(1000000.0 * list_reduce(list_prepend(0.0,
+             list(delta ORDER BY seed)), (a, b) -> a + b)) AS BIGINT)
+             AS bw_ppm
+         FROM alld GROUP BY node
+         ORDER BY bw_ppm DESC, node LIMIT 20"""
+    },
+
+    "stats_tost_equivalence" ->
+      """WITH two AS (
+           SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+             END AS is_a, CAST(o_totalprice AS DECIMAL(18,2)) AS x
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         g AS (
+           SELECT is_a, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+             sum(x * x) AS sxx
+           FROM two GROUP BY is_a),
+         a AS (SELECT n AS n_a, sx AS sxa, sxx AS sxxa FROM g
+               WHERE is_a = 1),
+         b AS (SELECT n AS n_b, sx AS sxb, sxx AS sxxb FROM g
+               WHERE is_a = 0),
+         j AS (
+           SELECT n_a, n_b,
+             sqrt((CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)
+                 * CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))
+               / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+             + (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE)
+                 * CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE)) AS se,
+             CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff
+           FROM a CROSS JOIN b)
+         SELECT n_a, n_b,
+           CAST(floor(1000.0 * diff) AS BIGINT) AS diff_milli,
+           CAST(floor(1000000.0 * (diff + 5000.0) / se) AS BIGINT)
+             AS t_lower_ppm,
+           CAST(floor(1000000.0 * (5000.0 - diff) / se) AS BIGINT)
+             AS t_upper_ppm,
+           CAST(CASE WHEN floor(1000000.0 * (diff + 5000.0) / se)
+             > 1645000 AND floor(1000000.0 * (5000.0 - diff) / se)
+             > 1645000 THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+         FROM j"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

@@ -679,6 +679,19 @@ class EntryQueriesSpec extends SparkSpec {
     assert(r._3 > 0L && r._3 <= 65000000L)
   }
 
+  test("graph_betweenness: dependencies non-negative, per-source bounds hold") {
+    val out = q("graph_betweenness")
+      .select("node", "n_seeds", "bw_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.size <= 20)
+    assert(out.forall(_._3 >= 0L), "Brandes dependency is non-negative")
+    // a node may serve as intermediate for at most the 4 sources
+    // (suppliers 0-3); self-exclusion per source holds by construction
+    assert(out.forall(r => r._2 >= 1L && r._2 <= 4L))
+    // arrives in (bw desc, node) order
+    assert(out.map(r => (-r._3, r._1)) === out.map(r => (-r._3, r._1)).sorted)
+  }
+
   test("graph_ppr: mass concentrates on seeds, encodings respected") {
     val out = q("graph_ppr")
       .select("node", "ppr", "degree", "is_seed")
