@@ -656,6 +656,22 @@ object StreamingPipeline {
         "CASE WHEN rest = 0 THEN 53L ELSE 53L - length(bin(rest)) END"))
       .groupBy("bucket").agg(max(col("rho")).as("reg"))
 
+  /** Streaming Greenwald–Khanna quantile bounds: the batch `gk_bounds`
+    * TypedImperativeAggregate as an update-mode streaming aggregation —
+    * state is ONE O(1/eps · log(eps·n)) summary per group regardless of
+    * stream volume, merged across micro-batches by the same GK merge the
+    * batch partial-aggregation uses. Each update emits refreshed [lo, hi]
+    * windows per requested quantile; GK's guarantee (the window CONTAINS
+    * the exact interpolation ranks — width may vary with merge order,
+    * containment never does) holds at every emission, so a serving layer
+    * can confirm exact percentiles by sorting only inside the window. */
+  def quantileStream(events: Dataset[UserEvent], eps: Double = 0.01,
+      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame =
+    events.toDF().groupBy()
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.GKQuantile.gkBounds(col("value"), eps, qs)
+          .as("gk"))
+
   /** Wire a streaming source through enrich → hotels_count and emit the
     * changelog (K2/K3 parity: outputMode("update") ≙ EMIT CHANGES). */
   def changelogWriter(records: DataFrame, exact: Boolean = true): DataStreamWriter[Row] =

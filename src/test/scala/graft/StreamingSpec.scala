@@ -1457,4 +1457,50 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(est / 300.0 - 1.0) < 0.05, s"est $est")
     } finally q.stop()
   }
+
+  test("quantileStream: GK windows contain exact ranks at every emission") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[UserEvent]
+    val qs = Seq(0.5, 0.95, 0.99)
+    val q = StreamingPipeline.quantileStream(input.toDS(), 0.01, qs)
+      .writeStream.format("memory").queryName("gk_stream_test")
+      .outputMode("update").start()
+    def check(valuesSoFar: Seq[Double]): Unit = {
+      // update-mode memory sink keeps one row per emission; latest wins
+      val row = spark.table("gk_stream_test").collect()
+        .maxBy(_.getLong(0))
+      assert(row.getLong(0) == valuesSoFar.size.toLong)
+      val gk = row.getStruct(1)
+      assert(gk.getLong(0) == valuesSoFar.size.toLong)
+      val sorted = valuesSoFar.sorted
+      val bounds = gk.getSeq[org.apache.spark.sql.Row](1)
+      assert(bounds.map(_.getDouble(0)) == qs)
+      bounds.foreach { b =>
+        val (quant, lo, hi) = (b.getDouble(0), b.getDouble(1), b.getDouble(2))
+        // the two interpolation ranks the batch confirm pass would sort for
+        val base = math.floor(quant * (sorted.size - 1)).toInt
+        Seq(base, math.min(base + 1, sorted.size - 1)).foreach { r =>
+          assert(sorted(r) >= lo && sorted(r) <= hi,
+            s"q=$quant rank $r value ${sorted(r)} outside [$lo, $hi]")
+        }
+      }
+    }
+    try {
+      // deterministic shuffled-ish values: decorrelate from arrival order
+      val b1 = (1 to 500).map(i =>
+        UserEvent(i.toLong, ts("2024-01-01 10:00:00"),
+          ((i * 131) % 997).toDouble))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      check(b1.map(_.value))
+      // second micro-batch merges into the SAME O(1/eps) summary
+      val b2 = (501 to 900).map(i =>
+        UserEvent(i.toLong, ts("2024-01-01 10:05:00"),
+          ((i * 733) % 1009).toDouble))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      check((b1 ++ b2).map(_.value))
+    } finally q.stop()
+  }
 }
