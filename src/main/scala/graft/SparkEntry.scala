@@ -10102,6 +10102,28 @@ object SparkEntry {
                 > 1645000 AND floor(1000000.0 * (5000.0 - diff) / se)
                 > 1645000 THEN 1 ELSE 0 END AS BIGINT)""")
             .as("equivalent"))
+    }),
+
+    "dq_duplicate_rows" -> ((s, dir) => {
+      // duplicate audit at two grains — the natural key (orderkey,
+      // linenumber) and the FULL row — each one grouped pass reduced to
+      // a single summary row (n_rows, groups, surplus rows beyond the
+      // first per group, max multiplicity). Motivated by a real find:
+      // this table's natural key is NOT unique (the reservoir-merge
+      // spec tripped over it), which is exactly what this audit exists
+      // to surface before a dedup or merge keys on it.
+      val li = t(s, dir, "lineitem")
+      def audit(keys: Seq[String], level: String): DataFrame =
+        li.groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
+          .agg(sum(col("m")).as("n_rows"),
+            count(lit(1)).as("n_groups"),
+            sum(col("m") - 1L).as("n_surplus_rows"),
+            max(col("m")).as("max_multiplicity"))
+          .select(lit(level).as("level"), col("n_rows"), col("n_groups"),
+            col("n_surplus_rows"), col("max_multiplicity"))
+      audit(Seq("l_orderkey", "l_linenumber"), "natural_key")
+        .unionByName(audit(li.columns.toSeq, "full_row"))
+        .orderBy("level")
     })
   )
 
@@ -18805,7 +18827,33 @@ object SparkEntry {
            CAST(CASE WHEN floor(1000000.0 * (diff + 5000.0) / se)
              > 1645000 AND floor(1000000.0 * (5000.0 - diff) / se)
              > 1645000 THEN 1 ELSE 0 END AS BIGINT) AS equivalent
-         FROM j"""
+         FROM j""",
+
+    "dq_duplicate_rows" ->
+      """WITH k AS (
+           SELECT l_orderkey, l_linenumber, CAST(count(*) AS BIGINT) AS m
+           FROM lineitem GROUP BY 1, 2),
+         ka AS (
+           SELECT 'natural_key' AS level,
+             CAST(sum(m) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(m - 1) AS BIGINT) AS n_surplus_rows,
+             CAST(max(m) AS BIGINT) AS max_multiplicity
+           FROM k),
+         f AS (
+           SELECT CAST(count(*) AS BIGINT) AS m
+           FROM lineitem
+           GROUP BY l_orderkey, l_partkey, l_suppkey, l_linenumber,
+             l_quantity, l_extendedprice, l_discount, l_tax,
+             l_returnflag, l_linestatus, l_shipdate),
+         fa AS (
+           SELECT 'full_row' AS level,
+             CAST(sum(m) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(m - 1) AS BIGINT) AS n_surplus_rows,
+             CAST(max(m) AS BIGINT) AS max_multiplicity
+           FROM f)
+         SELECT * FROM ka UNION ALL SELECT * FROM fa ORDER BY level"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +

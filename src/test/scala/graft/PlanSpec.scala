@@ -470,4 +470,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("layout_clustering_depth: zone maps and probes reuse the cached cell rollup") {
+    val p = plan("layout_clustering_depth")
+    // both layouts' zone maps AND the probe set must derive from the
+    // persisted cell frame (the 5.3x decade-leg fix): three in-memory
+    // reads of the rollup, and the probe set must NOT re-aggregate the
+    // data-sized base (its input is the cell frame, so at most the
+    // cells' own defining aggregate pairs appear per reference)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("f_hash") && p.contains("f_month"), p)
+  }
+
+  test("graph_betweenness: every round reads the persisted edge/level frames") {
+    val p = plan("graph_betweenness")
+    // und is built once and each of the forward/backward rounds re-reads
+    // in-memory frames rather than recomputing the distinct edge list
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 6, p)
+  }
 }
