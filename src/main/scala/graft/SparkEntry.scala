@@ -10124,6 +10124,71 @@ object SparkEntry {
       audit(Seq("l_orderkey", "l_linenumber"), "natural_key")
         .unionByName(audit(li.columns.toSeq, "full_row"))
         .orderBy("level")
+    }),
+
+    "agg_cms_merge" -> ((s, dir) => {
+      // Count-Min mergeability proof, completing the mergeable-summary
+      // quartet (HLL: max, top-k: bounds, reservoir: order-keys, CMS:
+      // SUM): per-shard 4x256 cell tables merged by cell-wise addition
+      // equal the direct sketch (n_cell_diffs = 0, sum associativity),
+      // and the point estimate min over the 4 rows NEVER undercounts
+      // (emitted beside the exact count for the top-5 keys). One mix64
+      // supplies all 4 rows via disjoint 8-bit fields — the oracle
+      // replays the identical bit splits.
+      val li = t(s, dir, "lineitem")
+      val hashed = li.select(col("l_returnflag").as("flag"),
+          col("l_partkey").as("k"))
+        .withColumn("z1", expr(s"k + ${0x9e3779b97f4a7c15L}L"))
+        .withColumn("z2",
+          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
+        .withColumn("z3",
+          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
+        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
+      val cells = hashed.select(col("flag"), col("k"), explode(array(
+          (0 to 3).map(d => struct(lit(d.toLong).as("d"),
+            expr(s"shiftrightunsigned(h, ${8 * d}) & 255L").as("cell")))
+            : _*)).as("dc"))
+        .select(col("flag"), col("k"),
+          col("dc.d").as("d"), col("dc.cell").as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shard = cells.groupBy("flag", "d", "cell")
+        .agg(count(lit(1)).as("c"))
+      val merged = shard.groupBy("d", "cell").agg(sum(col("c")).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val direct = cells.groupBy("d", "cell").agg(count(lit(1)).as("c"))
+      val eq = merged.withColumnRenamed("c", "c_m")
+        .join(direct.withColumnRenamed("c", "c_d"),
+          Seq("d", "cell"), "full")
+        .agg(sum(when(coalesce(col("c_m"), lit(-1L))
+            === coalesce(col("c_d"), lit(-2L)), 0L).otherwise(1L))
+          .as("n_cell_diffs"))
+      val top5 = li.groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("k")).limit(5)
+      // probe cells recomputed from the 5 keys alone (KB-sized), never
+      // from the data-sized cell frame — the serving-side point lookup
+      val probe = top5
+        .withColumn("z1", expr(s"k + ${0x9e3779b97f4a7c15L}L"))
+        .withColumn("z2",
+          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
+        .withColumn("z3",
+          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
+        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
+        .select(col("k"), col("exact"), explode(array(
+          (0 to 3).map(d => struct(lit(d.toLong).as("d"),
+            expr(s"shiftrightunsigned(h, ${8 * d}) & 255L").as("cell")))
+            : _*)).as("dc"))
+        .select(col("k"), col("exact"),
+          col("dc.d").as("d"), col("dc.cell").as("cell"))
+      val est = broadcast(probe)
+        .join(merged, Seq("d", "cell"))
+        .groupBy("k", "exact").agg(min(col("c")).as("est_cms"))
+      est.crossJoin(broadcast(eq))
+        .select(col("k").as("l_partkey"), col("exact"), col("est_cms"),
+          when(col("est_cms") >= col("exact"), 1L).otherwise(0L)
+            .as("never_undercounts"),
+          col("n_cell_diffs"))
+        .orderBy(col("exact").desc, col("l_partkey"))
     })
   )
 
@@ -18853,7 +18918,54 @@ object SparkEntry {
              CAST(sum(m - 1) AS BIGINT) AS n_surplus_rows,
              CAST(max(m) AS BIGINT) AS max_multiplicity
            FROM f)
-         SELECT * FROM ka UNION ALL SELECT * FROM fa ORDER BY level"""
+         SELECT * FROM ka UNION ALL SELECT * FROM fa ORDER BY level""",
+
+    "agg_cms_merge" ->
+      s"""WITH src AS (
+           SELECT l_returnflag AS flag, l_partkey AS k,
+             CAST(l_partkey AS HUGEINT) AS x
+           FROM lineitem),
+         ${mix64Ctes("src", "mx")},
+         cells AS (
+           SELECT flag, k, d,
+             CAST((h // CAST(power(2, 8 * d) AS HUGEINT)) % 256
+               AS BIGINT) AS cell
+           FROM mx CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)),
+         shard AS (
+           SELECT flag, d, cell, CAST(count(*) AS BIGINT) AS c
+           FROM cells GROUP BY 1, 2, 3),
+         merged AS (
+           SELECT d, cell, CAST(sum(c) AS BIGINT) AS c
+           FROM shard GROUP BY d, cell),
+         direct AS (
+           SELECT d, cell, CAST(count(*) AS BIGINT) AS c
+           FROM cells GROUP BY d, cell),
+         eq AS (
+           SELECT CAST(sum(CASE WHEN coalesce(m.c, -1)
+             = coalesce(x.c, -2) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_cell_diffs
+           FROM merged m FULL JOIN direct x USING (d, cell)),
+         top5 AS (
+           SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS exact
+           FROM lineitem GROUP BY 1
+           ORDER BY exact DESC, k LIMIT 5),
+         psrc AS (SELECT k, exact, CAST(k AS HUGEINT) AS x FROM top5),
+         ${mix64Ctes("psrc", "pmx")},
+         probe AS (
+           SELECT k, exact, d,
+             CAST((h // CAST(power(2, 8 * d) AS HUGEINT)) % 256
+               AS BIGINT) AS cell
+           FROM pmx CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)),
+         est AS (
+           SELECT k, exact, CAST(min(m.c) AS BIGINT) AS est_cms
+           FROM probe JOIN merged m USING (d, cell)
+           GROUP BY k, exact)
+         SELECT k AS l_partkey, exact, est_cms,
+           CAST(CASE WHEN est_cms >= exact THEN 1 ELSE 0 END AS BIGINT)
+             AS never_undercounts,
+           n_cell_diffs
+         FROM est CROSS JOIN eq
+         ORDER BY exact DESC, l_partkey"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
