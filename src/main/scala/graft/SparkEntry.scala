@@ -10189,6 +10189,46 @@ object SparkEntry {
             .as("never_undercounts"),
           col("n_cell_diffs"))
         .orderBy(col("exact").desc, col("l_partkey"))
+    }),
+
+    "events_burst_viterbi" -> ((s, dir) => {
+      // Kleinberg-style two-state burst automaton over hourly event
+      // counts, Viterbi min-cost recursion as ONE canonical ascending
+      // fold (the Kalman pattern): quadratic emission costs against the
+      // base rate mu and burst rate 1.5*mu (elementary ops only — the
+      // Poisson original needs lgamma, absent from Spark SQL), state-
+      // entry penalty 8 for 0->1. Emits the final costs, the count of
+      // hours where the burst state was strictly cheaper, and its ppm
+      // share — the burstiness readout for rate-anomaly triage.
+      val e = t(s, dir, "events")
+      val hours = e.groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val mu = hours.agg(
+        (sum(col("y")) / count(lit(1)).cast("double")).as("mu"))
+      hours.crossJoin(broadcast(mu))
+        .agg(first(col("mu")).as("mu"),
+          sort_array(collect_list(struct(col("hr"), col("y")))).as("sv"))
+        .withColumn("ys", expr("transform(sv, t -> t.y)"))
+        .withColumn("st", expr(
+          """aggregate(ys,
+             named_struct('c0', 0.0d, 'c1', 8.0d, 'nb', 0L),
+             (acc, y) -> named_struct(
+               'c0', (y - mu) * (y - mu) / mu
+                 + CASE WHEN acc.c0 <= acc.c1 THEN acc.c0 ELSE acc.c1 END,
+               'c1', (y - 1.5d * mu) * (y - 1.5d * mu) / mu
+                 + CASE WHEN acc.c0 + 8.0d <= acc.c1 THEN acc.c0 + 8.0d
+                   ELSE acc.c1 END,
+               'nb', acc.nb + CASE WHEN
+                   (y - 1.5d * mu) * (y - 1.5d * mu) / mu
+                   < (y - mu) * (y - mu) / mu THEN 1L ELSE 0L END))"""))
+        .select(expr("CAST(size(ys) AS BIGINT)").as("n_hours"),
+          expr("CAST(floor(1000.0 * mu) AS BIGINT)").as("mu_milli"),
+          expr("CAST(floor(1000.0 * st.c0) AS BIGINT)").as("c0_milli"),
+          expr("CAST(floor(1000.0 * st.c1) AS BIGINT)").as("c1_milli"),
+          col("st.nb").as("n_burst_hours"),
+          expr("CAST(floor(1000000.0 * CAST(st.nb AS DOUBLE)"
+            + " / CAST(size(ys) AS DOUBLE)) AS BIGINT)")
+            .as("burst_share_ppm"))
     })
   )
 
@@ -18965,7 +19005,47 @@ object SparkEntry {
              AS never_undercounts,
            n_cell_diffs
          FROM est CROSS JOIN eq
-         ORDER BY exact DESC, l_partkey"""
+         ORDER BY exact DESC, l_partkey""",
+
+    "events_burst_viterbi" ->
+      // NOT a list_reduce: DuckDB 1.0.0's struct-accumulator fold
+      // aliases in place from the second application on (later fields
+      // read the CURRENT step's earlier fields — minimal repro in
+      // NOTES_r9), so a coupled two-field recursion silently corrupts.
+      // A recursive CTE has proper semantics on any version.
+      """WITH RECURSIVE hours AS (
+           SELECT date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS DOUBLE) AS y
+           FROM events GROUP BY 1),
+         muq AS (
+           SELECT sum(y) / CAST(count(*) AS DOUBLE) AS mu FROM hours),
+         idx AS (
+           SELECT CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS i, y
+           FROM hours),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM idx),
+         rec AS (
+           SELECT CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS c0,
+             CAST(8.0 AS DOUBLE) AS c1, CAST(0 AS BIGINT) AS nb
+           UNION ALL
+           SELECT r.i + 1,
+             (x.y - mu) * (x.y - mu) / mu
+               + CASE WHEN r.c0 <= r.c1 THEN r.c0 ELSE r.c1 END,
+             (x.y - CAST(1.5 AS DOUBLE) * mu)
+               * (x.y - CAST(1.5 AS DOUBLE) * mu) / mu
+               + CASE WHEN r.c0 + CAST(8.0 AS DOUBLE) <= r.c1
+                 THEN r.c0 + CAST(8.0 AS DOUBLE) ELSE r.c1 END,
+             r.nb + CASE WHEN (x.y - CAST(1.5 AS DOUBLE) * mu)
+                 * (x.y - CAST(1.5 AS DOUBLE) * mu) / mu
+                 < (x.y - mu) * (x.y - mu) / mu THEN 1 ELSE 0 END
+           FROM rec r JOIN idx x ON x.i = r.i + 1 CROSS JOIN muq)
+         SELECT n_hours,
+           CAST(floor(1000.0 * mu) AS BIGINT) AS mu_milli,
+           CAST(floor(1000.0 * c0) AS BIGINT) AS c0_milli,
+           CAST(floor(1000.0 * c1) AS BIGINT) AS c1_milli,
+           nb AS n_burst_hours,
+           CAST(floor(1000000.0 * CAST(nb AS DOUBLE)
+             / CAST(n_hours AS DOUBLE)) AS BIGINT) AS burst_share_ppm
+         FROM rec CROSS JOIN nq CROSS JOIN muq WHERE i = n_hours"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
