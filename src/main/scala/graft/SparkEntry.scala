@@ -10229,6 +10229,73 @@ object SparkEntry {
           expr("CAST(floor(1000000.0 * CAST(st.nb AS DOUBLE)"
             + " / CAST(size(ys) AS DOUBLE)) AS BIGINT)")
             .as("burst_share_ppm"))
+    }),
+
+    "attribution_time_decay" -> ((s, dir) => {
+      // time-decay multi-touch attribution, the fifth member of the
+      // family (last-touch / position / Markov / Shapley): each click
+      // forward-as-of'd to the user's next purchase, weighted
+      // 2^(-dt/30min), then normalized per conversion in FIXED POINT —
+      // w_fixed = floor(1e6*w) so the per-conversion total is an exact
+      // BIGINT sum (order-free) and each credit one integer division.
+      // Same one-keyed-shuffle as-of as its siblings.
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val attributed = AsOf.asofForward(clicks, purchases, "user_id",
+          "ts", "ts", "event_id", "conv_id")
+        .filter(col("conv_id").isNotNull)
+        .join(purchases.select(col("user_id"),
+          col("event_id").as("conv_id"), col("ts").as("conv_ts")),
+          Seq("user_id", "conv_id"))
+        .withColumn("dt_sec",
+          unix_timestamp(col("conv_ts")) - unix_timestamp(col("ts")))
+        .withColumn("w_fixed", expr(
+          """CAST(floor(1000000.0 *
+             power(0.5d, CAST(dt_sec AS DOUBLE) / 1800.0d)) AS BIGINT)"""))
+      val byConv = Window.partitionBy(col("conv_id"))
+      attributed
+        .withColumn("sum_w", sum(col("w_fixed")).over(byConv))
+        .select(col("click_id"), col("user_id"), col("conv_id"),
+          col("dt_sec"), col("w_fixed"),
+          expr("""CASE WHEN sum_w > 0
+             THEN (w_fixed * 1000000L) div sum_w END""").as("credit_ppm"))
+        .orderBy("click_id")
+    }),
+
+    "embedding_matryoshka_eval" -> ((s, dir) => {
+      // Matryoshka-representation evaluation: does the PREFIX of the
+      // embedding already rank like the full vector? Exact top-10 per
+      // query at dims 16 and 32 graded against the full-64 top-10
+      // (same 32-query fixture and brute-force grader as
+      // similarity_recall). The readout that licenses shipping d/4
+      // vectors — 4x less ANN memory — when recall holds.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val full = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("vec_id"))
+        .withColumn("hit", lit(1L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def leg(d: Int): DataFrame = {
+        val ec = e.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        Similarity.bruteForceTopK(ec,
+            ec.filter(col("vec_id") < 32)
+              .select(col("vec_id").as("query_id"), col("embedding")),
+            k = 10)
+          .select(lit(d.toLong).as("dims"), col("query_id"), col("vec_id"))
+      }
+      leg(16).unionByName(leg(32))
+        .join(full, Seq("query_id", "vec_id"), "left")
+        .groupBy("dims")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("dims"), col("n_pairs"), col("hits"),
+          expr("(hits * 10000L) div n_pairs").as("recall_bp"))
+        .orderBy("dims")
     })
   )
 
@@ -19045,7 +19112,79 @@ object SparkEntry {
            nb AS n_burst_hours,
            CAST(floor(1000000.0 * CAST(nb AS DOUBLE)
              / CAST(n_hours AS DOUBLE)) AS BIGINT) AS burst_share_ppm
-         FROM rec CROSS JOIN nq CROSS JOIN muq WHERE i = n_hours"""
+         FROM rec CROSS JOIN nq CROSS JOIN muq WHERE i = n_hours""",
+
+    "attribution_time_decay" ->
+      """WITH c AS (
+           SELECT user_id, ts, event_id AS click_id FROM events
+           WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+         a AS (
+           SELECT c.click_id, c.user_id, c.ts,
+             (SELECT p.event_id FROM p
+              WHERE p.user_id = c.user_id AND p.ts >= c.ts
+              ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS conv_id
+           FROM c),
+         j AS (
+           SELECT a.click_id, a.user_id, a.conv_id,
+             CAST(floor(epoch(p.ts)) AS BIGINT)
+               - CAST(floor(epoch(a.ts)) AS BIGINT) AS dt_sec
+           FROM a JOIN p ON p.user_id = a.user_id
+             AND p.event_id = a.conv_id
+           WHERE a.conv_id IS NOT NULL),
+         w AS (
+           SELECT *, CAST(floor(1000000.0 *
+             power(0.5, CAST(dt_sec AS DOUBLE) / 1800.0)) AS BIGINT)
+             AS w_fixed
+           FROM j),
+         g AS (
+           SELECT *, CAST(sum(w_fixed) OVER (PARTITION BY conv_id)
+             AS BIGINT) AS sum_w
+           FROM w)
+         SELECT click_id, user_id, conv_id, dt_sec, w_fixed,
+           CASE WHEN sum_w > 0
+             THEN CAST((w_fixed * 1000000) // sum_w AS BIGINT)
+           END AS credit_ppm
+         FROM g ORDER BY click_id""",
+
+    "embedding_matryoshka_eval" -> {
+      def topCte(vexpr: String, name: String) =
+        s"""${name}s AS (
+             SELECT q.query_id, c.vec_id,
+               ${cosSql(s"c.$vexpr", s"q.$vexpr")} AS cs
+             FROM corpus c CROSS JOIN qs q),
+           $name AS (
+             SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rn
+               FROM ${name}s) WHERE rn <= 10)"""
+      s"""WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CAST(embedding AS DOUBLE[]))[1:16] AS v16,
+             (CAST(embedding AS DOUBLE[]))[1:32] AS v32
+           FROM embeddings),
+         qs AS (SELECT vec_id AS query_id, v, v16, v32 FROM corpus
+                WHERE vec_id < 32),
+         ${topCte("v", "ftop")},
+         ${topCte("v16", "t16")},
+         ${topCte("v32", "t32")},
+         legs AS (
+           SELECT CAST(16 AS BIGINT) AS dims, query_id, vec_id FROM t16
+           UNION ALL
+           SELECT CAST(32 AS BIGINT), query_id, vec_id FROM t32),
+         agg AS (
+           SELECT dims, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM legs l LEFT JOIN ftop f
+             ON f.query_id = l.query_id AND f.vec_id = l.vec_id
+           GROUP BY dims)
+         SELECT dims, n_pairs, hits,
+           CAST((hits * 10000) // n_pairs AS BIGINT) AS recall_bp
+         FROM agg ORDER BY dims"""
+    }
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
