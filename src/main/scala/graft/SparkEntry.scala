@@ -26,6 +26,12 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** NDCG@10 rank discounts floor(1e6 / log2(r+1)) for r = 1..10, as
+    * integer LITERALS shared verbatim by Spark and the DuckDB oracle —
+    * a libm log2 ulp difference must never decide a floor. */
+  private val ndcgDiscPpm = Seq(1000000L, 630929L, 500000L, 430676L,
+    386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+
   /** Kruskal–Wallis shared pieces: the five TPC-H market segments in
     * the FIXED fold order, and the H double trees as ONE expression
     * string evaluated verbatim by both Spark and DuckDB (bit-identical
@@ -10296,6 +10302,148 @@ object SparkEntry {
         .select(col("dims"), col("n_pairs"), col("hits"),
           expr("(hits * 10000L) div n_pairs").as("recall_bp"))
         .orderBy("dims")
+    }),
+
+    "train_epoch_plan" -> ((s, dir) => {
+      // deterministic epoch-shuffle plan for a training dataloader:
+      // each document's epoch-3 shuffle key is splitmix64(doc_id*31+3),
+      // its worker shard the key mod 8 (rank-free pure-hash assignment
+      // — no global sort exists anywhere in the plan), and the
+      // within-shard read order the key itself. Per-shard readout:
+      // docs, whitespace-token budget, share of the token budget in
+      // ppm, the first doc each worker reads, and an order checksum
+      // (sum rank*doc_id) pinning the entire permutation. The only
+      // sort is the partition-LOCAL window inside each shard — the
+      // 1000-executor story is one hash shuffle into W shards.
+      val d = t(s, dir, "documents")
+      val keyed = d.select(col("doc_id"),
+          coalesce(size(TextFunctions.tokens(lower(col("text")))), lit(0))
+            .cast("long").as("n_tokens"))
+        .withColumn("z1",
+          expr(s"doc_id * 31L + 3L + ${0x9e3779b97f4a7c15L}L"))
+        .withColumn("z2",
+          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
+        .withColumn("z3",
+          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
+        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+      val ws = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      val per = keyed.withColumn("rn", row_number().over(ws).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          max(when(col("rn") === 1L, col("doc_id"))).as("first_doc_id"),
+          sum(col("rn") * col("doc_id")).as("order_checksum"))
+      val tot = per.agg(sum(col("sum_tokens")).as("tt"))
+      per.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("sum_tokens"),
+          expr("(sum_tokens * 1000000L) div tt").as("share_ppm"),
+          col("first_doc_id"), col("order_checksum"))
+        .orderBy("shard")
+    }),
+
+    "embedding_quantization_error" -> ((s, dir) => {
+      // per-dimension int8 symmetric-quantization audit for the
+      // embedding column: scale = per-dim max |v| over the corpus,
+      // q = floor(127·v/amax + 0.5) (explicit half-up — engine-
+      // identical, unlike round's tie modes), reconstruction
+      // q·amax/127. The readout is the relative squared error per dim
+      // in ppm — the number that licenses shipping int8 vectors to the
+      // ANN tier (similarity_topk_int8's storage story). Per-row error
+      // and energy are floored to 1e-12 fixed point so both sums are
+      // order-free BIGINTs; two dim-keyed partial aggs, and the amax
+      // frame back-joins as a 64-row broadcast.
+      val e = t(s, dir, "embeddings")
+      val dims = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"),
+          col("v").cast("double").as("v"))
+      val amax = dims.groupBy("dim").agg(max(abs(col("v"))).as("amax"))
+      dims.join(broadcast(amax), Seq("dim"))
+        .withColumn("recon", expr(
+          """CASE WHEN amax = 0.0d THEN 0.0d
+             ELSE floor(127.0d * v / amax + 0.5d) * amax / 127.0d END"""))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(floor(1000000.0d * max(amax)) AS BIGINT)")
+            .as("amax_ppm"),
+          sum(expr("""CAST(floor(1000000000000.0d
+            * (v - recon) * (v - recon)) AS BIGINT)""")).as("sse_fp"),
+          sum(expr("CAST(floor(1000000000000.0d * v * v) AS BIGINT)"))
+            .as("energy_fp"))
+        .select(col("dim"), col("n"), col("amax_ppm"),
+          expr("""CASE WHEN energy_fp > 0
+            THEN (sse_fp * 1000000L) div energy_fp END""").as("rel_err_ppm"))
+        .orderBy("dim")
+    }),
+
+    "recsys_ndcg" -> ((s, dir) => {
+      // offline ranking evaluation of the popularity-baseline
+      // recommender: train on orders before 2000-01-01 (top-10 parts
+      // by train order-line count), recommend each test-active
+      // customer the top parts they do not already own, grade against
+      // post-cutoff purchases with HitRate / MRR / NDCG@10 per market
+      // segment. The rank-discount table floor(1e6/log2(r+1)) is
+      // embedded as integer literals (a libm log2 ulp must never
+      // decide a floor), so per-user DCG/IDCG are exact BIGINTs and
+      // the segment means exact integer divisions. IDCG counts the
+      // user's relevant items within the candidate list, so NDCG
+      // grades pure ordering quality. Scale: the model is a 10-row
+      // broadcast; eval is one user-keyed shuffle.
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      val buys = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select(col("o_custkey").as("custkey"),
+          col("l_partkey").as("partkey"), col("o_orderdate"))
+      val train = buys.filter(col("o_orderdate") < lit("2000-01-01"))
+      val test = buys.filter(col("o_orderdate") >= lit("2000-01-01"))
+        .select("custkey", "partkey").distinct()
+      val top10 = train.groupBy("partkey").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("partkey")).limit(10)
+        .withColumn("pop_rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("partkey")))
+            .cast("long"))
+        .select("partkey", "pop_rank")
+      val owned = train.select("custkey", "partkey").distinct()
+        .join(top10.select("partkey"), Seq("partkey"))
+      val recs = test.select("custkey").distinct()
+        .crossJoin(broadcast(top10))
+        .join(owned, Seq("custkey", "partkey"), "left_anti")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("custkey").orderBy("pop_rank")).cast("long"))
+      val discs = ndcgDiscPpm.mkString("array(", "L, ", "L)")
+      val graded = recs
+        .join(test.withColumn("rel", lit(1L)), Seq("custkey", "partkey"),
+          "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("disc", expr(s"element_at($discs, CAST(rank AS INT))"))
+      val wU = Window.partitionBy("custkey")
+      val perUser = graded
+        .withColumn("n_rel", sum(col("rel")).over(wU))
+        .groupBy("custkey")
+        .agg(max(col("n_rel")).as("n_rel"),
+          sum(when(col("rel") === 1L, col("disc")).otherwise(0L))
+            .as("dcg_fp"),
+          sum(when(col("rank") <= col("n_rel"), col("disc")).otherwise(0L))
+            .as("idcg_fp"),
+          min(when(col("rel") === 1L, col("rank"))).as("first_hit"))
+      perUser
+        .join(c.select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+          Seq("custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("n_rel") > 0L, 1L).otherwise(0L)).as("n_hit"),
+          sum(when(col("n_rel") > 0L,
+            expr("(dcg_fp * 10000L) div idcg_fp")).otherwise(0L))
+            .as("sum_ndcg_bp"),
+          sum(coalesce(expr("1000000L div first_hit"), lit(0L)))
+            .as("sum_mrr_fp"))
+        .select(col("segment"), col("n_users"),
+          expr("(n_hit * 10000L) div n_users").as("hit_rate_bp"),
+          expr("sum_mrr_fp div n_users").as("mrr_ppm"),
+          expr("CASE WHEN n_hit > 0 THEN sum_ndcg_bp div n_hit END")
+            .as("ndcg_bp"))
+        .orderBy("segment")
     })
   )
 
@@ -19184,6 +19332,122 @@ object SparkEntry {
          SELECT dims, n_pairs, hits,
            CAST((hits * 10000) // n_pairs AS BIGINT) AS recall_bp
          FROM agg ORDER BY dims"""
+    },
+
+    "train_epoch_plan" ->
+      s"""WITH d0 AS (
+           SELECT doc_id,
+             CAST(coalesce(len($toksSql), 0) AS BIGINT) AS n_tokens,
+             CAST(doc_id * 31 + 3 AS HUGEINT) AS x
+           FROM documents),
+         ${mix64Ctes("d0", "mx")},
+         keyed AS (
+           SELECT doc_id, n_tokens, CAST(h % 8 AS BIGINT) AS shard,
+             ${signedSql("h")} AS hs
+           FROM mx),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY shard
+             ORDER BY hs, doc_id) AS rn
+           FROM keyed),
+         per AS (
+           SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS first_doc_id,
+             CAST(sum(rn * doc_id) AS BIGINT) AS order_checksum
+           FROM ranked GROUP BY shard),
+         tot AS (SELECT CAST(sum(sum_tokens) AS BIGINT) AS tt FROM per)
+         SELECT shard, n_docs, sum_tokens,
+           CAST((sum_tokens * 1000000) // tt AS BIGINT) AS share_ppm,
+           first_doc_id, order_checksum
+         FROM per CROSS JOIN tot ORDER BY shard""",
+
+    "embedding_quantization_error" ->
+      """WITH dims AS (
+           SELECT CAST(d.d AS BIGINT) AS dim,
+             CAST(embedding[CAST(d.d AS INT)+1] AS DOUBLE) AS v
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(64)) AS d) d),
+         amax AS (SELECT dim, max(abs(v)) AS amax FROM dims GROUP BY dim),
+         rd AS (
+           SELECT d.dim, d.v,
+             CASE WHEN a.amax = 0.0 THEN 0.0
+               ELSE floor(127.0 * d.v / a.amax + 0.5) * a.amax / 127.0
+             END AS recon,
+             a.amax
+           FROM dims d JOIN amax a USING (dim)),
+         agg AS (
+           SELECT dim, count(*) AS n,
+             CAST(floor(1000000.0 * max(amax)) AS BIGINT) AS amax_ppm,
+             CAST(sum(CAST(floor(1000000000000.0
+               * (v - recon) * (v - recon)) AS BIGINT)) AS BIGINT) AS sse_fp,
+             CAST(sum(CAST(floor(1000000000000.0 * v * v) AS BIGINT))
+               AS BIGINT) AS energy_fp
+           FROM rd GROUP BY dim)
+         SELECT dim, n, amax_ppm,
+           CASE WHEN energy_fp > 0
+             THEN CAST((sse_fp * 1000000) // energy_fp AS BIGINT)
+           END AS rel_err_ppm
+         FROM agg ORDER BY dim""",
+
+    "recsys_ndcg" -> {
+      val discList = ndcgDiscPpm.map(d => s"$d::BIGINT").mkString("[", ", ", "]")
+      s"""WITH buys AS (
+           SELECT o_custkey AS custkey, l_partkey AS partkey, o_orderdate
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         train AS (
+           SELECT * FROM buys WHERE o_orderdate < DATE '2000-01-01'),
+         test AS (
+           SELECT DISTINCT custkey, partkey FROM buys
+           WHERE o_orderdate >= DATE '2000-01-01'),
+         top10 AS (
+           SELECT partkey,
+             CAST(row_number() OVER (ORDER BY cnt DESC, partkey) AS BIGINT)
+               AS pop_rank
+           FROM (SELECT partkey, count(*) AS cnt FROM train GROUP BY 1)
+           ORDER BY cnt DESC, partkey LIMIT 10),
+         owned AS (
+           SELECT DISTINCT t.custkey, t.partkey
+           FROM train t JOIN top10 USING (partkey)),
+         recs AS (
+           SELECT u.custkey, p.partkey,
+             CAST(row_number() OVER (PARTITION BY u.custkey
+               ORDER BY p.pop_rank) AS BIGINT) AS rnk
+           FROM (SELECT DISTINCT custkey FROM test) u
+           CROSS JOIN top10 p
+           WHERE NOT EXISTS (SELECT 1 FROM owned o
+             WHERE o.custkey = u.custkey AND o.partkey = p.partkey)),
+         graded AS (
+           SELECT r.custkey, r.rnk,
+             CASE WHEN t.partkey IS NOT NULL THEN 1 ELSE 0 END AS rel,
+             ($discList)[CAST(r.rnk AS INT)] AS disc
+           FROM recs r LEFT JOIN test t
+             ON t.custkey = r.custkey AND t.partkey = r.partkey),
+         g3 AS (
+           SELECT *, sum(rel) OVER (PARTITION BY custkey) AS n_rel
+           FROM graded),
+         per_user AS (
+           SELECT custkey,
+             CAST(max(n_rel) AS BIGINT) AS n_rel,
+             CAST(sum(CASE WHEN rel = 1 THEN disc ELSE 0 END) AS BIGINT)
+               AS dcg_fp,
+             CAST(sum(CASE WHEN rnk <= n_rel THEN disc ELSE 0 END)
+               AS BIGINT) AS idcg_fp,
+             min(CASE WHEN rel = 1 THEN rnk END) AS first_hit
+           FROM g3 GROUP BY custkey)
+         SELECT c_mktsegment AS segment,
+           count(*) AS n_users,
+           CAST((sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) * 10000)
+             // count(*) AS BIGINT) AS hit_rate_bp,
+           CAST(sum(coalesce(1000000 // first_hit, 0)) // count(*)
+             AS BIGINT) AS mrr_ppm,
+           CAST(CASE WHEN sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) > 0
+             THEN sum(CASE WHEN n_rel > 0 THEN (dcg_fp * 10000) // idcg_fp
+               ELSE 0 END)
+               // sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END)
+           END AS BIGINT) AS ndcg_bp
+         FROM per_user JOIN customer ON c_custkey = custkey
+         GROUP BY c_mktsegment ORDER BY segment"""
     }
   )
 
