@@ -10444,6 +10444,106 @@ object SparkEntry {
           expr("CASE WHEN n_hit > 0 THEN sum_ndcg_bp div n_hit END")
             .as("ndcg_bp"))
         .orderBy("segment")
+    }),
+
+    "stats_anderson_darling" -> ((s, dir) => {
+      // Anderson–Darling normality test on the DAILY order-count
+      // series (the calendar-domain reduction: n stays ~2.4k at any
+      // SF, so the rank window runs over a metadata-sized frame after
+      // one data-sized grouped pass). z-scores come from exact integer
+      // moments (Σx, Σx² as BIGINT — mean/sd are single divisions of
+      // exact ints), Φ via the same A&S 7.1.26 Horner tree as
+      // stats_benjamini_hochberg, per-row AD terms ppm-floored to
+      // BIGINT so the sum is order-free, and the size-adjusted A*²
+      // (Stephens 1974) compared to the 0.787 5% critical value.
+      val o = t(s, dir, "orders")
+      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val mom = days.agg(count(lit(1)).as("n"), sum("cnt").as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      val wr = Window.orderBy(col("cnt"), col("day"))
+      val folded = days
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .crossJoin(broadcast(mom))
+        .withColumn("mu", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("sd", expr(
+          """sqrt((CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n - 1 AS DOUBLE))"""))
+        .withColumn("z", expr("(CAST(cnt AS DOUBLE) - mu) / sd"))
+        .withColumn("az", abs(col("z")))
+        .withColumn("tt", expr("1.0 / (1.0 + 0.2316419 * az)"))
+        .withColumn("tail", expr(
+          """(exp(-az * az / 2.0) / sqrt(2.0 * pi()))
+             * (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt
+                 - 0.356563782) * tt + 0.319381530) * tt)"""))
+        .withColumn("fz", expr(
+          """greatest(1e-15, least(1.0 - 1e-15,
+             CASE WHEN z >= 0.0 THEN 1.0 - tail ELSE tail END))"""))
+        .withColumn("term_fp", expr(
+          """CAST(floor(1000000.0 * (
+             CAST(2 * rn - 1 AS DOUBLE) * ln(fz)
+             + CAST(2 * n - 2 * rn + 1 AS DOUBLE) * ln(1.0 - fz)))
+             AS BIGINT)"""))
+        .groupBy("n").agg(sum("term_fp").as("s_fp"))
+      folded
+        .withColumn("a2", expr(
+          """-CAST(n AS DOUBLE)
+             - CAST(s_fp AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)"""))
+        .withColumn("a2s", expr(
+          """a2 * (1.0 + 0.75 / CAST(n AS DOUBLE)
+             + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"""))
+        .select(col("n").as("n_days"),
+          expr("CAST(floor(1000000.0 * a2) AS BIGINT)").as("a2_ppm"),
+          expr("CAST(floor(1000000.0 * a2s) AS BIGINT)").as("a2_star_ppm"),
+          expr("CAST(CASE WHEN a2s > 0.787 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("reject_5pct"))
+    }),
+
+    "model_isotonic_calibration" -> ((s, dir) => {
+      // isotonic (PAV) recalibration of the hashed linear classifier
+      // via the Robertson–Wright minimax identity
+      // ŷ_i = max_{j≤i} min_{k≥i} mean(y_j..y_k): the corpus reduces
+      // to model_calibration's 10 decile bins first (rows → bins is
+      // the scale move), and the isotonic solve then runs on the
+      // metadata-sized frame as two grouped min/max passes over the B³
+      // candidate windows — no iterative pooling loop. Pool rates are
+      // ppm-floored BIGINTs from prefix-sum differences; floor
+      // commutes with min and max, so the fixed-point answer IS the
+      // floored exact PAV fit.
+      val d = t(s, dir, "documents")
+      val scored = d.select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"),
+        HashFunctions.linearMargin(
+          TextFunctions.tokens(lower(col("text")))).as("margin"))
+      val edges = scored.agg(expr(
+        """percentile(margin, array(0.1, 0.2, 0.3, 0.4, 0.5,
+           0.6, 0.7, 0.8, 0.9))""").as("es"))
+      val bins = scored.crossJoin(broadcast(edges))
+        .withColumn("bin", expr(
+          """aggregate(es, 0, (acc, e) ->
+             acc + CASE WHEN CAST(margin AS DOUBLE) > e THEN 1 ELSE 0 END)"""))
+        .groupBy("bin").agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
+      val wb = Window.orderBy("bin")
+      val cum = bins
+        .withColumn("cp", sum("n_pos").over(wb))
+        .withColumn("cc", sum("n").over(wb))
+      val lo = cum.select(col("bin").as("jb"),
+        (col("cp") - col("n_pos")).as("pj0"),
+        (col("cc") - col("n")).as("cj0"))
+      val hi = cum.select(col("bin").as("kb"), col("cp").as("pk"),
+        col("cc").as("ck"))
+      val rates = lo.crossJoin(hi).filter(col("jb") <= col("kb"))
+        .withColumn("rate_ppm",
+          expr("((pk - pj0) * 1000000L) div (ck - cj0)"))
+      val iso = cum.select(col("bin").as("ib"))
+        .join(rates, col("jb") <= col("ib") && col("kb") >= col("ib"))
+        .groupBy("ib", "jb").agg(min("rate_ppm").as("minr"))
+        .groupBy("ib").agg(max("minr").as("iso_ppm"))
+      bins.join(iso, bins("bin") === iso("ib"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("(1000000L * n_pos) div n").as("raw_ppm"), col("iso_ppm"))
+        .orderBy("bin")
     })
   )
 
@@ -19448,7 +19548,102 @@ object SparkEntry {
            END AS BIGINT) AS ndcg_bp
          FROM per_user JOIN customer ON c_custkey = custkey
          GROUP BY c_mktsegment ORDER BY segment"""
-    }
+    },
+
+    "stats_anderson_darling" ->
+      """WITH days AS (
+           SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt
+           FROM orders GROUP BY 1),
+         mom AS (
+           SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s1,
+             CAST(sum(cnt * cnt) AS BIGINT) AS s2
+           FROM days),
+         ranked AS (
+           SELECT day, cnt,
+             row_number() OVER (ORDER BY cnt, day) AS rn
+           FROM days),
+         zs AS (
+           SELECT rn, n, s1, s2,
+             (CAST(cnt AS DOUBLE)
+               - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(n - 1 AS DOUBLE)) AS z
+           FROM ranked CROSS JOIN mom),
+         ts AS (
+           SELECT rn, n, z, abs(z) AS az,
+             1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
+           FROM zs),
+         tails AS (
+           SELECT rn, n, z,
+             (exp(-az * az / 2.0) / sqrt(2.0 * pi()))
+             * (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt
+                 - 0.356563782) * tt + 0.319381530) * tt) AS tail
+           FROM ts),
+         fs AS (
+           SELECT rn, n,
+             greatest(1e-15, least(1.0 - 1e-15,
+               CASE WHEN z >= 0.0 THEN 1.0 - tail ELSE tail END)) AS fz
+           FROM tails),
+         terms AS (
+           SELECT n,
+             CAST(sum(CAST(floor(1000000.0 * (
+               CAST(2 * rn - 1 AS DOUBLE) * ln(fz)
+               + CAST(2 * n - 2 * rn + 1 AS DOUBLE) * ln(1.0 - fz)))
+               AS BIGINT)) AS BIGINT) AS s_fp
+           FROM fs GROUP BY n),
+         a2t AS (
+           SELECT n,
+             -CAST(n AS DOUBLE)
+               - CAST(s_fp AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS a2
+           FROM terms),
+         a2st AS (
+           SELECT n, a2,
+             a2 * (1.0 + 0.75 / CAST(n AS DOUBLE)
+               + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS a2s
+           FROM a2t)
+         SELECT n AS n_days,
+           CAST(floor(1000000.0 * a2) AS BIGINT) AS a2_ppm,
+           CAST(floor(1000000.0 * a2s) AS BIGINT) AS a2_star_ppm,
+           CAST(CASE WHEN a2s > 0.787 THEN 1 ELSE 0 END AS BIGINT)
+             AS reject_5pct
+         FROM a2st""",
+
+    "model_isotonic_calibration" ->
+      s"""WITH $marginScoredCtes,
+         edges AS (
+           SELECT quantile_cont(margin, [0.1, 0.2, 0.3, 0.4, 0.5,
+             0.6, 0.7, 0.8, 0.9]) AS es
+           FROM scored),
+         binned AS (
+           SELECT is_a AS label, margin,
+             list_reduce(list_prepend(0, list_transform(es,
+               e -> CASE WHEN CAST(margin AS DOUBLE) > e
+                 THEN 1 ELSE 0 END)), (acc, v) -> acc + v) AS bin
+           FROM scored CROSS JOIN edges),
+         bins AS (
+           SELECT bin, count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos
+           FROM binned GROUP BY bin),
+         cum AS (
+           SELECT bin, n, n_pos,
+             CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp,
+             CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cc
+           FROM bins),
+         rates AS (
+           SELECT j.bin AS jb, k.bin AS kb,
+             ((k.cp - (j.cp - j.n_pos)) * 1000000)
+               // (k.cc - (j.cc - j.n)) AS rate_ppm
+           FROM cum j CROSS JOIN cum k WHERE j.bin <= k.bin),
+         mins AS (
+           SELECT i.bin, r.jb, min(r.rate_ppm) AS minr
+           FROM cum i JOIN rates r ON r.jb <= i.bin AND r.kb >= i.bin
+           GROUP BY i.bin, r.jb),
+         iso AS (
+           SELECT bin, CAST(max(minr) AS BIGINT) AS iso_ppm
+           FROM mins GROUP BY bin)
+         SELECT b.bin, b.n, b.n_pos,
+           CAST((1000000 * b.n_pos) // b.n AS BIGINT) AS raw_ppm, iso_ppm
+         FROM bins b JOIN iso USING (bin) ORDER BY bin"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
