@@ -10544,6 +10544,104 @@ object SparkEntry {
         .select(col("bin"), col("n"), col("n_pos"),
           expr("(1000000L * n_pos) div n").as("raw_ppm"), col("iso_ppm"))
         .orderBy("bin")
+    }),
+
+    "timeseries_dtw" -> ((s, dir) => {
+      // dynamic-time-warping alignment cost between nations' monthly
+      // order-count curves (nation 0 vs nations 0..5; the self-pair is
+      // the zero-cost control row). The data-sized work is one
+      // orders⇄customer join reduced to the month×nation calendar
+      // frame; the O(n·m) DP then runs as a nested canonical fold over
+      // ~80-element BIGINT arrays — |a−b| step costs keep the entire
+      // lattice in exact integer arithmetic, so both engines walk
+      // identical cells. cost_per_step normalizes by the n+m path
+      // bound.
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val mon = o.join(c, o("o_custkey") === c("c_custkey"))
+        .filter(col("c_nationkey") <= 5)
+        .groupBy(col("c_nationkey").cast("long").as("nk"),
+          date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("cnt"))
+      val series = o
+        .select(date_trunc("month", col("o_orderdate")).as("mon")).distinct()
+        .crossJoin(s.range(6).select(col("id").as("nk")))
+        .join(mon, Seq("nk", "mon"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .groupBy("nk")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(mon, cnt))), t -> t.cnt)")
+          .as("cs"))
+      series.filter(col("nk") === 0L).select(col("cs").as("ca"))
+        .crossJoin(series.select(col("nk").as("nation_b"), col("cs").as("cb")))
+        .withColumn("dp", expr(
+          """aggregate(ca,
+             concat(array(0L), transform(cb, x -> 1000000000000000L)),
+             (acc, av) -> aggregate(sequence(1, size(cb)),
+               array(1000000000000000L),
+               (nr, j) -> array_append(nr,
+                 abs(av - element_at(cb, j))
+                 + least(element_at(acc, j + 1), element_at(acc, j),
+                     element_at(nr, -1)))))"""))
+        .select(lit(0L).as("nation_a"), col("nation_b"),
+          expr("CAST(size(cb) AS BIGINT)").as("n_months"),
+          expr("element_at(dp, size(cb) + 1)").as("dtw_cost"),
+          expr("""(element_at(dp, size(cb) + 1) * 1000000L)
+            div CAST(size(ca) + size(cb) AS BIGINT)""")
+            .as("cost_per_step_ppm"))
+        .orderBy("nation_b")
+    }),
+
+    "markov_stationary" -> ((s, dir) => {
+      // stationary distribution of the user-journey Markov chain: the
+      // event-type transition matrix (the same lead() pass as
+      // markov_transitions) collapses to one k²-element row-major
+      // probability array (k = |event types| — metadata-sized), and
+      // π ← πP is iterated 40 times as a canonical nested fold from
+      // the uniform start. Inner dot products run ascending-index, so
+      // the IEEE tree is engine-identical; matrix entries are exact
+      // count ratios. A row with no outgoing mass gets a self-loop
+      // (guard only — none exist in the fixture). Emitted beside the
+      // empirical occupancy share: the convergence/drift readout.
+      val e = t(s, dir, "events")
+      val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = e.withColumn("nxt", lead(col("event_type"), 1).over(wu))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val states = e.select(col("event_type").as("st")).distinct()
+      val wa = Window.partitionBy("a")
+      val probs = states.select(col("st").as("a"))
+        .crossJoin(states.select(col("st").as("b")))
+        .join(trans, Seq("a", "b"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("rs", sum("cnt").over(wa))
+        .withColumn("p", expr(
+          """CASE WHEN rs = 0 THEN CASE WHEN a = b THEN 1.0 ELSE 0.0 END
+             ELSE CAST(cnt AS DOUBLE) / CAST(rs AS DOUBLE) END"""))
+      val matRow = probs.agg(
+        expr("transform(sort_array(collect_list(struct(a, b, p))), t -> t.p)")
+          .as("mat"),
+        expr("sort_array(collect_set(a))").as("sts"))
+      val piRows = matRow.withColumn("pi", expr(
+          """aggregate(sequence(1, 40),
+             transform(sts, x -> 1.0 / CAST(size(sts) AS DOUBLE)),
+             (p, it) -> transform(sequence(1, size(sts)), jj ->
+               aggregate(sequence(1, size(sts)), 0.0d,
+                 (s2, ii) -> s2 + element_at(p, ii)
+                   * element_at(mat, (ii - 1) * size(sts) + jj))))"""))
+        .select(posexplode(col("sts")).as(Seq("i", "state")), col("pi"))
+        .select(col("state"),
+          expr("CAST(floor(1000000.0 * element_at(pi, i + 1)) AS BIGINT)")
+            .as("stationary_ppm"))
+      val emp = e.groupBy(col("event_type").as("state"))
+        .agg(count(lit(1)).as("n_events"))
+      val tot = emp.agg(sum("n_events").as("te"))
+      piRows.join(emp, Seq("state")).crossJoin(broadcast(tot))
+        .select(col("state"), col("n_events"),
+          expr("(n_events * 1000000L) div te").as("empirical_ppm"),
+          col("stationary_ppm"))
+        .orderBy("state")
     })
   )
 
@@ -19643,7 +19741,106 @@ object SparkEntry {
            FROM mins GROUP BY bin)
          SELECT b.bin, b.n, b.n_pos,
            CAST((1000000 * b.n_pos) // b.n AS BIGINT) AS raw_ppm, iso_ppm
-         FROM bins b JOIN iso USING (bin) ORDER BY bin"""
+         FROM bins b JOIN iso USING (bin) ORDER BY bin""",
+
+    "timeseries_dtw" ->
+      """WITH mon AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS nk,
+             date_trunc('month', o_orderdate) AS mon, count(*) AS cnt
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_nationkey <= 5 GROUP BY 1, 2),
+         months AS (
+           SELECT DISTINCT date_trunc('month', o_orderdate) AS mon
+           FROM orders),
+         nk6 AS (SELECT CAST(unnest(range(6)) AS BIGINT) AS nk),
+         grid AS (
+           SELECT n.nk, m.mon, CAST(coalesce(x.cnt, 0) AS BIGINT) AS cnt
+           FROM months m CROSS JOIN nk6 n
+           LEFT JOIN mon x ON x.nk = n.nk AND x.mon = m.mon),
+         series AS (
+           SELECT nk, list(cnt ORDER BY mon) AS cs FROM grid GROUP BY nk),
+         pairs AS (
+           SELECT a.cs AS ca, b.nk AS nation_b, b.cs AS cb
+           FROM (SELECT cs FROM series WHERE nk = 0) a
+           CROSS JOIN series b),
+         dp AS (
+           SELECT nation_b, ca, cb,
+             list_reduce(
+               list_prepend(
+                 list_concat([0::BIGINT],
+                   list_transform(cb, x -> 1000000000000000::BIGINT)),
+                 list_transform(ca, x -> [x])),
+               (acc, e) -> list_reduce(
+                 list_prepend([1000000000000000::BIGINT],
+                   list_transform(range(1, CAST(len(cb) AS BIGINT) + 1),
+                     j -> [j])),
+                 (nr, j) -> list_append(nr,
+                   abs(e[1] - cb[CAST(j[1] AS INT)])
+                   + least(acc[CAST(j[1] AS INT) + 1],
+                       acc[CAST(j[1] AS INT)], nr[-1])))) AS d
+           FROM pairs)
+         SELECT CAST(0 AS BIGINT) AS nation_a, nation_b,
+           CAST(len(cb) AS BIGINT) AS n_months,
+           CAST(d[CAST(len(cb) AS INT) + 1] AS BIGINT) AS dtw_cost,
+           CAST((d[CAST(len(cb) AS INT) + 1] * 1000000)
+             // CAST(len(ca) + len(cb) AS BIGINT) AS BIGINT)
+             AS cost_per_step_ppm
+         FROM dp ORDER BY nation_b""",
+
+    "markov_stationary" ->
+      """WITH seq0 AS (
+           SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM events),
+         trans AS (
+           SELECT event_type AS a, nxt AS b, count(*) AS cnt
+           FROM seq0 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         states AS (SELECT DISTINCT event_type AS st FROM events),
+         gridk AS (
+           SELECT sa.st AS a, sb.st AS b,
+             CAST(coalesce(t.cnt, 0) AS BIGINT) AS cnt
+           FROM states sa CROSS JOIN states sb
+           LEFT JOIN trans t ON t.a = sa.st AND t.b = sb.st),
+         probs AS (
+           SELECT a, b,
+             CASE WHEN sum(cnt) OVER (PARTITION BY a) = 0
+               THEN CASE WHEN a = b THEN 1.0 ELSE 0.0 END
+               ELSE CAST(cnt AS DOUBLE)
+                 / CAST(sum(cnt) OVER (PARTITION BY a) AS DOUBLE)
+             END AS p
+           FROM gridk),
+         matrow AS (
+           SELECT list(p ORDER BY a, b) AS mat,
+             (SELECT list(st ORDER BY st) FROM states) AS sts
+           FROM probs),
+         pit AS (
+           SELECT sts,
+             list_reduce(
+               list_prepend(
+                 list_transform(sts, x -> 1.0 / CAST(len(sts) AS DOUBLE)),
+                 list_transform(range(1, 41), it -> [CAST(it AS DOUBLE)])),
+               (p, it) -> list_transform(
+                 range(1, CAST(len(sts) AS BIGINT) + 1),
+                 jj -> list_reduce(
+                   list_prepend(0.0,
+                     list_transform(range(CAST(len(sts) AS BIGINT)),
+                       ii -> p[CAST(ii AS INT) + 1]
+                         * mat[CAST(ii AS INT) * CAST(len(sts) AS INT)
+                               + CAST(jj AS INT)])),
+                   (s2, t2) -> s2 + t2))) AS pi
+           FROM matrow),
+         pirows AS (
+           SELECT unnest(sts) AS state, unnest(pi) AS pv FROM pit),
+         emp AS (
+           SELECT event_type AS state, count(*) AS n_events
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS te FROM emp)
+         SELECT p.state, e.n_events,
+           CAST((e.n_events * 1000000) // te AS BIGINT) AS empirical_ppm,
+           CAST(floor(1000000.0 * p.pv) AS BIGINT) AS stationary_ppm
+         FROM pirows p JOIN emp e ON e.state = p.state CROSS JOIN tot
+         ORDER BY p.state"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
