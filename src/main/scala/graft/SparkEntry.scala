@@ -10642,6 +10642,86 @@ object SparkEntry {
           expr("(n_events * 1000000L) div te").as("empirical_ppm"),
           col("stationary_ppm"))
         .orderBy("state")
+    }),
+
+    "timeseries_holt_winters" -> ((s, dir) => {
+      // additive Holt–Winters (α=.2, β=.1, γ=.3, period 12) over the
+      // monthly order-count series: classic two-year initialization
+      // (level = year-1 mean, trend = (mean₂−mean₁)/12, seasonals =
+      // year-1 residuals), then one canonical ascending fold carrying
+      // [level, trend, s₁..s₁₂] as a 14-double state list — the same
+      // pure-list fold discipline as timeseries_kalman_level, every
+      // scalar tree inlined identically in both engines (the level
+      // update is repeated verbatim inside the trend/seasonal updates
+      // rather than bound, so the IEEE trees match). Emits the
+      // 6-month-ahead forecast curve; data-sized work is one grouped
+      // pass to the month frame.
+      val o = t(s, dir, "orders")
+      val xs = o.groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(expr(
+          """transform(sort_array(collect_list(struct(mon, cnt))),
+             t -> CAST(t.cnt AS DOUBLE))""").as("xs"))
+      val st = xs
+        .withColumn("m1",
+          expr("aggregate(slice(xs, 1, 12), 0.0d, (a, x) -> a + x) / 12.0d"))
+        .withColumn("m2",
+          expr("aggregate(slice(xs, 13, 12), 0.0d, (a, x) -> a + x) / 12.0d"))
+        .withColumn("init", expr(
+          """concat(array(m1, (m2 - m1) / 12.0d),
+             transform(slice(xs, 1, 12), x -> x - m1))"""))
+        .withColumn("st", expr(
+          """aggregate(slice(xs, 13, size(xs) - 12), init, (ac, x) ->
+             concat(
+               array(
+                 0.2d * (x - element_at(ac, 3))
+                   + 0.8d * (element_at(ac, 1) + element_at(ac, 2)),
+                 0.1d * ((0.2d * (x - element_at(ac, 3))
+                   + 0.8d * (element_at(ac, 1) + element_at(ac, 2)))
+                   - element_at(ac, 1)) + 0.9d * element_at(ac, 2)),
+               slice(ac, 4, 11),
+               array(0.3d * (x - (0.2d * (x - element_at(ac, 3))
+                   + 0.8d * (element_at(ac, 1) + element_at(ac, 2))))
+                 + 0.7d * element_at(ac, 3))))"""))
+      st.select(explode(expr("sequence(1, 6)")).as("h"), col("st"))
+        .select(col("h").cast("long").as("h"),
+          expr("CAST(floor(1000000.0d * element_at(st, 1)) AS BIGINT)")
+            .as("level_ppm"),
+          expr("CAST(floor(1000000.0d * element_at(st, 2)) AS BIGINT)")
+            .as("trend_ppm"),
+          expr("""CAST(floor(1000000.0d * (element_at(st, 1)
+            + CAST(h AS DOUBLE) * element_at(st, 2)
+            + element_at(st, CAST(h AS INT) + 2))) AS BIGINT)""")
+            .as("forecast_ppm"))
+        .orderBy("h")
+    }),
+
+    "similarity_ivf_cell_stats" -> ((s, dir) => {
+      // IVF index-health readout — the re-cluster trigger's sibling:
+      // per-cell population stats from the same trained quantizer as
+      // the topk_ivf family, reduced to the probe-cost curve an ops
+      // team actually watches. For nprobe ∈ {1,2,4,8}: the uniform-
+      // model scan share p/k vs the adversarial worst case (the p
+      // LARGEST cells — what a hot query hitting skewed cells pays),
+      // plus the cell-size cv² in ppm (k·Σs²/n² − 1, exact integers —
+      // Cauchy–Schwarz keeps it nonnegative). Everything after the
+      // assignment pass runs on the k-row cell frame.
+      val (cents, _) = ivfIndex(s, dir)
+      val sizes = Similarity.assignToCentroids(t(s, dir, "embeddings"), cents)
+        .groupBy("centroid_id").agg(count(lit(1)).as("sz"))
+      val tot = sizes.agg(count(lit(1)).as("k"), sum("sz").as("n"),
+        sum(col("sz") * col("sz")).as("s2"))
+      val ranked = sizes.withColumn("rn", row_number().over(
+        Window.orderBy(col("sz").desc, col("centroid_id"))).cast("long"))
+      s.range(1).select(explode(expr("array(1L, 2L, 4L, 8L)")).as("nprobe"))
+        .join(ranked, col("rn") <= col("nprobe"))
+        .groupBy("nprobe").agg(sum("sz").as("topsz"))
+        .crossJoin(broadcast(tot))
+        .select(col("nprobe"), col("k"), col("n"),
+          expr("(nprobe * 1000000L) div k").as("avg_scan_ppm"),
+          expr("(topsz * 1000000L) div n").as("worst_scan_ppm"),
+          expr("(1000000L * (k * s2 - n * n)) div (n * n)").as("cv2_ppm"))
+        .orderBy("nprobe")
     })
   )
 
@@ -19840,7 +19920,84 @@ object SparkEntry {
            CAST((e.n_events * 1000000) // te AS BIGINT) AS empirical_ppm,
            CAST(floor(1000000.0 * p.pv) AS BIGINT) AS stationary_ppm
          FROM pirows p JOIN emp e ON e.state = p.state CROSS JOIN tot
-         ORDER BY p.state"""
+         ORDER BY p.state""",
+
+    "timeseries_holt_winters" ->
+      """WITH mons AS (
+           SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS cnt
+           FROM orders GROUP BY 1),
+         xsr AS (
+           SELECT list(CAST(cnt AS DOUBLE) ORDER BY mon) AS xs FROM mons),
+         ini AS (
+           SELECT xs,
+             list_reduce(list_prepend(0.0, xs[1:12]), (a, b) -> a + b)
+               / 12.0 AS m1,
+             list_reduce(list_prepend(0.0, xs[13:24]), (a, b) -> a + b)
+               / 12.0 AS m2
+           FROM xsr),
+         ini2 AS (
+           SELECT xs,
+             list_concat([CAST(m1 AS DOUBLE), (m2 - m1) / 12.0],
+               list_transform(xs[1:12], x -> x - m1)) AS ini
+           FROM ini),
+         fold AS (
+           SELECT xs,
+             list_reduce(
+               list_prepend(ini, list_transform(xs[13:], x -> [x])),
+               (ac, e) -> list_concat(list_concat(
+                 [0.2 * (e[1] - ac[3]) + 0.8 * (ac[1] + ac[2]),
+                  0.1 * ((0.2 * (e[1] - ac[3]) + 0.8 * (ac[1] + ac[2]))
+                    - ac[1]) + 0.9 * ac[2]],
+                 ac[4:14]),
+                 [0.3 * (e[1] - (0.2 * (e[1] - ac[3])
+                     + 0.8 * (ac[1] + ac[2])))
+                  + 0.7 * ac[3]])) AS st
+           FROM ini2),
+         hs AS (SELECT CAST(unnest(range(1, 7)) AS BIGINT) AS h)
+         SELECT h,
+           CAST(floor(1000000.0 * st[1]) AS BIGINT) AS level_ppm,
+           CAST(floor(1000000.0 * st[2]) AS BIGINT) AS trend_ppm,
+           CAST(floor(1000000.0 * (st[1] + CAST(h AS DOUBLE) * st[2]
+             + st[CAST(h AS INT) + 2])) AS BIGINT) AS forecast_ppm
+         FROM fold CROSS JOIN hs ORDER BY h""",
+
+    "similarity_ivf_cell_stats" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+               AS cid,
+             v AS cv
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                   FROM corpus))),
+         ${kmeansIterSql("c0", "a1", "c1")},
+         ${kmeansIterSql("c1", "a2", "c2")},
+         cellsc AS (
+           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
+           FROM corpus p CROSS JOIN c2 c),
+         cells AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1),
+         sizes AS (SELECT cid, count(*) AS sz FROM cells GROUP BY cid),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(sz) AS BIGINT) AS n,
+             CAST(sum(sz * sz) AS BIGINT) AS s2
+           FROM sizes),
+         ranked AS (
+           SELECT sz, row_number() OVER (ORDER BY sz DESC, cid) AS rn
+           FROM sizes),
+         ps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+         worst AS (
+           SELECT p.nprobe, CAST(sum(r.sz) AS BIGINT) AS topsz
+           FROM ps p JOIN ranked r ON r.rn <= p.nprobe GROUP BY p.nprobe)
+         SELECT nprobe, k, n,
+           CAST((nprobe * 1000000) // k AS BIGINT) AS avg_scan_ppm,
+           CAST((topsz * 1000000) // n AS BIGINT) AS worst_scan_ppm,
+           CAST((1000000 * (k * s2 - n * n)) // (n * n) AS BIGINT) AS cv2_ppm
+         FROM worst CROSS JOIN tot ORDER BY nprobe"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
