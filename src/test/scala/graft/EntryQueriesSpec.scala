@@ -704,4 +704,195 @@ class EntryQueriesSpec extends SparkSpec {
     // teleport goes only to seeds, so the top entry must be a seed
     assert(out.head._4 == 1L, "highest personalized rank must be a seed")
   }
+
+  test("train_epoch_plan: partition of the corpus, shares sum to one") {
+    val out = q("train_epoch_plan")
+      .select("shard", "n_docs", "sum_tokens", "share_ppm", "order_checksum")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == (0L to 7L))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.map(_._2).sum == nDocs, "shards must partition the corpus")
+    // floor-ppm shares sum to 1e6 minus at most one floor unit per shard
+    val shareSum = out.map(_._4).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - 8L)
+    // hash balance: no shard more than 2x the fair share of docs
+    assert(out.map(_._2).max <= 2 * (nDocs / 8 + 1))
+    assert(out.forall(_._5 > 0L), "order checksum pins the permutation")
+  }
+
+  test("embedding_quantization_error: int8 error within the theory bound") {
+    val out = q("embedding_quantization_error")
+      .select("dim", "n", "rel_err_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).sorted == (0L to 63L))
+    assert(out.map(_._2).distinct.size == 1, "every dim sees every vector")
+    // half-step rounding keeps relative MSE tiny: (amax/254)^2 / E[v^2]
+    // is ~250 ppm for ~N(0,1) dims with amax ~ 4 sigma; 2000 is generous
+    assert(out.forall(r => r._3 >= 0L && r._3 < 2000L),
+      s"rel err out of bound: ${out.maxBy(_._3)}")
+  }
+
+  test("recsys_ndcg: rates bounded, NDCG defined exactly when hits exist") {
+    val out = q("recsys_ndcg")
+      .select("segment", "n_users", "hit_rate_bp", "mrr_ppm", "ndcg_bp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.nonEmpty && out.forall(_._2 > 0))
+    out.foreach { case (seg, _, hr, mrr, ndcg) =>
+      assert(hr >= 0L && hr <= 10000L, s"$seg hit rate")
+      assert(mrr >= 0L && mrr <= 1000000L, s"$seg mrr")
+      assert((hr > 0L) == ndcg.isDefined, s"$seg ndcg defined iff hits")
+      ndcg.foreach(v => assert(v >= 0L && v <= 10000L, s"$seg ndcg"))
+      // a hit at rank r contributes mrr >= 1e6/10 per hit user, diluted
+      // by all users: mrr <= hit_rate (both as fractions of the user set)
+      assert(mrr <= hr * 100L, s"$seg mrr cannot exceed hit share")
+    }
+  }
+
+  test("stats_anderson_darling: matches a driver-side replay exactly") {
+    val days = sources.Tables.load(spark, sfDir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day")).count()
+      .orderBy("count", "day").select($"count".as[Long]).collect()
+    val n = days.length
+    val s1 = days.sum
+    val s2 = days.map(x => x * x).sum
+    val mu = s1.toDouble / n
+    val sd = math.sqrt((s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1))
+    var sFp = 0L
+    for (i <- 1 to n) {
+      val z = (days(i - 1).toDouble - mu) / sd
+      val az = math.abs(z)
+      val tt = 1.0 / (1.0 + 0.2316419 * az)
+      val tail = (math.exp(-az * az / 2.0) / math.sqrt(2.0 * math.Pi)) *
+        (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt
+          - 0.356563782) * tt + 0.319381530) * tt)
+      val fz = math.max(1e-15,
+        math.min(1.0 - 1e-15, if (z >= 0.0) 1.0 - tail else tail))
+      sFp += math.floor(1000000.0 * ((2 * i - 1).toDouble * math.log(fz)
+        + (2 * n - 2 * i + 1).toDouble * math.log(1.0 - fz))).toLong
+    }
+    val a2 = -n.toDouble - sFp.toDouble / 1000000.0 / n
+    val a2s = a2 * (1.0 + 0.75 / n + 2.25 / (n.toDouble * n))
+    val r = q("stats_anderson_darling")
+      .select("n_days", "a2_ppm", "a2_star_ppm", "reject_5pct")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r._1 == n.toLong)
+    assert(r._2 == math.floor(1e6 * a2).toLong)
+    assert(r._3 == math.floor(1e6 * a2s).toLong)
+    assert(r._4 == (if (a2s > 0.787) 1L else 0L))
+  }
+
+  test("model_isotonic_calibration: monotone fit preserving pooled means") {
+    val out = q("model_isotonic_calibration")
+      .select("bin", "n", "n_pos", "raw_ppm", "iso_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.size == 10)
+    val iso = out.map(_._5)
+    assert(iso == iso.sorted, "isotonic fit must be non-decreasing")
+    assert(iso.forall(v => v >= 0L && v <= 1000000L))
+    // PAV preserves the weighted mean; each pool's floor loses < 1 ppm
+    // per row, so the fixed-point totals differ by less than sum(n)
+    val lhs = out.map(r => r._2 * r._5).sum
+    val rhs = 1000000L * out.map(_._3).sum
+    assert(math.abs(lhs - rhs) < out.map(_._2).sum,
+      s"pooled mean drift: $lhs vs $rhs")
+  }
+
+  test("timeseries_dtw: matches a driver-side DP, self-pair is zero") {
+    import org.apache.spark.sql.functions.{col, coalesce, count, date_trunc, lit}
+    val o = sources.Tables.load(spark, sfDir, "orders")
+    val c = sources.Tables.load(spark, sfDir, "customer")
+    val mon = o.join(c, o("o_custkey") === c("c_custkey"))
+      .filter(col("c_nationkey") <= 5)
+      .groupBy(col("c_nationkey").cast("long").as("nk"),
+        date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("cnt"))
+    val months = o.select(date_trunc("month", col("o_orderdate")).as("mon"))
+      .distinct()
+    val series = months.crossJoin(spark.range(6).select($"id".as("nk")))
+      .join(mon, Seq("nk", "mon"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .orderBy("nk", "mon")
+      .select("nk", "cnt").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    def dtw(a: Seq[Long], b: Seq[Long]): Long = {
+      val big = 1000000000000000L
+      var prev = Array.fill(b.length + 1)(big); prev(0) = 0L
+      for (av <- a) {
+        val cur = Array.fill(b.length + 1)(big)
+        for (j <- 1 to b.length)
+          cur(j) = math.abs(av - b(j - 1)) +
+            math.min(math.min(prev(j), prev(j - 1)), cur(j - 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val out = q("timeseries_dtw")
+      .select("nation_b", "dtw_cost")
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 0L, "self-alignment must cost zero")
+    for (nb <- 0L to 5L)
+      assert(out(nb) == dtw(series(0L).toSeq, series(nb).toSeq),
+        s"nation $nb DP mismatch")
+  }
+
+  test("markov_stationary: a probability vector, floor-exact mass") {
+    val out = q("markov_stationary")
+      .select("state", "stationary_ppm", "empirical_ppm")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 0L))
+    val mass = out.map(_._2).sum
+    assert(mass <= 1000000L && mass > 1000000L - out.size,
+      s"stationary mass $mass out of floor band")
+    val emp = out.map(_._3).sum
+    assert(emp <= 1000000L && emp > 1000000L - out.size)
+  }
+
+  test("timeseries_holt_winters: matches a driver-side recursion exactly") {
+    val xs = sources.Tables.load(spark, sfDir, "orders")
+      .groupBy(org.apache.spark.sql.functions.date_trunc("month",
+        $"o_orderdate").as("mon"))
+      .count().orderBy("mon").select($"count".cast("double"))
+      .as[Double].collect()
+    assert(xs.length >= 24)
+    val m1 = xs.take(12).foldLeft(0.0)(_ + _) / 12.0
+    val m2 = xs.slice(12, 24).foldLeft(0.0)(_ + _) / 12.0
+    var st = Array(m1, (m2 - m1) / 12.0) ++ xs.take(12).map(_ - m1)
+    for (x <- xs.drop(12)) {
+      val l2 = 0.2 * (x - st(2)) + 0.8 * (st(0) + st(1))
+      val b2 = 0.1 * ((0.2 * (x - st(2)) + 0.8 * (st(0) + st(1))) - st(0)) +
+        0.9 * st(1)
+      val sn = 0.3 * (x - (0.2 * (x - st(2)) + 0.8 * (st(0) + st(1)))) +
+        0.7 * st(2)
+      st = Array(l2, b2) ++ st.slice(3, 14) ++ Array(sn)
+    }
+    val out = q("timeseries_holt_winters")
+      .select("h", "level_ppm", "trend_ppm", "forecast_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == (1L to 6L))
+    out.foreach { case (h, lv, tr, fc) =>
+      assert(lv == math.floor(1e6 * st(0)).toLong)
+      assert(tr == math.floor(1e6 * st(1)).toLong)
+      val expect = st(0) + h.toDouble * st(1) + st(h.toInt + 1)
+      assert(fc == math.floor(1e6 * expect).toLong, s"h=$h")
+    }
+  }
+
+  test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
+    val out = q("similarity_ivf_cell_stats")
+      .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(out.map(_._1) == Seq(1L, 2L, 4L, 8L))
+    assert(out.map(r => (r._2, r._3, r._6)).distinct.size == 1)
+    out.foreach { r =>
+      // top-p cells hold at least p/k of the mass (floor slack 1 ppm each)
+      assert(r._5 + 1 >= r._4, s"worst < avg at nprobe ${r._1}")
+      assert(r._6 >= 0L, "cv2 is nonnegative by Cauchy-Schwarz")
+    }
+    // worst-case scan share grows with nprobe
+    val ws = out.map(_._5)
+    assert(ws == ws.sorted)
+  }
 }
