@@ -488,4 +488,33 @@ class PlanSpec extends SparkSpec {
     // in-memory frames rather than recomputing the distinct edge list
     assert("InMemoryTableScan".r.findAllIn(p).size >= 6, p)
   }
+
+  test("train_epoch_plan: no global sort on the shuffle key — order is shard-local") {
+    val p = plan("train_epoch_plan")
+    // shard assignment is a pure hash and ordering happens inside each
+    // shard's window partition; the only range exchange allowed is the
+    // final orderBy of the 8-row shard summary
+    val ranges = "rangepartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(ranges.forall(_ == "shard"), s"global sort on $ranges\n$p")
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
+  test("recsys_ndcg: the 10-row model broadcasts; eval joins stay keyed") {
+    val p = plan("recsys_ndcg")
+    // top-10 parts reach users via a broadcast nested loop of the tiny
+    // frame; the fact joins broadcast the orders side; the remaining
+    // (custkey, partkey) joins are keyed shuffles — never a cross
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embedding_quantization_error: per-dim scales broadcast back to the explode") {
+    val p = plan("embedding_quantization_error")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // both aggs are partial+final pairs (map-side combine)
+    assert(p.contains("partial_max") || p.contains("partial max"), p)
+  }
 }
