@@ -10722,6 +10722,113 @@ object SparkEntry {
           expr("(topsz * 1000000L) div n").as("worst_scan_ppm"),
           expr("(1000000L * (k * s2 - n * n)) div (n * n)").as("cv2_ppm"))
         .orderBy("nprobe")
+    }),
+
+    "timeseries_haar_energy" -> ((s, dir) => {
+      // Haar-wavelet energy spectrum of the daily order-count signal:
+      // levels 1..4 detail energy Σ(S_left − S_right)²/2^ℓ over the
+      // series truncated to the largest power of two (found by an
+      // integer doubling fold — no libm log2 near an integer boundary
+      // decides anything). Each level's blocks are index arithmetic
+      // (i div 2^ℓ) + one grouped sum, so all four levels ride a single
+      // keyed shuffle over the 4×-exploded calendar frame; shares use
+      // the common-denominator trick (e·2^{4−ℓ}) to stay in exact
+      // BIGINTs. The burst/seasonality scale readout.
+      val o = t(s, dir, "orders")
+      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val nF = days.agg(count(lit(1)).as("n"))
+      val idx = days
+        .withColumn("i",
+          row_number().over(Window.orderBy("day")).cast("long") - 1L)
+        .crossJoin(broadcast(nF))
+        .withColumn("m", expr(
+          """aggregate(sequence(1, 40), 1L,
+             (a, st) -> CASE WHEN a * 2 <= n THEN a * 2 ELSE a END)"""))
+        .filter(col("i") < col("m"))
+      val lvl = idx
+        .select(col("i"), col("cnt"),
+          explode(expr("array(1, 2, 3, 4)")).as("level"))
+        .withColumn("blk", expr("i div shiftleft(1L, level)"))
+        .withColumn("sign",
+          expr("1L - 2L * ((i div shiftleft(1L, level - 1)) % 2L)"))
+        .groupBy("level", "blk")
+        .agg(sum(col("sign") * col("cnt")).as("d"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_blocks"), sum(col("d") * col("d")).as("e_num"))
+      val tot = lvl.agg(
+        sum(expr("e_num * shiftleft(1L, 4 - level)")).as("tv"))
+      lvl.crossJoin(broadcast(tot))
+        .select(col("level").cast("long").as("level"), col("n_blocks"),
+          col("e_num"),
+          expr("(e_num * shiftleft(1L, 4 - level) * 1000000L) div tv")
+            .as("share_ppm"))
+        .orderBy("level")
+    }),
+
+    "stats_hodges_lehmann" -> ((s, dir) => {
+      // Hodges–Lehmann robust location estimate of the daily order
+      // count: the median of all n(n+1)/2 Walsh averages (xᵢ+xⱼ)/2,
+      // i ≤ j. The pair frame is CALENDAR², not data² — ~2.4k days at
+      // any SF, one broadcast self-join — and the median runs on the
+      // VALUE domain (rows→values: group pair sums, cumulative over the
+      // ~2k distinct doubled sums), never on the pair rows. Doubled
+      // sums keep everything integer; the lower median is the
+      // (N+1) div 2-th order statistic.
+      val o = t(s, dir, "orders")
+      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = days.select(col("day").as("da"), col("cnt").as("xa"))
+      val b = days.select(col("day").as("db"), col("cnt").as("xb"))
+      val walsh = a.join(broadcast(b), col("da") <= col("db"))
+        .select((col("xa") + col("xb")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = walsh.agg(sum("c").as("nn"))
+      walsh
+        .withColumn("cum", sum("c").over(Window.orderBy("w")))
+        .crossJoin(broadcast(tot))
+        .withColumn("kk", expr("(nn + 1L) div 2L"))
+        .filter(col("cum") >= col("kk") && col("cum") - col("c") < col("kk"))
+        .select(col("w").as("hl_x2"), col("nn").as("n_pairs"),
+          expr("w * 500000L").as("hl_ppm"))
+    }),
+
+    "dq_reconciliation" -> ((s, dir) => {
+      // cross-table money reconciliation: every order's header total
+      // vs the Σ price·(1−disc)·(1+tax) rebuilt from its lines, in
+      // EXACT integer micro-dollars (cents × discount-bp × tax-bp —
+      // the decimal(18,2) casts make each factor an exact integer, so
+      // the per-order diff is an exact BIGINT, and floor-div of the
+      // ABSOLUTE diff sidesteps the div-vs-// negative-floor trap).
+      // Orders reduce to relative-error bands; headerless orders get
+      // their own band. One fact-fact keyed join + a 5-row rollup.
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("ep_c"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("d_bp"),
+        expr("CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("t_bp"))
+      val recon = li.groupBy("l_orderkey")
+        .agg(sum(expr("ep_c * (100L - d_bp) * (100L + t_bp)")).as("recon_u"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)")
+          .as("tot_u"))
+      o.join(recon, o("o_orderkey") === recon("l_orderkey"), "left")
+        .withColumn("rel_ppm", expr(
+          """CASE WHEN recon_u IS NULL THEN NULL
+             ELSE (abs(recon_u - tot_u) * 1000000L) div tot_u END"""))
+        .withColumn("band", expr(
+          """CASE WHEN rel_ppm IS NULL THEN 'no_lines'
+             WHEN rel_ppm = 0 THEN 'exact'
+             WHEN rel_ppm <= 100 THEN 'lt_100ppm'
+             WHEN rel_ppm <= 10000 THEN 'lt_1pct'
+             ELSE 'gt_1pct' END"""))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("rel_ppm")).as("max_rel_ppm"),
+          min(col("rel_ppm")).as("min_rel_ppm"))
+        .orderBy("band")
     })
   )
 
@@ -19997,7 +20104,101 @@ object SparkEntry {
            CAST((nprobe * 1000000) // k AS BIGINT) AS avg_scan_ppm,
            CAST((topsz * 1000000) // n AS BIGINT) AS worst_scan_ppm,
            CAST((1000000 * (k * s2 - n * n)) // (n * n) AS BIGINT) AS cv2_ppm
-         FROM worst CROSS JOIN tot ORDER BY nprobe"""
+         FROM worst CROSS JOIN tot ORDER BY nprobe""",
+
+    "timeseries_haar_energy" ->
+      """WITH days AS (
+           SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt
+           FROM orders GROUP BY 1),
+         nf AS (SELECT count(*) AS n FROM days),
+         idx0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS i,
+             CAST(cnt AS BIGINT) AS cnt
+           FROM days),
+         mf AS (
+           SELECT list_reduce(
+             list_prepend(1::BIGINT,
+               list_transform(range(40), st -> 0::BIGINT)),
+             (a, st) -> CASE WHEN a * 2 <= n THEN a * 2 ELSE a END) AS m
+           FROM nf),
+         idx AS (
+           SELECT i, cnt FROM idx0 CROSS JOIN mf WHERE i < m),
+         lv AS (
+           SELECT l.level, i // (1::BIGINT << l.level) AS blk,
+             (1 - 2 * ((i // (1::BIGINT << (l.level - 1))) % 2)) * cnt AS sc
+           FROM idx CROSS JOIN
+             (SELECT unnest([1, 2, 3, 4]) AS level) l),
+         diffs AS (
+           SELECT level, blk, CAST(sum(sc) AS BIGINT) AS d
+           FROM lv GROUP BY level, blk),
+         lvl AS (
+           SELECT level, count(*) AS n_blocks,
+             CAST(sum(d * d) AS BIGINT) AS e_num
+           FROM diffs GROUP BY level),
+         tot AS (
+           SELECT CAST(sum(e_num * (1::BIGINT << (4 - level))) AS BIGINT)
+             AS tv
+           FROM lvl)
+         SELECT CAST(level AS BIGINT) AS level, n_blocks, e_num,
+           CAST((e_num * (1::BIGINT << (4 - level)) * 1000000) // tv
+             AS BIGINT) AS share_ppm
+         FROM lvl CROSS JOIN tot ORDER BY level""",
+
+    "stats_hodges_lehmann" ->
+      """WITH days AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY 1),
+         walsh AS (
+           SELECT a.cnt + b.cnt AS w, count(*) AS c
+           FROM days a JOIN days b ON a.day <= b.day
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM walsh),
+         cum AS (
+           SELECT w, c, CAST(sum(c) OVER (ORDER BY w) AS BIGINT) AS cum
+           FROM walsh)
+         SELECT w AS hl_x2, nn AS n_pairs,
+           CAST(w * 500000 AS BIGINT) AS hl_ppm
+         FROM cum CROSS JOIN tot
+         WHERE cum >= (nn + 1) // 2 AND cum - c < (nn + 1) // 2""",
+
+    "dq_reconciliation" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS ep_c,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS d_bp,
+             CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS t_bp
+           FROM lineitem),
+         recon AS (
+           SELECT l_orderkey,
+             CAST(sum(ep_c * (100 - d_bp) * (100 + t_bp)) AS BIGINT)
+               AS recon_u
+           FROM li GROUP BY 1),
+         o AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+               AS tot_u
+           FROM orders),
+         rel AS (
+           SELECT o_orderkey,
+             CASE WHEN recon_u IS NULL THEN NULL
+               ELSE (abs(recon_u - tot_u) * 1000000) // tot_u
+             END AS rel_ppm
+           FROM o LEFT JOIN recon ON o_orderkey = l_orderkey),
+         banded AS (
+           SELECT o_orderkey, rel_ppm,
+             CASE WHEN rel_ppm IS NULL THEN 'no_lines'
+               WHEN rel_ppm = 0 THEN 'exact'
+               WHEN rel_ppm <= 100 THEN 'lt_100ppm'
+               WHEN rel_ppm <= 10000 THEN 'lt_1pct'
+               ELSE 'gt_1pct' END AS band
+           FROM rel)
+         SELECT band, count(*) AS n_orders,
+           CAST(max(rel_ppm) AS BIGINT) AS max_rel_ppm,
+           CAST(min(rel_ppm) AS BIGINT) AS min_rel_ppm
+         FROM banded GROUP BY band ORDER BY band"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
