@@ -10829,6 +10829,52 @@ object SparkEntry {
           max(col("rel_ppm")).as("max_rel_ppm"),
           min(col("rel_ppm")).as("min_rel_ppm"))
         .orderBy("band")
+    }),
+
+    "dedup_lsh_tuning" -> ((s, dir) => {
+      // LSH banding-parameter tuning table: for every (bands, rows)
+      // split of the 16-component MinHash signature, the expected
+      // candidate volume and expected recall on the estimated-dup
+      // stratum (m/16 ≥ 0.5), from the S-curve P = 1−(1−s^r)^b
+      // evaluated at each candidate pair's signature agreement
+      // s = m/16. Powers are explicit squaring chains (pow()'s libm
+      // may differ by an ulp between engines; t2→t4→t8→t16 cannot);
+      // per-pair probabilities are ppm-floored before summation so
+      // totals are order-free BIGINTs. This is the table that picks
+      // (b, r) BEFORE a 100 TB dedup run commits its shuffle budget —
+      // computed from signatures alone, never from shingle sets.
+      val pairs = Dedup.minhashEstimatePairsFromShingles(
+          augShingles(s, dir), "doc_id", k = 16, minEstimate = 0.0)
+        .withColumn("m", expr("CAST(round(est_jaccard * 16.0d) AS BIGINT)"))
+      val configs = s.range(1).select(explode(expr(
+        """array(struct(16L AS b, 1L AS r), struct(8L AS b, 2L AS r),
+           struct(4L AS b, 4L AS r), struct(2L AS b, 8L AS r))""")).as("cfg"))
+        .select(col("cfg.b").as("b"), col("cfg.r").as("r"))
+      pairs.crossJoin(broadcast(configs))
+        .withColumn("sv", expr("CAST(m AS DOUBLE) / 16.0d"))
+        .withColumn("sr", expr(
+          """CASE r WHEN 1 THEN sv WHEN 2 THEN sv * sv
+             WHEN 4 THEN (sv * sv) * (sv * sv)
+             WHEN 8 THEN ((sv * sv) * (sv * sv)) * ((sv * sv) * (sv * sv))
+             END"""))
+        .withColumn("t2", expr("(1.0d - sr) * (1.0d - sr)"))
+        .withColumn("t4", expr("t2 * t2"))
+        .withColumn("t8", expr("t4 * t4"))
+        .withColumn("t16", expr("t8 * t8"))
+        .withColumn("pc_fp", expr(
+          """CAST(floor(1000000.0d * (1.0d - CASE b
+             WHEN 2 THEN t2 WHEN 4 THEN t4 WHEN 8 THEN t8 WHEN 16 THEN t16
+             END)) AS BIGINT)"""))
+        .groupBy("b", "r")
+        .agg(count(lit(1)).as("n_cand"),
+          sum("pc_fp").as("exp_cand_fp"),
+          sum(when(col("m") >= 8L, 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("m") >= 8L, col("pc_fp")).otherwise(0L)).as("dup_fp"))
+        .select(col("b"), col("r"), col("n_cand"), col("exp_cand_fp"),
+          col("n_dup"),
+          expr("CASE WHEN n_dup > 0 THEN dup_fp div n_dup END")
+            .as("exp_recall_ppm"))
+        .orderBy(col("b").desc)
     })
   )
 
@@ -20198,7 +20244,59 @@ object SparkEntry {
          SELECT band, count(*) AS n_orders,
            CAST(max(rel_ppm) AS BIGINT) AS max_rel_ppm,
            CAST(min(rel_ppm) AS BIGINT) AS min_rel_ppm
-         FROM banded GROUP BY band ORDER BY band"""
+         FROM banded GROUP BY band ORDER BY band""",
+
+    "dedup_lsh_tuning" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         xj AS (
+           SELECT doc_id, jj.j AS j,
+             xor(h, (jj.j * 11400714819323198485::HUGEINT)
+                 % 18446744073709551616::HUGEINT) AS x
+           FROM e CROSS JOIN (SELECT unnest(range(16)) AS j) jj),
+         ${mix64Ctes("xj", "mx")},
+         sig AS (
+           SELECT doc_id, j, min(${signedSql("h")}) AS c
+           FROM mx GROUP BY doc_id, j),
+         pm AS (
+           SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS m
+           FROM sig sa JOIN sig sb
+             ON sa.j = sb.j AND sa.c = sb.c AND sa.doc_id < sb.doc_id
+           GROUP BY 1, 2),
+         cfg AS (
+           SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r
+           FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8)) AS t(b, r)),
+         s1 AS (
+           SELECT b, r, m, CAST(m AS DOUBLE) / 16.0 AS sv
+           FROM pm CROSS JOIN cfg),
+         s2 AS (
+           SELECT b, r, m,
+             CASE r WHEN 1 THEN sv WHEN 2 THEN sv * sv
+               WHEN 4 THEN (sv * sv) * (sv * sv)
+               WHEN 8 THEN ((sv * sv) * (sv * sv)) * ((sv * sv) * (sv * sv))
+               END AS sr
+           FROM s1),
+         s3 AS (
+           SELECT b, r, m, (1.0 - sr) * (1.0 - sr) AS t2 FROM s2),
+         s4 AS (SELECT b, r, m, t2, t2 * t2 AS t4 FROM s3),
+         s5 AS (SELECT b, r, m, t2, t4, t4 * t4 AS t8 FROM s4),
+         s6 AS (SELECT b, r, m, t2, t4, t8, t8 * t8 AS t16 FROM s5),
+         s7 AS (
+           SELECT b, r, m,
+             CAST(floor(1000000.0 * (1.0 - CASE b
+               WHEN 2 THEN t2 WHEN 4 THEN t4 WHEN 8 THEN t8
+               WHEN 16 THEN t16 END)) AS BIGINT) AS pc_fp
+           FROM s6)
+         SELECT b, r, count(*) AS n_cand,
+           CAST(sum(pc_fp) AS BIGINT) AS exp_cand_fp,
+           CAST(sum(CASE WHEN m >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(CASE WHEN sum(CASE WHEN m >= 8 THEN 1 ELSE 0 END) > 0
+             THEN sum(CASE WHEN m >= 8 THEN pc_fp ELSE 0 END)
+               // sum(CASE WHEN m >= 8 THEN 1 ELSE 0 END)
+           END AS BIGINT) AS exp_recall_ppm
+         FROM s7 GROUP BY b, r ORDER BY b DESC"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
