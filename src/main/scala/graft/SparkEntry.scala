@@ -10875,6 +10875,103 @@ object SparkEntry {
           expr("CASE WHEN n_dup > 0 THEN dup_fp div n_dup END")
             .as("exp_recall_ppm"))
         .orderBy(col("b").desc)
+    }),
+
+    "multimodal_shard_manifest" -> ((s, dir) => {
+      // WebDataset-style shard manifest for the media table: per kind
+      // (image/audio/video — the natural partition key, so the
+      // cumulative-bytes window is KEYED, never global), items pack
+      // into 16 KiB shards by id-ordered running payload size, and the
+      // manifest row per shard carries what a dataloader needs to
+      // mount it: item count, byte total, id range. Payload bytes are
+      // never read — length() is metadata — which is the whole point
+      // of the binary-column layout (Multimodal.scala doc).
+      val media = Multimodal.syntheticMedia(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      val wk = Window.partitionBy("kind").orderBy("media_id")
+      media
+        .withColumn("bytes", length(col("payload")).cast("long"))
+        .withColumn("cum_before", coalesce(
+          sum("bytes").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("shard", expr("cum_before div 16384L"))
+        .groupBy("kind", "shard")
+        .agg(count(lit(1)).as("n_items"), sum("bytes").as("shard_bytes"),
+          min("media_id").as("first_id"), max("media_id").as("last_id"))
+        .orderBy("kind", "shard")
+    }),
+
+    "stats_energy_distance" -> ((s, dir) => {
+      // two-sample energy distance between weekday and weekend daily
+      // order counts: E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| (Székely &
+      // Rizzo). Both samples reduce to VALUE histograms first (the
+      // rows→values discipline: the pairwise |x−y| grids are
+      // distinct-value² ≈ metadata-sized, never day²·SF), every |x−y|
+      // sum is an exact weighted BIGINT, and E assembles from the
+      // three exact integer ratios in one identical double tree.
+      val o = t(s, dir, "orders")
+      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("grp", expr(
+          "CASE WHEN weekday(day) >= 5 THEN 'weekend' ELSE 'weekday' END"))
+      val hist = days.groupBy("grp", "cnt").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def pairSum(ga: String, gb: String) = hist
+        .filter(col("grp") === ga)
+        .select(col("cnt").as("xa"), col("c").as("ca"))
+        .crossJoin(hist.filter(col("grp") === gb)
+          .select(col("cnt").as("xb"), col("c").as("cb")))
+        .agg(sum(expr("ca * cb * abs(xa - xb)")).as("s"),
+          sum(expr("ca * cb")).as("np"))
+      val xy = pairSum("weekday", "weekend")
+        .select(col("s").as("sxy"), col("np").as("nxy"))
+      val xx = pairSum("weekday", "weekday")
+        .select(col("s").as("sxx"), col("np").as("nxx"))
+      val yy = pairSum("weekend", "weekend")
+        .select(col("s").as("syy"), col("np").as("nyy"))
+      xy.crossJoin(xx).crossJoin(yy)
+        .select(col("nxy").as("n_pairs_xy"),
+          expr("""CAST(floor(1000000.0 * (
+            2.0 * CAST(sxy AS DOUBLE) / CAST(nxy AS DOUBLE)
+            - CAST(sxx AS DOUBLE) / CAST(nxx AS DOUBLE)
+            - CAST(syy AS DOUBLE) / CAST(nyy AS DOUBLE))) AS BIGINT)""")
+            .as("energy_ppm"))
+    }),
+
+    "privacy_dp_mean" -> ((s, dir) => {
+      // Laplace-mechanism mean release with clipping — the third DP
+      // release shape beside privacy_dp_counts/_quantile: order values
+      // clip to C = $300k (bounding one record's influence), the
+      // clipped mean has sensitivity C/n, so noise b = C/(n·ε) at
+      // ε = 0.5. Same splitmix64(42)-seeded inverse-CDF Laplace and
+      // the same loudly-documented determinism stand-in as its
+      // siblings (a production release draws real entropy there).
+      // Cents-exact clipped sums; one grouped pass.
+      val o = t(s, dir, "orders")
+      val agg0 = o.select(expr(
+          """least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+             30000000L)""").as("v_c"))
+        .agg(count(lit(1)).as("n"), sum("v_c").as("s_c"))
+      agg0
+        .withColumn("z1", expr(s"42L + ${0x9e3779b97f4a7c15L}L"))
+        .withColumn("z2",
+          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
+        .withColumn("z3",
+          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
+        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
+        .withColumn("u", expr(
+          s"""(CAST(shiftrightunsigned(h, 12) AS DOUBLE)
+               + 0.5) / ${(1L << 52).toDouble}"""))
+        .withColumn("b_c", expr("300000.0 * 100.0 / (0.5 * CAST(n AS DOUBLE))"))
+        .withColumn("noise_c", expr(
+          """-b_c * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+             * ln(1.0 - 2.0 * abs(u - 0.5))"""))
+        .select(col("n"),
+          expr("(s_c * 10000L) div n").as("clipped_mean_ppm"),
+          expr("CAST(floor(10000.0 * noise_c) AS BIGINT)").as("noise_ppm"),
+          expr("""CAST(floor(CAST(s_c AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0
+            + 10000.0 * noise_c) AS BIGINT)""").as("released_mean_ppm"))
     })
   )
 
@@ -20296,7 +20393,111 @@ object SparkEntry {
              THEN sum(CASE WHEN m >= 8 THEN pc_fp ELSE 0 END)
                // sum(CASE WHEN m >= 8 THEN 1 ELSE 0 END)
            END AS BIGINT) AS exp_recall_ppm
-         FROM s7 GROUP BY b, r ORDER BY b DESC"""
+         FROM s7 GROUP BY b, r ORDER BY b DESC""",
+
+    "multimodal_shard_manifest" ->
+      """WITH media AS (
+           SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN 'image'
+               WHEN ((doc_id % 3) + 3) % 3 = 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+             CAST(strlen(text) AS BIGINT) AS bytes
+           FROM documents),
+         cb AS (
+           SELECT media_id, kind, bytes,
+             CAST(coalesce(sum(bytes) OVER (PARTITION BY kind
+               ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM media),
+         sh AS (
+           SELECT kind, cum_before // 16384 AS shard, media_id, bytes
+           FROM cb)
+         SELECT kind, CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_items, CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+           min(media_id) AS first_id, max(media_id) AS last_id
+         FROM sh GROUP BY kind, shard ORDER BY kind, shard""",
+
+    "stats_energy_distance" ->
+      """WITH days AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY 1),
+         grps AS (
+           SELECT cnt,
+             CASE WHEN isodow(day) >= 6 THEN 'weekend' ELSE 'weekday' END
+               AS grp
+           FROM days),
+         hist AS (
+           SELECT grp, cnt, CAST(count(*) AS BIGINT) AS c
+           FROM grps GROUP BY 1, 2),
+         xy AS (
+           SELECT CAST(sum(a.c * b.c * abs(a.cnt - b.cnt)) AS BIGINT) AS sxy,
+             CAST(sum(a.c * b.c) AS BIGINT) AS nxy
+           FROM hist a CROSS JOIN hist b
+           WHERE a.grp = 'weekday' AND b.grp = 'weekend'),
+         xx AS (
+           SELECT CAST(sum(a.c * b.c * abs(a.cnt - b.cnt)) AS BIGINT) AS sxx,
+             CAST(sum(a.c * b.c) AS BIGINT) AS nxx
+           FROM hist a CROSS JOIN hist b
+           WHERE a.grp = 'weekday' AND b.grp = 'weekday'),
+         yy AS (
+           SELECT CAST(sum(a.c * b.c * abs(a.cnt - b.cnt)) AS BIGINT) AS syy,
+             CAST(sum(a.c * b.c) AS BIGINT) AS nyy
+           FROM hist a CROSS JOIN hist b
+           WHERE a.grp = 'weekend' AND b.grp = 'weekend')
+         SELECT nxy AS n_pairs_xy,
+           CAST(floor(1000000.0 * (
+             2.0 * CAST(sxy AS DOUBLE) / CAST(nxy AS DOUBLE)
+             - CAST(sxx AS DOUBLE) / CAST(nxx AS DOUBLE)
+             - CAST(syy AS DOUBLE) / CAST(nyy AS DOUBLE))) AS BIGINT)
+             AS energy_ppm
+         FROM xy CROSS JOIN xx CROSS JOIN yy""",
+
+    "privacy_dp_mean" ->
+      s"""WITH agg0 AS (
+           SELECT count(*) AS n,
+             CAST(sum(least(
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+               30000000)) AS BIGINT) AS s_c
+           FROM orders),
+         mxh AS (
+           SELECT n, s_c,
+             xor(z3, z3 // 2147483648::HUGEINT) AS h
+           FROM (
+             SELECT n, s_c,
+               ${mulModSql("w2", "10723151780598845931")} AS z3
+             FROM (
+               SELECT n, s_c, xor(z2, z2 // 134217728::HUGEINT) AS w2
+               FROM (
+                 SELECT n, s_c,
+                   ${mulModSql("w1", "13787848793156543929")} AS z2
+                 FROM (
+                   SELECT n, s_c, xor(z1, z1 // 1073741824::HUGEINT) AS w1
+                   FROM (
+                     SELECT n, s_c,
+                       (42 + 11400714819323198485::HUGEINT)
+                         % 18446744073709551616::HUGEINT AS z1
+                     FROM agg0))))) ),
+         uf AS (
+           SELECT n, s_c,
+             (CAST(h // 4096::HUGEINT AS DOUBLE) + 0.5)
+               / ${(1L << 52).toDouble} AS u
+           FROM mxh),
+         nz AS (
+           SELECT n, s_c, u,
+             300000.0 * 100.0 / (0.5 * CAST(n AS DOUBLE)) AS b_c
+           FROM uf),
+         fin AS (
+           SELECT n, s_c,
+             -b_c * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+               * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise_c
+           FROM nz)
+         SELECT n,
+           CAST((s_c * 10000) // n AS BIGINT) AS clipped_mean_ppm,
+           CAST(floor(10000.0 * noise_c) AS BIGINT) AS noise_ppm,
+           CAST(floor(CAST(s_c AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0
+             + 10000.0 * noise_c) AS BIGINT) AS released_mean_ppm
+         FROM fin"""
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
