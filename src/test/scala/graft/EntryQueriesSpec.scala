@@ -879,6 +879,109 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("timeseries_haar_energy: shares partition, block counts halve") {
+    val out = q("timeseries_haar_energy")
+      .select("level", "n_blocks", "e_num", "share_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // truncation to a power of two makes block counts exact halvings
+    for (i <- 1 until 4)
+      assert(out(i)._2 * 2 == out(i - 1)._2, s"level ${i + 1} blocks")
+    assert(out.forall(_._3 >= 0L))
+    val shares = out.map(_._4).sum
+    assert(shares <= 1000000L && shares > 1000000L - 4L)
+  }
+
+  test("stats_hodges_lehmann: is a genuine Walsh-average median") {
+    val days = sources.Tables.load(spark, sfDir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day")).count()
+      .select($"count".as[Long]).collect().sorted
+    val walsh = (for {
+      i <- days.indices; j <- i until days.length
+    } yield days(i) + days(j)).sorted
+    val k = (walsh.length + 1) / 2
+    val r = q("stats_hodges_lehmann")
+      .select("hl_x2", "n_pairs", "hl_ppm")
+      .as[(Long, Long, Long)].collect().head
+    assert(r._2 == walsh.length.toLong)
+    assert(r._1 == walsh(k - 1), "lower median of doubled Walsh averages")
+    assert(r._3 == r._1 * 500000L)
+  }
+
+  test("dq_reconciliation: bands partition the order set") {
+    val out = q("dq_reconciliation")
+      .select("band", "n_orders")
+      .as[(String, Long)].collect().toMap
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(out.values.sum == nOrders, "every order lands in one band")
+    assert(out.keySet.subsetOf(
+      Set("exact", "lt_100ppm", "lt_1pct", "gt_1pct", "no_lines")))
+  }
+
+  test("dedup_lsh_tuning: S-curve tradeoff is monotone in the band count") {
+    val out = q("dedup_lsh_tuning")
+      .select("b", "r", "n_cand", "exp_cand_fp", "n_dup", "exp_recall_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(-_._1)
+    assert(out.map(t => (t._1, t._2)) ==
+      Seq((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L)))
+    assert(out.map(_._3).distinct.size == 1, "same candidate universe")
+    assert(out.map(_._5).distinct.size == 1, "same dup stratum")
+    // fewer, wider bands: fewer expected candidates AND lower recall
+    assert(out.map(_._4) == out.map(_._4).sorted.reverse, "candidates")
+    assert(out.map(_._6) == out.map(_._6).sorted.reverse, "recall")
+    assert(out.forall(t => t._6 >= 0L && t._6 <= 1000000L))
+  }
+
+  test("multimodal_shard_manifest: shards tile each kind without overlap") {
+    val out = q("multimodal_shard_manifest")
+      .select("kind", "shard", "n_items", "shard_bytes", "first_id", "last_id")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).toSet == Set("image", "audio", "video"))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.map(_._3).sum == nDocs, "manifest covers every media row")
+    out.groupBy(_._1).foreach { case (kind, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (0L until sorted.size.toLong),
+        s"$kind shard ids contiguous")
+      // id ranges are disjoint and ordered across consecutive shards
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._6 < b._5, s"$kind overlap")
+        case _ =>
+      }
+      // every shard crossed the threshold when it closed, except the last
+      sorted.dropRight(1).foreach { r =>
+        assert(r._4 >= 1L, s"$kind empty shard") }
+    }
+  }
+
+  test("stats_energy_distance: nonnegative and below the diameter bound") {
+    val r = q("stats_energy_distance")
+      .select("n_pairs_xy", "energy_ppm")
+      .as[(Long, Long)].collect().head
+    assert(r._1 > 0L)
+    // E >= 0 always (energy distance is a metric), and E <= 2 E|X-Y|
+    // <= 2 max|X-Y| <= 2 * max daily count
+    val maxCnt = sources.Tables.load(spark, sfDir, "orders")
+      .groupBy(to_date($"o_orderdate")).count()
+      .agg(org.apache.spark.sql.functions.max("count")).as[Long]
+      .collect().head
+    assert(r._2 >= 0L, "energy distance is nonnegative")
+    assert(r._2 <= 2000000L * maxCnt)
+  }
+
+  test("privacy_dp_mean: release = clipped mean + the emitted noise") {
+    val r = q("privacy_dp_mean")
+      .select("n", "clipped_mean_ppm", "noise_ppm", "released_mean_ppm")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r._1 > 0L)
+    // floor interplay allows 1 ppm of slack between the three floors
+    assert(math.abs(r._4 - (r._2 + r._3)) <= 2L,
+      s"release ${r._4} vs ${r._2} + ${r._3}")
+    // clipping bounds the mean by C = $300k (ppm-of-dollar units)
+    assert(r._2 <= 300000L * 1000000L)
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
