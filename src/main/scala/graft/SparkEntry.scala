@@ -10972,6 +10972,61 @@ object SparkEntry {
           expr("CAST(floor(10000.0 * noise_c) AS BIGINT)").as("noise_ppm"),
           expr("""CAST(floor(CAST(s_c AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0
             + 10000.0 * noise_c) AS BIGINT)""").as("released_mean_ppm"))
+    }),
+
+    "embedding_outlier_score" -> ((s, dir) => {
+      // OOD / mislabel mining over the embedding corpus: every vector's
+      // assignment cosine to its nearest trained centroid (the same
+      // quantizer as the IVF family), floored to ppm BEFORE the
+      // per-label 5th-percentile fence so the percentile interpolates
+      // integers (engine-exact, like the WOE fences), and the rows
+      // under the fence flagged. The per-label outlier table that
+      // feeds manual review queues; one broadcast-assign pass + a
+      // label-keyed rollup.
+      val (cents, _) = ivfIndex(s, dir)
+      val asg = Similarity.assignToCentroids(t(s, dir, "embeddings"), cents)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("CAST(floor(1000000.0d * cosine) AS BIGINT)").as("cos_fp"))
+      val fences = asg.groupBy("label")
+        .agg(expr("CAST(floor(percentile(cos_fp, 0.05d)) AS BIGINT)")
+          .as("fence_fp"))
+      asg.join(broadcast(fences), Seq("label"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), max("fence_fp").as("fence_fp"),
+          sum(when(col("cos_fp") < col("fence_fp"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          min("cos_fp").as("worst_cos_fp"))
+        .orderBy("label")
+    }),
+
+    "train_crossdup_audit" -> ((s, dir) => {
+      // eval-set contamination by NEAR duplicates: a test doc whose
+      // near-dup twin sits in train is a leaked answer that exact-match
+      // decontamination (decontaminate_overlap) never sees. Signature-
+      // only estimates (m/16 ≥ 0.5) over the same augmented fixture as
+      // the minhash family; split labels from train_split's stable
+      // content hash; pairs straddling splits roll up into the
+      // contamination table an eval release should publish — with the
+      // count of DISTINCT test docs compromised, the number that
+      // actually gates a release. Signatures + per-pair label
+      // derivation: no shingle set is ever joined.
+      def splitOf(c: Column) = {
+        val h = pmod(HashFunctions.fnv64(c.cast("string")), lit(1000L))
+        when(h < 800, "train").when(h < 900, "val").otherwise("test")
+      }
+      Dedup.minhashEstimatePairsFromShingles(augShingles(s, dir), "doc_id",
+          k = 16, minEstimate = 0.5)
+        .select(col("id_a"), col("id_b"))
+        .withColumn("sa", splitOf(col("id_a")))
+        .withColumn("sb", splitOf(col("id_b")))
+        .groupBy(least(col("sa"), col("sb")).as("s_lo"),
+          greatest(col("sa"), col("sb")).as("s_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(when(col("sa") =!= col("sb"),
+            when(col("sa") === "test", col("id_a"))
+              .otherwise(when(col("sb") === "test", col("id_b")))))
+            .as("n_test_docs"))
+        .orderBy("s_lo", "s_hi")
     })
   )
 
@@ -20497,7 +20552,81 @@ object SparkEntry {
            CAST(floor(10000.0 * noise_c) AS BIGINT) AS noise_ppm,
            CAST(floor(CAST(s_c AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0
              + 10000.0 * noise_c) AS BIGINT) AS released_mean_ppm
-         FROM fin"""
+         FROM fin""",
+
+    "embedding_outlier_score" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+               AS cid,
+             v AS cv
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                   FROM corpus))),
+         ${kmeansIterSql("c0", "a1", "c1")},
+         ${kmeansIterSql("c1", "a2", "c2")},
+         cellsc AS (
+           SELECT p.vec_id, p.label, c.cid, ${cosSql("p.v", "c.cv")} AS cs
+           FROM corpus p CROSS JOIN c2 c),
+         cells AS (
+           SELECT vec_id, label, cs FROM (
+             SELECT vec_id, label, cs, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+             FROM cellsc) WHERE rn = 1),
+         fp AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CAST(floor(1000000.0 * cs) AS BIGINT) AS cos_fp
+           FROM cells),
+         fences AS (
+           SELECT label,
+             CAST(floor(quantile_cont(cos_fp, 0.05)) AS BIGINT) AS fence_fp
+           FROM fp GROUP BY label)
+         SELECT f.label, count(*) AS n, max(fe.fence_fp) AS fence_fp,
+           CAST(sum(CASE WHEN f.cos_fp < fe.fence_fp THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flagged,
+           min(f.cos_fp) AS worst_cos_fp
+         FROM fp f JOIN fences fe USING (label)
+         GROUP BY f.label ORDER BY f.label""",
+
+    "train_crossdup_audit" -> {
+      val hvA = signedSql(fnvSql("CAST(id_a AS VARCHAR)"))
+      val hvB = signedSql(fnvSql("CAST(id_b AS VARCHAR)"))
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
+         xj AS (
+           SELECT doc_id, jj.j AS j,
+             xor(h, (jj.j * 11400714819323198485::HUGEINT)
+                 % 18446744073709551616::HUGEINT) AS x
+           FROM e CROSS JOIN (SELECT unnest(range(16)) AS j) jj),
+         ${mix64Ctes("xj", "mx")},
+         sig AS (
+           SELECT doc_id, j, min(${signedSql("h")}) AS c
+           FROM mx GROUP BY doc_id, j),
+         pm AS (
+           SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+           FROM sig sa JOIN sig sb
+             ON sa.j = sb.j AND sa.c = sb.c AND sa.doc_id < sb.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 8),
+         lab AS (
+           SELECT id_a, id_b,
+             CASE WHEN (($hvA % 1000) + 1000) % 1000 < 800 THEN 'train'
+               WHEN (($hvA % 1000) + 1000) % 1000 < 900 THEN 'val'
+               ELSE 'test' END AS sa,
+             CASE WHEN (($hvB % 1000) + 1000) % 1000 < 800 THEN 'train'
+               WHEN (($hvB % 1000) + 1000) % 1000 < 900 THEN 'val'
+               ELSE 'test' END AS sb
+           FROM pm)
+         SELECT least(sa, sb) AS s_lo, greatest(sa, sb) AS s_hi,
+           count(*) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN sa <> sb THEN
+             CASE WHEN sa = 'test' THEN id_a
+               WHEN sb = 'test' THEN id_b END END) AS BIGINT)
+             AS n_test_docs
+         FROM lab GROUP BY 1, 2 ORDER BY s_lo, s_hi"""
+    }
   )
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
