@@ -982,6 +982,35 @@ class EntryQueriesSpec extends SparkSpec {
     assert(r._2 <= 300000L * 1000000L)
   }
 
+  test("embedding_outlier_score: the 5th-percentile fence flags at most ~5%") {
+    val out = q("embedding_outlier_score")
+      .select("label", "n", "fence_fp", "n_flagged", "worst_cos_fp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // strictly-below-floor(p05) can flag at most ceil(5%) rows
+      assert(r._4 <= r._2 / 20 + 1, s"label ${r._1} flags ${r._4} of ${r._2}")
+      assert(r._5 <= r._3, s"label ${r._1} worst above its own fence")
+    }
+  }
+
+  test("train_crossdup_audit: contamination counted only across splits") {
+    val out = q("train_crossdup_audit")
+      .select("s_lo", "s_hi", "n_pairs", "n_test_docs")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r._1 <= r._2, "pair labels canonicalized")
+      assert(r._4 <= r._3, "distinct docs bounded by pairs")
+      if (r._1 == r._2)
+        assert(r._4 == 0L, s"within-split ${r._1} is not contamination")
+      if (r._1 == "test" && r._2 != "test")
+        assert(r._4 > 0L, "the augmented fixture plants cross-split twins")
+    }
+    // the fixture's planted near-dups must straddle the split somewhere
+    assert(out.filter(r => r._1 != r._2).map(_._3).sum > 0L)
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
