@@ -1011,6 +1011,40 @@ class EntryQueriesSpec extends SparkSpec {
     assert(out.filter(r => r._1 != r._2).map(_._3).sum > 0L)
   }
 
+  test("events_funnel_windows: conversions monotone in the window bound") {
+    val out = q("events_funnel_windows")
+      .select("window", "n_signup", "n_converted", "conv_bp")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq("01_1h", "02_6h", "03_24h", "04_all"))
+    assert(out.map(_._2).distinct.size == 1, "one signup cohort")
+    val conv = out.map(_._3)
+    assert(conv == conv.sorted, "wider window cannot lose conversions")
+    assert(out.forall(r => r._4 >= 0L && r._4 <= 10000L))
+  }
+
+  test("recsys_ild: diversity is a bounded ppm with mean >= min") {
+    val out = q("recsys_ild")
+      .select("segment", "n_users", "mean_ild_ppm", "min_ild_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.forall(_._2 > 0L))
+    out.foreach { r =>
+      assert(r._3 >= 0L && r._3 <= 1000000L, s"${r._1} mean bounds")
+      assert(r._4 <= r._3, s"${r._1} min above mean")
+    }
+  }
+
+  test("graph_sample_fidelity: HT edge estimate lands near truth") {
+    val r = q("graph_sample_fidelity")
+      .select("n_full", "n_samp", "e_full", "e_est_full", "ks_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r._2 <= r._1, "sampling cannot add nodes")
+    assert(r._5 >= 0L && r._5 <= 1000000L)
+    // 25% Bernoulli edge sample: the 1/p-rescaled edge count is an
+    // unbiased estimator; 20% tolerance is ~10 sigma at this edge count
+    assert(math.abs(r._4 - r._3).toDouble / r._3 < 0.2,
+      s"estimate ${r._4} vs ${r._3}")
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
