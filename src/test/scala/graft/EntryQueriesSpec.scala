@@ -1045,6 +1045,27 @@ class EntryQueriesSpec extends SparkSpec {
       s"estimate ${r._4} vs ${r._3}")
   }
 
+  test("stats_mann_kendall: S bounded by the pair count, flag consistent") {
+    val r = q("stats_mann_kendall")
+      .select("n_days", "s_stat", "var18", "p_ppm", "trend")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val maxS = r._1 * (r._1 - 1) / 2
+    assert(math.abs(r._2) <= maxS)
+    assert(r._3 > 0L)
+    assert(Set(-1L, 0L, 1L).contains(r._5))
+    assert((r._4 < 50000L) == (r._5 != 0L), "flag mirrors the p threshold")
+  }
+
+  test("text_novelty_curve: first decile all-new, uniques accumulate") {
+    val out = q("text_novelty_curve")
+      .select("decile", "n_grams", "n_new", "novelty_ppm", "cum_unique")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == (0L to 9L))
+    assert(out.head._4 == 1000000L, "decile 0 has no earlier corpus")
+    out.foreach(r => assert(r._3 <= r._2, s"decile ${r._1} new > present"))
+    assert(out.map(_._3).sum == out.last._5, "cumulative matches the sum")
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
