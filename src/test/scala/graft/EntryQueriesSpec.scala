@@ -1066,6 +1066,42 @@ class EntryQueriesSpec extends SparkSpec {
     assert(out.map(_._3).sum == out.last._5, "cumulative matches the sum")
   }
 
+  test("recsys_ips_eval: IPS reweighting keeps rates in range") {
+    val out = q("recsys_ips_eval")
+      .select("segment", "n_users", "hit_rate_bp", "ips_score_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r._3 >= 0L && r._3 <= 10000L, s"${r._1} hit rate")
+      assert(r._4 >= 0L, s"${r._1} ips nonneg")
+      // every hit's weight is >= 10 (top-10 item propensity <= 1/10 of
+      // interactions only if ultra-dominant; at minimum 1/p >= 1), so
+      // ips >= naive rate expressed in the same ppm scale
+      assert(r._4 * 10L >= r._3 * 1000L || r._3 == 0L,
+        s"${r._1} ips below the naive floor")
+    }
+  }
+
+  test("customers_revenue_concentration: deciles partition, shares decay") {
+    val out = q("customers_revenue_concentration")
+      .select("decile", "n_customers", "revenue_share_ppm", "max_cents",
+        "min_cents")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == (0L to 9L))
+    val nCust = sources.Tables.load(spark, sfDir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(out.map(_._2).sum == nCust, "deciles partition the customers")
+    val shares = out.map(_._3)
+    assert(shares == shares.sorted.reverse, "spend-ranked shares decay")
+    val tot = shares.sum
+    assert(tot <= 1000000L && tot > 1000000L - 10L)
+    // decile boundaries respect the ranking
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(a._5 >= b._4, "rank boundary order")
+      case _ =>
+    }
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
