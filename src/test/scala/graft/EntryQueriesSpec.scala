@@ -1102,6 +1102,18 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_shingle_sensitivity: longer shingles never raise similarity") {
+    val out = q("dedup_shingle_sensitivity")
+      .select("shingle_k", "n_pairs", "mean_j_ppm", "n_docs_doomed")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq(2L, 3L, 5L))
+    assert(out.forall(_._2 > 0L), "fixture plants near-dups at every k")
+    val means = out.map(_._3)
+    assert(means == means.sorted.reverse,
+      "mean Jaccard is non-increasing in shingle size")
+    out.foreach(r => assert(r._4 <= r._2, "doomed docs bounded by pairs"))
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
