@@ -1114,6 +1114,58 @@ class EntryQueriesSpec extends SparkSpec {
     out.foreach(r => assert(r._4 <= r._2, "doomed docs bounded by pairs"))
   }
 
+  test("timeseries_ses_tuning: a unique argmin over the full grid") {
+    val out = q("timeseries_ses_tuning")
+      .select("alpha_pct", "sse_fp", "is_best")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == (1L to 9L).map(_ * 10L))
+    assert(out.forall(_._2 > 0L))
+    val best = out.map(_._2).min
+    out.foreach(r => assert((r._3 == 1L) == (r._2 == best)))
+    assert(out.count(_._3 == 1L) >= 1)
+  }
+
+  test("markov_absorption_time: matches a driver-side chain replay") {
+    import org.apache.spark.sql.functions.{col, count, lead, lit}
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = e.withColumn("nxt", lead(col("event_type"), 1).over(wu))
+      .filter(col("nxt").isNotNull)
+      .filter(col("event_type") =!= "purchase")
+      .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)].collect()
+    val sts = trans.map(_._1).distinct.sorted
+    val k = sts.length
+    val idx = sts.zipWithIndex.toMap
+    val tot = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val qMat = Array.ofDim[Double](k, k)
+    for ((a, b, c) <- trans if b != "purchase" && idx.contains(b))
+      qMat(idx(a))(idx(b)) = c.toDouble / tot(a)
+    var u = Array.fill(k)(1.0)
+    val st = Array.fill(k)(1.0)
+    for (_ <- 1 to 59) {
+      val nu = Array.tabulate(k) { jj =>
+        var s2 = 0.0
+        for (ii <- 0 until k) s2 += qMat(jj)(ii) * u(ii)
+        s2
+      }
+      u = nu
+      for (jj <- 0 until k) st(jj) += u(jj)
+    }
+    val out = q("markov_absorption_time")
+      .select("state", "exp_steps_ppm", "survival_60_ppm")
+      .as[(String, Long, Long)].collect()
+      .map { case (a, b, c) => (a, (b, c)) }.toMap
+    sts.zipWithIndex.foreach { case (name, i) =>
+      val (steps, surv) = out(name)
+      assert(steps == math.floor(1e6 * st(i)).toLong, s"$name steps")
+      assert(surv == math.floor(1e6 * u(i)).toLong, s"$name survival")
+      assert(steps >= 1000000L, s"$name at least one step")
+    }
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
