@@ -56,6 +56,14 @@ object TextFunctions {
   private val enStopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for")
 
+  /** The stopword list as an array Column (RAKE phrase splitting); the
+    * DuckDB oracle embeds the same 12 literals. */
+  def stopwordsArray: Column = array(enStopwords.map(lit): _*)
+
+  /** The stopword list as a SQL array literal for oracle text. */
+  def stopwordsSqlList: String =
+    enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
   /** Fraction of tokens that are (lowercased) English stopwords. */
   def stopwordRatio(text: Column): Column = {
     val ts = tokens(lower(text))

@@ -1166,6 +1166,59 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("text_rake_keywords: phrases are stopword-free and support-bounded") {
+    val out = q("text_rake_keywords")
+      .select("phrase", "len", "n_occ", "score_fp")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.size <= 15)
+    val stop = Set("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "on", "for")
+    out.foreach { r =>
+      val words = r._1.split(" ")
+      assert(words.length == r._2, s"'${r._1}' len mismatch")
+      assert(words.forall(w => !stop(w)), s"'${r._1}' contains a stopword")
+      assert(r._2 >= 1L && r._2 <= 4L)
+      assert(r._3 >= 3L, "support threshold")
+      assert(r._4 > 0L)
+    }
+    // arrives ranked
+    val scores = out.map(_._4)
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("timeseries_croston: matches a driver-side recursion exactly") {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, to_date}
+    val o = sources.Tables.load(spark, sfDir, "orders")
+    val li = sources.Tables.load(spark, sfDir, "lineitem")
+    val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("l_partkey")).limit(1)
+      .select(col("l_partkey").as("pk"))
+    val lines = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(top, li("l_partkey") === col("pk"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val xs = o.select(to_date(col("o_orderdate")).as("day")).distinct()
+      .join(lines, Seq("day"), "left")
+      .withColumn("q", coalesce(col("q"), lit(0L)))
+      .orderBy("day").select($"q".cast("double")).as[Double].collect()
+    var z = 0.0; var p = 0.0; var since = 0.0; var started = false
+    for (x <- xs) {
+      if (!started && x > 0.0) { z = x; p = since + 1.0; since = 0.0; started = true }
+      else if (!started) since += 1.0
+      else if (x > 0.0) {
+        z = z + 0.2 * (x - z); p = p + 0.2 * ((since + 1.0) - p); since = 0.0
+      } else since += 1.0
+    }
+    val r = q("timeseries_croston")
+      .select("n_days", "n_demand_days", "z_ppm", "p_ppm", "forecast_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r._1 == xs.length.toLong)
+    assert(r._2 == xs.count(_ > 0.0).toLong)
+    assert(r._3 == math.floor(1e6 * z).toLong)
+    assert(r._4 == math.floor(1e6 * p).toLong)
+    assert(r._5 == math.floor(1e6 * (if (p > 0) z / p else 0.0)).toLong)
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
