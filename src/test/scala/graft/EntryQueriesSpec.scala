@@ -1219,6 +1219,21 @@ class EntryQueriesSpec extends SparkSpec {
     assert(r._5 == math.floor(1e6 * (if (p > 0) z / p else 0.0)).toLong)
   }
 
+  test("dq_key_discovery: the declared key is unique, ratios bounded") {
+    val out = q("dq_key_discovery")
+      .select("candidate", "n_rows", "n_distinct", "uniqueness_ppm", "is_key")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 5)
+    assert(out.map(_._2).distinct.size == 1)
+    val byName = out.map(r => r._1 -> r).toMap
+    assert(byName("o_orderkey")._5 == 1L, "orderkey is the declared key")
+    out.foreach { r =>
+      assert(r._3 <= r._2)
+      assert(r._4 <= 1000000L)
+      assert((r._5 == 1L) == (r._3 == r._2))
+    }
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
