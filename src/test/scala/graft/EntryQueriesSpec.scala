@@ -1234,6 +1234,31 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("timeseries_theta: forecast is the line/level blend at every h") {
+    val out = q("timeseries_theta")
+      .select("h", "slope_ppm", "level_ppm", "forecast_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == (1L to 6L))
+    assert(out.map(_._2).distinct.size == 1, "one fitted slope")
+    assert(out.map(_._3).distinct.size == 1, "one smoothed level")
+    // successive forecasts differ by ~b/2 per step (ppm floor slack 1)
+    val b = out.head._2
+    out.sliding(2).foreach {
+      case Seq(x, y) =>
+        assert(math.abs((y._4 - x._4) - b / 2) <= 1500L,
+          s"step ${y._1}: ${y._4 - x._4} vs ${b / 2}")
+      case _ =>
+    }
+  }
+
+  test("stats_turning_points: T bounded by interior points, flag consistent") {
+    val r = q("stats_turning_points")
+      .select("n_days", "t_stat", "p_ppm", "looks_random")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r._2 >= 0L && r._2 <= r._1 - 2L)
+    assert((r._4 == 1L) == (r._3 >= 50000L))
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
