@@ -46,6 +46,38 @@ object Rank {
       .drop("__pid", "__off")
   }
 
+  /** Appends `sumCol` = exact global INCLUSIVE running sum of `value`
+    * (BIGINT) over the total order `order` — the prefix-sum sibling of
+    * [[globalRowNumber]], replacing `sum(v).over(Window.orderBy(...))`
+    * whose physical plan funnels every row through one task. Same
+    * two-pass shape: range-repartition on the sort keys, per-partition
+    * running sums (a partitioned window — parallel), then broadcast the
+    * P-row per-partition totals as carried-in offsets.
+    *
+    * Rows whose sort keys tie may receive their tied prefix sums in any
+    * order, exactly like the single-task window they replace — the
+    * MULTISET of running values over a tie group is deterministic
+    * (callers needing a unique value per row must pass a tiebreak
+    * column, as with globalRowNumber). */
+  def globalRunningSum(df: DataFrame, numPartitions: Int, sumCol: String,
+                       value: Column, order: Column*): DataFrame = {
+    val rp = df.withColumn("__v", value.cast("bigint"))
+      .repartitionByRange(numPartitions, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = rp.groupBy(col("__pid")).agg(sum(col("__v")).as("__t"))
+    // P rows of metadata — the only single-partition window
+    val wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__t")).over(wo), lit(0L)))
+      .drop("__t")
+    val wr = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rp.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(sumCol, sum(col("__v")).over(wr) + col("__off"))
+      .drop("__pid", "__off", "__v")
+  }
+
   /** `ntile(k)` bucket (1-based, BIGINT) of a 1-based position in a
     * total order — the closed form of the SQL ntile contract (first
     * `n mod k` buckets get `⌈n/k⌉` rows, the rest `⌊n/k⌋`), so the

@@ -517,4 +517,126 @@ class PlanSpec extends SparkSpec {
     // both aggs are partial+final pairs (map-side combine)
     assert(p.contains("partial_max") || p.contains("partial max"), p)
   }
+
+  test("sessions_concurrency + stats_gini_lorenz: de-single-tasked (range partition, no data-sized global window)") {
+    for (q <- Seq("sessions_concurrency", "stats_gini_lorenz")) {
+      val p = plan(q)
+      assert(p.contains("rangepartitioning"), s"$q lost its range repartition\n$p")
+      assert(!p.contains("ntile("), s"$q reintroduced a window ntile\n$p")
+    }
+  }
+
+  // ---- the unpartitioned-window guard ----------------------------------
+  //
+  // A `Window.orderBy` without `partitionBy` plans as
+  // `Exchange SinglePartition → WindowExec`: every input row moves through
+  // ONE task. Fine when the input is provably small (top-k limited, a
+  // calendar/value-domain rollup, partition metadata); a silent
+  // scale-killer when the input grows with the corpus. This guard walks
+  // the physical plan of EVERY query and fails on any unpartitioned
+  // WindowExec whose input is not structurally bounded and whose query is
+  // not on the reviewed allowlist below (categories documented in
+  // PLANS.md §unpartitioned-windows). A new query with a row-sized global
+  // window now fails HERE instead of surviving until a 100×-scale run.
+
+  /** Reviewed global-window sites: query name → why the window input is
+    * small. Categories: calendar (days/weeks/months/hours frame),
+    * value-domain (fixed bins/deciles/domain rollup), vocab (distinct
+    * tokens — sublinear in corpus), metadata (k-sized model/cell/file
+    * frame). Entity-sized inputs (rows that grow linearly with the
+    * corpus) are NOT allowlistable — reshape via Rank.globalRowNumber /
+    * globalRunningSum instead. */
+  private val globalWindowAllowlist: Map[String, String] = Map(
+    "ab_sequential_sprt" -> "calendar: daily-looks frame",
+    "graph_degree_distribution" -> "value-domain: degree histogram",
+    "layout_compaction_plan" -> "metadata: file-manifest frame",
+    "model_auc" -> "value-domain: margin-cents rollup",
+    "model_isotonic_calibration" -> "value-domain: 10 fixed bins",
+    "model_ks" -> "value-domain: score-cents rollup",
+    "model_pr_auc" -> "value-domain: margin-cents rollup",
+    "part_skyline" -> "value-domain: per-price rollup (2-dp price range)",
+    "privacy_dp_quantile" -> "value-domain: fixed bins",
+    "similarity_ivf_cell_stats" -> "metadata: k=ceil(sqrt(n)) cell frame",
+    "stats_anderson_darling" -> "calendar: daily z-score frame",
+    "stats_benjamini_hochberg" -> "metadata: per-nation test frame",
+    "stats_bootstrap" -> "metadata: 32 replicate means",
+    "stats_durbin_watson" -> "calendar: daily series",
+    "stats_fisher_exact" -> "metadata: 2x2 contingency table",
+    "stats_hodges_lehmann" -> "calendar^2: Walsh-average pair frame",
+    "stats_kruskal_wallis" -> "value-domain: cents rollup",
+    "stats_ks_test" -> "value-domain: cents rollup",
+    "stats_mann_whitney" -> "value-domain: cents rollup",
+    "stats_runs_test" -> "calendar: daily sign series",
+    "stats_turning_points" -> "calendar: daily series",
+    "stats_wilcoxon_signed_rank" -> "value-domain: |diff| rollup",
+    "stats_xi_correlation" -> "calendar: daily rank series",
+    "survival_km" -> "value-domain: whole-hour duration frame",
+    "text_zipf_fit" -> "vocab: distinct tokens (Heaps-sublinear)",
+    "timeseries_anomaly_decomposed" -> "calendar: hourly frame",
+    "timeseries_changepoint" -> "calendar: daily series",
+    "timeseries_decompose" -> "calendar: hourly frame",
+    "timeseries_forecast_eval" -> "calendar: monthly series",
+    "timeseries_haar_energy" -> "calendar: daily series",
+    "timeseries_holt" -> "calendar: monthly series",
+    "timeseries_hurst" -> "calendar: daily series",
+    "timeseries_sax" -> "calendar: daily series",
+    "vocab_coverage" -> "vocab: distinct tokens (Heaps-sublinear)")
+
+  test("unpartitioned-window guard: every global WindowExec is bounded or reviewed") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.{LocalLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+
+    // full walker: a plain `collect` stops at the AQE wrapper (whose
+    // children is Nil), cached relations, and subquery boundaries — all
+    // three HIDE window operators, so unwrap each explicitly
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+        case other => other.children
+      }
+      val subs = p.subqueries
+      p +: (kids ++ subs).flatMap(allNodes)
+    }
+
+    // structurally bounded: a per-partition group-limit or a limit below
+    // the window (top-k), or the P-row spark_partition_id offset frame of
+    // Rank.globalRowNumber / globalRunningSum
+    def bounded(w: WindowExec): Boolean =
+      allNodes(w.child).exists {
+        case _: WindowGroupLimitExec | _: LocalLimitExec |
+             _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+        case a: HashAggregateExec =>
+          a.groupingExpressions.map(_.name) == Seq("__pid")
+        case a: SortAggregateExec =>
+          a.groupingExpressions.map(_.name) == Seq("__pid")
+        case a: ObjectHashAggregateExec =>
+          a.groupingExpressions.map(_.name) == Seq("__pid")
+        case _ => false
+      }
+
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan: SparkPlan =
+          try fn(spark, sfDir).queryExecution.executedPlan
+          catch { case e: Throwable =>
+            fail(s"guard could not plan $name: ${e.getMessage}") }
+        // a foldable partitionSpec (Window.partitionBy(lit(0))) is the
+        // same single-task hazard wearing a costume — flag it too
+        val globals = allNodes(plan).collect {
+          case w: WindowExec
+            if w.partitionSpec.isEmpty ||
+               w.partitionSpec.forall(_.foldable) => w }
+        if (globals.exists(w => !bounded(w)) &&
+            !globalWindowAllowlist.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unreviewed unpartitioned windows in: ${offenders.mkString(", ")} — " +
+        "either reshape (Rank.globalRowNumber/globalRunningSum) or review " +
+        "and allowlist with a category + reason (see PLANS.md)")
+  }
 }
