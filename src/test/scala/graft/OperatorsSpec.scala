@@ -573,6 +573,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal headers: parser reads hand-assembled literal bytes") {
+    // a minimal baseline JPEG assembled BYTE BY BYTE (not via buildJpeg),
+    // pinning the marker constants independently: SOI, APP0(JFIF),
+    // SOF0 with height=48 width=64, SOS, EOI
+    val jpeg: Array[Byte] = (
+      Seq(0xff, 0xd8,
+        0xff, 0xe0, 0x00, 0x10) ++ "JFIF".getBytes("US-ASCII").map(_ & 0xff) ++
+      Seq(0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+        0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x30, 0x00, 0x40, 0x03,
+        0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01,
+        0xff, 0xda, 0x00, 0x0c, 0x03, 0x01, 0x00, 0x02, 0x11, 0x03,
+        0x11, 0x00, 0x3f, 0x00, 0x12, 0x34,
+        0xff, 0xd9)).map(_.toByte).toArray
+    val hj = Multimodal.parseHeader(1L, jpeg)
+    assert(hj.fmt == "jpeg" && hj.width.contains(64L) && hj.height.contains(48L), hj)
+
+    // builder round-trips for all three containers, offsets varied
+    for (com <- Seq(1, 13, 29); prog <- Seq(false, true)) {
+      val h = Multimodal.parseHeader(2L,
+        Multimodal.buildJpeg(613, 401, com, prog, "body".getBytes))
+      assert(h.fmt == "jpeg" && h.width.contains(613L) && h.height.contains(401L), h)
+    }
+    val hp = Multimodal.parseHeader(3L, Multimodal.buildPng(640, 360, "x".getBytes))
+    assert(hp.fmt == "png" && hp.width.contains(640L) && hp.height.contains(360L), hp)
+    for (junk <- Seq(0, 7, 15)) {
+      val hw = Multimodal.parseHeader(4L,
+        Multimodal.buildWav(2, 44100, junk, "pcm".getBytes))
+      assert(hw.fmt == "wav" && hw.n_channels.contains(2L) &&
+        hw.sample_rate.contains(44100L), hw)
+    }
+
+    // malformed inputs degrade to fmt=unknown, never throw
+    assert(Multimodal.parseHeader(5L, "plain text".getBytes).fmt == "unknown")
+    assert(Multimodal.parseHeader(6L, Array.emptyByteArray).fmt == "unknown")
+    val trunc = Multimodal.buildPng(640, 360, "x".getBytes).take(20)
+    assert(Multimodal.parseHeader(7L, trunc).fmt == "unknown")
+    val noSof = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)
+    assert(Multimodal.parseHeader(8L, noSof).fmt == "unknown")
+  }
+
   test("autoK: ⌈√n⌉ clamped — cells scale with corpus instead of growing linearly") {
     import graft.operators.Similarity.autoK
     assert(autoK(10) == 8)          // floor
