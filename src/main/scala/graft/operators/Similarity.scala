@@ -229,6 +229,55 @@ object Similarity {
         avg(col("a_cos")).as("mean_assign_cos"))
   }
 
+  /** Re-cluster-and-swap — the ACTION the drift trigger calls for. When
+    * `appendToIvfIndex`'s readout (concentrating appended mass, degrading
+    * assignment cosines) says the base-trained quantizer no longer fits
+    * the grown corpus, this retrains the coarse quantizer ON the grown
+    * corpus (read from the index itself), writes the re-assigned corpus
+    * cell-partitioned into a fresh directory, and atomically installs it
+    * over `path` with the `Layout.compact` rename protocol (move aside →
+    * install → roll back on failure), so concurrent readers see either
+    * the old index or the new one, never a half-written mix.
+    *
+    * Training is a deterministic pure function of the vector SET
+    * (first-k init by ascending id, canonical ascending-id mean folds),
+    * so the post-swap index equals a from-scratch build on the same
+    * corpus EXACTLY — probes agree bit-for-bit (OperatorsSpec asserts
+    * map-equality; the oracle replays train-on-full in SQL). The
+    * retrained centroids are collected driver-side (k×dim floats —
+    * metadata) BEFORE the swap so the returned frame never re-reads the
+    * moved files. */
+  def reclusterIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        centroidIdCol: String = "centroid_id",
+                        iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(path).select(col(idCol), col(vecCol))
+    val trained = kmeansCentroids(corpus, autoK(corpus.count()), iters,
+        idCol, vecCol)
+      .select(col(centroidIdCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cents = spark.createDataset(trained.toIndexedSeq)
+      .toDF(centroidIdCol, vecCol)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_recluster_tmp")
+    Layout.writePartitioned(
+      assignToCentroids(corpus, cents, idCol, vecCol, centroidIdCol)
+        .select(col(centroidIdCol), col(idCol), col(vecCol)),
+      tmp.toString, Seq(centroidIdCol))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "_recluster_old")
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"recluster: cannot move $path aside")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // roll back
+      throw new java.io.IOException(s"recluster: cannot install $tmp")
+    }
+    fs.delete(old, true)
+    cents
+  }
+
   /** Query a materialized IVF index. Probe cell ids are resolved on the
     * driver (|Q|·nprobe longs — metadata, not data) so the cell filter is
     * a literal IN-list that prunes partitions at scan time. */

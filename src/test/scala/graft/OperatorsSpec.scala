@@ -522,6 +522,41 @@ class OperatorsSpec extends SparkSpec {
     assert(a((0L, 1))._1 == 0L)
   }
 
+  test("reclusterIvfIndex: post-swap probe equals from-scratch build; swap dirs cleaned") {
+    val e = Tables().embeddings
+    val base = e.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
+    val batch = e.filter(pmod(col("vec_id"), lit(5L)) === 0L)
+    val baseCents = Similarity.kmeansCentroids(base, k = 4, iters = 2)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_rc").toString
+
+    // live index grown incrementally, then drift → re-cluster-and-swap
+    val live = tmp + "/live"
+    Similarity.writeIvfIndex(base, baseCents, live)
+    Similarity.appendToIvfIndex(batch, baseCents, live)
+    val newCents = Similarity.reclusterIvfIndex(spark, live)
+
+    // from-scratch build over the same grown corpus at the same k
+    val scratch = tmp + "/scratch"
+    val scratchCents = Similarity.kmeansCentroids(
+      e, k = Similarity.autoK(e.count()), iters = 2)
+    Similarity.writeIvfIndex(e, scratchCents, scratch)
+
+    def probe(path: String, cents: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKFromIndex(spark, path, q, cents, k = 5, nprobe = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), r.getAs[Double]("cosine"))).toMap
+    val a = probe(live, newCents)
+    val b = probe(scratch, scratchCents)
+    assert(a == b, s"post-swap/from-scratch probe diverged: $a vs $b")
+
+    // the rename protocol leaves no staging or moved-aside directory
+    assert(!new java.io.File(live + "_recluster_tmp").exists)
+    assert(!new java.io.File(live + "_recluster_old").exists)
+  }
+
   test("hotelsCount: manual fixture counts") {
     val df = Seq(
       ("2020-01-01", "2020-01-03", 100L), // Short

@@ -99,6 +99,16 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("centroid_id"), s"no centroid_id partition filter:\n$p")
   }
 
+  test("similarity_ivf_recluster: probe over the post-swap index still prunes partitions") {
+    val p = plan("similarity_ivf_recluster")
+    // after the atomic re-cluster swap the index is a fresh
+    // centroid_id-partitioned layout; probes must keep reading only the
+    // probed cells' directories
+    val pf = "PartitionFilters: \\[([^\\]]*)".r
+      .findAllMatchIn(p).map(_.group(1)).mkString("; ")
+    assert(pf.contains("centroid_id"), s"no centroid_id partition filter:\n$p")
+  }
+
   test("similarity_topk_ivf_append: probe over the append-grown index still prunes partitions") {
     val p = plan("similarity_topk_ivf_append")
     // appended cell files land under the same centroid_id=N directories,
