@@ -672,6 +672,38 @@ object StreamingPipeline {
         graft.functions.GKQuantile.gkBounds(col("value"), eps, qs)
           .as("gk"))
 
+  /** Streaming Count–Min sketch: the batch `cms_sketch`
+    * TypedImperativeAggregate as an update-mode streaming aggregation —
+    * state is ONE depth×width counter grid regardless of stream volume
+    * or key cardinality, merged across micro-batches by cell-wise sums
+    * (the same commutative merge the batch partial aggregation uses,
+    * order-proven by `agg_cms_merge`). CMS's guarantee — the point
+    * estimate (min over a key's depth cells) NEVER undercounts — holds
+    * at every emission, so a serving layer can read per-key frequency
+    * floors mid-stream for keys chosen AFTER the pass: the
+    * unbounded-key frequency story at 100 TB, where a per-key groupBy
+    * state would grow without bound. */
+  def cmsStream(events: Dataset[UserEvent], depth: Int = 4,
+                width: Int = 1024): DataFrame =
+    events.toDF().groupBy()
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.CountMinFunctions.cmsSketch(
+          col("user_id").cast("string"), depth, width).as("cms"))
+
+  /** Streaming Misra–Gries heavy hitters: the capacity-k mergeable
+    * summary (`mg_candidates`) as an update-mode streaming aggregation —
+    * state is ≤ k counters. The MG guarantee holds at every emission
+    * under ANY micro-batch split (Agarwal et al. mergeability): every
+    * key with true frequency > n/(k+1) is present, and each reported
+    * count is a lower bound short by at most n/(k+1). The serving layer
+    * confirms exact counts for just the ≤ k candidates — the
+    * unbounded-key top-k story at 100 TB. */
+  def topkStream(events: Dataset[UserEvent], k: Int = 16): DataFrame =
+    events.toDF().groupBy()
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.HeavyHitters.mgCandidates(col("user_id"), k)
+          .as("mg"))
+
   /** Wire a streaming source through enrich → hotels_count and emit the
     * changelog (K2/K3 parity: outputMode("update") ≙ EMIT CHANGES). */
   def changelogWriter(records: DataFrame, exact: Boolean = true): DataStreamWriter[Row] =

@@ -1503,4 +1503,100 @@ class StreamingSpec extends SparkSpec {
       check((b1 ++ b2).map(_.value))
     } finally q.stop()
   }
+
+  test("cmsStream: point estimates never undercount at every emission") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[UserEvent]
+    val (depth, width) = (4, 256)
+    val q = StreamingPipeline.cmsStream(input.toDS(), depth, width)
+      .writeStream.format("memory").queryName("cms_stream_test")
+      .outputMode("update").start()
+    def check(keysSoFar: Seq[Long]): Unit = {
+      val row = spark.table("cms_stream_test").collect().maxBy(_.getLong(0))
+      assert(row.getLong(0) == keysSoFar.size.toLong)
+      val grid = row.getSeq[Long](1)
+      assert(grid.size == depth * width)
+      // mass conservation: each row of the grid holds exactly n counts
+      assert(grid.sum == depth.toLong * keysSoFar.size)
+      val trueCounts =
+        keysSoFar.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      trueCounts.foreach { case (k, n) =>
+        val cells = graft.functions.CountMinOps.cells(
+          org.apache.spark.unsafe.types.UTF8String.fromString(k.toString),
+          depth, width)
+        val est =
+          (0 until depth).map(r => grid(r * width + cells.getLong(r).toInt)).min
+        assert(est >= n, s"key $k undercounted: est $est < true $n")
+      }
+    }
+    try {
+      val b1 = (1 to 400).map(i =>
+        UserEvent((i * i % 37).toLong, ts("2024-01-01 10:00:00"), 1.0))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      check(b1.map(_.user_id))
+      // second micro-batch merges cell-wise into the SAME grid
+      val b2 = (1 to 300).map(i =>
+        UserEvent((i % 151).toLong, ts("2024-01-01 10:05:00"), 1.0))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      check((b1 ++ b2).map(_.user_id))
+    } finally q.stop()
+  }
+
+  test("topkStream: Misra-Gries guarantee holds across micro-batch merges") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[UserEvent]
+    val k = 8
+    val q = StreamingPipeline.topkStream(input.toDS(), k)
+      .writeStream.format("memory").queryName("topk_stream_test")
+      .outputMode("update").start()
+    def check(keysSoFar: Seq[Long]): Unit = {
+      val row = spark.table("topk_stream_test").collect().maxBy(_.getLong(0))
+      val n = keysSoFar.size.toLong
+      assert(row.getLong(0) == n)
+      val mg = row.getStruct(1)
+      assert(mg.getLong(0) == n)
+      val items = mg.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(items.size <= k)
+      val trueCounts =
+        keysSoFar.groupBy(identity).map { case (kk, v) => kk -> v.size.toLong }
+      val thresh = n / (k + 1)
+      // every key with true frequency > n/(k+1) must be present
+      trueCounts.foreach { case (kk, c) =>
+        if (c > thresh)
+          assert(items.contains(kk),
+            s"heavy key $kk (count $c > n/(k+1)=$thresh) missing")
+      }
+      // reported counts are lower bounds short by at most n/(k+1)
+      items.foreach { case (kk, lb) =>
+        val c = trueCounts.getOrElse(kk, 0L)
+        assert(lb <= c, s"key $kk lb $lb overcounts true $c")
+        assert(c - lb <= thresh, s"key $kk lb $lb short of $c by > $thresh")
+      }
+    }
+    try {
+      // skew: key 1 very heavy, 2-4 heavy, long tail of singletons
+      val b1 = (1 to 300).map { i =>
+        val key = if (i % 2 == 0) 1L else if (i % 3 == 0) 2L
+          else if (i % 5 == 0) 3L else 100L + i
+        UserEvent(key, ts("2024-01-01 10:00:00"), 1.0)
+      }
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      check(b1.map(_.user_id))
+      // second batch shifts the weights: a NEW heavy key must displace
+      // tail candidates through the merge
+      val b2 = (1 to 250).map { i =>
+        val key = if (i % 2 == 0) 4L else if (i % 3 == 0) 1L else 1000L + i
+        UserEvent(key, ts("2024-01-01 10:05:00"), 1.0)
+      }
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      check((b1 ++ b2).map(_.user_id))
+    } finally q.stop()
+  }
 }
