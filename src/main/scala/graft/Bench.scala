@@ -78,6 +78,13 @@ object Bench {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     shufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb benches the RocksDB state store
+    // (correctness-tested in StreamingRecoverySpec; this knob gives it a
+    // throughput/latency reading) — the provider is pinned per query at
+    // checkpoint creation, so set it before start()
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = try {
       graft.streaming.StreamingPipeline.changelogWriter(stream)
         .format("memory")
