@@ -1259,6 +1259,61 @@ class EntryQueriesSpec extends SparkSpec {
     assert((r._4 == 1L) == (r._3 >= 50000L))
   }
 
+  test("agg_f2_ams: driver replay of the sketch is bit-exact; exact F2 sane") {
+    val r = q("agg_f2_ams")
+      .select("n_rows", "f2_exact", "f2_est", "err_ppm")
+      .as[(Long, Long, Long, Long)].collect().head
+    // F2 = sum c^2 >= sum c = n
+    assert(r._2 >= r._1)
+    // replay the full sketch driver-side with the SAME hash chain
+    val keys = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey").as[Long].collect()
+    assert(keys.length.toLong == r._1)
+    val z = new Array[Long](8)
+    keys.foreach { k =>
+      val h = graft.functions.HashOps.mix64(k)
+      var j = 0
+      while (j < 8) {
+        z(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L); j += 1
+      }
+    }
+    val est = z.map(v => v * v).sum / 8
+    assert(est == r._3, s"driver replay $est vs query ${r._3}")
+    assert(r._4 == math.abs(est - r._2) * 1000000L / r._2)
+  }
+
+  test("layout_bloom_prune: candidates contain truth; pruning is real") {
+    val out = q("layout_bloom_prune")
+      .select("probe_id", "n_candidate_files", "n_true_files",
+        "n_false_pos", "scan_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == (0L to 4L))
+    out.foreach { r =>
+      assert(r._3 >= 1L, "probe doc's own file must contain it")
+      assert(r._4 >= 0L, "bloom can never false-negative")
+      assert(r._2 == r._3 + r._4)
+      assert(r._5 < 1000000L, "no pruning at all would read every file")
+    }
+  }
+
+  test("join_interval_overlap: versions tile the session; totals bounded") {
+    val out = q("join_interval_overlap")
+      .select("user_id", "session_id", "dur_us", "n_versions", "ov_total_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.size <= 20)
+    out.foreach { r =>
+      assert(r._4 >= 1L)
+      // validity intervals are disjoint per user, so their overlaps with
+      // one session can never sum past the session's span
+      assert(r._5 >= 0L && r._5 <= r._3,
+        s"overlap ${r._5} outside [0, ${r._3}]")
+    }
+    // the interesting rows exist: some session straddles a version change
+    assert(out.head._4 > 1L, "fixture should produce multi-version sessions")
+    val nv = out.map(_._4)
+    assert(nv == nv.sorted.reverse)
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
