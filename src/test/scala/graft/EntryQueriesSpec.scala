@@ -1314,6 +1314,53 @@ class EntryQueriesSpec extends SparkSpec {
     assert(nv == nv.sorted.reverse)
   }
 
+  test("pack_bestfit_eval: packing identities hold per shard and strategy") {
+    val out = q("pack_bestfit_eval")
+      .select("strategy", "shard", "n_docs", "packed_tokens", "n_seqs",
+        "padding_tokens", "waste_ppm", "n_oversize")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out.map(_._1).distinct.sorted == Seq("1_arrival", "2_sorted_desc"))
+    out.foreach { r =>
+      // capacity conservation: seqs * 512 = packed + padding exactly
+      assert(r._5 * 512L == r._4 + r._6,
+        s"${r._1}/${r._2}: ${r._5}*512 != ${r._4}+${r._6}")
+      assert(r._5 >= (r._4 + 511L) / 512L, "fewer seqs than the LP bound")
+      assert(r._7 >= 0L && r._7 < 1000000L)
+    }
+    // both strategies pack the same docs per shard
+    val byShard = out.groupBy(_._2).values
+    byShard.foreach { rs =>
+      assert(rs.map(r => (r._3, r._4)).distinct.size == 1,
+        "strategies disagree on the doc set")
+    }
+  }
+
+  test("timeseries_stl_strength: strengths are valid shares") {
+    val r = q("timeseries_stl_strength")
+      .select("n_hours", "f_trend_ppm", "f_seasonal_ppm")
+      .as[(Long, Long, Long)].collect().head
+    assert(r._1 > 24L)
+    assert(r._2 >= 0L && r._2 <= 1000000L)
+    assert(r._3 >= 0L && r._3 <= 1000000L)
+  }
+
+  test("dedup_simhash_tuning: dup mass separates from the noise floor") {
+    val out = q("dedup_simhash_tuning")
+      .select("hamming", "n_pairs", "share_ppm")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.forall(r => r._1 >= 0L && r._1 <= 64L))
+    assert(out.map(_._3).sum <= 1000000L, "floor shares cannot exceed 1")
+    // the planted near-dup stratum shows up at distance 0
+    val d0 = out.find(_._1 == 0L).map(_._2).getOrElse(0L)
+    assert(d0 > 0L, "exact-dup pairs must collide at hamming 0")
+    // the near range (<=3, exhaustive by pigeonhole) is sparser than the
+    // far noise floor per distance value on this fixture
+    val near = out.filter(_._1 <= 3L).map(_._2).sum
+    val far = out.filter(r => r._1 >= 8L && r._1 <= 11L).map(_._2).sum
+    assert(near < far, s"expected a valley between dup mass and noise: $near vs $far")
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
