@@ -1361,6 +1361,69 @@ class EntryQueriesSpec extends SparkSpec {
     assert(near < far, s"expected a valley between dup mass and noise: $near vs $far")
   }
 
+  test("model_cost_curve: one argmin per regime, cost identity holds") {
+    val out = q("model_cost_curve")
+      .select("r", "thr", "fp", "fn", "cost", "is_best")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 20)
+    out.foreach(r => assert(r._5 == r._3 + r._1 * r._4))
+    out.groupBy(_._1).foreach { case (r, rows) =>
+      assert(rows.count(_._6 == 1L) == 1, s"regime $r needs one argmin")
+      val best = rows.find(_._6 == 1L).get
+      assert(rows.forall(_._5 >= best._5), s"regime $r argmin not minimal")
+    }
+    // economics move the operating point: as FN cost rises the argmin
+    // threshold can only stay or DROP (accept more positives)
+    val bestByR = out.filter(_._6 == 1L).sortBy(_._1).map(_._2)
+    assert(bestByR == bestByR.sorted.reverse, s"argmin not monotone: $bestByR")
+  }
+
+  test("privacy_noisy_max: exactly one winner, near the true max") {
+    val out = q("privacy_noisy_max")
+      .select("priority", "n_exact", "noisy", "is_winner")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(out.size == 5)
+    assert(out.count(_._4 == 1L) == 1)
+    val winner = out.find(_._4 == 1L).get
+    assert(winner._3 == out.map(_._3).max)
+    // Laplace(2) noise is tiny vs ~3k counts: the released winner must
+    // be within noise range of the true max count
+    assert(out.map(_._2).max - winner._2 < 50L)
+  }
+
+  test("agg_hll_intersection: inclusion-exclusion identities") {
+    val r = q("agg_hll_intersection").collect().head
+    val (ea, eb, eu, ei) = (r.getAs[Long]("n_exact_a"),
+      r.getAs[Long]("n_exact_b"), r.getAs[Long]("n_exact_u"),
+      r.getAs[Long]("n_exact_inter"))
+    assert(ei == ea + eb - eu && ei >= 0L)
+    assert(eu >= math.max(ea, eb))
+    val (sa, sb, su, si) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_u"), r.getAs[Double]("est_inter"))
+    // union sketch is a register max: estimate dominates each side
+    assert(su >= sa - 1e-9 && su >= sb - 1e-9)
+    assert(math.abs(si - (sa + sb - su)) < 1e-3)
+    assert(r.getAs[Long]("err_inter_ppm") < 100000L, "intersection est >10% off")
+  }
+
+  test("feature_hashing_tuning: collisions fall monotonically with width") {
+    val out = q("feature_hashing_tuning")
+      .select("w", "n_terms", "n_buckets_used", "n_colliding_terms",
+        "collision_ppm", "occupancy_ppm", "colliding_token_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(out.map(_._1) == Seq(64L, 256L, 1024L, 4096L))
+    assert(out.map(_._2).distinct.size == 1)
+    out.foreach { r =>
+      assert(r._3 <= math.min(r._1, r._2))
+      assert(r._4 <= r._2 && r._4 != 1L, "colliding terms come in groups >=2")
+      assert(r._6 <= 1000000L)
+    }
+    // wider table => no more colliding terms (same hash, more buckets)
+    val coll = out.map(_._4)
+    assert(coll == coll.sorted.reverse, s"collisions not monotone: $coll")
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
