@@ -1424,6 +1424,31 @@ class EntryQueriesSpec extends SparkSpec {
     assert(coll == coll.sorted.reverse, s"collisions not monotone: $coll")
   }
 
+  test("stats_g_test: G close to Pearson X2 on the same table") {
+    val g = q("stats_g_test").select("n", "dof", "g_stat", "reject_at_05")
+      .as[(Long, Long, Double, Long)].collect().head
+    assert(g._2 == 8L && g._3 >= 0.0)
+    assert((g._4 == 1L) == (g._3 > 15.507))
+    // the two independence statistics agree to first order
+    val chi = q("stats_chi_square").select("chi2").as[Double].collect().head
+    assert(math.abs(g._3 - chi) < 0.2 * math.max(1.0, chi),
+      s"G ${g._3} vs X2 $chi diverge beyond first-order agreement")
+  }
+
+  test("text_js_divergence: symmetric-bounded divergence over all pairs") {
+    val out = q("text_js_divergence")
+      .select("sa", "sb", "n_terms_union", "jsd_nats")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val nSrc = (out.map(_._1) ++ out.map(_._2)).distinct.size
+    assert(out.size == nSrc * (nSrc - 1) / 2, "one row per unordered pair")
+    out.foreach { r =>
+      assert(r._1 < r._2)
+      assert(r._4 >= -1e-12 && r._4 <= math.log(2.0) + 1e-9,
+        s"JSD ${r._4} outside [0, ln 2]")
+      assert(r._3 >= 1L)
+    }
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")

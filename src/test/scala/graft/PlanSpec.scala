@@ -528,6 +528,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max") || p.contains("partial max"), p)
   }
 
+  test("join_interval_overlap: keyed equi-join with residual, never a cross product") {
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("layout_bloom_prune: probe frames broadcast against the bit manifest") {
+    val p = plan("layout_bloom_prune")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sessions_concurrency + stats_gini_lorenz: de-single-tasked (range partition, no data-sized global window)") {
     for (q <- Seq("sessions_concurrency", "stats_gini_lorenz")) {
       val p = plan(q)
