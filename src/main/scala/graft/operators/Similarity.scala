@@ -309,6 +309,39 @@ object Similarity {
       .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** Radius (range) search over a materialized IVF index — the sibling
+    * of [[ivfTopKFromIndex]] for "ALL neighbors with cosine ≥ τ" (near-
+    * dup mining, dedup-by-threshold): same driver-resolved probe-cell
+    * pruning, but the rerank keeps every candidate above the threshold
+    * instead of the top k. Recall is bounded by the probed cells exactly
+    * as for top-k (quantified by the recall-sweep query); result size is
+    * data-dependent, so callers aggregate or bound downstream. */
+  def ivfRangeFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queries: DataFrame,
+                        centroids: DataFrame, minCosine: Double,
+                        nprobe: Int = 2,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        queryIdCol: String = "query_id",
+                        centroidIdCol: String = "centroid_id"): DataFrame = {
+    val qScored = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .join(broadcast(centroids.select(col(centroidIdCol), col(vecCol).as("c_vec"))))
+      .withColumn("c_cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+    val wq = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("c_cos").desc, col(centroidIdCol))
+    val probes = qScored
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col(queryIdCol), col(centroidIdCol), col("q_vec"))
+    val probeCells = probes.select(centroidIdCol).distinct()
+      .collect().map(_.getLong(0))
+    val cells = spark.read.parquet(path)
+      .filter(col(centroidIdCol).isin(probeCells: _*))
+    cells.join(broadcast(probes), Seq(centroidIdCol))
+      .withColumn("cosine", VectorFunctions.cosineSim(col(vecCol), col("q_vec")))
+      .filter(col("cosine") >= minCosine)
+      .select(col(queryIdCol), col(idCol), col("cosine"))
+  }
+
   // -------------------------------------------- product quantization (PQ)
 
   /** Product-quantization codebooks: each vector is split into

@@ -1449,6 +1449,31 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_impact_audit: election keeps originals, removes copies, misses near-dups") {
+    val out = q("dedup_impact_audit")
+      .select("stratum", "n_docs", "n_removed", "removed_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq("1_original", "2_exact_copy", "3_near_dup"))
+    val Seq(orig, copies, near) = out
+    assert(orig._3 == 0L, "min-id election must keep every original")
+    assert(copies._3 == copies._2 && copies._4 == 1000000L,
+      "every exact copy must be removed")
+    assert(near._3 == 0L,
+      "exact dedup must NOT catch near-dups - that blind spot is the readout")
+  }
+
+  test("similarity_range_search: hits respect the radius and contain self") {
+    val out = q("similarity_range_search")
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.forall(_._3 >= 0.9 - 1e-9))
+    // every query's own vector lives in its best cell: self-hit at cos 1
+    (0L until 8L).foreach { qid =>
+      val self = out.find(r => r._1 == qid && r._2 == qid)
+      assert(self.exists(_._3 > 0.999999), s"query $qid missing self-hit")
+    }
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
