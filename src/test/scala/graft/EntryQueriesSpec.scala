@@ -1474,6 +1474,27 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("embedding_intrinsic_dim: accounting closes, estimate in-range") {
+    val r = q("embedding_intrinsic_dim")
+      .select("n_points", "n_used", "n_too_few", "n_zero_d1", "id_hat")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(r._1 == r._2 + r._3 + r._4, "every point used or excluded")
+    assert(r._2 > 0L)
+    // TwoNN cannot exceed the ambient dimension by much, nor be <1
+    assert(r._5 >= 1.0 && r._5 <= 64.0 * 1.5, s"implausible ID ${r._5}")
+  }
+
+  test("stats_gini_monthly: valid Gini per month, full calendar") {
+    val out = q("stats_gini_monthly")
+      .select("mon", "n_customers", "gini")
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+    assert(out.size >= 24)
+    out.foreach { r =>
+      assert(r._2 > 0L)
+      assert(r._3 >= 0.0 && r._3 < 1.0, s"Gini out of range at ${r._1}")
+    }
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
