@@ -1495,6 +1495,19 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("agg_cms_heavy_change: per-epoch estimates never undercount") {
+    val out = q("agg_cms_heavy_change")
+      .select("user_id", "exact_a", "exact_b", "exact_delta",
+        "est_a", "est_b", "est_delta")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 10)
+    out.foreach { r =>
+      assert(r._4 == r._2 - r._3 && r._7 == r._5 - r._6)
+      assert(r._5 >= r._2, s"user ${r._1} epoch-a undercount")
+      assert(r._6 >= r._3, s"user ${r._1} epoch-b undercount")
+    }
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
