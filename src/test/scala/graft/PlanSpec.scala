@@ -602,6 +602,7 @@ class PlanSpec extends SparkSpec {
     "timeseries_holt" -> "calendar: monthly series",
     "timeseries_hurst" -> "calendar: daily series",
     "timeseries_sax" -> "calendar: daily series",
+    "timeseries_stl_strength" -> "calendar: hourly frame (shared decomposition)",
     "vocab_coverage" -> "vocab: distinct tokens (Heaps-sublinear)")
 
   test("unpartitioned-window guard: every global WindowExec is bounded or reviewed") {
