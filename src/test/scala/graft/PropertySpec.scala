@@ -200,4 +200,55 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Rank.globalRowNumber/globalRunningSum == single-task windows on random frames") {
+    import org.apache.spark.sql.expressions.Window
+    import operators.Rank
+    // skewed random frame WITH heavy key ties and negative values —
+    // ties exercise the range-partitioner's equal-key placement and
+    // the tied-prefix-multiset contract
+    val rows = Seq.tabulate(2000) { i =>
+      val key = if (i % 5 == 0) 42L else rnd.nextInt(200).toLong
+      (i.toLong, key, (rnd.nextInt(21) - 10).toLong)
+    }
+    val df = rows.toDF("id", "key", "v").repartition(7)
+    for (parts <- Seq(1, 3, 32)) {
+      // exact global rank: total order (key, id) — id breaks ties
+      val got = Rank.globalRowNumber(df, parts, "rn", col("key"), col("id"))
+        .select("id", "rn").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("rn",
+          row_number().over(Window.orderBy(col("key"), col("id")))
+            .cast("long"))
+        .select("id", "rn").as[(Long, Long)].collect().toMap
+      assert(got == want, s"rank diverged at numPartitions=$parts")
+
+      // exact global inclusive prefix sum over the same total order
+      val gotS = Rank.globalRunningSum(df, parts, "rs",
+          col("v"), col("key"), col("id"))
+        .select("id", "rs").as[(Long, Long)].collect().toMap
+      val wantS = df.withColumn("rs",
+          sum(col("v")).over(Window.orderBy(col("key"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "rs").as[(Long, Long)].collect().toMap
+      assert(gotS == wantS, s"prefix sum diverged at numPartitions=$parts")
+    }
+
+    // under a NON-total order (ties in the sort key), intra-group order
+    // is unspecified — but the prefix at each tie group's END is the
+    // cumulative total through that group, which no ordering can move.
+    // Every group must contain exactly that value among its prefixes.
+    val gotT = Rank.globalRunningSum(df, 8, "rs", col("v"), col("key"))
+      .groupBy("key").agg(collect_list(col("rs")).as("m"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val groupTotals = rows.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+    val cumAtEnd = groupTotals
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (k, s)) =>
+        (k, acc + s)
+      }.drop(1).toMap
+    gotT.foreach { case (k, ms) =>
+      assert(ms.contains(cumAtEnd(k)),
+        s"key $k: group-end prefix ${cumAtEnd(k)} missing from $ms")
+    }
+  }
 }
