@@ -1508,6 +1508,32 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("agg_bloom_cardinality: unsaturated estimate near exact; flag consistent") {
+    val r = q("agg_bloom_cardinality")
+      .select("n_exact", "bits_set", "m", "saturated", "est", "err_ppm")
+      .collect().head
+    val (exact, bits, m, sat) = (r.getAs[Long]("n_exact"),
+      r.getAs[Long]("bits_set"), r.getAs[Long]("m"), r.getAs[Long]("saturated"))
+    assert(bits <= math.min(4L * exact, m), "at most k bits per distinct key")
+    assert((sat == 1L) == (bits == m))
+    if (sat == 0L) {
+      assert(r.getAs[Long]("err_ppm") < 100000L,
+        s"fill-ratio estimate >10% off: ${r.getAs[Double]("est")} vs $exact")
+    } else assert(r.isNullAt(r.fieldIndex("est")))
+  }
+
+  test("survival_weibull_fit: plausible parameters, strong linearity") {
+    val r = q("survival_weibull_fit")
+      .select("n_points", "k_shape", "lambda_hours", "r2")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r._1 >= 10L)
+    assert(r._2 > 0.0 && r._2 < 10.0, s"shape ${r._2} implausible")
+    assert(r._3 > 0.0)
+    assert(r._4 >= 0.0 && r._4 <= 1.0 + 1e-12)
+    // the ECDF transform of a monotone CDF should fit a line well
+    assert(r._4 > 0.8, s"Weibull plot badly nonlinear: r2=${r._4}")
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")

@@ -593,6 +593,7 @@ class PlanSpec extends SparkSpec {
     "stats_wilcoxon_signed_rank" -> "value-domain: |diff| rollup",
     "stats_xi_correlation" -> "calendar: daily rank series",
     "survival_km" -> "value-domain: whole-hour duration frame",
+    "survival_weibull_fit" -> "value-domain: whole-hour latency frame",
     "text_zipf_fit" -> "vocab: distinct tokens (Heaps-sublinear)",
     "timeseries_anomaly_decomposed" -> "calendar: hourly frame",
     "timeseries_changepoint" -> "calendar: daily series",
