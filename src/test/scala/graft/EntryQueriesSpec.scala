@@ -1534,6 +1534,18 @@ class EntryQueriesSpec extends SparkSpec {
     assert(r._4 > 0.8, s"Weibull plot badly nonlinear: r2=${r._4}")
   }
 
+  test("orders_mix_drift: one row per consecutive-month pair, JSD bounded") {
+    val out = q("orders_mix_drift")
+      .select("mon", "n_month", "n_next", "jsd_nats")
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect().toSeq
+    val nMonths = q("stats_gini_monthly").count()
+    assert(out.size == nMonths - 1, "every consecutive pair, nothing else")
+    out.foreach { r =>
+      assert(r._2 > 0L && r._3 > 0L)
+      assert(r._4 >= -1e-12 && r._4 <= math.log(2.0) + 1e-9)
+    }
+  }
+
   test("similarity_ivf_cell_stats: worst case dominates the uniform model") {
     val out = q("similarity_ivf_cell_stats")
       .select("nprobe", "k", "n", "avg_scan_ppm", "worst_scan_ppm", "cv2_ppm")
