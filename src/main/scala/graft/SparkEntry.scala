@@ -21,15 +21,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private[graft] def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   /** NDCG@10 rank discounts floor(1e6 / log2(r+1)) for r = 1..10, as
     * integer LITERALS shared verbatim by Spark and the DuckDB oracle —
     * a libm log2 ulp difference must never decide a floor. */
-  private val ndcgDiscPpm = Seq(1000000L, 630929L, 500000L, 430676L,
+  private[graft] val ndcgDiscPpm = Seq(1000000L, 630929L, 500000L, 430676L,
     386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
 
   /** Kruskal–Wallis shared pieces: the five TPC-H market segments in
@@ -37,18 +37,18 @@ object SparkEntry {
     * string evaluated verbatim by both Spark and DuckDB (bit-identical
     * doubles before the ppm floor). r1..r5 are DOUBLED rank sums, so
     * Σ R_s²/n_s = Σ r_i²/(4·n_i) and 12/4 = 3. */
-  private val kwSegs =
+  private[graft] val kwSegs =
     Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
-  private val kwH: String = {
+  private[graft] val kwH: String = {
     val sumTerm = (1 to 5).map(i =>
       s"CAST(r$i AS DOUBLE) * CAST(r$i AS DOUBLE) / CAST(n$i AS DOUBLE)")
       .mkString(" + ")
     s"""(3.0 * ($sumTerm) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
         - 3.0 * CAST(n + 1 AS DOUBLE))"""
   }
-  private val kwHppm: String =
+  private[graft] val kwHppm: String =
     s"CAST(floor(1000000.0 * $kwH) AS BIGINT)"
-  private val kwHcorrPpm: String =
+  private[graft] val kwHcorrPpm: String =
     s"""CAST(floor(1000000.0 * $kwH /
         (1.0 - CAST(tie_term AS DOUBLE) /
           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
@@ -57,7 +57,7 @@ object SparkEntry {
   /** Degree-assortativity r in ppm — one shared double tree over the
     * exact sums (n, Σx, Σx², Σxy); the symmetrized edge list makes both
     * endpoint marginals identical so no (Σy, Σy²) terms are needed. */
-  private val assortativityPpm: String =
+  private[graft] val assortativityPpm: String =
     """CAST(floor(1000000.0 *
         (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
@@ -66,7 +66,7 @@ object SparkEntry {
 
   /** Wald–Wolfowitz runs-test z in ppm — one shared double tree over
     * the exact integers (n, n_plus, n_minus, r_runs). */
-  private val runsZppm: String =
+  private[graft] val runsZppm: String =
     """CAST(floor(1000000.0 *
         (CAST(r_runs AS DOUBLE)
          - (2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
@@ -80,18 +80,18 @@ object SparkEntry {
   /** One-way ANOVA shared pieces, same contract as the KW strings:
     * evaluated verbatim by Spark and DuckDB over the pivoted exact
     * sufficient statistics (n_i, s_i = Σcents, q_i = Σcents²). */
-  private val anovaSterm: String = (1 to 5).map(i =>
+  private[graft] val anovaSterm: String = (1 to 5).map(i =>
     s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE)")
     .mkString(" + ")
-  private val anovaSsb: String =
+  private[graft] val anovaSsb: String =
     s"""(($anovaSterm)
         - CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE)
           * CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE) / CAST(n AS DOUBLE))"""
-  private val anovaFppm: String =
+  private[graft] val anovaFppm: String =
     s"""CAST(floor(1000000.0 * ($anovaSsb * CAST(n - 5 AS DOUBLE))
         / ((CAST(q1 + q2 + q3 + q4 + q5 AS DOUBLE) - ($anovaSterm)) * 4.0))
         AS BIGINT)"""
-  private val anovaEta2Ppm: String =
+  private[graft] val anovaEta2Ppm: String =
     s"""CAST(floor(1000000.0 * $anovaSsb
         / (CAST(q1 + q2 + q3 + q4 + q5 AS DOUBLE)
            - CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE)
@@ -103,25 +103,25 @@ object SparkEntry {
     * input is an exactly-cast integer and the expression TREES are
     * shared verbatim with the DuckDB oracle — bit-identical results
     * before the ppm floor. */
-  private val jbMu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
-  private val jbM2 =
+  private[graft] val jbMu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private[graft] val jbM2 =
     s"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - $jbMu * $jbMu)"
-  private val jbM3 =
+  private[graft] val jbM3 =
     s"""(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
         - 3.0 * $jbMu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
         + 2.0 * $jbMu * $jbMu * $jbMu)"""
-  private val jbM4 =
+  private[graft] val jbM4 =
     s"""(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
         - 4.0 * $jbMu * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
         + 6.0 * $jbMu * $jbMu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
         - 3.0 * $jbMu * $jbMu * $jbMu * $jbMu)"""
-  private val jbSkew = s"($jbM3 / ($jbM2 * sqrt($jbM2)))"
-  private val jbKurt = s"($jbM4 / ($jbM2 * $jbM2) - 3.0)"
-  private val jbSkewPpm =
+  private[graft] val jbSkew = s"($jbM3 / ($jbM2 * sqrt($jbM2)))"
+  private[graft] val jbKurt = s"($jbM4 / ($jbM2 * $jbM2) - 3.0)"
+  private[graft] val jbSkewPpm =
     s"CAST(floor(1000000.0 * $jbSkew) AS BIGINT)"
-  private val jbKurtPpm =
+  private[graft] val jbKurtPpm =
     s"CAST(floor(1000000.0 * $jbKurt) AS BIGINT)"
-  private val jbStatPpm =
+  private[graft] val jbStatPpm =
     s"""CAST(floor(1000000.0 * CAST(n AS DOUBLE)
         * ($jbSkew * $jbSkew / 6.0 + $jbKurt * $jbKurt / 24.0))
         AS BIGINT)"""
@@ -130,7 +130,7 @@ object SparkEntry {
     * (n, tl, obs_1..obs_7): λ = tl/n, expected_k = n·e^{−λ}λ^k/k!,
     * χ² = Σ(obs−exp)²/exp folded k-ascending — one tree shared
     * verbatim with DuckDB (exp() fed by an identical rational). */
-  private val poissonChi2Ppm: String = {
+  private[graft] val poissonChi2Ppm: String = {
     val lam = "(CAST(tl AS DOUBLE) / CAST(n AS DOUBLE))"
     def fact(k: Int): Long = (1 to k).map(_.toLong).product
     def ex(k: Int): String =
@@ -153,7 +153,7 @@ object SparkEntry {
     * (n, n1..n5, s1..s5, q1..q5 — the stats_anova_f fold): sample
     * variances are ratios of exactly-cast integers, the statistic and
     * its correction close in one tree shared verbatim with DuckDB. */
-  private val bartlettTppm: String = {
+  private[graft] val bartlettTppm: String = {
     def v(i: Int) =
       s"""((CAST(n$i AS DOUBLE) * CAST(q$i AS DOUBLE)
          - CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE))
@@ -176,7 +176,7 @@ object SparkEntry {
     * unrestricted 2-regressor RSS (closed-form normal-equation solve),
     * F = (RSSr−RSSu)·(n−3)/RSSu — every input an exactly-cast integer,
     * the tree shared verbatim with the DuckDB oracle. */
-  private val grangerRssU: String =
+  private[graft] val grangerRssU: String =
     """(CAST(n * stt - st * st AS DOUBLE)
        - ((CAST(n * sot - so * st AS DOUBLE)
            * CAST(n * sxx - sx * sx AS DOUBLE)
@@ -192,7 +192,7 @@ object SparkEntry {
             * CAST(n * sxx - sx * sx AS DOUBLE)
             - CAST(n * sox - so * sx AS DOUBLE)
               * CAST(n * sox - so * sx AS DOUBLE)))"""
-  private val grangerFppm: String =
+  private[graft] val grangerFppm: String =
     s"""CASE WHEN n <= 3 THEN NULL ELSE
        CAST(floor(1000000.0 * (
          ((CAST(n * stt - st * st AS DOUBLE)
@@ -207,7 +207,7 @@ object SparkEntry {
     * oracle are this same string: it must stay inside the syntax both
     * Spark and DuckDB accept (no QUALIFY, explicit subquery for the
     * rank filter, ANSI casts). */
-  private val sqlAnalyticsText: String =
+  private[graft] val sqlAnalyticsText: String =
     """WITH rev AS (
          SELECT o_custkey,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -230,7 +230,7 @@ object SparkEntry {
     * as its own job, so a long spine pays per-step scheduling overhead
     * (~250 ms/step measured) — range-grain recursion, not row count, is
     * the cost driver at any scale. */
-  private val sqlRecursiveText: String =
+  private[graft] val sqlRecursiveText: String =
     """WITH RECURSIVE b AS (
          SELECT CAST(date_trunc('year', min(o_orderdate)) AS DATE) AS lo,
                 CAST(date_trunc('year', max(o_orderdate)) AS DATE) AS hi
@@ -249,7 +249,7 @@ object SparkEntry {
     * weekly event-count series (α = β = 0.3, e-notation so both engines
     * parse DOUBLE; init l₁ = y₁, b₁ = y₂ − y₁). Runs verbatim on Spark 4
     * and DuckDB; recursion depth = #weeks. */
-  private val holtSqlText: String =
+  private[graft] val holtSqlText: String =
     """WITH RECURSIVE wk AS (
          SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
            CAST(count(*) AS DOUBLE) AS y
@@ -276,7 +276,7 @@ object SparkEntry {
     * o_orderdate plays check-in, l_shipdate check-out (SURVEY.md §2.4).
     * The join key (l_orderkey = o_orderkey) is the natural co-partitioning
     * key at scale; AQE picks broadcast when orders is small. */
-  private def enrichedLineitem(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def enrichedLineitem(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
     val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -286,7 +286,7 @@ object SparkEntry {
   /** documents ∪ exact copies (id+1e6) ∪ near-dup copies (id+2e6, tail
     * appended) — deterministic corpus with known duplicates so the dedup
     * operators have recall to demonstrate on synthetic data. */
-  private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
     val exact = d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     val near = d.filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -296,7 +296,7 @@ object SparkEntry {
   }
 
   /** embeddings ∪ rescaled copies (same direction ⇒ cosine ≈ 1). */
-  private def augmentedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def augmentedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     val near = e.filter(pmod(col("vec_id"), lit(10)) === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
@@ -312,22 +312,22 @@ object SparkEntry {
     * metadata-sized) plus the index path, so it survives
     * `spark.catalog.clearCache()` between bench passes exactly like a real
     * index on storage would. */
-  private val ivfIndexes =
+  private[graft] val ivfIndexes =
     scala.collection.concurrent.TrieMap.empty[String, (Array[(Long, Array[Float])], String)]
 
   /** Trained BPE merge table per sf dir (8 rows — metadata), memoized on
     * the driver like the IVF centroids: the tokenizer is an offline
     * artifact, queries that ENCODE with it pay only the encode. */
-  private val bpeMerges =
+  private[graft] val bpeMerges =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
 
-  private def centroidsDf(s: SparkSession,
+  private[graft] def centroidsDf(s: SparkSession,
                           cents: Array[(Long, Array[Float])]): DataFrame = {
     import s.implicits._
     s.createDataset(cents.toSeq).toDF("centroid_id", "embedding")
   }
 
-  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, String) = {
+  private[graft] def ivfIndex(s: SparkSession, dir: String): (DataFrame, String) = {
     import s.implicits._
     val (cents, path) = ivfIndexes.getOrElseUpdate(dir, {
       val e = t(s, dir, "embeddings")
@@ -350,10 +350,10 @@ object SparkEntry {
     * today's ingest) appended via Similarity.appendToIvfIndex WITHOUT
     * re-clustering. Memoization keeps the append exactly-once per JVM
     * (SaveMode.Append is not idempotent). */
-  private val ivfAppendIndexes =
+  private[graft] val ivfAppendIndexes =
     scala.collection.concurrent.TrieMap.empty[String, (Array[(Long, Array[Float])], String)]
 
-  private def ivfAppendIndex(s: SparkSession, dir: String): (DataFrame, String) = {
+  private[graft] def ivfAppendIndex(s: SparkSession, dir: String): (DataFrame, String) = {
     import s.implicits._
     val (cents, path) = ivfAppendIndexes.getOrElseUpdate(dir, {
       val e = t(s, dir, "embeddings")
@@ -379,10 +379,10 @@ object SparkEntry {
     * `Similarity.reclusterIvfIndex` retrains the quantizer on the grown
     * corpus and atomically swaps the rewritten index into place. Holds
     * the POST-swap centroids. */
-  private val ivfReclusterIndexes =
+  private[graft] val ivfReclusterIndexes =
     scala.collection.concurrent.TrieMap.empty[String, (Array[(Long, Array[Float])], String)]
 
-  private def ivfReclusterIndex(s: SparkSession, dir: String): (DataFrame, String) = {
+  private[graft] def ivfReclusterIndex(s: SparkSession, dir: String): (DataFrame, String) = {
     import s.implicits._
     val (cents, path) = ivfReclusterIndexes.getOrElseUpdate(dir, {
       val e = t(s, dir, "embeddings")
@@ -409,7 +409,7 @@ object SparkEntry {
     * seasonal → residual, all exact fixed-point micros after ONE
     * floored division. Columns: bkt (raw ts), v (decimal),
     * trend_micro, seasonal_micro, residual_micro. */
-  private def timeseriesDecomposed(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def timeseriesDecomposed(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val hourly = e.filter(col("event_type") === "click")
       .groupBy(date_trunc("hour", col("ts")).as("bkt"))
@@ -434,7 +434,7 @@ object SparkEntry {
     * history) and `scd2_point_in_time` (interval-containment read):
     * no-op-suppressed changes with raw-timestamp `ts`/`valid_to` bounds.
     * Both window passes share one user-keyed sort. */
-  private def scd2Frame(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def scd2Frame(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val updates = t(s, dir, "events")
@@ -452,7 +452,7 @@ object SparkEntry {
     * (rnk ≤ 3 slice) and `similarity_mutual_knn` (rnk = 1 + mutuality):
     * within-cell exact-cosine pairs ranked per vector. Co-partitioned
     * cell-local self-join — Σ|cell|² under autoK, never n². */
-  private def knnRankedEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def knnRankedEdges(s: SparkSession, dir: String): DataFrame = {
     val (cents, _) = ivfIndex(s, dir)
     val e = t(s, dir, "embeddings")
     val cells = Similarity.assignToCentroids(e, cents)
@@ -475,16 +475,16 @@ object SparkEntry {
     * MATERIALIZED (vec_id, sub, code) code table on storage, built once
     * per sf dir like `ivfIndexes`. The code table is the 100 TB ANN
     * index: ~4 bytes of codes standing in for a 256-byte float vector. */
-  private val pqIndexes =
+  private[graft] val pqIndexes =
     scala.collection.concurrent.TrieMap.empty[String, (Array[(Int, Long, Array[Float])], String)]
 
-  private def pqBooksDf(s: SparkSession,
+  private[graft] def pqBooksDf(s: SparkSession,
                         cb: Array[(Int, Long, Array[Float])]): DataFrame = {
     import s.implicits._
     s.createDataset(cb.toSeq).toDF("sub", "centroid_id", "embedding")
   }
 
-  private def pqIndex(s: SparkSession, dir: String): (DataFrame, String) = {
+  private[graft] def pqIndex(s: SparkSession, dir: String): (DataFrame, String) = {
     import s.implicits._
     val (cb, path) = pqIndexes.getOrElseUpdate(dir, {
       val e = t(s, dir, "embeddings")
@@ -508,10 +508,10 @@ object SparkEntry {
     * At 100 TB this is the shingle INDEX on storage: built offline,
     * probed by every dedup job, re-tokenizing nothing. Survives
     * clearCache() between bench passes exactly like a real index would. */
-  private val shingleDirs =
+  private[graft] val shingleDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def augShingleBase(s: SparkSession, dir: String): String =
+  private[graft] def augShingleBase(s: SparkSession, dir: String): String =
     shingleDirs.getOrElseUpdate(dir, {
       val base = java.nio.file.Files
         .createTempDirectory("graft_shingles_").toString
@@ -527,22 +527,22 @@ object SparkEntry {
       base
     })
 
-  private def augShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def augShingles(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${augShingleBase(s, dir)}/sh")
 
   /** Materialized LSH bucket table of the augmented corpus (bands=16,
     * rowsPerBand=4) — see [[augShingleBase]]. */
-  private def augBuckets(s: SparkSession, dir: String): DataFrame =
+  private[graft] def augBuckets(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${augShingleBase(s, dir)}/buckets")
 
   /** Avro container-file copy of a lineitem projection, written once per
     * sf dir (executor-side, one file per partition) and memoized — the
     * ingest-format fixture for the Avro wire-format read path (SURVEY.md
     * §2.1 S1). */
-  private val avroDirs =
+  private[graft] val avroDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def avroLineitemDir(s: SparkSession, dir: String): String =
+  private[graft] def avroLineitemDir(s: SparkSession, dir: String): String =
     avroDirs.getOrElseUpdate(dir, {
       val path = java.nio.file.Files.createTempDirectory("graft_avro_").toString
       graft.sources.AvroSource.write(
@@ -556,10 +556,10 @@ object SparkEntry {
     * columnar wire format and memoized — the multi-format ingest fixtures
     * (CSV with header, ORC, JSON lines). Reads use the parquet schema
     * explicitly: production ingestion never trusts inference. */
-  private val formatDirs =
+  private[graft] val formatDirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  private def formatLineitemDir(s: SparkSession, dir: String,
+  private[graft] def formatLineitemDir(s: SparkSession, dir: String,
                                 fmt: String): String =
     formatDirs.getOrElseUpdate((dir, fmt), {
       val path =
@@ -574,7 +574,7 @@ object SparkEntry {
       path
     })
 
-  private def lineitemWireSchema(s: SparkSession, dir: String) =
+  private[graft] def lineitemWireSchema(s: SparkSession, dir: String) =
     t(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       .schema
@@ -582,10 +582,10 @@ object SparkEntry {
   /** Two parquet "schema versions" of lineitem (v1 without l_returnflag,
     * v2 with it), written once per sf dir — the rolling-schema-upgrade
     * ingest fixture for mergeSchema reads. */
-  private val evoDirs =
+  private[graft] val evoDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  private def evolutionDirs(s: SparkSession, dir: String): (String, String) =
+  private[graft] def evolutionDirs(s: SparkSession, dir: String): (String, String) =
     evoDirs.getOrElseUpdate(dir, {
       val base = java.nio.file.Files.createTempDirectory("graft_evo_").toString
       val li = t(s, dir, "lineitem")
@@ -602,10 +602,10 @@ object SparkEntry {
     * built once per sf dir and memoized — layout work is offline, queries
     * pay only the co-located join. Table names carry a dir hash so sf0.001
     * warmup and the timed sf never collide in the catalog. */
-  private val bucketedTables =
+  private[graft] val bucketedTables =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  private def bucketedPair(s: SparkSession, dir: String): (String, String) =
+  private[graft] def bucketedPair(s: SparkSession, dir: String): (String, String) =
     bucketedTables.getOrElseUpdate(dir, {
       val suffix = java.lang.Integer.toHexString(dir.hashCode)
       val liT = s"graft_li_bucketed_$suffix"
@@ -625,10 +625,10 @@ object SparkEntry {
     * Dedup.writeDedupIndex) over the base corpus, built once per sf dir
     * and memoized — index construction is offline layout work; probes pay
     * only shingle(new batch) + joins against the on-disk artifacts. */
-  private val dedupIndexDirs =
+  private[graft] val dedupIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def dedupIndexDir(s: SparkSession, dir: String): String =
+  private[graft] def dedupIndexDir(s: SparkSession, dir: String): String =
     dedupIndexDirs.getOrElseUpdate(dir, {
       val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx_").toString
       Dedup.writeDedupIndex(
@@ -640,10 +640,10 @@ object SparkEntry {
   /** Bucketed-catalog-table variant of the dedup index (band_key / fp /
     * id bucketing), built once per sf dir; table names carry a dir hash so
     * warmup and timed SFs never collide. */
-  private val dedupBucketedIdx =
+  private[graft] val dedupBucketedIdx =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def dedupBucketedPrefix(s: SparkSession, dir: String): String =
+  private[graft] def dedupBucketedPrefix(s: SparkSession, dir: String): String =
     dedupBucketedIdx.getOrElseUpdate(dir, {
       val prefix = s"graft_dedup_bkt_${java.lang.Integer.toHexString(dir.hashCode)}"
       Dedup.writeDedupIndexBucketed(
@@ -658,10 +658,10 @@ object SparkEntry {
     * dir and memoized — the incremental form of exact-substring dedup:
     * batches probe (id, pos, h) parquet, corpus text is never
     * re-tokenized. */
-  private val substrIndexDirs =
+  private[graft] val substrIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def substrIndexDir(s: SparkSession, dir: String): String =
+  private[graft] def substrIndexDir(s: SparkSession, dir: String): String =
     substrIndexDirs.getOrElseUpdate(dir, {
       val path = java.nio.file.Files.createTempDirectory("graft_substr_idx_").toString
       Dedup.writeSubstrIndex(
@@ -676,11973 +676,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("hotels_count")(spark, "/root/testdata/sf0.001")
 
-  /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // ---- reference parity: D1–D4 + A1–A3 (SURVEY.md §2.4, §2.5) ----
-
-    "hotels_count" -> ((s, dir) => {
-      Enrich.hotelsCount(
-        enrichedLineitem(s, dir).withColumnRenamed("l_partkey", "hotel_id"),
-        "hotel_id")
-        .orderBy("stay_category")
-    }),
-
-    "stay_enrich" -> ((s, dir) => {
-      enrichedLineitem(s, dir)
-        .select(
-          col("l_orderkey"), col("l_linenumber"),
-          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
-            .cast("long").as("nights"),
-          col("stay_category"))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    "date_parse_lenient" -> ((s, dir) => {
-      // D1: lenient parse of ISO, slash-format, and garbage date strings.
-      val o = t(s, dir, "orders")
-      val raw = when(pmod(col("o_orderkey"), lit(10)) === 0, lit("not-a-date"))
-        .when(pmod(col("o_orderkey"), lit(10)) === 1,
-          date_format(col("o_orderdate"), "yyyy/MM/dd"))
-        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
-      o.select(col("o_orderkey"), StayCategory.lenientDate(raw).as("parsed"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- reference parity: projections / filters (SURVEY.md §2.3) ----
-
-    "projection_pushdown" -> ((s, dir) => {
-      // P2: column pruning + predicate pushdown into the parquet scan.
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") < lit("1996-01-01").cast("date"))
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    "null_guard" -> ((s, dir) => {
-      // P3: drop null/empty payloads.
-      Enrich.nullGuard(t(s, dir, "documents"), "text")
-        .filter(col("n_chars") > 0)
-        .select("doc_id", "n_chars")
-        .orderBy("doc_id")
-    }),
-
-    "mask_field" -> ((s, dir) => {
-      // P4: MaskField SMT parity — constant-mask a column at ingest.
-      Enrich.maskField(
-        t(s, dir, "orders").select("o_orderkey", "o_orderdate")
-          .withColumn("date_time", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")),
-        "date_time")
-        .select("o_orderkey", "date_time")
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- grouped aggregation beyond the reference's single CTAS ----
-
-    "q1_agg" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          count(lit(1)).as("count_order"),
-          countDistinct(col("l_partkey")).as("distinct_parts"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-
-    "agg_stats" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      li.groupBy("l_returnflag")
-        .agg(
-          min(col("l_quantity")).as("min_qty"),
-          max(col("l_quantity")).as("max_qty"),
-          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)).cast("double"))
-            .as("avg_qty"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
-    }),
-
-    // ---- joins (SURVEY.md §2.6 — absent in reference, engine provides) ----
-
-    "join_topk_revenue" -> ((s, dir) => {
-      // Q3-style: shuffled join on the big fact, broadcast of the dim.
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    }),
-
-    "join_bucketed" -> ((s, dir) => {
-      // the co-located join: both sides bucketed + sorted on the order key,
-      // so the join AND the groupBy on that key run with ZERO exchange
-      // (PlanSpec asserts it) — at 100 TB this is the shuffle you never pay
-      // when fact tables share bucketing. The merge hint pins the
-      // sort-merge plan (a broadcast would also be exchange-free but would
-      // not demonstrate bucket co-location).
-      val (liT, oT) = bucketedPair(s, dir)
-      val li = s.table(liT)
-      val o = s.table(oT)
-      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_orderkey"))
-        .agg(
-          count(lit(1)).as("n_items"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
-        .orderBy("o_orderkey")
-    }),
-
-    "join_broadcast_dims" -> ((s, dir) => {
-      // Q5-style star join: broadcast every dim, shuffle only the fact once.
-      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
-      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(
-          sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
-          count(lit(1)).as("n_orders"))
-        .orderBy("r_name", "n_name")
-    }),
-
-    "join_shuffle_hash" -> ((s, dir) => {
-      // the third join strategy: SHUFFLED hash join — for fact×fact joins
-      // where neither side fits a broadcast and sort-merge's two sorts are
-      // wasted work (build side hashes instead). At 100 TB this is the
-      // right call when one side is much smaller but still over the
-      // broadcast threshold; PlanSpec asserts the strategy sticks.
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select("o_orderkey", "o_orderpriority")
-      li.join(o.hint("shuffle_hash"), li("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_items"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
-        .orderBy("o_orderpriority")
-    }),
-
-    "join_semi" -> ((s, dir) => {
-      // customers with at least one high-value order (EXISTS)
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    }),
-
-    "join_anti" -> ((s, dir) => {
-      // customers with no high-value order (NOT EXISTS)
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    }),
-
-    "join_cross" -> ((s, dir) => {
-      // explicit cartesian: every (region, nation) combination
-      val r = t(s, dir, "region").select(col("r_name"))
-      val n = t(s, dir, "nation").select(col("n_name"))
-      r.crossJoin(n).orderBy("r_name", "n_name")
-    }),
-
-    "join_left_outer" -> ((s, dir) => {
-      // every customer, orders only when above the threshold (null-extended)
-      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-      val o = t(s, dir, "orders").filter(col("o_totalprice") > 350000.0)
-        .select(col("o_custkey"), col("o_orderkey"))
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
-        .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"))
-        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
-    }),
-
-    "join_full_outer" -> ((s, dir) => {
-      val c = t(s, dir, "customer").filter(col("c_acctbal") < 0)
-        .select(col("c_custkey"), col("c_name"))
-      val o = t(s, dir, "orders").filter(col("o_totalprice") > 350000.0)
-        .select(col("o_custkey"), col("o_orderkey"))
-      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
-        .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
-        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
-    }),
-
-    // ---- time-series joins: as-of + range (engine extensions) ----
-
-    "join_asof_nearest" -> ((s, dir) => {
-      // nearest as-of (pandas merge_asof direction='nearest'): the click
-      // minimizing |Δt| around each purchase, equidistant ties backward.
-      // Same one-shuffle union + window formulation as join_asof.
-      val e = t(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-      AsOf.asofNearest(purchases, clicks, "user_id", "ts", "ts",
-        "click_id", "nearest_click_id")
-        .select("event_id", "user_id", "nearest_click_id")
-        .orderBy("event_id")
-    }),
-
-    "join_asof_forward" -> ((s, dir) => {
-      // forward as-of (pandas merge_asof direction='forward'): earliest
-      // click at or after each purchase, per user. Same one-shuffle
-      // union + keyed-window formulation — see operators/AsOf.scala.
-      val e = t(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-      AsOf.asofForward(purchases, clicks, "user_id", "ts", "ts",
-        "click_id", "fwd_click_id")
-        .select("event_id", "user_id", "fwd_click_id")
-        .orderBy("event_id")
-    }),
-
-    "join_asof_tolerance" -> ((s, dir) => {
-      // bounded-lookback as-of (pandas merge_asof tolerance=1h): the
-      // latest click at most one hour before each purchase; older
-      // candidates yield null. Same one-shuffle union + window plan —
-      // the Δt bound is applied to the carried candidate after the
-      // window pass, so no extra exchange.
-      val e = t(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-      AsOf.asofBackward(purchases, clicks, "user_id", "ts", "ts",
-        "click_id", "tol_click_id", toleranceUs = Some(3600L * 1000 * 1000))
-        .select("event_id", "user_id", "tol_click_id")
-        .orderBy("event_id")
-    }),
-
-    "join_interval_overlap" -> ((s, dir) => {
-      // interval × interval overlap join, KEYED by entity — "which
-      // attribute versions were live during each session": 30-min-gap
-      // sessions joined to the same user's SCD2 validity intervals on
-      // [s,e] ∩ [vf,vt) ≠ ∅ (version intervals half-open — a session
-      // starting exactly at a change belongs to the new version; NULL
-      // valid_to is open-ended). Both sides carry user_id, so this is
-      // an equi-join on the key with the overlap test as a residual —
-      // co-partitioned at any scale, never a time-grid explode and
-      // never a cross join (the PlanSpec-checkable property that
-      // separates it from naive interval joins). Sessions straddling a
-      // change (n_versions > 1) are the point of the operator; overlap
-      // micros are exact integers.
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val us = unix_micros(col("ts"))
-      val isNew = when(
-        lag(us, 1).over(w).isNull ||
-          (us - lag(us, 1).over(w)) > 1800L * 1000000L, 1)
-        .otherwise(0)
-      val sessions = e.withColumn("session_id",
-          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(min(us).as("s_us"), max(us).as("e_us"))
-      val vers = scd2Frame(s, dir).select(col("user_id"), col("k"),
-        unix_micros(col("ts")).as("vf_us"),
-        unix_micros(col("valid_to")).as("vt_us"))
-      sessions.join(vers, Seq("user_id"))
-        .filter((col("vt_us").isNull || col("s_us") < col("vt_us")) &&
-          col("vf_us") <= col("e_us"))
-        .withColumn("ov_us", greatest(lit(0L),
-          least(col("e_us"), coalesce(col("vt_us"), col("e_us"))) -
-            greatest(col("s_us"), col("vf_us"))))
-        .groupBy("user_id", "session_id")
-        .agg(min(col("s_us")).as("s_us"),
-          max(col("e_us") - col("s_us")).as("dur_us"),
-          count(lit(1)).as("n_versions"),
-          sum(col("ov_us")).as("ov_total_us"))
-        .orderBy(col("n_versions").desc, col("user_id"), col("session_id"))
-        .limit(20)
-    }),
-
-    "join_asof" -> ((s, dir) => {
-      // backward as-of: latest click at or before each purchase, per user.
-      // One shuffle (union + keyed window) — see operators/AsOf.scala.
-      val e = t(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-      AsOf.asofBackward(purchases, clicks, "user_id", "ts", "ts",
-        "click_id", "asof_click_id")
-        .select("event_id", "user_id", "asof_click_id")
-        .orderBy("event_id")
-    }),
-
-    "join_range" -> ((s, dir) => {
-      // time-range join: clicks in the 30 min before each purchase.
-      // Equi-key (user) + range residual ⇒ hash join, never a BNLJ.
-      val e = t(s, dir, "events")
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val c = e.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-          col("value").as("c_value"))
-      p.join(c, p("user_id") === col("c_user") &&
-          col("c_ts") > p("ts") - expr("INTERVAL 30 MINUTES") &&
-          col("c_ts") <= p("ts"), "left_outer")
-        .groupBy(p("event_id"), p("user_id"))
-        .agg(count(col("c_ts")).as("n_clicks"),
-          sum(dec(col("c_value"))).cast("double").as("click_value"))
-        .orderBy("event_id")
-    }),
-
-    // ---- grouping sets / cube / correlated-subquery surface ----
-
-    "agg_cube" -> ((s, dir) => {
-      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .cube(col("c_mktsegment"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
-        .orderBy(asc_nulls_first("c_mktsegment"),
-          asc_nulls_first("o_orderpriority"))
-    }),
-
-    "agg_grouping_sets" -> ((s, dir) => {
-      // explicit GROUPING SETS (not expressible as rollup/cube): per-segment
-      // and per-priority marginals in one pass over the join
-      Tables.registerAll(s, dir)
-      s.sql("""
-        SELECT c_mktsegment, o_orderpriority, count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
-        ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""")
-    }),
-
-    "subquery_above_avg" -> ((s, dir) => {
-      // correlated "above own group average" — decorrelated into one
-      // window pass (no per-row subquery execution)
-      val o = t(s, dir, "orders")
-      val w = Window.partitionBy(col("o_custkey"))
-      o.withColumn("cust_avg",
-          sum(dec(col("o_totalprice"))).over(w).cast("double")
-            / count(lit(1)).over(w).cast("double"))
-        .filter(col("o_totalprice") > col("cust_avg"))
-        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- window functions (SURVEY.md §2.7) ----
-
-    "window_range_frame" -> ((s, dir) => {
-      // RANGE frame keyed on days-since-epoch: trailing-90-day revenue
-      val o = t(s, dir, "orders")
-      val day = datediff(col("o_orderdate").cast("date"),
-        lit("1990-01-01").cast("date"))
-      val w = Window.partitionBy(col("o_custkey")).orderBy(day)
-        .rangeBetween(-90, Window.currentRow)
-      o.withColumn("trailing_90d",
-          sum(dec(col("o_totalprice"))).over(w).cast("double"))
-        .select("o_orderkey", "o_custkey", "trailing_90d")
-        .orderBy("o_orderkey")
-    }),
-
-    "window_ntile" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      c.select(col("c_custkey"), col("c_mktsegment"),
-          ntile(4).over(w).as("quartile"),
-          percent_rank().over(w).as("pct_rank"),
-          cume_dist().over(w).as("cdist"))
-        .orderBy("c_custkey")
-    }),
-
-    "window_distribution" -> ((s, dir) => {
-      // the distribution window functions (percent_rank / cume_dist /
-      // nth_value) completing the SQL-window surface beyond rank/ntile:
-      // one keyed sort, no self-join. The partition-key sample filter
-      // sits BELOW the window (predicate on the partition column pushes
-      // past WindowExec), so pruned customers never enter the sort.
-      // Fixed-point ppm (floor(x·10⁶)) instead of round: both engines
-      // compute the same (rank−1)/(n−1) doubles, floor is half-free.
-      val o = t(s, dir, "orders")
-        .filter(pmod(col("o_custkey"), lit(100)) === 0)
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          floor(percent_rank().over(w) * lit(1000000)).as("pr_ppm"),
-          floor(cume_dist().over(w) * lit(1000000)).as("cd_ppm"),
-          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
-        .orderBy("o_custkey", "o_orderkey")
-    }),
-
-    "window_topk_per_group" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      o.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
-        .orderBy("o_custkey", "rn")
-    }),
-
-    "window_rank_lead" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      o.select(
-          col("o_custkey"), col("o_orderkey"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
-          lead(col("o_orderkey"), 1).over(w).as("next_order"))
-        .orderBy("o_custkey", "o_orderkey")
-    }),
-
-    "window_running_sum" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
-        .select("event_id", "user_id", "running_value")
-        .orderBy("event_id")
-    }),
-
-    // ---- sorts / limits / set ops (SURVEY.md §2.8) ----
-
-    "sort_limit" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .limit(100)
-    }),
-
-    "set_union" -> ((s, dir) => {
-      val a = t(s, dir, "customer").filter(col("c_acctbal") < 0)
-        .select(col("c_custkey").as("custkey"))
-      val b = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
-        .select(col("o_custkey").as("custkey"))
-      a.union(b).distinct().orderBy("custkey")
-    }),
-
-    "set_intersect" -> ((s, dir) => {
-      val a = t(s, dir, "customer").filter(col("c_acctbal") > 0)
-        .select(col("c_custkey").as("custkey"))
-      val b = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
-      a.intersect(b).orderBy("custkey")
-    }),
-
-    "set_except" -> ((s, dir) => {
-      val a = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
-      val b = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
-        .select(col("o_custkey").as("custkey"))
-      a.except(b).orderBy("custkey")
-    }),
-
-    // ---- event-time bucketing (streaming-equivalent batch plan; §2.9) ----
-
-    "event_window_agg" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      e.groupBy(
-          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
-          col("event_type"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("double").as("sum_value"),
-          countDistinct(col("user_id")).as("distinct_users"))
-        .orderBy("hour", "event_type")
-    }),
-
-    "identity_projection" -> ((s, dir) => {
-      // P1 parity: the reference's record rebuild is select("*") in Spark
-      t(s, dir, "supplier").select("*").orderBy("s_suppkey")
-    }),
-
-    "json_wire_roundtrip" -> ((s, dir) => {
-      // S2/S3/K1 parity in batch: the reference's JSON topic serde —
-      // struct → JSON string → schema-on-read parse (extra fields dropped)
-      val o = t(s, dir, "orders")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType)))
-      o.select(to_json(struct(o.columns.map(col): _*)).as("value"))
-        .select(from_json(col("value"), schema).as("r"))
-        .select("r.o_orderkey", "r.o_totalprice", "r.o_orderstatus")
-        .orderBy("o_orderkey")
-    }),
-
-    "avro_wire_roundtrip" -> ((s, dir) => {
-      // S1 parity at the WIRE-FORMAT level: lineitem projection written as
-      // Avro object-container files (once per sf dir, executor-side), read
-      // back through the avro-core reader — the reference's blob-connector
-      // ingest format (azure-source-cc.json:9) decoded distributed
-      val path = avroLineitemDir(s, dir)
-      graft.sources.AvroSource.read(s, path)
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    "csv_wire_roundtrip" -> ((s, dir) => {
-      // CSV ingest with an EXPLICIT schema (inference is a full extra scan
-      // and a type lottery — never at 100 TB). Java's double→string is
-      // round-trippable, so numeric values survive the text format exactly.
-      s.read.schema(lineitemWireSchema(s, dir)).option("header", "true")
-        .csv(formatLineitemDir(s, dir, "csv"))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    "orc_wire_roundtrip" -> ((s, dir) => {
-      // ORC columnar ingest — schema travels with the file
-      s.read.orc(formatLineitemDir(s, dir, "orc"))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    "jsonl_file_roundtrip" -> ((s, dir) => {
-      // JSON-lines file ingest (one object per line, splittable), explicit
-      // schema; complements json_wire_roundtrip's in-payload serde parity
-      s.read.schema(lineitemWireSchema(s, dir))
-        .json(formatLineitemDir(s, dir, "json"))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    "schema_evolution_merge" -> ((s, dir) => {
-      // rolling schema upgrade: old files lack l_returnflag, new files
-      // carry it; mergeSchema unions the schemas and backfills null — the
-      // only sane read mode when a 100 TB table's files span producer
-      // versions. Aggregate proves the null group and the typed groups
-      // both survive.
-      val (v1, v2) = evolutionDirs(s, dir)
-      s.read.option("mergeSchema", "true").parquet(v1, v2)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_items"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first)
-    }),
-
-    "agg_rollup" -> ((s, dir) => {
-      // grouping-set aggregation (beyond the reference's single GROUP BY)
-      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
-      val c = t(s, dir, "customer")
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_cust"),
-          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
-        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
-    }),
-
-    "table_stats" -> ((s, dir) => {
-      // ANALYZE-style column statistics — the CBO inputs (per-column
-      // ndv + null count) every engine's stats collector gathers — in
-      // ONE pass over EVERY column of the widest table: a stack/Expand
-      // unpivot (11 columns cost one scan, not 11), then one shuffle
-      // keyed by column name with two-phase distinct aggregation.
-      // Complements profile_columns, which profiles a FIXED column list
-      // via multi-distinct in a single wide aggregate: that shape wins
-      // for a few columns, the unpivot shape generalizes to
-      // hundreds-of-columns tables where a 2·k-aggregate wide row
-      // explodes the Expand multiplier. String-casting is purely the
-      // union-typing device: casts are injective per column, so the
-      // distinct count is exact.
-      val li = t(s, dir, "lineitem")
-      val cols = li.columns.toSeq
-      val stackExpr = s"stack(${cols.length}, " +
-        cols.map(c => s"'$c', cast($c as string)").mkString(", ") +
-        ") as (col_name, v)"
-      li.select(expr(stackExpr))
-        .groupBy("col_name")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-          countDistinct(col("v")).as("ndv"))
-        .orderBy("col_name")
-    }),
-
-    "agg_count_min" -> ((s, dir) => {
-      // Count–Min point-frequency sketch completing the sketch family
-      // (Misra–Gries: which keys are heavy; GK: ranks; Bloom:
-      // membership; CMS: how often is THIS key — askable after the
-      // pass). One 4×1024 grid (32 KB) aggregates the fact table with
-      // element-wise-addition merges (partition-order independent, one
-      // row to the driver at any corpus size); the top-20 exact keys are
-      // then estimated via min over their 4 cells, entirely as Column
-      // arithmetic on the broadcast grid. overest = est − exact ≥ 0 by
-      // construction — the sketch's one-sided error made visible.
-      val li = t(s, dir, "lineitem")
-      val key = col("l_partkey").cast("string")
-      val top = li.groupBy(key.as("key")).agg(count(lit(1)).as("exact"))
-        .orderBy(col("exact").desc, col("key")).limit(20)
-      val grid = li.agg(graft.functions.CountMinFunctions
-        .cmsSketch(key, depth = 4, width = 1024).as("grid"))
-      top.crossJoin(grid)
-        .withColumn("cells", graft.functions.CountMinFunctions
-          .cmsCells(col("key"), depth = 4, width = 1024))
-        .withColumn("cms_est", array_min(transform(
-          sequence(lit(0), lit(3)),
-          r => element_at(col("grid"),
-            (r * 1024 + element_at(col("cells"), r + 1) + 1).cast("int")))))
-        .select(col("key"), col("exact"), col("cms_est"),
-          (col("cms_est") - col("exact")).as("overest"))
-        .orderBy(col("exact").desc, col("key"))
-    }),
-
-    "agg_bounded_distinct" -> ((s, dir) => {
-      // custom TypedImperativeAggregate: exact below threshold ⇒ oracle-able
-      val li = t(s, dir, "lineitem")
-      li.groupBy(col("l_returnflag"))
-        .agg(
-          graft.functions.BoundedDistinct
-            .boundedCountDistinct(col("l_partkey"), threshold = 1000000)
-            .as("distinct_parts"),
-          graft.functions.BoundedDistinct
-            .boundedCountDistinct(col("l_suppkey"), threshold = 1000000)
-            .as("distinct_supps"))
-        .orderBy("l_returnflag")
-    }),
-
-    "agg_heavy_hitters" -> ((s, dir) => {
-      // heavy-hitter detection without a full groupBy: a Misra-Gries
-      // summary (k=16 counters, mergeable — ≤ k counters per partition
-      // cross the wire) nominates candidates; an exact count confirms
-      // ONLY those ≤ 16 keys, so the confirm shuffle carries candidate
-      // rows, never every distinct key. MG guarantees every key above
-      // n/(k+1) is nominated under any merge order, and the exact
-      // confirm makes the output deterministic — the fixture plants two
-      // bot users (16.1% and 9.4% of traffic) in otherwise-uniform
-      // clickstream; threshold via the integer cross-multiply 17·c > n.
-      val ev = t(s, dir, "events").select("event_id", "user_id")
-      val botA = ev.filter(pmod(col("event_id"), lit(5)) === 0)
-        .select(col("event_id"), lit(777777L).as("user_id"))
-      val botB = ev.filter(pmod(col("event_id"), lit(8)) === 0)
-        .select(col("event_id"), lit(888888L).as("user_id"))
-      val aug = ev.unionByName(botA).unionByName(botB)
-      val mg = aug.agg(graft.functions.HeavyHitters
-        .mgCandidates(col("user_id"), 16).as("mg"))
-      val cands = mg.select(col("mg.n").as("n"),
-          explode(col("mg.items")).as("it"))
-        .select(col("n"), col("it.key").as("user_id"))
-      aug.join(broadcast(cands), Seq("user_id"))
-        .groupBy(col("user_id"), col("n"))
-        .agg(count(lit(1)).as("n_events"))
-        .filter(col("n_events") * 17 > col("n"))
-        .select(col("user_id"), col("n_events"))
-        .orderBy("user_id")
-    }),
-
-    "event_sessionize" -> ((s, dir) => {
-      // gaps-and-islands sessionization: 30-min inactivity gap
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val us = unix_micros(col("ts"))
-      val isNew = when(
-        lag(us, 1).over(w).isNull || (us - lag(us, 1).over(w)) > 1800L * 1000000L, 1)
-        .otherwise(0)
-      e.withColumn("session_id",
-          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          min(col("ts")).cast("timestamp_ntz").as("session_start"),
-          max(col("ts")).cast("timestamp_ntz").as("session_end"))
-        .orderBy("user_id", "session_id")
-    }),
-
-    "string_funcs" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      c.select(
-          col("c_custkey"),
-          upper(col("c_name")).as("uname"),
-          col("c_name").substr(lit(3), lit(5)).as("mid"),
-          concat(col("c_mktsegment"), lit("-"), col("c_name")).as("seg_name"),
-          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
-          when(col("c_name").like("%1%"), 1L).otherwise(0L).as("has_one"),
-          length(col("c_name")).cast("long").as("name_len"))
-        .orderBy("c_custkey")
-    }),
-
-    "agg_collect" -> ((s, dir) => {
-      // ordered collect: per-nation sorted supplier list as CSV string
-      val sup = t(s, dir, "supplier")
-      val n = t(s, dir, "nation")
-      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(
-          array_join(sort_array(collect_list(col("s_suppkey"))), ",").as("suppliers"),
-          count(lit(1)).as("n_sup"))
-        .orderBy("n_name")
-    }),
-
-    "agg_percentiles" -> ((s, dir) => {
-      // exact interpolated percentiles (not the approx sketch)
-      val li = t(s, dir, "lineitem")
-      li.groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
-        .orderBy("l_returnflag")
-    }),
-
-    "agg_percentiles_sketch" -> ((s, dir) => {
-      // EXACT percentiles via the bounded-memory path: a mergeable GK
-      // sketch (functions/GKQuantile.scala) nominates, per group and
-      // quantile, a value window guaranteed to contain the interpolation
-      // ranks; one exact second pass counts below the window and sorts
-      // ONLY the ~2εn in-window rows. Same output as agg_percentiles
-      // (exact interpolated), but per-group state is O(1/ε·log εn)
-      // instead of Spark percentile's per-distinct-value map — the shape
-      // that survives a 100 TB group. The sketch table is group×q-sized
-      // and broadcast back.
-      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sk = li.groupBy("l_returnflag")
-        .agg(graft.functions.GKQuantile
-          .gkBounds(col("l_quantity"), 0.005, Seq(0.5, 0.9)).as("gk"))
-        .select(col("l_returnflag"), col("gk.n").as("n"),
-          explode(col("gk.bounds")).as("b"))
-        .select(col("l_returnflag"), col("n"), col("b.q").as("q"),
-          col("b.lo").as("lo"), col("b.hi").as("hi"))
-        .withColumn("p", col("q") * (col("n") - 1).cast("double"))
-        .withColumn("k1", floor(col("p")).cast("long") + 1)
-        .withColumn("f", col("p") - floor(col("p")))
-      val joined = li.join(broadcast(sk), Seq("l_returnflag"))
-      val below = joined.filter(col("l_quantity") < col("lo"))
-        .groupBy("l_returnflag", "q").agg(count(lit(1)).as("n_below"))
-      val w = Window.partitionBy(col("l_returnflag"), col("q"))
-        .orderBy(col("l_quantity"))
-      joined.filter(col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
-        .withColumn("rn", row_number().over(w))
-        .join(below, Seq("l_returnflag", "q"), "left")
-        .withColumn("rk", col("rn") + coalesce(col("n_below"), lit(0L)))
-        .filter(col("rk") === col("k1") || col("rk") === col("k1") + 1)
-        .groupBy("l_returnflag", "q")
-        .agg(max(col("f")).as("f"),
-          max(when(col("rk") === col("k1"), col("l_quantity"))).as("v1"),
-          max(when(col("rk") === col("k1") + 1, col("l_quantity"))).as("v2"))
-        .select(col("l_returnflag"), col("q"),
-          round(col("v1") + (coalesce(col("v2"), col("v1")) - col("v1"))
-            * col("f"), 4).as("pctl"))
-        .orderBy("l_returnflag", "q")
-    }),
-
-    "join_salted" -> ((s, dir) => {
-      // skew-mitigation: salted equi-join (result ≡ plain join)
-      val li = t(s, dir, "lineitem")
-        .withColumnRenamed("l_suppkey", "suppkey")
-      val sup = t(s, dir, "supplier")
-        .withColumnRenamed("s_suppkey", "suppkey")
-      Skew.saltedEquiJoin(li, sup, "suppkey", 16, col("l_orderkey"))
-        .groupBy(col("s_name"))
-        .agg(
-          count(lit(1)).as("n_items"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
-        .orderBy("s_name")
-    }),
-
-    "skew_salted_agg" -> ((s, dir) => {
-      // two-phase salted aggregation (result ≡ direct groupBy)
-      val e = t(s, dir, "events")
-      Skew.saltedCountSum(e, Seq("event_type"), dec(col("value")), 16, col("event_id"))
-        .withColumn("sum_value", col("sum_value").cast("double"))
-        .orderBy("event_type")
-    }),
-
-    // ---- text analysis (training-data pipeline ops) ----
-
-    "text_token_count" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.bpeTokenEstimate(col("text")).cast("long").as("bpe_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    "text_quality" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
-    }),
-
-    "text_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.langIdHeuristic(col("text")).as("lang_guess"))
-        .orderBy("doc_id")
-    }),
-
-    "quality_model_score" -> ((s, dir) => {
-      // fastText-style hashed linear quality classifier: unigram+bigram
-      // features via the hashing trick, deterministic integer weights
-      // w(h) = (mix64(h) & 1023) − 512 (a trained model would broadcast
-      // real weights; the scoring plumbing is what's exercised). The
-      // margin is an exact integer sum inside one codegen'd expression —
-      // zero shuffle, O(corpus) scan, embarrassingly parallel at 100 TB.
-      val toks = TextFunctions.tokens(lower(col("text")))
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          (size(toks) + size(HashFunctions.shingleHashes(toks, 2)))
-            .cast("long").as("n_features"),
-          HashFunctions.linearMargin(toks).as("margin"))
-        .withColumn("score",
-          round(col("margin").cast("double") / col("n_features"), 6))
-        .withColumn("keep", col("margin") > 0)
-        .orderBy("doc_id")
-    }),
-
-    "token_frequencies" -> ((s, dir) => {
-      // generator surface: explode tokens → corpus-wide term frequencies
-      val d = t(s, dir, "documents")
-      d.select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
-        .groupBy("token")
-        .agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("token"))
-        .limit(20)
-    }),
-
-    "text_tfidf" -> ((s, dir) => {
-      // corpus-wide TF-IDF, top-3 terms per document. df and N are plain
-      // aggregations; N joins in via a broadcast of a 1-row frame.
-      val d = t(s, dir, "documents")
-      val tok = d.select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = d.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
-        .withColumn("score", col("tf").cast("double")
-          * log(col("n_docs").cast("double") / col("df").cast("double")))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("term"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("doc_id"), col("rnk"), col("term"),
-          round(col("score"), 6).as("tfidf"))
-        .orderBy("doc_id", "rnk")
-    }),
-
-    "vector_norms" -> ((s, dir) => {
-      // array-column math surface: per-embedding L2 norm and max |x|.
-      // Lambdas cast to double FIRST — HOFs over float arrays otherwise
-      // accumulate in float.
-      val e = t(s, dir, "embeddings")
-      e.select(col("vec_id"),
-          size(col("embedding")).cast("long").as("dim"),
-          round(sqrt(aggregate(col("embedding"), lit(0.0),
-            (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("l2_norm"),
-          round(array_max(transform(col("embedding"),
-            x => abs(x.cast("double")))), 6).as("max_abs"))
-        .orderBy("vec_id")
-    }),
-
-    "pivot_events" -> ((s, dir) => {
-      // pivoted per-user event counts over a fixed category list
-      val e = t(s, dir, "events")
-      e.groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
-        .count()
-        .na.fill(0L)
-        .orderBy("user_id")
-    }),
-
-    "text_hashes" -> ((s, dir) => {
-      // SimHash + order-sensitive rolling hash. Both are FNV-1a-64-based
-      // one-pass native expressions, so the DuckDB oracle replicates them
-      // bit-exactly with mod-2^64 HUGEINT arithmetic (see fnvSql below).
-      t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          Dedup.simhash64(col("text")).as("simhash"),
-          TextFunctions.rollingHash(col("text")).as("rolling_hash"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- deduplication ----
-
-    "dedup_exact" -> ((s, dir) => {
-      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("fp")
-    }),
-
-    "dedup_exact_keep" -> ((s, dir) => {
-      // originals + exact copies only, built directly (not by filtering
-      // augmentedDocs on an id range — an id-scheme assumption that the
-      // ScaleUp replica's k·10⁹ key shift would violate; caught by the
-      // sf1 correctness leg, NOTES_r8)
-      val d = t(s, dir, "documents").select("doc_id", "text")
-      val aug = d.unionByName(
-        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      Dedup.exactDedup(aug, "doc_id", "text")
-        .select("doc_id")
-        .orderBy("doc_id")
-    }),
-
-    "dedup_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashPairsFromIndex(augShingles(s, dir), augBuckets(s, dir),
-        "doc_id", threshold = 0.6)
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("id_a", "id_b")
-    }),
-
-    "dedup_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(augmentedDocs(s, dir), "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "dedup_impact_audit" -> ((s, dir) => {
-      // what dedup actually REMOVED, by duplication stratum — the
-      // governance table published beside a dedup run (deletion
-      // without an audit trail is how corpora silently lose a slice):
-      // exact-dedup election (normalized-text min-id, the
-      // dedup_exact_keep rule) over the augmented fixture, rolled up
-      // to docs/tokens removed per stratum. The readout IS the method
-      // audit: originals survive (min-id keeps them), exact copies are
-      // fully removed, and the near-dup stratum survives UNTOUCHED —
-      // exact dedup's blind spot, the number that justifies the
-      // minhash family. One hash groupBy + one keyed rollup; no pair
-      // joins anywhere.
-      val d = augmentedDocs(s, dir)
-        .withColumn("stratum",
-          when(col("doc_id") < 1000000L, "1_original")
-            .when(col("doc_id") < 2000000L, "2_exact_copy")
-            .otherwise("3_near_dup"))
-        .withColumn("h", md5(regexp_replace(trim(lower(col("text"))),
-          "\\s+", " ")))
-        .withColumn("tok", TextFunctions.tokenCount(col("text")))
-      val keep = d.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
-      d.join(keep, Seq("h"))
-        .withColumn("removed",
-          when(col("doc_id") === col("keep_id"), 0L).otherwise(1L))
-        .groupBy("stratum")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("removed")).as("n_removed"),
-          sum(col("tok")).as("tokens_total"),
-          sum(col("removed") * col("tok")).as("tokens_removed"))
-        .select(col("stratum"), col("n_docs"), col("n_removed"),
-          col("tokens_total"), col("tokens_removed"),
-          expr("(n_removed * 1000000) div n_docs").as("removed_ppm"),
-          expr("""CASE WHEN tokens_total = 0 THEN 0
-               ELSE (tokens_removed * 1000000) div tokens_total
-               END""").as("token_removed_ppm"))
-        .orderBy("stratum")
-    }),
-
-    "dedup_simhash_tuning" -> ((s, dir) => {
-      // the simhash threshold-picking artifact (dedup_lsh_tuning's
-      // sibling): Hamming-distance histogram of the 16-bit-chunk
-      // candidate pairs — where the dup mass sits vs the noise floor
-      // is what picks maxHamming BEFORE a 100 TB run. Pigeonhole makes
-      // the d ≤ 3 rows exhaustive (4 chunks ⇒ any pair within 3 bits
-      // shares a chunk); beyond that the histogram measures banding's
-      // natural reach. Same capped bucket join as simhashPairs,
-      // aggregated per distance: value-domain output (≤ 65 rows).
-      val pairs = Dedup.simhashPairs(augmentedDocs(s, dir), "doc_id",
-        "text", maxHamming = 64)
-      val tot = pairs.agg(count(lit(1)).as("n_total"))
-      pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(broadcast(tot))
-        .select(col("hamming").cast("long").as("hamming"), col("n_pairs"),
-          expr("(n_pairs * 1000000) div n_total").as("share_ppm"))
-        .orderBy("hamming")
-    }),
-
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      // EXACT n-gram Jaccard pairs via shingle inverted index (recall 1.0)
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("id_a", "id_b")
-    }),
-
-    "text_repetition" -> ((s, dir) => {
-      // WITHIN-document repetition metrics (the Gopher/MassiveText
-      // repetition filters, Rae et al. 2021 §A1.1): fraction of word
-      // 2-gram occurrences that are duplicates + the most-repeated
-      // 2-gram's count. Every third doc is made self-repetitive
-      // (text ⊕ its own first 120 chars) so the fixture has known
-      // positives. Shuffle is keyed (doc_id, bigram) — per-doc
-      // cardinality is bounded by doc length, fully distributed, no
-      // per-doc collect.
-      val fixture = t(s, dir, "documents").select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          concat_ws(" ", col("text"), substring(col("text"), 1, 120)))
-          .otherwise(col("text")).as("text"))
-      val toks = fixture.select(col("doc_id"),
-        TextFunctions.tokens(lower(col("text"))).as("tk"))
-        .filter(size(col("tk")) >= 2)
-      val per = toks.select(col("doc_id"),
-          (size(col("tk")) - 1).cast("long").as("n_bigrams"),
-          explode(expr(
-            "transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))"))
-            .as("b"))
-        .groupBy("doc_id", "n_bigrams", "b").agg(count(lit(1)).as("c"))
-      per.groupBy("doc_id", "n_bigrams")
-        .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
-          .as("dup_bigrams"),
-          max(col("c")).as("top_bigram_count"))
-        .select(col("doc_id"), col("n_bigrams"), col("dup_bigrams"),
-          col("top_bigram_count"),
-          round(col("dup_bigrams").cast("double") /
-            col("n_bigrams").cast("double"), 6).as("dup_bigram_frac"))
-        .orderBy("doc_id")
-    }),
-
-    "dedup_clusters" -> ((s, dir) => {
-      // full-transitive cluster dedup: verified near-dup pairs → connected
-      // components (label = min doc id per component)
-      val pairs = Dedup.minhashPairsFromIndex(augShingles(s, dir),
-        augBuckets(s, dir), "doc_id", threshold = 0.6)
-        .select("id_a", "id_b")
-      Dedup.connectedComponents(pairs).orderBy("doc_id")
-    }),
-
-    "dedup_embedding_pairs" -> ((s, dir) => {
-      Dedup.embeddingPairs(augmentedEmbeddings(s, dir), "vec_id", "embedding",
-        minCosine = 0.95, bits = 16, bands = 4)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("id_a", "id_b")
-    }),
-
-    "profile_columns" -> ((s, dir) => {
-      // data-profiling operator: one row of stats per profiled column.
-      // Single pass: ONE aggregate computes every column's stats (the
-      // multi-distinct lands in one Expand, not one scan per column),
-      // then the wide row is exploded into the per-column layout.
-      val o = t(s, dir, "orders")
-      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
-      val wide = o.agg(
-        count(lit(1)).as("n"),
-        cols.flatMap(c => Seq(
-          count(col(c)).as(s"cnt_$c"),
-          countDistinct(col(c)).as(s"nd_$c"))): _*)
-      wide.select(explode(array(cols.map(c => struct(
-          lit(c).as("col_name"),
-          col("n"),
-          (col("n") - col(s"cnt_$c")).as("nulls"),
-          col(s"nd_$c").as("n_distinct"))): _*)).as("r"))
-        .select(col("r.col_name"), col("r.n"), col("r.nulls"), col("r.n_distinct"))
-        .orderBy("col_name")
-    }),
-
-    "json_props_extract" -> ((s, dir) => {
-      // JSON scalar extraction from the events props payload column
-      val e = t(s, dir, "events")
-      e.select(
-          col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .orderBy("event_id")
-    }),
-
-    "sql_interface" -> ((s, dir) => {
-      // the SQL entry point: temp views + registered native functions
-      graft.functions.GraftFunctions.registerAll(s)
-      Tables.registerAll(s, dir)
-      s.sql("""
-        SELECT l_returnflag,
-               bounded_count_distinct(l_partkey, 1000000, 12) AS distinct_parts,
-               count(*) AS n
-        FROM lineitem
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag""")
-    }),
-
-    "pipeline_e2e" -> ((s, dir) => {
-      // the composite training-data pipeline: quality gate → language
-      // gate → exact dedup → per-source stats
-      val d = t(s, dir, "documents")
-      // persist the gate output: the quality/lang-id expressions are
-      // interpreted HOFs (the most expensive per-row work in the plan) and
-      // three consumers read the gated table (dedup keep-set, semi join,
-      // final agg) — without the cache the gate re-runs per consumer. The
-      // 100 TB shape is the same: materialize the gate, then dedup+agg.
-      val gated = d
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
-        .withColumn("lang_guess", TextFunctions.langIdHeuristic(col("text")))
-        .filter(col("quality") >= 0.5 && col("lang_guess") === "en")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deduped = Dedup.exactDedup(gated, "doc_id", "text")
-      deduped.groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"),
-          round(sum(col("quality").cast("decimal(18,4)")).cast("double") /
-            count(lit(1)).cast("double"), 4).as("avg_quality"))
-        .orderBy("source")
-    }),
-
-    // ---- similarity search ----
-
-    "similarity_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.bruteForceTopK(e, q, k = 10)
-        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    "similarity_topk_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.lshTopK(e, q, k = 10, bits = 8, bands = 4)
-        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    "similarity_topk_ivf" -> ((s, dir) => {
-      // IVF cell-probe ANN, index-free form: the (memoized) k-means coarse
-      // quantizer assigns the corpus inline, the probe searches nprobe
-      // cells. Training is index-build work and happens once per sf dir.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val (centroids, _) = ivfIndex(s, dir)
-      Similarity.ivfTopK(e, q, centroids, k = 10, nprobe = 2)
-        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    "similarity_topk_ivf_index" -> ((s, dir) => {
-      // the 100 TB shape: probe a MATERIALIZED cell-partitioned IVF index —
-      // the scan reads only the probed cells' directories (PartitionFilters,
-      // asserted in PlanSpec), never the whole corpus
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val (centroids, path) = ivfIndex(s, dir)
-      Similarity.ivfTopKFromIndex(s, path, q, centroids, k = 10, nprobe = 2)
-        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    "similarity_topk_ivf_append" -> ((s, dir) => {
-      // incremental ingest into a LIVE IVF index: centroids trained on
-      // the base corpus (vec_id % 7 != 0), base cells materialized, then
-      // the held-out batch appended to the existing cells WITHOUT
-      // re-clustering (Similarity.appendToIvfIndex) — the daily-ingest
-      // path that avoids a full index rebuild per batch at 100 TB. The
-      // probe then runs over the grown index; because cell membership is
-      // a pure function of (vector, centroids), the result is EXACTLY
-      // the scratch-rebuilt index's answer (OperatorsSpec parity), and
-      // the oracle replays train-on-base/assign-all in SQL.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val (centroids, path) = ivfAppendIndex(s, dir)
-      Similarity.ivfTopKFromIndex(s, path, q, centroids, k = 10, nprobe = 2)
-        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    "similarity_range_search" -> ((s, dir) => {
-      // radius search over the SAME memoized cell-partitioned IVF
-      // index the topk family probes: every neighbor with cosine ≥ 0.9
-      // — the shape near-dup mining and dedup-by-threshold use at
-      // 100 TB, where top-k would truncate arbitrarily. Probe recall
-      // is the nprobe=2 contract (the oracle replays the probe, and
-      // similarity_recall_sweep quantifies the miss rate); scan reads
-      // only the probed cells' directories.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val (centroids, path) = ivfIndex(s, dir)
-      Similarity.ivfRangeFromIndex(s, path, q, centroids,
-          minCosine = 0.9, nprobe = 2)
-        .select(col("query_id"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "vec_id")
-    }),
-
-    "similarity_ivf_recluster" -> ((s, dir) => {
-      // the drift trigger's ACTION, completing the IVF lifecycle
-      // (build → append → sense drift → RE-CLUSTER): the append-grown
-      // index is retrained on the full grown corpus and atomically
-      // swapped in place (Similarity.reclusterIvfIndex — the
-      // Layout.compact rename protocol), then probed. Because training
-      // is a deterministic function of the vector set, the post-swap
-      // probe equals a from-scratch full-corpus build EXACTLY — the
-      // oracle is the plain train-on-full IVF replay (identical to
-      // similarity_topk_ivf's), which is precisely the claim: after
-      // the swap, nothing remembers the index was ever incremental.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val (centroids, path) = ivfReclusterIndex(s, dir)
-      Similarity.ivfTopKFromIndex(s, path, q, centroids, k = 10, nprobe = 2)
-        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    "similarity_ivf_drift" -> ((s, dir) => {
-      // the re-cluster trigger readout for the append-grown IVF index:
-      // per cell, how many of today's batch landed there (share_ppm —
-      // concentration means the quantizer no longer spreads new data)
-      // and the batch's mean assignment cosine (degrading means new
-      // data sits far from every centroid). Mean is the canonical
-      // ascending-id double fold (sort_array(collect_list) → aggregate)
-      // so the sum order — and hence the hash — matches the oracle's
-      // ORDER BY vec_id list_reduce exactly. Work: one broadcast-assign
-      // pass over the BATCH only, never the corpus.
-      val e = t(s, dir, "embeddings")
-      val batch = e.filter(pmod(col("vec_id"), lit(7L)) === 0L)
-      val (centroids, _) = ivfAppendIndex(s, dir)
-      val assigned = Similarity.assignToCentroids(batch, centroids)
-        .select(col("centroid_id"), col("vec_id"), col("cosine"))
-      val tot = batch.agg(count(lit(1)).as("nb"))
-      assigned.groupBy("centroid_id")
-        .agg(count(lit(1)).as("n_appended"),
-          (aggregate(
-            sort_array(collect_list(struct(col("vec_id"), col("cosine")))),
-            lit(0.0), (acc, x) => acc + x.getField("cosine")) /
-            count(lit(1)).cast("double")).as("m"))
-        .crossJoin(broadcast(tot))
-        .select(col("centroid_id"), col("n_appended"),
-          round(col("m"), 6).as("mean_assign_cos"),
-          expr("CAST((1000000 * n_appended) div nb AS BIGINT)")
-            .as("share_ppm"))
-        .orderBy("centroid_id")
-    }),
-
-    "similarity_recall_sweep" -> ((s, dir) => {
-      // the IVF tuning curve: recall@10 as a function of nprobe (1/2/4)
-      // against the exact top-10 — the artifact that picks the
-      // recall/cost operating point before a 100 TB rollout. Probe work
-      // scales linearly with nprobe while the quantizer, corpus
-      // assignment, and exact grader are shared; the sweep reads the
-      // SAME memoized index the headline queries probe.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val exact = Similarity.bruteForceTopK(e, q, k = 10)
-        .select(col("query_id"), col("vec_id"))
-      val (cents, _) = ivfIndex(s, dir)
-      val approx = Seq(1, 2, 4).map { np =>
-        Similarity.ivfTopK(e, q, cents, k = 10, nprobe = np)
-          .select(lit(np).as("nprobe"), col("query_id"), col("vec_id"))
-      }.reduce(_ unionByName _)
-      val hits = approx
-        .join(exact.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"),
-          "left")
-        .groupBy("nprobe")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
-      val total = exact.agg(count(lit(1)).as("total"))
-      hits.crossJoin(total)
-        .select(col("nprobe"), col("hits"), col("total"),
-          floor(col("hits") * lit(10000) / col("total")).as("recall_bp"))
-        .orderBy("nprobe")
-    }),
-
-    "dedup_semantic_cells" -> ((s, dir) => {
-      // SemDeDup (Abbas et al. 2023): k-means cells bound the pairwise
-      // search — exact cosine is computed WITHIN cells only (Σ|cell|²,
-      // never n²), and the higher id of every ≥0.95 pair is dropped.
-      // Same goal as dedup_embedding_clusters but the cluster-bounded
-      // plan: at 100 TB the cells are the IVF index partitions, so the
-      // self-join is cell-local — co-partitioned, no global pair shuffle.
-      val (cents, _) = ivfIndex(s, dir)
-      val aug = augmentedEmbeddings(s, dir)
-      // persist the cell table: it feeds both sides of the self-join and
-      // the survivor anti-join (without it the assignment — and the
-      // augmented union behind it — is recomputed four times; at scale
-      // this is the materialized IVF assignment read back from storage)
-      val cells = Similarity.assignToCentroids(aug, cents)
-        .select(col("centroid_id"), col("vec_id"), col("embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val doomed = cells
-        .select(col("centroid_id"), col("vec_id").as("id_a"),
-          col("embedding").as("va"))
-        .join(cells.select(col("centroid_id"), col("vec_id").as("id_b"),
-          col("embedding").as("vb")), Seq("centroid_id"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")) >= 0.95)
-        .select(col("id_b").as("vec_id")).distinct()
-      cells.select(col("vec_id"))
-        .join(doomed, Seq("vec_id"), "left_anti")
-        .orderBy("vec_id")
-    }),
-
-    "embedding_intrinsic_dim" -> ((s, dir) => {
-      // TwoNN intrinsic-dimension estimate (Facco et al. 2017): each
-      // point's ratio μ = d₂/d₁ of its two nearest-neighbor cosine
-      // distances is Pareto(ID)-distributed, so ID̂ = n/Σ ln μ — the
-      // embedding-health readout that says whether 64 stored dims
-      // carry 6 effective ones (curse-of-dimensionality budget check
-      // before ANN tuning). Neighbors come from the SAME cell-bounded
-      // ranked-edge frame as the knn-graph queries (Σ|cell|², never
-      // n²); points with <2 in-cell neighbors or d₁ = 0 (exact dups)
-      // are excluded AND counted. ln terms fold in canonical vec_id
-      // order.
-      val edges = knnRankedEdges(s, dir).filter(col("rnk") <= 2)
-        .select(col("vec_id"), col("rnk"),
-          greatest(lit(0.0), lit(1.0) - col("cosine")).as("d"))
-      val per = edges.groupBy("vec_id").agg(
-        count(lit(1)).as("k"),
-        max(when(col("rnk") === 1, col("d"))).as("d1"),
-        max(when(col("rnk") === 2, col("d"))).as("d2"))
-      val ok = per.filter(col("k") === 2 && col("d1") > 0.0)
-        .withColumn("lnmu", log(col("d2") / col("d1")))
-      val sums = ok.agg(count(lit(1)).as("n_used"),
-        aggregate(sort_array(collect_list(struct(col("vec_id"),
-            col("lnmu").as("v")))),
-          lit(0.0), (acc, x) => acc + x.getField("v")).as("s"))
-      val excl = per.agg(count(lit(1)).as("n_points"),
-        sum(when(col("k") < 2, 1L).otherwise(0L)).as("n_too_few"),
-        sum(when(col("k") === 2 && !(col("d1") > 0.0), 1L).otherwise(0L))
-          .as("n_zero_d1"))
-      sums.crossJoin(broadcast(excl))
-        .select(col("n_points"), col("n_used"), col("n_too_few"),
-          col("n_zero_d1"),
-          round(col("n_used").cast("double") / col("s"), 4).as("id_hat"))
-    }),
-
-    "similarity_knn_graph" -> ((s, dir) => {
-      // cell-bounded k-NN graph: every vector's top-3 neighbors by exact
-      // cosine WITHIN its IVF cell — the all-pairs graph a clustering/
-      // SemDeDup pass consumes, built at Σ|cell|² cost (autoK keeps that
-      // ~n·√n), never the n² cross join. The self-join is co-partitioned
-      // on centroid_id, so at 100 TB it's cell-local with no global pair
-      // shuffle.
-      knnRankedEdges(s, dir)
-        .filter(col("rnk") <= 3)
-        .select(col("vec_id"), col("rnk"), col("nbr_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("vec_id", "rnk")
-    }),
-
-    "similarity_mutual_knn" -> ((s, dir) => {
-      // reciprocal-best-match pairs — the entity-linking / translation-
-      // mining rule (a, b) is a match iff b is a's NEAREST neighbor AND
-      // a is b's: one-sided nearest produces hub-dominated many-to-one
-      // links; mutuality is the standard high-precision filter (e.g.
-      // margin-based bitext mining). Built as the rnk=1 slice of the
-      // cell-bounded k-NN graph self-joined against itself on the
-      // reversed pair — edge-list-sized (n rows), cell-local before it,
-      // never an extra pass over the vectors.
-      val e1 = knnRankedEdges(s, dir).filter(col("rnk") === 1)
-        .select(col("vec_id"), col("nbr_id"), col("cosine"))
-      val e2 = e1.select(col("vec_id").as("b_vec"), col("nbr_id").as("b_nbr"))
-      e1.join(e2, col("vec_id") === col("b_nbr") &&
-          col("nbr_id") === col("b_vec"))
-        .filter(col("vec_id") < col("nbr_id"))
-        .select(col("vec_id").as("id_a"), col("nbr_id").as("id_b"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("id_a")
-    }),
-
-    "similarity_topk_pq" -> ((s, dir) => {
-      // product-quantization ANN: per-subspace codebooks (memoized index
-      // build), ADC scoring via a broadcast (query × codeword) LUT over
-      // the code table, exact-cosine rerank of the top-50. The memory
-      // play beyond int8: 64-dim float32 → 4 code bytes (~64×).
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val (books, _) = pqIndex(s, dir)
-      Similarity.pqTopK(e, q, books, k = 10, rerank = 50, subDim = 16)
-        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    "similarity_topk_pq_index" -> ((s, dir) => {
-      // the stored-index form: ADC probes the MATERIALIZED (vec_id, sub,
-      // code) parquet — the scan reads code ids, never embeddings; full
-      // vectors are fetched only for the |Q|·50 rerank rows. Same result
-      // as similarity_topk_pq by construction ⇒ same oracle.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val (books, path) = pqIndex(s, dir)
-      val cells = s.read.parquet(s"$path/codes")
-      Similarity.pqTopKOverCells(cells, e, q, books, k = 10, rerank = 50,
-        subDim = 16)
-        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    "similarity_recall" -> ((s, dir) => {
-      // recall@10 scoreboard: every approximate probe family graded
-      // against the exact brute-force top-10 on one 32-query fixture, at
-      // DEGRADED settings (nprobe=1, a single LSH band, reduced-space
-      // ranking without rerank) so the measurement sits in the recall<1
-      // regime a production tuning pass actually reads. The exact side is
-      // the expensive grader — at 100 TB it runs on a SAMPLED query set
-      // exactly like this, never the full query log, and each probe's
-      // plan is the same scale-safe construction as its headline query.
-      // recall_bp = floor(hits·10⁴/total) — fixed-point basis points, so
-      // the metric is independent of engine round-half semantics.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val exact = Similarity.bruteForceTopK(e, q, k = 10)
-        .select(col("query_id"), col("vec_id"))
-      val (cents, _) = ivfIndex(s, dir)
-      def ids(df: DataFrame, m: String): DataFrame =
-        df.select(lit(m).as("method"), col("query_id"), col("vec_id"))
-      val red = e.select(col("vec_id"),
-        graft.functions.HashFunctions
-          .randomProjection(col("embedding"), dims = 16, seed = 0).as("rv"))
-      val rq = red.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("query_id"), col("rv").as("q_vec"))
-      val wrp = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      val rp = red.join(broadcast(rq))
-        .withColumn("cosine",
-          graft.functions.VectorFunctions.cosineSimD(col("rv"), col("q_vec")))
-        .withColumn("rank", row_number().over(wrp))
-        .filter(col("rank") <= 10)
-      val approx = ids(Similarity.ivfTopK(e, q, cents, k = 10, nprobe = 1),
-          "ivf_nprobe1")
-        .unionByName(ids(
-          Similarity.lshTopK(e, q, k = 10, bits = 12, bands = 1), "lsh_band1"))
-        .unionByName(ids(Similarity.int8TopK(e, q, k = 10), "int8"))
-        .unionByName(ids(rp, "rp16"))
-      val hits = approx
-        .join(exact.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"),
-          "left")
-        .groupBy("method")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
-      val total = exact.agg(count(lit(1)).as("total"))
-      hits.crossJoin(total)
-        .select(col("method"), col("hits"), col("total"),
-          floor(col("hits") * lit(10000) / col("total")).as("recall_bp"))
-        .orderBy("method")
-    }),
-
-    // ---- multimodal columns ----
-
-    "multimodal_meta" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
-        .as[Multimodal.MediaRecord]
-      Multimodal.extractFeatures(media)
-        .select(col("media_id"), col("kind"), col("byte_len"))
-        .orderBy("media_id")
-    }),
-
-    "multimodal_headers" -> ((s, dir) => {
-      // real container-header metadata from REAL bytes: each doc's text
-      // wrapped in a spec-valid JPEG / PNG / WAV structure (variable
-      // COM/JUNK segment lengths, so marker offsets differ per file),
-      // then width/height/channels/sample-rate parsed BACK by the
-      // structural marker/chunk walk (Multimodal.parseHeader — pure JVM
-      // byte parsing, no codec libs). The oracle replays the generator
-      // contract from doc_id alone, so a defect in EITHER the builder
-      // or the parser breaks the match. One mapPartitions pass; at
-      // 100 TB this is the metadata backfill that reads each blob's
-      // first KB and never decodes a pixel.
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-      Multimodal.extractHeaders(Multimodal.syntheticContainers(docs))
-        .toDF()
-        .select(col("media_id"), col("fmt"), col("width"), col("height"),
-          col("n_channels"), col("sample_rate"))
-        .orderBy("media_id")
-    }),
-
-    "multimodal_frame_sample" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.sampleFrames(media, 4)
-        .select(col("media_id"), col("kind"), col("frame_no").cast("long").as("frame_no"))
-        .orderBy("media_id", "frame_no")
-    }),
-
-    "multimodal_resize_meta" -> ((s, dir) => {
-      // aspect-preserving fit into 224×224, exact integer binding-side
-      // decision — metadata-only: payload bytes never touched
-      val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.resizeMeta(media, 224, 224)
-        .select(col("media_id"), col("kind"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("out_w"), col("out_h"))
-        .orderBy("media_id")
-    }),
-
-    "multimodal_frame_features" -> ((s, dir) => {
-      // the typed mapPartitions decode path end-to-end: frame-sample each
-      // video, run the (deterministic) decode stub per frame, emit the
-      // 4-dim feature — every float is oracle-recomputed from the payload
-      // bytes, so the whole Dataset pipeline is hash-checked
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
-        .as[Multimodal.MediaRecord]
-      Multimodal.extractFrameFeatures(media, framesPerVideo = 2, dim = 4)
-        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
-          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
-          round(element_at(col("feature"), 2).cast("double"), 6).as("f1"),
-          round(element_at(col("feature"), 3).cast("double"), 6).as("f2"),
-          round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
-        .orderBy("media_id", "frame_no")
-    }),
-
-    "timeseries_gap_fill" -> ((s, dir) => {
-      // hourly resample + forward fill for a bounded key slice — the
-      // classic feature-store densification step
-      val e = t(s, dir, "events").filter(col("user_id") < 50)
-      operators.TimeSeries.gapFillHourly(e, "user_id", "ts", "event_id", "value")
-        .orderBy("user_id", "hour")
-    }),
-
-    "timeseries_motif" -> ((s, dir) => {
-      // time-series subsequence similarity: per user, the window of 5
-      // consecutive event values whose z-normalized shape best matches an
-      // up-trend pattern — HOF folds only, one shuffle (the per-key
-      // collect), scoring parallel per key
-      val e = t(s, dir, "events")
-      operators.TimeSeries.bestMotif(e, "user_id", "ts", "event_id", "value",
-        pattern = Seq(1.0, 2.0, 3.0, 4.0, 5.0), m = 5)
-        .withColumn("dist", round(col("dist"), 6))
-        .orderBy("user_id")
-    }),
-
-    "cdc_apply" -> ((s, dir) => {
-      // CDC/merge apply without a table format: base minus deletes,
-      // updates override via left join + coalesce, inserts unioned.
-      // Every shuffle keys on o_orderkey, so the three steps co-partition.
-      val base = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      val deletes = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
-        .select(col("o_orderkey"))
-      val updates = base.filter(pmod(col("o_orderkey"), lit(100)) === 0)
-        .select(col("o_orderkey"),
-          // exact decimal×decimal (x.xx × 1.1 has exactly 3 decimals), so
-          // the half-up round sees a true .5 identically in both engines —
-          // a double multiply here would make boundary rounding diverge
-          round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
-            .cast("double").as("new_price"))
-      val inserts = base.filter(pmod(col("o_orderkey"), lit(101)) === 0)
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-          col("o_custkey"), col("o_totalprice"))
-      base
-        .join(deletes, Seq("o_orderkey"), "left_anti")
-        .join(updates, Seq("o_orderkey"), "left")
-        .select(col("o_orderkey"), col("o_custkey"),
-          coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
-        .unionByName(inserts)
-        .orderBy("o_orderkey")
-    }),
-
-    "scd2_build" -> ((s, dir) => {
-      // type-2 slowly-changing-dimension history from a changelog: 'view'
-      // events carry each user's attribute (props.k); consecutive no-op
-      // updates are suppressed (lag), then validity intervals come from
-      // lead over the surviving changes. Both window passes share one
-      // (user_id)-keyed sort, so the whole build is a single shuffle —
-      // the formulation that holds when the changelog is 100 TB: state
-      // per key is one scalar, never the full history in memory.
-      scd2Frame(s, dir)
-        .select(col("user_id"), col("k"),
-          col("ts").cast("timestamp_ntz").as("valid_from"),
-          col("valid_to").cast("timestamp_ntz").as("valid_to"),
-          col("valid_to").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from")
-    }),
-
-    "scd2_point_in_time" -> ((s, dir) => {
-      // point-in-time read over the SCD2 history — the feature-store
-      // correctness rule ("what did we believe about the user at T?"):
-      // one interval-containment filter valid_from ≤ T < valid_to on the
-      // shared scd2 frame, T = the stream's exact epoch-micros midpoint
-      // (the stats_did boundary — deterministic, no config). Exactly one
-      // row per user active at T by construction (intervals partition
-      // each user's timeline). At 100 TB the validity table is
-      // range-partitioned by valid_from and this filter prunes files.
-      val e = t(s, dir, "events")
-      val bounds = e.agg(
-        expr("CAST((min(unix_micros(ts)) + max(unix_micros(ts))) div 2 AS BIGINT)")
-          .as("t_mid"))
-      scd2Frame(s, dir)
-        .crossJoin(broadcast(bounds))
-        .filter(expr("unix_micros(ts) <= t_mid") &&
-          (col("valid_to").isNull || expr("unix_micros(valid_to) > t_mid")))
-        .select(col("user_id"), col("k"),
-          col("ts").cast("timestamp_ntz").as("valid_from"))
-        .orderBy("user_id")
-    }),
-
-    "dedup_latest" -> ((s, dir) => {
-      // CDC compaction: keep each user's LATEST event (max ts, then max
-      // event_id) — max_by partial-aggregates map-side, so the shuffle
-      // carries one combined row per key, not every event (same argument
-      // as the centroid assignment; a window row_number would sort)
-      val e = t(s, dir, "events")
-      e.groupBy("user_id")
-        .agg(max_by(
-          struct(col("event_id"), col("event_type"), col("value")),
-          struct(col("ts"), col("event_id"))).as("last"))
-        .select(col("user_id"), col("last.event_id").as("event_id"),
-          col("last.event_type").as("event_type"), col("last.value").as("value"))
-        .orderBy("user_id")
-    }),
-
-    "agg_mode" -> ((s, dir) => {
-      // per-group mode: count sub-groups, then argmax via max_by with a
-      // deterministic (count, value) tie-break — two partial+final aggs,
-      // no window over the fact
-      val li = t(s, dir, "lineitem")
-      li.groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("c"))
-        .groupBy("l_returnflag")
-        .agg(
-          max_by(col("l_linestatus"), struct(col("c"), col("l_linestatus")))
-            .as("mode_status"),
-          max(col("c")).as("mode_count"))
-        .orderBy("l_returnflag")
-    }),
-
-    "text_edit_distance" -> ((s, dir) => {
-      // fuzzy matching: Levenshtein over nation-blocked candidate pairs —
-      // the classic blocked edit-distance dedup shape (block key bounds
-      // the quadratic term)
-      val c = t(s, dir, "customer").filter(col("c_custkey") < 100)
-      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
-        col("c_nationkey"))
-      val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
-        col("c_nationkey"))
-      a.join(b, "c_nationkey").filter(col("id_a") < col("id_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("dist") <= 2)
-        .select("id_a", "id_b", "dist")
-        .orderBy("id_a", "id_b")
-    }),
-
-    "multimodal_pipeline" -> ((s, dir) => {
-      // the fused media pipeline: metadata resize → typed batched decode —
-      // every output (dims, checksum, feature) recomputed by the oracle
-      // from the payload bytes
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
-      val resized = Multimodal.resizeMeta(media, 224, 224)
-      val feats = Multimodal.extractFeatures(
-        media.as[Multimodal.MediaRecord], dim = 2)
-        .select(col("media_id"), col("byte_len"), col("checksum"),
-          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
-      resized.select(col("media_id"), col("kind"), col("out_w"), col("out_h"))
-        .join(feats, Seq("media_id"))
-        .orderBy("media_id")
-    }),
-
-    // ---- deterministic sampling (training-data pipeline) ----
-
-    "sample_stratified" -> ((s, dir) => {
-      // hash-based per-stratum sampling: keep rows whose fnv64(row key)
-      // lands in the first 10 of 100 residue classes. Unlike rand() the
-      // sample is reproducible across runs AND engines, so membership is
-      // oracle-checkable; per-stratum sampled-vs-total counts prove the
-      // ~10% rate holds within every stratum.
-      val li = t(s, dir, "lineitem")
-      val h = HashFunctions.fnv64(
-        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
-      li.groupBy("l_returnflag")
-        .agg(
-          count(lit(1)).as("n_total"),
-          count(when(pmod(h, lit(100L)) < 10, 1)).as("n_sampled"))
-        .orderBy("l_returnflag")
-    }),
-
-    "sample_reservoir" -> ((s, dir) => {
-      // deterministic fixed-size per-stratum sample ("reservoir" of 20):
-      // rank rows inside each stratum by their content hash and keep the
-      // first 20 — a uniform-without-replacement sample that is stable
-      // across runs, engines, and (unlike rand-ranked) partitionings.
-      //
-      // Scale shape: ranking every row would shuffle+sort the whole table
-      // to keep 20 rows per group. Instead a cheap count pass sets a
-      // per-stratum hash THRESHOLD admitting ~k·margin expected rows
-      // (margin 10 ⇒ ~200), the threshold broadcast-joins back, and the
-      // window ranks only the survivors — the sort sees ~200 rows per
-      // stratum whether the table is 60 k rows or 100 TB. Recall-safe:
-      // the top-20-by-hash all lie below the threshold unless a stratum
-      // draws < 20 of an expected 200 uniform hashes (P < 1e-60); strata
-      // too small to thin (n ≤ 2·k·margin, where the f ≥ ½ scaling could
-      // also overflow the Long cast) skip the filter entirely.
-      val k = 20L
-      val margin = 10L
-      val li = t(s, dir, "lineitem")
-      val h = HashFunctions.fnv64(
-        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
-      val withH = li.withColumn("_h", h)
-      val thresholds = withH.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("_n"))
-        .withColumn("_thresh",
-          when(col("_n") <= lit(2L * k * margin), lit(Long.MaxValue))
-            .otherwise(lit(Long.MinValue) +
-              (lit((k * margin).toDouble * math.pow(2.0, 64)) / col("_n"))
-                .cast("long")))
-        .select("l_returnflag", "_thresh")
-      val pref = withH
-        .join(broadcast(thresholds), "l_returnflag")
-        .filter(col("_h") <= col("_thresh"))
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("_h").asc, col("l_orderkey"), col("l_linenumber"))
-      pref.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= k)
-        .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
-          col("l_linenumber").cast("long").as("l_linenumber"))
-        .orderBy("l_returnflag", "rn")
-    }),
-
-    // ---- event analytics beyond the reference surface ----
-
-    "events_funnel" -> ((s, dir) => {
-      // ordered funnel signup → click → purchase: each later stage counts
-      // only events strictly after the user's previous-stage time. Three
-      // keyed aggregations + two equi-joins on user_id — every shuffle is
-      // on the same key, so at scale the stages co-partition.
-      val e = t(s, dir, "events")
-      // su and cl each feed two consumers (the next stage's join and the
-      // final count) — persisted so each stage scans events exactly once;
-      // at 100 TB the same shape materializes each stage instead of
-      // double-scanning the events table per stage
-      val su = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cl = e.filter(col("event_type") === "click")
-        .join(su, "user_id").filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min(col("ts")).as("t2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pu = e.filter(col("event_type") === "purchase")
-        .join(cl, "user_id").filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min(col("ts")).as("t3"))
-      su.agg(count(lit(1)).as("n_users")).withColumn("step", lit("1_signup"))
-        .unionByName(cl.agg(count(lit(1)).as("n_users")).withColumn("step", lit("2_click")))
-        .unionByName(pu.agg(count(lit(1)).as("n_users")).withColumn("step", lit("3_purchase")))
-        .select(col("step"), col("n_users"))
-        .orderBy("step")
-    }),
-
-    "token_bigrams" -> ((s, dir) => {
-      // corpus bigram frequencies (LM / tokenizer-training prep): adjacent
-      // token pairs via one zip of the token array with its own tail —
-      // no self-join, single agg shuffle on the bigram
-      val d = t(s, dir, "documents")
-      val toks = TextFunctions.tokens(lower(col("text")))
-      val n = size(toks)
-      val bigrams = when(n < 2, array().cast("array<string>"))
-        .otherwise(zip_with(
-          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
-          (a, b) => concat_ws(" ", a, b)))
-      d.select(explode(bigrams).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("bigram"))
-        .limit(20)
-    }),
-
-    "tokenizer_bpe_step" -> ((s, dir) => {
-      // one BPE-training iteration: the most frequent adjacent character
-      // pairs inside words, corpus-wide — the primitive a byte-pair
-      // tokenizer trainer runs repeatedly (merge the top pair, recount).
-      // Pure explode + count: map-side combinable, one shuffle on the
-      // pair; the candidate space is alphabet², never corpus-sized.
-      val d = t(s, dir, "documents")
-      val w = d.select(explode(TextFunctions.tokens(lower(col("text")))).as("w"))
-        .filter(length(col("w")) >= 2)
-      w.select(explode(expr(
-          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-          .as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair"))
-        .limit(20)
-    }),
-
-    "tokenizer_bpe_train" -> ((s, dir) => {
-      // FULL BPE trainer (vs the single-step primitive above): 8 merges
-      // driver-looped over executor-held state — corpus scanned once
-      // into the distinct-word table, pair counts maintained as deltas
-      // of only the affected words each step. See operators/Bpe.scala
-      // for the cell-string representation that makes Spark's and
-      // DuckDB's literal replace() exactly the greedy merge application.
-      graft.operators.Bpe.train(s, t(s, dir, "documents"), 8)
-    }),
-
-    "tokenizer_bpe_apply" -> ((s, dir) => {
-      // the trained tokenizer APPLIED: replay the 8 merges in rank order
-      // over the corpus and report per-doc token statistics. The corpus
-      // is never encoded row-by-row — the DISTINCT vocab is encoded once
-      // and joined back (dictionary encode), so per-token work is one
-      // lookup; see Bpe.encodeStats. The merge table is a driver-memoized
-      // artifact like the IVF index (a production encode reads the vocab
-      // from storage; training is paid once per corpus, benched by
-      // tokenizer_bpe_train itself).
-      val d = t(s, dir, "documents")
-      val merges = bpeMerges.getOrElseUpdate(dir,
-        graft.operators.Bpe.train(s, d, 8)
-          .orderBy("step").select("lhs", "rhs").collect()
-          .map(r => (r.getString(0), r.getString(1))).toSeq)
-      graft.operators.Bpe.encodeStats(d, merges)
-    }),
-
-    "sample_weighted" -> ((s, dir) => {
-      // weighted sampling without replacement (Efraimidis–Spirakis),
-      // rand-free AND float-free: for INTEGER weights the E–S key
-      // u^(1/w) is distributionally identical to the MAX OF w i.i.d.
-      // uniform draws (both have CDF x^w), so each row's priority is
-      // the max of w 64-bit hash draws — an exact integer. The first
-      // formulation (ln(u)/w doubles) was killed by the sf10 oracle
-      // leg: at 60M rows the winning priorities are ln(1−ε) ≈ −1e−8
-      // where a 1-ulp cross-engine difference in libm log reorders the
-      // selected set. The k largest priorities ARE a weighted sample,
-      // stable across runs, engines, and partitionings; the w draws run
-      // in the native `es_max_draw` expression (one fused integer loop
-      // per row — the string-per-draw HOF form measured 28× slower).
-      // orderBy+limit plans as TakeOrderedAndProject: per-partition
-      // top-k then a k-row merge — the same plan at 60 k rows or
-      // 100 TB.
-      val li = t(s, dir, "lineitem")
-      val base = HashFunctions.fnv64(
-        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
-      val pri = HashFunctions.esMaxDraw(base,
-        col("l_quantity").cast("int"))
-      li.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          pri.as("pri_h"))
-        .orderBy(col("pri_h").desc, col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"))
-        .limit(20)
-    }),
-
-    "events_top_paths" -> ((s, dir) => {
-      // top 3-step event paths: per-user ordered trigrams via two leads
-      // over ONE window (a single shuffle on user_id), then a count —
-      // the Markov-ish complement to the funnel. Deterministic order
-      // inside a user: (ts, event_id) breaks timestamp ties.
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      e.select(col("user_id"), col("event_type"),
-          lead(col("event_type"), 1).over(w).as("e2"),
-          lead(col("event_type"), 2).over(w).as("e3"))
-        .filter(col("e3").isNotNull)
-        .select(concat_ws("->", col("event_type"), col("e2"), col("e3")).as("path"))
-        .groupBy("path").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("path"))
-        .limit(20)
-    }),
-
-    "attribution_position" -> ((s, dir) => {
-      // position-based (U-shaped) multi-touch attribution: each click is
-      // attributed to the user's NEXT purchase (forward as-of — one keyed
-      // shuffle), then credit splits 40/20/40 across the conversion's
-      // click sequence (n=1 → 1.0, n=2 → 0.5/0.5, middles share 0.2).
-      // Both window passes ride the conv_id sort; credits are single
-      // exact divisions.
-      val e = t(s, dir, "events")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"))
-      val attributed = AsOf.asofForward(clicks, purchases, "user_id",
-          "ts", "ts", "event_id", "conv_id")
-        .filter(col("conv_id").isNotNull)
-      val byConv = Window.partitionBy(col("conv_id"))
-      val w = byConv.orderBy(col("ts"), col("click_id"))
-      attributed
-        .withColumn("n", count(lit(1)).over(byConv))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("credit",
-          when(col("n") === 1, lit(1.0))
-            .when(col("n") === 2, lit(0.5))
-            .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
-            .otherwise(lit(0.2) / (col("n") - 2).cast("double")))
-        .select(col("click_id"), col("user_id"), col("conv_id"),
-          round(col("credit"), 6).as("credit"))
-        .orderBy("click_id")
-    }),
-
-    "dataset_card_stats" -> ((s, dir) => {
-      // datasheet/"dataset card" summary per (source, lang): doc and
-      // token counts are exact integers, mean length one division — the
-      // composition table a corpus release publishes. Single agg pass,
-      // source×lang-sized output.
-      val d = t(s, dir, "documents")
-      d.groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextFunctions.tokenCount(lower(col("text")))).as("n_tokens"),
-          sum(col("n_chars")).as("n_chars"),
-          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
-            .as("mean_chars"))
-        .orderBy("source", "lang")
-    }),
-
-    "events_cooccurrence" -> ((s, dir) => {
-      // user-level co-occurrence + PMI per event-type pair — the "users
-      // who did X also did Y" association table (recommender / embedding
-      // prep). Distinct (user, type) first (user×types-sized, never
-      // event-sized), self-join co-partitioned on user; PMI is one ln
-      // over exact integer count products, engine-exact.
-      val e = t(s, dir, "events")
-      val ut = e.select(col("user_id"), col("event_type")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nu = e.agg(countDistinct(col("user_id")).as("n_users"))
-      val tc = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val pairs = ut.as("a").join(ut.as("b"), Seq("user_id"))
-        .filter(col("a.event_type") < col("b.event_type"))
-        .groupBy(col("a.event_type").as("x"), col("b.event_type").as("y"))
-        .agg(count(lit(1)).as("n_xy"))
-      pairs
-        .join(tc.select(col("event_type").as("x"), col("n").as("n_x")), Seq("x"))
-        .join(tc.select(col("event_type").as("y"), col("n").as("n_y")), Seq("y"))
-        .crossJoin(broadcast(nu))
-        .select(col("x"), col("y"), col("n_xy"),
-          round(log((col("n_xy") * col("n_users")).cast("double")
-            / (col("n_x") * col("n_y")).cast("double")), 6).as("pmi"))
-        .orderBy("x", "y")
-    }),
-
-    "window_streaks" -> ((s, dir) => {
-      // gaps-and-islands: each user's streaks of CONSECUTIVE active
-      // days via the date − row_number() anchor trick — consecutive
-      // dates share a constant anchor, so ONE keyed window + one agg
-      // finds every island (no self-join, no iteration). The distinct
-      // day table is user×day-sized, never event-sized.
-      val e = t(s, dir, "events")
-      val days = e.select(col("user_id"), col("ts").cast("date").as("d"))
-        .distinct()
-      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
-      days.withColumn("anchor", date_sub(col("d"), row_number().over(w)))
-        .groupBy("user_id", "anchor")
-        .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
-          count(lit(1)).as("len_days"))
-        .select(col("user_id"), col("streak_start"), col("streak_end"),
-          col("len_days"))
-        .orderBy("user_id", "streak_start")
-    }),
-
-    "markov_transitions" -> ((s, dir) => {
-      // first-order Markov transition matrix over each user's event
-      // sequence: P(dst | src) from exact bigram counts — one keyed
-      // window shuffle for the lead, one (src, dst) aggregation, and the
-      // per-src normalizer is an integer window sum, so the probability
-      // is a single exact division. Map-side combinable end to end; the
-      // output is |event_type|² rows regardless of corpus size.
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val pairs = e.select(col("event_type").as("src"),
-          lead(col("event_type"), 1).over(w).as("dst"))
-        .filter(col("dst").isNotNull)
-      val cnt = pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
-      val bySrc = Window.partitionBy(col("src"))
-      cnt.select(col("src"), col("dst"), col("n"),
-          round(col("n").cast("double") /
-            sum(col("n")).over(bySrc).cast("double"), 6).as("p"))
-        .orderBy("src", "dst")
-    }),
-
-    "retention_cohorts" -> ((s, dir) => {
-      // weekly cohort retention: cohort = ISO week of a user's first
-      // event; a cell counts users of that cohort active N weeks later.
-      val e = t(s, dir, "events")
-      val first = e.groupBy("user_id")
-        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
-      val active = e
-        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-        .distinct()
-      active.join(first, "user_id")
-        .withColumn("weeks_since",
-          (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
-        .groupBy("cohort_week", "weeks_since")
-        .agg(count(lit(1)).as("n_users"))
-        .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
-          col("weeks_since"), col("n_users"))
-        .orderBy("cohort_week", "weeks_since")
-    }),
-
-    "anomaly_zscore" -> ((s, dir) => {
-      // z-score outliers per event_type. Moments come from exact DECIMAL
-      // sums (order-independent, engine-identical); the float math after
-      // that is a fixed expression tree over identical inputs, so the
-      // rounded z is bit-stable between Spark and the oracle.
-      val e = t(s, dir, "events")
-      val v = dec(col("value"))
-      val stats = e.groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        sum(v).cast("double").as("s1"),
-        sum(v * v).cast("double").as("s2"))
-      val nD = col("n").cast("double")
-      e.join(broadcast(stats), "event_type")
-        .withColumn("mu", col("s1") / nD)
-        // guard BEFORE the sqrt/division: a single-row or constant-valued
-        // group has variance ≤ 0 (or 0/0 = NaN), and Spark and DuckDB
-        // disagree on NaN comparisons (IEEE vs total order) — comparing
-        // the plain double variance keeps both engines on the same rows
-        .withColumn("vr",
-          (col("s2") - col("s1") * col("s1") / nD) / (nD - 1.0))
-        .filter(col("n") > 1 && col("vr") > 0)
-        .withColumn("z", round((col("value") - col("mu")) / sqrt(col("vr")), 4))
-        .filter(abs(col("z")) >= 3.0)
-        .select(col("event_id"), col("event_type"), col("z"))
-        .orderBy("event_id")
-    }),
-
-    "anomaly_mad" -> ((s, dir) => {
-      // robust (MAD-based) outliers per event_type — median/MAD resist
-      // exactly the outliers that dilute a z-score. Two grouped passes
-      // (median, then median absolute deviation) + a broadcast join back:
-      // the fact table is never shuffled. Modified z-score
-      // 0.6745·(x−med)/MAD, flag |z| ≥ 3.5 (Iglewicz–Hoaglin).
-      val e = t(s, dir, "events")
-      val med = e.groupBy("event_type")
-        .agg(expr("percentile(value, 0.5)").as("med"))
-      val mad = e.join(broadcast(med), Seq("event_type"))
-        .groupBy("event_type", "med")
-        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
-      // fixed-point output (floor, half-free) and the flag tested on the
-      // UNROUNDED score: round(x, 4) disagreed between engines at an
-      // exact decimal tie on the sf1 leg (3.85225 — HALF_UP vs binary
-      // nearbyint), the same latent-parity class as the r7 scd2 advice
-      e.join(broadcast(mad), Seq("event_type"))
-        .filter(col("mad") > 0)
-        .withColumn("rz_raw",
-          lit(0.6745) * (col("value") - col("med")) / col("mad"))
-        .filter(abs(col("rz_raw")) >= 3.5)
-        .select(col("event_id"), col("event_type"),
-          floor(col("rz_raw") * lit(10000)).as("rz_e4"))
-        .orderBy("event_id")
-    }),
-
-    // ---- text cleaning / repetition quality gates ----
-
-    "quality_repetition" -> ((s, dir) => {
-      // Gopher-style repetition signals: duplicate-token fraction and
-      // most-frequent-token fraction. Pure array expressions per row —
-      // no shuffle at all until the final presentation sort.
-      val d = t(s, dir, "documents")
-      val base = d.select(col("doc_id"),
-        TextFunctions.tokens(lower(col("text"))).as("toks"))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
-        .withColumn("top_cnt", when(col("n_tokens") === 0, 0L).otherwise(
-          array_max(transform(array_distinct(col("toks")),
-            u => size(filter(col("toks"), x => x === u)))).cast("long")))
-      base
-        .withColumn("dup_token_frac", when(col("n_tokens") === 0, 0.0).otherwise(
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6)))
-        .withColumn("top_token_frac", when(col("n_tokens") === 0, 0.0).otherwise(
-          round(col("top_cnt").cast("double") / col("n_tokens").cast("double"), 6)))
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          col("dup_token_frac"), col("top_token_frac"))
-        .orderBy("doc_id")
-    }),
-
-    "text_pii_mask" -> ((s, dir) => {
-      // PII redaction: deterministic synthetic PII (email / IPv4 / phone,
-      // derived from doc_id) is injected ahead of the real text, then the
-      // mask chain runs — output proves every injected item is caught
-      val d = t(s, dir, "documents")
-      val withPii = concat(
-        lit("contact user"), col("doc_id"), lit("@mail.example.com or "),
-        lit("10.2."), pmod(col("doc_id"), lit(256)), lit(".7 tel "),
-        lit("555-123-4567 :: "), col("text"))
-      d.select(col("doc_id"), TextFunctions.maskPii(withPii).as("masked"))
-        .withColumn("n_emails_left",
-          size(split(col("masked"), "@", -1)).cast("long") - 1L)
-        .orderBy("doc_id")
-    }),
-
-    "chunk_documents" -> ((s, dir) => {
-      // sequence prep: 64-token chunks, stride 48 (16-token overlap);
-      // one output row per chunk, empty docs contribute nothing
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
-          posexplode(TextFunctions.tokenChunks(col("text"), 64, 48))
-            .as(Seq("chunk_no", "chunk_text")))
-        .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
-          TextFunctions.tokenCount(col("chunk_text")).as("n_chunk_tokens"),
-          col("chunk_text"))
-        .orderBy("doc_id", "chunk_no")
-    }),
-
-    "url_canonicalize" -> ((s, dir) => {
-      // URL-keyed dedup prep: synthetic messy URLs (mixed case, default
-      // port, utm params, fragments — all doc_id-derived) → canonical form
-      // + group sizes per canonical URL
-      val d = t(s, dir, "documents")
-      val url = concat(
-        lit("HTTPS://Example"), pmod(col("doc_id"), lit(5)),
-        lit(".COM:443/Path/"), pmod(col("doc_id"), lit(40)),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(lit("?utm_source=feed&utm_medium=rss&id="), pmod(col("doc_id"), lit(7))))
-          .when(pmod(col("doc_id"), lit(3)) === 1,
-            concat(lit("/?id="), pmod(col("doc_id"), lit(7)), lit("&utm_campaign=x")))
-          .otherwise(lit("/#section-2")))
-      val canon = d.select(col("doc_id"), url.as("url"))
-        .withColumn("canonical_url", TextFunctions.canonicalUrl(col("url")))
-      canon.groupBy("canonical_url")
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_urls"))
-        .orderBy("canonical_url")
-    }),
-
-    "multimodal_dedup" -> ((s, dir) => {
-      // content-hash dedup over the BINARY payload column (image-dedup
-      // shape): group by md5 of the bytes, keep the lowest media id. The
-      // augmented corpus has exact payload copies, so groups are real.
-      val media = Multimodal.syntheticMedia(augmentedDocs(s, dir), "doc_id", "text")
-      media.groupBy(md5(col("payload")).as("payload_md5"))
-        .agg(min(col("media_id")).as("keep_media_id"),
-          count(lit(1)).as("n_copies"))
-        .orderBy("payload_md5")
-    }),
-
-    "text_normalize" -> ((s, dir) => {
-      // canonical text cleaning: lowercase → strip non-printable-ASCII →
-      // collapse whitespace → trim. The full normalized string is the
-      // output (strong equality check), plus before/after char counts.
-      val d = t(s, dir, "documents")
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^ -~]", ""), "\\s+", " "))
-      d.select(col("doc_id"), norm.as("norm_text"),
-          length(col("text")).cast("long").as("n_raw"))
-        .withColumn("n_norm", length(col("norm_text")).cast("long"))
-        .orderBy("doc_id")
-    }),
-
-    "decontaminate_overlap" -> ((s, dir) => {
-      // benchmark decontamination: training docs sharing ≥3 distinct
-      // shingles with the (deterministic) held-out benchmark slice
-      val d = t(s, dir, "documents")
-      val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
-      val train = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      Dedup.crossCorpusOverlap(train, bench, "doc_id", "text",
-        shingleSize = 3, minShared = 3)
-        .orderBy("train_id", "bench_id")
-    }),
-
-    "decontaminate_scrub" -> ((s, dir) => {
-      // verbatim-span decontamination — the frontier practice behind
-      // overlap COUNTING (decontaminate_overlap): ≥8-token runs of
-      // benchmark text are CUT from training docs, not just flagged.
-      // Composition of the substring family: crossCorpusSpans (train
-      // probe × benchmark corpus, never train × train) + applySpans.
-      // Training batch = the augmented copies, so copies of benchmark
-      // docs are provably scrubbed to empty while non-benchmark docs
-      // pass through byte-identical.
-      val bench = t(s, dir, "documents")
-        .filter(pmod(col("doc_id"), lit(97)) === 0)
-      val train = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
-      val spans = Dedup.crossCorpusSpans(train, bench, "doc_id", "text",
-        shingleSize = 3, minRun = 6)
-      Dedup.applySpans(train, spans, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    "dedup_incremental" -> ((s, dir) => {
-      // rolling-ingestion dedup: the augmented batch (exact copies +
-      // near-dup tails) deduped against the base corpus — survivors only
-      val aug = augmentedDocs(s, dir)
-      val newDocs = aug.filter(col("doc_id") >= 1000000L)
-      val corpus = aug.filter(col("doc_id") < 1000000L)
-      Dedup.incrementalDedup(newDocs, corpus, "doc_id", "text",
-        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
-        .select(col("doc_id"))
-        .orderBy("doc_id")
-    }),
-
-    "dedup_incremental_bloom" -> ((s, dir) => {
-      // dedup_incremental behind a broadcast Bloom prefilter: the batch
-      // probes ~100 KB corpus-key blooms (content fingerprints + LSH band
-      // keys) locally and only might-contain suspects enter the confirm
-      // joins. Bloom FPs die in the exact confirm ⇒ same oracle as
-      // dedup_incremental.
-      val aug = augmentedDocs(s, dir)
-      val newDocs = aug.filter(col("doc_id") >= 1000000L)
-      val corpus = aug.filter(col("doc_id") < 1000000L)
-      Dedup.incrementalDedupBloom(newDocs, corpus, "doc_id", "text",
-        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
-        .select(col("doc_id"))
-        .orderBy("doc_id")
-    }),
-
-    "dedup_minhash_survivors" -> ((s, dir) => {
-      // corpus-level near-dup dedup: the documents that SURVIVE MinHash
-      // dedup (drop the larger id of every verified near-dup pair)
-      Dedup.minhashDedupFromIndexTables(augmentedDocs(s, dir),
-        augShingles(s, dir), augBuckets(s, dir), "doc_id", threshold = 0.6)
-        .select(col("doc_id"))
-        .orderBy("doc_id")
-    }),
-
-    "dedup_incremental_index" -> ((s, dir) => {
-      // dedup_incremental against the MATERIALIZED corpus index: same
-      // semantics and same oracle, but the corpus is never re-shingled —
-      // the probe reads fp/buckets/shingles parquet written offline
-      // (PlanSpec asserts the index scans). The rolling-ingest shape at
-      // 100 TB: per batch, text work is O(batch) not O(corpus).
-      val idx = dedupIndexDir(s, dir)
-      val newDocs = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
-      Dedup.incrementalDedupFromIndex(s, idx, newDocs, "doc_id", "text",
-        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
-        .select(col("doc_id"))
-        .orderBy("doc_id")
-    }),
-
-    "paragraph_dedup" -> ((s, dir) => {
-      // C4-style boilerplate scrub on a synthetic paragraph corpus: every
-      // doc = unique intro ⊕ shared license paragraph ⊕ tail (every 7th
-      // doc also a newsletter blurb). Repeated paragraphs survive only at
-      // their lowest-(doc,pos) occurrence; docs are reassembled from the
-      // survivors.
-      val d = t(s, dir, "documents").select("doc_id", "text")
-      val docs = d.select(col("doc_id"), concat_ws("\n\n",
-        substring(col("text"), 1, 120),
-        lit("this content is licensed under the terms of the example license"),
-        substring(col("text"), 121, 1000000),
-        when(pmod(col("doc_id"), lit(7)) === 0,
-          lit("subscribe to our newsletter for updates"))).as("text"))
-      Dedup.paragraphDedup(docs, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    "similarity_topk_int8" -> ((s, dir) => {
-      // ANN over int8-quantized embeddings: scores are EXACT integer dot
-      // products (order-independent, engine-reproducible BIGINTs) on
-      // vectors 4× smaller than float32 — the broadcast-index memory play.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.int8TopK(e, q, k = 10)
-        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
-          col("qdot"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    "embedding_project" -> ((s, dir) => {
-      // Johnson-Lindenstrauss dimensionality reduction 64 → 8: the native
-      // random_projection expression, one fused loop per row, zero
-      // shuffle. Exploded per output dim so the oracle hash covers every
-      // coefficient.
-      val e = t(s, dir, "embeddings")
-      e.select(col("vec_id"),
-        posexplode(graft.functions.HashFunctions
-          .randomProjection(col("embedding"), dims = 8, seed = 0))
-          .as(Seq("dim", "v")))
-        .select(col("vec_id"), col("dim"), round(col("v"), 6).as("val"))
-        .orderBy("vec_id", "dim")
-    }),
-
-    "pipeline_curation" -> ((s, dir) => {
-      // the COMPLETE curation funnel: quality + language gate → exact
-      // dedup → MinHash near-dup dedup → chunk/token accounting per
-      // source — what a training-data team actually ships. One lazy plan;
-      // the gate output is the only materialization point (three
-      // consumers: exact keep-set, semi-join, near-dup shingles).
-      val d = t(s, dir, "documents")
-      val gated = d
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
-        .withColumn("lang_guess", TextFunctions.langIdHeuristic(col("text")))
-        .filter(col("quality") >= 0.5 && col("lang_guess") === "en")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val exact = Dedup.exactDedup(gated, "doc_id", "text")
-      val survivors = Dedup.minhashDedup(exact, "doc_id", "text",
-        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
-      survivors
-        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
-        .withColumn("n_chunks",
-          when(col("n_tokens") > 0,
-            expr("(n_tokens + 47) div 48")).otherwise(0L))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
-          sum(col("n_chunks")).as("total_chunks"),
-          round(sum(col("quality").cast("decimal(18,4)")).cast("double") /
-            count(lit(1)).cast("double"), 4).as("avg_quality"))
-        .orderBy("source")
-    }),
-
-    "dedup_embedding_clusters" -> ((s, dir) => {
-      // SEMANTIC cluster dedup: embedding near-dup pairs (hyperplane LSH
-      // + exact cosine verify) closed into components — the
-      // embedding-space analog of dedup_clusters, for paraphrase-level
-      // duplicates no text fingerprint can see
-      val pairs = Dedup.embeddingPairs(augmentedEmbeddings(s, dir),
-        "vec_id", "embedding", minCosine = 0.95, bits = 16, bands = 4)
-        .select("id_a", "id_b")
-      Dedup.connectedComponents(pairs)
-        .select(col("doc_id").as("vec_id"), col("cluster_id"))
-        .orderBy("vec_id")
-    }),
-
-    "dedup_incremental_bucketed" -> ((s, dir) => {
-      // the bucketed-index probe: every corpus-side join (fp semi,
-      // candidate buckets, shingle verify) reads a table bucketed+sorted
-      // on exactly its join key — the corpus is never shuffled, only the
-      // new batch repartitions to match (PlanSpec asserts the corpus
-      // bucket scan feeds its join with no exchange). Same survivors,
-      // same oracle as dedup_incremental.
-      val prefix = dedupBucketedPrefix(s, dir)
-      val newDocs = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
-      Dedup.incrementalDedupFromBucketedIndex(s, prefix, newDocs,
-        "doc_id", "text", shingleSize = 3, bands = 16, rowsPerBand = 4,
-        threshold = 0.8)
-        .select(col("doc_id"))
-        .orderBy("doc_id")
-    }),
-
-    "dedup_winnowing_pairs" -> ((s, dir) => {
-      // MOSS-style winnowing: contiguous-overlap pairs over a fingerprint
-      // index ~window× smaller than the full shingle index
-      Dedup.winnowingPairsFromShingles(augShingles(s, dir), "doc_id",
-        window = 4, minShared = 2)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "dedup_substring_spans" -> ((s, dir) => {
-      // exact substring-level dedup (Lee et al. 2022 ExactSubstr class):
-      // maximal verbatim token runs of ≥ 8 tokens (6 consecutive shared
-      // 3-shingles) shared across docs → merged per-doc removal spans.
-      // Runs on augmentedDocs, so every doc has at least its exact-copy
-      // full-text span and the %5 near-dups share their original prefix.
-      Dedup.substringSpans(augmentedDocs(s, dir), "doc_id", "text",
-        shingleSize = 3, minRun = 6)
-        .orderBy("doc_id", "span_start")
-    }),
-
-    "dedup_substring_apply" -> ((s, dir) => {
-      // the full Lee et al. 2022 ExactSubstr PIPELINE: keep-first spans
-      // (only the higher id of each matching pair is flagged, so every
-      // duplicated substring survives at its lowest-id occurrence) cut
-      // out of the corpus — emits the cleaned canonical token stream
-      // plus removal accounting per doc. Exact copies (id+1e6) lose
-      // their full text; originals keep theirs.
-      val docs = augmentedDocs(s, dir)
-      val spans = Dedup.substringSpans(docs, "doc_id", "text",
-        shingleSize = 3, minRun = 6, keepFirst = true)
-      Dedup.applySpans(docs, spans, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    "dedup_substring_index" -> ((s, dir) => {
-      // incremental exact-substring dedup: the augmented batch's spans
-      // against the MATERIALIZED corpus positional-shingle index — only
-      // batch text is shingled, matching is batch × index, never
-      // corpus × corpus. The rolling-ingest form of
-      // dedup_substring_spans at 100 TB.
-      val idx = substrIndexDir(s, dir)
-      val newDocs = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
-      Dedup.substringSpansFromIndex(s, idx, newDocs, "doc_id", "text",
-        shingleSize = 3, minRun = 6)
-        .orderBy("doc_id", "span_start")
-    }),
-
-    "dedup_substring_bloom" -> ((s, dir) => {
-      // dedup_substring_index behind the index's stored shingle bloom:
-      // the batch probes the ~10-bit/hash filter locally and only
-      // might-contain shingles enter the shuffle join. Identical output
-      // (dropped shingles had no index rows; FPs join to nothing) ⇒
-      // same oracle. The streaming-scrub acceleration path at 100 TB.
-      val idx = substrIndexDir(s, dir)
-      val newDocs = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
-      Dedup.substringSpansFromIndexBloom(s, idx, newDocs, "doc_id", "text",
-        shingleSize = 3, minRun = 6)
-        .orderBy("doc_id", "span_start")
-    }),
-
-    "dedup_minhash_estimate" -> ((s, dir) => {
-      // signature-only Jaccard estimate over shared-shingle candidates:
-      // the triage path that never joins shingle sets. The oracle
-      // recomputes the k=16 MinHash signature itself (xor + splitmix64 in
-      // mod-2^64 HUGEINT CTEs, signed min), so this checks the sketch
-      // kernel end-to-end, not just the estimate arithmetic.
-      Dedup.minhashEstimatePairsFromShingles(augShingles(s, dir), "doc_id",
-        k = 16, minEstimate = 0.5)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "dedup_containment_pairs" -> ((s, dir) => {
-      // near-SUPERSET dups: containment |A∩B|/min(|A|,|B|) catches a doc
-      // embedded verbatim in a longer one where symmetric Jaccard fails
-      // (100 shingles inside 1000 → J=0.1 but containment=1.0)
-      Dedup.containmentPairsFromShingles(augShingles(s, dir), "doc_id",
-        threshold = 0.9)
-        .select(col("id_a"), col("id_b"),
-          round(col("containment"), 6).as("containment"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    "dedup_best_of_cluster" -> ((s, dir) => {
-      // cluster dedup with QUALITY-based canonical selection: per near-dup
-      // component keep the highest-quality member (min id on quality
-      // ties). Two-step argmax (max quality, then min id among the best)
-      // keeps the election replicable; both aggregations key on the small
-      // post-CC cluster table.
-      val aug = augmentedDocs(s, dir)
-      val pairs = Dedup.minhashPairsFromIndex(augShingles(s, dir),
-        augBuckets(s, dir), "doc_id", threshold = 0.6)
-        .select("id_a", "id_b")
-      // join first, score after: quality is a regex-heavy expression, and
-      // only cluster MEMBERS (the near-dup minority) need it — scoring
-      // the whole corpus before the join would do ~10× the regex work
-      val memb = Dedup.connectedComponents(pairs)
-        .join(aug.select(col("doc_id"), col("text")), Seq("doc_id"))
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
-        .drop("text")
-      Dedup.bestOfCluster(memb, "cluster_id", "doc_id", "quality")
-        .select(col("cluster_id"), col("keep_id"), col("n_members"),
-          col("best_score").as("best_quality"))
-        .orderBy("cluster_id")
-    }),
-
-    "similarity_topk_rp" -> ((s, dir) => {
-      // ANN in JL-reduced space (64 → 16): project the corpus once, rank
-      // by reduced-space cosine — 4× fewer multiplies per candidate and a
-      // 4× smaller broadcast index; the standard recall/cost dial placed
-      // in front of an exact re-rank.
-      val e = t(s, dir, "embeddings")
-      val red = e.select(col("vec_id"),
-        graft.functions.HashFunctions
-          .randomProjection(col("embedding"), dims = 16, seed = 0).as("rv"))
-      val q = red.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("rv").as("q_vec"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      red.join(broadcast(q))
-        .withColumn("cosine",
-          graft.functions.VectorFunctions.cosineSimD(col("rv"), col("q_vec")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    "text_bigram_coherence" -> ((s, dir) => {
-      // bigram-LM fluency proxy: per-doc mean of fixed-point conditional
-      // ratios floor(1000·c(w_i,w_{i+1})/c(w_i)) over corpus counts —
-      // incoherent token transitions (rare bigram, common head) score
-      // near 0, formulaic text near 1000. Integer ratios and sums are
-      // engine-exact; the corpus count tables are vocab-sized (broadcast
-      // back), the per-doc agg keys the only fact-sized shuffle on
-      // (doc, position). Docs with < 2 tokens score null.
-      val d = t(s, dir, "documents")
-      val toks = TextFunctions.tokens(lower(col("text")))
-      val base = d.select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) >= 2)
-      val pos = base
-        .select(col("doc_id"), col("toks"),
-          posexplode(HashFunctions.shingleHashes(col("toks"), 2))
-            .as(Seq("p", "bh")))
-        .select(col("doc_id"), col("bh"),
-          HashFunctions.fnv64(element_at(col("toks"), col("p") + 1)).as("uh"))
-      val uc = d.select(explode(toks).as("tok"))
-        .select(HashFunctions.fnv64(col("tok")).as("uh"))
-        .groupBy("uh").agg(count(lit(1)).as("c1"))
-      val bc = base.select(explode(
-          HashFunctions.shingleHashes(col("toks"), 2)).as("bh"))
-        .groupBy("bh").agg(count(lit(1)).as("c2"))
-      val scored = pos
-        .join(broadcast(bc), Seq("bh"))
-        .join(broadcast(uc), Seq("uh"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(expr("(c2 * 1000L) div c1")).as("coherence_sum"))
-      d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_bigrams"), col("coherence_sum"),
-          round(col("coherence_sum").cast("double") / col("n_bigrams"), 6)
-            .as("score"))
-        .orderBy("doc_id")
-    }),
-
-    "text_rarity" -> ((s, dir) => {
-      // per-doc corpus-frequency profile (rare-token quality signal):
-      // every aggregated stat is an integer sum — order-independent and
-      // engine-exact; mean_tf is one division of exact integers. The
-      // token→tf join keys the shuffle on the token (vocab-sized right
-      // side), the profile agg on doc_id.
-      val d = t(s, dir, "documents")
-      val tok = d.select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-      val tf = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
-      tok.join(tf, Seq("tok"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct(col("tok")).as("n_distinct"),
-          min(col("tf")).as("min_tf"),
-          round(sum(col("tf")).cast("double") / count(lit(1)), 4).as("mean_tf"))
-        .orderBy("doc_id")
-    }),
-
-    "text_entropy" -> ((s, dir) => {
-      // per-doc token Shannon entropy (quality signal: repetitive docs
-      // score low). H = ln(n) − (Σ c·ln c)/n over exact token counts; the
-      // Σ is an ORDER-canonical sequential fold (tokens sorted), so the
-      // double is bit-identical in any engine — same policy as the vector
-      // folds. Per-doc state is the doc's distinct-token list, never the
-      // corpus.
-      val d = t(s, dir, "documents")
-      val tok = d.select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-      val tc = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      tc.groupBy("doc_id")
-        .agg(sum(col("c")).as("n_tokens"),
-          count(lit(1)).as("n_distinct"),
-          aggregate(sort_array(collect_list(struct(col("tok"), col("c")))),
-            lit(0.0), (acc, x) => acc + x.getField("c").cast("double")
-              * log(x.getField("c").cast("double"))).as("s"))
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          round((log(col("n_tokens").cast("double"))
-            - col("s") / col("n_tokens").cast("double")) / log(lit(2.0)), 6)
-            .as("entropy_bits"))
-        .orderBy("doc_id")
-    }),
-
-    "text_ngram_lm" -> ((s, dir) => {
-      // bigram language-model score per doc (the CCNet/KenLM-style
-      // quality filter): add-one-smoothed P(w2|w1) trained on the corpus
-      // itself, scored as the mean log-prob over the doc's bigrams.
-      // Counts are plain integer aggregations; the per-doc Σ ln p is an
-      // ORDER-canonical fold by position. The model (bigram + head
-      // counts) joins in by key — never a driver-side table — so at
-      // 100 TB it shuffle-joins like any dimension.
-      val d = t(s, dir, "documents")
-      // tok and big are each consumed by several counts — persist so the
-      // corpus is tokenized and the bigram window shuffled exactly ONCE
-      // (c1 re-aggregates the small c2 table instead of the corpus)
-      val tok = d.select(col("doc_id"),
-          posexplode(TextFunctions.tokens(lower(col("text")))).as(Seq("pos", "w")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val wseq = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val big = tok.select(col("doc_id"), col("pos"), col("w").as("w1"),
-          lead(col("w"), 1).over(wseq).as("w2"))
-        .filter(col("w2").isNotNull)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-      val v = tok.agg(countDistinct(col("w")).as("v"))
-      big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-        .crossJoin(broadcast(v))
-        .withColumn("lp", log((col("c2") + 1).cast("double")
-          / (col("c1") + col("v")).cast("double")))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          aggregate(sort_array(collect_list(struct(col("pos"), col("lp")))),
-            lit(0.0), (acc, x) => acc + x.getField("lp")).as("s"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("s") / col("n_bigrams").cast("double"), 6).as("avg_logp"))
-        .orderBy("doc_id")
-    }),
-
-    "text_zipf_fit" -> ((s, dir) => {
-      // Zipf-law fit over the corpus vocabulary: regress ln(freq) on
-      // ln(rank) — the corpus-health diagnostic (natural text ≈ −1;
-      // templated/spammy corpora deviate). The ranked table is
-      // VOCAB-sized (never the corpus), so the global rank sort and the
-      // ordered co-moment folds touch ~√corpus rows; folds are
-      // rank-ordered so the doubles are engine-exact.
-      val d = t(s, dir, "documents")
-      val tok = d.select(
-        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-      val tf = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
-      val wr = Window.orderBy(col("freq").desc, col("tok"))
-      val l = tf.select(col("freq"), row_number().over(wr).as("rank"))
-        .select(col("rank"),
-          log(col("rank").cast("double")).as("x"),
-          log(col("freq").cast("double")).as("y"))
-        .withColumn("xy", col("x") * col("y"))
-        .withColumn("xx", col("x") * col("x"))
-        .withColumn("yy", col("y") * col("y"))
-      def fold(c: String): Column =
-        aggregate(sort_array(collect_list(struct(col("rank"), col(c).as("v")))),
-          lit(0.0), (p, s) => p + s.getField("v"))
-      val a = l.agg(count(lit(1)).as("n"), fold("x").as("sx"), fold("y").as("sy"),
-        fold("xy").as("sxy"), fold("xx").as("sxx"), fold("yy").as("syy"))
-      val nD = col("n").cast("double")
-      val num = nD * col("sxy") - col("sx") * col("sy")
-      val denx = nD * col("sxx") - col("sx") * col("sx")
-      val deny = nD * col("syy") - col("sy") * col("sy")
-      val slope = num / denx
-      a.select(col("n").as("n_vocab"),
-          round(slope, 6).as("zipf_slope"),
-          round((col("sy") - slope * col("sx")) / nD, 6).as("intercept"),
-          round((num * num) / (denx * deny), 6).as("r2"))
-    }),
-
-    "mixture_divergence" -> ((s, dir) => {
-      // per-language KL divergence of the token distribution vs the whole
-      // corpus (domain-shift / mixture diagnostics): Σ p·ln(p/q) with
-      // p, q exact count ratios, folded in token order so the double sum
-      // is engine-exact. Per-lang state here is the lang's vocab list;
-      // the 100 TB variant folds per (lang, token-bucket) first and then
-      // folds the bucket partials in bucket order — same result, bounded
-      // group state.
-      val d = t(s, dir, "documents")
-      val tok = d.select(col("lang"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-      // every marginal derives from the persisted (lang, tok) counts, so
-      // the corpus is tokenized and count-aggregated exactly ONCE
-      val cl = tok.groupBy("lang", "tok").agg(count(lit(1)).as("cl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nl = cl.groupBy("lang").agg(sum(col("cl")).as("nl"))
-      val cg = cl.groupBy("tok").agg(sum(col("cl")).as("cg"))
-      val ng = cl.agg(sum(col("cl")).as("ng"))
-      val p = col("cl").cast("double") / col("nl").cast("double")
-      val q = col("cg").cast("double") / col("ng").cast("double")
-      cl.join(cg, Seq("tok")).join(nl, Seq("lang")).crossJoin(broadcast(ng))
-        .withColumn("term", p * log(p / q))
-        .groupBy("lang")
-        .agg(max(col("nl")).as("n_tokens"),
-          count(lit(1)).as("n_distinct"),
-          aggregate(sort_array(collect_list(struct(col("tok"), col("term")))),
-            lit(0.0), (acc, x) => acc + x.getField("term")).as("kl_nats"))
-        .select(col("lang"), col("n_tokens"), col("n_distinct"),
-          round(col("kl_nats") / log(lit(2.0)), 6).as("kl_bits"))
-        .orderBy("lang")
-    }),
-
-    "agg_corr" -> ((s, dir) => {
-      // Pearson correlation + covariance from EXACT decimal co-moments:
-      // Σx, Σy, Σxy, Σx², Σy² over decimal(18,2)/(37,4) are exact and
-      // order-independent (plain sums = map-side combinable, the shape a
-      // 100 TB aggregation wants), and the closing formulas are one double
-      // expression over those exact scalars — bit-identical on any engine,
-      // unlike corr()/covar_samp() built-ins whose streaming co-moment
-      // updates are accumulation-order-dependent.
-      val li = t(s, dir, "lineitem")
-      val x = col("l_quantity").cast("decimal(18,2)")
-      val y = col("l_extendedprice").cast("decimal(18,2)")
-      val sums = li.groupBy("l_returnflag").agg(
-        count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
-      val nD = col("n").cast("double")
-      def d(c: String): Column = col(c).cast("double")
-      val cov = nD * d("sxy") - d("sx") * d("sy")
-      sums.select(col("l_returnflag"), col("n"),
-          round(cov / (sqrt(nD * d("sxx") - d("sx") * d("sx")) *
-            sqrt(nD * d("syy") - d("sy") * d("sy"))), 6).as("corr_qty_price"),
-          round(cov / (nD * nD), 6).as("covar_pop"),
-          round(cov / (nD * (nD - lit(1.0))), 6).as("covar_samp"))
-        .orderBy("l_returnflag")
-    }),
-
-    "agg_spearman" -> ((s, dir) => {
-      // Spearman rank correlation per group — the ROBUST companion to
-      // agg_corr's Pearson on the same (quantity, price) pairs: rank
-      // both variables, ρ = 1 − 6Σd²/(n³−n). Every rank is an exact
-      // integer from row_number with a canonical-id tie chain (ties
-      // ordered by a per-group id that is itself ranked over the full
-      // tuple, so even bit-identical duplicate rows get consistent
-      // relative order in BOTH rankings — Σd² is a pure function of the
-      // row multiset, engine-independent); Σd² is an exact long and the
-      // closing formula one fixed 3-op double tree. All three window
-      // passes share ONE l_returnflag exchange (same partition key);
-      // at 100 TB this is the per-group-sort shape, no co-moment
-      // streaming-order hazards.
-      val li = t(s, dir, "lineitem")
-      val grp = Window.partitionBy("l_returnflag")
-      val idW = grp.orderBy(col("l_quantity"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-      val ranked = li
-        .withColumn("rid", row_number().over(idW))
-        .withColumn("rx", row_number().over(
-          grp.orderBy(col("l_quantity"), col("rid"))))
-        .withColumn("ry", row_number().over(
-          grp.orderBy(col("l_extendedprice"), col("rid"))))
-      val d = (col("rx") - col("ry")).cast("long")
-      ranked.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), sum(d * d).as("sd2"))
-        // floor fixed-point (ppm), not round(): identical doubles floor
-        // identically in both engines, with no HALF_UP tie exposure
-        .withColumn("rho_ppm", floor(lit(1000000.0) * (lit(1.0) -
-          lit(6.0) * col("sd2").cast("double") /
-            (col("n") * col("n") * col("n") - col("n")).cast("double")))
-          .cast("long"))
-        .select("l_returnflag", "n", "rho_ppm")
-        .orderBy("l_returnflag")
-    }),
-
-    "agg_regression" -> ((s, dir) => {
-      // per-group least squares (price ~ quantity): slope, intercept, R²
-      // closed over the same EXACT decimal co-moments as agg_corr — plain
-      // sums partial-aggregate map-side (the 100 TB shape: five scalars
-      // per group cross the wire), and the closing formulas are written
-      // as the identical double expression in both engines. This is the
-      // scaling-law fit primitive: group = config, x = log-compute …
-      val li = t(s, dir, "lineitem")
-      val x = col("l_quantity").cast("decimal(18,2)")
-      val y = col("l_extendedprice").cast("decimal(18,2)")
-      val sums = li.groupBy("l_returnflag").agg(
-        count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
-      val nD = col("n").cast("double")
-      def d(c: String): Column = col(c).cast("double")
-      val num = nD * d("sxy") - d("sx") * d("sy")
-      val denx = nD * d("sxx") - d("sx") * d("sx")
-      val deny = nD * d("syy") - d("sy") * d("sy")
-      val slope = num / denx
-      sums.select(col("l_returnflag"), col("n"),
-          round(slope, 6).as("slope"),
-          round((d("sy") - slope * d("sx")) / nD, 6).as("intercept"),
-          round((num * num) / (denx * deny), 6).as("r2"))
-        .orderBy("l_returnflag")
-    }),
-
-    "agg_histogram" -> ((s, dir) => {
-      // equi-width revenue histogram on integer cents — exact bucket
-      // edges, no float-boundary ambiguity: bucket i covers
-      // [i·50000, (i+1)·50000). One groupBy on a derived integer key;
-      // partial aggregation makes it a single narrow shuffle at any scale.
-      val o = t(s, dir, "orders")
-      o.withColumn("bucket",
-          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast("double").as("bucket_revenue"))
-        .orderBy("bucket")
-    }),
-
-    "train_split" -> ((s, dir) => {
-      // deterministic train/val/test assignment by stable content hash
-      // (pmod(fnv64(id), 1000): <800 train, <900 val, else test) — the
-      // split survives reruns, repartitioning, and engine changes, unlike
-      // rand(). Integer outputs only (counts, char totals, min id).
-      val d = t(s, dir, "documents")
-      val h = pmod(HashFunctions.fnv64(col("doc_id").cast("string")), lit(1000L))
-      d.withColumn("split",
-          when(h < 800, "train").when(h < 900, "val").otherwise("test"))
-        .groupBy("lang", "split")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"),
-          min(col("doc_id")).as("first_doc"))
-        .orderBy("lang", "split")
-    }),
-
-    "sample_temperature" -> ((s, dir) => {
-      // temperature-flattened mixture sampling (τ = 1/2, the common
-      // multilingual sqrt rule): target share p_s ∝ √n_s, half-corpus
-      // budget, per-source quota = min(n_s, floor(T·p_s)). The kept rows
-      // are chosen by content-hash rank, so the sample is deterministic
-      // and reproducible on any partitioning. Z is a sources-ascending
-      // ordered fold (bit-stable double sum); sqrt/floor are IEEE-exact.
-      // One vocab-sized aggregate broadcast back — no second corpus pass.
-      val d = t(s, dir, "documents")
-      val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      val z = counts.agg(
-        aggregate(
-          sort_array(collect_list(struct(col("source"),
-            sqrt(col("n_docs").cast("double")).as("sq")))),
-          lit(0.0), (a, e) => a + e.getField("sq")).as("z"),
-        sum(col("n_docs")).as("total"))
-      val quotas = counts.crossJoin(broadcast(z))
-        .select(col("source"),
-          least(col("n_docs"),
-            floor((col("total").cast("double") / lit(2.0)) *
-              (sqrt(col("n_docs").cast("double")) / col("z")))
-              .cast("long")).as("quota"))
-      val h = HashFunctions.fnv64(col("doc_id").cast("string"))
-      val w = Window.partitionBy("source").orderBy(h.asc, col("doc_id"))
-      d.withColumn("rn", row_number().over(w).cast("long"))
-        .join(broadcast(quotas), Seq("source"))
-        .filter(col("rn") <= col("quota"))
-        .select(col("source"), col("rn"), col("doc_id"))
-        .orderBy("source", "rn")
-    }),
-
-    "sample_balanced_lang" -> ((s, dir) => {
-      // language-balanced subsample: fixed quota of 20 docs per language,
-      // chosen by content hash — the standard remedy for head-language
-      // dominance in a multilingual pretraining corpus. Per-group top-k by
-      // hash rank, so the only shuffle is the window partition on lang.
-      val d = t(s, dir, "documents")
-      val h = HashFunctions.fnv64(col("doc_id").cast("string"))
-      val w = Window.partitionBy("lang").orderBy(h.asc, col("doc_id"))
-      d.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 20)
-        .select(col("lang"), col("rn"), col("doc_id"))
-        .orderBy("lang", "rn")
-    }),
-
-    "export_shards" -> ((s, dir) => {
-      // training-export sharding: every doc lands in one of 16 shards by
-      // stable hash; the per-shard counts/char totals prove the layout is
-      // balanced. Writer-side this is exactly
-      // .repartition(n, shard) / partitionBy("shard") + maxRecordsPerFile —
-      // the deterministic global-shuffle layout a 100 TB training dump
-      // needs (no rand(), so a re-run or a different engine produces the
-      // identical shard assignment).
-      val d = t(s, dir, "documents")
-      val h = HashFunctions.fnv64(col("doc_id").cast("string"))
-      d.withColumn("shard", pmod(h, lit(16L)))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"),
-          min(col("doc_id")).as("min_doc"))
-        .orderBy("shard")
-    }),
-
-    "timeseries_cusum" -> ((s, dir) => {
-      // CUSUM burst/changepoint detection in its prefix-min formulation:
-      // S_t = cum_t − min_{i≤t} cum_i over dev = value − level, so the
-      // inherently-sequential recurrence max(0, S+dev) becomes two
-      // ordered window passes — parallel across users, exact decimals
-      // throughout (engine-exact on any partitioning). level/threshold
-      // are config constants here; a trained baseline would broadcast
-      // per-key levels. Emitted as a per-user alarm summary.
-      val e = t(s, dir, "events")
-      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val dev = col("value").cast("decimal(18,2)") -
-        lit("60.00").cast("decimal(18,2)")
-      val withCum = e.select(col("user_id"), col("event_id"), col("ts"),
-        sum(dev).over(ord).as("cum"))
-      // the prefix min must include the virtual cum_0 = 0, or an
-      // all-positive prefix zeroes S_1 instead of starting at dev_1
-      val withS = withCum.select(col("user_id"),
-        (col("cum") - least(lit("0.00").cast("decimal(18,2)"),
-          min(col("cum")).over(ord))).as("s"))
-      withS.groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"),
-          max(col("s")).cast("double").as("max_s"),
-          sum(when(col("s") > lit("300.00").cast("decimal(18,2)"), 1L)
-            .otherwise(0L)).as("n_alarms"))
-        .orderBy("user_id")
-    }),
-
-    "timeseries_rolling_median" -> ((s, dir) => {
-      // exact rolling median (last-5 frame) of each user's click values:
-      // sort the frame's collected array and average the two middles —
-      // deterministic doubles (same two operands → same IEEE mean in any
-      // engine), no approx-percentile sketch. One keyed window pass,
-      // parallel across users; the frame is O(5), never the whole series.
-      val e = t(s, dir, "events").filter(col("event_type") === "click")
-      val w5 = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(-4, Window.currentRow)
-      val arr = sort_array(collect_list(col("value")).over(w5))
-      val n = size(arr)
-      val med = (element_at(arr, ((n + 1) / 2).cast("int")) +
-        element_at(arr, (n / 2 + 1).cast("int"))) / 2.0
-      e.select(col("event_id"), col("user_id"), col("value"),
-          med.as("rolling_median"))
-        .orderBy("event_id")
-    }),
-
-    "timeseries_seasonal_diff" -> ((s, dir) => {
-      // seasonal-baseline residuals: each click's value vs the mean of
-      // its (user, hour-of-day) cell — the profile that separates
-      // "normal at 9am" from "anomalous at 3am". The baseline table is
-      // an exact decimal mean over a users×24-sized agg joined back;
-      // map-side combinable, one extra shuffle.
-      val e = t(s, dir, "events").filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("value"),
-          hour(col("ts")).cast("long").as("hod"))
-      val base = e.groupBy("user_id", "hod")
-        .agg(count(lit(1)).as("n_cell"), sum(dec(col("value"))).as("sum_cell"))
-      val baseline = col("sum_cell").cast("double") / col("n_cell").cast("double")
-      e.join(base, Seq("user_id", "hod"))
-        .select(col("event_id"), col("user_id"), col("hod"), col("value"),
-          round(baseline, 6).as("baseline"),
-          round(col("value") - baseline, 6).as("residual"))
-        .orderBy("event_id")
-    }),
-
-    "timeseries_ohlc" -> ((s, dir) => {
-      // OHLC downsample: hourly bars over the click stream — open/close
-      // are the first/last value in (ts, event_id) order, picked by two
-      // row_number passes that share the bucket-keyed sort with the final
-      // aggregation (one shuffle); volume is the exact decimal sum. The
-      // bar count is bounded by the time range, never the row count.
-      val e = t(s, dir, "events").filter(col("event_type") === "click")
-        .select(date_trunc("hour", col("ts")).as("bkt"),
-          col("ts"), col("event_id"), col("value"))
-      val wa = Window.partitionBy(col("bkt"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val wd = Window.partitionBy(col("bkt"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      e.withColumn("rn_a", row_number().over(wa))
-        .withColumn("rn_d", row_number().over(wd))
-        .groupBy("bkt")
-        .agg(count(lit(1)).as("n_ticks"),
-          max(when(col("rn_a") === 1, col("value"))).as("open"),
-          max(col("value")).as("high"),
-          min(col("value")).as("low"),
-          max(when(col("rn_d") === 1, col("value"))).as("close"),
-          sum(dec(col("value"))).cast("double").as("volume"))
-        .select(col("bkt").cast("timestamp_ntz").as("bkt"), col("n_ticks"),
-          col("open"), col("high"), col("low"), col("close"), col("volume"))
-        .orderBy("bkt")
-    }),
-
-    "timeseries_ewma" -> ((s, dir) => {
-      // adjusted EWMA (α = 1/2) of each user's event-value series via an
-      // explicit 8-term lag kernel: every weight is a power of two (exact
-      // scaling), and numerator/denominator are the SAME left-associated
-      // addition tree the oracle writes — so the doubles are bit-identical
-      // across engines. A recurrence would be inherently sequential; the
-      // lag kernel is one window pass, fully parallel across users.
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val terms = (0 to 7).map { k =>
-        val wk = lit(math.pow(0.5, k))
-        if (k == 0) (col("value") * wk, wk)
-        else {
-          val lk = lag(col("value"), k).over(w)
-          (coalesce(lk * wk, lit(0.0)),
-            when(lk.isNotNull, wk).otherwise(lit(0.0)))
-        }
-      }
-      val num = terms.map(_._1).reduceLeft(_ + _)
-      val den = terms.map(_._2).reduceLeft(_ + _)
-      e.select(col("event_id"), col("user_id"), col("value"),
-          (num / den).as("ewma"))
-        .orderBy("event_id")
-    }),
-
-    "pack_bestfit_eval" -> ((s, dir) => {
-      // padding-waste audit of sequence packing — the training bill is
-      // paid per SEQUENCE, so padding is burned FLOPs: greedy NEXT-FIT
-      // packing (no doc splitting, capacity 512) under (a) arrival
-      // (hash) order and (b) length-descending order, per shard — the
-      // measurement that justifies (or kills) a sort stage before the
-      // packer. Packing is inherently sequential PER OUTPUT SHARD, so
-      // each shard folds its own doc list (work per shard =
-      // corpus/shards — the honest distribution; shards scale out).
-      // State is a pure BIGINT list [waste, seqs, fill] whose fields
-      // read only themselves or later fields — the r9 DuckDB
-      // list_reduce aliasing rule. Oversize docs (≥512 tokens) are
-      // excluded and counted per shard.
-      def packFold(tokList: String): String =
-        s"""aggregate($tokList,
-            array(0L, 0L, 0L),
-            (ac, x) -> CASE WHEN element_at(ac, 3) + x <= 512L
-              THEN array(element_at(ac, 1),
-                CASE WHEN element_at(ac, 3) = 0L THEN element_at(ac, 2) + 1L
-                     ELSE element_at(ac, 2) END,
-                element_at(ac, 3) + x)
-              ELSE array(element_at(ac, 1) + 512L - element_at(ac, 3),
-                element_at(ac, 2) + 1L, x) END,
-            ac -> CASE WHEN element_at(ac, 3) > 0L
-              THEN array(element_at(ac, 1) + 512L - element_at(ac, 3),
-                element_at(ac, 2), 0L)
-              ELSE ac END)"""
-      val d = t(s, dir, "documents")
-      val h = HashFunctions.fnv64(col("doc_id").cast("string"))
-      val base = d.select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("tok"),
-        pmod(h, lit(8L)).as("shard"), h.as("h"))
-      val small = base.filter(col("tok").between(1L, 511L))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val over = base.filter(col("tok") >= 512L)
-        .groupBy("shard").agg(count(lit(1)).as("n_oversize"))
-      def leg(strategy: String, ordStruct: String) =
-        small.groupBy("shard").agg(
-            expr(packFold(
-              s"transform(sort_array(collect_list($ordStruct)), t -> t.tok)"))
-              .as("st"),
-            count(lit(1)).as("n_docs"),
-            sum(col("tok")).as("packed_tokens"))
-          .select(lit(strategy).as("strategy"), col("shard"),
-            col("n_docs"), col("packed_tokens"),
-            expr("element_at(st, 2)").as("n_seqs"),
-            expr("element_at(st, 1)").as("padding_tokens"))
-      leg("1_arrival", "struct(h, doc_id, tok)")
-        .unionByName(leg("2_sorted_desc", "struct(-tok AS nt, doc_id, tok)"))
-        .join(over, Seq("shard"), "left")
-        .withColumn("n_oversize", coalesce(col("n_oversize"), lit(0L)))
-        .withColumn("waste_ppm",
-          expr("(padding_tokens * 1000000) div (n_seqs * 512)"))
-        .select("strategy", "shard", "n_docs", "packed_tokens", "n_seqs",
-          "padding_tokens", "waste_ppm", "n_oversize")
-        .orderBy("strategy", "shard")
-    }),
-
-    "pack_sequences" -> ((s, dir) => {
-      // training-batch sequence packing: documents are laid out in a
-      // deterministic hash order inside each shard, token counts are
-      // accumulated, and every doc is assigned the 512-token sequence its
-      // first token lands in (greedy boundary-split packing, 512-token window). All integer
-      // arithmetic over a per-shard window — 8 independent partitions, no
-      // global sort, so the layout parallelizes across any cluster size.
-      val d = t(s, dir, "documents")
-      val h = HashFunctions.fnv64(col("doc_id").cast("string"))
-      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      d.select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          pmod(h, lit(8L)).as("shard"), h.as("h"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("seq_id", expr("(cum - n_tokens) div 512"))
-        .groupBy("shard", "seq_id")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("started_tokens"),
-          min(col("doc_id")).as("first_doc"))
-        .orderBy("shard", "seq_id")
-    }),
-
-    "ab_test_lift" -> ((s, dir) => {
-      // experimentation readout: users assigned to arms by stable hash
-      // parity (reproducible — re-running the analysis can't reshuffle
-      // the arms), conversion = user had ≥1 purchase. Counts are exact
-      // integers; the rates and lift are single double divisions of
-      // exact counts, so the readout is engine-exact.
-      val e = t(s, dir, "events")
-      val users = e.groupBy("user_id").agg(
-        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("converted"))
-      val armed = users.withColumn("arm",
-        when(pmod(HashFunctions.fnv64(col("user_id").cast("string")),
-          lit(2L)) === 0, "control").otherwise("treatment"))
-      val per = armed.groupBy("arm").agg(
-        count(lit(1)).as("n_users"),
-        sum(col("converted")).as("n_converted"))
-      val rates = per.withColumn("rate",
-        col("n_converted").cast("double") / col("n_users").cast("double"))
-      val c = rates.filter(col("arm") === "control")
-        .select(col("rate").as("control_rate"))
-      rates.crossJoin(broadcast(c))
-        .select(col("arm"), col("n_users"), col("n_converted"),
-          round(col("rate"), 6).as("conversion_rate"),
-          round(col("rate") / col("control_rate"), 6).as("lift_vs_control"))
-        .orderBy("arm")
-    }),
-
-    "funnel_time_to_convert" -> ((s, dir) => {
-      // conversion-latency distribution: per user, first signup → first
-      // purchase AT OR AFTER it; report count + quartiles of the latency
-      // in integer milliseconds (exact interpolated percentiles, the
-      // quantile_cont-parity discipline). The signup floor joins back
-      // (broadcast, user-count-sized) so pre-signup purchases are
-      // EXCLUDED from the min rather than disqualifying the user.
-      val e = t(s, dir, "events")
-      val signups = e.filter(col("event_type") === "signup")
-        .groupBy("user_id")
-        .agg(min(expr("unix_millis(ts)")).as("signup_ms"))
-      val lat = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("unix_millis(ts)").as("pms"))
-        .join(signups, Seq("user_id"))
-        .filter(col("pms") >= col("signup_ms"))
-        .groupBy("user_id", "signup_ms")
-        .agg(min(col("pms")).as("first_after"))
-        .select((col("first_after") - col("signup_ms")).as("latency_ms"))
-      lat.agg(
-        count(lit(1)).as("n_converting_users"),
-        round(expr("percentile(latency_ms, 0.25)"), 4).as("p25"),
-        round(expr("percentile(latency_ms, 0.5)"), 4).as("p50"),
-        round(expr("percentile(latency_ms, 0.75)"), 4).as("p75"),
-        max(col("latency_ms")).as("max_ms"))
-    }),
-
-    "attribution_last_touch" -> ((s, dir) => {
-      // marketing attribution as an as-of join on the event stream: every
-      // purchase is credited to the same user's LATEST click at or before
-      // it (ties → larger click id, AsOf's deterministic rule). Reuses the
-      // single-shuffle union+window as-of operator on a second domain —
-      // no per-key loops, no range self-join blowup.
-      val e = t(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").as("p_ts"))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("c_ts"),
-          col("event_id").as("click_id"))
-      AsOf.asofBackward(purchases, clicks, "user_id", "p_ts", "c_ts",
-          "click_id", "attributed_click")
-        .select("purchase_id", "user_id", "attributed_click")
-        .orderBy("purchase_id")
-    }),
-
-    "mixture_weights" -> ((s, dir) => {
-      // domain-mixing weights: the per-source keep-rate that moves the
-      // corpus toward a UNIFORM source mix, bounded by availability
-      // (rate = min(1, target/n)). One vocab-sized aggregate + a scalar
-      // broadcast — the sampling plan that precedes a weighted export.
-      val d = t(s, dir, "documents")
-      val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      val tot = counts.agg(sum(col("n_docs")).as("total"),
-        count(lit(1)).as("k"))
-      val rate = least(lit(1.0),
-        (col("total").cast("double") / col("k").cast("double")) /
-          col("n_docs").cast("double"))
-      counts.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"),
-          round(rate, 6).as("rate"),
-          floor(rate * col("n_docs").cast("double")).cast("long")
-            .as("expected_kept"))
-        .orderBy("source")
-    }),
-
-    "sql_analytics" -> ((s, dir) => {
-      // dialect-common SQL: this EXACT string (sqlAnalyticsText) runs
-      // unchanged on Spark and on the DuckDB oracle — CTE + decimal-exact
-      // aggregation + ranked window + top-k filter, proving the SQL
-      // surface handles real analytics without engine-specific syntax.
-      Tables.registerAll(s, dir)
-      s.sql(sqlAnalyticsText)
-    }),
-
-    "privacy_k_anonymity" -> ((s, dir) => {
-      // k-anonymity audit over quasi-identifiers (the governance gate a
-      // dataset release runs): group sizes over (nation, segment); rows
-      // in groups smaller than k are re-identifiable and flagged. One
-      // map-side-combinable agg; the report is QI-combination-sized,
-      // never row-sized.
-      val k = 5L
-      val c = t(s, dir, "customer")
-      c.groupBy("c_nationkey", "c_mktsegment")
-        .agg(count(lit(1)).as("group_size"))
-        .withColumn("at_risk", col("group_size") < k)
-        .orderBy("c_nationkey", "c_mktsegment")
-    }),
-
-    "privacy_l_diversity" -> ((s, dir) => {
-      // l-diversity audit (Machanavajjhala et al. 2007) — the
-      // homogeneity-attack complement to k-anonymity: a group can be
-      // k-anonymous yet leak its SENSITIVE attribute when every member
-      // shares it. Per QI group (nation, segment), count the DISTINCT
-      // sensitive values (account-balance 1000-bands); groups below
-      // l = 5 are vulnerable. Two-phase distinct agg = one Expand +
-      // one keyed shuffle; report is QI-combination-sized.
-      val l = 5L
-      val c = t(s, dir, "customer")
-        .withColumn("sens_band",
-          floor(col("c_acctbal") / 1000.0).cast("long"))
-      c.groupBy("c_nationkey", "c_mktsegment")
-        .agg(count(lit(1)).as("group_size"),
-          countDistinct(col("sens_band")).as("l_distinct"))
-        .withColumn("vulnerable", col("l_distinct") < l)
-        .orderBy("c_nationkey", "c_mktsegment")
-    }),
-
-    "sql_recursive" -> ((s, dir) => {
-      // recursive-CTE surface (Spark 4): the year-spine calendar fill —
-      // this EXACT string (sqlRecursiveText) also runs on DuckDB. The
-      // spine is time-range-sized (~7 rows at the testdata date range),
-      // so the recursion cost is independent of the orders row count at
-      // any scale.
-      Tables.registerAll(s, dir)
-      s.sql(sqlRecursiveText)
-    }),
-
-    "outlier_trim" -> ((s, dir) => {
-      // winsorization prep: per-type p01/p99 fences (exact interpolated
-      // percentiles, rounded once so both engines clip against the SAME
-      // bound) and the count of values outside them — the trim report a
-      // feature pipeline applies before normalization. One tiny stats
-      // aggregate broadcast back; the fact table is never shuffled.
-      val e = t(s, dir, "events")
-      val stats = e.groupBy("event_type").agg(
-        round(expr("percentile(value, 0.01)"), 6).as("p01"),
-        round(expr("percentile(value, 0.99)"), 6).as("p99"))
-      e.join(broadcast(stats), Seq("event_type"))
-        .groupBy("event_type", "p01", "p99")
-        .agg(count(lit(1)).as("n_total"),
-          count(when(col("value") < col("p01"), 1)).as("n_below"),
-          count(when(col("value") > col("p99"), 1)).as("n_above"))
-        .orderBy("event_type")
-    }),
-
-    "nested_event_gaps" -> ((s, dir) => {
-      // nested-type analytics: each user's history collected into an
-      // ordered array-of-structs, then processed entirely with array
-      // HOFs — slice/zip_with pair each event with its predecessor, so
-      // inter-event gaps come out WITHOUT a second window pass or
-      // self-join. All integer milliseconds (exact). The collect is
-      // per-user (bounded-key); the same shape streams through
-      // transformWithState when the history must stay incremental.
-      val e = t(s, dir, "events")
-      val arr = e.groupBy("user_id").agg(
-        sort_array(collect_list(struct(
-          expr("unix_millis(ts)").as("ms"), col("event_id")))).as("evs"))
-      val ms = transform(col("evs"), x => x.getField("ms"))
-      val gaps = zip_with(
-        slice(ms, lit(2), size(col("evs")) - 1),
-        slice(ms, lit(1), size(col("evs")) - 1),
-        (a, b) => a - b)
-      arr.select(col("user_id"),
-          size(col("evs")).cast("long").as("n_events"),
-          (element_at(ms, -1) - element_at(ms, 1)).as("span_ms"),
-          when(size(col("evs")) < 2, lit(null).cast("long"))
-            .otherwise(array_max(gaps)).as("max_gap_ms"))
-        .orderBy("user_id")
-    }),
-
-    "layout_zorder" -> ((s, dir) => {
-      // Z-order layout profile: Morton-interleave (l_partkey, l_suppkey),
-      // bucket by the key's high bits, and report each bucket's (part,
-      // supp) bounding box. Every bucket covers a small rectangle in BOTH
-      // dimensions — the property that makes parquet min/max pruning work
-      // for predicates on either column once the table is range-written
-      // by zkey (Layout.zOrderKey doc). Pure codegen bit ops, one narrow
-      // groupBy shuffle of 4 scalars per bucket.
-      // "file" = 256 consecutive rows of the z-sorted order, modeled as
-      // (coarse z-prefix, 256-row chunk within it): the ranking window is
-      // partitioned by the prefix, so no global single-partition sort —
-      // the same decomposition repartitionByRange(zkey) gives at scale.
-      // Ties inside the window are full duplicates (zkey injectively
-      // encodes the pair at these ranges), so chunk boxes are stable.
-      val li = t(s, dir, "lineitem")
-      val z = Layout.zOrderKey(col("l_partkey"), col("l_suppkey"), bits = 16)
-      val w = Window.partitionBy(col("z_prefix")).orderBy(col("zkey"))
-      li.select(col("l_partkey"), col("l_suppkey"), z.as("zkey"))
-        .withColumn("z_prefix", shiftright(col("zkey"), 16))
-        .withColumn("chunk", ((row_number().over(w) - 1) / 256).cast("long"))
-        .groupBy(col("z_prefix"), col("chunk"))
-        .agg(count(lit(1)).as("n_rows"),
-          min("l_partkey").as("part_lo"), max("l_partkey").as("part_hi"),
-          min("l_suppkey").as("supp_lo"), max("l_suppkey").as("supp_hi"))
-        .orderBy("z_prefix", "chunk")
-    }),
-
-    "layout_hilbert" -> ((s, dir) => {
-      // Hilbert-curve layout profile — layout_zorder's stronger sibling
-      // on the SAME chunk decomposition, so the two reports compare
-      // directly: the Hilbert curve never takes the Morton curve's long
-      // diagonal jumps, so 256-row chunks cover tighter (part, supp)
-      // rectangles (LayoutSpec asserts the aggregate advantage). The key
-      // is `Layout.withHilbertKey`: 16 materialized projection steps of
-      // pure integer CASE/shift arithmetic (no UDF, no shuffle); d is a
-      // bijection of the coordinate pair, so chunk boxes are stable
-      // under any row order. Same scale shape as zorder: one narrow
-      // groupBy of 4 scalars per chunk.
-      val li = t(s, dir, "lineitem")
-      val keyed = Layout.withHilbertKey(
-        li.select(col("l_partkey"), col("l_suppkey")),
-        "l_partkey", "l_suppkey", "hkey", bits = 16)
-      val w = Window.partitionBy(col("h_prefix")).orderBy(col("hkey"))
-      keyed
-        .withColumn("h_prefix", shiftright(col("hkey"), 16))
-        .withColumn("chunk", ((row_number().over(w) - 1) / 256).cast("long"))
-        .groupBy(col("h_prefix"), col("chunk"))
-        .agg(count(lit(1)).as("n_rows"),
-          min("l_partkey").as("part_lo"), max("l_partkey").as("part_hi"),
-          min("l_suppkey").as("supp_lo"), max("l_suppkey").as("supp_hi"))
-        .orderBy("h_prefix", "chunk")
-    }),
-
-    "dataset_fingerprint" -> ((s, dir) => {
-      // layout-independent replica-integrity fingerprint: wrapping
-      // mod-2^64 sum of per-row FNV hashes — same value for ANY
-      // partitioning/ordering of the same rows (LayoutSpec proves the
-      // invariance; the oracle proves the value). One pass,
-      // map-side-combinable, bytes not rows cross the wire.
-      Layout.datasetFingerprint(
-        t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_linenumber", "l_returnflag"))
-    }),
-
-    "dataset_fingerprint_by" -> ((s, dir) => {
-      // Merkle-style per-group fingerprints: compare replicas group by
-      // group and re-read only the groups whose hashes differ
-      Layout.datasetFingerprintBy(
-        t(s, dir, "lineitem"),
-        Seq("l_returnflag"), Seq("l_orderkey", "l_linenumber"))
-        .orderBy("l_returnflag")
-    }),
-
-    "dataset_fingerprint_cdc" -> ((s, dir) => {
-      // the algebra that makes fingerprinting rescan-free under change
-      // capture: an UPDATE stripe (keys ≡ 7 mod 4096, returnflag → 'X')
-      // is modeled as delete+insert; the incrementally-maintained
-      // fingerprint (old − Σdel + Σins, from the change batch ALONE)
-      // must equal a full recompute over the updated table. Both paths
-      // and their agreement are oracle-checked.
-      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
-      val base = t(s, dir, "lineitem")
-        .select(cols.map(col): _*)
-      val stripe = pmod(col("l_orderkey"), lit(4096)) === 7
-      val deletes = base.filter(stripe)
-      val inserts = deletes.withColumn("l_returnflag", lit("X"))
-      val updated = base.filter(!stripe).unionByName(inserts)
-      val direct = Layout.datasetFingerprint(updated, cols)
-        .withColumnRenamed("n_rows", "n_direct")
-        .withColumnRenamed("content_hash", "h_direct")
-      val incr = Layout.incrementalFingerprint(
-          Layout.datasetFingerprint(base, cols), inserts, deletes, cols)
-        .withColumnRenamed("n_rows", "n_incr")
-        .withColumnRenamed("content_hash", "h_incr")
-      direct.crossJoin(incr)
-        .withColumn("consistent",
-          (col("n_direct") === col("n_incr") &&
-            col("h_direct") === col("h_incr")).cast("long"))
-    }),
-
-    "replica_diff" -> ((s, dir) => {
-      // replica verification demo with DETERMINISTIC divergence: replica
-      // B tampers one returnflag stripe (keys ≡ 7 mod 4096 → only bucket
-      // 7 of 16 differs) and drops bucket 11 wholesale. The diff is
-      // 16 rows of metadata out of two full scans; only the flagged
-      // buckets would be re-read at 100 TB.
-      val a = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_returnflag")
-      val b = a.select(col("l_orderkey"), col("l_linenumber"),
-          when(pmod(col("l_orderkey"), lit(4096)) === 7, lit("X"))
-            .otherwise(col("l_returnflag")).as("l_returnflag"))
-        .filter(pmod(col("l_orderkey"), lit(16)) =!= 11)
-      def bucketed(df: DataFrame) =
-        df.withColumn("bucket", pmod(col("l_orderkey"), lit(16)))
-      Layout.replicaDiff(bucketed(a), bucketed(b), Seq("bucket"),
-        Seq("l_orderkey", "l_linenumber", "l_returnflag"))
-        .orderBy("bucket")
-    }),
-
-    "similarity_hard_negatives" -> ((s, dir) => {
-      // contrastive-training data prep: the most-confusable vectors
-      // OUTSIDE each query's own k-means cell — same deterministic
-      // clustering as embedding_clusters, same cosine/tie-break as the
-      // topk family
-      val (cents, _) = ivfIndex(s, dir)
-      val e = t(s, dir, "embeddings")
-      val cells = Similarity.assignToCentroids(e, cents)
-        .select("vec_id", "centroid_id")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.hardNegatives(e, q, cells, k = 10)
-        .select(col("query_id"), col("rank").as("rnk"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    "embedding_centroids" -> ((s, dir) => {
-      // per-label exact mean embedding (domain prototype vectors for
-      // mixing/steering): the mean of each (label, dim) is the same
-      // ascending-id sequential fold the k-means trainer uses — engine-
-      // exact — rounded through FLOAT like a stored centroid. Emitted
-      // exploded (label, dim, mean) so the gate hash-compares scalars.
-      // One narrow shuffle keyed (label, dim); at 100 TB this is a
-      // map-side-combinable sum/count pair per (label, dim).
-      val e = t(s, dir, "embeddings")
-      e.select(col("label"), col("vec_id"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("label"), col("dim"))
-        .agg(count(lit(1)).as("n"),
-          (aggregate(
-            sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("x")))),
-            lit(0.0), (acc, el) => acc + el.getField("x")) /
-            count(lit(1)).cast("double")).cast("float").cast("double").as("mean_v"))
-        .orderBy("label", "dim")
-    }),
-
-    "embedding_clusters" -> ((s, dir) => {
-      // domain clustering for data mixing: every embedding assigned to
-      // its nearest trained centroid (same deterministic k-means and
-      // argmax tie-break as the IVF family), reduced to per-cluster
-      // sizes — the cluster histogram that drives mixture reweighting
-      val (cents, _) = ivfIndex(s, dir)
-      Similarity.assignToCentroids(t(s, dir, "embeddings"), cents)
-        .groupBy(col("centroid_id"))
-        .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
-        .orderBy("centroid_id")
-    }),
-
-    "dq_checks" -> ((s, dir) => {
-      // data-quality audit over a corpus with KNOWN (synthetic,
-      // id-derived) corruption: orphaned foreign keys, duplicate primary
-      // keys, and range violations are injected deterministically so the
-      // checks demonstrably FIRE and the exact violation counts are
-      // oracle-checkable. (The dup-PK check also catches that this
-      // testdata's lineitem genuinely violates the TPC-H (orderkey,
-      // linenumber) PK — a real finding, reported as-is.) Each check is
-      // one aggregate or one anti-join — the report costs two scans of
-      // the fact table total.
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-      val seed = li.filter(pmod(col("l_orderkey"), lit(997)) === 1 &&
-        col("l_linenumber") === 1)
-      val orphans = seed.select(
-        (col("l_orderkey") + 1000000000L).as("l_orderkey"),
-        col("l_linenumber"), col("l_quantity"))
-      val dupPk = seed
-      val rangeViol = seed.select(col("l_orderkey"),
-        lit(99).cast("int").as("l_linenumber"),
-        lit(999.0).as("l_quantity"))
-      val all = li.unionByName(orphans).unionByName(dupPk)
-        .unionByName(rangeViol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val o = t(s, dir, "orders").select("o_orderkey")
-      val nOrphan = all.join(o, all("l_orderkey") === o("o_orderkey"),
-        "left_anti").agg(count(lit(1)).as("n_orphan_fk"))
-      val nDup = all.groupBy("l_orderkey", "l_linenumber")
-        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
-        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_dup_pk"))
-      val nRange = all.agg(
-        count(lit(1)).as("n_rows"),
-        count(when(!col("l_quantity").between(1.0, 50.0), 1))
-          .as("n_range_violations"))
-      nRange.crossJoin(nOrphan).crossJoin(nDup)
-        .select("n_rows", "n_orphan_fk", "n_dup_pk", "n_range_violations")
-    }),
-
-    "skew_profile" -> ((s, dir) => {
-      // skew diagnostics — the measurement that decides whether a join
-      // needs salting BEFORE it melts an executor: per-key cardinality
-      // distribution (max, p50/p99, max/mean ratio) from one count
-      // aggregate plus one summary aggregate over the (key-sized) table.
-      val e = t(s, dir, "events")
-      val c = e.groupBy("user_id").agg(count(lit(1)).as("n"))
-      c.agg(
-          count(lit(1)).as("n_keys"),
-          sum(col("n")).as("n_rows"),
-          max(col("n")).as("max_per_key"),
-          round(expr("percentile(n, 0.5)"), 6).as("p50"),
-          round(expr("percentile(n, 0.99)"), 6).as("p99"))
-        .withColumn("skew_ratio",
-          round(col("max_per_key").cast("double") /
-            (col("n_rows").cast("double") / col("n_keys").cast("double")), 6))
-    }),
-
-    "agg_equidepth" -> ((s, dir) => {
-      // equi-DEPTH histogram (the optimizer-statistics shape): ntile(10)
-      // over a total order gives deterministic bucket membership; output
-      // is per-bucket count + exact value bounds. Complements the
-      // equi-width agg_histogram.
-      // r9 reshape: the straight ntile window funnels every row through
-      // one task (Exchange SinglePartition → WindowExec). Instead: exact
-      // global rank via range-repartition + per-partition offsets
-      // (operators/Rank), then the ntile bucket in closed form — same
-      // output, no row-sized single-task stage anywhere.
-      val o = t(s, dir, "orders").select("o_totalprice", "o_orderkey")
-      val ranked = graft.operators.Rank.globalRowNumber(o, 32, "__rn",
-        col("o_totalprice"), col("o_orderkey"))
-      val tot = o.agg(count(lit(1)).as("n"))
-      ranked.crossJoin(broadcast(tot))
-        .withColumn("q", expr("n div 10"))
-        .withColumn("r", expr("n % 10"))
-        .withColumn("bucket",
-          expr(graft.operators.Rank.ntileExprSql("__rn")).cast("int"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_orders"),
-          min(col("o_totalprice")).as("lo"),
-          max(col("o_totalprice")).as("hi"))
-        .orderBy("bucket")
-    }),
-
-    "timeseries_autocorr" -> ((s, dir) => {
-      // lag-1 autocorrelation per event type — the "is this series
-      // momentum or noise" statistic — with the same engine-exact
-      // discipline as agg_corr: (x_t, x_{t−1}) pairs from one keyed
-      // window pass, co-moments as EXACT decimal sums (2-dp inputs ⇒
-      // 4-dp products), and the Pearson formula as one double tree over
-      // those exact scalars. No streaming-covariance built-ins, no
-      // accumulation-order dependence.
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-      val base = e.select(col("event_type"), dec(col("value")).as("x"),
-          lag(dec(col("value")), 1).over(w).as("y"))
-        .filter(col("y").isNotNull)
-      val sums = base.groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-      val nD = col("n").cast("double")
-      def d(c: String): Column = col(c).cast("double")
-      sums.select(col("event_type"), col("n"),
-          round((nD * d("sxy") - d("sx") * d("sy")) /
-            (sqrt(nD * d("sxx") - d("sx") * d("sx")) *
-             sqrt(nD * d("syy") - d("sy") * d("sy"))), 6).as("autocorr_lag1"))
-        .orderBy("event_type")
-    }),
-
-    "train_split_grouped" -> ((s, dir) => {
-      // GROUP-aware train/val/test split: the hash is taken over the
-      // doc's source, not the doc itself, so every document from one
-      // source lands in the same split — the standard guard against
-      // near-duplicate leakage across splits (per-doc hashing happily
-      // puts a page and its mirror on opposite sides of the eval line).
-      val d = t(s, dir, "documents")
-      val h = pmod(HashFunctions.fnv64(col("source")), lit(1000L))
-      d.withColumn("split",
-          when(h < 800, "train").when(h < 900, "val").otherwise("test"))
-        .groupBy("split")
-        .agg(countDistinct(col("source")).as("n_sources"),
-          count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"))
-        .orderBy("split")
-    }),
-
-    "leakage_audit" -> ((s, dir) => {
-      // eval-contamination audit: how many NEAR-DUP pairs straddle the
-      // train/val/test line under a naive per-doc split? Near-dup pairs
-      // come from the banded-LSH pipeline (verified Jaccard ≥ 0.8); each
-      // pair is labeled with its endpoints' splits (unordered, so
-      // (train,test) and (test,train) collapse). Nonzero off-diagonal
-      // counts are exactly the leakage a grouped split prevents.
-      val aug = augmentedDocs(s, dir)
-      val pairs = Dedup.minhashPairs(aug, "doc_id", "text",
-        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
-      def splitOf(c: Column): Column = {
-        val h = pmod(HashFunctions.fnv64(c.cast("string")), lit(1000L))
-        when(h < 800, "train").when(h < 900, "val").otherwise("test")
-      }
-      pairs
-        .withColumn("sa", splitOf(col("id_a")))
-        .withColumn("sb", splitOf(col("id_b")))
-        .select(least(col("sa"), col("sb")).as("split_lo"),
-          greatest(col("sa"), col("sb")).as("split_hi"))
-        .groupBy("split_lo", "split_hi")
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("split_lo", "split_hi")
-    }),
-
-    "vocab_coverage" -> ((s, dir) => {
-      // tokenizer-design query: the smallest frequency-ranked vocabulary
-      // covering 90% of corpus token mass. Coverage test is INTEGER
-      // arithmetic ((cum−freq)·10 < total·9 — no float division), so the
-      // boundary token is engine-exact. One explode + one agg + one
-      // ranked window over the (vocab-sized) count table.
-      val d = t(s, dir, "documents")
-      val tok = d.select(
-        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-      val counts = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
-      val w = Window.orderBy(col("freq").desc, col("tok"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val total = counts.agg(sum(col("freq")).as("total"))
-      counts.crossJoin(broadcast(total))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
-        .withColumn("cum", sum(col("freq")).over(w))
-        .filter((col("cum") - col("freq")) * 10 < col("total") * 9)
-        .select("rank", "tok", "freq", "cum")
-        .orderBy("rank")
-    }),
-
-    "text_bm25" -> ((s, dir) => {
-      // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query,
-      // with RATIONAL idf ((N−df+0.5)/(df+0.5), no ln) so every score is
-      // one fixed double expression tree over exact integer tf/df/dl —
-      // bit-identical on any engine (ln differs by ulps across libms).
-      // Per-doc tf comes from array exprs (no explode), corpus stats from
-      // ONE aggregate broadcast back — a single scan + a metadata join,
-      // the shape that holds at any corpus size. Term order in the sum is
-      // fixed (join, vector, stream), so no accumulation reordering.
-      val d = t(s, dir, "documents")
-      val terms = Seq("join", "vector", "stream")
-      def tfOf(term: String) =
-        size(filter(TextFunctions.tokens(lower(col("text"))),
-          x => x === term)).cast("long")
-      val base = d.select(
-        col("doc_id") +: TextFunctions.tokenCount(col("text")).as("dl") +:
-        terms.map(w => tfOf(w).as(s"tf_$w")): _*)
-      val aggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
-        terms.map(w => count(when(col(s"tf_$w") > 0, 1)).as(s"df_$w"))
-      val stats = base.agg(aggs.head, aggs.tail: _*)
-      val j = base.crossJoin(broadcast(stats))
-      val avgdl = col("sdl").cast("double") / col("n").cast("double")
-      def score(w: String): Column = {
-        val tf = col(s"tf_$w").cast("double")
-        val df = col(s"df_$w").cast("double")
-        ((col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5))) *
-          ((tf * lit(2.2)) /
-            (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
-              (col("dl").cast("double") / avgdl))))
-      }
-      j.withColumn("score", terms.map(score).reduceLeft(_ + _))
-        .filter(col("score") > 0)
-        .select("doc_id", "dl", "score")
-        .orderBy("doc_id")
-    }),
-
-    "unpivot_metrics" -> ((s, dir) => {
-      // wide→long reshaping (melt): three exact decimal totals per group
-      // unpivoted into (metric, total) rows via the native Unpivot node —
-      // an Expand over the already-aggregated (tiny) table, so the scan
-      // and shuffle happen once regardless of how many metrics unfold.
-      val li = t(s, dir, "lineitem")
-      val agg = li.groupBy("l_returnflag").agg(
-        sum(dec(col("l_quantity"))).cast("double").as("qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("price"),
-        sum(dec(col("l_discount"))).cast("double").as("discount"))
-      agg.unpivot(Array(col("l_returnflag")),
-          Array(col("qty"), col("price"), col("discount")),
-          "metric", "total")
-        .orderBy("l_returnflag", "metric")
-    }),
-
-    "graph_triangles" -> ((s, dir) => {
-      // triangle enumeration over the embedding near-dup graph (the
-      // local-clustering signal that separates a tight dup cluster from a
-      // chain of pairwise matches). Edges are oriented id_a < id_b, so
-      // every triangle a<b<c is produced exactly ONCE by the two-hop join
-      // plus the closing-edge check — no symmetric-edge explosion, join
-      // volume Σdeg² on the oriented (half-degree) graph, the standard
-      // distributed triangle recipe. Corpus: each 10th vector gets TWO
-      // rescaled copies (same direction ⇒ cosine ≈ 1), so every triple is
-      // one triangle with a known id shape.
-      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      def scaled(offset: Long, f: Double) =
-        e.filter(pmod(col("vec_id"), lit(10)) === 0)
-          .select((col("vec_id") + offset).as("vec_id"),
-            transform(col("embedding"), x => (x * lit(f)).cast("float"))
-              .as("embedding"))
-      val aug = e.unionByName(scaled(1000000L, 0.9))
-        .unionByName(scaled(2000000L, 0.8))
-      val p = Dedup.embeddingPairs(aug, "vec_id", "embedding",
-          minCosine = 0.95, bits = 16, bands = 4)
-        .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ab = p.select(col("id_a").as("a"), col("id_b").as("b"))
-      val bc = p.select(col("id_a").as("b"), col("id_b").as("c"))
-      val ac = p.select(col("id_a").as("a"), col("id_b").as("c"))
-      ab.join(bc, Seq("b")).join(ac, Seq("a", "c"))
-        .select("a", "b", "c")
-        .orderBy("a", "b", "c")
-    }),
-
-    "agg_distinct_rollup" -> ((s, dir) => {
-      // exact COUNT(DISTINCT) across a rollup hierarchy: Catalyst plans
-      // this as Expand + two-phase distinct aggregation — every level's
-      // distinct sets come out of ONE pass over the fact table with
-      // map-side partials, instead of one scan per hierarchy level (the
-      // naive UNION ALL shape, which at 100 TB is 3 scans for 3 levels).
-      val li = t(s, dir, "lineitem")
-      li.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
-          countDistinct(col("l_partkey")).as("n_parts"),
-          count(lit(1)).as("n_rows"))
-        .orderBy(asc_nulls_first("l_returnflag"),
-          asc_nulls_first("l_linestatus"))
-    }),
-
-    "pipeline_quality_gate" -> ((s, dir) => {
-      // the END-TO-END preprocessing funnel a pretraining corpus actually
-      // runs — language filter → model-score gate → exact dedup → near
-      // dedup — reported as per-stage survivor counts (the attrition
-      // table on every dataset card). Composes the library's own
-      // operators: langIdHeuristic + linearMargin fuse into ONE codegen'd
-      // corpus scan (per-doc expressions, zero shuffle), exact dedup is
-      // one fingerprint shuffle, and the near stage is ngramJaccardPairs'
-      // df-capped inverted index (Σdf², never n²) over only the docs that
-      // survived the cheap stages — the standard cost ordering: O(scan)
-      // filters first, the shuffle-bearing dedups on the shrunken tail.
-      val d = t(s, dir, "documents")
-      val en = d.filter(TextFunctions.langIdHeuristic(col("text")) === "en")
-      val qual = en.filter(HashFunctions.linearMargin(
-        TextFunctions.tokens(lower(col("text")))) > 0)
-      val exact = Dedup.exactDedup(qual, "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val doomed = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
-          shingleSize = 3, threshold = 0.6)
-        .select(col("id_b").as("doc_id")).distinct()
-      val near = exact.join(doomed, Seq("doc_id"), "left_anti")
-      def stage(name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(name).as("stage"), col("n_docs"))
-      Seq(stage("0_ingest", d), stage("1_lang_en", en),
-          stage("2_quality", qual), stage("3_exact_dedup", exact),
-          stage("4_near_dedup", near))
-        .reduce(_ unionByName _)
-        .orderBy("stage")
-    }),
-
-    "graph_shortest_paths" -> ((s, dir) => {
-      // multi-source BFS (unweighted SSSP) over the supplier–part graph —
-      // the canonical iterative graph workload next to PageRank: three
-      // rounds of min-distance propagation from suppliers 1–3. Same
-      // integer node encoding and persisted symmetrized edge list as
-      // graph_pagerank; each round is one |E|-keyed join + one min-agg
-      // (map-side combinable), the exact Pregel lowering, linear in |E|
-      // per round. All-integer distances — engine-exact.
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select(
-          (col("l_suppkey") * 2L).as("src"),
-          (col("l_partkey") * 2L + 1L).as("dst"))
-        .distinct()
-      val und = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var dist = li.filter(col("l_suppkey") <= 3)
-        .select((col("l_suppkey") * 2L).as("node")).distinct()
-        .withColumn("dist", lit(0L))
-      for (_ <- 1 to 3) {
-        val next = und.join(dist.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-        dist = dist.unionByName(next)
-          .groupBy("node").agg(min(col("dist")).as("dist"))
-      }
-      dist.orderBy("node")
-    }),
-
-    "graph_jaccard_neighbors" -> ((s, dir) => {
-      // neighborhood-Jaccard similarity (the common-neighbors link score
-      // of collaborative filtering / graph dedup): suppliers scored by
-      // |shared parts| / |union of parts|, top-20. Pairs are generated
-      // BY PART (the two-hop join), so join volume is Σdeg(part)² — and
-      // hub parts, which add |hub|² pairs of near-zero signal, are
-      // df-capped at 64 exactly like the dedup shingle cap; degrees and
-      // the Jaccard are computed over the same capped graph, so the
-      // score is exact on the graph actually searched. Fixed-point
-      // basis points keep it engine-exact; top-20 plans as
-      // TakeOrderedAndProject, never a global sort.
-      val li = t(s, dir, "lineitem")
-      val sp = li.select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-        .distinct()
-      val capped = sp.join(
-          sp.groupBy("p").agg(count(lit(1)).as("pd"))
-            .filter(col("pd") <= 64).select("p"),
-          Seq("p"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = capped.groupBy("s").agg(count(lit(1)).as("d"))
-      // the two-hop self-join is FORCED to a shuffle hash join: the
-      // capped graph is corpus-sized, and Spark's size estimate of the
-      // cached frame otherwise flips it under the broadcast threshold —
-      // at the sf1 leg that meant driver-collecting 6M edge rows per
-      // run, which at 100 TB is a guaranteed driver OOM. Co-partitioning
-      // both sides on p is the plan that scales. (Wall time at sf1 is
-      // dominated by the Σdeg(part)² pair aggregation itself — 87M pair
-      // rows at sf1, exactly 10×/decade, the textbook linear cost of
-      // exact common-neighbor counting — profiled in NOTES_r8.)
-      val pairs = capped.select(col("p"), col("s").as("sa")).hint("shuffle_hash")
-        .join(capped.select(col("p"), col("s").as("sb")).hint("shuffle_hash"),
-          Seq("p"))
-        .filter(col("sa") < col("sb"))
-        .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
-      pairs
-        .join(deg.select(col("s").as("sa"), col("d").as("da")), Seq("sa"))
-        .join(deg.select(col("s").as("sb"), col("d").as("db")), Seq("sb"))
-        .withColumn("jaccard_bp", floor(col("common") * lit(10000)
-          / (col("da") + col("db") - col("common"))))
-        .select("sa", "sb", "common", "da", "db", "jaccard_bp")
-        .orderBy(col("jaccard_bp").desc, col("sa"), col("sb"))
-        .limit(20)
-    }),
-
-    "graph_pagerank" -> ((s, dir) => {
-      // fixed-point (integer-scaled) PageRank over the bipartite
-      // supplier–part co-purchase graph: rank mass is scaled by 10^12 and
-      // ALL arithmetic is 64-bit integer with explicit integer division —
-      // exact, order-independent, engine-independent (float PageRank sums
-      // are partition-order-dependent). Two damped (d=0.85) iterations
-      // from the uniform start; each iteration is one join + one
-      // aggregation keyed on the node id, the same shape GraphX/Pregel
-      // lowers to, so it scales linearly in |E|.
-      // nodes are LONGS (supplier 2k, part 2k+1 — parity encodes the
-      // side): integer join/shuffle keys, not strings, so every exchange
-      // moves 8-byte keys. `und` (the symmetrized edge list) feeds THREE
-      // consumers — degree computation and both iteration joins — so it
-      // is the frame that gets persisted: the scan+distinct+union chain
-      // runs once, and each iteration reads cached 16-byte edge rows.
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select(
-          (col("l_suppkey") * 2L).as("src"),
-          (col("l_partkey") * 2L + 1L).as("dst"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val und = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = und.groupBy("src").agg(count(lit(1)).as("outdeg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = deg.agg(count(lit(1)).as("n_nodes"))
-      val nodes = deg.crossJoin(broadcast(n))
-        .select(col("src").as("node"), col("outdeg"), col("n_nodes"))
-      var rank = nodes.withColumn("rank", expr("1000000000000L div n_nodes"))
-      for (_ <- 1 to 2) {
-        val c = und.join(rank.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
-          .groupBy("node").agg(sum(col("c")).as("sc"))
-        rank = nodes.join(c, Seq("node"))
-          .withColumn("rank",
-            expr("15000000000000L div (100 * n_nodes) + (85 * sc) div 100"))
-      }
-      val out = rank
-        .select(col("node"), col("rank").as("pagerank"),
-          col("outdeg").as("degree"))
-        .orderBy("node")
-      out
-    }),
-
-    "search_hybrid_rrf" -> ((s, dir) => {
-      // Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack &
-      // Clarke SIGIR'09) — the RAG-stack query: one query document
-      // (doc 0) expressed BOTH lexically (its distinct tokens probed
-      // against the token inverted index with integer rarity weights
-      // 1e6 div (df+1)) and densely (its embedding ranked by exact
-      // cosine); each leg yields a top-20 candidate list and the fused
-      // score is the fixed-point 1e6 div (60 + rank) sum. Every score
-      // the ORDER depends on is 64-bit integer except the cosine leg
-      // (whose cross-engine double parity the similarity_topk family
-      // already locks), so fusion is engine-exact by construction.
-      // Scale shape: the broadcast query-term semi-join prunes the
-      // postings shuffle to query-term rows BEFORE df/score work; the
-      // per-doc score is a map-side-combinable integer sum; each leg
-      // tops out through TakeOrderedAndProject (per-partition top-k,
-      // k-row merge — no global sort); fusion full-outer-joins two
-      // 20-row frames. Works unchanged at any corpus size.
-      val d = t(s, dir, "documents")
-      val e = t(s, dir, "embeddings")
-      val tok = d.select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-      val postings = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      val qterms = tok.filter(col("doc_id") === 0).select("term").distinct()
-      val qpost = postings.join(broadcast(qterms), "term")
-      val dfreq = qpost.groupBy("term").agg(count(lit(1)).as("df"))
-      val lex = qpost.join(broadcast(dfreq), "term")
-        .filter(col("doc_id") =!= 0)
-        .withColumn("w", expr("1000000L div (df + 1)"))
-        .groupBy("doc_id").agg(sum(col("tf") * col("w")).as("lex_score"))
-      // rank AFTER the k-row top-k, so the unpartitioned window sorts 20
-      // rows on one task, never the corpus
-      val lexTop = lex.orderBy(col("lex_score").desc, col("doc_id")).limit(20)
-        .withColumn("lex_rank", row_number().over(
-          Window.orderBy(col("lex_score").desc, col("doc_id"))).cast("long"))
-      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
-      val dense = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
-        .select(col("vec_id").as("doc_id"),
-          graft.functions.VectorFunctions.cosineSim(col("embedding"), col("q_vec"))
-            .as("cosine"))
-      val denseTop = dense.orderBy(col("cosine").desc, col("doc_id")).limit(20)
-        .withColumn("dense_rank", row_number().over(
-          Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
-      lexTop.select("doc_id", "lex_rank")
-        .join(denseTop.select("doc_id", "dense_rank"), Seq("doc_id"), "full_outer")
-        .withColumn("rrf",
-          expr("coalesce(1000000L div (60 + lex_rank), 0L)" +
-            " + coalesce(1000000L div (60 + dense_rank), 0L)"))
-        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
-        .select("doc_id", "lex_rank", "dense_rank", "rrf")
-    }),
-
-    "graph_label_propagation" -> ((s, dir) => {
-      // community detection by synchronous label propagation (Raghavan
-      // et al. 2007) over the same supplier(2k)–part(2k+1) co-purchase
-      // graph as pagerank: labels start as node ids; each round every
-      // node adopts the MODE of its neighbors' labels (ties → smallest
-      // label — the argmax is exact integer, so rounds are fully
-      // deterministic and engine-independent, unlike async LPA). Two
-      // rounds, then the community-size table (top 20). Each round is
-      // one |E| join + a (node, label) count + a max_by argmax — the
-      // count combines map-side and the argmax shuffles ONE row per
-      // (node, label), so per-round cost is linear in |E| with no sort;
-      // `und` feeds both rounds and is the persisted frame.
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select(
-          (col("l_suppkey") * 2L).as("src"),
-          (col("l_partkey") * 2L + 1L).as("dst"))
-        .distinct()
-      val und = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = und.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-      for (_ <- 1 to 2) {
-        labels = und.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("src"))
-          .agg(max_by(col("label"), struct(col("cnt"), negate(col("label"))))
-            .as("label"))
-          .select(col("src").as("id"), col("label"))
-      }
-      labels.groupBy("label").agg(count(lit(1)).as("size"))
-        .orderBy(col("size").desc, col("label")).limit(20)
-    }),
-
-    "graph_assortativity" -> ((s, dir) => {
-      // degree assortativity (Newman 2002): the Pearson correlation of
-      // endpoint degrees across edges — do hubs link hubs (r > 0,
-      // social graphs) or leaves (r < 0, bipartite/infrastructure)?
-      // One degree agg + two edge-keyed joins; sums in decimal(38,0)
-      // (Σ deg² over edges crosses 2^63 around sf10). The symmetrized
-      // edge list makes both endpoint marginals identical, so r needs
-      // only (n, Σx, Σx², Σxy) and closes in one shared double tree.
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select(
-          (col("l_suppkey") * 2L).as("src"),
-          (col("l_partkey") * 2L + 1L).as("dst"))
-        .distinct()
-      val und = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
-      val joined = und
-        .join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
-        .join(deg.select(col("src").as("dst"), col("d").as("dy")),
-          Seq("dst"))
-      joined.agg(
-          count(lit(1)).as("n_edges"),
-          sum(col("dx").cast("decimal(38,0)")).as("sx"),
-          sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"),
-          sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"))
-        .withColumn("r_ppm", expr(assortativityPpm))
-        .select(col("n_edges"), col("sx").cast("long").as("sum_deg"),
-          col("r_ppm"))
-    }),
-
-    "graph_modularity" -> ((s, dir) => {
-      // modularity Q of a labeled partition — the readout that says
-      // whether a grouping beats random wiring: Q = intra/2m −
-      // Σ_c (deg_c/2m)². The co-purchase graph was measured
-      // structureless under ANY deterministic LPA variant (synchronous
-      // and self-damped two-color to Q = −½ exactly — the Raghavan
-      // oscillation — and the semi-synchronous fix collapses the
-      // near-complete bipartite fixture to ONE community, Q = 0), so
-      // the operator grades a partition with REAL planted structure:
-      // nodes are customers, communities are nations, intra edges are
-      // same-nation pairs within key distance 100 (a band join — the
-      // Σ|band| trick keeps this linear), noise edges are the key-
-      // adjacent chain (mostly cross-nation). The statistic stays
-      // INTEGER until one final division: q_ppm = (10⁶·(intra·2m −
-      // Σdeg_c²)) div (2m)² — no float anywhere, bit-for-bit across
-      // engines.
-      val c = t(s, dir, "customer")
-        .select(col("c_custkey").as("id"),
-          col("c_nationkey").cast("long").as("nation"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // band-bucket trick (join_band_bucketed's rule): id2 ∈ (id,
-      // id+100] ⇒ bucket(id2) ∈ {bucket(id), bucket(id)+1}, so the
-      // range rides an equi-join on (nation, bucket) with the right
-      // side replicated twice — candidates are Σ|nation∩bucket|²,
-      // never per-nation n²
-      val withB = c.withColumn("bk", expr("id div 100"))
-      val right = withB
-        .select(col("id").as("id2"), col("nation").as("nation2"),
-          col("bk"))
-        .withColumn("dbk", explode(array(lit(0L), lit(1L))))
-        .select(col("id2"), col("nation2"),
-          (col("bk") - col("dbk")).as("bk2"))
-      val near = withB.join(right,
-          col("bk") === col("bk2") && col("nation") === col("nation2") &&
-            col("id2") > col("id") && col("id2") <= col("id") + 100)
-        .select(col("id").as("src"), col("id2").as("dst"))
-      val chain = c.join(
-          c.select(col("id").as("id2"), col("nation").as("nation2")),
-          col("id2") === col("id") + 1)
-        .select(col("id").as("src"), col("id2").as("dst"))
-      val e0 = near.unionByName(chain).distinct()
-      val und = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val labels = c.select(col("id"), col("nation").as("label"))
-      val m2t = und.agg(count(lit(1)).as("m2"))
-      val intra = und
-        .join(labels.select(col("id").as("src"), col("label").as("ls")),
-          Seq("src"))
-        .join(labels.select(col("id").as("dst"), col("label").as("ld")),
-          Seq("dst"))
-        .filter(col("ls") === col("ld"))
-        .agg(count(lit(1)).as("intra"))
-      val degc = und.groupBy("src").agg(count(lit(1)).as("d"))
-        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
-        .groupBy("label").agg(sum(col("d")).as("deg_c"))
-      val stats = degc.agg(count(lit(1)).as("n_communities"),
-        sum(col("deg_c") * col("deg_c")).as("sum_deg_sq"))
-      m2t.crossJoin(broadcast(intra)).crossJoin(broadcast(stats))
-        .withColumn("q_ppm", expr(
-          // decimal(38,0): 10⁶·intra·2m crosses 2^63 already at sf1
-          """CAST((CAST(1000000 AS DECIMAL(38,0)) *
-               (CAST(intra AS DECIMAL(38,0)) * m2 - sum_deg_sq))
-             div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)"""))
-        .select("m2", "intra", "n_communities", "sum_deg_sq", "q_ppm")
-    }),
-
-    "entity_resolution" -> ((s, dir) => {
-      // entity resolution end-to-end: blocked fuzzy candidate pairs
-      // (nation block bounds the quadratic term; Levenshtein ≤ 1 over
-      // names) → transitive closure (the shared min-label CC operator) →
-      // canonical-record election (min id per entity). The fixture
-      // injects typo'd copies (id + 1e6, one char appended ⇒ distance 1)
-      // of every 7th record; sequential customer names also merge
-      // digit-neighbor records within a block — realistic dirty-data
-      // clusters, fully deterministic. Singletons keep their own id via
-      // the left join (CC only labels nodes that appear in an edge).
-      // Scale: pair volume is Σ|block|², never n²; closure is the
-      // pointer-jumping CC; election rides the closure labels.
-      val c0 = t(s, dir, "customer").filter(col("c_custkey") < 200)
-        .select(col("c_custkey").as("id"), col("c_name").as("name"),
-          col("c_nationkey"))
-      val typos = c0.filter(pmod(col("id"), lit(7)) === 0)
-        .select((col("id") + 1000000L).as("id"),
-          concat(col("name"), lit("x")).as("name"), col("c_nationkey"))
-      val recs = c0.unionByName(typos)
-      val a = recs.select(col("id").as("id_a"), col("name").as("name_a"),
-        col("c_nationkey"))
-      val b = recs.select(col("id").as("id_b"), col("name").as("name_b"),
-        col("c_nationkey"))
-      val pairs = a.join(b, "c_nationkey")
-        .filter(col("id_a") < col("id_b"))
-        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
-        .select("id_a", "id_b")
-      val labels = Dedup.connectedComponents(pairs)
-        .select(col("doc_id").as("id"), col("cluster_id"))
-      recs.join(labels, Seq("id"), "left")
-        .select(col("id").as("rec_id"),
-          coalesce(col("cluster_id"), col("id")).as("entity_id"))
-        .withColumn("is_canonical", col("rec_id") === col("entity_id"))
-        .orderBy("rec_id")
-    }),
-
-    "agg_theta_sketch" -> ((s, dir) => {
-      // KMV/theta distinct-count sketch with SET ALGEBRA (functions/
-      // KmvSketch.scala): two overlapping key sets — the lower and upper
-      // two-thirds of the part key space, overlap = the middle third —
-      // each sketched to its 256 smallest distinct splitmix64 hashes in
-      // one pass; |A|, |B| estimated from the sketches, |A∪B| from the
-      // merged sketch (KMV is closed under union), |A∩B| by inclusion–
-      // exclusion. The estimator is deterministic (sorted distinct
-      // hash set, no rand) and its arithmetic is one exact-decimal
-      // unflip + a fixed 3-op double tree, so the DuckDB oracle rebuilds
-      // the identical sketches AND estimates. Exact distinct counts ride
-      // along to exhibit the estimation error. At 100 TB: state is k
-      // longs per group, merges move 2 KB sketches, and the union/
-      // intersection questions need NO second scan of either input.
-      val k = 256
-      val p = t(s, dir, "part").select(col("p_partkey"))
-      val n = p.agg(count(lit(1)).as("n"))
-      val keyed = p.crossJoin(broadcast(n))
-      val a = keyed.filter(col("p_partkey") * 3 < col("n") * 2)
-      val b = keyed.filter(col("p_partkey") * 3 >= col("n"))
-      val skA = a.agg(KmvFunctions.kmvSketch(col("p_partkey"), k).as("sk_a"),
-        countDistinct(col("p_partkey")).as("n_a"))
-      val skB = b.agg(KmvFunctions.kmvSketch(col("p_partkey"), k).as("sk_b"),
-        countDistinct(col("p_partkey")).as("n_b"))
-      skA.crossJoin(skB)
-        .withColumn("est_a", KmvFunctions.kmvEstimate(col("sk_a"), k))
-        .withColumn("est_b", KmvFunctions.kmvEstimate(col("sk_b"), k))
-        .withColumn("est_union", KmvFunctions.kmvEstimate(
-          KmvFunctions.kmvUnion(col("sk_a"), col("sk_b"), k), k))
-        .withColumn("est_intersect", greatest(lit(0.0),
-          col("est_a") + col("est_b") - col("est_union")))
-        .select("n_a", "n_b", "est_a", "est_b", "est_union", "est_intersect")
-    }),
-
-    "stats_ks_test" -> ((s, dir) => {
-      // two-sample Kolmogorov–Smirnov distance between the order-price
-      // distributions of URGENT vs LOW priority orders — the
-      // distribution-drift gate a training pipeline runs between data
-      // snapshots. Exact-integer formulation: prices become cents
-      // (exact 2-decimal doubles), counts aggregate PER DISTINCT VALUE
-      // first (the rows→values reduction — the global cumulative scan
-      // then touches the value domain, never the row count, the same
-      // vocab-sized-global-sort shape as text_zipf_fit), and the CDF
-      // gap is |cumA·nB − cumB·nA| — a cross-multiplied integer, so the
-      // max and its argmin value are engine-exact with no float CDF
-      // division anywhere. Only the final D statistic divides, as a
-      // floor fixed-point ppm. At 100 TB the per-value table is price-
-      // domain-sized; wider domains bucket to fixed-width cents bins
-      // first (same algebra on the binned CDF).
-      val o = t(s, dir, "orders")
-      val two = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
-          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
-            .as("is_a"))
-      val per = two.groupBy("cents").agg(
-        sum(col("is_a")).as("ca"),
-        sum(lit(1L) - col("is_a")).as("cb"))
-      val w = Window.orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = per.select(col("cents"),
-        sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
-      val tot = per.agg(sum("ca").as("na"), sum("cb").as("nb"))
-      val dd = cum.crossJoin(broadcast(tot))
-        .withColumn("diff",
-          abs(col("cuma") * col("nb") - col("cumb") * col("na")))
-      val mx = dd.agg(max(col("diff")).as("dmax"))
-      dd.crossJoin(broadcast(mx))
-        .filter(col("diff") === col("dmax"))
-        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-          max(col("dmax")).as("dm"), min(col("cents")).as("d_at_cents"))
-        .select(col("n_a"), col("n_b"),
-          expr("(1000000 * dm) div (n_a * n_b)").as("d_ppm"),
-          col("d_at_cents"))
-    }),
-
-    "stats_mann_whitney" -> ((s, dir) => {
-      // Mann–Whitney rank-sum test on the same two samples — the
-      // nonparametric companion to stats_ks_test (sensitive to location
-      // shift rather than any CDF gap). Tie-corrected midranks stay in
-      // 64-bit integers by DOUBLING: the midrank of the rows at value v
-      // is (2·cum_before + t + 1)/2, so 2·R_A = Σ cA·(2·cum_before+t+1)
-      // is exact, as are 2·U_A = 2R_A − nA(nA+1) and the tie term
-      // Σ(t³−t). The normal-approximation z closes over those exact
-      // integers in ONE fixed double tree (engine-exact), floored to
-      // ppm. Same rows→values reduction as the KS test: every scan
-      // after the first groupBy is value-domain-sized.
-      val o = t(s, dir, "orders")
-      val two = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
-          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
-            .as("is_a"))
-      val per = two.groupBy("cents").agg(
-        sum(col("is_a")).as("ca"),
-        sum(lit(1L) - col("is_a")).as("cb"))
-      val wBefore = Window.orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = per
-        .withColumn("t", col("ca") + col("cb"))
-        .withColumn("cum_before",
-          coalesce(sum(col("t")).over(wBefore), lit(0L)))
-      val agg0 = ranked.agg(
-        sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
-        sum(col("ca") * (lit(2L) * col("cum_before") + col("t") + lit(1L)))
-          .as("r2a"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("tie_term"))
-      agg0
-        .withColumn("u2_a", col("r2a") - col("n_a") * (col("n_a") + lit(1L)))
-        .withColumn("z_ppm", expr(
-          """CAST(floor(1000000.0 *
-               (CAST(u2_a - n_a * n_b AS DOUBLE) / 2.0) /
-               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-                 (CAST(n_a + n_b + 1 AS DOUBLE) -
-                  CAST(tie_term AS DOUBLE) /
-                    (CAST(n_a + n_b AS DOUBLE) *
-                     CAST(n_a + n_b - 1 AS DOUBLE))))) AS BIGINT)"""))
-        .select("n_a", "n_b", "u2_a", "tie_term", "z_ppm")
-    }),
-
-    "stats_g_test" -> ((s, dir) => {
-      // G-test (log-likelihood-ratio independence test) on the same
-      // priority × status contingency frame as stats_chi_square — the
-      // additive sibling (G decomposes exactly across nested
-      // partitions, which Pearson's X² does not; the reason modern
-      // texts prefer it). Zero cells contribute 0 by the 0·ln0 = 0
-      // convention, so only observed cells fold; each term is
-      // obs·ln(obs·N/(rowN·colN)) with an integer-exact ratio inside
-      // the log, folded in canonical (priority, status) order. The
-      // reject flag compares to the fixed χ²₀.₀₅,₈ critical value —
-      // no incomplete-gamma dependence.
-      val o = t(s, dir, "orders")
-      val obs = o.groupBy("o_orderpriority", "o_orderstatus")
-        .agg(count(lit(1)).as("obs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val rows = obs.groupBy("o_orderpriority").agg(sum("obs").as("rn"))
-      val cols = obs.groupBy("o_orderstatus").agg(sum("obs").as("cn"))
-      val nTot = obs.agg(sum("obs").as("n"))
-      val shape = obs.agg(
-        countDistinct(col("o_orderpriority")).as("r"),
-        countDistinct(col("o_orderstatus")).as("c"))
-      obs
-        .join(rows, Seq("o_orderpriority"))
-        .join(cols, Seq("o_orderstatus"))
-        .crossJoin(broadcast(nTot))
-        .withColumn("term", expr(
-          """CAST(obs AS DOUBLE) * ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)
-             / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)))"""))
-        .agg(max(col("n")).as("n"),
-          (lit(2.0) * aggregate(sort_array(collect_list(struct(
-              col("o_orderpriority"), col("o_orderstatus"),
-              col("term").as("v")))),
-            lit(0.0), (acc, x) => acc + x.getField("v"))).as("g"))
-        .crossJoin(broadcast(shape))
-        .select(col("n"),
-          ((col("r") - 1) * (col("c") - 1)).as("dof"),
-          round(col("g"), 6).as("g_stat"),
-          (col("g") > 15.507).cast("int").cast("long")
-            .as("reject_at_05"))
-    }),
-
-    "stats_chi_square" -> ((s, dir) => {
-      // chi-square independence test of order priority × status, with
-      // Cramér's V effect size. The contingency table INCLUDES empty
-      // cells (distinct-priorities × distinct-statuses left-joined to
-      // the observed counts — a missing combination still has positive
-      // expectation and must contribute): the per-cell term is
-      // (obs·N − rowN·colN)²/(N·rowN·colN), integer-exact inside the
-      // square, and the 15-cell sum folds in (priority, status) order so
-      // the double total is engine-exact. Everything after the one
-      // groupBy is cells-sized; at 100 TB only the contingency counts
-      // cross the wire (map-side combinable).
-      val o = t(s, dir, "orders")
-      val obs = o.groupBy("o_orderpriority", "o_orderstatus")
-        .agg(count(lit(1)).as("obs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val rows = obs.groupBy("o_orderpriority").agg(sum("obs").as("rn"))
-      val cols = obs.groupBy("o_orderstatus").agg(sum("obs").as("cn"))
-      val nTot = obs.agg(sum("obs").as("n"))
-      val cells = rows.crossJoin(cols).crossJoin(broadcast(nTot))
-        .join(obs, Seq("o_orderpriority", "o_orderstatus"), "left")
-        .withColumn("ob", coalesce(col("obs"), lit(0L)))
-        .withColumn("dlt", col("ob") * col("n") - col("rn") * col("cn"))
-        .withColumn("term", expr(
-          """CAST(dlt AS DOUBLE) * CAST(dlt AS DOUBLE) /
-             (CAST(n AS DOUBLE) * CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE))"""))
-      val shape = cells.agg(
-        countDistinct(col("o_orderpriority")).as("r"),
-        countDistinct(col("o_orderstatus")).as("c"))
-      cells.agg(
-          max(col("n")).as("n"),
-          aggregate(sort_array(collect_list(struct(
-              col("o_orderpriority"), col("o_orderstatus"),
-              col("term").as("v")))),
-            lit(0.0), (acc, x) => acc + x.getField("v")).as("chi2"))
-        .crossJoin(broadcast(shape))
-        .select(col("n"),
-          ((col("r") - 1) * (col("c") - 1)).as("dof"),
-          round(col("chi2"), 6).as("chi2"),
-          round(sqrt(col("chi2") /
-            (col("n").cast("double") *
-             least(col("r") - 1, col("c") - 1).cast("double"))), 6)
-            .as("cramers_v"))
-    }),
-
-    "ab_cuped_lift" -> ((s, dir) => {
-      // CUPED variance reduction (Deng et al. WSDM'13) on the A/B
-      // readout: per user, metric Y = purchase spend and pre-exposure
-      // covariate X = view engagement; θ = cov(X,Y)/var(X) is pooled
-      // across arms and each arm's adjusted mean is ȳ − θ(x̄ − x̄_global).
-      // Arms reuse ab_test_lift's stable-hash parity. X/Y are EXACT
-      // decimal sums per user, θ and ρ² close over exact decimal
-      // co-moments in one fixed double tree (the agg_corr discipline),
-      // so the adjusted means are engine-exact. One user-keyed shuffle +
-      // arm-sized aggregates; nothing row-sized crosses the wire twice.
-      val e = t(s, dir, "events")
-      val users = e.groupBy("user_id").agg(
-        sum(when(col("event_type") === "view", dec(col("value")))
-          .otherwise(lit(0).cast("decimal(18,2)"))).as("x"),
-        sum(when(col("event_type") === "purchase", dec(col("value")))
-          .otherwise(lit(0).cast("decimal(18,2)"))).as("y"))
-      val armed = users.withColumn("arm",
-        when(pmod(HashFunctions.fnv64(col("user_id").cast("string")),
-          lit(2L)) === 0, "control").otherwise("treatment"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pooled = armed.agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-      val per = armed.groupBy("arm").agg(
-        count(lit(1)).as("n_users"),
-        sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
-      per.crossJoin(broadcast(pooled))
-        .withColumn("theta", expr(
-          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""))
-        .withColumn("rho2", expr(
-          """pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2) /
-             ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-              (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""))
-        .withColumn("mean_y", expr(
-          "CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)"))
-        .withColumn("mean_y_cuped", expr(
-          """CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) - theta *
-             (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE) -
-              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"""))
-        .select(col("arm"), col("n_users"),
-          round(col("mean_y"), 6).as("mean_y"),
-          round(col("mean_y_cuped"), 6).as("mean_y_cuped"),
-          round(col("theta"), 6).as("theta"),
-          round(col("rho2"), 6).as("var_reduction"))
-        .orderBy("arm")
-    }),
-
-    "privacy_t_closeness" -> ((s, dir) => {
-      // t-closeness audit (Li et al. ICDE'07) — completes the
-      // k-anonymity / l-diversity trio: a group can be diverse yet
-      // SKEWED (e.g. 90% of one sensitive band), leaking probabilistic
-      // information. Per QI group (nation, segment), the total variation
-      // distance ½Σ|p_g − p_global| over acctbal 1000-bands, in EXACT
-      // integers via the absent-band identity: Σ over bands PRESENT in
-      // the group of (|c_gb·N − c_b·n_g| − c_b·n_g) + N·n_g equals the
-      // full-domain numerator — absent bands never materialize, so the
-      // join stays (group × present-band)-sized. One ppm division at
-      // the end; groups above t = 0.4 are flagged. All aggregates are
-      // map-side combinable; the report is QI-combination-sized.
-      val c = t(s, dir, "customer")
-        .withColumn("sens_band",
-          floor(col("c_acctbal") / 1000.0).cast("long"))
-      val cl = c.groupBy("c_nationkey", "c_mktsegment", "sens_band")
-        .agg(count(lit(1)).as("cgb"))
-      val ng = c.groupBy("c_nationkey", "c_mktsegment")
-        .agg(count(lit(1)).as("n_g"))
-      val cb = c.groupBy("sens_band").agg(count(lit(1)).as("cb"))
-      val nt = c.agg(count(lit(1)).as("nt"))
-      cl.join(broadcast(cb), Seq("sens_band"))
-        .join(ng, Seq("c_nationkey", "c_mktsegment"))
-        .crossJoin(broadcast(nt))
-        .groupBy("c_nationkey", "c_mktsegment")
-        .agg(max(col("n_g")).as("group_size"),
-          (sum(abs(col("cgb") * col("nt") - col("cb") * col("n_g")) -
-            col("cb") * col("n_g")) +
-            max(col("nt") * col("n_g"))).as("tvd_num"),
-          max(col("nt")).as("n_total"))
-        .select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
-          expr("(1000000 * tvd_num) div (2 * group_size * n_total)")
-            .as("tvd_ppm"))
-        .withColumn("breach", col("tvd_ppm") > 400000L)
-        .orderBy("c_nationkey", "c_mktsegment")
-    }),
-
-    "feature_target_encode" -> ((s, dir) => {
-      // leave-one-out target encoding of customer nation against order
-      // revenue — the categorical-feature workhorse. LOO with additive
-      // smoothing toward the global mean: enc_i =
-      // (S_nation − y_i + m·μ) / (n_nation − 1 + m), m = 10 — each row's
-      // own target is EXCLUDED (the leakage rule) yet the group sums
-      // are computed once per nation via a shared window, not per row.
-      // Revenue sums are exact decimals; only the final encode divides.
-      // One customer-keyed join shuffle + one nation-keyed window
-      // exchange; at 100 TB the window carries two extra columns on a
-      // partition key with bounded group count.
-      val cust = t(s, dir, "customer")
-      val rev = t(s, dir, "orders").groupBy("o_custkey")
-        .agg(sum(dec(col("o_totalprice"))).as("rev"))
-      val y = cust.join(rev, cust("c_custkey") === rev("o_custkey"), "left")
-        .select(col("c_custkey"), col("c_nationkey"),
-          coalesce(col("rev"), lit(0).cast("decimal(18,2)")).as("y"))
-      val wN = Window.partitionBy("c_nationkey")
-      val glob = y.agg(sum(col("y")).as("s_all"), count(lit(1)).as("n_all"))
-      y.withColumn("s_g", sum(col("y")).over(wN))
-        .withColumn("n_g", count(lit(1)).over(wN))
-        .crossJoin(broadcast(glob))
-        .withColumn("enc_loo", expr(
-          """(CAST(s_g AS DOUBLE) - CAST(y AS DOUBLE) +
-              10.0 * CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)) /
-             (CAST(n_g AS DOUBLE) - 1.0 + 10.0)"""))
-        .select(col("c_custkey"), col("c_nationkey"),
-          col("y").cast("double").as("revenue"),
-          round(col("enc_loo"), 6).as("enc_loo"))
-        .orderBy("c_custkey")
-    }),
-
-    "graph_degree_distribution" -> ((s, dir) => {
-      // degree distribution of the supplier–part co-purchase graph (the
-      // same symmetrized bipartite edge list as graph_pagerank) with an
-      // integer-exact CCDF and a Hill power-law tail estimate
-      // α = 1 + n_tail / Σ ln(d_i / (d_min − ½)) (Clauset–Shalizi–Newman
-      // 2009 discrete form) — the graph-health diagnostic that says
-      // whether hub-aware strategies (salting, vertex-cut) are needed
-      // before scale-up. Node degrees reduce to a DEGREE-VALUE-sized
-      // table before any global work; the Hill sum folds per distinct
-      // degree in degree order, so the double is engine-exact.
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select(
-          (col("l_suppkey") * 2L).as("src"),
-          (col("l_partkey") * 2L + 1L).as("dst"))
-        .distinct()
-      val und = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = und.groupBy("src").agg(count(lit(1)).as("degree"))
-      val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
-      val tot = hist.agg(sum(col("n_nodes")).as("n"))
-      val dmin = 5L
-      val hill = hist.filter(col("degree") >= dmin)
-        .agg(sum(col("n_nodes")).as("n_tail"),
-          aggregate(sort_array(collect_list(struct(col("degree"),
-              (col("n_nodes").cast("double") *
-                log(col("degree").cast("double") / (dmin - 0.5))).as("v")))),
-            lit(0.0), (acc, x) => acc + x.getField("v")).as("hill_sum"))
-        .select(col("n_tail"),
-          round(lit(1.0) + col("n_tail").cast("double") / col("hill_sum"), 6)
-            .as("alpha_hill"))
-      val wGe = Window.orderBy(col("degree").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hist.withColumn("cum_ge", sum(col("n_nodes")).over(wGe))
-        .crossJoin(broadcast(tot))
-        .crossJoin(broadcast(hill))
-        .select(col("degree"), col("n_nodes"),
-          expr("(1000000 * cum_ge) div n").as("ccdf_ppm"),
-          col("n_tail"), col("alpha_hill"))
-        .orderBy("degree")
-    }),
-
-    "join_band_bucketed" -> ((s, dir) => {
-      // band join WITHOUT an equi-key — |balance_a − balance_b| ≤ $5
-      // customer pairs (fuzzy numeric matching: near-identical amounts,
-      // sensor readings, coordinates). A raw inequality join is a
-      // nested-loop O(n²) plan; the bucket trick makes it an EQUI-join:
-      // bucket width = the band δ, probe side exploded to its bucket ±1
-      // (3 rows) — every qualifying pair lands in EXACTLY one bucket
-      // match (|c_a − c_b| ≤ δ ⇒ buckets differ by ≤ 1, and the 3
-      // exploded buckets are distinct), then the exact |Δ| ≤ δ residual
-      // filters in the join. Cost: 3n shuffled rows + per-bucket
-      // products (Σ|bucket|² — data-density-bounded), never n². The
-      // k < k2 residual keeps one orientation of each unordered pair.
-      val sup = t(s, dir, "customer").select(col("c_custkey").as("k"),
-        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c"))
-      Skew.bandJoinPairs(sup, "k", "c", delta = 500L)
-        .withColumnRenamed("delta_abs", "delta_cents")
-        .orderBy("id_a", "id_b")
-    }),
-
-    "timeseries_decompose" -> ((s, dir) => {
-      // classical additive decomposition of the hourly click-revenue
-      // series: trend = centered ±12 h moving mean, seasonal = hour-of-
-      // day mean of the detrended series, residual = the rest. Exactness
-      // discipline: the hourly series and the frame sums are exact
-      // decimals; trend divides ONCE to a double and is floored to
-      // integer micros, so detrended/seasonal/residual stay in 64-bit
-      // integers (seasonal = integer-div mean over the hod group) —
-      // engine-exact with no float accumulation anywhere. The series is
-      // TIME-RANGE-sized (hours), so the global windows scan the bar
-      // table, never the event table — the same values-domain reduction
-      // as stats_ks_test.
-      timeseriesDecomposed(s, dir)
-        .select(col("bkt").cast("timestamp_ntz").as("bkt"),
-          col("v").cast("double").as("revenue"),
-          col("trend_micro"), col("seasonal_micro"), col("residual_micro"))
-        .orderBy("bkt")
-    }),
-
-    "stats_mutual_information" -> ((s, dir) => {
-      // mutual information + normalized MI of priority × status — the
-      // feature-selection companion to stats_chi_square on the same
-      // contingency machinery: MI = Σ (c/N)·ln(c·N/(rn·cn)) over
-      // OBSERVED cells (empty cells contribute 0 to MI, unlike χ²),
-      // entropies H from the marginals; every ln term closes over exact
-      // integers and folds in cell/marginal order, so the doubles are
-      // engine-exact. NMI = MI/√(H_r·H_c) ∈ [0, 1]. Everything after
-      // one groupBy is cells-sized.
-      val o = t(s, dir, "orders")
-      val obs = o.groupBy("o_orderpriority", "o_orderstatus")
-        .agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val rows = obs.groupBy("o_orderpriority").agg(sum("c").as("rn"))
-      val cols = obs.groupBy("o_orderstatus").agg(sum("c").as("cn"))
-      val nTot = obs.agg(sum("c").as("n"))
-      // H = ln N − (Σ m·ln m)/N: the fold carries only the marginal
-      // counts (ordered, engine-exact); N closes the identity afterwards
-      def mLogM(cnt: String, ord: String): Column =
-        aggregate(sort_array(collect_list(struct(col(ord), col(cnt).as("m")))),
-          lit(0.0), (acc, x) => acc +
-            x.getField("m").cast("double") * log(x.getField("m").cast("double")))
-      val hr = rows.crossJoin(broadcast(nTot))
-        .agg(max(col("n")).as("n"), mLogM("rn", "o_orderpriority").as("sm"))
-        .select(col("n"),
-          (log(col("n").cast("double")) - col("sm") / col("n").cast("double"))
-            .as("h_rows"))
-      val hc = cols.crossJoin(broadcast(nTot))
-        .agg(max(col("n")).as("n2"), mLogM("cn", "o_orderstatus").as("sm"))
-        .select((log(col("n2").cast("double")) - col("sm") / col("n2").cast("double"))
-          .as("h_cols"))
-      val mi = obs
-        .join(rows, Seq("o_orderpriority"))
-        .join(cols, Seq("o_orderstatus"))
-        .crossJoin(broadcast(nTot))
-        .withColumn("term",
-          (col("c").cast("double") / col("n").cast("double")) *
-          log((col("c") * col("n")).cast("double") /
-              (col("rn") * col("cn")).cast("double")))
-        .agg(aggregate(sort_array(collect_list(struct(
-            col("o_orderpriority"), col("o_orderstatus"),
-            col("term").as("v")))),
-          lit(0.0), (acc, x) => acc + x.getField("v")).as("mi_nats"))
-      mi.crossJoin(broadcast(hr)).crossJoin(broadcast(hc))
-        .select(col("n"),
-          round(col("mi_nats"), 6).as("mi_nats"),
-          round(col("h_rows"), 6).as("h_rows"),
-          round(col("h_cols"), 6).as("h_cols"),
-          round(col("mi_nats") / sqrt(col("h_rows") * col("h_cols")), 6)
-            .as("nmi"))
-    }),
-
-    "stats_gini_lorenz" -> ((s, dir) => {
-      // revenue-concentration audit: Lorenz deciles + Gini of per-
-      // customer revenue. Revenue reduces to exact CENTS longs, ranks
-      // are deterministic (revenue, custkey) row_numbers, so
-      // Σ i·x_i and the decile sums are exact integers — Gini closes in
-      // one double division and each decile's revenue share is an
-      // integer ppm. The global sort is CUSTOMER-sized (already one row
-      // per customer after the first aggregate), the
-      // same values-domain reduction as stats_ks_test; Σ i·x_i needs
-      // decimal widening past ~10⁷ customers (documented, not hit here).
-      val o = t(s, dir, "orders")
-      val rev = o.groupBy("o_custkey").agg(
-        expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100) AS BIGINT)")
-          .as("cents"))
-      // r10 reshape: customers grow with the corpus (10⁹ at 100 TB),
-      // so the global row_number + ntile window is de-single-tasked
-      // via Rank.globalRowNumber (range repartition + offsets) and the
-      // closed-form ntile — same output, no customer-sized single task
-      val ranked = graft.operators.Rank
-        .globalRowNumber(rev, 32, "i", col("cents"), col("o_custkey"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = ranked.agg(count(lit(1)).as("n"),
-        sum(col("cents")).as("s"),
-        sum(col("i") * col("cents")).as("s1"))
-      ranked.crossJoin(broadcast(tot))
-        .withColumn("q", expr("n div 10"))
-        .withColumn("r", expr("n % 10"))
-        .withColumn("decile",
-          expr(graft.operators.Rank.ntileExprSql("i")).cast("long"))
-        .groupBy("decile")
-        .agg(count(lit(1)).as("n_customers"),
-          sum(col("cents")).as("decile_cents"))
-        .crossJoin(broadcast(tot))
-        .select(col("decile"), col("n_customers"),
-          expr("(1000000 * decile_cents) div s").as("revenue_share_ppm"),
-          round((lit(2.0) * col("s1").cast("double") -
-              (col("n") + 1).cast("double") * col("s").cast("double")) /
-            (col("n").cast("double") * col("s").cast("double")), 6)
-            .as("gini"))
-        .orderBy("decile")
-    }),
-
-    "stats_gini_monthly" -> ((s, dir) => {
-      // inequality TREND: per-month Gini of customer spend — the
-      // time-sliced sibling of stats_gini_lorenz that shows whether
-      // revenue concentration is drifting. Ranks are month-PARTITIONED
-      // windows (guard-safe parallel sorts — no global order needed
-      // because Gini is computed within each month); Σ i·x and totals
-      // are exact integers; one double division per month.
-      val o = t(s, dir, "orders")
-      val rev = o.groupBy(date_trunc("month", col("o_orderdate")).as("mon"),
-          col("o_custkey"))
-        .agg(expr(
-          "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100) AS BIGINT)")
-          .as("cents"))
-      val w = Window.partitionBy("mon").orderBy(col("cents"), col("o_custkey"))
-      rev.withColumn("i", row_number().over(w).cast("long"))
-        .groupBy("mon")
-        .agg(count(lit(1)).as("n_customers"),
-          sum(col("cents")).as("cents_total"),
-          sum(col("i") * col("cents")).as("s1"))
-        .select(col("mon").cast("timestamp_ntz").as("mon"),
-          col("n_customers"), col("cents_total"),
-          round((lit(2.0) * col("s1").cast("double") -
-              (col("n_customers") + 1).cast("double") *
-                col("cents_total").cast("double")) /
-            (col("n_customers").cast("double") *
-              col("cents_total").cast("double")), 6).as("gini"))
-        .orderBy("mon")
-    }),
-
-    "dq_benford" -> ((s, dir) => {
-      // Benford first-digit audit of order totals — the fabricated-data
-      // / unit-mix smoke test a finance-grade DQ suite runs. First
-      // significant digit via the cents STRING head (integer-exact,
-      // scale-free); per-digit observed share as integer ppm vs the
-      // Benford expectation floor(10⁶·log10(1+1/d)) — log10 of the 9
-      // fixed rationals is IEEE-identical on both engines. One
-      // map-side-combinable groupBy; the report is 9 rows at any scale.
-      val o = t(s, dir, "orders")
-      val d = o.select(expr(
-        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
-        .as("digit"))
-      val per = d.groupBy("digit").agg(count(lit(1)).as("n_obs"))
-      val tot = per.agg(sum(col("n_obs")).as("n"))
-      per.crossJoin(broadcast(tot))
-        .withColumn("share_ppm", expr("(1000000 * n_obs) div n"))
-        .withColumn("benford_ppm", expr(
-          "CAST(floor(1000000 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS BIGINT)"))
-        .select(col("digit"), col("n_obs"), col("share_ppm"),
-          col("benford_ppm"),
-          abs(col("share_ppm") - col("benford_ppm")).as("dev_ppm"))
-        .orderBy("digit")
-    }),
-
-    "agg_incremental_update" -> ((s, dir) => {
-      // incremental aggregate maintenance (the IVM algebra a maintained
-      // dashboard table runs): a per-flag (count, Σqty) snapshot is
-      // updated by a delta batch of INSERTS and DELETES as SIGNED
-      // partial aggregates — one union + one keyed groupBy of three
-      // signed scalars per group, NEVER a rescan of the base table. The
-      // oracle recomputes from the edited multiset directly, so
-      // equality proves the Σ-algebra (count/sum are abelian-group
-      // aggregates; deletes are +(−x)). At 100 TB the delta path costs
-      // |Δ| + |groups|, the recompute costs |base|.
-      val li = t(s, dir, "lineitem")
-      val base = li.filter(pmod(col("l_orderkey"), lit(97)) =!= 0)
-      val inserts = li.filter(pmod(col("l_orderkey"), lit(97)) === 0)
-      val deletes = base.filter(pmod(col("l_orderkey"), lit(89)) === 0)
-      def signedAgg(df: DataFrame, sign: Int): DataFrame =
-        df.groupBy("l_returnflag").agg(
-          (count(lit(1)) * sign).as("dn"),
-          (sum(dec(col("l_quantity"))) * sign).as("dq"))
-      signedAgg(base, 1)
-        .unionByName(signedAgg(inserts, 1))
-        .unionByName(signedAgg(deletes, -1))
-        .groupBy("l_returnflag")
-        .agg(sum(col("dn")).as("n"),
-          sum(col("dq")).cast("double").as("sum_qty"))
-        .orderBy("l_returnflag")
-    }),
-
-    "events_rolling_active" -> ((s, dir) => {
-      // rolling 7-day active users + event volume (the WAU table of a
-      // product dashboard): sliding window(7 days, 1 day) fans each
-      // event into its 7 covering windows (a bounded ×7 Expand, the
-      // standard slide shape), then one two-phase distinct agg per
-      // window. Report is DAY-sized at any event scale; the distinct
-      // shuffle carries (window, user) pairs — user-bounded per day.
-      val e = t(s, dir, "events")
-      e.groupBy(window(col("ts"), "7 days", "1 day"))
-        .agg(countDistinct(col("user_id")).as("active_users_7d"),
-          count(lit(1)).as("n_events_7d"))
-        .select(col("window.start").cast("timestamp_ntz").as("win_start"),
-          col("active_users_7d"), col("n_events_7d"))
-        .orderBy("win_start")
-    }),
-
-    "feature_binning" -> ((s, dir) => {
-      // percentile-fence binning (the SERVING form of discretization,
-      // vs ntile's rank form): decile fences are computed ONCE from
-      // exact interpolated percentiles, rounded once to 4dp so both
-      // engines clip against the same bounds (the outlier_trim
-      // discipline), broadcast, and each row's bin is 1 + (fences
-      // strictly below its value) — new rows bin identically without
-      // re-ranking the table. One stats pass + one scan; the fact
-      // table is never shuffled.
-      val o = t(s, dir, "orders")
-      val fences = o.agg(array((1 to 9).map(d =>
-        round(expr(s"percentile(o_totalprice, 0.$d)"), 4)): _*).as("fences"))
-      o.crossJoin(broadcast(fences))
-        .withColumn("bin", aggregate(col("fences"), lit(1L),
-          (acc, f) => acc + when(col("o_totalprice") > f, 1L).otherwise(0L)))
-        .select(col("o_orderkey"), col("o_totalprice"), col("bin"))
-        .orderBy("o_orderkey")
-    }),
-
-    "events_funnel_windowed" -> ((s, dir) => {
-      // conversion-window funnel — events_funnel with PER-STEP DEADLINES
-      // (the semantics product analytics actually bills: a click only
-      // converts within 24 h of signup, a purchase within 24 h of that
-      // click). Same co-partitioned shape: per-stage min-ts aggregates
-      // joined on user_id, each with an upper time bound; step-over-step
-      // conversion is an integer ppm of exact counts. Persisted stages
-      // scan events once each; all shuffles share the user key.
-      val e = t(s, dir, "events")
-      val win = expr("INTERVAL 24 HOURS")
-      val su = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cl = e.filter(col("event_type") === "click")
-        .join(su, "user_id")
-        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
-        .groupBy("user_id").agg(min(col("ts")).as("t2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pu = e.filter(col("event_type") === "purchase")
-        .join(cl, "user_id")
-        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
-        .groupBy("user_id").agg(min(col("ts")).as("t3"))
-      val n1 = su.agg(count(lit(1)).as("n1"))
-      val n2 = cl.agg(count(lit(1)).as("n2"))
-      val n3 = pu.agg(count(lit(1)).as("n3"))
-      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
-        .select(
-          struct(lit("1_signup").as("step"), col("n1").as("n_users"),
-            lit(1000000L).as("conv_ppm")).as("a"),
-          struct(lit("2_click_24h").as("step"), col("n2").as("n_users"),
-            expr("(1000000 * n2) div n1").as("conv_ppm")).as("b"),
-          struct(lit("3_purchase_24h").as("step"), col("n3").as("n_users"),
-            expr("(1000000 * n3) div n2").as("conv_ppm")).as("c"))
-        .select(explode(array(col("a"), col("b"), col("c"))).as("s"))
-        .select(col("s.step").as("step"), col("s.n_users").as("n_users"),
-          col("s.conv_ppm").as("conv_ppm"))
-        .orderBy("step")
-    }),
-
-    "stats_did" -> ((s, dir) => {
-      // difference-in-differences readout — the quasi-experimental
-      // estimator when an A/B split exists but exposure has a before/
-      // after boundary: DiD = (T̄post − T̄pre) − (C̄post − C̄pre) on
-      // purchase value. Periods split at the stream's midpoint (derived
-      // from exact min/max epoch micros — deterministic, no config),
-      // arms by the stable-hash parity every experiment query shares.
-      // Four cell means from exact decimal sums close in one double
-      // tree. One user-less groupBy of 4 cells; nothing row-sized
-      // crosses the wire twice.
-      val e = t(s, dir, "events")
-      val bounds = e.agg(
-        min(expr("unix_micros(ts)")).as("lo"),
-        max(expr("unix_micros(ts)")).as("hi"))
-      val cells = e.filter(col("event_type") === "purchase")
-        .crossJoin(broadcast(bounds))
-        .withColumn("arm",
-          when(pmod(HashFunctions.fnv64(col("user_id").cast("string")),
-            lit(2L)) === 0, "control").otherwise("treatment"))
-        .withColumn("period",
-          when(expr("unix_micros(ts) * 2 < lo + hi"), "pre")
-            .otherwise("post"))
-        .groupBy("arm", "period")
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
-        .withColumn("mean_v",
-          expr("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"))
-      val wide = cells.groupBy()
-        .pivot(concat_ws("_", col("arm"), col("period")),
-          Seq("control_pre", "control_post", "treatment_pre",
-            "treatment_post"))
-        .agg(max(col("mean_v")))
-      wide.select(
-        round(col("control_pre"), 6).as("control_pre"),
-        round(col("control_post"), 6).as("control_post"),
-        round(col("treatment_pre"), 6).as("treatment_pre"),
-        round(col("treatment_post"), 6).as("treatment_post"),
-        round((col("treatment_post") - col("treatment_pre")) -
-          (col("control_post") - col("control_pre")), 6).as("did"))
-    }),
-
-    "dq_partition_audit" -> ((s, dir) => {
-      // ingestion-volume audit: daily row counts vs the table's median
-      // day, days under half the median flagged (the "partition didn't
-      // land" alarm a freshness monitor fires). Day counts are DAY-
-      // domain-sized; the median is one exact interpolated percentile
-      // over them, broadcast back — no second scan of events.
-      val e = t(s, dir, "events")
-      val daily = e.groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_rows"))
-      val med = daily.agg(
-        round(expr("percentile(n_rows, 0.5)"), 4).as("median_rows"))
-      daily.crossJoin(broadcast(med))
-        .withColumn("low_volume",
-          col("n_rows").cast("double") < col("median_rows") * 0.5)
-        .select(col("day").cast("timestamp_ntz").as("day"), col("n_rows"),
-          col("median_rows"), col("low_volume"))
-        .orderBy("day")
-    }),
-
-    "graph_kcore" -> ((s, dir) => {
-      // bounded k-core peel (three rounds) over the supplier–part graph
-      // — the graph-summarization / spam-subgraph filter. k is DATA-
-      // ADAPTIVE: ⌊p25 of the initial degree distribution⌋, so ~a
-      // quarter of the nodes start below the bar and cascading removals
-      // are actually exercised at every SF (a fixed k either peels
-      // nothing on a dense graph or everything on a sparse one). Each
-      // round is two |E| semi-joins + one map-side-combinable degree
-      // agg (the Pregel lowering); |E| shrinks monotonically. Reports
-      // surviving nodes with residual degree.
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select(
-          (col("l_suppkey") * 2L).as("src"),
-          (col("l_partkey") * 2L + 1L).as("dst"))
-        .distinct()
-      var edges = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // round 1 reuses the SAME persisted degree table the adaptive bar
-      // is derived from — one degree aggregation, two consumers
-      val deg0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val kRow = deg0.agg(
-        expr("CAST(floor(percentile(deg, 0.25)) AS BIGINT)").as("k"))
-      var deg = deg0
-      for (_ <- 1 to 3) {
-        val keep = deg
-          .crossJoin(broadcast(kRow))
-          .filter(col("deg") >= col("k"))
-          .select(col("src").as("node"))
-        edges = edges
-          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      }
-      edges.groupBy("src").agg(count(lit(1)).as("degree"))
-        .select(col("src").as("node"), col("degree"))
-        .orderBy("node")
-    }),
-
-    "customers_rfm" -> ((s, dir) => {
-      // RFM segmentation — the marketing-analytics workhorse: per
-      // customer, Recency (days since last order, vs the table's max
-      // date), Frequency (order count), Monetary (exact cents); each
-      // scored into quintiles by ntile(5) with a custkey tie chain so
-      // the scores are a pure function of the data. All three ntiles
-      // share the global sort domain of ONE customer-sized aggregate
-      // (the values-domain reduction again — events never ranked).
-      // Higher score = better (recent/frequent/valuable). Segment code
-      // = 100r + 10f + m.
-      val o = t(s, dir, "orders")
-      val maxD = o.agg(max(col("o_orderdate")).as("d_max"))
-      val per = o.groupBy("o_custkey").agg(
-          max(col("o_orderdate")).as("last_order"),
-          count(lit(1)).as("frequency"),
-          expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100) AS BIGINT)")
-            .as("monetary_cents"))
-        .crossJoin(broadcast(maxD))
-        .withColumn("recency_days",
-          datediff(col("d_max"), col("last_order")).cast("long"))
-      // r10 reshape: the customer frame grows with the corpus, so the
-      // three global ntile windows are de-single-tasked — exact global
-      // rank per axis via Rank.globalRowNumber (range repartition +
-      // per-partition offsets), quintile in closed form
-      val n0 = per.agg(count(lit(1)).as("n"))
-      val rk1 = graft.operators.Rank.globalRowNumber(per, 32, "__rn_r",
-        col("recency_days").desc, col("o_custkey"))
-      val rk2 = graft.operators.Rank.globalRowNumber(rk1, 32, "__rn_f",
-        col("frequency"), col("o_custkey"))
-      val rk3 = graft.operators.Rank.globalRowNumber(rk2, 32, "__rn_m",
-        col("monetary_cents"), col("o_custkey"))
-      rk3.crossJoin(broadcast(n0))
-        .withColumn("q", expr("n div 5"))
-        .withColumn("r", expr("n % 5"))
-        .withColumn("r_score",
-          expr(graft.operators.Rank.ntileExprSql("__rn_r")).cast("long"))
-        .withColumn("f_score",
-          expr(graft.operators.Rank.ntileExprSql("__rn_f")).cast("long"))
-        .withColumn("m_score",
-          expr(graft.operators.Rank.ntileExprSql("__rn_m")).cast("long"))
-        .select(col("o_custkey"), col("recency_days"), col("frequency"),
-          col("monetary_cents"), col("r_score"), col("f_score"),
-          col("m_score"),
-          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
-            .as("segment"))
-        .orderBy("o_custkey")
-    }),
-
-    "survival_weibull_fit" -> ((s, dir) => {
-      // Weibull plot fit over the signup→purchase latency ECDF — the
-      // parametric summary beside the nonparametric KM curve: on
-      // Weibull data ln(−ln(1−F(t))) is linear in ln t with slope k
-      // (shape; k<1 = burn-in, k>1 = wear-out conversion) and
-      // intercept −k·ln λ. Converters only (censoring is KM's job);
-      // durations bucket to whole hours so every stage after the
-      // per-user latency is TIME-DOMAIN-sized; F is an exact count
-      // ratio per point and the OLS moments fold in canonical t
-      // order, so the doubles are engine-exact.
-      val e = t(s, dir, "events")
-      val su = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("t0"))
-      val pu = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("unix_micros(ts)").as("pt"))
-      val per = pu.join(su, Seq("user_id"))
-        .filter(col("pt") >= col("t0"))
-        .groupBy("user_id").agg(min(expr("pt - t0")).as("lat_us"))
-        .select(expr("(lat_us div 3600000000) + 1").as("t_h"))
-        .groupBy("t_h").agg(count(lit(1)).as("c"))
-      val n = per.agg(sum("c").as("n"))
-      val wcum = Window.orderBy("t_h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val pts = per.withColumn("cum", sum(col("c")).over(wcum))
-        .crossJoin(broadcast(n))
-        .filter(col("cum") < col("n"))
-        .withColumn("lx", log(col("t_h").cast("double")))
-        .withColumn("ly", log(-log(
-          lit(1.0) - col("cum").cast("double") / col("n").cast("double"))))
-      def fold(f: String) =
-        expr(s"""aggregate(transform(sort_array(collect_list(
-            struct(t_h, lx, ly))), t -> $f), 0.0D, (a, x) -> a + x)""")
-      pts.agg(count(lit(1)).cast("double").as("np"),
-          fold("t.lx").as("sx"), fold("t.ly").as("sy"),
-          fold("t.lx * t.ly").as("sxy"),
-          fold("t.lx * t.lx").as("sxx"),
-          fold("t.ly * t.ly").as("syy"))
-        .withColumn("k_raw",
-          expr("(np * sxy - sx * sy) / (np * sxx - sx * sx)"))
-        .withColumn("b_raw", expr("(sy - k_raw * sx) / np"))
-        .select(col("np").cast("long").as("n_points"),
-          round(col("k_raw"), 4).as("k_shape"),
-          round(expr("exp(-b_raw / k_raw)"), 4).as("lambda_hours"),
-          round(expr(
-            """(np * sxy - sx * sy) * (np * sxy - sx * sy)
-               / ((np * sxx - sx * sx) * (np * syy - sy * sy))"""), 4)
-            .as("r2"))
-    }),
-
-    "survival_km" -> ((s, dir) => {
-      // Kaplan–Meier survival curve for signup → first purchase, WITH
-      // right-censoring (users who never purchase are censored at their
-      // last observed event — dropping them would bias conversion
-      // latency low, the classic churn-analysis mistake). Durations
-      // bucket to whole hours, so the curve table is TIME-DOMAIN-sized;
-      // at each event time t: at-risk n = N − (durations < t),
-      // S(t) = Π(1 − d/n) computed as exp of the ordered cumulative
-      // Σ ln(1 − d/n) — the window sum runs in duration order, so the
-      // doubles are engine-exact; output floor ppm.
-      val e = t(s, dir, "events")
-      val su = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("t0"))
-      val pu = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("unix_micros(ts)").as("pt"))
-      val lastSeen = e.groupBy("user_id")
-        .agg(max(expr("unix_micros(ts)")).as("lt"))
-      val firstPurchase = pu.join(su, Seq("user_id"))
-        .filter(col("pt") >= col("t0"))
-        .groupBy("user_id").agg(min(col("pt")).as("ev"))
-      // administrative right-censoring at the 72 h study cutoff (the
-      // standard analysis-window design): conversions past the horizon
-      // are censored AT the horizon, plus users with no conversion are
-      // censored at last-seen — without a cutoff this fixture would
-      // have zero censored mass (every signup eventually purchases)
-      val horizonH = 72L
-      val durs = su
-        .join(lastSeen, Seq("user_id"))
-        .join(firstPurchase, Seq("user_id"), "left")
-        .withColumn("raw_h",
-          when(col("ev").isNotNull, expr("(ev - t0) div 3600000000"))
-            .otherwise(expr("(lt - t0) div 3600000000")))
-        .select(col("user_id"),
-          least(col("raw_h"), lit(horizonH)).as("dur_h"),
-          (col("ev").isNotNull && col("raw_h") < horizonH).as("is_event"))
-      val per = durs.groupBy("dur_h").agg(
-        sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
-        sum(when(col("is_event"), 0L).otherwise(1L)).as("c"))
-      val tot = per.agg(sum(col("d") + col("c")).as("n"))
-      val wBefore = Window.orderBy("dur_h")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val withRisk = per.crossJoin(broadcast(tot))
-        .withColumn("n_risk",
-          col("n") - coalesce(sum(col("d") + col("c")).over(wBefore), lit(0L)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the running product Π(1 − d/n) is a SEQUENTIAL recurrence; a
-      // window-sum of logs drifts a ULP between engines at floor
-      // boundaries, so the product folds in duration order over the
-      // TIME-DOMAIN-sized table — same multiplications, same order,
-      // bit-identical; d = n_risk contributes an exact 0 factor (the
-      // absorbing state) with no ln involved
-      val items = sort_array(collect_list(struct(
-        col("dur_h"), col("d"), col("n_risk"))))
-      val zero = struct(lit(1.0).as("s"),
-        expr("CAST(array() AS ARRAY<STRUCT<dur_h: BIGINT, s: DOUBLE>>)")
-          .as("out"))
-      val curve = withRisk
-        .agg(aggregate(items, zero, (acc, x) => {
-          val f = lit(1.0) -
-            x.getField("d").cast("double") / x.getField("n_risk").cast("double")
-          struct((acc.getField("s") * f).as("s"),
-            concat(acc.getField("out"), array(struct(
-              x.getField("dur_h").as("dur_h"),
-              (acc.getField("s") * f).as("s")))).as("out"))
-        }).getField("out").as("out"))
-        .select(explode(col("out")).as("u"))
-        .select(col("u.dur_h").as("dur_h"),
-          expr("CAST(floor(1000000.0 * u.s) AS BIGINT)").as("s_ppm"))
-      withRisk.join(curve, Seq("dur_h"))
-        .select(col("dur_h"), col("d").as("n_events"),
-          col("c").as("n_censored"), col("n_risk"), col("s_ppm"))
-        .orderBy("dur_h")
-    }),
-
-    "join_edit_distance_prefix" -> ((s, dir) => {
-      // edit-distance self-join (d ≤ 1) via the DELETION-NEIGHBORHOOD
-      // join (FastSS, Bocek et al. 2007 / SymSpell): D(s) = {s} ∪
-      // {s minus one char}. ed(a,b) ≤ 1 ⟹ D(a) ∩ D(b) ≠ ∅ — equal
-      // strings share themselves, a substitution shares the deletion at
-      // the edited position, an insert/delete pair shares the shorter
-      // string — so a hash-join on deletion variants is a COMPLETE
-      // candidate generator (the declarative levenshtein oracle proves
-      // it); exact levenshtein then verifies (the implication is one-
-      // way: "ab"/"ba" share "a" at distance 2, and 64-bit variant
-      // hashes can collide). Candidates stay LINEAR in n: a variant
-      // bucket only holds strings one edit from each other (+hash
-      // collisions), so |bucket| is bounded by the per-position
-      // alphabet, never by n. This replaced q-gram prefix filtering
-      // (Gravano 2001), which the sf1 decade leg killed at 121× (q=2)
-      // and 114× (q=3): on fixed-format low-entropy keys the gram
-      // vocabulary saturates — df of the "rarest" grams grows with n
-      // and the Σdf² candidate term goes quadratic. Deletion variants
-      // are near-full strings, so their collision domain cubes no
-      // matter how low the per-char entropy. Fixture: customer names
-      // (key-subset % 4) — ids differing in one digit are organic
-      // distance-1 pairs.
-      val names = t(s, dir, "customer")
-        .filter(pmod(col("c_custkey"), lit(4)) === 0)
-        .select(col("c_custkey").as("id"), col("c_name").as("nm"))
-      // {nm} ∪ one-char deletions, deduped per row (repeated chars give
-      // equal variants), hashed to 64 bits so the shuffle carries
-      // (id, nm, h) and never the variant strings themselves
-      val delAt = sequence(lit(1), length(col("nm")))
-      val variants = array_union(
-        array(col("nm")),
-        transform(delAt, i => concat(
-          col("nm").substr(lit(1), i - lit(1)),
-          col("nm").substr(i + lit(1), length(col("nm"))))))
-      val verts = names
-        .select(col("id"), col("nm"), explode(variants).as("v"))
-        .select(col("id"), col("nm"), xxhash64(col("v")).as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      verts.join(
-          verts.select(col("id").as("id_b"), col("nm").as("name_b"),
-            col("h")), Seq("h"))
-        .filter(col("id") < col("id_b"))
-        .select(col("id").as("id_a"), col("nm").as("name_a"),
-          col("id_b"), col("name_b"))
-        .distinct()
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 1)
-        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    "orders_cohort_ltv" -> ((s, dir) => {
-      // cohort lifetime-value curves — the subscription-analytics
-      // staple: customers cohorted by first-order month, revenue
-      // accumulated by month offset since acquisition, normalized per
-      // cohort user. One shuffle on o_custkey serves both the
-      // first-order agg and the offset join (co-partitioned); the
-      // cumulative window runs over cohort×offset rows — months², never
-      // order-sized. Revenue in exact cents; per-user LTV is integer
-      // floor division — engine-exact end to end.
-      val o = t(s, dir, "orders")
-        .select(col("o_custkey"),
-          (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
-          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
-            .as("m"))
-      val first = o.groupBy("o_custkey").agg(min(col("m")).as("cohort_m"))
-      val sizes = first.groupBy("cohort_m")
-        .agg(count(lit(1)).as("cohort_users"))
-      val cur = o.join(first, Seq("o_custkey"))
-        .withColumn("m_offset", col("m") - col("cohort_m"))
-        .groupBy("cohort_m", "m_offset")
-        .agg(sum(col("cents")).as("rev_cents"),
-          countDistinct(col("o_custkey")).as("active_users"))
-      val w = Window.partitionBy("cohort_m").orderBy("m_offset")
-      cur.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
-        .join(sizes, Seq("cohort_m"))
-        .withColumn("ltv_cents_per_user",
-          expr("cum_rev_cents div cohort_users"))
-        .select(col("cohort_m"), col("m_offset"), col("active_users"),
-          col("rev_cents"), col("cum_rev_cents"), col("cohort_users"),
-          col("ltv_cents_per_user"))
-        .orderBy("cohort_m", "m_offset")
-    }),
-
-    "graph_closeness" -> ((s, dir) => {
-      // harmonic centrality by pivot sampling (Eppstein–Wang 2004): the
-      // exact harmonic sum Σ 1/d(v, s) over k = 8 fixed seed suppliers
-      // estimates n/k of the full centrality — the standard way to rank
-      // central nodes without n BFS runs. One multi-source BFS carries
-      // all seeds at once: state keyed by (node, seed) (≤ k·|V| rows),
-      // each round one |E|-keyed join + min-agg (map-side combinable,
-      // the Pregel lowering shared with graph_shortest_paths), radius 4
-      // covers the bipartite supplier–part graph's small diameter.
-      // Contributions 10⁶ div d are exact integers; top-20 plans as
-      // TakeOrderedAndProject, never a global sort.
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select(
-          (col("l_suppkey") * 2L).as("src"),
-          (col("l_partkey") * 2L + 1L).as("dst"))
-        .distinct()
-      val und = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // MS-BFS bitmask frontier (Then et al., VLDB 2014 "The More the
-      // Merrier"): all 8 seeds travel as ONE 8-bit mask per node, so
-      // each round is |E|-sized regardless of seed count — vs the
-      // (node, seed) row encoding whose propagation is |E|·k (measured
-      // at sf0.1: 14.1 s naive chain / 5.4 s row frontier / 3.2 s
-      // bitmask).
-      // A node's bit is final when first OR-ed in — exactly BFS level
-      // order — and each round's state is persisted because it feeds
-      // both the next join and the final readout (the DuckDB-CTE-
-      // inlining trap, Spark edition: an unpersisted chain re-executes
-      // round k 2^(rounds−k) times).
-      // seeds are suppliers 0..7 (keys are 0-based); the bit index is
-      // the suppkey itself and the shifted 1 must be a BIGINT — an INT
-      // literal wraps the shift count mod 32 and sign-extends (measured:
-      // shiftleft(1, -1) → bit 31 set, bit_count 33)
-      var state = li.filter(col("l_suppkey") < 8)
-        .select((col("l_suppkey") * 2L).as("node"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_suppkey AS INT))")
-            .as("mask"))
-        .distinct()
-        .withColumn("harm", lit(0L))
-        .withColumn("reach", lit(0L))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var frontier = state.select("node", "mask")
-      for (d <- 1L to 4L) {
-        val prop = und
-          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy(col("dst").as("node"))
-          .agg(expr("bit_or(mask)").as("pm"))
-        val st2 = state.join(prop, Seq("node"), "full_outer")
-          .select(col("node"),
-            expr("coalesce(pm, 0) & ~coalesce(mask, 0)").as("nb"),
-            expr("coalesce(mask, 0) | coalesce(pm, 0)").as("mask"),
-            col("harm"), col("reach"))
-          .select(col("node"), col("mask"),
-            expr(s"coalesce(harm, 0) + CAST(bit_count(nb) AS BIGINT)" +
-              s" * (1000000 div $d)").as("harm"),
-            expr("coalesce(reach, 0) + CAST(bit_count(nb) AS BIGINT)")
-              .as("reach"),
-            col("nb"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        state = st2.select("node", "mask", "harm", "reach")
-        frontier = st2.filter(col("nb") =!= 0L)
-          .select(col("node"), col("nb").as("mask"))
-      }
-      state.filter(col("reach") > 0)
-        .select(col("node"), col("reach").as("n_reached"),
-          col("harm").as("harmonic_ppm"))
-        .orderBy(desc("harmonic_ppm"), desc("n_reached"), col("node"))
-        .limit(20)
-    }),
-
-    "text_js_divergence" -> ((s, dir) => {
-      // Jensen–Shannon divergence between every pair of SOURCES'
-      // unigram distributions — the data-governance readout that says
-      // which corpus slices are interchangeable and which bring new
-      // distributional mass (JSD is symmetric, bounded by ln 2, and 0
-      // iff identical — unlike KL it tolerates disjoint support).
-      // JSD = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)) over the union
-      // vocabulary grid (pairs × vocab — Heaps-sublinear in corpus);
-      // the log arguments are exact count ratios and each pair folds
-      // its terms in canonical term order, so the doubles are
-      // engine-exact. One tokenize pass; everything downstream is
-      // vocab-domain keyed shuffles.
-      val d = t(s, dir, "documents")
-      val tf = d.select(col("source"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-        .groupBy("source", "term").agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = tf.groupBy("source").agg(sum("c").as("n"))
-      val srcs = tot.select(col("source"), col("n"))
-      val pairs = srcs.select(col("source").as("sa"), col("n").as("na"))
-        .crossJoin(srcs.select(col("source").as("sb"), col("n").as("nb")))
-        .filter(col("sa") < col("sb"))
-      val terms = tf.select("term").distinct()
-      val grid = pairs.crossJoin(terms)
-        .join(tf.select(col("source").as("sa"), col("term"),
-          col("c").as("ca")), Seq("sa", "term"), "left")
-        .join(tf.select(col("source").as("sb"), col("term"),
-          col("c").as("cb")), Seq("sb", "term"), "left")
-        .withColumn("ca", coalesce(col("ca"), lit(0L)))
-        .withColumn("cb", coalesce(col("cb"), lit(0L)))
-        .filter(col("ca") + col("cb") > 0)
-        .withColumn("p", expr("CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"))
-        .withColumn("q", expr("CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)"))
-        .withColumn("term_v", expr(
-          """0.5 * (CASE WHEN p > 0.0
-               THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END)
-             + 0.5 * (CASE WHEN q > 0.0
-               THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END)"""))
-      grid.groupBy("sa", "sb")
-        .agg(count(lit(1)).as("n_terms_union"),
-          aggregate(sort_array(collect_list(struct(col("term"),
-              col("term_v").as("v")))),
-            lit(0.0), (acc, x) => acc + x.getField("v")).as("jsd"))
-        .select(col("sa"), col("sb"), col("n_terms_union"),
-          round(col("jsd"), 6).as("jsd_nats"))
-        .orderBy("sa", "sb")
-    }),
-
-    "feature_hashing_tuning" -> ((s, dir) => {
-      // the width-picking curve for the hashing trick: collision audit
-      // of the corpus vocabulary at widths 64/256/1024/4096 — term
-      // collision share, occupancy, and (the number that actually
-      // matters for model quality) the TOKEN-weighted collision mass,
-      // since a collision on two hapaxes is noise but a collision on
-      // two frequent terms corrupts real signal. One tokenize pass to
-      // the vocab frame; the sweep is vocab × 4 widths, all exact
-      // integers — the artifact read BEFORE committing a feature
-      // width at 100 TB (feature_hashing then runs at the chosen one).
-      val d = t(s, dir, "documents")
-      val tf = d.select(
-          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("tf"))
-        .withColumn("h", HashFunctions.fnv64(col("term")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val widths = Seq(64L, 256L, 1024L, 4096L)
-      val bstats = tf
-        .withColumn("w", explode(array(widths.map(lit): _*)))
-        .withColumn("bucket", pmod(col("h"), col("w")))
-        .groupBy("w", "bucket")
-        .agg(count(lit(1)).as("nt"), sum(col("tf")).as("btf"))
-      val tot = tf.agg(count(lit(1)).as("n_terms"),
-        sum(col("tf")).as("n_tokens"))
-      bstats.groupBy("w").agg(
-          count(lit(1)).as("n_buckets_used"),
-          sum(when(col("nt") >= 2, col("nt")).otherwise(0L))
-            .as("n_colliding_terms"),
-          sum(when(col("nt") >= 2, col("btf")).otherwise(0L))
-            .as("colliding_tokens"))
-        .crossJoin(broadcast(tot))
-        .select(col("w"), col("n_terms"), col("n_buckets_used"),
-          col("n_colliding_terms"),
-          expr("(n_colliding_terms * 1000000) div n_terms")
-            .as("collision_ppm"),
-          expr("(n_buckets_used * 1000000) div w").as("occupancy_ppm"),
-          expr("(colliding_tokens * 1000000) div n_tokens")
-            .as("colliding_token_ppm"))
-        .orderBy("w")
-    }),
-
-    "feature_hashing" -> ((s, dir) => {
-      // the hashing trick (Weinberger et al. 2009): tokens land in a
-      // fixed 64-bucket feature space via bucket = fnv64(term) mod 64,
-      // signed by the next hash bit so collisions cancel in expectation
-      // — the unbounded-vocabulary featurizer that needs NO vocab table,
-      // broadcast, or second pass at 100 TB (compare text_tfidf's
-      // df join). Per-doc signed counts reduce map-side; the emitted
-      // surface is the 64-row bucket profile (occupancy, signed mass,
-      // collision width), all exact integers.
-      val d = t(s, dir, "documents")
-      val tok = d.select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-      val h = HashFunctions.fnv64(col("term"))
-      val feat = tok
-        .withColumn("bucket", pmod(h, lit(64L)))
-        .withColumn("sgn",
-          when(pmod(shiftright(h, 6), lit(2L)) === 0L, 1L).otherwise(-1L))
-        .groupBy("doc_id", "bucket")
-        .agg(sum(col("sgn")).as("v"), count_distinct(col("term")).as("nt"))
-      feat.filter(col("v") =!= 0)
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_docs_nonzero"),
-          sum(col("v")).as("sum_val"),
-          sum(abs(col("v"))).as("sum_abs"),
-          max(abs(col("v"))).as("max_abs"),
-          max(col("nt")).as("max_terms_per_doc"))
-        .orderBy("bucket")
-    }),
-
-    "stats_bootstrap" -> ((s, dir) => {
-      // Poisson bootstrap (Efron 1979 via the streaming form, Chamandy
-      // et al. 2012): resampling n rows WITH replacement ≈ giving each
-      // row an independent Poisson(1) multiplicity, which needs no
-      // global sample — each replicate's mean closes over one map-side-
-      // combinable pass. Weights are DETERMINISTIC: inverse-CDF lookup
-      // on the stable content hash of (row, replicate) against integer
-      // Poisson(1) CDF thresholds (ppm), so the oracle replays the
-      // exact draw — the train_split rule applied to resampling. B = 32
-      // replicates explode in one pass; means are exact integer floor
-      // divisions in centi-cents; the CI is rank-selected (5th/95th
-      // ≈ ranks 2/31), never interpolated.
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val u = pmod(HashFunctions.fnv64(concat(
-        col("o_orderkey").cast("string"), lit("|"),
-        col("rep").cast("string"))), lit(1000000L))
-      val means = o
-        .select(col("o_orderkey"), col("cents"),
-          explode(sequence(lit(0), lit(31))).as("rep"))
-        .withColumn("w",
-          when(u < 367879L, 0L).when(u < 735759L, 1L)
-            .when(u < 919699L, 2L).when(u < 981012L, 3L)
-            .when(u < 996340L, 4L).when(u < 999406L, 5L)
-            .when(u < 999917L, 6L).otherwise(7L))
-        .groupBy("rep")
-        .agg(sum(col("w") * col("cents")).as("sw"), sum(col("w")).as("wn"))
-        .withColumn("mean_centi", expr("(100 * sw) div wn"))
-      // constant partition key: 32 replicate rows, silences the
-      // global-window warning without changing the plan's data motion
-      val ranked = means.withColumn("rk",
-        row_number().over(Window.partitionBy(lit(0))
-          .orderBy(col("mean_centi"), col("rep"))))
-      val full = o.agg(
-        expr("(100 * sum(cents)) div count(1)").as("mean_centi_full"))
-      ranked.agg(
-          count(lit(1)).as("n_reps"),
-          min(col("mean_centi")).as("boot_min"),
-          max(col("mean_centi")).as("boot_max"),
-          max(when(col("rk") === 2, col("mean_centi"))).as("boot_lo"),
-          max(when(col("rk") === 16, col("mean_centi"))).as("boot_med"),
-          max(when(col("rk") === 31, col("mean_centi"))).as("boot_hi"))
-        .crossJoin(broadcast(full))
-    }),
-
-    "join_spatial_grid" -> ((s, dir) => {
-      // 2-D radius self-join (Chebyshev r = ($1, 1 size unit) on the
-      // part price×size plane) via GRID BUCKETING — the spatial
-      // generalization of join_band_bucketed's 1-D trick: cell side =
-      // radius, left rows keyed by their OWN cell, right rows
-      // replicated to the 3×3 stencil, so every qualifying pair meets
-      // in exactly one (cell-of-a, stencil-replica-of-b) slot — an
-      // equi-join with no dedupe and provably complete (Δ ≤ r ⟹ cell
-      // distance ≤ 1). Candidates are Σ|cell|² over radius-sized cells
-      // vs the n² of a naive distance join; the 9× replication is of
-      // (id, x, y) triples only. All-integer cents/sizes — hash-exact.
-      val p = t(s, dir, "part").select(col("p_partkey").as("id"),
-        (dec(col("p_retailprice")) * 100).cast("long").as("xc"),
-        col("p_size").cast("long").as("yc"))
-      val cell = p
-        .withColumn("cx", expr("xc div 100"))
-        .withColumn("cy", col("yc"))
-      val right = cell
-        .select(col("id").as("id_b"), col("xc").as("xc2"),
-          col("yc").as("yc2"), col("cx"), col("cy"))
-        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .select(col("id_b"), col("xc2"), col("yc2"),
-          (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
-      cell.select(col("id"), col("xc"), col("yc"), col("cx"), col("cy"))
-        .join(right, Seq("cx", "cy"))
-        .filter(col("id") < col("id_b") &&
-          abs(col("xc") - col("xc2")) <= 100 &&
-          abs(col("yc") - col("yc2")) <= 1)
-        .select(col("id").as("id_a"), col("id_b"),
-          (col("xc2") - col("xc")).as("d_price_cents"),
-          (col("yc2") - col("yc")).as("d_size"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    "timeseries_theil_sen" -> ((s, dir) => {
-      // Theil–Sen robust trend (Sen 1968): per-user slope = the median
-      // of all pairwise slopes — 29% breakdown vs least-squares' zero.
-      // Pairs are generated WITHIN user (the basket-lift rule: Σ|series|²
-      // with bounded series, linear in users at any scale — never
-      // events²). Slopes are exact integer divisions (10⁶ × cents/sec;
-      // Spark's `div` and DuckDB's `//` BOTH truncate toward zero on
-      // negatives — measured, not assumed: -967 div 2 = -483 on each),
-      // and the median is RANK-SELECTED (lower median at row_number
-      // ⌈m/2⌉ over a total order), never interpolated — engine-exact
-      // on negatives and ties.
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"),
-          expr("unix_millis(ts)").as("tms"),
-          (dec(col("value")) * 100).cast("long").as("vc"))
-      val a = e.select(col("user_id"), col("event_id").as("ia"),
-        col("tms").as("ta"), col("vc").as("va"))
-      val b = e.select(col("user_id"), col("event_id").as("ib"),
-        col("tms").as("tb"), col("vc").as("vb"))
-      val pairs = a.join(b, Seq("user_id"))
-        .filter(col("ta") < col("tb") ||
-          (col("ta") === col("tb") && col("ia") < col("ib")))
-        .filter(col("tb") =!= col("ta"))
-        .withColumn("num", (col("vb") - col("va")) * 1000000000L)
-        .withColumn("dt", col("tb") - col("ta"))
-        .withColumn("slope", expr("num div dt"))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("slope"), col("ia"), col("ib"))
-      val med = pairs
-        .withColumn("rk", row_number().over(w))
-        .withColumn("m", count(lit(1)).over(Window.partitionBy("user_id")))
-        .filter(col("rk") === expr("(m + 1) div 2"))
-        .select(col("user_id"), col("m").as("n_pairs"),
-          col("slope").as("slope_med"))
-      e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
-        .join(med, Seq("user_id"))
-        .orderBy("user_id")
-    }),
-
-    "stats_kruskal_wallis" -> ((s, dir) => {
-      // Kruskal–Wallis H (rank one-way ANOVA) of account balance across
-      // the five market segments — the k-group extension of
-      // stats_mann_whitney, same integer discipline: doubled midranks
-      // keep tie-corrected rank sums exact in 64 bits, every scan after
-      // the first groupBy is value-domain-sized, and the five per-group
-      // (n_s, 2R_s) pairs PIVOT into one row so the H double tree folds
-      // in a FIXED segment order (group-sum order out of an agg is
-      // nondeterministic; a pivoted expression is not). H and its
-      // tie-corrected form close over exact integers in one shared
-      // expression string — the same text evaluates in Spark and
-      // DuckDB, so the doubles are bit-identical before the ppm floor.
-      val c0 = t(s, dir, "customer")
-        .select(col("c_mktsegment").as("seg"),
-          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
-      val segCols = kwSegs.zipWithIndex.map { case (sg, i) =>
-        sum(when(col("seg") === sg, 1L).otherwise(0L)).as(s"c${i + 1}")
-      }
-      val per = c0.groupBy("cents").agg(segCols.head, segCols.tail: _*)
-      val wBefore = Window.orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = per
-        .withColumn("t", expr("c1 + c2 + c3 + c4 + c5"))
-        .withColumn("cum_before",
-          coalesce(sum(col("t")).over(wBefore), lit(0L)))
-      val aggCols = (kwSegs.indices.map { i =>
-        sum(col(s"c${i + 1}")).as(s"n${i + 1}")
-      } ++ kwSegs.indices.map { i =>
-        sum(col(s"c${i + 1}") *
-          (lit(2L) * col("cum_before") + col("t") + lit(1L)))
-          .as(s"r${i + 1}")
-      }) :+ sum(col("t") * col("t") * col("t") - col("t")).as("tie_term")
-      val agg0 = ranked.agg(aggCols.head, aggCols.tail: _*)
-      agg0
-        .withColumn("n", expr("n1 + n2 + n3 + n4 + n5"))
-        .withColumn("h_ppm", expr(kwHppm))
-        .withColumn("h_corr_ppm", expr(kwHcorrPpm))
-        .select("n", "n1", "n2", "n3", "n4", "n5", "tie_term",
-          "h_ppm", "h_corr_ppm")
-    }),
-
-    "stats_levene" -> ((s, dir) => {
-      // Brown–Forsythe spread-equality test (the robust Levene variant:
-      // deviations from the MEDIAN, not the mean) across the five
-      // market segments — the gatekeeper before trusting ANOVA's equal-
-      // variance story. Deviations are EXACT integers in doubled cents
-      // (2·median of integers is an integer or twice-a-half — round
-      // strips the fp dust), and the test statistic is the one-way F of
-      // the z_i = |2x − 2·med_g| values, reusing the SAME pivoted
-      // sufficient-statistics fold and shared F expression string as
-      // stats_anova_f — bit-identical doubles before the ppm floor.
-      val c0 = t(s, dir, "customer")
-        .select(col("c_mktsegment").as("seg"),
-          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
-      val med = c0.groupBy("seg")
-        .agg(expr("CAST(round(2 * percentile(cents, 0.5)) AS BIGINT)")
-          .as("med2"))
-      val z = c0.join(broadcast(med), Seq("seg"))
-        .select(col("seg"), abs(col("cents") * 2 - col("med2")).as("zz"))
-      val aCols = kwSegs.zipWithIndex.flatMap { case (sg, i) =>
-        Seq(
-          sum(when(col("seg") === sg, 1L).otherwise(0L)).as(s"n${i + 1}"),
-          sum(when(col("seg") === sg, col("zz")).otherwise(0L))
-            .as(s"s${i + 1}"),
-          sum(when(col("seg") === sg,
-            col("zz").cast("decimal(38,0)") * col("zz"))
-            .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"q${i + 1}"))
-      }
-      z.agg(aCols.head, aCols.tail: _*)
-        .withColumn("n", expr("n1 + n2 + n3 + n4 + n5"))
-        .withColumn("f_ppm", expr(anovaFppm))
-        .select("n", "n1", "n2", "n3", "n4", "n5", "f_ppm")
-    }),
-
-    "stats_runs_test" -> ((s, dir) => {
-      // Wald–Wolfowitz runs test on the SIGN SEQUENCE of day-over-day
-      // revenue changes — is the series random or momentum-driven?
-      // Exact ties drop (the standard rule); R = 1 + sign changes, and
-      // (R, n₊, n₋) are exact integers from two ordered window passes
-      // over the DAYS-sized frame, so only the final z is float — one
-      // shared tree. A trending series runs long (R ≪ μ_R, z < 0); an
-      // alternating one zig-zags (z > 0).
-      val o = t(s, dir, "orders")
-        .select(date_trunc("day", col("o_orderdate")).as("d"),
-          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
-      val daily = o.groupBy("d").agg(sum(col("cents")).as("x"))
-      val wd = Window.partitionBy(lit(0)).orderBy("d")
-      val signs = daily
-        .withColumn("prev", lag(col("x"), 1).over(wd))
-        .filter(col("prev").isNotNull && col("x") =!= col("prev"))
-        .withColumn("sgn", when(col("x") > col("prev"), 1L).otherwise(0L))
-      val runs = signs
-        .withColumn("prev_sgn", lag(col("sgn"), 1).over(wd))
-        .agg(count(lit(1)).as("n"),
-          sum(col("sgn")).as("n_plus"),
-          (sum(when(col("prev_sgn").isNotNull &&
-            col("sgn") =!= col("prev_sgn"), 1L).otherwise(0L)) + 1L)
-            .as("r_runs"))
-      runs
-        .withColumn("n_minus", col("n") - col("n_plus"))
-        .withColumn("z_ppm", expr(runsZppm))
-        .select("n", "n_plus", "n_minus", "r_runs", "z_ppm")
-    }),
-
-    "stats_cohens_kappa" -> ((s, dir) => {
-      // Cohen's kappa for the langid classifier vs the stored labels —
-      // the chance-corrected agreement number text_langid_eval's raw
-      // confusion matrix doesn't give, and exactly the metric that
-      // EXPOSES this fixture: the synthetic corpus text carries no
-      // language signal, so raw accuracy (~32%, which reads like
-      // something) collapses to kappa ≈ 0 (measured −0.02/+0.003
-      // across SFs) — a chance-level classifier unmasked. With P =
-      // Σ_c row_c·col_c, kappa = (N·diag − P)/(N² − P) is a ratio of
-      // EXACT integers — engine-exact with no float anywhere, emitted
-      // as truncated ppm. One doc scan for (pred, actual), then
-      // everything is |langs|²-sized.
-      val d = t(s, dir, "documents")
-        .select(col("lang").as("actual"),
-          TextFunctions.langIdHeuristic(col("text")).as("pred"))
-      val cells = d.groupBy("pred", "actual").agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = cells.agg(sum(col("c")).as("n_docs"),
-        sum(when(col("pred") === col("actual"), col("c")).otherwise(0L))
-          .as("diag"))
-      val marg = cells.groupBy("pred").agg(sum(col("c")).as("row_n"))
-        .join(cells.groupBy("actual").agg(sum(col("c")).as("col_n"))
-            .withColumnRenamed("actual", "pred"),
-          Seq("pred"), "full_outer")
-        .agg(sum(coalesce(col("row_n"), lit(0L)) *
-          coalesce(col("col_n"), lit(0L))).as("p_chance"))
-      tot.crossJoin(broadcast(marg))
-        .withColumn("kappa_ppm", expr(
-          """(1000000 * (n_docs * diag - p_chance))
-             div (n_docs * n_docs - p_chance)"""))
-        .select("n_docs", "diag", "p_chance", "kappa_ppm")
-    }),
-
-    "stats_mcnemar" -> ((s, dir) => {
-      // McNemar's test for paired binary outcomes: did each active user
-      // purchase in the first half of the event era (before Jan 16) vs
-      // the second? The pairing is WITHIN user — only the discordant
-      // users carry signal: b converted early-only, c late-only;
-      // χ² = (b−c)²/(b+c), plus the Edwards continuity correction
-      // (|b−c|−1)²/(b+c). Both are pure integer ratios emitted as
-      // floor-ppm — engine-exact, no float anywhere. One event scan
-      // folds to per-user (early, late) bits (map-side combinable max),
-      // then a two-long reduce; nothing downstream exceeds one row.
-      val ev = t(s, dir, "events")
-      val half = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
-      val u = ev.groupBy("user_id").agg(
-        max(when(col("event_type") === "purchase" &&
-          col("ts") < half, 1L).otherwise(0L)).as("early"),
-        max(when(col("event_type") === "purchase" &&
-          col("ts") >= half, 1L).otherwise(0L)).as("late"))
-      u.agg(
-          count(lit(1)).as("n_users"),
-          sum(col("early") * (lit(1L) - col("late"))).as("b"),
-          sum((lit(1L) - col("early")) * col("late")).as("c"))
-        .withColumn("chi2_ppm", expr(
-          """CASE WHEN b + c = 0 THEN NULL
-             ELSE (1000000 * (b - c) * (b - c)) div (b + c) END"""))
-        .withColumn("chi2_cc_ppm", expr(
-          """CASE WHEN b + c = 0 THEN NULL
-             ELSE (1000000 * (abs(b - c) - 1) * (abs(b - c) - 1))
-               div (b + c) END"""))
-        .select("n_users", "b", "c", "chi2_ppm", "chi2_cc_ppm")
-    }),
-
-    "stats_kendall_tau" -> ((s, dir) => {
-      // Kendall's tau-b between two nation-level metrics: customer
-      // count vs total open-order revenue. Rank-correlation's O(n²)
-      // pair count is tamed by AGGREGATING FIRST — the pair self-join
-      // runs over the 25-row nation frame (≤625 pairs at any SF), so
-      // the quadratic term is constant while the metric aggregation
-      // scans scale linearly. Concordant/discordant/tie counts are
-      // exact integers; tau_b = (C−D)/√((n0−tx)(n0−ty)) closes through
-      // IEEE-exact sqrt (correctly rounded, unlike libm ln) and one
-      // floor — engine-exact. Floor-ppm emitted.
-      val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
-      val x = cust.groupBy(col("c_nationkey").as("nk"))
-        .agg(count(lit(1)).as("x"))
-      val y = cust.join(ord, col("c_custkey") === col("o_custkey"))
-        .groupBy(col("c_nationkey").as("nk"))
-        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-          .as("y"))
-      val m = x.join(y, Seq("nk"), "left")
-        .select(col("nk"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
-      val p = m.as("a").join(m.as("b"),
-          col("a.nk") < col("b.nk"), "inner")
-        .select(
-          (col("a.x") - col("b.x")).as("dx"),
-          (col("a.y") - col("b.y")).as("dy"))
-      p.agg(
-          count(lit(1)).as("n_pairs"),
-          // sign tests, never dx·dy — the product crosses 2^63 at high SF
-          sum(when((col("dx") > 0 && col("dy") > 0) ||
-            (col("dx") < 0 && col("dy") < 0), 1L).otherwise(0L)).as("conc"),
-          sum(when((col("dx") > 0 && col("dy") < 0) ||
-            (col("dx") < 0 && col("dy") > 0), 1L).otherwise(0L)).as("disc"),
-          sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tie_x"),
-          sum(when(col("dy") === 0, 1L).otherwise(0L)).as("tie_y"))
-        .withColumn("tau_ppm", expr(
-          """CASE WHEN n_pairs = tie_x OR n_pairs = tie_y THEN NULL
-             ELSE CAST(floor(1000000.0 * (conc - disc) /
-               sqrt(CAST((n_pairs - tie_x) AS DOUBLE)
-                 * CAST((n_pairs - tie_y) AS DOUBLE))) AS BIGINT) END"""))
-        .select("n_pairs", "conc", "disc", "tie_x", "tie_y", "tau_ppm")
-    }),
-
-    "timeseries_acf" -> ((s, dir) => {
-      // autocorrelation function of the daily event-count series at
-      // lags 1..7 (the seasonality fingerprint behind the weekly
-      // queries). The standard estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) /
-      // Σ(x_t−x̄)² is cleared of its fractional mean by multiplying
-      // through by n²: num·n² = n²P_k − nS(A_k+B_k) + p_k S², den·n² =
-      // n²Q − nS² — every term an exact integer (decimal(38,0): n²P
-      // crosses 2^63 past sf1, the ABC lesson). The series is
-      // days-sized, so the lag joins are calendar-sized regardless of
-      // event volume; only the daily rollup scans the data.
-      val ev = t(s, dir, "events")
-      val d = ev.groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("x"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = d.agg(
-        count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(col("x")).cast("decimal(38,0)").as("sm"),
-        sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
-      val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
-      val pairs = d.as("a").crossJoin(lags)
-        .join(d.as("b"),
-          col("b.day") === date_add(col("a.day"), col("lag")), "inner")
-        .groupBy("lag")
-        .agg(count(lit(1)).cast("decimal(38,0)").as("p_k"),
-          sum(col("a.x").cast("decimal(38,0)") * col("b.x")).as("pk_sum"),
-          sum(col("a.x")).cast("decimal(38,0)").as("a_k"),
-          sum(col("b.x")).cast("decimal(38,0)").as("b_k"))
-      pairs.crossJoin(broadcast(tot))
-        .withColumn("acf_ppm", expr(
-          """CAST((1000000 * (n * n * pk_sum - n * sm * (a_k + b_k)
-               + p_k * sm * sm))
-             div (n * n * q - n * sm * sm) AS BIGINT)"""))
-        .select(col("lag"), col("p_k").cast("bigint").as("n_pairs"),
-          col("acf_ppm"))
-        .orderBy("lag")
-    }),
-
-    "graph_hits" -> ((s, dir) => {
-      // HITS hubs-and-authorities on the bipartite customer→part
-      // purchase graph (Kleinberg '99): customers are hubs, parts
-      // authorities. Same fixed-point discipline as graph_pagerank —
-      // all arithmetic is exact-integer, so every round is order-
-      // independent and engine-exact (float HITS sums are partition-
-      // order-dependent). Power iteration is scale-invariant, so the
-      // sum-normalization happens ONCE at the end (`div` by the exact
-      // score total, 10^12-scaled): the per-round rescale jobs of the
-      // textbook formulation are pure numerics, and dropping them
-      // halves the stage count — raw path-count scores stay under
-      // 1e21 ≪ 10^38 in decimal(38,0). Two full a/h rounds from the
-      // uniform start; each half-round is one keyed join + one
-      // aggregation over the edge list — the Pregel lowering, linear
-      // in |E|. The edge frame feeds all four half-rounds and is the
-      // one persist (the unpersisted-iteration lesson).
-      val ord = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val e0 = ord.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      // co-partition the edge list ONCE per join-key orientation: every
-      // iteration join then leaves the big side in place and exchanges
-      // only the node-sized score frame (shuffle-hash, no edge-side
-      // sort) — without this, each round re-exchanges+sorts |E| rows.
-      // distinct() AFTER repartition is partition-local (HashPartitioning
-      // on one key satisfies the {c,p} clustering requirement), so edge
-      // dedup rides the same exchange. This is the shape that holds at
-      // 100 TB: edges shuffle twice total, iterations move |V| rows.
-      val eByP = e0.repartition(col("p")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val eByC = e0.repartition(col("c")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // h_0 ≡ 1 uniformly ⇒ a_1(p) = indeg(p); then two exact
-      // unnormalized half-rounds per side over decimal(38,0)
-      val dec = "decimal(38,0)"
-      val a1 = eByP.groupBy("p")
-        .agg(count(lit(1)).cast(dec).as("a1"))
-      val h1 = eByP.join(a1.hint("shuffle_hash"), Seq("p"))
-        .groupBy("c").agg(sum(col("a1")).as("h1"))
-      val a2 = eByC.join(h1.hint("shuffle_hash"), Seq("c"))
-        .groupBy("p").agg(sum(col("h1")).as("a2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val h2 = eByP.join(a2.hint("shuffle_hash"), Seq("p"))
-        .groupBy("c").agg(sum(col("a2")).as("h2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val asum = a2.agg(sum(col("a2")).as("s")).select("s")
-      val hsum = h2.agg(sum(col("h2")).as("s")).select("s")
-      val topA = a2.crossJoin(broadcast(asum))
-        .select(lit("authority").as("side"), col("p").as("node"),
-          expr("CAST((a2 * 1000000000000) div s AS BIGINT)").as("score"))
-        .orderBy(col("score").desc, col("node")).limit(10)
-      val topH = h2.crossJoin(broadcast(hsum))
-        .select(lit("hub").as("side"), col("c").as("node"),
-          expr("CAST((h2 * 1000000000000) div s AS BIGINT)").as("score"))
-        .orderBy(col("score").desc, col("node")).limit(10)
-      topH.unionByName(topA).orderBy(col("side"), col("score").desc,
-        col("node"))
-    }),
-
-    "text_dsir_weights" -> ((s, dir) => {
-      // DSIR importance weights (Xie et al. 2023, "Data Selection for
-      // Language Models via Importance Resampling") — the corpus-
-      // curation score that says how target-like each raw document is.
-      // Features are hashed unigrams (V=4096 buckets, the paper's
-      // hashed n-gram trick: bounded model size at any corpus scale);
-      // target distribution = the English docs, raw = the rest. Per-doc
-      // weight = Σ_occurrences [ln p̂_t(f) − ln p̂_r(f)] with add-one
-      // smoothing. Scale shape: the corpus is tokenized ONCE (persisted
-      // frame feeds both the count tables and the scoring join), the
-      // model is V-bounded and joins by bucket key — never a driver
-      // table; the per-doc Σ is the ORDER-canonical sequential fold
-      // (positions ascending) so the double is engine-identical.
-      val d = t(s, dir, "documents")
-      val V = 4096
-      val tok = d.select(col("doc_id"), col("lang"),
-          posexplode(TextFunctions.tokens(lower(col("text"))))
-            .as(Seq("pos", "w")))
-        .withColumn("b", pmod(HashFunctions.fnv64(col("w")), lit(V.toLong)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val counts = tok.groupBy("b").agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
-        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nr"))
-      val tots = counts.agg(sum(col("nt")).as("tt"), sum(col("nr")).as("tr"))
-      val lr = counts.crossJoin(broadcast(tots))
-        .select(col("b"),
-          (log((col("nt") + 1).cast("double") / (col("tt") + V).cast("double"))
-            - log((col("nr") + 1).cast("double") / (col("tr") + V).cast("double")))
-            .as("lr"))
-      tok.join(lr, Seq("b"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"),
-          aggregate(sort_array(collect_list(struct(col("pos"), col("lr")))),
-            lit(0.0), (acc, x) => acc + x.getField("lr")).as("s"))
-        .select(col("doc_id"), col("n_feats"),
-          round(col("s"), 6).as("dsir_weight"))
-        .orderBy("doc_id")
-    }),
-
-    "similarity_mmr_topk" -> ((s, dir) => {
-      // Maximal Marginal Relevance diversified top-k (Carbonell &
-      // Goldstein, SIGIR'98) — the training-data selection pattern
-      // "most relevant AND not redundant": greedily pick argmax of
-      // λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s), λ=0.7, k=8 from an M=30
-      // candidate pool. Scale shape: the candidate pool comes from the
-      // DISTRIBUTED brute-force pass (TakeOrdered top-M; swap in the
-      // IVF probe at corpus scale) and the M×M sim matrix is computed
-      // distributed; only the M-row pool crosses to the driver for the
-      // O(k·M) greedy — index-build-sized, like the codebook builds.
-      // Cross-engine determinism: rel and sims are rounded to 6dp
-      // BEFORE any comparison, so near-ULP score ties become exact
-      // ties broken by vec_id — both engines walk the same path.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val cands = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .select(col("vec_id"), col("embedding"),
-          round(VectorFunctions.cosineSim(col("embedding"), col("qv")), 6)
-            .as("rel"))
-        .orderBy(col("rel").desc, col("vec_id")).limit(30)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = cands.select(col("vec_id").as("ai"), col("embedding").as("av"))
-        .crossJoin(cands.select(col("vec_id").as("bi"), col("embedding").as("bv")))
-        .filter(col("ai") =!= col("bi"))
-        .select(col("ai"), col("bi"),
-          round(VectorFunctions.cosineSim(col("av"), col("bv")), 6).as("sim"))
-      val rel = cands.select("vec_id", "rel").collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val sim = pairs.collect()
-        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-      var selected = Vector.empty[Long]
-      val out = collection.mutable.ArrayBuffer[(Int, Long, Double,
-        Option[Double], Double)]()
-      for (step <- 1 to 8) {
-        val remaining = rel.filterNot { case (id, _) => selected.contains(id) }
-        if (selected.isEmpty) {
-          val first = remaining.reduce[(Long, Double)] { (a, b) =>
-            if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a }
-          out += ((step, first._1, first._2, None, first._2))
-          selected :+= first._1
-        } else {
-          val scored = remaining.map { case (id, r) =>
-            val ms = selected.map(sid => sim((id, sid))).max
-            (id, r, ms, 0.7 * r - 0.3 * ms)
-          }
-          val best = scored.reduce { (a, b) =>
-            if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a }
-          out += ((step, best._1, best._2, Some(best._3), best._4))
-          selected :+= best._1
-        }
-      }
-      import s.implicits._
-      out.toSeq.toDF("rnk", "vec_id", "rel", "max_sim", "mmr")
-        .select(col("rnk"), col("vec_id"), col("rel"), col("max_sim"),
-          round(col("mmr"), 6).as("mmr"))
-        .orderBy("rnk")
-    }),
-
-    "embedding_pca_power" -> ((s, dir) => {
-      // distributed PCA, top principal direction of the embedding
-      // corpus: ONE pass accumulates the exact integer Gram (scatter)
-      // matrix via the native `gram_matrix` TypedImperativeAggregate
-      // (state = d(d+1)/2 longs per partition, ~16 KB at d=64 — only
-      // fixed-size buffers cross the wire, never n·d² explode rows),
-      // then the d×d eigen step runs driver-side as 24 deterministic
-      // power-iteration rounds (max-abs normalization, ascending-j
-      // folds — every double op reproduced verbatim by the oracle, so
-      // the iterates are engine-identical). Embeddings are quantized
-      // q = round(v·10⁴) first: integer Gram sums are exact and
-      // order-independent where float accumulation would be partition-
-      // order-dependent. Output: the 64 eigenvector components and the
-      // Rayleigh eigenvalue rescaled to the float domain (÷10⁸).
-      val e = t(s, dir, "embeddings")
-      val d = 64
-      val q = e.select(expr(
-        "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))")
-        .as("q"))
-      val packed = q.agg(graft.functions.GramMatrix.gramMatrix(col("q"), d)
-          .as("g"))
-        .head().getSeq[Long](0).toArray
-      val (vec, lam) = graft.functions.GramMatrix.powerIteration(packed, d, 24)
-      import s.implicits._
-      vec.zipWithIndex.map { case (v, i) => (i + 1, v, lam / 1.0e8) }.toSeq
-        .toDF("dim", "component", "eigenvalue")
-        .select(col("dim"), round(col("component"), 6).as("component"),
-          round(col("eigenvalue"), 6).as("eigenvalue"))
-        .orderBy("dim")
-    }),
-
-    "orders_size_poisson_fit" -> ((s, dir) => {
-      // does basket size follow a Poisson law? Observed lines-per-order
-      // histogram (sizes 1..7 — the fixture domain) vs the Poisson(λ̂)
-      // expectation with λ̂ the exact-rational mean, χ² over the seven
-      // buckets in one verbatim-shared tree (exp() fed by the identical
-      // tl/n double). One keyed count + a 7-column pivot; everything
-      // before the tree is exact integers.
-      val li = t(s, dir, "lineitem")
-      val sizes = li.groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
-      val aggs = Seq(count(lit(1)).as("n"), sum(col("sz")).as("tl")) ++
-        (1 to 7).map(k =>
-          sum(when(col("sz") === k, 1L).otherwise(0L)).as(s"obs_$k")) :+
-        sum(when(col("sz") >= 8, 1L).otherwise(0L)).as("obs_8p")
-      sizes.agg(aggs.head, aggs.tail: _*)
-        .withColumn("lambda_ppm", expr("(1000000 * tl) div n"))
-        .withColumn("chi2_ppm", expr(poissonChi2Ppm))
-        .select(Seq(col("n"), col("tl"), col("lambda_ppm")) ++
-          (1 to 7).map(k => col(s"obs_$k")) ++
-          Seq(col("obs_8p"), col("chi2_ppm")): _*)
-    }),
-
-    "orders_discount_response" -> ((s, dir) => {
-      // discount-response curve: per discount band (percent grain —
-      // l_discount is a 2-decimal rate), exact order-line counts,
-      // doubled-median and exact-mean quantity in centi-units, and
-      // revenue share — the pricing team's elasticity readout. Bands
-      // are integer percent values (round(discount·100): exact from
-      // the 2-decimal fixture doubles), everything downstream is
-      // integer or floor-ppm.
-      val li = t(s, dir, "lineitem")
-        .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"),
-          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
-          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
-            .as("rev_c"))
-      val agg = li.groupBy("disc_pct").agg(
-        count(lit(1)).as("n_lines"),
-        expr("CAST(round(2 * percentile(qty_c, 0.5)) AS BIGINT)")
-          .as("med2_qty_c"),
-        sum(col("qty_c")).as("sum_qty_c"),
-        sum(col("rev_c")).as("rev_c"))
-      val tot = agg.agg(sum(col("rev_c")).as("tr"))
-      agg.crossJoin(broadcast(tot))
-        .withColumn("mean_qty_c_ppm", expr(
-          """CAST((1000000 * CAST(sum_qty_c AS DECIMAL(38,0)))
-             div CAST(n_lines AS DECIMAL(38,0)) AS BIGINT)"""))
-        .withColumn("rev_share_ppm", expr(
-          """CAST((1000000 * CAST(rev_c AS DECIMAL(38,0)))
-             div CAST(tr AS DECIMAL(38,0)) AS BIGINT)"""))
-        .select("disc_pct", "n_lines", "med2_qty_c", "mean_qty_c_ppm",
-          "rev_share_ppm")
-        .orderBy("disc_pct")
-    }),
-
-    "graph_richclub" -> ((s, dir) => {
-      // rich-club coefficient φ(k) = 2·E_k/(N_k(N_k−1)) at degree
-      // cuts k ∈ {2,4,8,16,32}: do the best-connected parts of the
-      // co-purchase graph preferentially link to each other? N_k and
-      // E_k are exact integer counts (degrees broadcast onto the edge
-      // list, edges kept iff BOTH endpoints pass the cut); one edge
-      // scan per nothing — all five cuts ride a single conditional
-      // aggregation. Same bounded even-part projection as
-      // graph_clustering_coeff.
-      val li = t(s, dir, "lineitem")
-        .filter(pmod(col("l_partkey"), lit(2)) === 0)
-      val items = li.select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("p")).distinct()
-      val e0 = items.as("x").join(items.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = e0.select(col("u").as("node"))
-        .unionByName(e0.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cuts = Seq(2L, 4L, 8L, 16L, 32L)
-      val ed = e0
-        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))),
-          Seq("u"))
-        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))),
-          Seq("v"))
-      val ekCols = cuts.map(k =>
-        sum(when(col("du") > k && col("dv") > k, 1L).otherwise(0L))
-          .as(s"e_$k"))
-      val ek = ed.agg(ekCols.head, ekCols.tail: _*)
-      val nkCols = cuts.map(k =>
-        sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k"))
-      val nk = deg.agg(nkCols.head, nkCols.tail: _*)
-      import s.implicits._
-      val cutsDf = cuts.toDF("k")
-      cutsDf.crossJoin(broadcast(ek)).crossJoin(broadcast(nk))
-        .select(col("k"),
-          cuts.foldLeft(lit(0L)) { (acc, kk) =>
-            when(col("k") === kk, col(s"n_$kk")).otherwise(acc) }.as("n_k"),
-          cuts.foldLeft(lit(0L)) { (acc, kk) =>
-            when(col("k") === kk, col(s"e_$kk")).otherwise(acc) }.as("e_k"))
-        .withColumn("phi_ppm", expr(
-          """CASE WHEN n_k < 2 THEN NULL
-             ELSE (1000000 * 2 * e_k) div (n_k * (n_k - 1)) END"""))
-        .orderBy("k")
-    }),
-
-    "stats_bartlett" -> ((s, dir) => {
-      // Bartlett's variance-equality test across the five market
-      // segments — the parametric member completing the spread-test
-      // family (stats_levene is the robust Brown–Forsythe). Reuses the
-      // stats_anova_f pivoted sufficient-statistic fold (exact
-      // integers; Σx² in decimal(38,0)); the statistic and its
-      // 1+(Σ1/(nᵢ−1)−1/(N−k))/(3(k−1)) correction evaluate in ONE
-      // verbatim-shared double tree, floor-ppm out.
-      val c0 = t(s, dir, "customer")
-        .select(col("c_mktsegment").as("seg"),
-          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
-      val aCols = kwSegs.zipWithIndex.flatMap { case (sg, i) =>
-        Seq(
-          sum(when(col("seg") === sg, 1L).otherwise(0L)).as(s"n${i + 1}"),
-          sum(when(col("seg") === sg, col("cents")).otherwise(0L))
-            .as(s"s${i + 1}"),
-          sum(when(col("seg") === sg,
-            col("cents").cast("decimal(38,0)") * col("cents"))
-            .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"q${i + 1}"))
-      }
-      c0.agg(aCols.head, aCols.tail: _*)
-        .withColumn("n", expr("n1 + n2 + n3 + n4 + n5"))
-        .withColumn("t_ppm", expr(bartlettTppm))
-        .select("n", "n1", "n2", "n3", "n4", "n5", "t_ppm")
-    }),
-
-    "graph_conductance" -> ((s, dir) => {
-      // per-community conductance φ_c = cut(c)/min(vol(c), 2m−vol(c))
-      // of the SAME planted nation-band partition graph_modularity
-      // grades — the cut-quality view of the same structure (low φ =
-      // well-separated community). Every count is an exact integer;
-      // the one division is a floor-ppm. Same band-bucket edge
-      // construction (Σ|band| candidates, never n²); cut and volume
-      // are one labeled-edge aggregation each.
-      val c = t(s, dir, "customer")
-        .select(col("c_custkey").as("id"),
-          col("c_nationkey").cast("long").as("nation"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val withB = c.withColumn("bk", expr("id div 100"))
-      val right = withB
-        .select(col("id").as("id2"), col("nation").as("nation2"),
-          col("bk"))
-        .withColumn("dbk", explode(array(lit(0L), lit(1L))))
-        .select(col("id2"), col("nation2"), (col("bk") - col("dbk")).as("bk2"))
-      val near = withB.join(right,
-          col("bk") === col("bk2") && col("nation") === col("nation2") &&
-            col("id2") > col("id") && col("id2") <= col("id") + 100)
-        .select(col("id").as("src"), col("id2").as("dst"))
-      val chain = c.join(
-          c.select(col("id").as("id2"), col("nation").as("nation2")),
-          col("id2") === col("id") + 1)
-        .select(col("id").as("src"), col("id2").as("dst"))
-      val e0 = near.unionByName(chain).distinct()
-      val und = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-      val lbl = c.select(col("id"), col("nation").as("label"))
-      val le = und
-        .join(lbl.select(col("id").as("src"), col("label").as("ls")),
-          Seq("src"))
-        .join(lbl.select(col("id").as("dst"), col("label").as("ld")),
-          Seq("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val m2t = le.agg(count(lit(1)).as("m2"))
-      val per = le.groupBy(col("ls").as("label")).agg(
-        count(lit(1)).as("vol"),
-        sum(when(col("ls") =!= col("ld"), 1L).otherwise(0L)).as("cut"))
-      per.crossJoin(broadcast(m2t))
-        .withColumn("phi_ppm", expr(
-          """CASE WHEN least(vol, m2 - vol) = 0 THEN NULL
-             ELSE (1000000 * cut) div least(vol, m2 - vol) END"""))
-        .select("label", "vol", "cut", "phi_ppm")
-        .orderBy("label")
-    }),
-
-    "orders_customer_migration" -> ((s, dir) => {
-      // customer value-migration matrix: tercile customers by spend in
-      // each half of the order-date range (fences = exact global
-      // percentiles of each half, broadcast) and count the 3×3
-      // transitions — who moved up, who churned down, the CRM
-      // migration readout. Share of customers holding their tercile
-      // emits per cell as floor-ppm. All-integer; two scans + two
-      // 1-row broadcasts.
-      val o = t(s, dir, "orders")
-      val base = o.select(col("o_custkey"),
-        col("o_orderdate").cast("date").as("od"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
-          .as("cents"))
-      val mid = base.agg(min(col("od")).as("d0"), max(col("od")).as("d1"))
-        .select(expr("d0 + CAST((datediff(d1, d0) / 2) AS INT)").as("dm"))
-      val halves = base.crossJoin(broadcast(mid))
-        .withColumn("h", when(col("od") < col("dm"), 1).otherwise(2))
-        .groupBy("o_custkey", "h").agg(sum(col("cents")).as("spend"))
-      def terc(h: Int): DataFrame = {
-        val hh = halves.filter(col("h") === h)
-        val fences = hh.agg(expr(
-          "percentile(spend, array(0.3333333333333333, 0.6666666666666666))")
-          .as("es"))
-        hh.crossJoin(broadcast(fences))
-          .select(col("o_custkey"), (expr(
-            """aggregate(es, 0, (acc, e) ->
-               acc + CASE WHEN CAST(spend AS DOUBLE) > e
-                 THEN 1 ELSE 0 END)""") + 1).as(s"terc$h"))
-      }
-      val m = terc(1).join(terc(2), Seq("o_custkey"))
-      val cells = m.groupBy("terc1", "terc2").agg(count(lit(1)).as("n"))
-      val tot = cells.agg(sum(col("n")).as("tn"))
-      cells.crossJoin(broadcast(tot))
-        .withColumn("share_ppm", expr("(1000000 * n) div tn"))
-        .select("terc1", "terc2", "n", "share_ppm")
-        .orderBy("terc1", "terc2")
-    }),
-
-    "part_supplier_herfindahl" -> ((s, dir) => {
-      // supplier-concentration HHI per part: Σ(q_s/Q)² over each
-      // part's supplier quantity shares — the procurement single-
-      // source-risk index. hhi_ppm = (10⁶·Σq_s²) div Q² is exact
-      // integer arithmetic end-to-end; two keyed combinable aggregates
-      // and a TakeOrdered head of the most concentrated multi-supplier
-      // parts.
-      val li = t(s, dir, "lineitem")
-      val ps = li.groupBy(col("l_partkey").as("part"),
-          col("l_suppkey").as("supplier"))
-        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
-      ps.groupBy("part").agg(
-          count(lit(1)).as("n_suppliers"),
-          sum(col("q")).as("total_q"),
-          sum(col("q") * col("q")).as("sum_q2"))
-        .filter(col("n_suppliers") >= 2)
-        .withColumn("hhi_ppm", expr(
-          """CAST((1000000 * CAST(sum_q2 AS DECIMAL(38,0)))
-             div (CAST(total_q AS DECIMAL(38,0)) * total_q) AS BIGINT)"""))
-        .orderBy(col("hhi_ppm").desc, col("part")).limit(20)
-        .select("part", "n_suppliers", "total_q", "hhi_ppm")
-    }),
-
-    "model_auc" -> ((s, dir) => {
-      // ROC-AUC of the hashed linear classifier against the lang=en
-      // label via the Mann–Whitney identity AUC = U/(n₁n₀) — no curve
-      // sweep, ONE value-domain rank pass (the stats_mann_whitney
-      // doubled-midrank machinery on integer margins, ties handled
-      // exactly). AUC and Gini emit as exact integer ppm. The
-      // companion to model_calibration: discrimination + calibration
-      // are the standard model-eval pair.
-      val d = t(s, dir, "documents")
-      val scored = d.select(
-        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
-        HashFunctions.linearMargin(
-          TextFunctions.tokens(lower(col("text")))).as("margin"))
-      val per = scored.groupBy("margin").agg(
-        sum(col("is_a")).as("ca"),
-        sum(lit(1L) - col("is_a")).as("cb"))
-      val wBefore = Window.orderBy("margin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = per
-        .withColumn("t", col("ca") + col("cb"))
-        .withColumn("cum_before",
-          coalesce(sum(col("t")).over(wBefore), lit(0L)))
-      ranked.agg(
-          sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"),
-          sum(col("ca") * (lit(2L) * col("cum_before") + col("t") + lit(1L)))
-            .as("r2a"))
-        .withColumn("u2", col("r2a") - col("n_pos") * (col("n_pos") + lit(1L)))
-        .withColumn("auc_ppm", expr(
-          """CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-             ELSE (1000000 * u2) div (2 * n_pos * n_neg) END"""))
-        .withColumn("gini_ppm", expr("2 * auc_ppm - 1000000"))
-        .select("n_pos", "n_neg", "u2", "auc_ppm", "gini_ppm")
-    }),
-
-    "embedding_norm_audit" -> ((s, dir) => {
-      // embedding-column hygiene: the squared-norm distribution (exact
-      // integers after the ×10⁴ quantization — the gram_matrix
-      // discipline) with doubled-median/MAD robust fences and the
-      // top-10 outlier vectors by deviation — catches the broken
-      // encoder batch before it poisons the ANN index. One scan; the
-      // fences broadcast back.
-      val e = t(s, dir, "embeddings")
-      val sq = e.select(col("vec_id"), expr(
-        """aggregate(transform(embedding,
-             v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)),
-           0L, (a, x) -> a + x * x)""").as("sqnorm"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val med = sq.agg(
-        expr("CAST(round(2 * percentile(sqnorm, 0.5)) AS BIGINT)").as("med2"),
-        count(lit(1)).as("n"))
-      val dev = sq.crossJoin(broadcast(med))
-        .withColumn("dev2", abs(col("sqnorm") * 2 - col("med2")))
-      val mad = dev.agg(
-        expr("CAST(round(2 * percentile(dev2, 0.5)) AS BIGINT)").as("mad4"))
-      val flagged = dev.crossJoin(broadcast(mad))
-        .withColumn("is_outlier", col("dev2") * 2 > col("mad4") * 10)
-      val nOut = flagged.agg(
-        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
-      flagged.crossJoin(broadcast(nOut))
-        .orderBy(col("dev2").desc, col("vec_id")).limit(10)
-        .select(col("vec_id"), col("sqnorm"), col("dev2"), col("n"),
-          col("med2"), col("mad4"), col("n_outliers"))
-    }),
-
-    "events_user_stickiness" -> ((s, dir) => {
-      // DAU/MAU-style stickiness per ISO week: average daily actives
-      // over the week divided by weekly actives — the product-health
-      // ratio. Exact integers throughout: Σ daily-active counts and the
-      // weekly distinct both come from (user, day)-deduped rows, and
-      // the ratio is a floor-ppm of avg-DAU·7 construction-free form:
-      // stickiness_ppm = (10⁶ · Σ_day DAU) div (n_days · WAU).
-      val ev = t(s, dir, "events")
-      val ud = ev.select(col("user_id"), to_date(col("ts")).as("day"))
-        .distinct()
-        .withColumn("wk", date_trunc("week", col("day")).cast("date"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dau = ud.groupBy("wk", "day").agg(count(lit(1)).as("dau"))
-        .groupBy("wk").agg(sum(col("dau")).as("sum_dau"),
-          count(lit(1)).as("n_days"))
-      val wau = ud.select("wk", "user_id").distinct()
-        .groupBy("wk").agg(count(lit(1)).as("wau"))
-      dau.join(wau, Seq("wk"))
-        .withColumn("stickiness_ppm",
-          expr("(1000000 * sum_dau) div (n_days * wau)"))
-        .select("wk", "n_days", "sum_dau", "wau", "stickiness_ppm")
-        .orderBy("wk")
-    }),
-
-    "supplier_return_wilson" -> ((s, dir) => {
-      // "worst suppliers" ranked by the Wilson lower confidence bound
-      // of their return rate (returnflag = R) — the classic fix for
-      // naive rate ranking where 1-of-1 beats 40-of-100. Counts are
-      // exact integers; the z=1.96 Wilson bound closes through one
-      // verbatim-shared double tree (sqrt is IEEE-exact) and a floor.
-      // One scan, supplier-keyed combinable aggregate, TakeOrdered.
-      val li = t(s, dir, "lineitem")
-      val agg = li.groupBy(col("l_suppkey").as("supplier"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
-            .as("returns"))
-      agg.withColumn("wilson_lb_ppm", expr(
-          """CAST(floor(1000000.0 * (
-             (CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
-               + 3.8416 / (2.0 * CAST(n AS DOUBLE))
-               - 1.96 * sqrt((CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
-                   * (1.0 - CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)))
-                 / CAST(n AS DOUBLE)
-                 + 3.8416 / (4.0 * CAST(n AS DOUBLE)
-                   * CAST(n AS DOUBLE))))
-             / (1.0 + 3.8416 / CAST(n AS DOUBLE)))) AS BIGINT)"""))
-        .orderBy(col("wilson_lb_ppm").desc, col("supplier")).limit(20)
-        .select("supplier", "n", "returns", "wilson_lb_ppm")
-    }),
-
-    "dedup_minhash_pr" -> ((s, dir) => {
-      // threshold-calibration curve for the MinHash signature estimate:
-      // precision/recall of "m of k=16 positions match ≥ t" against the
-      // EXACT shingle-Jaccard ≥ 0.7 ground truth, at t ∈ {8,10,12,14}
-      // — the number a dedup operator owner reads before picking the
-      // production threshold. Candidates come from the signature
-      // position self-join (k rows/doc), truth from the df-capped
-      // exact inverted index; both counts and the 0.7 cut are pure
-      // integers (10c ≥ 7(na+nb−c)), so the confusion matrix is
-      // engine-exact.
-      val sh = augShingles(s, dir)
-      val sigs = sh.select(col("doc_id"),
-          HashFunctions.minhashFromHashes(col("hs"), 16).as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val e2 = sigs.select(col("doc_id"),
-        posexplode(col("sig")).as(Seq("j", "c")))
-      val est = e2.select(col("j"), col("c"), col("doc_id").as("id_a"))
-        .join(e2.select(col("j"), col("c"), col("doc_id").as("id_b")),
-          Seq("j", "c"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("m"))
-        .filter(col("m") >= 8)
-      val shd = sh.select(col("doc_id"),
-          array_distinct(col("hs")).as("shh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = shd.select(col("doc_id"), size(col("shh")).cast("long").as("n"))
-      val ex = shd.select(col("doc_id"), explode(col("shh")).as("h"))
-      val common = ex.select(col("h"), col("doc_id").as("id_a"))
-        .join(ex.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
-      val truth = common
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
-          Seq("id_a"))
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
-          Seq("id_b"))
-        .filter(col("c") * 10 >= (col("na") + col("nb") - col("c")) * 7)
-        .select(col("id_a"), col("id_b"), lit(1L).as("dup"))
-      val jf = est.join(truth, Seq("id_a", "id_b"), "full_outer")
-        .select(coalesce(col("m"), lit(0L)).as("m"),
-          coalesce(col("dup"), lit(0L)).as("dup"))
-      val th = s.range(0, 4)
-        .select((col("id") * 2 + 8).cast("int").as("min_matches"))
-      jf.crossJoin(th).groupBy("min_matches").agg(
-          sum(when(col("m") >= col("min_matches") && col("dup") === 1, 1L)
-            .otherwise(0L)).as("tp"),
-          sum(when(col("m") >= col("min_matches") && col("dup") === 0, 1L)
-            .otherwise(0L)).as("fp"),
-          sum(when(col("m") < col("min_matches") && col("dup") === 1, 1L)
-            .otherwise(0L)).as("fn"))
-        .withColumn("precision_ppm", expr(
-          """CASE WHEN tp + fp = 0 THEN NULL
-             ELSE (1000000 * tp) div (tp + fp) END"""))
-        .withColumn("recall_ppm", expr(
-          """CASE WHEN tp + fn = 0 THEN NULL
-             ELSE (1000000 * tp) div (tp + fn) END"""))
-        .select("min_matches", "tp", "fp", "fn", "precision_ppm",
-          "recall_ppm")
-        .orderBy("min_matches")
-    }),
-
-    "events_session_stats" -> ((s, dir) => {
-      // session-quality rollup over the SAME 30-min gaps-and-islands
-      // rule as event_sessionize: depth-bucketed session counts (the
-      // bounce bucket is depth 1), each bucket's floor-ppm share, and
-      // the exact doubled-median session duration in seconds. One
-      // per-user keyed window pass, then bucket-sized aggregates.
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val us = unix_micros(col("ts"))
-      val isNew = when(lag(us, 1).over(w).isNull ||
-        (us - lag(us, 1).over(w)) > 1800L * 1000000L, 1).otherwise(0)
-      val sess = e.withColumn("session_id", sum(isNew).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"),
-          ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
-            / lit(1000000L)).cast("long").as("dur_sec"))
-      val bucketed = sess.withColumn("depth_bucket",
-        when(col("n_events") === 1, "a_bounce")
-          .when(col("n_events") <= 4, "b_2_4")
-          .when(col("n_events") <= 9, "c_5_9")
-          .otherwise("d_10_plus"))
-      val agg = bucketed.groupBy("depth_bucket").agg(
-        count(lit(1)).as("n_sessions"),
-        expr("CAST(round(2 * percentile(dur_sec, 0.5)) AS BIGINT)")
-          .as("med2_dur_sec"))
-      val tot = agg.agg(sum(col("n_sessions")).as("ts0"))
-      agg.crossJoin(broadcast(tot))
-        .withColumn("share_ppm", expr("(1000000 * n_sessions) div ts0"))
-        .select("depth_bucket", "n_sessions", "share_ppm", "med2_dur_sec")
-        .orderBy("depth_bucket")
-    }),
-
-    "events_entropy_rate" -> ((s, dir) => {
-      // behavioral entropy rate of the per-user event-type chain: with
-      // transition counts c_ij (one windowed lag pass, no session
-      // split — the raw chain), H = −Σ_ij (c_ij/T)·ln(c_ij/c_i), plus
-      // perplexity e^H — "how predictable is the next action". The
-      // cell table is k²-bounded; the ln fold runs in (src, dst)
-      // canonical order so the double is engine-identical.
-      val ev = t(s, dir, "events")
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val tr = ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("event_type").as("src"), col("nxt").as("dst"))
-      val cells = tr.groupBy("src", "dst").agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val rowT = cells.groupBy("src").agg(sum(col("c")).as("cs"))
-      val tot = cells.agg(sum(col("c")).as("tt"))
-      val terms = cells.join(broadcast(rowT), Seq("src"))
-        .crossJoin(broadcast(tot))
-        .withColumn("term", expr(
-          """-(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
-             * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))"""))
-      terms
-        .agg(max(col("tt")).as("n_transitions"),
-          aggregate(sort_array(collect_list(struct(col("src"), col("dst"),
-            col("term")))), lit(0.0),
-            (a, x) => a + x.getField("term")).as("h"))
-        .select(col("n_transitions"), round(col("h"), 6).as("entropy_rate"),
-          round(exp(col("h")), 6).as("perplexity"))
-    }),
-
-    "orders_backlog_aging" -> ((s, dir) => {
-      // operational backlog aging: open (non-finished) orders bucketed
-      // by age at the dataset's own reference instant (max order date —
-      // broadcast, so the report is reproducible from the data alone),
-      // with count, open value, and the floor-ppm share of open value
-      // per bucket. All-integer; one scan + a 1-row broadcast.
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderstatus") =!= "F")
-        .select(col("o_orderdate"),
-          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
-            .as("cents"))
-      val ref = o.agg(max(col("o_orderdate")).as("refd"))
-      val bucketed = o.crossJoin(broadcast(ref))
-        .withColumn("age", datediff(col("refd"), col("o_orderdate")))
-        .withColumn("bucket",
-          when(col("age") <= 30, "a_0_30")
-            .when(col("age") <= 60, "b_31_60")
-            .when(col("age") <= 90, "c_61_90")
-            .otherwise("d_90_plus"))
-      val agg = bucketed.groupBy("bucket").agg(
-        count(lit(1)).as("n_orders"),
-        sum(col("cents")).as("value_cents"))
-      val tot = agg.agg(sum(col("value_cents")).as("tv"))
-      // the ppm numerator crosses 2^63 past sf1 (the ABC lesson, caught
-      // again by the decade-up oracle leg: DuckDB errors loudly, Spark
-      // long arithmetic would wrap silently) — decimal(38,0) div
-      agg.crossJoin(broadcast(tot))
-        .withColumn("value_share_ppm", expr(
-          """CAST((1000000 * CAST(value_cents AS DECIMAL(38,0)))
-             div CAST(tv AS DECIMAL(38,0)) AS BIGINT)"""))
-        .select("bucket", "n_orders", "value_cents", "value_share_ppm")
-        .orderBy("bucket")
-    }),
-
-    "events_hourly_heatmap" -> ((s, dir) => {
-      // weekday × hour activity heatmap (the ops-dashboard staple):
-      // exact counts per (weekday, hour) cell plus each cell's
-      // floor-ppm share of all events. weekday() is 0=Monday in Spark
-      // ≡ isodow−1 in DuckDB (dayofweek() conventions DIFFER — pinned
-      // here as the parity-safe pair). One scan, 168-cell output.
-      val ev = t(s, dir, "events")
-      val cells = ev.groupBy(weekday(col("ts")).as("dow"),
-          hour(col("ts")).as("hr"))
-        .agg(count(lit(1)).as("n"))
-      val tot = cells.agg(sum(col("n")).as("tn"))
-      cells.crossJoin(broadcast(tot))
-        .withColumn("share_ppm", expr("(1000000 * n) div tn"))
-        .select("dow", "hr", "n", "share_ppm")
-        .orderBy("dow", "hr")
-    }),
-
-    "orders_priority_sla" -> ((s, dir) => {
-      // ship-latency SLA readout per order priority: line-level gap
-      // from order date to ship date, exact doubled-median (the
-      // half-integer-safe percentile trick) and the floor-ppm share
-      // shipped within 60 days — the fulfillment dashboard row. One
-      // join keyed on the order key, per-priority combinable stats.
-      val o = t(s, dir, "orders").select(col("o_orderkey"),
-        col("o_orderpriority").as("priority"), col("o_orderdate"))
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
-        col("l_shipdate"))
-      o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .withColumn("gap", datediff(col("l_shipdate"), col("o_orderdate")))
-        .groupBy("priority").agg(
-          count(lit(1)).as("n_lines"),
-          expr("CAST(round(2 * percentile(gap, 0.5)) AS BIGINT)")
-            .as("p50_gap_x2"),
-          sum(when(col("gap") <= 60, 1L).otherwise(0L)).as("n_within_60"))
-        .withColumn("within_60d_ppm",
-          expr("(1000000 * n_within_60) div n_lines"))
-        .select("priority", "n_lines", "p50_gap_x2", "within_60d_ppm")
-        .orderBy("priority")
-    }),
-
-    "graph_ktruss" -> ((s, dir) => {
-      // 4-truss peeling (three fixed rounds, the graph_kcore recipe
-      // lifted from nodes to EDGES): an edge survives a round iff it
-      // participates in ≥ 2 triangles of the current graph — the
-      // cohesive-subgraph detector that's stricter than k-core. Each
-      // round is one oriented wedge join (volume Σdeg² of the oriented
-      // graph) + an edge-keyed support count; rounds persist their
-      // shrinking edge frame (the unpersisted-iteration lesson).
-      // Fixture bounded to part keys ≡ 0 (mod 4): truss enumeration
-      // triples the triangle work of graph_clustering_coeff, so the
-      // graph is kept a quarter of that query's (identical plan).
-      val li = t(s, dir, "lineitem")
-        .filter(pmod(col("l_partkey"), lit(4)) === 0)
-      val items = li.select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("p")).distinct()
-      var e = items.as("x").join(items.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      for (_ <- 1 to 3) {
-        val ab = e.select(col("u").as("a"), col("v").as("b"))
-        val tris = ab.join(ab.select(col("a"), col("b").as("c")), Seq("a"))
-          .filter(col("b") < col("c"))
-          .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
-          .select("a", "b", "c")
-        val sup = tris.select(explode(array(
-            struct(col("a").as("x"), col("b").as("y")),
-            struct(col("a").as("x"), col("c").as("y")),
-            struct(col("b").as("x"), col("c").as("y")))).as("ed"))
-          .select(col("ed.x").as("u"), col("ed.y").as("v"))
-          .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-        e = e.join(sup, Seq("u", "v"), "left")
-          .filter(coalesce(col("sup"), lit(0L)) >= 2)
-          .select("u", "v")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
-      e.select(explode(array(col("u"), col("v"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("truss_degree"))
-        .orderBy(col("truss_degree").desc, col("node")).limit(30)
-    }),
-
-    "model_calibration" -> ((s, dir) => {
-      // reliability diagram for the hashed linear classifier: decile-bin
-      // the integer margins (broadcast exact percentile fences — the
-      // WOE discipline) against the lang=en label and report per-bin
-      // empirical positive rate — the calibration readout every scoring
-      // model ships with. Counts and the floor-ppm rate are exact
-      // integers; one corpus scan + a fences broadcast.
-      val d = t(s, dir, "documents")
-      val scored = d.select(
-        when(col("lang") === "en", 1L).otherwise(0L).as("label"),
-        HashFunctions.linearMargin(
-          TextFunctions.tokens(lower(col("text")))).as("margin"))
-      val edges = scored.agg(expr(
-        """percentile(margin, array(0.1, 0.2, 0.3, 0.4, 0.5,
-           0.6, 0.7, 0.8, 0.9))""").as("es"))
-      scored.crossJoin(broadcast(edges))
-        .withColumn("bin", expr(
-          """aggregate(es, 0, (acc, e) ->
-             acc + CASE WHEN CAST(margin AS DOUBLE) > e THEN 1 ELSE 0 END)"""))
-        .groupBy("bin").agg(
-          count(lit(1)).as("n"),
-          sum(col("label")).as("n_pos"),
-          min(col("margin")).as("min_margin"),
-          max(col("margin")).as("max_margin"))
-        .withColumn("pos_rate_ppm", expr("(1000000 * n_pos) div n"))
-        .orderBy("bin")
-    }),
-
-    "text_readability" -> ((s, dir) => {
-      // Flesch reading ease per document — the classic readability
-      // quality gate: 206.835 − 1.015·(words/sentences) −
-      // 84.6·(syllables/words). Sentences count the terminator
-      // characters via exact length arithmetic; syllables are vowel
-      // RUNS per token (regexp_extract_all — same semantics both
-      // engines); words/syllables fold per doc. No libm anywhere:
-      // the formula over exact integers is bitwise engine-identical
-      // before round(6).
-      val d = t(s, dir, "documents")
-      val tok = d.select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("w"))
-      val syl = tok.groupBy("doc_id").agg(
-        count(lit(1)).as("n_words"),
-        sum(greatest(lit(1L),
-          size(expr("regexp_extract_all(w, '[aeiouy]+', 0)")).cast("long")))
-          .as("n_syllables"))
-      val sent = d.select(col("doc_id"), expr(
-        """greatest(1, CAST(
-           (length(text) - length(replace(text, '.', '')))
-           + (length(text) - length(replace(text, '!', '')))
-           + (length(text) - length(replace(text, '?', '')))
-           AS BIGINT))""").as("n_sentences"))
-      syl.join(sent, Seq("doc_id"))
-        .withColumn("flesch", expr(
-          """round(206.835
-             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
-             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
-             6)"""))
-        .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch")
-        .orderBy("doc_id")
-    }),
-
-    "timeseries_granger" -> ((s, dir) => {
-      // lag-1 Granger causality between the daily click and purchase
-      // series, BOTH directions (does activity predict conversion, or
-      // the reverse?): F compares the restricted AR(1) fit of the
-      // target against the unrestricted fit adding the other series'
-      // lag. Every normal-equation term is an n-scaled CENTERED sum of
-      // exact integers in decimal(38,0); the closed-form 2-regressor
-      // solve and F close through one verbatim-shared double tree with
-      // a floor-ppm emission. The regression frame is days-sized.
-      val ev = t(s, dir, "events")
-      def daily(tpe: String, cn: String) =
-        ev.filter(col("event_type") === tpe)
-          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as(cn))
-      val xy = daily("click", "x").join(daily("purchase", "y"), Seq("day"))
-      val lagged = xy.as("c").join(xy.as("p"),
-          col("c.day") === date_add(col("p.day"), 1))
-        .select(col("c.x").as("x"), col("c.y").as("y"),
-          col("p.x").as("xl"), col("p.y").as("yl"))
-      val dec = "decimal(38,0)"
-      def sums(tgt: String, ownLag: String, otherLag: String) = {
-        val T = col(tgt).cast(dec)
-        val O = col(ownLag).cast(dec)
-        val X = col(otherLag).cast(dec)
-        lagged.agg(
-          count(lit(1)).cast(dec).as("n"),
-          sum(T).as("st"), sum(T * col(tgt)).as("stt"),
-          sum(O).as("so"), sum(O * col(ownLag)).as("soo"),
-          sum(X).as("sx"), sum(X * col(otherLag)).as("sxx"),
-          sum(O * col(tgt)).as("sot"),
-          sum(X * col(tgt)).as("sxt"),
-          sum(O * col(otherLag)).as("sox"))
-      }
-      val fExpr = grangerFppm
-      val f1 = sums("y", "yl", "xl")
-        .select(lit("click_to_purchase").as("direction"),
-          col("n").cast("bigint").as("n"), expr(fExpr).as("f_ppm"))
-      val f2 = sums("x", "xl", "yl")
-        .select(lit("purchase_to_click").as("direction"),
-          col("n").cast("bigint").as("n"), expr(fExpr).as("f_ppm"))
-      f1.unionByName(f2).orderBy("direction")
-    }),
-
-    "search_prf_rocchio" -> ((s, dir) => {
-      // pseudo-relevance feedback (Rocchio-style PRF, the classic IR
-      // second pass): BM25 first pass for the fixed 3-term query →
-      // top-10 feedback docs → top-5 expansion terms by integer
-      // rarity-weighted feedback tf (fbtf · (10⁶ div (df+1)), the
-      // search_hybrid_rrf weight — the expansion CHOICE is all-integer,
-      // so both engines pick the same terms) → second BM25 pass over
-      // original (weight 1.0) + expansion (weight 0.5) terms, summed in
-      // alphabetical term order so the double fold is engine-identical.
-      // The expansion set is metadata-sized: collecting 5 terms to the
-      // driver is the codebook pattern, and at corpus scale both BM25
-      // passes stay one-scan + broadcast-stats shapes.
-      val d = t(s, dir, "documents")
-      val origTerms = Seq("join", "vector", "stream")
-      def tfOf(term: String) =
-        size(filter(TextFunctions.tokens(lower(col("text"))),
-          x => x === term)).cast("long")
-      def bm25Pass(terms: Seq[String], weights: Map[String, Double]) = {
-        val base = d.select(
-          col("doc_id") +: TextFunctions.tokenCount(col("text")).as("dl") +:
-          terms.map(w => tfOf(w).as(s"tf_$w")): _*)
-        val aggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
-          terms.map(w => count(when(col(s"tf_$w") > 0, 1)).as(s"df_$w"))
-        val stats = base.agg(aggs.head, aggs.tail: _*)
-        val j = base.crossJoin(broadcast(stats))
-        val avgdl = col("sdl").cast("double") / col("n").cast("double")
-        def score(w: String): Column =
-          lit(weights(w)) *
-            (((col("n").cast("double") - col(s"df_$w").cast("double")
-              + lit(0.5)) / (col(s"df_$w").cast("double") + lit(0.5))) *
-              ((col(s"tf_$w").cast("double") * lit(2.2)) /
-                (col(s"tf_$w").cast("double") + lit(1.2) * (lit(0.25) +
-                  lit(0.75) * (col("dl").cast("double") / avgdl)))))
-        j.withColumn("score",
-          terms.sorted.map(score).reduceLeft(_ + _))
-      }
-      val fb = bm25Pass(origTerms, origTerms.map(_ -> 1.0).toMap)
-        .orderBy(col("score").desc, col("doc_id")).limit(10)
-        .select("doc_id")
-      val tok = d.select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-      val fbTf = tok.join(broadcast(fb), Seq("doc_id"))
-        .groupBy("term").agg(count(lit(1)).as("fbtf"))
-      val dfAll = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
-      val expTerms = fbTf.join(dfAll, Seq("term"))
-        .filter(!col("term").isin(origTerms: _*))
-        .withColumn("w", expr("fbtf * (1000000 div (df + 1))"))
-        .orderBy(col("w").desc, col("term")).limit(5)
-        .select("term").collect().map(_.getString(0)).toSeq
-      val all = origTerms ++ expTerms
-      val weights = (origTerms.map(_ -> 1.0) ++ expTerms.map(_ -> 0.5)).toMap
-      val scored = bm25Pass(all, weights)
-        .orderBy(col("score").desc, col("doc_id")).limit(10)
-      scored
-        .withColumn("rnk", row_number().over(Window.orderBy(
-          col("score").desc, col("doc_id"))))
-        .select(col("rnk"), col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy("rnk")
-    }),
-
-    "feature_woe_iv" -> ((s, dir) => {
-      // weight-of-evidence / information value — the credit-scoring
-      // feature-screening classic: decile-bin account balance, label =
-      // customer has placed an order, WOE_b = ln of the smoothed
-      // good/bad odds ratio, IV = Σ_b (g_b/G − b_b/B)·WOE_b. Bin edges
-      // are the exact global percentiles BROADCAST back (never an
-      // ntile over one partition — the percentile-fence discipline);
-      // the label join is a key-side semi join; IV closes over a
-      // bin-ascending canonical fold so the 10-term double sum is
-      // engine-identical.
-      val cust = t(s, dir, "customer")
-        .select(col("c_custkey"),
-          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
-      val buyers = t(s, dir, "orders").select(col("o_custkey")).distinct()
-      val lab = cust.join(buyers,
-          cust("c_custkey") === buyers("o_custkey"), "left")
-        .select(col("cents"),
-          when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("good"))
-      val edges = lab.agg(expr(
-        """percentile(cents, array(0.1, 0.2, 0.3, 0.4, 0.5,
-           0.6, 0.7, 0.8, 0.9))""").as("es"))
-      val binned = lab.crossJoin(broadcast(edges))
-        .withColumn("bin", expr(
-          """aggregate(es, 0, (acc, e) ->
-             acc + CASE WHEN CAST(cents AS DOUBLE) > e THEN 1 ELSE 0 END)"""))
-      val bins = binned.groupBy("bin").agg(
-          count(lit(1)).as("n"),
-          sum(col("good")).as("n_good"),
-          (count(lit(1)) - sum(col("good"))).as("n_bad"))
-      val tot = bins.agg(sum(col("n_good")).as("tg"), sum(col("n_bad")).as("tb"))
-      val woe = bins.crossJoin(broadcast(tot))
-        .withColumn("woe", expr(
-          """CASE WHEN tg = 0 OR tb = 0 THEN NULL
-             ELSE ln(((CAST(n_good AS DOUBLE) + 0.5) / CAST(tg AS DOUBLE))
-               / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(tb AS DOUBLE)))
-             END"""))
-        .withColumn("iv_term", expr(
-          """(CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
-             - CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)) * woe"""))
-      val iv = woe
-        .agg(aggregate(sort_array(collect_list(struct(col("bin"),
-            col("iv_term")))), lit(0.0),
-            (acc, x) => acc + x.getField("iv_term")).as("iv"))
-      woe.crossJoin(broadcast(iv))
-        .select(col("bin"), col("n"), col("n_good"), col("n_bad"),
-          round(col("woe"), 6).as("woe"), round(col("iv"), 6).as("iv"))
-        .orderBy("bin")
-    }),
-
-    "timeseries_periodogram" -> ((s, dir) => {
-      // Schuster periodogram of the daily event-count series at trial
-      // periods 2..10 days — the spectral way to FIND the weekly cycle
-      // the seasonal queries assume. Power_p = (Σ(x−x̄)cos(2πt/p))² +
-      // (Σ(x−x̄)sin(2πt/p))², folded in day-ascending canonical order;
-      // emitted as each period's SHARE of total power in floor-ppm
-      // (ratios cancel the libm-ulp scale, so the floor is stable
-      // cross-engine). The series is days-sized; only the daily rollup
-      // scans events.
-      val ev = t(s, dir, "events")
-      val d0 = ev.groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("x"))
-      val base = d0.agg(min(col("day")).as("d0"),
-        count(lit(1)).as("n"), sum(col("x")).as("sm"))
-      val days = d0.crossJoin(broadcast(base))
-        .select(datediff(col("day"), col("d0")).as("t"), col("x"),
-          col("n"), col("sm"))
-      val periods = s.range(2, 11).select(col("id").cast("int").as("period"))
-      val terms = days.crossJoin(periods)
-        .withColumn("dev", expr(
-          "CAST(x AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)"))
-        .withColumn("c", expr(
-          "dev * cos(6.283185307179586 * t / period)"))
-        .withColumn("sn", expr(
-          "dev * sin(6.283185307179586 * t / period)"))
-      val pw = terms.groupBy("period").agg(
-          aggregate(sort_array(collect_list(struct(col("t"), col("c")))),
-            lit(0.0), (a, x) => a + x.getField("c")).as("sc"),
-          aggregate(sort_array(collect_list(struct(col("t"), col("sn")))),
-            lit(0.0), (a, x) => a + x.getField("sn")).as("ss"),
-          count(lit(1)).as("n_days"))
-        .withColumn("power", expr("sc * sc + ss * ss"))
-      val totp = pw
-        .agg(aggregate(sort_array(collect_list(struct(col("period"),
-            col("power")))), lit(0.0),
-            (a, x) => a + x.getField("power")).as("tp"))
-      pw.crossJoin(broadcast(totp))
-        .select(col("period"), col("n_days"),
-          expr("CAST(floor(1000000.0 * power / tp) AS BIGINT)")
-            .as("power_share_ppm"))
-        .orderBy("period")
-    }),
-
-    "text_heaps_law" -> ((s, dir) => {
-      // Heaps'-law fit V(n) = K·n^β of vocabulary growth — the
-      // corpus-scaling law a tokenizer owner reads before sizing a
-      // vocab. The vocabulary unit is the token TRIGRAM: the synthetic
-      // corpus draws from a ~31-word list, so unigram vocabulary
-      // saturates at the first checkpoint (β = 0 exactly, measured —
-      // the no-signal-fixture lesson again); the ~30k-type trigram
-      // space genuinely grows across checkpoints. Ten doc-id-decile
-      // checkpoints (broadcast percentile fences); V_i counts types
-      // whose FIRST document lands at or before the fence (one
-      // min-aggregation — cumulative distinct without any sequential
-      // scan), n_i the occurrences up to it. The log–log OLS closes
-      // over checkpoint-ascending canonical ln folds and one shared
-      // tree; β in ppm, K in milli.
-      val d = t(s, dir, "documents")
-      val t0 = d.select(col("doc_id"),
-        posexplode(TextFunctions.tokens(lower(col("text"))))
-          .as(Seq("pos", "w0")))
-      val wd = Window.partitionBy("doc_id").orderBy("pos")
-      val tok = t0
-        .withColumn("w2", lead(col("w0"), 1).over(wd))
-        .withColumn("w3", lead(col("w0"), 2).over(wd))
-        .filter(col("w3").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("w0"), col("w2"), col("w3")).as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val fences = d.agg(expr(
-        """percentile(doc_id, array(0.1, 0.2, 0.3, 0.4, 0.5,
-           0.6, 0.7, 0.8, 0.9, 1.0))""").as("es"))
-      val cps = fences.select(posexplode(col("es")).as(Seq("i", "fence")))
-      val firstDoc = tok.groupBy("w").agg(min(col("doc_id")).as("fd"))
-      val vocab = firstDoc.crossJoin(broadcast(cps))
-        .filter(col("fd").cast("double") <= col("fence"))
-        .groupBy("i").agg(count(lit(1)).as("v"))
-      val ntok = tok.crossJoin(broadcast(cps))
-        .filter(col("doc_id").cast("double") <= col("fence"))
-        .groupBy("i").agg(count(lit(1)).as("n"))
-      val pts = vocab.join(ntok, Seq("i"))
-        .select(col("i"), expr("ln(CAST(n AS DOUBLE))").as("lx"),
-          expr("ln(CAST(v AS DOUBLE))").as("ly"))
-      val agg = pts.agg(
-        count(lit(1)).cast("double").as("m"),
-        aggregate(sort_array(collect_list(struct(col("i"), col("lx")))),
-          lit(0.0), (a, x) => a + x.getField("lx")).as("sx"),
-        aggregate(sort_array(collect_list(struct(col("i"), col("ly")))),
-          lit(0.0), (a, x) => a + x.getField("ly")).as("sy"),
-        aggregate(sort_array(collect_list(struct(col("i"),
-          (col("lx") * col("ly")).as("p")))),
-          lit(0.0), (a, x) => a + x.getField("p")).as("sxy"),
-        aggregate(sort_array(collect_list(struct(col("i"),
-          (col("lx") * col("lx")).as("p")))),
-          lit(0.0), (a, x) => a + x.getField("p")).as("sxx"))
-      agg
-        .withColumn("beta_ppm", expr(
-          """CAST(floor(1000000.0 * (m * sxy - sx * sy)
-             / (m * sxx - sx * sx)) AS BIGINT)"""))
-        .withColumn("k_milli", expr(
-          """CAST(floor(1000.0 * exp((sy - ((m * sxy - sx * sy)
-             / (m * sxx - sx * sx)) * sx) / m)) AS BIGINT)"""))
-        .select(col("m").cast("bigint").as("n_checkpoints"),
-          col("beta_ppm"), col("k_milli"))
-    }),
-
-    "events_error_pchart" -> ((s, dir) => {
-      // p-chart (the canonical SPC control chart) on the daily error
-      // share: centre line p̄ = global error rate, limits p̄ ±
-      // 3·√(p̄(1−p̄)/nᵢ) with per-day nᵢ — flags out-of-control days.
-      // Counts exact; p̄ and the limits close through one verbatim-
-      // shared tree (IEEE-exact sqrt); the flag compares the exact
-      // integer rate nᵢ-scaled against the limit once, identically in
-      // both engines. Days-sized output.
-      val ev = t(s, dir, "events")
-      val daily = ev.groupBy(to_date(col("ts")).as("day")).agg(
-        count(lit(1)).as("n"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L))
-          .as("errs"))
-      val tot = daily.agg(sum(col("n")).as("tn"), sum(col("errs")).as("te"))
-      daily.crossJoin(broadcast(tot))
-        .withColumn("p_ppm", expr("(1000000 * errs) div n"))
-        .withColumn("pbar", expr(
-          "CAST(te AS DOUBLE) / CAST(tn AS DOUBLE)"))
-        .withColumn("sigma", expr(
-          "sqrt(pbar * (1.0 - pbar) / CAST(n AS DOUBLE))"))
-        .withColumn("ucl_ppm", expr(
-          "CAST(floor(1000000.0 * (pbar + 3.0 * sigma)) AS BIGINT)"))
-        .withColumn("lcl_ppm", expr(
-          "CAST(floor(1000000.0 * (pbar - 3.0 * sigma)) AS BIGINT)"))
-        .withColumn("out_of_control", expr(
-          """CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) > pbar + 3.0 * sigma
-             OR CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)
-               < pbar - 3.0 * sigma"""))
-        .select("day", "n", "errs", "p_ppm", "ucl_ppm", "lcl_ppm",
-          "out_of_control")
-        .orderBy("day")
-    }),
-
-    "attribution_shapley" -> ((s, dir) => {
-      // simplified-Shapley attribution (the game-theoretic member
-      // completing last-touch / U-shaped / position / Markov): the
-      // "coalition" of a user's journey is their distinct channel set
-      // (pre-first-purchase, purchase excluded), v(S) = observed
-      // conversion rate of users with exactly set S, and each
-      // channel's value is the exact Shapley sum Σ w(|S|)·(v(S∪{i}) −
-      // v(S)) over the 8 subsets of the other three channels. The
-      // subset table is 2⁴-bounded (one distinct-set aggregation);
-      // the combinatorial sum runs driver-side in a FIXED enumeration
-      // order with weights m/24.0 generated from the same text as the
-      // oracle — bit-identical doubles before round(6). Coalitions are
-      // FIRST-ACTIVE-DAY journeys (did the user convert on day one?):
-      // whole-history journeys are vacuous on this fixture — every
-      // user eventually purchases, so v ≈ 1 for every subset and all
-      // marginal contributions collapse to 0 (measured) — while
-      // day-one sets are sparse and day-one conversion genuinely
-      // varies by coalition.
-      val ev = t(s, dir, "events")
-      val fd = ev.groupBy("user_id")
-        .agg(min(to_date(col("ts"))).as("d0"))
-      val j0 = ev.join(fd, Seq("user_id"))
-        .filter(to_date(col("ts")) === col("d0"))
-      val sets = j0.groupBy("user_id").agg(
-        concat_ws(",", array_sort(array_distinct(collect_list(
-          when(col("event_type") =!= "purchase", col("event_type"))))))
-          .as("subset"),
-        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("conv"))
-      val table = sets.groupBy("subset").agg(
-          count(lit(1)).as("n"), sum(col("conv")).as("c"))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
-      val chans = Seq("click", "error", "signup", "view")
-      def key(sub: Seq[String]): String = sub.sorted.mkString(",")
-      def v(sub: Seq[String]): Double = table.get(key(sub)) match {
-        case Some((n, c)) if n > 0 => c.toDouble / n.toDouble
-        case _ => 0.0
-      }
-      def fact(k: Int): Long = (1 to k).map(_.toLong).product
-      // fixed enumeration: subsets of the OTHER three channels in
-      // lexicographic order of their sorted key
-      val rows = chans.map { ch =>
-        val others = chans.filterNot(_ == ch)
-        val subs = (0 to 3).flatMap(k => others.combinations(k).toSeq)
-          .sortBy(key)
-        val sh = subs.foldLeft(0.0) { (acc, sub) =>
-          val w = (fact(sub.size) * fact(3 - sub.size)).toDouble / 24.0
-          acc + w * (v(sub :+ ch) - v(sub))
-        }
-        (ch, sh)
-      }
-      import s.implicits._
-      rows.toDF("channel", "shapley")
-        .select(col("channel"), round(col("shapley"), 6).as("shapley"))
-        .orderBy("channel")
-    }),
-
-    "attribution_markov" -> ((s, dir) => {
-      // Markov removal-effect attribution (the data-driven sibling of
-      // the last-touch / U-shaped / position-based family): model each
-      // user's journey (events up to the first purchase, ordered by
-      // (ts, event_id)) as a first-order chain over
-      // start → {click,error,signup,view} → purchase | null; the value
-      // of a channel is the relative drop in conversion probability
-      // when transitions into it are redirected to null (the standard
-      // removal-effect construction). Transition counts are ONE
-      // windowed pass (lag over the per-user keyed sort) — exact
-      // integers; the absorption probabilities solve on the driver as
-      // 40 deterministic fixed-order iterations over the 5×6 matrix
-      // (metadata-sized, like the PCA eigen step) that the oracle
-      // replays verbatim — bit-identical doubles.
-      val ev = t(s, dir, "events")
-      val fp = ev.filter(col("event_type") === "purchase")
-        .groupBy("user_id").agg(min(col("ts")).as("fp_ts"))
-      val j0 = ev.join(fp, Seq("user_id"), "left")
-        .filter(col("fp_ts").isNull || col("ts") <= col("fp_ts"))
-      val wu = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
-      val steps = j0
-        .withColumn("prev", lag(col("event_type"), 1).over(wu))
-        .select(coalesce(col("prev"), lit("start")).as("src"),
-          col("event_type").as("dst"))
-      val lastRows = j0
-        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)))
-        .filter(col("rn") === 1 && col("event_type") =!= "purchase")
-        .select(col("event_type").as("src"), lit("null").as("dst"))
-      val trans = steps.unionByName(lastRows)
-        .filter(col("src") =!= "purchase")
-      val counts = trans.groupBy("src", "dst").agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val srcs = Seq("start", "click", "error", "signup", "view")
-      val dsts = Seq("click", "error", "signup", "view", "purchase", "null")
-      val chans = Seq("click", "error", "signup", "view")
-      val cMap = counts.map { case (a, b, c) => (a, b) -> c }.toMap
-        .withDefaultValue(0L)
-      val rs = srcs.map(sr => sr -> dsts.map(d => cMap((sr, d))).sum).toMap
-      def pr(sr: String, d: String): Double =
-        if (rs(sr) == 0L) 0.0 else cMap((sr, d)).toDouble / rs(sr).toDouble
-      def absorb(removed: Option[String]): Double = {
-        val a = collection.mutable.Map(chans.map(_ -> 0.0): _*)
-        for (_ <- 1 to 40) {
-          val prev = chans.map(c => c -> a(c)).toMap
-          chans.foreach { c =>
-            if (removed.contains(c)) a(c) = 0.0
-            else {
-              var sAcc = pr(c, "purchase")
-              chans.foreach(d => sAcc += pr(c, d) * prev(d))
-              a(c) = sAcc
-            }
-          }
-        }
-        var p = pr("start", "purchase")
-        chans.foreach(d => p += pr("start", d) * a(d))
-        p
-      }
-      val pBase = absorb(None)
-      import s.implicits._
-      val rows = ("base", pBase, 0.0) +: chans.map { c =>
-        val pc = absorb(Some(c))
-        (c, pc, 1.0 - pc / pBase)
-      }
-      rows.toDF("variant", "p_conv", "removal_effect")
-        .select(col("variant"), round(col("p_conv"), 6).as("p_conv"),
-          round(col("removal_effect"), 6).as("removal_effect"))
-        .orderBy("variant")
-    }),
-
-    "embedding_pca_top2" -> ((s, dir) => {
-      // top-2 principal directions via DEFLATION: the same one-pass
-      // integer Gram + power iteration as embedding_pca_power, then
-      // G₂ = G − λ₁(v₁v₁ᵀ)/(v₁ᵀv₁) removes the top component and an
-      // identical second pass extracts the runner-up — the standard
-      // sequential-deflation construction, still one data scan total.
-      // Every deflation entry and fold is replayed verbatim by the
-      // oracle: both eigenpairs hash-match bit-for-bit.
-      val e = t(s, dir, "embeddings")
-      val d = 64
-      val q = e.select(expr(
-        "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))")
-        .as("q"))
-      val packed = q.agg(graft.functions.GramMatrix.gramMatrix(col("q"), d)
-          .as("g"))
-        .head().getSeq[Long](0).toArray
-      val ((v1, l1), (v2, l2)) =
-        graft.functions.GramMatrix.top2(packed, d, 24)
-      import s.implicits._
-      val rows =
-        v1.zipWithIndex.map { case (v, i) => (1, i + 1, v, l1 / 1.0e8) } ++
-        v2.zipWithIndex.map { case (v, i) => (2, i + 1, v, l2 / 1.0e8) }
-      rows.toSeq.toDF("pc", "dim", "component", "eigenvalue")
-        .select(col("pc"), col("dim"),
-          round(col("component"), 6).as("component"),
-          round(col("eigenvalue"), 6).as("eigenvalue"))
-        .orderBy("pc", "dim")
-    }),
-
-    "stats_friedman" -> ((s, dir) => {
-      // Friedman repeated-measures rank test: blocks = users,
-      // treatments = the five event types, response = per-type event
-      // count (absent cells densified to 0 — every block ranks all k
-      // treatments). Within-block midranks use the DOUBLED-rank trick
-      // (2·count_less + count_eq + 1 — exact integers, the
-      // stats_kruskal_wallis discipline), so the tie-corrected
-      // statistic (k−1)·ΣD_j²/(A₂−C) closes over pure integers with
-      // one ppm floor. Per-block ranking is one keyed window over
-      // k-sized partitions; everything after is k-sized.
-      val ev = t(s, dir, "events")
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      import s.implicits._
-      val typesDf = types.toDF("event_type")
-      val counts = ev.groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("c"))
-      val users = ev.select("user_id").distinct()
-      val cells = users.crossJoin(broadcast(typesDf))
-        .join(counts, Seq("user_id", "event_type"), "left")
-        .select(col("user_id"), col("event_type"),
-          coalesce(col("c"), lit(0L)).as("v"))
-      val wR = Window.partitionBy("user_id").orderBy("v")
-      val wEq = Window.partitionBy("user_id", "v")
-      val ranked = cells.withColumn("r2",
-        lit(2L) * rank().over(wR) + count(lit(1)).over(wEq) - 1L)
-      val aggCols =
-        types.zipWithIndex.map { case (tp, i) =>
-          sum(when(col("event_type") === tp, col("r2")).otherwise(0L))
-            .as(s"r2_$tp")
-        } ++ Seq(
-          sum(col("r2").cast("decimal(38,0)") * col("r2")).as("a22"),
-          (count(lit(1)) / 5).cast("long").as("n_users"))
-      ranked.agg(aggCols.head, aggCols.tail: _*)
-        .withColumn("chi2_ppm", expr(
-          s"""CASE WHEN a22 - 180 * n_users <= 0 THEN NULL
-             ELSE CAST((4000000 * (
-                 ${types.map(tp => s"CAST(r2_$tp - 6 * n_users AS DECIMAL(38,0)) * (r2_$tp - 6 * n_users)").mkString(" + ")}))
-               div (a22 - 180 * n_users) AS BIGINT) END"""))
-        .select((Seq(col("n_users")) ++
-          types.map(tp => col(s"r2_$tp")) :+ col("chi2_ppm")): _*)
-    }),
-
-    "text_novelty" -> ((s, dir) => {
-      // per-doc n-gram novelty (the memorization/duplication signal a
-      // curation pipeline tracks): share of a doc's DISTINCT token
-      // trigrams that appear in no other document (corpus df = 1).
-      // One tokenize pass, trigram assembly by two leads over the one
-      // per-doc keyed sort, df by gram key — never an all-pairs
-      // comparison. String grams keep the oracle replication exact; at
-      // corpus scale the same pipeline runs over `shingle_hashes` so
-      // only 8-byte keys shuffle (the dedup-family path).
-      val d = t(s, dir, "documents")
-      val tok = d.select(col("doc_id"),
-        posexplode(TextFunctions.tokens(lower(col("text"))))
-          .as(Seq("pos", "w")))
-      val wd = Window.partitionBy("doc_id").orderBy("pos")
-      val tri = tok
-        .withColumn("w2", lead(col("w"), 1).over(wd))
-        .withColumn("w3", lead(col("w"), 2).over(wd))
-        .filter(col("w3").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("w"), col("w2"), col("w3")).as("g"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dfreq = tri.groupBy("g").agg(count(lit(1)).as("df"))
-      tri.join(dfreq, Seq("g"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-        .withColumn("novelty_ppm",
-          expr("(1000000 * n_unique) div n_grams"))
-        .orderBy("doc_id")
-    }),
-
-    "curriculum_interleave" -> ((s, dir) => {
-      // curriculum-ordered training export: easy-first within each
-      // source (difficulty proxy = n_chars), sources interleaved
-      // round-robin so no early training window is dominated by one
-      // domain — the standard curriculum/data-mixing export order.
-      // ONE keyed window sort per source (rank_in_source), then the
-      // global (rank, source) order tops out through
-      // TakeOrderedAndProject — per-partition top-k and a k-row merge,
-      // no global sort, the same plan at any corpus size. All-integer.
-      val d = t(s, dir, "documents")
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_chars"), col("doc_id"))
-      d.select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("rank_in_source", row_number().over(w))
-        .orderBy(col("rank_in_source"), col("source"), col("doc_id"))
-        .limit(60)
-    }),
-
-    "feature_standardize" -> ((s, dir) => {
-      // per-segment feature scaling, both flavors a feature pipeline
-      // ships: z-score (n·x−S over √(nQ−S²) — the mean cleared by
-      // multiplying through by n, so everything under the IEEE-exact
-      // sqrt is an exact integer) and robust (median/MAD in the
-      // doubled/quadrupled-cents trick — interpolated medians of
-      // integers are half-integers, doubling keeps them exact). The
-      // group stats are one map-side-combinable pass + one exact
-      // percentile per segment; each row then scales against its
-      // broadcast segment row. Emitted as floor-ppm.
-      val c0 = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
-          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
-      val stats = c0.groupBy("seg").agg(
-        count(lit(1)).as("n"),
-        sum(col("cents")).as("s"),
-        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("q"),
-        expr("CAST(round(2 * percentile(cents, 0.5)) AS BIGINT)").as("med2"))
-      val dev = c0.join(broadcast(stats), Seq("seg"))
-        .withColumn("dev2", col("cents") * 2 - col("med2"))
-      val mad = dev.groupBy("seg")
-        .agg(expr("CAST(round(2 * percentile(abs(dev2), 0.5)) AS BIGINT)")
-          .as("mad4"))
-      dev.join(broadcast(mad), Seq("seg"))
-        .withColumn("z_ppm", expr(
-          """CASE WHEN n * q - CAST(s AS DECIMAL(38,0)) * s <= 0 THEN NULL
-             ELSE CAST(floor(1000000.0 * CAST(n * cents - s AS DOUBLE)
-               / sqrt(CAST(n * q - CAST(s AS DECIMAL(38,0)) * s
-                 AS DOUBLE))) AS BIGINT) END"""))
-        .withColumn("rz_ppm", expr(
-          """CASE WHEN mad4 = 0 THEN NULL
-             ELSE (dev2 * 2 * 1000000) div mad4 END"""))
-        .select(col("c_custkey"), col("seg"), col("cents"),
-          col("z_ppm"), col("rz_ppm"))
-        .orderBy("c_custkey")
-    }),
-
-    "stats_cochran_q" -> ((s, dir) => {
-      // Cochran's Q — the k-treatment generalization of McNemar: did
-      // each active user do each of the five event types at least once?
-      // Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣL_i − ΣL_i²) over the
-      // binary user×type incidence matrix: G_j = per-type totals
-      // (k-sized), L_i = per-user row totals. Every term is an exact
-      // integer — emitted as floor-ppm. One distinct (user, type) scan;
-      // the row-total moments fold map-side; the column totals are a
-      // k-sized frame. Users with all-k or all-0 rows contribute
-      // nothing to Q's information but ARE part of the standard
-      // statistic — kept, matching the textbook form.
-      val ev = t(s, dir, "events")
-      val inc = ev.select(col("user_id"), col("event_type")).distinct()
-      val k = lit(5L)
-      val rowT = inc.groupBy("user_id").agg(count(lit(1)).as("l"))
-        .agg(sum(col("l")).as("sum_l"),
-          sum(col("l") * col("l")).as("sum_l2"),
-          count(lit(1)).as("n_users"))
-      val colT = inc.groupBy("event_type").agg(count(lit(1)).as("g"))
-        .agg(sum(col("g").cast("decimal(38,0)") * col("g")).as("sum_g2"),
-          sum(col("g")).as("sum_g"))
-      rowT.crossJoin(broadcast(colT))
-        .withColumn("q_ppm", expr(
-          """CASE WHEN 5 * sum_l - sum_l2 <= 0 THEN NULL
-             ELSE CAST((4000000 * (5 * sum_g2
-                 - CAST(sum_g AS DECIMAL(38,0)) * sum_g))
-               div CAST(5 * sum_l - sum_l2 AS DECIMAL(38,0)) AS BIGINT) END"""))
-        .select("n_users", "sum_l", "sum_l2", "sum_g", "q_ppm")
-    }),
-
-    "graph_clustering_coeff" -> ((s, dir) => {
-      // local clustering coefficient over the part–part co-purchase
-      // projection (parts bought together in one order): lcc(v) =
-      // 2·T(v)/(deg(v)(deg(v)−1)) — the per-node tight-community
-      // signal. Projection pairs are bounded by order size² (orders
-      // hold a handful of items), never |parts|². Triangle enumeration
-      // uses DEGREE-ORDERED orientation (edges point low→high in the
-      // (deg, id) total order — the standard distributed-triangle
-      // mitigation): wedge-join volume is Σ outdeg², which the
-      // orientation minimizes, so hub parts don't quadratically
-      // explode. Each triangle is found exactly once at its minimum
-      // node and credits all three endpoints. All-integer; floor-ppm.
-      // fixture bound: even part keys only — the synthetic baskets are
-      // uniform-random, so the full projection is an unusually DENSE
-      // random graph (avg deg ~85 at sf0.1 ⇒ 36M wedges of pure noise);
-      // halving the parts quarters the edges and 16ths the wedge volume
-      // while exercising the identical plan
-      val li = t(s, dir, "lineitem")
-        .filter(pmod(col("l_partkey"), lit(2)) === 0)
-      val items = li.select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("p")).distinct()
-      val e0 = items.as("x").join(items.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
-      val deg = e0.select(col("u").as("node"))
-        .unionByName(e0.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lowU = (col("du") < col("dv")) ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      // deg is nodes-sized — broadcast it onto the edge list; e1 is
-      // repartitioned ONCE by the wedge key so the self-join below is
-      // exchange-free on both sides (same cached partitioning)
-      val e1 = e0
-        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))),
-          Seq("u"))
-        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))),
-          Seq("v"))
-        .select(when(lowU, col("u")).otherwise(col("v")).as("src"),
-          when(lowU, col("v")).otherwise(col("u")).as("dst"),
-          when(lowU, col("dv")).otherwise(col("du")).as("ddst"))
-        .repartition(col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ab = e1.select(col("src").as("a"), col("dst").as("b"),
-        col("ddst").as("db"))
-      val ac = e1.select(col("src").as("a"), col("dst").as("c"),
-        col("ddst").as("dc"))
-      val wedges = ab.join(ac, Seq("a"))
-        .filter(col("db") < col("dc") ||
-          (col("db") === col("dc") && col("b") < col("c")))
-      // shuffle-hash: the wedge stream is the big probe side — never
-      // sort it; only the edge list re-keys to (b, c)
-      val tris = wedges
-        .join(e1.select(col("src").as("b"), col("dst").as("c"))
-          .hint("shuffle_hash"), Seq("b", "c"))
-        .select("a", "b", "c")
-      val perNode = tris
-        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("t"))
-      deg.join(broadcast(perNode), Seq("node"), "left")
-        .filter(col("deg") >= 2)
-        .select(col("node"), col("deg"),
-          coalesce(col("t"), lit(0L)).as("triangles"))
-        .withColumn("lcc_ppm",
-          expr("(2000000 * triangles) div (deg * (deg - 1))"))
-        .orderBy(col("lcc_ppm").desc, col("node")).limit(20)
-    }),
-
-    "timeseries_ccf" -> ((s, dir) => {
-      // cross-correlation function between the daily click and purchase
-      // series at lags −7..+7 (does activity LEAD conversion?): per lag,
-      // the Pearson r of the lag-aligned day pairs — every sufficient
-      // statistic an exact integer in decimal(38,0), closed through one
-      // shared double tree (IEEE-exact sqrt) and a floor. The series
-      // are days-sized, so all fifteen lag joins are calendar-sized;
-      // only the two daily rollups scan events.
-      val ev = t(s, dir, "events")
-      def daily(tpe: String, cn: String) =
-        ev.filter(col("event_type") === tpe)
-          .groupBy(to_date(col("ts")).as(cn + "day"))
-          .agg(count(lit(1)).as(cn))
-      val x = daily("click", "x")
-      val y = daily("purchase", "y")
-      val lags = s.range(-7, 8).select(col("id").cast("int").as("lag"))
-      val dec = "decimal(38,0)"
-      val j = x.crossJoin(lags)
-        .join(y, col("yday") === date_add(col("xday"), col("lag")))
-        .groupBy("lag").agg(
-          count(lit(1)).cast(dec).as("no"),
-          sum(col("x")).cast(dec).as("sx"),
-          sum(col("y")).cast(dec).as("sy"),
-          sum(col("x").cast(dec) * col("x")).as("sxx"),
-          sum(col("y").cast(dec) * col("y")).as("syy"),
-          sum(col("x").cast(dec) * col("y")).as("sxy"))
-      j.withColumn("ccf_ppm", expr(
-          """CASE WHEN no * sxx - sx * sx <= 0 OR no * syy - sy * sy <= 0
-             THEN NULL
-             ELSE CAST(floor(1000000.0 * CAST(no * sxy - sx * sy AS DOUBLE)
-               / sqrt(CAST(no * sxx - sx * sx AS DOUBLE)
-                 * CAST(no * syy - sy * sy AS DOUBLE))) AS BIGINT) END"""))
-        .select(col("lag"), col("no").cast("bigint").as("n_pairs"),
-          col("ccf_ppm"))
-        .orderBy("lag")
-    }),
-
-    "stats_jarque_bera" -> ((s, dir) => {
-      // Jarque–Bera normality test on order totals (the gatekeeper for
-      // every z/t-flavored readout upstream): skewness, excess
-      // kurtosis, and JB = n(S²/6 + K²/24) from the first four raw
-      // moment sums — ONE map-side-combinable pass in decimal(38,0)
-      // (dollar grain: cents⁴ would overflow even decimal38 at sf10),
-      // central-moment algebra in a shared double tree, floor-ppm out.
-      val o = t(s, dir, "orders")
-        .select(expr("CAST(round(o_totalprice) AS BIGINT)").as("d"))
-      val dd = col("d").cast("decimal(38,0)")
-      o.agg(
-          count(lit(1)).as("n"),
-          sum(col("d")).as("s1"),
-          sum(dd * dd).as("s2"),
-          sum(dd * dd * dd).as("s3"),
-          sum(dd * dd * dd * dd).as("s4"))
-        .withColumn("skew_ppm", expr(jbSkewPpm))
-        .withColumn("kurt_ppm", expr(jbKurtPpm))
-        .withColumn("jb_ppm", expr(jbStatPpm))
-        .select("n", "skew_ppm", "kurt_ppm", "jb_ppm")
-    }),
-
-    "stats_anova_f" -> ((s, dir) => {
-      // one-way ANOVA F of account balance across the five market
-      // segments — the parametric companion to stats_kruskal_wallis,
-      // same discipline: per-group sufficient statistics (n, Σx, Σx²)
-      // close over exact integers (Σx² in decimal(38,0): cents² sums
-      // cross 2^63 past sf1), PIVOT into one row for a fixed fold
-      // order, and F / η² evaluate in ONE expression string shared
-      // verbatim with DuckDB — bit-identical doubles before the floor.
-      val c0 = t(s, dir, "customer")
-        .select(col("c_mktsegment").as("seg"),
-          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
-      val aCols = kwSegs.zipWithIndex.flatMap { case (sg, i) =>
-        Seq(
-          sum(when(col("seg") === sg, 1L).otherwise(0L)).as(s"n${i + 1}"),
-          sum(when(col("seg") === sg, col("cents")).otherwise(0L))
-            .as(s"s${i + 1}"),
-          sum(when(col("seg") === sg,
-            col("cents").cast("decimal(38,0)") * col("cents"))
-            .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"q${i + 1}"))
-      }
-      val agg0 = c0.agg(aCols.head, aCols.tail: _*)
-      agg0
-        .withColumn("n", expr("n1 + n2 + n3 + n4 + n5"))
-        .withColumn("f_ppm", expr(anovaFppm))
-        .withColumn("eta2_ppm", expr(anovaEta2Ppm))
-        .select("n", "n1", "n2", "n3", "n4", "n5", "f_ppm", "eta2_ppm")
-    }),
-
-    "stats_permutation_test" -> ((s, dir) => {
-      // randomization test for the urgent-vs-low mean gap: B = 64
-      // label reassignments drawn DETERMINISTICALLY (content hash of
-      // (row, replicate) vs the integer threshold n_a·10⁶ div n — the
-      // stats_bootstrap rule), statistic = |mean gap| in floor
-      // centi-cents, p = share of replicates at or above the observed
-      // gap. I.i.d. relabeling approximates the exact fixed-margin
-      // permutation distribution at these n (the Monte-Carlo form);
-      // every replicate closes over one map-side-combinable pass and
-      // the comparison is all-integer — engine-exact.
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-        .select(col("o_orderkey"),
-          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
-            .as("is_a"),
-          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val base = o.agg(sum(col("is_a")).as("n_a"),
-        count(lit(1)).as("n"),
-        sum(when(col("is_a") === 1L, col("cents"))).as("s_a"),
-        sum(when(col("is_a") === 0L, col("cents"))).as("s_b"))
-      val obs = base.select(col("n_a"), col("n"),
-        expr("abs((100 * s_a) div n_a - (100 * s_b) div (n - n_a))")
-          .as("obs_diff_centi"))
-      val u = pmod(HashFunctions.fnv64(concat(
-        col("o_orderkey").cast("string"), lit("#"),
-        col("rep").cast("string"))), lit(1000000L))
-      val perms = o
-        .select(col("o_orderkey"), col("cents"),
-          explode(sequence(lit(0), lit(63))).as("rep"))
-        .crossJoin(broadcast(obs.select(col("n_a"), col("n"))))
-        .withColumn("to_a",
-          (u < expr("(n_a * 1000000) div n")).cast("long"))
-        .groupBy("rep")
-        .agg(sum(col("to_a") * col("cents")).as("pa"),
-          sum(col("to_a")).as("ka"),
-          sum((lit(1L) - col("to_a")) * col("cents")).as("pb"),
-          sum(lit(1L) - col("to_a")).as("kb"))
-        .withColumn("pd",
-          expr("abs((100 * pa) div ka - (100 * pb) div kb)"))
-      perms.crossJoin(broadcast(obs))
-        .agg(count(lit(1)).as("n_perms"),
-          sum(when(col("pd") >= col("obs_diff_centi"), 1L).otherwise(0L))
-            .as("n_ge"),
-          max(col("obs_diff_centi")).as("obs_diff_centi"),
-          max(col("n_a")).as("n_a"), max(col("n")).as("n"))
-        .withColumn("p_ppm", expr("(n_ge * 1000000) div n_perms"))
-        .select("n", "n_a", "n_perms", "obs_diff_centi", "n_ge", "p_ppm")
-    }),
-
-    "timeseries_changepoint" -> ((s, dir) => {
-      // single change-point by max-CUSUM (the first split of binary
-      // segmentation, Scott–Knott / AMOC form): on the daily revenue
-      // series, G_t = n·cum_t − t·total is n× the centered CUSUM — an
-      // EXACT integer (cents), so argmax needs no float anywhere. The
-      // day series is tiny after the first groupBy; the argmax is a
-      // days-sized sort with a total tie order (|G| desc, day asc).
-      // Emits the split point with exact pre/post mean centi-cents.
-      val e = t(s, dir, "events")
-        .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"),
-          (dec(col("value")) * 100).cast("long").as("vc"))
-      val daily = e.groupBy("d").agg(sum(col("vc")).as("x"))
-      val wOrd = Window.partitionBy(lit(0)).orderBy("d")
-      val wAll = Window.partitionBy(lit(0))
-      val cum = daily
-        .withColumn("tt", row_number().over(wOrd).cast("long"))
-        .withColumn("cum", sum(col("x")).over(wOrd))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("total", sum(col("x")).over(wAll))
-        .filter(col("tt") < col("n")) // a split needs a non-empty tail
-        .withColumn("g", col("n") * col("cum") - col("tt") * col("total"))
-      cum.orderBy(abs(col("g")).desc, col("d")).limit(1)
-        .select(col("d").as("split_day"), col("tt").as("t_split"),
-          col("n").as("n_days"), abs(col("g")).as("g_abs"),
-          expr("(100 * cum) div tt").as("pre_mean_centi"),
-          expr("(100 * (total - cum)) div (n - tt)").as("post_mean_centi"))
-    }),
-
-    "events_user_lifecycle" -> ((s, dir) => {
-      // growth accounting (the GitHub/a16z "new–retained–resurrected–
-      // churned" decomposition): per active (user, week), classify by
-      // the user's previous active week — lag is per-user (one keyed
-      // sort, never a global scan); churn for week w is closed-form
-      // actives(w−7d) − retained(w), a week-level self-join on a
-      // weeks-sized frame. Weekly grain keeps every count exact.
-      val e = t(s, dir, "events")
-        .select(col("user_id"),
-          date_trunc("week", col("ts")).cast("timestamp_ntz").as("w"))
-        .distinct()
-      val lagW = Window.partitionBy("user_id").orderBy("w")
-      val classified = e
-        .withColumn("prev_w", lag(col("w"), 1).over(lagW))
-        .withColumn("status",
-          when(col("prev_w").isNull, "new")
-            .when(col("prev_w") === expr("w - INTERVAL 7 DAYS"), "retained")
-            .otherwise("resurrected"))
-      val perWeek = classified.groupBy("w")
-        .agg(count(lit(1)).as("actives"),
-          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
-          sum(when(col("status") === "retained", 1L).otherwise(0L))
-            .as("n_retained"),
-          sum(when(col("status") === "resurrected", 1L).otherwise(0L))
-            .as("n_resurrected"))
-      perWeek
-        .join(perWeek.select(
-            expr("w + INTERVAL 7 DAYS").as("w"),
-            col("actives").as("prev_actives")),
-          Seq("w"), "left")
-        .withColumn("n_churned",
-          coalesce(col("prev_actives"), lit(0L)) - col("n_retained"))
-        .select(col("w"), col("actives"), col("n_new"), col("n_retained"),
-          col("n_resurrected"), col("n_churned"))
-        .orderBy("w")
-    }),
-
-    "orders_mix_drift" -> ((s, dir) => {
-      // month-over-month drift of the order-priority MIX as JSD — the
-      // categorical sibling of dq_psi_drift (PSI needs bins; JSD takes
-      // the category distribution as-is, is symmetric, and is bounded
-      // by ln 2, so one alert threshold works for any label set).
-      // Consecutive months join on mon + 1 MONTH; each pair folds its
-      // per-category terms in canonical priority order; zero-count
-      // categories contribute through the 0·ln0 = 0 guard. Output is
-      // calendar-sized; the only data pass is one grouped count.
-      val o = t(s, dir, "orders")
-      val per = o.groupBy(date_trunc("month", col("o_orderdate")).as("mon"),
-          col("o_orderpriority").as("prio"))
-        .agg(count(lit(1)).as("c"))
-      val months = per.select("mon").distinct()
-      val prios = per.select("prio").distinct()
-      val grid = months.crossJoin(broadcast(prios))
-        .join(per, Seq("mon", "prio"), "left")
-        .withColumn("c", coalesce(col("c"), lit(0L)))
-      val tot = grid.groupBy("mon").agg(sum(col("c")).as("n"))
-      val g = grid.join(tot, Seq("mon"))
-      val pairs = g.select(col("mon"), col("prio"), col("c").as("ca"),
-          col("n").as("na"))
-        .join(g.select(expr("mon - INTERVAL 1 MONTH").as("mon"),
-          col("prio"), col("c").as("cb"), col("n").as("nb")),
-          Seq("mon", "prio"))
-        .withColumn("p", expr("CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"))
-        .withColumn("q", expr("CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)"))
-        .withColumn("v", expr(
-          """0.5 * (CASE WHEN p > 0.0
-               THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END)
-             + 0.5 * (CASE WHEN q > 0.0
-               THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END)"""))
-      pairs.groupBy("mon")
-        .agg(max(col("na")).as("n_month"), max(col("nb")).as("n_next"),
-          aggregate(sort_array(collect_list(struct(col("prio"),
-              col("v").as("t")))),
-            lit(0.0), (acc, x) => acc + x.getField("t")).as("jsd"))
-        .select(col("mon").cast("timestamp_ntz").as("mon"),
-          col("n_month"), col("n_next"),
-          round(col("jsd"), 6).as("jsd_nats"))
-        .orderBy("mon")
-    }),
-
-    "orders_abc_analysis" -> ((s, dir) => {
-      // ABC / Pareto classification of parts by revenue (the inventory
-      // classic: A ≈ top 80% of revenue, B next 15, C the tail): one
-      // parts-sized aggregate, ONE ordered cumulative window over the
-      // value domain (never the fact table), and the class test is
-      // all-integer (cum·100 vs total·k — no float shares until the
-      // final ppm readout). Class boundaries INCLUDE the crossing part
-      // (the part that tips cumulative share past 80% is still A).
-      val li = t(s, dir, "lineitem")
-      val rev = li.groupBy("l_partkey")
-        .agg(sum((dec(col("l_extendedprice")) * 100).cast("long"))
-          .as("rev_cents"))
-      // r10 reshape: the per-part rollup grows with the corpus, so the
-      // cumulative-revenue window is the distributed prefix sum
-      // (Rank.globalRunningSum) and the grand total a broadcast scalar
-      val tot = rev.agg(sum(col("rev_cents")).as("total"))
-      graft.operators.Rank
-        .globalRunningSum(rev, 32, "cum",
-          col("rev_cents"), desc("rev_cents"), col("l_partkey"))
-        .crossJoin(broadcast(tot))
-        .withColumn("cls",
-          when(col("cum") * 100 <= col("total") * 80, "A")
-            .when(col("cum") * 100 <= col("total") * 95, "B")
-            .otherwise("C"))
-        .groupBy("cls")
-        .agg(count(lit(1)).as("n_parts"),
-          sum(col("rev_cents")).as("class_rev_cents"),
-          max(col("total")).as("total_cents"))
-        // decimal(38,0): class_cents·10⁶ crosses 2^63 at sf1 — DuckDB
-        // errors loudly there, Spark long math would wrap SILENTLY
-        .withColumn("share_ppm", expr(
-          """CAST((CAST(class_rev_cents AS DECIMAL(38,0)) * 1000000)
-             div total_cents AS BIGINT)"""))
-        .select("cls", "n_parts", "class_rev_cents", "share_ppm")
-        .orderBy("cls")
-    }),
-
-    "text_lexical_diversity" -> ((s, dir) => {
-      // lexical-diversity profile per document — type-token ratio and
-      // hapax fraction, the cheap fluency signals next to
-      // text_quality's surface stats: one tokenize pass, one
-      // (doc, term) groupBy, everything after is per-doc-vocabulary-
-      // sized; ratios are integer floor ppm (no float ties).
-      val d = t(s, dir, "documents")
-      val tf = d.select(col("doc_id"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      tf.groupBy("doc_id")
-        .agg(sum(col("tf")).as("n_tokens"),
-          count(lit(1)).as("n_types"),
-          sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
-        .withColumn("ttr_ppm", expr("(n_types * 1000000) div n_tokens"))
-        .withColumn("hapax_ppm", expr("(n_hapax * 1000000) div n_types"))
-        .orderBy("doc_id")
-    }),
-
-    "events_anomaly_rate_spike" -> ((s, dir) => {
-      // volume-spike detection under a Poisson arrival model: for each
-      // (event_type, day) with 7 PRIOR OBSERVED days (rows-frame — on
-      // the dense fixture that is the trailing calendar week), λ̂ =
-      // their mean and z = (x − λ̂)/√λ̂ — the sqrt-stabilized Poisson z that
-      // flags genuine rate spikes where a global z-score fires on any
-      // busy type. Day counts aggregate once (map-side combinable);
-      // the trailing window runs over the type×day frame. z closes in
-      // one double tree from the exact integers (x, s7), floored ppm.
-      val e = t(s, dir, "events")
-        .select(col("event_type"),
-          date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
-      val daily = e.groupBy("event_type", "d").agg(count(lit(1)).as("x"))
-      val w7 = Window.partitionBy("event_type").orderBy("d")
-        .rowsBetween(-7, -1)
-      daily
-        .withColumn("s7", sum(col("x")).over(w7))
-        .withColumn("n7", count(lit(1)).over(w7))
-        .filter(col("n7") === 7L)
-        .withColumn("z_ppm", expr(
-          """CAST(floor(1000000.0 *
-               (CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) /
-               sqrt(CAST(s7 AS DOUBLE) / 7.0)) AS BIGINT)"""))
-        .withColumn("spike", col("z_ppm") > 3000000L)
-        .select("event_type", "d", "x", "s7", "z_ppm", "spike")
-        .orderBy("event_type", "d")
-    }),
-
-    "orders_interarrival" -> ((s, dir) => {
-      // inter-purchase rhythm per repeat customer: lag gaps over one
-      // keyed sort (never a global scan), exact integer day sums, and
-      // the coefficient of variation — the regularity score that
-      // separates metronome buyers from bursty ones — closes in one
-      // shared double tree over (n, Σgap, Σgap²). Customers need ≥ 2
-      // gaps and a positive total (all-same-day histories have no
-      // defined rhythm).
-      val o = t(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val gaps = o
-        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .withColumn("gap_days",
-          datediff(col("o_orderdate"), col("prev")).cast("long"))
-      gaps.groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_gaps"),
-          sum(col("gap_days")).as("sum_days"),
-          min(col("gap_days")).as("min_days"),
-          max(col("gap_days")).as("max_days"),
-          sum(col("gap_days") * col("gap_days")).as("sumsq"))
-        .filter(col("n_gaps") >= 2L && col("sum_days") > 0L)
-        .withColumn("mean_milli", expr("(sum_days * 1000) div n_gaps"))
-        .withColumn("cv_ppm", expr(
-          """CAST(floor(1000000.0 *
-               sqrt((CAST(n_gaps AS DOUBLE) * CAST(sumsq AS DOUBLE)
-                 - CAST(sum_days AS DOUBLE) * CAST(sum_days AS DOUBLE))
-                 / CAST(n_gaps AS DOUBLE))
-               / (CAST(sum_days AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
-             AS BIGINT)"""))
-        .select("o_custkey", "n_gaps", "sum_days", "min_days", "max_days",
-          "mean_milli", "cv_ppm")
-        .orderBy("o_custkey")
-    }),
-
-    "features_point_in_time" -> ((s, dir) => {
-      // feature-store POINT-IN-TIME join — the leakage-correctness rule
-      // of ML labeling ("what was known about the user when the label
-      // happened?"): labels are purchase events; each picks up (1) the
-      // last CLICK value at-or-before label time via the shared as-of
-      // operator (one shuffle, ties prefer the larger value — AsOf's
-      // documented rule) and (2) the strict-past 7-day event count via
-      // an equi-key + time-range residual join. No feature reads a
-      // timestamp after its label — the bug this operator exists to
-      // make impossible.
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"),
-          col("event_type"),
-          (dec(col("value")) * 100).cast("long").as("vc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val labels = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("label_id"), col("user_id"),
-          col("ts").as("label_ts"))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("vc"))
-      val f1 = operators.AsOf.asofBackward(
-        labels, clicks,
-        key = "user_id", leftTs = "label_ts", rightTs = "ts",
-        rightVal = "vc", outCol = "last_click_cents")
-      val f2 = labels.as("l")
-        .join(e.select(col("user_id"), col("ts")).as("r"),
-          col("l.user_id") === col("r.user_id") &&
-            col("r.ts") < col("l.label_ts") &&
-            col("r.ts") >= expr("l.label_ts - INTERVAL 7 DAYS"),
-          "left")
-        .groupBy(col("l.label_id").as("label_id"))
-        .agg(sum(when(col("r.ts").isNotNull, 1L).otherwise(0L))
-          .as("n_events_7d"))
-      f1.join(f2, Seq("label_id"))
-        .select(col("label_id"), col("user_id"),
-          col("label_ts").cast("timestamp_ntz").as("label_ts"),
-          col("last_click_cents"), col("n_events_7d"))
-        .orderBy("label_id")
-    }),
-
-    "orders_basket_lift" -> ((s, dir) => {
-      // market-basket association: part pairs co-purchased in one order,
-      // scored by lift = P(a,b)/(P(a)·P(b)) — the retail classic. Pair
-      // generation is a within-order self-join, Σ|basket|² with baskets
-      // ≤ 7 lines — linear in orders at any scale, never parts². Counts
-      // are exact integers; the ORDER is (pair_count desc, lift_ppm
-      // desc, keys) with lift as floor fixed-point of an exact integer
-      // ratio — no float in any sort key. Top-20 via
-      // TakeOrderedAndProject.
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nOrders = li.select("l_orderkey").distinct().count()
-      val single = li.groupBy("l_partkey").agg(count(lit(1)).as("na"))
-      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
-          Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
-      pairs
-        .join(single.select(col("l_partkey").as("pa"), col("na")), Seq("pa"))
-        .join(single.select(col("l_partkey").as("pb"),
-          col("na").as("nb")), Seq("pb"))
-        .withColumn("lift_ppm", expr(
-          s"(1000000 * n_ab * ${nOrders}L) div (na * nb)"))
-        .orderBy(col("n_ab").desc, col("lift_ppm").desc, col("pa"), col("pb"))
-        .limit(20)
-        .select("pa", "pb", "n_ab", "na", "nb", "lift_ppm")
-    }),
-
-    "sessions_concurrency" -> ((s, dir) => {
-      // peak concurrent sessions per day — the capacity-planning number
-      // (simultaneous connections/streams): each session contributes a
-      // +1 boundary at start and a −1 at end (half-open: at an exact
-      // tie the departure is processed first, so touching sessions
-      // never double-count), and the running sum over the day's ordered
-      // boundaries peaks at the answer. The sweep table is
-      // 2×sessions-sized, grouped per day — boundary-domain work, never
-      // event-domain; all integer.
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val us = unix_micros(col("ts"))
-      val isNew = when(
-        lag(us, 1).over(w).isNull ||
-          (us - lag(us, 1).over(w)) > 1800L * 1000000L, 1)
-        .otherwise(0)
-      val sessions = e.withColumn("session_id",
-          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(min(us).as("s_us"), max(us).as("e_us"))
-      val bounds = sessions.select(col("s_us").as("t_us"), lit(1L).as("delta"))
-        .unionByName(sessions.select(col("e_us").as("t_us"),
-          lit(-1L).as("delta")))
-      // the running sum is GLOBAL (sessions span midnight — a per-day
-      // partition would lose the carried-in level); per-day peak takes
-      // greatest(level at boundary, level JUST BEFORE it) so a day
-      // whose first in-day move is a departure still reports the level
-      // it inherited at 00:00. r10 reshape: the straight global window
-      // funnels ALL session bounds through one task — instead the
-      // distributed prefix sum (range-repartition by time +
-      // per-partition offsets, operators/Rank.globalRunningSum), so the
-      // only single-partition stage is the P-row offset frame.
-      graft.operators.Rank
-        .globalRunningSum(bounds, 32, "running",
-          col("delta"), col("t_us"), col("delta"))
-        .withColumn("day", expr(
-          "CAST(date_trunc('day', timestamp_micros(t_us)) AS TIMESTAMP_NTZ)"))
-        .groupBy("day")
-        .agg(max(greatest(col("running"), col("running") - col("delta")))
-          .as("peak_concurrent"),
-          sum(when(col("delta") === 1L, 1L).otherwise(0L))
-            .as("n_session_starts"))
-        .orderBy("day")
-    }),
-
-    "timeseries_stl_strength" -> ((s, dir) => {
-      // Hyndman–Wang strength-of-components readout over the SHARED
-      // decomposition frame: F_T = max(0, 1 − Var(R)/Var(T+R)) and
-      // F_S = max(0, 1 − Var(R)/Var(S+R)) — the "does this series even
-      // HAVE trend/seasonality" gate consulted before fitting seasonal
-      // models (≈0 → don't). Variances close over exact integer micro
-      // sums widened to DECIMAL(38,0) (squares of ±1e10 micros overflow
-      // BIGINT at sf1 — the orders_abc widening rule), map-side
-      // combinable; one double tree each; ppm floor.
-      val dec = timeseriesDecomposed(s, dir)
-        .select(col("residual_micro").as("r"),
-          (col("trend_micro") + col("residual_micro")).as("tr"),
-          (col("seasonal_micro") + col("residual_micro")).as("sr"))
-      def d38(c: String) = expr(s"CAST($c AS DECIMAL(38,0))")
-      val sums = dec.agg(
-        count(lit(1)).as("n"),
-        sum(col("r")).as("s_r"), sum(d38("r") * d38("r")).as("ss_r"),
-        sum(col("tr")).as("s_tr"), sum(d38("tr") * d38("tr")).as("ss_tr"),
-        sum(col("sr")).as("s_sr"), sum(d38("sr") * d38("sr")).as("ss_sr"))
-      def vr(sc: String, ssc: String): String =
-        s"""((CAST($ssc AS DOUBLE) - CAST($sc AS DOUBLE) * CAST($sc AS DOUBLE)
-             / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"""
-      sums.select(col("n").as("n_hours"),
-        expr(s"""CAST(floor(1000000.0 * greatest(0.0,
-            1.0 - ${vr("s_r", "ss_r")} / ${vr("s_tr", "ss_tr")}))
-          AS BIGINT)""").as("f_trend_ppm"),
-        expr(s"""CAST(floor(1000000.0 * greatest(0.0,
-            1.0 - ${vr("s_r", "ss_r")} / ${vr("s_sr", "ss_sr")}))
-          AS BIGINT)""").as("f_seasonal_ppm"))
-    }),
-
-    "timeseries_anomaly_decomposed" -> ((s, dir) => {
-      // seasonality-aware anomaly detection — the reason
-      // timeseries_decompose exists: flag hours whose RESIDUAL (what's
-      // left after trend + hour-of-day seasonality) deviates more than
-      // 3 robust sigmas (MAD · 1.4826). A plain z-score on the raw
-      // series would fire on every rush hour; the residual test only
-      // fires on genuinely unseasonal volume. Residuals are the exact
-      // fixed-point micros of the shared decomposition; the median/MAD
-      // fences are two exact interpolated percentiles over the
-      // HOURS-sized residual table, rounded once so both engines clip
-      // identically (the outlier_trim discipline).
-      val dec = timeseriesDecomposed(s, dir)
-        .select(col("bkt"), col("v"), col("residual_micro"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val med = dec.agg(
-        round(expr("percentile(residual_micro, 0.5)"), 4).as("med"))
-      val mad = dec.crossJoin(broadcast(med))
-        .agg(max(col("med")).as("med"),
-          round(expr("percentile(abs(residual_micro - med), 0.5)"), 4)
-            .as("mad"))
-      dec.crossJoin(broadcast(mad))
-        .withColumn("dev", abs(col("residual_micro") - col("med")))
-        .filter(col("dev") > col("mad") * 1.4826 * 3.0)
-        .select(col("bkt").cast("timestamp_ntz").as("bkt"),
-          col("v").cast("double").as("revenue"),
-          col("residual_micro"), col("dev").cast("long").as("dev_micro"))
-        .orderBy("bkt")
-    }),
-
-    "part_skyline" -> ((s, dir) => {
-      // 2-D skyline (Pareto front): parts not dominated on (price ↓,
-      // size ↑) — the multi-objective shortlist operator ("no cheaper
-      // part is at least as large"). The textbook formulation is an
-      // O(n²) dominance anti-join; the sort-sweep makes it two window
-      // passes over exact integers: a row is dominated iff some
-      // STRICTLY cheaper part has size ≥ its own (running range-frame
-      // max) or an equal-priced part has size strictly greater
-      // (per-price max). Identical (price, size) pairs do not dominate
-      // each other (no strict coordinate) and both survive. Both
-      // windows share the price sort order; at 100 TB this is a
-      // range-partitioned sort, never a pair join.
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"),
-          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
-          col("p_size").cast("long").as("size"))
-      // r10 reshape: the strict-prefix range max runs over the PRICE
-      // DOMAIN rollup (one row per distinct price — bounded by the 2-dp
-      // price range, not the part count), then joins back; the part
-      // table itself is never globally sorted
-      val perPrice = p.groupBy("price_cents")
-        .agg(max(col("size")).as("max_s_eq"))
-      val wLt = Window.orderBy("price_cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val dom = perPrice
-        .withColumn("max_s_lt", max(col("max_s_eq")).over(wLt))
-      p.join(dom, Seq("price_cents"))
-        .filter((col("max_s_lt").isNull || col("max_s_lt") < col("size")) &&
-          col("size") === col("max_s_eq"))
-        .select("p_partkey", "price_cents", "size")
-        .orderBy("p_partkey")
-    }),
-
-    "stats_welch_ttest" -> ((s, dir) => {
-      // Welch's unequal-variance t-test on the same two order-price
-      // samples as the KS / Mann–Whitney pair — the parametric corner
-      // of the classical-tests family. Means and variances close over
-      // exact decimal sums (Σx, Σx² per group, map-side combinable; the
-      // agg_corr discipline), then t and the Welch–Satterthwaite dof
-      // are one fixed double tree each, floored to ppm/milli.
-      val o = t(s, dir, "orders")
-      val two = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-        .select(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
-          .as("is_a"), dec(col("o_totalprice")).as("x"))
-      val g = two.groupBy("is_a").agg(
-        count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
-      val a = g.filter(col("is_a") === 1)
-        .select(col("n").as("n_a"), col("sx").as("sxa"), col("sxx").as("sxxa"))
-      val b = g.filter(col("is_a") === 0)
-        .select(col("n").as("n_b"), col("sx").as("sxb"), col("sxx").as("sxxb"))
-      a.crossJoin(broadcast(b))
-        .withColumn("va", expr(
-          """(CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)
-               / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)"""))
-        .withColumn("vb", expr(
-          """(CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)
-               / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)"""))
-        .withColumn("se2", expr(
-          "va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)"))
-        .select(col("n_a"), col("n_b"),
-          expr("""CAST(floor(1000000.0 *
-            (CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) -
-             CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(se2))
-            AS BIGINT)""").as("t_ppm"),
-          expr("""CAST(floor(1000.0 * se2 * se2 /
-            (va * va / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)
-               * CAST(n_a - 1 AS DOUBLE)) +
-             vb * vb / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)
-               * CAST(n_b - 1 AS DOUBLE)))) AS BIGINT)""").as("dof_milli"))
-    }),
-
-    "stats_proportion_ztest" -> ((s, dir) => {
-      // two-proportion z-test on the A/B conversion readout — the
-      // significance column ab_test_lift deliberately leaves out: pooled
-      // p̂ from exact integer counts, z = (p̂_t − p̂_c)/√(p̂(1−p̂)(1/n_t +
-      // 1/n_c)) in one double tree, floored to ppm. Same stable-hash
-      // arms as the whole experiment family. Conversion is the
-      // POWER-USER bar (≥ 14 purchases, ~50% base rate in the fixture)
-      // — any-purchase is degenerate at p̂ = 1 where z is undefined.
-      val e = t(s, dir, "events")
-      val users = e.groupBy("user_id").agg(
-        when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          >= 14L, 1L).otherwise(0L).as("conv"))
-      val armed = users.withColumn("is_t",
-        when(pmod(HashFunctions.fnv64(col("user_id").cast("string")),
-          lit(2L)) === 0, 0L).otherwise(1L))
-      val g = armed.groupBy("is_t").agg(
-        count(lit(1)).as("n"), sum(col("conv")).as("k"))
-      val tr = g.filter(col("is_t") === 1)
-        .select(col("n").as("n_t"), col("k").as("k_t"))
-      val ct = g.filter(col("is_t") === 0)
-        .select(col("n").as("n_c"), col("k").as("k_c"))
-      tr.crossJoin(broadcast(ct))
-        .withColumn("z_ppm", expr(
-          """CAST(floor(1000000.0 *
-               (CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
-                CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE)) /
-               sqrt((CAST(k_t + k_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)) *
-                 (1.0 - CAST(k_t + k_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)) *
-                 (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE))))
-             AS BIGINT)"""))
-        .select("n_t", "k_t", "n_c", "k_c", "z_ppm")
-    }),
-
-    "text_keywords_tfidf" -> ((s, dir) => {
-      // per-document keyword extraction: top-3 TF-IDF terms (the tag /
-      // index-term generator of a corpus catalog). TF and DF are exact
-      // integer counts from ONE tokenize pass; the score ORDER is the
-      // integer pair (tf · idf_fixed) with idf_fixed = 10⁶·ln(N/df)
-      // floored — so ranking is engine-exact with no float ties — and
-      // ties break by term. Per-doc window top-k, never a global sort.
-      val d = t(s, dir, "documents")
-      val tok = d.select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val nDocs = d.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(df_, Seq("term"))
-        .crossJoin(broadcast(nDocs))
-        .withColumn("idf_fixed", expr(
-          """CAST(floor(1000000.0 * ln(CAST(n_docs AS DOUBLE)
-               / CAST(df AS DOUBLE))) AS BIGINT)"""))
-        .withColumn("score_fixed", col("tf") * col("idf_fixed"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score_fixed").desc, col("term"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
-          col("term"), col("tf"), col("score_fixed"))
-        .orderBy("doc_id", "rnk")
-    }),
-
-    "text_langid_eval" -> ((s, dir) => {
-      // language-ID evaluation against the corpus's stored labels — the
-      // confusion matrix + per-class recall every classifier that gates
-      // a data pipeline must publish (an unevaluated langid silently
-      // skews the training mixture). Counts are exact integers; recall
-      // is one integer-ppm division per cell. Output is |langs|²-sized
-      // regardless of corpus size; one groupBy + a broadcast-joined
-      // per-class total.
-      val d = t(s, dir, "documents")
-      val scored = d.select(col("lang"),
-        TextFunctions.langIdHeuristic(col("text")).as("lang_guess"))
-      val cells = scored.groupBy("lang", "lang_guess")
-        .agg(count(lit(1)).as("n"))
-      val totals = cells.groupBy("lang").agg(sum(col("n")).as("lang_total"))
-      cells.join(broadcast(totals), Seq("lang"))
-        .select(col("lang"), col("lang_guess"), col("n"), col("lang_total"),
-          expr("(1000000 * n) div lang_total").as("cell_ppm"))
-        .orderBy("lang", "lang_guess")
-    }),
-
-    "join_cardinality_estimate" -> ((s, dir) => {
-      // pre-flight join-size estimate from KMV sketches — the planner
-      // question ("can I afford this join? which side broadcasts?")
-      // answered WITHOUT executing it: |A⋈B| ≈ |keys(A)∩keys(B)| ·
-      // (n_A/d_A) · (n_B/d_B) under per-key-uniform multiplicity, with
-      // the key-overlap term from the KMV set algebra (sketches are
-      // union-closed, intersection by inclusion–exclusion). Each input
-      // is scanned ONCE for a 2 KB sketch + a count; at 100 TB those
-      // sketches live next to the table like any stats artifact. The
-      // exact join count rides along to exhibit the estimator's error.
-      val k = 256
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-      val sa = o.agg(
-        KmvFunctions.kmvSketch(col("o_custkey"), k).as("sk_a"),
-        count(lit(1)).as("n_a"))
-      val sb = c.agg(
-        KmvFunctions.kmvSketch(col("c_custkey"), k).as("sk_b"),
-        count(lit(1)).as("n_b"))
-      val exact = o.join(c, o("o_custkey") === c("c_custkey"))
-        .agg(count(lit(1)).as("exact_join_rows"))
-      sa.crossJoin(sb).crossJoin(broadcast(exact))
-        .withColumn("est_a", KmvFunctions.kmvEstimate(col("sk_a"), k))
-        .withColumn("est_b", KmvFunctions.kmvEstimate(col("sk_b"), k))
-        .withColumn("est_union", KmvFunctions.kmvEstimate(
-          KmvFunctions.kmvUnion(col("sk_a"), col("sk_b"), k), k))
-        .withColumn("est_keys",
-          greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
-        .withColumn("est_join_rows", round(
-          col("est_keys") *
-            (col("n_a").cast("double") / col("est_a")) *
-            (col("n_b").cast("double") / col("est_b")), 2))
-        .select(col("n_a"), col("n_b"),
-          col("est_a"), col("est_b"), round(col("est_keys"), 4).as("est_keys"),
-          col("est_join_rows"), col("exact_join_rows"))
-    }),
-
-    "stats_wilcoxon_signed_rank" -> ((s, dir) => {
-      // Wilcoxon signed-rank test on the paired per-user purchase
-      // counts (first vs second half of the event era — the McNemar
-      // pairing upgraded from binary to magnitude). Zero differences
-      // drop per Wilcoxon; ranks of |d| use DOUBLED midranks
-      // (2·avg = 2·cum_before + t + 1 — the Mann–Whitney integer
-      // machinery, ties exact), so W⁺ enters the z as the exact
-      // integer 2W⁺. z = (2·w2_pos − n(n+1)) / √((2n(n+1)(2n+1) −
-      // Σ(t³−t))/3) — one integer numerator, one IEEE-exact sqrt,
-      // one divide: engine-exact at round-6. One event scan folds to
-      // per-user pairs; everything downstream is |d|-domain-sized.
-      val ev = t(s, dir, "events")
-      val half = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
-      val u = ev.filter(col("event_type") === "purchase")
-        .groupBy("user_id").agg(
-          sum(when(col("ts") < half, 1L).otherwise(0L)).as("early"),
-          sum(when(col("ts") >= half, 1L).otherwise(0L)).as("late"))
-        .withColumn("d", col("late") - col("early"))
-        .filter(col("d") =!= 0)
-        .withColumn("ad", abs(col("d")))
-      val per = u.groupBy("ad").agg(
-        count(lit(1)).as("t"),
-        sum(when(col("d") > 0, 1L).otherwise(0L)).as("tpos"))
-      val wBefore = Window.orderBy("ad")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = per.withColumn("cum_before",
-        coalesce(sum(col("t")).over(wBefore), lit(0L)))
-      ranked.agg(
-          sum(col("t")).as("n"),
-          sum(col("tpos") * (lit(2L) * col("cum_before") + col("t") + lit(1L)))
-            .as("w2_pos"),
-          sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
-        .withColumn("z", expr(
-          """CASE WHEN n < 2 THEN NULL
-             ELSE round((2 * w2_pos - n * (n + 1)) /
-               sqrt((2.0 * n * (n + 1) * (2 * n + 1) - tie3) / 3.0), 6) END"""))
-        .select("n", "w2_pos", "tie3", "z")
-    }),
-
-    "stats_durbin_watson" -> ((s, dir) => {
-      // Durbin–Watson autocorrelation-of-residuals test on the daily
-      // event-count series detrended by closed-form OLS on the day
-      // index. Residuals are kept EXACT by multiplying through by the
-      // integer OLS denominator: e′_t = nD·y_t − (D·Sy − N1·Sx) −
-      // nN1·x_t where N1 = nSxy − SxSy, D = nSxx − Sx² — every term an
-      // integer, so DW = Σ(Δe′)²/Σe′² is a pure integer ratio (the
-      // scale cancels) emitted as floor-ppm with zero float anywhere.
-      // decimal(38,0) squares: nD·y ≈ 1e15 at sf1, squared 1e30 — the
-      // ABC overflow lesson applied up front. The series is days-sized;
-      // only the daily rollup scans events.
-      val ev = t(s, dir, "events")
-      val d = ev.groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("y"))
-      val xd = d.withColumn("x",
-        row_number().over(Window.orderBy("day")).cast("long"))
-      val sums = xd.agg(
-        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"))
-      val resid = xd.crossJoin(broadcast(sums))
-        .withColumn("n1", col("n") * col("sxy") - col("sx") * col("sy"))
-        .withColumn("dd", col("n") * col("sxx") - col("sx") * col("sx"))
-        .withColumn("e", (col("n").cast("decimal(38,0)") * col("dd") * col("y")
-          - (col("dd").cast("decimal(38,0)") * col("sy")
-             - col("n1").cast("decimal(38,0)") * col("sx"))
-          - col("n").cast("decimal(38,0)") * col("n1") * col("x")))
-        .withColumn("e_prev", lag(col("e"), 1).over(Window.orderBy("x")))
-      resid.agg(
-          max(col("n")).as("n_days"),
-          max(expr("""CASE WHEN dd = 0 THEN NULL
-                      ELSE (1000000 * n1) div dd END""")).as("slope_ppm"),
-          sum(col("e") * col("e")).as("sse"),
-          sum(when(col("e_prev").isNotNull,
-            (col("e") - col("e_prev")) * (col("e") - col("e_prev")))
-            .otherwise(lit(0).cast("decimal(38,0)"))).as("ssd"))
-        .withColumn("dw_ppm", expr(
-          """CASE WHEN sse = 0 THEN NULL
-             ELSE CAST((1000000 * ssd) div sse AS BIGINT) END"""))
-        .select("n_days", "slope_ppm", "dw_ppm")
-    }),
-
-    "timeseries_pacf" -> ((s, dir) => {
-      // partial autocorrelation of the daily event-count series at lags
-      // 1..3 via the Durbin–Levinson recursion unrolled over the EXACT
-      // integer ACF rationals (timeseries_acf's n²-cleared numerators):
-      // r_k enters as one correctly-rounded decimal→double division,
-      // then φ11, φ22, φ33 close in a fixed IEEE tree — engine-exact at
-      // round-6 (the rational arithmetic would need decimal(114) by
-      // φ33; doubles after exact integers is the sample_weighted
-      // lesson applied in reverse). Calendar-sized joins only.
-      val ev = t(s, dir, "events")
-      val d = ev.groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("x"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = d.agg(
-        count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(col("x")).cast("decimal(38,0)").as("sm"),
-        sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
-      val lags = s.range(1, 4).select(col("id").cast("int").as("lag"))
-      val pairs = d.as("a").crossJoin(lags)
-        .join(d.as("b"),
-          col("b.day") === date_add(col("a.day"), col("lag")), "inner")
-        .groupBy("lag")
-        .agg(count(lit(1)).cast("decimal(38,0)").as("p_k"),
-          sum(col("a.x").cast("decimal(38,0)") * col("b.x")).as("pk_sum"),
-          sum(col("a.x")).cast("decimal(38,0)").as("a_k"),
-          sum(col("b.x")).cast("decimal(38,0)").as("b_k"))
-      // the lag frame is 3 rows; pivot to one row of doubles
-      val piv = pairs.crossJoin(broadcast(tot))
-        .withColumn("num", expr(
-          "n * n * pk_sum - n * sm * (a_k + b_k) + p_k * sm * sm"))
-        .withColumn("den", expr("n * n * q - n * sm * sm"))
-        .withColumn("r", expr(
-          """CASE WHEN den = 0 THEN NULL
-             ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END"""))
-        .groupBy()
-        .agg(max(when(col("lag") === 1, col("r"))).as("r1"),
-          max(when(col("lag") === 2, col("r"))).as("r2"),
-          max(when(col("lag") === 3, col("r"))).as("r3"))
-      piv
-        .withColumn("p11", col("r1"))
-        .withColumn("p22", expr(
-          """CASE WHEN 1.0 - r1 * r1 = 0 THEN NULL
-             ELSE (r2 - r1 * r1) / (1.0 - r1 * r1) END"""))
-        .withColumn("a21", expr("r1 - p22 * r1"))
-        .withColumn("p33", expr(
-          """CASE WHEN 1.0 - a21 * r1 - p22 * r2 = 0 THEN NULL
-             ELSE (r3 - a21 * r2 - p22 * r1)
-                  / (1.0 - a21 * r1 - p22 * r2) END"""))
-        .select(round(col("p11"), 6).as("pacf1"),
-          round(col("p22"), 6).as("pacf2"),
-          round(col("p33"), 6).as("pacf3"))
-    }),
-
-    "timeseries_ljung_box" -> ((s, dir) => {
-      // Ljung–Box portmanteau whiteness test over the first 7 daily-
-      // series autocorrelations: Q = n(n+2)·Σ r_k²/(n−k). Same exact-
-      // integer ACF rationals as timeseries_pacf; the 7-term sum folds
-      // in FIXED ascending-k order inside one expression (the
-      // canonical-fold lesson), so Q is engine-exact at round-6. dof
-      // rides along for the χ²₇ lookup downstream.
-      val ev = t(s, dir, "events")
-      val d = ev.groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("x"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = d.agg(
-        count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(col("x")).cast("decimal(38,0)").as("sm"),
-        sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
-      val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
-      val pairs = d.as("a").crossJoin(lags)
-        .join(d.as("b"),
-          col("b.day") === date_add(col("a.day"), col("lag")), "inner")
-        .groupBy("lag")
-        .agg(count(lit(1)).cast("decimal(38,0)").as("p_k"),
-          sum(col("a.x").cast("decimal(38,0)") * col("b.x")).as("pk_sum"),
-          sum(col("a.x")).cast("decimal(38,0)").as("a_k"),
-          sum(col("b.x")).cast("decimal(38,0)").as("b_k"))
-      pairs.crossJoin(broadcast(tot))
-        .withColumn("num", expr(
-          "n * n * pk_sum - n * sm * (a_k + b_k) + p_k * sm * sm"))
-        .withColumn("den", expr("n * n * q - n * sm * sm"))
-        .withColumn("r", expr(
-          """CASE WHEN den = 0 THEN NULL
-             ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END"""))
-        .withColumn("term", expr(
-          "r * r / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE))"))
-        .groupBy()
-        .agg(max(col("n").cast("bigint")).as("n_days"),
-          aggregate(sort_array(collect_list(struct(col("lag"),
-            col("term").as("v")))),
-            lit(0.0), (acc, x) => acc + x.getField("v")).as("tsum"))
-        .select(col("n_days"), lit(7L).as("dof"),
-          round(col("n_days") * (col("n_days") + lit(2L)) * col("tsum"), 6)
-            .as("q_stat"))
-    }),
-
-    "model_ks" -> ((s, dir) => {
-      // Kolmogorov–Smirnov separation of the hashed linear classifier:
-      // KS = max_m |F₁(m) − F₀(m)| over the margin domain, the standard
-      // credit-scoring discrimination readout beside AUC. Cumulatives
-      // run over the margin-GROUPED frame (domain-sized, not row-
-      // sized), and the statistic is the exact integer ratio
-      // |cpos·n_neg − cneg·n_pos|/(n_pos·n_neg) in decimal(38,0)
-      // (cpos·n_neg crosses 2^63 past ~10⁹ docs) — floor-ppm, no float
-      // anywhere. argmax tie breaks to the smallest margin.
-      val d = t(s, dir, "documents")
-      val scored = d.select(
-        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
-        HashFunctions.linearMargin(
-          TextFunctions.tokens(lower(col("text")))).as("margin"))
-      val per = scored.groupBy("margin").agg(
-        sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
-      val w = Window.orderBy("margin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cum = per
-        .withColumn("cpos", sum(col("ca")).over(w))
-        .withColumn("cneg", sum(col("cb")).over(w))
-      val tot = per.agg(sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"))
-      cum.crossJoin(broadcast(tot))
-        .withColumn("d_ppm", expr(
-          """CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-             ELSE CAST((1000000 * abs(CAST(cpos AS DECIMAL(38,0)) * n_neg
-                        - CAST(cneg AS DECIMAL(38,0)) * n_pos))
-                  div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END"""))
-        .orderBy(col("d_ppm").desc, col("margin"))
-        .limit(1)
-        .select(col("n_pos"), col("n_neg"),
-          col("d_ppm").as("ks_ppm"), col("margin").as("at_margin"))
-    }),
-
-    "model_lift_gain" -> ((s, dir) => {
-      // decile lift & gain chart of the hashed classifier: documents
-      // ranked by margin descending (doc_id tiebreak — ntile over ties
-      // is otherwise nondeterministic), cumulative positive share
-      // (gain) and response-rate ratio (lift) per decile as exact
-      // integer floor-ppm. The ntile window is the one row-sized sort;
-      // everything after is 10 rows. cum_pos·tot_rows crosses 2^63 at
-      // ~10⁹ docs — decimal(38,0) division, the ABC lesson.
-      val d = t(s, dir, "documents")
-      val scored = d.select(col("doc_id"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
-        HashFunctions.linearMargin(
-          TextFunctions.tokens(lower(col("text")))).as("margin"))
-      // r9 reshape: exact global rank via range-repartition +
-      // per-partition offsets (operators/Rank) replaces the row-sized
-      // single-task ntile window; the decile comes from the closed-form
-      // ntile arithmetic over that rank. Same output, fully partitioned.
-      val ranked = graft.operators.Rank.globalRowNumber(scored, 32, "__rn",
-        col("margin").desc, col("doc_id"))
-      val totN = scored.agg(count(lit(1)).as("n"))
-      val dec10 = ranked.crossJoin(broadcast(totN))
-        .withColumn("q", expr("n div 10"))
-        .withColumn("r", expr("n % 10"))
-        .withColumn("decile",
-          expr(graft.operators.Rank.ntileExprSql("__rn")))
-      val perd = dec10.groupBy("decile").agg(
-        count(lit(1)).as("n_rows"), sum(col("is_a")).as("pos"))
-      val wc = Window.orderBy("decile")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cum = perd
-        .withColumn("cum_rows", sum(col("n_rows")).over(wc))
-        .withColumn("cum_pos", sum(col("pos")).over(wc))
-      val tot = perd.agg(sum(col("n_rows")).as("tot_rows"),
-        sum(col("pos")).as("tot_pos"))
-      cum.crossJoin(broadcast(tot))
-        .withColumn("gain_ppm", expr(
-          """CASE WHEN tot_pos = 0 THEN NULL
-             ELSE (1000000 * cum_pos) div tot_pos END"""))
-        .withColumn("lift_ppm", expr(
-          """CASE WHEN tot_pos = 0 OR cum_rows = 0 THEN NULL
-             ELSE CAST((1000000 * CAST(cum_pos AS DECIMAL(38,0)) * tot_rows)
-                  div (CAST(cum_rows AS DECIMAL(38,0)) * tot_pos)
-                  AS BIGINT) END"""))
-        .select(col("decile"), col("n_rows"), col("pos"), col("cum_pos"),
-          col("gain_ppm"), col("lift_ppm"))
-        .orderBy("decile")
-    }),
-
-    "events_sequence_mining" -> ((s, dir) => {
-      // frequent consecutive event-type trigrams across user journeys —
-      // sequential-pattern mining's workhorse cut. One user-partitioned
-      // window pass forms the trigrams (no self-joins: lead() over the
-      // per-user order), then support = distinct users + occurrences per
-      // pattern. Top-15 via TakeOrderedAndProject. At 100 TB the window
-      // is partitioned on user_id (bounded per-user history) and the
-      // pattern space is |types|³ — domain-sized aggregation state.
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      e.select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("e1"))
-        .withColumn("e2", lead(col("e1"), 1).over(w))
-        .withColumn("e3", lead(col("e1"), 2).over(w))
-        .filter(col("e2").isNotNull && col("e3").isNotNull)
-        .groupBy("e1", "e2", "e3")
-        .agg(count(lit(1)).as("n_occurrences"),
-          countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("n_users").desc, col("n_occurrences").desc,
-          col("e1"), col("e2"), col("e3"))
-        .limit(15)
-    }),
-
-    "search_phrase" -> ((s, dir) => {
-      // positional phrase search: the corpus's most frequent bigram
-      // (deterministic tie-break) searched as a PHRASE via the
-      // positional inverted index — both phrase terms' posting lists
-      // (doc_id, pos) are pre-filtered BEFORE the adjacency equi-join
-      // on (doc_id, pos+1), so the match cost is |posting(t1)| ⋈
-      // |posting(t2)|, never a corpus scan — the standard IR phrase
-      // plan. Emits the top-20 docs by phrase frequency.
-      val d = t(s, dir, "documents")
-      val tokp = d.select(col("doc_id"),
-        posexplode(TextFunctions.tokens(lower(col("text"))))
-          .as(Seq("pos", "tok")))
-      val wd = Window.partitionBy("doc_id").orderBy("pos")
-      val top = tokp.withColumn("nxt", lead(col("tok"), 1).over(wd))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("t1"), col("t2"))
-        .limit(1)
-      val aSide = tokp.join(broadcast(top), col("tok") === col("t1"))
-        .select(col("doc_id"), col("pos"), col("t1"), col("t2"))
-      val bSide = tokp.join(
-          broadcast(top.select(col("t2").as("t2b"))),
-          col("tok") === col("t2b"))
-        .select(col("doc_id").as("d2"), col("pos").as("p2"))
-      aSide.join(bSide,
-          col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
-        .groupBy("t1", "t2", "doc_id")
-        .agg(count(lit(1)).as("n_matches"))
-        .orderBy(col("n_matches").desc, col("doc_id"))
-        .limit(20)
-    }),
-
-    "orders_market_basket" -> ((s, dir) => {
-      // association rules over order baskets (Apriori's candidate
-      // bound, not its passes): only items with support ≥ 0.2% of
-      // baskets enter the per-basket self-join, so pair volume is
-      // Σ_basket deg_freq(basket)² — bounded by the frequent-item
-      // filter, never #items² — and the join key is the basket id (an
-      // equi-shuffle that AQE can split on hot baskets). Emits the top
-      // 20 pairs by co-occurrence with exact floor-ppm support,
-      // directional confidence, and lift.
-      val li = t(s, dir, "lineitem")
-      val b = li.select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("item")).distinct()
-      val tot = b.agg(countDistinct(col("ok")).as("n_orders"))
-      val freq = b.groupBy("item").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(tot))
-        .filter(col("cnt") * 1000 >= col("n_orders") * 2)
-        .select("item", "cnt")
-      val bf = b.join(freq, "item")
-      val pairs = bf.as("x").join(bf.as("y"),
-          col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
-        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
-        .agg(count(lit(1)).as("cnt_ab"),
-          max(col("x.cnt")).as("cnt_a"), max(col("y.cnt")).as("cnt_b"))
-      pairs.crossJoin(broadcast(tot))
-        .select(col("item_a"), col("item_b"), col("cnt_ab"), col("cnt_a"),
-          col("cnt_b"),
-          expr("CAST((1000000 * cnt_ab) div n_orders AS BIGINT)")
-            .as("support_ppm"),
-          expr("CAST((1000000 * cnt_ab) div cnt_a AS BIGINT)")
-            .as("conf_ab_ppm"),
-          expr("""CAST((1000000 * CAST(cnt_ab AS DECIMAL(38,0)) * n_orders)
-                  div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)""")
-            .as("lift_ppm"))
-        .orderBy(col("cnt_ab").desc, col("item_a"), col("item_b"))
-        .limit(20)
-    }),
-
-    "feature_encoder_table" -> ((s, dir) => {
-      // the target-encoding TABLE for a categorical feature against a
-      // BINARY target (source → P(lang=en)): leave-one-out and
-      // m-estimate-smoothed (m=20) variants as exact floor-ppm — the
-      // domain-sized sibling of feature_target_encode (which emits
-      // per-row encodings of a continuous target). The key insight making this
-      // domain-sized: the LOO encoding of a row depends only on
-      // (category, own label), so the full encoder artifact is one row
-      // per (source, is_a) — joinable back to 10⁹ training rows at
-      // serving time without ever materializing per-row encodings.
-      val d = t(s, dir, "documents")
-      val lab = d.select(col("source"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"))
-      val per = lab.groupBy("source").agg(
-        count(lit(1)).as("n"), sum(col("is_a")).as("pos"))
-      val glob = lab.agg(count(lit(1)).as("gn"), sum(col("is_a")).as("gp"))
-      per.crossJoin(broadcast(glob))
-        .withColumn("is_a", explode(array(lit(0L), lit(1L))))
-        .withColumn("n_label",
-          when(col("is_a") === 1L, col("pos")).otherwise(col("n") - col("pos")))
-        .filter(col("n_label") > 0)
-        .withColumn("pos_excl",
-          when(col("is_a") === 1L, col("pos") - 1).otherwise(col("pos")))
-        .select(col("source"), col("is_a"), col("n_label"),
-          expr("""CASE WHEN n = 1 THEN NULL
-                  ELSE CAST((1000000 * pos_excl) div (n - 1) AS BIGINT)
-                  END""").as("loo_ppm"),
-          expr("""CAST((1000000 * (CAST(pos_excl AS DECIMAL(38,0)) * gn
-                    + 20 * gp))
-                  div (CAST(n - 1 + 20 AS DECIMAL(38,0)) * gn)
-                  AS BIGINT)""").as("smooth_ppm"))
-        .orderBy("source", "is_a")
-    }),
-
-    "stats_cramers_v" -> ((s, dir) => {
-      // Cramér's V association between nation and market segment: the
-      // χ² over the r×k contingency table of EXACT counts, then
-      // V = √(χ²/(n·min(r−1,k−1))). Cell terms (o·n − r·c)²/(n·r·c)
-      // fold in canonical (nation, segment) order so the double sum is
-      // engine-exact; the table itself is domain-sized (r·k cells) from
-      // one grouped pass.
-      val c = t(s, dir, "customer")
-      val cell = c.groupBy(col("c_nationkey").as("nk"),
-          col("c_mktsegment").as("seg"))
-        .agg(count(lit(1)).as("o"))
-      val rowt = cell.groupBy("nk").agg(sum(col("o")).as("rt"))
-      val colt = cell.groupBy("seg").agg(sum(col("o")).as("ct"))
-      val nr = cell.agg(sum(col("o")).as("n"),
-        countDistinct(col("nk")).as("r"), countDistinct(col("seg")).as("k"))
-      val terms = cell.join(broadcast(rowt), "nk").join(broadcast(colt), "seg")
-        .crossJoin(broadcast(nr))
-        .withColumn("term", expr(
-          """POWER(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
-               - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE), 2)
-             / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))"""))
-      terms
-        .groupBy("n", "r", "k")
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("nk"), col("seg"), col("term")))),
-          lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"))
-        .select(col("n"), col("r").cast("bigint").as("r"),
-          col("k").cast("bigint").as("k"),
-          round(col("chi2"), 6).as("chi2"),
-          round(sqrt(col("chi2") / (col("n").cast("double") *
-            least(col("r") - 1, col("k") - 1).cast("double"))), 6).as("v"))
-    }),
-
-    "model_threshold_sweep" -> ((s, dir) => {
-      // operating-point table for the hashed classifier: confusion
-      // counts and exact floor-ppm precision/recall/accuracy at five
-      // fixed margin thresholds — ONE pass over the scored rows
-      // (threshold list exploded, conditional sums), domain-sized
-      // output. The artifact that picks the deployment threshold.
-      val d = t(s, dir, "documents")
-      val scored = d.select(
-        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
-        HashFunctions.linearMargin(
-          TextFunctions.tokens(lower(col("text")))).as("margin"))
-      val thr = Seq(-300L, -100L, 0L, 100L, 300L)
-      scored
-        .withColumn("thr", explode(array(thr.map(lit): _*)))
-        .groupBy("thr")
-        .agg(
-          sum(when(col("margin") >= col("thr"), col("is_a"))
-            .otherwise(0L)).as("tp"),
-          sum(when(col("margin") >= col("thr"), lit(1L) - col("is_a"))
-            .otherwise(0L)).as("fp"),
-          sum(when(col("margin") < col("thr"), col("is_a"))
-            .otherwise(0L)).as("fn"),
-          sum(when(col("margin") < col("thr"), lit(1L) - col("is_a"))
-            .otherwise(0L)).as("tn"))
-        .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
-          expr("""CASE WHEN tp + fp = 0 THEN NULL
-                  ELSE CAST((1000000 * tp) div (tp + fp) AS BIGINT)
-                  END""").as("precision_ppm"),
-          expr("""CASE WHEN tp + fn = 0 THEN NULL
-                  ELSE CAST((1000000 * tp) div (tp + fn) AS BIGINT)
-                  END""").as("recall_ppm"),
-          expr("""CAST((1000000 * (tp + tn)) div (tp + fp + fn + tn)
-                  AS BIGINT)""").as("accuracy_ppm"))
-        .orderBy("thr")
-    }),
-
-    "model_cost_curve" -> ((s, dir) => {
-      // expected-cost operating points: the threshold sweep re-scored
-      // under ASYMMETRIC error costs (a missed positive costs r× a
-      // false alarm, r ∈ {1,2,5,10}) — precision/recall tables pick one
-      // threshold; deployments with different FN/FP economics pick a
-      // DIFFERENT one, and this is the 20-row artifact that shows
-      // where each regime's argmin sits. One scored pass; the sweep is
-      // a 5×4 domain cross; cost and argmin are exact integers with a
-      // (cost, thr) tie order; the per-regime window is partitioned.
-      val d = t(s, dir, "documents")
-      val scored = d.select(
-        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
-        HashFunctions.linearMargin(
-          TextFunctions.tokens(lower(col("text")))).as("margin"))
-      val thr = Seq(-300L, -100L, 0L, 100L, 300L)
-      val conf = scored
-        .withColumn("thr", explode(array(thr.map(lit): _*)))
-        .groupBy("thr")
-        .agg(
-          sum(when(col("margin") >= col("thr"), lit(1L) - col("is_a"))
-            .otherwise(0L)).as("fp"),
-          sum(when(col("margin") < col("thr"), col("is_a"))
-            .otherwise(0L)).as("fn"))
-      val ratios = s.range(1)
-        .select(explode(expr("array(1L, 2L, 5L, 10L)")).as("r"))
-      val wr = Window.partitionBy("r").orderBy(col("cost"), col("thr"))
-      conf.crossJoin(broadcast(ratios))
-        .withColumn("cost", col("fp") + col("r") * col("fn"))
-        .withColumn("is_best",
-          (row_number().over(wr) === 1).cast("int").cast("long"))
-        .select("r", "thr", "fp", "fn", "cost", "is_best")
-        .orderBy("r", "thr")
-    }),
-
-    "model_pr_auc" -> ((s, dir) => {
-      // average precision (PR-AUC, step form): AP = Σ_thresholds
-      // (ΔRecall)·Precision = Σ_margin-groups (ca/n_pos)·(cpos/call) —
-      // the ranking metric that, unlike ROC-AUC, degrades under class
-      // imbalance. Cumulatives are margin-DESC over the grouped domain
-      // frame; each term closes exact-int→double (two correctly-
-      // rounded divides + one product), and the group terms fold in
-      // FIXED ascending-margin order (the canonical-fold lesson) —
-      // engine-exact at round-6. Domain-sized everywhere after one
-      // grouped scan.
-      val d = t(s, dir, "documents")
-      val scored = d.select(
-        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
-        HashFunctions.linearMargin(
-          TextFunctions.tokens(lower(col("text")))).as("margin"))
-      val per = scored.groupBy("margin").agg(
-        sum(col("is_a")).as("ca"), count(lit(1)).as("call"))
-      val wd = Window.orderBy(col("margin").desc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cum = per
-        .withColumn("cpos", sum(col("ca")).over(wd))
-        .withColumn("call_cum", sum(col("call")).over(wd))
-      val tot = per.agg(sum(col("ca")).as("n_pos"),
-        sum(col("call") - col("ca")).as("n_neg"))
-      cum.crossJoin(broadcast(tot))
-        .withColumn("term", expr(
-          """CASE WHEN n_pos = 0 THEN 0.0
-             ELSE (CAST(ca AS DOUBLE) / CAST(n_pos AS DOUBLE))
-                  * (CAST(cpos AS DOUBLE) / CAST(call_cum AS DOUBLE)) END"""))
-        .groupBy()
-        .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
-          aggregate(sort_array(collect_list(struct(col("margin"),
-            col("term").as("v")))),
-            lit(0.0), (acc, x) => acc + x.getField("v")).as("tsum"))
-        .select(col("n_pos"), col("n_neg"),
-          round(col("tsum"), 6).as("ap"))
-    }),
-
-    "recsys_item_cf" -> ((s, dir) => {
-      // item-item collaborative filtering on the customer×part purchase
-      // matrix: cosine(i,j) = |buyers(i)∩buyers(j)| / √(deg_i·deg_j),
-      // top-5 neighbours for the 20 highest-degree parts. The pair
-      // generation is the classic Σ_c deg(c)² basket self-join — linear
-      // in practice because basket sizes are bounded; the edge frame is
-      // co-partitioned by customer ONCE so the self-join is exchange-
-      // free (the k-truss lesson), and only part-keyed counts leave the
-      // executors. Integer commons + IEEE-exact sqrt ⇒ floor-ppm
-      // cosines are engine-exact.
-      val ord = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val e = ord.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .repartition(col("c")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = e.groupBy("p").agg(count(lit(1)).as("deg"))
-      val top = deg.orderBy(col("deg").desc, col("p")).limit(20)
-        .select(col("p").as("p1"), col("deg").as("deg1"))
-      // probe-side pushdown: only baskets containing a top-20 part can
-      // contribute an emitted pair, so the quadratic Σdeg(c)² self-join
-      // shrinks to Σ deg_top(c)·deg(c) — the broadcast-semi shape that
-      // holds at 100 TB. Both join legs derive from `e`'s one customer
-      // partitioning (broadcast preserves it), so the basket join is
-      // exchange-free shuffle-hash, never a sorted SMJ.
-      val ea = e.join(broadcast(top), col("p") === col("p1")).drop("p")
-      val scoredPairs = ea.join(e.hint("shuffle_hash"), Seq("c"))
-        .filter(col("p") =!= col("p1"))
-        .groupBy(col("p1"), col("deg1"), col("p").as("p2"))
-        .agg(count(lit(1)).as("common"))
-        .join(deg.withColumnRenamed("p", "p2").withColumnRenamed("deg", "deg2")
-          .hint("shuffle_hash"), Seq("p2"))
-        .withColumn("cos_ppm", expr(
-          """CAST(floor(1000000.0 * common /
-             sqrt(CAST(deg1 AS DOUBLE) * CAST(deg2 AS DOUBLE))) AS BIGINT)"""))
-      val wr = Window.partitionBy("p1")
-        .orderBy(col("cos_ppm").desc, col("p2"))
-      scoredPairs.withColumn("rnk", row_number().over(wr))
-        .filter(col("rnk") <= 5)
-        .select(col("p1"), col("deg1"), col("rnk"), col("p2"),
-          col("common"), col("cos_ppm"))
-        .orderBy("p1", "rnk")
-    }),
-
-    "graph_eigenvector" -> ((s, dir) => {
-      // eigenvector centrality on the symmetrized supplier–part
-      // bipartite graph (nodes 2k/2k+1-encoded): two exact-integer
-      // power-iteration rounds from the degree vector (x₁ = A·1),
-      // normalized ONCE at the end — the graph_hits discipline (scale-
-      // invariance makes per-round normalization pure numerics; exact
-      // decimal(38,0) sums are partition-order-independent, so the
-      // iterate is engine-exact). Edge frame co-partitioned by source
-      // once; each round exchanges only the node-sized score frame.
-      // Top-20 nodes by final score.
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select((col("l_suppkey") * 2).as("u"),
-          (col("l_partkey") * 2 + 1).as("v")).distinct()
-      val und = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-        .repartition(col("u"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val x1 = und.groupBy(col("u").as("node"))
-        .agg(count(lit(1)).cast("decimal(38,0)").as("x"))
-      val x2 = und.join(x1.withColumnRenamed("node", "u").hint("shuffle_hash"),
-          Seq("u"))
-        .groupBy(col("v").as("node")).agg(sum(col("x")).as("x"))
-      val x3 = und.join(x2.withColumnRenamed("node", "u").hint("shuffle_hash"),
-          Seq("u"))
-        .groupBy(col("v").as("node")).agg(sum(col("x")).as("x"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = x3.agg(sum(col("x")).as("xsum"))
-      x3.crossJoin(broadcast(tot))
-        .withColumn("score_ppm",
-          expr("CAST((1000000 * x) div xsum AS BIGINT)"))
-        .orderBy(col("x").desc, col("node"))
-        .limit(20)
-        .select(col("node").cast("bigint").as("node"),
-          col("x").cast("bigint").as("x3"), col("score_ppm"))
-    }),
-
-    "layout_compaction_plan" -> ((s, dir) => {
-      // small-file compaction planner (the OPTIMIZE/bin-packing step of
-      // any lakehouse table service): documents are bucketed into 197
-      // pseudo-files (stable doc_id hash — the simulation stand-in for
-      // a real file listing), then files are assigned to target-size
-      // output bins by cumulative-size division in file-key order — the
-      // deterministic streaming analogue of first-fit that needs ONE
-      // window pass over the FILE METADATA, never the data. Emitted
-      // per bin: file count, bytes, fill-ppm vs the 128 KB target.
-      // At 100 TB the frame is files-sized (millions, not rows) and
-      // the plan is what the rewrite job executes.
-      val d = t(s, dir, "documents")
-      val target = 131072L
-      val files = d.groupBy(pmod(col("doc_id"), lit(197L)).as("file_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
-      val w = Window.orderBy("file_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      files
-        .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
-        .withColumn("bin", expr(s"cum_before div ${target}L"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
-          sum(col("bytes")).as("bytes"),
-          min(col("file_id")).as("first_file"),
-          max(col("file_id")).as("last_file"))
-        .withColumn("fill_ppm",
-          expr(s"(1000000 * bytes) div ${target}L"))
-        .orderBy("bin")
-    }),
-
-    "timeseries_holt" -> ((s, dir) => {
-      // Holt's linear (double-exponential) smoothing of the WEEKLY
-      // event-count series — the trend-aware sibling of
-      // timeseries_ewma. The two-state recursion l_t = αy_t +
-      // (1−α)(l+b), b_t = β(l_t−l) + (1−β)b has no window-function
-      // form, so it runs as a RECURSIVE CTE over the week spine — the
-      // same dialect-common text on both engines (the sql_recursive
-      // mechanism), with e-notation constants so both parse α as
-      // DOUBLE. Recursion depth = #weeks (~12): calendar-sized at any
-      // data scale; only the weekly rollup scans events.
-      Tables.registerAll(s, dir)
-      s.sql(holtSqlText)
-    }),
-
-    "stats_fisher_exact" -> ((s, dir) => {
-      // Fisher's exact test (one-sided upper) on the daily 2×2:
-      // weekend × error-heavy day (share above the overall error rate
-      // — the p-chart centre line, compared by EXACT integer cross-
-      // multiplication). The hypergeometric tail runs over the
-      // ln-factorial spine (cumulative ln fold over 0..n_days — the
-      // sequential window makes the fold order canonical), each term
-      // one exp(), summed in ascending-k order: at ~100 days the
-      // accumulated libm drift is ≤1e-12, far inside round-6. The 2×2
-      // itself folds from one day-grained scan; everything after is
-      // spine-sized regardless of event volume.
-      val ev = t(s, dir, "events")
-      val byDay = ev.groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("tot"),
-          sum(when(col("event_type") === "error", 1L).otherwise(0L))
-            .as("errs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val overall = byDay.agg(sum("tot").as("gt"), sum("errs").as("ge"))
-      val cells = byDay.crossJoin(broadcast(overall))
-        .withColumn("weekend", (weekday(col("day")) >= 5).cast("int"))
-        .withColumn("above",
-          (col("errs") * col("gt") > col("ge") * col("tot")).cast("int"))
-        .agg(sum(expr("weekend * above")).as("a"),
-          sum(expr("weekend * (1 - above)")).as("b"),
-          sum(expr("(1 - weekend) * above")).as("c"),
-          sum(expr("(1 - weekend) * (1 - above)")).as("d"))
-        .withColumn("r1", col("a") + col("b"))
-        .withColumn("r2", col("c") + col("d"))
-        .withColumn("c1", col("a") + col("c"))
-        .withColumn("n", col("r1") + col("r2"))
-      val nDays = cells.select(col("n")).head().getLong(0)
-      val lf = s.range(0, nDays + 1).select(col("id").as("m"))
-        .withColumn("lnm", when(col("m") === 0, 0.0).otherwise(log(col("m"))))
-        .withColumn("lfact", sum(col("lnm")).over(
-          Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)))
-        .select("m", "lfact")
-      val ks = s.range(0, nDays + 1).select(col("id").as("k"))
-      def lfAs(tag: String) = lf.select(col("m").as(s"m_$tag"),
-        col("lfact").as(s"lf_$tag"))
-      val terms = cells.crossJoin(ks)
-        .filter(col("k") >= col("a") &&
-          col("k") >= col("c1") - col("r2") &&
-          col("k") <= least(col("r1"), col("c1")))
-        .join(lfAs("k"), col("m_k") === col("k")).drop("m_k")
-        .join(lfAs("r1"), col("m_r1") === col("r1")).drop("m_r1")
-        .join(lfAs("r1k"), col("m_r1k") === col("r1") - col("k")).drop("m_r1k")
-        .join(lfAs("r2"), col("m_r2") === col("r2")).drop("m_r2")
-        .join(lfAs("c1k"), col("m_c1k") === col("c1") - col("k")).drop("m_c1k")
-        .join(lfAs("r2c1k"),
-          col("m_r2c1k") === col("r2") - col("c1") + col("k")).drop("m_r2c1k")
-        .join(lfAs("n"), col("m_n") === col("n")).drop("m_n")
-        .join(lfAs("c1"), col("m_c1") === col("c1")).drop("m_c1")
-        .join(lfAs("nc1"), col("m_nc1") === col("n") - col("c1")).drop("m_nc1")
-        .withColumn("term", exp(
-          col("lf_r1") - col("lf_k") - col("lf_r1k")
-          + col("lf_r2") - col("lf_c1k") - col("lf_r2c1k")
-          - col("lf_n") + col("lf_c1") + col("lf_nc1")))
-      terms.groupBy("a", "b", "c", "d")
-        .agg(aggregate(sort_array(collect_list(struct(col("k"),
-            col("term").as("v")))),
-          lit(0.0), (acc, x) => acc + x.getField("v")).as("psum"),
-          min(when(col("k") === col("a"), col("term"))).as("p0"))
-        .select(col("a"), col("b"), col("c"), col("d"),
-          round(col("p0"), 6).as("p_observed"),
-          round(col("psum"), 6).as("p_upper"))
-    }),
-
-    "timeseries_hurst" -> ((s, dir) => {
-      // Hurst exponent of the daily event-count series by rescaled-
-      // range analysis: for block sizes w ∈ {8,16,32}, R/S per
-      // complete block stays EXACT-integer under the ×w clearing
-      // (wZ_j = w·cum_j − j·S_blk; R/S = wR / √(wΣy²−S²) — integers
-      // into one IEEE sqrt), block averages fold in ascending block
-      // order, and H is the closed-form log-log OLS slope over the
-      // three (ln w, ln R̄/S̄) points in one fixed tree. Blocks are
-      // calendar-sized; one scan builds the day series.
-      val ev = t(s, dir, "events")
-      val d = ev.groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("y"))
-      val idx = d.withColumn("i",
-        (row_number().over(Window.orderBy("day")) - 1).cast("long"))
-      val ws = s.range(3, 6).select(
-        expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("w"))
-      val blocks = idx.crossJoin(ws)
-        .withColumn("blk", expr("i div w"))
-        .withColumn("j", expr("i % w + 1"))
-      val wcum = Window.partitionBy("w", "blk").orderBy("j")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val wall = Window.partitionBy("w", "blk")
-      val stats = blocks
-        .withColumn("cum", sum(col("y")).over(wcum))
-        .withColumn("sblk", sum(col("y")).over(wall))
-        .withColumn("z", col("w") * col("cum") - col("j") * col("sblk"))
-        .groupBy("w", "blk")
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("y")).cast("decimal(38,0)").as("sy"),
-          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
-          max(col("z")).as("zmax"), min(col("z")).as("zmin"))
-      val rs = stats.filter(col("cnt") === col("w"))
-        .withColumn("rs", expr(
-          """CASE WHEN w * syy - sy * sy = 0 THEN NULL
-             ELSE (CAST(zmax AS DOUBLE) - CAST(zmin AS DOUBLE))
-                  / sqrt(CAST(w * syy - sy * sy AS DOUBLE)) END"""))
-        .filter(col("rs").isNotNull)
-        .groupBy("w")
-        .agg(count(lit(1)).as("n_blocks"),
-          aggregate(sort_array(collect_list(struct(col("blk"),
-            col("rs").as("v")))),
-            lit(0.0), (acc, x) => acc + x.getField("v")).as("rssum"))
-        .withColumn("rs_avg", col("rssum") / col("n_blocks").cast("double"))
-      val fit = rs.agg(
-        count(lit(1)).as("np"),
-        aggregate(sort_array(collect_list(struct(col("w"),
-          struct(log(col("w")).as("x"), log(col("rs_avg")).as("y"))
-            .as("p")))),
-          struct(lit(0.0).as("sx"), lit(0.0).as("sy"),
-            lit(0.0).as("sxx"), lit(0.0).as("sxy")),
-          (acc, e) => struct(
-            (acc.getField("sx") + e.getField("p").getField("x")).as("sx"),
-            (acc.getField("sy") + e.getField("p").getField("y")).as("sy"),
-            (acc.getField("sxx") + e.getField("p").getField("x")
-              * e.getField("p").getField("x")).as("sxx"),
-            (acc.getField("sxy") + e.getField("p").getField("x")
-              * e.getField("p").getField("y")).as("sxy"))).as("s"))
-        .select(col("np"), expr(
-          """round((np * s.sxy - s.sx * s.sy)
-             / (np * s.sxx - s.sx * s.sx), 6)""").as("h_est"))
-      rs.crossJoin(broadcast(fit))
-        .select(col("w"), col("n_blocks"), round(col("rs_avg"), 6)
-          .as("rs_avg"), col("h_est"))
-        .orderBy("w")
-    }),
-
-    "model_brier" -> ((s, dir) => {
-      // Brier score with the Murphy reliability/resolution/uncertainty
-      // decomposition, all in EXACT scaled integers: the hashed margin
-      // maps to a ppm probability (clamped affine), every squared term is
-      // (sum-scaled integer)² div (exact integer) through decimal(38,0) —
-      // one floor per bin, no float accumulation anywhere. ONE grouped
-      // pass builds the 10 calibration bins (map-side combinable sums of
-      // p_ppm and labels); the closing row is arithmetic over ~10 cells.
-      // brier ≈ reliability − resolution + uncertainty up to the
-      // documented per-bin floors.
-      val d = t(s, dir, "documents")
-      val scored = d.select(
-          when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
-          HashFunctions.linearMargin(
-            TextFunctions.tokens(lower(col("text")))).as("margin"))
-        .withColumn("p_ppm",
-          least(greatest(lit(500000L) + lit(100L) * col("margin"), lit(0L)),
-            lit(1000000L)))
-        .withColumn("bin", least(expr("p_ppm div 100000"), lit(9L)))
-      val bins = scored.groupBy("bin").agg(
-        count(lit(1)).as("n_k"),
-        sum(col("p_ppm")).as("sp_k"),
-        sum(col("is_a")).as("so_k"),
-        sum(expr("""CAST(p_ppm - 1000000 * is_a AS DECIMAL(38,0))
-                    * CAST(p_ppm - 1000000 * is_a AS DECIMAL(38,0))"""))
-          .as("sq_k"))
-      val tot = bins.agg(sum(col("n_k")).as("n"), sum(col("so_k")).as("n_pos"))
-      bins.crossJoin(broadcast(tot))
-        .select(col("n"), col("n_pos"), col("sq_k"),
-          expr("""CAST(sp_k - 1000000 * so_k AS DECIMAL(38,0))
-                  * CAST(sp_k - 1000000 * so_k AS DECIMAL(38,0))
-                  div n_k""").as("rel_k"),
-          expr("""(CAST(so_k AS DECIMAL(38,0)) * n
-                    - CAST(n_k AS DECIMAL(38,0)) * n_pos)
-                  * (CAST(so_k AS DECIMAL(38,0)) * n
-                    - CAST(n_k AS DECIMAL(38,0)) * n_pos)
-                  * 1000000 * 1000000
-                  div (CAST(n_k AS DECIMAL(38,0)) * n * n)""").as("res_k"))
-        .groupBy("n", "n_pos")
-        .agg(sum(col("sq_k")).as("sq"), sum(col("rel_k")).as("rel"),
-          sum(col("res_k")).as("res"))
-        .select(col("n").cast("bigint").as("n"),
-          col("n_pos").cast("bigint").as("n_pos"),
-          expr("CAST(sq div n AS BIGINT)").as("brier_e12"),
-          expr("CAST(rel div n AS BIGINT)").as("rel_e12"),
-          expr("CAST(res div n AS BIGINT)").as("res_e12"),
-          expr("""CAST(CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos)
-                       * 1000000 * 1000000 div (CAST(n AS DECIMAL(38,0)) * n)
-                       div n AS BIGINT)""").as("unc_e12"))
-    }),
-
-    "model_fairness_slices" -> ((s, dir) => {
-      // per-slice classifier audit (the fairness table every model card
-      // needs): confusion counts by document source at threshold 0, exact
-      // floor-ppm TPR/FPR/accuracy, and each slice's TPR/FPR gap vs the
-      // pooled rates (demographic-parity style deltas). ONE grouped pass
-      // over the scored rows; the global row is a broadcast of the
-      // slice-level sums re-aggregated — never a second scan.
-      val d = t(s, dir, "documents")
-      val scored = d.select(col("source"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"),
-        (HashFunctions.linearMargin(
-          TextFunctions.tokens(lower(col("text")))) >= 0L).as("pred"))
-      val per = scored.groupBy("source").agg(
-        count(lit(1)).as("n"),
-        sum(when(col("pred") && col("is_a") === 1L, 1L).otherwise(0L))
-          .as("tp"),
-        sum(when(col("pred") && col("is_a") === 0L, 1L).otherwise(0L))
-          .as("fp"),
-        sum(when(!col("pred") && col("is_a") === 1L, 1L).otherwise(0L))
-          .as("fn"),
-        sum(when(!col("pred") && col("is_a") === 0L, 1L).otherwise(0L))
-          .as("tn"))
-      val glob = per.agg(sum(col("tp")).as("gtp"), sum(col("fp")).as("gfp"),
-        sum(col("fn")).as("gfn"), sum(col("tn")).as("gtn"))
-      per.crossJoin(broadcast(glob))
-        .select(col("source"), col("n"), col("tp"), col("fp"), col("fn"),
-          col("tn"),
-          expr("""CASE WHEN tp + fn = 0 THEN NULL
-                  ELSE CAST((1000000 * tp) div (tp + fn) AS BIGINT)
-                  END""").as("tpr_ppm"),
-          expr("""CASE WHEN fp + tn = 0 THEN NULL
-                  ELSE CAST((1000000 * fp) div (fp + tn) AS BIGINT)
-                  END""").as("fpr_ppm"),
-          expr("CAST((1000000 * (tp + tn)) div n AS BIGINT)").as("acc_ppm"),
-          expr("""CASE WHEN tp + fn = 0 THEN NULL
-                  ELSE CAST((1000000 * tp) div (tp + fn)
-                       - (1000000 * gtp) div (gtp + gfn) AS BIGINT)
-                  END""").as("tpr_gap_ppm"),
-          expr("""CASE WHEN fp + tn = 0 THEN NULL
-                  ELSE CAST((1000000 * fp) div (fp + tn)
-                       - (1000000 * gfp) div (gfp + gtn) AS BIGINT)
-                  END""").as("fpr_gap_ppm"))
-        .orderBy("source")
-    }),
-
-    "dq_psi_drift" -> ((s, dir) => {
-      // population-stability-index drift between the pre-1998 and
-      // post-1998 order-value distributions: 10 fixed 50k-wide bins,
-      // Laplace-smoothed shares ((cnt+1)/(n+10) — defined even for empty
-      // cells), per-bin PSI terms (p−q)·ln(p/q) from exact counts. The
-      // serving-vs-training drift monitor: counts are ONE grouped pass
-      // (map-side combinable), the bin frame is domain-sized (10 rows),
-      // and the closing math is double-on-exact-scalars only.
-      val o = t(s, dir, "orders")
-      val binned = o.select(
-        least(expr("CAST(floor(o_totalprice / 50000.0D) AS BIGINT)"), lit(9L))
-          .as("bin"),
-        when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1L)
-          .otherwise(0L).as("is_ref"))
-      val counts = binned.groupBy("bin").agg(
-        sum(col("is_ref")).as("cnt_ref"),
-        sum(lit(1L) - col("is_ref")).as("cnt_cur"))
-      val tot = counts.agg(sum(col("cnt_ref")).as("n_ref"),
-        sum(col("cnt_cur")).as("n_cur"))
-      val frame = s.range(0, 10).select(col("id").as("bin"))
-        .join(counts, Seq("bin"), "left")
-        .na.fill(0L, Seq("cnt_ref", "cnt_cur"))
-      frame.crossJoin(broadcast(tot))
-        .withColumn("p", (col("cnt_ref") + 1L).cast("double") /
-          (col("n_ref") + 10L).cast("double"))
-        .withColumn("q", (col("cnt_cur") + 1L).cast("double") /
-          (col("n_cur") + 10L).cast("double"))
-        .select(col("bin"), col("cnt_ref"), col("cnt_cur"),
-          expr("CAST((1000000 * cnt_ref) div n_ref AS BIGINT)")
-            .as("ref_ppm"),
-          expr("CAST((1000000 * cnt_cur) div n_cur AS BIGINT)")
-            .as("cur_ppm"),
-          round((col("p") - col("q")) * log(col("p") / col("q")), 6)
-            .as("psi_term"))
-        .orderBy("bin")
-    }),
-
-    "text_boilerplate" -> ((s, dir) => {
-      // per-domain boilerplate-line table (the CCNet move): lines whose
-      // document frequency within a source crosses 30% are boilerplate
-      // (nav bars, license footers); the synthetic corpus plants a
-      // license line in EVERY doc and a newsletter blurb in every 7th.
-      // The artifact is domain-sized — (source, repeated line) rows only,
-      // df ≥ 2 — which is what makes the apply step a broadcast join
-      // against 10⁹ docs instead of a self-join. ONE explode + grouped
-      // count builds it.
-      val d = t(s, dir, "documents").select("doc_id", "source", "text")
-      val docs = d.select(col("doc_id"), col("source"), concat_ws("\n\n",
-        substring(col("text"), 1, 120),
-        lit("this content is licensed under the terms of the example license"),
-        substring(col("text"), 121, 1000000),
-        when(pmod(col("doc_id"), lit(7)) === 0,
-          lit("subscribe to our newsletter for updates"))).as("text"))
-      val lines = docs.select(col("doc_id"), col("source"),
-          explode(split(col("text"), "\n\n")).as("line"))
-        .filter(trim(col("line")) =!= "")
-        .withColumn("key",
-          regexp_replace(trim(lower(col("line"))), "\\s+", " "))
-      val nd = docs.groupBy("source")
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
-      lines.groupBy("source", "key")
-        .agg(countDistinct(col("doc_id")).as("df"), min(col("line")).as("line"))
-        .filter(col("df") >= 2)
-        .join(broadcast(nd), "source")
-        .select(col("source"), col("line"), col("df"), col("n_docs"),
-          expr("CAST((1000000 * df) div n_docs AS BIGINT)").as("df_ppm"),
-          expr("CAST(CASE WHEN 10 * df >= 3 * n_docs THEN 1 ELSE 0 END " +
-            "AS BIGINT)").as("is_boiler"))
-        .orderBy(col("source"), col("df").desc, col("line"))
-    }),
-
-    "text_boilerplate_apply" -> ((s, dir) => {
-      // the scrub side of text_boilerplate: docs reassembled from the
-      // lines that are NOT domain boilerplate (df ≥ 30% of the source's
-      // docs). The boilerplate table is tiny (domain-sized), so the strip
-      // is a broadcast LEFT ANTI join on (source, normalized line) — the
-      // only full-data pass is the explode/reassemble, shuffled once on
-      // doc_id.
-      val d = t(s, dir, "documents").select("doc_id", "source", "text")
-      val docs = d.select(col("doc_id"), col("source"), concat_ws("\n\n",
-        substring(col("text"), 1, 120),
-        lit("this content is licensed under the terms of the example license"),
-        substring(col("text"), 121, 1000000),
-        when(pmod(col("doc_id"), lit(7)) === 0,
-          lit("subscribe to our newsletter for updates"))).as("text"))
-      val lines = docs.select(col("doc_id"), col("source"),
-          posexplode(split(col("text"), "\n\n")).as(Seq("pos", "line")))
-        .filter(trim(col("line")) =!= "")
-        .withColumn("key",
-          regexp_replace(trim(lower(col("line"))), "\\s+", " "))
-      val nd = docs.groupBy("source")
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
-      val boiler = lines.groupBy("source", "key")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .join(broadcast(nd), "source")
-        .filter(col("df") * 10 >= col("n_docs") * 3)
-        .select("source", "key")
-      lines.join(broadcast(boiler), Seq("source", "key"), "left_anti")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          concat_ws("\n\n", array_sort(collect_list(struct(col("pos"),
-            col("line")))).getField("line")).as("text"))
-        .orderBy("doc_id")
-    }),
-
-    "layout_bloom_prune" -> ((s, dir) => {
-      // file-level Bloom-index pruning for a HIGH-CARDINALITY UNSORTED
-      // column — the file-skipping sibling of layout_zonemap_prune:
-      // zone maps prune range predicates on clustered columns; a
-      // per-file Bloom over the FNV content hash prunes point lookups
-      // that no sort order helps. 64 files (doc_id mod 64 —
-      // deliberately uncorrelated with content), per-file 1024-bit
-      // Bloom whose 4 positions are disjoint 10-bit fields of ONE
-      // splitmix64 (the agg_cms_merge bit-field discipline; the oracle
-      // replays the chain); a probe may scan a file only when ALL its
-      // bits are set. Candidates ⊇ true files by construction (a Bloom
-      // never false-negatives); false positives are counted against
-      // the exact content join. At 100 TB the bit sets are a
-      // files×128-byte manifest read at plan time, and the probe scans
-      // n_candidate/64 of the corpus instead of all of it.
-      val d = t(s, dir, "documents")
-      val keyed = d.select(col("doc_id"),
-          pmod(col("doc_id"), lit(64L)).as("file_id"),
-          HashFunctions.fnv64(col("text")).as("kh"))
-        .withColumn("z1", expr(s"kh + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def fieldBits(src: DataFrame, idCol: String) =
-        src.select(col(idCol), explode(array((0 to 3).map(r =>
-            expr(s"shiftrightunsigned(h, ${10 * r}) & 1023L")): _*)).as("bit"))
-          .distinct()
-      val bits = fieldBits(keyed, "file_id")
-      val probes = keyed.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("probe_id"), col("kh"), col("h"))
-      val probeBits = fieldBits(probes, "probe_id")
-      val need = probeBits.groupBy("probe_id").agg(count(lit(1)).as("n_bits"))
-      val cand = bits.join(broadcast(probeBits), Seq("bit"))
-        .groupBy("probe_id", "file_id").agg(count(lit(1)).as("n_hit"))
-        .join(broadcast(need), Seq("probe_id"))
-        .filter(col("n_hit") === col("n_bits"))
-        .groupBy("probe_id").agg(count(lit(1)).as("n_candidate_files"))
-      val truth = keyed
-        .join(broadcast(probes.select(col("probe_id"), col("kh"))), Seq("kh"))
-        .select(col("probe_id"), col("file_id")).distinct()
-        .groupBy("probe_id").agg(count(lit(1)).as("n_true_files"))
-      cand.join(truth, Seq("probe_id"))
-        .select(col("probe_id"), col("n_candidate_files"),
-          col("n_true_files"),
-          (col("n_candidate_files") - col("n_true_files")).as("n_false_pos"),
-          expr("(n_candidate_files * 1000000) div 64").as("scan_ppm"))
-        .orderBy("probe_id")
-    }),
-
-    "layout_zonemap_prune" -> ((s, dir) => {
-      // zone-map (min/max) file-skipping readout — the measurement behind
-      // every "why sort/cluster the table" decision: rows are assigned to
-      // pseudo-files under two layouts (natural = contiguous orderkey
-      // ranges; sorted = contiguous ranks of the distributed
-      // Rank.globalRowNumber order on ship date), per-file min/max zone
-      // maps are ONE grouped pass over (file, date) — metadata-sized from
-      // there — and a month predicate is evaluated against the maps.
-      // Sorted layout prunes all but the files overlapping the month;
-      // natural layout scans nearly everything. At 100 TB this table IS
-      // the expected-scan-cost model for the compaction planner.
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_shipdate")
-      val lo = lit("1997-06-01").cast("timestamp")
-      val hi = lit("1997-06-30").cast("timestamp")
-      def zones(withFile: DataFrame, name: String): DataFrame =
-        withFile.groupBy("file_id")
-          .agg(count(lit(1)).as("rws"),
-            min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"),
-            sum(when(col("l_shipdate").between(lo, hi), 1L).otherwise(0L))
-              .as("mrows"))
-          .agg(lit(name).as("layout"),
-            count(lit(1)).as("n_files"),
-            sum(when(col("mx") >= lo && col("mn") <= hi, 1L).otherwise(0L))
-              .as("files_scanned"),
-            sum(col("rws")).as("rows_total"),
-            sum(when(col("mx") >= lo && col("mn") <= hi, col("rws"))
-              .otherwise(0L)).as("rows_scanned"),
-            sum(col("mrows")).as("rows_match"))
-      val nat = li.withColumn("file_id", expr("l_orderkey div 128"))
-      val srt = Rank.globalRowNumber(li, 32, "rn",
-          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-        .withColumn("file_id", expr("(rn - 1) div 4096"))
-      zones(nat, "natural").unionAll(zones(srt, "sorted"))
-        .select(col("layout"), col("n_files"), col("files_scanned"),
-          col("rows_total"), col("rows_scanned"), col("rows_match"),
-          expr("""CAST((1000000 * (n_files - files_scanned)) div n_files
-                  AS BIGINT)""").as("file_prune_ppm"),
-          expr("""CAST((1000000 * (rows_total - rows_scanned)) div rows_total
-                  AS BIGINT)""").as("row_prune_ppm"))
-        .orderBy("layout")
-    }),
-
-    "agg_weighted_median" -> ((s, dir) => {
-      // exact weighted median (quantity-weighted extended price) per
-      // return flag by DOMAIN reduction: collapse rows to (flag, price,
-      // Σweight) — the value domain, orders of magnitude smaller than the
-      // row count — cumulate weight per flag in price order (a
-      // partitioned window, parallel across flags), and pick the first
-      // price whose doubled cumulative weight reaches the flag total.
-      // Weights are integral-valued doubles, so the BIGINT casts are
-      // exact and the pick is integer-compare-only.
-      val li = t(s, dir, "lineitem")
-      val dom = li.groupBy(col("l_returnflag").as("flag"),
-          col("l_extendedprice").as("price"))
-        .agg(sum(col("l_quantity").cast("bigint")).as("w"))
-      val wc = Window.partitionBy("flag").orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val wt = Window.partitionBy("flag")
-      dom
-        .withColumn("cum", sum(col("w")).over(wc))
-        .withColumn("tot", sum(col("w")).over(wt))
-        .filter(col("cum") * 2 >= col("tot"))
-        .groupBy("flag")
-        .agg(min(col("price")).as("wmedian"), max(col("tot")).as("total_w"))
-        .orderBy("flag")
-    }),
-
-    "feature_corr_matrix" -> ((s, dir) => {
-      // the full pairwise Pearson matrix over four lineitem measures from
-      // ONE aggregation pass: every Σx, Σx², Σxy is an exact
-      // decimal(18,2)/(37,4) sum (order-independent, map-side
-      // combinable — the agg_corr discipline widened to all pairs), and
-      // the 6 upper-triangle correlations are closed-form doubles over
-      // those exact scalars, exploded from the single moments row. At
-      // 100 TB this is one scan producing k² cells — never k² scans.
-      val li = t(s, dir, "lineitem")
-      val m = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
-        "d" -> "l_discount", "t" -> "l_tax")
-      val names = Map("q" -> "qty", "p" -> "price", "d" -> "disc",
-        "t" -> "tax")
-      def c(k: String): Column = col(m(k)).cast("decimal(18,2)")
-      val keys = Seq("q", "p", "d", "t")
-      val firsts = keys.map(k => sum(c(k)).as(s"s_$k"))
-      val seconds = for { i <- keys.indices; j <- i until keys.size }
-        yield sum(c(keys(i)) * c(keys(j)))
-          .as(s"s_${keys(i)}${keys(j)}")
-      val sums = li.agg(count(lit(1)).as("n"),
-        (firsts ++ seconds): _*)
-      def corrExpr(a: String, b: String): Column = expr(
-        s"""round((CAST(n AS DOUBLE) * CAST(s_$a$b AS DOUBLE)
-               - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(s_$a$a AS DOUBLE)
-                 - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
-               * sqrt(CAST(n AS DOUBLE) * CAST(s_$b$b AS DOUBLE)
-                 - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)""")
-      val cells = for { i <- keys.indices; j <- (i + 1) until keys.size }
-        yield struct(lit(names(keys(i))).as("col_a"),
-          lit(names(keys(j))).as("col_b"),
-          corrExpr(keys(i), keys(j)).as("corr"))
-      sums.select(col("n"), explode(array(cells: _*)).as("cell"))
-        .select(col("cell.col_a").as("col_a"), col("cell.col_b").as("col_b"),
-          col("n"), col("cell.corr").as("corr"))
-        .orderBy("col_a", "col_b")
-    }),
-
-    "agg_hll_estimate" -> ((s, dir) => {
-      // HyperLogLog distinct-count estimate (p=12, 4096 registers) next
-      // to the exact count, per return flag: splitmix64 the key, bucket =
-      // top 12 bits, rho = leading-zero rank of the remaining 52. The
-      // register table is the ONLY state — domain-sized (groups × ≤4096
-      // rows), built by one grouped max (map-side combinable), mergeable
-      // across shards/days by the same max — the whole reason HLL exists
-      // at 100 TB. The harmonic sum folds exact dyadic terms (1/2^reg,
-      // never libm pow) in canonical bucket order; the small-range branch
-      // applies linear counting off the zero-register count.
-      val li = t(s, dir, "lineitem")
-      val m = 4096L
-      val rho = li.select(col("l_returnflag").as("flag"), col("l_partkey"))
-        .withColumn("z1", expr(s"l_partkey + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .withColumn("bucket", expr("shiftrightunsigned(h, 52)"))
-        .withColumn("rest", expr(s"h & ${(1L << 52) - 1}L"))
-        .withColumn("rho", expr(
-          "CASE WHEN rest = 0 THEN 53L ELSE 53L - length(bin(rest)) END"))
-      val regs = rho.groupBy("flag", "bucket").agg(max(col("rho")).as("reg"))
-        .withColumn("term",
-          expr("1.0D / CAST(shiftleft(1L, CAST(reg AS INT)) AS DOUBLE)"))
-      val exact = li.groupBy(col("l_returnflag").as("flag"))
-        .agg(countDistinct(col("l_partkey")).as("n_exact"))
-      regs.groupBy("flag")
-        .agg(count(lit(1)).as("present"),
-          aggregate(sort_array(collect_list(struct(col("bucket"),
-              col("term")))),
-            lit(0.0),
-            (acc, x) => acc + x.getField("term")).as("hsum"))
-        .join(broadcast(exact), "flag")
-        .withColumn("v_zero", lit(m) - col("present"))
-        .withColumn("sum_all",
-          col("hsum") + col("v_zero").cast("double"))
-        .withColumn("e_raw",
-          lit(0.7213 / (1.0 + 1.079 / m)) * lit(m.toDouble) *
-            lit(m.toDouble) / col("sum_all"))
-        .withColumn("est", expr(
-          s"""CASE WHEN e_raw <= 2.5 * $m AND v_zero > 0
-              THEN $m * ln(CAST($m AS DOUBLE) / v_zero)
-              ELSE e_raw END"""))
-        .select(col("flag"), col("n_exact"), lit(m).as("m"), col("v_zero"),
-          round(col("e_raw"), 4).as("e_raw"), round(col("est"), 4).as("est"),
-          expr("""CAST(floor(1000000 * abs(est / n_exact - 1.0)) AS BIGINT)
-               """).as("err_ppm"))
-        .orderBy("flag")
-    }),
-
-    "dq_referential_integrity" -> ((s, dir) => {
-      // foreign-key orphan audit across the star schema's six edges — the
-      // referential-integrity gate a lakehouse runs per ingest. Each edge
-      // is ONE pass over the child: broadcast-left-join the (distinct)
-      // parent key and count rows/null-FKs/orphans from the hit flag —
-      // never a second scan, never a shuffle of the child (every parent
-      // here is dimension-sized; a fact-sized parent would flip to a
-      // shuffle join on the same plan).
-      def edge(child: DataFrame, childName: String, fk: String,
-               parent: DataFrame, parentName: String, pk: String) = {
-        val p = parent.select(col(pk).cast("bigint").as("__pk")).distinct()
-          .withColumn("__hit", lit(1))
-        child.select(col(fk).cast("bigint").as("__fk"))
-          .join(broadcast(p), col("__fk") === col("__pk"), "left")
-          .agg(count(lit(1)).as("n_rows"),
-            sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
-            sum(when(col("__fk").isNotNull && col("__hit").isNull, 1L)
-              .otherwise(0L)).as("n_orphans"))
-          .select(lit(childName).as("child_table"), lit(fk).as("fk_col"),
-            lit(parentName).as("parent_table"), col("n_rows"),
-            col("n_null_fk"), col("n_orphans"),
-            expr("CAST((1000000 * n_orphans) div n_rows AS BIGINT)")
-              .as("orphan_ppm"))
-      }
-      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
-      val p = t(s, dir, "part"); val n = t(s, dir, "nation")
-      val ev = t(s, dir, "events")
-      edge(li, "lineitem", "l_orderkey", o, "orders", "o_orderkey")
-        .unionAll(edge(li, "lineitem", "l_partkey", p, "part", "p_partkey"))
-        .unionAll(edge(li, "lineitem", "l_suppkey", su, "supplier",
-          "s_suppkey"))
-        .unionAll(edge(o, "orders", "o_custkey", c, "customer", "c_custkey"))
-        .unionAll(edge(c, "customer", "c_nationkey", n, "nation",
-          "n_nationkey"))
-        .unionAll(edge(ev, "events", "user_id", c, "customer", "c_custkey"))
-        .orderBy("child_table", "fk_col")
-    }),
-
-    "sample_systematic" -> ((s, dir) => {
-      // systematic 1-in-250 sample in (order date, order key) order — the
-      // deterministic evenly-spaced audit sample (row rn ≡ 1 mod 250).
-      // The global position comes from Rank.globalRowNumber (range
-      // repartition + per-partition offsets), so no single-task window
-      // touches the row set; at 100 TB the pick is a filter over an
-      // embarrassingly parallel rank.
-      val o = t(s, dir, "orders")
-        .select("o_orderkey", "o_orderdate", "o_totalprice")
-      Rank.globalRowNumber(o, 32, "rn",
-          col("o_orderdate"), col("o_orderkey"))
-        .filter(expr("rn % 250 = 1"))
-        .select(col("rn"), col("o_orderkey"), col("o_totalprice"))
-        .orderBy("rn")
-    }),
-
-    "privacy_dp_counts" -> ((s, dir) => {
-      // Laplace-noised per-nation customer counts, the differential-
-      // privacy release shape (sensitivity 1, ε = 0.5, b = 1/ε = 2):
-      // noise = −b·sign(u−½)·ln(1−2|u−½|) by inverse CDF. The uniform u
-      // is splitmix64(nationkey)-seeded — DETERMINISTIC on purpose so the
-      // release is oracle-checkable and replayable; a production release
-      // would draw real entropy at exactly this point (and would not emit
-      // the exact count beside it — kept here as the calibration
-      // readout). Counts are one grouped pass; the noise math is
-      // per-GROUP arithmetic on a domain-sized frame.
-      val c = t(s, dir, "customer")
-      c.groupBy(col("c_nationkey").cast("bigint").as("nation"))
-        .agg(count(lit(1)).as("n_exact"))
-        .withColumn("z1", expr(s"nation + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        // u ∈ (0,1): top 52 bits of h over 2^52, offset by 2^-53
-        .withColumn("u", expr(
-          s"""(CAST(shiftrightunsigned(h, 12) AS DOUBLE)
-               + 0.5) / ${(1L << 52).toDouble}"""))
-        .withColumn("noise", expr(
-          """-2.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
-             * ln(1.0 - 2.0 * abs(u - 0.5))"""))
-        .select(col("nation"), col("n_exact"),
-          round(col("noise"), 4).as("noise"),
-          expr("CAST(round(n_exact + noise, 0) AS BIGINT)")
-            .as("n_released"))
-        .orderBy("nation")
-    }),
-
-    "privacy_noisy_max" -> ((s, dir) => {
-      // report-noisy-max (Dwork & Roth §3.3), completing the DP family
-      // beside counts/mean/quantile: WHICH category is largest,
-      // released ε-DP by adding Laplace(1/ε) to each count and
-      // reporting only the argmax — the mechanism that answers the
-      // identity question with constant noise where releasing all
-      // counts would pay per-cell. Noise is the dp_counts
-      // deterministic inverse-CDF replay seeded by the category hash
-      // (a production release draws real entropy at that point); the
-      // exact counts ride beside as the calibration readout. The
-      // winner test compares raw doubles — deterministic, and both
-      // engines order identically unless two noisy values collide to
-      // the ulp. Domain-sized work after one grouped pass.
-      val o = t(s, dir, "orders")
-      o.groupBy(col("o_orderpriority").as("priority"))
-        .agg(count(lit(1)).as("n_exact"))
-        .withColumn("k", HashFunctions.fnv64(col("priority")))
-        .withColumn("z1", expr(s"k + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .withColumn("u", expr(
-          s"""(CAST(shiftrightunsigned(h, 12) AS DOUBLE)
-               + 0.5) / ${(1L << 52).toDouble}"""))
-        .withColumn("noise", expr(
-          """-2.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
-             * ln(1.0 - 2.0 * abs(u - 0.5))"""))
-        .withColumn("noisy_raw", col("n_exact") + col("noise"))
-        // the argmax closes via a broadcast scalar, not a global window
-        .transform { df =>
-          df.crossJoin(broadcast(df.agg(max(col("noisy_raw")).as("mx"))))
-        }
-        .select(col("priority"), col("n_exact"),
-          round(col("noise"), 4).as("noise"),
-          round(col("noisy_raw"), 4).as("noisy"),
-          (col("noisy_raw") === col("mx")).cast("int").cast("long")
-            .as("is_winner"))
-        .orderBy("priority")
-    }),
-
-    "join_bloom_prefilter" -> ((s, dir) => {
-      // the broadcast-bloom semi-join: revenue of lineitems belonging to
-      // high-value orders, where the fact scan is prefiltered by a
-      // ~10-bits-per-key Bloom of the qualifying order keys INLINED AS A
-      // PLAN LITERAL (a constant in generated code — no shuffle, no
-      // per-row filter copy), and only the might-contain survivors pay
-      // the exact broadcast semi join. False positives die at the
-      // confirm, so the answer is exactly the plain semi join's — which
-      // is the oracle — while at 100 TB the bloom turns "shuffle the
-      // fact table" into "scan + local bit test".
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val hot = o.filter(col("o_totalprice") > 400000.0)
-        .select(col("o_orderkey"))
-      val words = Bloom.wordsFor(4096L)
-      val bloom = Bloom.literal(Bloom.buildWords(hot, "o_orderkey", words))
-      li.filter(Bloom.mightContain(bloom, col("l_orderkey"), words))
-        .join(broadcast(hot), li("l_orderkey") === hot("o_orderkey"),
-          "left_semi")
-        .groupBy(col("l_returnflag").as("flag"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-            .cast("double").as("revenue"))
-        .orderBy("flag")
-    }),
-
-    "timeseries_sax" -> ((s, dir) => {
-      // SAX symbolization of the daily event-count series: z-normalize
-      // against exact integer sums, PAA-average over 3-day segments
-      // (ascending-day folds — no float reorder), then quantize into 4
-      // symbols at the standard N(0,1) quartile breakpoints ±0.6745/0.
-      // The frame is calendar-sized end to end (days → thirds of days),
-      // which is what makes the discretization free at any row scale —
-      // the only row-sized work is the daily count.
-      val ev = t(s, dir, "events")
-      val d = ev.groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("y"))
-      val tot = d.agg(count(lit(1)).as("n"),
-        sum(col("y")).as("sy"),
-        sum(col("y") * col("y")).as("syy"))
-      val idx = d.withColumn("i",
-        (row_number().over(Window.orderBy("day")) - 1).cast("long"))
-      idx.crossJoin(broadcast(tot))
-        .withColumn("mean", col("sy").cast("double") / col("n").cast("double"))
-        .withColumn("sd", expr(
-          """sqrt(CAST(n * syy - sy * sy AS DOUBLE))
-             / CAST(n AS DOUBLE)"""))
-        .withColumn("z", (col("y").cast("double") - col("mean")) / col("sd"))
-        .withColumn("seg", expr("i div 3"))
-        .groupBy("seg")
-        .agg(count(lit(1)).as("n_days"),
-          aggregate(sort_array(collect_list(struct(col("i"),
-              col("z").as("v")))),
-            lit(0.0), (acc, x) => acc + x.getField("v")).as("zsum"))
-        .withColumn("paa", col("zsum") / col("n_days").cast("double"))
-        .select(col("seg"), col("n_days"), round(col("paa"), 6).as("paa"),
-          expr("""CASE WHEN paa < -0.6745 THEN 'a'
-                  WHEN paa < 0.0 THEN 'b'
-                  WHEN paa < 0.6745 THEN 'c'
-                  ELSE 'd' END""").as("symbol"))
-        .orderBy("seg")
-    }),
-
-    "recsys_coverage" -> ((s, dir) => {
-      // catalog coverage / novelty / popularity-bias audit of the
-      // item-CF top-5 lists (the recsys_item_cf pipeline replayed to its
-      // rec rows, then closed into ONE readout row): coverage = distinct
-      // recommended items over the catalog, novelty = mean −log2
-      // popularity share (ascending (p1, rnk) fold), pop-share as an
-      // exact-integer ppm. The closing pass is rec-list-sized (top-20 ×
-      // 5 rows) — the audit costs nothing beyond the CF itself.
-      val ord = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val e = ord.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .repartition(col("c")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = e.groupBy("p").agg(count(lit(1)).as("deg"))
-      val top = deg.orderBy(col("deg").desc, col("p")).limit(20)
-        .select(col("p").as("p1"), col("deg").as("deg1"))
-      val ea = e.join(broadcast(top), col("p") === col("p1")).drop("p")
-      val scored = ea.join(e.hint("shuffle_hash"), Seq("c"))
-        .filter(col("p") =!= col("p1"))
-        .groupBy(col("p1"), col("deg1"), col("p").as("p2"))
-        .agg(count(lit(1)).as("common"))
-        .join(deg.withColumnRenamed("p", "p2").withColumnRenamed("deg", "deg2")
-          .hint("shuffle_hash"), Seq("p2"))
-        .withColumn("cos_ppm", expr(
-          """CAST(floor(1000000.0 * common /
-             sqrt(CAST(deg1 AS DOUBLE) * CAST(deg2 AS DOUBLE))) AS BIGINT)"""))
-      val wr = Window.partitionBy("p1")
-        .orderBy(col("cos_ppm").desc, col("p2"))
-      val recs = scored.withColumn("rnk", row_number().over(wr))
-        .filter(col("rnk") <= 5)
-        .select("p1", "rnk", "p2", "deg2")
-      val catalog = t(s, dir, "part")
-        .agg(count(lit(1)).as("catalog_n"))
-      val edges = e.agg(count(lit(1)).as("n_edges"))
-      recs
-        .agg(count(lit(1)).as("n_recs"),
-          countDistinct(col("p2")).as("n_distinct_rec"),
-          sum(col("deg2")).as("sum_deg2"),
-          collect_list(struct(col("p1"), col("rnk"), col("deg2"))).as("cells"))
-        .crossJoin(broadcast(catalog)).crossJoin(broadcast(edges))
-        .select(col("n_recs"), col("n_distinct_rec"), col("catalog_n"),
-          expr("CAST((1000000 * n_distinct_rec) div catalog_n AS BIGINT)")
-            .as("coverage_ppm"),
-          round(aggregate(sort_array(col("cells")), lit(0.0),
-            (acc, x) => acc +
-              log(2.0,
-                col("n_edges").cast("double") /
-                  x.getField("deg2").cast("double")))
-            / col("n_recs").cast("double"), 6).as("novelty"),
-          expr("""CAST((1000000 * sum_deg2) div (n_recs * n_edges)
-                  AS BIGINT)""").as("pop_share_ppm"))
-    }),
-
-    "events_cep_match" -> ((s, dir) => {
-      // complex-event-pattern detection: for each (trigger → outcome)
-      // pair, count trigger events followed by the outcome for the SAME
-      // user within 30 minutes, plus the distinct users matched. Each
-      // leg scans events with the event-type filter PUSHED to parquet;
-      // the match is a user-keyed semi join (AQE splits hot users) whose
-      // per-user work is session-bounded — the declarative form of a CEP
-      // engine's NFA step at 100 TB.
-      val ev = t(s, dir, "events").select("user_id", "event_id",
-        "event_type", "ts")
-      def leg(a: String, b: String): DataFrame = {
-        val ta = ev.filter(col("event_type") === a)
-          .select(col("user_id"), col("event_id"), col("ts").as("ts_a"))
-        val tb = ev.filter(col("event_type") === b)
-          .select(col("user_id").as("ub"), col("ts").as("ts_b"))
-        val matched = ta.join(tb,
-          col("user_id") === col("ub") && col("ts_b") > col("ts_a") &&
-            col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTES"),
-          "left_semi")
-          .agg(count(lit(1)).as("n_matched"),
-            countDistinct(col("user_id")).as("n_users"))
-        val na = ta.agg(count(lit(1)).as("n_triggers"))
-        matched.crossJoin(broadcast(na))
-          .select(lit(s"$a->$b").as("pattern"), col("n_triggers"),
-            col("n_matched"), col("n_users"),
-            expr("CAST((1000000 * n_matched) div n_triggers AS BIGINT)")
-              .as("match_ppm"))
-      }
-      leg("view", "purchase")
-        .unionAll(leg("signup", "purchase"))
-        .unionAll(leg("error", "purchase"))
-        .orderBy("pattern")
-    }),
-
-    "stats_power_analysis" -> ((s, dir) => {
-      // experiment sizing table: per absolute effect size δ, the
-      // required per-arm n for a two-proportion z-test at α=0.05
-      // (two-sided) and 80% power, seeded by the observed purchase share
-      // of events — the pre-experiment readout every A/B platform
-      // serves. ONE counting pass; the closing row set is 3 cells of
-      // arithmetic over exact scalars (z constants are shared literals,
-      // so both engines square identical doubles).
-      val ev = t(s, dir, "events")
-      val base = ev.agg(count(lit(1)).as("n"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("pos"))
-      val za = 1.959963984540054; val zb = 0.8416212335729143
-      base
-        .withColumn("delta_ppm",
-          explode(array(lit(10000L), lit(20000L), lit(50000L))))
-        .withColumn("p1", col("pos").cast("double") / col("n").cast("double"))
-        .withColumn("p2", col("p1") + col("delta_ppm").cast("double") / 1e6)
-        .withColumn("pbar", (col("p1") + col("p2")) / 2.0)
-        .withColumn("num", expr(
-          s"""$za * sqrt(2.0 * pbar * (1.0 - pbar))
-              + $zb * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))"""))
-        .select(col("delta_ppm"),
-          expr("CAST((1000000 * pos) div n AS BIGINT)").as("p1_ppm"),
-          expr("""CAST(ceil(num * num /
-                  (CAST(delta_ppm AS DOUBLE) / 1000000.0
-                   * CAST(delta_ppm AS DOUBLE) / 1000000.0)) AS BIGINT)""")
-            .as("n_per_arm"))
-        .orderBy("delta_ppm")
-    }),
-
-    "ab_srm_check" -> ((s, dir) => {
-      // sample-ratio-mismatch guardrail: the stable-hash 50/50 customer
-      // assignment (the train_split discipline — no rand()) counted per
-      // arm, χ² against the expected equal split, flagged at the 0.05
-      // critical value. The check every experiment readout must pass
-      // before any lift number is believed. One grouped pass; the χ² is
-      // arithmetic over two exact counts.
-      val c = t(s, dir, "customer")
-      c.select(col("c_custkey"))
-        .withColumn("z1", expr(s"c_custkey + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .withColumn("arm_a", expr("(h & 1) = 0"))
-        .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a"),
-          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"))
-        .withColumn("expected", (col("n_a") + col("n_b")).cast("double") / 2.0)
-        .withColumn("chi2_raw", expr(
-          """(CAST(n_a AS DOUBLE) - expected)
-             * (CAST(n_a AS DOUBLE) - expected) / expected
-             + (CAST(n_b AS DOUBLE) - expected)
-             * (CAST(n_b AS DOUBLE) - expected) / expected"""))
-        .select(col("n_a"), col("n_b"),
-          round(col("chi2_raw"), 6).as("chi2"),
-          expr("CAST(CASE WHEN chi2_raw > 3.841 THEN 1 ELSE 0 END AS BIGINT)")
-            .as("srm"))
-    }),
-
-    "tokenizer_fertility" -> ((s, dir) => {
-      // tokenizer health per source: fertility (BPE symbols per word) and
-      // compression (chars per symbol) after the 8 trained merges — the
-      // readout that tells you which domain the vocabulary under-serves.
-      // Rides Bpe.encodeStats (distinct vocab encoded ONCE, dictionary
-      // join back), so the per-source rollup adds one broadcast join +
-      // grouped sums to work already done; the merge table is the same
-      // driver-memoized artifact as tokenizer_bpe_apply's.
-      val d = t(s, dir, "documents")
-      val merges = bpeMerges.getOrElseUpdate(dir,
-        graft.operators.Bpe.train(s, d, 8)
-          .orderBy("step").select("lhs", "rhs").collect()
-          .map(r => (r.getString(0), r.getString(1))).toSeq)
-      graft.operators.Bpe.encodeStats(d, merges)
-        .join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_words"),
-          sum(col("n_chars")).as("n_chars"),
-          sum(col("n_symbols")).as("n_symbols"))
-        .select(col("source"), col("n_docs"), col("n_words"),
-          col("n_symbols"),
-          expr("CAST((1000000 * n_symbols) div n_words AS BIGINT)")
-            .as("fertility_ppm"),
-          expr("CAST(floor(n_chars * 10000.0 / n_symbols) AS BIGINT)")
-            .as("chars_per_sym_bp"))
-        .orderBy("source")
-    }),
-
-    "timeseries_forecast_eval" -> ((s, dir) => {
-      // one-step-ahead backtest of three deterministic baselines on the
-      // daily event-count series — naive (yesterday), seasonal-naive
-      // (last week), expanding mean — scored by MAE and MAPE over the
-      // days where all three are defined. Errors derive from exact
-      // integer counts (the expanding mean stays a rational c·y − sy
-      // over c); the series and the scorecard are calendar-sized, so the
-      // whole evaluation is metadata work after the daily count.
-      val ev = t(s, dir, "events")
-      val d = ev.groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("y"))
-      val w = Window.orderBy("day")
-      val wp = w.rowsBetween(Window.unboundedPreceding, -1)
-      val scored = d
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("naive", lag(col("y"), 1).over(w))
-        .withColumn("snaive", lag(col("y"), 7).over(w))
-        .withColumn("sy_prev", sum(col("y")).over(wp))
-        .withColumn("c_prev", count(lit(1)).over(wp))
-        .filter(col("snaive").isNotNull)
-      val errs = scored.select(col("i"), col("y"),
-        abs(col("y") - col("naive")).cast("double").as("e_naive"),
-        abs(col("y") - col("snaive")).cast("double").as("e_snaive"),
-        (abs(col("y") * col("c_prev") - col("sy_prev")).cast("double") /
-          col("c_prev").cast("double")).as("e_mean"))
-      errs
-        .agg(count(lit(1)).as("n_evals"),
-          collect_list(struct(col("i"), col("y"), col("e_naive"),
-            col("e_snaive"), col("e_mean"))).as("cells"))
-        .select(col("n_evals"), explode(array(
-          struct(lit("expanding_mean").as("method"), lit("e_mean").as("f")),
-          struct(lit("naive").as("method"), lit("e_naive").as("f")),
-          struct(lit("seasonal_naive").as("method"), lit("e_snaive").as("f"))
-        )).as("m"), col("cells"))
-        .select(col("m.method").as("method"), col("n_evals"),
-          round(aggregate(sort_array(col("cells")), lit(0.0),
-            (acc, x) => acc + when(col("m.f") === "e_naive",
-                x.getField("e_naive"))
-              .when(col("m.f") === "e_snaive", x.getField("e_snaive"))
-              .otherwise(x.getField("e_mean")))
-            / col("n_evals").cast("double"), 6).as("mae"),
-          round(aggregate(sort_array(col("cells")), lit(0.0),
-            (acc, x) => acc + when(col("m.f") === "e_naive",
-                x.getField("e_naive"))
-              .when(col("m.f") === "e_snaive", x.getField("e_snaive"))
-              .otherwise(x.getField("e_mean"))
-              / x.getField("y").cast("double"))
-            / col("n_evals").cast("double"), 6).as("mape"))
-        .orderBy("method")
-    }),
-
-    "graph_ppr" -> ((s, dir) => {
-      // personalized PageRank from an 8-supplier seed set on the same
-      // integer-scaled bipartite graph as graph_pagerank: teleport mass
-      // goes ONLY to the seeds (15% div |S|), so rank concentrates in
-      // the seeds' neighborhood — the similarity/recommendation walk.
-      // Same exact-integer discipline (order-independent sums, explicit
-      // div) and the same persisted-once edge frame; each of the two
-      // rounds is one join + one aggregation keyed on the node id.
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select(
-          (col("l_suppkey") * 2L).as("src"),
-          (col("l_partkey") * 2L + 1L).as("dst"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val und = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = und.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val seeds = deg.filter(col("src") < 16L && pmod(col("src"), lit(2L)) === 0L)
-      val ns = seeds.agg(count(lit(1)).as("n_seeds"))
-      val nodes = deg.crossJoin(broadcast(ns))
-        .select(col("src").as("node"), col("outdeg"), col("n_seeds"),
-          (col("src") < 16L && pmod(col("src"), lit(2L)) === 0L).as("is_seed"))
-      var rank = nodes.withColumn("rank",
-        expr("CASE WHEN is_seed THEN 1000000000000L div n_seeds ELSE 0L END"))
-      for (_ <- 1 to 2) {
-        val c = und.join(rank.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
-          .groupBy("node").agg(sum(col("c")).as("sc"))
-        rank = nodes.join(c, Seq("node"))
-          .withColumn("rank", expr(
-            """CASE WHEN is_seed THEN 15000000000000L div (100 * n_seeds)
-               ELSE 0L END + (85 * sc) div 100"""))
-      }
-      rank
-        .select(col("node"), col("rank").as("ppr"),
-          col("outdeg").as("degree"),
-          expr("CAST(CASE WHEN is_seed THEN 1 ELSE 0 END AS BIGINT)")
-            .as("is_seed"))
-        .orderBy(col("ppr").desc, col("node"))
-        .limit(20)
-    }),
-
-    "agg_hll_merge" -> ((s, dir) => {
-      // the PROOF of HLL mergeability: per-return-flag register tables
-      // merged by bucket-max equal the registers built directly on the
-      // union — max is associative/commutative/idempotent, so sharded or
-      // daily sketches combine into exactly the sketch of the whole at
-      // 8 bytes·4096 per shard, never a re-scan. Emits both estimates
-      // (bit-identical) plus the exact global count and the equality
-      // flag the property rests on.
-      val li = t(s, dir, "lineitem")
-      val rho = li.select(col("l_returnflag").as("flag"), col("l_partkey"))
-        .withColumn("z1", expr(s"l_partkey + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .withColumn("bucket", expr("shiftrightunsigned(h, 52)"))
-        .withColumn("rest", expr(s"h & ${(1L << 52) - 1}L"))
-        .withColumn("rho", expr(
-          "CASE WHEN rest = 0 THEN 53L ELSE 53L - length(bin(rest)) END"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val shard = rho.groupBy("flag", "bucket").agg(max(col("rho")).as("reg"))
-      val merged = shard.groupBy("bucket").agg(max(col("reg")).as("reg"))
-      val direct = rho.groupBy("bucket").agg(max(col("rho")).as("reg"))
-      def close(regs: DataFrame, estName: String): DataFrame =
-        regs
-          .withColumn("term",
-            expr("1.0D / CAST(shiftleft(1L, CAST(reg AS INT)) AS DOUBLE)"))
-          .agg(count(lit(1)).as("present"),
-            aggregate(sort_array(collect_list(struct(col("bucket"),
-                col("term")))),
-              lit(0.0), (acc, x) => acc + x.getField("term")).as("hsum"))
-          .withColumn("v_zero", lit(4096L) - col("present"))
-          .withColumn("e_raw",
-            lit(0.7213 / (1.0 + 1.079 / 4096)) * lit(4096.0) * lit(4096.0) /
-              (col("hsum") + col("v_zero").cast("double")))
-          .select(col("v_zero").as(s"v_zero_$estName"), expr(
-            """CASE WHEN e_raw <= 2.5 * 4096 AND v_zero > 0
-               THEN 4096 * ln(CAST(4096 AS DOUBLE) / v_zero)
-               ELSE e_raw END""").as(estName))
-      val eq = merged.withColumnRenamed("reg", "reg_m")
-        .join(direct.withColumnRenamed("reg", "reg_d"), Seq("bucket"), "full")
-        .agg(sum(when(col("reg_m") === col("reg_d"), 0L).otherwise(1L))
-          .as("n_register_diffs"))
-      val exact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
-      close(merged, "est_merged")
-        .crossJoin(close(direct, "est_direct"))
-        .crossJoin(broadcast(eq)).crossJoin(broadcast(exact))
-        .select(col("n_exact"),
-          col("v_zero_est_merged").as("v_zero_merged"),
-          round(col("est_merged"), 4).as("est_merged"),
-          round(col("est_direct"), 4).as("est_direct"),
-          col("n_register_diffs"))
-    }),
-
-    "layout_repartition_plan" -> ((s, dir) => {
-      // day-partition right-sizing plan for the events table: per-day
-      // row/byte stats (bytes = a fixed-width estimate + payload
-      // lengths — one grouped pass), then each day is classified
-      // against the 256 KB target: SPLIT into ⌈bytes/target⌉ files,
-      // MERGE (grouped with neighbor small days by cumulative-bytes
-      // division — the compaction-planner move), or KEEP. The plan
-      // frame is calendar-sized; the rewrite job it drives is the only
-      // thing that touches data.
-      val ev = t(s, dir, "events")
-      val target = 262144L
-      val days = ev.groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_rows"),
-          (sum(length(col("props"))) + count(lit(1)) * 64L).as("bytes"))
-      val act = days.withColumn("action", expr(
-        s"""CASE WHEN bytes * 2 > 3 * ${target}L THEN 'split'
-            WHEN bytes * 2 < ${target}L THEN 'merge'
-            ELSE 'keep' END"""))
-      val wm = Window.partitionBy("action").orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      act
-        .withColumn("cum_small",
-          when(col("action") === "merge",
-            coalesce(sum(col("bytes")).over(wm), lit(0L))))
-        .select(col("day"), col("n_rows"), col("bytes"), col("action"),
-          expr(s"""CASE WHEN action = 'split'
-                   THEN CAST(ceil(bytes / ${target.toDouble}) AS BIGINT)
-                   ELSE 1L END""").as("n_out_files"),
-          expr(s"""CASE WHEN action = 'merge'
-                   THEN cum_small div ${target}L END""").as("merge_group"))
-        .orderBy("day")
-    }),
-
-    "stats_benjamini_hochberg" -> ((s, dir) => {
-      // multiple-testing control for the per-slice audit family: one
-      // two-proportion z-test per nation (high-priority order share vs
-      // the rest of the world), normal p-values via the Abramowitz &
-      // Stegun 7.1.26 polynomial (identical Horner tree in both
-      // engines), then the Benjamini–Hochberg step-up at FDR 5% on the
-      // ppm-floored p-values. The heavy part is one orders⇄customer
-      // join + a 25-row nation rollup; BH itself runs on the
-      // nation-sized frame (the repo's calendar-sized window rule).
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-      val per = o.join(c, o("o_custkey") === c("c_custkey"))
-        .groupBy("c_nationkey")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-            .otherwise(0L)).as("k"))
-      val tot = per.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"))
-      val m = per.agg(count(lit(1)).as("m"))
-      val pv = per.crossJoin(broadcast(tot)).crossJoin(broadcast(m))
-        .withColumn("z", expr(
-          """(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
-              - CAST(kk - k AS DOUBLE) / CAST(nn - n AS DOUBLE))
-             / sqrt((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
-               * (1.0 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
-               * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nn - n AS DOUBLE)))"""))
-        .withColumn("az", abs(col("z")))
-        .withColumn("tt", expr("1.0 / (1.0 + 0.2316419 * az)"))
-        .withColumn("p_ppm", expr(
-          """CAST(floor(1000000.0 * 2.0 * (exp(-az * az / 2.0)
-               / sqrt(2.0 * pi()))
-             * (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt
-                 - 0.356563782) * tt + 0.319381530) * tt)) AS BIGINT)"""))
-      val wr = Window.orderBy(col("p_ppm"), col("c_nationkey"))
-      val ranked = pv
-        .withColumn("p_rank", row_number().over(wr).cast("long"))
-        .withColumn("ok", when(col("p_ppm") * col("m")
-          <= col("p_rank") * lit(50000L), col("p_rank")).otherwise(0L))
-      val cutoff = ranked.agg(max(col("ok")).as("k_max"))
-      ranked.crossJoin(broadcast(cutoff))
-        .select(col("c_nationkey").as("nationkey"), col("n"), col("k"),
-          expr("CAST(floor(1000000.0 * z) AS BIGINT)").as("z_ppm"),
-          col("p_ppm"), col("p_rank"),
-          when(col("p_rank") <= col("k_max"), 1L).otherwise(0L)
-            .as("rejected"))
-        .orderBy("p_rank")
-    }),
-
-    "ab_sequential_sprt" -> ((s, dir) => {
-      // sequential probability ratio test over the experiment's daily
-      // looks: treatment-arm events are Bernoulli trials
-      // (purchase = success), cumulative counts per day feed Wald's
-      // log-likelihood ratio for H0 p=0.20 vs H1 p=0.24, with the
-      // (alpha=0.05, beta=0.20) boundaries ln(16) / ln(0.2/0.95). The
-      // per-day rollup is the only data-sized pass; the cumulative
-      // window runs over the 30-row calendar frame. LLR is integer
-      // counts x constant logs, ppm-floored — engine-exact.
-      val e = t(s, dir, "events")
-      val arm = e.filter(pmod(HashFunctions.fnv64(
-        col("user_id").cast("string")), lit(2L)) =!= 0)
-      val daily = arm.groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_d"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("k_d"))
-      val w = Window.orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily
-        .withColumn("n_cum", sum(col("n_d")).over(w))
-        .withColumn("k_cum", sum(col("k_d")).over(w))
-        .withColumn("llr_ppm", expr(
-          """CAST(floor(1000000.0 *
-               (CAST(k_cum AS DOUBLE) * ln(0.24 / 0.20)
-                + CAST(n_cum - k_cum AS DOUBLE) * ln(0.76 / 0.80)))
-             AS BIGINT)"""))
-        .withColumn("decision", expr(
-          """CASE WHEN llr_ppm >= CAST(floor(1000000.0 * ln(0.80 / 0.05))
-                 AS BIGINT) THEN 'reject_h0'
-             WHEN llr_ppm <= CAST(floor(1000000.0 * ln(0.20 / 0.95))
-                 AS BIGINT) THEN 'accept_h0'
-             ELSE 'continue' END"""))
-        .select("day", "n_cum", "k_cum", "llr_ppm", "decision")
-        .orderBy("day")
-    }),
-
-    "stats_xi_correlation" -> ((s, dir) => {
-      // Chatterjee's xi coefficient (JASA 2021) between daily order
-      // count and daily revenue — the rank-based dependence measure
-      // that catches non-monotone association where Spearman reads 0.
-      // One grouped pass reduces orders to the ~2,400-row calendar
-      // frame; ranks r (#y<=y_i) and l (#y>=y_i) come from RANGE-frame
-      // counts, the consecutive-|r| differences from a lead() over the
-      // x-order (day tiebreak, documented). All-integer numerator and
-      // denominator; only the final ratio is a double, ppm-floored.
-      val o = t(s, dir, "orders")
-      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("x"),
-          expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)"
-            + " AS BIGINT)").as("y"))
-      val wy = Window.orderBy("y")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      val wyd = Window.orderBy(col("y").desc)
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      val wx = Window.orderBy("x", "day")
-      val ranked = days
-        .withColumn("r", count(lit(1)).over(wy))
-        .withColumn("l", count(lit(1)).over(wyd))
-        .withColumn("dr", abs(lead(col("r"), 1).over(wx) - col("r")))
-      val n = days.agg(count(lit(1)).as("n_days"))
-      ranked.crossJoin(broadcast(n))
-        .agg(first(col("n_days")).as("n_days"),
-          sum(col("dr")).as("sum_dr"),
-          sum(col("l") * (col("n_days") - col("l"))).as("denom2"))
-        .select(col("n_days"), col("sum_dr"),
-          (col("denom2") * 2L).as("denom"),
-          expr("""CAST(floor(1000000.0 *
-              (1.0 - CAST(n_days * sum_dr AS DOUBLE)
-                     / CAST(2 * denom2 AS DOUBLE))) AS BIGINT)""")
-            .as("xi_ppm"))
-    }),
-
-    "agg_topk_merge" -> ((s, dir) => {
-      // distributed top-k with deterministic error bounds (the TPUT /
-      // three-phase-uniform-threshold shape): each shard (return flag)
-      // publishes its exact per-key counts truncated to the top 32 plus
-      // ONE number — the largest dropped count. Merged: est_lo = sum of
-      // present counts (certain mass), est_hi adds each absent shard's
-      // bound. The `contained` column is the algebraic guarantee
-      // est_lo <= exact <= est_hi, re-checked against a full groupBy —
-      // at 100 TB the shard summaries are KB-sized and the full scan
-      // never happens.
-      val li = t(s, dir, "lineitem")
-      val cnt = li.groupBy("l_returnflag", "l_partkey")
-        .agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("c").desc, col("l_partkey"))
-      val rk = cnt.withColumn("rn", row_number().over(w).cast("long"))
-      val kept = rk.filter(col("rn") <= 32L)
-      val bnd = rk.filter(col("rn") > 32L)
-        .groupBy("l_returnflag").agg(max(col("c")).as("bound"))
-      val tb = bnd.agg(coalesce(sum(col("bound")), lit(0L))
-        .as("total_bound"))
-      val perKey = kept.join(bnd, Seq("l_returnflag"), "left")
-        .groupBy("l_partkey")
-        .agg(sum(col("c")).as("est_lo"),
-          sum(coalesce(col("bound"), lit(0L))).as("present_bound"))
-      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("exact"))
-      perKey.crossJoin(broadcast(tb))
-        .withColumn("est_hi",
-          col("est_lo") + (col("total_bound") - col("present_bound")))
-        .join(exact, Seq("l_partkey"))
-        .select(col("l_partkey"), col("est_lo"), col("est_hi"),
-          col("exact"),
-          when(col("est_lo") <= col("exact")
-            && col("exact") <= col("est_hi"), 1L).otherwise(0L)
-            .as("contained"))
-        .orderBy(col("est_lo").desc, col("l_partkey"))
-        .limit(20)
-    }),
-
-    "layout_clustering_depth" -> ((s, dir) => {
-      // how well is the table clustered on its scan key? Two simulated
-      // file layouts over lineitem — hash-scatter (32 files keyed on
-      // the row id) vs date-clustered (one file per ship month) — each
-      // reduced to its zone maps (per-file min/max ship date), then two
-      // quality metrics on the file-sized frames: average overlap depth
-      // (files whose ranges intersect each file's range) and average
-      // files scanned per month-start probe. The data-sized work is ONE
-      // grouped pass per layout; everything after runs on <100 rows.
-      // The date-clustered layout should read ~1 file per probe, the
-      // scatter all 32 — the number the z-order/compaction ops optimize.
-      // ONE data-sized pass: min/max roll up to the 32x~84 cell frame
-      // first (min-of-mins algebra), so both layouts' zone maps AND the
-      // probe set derive from the same KB-sized aggregate — the decade
-      // leg on the 3-scan first cut measured 5.3x, this shape is flat.
-      val li = t(s, dir, "lineitem")
-      val base = li.select(to_date(col("l_shipdate")).as("day"),
-        pmod(col("l_orderkey") * 8L + col("l_linenumber").cast("long"),
-          lit(32L)).cast("string").as("f_hash"),
-        date_trunc("month", col("l_shipdate")).cast("date")
-          .cast("string").as("f_month"))
-      val cells = base.groupBy("f_hash", "f_month")
-        .agg(min("day").as("clo"), max("day").as("chi"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def zones(fileCol: String, name: String): DataFrame =
-        cells.groupBy(col(fileCol).as("file"))
-          .agg(min("clo").as("lo"), max("chi").as("hi"))
-          .withColumn("layout", lit(name))
-      val zm = zones("f_hash", "hash_scatter")
-        .unionByName(zones("f_month", "date_clustered"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ov = zm.as("a").join(zm.as("b"),
-          col("a.layout") === col("b.layout")
-            && col("a.file") =!= col("b.file")
-            && col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
-        .groupBy(col("a.layout").as("layout"))
-        .agg(count(lit(1)).as("n_overlaps"))
-      val probes = cells
-        .select(col("f_month").cast("date").as("p")).distinct()
-      val ph = zm.join(probes,
-          col("p") >= col("lo") && col("p") <= col("hi"))
-        .groupBy("layout").agg(count(lit(1)).as("n_hits"))
-      val np = probes.agg(count(lit(1)).as("n_probes"))
-      val nf = zm.groupBy("layout").agg(count(lit(1)).as("n_files"))
-      nf.join(ov, Seq("layout"), "left").join(ph, Seq("layout"), "left")
-        .crossJoin(broadcast(np))
-        .select(col("layout"), col("n_files"),
-          expr("""CAST(floor(1000000.0 * coalesce(n_overlaps, 0)
-              / n_files) AS BIGINT)""").as("avg_overlap_depth_ppm"),
-          expr("""CAST(floor(1000000.0 * coalesce(n_hits, 0)
-              / n_probes) AS BIGINT)""").as("avg_probe_files_ppm"))
-        .orderBy("layout")
-    }),
-
-    "recsys_als_step" -> ((s, dir) => {
-      // one exact ALS half-step (user-factor solve, d=2) on the
-      // customer x part purchase-count matrix: item factors are a
-      // deterministic fixed-point init (q = [10, partkey%97 - 48] at
-      // scale 10), each user's 2x2 normal equations (A = sum qq' +
-      // lambda*S^2*I, v = S * sum r*q) accumulate as exact BIGINT sums
-      // — order-independent, co-grouped on the user key, the
-      // distributed-ALS shuffle shape — and the closed-form 2x2
-      // inverse emits ppm-floored factors. lambda = 1.
-      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val r = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
-        .agg(count(lit(1)).as("r"))
-      val q = r.withColumn("q2s", pmod(col("item"), lit(97L)) - 48L)
-        .withColumn("q1s", lit(10L))
-      val m = q.groupBy("user").agg(
-        count(lit(1)).as("n_items"),
-        (sum(col("q1s") * col("q1s")) + 100L).as("m11"),
-        sum(col("q1s") * col("q2s")).as("m12"),
-        (sum(col("q2s") * col("q2s")) + 100L).as("m22"),
-        (sum(col("r") * col("q1s")) * 10L).as("u1"),
-        (sum(col("r") * col("q2s")) * 10L).as("u2"))
-      m.withColumn("det", col("m11") * col("m22") - col("m12") * col("m12"))
-        .select(col("user"), col("n_items"), col("det"),
-          expr("""CAST(floor(1000000.0 *
-              CAST(m22 * u1 - m12 * u2 AS DOUBLE) / CAST(det AS DOUBLE))
-            AS BIGINT)""").as("p1_ppm"),
-          expr("""CAST(floor(1000000.0 *
-              CAST(m11 * u2 - m12 * u1 AS DOUBLE) / CAST(det AS DOUBLE))
-            AS BIGINT)""").as("p2_ppm"))
-        .orderBy(col("n_items").desc, col("user"))
-        .limit(20)
-    }),
-
-    "text_pmi_cooccur" -> ((s, dir) => {
-      // windowed PMI co-occurrence — the PPMI/SGNS statistic behind
-      // count-based word embeddings: token pairs within distance <= 2
-      // built by zipping the token array against its own offsets (NO
-      // positional self-join), pair order canonicalized inside the zip
-      // so the count is symmetric. PMI = ln(c_xy*N_u^2 / (N_p*c_x*c_y))
-      // over exact integer counts, ppm-floored; min support 20.
-      val d = t(s, dir, "documents")
-      val toks = TextFunctions.tokens(lower(col("text")))
-      val n = size(toks)
-      def canon(a: Column, b: Column): Column =
-        when(a <= b, concat_ws(" ", a, b)).otherwise(concat_ws(" ", b, a))
-      val p1 = when(n < 2, array().cast("array<string>"))
-        .otherwise(zip_with(
-          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1), canon))
-      val p2 = when(n < 3, array().cast("array<string>"))
-        .otherwise(zip_with(
-          slice(toks, lit(1), n - 2), slice(toks, lit(3), n - 2), canon))
-      val pc = d.select(explode(concat(p1, p2)).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("c_xy"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val uni = d.select(explode(toks).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
-      val nu = uni.agg(sum(col("c")).as("n_uni"))
-      val np = pc.agg(sum(col("c_xy")).as("n_pairs"))
-      pc.filter(col("c_xy") >= 20L)
-        .withColumn("x", split(col("pair"), " ").getItem(0))
-        .withColumn("y", split(col("pair"), " ").getItem(1))
-        .join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
-        .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
-        .crossJoin(broadcast(nu)).crossJoin(broadcast(np))
-        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
-          expr("""CAST(floor(1000000.0 * ln(
-              ((CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE))
-                * CAST(n_uni AS DOUBLE))
-              / ((CAST(n_pairs AS DOUBLE) * CAST(c_x AS DOUBLE))
-                * CAST(c_y AS DOUBLE)))) AS BIGINT)""").as("pmi_fixed"))
-        .orderBy(col("pmi_fixed").desc, col("x"), col("y"))
-        .limit(20)
-    }),
-
-    "events_bot_score" -> ((s, dir) => {
-      // bot-likelihood audit per user, three deterministic heuristics
-      // over one user-keyed pass each: volume (>= 78 events in the
-      // window), inter-arrival regularity (population CV^2 of the gap
-      // seconds < 0.25 — machines are metronomes, humans are bursty;
-      // exact-integer k*S2-S1^2 over S1^2), and event-type entropy
-      // < 1.5 nats (canonical ascending-type fold). The flags sum to
-      // bot_score; every input statistic is emitted for the reviewer.
-      val e = t(s, dir, "events")
-      val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val gaps = e.select(col("user_id"), col("ts"), col("event_id"))
-        .withColumn("gap",
-          unix_timestamp(col("ts"))
-            - unix_timestamp(lag(col("ts"), 1).over(wu)))
-        .filter(col("gap").isNotNull)
-        .groupBy("user_id").agg(count(lit(1)).as("k"),
-          sum(col("gap")).as("s1"),
-          sum(col("gap") * col("gap")).as("s2"))
-      val ent = e.groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("user_id").agg(sum(col("c")).as("n_ev"),
-          sort_array(collect_list(struct(col("event_type"), col("c"))))
-            .as("tc"))
-        .withColumn("ent_ppm", expr(
-          """CAST(floor(1000000.0 * aggregate(tc, 0.0d, (acc, t) ->
-               acc - (CAST(t.c AS DOUBLE) / CAST(n_ev AS DOUBLE))
-                 * ln(CAST(t.c AS DOUBLE) / CAST(n_ev AS DOUBLE))))
-             AS BIGINT)"""))
-        .drop("tc")
-      ent.join(gaps, Seq("user_id"))
-        .withColumn("cv2_ppm", expr(
-          """CASE WHEN s1 = 0 THEN NULL ELSE
-             CAST(floor(1000000.0 *
-               (CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
-                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-               / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)
-             END"""))
-        .withColumn("bot_score",
-          when(col("n_ev") >= 78L, 1L).otherwise(0L)
-            + when(col("cv2_ppm").isNotNull
-                && col("cv2_ppm") < 250000L, 1L).otherwise(0L)
-            + when(col("ent_ppm") < 1500000L, 1L).otherwise(0L))
-        .select("user_id", "n_ev", "ent_ppm", "cv2_ppm", "bot_score")
-        .orderBy(col("bot_score").desc, col("n_ev").desc, col("user_id"))
-        .limit(20)
-    }),
-
-    "timeseries_kalman_level" -> ((s, dir) => {
-      // local-level Kalman filter over the daily order-count series:
-      // predict P+q, gain K = P/(P+r), update x += K(y-x) with q=25,
-      // r=100 and a diffuse P0=1e6 — the adaptive sibling of the
-      // fixed-alpha EWMA. The data-sized work is one grouped pass to
-      // the calendar frame; the recursion is a single canonical
-      // ascending-day fold (identical IEEE tree in both engines),
-      // emitting the final level and posterior variance.
-      val o = t(s, dir, "orders")
-      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).cast("double").as("y"))
-      days.agg(sort_array(collect_list(struct(col("day"), col("y"))))
-          .as("sv"))
-        .withColumn("ys", expr("transform(sv, t -> t.y)"))
-        .withColumn("st", expr(
-          """aggregate(ys, named_struct('x', 0.0d, 'p', 1000000.0d),
-             (acc, y) -> named_struct(
-               'x', acc.x + ((acc.p + 25.0d) / ((acc.p + 25.0d) + 100.0d))
-                 * (y - acc.x),
-               'p', (1.0d - (acc.p + 25.0d) / ((acc.p + 25.0d) + 100.0d))
-                 * (acc.p + 25.0d)))"""))
-        .select(expr("CAST(size(ys) AS BIGINT)").as("n_days"),
-          expr("CAST(floor(1000000.0 * st.x) AS BIGINT)").as("level_ppm"),
-          expr("CAST(floor(1000000.0 * st.p) AS BIGINT)").as("p_var_ppm"))
-    }),
-
-    "sample_reservoir_merge" -> ((s, dir) => {
-      // distributed-reservoir mergeability proof, completing the
-      // HLL/top-k trilogy: a uniform k=100 sample IS the k smallest
-      // splitmix64 keys, and top-k(union of shard top-ks) equals
-      // top-k(all rows) algebraically — so shards sample independently
-      // and the coordinator merges 100-row summaries, never rows.
-      // n_diffs (full-join disagreement count) is the proof column;
-      // the checksum pins the sample identity.
-      // the sampled unit is the DISTINCT row id (the synthetic lineitem
-      // repeats (orderkey, linenumber) pairs, so raw rows would tie);
-      // shards are a 4-way id-hash split, the ingest-shard shape
-      val li = t(s, dir, "lineitem")
-      val rows = li.select(
-          (col("l_orderkey") * 8L + col("l_linenumber").cast("long"))
-            .as("rid"))
-        .distinct()
-        .withColumn("shard", pmod(col("rid"), lit(4L)))
-        .withColumn("z1", expr(s"rid + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .select("shard", "rid", "h")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ws = Window.partitionBy("shard").orderBy(col("h"), col("rid"))
-      val shardTop = rows.withColumn("rn", row_number().over(ws))
-        .filter(col("rn") <= 100).drop("rn")
-      val mergedTop = shardTop.orderBy(col("h"), col("rid")).limit(100)
-        .select(col("rid").as("rid_m"))
-      val directTop = rows.orderBy(col("h"), col("rid")).limit(100)
-        .select(col("rid").as("rid_d"))
-      val diffs = mergedTop.join(directTop,
-          mergedTop("rid_m") === directTop("rid_d"), "full")
-        .agg(sum(when(col("rid_m").isNull || col("rid_d").isNull, 1L)
-          .otherwise(0L)).as("n_diffs"),
-          sum(when(col("rid_m").isNotNull, 1L).otherwise(0L))
-            .as("n_merged"),
-          sum(when(col("rid_d").isNotNull, 1L).otherwise(0L))
-            .as("n_direct"))
-      val chk = directTop.agg(sum(col("rid_d")).as("sample_rid_sum"))
-      diffs.crossJoin(broadcast(chk))
-        .select(lit(100L).as("k"), col("n_merged"), col("n_direct"),
-          col("n_diffs"), col("sample_rid_sum"))
-    }),
-
-    "privacy_dp_quantile" -> ((s, dir) => {
-      // exponential-mechanism median release over the order-value
-      // histogram: 25k-wide bins (domain-sized frame), utility
-      // -|2*cum_before + cnt - n| (integer halves of distance-to-
-      // median), weight exp(-d/4) (eps = 1, sensitivity 1), and the
-      // winning bin picked by inverse CDF against a splitmix64(42)-
-      // seeded uniform — deterministic on purpose, same documented
-      // stand-in as privacy_dp_counts (a production release draws real
-      // entropy at exactly that point). Cumulatives run over the
-      // ~25-row bin frame; the only data-sized work is one grouped
-      // pass.
-      val o = t(s, dir, "orders")
-      val bins = o.groupBy(expr("CAST(floor(o_totalprice / 25000.0) AS BIGINT)")
-          .as("bin"))
-        .agg(count(lit(1)).as("cnt"))
-      val n = bins.agg(sum(col("cnt")).as("n_total"))
-      val wb = Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wcum = Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val seed = 42L
-      val z1 = seed + 0x9e3779b97f4a7c15L
-      val z2 = (z1 ^ (z1 >>> 30)) * 0xbf58476d1ce4e5b9L
-      val z3 = (z2 ^ (z2 >>> 27)) * 0x94d049bb133111ebL
-      val h = z3 ^ (z3 >>> 31)
-      val u = ((h >>> 12).toDouble + 0.5) / (1L << 52).toDouble
-      val scored = bins.crossJoin(broadcast(n))
-        .withColumn("cum_before",
-          coalesce(sum(col("cnt")).over(wb), lit(0L)))
-        .withColumn("d",
-          abs(col("cum_before") * 2L + col("cnt") - col("n_total")))
-        .withColumn("w", expr("exp(-0.25 * CAST(d AS DOUBLE))"))
-        .withColumn("cum_w", sum(col("w")).over(wcum))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = scored.agg(max(col("cum_w")).as("tot_w"))
-      val chosen = scored.crossJoin(broadcast(tot))
-        .filter(col("cum_w") > lit(u) * col("tot_w"))
-        .orderBy("bin").limit(1)
-        .select(col("bin").as("chosen_bin"), col("d").as("d_chosen"),
-          col("n_total"))
-      val truth = scored
-        .filter(col("cum_before") * 2L + col("cnt") * 2L >= col("n_total"))
-        .orderBy("bin").limit(1).select(col("bin").as("true_median_bin"))
-      chosen.crossJoin(broadcast(truth))
-        .select(col("n_total"), col("chosen_bin"),
-          (col("chosen_bin") * 25000L).as("chosen_lo"),
-          col("true_median_bin"), col("d_chosen"),
-          round(lit(u), 6).as("u_draw"))
-    }),
-
-    "text_burstiness" -> ((s, dir) => {
-      // Church–Gale term burstiness: among documents that contain a
-      // term, how hard does it repeat? burst = E[tf | tf>0] and the
-      // per-doc tf variance-to-mean ratio, both exact rationals from
-      // one tokenize pass (df, sum tf, sum tf^2 per term) — the
-      // stopword/keyword discriminator (function words are frequent
-      // but NOT bursty; topical words burst). Min df 30; top 20 by
-      // fixed-point burstiness.
-      val d = t(s, dir, "documents")
-      val tf = d.select(col("doc_id"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      tf.groupBy("term").agg(count(lit(1)).as("df"),
-          sum(col("tf")).as("s1"),
-          sum(col("tf") * col("tf")).as("s2"))
-        .filter(col("df") >= 30L)
-        .select(col("term"), col("df"), col("s1"),
-          expr("(s1 * 1000000L) div df").as("burst_ppm"),
-          expr("""CAST(floor(1000000.0 *
-              (CAST(df AS DOUBLE) * CAST(s2 AS DOUBLE)
-               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-              / (CAST(df AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)""")
-            .as("vmr_ppm"))
-        .orderBy(col("burst_ppm").desc, col("term"))
-        .limit(20)
-    }),
-
-    "graph_betweenness" -> ((s, dir) => {
-      // source-truncated betweenness (Brandes 2001, depth-3 BFS from
-      // the 4-supplier seed set (keys 0-3)): forward pass accumulates exact
-      // integer path counts sigma level by level (3 unrolled rounds —
-      // no data-dependent loop), backward pass folds the dependency
-      // delta = sum sigma_v/sigma_w * (1+delta_w) over successors in
-      // canonical ascending-w order (engine-exact IEEE trees).
-      // Unnormalized, seeds excluded as sources per Brandes. The graph
-      // is BIPARTITE (suppliers even / parts odd), so BFS levels
-      // alternate sides and "already visited" reduces to an anti-join
-      // against the same-parity level two back — no visited-union
-      // chain, a shallow 7-stage DAG over the persisted-once edges.
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select((col("l_suppkey") * 2L).as("src"),
-          (col("l_partkey") * 2L + 1L).as("dst")).distinct()
-      val und = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def expand(prev: DataFrame): DataFrame = und
-        .join(prev.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("seed"), col("dst").as("node"), col("sigma"))
-        .groupBy("seed", "node").agg(sum(col("sigma")).as("sigma"))
-      val l0 = und.select(col("src").as("node")).distinct()
-        .filter(col("node") < 8L && pmod(col("node"), lit(2L)) === 0L)
-        .select(col("node").as("seed"), col("node"), lit(1L).as("sigma"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val l1 = expand(l0) // odd side, first visit by parity
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val l2 = expand(l1)
-        .join(l0.select("seed", "node"), Seq("seed", "node"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val l3 = expand(l2)
-        .join(l1.select("seed", "node"), Seq("seed", "node"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def backward(cur: DataFrame, nxt: DataFrame): DataFrame = {
-        val w = nxt.select(col("seed"), col("node").as("w"),
-          col("sigma").as("sigma_w"), col("delta").as("delta_w"))
-        val d = und
-          .join(cur.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("seed"), col("src").as("node"),
-            col("sigma").as("sigma_v"), col("dst").as("w"))
-          .join(w, Seq("seed", "w"))
-          .withColumn("term", expr(
-            """(CAST(sigma_v AS DOUBLE) / CAST(sigma_w AS DOUBLE))
-               * (1.0d + delta_w)"""))
-          .groupBy("seed", "node")
-          .agg(aggregate(
-            sort_array(collect_list(struct(col("w"), col("term")))),
-            lit(0.0), (acc, x) => acc + x.getField("term")).as("delta"))
-        cur.select("seed", "node")
-          .join(d, Seq("seed", "node"), "left")
-          .withColumn("delta", coalesce(col("delta"), lit(0.0)))
-      }
-      val d3 = l3.withColumn("delta", lit(0.0))
-      val d2 = backward(l2, d3)
-        .join(l2, Seq("seed", "node")) // re-attach sigma for the next hop
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val d1 = backward(l1, d2)
-      d1.select("seed", "node", "delta")
-        .unionByName(d2.select("seed", "node", "delta"))
-        .groupBy("node")
-        .agg(count(lit(1)).as("n_seeds"),
-          aggregate(
-            sort_array(collect_list(struct(col("seed"), col("delta")))),
-            lit(0.0), (acc, x) => acc + x.getField("delta")).as("bw"))
-        .select(col("node"), col("n_seeds"),
-          expr("CAST(floor(1000000.0 * bw) AS BIGINT)").as("bw_ppm"))
-        .orderBy(col("bw_ppm").desc, col("node"))
-        .limit(20)
-    }),
-
-    "stats_tost_equivalence" -> ((s, dir) => {
-      // TOST equivalence (non-inferiority both ways) on the same
-      // URGENT/LOW order-price pair as the Welch test: two one-sided
-      // Welch z statistics against the +-5000 margin; the pair is
-      // EQUIVALENT at alpha=0.05 iff min(t_lower, t_upper) > 1.645.
-      // Sums close over exact decimals (the agg_corr discipline); the
-      // two statistics are one double tree each, ppm-floored.
-      val o = t(s, dir, "orders")
-      val two = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-        .select(when(col("o_orderpriority") === "1-URGENT", 1L)
-          .otherwise(0L).as("is_a"), dec(col("o_totalprice")).as("x"))
-      val g = two.groupBy("is_a").agg(
-        count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
-      val a = g.filter(col("is_a") === 1).select(col("n").as("n_a"),
-        col("sx").as("sxa"), col("sxx").as("sxxa"))
-      val b = g.filter(col("is_a") === 0).select(col("n").as("n_b"),
-        col("sx").as("sxb"), col("sxx").as("sxxb"))
-      a.crossJoin(broadcast(b))
-        .withColumn("se", expr(
-          """sqrt((CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)
-                * CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))
-              / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
-            + (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE)
-                * CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE))
-              / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))"""))
-        .withColumn("diff", expr(
-          """CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE)
-             - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)"""))
-        .select(col("n_a"), col("n_b"),
-          expr("CAST(floor(1000.0 * diff) AS BIGINT)").as("diff_milli"),
-          expr("CAST(floor(1000000.0 * (diff + 5000.0) / se) AS BIGINT)")
-            .as("t_lower_ppm"),
-          expr("CAST(floor(1000000.0 * (5000.0 - diff) / se) AS BIGINT)")
-            .as("t_upper_ppm"),
-          expr("""CAST(CASE WHEN floor(1000000.0 * (diff + 5000.0) / se)
-                > 1645000 AND floor(1000000.0 * (5000.0 - diff) / se)
-                > 1645000 THEN 1 ELSE 0 END AS BIGINT)""")
-            .as("equivalent"))
-    }),
-
-    "dq_duplicate_rows" -> ((s, dir) => {
-      // duplicate audit at two grains — the natural key (orderkey,
-      // linenumber) and the FULL row — each one grouped pass reduced to
-      // a single summary row (n_rows, groups, surplus rows beyond the
-      // first per group, max multiplicity). Motivated by a real find:
-      // this table's natural key is NOT unique (the reservoir-merge
-      // spec tripped over it), which is exactly what this audit exists
-      // to surface before a dedup or merge keys on it.
-      val li = t(s, dir, "lineitem")
-      def audit(keys: Seq[String], level: String): DataFrame =
-        li.groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
-          .agg(sum(col("m")).as("n_rows"),
-            count(lit(1)).as("n_groups"),
-            sum(col("m") - 1L).as("n_surplus_rows"),
-            max(col("m")).as("max_multiplicity"))
-          .select(lit(level).as("level"), col("n_rows"), col("n_groups"),
-            col("n_surplus_rows"), col("max_multiplicity"))
-      audit(Seq("l_orderkey", "l_linenumber"), "natural_key")
-        .unionByName(audit(li.columns.toSeq, "full_row"))
-        .orderBy("level")
-    }),
-
-    "agg_hll_intersection" -> ((s, dir) => {
-      // HLL set algebra: |A∩B| via inclusion–exclusion over three
-      // register tables — A ('R'-flag parts), B ('A'-flag parts), and
-      // their union (bucket-wise register MAX, the only set operation
-      // HLL supports natively) — est∩ = estA + estB − est∪. This is
-      // how overlap between two 10⁹-key populations is sized from two
-      // 4096-row sketches that never co-shuffle; the subtraction
-      // inflates relative error (the known cost, reported beside the
-      // exact intersection at fixture SF). Same splitmix chain,
-      // canonical harmonic fold, and small-range branch as
-      // agg_hll_estimate.
-      val m = 4096L
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_returnflag").isin("R", "A"))
-      val rho = li.select(
-          when(col("l_returnflag") === "R", "a").otherwise("b").as("st"),
-          col("l_partkey"))
-        .withColumn("z1", expr(s"l_partkey + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .withColumn("bucket", expr("shiftrightunsigned(h, 52)"))
-        .withColumn("rest", expr(s"h & ${(1L << 52) - 1}L"))
-        .withColumn("rho", expr(
-          "CASE WHEN rest = 0 THEN 53L ELSE 53L - length(bin(rest)) END"))
-      val regsAB = rho.groupBy("st", "bucket").agg(max(col("rho")).as("reg"))
-      val regs = regsAB.unionByName(
-        regsAB.groupBy("bucket").agg(max(col("reg")).as("reg"))
-          .withColumn("st", lit("u")).select("st", "bucket", "reg"))
-      val ests = regs
-        .withColumn("term",
-          expr("1.0D / CAST(shiftleft(1L, CAST(reg AS INT)) AS DOUBLE)"))
-        .groupBy("st")
-        .agg(count(lit(1)).as("present"),
-          aggregate(sort_array(collect_list(struct(col("bucket"),
-              col("term")))),
-            lit(0.0), (acc, x) => acc + x.getField("term")).as("hsum"))
-        .withColumn("v_zero", lit(m) - col("present"))
-        .withColumn("e_raw",
-          lit(0.7213 / (1.0 + 1.079 / m)) * lit(m.toDouble) *
-            lit(m.toDouble) / (col("hsum") + col("v_zero").cast("double")))
-        .withColumn("est", expr(
-          s"""CASE WHEN e_raw <= 2.5 * $m AND v_zero > 0
-              THEN $m * ln(CAST($m AS DOUBLE) / v_zero)
-              ELSE e_raw END"""))
-      val wide = ests.agg(
-        max(when(col("st") === "a", col("est"))).as("est_a"),
-        max(when(col("st") === "b", col("est"))).as("est_b"),
-        max(when(col("st") === "u", col("est"))).as("est_u"))
-      val pa = li.filter(col("l_returnflag") === "R")
-        .select("l_partkey").distinct()
-      val pb = li.filter(col("l_returnflag") === "A")
-        .select("l_partkey").distinct()
-      val exact = pa.agg(count(lit(1)).as("n_exact_a"))
-        .crossJoin(pb.agg(count(lit(1)).as("n_exact_b")))
-        .crossJoin(li.select("l_partkey").distinct()
-          .agg(count(lit(1)).as("n_exact_u")))
-      wide.crossJoin(broadcast(exact))
-        .withColumn("n_exact_inter",
-          col("n_exact_a") + col("n_exact_b") - col("n_exact_u"))
-        .withColumn("est_inter", col("est_a") + col("est_b") - col("est_u"))
-        .select(col("n_exact_a"), col("n_exact_b"), col("n_exact_u"),
-          col("n_exact_inter"),
-          round(col("est_a"), 4).as("est_a"),
-          round(col("est_b"), 4).as("est_b"),
-          round(col("est_u"), 4).as("est_u"),
-          round(col("est_inter"), 4).as("est_inter"),
-          expr("""CAST(floor(1000000 * abs(est_inter
-               / CAST(n_exact_inter AS DOUBLE) - 1.0)) AS BIGINT)""")
-            .as("err_inter_ppm"))
-    }),
-
-    "agg_bloom_cardinality" -> ((s, dir) => {
-      // cardinality from a Bloom filter's fill ratio (Swamidass &
-      // Baldi 2007): n̂ = −(m/k)·ln(1 − X/m) where X = set bits — the
-      // free by-product of a filter you were already keeping for
-      // membership, accurate while the filter is unsaturated and
-      // SELF-DIAGNOSING when not (X = m ⇒ saturated flag instead of a
-      // number; the honest failure mode a fixed-size filter must
-      // expose). 2¹⁶ bits, 4 splitmix bit-fields per key (the
-      // layout_bloom_prune construction); X is one distinct-count over
-      // the bit domain; exact distinct beside it.
-      val m = 65536L
-      val li = t(s, dir, "lineitem")
-      val bits = li.select(col("l_partkey").as("k"))
-        .withColumn("z1", expr(s"k + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .select(explode(array((0 to 3).map(r =>
-          expr(s"shiftrightunsigned(h, ${16 * r}) & ${m - 1}L")): _*))
-          .as("bit"))
-        .distinct()
-      val x = bits.agg(count(lit(1)).as("x"))
-      val exact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
-      x.crossJoin(broadcast(exact))
-        .withColumn("saturated",
-          (col("x") === lit(m)).cast("int").cast("long"))
-        .withColumn("est", expr(
-          s"""CASE WHEN x = $m THEN NULL
-              ELSE -($m.0 / 4.0) * ln(1.0 - CAST(x AS DOUBLE) / $m.0)
-              END"""))
-        .select(col("n_exact"), col("x").as("bits_set"), lit(m).as("m"),
-          col("saturated"), round(col("est"), 4).as("est"),
-          expr("""CASE WHEN est IS NULL THEN NULL
-               ELSE CAST(floor(1000000 * abs(est
-                 / CAST(n_exact AS DOUBLE) - 1.0)) AS BIGINT)
-               END""").as("err_ppm"))
-    }),
-
-    "agg_f2_ams" -> ((s, dir) => {
-      // AMS tug-of-war sketch (Alon–Matias–Szegedy 1996) for F₂ = Σc²,
-      // the SELF-JOIN SIZE — the cardinality a join planner needs
-      // BEFORE committing a shuffle, estimated in one map-side-
-      // combinable pass with 8 longs of state (vs the full keyed
-      // groupBy the exact answer costs). Estimator j's sign is bit j of
-      // ONE splitmix64(key) (the agg_cms_merge bit-field discipline —
-      // the oracle replays the identical chain); Z_j = Σ signs is an
-      // exact integer, est = ⌊Σ Z_j² / 8⌋. The exact F₂ is computed
-      // beside it at fixture SF to report err_ppm — at 100 TB only the
-      // sketch pass runs.
-      val li = t(s, dir, "lineitem")
-      val hashed = li.select(col("l_partkey").as("k"))
-        .withColumn("z1", expr(s"k + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-      val aggCols = count(lit(1)).as("n_rows") +: (0 to 7).map(j =>
-        sum(expr(s"CASE WHEN (shiftrightunsigned(h, $j) & 1L) = 1L" +
-          " THEN 1L ELSE -1L END")).as(s"z$j"))
-      val zs = hashed.agg(aggCols.head, aggCols.tail: _*)
-      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * col("c")).as("f2_exact"))
-      zs.crossJoin(broadcast(exact))
-        .withColumn("f2_est", expr(
-          (0 to 7).map(j => s"z$j * z$j").mkString("(", " + ", ") div 8")))
-        .withColumn("err_ppm", expr(
-          """(CAST(abs(f2_est - f2_exact) AS DECIMAL(38,0)) * 1000000)
-             div f2_exact"""))
-        .select(col("n_rows"), col("f2_exact"), col("f2_est"),
-          col("err_ppm").cast("long").as("err_ppm"))
-    }),
-
-    "agg_cms_heavy_change" -> ((s, dir) => {
-      // heavy-CHANGE detection between two time epochs from two small
-      // sketches (the probe form of Cormode–Muthukrishnan deltoids):
-      // per-epoch 4×256 CMS grids over user activity; a candidate
-      // key's per-epoch point estimates never undercount, so the
-      // estimated swing brackets the true one. "What changed since
-      // yesterday" at 100 TB is answered from two day-sketches that
-      // never co-shuffle with the data; the exact counts ride beside
-      // as fixture calibration. Epoch split at the calendar midpoint;
-      // candidates are the top-10 exact |Δ| keys (probe list —
-      // KB-sized).
-      val e = t(s, dir, "events")
-      val bounds = e.agg(
-        min(expr("CAST(ts AS DATE)")).as("d0"),
-        max(expr("CAST(ts AS DATE)")).as("d1"))
-      val tagged = e.crossJoin(broadcast(bounds))
-        .withColumn("epoch", when(expr(
-          "datediff(CAST(ts AS DATE), d0) * 2 < datediff(d1, d0)"), "a")
-          .otherwise("b"))
-        .select(col("epoch"), col("user_id").as("k"))
-        .withColumn("z1", expr(s"k + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val grid = tagged.select(col("epoch"), explode(array(
-          (0 to 3).map(d => struct(lit(d.toLong).as("d"),
-            expr(s"shiftrightunsigned(h, ${8 * d}) & 255L").as("cell")))
-            : _*)).as("dc"))
-        .groupBy(col("epoch"), col("dc.d").as("d"), col("dc.cell").as("cell"))
-        .agg(count(lit(1)).as("c"))
-      val exact = tagged.groupBy("k", "epoch").agg(count(lit(1)).as("c"))
-      val wide = exact.groupBy("k").agg(
-          sum(when(col("epoch") === "a", col("c")).otherwise(0L))
-            .as("exact_a"),
-          sum(when(col("epoch") === "b", col("c")).otherwise(0L))
-            .as("exact_b"))
-        .withColumn("exact_delta", col("exact_a") - col("exact_b"))
-        .orderBy(abs(col("exact_delta")).desc, col("k")).limit(10)
-      val probe = wide.select(col("k"), col("exact_a"), col("exact_b"),
-          col("exact_delta"))
-        .withColumn("z1", expr(s"k + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .select(col("k"), col("exact_a"), col("exact_b"), col("exact_delta"),
-          explode(array((0 to 3).map(d => struct(lit(d.toLong).as("d"),
-            expr(s"shiftrightunsigned(h, ${8 * d}) & 255L").as("cell")))
-            : _*)).as("dc"))
-        .select(col("k"), col("exact_a"), col("exact_b"), col("exact_delta"),
-          col("dc.d").as("d"), col("dc.cell").as("cell"))
-      def estOf(ep: String) = grid.filter(col("epoch") === ep)
-        .select(col("d"), col("cell"), col("c"))
-      probe
-        .join(broadcast(estOf("a").withColumnRenamed("c", "ca")),
-          Seq("d", "cell"), "left")
-        .join(broadcast(estOf("b").withColumnRenamed("c", "cb")),
-          Seq("d", "cell"), "left")
-        .groupBy("k", "exact_a", "exact_b", "exact_delta")
-        .agg(min(coalesce(col("ca"), lit(0L))).as("est_a"),
-          min(coalesce(col("cb"), lit(0L))).as("est_b"))
-        .withColumn("est_delta", col("est_a") - col("est_b"))
-        .select(col("k").as("user_id"), col("exact_a"), col("exact_b"),
-          col("exact_delta"), col("est_a"), col("est_b"), col("est_delta"))
-        .orderBy("user_id")
-    }),
-
-    "agg_cms_merge" -> ((s, dir) => {
-      // Count-Min mergeability proof, completing the mergeable-summary
-      // quartet (HLL: max, top-k: bounds, reservoir: order-keys, CMS:
-      // SUM): per-shard 4x256 cell tables merged by cell-wise addition
-      // equal the direct sketch (n_cell_diffs = 0, sum associativity),
-      // and the point estimate min over the 4 rows NEVER undercounts
-      // (emitted beside the exact count for the top-5 keys). One mix64
-      // supplies all 4 rows via disjoint 8-bit fields — the oracle
-      // replays the identical bit splits.
-      val li = t(s, dir, "lineitem")
-      val hashed = li.select(col("l_returnflag").as("flag"),
-          col("l_partkey").as("k"))
-        .withColumn("z1", expr(s"k + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-      val cells = hashed.select(col("flag"), col("k"), explode(array(
-          (0 to 3).map(d => struct(lit(d.toLong).as("d"),
-            expr(s"shiftrightunsigned(h, ${8 * d}) & 255L").as("cell")))
-            : _*)).as("dc"))
-        .select(col("flag"), col("k"),
-          col("dc.d").as("d"), col("dc.cell").as("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val shard = cells.groupBy("flag", "d", "cell")
-        .agg(count(lit(1)).as("c"))
-      val merged = shard.groupBy("d", "cell").agg(sum(col("c")).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val direct = cells.groupBy("d", "cell").agg(count(lit(1)).as("c"))
-      val eq = merged.withColumnRenamed("c", "c_m")
-        .join(direct.withColumnRenamed("c", "c_d"),
-          Seq("d", "cell"), "full")
-        .agg(sum(when(coalesce(col("c_m"), lit(-1L))
-            === coalesce(col("c_d"), lit(-2L)), 0L).otherwise(1L))
-          .as("n_cell_diffs"))
-      val top5 = li.groupBy(col("l_partkey").as("k"))
-        .agg(count(lit(1)).as("exact"))
-        .orderBy(col("exact").desc, col("k")).limit(5)
-      // probe cells recomputed from the 5 keys alone (KB-sized), never
-      // from the data-sized cell frame — the serving-side point lookup
-      val probe = top5
-        .withColumn("z1", expr(s"k + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .select(col("k"), col("exact"), explode(array(
-          (0 to 3).map(d => struct(lit(d.toLong).as("d"),
-            expr(s"shiftrightunsigned(h, ${8 * d}) & 255L").as("cell")))
-            : _*)).as("dc"))
-        .select(col("k"), col("exact"),
-          col("dc.d").as("d"), col("dc.cell").as("cell"))
-      val est = broadcast(probe)
-        .join(merged, Seq("d", "cell"))
-        .groupBy("k", "exact").agg(min(col("c")).as("est_cms"))
-      est.crossJoin(broadcast(eq))
-        .select(col("k").as("l_partkey"), col("exact"), col("est_cms"),
-          when(col("est_cms") >= col("exact"), 1L).otherwise(0L)
-            .as("never_undercounts"),
-          col("n_cell_diffs"))
-        .orderBy(col("exact").desc, col("l_partkey"))
-    }),
-
-    "events_burst_viterbi" -> ((s, dir) => {
-      // Kleinberg-style two-state burst automaton over hourly event
-      // counts, Viterbi min-cost recursion as ONE canonical ascending
-      // fold (the Kalman pattern): quadratic emission costs against the
-      // base rate mu and burst rate 1.5*mu (elementary ops only — the
-      // Poisson original needs lgamma, absent from Spark SQL), state-
-      // entry penalty 8 for 0->1. Emits the final costs, the count of
-      // hours where the burst state was strictly cheaper, and its ppm
-      // share — the burstiness readout for rate-anomaly triage.
-      val e = t(s, dir, "events")
-      val hours = e.groupBy(date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).cast("double").as("y"))
-      val mu = hours.agg(
-        (sum(col("y")) / count(lit(1)).cast("double")).as("mu"))
-      hours.crossJoin(broadcast(mu))
-        .agg(first(col("mu")).as("mu"),
-          sort_array(collect_list(struct(col("hr"), col("y")))).as("sv"))
-        .withColumn("ys", expr("transform(sv, t -> t.y)"))
-        .withColumn("st", expr(
-          """aggregate(ys,
-             named_struct('c0', 0.0d, 'c1', 8.0d, 'nb', 0L),
-             (acc, y) -> named_struct(
-               'c0', (y - mu) * (y - mu) / mu
-                 + CASE WHEN acc.c0 <= acc.c1 THEN acc.c0 ELSE acc.c1 END,
-               'c1', (y - 1.5d * mu) * (y - 1.5d * mu) / mu
-                 + CASE WHEN acc.c0 + 8.0d <= acc.c1 THEN acc.c0 + 8.0d
-                   ELSE acc.c1 END,
-               'nb', acc.nb + CASE WHEN
-                   (y - 1.5d * mu) * (y - 1.5d * mu) / mu
-                   < (y - mu) * (y - mu) / mu THEN 1L ELSE 0L END))"""))
-        .select(expr("CAST(size(ys) AS BIGINT)").as("n_hours"),
-          expr("CAST(floor(1000.0 * mu) AS BIGINT)").as("mu_milli"),
-          expr("CAST(floor(1000.0 * st.c0) AS BIGINT)").as("c0_milli"),
-          expr("CAST(floor(1000.0 * st.c1) AS BIGINT)").as("c1_milli"),
-          col("st.nb").as("n_burst_hours"),
-          expr("CAST(floor(1000000.0 * CAST(st.nb AS DOUBLE)"
-            + " / CAST(size(ys) AS DOUBLE)) AS BIGINT)")
-            .as("burst_share_ppm"))
-    }),
-
-    "attribution_time_decay" -> ((s, dir) => {
-      // time-decay multi-touch attribution, the fifth member of the
-      // family (last-touch / position / Markov / Shapley): each click
-      // forward-as-of'd to the user's next purchase, weighted
-      // 2^(-dt/30min), then normalized per conversion in FIXED POINT —
-      // w_fixed = floor(1e6*w) so the per-conversion total is an exact
-      // BIGINT sum (order-free) and each credit one integer division.
-      // Same one-keyed-shuffle as-of as its siblings.
-      val e = t(s, dir, "events")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"))
-      val attributed = AsOf.asofForward(clicks, purchases, "user_id",
-          "ts", "ts", "event_id", "conv_id")
-        .filter(col("conv_id").isNotNull)
-        .join(purchases.select(col("user_id"),
-          col("event_id").as("conv_id"), col("ts").as("conv_ts")),
-          Seq("user_id", "conv_id"))
-        .withColumn("dt_sec",
-          unix_timestamp(col("conv_ts")) - unix_timestamp(col("ts")))
-        .withColumn("w_fixed", expr(
-          """CAST(floor(1000000.0 *
-             power(0.5d, CAST(dt_sec AS DOUBLE) / 1800.0d)) AS BIGINT)"""))
-      val byConv = Window.partitionBy(col("conv_id"))
-      attributed
-        .withColumn("sum_w", sum(col("w_fixed")).over(byConv))
-        .select(col("click_id"), col("user_id"), col("conv_id"),
-          col("dt_sec"), col("w_fixed"),
-          expr("""CASE WHEN sum_w > 0
-             THEN (w_fixed * 1000000L) div sum_w END""").as("credit_ppm"))
-        .orderBy("click_id")
-    }),
-
-    "embedding_matryoshka_eval" -> ((s, dir) => {
-      // Matryoshka-representation evaluation: does the PREFIX of the
-      // embedding already rank like the full vector? Exact top-10 per
-      // query at dims 16 and 32 graded against the full-64 top-10
-      // (same 32-query fixture and brute-force grader as
-      // similarity_recall). The readout that licenses shipping d/4
-      // vectors — 4x less ANN memory — when recall holds.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val full = Similarity.bruteForceTopK(e, q, k = 10)
-        .select(col("query_id"), col("vec_id"))
-        .withColumn("hit", lit(1L))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def leg(d: Int): DataFrame = {
-        val ec = e.select(col("vec_id"),
-          slice(col("embedding"), 1, d).as("embedding"))
-        Similarity.bruteForceTopK(ec,
-            ec.filter(col("vec_id") < 32)
-              .select(col("vec_id").as("query_id"), col("embedding")),
-            k = 10)
-          .select(lit(d.toLong).as("dims"), col("query_id"), col("vec_id"))
-      }
-      leg(16).unionByName(leg(32))
-        .join(full, Seq("query_id", "vec_id"), "left")
-        .groupBy("dims")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(coalesce(col("hit"), lit(0L))).as("hits"))
-        .select(col("dims"), col("n_pairs"), col("hits"),
-          expr("(hits * 10000L) div n_pairs").as("recall_bp"))
-        .orderBy("dims")
-    }),
-
-    "train_epoch_plan" -> ((s, dir) => {
-      // deterministic epoch-shuffle plan for a training dataloader:
-      // each document's epoch-3 shuffle key is splitmix64(doc_id*31+3),
-      // its worker shard the key mod 8 (rank-free pure-hash assignment
-      // — no global sort exists anywhere in the plan), and the
-      // within-shard read order the key itself. Per-shard readout:
-      // docs, whitespace-token budget, share of the token budget in
-      // ppm, the first doc each worker reads, and an order checksum
-      // (sum rank*doc_id) pinning the entire permutation. The only
-      // sort is the partition-LOCAL window inside each shard — the
-      // 1000-executor story is one hash shuffle into W shards.
-      val d = t(s, dir, "documents")
-      val keyed = d.select(col("doc_id"),
-          coalesce(size(TextFunctions.tokens(lower(col("text")))), lit(0))
-            .cast("long").as("n_tokens"))
-        .withColumn("z1",
-          expr(s"doc_id * 31L + 3L + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .withColumn("shard", pmod(col("h"), lit(8L)))
-      val ws = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
-      val per = keyed.withColumn("rn", row_number().over(ws).cast("long"))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("sum_tokens"),
-          max(when(col("rn") === 1L, col("doc_id"))).as("first_doc_id"),
-          sum(col("rn") * col("doc_id")).as("order_checksum"))
-      val tot = per.agg(sum(col("sum_tokens")).as("tt"))
-      per.crossJoin(broadcast(tot))
-        .select(col("shard"), col("n_docs"), col("sum_tokens"),
-          expr("(sum_tokens * 1000000L) div tt").as("share_ppm"),
-          col("first_doc_id"), col("order_checksum"))
-        .orderBy("shard")
-    }),
-
-    "embedding_quantization_error" -> ((s, dir) => {
-      // per-dimension int8 symmetric-quantization audit for the
-      // embedding column: scale = per-dim max |v| over the corpus,
-      // q = floor(127·v/amax + 0.5) (explicit half-up — engine-
-      // identical, unlike round's tie modes), reconstruction
-      // q·amax/127. The readout is the relative squared error per dim
-      // in ppm — the number that licenses shipping int8 vectors to the
-      // ANN tier (similarity_topk_int8's storage story). Per-row error
-      // and energy are floored to 1e-12 fixed point so both sums are
-      // order-free BIGINTs; two dim-keyed partial aggs, and the amax
-      // frame back-joins as a 64-row broadcast.
-      val e = t(s, dir, "embeddings")
-      val dims = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
-        .select(col("dim").cast("long").as("dim"),
-          col("v").cast("double").as("v"))
-      val amax = dims.groupBy("dim").agg(max(abs(col("v"))).as("amax"))
-      dims.join(broadcast(amax), Seq("dim"))
-        .withColumn("recon", expr(
-          """CASE WHEN amax = 0.0d THEN 0.0d
-             ELSE floor(127.0d * v / amax + 0.5d) * amax / 127.0d END"""))
-        .groupBy("dim")
-        .agg(count(lit(1)).as("n"),
-          expr("CAST(floor(1000000.0d * max(amax)) AS BIGINT)")
-            .as("amax_ppm"),
-          sum(expr("""CAST(floor(1000000000000.0d
-            * (v - recon) * (v - recon)) AS BIGINT)""")).as("sse_fp"),
-          sum(expr("CAST(floor(1000000000000.0d * v * v) AS BIGINT)"))
-            .as("energy_fp"))
-        .select(col("dim"), col("n"), col("amax_ppm"),
-          expr("""CASE WHEN energy_fp > 0
-            THEN (sse_fp * 1000000L) div energy_fp END""").as("rel_err_ppm"))
-        .orderBy("dim")
-    }),
-
-    "recsys_ndcg" -> ((s, dir) => {
-      // offline ranking evaluation of the popularity-baseline
-      // recommender: train on orders before 2000-01-01 (top-10 parts
-      // by train order-line count), recommend each test-active
-      // customer the top parts they do not already own, grade against
-      // post-cutoff purchases with HitRate / MRR / NDCG@10 per market
-      // segment. The rank-discount table floor(1e6/log2(r+1)) is
-      // embedded as integer literals (a libm log2 ulp must never
-      // decide a floor), so per-user DCG/IDCG are exact BIGINTs and
-      // the segment means exact integer divisions. IDCG counts the
-      // user's relevant items within the candidate list, so NDCG
-      // grades pure ordering quality. Scale: the model is a 10-row
-      // broadcast; eval is one user-keyed shuffle.
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val c = t(s, dir, "customer")
-      val buys = o.join(li, o("o_orderkey") === li("l_orderkey"))
-        .select(col("o_custkey").as("custkey"),
-          col("l_partkey").as("partkey"), col("o_orderdate"))
-      val train = buys.filter(col("o_orderdate") < lit("2000-01-01"))
-      val test = buys.filter(col("o_orderdate") >= lit("2000-01-01"))
-        .select("custkey", "partkey").distinct()
-      val top10 = train.groupBy("partkey").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("partkey")).limit(10)
-        .withColumn("pop_rank",
-          row_number().over(Window.orderBy(col("cnt").desc, col("partkey")))
-            .cast("long"))
-        .select("partkey", "pop_rank")
-      val owned = train.select("custkey", "partkey").distinct()
-        .join(top10.select("partkey"), Seq("partkey"))
-      val recs = test.select("custkey").distinct()
-        .crossJoin(broadcast(top10))
-        .join(owned, Seq("custkey", "partkey"), "left_anti")
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("custkey").orderBy("pop_rank")).cast("long"))
-      val discs = ndcgDiscPpm.mkString("array(", "L, ", "L)")
-      val graded = recs
-        .join(test.withColumn("rel", lit(1L)), Seq("custkey", "partkey"),
-          "left")
-        .withColumn("rel", coalesce(col("rel"), lit(0L)))
-        .withColumn("disc", expr(s"element_at($discs, CAST(rank AS INT))"))
-      val wU = Window.partitionBy("custkey")
-      val perUser = graded
-        .withColumn("n_rel", sum(col("rel")).over(wU))
-        .groupBy("custkey")
-        .agg(max(col("n_rel")).as("n_rel"),
-          sum(when(col("rel") === 1L, col("disc")).otherwise(0L))
-            .as("dcg_fp"),
-          sum(when(col("rank") <= col("n_rel"), col("disc")).otherwise(0L))
-            .as("idcg_fp"),
-          min(when(col("rel") === 1L, col("rank"))).as("first_hit"))
-      perUser
-        .join(c.select(col("c_custkey").as("custkey"), col("c_mktsegment")),
-          Seq("custkey"))
-        .groupBy(col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n_users"),
-          sum(when(col("n_rel") > 0L, 1L).otherwise(0L)).as("n_hit"),
-          sum(when(col("n_rel") > 0L,
-            expr("(dcg_fp * 10000L) div idcg_fp")).otherwise(0L))
-            .as("sum_ndcg_bp"),
-          sum(coalesce(expr("1000000L div first_hit"), lit(0L)))
-            .as("sum_mrr_fp"))
-        .select(col("segment"), col("n_users"),
-          expr("(n_hit * 10000L) div n_users").as("hit_rate_bp"),
-          expr("sum_mrr_fp div n_users").as("mrr_ppm"),
-          expr("CASE WHEN n_hit > 0 THEN sum_ndcg_bp div n_hit END")
-            .as("ndcg_bp"))
-        .orderBy("segment")
-    }),
-
-    "stats_anderson_darling" -> ((s, dir) => {
-      // Anderson–Darling normality test on the DAILY order-count
-      // series (the calendar-domain reduction: n stays ~2.4k at any
-      // SF, so the rank window runs over a metadata-sized frame after
-      // one data-sized grouped pass). z-scores come from exact integer
-      // moments (Σx, Σx² as BIGINT — mean/sd are single divisions of
-      // exact ints), Φ via the same A&S 7.1.26 Horner tree as
-      // stats_benjamini_hochberg, per-row AD terms ppm-floored to
-      // BIGINT so the sum is order-free, and the size-adjusted A*²
-      // (Stephens 1974) compared to the 0.787 5% critical value.
-      val o = t(s, dir, "orders")
-      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val mom = days.agg(count(lit(1)).as("n"), sum("cnt").as("s1"),
-        sum(col("cnt") * col("cnt")).as("s2"))
-      val wr = Window.orderBy(col("cnt"), col("day"))
-      val folded = days
-        .withColumn("rn", row_number().over(wr).cast("long"))
-        .crossJoin(broadcast(mom))
-        .withColumn("mu", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
-        .withColumn("sd", expr(
-          """sqrt((CAST(s2 AS DOUBLE)
-             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-             / CAST(n - 1 AS DOUBLE))"""))
-        .withColumn("z", expr("(CAST(cnt AS DOUBLE) - mu) / sd"))
-        .withColumn("az", abs(col("z")))
-        .withColumn("tt", expr("1.0 / (1.0 + 0.2316419 * az)"))
-        .withColumn("tail", expr(
-          """(exp(-az * az / 2.0) / sqrt(2.0 * pi()))
-             * (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt
-                 - 0.356563782) * tt + 0.319381530) * tt)"""))
-        .withColumn("fz", expr(
-          """greatest(1e-15, least(1.0 - 1e-15,
-             CASE WHEN z >= 0.0 THEN 1.0 - tail ELSE tail END))"""))
-        .withColumn("term_fp", expr(
-          """CAST(floor(1000000.0 * (
-             CAST(2 * rn - 1 AS DOUBLE) * ln(fz)
-             + CAST(2 * n - 2 * rn + 1 AS DOUBLE) * ln(1.0 - fz)))
-             AS BIGINT)"""))
-        .groupBy("n").agg(sum("term_fp").as("s_fp"))
-      folded
-        .withColumn("a2", expr(
-          """-CAST(n AS DOUBLE)
-             - CAST(s_fp AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)"""))
-        .withColumn("a2s", expr(
-          """a2 * (1.0 + 0.75 / CAST(n AS DOUBLE)
-             + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"""))
-        .select(col("n").as("n_days"),
-          expr("CAST(floor(1000000.0 * a2) AS BIGINT)").as("a2_ppm"),
-          expr("CAST(floor(1000000.0 * a2s) AS BIGINT)").as("a2_star_ppm"),
-          expr("CAST(CASE WHEN a2s > 0.787 THEN 1 ELSE 0 END AS BIGINT)")
-            .as("reject_5pct"))
-    }),
-
-    "model_isotonic_calibration" -> ((s, dir) => {
-      // isotonic (PAV) recalibration of the hashed linear classifier
-      // via the Robertson–Wright minimax identity
-      // ŷ_i = max_{j≤i} min_{k≥i} mean(y_j..y_k): the corpus reduces
-      // to model_calibration's 10 decile bins first (rows → bins is
-      // the scale move), and the isotonic solve then runs on the
-      // metadata-sized frame as two grouped min/max passes over the B³
-      // candidate windows — no iterative pooling loop. Pool rates are
-      // ppm-floored BIGINTs from prefix-sum differences; floor
-      // commutes with min and max, so the fixed-point answer IS the
-      // floored exact PAV fit.
-      val d = t(s, dir, "documents")
-      val scored = d.select(
-        when(col("lang") === "en", 1L).otherwise(0L).as("label"),
-        HashFunctions.linearMargin(
-          TextFunctions.tokens(lower(col("text")))).as("margin"))
-      val edges = scored.agg(expr(
-        """percentile(margin, array(0.1, 0.2, 0.3, 0.4, 0.5,
-           0.6, 0.7, 0.8, 0.9))""").as("es"))
-      val bins = scored.crossJoin(broadcast(edges))
-        .withColumn("bin", expr(
-          """aggregate(es, 0, (acc, e) ->
-             acc + CASE WHEN CAST(margin AS DOUBLE) > e THEN 1 ELSE 0 END)"""))
-        .groupBy("bin").agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
-      val wb = Window.orderBy("bin")
-      val cum = bins
-        .withColumn("cp", sum("n_pos").over(wb))
-        .withColumn("cc", sum("n").over(wb))
-      val lo = cum.select(col("bin").as("jb"),
-        (col("cp") - col("n_pos")).as("pj0"),
-        (col("cc") - col("n")).as("cj0"))
-      val hi = cum.select(col("bin").as("kb"), col("cp").as("pk"),
-        col("cc").as("ck"))
-      val rates = lo.crossJoin(hi).filter(col("jb") <= col("kb"))
-        .withColumn("rate_ppm",
-          expr("((pk - pj0) * 1000000L) div (ck - cj0)"))
-      val iso = cum.select(col("bin").as("ib"))
-        .join(rates, col("jb") <= col("ib") && col("kb") >= col("ib"))
-        .groupBy("ib", "jb").agg(min("rate_ppm").as("minr"))
-        .groupBy("ib").agg(max("minr").as("iso_ppm"))
-      bins.join(iso, bins("bin") === iso("ib"))
-        .select(col("bin"), col("n"), col("n_pos"),
-          expr("(1000000L * n_pos) div n").as("raw_ppm"), col("iso_ppm"))
-        .orderBy("bin")
-    }),
-
-    "timeseries_dtw" -> ((s, dir) => {
-      // dynamic-time-warping alignment cost between nations' monthly
-      // order-count curves (nation 0 vs nations 0..5; the self-pair is
-      // the zero-cost control row). The data-sized work is one
-      // orders⇄customer join reduced to the month×nation calendar
-      // frame; the O(n·m) DP then runs as a nested canonical fold over
-      // ~80-element BIGINT arrays — |a−b| step costs keep the entire
-      // lattice in exact integer arithmetic, so both engines walk
-      // identical cells. cost_per_step normalizes by the n+m path
-      // bound.
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-      val mon = o.join(c, o("o_custkey") === c("c_custkey"))
-        .filter(col("c_nationkey") <= 5)
-        .groupBy(col("c_nationkey").cast("long").as("nk"),
-          date_trunc("month", col("o_orderdate")).as("mon"))
-        .agg(count(lit(1)).as("cnt"))
-      val series = o
-        .select(date_trunc("month", col("o_orderdate")).as("mon")).distinct()
-        .crossJoin(s.range(6).select(col("id").as("nk")))
-        .join(mon, Seq("nk", "mon"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-        .groupBy("nk")
-        .agg(expr(
-          "transform(sort_array(collect_list(struct(mon, cnt))), t -> t.cnt)")
-          .as("cs"))
-      series.filter(col("nk") === 0L).select(col("cs").as("ca"))
-        .crossJoin(series.select(col("nk").as("nation_b"), col("cs").as("cb")))
-        .withColumn("dp", expr(
-          """aggregate(ca,
-             concat(array(0L), transform(cb, x -> 1000000000000000L)),
-             (acc, av) -> aggregate(sequence(1, size(cb)),
-               array(1000000000000000L),
-               (nr, j) -> array_append(nr,
-                 abs(av - element_at(cb, j))
-                 + least(element_at(acc, j + 1), element_at(acc, j),
-                     element_at(nr, -1)))))"""))
-        .select(lit(0L).as("nation_a"), col("nation_b"),
-          expr("CAST(size(cb) AS BIGINT)").as("n_months"),
-          expr("element_at(dp, size(cb) + 1)").as("dtw_cost"),
-          expr("""(element_at(dp, size(cb) + 1) * 1000000L)
-            div CAST(size(ca) + size(cb) AS BIGINT)""")
-            .as("cost_per_step_ppm"))
-        .orderBy("nation_b")
-    }),
-
-    "markov_stationary" -> ((s, dir) => {
-      // stationary distribution of the user-journey Markov chain: the
-      // event-type transition matrix (the same lead() pass as
-      // markov_transitions) collapses to one k²-element row-major
-      // probability array (k = |event types| — metadata-sized), and
-      // π ← πP is iterated 40 times as a canonical nested fold from
-      // the uniform start. Inner dot products run ascending-index, so
-      // the IEEE tree is engine-identical; matrix entries are exact
-      // count ratios. A row with no outgoing mass gets a self-loop
-      // (guard only — none exist in the fixture). Emitted beside the
-      // empirical occupancy share: the convergence/drift readout.
-      val e = t(s, dir, "events")
-      val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val trans = e.withColumn("nxt", lead(col("event_type"), 1).over(wu))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("event_type").as("a"), col("nxt").as("b"))
-        .agg(count(lit(1)).as("cnt"))
-      val states = e.select(col("event_type").as("st")).distinct()
-      val wa = Window.partitionBy("a")
-      val probs = states.select(col("st").as("a"))
-        .crossJoin(states.select(col("st").as("b")))
-        .join(trans, Seq("a", "b"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-        .withColumn("rs", sum("cnt").over(wa))
-        .withColumn("p", expr(
-          """CASE WHEN rs = 0 THEN CASE WHEN a = b THEN 1.0 ELSE 0.0 END
-             ELSE CAST(cnt AS DOUBLE) / CAST(rs AS DOUBLE) END"""))
-      val matRow = probs.agg(
-        expr("transform(sort_array(collect_list(struct(a, b, p))), t -> t.p)")
-          .as("mat"),
-        expr("sort_array(collect_set(a))").as("sts"))
-      val piRows = matRow.withColumn("pi", expr(
-          """aggregate(sequence(1, 40),
-             transform(sts, x -> 1.0 / CAST(size(sts) AS DOUBLE)),
-             (p, it) -> transform(sequence(1, size(sts)), jj ->
-               aggregate(sequence(1, size(sts)), 0.0d,
-                 (s2, ii) -> s2 + element_at(p, ii)
-                   * element_at(mat, (ii - 1) * size(sts) + jj))))"""))
-        .select(posexplode(col("sts")).as(Seq("i", "state")), col("pi"))
-        .select(col("state"),
-          expr("CAST(floor(1000000.0 * element_at(pi, i + 1)) AS BIGINT)")
-            .as("stationary_ppm"))
-      val emp = e.groupBy(col("event_type").as("state"))
-        .agg(count(lit(1)).as("n_events"))
-      val tot = emp.agg(sum("n_events").as("te"))
-      piRows.join(emp, Seq("state")).crossJoin(broadcast(tot))
-        .select(col("state"), col("n_events"),
-          expr("(n_events * 1000000L) div te").as("empirical_ppm"),
-          col("stationary_ppm"))
-        .orderBy("state")
-    }),
-
-    "timeseries_holt_winters" -> ((s, dir) => {
-      // additive Holt–Winters (α=.2, β=.1, γ=.3, period 12) over the
-      // monthly order-count series: classic two-year initialization
-      // (level = year-1 mean, trend = (mean₂−mean₁)/12, seasonals =
-      // year-1 residuals), then one canonical ascending fold carrying
-      // [level, trend, s₁..s₁₂] as a 14-double state list — the same
-      // pure-list fold discipline as timeseries_kalman_level, every
-      // scalar tree inlined identically in both engines (the level
-      // update is repeated verbatim inside the trend/seasonal updates
-      // rather than bound, so the IEEE trees match). Emits the
-      // 6-month-ahead forecast curve; data-sized work is one grouped
-      // pass to the month frame.
-      val o = t(s, dir, "orders")
-      val xs = o.groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
-        .agg(count(lit(1)).as("cnt"))
-        .agg(expr(
-          """transform(sort_array(collect_list(struct(mon, cnt))),
-             t -> CAST(t.cnt AS DOUBLE))""").as("xs"))
-        // two-year-init precondition: <24 months would silently average a
-        // partial second year and hand `aggregate` a negative-length
-        // slice — emit NOTHING instead (mirrored in the oracle's WHERE)
-        .filter(expr("size(xs) >= 24"))
-      val st = xs
-        .withColumn("m1",
-          expr("aggregate(slice(xs, 1, 12), 0.0d, (a, x) -> a + x) / 12.0d"))
-        .withColumn("m2",
-          expr("aggregate(slice(xs, 13, 12), 0.0d, (a, x) -> a + x) / 12.0d"))
-        .withColumn("init", expr(
-          """concat(array(m1, (m2 - m1) / 12.0d),
-             transform(slice(xs, 1, 12), x -> x - m1))"""))
-        .withColumn("st", expr(
-          """aggregate(slice(xs, 13, size(xs) - 12), init, (ac, x) ->
-             concat(
-               array(
-                 0.2d * (x - element_at(ac, 3))
-                   + 0.8d * (element_at(ac, 1) + element_at(ac, 2)),
-                 0.1d * ((0.2d * (x - element_at(ac, 3))
-                   + 0.8d * (element_at(ac, 1) + element_at(ac, 2)))
-                   - element_at(ac, 1)) + 0.9d * element_at(ac, 2)),
-               slice(ac, 4, 11),
-               array(0.3d * (x - (0.2d * (x - element_at(ac, 3))
-                   + 0.8d * (element_at(ac, 1) + element_at(ac, 2))))
-                 + 0.7d * element_at(ac, 3))))"""))
-      st.select(explode(expr("sequence(1, 6)")).as("h"), col("st"))
-        .select(col("h").cast("long").as("h"),
-          expr("CAST(floor(1000000.0d * element_at(st, 1)) AS BIGINT)")
-            .as("level_ppm"),
-          expr("CAST(floor(1000000.0d * element_at(st, 2)) AS BIGINT)")
-            .as("trend_ppm"),
-          expr("""CAST(floor(1000000.0d * (element_at(st, 1)
-            + CAST(h AS DOUBLE) * element_at(st, 2)
-            + element_at(st, CAST(h AS INT) + 2))) AS BIGINT)""")
-            .as("forecast_ppm"))
-        .orderBy("h")
-    }),
-
-    "similarity_ivf_cell_stats" -> ((s, dir) => {
-      // IVF index-health readout — the re-cluster trigger's sibling:
-      // per-cell population stats from the same trained quantizer as
-      // the topk_ivf family, reduced to the probe-cost curve an ops
-      // team actually watches. For nprobe ∈ {1,2,4,8}: the uniform-
-      // model scan share p/k vs the adversarial worst case (the p
-      // LARGEST cells — what a hot query hitting skewed cells pays),
-      // plus the cell-size cv² in ppm (k·Σs²/n² − 1, exact integers —
-      // Cauchy–Schwarz keeps it nonnegative). Everything after the
-      // assignment pass runs on the k-row cell frame.
-      val (cents, _) = ivfIndex(s, dir)
-      val sizes = Similarity.assignToCentroids(t(s, dir, "embeddings"), cents)
-        .groupBy("centroid_id").agg(count(lit(1)).as("sz"))
-      val tot = sizes.agg(count(lit(1)).as("k"), sum("sz").as("n"),
-        sum(col("sz") * col("sz")).as("s2"))
-      val ranked = sizes.withColumn("rn", row_number().over(
-        Window.orderBy(col("sz").desc, col("centroid_id"))).cast("long"))
-      s.range(1).select(explode(expr("array(1L, 2L, 4L, 8L)")).as("nprobe"))
-        .join(ranked, col("rn") <= col("nprobe"))
-        .groupBy("nprobe").agg(sum("sz").as("topsz"))
-        .crossJoin(broadcast(tot))
-        .select(col("nprobe"), col("k"), col("n"),
-          expr("(nprobe * 1000000L) div k").as("avg_scan_ppm"),
-          expr("(topsz * 1000000L) div n").as("worst_scan_ppm"),
-          expr("(1000000L * (k * s2 - n * n)) div (n * n)").as("cv2_ppm"))
-        .orderBy("nprobe")
-    }),
-
-    "timeseries_haar_energy" -> ((s, dir) => {
-      // Haar-wavelet energy spectrum of the daily order-count signal:
-      // levels 1..4 detail energy Σ(S_left − S_right)²/2^ℓ over the
-      // series truncated to the largest power of two (found by an
-      // integer doubling fold — no libm log2 near an integer boundary
-      // decides anything). Each level's blocks are index arithmetic
-      // (i div 2^ℓ) + one grouped sum, so all four levels ride a single
-      // keyed shuffle over the 4×-exploded calendar frame; shares use
-      // the common-denominator trick (e·2^{4−ℓ}) to stay in exact
-      // BIGINTs. The burst/seasonality scale readout.
-      val o = t(s, dir, "orders")
-      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val nF = days.agg(count(lit(1)).as("n"))
-      val idx = days
-        .withColumn("i",
-          row_number().over(Window.orderBy("day")).cast("long") - 1L)
-        .crossJoin(broadcast(nF))
-        .withColumn("m", expr(
-          """aggregate(sequence(1, 40), 1L,
-             (a, st) -> CASE WHEN a * 2 <= n THEN a * 2 ELSE a END)"""))
-        .filter(col("i") < col("m"))
-      val lvl = idx
-        .select(col("i"), col("cnt"),
-          explode(expr("array(1, 2, 3, 4)")).as("level"))
-        .withColumn("blk", expr("i div shiftleft(1L, level)"))
-        .withColumn("sign",
-          expr("1L - 2L * ((i div shiftleft(1L, level - 1)) % 2L)"))
-        .groupBy("level", "blk")
-        .agg(sum(col("sign") * col("cnt")).as("d"))
-        .groupBy("level")
-        .agg(count(lit(1)).as("n_blocks"), sum(col("d") * col("d")).as("e_num"))
-      val tot = lvl.agg(
-        sum(expr("e_num * shiftleft(1L, 4 - level)")).as("tv"))
-      lvl.crossJoin(broadcast(tot))
-        .select(col("level").cast("long").as("level"), col("n_blocks"),
-          col("e_num"),
-          expr("(e_num * shiftleft(1L, 4 - level) * 1000000L) div tv")
-            .as("share_ppm"))
-        .orderBy("level")
-    }),
-
-    "stats_hodges_lehmann" -> ((s, dir) => {
-      // Hodges–Lehmann robust location estimate of the daily order
-      // count: the median of all n(n+1)/2 Walsh averages (xᵢ+xⱼ)/2,
-      // i ≤ j. The pair frame is CALENDAR², not data² — ~2.4k days at
-      // any SF, one broadcast self-join — and the median runs on the
-      // VALUE domain (rows→values: group pair sums, cumulative over the
-      // ~2k distinct doubled sums), never on the pair rows. Doubled
-      // sums keep everything integer; the lower median is the
-      // (N+1) div 2-th order statistic.
-      val o = t(s, dir, "orders")
-      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val a = days.select(col("day").as("da"), col("cnt").as("xa"))
-      val b = days.select(col("day").as("db"), col("cnt").as("xb"))
-      val walsh = a.join(broadcast(b), col("da") <= col("db"))
-        .select((col("xa") + col("xb")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      val tot = walsh.agg(sum("c").as("nn"))
-      walsh
-        .withColumn("cum", sum("c").over(Window.orderBy("w")))
-        .crossJoin(broadcast(tot))
-        .withColumn("kk", expr("(nn + 1L) div 2L"))
-        .filter(col("cum") >= col("kk") && col("cum") - col("c") < col("kk"))
-        .select(col("w").as("hl_x2"), col("nn").as("n_pairs"),
-          expr("w * 500000L").as("hl_ppm"))
-    }),
-
-    "dq_reconciliation" -> ((s, dir) => {
-      // cross-table money reconciliation: every order's header total
-      // vs the Σ price·(1−disc)·(1+tax) rebuilt from its lines, in
-      // EXACT integer micro-dollars (cents × discount-bp × tax-bp —
-      // the decimal(18,2) casts make each factor an exact integer, so
-      // the per-order diff is an exact BIGINT, and floor-div of the
-      // ABSOLUTE diff sidesteps the div-vs-// negative-floor trap).
-      // Orders reduce to relative-error bands; headerless orders get
-      // their own band. One fact-fact keyed join + a 5-row rollup.
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
-        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
-          .as("ep_c"),
-        expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
-          .as("d_bp"),
-        expr("CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)")
-          .as("t_bp"))
-      val recon = li.groupBy("l_orderkey")
-        .agg(sum(expr("ep_c * (100L - d_bp) * (100L + t_bp)")).as("recon_u"))
-      val o = t(s, dir, "orders").select(col("o_orderkey"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)")
-          .as("tot_u"))
-      o.join(recon, o("o_orderkey") === recon("l_orderkey"), "left")
-        .withColumn("rel_ppm", expr(
-          """CASE WHEN recon_u IS NULL THEN NULL
-             ELSE (abs(recon_u - tot_u) * 1000000L) div tot_u END"""))
-        .withColumn("band", expr(
-          """CASE WHEN rel_ppm IS NULL THEN 'no_lines'
-             WHEN rel_ppm = 0 THEN 'exact'
-             WHEN rel_ppm <= 100 THEN 'lt_100ppm'
-             WHEN rel_ppm <= 10000 THEN 'lt_1pct'
-             ELSE 'gt_1pct' END"""))
-        .groupBy("band")
-        .agg(count(lit(1)).as("n_orders"),
-          max(col("rel_ppm")).as("max_rel_ppm"),
-          min(col("rel_ppm")).as("min_rel_ppm"))
-        .orderBy("band")
-    }),
-
-    "dedup_lsh_tuning" -> ((s, dir) => {
-      // LSH banding-parameter tuning table: for every (bands, rows)
-      // split of the 16-component MinHash signature, the expected
-      // candidate volume and expected recall on the estimated-dup
-      // stratum (m/16 ≥ 0.5), from the S-curve P = 1−(1−s^r)^b
-      // evaluated at each candidate pair's signature agreement
-      // s = m/16. Powers are explicit squaring chains (pow()'s libm
-      // may differ by an ulp between engines; t2→t4→t8→t16 cannot);
-      // per-pair probabilities are ppm-floored before summation so
-      // totals are order-free BIGINTs. This is the table that picks
-      // (b, r) BEFORE a 100 TB dedup run commits its shuffle budget —
-      // computed from signatures alone, never from shingle sets.
-      // maxComponentDf (default 100000) is mirrored in the oracle's
-      // `ok` CTE — keep the two literals in sync.
-      val pairs = Dedup.minhashEstimatePairsFromShingles(
-          augShingles(s, dir), "doc_id", k = 16, minEstimate = 0.0)
-        .withColumn("m", expr("CAST(round(est_jaccard * 16.0d) AS BIGINT)"))
-      val configs = s.range(1).select(explode(expr(
-        """array(struct(16L AS b, 1L AS r), struct(8L AS b, 2L AS r),
-           struct(4L AS b, 4L AS r), struct(2L AS b, 8L AS r))""")).as("cfg"))
-        .select(col("cfg.b").as("b"), col("cfg.r").as("r"))
-      pairs.crossJoin(broadcast(configs))
-        .withColumn("sv", expr("CAST(m AS DOUBLE) / 16.0d"))
-        .withColumn("sr", expr(
-          """CASE r WHEN 1 THEN sv WHEN 2 THEN sv * sv
-             WHEN 4 THEN (sv * sv) * (sv * sv)
-             WHEN 8 THEN ((sv * sv) * (sv * sv)) * ((sv * sv) * (sv * sv))
-             END"""))
-        .withColumn("t2", expr("(1.0d - sr) * (1.0d - sr)"))
-        .withColumn("t4", expr("t2 * t2"))
-        .withColumn("t8", expr("t4 * t4"))
-        .withColumn("t16", expr("t8 * t8"))
-        .withColumn("pc_fp", expr(
-          """CAST(floor(1000000.0d * (1.0d - CASE b
-             WHEN 2 THEN t2 WHEN 4 THEN t4 WHEN 8 THEN t8 WHEN 16 THEN t16
-             END)) AS BIGINT)"""))
-        .groupBy("b", "r")
-        .agg(count(lit(1)).as("n_cand"),
-          sum("pc_fp").as("exp_cand_fp"),
-          sum(when(col("m") >= 8L, 1L).otherwise(0L)).as("n_dup"),
-          sum(when(col("m") >= 8L, col("pc_fp")).otherwise(0L)).as("dup_fp"))
-        .select(col("b"), col("r"), col("n_cand"), col("exp_cand_fp"),
-          col("n_dup"),
-          expr("CASE WHEN n_dup > 0 THEN dup_fp div n_dup END")
-            .as("exp_recall_ppm"))
-        .orderBy(col("b").desc)
-    }),
-
-    "multimodal_shard_manifest" -> ((s, dir) => {
-      // WebDataset-style shard manifest for the media table: per kind
-      // (image/audio/video — the natural partition key, so the
-      // cumulative-bytes window is KEYED, never global), items pack
-      // into 16 KiB shards by id-ordered running payload size, and the
-      // manifest row per shard carries what a dataloader needs to
-      // mount it: item count, byte total, id range. Payload bytes are
-      // never read — length() is metadata — which is the whole point
-      // of the binary-column layout (Multimodal.scala doc).
-      val media = Multimodal.syntheticMedia(
-        t(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text")
-      val wk = Window.partitionBy("kind").orderBy("media_id")
-      media
-        .withColumn("bytes", length(col("payload")).cast("long"))
-        .withColumn("cum_before", coalesce(
-          sum("bytes").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .withColumn("shard", expr("cum_before div 16384L"))
-        .groupBy("kind", "shard")
-        .agg(count(lit(1)).as("n_items"), sum("bytes").as("shard_bytes"),
-          min("media_id").as("first_id"), max("media_id").as("last_id"))
-        .orderBy("kind", "shard")
-    }),
-
-    "stats_energy_distance" -> ((s, dir) => {
-      // two-sample energy distance between weekday and weekend daily
-      // order counts: E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| (Székely &
-      // Rizzo). Both samples reduce to VALUE histograms first (the
-      // rows→values discipline: the pairwise |x−y| grids are
-      // distinct-value² ≈ metadata-sized, never day²·SF), every |x−y|
-      // sum is an exact weighted BIGINT, and E assembles from the
-      // three exact integer ratios in one identical double tree.
-      val o = t(s, dir, "orders")
-      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("grp", expr(
-          "CASE WHEN weekday(day) >= 5 THEN 'weekend' ELSE 'weekday' END"))
-      val hist = days.groupBy("grp", "cnt").agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def pairSum(ga: String, gb: String) = hist
-        .filter(col("grp") === ga)
-        .select(col("cnt").as("xa"), col("c").as("ca"))
-        .crossJoin(hist.filter(col("grp") === gb)
-          .select(col("cnt").as("xb"), col("c").as("cb")))
-        .agg(sum(expr("ca * cb * abs(xa - xb)")).as("s"),
-          sum(expr("ca * cb")).as("np"))
-      val xy = pairSum("weekday", "weekend")
-        .select(col("s").as("sxy"), col("np").as("nxy"))
-      val xx = pairSum("weekday", "weekday")
-        .select(col("s").as("sxx"), col("np").as("nxx"))
-      val yy = pairSum("weekend", "weekend")
-        .select(col("s").as("syy"), col("np").as("nyy"))
-      xy.crossJoin(xx).crossJoin(yy)
-        .select(col("nxy").as("n_pairs_xy"),
-          expr("""CAST(floor(1000000.0 * (
-            2.0 * CAST(sxy AS DOUBLE) / CAST(nxy AS DOUBLE)
-            - CAST(sxx AS DOUBLE) / CAST(nxx AS DOUBLE)
-            - CAST(syy AS DOUBLE) / CAST(nyy AS DOUBLE))) AS BIGINT)""")
-            .as("energy_ppm"))
-    }),
-
-    "privacy_dp_mean" -> ((s, dir) => {
-      // Laplace-mechanism mean release with clipping — the third DP
-      // release shape beside privacy_dp_counts/_quantile: order values
-      // clip to C = $300k (bounding one record's influence), the
-      // clipped mean has sensitivity C/n, so noise b = C/(n·ε) at
-      // ε = 0.5. Same splitmix64(42)-seeded inverse-CDF Laplace and
-      // the same loudly-documented determinism stand-in as its
-      // siblings (a production release draws real entropy there).
-      // Cents-exact clipped sums; one grouped pass.
-      val o = t(s, dir, "orders")
-      val agg0 = o.select(expr(
-          """least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
-             30000000L)""").as("v_c"))
-        .agg(count(lit(1)).as("n"), sum("v_c").as("s_c"))
-      agg0
-        .withColumn("z1", expr(s"42L + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("h", expr("z3 ^ shiftrightunsigned(z3, 31)"))
-        .withColumn("u", expr(
-          s"""(CAST(shiftrightunsigned(h, 12) AS DOUBLE)
-               + 0.5) / ${(1L << 52).toDouble}"""))
-        .withColumn("b_c", expr("300000.0 * 100.0 / (0.5 * CAST(n AS DOUBLE))"))
-        .withColumn("noise_c", expr(
-          """-b_c * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
-             * ln(1.0 - 2.0 * abs(u - 0.5))"""))
-        .select(col("n"),
-          expr("(s_c * 10000L) div n").as("clipped_mean_ppm"),
-          expr("CAST(floor(10000.0 * noise_c) AS BIGINT)").as("noise_ppm"),
-          expr("""CAST(floor(CAST(s_c AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0
-            + 10000.0 * noise_c) AS BIGINT)""").as("released_mean_ppm"))
-    }),
-
-    "embedding_outlier_score" -> ((s, dir) => {
-      // OOD / mislabel mining over the embedding corpus: every vector's
-      // assignment cosine to its nearest trained centroid (the same
-      // quantizer as the IVF family), floored to ppm BEFORE the
-      // per-label 5th-percentile fence so the percentile interpolates
-      // integers (engine-exact, like the WOE fences), and the rows
-      // under the fence flagged. The per-label outlier table that
-      // feeds manual review queues; one broadcast-assign pass + a
-      // label-keyed rollup.
-      val (cents, _) = ivfIndex(s, dir)
-      val asg = Similarity.assignToCentroids(t(s, dir, "embeddings"), cents)
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          expr("CAST(floor(1000000.0d * cosine) AS BIGINT)").as("cos_fp"))
-      val fences = asg.groupBy("label")
-        .agg(expr("CAST(floor(percentile(cos_fp, 0.05d)) AS BIGINT)")
-          .as("fence_fp"))
-      asg.join(broadcast(fences), Seq("label"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n"), max("fence_fp").as("fence_fp"),
-          sum(when(col("cos_fp") < col("fence_fp"), 1L).otherwise(0L))
-            .as("n_flagged"),
-          min("cos_fp").as("worst_cos_fp"))
-        .orderBy("label")
-    }),
-
-    "train_crossdup_audit" -> ((s, dir) => {
-      // eval-set contamination by NEAR duplicates: a test doc whose
-      // near-dup twin sits in train is a leaked answer that exact-match
-      // decontamination (decontaminate_overlap) never sees. Signature-
-      // only estimates (m/16 ≥ 0.5) over the same augmented fixture as
-      // the minhash family; split labels from train_split's stable
-      // content hash; pairs straddling splits roll up into the
-      // contamination table an eval release should publish — with the
-      // count of DISTINCT test docs compromised, the number that
-      // actually gates a release. Signatures + per-pair label
-      // derivation: no shingle set is ever joined.
-      def splitOf(c: Column) = {
-        val h = pmod(HashFunctions.fnv64(c.cast("string")), lit(1000L))
-        when(h < 800, "train").when(h < 900, "val").otherwise("test")
-      }
-      Dedup.minhashEstimatePairsFromShingles(augShingles(s, dir), "doc_id",
-          k = 16, minEstimate = 0.5)
-        .select(col("id_a"), col("id_b"))
-        .withColumn("sa", splitOf(col("id_a")))
-        .withColumn("sb", splitOf(col("id_b")))
-        .groupBy(least(col("sa"), col("sb")).as("s_lo"),
-          greatest(col("sa"), col("sb")).as("s_hi"))
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(when(col("sa") =!= col("sb"),
-            when(col("sa") === "test", col("id_a"))
-              .otherwise(when(col("sb") === "test", col("id_b")))))
-            .as("n_test_docs"))
-        .orderBy("s_lo", "s_hi")
-    }),
-
-    "events_funnel_windows" -> ((s, dir) => {
-      // attribution-window sensitivity: the signup→purchase conversion
-      // table at 1 h / 6 h / 24 h / unbounded windows, all four rows
-      // from ONE latency pass (funnel_time_to_convert's shape) — the
-      // analyst never re-scans the stream to try another window. Exact
-      // integer milliseconds; rates in bp against the signup cohort.
-      val e = t(s, dir, "events")
-      val signups = e.filter(col("event_type") === "signup")
-        .groupBy("user_id")
-        .agg(min(expr("unix_millis(ts)")).as("signup_ms"))
-      val lat = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("unix_millis(ts)").as("pms"))
-        .join(signups, Seq("user_id"))
-        .filter(col("pms") >= col("signup_ms"))
-        .groupBy("user_id")
-        .agg(min(expr("pms - signup_ms")).as("latency_ms"))
-      val nSign = signups.agg(count(lit(1)).as("n_signup"))
-      val wins = s.range(1).select(explode(expr(
-        """array(struct('01_1h' AS w, 3600000L AS bound),
-           struct('02_6h' AS w, 21600000L AS bound),
-           struct('03_24h' AS w, 86400000L AS bound),
-           struct('04_all' AS w, 9223372036854775807L AS bound))"""))
-        .as("c")).select(col("c.w").as("window"), col("c.bound").as("bound"))
-      lat.crossJoin(broadcast(wins))
-        .filter(col("latency_ms") <= col("bound"))
-        .groupBy("window")
-        .agg(count(lit(1)).as("n_converted"),
-          max(col("latency_ms")).as("max_latency_ms"))
-        .crossJoin(broadcast(nSign))
-        .select(col("window"), col("n_signup"), col("n_converted"),
-          expr("(n_converted * 10000L) div n_signup").as("conv_bp"),
-          col("max_latency_ms"))
-        .orderBy("window")
-    }),
-
-    "recsys_ild" -> ((s, dir) => {
-      // intra-list diversity of the popularity recommender's lists
-      // (recsys_ndcg's exact construction): mean pairwise attribute
-      // dissimilarity (brand ≠ brand) + (type ≠ type) over each user's
-      // ≤10-item list, in exact ppm — the redundancy readout that
-      // catches a recommender pushing ten variants of one product.
-      // Part attributes ride the 10-row broadcast; pair work is ≤45
-      // rows per user.
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val c = t(s, dir, "customer")
-      val p = t(s, dir, "part")
-      val buys = o.join(li, o("o_orderkey") === li("l_orderkey"))
-        .select(col("o_custkey").as("custkey"),
-          col("l_partkey").as("partkey"), col("o_orderdate"))
-      val train = buys.filter(col("o_orderdate") < lit("2000-01-01"))
-      val top10 = train.groupBy("partkey").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("partkey")).limit(10)
-        .join(p.select(col("p_partkey").as("partkey"), col("p_brand"),
-          col("p_type")), Seq("partkey"))
-        .select("partkey", "p_brand", "p_type")
-      val owned = train.select("custkey", "partkey").distinct()
-        .join(top10.select("partkey"), Seq("partkey"))
-      val evalUsers = buys.filter(col("o_orderdate") >= lit("2000-01-01"))
-        .select("custkey").distinct()
-      val recs = evalUsers.crossJoin(broadcast(top10))
-        .join(owned, Seq("custkey", "partkey"), "left_anti")
-      val a = recs.select(col("custkey"), col("partkey").as("pa"),
-        col("p_brand").as("ba"), col("p_type").as("ta"))
-      val b = recs.select(col("custkey"), col("partkey").as("pb"),
-        col("p_brand").as("bb"), col("p_type").as("tb"))
-      val perUser = a.join(b, Seq("custkey")).filter(col("pa") < col("pb"))
-        .groupBy("custkey")
-        .agg(count(lit(1)).as("n_prs"),
-          sum(expr("""CAST(CASE WHEN ba <> bb THEN 1 ELSE 0 END
-            + CASE WHEN ta <> tb THEN 1 ELSE 0 END AS BIGINT)""")).as("d"))
-        .select(col("custkey"),
-          expr("(d * 1000000L) div (2L * n_prs)").as("ild_ppm"))
-      perUser
-        .join(c.select(col("c_custkey").as("custkey"), col("c_mktsegment")),
-          Seq("custkey"))
-        .groupBy(col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n_users"),
-          expr("sum(ild_ppm) div count(1)").as("mean_ild_ppm"),
-          min("ild_ppm").as("min_ild_ppm"))
-        .orderBy("segment")
-    }),
-
-    "graph_sample_fidelity" -> ((s, dir) => {
-      // does a 25% hash edge sample preserve the degree structure?
-      // The sketching question every 100 TB graph job asks before
-      // running on the sample. Edges sampled by splitmix64 of the
-      // wrapped (src·31 + dst) key (the oracle reproduces the wrap in
-      // mod-2^64 HUGEINT); sampled degrees rescale by 1/p = 4 (the
-      // unbiased estimator — raw degree CDFs would trivially differ by
-      // the sampling factor); both histograms reduce to the
-      // DEGREE-VALUE domain, their CDFs compare on the union grid by
-      // exact cross-multiplied integers, and the KS distance comes out
-      // in ppm — floor commutes with max.
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select(
-          (col("l_suppkey") * 2L).as("src"),
-          (col("l_partkey") * 2L + 1L).as("dst"))
-        .distinct()
-        .withColumn("z1",
-          expr(s"src * 31L + dst + ${0x9e3779b97f4a7c15L}L"))
-        .withColumn("z2",
-          expr(s"(z1 ^ shiftrightunsigned(z1, 30)) * ${0xbf58476d1ce4e5b9L}L"))
-        .withColumn("z3",
-          expr(s"(z2 ^ shiftrightunsigned(z2, 27)) * ${0x94d049bb133111ebL}L"))
-        .withColumn("keep", (pmod(expr("z3 ^ shiftrightunsigned(z3, 31)"),
-          lit(4L)) === 0L).cast("int"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def hist(edges: DataFrame) = edges
-        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .groupBy("src").agg(count(lit(1)).as("degree"))
-        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
-      val hf = hist(e0.select("src", "dst"))
-      val hs = hist(e0.filter(col("keep") === 1).select("src", "dst"))
-        .select((col("degree") * 4L).as("degree"), col("n_nodes"))
-      val grid = hf.select("degree").unionByName(hs.select("degree")).distinct()
-      def cdf(h: DataFrame, cumName: String) = grid.as("g")
-        .join(h.as("h"), col("h.degree") <= col("g.degree"), "left")
-        .groupBy(col("g.degree").as("degree"))
-        .agg(coalesce(sum("h.n_nodes"), lit(0L)).as(cumName))
-      val cf = cdf(hf, "cum_f"); val cs = cdf(hs, "cum_s")
-      val nf = hf.agg(sum("n_nodes").as("n_full"),
-        sum(col("degree") * col("n_nodes")).as("deg_sum_full"))
-      val ns = hs.agg(sum("n_nodes").as("n_samp"),
-        sum(col("degree") * col("n_nodes")).as("deg_sum_samp"))
-      cf.join(cs, Seq("degree"))
-        .crossJoin(broadcast(nf)).crossJoin(broadcast(ns))
-        .select(col("degree"), col("n_full"), col("n_samp"),
-          col("deg_sum_full"), col("deg_sum_samp"),
-          expr("abs(cum_f * n_samp - cum_s * n_full)").as("dnum"))
-        .groupBy("n_full", "n_samp", "deg_sum_full", "deg_sum_samp")
-        .agg(max("dnum").as("dmax"))
-        .select(col("n_full"), col("n_samp"),
-          expr("deg_sum_full div 2").as("e_full"),
-          expr("deg_sum_samp div 2").as("e_est_full"),
-          expr("(dmax * 1000000L) div (n_full * n_samp)").as("ks_ppm"))
-    }),
-
-    "stats_mann_kendall" -> ((s, dir) => {
-      // Mann–Kendall trend test on the daily order-count series:
-      // S = Σ_{i<j} sign(x_j − x_i) over calendar² pairs (the
-      // hodges_lehmann broadcast shape — ~2.4k days at any SF), the
-      // tie-corrected variance 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
-      // as one exact BIGINT, z with the continuity correction, and the
-      // two-sided p through the shared A&S 7.1.26 Horner tail. The
-      // monotone-trend gate a forecasting pipeline runs before it
-      // bothers fitting anything.
-      val o = t(s, dir, "orders")
-      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sStat = days.select(col("day").as("da"), col("cnt").as("xa"))
-        .join(broadcast(days.select(col("day").as("db"), col("cnt").as("xb"))),
-          col("da") < col("db"))
-        .agg(sum(expr(
-          """CASE WHEN xb > xa THEN 1L WHEN xb < xa THEN -1L ELSE 0L END"""))
-          .as("s_stat"))
-      val ties = days.groupBy("cnt").agg(count(lit(1)).as("tt"))
-        .agg(sum(expr("tt * (tt - 1) * (2 * tt + 5)")).as("tie_term"),
-          sum(col("tt")).as("n"))
-      sStat.crossJoin(broadcast(ties))
-        .withColumn("var18",
-          expr("n * (n - 1) * (2 * n + 5) - tie_term"))
-        .withColumn("z", expr(
-          """CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
-             WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
-             ELSE 0.0 END / sqrt(CAST(var18 AS DOUBLE) / 18.0)"""))
-        .withColumn("az", abs(col("z")))
-        .withColumn("tt2", expr("1.0 / (1.0 + 0.2316419 * az)"))
-        .withColumn("p_ppm", expr(
-          """CAST(floor(1000000.0 * 2.0 * (exp(-az * az / 2.0)
-               / sqrt(2.0 * pi()))
-             * (((((1.330274429 * tt2 - 1.821255978) * tt2 + 1.781477937)
-                 * tt2 - 0.356563782) * tt2 + 0.319381530) * tt2))
-             AS BIGINT)"""))
-        .select(col("n").as("n_days"), col("s_stat"), col("var18"),
-          expr("CAST(floor(1000000.0 * z) AS BIGINT)").as("z_ppm"),
-          col("p_ppm"),
-          expr("""CAST(CASE WHEN p_ppm < 50000 THEN
-            CASE WHEN s_stat > 0 THEN 1 ELSE -1 END ELSE 0 END AS BIGINT)""")
-            .as("trend"))
-    }),
-
-    "text_novelty_curve" -> ((s, dir) => {
-      // corpus-growth saturation curve — the collect-more-data
-      // decision readout: docs in arrival (doc_id) order split into 10
-      // deciles via the distributed exact global rank (Rank.
-      // globalRowNumber — range repartition + per-partition offsets;
-      // the only single-partition window is over the 32-row partition
-      // metadata), and each decile reports how many of its distinct
-      // token trigrams were never seen in an earlier decile. A flat
-      // tail says new data buys nothing; trigram keys shuffle once.
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val nF = d.agg(count(lit(1)).as("n"))
-      val ranked = Rank.globalRowNumber(d, 32, "rn", col("doc_id"))
-        .crossJoin(broadcast(nF))
-        .withColumn("decile", expr("((rn - 1) * 10L) div n"))
-      val tok = ranked.select(col("doc_id"), col("decile"),
-        posexplode(TextFunctions.tokens(lower(col("text"))))
-          .as(Seq("pos", "w")))
-      val wd = Window.partitionBy("doc_id").orderBy("pos")
-      val tri = tok
-        .withColumn("w2", lead(col("w"), 1).over(wd))
-        .withColumn("w3", lead(col("w"), 2).over(wd))
-        .filter(col("w3").isNotNull)
-        .select(col("decile"),
-          concat_ws(" ", col("w"), col("w2"), col("w3")).as("g"))
-        .distinct()
-      val perDec = tri.groupBy("decile").agg(count(lit(1)).as("n_grams"))
-      val news = tri.groupBy("g").agg(min("decile").as("decile"))
-        .groupBy("decile").agg(count(lit(1)).as("n_new"))
-      val wc = Window.orderBy("decile")
-      perDec.join(news, Seq("decile"), "left")
-        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-        .withColumn("cum_unique", sum("n_new").over(wc))
-        .select(col("decile"), col("n_grams"), col("n_new"),
-          expr("(n_new * 1000000L) div n_grams").as("novelty_ppm"),
-          col("cum_unique"))
-        .orderBy("decile")
-    }),
-
-    "recsys_ips_eval" -> ((s, dir) => {
-      // inverse-propensity-scored offline eval — the debiased sibling
-      // of recsys_ndcg: a popularity recommender's raw hit rate is
-      // inflated by exposure bias, so each test hit reweights by
-      // 1/propensity (propensity = the item's train interaction
-      // share). Per-hit weights floor to ppm BIGINTs (order-free
-      // sums); the naive and IPS rates land side by side per segment.
-      // Same 10-row broadcast model; one user-keyed eval join.
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val c = t(s, dir, "customer")
-      val buys = o.join(li, o("o_orderkey") === li("l_orderkey"))
-        .select(col("o_custkey").as("custkey"),
-          col("l_partkey").as("partkey"), col("o_orderdate"))
-      val train = buys.filter(col("o_orderdate") < lit("2000-01-01"))
-      val trainTot = train.agg(count(lit(1)).as("t_inter"))
-      val top10 = train.groupBy("partkey").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("partkey")).limit(10)
-        .crossJoin(broadcast(trainTot))
-        .select(col("partkey"), col("cnt"), col("t_inter"))
-      val test = buys.filter(col("o_orderdate") >= lit("2000-01-01"))
-        .select("custkey", "partkey").distinct()
-      val owned = train.select("custkey", "partkey").distinct()
-        .join(top10.select("partkey"), Seq("partkey"))
-      val graded = test.select("custkey").distinct()
-        .crossJoin(broadcast(top10))
-        .join(owned, Seq("custkey", "partkey"), "left_anti")
-        .join(test.withColumn("rel", lit(1L)), Seq("custkey", "partkey"),
-          "left")
-        .withColumn("rel", coalesce(col("rel"), lit(0L)))
-        .withColumn("w_fp", expr(
-          """CASE WHEN rel = 1
-             THEN (t_inter * 1000000L) div cnt ELSE 0L END"""))
-      val perUser = graded.groupBy("custkey")
-        .agg(max(col("rel")).as("hit"), sum(col("w_fp")).as("ips_fp"))
-      perUser
-        .join(c.select(col("c_custkey").as("custkey"), col("c_mktsegment")),
-          Seq("custkey"))
-        .groupBy(col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n_users"),
-          sum(col("hit")).as("n_hit"),
-          sum(col("ips_fp")).as("ips_sum_fp"))
-        .select(col("segment"), col("n_users"),
-          expr("(n_hit * 10000L) div n_users").as("hit_rate_bp"),
-          expr("ips_sum_fp div n_users").as("ips_score_ppm"))
-        .orderBy("segment")
-    }),
-
-    "customers_revenue_concentration" -> ((s, dir) => {
-      // revenue-concentration (Pareto) curve: customers ranked by
-      // lifetime cents-exact spend via the DISTRIBUTED global rank
-      // (Rank.globalRowNumber — no data-sized single-task sort), cut
-      // into spend deciles, each reporting its exact revenue share —
-      // the 80/20 readout. Ranking keys are (spend, custkey) so ties
-      // are deterministic; shares are cents-exact floor-ppm.
-      val o = t(s, dir, "orders")
-      val spend = o.groupBy(col("o_custkey").as("custkey"))
-        .agg(sum(expr(
-          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-          .as("cents"))
-      val nF = spend.agg(count(lit(1)).as("n"), sum("cents").as("tot"))
-      Rank.globalRowNumber(spend, 32, "rn",
-          col("cents").desc, col("custkey"))
-        .crossJoin(broadcast(nF))
-        .withColumn("decile", expr("((rn - 1) * 10L) div n"))
-        .groupBy("decile")
-        .agg(count(lit(1)).as("n_customers"), sum("cents").as("dec_cents"),
-          max("cents").as("max_cents"), min("cents").as("min_cents"))
-        .crossJoin(broadcast(nF.select(col("tot"))))
-        .select(col("decile"), col("n_customers"),
-          expr("(dec_cents * 1000000L) div tot").as("revenue_share_ppm"),
-          col("max_cents"), col("min_cents"))
-        .orderBy("decile")
-    }),
-
-    "dedup_shingle_sensitivity" -> ((s, dir) => {
-      // the shingle-size tuning axis beside dedup_lsh_tuning's banding
-      // axis: df-capped Jaccard pairs (the dedup-family inverted-index
-      // construction) at k = 2/3/5 over the augmented fixture. Shorter
-      // shingles blur distinct docs together (more pairs, lower mean
-      // similarity); longer ones miss paraphrases. The df cap (256,
-      // MIRRORED in the oracle so parity is exact) is load-bearing
-      // here, not a formality: k=2 shingles are common word bigrams
-      // whose Σdf² explodes quadratically — the uncapped first cut
-      // measured 73 s at sf0.1 in the bench, 6× the worst legitimate
-      // query. Per-pair Jaccard floors to ppm before the per-k rollup;
-      // the doomed-doc count is what each k would actually delete.
-      // Scale shape: the table is ESTIMATED on a fixed-size hash
-      // sample (~1.25k docs at any SF; K = max(1, n/1250), so the
-      // small-SF fixtures are the full corpus) with the fixed df-cap
-      // 256 inside the sample. Both alternatives were measured and
-      // rejected: uncapped k=2 hit 73 s at sf0.1 (Σdf² blowup), and a
-      // corpus-proportional cap hit 635 s at sf1 (the same blowup,
-      // bigger constant). A fixed-size sample is the honest tuning
-      // construction — cost flat at ANY corpus size.
-      val aug = augmentedDocs(s, dir)
-      val kMod = math.max(1L, aug.count() / 1250L)
-      val sample = aug.filter(
-        pmod(HashFunctions.fnv64(col("doc_id").cast("string")),
-          lit(kMod)) === 0L)
-      def leg(k: Int): DataFrame =
-        Dedup.ngramJaccardPairs(sample, "doc_id", "text",
-            shingleSize = k, threshold = 0.5, maxShingleDf = 256)
-          .select(lit(k.toLong).as("shingle_k"),
-            expr("CAST(floor(1000000.0d * jaccard) AS BIGINT)").as("j_ppm"),
-            col("id_b"))
-      leg(2).unionByName(leg(3)).unionByName(leg(5))
-        .groupBy("shingle_k")
-        .agg(count(lit(1)).as("n_pairs"),
-          expr("sum(j_ppm) div count(1)").as("mean_j_ppm"),
-          countDistinct(col("id_b")).as("n_docs_doomed"))
-        .orderBy("shingle_k")
-    }),
-
-    "timeseries_ses_tuning" -> ((s, dir) => {
-      // simple-exponential-smoothing hyperparameter sweep: one-step-
-      // ahead SSE for α ∈ {0.1..0.9} over the daily order counts, all
-      // nine legs sharing ONE grouped pass to the calendar frame. Each
-      // leg is a canonical ascending fold carrying [level, sse] (the
-      // α literal enters the lambda from the broadcast grid row, so
-      // the nine IEEE trees are engine-identical); the argmin row is
-      // flagged. The grid-search shape every forecasting pipeline runs
-      // — and the answer to "which α" is exact, not a float heuristic.
-      val o = t(s, dir, "orders")
-      val xs = o.groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-        .agg(expr(
-          """transform(sort_array(collect_list(struct(day, cnt))),
-             t -> CAST(t.cnt AS DOUBLE))""").as("xs"))
-      val grid = s.range(1, 10)
-        .select((col("id") * 10L).as("alpha_pct"),
-          (col("id").cast("double") / 10.0).as("alpha"))
-      val sse = xs.crossJoin(broadcast(grid))
-        .withColumn("st", expr(
-          """aggregate(slice(xs, 2, size(xs) - 1),
-             array(element_at(xs, 1), 0.0d),
-             (ac, x) -> array(
-               element_at(ac, 1)
-                 + alpha * (x - element_at(ac, 1)),
-               element_at(ac, 2)
-                 + (x - element_at(ac, 1)) * (x - element_at(ac, 1))))"""))
-        .select(col("alpha_pct"),
-          expr("CAST(floor(1000.0d * element_at(st, 2)) AS BIGINT)")
-            .as("sse_fp"))
-      val best = sse.agg(min("sse_fp").as("best_fp"))
-      sse.crossJoin(broadcast(best))
-        .select(col("alpha_pct"), col("sse_fp"),
-          expr("CAST(CASE WHEN sse_fp = best_fp THEN 1 ELSE 0 END AS BIGINT)")
-            .as("is_best"))
-        .orderBy("alpha_pct")
-    }),
-
-    "markov_absorption_time" -> ((s, dir) => {
-      // absorbing-chain analysis of the user journey: force 'purchase'
-      // absorbing (drop its outgoing edges), and for every transient
-      // state compute the truncated expected steps to absorption
-      // Σ_{t=0}^{59} (Qᵗ·1)[i] plus the 60-step survival mass — the
-      // "how far is every state from conversion" table. The same
-      // collected k²-matrix nested-fold machinery as
-      // markov_stationary, with the accumulator carrying survival ++
-      // cumulative-steps (2k doubles); geometric convergence makes the
-      // truncation tail negligible and both engines truncate
-      // IDENTICALLY, so parity is exact.
-      val e = t(s, dir, "events")
-      val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val trans = e.withColumn("nxt", lead(col("event_type"), 1).over(wu))
-        .filter(col("nxt").isNotNull)
-        .filter(col("event_type") =!= "purchase")
-        .groupBy(col("event_type").as("a"), col("nxt").as("b"))
-        .agg(count(lit(1)).as("cnt"))
-      val states = e.select(col("event_type").as("st")).distinct()
-        .filter(col("st") =!= "purchase")
-      // Q over transient states only: transitions INTO purchase leave
-      // the row sum < 1 — that mass is the per-step absorption. Row
-      // totals include the purchase column, so p is a true probability
-      val probs = states.select(col("st").as("a"))
-        .crossJoin(states.select(col("st").as("b")))
-        .join(trans.filter(col("b") =!= "purchase"), Seq("a", "b"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      val rowTot = trans.groupBy("a").agg(sum("cnt").as("tot"))
-      // a dangling transient state (no outgoing transitions) keeps a
-      // self-loop — survival mass stays 1 and exp_steps hits the 60-step
-      // truncation, the honest "never converts" readout (an all-zero Q
-      // row would make it look like instant conversion); same guard as
-      // markov_stationary, mirrored in the oracle
-      val qm = probs.join(rowTot, Seq("a"), "left")
-        .withColumn("p", expr(
-          """CASE WHEN tot IS NULL OR tot = 0
-               THEN CASE WHEN a = b THEN 1.0d ELSE 0.0d END
-             ELSE CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) END"""))
-      val matRow = qm.agg(
-        expr("transform(sort_array(collect_list(struct(a, b, p))), t -> t.p)")
-          .as("mat"),
-        expr("sort_array(collect_set(a))").as("sts"))
-      // state vector [u ++ s]: u' = Q·u (mat index (jj-1)k+ii — the
-      // RIGHT multiply), s' = s + u'; 59 steps after the t=0 seed
-      matRow.withColumn("fin", expr(
-          """aggregate(sequence(1, 59),
-             concat(transform(sts, x -> 1.0d),
-                    transform(sts, x -> 1.0d)),
-             (ac, it) -> concat(
-               transform(sequence(1, size(sts)), jj ->
-                 aggregate(sequence(1, size(sts)), 0.0d,
-                   (s2, ii) -> s2 + element_at(mat,
-                       (jj - 1) * size(sts) + ii) * element_at(ac, ii))),
-               transform(sequence(1, size(sts)), jj ->
-                 element_at(ac, size(sts) + jj)
-                 + aggregate(sequence(1, size(sts)), 0.0d,
-                     (s2, ii) -> s2 + element_at(mat,
-                         (jj - 1) * size(sts) + ii)
-                       * element_at(ac, ii)))))"""))
-        .select(posexplode(col("sts")).as(Seq("i", "state")), col("fin"))
-        .select(col("state"),
-          expr("""CAST(floor(1000000.0d
-            * element_at(fin, CAST(size(fin) div 2 + i + 1 AS INT)))
-            AS BIGINT)""").as("exp_steps_ppm"),
-          expr("CAST(floor(1000000.0d * element_at(fin, i + 1)) AS BIGINT)")
-            .as("survival_60_ppm"))
-        .orderBy("state")
-    }),
-
-    "text_rake_keywords" -> ((s, dir) => {
-      // RAKE keyword extraction (Rose et al. 2010) at corpus scale:
-      // candidate phrases are maximal stopword-free token runs (≤4
-      // words), word score = degree/frequency over all phrase
-      // occurrences (degree = Σ length of phrases containing the
-      // word), phrase score = Σ member word scores. Scores fix to ppm
-      // BEFORE the phrase sum so every aggregate is an order-free
-      // BIGINT; the run-splitting is one per-doc cumulative window (a
-      // doc-keyed shuffle), and the final top-15 is TakeOrdered, not a
-      // global sort. Support ≥ 3 keeps the table stable.
-      val d = t(s, dir, "documents")
-      val sw = TextFunctions.stopwordsArray
-      val tok = d.select(col("doc_id"),
-          posexplode(TextFunctions.tokens(lower(col("text"))))
-            .as(Seq("pos", "w")))
-        .withColumn("is_stop", array_contains(sw, col("w")))
-      val wd = Window.partitionBy("doc_id").orderBy("pos")
-      val runs = tok
-        .withColumn("run_id",
-          sum(when(col("is_stop"), 1L).otherwise(0L)).over(wd))
-        .filter(!col("is_stop"))
-      val phrases = runs.groupBy("doc_id", "run_id")
-        .agg(expr("array_join(transform(sort_array(collect_list(" +
-          "struct(pos, w))), t -> t.w), ' ')").as("phrase"),
-          count(lit(1)).as("len"))
-        .filter(col("len") <= 4)
-      val occ = phrases.select(col("phrase"), col("len"),
-        explode(split(col("phrase"), " ")).as("w"))
-      val wordScore = occ.groupBy("w")
-        .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
-        .select(col("w"), expr("(deg * 1000000L) div freq").as("ws_fp"))
-      val phraseScore = occ.join(wordScore, Seq("w"))
-        .groupBy("phrase", "len")
-        .agg(count(lit(1)).as("n_rows"), sum("ws_fp").as("sum_ws"))
-      // n_rows counts every occurrence of every member word; per
-      // occurrence the phrase contributes len words, so occurrences =
-      // n_rows / len and the per-occurrence score = sum_ws / occurrences
-      phraseScore
-        .withColumn("n_occ", expr("n_rows div len"))
-        .filter(col("n_occ") >= 3)
-        .withColumn("score_fp", expr("sum_ws div n_occ"))
-        .select(col("phrase"), col("len"), col("n_occ"), col("score_fp"))
-        .orderBy(col("score_fp").desc, col("phrase"))
-        .limit(15)
-    }),
-
-    "timeseries_croston" -> ((s, dir) => {
-      // Croston's method for intermittent demand — the forecasting
-      // shape classical smoothing gets WRONG on sparse series: the
-      // most-ordered part's daily quantity over the full calendar
-      // (zeros filled), demand size and inter-demand interval smoothed
-      // separately (α = 0.2) only on demand days. One canonical
-      // ascending fold with state [z, p, since]; forecast = z/p. The
-      // top-part election is deterministic (count desc, partkey) and
-      // the calendar frame is domain-sized.
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("l_partkey")).limit(1)
-        .select(col("l_partkey").as("pk"))
-      val lines = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(top), li("l_partkey") === col("pk"))
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
-      val days = o.select(to_date(col("o_orderdate")).as("day")).distinct()
-      val xs = days.join(lines, Seq("day"), "left")
-        .withColumn("q", coalesce(col("q"), lit(0L)))
-        .agg(expr(
-          """transform(sort_array(collect_list(struct(day, q))),
-             t -> CAST(t.q AS DOUBLE))""").as("xs"))
-      // state [z, p, since, started]: before the first demand the
-      // estimates stay unseeded (started = 0); the first demand seeds
-      // z with its size and p with its 1-based position
-      xs.withColumn("st", expr(
-          """aggregate(xs, array(0.0d, 0.0d, 0.0d, 0.0d),
-             (ac, x) -> CASE
-               WHEN element_at(ac, 4) = 0.0d AND x > 0.0d THEN
-                 array(x, element_at(ac, 3) + 1.0d, 0.0d, 1.0d)
-               WHEN element_at(ac, 4) = 0.0d THEN
-                 array(0.0d, 0.0d, element_at(ac, 3) + 1.0d, 0.0d)
-               WHEN x > 0.0d THEN array(
-                 element_at(ac, 1) + 0.2d * (x - element_at(ac, 1)),
-                 element_at(ac, 2) + 0.2d * ((element_at(ac, 3) + 1.0d)
-                   - element_at(ac, 2)),
-                 0.0d, 1.0d)
-               ELSE array(element_at(ac, 1), element_at(ac, 2),
-                 element_at(ac, 3) + 1.0d, element_at(ac, 4))
-             END)"""))
-        .select(
-          expr("CAST(size(xs) AS BIGINT)").as("n_days"),
-          expr("""CAST(aggregate(xs, 0L,
-            (c, x) -> c + CASE WHEN x > 0.0d THEN 1L ELSE 0L END)
-            AS BIGINT)""").as("n_demand_days"),
-          expr("CAST(floor(1000000.0d * element_at(st, 1)) AS BIGINT)")
-            .as("z_ppm"),
-          expr("CAST(floor(1000000.0d * element_at(st, 2)) AS BIGINT)")
-            .as("p_ppm"),
-          expr("""CAST(floor(1000000.0d * CASE
-            WHEN element_at(st, 2) > 0.0d
-            THEN element_at(st, 1) / element_at(st, 2) ELSE 0.0d END)
-            AS BIGINT)""").as("forecast_ppm"))
-    }),
-
-    "dq_key_discovery" -> ((s, dir) => {
-      // candidate-key discovery over orders: uniqueness ratio for the
-      // plausible key combos, each a single exact distinct-count pass
-      // (the profiling table a schema-inference pipeline publishes
-      // before it trusts a join key). is_key flags exact uniqueness;
-      // the synthetic data's own composite-key surprises (see
-      // dq_duplicate_rows) make this worth keeping around.
-      val o = t(s, dir, "orders")
-      val n = o.agg(count(lit(1)).as("n_rows"))
-      def cand(name: String, cols: Seq[String]): DataFrame =
-        o.agg(countDistinct(cols.head, cols.tail: _*).as("n_distinct"))
-          .crossJoin(broadcast(n))
-          .select(lit(name).as("candidate"), col("n_rows"),
-            col("n_distinct"),
-            expr("(n_distinct * 1000000L) div n_rows").as("uniqueness_ppm"),
-            expr("CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END " +
-              "AS BIGINT)").as("is_key"))
-      cand("o_orderkey", Seq("o_orderkey"))
-        .unionByName(cand("o_custkey", Seq("o_custkey")))
-        .unionByName(cand("o_orderdate", Seq("o_orderdate")))
-        .unionByName(cand("o_custkey+o_orderdate",
-          Seq("o_custkey", "o_orderdate")))
-        .unionByName(cand("o_custkey+o_totalprice",
-          Seq("o_custkey", "o_totalprice")))
-        .orderBy("candidate")
-    }),
-
-    "timeseries_theta" -> ((s, dir) => {
-      // simplified additive Theta forecast (Assimakopoulos &
-      // Nikolopoulos 2000 — the M3 winner): OLS trend line from EXACT
-      // integer moments (Σx, Σt·x as BIGINT folds; Σt, Σt² closed
-      // form), the θ=2 line 2x − trend smoothed by SES(½), and the
-      // h-step forecast ½·line(n+h) + ½·level. Two canonical folds
-      // over the calendar frame; every double derives from exact
-      // integers through one shared tree.
-      val o = t(s, dir, "orders")
-      val xs = o.groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-        .agg(expr(
-          """transform(sort_array(collect_list(struct(day, cnt))),
-             t -> t.cnt)""").as("xs"))
-      val fit = xs
-        .withColumn("n", expr("CAST(size(xs) AS BIGINT)"))
-        .withColumn("mom", expr(
-          """aggregate(xs, array(0L, 0L, 0L),
-             (ac, x) -> array(element_at(ac, 1) + 1L,
-               element_at(ac, 2) + x,
-               element_at(ac, 3) + (element_at(ac, 1) + 1L) * x))"""))
-        .withColumn("sx", expr("element_at(mom, 2)"))
-        .withColumn("stx", expr("element_at(mom, 3)"))
-        .withColumn("st", expr("n * (n + 1L) div 2L"))
-        .withColumn("st2", expr("n * (n + 1L) * (2L * n + 1L) div 6L"))
-        .withColumn("b", expr(
-          """(CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
-              - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
-              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"""))
-        .withColumn("a", expr(
-          "(CAST(sx AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)"))
-        .withColumn("lv", expr(
-          """element_at(aggregate(xs, array(0.0d, 0.0d),
-             (ac, x) -> array(element_at(ac, 1) + 1.0d,
-               CASE WHEN element_at(ac, 1) = 0.0d
-                 THEN 2.0d * CAST(x AS DOUBLE)
-                   - (a + b * 1.0d)
-                 ELSE element_at(ac, 2) + 0.5d
-                   * ((2.0d * CAST(x AS DOUBLE)
-                      - (a + b * (element_at(ac, 1) + 1.0d)))
-                     - element_at(ac, 2)) END)), 2)"""))
-      fit.select(explode(expr("sequence(1, 6)")).as("h"),
-          col("n"), col("a"), col("b"), col("lv"))
-        .select(col("h").cast("long").as("h"),
-          expr("CAST(floor(1000000.0d * b) AS BIGINT)").as("slope_ppm"),
-          expr("CAST(floor(1000000.0d * lv) AS BIGINT)").as("level_ppm"),
-          expr("""CAST(floor(1000000.0d * (0.5d
-            * (a + b * CAST(n + h AS DOUBLE)) + 0.5d * lv)) AS BIGINT)""")
-            .as("forecast_ppm"))
-        .orderBy("h")
-    }),
-
-    "stats_turning_points" -> ((s, dir) => {
-      // turning-point randomness test on the daily order counts: T =
-      // strict local extrema via one lag/lead pass over the calendar
-      // frame, E[T] = 2(n−2)/3 and Var = (16n−29)/90 exact rationals,
-      // z and the two-sided p through the shared Horner tail. The
-      // quick is-this-series-noise gate that runs before any
-      // seasonality hunt.
-      val o = t(s, dir, "orders")
-      val days = o.groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val wd = Window.orderBy("day")
-      val tp = days
-        .withColumn("prev", lag(col("cnt"), 1).over(wd))
-        .withColumn("nxt", lead(col("cnt"), 1).over(wd))
-        .filter(col("prev").isNotNull && col("nxt").isNotNull)
-        .agg(count(lit(1)).as("n_interior"),
-          sum(expr(
-            """CASE WHEN (cnt > prev AND cnt > nxt)
-               OR (cnt < prev AND cnt < nxt) THEN 1L ELSE 0L END"""))
-            .as("t_stat"))
-      tp.withColumn("n", col("n_interior") + 2L)
-        .withColumn("z", expr(
-          """(CAST(t_stat AS DOUBLE) - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
-             / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)"""))
-        .withColumn("az", abs(col("z")))
-        .withColumn("tt", expr("1.0 / (1.0 + 0.2316419 * az)"))
-        .withColumn("p_ppm", expr(
-          """CAST(floor(1000000.0 * 2.0 * (exp(-az * az / 2.0)
-               / sqrt(2.0 * pi()))
-             * (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt
-                 - 0.356563782) * tt + 0.319381530) * tt)) AS BIGINT)"""))
-        .select(col("n").as("n_days"), col("t_stat"),
-          expr("CAST(floor(1000000.0 * z) AS BIGINT)").as("z_ppm"),
-          col("p_ppm"),
-          expr("CAST(CASE WHEN p_ppm >= 50000 THEN 1 ELSE 0 END AS BIGINT)")
-            .as("looks_random"))
-    })
-  )
+  /** One per implemented operator from SURVEY.md §2 — composed from the
+    * per-family registration files under graft/entry/ (names are disjoint
+    * across families; EntryCompositionSpec pins the exact 416-name set). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EntryCore.queries ++
+    EntryRelational.queries ++
+    EntryBusiness.queries ++
+    EntryAgg.queries ++
+    EntryStats.queries ++
+    EntryTimeSeries.queries ++
+    EntryText.queries ++
+    EntryDedup.queries ++
+    EntrySimilarity.queries ++
+    EntryGraph.queries ++
+    EntryModelEval.queries ++
+    EntryPipeline.queries ++
+    EntryTrainData.queries
 
   // ---- DuckDB-side replication of the engine's hash kernels ------------
   // The sketch operators (SimHash, MinHash shingles, rolling hash) are all
@@ -12656,7 +706,7 @@ object SparkEntry {
   /** Unsigned FNV-1a 64 of a UTF-8 string expression, as HUGEINT in
     * [0, 2^64): fold (h ^ byte) * prime mod 2^64 over the bytes, seeded
     * with the offset basis via list_prepend (list_reduce has no init). */
-  private def fnvSql(t: String): String = {
+  private[graft] def fnvSql(t: String): String = {
     val hx = s"hex(encode($t))"
     s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
        list_transform(range(1, octet_length(encode($t))*2, 2),
@@ -12666,13 +716,13 @@ object SparkEntry {
   }
 
   /** Two's-complement reinterpretation: HUGEINT in [0,2^64) → BIGINT. */
-  private def signedSql(h: String): String =
+  private[graft] def signedSql(h: String): String =
     s"""CAST(CASE WHEN $h >= 9223372036854775808::HUGEINT
         THEN $h - 18446744073709551616::HUGEINT ELSE $h END AS BIGINT)"""
 
   /** (a * c) mod 2^64 without INT128 overflow: split `a` into 32-bit
     * halves (c is a 64-bit constant, so each partial fits in 96 bits). */
-  private def mulModSql(a: String, c: String): String =
+  private[graft] def mulModSql(a: String, c: String): String =
     s"""((($a) % 4294967296::HUGEINT) * $c::HUGEINT
         + ((($a) // 4294967296::HUGEINT) * $c::HUGEINT % 4294967296::HUGEINT)
           * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT"""
@@ -12681,7 +731,7 @@ object SparkEntry {
     * of CTE `src`: staged adds/xors/shift-divides with split multiplies,
     * yielding CTE `out` = src's columns (minus intermediates) plus
     * `h` (HUGEINT). */
-  private def mix64Ctes(src: String, out: String): String =
+  private[graft] def mix64Ctes(src: String, out: String): String =
     s"""${out}_m1 AS (SELECT *, (x + 11400714819323198485::HUGEINT)
            % 18446744073709551616::HUGEINT AS z1 FROM $src),
        ${out}_y1 AS (SELECT *, xor(z1, z1 // 1073741824::HUGEINT) AS w1 FROM ${out}_m1),
@@ -12694,7 +744,7 @@ object SparkEntry {
   /** VecOps.cosine replicated exactly: three sequential ascending-index
     * folds (dot, |a|², |b|²) — the same IEEE addition order as the JVM
     * loop — then d / sqrt(nx·ny) with the zero-norm guard. */
-  private def cosSql(a: String, b: String): String = {
+  private[graft] def cosSql(a: String, b: String): String = {
     def fold(e: String) =
       s"""list_reduce(list_prepend(0.0, list_transform(range(len($a)),
           i -> $e)), (acc, t) -> acc + t)"""
@@ -12707,7 +757,7 @@ object SparkEntry {
 
   /** Layout.zOrderKey as DuckDB bit arithmetic: the same 16 interleave
     * steps (a's bits odd, b's bits even), fully parenthesized. */
-  private def zOrderSql(a: String, b: String, bits: Int = 16): String =
+  private[graft] def zOrderSql(a: String, b: String, bits: Int = 16): String =
     (0 until bits).map(i =>
       s"(((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i}))")
       .mkString("(", " | ", ")")
@@ -12716,7 +766,7 @@ object SparkEntry {
     * similarity_knn_graph and similarity_mutual_knn oracles: trained
     * quantizer → cell assignment → within-cell exact-cosine pairs →
     * per-vector rank, ending in CTE `r(vec_id, nbr_id, cosine, rnk)`. */
-  private lazy val knnEdgesCteSql: String =
+  private[graft] lazy val knnEdgesCteSql: String =
     s"""corpus AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          c0 AS (
@@ -12752,7 +802,7 @@ object SparkEntry {
     * like the engine's per-step projections. `src` must provide columns
     * (l_partkey, l_suppkey); the chain ends in CTE `hend(l_partkey,
     * l_suppkey, d)`. */
-  private def hilbertCtes(src: String, bits: Int = 16): String = {
+  private[graft] def hilbertCtes(src: String, bits: Int = 16): String = {
     val n = 1L << bits
     // inputs masked to the low `bits` like the engine's walk (which
     // reads only bits bits-1..0 — keys past the grid wrap rather than
@@ -12785,7 +835,7 @@ object SparkEntry {
 
   /** Plain (un-normalized) dot product as the same ascending-index
     * sequential double fold as `VectorFunctions.dotProduct`'s loop. */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(len($a)),
         i -> $a[CAST(i AS INT)+1] * $b[CAST(i AS INT)+1])), (acc, t) -> acc + t)"""
 
@@ -12795,7 +845,7 @@ object SparkEntry {
     * centroid coordinate is the ascending-id sequential double fold of its
     * members divided by the member count, rounded through FLOAT exactly as
     * the engine's `.cast("float")`. Emits CTEs `$a`s/$a/$a`e`/`$c`. */
-  private def kmeansIterSql(prev: String, a: String, c: String,
+  private[graft] def kmeansIterSql(prev: String, a: String, c: String,
                             corpusRel: String = "corpus"): String =
     s"""${a}s AS (
          SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
@@ -12823,7 +873,7 @@ object SparkEntry {
     * then the per-bit projection as an ORDER BY d sequential fold — the
     * same ascending-dim double-add order as the JVM loop, so the sign bits
     * are bit-identical. Yields sig(vec_id, band, band_key BIGINT). */
-  private def hyperplaneSigCtes(src: String, bits: Int, bands: Int): String =
+  private[graft] def hyperplaneSigCtes(src: String, bits: Int, bands: Int): String =
     s"""xd AS (
          SELECT c.vec_id, p.band, b.bit, d.d AS d, c.v[CAST(d.d AS INT)+1] AS val
          FROM $src c
@@ -12856,7 +906,7 @@ object SparkEntry {
          FROM hpr GROUP BY vec_id, band)"""
 
   /** TextFunctions.tokens semantics in DuckDB: null-safe, ''→[]. */
-  private val toksSql: String =
+  private[graft] val toksSql: String =
     """CASE WHEN text IS NULL THEN NULL WHEN trim(text) = '' THEN []
        ELSE string_split_regex(trim(lower(text)), '\s+') END"""
 
@@ -12864,7 +914,7 @@ object SparkEntry {
     * labeling lang=en — the scored frame behind model_auc / model_ks /
     * model_lift_gain / model_pr_auc: unigram+bigram FNV features,
     * mix64-finalized, signed hashed weights in [-512, 512). */
-  private lazy val marginScoredCtes: String =
+  private[graft] lazy val marginScoredCtes: String =
     s"""docs AS (
          SELECT doc_id, lang, $toksSql AS toks FROM documents),
        thx AS (
@@ -12899,7 +949,7 @@ object SparkEntry {
     * Spark's, so one pass per step IS the greedy merge application
     * (operators/Bpe.scala doc). Yields `d(doc_id, toks)` and the merge
     * picks `t1..t8(a, b, n)` for downstream train/apply oracles. */
-  private lazy val bpeTrainCtePrefix: String = {
+  private[graft] lazy val bpeTrainCtePrefix: String = {
     val steps = (1 to 8).map { k =>
       val prev = if (k == 1) "s0" else s"s${k - 1}"
       s"""l$k AS (SELECT string_split(substr(s, 2, length(s) - 2), e'\n ') AS l,
@@ -12927,7 +977,7 @@ object SparkEntry {
 
   /** The augmentedDocs corpus (originals ∪ exact copies ∪ near-dup tails)
     * as a CTE body. */
-  private val augDocsSql: String =
+  private[graft] val augDocsSql: String =
     """SELECT doc_id, text FROM documents
        UNION ALL SELECT doc_id + 1000000, text FROM documents
        UNION ALL SELECT doc_id + 2000000, text || ' graft near dup tail'
@@ -12935,7 +985,7 @@ object SparkEntry {
 
   /** CTE chain computing HashOps.simhash64 per doc of relation `src`
     * (which must have doc_id, text): yields fp(doc_id, fp BIGINT). */
-  private def simhashCtes(src: String): String =
+  private[graft] def simhashCtes(src: String): String =
     s"""docs AS (SELECT doc_id, $toksSql AS toks FROM $src),
        tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
        th AS (SELECT doc_id, ${fnvSql("tok")} AS h FROM tok),
@@ -12961,7 +1011,7 @@ object SparkEntry {
     * polynomial combine (seed·31^k fold over per-token FNVs, whole-list
     * fold when len ≤ k — HashExpressions.shingleHashes:104). Emits CTE
     * `$out(doc_id, sh)` with list_distinct applied. */
-  private def shingleCtesK(src: String, k: Int, out: String): String = {
+  private[graft] def shingleCtesK(src: String, k: Int, out: String): String = {
     val m = "18446744073709551616::HUGEINT"
     val chain = (0 until k).foldLeft("1125899906842597::HUGEINT") {
       (acc, j) => s"(($acc * 31 + th[CAST(s AS INT)+$j]) % $m)"
@@ -12978,7 +1028,7 @@ object SparkEntry {
        $out AS (SELECT doc_id, list_distinct(sh) AS sh FROM ${out}_sh)"""
   }
 
-  private def shingleCtes(src: String): String = {
+  private[graft] def shingleCtes(src: String): String = {
     val m = "18446744073709551616::HUGEINT"
     s"""d AS (SELECT doc_id, $toksSql AS toks FROM $src),
        thl AS (SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th FROM d),
@@ -13003,7 +1053,7 @@ object SparkEntry {
     * probe still run over the FULL corpus — the oracle shape for the
     * append-grown index, whose quantizer was trained before today's
     * batch arrived. The default "TRUE" emits the original text. */
-  private def ivfProbeCtes(nprobe: Int, qPred: String,
+  private[graft] def ivfProbeCtes(nprobe: Int, qPred: String,
                            trainPred: String = "TRUE"): String = {
     val train = if (trainPred == "TRUE") "corpus" else "trainc"
     val trainCte = if (trainPred == "TRUE") ""
@@ -13051,7 +1101,7 @@ object SparkEntry {
   /** Shared by similarity_topk_ivf (inline assignment) and
     * similarity_topk_ivf_index (materialized cell-partitioned index) —
     * both produce identical results by construction. */
-  private lazy val ivfOracleSql: String =
+  private[graft] lazy val ivfOracleSql: String =
     s"""WITH ${ivfProbeCtes(nprobe = 2, qPred = "q.vec_id < 5")}
        SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
        FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
@@ -13059,7 +1109,7 @@ object SparkEntry {
   /** similarity_ivf_drift: batch (vec_id % 7 = 0) assigned to the
     * base-trained quantizer; per-cell count, share, and canonical
     * ascending-id mean assignment cosine. */
-  private lazy val ivfDriftOracleSql: String = {
+  private[graft] lazy val ivfDriftOracleSql: String = {
     val train = "trainc"
     s"""WITH corpus AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -13095,7 +1145,7 @@ object SparkEntry {
     * corpus — exactly what the engine's append-without-recluster
     * produces, since cell membership depends only on (vector,
     * centroids). */
-  private lazy val ivfAppendOracleSql: String =
+  private[graft] lazy val ivfAppendOracleSql: String =
     s"""WITH ${ivfProbeCtes(nprobe = 2, qPred = "q.vec_id < 5",
                             trainPred = "vec_id % 7 != 0")}
        SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
@@ -13107,7 +1157,7 @@ object SparkEntry {
     * over the same 32-query fixture. Fixed-point basis points
     * (floor(hits·10⁴/total)) instead of a rounded double keep the metric
     * independent of engine round-half semantics. */
-  private lazy val similarityRecallOracleSql: String =
+  private[graft] lazy val similarityRecallOracleSql: String =
     s"""WITH exact AS (
          SELECT query_id, vec_id FROM (
            WITH corpus AS (
@@ -13200,7 +1250,7 @@ object SparkEntry {
     * Shared by similarity_topk_pq (inline encode) and
     * similarity_topk_pq_index (materialized code table) — identical
     * results by construction. */
-  private lazy val pqOracleSql: String = {
+  private[graft] lazy val pqOracleSql: String = {
     val subspaces = 4
     val subDim = 16
     val subChains = (0 until subspaces).map { sNo =>
@@ -13268,10333 +1318,26 @@ object SparkEntry {
     // bloom prefilter + exact join ⇒ bit-identical to the index probe
     ("dedup_substring_bloom" -> oracleSqlBase("dedup_substring_index"))
 
-  private lazy val oracleSqlBase: Map[String, String] = Map(
-
-    "text_hashes" ->
-      s"""WITH src AS (SELECT doc_id, text FROM documents),
-         ${simhashCtes("src")},
-         roll AS (
-           SELECT doc_id,
-             CASE WHEN th IS NULL THEN NULL
-                  ELSE ${signedSql(
-                    """list_reduce(list_prepend(0::HUGEINT, th),
-                       (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)""")}
-             END AS rolling_hash
-           FROM (SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th
-                 FROM docs))
-         SELECT fp.doc_id, fp.fp AS simhash, roll.rolling_hash
-         FROM fp JOIN roll ON fp.doc_id = roll.doc_id
-         ORDER BY fp.doc_id""",
-
-    "dedup_simhash_pairs" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${simhashCtes("aug")}
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
-         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.fp, b.fp)) <= 3
-         ORDER BY id_a, id_b""",
-
-    "dedup_impact_audit" ->
-      s"""WITH aug AS ($augDocsSql),
-         str AS (
-           SELECT doc_id,
-             CASE WHEN doc_id < 1000000 THEN '1_original'
-                  WHEN doc_id < 2000000 THEN '2_exact_copy'
-                  ELSE '3_near_dup' END AS stratum,
-             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
-                    AS BIGINT)
-             END AS tok
-           FROM aug),
-         keep AS (SELECT h, min(doc_id) AS keep_id FROM str GROUP BY h),
-         fl AS (
-           SELECT s.stratum, s.tok,
-             CASE WHEN s.doc_id = k.keep_id THEN 0 ELSE 1 END AS removed
-           FROM str s JOIN keep k ON k.h = s.h)
-         SELECT stratum, count(*) AS n_docs,
-           CAST(sum(removed) AS BIGINT) AS n_removed,
-           CAST(sum(tok) AS BIGINT) AS tokens_total,
-           CAST(sum(removed * tok) AS BIGINT) AS tokens_removed,
-           CAST((sum(removed) * 1000000) // count(*) AS BIGINT)
-             AS removed_ppm,
-           CAST(CASE WHEN sum(tok) = 0 THEN 0
-             ELSE (sum(removed * tok) * 1000000) // sum(tok)
-             END AS BIGINT) AS token_removed_ppm
-         FROM fl GROUP BY stratum ORDER BY stratum""",
-
-    "dedup_simhash_tuning" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${simhashCtes("aug")},
-         u AS (
-           SELECT doc_id,
-             ((CAST(fp AS HUGEINT) % 18446744073709551616::HUGEINT)
-               + 18446744073709551616::HUGEINT)
-               % 18446744073709551616::HUGEINT AS uf
-           FROM fp),
-         chunks AS (
-           SELECT doc_id, t.c, (uf // t.p) % 65536 AS cv
-           FROM u CROSS JOIN (VALUES
-             (0, 1::HUGEINT), (1, 65536::HUGEINT),
-             (2, 4294967296::HUGEINT),
-             (3, 281474976710656::HUGEINT)) AS t(c, p)),
-         ok AS (SELECT c, cv FROM chunks GROUP BY c, cv
-                HAVING count(*) <= 1000),
-         cap AS (SELECT ch.doc_id, ch.c, ch.cv
-                 FROM chunks ch JOIN ok USING (c, cv)),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM cap a JOIN cap b
-             ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id),
-         ham AS (
-           SELECT id_a, id_b,
-             CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
-           FROM cand
-           JOIN fp fa ON fa.doc_id = id_a
-           JOIN fp fb ON fb.doc_id = id_b),
-         tot AS (SELECT count(*) AS n_total FROM ham)
-         SELECT hamming, count(*) AS n_pairs,
-           CAST((count(*) * 1000000) // n_total AS BIGINT) AS share_ppm
-         FROM ham CROSS JOIN tot GROUP BY hamming, n_total
-         ORDER BY hamming""",
-
-    "dedup_minhash_pairs" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id_a, id_b,
-           round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
-         FROM common
-           JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b
-         WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6
-         ORDER BY id_a, id_b""",
-
-    "join_asof_nearest" ->
-      """SELECT e.event_id, e.user_id,
-           (SELECT c.event_id FROM events c
-            WHERE c.user_id = e.user_id AND c.event_type = 'click'
-            ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)) ASC,
-              (CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END) ASC,
-              (CASE WHEN c.ts <= e.ts THEN -c.event_id ELSE c.event_id END) ASC
-            LIMIT 1) AS nearest_click_id
-         FROM events e WHERE e.event_type = 'purchase'
-         ORDER BY e.event_id""",
-
-    "join_asof_forward" ->
-      """SELECT e.event_id, e.user_id,
-           (SELECT c.event_id FROM events c
-            WHERE c.user_id = e.user_id AND c.event_type = 'click'
-              AND c.ts >= e.ts
-            ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS fwd_click_id
-         FROM events e WHERE e.event_type = 'purchase'
-         ORDER BY e.event_id""",
-
-    "join_interval_overlap" ->
-      """WITH x AS (
-           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS prev
-           FROM events
-         ), y AS (
-           SELECT user_id, event_id, ts, us,
-             CASE WHEN prev IS NULL OR us - prev > 1800000000
-               THEN 1 ELSE 0 END AS is_new
-           FROM x
-         ), z AS (
-           SELECT user_id, us,
-             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-           FROM y
-         ), sess AS (
-           SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
-           FROM z GROUP BY 1, 2
-         ), updates AS (
-           SELECT user_id, ts, event_id,
-             CAST(CASE WHEN json_extract_string(props, '$.k')
-                            SIMILAR TO '-?[0-9]+'
-                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
-           FROM events WHERE event_type = 'view'
-         ), changes AS (
-           SELECT user_id, ts, event_id, k FROM (
-             SELECT *, lag(k) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS prev_k
-             FROM updates)
-           WHERE prev_k IS NULL OR k <> prev_k
-         ), vers AS (
-           SELECT user_id, k, epoch_us(ts) AS vf_us,
-             epoch_us(lead(ts) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id)) AS vt_us
-           FROM changes
-         ), ov AS (
-           SELECT s.user_id, s.session_id, s.s_us, s.e_us,
-             greatest(0, least(s.e_us, coalesce(v.vt_us, s.e_us))
-               - greatest(s.s_us, v.vf_us)) AS ov_us
-           FROM sess s JOIN vers v ON v.user_id = s.user_id
-           WHERE (v.vt_us IS NULL OR s.s_us < v.vt_us)
-             AND v.vf_us <= s.e_us)
-         SELECT user_id, session_id, min(s_us) AS s_us,
-           CAST(max(e_us - s_us) AS BIGINT) AS dur_us,
-           count(*) AS n_versions,
-           CAST(sum(ov_us) AS BIGINT) AS ov_total_us
-         FROM ov GROUP BY user_id, session_id
-         ORDER BY n_versions DESC, user_id, session_id LIMIT 20""",
-
-    "join_asof" ->
-      """SELECT e.event_id, e.user_id,
-           (SELECT c.event_id FROM events c
-            WHERE c.user_id = e.user_id AND c.event_type = 'click'
-              AND c.ts <= e.ts
-            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_click_id
-         FROM events e WHERE e.event_type = 'purchase'
-         ORDER BY e.event_id""",
-
-    "join_asof_tolerance" ->
-      """SELECT e.event_id, e.user_id,
-           (SELECT c.event_id FROM events c
-            WHERE c.user_id = e.user_id AND c.event_type = 'click'
-              AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
-            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS tol_click_id
-         FROM events e WHERE e.event_type = 'purchase'
-         ORDER BY e.event_id""",
-
-    "join_range" ->
-      """SELECT p.event_id, p.user_id,
-           count(c.c_ts) AS n_clicks,
-           CAST(sum(CAST(c.c_value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
-         FROM (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'purchase') p
-         LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts, value AS c_value
-                    FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.c_user
-          AND c.c_ts > p.ts - INTERVAL 30 MINUTE
-          AND c.c_ts <= p.ts
-         GROUP BY p.event_id, p.user_id ORDER BY p.event_id""",
-
-    "agg_cube" ->
-      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY CUBE(c_mktsegment, o_orderpriority)
-         ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""",
-
-    "agg_grouping_sets" ->
-      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
-         ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""",
-
-    "subquery_above_avg" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
-           SELECT o_orderkey, o_custkey, o_totalprice,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                  OVER (PARTITION BY o_custkey) AS DOUBLE)
-               / CAST(count(*) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_avg
-           FROM orders)
-         WHERE o_totalprice > cust_avg ORDER BY o_orderkey""",
-
-    "window_range_frame" ->
-      """SELECT o_orderkey, o_custkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-             PARTITION BY o_custkey
-             ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
-             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_90d
-         FROM orders ORDER BY o_orderkey""",
-
-    "window_ntile" ->
-      """SELECT c_custkey, c_mktsegment,
-           CAST(ntile(4) OVER w AS INT) AS quartile,
-           percent_rank() OVER w AS pct_rank,
-           cume_dist() OVER w AS cdist
-         FROM customer
-         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-         ORDER BY c_custkey""",
-
-    "dedup_ngram_jaccard" ->
-      s"""WITH src AS (SELECT doc_id, text FROM documents),
-         ${shingleCtes("src")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id_a, id_b,
-           round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
-         FROM common
-           JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b
-         WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
-         ORDER BY id_a, id_b""",
-
-    "text_repetition" ->
-      s"""WITH fixture AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 3 = 0
-               THEN text || ' ' || substr(text, 1, 120) ELSE text END AS text
-           FROM documents),
-         tok AS (SELECT doc_id, $toksSql AS tk FROM fixture),
-         bg AS (SELECT doc_id, len(tk) - 1 AS n_bigrams,
-             list_transform(range(1, len(tk)),
-               i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]) AS bgs
-           FROM tok WHERE len(tk) >= 2),
-         e AS (SELECT doc_id, n_bigrams, unnest(bgs) AS b FROM bg),
-         per AS (SELECT doc_id, n_bigrams, b, count(*) AS c
-           FROM e GROUP BY 1, 2, 3),
-         agg AS (SELECT doc_id, n_bigrams,
-             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
-               AS dup_bigrams,
-             max(c) AS top_bigram_count
-           FROM per GROUP BY 1, 2)
-         SELECT doc_id, n_bigrams, dup_bigrams, top_bigram_count,
-           round(CAST(dup_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
-             AS dup_bigram_frac
-         FROM agg ORDER BY doc_id""",
-
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS (
-           SELECT id_a, id_b FROM common
-             JOIN sizes sa ON sa.doc_id = id_a
-             JOIN sizes sb ON sb.doc_id = id_b
-           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
-         edges AS (
-           SELECT id_a AS s, id_b AS t FROM pairs
-           UNION ALL SELECT id_b, id_a FROM pairs),
-         reach(id, lbl) AS (
-           SELECT DISTINCT s, s FROM edges
-           UNION
-           SELECT e2.s, r.lbl FROM edges e2 JOIN reach r ON e2.t = r.id)
-         SELECT id AS doc_id, min(lbl) AS cluster_id
-         FROM reach GROUP BY id ORDER BY doc_id""",
-
-    "text_tfidf" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
-             ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
-           FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         n AS (SELECT count(*) AS nd FROM documents),
-         scored AS (
-           SELECT tf.doc_id, tf.term,
-             CAST(tf.tf AS DOUBLE)
-               * ln(CAST(n.nd AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
-           FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
-         r AS (
-           SELECT doc_id, term, score,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY score DESC, term) AS rnk
-           FROM scored)
-         SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
-           round(score, 6) AS tfidf
-         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
-
-    "vector_norms" ->
-      """SELECT vec_id,
-           CAST(len(embedding) AS BIGINT) AS dim,
-           round(sqrt(list_reduce(
-             list_prepend(CAST(0 AS DOUBLE),
-               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
-             (a, b) -> a + b)), 6) AS l2_norm,
-           round(list_aggregate(
-             list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),
-             'max'), 6) AS max_abs
-         FROM embeddings ORDER BY vec_id""",
-
-    "dedup_embedding_pairs" ->
-      """WITH aug AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           UNION ALL
-           SELECT vec_id + 1000000,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(CAST(x * CAST(0.9 AS DOUBLE) AS FLOAT) AS DOUBLE))
-           FROM embeddings WHERE vec_id % 10 = 0)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.v, b.v) >= 0.95
-         ORDER BY id_a, id_b""",
-
-    // same licensing note as dedup_embedding_pairs: the oracle scores
-    // exact all-pairs cosine; LSH recall is proven 1.0 on this corpus, so
-    // the component closure over identical edge sets must match
-    "dedup_embedding_clusters" ->
-      """WITH RECURSIVE aug AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           UNION ALL
-           SELECT vec_id + 1000000,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(CAST(x * CAST(0.9 AS DOUBLE) AS FLOAT) AS DOUBLE))
-           FROM embeddings WHERE vec_id % 10 = 0),
-         pairs AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
-         edges AS (
-           SELECT id_a AS s, id_b AS t FROM pairs
-           UNION ALL SELECT id_b, id_a FROM pairs),
-         reach(id, lbl) AS (
-           SELECT DISTINCT s, s FROM edges
-           UNION
-           SELECT e2.s, r.lbl FROM edges e2 JOIN reach r ON e2.t = r.id)
-         SELECT id AS vec_id, min(lbl) AS cluster_id
-         FROM reach GROUP BY id ORDER BY vec_id""",
-
-    "hotels_count" ->
-      """SELECT stay_category,
-           count(hotel_id) AS hotels_amount,
-           count(DISTINCT hotel_id) AS distinct_hotels
-         FROM (
-           SELECT CASE
-               WHEN d BETWEEN 1 AND 4 THEN 'Short stay'
-               WHEN d BETWEEN 5 AND 10 THEN 'Standard stay'
-               WHEN d BETWEEN 11 AND 14 THEN 'Standard extended stay'
-               WHEN d > 14 THEN 'Long stay'
-               ELSE 'Erroneous data' END AS stay_category,
-             l_partkey AS hotel_id
-           FROM (
-             SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d,
-                    l_partkey
-             FROM lineitem JOIN orders ON l_orderkey = o_orderkey))
-         GROUP BY stay_category ORDER BY stay_category""",
-
-    "stay_enrich" ->
-      """SELECT l_orderkey, l_linenumber,
-           CAST(d AS BIGINT) AS nights,
-           CASE
-             WHEN d BETWEEN 1 AND 4 THEN 'Short stay'
-             WHEN d BETWEEN 5 AND 10 THEN 'Standard stay'
-             WHEN d BETWEEN 11 AND 14 THEN 'Standard extended stay'
-             WHEN d > 14 THEN 'Long stay'
-             ELSE 'Erroneous data' END AS stay_category
-         FROM (
-           SELECT l_orderkey, l_linenumber,
-                  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-         ORDER BY l_orderkey, l_linenumber""",
-
-    "date_parse_lenient" ->
-      """SELECT o_orderkey,
-           CASE WHEN o_orderkey % 10 = 0 THEN NULL
-                ELSE CAST(o_orderdate AS DATE) END AS parsed
-         FROM orders ORDER BY o_orderkey""",
-
-    "projection_pushdown" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice
-         FROM lineitem WHERE l_shipdate < DATE '1996-01-01'
-         ORDER BY l_orderkey, l_linenumber""",
-
-    "null_guard" ->
-      """SELECT doc_id, n_chars FROM documents
-         WHERE text IS NOT NULL AND n_chars > 0 ORDER BY doc_id""",
-
-    "mask_field" ->
-      """SELECT o_orderkey, '0000-00-00 00:00:00' AS date_time
-         FROM orders ORDER BY o_orderkey""",
-
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           count(*) AS count_order,
-           count(DISTINCT l_partkey) AS distinct_parts
-         FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
-         GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-
-    "agg_stats" ->
-      """SELECT l_returnflag,
-           min(l_quantity) AS min_qty,
-           max(l_quantity) AS max_qty,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
-           count(*) AS n
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "join_topk_revenue" ->
-      """SELECT l_orderkey, o_orderdate,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-         FROM lineitem
-           JOIN orders ON l_orderkey = o_orderkey
-           JOIN customer ON o_custkey = c_custkey
-         GROUP BY l_orderkey, o_orderdate
-         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
-
-    "join_broadcast_dims" ->
-      """SELECT r_name, n_name,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-           count(*) AS n_orders
-         FROM orders
-           JOIN customer ON o_custkey = c_custkey
-           JOIN nation ON c_nationkey = n_nationkey
-           JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
-
-    "avro_wire_roundtrip" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
-
-    "csv_wire_roundtrip" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
-
-    "orc_wire_roundtrip" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
-
-    "jsonl_file_roundtrip" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
-
-    "join_shuffle_hash" ->
-      """SELECT o_orderpriority, count(*) AS n_items,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         WHERE o_orderpriority = '1-URGENT'
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-
-    "schema_evolution_merge" ->
-      """SELECT CASE WHEN l_orderkey % 2 = 0 THEN NULL
-                     ELSE l_returnflag END AS l_returnflag,
-           count(*) AS n_items,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-         FROM lineitem GROUP BY 1 ORDER BY 1 NULLS FIRST""",
-
-    "join_bucketed" ->
-      """SELECT o_orderkey, count(*) AS n_items,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderkey ORDER BY o_orderkey""",
-
-    "join_semi" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE EXISTS (SELECT 1 FROM orders
-                       WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
-         ORDER BY c_custkey""",
-
-    "join_anti" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders
-                           WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
-         ORDER BY c_custkey""",
-
-    "join_cross" ->
-      """SELECT r_name, n_name FROM region CROSS JOIN nation
-         ORDER BY r_name, n_name""",
-
-    "join_left_outer" ->
-      """SELECT c_custkey, c_mktsegment, o_orderkey
-         FROM customer
-         LEFT OUTER JOIN
-              (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 350000.0) o
-           ON c_custkey = o.o_custkey
-         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
-
-    "join_full_outer" ->
-      """SELECT c_custkey, c_name, o_orderkey
-         FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0) c
-         FULL OUTER JOIN
-              (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 350000.0) o
-           ON c.c_custkey = o.o_custkey
-         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
-
-    "window_topk_per_group" ->
-      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
-           SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-               ORDER BY o_totalprice DESC, o_orderkey) AS rn
-           FROM orders)
-         WHERE rn <= 3 ORDER BY o_custkey, rn""",
-
-    "window_rank_lead" ->
-      """SELECT o_custkey, o_orderkey,
-           CAST(rank() OVER w AS INT) AS rnk,
-           CAST(dense_rank() OVER w AS INT) AS drnk,
-           lag(o_orderkey, 1) OVER w AS prev_order,
-           lead(o_orderkey, 1) OVER w AS next_order
-         FROM orders
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         ORDER BY o_custkey, o_orderkey""",
-
-    "window_running_sum" ->
-      """SELECT event_id, user_id,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-         FROM events ORDER BY event_id""",
-
-    "sort_limit" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
-
-    "set_union" ->
-      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
-         UNION
-         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0
-         ORDER BY custkey""",
-
-    "set_intersect" ->
-      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
-         INTERSECT
-         SELECT o_custkey AS custkey FROM orders
-         ORDER BY custkey""",
-
-    "set_except" ->
-      """SELECT c_custkey AS custkey FROM customer
-         EXCEPT
-         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
-         ORDER BY custkey""",
-
-    "event_window_agg" ->
-      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-           count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-           count(DISTINCT user_id) AS distinct_users
-         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
-
-    "identity_projection" ->
-      """SELECT * FROM supplier ORDER BY s_suppkey""",
-
-    "json_wire_roundtrip" ->
-      """SELECT o_orderkey, o_totalprice, o_orderstatus
-         FROM orders ORDER BY o_orderkey""",
-
-    "agg_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_cust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-         FROM customer
-           JOIN nation ON c_nationkey = n_nationkey
-           JOIN region ON n_regionkey = r_regionkey
-         GROUP BY ROLLUP(r_name, n_name)
-         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
-
-    "agg_bounded_distinct" ->
-      """SELECT l_returnflag,
-           count(DISTINCT l_partkey) AS distinct_parts,
-           count(DISTINCT l_suppkey) AS distinct_supps
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    // the sketch nominates a superset of the > n/17 keys (MG guarantee);
-    // the exact confirm makes the final set independent of merge order,
-    // so the oracle is plain exact SQL over the augmented stream
-    "agg_heavy_hitters" ->
-      """WITH aug AS (
-           SELECT event_id, user_id FROM events
-           UNION ALL SELECT event_id, 777777 FROM events WHERE event_id % 5 = 0
-           UNION ALL SELECT event_id, 888888 FROM events WHERE event_id % 8 = 0),
-         tot AS (SELECT count(*) AS n FROM aug),
-         c AS (SELECT user_id, count(*) AS n_events FROM aug GROUP BY user_id)
-         SELECT user_id, n_events FROM c CROSS JOIN tot
-         WHERE n_events * 17 > n ORDER BY user_id""",
-
-    "event_sessionize" ->
-      """WITH x AS (
-           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-           FROM events
-         ), y AS (
-           SELECT user_id, event_id, ts,
-             CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
-           FROM x
-         ), z AS (
-           SELECT user_id, ts,
-             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-           FROM y
-         )
-         SELECT user_id, session_id, count(*) AS n_events,
-           CAST(min(ts) AS TIMESTAMP) AS session_start,
-           CAST(max(ts) AS TIMESTAMP) AS session_end
-         FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
-
-    "string_funcs" ->
-      """SELECT c_custkey,
-           upper(c_name) AS uname,
-           substring(c_name, 3, 5) AS mid,
-           concat(c_mktsegment, '-', c_name) AS seg_name,
-           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
-           CAST(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS BIGINT) AS has_one,
-           CAST(length(c_name) AS BIGINT) AS name_len
-         FROM customer ORDER BY c_custkey""",
-
-    "agg_collect" ->
-      """SELECT n_name,
-           array_to_string(list(s_suppkey ORDER BY s_suppkey), ',') AS suppliers,
-           count(*) AS n_sup
-         FROM supplier JOIN nation ON s_nationkey = n_nationkey
-         GROUP BY n_name ORDER BY n_name""",
-
-    "agg_percentiles_sketch" ->
-      """WITH p AS (
-           SELECT l_returnflag, 0.5 AS q,
-             round(quantile_cont(l_quantity, 0.5), 4) AS pctl
-           FROM lineitem GROUP BY l_returnflag
-           UNION ALL
-           SELECT l_returnflag, 0.9,
-             round(quantile_cont(l_quantity, 0.9), 4)
-           FROM lineitem GROUP BY l_returnflag)
-         SELECT l_returnflag, q, pctl FROM p
-         ORDER BY l_returnflag, q""",
-
-    "agg_percentiles" ->
-      """SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
-           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "join_salted" ->
-      """SELECT s_name, count(*) AS n_items,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         GROUP BY s_name ORDER BY s_name""",
-
-    "skew_salted_agg" ->
-      """SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY event_type ORDER BY event_type""",
-
-    "text_token_count" ->
-      """SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-           CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
-             w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS BIGINT) AS bpe_tokens
-         FROM documents ORDER BY doc_id""",
-
-    "text_quality" ->
-      """WITH b AS (
-           SELECT doc_id, text,
-             string_split_regex(trim(lower(text)), '\s+') AS toks,
-             length(text) AS tlen
-           FROM documents
-         ), m AS (
-           SELECT doc_id,
-             least(tlen / 200.0, 1.0) AS len_score,
-             CASE WHEN tlen = 0 THEN 0.0
-                  ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-                       / CAST(tlen AS DOUBLE) END AS punct_ratio,
-             CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(len(list_filter(toks, t -> list_contains(
-                    ['the','a','an','and','or','of','to','in','is','it','on','for'], t))) AS DOUBLE)
-                       / CAST(len(toks) AS DOUBLE) END AS sw_ratio,
-             CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
-                       / CAST(len(toks) AS DOUBLE) END AS mtl
-           FROM b
-         )
-         SELECT doc_id,
-           round(len_score * 0.3
-                 + least(sw_ratio * 4.0, 1.0) * 0.3
-                 + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2
-                 + (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
-                 4) AS quality
-         FROM m ORDER BY doc_id""",
-
-    "text_langid" ->
-      """WITH b AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-           FROM documents
-         ), s AS (
-           SELECT doc_id,
-             len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in'], t))) AS s_en,
-             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
-             len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des'], t))) AS s_fr,
-             len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','von'], t))) AS s_de
-           FROM b
-         )
-         SELECT doc_id,
-           CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
-                WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-                WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-                WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-                ELSE 'und' END AS lang_guess
-         FROM s ORDER BY doc_id""",
-
-    "survival_weibull_fit" ->
-      """WITH su AS (
-           SELECT user_id, min(epoch_us(ts)) AS t0
-           FROM events WHERE event_type = 'signup' GROUP BY user_id),
-         lat AS (
-           SELECT p.user_id,
-             CAST(min(epoch_us(p.ts) - s.t0) AS BIGINT) AS lat_us
-           FROM events p JOIN su s USING (user_id)
-           WHERE p.event_type = 'purchase' AND epoch_us(p.ts) >= s.t0
-           GROUP BY p.user_id),
-         per AS (
-           SELECT (lat_us // 3600000000) + 1 AS t_h,
-             CAST(count(*) AS BIGINT) AS c
-           FROM lat GROUP BY 1),
-         nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
-         pts AS (
-           SELECT t_h,
-             ln(CAST(t_h AS DOUBLE)) AS lx,
-             ln(-ln(1.0 - CAST(cum AS DOUBLE) / CAST(n AS DOUBLE))) AS ly
-           FROM (
-             SELECT t_h, c,
-               CAST(sum(c) OVER (ORDER BY t_h
-                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-             FROM per) x CROSS JOIN nt
-           WHERE cum < n),
-         sums AS (
-           SELECT CAST(count(*) AS DOUBLE) AS np,
-             list_reduce(list_prepend(0.0, list(lx ORDER BY t_h)),
-               (a, b) -> a + b) AS sx,
-             list_reduce(list_prepend(0.0, list(ly ORDER BY t_h)),
-               (a, b) -> a + b) AS sy,
-             list_reduce(list_prepend(0.0, list(lx * ly ORDER BY t_h)),
-               (a, b) -> a + b) AS sxy,
-             list_reduce(list_prepend(0.0, list(lx * lx ORDER BY t_h)),
-               (a, b) -> a + b) AS sxx,
-             list_reduce(list_prepend(0.0, list(ly * ly ORDER BY t_h)),
-               (a, b) -> a + b) AS syy
-           FROM pts),
-         fit AS (
-           SELECT np, sx, sy, sxy, sxx, syy,
-             (np * sxy - sx * sy) / (np * sxx - sx * sx) AS k_raw
-           FROM sums)
-         SELECT CAST(np AS BIGINT) AS n_points,
-           round(k_raw, 4) AS k_shape,
-           round(exp(-((sy - k_raw * sx) / np) / k_raw), 4) AS lambda_hours,
-           round((np * sxy - sx * sy) * (np * sxy - sx * sy)
-             / ((np * sxx - sx * sx) * (np * syy - sy * sy)), 4) AS r2
-         FROM fit""",
-
-    "survival_km" ->
-      """WITH su AS (
-           SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
-           WHERE event_type = 'signup' GROUP BY 1),
-         ls AS (SELECT user_id, max(epoch_us(ts)) AS lt
-           FROM events GROUP BY 1),
-         fp AS (
-           SELECT e.user_id, min(epoch_us(e.ts)) AS ev
-           FROM events e JOIN su USING (user_id)
-           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.t0
-           GROUP BY 1),
-         durs AS (
-           SELECT user_id, least(raw_h, 72) AS dur_h,
-             (has_ev AND raw_h < 72) AS is_event
-           FROM (
-             SELECT su.user_id,
-               CASE WHEN fp.ev IS NOT NULL
-                    THEN (fp.ev - su.t0) // 3600000000
-                    ELSE (ls.lt - su.t0) // 3600000000 END AS raw_h,
-               fp.ev IS NOT NULL AS has_ev
-             FROM su JOIN ls USING (user_id)
-             LEFT JOIN fp USING (user_id))),
-         per AS (
-           SELECT dur_h,
-             CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
-             CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
-           FROM durs GROUP BY 1),
-         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM per),
-         r AS (
-           SELECT dur_h, d, c,
-             n - coalesce(CAST(sum(d + c) OVER (ORDER BY dur_h
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-               0) AS n_risk
-           FROM per CROSS JOIN tot),
-         -- duckdb 1.0's list_reduce mis-evaluates struct accumulators
-         -- (verified on a minimal case), so the oracle computes each
-         -- row's prefix product with its own ordered scalar fold —
-         -- identical multiplications in identical order to the
-         -- engine's single-pass fold, O(T^2) only over the time domain
-         curve AS (
-           SELECT r.dur_h,
-             CAST(floor(1000000.0 * (
-               SELECT list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
-                 list(1.0 - CAST(d2.d AS DOUBLE) / CAST(d2.n_risk AS DOUBLE)
-                   ORDER BY d2.dur_h)),
-                 (a, b) -> a * b)
-               FROM r d2 WHERE d2.dur_h <= r.dur_h)) AS BIGINT) AS s_ppm
-           FROM r)
-         SELECT r.dur_h, r.d AS n_events, r.c AS n_censored, r.n_risk,
-           curve.s_ppm
-         FROM r JOIN curve ON r.dur_h = curve.dur_h
-         ORDER BY r.dur_h""",
-
-    // declarative distance join — equality proves the prefix filter
-    // generates a COMPLETE candidate set (a false negative would show
-    // as a missing row, not just a slow plan)
-    "join_edit_distance_prefix" ->
-      """WITH names AS (
-           SELECT c_custkey AS id, c_name AS nm FROM customer
-           WHERE c_custkey % 4 = 0)
-         SELECT a.id AS id_a, b.id AS id_b,
-           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
-         FROM names a JOIN names b
-           ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1
-         ORDER BY id_a, id_b""",
-
-    "orders_cohort_ltv" ->
-      """WITH o AS (
-           SELECT o_custkey,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS cents,
-             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
-           FROM orders),
-         first_o AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
-         sizes AS (
-           SELECT cohort_m, count(*) AS cohort_users FROM first_o GROUP BY 1),
-         cur AS (
-           SELECT cohort_m, m - cohort_m AS m_offset,
-             CAST(sum(cents) AS BIGINT) AS rev_cents,
-             count(DISTINCT o.o_custkey) AS active_users
-           FROM o JOIN first_o USING (o_custkey) GROUP BY 1, 2),
-         cum AS (
-           SELECT cohort_m, m_offset, active_users, rev_cents,
-             CAST(sum(rev_cents) OVER (PARTITION BY cohort_m
-               ORDER BY m_offset) AS BIGINT) AS cum_rev_cents
-           FROM cur)
-         SELECT cohort_m, m_offset, active_users, rev_cents, cum_rev_cents,
-           cohort_users, cum_rev_cents // cohort_users AS ltv_cents_per_user
-         FROM cum JOIN sizes USING (cohort_m)
-         ORDER BY cohort_m, m_offset""",
-
-    "graph_closeness" ->
-      """WITH e0 AS MATERIALIZED (
-           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-           FROM lineitem),
-         und AS MATERIALIZED (
-           SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-         d0 AS MATERIALIZED (
-           SELECT DISTINCT l_suppkey * 2 AS node, l_suppkey * 2 AS seed,
-             CAST(0 AS BIGINT) AS dist
-           FROM lineitem WHERE l_suppkey < 8),
-         d1 AS MATERIALIZED (
-           SELECT node, seed, min(dist) AS dist FROM (
-             SELECT node, seed, dist FROM d0
-             UNION ALL
-             SELECT und.dst AS node, d0.seed, d0.dist + 1 AS dist
-             FROM und JOIN d0 ON und.src = d0.node) GROUP BY 1, 2),
-         d2 AS MATERIALIZED (
-           SELECT node, seed, min(dist) AS dist FROM (
-             SELECT node, seed, dist FROM d1
-             UNION ALL
-             SELECT und.dst AS node, d1.seed, d1.dist + 1 AS dist
-             FROM und JOIN d1 ON und.src = d1.node) GROUP BY 1, 2),
-         d3 AS MATERIALIZED (
-           SELECT node, seed, min(dist) AS dist FROM (
-             SELECT node, seed, dist FROM d2
-             UNION ALL
-             SELECT und.dst AS node, d2.seed, d2.dist + 1 AS dist
-             FROM und JOIN d2 ON und.src = d2.node) GROUP BY 1, 2),
-         d4 AS MATERIALIZED (
-           SELECT node, seed, min(dist) AS dist FROM (
-             SELECT node, seed, dist FROM d3
-             UNION ALL
-             SELECT und.dst AS node, d3.seed, d3.dist + 1 AS dist
-             FROM und JOIN d3 ON und.src = d3.node) GROUP BY 1, 2)
-         SELECT node, count(*) AS n_reached,
-           CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
-         FROM d4 WHERE dist > 0 GROUP BY node
-         ORDER BY harmonic_ppm DESC, n_reached DESC, node LIMIT 20""",
-
-    "text_js_divergence" ->
-      s"""WITH docs AS (SELECT source, $toksSql AS toks FROM documents),
-         tok AS (SELECT source, unnest(toks) AS term FROM docs),
-         tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
-                FROM tok GROUP BY 1, 2),
-         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
-                 FROM tf GROUP BY 1),
-         pairs AS (
-           SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
-           FROM tot a JOIN tot b ON a.source < b.source),
-         terms AS (SELECT DISTINCT term FROM tf),
-         grid AS (
-           SELECT p.sa, p.sb, t.term,
-             coalesce(fa.c, 0) AS ca, coalesce(fb.c, 0) AS cb,
-             p.na, p.nb
-           FROM pairs p CROSS JOIN terms t
-           LEFT JOIN tf fa ON fa.source = p.sa AND fa.term = t.term
-           LEFT JOIN tf fb ON fb.source = p.sb AND fb.term = t.term),
-         nz AS (
-           SELECT sa, sb, term,
-             CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p,
-             CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q
-           FROM grid WHERE ca + cb > 0),
-         tv AS (
-           SELECT sa, sb, term,
-             0.5 * (CASE WHEN p > 0.0
-               THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END)
-             + 0.5 * (CASE WHEN q > 0.0
-               THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END) AS v
-           FROM nz)
-         SELECT sa, sb, count(*) AS n_terms_union,
-           round(list_reduce(list_prepend(0.0, list(v ORDER BY term)),
-             (a, b) -> a + b), 6) AS jsd_nats
-         FROM tv GROUP BY sa, sb ORDER BY sa, sb""",
-
-    "feature_hashing_tuning" -> {
-      val hv = fnvSql("term")
-      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
-         tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
-                FROM tok GROUP BY term),
-         h0 AS (SELECT term, tf, $hv AS hv FROM tf),
-         wd AS (SELECT CAST(unnest([64, 256, 1024, 4096]) AS BIGINT) AS w),
-         per AS (
-           SELECT w, CAST(hv % w AS BIGINT) AS bucket, tf
-           FROM h0 CROSS JOIN wd),
-         bstats AS (
-           SELECT w, bucket, CAST(count(*) AS BIGINT) AS nt,
-             CAST(sum(tf) AS BIGINT) AS btf
-           FROM per GROUP BY 1, 2),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
-                   CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf)
-         SELECT w, n_terms, count(*) AS n_buckets_used,
-           CAST(sum(CASE WHEN nt >= 2 THEN nt ELSE 0 END) AS BIGINT)
-             AS n_colliding_terms,
-           CAST((sum(CASE WHEN nt >= 2 THEN nt ELSE 0 END) * 1000000)
-             // n_terms AS BIGINT) AS collision_ppm,
-           CAST((count(*) * 1000000) // w AS BIGINT) AS occupancy_ppm,
-           CAST((sum(CASE WHEN nt >= 2 THEN btf ELSE 0 END) * 1000000)
-             // n_tokens AS BIGINT) AS colliding_token_ppm
-         FROM bstats CROSS JOIN tot
-         GROUP BY w, n_terms, n_tokens ORDER BY w"""
-    },
-
-    "feature_hashing" -> {
-      val hv = fnvSql("term")
-      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
-         hashed AS (
-           SELECT doc_id, term,
-             CAST($hv % 64 AS BIGINT) AS bucket,
-             CASE WHEN ($hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
-           FROM tok),
-         feat AS (
-           SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v,
-             count(DISTINCT term) AS nt
-           FROM hashed GROUP BY 1, 2)
-         SELECT bucket, count(*) AS n_docs_nonzero,
-           CAST(sum(v) AS BIGINT) AS sum_val,
-           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
-           CAST(max(abs(v)) AS BIGINT) AS max_abs,
-           CAST(max(nt) AS BIGINT) AS max_terms_per_doc
-         FROM feat WHERE v <> 0 GROUP BY bucket ORDER BY bucket"""
-    },
-
-    "stats_bootstrap" -> {
-      val hv = signedSql(fnvSql(
-        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(rep AS VARCHAR)"))
-      s"""WITH o AS (
-           SELECT o_orderkey,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS cents
-           FROM orders),
-         b AS (
-           SELECT o_orderkey, cents, rep,
-             (($hv % 1000000) + 1000000) % 1000000 AS u
-           FROM o CROSS JOIN (SELECT range AS rep FROM range(0, 32)) reps),
-         wts AS (
-           SELECT rep, cents,
-             CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
-                  WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
-                  WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
-                  WHEN u < 999917 THEN 6 ELSE 7 END AS w
-           FROM b),
-         m AS (
-           SELECT rep,
-             CAST((100 * sum(w * cents)) // sum(w) AS BIGINT) AS mean_centi
-           FROM wts GROUP BY rep),
-         r AS (
-           SELECT rep, mean_centi,
-             row_number() OVER (ORDER BY mean_centi, rep) AS rk FROM m),
-         f AS (
-           SELECT CAST((100 * sum(cents)) // count(*) AS BIGINT)
-             AS mean_centi_full FROM o)
-         SELECT count(*) AS n_reps,
-           min(mean_centi) AS boot_min, max(mean_centi) AS boot_max,
-           max(CASE WHEN rk = 2 THEN mean_centi END) AS boot_lo,
-           max(CASE WHEN rk = 16 THEN mean_centi END) AS boot_med,
-           max(CASE WHEN rk = 31 THEN mean_centi END) AS boot_hi,
-           (SELECT mean_centi_full FROM f) AS mean_centi_full
-         FROM r"""
-    },
-
-    "join_spatial_grid" ->
-      """WITH p AS (
-           SELECT p_partkey AS id,
-             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS xc,
-             CAST(p_size AS BIGINT) AS yc
-           FROM part)
-         SELECT a.id AS id_a, b.id AS id_b,
-           b.xc - a.xc AS d_price_cents, b.yc - a.yc AS d_size
-         FROM p a JOIN p b
-           ON a.id < b.id AND abs(a.xc - b.xc) <= 100
-           AND abs(a.yc - b.yc) <= 1
-         ORDER BY id_a, id_b""",
-
-    "timeseries_theil_sen" ->
-      """WITH e AS (
-           SELECT user_id, event_id, epoch_ms(ts) AS tms,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
-           FROM events),
-         pairs AS (
-           SELECT a.user_id,
-             (b.vc - a.vc) * 1000000000 // (b.tms - a.tms) AS slope,
-             a.event_id AS ia, b.event_id AS ib
-           FROM e a JOIN e b ON a.user_id = b.user_id
-             AND (a.tms < b.tms
-               OR (a.tms = b.tms AND a.event_id < b.event_id))
-             AND a.tms <> b.tms),
-         ranked AS (
-           SELECT user_id, slope,
-             row_number() OVER (PARTITION BY user_id
-               ORDER BY slope, ia, ib) AS rk,
-             count(*) OVER (PARTITION BY user_id) AS m
-           FROM pairs),
-         med AS (
-           SELECT user_id, m AS n_pairs, CAST(slope AS BIGINT) AS slope_med
-           FROM ranked WHERE rk = (m + 1) // 2),
-         sizes AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY 1)
-         SELECT s.user_id, s.n_events, med.n_pairs, med.slope_med
-         FROM sizes s JOIN med USING (user_id)
-         ORDER BY user_id""",
-
-    "stats_kruskal_wallis" -> {
-      val cs = kwSegs.zipWithIndex.map { case (sg, i) =>
-        s"CAST(sum(CASE WHEN seg = '$sg' THEN 1 ELSE 0 END) AS BIGINT) AS c${i + 1}"
-      }.mkString(",\n             ")
-      val ns = (1 to 5).map(i =>
-        s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")
-      val rs = (1 to 5).map(i =>
-        s"CAST(sum(c$i * (2 * cum_before + t + 1)) AS BIGINT) AS r$i")
-        .mkString(",\n             ")
-      s"""WITH c0 AS (
-           SELECT c_mktsegment AS seg,
-             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-           FROM customer),
-         per AS (
-           SELECT cents,
-             $cs
-           FROM c0 GROUP BY cents),
-         ranked AS (
-           SELECT cents, c1, c2, c3, c4, c5,
-             c1 + c2 + c3 + c4 + c5 AS t,
-             COALESCE(CAST(sum(c1 + c2 + c3 + c4 + c5) OVER (
-               ORDER BY cents
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS BIGINT), 0) AS cum_before
-           FROM per),
-         agg0 AS (
-           SELECT $ns,
-             $rs,
-             CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
-           FROM ranked),
-         wn AS (SELECT agg0.*, n1 + n2 + n3 + n4 + n5 AS n FROM agg0)
-         SELECT n, n1, n2, n3, n4, n5, tie_term,
-           $kwHppm AS h_ppm,
-           $kwHcorrPpm AS h_corr_ppm
-         FROM wn"""
-    },
-
-    "stats_levene" -> {
-      val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>
-        s"""CAST(sum(CASE WHEN seg = '$sg' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n${i + 1},
-           CAST(sum(CASE WHEN seg = '$sg' THEN zz ELSE 0 END) AS BIGINT)
-             AS s${i + 1},
-           sum(CASE WHEN seg = '$sg'
-             THEN CAST(zz AS HUGEINT) * zz ELSE 0 END) AS q${i + 1}"""
-      }.mkString(",\n           ")
-      s"""WITH c0 AS (
-           SELECT c_mktsegment AS seg,
-             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-           FROM customer),
-         med AS (
-           SELECT seg,
-             CAST(round(2 * quantile_cont(cents, 0.5)) AS BIGINT) AS med2
-           FROM c0 GROUP BY seg),
-         z AS (
-           SELECT c0.seg, abs(c0.cents * 2 - med.med2) AS zz
-           FROM c0 JOIN med USING (seg)),
-         agg0 AS (
-           SELECT $aggs
-           FROM z),
-         wn AS (SELECT agg0.*, n1 + n2 + n3 + n4 + n5 AS n FROM agg0)
-         SELECT n, n1, n2, n3, n4, n5,
-           $anovaFppm AS f_ppm
-         FROM wn"""
-    },
-
-    "stats_runs_test" ->
-      s"""WITH daily AS (
-           SELECT date_trunc('day', o_orderdate) AS d,
-             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-               AS BIGINT)) AS BIGINT) AS x
-           FROM orders GROUP BY 1),
-         signs AS (
-           SELECT d, x,
-             CASE WHEN x > prev THEN 1 ELSE 0 END AS sgn
-           FROM (SELECT d, x, lag(x) OVER (ORDER BY d) AS prev FROM daily)
-           WHERE prev IS NOT NULL AND x <> prev),
-         runs AS (
-           SELECT count(*) AS n,
-             CAST(sum(sgn) AS BIGINT) AS n_plus,
-             CAST(sum(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
-               THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r_runs
-           FROM (SELECT sgn, lag(sgn) OVER (ORDER BY d) AS prev_sgn
-                 FROM signs)),
-         wn AS (SELECT n, n_plus, n - n_plus AS n_minus, r_runs FROM runs)
-         SELECT n, n_plus, n_minus, r_runs,
-           $runsZppm AS z_ppm
-         FROM wn""",
-
-    "stats_cohens_kappa" ->
-      """WITH b AS (
-           SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\s+') AS toks
-           FROM documents
-         ), s AS (
-           SELECT doc_id, lang,
-             len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in'], t))) AS s_en,
-             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
-             len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des'], t))) AS s_fr,
-             len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','von'], t))) AS s_de
-           FROM b
-         ), g AS (
-           SELECT lang AS actual,
-             CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
-                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-                  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-                  ELSE 'und' END AS pred
-           FROM s
-         ), cells AS (
-           SELECT pred, actual, count(*) AS c FROM g GROUP BY 1, 2
-         ), tot AS (
-           SELECT CAST(sum(c) AS BIGINT) AS n_docs,
-             CAST(sum(CASE WHEN pred = actual THEN c ELSE 0 END)
-               AS BIGINT) AS diag
-           FROM cells
-         ), marg AS (
-           SELECT CAST(sum(COALESCE(r.row_n, 0) * COALESCE(a.col_n, 0))
-               AS BIGINT) AS p_chance
-           FROM (SELECT pred, CAST(sum(c) AS BIGINT) AS row_n
-                 FROM cells GROUP BY pred) r
-           FULL OUTER JOIN
-                (SELECT actual AS pred, CAST(sum(c) AS BIGINT) AS col_n
-                 FROM cells GROUP BY actual) a USING (pred))
-         SELECT n_docs, diag, p_chance,
-           (1000000 * (n_docs * diag - p_chance))
-             // (n_docs * n_docs - p_chance) AS kappa_ppm
-         FROM tot CROSS JOIN marg""",
-
-    "stats_mcnemar" ->
-      """WITH u AS (
-           SELECT user_id,
-             max(CASE WHEN event_type = 'purchase'
-               AND ts < TIMESTAMP '2024-01-16 00:00:00'
-               THEN 1 ELSE 0 END) AS early,
-             max(CASE WHEN event_type = 'purchase'
-               AND ts >= TIMESTAMP '2024-01-16 00:00:00'
-               THEN 1 ELSE 0 END) AS late
-           FROM events GROUP BY user_id),
-         a AS (
-           SELECT count(*) AS n_users,
-             CAST(sum(early * (1 - late)) AS BIGINT) AS b,
-             CAST(sum((1 - early) * late) AS BIGINT) AS c
-           FROM u)
-         SELECT n_users, b, c,
-           CASE WHEN b + c = 0 THEN NULL
-             ELSE (1000000 * (b - c) * (b - c)) // (b + c) END AS chi2_ppm,
-           CASE WHEN b + c = 0 THEN NULL
-             ELSE (1000000 * (abs(b - c) - 1) * (abs(b - c) - 1))
-               // (b + c) END AS chi2_cc_ppm
-         FROM a""",
-
-    "stats_kendall_tau" ->
-      """WITH x AS (
-           SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS x
-           FROM customer GROUP BY 1),
-         y AS (
-           SELECT c.c_nationkey AS nk,
-             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-               AS BIGINT)) AS BIGINT) AS y
-           FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-           GROUP BY 1),
-         m AS (
-           SELECT x.nk, x.x, COALESCE(y.y, 0) AS y
-           FROM x LEFT JOIN y USING (nk)),
-         p AS (
-           SELECT a.x - b.x AS dx, a.y - b.y AS dy
-           FROM m a JOIN m b ON a.nk < b.nk),
-         agg AS (
-           SELECT count(*) AS n_pairs,
-             CAST(sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
-               THEN 1 ELSE 0 END) AS BIGINT) AS conc,
-             CAST(sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
-               THEN 1 ELSE 0 END) AS BIGINT) AS disc,
-             CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS tie_x,
-             CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS tie_y
-           FROM p)
-         SELECT n_pairs, conc, disc, tie_x, tie_y,
-           CASE WHEN n_pairs = tie_x OR n_pairs = tie_y THEN NULL
-             ELSE CAST(floor(1000000.0 * (conc - disc) /
-               sqrt(CAST((n_pairs - tie_x) AS DOUBLE)
-                 * CAST((n_pairs - tie_y) AS DOUBLE))) AS BIGINT) END
-             AS tau_ppm
-         FROM agg""",
-
-    "timeseries_acf" ->
-      """WITH d AS (
-           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
-           FROM events GROUP BY 1),
-         tot AS (
-           SELECT CAST(count(*) AS HUGEINT) AS n,
-             CAST(sum(x) AS HUGEINT) AS sm,
-             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
-           FROM d),
-         lags AS (SELECT CAST(range AS INT) AS lg FROM range(1, 8)),
-         pairs AS (
-           SELECT lg, CAST(count(*) AS HUGEINT) AS p_k,
-             CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS pk_sum,
-             CAST(sum(a.x) AS HUGEINT) AS a_k,
-             CAST(sum(b.x) AS HUGEINT) AS b_k
-           FROM d a CROSS JOIN lags JOIN d b ON b.day = a.day + lg
-           GROUP BY lg)
-         SELECT lg AS lag, CAST(p_k AS BIGINT) AS n_pairs,
-           CAST((1000000 * (n * n * pk_sum - n * sm * (a_k + b_k)
-               + p_k * sm * sm))
-             // (n * n * q - n * sm * sm) AS BIGINT) AS acf_ppm
-         FROM pairs CROSS JOIN tot ORDER BY lag""",
-
-    "graph_hits" ->
-      """WITH e AS (
-           SELECT DISTINCT o_custkey AS c, l_partkey AS p
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         a1 AS (
-           SELECT p, CAST(count(*) AS HUGEINT) AS a1
-           FROM e GROUP BY p),
-         h1 AS (
-           SELECT c, CAST(sum(a1) AS HUGEINT) AS h1
-           FROM e JOIN a1 USING (p) GROUP BY c),
-         a2 AS (
-           SELECT p, CAST(sum(h1) AS HUGEINT) AS a2
-           FROM e JOIN h1 USING (c) GROUP BY p),
-         h2 AS (
-           SELECT c, CAST(sum(a2) AS HUGEINT) AS h2
-           FROM e JOIN a2 USING (p) GROUP BY c),
-         asum AS (SELECT sum(a2) AS s FROM a2),
-         hsum AS (SELECT sum(h2) AS s FROM h2),
-         ta AS (
-           SELECT 'authority' AS side, p AS node,
-             CAST((a2 * 1000000000000) // s AS BIGINT) AS score
-           FROM a2 CROSS JOIN asum
-           ORDER BY score DESC, node LIMIT 10),
-         th AS (
-           SELECT 'hub' AS side, c AS node,
-             CAST((h2 * 1000000000000) // s AS BIGINT) AS score
-           FROM h2 CROSS JOIN hsum
-           ORDER BY score DESC, node LIMIT 10)
-         SELECT side, node, score
-         FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
-         ORDER BY side, score DESC, node""",
-
-    "text_dsir_weights" ->
-      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-         tok AS (
-           SELECT doc_id, lang,
-             unnest(list_transform(range(len(toks)),
-               i -> {'pos': i, 'w': toks[CAST(i AS INT)+1]})) AS t
-           FROM d),
-         tf AS (SELECT doc_id, lang, t.pos AS pos, t.w AS w FROM tok),
-         tb AS (
-           SELECT doc_id, lang, pos,
-             CAST(${fnvSql("w")} % 4096 AS BIGINT) AS b
-           FROM tf),
-         counts AS (
-           SELECT b,
-             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-               AS nt,
-             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
-               AS nr
-           FROM tb GROUP BY b),
-         tots AS (
-           SELECT CAST(sum(nt) AS BIGINT) AS tt,
-             CAST(sum(nr) AS BIGINT) AS tr
-           FROM counts),
-         lr AS (
-           SELECT b,
-             ln(CAST(nt + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
-               - ln(CAST(nr + 1 AS DOUBLE) / CAST(tr + 4096 AS DOUBLE)) AS lr
-           FROM counts CROSS JOIN tots),
-         j AS (SELECT doc_id, pos, lr FROM tb JOIN lr USING (b)),
-         a AS (
-           SELECT doc_id, count(*) AS n_feats,
-             list_reduce(list_prepend(0.0, list(lr ORDER BY pos)),
-               (acc, x) -> acc + x) AS s
-           FROM j GROUP BY doc_id)
-         SELECT doc_id, n_feats, round(s, 6) AS dsir_weight
-         FROM a ORDER BY doc_id""",
-
-    "similarity_mmr_topk" -> {
-      // every selu_i is referenced twice by step i+1 (the max-sim join
-      // and the NOT IN) — without MATERIALIZED, CTE inlining re-executes
-      // the whole prefix 2^k times (measured: step 6 already 7 s)
-      val steps = (2 to 8).map { i =>
-        s"""sel$i AS MATERIALIZED (
-           SELECT $i AS rnk, c.vec_id, c.rel, ms.ms AS max_sim,
-             0.7 * c.rel - 0.3 * ms.ms AS mmr
-           FROM cand c JOIN (
-             SELECT p.ai, max(p.sim) AS ms FROM p
-             JOIN selu${i - 1} s ON p.bi = s.vec_id GROUP BY p.ai) ms
-             ON ms.ai = c.vec_id
-           WHERE c.vec_id NOT IN (SELECT vec_id FROM selu${i - 1})
-           ORDER BY mmr DESC, c.vec_id LIMIT 1),
-         selu$i AS MATERIALIZED (SELECT * FROM selu${i - 1}
-           UNION ALL SELECT * FROM sel$i)"""
-      }.mkString(",\n         ")
-      s"""WITH qv AS (
-           SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE vec_id = 0),
-         cand AS MATERIALIZED (
-           SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-             round(list_cosine_similarity(
-               CAST(e.embedding AS DOUBLE[]), q.v), 6) AS rel
-           FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
-           ORDER BY rel DESC, vec_id LIMIT 30),
-         p AS MATERIALIZED (
-           SELECT a.vec_id AS ai, b.vec_id AS bi,
-             round(list_cosine_similarity(a.v, b.v), 6) AS sim
-           FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
-         sel1 AS (
-           SELECT 1 AS rnk, vec_id, rel, CAST(NULL AS DOUBLE) AS max_sim,
-             rel AS mmr
-           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
-         selu1 AS MATERIALIZED (SELECT * FROM sel1),
-         $steps
-         SELECT rnk, vec_id, rel, max_sim, round(mmr, 6) AS mmr
-         FROM selu8 ORDER BY rnk"""
-    },
-
-    "embedding_pca_power" -> {
-      // 24 unrolled power-iteration CTEs replaying
-      // GramMatrix.powerIteration verbatim: ascending-j matvec folds,
-      // max-abs normalization — bit-identical double sequences.
-      val matvec =
-        """list_transform(range(1, 65),
-           i -> list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-             j -> g[CAST(i AS INT)][CAST(j AS INT)] * x[CAST(j AS INT)])),
-             (a, b) -> a + b))"""
-      val iters = (1 to 24).map { k =>
-        val prev = if (k == 1) "it0" else s"it${k - 1}"
-        s"""it$k AS (
-           SELECT g, list_transform(y, t -> t / m) AS x FROM (
-             SELECT g, y,
-               list_reduce(list_prepend(0.0,
-                 list_transform(y, t -> abs(t))),
-                 (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS m
-             FROM (SELECT g, $matvec AS y FROM $prev)))"""
-      }.mkString(",\n         ")
-      s"""WITH src AS (
-           SELECT list_transform(CAST(embedding AS DOUBLE[]),
-             v -> CAST(round(v * 10000) AS BIGINT)) AS q
-           FROM embeddings),
-         idx AS (SELECT CAST(range AS INT) AS i FROM range(1, 65)),
-         cells AS (
-           SELECT i.i AS i, j.i AS j,
-             CAST(sum(CAST(q[i.i] AS HUGEINT) * q[j.i]) AS HUGEINT) AS g
-           FROM src CROSS JOIN idx i CROSS JOIN idx j
-           GROUP BY 1, 2),
-         gm AS (
-           SELECT list(grow ORDER BY i) AS g FROM (
-             SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS grow
-             FROM cells GROUP BY i)),
-         it0 AS (
-           SELECT g, list_transform(range(64), r -> 1.0) AS x FROM gm),
-         $iters,
-         ray AS (
-           SELECT x,
-             list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-               i -> x[CAST(i AS INT)]
-                 * list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-                     j -> g[CAST(i AS INT)][CAST(j AS INT)]
-                       * x[CAST(j AS INT)])),
-                     (a, b) -> a + b))),
-               (a, b) -> a + b) AS num,
-             list_reduce(list_prepend(0.0,
-               list_transform(x, t -> t * t)), (a, b) -> a + b) AS den
-           FROM it24)
-         SELECT d.i AS dim, round(x[d.i], 6) AS component,
-           round(num / den / 100000000.0, 6) AS eigenvalue
-         FROM ray CROSS JOIN idx d ORDER BY dim"""
-    },
-
-    "orders_size_poisson_fit" -> {
-      val obs = ((1 to 7).map(k =>
-        s"CAST(sum(CASE WHEN sz = $k THEN 1 ELSE 0 END) AS BIGINT) AS obs_$k")
-        :+ "CAST(sum(CASE WHEN sz >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS obs_8p")
-        .mkString(",\n           ")
-      s"""WITH sizes AS (
-           SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
-           FROM lineitem GROUP BY l_orderkey),
-         agg AS (
-           SELECT count(*) AS n, CAST(sum(sz) AS BIGINT) AS tl,
-           $obs
-           FROM sizes)
-         SELECT n, tl, (1000000 * tl) // n AS lambda_ppm,
-           ${(1 to 7).map(k => s"obs_$k").mkString(", ")}, obs_8p,
-           $poissonChi2Ppm AS chi2_ppm
-         FROM agg"""
-    },
-
-    "orders_discount_response" ->
-      """WITH li AS (
-           SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
-             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS rev_c
-           FROM lineitem),
-         agg AS (
-           SELECT disc_pct, count(*) AS n_lines,
-             CAST(round(2 * median(qty_c)) AS BIGINT) AS med2_qty_c,
-             CAST(sum(qty_c) AS HUGEINT) AS sum_qty_c,
-             CAST(sum(rev_c) AS HUGEINT) AS rev_c
-           FROM li GROUP BY disc_pct),
-         tot AS (SELECT CAST(sum(rev_c) AS HUGEINT) AS tr FROM agg)
-         SELECT disc_pct, n_lines, med2_qty_c,
-           CAST((1000000 * sum_qty_c) // CAST(n_lines AS HUGEINT)
-             AS BIGINT) AS mean_qty_c_ppm,
-           CAST((1000000 * rev_c) // tr AS BIGINT) AS rev_share_ppm
-         FROM agg CROSS JOIN tot ORDER BY disc_pct""",
-
-    "graph_richclub" ->
-      """WITH items AS (
-           SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
-           WHERE l_partkey % 2 = 0),
-         e0 AS (
-           SELECT DISTINCT x.p AS u, y.p AS v
-           FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
-         deg AS (
-           SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-             SELECT u AS node FROM e0
-             UNION ALL SELECT v AS node FROM e0) GROUP BY node),
-         ed AS (
-           SELECT d1.deg AS du, d2.deg AS dv
-           FROM e0 JOIN deg d1 ON e0.u = d1.node
-           JOIN deg d2 ON e0.v = d2.node),
-         ks AS (SELECT CAST(unnest([2, 4, 8, 16, 32]) AS BIGINT) AS k),
-         ek AS (
-           SELECT k, CAST(sum(CASE WHEN du > k AND dv > k THEN 1 ELSE 0 END)
-             AS BIGINT) AS e_k
-           FROM ed CROSS JOIN ks GROUP BY k),
-         nk AS (
-           SELECT k, CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_k
-           FROM deg CROSS JOIN ks GROUP BY k)
-         SELECT ek.k AS k, n_k, e_k,
-           CASE WHEN n_k < 2 THEN NULL
-             ELSE (1000000 * 2 * e_k) // (n_k * (n_k - 1)) END AS phi_ppm
-         FROM ek JOIN nk ON ek.k = nk.k ORDER BY k""",
-
-    "stats_bartlett" -> {
-      val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>
-        s"""CAST(sum(CASE WHEN seg = '$sg' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n${i + 1},
-           CAST(sum(CASE WHEN seg = '$sg' THEN cents ELSE 0 END) AS BIGINT)
-             AS s${i + 1},
-           sum(CASE WHEN seg = '$sg'
-             THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS q${i + 1}"""
-      }.mkString(",\n           ")
-      s"""WITH c0 AS (
-           SELECT c_mktsegment AS seg,
-             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-           FROM customer),
-         agg0 AS (
-           SELECT $aggs
-           FROM c0),
-         wn AS (SELECT agg0.*, n1 + n2 + n3 + n4 + n5 AS n FROM agg0)
-         SELECT n, n1, n2, n3, n4, n5,
-           $bartlettTppm AS t_ppm
-         FROM wn"""
-    },
-
-    "graph_conductance" ->
-      """WITH c AS (
-           SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nation
-           FROM customer),
-         near AS (
-           SELECT a.id AS src, b.id AS dst
-           FROM c a JOIN c b
-             ON b.id > a.id AND b.id <= a.id + 100
-             AND b.nation = a.nation),
-         chain AS (
-           SELECT a.id AS src, b.id AS dst
-           FROM c a JOIN c b ON b.id = a.id + 1),
-         e0 AS (SELECT DISTINCT src, dst FROM
-                (SELECT * FROM near UNION ALL SELECT * FROM chain)),
-         und AS MATERIALIZED (SELECT src, dst FROM e0
-                 UNION ALL SELECT dst, src FROM e0),
-         le AS MATERIALIZED (
-           SELECT u.src, u.dst, ls.nation AS ls, ld.nation AS ld
-           FROM und u
-           JOIN c ls ON u.src = ls.id
-           JOIN c ld ON u.dst = ld.id),
-         m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM le),
-         per AS (
-           SELECT ls AS label, count(*) AS vol,
-             CAST(sum(CASE WHEN ls <> ld THEN 1 ELSE 0 END) AS BIGINT)
-               AS cut
-           FROM le GROUP BY ls)
-         SELECT label, vol, cut,
-           CASE WHEN least(vol, m2 - vol) = 0 THEN NULL
-             ELSE (1000000 * cut) // least(vol, m2 - vol) END AS phi_ppm
-         FROM per CROSS JOIN m2t ORDER BY label""",
-
-    "orders_customer_migration" ->
-      """WITH base AS (
-           SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS cents
-           FROM orders),
-         mid AS (
-           SELECT min(od) + CAST(date_diff('day', min(od), max(od)) // 2
-             AS INT) AS dm
-           FROM base),
-         halves AS (
-           SELECT o_custkey,
-             CASE WHEN od < dm THEN 1 ELSE 2 END AS h,
-             CAST(sum(cents) AS BIGINT) AS spend
-           FROM base CROSS JOIN mid
-           GROUP BY o_custkey, CASE WHEN od < dm THEN 1 ELSE 2 END),
-         f1 AS (
-           SELECT quantile_cont(spend,
-             [0.3333333333333333, 0.6666666666666666]) AS es
-           FROM halves WHERE h = 1),
-         f2 AS (
-           SELECT quantile_cont(spend,
-             [0.3333333333333333, 0.6666666666666666]) AS es
-           FROM halves WHERE h = 2),
-         t1 AS (
-           SELECT o_custkey,
-             list_reduce(list_prepend(0, list_transform(es,
-               e -> CASE WHEN CAST(spend AS DOUBLE) > e
-                 THEN 1 ELSE 0 END)), (a, v) -> a + v) + 1 AS terc1
-           FROM halves CROSS JOIN f1 WHERE h = 1),
-         t2 AS (
-           SELECT o_custkey,
-             list_reduce(list_prepend(0, list_transform(es,
-               e -> CASE WHEN CAST(spend AS DOUBLE) > e
-                 THEN 1 ELSE 0 END)), (a, v) -> a + v) + 1 AS terc2
-           FROM halves CROSS JOIN f2 WHERE h = 2),
-         cells AS (
-           SELECT terc1, terc2, count(*) AS n
-           FROM t1 JOIN t2 USING (o_custkey) GROUP BY terc1, terc2),
-         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM cells)
-         SELECT terc1, terc2, n, (1000000 * n) // tn AS share_ppm
-         FROM cells CROSS JOIN tot ORDER BY terc1, terc2""",
-
-    "part_supplier_herfindahl" ->
-      """WITH ps AS (
-           SELECT l_partkey AS part, l_suppkey AS supplier,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
-           FROM lineitem GROUP BY 1, 2),
-         agg AS (
-           SELECT part, count(*) AS n_suppliers,
-             CAST(sum(q) AS BIGINT) AS total_q,
-             CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sum_q2
-           FROM ps GROUP BY part)
-         SELECT part, n_suppliers, total_q,
-           CAST((1000000 * sum_q2)
-             // (CAST(total_q AS HUGEINT) * total_q) AS BIGINT) AS hhi_ppm
-         FROM agg WHERE n_suppliers >= 2
-         ORDER BY hhi_ppm DESC, part LIMIT 20""",
-
-    "model_auc" ->
-      s"""WITH docs AS (
-           SELECT doc_id, lang, $toksSql AS toks FROM documents),
-         thx AS (
-           SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th
-           FROM docs WHERE toks IS NOT NULL),
-         big AS (
-           SELECT doc_id, th,
-             CASE WHEN len(th) <= 2
-               THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
-                     (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
-               ELSE list_transform(range(1, len(th)),
-                 s -> (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
-                       % 18446744073709551616::HUGEINT) * 31
-                       + th[CAST(s AS INT)+1]) % 18446744073709551616::HUGEINT)
-             END AS bh
-           FROM thx),
-         fe AS (
-           SELECT doc_id, unnest(list_concat(th, bh)) AS x FROM big),
-         ${mix64Ctes("fe", "mx")},
-         ws AS (
-           SELECT doc_id,
-             CAST(sum(CAST(h % 1024 AS BIGINT) - 512) AS BIGINT) AS margin
-           FROM mx GROUP BY doc_id),
-         scored AS (
-           SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_a,
-             w.margin
-           FROM docs d JOIN ws w ON d.doc_id = w.doc_id),
-         per AS (
-           SELECT margin, CAST(sum(is_a) AS BIGINT) AS ca,
-             CAST(sum(1 - is_a) AS BIGINT) AS cb
-           FROM scored GROUP BY margin),
-         ranked AS (
-           SELECT ca, cb, ca + cb AS t,
-             COALESCE(sum(ca + cb) OVER (ORDER BY margin
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_before
-           FROM per),
-         agg AS (
-           SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
-             CAST(sum(cb) AS BIGINT) AS n_neg,
-             CAST(sum(ca * (2 * cum_before + t + 1)) AS BIGINT) AS r2a
-           FROM ranked),
-         u AS (SELECT n_pos, n_neg,
-             r2a - n_pos * (n_pos + 1) AS u2 FROM agg)
-         SELECT n_pos, n_neg, u2,
-           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-             ELSE (1000000 * u2) // (2 * n_pos * n_neg) END AS auc_ppm,
-           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-             ELSE 2 * ((1000000 * u2) // (2 * n_pos * n_neg)) - 1000000
-             END AS gini_ppm
-         FROM u""",
-
-    "embedding_norm_audit" ->
-      """WITH sq AS (
-           SELECT vec_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(CAST(embedding AS DOUBLE[]),
-                 v -> CAST(round(v * 10000) AS BIGINT))),
-               (a, x) -> a + x * x) AS sqnorm
-           FROM embeddings),
-         med AS (
-           SELECT CAST(round(2 * median(sqnorm)) AS BIGINT) AS med2,
-             count(*) AS n
-           FROM sq),
-         dev AS (
-           SELECT vec_id, sqnorm, abs(sqnorm * 2 - med2) AS dev2, n, med2
-           FROM sq CROSS JOIN med),
-         mad AS (
-           SELECT CAST(round(2 * median(dev2)) AS BIGINT) AS mad4 FROM dev),
-         fl AS (
-           SELECT dev.*, mad4,
-             CASE WHEN dev2 * 2 > mad4 * 10 THEN 1 ELSE 0 END AS is_out
-           FROM dev CROSS JOIN mad),
-         nout AS (SELECT CAST(sum(is_out) AS BIGINT) AS n_outliers FROM fl)
-         SELECT vec_id, sqnorm, dev2, n, med2, mad4, n_outliers
-         FROM fl CROSS JOIN nout
-         ORDER BY dev2 DESC, vec_id LIMIT 10""",
-
-    "events_user_stickiness" ->
-      """WITH ud AS (
-           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-         udw AS (
-           SELECT user_id, day,
-             CAST(date_trunc('week', day) AS DATE) AS wk
-           FROM ud),
-         dau AS (
-           SELECT wk, CAST(sum(dau) AS BIGINT) AS sum_dau,
-             count(*) AS n_days
-           FROM (SELECT wk, day, count(*) AS dau FROM udw GROUP BY wk, day)
-           GROUP BY wk),
-         wau AS (
-           SELECT wk, CAST(count(*) AS BIGINT) AS wau
-           FROM (SELECT DISTINCT wk, user_id FROM udw) GROUP BY wk)
-         SELECT dau.wk, n_days, sum_dau, wau,
-           (1000000 * sum_dau) // (n_days * wau) AS stickiness_ppm
-         FROM dau JOIN wau USING (wk) ORDER BY wk""",
-
-    "supplier_return_wilson" ->
-      """WITH agg AS (
-           SELECT l_suppkey AS supplier, count(*) AS n,
-             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-               AS BIGINT) AS returns
-           FROM lineitem GROUP BY l_suppkey)
-         SELECT supplier, n, returns,
-           CAST(floor(1000000.0 * (
-             (CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
-               + 3.8416 / (2.0 * CAST(n AS DOUBLE))
-               - 1.96 * sqrt((CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
-                   * (1.0 - CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)))
-                 / CAST(n AS DOUBLE)
-                 + 3.8416 / (4.0 * CAST(n AS DOUBLE)
-                   * CAST(n AS DOUBLE))))
-             / (1.0 + 3.8416 / CAST(n AS DOUBLE)))) AS BIGINT)
-             AS wilson_lb_ppm
-         FROM agg ORDER BY wilson_lb_ppm DESC, supplier LIMIT 20""",
-
-    "dedup_minhash_pr" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shd),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(count(*) AS BIGINT) AS c
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         truth AS (
-           SELECT id_a, id_b, 1 AS dup
-           FROM common
-             JOIN sizes sa ON sa.doc_id = id_a
-             JOIN sizes sb ON sb.doc_id = id_b
-           WHERE c * 10 >= (sa.n + sb.n - c) * 7),
-         xj AS (
-           SELECT doc_id, jj.j AS j,
-             xor(h, (jj.j * 11400714819323198485::HUGEINT)
-                 % 18446744073709551616::HUGEINT) AS x
-           FROM e CROSS JOIN (SELECT unnest(range(16)) AS j) jj),
-         ${mix64Ctes("xj", "mx")},
-         sig AS (
-           SELECT doc_id, j, min(${signedSql("h")}) AS c
-           FROM mx GROUP BY doc_id, j),
-         est AS (
-           SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
-             CAST(count(*) AS BIGINT) AS m
-           FROM sig sa JOIN sig sb
-             ON sa.j = sb.j AND sa.c = sb.c AND sa.doc_id < sb.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= 8),
-         jf AS (
-           SELECT COALESCE(est.m, 0) AS m,
-             COALESCE(truth.dup, 0) AS dup
-           FROM est FULL OUTER JOIN truth USING (id_a, id_b)),
-         th AS (SELECT CAST(unnest([8, 10, 12, 14]) AS INT) AS min_matches),
-         agg AS (
-           SELECT min_matches,
-             CAST(sum(CASE WHEN m >= min_matches AND dup = 1
-               THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-             CAST(sum(CASE WHEN m >= min_matches AND dup = 0
-               THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-             CAST(sum(CASE WHEN m < min_matches AND dup = 1
-               THEN 1 ELSE 0 END) AS BIGINT) AS fn
-           FROM jf CROSS JOIN th GROUP BY min_matches)
-         SELECT min_matches, tp, fp, fn,
-           CASE WHEN tp + fp = 0 THEN NULL
-             ELSE (1000000 * tp) // (tp + fp) END AS precision_ppm,
-           CASE WHEN tp + fn = 0 THEN NULL
-             ELSE (1000000 * tp) // (tp + fn) END AS recall_ppm
-         FROM agg ORDER BY min_matches""",
-
-    "events_session_stats" ->
-      """WITH s0 AS (
-           SELECT user_id, ts, event_id,
-             CASE WHEN lag(epoch_us(ts)) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-               OR epoch_us(ts) - lag(epoch_us(ts)) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id)
-                 > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
-           FROM events),
-         s1 AS (
-           SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
-           FROM s0),
-         sess AS (
-           SELECT user_id, session_id, count(*) AS n_events,
-             (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000
-               AS dur_sec
-           FROM s1 GROUP BY user_id, session_id),
-         b AS (
-           SELECT CASE WHEN n_events = 1 THEN 'a_bounce'
-                       WHEN n_events <= 4 THEN 'b_2_4'
-                       WHEN n_events <= 9 THEN 'c_5_9'
-                       ELSE 'd_10_plus' END AS depth_bucket, dur_sec
-           FROM sess),
-         agg AS (
-           SELECT depth_bucket, count(*) AS n_sessions,
-             CAST(round(2 * median(dur_sec)) AS BIGINT) AS med2_dur_sec
-           FROM b GROUP BY depth_bucket),
-         tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS ts0 FROM agg)
-         SELECT depth_bucket, n_sessions,
-           (1000000 * n_sessions) // ts0 AS share_ppm, med2_dur_sec
-         FROM agg CROSS JOIN tot ORDER BY depth_bucket""",
-
-    "events_entropy_rate" ->
-      """WITH tr AS (
-           SELECT event_type AS src,
-             lead(event_type) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS dst
-           FROM events),
-         cells AS (
-           SELECT src, dst, CAST(count(*) AS BIGINT) AS c
-           FROM tr WHERE dst IS NOT NULL GROUP BY src, dst),
-         rt AS (SELECT src, CAST(sum(c) AS BIGINT) AS cs
-                FROM cells GROUP BY src),
-         tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cells),
-         terms AS (
-           SELECT src, dst,
-             -(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
-               * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)) AS term,
-             tt
-           FROM cells JOIN rt USING (src) CROSS JOIN tot),
-         h AS (
-           SELECT max(tt) AS n_transitions,
-             list_reduce(list_prepend(0.0,
-               list(term ORDER BY src, dst)), (a, x) -> a + x) AS h
-           FROM terms)
-         SELECT n_transitions, round(h, 6) AS entropy_rate,
-           round(exp(h), 6) AS perplexity
-         FROM h""",
-
-    "orders_backlog_aging" ->
-      """WITH o AS (
-           SELECT o_orderdate,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS cents
-           FROM orders WHERE o_orderstatus <> 'F'),
-         ref AS (SELECT max(o_orderdate) AS refd FROM o),
-         b AS (
-           SELECT cents,
-             CASE WHEN date_diff('day', o_orderdate, refd) <= 30
-                  THEN 'a_0_30'
-                  WHEN date_diff('day', o_orderdate, refd) <= 60
-                  THEN 'b_31_60'
-                  WHEN date_diff('day', o_orderdate, refd) <= 90
-                  THEN 'c_61_90'
-                  ELSE 'd_90_plus' END AS bucket
-           FROM o CROSS JOIN ref),
-         agg AS (
-           SELECT bucket, count(*) AS n_orders,
-             CAST(sum(cents) AS BIGINT) AS value_cents
-           FROM b GROUP BY bucket),
-         tot AS (SELECT CAST(sum(value_cents) AS HUGEINT) AS tv FROM agg)
-         SELECT bucket, n_orders, value_cents,
-           CAST((1000000 * CAST(value_cents AS HUGEINT)) // tv AS BIGINT)
-             AS value_share_ppm
-         FROM agg CROSS JOIN tot ORDER BY bucket""",
-
-    "events_hourly_heatmap" ->
-      """WITH cells AS (
-           SELECT isodow(ts) - 1 AS dow, hour(ts) AS hr,
-             CAST(count(*) AS BIGINT) AS n
-           FROM events GROUP BY 1, 2),
-         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM cells)
-         SELECT dow, hr, n, (1000000 * n) // tn AS share_ppm
-         FROM cells CROSS JOIN tot ORDER BY dow, hr""",
-
-    "orders_priority_sla" ->
-      """WITH j AS (
-           SELECT o.o_orderpriority AS priority,
-             date_diff('day', o.o_orderdate, l.l_shipdate) AS gap
-           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
-         SELECT priority, count(*) AS n_lines,
-           CAST(round(2 * median(gap)) AS BIGINT) AS p50_gap_x2,
-           (1000000 * CAST(sum(CASE WHEN gap <= 60 THEN 1 ELSE 0 END)
-             AS BIGINT)) // count(*) AS within_60d_ppm
-         FROM j GROUP BY priority ORDER BY priority""",
-
-    "graph_ktruss" -> {
-      def round(ein: String, eout: String): String =
-        s"""${eout}_t AS MATERIALIZED (
-           SELECT ab.a, ab.b, ac.c
-           FROM (SELECT u AS a, v AS b FROM $ein) ab
-           JOIN (SELECT u AS a, v AS c FROM $ein) ac USING (a)
-           JOIN (SELECT u AS b, v AS c FROM $ein) cl
-             ON ab.b = cl.b AND ac.c = cl.c
-           WHERE ab.b < ac.c),
-         ${eout}_s AS MATERIALIZED (
-           SELECT x AS u, y AS v, count(*) AS sup FROM (
-             SELECT a AS x, b AS y FROM ${eout}_t
-             UNION ALL SELECT a AS x, c AS y FROM ${eout}_t
-             UNION ALL SELECT b AS x, c AS y FROM ${eout}_t)
-           GROUP BY x, y),
-         $eout AS MATERIALIZED (
-           SELECT e.u, e.v FROM $ein e
-           JOIN ${eout}_s s ON e.u = s.u AND e.v = s.v
-           WHERE s.sup >= 2)"""
-      s"""WITH items AS MATERIALIZED (
-           SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
-           WHERE l_partkey % 4 = 0),
-         e0 AS MATERIALIZED (
-           SELECT DISTINCT x.p AS u, y.p AS v
-           FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
-         ${round("e0", "e1")},
-         ${round("e1", "e2")},
-         ${round("e2", "e3")}
-         SELECT node, CAST(count(*) AS BIGINT) AS truss_degree FROM (
-           SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
-         GROUP BY node ORDER BY truss_degree DESC, node LIMIT 30"""
-    },
-
-    "model_calibration" ->
-      s"""WITH docs AS (
-           SELECT doc_id, lang, $toksSql AS toks FROM documents),
-         thx AS (
-           SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th
-           FROM docs WHERE toks IS NOT NULL),
-         big AS (
-           SELECT doc_id, th,
-             CASE WHEN len(th) <= 2
-               THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
-                     (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
-               ELSE list_transform(range(1, len(th)),
-                 s -> (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
-                       % 18446744073709551616::HUGEINT) * 31
-                       + th[CAST(s AS INT)+1]) % 18446744073709551616::HUGEINT)
-             END AS bh
-           FROM thx),
-         fe AS (
-           SELECT doc_id, unnest(list_concat(th, bh)) AS x FROM big),
-         ${mix64Ctes("fe", "mx")},
-         ws AS (
-           SELECT doc_id,
-             CAST(sum(CAST(h % 1024 AS BIGINT) - 512) AS BIGINT) AS margin
-           FROM mx GROUP BY doc_id),
-         scored AS (
-           SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label,
-             w.margin
-           FROM docs d JOIN ws w ON d.doc_id = w.doc_id),
-         edges AS (
-           SELECT quantile_cont(margin, [0.1, 0.2, 0.3, 0.4, 0.5,
-             0.6, 0.7, 0.8, 0.9]) AS es
-           FROM scored),
-         binned AS (
-           SELECT label, margin,
-             list_reduce(list_prepend(0, list_transform(es,
-               e -> CASE WHEN CAST(margin AS DOUBLE) > e
-                 THEN 1 ELSE 0 END)), (acc, v) -> acc + v) AS bin
-           FROM scored CROSS JOIN edges)
-         SELECT bin, count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
-           min(margin) AS min_margin, max(margin) AS max_margin,
-           (1000000 * CAST(sum(label) AS BIGINT)) // count(*)
-             AS pos_rate_ppm
-         FROM binned GROUP BY bin ORDER BY bin""",
-
-    "text_readability" ->
-      s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
-         syl AS (
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-             CAST(sum(greatest(1,
-               len(regexp_extract_all(w, '[aeiouy]+', 0)))) AS BIGINT)
-               AS n_syllables
-           FROM tok GROUP BY doc_id),
-         sent AS (
-           SELECT doc_id, greatest(1, CAST(
-             (length(text) - length(replace(text, '.', '')))
-             + (length(text) - length(replace(text, '!', '')))
-             + (length(text) - length(replace(text, '?', '')))
-             AS BIGINT)) AS n_sentences
-           FROM d)
-         SELECT s.doc_id, s.n_words, t.n_sentences, s.n_syllables,
-           round(206.835
-             - 1.015 * (CAST(s.n_words AS DOUBLE)
-               / CAST(t.n_sentences AS DOUBLE))
-             - 84.6 * (CAST(s.n_syllables AS DOUBLE)
-               / CAST(s.n_words AS DOUBLE)), 6) AS flesch
-         FROM syl s JOIN sent t USING (doc_id)
-         ORDER BY doc_id""",
-
-    "timeseries_granger" -> {
-      def sumsSql(tgt: String, own: String, other: String): String =
-        s"""SELECT CAST(count(*) AS HUGEINT) AS n,
-           CAST(sum($tgt) AS HUGEINT) AS st,
-           CAST(sum(CAST($tgt AS HUGEINT) * $tgt) AS HUGEINT) AS stt,
-           CAST(sum($own) AS HUGEINT) AS so,
-           CAST(sum(CAST($own AS HUGEINT) * $own) AS HUGEINT) AS soo,
-           CAST(sum($other) AS HUGEINT) AS sx,
-           CAST(sum(CAST($other AS HUGEINT) * $other) AS HUGEINT) AS sxx,
-           CAST(sum(CAST($own AS HUGEINT) * $tgt) AS HUGEINT) AS sot,
-           CAST(sum(CAST($other AS HUGEINT) * $tgt) AS HUGEINT) AS sxt,
-           CAST(sum(CAST($own AS HUGEINT) * $other) AS HUGEINT) AS sox
-           FROM lagged"""
-      s"""WITH x0 AS (
-           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
-           FROM events WHERE event_type = 'click' GROUP BY 1),
-         y0 AS (
-           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
-           FROM events WHERE event_type = 'purchase' GROUP BY 1),
-         xy AS (SELECT x0.day, x, y FROM x0 JOIN y0 USING (day)),
-         lagged AS (
-           SELECT c.x AS x, c.y AS y, p.x AS xl, p.y AS yl
-           FROM xy c JOIN xy p ON c.day = p.day + 1),
-         s1 AS (${sumsSql("y", "yl", "xl")}),
-         s2 AS (${sumsSql("x", "xl", "yl")})
-         SELECT direction, n, f_ppm FROM (
-           SELECT 'click_to_purchase' AS direction,
-             CAST(n AS BIGINT) AS n, $grangerFppm AS f_ppm FROM s1
-           UNION ALL
-           SELECT 'purchase_to_click' AS direction,
-             CAST(n AS BIGINT) AS n, $grangerFppm AS f_ppm FROM s2)
-         ORDER BY direction"""
-    },
-
-    "search_prf_rocchio" -> {
-      val bmTerm =
-        """(((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-           / (CAST(df AS DOUBLE) + 0.5))
-           * ((CAST(tf AS DOUBLE) * 2.2)
-              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-                * (CAST(dl AS DOUBLE)
-                   / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))))"""
-      s"""WITH tk AS (
-           SELECT doc_id,
-             string_split_regex(trim(lower(text)), '\\s+') AS ts,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
-                    AS BIGINT)
-             END AS dl
-           FROM documents),
-         g1 AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM tk),
-         terms1 AS (
-           SELECT unnest(['join', 'stream', 'vector']) AS term),
-         t1 AS (
-           SELECT doc_id, dl, term,
-             CAST(len(list_filter(ts, x -> x = term)) AS BIGINT) AS tf
-           FROM tk CROSS JOIN terms1),
-         s1 AS (
-           SELECT term, count(CASE WHEN tf > 0 THEN 1 END) AS df
-           FROM t1 GROUP BY term),
-         sc1 AS (
-           SELECT doc_id,
-             list_reduce(list_prepend(0.0,
-               list(1.0 * $bmTerm ORDER BY term)), (a, x) -> a + x) AS score
-           FROM t1 JOIN s1 USING (term) CROSS JOIN g1
-           GROUP BY doc_id, dl, n, sdl),
-         fb AS (
-           SELECT doc_id FROM sc1 ORDER BY score DESC, doc_id LIMIT 10),
-         tok AS (SELECT doc_id, unnest(ts) AS term FROM tk),
-         fbtf AS (
-           SELECT term, CAST(count(*) AS BIGINT) AS fbtf
-           FROM tok JOIN fb USING (doc_id) GROUP BY term),
-         dfall AS (
-           SELECT term, CAST(count(*) AS BIGINT) AS df
-           FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
-         expt AS (
-           SELECT term FROM (
-             SELECT f.term, f.fbtf * (1000000 // (d.df + 1)) AS w
-             FROM fbtf f JOIN dfall d USING (term)
-             WHERE f.term NOT IN ('join', 'stream', 'vector'))
-           ORDER BY w DESC, term LIMIT 5),
-         terms2 AS (
-           SELECT term, 1.0 AS wt FROM terms1
-           UNION ALL SELECT term, 0.5 AS wt FROM expt),
-         t2 AS (
-           SELECT doc_id, dl, term, wt,
-             CAST(len(list_filter(ts, x -> x = term)) AS BIGINT) AS tf
-           FROM tk CROSS JOIN terms2),
-         s2 AS (
-           SELECT term, count(CASE WHEN tf > 0 THEN 1 END) AS df
-           FROM t2 GROUP BY term),
-         sc2 AS (
-           SELECT doc_id,
-             list_reduce(list_prepend(0.0,
-               list(wt * $bmTerm ORDER BY term)), (a, x) -> a + x) AS score
-           FROM t2 JOIN s2 USING (term) CROSS JOIN g1
-           GROUP BY doc_id, dl, n, sdl),
-         top AS (
-           SELECT doc_id, score FROM sc2
-           ORDER BY score DESC, doc_id LIMIT 10)
-         SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
-           doc_id, round(score, 6) AS score
-         FROM top ORDER BY rnk"""
-    },
-
-    "feature_woe_iv" ->
-      """WITH cust AS (
-           SELECT c_custkey,
-             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-           FROM customer),
-         buyers AS (SELECT DISTINCT o_custkey FROM orders),
-         lab AS (
-           SELECT cents,
-             CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS good
-           FROM cust LEFT JOIN buyers b ON cust.c_custkey = b.o_custkey),
-         edges AS (
-           SELECT quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5,
-             0.6, 0.7, 0.8, 0.9]) AS es
-           FROM lab),
-         binned AS (
-           SELECT good,
-             list_reduce(list_prepend(0, list_transform(es,
-               e -> CASE WHEN CAST(cents AS DOUBLE) > e
-                 THEN 1 ELSE 0 END)), (acc, v) -> acc + v) AS bin
-           FROM lab CROSS JOIN edges),
-         bins AS (
-           SELECT bin, count(*) AS n,
-             CAST(sum(good) AS BIGINT) AS n_good,
-             CAST(count(*) - sum(good) AS BIGINT) AS n_bad
-           FROM binned GROUP BY bin),
-         tot AS (
-           SELECT CAST(sum(n_good) AS BIGINT) AS tg,
-             CAST(sum(n_bad) AS BIGINT) AS tb
-           FROM bins),
-         woe AS (
-           SELECT bin, n, n_good, n_bad,
-             CASE WHEN tg = 0 OR tb = 0 THEN NULL
-               ELSE ln(((CAST(n_good AS DOUBLE) + 0.5) / CAST(tg AS DOUBLE))
-                 / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(tb AS DOUBLE)))
-               END AS woe,
-             (CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
-               - CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)) AS sh
-           FROM bins CROSS JOIN tot),
-         iv AS (
-           SELECT list_reduce(list_prepend(0.0,
-             list(sh * woe ORDER BY bin)), (a, x) -> a + x) AS iv
-           FROM woe)
-         SELECT bin, n, n_good, n_bad, round(woe, 6) AS woe,
-           round(iv, 6) AS iv
-         FROM woe CROSS JOIN iv ORDER BY bin""",
-
-    "timeseries_periodogram" ->
-      """WITH d0 AS (
-           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
-           FROM events GROUP BY 1),
-         base AS (
-           SELECT min(day) AS dmin, count(*) AS n,
-             CAST(sum(x) AS BIGINT) AS sm
-           FROM d0),
-         days AS (
-           SELECT date_diff('day', dmin, day) AS t, x, n, sm
-           FROM d0 CROSS JOIN base),
-         periods AS (SELECT CAST(range AS INT) AS period FROM range(2, 11)),
-         terms AS (
-           SELECT period, t,
-             (CAST(x AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
-               * cos(6.283185307179586 * t / period) AS c,
-             (CAST(x AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
-               * sin(6.283185307179586 * t / period) AS sn
-           FROM days CROSS JOIN periods),
-         pw AS (
-           SELECT period,
-             list_reduce(list_prepend(0.0, list(c ORDER BY t)),
-               (a, x) -> a + x) AS sc,
-             list_reduce(list_prepend(0.0, list(sn ORDER BY t)),
-               (a, x) -> a + x) AS ss,
-             count(*) AS n_days
-           FROM terms GROUP BY period),
-         pw2 AS (SELECT period, n_days, sc * sc + ss * ss AS power FROM pw),
-         totp AS (
-           SELECT list_reduce(list_prepend(0.0,
-             list(power ORDER BY period)), (a, x) -> a + x) AS tp
-           FROM pw2)
-         SELECT period, n_days,
-           CAST(floor(1000000.0 * power / tp) AS BIGINT)
-             AS power_share_ppm
-         FROM pw2 CROSS JOIN totp ORDER BY period""",
-
-    "text_heaps_law" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         tok AS (
-           SELECT doc_id,
-             toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
-               || ' ' || toks[CAST(i AS INT) + 2] AS w
-           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
-                 FROM d WHERE len(toks) >= 3)),
-         fences AS (
-           SELECT quantile_cont(doc_id, [0.1, 0.2, 0.3, 0.4, 0.5,
-             0.6, 0.7, 0.8, 0.9, 1.0]) AS es
-           FROM documents),
-         cps AS (
-           SELECT CAST(generate_subscripts(es, 1) AS INT) - 1 AS i,
-             unnest(es) AS fence
-           FROM fences),
-         fdoc AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
-         vocab AS (
-           SELECT i, CAST(count(*) AS BIGINT) AS v
-           FROM fdoc CROSS JOIN cps
-           WHERE CAST(fd AS DOUBLE) <= fence GROUP BY i),
-         ntok AS (
-           SELECT i, CAST(count(*) AS BIGINT) AS n
-           FROM tok CROSS JOIN cps
-           WHERE CAST(doc_id AS DOUBLE) <= fence GROUP BY i),
-         pts AS (
-           SELECT vocab.i AS i, ln(CAST(n AS DOUBLE)) AS lx,
-             ln(CAST(v AS DOUBLE)) AS ly
-           FROM vocab JOIN ntok ON vocab.i = ntok.i),
-         agg AS (
-           SELECT CAST(count(*) AS DOUBLE) AS m,
-             list_reduce(list_prepend(0.0, list(lx ORDER BY i)),
-               (a, x) -> a + x) AS sx,
-             list_reduce(list_prepend(0.0, list(ly ORDER BY i)),
-               (a, x) -> a + x) AS sy,
-             list_reduce(list_prepend(0.0, list(lx * ly ORDER BY i)),
-               (a, x) -> a + x) AS sxy,
-             list_reduce(list_prepend(0.0, list(lx * lx ORDER BY i)),
-               (a, x) -> a + x) AS sxx
-           FROM pts)
-         SELECT CAST(m AS BIGINT) AS n_checkpoints,
-           CAST(floor(1000000.0 * (m * sxy - sx * sy)
-             / (m * sxx - sx * sx)) AS BIGINT) AS beta_ppm,
-           CAST(floor(1000.0 * exp((sy - ((m * sxy - sx * sy)
-             / (m * sxx - sx * sx)) * sx) / m)) AS BIGINT) AS k_milli
-         FROM agg""",
-
-    "events_error_pchart" ->
-      """WITH daily AS (
-           SELECT CAST(ts AS DATE) AS day, count(*) AS n,
-             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-               AS BIGINT) AS errs
-           FROM events GROUP BY 1),
-         tot AS (
-           SELECT CAST(sum(n) AS BIGINT) AS tn,
-             CAST(sum(errs) AS BIGINT) AS te
-           FROM daily),
-         x AS (
-           SELECT day, n, errs,
-             (1000000 * errs) // n AS p_ppm,
-             CAST(te AS DOUBLE) / CAST(tn AS DOUBLE) AS pbar,
-             sqrt((CAST(te AS DOUBLE) / CAST(tn AS DOUBLE))
-               * (1.0 - CAST(te AS DOUBLE) / CAST(tn AS DOUBLE))
-               / CAST(n AS DOUBLE)) AS sigma
-           FROM daily CROSS JOIN tot)
-         SELECT day, n, errs, p_ppm,
-           CAST(floor(1000000.0 * (pbar + 3.0 * sigma)) AS BIGINT)
-             AS ucl_ppm,
-           CAST(floor(1000000.0 * (pbar - 3.0 * sigma)) AS BIGINT)
-             AS lcl_ppm,
-           (CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) > pbar + 3.0 * sigma
-            OR CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)
-              < pbar - 3.0 * sigma) AS out_of_control
-         FROM x ORDER BY day""",
-
-    "attribution_shapley" -> {
-      val chans = Seq("click", "error", "signup", "view")
-      def key(sub: Seq[String]): String = sub.sorted.mkString(",")
-      val allSubs = (0 to 4).flatMap(k => chans.combinations(k).toSeq)
-        .map(key).sorted
-      val vIdx = allSubs.zipWithIndex.toMap
-      def fact(k: Int): Long = (1 to k).map(_.toLong).product
-      val vCols = allSubs.zipWithIndex.map { case (sk, i) =>
-        s"""COALESCE(max(CASE WHEN subset = '$sk'
-           THEN CAST(c AS DOUBLE) / CAST(n AS DOUBLE) END), 0.0) AS v$i"""
-      }.mkString(",\n           ")
-      val shRows = chans.map { ch =>
-        val others = chans.filterNot(_ == ch)
-        val subs = (0 to 3).flatMap(k => others.combinations(k).toSeq)
-          .sortBy(key)
-        val terms = subs.map { sub =>
-          val w = s"${fact(sub.size) * fact(3 - sub.size)}.0 / 24.0"
-          s"($w) * (v${vIdx(key(sub :+ ch))} - v${vIdx(key(sub))})"
-        }.mkString(" + ")
-        s"SELECT '$ch' AS channel, round(0.0 + $terms, 6) AS shapley FROM vv"
-      }.mkString("\n           UNION ALL ")
-      s"""WITH fd AS (
-           SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
-           GROUP BY user_id),
-         j0 AS (
-           SELECT e.user_id, e.event_type
-           FROM events e JOIN fd USING (user_id)
-           WHERE CAST(e.ts AS DATE) = fd.d0),
-         sets AS (
-           SELECT user_id,
-             COALESCE(array_to_string(list_sort(list_distinct(
-               list(event_type) FILTER (WHERE event_type <> 'purchase'))),
-               ','), '') AS subset,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS conv
-           FROM j0 GROUP BY user_id),
-         tab AS (
-           SELECT subset, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(conv) AS BIGINT) AS c
-           FROM sets GROUP BY subset),
-         vv AS (
-           SELECT
-           $vCols
-           FROM tab)
-         SELECT channel, shapley FROM (
-           $shRows)
-         ORDER BY channel"""
-    },
-
-    "attribution_markov" -> {
-      val srcs = Seq("start", "click", "error", "signup", "view")
-      val dsts = Seq("click", "error", "signup", "view", "purchase", "null")
-      val chans = Seq("click", "error", "signup", "view")
-      val cCols = (for (sr <- srcs; d <- dsts) yield
-        s"""CAST(sum(CASE WHEN src = '$sr' AND dst = '$d' THEN c ELSE 0 END)
-           AS BIGINT) AS c_${sr}_$d""").mkString(",\n           ")
-      val rsCols = srcs.map(sr =>
-        s"(${dsts.map(d => s"c_${sr}_$d").mkString(" + ")}) AS rs_$sr")
-        .mkString(",\n           ")
-      def pr(sr: String, d: String): String =
-        s"""(CASE WHEN rs_$sr = 0 THEN 0.0
-           ELSE CAST(c_${sr}_$d AS DOUBLE) / CAST(rs_$sr AS DOUBLE) END)"""
-      def aExpr(c: String, removed: String): String =
-        if (c == removed) "0.0"
-        else s"${pr(c, "purchase")}" +
-          chans.map(d => s" + ${pr(c, d)} * a_$d").mkString
-      def chainFor(v: String, removed: String): String = {
-        val init = s"""mk${v}_0 AS (
-           SELECT p.*, ${chans.map(c => s"0.0 AS a_$c").mkString(", ")}
-           FROM p)"""
-        val iters = (1 to 40).map { k =>
-          s"""mk${v}_$k AS (
-           SELECT * REPLACE (${chans.map(c =>
-              s"(${aExpr(c, removed)}) AS a_$c").mkString(",\n             ")})
-           FROM mk${v}_${k - 1})"""
-        }
-        (init +: iters).mkString(",\n         ")
-      }
-      def pStart: String =
-        s"${pr("start", "purchase")}" +
-          chans.map(d => s" + ${pr("start", d)} * a_$d").mkString
-      val variants = ("base", "") +: chans.map(c => (c, c))
-      val chains = variants.map { case (v, r) => chainFor(v, r) }
-        .mkString(",\n         ")
-      val vRows = variants.map { case (v, _) =>
-        s"SELECT '$v' AS variant, ($pStart) AS p_conv FROM mk${v}_40"
-      }.mkString("\n           UNION ALL ")
-      s"""WITH fp AS (
-           SELECT user_id, min(ts) AS fp_ts FROM events
-           WHERE event_type = 'purchase' GROUP BY user_id),
-         j0 AS (
-           SELECT e.user_id, e.event_id, e.ts, e.event_type
-           FROM events e LEFT JOIN fp USING (user_id)
-           WHERE fp.fp_ts IS NULL OR e.ts <= fp.fp_ts),
-         steps AS (
-           SELECT COALESCE(lag(event_type) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id), 'start') AS src,
-             event_type AS dst
-           FROM j0),
-         lastrows AS (
-           SELECT event_type AS src, 'null' AS dst FROM (
-             SELECT event_type, row_number() OVER (PARTITION BY user_id
-               ORDER BY ts DESC, event_id DESC) AS rn
-             FROM j0) WHERE rn = 1 AND event_type <> 'purchase'),
-         trans AS (
-           SELECT src, dst FROM (
-             SELECT * FROM steps UNION ALL SELECT * FROM lastrows)
-           WHERE src <> 'purchase'),
-         counts AS (SELECT src, dst, count(*) AS c FROM trans GROUP BY 1, 2),
-         mat AS (
-           SELECT $cCols
-           FROM counts),
-         p AS (
-           SELECT *,
-           $rsCols
-           FROM mat),
-         $chains,
-         vs AS (
-           $vRows),
-         base AS (SELECT p_conv AS p_base FROM vs WHERE variant = 'base')
-         SELECT variant, round(p_conv, 6) AS p_conv,
-           round(CASE WHEN variant = 'base' THEN 0.0
-             ELSE 1.0 - p_conv / p_base END, 6) AS removal_effect
-         FROM vs CROSS JOIN base ORDER BY variant"""
-    },
-
-    "embedding_pca_top2" -> {
-      val matvec =
-        """list_transform(range(1, 65),
-           i -> list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-             j -> g[CAST(i AS INT)][CAST(j AS INT)] * x[CAST(j AS INT)])),
-             (a, b) -> a + b))"""
-      def chain(p: String, first: String, carry: String, n: Int): String =
-        (1 to n).map { k =>
-          val prev = if (k == 1) first else s"$p${k - 1}"
-          s"""$p$k AS (
-           SELECT ${carry}g, list_transform(y, t -> t / m) AS x FROM (
-             SELECT ${carry}g, y,
-               list_reduce(list_prepend(0.0,
-                 list_transform(y, t -> abs(t))),
-                 (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS m
-             FROM (SELECT ${carry}g, $matvec AS y FROM $prev)))"""
-        }.mkString(",\n         ")
-      val rayFold =
-        """list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-           i -> x[CAST(i AS INT)]
-             * list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-                 j -> g[CAST(i AS INT)][CAST(j AS INT)]
-                   * x[CAST(j AS INT)])),
-                 (a, b) -> a + b))),
-           (a, b) -> a + b)"""
-      val denFold =
-        """list_reduce(list_prepend(0.0,
-           list_transform(x, t -> t * t)), (a, b) -> a + b)"""
-      s"""WITH src AS (
-           SELECT list_transform(CAST(embedding AS DOUBLE[]),
-             v -> CAST(round(v * 10000) AS BIGINT)) AS q
-           FROM embeddings),
-         idx AS (SELECT CAST(range AS INT) AS i FROM range(1, 65)),
-         cells AS (
-           SELECT i.i AS i, j.i AS j,
-             CAST(sum(CAST(q[i.i] AS HUGEINT) * q[j.i]) AS HUGEINT) AS g
-           FROM src CROSS JOIN idx i CROSS JOIN idx j
-           GROUP BY 1, 2),
-         gm AS (
-           SELECT list(grow ORDER BY i) AS g FROM (
-             SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS grow
-             FROM cells GROUP BY i)),
-         it0 AS (
-           SELECT g, list_transform(range(64), r -> 1.0) AS x FROM gm),
-         ${chain("it", "it0", "", 24)},
-         ray AS (
-           SELECT g, x, $rayFold AS num, $denFold AS den FROM it24),
-         defl AS (
-           SELECT x AS x1, num AS num1, den AS den1,
-             list_transform(range(1, 65),
-               i -> list_transform(range(1, 65),
-                 j -> g[CAST(i AS INT)][CAST(j AS INT)]
-                   - (num / den) * x[CAST(i AS INT)]
-                     * x[CAST(j AS INT)] / den)) AS g
-           FROM ray),
-         jt0 AS (
-           SELECT x1, num1, den1, g,
-             list_transform(range(64), r -> 1.0) AS x
-           FROM defl),
-         ${chain("jt", "jt0", "x1, num1, den1, ", 24)},
-         ray2 AS (
-           SELECT x1, num1, den1, x, $rayFold AS num2, $denFold AS den2
-           FROM jt24)
-         SELECT pc, dim, component, eigenvalue FROM (
-           SELECT 1 AS pc, d.i AS dim, round(x1[d.i], 6) AS component,
-             round(num1 / den1 / 100000000.0, 6) AS eigenvalue
-           FROM ray2 CROSS JOIN idx d
-           UNION ALL
-           SELECT 2 AS pc, d.i AS dim, round(x[d.i], 6) AS component,
-             round(num2 / den2 / 100000000.0, 6) AS eigenvalue
-           FROM ray2 CROSS JOIN idx d)
-         ORDER BY pc, dim"""
-    },
-
-    "stats_friedman" -> {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val sums = types.map(tp =>
-        s"""CAST(sum(CASE WHEN event_type = '$tp' THEN r2 ELSE 0 END)
-           AS BIGINT) AS r2_$tp""").mkString(",\n           ")
-      val dsq = types.map(tp =>
-        s"CAST(r2_$tp - 6 * n_users AS HUGEINT) * (r2_$tp - 6 * n_users)")
-        .mkString(" + ")
-      s"""WITH counts AS (
-           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2),
-         users AS (SELECT DISTINCT user_id FROM events),
-         types AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
-           'view']) AS event_type),
-         cells AS (
-           SELECT u.user_id, t.event_type, COALESCE(c.c, 0) AS v
-           FROM users u CROSS JOIN types t
-           LEFT JOIN counts c ON c.user_id = u.user_id
-             AND c.event_type = t.event_type),
-         ranked AS (
-           SELECT user_id, event_type,
-             2 * rank() OVER (PARTITION BY user_id ORDER BY v)
-               + count(*) OVER (PARTITION BY user_id, v) - 1 AS r2
-           FROM cells),
-         agg AS (
-           SELECT $sums,
-             CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS a22,
-             CAST(count(*) // 5 AS BIGINT) AS n_users
-           FROM ranked)
-         SELECT n_users, ${types.map(tp => s"r2_$tp").mkString(", ")},
-           CASE WHEN a22 - 180 * n_users <= 0 THEN NULL
-             ELSE CAST((4000000 * ($dsq))
-               // (a22 - 180 * n_users) AS BIGINT) END AS chi2_ppm
-         FROM agg"""
-    },
-
-    "text_novelty" ->
-      s"""WITH dt AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         tri AS (
-           SELECT DISTINCT doc_id,
-             toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
-               || ' ' || toks[CAST(i AS INT) + 2] AS g
-           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
-                 FROM dt WHERE len(toks) >= 3)),
-         dfreq AS (SELECT g, count(*) AS df FROM tri GROUP BY g),
-         a AS (
-           SELECT doc_id, count(*) AS n_grams,
-             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_unique
-           FROM tri JOIN dfreq USING (g) GROUP BY doc_id)
-         SELECT doc_id, n_grams, n_unique,
-           (1000000 * n_unique) // n_grams AS novelty_ppm
-         FROM a ORDER BY doc_id""",
-
-    "curriculum_interleave" ->
-      """WITH r AS (
-           SELECT doc_id, source, n_chars,
-             row_number() OVER (PARTITION BY source
-               ORDER BY n_chars, doc_id) AS rank_in_source
-           FROM documents)
-         SELECT doc_id, source, n_chars, rank_in_source
-         FROM r ORDER BY rank_in_source, source, doc_id LIMIT 60""",
-
-    "feature_standardize" ->
-      """WITH c0 AS (
-           SELECT c_custkey, c_mktsegment AS seg,
-             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-           FROM customer),
-         stats AS (
-           SELECT seg, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS s,
-             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q,
-             CAST(round(2 * median(cents)) AS BIGINT) AS med2
-           FROM c0 GROUP BY seg),
-         dev AS (
-           SELECT c0.c_custkey, c0.seg, c0.cents, stats.n, stats.s,
-             stats.q, cents * 2 - med2 AS dev2
-           FROM c0 JOIN stats USING (seg)),
-         mad AS (
-           SELECT seg, CAST(round(2 * median(abs(dev2))) AS BIGINT) AS mad4
-           FROM dev GROUP BY seg)
-         SELECT c_custkey, seg, cents,
-           CASE WHEN n * q - CAST(s AS HUGEINT) * s <= 0 THEN NULL
-             ELSE CAST(floor(1000000.0 * CAST(n * cents - s AS DOUBLE)
-               / sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)))
-               AS BIGINT) END AS z_ppm,
-           CASE WHEN mad4 = 0 THEN NULL
-             ELSE (dev2 * 2 * 1000000) // mad4 END AS rz_ppm
-         FROM dev JOIN mad USING (seg)
-         ORDER BY c_custkey""",
-
-    "stats_cochran_q" ->
-      """WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
-         rt AS (
-           SELECT CAST(sum(l) AS BIGINT) AS sum_l,
-             CAST(sum(l * l) AS BIGINT) AS sum_l2,
-             count(*) AS n_users
-           FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS l
-                 FROM inc GROUP BY user_id)),
-         ct AS (
-           SELECT CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sum_g2,
-             CAST(sum(g) AS BIGINT) AS sum_g
-           FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS g
-                 FROM inc GROUP BY event_type))
-         SELECT n_users, sum_l, sum_l2, sum_g,
-           CASE WHEN 5 * sum_l - sum_l2 <= 0 THEN NULL
-             ELSE CAST((4000000 * (5 * sum_g2
-                 - CAST(sum_g AS HUGEINT) * sum_g))
-               // CAST(5 * sum_l - sum_l2 AS HUGEINT) AS BIGINT) END
-             AS q_ppm
-         FROM rt CROSS JOIN ct""",
-
-    "graph_clustering_coeff" ->
-      """WITH items AS (
-           SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
-           WHERE l_partkey % 2 = 0),
-         e0 AS (
-           SELECT DISTINCT x.p AS u, y.p AS v
-           FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
-         deg AS (
-           SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-             SELECT u AS node FROM e0
-             UNION ALL SELECT v AS node FROM e0) GROUP BY node),
-         e1 AS (
-           SELECT
-             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
-               THEN u ELSE v END AS src,
-             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
-               THEN v ELSE u END AS dst,
-             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
-               THEN d2.deg ELSE d1.deg END AS ddst
-           FROM e0 JOIN deg d1 ON e0.u = d1.node
-           JOIN deg d2 ON e0.v = d2.node),
-         tri AS (
-           SELECT ab.a, ab.b, ac.c
-           FROM (SELECT src AS a, dst AS b, ddst AS db FROM e1) ab
-           JOIN (SELECT src AS a, dst AS c, ddst AS dc FROM e1) ac
-             USING (a)
-           JOIN (SELECT src AS b, dst AS c FROM e1) cl
-             ON ab.b = cl.b AND ac.c = cl.c
-           WHERE ab.db < ac.dc OR (ab.db = ac.dc AND ab.b < ac.c)),
-         pn AS (
-           SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
-             SELECT a AS node FROM tri
-             UNION ALL SELECT b AS node FROM tri
-             UNION ALL SELECT c AS node FROM tri) GROUP BY node)
-         SELECT node, deg, COALESCE(t, 0) AS triangles,
-           (2000000 * COALESCE(t, 0)) // (deg * (deg - 1)) AS lcc_ppm
-         FROM deg LEFT JOIN pn USING (node) WHERE deg >= 2
-         ORDER BY lcc_ppm DESC, node LIMIT 20""",
-
-    "timeseries_ccf" ->
-      """WITH x AS (
-           SELECT CAST(ts AS DATE) AS xday, CAST(count(*) AS BIGINT) AS x
-           FROM events WHERE event_type = 'click' GROUP BY 1),
-         y AS (
-           SELECT CAST(ts AS DATE) AS yday, CAST(count(*) AS BIGINT) AS y
-           FROM events WHERE event_type = 'purchase' GROUP BY 1),
-         lags AS (SELECT CAST(range AS INT) AS lg FROM range(-7, 8)),
-         j AS (
-           SELECT lg, CAST(count(*) AS HUGEINT) AS no,
-             CAST(sum(x) AS HUGEINT) AS sx,
-             CAST(sum(y) AS HUGEINT) AS sy,
-             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
-             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
-             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
-           FROM x CROSS JOIN lags JOIN y ON yday = xday + lg
-           GROUP BY lg)
-         SELECT lg AS lag, CAST(no AS BIGINT) AS n_pairs,
-           CASE WHEN no * sxx - sx * sx <= 0 OR no * syy - sy * sy <= 0
-           THEN NULL
-           ELSE CAST(floor(1000000.0 * CAST(no * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(no * sxx - sx * sx AS DOUBLE)
-               * CAST(no * syy - sy * sy AS DOUBLE))) AS BIGINT) END
-           AS ccf_ppm
-         FROM j ORDER BY lag""",
-
-    "stats_jarque_bera" ->
-      s"""WITH m AS (
-           SELECT count(*) AS n,
-             CAST(sum(d) AS BIGINT) AS s1,
-             CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS s2,
-             CAST(sum(CAST(d AS HUGEINT) * d * d) AS HUGEINT) AS s3,
-             CAST(sum(CAST(d AS HUGEINT) * d * d * d) AS HUGEINT) AS s4
-           FROM (SELECT CAST(round(o_totalprice) AS BIGINT) AS d
-                 FROM orders))
-         SELECT n, $jbSkewPpm AS skew_ppm, $jbKurtPpm AS kurt_ppm,
-           $jbStatPpm AS jb_ppm
-         FROM m""",
-
-    "stats_anova_f" -> {
-      val aggs = kwSegs.zipWithIndex.map { case (sg, i) =>
-        s"""CAST(sum(CASE WHEN seg = '$sg' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n${i + 1},
-           CAST(sum(CASE WHEN seg = '$sg' THEN cents ELSE 0 END) AS BIGINT)
-             AS s${i + 1},
-           sum(CASE WHEN seg = '$sg'
-             THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS q${i + 1}"""
-      }.mkString(",\n           ")
-      s"""WITH c0 AS (
-           SELECT c_mktsegment AS seg,
-             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-           FROM customer),
-         agg0 AS (
-           SELECT $aggs
-           FROM c0),
-         wn AS (SELECT agg0.*, n1 + n2 + n3 + n4 + n5 AS n FROM agg0)
-         SELECT n, n1, n2, n3, n4, n5,
-           $anovaFppm AS f_ppm,
-           $anovaEta2Ppm AS eta2_ppm
-         FROM wn"""
-    },
-
-    "stats_permutation_test" -> {
-      val hv = signedSql(fnvSql(
-        "CAST(o_orderkey AS VARCHAR) || '#' || CAST(rep AS VARCHAR)"))
-      s"""WITH o AS (
-           SELECT o_orderkey,
-             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
-               AS is_a,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS cents
-           FROM orders
-           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
-         base AS (
-           SELECT CAST(sum(is_a) AS BIGINT) AS n_a, count(*) AS n,
-             CAST(sum(CASE WHEN is_a = 1 THEN cents END) AS BIGINT) AS s_a,
-             CAST(sum(CASE WHEN is_a = 0 THEN cents END) AS BIGINT) AS s_b
-           FROM o),
-         obs AS (
-           SELECT n_a, n,
-             abs((100 * s_a) // n_a - (100 * s_b) // (n - n_a))
-               AS obs_diff_centi
-           FROM base),
-         b AS (
-           SELECT o_orderkey, cents, rep,
-             CASE WHEN (($hv % 1000000) + 1000000) % 1000000
-               < (obs.n_a * 1000000) // obs.n THEN 1 ELSE 0 END AS to_a
-           FROM o
-           CROSS JOIN (SELECT range AS rep FROM range(0, 64)) reps
-           CROSS JOIN obs),
-         perms AS (
-           SELECT rep,
-             abs((100 * sum(to_a * cents)) // sum(to_a)
-               - (100 * sum((1 - to_a) * cents)) // sum(1 - to_a)) AS pd
-           FROM b GROUP BY rep)
-         SELECT CAST(obs.n AS BIGINT) AS n, obs.n_a AS n_a,
-           count(*) AS n_perms,
-           CAST(obs.obs_diff_centi AS BIGINT) AS obs_diff_centi,
-           CAST(sum(CASE WHEN pd >= obs.obs_diff_centi THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_ge,
-           CAST((sum(CASE WHEN pd >= obs.obs_diff_centi THEN 1 ELSE 0 END)
-             * 1000000) // count(*) AS BIGINT) AS p_ppm
-         FROM perms CROSS JOIN obs
-         GROUP BY obs.n, obs.n_a, obs.obs_diff_centi"""
-    },
-
-    "timeseries_changepoint" ->
-      """WITH daily AS (
-           SELECT date_trunc('day', ts) AS d,
-             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-               AS BIGINT) AS x
-           FROM events GROUP BY 1),
-         cum AS (
-           SELECT d, x,
-             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS tt,
-             CAST(sum(x) OVER (ORDER BY d) AS BIGINT) AS cum,
-             count(*) OVER () AS n,
-             CAST(sum(x) OVER () AS BIGINT) AS total
-           FROM daily),
-         g AS (
-           SELECT d, tt, n, cum, total, n * cum - tt * total AS g
-           FROM cum WHERE tt < n)
-         SELECT d AS split_day, tt AS t_split, n AS n_days,
-           abs(g) AS g_abs,
-           (100 * cum) // tt AS pre_mean_centi,
-           (100 * (total - cum)) // (n - tt) AS post_mean_centi
-         FROM g ORDER BY abs(g) DESC, d LIMIT 1""",
-
-    "events_user_lifecycle" ->
-      """WITH e AS (
-           SELECT DISTINCT user_id, date_trunc('week', ts) AS w
-           FROM events),
-         classified AS (
-           SELECT user_id, w,
-             lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w
-           FROM e),
-         per_week AS (
-           SELECT w, count(*) AS actives,
-             CAST(sum(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_new,
-             CAST(sum(CASE WHEN prev_w = w - INTERVAL 7 DAY THEN 1
-               ELSE 0 END) AS BIGINT) AS n_retained,
-             CAST(sum(CASE WHEN prev_w IS NOT NULL
-               AND prev_w < w - INTERVAL 7 DAY THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_resurrected
-           FROM classified GROUP BY w)
-         SELECT a.w, a.actives, a.n_new, a.n_retained, a.n_resurrected,
-           COALESCE(p.actives, 0) - a.n_retained AS n_churned
-         FROM per_week a
-         LEFT JOIN per_week p ON p.w + INTERVAL 7 DAY = a.w
-         ORDER BY a.w""",
-
-    "orders_mix_drift" ->
-      """WITH per AS (
-           SELECT date_trunc('month', o_orderdate) AS mon,
-             o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS c
-           FROM orders GROUP BY 1, 2),
-         months AS (SELECT DISTINCT mon FROM per),
-         prios AS (SELECT DISTINCT prio FROM per),
-         grid AS (
-           SELECT m.mon, p.prio, coalesce(x.c, 0) AS c
-           FROM months m CROSS JOIN prios p
-           LEFT JOIN per x ON x.mon = m.mon AND x.prio = p.prio),
-         tot AS (SELECT mon, CAST(sum(c) AS BIGINT) AS n
-                 FROM grid GROUP BY mon),
-         g AS (SELECT grid.mon, grid.prio, grid.c, tot.n
-               FROM grid JOIN tot ON tot.mon = grid.mon),
-         pairs AS (
-           SELECT a.mon, a.prio, a.n AS na, b.n AS nb,
-             CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS p,
-             CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS q
-           FROM g a JOIN g b
-             ON b.mon = a.mon + INTERVAL 1 MONTH AND b.prio = a.prio),
-         tv AS (
-           SELECT mon, prio, na, nb,
-             0.5 * (CASE WHEN p > 0.0
-               THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END)
-             + 0.5 * (CASE WHEN q > 0.0
-               THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END) AS v
-           FROM pairs)
-         SELECT CAST(mon AS TIMESTAMP) AS mon,
-           max(na) AS n_month, max(nb) AS n_next,
-           round(list_reduce(list_prepend(0.0, list(v ORDER BY prio)),
-             (a, b) -> a + b), 6) AS jsd_nats
-         FROM tv GROUP BY mon ORDER BY mon""",
-
-    "orders_abc_analysis" ->
-      """WITH rev AS (
-           SELECT l_partkey,
-             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-               AS BIGINT)) AS BIGINT) AS rev_cents
-           FROM lineitem GROUP BY 1),
-         cum AS (
-           SELECT l_partkey, rev_cents,
-             CAST(sum(rev_cents) OVER (
-               ORDER BY rev_cents DESC, l_partkey) AS BIGINT) AS cum,
-             CAST(sum(rev_cents) OVER () AS BIGINT) AS total
-           FROM rev),
-         classed AS (
-           SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
-                       WHEN cum * 100 <= total * 95 THEN 'B'
-                       ELSE 'C' END AS cls,
-             rev_cents, total
-           FROM cum)
-         SELECT cls, count(*) AS n_parts,
-           CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents,
-           CAST((CAST(sum(rev_cents) AS HUGEINT) * 1000000) // max(total)
-             AS BIGINT) AS share_ppm
-         FROM classed GROUP BY cls ORDER BY cls""",
-
-    "text_lexical_diversity" ->
-      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
-         SELECT doc_id,
-           CAST(sum(tf) AS BIGINT) AS n_tokens,
-           count(*) AS n_types,
-           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_hapax,
-           (count(*) * 1000000) // CAST(sum(tf) AS BIGINT) AS ttr_ppm,
-           (CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             * 1000000) // count(*) AS hapax_ppm
-         FROM tf GROUP BY doc_id ORDER BY doc_id""",
-
-    "events_anomaly_rate_spike" ->
-      """WITH daily AS (
-           SELECT event_type, date_trunc('day', ts) AS d,
-             count(*) AS x
-           FROM events GROUP BY 1, 2),
-         win AS (
-           SELECT event_type, d, x,
-             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
-               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7,
-             count(*) OVER (PARTITION BY event_type ORDER BY d
-               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
-           FROM daily)
-         SELECT event_type, d, x, s7,
-           CAST(floor(1000000.0 *
-               (CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) /
-               sqrt(CAST(s7 AS DOUBLE) / 7.0)) AS BIGINT) AS z_ppm,
-           CAST(floor(1000000.0 *
-               (CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) /
-               sqrt(CAST(s7 AS DOUBLE) / 7.0)) AS BIGINT) > 3000000
-             AS spike
-         FROM win WHERE n7 = 7 ORDER BY event_type, d""",
-
-    "orders_interarrival" ->
-      """WITH o AS (
-           SELECT o_custkey, o_orderkey, o_orderdate,
-             lag(o_orderdate) OVER (PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey) AS prev
-           FROM orders),
-         gaps AS (
-           SELECT o_custkey,
-             CAST(date_diff('day', prev, o_orderdate) AS BIGINT) AS gap_days
-           FROM o WHERE prev IS NOT NULL),
-         agg AS (
-           SELECT o_custkey, count(*) AS n_gaps,
-             CAST(sum(gap_days) AS BIGINT) AS sum_days,
-             min(gap_days) AS min_days, max(gap_days) AS max_days,
-             CAST(sum(gap_days * gap_days) AS BIGINT) AS sumsq
-           FROM gaps GROUP BY 1)
-         SELECT o_custkey, n_gaps, sum_days, min_days, max_days,
-           (sum_days * 1000) // n_gaps AS mean_milli,
-           CAST(floor(1000000.0 *
-               sqrt((CAST(n_gaps AS DOUBLE) * CAST(sumsq AS DOUBLE)
-                 - CAST(sum_days AS DOUBLE) * CAST(sum_days AS DOUBLE))
-                 / CAST(n_gaps AS DOUBLE))
-               / (CAST(sum_days AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
-             AS BIGINT) AS cv_ppm
-         FROM agg WHERE n_gaps >= 2 AND sum_days > 0
-         ORDER BY o_custkey""",
-
-    "features_point_in_time" ->
-      """WITH e AS (
-           SELECT user_id, event_id, ts, event_type,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
-           FROM events),
-         labels AS (
-           SELECT event_id AS label_id, user_id, ts AS label_ts
-           FROM e WHERE event_type = 'purchase'),
-         f1 AS (
-           SELECT l.label_id,
-             (SELECT c.vc FROM e c
-              WHERE c.event_type = 'click' AND c.user_id = l.user_id
-                AND c.ts <= l.label_ts
-              ORDER BY c.ts DESC, c.vc DESC LIMIT 1) AS last_click_cents
-           FROM labels l),
-         f2 AS (
-           SELECT l.label_id,
-             (SELECT count(*) FROM e r
-              WHERE r.user_id = l.user_id AND r.ts < l.label_ts
-                AND r.ts >= l.label_ts - INTERVAL 7 DAY) AS n_events_7d
-           FROM labels l)
-         SELECT l.label_id, l.user_id, l.label_ts,
-           f1.last_click_cents,
-           CAST(f2.n_events_7d AS BIGINT) AS n_events_7d
-         FROM labels l
-         JOIN f1 USING (label_id) JOIN f2 USING (label_id)
-         ORDER BY label_id""",
-
-    "orders_basket_lift" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         no_t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
-         single AS (SELECT l_partkey, count(*) AS na FROM li GROUP BY 1),
-         pairs AS (
-           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
-           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-             AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2),
-         scored AS (
-           SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
-             CAST(sa.na AS BIGINT) AS na, CAST(sb.na AS BIGINT) AS nb,
-             CAST((1000000 * n_ab * n_orders) // (sa.na * sb.na) AS BIGINT)
-               AS lift_ppm
-           FROM pairs
-           JOIN single sa ON pa = sa.l_partkey
-           JOIN single sb ON pb = sb.l_partkey
-           CROSS JOIN no_t)
-         SELECT pa, pb, n_ab, na, nb, lift_ppm FROM scored
-         ORDER BY n_ab DESC, lift_ppm DESC, pa, pb LIMIT 20""",
-
-    "sessions_concurrency" ->
-      """WITH x AS (
-           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-           FROM events
-         ), y AS (
-           SELECT user_id, event_id, ts, us,
-             CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
-           FROM x
-         ), z AS (
-           SELECT user_id, us,
-             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-           FROM y
-         ), sess AS (
-           SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
-           FROM z GROUP BY 1, 2
-         ), bounds AS (
-           SELECT s_us AS t_us, CAST(1 AS BIGINT) AS delta FROM sess
-           UNION ALL
-           SELECT e_us AS t_us, CAST(-1 AS BIGINT) AS delta FROM sess
-         ), r AS (
-           SELECT t_us, delta,
-             CAST(sum(delta) OVER (ORDER BY t_us, delta
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS running
-           FROM bounds)
-         SELECT CAST(date_trunc('day', make_timestamp(t_us)) AS TIMESTAMP)
-             AS day,
-           max(greatest(running, running - delta)) AS peak_concurrent,
-           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_session_starts
-         FROM r GROUP BY 1 ORDER BY day""",
-
-    "timeseries_anomaly_decomposed" ->
-      """WITH hourly AS (
-           SELECT date_trunc('hour', ts) AS bkt,
-             sum(CAST(value AS DECIMAL(18,2))) AS v
-           FROM events WHERE event_type = 'click'
-           GROUP BY 1),
-         trended AS (
-           SELECT bkt, v,
-             CAST(floor(1000000.0 *
-               CAST(sum(v) OVER w AS DOUBLE) /
-               CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend_micro,
-             CAST(round(v * 1000000) AS BIGINT) AS v_micro
-           FROM hourly
-           WINDOW w AS (ORDER BY bkt
-             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-         r AS (
-           SELECT bkt, v,
-             (v_micro - trend_micro) -
-             (CAST(sum(v_micro - trend_micro)
-                 OVER (PARTITION BY hour(bkt)) AS BIGINT) //
-               CAST(count(*) OVER (PARTITION BY hour(bkt)) AS BIGINT))
-               AS residual_micro
-           FROM trended),
-         med AS (
-           SELECT round(quantile_cont(residual_micro, 0.5), 4) AS med
-           FROM r),
-         madt AS (
-           SELECT max(med) AS med,
-             round(quantile_cont(abs(residual_micro - med), 0.5), 4) AS mad
-           FROM r CROSS JOIN med)
-         SELECT bkt, CAST(v AS DOUBLE) AS revenue, residual_micro,
-           CAST(abs(residual_micro - med) AS BIGINT) AS dev_micro
-         FROM r CROSS JOIN madt
-         WHERE abs(residual_micro - med) > mad * 1.4826 * 3.0
-         ORDER BY bkt""",
-
-    // the oracle is the DECLARATIVE dominance anti-join — equality
-    // proves the sort-sweep finds exactly the non-dominated set
-    "part_skyline" ->
-      """WITH p AS (
-           SELECT p_partkey,
-             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
-             CAST(p_size AS BIGINT) AS size
-           FROM part)
-         SELECT b.p_partkey, b.price_cents, b.size
-         FROM p b
-         WHERE NOT EXISTS (
-           SELECT 1 FROM p a
-           WHERE a.price_cents <= b.price_cents AND a.size >= b.size
-             AND (a.price_cents < b.price_cents OR a.size > b.size))
-         ORDER BY b.p_partkey""",
-
-    "stats_welch_ttest" ->
-      """WITH two AS (
-           SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
-               AS is_a,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS x
-           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
-         g AS (
-           SELECT is_a, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
-             sum(x * x) AS sxx
-           FROM two GROUP BY is_a),
-         a AS (SELECT n AS n_a, sx AS sxa, sxx AS sxxa FROM g WHERE is_a = 1),
-         b AS (SELECT n AS n_b, sx AS sxb, sxx AS sxxb FROM g WHERE is_a = 0),
-         v AS (
-           SELECT n_a, n_b, sxa, sxb,
-             (CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)
-               / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) AS va,
-             (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)
-               / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE) AS vb
-           FROM a CROSS JOIN b),
-         s AS (
-           SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)
-             AS se2
-           FROM v)
-         SELECT n_a, n_b,
-           CAST(floor(1000000.0 *
-             (CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) -
-              CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(se2))
-             AS BIGINT) AS t_ppm,
-           CAST(floor(1000.0 * se2 * se2 /
-             (va * va / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)
-                * CAST(n_a - 1 AS DOUBLE)) +
-              vb * vb / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)
-                * CAST(n_b - 1 AS DOUBLE)))) AS BIGINT) AS dof_milli
-         FROM s""",
-
-    "stats_proportion_ztest" -> {
-      val hv = signedSql(fnvSql("CAST(user_id AS VARCHAR)"))
-      s"""WITH users AS (
-           SELECT user_id,
-             CASE WHEN sum(CASE WHEN event_type = 'purchase'
-                  THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
-           FROM events GROUP BY user_id),
-         armed AS (
-           SELECT CASE WHEN (($hv % 2) + 2) % 2 = 0 THEN 0 ELSE 1 END
-               AS is_t, conv
-           FROM users),
-         g AS (
-           SELECT is_t, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(conv) AS BIGINT) AS k
-           FROM armed GROUP BY is_t),
-         tr AS (SELECT n AS n_t, k AS k_t FROM g WHERE is_t = 1),
-         ct AS (SELECT n AS n_c, k AS k_c FROM g WHERE is_t = 0)
-         SELECT n_t, k_t, n_c, k_c,
-           CAST(floor(1000000.0 *
-             (CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
-              CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE)) /
-             sqrt((CAST(k_t + k_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)) *
-               (1.0 - CAST(k_t + k_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)) *
-               (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE))))
-             AS BIGINT) AS z_ppm
-         FROM tr CROSS JOIN ct"""
-    },
-
-    "text_keywords_tfidf" ->
-      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         nd AS (SELECT count(*) AS n_docs FROM documents),
-         scored AS (
-           SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
-             CAST(floor(1000000.0 * ln(CAST(n_docs AS DOUBLE)
-               / CAST(df AS DOUBLE))) AS BIGINT) AS idf_fixed
-           FROM tf t JOIN dfq USING (term) CROSS JOIN nd),
-         r AS (
-           SELECT doc_id, term, tf, tf * idf_fixed AS score_fixed,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY tf * idf_fixed DESC, term) AS rnk
-           FROM scored)
-         SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, score_fixed
-         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
-
-    "text_langid_eval" ->
-      """WITH b AS (
-           SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\s+') AS toks
-           FROM documents
-         ), s AS (
-           SELECT doc_id, lang,
-             len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in'], t))) AS s_en,
-             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
-             len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des'], t))) AS s_fr,
-             len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','von'], t))) AS s_de
-           FROM b
-         ), g AS (
-           SELECT lang,
-             CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
-                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-                  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-                  ELSE 'und' END AS lang_guess
-           FROM s
-         ), cells AS (
-           SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2
-         ), tot AS (
-           SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total
-           FROM cells GROUP BY lang)
-         SELECT c.lang, c.lang_guess, c.n, t.lang_total,
-           (1000000 * c.n) // t.lang_total AS cell_ppm
-         FROM cells c JOIN tot t ON c.lang = t.lang
-         ORDER BY c.lang, c.lang_guess""",
-
-    // unigram FNV + bigram shingle hashes → splitmix64 → low-10-bit
-    // integer weights, summed exactly; score is the one double division.
-    "quality_model_score" ->
-      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         thx AS (
-           SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th
-           FROM docs WHERE toks IS NOT NULL),
-         big AS (
-           SELECT doc_id, th,
-             CASE WHEN len(th) <= 2
-               THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
-                     (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
-               ELSE list_transform(range(1, len(th)),
-                 s -> (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
-                       % 18446744073709551616::HUGEINT) * 31
-                       + th[CAST(s AS INT)+1]) % 18446744073709551616::HUGEINT)
-             END AS bh
-           FROM thx),
-         feats AS (
-           SELECT doc_id, CAST(len(th) + len(bh) AS BIGINT) AS n_features,
-             list_concat(th, bh) AS fh
-           FROM big),
-         fe AS (SELECT doc_id, n_features, unnest(fh) AS x FROM feats),
-         ${mix64Ctes("fe", "mx")},
-         ws AS (
-           SELECT doc_id, max(n_features) AS n_features,
-             CAST(sum(CAST(h % 1024 AS BIGINT) - 512) AS BIGINT) AS margin
-           FROM mx GROUP BY doc_id)
-         SELECT d.doc_id, w.n_features, w.margin,
-           round(CAST(w.margin AS DOUBLE) / w.n_features, 6) AS score,
-           w.margin > 0 AS keep
-         FROM docs d LEFT JOIN ws w ON d.doc_id = w.doc_id
-         ORDER BY d.doc_id""",
-
-    // per-bigram ratios are exact integer floor divisions (div / //),
-    // summed exactly; only the closing mean is a double division
-    "text_bigram_coherence" ->
-      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         thx AS (
-           SELECT doc_id, toks, list_transform(toks, t -> ${fnvSql("t")}) AS th
-           FROM docs WHERE toks IS NOT NULL),
-         base AS (SELECT doc_id, th FROM thx WHERE len(th) >= 2),
-         big AS (
-           SELECT doc_id, th,
-             CASE WHEN len(th) <= 2
-               THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
-                     (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
-               ELSE list_transform(range(1, len(th)),
-                 s -> (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
-                       % 18446744073709551616::HUGEINT) * 31
-                       + th[CAST(s AS INT)+1]) % 18446744073709551616::HUGEINT)
-             END AS bh
-           FROM base),
-         posx AS (
-           SELECT doc_id, bh, th, unnest(range(len(bh))) AS p FROM big),
-         pos AS (
-           SELECT doc_id, bh[CAST(p AS INT)+1] AS b1, th[CAST(p AS INT)+1] AS uh
-           FROM posx),
-         uc AS (
-           SELECT u AS uh, count(*) AS c1 FROM (
-             SELECT unnest(th) AS u FROM thx) GROUP BY u),
-         bc AS (
-           SELECT b AS b1, count(*) AS c2 FROM (
-             SELECT unnest(bh) AS b FROM big) GROUP BY b),
-         sc AS (
-           SELECT doc_id, count(*) AS n_bigrams,
-             CAST(sum((c2 * 1000) // c1) AS BIGINT) AS coherence_sum
-           FROM pos JOIN bc USING (b1) JOIN uc USING (uh)
-           GROUP BY doc_id)
-         SELECT d.doc_id, sc.n_bigrams, sc.coherence_sum,
-           round(CAST(sc.coherence_sum AS DOUBLE) / sc.n_bigrams, 6) AS score
-         FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
-         ORDER BY d.doc_id""",
-
-    "token_frequencies" ->
-      """SELECT token, count(*) AS freq
-         FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-               FROM documents)
-         GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
-
-    "pivot_events" ->
-      """SELECT user_id,
-           count(*) FILTER (WHERE event_type = 'click') AS click,
-           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-           count(*) FILTER (WHERE event_type = 'error') AS error,
-           count(*) FILTER (WHERE event_type = 'signup') AS signup,
-           count(*) FILTER (WHERE event_type = 'view') AS view
-         FROM events GROUP BY user_id ORDER BY user_id""",
-
-    "dedup_exact" ->
-      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
-           min(doc_id) AS keep_id, count(*) AS n_dupes
-         FROM documents GROUP BY fp ORDER BY fp""",
-
-    "dedup_exact_keep" ->
-      """WITH aug AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000, text FROM documents)
-         SELECT min(doc_id) AS doc_id FROM aug
-         GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
-         ORDER BY doc_id""",
-
-    "profile_columns" ->
-      """SELECT * FROM (
-           SELECT 'o_custkey' AS col_name, count(*) AS n,
-             count(*) - count(o_custkey) AS nulls,
-             count(DISTINCT o_custkey) AS n_distinct FROM orders
-           UNION ALL
-           SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
-             count(DISTINCT o_orderstatus) FROM orders
-           UNION ALL
-           SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
-             count(DISTINCT o_orderpriority) FROM orders)
-         ORDER BY col_name""",
-
-    "json_props_extract" ->
-      """SELECT event_id,
-           CAST(CASE WHEN json_extract_string(props, '$.k')
-                          SIMILAR TO '-?[0-9]+'
-                THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
-         FROM events ORDER BY event_id""",
-
-    "sql_interface" ->
-      """SELECT l_returnflag,
-           count(DISTINCT l_partkey) AS distinct_parts,
-           count(*) AS n
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "pipeline_e2e" ->
-      s"""WITH $curationGateCtes
-         SELECT source, count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 4) AS avg_quality
-         FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)
-         GROUP BY source ORDER BY source""",
-
-    "pipeline_curation" ->
-      s"""WITH $curationGateCtes,
-         kept AS (
-           SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)),
-         ${shingleCtes("kept")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         doomed AS (
-           SELECT DISTINCT id_b FROM common
-             JOIN sizes sa ON sa.doc_id = id_a
-             JOIN sizes sb ON sb.doc_id = id_b
-           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
-         surv AS (
-           SELECT * FROM kept
-           WHERE doc_id NOT IN (SELECT id_b FROM doomed)),
-         tk AS (
-           SELECT source, quality,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
-           FROM surv)
-         SELECT source, count(*) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(sum(CASE WHEN n_tokens > 0 THEN (n_tokens + 47) // 48
-                         ELSE 0 END) AS BIGINT) AS total_chunks,
-           round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 4) AS avg_quality
-         FROM tk GROUP BY source ORDER BY source""",
-
-    "similarity_topk" ->
-      """WITH q AS (
-           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id < 5
-         ), sc AS (
-           SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cosine
-           FROM embeddings e CROSS JOIN q
-         ), r AS (
-           SELECT query_id, vec_id, cosine,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, vec_id) AS rnk
-           FROM sc
-         )
-         SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
-         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
-
-    "multimodal_meta" ->
-      """SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio'
-                ELSE 'video' END AS kind,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-         FROM documents ORDER BY media_id""",
-
-    "multimodal_headers" ->
-      """SELECT doc_id AS media_id,
-           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg'
-                WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
-           CASE WHEN doc_id % 3 IN (0, 1)
-             THEN CAST(32 + doc_id % 640 AS BIGINT) END AS width,
-           CASE WHEN doc_id % 3 IN (0, 1)
-             THEN CAST(32 + doc_id % 480 AS BIGINT) END AS height,
-           CASE WHEN doc_id % 3 = 2
-             THEN CAST(1 + doc_id % 2 AS BIGINT) END AS n_channels,
-           CASE WHEN doc_id % 3 = 2
-             THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) END AS sample_rate
-         FROM documents ORDER BY media_id""",
-
-    "multimodal_frame_sample" ->
-      """SELECT doc_id AS media_id, 'video' AS kind, CAST(f AS BIGINT) AS frame_no
-         FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f)
-         WHERE doc_id % 3 = 2 ORDER BY media_id, frame_no""",
-
-    "similarity_topk_lsh" ->
-      s"""WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         ${hyperplaneSigCtes("corpus", bits = 8, bands = 4)},
-         qs AS (
-           SELECT vec_id AS query_id, band, band_key FROM sig WHERE vec_id < 5),
-         cands AS (
-           SELECT DISTINCT q.query_id, s.vec_id
-           FROM sig s JOIN qs q USING (band, band_key)),
-         sc AS (
-           SELECT ca.query_id, ca.vec_id,
-             ${cosSql("cv.v", "qv.v")} AS cosine
-           FROM cands ca
-           JOIN corpus cv ON cv.vec_id = ca.vec_id
-           JOIN corpus qv ON qv.vec_id = ca.query_id),
-         r AS (
-           SELECT query_id, vec_id, cosine,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, vec_id) AS rnk
-           FROM sc)
-         SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
-         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
-
-    // the materialized-index probe returns bit-identical results to the
-    // inline-assignment form (same quantizer, same cells, same rerank), so
-    // both queries share one oracle
-    "similarity_topk_ivf" -> ivfOracleSql,
-    "similarity_topk_ivf_index" -> ivfOracleSql,
-    "similarity_topk_ivf_append" -> ivfAppendOracleSql,
-    // post-swap == from-scratch on the full corpus, so the oracle is the
-    // plain train-on-full replay — sharing it IS the lifecycle claim
-    "similarity_ivf_recluster" -> ivfOracleSql,
-    "similarity_range_search" ->
-      s"""WITH ${ivfProbeCtes(nprobe = 2, qPred = "q.vec_id < 8")}
-         SELECT query_id, vec_id, round(cosine, 6) AS cosine
-         FROM sc WHERE cosine >= 0.9 ORDER BY query_id, vec_id""",
-    "similarity_ivf_drift" -> ivfDriftOracleSql,
-    "similarity_recall" -> similarityRecallOracleSql,
-    "similarity_recall_sweep" -> {
-      val probes = Seq(1, 2, 4).map { np =>
-        s"""m_np$np AS (
-           SELECT $np AS nprobe, query_id, vec_id FROM (
-             WITH ${ivfProbeCtes(nprobe = np, qPred = "q.vec_id < 32")}
-             SELECT query_id, vec_id FROM r WHERE rnk <= 10))"""
-      }.mkString(",\n         ")
-      s"""WITH exact AS (
-           SELECT query_id, vec_id FROM (
-             WITH corpus AS (
-               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 32),
-             sc AS (
-               SELECT q.query_id, e.vec_id, ${cosSql("e.v", "q.qv")} AS cosine
-               FROM corpus e CROSS JOIN q),
-             r AS (
-               SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
-             SELECT query_id, vec_id FROM r WHERE rnk <= 10)),
-         $probes,
-         appx AS (
-           SELECT * FROM m_np1 UNION ALL SELECT * FROM m_np2
-           UNION ALL SELECT * FROM m_np4)
-         SELECT a.nprobe,
-           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS hits,
-           (SELECT count(*) FROM exact) AS total,
-           CAST(floor(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-             * 10000.0 / (SELECT count(*) FROM exact)) AS BIGINT) AS recall_bp
-         FROM appx a
-         LEFT JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
-         GROUP BY a.nprobe ORDER BY a.nprobe"""
-    },
-    "embedding_centroids" ->
-      """WITH x AS (
-           SELECT label, vec_id, d.d AS dim,
-             CAST(embedding[CAST(d.d AS INT)+1] AS DOUBLE) AS v
-           FROM embeddings
-           CROSS JOIN (SELECT unnest(range(64)) AS d) d)
-         SELECT label, dim, count(*) AS n,
-           CAST(CAST(
-             list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)),
-               (a, b) -> a + b) / count(*)
-             AS FLOAT) AS DOUBLE) AS mean_v
-         FROM x GROUP BY label, dim ORDER BY label, dim""",
-
-    "similarity_topk_pq" -> pqOracleSql,
-    "similarity_topk_pq_index" -> pqOracleSql,
-
-    // SemDeDup: same trained quantizer as the IVF oracle, augmented
-    // corpus assigned to cells, exact cosine within cells only, higher
-    // id of every >= 0.95 pair dropped.
-    "dedup_semantic_cells" ->
-      s"""WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         aug AS (
-           SELECT vec_id, v FROM corpus
-           UNION ALL
-           SELECT vec_id + 1000000,
-             list_transform(v, x -> CAST(CAST(x * CAST(0.9 AS DOUBLE) AS FLOAT) AS DOUBLE))
-           FROM corpus WHERE vec_id % 10 = 0),
-         c0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
-             v AS cv
-           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
-            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
-                   FROM corpus))),
-         ${kmeansIterSql("c0", "a1", "c1")},
-         ${kmeansIterSql("c1", "a2", "c2")},
-         cellsc AS (
-           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
-           FROM aug p CROSS JOIN c2 c),
-         cells AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1),
-         doomed AS (
-           SELECT DISTINCT cb.vec_id AS vec_id
-           FROM cells ca JOIN cells cb
-             ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
-           JOIN aug a ON a.vec_id = ca.vec_id
-           JOIN aug b ON b.vec_id = cb.vec_id
-           WHERE ${cosSql("a.v", "b.v")} >= 0.95)
-         SELECT vec_id FROM aug
-         WHERE vec_id NOT IN (SELECT vec_id FROM doomed)
-         ORDER BY vec_id""",
-
-    "timeseries_gap_fill" ->
-      """WITH e AS (
-           SELECT user_id, ts, event_id, value FROM events WHERE user_id < 50
-         ), hourly AS (
-           SELECT user_id, date_trunc('hour', ts) AS hour,
-             last(value ORDER BY ts, event_id) AS last_val
-           FROM e GROUP BY user_id, date_trunc('hour', ts)
-         ), bounds AS (
-           SELECT user_id, min(hour) AS h0, max(hour) AS h1
-           FROM hourly GROUP BY user_id
-         ), grid AS (
-           SELECT user_id, g.g AS hour
-           FROM bounds CROSS JOIN LATERAL
-             (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g) g
-         )
-         SELECT g.user_id, CAST(g.hour AS TIMESTAMP) AS hour,
-           last_value(h.last_val IGNORE NULLS) OVER (
-             PARTITION BY g.user_id ORDER BY g.hour
-             ROWS UNBOUNDED PRECEDING) AS value_filled,
-           CAST(CASE WHEN h.last_val IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed
-         FROM grid g LEFT JOIN hourly h
-           ON g.user_id = h.user_id AND g.hour = h.hour
-         ORDER BY g.user_id, g.hour""",
-
-    "timeseries_motif" -> {
-      // znorm + squared distance as ORDER-preserving list_reduce folds —
-      // the same left-to-right IEEE addition order as the engine's HOFs
-      val m = 5
-      def fsum(l: String) =
-        s"list_reduce(list_prepend(0.0, $l), (a, x) -> a + x)"
-      def znormed(w: String, mean: String, std: String) =
-        s"""CASE WHEN $std = 0.0
-            THEN list_transform($w, x -> 0.0)
-            ELSE list_transform($w, x -> (x - $mean) / $std) END"""
-      s"""WITH srt AS (
-           SELECT user_id, list(value ORDER BY ts, event_id) AS vals
-           FROM events GROUP BY user_id
-         ), f AS (
-           SELECT user_id, vals FROM srt WHERE len(vals) >= $m
-         ), pw AS (
-           SELECT CAST([1.0, 2.0, 3.0, 4.0, 5.0] AS DOUBLE[]) AS p
-         ), pz AS (
-           SELECT p, ${fsum("p")} / $m AS pmean,
-             sqrt(${fsum(s"list_transform(p, x -> (x - ${fsum("p")} / $m) * (x - ${fsum("p")} / $m))")} / $m) AS pstd
-           FROM pw
-         ), wins AS (
-           SELECT user_id, st.s AS start,
-             list_slice(vals, CAST(st.s AS INT) + 1, CAST(st.s AS INT) + $m) AS w
-           FROM f CROSS JOIN LATERAL
-             (SELECT unnest(range(len(vals) - $m + 1)) AS s) st
-         ), stats AS (
-           SELECT user_id, start, w, ${fsum("w")} / $m AS wmean
-           FROM wins
-         ), stats2 AS (
-           SELECT user_id, start, w, wmean,
-             sqrt(${fsum("list_transform(w, x -> (x - wmean) * (x - wmean))")} / $m) AS wstd
-           FROM stats
-         ), scored AS (
-           SELECT s2.user_id, s2.start,
-             ${fsum(s"""list_transform(range($m), i ->
-               (${znormed("s2.w", "s2.wmean", "s2.wstd")}[CAST(i AS INT) + 1]
-                - ${znormed("z.p", "z.pmean", "z.pstd")}[CAST(i AS INT) + 1])
-               * (${znormed("s2.w", "s2.wmean", "s2.wstd")}[CAST(i AS INT) + 1]
-                  - ${znormed("z.p", "z.pmean", "z.pstd")}[CAST(i AS INT) + 1]))""")} AS dist
-           FROM stats2 s2 CROSS JOIN pz z
-         ), best AS (
-           SELECT user_id, start, dist,
-             row_number() OVER (PARTITION BY user_id ORDER BY dist, start) AS rn
-           FROM scored
-         )
-         SELECT user_id, CAST(start AS BIGINT) AS start, round(dist, 6) AS dist
-         FROM best WHERE rn = 1 ORDER BY user_id"""
-    },
-
-    "cdc_apply" ->
-      """WITH base AS (
-           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         ), deletes AS (
-           SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0
-         ), updates AS (
-           SELECT o_orderkey,
-             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE) AS new_price
-           FROM base WHERE o_orderkey % 100 = 0
-         ), inserts AS (
-           SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
-           FROM base WHERE o_orderkey % 101 = 0
-         )
-         SELECT b.o_orderkey, b.o_custkey,
-           coalesce(u.new_price, b.o_totalprice) AS o_totalprice
-         FROM base b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
-         WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
-         UNION ALL SELECT * FROM inserts
-         ORDER BY o_orderkey""",
-
-    "dedup_latest" ->
-      """WITH r AS (
-           SELECT user_id, event_id, event_type, value,
-             row_number() OVER (PARTITION BY user_id
-               ORDER BY ts DESC, event_id DESC) AS rn
-           FROM events
-         )
-         SELECT user_id, event_id, event_type, value
-         FROM r WHERE rn = 1 ORDER BY user_id""",
-
-    "scd2_build" ->
-      """WITH updates AS (
-           -- native JSON extraction (shared semantics with Spark's
-           -- get_json_object: real parsing, not a regexp over the text);
-           -- the integer guard mirrors Spark's string->long cast, which
-           -- nulls non-integer values where DuckDB's cast would round
-           SELECT user_id, ts, event_id,
-             CAST(CASE WHEN json_extract_string(props, '$.k')
-                            SIMILAR TO '-?[0-9]+'
-                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
-           FROM events WHERE event_type = 'view'
-         ), changes AS (
-           SELECT user_id, ts, event_id, k FROM (
-             SELECT *, lag(k) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS prev_k
-             FROM updates)
-           WHERE prev_k IS NULL OR k <> prev_k
-         )
-         SELECT user_id, k, ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
-             AS is_current
-         FROM changes
-         ORDER BY user_id, valid_from""",
-
-    "scd2_point_in_time" ->
-      """WITH updates AS (
-           SELECT user_id, ts, event_id,
-             CAST(CASE WHEN json_extract_string(props, '$.k')
-                            SIMILAR TO '-?[0-9]+'
-                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
-           FROM events WHERE event_type = 'view'
-         ), changes AS (
-           SELECT user_id, ts, event_id, k FROM (
-             SELECT *, lag(k) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS prev_k
-             FROM updates)
-           WHERE prev_k IS NULL OR k <> prev_k
-         ), hist AS (
-           SELECT user_id, k, ts,
-             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS valid_to
-           FROM changes
-         ), mid AS (
-           SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t_mid
-           FROM events)
-         SELECT user_id, k, ts AS valid_from
-         FROM hist CROSS JOIN mid
-         WHERE epoch_us(ts) <= t_mid
-           AND (valid_to IS NULL OR epoch_us(valid_to) > t_mid)
-         ORDER BY user_id""",
-
-    "agg_mode" ->
-      """WITH counts AS (
-           SELECT l_returnflag, l_linestatus, count(*) AS c
-           FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ), r AS (
-           SELECT l_returnflag, l_linestatus, c,
-             row_number() OVER (PARTITION BY l_returnflag
-               ORDER BY c DESC, l_linestatus DESC) AS rn
-           FROM counts
-         )
-         SELECT l_returnflag, l_linestatus AS mode_status, c AS mode_count
-         FROM r WHERE rn = 1 ORDER BY l_returnflag""",
-
-    "text_edit_distance" ->
-      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-         FROM customer a JOIN customer b
-           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-         WHERE a.c_custkey < 100 AND b.c_custkey < 100
-           AND levenshtein(a.c_name, b.c_name) <= 2
-         ORDER BY id_a, id_b""",
-
-    "multimodal_resize_meta" ->
-      """WITH m AS (
-           SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 3 = 0 THEN 'image'
-                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-             CAST(doc_id % 640 + 32 AS BIGINT) AS width,
-             CAST(doc_id % 480 + 32 AS BIGINT) AS height
-           FROM documents)
-         SELECT media_id, kind, width, height,
-           CASE WHEN width <= 224 AND height <= 224 THEN width
-                WHEN width * 224 >= height * 224
-                  THEN 224
-                ELSE CAST(floor(width * 224 / CAST(height AS DOUBLE)) AS BIGINT)
-           END AS out_w,
-           CASE WHEN width <= 224 AND height <= 224 THEN height
-                WHEN width * 224 >= height * 224
-                  THEN CAST(floor(height * 224 / CAST(width AS DOUBLE)) AS BIGINT)
-                ELSE 224
-           END AS out_h
-         FROM m ORDER BY media_id""",
-
-    "multimodal_frame_features" -> {
-      val toFloat = (h: String) =>
-        s"CAST(CAST(${signedSql(h)} AS DOUBLE) / 9223372036854775807.0 AS FLOAT)"
-      s"""WITH vids AS (
-           SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
-         vf AS (
-           SELECT media_id, text, f.f AS frame_no
-           FROM vids CROSS JOIN (SELECT unnest(range(2)) AS f) f),
-         hb AS (
-           SELECT media_id, frame_no,
-             (xor(${fnvSql("text")}, frame_no::HUGEINT) * 1099511628211::HUGEINT)
-               % 18446744073709551616::HUGEINT AS hp
-           FROM vf),
-         hd AS (
-           SELECT media_id, frame_no, d.d AS d, xor(hp, d.d::HUGEINT) AS x
-           FROM hb CROSS JOIN (SELECT unnest(range(4)) AS d) d),
-         ${mix64Ctes("hd", "mx")},
-         ft AS (
-           SELECT media_id, frame_no, d, ${toFloat("h")} AS fv FROM mx)
-         SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
-           round(CAST(max(CASE WHEN d = 0 THEN fv END) AS DOUBLE), 6) AS f0,
-           round(CAST(max(CASE WHEN d = 1 THEN fv END) AS DOUBLE), 6) AS f1,
-           round(CAST(max(CASE WHEN d = 2 THEN fv END) AS DOUBLE), 6) AS f2,
-           round(CAST(max(CASE WHEN d = 3 THEN fv END) AS DOUBLE), 6) AS f3
-         FROM ft GROUP BY media_id, frame_no ORDER BY media_id, frame_no"""
-    },
-
-    "multimodal_pipeline" -> {
-      val toFloat = (h: String) =>
-        s"CAST(CAST(${signedSql(h)} AS DOUBLE) / 9223372036854775807.0 AS FLOAT)"
-      s"""WITH m AS (
-           SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 3 = 0 THEN 'image'
-                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-             CAST(doc_id % 640 + 32 AS BIGINT) AS width,
-             CAST(doc_id % 480 + 32 AS BIGINT) AS height,
-             text
-           FROM documents),
-         rz AS (
-           SELECT media_id, kind, text,
-             CASE WHEN width <= 224 AND height <= 224 THEN width
-                  WHEN width * 224 >= height * 224 THEN 224
-                  ELSE CAST(floor(width * 224 / CAST(height AS DOUBLE)) AS BIGINT)
-             END AS out_w,
-             CASE WHEN width <= 224 AND height <= 224 THEN height
-                  WHEN width * 224 >= height * 224
-                    THEN CAST(floor(height * 224 / CAST(width AS DOUBLE)) AS BIGINT)
-                  ELSE 224
-             END AS out_h
-           FROM m),
-         hb AS (
-           SELECT media_id, kind, out_w, out_h,
-             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-             ${fnvSql("text")} AS fp
-           FROM rz),
-         hd AS (SELECT *, fp AS x FROM hb),
-         ${mix64Ctes("hd", "mx")}
-         SELECT media_id, kind, out_w, out_h, byte_len,
-           ${signedSql("fp")} AS checksum,
-           round(CAST(${toFloat("h")} AS DOUBLE), 6) AS f0
-         FROM mx ORDER BY media_id"""
-    },
-
-    "sample_stratified" -> {
-      val key = "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
-      s"""WITH h AS (
-           SELECT l_returnflag, ${signedSql(fnvSql(key))} AS hv FROM lineitem)
-         SELECT l_returnflag, count(*) AS n_total,
-           count(CASE WHEN ((hv % 100) + 100) % 100 < 10 THEN 1 END) AS n_sampled
-         FROM h GROUP BY l_returnflag ORDER BY l_returnflag"""
-    },
-
-    "sample_reservoir" -> {
-      val key = "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
-      s"""WITH h AS (
-           SELECT l_returnflag, l_orderkey, l_linenumber,
-             ${signedSql(fnvSql(key))} AS hv
-           FROM lineitem
-         ), r AS (
-           SELECT l_returnflag, l_orderkey, l_linenumber,
-             row_number() OVER (PARTITION BY l_returnflag
-               ORDER BY hv, l_orderkey, l_linenumber) AS rn
-           FROM h
-         )
-         SELECT l_returnflag, rn, l_orderkey,
-           CAST(l_linenumber AS BIGINT) AS l_linenumber
-         FROM r WHERE rn <= 20 ORDER BY l_returnflag, rn"""
-    },
-
-    "events_funnel" ->
-      """WITH su AS (
-           SELECT user_id, min(ts) AS t1 FROM events
-           WHERE event_type = 'signup' GROUP BY user_id
-         ), cl AS (
-           SELECT e.user_id, min(e.ts) AS t2
-           FROM events e JOIN su ON e.user_id = su.user_id
-           WHERE e.event_type = 'click' AND e.ts > su.t1 GROUP BY e.user_id
-         ), pu AS (
-           SELECT e.user_id, min(e.ts) AS t3
-           FROM events e JOIN cl ON e.user_id = cl.user_id
-           WHERE e.event_type = 'purchase' AND e.ts > cl.t2 GROUP BY e.user_id
-         )
-         SELECT '1_signup' AS step, count(*) AS n_users FROM su
-         UNION ALL SELECT '2_click', count(*) FROM cl
-         UNION ALL SELECT '3_purchase', count(*) FROM pu
-         ORDER BY step""",
-
-    "tokenizer_bpe_step" ->
-      s"""WITH d AS (SELECT $toksSql AS toks FROM documents),
-         w AS (SELECT unnest(toks) AS w FROM d),
-         p AS (SELECT unnest(list_transform(range(1, length(w)),
-             i -> substr(w, CAST(i AS INT), 2))) AS pair
-           FROM w WHERE length(w) >= 2)
-         SELECT pair, count(*) AS n FROM p
-         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
-
-    "tokenizer_bpe_train" ->
-      s"""WITH $bpeTrainCtePrefix
-         SELECT * FROM (${(1 to 8).map(k =>
-           s"SELECT CAST($k AS INTEGER) AS step, a AS lhs, b AS rhs, a || b AS merged, n FROM t$k")
-           .mkString(" UNION ALL ")}) ORDER BY step""",
-
-    "tokenizer_bpe_apply" -> {
-      // trains the same 8 merges (shared CTE prefix), then ENCODES the
-      // full distinct vocabulary by replaying them in rank order — the
-      // same chained literal replace() — and rolls stats up per doc
-      val applies = (1 to 8).map { k =>
-        val prev = if (k == 1) "e0" else s"e${k - 1}"
-        s"""e$k AS (SELECT w, replace(s, ' ' || t$k.a || e'\n ' || t$k.b || e'\n',
-             ' ' || t$k.a || t$k.b || e'\n') AS s
-           FROM $prev CROSS JOIN t$k)"""
-      }.mkString(",\n         ")
-      s"""WITH $bpeTrainCtePrefix,
-         va AS (SELECT DISTINCT w FROM (SELECT unnest(toks) AS w FROM d)),
-         e0 AS (SELECT w, ' ' || array_to_string(
-             list_transform(range(1, length(w) + 1),
-               i -> substr(w, CAST(i AS INT), 1)), e'\n ') || e'\n' AS s
-           FROM va),
-         $applies,
-         enc AS (SELECT w, CAST(length(s) - length(replace(s, e'\n', ''))
-             AS BIGINT) AS n_sym FROM e8),
-         dt AS (SELECT doc_id, unnest(toks) AS w FROM d)
-         SELECT dt.doc_id, count(*) AS n_tokens,
-           CAST(sum(length(dt.w)) AS BIGINT) AS n_chars,
-           CAST(sum(enc.n_sym) AS BIGINT) AS n_symbols,
-           CAST(floor(CAST(sum(length(dt.w)) AS BIGINT) * 10000.0
-             / CAST(sum(enc.n_sym) AS BIGINT)) AS BIGINT) AS ratio_bp
-         FROM dt JOIN enc ON enc.w = dt.w
-         GROUP BY dt.doc_id ORDER BY dt.doc_id"""
-    },
-
-    "sample_weighted" -> {
-      val baseH = fnvSql(
-        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")
-      val jg = mulModSql("CAST(j AS HUGEINT)", "11400714819323198485")
-      s"""WITH rows0 AS (
-           -- rid keeps the dq fixture's EXACT-DUPLICATE rows apart: the
-           -- engine never groups, so a grouped oracle would collapse them
-           SELECT l_orderkey, l_linenumber, l_quantity,
-             row_number() OVER () AS rid, $baseH AS bh
-           FROM lineitem),
-         drawsj AS (
-           SELECT l_orderkey, l_linenumber, l_quantity, rid, bh,
-             unnest(range(1, CAST(l_quantity AS INT) + 1)) AS j
-           FROM rows0),
-         drawsx AS (
-           SELECT l_orderkey, l_linenumber, l_quantity, rid,
-             xor(bh, $jg) AS x
-           FROM drawsj),
-         ${mix64Ctes("drawsx", "mixed")},
-         pri AS (
-           SELECT l_orderkey, l_linenumber, l_quantity,
-             max(${signedSql("h")}) AS pri_h
-           FROM mixed GROUP BY rid, l_orderkey, l_linenumber, l_quantity)
-         SELECT l_orderkey, l_linenumber, l_quantity, pri_h
-         FROM pri ORDER BY pri_h DESC, l_orderkey, l_linenumber,
-           l_quantity LIMIT 20"""
-    },
-
-    "events_cooccurrence" ->
-      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-         nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
-         tc AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
-         p AS (
-           SELECT a.event_type AS x, b.event_type AS y, count(*) AS n_xy
-           FROM ut a JOIN ut b
-             ON a.user_id = b.user_id AND a.event_type < b.event_type
-           GROUP BY 1, 2)
-         SELECT x, y, n_xy,
-           round(ln(CAST(n_xy * nu.n_users AS DOUBLE)
-             / CAST(tx.n * ty.n AS DOUBLE)), 6) AS pmi
-         FROM p CROSS JOIN nu
-         JOIN tc tx ON tx.event_type = p.x
-         JOIN tc ty ON ty.event_type = p.y
-         ORDER BY x, y""",
-
-    "window_streaks" ->
-      """WITH days AS (
-           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-         a AS (
-           SELECT user_id, d,
-             d - CAST(row_number() OVER (PARTITION BY user_id
-               ORDER BY d) AS INT) AS anchor
-           FROM days)
-         SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
-           count(*) AS len_days
-         FROM a GROUP BY user_id, anchor
-         ORDER BY user_id, streak_start""",
-
-    "attribution_position" ->
-      """WITH c AS (
-           SELECT user_id, ts, event_id AS click_id FROM events
-           WHERE event_type = 'click'),
-         p AS (
-           SELECT user_id, ts, event_id FROM events
-           WHERE event_type = 'purchase'),
-         a AS (
-           SELECT c.click_id, c.user_id, c.ts,
-             (SELECT p.event_id FROM p
-              WHERE p.user_id = c.user_id AND p.ts >= c.ts
-              ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS conv_id
-           FROM c),
-         g AS (
-           SELECT click_id, user_id, conv_id,
-             count(*) OVER (PARTITION BY conv_id) AS n,
-             row_number() OVER (PARTITION BY conv_id
-               ORDER BY ts, click_id) AS rn
-           FROM a WHERE conv_id IS NOT NULL)
-         SELECT click_id, user_id, conv_id,
-           round(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
-             WHEN rn = 1 OR rn = n THEN 0.4
-             ELSE 0.2 / CAST(n - 2 AS DOUBLE) END, 6) AS credit
-         FROM g ORDER BY click_id""",
-
-    "dataset_card_stats" ->
-      s"""WITH d AS (
-           SELECT source, lang, n_chars,
-             len($toksSql) AS n_toks
-           FROM documents)
-         SELECT source, lang, count(*) AS n_docs,
-           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-           CAST(sum(n_chars) AS BIGINT) AS n_chars,
-           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS mean_chars
-         FROM d GROUP BY source, lang ORDER BY source, lang""",
-
-    "markov_transitions" ->
-      """WITH o AS (
-           SELECT event_type AS src,
-             lead(event_type) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS dst
-           FROM events),
-         c AS (SELECT src, dst, count(*) AS n FROM o
-               WHERE dst IS NOT NULL GROUP BY 1, 2)
-         SELECT src, dst, n,
-           round(CAST(n AS DOUBLE)
-             / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
-         FROM c ORDER BY src, dst""",
-
-    "retention_cohorts" ->
-      """WITH first AS (
-           SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
-           FROM events GROUP BY user_id
-         ), active AS (
-           SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
-         )
-         SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
-           CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS weeks_since,
-           count(*) AS n_users
-         FROM active JOIN first USING (user_id)
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "anomaly_zscore" ->
-      """WITH stats AS (
-           SELECT event_type, count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
-           FROM events GROUP BY event_type
-         ), z AS (
-           SELECT e.event_id, e.event_type, s.n,
-             (s.s2 - s.s1 * s.s1 / CAST(s.n AS DOUBLE))
-               / (CAST(s.n AS DOUBLE) - 1.0) AS vr,
-             round((e.value - s.s1 / CAST(s.n AS DOUBLE))
-               / sqrt((s.s2 - s.s1 * s.s1 / CAST(s.n AS DOUBLE))
-                      / (CAST(s.n AS DOUBLE) - 1.0)), 4) AS z
-           FROM events e JOIN stats s ON e.event_type = s.event_type
-         )
-         SELECT event_id, event_type, z FROM z
-         WHERE n > 1 AND vr > 0 AND abs(z) >= 3.0 ORDER BY event_id""",
-
-    "quality_repetition" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         m AS (
-           SELECT doc_id,
-             CAST(len(toks) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-             CASE WHEN len(toks) = 0 THEN 0
-               ELSE list_max(list_transform(list_distinct(toks),
-                 u -> len(list_filter(toks, x -> x = u)))) END AS top_cnt
-           FROM d
-         )
-         SELECT doc_id, n_tokens, n_distinct,
-           CASE WHEN n_tokens = 0 THEN 0.0
-             ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-           END AS dup_token_frac,
-           CASE WHEN n_tokens = 0 THEN 0.0
-             ELSE round(CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-           END AS top_token_frac
-         FROM m ORDER BY doc_id""",
-
-    "text_pii_mask" ->
-      """WITH src AS (
-           SELECT doc_id,
-             'contact user' || doc_id || '@mail.example.com or 10.2.'
-               || (doc_id % 256) || '.7 tel 555-123-4567 :: ' || text AS raw
-           FROM documents
-         ), masked AS (
-           SELECT doc_id,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(raw,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
-               '(\+\d{1,2}[- ])?\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '[PHONE]', 'g') AS masked
-           FROM src
-         )
-         SELECT doc_id, masked,
-           CAST(len(string_split(masked, '@')) - 1 AS BIGINT) AS n_emails_left
-         FROM masked ORDER BY doc_id""",
-
-    "chunk_documents" ->
-      """WITH tk AS (
-           SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(text), '\s+') END AS ts
-           FROM documents
-         ), f AS (
-           SELECT doc_id, ts, len(ts) AS n FROM tk WHERE len(ts) > 0
-         ), ch AS (
-           SELECT doc_id, st.s AS s, n,
-             array_to_string(ts[CAST(st.s AS INT) + 1 : CAST(st.s AS INT) + 64], ' ') AS chunk_text
-           FROM f CROSS JOIN LATERAL
-             (SELECT unnest(range(0, n, 48)) AS s) st
-         )
-         SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_no,
-           CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens, chunk_text
-         FROM ch ORDER BY doc_id, chunk_no""",
-
-    "url_canonicalize" ->
-      """WITH src AS (
-           SELECT doc_id,
-             'HTTPS://Example' || (doc_id % 5) || '.COM:443/Path/' || (doc_id % 40)
-               || CASE WHEN doc_id % 3 = 0
-                    THEN '?utm_source=feed&utm_medium=rss&id=' || (doc_id % 7)
-                  WHEN doc_id % 3 = 1
-                    THEN '/?id=' || (doc_id % 7) || '&utm_campaign=x'
-                  ELSE '/#section-2' END AS url
-           FROM documents
-         ), canon AS (
-           SELECT doc_id,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         regexp_replace(
-                           lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-                             '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
-                           || regexp_replace(regexp_replace(url, '#.*$', ''),
-                                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-                           '^(https://[^/?#:]+):443([/?]|$)', '\1\2'),
-                         '^(http://[^/?#:]+):80([/?]|$)', '\1\2'),
-                       '([?&])utm_[A-Za-z]+=[^&]*&', '\1', 'g'),
-                     '([?&])utm_[A-Za-z]+=[^&]*&', '\1', 'g'),
-                   '[?&]utm_[A-Za-z]+=[^&]*$', '', 'g'),
-                 '[?&]$', '', 'g'),
-               '/$', '', 'g') AS canonical_url
-           FROM src
-         )
-         SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_urls
-         FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
-
-    "multimodal_dedup" ->
-      s"""WITH aug AS ($augDocsSql)
-         SELECT md5(text) AS payload_md5, min(doc_id) AS keep_media_id,
-           count(*) AS n_copies
-         FROM aug GROUP BY md5(text) ORDER BY payload_md5""",
-
-    "text_normalize" ->
-      """SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', '', 'g'),
-                '\s+', ' ', 'g')) AS norm_text,
-           CAST(length(text) AS BIGINT) AS n_raw,
-           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', '', 'g'),
-                '\s+', ' ', 'g'))) AS BIGINT) AS n_norm
-         FROM documents ORDER BY doc_id""",
-
-    "decontaminate_overlap" ->
-      s"""WITH ${shingleCtes("documents")},
-         te AS (SELECT doc_id AS train_id, unnest(sh) AS h
-                FROM shd WHERE doc_id % 97 <> 0),
-         be AS (SELECT doc_id AS bench_id, unnest(sh) AS h
-                FROM shd WHERE doc_id % 97 = 0)
-         SELECT train_id, bench_id, count(*) AS n_shared
-         FROM te JOIN be USING (h)
-         GROUP BY train_id, bench_id
-         HAVING count(*) >= 3
-         ORDER BY train_id, bench_id""",
-
-    // NOTE (applies to dedup_incremental and dedup_minhash_survivors):
-    // these two oracles are INTENTIONALLY STRICTER than the engine — they
-    // score exact all-pairs Jaccard over shared shingles, while the engine
-    // only verifies LSH candidate pairs (recall < 1 by design). They agree
-    // only because the synthetic near-dups (augmentedDocs: exact copies +
-    // one appended tail) are extreme enough that every qualifying pair
-    // shares a full band and therefore always lands in a common bucket at
-    // bands=16, rowsPerBand=4. On a different corpus or with weaker LSH
-    // parameters a mismatch here would mean LSH recall < 1, not an engine
-    // bug. (dedup_minhash_pairs has the same property — its recall on this
-    // corpus is proven 1.0, which is what licenses the stricter oracle.)
-    "dedup_incremental" -> incrementalDedupOracleSql,
-
-    // identical results by construction: the index probes materialize the
-    // corpus artifacts but compute the same survivor set, so they share
-    // the incremental oracle verbatim
-    "dedup_incremental_index" -> incrementalDedupOracleSql,
-    // bloom prefilter + exact confirm ⇒ bit-identical to dedup_incremental
-    "dedup_incremental_bloom" -> incrementalDedupOracleSql,
-    "dedup_incremental_bucketed" -> incrementalDedupOracleSql,
-
-    "dedup_minhash_survivors" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         doomed AS (
-           SELECT DISTINCT id_b FROM common
-             JOIN sizes sa ON sa.doc_id = id_a
-             JOIN sizes sb ON sb.doc_id = id_b
-           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6)
-         SELECT doc_id FROM aug
-         WHERE doc_id NOT IN (SELECT id_b FROM doomed)
-         ORDER BY doc_id""",
-
-    "paragraph_dedup" ->
-      """WITH docs AS (
-           SELECT doc_id,
-             concat_ws(chr(10)||chr(10),
-               substr(text, 1, 120),
-               'this content is licensed under the terms of the example license',
-               substr(text, 121),
-               CASE WHEN doc_id % 7 = 0
-                    THEN 'subscribe to our newsletter for updates' END) AS text
-           FROM documents),
-         sp AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ss
-                FROM docs),
-         paras AS (
-           SELECT doc_id, unnest(ss) AS para, unnest(range(len(ss))) AS pos
-           FROM sp),
-         pp AS (SELECT doc_id, pos, para, doc_id*1000000 + pos AS loc
-                FROM paras WHERE trim(para) <> ''),
-         keep AS (SELECT min(loc) AS loc FROM pp
-                  GROUP BY md5(regexp_replace(trim(lower(para)), '\s+', ' ', 'g'))),
-         kept AS (SELECT * FROM pp WHERE loc IN (SELECT loc FROM keep))
-         SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text
-         FROM kept GROUP BY doc_id ORDER BY doc_id""",
-
-    // int8 scores are integral in both engines: the DuckDB side quantizes
-    // with the same (x*127.0)/m + round-half-away expression tree, and the
-    // dot of integer-valued doubles is exact far below 2^53, so CAST AS
-    // BIGINT equals the engine's native long dot bit-for-bit
-    "similarity_topk_int8" ->
-      """WITH v AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
-         qn AS (
-           SELECT vec_id, dv,
-             list_max(list_transform(dv, x -> abs(x))) AS m FROM v),
-         qv AS (
-           SELECT vec_id,
-             CASE WHEN m = 0 THEN list_transform(dv, x -> 0.0)
-                  ELSE list_transform(dv, x -> round(x * 127.0 / m)) END AS q
-           FROM qn),
-         qs AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 5),
-         sc AS (
-           SELECT qs.query_id, c.vec_id,
-             CAST(list_dot_product(c.q, qs.qq) AS BIGINT) AS qdot
-           FROM qv c CROSS JOIN qs),
-         r AS (
-           SELECT query_id, vec_id, qdot,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY qdot DESC, vec_id) AS rnk
-           FROM sc)
-         SELECT query_id, rnk, vec_id, qdot FROM r WHERE rnk <= 10
-         ORDER BY query_id, rnk""",
-
-    // reuses the hyperplane CTE machinery with bands=1: hpr.proj IS the
-    // JL projection (same planes, same d-ascending fold) before signing
-    "embedding_project" ->
-      s"""WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         ${hyperplaneSigCtes("corpus", bits = 8, bands = 1)}
-         SELECT vec_id, bit AS dim, round(proj, 6) AS val
-         FROM hpr WHERE band = 0 ORDER BY vec_id, dim""",
-
-    // reduced vectors reassembled from the projection CTEs (list ordered
-    // by output dim), then scored with the exact cosSql fold
-    "similarity_topk_rp" ->
-      s"""WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         ${hyperplaneSigCtes("corpus", bits = 16, bands = 1)},
-         red AS (
-           SELECT vec_id, list(proj ORDER BY bit) AS rv
-           FROM hpr WHERE band = 0 GROUP BY vec_id),
-         qs AS (SELECT vec_id AS query_id, rv AS qv FROM red WHERE vec_id < 5),
-         sc AS (
-           SELECT qs.query_id, c.vec_id, ${cosSql("c.rv", "qs.qv")} AS cosine
-           FROM red c CROSS JOIN qs),
-         r AS (
-           SELECT query_id, vec_id, cosine,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, vec_id) AS rnk
-           FROM sc)
-         SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
-         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
-
-    // winnowing replicated on the ORDERED (pre-distinct) shingle list:
-    // signed min per sliding window of 4, deduplicated; pair = >= 2
-    // shared prints. The df cap (100000) can't bind at this scale, so the
-    // oracle omits it.
-    "dedup_winnowing_pairs" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         ss AS (SELECT doc_id,
-             list_transform(sh, h -> ${signedSql("h")}) AS s
-           FROM sh),
-         winp AS (SELECT doc_id,
-             list_distinct(CASE WHEN len(s) <= 4 THEN [list_min(s)]
-               ELSE list_transform(range(0, len(s) - 3),
-                 i -> list_min(s[CAST(i AS INT)+1 : CAST(i AS INT)+4]))
-               END) AS prints
-           FROM ss),
-         pe AS (SELECT doc_id, unnest(prints) AS p FROM winp)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           count(*) AS n_shared
-         FROM pe a JOIN pe b ON a.p = b.p AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 2
-         ORDER BY id_a, id_b""",
-
-    // positional (undeduplicated) shingles from the same shingleCtes
-    // chain (`sh` is the ordered list; pos = 0-based slot), then the same
-    // df-capped self-join → consecutive-run islands → per-doc interval
-    // union as Dedup.substringSpans. Integer-only, so no float boundary.
-    "dedup_substring_spans" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         pe AS (SELECT doc_id, unnest(range(len(sh))) AS pos,
-             unnest(sh) AS h FROM sh),
-         df AS (SELECT h FROM pe GROUP BY h
-           HAVING count(*) BETWEEN 2 AND 100000),
-         cap AS (SELECT pe.* FROM pe JOIN df USING (h)),
-         m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.pos AS pa, a.pos - b.pos AS diff
-           FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id),
-         runs AS (SELECT id_a, id_b, diff, pa,
-             pa - row_number() OVER (PARTITION BY id_a, id_b, diff
-               ORDER BY pa) AS grp
-           FROM m),
-         r AS (SELECT id_a, id_b, diff, min(pa) AS run_start,
-             count(*) AS run_len
-           FROM runs GROUP BY id_a, id_b, diff, grp
-           HAVING count(*) >= 6),
-         spans0 AS (
-           SELECT id_a AS doc_id, run_start AS s,
-             run_start + run_len + 2 AS e FROM r
-           UNION ALL
-           SELECT id_b, run_start - diff,
-             run_start - diff + run_len + 2 FROM r),
-         -- distinct makes the (s, e) window order TOTAL; with duplicate
-         -- spans the island-start flag and the island cumulative sum can
-         -- order tied rows differently and split an island
-         spans AS (SELECT DISTINCT doc_id, s, e FROM spans0),
-         isl AS (SELECT doc_id, s, e,
-             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
-               ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
-           FROM spans),
-         isl2 AS (SELECT doc_id, s, e,
-             sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-           FROM isl)
-         SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
-           max(e) - min(s) AS span_tokens
-         FROM isl2 GROUP BY doc_id, island
-         ORDER BY doc_id, span_start""",
-
-    // keep-first spans (id_b side only of the same match pipeline — the
-    // lowest-id occurrence of every duplicated substring is never
-    // flagged) cut out of the canonical token stream; token positions
-    // and the cut are integer-only, clean_text is a deterministic
-    // ORDER BY pos string_agg
-    "dedup_substring_apply" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         pe AS (SELECT doc_id, unnest(range(len(sh))) AS pos,
-             unnest(sh) AS h FROM sh),
-         df AS (SELECT h FROM pe GROUP BY h
-           HAVING count(*) BETWEEN 2 AND 100000),
-         cap AS (SELECT pe.* FROM pe JOIN df USING (h)),
-         m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.pos AS pa, a.pos - b.pos AS diff
-           FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id),
-         rn AS (SELECT id_a, id_b, diff, pa,
-             pa - row_number() OVER (PARTITION BY id_a, id_b, diff
-               ORDER BY pa) AS grp
-           FROM m),
-         r AS (SELECT id_a, id_b, diff, min(pa) AS run_start,
-             count(*) AS run_len
-           FROM rn GROUP BY id_a, id_b, diff, grp
-           HAVING count(*) >= 6),
-         spans0 AS (SELECT id_b AS doc_id, run_start - diff AS s,
-             run_start - diff + run_len + 2 AS e FROM r),
-         spans AS (SELECT DISTINCT doc_id, s, e FROM spans0),
-         isl AS (SELECT doc_id, s, e,
-             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
-               ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
-           FROM spans),
-         isl2 AS (SELECT doc_id, s, e,
-             sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-           FROM isl),
-         merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
-           FROM isl2 GROUP BY doc_id, island),
-         toks AS (SELECT doc_id, $toksSql AS toks FROM aug),
-         tokp AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
-             unnest(toks) AS tok FROM toks),
-         rem AS (SELECT DISTINCT t.doc_id, t.pos FROM tokp t
-           JOIN merged mg ON t.doc_id = mg.doc_id
-             AND t.pos >= mg.s AND t.pos < mg.e),
-         kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokp t
-           LEFT JOIN rem rm ON t.doc_id = rm.doc_id AND t.pos = rm.pos
-           WHERE rm.doc_id IS NULL),
-         agg AS (SELECT doc_id,
-             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-             count(*) AS n_kept
-           FROM kept GROUP BY doc_id)
-         SELECT d.doc_id,
-           CASE WHEN d.toks IS NULL THEN NULL
-                ELSE coalesce(a.clean_text, '') END AS clean_text,
-           CASE WHEN d.toks IS NULL THEN NULL
-                ELSE len(d.toks) END AS n_tokens,
-           CASE WHEN d.toks IS NULL THEN NULL
-                ELSE len(d.toks) - coalesce(a.n_kept, 0) END AS n_removed
-         FROM toks d LEFT JOIN agg a USING (doc_id)
-         ORDER BY doc_id""",
-
-    // incremental form: new-batch positional shingles vs the CORPUS-side
-    // positional index (df cap computed over the corpus only, no lower
-    // bound — any cross-set match is already cross-doc); spans for new
-    // docs only, same run-islands + interval union
-    "dedup_substring_index" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         pe AS (SELECT doc_id, unnest(range(len(sh))) AS pos,
-             unnest(sh) AS h FROM sh),
-         newpe AS (SELECT * FROM pe WHERE doc_id >= 1000000),
-         corpe AS (SELECT * FROM pe WHERE doc_id < 1000000),
-         df AS (SELECT h FROM corpe GROUP BY h HAVING count(*) <= 100000),
-         capc AS (SELECT corpe.* FROM corpe JOIN df USING (h)),
-         m AS (SELECT n.doc_id AS id_n, c.doc_id AS id_c,
-             n.pos AS pn, n.pos - c.pos AS diff
-           FROM newpe n JOIN capc c ON n.h = c.h),
-         rn AS (SELECT id_n, id_c, diff, pn,
-             pn - row_number() OVER (PARTITION BY id_n, id_c, diff
-               ORDER BY pn) AS grp
-           FROM m),
-         r AS (SELECT id_n, id_c, diff, min(pn) AS run_start,
-             count(*) AS run_len
-           FROM rn GROUP BY id_n, id_c, diff, grp
-           HAVING count(*) >= 6),
-         spans0 AS (SELECT id_n AS doc_id, run_start AS s,
-             run_start + run_len + 2 AS e FROM r),
-         spans AS (SELECT DISTINCT doc_id, s, e FROM spans0),
-         isl AS (SELECT doc_id, s, e,
-             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
-               ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
-           FROM spans),
-         isl2 AS (SELECT doc_id, s, e,
-             sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-           FROM isl)
-         SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
-           max(e) - min(s) AS span_tokens
-         FROM isl2 GROUP BY doc_id, island
-         ORDER BY doc_id, span_start""",
-
-    // full replication of HashOps.minhashFromHashes: per (doc, j<16)
-    // component = signed min over shingle hashes of
-    // mix64(h XOR (j·GOLDEN mod 2^64)); estimate = matches/16, threshold
-    // on the INTEGER match count (>= 8), so no float boundary exists
-    "dedup_minhash_estimate" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         xj AS (
-           SELECT doc_id, jj.j AS j,
-             xor(h, (jj.j * 11400714819323198485::HUGEINT)
-                 % 18446744073709551616::HUGEINT) AS x
-           FROM e CROSS JOIN (SELECT unnest(range(16)) AS j) jj),
-         ${mix64Ctes("xj", "mx")},
-         sig AS (
-           SELECT doc_id, j, min(${signedSql("h")}) AS c
-           FROM mx GROUP BY doc_id, j)
-         SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
-           round(CAST(count(*) AS DOUBLE) / 16, 4) AS est_jaccard
-         FROM sig sa JOIN sig sb
-           ON sa.j = sb.j AND sa.c = sb.c AND sa.doc_id < sb.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 8
-         ORDER BY id_a, id_b""",
-
-    "dedup_containment_pairs" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         sc AS (
-           SELECT id_a, id_b,
-             CAST(c AS DOUBLE) / least(sa.n, sb.n) AS containment
-           FROM common
-             JOIN sizes sa ON sa.doc_id = id_a
-             JOIN sizes sb ON sb.doc_id = id_b)
-         SELECT id_a, id_b, round(containment, 6) AS containment
-         FROM sc WHERE containment >= 0.9
-         ORDER BY id_a, id_b""",
-
-    "dedup_best_of_cluster" ->
-      s"""WITH RECURSIVE aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS (
-           SELECT id_a, id_b FROM common
-             JOIN sizes sa ON sa.doc_id = id_a
-             JOIN sizes sb ON sb.doc_id = id_b
-           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
-         edges AS (
-           SELECT id_a AS s, id_b AS t FROM pairs
-           UNION ALL SELECT id_b, id_a FROM pairs),
-         reach(id, lbl) AS (
-           SELECT DISTINCT s, s FROM edges
-           UNION
-           SELECT e2.s, r.lbl FROM edges e2 JOIN reach r ON e2.t = r.id),
-         comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id
-                  FROM reach GROUP BY id),
-         qb AS (
-           SELECT doc_id, text,
-             string_split_regex(trim(lower(text)), '\\s+') AS toks,
-             length(text) AS tlen
-           FROM aug),
-         qm AS (
-           SELECT doc_id,
-             least(tlen / 200.0, 1.0) AS len_score,
-             CASE WHEN tlen = 0 THEN 0.0
-                  ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-                       / CAST(tlen AS DOUBLE) END AS punct_ratio,
-             CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(len(list_filter(toks, t -> list_contains(
-                    ['the','a','an','and','or','of','to','in','is','it','on','for'], t))) AS DOUBLE)
-                       / CAST(len(toks) AS DOUBLE) END AS sw_ratio,
-             CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
-                       / CAST(len(toks) AS DOUBLE) END AS mtl
-           FROM qb),
-         qual AS (
-           SELECT doc_id,
-             round(len_score * 0.3
-                   + least(sw_ratio * 4.0, 1.0) * 0.3
-                   + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2
-                   + (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
-                   4) AS quality
-           FROM qm),
-         memb AS (
-           SELECT c.cluster_id, c.doc_id, q.quality
-           FROM comp c JOIN qual q USING (doc_id)),
-         best AS (
-           SELECT cluster_id, max(quality) AS best_quality,
-             count(*) AS n_members
-           FROM memb GROUP BY cluster_id),
-         keep AS (
-           SELECT m.cluster_id, min(m.doc_id) AS keep_id
-           FROM memb m JOIN best b
-             ON m.cluster_id = b.cluster_id AND m.quality = b.best_quality
-           GROUP BY m.cluster_id)
-         SELECT k.cluster_id, k.keep_id, b.n_members, b.best_quality
-         FROM keep k JOIN best b USING (cluster_id)
-         ORDER BY cluster_id""",
-
-    "token_bigrams" ->
-      """WITH tk AS (
-           SELECT CASE WHEN trim(lower(text)) = '' THEN []
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
-           FROM documents),
-         bg AS (
-           SELECT unnest(list_transform(range(1, len(ts)),
-             i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1])) AS bigram
-           FROM tk WHERE len(ts) >= 2)
-         SELECT bigram, count(*) AS freq FROM bg
-         GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""",
-
-    "events_top_paths" ->
-      """WITH o AS (
-           SELECT user_id, event_type,
-             lead(event_type, 1) OVER w AS e2,
-             lead(event_type, 2) OVER w AS e3
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         SELECT event_type || '->' || e2 || '->' || e3 AS path,
-           count(*) AS n
-         FROM o WHERE e3 IS NOT NULL
-         GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
-
-    "anomaly_mad" ->
-      """WITH med AS (
-           SELECT event_type, quantile_cont(value, 0.5) AS med
-           FROM events GROUP BY event_type),
-         mad AS (
-           SELECT e.event_type, m.med,
-             quantile_cont(abs(e.value - m.med), 0.5) AS mad
-           FROM events e JOIN med m USING (event_type)
-           GROUP BY e.event_type, m.med)
-         SELECT e.event_id, e.event_type,
-           CAST(floor(0.6745 * (e.value - d.med) / d.mad * 10000) AS BIGINT)
-             AS rz_e4
-         FROM events e JOIN mad d USING (event_type)
-         WHERE d.mad > 0
-           AND abs(0.6745 * (e.value - d.med) / d.mad) >= 3.5
-         ORDER BY e.event_id""",
-
-    "text_rarity" ->
-      """WITH tok AS (
-           SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-           FROM documents),
-         tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok)
-         SELECT doc_id, count(*) AS n_tokens,
-           count(DISTINCT t.tok) AS n_distinct,
-           min(tf.tf) AS min_tf,
-           round(CAST(sum(tf.tf) AS DOUBLE) / count(*), 4) AS mean_tf
-         FROM tok t JOIN tf USING (tok)
-         GROUP BY doc_id ORDER BY doc_id""",
-
-    "text_entropy" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
-         a AS (
-           SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
-             list_reduce(list_prepend(0.0,
-               list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY tok)),
-               (acc, x) -> acc + x) AS s
-           FROM tc GROUP BY doc_id)
-         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_distinct,
-           round((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE))
-             / ln(2.0), 6) AS entropy_bits
-         FROM a ORDER BY doc_id""",
-
-    "text_ngram_lm" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         big AS (
-           SELECT doc_id,
-             unnest(list_transform(range(1, len(toks)),
-               i -> {'pos': i, 'w1': toks[CAST(i AS INT)],
-                     'w2': toks[CAST(i AS INT) + 1]})) AS b
-           FROM d WHERE len(toks) >= 2),
-         bf AS (SELECT doc_id, b.pos AS pos, b.w1 AS w1, b.w2 AS w2 FROM big),
-         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bf GROUP BY 1, 2),
-         c1 AS (SELECT w1, count(*) AS c1 FROM bf GROUP BY 1),
-         v AS (SELECT count(DISTINCT tok) AS v
-               FROM (SELECT unnest(toks) AS tok FROM d)),
-         sc AS (
-           SELECT bf.doc_id, bf.pos,
-             ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) AS lp
-           FROM bf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
-         SELECT doc_id, count(*) AS n_bigrams,
-           round(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
-             (a, b) -> a + b) / CAST(count(*) AS DOUBLE), 6) AS avg_logp
-         FROM sc GROUP BY doc_id ORDER BY doc_id""",
-
-    "mixture_divergence" ->
-      s"""WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
-         tok AS (SELECT lang, unnest(toks) AS tok FROM d),
-         cl AS (SELECT lang, tok, count(*) AS cl FROM tok GROUP BY 1, 2),
-         nl AS (SELECT lang, count(*) AS nl FROM tok GROUP BY 1),
-         cg AS (SELECT tok, count(*) AS cg FROM tok GROUP BY 1),
-         ng AS (SELECT count(*) AS ng FROM tok),
-         sc AS (
-           SELECT cl.lang, cl.tok,
-             (CAST(cl.cl AS DOUBLE) / CAST(nl.nl AS DOUBLE))
-               * ln((CAST(cl.cl AS DOUBLE) / CAST(nl.nl AS DOUBLE))
-                     / (CAST(cg.cg AS DOUBLE) / CAST(ng.ng AS DOUBLE))) AS term
-           FROM cl JOIN cg USING (tok) JOIN nl USING (lang) CROSS JOIN ng),
-         a AS (
-           SELECT lang, count(*) AS n_distinct,
-             list_reduce(list_prepend(0.0, list(term ORDER BY tok)),
-               (x, y) -> x + y) AS kl
-           FROM sc GROUP BY lang)
-         SELECT a.lang, nl.nl AS n_tokens, a.n_distinct,
-           round(a.kl / ln(2.0), 6) AS kl_bits
-         FROM a JOIN nl USING (lang) ORDER BY lang""",
-
-    "agg_corr" ->
-      """WITH m AS (
-           SELECT l_returnflag, count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
-           FROM lineitem GROUP BY l_returnflag)
-         SELECT l_returnflag, n,
-           round((CAST(n AS DOUBLE) * sxy - sx * sy)
-             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price,
-           round((CAST(n AS DOUBLE) * sxy - sx * sy)
-             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop,
-           round((CAST(n AS DOUBLE) * sxy - sx * sy)
-             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS covar_samp
-         FROM m ORDER BY l_returnflag""",
-
-    "agg_regression" ->
-      """WITH m AS (
-           SELECT l_returnflag, count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
-           FROM lineitem GROUP BY l_returnflag),
-         t AS (
-           SELECT l_returnflag, n,
-             CAST(n AS DOUBLE) * sxy - sx * sy AS num,
-             CAST(n AS DOUBLE) * sxx - sx * sx AS denx,
-             CAST(n AS DOUBLE) * syy - sy * sy AS deny,
-             sx, sy FROM m)
-         SELECT l_returnflag, n,
-           round(num / denx, 6) AS slope,
-           round((sy - (num / denx) * sx) / CAST(n AS DOUBLE), 6) AS intercept,
-           round((num * num) / (denx * deny), 6) AS r2
-         FROM t ORDER BY l_returnflag""",
-
-    "agg_histogram" ->
-      """SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket,
-           count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_revenue
-         FROM orders
-         GROUP BY 1 ORDER BY bucket""",
-
-    "train_split" -> {
-      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
-      s"""WITH h AS (
-           SELECT lang, n_chars, doc_id,
-             (($hv % 1000) + 1000) % 1000 AS hv
-           FROM documents)
-         SELECT lang,
-           CASE WHEN hv < 800 THEN 'train'
-                WHEN hv < 900 THEN 'val' ELSE 'test' END AS split,
-           count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           min(doc_id) AS first_doc
-         FROM h GROUP BY 1, 2 ORDER BY lang, split"""
-    },
-
-    "sample_temperature" -> {
-      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
-      s"""WITH counts AS (
-           SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-         z AS (
-           SELECT list_reduce(list_prepend(0.0,
-               list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
-               (a, b) -> a + b) AS z,
-             CAST(sum(n_docs) AS BIGINT) AS total
-           FROM counts),
-         q AS (
-           SELECT source, least(n_docs,
-             CAST(floor((CAST(total AS DOUBLE) / 2.0) *
-               (sqrt(CAST(n_docs AS DOUBLE)) / z)) AS BIGINT)) AS quota
-           FROM counts CROSS JOIN z),
-         h AS (SELECT source, doc_id, $hv AS hv FROM documents),
-         r AS (SELECT source, doc_id,
-           row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
-           FROM h)
-         SELECT r.source, r.rn, r.doc_id
-         FROM r JOIN q ON r.source = q.source
-         WHERE r.rn <= q.quota ORDER BY r.source, r.rn"""
-    },
-
-    "sample_balanced_lang" -> {
-      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
-      s"""WITH h AS (SELECT lang, doc_id, $hv AS hv FROM documents),
-         r AS (SELECT lang, doc_id,
-           row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
-           FROM h)
-         SELECT lang, rn, doc_id FROM r WHERE rn <= 20 ORDER BY lang, rn"""
-    },
-
-    "export_shards" -> {
-      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
-      s"""WITH h AS (
-           SELECT doc_id, n_chars, (($hv % 16) + 16) % 16 AS shard
-           FROM documents)
-         SELECT shard, count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           min(doc_id) AS min_doc
-         FROM h GROUP BY shard ORDER BY shard"""
-    },
-
-    "timeseries_cusum" ->
-      """WITH o AS (
-           SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS v
-           FROM events),
-         c AS (
-           SELECT user_id, event_id, ts,
-             sum(v - 60.00) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS cum
-           FROM o),
-         cm AS (
-           SELECT user_id, cum,
-             min(cum) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS mn
-           FROM c),
-         -- least() on DECIMAL(38,2) silently returns DOUBLE in DuckDB;
-         -- CASE keeps the exact decimal
-         s AS (
-           SELECT user_id,
-             cum - (CASE WHEN mn < CAST(0.00 AS DECIMAL(38,2)) THEN mn
-                    ELSE CAST(0.00 AS DECIMAL(38,2)) END) AS sv
-           FROM cm)
-         SELECT user_id, count(*) AS n_events,
-           CAST(max(sv) AS DOUBLE) AS max_s,
-           CAST(sum(CASE WHEN sv > 300.00 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
-         FROM s GROUP BY user_id ORDER BY user_id""",
-
-    "timeseries_rolling_median" ->
-      """WITH c AS (
-           SELECT event_id, user_id, ts, value FROM events
-           WHERE event_type = 'click'
-         ), f AS (
-           SELECT event_id, user_id, value,
-             list_sort(list(value) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id
-               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
-           FROM c
-         )
-         SELECT event_id, user_id, value,
-           (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0
-             AS rolling_median
-         FROM f ORDER BY event_id""",
-
-    "timeseries_seasonal_diff" ->
-      """WITH c AS (
-           SELECT event_id, user_id, value, CAST(hour(ts) AS BIGINT) AS hod
-           FROM events WHERE event_type = 'click'),
-         b AS (
-           SELECT user_id, hod, count(*) AS n_cell,
-             sum(CAST(value AS DECIMAL(18,2))) AS sum_cell
-           FROM c GROUP BY 1, 2)
-         SELECT event_id, user_id, hod, value,
-           round(CAST(sum_cell AS DOUBLE) / CAST(n_cell AS DOUBLE), 6)
-             AS baseline,
-           round(value - CAST(sum_cell AS DOUBLE) / CAST(n_cell AS DOUBLE), 6)
-             AS residual
-         FROM c JOIN b USING (user_id, hod) ORDER BY event_id""",
-
-    "text_zipf_fit" ->
-      s"""WITH d AS (SELECT $toksSql AS toks FROM documents),
-         tok AS (SELECT unnest(toks) AS tok FROM d),
-         tf AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
-         r AS (SELECT freq,
-             row_number() OVER (ORDER BY freq DESC, tok) AS rank
-           FROM tf),
-         l AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
-             ln(CAST(freq AS DOUBLE)) AS y
-           FROM r),
-         a AS (
-           SELECT count(*) AS n,
-             list_reduce(list_prepend(0.0, list(x ORDER BY rank)),
-               (p, q) -> p + q) AS sx,
-             list_reduce(list_prepend(0.0, list(y ORDER BY rank)),
-               (p, q) -> p + q) AS sy,
-             list_reduce(list_prepend(0.0, list(x * y ORDER BY rank)),
-               (p, q) -> p + q) AS sxy,
-             list_reduce(list_prepend(0.0, list(x * x ORDER BY rank)),
-               (p, q) -> p + q) AS sxx,
-             list_reduce(list_prepend(0.0, list(y * y ORDER BY rank)),
-               (p, q) -> p + q) AS syy
-           FROM l),
-         t AS (
-           SELECT CAST(n AS BIGINT) AS n_vocab,
-             CAST(n AS DOUBLE) * sxy - sx * sy AS num,
-             CAST(n AS DOUBLE) * sxx - sx * sx AS denx,
-             CAST(n AS DOUBLE) * syy - sy * sy AS deny,
-             sx, sy, n
-           FROM a)
-         SELECT n_vocab,
-           round(num / denx, 6) AS zipf_slope,
-           round((sy - (num / denx) * sx) / CAST(n AS DOUBLE), 6) AS intercept,
-           round((num * num) / (denx * deny), 6) AS r2
-         FROM t""",
-
-    "timeseries_ohlc" ->
-      """WITH c AS (
-           SELECT date_trunc('hour', ts) AS bkt, ts, event_id, value
-           FROM events WHERE event_type = 'click'),
-         r AS (
-           SELECT *,
-             row_number() OVER (PARTITION BY bkt
-               ORDER BY ts, event_id) AS rn_a,
-             row_number() OVER (PARTITION BY bkt
-               ORDER BY ts DESC, event_id DESC) AS rn_d
-           FROM c)
-         SELECT bkt, count(*) AS n_ticks,
-           max(CASE WHEN rn_a = 1 THEN value END) AS open,
-           max(value) AS high, min(value) AS low,
-           max(CASE WHEN rn_d = 1 THEN value END) AS close,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
-         FROM r GROUP BY bkt ORDER BY bkt""",
-
-    "timeseries_ewma" ->
-      """WITH l AS (
-           SELECT event_id, user_id, value,
-             lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
-             lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
-             lag(value, 5) OVER w AS l5, lag(value, 6) OVER w AS l6,
-             lag(value, 7) OVER w AS l7
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         SELECT event_id, user_id, value,
-           (value * 1.0 + coalesce(l1 * 0.5, 0.0) + coalesce(l2 * 0.25, 0.0)
-            + coalesce(l3 * 0.125, 0.0) + coalesce(l4 * 0.0625, 0.0)
-            + coalesce(l5 * 0.03125, 0.0) + coalesce(l6 * 0.015625, 0.0)
-            + coalesce(l7 * 0.0078125, 0.0))
-           / (1.0 + (CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END)
-              + (CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END)
-              + (CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END)
-              + (CASE WHEN l5 IS NOT NULL THEN 0.03125 ELSE 0.0 END)
-              + (CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0.0 END)
-              + (CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END)) AS ewma
-         FROM l ORDER BY event_id""",
-
-    "pack_bestfit_eval" -> {
-      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
-      val fold = (toks: String) =>
-        s"""list_reduce(
-            list_prepend(CAST([0, 0, 0] AS BIGINT[]),
-              list_transform($toks, t -> [t])),
-            (ac, e) -> CASE WHEN ac[3] + e[1] <= 512
-              THEN [ac[1],
-                CASE WHEN ac[3] = 0 THEN ac[2] + 1 ELSE ac[2] END,
-                ac[3] + e[1]]
-              ELSE [ac[1] + 512 - ac[3], ac[2] + 1, e[1]] END)"""
-      s"""WITH tk AS (
-           SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-             END AS tok,
-             $hv AS h
-           FROM documents),
-         sh AS (SELECT doc_id, tok, h, ((h % 8) + 8) % 8 AS shard FROM tk),
-         small AS (SELECT * FROM sh WHERE tok BETWEEN 1 AND 511),
-         over AS (SELECT shard, count(*) AS n_oversize FROM sh
-                  WHERE tok >= 512 GROUP BY shard),
-         legs AS (
-           SELECT '1_arrival' AS strategy, shard,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(tok) AS BIGINT) AS packed_tokens,
-             ${fold("list(tok ORDER BY h, doc_id)")} AS st
-           FROM small GROUP BY shard
-           UNION ALL
-           SELECT '2_sorted_desc' AS strategy, shard,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(tok) AS BIGINT) AS packed_tokens,
-             ${fold("list(tok ORDER BY tok DESC, doc_id)")} AS st
-           FROM small GROUP BY shard),
-         fin AS (
-           SELECT strategy, shard, n_docs, packed_tokens,
-             CAST(st[2] AS BIGINT) AS n_seqs,
-             CAST(CASE WHEN st[3] > 0 THEN st[1] + 512 - st[3]
-                  ELSE st[1] END AS BIGINT) AS padding_tokens
-           FROM legs)
-         SELECT f.strategy, f.shard, f.n_docs, f.packed_tokens, f.n_seqs,
-           f.padding_tokens,
-           CAST((f.padding_tokens * 1000000) // (f.n_seqs * 512) AS BIGINT)
-             AS waste_ppm,
-           CAST(coalesce(o.n_oversize, 0) AS BIGINT) AS n_oversize
-         FROM fin f LEFT JOIN over o ON o.shard = f.shard
-         ORDER BY f.strategy, f.shard"""
-    },
-
-    "pack_sequences" -> {
-      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
-      s"""WITH tk AS (
-           SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-             END AS n_tokens,
-             $hv AS h
-           FROM documents),
-         sh AS (SELECT doc_id, n_tokens, h, ((h % 8) + 8) % 8 AS shard FROM tk),
-         c AS (SELECT shard, doc_id, n_tokens,
-                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-               FROM sh)
-         SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
-           count(*) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS started_tokens,
-           min(doc_id) AS first_doc
-         FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
-    },
-
-    "ab_test_lift" -> {
-      val hv = signedSql(fnvSql("CAST(user_id AS VARCHAR)"))
-      s"""WITH users AS (
-           SELECT user_id,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS converted
-           FROM events GROUP BY user_id),
-         armed AS (
-           SELECT CASE WHEN (($hv % 2) + 2) % 2 = 0
-                  THEN 'control' ELSE 'treatment' END AS arm, converted
-           FROM users),
-         per AS (
-           SELECT arm, count(*) AS n_users,
-             CAST(sum(converted) AS BIGINT) AS n_converted
-           FROM armed GROUP BY arm),
-         rates AS (
-           SELECT arm, n_users, n_converted,
-             CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate
-           FROM per),
-         c AS (SELECT rate AS control_rate FROM rates WHERE arm = 'control')
-         SELECT arm, n_users, n_converted,
-           round(rate, 6) AS conversion_rate,
-           round(rate / control_rate, 6) AS lift_vs_control
-         FROM rates, c ORDER BY arm"""
-    },
-
-    "funnel_time_to_convert" ->
-      """WITH signups AS (
-           SELECT user_id, min(epoch_ms(ts)) AS signup_ms
-           FROM events WHERE event_type = 'signup' GROUP BY user_id),
-         lat AS (
-           SELECT min(epoch_ms(e.ts)) - s.signup_ms AS latency_ms
-           FROM events e JOIN signups s USING (user_id)
-           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.signup_ms
-           GROUP BY e.user_id, s.signup_ms)
-         SELECT count(*) AS n_converting_users,
-           round(quantile_cont(latency_ms, 0.25), 4) AS p25,
-           round(quantile_cont(latency_ms, 0.5), 4) AS p50,
-           round(quantile_cont(latency_ms, 0.75), 4) AS p75,
-           CAST(max(latency_ms) AS BIGINT) AS max_ms
-         FROM lat""",
-
-    "attribution_last_touch" ->
-      """WITH c AS (
-           SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
-         p AS (
-           SELECT event_id AS purchase_id, user_id, ts FROM events
-           WHERE event_type = 'purchase'),
-         j AS (
-           SELECT p.purchase_id, p.user_id, c.event_id AS click_id,
-             row_number() OVER (PARTITION BY p.purchase_id
-               ORDER BY c.ts DESC, c.event_id DESC) AS rn
-           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
-         SELECT purchase_id, user_id, click_id AS attributed_click
-         FROM j WHERE rn = 1
-         UNION ALL
-         SELECT purchase_id, user_id, NULL FROM p
-         WHERE purchase_id NOT IN (SELECT purchase_id FROM j)
-         ORDER BY purchase_id""",
-
-    "mixture_weights" ->
-      """WITH counts AS (
-           SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-         tot AS (
-           SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS k
-           FROM counts)
-         SELECT source, n_docs,
-           round(least(1.0,
-             (CAST(total AS DOUBLE) / CAST(k AS DOUBLE))
-               / CAST(n_docs AS DOUBLE)), 6) AS rate,
-           CAST(floor(least(1.0,
-             (CAST(total AS DOUBLE) / CAST(k AS DOUBLE))
-               / CAST(n_docs AS DOUBLE)) * CAST(n_docs AS DOUBLE)) AS BIGINT)
-             AS expected_kept
-         FROM counts, tot ORDER BY source""",
-
-    "sql_analytics" -> sqlAnalyticsText,
-
-    "sql_recursive" -> sqlRecursiveText,
-
-    "privacy_k_anonymity" ->
-      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
-           (count(*) < 5) AS at_risk
-         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "agg_spearman" ->
-      """WITH r AS (
-           SELECT l_returnflag, l_quantity, l_extendedprice,
-             row_number() OVER (PARTITION BY l_returnflag
-               ORDER BY l_quantity, l_extendedprice, l_orderkey,
-                        l_linenumber, l_partkey, l_suppkey) AS rid
-           FROM lineitem),
-         rr AS (
-           SELECT l_returnflag,
-             row_number() OVER (PARTITION BY l_returnflag
-               ORDER BY l_quantity, rid) AS rx,
-             row_number() OVER (PARTITION BY l_returnflag
-               ORDER BY l_extendedprice, rid) AS ry
-           FROM r)
-         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-           CAST(floor(1000000.0 * (1.0 -
-             6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE)
-               / CAST(count(*) * count(*) * count(*) - count(*) AS DOUBLE)))
-             AS BIGINT) AS rho_ppm
-         FROM rr GROUP BY 1 ORDER BY 1""",
-
-    "privacy_l_diversity" ->
-      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
-           count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_distinct,
-           (count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 5) AS vulnerable
-         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "outlier_trim" ->
-      """WITH stats AS (
-           SELECT event_type,
-             round(quantile_cont(value, 0.01), 6) AS p01,
-             round(quantile_cont(value, 0.99), 6) AS p99
-           FROM events GROUP BY event_type)
-         SELECT e.event_type, s.p01, s.p99,
-           count(*) AS n_total,
-           count(CASE WHEN e.value < s.p01 THEN 1 END) AS n_below,
-           count(CASE WHEN e.value > s.p99 THEN 1 END) AS n_above
-         FROM events e JOIN stats s USING (event_type)
-         GROUP BY e.event_type, s.p01, s.p99
-         ORDER BY e.event_type""",
-
-    "nested_event_gaps" ->
-      """WITH a AS (
-           SELECT user_id, list(epoch_ms(ts) ORDER BY ts, event_id) AS ms
-           FROM events GROUP BY user_id)
-         SELECT user_id, CAST(len(ms) AS BIGINT) AS n_events,
-           ms[len(ms)] - ms[1] AS span_ms,
-           CASE WHEN len(ms) < 2 THEN NULL
-                ELSE list_max(list_transform(range(2, len(ms) + 1),
-                  i -> ms[CAST(i AS INT)] - ms[CAST(i AS INT) - 1])) END
-             AS max_gap_ms
-         FROM a ORDER BY user_id""",
-
-    // per-row FNV over the same '|'-joined canonical string, summed in
-    // HUGEINT and reduced mod 2^64 — bit-exact vs Spark's wrapping
-    // LongType sum; integer/char columns only, so the string cast is
-    // format-stable across engines
-    "layout_zorder" ->
-      s"""WITH z AS (
-           SELECT l_partkey, l_suppkey,
-             ${zOrderSql("l_partkey", "l_suppkey")} AS zkey
-           FROM lineitem),
-         zc AS (
-           SELECT l_partkey, l_suppkey, zkey, (zkey >> 16) AS z_prefix,
-             (row_number() OVER (PARTITION BY (zkey >> 16) ORDER BY zkey)
-               - 1) // 256 AS chunk
-           FROM z)
-         SELECT z_prefix, chunk, count(*) AS n_rows,
-           min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
-           min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
-         FROM zc GROUP BY z_prefix, chunk ORDER BY z_prefix, chunk""",
-
-    "layout_hilbert" ->
-      s"""WITH ${hilbertCtes("lineitem")},
-         hc AS (
-           SELECT l_partkey, l_suppkey, d, (d >> 16) AS h_prefix,
-             (row_number() OVER (PARTITION BY (d >> 16) ORDER BY d)
-               - 1) // 256 AS chunk
-           FROM hend)
-         SELECT h_prefix, chunk, count(*) AS n_rows,
-           min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
-           min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
-         FROM hc GROUP BY h_prefix, chunk ORDER BY h_prefix, chunk""",
-
-    "dataset_fingerprint" ->
-      s"""SELECT count(*) AS n_rows,
-         ${signedSql(s"""(sum(${fnvSql(
-           "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")})
-           % 18446744073709551616::HUGEINT)""")} AS content_hash
-         FROM lineitem""",
-
-    "dataset_fingerprint_by" ->
-      s"""SELECT l_returnflag, count(*) AS n_rows,
-         ${signedSql(s"""(sum(${fnvSql(
-           "concat_ws('|', l_orderkey, l_linenumber)")})
-           % 18446744073709551616::HUGEINT)""")} AS content_hash
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    // train-side positional shingles (aug ids >= 1e6) probed against the
-    // BENCHMARK slice's (base ids % 97 = 0, corpus-df-capped), then the
-    // same run-islands → interval-union → token-cut chain as
-    // dedup_substring_apply
-    "decontaminate_scrub" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         pe AS (SELECT doc_id, unnest(range(len(sh))) AS pos,
-             unnest(sh) AS h FROM sh),
-         benchpe AS (SELECT * FROM pe
-           WHERE doc_id < 1000000 AND doc_id % 97 = 0),
-         trainpe AS (SELECT * FROM pe WHERE doc_id >= 1000000),
-         df AS (SELECT h FROM benchpe GROUP BY h HAVING count(*) <= 100000),
-         capb AS (SELECT benchpe.* FROM benchpe JOIN df USING (h)),
-         m AS (SELECT t.doc_id AS id_n, b.doc_id AS id_c,
-             t.pos AS pn, t.pos - b.pos AS diff
-           FROM trainpe t JOIN capb b ON t.h = b.h),
-         rn AS (SELECT id_n, id_c, diff, pn,
-             pn - row_number() OVER (PARTITION BY id_n, id_c, diff
-               ORDER BY pn) AS grp
-           FROM m),
-         r AS (SELECT id_n, id_c, diff, min(pn) AS run_start,
-             count(*) AS run_len
-           FROM rn GROUP BY id_n, id_c, diff, grp
-           HAVING count(*) >= 6),
-         spans0 AS (SELECT id_n AS doc_id, run_start AS s,
-             run_start + run_len + 2 AS e FROM r),
-         spans AS (SELECT DISTINCT doc_id, s, e FROM spans0),
-         isl AS (SELECT doc_id, s, e,
-             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
-               ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
-           FROM spans),
-         isl2 AS (SELECT doc_id, s, e,
-             sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-           FROM isl),
-         merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
-           FROM isl2 GROUP BY doc_id, island),
-         toks AS (SELECT doc_id, $toksSql AS toks FROM aug
-           WHERE doc_id >= 1000000),
-         tokp AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
-             unnest(toks) AS tok FROM toks),
-         rem AS (SELECT DISTINCT t.doc_id, t.pos FROM tokp t
-           JOIN merged mg ON t.doc_id = mg.doc_id
-             AND t.pos >= mg.s AND t.pos < mg.e),
-         kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokp t
-           LEFT JOIN rem rm ON t.doc_id = rm.doc_id AND t.pos = rm.pos
-           WHERE rm.doc_id IS NULL),
-         agg AS (SELECT doc_id,
-             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-             count(*) AS n_kept
-           FROM kept GROUP BY doc_id)
-         SELECT d.doc_id,
-           CASE WHEN d.toks IS NULL THEN NULL
-                ELSE coalesce(a.clean_text, '') END AS clean_text,
-           CASE WHEN d.toks IS NULL THEN NULL
-                ELSE len(d.toks) END AS n_tokens,
-           CASE WHEN d.toks IS NULL THEN NULL
-                ELSE len(d.toks) - coalesce(a.n_kept, 0) END AS n_removed
-         FROM toks d LEFT JOIN agg a USING (doc_id)
-         ORDER BY doc_id""",
-
-    // direct recompute over the updated table vs the algebraic update
-    // (base − Σdel + Σins), both in HUGEINT mod 2^64 (negative-safe
-    // double-mod); consistency asserted inside the oracle itself
-    "dataset_fingerprint_cdc" ->
-      s"""WITH src AS (
-           SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem),
-         upd AS (SELECT l_orderkey, l_linenumber,
-             CASE WHEN l_orderkey % 4096 = 7 THEN 'X'
-                  ELSE l_returnflag END AS l_returnflag FROM src),
-         dh AS (SELECT count(*) AS n_direct, sum(${fnvSql(
-             "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")})
-             AS s FROM upd),
-         bh AS (SELECT count(*) AS nb, sum(${fnvSql(
-             "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")})
-             AS sb FROM src),
-         delh AS (SELECT count(*) AS nd,
-             coalesce(sum(${fnvSql(
-               "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")}),
-               0::HUGEINT) AS sd
-           FROM src WHERE l_orderkey % 4096 = 7),
-         insh AS (SELECT count(*) AS ni,
-             coalesce(sum(${fnvSql(
-               "concat_ws('|', l_orderkey, l_linenumber, 'X')")}),
-               0::HUGEINT) AS si
-           FROM src WHERE l_orderkey % 4096 = 7),
-         paths AS (
-           SELECT n_direct,
-             ${signedSql("(s % 18446744073709551616::HUGEINT)")} AS h_direct,
-             nb + ni - nd AS n_incr,
-             ${signedSql(
-               """(((sb - sd + si) % 18446744073709551616::HUGEINT
-                  + 18446744073709551616::HUGEINT)
-                  % 18446744073709551616::HUGEINT)""")} AS h_incr
-           FROM dh, bh, delh, insh)
-         SELECT n_direct, h_direct, n_incr, h_incr,
-           CAST(n_direct = n_incr AND h_direct = h_incr AS BIGINT)
-             AS consistent
-         FROM paths""",
-
-    // both replicas' per-bucket (count, mod-2^64 hash sum) rebuilt in
-    // HUGEINT, full join + the same status CASE; divergence is
-    // deterministic (stripe ≡7 mod 4096 tampered, bucket 11 dropped)
-    "replica_diff" ->
-      s"""WITH src AS (
-           SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem),
-         a AS (SELECT l_orderkey % 16 AS bucket, ${fnvSql(
-             "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")} AS h
-           FROM src),
-         b0 AS (SELECT l_orderkey, l_linenumber,
-             CASE WHEN l_orderkey % 4096 = 7 THEN 'X'
-                  ELSE l_returnflag END AS l_returnflag
-           FROM src WHERE l_orderkey % 16 <> 11),
-         b AS (SELECT l_orderkey % 16 AS bucket, ${fnvSql(
-             "concat_ws('|', l_orderkey, l_linenumber, l_returnflag)")} AS h
-           FROM b0),
-         fa AS (SELECT bucket, count(*) AS n_rows_a,
-             ${signedSql("(sum(h) % 18446744073709551616::HUGEINT)")}
-               AS hash_a
-           FROM a GROUP BY bucket),
-         fb AS (SELECT bucket, count(*) AS n_rows_b,
-             ${signedSql("(sum(h) % 18446744073709551616::HUGEINT)")}
-               AS hash_b
-           FROM b GROUP BY bucket)
-         SELECT bucket, n_rows_a, hash_a, n_rows_b, hash_b,
-           CASE WHEN hash_a IS NULL THEN 'missing_in_a'
-                WHEN hash_b IS NULL THEN 'missing_in_b'
-                WHEN hash_a = hash_b AND n_rows_a = n_rows_b THEN 'match'
-                ELSE 'differs' END AS status
-         FROM fa FULL JOIN fb USING (bucket)
-         ORDER BY bucket""",
-
-    // the embedding_clusters cell assignment + the similarity_topk
-    // ranking, restricted to candidates whose cell differs from the
-    // query's
-    // same deterministic k-means cells as the IVF oracles, then exact
-    // within-cell cosine pairs ranked per vector
-    "similarity_knn_graph" ->
-      s"""WITH $knnEdgesCteSql
-         SELECT vec_id, rnk, nbr_id, round(cosine, 6) AS cosine
-         FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""",
-
-    "embedding_intrinsic_dim" ->
-      s"""WITH $knnEdgesCteSql,
-         e2 AS (
-           SELECT vec_id, rnk, greatest(0.0, 1.0 - cosine) AS d
-           FROM r WHERE rnk <= 2),
-         per AS (
-           SELECT vec_id, CAST(count(*) AS BIGINT) AS k,
-             max(CASE WHEN rnk = 1 THEN d END) AS d1,
-             max(CASE WHEN rnk = 2 THEN d END) AS d2
-           FROM e2 GROUP BY vec_id),
-         ok AS (
-           SELECT vec_id, ln(d2 / d1) AS lnmu
-           FROM per WHERE k = 2 AND d1 > 0.0),
-         sums AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_used,
-             list_reduce(list_prepend(0.0, list(lnmu ORDER BY vec_id)),
-               (a, b) -> a + b) AS s
-           FROM ok),
-         excl AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_points,
-             CAST(sum(CASE WHEN k < 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_too_few,
-             CAST(sum(CASE WHEN k = 2 AND NOT d1 > 0.0 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_zero_d1
-           FROM per)
-         SELECT n_points, n_used, n_too_few, n_zero_d1,
-           round(CAST(n_used AS DOUBLE) / s, 4) AS id_hat
-         FROM sums CROSS JOIN excl""",
-
-    "similarity_mutual_knn" ->
-      s"""WITH $knnEdgesCteSql,
-         e1 AS (SELECT vec_id, nbr_id, cosine FROM r WHERE rnk = 1)
-         SELECT a.vec_id AS id_a, a.nbr_id AS id_b,
-           round(a.cosine, 6) AS cosine
-         FROM e1 a JOIN e1 b
-           ON a.nbr_id = b.vec_id AND b.nbr_id = a.vec_id
-         WHERE a.vec_id < a.nbr_id
-         ORDER BY id_a""",
-
-    "similarity_hard_negatives" ->
-      s"""WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
-             v AS cv
-           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
-            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
-                   FROM corpus))),
-         ${kmeansIterSql("c0", "a1", "c1")},
-         ${kmeansIterSql("c1", "a2", "c2")},
-         cellsc AS (
-           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
-           FROM corpus p CROSS JOIN c2 c),
-         cells AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1),
-         q AS (
-           SELECT c.vec_id AS query_id, c.v AS qv, cl.cid AS q_cell
-           FROM corpus c JOIN cells cl ON c.vec_id = cl.vec_id
-           WHERE c.vec_id < 5),
-         sc AS (
-           SELECT q.query_id, p.vec_id,
-             list_cosine_similarity(p.v, q.qv) AS cosine
-           FROM corpus p
-           JOIN cells pc ON p.vec_id = pc.vec_id
-           JOIN q ON pc.cid <> q.q_cell),
-         r AS (
-           SELECT query_id, vec_id, cosine,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, vec_id) AS rnk
-           FROM sc)
-         SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
-         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
-
-    // same deterministic k-means (2 exactMeans iterations from the
-    // first-8 seed) and argmax tie-break (cosine DESC, cid) as the IVF
-    // oracles, reduced to cluster sizes
-    "embedding_clusters" ->
-      s"""WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
-             v AS cv
-           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
-            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
-                   FROM corpus))),
-         ${kmeansIterSql("c0", "a1", "c1")},
-         ${kmeansIterSql("c1", "a2", "c2")},
-         cellsc AS (
-           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
-           FROM corpus p CROSS JOIN c2 c),
-         cells AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1)
-         SELECT cid AS centroid_id, count(*) AS n_vectors,
-           min(vec_id) AS min_vec_id
-         FROM cells GROUP BY cid ORDER BY centroid_id""",
-
-    "dq_checks" ->
-      """WITH li AS (
-           SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem),
-         seed AS (
-           SELECT * FROM li WHERE l_orderkey % 997 = 1 AND l_linenumber = 1),
-         bad AS (
-           SELECT l_orderkey + 1000000000 AS l_orderkey, l_linenumber, l_quantity FROM seed
-           UNION ALL SELECT * FROM seed
-           UNION ALL SELECT l_orderkey, 99, 999.0 FROM seed),
-         al AS (SELECT * FROM li UNION ALL SELECT * FROM bad),
-         orphan AS (
-           SELECT count(*) AS n_orphan_fk FROM al
-           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
-         dup AS (
-           SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_dup_pk
-           FROM (SELECT count(*) AS c FROM al
-                 GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
-         rng AS (
-           SELECT count(*) AS n_rows,
-             count(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 END)
-               AS n_range_violations
-           FROM al)
-         SELECT n_rows, n_orphan_fk, n_dup_pk, n_range_violations
-         FROM rng, orphan, dup""",
-
-    "skew_profile" ->
-      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
-         s AS (
-           SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
-             max(n) AS max_per_key,
-             round(quantile_cont(n, 0.5), 6) AS p50,
-             round(quantile_cont(n, 0.99), 6) AS p99
-           FROM c)
-         SELECT n_keys, n_rows, max_per_key, p50, p99,
-           round(CAST(max_per_key AS DOUBLE)
-             / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_ratio
-         FROM s""",
-
-    "agg_equidepth" ->
-      """WITH b AS (
-           SELECT o_totalprice,
-             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-           FROM orders)
-         SELECT bucket, count(*) AS n_orders,
-           min(o_totalprice) AS lo, max(o_totalprice) AS hi
-         FROM b GROUP BY bucket ORDER BY bucket""",
-
-    "timeseries_autocorr" ->
-      """WITH lagged AS (
-           SELECT event_type,
-             CAST(value AS DECIMAL(18,2)) AS x,
-             lag(CAST(value AS DECIMAL(18,2)), 1) OVER
-               (PARTITION BY event_type ORDER BY ts, event_id) AS y
-           FROM events),
-         m AS (
-           SELECT event_type, count(*) AS n,
-             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(x * y) AS DOUBLE) AS sxy,
-             CAST(sum(x * x) AS DOUBLE) AS sxx,
-             CAST(sum(y * y) AS DOUBLE) AS syy
-           FROM lagged WHERE y IS NOT NULL GROUP BY event_type)
-         SELECT event_type, n,
-           round((CAST(n AS DOUBLE) * sxy - sx * sy)
-             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS autocorr_lag1
-         FROM m ORDER BY event_type""",
-
-    "train_split_grouped" -> {
-      val hv = signedSql(fnvSql("source"))
-      s"""WITH h AS (
-           SELECT source, n_chars, (($hv % 1000) + 1000) % 1000 AS hv
-           FROM documents)
-         SELECT CASE WHEN hv < 800 THEN 'train'
-                     WHEN hv < 900 THEN 'val' ELSE 'test' END AS split,
-           count(DISTINCT source) AS n_sources, count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars
-         FROM h GROUP BY 1 ORDER BY split"""
-    },
-
-    // NOTE: like dedup_incremental, this oracle scores exact all-pairs
-    // Jaccard while the engine verifies LSH candidates — they agree only
-    // because the synthetic near-dups land in a shared band with
-    // certainty (recall 1.0 proven for this corpus at bands=16, r=4).
-    "leakage_audit" -> {
-      val hvA = signedSql(fnvSql("CAST(id_a AS VARCHAR)"))
-      val hvB = signedSql(fnvSql("CAST(id_b AS VARCHAR)"))
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         p AS (
-           SELECT id_a, id_b FROM common
-             JOIN sizes sa ON sa.doc_id = id_a
-             JOIN sizes sb ON sb.doc_id = id_b
-           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
-         hs AS (
-           SELECT (($hvA % 1000) + 1000) % 1000 AS ha,
-                  (($hvB % 1000) + 1000) % 1000 AS hb
-           FROM p),
-         sp AS (
-           SELECT
-             CASE WHEN ha < 800 THEN 'train'
-                  WHEN ha < 900 THEN 'val' ELSE 'test' END AS sa2,
-             CASE WHEN hb < 800 THEN 'train'
-                  WHEN hb < 900 THEN 'val' ELSE 'test' END AS sb2
-           FROM hs)
-         SELECT least(sa2, sb2) AS split_lo, greatest(sa2, sb2) AS split_hi,
-           count(*) AS n_pairs
-         FROM sp GROUP BY 1, 2 ORDER BY split_lo, split_hi"""
-    },
-
-    "vocab_coverage" ->
-      """WITH tok AS (
-           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-           FROM documents WHERE trim(lower(text)) <> ''),
-         counts AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
-         tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts),
-         r AS (SELECT tok, freq,
-                 row_number() OVER (ORDER BY freq DESC, tok) AS rank,
-                 CAST(sum(freq) OVER (ORDER BY freq DESC, tok
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-               FROM counts)
-         SELECT rank, tok, freq, cum FROM r, tot
-         WHERE (cum - freq) * 10 < total * 9
-         ORDER BY rank""",
-
-    "text_bm25" ->
-      """WITH tk AS (
-           SELECT doc_id,
-             string_split_regex(trim(lower(text)), '\s+') AS ts,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-             END AS dl
-           FROM documents),
-         base AS (
-           SELECT doc_id, dl,
-             CAST(len(list_filter(ts, x -> x = 'join')) AS BIGINT) AS tf_join,
-             CAST(len(list_filter(ts, x -> x = 'vector')) AS BIGINT) AS tf_vector,
-             CAST(len(list_filter(ts, x -> x = 'stream')) AS BIGINT) AS tf_stream
-           FROM tk),
-         stats AS (
-           SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl,
-             count(CASE WHEN tf_join > 0 THEN 1 END) AS df_join,
-             count(CASE WHEN tf_vector > 0 THEN 1 END) AS df_vector,
-             count(CASE WHEN tf_stream > 0 THEN 1 END) AS df_stream
-           FROM base),
-         scored AS (
-           SELECT doc_id, dl,
-             ((CAST(n AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5))
-               * ((CAST(tf_join AS DOUBLE) * 2.2)
-                  / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))
-             + ((CAST(n AS DOUBLE) - CAST(df_vector AS DOUBLE) + 0.5) / (CAST(df_vector AS DOUBLE) + 0.5))
-               * ((CAST(tf_vector AS DOUBLE) * 2.2)
-                  / (CAST(tf_vector AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))
-             + ((CAST(n AS DOUBLE) - CAST(df_stream AS DOUBLE) + 0.5) / (CAST(df_stream AS DOUBLE) + 0.5))
-               * ((CAST(tf_stream AS DOUBLE) * 2.2)
-                  / (CAST(tf_stream AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS score
-           FROM base, stats)
-         SELECT doc_id, dl, score FROM scored WHERE score > 0
-         ORDER BY doc_id""",
-
-    "unpivot_metrics" ->
-      """WITH a AS (
-           SELECT l_returnflag,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
-             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
-           FROM lineitem GROUP BY l_returnflag)
-         SELECT l_returnflag, 'qty' AS metric, qty AS total FROM a
-         UNION ALL
-         SELECT l_returnflag, 'price', price FROM a
-         UNION ALL
-         SELECT l_returnflag, 'discount', discount FROM a
-         ORDER BY l_returnflag, metric""",
-
-    // NOTE: like dedup_incremental / leakage_audit, this oracle builds the
-    // edge set from exact all-pairs cosine while the engine uses hyperplane
-    // LSH candidates — equal only because rescaled copies share the exact
-    // signature (same direction ⇒ same signs), giving recall 1.0 here.
-    // the funnel composed from the same per-stage constructions the
-    // standalone oracles use: langid lists, the hashed-linear margin
-    // chain (nested WITH, so its CTE names stay scoped), md5-normalized
-    // exact groups, and the TRUE-Jaccard >= 0.6 near-dup rule of
-    // dedup_minhash_survivors
-    "pipeline_quality_gate" ->
-      s"""WITH docs0 AS (SELECT doc_id, text FROM documents),
-         lg AS (
-           SELECT doc_id,
-             CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
-                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-                  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-                  ELSE 'und' END AS lang_guess
-           FROM (
-             SELECT doc_id,
-               len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in'], t))) AS s_en,
-               len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
-               len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des'], t))) AS s_fr,
-               len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','von'], t))) AS s_de
-             FROM (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\\s+') AS toks
-               FROM documents))),
-         en AS (
-           SELECT d0.doc_id, d0.text FROM docs0 d0
-           JOIN lg USING (doc_id) WHERE lg.lang_guess = 'en'),
-         mw AS (
-           SELECT doc_id, margin FROM (
-             WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-             thx AS (
-               SELECT doc_id, list_transform(toks, t -> ${fnvSql("t")}) AS th
-               FROM docs WHERE toks IS NOT NULL),
-             big AS (
-               SELECT doc_id, th,
-                 CASE WHEN len(th) <= 2
-                   THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
-                         (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
-                   ELSE list_transform(range(1, len(th)),
-                     s -> (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
-                           % 18446744073709551616::HUGEINT) * 31
-                           + th[CAST(s AS INT)+1]) % 18446744073709551616::HUGEINT)
-                 END AS bh
-               FROM thx),
-             feats AS (
-               SELECT doc_id, list_concat(th, bh) AS fh FROM big),
-             fe AS (SELECT doc_id, unnest(fh) AS x FROM feats),
-             ${mix64Ctes("fe", "mx")},
-             ws AS (
-               SELECT doc_id,
-                 CAST(sum(CAST(h % 1024 AS BIGINT) - 512) AS BIGINT) AS margin
-               FROM mx GROUP BY doc_id)
-             SELECT doc_id, margin FROM ws)),
-         qual AS (
-           SELECT en.doc_id, en.text FROM en
-           JOIN mw USING (doc_id) WHERE mw.margin > 0),
-         ex AS (
-           SELECT min(doc_id) AS doc_id FROM qual
-           GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
-         exd AS (SELECT q.doc_id, q.text FROM qual q JOIN ex USING (doc_id)),
-         ${shingleCtes("exd")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         doomed AS (
-           SELECT DISTINCT id_b FROM common
-             JOIN sizes sa ON sa.doc_id = id_a
-             JOIN sizes sb ON sb.doc_id = id_b
-           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
-         near AS (
-           SELECT doc_id FROM exd
-           WHERE doc_id NOT IN (SELECT id_b FROM doomed))
-         SELECT stage, n_docs FROM (
-           SELECT '0_ingest' AS stage, count(*) AS n_docs FROM docs0
-           UNION ALL SELECT '1_lang_en', count(*) FROM en
-           UNION ALL SELECT '2_quality', count(*) FROM qual
-           UNION ALL SELECT '3_exact_dedup', count(*) FROM ex
-           UNION ALL SELECT '4_near_dedup', count(*) FROM near)
-         ORDER BY stage""",
-
-    "table_stats" -> {
-      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-        "l_returnflag", "l_linestatus", "l_shipdate")
-      cols.map(c =>
-        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-            CAST(count(*) - count($c) AS BIGINT) AS n_null,
-            CAST(count(DISTINCT $c) AS BIGINT) AS ndv FROM lineitem""")
-        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
-    },
-
-    // rebuilds the identical 4×1024 grid from exact per-key counts: a
-    // CMS counter is by definition the sum of the counts of every key
-    // hashing into that cell, so per-(row, cell) sums over the exact
-    // count table ARE the counters; estimates are the min over each
-    // key's four cells — same fnv64+splitmix64 chain as the engine
-    "agg_count_min" ->
-      s"""WITH k AS (
-           SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS exact
-           FROM lineitem GROUP BY 1),
-         cellsrc AS (
-           SELECT key, exact, r,
-             (${fnvSql("key")} + CAST(r AS HUGEINT) * 11400714819323198485::HUGEINT)
-               % 18446744073709551616::HUGEINT AS x
-           FROM k CROSS JOIN (SELECT unnest(range(4)) AS r) rr),
-         ${mix64Ctes("cellsrc", "mx")},
-         cells AS (
-           SELECT key, exact, r, CAST(h % 1024 AS BIGINT) AS cell FROM mx),
-         counters AS (
-           SELECT r, cell, CAST(sum(exact) AS BIGINT) AS cnt
-           FROM cells GROUP BY r, cell),
-         est AS (
-           SELECT c.key, min(ct.cnt) AS cms_est
-           FROM cells c JOIN counters ct USING (r, cell) GROUP BY c.key),
-         top AS (SELECT key, exact FROM k ORDER BY exact DESC, key LIMIT 20)
-         SELECT t.key, t.exact, e.cms_est, e.cms_est - t.exact AS overest
-         FROM top t JOIN est e USING (key)
-         ORDER BY t.exact DESC, t.key""",
-
-    "window_distribution" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice,
-           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm,
-           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm,
-           nth_value(o_orderkey, 2) OVER w AS second_order
-         FROM orders WHERE o_custkey % 100 = 0
-         WINDOW w AS (PARTITION BY o_custkey
-           ORDER BY o_totalprice, o_orderkey)
-         ORDER BY o_custkey, o_orderkey""",
-
-    "graph_shortest_paths" -> {
-      val steps = (1 to 3).map { k =>
-        s"""s$k AS (SELECT u.dst AS node, d.dist + 1 AS dist
-             FROM und u JOIN d${k - 1} d ON u.src = d.node),
-           d$k AS (SELECT node, min(dist) AS dist FROM (
-             SELECT * FROM d${k - 1} UNION ALL SELECT * FROM s$k)
-             GROUP BY node)"""
-      }.mkString(",\n         ")
-      s"""WITH e0 AS (
-           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-           FROM lineitem),
-         und AS (SELECT src, dst FROM e0
-           UNION ALL SELECT dst AS src, src AS dst FROM e0),
-         d0 AS (
-           SELECT DISTINCT l_suppkey * 2 AS node, CAST(0 AS BIGINT) AS dist
-           FROM lineitem WHERE l_suppkey <= 3),
-         $steps
-         SELECT node, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY node"""
-    },
-
-    "graph_jaccard_neighbors" ->
-      """WITH sp AS (
-           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-         keepp AS (
-           SELECT p FROM sp GROUP BY p HAVING count(*) <= 64),
-         capped AS (SELECT sp.s, sp.p FROM sp JOIN keepp USING (p)),
-         deg AS (SELECT s, count(*) AS d FROM capped GROUP BY s),
-         pairs AS (
-           SELECT a.s AS sa, b.s AS sb, count(*) AS common
-           FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
-           GROUP BY 1, 2)
-         SELECT pairs.sa, pairs.sb, pairs.common,
-           da.d AS da, db.d AS db,
-           CAST(floor(pairs.common * 10000.0
-             / (da.d + db.d - pairs.common)) AS BIGINT) AS jaccard_bp
-         FROM pairs
-         JOIN deg da ON da.s = pairs.sa
-         JOIN deg db ON db.s = pairs.sb
-         ORDER BY jaccard_bp DESC, sa, sb LIMIT 20""",
-
-    "graph_triangles" ->
-      """WITH aug AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           UNION ALL
-           SELECT vec_id + 1000000,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(CAST(x * CAST(0.9 AS DOUBLE) AS FLOAT) AS DOUBLE))
-           FROM embeddings WHERE vec_id % 10 = 0
-           UNION ALL
-           SELECT vec_id + 2000000,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(CAST(x * CAST(0.8 AS DOUBLE) AS FLOAT) AS DOUBLE))
-           FROM embeddings WHERE vec_id % 10 = 0),
-         e AS (
-           SELECT a.vec_id AS ia, b.vec_id AS ib
-           FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
-         SELECT ab.ia AS a, ab.ib AS b, bc.ib AS c
-         FROM e ab
-           JOIN e bc ON ab.ib = bc.ia
-           JOIN e ac ON ac.ia = ab.ia AND ac.ib = bc.ib
-         ORDER BY a, b, c""",
-
-    "agg_distinct_rollup" ->
-      """SELECT l_returnflag, l_linestatus,
-           count(DISTINCT l_suppkey) AS n_suppliers,
-           count(DISTINCT l_partkey) AS n_parts,
-           count(*) AS n_rows
-         FROM lineitem
-         GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-
-    "graph_pagerank" ->
-      """WITH e0 AS (
-           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-           FROM lineitem),
-         und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-         deg AS (SELECT src AS node, count(*) AS outdeg FROM und GROUP BY src),
-         nn AS (SELECT count(*) AS n_nodes FROM deg),
-         nodes AS (SELECT node, outdeg, n_nodes FROM deg, nn),
-         r0 AS (SELECT node, outdeg, n_nodes,
-                  1000000000000 // n_nodes AS rank FROM nodes),
-         c1 AS (SELECT u.dst AS node,
-                  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS sc
-                FROM und u JOIN r0 r ON u.src = r.node GROUP BY u.dst),
-         r1 AS (SELECT s.node, s.outdeg, s.n_nodes,
-                  15000000000000 // (100 * s.n_nodes) + (85 * c.sc) // 100 AS rank
-                FROM nodes s JOIN c1 c USING (node)),
-         c2 AS (SELECT u.dst AS node,
-                  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS sc
-                FROM und u JOIN r1 r ON u.src = r.node GROUP BY u.dst),
-         r2 AS (SELECT s.node, s.outdeg, s.n_nodes,
-                  15000000000000 // (100 * s.n_nodes) + (85 * c.sc) // 100 AS rank
-                FROM nodes s JOIN c2 c USING (node))
-         SELECT node, CAST(rank AS BIGINT) AS pagerank,
-           CAST(outdeg AS BIGINT) AS degree
-         FROM r2 ORDER BY node""",
-
-    "search_hybrid_rrf" ->
-      """WITH tok AS (
-           SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-           FROM documents WHERE trim(text) <> ''),
-         postings AS (
-           SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-           FROM tok GROUP BY 1, 2),
-         qterms AS (SELECT DISTINCT term FROM tok WHERE doc_id = 0),
-         qpost AS (SELECT p.* FROM postings p JOIN qterms USING (term)),
-         dfreq AS (
-           SELECT term, CAST(count(*) AS BIGINT) AS df
-           FROM qpost GROUP BY 1),
-         lex AS (
-           SELECT doc_id,
-             CAST(sum(tf * (1000000 // (df + 1))) AS BIGINT) AS lex_score
-           FROM qpost JOIN dfreq USING (term)
-           WHERE doc_id <> 0 GROUP BY 1),
-         lex_top AS (
-           SELECT doc_id, lex_rank FROM (
-             SELECT doc_id, row_number() OVER (
-               ORDER BY lex_score DESC, doc_id) AS lex_rank
-             FROM lex) WHERE lex_rank <= 20),
-         q AS (
-           SELECT CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id = 0),
-         dense AS (
-           SELECT e.vec_id AS doc_id,
-             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cosine
-           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
-         dense_top AS (
-           SELECT doc_id, dense_rank FROM (
-             SELECT doc_id, row_number() OVER (
-               ORDER BY cosine DESC, doc_id) AS dense_rank
-             FROM dense) WHERE dense_rank <= 20)
-         SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id,
-           l.lex_rank, dn.dense_rank,
-           CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
-              + coalesce(1000000 // (60 + dn.dense_rank), 0) AS BIGINT) AS rrf
-         FROM lex_top l FULL OUTER JOIN dense_top dn ON l.doc_id = dn.doc_id
-         ORDER BY rrf DESC, doc_id LIMIT 10""",
-
-    "graph_label_propagation" ->
-      """WITH e0 AS (
-           SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
-             CAST(l_partkey * 2 + 1 AS BIGINT) AS dst
-           FROM lineitem),
-         und AS (SELECT src, dst FROM e0
-                 UNION SELECT dst, src FROM e0),
-         l0 AS (SELECT DISTINCT src AS id, src AS label FROM und),
-         c1 AS (
-           SELECT u.src, l.label, count(*) AS cnt
-           FROM und u JOIN l0 l ON u.dst = l.id GROUP BY 1, 2),
-         l1 AS (
-           SELECT src AS id, label FROM (
-             SELECT src, label, row_number() OVER (
-               PARTITION BY src ORDER BY cnt DESC, label) AS rn
-             FROM c1) WHERE rn = 1),
-         c2 AS (
-           SELECT u.src, l.label, count(*) AS cnt
-           FROM und u JOIN l1 l ON u.dst = l.id GROUP BY 1, 2),
-         l2 AS (
-           SELECT src AS id, label FROM (
-             SELECT src, label, row_number() OVER (
-               PARTITION BY src ORDER BY cnt DESC, label) AS rn
-             FROM c2) WHERE rn = 1)
-         SELECT label, CAST(count(*) AS BIGINT) AS size
-         FROM l2 GROUP BY 1 ORDER BY size DESC, label LIMIT 20""",
-
-    "graph_assortativity" ->
-      s"""WITH e0 AS (
-           SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
-             CAST(l_partkey * 2 + 1 AS BIGINT) AS dst
-           FROM lineitem),
-         und AS (SELECT src, dst FROM e0
-                 UNION ALL SELECT dst, src FROM e0),
-         deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
-         joined AS (
-           SELECT dx.d AS dx, dy.d AS dy
-           FROM und u
-           JOIN deg dx ON u.src = dx.src
-           JOIN deg dy ON u.dst = dy.src),
-         agg AS (
-           SELECT count(*) AS n_edges,
-             sum(CAST(dx AS HUGEINT)) AS sx,
-             sum(CAST(dx AS HUGEINT) * dx) AS sxx,
-             sum(CAST(dx AS HUGEINT) * dy) AS sxy
-           FROM joined)
-         SELECT CAST(n_edges AS BIGINT) AS n_edges,
-           CAST(sx AS BIGINT) AS sum_deg,
-           $assortativityPpm AS r_ppm
-         FROM agg""",
-
-    "graph_modularity" ->
-      """WITH c AS (
-           SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nation
-           FROM customer),
-         near AS (
-           SELECT a.id AS src, b.id AS dst
-           FROM c a JOIN c b
-             ON b.id > a.id AND b.id <= a.id + 100
-             AND b.nation = a.nation),
-         chain AS (
-           SELECT a.id AS src, b.id AS dst
-           FROM c a JOIN c b ON b.id = a.id + 1),
-         e0 AS (SELECT DISTINCT src, dst FROM
-                (SELECT * FROM near UNION ALL SELECT * FROM chain)),
-         und AS MATERIALIZED (SELECT src, dst FROM e0
-                 UNION ALL SELECT dst, src FROM e0),
-         m2t AS (SELECT count(*) AS m2 FROM und),
-         intra AS (
-           SELECT count(*) AS intra
-           FROM und u
-           JOIN c ls ON u.src = ls.id
-           JOIN c ld ON u.dst = ld.id
-           WHERE ls.nation = ld.nation),
-         degc AS (
-           SELECT l.nation AS label, CAST(sum(d.cnt) AS BIGINT) AS deg_c
-           FROM (SELECT src, count(*) AS cnt FROM und GROUP BY src) d
-           JOIN c l ON d.src = l.id
-           GROUP BY l.nation),
-         stats AS (
-           SELECT count(*) AS n_communities,
-             CAST(sum(CAST(deg_c AS HUGEINT) * deg_c) AS BIGINT)
-               AS sum_deg_sq
-           FROM degc)
-         SELECT CAST(m2 AS BIGINT) AS m2, CAST(intra AS BIGINT) AS intra,
-           CAST(n_communities AS BIGINT) AS n_communities, sum_deg_sq,
-           CAST((1000000::HUGEINT *
-               (CAST(intra AS HUGEINT) * m2 - sum_deg_sq))
-             // (CAST(m2 AS HUGEINT) * m2) AS BIGINT) AS q_ppm
-         FROM m2t CROSS JOIN intra CROSS JOIN stats""",
-
-    "entity_resolution" ->
-      """WITH RECURSIVE c0 AS (
-           SELECT c_custkey AS id, c_name AS name, c_nationkey
-           FROM customer WHERE c_custkey < 200),
-         typos AS (
-           SELECT id + 1000000 AS id, name || 'x' AS name, c_nationkey
-           FROM c0 WHERE id % 7 = 0),
-         recs AS (SELECT * FROM c0 UNION ALL SELECT * FROM typos),
-         pairs AS (
-           SELECT a.id AS id_a, b.id AS id_b
-           FROM recs a JOIN recs b
-             ON a.c_nationkey = b.c_nationkey AND a.id < b.id
-           WHERE levenshtein(a.name, b.name) <= 1),
-         edges AS (
-           SELECT id_a AS s, id_b AS t FROM pairs
-           UNION ALL SELECT id_b, id_a FROM pairs),
-         reach(id, lbl) AS (
-           SELECT DISTINCT s, s FROM edges
-           UNION
-           SELECT e2.s, r.lbl FROM edges e2 JOIN reach r ON e2.t = r.id),
-         lbls AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-         SELECT r.id AS rec_id,
-           coalesce(l.cluster_id, r.id) AS entity_id,
-           (r.id = coalesce(l.cluster_id, r.id)) AS is_canonical
-         FROM recs r LEFT JOIN lbls l ON r.id = l.id
-         ORDER BY rec_id""",
-
-    // KMV/theta sketch rebuilt hash-for-hash: same splitmix64 chain
-    // (mix64Ctes), same sign-flipped ordering, same k smallest, same
-    // exact-integer unflip single-rounded to double for the estimate
-    "agg_theta_sketch" ->
-      s"""WITH nn AS (SELECT count(*) AS n FROM part),
-         keys_a AS (
-           SELECT DISTINCT CAST(p_partkey AS HUGEINT) AS x
-           FROM part, nn WHERE p_partkey * 3 < n * 2),
-         keys_b AS (
-           SELECT DISTINCT CAST(p_partkey AS HUGEINT) AS x
-           FROM part, nn WHERE p_partkey * 3 >= n),
-         ${mix64Ctes("keys_a", "ha")},
-         ${mix64Ctes("keys_b", "hb")},
-         ka AS (SELECT h FROM (
-           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha)
-           WHERE rn <= 256),
-         kb AS (SELECT h FROM (
-           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb)
-           WHERE rn <= 256),
-         ku AS (SELECT h FROM (
-           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM
-             (SELECT h FROM ka UNION SELECT h FROM kb))
-           WHERE rn <= 256),
-         esta AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
-           END AS est_a FROM ka),
-         estb AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
-           END AS est_b FROM kb),
-         estu AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
-           END AS est_union FROM ku),
-         na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM keys_a),
-         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM keys_b)
-         SELECT n_a, n_b, est_a, est_b, est_union,
-           greatest(0e0, est_a + est_b - est_union) AS est_intersect
-         FROM na, nb, esta, estb, estu""",
-
-    "stats_ks_test" ->
-      """WITH two AS (
-           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
-           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
-         per AS (
-           SELECT cents, CAST(sum(is_a) AS BIGINT) AS ca,
-             CAST(sum(1 - is_a) AS BIGINT) AS cb
-           FROM two GROUP BY cents),
-         cum AS (
-           SELECT cents,
-             CAST(sum(ca) OVER (ORDER BY cents
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS cuma,
-             CAST(sum(cb) OVER (ORDER BY cents
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS cumb
-           FROM per),
-         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
-             CAST(sum(cb) AS BIGINT) AS nb FROM per),
-         dd AS (
-           SELECT cents, abs(cuma * nb - cumb * na) AS diff, na, nb
-           FROM cum CROSS JOIN tot),
-         mx AS (SELECT max(diff) AS dmax FROM dd)
-         SELECT max(na) AS n_a, max(nb) AS n_b,
-           (1000000 * max(dmax)) // (max(na) * max(nb)) AS d_ppm,
-           min(cents) AS d_at_cents
-         FROM dd CROSS JOIN mx WHERE diff = dmax""",
-
-    "stats_mann_whitney" ->
-      """WITH two AS (
-           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
-           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
-         per AS (
-           SELECT cents, CAST(sum(is_a) AS BIGINT) AS ca,
-             CAST(sum(1 - is_a) AS BIGINT) AS cb
-           FROM two GROUP BY cents),
-         ranked AS (
-           SELECT cents, ca, cb, ca + cb AS t,
-             coalesce(CAST(sum(ca + cb) OVER (ORDER BY cents
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-               0) AS cum_before
-           FROM per),
-         agg0 AS (
-           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
-             CAST(sum(cb) AS BIGINT) AS n_b,
-             CAST(sum(ca * (2 * cum_before + t + 1)) AS BIGINT) AS r2a,
-             CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
-           FROM ranked),
-         u AS (
-           SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a, tie_term
-           FROM agg0)
-         SELECT n_a, n_b, u2_a, tie_term,
-           CAST(floor(1000000.0 *
-             (CAST(u2_a - n_a * n_b AS DOUBLE) / 2.0) /
-             sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-               (CAST(n_a + n_b + 1 AS DOUBLE) -
-                CAST(tie_term AS DOUBLE) /
-                  (CAST(n_a + n_b AS DOUBLE) *
-                   CAST(n_a + n_b - 1 AS DOUBLE))))) AS BIGINT) AS z_ppm
-         FROM u""",
-
-    "stats_g_test" ->
-      """WITH obs AS (
-           SELECT o_orderpriority, o_orderstatus,
-             CAST(count(*) AS BIGINT) AS obs
-           FROM orders GROUP BY 1, 2),
-         rows_ AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS rn
-           FROM obs GROUP BY 1),
-         cols_ AS (SELECT o_orderstatus, CAST(sum(obs) AS BIGINT) AS cn
-           FROM obs GROUP BY 1),
-         nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs),
-         shape AS (
-           SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r,
-             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c
-           FROM obs),
-         terms AS (
-           SELECT o.o_orderpriority, o.o_orderstatus, nt.n,
-             CAST(o.obs AS DOUBLE) * ln(CAST(o.obs AS DOUBLE)
-               * CAST(nt.n AS DOUBLE)
-               / (CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE))) AS term
-           FROM obs o
-           JOIN rows_ r ON r.o_orderpriority = o.o_orderpriority
-           JOIN cols_ c ON c.o_orderstatus = o.o_orderstatus
-           CROSS JOIN nt),
-         folded AS (
-           SELECT max(n) AS n,
-             2.0 * list_reduce(list_prepend(0.0,
-               list(term ORDER BY o_orderpriority, o_orderstatus)),
-               (p, q) -> p + q) AS g
-           FROM terms)
-         SELECT n, (r - 1) * (c - 1) AS dof, round(g, 6) AS g_stat,
-           CAST(CASE WHEN g > 15.507 THEN 1 ELSE 0 END AS BIGINT)
-             AS reject_at_05
-         FROM folded CROSS JOIN shape""",
-
-    "stats_chi_square" ->
-      """WITH obs AS (
-           SELECT o_orderpriority, o_orderstatus, count(*) AS obs
-           FROM orders GROUP BY 1, 2),
-         rows_ AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS rn
-           FROM obs GROUP BY 1),
-         cols_ AS (SELECT o_orderstatus, CAST(sum(obs) AS BIGINT) AS cn
-           FROM obs GROUP BY 1),
-         nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs),
-         cells AS (
-           SELECT r.o_orderpriority, c.o_orderstatus, r.rn, c.cn, nt.n,
-             coalesce(o.obs, 0) AS ob
-           FROM rows_ r CROSS JOIN cols_ c CROSS JOIN nt
-           LEFT JOIN obs o ON o.o_orderpriority = r.o_orderpriority
-             AND o.o_orderstatus = c.o_orderstatus),
-         terms AS (
-           SELECT o_orderpriority, o_orderstatus, n,
-             CAST(ob * n - rn * cn AS DOUBLE) *
-               CAST(ob * n - rn * cn AS DOUBLE) /
-               (CAST(n AS DOUBLE) * CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE))
-               AS term
-           FROM cells),
-         shape AS (
-           SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r,
-             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c
-           FROM cells),
-         folded AS (
-           SELECT max(n) AS n,
-             list_reduce(list_prepend(0.0,
-               list(term ORDER BY o_orderpriority, o_orderstatus)),
-               (p, q) -> p + q) AS chi2
-           FROM terms)
-         SELECT n, (r - 1) * (c - 1) AS dof,
-           round(chi2, 6) AS chi2,
-           round(sqrt(chi2 / (CAST(n AS DOUBLE) *
-             CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
-         FROM folded CROSS JOIN shape""",
-
-    "ab_cuped_lift" -> {
-      val hv = signedSql(fnvSql("CAST(user_id AS VARCHAR)"))
-      s"""WITH users AS (
-           SELECT user_id,
-             sum(CASE WHEN event_type = 'view'
-               THEN CAST(value AS DECIMAL(18,2))
-               ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
-             sum(CASE WHEN event_type = 'purchase'
-               THEN CAST(value AS DECIMAL(18,2))
-               ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
-           FROM events GROUP BY user_id),
-         armed AS (
-           SELECT CASE WHEN (($hv % 2) + 2) % 2 = 0
-                  THEN 'control' ELSE 'treatment' END AS arm, x, y
-           FROM users),
-         pooled AS (
-           SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
-           FROM armed),
-         per AS (
-           SELECT arm, count(*) AS n_users, sum(x) AS sxa, sum(y) AS sya
-           FROM armed GROUP BY arm),
-         j AS (
-           SELECT arm, n_users, sxa, sya, n, sx, sy, sxy, sxx, syy,
-             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
-             pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2) /
-             ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-              (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho2
-           FROM per CROSS JOIN pooled)
-         SELECT arm, CAST(n_users AS BIGINT) AS n_users,
-           round(CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_y,
-           round(CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) - theta *
-             (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE) -
-              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS mean_y_cuped,
-           round(theta, 6) AS theta,
-           round(rho2, 6) AS var_reduction
-         FROM j ORDER BY arm"""
-    },
-
-    "privacy_t_closeness" ->
-      """WITH c AS (
-           SELECT c_nationkey, c_mktsegment,
-             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens_band
-           FROM customer),
-         cl AS (
-           SELECT c_nationkey, c_mktsegment, sens_band, count(*) AS cgb
-           FROM c GROUP BY 1, 2, 3),
-         ng AS (
-           SELECT c_nationkey, c_mktsegment, count(*) AS n_g
-           FROM c GROUP BY 1, 2),
-         cb AS (SELECT sens_band, count(*) AS cb FROM c GROUP BY 1),
-         nt AS (SELECT count(*) AS nt FROM c),
-         g AS (
-           SELECT l.c_nationkey, l.c_mktsegment,
-             max(g2.n_g) AS group_size,
-             CAST(sum(abs(l.cgb * nt.nt - b.cb * g2.n_g) - b.cb * g2.n_g)
-               + max(nt.nt * g2.n_g) AS BIGINT) AS tvd_num,
-             max(nt.nt) AS n_total
-           FROM cl l
-           JOIN cb b ON l.sens_band = b.sens_band
-           JOIN ng g2 ON l.c_nationkey = g2.c_nationkey
-             AND l.c_mktsegment = g2.c_mktsegment
-           CROSS JOIN nt
-           GROUP BY 1, 2)
-         SELECT c_nationkey, c_mktsegment, group_size,
-           (1000000 * tvd_num) // (2 * group_size * n_total) AS tvd_ppm,
-           ((1000000 * tvd_num) // (2 * group_size * n_total)) > 400000
-             AS breach
-         FROM g ORDER BY c_nationkey, c_mktsegment""",
-
-    "feature_target_encode" ->
-      """WITH rev AS (
-           SELECT o_custkey,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-           FROM orders GROUP BY o_custkey),
-         y AS (
-           SELECT c.c_custkey, c.c_nationkey,
-             coalesce(r.rev, CAST(0 AS DECIMAL(18,2))) AS y
-           FROM customer c LEFT JOIN rev r ON c.c_custkey = r.o_custkey),
-         gl AS (SELECT sum(y) AS s_all, count(*) AS n_all FROM y),
-         w AS (
-           SELECT c_custkey, c_nationkey, y,
-             sum(y) OVER (PARTITION BY c_nationkey) AS s_g,
-             count(*) OVER (PARTITION BY c_nationkey) AS n_g
-           FROM y)
-         SELECT c_custkey, c_nationkey,
-           CAST(y AS DOUBLE) AS revenue,
-           round((CAST(s_g AS DOUBLE) - CAST(y AS DOUBLE) +
-               10.0 * CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)) /
-             (CAST(n_g AS DOUBLE) - 1.0 + 10.0), 6) AS enc_loo
-         FROM w CROSS JOIN gl ORDER BY c_custkey""",
-
-    "graph_degree_distribution" ->
-      """WITH e0 AS (
-           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-           FROM lineitem),
-         und AS (
-           SELECT src, dst FROM e0
-           UNION ALL SELECT dst AS src, src AS dst FROM e0),
-         deg AS (SELECT src, count(*) AS degree FROM und GROUP BY src),
-         hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree),
-         tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n FROM hist),
-         hill AS (
-           SELECT CAST(sum(n_nodes) AS BIGINT) AS n_tail,
-             round(1.0 + CAST(sum(n_nodes) AS DOUBLE) /
-               list_reduce(list_prepend(0.0,
-                 list(CAST(n_nodes AS DOUBLE) *
-                   ln(CAST(degree AS DOUBLE) / 4.5) ORDER BY degree)),
-                 (p, q) -> p + q), 6) AS alpha_hill
-           FROM hist WHERE degree >= 5),
-         cum AS (
-           SELECT degree, n_nodes,
-             CAST(sum(n_nodes) OVER (ORDER BY degree DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS cum_ge
-           FROM hist)
-         SELECT degree, n_nodes, (1000000 * cum_ge) // n AS ccdf_ppm,
-           n_tail, alpha_hill
-         FROM cum CROSS JOIN tot CROSS JOIN hill
-         ORDER BY degree""",
-
-    // the oracle states the band join DECLARATIVELY (DuckDB's IEJoin
-    // handles the inequality); equality proves the bucket construction
-    // finds every pair exactly once
-    "join_band_bucketed" ->
-      """WITH s AS (
-           SELECT c_custkey AS k,
-             CAST(round(c_acctbal * 100) AS BIGINT) AS c
-           FROM customer)
-         SELECT a.k AS id_a, b.k AS id_b, abs(a.c - b.c) AS delta_cents
-         FROM s a JOIN s b
-           ON a.k < b.k AND abs(a.c - b.c) <= 500
-         ORDER BY id_a, id_b""",
-
-    "timeseries_stl_strength" ->
-      """WITH hourly AS (
-           SELECT date_trunc('hour', ts) AS bkt,
-             sum(CAST(value AS DECIMAL(18,2))) AS v
-           FROM events WHERE event_type = 'click'
-           GROUP BY 1),
-         trended AS (
-           SELECT bkt, v,
-             CAST(floor(1000000.0 *
-               CAST(sum(v) OVER w AS DOUBLE) /
-               CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend_micro,
-             CAST(round(v * 1000000) AS BIGINT) AS v_micro
-           FROM hourly
-           WINDOW w AS (ORDER BY bkt
-             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-         seasonal AS (
-           SELECT bkt, v, trend_micro,
-             v_micro - trend_micro AS detrended_micro,
-             CAST(sum(v_micro - trend_micro)
-                 OVER (PARTITION BY hour(bkt)) AS BIGINT) //
-               CAST(count(*) OVER (PARTITION BY hour(bkt)) AS BIGINT)
-               AS seasonal_micro
-           FROM trended),
-         comp AS (
-           SELECT detrended_micro - seasonal_micro AS r,
-             trend_micro + detrended_micro - seasonal_micro AS tr,
-             seasonal_micro + detrended_micro - seasonal_micro AS sr
-           FROM seasonal),
-         sums AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(r) AS BIGINT) AS s_r,
-             sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS ss_r,
-             CAST(sum(tr) AS BIGINT) AS s_tr,
-             sum(CAST(tr AS HUGEINT) * CAST(tr AS HUGEINT)) AS ss_tr,
-             CAST(sum(sr) AS BIGINT) AS s_sr,
-             sum(CAST(sr AS HUGEINT) * CAST(sr AS HUGEINT)) AS ss_sr
-           FROM comp)
-         SELECT n AS n_hours,
-           CAST(floor(1000000.0 * greatest(0.0,
-             1.0 - ((CAST(ss_r AS DOUBLE) - CAST(s_r AS DOUBLE)
-                 * CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
-               / ((CAST(ss_tr AS DOUBLE) - CAST(s_tr AS DOUBLE)
-                 * CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))))
-             AS BIGINT) AS f_trend_ppm,
-           CAST(floor(1000000.0 * greatest(0.0,
-             1.0 - ((CAST(ss_r AS DOUBLE) - CAST(s_r AS DOUBLE)
-                 * CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
-               / ((CAST(ss_sr AS DOUBLE) - CAST(s_sr AS DOUBLE)
-                 * CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))))
-             AS BIGINT) AS f_seasonal_ppm
-         FROM sums""",
-
-    "timeseries_decompose" ->
-      """WITH hourly AS (
-           SELECT date_trunc('hour', ts) AS bkt,
-             sum(CAST(value AS DECIMAL(18,2))) AS v
-           FROM events WHERE event_type = 'click'
-           GROUP BY 1),
-         trended AS (
-           SELECT bkt, v,
-             CAST(floor(1000000.0 *
-               CAST(sum(v) OVER w AS DOUBLE) /
-               CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend_micro,
-             CAST(round(v * 1000000) AS BIGINT) AS v_micro
-           FROM hourly
-           WINDOW w AS (ORDER BY bkt
-             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-         seasonal AS (
-           SELECT bkt, v, trend_micro,
-             v_micro - trend_micro AS detrended_micro,
-             CAST(sum(v_micro - trend_micro)
-                 OVER (PARTITION BY hour(bkt)) AS BIGINT) //
-               CAST(count(*) OVER (PARTITION BY hour(bkt)) AS BIGINT)
-               AS seasonal_micro
-           FROM trended)
-         SELECT bkt, CAST(v AS DOUBLE) AS revenue, trend_micro,
-           seasonal_micro, detrended_micro - seasonal_micro AS residual_micro
-         FROM seasonal ORDER BY bkt""",
-
-    "stats_mutual_information" ->
-      """WITH obs AS (
-           SELECT o_orderpriority, o_orderstatus, count(*) AS c
-           FROM orders GROUP BY 1, 2),
-         rws AS (SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS rn
-           FROM obs GROUP BY 1),
-         cls AS (SELECT o_orderstatus, CAST(sum(c) AS BIGINT) AS cn
-           FROM obs GROUP BY 1),
-         nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM obs),
-         hr AS (
-           SELECT max(n) AS n,
-             list_reduce(list_prepend(0.0,
-               list(CAST(rn AS DOUBLE) * ln(CAST(rn AS DOUBLE))
-                 ORDER BY o_orderpriority)), (p, q) -> p + q) AS sm
-           FROM rws CROSS JOIN nt),
-         hr2 AS (SELECT n,
-             ln(CAST(n AS DOUBLE)) - sm / CAST(n AS DOUBLE) AS h_rows
-           FROM hr),
-         hc AS (
-           SELECT max(n) AS n2,
-             list_reduce(list_prepend(0.0,
-               list(CAST(cn AS DOUBLE) * ln(CAST(cn AS DOUBLE))
-                 ORDER BY o_orderstatus)), (p, q) -> p + q) AS sm
-           FROM cls CROSS JOIN nt),
-         hc2 AS (SELECT
-             ln(CAST(n2 AS DOUBLE)) - sm / CAST(n2 AS DOUBLE) AS h_cols
-           FROM hc),
-         terms AS (
-           SELECT o.o_orderpriority, o.o_orderstatus,
-             (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
-               ln(CAST(c * n AS DOUBLE) / CAST(rn * cn AS DOUBLE)) AS term
-           FROM obs o
-           JOIN rws USING (o_orderpriority)
-           JOIN cls USING (o_orderstatus)
-           CROSS JOIN nt),
-         mi AS (
-           SELECT list_reduce(list_prepend(0.0,
-               list(term ORDER BY o_orderpriority, o_orderstatus)),
-               (p, q) -> p + q) AS mi_nats
-           FROM terms)
-         SELECT n, round(mi_nats, 6) AS mi_nats,
-           round(h_rows, 6) AS h_rows, round(h_cols, 6) AS h_cols,
-           round(mi_nats / sqrt(h_rows * h_cols), 6) AS nmi
-         FROM mi CROSS JOIN hr2 CROSS JOIN hc2""",
-
-    "stats_gini_monthly" ->
-      """WITH rev AS (
-           SELECT date_trunc('month', o_orderdate) AS mon, o_custkey,
-             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
-               AS BIGINT) AS cents
-           FROM orders GROUP BY 1, 2),
-         ranked AS (
-           SELECT mon, cents,
-             CAST(row_number() OVER (PARTITION BY mon
-               ORDER BY cents, o_custkey) AS BIGINT) AS i
-           FROM rev),
-         per AS (
-           SELECT mon, CAST(count(*) AS BIGINT) AS n_customers,
-             CAST(sum(cents) AS BIGINT) AS cents_total,
-             CAST(sum(i * cents) AS BIGINT) AS s1
-           FROM ranked GROUP BY mon)
-         SELECT CAST(mon AS TIMESTAMP) AS mon, n_customers, cents_total,
-           round((2.0 * CAST(s1 AS DOUBLE)
-               - CAST(n_customers + 1 AS DOUBLE) * CAST(cents_total AS DOUBLE))
-             / (CAST(n_customers AS DOUBLE) * CAST(cents_total AS DOUBLE)), 6)
-             AS gini
-         FROM per ORDER BY mon""",
-
-    "stats_gini_lorenz" ->
-      """WITH rev AS (
-           SELECT o_custkey,
-             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
-               AS BIGINT) AS cents
-           FROM orders GROUP BY 1),
-         ranked AS (
-           SELECT o_custkey, cents,
-             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
-               AS i,
-             CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT)
-               AS decile
-           FROM rev),
-         tot AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS s,
-             CAST(sum(i * cents) AS BIGINT) AS s1
-           FROM ranked)
-         SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
-           (1000000 * CAST(sum(cents) AS BIGINT)) // s AS revenue_share_ppm,
-           round((2.0 * CAST(s1 AS DOUBLE) -
-               CAST(n + 1 AS DOUBLE) * CAST(s AS DOUBLE)) /
-             (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
-         FROM ranked CROSS JOIN tot
-         GROUP BY decile, n, s, s1 ORDER BY decile""",
-
-    "dq_benford" ->
-      """WITH d AS (
-           SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
-             AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-           FROM orders),
-         per AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
-         tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM per)
-         SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
-           (1000000 * n_obs) // n AS share_ppm,
-           CAST(floor(1000000 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-             AS BIGINT) AS benford_ppm,
-           abs((1000000 * n_obs) // n -
-             CAST(floor(1000000 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-               AS BIGINT)) AS dev_ppm
-         FROM per CROSS JOIN tot ORDER BY digit""",
-
-    // the oracle recomputes from the EDITED MULTISET — equality proves
-    // the signed-partial-aggregate algebra never rescans the base
-    "agg_incremental_update" ->
-      """WITH edited AS (
-           SELECT l_returnflag, l_quantity FROM lineitem
-           WHERE l_orderkey % 97 <> 0 AND NOT
-             (l_orderkey % 97 <> 0 AND l_orderkey % 89 = 0)
-           UNION ALL
-           SELECT l_returnflag, l_quantity FROM lineitem
-           WHERE l_orderkey % 97 = 0)
-         SELECT l_returnflag, count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-         FROM edited GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "events_rolling_active" ->
-      """WITH fanned AS (
-           SELECT date_trunc('day', ts) - INTERVAL (k) DAY AS win_start,
-             user_id
-           FROM events CROSS JOIN range(0, 7) r(k))
-         SELECT win_start, count(DISTINCT user_id) AS active_users_7d,
-           count(*) AS n_events_7d
-         FROM fanned GROUP BY win_start ORDER BY win_start""",
-
-    "feature_binning" ->
-      """WITH f AS (
-           SELECT [round(quantile_cont(o_totalprice, 0.1), 4),
-                   round(quantile_cont(o_totalprice, 0.2), 4),
-                   round(quantile_cont(o_totalprice, 0.3), 4),
-                   round(quantile_cont(o_totalprice, 0.4), 4),
-                   round(quantile_cont(o_totalprice, 0.5), 4),
-                   round(quantile_cont(o_totalprice, 0.6), 4),
-                   round(quantile_cont(o_totalprice, 0.7), 4),
-                   round(quantile_cont(o_totalprice, 0.8), 4),
-                   round(quantile_cont(o_totalprice, 0.9), 4)] AS fences
-           FROM orders)
-         SELECT o_orderkey, o_totalprice,
-           CAST(1 + list_reduce(list_prepend(0,
-             list_transform(fences,
-               x -> CASE WHEN o_totalprice > x THEN 1 ELSE 0 END)),
-             (p, q) -> p + q) AS BIGINT) AS bin
-         FROM orders CROSS JOIN f ORDER BY o_orderkey""",
-
-    "events_funnel_windowed" ->
-      """WITH su AS (
-           SELECT user_id, min(ts) AS t1 FROM events
-           WHERE event_type = 'signup' GROUP BY user_id),
-         cl AS (
-           SELECT e.user_id, min(e.ts) AS t2
-           FROM events e JOIN su ON e.user_id = su.user_id
-           WHERE e.event_type = 'click' AND e.ts > su.t1
-             AND e.ts <= su.t1 + INTERVAL 24 HOUR
-           GROUP BY e.user_id),
-         pu AS (
-           SELECT e.user_id, min(e.ts) AS t3
-           FROM events e JOIN cl ON e.user_id = cl.user_id
-           WHERE e.event_type = 'purchase' AND e.ts > cl.t2
-             AND e.ts <= cl.t2 + INTERVAL 24 HOUR
-           GROUP BY e.user_id),
-         ns AS (
-           SELECT (SELECT count(*) FROM su) AS n1,
-             (SELECT count(*) FROM cl) AS n2,
-             (SELECT count(*) FROM pu) AS n3)
-         SELECT step, n_users, conv_ppm FROM (
-           SELECT '1_signup' AS step, n1 AS n_users,
-             CAST(1000000 AS BIGINT) AS conv_ppm FROM ns
-           UNION ALL
-           SELECT '2_click_24h', n2, (1000000 * n2) // n1 FROM ns
-           UNION ALL
-           SELECT '3_purchase_24h', n3, (1000000 * n3) // n2 FROM ns)
-         ORDER BY step""",
-
-    "stats_did" -> {
-      val hv = signedSql(fnvSql("CAST(user_id AS VARCHAR)"))
-      s"""WITH b AS (
-           SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
-           FROM events),
-         cells AS (
-           SELECT CASE WHEN (($hv % 2) + 2) % 2 = 0
-                    THEN 'control' ELSE 'treatment' END AS arm,
-             CASE WHEN epoch_us(ts) * 2 < lo + hi
-                  THEN 'pre' ELSE 'post' END AS period,
-             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sv
-           FROM events CROSS JOIN b
-           WHERE event_type = 'purchase'
-           GROUP BY 1, 2),
-         m AS (
-           SELECT arm || '_' || period AS cell,
-             CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v
-           FROM cells),
-         wide AS (
-           SELECT max(CASE WHEN cell = 'control_pre' THEN mean_v END)
-               AS control_pre,
-             max(CASE WHEN cell = 'control_post' THEN mean_v END)
-               AS control_post,
-             max(CASE WHEN cell = 'treatment_pre' THEN mean_v END)
-               AS treatment_pre,
-             max(CASE WHEN cell = 'treatment_post' THEN mean_v END)
-               AS treatment_post
-           FROM m)
-         SELECT round(control_pre, 6) AS control_pre,
-           round(control_post, 6) AS control_post,
-           round(treatment_pre, 6) AS treatment_pre,
-           round(treatment_post, 6) AS treatment_post,
-           round((treatment_post - treatment_pre) -
-             (control_post - control_pre), 6) AS did
-         FROM wide"""
-    },
-
-    "dq_partition_audit" ->
-      """WITH daily AS (
-           SELECT date_trunc('day', ts) AS day, count(*) AS n_rows
-           FROM events GROUP BY 1),
-         med AS (
-           SELECT round(quantile_cont(n_rows, 0.5), 4) AS median_rows
-           FROM daily)
-         SELECT day, n_rows, median_rows,
-           CAST(n_rows AS DOUBLE) < median_rows * 0.5 AS low_volume
-         FROM daily CROSS JOIN med ORDER BY day""",
-
-    "graph_kcore" ->
-      // every round's frame is multiply-referenced — MATERIALIZED stops
-      // DuckDB's CTE inlining from re-executing the whole upstream chain
-      // per reference (the sf1 leg hit exponential recompute + an 80 GB
-      // spill without it)
-      """WITH e0 AS MATERIALIZED (
-           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-           FROM lineitem),
-         g0 AS MATERIALIZED (SELECT src, dst FROM e0
-           UNION ALL SELECT dst AS src, src AS dst FROM e0),
-         kv AS MATERIALIZED (
-           SELECT CAST(floor(quantile_cont(deg, 0.25)) AS BIGINT) AS k
-           FROM (SELECT src, count(*) AS deg FROM g0 GROUP BY src)),
-         k1 AS MATERIALIZED (SELECT src AS node
-           FROM g0 CROSS JOIN kv GROUP BY src, k
-           HAVING count(*) >= k),
-         g1 AS MATERIALIZED (SELECT g.src, g.dst FROM g0 g
-           JOIN k1 a ON g.src = a.node JOIN k1 b ON g.dst = b.node),
-         k2 AS MATERIALIZED (SELECT src AS node
-           FROM g1 CROSS JOIN kv GROUP BY src, k
-           HAVING count(*) >= k),
-         g2 AS MATERIALIZED (SELECT g.src, g.dst FROM g1 g
-           JOIN k2 a ON g.src = a.node JOIN k2 b ON g.dst = b.node),
-         k3 AS MATERIALIZED (SELECT src AS node
-           FROM g2 CROSS JOIN kv GROUP BY src, k
-           HAVING count(*) >= k),
-         g3 AS MATERIALIZED (SELECT g.src, g.dst FROM g2 g
-           JOIN k3 a ON g.src = a.node JOIN k3 b ON g.dst = b.node)
-         SELECT src AS node, count(*) AS degree
-         FROM g3 GROUP BY src ORDER BY node""",
-
-    "customers_rfm" ->
-      """WITH mx AS (SELECT max(o_orderdate) AS d_max FROM orders),
-         per AS (
-           SELECT o_custkey, max(o_orderdate) AS last_order,
-             count(*) AS frequency,
-             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
-               AS BIGINT) AS monetary_cents
-           FROM orders GROUP BY o_custkey),
-         scored AS (
-           SELECT o_custkey,
-             CAST(date_diff('day', last_order, d_max) AS BIGINT)
-               AS recency_days,
-             CAST(frequency AS BIGINT) AS frequency, monetary_cents,
-             CAST(ntile(5) OVER (ORDER BY
-               date_diff('day', last_order, d_max) DESC, o_custkey)
-               AS BIGINT) AS r_score,
-             CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
-               AS BIGINT) AS f_score,
-             CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
-               AS BIGINT) AS m_score
-           FROM per CROSS JOIN mx)
-         SELECT o_custkey, recency_days, frequency, monetary_cents,
-           r_score, f_score, m_score,
-           r_score * 100 + f_score * 10 + m_score AS segment
-         FROM scored ORDER BY o_custkey""",
-
-    // KMV sketches rebuilt hash-for-hash (agg_theta_sketch's chain) on
-    // both key sets; the estimator closes over them in the same double
-    // tree; the exact join count rides along
-    "join_cardinality_estimate" ->
-      s"""WITH keys_a AS (
-           SELECT DISTINCT CAST(o_custkey AS HUGEINT) AS x FROM orders),
-         keys_b AS (
-           SELECT DISTINCT CAST(c_custkey AS HUGEINT) AS x FROM customer),
-         ${mix64Ctes("keys_a", "ha")},
-         ${mix64Ctes("keys_b", "hb")},
-         ka AS (SELECT h FROM (
-           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha)
-           WHERE rn <= 256),
-         kb AS (SELECT h FROM (
-           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb)
-           WHERE rn <= 256),
-         ku AS (SELECT h FROM (
-           SELECT h, row_number() OVER (ORDER BY h) AS rn FROM
-             (SELECT h FROM ka UNION SELECT h FROM kb))
-           WHERE rn <= 256),
-         esta AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
-           END AS est_a FROM ka),
-         estb AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
-           END AS est_b FROM kb),
-         estu AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-           ELSE 255e0 * 1.8446744073709552e19 / CAST(max(h) AS DOUBLE)
-           END AS est_union FROM ku),
-         na_t AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM orders),
-         nb_t AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM customer),
-         ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
-           FROM orders JOIN customer ON o_custkey = c_custkey)
-         SELECT n_a, n_b, est_a, est_b,
-           round(greatest(0e0, est_a + est_b - est_union), 4) AS est_keys,
-           round(greatest(0e0, est_a + est_b - est_union) *
-             (CAST(n_a AS DOUBLE) / est_a) *
-             (CAST(n_b AS DOUBLE) / est_b), 2) AS est_join_rows,
-           exact_join_rows
-         FROM na_t, nb_t, esta, estb, estu, ex""",
-
-    "stats_wilcoxon_signed_rank" ->
-      """WITH u AS (
-           SELECT user_id,
-             sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
-                 THEN 1 ELSE 0 END) AS early,
-             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
-                 THEN 1 ELSE 0 END) AS late
-           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-         nz AS (
-           SELECT late - early AS d, abs(late - early) AS ad
-           FROM u WHERE late <> early),
-         per AS (
-           SELECT ad, CAST(count(*) AS BIGINT) AS t,
-             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tpos
-           FROM nz GROUP BY ad),
-         ranked AS (
-           SELECT *, coalesce(sum(t) OVER (ORDER BY ad
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-           FROM per),
-         agg AS (
-           SELECT CAST(sum(t) AS BIGINT) AS n,
-             CAST(sum(tpos * (2 * cum_before + t + 1)) AS BIGINT) AS w2_pos,
-             CAST(sum(t * t * t - t) AS BIGINT) AS tie3
-           FROM ranked)
-         SELECT n, w2_pos, tie3,
-           CASE WHEN n < 2 THEN NULL
-                ELSE round((2 * w2_pos - n * (n + 1)) /
-                  sqrt((2.0 * n * (n + 1) * (2 * n + 1) - tie3) / 3.0), 6)
-           END AS z
-         FROM agg""",
-
-    "stats_durbin_watson" ->
-      """WITH d AS (
-           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
-           FROM events GROUP BY 1),
-         xd AS (
-           SELECT day, y,
-             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x
-           FROM d),
-         sums AS (
-           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(x * y) AS BIGINT) AS sxy
-           FROM xd),
-         coef AS (
-           SELECT n, sx, sy,
-             n * sxy - sx * sy AS n1, n * sxx - sx * sx AS dd
-           FROM sums),
-         resid AS (
-           SELECT x,
-             CAST(n AS HUGEINT) * dd * y
-               - (CAST(dd AS HUGEINT) * sy - CAST(n1 AS HUGEINT) * sx)
-               - CAST(n AS HUGEINT) * n1 * x AS e
-           FROM xd CROSS JOIN coef),
-         lagd AS (
-           SELECT e, lag(e) OVER (ORDER BY x) AS e_prev FROM resid)
-         SELECT (SELECT n FROM coef) AS n_days,
-           (SELECT CASE WHEN dd = 0 THEN NULL
-                   ELSE CAST((1000000 * CAST(n1 AS HUGEINT)) // dd AS BIGINT)
-                   END FROM coef) AS slope_ppm,
-           CASE WHEN sum(e * e) = 0 THEN NULL
-                ELSE CAST((1000000 * sum(CASE WHEN e_prev IS NOT NULL
-                    THEN (e - e_prev) * (e - e_prev)
-                    ELSE 0::HUGEINT END)) // sum(e * e) AS BIGINT)
-           END AS dw_ppm
-         FROM lagd""",
-
-    "timeseries_pacf" ->
-      """WITH d AS (
-           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
-           FROM events GROUP BY 1),
-         tot AS (
-           SELECT CAST(count(*) AS HUGEINT) AS n,
-             CAST(sum(x) AS HUGEINT) AS sm,
-             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
-           FROM d),
-         lags AS (SELECT CAST(range AS INT) AS lg FROM range(1, 4)),
-         pairs AS (
-           SELECT lg, CAST(count(*) AS HUGEINT) AS p_k,
-             CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS pk_sum,
-             CAST(sum(a.x) AS HUGEINT) AS a_k,
-             CAST(sum(b.x) AS HUGEINT) AS b_k
-           FROM d a CROSS JOIN lags JOIN d b ON b.day = a.day + lg
-           GROUP BY lg),
-         rr AS (
-           SELECT lg,
-             CASE WHEN (n * n * q - n * sm * sm) = 0 THEN NULL
-                  ELSE CAST(n * n * pk_sum - n * sm * (a_k + b_k)
-                            + p_k * sm * sm AS DOUBLE)
-                       / CAST(n * n * q - n * sm * sm AS DOUBLE)
-             END AS r
-           FROM pairs CROSS JOIN tot),
-         piv AS (
-           SELECT max(CASE WHEN lg = 1 THEN r END) AS r1,
-             max(CASE WHEN lg = 2 THEN r END) AS r2,
-             max(CASE WHEN lg = 3 THEN r END) AS r3
-           FROM rr),
-         st AS (
-           SELECT r1, r2, r3, r1 AS p11,
-             CASE WHEN 1.0 - r1 * r1 = 0 THEN NULL
-                  ELSE (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p22
-           FROM piv),
-         st2 AS (SELECT *, r1 - p22 * r1 AS a21 FROM st)
-         SELECT round(p11, 6) AS pacf1, round(p22, 6) AS pacf2,
-           round(CASE WHEN 1.0 - a21 * r1 - p22 * r2 = 0 THEN NULL
-                 ELSE (r3 - a21 * r2 - p22 * r1)
-                      / (1.0 - a21 * r1 - p22 * r2) END, 6) AS pacf3
-         FROM st2""",
-
-    "timeseries_ljung_box" ->
-      """WITH d AS (
-           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
-           FROM events GROUP BY 1),
-         tot AS (
-           SELECT CAST(count(*) AS HUGEINT) AS n,
-             CAST(sum(x) AS HUGEINT) AS sm,
-             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
-           FROM d),
-         lags AS (SELECT CAST(range AS INT) AS lg FROM range(1, 8)),
-         pairs AS (
-           SELECT lg, CAST(count(*) AS HUGEINT) AS p_k,
-             CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS pk_sum,
-             CAST(sum(a.x) AS HUGEINT) AS a_k,
-             CAST(sum(b.x) AS HUGEINT) AS b_k
-           FROM d a CROSS JOIN lags JOIN d b ON b.day = a.day + lg
-           GROUP BY lg),
-         terms AS (
-           SELECT lg,
-             CASE WHEN (n * n * q - n * sm * sm) = 0 THEN NULL
-                  ELSE CAST(n * n * pk_sum - n * sm * (a_k + b_k)
-                            + p_k * sm * sm AS DOUBLE)
-                       / CAST(n * n * q - n * sm * sm AS DOUBLE)
-             END AS r,
-             CAST(n AS BIGINT) AS nb
-           FROM pairs CROSS JOIN tot)
-         SELECT max(nb) AS n_days, CAST(7 AS BIGINT) AS dof,
-           round(max(nb) * (max(nb) + 2) *
-             list_reduce(list_prepend(0.0,
-               list(r * r / (CAST(nb AS DOUBLE) - CAST(lg AS DOUBLE))
-                    ORDER BY lg)),
-               (a, b) -> a + b), 6) AS q_stat
-         FROM terms""",
-
-    "model_ks" ->
-      s"""WITH $marginScoredCtes,
-         per AS (
-           SELECT margin, CAST(sum(is_a) AS BIGINT) AS ca,
-             CAST(sum(1 - is_a) AS BIGINT) AS cb
-           FROM scored GROUP BY margin),
-         cum AS (
-           SELECT margin,
-             sum(ca) OVER (ORDER BY margin
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
-             sum(cb) OVER (ORDER BY margin
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cneg
-           FROM per),
-         tot AS (
-           SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
-             CAST(sum(cb) AS BIGINT) AS n_neg FROM per),
-         dd AS (
-           SELECT n_pos, n_neg, margin,
-             CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-               ELSE CAST((1000000 * abs(CAST(cpos AS HUGEINT) * n_neg
-                          - CAST(cneg AS HUGEINT) * n_pos))
-                    // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END AS d_ppm
-           FROM cum CROSS JOIN tot)
-         SELECT n_pos, n_neg, d_ppm AS ks_ppm, margin AS at_margin
-         FROM dd ORDER BY d_ppm DESC, margin LIMIT 1""",
-
-    "model_lift_gain" ->
-      s"""WITH $marginScoredCtes,
-         dec10 AS (
-           SELECT is_a,
-             ntile(10) OVER (ORDER BY margin DESC, doc_id) AS decile
-           FROM scored),
-         perd AS (
-           SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(is_a) AS BIGINT) AS pos
-           FROM dec10 GROUP BY decile),
-         cum AS (
-           SELECT decile, n_rows, pos,
-             sum(n_rows) OVER (ORDER BY decile
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
-             sum(pos) OVER (ORDER BY decile
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
-           FROM perd),
-         tot AS (
-           SELECT CAST(sum(n_rows) AS BIGINT) AS tot_rows,
-             CAST(sum(pos) AS BIGINT) AS tot_pos FROM perd)
-         SELECT decile, n_rows, pos, CAST(cum_pos AS BIGINT) AS cum_pos,
-           CASE WHEN tot_pos = 0 THEN NULL
-             ELSE CAST((1000000 * cum_pos) // tot_pos AS BIGINT)
-           END AS gain_ppm,
-           CASE WHEN tot_pos = 0 OR cum_rows = 0 THEN NULL
-             ELSE CAST((1000000 * CAST(cum_pos AS HUGEINT) * tot_rows)
-                  // (CAST(cum_rows AS HUGEINT) * tot_pos) AS BIGINT)
-           END AS lift_ppm
-         FROM cum CROSS JOIN tot ORDER BY decile""",
-
-    "model_threshold_sweep" ->
-      s"""WITH $marginScoredCtes,
-         thr AS (SELECT unnest([-300, -100, 0, 100, 300]) AS thr),
-         cm AS (
-           SELECT t.thr,
-             CAST(sum(CASE WHEN s.margin >= t.thr THEN s.is_a ELSE 0 END)
-               AS BIGINT) AS tp,
-             CAST(sum(CASE WHEN s.margin >= t.thr THEN 1 - s.is_a ELSE 0 END)
-               AS BIGINT) AS fp,
-             CAST(sum(CASE WHEN s.margin < t.thr THEN s.is_a ELSE 0 END)
-               AS BIGINT) AS fn,
-             CAST(sum(CASE WHEN s.margin < t.thr THEN 1 - s.is_a ELSE 0 END)
-               AS BIGINT) AS tn
-           FROM scored s CROSS JOIN thr t GROUP BY t.thr)
-         SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
-           CASE WHEN tp + fp = 0 THEN NULL
-             ELSE CAST((1000000 * tp) // (tp + fp) AS BIGINT)
-           END AS precision_ppm,
-           CASE WHEN tp + fn = 0 THEN NULL
-             ELSE CAST((1000000 * tp) // (tp + fn) AS BIGINT)
-           END AS recall_ppm,
-           CAST((1000000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT)
-             AS accuracy_ppm
-         FROM cm ORDER BY thr""",
-
-    "model_cost_curve" ->
-      s"""WITH $marginScoredCtes,
-         thr AS (SELECT unnest([-300, -100, 0, 100, 300]) AS thr),
-         cm AS (
-           SELECT t.thr,
-             CAST(sum(CASE WHEN s.margin >= t.thr THEN 1 - s.is_a ELSE 0 END)
-               AS BIGINT) AS fp,
-             CAST(sum(CASE WHEN s.margin < t.thr THEN s.is_a ELSE 0 END)
-               AS BIGINT) AS fn
-           FROM scored s CROSS JOIN thr t GROUP BY t.thr),
-         rr AS (SELECT CAST(unnest([1, 2, 5, 10]) AS BIGINT) AS r),
-         costs AS (
-           SELECT r, CAST(thr AS BIGINT) AS thr, fp, fn,
-             fp + r * fn AS cost
-           FROM cm CROSS JOIN rr)
-         SELECT r, thr, fp, fn, CAST(cost AS BIGINT) AS cost,
-           CAST(CASE WHEN row_number() OVER (PARTITION BY r
-               ORDER BY cost, thr) = 1 THEN 1 ELSE 0 END AS BIGINT)
-             AS is_best
-         FROM costs ORDER BY r, thr""",
-
-    "events_sequence_mining" ->
-      """WITH seq AS (
-           SELECT user_id, event_type AS e1,
-             lead(event_type, 1) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
-             lead(event_type, 2) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS e3
-           FROM events)
-         SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_occurrences,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
-         GROUP BY e1, e2, e3
-         ORDER BY n_users DESC, n_occurrences DESC, e1, e2, e3 LIMIT 15""",
-
-    "search_phrase" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         tokp AS (
-           SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM d),
-         tp AS (
-           SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             toks[CAST(i AS INT) + 1] AS tok
-           FROM tokp),
-         bi AS (
-           SELECT doc_id, tok AS a,
-             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
-           FROM tp),
-         topb AS (
-           SELECT a AS t1, b AS t2, CAST(count(*) AS BIGINT) AS cnt
-           FROM bi WHERE b IS NOT NULL GROUP BY 1, 2
-           ORDER BY cnt DESC, t1, t2 LIMIT 1),
-         m AS (
-           SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_matches
-           FROM tp x
-           JOIN topb ON x.tok = topb.t1
-           JOIN tp y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
-                    AND y.tok = topb.t2
-           GROUP BY x.doc_id)
-         SELECT t1, t2, doc_id, n_matches
-         FROM m CROSS JOIN topb
-         ORDER BY n_matches DESC, doc_id LIMIT 20""",
-
-    "orders_market_basket" ->
-      """WITH b AS (
-           SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
-         tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
-         freq AS (
-           SELECT item, CAST(count(*) AS BIGINT) AS cnt
-           FROM b CROSS JOIN tot GROUP BY item, n_orders
-           HAVING count(*) * 1000 >= n_orders * 2),
-         bf AS (SELECT b.ok, b.item, f.cnt FROM b JOIN freq f USING (item)),
-         pairs AS (
-           SELECT x.item AS item_a, y.item AS item_b,
-             CAST(count(*) AS BIGINT) AS cnt_ab,
-             max(x.cnt) AS cnt_a, max(y.cnt) AS cnt_b
-           FROM bf x JOIN bf y ON x.ok = y.ok AND x.item < y.item
-           GROUP BY 1, 2)
-         SELECT item_a, item_b, cnt_ab, cnt_a, cnt_b,
-           CAST((1000000 * cnt_ab) // n_orders AS BIGINT) AS support_ppm,
-           CAST((1000000 * cnt_ab) // cnt_a AS BIGINT) AS conf_ab_ppm,
-           CAST((1000000 * CAST(cnt_ab AS HUGEINT) * n_orders)
-             // (CAST(cnt_a AS HUGEINT) * cnt_b) AS BIGINT) AS lift_ppm
-         FROM pairs CROSS JOIN tot
-         ORDER BY cnt_ab DESC, item_a, item_b LIMIT 20""",
-
-    "feature_encoder_table" ->
-      """WITH lab AS (
-           SELECT source,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
-           FROM documents),
-         per AS (
-           SELECT source, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(is_a) AS BIGINT) AS pos
-           FROM lab GROUP BY source),
-         gl AS (
-           SELECT CAST(count(*) AS BIGINT) AS gn,
-             CAST(sum(is_a) AS BIGINT) AS gp FROM lab),
-         ex AS (
-           SELECT source, n, pos, gn, gp, u.is_a
-           FROM per CROSS JOIN gl
-           CROSS JOIN (VALUES (0), (1)) AS u(is_a)),
-         lb AS (
-           SELECT source, CAST(is_a AS BIGINT) AS is_a, n, gn, gp,
-             CASE WHEN is_a = 1 THEN pos ELSE n - pos END AS n_label,
-             CASE WHEN is_a = 1 THEN pos - 1 ELSE pos END AS pos_excl
-           FROM ex)
-         SELECT source, is_a, n_label,
-           CASE WHEN n = 1 THEN NULL
-             ELSE CAST((1000000 * pos_excl) // (n - 1) AS BIGINT)
-           END AS loo_ppm,
-           CAST((1000000 * (CAST(pos_excl AS HUGEINT) * gn + 20 * gp))
-             // (CAST(n - 1 + 20 AS HUGEINT) * gn) AS BIGINT) AS smooth_ppm
-         FROM lb WHERE n_label > 0 ORDER BY source, is_a""",
-
-    "stats_cramers_v" ->
-      """WITH cell AS (
-           SELECT c_nationkey AS nk, c_mktsegment AS seg,
-             CAST(count(*) AS BIGINT) AS o
-           FROM customer GROUP BY 1, 2),
-         rowt AS (SELECT nk, CAST(sum(o) AS BIGINT) AS rt FROM cell GROUP BY nk),
-         colt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS ct FROM cell GROUP BY seg),
-         nr AS (
-           SELECT CAST(sum(o) AS BIGINT) AS n,
-             CAST(count(DISTINCT nk) AS BIGINT) AS r,
-             CAST(count(DISTINCT seg) AS BIGINT) AS k
-           FROM cell),
-         terms AS (
-           SELECT cell.nk, cell.seg,
-             POWER(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
-                 - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE), 2)
-               / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
-               AS term
-           FROM cell JOIN rowt USING (nk) JOIN colt USING (seg)
-           CROSS JOIN nr),
-         chi AS (
-           SELECT n, r, k,
-             list_reduce(list_prepend(0.0, list(term ORDER BY nk, seg)),
-               (a, b) -> a + b) AS chi2
-           FROM terms CROSS JOIN nr GROUP BY n, r, k)
-         SELECT n, r, k, round(chi2, 6) AS chi2,
-           round(sqrt(chi2 / (CAST(n AS DOUBLE)
-             * CAST(least(r - 1, k - 1) AS DOUBLE))), 6) AS v
-         FROM chi""",
-
-    "model_pr_auc" ->
-      s"""WITH $marginScoredCtes,
-         per AS (
-           SELECT margin, CAST(sum(is_a) AS BIGINT) AS ca,
-             CAST(count(*) AS BIGINT) AS call
-           FROM scored GROUP BY margin),
-         cum AS (
-           SELECT margin, ca, call,
-             sum(ca) OVER (ORDER BY margin DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
-             sum(call) OVER (ORDER BY margin DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS call_cum
-           FROM per),
-         tot AS (
-           SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
-             CAST(sum(call - ca) AS BIGINT) AS n_neg FROM per),
-         terms AS (
-           SELECT margin, n_pos, n_neg,
-             CASE WHEN n_pos = 0 THEN 0.0
-               ELSE (CAST(ca AS DOUBLE) / CAST(n_pos AS DOUBLE))
-                    * (CAST(cpos AS DOUBLE) / CAST(call_cum AS DOUBLE)) END
-               AS v
-           FROM cum CROSS JOIN tot)
-         SELECT max(n_pos) AS n_pos, max(n_neg) AS n_neg,
-           round(list_reduce(list_prepend(0.0, list(v ORDER BY margin)),
-             (a, b) -> a + b), 6) AS ap
-         FROM terms""",
-
-    "recsys_item_cf" ->
-      """WITH e AS (
-           SELECT DISTINCT o_custkey AS c, l_partkey AS p
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY p),
-         pairs AS (
-           SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS common
-           FROM e a JOIN e b ON a.c = b.c AND a.p < b.p
-           GROUP BY a.p, b.p),
-         sym AS (
-           SELECT p1, p2, common FROM pairs
-           UNION ALL SELECT p2, p1, common FROM pairs),
-         top AS (
-           SELECT p AS p1, deg AS deg1 FROM deg
-           ORDER BY deg DESC, p LIMIT 20),
-         sc AS (
-           SELECT s.p1, t.deg1, s.p2, s.common,
-             CAST(floor(1000000.0 * s.common /
-               sqrt(CAST(t.deg1 AS DOUBLE) * CAST(d2.deg AS DOUBLE)))
-               AS BIGINT) AS cos_ppm
-           FROM sym s JOIN top t ON s.p1 = t.p1
-           JOIN deg d2 ON s.p2 = d2.p),
-         rk AS (
-           SELECT *, row_number() OVER (PARTITION BY p1
-             ORDER BY cos_ppm DESC, p2) AS rnk
-           FROM sc)
-         SELECT p1, deg1, rnk, p2, common, cos_ppm
-         FROM rk WHERE rnk <= 5 ORDER BY p1, rnk""",
-
-    "graph_eigenvector" ->
-      """WITH e0 AS (
-           SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v
-           FROM lineitem),
-         und AS (
-           SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
-         x1 AS (
-           SELECT u AS node, CAST(count(*) AS HUGEINT) AS x
-           FROM und GROUP BY u),
-         x2 AS (
-           SELECT und.v AS node, CAST(sum(x1.x) AS HUGEINT) AS x
-           FROM und JOIN x1 ON und.u = x1.node GROUP BY und.v),
-         x3 AS (
-           SELECT und.v AS node, CAST(sum(x2.x) AS HUGEINT) AS x
-           FROM und JOIN x2 ON und.u = x2.node GROUP BY und.v),
-         tot AS (SELECT CAST(sum(x) AS HUGEINT) AS xsum FROM x3)
-         SELECT CAST(node AS BIGINT) AS node,
-           CAST(x AS BIGINT) AS x3,
-           CAST((1000000 * x) // xsum AS BIGINT) AS score_ppm
-         FROM x3 CROSS JOIN tot
-         ORDER BY x DESC, node LIMIT 20""",
-
-    "layout_compaction_plan" ->
-      """WITH files AS (
-           SELECT doc_id % 197 AS file_id, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(n_chars) AS BIGINT) AS bytes
-           FROM documents GROUP BY 1),
-         cb AS (
-           SELECT file_id, n_docs, bytes,
-             coalesce(sum(bytes) OVER (ORDER BY file_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_before
-           FROM files)
-         SELECT CAST(cum_before // 131072 AS BIGINT) AS bin,
-           CAST(count(*) AS BIGINT) AS n_files,
-           CAST(sum(n_docs) AS BIGINT) AS n_docs,
-           CAST(sum(bytes) AS BIGINT) AS bytes,
-           min(file_id) AS first_file, max(file_id) AS last_file,
-           CAST((1000000 * CAST(sum(bytes) AS BIGINT)) // 131072
-                AS BIGINT) AS fill_ppm
-         FROM cb GROUP BY 1 ORDER BY bin""",
-
-    "timeseries_holt" -> holtSqlText,
-
-    "stats_fisher_exact" ->
-      """WITH byday AS (
-           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS tot,
-             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-               AS BIGINT) AS errs
-           FROM events GROUP BY 1),
-         overall AS (
-           SELECT CAST(sum(tot) AS BIGINT) AS gt,
-             CAST(sum(errs) AS BIGINT) AS ge FROM byday),
-         cells AS (
-           SELECT
-             CAST(sum(weekend * above) AS BIGINT) AS a,
-             CAST(sum(weekend * (1 - above)) AS BIGINT) AS b,
-             CAST(sum((1 - weekend) * above) AS BIGINT) AS c,
-             CAST(sum((1 - weekend) * (1 - above)) AS BIGINT) AS d
-           FROM (
-             SELECT CASE WHEN isodow(day) - 1 >= 5 THEN 1 ELSE 0 END
-                 AS weekend,
-               CASE WHEN errs * gt > ge * tot THEN 1 ELSE 0 END AS above
-             FROM byday CROSS JOIN overall)),
-         marg AS (
-           SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
-             a + b + c + d AS n
-           FROM cells),
-         lf AS (
-           SELECT m,
-             sum(CASE WHEN m = 0 THEN 0.0 ELSE ln(m) END)
-               OVER (ORDER BY m
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lfact
-           FROM (SELECT range AS m FROM range(0, 2001)
-                 WHERE range <= (SELECT n FROM marg))),
-         terms AS (
-           SELECT g.a, g.b, g.c, g.d, k.m AS k,
-             exp(fr1.lfact - fk.lfact - fr1k.lfact
-                 + fr2.lfact - fc1k.lfact - fr2c1k.lfact
-                 - fn.lfact + fc1.lfact + fnc1.lfact) AS term
-           FROM marg g
-           JOIN lf k ON k.m >= g.a AND k.m >= g.c1 - g.r2
-             AND k.m <= least(g.r1, g.c1)
-           JOIN lf fk ON fk.m = k.m
-           JOIN lf fr1 ON fr1.m = g.r1
-           JOIN lf fr1k ON fr1k.m = g.r1 - k.m
-           JOIN lf fr2 ON fr2.m = g.r2
-           JOIN lf fc1k ON fc1k.m = g.c1 - k.m
-           JOIN lf fr2c1k ON fr2c1k.m = g.r2 - g.c1 + k.m
-           JOIN lf fn ON fn.m = g.n
-           JOIN lf fc1 ON fc1.m = g.c1
-           JOIN lf fnc1 ON fnc1.m = g.n - g.c1)
-         SELECT a, b, c, d,
-           round(min(CASE WHEN k = a THEN term END), 6) AS p_observed,
-           round(list_reduce(list_prepend(0.0, list(term ORDER BY k)),
-             (x, y) -> x + y), 6) AS p_upper
-         FROM terms GROUP BY a, b, c, d""",
-
-    "timeseries_hurst" ->
-      """WITH d AS (
-           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
-           FROM events GROUP BY 1),
-         idx AS (
-           SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1
-             AS i
-           FROM d),
-         ws AS (SELECT CAST(1 << CAST(range AS INT) AS BIGINT) AS w
-                FROM range(3, 6)),
-         blocks AS (
-           SELECT w, i // w AS blk, i % w + 1 AS j, y
-           FROM idx CROSS JOIN ws),
-         z AS (
-           SELECT w, blk, j, y,
-             w * sum(y) OVER (PARTITION BY w, blk ORDER BY j
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             - j * sum(y) OVER (PARTITION BY w, blk) AS zv
-           FROM blocks),
-         stats AS (
-           SELECT w, blk, CAST(count(*) AS BIGINT) AS cnt,
-             CAST(sum(y) AS HUGEINT) AS sy,
-             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
-             max(zv) AS zmax, min(zv) AS zmin
-           FROM z GROUP BY w, blk),
-         rs AS (
-           SELECT w, blk,
-             CASE WHEN w * syy - sy * sy = 0 THEN NULL
-               ELSE (CAST(zmax AS DOUBLE) - CAST(zmin AS DOUBLE))
-                    / sqrt(CAST(w * syy - sy * sy AS DOUBLE)) END AS rsv
-           FROM stats WHERE cnt = w),
-         avgd AS (
-           SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
-             list_reduce(list_prepend(0.0, list(rsv ORDER BY blk)),
-               (x, y) -> x + y) / count(*) AS rs_avg
-           FROM rs WHERE rsv IS NOT NULL GROUP BY w),
-         pts AS (
-           SELECT w, ln(CAST(w AS DOUBLE)) AS x, ln(rs_avg) AS y
-           FROM avgd),
-         folded AS (
-           SELECT count(*) AS np,
-             list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0],
-               list([x, y, x * x, x * y] ORDER BY w)),
-               (acc, e) -> [acc[1] + e[1], acc[2] + e[2],
-                 acc[3] + e[3], acc[4] + e[4]]) AS s
-           FROM pts),
-         fit AS (
-           SELECT round((np * s[4] - s[1] * s[2])
-             / (np * s[3] - s[1] * s[1]), 6) AS h_est
-           FROM folded)
-         SELECT w, n_blocks, round(rs_avg, 6) AS rs_avg, h_est
-         FROM avgd CROSS JOIN fit ORDER BY w""",
-
-    "model_brier" ->
-      s"""WITH $marginScoredCtes,
-         sc AS (
-           SELECT is_a,
-             least(greatest(500000 + 100 * margin, 0), 1000000) AS p_ppm
-           FROM scored),
-         sb AS (
-           SELECT is_a, p_ppm, least(p_ppm // 100000, 9) AS bin FROM sc),
-         bins AS (
-           SELECT bin, CAST(count(*) AS BIGINT) AS n_k,
-             CAST(sum(p_ppm) AS BIGINT) AS sp_k,
-             CAST(sum(is_a) AS BIGINT) AS so_k,
-             sum(CAST(p_ppm - 1000000 * is_a AS HUGEINT)
-                 * CAST(p_ppm - 1000000 * is_a AS HUGEINT)) AS sq_k
-           FROM sb GROUP BY bin),
-         tot AS (
-           SELECT CAST(sum(n_k) AS BIGINT) AS n,
-             CAST(sum(so_k) AS BIGINT) AS n_pos FROM bins),
-         terms AS (
-           SELECT n, n_pos, sq_k,
-             CAST(sp_k - 1000000 * so_k AS HUGEINT)
-               * CAST(sp_k - 1000000 * so_k AS HUGEINT) // n_k AS rel_k,
-             (CAST(so_k AS HUGEINT) * n - CAST(n_k AS HUGEINT) * n_pos)
-               * (CAST(so_k AS HUGEINT) * n - CAST(n_k AS HUGEINT) * n_pos)
-               * 1000000 * 1000000
-               // (CAST(n_k AS HUGEINT) * n * n) AS res_k
-           FROM bins CROSS JOIN tot)
-         SELECT n, n_pos,
-           CAST(sum(sq_k) // n AS BIGINT) AS brier_e12,
-           CAST(sum(rel_k) // n AS BIGINT) AS rel_e12,
-           CAST(sum(res_k) // n AS BIGINT) AS res_e12,
-           CAST(CAST(n_pos AS HUGEINT) * (n - n_pos) * 1000000 * 1000000
-             // (CAST(n AS HUGEINT) * n) // n AS BIGINT) AS unc_e12
-         FROM terms GROUP BY n, n_pos""",
-
-    "model_fairness_slices" ->
-      s"""WITH $marginScoredCtes,
-         sl AS (
-           SELECT d.source, s.is_a, s.margin >= 0 AS pred
-           FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
-         per AS (
-           SELECT source, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN pred AND is_a = 1 THEN 1 ELSE 0 END)
-               AS BIGINT) AS tp,
-             CAST(sum(CASE WHEN pred AND is_a = 0 THEN 1 ELSE 0 END)
-               AS BIGINT) AS fp,
-             CAST(sum(CASE WHEN NOT pred AND is_a = 1 THEN 1 ELSE 0 END)
-               AS BIGINT) AS fn,
-             CAST(sum(CASE WHEN NOT pred AND is_a = 0 THEN 1 ELSE 0 END)
-               AS BIGINT) AS tn
-           FROM sl GROUP BY source),
-         gtot AS (
-           SELECT CAST(sum(tp) AS BIGINT) AS gtp,
-             CAST(sum(fp) AS BIGINT) AS gfp,
-             CAST(sum(fn) AS BIGINT) AS gfn,
-             CAST(sum(tn) AS BIGINT) AS gtn
-           FROM per)
-         SELECT source, n, tp, fp, fn, tn,
-           CASE WHEN tp + fn = 0 THEN NULL
-             ELSE CAST((1000000 * tp) // (tp + fn) AS BIGINT) END AS tpr_ppm,
-           CASE WHEN fp + tn = 0 THEN NULL
-             ELSE CAST((1000000 * fp) // (fp + tn) AS BIGINT) END AS fpr_ppm,
-           CAST((1000000 * (tp + tn)) // n AS BIGINT) AS acc_ppm,
-           CASE WHEN tp + fn = 0 THEN NULL
-             ELSE CAST((1000000 * tp) // (tp + fn)
-                  - (1000000 * gtp) // (gtp + gfn) AS BIGINT)
-           END AS tpr_gap_ppm,
-           CASE WHEN fp + tn = 0 THEN NULL
-             ELSE CAST((1000000 * fp) // (fp + tn)
-                  - (1000000 * gfp) // (gfp + gtn) AS BIGINT)
-           END AS fpr_gap_ppm
-         FROM per CROSS JOIN gtot ORDER BY source""",
-
-    "dq_psi_drift" ->
-      """WITH binned AS (
-           SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)
-               AS bin,
-             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0
-               END AS is_ref
-           FROM orders),
-         counts AS (
-           SELECT bin, CAST(sum(is_ref) AS BIGINT) AS cnt_ref,
-             CAST(sum(1 - is_ref) AS BIGINT) AS cnt_cur
-           FROM binned GROUP BY bin),
-         tot AS (
-           SELECT CAST(sum(cnt_ref) AS BIGINT) AS n_ref,
-             CAST(sum(cnt_cur) AS BIGINT) AS n_cur FROM counts),
-         frame AS (
-           SELECT CAST(range AS BIGINT) AS bin,
-             coalesce(cnt_ref, 0) AS cnt_ref, coalesce(cnt_cur, 0) AS cnt_cur
-           FROM range(0, 10) LEFT JOIN counts ON range = bin),
-         sm AS (
-           SELECT bin, cnt_ref, cnt_cur, n_ref, n_cur,
-             CAST(cnt_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE) AS p,
-             CAST(cnt_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE) AS q
-           FROM frame CROSS JOIN tot)
-         SELECT bin, cnt_ref, cnt_cur,
-           CAST((1000000 * cnt_ref) // n_ref AS BIGINT) AS ref_ppm,
-           CAST((1000000 * cnt_cur) // n_cur AS BIGINT) AS cur_ppm,
-           round((p - q) * ln(p / q), 6) AS psi_term
-         FROM sm ORDER BY bin""",
-
-    "text_boilerplate" ->
-      """WITH docs AS (
-           SELECT doc_id, source,
-             concat_ws(chr(10)||chr(10),
-               substr(text, 1, 120),
-               'this content is licensed under the terms of the example license',
-               substr(text, 121),
-               CASE WHEN doc_id % 7 = 0
-                    THEN 'subscribe to our newsletter for updates' END) AS text
-           FROM documents),
-         sp AS (SELECT doc_id, source,
-                  string_split(text, chr(10)||chr(10)) AS ss
-                FROM docs),
-         lines AS (
-           SELECT doc_id, source, unnest(ss) AS line FROM sp),
-         keyed AS (
-           SELECT doc_id, source, line,
-             regexp_replace(trim(lower(line)), '\s+', ' ', 'g') AS key
-           FROM lines WHERE trim(line) <> ''),
-         nd AS (
-           SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-           FROM docs GROUP BY source),
-         dfk AS (
-           SELECT source, key, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-             min(line) AS line
-           FROM keyed GROUP BY source, key)
-         SELECT d.source, d.line, d.df, n.n_docs,
-           CAST((1000000 * d.df) // n.n_docs AS BIGINT) AS df_ppm,
-           CAST(CASE WHEN 10 * d.df >= 3 * n.n_docs THEN 1 ELSE 0 END
-             AS BIGINT) AS is_boiler
-         FROM dfk d JOIN nd n USING (source)
-         WHERE d.df >= 2
-         ORDER BY d.source, d.df DESC, d.line""",
-
-    "text_boilerplate_apply" ->
-      """WITH docs AS (
-           SELECT doc_id, source,
-             concat_ws(chr(10)||chr(10),
-               substr(text, 1, 120),
-               'this content is licensed under the terms of the example license',
-               substr(text, 121),
-               CASE WHEN doc_id % 7 = 0
-                    THEN 'subscribe to our newsletter for updates' END) AS text
-           FROM documents),
-         sp AS (SELECT doc_id, source,
-                  string_split(text, chr(10)||chr(10)) AS ss
-                FROM docs),
-         lines AS (
-           SELECT doc_id, source, unnest(ss) AS line,
-             unnest(range(len(ss))) AS pos
-           FROM sp),
-         keyed AS (
-           SELECT doc_id, source, pos, line,
-             regexp_replace(trim(lower(line)), '\s+', ' ', 'g') AS key
-           FROM lines WHERE trim(line) <> ''),
-         nd AS (
-           SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-           FROM docs GROUP BY source),
-         boiler AS (
-           SELECT k.source, k.key
-           FROM keyed k GROUP BY k.source, k.key
-           HAVING 10 * count(DISTINCT k.doc_id) >=
-             3 * (SELECT n_docs FROM nd WHERE nd.source = k.source)),
-         kept AS (
-           SELECT doc_id, pos, line FROM keyed k
-           WHERE NOT EXISTS (SELECT 1 FROM boiler b
-             WHERE b.source = k.source AND b.key = k.key))
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-           string_agg(line, chr(10)||chr(10) ORDER BY pos) AS text
-         FROM kept GROUP BY doc_id ORDER BY doc_id""",
-
-    "layout_bloom_prune" ->
-      s"""WITH k0 AS (
-           SELECT doc_id, doc_id % 64 AS file_id, ${fnvSql("text")} AS x
-           FROM documents),
-         ${mix64Ctes("k0", "mx")},
-         pw AS (SELECT * FROM (VALUES (1::HUGEINT), (1024::HUGEINT),
-           (1048576::HUGEINT), (1073741824::HUGEINT)) AS t(p)),
-         bits AS (
-           SELECT DISTINCT file_id, (h // p) % 1024 AS bit
-           FROM mx CROSS JOIN pw),
-         probes AS (SELECT doc_id AS probe_id, h FROM mx WHERE doc_id < 5),
-         pbits AS (
-           SELECT DISTINCT probe_id, (h // p) % 1024 AS bit
-           FROM probes CROSS JOIN pw),
-         need AS (SELECT probe_id, count(*) AS n_bits FROM pbits GROUP BY 1),
-         cj AS (
-           SELECT pb.probe_id, b.file_id, count(*) AS n_hit
-           FROM bits b JOIN pbits pb USING (bit) GROUP BY 1, 2),
-         cand AS (
-           SELECT cj.probe_id,
-             CAST(count(*) AS BIGINT) AS n_candidate_files
-           FROM cj JOIN need USING (probe_id)
-           WHERE n_hit = n_bits GROUP BY 1),
-         truth AS (
-           SELECT pr.doc_id AS probe_id,
-             CAST(count(DISTINCT k2.file_id) AS BIGINT) AS n_true_files
-           FROM (SELECT doc_id, x FROM k0 WHERE doc_id < 5) pr
-           JOIN k0 k2 ON k2.x = pr.x GROUP BY 1)
-         SELECT probe_id, n_candidate_files, n_true_files,
-           n_candidate_files - n_true_files AS n_false_pos,
-           CAST((n_candidate_files * 1000000) // 64 AS BIGINT) AS scan_ppm
-         FROM cand JOIN truth USING (probe_id) ORDER BY probe_id""",
-
-    "layout_zonemap_prune" ->
-      """WITH li AS (
-           SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem),
-         nat AS (
-           SELECT l_shipdate, l_orderkey // 128 AS file_id FROM li),
-         srt AS (
-           SELECT l_shipdate,
-             (row_number() OVER (ORDER BY l_shipdate, l_orderkey,
-                l_linenumber) - 1) // 4096 AS file_id
-           FROM li),
-         lay AS (
-           SELECT 'natural' AS layout, l_shipdate, file_id FROM nat
-           UNION ALL
-           SELECT 'sorted' AS layout, l_shipdate, file_id FROM srt),
-         zones AS (
-           SELECT layout, file_id, CAST(count(*) AS BIGINT) AS rws,
-             min(l_shipdate) AS mn, max(l_shipdate) AS mx,
-             CAST(sum(CASE WHEN l_shipdate BETWEEN TIMESTAMP '1997-06-01'
-               AND TIMESTAMP '1997-06-30' THEN 1 ELSE 0 END) AS BIGINT)
-               AS mrows
-           FROM lay GROUP BY layout, file_id),
-         agg AS (
-           SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
-             CAST(sum(CASE WHEN mx >= TIMESTAMP '1997-06-01'
-               AND mn <= TIMESTAMP '1997-06-30' THEN 1 ELSE 0 END)
-               AS BIGINT) AS files_scanned,
-             CAST(sum(rws) AS BIGINT) AS rows_total,
-             CAST(sum(CASE WHEN mx >= TIMESTAMP '1997-06-01'
-               AND mn <= TIMESTAMP '1997-06-30' THEN rws ELSE 0 END)
-               AS BIGINT) AS rows_scanned,
-             CAST(sum(mrows) AS BIGINT) AS rows_match
-           FROM zones GROUP BY layout)
-         SELECT layout, n_files, files_scanned, rows_total, rows_scanned,
-           rows_match,
-           CAST((1000000 * (n_files - files_scanned)) // n_files AS BIGINT)
-             AS file_prune_ppm,
-           CAST((1000000 * (rows_total - rows_scanned)) // rows_total
-             AS BIGINT) AS row_prune_ppm
-         FROM agg ORDER BY layout""",
-
-    "agg_weighted_median" ->
-      """WITH dom AS (
-           SELECT l_returnflag AS flag, l_extendedprice AS price,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
-           FROM lineitem GROUP BY 1, 2),
-         cum AS (
-           SELECT flag, price, w,
-             sum(w) OVER (PARTITION BY flag ORDER BY price
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             sum(w) OVER (PARTITION BY flag) AS tot
-           FROM dom)
-         SELECT flag, min(price) AS wmedian,
-           CAST(max(tot) AS BIGINT) AS total_w
-         FROM cum WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag""",
-
-    "feature_corr_matrix" ->
-      """WITH s AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p,
-             sum(CAST(l_discount AS DECIMAL(18,2))) AS s_d,
-             sum(CAST(l_tax AS DECIMAL(18,2))) AS s_t,
-             sum(CAST(l_quantity AS DECIMAL(18,2))
-               * CAST(l_quantity AS DECIMAL(18,2))) AS s_qq,
-             sum(CAST(l_quantity AS DECIMAL(18,2))
-               * CAST(l_extendedprice AS DECIMAL(18,2))) AS s_qp,
-             sum(CAST(l_quantity AS DECIMAL(18,2))
-               * CAST(l_discount AS DECIMAL(18,2))) AS s_qd,
-             sum(CAST(l_quantity AS DECIMAL(18,2))
-               * CAST(l_tax AS DECIMAL(18,2))) AS s_qt,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(l_extendedprice AS DECIMAL(18,2))) AS s_pp,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(l_discount AS DECIMAL(18,2))) AS s_pd,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(l_tax AS DECIMAL(18,2))) AS s_pt,
-             sum(CAST(l_discount AS DECIMAL(18,2))
-               * CAST(l_discount AS DECIMAL(18,2))) AS s_dd,
-             sum(CAST(l_discount AS DECIMAL(18,2))
-               * CAST(l_tax AS DECIMAL(18,2))) AS s_dt,
-             sum(CAST(l_tax AS DECIMAL(18,2))
-               * CAST(l_tax AS DECIMAL(18,2))) AS s_tt
-           FROM lineitem),
-         cells AS (
-           SELECT 'qty' AS col_a, 'price' AS col_b, n,
-             round((CAST(n AS DOUBLE) * CAST(s_qp AS DOUBLE)
-                 - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
-               / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
-                   - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
-                 * sqrt(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
-                   - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 6) AS corr
-           FROM s
-           UNION ALL
-           SELECT 'qty', 'disc', n,
-             round((CAST(n AS DOUBLE) * CAST(s_qd AS DOUBLE)
-                 - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
-               / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
-                   - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
-                 * sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
-                   - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 6)
-           FROM s
-           UNION ALL
-           SELECT 'qty', 'tax', n,
-             round((CAST(n AS DOUBLE) * CAST(s_qt AS DOUBLE)
-                 - CAST(s_q AS DOUBLE) * CAST(s_t AS DOUBLE))
-               / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
-                   - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
-                 * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE)
-                   - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 6)
-           FROM s
-           UNION ALL
-           SELECT 'price', 'disc', n,
-             round((CAST(n AS DOUBLE) * CAST(s_pd AS DOUBLE)
-                 - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
-               / (sqrt(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
-                   - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
-                 * sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
-                   - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 6)
-           FROM s
-           UNION ALL
-           SELECT 'price', 'tax', n,
-             round((CAST(n AS DOUBLE) * CAST(s_pt AS DOUBLE)
-                 - CAST(s_p AS DOUBLE) * CAST(s_t AS DOUBLE))
-               / (sqrt(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
-                   - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
-                 * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE)
-                   - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 6)
-           FROM s
-           UNION ALL
-           SELECT 'disc', 'tax', n,
-             round((CAST(n AS DOUBLE) * CAST(s_dt AS DOUBLE)
-                 - CAST(s_d AS DOUBLE) * CAST(s_t AS DOUBLE))
-               / (sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
-                   - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
-                 * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE)
-                   - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 6)
-           FROM s)
-         SELECT col_a, col_b, n, corr FROM cells ORDER BY col_a, col_b""",
-
-    "agg_hll_estimate" ->
-      s"""WITH src AS (
-           SELECT l_returnflag AS flag,
-             CAST(l_partkey AS HUGEINT) AS x
-           FROM lineitem),
-         ${mix64Ctes("src", "mx")},
-         rho AS (
-           SELECT flag, h // 4503599627370496::HUGEINT AS bucket,
-             CASE WHEN h % 4503599627370496::HUGEINT = 0 THEN 53
-               ELSE 53 - length(bin(CAST(h % 4503599627370496::HUGEINT
-                 AS BIGINT))) END AS rho
-           FROM mx),
-         regs AS (
-           SELECT flag, CAST(bucket AS BIGINT) AS bucket,
-             CAST(max(rho) AS BIGINT) AS reg
-           FROM rho GROUP BY flag, bucket),
-         folded AS (
-           SELECT flag, CAST(count(*) AS BIGINT) AS present,
-             list_reduce(list_prepend(0.0,
-               list(1.0 / CAST(1::BIGINT << reg AS DOUBLE) ORDER BY bucket)),
-               (a, b) -> a + b) AS hsum
-           FROM regs GROUP BY flag),
-         exact AS (
-           SELECT l_returnflag AS flag,
-             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
-           FROM lineitem GROUP BY 1),
-         est0 AS (
-           SELECT f.flag, e.n_exact, CAST(4096 AS BIGINT) AS m,
-             4096 - f.present AS v_zero,
-             (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
-               / (f.hsum + CAST(4096 - f.present AS DOUBLE)) AS e_raw
-           FROM folded f JOIN exact e USING (flag)),
-         est1 AS (
-           SELECT flag, n_exact, m, v_zero, e_raw,
-             CASE WHEN e_raw <= 2.5 * 4096 AND v_zero > 0
-               THEN 4096 * ln(CAST(4096 AS DOUBLE) / v_zero)
-               ELSE e_raw END AS est
-           FROM est0)
-         SELECT flag, n_exact, m, v_zero, round(e_raw, 4) AS e_raw,
-           round(est, 4) AS est,
-           CAST(floor(1000000 * abs(est / n_exact - 1.0)) AS BIGINT)
-             AS err_ppm
-         FROM est1 ORDER BY flag""",
-
-    "dq_referential_integrity" ->
-      """WITH
-         e1 AS (
-           SELECT 'lineitem' AS child_table, 'l_orderkey' AS fk_col,
-             'orders' AS parent_table, CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_null_fk,
-             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
-           FROM (SELECT CAST(l_orderkey AS BIGINT) AS fk FROM lineitem) c
-           LEFT JOIN (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS pk
-             FROM orders) p ON c.fk = p.pk),
-         e2 AS (
-           SELECT 'lineitem', 'l_partkey', 'part',
-             CAST(count(*) AS BIGINT),
-             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
-               THEN 1 ELSE 0 END) AS BIGINT)
-           FROM (SELECT CAST(l_partkey AS BIGINT) AS fk FROM lineitem) c
-           LEFT JOIN (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS pk
-             FROM part) p ON c.fk = p.pk),
-         e3 AS (
-           SELECT 'lineitem', 'l_suppkey', 'supplier',
-             CAST(count(*) AS BIGINT),
-             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
-               THEN 1 ELSE 0 END) AS BIGINT)
-           FROM (SELECT CAST(l_suppkey AS BIGINT) AS fk FROM lineitem) c
-           LEFT JOIN (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS pk
-             FROM supplier) p ON c.fk = p.pk),
-         e4 AS (
-           SELECT 'orders', 'o_custkey', 'customer',
-             CAST(count(*) AS BIGINT),
-             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
-               THEN 1 ELSE 0 END) AS BIGINT)
-           FROM (SELECT CAST(o_custkey AS BIGINT) AS fk FROM orders) c
-           LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS pk
-             FROM customer) p ON c.fk = p.pk),
-         e5 AS (
-           SELECT 'customer', 'c_nationkey', 'nation',
-             CAST(count(*) AS BIGINT),
-             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
-               THEN 1 ELSE 0 END) AS BIGINT)
-           FROM (SELECT CAST(c_nationkey AS BIGINT) AS fk FROM customer) c
-           LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS pk
-             FROM nation) p ON c.fk = p.pk),
-         e6 AS (
-           SELECT 'events', 'user_id', 'customer',
-             CAST(count(*) AS BIGINT),
-             CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
-               THEN 1 ELSE 0 END) AS BIGINT)
-           FROM (SELECT CAST(user_id AS BIGINT) AS fk FROM events) c
-           LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS pk
-             FROM customer) p ON c.fk = p.pk),
-         uni AS (
-           SELECT * FROM e1 UNION ALL SELECT * FROM e2
-           UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
-           UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6)
-         SELECT child_table, fk_col, parent_table, n_rows, n_null_fk,
-           n_orphans,
-           CAST((1000000 * n_orphans) // n_rows AS BIGINT) AS orphan_ppm
-         FROM uni ORDER BY child_table, fk_col""",
-
-    "sample_systematic" ->
-      """WITH r AS (
-           SELECT o_orderkey, o_totalprice,
-             CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
-               AS BIGINT) AS rn
-           FROM orders)
-         SELECT rn, o_orderkey, o_totalprice
-         FROM r WHERE rn % 250 = 1 ORDER BY rn""",
-
-    "privacy_noisy_max" ->
-      s"""WITH per AS (
-           SELECT o_orderpriority AS priority,
-             CAST(count(*) AS BIGINT) AS n_exact
-           FROM orders GROUP BY 1),
-         k0 AS (
-           SELECT priority, n_exact, ${fnvSql("priority")} AS x FROM per),
-         ${mix64Ctes("k0", "mx")},
-         n2 AS (
-           SELECT priority, n_exact,
-             (CAST((h // 4096) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
-           FROM mx),
-         n3 AS (
-           SELECT priority, n_exact,
-             -2.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
-               * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
-           FROM n2),
-         n4 AS (
-           SELECT priority, n_exact, noise, n_exact + noise AS noisy_raw
-           FROM n3),
-         mxv AS (SELECT max(noisy_raw) AS m FROM n4)
-         SELECT priority, n_exact, round(noise, 4) AS noise,
-           round(noisy_raw, 4) AS noisy,
-           CAST(CASE WHEN noisy_raw = m THEN 1 ELSE 0 END AS BIGINT)
-             AS is_winner
-         FROM n4 CROSS JOIN mxv ORDER BY priority""",
-
-    "privacy_dp_counts" ->
-      s"""WITH cnt AS (
-           SELECT CAST(c_nationkey AS BIGINT) AS nation,
-             CAST(count(*) AS BIGINT) AS n_exact
-           FROM customer GROUP BY 1),
-         src AS (
-           SELECT nation, n_exact, CAST(nation AS HUGEINT) AS x FROM cnt),
-         ${mix64Ctes("src", "mx")},
-         uu AS (
-           SELECT nation, n_exact,
-             (CAST(h // 4096 AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
-           FROM mx),
-         nz AS (
-           SELECT nation, n_exact,
-             -2.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
-               * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
-           FROM uu)
-         SELECT nation, n_exact, round(noise, 4) AS noise,
-           CAST(round(n_exact + noise, 0) AS BIGINT) AS n_released
-         FROM nz ORDER BY nation""",
-
-    // the bloom is a prefilter whose false positives die at the exact
-    // confirm join, so the oracle is the PLAIN semi join (same pattern as
-    // dedup_substring_bloom ↔ its index sibling)
-    "join_bloom_prefilter" ->
-      """WITH hot AS (
-           SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
-         SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (CAST(1 AS DECIMAL(18,2))
-                - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-         FROM lineitem
-         WHERE l_orderkey IN (SELECT o_orderkey FROM hot)
-         GROUP BY 1 ORDER BY 1""",
-
-    "timeseries_sax" ->
-      """WITH d AS (
-           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
-           FROM events GROUP BY 1),
-         tot AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(y * y) AS BIGINT) AS syy
-           FROM d),
-         idx AS (
-           SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1
-             AS i
-           FROM d),
-         z AS (
-           SELECT i, i // 3 AS seg,
-             (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-               / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
-                  / CAST(n AS DOUBLE)) AS zv
-           FROM idx CROSS JOIN tot),
-         paa AS (
-           SELECT seg, CAST(count(*) AS BIGINT) AS n_days,
-             list_reduce(list_prepend(0.0, list(zv ORDER BY i)),
-               (a, b) -> a + b) / count(*) AS paa
-           FROM z GROUP BY seg)
-         SELECT seg, n_days, round(paa, 6) AS paa,
-           CASE WHEN paa < -0.6745 THEN 'a'
-                WHEN paa < 0.0 THEN 'b'
-                WHEN paa < 0.6745 THEN 'c'
-                ELSE 'd' END AS symbol
-         FROM paa ORDER BY seg""",
-
-    "recsys_coverage" ->
-      """WITH e AS (
-           SELECT DISTINCT o_custkey AS c, l_partkey AS p
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY p),
-         pairs AS (
-           SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS common
-           FROM e a JOIN e b ON a.c = b.c AND a.p < b.p
-           GROUP BY a.p, b.p),
-         sym AS (
-           SELECT p1, p2, common FROM pairs
-           UNION ALL SELECT p2, p1, common FROM pairs),
-         top AS (
-           SELECT p AS p1, deg AS deg1 FROM deg
-           ORDER BY deg DESC, p LIMIT 20),
-         sc AS (
-           SELECT s.p1, t.deg1, s.p2, s.common, d2.deg AS deg2,
-             CAST(floor(1000000.0 * s.common /
-               sqrt(CAST(t.deg1 AS DOUBLE) * CAST(d2.deg AS DOUBLE)))
-               AS BIGINT) AS cos_ppm
-           FROM sym s JOIN top t ON s.p1 = t.p1
-           JOIN deg d2 ON s.p2 = d2.p),
-         rk AS (
-           SELECT *, row_number() OVER (PARTITION BY p1
-             ORDER BY cos_ppm DESC, p2) AS rnk
-           FROM sc),
-         recs AS (SELECT p1, rnk, p2, deg2 FROM rk WHERE rnk <= 5),
-         cat AS (SELECT CAST(count(*) AS BIGINT) AS catalog_n FROM part),
-         ed AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
-         closing AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_recs,
-             CAST(count(DISTINCT p2) AS BIGINT) AS n_distinct_rec,
-             CAST(sum(deg2) AS BIGINT) AS sum_deg2,
-             list_reduce(list_prepend(0.0,
-               list(ln(CAST(n_edges AS DOUBLE) / CAST(deg2 AS DOUBLE))
-                    / ln(2.0) ORDER BY p1, rnk)),
-               (a, b) -> a + b) AS novsum
-           FROM recs CROSS JOIN ed)
-         SELECT n_recs, n_distinct_rec, catalog_n,
-           CAST((1000000 * n_distinct_rec) // catalog_n AS BIGINT)
-             AS coverage_ppm,
-           round(novsum / CAST(n_recs AS DOUBLE), 6) AS novelty,
-           CAST((1000000 * sum_deg2) // (n_recs * n_edges) AS BIGINT)
-             AS pop_share_ppm
-         FROM closing CROSS JOIN cat CROSS JOIN ed""",
-
-    "events_cep_match" ->
-      """WITH
-         a1 AS (SELECT user_id, ts AS ts_a FROM events
-                WHERE event_type = 'view'),
-         m1 AS (SELECT a.user_id FROM a1 a WHERE EXISTS (
-             SELECT 1 FROM events b WHERE b.event_type = 'purchase'
-               AND b.user_id = a.user_id AND b.ts > a.ts_a
-               AND b.ts <= a.ts_a + INTERVAL 30 MINUTE)),
-         l1 AS (SELECT 'view->purchase' AS pattern,
-             (SELECT CAST(count(*) AS BIGINT) FROM a1) AS n_triggers,
-             CAST(count(*) AS BIGINT) AS n_matched,
-             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-           FROM m1),
-         a2 AS (SELECT user_id, ts AS ts_a FROM events
-                WHERE event_type = 'signup'),
-         m2 AS (SELECT a.user_id FROM a2 a WHERE EXISTS (
-             SELECT 1 FROM events b WHERE b.event_type = 'purchase'
-               AND b.user_id = a.user_id AND b.ts > a.ts_a
-               AND b.ts <= a.ts_a + INTERVAL 30 MINUTE)),
-         l2 AS (SELECT 'signup->purchase',
-             (SELECT CAST(count(*) AS BIGINT) FROM a2),
-             CAST(count(*) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT)
-           FROM m2),
-         a3 AS (SELECT user_id, ts AS ts_a FROM events
-                WHERE event_type = 'error'),
-         m3 AS (SELECT a.user_id FROM a3 a WHERE EXISTS (
-             SELECT 1 FROM events b WHERE b.event_type = 'purchase'
-               AND b.user_id = a.user_id AND b.ts > a.ts_a
-               AND b.ts <= a.ts_a + INTERVAL 30 MINUTE)),
-         l3 AS (SELECT 'error->purchase',
-             (SELECT CAST(count(*) AS BIGINT) FROM a3),
-             CAST(count(*) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT)
-           FROM m3),
-         uni AS (
-           SELECT * FROM l1 UNION ALL SELECT * FROM l2
-           UNION ALL SELECT * FROM l3)
-         SELECT pattern, n_triggers, n_matched, n_users,
-           CAST((1000000 * n_matched) // n_triggers AS BIGINT) AS match_ppm
-         FROM uni ORDER BY pattern""",
-
-    "stats_power_analysis" ->
-      """WITH base AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS BIGINT) AS pos
-           FROM events),
-         d AS (SELECT CAST(unnest([10000, 20000, 50000]) AS BIGINT)
-                 AS delta_ppm),
-         cells AS (
-           SELECT delta_ppm, n, pos,
-             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
-             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
-               + CAST(delta_ppm AS DOUBLE) / 1e6 AS p2
-           FROM base CROSS JOIN d),
-         num AS (
-           SELECT delta_ppm, n, pos, p1, p2,
-             1.959963984540054 * sqrt(2.0 * ((p1 + p2) / 2.0)
-               * (1.0 - (p1 + p2) / 2.0))
-             + 0.8416212335729143 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
-               AS z
-           FROM cells)
-         SELECT delta_ppm,
-           CAST((1000000 * pos) // n AS BIGINT) AS p1_ppm,
-           CAST(ceil(z * z / (CAST(delta_ppm AS DOUBLE) / 1000000.0
-             * CAST(delta_ppm AS DOUBLE) / 1000000.0)) AS BIGINT)
-             AS n_per_arm
-         FROM num ORDER BY delta_ppm""",
-
-    "ab_srm_check" ->
-      s"""WITH src AS (
-           SELECT CAST(c_custkey AS HUGEINT) AS x FROM customer),
-         ${mix64Ctes("src", "mx")},
-         arms AS (
-           SELECT CAST(sum(CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_a,
-             CAST(sum(CASE WHEN h % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_b
-           FROM mx),
-         chi AS (
-           SELECT n_a, n_b,
-             CAST(n_a + n_b AS DOUBLE) / 2.0 AS expected
-           FROM arms),
-         cc AS (
-           SELECT n_a, n_b,
-             (CAST(n_a AS DOUBLE) - expected)
-               * (CAST(n_a AS DOUBLE) - expected) / expected
-             + (CAST(n_b AS DOUBLE) - expected)
-               * (CAST(n_b AS DOUBLE) - expected) / expected AS chi2_raw
-           FROM chi)
-         SELECT n_a, n_b, round(chi2_raw, 6) AS chi2,
-           CAST(CASE WHEN chi2_raw > 3.841 THEN 1 ELSE 0 END AS BIGINT)
-             AS srm
-         FROM cc""",
-
-    "tokenizer_fertility" -> {
-      val applies = (1 to 8).map { k =>
-        val prev = if (k == 1) "e0" else s"e${k - 1}"
-        s"""e$k AS (SELECT w, replace(s, ' ' || t$k.a || e'\n ' || t$k.b || e'\n',
-             ' ' || t$k.a || t$k.b || e'\n') AS s
-           FROM $prev CROSS JOIN t$k)"""
-      }.mkString(",\n         ")
-      s"""WITH $bpeTrainCtePrefix,
-         va AS (SELECT DISTINCT w FROM (SELECT unnest(toks) AS w FROM d)),
-         e0 AS (SELECT w, ' ' || array_to_string(
-             list_transform(range(1, length(w) + 1),
-               i -> substr(w, CAST(i AS INT), 1)), e'\n ') || e'\n' AS s
-           FROM va),
-         $applies,
-         enc AS (SELECT w, CAST(length(s) - length(replace(s, e'\n', ''))
-             AS BIGINT) AS n_sym FROM e8),
-         dt AS (SELECT doc_id, unnest(toks) AS w FROM d),
-         per AS (
-           SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(length(dt.w)) AS BIGINT) AS n_chars,
-             CAST(sum(enc.n_sym) AS BIGINT) AS n_symbols
-           FROM dt JOIN enc ON enc.w = dt.w GROUP BY dt.doc_id)
-         SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(per.n_tokens) AS BIGINT) AS n_words,
-           CAST(sum(per.n_symbols) AS BIGINT) AS n_symbols,
-           CAST((1000000 * sum(per.n_symbols)) // sum(per.n_tokens)
-             AS BIGINT) AS fertility_ppm,
-           CAST(floor(sum(per.n_chars) * 10000.0 / sum(per.n_symbols))
-             AS BIGINT) AS chars_per_sym_bp
-         FROM per JOIN documents doc ON per.doc_id = doc.doc_id
-         GROUP BY doc.source ORDER BY doc.source"""
-    },
-
-    "timeseries_forecast_eval" ->
-      """WITH d AS (
-           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
-           FROM events GROUP BY 1),
-         idx AS (
-           SELECT y,
-             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
-             lag(y, 1) OVER (ORDER BY day) AS naive,
-             lag(y, 7) OVER (ORDER BY day) AS snaive,
-             sum(y) OVER (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sy_prev,
-             count(*) OVER (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_prev
-           FROM d),
-         errs AS (
-           SELECT i, y,
-             CAST(abs(y - naive) AS DOUBLE) AS e_naive,
-             CAST(abs(y - snaive) AS DOUBLE) AS e_snaive,
-             CAST(abs(y * c_prev - sy_prev) AS DOUBLE)
-               / CAST(c_prev AS DOUBLE) AS e_mean
-           FROM idx WHERE snaive IS NOT NULL),
-         folded AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_evals,
-             list_reduce(list_prepend(0.0, list(e_naive ORDER BY i)),
-               (a, b) -> a + b) AS s_naive,
-             list_reduce(list_prepend(0.0, list(e_snaive ORDER BY i)),
-               (a, b) -> a + b) AS s_snaive,
-             list_reduce(list_prepend(0.0, list(e_mean ORDER BY i)),
-               (a, b) -> a + b) AS s_mean,
-             list_reduce(list_prepend(0.0,
-               list(e_naive / CAST(y AS DOUBLE) ORDER BY i)),
-               (a, b) -> a + b) AS p_naive,
-             list_reduce(list_prepend(0.0,
-               list(e_snaive / CAST(y AS DOUBLE) ORDER BY i)),
-               (a, b) -> a + b) AS p_snaive,
-             list_reduce(list_prepend(0.0,
-               list(e_mean / CAST(y AS DOUBLE) ORDER BY i)),
-               (a, b) -> a + b) AS p_mean
-           FROM errs),
-         uni AS (
-           SELECT 'expanding_mean' AS method, n_evals,
-             round(s_mean / n_evals, 6) AS mae,
-             round(p_mean / n_evals, 6) AS mape FROM folded
-           UNION ALL
-           SELECT 'naive', n_evals, round(s_naive / n_evals, 6),
-             round(p_naive / n_evals, 6) FROM folded
-           UNION ALL
-           SELECT 'seasonal_naive', n_evals, round(s_snaive / n_evals, 6),
-             round(p_snaive / n_evals, 6) FROM folded)
-         SELECT method, n_evals, mae, mape FROM uni ORDER BY method""",
-
-    "graph_ppr" ->
-      """WITH e0 AS (
-           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-           FROM lineitem),
-         und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-         deg AS (SELECT src AS node, count(*) AS outdeg FROM und GROUP BY src),
-         ns AS (SELECT count(*) AS n_seeds FROM deg
-                WHERE node < 16 AND node % 2 = 0),
-         nodes AS (
-           SELECT node, outdeg, n_seeds,
-             node < 16 AND node % 2 = 0 AS is_seed
-           FROM deg, ns),
-         r0 AS (SELECT node, outdeg, n_seeds, is_seed,
-                  CASE WHEN is_seed THEN 1000000000000 // n_seeds
-                       ELSE 0 END AS rank
-                FROM nodes),
-         c1 AS (SELECT u.dst AS node,
-                  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS sc
-                FROM und u JOIN r0 r ON u.src = r.node GROUP BY u.dst),
-         r1 AS (SELECT s.node, s.outdeg, s.n_seeds, s.is_seed,
-                  CASE WHEN s.is_seed THEN 15000000000000 // (100 * s.n_seeds)
-                       ELSE 0 END + (85 * c.sc) // 100 AS rank
-                FROM nodes s JOIN c1 c USING (node)),
-         c2 AS (SELECT u.dst AS node,
-                  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS sc
-                FROM und u JOIN r1 r ON u.src = r.node GROUP BY u.dst),
-         r2 AS (SELECT s.node, s.outdeg, s.n_seeds, s.is_seed,
-                  CASE WHEN s.is_seed THEN 15000000000000 // (100 * s.n_seeds)
-                       ELSE 0 END + (85 * c.sc) // 100 AS rank
-                FROM nodes s JOIN c2 c USING (node))
-         SELECT node, CAST(rank AS BIGINT) AS ppr,
-           CAST(outdeg AS BIGINT) AS degree,
-           CAST(CASE WHEN is_seed THEN 1 ELSE 0 END AS BIGINT) AS is_seed
-         FROM r2 ORDER BY rank DESC, node LIMIT 20""",
-
-    "agg_hll_merge" ->
-      s"""WITH src AS (
-           SELECT l_returnflag AS flag, CAST(l_partkey AS HUGEINT) AS x
-           FROM lineitem),
-         ${mix64Ctes("src", "mx")},
-         rho AS (
-           SELECT flag, CAST(h // 4503599627370496::HUGEINT AS BIGINT)
-               AS bucket,
-             CASE WHEN h % 4503599627370496::HUGEINT = 0 THEN 53
-               ELSE 53 - length(bin(CAST(h % 4503599627370496::HUGEINT
-                 AS BIGINT))) END AS rho
-           FROM mx),
-         shard AS (
-           SELECT flag, bucket, CAST(max(rho) AS BIGINT) AS reg
-           FROM rho GROUP BY flag, bucket),
-         merged AS (
-           SELECT bucket, max(reg) AS reg FROM shard GROUP BY bucket),
-         direct AS (
-           SELECT bucket, CAST(max(rho) AS BIGINT) AS reg
-           FROM rho GROUP BY bucket),
-         cm AS (
-           SELECT CAST(count(*) AS BIGINT) AS present,
-             list_reduce(list_prepend(0.0,
-               list(1.0 / CAST(1::BIGINT << reg AS DOUBLE) ORDER BY bucket)),
-               (a, b) -> a + b) AS hsum
-           FROM merged),
-         cd AS (
-           SELECT CAST(count(*) AS BIGINT) AS present,
-             list_reduce(list_prepend(0.0,
-               list(1.0 / CAST(1::BIGINT << reg AS DOUBLE) ORDER BY bucket)),
-               (a, b) -> a + b) AS hsum
-           FROM direct),
-         em AS (
-           SELECT 4096 - present AS v_zero,
-             (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
-               / (hsum + CAST(4096 - present AS DOUBLE)) AS e_raw
-           FROM cm),
-         ed AS (
-           SELECT 4096 - present AS v_zero,
-             (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
-               / (hsum + CAST(4096 - present AS DOUBLE)) AS e_raw
-           FROM cd),
-         eqc AS (
-           SELECT CAST(sum(CASE WHEN m.reg = d.reg THEN 0 ELSE 1 END)
-             AS BIGINT) AS n_register_diffs
-           FROM merged m FULL JOIN direct d USING (bucket)),
-         ex AS (
-           SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
-           FROM lineitem)
-         SELECT n_exact, CAST(em.v_zero AS BIGINT) AS v_zero_merged,
-           round(CASE WHEN em.e_raw <= 2.5 * 4096 AND em.v_zero > 0
-             THEN 4096 * ln(CAST(4096 AS DOUBLE) / em.v_zero)
-             ELSE em.e_raw END, 4) AS est_merged,
-           round(CASE WHEN ed.e_raw <= 2.5 * 4096 AND ed.v_zero > 0
-             THEN 4096 * ln(CAST(4096 AS DOUBLE) / ed.v_zero)
-             ELSE ed.e_raw END, 4) AS est_direct,
-           n_register_diffs
-         FROM em CROSS JOIN ed CROSS JOIN eqc CROSS JOIN ex""",
-
-    "layout_repartition_plan" ->
-      """WITH days AS (
-           SELECT CAST(ts AS DATE) AS day,
-             CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(length(props)) + count(*) * 64 AS BIGINT) AS bytes
-           FROM events GROUP BY 1),
-         act AS (
-           SELECT day, n_rows, bytes,
-             CASE WHEN bytes * 2 > 3 * 262144 THEN 'split'
-                  WHEN bytes * 2 < 262144 THEN 'merge'
-                  ELSE 'keep' END AS action
-           FROM days),
-         cum AS (
-           SELECT day, n_rows, bytes, action,
-             CASE WHEN action = 'merge' THEN
-               coalesce(sum(bytes) OVER (PARTITION BY action ORDER BY day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             END AS cum_small
-           FROM act)
-         SELECT day, n_rows, bytes, action,
-           CASE WHEN action = 'split'
-             THEN CAST(ceil(bytes / 262144.0) AS BIGINT)
-             ELSE 1 END AS n_out_files,
-           CAST(cum_small // 262144 AS BIGINT) AS merge_group
-         FROM cum ORDER BY day""",
-
-    "stats_benjamini_hochberg" ->
-      s"""WITH per AS (
-           SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS BIGINT) AS k
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           GROUP BY c_nationkey),
-         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
-                   CAST(sum(k) AS BIGINT) AS kk FROM per),
-         mq AS (SELECT CAST(count(*) AS BIGINT) AS m FROM per),
-         zq AS (
-           SELECT c_nationkey, n, k, m,
-             (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
-              - CAST(kk - k AS DOUBLE) / CAST(nn - n AS DOUBLE))
-             / sqrt((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
-               * (1.0 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
-               * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nn - n AS DOUBLE)))
-               AS z
-           FROM per CROSS JOIN tot CROSS JOIN mq),
-         tq AS (
-           SELECT *, abs(z) AS az, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
-           FROM zq),
-         pq AS (
-           SELECT *,
-             CAST(floor(1000000.0 * 2.0 * (exp(-az * az / 2.0)
-                 / sqrt(2.0 * pi()))
-               * (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937)
-                   * tt - 0.356563782) * tt + 0.319381530) * tt))
-               AS BIGINT) AS p_ppm
-           FROM tq),
-         rq AS (
-           SELECT *, CAST(row_number() OVER (ORDER BY p_ppm, c_nationkey)
-               AS BIGINT) AS p_rank
-           FROM pq),
-         cq AS (
-           SELECT max(CASE WHEN p_ppm * m <= p_rank * 50000
-             THEN p_rank ELSE 0 END) AS k_max FROM rq)
-         SELECT c_nationkey AS nationkey, n, k,
-           CAST(floor(1000000.0 * z) AS BIGINT) AS z_ppm, p_ppm, p_rank,
-           CAST(CASE WHEN p_rank <= k_max THEN 1 ELSE 0 END AS BIGINT)
-             AS rejected
-         FROM rq CROSS JOIN cq ORDER BY p_rank""",
-
-    "ab_sequential_sprt" -> {
-      val hv = signedSql(fnvSql("CAST(user_id AS VARCHAR)"))
-      s"""WITH arm AS (
-           SELECT CAST(ts AS DATE) AS day, event_type FROM events
-           WHERE (($hv % 2) + 2) % 2 <> 0),
-         daily AS (
-           SELECT day, CAST(count(*) AS BIGINT) AS n_d,
-             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS BIGINT) AS k_d
-           FROM arm GROUP BY day),
-         cum AS (
-           SELECT day,
-             CAST(sum(n_d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
-               PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
-             CAST(sum(k_d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
-               PRECEDING AND CURRENT ROW) AS BIGINT) AS k_cum
-           FROM daily),
-         llr AS (
-           SELECT day, n_cum, k_cum,
-             CAST(floor(1000000.0 *
-               (CAST(k_cum AS DOUBLE) * ln(0.24 / 0.20)
-                + CAST(n_cum - k_cum AS DOUBLE) * ln(0.76 / 0.80)))
-               AS BIGINT) AS llr_ppm
-           FROM cum)
-         SELECT day, n_cum, k_cum, llr_ppm,
-           CASE WHEN llr_ppm >= CAST(floor(1000000.0 * ln(0.80 / 0.05))
-               AS BIGINT) THEN 'reject_h0'
-             WHEN llr_ppm <= CAST(floor(1000000.0 * ln(0.20 / 0.95))
-               AS BIGINT) THEN 'accept_h0'
-             ELSE 'continue' END AS decision
-         FROM llr ORDER BY day"""
-    },
-
-    "stats_xi_correlation" ->
-      """WITH days AS (
-           SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(count(*) AS BIGINT) AS x,
-             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
-               AS BIGINT) AS y
-           FROM orders GROUP BY 1),
-         nq AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days),
-         rk AS (
-           SELECT day, x, y,
-             CAST(count(*) OVER (ORDER BY y RANGE BETWEEN UNBOUNDED
-               PRECEDING AND CURRENT ROW) AS BIGINT) AS r,
-             CAST(count(*) OVER (ORDER BY y DESC RANGE BETWEEN UNBOUNDED
-               PRECEDING AND CURRENT ROW) AS BIGINT) AS l
-           FROM days),
-         dq AS (
-           SELECT r, l, abs(lead(r) OVER (ORDER BY x, day) - r) AS dr
-           FROM rk),
-         ag AS (
-           SELECT n_days, CAST(sum(dr) AS BIGINT) AS sum_dr,
-             CAST(sum(l * (n_days - l)) AS BIGINT) AS denom2
-           FROM dq CROSS JOIN nq GROUP BY n_days)
-         SELECT n_days, sum_dr, denom2 * 2 AS denom,
-           CAST(floor(1000000.0 *
-             (1.0 - CAST(n_days * sum_dr AS DOUBLE)
-                    / CAST(2 * denom2 AS DOUBLE))) AS BIGINT) AS xi_ppm
-         FROM ag""",
-
-    "agg_topk_merge" ->
-      """WITH cnt AS (
-           SELECT l_returnflag, l_partkey, CAST(count(*) AS BIGINT) AS c
-           FROM lineitem GROUP BY 1, 2),
-         rk AS (
-           SELECT *, CAST(row_number() OVER (PARTITION BY l_returnflag
-             ORDER BY c DESC, l_partkey) AS BIGINT) AS rn
-           FROM cnt),
-         kept AS (SELECT * FROM rk WHERE rn <= 32),
-         bnd AS (
-           SELECT l_returnflag, CAST(max(c) AS BIGINT) AS bound
-           FROM rk WHERE rn > 32 GROUP BY l_returnflag),
-         tb AS (SELECT CAST(coalesce(sum(bound), 0) AS BIGINT)
-                  AS total_bound FROM bnd),
-         perkey AS (
-           SELECT l_partkey, CAST(sum(c) AS BIGINT) AS est_lo,
-             CAST(sum(coalesce(bound, 0)) AS BIGINT) AS present_bound
-           FROM kept LEFT JOIN bnd USING (l_returnflag)
-           GROUP BY l_partkey),
-         exact AS (
-           SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact
-           FROM lineitem GROUP BY l_partkey)
-         SELECT l_partkey, est_lo,
-           est_lo + (total_bound - present_bound) AS est_hi, exact,
-           CAST(CASE WHEN est_lo <= exact
-             AND exact <= est_lo + (total_bound - present_bound)
-             THEN 1 ELSE 0 END AS BIGINT) AS contained
-         FROM perkey CROSS JOIN tb JOIN exact USING (l_partkey)
-         ORDER BY est_lo DESC, l_partkey LIMIT 20""",
-
-    "layout_clustering_depth" ->
-      """WITH base AS (
-           SELECT CAST(l_shipdate AS DATE) AS day,
-             CAST((((l_orderkey * 8 + l_linenumber) % 32) + 32) % 32
-               AS VARCHAR) AS f_hash,
-             CAST(date_trunc('month', CAST(l_shipdate AS DATE))
-               AS VARCHAR) AS f_month
-           FROM lineitem),
-         zm AS (
-           SELECT f_hash AS file, min(day) AS lo, max(day) AS hi,
-             'hash_scatter' AS layout
-           FROM base GROUP BY f_hash
-           UNION ALL
-           SELECT f_month, min(day), max(day), 'date_clustered'
-           FROM base GROUP BY f_month),
-         ov AS (
-           SELECT a.layout, CAST(count(*) AS BIGINT) AS n_overlaps
-           FROM zm a JOIN zm b
-             ON a.layout = b.layout AND a.file <> b.file
-             AND a.lo <= b.hi AND b.lo <= a.hi
-           GROUP BY a.layout),
-         probes AS (
-           SELECT DISTINCT date_trunc('month', day) AS p FROM base),
-         ph AS (
-           SELECT layout, CAST(count(*) AS BIGINT) AS n_hits
-           FROM zm JOIN probes ON p >= lo AND p <= hi
-           GROUP BY layout),
-         np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
-         nf AS (
-           SELECT layout, CAST(count(*) AS BIGINT) AS n_files
-           FROM zm GROUP BY layout)
-         SELECT layout, n_files,
-           CAST(floor(1000000.0 * coalesce(n_overlaps, 0) / n_files)
-             AS BIGINT) AS avg_overlap_depth_ppm,
-           CAST(floor(1000000.0 * coalesce(n_hits, 0) / n_probes)
-             AS BIGINT) AS avg_probe_files_ppm
-         FROM nf LEFT JOIN ov USING (layout) LEFT JOIN ph USING (layout)
-         CROSS JOIN np ORDER BY layout""",
-
-    "recsys_als_step" ->
-      """WITH r AS (
-           SELECT o_custkey AS usr, l_partkey AS item,
-             CAST(count(*) AS BIGINT) AS r
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           GROUP BY 1, 2),
-         q AS (
-           SELECT usr, item, r, 10 AS q1s,
-             CAST(((item % 97) + 97) % 97 - 48 AS BIGINT) AS q2s
-           FROM r),
-         m AS (
-           SELECT usr AS "user", CAST(count(*) AS BIGINT) AS n_items,
-             CAST(sum(q1s * q1s) + 100 AS BIGINT) AS m11,
-             CAST(sum(q1s * q2s) AS BIGINT) AS m12,
-             CAST(sum(q2s * q2s) + 100 AS BIGINT) AS m22,
-             CAST(sum(r * q1s) * 10 AS BIGINT) AS u1,
-             CAST(sum(r * q2s) * 10 AS BIGINT) AS u2
-           FROM q GROUP BY usr)
-         SELECT "user", n_items, m11 * m22 - m12 * m12 AS det,
-           CAST(floor(1000000.0 *
-             CAST(m22 * u1 - m12 * u2 AS DOUBLE)
-             / CAST(m11 * m22 - m12 * m12 AS DOUBLE)) AS BIGINT) AS p1_ppm,
-           CAST(floor(1000000.0 *
-             CAST(m11 * u2 - m12 * u1 AS DOUBLE)
-             / CAST(m11 * m22 - m12 * m12 AS DOUBLE)) AS BIGINT) AS p2_ppm
-         FROM m ORDER BY n_items DESC, "user" LIMIT 20""",
-
-    "text_pmi_cooccur" ->
-      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         tok AS (SELECT unnest(toks) AS tok FROM docs
-                 WHERE toks IS NOT NULL),
-         uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
-                 FROM tok GROUP BY tok),
-         nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
-         p1 AS (
-           SELECT unnest(list_transform(range(1, len(toks)), i ->
-             CASE WHEN toks[CAST(i AS INT)] <= toks[CAST(i AS INT) + 1]
-               THEN toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
-               ELSE toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT)]
-             END)) AS pair
-           FROM docs WHERE toks IS NOT NULL AND len(toks) >= 2),
-         p2 AS (
-           SELECT unnest(list_transform(range(1, len(toks) - 1), i ->
-             CASE WHEN toks[CAST(i AS INT)] <= toks[CAST(i AS INT) + 2]
-               THEN toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 2]
-               ELSE toks[CAST(i AS INT) + 2] || ' ' || toks[CAST(i AS INT)]
-             END)) AS pair
-           FROM docs WHERE toks IS NOT NULL AND len(toks) >= 3),
-         pairs AS (SELECT pair FROM p1 UNION ALL SELECT pair FROM p2),
-         pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS c_xy
-                FROM pairs GROUP BY pair),
-         np AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_pairs FROM pc),
-         f AS (
-           SELECT pair, c_xy,
-             string_split(pair, ' ')[1] AS x,
-             string_split(pair, ' ')[2] AS y
-           FROM pc WHERE c_xy >= 20)
-         SELECT x, y, c_xy, ux.c AS c_x, uy.c AS c_y,
-           CAST(floor(1000000.0 * ln(
-             ((CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE))
-               * CAST(n_uni AS DOUBLE))
-             / ((CAST(n_pairs AS DOUBLE) * CAST(ux.c AS DOUBLE))
-               * CAST(uy.c AS DOUBLE)))) AS BIGINT) AS pmi_fixed
-         FROM f JOIN uni ux ON f.x = ux.tok JOIN uni uy ON f.y = uy.tok
-         CROSS JOIN nu CROSS JOIN np
-         ORDER BY pmi_fixed DESC, x, y LIMIT 20""",
-
-    "events_bot_score" ->
-      """WITH g0 AS (
-           SELECT user_id,
-             CAST(floor(epoch(ts)) AS BIGINT)
-               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
-                 PARTITION BY user_id ORDER BY ts, event_id) AS gap
-           FROM events),
-         gaps AS (
-           SELECT user_id, CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(gap) AS BIGINT) AS s1,
-             CAST(sum(gap * gap) AS BIGINT) AS s2
-           FROM g0 WHERE gap IS NOT NULL GROUP BY user_id),
-         tc AS (
-           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2),
-         tn AS (
-           SELECT user_id, CAST(sum(c) AS BIGINT) AS n_ev
-           FROM tc GROUP BY user_id),
-         ent AS (
-           SELECT user_id, n_ev,
-             CAST(floor(1000000.0 * list_reduce(list_prepend(0.0,
-               list(0.0 - (CAST(c AS DOUBLE) / CAST(n_ev AS DOUBLE))
-                 * ln(CAST(c AS DOUBLE) / CAST(n_ev AS DOUBLE))
-                 ORDER BY event_type)),
-               (a, b) -> a + b)) AS BIGINT) AS ent_ppm
-           FROM tc JOIN tn USING (user_id) GROUP BY user_id, n_ev),
-         j AS (
-           SELECT e.user_id, e.n_ev, e.ent_ppm,
-             CASE WHEN s1 = 0 THEN NULL ELSE
-               CAST(floor(1000000.0 *
-                 (CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
-                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                 / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)
-             END AS cv2_ppm
-           FROM ent e JOIN gaps USING (user_id))
-         SELECT user_id, n_ev, ent_ppm, cv2_ppm,
-           CAST(CASE WHEN n_ev >= 78 THEN 1 ELSE 0 END
-             + CASE WHEN cv2_ppm IS NOT NULL AND cv2_ppm < 250000
-               THEN 1 ELSE 0 END
-             + CASE WHEN ent_ppm < 1500000 THEN 1 ELSE 0 END AS BIGINT)
-             AS bot_score
-         FROM j
-         ORDER BY bot_score DESC, n_ev DESC, user_id LIMIT 20""",
-
-    "timeseries_kalman_level" ->
-      """WITH days AS (
-           SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(count(*) AS DOUBLE) AS y
-           FROM orders GROUP BY 1),
-         ys AS (SELECT list(y ORDER BY day) AS ys FROM days),
-         st AS (
-           SELECT ys, list_reduce(
-             list_prepend({'x': CAST(0.0 AS DOUBLE),
-                 'p': CAST(1000000.0 AS DOUBLE)},
-               list_transform(ys, y -> {'x': CAST(y AS DOUBLE),
-                 'p': CAST(0.0 AS DOUBLE)})),
-             (acc, e) -> {
-               'x': acc.x + ((acc.p + 25.0) / ((acc.p + 25.0) + 100.0))
-                 * (e.x - acc.x),
-               'p': (1.0 - (acc.p + 25.0) / ((acc.p + 25.0) + 100.0))
-                 * (acc.p + 25.0)}) AS s
-           FROM ys)
-         SELECT CAST(len(ys) AS BIGINT) AS n_days,
-           CAST(floor(1000000.0 * s.x) AS BIGINT) AS level_ppm,
-           CAST(floor(1000000.0 * s.p) AS BIGINT) AS p_var_ppm
-         FROM st""",
-
-    "sample_reservoir_merge" -> {
-      s"""WITH ids AS (
-           SELECT DISTINCT CAST(l_orderkey * 8 + l_linenumber AS BIGINT)
-             AS rid
-           FROM lineitem),
-         src AS (
-           SELECT rid, ((rid % 4) + 4) % 4 AS shard,
-             CAST(rid AS HUGEINT) AS x
-           FROM ids),
-         ${mix64Ctes("src", "mx")},
-         rows_ AS (
-           SELECT shard, rid, ${signedSql("h")} AS hs FROM mx),
-         stop AS (
-           SELECT shard, rid, hs, row_number() OVER (PARTITION BY shard
-             ORDER BY hs, rid) AS rn
-           FROM rows_),
-         merged AS (
-           SELECT rid AS rid_m FROM stop WHERE rn <= 100
-           ORDER BY hs, rid LIMIT 100),
-         direct AS (
-           SELECT rid AS rid_d FROM rows_ ORDER BY hs, rid LIMIT 100),
-         diffs AS (
-           SELECT
-             CAST(sum(CASE WHEN rid_m IS NULL OR rid_d IS NULL
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_diffs,
-             CAST(sum(CASE WHEN rid_m IS NOT NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_merged,
-             CAST(sum(CASE WHEN rid_d IS NOT NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_direct
-           FROM merged FULL JOIN direct ON rid_m = rid_d),
-         chk AS (
-           SELECT CAST(sum(rid_d) AS BIGINT) AS sample_rid_sum
-           FROM direct)
-         SELECT CAST(100 AS BIGINT) AS k, n_merged, n_direct, n_diffs,
-           sample_rid_sum
-         FROM diffs CROSS JOIN chk"""
-    },
-
-    "privacy_dp_quantile" -> {
-      val seed = 42L
-      val z1 = seed + 0x9e3779b97f4a7c15L
-      val z2 = (z1 ^ (z1 >>> 30)) * 0xbf58476d1ce4e5b9L
-      val z3 = (z2 ^ (z2 >>> 27)) * 0x94d049bb133111ebL
-      val h = z3 ^ (z3 >>> 31)
-      val u = ((h >>> 12).toDouble + 0.5) / (1L << 52).toDouble
-      s"""WITH bins AS (
-           SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
-             CAST(count(*) AS BIGINT) AS cnt
-           FROM orders GROUP BY 1),
-         nq AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM bins),
-         cb AS (
-           SELECT bin, cnt, n_total,
-             CAST(coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN
-               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-               AS cum_before
-           FROM bins CROSS JOIN nq),
-         sc AS (
-           SELECT *, abs(cum_before * 2 + cnt - n_total) AS d,
-             exp(-0.25 * CAST(abs(cum_before * 2 + cnt - n_total)
-               AS DOUBLE)) AS w
-           FROM cb),
-         cw AS (
-           SELECT *, sum(w) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
-             PRECEDING AND CURRENT ROW) AS cum_w
-           FROM sc),
-         tot AS (SELECT max(cum_w) AS tot_w FROM cw),
-         chosen AS (
-           SELECT bin AS chosen_bin, d AS d_chosen, n_total
-           FROM cw CROSS JOIN tot
-           WHERE cum_w > $u * tot_w ORDER BY bin LIMIT 1),
-         truth AS (
-           SELECT bin AS true_median_bin FROM cw
-           WHERE cum_before * 2 + cnt * 2 >= n_total
-           ORDER BY bin LIMIT 1)
-         SELECT n_total, chosen_bin,
-           CAST(chosen_bin * 25000 AS BIGINT) AS chosen_lo,
-           true_median_bin, CAST(d_chosen AS BIGINT) AS d_chosen,
-           round($u, 6) AS u_draw
-         FROM chosen CROSS JOIN truth"""
-    },
-
-    "text_burstiness" ->
-      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         tok AS (SELECT doc_id, unnest(toks) AS term FROM docs
-                 WHERE toks IS NOT NULL),
-         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-                FROM tok GROUP BY 1, 2),
-         st AS (
-           SELECT term, CAST(count(*) AS BIGINT) AS df,
-             CAST(sum(tf) AS BIGINT) AS s1,
-             CAST(sum(tf * tf) AS BIGINT) AS s2
-           FROM tf GROUP BY term)
-         SELECT term, df, s1,
-           CAST((s1 * 1000000) // df AS BIGINT) AS burst_ppm,
-           CAST(floor(1000000.0 *
-             (CAST(df AS DOUBLE) * CAST(s2 AS DOUBLE)
-              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-             / (CAST(df AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)
-             AS vmr_ppm
-         FROM st WHERE df >= 30
-         ORDER BY burst_ppm DESC, term LIMIT 20""",
-
-    "graph_betweenness" -> {
-      def bwd(l: Int, next: String) =
-        s"""t$l AS (
-             SELECT c.seed, c.node, c.sigma AS sigma_v, w.w, w.sigma_w,
-               w.delta_w
-             FROM und u
-             JOIN l$l c ON u.src = c.node
-             JOIN (SELECT seed, node AS w, sigma AS sigma_w,
-                     delta AS delta_w FROM $next) w
-               ON w.seed = c.seed AND w.w = u.dst),
-           g$l AS (
-             SELECT seed, node,
-               list_reduce(list_prepend(0.0, list(
-                 (CAST(sigma_v AS DOUBLE) / CAST(sigma_w AS DOUBLE))
-                   * (1.0 + delta_w) ORDER BY w)),
-                 (a, b) -> a + b) AS delta
-             FROM t$l GROUP BY seed, node),
-           d$l AS (
-             SELECT l.seed, l.node, l.sigma, coalesce(g.delta, 0.0)
-               AS delta
-             FROM l$l l LEFT JOIN g$l g
-               ON g.seed = l.seed AND g.node = l.node)"""
-      s"""WITH e0 AS (
-           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-           FROM lineitem),
-         und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-         l0 AS (
-           SELECT node AS seed, node, 1::BIGINT AS sigma
-           FROM (SELECT DISTINCT src AS node FROM und
-                 WHERE src < 8 AND src % 2 = 0)),
-         l1 AS (
-           SELECT l.seed, u.dst AS node, CAST(sum(l.sigma) AS BIGINT)
-             AS sigma
-           FROM und u JOIN l0 l ON u.src = l.node GROUP BY 1, 2),
-         n2 AS (
-           SELECT l.seed, u.dst AS node, CAST(sum(l.sigma) AS BIGINT)
-             AS sigma
-           FROM und u JOIN l1 l ON u.src = l.node GROUP BY 1, 2),
-         l2 AS (
-           SELECT seed, node, sigma FROM n2
-           WHERE NOT EXISTS (SELECT 1 FROM l0 v
-             WHERE v.seed = n2.seed AND v.node = n2.node)),
-         n3 AS (
-           SELECT l.seed, u.dst AS node, CAST(sum(l.sigma) AS BIGINT)
-             AS sigma
-           FROM und u JOIN l2 l ON u.src = l.node GROUP BY 1, 2),
-         l3 AS (
-           SELECT seed, node, sigma FROM n3
-           WHERE NOT EXISTS (SELECT 1 FROM l1 v
-             WHERE v.seed = n3.seed AND v.node = n3.node)),
-         d3 AS (SELECT seed, node, sigma, 0.0 AS delta FROM l3),
-         ${bwd(2, "d3")}, ${bwd(1, "d2")},
-         alld AS (
-           SELECT seed, node, delta FROM d1
-           UNION ALL SELECT seed, node, delta FROM d2)
-         SELECT node, CAST(count(*) AS BIGINT) AS n_seeds,
-           CAST(floor(1000000.0 * list_reduce(list_prepend(0.0,
-             list(delta ORDER BY seed)), (a, b) -> a + b)) AS BIGINT)
-             AS bw_ppm
-         FROM alld GROUP BY node
-         ORDER BY bw_ppm DESC, node LIMIT 20"""
-    },
-
-    "stats_tost_equivalence" ->
-      """WITH two AS (
-           SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
-             END AS is_a, CAST(o_totalprice AS DECIMAL(18,2)) AS x
-           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
-         g AS (
-           SELECT is_a, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
-             sum(x * x) AS sxx
-           FROM two GROUP BY is_a),
-         a AS (SELECT n AS n_a, sx AS sxa, sxx AS sxxa FROM g
-               WHERE is_a = 1),
-         b AS (SELECT n AS n_b, sx AS sxb, sxx AS sxxb FROM g
-               WHERE is_a = 0),
-         j AS (
-           SELECT n_a, n_b,
-             sqrt((CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)
-                 * CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))
-               / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
-             + (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE)
-                 * CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE))
-               / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE)) AS se,
-             CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE)
-               - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff
-           FROM a CROSS JOIN b)
-         SELECT n_a, n_b,
-           CAST(floor(1000.0 * diff) AS BIGINT) AS diff_milli,
-           CAST(floor(1000000.0 * (diff + 5000.0) / se) AS BIGINT)
-             AS t_lower_ppm,
-           CAST(floor(1000000.0 * (5000.0 - diff) / se) AS BIGINT)
-             AS t_upper_ppm,
-           CAST(CASE WHEN floor(1000000.0 * (diff + 5000.0) / se)
-             > 1645000 AND floor(1000000.0 * (5000.0 - diff) / se)
-             > 1645000 THEN 1 ELSE 0 END AS BIGINT) AS equivalent
-         FROM j""",
-
-    "dq_duplicate_rows" ->
-      """WITH k AS (
-           SELECT l_orderkey, l_linenumber, CAST(count(*) AS BIGINT) AS m
-           FROM lineitem GROUP BY 1, 2),
-         ka AS (
-           SELECT 'natural_key' AS level,
-             CAST(sum(m) AS BIGINT) AS n_rows,
-             CAST(count(*) AS BIGINT) AS n_groups,
-             CAST(sum(m - 1) AS BIGINT) AS n_surplus_rows,
-             CAST(max(m) AS BIGINT) AS max_multiplicity
-           FROM k),
-         f AS (
-           SELECT CAST(count(*) AS BIGINT) AS m
-           FROM lineitem
-           GROUP BY l_orderkey, l_partkey, l_suppkey, l_linenumber,
-             l_quantity, l_extendedprice, l_discount, l_tax,
-             l_returnflag, l_linestatus, l_shipdate),
-         fa AS (
-           SELECT 'full_row' AS level,
-             CAST(sum(m) AS BIGINT) AS n_rows,
-             CAST(count(*) AS BIGINT) AS n_groups,
-             CAST(sum(m - 1) AS BIGINT) AS n_surplus_rows,
-             CAST(max(m) AS BIGINT) AS max_multiplicity
-           FROM f)
-         SELECT * FROM ka UNION ALL SELECT * FROM fa ORDER BY level""",
-
-    "agg_hll_intersection" ->
-      s"""WITH src AS (
-           SELECT CASE WHEN l_returnflag = 'R' THEN 'a' ELSE 'b' END AS st,
-             CAST(l_partkey AS HUGEINT) AS x
-           FROM lineitem WHERE l_returnflag IN ('R', 'A')),
-         ${mix64Ctes("src", "mx")},
-         rho AS (
-           SELECT st, h // 4503599627370496::HUGEINT AS bucket,
-             CASE WHEN h % 4503599627370496::HUGEINT = 0 THEN 53
-               ELSE 53 - length(bin(CAST(h % 4503599627370496::HUGEINT
-                 AS BIGINT))) END AS rho
-           FROM mx),
-         regsab AS (
-           SELECT st, CAST(bucket AS BIGINT) AS bucket,
-             CAST(max(rho) AS BIGINT) AS reg
-           FROM rho GROUP BY st, bucket),
-         regs AS (
-           SELECT st, bucket, reg FROM regsab
-           UNION ALL
-           SELECT 'u' AS st, bucket, max(reg) AS reg
-           FROM regsab GROUP BY bucket),
-         folded AS (
-           SELECT st, CAST(count(*) AS BIGINT) AS present,
-             list_reduce(list_prepend(0.0,
-               list(1.0 / CAST(1::BIGINT << reg AS DOUBLE) ORDER BY bucket)),
-               (a, b) -> a + b) AS hsum
-           FROM regs GROUP BY st),
-         est0 AS (
-           SELECT st, 4096 - present AS v_zero,
-             (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
-               / (hsum + CAST(4096 - present AS DOUBLE)) AS e_raw
-           FROM folded),
-         est1 AS (
-           SELECT st,
-             CASE WHEN e_raw <= 2.5 * 4096 AND v_zero > 0
-               THEN 4096 * ln(CAST(4096 AS DOUBLE) / v_zero)
-               ELSE e_raw END AS est
-           FROM est0),
-         wide AS (
-           SELECT max(CASE WHEN st = 'a' THEN est END) AS est_a,
-             max(CASE WHEN st = 'b' THEN est END) AS est_b,
-             max(CASE WHEN st = 'u' THEN est END) AS est_u
-           FROM est1),
-         exact AS (
-           SELECT
-             CAST(count(DISTINCT CASE WHEN l_returnflag = 'R'
-               THEN l_partkey END) AS BIGINT) AS n_exact_a,
-             CAST(count(DISTINCT CASE WHEN l_returnflag = 'A'
-               THEN l_partkey END) AS BIGINT) AS n_exact_b,
-             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact_u
-           FROM lineitem WHERE l_returnflag IN ('R', 'A'))
-         SELECT n_exact_a, n_exact_b, n_exact_u,
-           n_exact_a + n_exact_b - n_exact_u AS n_exact_inter,
-           round(est_a, 4) AS est_a, round(est_b, 4) AS est_b,
-           round(est_u, 4) AS est_u,
-           round(est_a + est_b - est_u, 4) AS est_inter,
-           CAST(floor(1000000 * abs((est_a + est_b - est_u)
-             / CAST(n_exact_a + n_exact_b - n_exact_u AS DOUBLE) - 1.0))
-             AS BIGINT) AS err_inter_ppm
-         FROM wide CROSS JOIN exact""",
-
-    "agg_bloom_cardinality" ->
-      s"""WITH src AS (
-           SELECT CAST(l_partkey AS HUGEINT) AS x, l_partkey AS k
-           FROM lineitem),
-         ${mix64Ctes("src", "mx")},
-         pw AS (SELECT * FROM (VALUES (1::HUGEINT), (65536::HUGEINT),
-           (4294967296::HUGEINT), (281474976710656::HUGEINT)) AS t(p)),
-         bits AS (SELECT DISTINCT (h // p) % 65536 AS bit
-                  FROM mx CROSS JOIN pw),
-         xs AS (SELECT CAST(count(*) AS BIGINT) AS bset FROM bits),
-         ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
-                FROM lineitem),
-         est0 AS (
-           SELECT n_exact, bset,
-             CASE WHEN bset = 65536 THEN NULL
-               ELSE -(65536.0 / 4.0)
-                 * ln(1.0 - CAST(bset AS DOUBLE) / 65536.0) END AS est
-           FROM xs CROSS JOIN ex)
-         SELECT n_exact, bset AS bits_set, CAST(65536 AS BIGINT) AS m,
-           CAST(CASE WHEN bset = 65536 THEN 1 ELSE 0 END AS BIGINT)
-             AS saturated,
-           round(est, 4) AS est,
-           CASE WHEN est IS NULL THEN NULL
-             ELSE CAST(floor(1000000 * abs(est
-               / CAST(n_exact AS DOUBLE) - 1.0)) AS BIGINT)
-             END AS err_ppm
-         FROM est0""",
-
-    "agg_f2_ams" -> {
-      val pow = (0 to 7).map(j => 1L << j)
-      s"""WITH d0 AS (
-           SELECT CAST(l_partkey AS HUGEINT) AS x, l_partkey AS k
-           FROM lineitem),
-         ${mix64Ctes("d0", "mx")},
-         z AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_rows,
-             ${pow.zipWithIndex.map { case (p, j) =>
-               s"""CAST(sum(CASE WHEN (h // ${p}::HUGEINT) % 2 = 1
-                  THEN 1 ELSE -1 END) AS BIGINT) AS z$j""" }.mkString(", ")}
-           FROM mx),
-         ex AS (
-           SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM (
-             SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)),
-         est AS (
-           SELECT n_rows, f2_exact,
-             CAST((${(0 to 7).map(j => s"z$j * z$j").mkString(" + ")})
-               // 8 AS BIGINT) AS f2_est
-           FROM z CROSS JOIN ex)
-         SELECT n_rows, f2_exact, f2_est,
-           CAST((CAST(abs(f2_est - f2_exact) AS HUGEINT) * 1000000)
-             // f2_exact AS BIGINT) AS err_ppm
-         FROM est"""
-    },
-
-    "agg_cms_heavy_change" ->
-      s"""WITH bounds AS (
-           SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
-           FROM events),
-         tagged AS (
-           SELECT CASE WHEN date_diff('day', b.d0, CAST(e.ts AS DATE)) * 2
-                    < date_diff('day', b.d0, b.d1) THEN 'a' ELSE 'b' END
-               AS epoch,
-             e.user_id AS k, CAST(e.user_id AS HUGEINT) AS x
-           FROM events e CROSS JOIN bounds b),
-         ${mix64Ctes("tagged", "mx")},
-         dw AS (SELECT * FROM (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT),
-           (2, 65536::HUGEINT), (3, 16777216::HUGEINT)) AS t(d, p)),
-         grid AS (
-           SELECT epoch, d, CAST((h // p) % 256 AS BIGINT) AS cell,
-             CAST(count(*) AS BIGINT) AS c
-           FROM mx CROSS JOIN dw GROUP BY 1, 2, 3),
-         exact AS (
-           SELECT k,
-             CAST(sum(CASE WHEN epoch = 'a' THEN 1 ELSE 0 END) AS BIGINT)
-               AS exact_a,
-             CAST(sum(CASE WHEN epoch = 'b' THEN 1 ELSE 0 END) AS BIGINT)
-               AS exact_b
-           FROM tagged GROUP BY k),
-         cand AS (
-           SELECT k, exact_a, exact_b, exact_a - exact_b AS exact_delta
-           FROM exact
-           ORDER BY abs(exact_a - exact_b) DESC, k LIMIT 10),
-         c0 AS (SELECT k, exact_a, exact_b, exact_delta,
-                  CAST(k AS HUGEINT) AS x FROM cand),
-         ${mix64Ctes("c0", "cmx")},
-         pcell AS (
-           SELECT k, exact_a, exact_b, exact_delta, d,
-             CAST((h // p) % 256 AS BIGINT) AS cell
-           FROM cmx CROSS JOIN dw),
-         est AS (
-           SELECT pc.k, pc.exact_a, pc.exact_b, pc.exact_delta,
-             min(coalesce(ga.c, 0)) AS est_a,
-             min(coalesce(gb.c, 0)) AS est_b
-           FROM pcell pc
-           LEFT JOIN grid ga ON ga.epoch = 'a' AND ga.d = pc.d
-             AND ga.cell = pc.cell
-           LEFT JOIN grid gb ON gb.epoch = 'b' AND gb.d = pc.d
-             AND gb.cell = pc.cell
-           GROUP BY 1, 2, 3, 4)
-         SELECT k AS user_id, exact_a, exact_b, exact_delta,
-           CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
-           CAST(est_a - est_b AS BIGINT) AS est_delta
-         FROM est ORDER BY user_id""",
-
-    "agg_cms_merge" ->
-      s"""WITH src AS (
-           SELECT l_returnflag AS flag, l_partkey AS k,
-             CAST(l_partkey AS HUGEINT) AS x
-           FROM lineitem),
-         ${mix64Ctes("src", "mx")},
-         cells AS (
-           SELECT flag, k, d,
-             CAST((h // CAST(power(2, 8 * d) AS HUGEINT)) % 256
-               AS BIGINT) AS cell
-           FROM mx CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)),
-         shard AS (
-           SELECT flag, d, cell, CAST(count(*) AS BIGINT) AS c
-           FROM cells GROUP BY 1, 2, 3),
-         merged AS (
-           SELECT d, cell, CAST(sum(c) AS BIGINT) AS c
-           FROM shard GROUP BY d, cell),
-         direct AS (
-           SELECT d, cell, CAST(count(*) AS BIGINT) AS c
-           FROM cells GROUP BY d, cell),
-         eq AS (
-           SELECT CAST(sum(CASE WHEN coalesce(m.c, -1)
-             = coalesce(x.c, -2) THEN 0 ELSE 1 END) AS BIGINT)
-             AS n_cell_diffs
-           FROM merged m FULL JOIN direct x USING (d, cell)),
-         top5 AS (
-           SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS exact
-           FROM lineitem GROUP BY 1
-           ORDER BY exact DESC, k LIMIT 5),
-         psrc AS (SELECT k, exact, CAST(k AS HUGEINT) AS x FROM top5),
-         ${mix64Ctes("psrc", "pmx")},
-         probe AS (
-           SELECT k, exact, d,
-             CAST((h // CAST(power(2, 8 * d) AS HUGEINT)) % 256
-               AS BIGINT) AS cell
-           FROM pmx CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)),
-         est AS (
-           SELECT k, exact, CAST(min(m.c) AS BIGINT) AS est_cms
-           FROM probe JOIN merged m USING (d, cell)
-           GROUP BY k, exact)
-         SELECT k AS l_partkey, exact, est_cms,
-           CAST(CASE WHEN est_cms >= exact THEN 1 ELSE 0 END AS BIGINT)
-             AS never_undercounts,
-           n_cell_diffs
-         FROM est CROSS JOIN eq
-         ORDER BY exact DESC, l_partkey""",
-
-    "events_burst_viterbi" ->
-      // NOT a list_reduce: DuckDB 1.0.0's struct-accumulator fold
-      // aliases in place from the second application on (later fields
-      // read the CURRENT step's earlier fields — minimal repro in
-      // NOTES_r9), so a coupled two-field recursion silently corrupts.
-      // A recursive CTE has proper semantics on any version.
-      """WITH RECURSIVE hours AS (
-           SELECT date_trunc('hour', ts) AS hr,
-             CAST(count(*) AS DOUBLE) AS y
-           FROM events GROUP BY 1),
-         muq AS (
-           SELECT sum(y) / CAST(count(*) AS DOUBLE) AS mu FROM hours),
-         idx AS (
-           SELECT CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS i, y
-           FROM hours),
-         nq AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM idx),
-         rec AS (
-           SELECT CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS c0,
-             CAST(8.0 AS DOUBLE) AS c1, CAST(0 AS BIGINT) AS nb
-           UNION ALL
-           SELECT r.i + 1,
-             (x.y - mu) * (x.y - mu) / mu
-               + CASE WHEN r.c0 <= r.c1 THEN r.c0 ELSE r.c1 END,
-             (x.y - CAST(1.5 AS DOUBLE) * mu)
-               * (x.y - CAST(1.5 AS DOUBLE) * mu) / mu
-               + CASE WHEN r.c0 + CAST(8.0 AS DOUBLE) <= r.c1
-                 THEN r.c0 + CAST(8.0 AS DOUBLE) ELSE r.c1 END,
-             r.nb + CASE WHEN (x.y - CAST(1.5 AS DOUBLE) * mu)
-                 * (x.y - CAST(1.5 AS DOUBLE) * mu) / mu
-                 < (x.y - mu) * (x.y - mu) / mu THEN 1 ELSE 0 END
-           FROM rec r JOIN idx x ON x.i = r.i + 1 CROSS JOIN muq)
-         SELECT n_hours,
-           CAST(floor(1000.0 * mu) AS BIGINT) AS mu_milli,
-           CAST(floor(1000.0 * c0) AS BIGINT) AS c0_milli,
-           CAST(floor(1000.0 * c1) AS BIGINT) AS c1_milli,
-           nb AS n_burst_hours,
-           CAST(floor(1000000.0 * CAST(nb AS DOUBLE)
-             / CAST(n_hours AS DOUBLE)) AS BIGINT) AS burst_share_ppm
-         FROM rec CROSS JOIN nq CROSS JOIN muq WHERE i = n_hours""",
-
-    "attribution_time_decay" ->
-      """WITH c AS (
-           SELECT user_id, ts, event_id AS click_id FROM events
-           WHERE event_type = 'click'),
-         p AS (
-           SELECT user_id, ts, event_id FROM events
-           WHERE event_type = 'purchase'),
-         a AS (
-           SELECT c.click_id, c.user_id, c.ts,
-             (SELECT p.event_id FROM p
-              WHERE p.user_id = c.user_id AND p.ts >= c.ts
-              ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS conv_id
-           FROM c),
-         j AS (
-           SELECT a.click_id, a.user_id, a.conv_id,
-             CAST(floor(epoch(p.ts)) AS BIGINT)
-               - CAST(floor(epoch(a.ts)) AS BIGINT) AS dt_sec
-           FROM a JOIN p ON p.user_id = a.user_id
-             AND p.event_id = a.conv_id
-           WHERE a.conv_id IS NOT NULL),
-         w AS (
-           SELECT *, CAST(floor(1000000.0 *
-             power(0.5, CAST(dt_sec AS DOUBLE) / 1800.0)) AS BIGINT)
-             AS w_fixed
-           FROM j),
-         g AS (
-           SELECT *, CAST(sum(w_fixed) OVER (PARTITION BY conv_id)
-             AS BIGINT) AS sum_w
-           FROM w)
-         SELECT click_id, user_id, conv_id, dt_sec, w_fixed,
-           CASE WHEN sum_w > 0
-             THEN CAST((w_fixed * 1000000) // sum_w AS BIGINT)
-           END AS credit_ppm
-         FROM g ORDER BY click_id""",
-
-    "embedding_matryoshka_eval" -> {
-      def topCte(vexpr: String, name: String) =
-        s"""${name}s AS (
-             SELECT q.query_id, c.vec_id,
-               ${cosSql(s"c.$vexpr", s"q.$vexpr")} AS cs
-             FROM corpus c CROSS JOIN qs q),
-           $name AS (
-             SELECT query_id, vec_id FROM (
-               SELECT query_id, vec_id, row_number() OVER (
-                 PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rn
-               FROM ${name}s) WHERE rn <= 10)"""
-      s"""WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             (CAST(embedding AS DOUBLE[]))[1:16] AS v16,
-             (CAST(embedding AS DOUBLE[]))[1:32] AS v32
-           FROM embeddings),
-         qs AS (SELECT vec_id AS query_id, v, v16, v32 FROM corpus
-                WHERE vec_id < 32),
-         ${topCte("v", "ftop")},
-         ${topCte("v16", "t16")},
-         ${topCte("v32", "t32")},
-         legs AS (
-           SELECT CAST(16 AS BIGINT) AS dims, query_id, vec_id FROM t16
-           UNION ALL
-           SELECT CAST(32 AS BIGINT), query_id, vec_id FROM t32),
-         agg AS (
-           SELECT dims, CAST(count(*) AS BIGINT) AS n_pairs,
-             CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS hits
-           FROM legs l LEFT JOIN ftop f
-             ON f.query_id = l.query_id AND f.vec_id = l.vec_id
-           GROUP BY dims)
-         SELECT dims, n_pairs, hits,
-           CAST((hits * 10000) // n_pairs AS BIGINT) AS recall_bp
-         FROM agg ORDER BY dims"""
-    },
-
-    "train_epoch_plan" ->
-      s"""WITH d0 AS (
-           SELECT doc_id,
-             CAST(coalesce(len($toksSql), 0) AS BIGINT) AS n_tokens,
-             CAST(doc_id * 31 + 3 AS HUGEINT) AS x
-           FROM documents),
-         ${mix64Ctes("d0", "mx")},
-         keyed AS (
-           SELECT doc_id, n_tokens, CAST(h % 8 AS BIGINT) AS shard,
-             ${signedSql("h")} AS hs
-           FROM mx),
-         ranked AS (
-           SELECT *, row_number() OVER (PARTITION BY shard
-             ORDER BY hs, doc_id) AS rn
-           FROM keyed),
-         per AS (
-           SELECT shard, count(*) AS n_docs,
-             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-             CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
-               AS first_doc_id,
-             CAST(sum(rn * doc_id) AS BIGINT) AS order_checksum
-           FROM ranked GROUP BY shard),
-         tot AS (SELECT CAST(sum(sum_tokens) AS BIGINT) AS tt FROM per)
-         SELECT shard, n_docs, sum_tokens,
-           CAST((sum_tokens * 1000000) // tt AS BIGINT) AS share_ppm,
-           first_doc_id, order_checksum
-         FROM per CROSS JOIN tot ORDER BY shard""",
-
-    "embedding_quantization_error" ->
-      """WITH dims AS (
-           SELECT CAST(d.d AS BIGINT) AS dim,
-             CAST(embedding[CAST(d.d AS INT)+1] AS DOUBLE) AS v
-           FROM embeddings
-           CROSS JOIN LATERAL (SELECT unnest(range(len(embedding))) AS d) d),
-         amax AS (SELECT dim, max(abs(v)) AS amax FROM dims GROUP BY dim),
-         rd AS (
-           SELECT d.dim, d.v,
-             CASE WHEN a.amax = 0.0 THEN 0.0
-               ELSE floor(127.0 * d.v / a.amax + 0.5) * a.amax / 127.0
-             END AS recon,
-             a.amax
-           FROM dims d JOIN amax a USING (dim)),
-         agg AS (
-           SELECT dim, count(*) AS n,
-             CAST(floor(1000000.0 * max(amax)) AS BIGINT) AS amax_ppm,
-             CAST(sum(CAST(floor(1000000000000.0
-               * (v - recon) * (v - recon)) AS BIGINT)) AS BIGINT) AS sse_fp,
-             CAST(sum(CAST(floor(1000000000000.0 * v * v) AS BIGINT))
-               AS BIGINT) AS energy_fp
-           FROM rd GROUP BY dim)
-         SELECT dim, n, amax_ppm,
-           CASE WHEN energy_fp > 0
-             THEN CAST((sse_fp * 1000000) // energy_fp AS BIGINT)
-           END AS rel_err_ppm
-         FROM agg ORDER BY dim""",
-
-    "recsys_ndcg" -> {
-      val discList = ndcgDiscPpm.map(d => s"$d::BIGINT").mkString("[", ", ", "]")
-      s"""WITH buys AS (
-           SELECT o_custkey AS custkey, l_partkey AS partkey, o_orderdate
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         train AS (
-           SELECT * FROM buys WHERE o_orderdate < DATE '2000-01-01'),
-         test AS (
-           SELECT DISTINCT custkey, partkey FROM buys
-           WHERE o_orderdate >= DATE '2000-01-01'),
-         top10 AS (
-           SELECT partkey,
-             CAST(row_number() OVER (ORDER BY cnt DESC, partkey) AS BIGINT)
-               AS pop_rank
-           FROM (SELECT partkey, count(*) AS cnt FROM train GROUP BY 1)
-           ORDER BY cnt DESC, partkey LIMIT 10),
-         owned AS (
-           SELECT DISTINCT t.custkey, t.partkey
-           FROM train t JOIN top10 USING (partkey)),
-         recs AS (
-           SELECT u.custkey, p.partkey,
-             CAST(row_number() OVER (PARTITION BY u.custkey
-               ORDER BY p.pop_rank) AS BIGINT) AS rnk
-           FROM (SELECT DISTINCT custkey FROM test) u
-           CROSS JOIN top10 p
-           WHERE NOT EXISTS (SELECT 1 FROM owned o
-             WHERE o.custkey = u.custkey AND o.partkey = p.partkey)),
-         graded AS (
-           SELECT r.custkey, r.rnk,
-             CASE WHEN t.partkey IS NOT NULL THEN 1 ELSE 0 END AS rel,
-             ($discList)[CAST(r.rnk AS INT)] AS disc
-           FROM recs r LEFT JOIN test t
-             ON t.custkey = r.custkey AND t.partkey = r.partkey),
-         g3 AS (
-           SELECT *, sum(rel) OVER (PARTITION BY custkey) AS n_rel
-           FROM graded),
-         per_user AS (
-           SELECT custkey,
-             CAST(max(n_rel) AS BIGINT) AS n_rel,
-             CAST(sum(CASE WHEN rel = 1 THEN disc ELSE 0 END) AS BIGINT)
-               AS dcg_fp,
-             CAST(sum(CASE WHEN rnk <= n_rel THEN disc ELSE 0 END)
-               AS BIGINT) AS idcg_fp,
-             min(CASE WHEN rel = 1 THEN rnk END) AS first_hit
-           FROM g3 GROUP BY custkey)
-         SELECT c_mktsegment AS segment,
-           count(*) AS n_users,
-           CAST((sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) * 10000)
-             // count(*) AS BIGINT) AS hit_rate_bp,
-           CAST(sum(coalesce(1000000 // first_hit, 0)) // count(*)
-             AS BIGINT) AS mrr_ppm,
-           CAST(CASE WHEN sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) > 0
-             THEN sum(CASE WHEN n_rel > 0 THEN (dcg_fp * 10000) // idcg_fp
-               ELSE 0 END)
-               // sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END)
-           END AS BIGINT) AS ndcg_bp
-         FROM per_user JOIN customer ON c_custkey = custkey
-         GROUP BY c_mktsegment ORDER BY segment"""
-    },
-
-    "stats_anderson_darling" ->
-      """WITH days AS (
-           SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt
-           FROM orders GROUP BY 1),
-         mom AS (
-           SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s1,
-             CAST(sum(cnt * cnt) AS BIGINT) AS s2
-           FROM days),
-         ranked AS (
-           SELECT day, cnt,
-             row_number() OVER (ORDER BY cnt, day) AS rn
-           FROM days),
-         zs AS (
-           SELECT rn, n, s1, s2,
-             (CAST(cnt AS DOUBLE)
-               - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-             / sqrt((CAST(s2 AS DOUBLE)
-               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-               / CAST(n - 1 AS DOUBLE)) AS z
-           FROM ranked CROSS JOIN mom),
-         ts AS (
-           SELECT rn, n, z, abs(z) AS az,
-             1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
-           FROM zs),
-         tails AS (
-           SELECT rn, n, z,
-             (exp(-az * az / 2.0) / sqrt(2.0 * pi()))
-             * (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt
-                 - 0.356563782) * tt + 0.319381530) * tt) AS tail
-           FROM ts),
-         fs AS (
-           SELECT rn, n,
-             greatest(1e-15, least(1.0 - 1e-15,
-               CASE WHEN z >= 0.0 THEN 1.0 - tail ELSE tail END)) AS fz
-           FROM tails),
-         terms AS (
-           SELECT n,
-             CAST(sum(CAST(floor(1000000.0 * (
-               CAST(2 * rn - 1 AS DOUBLE) * ln(fz)
-               + CAST(2 * n - 2 * rn + 1 AS DOUBLE) * ln(1.0 - fz)))
-               AS BIGINT)) AS BIGINT) AS s_fp
-           FROM fs GROUP BY n),
-         a2t AS (
-           SELECT n,
-             -CAST(n AS DOUBLE)
-               - CAST(s_fp AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS a2
-           FROM terms),
-         a2st AS (
-           SELECT n, a2,
-             a2 * (1.0 + 0.75 / CAST(n AS DOUBLE)
-               + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS a2s
-           FROM a2t)
-         SELECT n AS n_days,
-           CAST(floor(1000000.0 * a2) AS BIGINT) AS a2_ppm,
-           CAST(floor(1000000.0 * a2s) AS BIGINT) AS a2_star_ppm,
-           CAST(CASE WHEN a2s > 0.787 THEN 1 ELSE 0 END AS BIGINT)
-             AS reject_5pct
-         FROM a2st""",
-
-    "model_isotonic_calibration" ->
-      s"""WITH $marginScoredCtes,
-         edges AS (
-           SELECT quantile_cont(margin, [0.1, 0.2, 0.3, 0.4, 0.5,
-             0.6, 0.7, 0.8, 0.9]) AS es
-           FROM scored),
-         binned AS (
-           SELECT is_a AS label, margin,
-             list_reduce(list_prepend(0, list_transform(es,
-               e -> CASE WHEN CAST(margin AS DOUBLE) > e
-                 THEN 1 ELSE 0 END)), (acc, v) -> acc + v) AS bin
-           FROM scored CROSS JOIN edges),
-         bins AS (
-           SELECT bin, count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos
-           FROM binned GROUP BY bin),
-         cum AS (
-           SELECT bin, n, n_pos,
-             CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp,
-             CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cc
-           FROM bins),
-         rates AS (
-           SELECT j.bin AS jb, k.bin AS kb,
-             ((k.cp - (j.cp - j.n_pos)) * 1000000)
-               // (k.cc - (j.cc - j.n)) AS rate_ppm
-           FROM cum j CROSS JOIN cum k WHERE j.bin <= k.bin),
-         mins AS (
-           SELECT i.bin, r.jb, min(r.rate_ppm) AS minr
-           FROM cum i JOIN rates r ON r.jb <= i.bin AND r.kb >= i.bin
-           GROUP BY i.bin, r.jb),
-         iso AS (
-           SELECT bin, CAST(max(minr) AS BIGINT) AS iso_ppm
-           FROM mins GROUP BY bin)
-         SELECT b.bin, b.n, b.n_pos,
-           CAST((1000000 * b.n_pos) // b.n AS BIGINT) AS raw_ppm, iso_ppm
-         FROM bins b JOIN iso USING (bin) ORDER BY bin""",
-
-    "timeseries_dtw" ->
-      """WITH mon AS (
-           SELECT CAST(c_nationkey AS BIGINT) AS nk,
-             date_trunc('month', o_orderdate) AS mon, count(*) AS cnt
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           WHERE c_nationkey <= 5 GROUP BY 1, 2),
-         months AS (
-           SELECT DISTINCT date_trunc('month', o_orderdate) AS mon
-           FROM orders),
-         nk6 AS (SELECT CAST(unnest(range(6)) AS BIGINT) AS nk),
-         grid AS (
-           SELECT n.nk, m.mon, CAST(coalesce(x.cnt, 0) AS BIGINT) AS cnt
-           FROM months m CROSS JOIN nk6 n
-           LEFT JOIN mon x ON x.nk = n.nk AND x.mon = m.mon),
-         series AS (
-           SELECT nk, list(cnt ORDER BY mon) AS cs FROM grid GROUP BY nk),
-         pairs AS (
-           SELECT a.cs AS ca, b.nk AS nation_b, b.cs AS cb
-           FROM (SELECT cs FROM series WHERE nk = 0) a
-           CROSS JOIN series b),
-         dp AS (
-           SELECT nation_b, ca, cb,
-             list_reduce(
-               list_prepend(
-                 list_concat([0::BIGINT],
-                   list_transform(cb, x -> 1000000000000000::BIGINT)),
-                 list_transform(ca, x -> [x])),
-               (acc, e) -> list_reduce(
-                 list_prepend([1000000000000000::BIGINT],
-                   list_transform(range(1, CAST(len(cb) AS BIGINT) + 1),
-                     j -> [j])),
-                 (nr, j) -> list_append(nr,
-                   abs(e[1] - cb[CAST(j[1] AS INT)])
-                   + least(acc[CAST(j[1] AS INT) + 1],
-                       acc[CAST(j[1] AS INT)], nr[-1])))) AS d
-           FROM pairs)
-         SELECT CAST(0 AS BIGINT) AS nation_a, nation_b,
-           CAST(len(cb) AS BIGINT) AS n_months,
-           CAST(d[CAST(len(cb) AS INT) + 1] AS BIGINT) AS dtw_cost,
-           CAST((d[CAST(len(cb) AS INT) + 1] * 1000000)
-             // CAST(len(ca) + len(cb) AS BIGINT) AS BIGINT)
-             AS cost_per_step_ppm
-         FROM dp ORDER BY nation_b""",
-
-    "markov_stationary" ->
-      """WITH seq0 AS (
-           SELECT event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS nxt
-           FROM events),
-         trans AS (
-           SELECT event_type AS a, nxt AS b, count(*) AS cnt
-           FROM seq0 WHERE nxt IS NOT NULL GROUP BY 1, 2),
-         states AS (SELECT DISTINCT event_type AS st FROM events),
-         gridk AS (
-           SELECT sa.st AS a, sb.st AS b,
-             CAST(coalesce(t.cnt, 0) AS BIGINT) AS cnt
-           FROM states sa CROSS JOIN states sb
-           LEFT JOIN trans t ON t.a = sa.st AND t.b = sb.st),
-         probs AS (
-           SELECT a, b,
-             CASE WHEN sum(cnt) OVER (PARTITION BY a) = 0
-               THEN CASE WHEN a = b THEN 1.0 ELSE 0.0 END
-               ELSE CAST(cnt AS DOUBLE)
-                 / CAST(sum(cnt) OVER (PARTITION BY a) AS DOUBLE)
-             END AS p
-           FROM gridk),
-         matrow AS (
-           SELECT list(p ORDER BY a, b) AS mat,
-             (SELECT list(st ORDER BY st) FROM states) AS sts
-           FROM probs),
-         pit AS (
-           SELECT sts,
-             list_reduce(
-               list_prepend(
-                 list_transform(sts, x -> 1.0 / CAST(len(sts) AS DOUBLE)),
-                 list_transform(range(1, 41), it -> [CAST(it AS DOUBLE)])),
-               (p, it) -> list_transform(
-                 range(1, CAST(len(sts) AS BIGINT) + 1),
-                 jj -> list_reduce(
-                   list_prepend(0.0,
-                     list_transform(range(CAST(len(sts) AS BIGINT)),
-                       ii -> p[CAST(ii AS INT) + 1]
-                         * mat[CAST(ii AS INT) * CAST(len(sts) AS INT)
-                               + CAST(jj AS INT)])),
-                   (s2, t2) -> s2 + t2))) AS pi
-           FROM matrow),
-         pirows AS (
-           SELECT unnest(sts) AS state, unnest(pi) AS pv FROM pit),
-         emp AS (
-           SELECT event_type AS state, count(*) AS n_events
-           FROM events GROUP BY 1),
-         tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS te FROM emp)
-         SELECT p.state, e.n_events,
-           CAST((e.n_events * 1000000) // te AS BIGINT) AS empirical_ppm,
-           CAST(floor(1000000.0 * p.pv) AS BIGINT) AS stationary_ppm
-         FROM pirows p JOIN emp e ON e.state = p.state CROSS JOIN tot
-         ORDER BY p.state""",
-
-    "timeseries_holt_winters" ->
-      """WITH mons AS (
-           SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS cnt
-           FROM orders GROUP BY 1),
-         xsr AS (
-           SELECT list(CAST(cnt AS DOUBLE) ORDER BY mon) AS xs FROM mons
-           HAVING count(*) >= 24),
-         ini AS (
-           SELECT xs,
-             list_reduce(list_prepend(0.0, xs[1:12]), (a, b) -> a + b)
-               / 12.0 AS m1,
-             list_reduce(list_prepend(0.0, xs[13:24]), (a, b) -> a + b)
-               / 12.0 AS m2
-           FROM xsr),
-         ini2 AS (
-           SELECT xs,
-             list_concat([CAST(m1 AS DOUBLE), (m2 - m1) / 12.0],
-               list_transform(xs[1:12], x -> x - m1)) AS ini
-           FROM ini),
-         fold AS (
-           SELECT xs,
-             list_reduce(
-               list_prepend(ini, list_transform(xs[13:], x -> [x])),
-               (ac, e) -> list_concat(list_concat(
-                 [0.2 * (e[1] - ac[3]) + 0.8 * (ac[1] + ac[2]),
-                  0.1 * ((0.2 * (e[1] - ac[3]) + 0.8 * (ac[1] + ac[2]))
-                    - ac[1]) + 0.9 * ac[2]],
-                 ac[4:14]),
-                 [0.3 * (e[1] - (0.2 * (e[1] - ac[3])
-                     + 0.8 * (ac[1] + ac[2])))
-                  + 0.7 * ac[3]])) AS st
-           FROM ini2),
-         hs AS (SELECT CAST(unnest(range(1, 7)) AS BIGINT) AS h)
-         SELECT h,
-           CAST(floor(1000000.0 * st[1]) AS BIGINT) AS level_ppm,
-           CAST(floor(1000000.0 * st[2]) AS BIGINT) AS trend_ppm,
-           CAST(floor(1000000.0 * (st[1] + CAST(h AS DOUBLE) * st[2]
-             + st[CAST(h AS INT) + 2])) AS BIGINT) AS forecast_ppm
-         FROM fold CROSS JOIN hs ORDER BY h""",
-
-    "similarity_ivf_cell_stats" ->
-      s"""WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
-               AS cid,
-             v AS cv
-           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
-            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
-                   FROM corpus))),
-         ${kmeansIterSql("c0", "a1", "c1")},
-         ${kmeansIterSql("c1", "a2", "c2")},
-         cellsc AS (
-           SELECT p.vec_id, c.cid, ${cosSql("p.v", "c.cv")} AS cs
-           FROM corpus p CROSS JOIN c2 c),
-         cells AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-               ORDER BY cs DESC, cid) AS rn FROM cellsc) WHERE rn = 1),
-         sizes AS (SELECT cid, count(*) AS sz FROM cells GROUP BY cid),
-         tot AS (
-           SELECT CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(sz) AS BIGINT) AS n,
-             CAST(sum(sz * sz) AS BIGINT) AS s2
-           FROM sizes),
-         ranked AS (
-           SELECT sz, row_number() OVER (ORDER BY sz DESC, cid) AS rn
-           FROM sizes),
-         ps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
-         worst AS (
-           SELECT p.nprobe, CAST(sum(r.sz) AS BIGINT) AS topsz
-           FROM ps p JOIN ranked r ON r.rn <= p.nprobe GROUP BY p.nprobe)
-         SELECT nprobe, k, n,
-           CAST((nprobe * 1000000) // k AS BIGINT) AS avg_scan_ppm,
-           CAST((topsz * 1000000) // n AS BIGINT) AS worst_scan_ppm,
-           CAST((1000000 * (k * s2 - n * n)) // (n * n) AS BIGINT) AS cv2_ppm
-         FROM worst CROSS JOIN tot ORDER BY nprobe""",
-
-    "timeseries_haar_energy" ->
-      """WITH days AS (
-           SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt
-           FROM orders GROUP BY 1),
-         nf AS (SELECT count(*) AS n FROM days),
-         idx0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS i,
-             CAST(cnt AS BIGINT) AS cnt
-           FROM days),
-         mf AS (
-           SELECT list_reduce(
-             list_prepend(1::BIGINT,
-               list_transform(range(40), st -> 0::BIGINT)),
-             (a, st) -> CASE WHEN a * 2 <= n THEN a * 2 ELSE a END) AS m
-           FROM nf),
-         idx AS (
-           SELECT i, cnt FROM idx0 CROSS JOIN mf WHERE i < m),
-         lv AS (
-           SELECT l.level, i // (1::BIGINT << l.level) AS blk,
-             (1 - 2 * ((i // (1::BIGINT << (l.level - 1))) % 2)) * cnt AS sc
-           FROM idx CROSS JOIN
-             (SELECT unnest([1, 2, 3, 4]) AS level) l),
-         diffs AS (
-           SELECT level, blk, CAST(sum(sc) AS BIGINT) AS d
-           FROM lv GROUP BY level, blk),
-         lvl AS (
-           SELECT level, count(*) AS n_blocks,
-             CAST(sum(d * d) AS BIGINT) AS e_num
-           FROM diffs GROUP BY level),
-         tot AS (
-           SELECT CAST(sum(e_num * (1::BIGINT << (4 - level))) AS BIGINT)
-             AS tv
-           FROM lvl)
-         SELECT CAST(level AS BIGINT) AS level, n_blocks, e_num,
-           CAST((e_num * (1::BIGINT << (4 - level)) * 1000000) // tv
-             AS BIGINT) AS share_ppm
-         FROM lvl CROSS JOIN tot ORDER BY level""",
-
-    "stats_hodges_lehmann" ->
-      """WITH days AS (
-           SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(count(*) AS BIGINT) AS cnt
-           FROM orders GROUP BY 1),
-         walsh AS (
-           SELECT a.cnt + b.cnt AS w, count(*) AS c
-           FROM days a JOIN days b ON a.day <= b.day
-           GROUP BY 1),
-         tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM walsh),
-         cum AS (
-           SELECT w, c, CAST(sum(c) OVER (ORDER BY w) AS BIGINT) AS cum
-           FROM walsh)
-         SELECT w AS hl_x2, nn AS n_pairs,
-           CAST(w * 500000 AS BIGINT) AS hl_ppm
-         FROM cum CROSS JOIN tot
-         WHERE cum >= (nn + 1) // 2 AND cum - c < (nn + 1) // 2""",
-
-    "dq_reconciliation" ->
-      """WITH li AS (
-           SELECT l_orderkey,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS ep_c,
-             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS d_bp,
-             CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS t_bp
-           FROM lineitem),
-         recon AS (
-           SELECT l_orderkey,
-             CAST(sum(ep_c * (100 - d_bp) * (100 + t_bp)) AS BIGINT)
-               AS recon_u
-           FROM li GROUP BY 1),
-         o AS (
-           SELECT o_orderkey,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)
-               AS tot_u
-           FROM orders),
-         rel AS (
-           SELECT o_orderkey,
-             CASE WHEN recon_u IS NULL THEN NULL
-               ELSE (abs(recon_u - tot_u) * 1000000) // tot_u
-             END AS rel_ppm
-           FROM o LEFT JOIN recon ON o_orderkey = l_orderkey),
-         banded AS (
-           SELECT o_orderkey, rel_ppm,
-             CASE WHEN rel_ppm IS NULL THEN 'no_lines'
-               WHEN rel_ppm = 0 THEN 'exact'
-               WHEN rel_ppm <= 100 THEN 'lt_100ppm'
-               WHEN rel_ppm <= 10000 THEN 'lt_1pct'
-               ELSE 'gt_1pct' END AS band
-           FROM rel)
-         SELECT band, count(*) AS n_orders,
-           CAST(max(rel_ppm) AS BIGINT) AS max_rel_ppm,
-           CAST(min(rel_ppm) AS BIGINT) AS min_rel_ppm
-         FROM banded GROUP BY band ORDER BY band""",
-
-    "dedup_lsh_tuning" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         xj AS (
-           SELECT doc_id, jj.j AS j,
-             xor(h, (jj.j * 11400714819323198485::HUGEINT)
-                 % 18446744073709551616::HUGEINT) AS x
-           FROM e CROSS JOIN (SELECT unnest(range(16)) AS j) jj),
-         ${mix64Ctes("xj", "mx")},
-         sig AS (
-           SELECT doc_id, j, min(${signedSql("h")}) AS c
-           FROM mx GROUP BY doc_id, j),
-         ok AS (
-           SELECT j, c FROM sig GROUP BY j, c
-           HAVING count(*) BETWEEN 2 AND 100000),
-         sigk AS (
-           SELECT sig.doc_id, sig.j, sig.c FROM sig JOIN ok USING (j, c)),
-         pm AS (
-           SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
-             CAST(count(*) AS BIGINT) AS m
-           FROM sigk sa JOIN sigk sb
-             ON sa.j = sb.j AND sa.c = sb.c AND sa.doc_id < sb.doc_id
-           GROUP BY 1, 2),
-         cfg AS (
-           SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r
-           FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8)) AS t(b, r)),
-         s1 AS (
-           SELECT b, r, m, CAST(m AS DOUBLE) / 16.0 AS sv
-           FROM pm CROSS JOIN cfg),
-         s2 AS (
-           SELECT b, r, m,
-             CASE r WHEN 1 THEN sv WHEN 2 THEN sv * sv
-               WHEN 4 THEN (sv * sv) * (sv * sv)
-               WHEN 8 THEN ((sv * sv) * (sv * sv)) * ((sv * sv) * (sv * sv))
-               END AS sr
-           FROM s1),
-         s3 AS (
-           SELECT b, r, m, (1.0 - sr) * (1.0 - sr) AS t2 FROM s2),
-         s4 AS (SELECT b, r, m, t2, t2 * t2 AS t4 FROM s3),
-         s5 AS (SELECT b, r, m, t2, t4, t4 * t4 AS t8 FROM s4),
-         s6 AS (SELECT b, r, m, t2, t4, t8, t8 * t8 AS t16 FROM s5),
-         s7 AS (
-           SELECT b, r, m,
-             CAST(floor(1000000.0 * (1.0 - CASE b
-               WHEN 2 THEN t2 WHEN 4 THEN t4 WHEN 8 THEN t8
-               WHEN 16 THEN t16 END)) AS BIGINT) AS pc_fp
-           FROM s6)
-         SELECT b, r, count(*) AS n_cand,
-           CAST(sum(pc_fp) AS BIGINT) AS exp_cand_fp,
-           CAST(sum(CASE WHEN m >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-           CAST(CASE WHEN sum(CASE WHEN m >= 8 THEN 1 ELSE 0 END) > 0
-             THEN sum(CASE WHEN m >= 8 THEN pc_fp ELSE 0 END)
-               // sum(CASE WHEN m >= 8 THEN 1 ELSE 0 END)
-           END AS BIGINT) AS exp_recall_ppm
-         FROM s7 GROUP BY b, r ORDER BY b DESC""",
-
-    "multimodal_shard_manifest" ->
-      """WITH media AS (
-           SELECT CAST(doc_id AS BIGINT) AS media_id,
-             CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN 'image'
-               WHEN ((doc_id % 3) + 3) % 3 = 1 THEN 'audio'
-               ELSE 'video' END AS kind,
-             CAST(strlen(text) AS BIGINT) AS bytes
-           FROM documents),
-         cb AS (
-           SELECT media_id, kind, bytes,
-             CAST(coalesce(sum(bytes) OVER (PARTITION BY kind
-               ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-           FROM media),
-         sh AS (
-           SELECT kind, cum_before // 16384 AS shard, media_id, bytes
-           FROM cb)
-         SELECT kind, CAST(shard AS BIGINT) AS shard,
-           count(*) AS n_items, CAST(sum(bytes) AS BIGINT) AS shard_bytes,
-           min(media_id) AS first_id, max(media_id) AS last_id
-         FROM sh GROUP BY kind, shard ORDER BY kind, shard""",
-
-    "stats_energy_distance" ->
-      """WITH days AS (
-           SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(count(*) AS BIGINT) AS cnt
-           FROM orders GROUP BY 1),
-         grps AS (
-           SELECT cnt,
-             CASE WHEN isodow(day) >= 6 THEN 'weekend' ELSE 'weekday' END
-               AS grp
-           FROM days),
-         hist AS (
-           SELECT grp, cnt, CAST(count(*) AS BIGINT) AS c
-           FROM grps GROUP BY 1, 2),
-         xy AS (
-           SELECT CAST(sum(a.c * b.c * abs(a.cnt - b.cnt)) AS BIGINT) AS sxy,
-             CAST(sum(a.c * b.c) AS BIGINT) AS nxy
-           FROM hist a CROSS JOIN hist b
-           WHERE a.grp = 'weekday' AND b.grp = 'weekend'),
-         xx AS (
-           SELECT CAST(sum(a.c * b.c * abs(a.cnt - b.cnt)) AS BIGINT) AS sxx,
-             CAST(sum(a.c * b.c) AS BIGINT) AS nxx
-           FROM hist a CROSS JOIN hist b
-           WHERE a.grp = 'weekday' AND b.grp = 'weekday'),
-         yy AS (
-           SELECT CAST(sum(a.c * b.c * abs(a.cnt - b.cnt)) AS BIGINT) AS syy,
-             CAST(sum(a.c * b.c) AS BIGINT) AS nyy
-           FROM hist a CROSS JOIN hist b
-           WHERE a.grp = 'weekend' AND b.grp = 'weekend')
-         SELECT nxy AS n_pairs_xy,
-           CAST(floor(1000000.0 * (
-             2.0 * CAST(sxy AS DOUBLE) / CAST(nxy AS DOUBLE)
-             - CAST(sxx AS DOUBLE) / CAST(nxx AS DOUBLE)
-             - CAST(syy AS DOUBLE) / CAST(nyy AS DOUBLE))) AS BIGINT)
-             AS energy_ppm
-         FROM xy CROSS JOIN xx CROSS JOIN yy""",
-
-    "privacy_dp_mean" ->
-      s"""WITH agg0 AS (
-           SELECT count(*) AS n,
-             CAST(sum(least(
-               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
-               30000000)) AS BIGINT) AS s_c
-           FROM orders),
-         mxh AS (
-           SELECT n, s_c,
-             xor(z3, z3 // 2147483648::HUGEINT) AS h
-           FROM (
-             SELECT n, s_c,
-               ${mulModSql("w2", "10723151780598845931")} AS z3
-             FROM (
-               SELECT n, s_c, xor(z2, z2 // 134217728::HUGEINT) AS w2
-               FROM (
-                 SELECT n, s_c,
-                   ${mulModSql("w1", "13787848793156543929")} AS z2
-                 FROM (
-                   SELECT n, s_c, xor(z1, z1 // 1073741824::HUGEINT) AS w1
-                   FROM (
-                     SELECT n, s_c,
-                       (42 + 11400714819323198485::HUGEINT)
-                         % 18446744073709551616::HUGEINT AS z1
-                     FROM agg0))))) ),
-         uf AS (
-           SELECT n, s_c,
-             (CAST(h // 4096::HUGEINT AS DOUBLE) + 0.5)
-               / ${(1L << 52).toDouble} AS u
-           FROM mxh),
-         nz AS (
-           SELECT n, s_c, u,
-             300000.0 * 100.0 / (0.5 * CAST(n AS DOUBLE)) AS b_c
-           FROM uf),
-         fin AS (
-           SELECT n, s_c,
-             -b_c * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
-               * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise_c
-           FROM nz)
-         SELECT n,
-           CAST((s_c * 10000) // n AS BIGINT) AS clipped_mean_ppm,
-           CAST(floor(10000.0 * noise_c) AS BIGINT) AS noise_ppm,
-           CAST(floor(CAST(s_c AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0
-             + 10000.0 * noise_c) AS BIGINT) AS released_mean_ppm
-         FROM fin""",
-
-    "embedding_outlier_score" ->
-      s"""WITH corpus AS (
-           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings),
-         c0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
-               AS cid,
-             v AS cv
-           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
-            LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))
-                   FROM corpus))),
-         ${kmeansIterSql("c0", "a1", "c1")},
-         ${kmeansIterSql("c1", "a2", "c2")},
-         cellsc AS (
-           SELECT p.vec_id, p.label, c.cid, ${cosSql("p.v", "c.cv")} AS cs
-           FROM corpus p CROSS JOIN c2 c),
-         cells AS (
-           SELECT vec_id, label, cs FROM (
-             SELECT vec_id, label, cs, row_number() OVER (
-               PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-             FROM cellsc) WHERE rn = 1),
-         fp AS (
-           SELECT vec_id, CAST(label AS BIGINT) AS label,
-             CAST(floor(1000000.0 * cs) AS BIGINT) AS cos_fp
-           FROM cells),
-         fences AS (
-           SELECT label,
-             CAST(floor(quantile_cont(cos_fp, 0.05)) AS BIGINT) AS fence_fp
-           FROM fp GROUP BY label)
-         SELECT f.label, count(*) AS n, max(fe.fence_fp) AS fence_fp,
-           CAST(sum(CASE WHEN f.cos_fp < fe.fence_fp THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_flagged,
-           min(f.cos_fp) AS worst_cos_fp
-         FROM fp f JOIN fences fe USING (label)
-         GROUP BY f.label ORDER BY f.label""",
-
-    "train_crossdup_audit" -> {
-      val hvA = signedSql(fnvSql("CAST(id_a AS VARCHAR)"))
-      val hvB = signedSql(fnvSql("CAST(id_b AS VARCHAR)"))
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtes("aug")},
-         e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
-         xj AS (
-           SELECT doc_id, jj.j AS j,
-             xor(h, (jj.j * 11400714819323198485::HUGEINT)
-                 % 18446744073709551616::HUGEINT) AS x
-           FROM e CROSS JOIN (SELECT unnest(range(16)) AS j) jj),
-         ${mix64Ctes("xj", "mx")},
-         sig AS (
-           SELECT doc_id, j, min(${signedSql("h")}) AS c
-           FROM mx GROUP BY doc_id, j),
-         ok AS (
-           SELECT j, c FROM sig GROUP BY j, c
-           HAVING count(*) BETWEEN 2 AND 100000),
-         sigk AS (
-           SELECT sig.doc_id, sig.j, sig.c FROM sig JOIN ok USING (j, c)),
-         pm AS (
-           SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
-           FROM sigk sa JOIN sigk sb
-             ON sa.j = sb.j AND sa.c = sb.c AND sa.doc_id < sb.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= 8),
-         lab AS (
-           SELECT id_a, id_b,
-             CASE WHEN (($hvA % 1000) + 1000) % 1000 < 800 THEN 'train'
-               WHEN (($hvA % 1000) + 1000) % 1000 < 900 THEN 'val'
-               ELSE 'test' END AS sa,
-             CASE WHEN (($hvB % 1000) + 1000) % 1000 < 800 THEN 'train'
-               WHEN (($hvB % 1000) + 1000) % 1000 < 900 THEN 'val'
-               ELSE 'test' END AS sb
-           FROM pm)
-         SELECT least(sa, sb) AS s_lo, greatest(sa, sb) AS s_hi,
-           count(*) AS n_pairs,
-           CAST(count(DISTINCT CASE WHEN sa <> sb THEN
-             CASE WHEN sa = 'test' THEN id_a
-               WHEN sb = 'test' THEN id_b END END) AS BIGINT)
-             AS n_test_docs
-         FROM lab GROUP BY 1, 2 ORDER BY s_lo, s_hi"""
-    },
-
-    "events_funnel_windows" ->
-      """WITH signups AS (
-           SELECT user_id, min(epoch_ms(ts)) AS signup_ms
-           FROM events WHERE event_type = 'signup' GROUP BY user_id),
-         lat AS (
-           SELECT e.user_id,
-             CAST(min(epoch_ms(e.ts) - s.signup_ms) AS BIGINT) AS latency_ms
-           FROM events e JOIN signups s USING (user_id)
-           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.signup_ms
-           GROUP BY e.user_id),
-         nsign AS (SELECT count(*) AS n_signup FROM signups),
-         wins AS (
-           SELECT * FROM (VALUES
-             ('01_1h', CAST(3600000 AS BIGINT)),
-             ('02_6h', CAST(21600000 AS BIGINT)),
-             ('03_24h', CAST(86400000 AS BIGINT)),
-             ('04_all', CAST(9223372036854775807 AS BIGINT)))
-             AS t(wname, bound)),
-         conv AS (
-           SELECT wname AS "window", count(*) AS n_converted,
-             CAST(max(latency_ms) AS BIGINT) AS max_latency_ms
-           FROM lat CROSS JOIN wins WHERE latency_ms <= bound
-           GROUP BY wname)
-         SELECT "window", n_signup, n_converted,
-           CAST((n_converted * 10000) // n_signup AS BIGINT) AS conv_bp,
-           max_latency_ms
-         FROM conv CROSS JOIN nsign ORDER BY "window"""",
-
-    "recsys_ild" ->
-      """WITH buys AS (
-           SELECT o_custkey AS custkey, l_partkey AS partkey, o_orderdate
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         train AS (
-           SELECT * FROM buys WHERE o_orderdate < DATE '2000-01-01'),
-         top10 AS (
-           SELECT t.partkey, p_brand, p_type
-           FROM (SELECT partkey, count(*) AS cnt FROM train GROUP BY 1
-                 ORDER BY cnt DESC, partkey LIMIT 10) t
-           JOIN part ON p_partkey = t.partkey),
-         owned AS (
-           SELECT DISTINCT t.custkey, t.partkey
-           FROM train t JOIN top10 USING (partkey)),
-         eu AS (
-           SELECT DISTINCT custkey FROM buys
-           WHERE o_orderdate >= DATE '2000-01-01'),
-         recs AS (
-           SELECT u.custkey, p.partkey, p.p_brand, p.p_type
-           FROM eu u CROSS JOIN top10 p
-           WHERE NOT EXISTS (SELECT 1 FROM owned o
-             WHERE o.custkey = u.custkey AND o.partkey = p.partkey)),
-         per_user AS (
-           SELECT a.custkey,
-             CAST((sum(CASE WHEN a.p_brand <> b.p_brand THEN 1 ELSE 0 END
-               + CASE WHEN a.p_type <> b.p_type THEN 1 ELSE 0 END)
-               * 1000000) // (2 * count(*)) AS BIGINT) AS ild_ppm
-           FROM recs a JOIN recs b
-             ON a.custkey = b.custkey AND a.partkey < b.partkey
-           GROUP BY a.custkey)
-         SELECT c_mktsegment AS segment, count(*) AS n_users,
-           CAST(sum(ild_ppm) // count(*) AS BIGINT) AS mean_ild_ppm,
-           CAST(min(ild_ppm) AS BIGINT) AS min_ild_ppm
-         FROM per_user JOIN customer ON c_custkey = custkey
-         GROUP BY c_mktsegment ORDER BY segment""",
-
-    "graph_sample_fidelity" ->
-      """WITH e0 AS (
-           SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-           FROM lineitem),
-         keyed AS (
-           SELECT src, dst,
-             (CAST(src AS HUGEINT) * 31 + dst)
-              % 18446744073709551616::HUGEINT AS x
-           FROM e0),
-         m1 AS (SELECT *, (x + 11400714819323198485::HUGEINT)
-             % 18446744073709551616::HUGEINT AS z1 FROM keyed),
-         y1 AS (SELECT *, xor(z1, z1 // 1073741824::HUGEINT) AS w1 FROM m1),
-         m2 AS (SELECT *,
-             ((w1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
-              + ((w1 // 4294967296::HUGEINT)
-                 * 13787848793156543929::HUGEINT % 4294967296::HUGEINT)
-                * 4294967296::HUGEINT)
-             % 18446744073709551616::HUGEINT AS z2 FROM y1),
-         y2 AS (SELECT *, xor(z2, z2 // 134217728::HUGEINT) AS w2 FROM m2),
-         m3 AS (SELECT *,
-             ((w2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
-              + ((w2 // 4294967296::HUGEINT)
-                 * 10723151780598845931::HUGEINT % 4294967296::HUGEINT)
-                * 4294967296::HUGEINT)
-             % 18446744073709551616::HUGEINT AS z3 FROM y2),
-         sampled AS (
-           SELECT src, dst,
-             CASE WHEN xor(z3, z3 // 2147483648::HUGEINT) % 4 = 0
-               THEN 1 ELSE 0 END AS keep
-           FROM m3),
-         undf AS (
-           SELECT src, dst FROM sampled
-           UNION ALL SELECT dst, src FROM sampled),
-         unds AS (
-           SELECT src, dst FROM sampled WHERE keep = 1
-           UNION ALL SELECT dst, src FROM sampled WHERE keep = 1),
-         hf AS (
-           SELECT degree, count(*) AS n_nodes FROM (
-             SELECT src, count(*) AS degree FROM undf GROUP BY src)
-           GROUP BY degree),
-         hs AS (
-           SELECT degree * 4 AS degree, count(*) AS n_nodes FROM (
-             SELECT src, count(*) AS degree FROM unds GROUP BY src)
-           GROUP BY 1),
-         grid AS (
-           SELECT degree FROM hf UNION SELECT degree FROM hs),
-         cf AS (
-           SELECT g.degree,
-             CAST(coalesce(sum(h.n_nodes), 0) AS BIGINT) AS cum_f
-           FROM grid g LEFT JOIN hf h ON h.degree <= g.degree
-           GROUP BY g.degree),
-         cs AS (
-           SELECT g.degree,
-             CAST(coalesce(sum(h.n_nodes), 0) AS BIGINT) AS cum_s
-           FROM grid g LEFT JOIN hs h ON h.degree <= g.degree
-           GROUP BY g.degree),
-         nf AS (
-           SELECT CAST(sum(n_nodes) AS BIGINT) AS n_full,
-             CAST(sum(degree * n_nodes) AS BIGINT) AS deg_sum_full
-           FROM hf),
-         ns AS (
-           SELECT CAST(sum(n_nodes) AS BIGINT) AS n_samp,
-             CAST(sum(degree * n_nodes) AS BIGINT) AS deg_sum_samp
-           FROM hs)
-         SELECT n_full, n_samp,
-           CAST(deg_sum_full // 2 AS BIGINT) AS e_full,
-           CAST(deg_sum_samp // 2 AS BIGINT) AS e_est_full,
-           CAST((max(abs(cum_f * n_samp - cum_s * n_full)) * 1000000)
-             // (n_full * n_samp) AS BIGINT) AS ks_ppm
-         FROM cf JOIN cs USING (degree) CROSS JOIN nf CROSS JOIN ns
-         GROUP BY n_full, n_samp, deg_sum_full, deg_sum_samp""",
-
-    "stats_mann_kendall" ->
-      """WITH days AS (
-           SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(count(*) AS BIGINT) AS cnt
-           FROM orders GROUP BY 1),
-         sstat AS (
-           SELECT CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
-             WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
-           FROM days a JOIN days b ON a.day < b.day),
-         ties AS (
-           SELECT CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT)
-               AS tie_term,
-             CAST(sum(tt) AS BIGINT) AS n
-           FROM (SELECT CAST(count(*) AS BIGINT) AS tt
-                 FROM days GROUP BY cnt)),
-         vz AS (
-           SELECT s_stat, n,
-             n * (n - 1) * (2 * n + 5) - tie_term AS var18
-           FROM sstat CROSS JOIN ties),
-         zt AS (
-           SELECT n, s_stat, var18,
-             CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
-               WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
-               ELSE 0.0 END / sqrt(CAST(var18 AS DOUBLE) / 18.0) AS z
-           FROM vz),
-         pt AS (
-           SELECT n, s_stat, var18, z, abs(z) AS az,
-             1.0 / (1.0 + 0.2316419 * abs(z)) AS tt2
-           FROM zt),
-         fin AS (
-           SELECT n, s_stat, var18, z,
-             CAST(floor(1000000.0 * 2.0 * (exp(-az * az / 2.0)
-                 / sqrt(2.0 * pi()))
-               * (((((1.330274429 * tt2 - 1.821255978) * tt2 + 1.781477937)
-                   * tt2 - 0.356563782) * tt2 + 0.319381530) * tt2))
-               AS BIGINT) AS p_ppm
-           FROM pt)
-         SELECT n AS n_days, s_stat, var18,
-           CAST(floor(1000000.0 * z) AS BIGINT) AS z_ppm, p_ppm,
-           CAST(CASE WHEN p_ppm < 50000 THEN
-             CASE WHEN s_stat > 0 THEN 1 ELSE -1 END ELSE 0 END AS BIGINT)
-             AS trend
-         FROM fin""",
-
-    "text_novelty_curve" ->
-      s"""WITH nf AS (SELECT count(*) AS n FROM documents),
-         ranked AS (
-           SELECT doc_id, text,
-             row_number() OVER (ORDER BY doc_id) AS rn
-           FROM documents),
-         dec AS (
-           SELECT doc_id, text, ((rn - 1) * 10) // n AS decile
-           FROM ranked CROSS JOIN nf),
-         dt AS (SELECT doc_id, decile, $toksSql AS toks FROM dec),
-         tri AS (
-           SELECT DISTINCT decile,
-             toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
-               || ' ' || toks[CAST(i AS INT) + 2] AS g
-           FROM (SELECT decile, toks, unnest(range(1, len(toks) - 1)) AS i
-                 FROM dt WHERE len(toks) >= 3)),
-         perdec AS (
-           SELECT decile, count(*) AS n_grams FROM tri GROUP BY decile),
-         news AS (
-           SELECT decile, count(*) AS n_new FROM (
-             SELECT g, min(decile) AS decile FROM tri GROUP BY g)
-           GROUP BY decile),
-         j AS (
-           SELECT p.decile, p.n_grams,
-             CAST(coalesce(w.n_new, 0) AS BIGINT) AS n_new
-           FROM perdec p LEFT JOIN news w ON w.decile = p.decile)
-         SELECT CAST(decile AS BIGINT) AS decile, n_grams, n_new,
-           CAST((n_new * 1000000) // n_grams AS BIGINT) AS novelty_ppm,
-           CAST(sum(n_new) OVER (ORDER BY decile) AS BIGINT) AS cum_unique
-         FROM j ORDER BY decile""",
-
-    "recsys_ips_eval" ->
-      """WITH buys AS (
-           SELECT o_custkey AS custkey, l_partkey AS partkey, o_orderdate
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         train AS (
-           SELECT * FROM buys WHERE o_orderdate < DATE '2000-01-01'),
-         ttot AS (SELECT count(*) AS t_inter FROM train),
-         top10 AS (
-           SELECT partkey, cnt, t_inter
-           FROM (SELECT partkey, count(*) AS cnt FROM train GROUP BY 1
-                 ORDER BY cnt DESC, partkey LIMIT 10)
-           CROSS JOIN ttot),
-         test AS (
-           SELECT DISTINCT custkey, partkey FROM buys
-           WHERE o_orderdate >= DATE '2000-01-01'),
-         owned AS (
-           SELECT DISTINCT t.custkey, t.partkey
-           FROM train t JOIN top10 USING (partkey)),
-         graded AS (
-           SELECT u.custkey,
-             CASE WHEN t.partkey IS NOT NULL THEN 1 ELSE 0 END AS rel,
-             CASE WHEN t.partkey IS NOT NULL
-               THEN (p.t_inter * 1000000) // p.cnt ELSE 0 END AS w_fp
-           FROM (SELECT DISTINCT custkey FROM test) u
-           CROSS JOIN top10 p
-           LEFT JOIN test t ON t.custkey = u.custkey
-             AND t.partkey = p.partkey
-           WHERE NOT EXISTS (SELECT 1 FROM owned o
-             WHERE o.custkey = u.custkey AND o.partkey = p.partkey)),
-         per_user AS (
-           SELECT custkey, CAST(max(rel) AS BIGINT) AS hit,
-             CAST(sum(w_fp) AS BIGINT) AS ips_fp
-           FROM graded GROUP BY custkey)
-         SELECT c_mktsegment AS segment, count(*) AS n_users,
-           CAST((sum(hit) * 10000) // count(*) AS BIGINT) AS hit_rate_bp,
-           CAST(sum(ips_fp) // count(*) AS BIGINT) AS ips_score_ppm
-         FROM per_user JOIN customer ON c_custkey = custkey
-         GROUP BY c_mktsegment ORDER BY segment""",
-
-    "customers_revenue_concentration" ->
-      """WITH spend AS (
-           SELECT o_custkey AS custkey,
-             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-               AS BIGINT)) AS BIGINT) AS cents
-           FROM orders GROUP BY 1),
-         nf AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS tot
-                FROM spend),
-         ranked AS (
-           SELECT cents,
-             row_number() OVER (ORDER BY cents DESC, custkey) AS rn
-           FROM spend),
-         dec AS (
-           SELECT cents, ((rn - 1) * 10) // n AS decile
-           FROM ranked CROSS JOIN nf)
-         SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_customers,
-           CAST((sum(cents) * 1000000) // max(tot) AS BIGINT)
-             AS revenue_share_ppm,
-           CAST(max(cents) AS BIGINT) AS max_cents,
-           CAST(min(cents) AS BIGINT) AS min_cents
-         FROM dec CROSS JOIN nf GROUP BY decile ORDER BY decile""",
-
-    "dedup_shingle_sensitivity" -> {
-      val hvDoc = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
-      def legSql(k: Int) =
-        s"""WITH aug0 AS ($augDocsSql),
-           kmod AS (
-             SELECT greatest(1, count(*) // 1250) AS km FROM aug0),
-           aug AS (
-             SELECT aug0.* FROM aug0 CROSS JOIN kmod
-             WHERE (($hvDoc % km) + km) % km = 0),
-           ${shingleCtesK("aug", k, s"shd$k")},
-           e0 AS (SELECT doc_id, unnest(sh) AS h FROM shd$k),
-           dfc AS (
-             SELECT h FROM (SELECT h, count(*) AS df FROM e0 GROUP BY h)
-             WHERE df >= 2 AND df <= 256),
-           e AS (SELECT e0.doc_id, e0.h FROM e0 JOIN dfc USING (h)),
-           sizes AS (SELECT doc_id, len(sh) AS n FROM shd$k),
-           common AS (
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-             FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-             GROUP BY 1, 2),
-           jp AS (
-             SELECT id_a, id_b,
-               CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS j
-             FROM common
-               JOIN sizes sa ON sa.doc_id = id_a
-               JOIN sizes sb ON sb.doc_id = id_b)
-           SELECT CAST($k AS BIGINT) AS shingle_k,
-             CAST(floor(1000000.0 * j) AS BIGINT) AS j_ppm, id_b
-           FROM jp WHERE j >= 0.5"""
-      s"""WITH legs AS (
-           (${legSql(2)}) UNION ALL (${legSql(3)}) UNION ALL (${legSql(5)}))
-         SELECT shingle_k, count(*) AS n_pairs,
-           CAST(sum(j_ppm) // count(*) AS BIGINT) AS mean_j_ppm,
-           CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_doomed
-         FROM legs GROUP BY shingle_k ORDER BY shingle_k"""
-    },
-
-    "timeseries_ses_tuning" ->
-      """WITH days AS (
-           SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt
-           FROM orders GROUP BY 1),
-         xsr AS (
-           SELECT list(CAST(cnt AS DOUBLE) ORDER BY day) AS xs FROM days),
-         grid AS (
-           SELECT CAST(a * 10 AS BIGINT) AS alpha_pct,
-             CAST(a AS DOUBLE) / 10.0 AS alpha
-           FROM (SELECT unnest(range(1, 10)) AS a)),
-         folds AS (
-           SELECT alpha_pct,
-             list_reduce(
-               list_prepend([xs[1], CAST(0.0 AS DOUBLE)],
-                 list_transform(xs[2:], x -> [x])),
-               (ac, e) -> [
-                 ac[1] + alpha * (e[1] - ac[1]),
-                 ac[2] + (e[1] - ac[1]) * (e[1] - ac[1])]) AS st
-           FROM xsr CROSS JOIN grid),
-         sse AS (
-           SELECT alpha_pct,
-             CAST(floor(1000.0 * st[2]) AS BIGINT) AS sse_fp
-           FROM folds),
-         best AS (SELECT min(sse_fp) AS best_fp FROM sse)
-         SELECT alpha_pct, sse_fp,
-           CAST(CASE WHEN sse_fp = best_fp THEN 1 ELSE 0 END AS BIGINT)
-             AS is_best
-         FROM sse CROSS JOIN best ORDER BY alpha_pct""",
-
-    "markov_absorption_time" ->
-      """WITH seq0 AS (
-           SELECT event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS nxt
-           FROM events),
-         trans AS (
-           SELECT event_type AS a, nxt AS b, count(*) AS cnt
-           FROM seq0
-           WHERE nxt IS NOT NULL AND event_type <> 'purchase'
-           GROUP BY 1, 2),
-         states AS (
-           SELECT DISTINCT event_type AS st FROM events
-           WHERE event_type <> 'purchase'),
-         rowtot AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS tot
-                    FROM trans GROUP BY a),
-         qm AS (
-           SELECT sa.st AS a, sb.st AS b,
-             CASE WHEN r.tot IS NULL OR r.tot = 0
-               THEN CASE WHEN sa.st = sb.st THEN 1.0 ELSE 0.0 END
-               ELSE CAST(coalesce(t.cnt, 0) AS DOUBLE)
-                 / CAST(r.tot AS DOUBLE) END AS p
-           FROM states sa CROSS JOIN states sb
-           LEFT JOIN trans t ON t.a = sa.st AND t.b = sb.st
-             AND t.b <> 'purchase'
-           LEFT JOIN rowtot r ON r.a = sa.st),
-         matrow AS (
-           SELECT list(p ORDER BY a, b) AS mat,
-             (SELECT list(st ORDER BY st) FROM states) AS sts
-           FROM qm),
-         fin AS (
-           SELECT sts,
-             list_reduce(
-               list_prepend(
-                 list_concat(list_transform(sts, x -> 1.0),
-                             list_transform(sts, x -> 1.0)),
-                 list_transform(range(1, 60), it -> [CAST(it AS DOUBLE)])),
-               (ac, it) -> list_concat(
-                 list_transform(range(1, CAST(len(sts) AS BIGINT) + 1),
-                   jj -> list_reduce(
-                     list_prepend(0.0,
-                       list_transform(range(CAST(len(sts) AS BIGINT)),
-                         ii -> mat[(CAST(jj AS INT) - 1)
-                             * CAST(len(sts) AS INT) + CAST(ii AS INT) + 1]
-                           * ac[CAST(ii AS INT) + 1])),
-                     (s2, t2) -> s2 + t2)),
-                 list_transform(range(1, CAST(len(sts) AS BIGINT) + 1),
-                   jj -> ac[CAST(len(sts) AS INT) + CAST(jj AS INT)]
-                     + list_reduce(
-                       list_prepend(0.0,
-                         list_transform(range(CAST(len(sts) AS BIGINT)),
-                           ii -> mat[(CAST(jj AS INT) - 1)
-                               * CAST(len(sts) AS INT) + CAST(ii AS INT) + 1]
-                             * ac[CAST(ii AS INT) + 1])),
-                       (s2, t2) -> s2 + t2)))) AS f
-           FROM matrow),
-         rows_ AS (
-           SELECT unnest(sts) AS state,
-             unnest(f[1:CAST(len(sts) AS INT)]) AS u59,
-             unnest(f[CAST(len(sts) AS INT) + 1:]) AS steps
-           FROM fin)
-         SELECT state,
-           CAST(floor(1000000.0 * steps) AS BIGINT) AS exp_steps_ppm,
-           CAST(floor(1000000.0 * u59) AS BIGINT) AS survival_60_ppm
-         FROM rows_ ORDER BY state""",
-
-    "text_rake_keywords" ->
-      s"""WITH tok AS (
-           SELECT doc_id, i - 1 AS pos, toks[CAST(i AS INT)] AS w
-           FROM (SELECT doc_id, $toksSql AS toks FROM documents),
-             unnest(range(1, len(toks) + 1)) AS t(i)),
-         flagged AS (
-           SELECT doc_id, pos, w,
-             list_contains(${TextFunctions.stopwordsSqlList}, w) AS is_stop
-           FROM tok),
-         runs AS (
-           SELECT doc_id, pos, w,
-             sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
-           FROM flagged
-           QUALIFY NOT is_stop),
-         phrases AS (
-           SELECT doc_id, run_id,
-             string_agg(w, ' ' ORDER BY pos) AS phrase,
-             count(*) AS len
-           FROM runs GROUP BY doc_id, run_id
-           HAVING count(*) <= 4),
-         occ AS (
-           SELECT phrase, len, unnest(string_split(phrase, ' ')) AS w
-           FROM phrases),
-         word_score AS (
-           SELECT w, (CAST(sum(len) AS BIGINT) * 1000000)
-             // CAST(count(*) AS BIGINT) AS ws_fp
-           FROM occ GROUP BY w),
-         phrase_score AS (
-           SELECT phrase, len, count(*) AS n_rows,
-             CAST(sum(ws_fp) AS BIGINT) AS sum_ws
-           FROM occ JOIN word_score USING (w)
-           GROUP BY phrase, len)
-         SELECT phrase, len,
-           CAST(n_rows // len AS BIGINT) AS n_occ,
-           CAST(sum_ws // (n_rows // len) AS BIGINT) AS score_fp
-         FROM phrase_score
-         WHERE n_rows // len >= 3
-         ORDER BY score_fp DESC, phrase LIMIT 15""",
-
-    "timeseries_croston" ->
-      """WITH topp AS (
-           SELECT l_partkey AS pk
-           FROM lineitem GROUP BY 1
-           ORDER BY count(*) DESC, l_partkey LIMIT 1),
-         lines AS (
-           SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           JOIN topp ON l_partkey = pk
-           GROUP BY 1),
-         days AS (
-           SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
-         xsr AS (
-           SELECT list(CAST(coalesce(q, 0) AS DOUBLE) ORDER BY day) AS xs
-           FROM days LEFT JOIN lines USING (day)),
-         fold AS (
-           SELECT xs,
-             list_reduce(
-               list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0],
-                 list_transform(xs, x -> [x])),
-               (ac, e) -> CASE
-                 WHEN ac[4] = 0.0 AND e[1] > 0.0 THEN
-                   [e[1], ac[3] + 1.0, 0.0, 1.0]
-                 WHEN ac[4] = 0.0 THEN
-                   [0.0, 0.0, ac[3] + 1.0, 0.0]
-                 WHEN e[1] > 0.0 THEN
-                   [ac[1] + 0.2 * (e[1] - ac[1]),
-                    ac[2] + 0.2 * ((ac[3] + 1.0) - ac[2]),
-                    0.0, 1.0]
-                 ELSE [ac[1], ac[2], ac[3] + 1.0, ac[4]]
-               END) AS st
-           FROM xsr)
-         SELECT CAST(len(xs) AS BIGINT) AS n_days,
-           CAST(len(list_filter(xs, x -> x > 0.0)) AS BIGINT)
-             AS n_demand_days,
-           CAST(floor(1000000.0 * st[1]) AS BIGINT) AS z_ppm,
-           CAST(floor(1000000.0 * st[2]) AS BIGINT) AS p_ppm,
-           CAST(floor(1000000.0 * CASE WHEN st[2] > 0.0
-             THEN st[1] / st[2] ELSE 0.0 END) AS BIGINT) AS forecast_ppm
-         FROM fold""",
-
-    "dq_key_discovery" -> {
-      def cand(name: String, exprCsv: String) =
-        s"""SELECT '$name' AS candidate,
-             (SELECT count(*) FROM orders) AS n_rows,
-             CAST(count(*) AS BIGINT) AS n_distinct
-           FROM (SELECT DISTINCT $exprCsv FROM orders)"""
-      s"""WITH cands AS (
-           ${cand("o_orderkey", "o_orderkey")}
-           UNION ALL ${cand("o_custkey", "o_custkey")}
-           UNION ALL ${cand("o_orderdate", "o_orderdate")}
-           UNION ALL ${cand("o_custkey+o_orderdate",
-             "o_custkey, o_orderdate")}
-           UNION ALL ${cand("o_custkey+o_totalprice",
-             "o_custkey, o_totalprice")})
-         SELECT candidate, n_rows, n_distinct,
-           CAST((n_distinct * 1000000) // n_rows AS BIGINT)
-             AS uniqueness_ppm,
-           CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT)
-             AS is_key
-         FROM cands ORDER BY candidate"""
-    },
-
-    "timeseries_theta" ->
-      """WITH days AS (
-           SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(count(*) AS BIGINT) AS cnt
-           FROM orders GROUP BY 1),
-         xsr AS (SELECT list(cnt ORDER BY day) AS xs FROM days),
-         mom AS (
-           SELECT xs, CAST(len(xs) AS BIGINT) AS n,
-             list_reduce(
-               list_prepend([0::BIGINT, 0, 0],
-                 list_transform(xs, x -> [x])),
-               (ac, e) -> [ac[1] + 1, ac[2] + e[1],
-                 ac[3] + (ac[1] + 1) * e[1]]) AS m
-           FROM xsr),
-         fit0 AS (
-           SELECT xs, n, CAST(m[2] AS BIGINT) AS sx,
-             CAST(m[3] AS BIGINT) AS stx,
-             n * (n + 1) // 2 AS st,
-             n * (n + 1) * (2 * n + 1) // 6 AS st2
-           FROM mom),
-         fit1 AS (
-           SELECT xs, n, sx, st,
-             (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
-              - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
-              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
-           FROM fit0),
-         fit2 AS (
-           SELECT xs, n, b,
-             (CAST(sx AS DOUBLE) - b * CAST(st AS DOUBLE))
-               / CAST(n AS DOUBLE) AS a
-           FROM fit1),
-         ses AS (
-           SELECT n, a, b,
-             list_reduce(
-               list_prepend([CAST(0.0 AS DOUBLE), 0.0],
-                 list_transform(xs, x -> [CAST(x AS DOUBLE), 0.0])),
-               (ac, e) -> [ac[1] + 1.0,
-                 CASE WHEN ac[1] = 0.0
-                   THEN 2.0 * e[1] - (a + b * 1.0)
-                   ELSE ac[2] + 0.5 * ((2.0 * e[1]
-                     - (a + b * (ac[1] + 1.0))) - ac[2]) END])[2] AS lv
-           FROM fit2),
-         hs AS (SELECT CAST(unnest(range(1, 7)) AS BIGINT) AS h)
-         SELECT h,
-           CAST(floor(1000000.0 * b) AS BIGINT) AS slope_ppm,
-           CAST(floor(1000000.0 * lv) AS BIGINT) AS level_ppm,
-           CAST(floor(1000000.0 * (0.5 * (a + b * CAST(n + h AS DOUBLE))
-             + 0.5 * lv)) AS BIGINT) AS forecast_ppm
-         FROM ses CROSS JOIN hs ORDER BY h""",
-
-    "stats_turning_points" ->
-      """WITH days AS (
-           SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(count(*) AS BIGINT) AS cnt
-           FROM orders GROUP BY 1),
-         lagged AS (
-           SELECT cnt,
-             lag(cnt) OVER (ORDER BY day) AS prev,
-             lead(cnt) OVER (ORDER BY day) AS nxt
-           FROM days),
-         tp AS (
-           SELECT count(*) AS n_interior,
-             CAST(sum(CASE WHEN (cnt > prev AND cnt > nxt)
-               OR (cnt < prev AND cnt < nxt) THEN 1 ELSE 0 END) AS BIGINT)
-               AS t_stat
-           FROM lagged WHERE prev IS NOT NULL AND nxt IS NOT NULL),
-         zt AS (
-           SELECT n_interior + 2 AS n, t_stat,
-             (CAST(t_stat AS DOUBLE)
-               - 2.0 * CAST(n_interior AS DOUBLE) / 3.0)
-             / sqrt((16.0 * CAST(n_interior + 2 AS DOUBLE) - 29.0) / 90.0)
-               AS z
-           FROM tp),
-         pt AS (
-           SELECT n, t_stat, z, abs(z) AS az,
-             1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
-           FROM zt),
-         fin AS (
-           SELECT n, t_stat, z,
-             CAST(floor(1000000.0 * 2.0 * (exp(-az * az / 2.0)
-                 / sqrt(2.0 * pi()))
-               * (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937)
-                   * tt - 0.356563782) * tt + 0.319381530) * tt))
-               AS BIGINT) AS p_ppm
-           FROM pt)
-         SELECT CAST(n AS BIGINT) AS n_days, t_stat,
-           CAST(floor(1000000.0 * z) AS BIGINT) AS z_ppm, p_ppm,
-           CAST(CASE WHEN p_ppm >= 50000 THEN 1 ELSE 0 END AS BIGINT)
-             AS looks_random
-         FROM fin"""
-  )
+  private[graft] lazy val oracleSqlBase: Map[String, String] =
+    EntryCore.sql ++
+    EntryRelational.sql ++
+    EntryBusiness.sql ++
+    EntryAgg.sql ++
+    EntryStats.sql ++
+    EntryTimeSeries.sql ++
+    EntryText.sql ++
+    EntryDedup.sql ++
+    EntrySimilarity.sql ++
+    EntryGraph.sql ++
+    EntryModelEval.sql ++
+    EntryPipeline.sql ++
+    EntryTrainData.sql
 
   /** scored/gated/keep CTEs — the DuckDB replication of the quality +
     * language gate and exact-dedup election shared by pipeline_e2e and
     * pipeline_curation. Plain (non-interpolated) string: single-backslash
     * regexes are literal here. */
-  private val curationGateCtes: String =
+  private[graft] val curationGateCtes: String =
       """scored AS (
            SELECT doc_id, text, source, n_chars,
              round(
@@ -23632,7 +1375,7 @@ object SparkEntry {
            GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
          )"""
 
-  private lazy val incrementalDedupOracleSql: String =
+  private[graft] lazy val incrementalDedupOracleSql: String =
       s"""WITH aug AS ($augDocsSql),
          ${shingleCtes("aug")},
          newdocs AS (SELECT doc_id, text FROM aug WHERE doc_id >= 1000000),

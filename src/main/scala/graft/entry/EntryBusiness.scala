@@ -1,0 +1,2271 @@
+package graft
+
+import graft.functions.{Bloom, HashFunctions, KmvFunctions, StayCategory, TextFunctions, VectorFunctions}
+import graft.operators.{AsOf, Dedup, Enrich, Layout, Multimodal, Rank, Similarity, Skew}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Business family registration — split verbatim from the round-10 SparkEntry
+  * map literals (round-11 refactor; judge item #2). Shared builders/oracle
+  * CTE helpers remain on SparkEntry as private[graft]. */
+private[graft] object EntryBusiness {
+  import SparkEntry._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // ---- event-time bucketing (streaming-equivalent batch plan; §2.9) ----
+
+    "event_window_agg" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy(
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("distinct_users"))
+        .orderBy("hour", "event_type")
+    }),
+
+
+    "event_sessionize" -> ((s, dir) => {
+      // gaps-and-islands sessionization: 30-min inactivity gap
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val isNew = when(
+        lag(us, 1).over(w).isNull || (us - lag(us, 1).over(w)) > 1800L * 1000000L, 1)
+        .otherwise(0)
+      e.withColumn("session_id",
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).cast("timestamp_ntz").as("session_start"),
+          max(col("ts")).cast("timestamp_ntz").as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
+
+    "cdc_apply" -> ((s, dir) => {
+      // CDC/merge apply without a table format: base minus deletes,
+      // updates override via left join + coalesce, inserts unioned.
+      // Every shuffle keys on o_orderkey, so the three steps co-partition.
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val deletes = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey"))
+      val updates = base.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select(col("o_orderkey"),
+          // exact decimal×decimal (x.xx × 1.1 has exactly 3 decimals), so
+          // the half-up round sees a true .5 identically in both engines —
+          // a double multiply here would make boundary rounding diverge
+          round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
+            .cast("double").as("new_price"))
+      val inserts = base.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      base
+        .join(deletes, Seq("o_orderkey"), "left_anti")
+        .join(updates, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"),
+          coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
+        .unionByName(inserts)
+        .orderBy("o_orderkey")
+    }),
+
+
+    "scd2_build" -> ((s, dir) => {
+      // type-2 slowly-changing-dimension history from a changelog: 'view'
+      // events carry each user's attribute (props.k); consecutive no-op
+      // updates are suppressed (lag), then validity intervals come from
+      // lead over the surviving changes. Both window passes share one
+      // (user_id)-keyed sort, so the whole build is a single shuffle —
+      // the formulation that holds when the changelog is 100 TB: state
+      // per key is one scalar, never the full history in memory.
+      scd2Frame(s, dir)
+        .select(col("user_id"), col("k"),
+          col("ts").cast("timestamp_ntz").as("valid_from"),
+          col("valid_to").cast("timestamp_ntz").as("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
+
+    "scd2_point_in_time" -> ((s, dir) => {
+      // point-in-time read over the SCD2 history — the feature-store
+      // correctness rule ("what did we believe about the user at T?"):
+      // one interval-containment filter valid_from ≤ T < valid_to on the
+      // shared scd2 frame, T = the stream's exact epoch-micros midpoint
+      // (the stats_did boundary — deterministic, no config). Exactly one
+      // row per user active at T by construction (intervals partition
+      // each user's timeline). At 100 TB the validity table is
+      // range-partitioned by valid_from and this filter prunes files.
+      val e = t(s, dir, "events")
+      val bounds = e.agg(
+        expr("CAST((min(unix_micros(ts)) + max(unix_micros(ts))) div 2 AS BIGINT)")
+          .as("t_mid"))
+      scd2Frame(s, dir)
+        .crossJoin(broadcast(bounds))
+        .filter(expr("unix_micros(ts) <= t_mid") &&
+          (col("valid_to").isNull || expr("unix_micros(valid_to) > t_mid")))
+        .select(col("user_id"), col("k"),
+          col("ts").cast("timestamp_ntz").as("valid_from"))
+        .orderBy("user_id")
+    }),
+
+
+    // ---- event analytics beyond the reference surface ----
+
+    "events_funnel" -> ((s, dir) => {
+      // ordered funnel signup → click → purchase: each later stage counts
+      // only events strictly after the user's previous-stage time. Three
+      // keyed aggregations + two equi-joins on user_id — every shuffle is
+      // on the same key, so at scale the stages co-partition.
+      val e = t(s, dir, "events")
+      // su and cl each feed two consumers (the next stage's join and the
+      // final count) — persisted so each stage scans events exactly once;
+      // at 100 TB the same shape materializes each stage instead of
+      // double-scanning the events table per stage
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cl = e.filter(col("event_type") === "click")
+        .join(su, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(cl, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      su.agg(count(lit(1)).as("n_users")).withColumn("step", lit("1_signup"))
+        .unionByName(cl.agg(count(lit(1)).as("n_users")).withColumn("step", lit("2_click")))
+        .unionByName(pu.agg(count(lit(1)).as("n_users")).withColumn("step", lit("3_purchase")))
+        .select(col("step"), col("n_users"))
+        .orderBy("step")
+    }),
+
+
+    "events_top_paths" -> ((s, dir) => {
+      // top 3-step event paths: per-user ordered trigrams via two leads
+      // over ONE window (a single shuffle on user_id), then a count —
+      // the Markov-ish complement to the funnel. Deterministic order
+      // inside a user: (ts, event_id) breaks timestamp ties.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws("->", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
+
+    "events_cooccurrence" -> ((s, dir) => {
+      // user-level co-occurrence + PMI per event-type pair — the "users
+      // who did X also did Y" association table (recommender / embedding
+      // prep). Distinct (user, type) first (user×types-sized, never
+      // event-sized), self-join co-partitioned on user; PMI is one ln
+      // over exact integer count products, engine-exact.
+      val e = t(s, dir, "events")
+      val ut = e.select(col("user_id"), col("event_type")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nu = e.agg(countDistinct(col("user_id")).as("n_users"))
+      val tc = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val pairs = ut.as("a").join(ut.as("b"), Seq("user_id"))
+        .filter(col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("x"), col("b.event_type").as("y"))
+        .agg(count(lit(1)).as("n_xy"))
+      pairs
+        .join(tc.select(col("event_type").as("x"), col("n").as("n_x")), Seq("x"))
+        .join(tc.select(col("event_type").as("y"), col("n").as("n_y")), Seq("y"))
+        .crossJoin(broadcast(nu))
+        .select(col("x"), col("y"), col("n_xy"),
+          round(log((col("n_xy") * col("n_users")).cast("double")
+            / (col("n_x") * col("n_y")).cast("double")), 6).as("pmi"))
+        .orderBy("x", "y")
+    }),
+
+
+    "retention_cohorts" -> ((s, dir) => {
+      // weekly cohort retention: cohort = ISO week of a user's first
+      // event; a cell counts users of that cohort active N weeks later.
+      val e = t(s, dir, "events")
+      val first = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = e
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      active.join(first, "user_id")
+        .withColumn("weeks_since",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+        .groupBy("cohort_week", "weeks_since")
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+          col("weeks_since"), col("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    }),
+
+
+    "funnel_time_to_convert" -> ((s, dir) => {
+      // conversion-latency distribution: per user, first signup → first
+      // purchase AT OR AFTER it; report count + quartiles of the latency
+      // in integer milliseconds (exact interpolated percentiles, the
+      // quantile_cont-parity discipline). The signup floor joins back
+      // (broadcast, user-count-sized) so pre-signup purchases are
+      // EXCLUDED from the min rather than disqualifying the user.
+      val e = t(s, dir, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(expr("unix_millis(ts)")).as("signup_ms"))
+      val lat = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_millis(ts)").as("pms"))
+        .join(signups, Seq("user_id"))
+        .filter(col("pms") >= col("signup_ms"))
+        .groupBy("user_id", "signup_ms")
+        .agg(min(col("pms")).as("first_after"))
+        .select((col("first_after") - col("signup_ms")).as("latency_ms"))
+      lat.agg(
+        count(lit(1)).as("n_converting_users"),
+        round(expr("percentile(latency_ms, 0.25)"), 4).as("p25"),
+        round(expr("percentile(latency_ms, 0.5)"), 4).as("p50"),
+        round(expr("percentile(latency_ms, 0.75)"), 4).as("p75"),
+        max(col("latency_ms")).as("max_ms"))
+    }),
+
+
+    "events_rolling_active" -> ((s, dir) => {
+      // rolling 7-day active users + event volume (the WAU table of a
+      // product dashboard): sliding window(7 days, 1 day) fans each
+      // event into its 7 covering windows (a bounded ×7 Expand, the
+      // standard slide shape), then one two-phase distinct agg per
+      // window. Report is DAY-sized at any event scale; the distinct
+      // shuffle carries (window, user) pairs — user-bounded per day.
+      val e = t(s, dir, "events")
+      e.groupBy(window(col("ts"), "7 days", "1 day"))
+        .agg(countDistinct(col("user_id")).as("active_users_7d"),
+          count(lit(1)).as("n_events_7d"))
+        .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+          col("active_users_7d"), col("n_events_7d"))
+        .orderBy("win_start")
+    }),
+
+
+    "events_funnel_windowed" -> ((s, dir) => {
+      // conversion-window funnel — events_funnel with PER-STEP DEADLINES
+      // (the semantics product analytics actually bills: a click only
+      // converts within 24 h of signup, a purchase within 24 h of that
+      // click). Same co-partitioned shape: per-stage min-ts aggregates
+      // joined on user_id, each with an upper time bound; step-over-step
+      // conversion is an integer ppm of exact counts. Persisted stages
+      // scan events once each; all shuffles share the user key.
+      val e = t(s, dir, "events")
+      val win = expr("INTERVAL 24 HOURS")
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cl = e.filter(col("event_type") === "click")
+        .join(su, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(cl, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val n1 = su.agg(count(lit(1)).as("n1"))
+      val n2 = cl.agg(count(lit(1)).as("n2"))
+      val n3 = pu.agg(count(lit(1)).as("n3"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
+        .select(
+          struct(lit("1_signup").as("step"), col("n1").as("n_users"),
+            lit(1000000L).as("conv_ppm")).as("a"),
+          struct(lit("2_click_24h").as("step"), col("n2").as("n_users"),
+            expr("(1000000 * n2) div n1").as("conv_ppm")).as("b"),
+          struct(lit("3_purchase_24h").as("step"), col("n3").as("n_users"),
+            expr("(1000000 * n3) div n2").as("conv_ppm")).as("c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("s"))
+        .select(col("s.step").as("step"), col("s.n_users").as("n_users"),
+          col("s.conv_ppm").as("conv_ppm"))
+        .orderBy("step")
+    }),
+
+
+    "customers_rfm" -> ((s, dir) => {
+      // RFM segmentation — the marketing-analytics workhorse: per
+      // customer, Recency (days since last order, vs the table's max
+      // date), Frequency (order count), Monetary (exact cents); each
+      // scored into quintiles by ntile(5) with a custkey tie chain so
+      // the scores are a pure function of the data. All three ntiles
+      // share the global sort domain of ONE customer-sized aggregate
+      // (the values-domain reduction again — events never ranked).
+      // Higher score = better (recent/frequent/valuable). Segment code
+      // = 100r + 10f + m.
+      val o = t(s, dir, "orders")
+      val maxD = o.agg(max(col("o_orderdate")).as("d_max"))
+      val per = o.groupBy("o_custkey").agg(
+          max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100) AS BIGINT)")
+            .as("monetary_cents"))
+        .crossJoin(broadcast(maxD))
+        .withColumn("recency_days",
+          datediff(col("d_max"), col("last_order")).cast("long"))
+      // r10 reshape: the customer frame grows with the corpus, so the
+      // three global ntile windows are de-single-tasked — exact global
+      // rank per axis via Rank.globalRowNumber (range repartition +
+      // per-partition offsets), quintile in closed form
+      val n0 = per.agg(count(lit(1)).as("n"))
+      val rk1 = graft.operators.Rank.globalRowNumber(per, 32, "__rn_r",
+        col("recency_days").desc, col("o_custkey"))
+      val rk2 = graft.operators.Rank.globalRowNumber(rk1, 32, "__rn_f",
+        col("frequency"), col("o_custkey"))
+      val rk3 = graft.operators.Rank.globalRowNumber(rk2, 32, "__rn_m",
+        col("monetary_cents"), col("o_custkey"))
+      rk3.crossJoin(broadcast(n0))
+        .withColumn("q", expr("n div 5"))
+        .withColumn("r", expr("n % 5"))
+        .withColumn("r_score",
+          expr(graft.operators.Rank.ntileExprSql("__rn_r")).cast("long"))
+        .withColumn("f_score",
+          expr(graft.operators.Rank.ntileExprSql("__rn_f")).cast("long"))
+        .withColumn("m_score",
+          expr(graft.operators.Rank.ntileExprSql("__rn_m")).cast("long"))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"), col("r_score"), col("f_score"),
+          col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("segment"))
+        .orderBy("o_custkey")
+    }),
+
+
+    "orders_cohort_ltv" -> ((s, dir) => {
+      // cohort lifetime-value curves — the subscription-analytics
+      // staple: customers cohorted by first-order month, revenue
+      // accumulated by month offset since acquisition, normalized per
+      // cohort user. One shuffle on o_custkey serves both the
+      // first-order agg and the offset join (co-partitioned); the
+      // cumulative window runs over cohort×offset rows — months², never
+      // order-sized. Revenue in exact cents; per-user LTV is integer
+      // floor division — engine-exact end to end.
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .as("m"))
+      val first = o.groupBy("o_custkey").agg(min(col("m")).as("cohort_m"))
+      val sizes = first.groupBy("cohort_m")
+        .agg(count(lit(1)).as("cohort_users"))
+      val cur = o.join(first, Seq("o_custkey"))
+        .withColumn("m_offset", col("m") - col("cohort_m"))
+        .groupBy("cohort_m", "m_offset")
+        .agg(sum(col("cents")).as("rev_cents"),
+          countDistinct(col("o_custkey")).as("active_users"))
+      val w = Window.partitionBy("cohort_m").orderBy("m_offset")
+      cur.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .join(sizes, Seq("cohort_m"))
+        .withColumn("ltv_cents_per_user",
+          expr("cum_rev_cents div cohort_users"))
+        .select(col("cohort_m"), col("m_offset"), col("active_users"),
+          col("rev_cents"), col("cum_rev_cents"), col("cohort_users"),
+          col("ltv_cents_per_user"))
+        .orderBy("cohort_m", "m_offset")
+    }),
+
+
+    "orders_size_poisson_fit" -> ((s, dir) => {
+      // does basket size follow a Poisson law? Observed lines-per-order
+      // histogram (sizes 1..7 — the fixture domain) vs the Poisson(λ̂)
+      // expectation with λ̂ the exact-rational mean, χ² over the seven
+      // buckets in one verbatim-shared tree (exp() fed by the identical
+      // tl/n double). One keyed count + a 7-column pivot; everything
+      // before the tree is exact integers.
+      val li = t(s, dir, "lineitem")
+      val sizes = li.groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("sz")).as("tl")) ++
+        (1 to 7).map(k =>
+          sum(when(col("sz") === k, 1L).otherwise(0L)).as(s"obs_$k")) :+
+        sum(when(col("sz") >= 8, 1L).otherwise(0L)).as("obs_8p")
+      sizes.agg(aggs.head, aggs.tail: _*)
+        .withColumn("lambda_ppm", expr("(1000000 * tl) div n"))
+        .withColumn("chi2_ppm", expr(poissonChi2Ppm))
+        .select(Seq(col("n"), col("tl"), col("lambda_ppm")) ++
+          (1 to 7).map(k => col(s"obs_$k")) ++
+          Seq(col("obs_8p"), col("chi2_ppm")): _*)
+    }),
+
+
+    "orders_discount_response" -> ((s, dir) => {
+      // discount-response curve: per discount band (percent grain —
+      // l_discount is a 2-decimal rate), exact order-line counts,
+      // doubled-median and exact-mean quantity in centi-units, and
+      // revenue share — the pricing team's elasticity readout. Bands
+      // are integer percent values (round(discount·100): exact from
+      // the 2-decimal fixture doubles), everything downstream is
+      // integer or floor-ppm.
+      val li = t(s, dir, "lineitem")
+        .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("rev_c"))
+      val agg = li.groupBy("disc_pct").agg(
+        count(lit(1)).as("n_lines"),
+        expr("CAST(round(2 * percentile(qty_c, 0.5)) AS BIGINT)")
+          .as("med2_qty_c"),
+        sum(col("qty_c")).as("sum_qty_c"),
+        sum(col("rev_c")).as("rev_c"))
+      val tot = agg.agg(sum(col("rev_c")).as("tr"))
+      agg.crossJoin(broadcast(tot))
+        .withColumn("mean_qty_c_ppm", expr(
+          """CAST((1000000 * CAST(sum_qty_c AS DECIMAL(38,0)))
+             div CAST(n_lines AS DECIMAL(38,0)) AS BIGINT)"""))
+        .withColumn("rev_share_ppm", expr(
+          """CAST((1000000 * CAST(rev_c AS DECIMAL(38,0)))
+             div CAST(tr AS DECIMAL(38,0)) AS BIGINT)"""))
+        .select("disc_pct", "n_lines", "med2_qty_c", "mean_qty_c_ppm",
+          "rev_share_ppm")
+        .orderBy("disc_pct")
+    }),
+
+
+    "orders_customer_migration" -> ((s, dir) => {
+      // customer value-migration matrix: tercile customers by spend in
+      // each half of the order-date range (fences = exact global
+      // percentiles of each half, broadcast) and count the 3×3
+      // transitions — who moved up, who churned down, the CRM
+      // migration readout. Share of customers holding their tercile
+      // emits per cell as floor-ppm. All-integer; two scans + two
+      // 1-row broadcasts.
+      val o = t(s, dir, "orders")
+      val base = o.select(col("o_custkey"),
+        col("o_orderdate").cast("date").as("od"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val mid = base.agg(min(col("od")).as("d0"), max(col("od")).as("d1"))
+        .select(expr("d0 + CAST((datediff(d1, d0) / 2) AS INT)").as("dm"))
+      val halves = base.crossJoin(broadcast(mid))
+        .withColumn("h", when(col("od") < col("dm"), 1).otherwise(2))
+        .groupBy("o_custkey", "h").agg(sum(col("cents")).as("spend"))
+      def terc(h: Int): DataFrame = {
+        val hh = halves.filter(col("h") === h)
+        val fences = hh.agg(expr(
+          "percentile(spend, array(0.3333333333333333, 0.6666666666666666))")
+          .as("es"))
+        hh.crossJoin(broadcast(fences))
+          .select(col("o_custkey"), (expr(
+            """aggregate(es, 0, (acc, e) ->
+               acc + CASE WHEN CAST(spend AS DOUBLE) > e
+                 THEN 1 ELSE 0 END)""") + 1).as(s"terc$h"))
+      }
+      val m = terc(1).join(terc(2), Seq("o_custkey"))
+      val cells = m.groupBy("terc1", "terc2").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("tn"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(1000000 * n) div tn"))
+        .select("terc1", "terc2", "n", "share_ppm")
+        .orderBy("terc1", "terc2")
+    }),
+
+
+    "part_supplier_herfindahl" -> ((s, dir) => {
+      // supplier-concentration HHI per part: Σ(q_s/Q)² over each
+      // part's supplier quantity shares — the procurement single-
+      // source-risk index. hhi_ppm = (10⁶·Σq_s²) div Q² is exact
+      // integer arithmetic end-to-end; two keyed combinable aggregates
+      // and a TakeOrdered head of the most concentrated multi-supplier
+      // parts.
+      val li = t(s, dir, "lineitem")
+      val ps = li.groupBy(col("l_partkey").as("part"),
+          col("l_suppkey").as("supplier"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+      ps.groupBy("part").agg(
+          count(lit(1)).as("n_suppliers"),
+          sum(col("q")).as("total_q"),
+          sum(col("q") * col("q")).as("sum_q2"))
+        .filter(col("n_suppliers") >= 2)
+        .withColumn("hhi_ppm", expr(
+          """CAST((1000000 * CAST(sum_q2 AS DECIMAL(38,0)))
+             div (CAST(total_q AS DECIMAL(38,0)) * total_q) AS BIGINT)"""))
+        .orderBy(col("hhi_ppm").desc, col("part")).limit(20)
+        .select("part", "n_suppliers", "total_q", "hhi_ppm")
+    }),
+
+
+    "events_user_stickiness" -> ((s, dir) => {
+      // DAU/MAU-style stickiness per ISO week: average daily actives
+      // over the week divided by weekly actives — the product-health
+      // ratio. Exact integers throughout: Σ daily-active counts and the
+      // weekly distinct both come from (user, day)-deduped rows, and
+      // the ratio is a floor-ppm of avg-DAU·7 construction-free form:
+      // stickiness_ppm = (10⁶ · Σ_day DAU) div (n_days · WAU).
+      val ev = t(s, dir, "events")
+      val ud = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("wk", date_trunc("week", col("day")).cast("date"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dau = ud.groupBy("wk", "day").agg(count(lit(1)).as("dau"))
+        .groupBy("wk").agg(sum(col("dau")).as("sum_dau"),
+          count(lit(1)).as("n_days"))
+      val wau = ud.select("wk", "user_id").distinct()
+        .groupBy("wk").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("wk"))
+        .withColumn("stickiness_ppm",
+          expr("(1000000 * sum_dau) div (n_days * wau)"))
+        .select("wk", "n_days", "sum_dau", "wau", "stickiness_ppm")
+        .orderBy("wk")
+    }),
+
+
+    "supplier_return_wilson" -> ((s, dir) => {
+      // "worst suppliers" ranked by the Wilson lower confidence bound
+      // of their return rate (returnflag = R) — the classic fix for
+      // naive rate ranking where 1-of-1 beats 40-of-100. Counts are
+      // exact integers; the z=1.96 Wilson bound closes through one
+      // verbatim-shared double tree (sqrt is IEEE-exact) and a floor.
+      // One scan, supplier-keyed combinable aggregate, TakeOrdered.
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy(col("l_suppkey").as("supplier"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("returns"))
+      agg.withColumn("wilson_lb_ppm", expr(
+          """CAST(floor(1000000.0 * (
+             (CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
+               + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+               - 1.96 * sqrt((CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / CAST(n AS DOUBLE)
+                 + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE)))) AS BIGINT)"""))
+        .orderBy(col("wilson_lb_ppm").desc, col("supplier")).limit(20)
+        .select("supplier", "n", "returns", "wilson_lb_ppm")
+    }),
+
+
+    "events_session_stats" -> ((s, dir) => {
+      // session-quality rollup over the SAME 30-min gaps-and-islands
+      // rule as event_sessionize: depth-bucketed session counts (the
+      // bounce bucket is depth 1), each bucket's floor-ppm share, and
+      // the exact doubled-median session duration in seconds. One
+      // per-user keyed window pass, then bucket-sized aggregates.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val isNew = when(lag(us, 1).over(w).isNull ||
+        (us - lag(us, 1).over(w)) > 1800L * 1000000L, 1).otherwise(0)
+      val sess = e.withColumn("session_id", sum(isNew).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            / lit(1000000L)).cast("long").as("dur_sec"))
+      val bucketed = sess.withColumn("depth_bucket",
+        when(col("n_events") === 1, "a_bounce")
+          .when(col("n_events") <= 4, "b_2_4")
+          .when(col("n_events") <= 9, "c_5_9")
+          .otherwise("d_10_plus"))
+      val agg = bucketed.groupBy("depth_bucket").agg(
+        count(lit(1)).as("n_sessions"),
+        expr("CAST(round(2 * percentile(dur_sec, 0.5)) AS BIGINT)")
+          .as("med2_dur_sec"))
+      val tot = agg.agg(sum(col("n_sessions")).as("ts0"))
+      agg.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(1000000 * n_sessions) div ts0"))
+        .select("depth_bucket", "n_sessions", "share_ppm", "med2_dur_sec")
+        .orderBy("depth_bucket")
+    }),
+
+
+    "events_entropy_rate" -> ((s, dir) => {
+      // behavioral entropy rate of the per-user event-type chain: with
+      // transition counts c_ij (one windowed lag pass, no session
+      // split — the raw chain), H = −Σ_ij (c_ij/T)·ln(c_ij/c_i), plus
+      // perplexity e^H — "how predictable is the next action". The
+      // cell table is k²-bounded; the ln fold runs in (src, dst)
+      // canonical order so the double is engine-identical.
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type").as("src"), col("nxt").as("dst"))
+      val cells = tr.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rowT = cells.groupBy("src").agg(sum(col("c")).as("cs"))
+      val tot = cells.agg(sum(col("c")).as("tt"))
+      val terms = cells.join(broadcast(rowT), Seq("src"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term", expr(
+          """-(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+             * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))"""))
+      terms
+        .agg(max(col("tt")).as("n_transitions"),
+          aggregate(sort_array(collect_list(struct(col("src"), col("dst"),
+            col("term")))), lit(0.0),
+            (a, x) => a + x.getField("term")).as("h"))
+        .select(col("n_transitions"), round(col("h"), 6).as("entropy_rate"),
+          round(exp(col("h")), 6).as("perplexity"))
+    }),
+
+
+    "orders_backlog_aging" -> ((s, dir) => {
+      // operational backlog aging: open (non-finished) orders bucketed
+      // by age at the dataset's own reference instant (max order date —
+      // broadcast, so the report is reproducible from the data alone),
+      // with count, open value, and the floor-ppm share of open value
+      // per bucket. All-integer; one scan + a 1-row broadcast.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "F")
+        .select(col("o_orderdate"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val ref = o.agg(max(col("o_orderdate")).as("refd"))
+      val bucketed = o.crossJoin(broadcast(ref))
+        .withColumn("age", datediff(col("refd"), col("o_orderdate")))
+        .withColumn("bucket",
+          when(col("age") <= 30, "a_0_30")
+            .when(col("age") <= 60, "b_31_60")
+            .when(col("age") <= 90, "c_61_90")
+            .otherwise("d_90_plus"))
+      val agg = bucketed.groupBy("bucket").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("value_cents"))
+      val tot = agg.agg(sum(col("value_cents")).as("tv"))
+      // the ppm numerator crosses 2^63 past sf1 (the ABC lesson, caught
+      // again by the decade-up oracle leg: DuckDB errors loudly, Spark
+      // long arithmetic would wrap silently) — decimal(38,0) div
+      agg.crossJoin(broadcast(tot))
+        .withColumn("value_share_ppm", expr(
+          """CAST((1000000 * CAST(value_cents AS DECIMAL(38,0)))
+             div CAST(tv AS DECIMAL(38,0)) AS BIGINT)"""))
+        .select("bucket", "n_orders", "value_cents", "value_share_ppm")
+        .orderBy("bucket")
+    }),
+
+
+    "events_hourly_heatmap" -> ((s, dir) => {
+      // weekday × hour activity heatmap (the ops-dashboard staple):
+      // exact counts per (weekday, hour) cell plus each cell's
+      // floor-ppm share of all events. weekday() is 0=Monday in Spark
+      // ≡ isodow−1 in DuckDB (dayofweek() conventions DIFFER — pinned
+      // here as the parity-safe pair). One scan, 168-cell output.
+      val ev = t(s, dir, "events")
+      val cells = ev.groupBy(weekday(col("ts")).as("dow"),
+          hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("tn"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(1000000 * n) div tn"))
+        .select("dow", "hr", "n", "share_ppm")
+        .orderBy("dow", "hr")
+    }),
+
+
+    "orders_priority_sla" -> ((s, dir) => {
+      // ship-latency SLA readout per order priority: line-level gap
+      // from order date to ship date, exact doubled-median (the
+      // half-integer-safe percentile trick) and the floor-ppm share
+      // shipped within 60 days — the fulfillment dashboard row. One
+      // join keyed on the order key, per-priority combinable stats.
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("priority"), col("o_orderdate"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_shipdate"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("gap", datediff(col("l_shipdate"), col("o_orderdate")))
+        .groupBy("priority").agg(
+          count(lit(1)).as("n_lines"),
+          expr("CAST(round(2 * percentile(gap, 0.5)) AS BIGINT)")
+            .as("p50_gap_x2"),
+          sum(when(col("gap") <= 60, 1L).otherwise(0L)).as("n_within_60"))
+        .withColumn("within_60d_ppm",
+          expr("(1000000 * n_within_60) div n_lines"))
+        .select("priority", "n_lines", "p50_gap_x2", "within_60d_ppm")
+        .orderBy("priority")
+    }),
+
+
+    "events_error_pchart" -> ((s, dir) => {
+      // p-chart (the canonical SPC control chart) on the daily error
+      // share: centre line p̄ = global error rate, limits p̄ ±
+      // 3·√(p̄(1−p̄)/nᵢ) with per-day nᵢ — flags out-of-control days.
+      // Counts exact; p̄ and the limits close through one verbatim-
+      // shared tree (IEEE-exact sqrt); the flag compares the exact
+      // integer rate nᵢ-scaled against the limit once, identically in
+      // both engines. Days-sized output.
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(to_date(col("ts")).as("day")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errs"))
+      val tot = daily.agg(sum(col("n")).as("tn"), sum(col("errs")).as("te"))
+      daily.crossJoin(broadcast(tot))
+        .withColumn("p_ppm", expr("(1000000 * errs) div n"))
+        .withColumn("pbar", expr(
+          "CAST(te AS DOUBLE) / CAST(tn AS DOUBLE)"))
+        .withColumn("sigma", expr(
+          "sqrt(pbar * (1.0 - pbar) / CAST(n AS DOUBLE))"))
+        .withColumn("ucl_ppm", expr(
+          "CAST(floor(1000000.0 * (pbar + 3.0 * sigma)) AS BIGINT)"))
+        .withColumn("lcl_ppm", expr(
+          "CAST(floor(1000000.0 * (pbar - 3.0 * sigma)) AS BIGINT)"))
+        .withColumn("out_of_control", expr(
+          """CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) > pbar + 3.0 * sigma
+             OR CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)
+               < pbar - 3.0 * sigma"""))
+        .select("day", "n", "errs", "p_ppm", "ucl_ppm", "lcl_ppm",
+          "out_of_control")
+        .orderBy("day")
+    }),
+
+
+    "events_user_lifecycle" -> ((s, dir) => {
+      // growth accounting (the GitHub/a16z "new–retained–resurrected–
+      // churned" decomposition): per active (user, week), classify by
+      // the user's previous active week — lag is per-user (one keyed
+      // sort, never a global scan); churn for week w is closed-form
+      // actives(w−7d) − retained(w), a week-level self-join on a
+      // weeks-sized frame. Weekly grain keeps every count exact.
+      val e = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("timestamp_ntz").as("w"))
+        .distinct()
+      val lagW = Window.partitionBy("user_id").orderBy("w")
+      val classified = e
+        .withColumn("prev_w", lag(col("w"), 1).over(lagW))
+        .withColumn("status",
+          when(col("prev_w").isNull, "new")
+            .when(col("prev_w") === expr("w - INTERVAL 7 DAYS"), "retained")
+            .otherwise("resurrected"))
+      val perWeek = classified.groupBy("w")
+        .agg(count(lit(1)).as("actives"),
+          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("status") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+      perWeek
+        .join(perWeek.select(
+            expr("w + INTERVAL 7 DAYS").as("w"),
+            col("actives").as("prev_actives")),
+          Seq("w"), "left")
+        .withColumn("n_churned",
+          coalesce(col("prev_actives"), lit(0L)) - col("n_retained"))
+        .select(col("w"), col("actives"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), col("n_churned"))
+        .orderBy("w")
+    }),
+
+
+    "orders_mix_drift" -> ((s, dir) => {
+      // month-over-month drift of the order-priority MIX as JSD — the
+      // categorical sibling of dq_psi_drift (PSI needs bins; JSD takes
+      // the category distribution as-is, is symmetric, and is bounded
+      // by ln 2, so one alert threshold works for any label set).
+      // Consecutive months join on mon + 1 MONTH; each pair folds its
+      // per-category terms in canonical priority order; zero-count
+      // categories contribute through the 0·ln0 = 0 guard. Output is
+      // calendar-sized; the only data pass is one grouped count.
+      val o = t(s, dir, "orders")
+      val per = o.groupBy(date_trunc("month", col("o_orderdate")).as("mon"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("c"))
+      val months = per.select("mon").distinct()
+      val prios = per.select("prio").distinct()
+      val grid = months.crossJoin(broadcast(prios))
+        .join(per, Seq("mon", "prio"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val tot = grid.groupBy("mon").agg(sum(col("c")).as("n"))
+      val g = grid.join(tot, Seq("mon"))
+      val pairs = g.select(col("mon"), col("prio"), col("c").as("ca"),
+          col("n").as("na"))
+        .join(g.select(expr("mon - INTERVAL 1 MONTH").as("mon"),
+          col("prio"), col("c").as("cb"), col("n").as("nb")),
+          Seq("mon", "prio"))
+        .withColumn("p", expr("CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"))
+        .withColumn("q", expr("CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)"))
+        .withColumn("v", expr(
+          """0.5 * (CASE WHEN p > 0.0
+               THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END)
+             + 0.5 * (CASE WHEN q > 0.0
+               THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END)"""))
+      pairs.groupBy("mon")
+        .agg(max(col("na")).as("n_month"), max(col("nb")).as("n_next"),
+          aggregate(sort_array(collect_list(struct(col("prio"),
+              col("v").as("t")))),
+            lit(0.0), (acc, x) => acc + x.getField("t")).as("jsd"))
+        .select(col("mon").cast("timestamp_ntz").as("mon"),
+          col("n_month"), col("n_next"),
+          round(col("jsd"), 6).as("jsd_nats"))
+        .orderBy("mon")
+    }),
+
+
+    "orders_abc_analysis" -> ((s, dir) => {
+      // ABC / Pareto classification of parts by revenue (the inventory
+      // classic: A ≈ top 80% of revenue, B next 15, C the tail): one
+      // parts-sized aggregate, ONE ordered cumulative window over the
+      // value domain (never the fact table), and the class test is
+      // all-integer (cum·100 vs total·k — no float shares until the
+      // final ppm readout). Class boundaries INCLUDE the crossing part
+      // (the part that tips cumulative share past 80% is still A).
+      val li = t(s, dir, "lineitem")
+      val rev = li.groupBy("l_partkey")
+        .agg(sum((dec(col("l_extendedprice")) * 100).cast("long"))
+          .as("rev_cents"))
+      // r10 reshape: the per-part rollup grows with the corpus, so the
+      // cumulative-revenue window is the distributed prefix sum
+      // (Rank.globalRunningSum) and the grand total a broadcast scalar
+      val tot = rev.agg(sum(col("rev_cents")).as("total"))
+      graft.operators.Rank
+        .globalRunningSum(rev, 32, "cum",
+          col("rev_cents"), desc("rev_cents"), col("l_partkey"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev_cents")).as("class_rev_cents"),
+          max(col("total")).as("total_cents"))
+        // decimal(38,0): class_cents·10⁶ crosses 2^63 at sf1 — DuckDB
+        // errors loudly there, Spark long math would wrap SILENTLY
+        .withColumn("share_ppm", expr(
+          """CAST((CAST(class_rev_cents AS DECIMAL(38,0)) * 1000000)
+             div total_cents AS BIGINT)"""))
+        .select("cls", "n_parts", "class_rev_cents", "share_ppm")
+        .orderBy("cls")
+    }),
+
+
+    "events_anomaly_rate_spike" -> ((s, dir) => {
+      // volume-spike detection under a Poisson arrival model: for each
+      // (event_type, day) with 7 PRIOR OBSERVED days (rows-frame — on
+      // the dense fixture that is the trailing calendar week), λ̂ =
+      // their mean and z = (x − λ̂)/√λ̂ — the sqrt-stabilized Poisson z that
+      // flags genuine rate spikes where a global z-score fires on any
+      // busy type. Day counts aggregate once (map-side combinable);
+      // the trailing window runs over the type×day frame. z closes in
+      // one double tree from the exact integers (x, s7), floored ppm.
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
+      val daily = e.groupBy("event_type", "d").agg(count(lit(1)).as("x"))
+      val w7 = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("s7", sum(col("x")).over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .filter(col("n7") === 7L)
+        .withColumn("z_ppm", expr(
+          """CAST(floor(1000000.0 *
+               (CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) /
+               sqrt(CAST(s7 AS DOUBLE) / 7.0)) AS BIGINT)"""))
+        .withColumn("spike", col("z_ppm") > 3000000L)
+        .select("event_type", "d", "x", "s7", "z_ppm", "spike")
+        .orderBy("event_type", "d")
+    }),
+
+
+    "orders_interarrival" -> ((s, dir) => {
+      // inter-purchase rhythm per repeat customer: lag gaps over one
+      // keyed sort (never a global scan), exact integer day sums, and
+      // the coefficient of variation — the regularity score that
+      // separates metronome buyers from bursty ones — closes in one
+      // shared double tree over (n, Σgap, Σgap²). Customers need ≥ 2
+      // gaps and a positive total (all-same-day histories have no
+      // defined rhythm).
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = o
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), col("prev")).cast("long"))
+      gaps.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_days")).as("sum_days"),
+          min(col("gap_days")).as("min_days"),
+          max(col("gap_days")).as("max_days"),
+          sum(col("gap_days") * col("gap_days")).as("sumsq"))
+        .filter(col("n_gaps") >= 2L && col("sum_days") > 0L)
+        .withColumn("mean_milli", expr("(sum_days * 1000) div n_gaps"))
+        .withColumn("cv_ppm", expr(
+          """CAST(floor(1000000.0 *
+               sqrt((CAST(n_gaps AS DOUBLE) * CAST(sumsq AS DOUBLE)
+                 - CAST(sum_days AS DOUBLE) * CAST(sum_days AS DOUBLE))
+                 / CAST(n_gaps AS DOUBLE))
+               / (CAST(sum_days AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+             AS BIGINT)"""))
+        .select("o_custkey", "n_gaps", "sum_days", "min_days", "max_days",
+          "mean_milli", "cv_ppm")
+        .orderBy("o_custkey")
+    }),
+
+
+    "orders_basket_lift" -> ((s, dir) => {
+      // market-basket association: part pairs co-purchased in one order,
+      // scored by lift = P(a,b)/(P(a)·P(b)) — the retail classic. Pair
+      // generation is a within-order self-join, Σ|basket|² with baskets
+      // ≤ 7 lines — linear in orders at any scale, never parts². Counts
+      // are exact integers; the ORDER is (pair_count desc, lift_ppm
+      // desc, keys) with lift as floor fixed-point of an exact integer
+      // ratio — no float in any sort key. Top-20 via
+      // TakeOrderedAndProject.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nOrders = li.select("l_orderkey").distinct().count()
+      val single = li.groupBy("l_partkey").agg(count(lit(1)).as("na"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(single.select(col("l_partkey").as("pa"), col("na")), Seq("pa"))
+        .join(single.select(col("l_partkey").as("pb"),
+          col("na").as("nb")), Seq("pb"))
+        .withColumn("lift_ppm", expr(
+          s"(1000000 * n_ab * ${nOrders}L) div (na * nb)"))
+        .orderBy(col("n_ab").desc, col("lift_ppm").desc, col("pa"), col("pb"))
+        .limit(20)
+        .select("pa", "pb", "n_ab", "na", "nb", "lift_ppm")
+    }),
+
+
+    "sessions_concurrency" -> ((s, dir) => {
+      // peak concurrent sessions per day — the capacity-planning number
+      // (simultaneous connections/streams): each session contributes a
+      // +1 boundary at start and a −1 at end (half-open: at an exact
+      // tie the departure is processed first, so touching sessions
+      // never double-count), and the running sum over the day's ordered
+      // boundaries peaks at the answer. The sweep table is
+      // 2×sessions-sized, grouped per day — boundary-domain work, never
+      // event-domain; all integer.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val isNew = when(
+        lag(us, 1).over(w).isNull ||
+          (us - lag(us, 1).over(w)) > 1800L * 1000000L, 1)
+        .otherwise(0)
+      val sessions = e.withColumn("session_id",
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(us).as("s_us"), max(us).as("e_us"))
+      val bounds = sessions.select(col("s_us").as("t_us"), lit(1L).as("delta"))
+        .unionByName(sessions.select(col("e_us").as("t_us"),
+          lit(-1L).as("delta")))
+      // the running sum is GLOBAL (sessions span midnight — a per-day
+      // partition would lose the carried-in level); per-day peak takes
+      // greatest(level at boundary, level JUST BEFORE it) so a day
+      // whose first in-day move is a departure still reports the level
+      // it inherited at 00:00. r10 reshape: the straight global window
+      // funnels ALL session bounds through one task — instead the
+      // distributed prefix sum (range-repartition by time +
+      // per-partition offsets, operators/Rank.globalRunningSum), so the
+      // only single-partition stage is the P-row offset frame.
+      graft.operators.Rank
+        .globalRunningSum(bounds, 32, "running",
+          col("delta"), col("t_us"), col("delta"))
+        .withColumn("day", expr(
+          "CAST(date_trunc('day', timestamp_micros(t_us)) AS TIMESTAMP_NTZ)"))
+        .groupBy("day")
+        .agg(max(greatest(col("running"), col("running") - col("delta")))
+          .as("peak_concurrent"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L))
+            .as("n_session_starts"))
+        .orderBy("day")
+    }),
+
+
+    "part_skyline" -> ((s, dir) => {
+      // 2-D skyline (Pareto front): parts not dominated on (price ↓,
+      // size ↑) — the multi-objective shortlist operator ("no cheaper
+      // part is at least as large"). The textbook formulation is an
+      // O(n²) dominance anti-join; the sort-sweep makes it two window
+      // passes over exact integers: a row is dominated iff some
+      // STRICTLY cheaper part has size ≥ its own (running range-frame
+      // max) or an equal-priced part has size strictly greater
+      // (per-price max). Identical (price, size) pairs do not dominate
+      // each other (no strict coordinate) and both survive. Both
+      // windows share the price sort order; at 100 TB this is a
+      // range-partitioned sort, never a pair join.
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+          col("p_size").cast("long").as("size"))
+      // r10 reshape: the strict-prefix range max runs over the PRICE
+      // DOMAIN rollup (one row per distinct price — bounded by the 2-dp
+      // price range, not the part count), then joins back; the part
+      // table itself is never globally sorted
+      val perPrice = p.groupBy("price_cents")
+        .agg(max(col("size")).as("max_s_eq"))
+      val wLt = Window.orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dom = perPrice
+        .withColumn("max_s_lt", max(col("max_s_eq")).over(wLt))
+      p.join(dom, Seq("price_cents"))
+        .filter((col("max_s_lt").isNull || col("max_s_lt") < col("size")) &&
+          col("size") === col("max_s_eq"))
+        .select("p_partkey", "price_cents", "size")
+        .orderBy("p_partkey")
+    }),
+
+
+    "events_sequence_mining" -> ((s, dir) => {
+      // frequent consecutive event-type trigrams across user journeys —
+      // sequential-pattern mining's workhorse cut. One user-partitioned
+      // window pass forms the trigrams (no self-joins: lead() over the
+      // per-user order), then support = distinct users + occurrences per
+      // pattern. Top-15 via TakeOrderedAndProject. At 100 TB the window
+      // is partitioned on user_id (bounded per-user history) and the
+      // pattern space is |types|³ — domain-sized aggregation state.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_users").desc, col("n_occurrences").desc,
+          col("e1"), col("e2"), col("e3"))
+        .limit(15)
+    }),
+
+
+    "orders_market_basket" -> ((s, dir) => {
+      // association rules over order baskets (Apriori's candidate
+      // bound, not its passes): only items with support ≥ 0.2% of
+      // baskets enter the per-basket self-join, so pair volume is
+      // Σ_basket deg_freq(basket)² — bounded by the frequent-item
+      // filter, never #items² — and the join key is the basket id (an
+      // equi-shuffle that AQE can split on hot baskets). Emits the top
+      // 20 pairs by co-occurrence with exact floor-ppm support,
+      // directional confidence, and lift.
+      val li = t(s, dir, "lineitem")
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("item")).distinct()
+      val tot = b.agg(countDistinct(col("ok")).as("n_orders"))
+      val freq = b.groupBy("item").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 1000 >= col("n_orders") * 2)
+        .select("item", "cnt")
+      val bf = b.join(freq, "item")
+      val pairs = bf.as("x").join(bf.as("y"),
+          col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+        .agg(count(lit(1)).as("cnt_ab"),
+          max(col("x.cnt")).as("cnt_a"), max(col("y.cnt")).as("cnt_b"))
+      pairs.crossJoin(broadcast(tot))
+        .select(col("item_a"), col("item_b"), col("cnt_ab"), col("cnt_a"),
+          col("cnt_b"),
+          expr("CAST((1000000 * cnt_ab) div n_orders AS BIGINT)")
+            .as("support_ppm"),
+          expr("CAST((1000000 * cnt_ab) div cnt_a AS BIGINT)")
+            .as("conf_ab_ppm"),
+          expr("""CAST((1000000 * CAST(cnt_ab AS DECIMAL(38,0)) * n_orders)
+                  div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)""")
+            .as("lift_ppm"))
+        .orderBy(col("cnt_ab").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
+
+
+    "events_cep_match" -> ((s, dir) => {
+      // complex-event-pattern detection: for each (trigger → outcome)
+      // pair, count trigger events followed by the outcome for the SAME
+      // user within 30 minutes, plus the distinct users matched. Each
+      // leg scans events with the event-type filter PUSHED to parquet;
+      // the match is a user-keyed semi join (AQE splits hot users) whose
+      // per-user work is session-bounded — the declarative form of a CEP
+      // engine's NFA step at 100 TB.
+      val ev = t(s, dir, "events").select("user_id", "event_id",
+        "event_type", "ts")
+      def leg(a: String, b: String): DataFrame = {
+        val ta = ev.filter(col("event_type") === a)
+          .select(col("user_id"), col("event_id"), col("ts").as("ts_a"))
+        val tb = ev.filter(col("event_type") === b)
+          .select(col("user_id").as("ub"), col("ts").as("ts_b"))
+        val matched = ta.join(tb,
+          col("user_id") === col("ub") && col("ts_b") > col("ts_a") &&
+            col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTES"),
+          "left_semi")
+          .agg(count(lit(1)).as("n_matched"),
+            countDistinct(col("user_id")).as("n_users"))
+        val na = ta.agg(count(lit(1)).as("n_triggers"))
+        matched.crossJoin(broadcast(na))
+          .select(lit(s"$a->$b").as("pattern"), col("n_triggers"),
+            col("n_matched"), col("n_users"),
+            expr("CAST((1000000 * n_matched) div n_triggers AS BIGINT)")
+              .as("match_ppm"))
+      }
+      leg("view", "purchase")
+        .unionAll(leg("signup", "purchase"))
+        .unionAll(leg("error", "purchase"))
+        .orderBy("pattern")
+    }),
+
+
+    "events_bot_score" -> ((s, dir) => {
+      // bot-likelihood audit per user, three deterministic heuristics
+      // over one user-keyed pass each: volume (>= 78 events in the
+      // window), inter-arrival regularity (population CV^2 of the gap
+      // seconds < 0.25 — machines are metronomes, humans are bursty;
+      // exact-integer k*S2-S1^2 over S1^2), and event-type entropy
+      // < 1.5 nats (canonical ascending-type fold). The flags sum to
+      // bot_score; every input statistic is emitted for the reviewer.
+      val e = t(s, dir, "events")
+      val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = e.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap",
+          unix_timestamp(col("ts"))
+            - unix_timestamp(lag(col("ts"), 1).over(wu)))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("k"),
+          sum(col("gap")).as("s1"),
+          sum(col("gap") * col("gap")).as("s2"))
+      val ent = e.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id").agg(sum(col("c")).as("n_ev"),
+          sort_array(collect_list(struct(col("event_type"), col("c"))))
+            .as("tc"))
+        .withColumn("ent_ppm", expr(
+          """CAST(floor(1000000.0 * aggregate(tc, 0.0d, (acc, t) ->
+               acc - (CAST(t.c AS DOUBLE) / CAST(n_ev AS DOUBLE))
+                 * ln(CAST(t.c AS DOUBLE) / CAST(n_ev AS DOUBLE))))
+             AS BIGINT)"""))
+        .drop("tc")
+      ent.join(gaps, Seq("user_id"))
+        .withColumn("cv2_ppm", expr(
+          """CASE WHEN s1 = 0 THEN NULL ELSE
+             CAST(floor(1000000.0 *
+               (CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)
+             END"""))
+        .withColumn("bot_score",
+          when(col("n_ev") >= 78L, 1L).otherwise(0L)
+            + when(col("cv2_ppm").isNotNull
+                && col("cv2_ppm") < 250000L, 1L).otherwise(0L)
+            + when(col("ent_ppm") < 1500000L, 1L).otherwise(0L))
+        .select("user_id", "n_ev", "ent_ppm", "cv2_ppm", "bot_score")
+        .orderBy(col("bot_score").desc, col("n_ev").desc, col("user_id"))
+        .limit(20)
+    }),
+
+
+    "events_burst_viterbi" -> ((s, dir) => {
+      // Kleinberg-style two-state burst automaton over hourly event
+      // counts, Viterbi min-cost recursion as ONE canonical ascending
+      // fold (the Kalman pattern): quadratic emission costs against the
+      // base rate mu and burst rate 1.5*mu (elementary ops only — the
+      // Poisson original needs lgamma, absent from Spark SQL), state-
+      // entry penalty 8 for 0->1. Emits the final costs, the count of
+      // hours where the burst state was strictly cheaper, and its ppm
+      // share — the burstiness readout for rate-anomaly triage.
+      val e = t(s, dir, "events")
+      val hours = e.groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val mu = hours.agg(
+        (sum(col("y")) / count(lit(1)).cast("double")).as("mu"))
+      hours.crossJoin(broadcast(mu))
+        .agg(first(col("mu")).as("mu"),
+          sort_array(collect_list(struct(col("hr"), col("y")))).as("sv"))
+        .withColumn("ys", expr("transform(sv, t -> t.y)"))
+        .withColumn("st", expr(
+          """aggregate(ys,
+             named_struct('c0', 0.0d, 'c1', 8.0d, 'nb', 0L),
+             (acc, y) -> named_struct(
+               'c0', (y - mu) * (y - mu) / mu
+                 + CASE WHEN acc.c0 <= acc.c1 THEN acc.c0 ELSE acc.c1 END,
+               'c1', (y - 1.5d * mu) * (y - 1.5d * mu) / mu
+                 + CASE WHEN acc.c0 + 8.0d <= acc.c1 THEN acc.c0 + 8.0d
+                   ELSE acc.c1 END,
+               'nb', acc.nb + CASE WHEN
+                   (y - 1.5d * mu) * (y - 1.5d * mu) / mu
+                   < (y - mu) * (y - mu) / mu THEN 1L ELSE 0L END))"""))
+        .select(expr("CAST(size(ys) AS BIGINT)").as("n_hours"),
+          expr("CAST(floor(1000.0 * mu) AS BIGINT)").as("mu_milli"),
+          expr("CAST(floor(1000.0 * st.c0) AS BIGINT)").as("c0_milli"),
+          expr("CAST(floor(1000.0 * st.c1) AS BIGINT)").as("c1_milli"),
+          col("st.nb").as("n_burst_hours"),
+          expr("CAST(floor(1000000.0 * CAST(st.nb AS DOUBLE)"
+            + " / CAST(size(ys) AS DOUBLE)) AS BIGINT)")
+            .as("burst_share_ppm"))
+    }),
+
+
+    "events_funnel_windows" -> ((s, dir) => {
+      // attribution-window sensitivity: the signup→purchase conversion
+      // table at 1 h / 6 h / 24 h / unbounded windows, all four rows
+      // from ONE latency pass (funnel_time_to_convert's shape) — the
+      // analyst never re-scans the stream to try another window. Exact
+      // integer milliseconds; rates in bp against the signup cohort.
+      val e = t(s, dir, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(expr("unix_millis(ts)")).as("signup_ms"))
+      val lat = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_millis(ts)").as("pms"))
+        .join(signups, Seq("user_id"))
+        .filter(col("pms") >= col("signup_ms"))
+        .groupBy("user_id")
+        .agg(min(expr("pms - signup_ms")).as("latency_ms"))
+      val nSign = signups.agg(count(lit(1)).as("n_signup"))
+      val wins = s.range(1).select(explode(expr(
+        """array(struct('01_1h' AS w, 3600000L AS bound),
+           struct('02_6h' AS w, 21600000L AS bound),
+           struct('03_24h' AS w, 86400000L AS bound),
+           struct('04_all' AS w, 9223372036854775807L AS bound))"""))
+        .as("c")).select(col("c.w").as("window"), col("c.bound").as("bound"))
+      lat.crossJoin(broadcast(wins))
+        .filter(col("latency_ms") <= col("bound"))
+        .groupBy("window")
+        .agg(count(lit(1)).as("n_converted"),
+          max(col("latency_ms")).as("max_latency_ms"))
+        .crossJoin(broadcast(nSign))
+        .select(col("window"), col("n_signup"), col("n_converted"),
+          expr("(n_converted * 10000L) div n_signup").as("conv_bp"),
+          col("max_latency_ms"))
+        .orderBy("window")
+    }),
+
+
+    "customers_revenue_concentration" -> ((s, dir) => {
+      // revenue-concentration (Pareto) curve: customers ranked by
+      // lifetime cents-exact spend via the DISTRIBUTED global rank
+      // (Rank.globalRowNumber — no data-sized single-task sort), cut
+      // into spend deciles, each reporting its exact revenue share —
+      // the 80/20 readout. Ranking keys are (spend, custkey) so ties
+      // are deterministic; shares are cents-exact floor-ppm.
+      val o = t(s, dir, "orders")
+      val spend = o.groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("cents"))
+      val nF = spend.agg(count(lit(1)).as("n"), sum("cents").as("tot"))
+      Rank.globalRowNumber(spend, 32, "rn",
+          col("cents").desc, col("custkey"))
+        .crossJoin(broadcast(nF))
+        .withColumn("decile", expr("((rn - 1) * 10L) div n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("dec_cents"),
+          max("cents").as("max_cents"), min("cents").as("min_cents"))
+        .crossJoin(broadcast(nF.select(col("tot"))))
+        .select(col("decile"), col("n_customers"),
+          expr("(dec_cents * 1000000L) div tot").as("revenue_share_ppm"),
+          col("max_cents"), col("min_cents"))
+        .orderBy("decile")
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+
+
+    "event_window_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS distinct_users
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+
+    "event_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events
+         ), y AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM x
+         ), z AS (
+           SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM y
+         )
+         SELECT user_id, session_id, count(*) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end
+         FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+
+    "orders_cohort_ltv" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+           FROM orders),
+         first_o AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+         sizes AS (
+           SELECT cohort_m, count(*) AS cohort_users FROM first_o GROUP BY 1),
+         cur AS (
+           SELECT cohort_m, m - cohort_m AS m_offset,
+             CAST(sum(cents) AS BIGINT) AS rev_cents,
+             count(DISTINCT o.o_custkey) AS active_users
+           FROM o JOIN first_o USING (o_custkey) GROUP BY 1, 2),
+         cum AS (
+           SELECT cohort_m, m_offset, active_users, rev_cents,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort_m
+               ORDER BY m_offset) AS BIGINT) AS cum_rev_cents
+           FROM cur)
+         SELECT cohort_m, m_offset, active_users, rev_cents, cum_rev_cents,
+           cohort_users, cum_rev_cents // cohort_users AS ltv_cents_per_user
+         FROM cum JOIN sizes USING (cohort_m)
+         ORDER BY cohort_m, m_offset""",
+
+
+    "orders_size_poisson_fit" -> {
+      val obs = ((1 to 7).map(k =>
+        s"CAST(sum(CASE WHEN sz = $k THEN 1 ELSE 0 END) AS BIGINT) AS obs_$k")
+        :+ "CAST(sum(CASE WHEN sz >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS obs_8p")
+        .mkString(",\n           ")
+      s"""WITH sizes AS (
+           SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
+           FROM lineitem GROUP BY l_orderkey),
+         agg AS (
+           SELECT count(*) AS n, CAST(sum(sz) AS BIGINT) AS tl,
+           $obs
+           FROM sizes)
+         SELECT n, tl, (1000000 * tl) // n AS lambda_ppm,
+           ${(1 to 7).map(k => s"obs_$k").mkString(", ")}, obs_8p,
+           $poissonChi2Ppm AS chi2_ppm
+         FROM agg"""
+    },
+
+
+    "orders_discount_response" ->
+      """WITH li AS (
+           SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS rev_c
+           FROM lineitem),
+         agg AS (
+           SELECT disc_pct, count(*) AS n_lines,
+             CAST(round(2 * median(qty_c)) AS BIGINT) AS med2_qty_c,
+             CAST(sum(qty_c) AS HUGEINT) AS sum_qty_c,
+             CAST(sum(rev_c) AS HUGEINT) AS rev_c
+           FROM li GROUP BY disc_pct),
+         tot AS (SELECT CAST(sum(rev_c) AS HUGEINT) AS tr FROM agg)
+         SELECT disc_pct, n_lines, med2_qty_c,
+           CAST((1000000 * sum_qty_c) // CAST(n_lines AS HUGEINT)
+             AS BIGINT) AS mean_qty_c_ppm,
+           CAST((1000000 * rev_c) // tr AS BIGINT) AS rev_share_ppm
+         FROM agg CROSS JOIN tot ORDER BY disc_pct""",
+
+
+    "orders_customer_migration" ->
+      """WITH base AS (
+           SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM orders),
+         mid AS (
+           SELECT min(od) + CAST(date_diff('day', min(od), max(od)) // 2
+             AS INT) AS dm
+           FROM base),
+         halves AS (
+           SELECT o_custkey,
+             CASE WHEN od < dm THEN 1 ELSE 2 END AS h,
+             CAST(sum(cents) AS BIGINT) AS spend
+           FROM base CROSS JOIN mid
+           GROUP BY o_custkey, CASE WHEN od < dm THEN 1 ELSE 2 END),
+         f1 AS (
+           SELECT quantile_cont(spend,
+             [0.3333333333333333, 0.6666666666666666]) AS es
+           FROM halves WHERE h = 1),
+         f2 AS (
+           SELECT quantile_cont(spend,
+             [0.3333333333333333, 0.6666666666666666]) AS es
+           FROM halves WHERE h = 2),
+         t1 AS (
+           SELECT o_custkey,
+             list_reduce(list_prepend(0, list_transform(es,
+               e -> CASE WHEN CAST(spend AS DOUBLE) > e
+                 THEN 1 ELSE 0 END)), (a, v) -> a + v) + 1 AS terc1
+           FROM halves CROSS JOIN f1 WHERE h = 1),
+         t2 AS (
+           SELECT o_custkey,
+             list_reduce(list_prepend(0, list_transform(es,
+               e -> CASE WHEN CAST(spend AS DOUBLE) > e
+                 THEN 1 ELSE 0 END)), (a, v) -> a + v) + 1 AS terc2
+           FROM halves CROSS JOIN f2 WHERE h = 2),
+         cells AS (
+           SELECT terc1, terc2, count(*) AS n
+           FROM t1 JOIN t2 USING (o_custkey) GROUP BY terc1, terc2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM cells)
+         SELECT terc1, terc2, n, (1000000 * n) // tn AS share_ppm
+         FROM cells CROSS JOIN tot ORDER BY terc1, terc2""",
+
+
+    "part_supplier_herfindahl" ->
+      """WITH ps AS (
+           SELECT l_partkey AS part, l_suppkey AS supplier,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem GROUP BY 1, 2),
+         agg AS (
+           SELECT part, count(*) AS n_suppliers,
+             CAST(sum(q) AS BIGINT) AS total_q,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sum_q2
+           FROM ps GROUP BY part)
+         SELECT part, n_suppliers, total_q,
+           CAST((1000000 * sum_q2)
+             // (CAST(total_q AS HUGEINT) * total_q) AS BIGINT) AS hhi_ppm
+         FROM agg WHERE n_suppliers >= 2
+         ORDER BY hhi_ppm DESC, part LIMIT 20""",
+
+
+    "events_user_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         udw AS (
+           SELECT user_id, day,
+             CAST(date_trunc('week', day) AS DATE) AS wk
+           FROM ud),
+         dau AS (
+           SELECT wk, CAST(sum(dau) AS BIGINT) AS sum_dau,
+             count(*) AS n_days
+           FROM (SELECT wk, day, count(*) AS dau FROM udw GROUP BY wk, day)
+           GROUP BY wk),
+         wau AS (
+           SELECT wk, CAST(count(*) AS BIGINT) AS wau
+           FROM (SELECT DISTINCT wk, user_id FROM udw) GROUP BY wk)
+         SELECT dau.wk, n_days, sum_dau, wau,
+           (1000000 * sum_dau) // (n_days * wau) AS stickiness_ppm
+         FROM dau JOIN wau USING (wk) ORDER BY wk""",
+
+
+    "supplier_return_wilson" ->
+      """WITH agg AS (
+           SELECT l_suppkey AS supplier, count(*) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS returns
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT supplier, n, returns,
+           CAST(floor(1000000.0 * (
+             (CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
+               + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+               - 1.96 * sqrt((CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(returns AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / CAST(n AS DOUBLE)
+                 + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE)))) AS BIGINT)
+             AS wilson_lb_ppm
+         FROM agg ORDER BY wilson_lb_ppm DESC, supplier LIMIT 20""",
+
+
+    "events_session_stats" ->
+      """WITH s0 AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)
+                 > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+           FROM events),
+         s1 AS (
+           SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM s0),
+         sess AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000
+               AS dur_sec
+           FROM s1 GROUP BY user_id, session_id),
+         b AS (
+           SELECT CASE WHEN n_events = 1 THEN 'a_bounce'
+                       WHEN n_events <= 4 THEN 'b_2_4'
+                       WHEN n_events <= 9 THEN 'c_5_9'
+                       ELSE 'd_10_plus' END AS depth_bucket, dur_sec
+           FROM sess),
+         agg AS (
+           SELECT depth_bucket, count(*) AS n_sessions,
+             CAST(round(2 * median(dur_sec)) AS BIGINT) AS med2_dur_sec
+           FROM b GROUP BY depth_bucket),
+         tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS ts0 FROM agg)
+         SELECT depth_bucket, n_sessions,
+           (1000000 * n_sessions) // ts0 AS share_ppm, med2_dur_sec
+         FROM agg CROSS JOIN tot ORDER BY depth_bucket""",
+
+
+    "events_entropy_rate" ->
+      """WITH tr AS (
+           SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS dst
+           FROM events),
+         cells AS (
+           SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+           FROM tr WHERE dst IS NOT NULL GROUP BY src, dst),
+         rt AS (SELECT src, CAST(sum(c) AS BIGINT) AS cs
+                FROM cells GROUP BY src),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cells),
+         terms AS (
+           SELECT src, dst,
+             -(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)) AS term,
+             tt
+           FROM cells JOIN rt USING (src) CROSS JOIN tot),
+         h AS (
+           SELECT max(tt) AS n_transitions,
+             list_reduce(list_prepend(0.0,
+               list(term ORDER BY src, dst)), (a, x) -> a + x) AS h
+           FROM terms)
+         SELECT n_transitions, round(h, 6) AS entropy_rate,
+           round(exp(h), 6) AS perplexity
+         FROM h""",
+
+
+    "orders_backlog_aging" ->
+      """WITH o AS (
+           SELECT o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM orders WHERE o_orderstatus <> 'F'),
+         ref AS (SELECT max(o_orderdate) AS refd FROM o),
+         b AS (
+           SELECT cents,
+             CASE WHEN date_diff('day', o_orderdate, refd) <= 30
+                  THEN 'a_0_30'
+                  WHEN date_diff('day', o_orderdate, refd) <= 60
+                  THEN 'b_31_60'
+                  WHEN date_diff('day', o_orderdate, refd) <= 90
+                  THEN 'c_61_90'
+                  ELSE 'd_90_plus' END AS bucket
+           FROM o CROSS JOIN ref),
+         agg AS (
+           SELECT bucket, count(*) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS value_cents
+           FROM b GROUP BY bucket),
+         tot AS (SELECT CAST(sum(value_cents) AS HUGEINT) AS tv FROM agg)
+         SELECT bucket, n_orders, value_cents,
+           CAST((1000000 * CAST(value_cents AS HUGEINT)) // tv AS BIGINT)
+             AS value_share_ppm
+         FROM agg CROSS JOIN tot ORDER BY bucket""",
+
+
+    "events_hourly_heatmap" ->
+      """WITH cells AS (
+           SELECT isodow(ts) - 1 AS dow, hour(ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM cells)
+         SELECT dow, hr, n, (1000000 * n) // tn AS share_ppm
+         FROM cells CROSS JOIN tot ORDER BY dow, hr""",
+
+
+    "orders_priority_sla" ->
+      """WITH j AS (
+           SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS gap
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+         SELECT priority, count(*) AS n_lines,
+           CAST(round(2 * median(gap)) AS BIGINT) AS p50_gap_x2,
+           (1000000 * CAST(sum(CASE WHEN gap <= 60 THEN 1 ELSE 0 END)
+             AS BIGINT)) // count(*) AS within_60d_ppm
+         FROM j GROUP BY priority ORDER BY priority""",
+
+
+    "events_error_pchart" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS errs
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(errs) AS BIGINT) AS te
+           FROM daily),
+         x AS (
+           SELECT day, n, errs,
+             (1000000 * errs) // n AS p_ppm,
+             CAST(te AS DOUBLE) / CAST(tn AS DOUBLE) AS pbar,
+             sqrt((CAST(te AS DOUBLE) / CAST(tn AS DOUBLE))
+               * (1.0 - CAST(te AS DOUBLE) / CAST(tn AS DOUBLE))
+               / CAST(n AS DOUBLE)) AS sigma
+           FROM daily CROSS JOIN tot)
+         SELECT day, n, errs, p_ppm,
+           CAST(floor(1000000.0 * (pbar + 3.0 * sigma)) AS BIGINT)
+             AS ucl_ppm,
+           CAST(floor(1000000.0 * (pbar - 3.0 * sigma)) AS BIGINT)
+             AS lcl_ppm,
+           (CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) > pbar + 3.0 * sigma
+            OR CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)
+              < pbar - 3.0 * sigma) AS out_of_control
+         FROM x ORDER BY day""",
+
+
+    "events_user_lifecycle" ->
+      """WITH e AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+           FROM events),
+         classified AS (
+           SELECT user_id, w,
+             lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w
+           FROM e),
+         per_week AS (
+           SELECT w, count(*) AS actives,
+             CAST(sum(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN prev_w = w - INTERVAL 7 DAY THEN 1
+               ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN prev_w IS NOT NULL
+               AND prev_w < w - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_resurrected
+           FROM classified GROUP BY w)
+         SELECT a.w, a.actives, a.n_new, a.n_retained, a.n_resurrected,
+           COALESCE(p.actives, 0) - a.n_retained AS n_churned
+         FROM per_week a
+         LEFT JOIN per_week p ON p.w + INTERVAL 7 DAY = a.w
+         ORDER BY a.w""",
+
+
+    "orders_mix_drift" ->
+      """WITH per AS (
+           SELECT date_trunc('month', o_orderdate) AS mon,
+             o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         months AS (SELECT DISTINCT mon FROM per),
+         prios AS (SELECT DISTINCT prio FROM per),
+         grid AS (
+           SELECT m.mon, p.prio, coalesce(x.c, 0) AS c
+           FROM months m CROSS JOIN prios p
+           LEFT JOIN per x ON x.mon = m.mon AND x.prio = p.prio),
+         tot AS (SELECT mon, CAST(sum(c) AS BIGINT) AS n
+                 FROM grid GROUP BY mon),
+         g AS (SELECT grid.mon, grid.prio, grid.c, tot.n
+               FROM grid JOIN tot ON tot.mon = grid.mon),
+         pairs AS (
+           SELECT a.mon, a.prio, a.n AS na, b.n AS nb,
+             CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS p,
+             CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS q
+           FROM g a JOIN g b
+             ON b.mon = a.mon + INTERVAL 1 MONTH AND b.prio = a.prio),
+         tv AS (
+           SELECT mon, prio, na, nb,
+             0.5 * (CASE WHEN p > 0.0
+               THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END)
+             + 0.5 * (CASE WHEN q > 0.0
+               THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END) AS v
+           FROM pairs)
+         SELECT CAST(mon AS TIMESTAMP) AS mon,
+           max(na) AS n_month, max(nb) AS n_next,
+           round(list_reduce(list_prepend(0.0, list(v ORDER BY prio)),
+             (a, b) -> a + b), 6) AS jsd_nats
+         FROM tv GROUP BY mon ORDER BY mon""",
+
+
+    "orders_abc_analysis" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM lineitem GROUP BY 1),
+         cum AS (
+           SELECT l_partkey, rev_cents,
+             CAST(sum(rev_cents) OVER (
+               ORDER BY rev_cents DESC, l_partkey) AS BIGINT) AS cum,
+             CAST(sum(rev_cents) OVER () AS BIGINT) AS total
+           FROM rev),
+         classed AS (
+           SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                       WHEN cum * 100 <= total * 95 THEN 'B'
+                       ELSE 'C' END AS cls,
+             rev_cents, total
+           FROM cum)
+         SELECT cls, count(*) AS n_parts,
+           CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents,
+           CAST((CAST(sum(rev_cents) AS HUGEINT) * 1000000) // max(total)
+             AS BIGINT) AS share_ppm
+         FROM classed GROUP BY cls ORDER BY cls""",
+
+
+    "events_anomaly_rate_spike" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS d,
+             count(*) AS x
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, d, x,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7,
+             count(*) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+           FROM daily)
+         SELECT event_type, d, x, s7,
+           CAST(floor(1000000.0 *
+               (CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) /
+               sqrt(CAST(s7 AS DOUBLE) / 7.0)) AS BIGINT) AS z_ppm,
+           CAST(floor(1000000.0 *
+               (CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) /
+               sqrt(CAST(s7 AS DOUBLE) / 7.0)) AS BIGINT) > 3000000
+             AS spike
+         FROM win WHERE n7 = 7 ORDER BY event_type, d""",
+
+
+    "orders_interarrival" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         gaps AS (
+           SELECT o_custkey,
+             CAST(date_diff('day', prev, o_orderdate) AS BIGINT) AS gap_days
+           FROM o WHERE prev IS NOT NULL),
+         agg AS (
+           SELECT o_custkey, count(*) AS n_gaps,
+             CAST(sum(gap_days) AS BIGINT) AS sum_days,
+             min(gap_days) AS min_days, max(gap_days) AS max_days,
+             CAST(sum(gap_days * gap_days) AS BIGINT) AS sumsq
+           FROM gaps GROUP BY 1)
+         SELECT o_custkey, n_gaps, sum_days, min_days, max_days,
+           (sum_days * 1000) // n_gaps AS mean_milli,
+           CAST(floor(1000000.0 *
+               sqrt((CAST(n_gaps AS DOUBLE) * CAST(sumsq AS DOUBLE)
+                 - CAST(sum_days AS DOUBLE) * CAST(sum_days AS DOUBLE))
+                 / CAST(n_gaps AS DOUBLE))
+               / (CAST(sum_days AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+             AS BIGINT) AS cv_ppm
+         FROM agg WHERE n_gaps >= 2 AND sum_days > 0
+         ORDER BY o_custkey""",
+
+
+    "orders_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         no_t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+         single AS (SELECT l_partkey, count(*) AS na FROM li GROUP BY 1),
+         pairs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+             CAST(sa.na AS BIGINT) AS na, CAST(sb.na AS BIGINT) AS nb,
+             CAST((1000000 * n_ab * n_orders) // (sa.na * sb.na) AS BIGINT)
+               AS lift_ppm
+           FROM pairs
+           JOIN single sa ON pa = sa.l_partkey
+           JOIN single sb ON pb = sb.l_partkey
+           CROSS JOIN no_t)
+         SELECT pa, pb, n_ab, na, nb, lift_ppm FROM scored
+         ORDER BY n_ab DESC, lift_ppm DESC, pa, pb LIMIT 20""",
+
+
+    "sessions_concurrency" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events
+         ), y AS (
+           SELECT user_id, event_id, ts, us,
+             CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM x
+         ), z AS (
+           SELECT user_id, us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM y
+         ), sess AS (
+           SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+           FROM z GROUP BY 1, 2
+         ), bounds AS (
+           SELECT s_us AS t_us, CAST(1 AS BIGINT) AS delta FROM sess
+           UNION ALL
+           SELECT e_us AS t_us, CAST(-1 AS BIGINT) AS delta FROM sess
+         ), r AS (
+           SELECT t_us, delta,
+             CAST(sum(delta) OVER (ORDER BY t_us, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS running
+           FROM bounds)
+         SELECT CAST(date_trunc('day', make_timestamp(t_us)) AS TIMESTAMP)
+             AS day,
+           max(greatest(running, running - delta)) AS peak_concurrent,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_session_starts
+         FROM r GROUP BY 1 ORDER BY day""",
+
+
+    // the oracle is the DECLARATIVE dominance anti-join — equality
+    // proves the sort-sweep finds exactly the non-dominated set
+    "part_skyline" ->
+      """WITH p AS (
+           SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+           FROM part)
+         SELECT b.p_partkey, b.price_cents, b.size
+         FROM p b
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p a
+           WHERE a.price_cents <= b.price_cents AND a.size >= b.size
+             AND (a.price_cents < b.price_cents OR a.size > b.size))
+         ORDER BY b.p_partkey""",
+
+
+    "cdc_apply" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ), deletes AS (
+           SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0
+         ), updates AS (
+           SELECT o_orderkey,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE) AS new_price
+           FROM base WHERE o_orderkey % 100 = 0
+         ), inserts AS (
+           SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
+           FROM base WHERE o_orderkey % 101 = 0
+         )
+         SELECT b.o_orderkey, b.o_custkey,
+           coalesce(u.new_price, b.o_totalprice) AS o_totalprice
+         FROM base b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
+         WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+         UNION ALL SELECT * FROM inserts
+         ORDER BY o_orderkey""",
+
+
+    "scd2_build" ->
+      """WITH updates AS (
+           -- native JSON extraction (shared semantics with Spark's
+           -- get_json_object: real parsing, not a regexp over the text);
+           -- the integer guard mirrors Spark's string->long cast, which
+           -- nulls non-integer values where DuckDB's cast would round
+           SELECT user_id, ts, event_id,
+             CAST(CASE WHEN json_extract_string(props, '$.k')
+                            SIMILAR TO '-?[0-9]+'
+                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+           FROM events WHERE event_type = 'view'
+         ), changes AS (
+           SELECT user_id, ts, event_id, k FROM (
+             SELECT *, lag(k) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_k
+             FROM updates)
+           WHERE prev_k IS NULL OR k <> prev_k
+         )
+         SELECT user_id, k, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+         FROM changes
+         ORDER BY user_id, valid_from""",
+
+
+    "scd2_point_in_time" ->
+      """WITH updates AS (
+           SELECT user_id, ts, event_id,
+             CAST(CASE WHEN json_extract_string(props, '$.k')
+                            SIMILAR TO '-?[0-9]+'
+                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+           FROM events WHERE event_type = 'view'
+         ), changes AS (
+           SELECT user_id, ts, event_id, k FROM (
+             SELECT *, lag(k) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_k
+             FROM updates)
+           WHERE prev_k IS NULL OR k <> prev_k
+         ), hist AS (
+           SELECT user_id, k, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+           FROM changes
+         ), mid AS (
+           SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t_mid
+           FROM events)
+         SELECT user_id, k, ts AS valid_from
+         FROM hist CROSS JOIN mid
+         WHERE epoch_us(ts) <= t_mid
+           AND (valid_to IS NULL OR epoch_us(valid_to) > t_mid)
+         ORDER BY user_id""",
+
+
+    "events_funnel" ->
+      """WITH su AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id
+         ), cl AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN su ON e.user_id = su.user_id
+           WHERE e.event_type = 'click' AND e.ts > su.t1 GROUP BY e.user_id
+         ), pu AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN cl ON e.user_id = cl.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > cl.t2 GROUP BY e.user_id
+         )
+         SELECT '1_signup' AS step, count(*) AS n_users FROM su
+         UNION ALL SELECT '2_click', count(*) FROM cl
+         UNION ALL SELECT '3_purchase', count(*) FROM pu
+         ORDER BY step""",
+
+
+    "events_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+         tc AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS x, b.event_type AS y, count(*) AS n_xy
+           FROM ut a JOIN ut b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT x, y, n_xy,
+           round(ln(CAST(n_xy * nu.n_users AS DOUBLE)
+             / CAST(tx.n * ty.n AS DOUBLE)), 6) AS pmi
+         FROM p CROSS JOIN nu
+         JOIN tc tx ON tx.event_type = p.x
+         JOIN tc ty ON ty.event_type = p.y
+         ORDER BY x, y""",
+
+
+    "retention_cohorts" ->
+      """WITH first AS (
+           SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+           FROM events GROUP BY user_id
+         ), active AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+         )
+         SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS weeks_since,
+           count(*) AS n_users
+         FROM active JOIN first USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+
+    "events_top_paths" ->
+      """WITH o AS (
+           SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_type || '->' || e2 || '->' || e3 AS path,
+           count(*) AS n
+         FROM o WHERE e3 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+
+
+    "funnel_time_to_convert" ->
+      """WITH signups AS (
+           SELECT user_id, min(epoch_ms(ts)) AS signup_ms
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         lat AS (
+           SELECT min(epoch_ms(e.ts)) - s.signup_ms AS latency_ms
+           FROM events e JOIN signups s USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.signup_ms
+           GROUP BY e.user_id, s.signup_ms)
+         SELECT count(*) AS n_converting_users,
+           round(quantile_cont(latency_ms, 0.25), 4) AS p25,
+           round(quantile_cont(latency_ms, 0.5), 4) AS p50,
+           round(quantile_cont(latency_ms, 0.75), 4) AS p75,
+           CAST(max(latency_ms) AS BIGINT) AS max_ms
+         FROM lat""",
+
+
+    "events_rolling_active" ->
+      """WITH fanned AS (
+           SELECT date_trunc('day', ts) - INTERVAL (k) DAY AS win_start,
+             user_id
+           FROM events CROSS JOIN range(0, 7) r(k))
+         SELECT win_start, count(DISTINCT user_id) AS active_users_7d,
+           count(*) AS n_events_7d
+         FROM fanned GROUP BY win_start ORDER BY win_start""",
+
+
+    "events_funnel_windowed" ->
+      """WITH su AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         cl AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN su ON e.user_id = su.user_id
+           WHERE e.event_type = 'click' AND e.ts > su.t1
+             AND e.ts <= su.t1 + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+         pu AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN cl ON e.user_id = cl.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > cl.t2
+             AND e.ts <= cl.t2 + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+         ns AS (
+           SELECT (SELECT count(*) FROM su) AS n1,
+             (SELECT count(*) FROM cl) AS n2,
+             (SELECT count(*) FROM pu) AS n3)
+         SELECT step, n_users, conv_ppm FROM (
+           SELECT '1_signup' AS step, n1 AS n_users,
+             CAST(1000000 AS BIGINT) AS conv_ppm FROM ns
+           UNION ALL
+           SELECT '2_click_24h', n2, (1000000 * n2) // n1 FROM ns
+           UNION ALL
+           SELECT '3_purchase_24h', n3, (1000000 * n3) // n2 FROM ns)
+         ORDER BY step""",
+
+
+    "customers_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS d_max FROM orders),
+         per AS (
+           SELECT o_custkey, max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+               AS BIGINT) AS monetary_cents
+           FROM orders GROUP BY o_custkey),
+         scored AS (
+           SELECT o_custkey,
+             CAST(date_diff('day', last_order, d_max) AS BIGINT)
+               AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+             CAST(ntile(5) OVER (ORDER BY
+               date_diff('day', last_order, d_max) DESC, o_custkey)
+               AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+               AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+               AS BIGINT) AS m_score
+           FROM per CROSS JOIN mx)
+         SELECT o_custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS segment
+         FROM scored ORDER BY o_custkey""",
+
+
+    "events_sequence_mining" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+           FROM events)
+         SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         GROUP BY e1, e2, e3
+         ORDER BY n_users DESC, n_occurrences DESC, e1, e2, e3 LIMIT 15""",
+
+
+    "orders_market_basket" ->
+      """WITH b AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+         tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+         freq AS (
+           SELECT item, CAST(count(*) AS BIGINT) AS cnt
+           FROM b CROSS JOIN tot GROUP BY item, n_orders
+           HAVING count(*) * 1000 >= n_orders * 2),
+         bf AS (SELECT b.ok, b.item, f.cnt FROM b JOIN freq f USING (item)),
+         pairs AS (
+           SELECT x.item AS item_a, y.item AS item_b,
+             CAST(count(*) AS BIGINT) AS cnt_ab,
+             max(x.cnt) AS cnt_a, max(y.cnt) AS cnt_b
+           FROM bf x JOIN bf y ON x.ok = y.ok AND x.item < y.item
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, cnt_ab, cnt_a, cnt_b,
+           CAST((1000000 * cnt_ab) // n_orders AS BIGINT) AS support_ppm,
+           CAST((1000000 * cnt_ab) // cnt_a AS BIGINT) AS conf_ab_ppm,
+           CAST((1000000 * CAST(cnt_ab AS HUGEINT) * n_orders)
+             // (CAST(cnt_a AS HUGEINT) * cnt_b) AS BIGINT) AS lift_ppm
+         FROM pairs CROSS JOIN tot
+         ORDER BY cnt_ab DESC, item_a, item_b LIMIT 20""",
+
+
+    "events_cep_match" ->
+      """WITH
+         a1 AS (SELECT user_id, ts AS ts_a FROM events
+                WHERE event_type = 'view'),
+         m1 AS (SELECT a.user_id FROM a1 a WHERE EXISTS (
+             SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+               AND b.user_id = a.user_id AND b.ts > a.ts_a
+               AND b.ts <= a.ts_a + INTERVAL 30 MINUTE)),
+         l1 AS (SELECT 'view->purchase' AS pattern,
+             (SELECT CAST(count(*) AS BIGINT) FROM a1) AS n_triggers,
+             CAST(count(*) AS BIGINT) AS n_matched,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM m1),
+         a2 AS (SELECT user_id, ts AS ts_a FROM events
+                WHERE event_type = 'signup'),
+         m2 AS (SELECT a.user_id FROM a2 a WHERE EXISTS (
+             SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+               AND b.user_id = a.user_id AND b.ts > a.ts_a
+               AND b.ts <= a.ts_a + INTERVAL 30 MINUTE)),
+         l2 AS (SELECT 'signup->purchase',
+             (SELECT CAST(count(*) AS BIGINT) FROM a2),
+             CAST(count(*) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT)
+           FROM m2),
+         a3 AS (SELECT user_id, ts AS ts_a FROM events
+                WHERE event_type = 'error'),
+         m3 AS (SELECT a.user_id FROM a3 a WHERE EXISTS (
+             SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+               AND b.user_id = a.user_id AND b.ts > a.ts_a
+               AND b.ts <= a.ts_a + INTERVAL 30 MINUTE)),
+         l3 AS (SELECT 'error->purchase',
+             (SELECT CAST(count(*) AS BIGINT) FROM a3),
+             CAST(count(*) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT)
+           FROM m3),
+         uni AS (
+           SELECT * FROM l1 UNION ALL SELECT * FROM l2
+           UNION ALL SELECT * FROM l3)
+         SELECT pattern, n_triggers, n_matched, n_users,
+           CAST((1000000 * n_matched) // n_triggers AS BIGINT) AS match_ppm
+         FROM uni ORDER BY pattern""",
+
+
+    "events_bot_score" ->
+      """WITH g0 AS (
+           SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+         gaps AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(gap) AS BIGINT) AS s1,
+             CAST(sum(gap * gap) AS BIGINT) AS s2
+           FROM g0 WHERE gap IS NOT NULL GROUP BY user_id),
+         tc AS (
+           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         tn AS (
+           SELECT user_id, CAST(sum(c) AS BIGINT) AS n_ev
+           FROM tc GROUP BY user_id),
+         ent AS (
+           SELECT user_id, n_ev,
+             CAST(floor(1000000.0 * list_reduce(list_prepend(0.0,
+               list(0.0 - (CAST(c AS DOUBLE) / CAST(n_ev AS DOUBLE))
+                 * ln(CAST(c AS DOUBLE) / CAST(n_ev AS DOUBLE))
+                 ORDER BY event_type)),
+               (a, b) -> a + b)) AS BIGINT) AS ent_ppm
+           FROM tc JOIN tn USING (user_id) GROUP BY user_id, n_ev),
+         j AS (
+           SELECT e.user_id, e.n_ev, e.ent_ppm,
+             CASE WHEN s1 = 0 THEN NULL ELSE
+               CAST(floor(1000000.0 *
+                 (CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)
+             END AS cv2_ppm
+           FROM ent e JOIN gaps USING (user_id))
+         SELECT user_id, n_ev, ent_ppm, cv2_ppm,
+           CAST(CASE WHEN n_ev >= 78 THEN 1 ELSE 0 END
+             + CASE WHEN cv2_ppm IS NOT NULL AND cv2_ppm < 250000
+               THEN 1 ELSE 0 END
+             + CASE WHEN ent_ppm < 1500000 THEN 1 ELSE 0 END AS BIGINT)
+             AS bot_score
+         FROM j
+         ORDER BY bot_score DESC, n_ev DESC, user_id LIMIT 20""",
+
+
+    "events_burst_viterbi" ->
+      // NOT a list_reduce: DuckDB 1.0.0's struct-accumulator fold
+      // aliases in place from the second application on (later fields
+      // read the CURRENT step's earlier fields — minimal repro in
+      // NOTES_r9), so a coupled two-field recursion silently corrupts.
+      // A recursive CTE has proper semantics on any version.
+      """WITH RECURSIVE hours AS (
+           SELECT date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS DOUBLE) AS y
+           FROM events GROUP BY 1),
+         muq AS (
+           SELECT sum(y) / CAST(count(*) AS DOUBLE) AS mu FROM hours),
+         idx AS (
+           SELECT CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS i, y
+           FROM hours),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM idx),
+         rec AS (
+           SELECT CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS c0,
+             CAST(8.0 AS DOUBLE) AS c1, CAST(0 AS BIGINT) AS nb
+           UNION ALL
+           SELECT r.i + 1,
+             (x.y - mu) * (x.y - mu) / mu
+               + CASE WHEN r.c0 <= r.c1 THEN r.c0 ELSE r.c1 END,
+             (x.y - CAST(1.5 AS DOUBLE) * mu)
+               * (x.y - CAST(1.5 AS DOUBLE) * mu) / mu
+               + CASE WHEN r.c0 + CAST(8.0 AS DOUBLE) <= r.c1
+                 THEN r.c0 + CAST(8.0 AS DOUBLE) ELSE r.c1 END,
+             r.nb + CASE WHEN (x.y - CAST(1.5 AS DOUBLE) * mu)
+                 * (x.y - CAST(1.5 AS DOUBLE) * mu) / mu
+                 < (x.y - mu) * (x.y - mu) / mu THEN 1 ELSE 0 END
+           FROM rec r JOIN idx x ON x.i = r.i + 1 CROSS JOIN muq)
+         SELECT n_hours,
+           CAST(floor(1000.0 * mu) AS BIGINT) AS mu_milli,
+           CAST(floor(1000.0 * c0) AS BIGINT) AS c0_milli,
+           CAST(floor(1000.0 * c1) AS BIGINT) AS c1_milli,
+           nb AS n_burst_hours,
+           CAST(floor(1000000.0 * CAST(nb AS DOUBLE)
+             / CAST(n_hours AS DOUBLE)) AS BIGINT) AS burst_share_ppm
+         FROM rec CROSS JOIN nq CROSS JOIN muq WHERE i = n_hours""",
+
+
+    "events_funnel_windows" ->
+      """WITH signups AS (
+           SELECT user_id, min(epoch_ms(ts)) AS signup_ms
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         lat AS (
+           SELECT e.user_id,
+             CAST(min(epoch_ms(e.ts) - s.signup_ms) AS BIGINT) AS latency_ms
+           FROM events e JOIN signups s USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.signup_ms
+           GROUP BY e.user_id),
+         nsign AS (SELECT count(*) AS n_signup FROM signups),
+         wins AS (
+           SELECT * FROM (VALUES
+             ('01_1h', CAST(3600000 AS BIGINT)),
+             ('02_6h', CAST(21600000 AS BIGINT)),
+             ('03_24h', CAST(86400000 AS BIGINT)),
+             ('04_all', CAST(9223372036854775807 AS BIGINT)))
+             AS t(wname, bound)),
+         conv AS (
+           SELECT wname AS "window", count(*) AS n_converted,
+             CAST(max(latency_ms) AS BIGINT) AS max_latency_ms
+           FROM lat CROSS JOIN wins WHERE latency_ms <= bound
+           GROUP BY wname)
+         SELECT "window", n_signup, n_converted,
+           CAST((n_converted * 10000) // n_signup AS BIGINT) AS conv_bp,
+           max_latency_ms
+         FROM conv CROSS JOIN nsign ORDER BY "window"""",
+
+
+    "customers_revenue_concentration" ->
+      """WITH spend AS (
+           SELECT o_custkey AS custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         nf AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS tot
+                FROM spend),
+         ranked AS (
+           SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, custkey) AS rn
+           FROM spend),
+         dec AS (
+           SELECT cents, ((rn - 1) * 10) // n AS decile
+           FROM ranked CROSS JOIN nf)
+         SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_customers,
+           CAST((sum(cents) * 1000000) // max(tot) AS BIGINT)
+             AS revenue_share_ppm,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents
+         FROM dec CROSS JOIN nf GROUP BY decile ORDER BY decile"""
+  )
+}

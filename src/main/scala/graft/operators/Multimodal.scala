@@ -246,6 +246,12 @@ object Multimodal {
     if (p.length >= 4 && u8(p, 0) == 0xff && u8(p, 1) == 0xd8) {
       var i = 2
       while (i + 3 < p.length && u8(p, i) == 0xff) {
+        // spec-legal 0xFF fill/padding bytes may precede a marker id
+        // (ITU T.81 §B.1.1.2 — many real encoders emit them); skip runs
+        // of 0xFF so the byte after the LAST one is read as the marker
+        // (ADVICE r10: reading a fill byte as a marker id misparses the
+        // following bytes and degrades valid JPEGs to fmt=unknown)
+        while (i + 3 < p.length && u8(p, i + 1) == 0xff) i += 1
         val m = u8(p, i + 1)
         if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
         else {

@@ -23,6 +23,15 @@ import org.apache.spark.storage.StorageLevel
   * only on the keys forming a total order (callers must include a
   * unique tiebreak column), because offset + within-partition rank is
   * the exact global position for ANY contiguous range split.
+  *
+  * CACHE LIFETIME (ADVICE r10): the persist has no safe unpersist point
+  * inside a lazy builder (the returned plan reads it twice — offsets and
+  * output — and the caller decides when to execute), so these frames stay
+  * registered in the session's CacheManager until evicted (MEMORY_AND_DISK
+  * evicts under pressure; it does not OOM). Long-lived sessions issuing
+  * many ranked queries — chained calls like customers_rfm's three axes
+  * included — should call `spark.catalog.clearCache()` between query
+  * batches, which is exactly what Bench and Verify do after every query.
   */
 object Rank {
 

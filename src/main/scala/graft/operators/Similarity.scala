@@ -234,10 +234,18 @@ object Similarity {
     * assignment cosines) says the base-trained quantizer no longer fits
     * the grown corpus, this retrains the coarse quantizer ON the grown
     * corpus (read from the index itself), writes the re-assigned corpus
-    * cell-partitioned into a fresh directory, and atomically installs it
-    * over `path` with the `Layout.compact` rename protocol (move aside →
-    * install → roll back on failure), so concurrent readers see either
-    * the old index or the new one, never a half-written mix.
+    * cell-partitioned into a fresh directory, and installs it over
+    * `path` with the `Layout.compact` rename protocol (move aside →
+    * install → roll back on failure). Each rename is atomic but the PAIR
+    * is not: between rename(path→old) and rename(tmp→path) a concurrent
+    * reader sees no directory at `path` (FileNotFound, never a
+    * half-written mix), and a crash in that window leaves the intact
+    * index parked at `_recluster_old` for manual restore — true
+    * single-rename atomicity needs a manifest/indirection pointer, which
+    * this layout deliberately avoids (plain parquet dirs stay readable
+    * by any engine). Stale `_recluster_tmp`/`_recluster_old` dirs from a
+    * crashed prior attempt are cleaned up front so a retry cannot fail
+    * on rename-onto-existing-path.
     *
     * Training is a deterministic pure function of the vector SET
     * (first-k init by ascending id, canonical ascending-id mean folds),
@@ -261,20 +269,29 @@ object Similarity {
     val cents = spark.createDataset(trained.toIndexedSeq)
       .toDF(centroidIdCol, vecCol)
     val tmp = new org.apache.hadoop.fs.Path(path + "_recluster_tmp")
+    val hPath0 = new org.apache.hadoop.fs.Path(path)
+    val fs0 = hPath0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed prior attempt may have left staging/parked dirs behind;
+    // rename onto an existing path returns false, so clean them up front.
+    // _recluster_old is only stale if `path` itself exists (a crash
+    // BETWEEN the two renames leaves the sole intact index parked there —
+    // never delete it in that state; the read above already failed loudly
+    // if `path` was missing).
+    fs0.delete(tmp, true)
+    if (fs0.exists(hPath0))
+      fs0.delete(new org.apache.hadoop.fs.Path(path + "_recluster_old"), true)
     Layout.writePartitioned(
       assignToCentroids(corpus, cents, idCol, vecCol, centroidIdCol)
         .select(col(centroidIdCol), col(idCol), col(vecCol)),
       tmp.toString, Seq(centroidIdCol))
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(path + "_recluster_old")
-    if (!fs.rename(hPath, old))
+    if (!fs0.rename(hPath0, old))
       throw new java.io.IOException(s"recluster: cannot move $path aside")
-    if (!fs.rename(tmp, hPath)) {
-      fs.rename(old, hPath) // roll back
+    if (!fs0.rename(tmp, hPath0)) {
+      fs0.rename(old, hPath0) // roll back
       throw new java.io.IOException(s"recluster: cannot install $tmp")
     }
-    fs.delete(old, true)
+    fs0.delete(old, true)
     cents
   }
 

@@ -624,6 +624,26 @@ class OperatorsSpec extends SparkSpec {
     val hj = Multimodal.parseHeader(1L, jpeg)
     assert(hj.fmt == "jpeg" && hj.width.contains(64L) && hj.height.contains(48L), hj)
 
+    // same JPEG with spec-legal 0xFF fill bytes padded before the SOF0 and
+    // SOS markers (ITU T.81 §B.1.1.2) — real encoders emit these, and a
+    // walk that reads the fill byte AS the marker id misparses from there
+    // (ADVICE r10 regression)
+    val padded: Array[Byte] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var i = 0
+      while (i < jpeg.length) {
+        if (i + 1 < jpeg.length && (jpeg(i) & 0xff) == 0xff &&
+            ((jpeg(i + 1) & 0xff) == 0xc0 || (jpeg(i + 1) & 0xff) == 0xda))
+          b ++= Seq(0xff, 0xff, 0xff).map(_.toByte) // fill run, then marker
+        b += jpeg(i)
+        i += 1
+      }
+      b.toArray
+    }
+    val hjp = Multimodal.parseHeader(1L, padded)
+    assert(hjp.fmt == "jpeg" && hjp.width.contains(64L) &&
+      hjp.height.contains(48L), hjp)
+
     // builder round-trips for all three containers, offsets varied
     for (com <- Seq(1, 13, 29); prog <- Seq(false, true)) {
       val h = Multimodal.parseHeader(2L,
