@@ -252,6 +252,11 @@ object Multimodal {
         // (ADVICE r10: reading a fill byte as a marker id misparses the
         // following bytes and degrades valid JPEGs to fmt=unknown)
         while (i + 3 < p.length && u8(p, i + 1) == 0xff) i += 1
+        // the skip loop can exit at i+3 == p.length with the fill run still
+        // going; re-check the bound before the 2-byte length read below or
+        // a payload ending in an 0xFF run reads p(p.length) and crashes the
+        // task instead of degrading to fmt=unknown (ADVICE r11)
+        if (i + 3 >= p.length) return none
         val m = u8(p, i + 1)
         if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
         else {

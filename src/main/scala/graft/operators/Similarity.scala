@@ -288,8 +288,11 @@ object Similarity {
     if (!fs0.rename(hPath0, old))
       throw new java.io.IOException(s"recluster: cannot move $path aside")
     if (!fs0.rename(tmp, hPath0)) {
-      fs0.rename(old, hPath0) // roll back
-      throw new java.io.IOException(s"recluster: cannot install $tmp")
+      val rolledBack = fs0.rename(old, hPath0)
+      throw new java.io.IOException(
+        if (rolledBack) s"recluster: cannot install $tmp (rolled back to prior index)"
+        else s"recluster: cannot install $tmp AND rollback failed — sole intact " +
+          s"index parked at ${path}_recluster_old; restore it manually")
     }
     fs0.delete(old, true)
     cents

@@ -183,9 +183,21 @@ class EntryCompositionSpec extends AnyFunSuite {
       s"oracles registered in multiple families: ${dups.view.mapValues(_.map(_._2)).toMap}")
   }
 
-  test("composed map contains every pinned round-10 name") {
-    val missing = pinnedR10 -- SparkEntry.queries.keySet
+  /** Forward-pin discipline (r11 verdict #6): every query added after the
+    * r10 416-name pin must be CONSCIOUSLY listed here, in the same commit
+    * that registers it in its family file — set-equality below makes an
+    * unpinned addition a test failure, not a silent drift. */
+  private val newSinceR10: Set[String] = Set.empty
+
+  test("composed map equals the pin plus the explicit new-query list") {
+    val expected = pinnedR10 ++ newSinceR10
+    val actual = SparkEntry.queries.keySet
+    val missing = expected -- actual
+    val unpinned = actual -- expected
     assert(missing.isEmpty, s"split dropped queries: ${missing.toSeq.sorted}")
+    assert(unpinned.isEmpty,
+      s"queries registered without a pin entry (add to newSinceR10): " +
+        s"${unpinned.toSeq.sorted}")
   }
 
   test("every query has an oracle and vice versa (zero drift)") {

@@ -666,6 +666,20 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.parseHeader(7L, trunc).fmt == "unknown")
     val noSof = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)
     assert(Multimodal.parseHeader(8L, noSof).fmt == "unknown")
+
+    // ADVICE r11 regression: a payload ENDING in an 0xFF fill run must
+    // degrade to unknown, not index past the array — the skip loop can
+    // exit with i+3 == p.length and the 2-byte length read would crash
+    assert(Multimodal.parseHeader(9L,
+      Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xd9).map(_.toByte)).fmt == "unknown")
+    assert(Multimodal.parseHeader(10L,
+      Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)).fmt == "unknown")
+    assert(Multimodal.parseHeader(11L,
+      Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)).fmt == "unknown")
+    // valid JPEG with a fill run APPENDED after EOI still parses
+    val tailFill = jpeg ++ Array.fill(5)(0xff.toByte)
+    val hjt = Multimodal.parseHeader(12L, tailFill)
+    assert(hjt.fmt == "jpeg" && hjt.width.contains(64L), hjt)
   }
 
   test("autoK: ⌈√n⌉ clamped — cells scale with corpus instead of growing linearly") {

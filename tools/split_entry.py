@@ -4,8 +4,12 @@ literals into per-family registration files (graft/entry/Entry*.scala),
 leaving helpers on SparkEntry as private[graft] and replacing the literals
 with compositions. Entries are moved VERBATIM (byte-for-byte spans cut at
 top-level commas found by a string/comment-aware bracket scanner), so the
-416-query behavior cannot drift. Also emits the name-set pin used by
-EntryCompositionSpec."""
+416-query behavior cannot drift. Two exceptions landed in the same round-11
+diff and were NOT verbatim moves (ADVICE r11): `pack_bestfit_eval`
+(EntryTrainData.scala — full-shard-domain output) and `stats_g_test`
+(EntryStats.scala — dof-based chi-square critical value); both were edited
+consistently on engine and oracle sides and pass CORRECTNESS_r11. Also
+emits the name-set pin used by EntryCompositionSpec."""
 import re
 import sys
 
