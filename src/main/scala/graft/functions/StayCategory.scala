@@ -27,12 +27,19 @@ object StayCategory {
   /** Lenient date parse (D1): the reference uses dateutil.parser.parse
     * (/root/reference/src/main.py:76-77), which accepts ISO and several
     * other layouts. Observed data is ISO `yyyy-MM-dd`; we accept that plus
-    * `yyyy/MM/dd` and Spark's default parse, null on failure (try_to_date).
-    */
-  def lenientDate(c: Column): Column = coalesce(
-    try_to_date(c, "yyyy-MM-dd"),
-    try_to_date(c, "yyyy/MM/dd"),
-    try_to_date(c))
+    * `yyyy/MM/dd` and everything Spark's default string→date cast takes
+    * (`yyyy-M-d`, trailing time-of-day, ...), null on failure.
+    *
+    * ONE expression, not a coalesce of per-format try_to_date branches:
+    * whole-stage codegen's subexpression elimination evaluates common
+    * coalesce branches EAGERLY, so the old 3-branch version paid all
+    * three formatter parses on every row (~8 µs/row — measured as the
+    * dominant per-row cost of the whole streaming changelog leg, r12
+    * sweep). Normalizing '/'→'-' first folds the slash format into the
+    * single cast-parse (~0.6 µs/row). Mixed-separator strings like
+    * `2020/03-04` now parse instead of returning null — dateutil accepts
+    * them too, so this is closer to the reference, not a deviation. */
+  def lenientDate(c: Column): Column = try_to_date(translate(c, "/", "-"))
 
   /** Whole-day stay duration (D2): (check_out - check_in).days,
     * /root/reference/src/main.py:83. Null if either side unparseable. */
