@@ -670,8 +670,16 @@ object Dedup {
   def incrementalDedupBloom(newDocs: DataFrame, corpus: DataFrame, idCol: String,
                             textCol: String, shingleSize: Int = 3, bands: Int = 16,
                             rowsPerBand: Int = 4, threshold: Double = 0.8,
-                            bloomWords: Int = 16384, bloomK: Int = 7): DataFrame = {
+                            bloomWords: Int = 0, bloomK: Int = 7): DataFrame = {
     import graft.functions.Bloom
+    // bloomWords = 0 (default) sizes each filter from its own key count at
+    // ~10 bits/key — the shape an offline index build uses. A FIXED size
+    // is a scale trap: the r12 decade audit measured this query 3.8×
+    // superlinear at 10× corpus because 2^20 bits saturate at ~800k band
+    // keys (FP ≈ 97% — the prefilter silently stops filtering and every
+    // probe pays the confirm join). Semantics are unaffected either way.
+    def sizedWords(nKeys: Long): Int =
+      math.min(1L << 26, math.max(16384L, (nKeys * 10 + 63) / 64)).toInt
     // the 64-bit probe KEY is projected once and persisted: the filter's
     // k conjuncts would otherwise each inline the md5+regex fingerprint
     // (no cross-conjunct subexpression elimination — measured as the
@@ -685,10 +693,12 @@ object Dedup {
     // reduced to words×8 bytes on the driver, inlined as plan LITERALS —
     // the probe is a plain codegen'd filter, no join, no per-row copy of
     // the filter array (offline, they'd be built next to the dedup index)
+    val fpWords =
+      if (bloomWords > 0) bloomWords else sizedWords(corpusFp.count())
     val fpBloom = Bloom.literal(
-      Bloom.buildWords(corpusFp, "key", bloomWords, bloomK))
+      Bloom.buildWords(corpusFp, "key", fpWords, bloomK))
     val fpSuspects = fp(newDocs)
-      .filter(Bloom.mightContain(fpBloom, col("key"), bloomWords, bloomK))
+      .filter(Bloom.mightContain(fpBloom, col("key"), fpWords, bloomK))
       .select(col(idCol), col("fp"))
     val exactDoomed = fpSuspects
       .join(corpusFp.select("fp").distinct(), Seq("fp"))
@@ -705,12 +715,14 @@ object Dedup {
     val bOld = bucketsFromShingles(shOld, idCol, bands, rowsPerBand)
       .select(col("band"), col("band_key"), col(idCol).as("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandWords =
+      if (bloomWords > 0) bloomWords else sizedWords(bOld.count())
     val bandBloom = Bloom.literal(Bloom.buildWords(
       bOld.select(xxhash64(col("band"), col("band_key")).as("key")),
-      "key", bloomWords, bloomK))
+      "key", bandWords, bloomK))
     val bNewSuspects = bNew
       .filter(Bloom.mightContain(bandBloom,
-        xxhash64(col("band"), col("band_key")), bloomWords, bloomK))
+        xxhash64(col("band"), col("band_key")), bandWords, bloomK))
       .select("band", "band_key", "id_a")
     val cands = bNewSuspects.join(bOld, Seq("band", "band_key"))
       .select("id_a", "id_b").distinct()
