@@ -54,7 +54,7 @@ object Bench {
   private[graft] def streamingLeg(spark: SparkSession, sfDir: String,
                                   nFiles: Int = 24, warmupBatches: Int = 3,
                                   timeoutSec: Int = 600,
-                                  shufflePartitions: Option[Int] = Some(8),
+                                  shufflePartitions: Option[Int] = Some(2),
                                   copies: Int = 1)
       : StreamingLegResult = {
     val staging = java.nio.file.Files
@@ -92,6 +92,11 @@ object Bench {
     // sizing partitions to the topology (a query-start-time decision —
     // Spark pins the state layout from this conf at checkpoint creation)
     // is the real streaming tuning knob. Restored after the run.
+    // r12 measured the commit cost at ~150 ms of fsync PER PARTITION per
+    // batch on this container's /tmp: 8 partitions spent 1.2–6 s/batch
+    // committing 5 state rows; 2 partitions ~140 ms. Map-side partial
+    // aggregation means ≤5 rows/map-task reach the state exchange, so
+    // fewer state partitions cost nothing upstream.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     shufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
