@@ -16,6 +16,67 @@ private[graft] object EntryPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
+    "quality_gopher_rules" -> ((s, dir) => {
+      // Gopher rule-based quality gate (Rae et al. 2021, Appendix A) —
+      // the published heuristic filter most LLM curation pipelines start
+      // from: word-count bounds, mean word length, symbol-to-word ratio
+      // ('#' and ellipses), bullet/ellipsis line ratios, alphabetic-word
+      // ratio, and ≥2 required stopwords. Every metric is a pure
+      // codegen'd Column over ONE documents scan (no shuffle, no UDF);
+      // `passes` is the conjunction of the seven published thresholds on
+      // the UNROUNDED values. 100 TB shape: embarrassingly parallel,
+      // prunes to the two text columns at the scan.
+      val txt = col("text")
+      val words = TextFunctions.tokens(txt)
+      val lwords = TextFunctions.tokens(lower(txt))
+      val nWords = size(words).cast("long")
+      val meanLen = when(nWords === 0, 0.0).otherwise(
+        aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
+          .cast("double") / nWords.cast("double"))
+      val nSym = (length(txt) - length(translate(txt, "#", ""))).cast("long") +
+        ((length(txt) - length(replace(txt, lit("...")))) / 3).cast("long") +
+        (length(txt) - length(translate(txt, "…", ""))).cast("long")
+      val symRatio = when(nWords === 0, 0.0)
+        .otherwise(nSym.cast("double") / nWords.cast("double"))
+      val lines = split(txt, "\n")
+      val nLines = size(lines).cast("long")
+      val bulletRatio = when(nLines === 0, 0.0).otherwise(
+        size(filter(lines, l =>
+          ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+            ltrim(l).startsWith("•"))).cast("double") / nLines.cast("double"))
+      val ellRatio = when(nLines === 0, 0.0).otherwise(
+        size(filter(lines, l =>
+          rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+          .cast("double") / nLines.cast("double"))
+      val alphaRatio = when(nWords === 0, 0.0).otherwise(
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+          / nWords.cast("double"))
+      val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(sw => when(array_contains(lwords, sw), 1L).otherwise(0L))
+        .reduce(_ + _)
+      // per-rule pass flags, so the output carries WHICH rules a doc
+      // fails (the synthetic corpus fails the stopword rule corpus-wide,
+      // so the bare conjunction alone would be a dead column)
+      val rules: Seq[Column] = Seq(
+        nWords.between(50L, 100000L), meanLen.between(3.0, 10.0),
+        symRatio <= 0.1, bulletRatio <= 0.9, ellRatio <= 0.3,
+        alphaRatio >= 0.8, stopHits >= 2L)
+      val nPassed = rules.map(r => when(r, 1L).otherwise(0L)).reduce(_ + _)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          nWords.as("n_words"),
+          round(meanLen, 4).as("mean_word_len"),
+          round(symRatio, 4).as("symbol_word_ratio"),
+          round(bulletRatio, 4).as("bullet_line_ratio"),
+          round(ellRatio, 4).as("ellipsis_line_ratio"),
+          round(alphaRatio, 4).as("alpha_word_ratio"),
+          stopHits.as("stop_hits"),
+          nPassed.as("n_rules_passed"),
+          rules.reduce(_ && _).as("passes"))
+        .orderBy("doc_id")
+    }),
+
+
     "quality_model_score" -> ((s, dir) => {
       // fastText-style hashed linear quality classifier: unigram+bigram
       // features via the hashing trick, deterministic integer weights
@@ -1064,6 +1125,67 @@ private[graft] object EntryPipeline {
   )
 
   val sql: Map[String, String] = Map(
+
+
+    // same seven Gopher thresholds on the same raw counts; `passes` uses
+    // the UNROUNDED values on both sides (round only decorates output)
+    "quality_gopher_rules" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS ws,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS lws,
+             string_split(text, chr(10)) AS lns
+           FROM documents
+         ), m AS (
+           SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE) END AS mean_raw,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+               + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_sym,
+             CAST(len(lns) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lns, l -> ltrim(l) LIKE '-%'
+               OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lns, l -> rtrim(l) LIKE '%...'
+               OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ell,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+               s2 -> list_contains(lws, s2))) AS BIGINT) AS stop_hits
+           FROM b
+         ), r AS (
+           SELECT doc_id, n_words, mean_raw, stop_hits,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) END AS sym_raw,
+             CASE WHEN n_lines = 0 THEN 0.0
+                  ELSE CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS bullet_raw,
+             CASE WHEN n_lines = 0 THEN 0.0
+                  ELSE CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS ell_raw,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_raw
+           FROM m
+         )
+         SELECT doc_id, n_words,
+           round(mean_raw, 4) AS mean_word_len,
+           round(sym_raw, 4) AS symbol_word_ratio,
+           round(bullet_raw, 4) AS bullet_line_ratio,
+           round(ell_raw, 4) AS ellipsis_line_ratio,
+           round(alpha_raw, 4) AS alpha_word_ratio,
+           stop_hits,
+           (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+             + CASE WHEN mean_raw BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+             + CASE WHEN sym_raw <= 0.1 THEN 1 ELSE 0 END
+             + CASE WHEN bullet_raw <= 0.9 THEN 1 ELSE 0 END
+             + CASE WHEN ell_raw <= 0.3 THEN 1 ELSE 0 END
+             + CASE WHEN alpha_raw >= 0.8 THEN 1 ELSE 0 END
+             + CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rules_passed,
+           (n_words BETWEEN 50 AND 100000 AND mean_raw BETWEEN 3.0 AND 10.0
+             AND sym_raw <= 0.1 AND bullet_raw <= 0.9 AND ell_raw <= 0.3
+             AND alpha_raw >= 0.8 AND stop_hits >= 2) AS passes
+         FROM r ORDER BY doc_id""",
 
 
     // unigram FNV + bigram shingle hashes → splitmix64 → low-10-bit

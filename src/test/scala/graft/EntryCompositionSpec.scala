@@ -187,7 +187,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     * r10 416-name pin must be CONSCIOUSLY listed here, in the same commit
     * that registers it in its family file — set-equality below makes an
     * unpinned addition a test failure, not a silent drift. */
-  private val newSinceR10: Set[String] = Set.empty
+  private val newSinceR10: Set[String] = Set(
+    "quality_gopher_rules") // r12: Gopher rule-based quality gate
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10
