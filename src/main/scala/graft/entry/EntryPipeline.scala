@@ -77,6 +77,53 @@ private[graft] object EntryPipeline {
     }),
 
 
+    "quality_c4_rules" -> ((s, dir) => {
+      // C4 cleaning heuristics (Raffel et al. 2020 §2.2) — the other
+      // canonical rule-based web-text filter: line-level keep rules
+      // (≥5 words AND terminal punctuation), ≥3 sentences per doc, no
+      // "lorem ipsum", no curly braces (code). Same one-scan pure-Column
+      // shape as quality_gopher_rules; the corpus-level three-sentence
+      // span dedup C4 also does is the dedup family's job, not a
+      // per-doc rule. passes uses the raw counts, not the rounded ratio.
+      //
+      // The synthetic corpus is a single-line punctuation-free token
+      // stream, so the fixture deterministically RE-SENTENCES it first —
+      // period after every 13th token, newline after every 39th (1-based;
+      // the DuckDB oracle's lambda index is 1-based, Spark's is 0-based)
+      // — and applies the rules to that structure, so every metric
+      // actually varies across docs instead of being corpus-wide zero.
+      val ts = TextFunctions.tokens(col("text"))
+      val txt = array_join(
+        transform(ts, (t, i0) => concat(t,
+          when(((i0 + 1) % 13) === 0, ".").otherwise(""),
+          when(((i0 + 1) % 39) === 0, "\n").otherwise(""))), " ")
+      val lines = split(txt, "\n")
+      val nLines = size(lines).cast("long")
+      val kept = size(filter(lines, l => {
+        val w = when(trim(l) === "", lit(0))
+          .otherwise(size(split(trim(l), "\\s+")))
+        val r = rtrim(l)
+        w >= 5 && (r.endsWith(".") || r.endsWith("!") ||
+          r.endsWith("?") || r.endsWith("\""))
+      })).cast("long")
+      val keptRatio = when(nLines === 0, 0.0)
+        .otherwise(kept.cast("double") / nLines.cast("double"))
+      val nSent = (length(txt) - length(translate(txt, ".!?", ""))).cast("long")
+      val hasLorem = lower(txt).contains("lorem ipsum")
+      val hasBrace = txt.contains("{")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          nLines.as("n_lines"),
+          kept.as("n_kept_lines"),
+          round(keptRatio, 4).as("kept_line_ratio"),
+          nSent.as("n_sentences"),
+          hasLorem.as("has_lorem"),
+          hasBrace.as("has_brace"),
+          (nSent >= 3L && !hasLorem && !hasBrace).as("passes"))
+        .orderBy("doc_id")
+    }),
+
+
     "quality_model_score" -> ((s, dir) => {
       // fastText-style hashed linear quality classifier: unigram+bigram
       // features via the hashing trick, deterministic integer weights
@@ -1125,6 +1172,41 @@ private[graft] object EntryPipeline {
   )
 
   val sql: Map[String, String] = Map(
+
+
+    "quality_c4_rules" ->
+      """WITH t0 AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM documents
+         ), b AS (
+           SELECT doc_id,
+             array_to_string(list_transform(toks, (t, i) -> t
+               || (CASE WHEN i % 13 = 0 THEN '.' ELSE '' END)
+               || (CASE WHEN i % 39 = 0 THEN chr(10) ELSE '' END)), ' ') AS text
+           FROM t0
+         ), lf AS (
+           SELECT doc_id, text, string_split(text, chr(10)) AS lns FROM b
+         ), m AS (
+           SELECT doc_id,
+             CAST(len(lns) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lns, x ->
+               (CASE WHEN trim(x) = '' THEN 0
+                     ELSE len(string_split_regex(trim(x), '\s+')) END) >= 5
+               AND (rtrim(x) LIKE '%.' OR rtrim(x) LIKE '%!'
+                 OR rtrim(x) LIKE '%?' OR rtrim(x) LIKE '%"'))) AS BIGINT) AS n_kept,
+             CAST(length(text) - length(translate(text, '.!?', '')) AS BIGINT) AS n_sentences,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{') AS has_brace
+           FROM lf
+         )
+         SELECT doc_id, n_lines, n_kept AS n_kept_lines,
+           round(CASE WHEN n_lines = 0 THEN 0.0
+             ELSE CAST(n_kept AS DOUBLE) / CAST(n_lines AS DOUBLE) END, 4) AS kept_line_ratio,
+           n_sentences, has_lorem, has_brace,
+           (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS passes
+         FROM m ORDER BY doc_id""",
 
 
     // same seven Gopher thresholds on the same raw counts; `passes` uses
