@@ -196,6 +196,24 @@ private[graft] object EntryDedup {
     }),
 
 
+    "decontaminate_minhash" -> ((s, dir) => {
+      // NEAR-dup decontamination: training docs whose verified shingle
+      // Jaccard vs a benchmark doc is ≥ 0.8 — the middle rung between
+      // overlap counting (decontaminate_overlap) and verbatim scrubbing
+      // (decontaminate_scrub). Train = the augmented copies, bench = the
+      // deterministic %97 slice of the base corpus, so copies of bench
+      // docs are provably flagged. Oracle is exact all-pairs Jaccard —
+      // STRICTER than LSH (see the recall-1.0 note above
+      // dedup_incremental's oracle, which licenses it on this corpus).
+      val bench = augmentedDocs(s, dir)
+        .filter(col("doc_id") < 1000000L && pmod(col("doc_id"), lit(97)) === 0)
+      val train = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
+      Dedup.crossCorpusNearDups(train, bench, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+        .orderBy("train_id", "bench_id")
+    }),
+
+
     "decontaminate_scrub" -> ((s, dir) => {
       // verbatim-span decontamination — the frontier practice behind
       // overlap COUNTING (decontaminate_overlap): ≥8-token runs of
@@ -873,6 +891,26 @@ private[graft] object EntryDedup {
          FROM te JOIN be USING (h)
          GROUP BY train_id, bench_id
          HAVING count(*) >= 3
+         ORDER BY train_id, bench_id""",
+
+
+    "decontaminate_minhash" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtes("aug")},
+         tr AS (SELECT doc_id AS train_id, sh FROM shd WHERE doc_id >= 1000000),
+         bn AS (SELECT doc_id AS bench_id, sh FROM shd
+                WHERE doc_id < 1000000 AND doc_id % 97 = 0),
+         te AS (SELECT train_id, unnest(sh) AS h FROM tr),
+         be AS (SELECT bench_id, unnest(sh) AS h FROM bn),
+         common AS (
+           SELECT train_id, bench_id, count(*) AS c
+           FROM te JOIN be USING (h) GROUP BY train_id, bench_id),
+         sza AS (SELECT train_id, len(sh) AS na FROM tr),
+         szb AS (SELECT bench_id, len(sh) AS nb FROM bn)
+         SELECT train_id, bench_id,
+           CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) AS jaccard
+         FROM common JOIN sza USING (train_id) JOIN szb USING (bench_id)
+         WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.8
          ORDER BY train_id, bench_id""",
 
 

@@ -618,6 +618,37 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Cross-corpus NEAR-duplicate pairs via MinHash LSH: band-bucket
+    * candidates generated between the two sides only (never within a
+    * side), then exact-Jaccard verified — the near-dup decontamination
+    * shape (train docs paraphrase-level-close to a benchmark doc), one
+    * rung stricter than shingle-overlap counting (crossCorpusOverlap)
+    * and one looser than verbatim-span scrubbing (crossCorpusSpans).
+    * Ids must be disjoint across sides. Scale shape identical to
+    * incrementalDedup's near leg: probe×corpus buckets only, the bench
+    * side tiny in practice. */
+  def crossCorpusNearDups(train: DataFrame, bench: DataFrame, idCol: String,
+                          textCol: String, shingleSize: Int = 3,
+                          bands: Int = 16, rowsPerBand: Int = 4,
+                          threshold: Double = 0.8): DataFrame = {
+    val shT = hashedShingleTable(train, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shB = hashedShingleTable(bench, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bT = bucketsFromShingles(shT, idCol, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val bB = bucketsFromShingles(shB, idCol, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    val cands = bT.join(bB, Seq("band", "band_key"))
+      .select("id_a", "id_b").distinct()
+    val shd = shT.unionByName(shB)
+      .select(col(idCol), array_distinct(col("hs")).as("sh"))
+    jaccardOverShingleSets(cands, shd, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
+        col("jaccard"))
+  }
+
   /** Incremental dedup: drop from `newDocs` everything that exactly or
     * nearly duplicates the EXISTING `corpus` (ids must be disjoint). The
     * production shape for rolling ingestion — each batch dedups against

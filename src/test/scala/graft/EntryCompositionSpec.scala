@@ -188,8 +188,9 @@ class EntryCompositionSpec extends AnyFunSuite {
     * that registers it in its family file — set-equality below makes an
     * unpinned addition a test failure, not a silent drift. */
   private val newSinceR10: Set[String] = Set(
-    "quality_gopher_rules", // r12: Gopher rule-based quality gate
-    "quality_c4_rules")     // r12: C4 cleaning heuristics
+    "quality_gopher_rules",   // r12: Gopher rule-based quality gate
+    "quality_c4_rules",       // r12: C4 cleaning heuristics
+    "decontaminate_minhash")  // r12: near-dup decontamination
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10
