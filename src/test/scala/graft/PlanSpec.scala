@@ -13,6 +13,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
   }
 
+  test("quality gates (r12): one pruned scan, no exchange below the final sort") {
+    for (q <- Seq("quality_gopher_rules", "quality_c4_rules")) {
+      val p = plan(q)
+      val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+      assert(read.contains("doc_id") && read.contains("text") &&
+        !read.contains("source") && !read.contains("lang"), s"$q: $read")
+      // the only exchange is the rangepartitioning for the final orderBy
+      val exchanges = "Exchange [a-z]+".r.findAllIn(p).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")), s"$q: $exchanges")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), q)
+    }
+  }
+
+  test("decontaminate_minhash (r12): inherits the cross-corpus bucket-join shape") {
+    val p = plan("decontaminate_minhash")
+    // candidates come from the band/band_key equi-join, never a cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("band_key"), p)
+  }
+
   test("projection_pushdown: scan reads only the needed columns") {
     val p = plan("projection_pushdown")
     val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
