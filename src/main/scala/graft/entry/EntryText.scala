@@ -28,6 +28,31 @@ private[graft] object EntryText {
     }),
 
 
+    "text_watermark_detect" -> ((s, dir) => {
+      // Green-list watermark detection (Kirchenbauer et al. 2023): with
+      // γ=0.5 a watermarking generator biases each token toward the
+      // "green" half of the vocab keyed by the PREVIOUS token, so
+      // detection is a per-doc one-proportion z-test — green = the
+      // bigram hash is even, T = #bigrams, z = (2g − T)/√T, z ≥ 4 flags.
+      // On non-watermarked text z ~ N(0,1): the z column is the signal,
+      // the flag its decision. One scan, codegen'd bigram hashes (the
+      // dedup family's ShingleHashes expression, n=2), no shuffle below
+      // the final sort — the shape that screens 100 TB for synthetic
+      // contamination in one pass.
+      val ts = TextFunctions.tokens(lower(col("text")))
+      val h2 = HashFunctions.shingleHashes(ts, 2)
+      val tt = size(h2).cast("long")
+      val g = size(filter(h2, h => pmod(h, lit(2L)) === 0L)).cast("long")
+      val z = when(tt === 0, 0.0).otherwise(
+        (lit(2.0) * g.cast("double") - tt.cast("double"))
+          / sqrt(tt.cast("double")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), tt.as("n_bigrams"), g.as("n_green"),
+          round(z, 4).as("z_green"), (z >= 4.0).as("flagged"))
+        .orderBy("doc_id")
+    }),
+
+
     "text_quality" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
@@ -1103,6 +1128,35 @@ private[graft] object EntryText {
            CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS BIGINT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+
+
+    // replays ShingleHashes(n=2) WITHOUT list_distinct (watermark counts
+    // repeated bigrams) — same FNV + polynomial combine as shingleCtesK
+    "text_watermark_detect" ->
+      s"""WITH d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         th0 AS (SELECT doc_id,
+           list_transform(toks, t -> ${fnvSql("t")}) AS th FROM d0),
+         h2 AS (SELECT doc_id,
+           CASE WHEN len(th) <= 2
+             THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, th),
+                   (a,b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)]
+             ELSE list_transform(range(1, len(th)), s ->
+               (((1125899906842597::HUGEINT * 31 + th[CAST(s AS INT)])
+                 % 18446744073709551616::HUGEINT) * 31 + th[CAST(s AS INT)+1])
+                 % 18446744073709551616::HUGEINT)
+           END AS hs FROM th0),
+         m2 AS (SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_bigrams,
+           CAST(len(list_filter(hs, h -> h % 2 = 0)) AS BIGINT) AS n_green
+           FROM h2)
+         SELECT doc_id, n_bigrams, n_green,
+           round(CASE WHEN n_bigrams = 0 THEN 0.0
+             ELSE (2.0 * CAST(n_green AS DOUBLE) - CAST(n_bigrams AS DOUBLE))
+                  / sqrt(CAST(n_bigrams AS DOUBLE)) END, 4) AS z_green,
+           (CASE WHEN n_bigrams = 0 THEN 0.0
+             ELSE (2.0 * CAST(n_green AS DOUBLE) - CAST(n_bigrams AS DOUBLE))
+                  / sqrt(CAST(n_bigrams AS DOUBLE)) END) >= 4.0 AS flagged
+         FROM m2 ORDER BY doc_id""",
 
 
     "text_quality" ->
