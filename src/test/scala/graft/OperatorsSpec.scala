@@ -309,6 +309,30 @@ class OperatorsSpec extends SparkSpec {
     assert(hits.toSeq == Seq((1L, 100L, 2L)))
   }
 
+  test("crossCorpusNearDups: cross-side pairs only, exact-Jaccard verified") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 100
+      (2L, "alpha beta gamma delta epsilon zeta eta thetaX"), // near 100
+      (3L, "alpha beta gamma delta epsilon zeta eta thetaX"), // near 100 AND copy of 2
+      (4L, "totally unrelated words with zero overlap here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDups(train, bench, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
+    // 1↔100 exact (J=1); 2↔100 and 3↔100 near (5/7 shared tri-shingles);
+    // the WITHIN-side dup pair (2,3) must NOT appear, nor anything for 4/101
+    assert(pairs.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, 100L), (2L, 100L), (3L, 100L)), pairs.toSeq)
+    assert(pairs.head._3 == 1.0)
+    assert(math.abs(pairs(1)._3 - 5.0 / 7.0) < 1e-12, pairs(1))
+  }
+
   test("bestMotif: exact pattern occurrence scores distance 0 at the right offset") {
     import graft.operators.TimeSeries
     def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
