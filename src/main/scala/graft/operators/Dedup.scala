@@ -709,8 +709,12 @@ object Dedup {
     // superlinear at 10× corpus because 2^20 bits saturate at ~800k band
     // keys (FP ≈ 97% — the prefilter silently stops filtering and every
     // probe pays the confirm join). Semantics are unaffected either way.
+    // Cap at 2^21 words (16 MiB): these filters ride the PLAN as literals
+    // (see Bloom.literal below), so past ~13M keys the FP rate degrades
+    // gracefully rather than shipping a gigabyte plan — a corpus that big
+    // materializes sharded filters offline next to the dedup index.
     def sizedWords(nKeys: Long): Int =
-      math.min(1L << 26, math.max(16384L, (nKeys * 10 + 63) / 64)).toInt
+      math.min(1L << 21, math.max(16384L, (nKeys * 10 + 63) / 64)).toInt
     // the 64-bit probe KEY is projected once and persisted: the filter's
     // k conjuncts would otherwise each inline the md5+regex fingerprint
     // (no cross-conjunct subexpression elimination — measured as the
