@@ -160,6 +160,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lenientDate: random dates parse in ISO, slash, and mixed forms; garbage → null") {
+    // r12 rewrote lenientDate as ONE expression (translate '/'→'-' then
+    // cast-parse) for the eager-CSE reason documented on it; this sweep
+    // pins the semantics the 3-branch version guaranteed — plus the
+    // deliberately MORE-lenient mixed-separator case — across the space.
+    val days = Seq.fill(300)(rnd.nextInt(730850)) // 0..~2000 years of days
+    val rows = days.map { d =>
+      val date = java.time.LocalDate.ofEpochDay(d.toLong - 300000)
+      val iso = date.toString
+      val slash = iso.replace('-', '/')
+      val mixed = // one random separator flipped
+        if (rnd.nextBoolean()) iso.replaceFirst("-", "/") else slash.replaceFirst("/", "-")
+      (iso, slash, mixed, iso)
+    }.toDF("iso", "slash", "mixed", "expect")
+    import functions.StayCategory.lenientDate
+    val bad = rows
+      .select(
+        col("expect").cast("date").as("e"),
+        lenientDate(col("iso")).as("a"),
+        lenientDate(col("slash")).as("b"),
+        lenientDate(col("mixed")).as("c"))
+      .filter(!(col("a") === col("e") && col("b") === col("e") &&
+        col("c") === col("e")))
+      .count()
+    assert(bad == 0L, s"$bad rows parsed wrong across the three layouts")
+    // garbage and impossible dates stay null — never throw, never wrap
+    val junk = Seq("not-a-date", "2020-13-40", "2020/02/30", "0000-00-00",
+      "", "  ", "20200101x", "////", "1-2-3-4").toDF("s")
+    val nonNull = junk.select(lenientDate(col("s")).as("p"))
+      .filter(col("p").isNotNull).as[java.sql.Date].collect()
+    assert(nonNull.isEmpty, s"junk parsed to: ${nonNull.toSeq}")
+    // partial dates parse to the period start — Spark's cast semantics,
+    // which the OLD 3-branch version's default-parse fallback had too
+    // (dateutil also accepts partials); pinned so a rewrite can't drift
+    val partial = Seq("2020-1", "2020/07").toDF("s")
+      .select(lenientDate(col("s")).cast("string").as("p"))
+      .as[String].collect().toSeq
+    assert(partial == Seq("2020-01-01", "2020-07-01"), partial)
+  }
+
   test("quantizeInt8: range bound and max-|component| saturation for random vectors") {
     val vecs = Seq.fill(100)(
       Array.fill(1 + rnd.nextInt(32))((rnd.nextFloat() - 0.5f) * 200f))
