@@ -156,6 +156,42 @@ private[graft] object EntryTrainData {
     }),
 
 
+    "train_preference_pairs" -> ((s, dir) => {
+      // DPO/RLHF preference-pair construction: within (source, salt
+      // bucket), rank docs by quality and pair rank 2k−1 (chosen) with
+      // rank 2k (rejected). The salt bucket (doc_id mod 64) bounds every
+      // ranking partition, so one giant source can never become a
+      // single-task sort at 100 TB — preference validity only needs
+      // chosen.q > rejected.q WITHIN a pair, which bucketing preserves.
+      // Zero-margin pairs carry no learning signal and are dropped. One
+      // keyed shuffle; the window stays partitioned (guard-checked).
+      // UNROUNDED quality: round(…,4) tie-breaks differently between the
+      // engines on 1e-4 midpoints (see qualityScoreRaw scaladoc); the raw
+      // expression is bit-identical IEEE arithmetic on both sides, so
+      // ranking and margins replay exactly
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(64L)).as("bkt"),
+          TextFunctions.qualityScoreRaw(col("text")).as("q"))
+        .filter(col("q").isNotNull)
+      val w = Window.partitionBy("source", "bkt")
+        .orderBy(col("q").desc, col("doc_id"))
+      val ranked = scored.withColumn("rn", row_number().over(w))
+        .withColumn("pair_id", expr("(rn + 1) div 2"))
+      val chosen = ranked.filter(pmod(col("rn"), lit(2)) === 1)
+        .select(col("source"), col("bkt"), col("pair_id"),
+          col("doc_id").as("chosen_id"), col("q").as("qc"))
+      val rejected = ranked.filter(pmod(col("rn"), lit(2)) === 0)
+        .select(col("source"), col("bkt"), col("pair_id"),
+          col("doc_id").as("rejected_id"), col("q").as("qr"))
+      chosen.join(rejected, Seq("source", "bkt", "pair_id"))
+        .filter(col("qc") > col("qr"))
+        .select(col("source"), col("chosen_id"), col("rejected_id"),
+          (col("qc") - col("qr")).as("margin"))
+        .orderBy("source", "chosen_id")
+    }),
+
+
     "train_split" -> ((s, dir) => {
       // deterministic train/val/test assignment by stable content hash
       // (pmod(fnv64(id), 1000): <800 train, <900 val, else test) — the
@@ -1210,6 +1246,51 @@ private[graft] object EntryTrainData {
          SELECT a.lang, nl.nl AS n_tokens, a.n_distinct,
            round(a.kl / ln(2.0), 6) AS kl_bits
          FROM a JOIN nl USING (lang) ORDER BY lang""",
+
+
+    // replays qualityScoreRaw (UNROUNDED — round() tie-breaks differ
+    // between the engines on 1e-4 midpoints; raw IEEE terms are
+    // bit-identical) with the same left-associated term order
+    "train_preference_pairs" ->
+      """WITH b AS (
+           SELECT doc_id, source, text,
+             string_split_regex(trim(lower(text)), '\s+') AS toks,
+             length(text) AS tlen
+           FROM documents
+         ), m AS (
+           SELECT doc_id, source,
+             least(tlen / 200.0, 1.0) AS len_score,
+             CASE WHEN tlen = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                       / CAST(tlen AS DOUBLE) END AS punct_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> list_contains(
+                    ['the','a','an','and','or','of','to','in','is','it','on','for'], t))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS sw_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS mtl
+           FROM b
+         ), r AS (
+           SELECT doc_id, source, doc_id % 64 AS bkt,
+             len_score * 0.3
+               + least(sw_ratio * 4.0, 1.0) * 0.3
+               + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2
+               + (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS q
+           FROM m
+         ), rk AS (
+           SELECT doc_id, source, bkt, q,
+             row_number() OVER (PARTITION BY source, bkt
+               ORDER BY q DESC, doc_id) AS rn
+           FROM r WHERE q IS NOT NULL),
+         ch AS (SELECT source, bkt, (rn + 1) // 2 AS pair_id,
+                  doc_id AS chosen_id, q AS qc FROM rk WHERE rn % 2 = 1),
+         rj AS (SELECT source, bkt, (rn + 1) // 2 AS pair_id,
+                  doc_id AS rejected_id, q AS qr FROM rk WHERE rn % 2 = 0)
+         SELECT source, chosen_id, rejected_id, qc - qr AS margin
+         FROM ch JOIN rj USING (source, bkt, pair_id)
+         WHERE qc > qr
+         ORDER BY source, chosen_id""",
 
 
     "train_split" -> {

@@ -77,13 +77,22 @@ object TextFunctions {
     * stopwords (natural language signal), reasonable mean token length,
     * low punctuation density, and non-trivial length. Deterministic and
     * SQL-expressible so it is oracle-checkable. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 4)
+
+  /** [[qualityScore]] WITHOUT the final round(…, 4): every term is plain
+    * IEEE arithmetic that DuckDB reproduces bit-for-bit, whereas round()
+    * tie-breaks differently between the engines when the raw double sits
+    * on a 1e-4 midpoint (Spark rounds the shortest-decimal rendering,
+    * DuckDB the binary value — one doc in 50k at sf1, found r12). Use
+    * this form when the score feeds COMPARISONS or DIFFERENCES that an
+    * oracle replays; keep the rounded form for display columns. */
+  def qualityScoreRaw(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
     val swScore = least(stopwordRatio(text) * 4.0, lit(1.0))
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
     val mtl = meanTokenLen(text)
     val mtlScore = when(mtl.between(3.0, 10.0), 1.0).otherwise(0.5)
-    round((lenScore * 0.3 + swScore * 0.3 + punctScore * 0.2 + mtlScore * 0.2), 4)
+    lenScore * 0.3 + swScore * 0.3 + punctScore * 0.2 + mtlScore * 0.2
   }
 
   /** Per-language marker words for the n-gram/stopword language-ID
