@@ -354,6 +354,34 @@ private[graft] object EntryTrainData {
     }),
 
 
+    "mixture_doremi_step" -> ((s, dir) => {
+      // DoReMi-style domain reweighting (Xie et al. 2023): ONE
+      // exponentiated-gradient update of per-domain mixture weights from
+      // a per-domain excess-signal, here mean tokens/doc normalized by
+      // the max over domains (exact BIGINT sums → the signal replays
+      // bit-identically; a trained proxy model would supply real losses
+      // through the same plumbing). w_d ∝ exp(η·λ̂_d) with uniform prior
+      // (η=1), then ε-smoothing toward uniform (ε=0.01). One grouped
+      // pass over the corpus; all update math on the D-row domain frame
+      // (broadcast scalar joins, no collect).
+      val d = t(s, dir, "documents")
+      val per = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+      val lam = per.withColumn("lam",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))
+      val mx = lam.agg(max(col("lam")).as("mx"), count(lit(1)).as("k"))
+      val scored = lam.crossJoin(broadcast(mx))
+        .withColumn("score", exp(col("lam") / col("mx")))
+      val z = scored.agg(sum(col("score")).as("z"))
+      scored.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("lam"),
+          round((col("score") / col("z")) * 0.99
+            + lit(0.01) / col("k").cast("double"), 8).as("weight"))
+        .orderBy("source")
+    }),
+
+
     "mixture_weights" -> ((s, dir) => {
       // domain-mixing weights: the per-source keep-rate that moves the
       // corpus toward a UNIFORM source mix, bounded by availability
@@ -1425,6 +1453,27 @@ private[graft] object EntryTrainData {
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
     },
+
+
+    // exact BIGINT token sums → identical lam; exp/normalize ulps are
+    // masked by round(…, 8) (weights are O(0.25), ulp noise is ~1e-16)
+    "mixture_doremi_step" ->
+      """WITH per AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         lam AS (
+           SELECT source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS lam
+           FROM per),
+         mx AS (SELECT max(lam) AS mx, count(*) AS k FROM lam),
+         sc AS (SELECT l.source, l.n_docs, l.n_tokens, l.lam,
+                  exp(l.lam / mx.mx) AS score, mx.k AS k
+                FROM lam l, mx),
+         z AS (SELECT sum(score) AS z FROM sc)
+         SELECT source, n_docs, n_tokens, lam,
+           round(score / z * 0.99 + 0.01 / CAST(k AS DOUBLE), 8) AS weight
+         FROM sc, z ORDER BY source""",
 
 
     "mixture_weights" ->

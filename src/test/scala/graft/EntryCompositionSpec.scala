@@ -192,7 +192,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     "quality_c4_rules",       // r12: C4 cleaning heuristics
     "decontaminate_minhash",  // r12: near-dup decontamination
     "text_watermark_detect",  // r12: green-list watermark z-test
-    "train_preference_pairs") // r12: DPO preference-pair prep
+    "train_preference_pairs",  // r12: DPO preference-pair prep
+    "mixture_doremi_step")    // r12: DoReMi domain reweighting
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10
