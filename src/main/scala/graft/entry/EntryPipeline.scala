@@ -576,6 +576,27 @@ private[graft] object EntryPipeline {
     }),
 
 
+    "dq_freshness_audit" -> ((s, dir) => {
+      // data-freshness SLO audit: per event_type, how far the newest
+      // record lags the corpus watermark (max ts over all types) — the
+      // "did stream X stall" alarm, as one grouped pass + a 1-row
+      // broadcast. Lags are exact integer seconds (the unix_timestamp /
+      // floor(epoch) truncation contract pinned in the verify gotchas).
+      val e = t(s, dir, "events")
+      val per = e.groupBy("event_type").agg(
+        max(col("ts")).as("max_ts"), count(lit(1)).as("n_events"))
+      val wm = per.agg(max(col("max_ts")).as("wm"))
+      per.crossJoin(broadcast(wm))
+        .select(col("event_type"), col("n_events"),
+          col("max_ts").cast("timestamp_ntz").as("max_ts"),
+          (unix_timestamp(col("wm")) - unix_timestamp(col("max_ts")))
+            .as("lag_seconds"),
+          ((unix_timestamp(col("wm")) - unix_timestamp(col("max_ts")))
+            / 3600).cast("long").as("lag_hours"))
+        .orderBy("event_type")
+    }),
+
+
     "dq_partition_audit" -> ((s, dir) => {
       // ingestion-volume audit: daily row counts vs the table's median
       // day, days under half the median flagged (the "partition didn't
@@ -1714,6 +1735,19 @@ private[graft] object EntryPipeline {
              CAST(floor(1000000 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
                AS BIGINT)) AS dev_ppm
          FROM per CROSS JOIN tot ORDER BY digit""",
+
+
+    "dq_freshness_audit" ->
+      """WITH per AS (
+           SELECT event_type, count(*) AS n_events, max(ts) AS max_ts
+           FROM events GROUP BY event_type),
+         g AS (SELECT max(max_ts) AS wm FROM per)
+         SELECT event_type, n_events, max_ts,
+           CAST(floor(epoch(wm)) AS BIGINT)
+             - CAST(floor(epoch(max_ts)) AS BIGINT) AS lag_seconds,
+           (CAST(floor(epoch(wm)) AS BIGINT)
+             - CAST(floor(epoch(max_ts)) AS BIGINT)) // 3600 AS lag_hours
+         FROM per, g ORDER BY event_type""",
 
 
     "dq_partition_audit" ->
