@@ -561,6 +561,46 @@ private[graft] object EntryStats {
     }),
 
 
+    "stats_fleiss_kappa" -> ((s, dir) => {
+      // Fleiss' kappa — multi-rater chance-corrected agreement, the
+      // labeling-pipeline QA number Cohen's kappa (2 raters) doesn't
+      // give. Three deterministic synthetic raters label each document
+      // into 4 categories: rater r agrees with the base category
+      // (doc_id mod 4) unless a doc_id+rater-keyed hash lands in the
+      // rater's disagreement band (~r/10 of docs, shifted to
+      // (base+r) mod 4), so agreement is high but imperfect by
+      // construction. With n=3 raters per item, P_i collapses to
+      // (#agreeing rater pairs)/3, so P-bar and the category marginals
+      // are EXACT integer sums; p_e's four squared ratios are summed in
+      // a fixed written order so the doubles replay bit-identically.
+      // One scan + one global agg — embarrassingly parallel at 100 TB.
+      val base = pmod(col("doc_id"), lit(4L))
+      def cat(r: Int): Column =
+        when(pmod(col("doc_id") * lit(2654435761L) + lit(r * 40503L), lit(10L)) < r,
+          pmod(base + r, lit(4L))).otherwise(base)
+      val rated = t(s, dir, "documents")
+        .select(col("doc_id"), cat(1).as("c1"), cat(2).as("c2"), cat(3).as("c3"))
+      val agreePairs = Seq(("c1", "c2"), ("c1", "c3"), ("c2", "c3"))
+        .map { case (a, b) => when(col(a) === col(b), 1L).otherwise(0L) }
+        .reduce(_ + _)
+      val catCnt = (0 to 3).map(j => sum(
+        Seq("c1", "c2", "c3")
+          .map(c => when(col(c) === j, 1L).otherwise(0L)).reduce(_ + _))
+        .as(s"cat_$j"))
+      val g = rated.agg(
+        count(lit(1)).as("n_items"),
+        sum(agreePairs).as("sum_pairs") +: catCnt: _*)
+      val pb = col("sum_pairs").cast("double") / (col("n_items") * 3).cast("double")
+      val pe = (0 to 3).map { j =>
+        val p = col(s"cat_$j").cast("double") / (col("n_items") * 3).cast("double")
+        p * p
+      }.reduce(_ + _)
+      g.select(col("n_items"), col("sum_pairs"),
+        round(pb, 6).as("p_bar"), round(pe, 6).as("p_e"),
+        round((pb - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }),
+
+
     "stats_mcnemar" -> ((s, dir) => {
       // McNemar's test for paired binary outcomes: did each active user
       // purchase in the first half of the event era (before Jan 16) vs
@@ -1638,6 +1678,55 @@ private[graft] object EntryStats {
            (1000000 * (n_docs * diag - p_chance))
              // (n_docs * n_docs - p_chance) AS kappa_ppm
          FROM tot CROSS JOIN marg""",
+
+
+    // same three synthetic raters; P-bar / marginals are exact integer
+    // sums, p_e's four squared ratios are summed in the same written
+    // order as the engine so the doubles replay bit-identically
+    "stats_fleiss_kappa" ->
+      """WITH rated AS (
+           SELECT doc_id,
+             CASE WHEN (doc_id * 2654435761 + 40503) % 10 < 1
+                  THEN (doc_id % 4 + 1) % 4 ELSE doc_id % 4 END AS c1,
+             CASE WHEN (doc_id * 2654435761 + 81006) % 10 < 2
+                  THEN (doc_id % 4 + 2) % 4 ELSE doc_id % 4 END AS c2,
+             CASE WHEN (doc_id * 2654435761 + 121509) % 10 < 3
+                  THEN (doc_id % 4 + 3) % 4 ELSE doc_id % 4 END AS c3
+           FROM documents
+         ), g AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum((CASE WHEN c1 = c2 THEN 1 ELSE 0 END)
+               + (CASE WHEN c1 = c3 THEN 1 ELSE 0 END)
+               + (CASE WHEN c2 = c3 THEN 1 ELSE 0 END)) AS BIGINT) AS sum_pairs,
+             CAST(sum((CASE WHEN c1 = 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN c2 = 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN c3 = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS cat_0,
+             CAST(sum((CASE WHEN c1 = 1 THEN 1 ELSE 0 END)
+               + (CASE WHEN c2 = 1 THEN 1 ELSE 0 END)
+               + (CASE WHEN c3 = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS cat_1,
+             CAST(sum((CASE WHEN c1 = 2 THEN 1 ELSE 0 END)
+               + (CASE WHEN c2 = 2 THEN 1 ELSE 0 END)
+               + (CASE WHEN c3 = 2 THEN 1 ELSE 0 END)) AS BIGINT) AS cat_2,
+             CAST(sum((CASE WHEN c1 = 3 THEN 1 ELSE 0 END)
+               + (CASE WHEN c2 = 3 THEN 1 ELSE 0 END)
+               + (CASE WHEN c3 = 3 THEN 1 ELSE 0 END)) AS BIGINT) AS cat_3
+           FROM rated
+         ), r AS (
+           SELECT n_items, sum_pairs,
+             CAST(sum_pairs AS DOUBLE) / CAST(n_items * 3 AS DOUBLE) AS pb,
+             (CAST(cat_0 AS DOUBLE) / CAST(n_items * 3 AS DOUBLE))
+               * (CAST(cat_0 AS DOUBLE) / CAST(n_items * 3 AS DOUBLE))
+             + (CAST(cat_1 AS DOUBLE) / CAST(n_items * 3 AS DOUBLE))
+               * (CAST(cat_1 AS DOUBLE) / CAST(n_items * 3 AS DOUBLE))
+             + (CAST(cat_2 AS DOUBLE) / CAST(n_items * 3 AS DOUBLE))
+               * (CAST(cat_2 AS DOUBLE) / CAST(n_items * 3 AS DOUBLE))
+             + (CAST(cat_3 AS DOUBLE) / CAST(n_items * 3 AS DOUBLE))
+               * (CAST(cat_3 AS DOUBLE) / CAST(n_items * 3 AS DOUBLE)) AS pe
+           FROM g)
+         SELECT n_items, sum_pairs,
+           round(pb, 6) AS p_bar, round(pe, 6) AS p_e,
+           round((pb - pe) / (1.0 - pe), 6) AS kappa
+         FROM r""",
 
 
     "stats_mcnemar" ->

@@ -194,7 +194,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     "text_watermark_detect",  // r12: green-list watermark z-test
     "train_preference_pairs",  // r12: DPO preference-pair prep
     "mixture_doremi_step",    // r12: DoReMi domain reweighting
-    "dq_freshness_audit")     // r12: per-type freshness lag
+    "dq_freshness_audit",     // r12: per-type freshness lag
+    "stats_fleiss_kappa")     // r12: multi-rater agreement
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10
