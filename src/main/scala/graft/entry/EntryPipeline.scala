@@ -367,6 +367,52 @@ private[graft] object EntryPipeline {
     }),
 
 
+    "privacy_pii_prevalence" -> ((s, dir) => {
+      // Corpus-level PII prevalence audit per source — the governance
+      // artifact a dataset release ships ALONGSIDE per-doc masking
+      // (text_pii_mask): how much PII of each class each source carries
+      // and what fraction of its docs are affected. Deterministic
+      // synthetic PII is injected by doc_id rule (ground truth known,
+      // prevalence varies by source), then detection runs the masker's
+      // regex classes: emails, IPv4s, phone numbers. regexp_extract_all
+      // is a codegen'd scan expression; the report is source-sized after
+      // one map-side-combinable agg — at 100 TB one pass over text,
+      // zero extra shuffle beyond the tiny group-by.
+      val txt = concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" contact bob"), col("doc_id"), lit("@corp.example.org")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" from 192.168."), pmod(col("doc_id"), lit(250)), lit(".9")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" call 415-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      val scanned = t(s, dir, "documents").select(col("source"),
+        size(regexp_extract_all(txt,
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+          .cast("long").as("e"),
+        size(regexp_extract_all(txt,
+          lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit(0)))
+          .cast("long").as("i"),
+        size(regexp_extract_all(txt,
+          lit("\\b\\d{3}-\\d{3}-\\d{4}\\b"), lit(0)))
+          .cast("long").as("p"))
+      scanned.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("e")).as("n_emails"),
+          sum(col("i")).as("n_ips"),
+          sum(col("p")).as("n_phones"),
+          sum(when(col("e") + col("i") + col("p") > 0, 1L).otherwise(0L))
+            .as("n_docs_with_pii"))
+        .withColumn("pii_per_doc",
+          round((col("n_emails") + col("n_ips") + col("n_phones")).cast("double")
+            / col("n_docs").cast("double"), 6))
+        .orderBy("source")
+    }),
+
+
     "privacy_l_diversity" -> ((s, dir) => {
       // l-diversity audit (Machanavajjhala et al. 2007) — the
       // homogeneity-attack complement to k-anonymity: a group can be
@@ -1532,6 +1578,44 @@ private[graft] object EntryPipeline {
       """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
            (count(*) < 5) AS at_risk
          FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+
+    // same doc_id-rule injection and regex classes; RE2's \d, \b and
+    // bounded quantifiers agree with Java regex on these patterns
+    "privacy_pii_prevalence" ->
+      """WITH src AS (
+           SELECT source,
+             text
+               || CASE WHEN doc_id % 4 = 0
+                    THEN ' contact bob' || doc_id || '@corp.example.org'
+                    ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                    THEN ' from 192.168.' || (doc_id % 250) || '.9'
+                    ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                    THEN ' call 415-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END AS txt
+           FROM documents
+         ), m AS (
+           SELECT source,
+             CAST(len(regexp_extract_all(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+             CAST(len(regexp_extract_all(txt,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS i,
+             CAST(len(regexp_extract_all(txt,
+               '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS p
+           FROM src
+         )
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e) AS BIGINT) AS n_emails,
+           CAST(sum(i) AS BIGINT) AS n_ips,
+           CAST(sum(p) AS BIGINT) AS n_phones,
+           CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_pii,
+           round(CAST(sum(e) + sum(i) + sum(p) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS pii_per_doc
+         FROM m GROUP BY source ORDER BY source""",
 
 
     "privacy_l_diversity" ->

@@ -195,7 +195,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     "train_preference_pairs",  // r12: DPO preference-pair prep
     "mixture_doremi_step",    // r12: DoReMi domain reweighting
     "dq_freshness_audit",     // r12: per-type freshness lag
-    "stats_fleiss_kappa")     // r12: multi-rater agreement
+    "stats_fleiss_kappa",     // r12: multi-rater agreement
+    "privacy_pii_prevalence") // r12: per-source PII audit
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10
