@@ -124,6 +124,59 @@ private[graft] object EntryPipeline {
     }),
 
 
+    "quality_fineweb_rules" -> ((s, dir) => {
+      // FineWeb's added line-level filters (Penedo et al. 2024 §3.1) —
+      // the three rules layered on top of C4/Gopher that made the
+      // dataset: fraction of lines ending in terminal punctuation
+      // (keep ≥ 0.12), fraction of lines shorter than 30 chars
+      // (drop ≥ 0.67), and fraction of characters in DUPLICATED lines
+      // (drop > 0.1 — the intra-doc boilerplate signal token-level
+      // quality_repetition can't see). Same deterministic re-sentencing
+      // as quality_c4_rules gives the single-line corpus a line
+      // structure (period every 13th token, newline every 39th; DuckDB
+      // lambda index is 1-based, Spark's 0-based), and docs with
+      // doc_id % 3 == 0 get their first line appended again (simulated
+      // boilerplate) so the dup rule actually varies instead of being
+      // corpus-wide zero on unique token soup. Dup chars count
+      // occurrences BEYOND the first. Pure array expressions over one
+      // pruned scan — embarrassingly parallel at 100 TB.
+      val ts = TextFunctions.tokens(col("text"))
+      val resent = array_join(
+        transform(ts, (t, i0) => concat(t,
+          when(((i0 + 1) % 13) === 0, ".").otherwise(""),
+          when(((i0 + 1) % 39) === 0, "\n").otherwise(""))), " ")
+      val lns0 = split(resent, "\n")
+      val withLines = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lns0, slice(lns0, 1, 1))).otherwise(lns0).as("lns"))
+      val nLines = size(col("lns")).cast("long")
+      val punct = size(filter(col("lns"), l => {
+        val r = rtrim(l)
+        r.endsWith(".") || r.endsWith("!") || r.endsWith("?") || r.endsWith("\"")
+      })).cast("long")
+      val short = size(filter(col("lns"), l => length(l) < 30)).cast("long")
+      val totChars = aggregate(col("lns"), lit(0L),
+        (a, l) => a + length(l).cast("long"))
+      val dupChars = aggregate(array_distinct(col("lns")), lit(0L),
+        (a, u) => a + (size(filter(col("lns"), x => x === u)) - 1).cast("long")
+          * length(u).cast("long"))
+      val punctRaw = punct.cast("double") / nLines.cast("double")
+      val shortRaw = short.cast("double") / nLines.cast("double")
+      val dupRaw = when(totChars === 0L, 0.0)
+        .otherwise(dupChars.cast("double") / totChars.cast("double"))
+      withLines.select(col("doc_id"),
+          nLines.as("n_lines"),
+          totChars.as("n_chars"),
+          dupChars.as("n_dup_line_chars"),
+          round(punctRaw, 4).as("punct_line_ratio"),
+          round(shortRaw, 4).as("short_line_ratio"),
+          round(dupRaw, 4).as("dup_line_char_frac"),
+          (punctRaw >= 0.12 && shortRaw < 0.67 && dupRaw <= 0.1).as("passes"))
+        .orderBy("doc_id")
+    }),
+
+
     "quality_model_score" -> ((s, dir) => {
       // fastText-style hashed linear quality classifier: unigram+bigram
       // features via the hashing trick, deterministic integer weights
@@ -1274,6 +1327,58 @@ private[graft] object EntryPipeline {
            n_sentences, has_lorem, has_brace,
            (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS passes
          FROM m ORDER BY doc_id""",
+
+
+    // same re-sentencing as quality_c4_rules (1-based lambda index),
+    // same three FineWeb thresholds on the raw ratios; dup chars count
+    // occurrences beyond the first of each distinct line
+    "quality_fineweb_rules" ->
+      """WITH t0 AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM documents
+         ), b AS (
+           SELECT doc_id,
+             array_to_string(list_transform(toks, (t, i) -> t
+               || (CASE WHEN i % 13 = 0 THEN '.' ELSE '' END)
+               || (CASE WHEN i % 39 = 0 THEN chr(10) ELSE '' END)), ' ') AS text
+           FROM t0
+         ), lf0 AS (
+           SELECT doc_id, string_split(text, chr(10)) AS lns0 FROM b
+         ), lf AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN list_append(lns0, lns0[1])
+                  ELSE lns0 END AS lns
+           FROM lf0
+         ), m AS (
+           SELECT doc_id,
+             CAST(len(lns) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lns, x -> rtrim(x) LIKE '%.'
+               OR rtrim(x) LIKE '%!' OR rtrim(x) LIKE '%?'
+               OR rtrim(x) LIKE '%"')) AS BIGINT) AS n_punct,
+             CAST(len(list_filter(lns, x -> length(x) < 30)) AS BIGINT) AS n_short,
+             CAST(COALESCE(list_sum(list_transform(lns, x -> length(x))), 0)
+               AS BIGINT) AS n_chars,
+             CAST(COALESCE(list_sum(list_transform(list_distinct(lns),
+               u -> (len(list_filter(lns, x -> x = u)) - 1) * length(u))), 0)
+               AS BIGINT) AS n_dup
+           FROM lf
+         ), r AS (
+           SELECT doc_id, n_lines, n_chars, n_dup,
+             CAST(n_punct AS DOUBLE) / CAST(n_lines AS DOUBLE) AS punct_raw,
+             CAST(n_short AS DOUBLE) / CAST(n_lines AS DOUBLE) AS short_raw,
+             CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE CAST(n_dup AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             END AS dup_raw
+           FROM m
+         )
+         SELECT doc_id, n_lines, n_chars, n_dup AS n_dup_line_chars,
+           round(punct_raw, 4) AS punct_line_ratio,
+           round(short_raw, 4) AS short_line_ratio,
+           round(dup_raw, 4) AS dup_line_char_frac,
+           (punct_raw >= 0.12 AND short_raw < 0.67 AND dup_raw <= 0.1) AS passes
+         FROM r ORDER BY doc_id""",
 
 
     // same seven Gopher thresholds on the same raw counts; `passes` uses
