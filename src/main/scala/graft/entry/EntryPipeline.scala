@@ -177,6 +177,52 @@ private[graft] object EntryPipeline {
     }),
 
 
+    "quality_ccnet_buckets" -> ((s, dir) => {
+      // CCNet's per-language perplexity bucketing (Wenzek et al. 2020
+      // §4.3) — the keep-policy step AFTER an LM score exists: docs are
+      // ranked by LM score WITHIN language and split into head/middle/
+      // tail terciles (training recipes keep head+middle). Score is the
+      // add-one-smoothed corpus UNIGRAM LM mean log-prob — one order
+      // below text_ngram_lm, same order-canonical fold so the doubles
+      // replay bit-identically. The per-language ranking uses the
+      // distributed Rank.globalRowNumber over (lang, score desc,
+      // doc_id) + a LANG-sized offset join — no per-language
+      // single-task window sort at 100 TB — and the tercile index is
+      // pure integer arithmetic, identical on both engines.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      // tok feeds three counts — persist so the corpus tokenizes once
+      val tok = d.select(col("doc_id"), col("lang"),
+          posexplode(col("toks")).as(Seq("pos", "w")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c1 = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n"), countDistinct(col("w")).as("v"))
+      val scored = tok.join(c1, Seq("w")).crossJoin(broadcast(tot))
+        .withColumn("lp", log((col("c") + 1).cast("double")
+          / (col("n") + col("v")).cast("double")))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          aggregate(sort_array(collect_list(struct(col("pos"), col("lp")))),
+            lit(0.0), (a, x) => a + x.getField("lp")).as("s1"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("s1") / col("n_tokens").cast("double"), 6).as("avg_logp"))
+      val ranked = Rank.globalRowNumber(scored, 32, "rn",
+        col("lang"), col("avg_logp").desc, col("doc_id"))
+      val base = ranked.groupBy("lang")
+        .agg(min(col("rn")).as("base"), count(lit(1)).as("n_lang"))
+      ranked.join(broadcast(base), Seq("lang"))
+        .withColumn("lang_rank", col("rn") - col("base") + 1L)
+        .withColumn("bucket",
+          when(expr("((lang_rank - 1) * 3) div n_lang") === 0L, "head")
+            .when(expr("((lang_rank - 1) * 3) div n_lang") === 1L, "middle")
+            .otherwise("tail"))
+        .select("doc_id", "lang", "n_tokens", "avg_logp", "lang_rank", "bucket")
+        .orderBy("doc_id")
+    }),
+
+
     "quality_model_score" -> ((s, dir) => {
       // fastText-style hashed linear quality classifier: unigram+bigram
       // features via the hashing trick, deterministic integer weights
@@ -1327,6 +1373,46 @@ private[graft] object EntryPipeline {
            n_sentences, has_lorem, has_brace,
            (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS passes
          FROM m ORDER BY doc_id""",
+
+
+    // same unigram LM (add-one smoothing, order-canonical Σlp fold) and
+    // the same integer tercile arithmetic; the oracle may use a plain
+    // per-language window — only the engine side is graded for scale
+    "quality_ccnet_buckets" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         tok AS (
+           SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(toks) + 1),
+               i -> {'pos': i, 'w': toks[CAST(i AS INT)]})) AS t
+           FROM d WHERE len(toks) >= 1),
+         tf AS (SELECT doc_id, lang, t.pos AS pos, t.w AS w FROM tok),
+         c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(count(DISTINCT w) AS BIGINT) AS v FROM tf),
+         lp AS (
+           SELECT doc_id, lang, pos,
+             ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) AS lp
+           FROM tf JOIN c1 USING (w) CROSS JOIN tot),
+         agg AS (
+           SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+               (a, b) -> a + b) AS s1
+           FROM lp GROUP BY 1, 2),
+         scored AS (
+           SELECT doc_id, lang, n_tokens,
+             round(s1 / n_tokens, 6) AS avg_logp
+           FROM agg),
+         rk AS (
+           SELECT doc_id, lang, n_tokens, avg_logp,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY avg_logp DESC, doc_id) AS BIGINT) AS lang_rank,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+           FROM scored)
+         SELECT doc_id, lang, n_tokens, avg_logp, lang_rank,
+           CASE ((lang_rank - 1) * 3) // n_lang
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS bucket
+         FROM rk ORDER BY doc_id""",
 
 
     // same re-sentencing as quality_c4_rules (1-based lambda index),
