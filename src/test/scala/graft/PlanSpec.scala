@@ -26,6 +26,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quality_fineweb_rules (r12): one pruned scan, no exchange below the final sort") {
+    val p = plan("quality_fineweb_rules")
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("source") && !read.contains("lang"), read)
+    val exchanges = "Exchange [a-z]+".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.toString)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("privacy_pii_prevalence (r12): pruned scan, partial agg before the one shuffle") {
+    val p = plan("privacy_pii_prevalence")
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && read.contains("source")
+      && !read.contains("lang") && !read.contains("n_chars"), read)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // map-side partial + final
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"), p)
+  }
+
+  test("stats_fleiss_kappa (r12): doc_id-only scan, single global agg, no join") {
+    val p = plan("stats_fleiss_kappa")
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"), read)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("quality_ccnet_buckets (r12): pruned scan, keyed joins only, no cartesian") {
+    val p = plan("quality_ccnet_buckets")
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("lang") && read.contains("text")
+      && !read.contains("source"), read)
+    // the 1-row totals frame rides a broadcast nested-loop by design;
+    // a genuine CartesianProduct would mean the LM join lost its keys
+    assert(!p.contains("CartesianProduct"), p)
+    // distributed rank shape: the range repartition on the sort keys
+    assert(p.contains("rangepartitioning"), p)
+  }
+
   test("decontaminate_minhash (r12): inherits the cross-corpus bucket-join shape") {
     val p = plan("decontaminate_minhash")
     // candidates come from the band/band_key equi-join, never a cartesian
