@@ -165,14 +165,21 @@ private[graft] object EntryPipeline {
       val shortRaw = short.cast("double") / nLines.cast("double")
       val dupRaw = when(totChars === 0L, 0.0)
         .otherwise(dupChars.cast("double") / totChars.cast("double"))
+      // the dup fraction is emitted as TRUNCATED basis points (integer
+      // div), not round(x, 4): with char-sized denominators the ratio
+      // lands on 5e-5 round midpoints where Spark and DuckDB disagree
+      // (found by the sf1 sweep); the line ratios have tiny line-count
+      // denominators whose 4-dp roundings are midpoint-free
       withLines.select(col("doc_id"),
           nLines.as("n_lines"),
           totChars.as("n_chars"),
           dupChars.as("n_dup_line_chars"),
           round(punctRaw, 4).as("punct_line_ratio"),
           round(shortRaw, 4).as("short_line_ratio"),
-          round(dupRaw, 4).as("dup_line_char_frac"),
           (punctRaw >= 0.12 && shortRaw < 0.67 && dupRaw <= 0.1).as("passes"))
+        .withColumn("dup_char_bp",
+          when(col("n_chars") === 0L, 0L)
+            .otherwise(expr("(n_dup_line_chars * 10000) div n_chars")))
         .orderBy("doc_id")
     }),
 
@@ -1462,7 +1469,8 @@ private[graft] object EntryPipeline {
          SELECT doc_id, n_lines, n_chars, n_dup AS n_dup_line_chars,
            round(punct_raw, 4) AS punct_line_ratio,
            round(short_raw, 4) AS short_line_ratio,
-           round(dup_raw, 4) AS dup_line_char_frac,
+           CAST(CASE WHEN n_chars = 0 THEN 0
+             ELSE (n_dup * 10000) // n_chars END AS BIGINT) AS dup_char_bp,
            (punct_raw >= 0.12 AND short_raw < 0.67 AND dup_raw <= 0.1) AS passes
          FROM r ORDER BY doc_id""",
 

@@ -574,9 +574,14 @@ private[graft] object EntryStats {
       // are EXACT integer sums; p_e's four squared ratios are summed in
       // a fixed written order so the doubles replay bit-identically.
       // One scan + one global agg — embarrassingly parallel at 100 TB.
+      // doc_id reduces mod a prime BEFORE the Knuth multiply: sf1's
+      // ScaleUp-shifted ids (~4e9) would overflow DuckDB's checked
+      // INT64 multiply otherwise (Spark wraps silently — same values
+      // at small SFs either way since doc_id < the prime there)
       val base = pmod(col("doc_id"), lit(4L))
       def cat(r: Int): Column =
-        when(pmod(col("doc_id") * lit(2654435761L) + lit(r * 40503L), lit(10L)) < r,
+        when(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
+            + lit(r * 40503L), lit(10L)) < r,
           pmod(base + r, lit(4L))).otherwise(base)
       val rated = t(s, dir, "documents")
         .select(col("doc_id"), cat(1).as("c1"), cat(2).as("c2"), cat(3).as("c3"))
@@ -1686,11 +1691,11 @@ private[graft] object EntryStats {
     "stats_fleiss_kappa" ->
       """WITH rated AS (
            SELECT doc_id,
-             CASE WHEN (doc_id * 2654435761 + 40503) % 10 < 1
+             CASE WHEN ((doc_id % 1000003) * 2654435761 + 40503) % 10 < 1
                   THEN (doc_id % 4 + 1) % 4 ELSE doc_id % 4 END AS c1,
-             CASE WHEN (doc_id * 2654435761 + 81006) % 10 < 2
+             CASE WHEN ((doc_id % 1000003) * 2654435761 + 81006) % 10 < 2
                   THEN (doc_id % 4 + 2) % 4 ELSE doc_id % 4 END AS c2,
-             CASE WHEN (doc_id * 2654435761 + 121509) % 10 < 3
+             CASE WHEN ((doc_id % 1000003) * 2654435761 + 121509) % 10 < 3
                   THEN (doc_id % 4 + 3) % 4 ELSE doc_id % 4 END AS c3
            FROM documents
          ), g AS (
