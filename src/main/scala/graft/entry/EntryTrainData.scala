@@ -241,6 +241,31 @@ private[graft] object EntryTrainData {
     }),
 
 
+    "sample_ess" -> ((s, dir) => {
+      // Importance-sampling diagnostics for weighted curation: when docs
+      // are sampled ∝ a model weight (here |margin|+1 of the hashed
+      // quality classifier — integer by construction), the effective
+      // sample size (Σw)²/Σw² per source says how many uniform draws the
+      // weighted sample is worth; ESS/n near 1 = uniform weights, near
+      // 1/n = one doc dominates the domain. Weight sums are EXACT
+      // BIGINTs (map-side combinable); only the final ESS ratio is
+      // floating point. One text scan + one source-sized agg at 100 TB.
+      val toks = TextFunctions.tokens(lower(col("text")))
+      val per = t(s, dir, "documents").select(col("source"),
+        (abs(HashFunctions.linearMargin(toks)) + 1L).as("w"))
+      val essRaw = col("sum_w").cast("double") * col("sum_w").cast("double") /
+        col("sum_w2").cast("double")
+      per.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("w")).as("sum_w"),
+          sum(col("w") * col("w")).as("sum_w2"))
+        .select(col("source"), col("n_docs"), col("sum_w"), col("sum_w2"),
+          round(essRaw, 4).as("ess"),
+          round(essRaw / col("n_docs").cast("double"), 6).as("ess_ratio"))
+        .orderBy("source")
+    }),
+
+
     "sample_balanced_lang" -> ((s, dir) => {
       // language-balanced subsample: fixed quota of 20 docs per language,
       // chosen by content hash — the standard remedy for head-language
@@ -1360,6 +1385,27 @@ private[graft] object EntryTrainData {
          FROM r JOIN q ON r.source = q.source
          WHERE r.rn <= q.quota ORDER BY r.source, r.rn"""
     },
+
+
+    // same hashed-classifier margin replay as quality_model_score
+    // (marginScoredCtes' ws frame); weight sums exact BIGINT, the two
+    // ESS divisions written in the same order as the engine
+    "sample_ess" ->
+      s"""WITH $marginScoredCtes,
+         per AS (
+           SELECT d2.source AS source, abs(w.margin) + 1 AS w
+           FROM ws w JOIN documents d2 ON w.doc_id = d2.doc_id),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS sum_w,
+             CAST(sum(w * w) AS BIGINT) AS sum_w2
+           FROM per GROUP BY source)
+         SELECT source, n_docs, sum_w, sum_w2,
+           round(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+             / CAST(sum_w2 AS DOUBLE), 4) AS ess,
+           round(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+             / CAST(sum_w2 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS ess_ratio
+         FROM g ORDER BY source""",
 
 
     "sample_balanced_lang" -> {

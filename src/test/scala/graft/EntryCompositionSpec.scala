@@ -198,7 +198,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     "stats_fleiss_kappa",     // r12: multi-rater agreement
     "privacy_pii_prevalence", // r12: per-source PII audit
     "quality_fineweb_rules",  // r12: FineWeb line-level filters
-    "quality_ccnet_buckets")  // r12: CCNet per-lang perplexity terciles
+    "quality_ccnet_buckets",  // r12: CCNet per-lang perplexity terciles
+    "sample_ess")             // r12: importance-sampling ESS per source
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10
