@@ -606,6 +606,49 @@ private[graft] object EntryStats {
     }),
 
 
+    "stats_krippendorff_alpha" -> ((s, dir) => {
+      // Krippendorff's alpha (nominal) — the agreement number that
+      // handles MISSING ratings, which Fleiss' kappa can't: rater 3
+      // skips every doc_id % 5 == 0 item (same deterministic rater
+      // model as stats_fleiss_kappa otherwise). The coincidence-matrix
+      // terms collapse to exact integers: each rating in a pairable
+      // item contributes exactly 1 to its category total, and the
+      // observed-disagreement sum Do is 2·[c1≠c2] for 2-rating items
+      // and (3 − #agreeing pairs) for 3-rating items — so
+      // α = 1 − Do·(n−1)/(n² − Σ n_c²) is ONE floating-point division
+      // over BIGINTs. One scan, one global agg.
+      val base = pmod(col("doc_id"), lit(4L))
+      def cat(r: Int): Column =
+        when(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
+            + lit(r * 40503L), lit(10L)) < r,
+          pmod(base + r, lit(4L))).otherwise(base)
+      val rated = t(s, dir, "documents").select(col("doc_id"),
+        cat(1).as("c1"), cat(2).as("c2"),
+        when(pmod(col("doc_id"), lit(5L)) === 0L, lit(null).cast("long"))
+          .otherwise(cat(3)).as("c3"))
+      val agree3 = Seq(("c1", "c2"), ("c1", "c3"), ("c2", "c3"))
+        .map { case (a, b) => when(col(a) === col(b), 1L).otherwise(0L) }
+        .reduce(_ + _)
+      val doI = when(col("c3").isNull,
+        when(col("c1") =!= col("c2"), 2L).otherwise(0L))
+        .otherwise(lit(3L) - agree3)
+      val mI = when(col("c3").isNull, 2L).otherwise(3L)
+      val catN = (0 to 3).map(j => sum(
+        Seq("c1", "c2", "c3")
+          .map(c => when(col(c) === j, 1L).otherwise(0L)).reduce(_ + _))
+        .as(s"n_$j"))
+      val g = rated.agg(
+        count(lit(1)).as("n_items"),
+        Seq(sum(mI).as("n_ratings"), sum(doI).as("do_sum")) ++ catN: _*)
+      val n = col("n_ratings")
+      val deNum = n * n - (0 to 3).map(j => col(s"n_$j") * col(s"n_$j"))
+        .reduce(_ + _)
+      g.select(col("n_items"), col("n_ratings"), col("do_sum"),
+        round(lit(1.0) - (col("do_sum") * (n - 1L)).cast("double")
+          / deNum.cast("double"), 6).as("alpha"))
+    }),
+
+
     "stats_mcnemar" -> ((s, dir) => {
       // McNemar's test for paired binary outcomes: did each active user
       // purchase in the first half of the event era (before Jan 16) vs
@@ -1732,6 +1775,52 @@ private[graft] object EntryStats {
            round(pb, 6) AS p_bar, round(pe, 6) AS p_e,
            round((pb - pe) / (1.0 - pe), 6) AS kappa
          FROM r""",
+
+
+    // same rater model as stats_fleiss_kappa with rater 3 missing on
+    // doc_id % 5 == 0; all coincidence-matrix terms are exact BIGINTs,
+    // alpha is the single floating-point division
+    "stats_krippendorff_alpha" ->
+      """WITH rated AS (
+           SELECT doc_id,
+             CASE WHEN ((doc_id % 1000003) * 2654435761 + 40503) % 10 < 1
+                  THEN (doc_id % 4 + 1) % 4 ELSE doc_id % 4 END AS c1,
+             CASE WHEN ((doc_id % 1000003) * 2654435761 + 81006) % 10 < 2
+                  THEN (doc_id % 4 + 2) % 4 ELSE doc_id % 4 END AS c2,
+             CASE WHEN doc_id % 5 = 0 THEN NULL
+                  WHEN ((doc_id % 1000003) * 2654435761 + 121509) % 10 < 3
+                  THEN (doc_id % 4 + 3) % 4 ELSE doc_id % 4 END AS c3
+           FROM documents
+         ), g AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CASE WHEN c3 IS NULL THEN 2 ELSE 3 END) AS BIGINT)
+               AS n_ratings,
+             CAST(sum(CASE WHEN c3 IS NULL
+               THEN CASE WHEN c1 <> c2 THEN 2 ELSE 0 END
+               ELSE 3 - ((CASE WHEN c1 = c2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN c1 = c3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN c2 = c3 THEN 1 ELSE 0 END)) END) AS BIGINT)
+               AS do_sum,
+             CAST(sum((CASE WHEN c1 = 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN c2 = 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN c3 = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_0,
+             CAST(sum((CASE WHEN c1 = 1 THEN 1 ELSE 0 END)
+               + (CASE WHEN c2 = 1 THEN 1 ELSE 0 END)
+               + (CASE WHEN c3 = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS n_1,
+             CAST(sum((CASE WHEN c1 = 2 THEN 1 ELSE 0 END)
+               + (CASE WHEN c2 = 2 THEN 1 ELSE 0 END)
+               + (CASE WHEN c3 = 2 THEN 1 ELSE 0 END)) AS BIGINT) AS n_2,
+             CAST(sum((CASE WHEN c1 = 3 THEN 1 ELSE 0 END)
+               + (CASE WHEN c2 = 3 THEN 1 ELSE 0 END)
+               + (CASE WHEN c3 = 3 THEN 1 ELSE 0 END)) AS BIGINT) AS n_3
+           FROM rated
+         )
+         SELECT n_items, n_ratings, do_sum,
+           round(1.0 - CAST(do_sum * (n_ratings - 1) AS DOUBLE)
+             / CAST(n_ratings * n_ratings
+               - (n_0 * n_0 + n_1 * n_1 + n_2 * n_2 + n_3 * n_3) AS DOUBLE), 6)
+             AS alpha
+         FROM g""",
 
 
     "stats_mcnemar" ->

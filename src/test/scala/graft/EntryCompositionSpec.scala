@@ -199,7 +199,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     "privacy_pii_prevalence", // r12: per-source PII audit
     "quality_fineweb_rules",  // r12: FineWeb line-level filters
     "quality_ccnet_buckets",  // r12: CCNet per-lang perplexity terciles
-    "sample_ess")             // r12: importance-sampling ESS per source
+    "sample_ess",             // r12: importance-sampling ESS per source
+    "stats_krippendorff_alpha") // r12: agreement with missing ratings
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10
