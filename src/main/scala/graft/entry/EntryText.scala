@@ -229,6 +229,40 @@ private[graft] object EntryText {
     }),
 
 
+    "text_code_detect" -> ((s, dir) => {
+      // code-vs-prose detection — the mixture-control classifier that
+      // decides a doc's domain (code corpora are weighted separately in
+      // every pretraining recipe). Docs with doc_id % 6 == 0 get a
+      // deterministic C-like snippet appended (ground truth known), then
+      // three pure-Column signals run over one scan: code-symbol char
+      // fraction (emitted as TRUNCATED basis points — integer div, no
+      // round midpoints), language-keyword token hits, and camelCase
+      // token count. is_code is an all-integer comparison
+      // (sym_chars·100 ≥ chars AND ≥2 keyword hits) so both engines
+      // decide identically. Embarrassingly parallel at 100 TB.
+      val snippet = concat(lit(" int main() { return "),
+        pmod(col("doc_id"), lit(97)), lit("; } for (i = 0; i < n; i++) { x += i; }"))
+      val txt = when(pmod(col("doc_id"), lit(6)) === 0,
+        concat(col("text"), snippet)).otherwise(col("text"))
+      val kw = Seq("int", "for", "while", "return", "def", "class", "if", "else")
+      val base = t(s, dir, "documents").select(col("doc_id"), txt.as("txt"))
+        .select(col("doc_id"),
+          length(col("txt")).cast("long").as("n_chars"),
+          (length(col("txt")) - length(translate(col("txt"), "{}();=<>+", "")))
+            .cast("long").as("n_sym_chars"),
+          kw.map(k => size(filter(TextFunctions.tokens(lower(col("txt"))),
+            t => t === k)).cast("long")).reduce(_ + _).as("kw_hits"),
+          size(filter(TextFunctions.tokens(col("txt")),
+            t => t.rlike("[a-z][A-Z]"))).cast("long").as("camel_tokens"))
+      base.withColumn("sym_bp",
+          when(col("n_chars") === 0L, 0L)
+            .otherwise(expr("(n_sym_chars * 10000) div n_chars")))
+        .withColumn("is_code",
+          col("n_sym_chars") * 100L >= col("n_chars") && col("kw_hits") >= 2L)
+        .orderBy("doc_id")
+    }),
+
+
     "text_pii_mask" -> ((s, dir) => {
       // PII redaction: deterministic synthetic PII (email / IPv4 / phone,
       // derived from doc_id) is injected ahead of the real text, then the
@@ -1548,6 +1582,48 @@ private[graft] object EntryText {
          FROM dt JOIN enc ON enc.w = dt.w
          GROUP BY dt.doc_id ORDER BY dt.doc_id"""
     },
+
+
+    // same snippet injection and signals; sym fraction is truncated
+    // basis points (integer div) and is_code is all-integer, so there
+    // is no floating point anywhere in this query
+    "text_code_detect" ->
+      """WITH src AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0
+               THEN text || ' int main() { return ' || (doc_id % 97)
+                 || '; } for (i = 0; i < n; i++) { x += i; }'
+               ELSE text END AS txt
+           FROM documents
+         ), toks AS (
+           SELECT doc_id, txt,
+             CASE WHEN trim(txt) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(txt), '\s+') END AS tk,
+             CASE WHEN trim(txt) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(txt)), '\s+') END AS ltk
+           FROM src
+         ), m AS (
+           SELECT doc_id,
+             CAST(length(txt) AS BIGINT) AS n_chars,
+             CAST(length(txt) - length(translate(txt, '{}();=<>+', ''))
+               AS BIGINT) AS n_sym_chars,
+             CAST(len(list_filter(ltk, t -> t = 'int'))
+               + len(list_filter(ltk, t -> t = 'for'))
+               + len(list_filter(ltk, t -> t = 'while'))
+               + len(list_filter(ltk, t -> t = 'return'))
+               + len(list_filter(ltk, t -> t = 'def'))
+               + len(list_filter(ltk, t -> t = 'class'))
+               + len(list_filter(ltk, t -> t = 'if'))
+               + len(list_filter(ltk, t -> t = 'else')) AS BIGINT) AS kw_hits,
+             CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z][A-Z]')))
+               AS BIGINT) AS camel_tokens
+           FROM toks
+         )
+         SELECT doc_id, n_chars, n_sym_chars, kw_hits, camel_tokens,
+           CAST(CASE WHEN n_chars = 0 THEN 0
+             ELSE (n_sym_chars * 10000) // n_chars END AS BIGINT) AS sym_bp,
+           (n_sym_chars * 100 >= n_chars AND kw_hits >= 2) AS is_code
+         FROM m ORDER BY doc_id""",
 
 
     "text_pii_mask" ->

@@ -200,7 +200,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     "quality_fineweb_rules",  // r12: FineWeb line-level filters
     "quality_ccnet_buckets",  // r12: CCNet per-lang perplexity terciles
     "sample_ess",             // r12: importance-sampling ESS per source
-    "stats_krippendorff_alpha") // r12: agreement with missing ratings
+    "stats_krippendorff_alpha", // r12: agreement with missing ratings
+    "text_code_detect")       // r12: code-vs-prose mixture classifier
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10
