@@ -428,6 +428,49 @@ private[graft] object EntryTrainData {
     }),
 
 
+    "mixture_temperature_sweep" -> ((s, dir) => {
+      // the recipe-design table behind sample_temperature: per-domain
+      // mixture shares at four flattening temperatures τ ∈ {1, ¾, ½, ¼}
+      // (τ=1 natural, τ→0 uniform) — the artifact a pretraining team
+      // reads to pick how hard to flatten head domains. The corpus'
+      // `source` column is deliberately uniform (every τ would give the
+      // same shares — a dead fixture), so the sweep runs over a
+      // deterministic Zipf-skewed derived domain built from integer
+      // thresholds on doc_id mod 16 (sizes 8/4/2/1/1 sixteenths — no
+      // log2() whose cross-engine rounding is unpinned). n^τ is built
+      // from sqrt chains ONLY (sqrt is IEEE-correctly-rounded on both
+      // engines; pow(x, 0.75) is not guaranteed to be), each Z is a
+      // domains-ascending ordered fold, and the share division replays
+      // bit-identically. One domain-sized aggregate + a 1-row
+      // broadcast — no second corpus pass.
+      val m = pmod(col("doc_id"), lit(16L))
+      val domain = when(m < 8, "d0").when(m < 12, "d1")
+        .when(m < 14, "d2").when(m < 15, "d3").otherwise("d4")
+      val counts = t(s, dir, "documents").select(domain.as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      val nD = col("n_docs").cast("double")
+      val w100 = nD
+      val w75 = sqrt(nD) * sqrt(sqrt(nD))
+      val w50 = sqrt(nD)
+      val w25 = sqrt(sqrt(nD))
+      def zf(w: Column): Column = aggregate(
+        sort_array(collect_list(struct(col("domain"), w.as("w")))),
+        lit(0.0), (a, e) => a + e.getField("w"))
+      val z = counts.agg(zf(w100).as("z100"), zf(w75).as("z75"),
+        zf(w50).as("z50"), zf(w25).as("z25"))
+      counts.crossJoin(broadcast(z))
+        .select(col("domain"), col("n_docs"), explode(array(
+          struct(lit(1.0).as("tau"), w100.as("w"), col("z100").as("z")),
+          struct(lit(0.75).as("tau"), w75.as("w"), col("z75").as("z")),
+          struct(lit(0.5).as("tau"), w50.as("w"), col("z50").as("z")),
+          struct(lit(0.25).as("tau"), w25.as("w"), col("z25").as("z"))))
+          .as("e"))
+        .select(col("e.tau").as("tau"), col("domain"), col("n_docs"),
+          round(col("e.w") / col("e.z"), 6).as("share"))
+        .orderBy("tau", "domain")
+    }),
+
+
     "dataset_fingerprint" -> ((s, dir) => {
       // layout-independent replica-integrity fingerprint: wrapping
       // mod-2^64 sum of per-row FNV hashes — same value for ANY
@@ -1385,6 +1428,53 @@ private[graft] object EntryTrainData {
          FROM r JOIN q ON r.source = q.source
          WHERE r.rn <= q.quota ORDER BY r.source, r.rn"""
     },
+
+
+    // same integer-threshold Zipf domains, sqrt-chain n^τ weights and
+    // domains-ascending Z folds; the UNION ALL replays the engine's
+    // 4-struct explode
+    "mixture_temperature_sweep" ->
+      """WITH counts AS (
+           SELECT CASE WHEN doc_id % 16 < 8 THEN 'd0'
+                       WHEN doc_id % 16 < 12 THEN 'd1'
+                       WHEN doc_id % 16 < 14 THEN 'd2'
+                       WHEN doc_id % 16 < 15 THEN 'd3'
+                       ELSE 'd4' END AS domain,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         z AS (SELECT
+           list_reduce(list_prepend(0.0,
+             list(CAST(n_docs AS DOUBLE) ORDER BY domain)),
+             (a, b) -> a + b) AS z100,
+           list_reduce(list_prepend(0.0,
+             list(sqrt(CAST(n_docs AS DOUBLE))
+               * sqrt(sqrt(CAST(n_docs AS DOUBLE))) ORDER BY domain)),
+             (a, b) -> a + b) AS z75,
+           list_reduce(list_prepend(0.0,
+             list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY domain)),
+             (a, b) -> a + b) AS z50,
+           list_reduce(list_prepend(0.0,
+             list(sqrt(sqrt(CAST(n_docs AS DOUBLE))) ORDER BY domain)),
+             (a, b) -> a + b) AS z25
+          FROM counts)
+         SELECT tau, domain, n_docs, share FROM (
+           SELECT CAST(1.0 AS DOUBLE) AS tau, domain, n_docs,
+             round(CAST(n_docs AS DOUBLE) / z100, 6) AS share
+           FROM counts CROSS JOIN z
+           UNION ALL
+           SELECT CAST(0.75 AS DOUBLE), domain, n_docs,
+             round(sqrt(CAST(n_docs AS DOUBLE))
+               * sqrt(sqrt(CAST(n_docs AS DOUBLE))) / z75, 6)
+           FROM counts CROSS JOIN z
+           UNION ALL
+           SELECT CAST(0.5 AS DOUBLE), domain, n_docs,
+             round(sqrt(CAST(n_docs AS DOUBLE)) / z50, 6)
+           FROM counts CROSS JOIN z
+           UNION ALL
+           SELECT CAST(0.25 AS DOUBLE), domain, n_docs,
+             round(sqrt(sqrt(CAST(n_docs AS DOUBLE))) / z25, 6)
+           FROM counts CROSS JOIN z)
+         ORDER BY tau, domain""",
 
 
     // same hashed-classifier margin replay as quality_model_score

@@ -201,7 +201,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     "quality_ccnet_buckets",  // r12: CCNet per-lang perplexity terciles
     "sample_ess",             // r12: importance-sampling ESS per source
     "stats_krippendorff_alpha", // r12: agreement with missing ratings
-    "text_code_detect")       // r12: code-vs-prose mixture classifier
+    "text_code_detect",       // r12: code-vs-prose mixture classifier
+    "mixture_temperature_sweep") // r12: n^tau shares at 4 temperatures
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10
