@@ -66,6 +66,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("text_code_detect / sample_ess (r12): pruned scans, no joins") {
+    for ((q, aggs) <- Seq(("text_code_detect", 0), ("sample_ess", 2))) {
+      val p = plan(q)
+      val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+      assert(read.contains("text") && !read.contains("lang") &&
+        !read.contains("n_chars"), s"$q: $read")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct"), q)
+      assert("HashAggregate".r.findAllIn(p).size >= aggs, q)
+    }
+  }
+
   test("decontaminate_minhash (r12): inherits the cross-corpus bucket-join shape") {
     val p = plan("decontaminate_minhash")
     // candidates come from the band/band_key equi-join, never a cartesian
