@@ -539,6 +539,69 @@ class AnalyticsSpec extends SparkSpec {
     assert(diag * 4 > nDocs, "raw accuracy should still look non-trivial")
   }
 
+  /** Deterministic rater model shared by the two multi-rater agreement
+    * queries: rater r shifts the base category (doc_id mod 4) by r when
+    * a doc_id+rater-keyed hash lands below r in [0, 10). */
+  private def raterCat(id: Long, r: Int): Long = {
+    val base = id % 4
+    val h = ((id % 1000003L) * 2654435761L + r * 40503L) % 10
+    if (h < r) (base + r) % 4 else base
+  }
+
+  test("stats_fleiss_kappa equals a direct in-JVM recomputation") {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val cats = ids.map(id => Seq(raterCat(id, 1), raterCat(id, 2), raterCat(id, 3)))
+    val n = cats.size.toLong
+    val sumPairs = cats.map(c =>
+      Seq((c(0), c(1)), (c(0), c(2)), (c(1), c(2)))
+        .count { case (a, b) => a == b }.toLong).sum
+    val catCnt = (0 to 3).map(j => cats.map(_.count(_ == j).toLong).sum)
+    // same written order as the engine: pb, then p_e as ((p0²+p1²)+p2²)+p3²
+    val pb = sumPairs.toDouble / (n * 3).toDouble
+    val pe = catCnt.map(c => c.toDouble / (n * 3).toDouble)
+      .map(p => p * p).reduce(_ + _)
+    val kappa = (pb - pe) / (1.0 - pe)
+    val row = q("stats_fleiss_kappa").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    def d(cn: String) = row.getDouble(row.fieldIndex(cn))
+    assert(g("n_items") == n && g("sum_pairs") == sumPairs)
+    // exact: every engine-side double derives from the same integers
+    assert(d("p_bar") == BigDecimal(pb).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(d("kappa") == BigDecimal(kappa).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the rater model disagrees ~10/20/30% of the time, so agreement
+    // must be positive but imperfect — kappa in (0.2, 0.8)
+    assert(d("kappa") > 0.2 && d("kappa") < 0.8, s"kappa=${d("kappa")}")
+  }
+
+  test("stats_krippendorff_alpha equals a direct in-JVM recomputation") {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val rated = ids.map { id =>
+      val c3 = if (id % 5 == 0) None else Some(raterCat(id, 3))
+      (raterCat(id, 1), raterCat(id, 2), c3)
+    }
+    val nRatings = rated.map { case (_, _, c3) => if (c3.isEmpty) 2L else 3L }.sum
+    val doSum = rated.map {
+      case (a, b, None) => if (a != b) 2L else 0L
+      case (a, b, Some(c)) =>
+        3L - Seq((a, b), (a, c), (b, c)).count { case (x, y) => x == y }
+    }.sum
+    val catCnt = (0 to 3).map(j => rated.map { case (a, b, c3) =>
+      Seq(Some(a), Some(b), c3).flatten.count(_ == j).toLong }.sum)
+    val alpha = 1.0 - (doSum * (nRatings - 1)).toDouble /
+      (nRatings * nRatings - catCnt.map(c => c * c).reduce(_ + _)).toDouble
+    val row = q("stats_krippendorff_alpha").head()
+    def g(cn: String) = row.getLong(row.fieldIndex(cn))
+    def d(cn: String) = row.getDouble(row.fieldIndex(cn))
+    assert(g("n_items") == ids.size.toLong && g("n_ratings") == nRatings)
+    assert(g("do_sum") == doSum)
+    assert(d("alpha") == BigDecimal(alpha).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // missingness shrinks the pairable base but must not flip the sign:
+    // the same rater model keeps alpha positive and imperfect
+    assert(d("alpha") > 0.2 && d("alpha") < 0.8, s"alpha=${d("alpha")}")
+  }
+
   test("stats_kruskal_wallis: H recomputed directly; integer stats exact") {
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
       .select("c_mktsegment", "c_acctbal")
