@@ -1562,4 +1562,55 @@ class EntryQueriesSpec extends SparkSpec {
     val ws = out.map(_._5)
     assert(ws == ws.sorted)
   }
+
+  test("text_code_detect: classifies EXACTLY the injected docs") {
+    val out = q("text_code_detect")
+      .select("doc_id", "is_code", "kw_hits", "sym_bp")
+      .as[(Long, Boolean, Long, Long)].collect().toSeq
+    val flagged = out.filter(_._2).map(_._1).toSet
+    val injected = out.map(_._1).filter(_ % 6 == 0).toSet
+    assert(flagged == injected,
+      s"false pos ${(flagged -- injected).size}, false neg ${(injected -- flagged).size}")
+    // the injected snippet carries int/for/return → ≥3 keyword hits and
+    // a symbol fraction well past the 1% gate; clean docs read zero
+    out.foreach { case (id, _, kw, bp) =>
+      if (id % 6 == 0) assert(kw >= 3L && bp >= 100L, s"doc $id: kw=$kw bp=$bp")
+    }
+  }
+
+  test("sample_ess: ESS formula bounds and exact recomputation") {
+    val rows = q("sample_ess")
+      .select("source", "n_docs", "sum_w", "sum_w2", "ess", "ess_ratio")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, sw, sw2, ess, ratio) =>
+      // 1 ≤ ESS ≤ n (Cauchy-Schwarz), with equality at uniform weights
+      assert(ess >= 1.0 - 1e-9 && ess <= n.toDouble + 1e-9, s"$src: ess=$ess n=$n")
+      val raw = sw.toDouble * sw.toDouble / sw2.toDouble
+      assert(ess == BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, src)
+      assert(ratio == BigDecimal(raw / n.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, src)
+    }
+  }
+
+  test("mixture_temperature_sweep: shares are a flattening family") {
+    val rows = q("mixture_temperature_sweep")
+      .select("tau", "domain", "n_docs", "share")
+      .as[(Double, String, Long, Double)].collect().toSeq
+    val byTau = rows.groupBy(_._1)
+    assert(byTau.keySet == Set(1.0, 0.75, 0.5, 0.25))
+    // each temperature's shares sum to 1 (up to the 1e-6 rounding grid)
+    byTau.foreach { case (tau, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"tau=$tau")
+      assert(rs.map(_._2).toSet.size == 5, s"tau=$tau domains")
+    }
+    // flattening is monotone: the head domain's share shrinks as tau
+    // drops, the smallest domain's share grows — toward uniform 1/5
+    val head = byTau.map { case (tau, rs) => tau -> rs.maxBy(_._3)._4 }
+    val tail = byTau.map { case (tau, rs) => tau -> rs.minBy(_._3)._4 }
+    for (Seq(lo, hi) <- Seq(0.25, 0.5, 0.75, 1.0).sliding(2).toSeq) {
+      assert(head(lo) < head(hi), s"head share must shrink: $lo vs $hi")
+      assert(tail(lo) > tail(hi), s"tail share must grow: $lo vs $hi")
+    }
+    assert(head(0.25) > 0.2 && tail(0.25) < 0.2, "tau>0 never reaches uniform")
+  }
 }
