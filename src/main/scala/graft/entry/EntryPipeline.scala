@@ -13,6 +13,127 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 private[graft] object EntryPipeline {
   import SparkEntry._
 
+  /** Every Gopher-gate metric as ONE named struct column over col("text")
+    * — shared by quality_gopher_rules (which flattens it) and
+    * quality_gate_agreement (which reads only `.passes`). Catalyst's
+    * SimplifyExtractValueOps collapses struct-then-getField back to the
+    * underlying expressions, so the flattened plan is unchanged. */
+  private def gopherMetrics: Column = {
+    val txt = col("text")
+    val words = TextFunctions.tokens(txt)
+    val lwords = TextFunctions.tokens(lower(txt))
+    val nWords = size(words).cast("long")
+    val meanLen = when(nWords === 0, 0.0).otherwise(
+      aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
+        .cast("double") / nWords.cast("double"))
+    val nSym = (length(txt) - length(translate(txt, "#", ""))).cast("long") +
+      ((length(txt) - length(replace(txt, lit("...")))) / 3).cast("long") +
+      (length(txt) - length(translate(txt, "…", ""))).cast("long")
+    val symRatio = when(nWords === 0, 0.0)
+      .otherwise(nSym.cast("double") / nWords.cast("double"))
+    val lines = split(txt, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletRatio = when(nLines === 0, 0.0).otherwise(
+      size(filter(lines, l =>
+        ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+          ltrim(l).startsWith("•"))).cast("double") / nLines.cast("double"))
+    val ellRatio = when(nLines === 0, 0.0).otherwise(
+      size(filter(lines, l =>
+        rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+        .cast("double") / nLines.cast("double"))
+    val alphaRatio = when(nWords === 0, 0.0).otherwise(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+        / nWords.cast("double"))
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(sw => when(array_contains(lwords, sw), 1L).otherwise(0L))
+      .reduce(_ + _)
+    // per-rule pass flags, so the output carries WHICH rules a doc
+    // fails (the synthetic corpus fails the stopword rule corpus-wide,
+    // so the bare conjunction alone would be a dead column)
+    val rules: Seq[Column] = Seq(
+      nWords.between(50L, 100000L), meanLen.between(3.0, 10.0),
+      symRatio <= 0.1, bulletRatio <= 0.9, ellRatio <= 0.3,
+      alphaRatio >= 0.8, stopHits >= 2L)
+    val nPassed = rules.map(r => when(r, 1L).otherwise(0L)).reduce(_ + _)
+    struct(
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symRatio, 4).as("symbol_word_ratio"),
+      round(bulletRatio, 4).as("bullet_line_ratio"),
+      round(ellRatio, 4).as("ellipsis_line_ratio"),
+      round(alphaRatio, 4).as("alpha_word_ratio"),
+      stopHits.as("stop_hits"),
+      nPassed.as("n_rules_passed"),
+      rules.reduce(_ && _).as("passes"))
+  }
+
+  /** The C4 re-sentenced token stream of col("text"): period after every
+    * 13th token, newline after every 39th (0-based Spark lambda index;
+    * the DuckDB replay is 1-based). Shared by the C4 and FineWeb gates. */
+  private def resentenced: Column = array_join(
+    transform(TextFunctions.tokens(col("text")), (t, i0) => concat(t,
+      when(((i0 + 1) % 13) === 0, ".").otherwise(""),
+      when(((i0 + 1) % 39) === 0, "\n").otherwise(""))), " ")
+
+  /** Every C4-gate metric as one named struct column (same sharing
+    * contract as gopherMetrics). */
+  private def c4Metrics: Column = {
+    val txt = resentenced
+    val lines = split(txt, "\n")
+    val nLines = size(lines).cast("long")
+    val kept = size(filter(lines, l => {
+      val w = when(trim(l) === "", lit(0))
+        .otherwise(size(split(trim(l), "\\s+")))
+      val r = rtrim(l)
+      w >= 5 && (r.endsWith(".") || r.endsWith("!") ||
+        r.endsWith("?") || r.endsWith("\""))
+    })).cast("long")
+    val keptRatio = when(nLines === 0, 0.0)
+      .otherwise(kept.cast("double") / nLines.cast("double"))
+    val nSent = (length(txt) - length(translate(txt, ".!?", ""))).cast("long")
+    val hasLorem = lower(txt).contains("lorem ipsum")
+    val hasBrace = txt.contains("{")
+    struct(
+      nLines.as("n_lines"),
+      kept.as("n_kept_lines"),
+      round(keptRatio, 4).as("kept_line_ratio"),
+      nSent.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (nSent >= 3L && !hasLorem && !hasBrace).as("passes"))
+  }
+
+  /** Every FineWeb-gate metric as one named struct column (same sharing
+    * contract as gopherMetrics): the re-sentenced lines plus the
+    * injected first-line boilerplate for doc_id % 3 == 0. */
+  private def finewebMetrics: Column = {
+    val lns0 = split(resentenced, "\n")
+    val lns = when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lns0, slice(lns0, 1, 1))).otherwise(lns0)
+    val nLines = size(lns).cast("long")
+    val punct = size(filter(lns, l => {
+      val r = rtrim(l)
+      r.endsWith(".") || r.endsWith("!") || r.endsWith("?") || r.endsWith("\"")
+    })).cast("long")
+    val short = size(filter(lns, l => length(l) < 30)).cast("long")
+    val totChars = aggregate(lns, lit(0L),
+      (a, l) => a + length(l).cast("long"))
+    val dupChars = aggregate(array_distinct(lns), lit(0L),
+      (a, u) => a + (size(filter(lns, x => x === u)) - 1).cast("long")
+        * length(u).cast("long"))
+    val punctRaw = punct.cast("double") / nLines.cast("double")
+    val shortRaw = short.cast("double") / nLines.cast("double")
+    val dupRaw = when(totChars === 0L, 0.0)
+      .otherwise(dupChars.cast("double") / totChars.cast("double"))
+    struct(
+      nLines.as("n_lines"),
+      totChars.as("n_chars"),
+      dupChars.as("n_dup_line_chars"),
+      round(punctRaw, 4).as("punct_line_ratio"),
+      round(shortRaw, 4).as("short_line_ratio"),
+      (punctRaw >= 0.12 && shortRaw < 0.67 && dupRaw <= 0.1).as("passes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
@@ -25,54 +146,14 @@ private[graft] object EntryPipeline {
       // codegen'd Column over ONE documents scan (no shuffle, no UDF);
       // `passes` is the conjunction of the seven published thresholds on
       // the UNROUNDED values. 100 TB shape: embarrassingly parallel,
-      // prunes to the two text columns at the scan.
-      val txt = col("text")
-      val words = TextFunctions.tokens(txt)
-      val lwords = TextFunctions.tokens(lower(txt))
-      val nWords = size(words).cast("long")
-      val meanLen = when(nWords === 0, 0.0).otherwise(
-        aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
-          .cast("double") / nWords.cast("double"))
-      val nSym = (length(txt) - length(translate(txt, "#", ""))).cast("long") +
-        ((length(txt) - length(replace(txt, lit("...")))) / 3).cast("long") +
-        (length(txt) - length(translate(txt, "…", ""))).cast("long")
-      val symRatio = when(nWords === 0, 0.0)
-        .otherwise(nSym.cast("double") / nWords.cast("double"))
-      val lines = split(txt, "\n")
-      val nLines = size(lines).cast("long")
-      val bulletRatio = when(nLines === 0, 0.0).otherwise(
-        size(filter(lines, l =>
-          ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
-            ltrim(l).startsWith("•"))).cast("double") / nLines.cast("double"))
-      val ellRatio = when(nLines === 0, 0.0).otherwise(
-        size(filter(lines, l =>
-          rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
-          .cast("double") / nLines.cast("double"))
-      val alphaRatio = when(nWords === 0, 0.0).otherwise(
-        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
-          / nWords.cast("double"))
-      val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-        .map(sw => when(array_contains(lwords, sw), 1L).otherwise(0L))
-        .reduce(_ + _)
-      // per-rule pass flags, so the output carries WHICH rules a doc
-      // fails (the synthetic corpus fails the stopword rule corpus-wide,
-      // so the bare conjunction alone would be a dead column)
-      val rules: Seq[Column] = Seq(
-        nWords.between(50L, 100000L), meanLen.between(3.0, 10.0),
-        symRatio <= 0.1, bulletRatio <= 0.9, ellRatio <= 0.3,
-        alphaRatio >= 0.8, stopHits >= 2L)
-      val nPassed = rules.map(r => when(r, 1L).otherwise(0L)).reduce(_ + _)
+      // prunes to the two text columns at the scan. Metrics live in the
+      // shared gopherMetrics struct (also feeds quality_gate_agreement).
+      val m = gopherMetrics
+      val fields = Seq("n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
+        "stop_hits", "n_rules_passed", "passes")
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          nWords.as("n_words"),
-          round(meanLen, 4).as("mean_word_len"),
-          round(symRatio, 4).as("symbol_word_ratio"),
-          round(bulletRatio, 4).as("bullet_line_ratio"),
-          round(ellRatio, 4).as("ellipsis_line_ratio"),
-          round(alphaRatio, 4).as("alpha_word_ratio"),
-          stopHits.as("stop_hits"),
-          nPassed.as("n_rules_passed"),
-          rules.reduce(_ && _).as("passes"))
+        .select(col("doc_id") +: fields.map(f => m.getField(f).as(f)): _*)
         .orderBy("doc_id")
     }),
 
@@ -92,34 +173,13 @@ private[graft] object EntryPipeline {
       // the DuckDB oracle's lambda index is 1-based, Spark's is 0-based)
       // — and applies the rules to that structure, so every metric
       // actually varies across docs instead of being corpus-wide zero.
-      val ts = TextFunctions.tokens(col("text"))
-      val txt = array_join(
-        transform(ts, (t, i0) => concat(t,
-          when(((i0 + 1) % 13) === 0, ".").otherwise(""),
-          when(((i0 + 1) % 39) === 0, "\n").otherwise(""))), " ")
-      val lines = split(txt, "\n")
-      val nLines = size(lines).cast("long")
-      val kept = size(filter(lines, l => {
-        val w = when(trim(l) === "", lit(0))
-          .otherwise(size(split(trim(l), "\\s+")))
-        val r = rtrim(l)
-        w >= 5 && (r.endsWith(".") || r.endsWith("!") ||
-          r.endsWith("?") || r.endsWith("\""))
-      })).cast("long")
-      val keptRatio = when(nLines === 0, 0.0)
-        .otherwise(kept.cast("double") / nLines.cast("double"))
-      val nSent = (length(txt) - length(translate(txt, ".!?", ""))).cast("long")
-      val hasLorem = lower(txt).contains("lorem ipsum")
-      val hasBrace = txt.contains("{")
+      // Metrics live in the shared c4Metrics struct (also feeds
+      // quality_gate_agreement).
+      val m = c4Metrics
+      val fields = Seq("n_lines", "n_kept_lines", "kept_line_ratio",
+        "n_sentences", "has_lorem", "has_brace", "passes")
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          nLines.as("n_lines"),
-          kept.as("n_kept_lines"),
-          round(keptRatio, 4).as("kept_line_ratio"),
-          nSent.as("n_sentences"),
-          hasLorem.as("has_lorem"),
-          hasBrace.as("has_brace"),
-          (nSent >= 3L && !hasLorem && !hasBrace).as("passes"))
+        .select(col("doc_id") +: fields.map(f => m.getField(f).as(f)): _*)
         .orderBy("doc_id")
     }),
 
@@ -139,48 +199,68 @@ private[graft] object EntryPipeline {
       // boilerplate) so the dup rule actually varies instead of being
       // corpus-wide zero on unique token soup. Dup chars count
       // occurrences BEYOND the first. Pure array expressions over one
-      // pruned scan — embarrassingly parallel at 100 TB.
-      val ts = TextFunctions.tokens(col("text"))
-      val resent = array_join(
-        transform(ts, (t, i0) => concat(t,
-          when(((i0 + 1) % 13) === 0, ".").otherwise(""),
-          when(((i0 + 1) % 39) === 0, "\n").otherwise(""))), " ")
-      val lns0 = split(resent, "\n")
-      val withLines = t(s, dir, "documents")
-        .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(3)) === 0,
-            concat(lns0, slice(lns0, 1, 1))).otherwise(lns0).as("lns"))
-      val nLines = size(col("lns")).cast("long")
-      val punct = size(filter(col("lns"), l => {
-        val r = rtrim(l)
-        r.endsWith(".") || r.endsWith("!") || r.endsWith("?") || r.endsWith("\"")
-      })).cast("long")
-      val short = size(filter(col("lns"), l => length(l) < 30)).cast("long")
-      val totChars = aggregate(col("lns"), lit(0L),
-        (a, l) => a + length(l).cast("long"))
-      val dupChars = aggregate(array_distinct(col("lns")), lit(0L),
-        (a, u) => a + (size(filter(col("lns"), x => x === u)) - 1).cast("long")
-          * length(u).cast("long"))
-      val punctRaw = punct.cast("double") / nLines.cast("double")
-      val shortRaw = short.cast("double") / nLines.cast("double")
-      val dupRaw = when(totChars === 0L, 0.0)
-        .otherwise(dupChars.cast("double") / totChars.cast("double"))
+      // pruned scan — embarrassingly parallel at 100 TB. Metrics live
+      // in the shared finewebMetrics struct (also feeds
+      // quality_gate_agreement).
+      //
       // the dup fraction is emitted as TRUNCATED basis points (integer
       // div), not round(x, 4): with char-sized denominators the ratio
       // lands on 5e-5 round midpoints where Spark and DuckDB disagree
       // (found by the sf1 sweep); the line ratios have tiny line-count
       // denominators whose 4-dp roundings are midpoint-free
-      withLines.select(col("doc_id"),
-          nLines.as("n_lines"),
-          totChars.as("n_chars"),
-          dupChars.as("n_dup_line_chars"),
-          round(punctRaw, 4).as("punct_line_ratio"),
-          round(shortRaw, 4).as("short_line_ratio"),
-          (punctRaw >= 0.12 && shortRaw < 0.67 && dupRaw <= 0.1).as("passes"))
+      val m = finewebMetrics
+      val fields = Seq("n_lines", "n_chars", "n_dup_line_chars",
+        "punct_line_ratio", "short_line_ratio", "passes")
+      t(s, dir, "documents")
+        .select(col("doc_id") +: fields.map(f => m.getField(f).as(f)): _*)
         .withColumn("dup_char_bp",
           when(col("n_chars") === 0L, 0L)
             .otherwise(expr("(n_dup_line_chars * 10000) div n_chars")))
         .orderBy("doc_id")
+    }),
+
+
+    "quality_gate_agreement" -> ((s, dir) => {
+      // do the quality filters AGREE? The calibration audit a curation
+      // team runs before stacking gates: pairwise Cohen's kappa between
+      // the three rule gates (Gopher, C4, FineWeb) over the same corpus.
+      // High kappa = the gates are redundant; near-zero = they measure
+      // different things (stack them); negative = they conflict. ONE
+      // corpus scan computes all three pass booleans (the shared metric
+      // structs — pure codegen'd Columns), one global agg collects the
+      // twelve 2×2 cell counts as exact integers, and kappa is the
+      // integer-ppm form 2(ad−bc)·10⁶ div ((a+b)(b+d)+(a+c)(c+d)) — no
+      // floating point anywhere. Embarrassingly parallel at 100 TB.
+      val flags = t(s, dir, "documents").select(
+        gopherMetrics.getField("passes").as("g"),
+        c4Metrics.getField("passes").as("c"),
+        finewebMetrics.getField("passes").as("f"))
+      val pairs = Seq(("gopher", "c4", "g", "c"),
+        ("gopher", "fineweb", "g", "f"), ("c4", "fineweb", "c", "f"))
+      def cnt(x: Column): Column = sum(when(x, 1L).otherwise(0L))
+      val aggs = pairs.flatMap { case (_, _, x, y) => Seq(
+        cnt(col(x) && col(y)).as(s"a_$x$y"),
+        cnt(col(x) && !col(y)).as(s"b_$x$y"),
+        cnt(!col(x) && col(y)).as(s"c_$x$y"),
+        cnt(!col(x) && !col(y)).as(s"d_$x$y")) }
+      val g1 = flags.agg(count(lit(1)).as("n_docs"), aggs: _*)
+      g1.select(col("n_docs"), explode(array(pairs.map {
+          case (na, nb, x, y) => struct(
+            lit(na).as("gate_a"), lit(nb).as("gate_b"),
+            col(s"a_$x$y").as("a"), col(s"b_$x$y").as("b"),
+            col(s"c_$x$y").as("c"), col(s"d_$x$y").as("d"))
+        }: _*)).as("e"))
+        .select(col("e.gate_a").as("gate_a"), col("e.gate_b").as("gate_b"),
+          col("n_docs"), col("e.a").as("a"), col("e.b").as("b"),
+          col("e.c").as("c"), col("e.d").as("d"))
+        .withColumn("n_agree", col("a") + col("d"))
+        .withColumn("kappa_ppm", expr(
+          """CASE WHEN (a + b) * (b + d) + (a + c) * (c + d) = 0 THEN NULL
+             ELSE (2000000 * (a * d - b * c))
+               div ((a + b) * (b + d) + (a + c) * (c + d)) END"""))
+        .select("gate_a", "gate_b", "n_docs", "a", "b", "c", "d",
+          "n_agree", "kappa_ppm")
+        .orderBy("gate_a", "gate_b")
     }),
 
 
@@ -1344,42 +1424,143 @@ private[graft] object EntryPipeline {
     })
   )
 
+  /** Oracle CTE chain replaying gopherMetrics' raw values per doc —
+    * ends at `gr(doc_id, n_words, mean_raw, sym_raw, bullet_raw,
+    * ell_raw, alpha_raw, stop_hits)`. Shared by the gate oracle and
+    * the gate-agreement oracle. */
+  private val gopherOracleCtes: String =
+    """gb AS (
+         SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END AS ws,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(lower(text)), '\s+') END AS lws,
+           string_split(text, chr(10)) AS lns
+         FROM documents
+       ), gm AS (
+         SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                     / CAST(len(ws) AS DOUBLE) END AS mean_raw,
+           CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+             + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+             + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_sym,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lns, l -> ltrim(l) LIKE '-%'
+             OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT) AS n_bullet,
+           CAST(len(list_filter(lns, l -> rtrim(l) LIKE '%...'
+             OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ell,
+           CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+             s2 -> list_contains(lws, s2))) AS BIGINT) AS stop_hits
+         FROM gb
+       ), gr AS (
+         SELECT doc_id, n_words, mean_raw, stop_hits,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) END AS sym_raw,
+           CASE WHEN n_lines = 0 THEN 0.0
+                ELSE CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS bullet_raw,
+           CASE WHEN n_lines = 0 THEN 0.0
+                ELSE CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS ell_raw,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_raw
+         FROM gm
+       )"""
+
+  /** Gopher pass condition over `gr` — the same seven thresholds on the
+    * same raw values, shared by both oracles. */
+  private val gopherPassSql: String =
+    """(n_words BETWEEN 50 AND 100000 AND mean_raw BETWEEN 3.0 AND 10.0
+       AND sym_raw <= 0.1 AND bullet_raw <= 0.9 AND ell_raw <= 0.3
+       AND alpha_raw >= 0.8 AND stop_hits >= 2)"""
+
+  /** The C4 re-sentencing of `documents.text` (1-based lambda index) —
+    * yields `cb(doc_id, text)`. Shared by the C4 and FineWeb chains. */
+  private def resentencedCtes(p: String): String =
+    s"""${p}t0 AS (
+         SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         FROM documents
+       ), ${p}b AS (
+         SELECT doc_id,
+           array_to_string(list_transform(toks, (t, i) -> t
+             || (CASE WHEN i % 13 = 0 THEN '.' ELSE '' END)
+             || (CASE WHEN i % 39 = 0 THEN chr(10) ELSE '' END)), ' ') AS text
+         FROM ${p}t0
+       )"""
+
+  /** Oracle CTE chain replaying c4Metrics — ends at `cm(doc_id, n_lines,
+    * n_kept, n_sentences, has_lorem, has_brace)`. */
+  private val c4OracleCtes: String =
+    s"""${resentencedCtes("c")}, clf AS (
+         SELECT doc_id, text, string_split(text, chr(10)) AS lns FROM cb
+       ), cm AS (
+         SELECT doc_id,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lns, x ->
+             (CASE WHEN trim(x) = '' THEN 0
+                   ELSE len(string_split_regex(trim(x), '\\s+')) END) >= 5
+             AND (rtrim(x) LIKE '%.' OR rtrim(x) LIKE '%!'
+               OR rtrim(x) LIKE '%?' OR rtrim(x) LIKE '%"'))) AS BIGINT) AS n_kept,
+           CAST(length(text) - length(translate(text, '.!?', '')) AS BIGINT) AS n_sentences,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{') AS has_brace
+         FROM clf
+       )"""
+
+  private val c4PassSql: String =
+    "(n_sentences >= 3 AND NOT has_lorem AND NOT has_brace)"
+
+  /** Oracle CTE chain replaying finewebMetrics — ends at `fr(doc_id,
+    * n_lines, n_chars, n_dup, punct_raw, short_raw, dup_raw)`. */
+  private val finewebOracleCtes: String =
+    s"""${resentencedCtes("f")}, flf0 AS (
+         SELECT doc_id, string_split(text, chr(10)) AS lns0 FROM fb
+       ), flf AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN list_append(lns0, lns0[1])
+                ELSE lns0 END AS lns
+         FROM flf0
+       ), fm AS (
+         SELECT doc_id,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lns, x -> rtrim(x) LIKE '%.'
+             OR rtrim(x) LIKE '%!' OR rtrim(x) LIKE '%?'
+             OR rtrim(x) LIKE '%"')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(lns, x -> length(x) < 30)) AS BIGINT) AS n_short,
+           CAST(COALESCE(list_sum(list_transform(lns, x -> length(x))), 0)
+             AS BIGINT) AS n_chars,
+           CAST(COALESCE(list_sum(list_transform(list_distinct(lns),
+             u -> (len(list_filter(lns, x -> x = u)) - 1) * length(u))), 0)
+             AS BIGINT) AS n_dup
+         FROM flf
+       ), fr AS (
+         SELECT doc_id, n_lines, n_chars, n_dup,
+           CAST(n_punct AS DOUBLE) / CAST(n_lines AS DOUBLE) AS punct_raw,
+           CAST(n_short AS DOUBLE) / CAST(n_lines AS DOUBLE) AS short_raw,
+           CASE WHEN n_chars = 0 THEN 0.0
+                ELSE CAST(n_dup AS DOUBLE) / CAST(n_chars AS DOUBLE)
+           END AS dup_raw
+         FROM fm
+       )"""
+
+  private val finewebPassSql: String =
+    "(punct_raw >= 0.12 AND short_raw < 0.67 AND dup_raw <= 0.1)"
+
   val sql: Map[String, String] = Map(
 
 
+    // CTE chain shared with quality_gate_agreement
     "quality_c4_rules" ->
-      """WITH t0 AS (
-           SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks
-           FROM documents
-         ), b AS (
-           SELECT doc_id,
-             array_to_string(list_transform(toks, (t, i) -> t
-               || (CASE WHEN i % 13 = 0 THEN '.' ELSE '' END)
-               || (CASE WHEN i % 39 = 0 THEN chr(10) ELSE '' END)), ' ') AS text
-           FROM t0
-         ), lf AS (
-           SELECT doc_id, text, string_split(text, chr(10)) AS lns FROM b
-         ), m AS (
-           SELECT doc_id,
-             CAST(len(lns) AS BIGINT) AS n_lines,
-             CAST(len(list_filter(lns, x ->
-               (CASE WHEN trim(x) = '' THEN 0
-                     ELSE len(string_split_regex(trim(x), '\s+')) END) >= 5
-               AND (rtrim(x) LIKE '%.' OR rtrim(x) LIKE '%!'
-                 OR rtrim(x) LIKE '%?' OR rtrim(x) LIKE '%"'))) AS BIGINT) AS n_kept,
-             CAST(length(text) - length(translate(text, '.!?', '')) AS BIGINT) AS n_sentences,
-             contains(lower(text), 'lorem ipsum') AS has_lorem,
-             contains(text, '{') AS has_brace
-           FROM lf
-         )
+      s"""WITH $c4OracleCtes
          SELECT doc_id, n_lines, n_kept AS n_kept_lines,
            round(CASE WHEN n_lines = 0 THEN 0.0
              ELSE CAST(n_kept AS DOUBLE) / CAST(n_lines AS DOUBLE) END, 4) AS kept_line_ratio,
            n_sentences, has_lorem, has_brace,
-           (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS passes
-         FROM m ORDER BY doc_id""",
+           $c4PassSql AS passes
+         FROM cm ORDER BY doc_id""",
 
 
     // same unigram LM (add-one smoothing, order-canonical Σlp fold) and
@@ -1424,98 +1605,65 @@ private[graft] object EntryPipeline {
 
     // same re-sentencing as quality_c4_rules (1-based lambda index),
     // same three FineWeb thresholds on the raw ratios; dup chars count
-    // occurrences beyond the first of each distinct line
+    // occurrences beyond the first of each distinct line. CTE chain
+    // shared with quality_gate_agreement.
     "quality_fineweb_rules" ->
-      """WITH t0 AS (
-           SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks
-           FROM documents
-         ), b AS (
-           SELECT doc_id,
-             array_to_string(list_transform(toks, (t, i) -> t
-               || (CASE WHEN i % 13 = 0 THEN '.' ELSE '' END)
-               || (CASE WHEN i % 39 = 0 THEN chr(10) ELSE '' END)), ' ') AS text
-           FROM t0
-         ), lf0 AS (
-           SELECT doc_id, string_split(text, chr(10)) AS lns0 FROM b
-         ), lf AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 3 = 0 THEN list_append(lns0, lns0[1])
-                  ELSE lns0 END AS lns
-           FROM lf0
-         ), m AS (
-           SELECT doc_id,
-             CAST(len(lns) AS BIGINT) AS n_lines,
-             CAST(len(list_filter(lns, x -> rtrim(x) LIKE '%.'
-               OR rtrim(x) LIKE '%!' OR rtrim(x) LIKE '%?'
-               OR rtrim(x) LIKE '%"')) AS BIGINT) AS n_punct,
-             CAST(len(list_filter(lns, x -> length(x) < 30)) AS BIGINT) AS n_short,
-             CAST(COALESCE(list_sum(list_transform(lns, x -> length(x))), 0)
-               AS BIGINT) AS n_chars,
-             CAST(COALESCE(list_sum(list_transform(list_distinct(lns),
-               u -> (len(list_filter(lns, x -> x = u)) - 1) * length(u))), 0)
-               AS BIGINT) AS n_dup
-           FROM lf
-         ), r AS (
-           SELECT doc_id, n_lines, n_chars, n_dup,
-             CAST(n_punct AS DOUBLE) / CAST(n_lines AS DOUBLE) AS punct_raw,
-             CAST(n_short AS DOUBLE) / CAST(n_lines AS DOUBLE) AS short_raw,
-             CASE WHEN n_chars = 0 THEN 0.0
-                  ELSE CAST(n_dup AS DOUBLE) / CAST(n_chars AS DOUBLE)
-             END AS dup_raw
-           FROM m
-         )
+      s"""WITH $finewebOracleCtes
          SELECT doc_id, n_lines, n_chars, n_dup AS n_dup_line_chars,
            round(punct_raw, 4) AS punct_line_ratio,
            round(short_raw, 4) AS short_line_ratio,
            CAST(CASE WHEN n_chars = 0 THEN 0
              ELSE (n_dup * 10000) // n_chars END AS BIGINT) AS dup_char_bp,
-           (punct_raw >= 0.12 AND short_raw < 0.67 AND dup_raw <= 0.1) AS passes
-         FROM r ORDER BY doc_id""",
+           $finewebPassSql AS passes
+         FROM fr ORDER BY doc_id""",
+
+
+    // pairwise 2×2 tables from one joined pass over the three shared
+    // gate chains; kappa is the exact-integer ppm form on both engines
+    "quality_gate_agreement" ->
+      s"""WITH $gopherOracleCtes, $c4OracleCtes, $finewebOracleCtes,
+         p AS (
+           SELECT gr.doc_id AS doc_id,
+             $gopherPassSql AS g,
+             $c4PassSql AS c,
+             $finewebPassSql AS f
+           FROM gr JOIN cm ON gr.doc_id = cm.doc_id
+                   JOIN fr ON gr.doc_id = fr.doc_id),
+         cnt AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN g AND c THEN 1 ELSE 0 END) AS BIGINT) AS a_gc,
+             CAST(sum(CASE WHEN g AND NOT c THEN 1 ELSE 0 END) AS BIGINT) AS b_gc,
+             CAST(sum(CASE WHEN NOT g AND c THEN 1 ELSE 0 END) AS BIGINT) AS c_gc,
+             CAST(sum(CASE WHEN NOT g AND NOT c THEN 1 ELSE 0 END) AS BIGINT) AS d_gc,
+             CAST(sum(CASE WHEN g AND f THEN 1 ELSE 0 END) AS BIGINT) AS a_gf,
+             CAST(sum(CASE WHEN g AND NOT f THEN 1 ELSE 0 END) AS BIGINT) AS b_gf,
+             CAST(sum(CASE WHEN NOT g AND f THEN 1 ELSE 0 END) AS BIGINT) AS c_gf,
+             CAST(sum(CASE WHEN NOT g AND NOT f THEN 1 ELSE 0 END) AS BIGINT) AS d_gf,
+             CAST(sum(CASE WHEN c AND f THEN 1 ELSE 0 END) AS BIGINT) AS a_cf,
+             CAST(sum(CASE WHEN c AND NOT f THEN 1 ELSE 0 END) AS BIGINT) AS b_cf,
+             CAST(sum(CASE WHEN NOT c AND f THEN 1 ELSE 0 END) AS BIGINT) AS c_cf,
+             CAST(sum(CASE WHEN NOT c AND NOT f THEN 1 ELSE 0 END) AS BIGINT) AS d_cf
+           FROM p),
+         pr AS (
+           SELECT 'gopher' AS gate_a, 'c4' AS gate_b, n_docs,
+             a_gc AS a, b_gc AS b, c_gc AS c, d_gc AS d FROM cnt
+           UNION ALL SELECT 'gopher', 'fineweb', n_docs,
+             a_gf, b_gf, c_gf, d_gf FROM cnt
+           UNION ALL SELECT 'c4', 'fineweb', n_docs,
+             a_cf, b_cf, c_cf, d_cf FROM cnt)
+         SELECT gate_a, gate_b, n_docs, a, b, c, d,
+           a + d AS n_agree,
+           CASE WHEN (a + b) * (b + d) + (a + c) * (c + d) = 0 THEN NULL
+             ELSE (2000000 * (a * d - b * c))
+               // ((a + b) * (b + d) + (a + c) * (c + d)) END AS kappa_ppm
+         FROM pr ORDER BY gate_a, gate_b""",
 
 
     // same seven Gopher thresholds on the same raw counts; `passes` uses
-    // the UNROUNDED values on both sides (round only decorates output)
+    // the UNROUNDED values on both sides (round only decorates output).
+    // CTE chain shared with quality_gate_agreement.
     "quality_gopher_rules" ->
-      """WITH b AS (
-           SELECT doc_id, text,
-             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(text), '\s+') END AS ws,
-             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS lws,
-             string_split(text, chr(10)) AS lns
-           FROM documents
-         ), m AS (
-           SELECT doc_id,
-             CAST(len(ws) AS BIGINT) AS n_words,
-             CASE WHEN len(ws) = 0 THEN 0.0
-                  ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-                       / CAST(len(ws) AS DOUBLE) END AS mean_raw,
-             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-               + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
-               + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_sym,
-             CAST(len(lns) AS BIGINT) AS n_lines,
-             CAST(len(list_filter(lns, l -> ltrim(l) LIKE '-%'
-               OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT) AS n_bullet,
-             CAST(len(list_filter(lns, l -> rtrim(l) LIKE '%...'
-               OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ell,
-             CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-               s2 -> list_contains(lws, s2))) AS BIGINT) AS stop_hits
-           FROM b
-         ), r AS (
-           SELECT doc_id, n_words, mean_raw, stop_hits,
-             CASE WHEN n_words = 0 THEN 0.0
-                  ELSE CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) END AS sym_raw,
-             CASE WHEN n_lines = 0 THEN 0.0
-                  ELSE CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS bullet_raw,
-             CASE WHEN n_lines = 0 THEN 0.0
-                  ELSE CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS ell_raw,
-             CASE WHEN n_words = 0 THEN 0.0
-                  ELSE CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_raw
-           FROM m
-         )
+      s"""WITH $gopherOracleCtes
          SELECT doc_id, n_words,
            round(mean_raw, 4) AS mean_word_len,
            round(sym_raw, 4) AS symbol_word_ratio,
@@ -1530,10 +1678,8 @@ private[graft] object EntryPipeline {
              + CASE WHEN ell_raw <= 0.3 THEN 1 ELSE 0 END
              + CASE WHEN alpha_raw >= 0.8 THEN 1 ELSE 0 END
              + CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rules_passed,
-           (n_words BETWEEN 50 AND 100000 AND mean_raw BETWEEN 3.0 AND 10.0
-             AND sym_raw <= 0.1 AND bullet_raw <= 0.9 AND ell_raw <= 0.3
-             AND alpha_raw >= 0.8 AND stop_hits >= 2) AS passes
-         FROM r ORDER BY doc_id""",
+           $gopherPassSql AS passes
+         FROM gr ORDER BY doc_id""",
 
 
     // unigram FNV + bigram shingle hashes → splitmix64 → low-10-bit

@@ -202,7 +202,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     "sample_ess",             // r12: importance-sampling ESS per source
     "stats_krippendorff_alpha", // r12: agreement with missing ratings
     "text_code_detect",       // r12: code-vs-prose mixture classifier
-    "mixture_temperature_sweep") // r12: n^tau shares at 4 temperatures
+    "mixture_temperature_sweep", // r12: n^tau shares at 4 temperatures
+    "quality_gate_agreement") // r12: pairwise kappa between rule gates
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10

@@ -78,6 +78,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quality_gate_agreement (r12): all three gates in ONE scan, no join") {
+    // the oracle joins three per-gate frames; the engine computes all
+    // three pass booleans in a single projection — no join anywhere
+    val p = plan("quality_gate_agreement")
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("source") && !read.contains("lang"), read)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
   test("decontaminate_minhash (r12): inherits the cross-corpus bucket-join shape") {
     val p = plan("decontaminate_minhash")
     // candidates come from the band/band_key equi-join, never a cartesian
