@@ -595,6 +595,43 @@ private[graft] object EntrySimilarity {
     }),
 
 
+    "embedding_isotropy" -> ((s, dir) => {
+      // embedding-collapse diagnostic (Ethayarajh 2019): the average
+      // pairwise cosine over all n(n−1) unit-vector pairs, computed
+      // WITHOUT the n² pairs as (‖Σv̂‖² − n)/(n(n−1)), plus the mean
+      // resultant length ‖Σv̂‖/n — near 0 = isotropic space, near 1 =
+      // collapsed (all vectors point the same way; ANN recall dies).
+      // Per-row normalization is a within-row sequential fold
+      // (deterministic); the per-dim sums use the family's ordered
+      // vec_id folds so the doubles replay bit-identically — at 100 TB
+      // those folds become plain map-side-combinable sums (the audit
+      // tolerates non-bit-exact, the oracle gate does not). One scan,
+      // dim-sized intermediate, 1-row output.
+      val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")))
+      val unit = t(s, dir, "embeddings")
+        .withColumn("nrm", nrm).filter(col("nrm") > 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sd = unit.select(col("vec_id"), posexplode(col("u")).as(Seq("d", "v")))
+        .groupBy("d").agg(aggregate(
+          sort_array(collect_list(struct(col("vec_id"), col("v").as("x")))),
+          lit(0.0), (a, el) => a + el.getField("x")).as("s"))
+      val tot = unit.agg(count(lit(1)).as("n"), max(size(col("u"))).as("dim"))
+      val ssq = sd.agg(aggregate(
+        sort_array(collect_list(struct(col("d"), (col("s") * col("s")).as("x")))),
+        lit(0.0), (a, el) => a + el.getField("x")).as("ssq"))
+      tot.crossJoin(broadcast(ssq))
+        .select(col("n"), col("dim").cast("long").as("dim"),
+          round((col("ssq") - col("n").cast("double"))
+            / (col("n") * (col("n") - 1)).cast("double"), 6)
+            .as("avg_pairwise_cos"),
+          round(sqrt(col("ssq")) / col("n").cast("double"), 6)
+            .as("resultant_len"))
+    }),
+
+
     "embedding_pca_top2" -> ((s, dir) => {
       // top-2 principal directions via DEFLATION: the same one-pass
       // integer Gram + power iteration as embedding_pca_power, then
@@ -872,6 +909,45 @@ private[graft] object EntrySimilarity {
          SELECT vec_id, sqnorm, dev2, n, med2, mad4, n_outliers
          FROM fl CROSS JOIN nout
          ORDER BY dev2 DESC, vec_id LIMIT 10""",
+
+
+    // same within-row norm fold, vec_id-ordered per-dim sums, and
+    // d-ordered Σs² fold; the two output ratios share the engine's
+    // written expression order
+    "embedding_isotropy" ->
+      """WITH nrm AS (
+           SELECT vec_id, embedding,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+               (a, b) -> a + b)) AS nrm
+           FROM embeddings),
+         unit AS (
+           SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x / nrm) AS u
+           FROM nrm WHERE nrm > 0),
+         dims AS (
+           SELECT vec_id,
+             unnest(list_transform(range(1, len(u) + 1),
+               i -> {'d': i, 'v': u[CAST(i AS INT)]})) AS t
+           FROM unit),
+         df AS (SELECT t.d AS d, vec_id, t.v AS v FROM dims),
+         sd AS (
+           SELECT d, list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)),
+             (a, b) -> a + b) AS s
+           FROM df GROUP BY d),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(max(len(u)) AS BIGINT) AS dim
+           FROM unit),
+         q AS (
+           SELECT list_reduce(list_prepend(0.0, list(s * s ORDER BY d)),
+             (a, b) -> a + b) AS ssq
+           FROM sd)
+         SELECT n, dim,
+           round((ssq - CAST(n AS DOUBLE))
+             / CAST(n * (n - 1) AS DOUBLE), 6) AS avg_pairwise_cos,
+           round(sqrt(ssq) / CAST(n AS DOUBLE), 6) AS resultant_len
+         FROM tot CROSS JOIN q""",
 
 
     "embedding_pca_top2" -> {
