@@ -1592,6 +1592,23 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("embedding_isotropy: bounds and direct recomputation") {
+    val row = q("embedding_isotropy").head()
+    val n = row.getLong(row.fieldIndex("n"))
+    val cos = row.getDouble(row.fieldIndex("avg_pairwise_cos"))
+    val rl = row.getDouble(row.fieldIndex("resultant_len"))
+    // hard bounds: mean pairwise cosine of unit vectors ∈ [−1/(n−1), 1],
+    // resultant length ∈ [0, 1]
+    assert(cos >= -1.0 / (n - 1) - 1e-9 && cos <= 1.0 + 1e-9, cos)
+    assert(rl >= 0.0 && rl <= 1.0 + 1e-9, rl)
+    // identity linking the two: cos = (n²·rl² − n)/(n(n−1)), up to the
+    // two independent 1e-6 output roundings
+    val viaRl = (n.toDouble * n * rl * rl - n) / (n.toDouble * (n - 1))
+    assert(math.abs(cos - viaRl) < 1e-3, s"$cos vs $viaRl")
+    // the synthetic embeddings are isotropic by construction
+    assert(math.abs(cos) < 0.01, s"unexpected anisotropy: $cos")
+  }
+
   test("mixture_temperature_sweep: shares are a flattening family") {
     val rows = q("mixture_temperature_sweep")
       .select("tau", "domain", "n_docs", "share")
