@@ -473,6 +473,50 @@ private[graft] object EntrySimilarity {
     }),
 
 
+    "similarity_kcenter_coreset" -> ((s, dir) => {
+      // Greedy k-center coreset selection (Gonzalez 1985) — the
+      // farthest-point diversity-selection method behind coreset
+      // curation, complementing MMR's relevance-diversity tradeoff:
+      // start from the max-norm vector, then repeatedly take the point
+      // FARTHEST from the selected set (k=8). The selection radius
+      // sequence (max-min distance² at each pick) is the coverage
+      // guarantee — greedy is a 2-approximation of optimal k-center.
+      // Scale shape: each step is ONE distributed scan computing every
+      // point's min distance² to the ≤8 broadcast centers with a
+      // TakeOrdered argmax (no global sort); only the k selected
+      // vectors cross to the driver, like the IVF codebook builds.
+      // Distances are within-row sequential folds (bit-exact replay on
+      // both engines) and the radius is emitted in TRUNCATED
+      // micro-units, so no float rounding is ever compared.
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def d2(cv: Seq[Double]): Column = aggregate(
+        zip_with(col("u"), typedLit(cv), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x)
+      val sq = aggregate(transform(col("u"), x => x * x),
+        lit(0.0), (a, x) => a + x)
+      val first = vecs.withColumn("sq", sq)
+        .orderBy(col("sq").desc, col("vec_id")).limit(1)
+        .select("vec_id", "u").collect()(0)
+      var centers = Vector((first.getLong(0), first.getSeq[Double](1)))
+      val picks = collection.mutable.ArrayBuffer[(Long, Long, Option[Long])](
+        (1L, centers(0)._1, None))
+      for (step <- 2 to 8) {
+        val dmin = centers.map(c => d2(c._2)).reduce(least(_, _))
+        val sel = vecs.withColumn("dmin", dmin)
+          .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+          .select("vec_id", "u", "dmin").collect()(0)
+        centers = centers :+ ((sel.getLong(0), sel.getSeq[Double](1)))
+        picks += ((step.toLong, sel.getLong(0),
+          Some(math.floor(sel.getDouble(2) * 1e6).toLong)))
+      }
+      import s.implicits._
+      picks.toSeq.toDF("step", "vec_id", "radius_u6").orderBy("step")
+    }),
+
+
     "similarity_mmr_topk" -> ((s, dir) => {
       // Maximal Marginal Relevance diversified top-k (Carbonell &
       // Goldstein, SIGIR'98) — the training-data selection pattern
@@ -787,6 +831,46 @@ private[graft] object EntrySimilarity {
   )
 
   val sql: Map[String, String] = Map(
+
+
+    // same greedy walk as 8 chained argmax CTEs (the BPE-oracle
+    // pattern); distances are the same index-ordered folds, ties break
+    // on vec_id, and the radius is truncated micro-units — float-free
+    "similarity_kcenter_coreset" -> {
+      def dist(u: String, cA: String): String =
+        s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($u) + 1),
+            i -> ($u[CAST(i AS INT)] - $cA.u[CAST(i AS INT)])
+               * ($u[CAST(i AS INT)] - $cA.u[CAST(i AS INT)]))),
+            (a, b) -> a + b)"""
+      val steps = (2 to 8).map { k =>
+        val prev = s"d${k - 1}"
+        s"""c$k AS (SELECT vec_id, u, dmin FROM $prev
+              ORDER BY dmin DESC, vec_id LIMIT 1),
+            d$k AS (SELECT $prev.vec_id AS vec_id, $prev.u AS u,
+              least($prev.dmin, ${dist(s"$prev.u", s"c$k")}) AS dmin
+              FROM $prev CROSS JOIN c$k)"""
+      }.mkString(",\n")
+      val unions = (2 to 8).map(k =>
+        s"""UNION ALL SELECT CAST($k AS BIGINT), vec_id,
+            CAST(floor(dmin * 1000000) AS BIGINT) FROM c$k""").mkString("\n")
+      s"""WITH e0 AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u FROM embeddings),
+         n0 AS (
+           SELECT vec_id, u,
+             list_reduce(list_prepend(0.0, list_transform(u, x -> x * x)),
+               (a, b) -> a + b) AS sq
+           FROM e0),
+         c1 AS (SELECT vec_id, u FROM n0 ORDER BY sq DESC, vec_id LIMIT 1),
+         d1 AS (SELECT n0.vec_id AS vec_id, n0.u AS u,
+           ${dist("n0.u", "c1")} AS dmin
+           FROM n0 CROSS JOIN c1),
+         $steps
+         SELECT step, vec_id, radius_u6 FROM (
+           SELECT CAST(1 AS BIGINT) AS step, vec_id,
+             CAST(NULL AS BIGINT) AS radius_u6 FROM c1
+           $unions
+         ) ORDER BY step"""
+    },
 
 
     "similarity_mmr_topk" -> {

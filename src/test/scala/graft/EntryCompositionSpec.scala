@@ -204,7 +204,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     "text_code_detect",       // r12: code-vs-prose mixture classifier
     "mixture_temperature_sweep", // r12: n^tau shares at 4 temperatures
     "quality_gate_agreement", // r12: pairwise kappa between rule gates
-    "embedding_isotropy")     // r12: collapse diagnostic (avg pair cos)
+    "embedding_isotropy",     // r12: collapse diagnostic (avg pair cos)
+    "similarity_kcenter_coreset") // r12: greedy farthest-point selection
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10

@@ -1592,6 +1592,20 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("similarity_kcenter_coreset: greedy invariants") {
+    val rows = q("similarity_kcenter_coreset")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == (1L to 8L))
+    assert(rows.map(_._2).distinct.size == 8, "selected ids must be distinct")
+    assert(rows.head._3.isEmpty && rows.tail.forall(_._3.nonEmpty))
+    // the max-min distance can only SHRINK as centers are added —
+    // the defining invariant of the greedy farthest-point walk
+    val radii = rows.tail.map(_._3.get)
+    assert(radii == radii.sorted.reverse, radii.toString)
+    assert(radii.last > 0L, "degenerate selection (all points identical)")
+  }
+
   test("embedding_isotropy: bounds and direct recomputation") {
     val row = q("embedding_isotropy").head()
     val n = row.getLong(row.fieldIndex("n"))
