@@ -228,9 +228,16 @@ private[graft] object EntryPipeline {
       // different things (stack them); negative = they conflict. ONE
       // corpus scan computes all three pass booleans (the shared metric
       // structs — pure codegen'd Columns), one global agg collects the
-      // twelve 2×2 cell counts as exact integers, and kappa is the
-      // integer-ppm form 2(ad−bc)·10⁶ div ((a+b)(b+d)+(a+c)(c+d)) — no
-      // floating point anywhere. Embarrassingly parallel at 100 TB.
+      // twelve 2×2 cell counts as exact integers; kappa is then
+      // (po − pe)/(1 − pe) in doubles, rounding 6dp for output. The
+      // earlier integer-ppm form 2(ad−bc)·10⁶ div (…) overflowed signed
+      // 64-bit past ~4.3M docs (ADVICE r12: a·d alone passes 2⁶³ at
+      // ~3e9, the ppm scaling at ~4.3M) — Spark wraps silently in
+      // non-ANSI mode while DuckDB errors, so the "exact at 100 TB"
+      // claim was false. Each marginal is divided by n BEFORE the
+      // products, so nothing ever exceeds double range at any corpus
+      // size; the cell counts stay exact BIGINTs in the output.
+      // Embarrassingly parallel at 100 TB.
       val flags = t(s, dir, "documents").select(
         gopherMetrics.getField("passes").as("g"),
         c4Metrics.getField("passes").as("c"),
@@ -254,12 +261,23 @@ private[graft] object EntryPipeline {
           col("n_docs"), col("e.a").as("a"), col("e.b").as("b"),
           col("e.c").as("c"), col("e.d").as("d"))
         .withColumn("n_agree", col("a") + col("d"))
-        .withColumn("kappa_ppm", expr(
-          """CASE WHEN (a + b) * (b + d) + (a + c) * (c + d) = 0 THEN NULL
-             ELSE (2000000 * (a * d - b * c))
-               div ((a + b) * (b + d) + (a + c) * (c + d)) END"""))
+        // po, pe, kappa — identical operation ORDER as the oracle SQL so
+        // the IEEE doubles replay bit-identically: every marginal is
+        // (sum)::double / n::double first, then the two products, then
+        // their sum
+        .withColumn("__po",
+          (col("a") + col("d")).cast("double") / col("n_docs").cast("double"))
+        .withColumn("__pe",
+          (col("a") + col("b")).cast("double") / col("n_docs").cast("double") *
+            ((col("a") + col("c")).cast("double") / col("n_docs").cast("double")) +
+          (col("c") + col("d")).cast("double") / col("n_docs").cast("double") *
+            ((col("b") + col("d")).cast("double") / col("n_docs").cast("double")))
+        .withColumn("kappa",
+          when(col("__pe") === 1.0, lit(null).cast("double"))
+            .otherwise(round((col("__po") - col("__pe"))
+              / (lit(1.0) - col("__pe")), 6)))
         .select("gate_a", "gate_b", "n_docs", "a", "b", "c", "d",
-          "n_agree", "kappa_ppm")
+          "n_agree", "kappa")
         .orderBy("gate_a", "gate_b")
     }),
 
@@ -1619,7 +1637,10 @@ private[graft] object EntryPipeline {
 
 
     // pairwise 2×2 tables from one joined pass over the three shared
-    // gate chains; kappa is the exact-integer ppm form on both engines
+    // gate chains; kappa = (po−pe)/(1−pe) in doubles with the SAME
+    // operation order as the Spark side (marginals divided by n before
+    // the products — the integer-ppm form overflowed int64 past ~4.3M
+    // docs, ADVICE r12)
     "quality_gate_agreement" ->
       s"""WITH $gopherOracleCtes, $c4OracleCtes, $finewebOracleCtes,
          p AS (
@@ -1650,13 +1671,20 @@ private[graft] object EntryPipeline {
            UNION ALL SELECT 'gopher', 'fineweb', n_docs,
              a_gf, b_gf, c_gf, d_gf FROM cnt
            UNION ALL SELECT 'c4', 'fineweb', n_docs,
-             a_cf, b_cf, c_cf, d_cf FROM cnt)
+             a_cf, b_cf, c_cf, d_cf FROM cnt),
+         pk AS (
+           SELECT gate_a, gate_b, n_docs, a, b, c, d,
+             CAST(a + d AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+             CAST(a + b AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               * (CAST(a + c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             + CAST(c + d AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               * (CAST(b + d AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS pe
+           FROM pr)
          SELECT gate_a, gate_b, n_docs, a, b, c, d,
            a + d AS n_agree,
-           CASE WHEN (a + b) * (b + d) + (a + c) * (c + d) = 0 THEN NULL
-             ELSE (2000000 * (a * d - b * c))
-               // ((a + b) * (b + d) + (a + c) * (c + d)) END AS kappa_ppm
-         FROM pr ORDER BY gate_a, gate_b""",
+           CASE WHEN pe = 1.0 THEN NULL
+             ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
+         FROM pk ORDER BY gate_a, gate_b""",
 
 
     // same seven Gopher thresholds on the same raw counts; `passes` uses

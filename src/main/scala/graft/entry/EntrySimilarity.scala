@@ -512,6 +512,11 @@ private[graft] object EntrySimilarity {
         picks += ((step.toLong, sel.getLong(0),
           Some(math.floor(sel.getDouble(2) * 1e6).toLong)))
       }
+      // the returned frame is built entirely from the driver-local picks
+      // buffer, so (unlike Rank/isotropy, which return plans that still
+      // read their cache) there IS a safe release point — don't leak the
+      // persisted vectors across the rest of a 400+-query session
+      vecs.unpersist()
       import s.implicits._
       picks.toSeq.toDF("step", "vec_id", "radius_u6").orderBy("step")
     }),

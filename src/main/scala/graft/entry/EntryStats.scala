@@ -615,8 +615,9 @@ private[graft] object EntryStats {
       // item contributes exactly 1 to its category total, and the
       // observed-disagreement sum Do is 2·[c1≠c2] for 2-rating items
       // and (3 − #agreeing pairs) for 3-rating items — so
-      // α = 1 − Do·(n−1)/(n² − Σ n_c²) is ONE floating-point division
-      // over BIGINTs. One scan, one global agg.
+      // α = 1 − Do·(n−1)/(n² − Σ n_c²) with the counts exact and the
+      // final ratio in doubles (cast BEFORE squaring — see below).
+      // One scan, one global agg.
       val base = pmod(col("doc_id"), lit(4L))
       def cat(r: Int): Column =
         when(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
@@ -640,12 +641,19 @@ private[graft] object EntryStats {
       val g = rated.agg(
         count(lit(1)).as("n_items"),
         Seq(sum(mI).as("n_ratings"), sum(doI).as("do_sum")) ++ catN: _*)
-      val n = col("n_ratings")
-      val deNum = n * n - (0 to 3).map(j => col(s"n_$j") * col(s"n_$j"))
+      // the coincidence terms are exact BIGINTs, but the FINAL alpha
+      // arithmetic casts to double BEFORE squaring/multiplying: n² and
+      // do·(n−1) in int64 overflow past ~3e9 ratings (~1.1e9 docs) —
+      // Spark wraps silently in non-ANSI mode, DuckDB errors (ADVICE
+      // r12). Alpha is a rounded double anyway; the operation order
+      // matches the oracle SQL so the doubles replay bit-identically.
+      val nD = col("n_ratings").cast("double")
+      val deNum = nD * nD - (0 to 3).map(j =>
+          col(s"n_$j").cast("double") * col(s"n_$j").cast("double"))
         .reduce(_ + _)
       g.select(col("n_items"), col("n_ratings"), col("do_sum"),
-        round(lit(1.0) - (col("do_sum") * (n - 1L)).cast("double")
-          / deNum.cast("double"), 6).as("alpha"))
+        round(lit(1.0) - col("do_sum").cast("double") * (nD - lit(1.0))
+          / deNum, 6).as("alpha"))
     }),
 
 
@@ -1816,9 +1824,13 @@ private[graft] object EntryStats {
            FROM rated
          )
          SELECT n_items, n_ratings, do_sum,
-           round(1.0 - CAST(do_sum * (n_ratings - 1) AS DOUBLE)
-             / CAST(n_ratings * n_ratings
-               - (n_0 * n_0 + n_1 * n_1 + n_2 * n_2 + n_3 * n_3) AS DOUBLE), 6)
+           round(1.0 - CAST(do_sum AS DOUBLE)
+               * (CAST(n_ratings AS DOUBLE) - 1.0)
+             / (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+               - (CAST(n_0 AS DOUBLE) * CAST(n_0 AS DOUBLE)
+                  + CAST(n_1 AS DOUBLE) * CAST(n_1 AS DOUBLE)
+                  + CAST(n_2 AS DOUBLE) * CAST(n_2 AS DOUBLE)
+                  + CAST(n_3 AS DOUBLE) * CAST(n_3 AS DOUBLE))), 6)
              AS alpha
          FROM g""",
 
