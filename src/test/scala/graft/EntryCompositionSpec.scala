@@ -205,7 +205,9 @@ class EntryCompositionSpec extends AnyFunSuite {
     "mixture_temperature_sweep", // r12: n^tau shares at 4 temperatures
     "quality_gate_agreement", // r12: pairwise kappa between rule gates
     "embedding_isotropy",     // r12: collapse diagnostic (avg pair cos)
-    "similarity_kcenter_coreset") // r12: greedy farthest-point selection
+    "similarity_kcenter_coreset", // r12: greedy farthest-point selection
+    "multimodal_decode_stats", // r13: REAL ImageIO pixel decode round-trip
+    "multimodal_audio_decode") // r13: REAL AudioSystem PCM decode round-trip
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10

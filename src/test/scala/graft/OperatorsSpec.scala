@@ -706,6 +706,92 @@ class OperatorsSpec extends SparkSpec {
     assert(hjt.fmt == "jpeg" && hjt.width.contains(64L), hjt)
   }
 
+  test("real pixel decode: PNG/BMP round-trips are exact, JPEG lossy-close") {
+    // lossless round-trips: the decoded raster must replay the generator
+    // formula EXACTLY — this is the in-JVM counterpart of the
+    // multimodal_decode_stats oracle
+    for (id <- Seq(0L, 1L, 41L, 1000002L)) {
+      val payload = Multimodal.encodeGrayImage(id)
+      val st = Multimodal.decodeImage(payload).get
+      val w = 8 + (id % 17).toInt; val h = 8 + (id % 13).toInt
+      val expSum = (for (y <- 0 until h; x <- 0 until w)
+        yield (31 * id + 7 * x + 13 * y) % 256).sum
+      assert(st.width == w && st.height == h, st)
+      assert(st.pixelSum == expSum, s"id=$id: ${st.pixelSum} vs $expSum")
+      // the structural header walk agrees with the codec on dimensions
+      val hdr = Multimodal.parseHeader(id, payload)
+      assert(hdr.fmt == (if (id % 2 == 0) "png" else "bmp"), hdr)
+      assert(hdr.width.contains(w.toLong) && hdr.height.contains(h.toLong), hdr)
+    }
+
+    // JPEG: encoding is LOSSY, so dims must be exact and the mean level
+    // close but not bit-equal — proving the pixels really went through
+    // the DCT codec rather than a metadata shortcut
+    val w = 24; val h = 16
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (31 + 7 * x + 13 * y) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val st = Multimodal.decodeImage(bos.toByteArray).get
+    assert(st.width == w && st.height == h)
+    val origMean = (for (y <- 0 until h; x <- 0 until w)
+      yield (31 + 7 * x + 13 * y) % 256).sum.toDouble / (w * h)
+    val decMean = st.pixelSum.toDouble / (w * h)
+    assert(math.abs(decMean - origMean) < 8.0, s"$decMean vs $origMean")
+
+    // and parseHeader agrees with the codec on the real JPEG's dims
+    val hj = Multimodal.parseHeader(0L, bos.toByteArray)
+    assert(hj.fmt == "jpeg" && hj.width.contains(w.toLong) &&
+      hj.height.contains(h.toLong), hj)
+  }
+
+  test("real PCM decode: AudioSystem walks the JUNK chunk and replays samples") {
+    for (id <- Seq(0L, 1L, 7L, 1000003L)) {
+      val payload = Multimodal.encodePcmWav(id)
+      val st = Multimodal.decodeWavPcm(payload).get
+      val ch = 1 + (id % 2).toInt
+      val nf = 32 + (id % 41).toInt
+      val expSum = (0 until nf * ch)
+        .map(i => ((37 * id + 11L * i) % 65536L) - 32768L).sum
+      assert(st.nChannels == ch && st.sampleRate == 8000 + (id % 8).toInt * 4000)
+      assert(st.nSamples == nf.toLong * ch)
+      assert(st.sampleSum == expSum, s"id=$id: ${st.sampleSum} vs $expSum")
+      val hdr = Multimodal.parseHeader(id, payload)
+      assert(hdr.fmt == "wav" && hdr.n_channels.contains(ch.toLong), hdr)
+    }
+    // not-a-wav degrades to None, not a throw
+    assert(Multimodal.decodeWavPcm("RIFFxxxxWAVEgarbage".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm("plain text".getBytes).isEmpty)
+  }
+
+  test("decodeFeatures: real media takes the codec path, other bytes the fallback") {
+    // image payload: feature[0] is the REAL mean gray level — recompute
+    // it from the decoded stats, not from any hash
+    val png = Multimodal.encodeGrayImage(42L)
+    val st = Multimodal.decodeImage(png).get
+    val f = Multimodal.decodeFeatures(png, 8)
+    assert(f(0) == (st.pixelSum.toDouble /
+      (st.width.toLong * st.height * 255.0)).toFloat)
+    assert(f(1) == st.pixMin / 255.0f && f(2) == st.pixMax / 255.0f)
+    assert(f.length == 8 && f.forall(v => v >= -1f && v <= 1f))
+    // wav payload: feature[0] is the real mean sample level
+    val wav = Multimodal.encodePcmWav(42L)
+    val sa = Multimodal.decodeWavPcm(wav).get
+    val g = Multimodal.decodeFeatures(wav, 8)
+    assert(g(0) == (sa.sampleSum.toDouble / sa.nSamples / 32768.0).toFloat)
+    // non-media bytes: exactly the deterministic byte fallback (the
+    // contract the existing multimodal_* oracles hash-check)
+    val txt = "some document text".getBytes("UTF-8")
+    assert(Multimodal.decodeFeatures(txt, 8).sameElements(
+      Multimodal.byteFallbackFeatures(txt, 8)))
+    // media-magic bytes that FAIL to decode also fall back, never throw
+    val fakeBmp = "BMnot really a bitmap".getBytes("UTF-8")
+    assert(Multimodal.decodeFeatures(fakeBmp, 8).sameElements(
+      Multimodal.byteFallbackFeatures(fakeBmp, 8)))
+  }
+
   test("autoK: ⌈√n⌉ clamped — cells scale with corpus instead of growing linearly") {
     import graft.operators.Similarity.autoK
     assert(autoK(10) == 8)          // floor

@@ -172,6 +172,22 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("multimodal decode queries (r13): doc_id-only scan, codec work rides the scan stage") {
+    for (q <- Seq("multimodal_decode_stats", "multimodal_audio_decode")) {
+      val p = plan(q)
+      // the codec round-trip needs only the id — text must not be read
+      val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+      assert(read.contains("doc_id") && !read.contains("text"), s"$q: $read")
+      // encode→decode→stats is per-row map work fused into the scan
+      // stage: the only exchange is the final presentation orderBy — at
+      // 100 TB pixels never shuffle, only the stats rows do
+      val exchanges = "Exchange [a-z]+".r.findAllIn(p).toSeq
+      assert(exchanges.size <= 1 &&
+        exchanges.forall(_.contains("rangepartitioning")), s"$q: $exchanges")
+      assert(!p.contains("Join"), q)
+    }
+  }
+
   test("similarity_topk_ivf_index: probe scan prunes index partitions") {
     val p = plan("similarity_topk_ivf_index")
     // the materialized IVF index is partitioned by centroid_id; the probe's
