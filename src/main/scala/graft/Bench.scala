@@ -173,6 +173,30 @@ object Bench {
       spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
     }
   }
+  /** Fixture names that have a row in PLANS.md's adversarial fixture
+    * cost ledger (the section the headline's `fixture_ledger` pointer
+    * names). Worst-5 membership is checked against this set MECHANICALLY
+    * (VERDICT r12 #4: `graph_kcore` rotated into the worst-5 with no
+    * ledger row, and the omission needed a judge code-audit instead of a
+    * red flag in the artifact): a backticked name in any table row
+    * between the ledger heading and the next `##` heading counts. */
+  private[graft] def ledgerFixtures(plansText: String): Set[String] = {
+    val lines = plansText.linesIterator.toSeq
+    val start = lines.indexWhere(_.startsWith("## Adversarial fixture cost ledger"))
+    if (start < 0) Set.empty
+    else {
+      val section = lines.drop(start + 1).takeWhile(!_.startsWith("## "))
+      val name = "^\\|\\s*`([a-z0-9_]+)`".r
+      section.flatMap(l => name.findFirstMatchIn(l).map(_.group(1))).toSet
+    }
+  }
+
+  /** Worst-5 members without a ledger row — nonempty means the round must
+    * either add the row (with a measured decade leg) or treat the query
+    * as a plan regression; the artifact carries the list either way. */
+  private[graft] def unledgered(worst5: Seq[String], ledger: Set[String]): Seq[String] =
+    worst5.filterNot(ledger.contains)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -279,7 +303,16 @@ object Bench {
     val rpsPost = enrichRps()
     val rps = math.max(rpsPre, rpsPost)
     val quietFloorRps = 400000L
-    val contended = enrichRows >= 300000L && rps < quietFloorRps
+    // contended if EITHER bracket is below the quiet floor band OR the
+    // two brackets disagree >20% — BENCH_r12 started contended (pre 445k
+    // vs post 646k), inflating the early-alphabetical families by ~30%,
+    // yet graded contended:false because only the max was checked
+    // (VERDICT r12 #6): a contended START is exactly the case the max
+    // hides and the disagreement exposes
+    val bracketDisagreement =
+      if (rps == 0L) 0.0 else (rpsPre - rpsPost).abs.toDouble / rps
+    val contended = enrichRows >= 300000L &&
+      (rps < quietFloorRps || bracketDisagreement > 0.20)
 
     // streaming leg — the reference topology as an actual stream (skipped
     // in the SPARK_GRAFT_BENCH_ONLY dev loop or with
@@ -367,10 +400,20 @@ object Bench {
     // worst-5 rotates through even when the per-query map is truncated
     def familySum(prefix: String): Double =
       results.collect { case (k, v, true) if k.startsWith(prefix) => v }.sum
+    // mechanical worst-5 ↔ ledger cross-check (VERDICT r12 #4)
+    val ledger = try {
+      ledgerFixtures(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("PLANS.md")), "UTF-8"))
+    } catch { case _: Exception => Set.empty[String] }
+    val worst5Names = results.filter(_._3).sortBy(-_._2).take(5).map(_._1)
+    val unledgeredJson = unledgered(worst5Names, ledger)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val headline =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":$errors,"sf":"$sfDir","enrich_rows_per_sec":$rps""" +
       s""","enrich_rps_pre":$rpsPre,"enrich_rps_post":$rpsPost""" +
       s""","contended":$contended,"quiet_floor_rps":$quietFloorRps""" +
+      s""","bracket_disagreement":${f3(bracketDisagreement)}""" +
+      s""","worst5_unledgered":$unledgeredJson""" +
       s""","dedup_total_sec":${f3(familySum("dedup_"))}""" +
       s""","similarity_total_sec":${f3(familySum("similarity_"))}""" +
       s""","text_total_sec":${f3(familySum("text_"))}""" +
@@ -381,6 +424,29 @@ object Bench {
       // separable from a real plan regression
       s""","fixture_ledger":"PLANS.md#adversarial-fixture-cost-ledger"""" +
       s"""$streamingJson}"""
+
+    // Full per-query artifact ON DISK (VERDICT r12 #3): the driver keeps
+    // only a ~2 KB stdout tail, so the per-query map was never
+    // mechanically diffable round-over-round. Every Bench run now writes
+    // the COMPLETE map (plus the warmup anchors and the headline fields)
+    // to bench_detail.json in the working tree — commit a per-round copy
+    // (bench_detail_r{N}.json) at close-out.
+    val detailPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try {
+      val warmupJson = selected.map { case (name, _) =>
+        "\"" + name + "\":" + f3(warmupSec.getOrElse(name, -1.0)) }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+        s"""{"sf":"$sfDir","wall_clock_utc":"${java.time.Instant.now()}"""" +
+        s""","headline":$headline""" +
+        s""","queries":$qs,"warmup_sf0001":$warmupJson""" +
+        streamingScalingLine.map(l => s""","streaming_scaling":$l""").getOrElse("") +
+        streamingDetailLine.map(l => s""","streaming_detail":$l""").getOrElse("") +
+        "}\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
 
     // The driver captures the stdout TAIL (~2 KB): round 4 proved that a
     // headline printed FIRST gets truncated away by the (long) per-query
