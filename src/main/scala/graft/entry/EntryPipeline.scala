@@ -684,6 +684,64 @@ private[graft] object EntryPipeline {
     }),
 
 
+    "privacy_pii_remediate" -> ((s, dir) => {
+      // Document-level PII REMEDIATION with span-level audit counts
+      // (r13, VERDICT #7) — the step a release pipeline runs between the
+      // prevalence audit (privacy_pii_prevalence: corpus totals) and the
+      // masked corpus (text_pii_mask: replaced text): per document, how
+      // many spans of each class were replaced, how many characters were
+      // redacted, the remediated text itself, and a `clean` bit
+      // re-scanning the OUTPUT for residual PII — the per-doc audit row
+      // a governance sign-off stores next to the data. Deterministic
+      // synthetic PII with VARYING span counts per doc (1–2 emails by
+      // id%2, 1–2 IPs by id%3, 0–1 phones by id%5) so the audit numbers
+      // are non-trivial and ground truth is known. Span counts and
+      // redacted-char sums are computed on the raw text per class
+      // (regexp_extract_all + an array length fold — codegen'd scan
+      // expressions); masking is the shared maskPii chain. One text
+      // scan, no shuffle below the presentation sort — embarrassingly
+      // parallel at 100 TB.
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneRe = "(\\+\\d{1,2}[- ])?\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b"
+      val email1 = concat(lit(" reach user"), col("doc_id"),
+        lit("@corp.example.net"))
+      val raw = concat(col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 1, concat(email1, email1))
+          .otherwise(email1),
+        lit(" from 192.168."), pmod(col("doc_id"), lit(256)), lit(".44"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" and 10.0.0.99"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) =!= 0, lit(" call 555-123-4567"))
+          .otherwise(lit("")))
+      def spans(c: Column, re: String): Column =
+        regexp_extract_all(c, lit(re), lit(0))
+      def sumLen(c: Column): Column = coalesce(
+        aggregate(transform(c, x => length(x).cast("long")),
+          lit(0L), (a, x) => a + x), lit(0L))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("__raw"))
+        .withColumn("remediated", TextFunctions.maskPii(col("__raw")))
+        .withColumn("n_email_spans",
+          size(spans(col("__raw"), emailRe)).cast("long"))
+        .withColumn("n_ip_spans",
+          size(spans(col("__raw"), ipRe)).cast("long"))
+        .withColumn("n_phone_spans",
+          size(spans(col("__raw"), phoneRe)).cast("long"))
+        .withColumn("chars_redacted",
+          sumLen(spans(col("__raw"), emailRe)) +
+          sumLen(spans(col("__raw"), ipRe)) +
+          sumLen(spans(col("__raw"), phoneRe)))
+        .withColumn("clean",
+          size(spans(col("remediated"), emailRe)) === 0 &&
+          size(spans(col("remediated"), ipRe)) === 0 &&
+          size(spans(col("remediated"), phoneRe)) === 0)
+        .select("doc_id", "n_email_spans", "n_ip_spans", "n_phone_spans",
+          "chars_redacted", "remediated", "clean")
+        .orderBy("doc_id")
+    }),
+
+
     "privacy_l_diversity" -> ((s, dir) => {
       // l-diversity audit (Machanavajjhala et al. 2007) — the
       // homogeneity-attack complement to k-anonymity: a group can be
@@ -2112,6 +2170,60 @@ private[graft] object EntryPipeline {
            round(CAST(sum(e) + sum(i) + sum(p) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS pii_per_doc
          FROM m GROUP BY source ORDER BY source""",
+
+
+    // same injection rules and regex classes as the Spark side; span
+    // counts/lengths computed on raw per class, masking is the shared
+    // three-pass replace chain (RE2 agrees with Java regex on these
+    // patterns — the text_pii_mask/privacy_pii_prevalence precedent)
+    "privacy_pii_remediate" ->
+      """WITH src AS (
+           SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 2 = 1
+                    THEN ' reach user' || doc_id || '@corp.example.net'
+                      || ' reach user' || doc_id || '@corp.example.net'
+                    ELSE ' reach user' || doc_id || '@corp.example.net' END
+               || ' from 192.168.' || (doc_id % 256) || '.44'
+               || CASE WHEN doc_id % 3 = 0 THEN ' and 10.0.0.99' ELSE '' END
+               || CASE WHEN doc_id % 5 <> 0 THEN ' call 555-123-4567'
+                  ELSE '' END AS raw
+           FROM documents),
+         m AS (
+           SELECT doc_id, raw,
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+               '(\+\d{1,2}[- ])?\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '[PHONE]', 'g')
+               AS remediated
+           FROM src)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email_spans,
+           CAST(len(regexp_extract_all(raw,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+             AS n_ip_spans,
+           CAST(len(regexp_extract_all(raw,
+             '(\+\d{1,2}[- ])?\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS BIGINT)
+             AS n_phone_spans,
+           CAST(COALESCE(list_sum(list_transform(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+               x -> length(x))), 0)
+             + COALESCE(list_sum(list_transform(regexp_extract_all(raw,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'),
+               x -> length(x))), 0)
+             + COALESCE(list_sum(list_transform(regexp_extract_all(raw,
+               '(\+\d{1,2}[- ])?\b\d{3}[- ]\d{3,4}[- ]\d{4}\b'),
+               x -> length(x))), 0) AS BIGINT) AS chars_redacted,
+           remediated,
+           (len(regexp_extract_all(remediated,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+            AND len(regexp_extract_all(remediated,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) = 0
+            AND len(regexp_extract_all(remediated,
+              '(\+\d{1,2}[- ])?\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) = 0) AS clean
+         FROM m ORDER BY doc_id""",
 
 
     "privacy_l_diversity" ->

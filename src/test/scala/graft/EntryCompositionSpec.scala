@@ -207,7 +207,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     "embedding_isotropy",     // r12: collapse diagnostic (avg pair cos)
     "similarity_kcenter_coreset", // r12: greedy farthest-point selection
     "multimodal_decode_stats", // r13: REAL ImageIO pixel decode round-trip
-    "multimodal_audio_decode") // r13: REAL AudioSystem PCM decode round-trip
+    "multimodal_audio_decode", // r13: REAL AudioSystem PCM decode round-trip
+    "privacy_pii_remediate")  // r13: span-level PII remediation audit
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10

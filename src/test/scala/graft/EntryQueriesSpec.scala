@@ -12,6 +12,25 @@ class EntryQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("privacy_pii_remediate: audit counts match the injection rule, output is clean") {
+    val rows = q("privacy_pii_remediate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // injected ground truth: 1–2 emails by id%2, 1–2 IPs by id%3,
+      // 0–1 phones by id%5 — the doc text itself may add more (>=)
+      assert(r.getAs[Long]("n_email_spans") >= 1 + (id % 2), r.toString)
+      assert(r.getAs[Long]("n_ip_spans") >= (if (id % 3 == 0) 2L else 1L), r.toString)
+      assert(r.getAs[Long]("n_phone_spans") >= (if (id % 5 != 0) 1L else 0L), r.toString)
+      // every redaction shrinks or holds length net of the class tokens;
+      // chars_redacted is at least the shortest injected span's length
+      assert(r.getAs[Long]("chars_redacted") >= 10L, r.toString)
+      // the release gate: NO residual PII in the remediated text
+      assert(r.getAs[Boolean]("clean"), s"residual PII in doc $id")
+      assert(!r.getAs[String]("remediated").contains("@corp.example.net"))
+    }
+  }
+
   test("join_edit_distance_prefix: equals brute-force levenshtein over the subset") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

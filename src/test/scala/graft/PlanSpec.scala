@@ -188,6 +188,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("privacy_pii_remediate (r13): one pruned text scan, no exchange below the sort") {
+    val p = plan("privacy_pii_remediate")
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("source") && !read.contains("lang"), read)
+    val exchanges = "Exchange [a-z]+".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.toString)
+    assert(!p.contains("Join"), p)
+  }
+
   test("similarity_topk_ivf_index: probe scan prunes index partitions") {
     val p = plan("similarity_topk_ivf_index")
     // the materialized IVF index is partitioned by centroid_id; the probe's
