@@ -379,6 +379,54 @@ private[graft] object EntryTrainData {
     }),
 
 
+    "train_packing_boundary_audit" -> ((s, dir) => {
+      // Sequence-boundary waste audit of the SPLIT packing policy (r13)
+      // — the readout a training team weighs against pack_sequences'
+      // zero-padding layout: a doc that crosses a 512-token boundary
+      // leaks attention context across unrelated sequence neighbors
+      // (unless the trainer masks cross-doc attention) and its tokens
+      // land in sequences that don't start it. Per shard: docs split,
+      // total boundary crossings, the fraction of tokens outside their
+      // doc's FIRST sequence (truncated ppm — integer div, no round
+      // midpoints), and the shard's tail padding. Same deterministic
+      // hash layout as pack_sequences, so the two reports describe the
+      // SAME layout. All exact integers; 8 independent shard windows,
+      // no global sort.
+      val d = t(s, dir, "documents")
+      val h = HashFunctions.fnv64(col("doc_id").cast("string"))
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = d.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          pmod(h, lit(8L)).as("shard"), h.as("h"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("first_seq", expr("(cum - n_tokens) div 512"))
+        .withColumn("last_seq", expr(
+          """CASE WHEN n_tokens = 0 THEN (cum - n_tokens) div 512
+             ELSE (cum - 1) div 512 END"""))
+        .withColumn("in_first", when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(least(col("n_tokens"),
+            lit(512L) - pmod(col("cum") - col("n_tokens"), lit(512L)))))
+      base.groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+            .as("n_docs_split"),
+          sum(col("last_seq") - col("first_seq")).as("n_boundary_crossings"),
+          sum(col("n_tokens") - col("in_first")).as("foreign_tokens"),
+          max(col("cum")).as("cum_total"))
+        .withColumn("foreign_token_ppm", expr(
+          """CASE WHEN n_tokens = 0 THEN 0
+             ELSE (foreign_tokens * 1000000) div n_tokens END"""))
+        .withColumn("tail_padding",
+          pmod(lit(512L) - pmod(col("cum_total"), lit(512L)), lit(512L)))
+        .select("shard", "n_docs", "n_tokens", "n_docs_split",
+          "n_boundary_crossings", "foreign_tokens", "foreign_token_ppm",
+          "tail_padding")
+        .orderBy("shard")
+    }),
+
+
     "mixture_doremi_step" -> ((s, dir) => {
       // DoReMi-style domain reweighting (Xie et al. 2023): ONE
       // exponentiated-gradient update of per-domain mixture weights from
@@ -1588,6 +1636,44 @@ private[graft] object EntryTrainData {
            CAST(sum(n_tokens) AS BIGINT) AS started_tokens,
            min(doc_id) AS first_doc
          FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
+    },
+
+
+    // same hash layout CTEs as pack_sequences; boundary math is pure
+    // integer arithmetic on the cumulative token offsets
+    "train_packing_boundary_audit" -> {
+      val hv = signedSql(fnvSql("CAST(doc_id AS VARCHAR)"))
+      s"""WITH tk AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             END AS n_tokens,
+             $hv AS h
+           FROM documents),
+         sh AS (SELECT doc_id, n_tokens, h, ((h % 8) + 8) % 8 AS shard FROM tk),
+         c AS (SELECT shard, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM sh),
+         b AS (SELECT shard, n_tokens, cum,
+                 (cum - n_tokens) // 512 AS first_seq,
+                 CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
+                      ELSE (cum - 1) // 512 END AS last_seq,
+                 CASE WHEN n_tokens = 0 THEN 0
+                      ELSE least(n_tokens, 512 - ((cum - n_tokens) % 512))
+                 END AS in_first
+               FROM c)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_docs_split,
+           CAST(sum(last_seq - first_seq) AS BIGINT) AS n_boundary_crossings,
+           CAST(sum(n_tokens - in_first) AS BIGINT) AS foreign_tokens,
+           CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+             ELSE (sum(n_tokens - in_first) * 1000000) // sum(n_tokens)
+           END AS BIGINT) AS foreign_token_ppm,
+           CAST((512 - max(cum) % 512) % 512 AS BIGINT) AS tail_padding
+         FROM b GROUP BY shard ORDER BY shard"""
     },
 
 

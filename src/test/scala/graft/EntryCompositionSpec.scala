@@ -208,7 +208,8 @@ class EntryCompositionSpec extends AnyFunSuite {
     "similarity_kcenter_coreset", // r12: greedy farthest-point selection
     "multimodal_decode_stats", // r13: REAL ImageIO pixel decode round-trip
     "multimodal_audio_decode", // r13: REAL AudioSystem PCM decode round-trip
-    "privacy_pii_remediate")  // r13: span-level PII remediation audit
+    "privacy_pii_remediate",  // r13: span-level PII remediation audit
+    "train_packing_boundary_audit") // r13: split-policy boundary waste audit
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10

@@ -31,6 +31,35 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("train_packing_boundary_audit: conservation + boundary invariants vs pack_sequences") {
+    val audit = q("train_packing_boundary_audit").collect()
+    assert(audit.length == 8) // every shard reports, even tiny ones
+    val nDocs = audit.map(_.getAs[Long]("n_docs")).sum
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(nDocs == corpus, s"doc conservation: $nDocs vs $corpus")
+    audit.foreach { r =>
+      val split = r.getAs[Long]("n_docs_split")
+      val crossings = r.getAs[Long]("n_boundary_crossings")
+      val foreign = r.getAs[Long]("foreign_tokens")
+      val toks = r.getAs[Long]("n_tokens")
+      assert(split <= r.getAs[Long]("n_docs"))
+      assert(crossings >= split) // every split doc crosses >= 1 boundary
+      assert(foreign <= toks && foreign >= 0)
+      assert(r.getAs[Long]("tail_padding") >= 0 &&
+        r.getAs[Long]("tail_padding") < 512)
+      // a doc only has foreign tokens if something crossed a boundary
+      assert((foreign > 0) == (crossings > 0), r.toString)
+    }
+    // same layout as pack_sequences: shard token totals must agree
+    val packed = q("pack_sequences").collect()
+      .groupBy(_.getAs[Long]("shard"))
+      .map { case (k, rows) => k -> rows.map(_.getAs[Long]("started_tokens")).sum }
+    audit.foreach { r =>
+      assert(packed(r.getAs[Long]("shard")) == r.getAs[Long]("n_tokens"),
+        s"shard ${r.getAs[Long]("shard")} token totals diverge from pack_sequences")
+    }
+  }
+
   test("join_edit_distance_prefix: equals brute-force levenshtein over the subset") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
