@@ -2,7 +2,12 @@
 """Local dev-loop mimic of the driver's correctness gate:
 runs Verify's parquet dumps against DuckDB oracles on the same sf dir.
 
-Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes a driver-style CORRECTNESS artifact:
+{name: {rows_match, schema_match, hash_match}} — hash_match here means
+"every value equal under the driver's column-sort + row-sort compare"
+(this script checks values directly instead of hashing them).
 """
 import json
 import sys
@@ -22,7 +27,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
+    report = {}
     con = duckdb.connect()
     # spill OUTSIDE the repo: duckdb's default temp dir is cwd/.tmp, and a
     # big oracle once left a 63 GB spill there (one file even got staged
@@ -43,15 +49,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             duck_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: load/exec error: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": str(e)[:300]}
             n_fail += 1
             continue
         s, d = normalize(spark_df), normalize(duck_df)
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}")
+            report[name] = {"rows_match": len(s) == len(d),
+                            "schema_match": False, "hash_match": False}
             n_fail += 1
             continue
         if len(s) != len(d):
             print(f"FAIL {name}: rows {len(s)} vs {len(d)}")
+            report[name] = {"rows_match": False, "schema_match": True,
+                            "hash_match": False}
             n_fail += 1
             continue
         mismatches = []
@@ -86,13 +98,22 @@ def main(sf_dir: str, out_dir: str) -> int:
                                       f"{a[i]!r} vs {b[i]!r} (dtypes {a.dtype}/{b.dtype})"))
         if mismatches:
             print(f"FAIL {name}: {mismatches}")
+            report[name] = {"rows_match": True, "schema_match": True,
+                            "hash_match": False,
+                            "detail": str(mismatches)[:300]}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(s)} rows)")
+            report[name] = {"rows_match": True, "schema_match": True,
+                            "hash_match": True}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
