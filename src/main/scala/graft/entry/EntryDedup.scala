@@ -222,9 +222,16 @@ private[graft] object EntryDedup {
       // probe × benchmark corpus, never train × train) + applySpans.
       // Training batch = the augmented copies, so copies of benchmark
       // docs are provably scrubbed to empty while non-benchmark docs
-      // pass through byte-identical.
+      // pass through byte-identical. Bench = the %97 slice of the BASE
+      // corpus (doc_id < 1e6, same guard as decontaminate_minhash): the
+      // r13 full-tree sf1 ORACLE sweep caught this side missing the
+      // guard — at ScaleUp id ranges (≥1e9) the replica originals
+      // entered BOTH train and bench, and every train doc that was
+      // itself a bench doc self-scrubbed to empty (invisible at sf0.01,
+      // where every id < 1e6).
       val bench = t(s, dir, "documents")
-        .filter(pmod(col("doc_id"), lit(97)) === 0)
+        .filter(col("doc_id") < 1000000L &&
+          pmod(col("doc_id"), lit(97)) === 0)
       val train = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
       val spans = Dedup.crossCorpusSpans(train, bench, "doc_id", "text",
         shingleSize = 3, minRun = 6)

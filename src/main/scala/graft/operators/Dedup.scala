@@ -1222,12 +1222,28 @@ object Dedup {
     * bucket-join (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal, so
     * recall is exact for maxHamming ≤ 3), then verify with bit_count.
     *
-    * `maxBucketSize` caps degenerate chunk buckets exactly like MinHash's
-    * candidatesFromBuckets: a boilerplate-heavy corpus puts thousands of
-    * docs with an identical 16-bit chunk into one bucket and the self-join
-    * goes quadratic. Docs dropped from one oversized bucket still meet in
-    * their other, non-degenerate chunks; fully identical documents (all
-    * four chunks degenerate) are exact-dedup's job, not simhash's. */
+    * Oversized chunk buckets are REFINED, not dropped (r13): the earlier
+    * cap silently broke the pigeonhole guarantee once a bucket crossed
+    * `maxBucketSize` — the r13 full-tree sf1 ORACLE sweep caught 2,340
+    * missing pairs at 110k docs (18 chunk buckets over the 1000 cap, max
+    * 1935; invisible at the official SFs where every bucket is small —
+    * the same silent-saturation class as r12's fixed-width blooms). A
+    * pair inside an oversized (chunk, value) bucket agrees on those 16
+    * bits, so its ≤ maxHamming differing bits all lie in the OTHER 48;
+    * splitting those 48 bits into 4 sub-chunks of 12 re-applies the
+    * pigeonhole (≤3 diffs over 4 sub-chunks ⇒ ≥1 equal), cutting the
+    * expected bucket 4096× while keeping recall EXACT — with ONE loud
+    * exception: a sub-bucket that is STILL oversized after the split is
+    * a mass of ≥ maxBucketSize near-identical fingerprints whose pair
+    * output is inherently quadratic, and it is dropped (the compute
+    * bound; exact duplicates are exact-dedup's job, and production
+    * emits cluster representatives for near-identical masses).
+    *
+    * For maxHamming > 3 no pigeonhole guarantee exists at either level,
+    * so the refinement is NOT applied and oversized buckets are dropped
+    * as before — that regime (dedup_simhash_tuning's d-histogram) is a
+    * measurement of capped banding's natural reach, where the cap is
+    * part of the semantics. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val fp = docs.select(col(idCol), simhash64(col(textCol)).as("fp"))
@@ -1236,19 +1252,55 @@ object Dedup {
         shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .as(Seq("chunk", "chunk_val")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ok = banded.groupBy("chunk", "chunk_val").count()
-      .filter(col("count") <= maxBucketSize)
+    val counts = banded.groupBy("chunk", "chunk_val").count()
+    val ok = counts.filter(col("count") <= maxBucketSize)
       .select("chunk", "chunk_val")
-    val capped = banded.join(broadcast(ok), Seq("chunk", "chunk_val"))
-    val l = capped.select(col("chunk"), col("chunk_val"),
-      col(idCol).as("id_a"), col("fp").as("fp_a"))
-    val r = capped.select(col("chunk"), col("chunk_val"),
-      col(idCol).as("id_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
-      .distinct()
+    val over = counts.filter(col("count") > maxBucketSize)
+      .select("chunk", "chunk_val")
+    def pairsWithin(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val l = df.select(keys.map(col) ++
+        Seq(col(idCol).as("id_a"), col("fp").as("fp_a")): _*)
+      val r = df.select(keys.map(col) ++
+        Seq(col(idCol).as("id_b"), col("fp").as("fp_b")): _*)
+      l.join(r, keys)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+    }
+    val base = pairsWithin(
+      banded.join(broadcast(ok), Seq("chunk", "chunk_val")),
+      Seq("chunk", "chunk_val"))
+    // the 48 bits OUTSIDE chunk c, packed low; then 4×12-bit sub-chunks
+    val rest =
+      when(col("chunk") === 0,
+        shiftright(col("fp"), 16).bitwiseAND(lit(0xFFFFFFFFFFFFL)))
+      .when(col("chunk") === 1, col("fp").bitwiseAND(lit(0xFFFFL))
+        .bitwiseOR(shiftleft(
+          shiftright(col("fp"), 32).bitwiseAND(lit(0xFFFFFFFFL)), 16)))
+      .when(col("chunk") === 2, col("fp").bitwiseAND(lit(0xFFFFFFFFL))
+        .bitwiseOR(shiftleft(
+          shiftright(col("fp"), 48).bitwiseAND(lit(0xFFFFL)), 32)))
+      .otherwise(col("fp").bitwiseAND(lit(0xFFFFFFFFFFFFL)))
+    val sub = banded.join(broadcast(over), Seq("chunk", "chunk_val"))
+      .withColumn("__rest", rest)
+      .select(col("chunk"), col("chunk_val"), col(idCol), col("fp"),
+        posexplode(array((0 until 4).map(sc =>
+          shiftright(col("__rest"), sc * 12).bitwiseAND(lit(0xFFFL))): _*))
+          .as(Seq("sub", "sub_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // final cap on sub-buckets: one that is STILL oversized after the
+    // 4096× split is a mass of near-identical fingerprints whose pair
+    // output is inherently quadratic — drop it (exact-dedup's job; this
+    // is the compute bound, and the only remaining recall exception, now
+    // loud in the guarantee statement above)
+    val subOk = sub.groupBy("chunk", "chunk_val", "sub", "sub_val").count()
+      .filter(col("count") <= maxBucketSize)
+      .select("chunk", "chunk_val", "sub", "sub_val")
+    val refined = pairsWithin(
+      sub.join(broadcast(subOk), Seq("chunk", "chunk_val", "sub", "sub_val")),
+      Seq("chunk", "chunk_val", "sub", "sub_val"))
+    val all = if (maxHamming <= 3) base.unionByName(refined) else base
+    all.distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

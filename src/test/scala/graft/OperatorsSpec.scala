@@ -706,6 +706,32 @@ class OperatorsSpec extends SparkSpec {
     assert(hjt.fmt == "jpeg" && hjt.width.contains(64L), hjt)
   }
 
+  test("simhashPairs: oversized-bucket refinement keeps d<=3 recall exact (r13)") {
+    // force the refinement path with a tiny cap: at maxBucketSize=2
+    // almost every chunk bucket is oversized, so candidates come almost
+    // entirely from the 12-bit sub-chunk recursion — output must still
+    // equal brute-force all-pairs Hamming (the pigeonhole guarantee the
+    // old drop-the-bucket cap silently broke at sf1: 2,340 pairs lost)
+    val docs = Tables().documents.limit(60).select("doc_id", "text")
+    val brute = {
+      val fp = docs.select(col("doc_id"),
+        graft.operators.Dedup.simhash64(col("text")).as("fp"))
+      val l = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+      val r = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+      l.crossJoin(r).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.operators.Dedup.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    }
+    for (cap <- Seq(2, 5, 1000)) {
+      val got = Dedup.simhashPairs(docs, "doc_id", "text",
+          maxHamming = 3, maxBucketSize = cap)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      assert(got == brute, s"cap=$cap: ${got.size} vs brute ${brute.size}")
+    }
+  }
+
   test("real pixel decode: PNG/BMP round-trips are exact, JPEG lossy-close") {
     // lossless round-trips: the decoded raster must replay the generator
     // formula EXACTLY — this is the in-JVM counterpart of the
