@@ -34,6 +34,12 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     # big oracle once left a 63 GB spill there (one file even got staged
     # by a concurrent `git add -A`)
     con.execute("PRAGMA temp_directory='/tmp/duckdb_spill'")
+    # r13: an explicit limit below the 80%-of-RAM default makes big
+    # oracles SPILL instead of dying with "failed to allocate block"
+    # when anything else holds memory; insertion-order preservation is
+    # pure buffering cost here (every compare re-sorts anyway)
+    con.execute("SET memory_limit='64GB'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver testdata is one file per table; ScaleUp replicas are
         # Spark-written directories of part files — glob those
