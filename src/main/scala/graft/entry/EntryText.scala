@@ -54,8 +54,16 @@ private[graft] object EntryText {
 
 
     "text_quality" -> ((s, dir) => {
+      // TRUNCATED basis points, not round(x, 4): the raw score is plain
+      // IEEE arithmetic both engines replay bit-identically, but round's
+      // tie-break differs between them when a doc lands on a 1e-4
+      // midpoint — exactly one doc in 110k did at sf1 (0.86875; found
+      // r12, manifested in the r13 full-tree sf1 oracle sweep). floor of
+      // the identical double is engine-exact at every scale.
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"),
+          floor(TextFunctions.qualityScoreRaw(col("text")) * 10000)
+            .cast("long").as("quality_bp"))
         .orderBy("doc_id")
     }),
 
@@ -1215,11 +1223,11 @@ private[graft] object EntryText {
            FROM b
          )
          SELECT doc_id,
-           round(len_score * 0.3
+           CAST(floor((len_score * 0.3
                  + least(sw_ratio * 4.0, 1.0) * 0.3
                  + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2
-                 + (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
-                 4) AS quality
+                 + (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2)
+                 * 10000) AS BIGINT) AS quality_bp
          FROM m ORDER BY doc_id""",
 
 
