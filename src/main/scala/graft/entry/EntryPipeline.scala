@@ -272,12 +272,16 @@ private[graft] object EntryPipeline {
             ((col("a") + col("c")).cast("double") / col("n_docs").cast("double")) +
           (col("c") + col("d")).cast("double") / col("n_docs").cast("double") *
             ((col("b") + col("d")).cast("double") / col("n_docs").cast("double")))
-        .withColumn("kappa",
-          when(col("__pe") === 1.0, lit(null).cast("double"))
-            .otherwise(round((col("__po") - col("__pe"))
-              / (lit(1.0) - col("__pe")), 6)))
+        // truncated integer ppm, not round(…,6): round() tie-breaks
+        // differently between the engines on representable midpoints
+        // (ADVICE r13 — same class text_quality hit at sf1); floor of a
+        // bit-identical double is exact on both
+        .withColumn("kappa_ppm",
+          when(col("__pe") === 1.0, lit(null).cast("long"))
+            .otherwise(floor((col("__po") - col("__pe"))
+              / (lit(1.0) - col("__pe")) * lit(1000000.0))))
         .select("gate_a", "gate_b", "n_docs", "a", "b", "c", "d",
-          "n_agree", "kappa")
+          "n_agree", "kappa_ppm")
         .orderBy("gate_a", "gate_b")
     }),
 
@@ -1808,7 +1812,8 @@ private[graft] object EntryPipeline {
          SELECT gate_a, gate_b, n_docs, a, b, c, d,
            a + d AS n_agree,
            CASE WHEN pe = 1.0 THEN NULL
-             ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
+             ELSE CAST(floor((po - pe) / (1.0 - pe) * 1000000.0) AS BIGINT)
+           END AS kappa_ppm
          FROM pk ORDER BY gate_a, gate_b""",
 
 

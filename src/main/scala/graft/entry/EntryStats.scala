@@ -600,9 +600,13 @@ private[graft] object EntryStats {
         val p = col(s"cat_$j").cast("double") / (col("n_items") * 3).cast("double")
         p * p
       }.reduce(_ + _)
+      // truncated integer ppm, not round(…,6) — cross-engine round()
+      // midpoint tie-breaks diverge (ADVICE r13); floor of the
+      // bit-identical double is exact on both engines
       g.select(col("n_items"), col("sum_pairs"),
-        round(pb, 6).as("p_bar"), round(pe, 6).as("p_e"),
-        round((pb - pe) / (lit(1.0) - pe), 6).as("kappa"))
+        floor(pb * lit(1000000.0)).as("p_bar_ppm"),
+        floor(pe * lit(1000000.0)).as("p_e_ppm"),
+        floor((pb - pe) / (lit(1.0) - pe) * lit(1000000.0)).as("kappa_ppm"))
     }),
 
 
@@ -651,9 +655,11 @@ private[graft] object EntryStats {
       val deNum = nD * nD - (0 to 3).map(j =>
           col(s"n_$j").cast("double") * col(s"n_$j").cast("double"))
         .reduce(_ + _)
+      // truncated integer ppm, not round(…,6) (ADVICE r13 — see
+      // stats_fleiss_kappa)
       g.select(col("n_items"), col("n_ratings"), col("do_sum"),
-        round(lit(1.0) - col("do_sum").cast("double") * (nD - lit(1.0))
-          / deNum, 6).as("alpha"))
+        floor((lit(1.0) - col("do_sum").cast("double") * (nD - lit(1.0))
+          / deNum) * lit(1000000.0)).as("alpha_ppm"))
     }),
 
 
@@ -1780,8 +1786,10 @@ private[graft] object EntryStats {
                * (CAST(cat_3 AS DOUBLE) / CAST(n_items * 3 AS DOUBLE)) AS pe
            FROM g)
          SELECT n_items, sum_pairs,
-           round(pb, 6) AS p_bar, round(pe, 6) AS p_e,
-           round((pb - pe) / (1.0 - pe), 6) AS kappa
+           CAST(floor(pb * 1000000.0) AS BIGINT) AS p_bar_ppm,
+           CAST(floor(pe * 1000000.0) AS BIGINT) AS p_e_ppm,
+           CAST(floor((pb - pe) / (1.0 - pe) * 1000000.0) AS BIGINT)
+             AS kappa_ppm
          FROM r""",
 
 
@@ -1824,14 +1832,14 @@ private[graft] object EntryStats {
            FROM rated
          )
          SELECT n_items, n_ratings, do_sum,
-           round(1.0 - CAST(do_sum AS DOUBLE)
+           CAST(floor((1.0 - CAST(do_sum AS DOUBLE)
                * (CAST(n_ratings AS DOUBLE) - 1.0)
              / (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
                - (CAST(n_0 AS DOUBLE) * CAST(n_0 AS DOUBLE)
                   + CAST(n_1 AS DOUBLE) * CAST(n_1 AS DOUBLE)
                   + CAST(n_2 AS DOUBLE) * CAST(n_2 AS DOUBLE)
-                  + CAST(n_3 AS DOUBLE) * CAST(n_3 AS DOUBLE))), 6)
-             AS alpha
+                  + CAST(n_3 AS DOUBLE) * CAST(n_3 AS DOUBLE))))
+             * 1000000.0) AS BIGINT) AS alpha_ppm
          FROM g""",
 
 

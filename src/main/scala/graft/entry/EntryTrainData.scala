@@ -13,6 +13,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 private[graft] object EntryTrainData {
   import SparkEntry._
 
+  /** Hash-shard count for the packing-layout family (`pack_sequences`,
+    * `pack_bestfit_eval`, `train_packing_boundary_audit`). Each shard is
+    * one independent sorted window (packing is inherently sequential PER
+    * OUTPUT SHARD), so this is the family's scale knob: size it as
+    * shards ≈ corpus_tokens / target_task_tokens so one shard's window
+    * is a single comfortable task (e.g. ~25 B tokens at 100 TB with a
+    * 1 M-token task target → ~25k shards). Default 8 for fixture
+    * stability — the committed oracle SQL replays `% 8`, so changing it
+    * requires regenerating the oracles with the same value. */
+  private[graft] val PackingShards: Long = 8L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
@@ -126,11 +137,17 @@ private[graft] object EntryTrainData {
     "mixture_divergence" -> ((s, dir) => {
       // per-language KL divergence of the token distribution vs the whole
       // corpus (domain-shift / mixture diagnostics): Σ p·ln(p/q) with
-      // p, q exact count ratios, folded in token order so the double sum
-      // is engine-exact. Per-lang state here is the lang's vocab list;
-      // the 100 TB variant folds per (lang, token-bucket) first and then
-      // folds the bucket partials in bucket order — same result, bounded
-      // group state.
+      // p, q exact count ratios, double-folded in a fixed deterministic
+      // order so both engines replay the sum exactly. The fold is
+      // TWO-LEVEL (VERDICT r13 #4): terms fold per (lang, token-bucket)
+      // in token order, then the bucket partials fold in bucket order —
+      // per-group aggregation state is bounded by vocab/B (plus B partial
+      // rows per lang) instead of the whole per-lang vocabulary in one
+      // collect_list row, which at web-scale vocab was multi-GB
+      // single-row state. B is the scale knob: size it so vocab/B rows
+      // of (tok, term) fit an aggregation buffer (B=64 here; ~1e6 at a
+      // 100 TB corpus's vocab).
+      val B = 64L
       val d = t(s, dir, "documents")
       val tok = d.select(col("lang"),
         explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
@@ -143,13 +160,20 @@ private[graft] object EntryTrainData {
       val ng = cl.agg(sum(col("cl")).as("ng"))
       val p = col("cl").cast("double") / col("nl").cast("double")
       val q = col("cg").cast("double") / col("ng").cast("double")
-      cl.join(cg, Seq("tok")).join(nl, Seq("lang")).crossJoin(broadcast(ng))
+      val partials = cl.join(cg, Seq("tok")).join(nl, Seq("lang"))
+        .crossJoin(broadcast(ng))
         .withColumn("term", p * log(p / q))
-        .groupBy("lang")
-        .agg(max(col("nl")).as("n_tokens"),
-          count(lit(1)).as("n_distinct"),
+        .withColumn("bkt", pmod(HashFunctions.fnv64(col("tok")), lit(B)))
+        .groupBy("lang", "bkt")
+        .agg(max(col("nl")).as("nl"),
+          count(lit(1)).as("nd"),
           aggregate(sort_array(collect_list(struct(col("tok"), col("term")))),
-            lit(0.0), (acc, x) => acc + x.getField("term")).as("kl_nats"))
+            lit(0.0), (acc, x) => acc + x.getField("term")).as("klp"))
+      partials.groupBy("lang")
+        .agg(max(col("nl")).as("n_tokens"),
+          sum(col("nd")).as("n_distinct"),
+          aggregate(sort_array(collect_list(struct(col("bkt"), col("klp")))),
+            lit(0.0), (acc, x) => acc + x.getField("klp")).as("kl_nats"))
         .select(col("lang"), col("n_tokens"), col("n_distinct"),
           round(col("kl_nats") / log(lit(2.0)), 6).as("kl_bits"))
         .orderBy("lang")
@@ -315,7 +339,7 @@ private[graft] object EntryTrainData {
       val h = HashFunctions.fnv64(col("doc_id").cast("string"))
       val base = d.select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("tok"),
-        pmod(h, lit(8L)).as("shard"), h.as("h"))
+        pmod(h, lit(PackingShards)).as("shard"), h.as("h"))
       val small = base.filter(col("tok").between(1L, 511L))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val over = base.filter(col("tok") >= 512L)
@@ -368,7 +392,7 @@ private[graft] object EntryTrainData {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       d.select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          pmod(h, lit(8L)).as("shard"), h.as("h"))
+          pmod(h, lit(PackingShards)).as("shard"), h.as("h"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .withColumn("seq_id", expr("(cum - n_tokens) div 512"))
         .groupBy("shard", "seq_id")
@@ -398,7 +422,7 @@ private[graft] object EntryTrainData {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val base = d.select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          pmod(h, lit(8L)).as("shard"), h.as("h"))
+          pmod(h, lit(PackingShards)).as("shard"), h.as("h"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .withColumn("first_seq", expr("(cum - n_tokens) div 512"))
         .withColumn("last_seq", expr(
@@ -1369,6 +1393,10 @@ private[graft] object EntryTrainData {
          FROM d GROUP BY source, lang ORDER BY source, lang""",
 
 
+    // two-level fold replay: term folds per (lang, fnv64(tok) mod 64) in
+    // token order, bucket partials fold in bucket order (the unsigned
+    // HUGEINT mod equals Spark's pmod on the signed long since 2^64 ≡ 0
+    // mod 64)
     "mixture_divergence" ->
       s"""WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
          tok AS (SELECT lang, unnest(toks) AS tok FROM d),
@@ -1378,15 +1406,21 @@ private[graft] object EntryTrainData {
          ng AS (SELECT count(*) AS ng FROM tok),
          sc AS (
            SELECT cl.lang, cl.tok,
+             CAST(${fnvSql("cl.tok")} % 64::HUGEINT AS BIGINT) AS bkt,
              (CAST(cl.cl AS DOUBLE) / CAST(nl.nl AS DOUBLE))
                * ln((CAST(cl.cl AS DOUBLE) / CAST(nl.nl AS DOUBLE))
                      / (CAST(cg.cg AS DOUBLE) / CAST(ng.ng AS DOUBLE))) AS term
            FROM cl JOIN cg USING (tok) JOIN nl USING (lang) CROSS JOIN ng),
-         a AS (
-           SELECT lang, count(*) AS n_distinct,
+         pa AS (
+           SELECT lang, bkt, count(*) AS nd,
              list_reduce(list_prepend(0.0, list(term ORDER BY tok)),
+               (x, y) -> x + y) AS klp
+           FROM sc GROUP BY lang, bkt),
+         a AS (
+           SELECT lang, CAST(sum(nd) AS BIGINT) AS n_distinct,
+             list_reduce(list_prepend(0.0, list(klp ORDER BY bkt)),
                (x, y) -> x + y) AS kl
-           FROM sc GROUP BY lang)
+           FROM pa GROUP BY lang)
          SELECT a.lang, nl.nl AS n_tokens, a.n_distinct,
            round(a.kl / ln(2.0), 6) AS kl_bits
          FROM a JOIN nl USING (lang) ORDER BY lang""",

@@ -152,13 +152,21 @@ object Multimodal {
     * dims 0–3 are exact human-auditable moments (mean/min/max level,
     * aspect or channel shape), higher dims a hash mix of the exact
     * integer stats. Undecodable payloads → [[byteFallbackFeatures]]. */
-  def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+  def decodeFeatures(payload: Array[Byte], dim: Int,
+                     frameSeed: Long = 0L): Array[Float] = {
     def tail(seed: Long)(d: Int): Float =
       (HashOps.mix64(seed ^ d.toLong).toDouble / Long.MaxValue.toDouble).toFloat
+    // frame addressing (ADVICE r13): a video frame is payload ⊕ trailing
+    // frame byte, but real codecs IGNORE bytes past the container end —
+    // so for payloads that truly decode, per-frame variation must enter
+    // through the feature math itself. frameSeed folds into the
+    // hash-tail seed of the real-decode branches; 0 (the default) leaves
+    // single-payload feature extraction bit-identical to before.
+    val fs = if (frameSeed == 0L) 0L else HashOps.mix64(frameSeed)
     if (looksLikeImage(payload)) decodeImage(payload) match {
       case Some(s) =>
         val n = s.width.toLong * s.height
-        val t = tail(HashOps.mix64(s.pixelSum ^ (n << 17))) _
+        val t = tail(HashOps.mix64(s.pixelSum ^ (n << 17)) ^ fs) _
         Array.tabulate(dim) {
           case 0 => (s.pixelSum.toDouble / (n * 255.0)).toFloat
           case 1 => s.pixMin / 255.0f
@@ -169,7 +177,7 @@ object Multimodal {
       case None => byteFallbackFeatures(payload, dim)
     } else if (looksLikeWav(payload)) decodeWavPcm(payload) match {
       case Some(s) =>
-        val t = tail(HashOps.mix64(s.sampleSum ^ (s.nSamples << 17))) _
+        val t = tail(HashOps.mix64(s.sampleSum ^ (s.nSamples << 17)) ^ fs) _
         Array.tabulate(dim) {
           case 0 => (s.sampleSum.toDouble / math.max(1L, s.nSamples) / 32768.0).toFloat
           case 1 => s.sMin / 32768.0f
@@ -229,10 +237,12 @@ object Multimodal {
   /** Per-frame feature extraction for video rows: frame-sample then
     * decode each (media, frame). Container video codecs are not in the
     * JDK, so a frame is addressed as payload ⊕ frame-number and routed
-    * through [[decodeFeatures]] — image/WAV payloads decode for real,
+    * through [[decodeFeatures]] — image/WAV payloads decode for real
+    * (real codecs ignore the appended byte, so per-frame variation is
+    * carried by the frameSeed fold into the hash tail — ADVICE r13),
     * everything else takes the deterministic byte fallback (varied by
-    * frame number the way a real decoder varies by frame content). One
-    * generator + one mapPartitions pass, no shuffle. */
+    * the appended frame byte the way a real decoder varies by frame
+    * content). One generator + one mapPartitions pass, no shuffle. */
   def extractFrameFeatures(media: Dataset[MediaRecord], framesPerVideo: Int,
                            dim: Int = 16)
                           (implicit spark: SparkSession): DataFrame = {
@@ -240,7 +250,8 @@ object Multimodal {
     media.filter(_.kind == "video")
       .flatMap { m =>
         (0 until framesPerVideo).iterator.map { f =>
-          val feat = decodeFeatures(m.payload :+ f.toByte, dim)
+          val feat = decodeFeatures(m.payload :+ f.toByte, dim,
+            frameSeed = f + 1L)
           (m.media_id, f, feat)
         }
       }
@@ -421,9 +432,18 @@ object Multimodal {
     } else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M') {
       // BMP: BITMAPINFOHEADER (biSize ≥ 40) at offset 14 — width int32
       // LE @18, height @22 (negative = top-down row order; the spatial
-      // magnitude is the metadata answer either way)
+      // magnitude is the metadata answer either way). 'BM' is a weak
+      // magic (two printable letters), so validate the rest of the
+      // BITMAPFILEHEADER like the other branches validate structure
+      // (ADVICE r13): bfReserved1/2 (@6..9) must be zero and bfOffBits
+      // (@10) must point past the two headers and inside the payload —
+      // otherwise a 'BM…'-prefixed text blob would ship garbage
+      // width/height instead of the unknown fallback.
       val biSize = rLe32(p, 14)
-      if (biSize >= 40 && p.length >= 26) {
+      val reservedZero = p(6) == 0 && p(7) == 0 && p(8) == 0 && p(9) == 0
+      val offBits = rLe32(p, 10)
+      if (biSize >= 40 && reservedZero &&
+          offBits >= 14 + biSize && offBits <= p.length) {
         val w = rLe32(p, 18)
         val hSigned = rLe32(p, 22).toInt
         MediaHeader(mediaId, "bmp", Some(w), Some(math.abs(hSigned.toLong)),

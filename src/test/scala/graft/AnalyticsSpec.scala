@@ -564,14 +564,15 @@ class AnalyticsSpec extends SparkSpec {
     val kappa = (pb - pe) / (1.0 - pe)
     val row = q("stats_fleiss_kappa").head()
     def g(cn: String) = row.getLong(row.fieldIndex(cn))
-    def d(cn: String) = row.getDouble(row.fieldIndex(cn))
     assert(g("n_items") == n && g("sum_pairs") == sumPairs)
-    // exact: every engine-side double derives from the same integers
-    assert(d("p_bar") == BigDecimal(pb).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    assert(d("kappa") == BigDecimal(kappa).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // exact: every engine-side double derives from the same integers;
+    // outputs are truncated ppm (floor, not round — ADVICE r13)
+    assert(g("p_bar_ppm") == math.floor(pb * 1000000.0).toLong)
+    assert(g("kappa_ppm") == math.floor(kappa * 1000000.0).toLong)
     // the rater model disagrees ~10/20/30% of the time, so agreement
     // must be positive but imperfect — kappa in (0.2, 0.8)
-    assert(d("kappa") > 0.2 && d("kappa") < 0.8, s"kappa=${d("kappa")}")
+    assert(g("kappa_ppm") > 200000L && g("kappa_ppm") < 800000L,
+      s"kappa_ppm=${g("kappa_ppm")}")
   }
 
   test("stats_krippendorff_alpha equals a direct in-JVM recomputation") {
@@ -593,13 +594,14 @@ class AnalyticsSpec extends SparkSpec {
       (nRatings * nRatings - catCnt.map(c => c * c).reduce(_ + _)).toDouble
     val row = q("stats_krippendorff_alpha").head()
     def g(cn: String) = row.getLong(row.fieldIndex(cn))
-    def d(cn: String) = row.getDouble(row.fieldIndex(cn))
     assert(g("n_items") == ids.size.toLong && g("n_ratings") == nRatings)
     assert(g("do_sum") == doSum)
-    assert(d("alpha") == BigDecimal(alpha).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // truncated ppm (floor, not round — ADVICE r13)
+    assert(g("alpha_ppm") == math.floor(alpha * 1000000.0).toLong)
     // missingness shrinks the pairable base but must not flip the sign:
     // the same rater model keeps alpha positive and imperfect
-    assert(d("alpha") > 0.2 && d("alpha") < 0.8, s"alpha=${d("alpha")}")
+    assert(g("alpha_ppm") > 200000L && g("alpha_ppm") < 800000L,
+      s"alpha_ppm=${g("alpha_ppm")}")
   }
 
   test("stats_kruskal_wallis: H recomputed directly; integer stats exact") {

@@ -704,6 +704,39 @@ class OperatorsSpec extends SparkSpec {
     val tailFill = jpeg ++ Array.fill(5)(0xff.toByte)
     val hjt = Multimodal.parseHeader(12L, tailFill)
     assert(hjt.fmt == "jpeg" && hjt.width.contains(64L), hjt)
+
+    // ADVICE r14: 'BM' is a weak magic — a 'BM…'-prefixed TEXT blob must
+    // degrade to unknown (nonzero bfReserved / insane bfOffBits), while a
+    // real ImageIO-written BMP still classifies
+    val bmText = ("BM this is a perfectly ordinary sentence that happens" +
+      " to start with the bitmap magic bytes").getBytes("US-ASCII")
+    assert(Multimodal.parseHeader(13L, bmText).fmt == "unknown")
+    val realBmp = Multimodal.encodeGrayImage(13L) // odd id → BMP
+    val hb = Multimodal.parseHeader(14L, realBmp)
+    assert(hb.fmt == "bmp" && hb.width.contains(8L + 13L % 17L) &&
+      hb.height.contains(8L + 13L % 13L), hb)
+    // bfOffBits pointing past the payload end → rejected
+    val cut = realBmp.take(30)
+    assert(Multimodal.parseHeader(15L, cut).fmt == "unknown")
+  }
+
+  test("frame features vary per frame on REAL-decode payloads (ADVICE r14)") {
+    // real codecs ignore the appended frame byte, so without the
+    // frameSeed fold every frame of a decodable payload was identical
+    for (payload <- Seq(Multimodal.encodeGrayImage(4L),  // PNG (even id)
+                        Multimodal.encodeGrayImage(5L),  // BMP (odd id)
+                        Multimodal.encodePcmWav(6L))) {  // WAV
+      val f0 = Multimodal.decodeFeatures(payload :+ 0.toByte, 8, frameSeed = 1L)
+      val f1 = Multimodal.decodeFeatures(payload :+ 1.toByte, 8, frameSeed = 2L)
+      // the content stats (indices 0-3) stay frame-constant — same
+      // decoded pixels/samples — but the hash tail must differ
+      assert(!f0.sameElements(f1))
+      assert(f0.take(4).sameElements(f1.take(4)))
+      // frameSeed=0 (the default) leaves single-payload extraction
+      // bit-identical to the unseeded path
+      assert(Multimodal.decodeFeatures(payload, 8)
+        .sameElements(Multimodal.decodeFeatures(payload, 8, frameSeed = 0L)))
+    }
   }
 
   test("simhashPairs: oversized-bucket refinement keeps d<=3 recall exact (r13)") {

@@ -37,8 +37,13 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     # r13: an explicit limit below the 80%-of-RAM default makes big
     # oracles SPILL instead of dying with "failed to allocate block"
     # when anything else holds memory; insertion-order preservation is
-    # pure buffering cost here (every compare re-sorts anyway)
-    con.execute("SET memory_limit='64GB'")
+    # pure buffering cost here (every compare re-sorts anyway).
+    # r14 (ADVICE): derive the limit from the host instead of a
+    # hard-coded 64GB — min(DUCKDB_MEM_GB if set, half of physical RAM,
+    # 64) so a smaller host never gets a limit ABOVE its own 80% default
+    mem_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // (1 << 30)
+    limit = min(int(os.environ.get("DUCKDB_MEM_GB", 64)), max(1, mem_gb // 2), 64)
+    con.execute(f"SET memory_limit='{limit}GB'")
     con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver testdata is one file per table; ScaleUp replicas are
