@@ -240,6 +240,44 @@ private[graft] object EntryDedup {
     }),
 
 
+    "decontaminate_ngram_overlap" -> ((s, dir) => {
+      // GPT-3/PaLM-style 13-gram collision decontamination (Brown et
+      // al. 2020 App. C; Chowdhery et al. 2022 §8) — the EXACT,
+      // recall-1.0 production policy named by the sf1 LSH-recall
+      // adjudication as the alternative to probabilistic banding: every
+      // distinct 13-token-gram of every train doc is checked against
+      // the benchmark gram set, and the PER-DOC contamination fraction
+      // drives the keep/drop decision. Same corpus split as the other
+      // decontaminate rungs (bench = %97 slice of the BASE corpus,
+      // doc_id < 1e6 — the r13 scrub-guard lesson; train = the
+      // augmented ≥1e6 side). Scale shape: bench gram sets are tiny
+      // (benchmarks are MBs against a 100 TB train corpus), so the
+      // collision probe is a broadcast hash join against one train-side
+      // scan + one keyed agg — no shuffle of train text, no LSH recall
+      // risk. Output is all-integer (counts + truncated ppm + 0/1
+      // flags): flag_any = the GPT-3 rule (any collision), flag_high =
+      // a PaLM-style high-overlap rule (≥50% of grams seen).
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000000L && pmod(col("doc_id"), lit(97)) === 0)
+      val train = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
+      val benchGrams = Dedup.hashedShingleTable(bench, "doc_id", "text", 13)
+        .select(explode(array_distinct(col("hs"))).as("h")).distinct()
+        .withColumn("hit", lit(1L))
+      Dedup.hashedShingleTable(train, "doc_id", "text", 13)
+        .select(col("doc_id").as("train_id"),
+          explode(array_distinct(col("hs"))).as("h"))
+        .join(broadcast(benchGrams), Seq("h"), "left")
+        .groupBy("train_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("hit_ppm", expr("(n_hit * 1000000) div n_grams"))
+        .withColumn("flag_any", when(col("n_hit") >= 1L, 1L).otherwise(0L))
+        .withColumn("flag_high",
+          when(col("hit_ppm") >= 500000L, 1L).otherwise(0L))
+        .orderBy("train_id")
+    }),
+
+
     "dedup_incremental" -> ((s, dir) => {
       // rolling-ingestion dedup: the augmented batch (exact copies +
       // near-dup tails) deduped against the base corpus — survivors only
@@ -919,6 +957,31 @@ private[graft] object EntryDedup {
          FROM common JOIN sza USING (train_id) JOIN szb USING (bench_id)
          WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.8
          ORDER BY train_id, bench_id""",
+
+
+    // exact replay of the 13-gram collision policy: same shingle
+    // polynomial at k=13, distinct grams per doc, LEFT JOIN against the
+    // distinct bench gram set, truncated-ppm integer division
+    "decontaminate_ngram_overlap" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtesK("aug", 13, "shd13")},
+         bg AS (SELECT DISTINCT unnest(sh) AS h FROM shd13
+                WHERE doc_id < 1000000 AND doc_id % 97 = 0),
+         tg AS (SELECT doc_id AS train_id, unnest(sh) AS h FROM shd13
+                WHERE doc_id >= 1000000),
+         j AS (
+           SELECT train_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit
+           FROM tg LEFT JOIN bg ON tg.h = bg.h
+           GROUP BY train_id)
+         SELECT train_id, n_grams, n_hit,
+           (n_hit * 1000000) // n_grams AS hit_ppm,
+           CAST(CASE WHEN n_hit >= 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS flag_any,
+           CAST(CASE WHEN (n_hit * 1000000) // n_grams >= 500000
+             THEN 1 ELSE 0 END AS BIGINT) AS flag_high
+         FROM j ORDER BY train_id""",
 
 
     // NOTE (applies to dedup_incremental and dedup_minhash_survivors):

@@ -627,6 +627,62 @@ private[graft] object EntryPipeline {
     }),
 
 
+    "provenance_license_gate" -> ((s, dir) => {
+      // License/robots provenance gating — the curation decision a
+      // corpus release makes per SOURCE before any content-quality
+      // filter runs: each doc carries a deterministic synthetic crawl
+      // record (license class hashed from doc_id; a robots signal whose
+      // strictness band is a per-source fnv64 property, so sources
+      // genuinely differ), and the gate propagates doc-level conflicts
+      // up to a source-level keep/review/drop verdict. A CONFLICT is a
+      // doc whose license permits training but whose robots signal
+      // refuses it (disallow/noai) — the case that needs human review
+      // because the two provenance channels disagree. Pure column work:
+      // one scan, one source-keyed agg; integer counts, truncated-ppm
+      // division, string verdicts — no float hazards. At 100 TB this is
+      // an embarrassingly parallel scan + a SOURCES-sized output.
+      // Doc-level hashes are salted fnv64 over the id string, NOT the
+      // Knuth multiply: 2654435761 ≡ 1 mod 10, so mod small bases that
+      // recipe is linear in doc_id and collapses to a constant within a
+      // source (sources fix doc_id mod 20 in this fixture) — fnv64
+      // actually mixes.
+      val d = t(s, dir, "documents")
+      val licIdx = pmod(HashFunctions.fnv64(
+        concat(lit("lic"), col("doc_id").cast("string"))), lit(5L))
+      val band = pmod(HashFunctions.fnv64(col("source")), lit(4L))
+      val robH = pmod(HashFunctions.fnv64(
+        concat(lit("rob"), col("doc_id").cast("string"))), lit(10L))
+      // license classes 0..4 = public-domain, cc-by, cc-by-sa, cc-nc,
+      // proprietary; trainable-class = idx <= 2
+      val flags = d.select(col("source"), licIdx.as("lic_idx"),
+          when(robH < band, lit("deny")).otherwise(lit("allow")).as("robots"))
+        .withColumn("license_ok", when(col("lic_idx") <= 2L, 1L).otherwise(0L))
+        .withColumn("robots_ok",
+          when(col("robots") === "allow", 1L).otherwise(0L))
+      flags.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("license_ok")).as("n_license_ok"),
+          sum(col("robots_ok")).as("n_robots_ok"),
+          sum(col("license_ok") * col("robots_ok")).as("n_trainable"),
+          sum(col("license_ok") * (lit(1L) - col("robots_ok")))
+            .as("n_conflict"),
+          sum(when(col("lic_idx") === 0L, 1L).otherwise(0L)).as("n_pd"),
+          sum(when(col("lic_idx") === 1L, 1L).otherwise(0L)).as("n_ccby"),
+          sum(when(col("lic_idx") === 2L, 1L).otherwise(0L)).as("n_ccbysa"),
+          sum(when(col("lic_idx") === 3L, 1L).otherwise(0L)).as("n_ccnc"),
+          sum(when(col("lic_idx") === 4L, 1L).otherwise(0L)).as("n_prop"))
+        .withColumn("conflict_ppm", expr("(n_conflict * 1000000) div n_docs"))
+        .withColumn("source_gate",
+          when(col("conflict_ppm") >= 150000L, lit("drop"))
+            .when(col("conflict_ppm") >= 50000L, lit("review"))
+            .otherwise(lit("keep")))
+        .select("source", "n_docs", "n_license_ok", "n_robots_ok",
+          "n_trainable", "n_conflict", "conflict_ppm", "n_pd", "n_ccby",
+          "n_ccbysa", "n_ccnc", "n_prop", "source_gate")
+        .orderBy("source")
+    }),
+
+
     "privacy_k_anonymity" -> ((s, dir) => {
       // k-anonymity audit over quasi-identifiers (the governance gate a
       // dataset release runs): group sizes over (nation, segment); rows
@@ -2131,6 +2187,51 @@ private[graft] object EntryPipeline {
          SELECT md5(text) AS payload_md5, min(doc_id) AS keep_media_id,
            count(*) AS n_copies
          FROM aug GROUP BY md5(text) ORDER BY payload_md5""",
+
+
+    // same deterministic crawl-record synthesis: license/robots from
+    // salted fnv64 over the id string (signed two's-complement pmod —
+    // the train_split pattern), robots strictness band from fnv64(source)
+    // (unsigned HUGEINT % 4 equals Spark's pmod on the signed long since
+    // 2^64 ≡ 0 mod 4), truncated-ppm conflict division
+    "provenance_license_gate" -> {
+      val licH = signedSql(fnvSql("'lic' || CAST(doc_id AS VARCHAR)"))
+      val robHv = signedSql(fnvSql("'rob' || CAST(doc_id AS VARCHAR)"))
+      s"""WITH f AS (
+           SELECT source,
+             (($licH % 5) + 5) % 5 AS lic_idx,
+             CASE WHEN (($robHv % 10) + 10) % 10
+                    < CAST(${fnvSql("source")} % 4::HUGEINT AS BIGINT)
+                  THEN 0 ELSE 1 END AS robots_ok,
+             CASE WHEN (($licH % 5) + 5) % 5 <= 2
+                  THEN 1 ELSE 0 END AS license_ok
+           FROM documents),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(license_ok) AS BIGINT) AS n_license_ok,
+             CAST(sum(robots_ok) AS BIGINT) AS n_robots_ok,
+             CAST(sum(license_ok * robots_ok) AS BIGINT) AS n_trainable,
+             CAST(sum(license_ok * (1 - robots_ok)) AS BIGINT) AS n_conflict,
+             CAST(sum(CASE WHEN lic_idx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pd,
+             CAST(sum(CASE WHEN lic_idx = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ccby,
+             CAST(sum(CASE WHEN lic_idx = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ccbysa,
+             CAST(sum(CASE WHEN lic_idx = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ccnc,
+             CAST(sum(CASE WHEN lic_idx = 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_prop
+           FROM f GROUP BY source)
+         SELECT source, n_docs, n_license_ok, n_robots_ok, n_trainable,
+           n_conflict,
+           (n_conflict * 1000000) // n_docs AS conflict_ppm,
+           n_pd, n_ccby, n_ccbysa, n_ccnc, n_prop,
+           CASE WHEN (n_conflict * 1000000) // n_docs >= 150000 THEN 'drop'
+                WHEN (n_conflict * 1000000) // n_docs >= 50000 THEN 'review'
+                ELSE 'keep' END AS source_gate
+         FROM g ORDER BY source"""
+    },
 
 
     "privacy_k_anonymity" ->

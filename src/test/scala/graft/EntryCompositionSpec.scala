@@ -209,7 +209,9 @@ class EntryCompositionSpec extends AnyFunSuite {
     "multimodal_decode_stats", // r13: REAL ImageIO pixel decode round-trip
     "multimodal_audio_decode", // r13: REAL AudioSystem PCM decode round-trip
     "privacy_pii_remediate",  // r13: span-level PII remediation audit
-    "train_packing_boundary_audit") // r13: split-policy boundary waste audit
+    "train_packing_boundary_audit", // r13: split-policy boundary waste audit
+    "decontaminate_ngram_overlap", // r14: exact 13-gram collision policy
+    "provenance_license_gate") // r14: license/robots source gating
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10

@@ -1692,4 +1692,57 @@ class EntryQueriesSpec extends SparkSpec {
     }
     assert(head(0.25) > 0.2 && tail(0.25) < 0.2, "tau>0 never reaches uniform")
   }
+
+  test("decontaminate_ngram_overlap: designed contamination flagged, domain complete") {
+    val rows = q("decontaminate_ngram_overlap").collect()
+    val byId = rows.map(r => r.getAs[Long]("train_id") -> r).toMap
+    val baseIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // domain completeness: every augmented train doc reports, even clean ones
+    val expectedTrain = baseIds.map(_ + 1000000L) ++
+      baseIds.filter(_ % 5 == 0).map(_ + 2000000L)
+    assert(byId.keySet == expectedTrain,
+      s"missing=${(expectedTrain -- byId.keySet).take(5)} extra=${(byId.keySet -- expectedTrain).take(5)}")
+    rows.foreach { r =>
+      val (ng, nh, ppm) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("hit_ppm"))
+      assert(ng >= 1 && nh >= 0 && nh <= ng && ppm == nh * 1000000L / ng, r.toString)
+      assert(r.getAs[Long]("flag_any") == (if (nh >= 1) 1L else 0L), r.toString)
+      assert(r.getAs[Long]("flag_high") == (if (ppm >= 500000L) 1L else 0L), r.toString)
+    }
+    // recall 1.0 on the designed contamination: every EXACT COPY of a
+    // bench doc (%97 slice) is fully contaminated...
+    for (b <- baseIds if b % 97 == 0) {
+      assert(byId(b + 1000000L).getAs[Long]("hit_ppm") == 1000000L, s"copy of bench $b")
+      // ...and its near-dup tail (if generated) is flagged but < 100%
+      // contaminated: the appended tail manufactures fresh mixed grams
+      if (b % 5 == 0) {
+        val t = byId(b + 2000000L)
+        assert(t.getAs[Long]("flag_any") == 1L && t.getAs[Long]("hit_ppm") < 1000000L, t.toString)
+      }
+    }
+  }
+
+  test("provenance_license_gate: counts conserve, gate matches the ppm policy") {
+    val rows = q("provenance_license_gate").collect()
+    val nSources = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length.toLong == nSources)
+    rows.foreach { r =>
+      def g(c: String) = r.getAs[Long](c)
+      // license composition partitions the source
+      assert(g("n_pd") + g("n_ccby") + g("n_ccbysa") + g("n_ccnc") + g("n_prop") == g("n_docs"), r.toString)
+      assert(g("n_license_ok") == g("n_pd") + g("n_ccby") + g("n_ccbysa"), r.toString)
+      // trainable/conflict partition the license-ok docs
+      assert(g("n_trainable") + g("n_conflict") == g("n_license_ok"), r.toString)
+      assert(g("n_trainable") <= g("n_robots_ok"), r.toString)
+      assert(g("conflict_ppm") == g("n_conflict") * 1000000L / g("n_docs"), r.toString)
+      val expected = if (g("conflict_ppm") >= 150000L) "drop"
+        else if (g("conflict_ppm") >= 50000L) "review" else "keep"
+      assert(r.getAs[String]("source_gate") == expected, r.toString)
+    }
+    // the per-source fnv64 robots band must actually differentiate the
+    // fixture: at least two distinct gate verdicts across sources
+    assert(rows.map(_.getAs[String]("source_gate")).toSet.size >= 2)
+  }
 }

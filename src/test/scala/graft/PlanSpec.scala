@@ -769,6 +769,26 @@ class PlanSpec extends SparkSpec {
     } finally inner.unpersist()
   }
 
+  test("decontaminate_ngram_overlap (r14): bench grams broadcast, train never shuffled for the probe") {
+    val p = plan("decontaminate_ngram_overlap")
+    // the collision probe must be a broadcast hash join against the tiny
+    // bench gram set — a sort-merge (or worse, cartesian) here would
+    // shuffle the full train gram table at 100 TB
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("provenance_license_gate (r14): one pruned scan, no join") {
+    val p = plan("provenance_license_gate")
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    // the whole gate derives from doc_id + source — text must be pruned
+    assert(read.contains("doc_id") && read.contains("source") &&
+      !read.contains("text"), read)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
   test("window guard accepts: top-k (limit-bounded) and __pid offset frames") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
