@@ -3,6 +3,7 @@
 runs Verify's parquet dumps against DuckDB oracles on the same sf dir.
 
 Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [jsonOut]
+         [--only name1,name2]
 
 With jsonOut, also writes a driver-style CORRECTNESS artifact:
 {name: {rows_match, schema_match, hash_match}} — hash_match here means
@@ -27,7 +28,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None,
+         only: set = None) -> int:
     report = {}
     con = duckdb.connect()
     # spill OUTSIDE the repo: duckdb's default temp dir is cwd/.tmp, and a
@@ -53,6 +55,8 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -126,5 +130,11 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else None))
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1],
+                  argv[2] if len(argv) > 2 else None, only))
