@@ -1249,15 +1249,35 @@ private[graft] object EntryDedup {
          ORDER BY id_a, id_b""",
 
 
+    // r14: candidate generation is df-capped (BETWEEN 2 AND 1000), then
+    // the Jaccard is verified EXACTLY on the full shingle lists
+    // (list_intersect) — same values as the old uncapped all-pairs count
+    // for every pair that shares >=1 low-df shingle. The uncapped
+    // self-join died of disk at sf1: augDocsSql's UNSALTED literal
+    // " graft near dup tail" gives the tail-only shingles df = n_tails
+    // (220k at sf1), so the join emitted ~1e10 tail x tail rows whose
+    // Jaccard (~0.02) never survived the 0.6 filter anyway. Recall is
+    // unaffected on this corpus: every qualifying pair (orig/copy/tail
+    // of one base doc) shares its ~50 base-text shingles, all df <= ~6
+    // (ScaleUp salts text per copy) — only the tail-literal shingles
+    // exceed the cap, and no pair qualifies through those alone.
     "dedup_best_of_cluster" ->
       s"""WITH RECURSIVE aug AS ($augDocsSql),
          ${shingleCtes("aug")},
          e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
          sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
+         dfok AS (SELECT h FROM e GROUP BY h
+                  HAVING count(*) BETWEEN 2 AND 1000),
+         ec AS (SELECT e.doc_id, e.h FROM e JOIN dfok USING (h)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ec a JOIN ec b ON a.h = b.h AND a.doc_id < b.doc_id),
          common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
+           SELECT cd.id_a, cd.id_b,
+             len(list_intersect(sa.sh, sb.sh)) AS c
+           FROM cand cd
+             JOIN shd sa ON sa.doc_id = cd.id_a
+             JOIN shd sb ON sb.doc_id = cd.id_b),
          pairs AS (
            SELECT id_a, id_b FROM common
              JOIN sizes sa ON sa.doc_id = id_a
