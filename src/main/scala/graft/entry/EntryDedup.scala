@@ -13,6 +13,51 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 private[graft] object EntryDedup {
   import SparkEntry._
 
+  /** The GPT-3/PaLM 13-gram collision probe shared by
+    * `decontaminate_ngram_overlap` (bench grams built in-plan) and
+    * `decontaminate_incremental` (bench grams read from the materialized
+    * parquet index): distinct train grams broadcast-joined against the
+    * gram set, per-doc counts → truncated-ppm fraction → keep/drop
+    * flags. `benchGrams` must be one column `h` (distinct gram hashes);
+    * it is broadcast — benchmarks are MBs against a 100 TB corpus. */
+  private def ngramCollisionProbe(train: DataFrame,
+                                  benchGrams: DataFrame): DataFrame =
+    Dedup.hashedShingleTable(train, "doc_id", "text", 13)
+      .select(col("doc_id").as("train_id"),
+        explode(array_distinct(col("hs"))).as("h"))
+      .join(broadcast(benchGrams.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("hit_ppm", expr("(n_hit * 1000000) div n_grams"))
+      .withColumn("flag_any", when(col("n_hit") >= 1L, 1L).otherwise(0L))
+      .withColumn("flag_high",
+        when(col("hit_ppm") >= 500000L, 1L).otherwise(0L))
+      .orderBy("train_id")
+
+  /** Shared oracle for the two 13-gram collision queries (in-plan bench
+    * grams vs materialized index — same counts by construction). */
+  private lazy val ngramOverlapOracleSql: String =
+    s"""WITH aug AS ($augDocsSql),
+       ${shingleCtesK("aug", 13, "shd13")},
+       bg AS (SELECT DISTINCT unnest(sh) AS h FROM shd13
+              WHERE doc_id < 1000000 AND doc_id % 97 = 0),
+       tg AS (SELECT doc_id AS train_id, unnest(sh) AS h FROM shd13
+              WHERE doc_id >= 1000000),
+       j AS (
+         SELECT train_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit
+         FROM tg LEFT JOIN bg ON tg.h = bg.h
+         GROUP BY train_id)
+       SELECT train_id, n_grams, n_hit,
+         (n_hit * 1000000) // n_grams AS hit_ppm,
+         CAST(CASE WHEN n_hit >= 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS flag_any,
+         CAST(CASE WHEN (n_hit * 1000000) // n_grams >= 500000
+           THEN 1 ELSE 0 END AS BIGINT) AS flag_high
+       FROM j ORDER BY train_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
@@ -262,19 +307,27 @@ private[graft] object EntryDedup {
       val train = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
       val benchGrams = Dedup.hashedShingleTable(bench, "doc_id", "text", 13)
         .select(explode(array_distinct(col("hs"))).as("h")).distinct()
-        .withColumn("hit", lit(1L))
-      Dedup.hashedShingleTable(train, "doc_id", "text", 13)
-        .select(col("doc_id").as("train_id"),
-          explode(array_distinct(col("hs"))).as("h"))
-        .join(broadcast(benchGrams), Seq("h"), "left")
-        .groupBy("train_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .withColumn("hit_ppm", expr("(n_hit * 1000000) div n_grams"))
-        .withColumn("flag_any", when(col("n_hit") >= 1L, 1L).otherwise(0L))
-        .withColumn("flag_high",
-          when(col("hit_ppm") >= 500000L, 1L).otherwise(0L))
-        .orderBy("train_id")
+      ngramCollisionProbe(train, benchGrams)
+    }),
+
+
+    "decontaminate_incremental" -> ((s, dir) => {
+      // rolling-ingest decontamination (VERDICT r14 #5) — the last rung
+      // of the ladder (overlap-count → near-dup → scrub → exact-ngram →
+      // INCREMENTAL): the arriving batch's 13-grams probe the
+      // MATERIALIZED benchmark gram index (parquet, built offline by
+      // benchGramIndexDir), composing dedup_incremental_index's O(batch)
+      // ingest shape with decontaminate_ngram_overlap's exact
+      // recall-1.0 collision policy. This is what a 100 TB pipeline
+      // actually runs: benchmark sets change rarely and are compiled
+      // once, corpora arrive incrementally, and per-batch text work is
+      // O(batch) — the bench documents are never re-tokenized
+      // (PlanSpec asserts the index scan + broadcast probe). Same
+      // results as decontaminate_ngram_overlap by construction, so the
+      // two share one oracle.
+      val idx = benchGramIndexDir(s, dir)
+      val batch = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
+      ngramCollisionProbe(batch, s.read.parquet(s"$idx/grams"))
     }),
 
 
@@ -755,7 +808,7 @@ private[graft] object EntryDedup {
              JOIN sizes sa ON sa.doc_id = id_a
              JOIN sizes sb ON sb.doc_id = id_b
            WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
-         edges AS (
+         edges AS MATERIALIZED (
            SELECT id_a AS s, id_b AS t FROM pairs
            UNION ALL SELECT id_b, id_a FROM pairs),
          reach(id, lbl) AS (
@@ -796,7 +849,7 @@ private[graft] object EntryDedup {
            SELECT a.vec_id AS id_a, b.vec_id AS id_b
            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
            WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
-         edges AS (
+         edges AS MATERIALIZED (
            SELECT id_a AS s, id_b AS t FROM pairs
            UNION ALL SELECT id_b, id_a FROM pairs),
          reach(id, lbl) AS (
@@ -962,26 +1015,13 @@ private[graft] object EntryDedup {
     // exact replay of the 13-gram collision policy: same shingle
     // polynomial at k=13, distinct grams per doc, LEFT JOIN against the
     // distinct bench gram set, truncated-ppm integer division
-    "decontaminate_ngram_overlap" ->
-      s"""WITH aug AS ($augDocsSql),
-         ${shingleCtesK("aug", 13, "shd13")},
-         bg AS (SELECT DISTINCT unnest(sh) AS h FROM shd13
-                WHERE doc_id < 1000000 AND doc_id % 97 = 0),
-         tg AS (SELECT doc_id AS train_id, unnest(sh) AS h FROM shd13
-                WHERE doc_id >= 1000000),
-         j AS (
-           SELECT train_id, CAST(count(*) AS BIGINT) AS n_grams,
-             CAST(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_hit
-           FROM tg LEFT JOIN bg ON tg.h = bg.h
-           GROUP BY train_id)
-         SELECT train_id, n_grams, n_hit,
-           (n_hit * 1000000) // n_grams AS hit_ppm,
-           CAST(CASE WHEN n_hit >= 1 THEN 1 ELSE 0 END AS BIGINT)
-             AS flag_any,
-           CAST(CASE WHEN (n_hit * 1000000) // n_grams >= 500000
-             THEN 1 ELSE 0 END AS BIGINT) AS flag_high
-         FROM j ORDER BY train_id""",
+    "decontaminate_ngram_overlap" -> ngramOverlapOracleSql,
+
+    // identical results by construction: the incremental probe reads the
+    // materialized gram index but computes the same collision counts, so
+    // it shares the ngram-overlap oracle verbatim (the
+    // dedup_incremental_index precedent)
+    "decontaminate_incremental" -> ngramOverlapOracleSql,
 
 
     // NOTE (applies to dedup_incremental and dedup_minhash_survivors):
@@ -1249,18 +1289,33 @@ private[graft] object EntryDedup {
          ORDER BY id_a, id_b""",
 
 
-    // r14: candidate generation is df-capped (BETWEEN 2 AND 1000), then
-    // the Jaccard is verified EXACTLY on the full shingle lists
-    // (list_intersect) — same values as the old uncapped all-pairs count
-    // for every pair that shares >=1 low-df shingle. The uncapped
-    // self-join died of disk at sf1: augDocsSql's UNSALTED literal
-    // " graft near dup tail" gives the tail-only shingles df = n_tails
-    // (220k at sf1), so the join emitted ~1e10 tail x tail rows whose
-    // Jaccard (~0.02) never survived the 0.6 filter anyway. Recall is
-    // unaffected on this corpus: every qualifying pair (orig/copy/tail
-    // of one base doc) shares its ~50 base-text shingles, all df <= ~6
-    // (ScaleUp salts text per copy) — only the tail-literal shingles
-    // exceed the cap, and no pair qualifies through those alone.
+    // r15 (VERDICT r14 #1): TWO changes, measured stage-by-stage on a
+    // clean disk at sf1.
+    //  (a) The actual bomb was the RECURSION, not the verify stage: with
+    //      `edges` a plain CTE, DuckDB re-inlines the whole upstream
+    //      chain (the 55M-row capped self-join) into EVERY iteration of
+    //      the `reach` closure — 38 GB of spill in the first five
+    //      minutes, >77 GB before dying, at BOTH r14 shapes. `edges AS
+    //      MATERIALIZED` pins the 165k-row edge table once; the closure
+    //      then runs in 57 s with ZERO spill (bisection log in
+    //      NOTES_r15 §1). Physical-only hint — values unchanged.
+    //  (b) The intersection count is computed FROM the df-capped
+    //      postings themselves — `count(*) GROUP BY id_a, id_b`, one
+    //      i64 per pair — never `list_intersect` over two full shingle
+    //      arrays per candidate (the r14 verify shape, which carried
+    //      full list payloads through a 3-way join).
+    // Value-identical to the exact uncapped Jaccard on this corpus:
+    //  - the df cap (BETWEEN 2 AND 1000) drops only the tail-literal
+    //    shingles (" graft near dup tail": df = n_tails, 10k at sf1) —
+    //    every shingle SHARED by a qualifying pair (orig/copy/tail of
+    //    one base doc) is base-text, df ≤ 16 measured at sf0.01 and
+    //    per-copy constant under ScaleUp's token salting;
+    //  - undercounting c for a tail×tail pair only LOWERS its Jaccard
+    //    (~0.02 exact), which already failed the 0.6 bar;
+    //  - df=1 shingles contribute nothing to any intersection.
+    // DedupOracleInvariantSpec enforces the assumption (ADVICE r14):
+    // capped pair set == uncapped pair set on the fixture, and max df
+    // over shared shingles of qualifying pairs stays far under the cap.
     "dedup_best_of_cluster" ->
       s"""WITH RECURSIVE aug AS ($augDocsSql),
          ${shingleCtes("aug")},
@@ -1269,21 +1324,16 @@ private[graft] object EntryDedup {
          dfok AS (SELECT h FROM e GROUP BY h
                   HAVING count(*) BETWEEN 2 AND 1000),
          ec AS (SELECT e.doc_id, e.h FROM e JOIN dfok USING (h)),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM ec a JOIN ec b ON a.h = b.h AND a.doc_id < b.doc_id),
          common AS (
-           SELECT cd.id_a, cd.id_b,
-             len(list_intersect(sa.sh, sb.sh)) AS c
-           FROM cand cd
-             JOIN shd sa ON sa.doc_id = cd.id_a
-             JOIN shd sb ON sb.doc_id = cd.id_b),
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM ec a JOIN ec b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
          pairs AS (
            SELECT id_a, id_b FROM common
              JOIN sizes sa ON sa.doc_id = id_a
              JOIN sizes sb ON sb.doc_id = id_b
            WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
-         edges AS (
+         edges AS MATERIALIZED (
            SELECT id_a AS s, id_b AS t FROM pairs
            UNION ALL SELECT id_b, id_a FROM pairs),
          reach(id, lbl) AS (

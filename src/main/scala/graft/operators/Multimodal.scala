@@ -438,12 +438,14 @@ object Multimodal {
       // (ADVICE r13): bfReserved1/2 (@6..9) must be zero and bfOffBits
       // (@10) must point past the two headers and inside the payload —
       // otherwise a 'BM…'-prefixed text blob would ship garbage
-      // width/height instead of the unknown fallback.
+      // width/height instead of the unknown fallback. Strictly inside
+      // (ADVICE r14): offBits == p.length means zero pixel bytes, which
+      // contradicts the "points at pixel data" intent.
       val biSize = rLe32(p, 14)
       val reservedZero = p(6) == 0 && p(7) == 0 && p(8) == 0 && p(9) == 0
       val offBits = rLe32(p, 10)
       if (biSize >= 40 && reservedZero &&
-          offBits >= 14 + biSize && offBits <= p.length) {
+          offBits >= 14 + biSize && offBits < p.length) {
         val w = rLe32(p, 18)
         val hSigned = rLe32(p, 22).toInt
         MediaHeader(mediaId, "bmp", Some(w), Some(math.abs(hSigned.toLong)),

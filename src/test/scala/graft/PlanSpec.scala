@@ -779,6 +779,20 @@ class PlanSpec extends SparkSpec {
       && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("decontaminate_incremental (r15): probe reads the materialized gram index, bench never re-tokenized") {
+    val p = plan("decontaminate_incremental")
+    // the bench gram set arrives as a parquet scan of the offline index
+    // dir and is broadcast; the bench documents never re-enter the plan —
+    // every documents scan belongs to the batch side (augmentedDocs),
+    // which filters doc_id >= 1e6 and never carries the %97 bench slice
+    assert(p.contains("graft_benchgram_idx"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!"PushedFilters[^\\n]*EqualTo\\(pmod".r.findFirstIn(p).isDefined &&
+      !p.contains("% 97"), "bench-slice predicate must not appear: " + p)
+  }
+
   test("provenance_license_gate (r14): one pruned scan, no join") {
     val p = plan("provenance_license_gate")
     val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")

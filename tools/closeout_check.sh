@@ -27,6 +27,10 @@ if [ $# -ge 2 ]; then
   if [ $# -ge 1 ]; then
     python3 tools/merge_sf1_artifact.py /tmp/closeout_merge.json \
       "$art" "$@" --check "$art" || fail=1
+  else
+    # ADVICE r14: make the gap visible — without patch files the
+    # stale/over-claim artifact check cannot run
+    echo "staleness check SKIPPED (no patches given)"
   fi
   python3 - "$art" <<'EOF' || fail=1
 import json, sys

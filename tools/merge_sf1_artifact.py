@@ -68,6 +68,12 @@ def main(argv):
         stale = sorted(k for k, v in committed.items()
                        if not is_green(v) and k in merged
                        and is_green(merged[k]))
+        # ADVICE r14: also fail the reverse direction — a committed row
+        # that is GREEN while the merged patches say red is an
+        # over-claiming artifact, the more dangerous failure mode
+        over = sorted(k for k, v in committed.items()
+                      if is_green(v) and k in merged
+                      and not is_green(merged[k]))
         if stale:
             print(f"STALE COMMITTED ARTIFACT: {len(stale)} rows red in "
                   f"{check_path} but green after merge:")
@@ -75,6 +81,12 @@ def main(argv):
                 print(f"  {k}")
             print("close-out must commit the MERGED artifact; the prose "
                   "green-count must match the committed green-count")
+        if over:
+            print(f"OVER-CLAIMING COMMITTED ARTIFACT: {len(over)} rows "
+                  f"green in {check_path} but red after merge:")
+            for k in over:
+                print(f"  {k}")
+        if stale or over:
             return 2
         print(f"{check_path} is consistent with the merge "
               f"({sum(1 for v in committed.values() if is_green(v))} green)")

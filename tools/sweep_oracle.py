@@ -51,7 +51,13 @@ def main(argv):
                 [sys.executable, os.path.join(HERE, "check_correctness.py"),
                  sf_dir, out_dir, tmp, "--only", name],
                 capture_output=True, text=True, timeout=timeout)
-            one = json.load(open(tmp)) if os.path.exists(tmp) else {}
+            # ADVICE r14: a checker killed mid json.dump leaves a
+            # truncated tmp file — treat it as checker-died for THIS
+            # query instead of letting JSONDecodeError abort the sweep
+            try:
+                one = json.load(open(tmp)) if os.path.exists(tmp) else {}
+            except (ValueError, json.JSONDecodeError):
+                one = {}
             if name in one:
                 report[name] = one[name]
             else:
