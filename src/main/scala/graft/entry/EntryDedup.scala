@@ -331,6 +331,42 @@ private[graft] object EntryDedup {
     }),
 
 
+    "decontaminate_multi_bench" -> ((s, dir) => {
+      // multi-benchmark contamination profile (r15): real pipelines gate
+      // against a SUITE of benchmarks, and per-benchmark attribution
+      // (which suite leaked, how much) drives different remediations —
+      // drop for eval-set overlap vs re-split for train/val leakage.
+      // Two disjoint deterministic bench slices (%97 and %89 of the base
+      // corpus) stand in for two benchmark releases; each contributes a
+      // tagged 13-gram set and the batch's grams probe their UNION in
+      // ONE broadcast join (gram sets are MBs each at 100 TB; adding a
+      // release appends another tagged gram table — the
+      // benchGramIndexDir extension story). All-integer output: per-doc
+      // totals, per-benchmark collision counts, and the GPT-3
+      // any-collision flag per benchmark.
+      val base = t(s, dir, "documents").filter(col("doc_id") < 1000000L)
+      val b1 = base.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val b2 = base.filter(pmod(col("doc_id"), lit(89)) === 0)
+      def grams(df: DataFrame, tag: Int) =
+        Dedup.hashedShingleTable(df, "doc_id", "text", 13)
+          .select(explode(array_distinct(col("hs"))).as("h")).distinct()
+          .withColumn("bench", lit(tag))
+      val benchGrams = grams(b1, 1).unionByName(grams(b2, 2))
+      val batch = augmentedDocs(s, dir).filter(col("doc_id") >= 1000000L)
+      Dedup.hashedShingleTable(batch, "doc_id", "text", 13)
+        .select(col("doc_id").as("train_id"),
+          explode(array_distinct(col("hs"))).as("h"))
+        .join(broadcast(benchGrams), Seq("h"), "left")
+        .groupBy("train_id")
+        .agg(countDistinct(col("h")).as("n_grams"),
+          sum(when(col("bench") === 1, 1L).otherwise(0L)).as("hit_b1"),
+          sum(when(col("bench") === 2, 1L).otherwise(0L)).as("hit_b2"))
+        .withColumn("flag_b1", when(col("hit_b1") >= 1L, 1L).otherwise(0L))
+        .withColumn("flag_b2", when(col("hit_b2") >= 1L, 1L).otherwise(0L))
+        .orderBy("train_id")
+    }),
+
+
     "dedup_incremental" -> ((s, dir) => {
       // rolling-ingestion dedup: the augmented batch (exact copies +
       // near-dup tails) deduped against the base corpus — survivors only
@@ -1024,6 +1060,38 @@ private[graft] object EntryDedup {
     "decontaminate_incremental" -> ngramOverlapOracleSql,
 
 
+    // two tagged distinct gram sets (the %97 and %89 slices), one LEFT
+    // JOIN against the batch grams; a gram hitting both benches
+    // duplicates its joined row, so n_grams is count(DISTINCT h) on both
+    // engines and per-bench hits count tagged rows
+    "decontaminate_multi_bench" ->
+      s"""WITH aug AS ($augDocsSql),
+         ${shingleCtesK("aug", 13, "shd13")},
+         bg1 AS (SELECT DISTINCT unnest(sh) AS h FROM shd13
+                 WHERE doc_id < 1000000 AND doc_id % 97 = 0),
+         bg2 AS (SELECT DISTINCT unnest(sh) AS h FROM shd13
+                 WHERE doc_id < 1000000 AND doc_id % 89 = 0),
+         bg AS (SELECT 1 AS bench, h FROM bg1
+                UNION ALL SELECT 2 AS bench, h FROM bg2),
+         tg AS (SELECT doc_id AS train_id, unnest(sh) AS h FROM shd13
+                WHERE doc_id >= 1000000),
+         j AS (
+           SELECT train_id,
+             CAST(count(DISTINCT tg.h) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN bg.bench = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS hit_b1,
+             CAST(sum(CASE WHEN bg.bench = 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS hit_b2
+           FROM tg LEFT JOIN bg ON tg.h = bg.h
+           GROUP BY train_id)
+         SELECT train_id, n_grams, hit_b1, hit_b2,
+           CAST(CASE WHEN hit_b1 >= 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS flag_b1,
+           CAST(CASE WHEN hit_b2 >= 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS flag_b2
+         FROM j ORDER BY train_id""",
+
+
     // NOTE (applies to dedup_incremental and dedup_minhash_survivors):
     // these two oracles are INTENTIONALLY STRICTER than the engine — they
     // score exact all-pairs Jaccard over shared shingles, while the engine
@@ -1299,40 +1367,57 @@ private[graft] object EntryDedup {
     //      MATERIALIZED` pins the 165k-row edge table once; the closure
     //      then runs in 57 s with ZERO spill (bisection log in
     //      NOTES_r15 §1). Physical-only hint — values unchanged.
-    //  (b) The intersection count is computed FROM the df-capped
-    //      postings themselves — `count(*) GROUP BY id_a, id_b`, one
-    //      i64 per pair — never `list_intersect` over two full shingle
-    //      arrays per candidate (the r14 verify shape, which carried
-    //      full list payloads through a 3-way join).
-    // Value-identical to the exact uncapped Jaccard on this corpus:
-    //  - the df cap (BETWEEN 2 AND 1000) drops only the tail-literal
-    //    shingles (" graft near dup tail": df = n_tails, 10k at sf1) —
-    //    every shingle SHARED by a qualifying pair (orig/copy/tail of
-    //    one base doc) is base-text, df ≤ 16 measured at sf0.01 and
-    //    per-copy constant under ScaleUp's token salting;
-    //  - undercounting c for a tail×tail pair only LOWERS its Jaccard
-    //    (~0.02 exact), which already failed the 0.6 bar;
-    //  - df=1 shingles contribute nothing to any intersection.
-    // DedupOracleInvariantSpec enforces the assumption (ADVICE r14):
-    // capped pair set == uncapped pair set on the fixture, and max df
-    // over shared shingles of qualifying pairs stays far under the cap.
+    //  (b) The r14 df-capped verify stage (BETWEEN 2 AND 1000) was
+    //      found to be semantically WRONG at sf1: a pyspark pair-set
+    //      diff showed it drops 20 real near-dup pairs — template-heavy
+    //      docs whose shared shingles ALL exceed df 1000 at sf1 corpus
+    //      size (exactly the corpus-shape fragility ADVICE r14 #2
+    //      flagged). Replaced wholesale: the oracle now replicates the
+    //      ENGINE's LSH semantics (Dedup.minhashPairsFromIndex) —
+    //      64 signed-min MinHash components mix64(h ⊕ j·GOLDEN)
+    //      (HashExpressions.minhashFromHashes:160), 16 bands × 4 rows
+    //      with band-SIGNATURE equality (the engine's xxhash64 band_key
+    //      equality is equivalent up to 2⁻⁶⁴ collisions), the engine's
+    //      bucket-size-1000 cap, then exact-Jaccard verification of
+    //      candidates via the grouped-count postings join. No corpus
+    //      assumption remains at any scale: the replica reproduced the
+    //      engine pair count bit-for-bit at sf0.01 (828) AND sf1
+    //      (82,508, where exact-all-pairs is 82,520 — LSH recall < 1 —
+    //      and the old capped oracle read 82,500).
+    //      DedupOracleInvariantSpec pins the replication recipe.
     "dedup_best_of_cluster" ->
       s"""WITH RECURSIVE aug AS ($augDocsSql),
          ${shingleCtes("aug")},
          e AS (SELECT doc_id, unnest(sh) AS h FROM shd),
          sizes AS (SELECT doc_id, len(sh) AS n FROM shd),
-         dfok AS (SELECT h FROM e GROUP BY h
-                  HAVING count(*) BETWEEN 2 AND 1000),
-         ec AS (SELECT e.doc_id, e.h FROM e JOIN dfok USING (h)),
+         xj AS (SELECT doc_id, jj.j AS j,
+             xor(h, (jj.j * 11400714819323198485::HUGEINT)
+                 % 18446744073709551616::HUGEINT) AS x
+           FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) jj),
+         ${mix64Ctes("xj", "mx")},
+         sig AS (SELECT doc_id, j, min(${signedSql("h")}) AS c
+                 FROM mx GROUP BY doc_id, j),
+         bsig AS (SELECT doc_id, j // 4 AS band, list(c ORDER BY j) AS bs
+                  FROM sig GROUP BY doc_id, j // 4),
+         bok AS (SELECT band, bs FROM bsig GROUP BY band, bs
+                 HAVING count(*) <= 1000),
+         bc AS (SELECT bsig.doc_id, bsig.band, bsig.bs
+                FROM bsig JOIN bok USING (band, bs)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bc a JOIN bc b ON a.band = b.band AND a.bs = b.bs
+                    AND a.doc_id < b.doc_id),
          common AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM ec a JOIN ec b ON a.h = b.h AND a.doc_id < b.doc_id
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
-           SELECT id_a, id_b FROM common
-             JOIN sizes sa ON sa.doc_id = id_a
-             JOIN sizes sb ON sb.doc_id = id_b
-           WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
+           SELECT cd.id_a, cd.id_b
+           FROM cand cd
+             JOIN common cm ON cd.id_a = cm.id_a AND cd.id_b = cm.id_b
+             JOIN sizes sa ON sa.doc_id = cd.id_a
+             JOIN sizes sb ON sb.doc_id = cd.id_b
+           WHERE CAST(cm.c AS DOUBLE)
+                 / CAST(sa.n + sb.n - cm.c AS DOUBLE) >= 0.6),
          edges AS MATERIALIZED (
            SELECT id_a AS s, id_b AS t FROM pairs
            UNION ALL SELECT id_b, id_a FROM pairs),

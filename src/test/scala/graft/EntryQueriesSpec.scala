@@ -1723,6 +1723,38 @@ class EntryQueriesSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate_multi_bench: per-bench attribution, fixture discriminates at the gate SF") {
+    // sf0.01: the %97 and %89 slices share only doc 0, so the fixture
+    // has b1-only and b2-only contamination to attribute (at sf0.001
+    // both slices collapse to {0} and nothing discriminates)
+    val gate = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("decontaminate_multi_bench")(spark, gate).collect()
+    val byId = rows.map(r => r.getAs[Long]("train_id") -> r).toMap
+    rows.foreach { r =>
+      val (ng, h1, h2) = (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("hit_b1"), r.getAs[Long]("hit_b2"))
+      assert(ng >= 1 && h1 >= 0 && h1 <= ng && h2 >= 0 && h2 <= ng, r.toString)
+      assert(r.getAs[Long]("flag_b1") == (if (h1 >= 1) 1L else 0L), r.toString)
+      assert(r.getAs[Long]("flag_b2") == (if (h2 >= 1) 1L else 0L), r.toString)
+    }
+    val baseIds = spark.read.parquet(s"$gate/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact copies of single-bench docs attribute to THAT bench only
+    for (b <- baseIds if b % 97 == 0 ^ b % 89 == 0) {
+      val r = byId(b + 1000000L)
+      val (expect1, expect2) = (if (b % 97 == 0) (1L, 0L) else (0L, 1L))
+      assert(r.getAs[Long]("flag_b1") == expect1 &&
+        r.getAs[Long]("flag_b2") == expect2, s"doc $b: $r")
+    }
+    // doc 0 sits in both slices: its copy is fully double-contaminated
+    val r0 = byId(1000000L)
+    assert(r0.getAs[Long]("hit_b1") == r0.getAs[Long]("n_grams") &&
+      r0.getAs[Long]("hit_b2") == r0.getAs[Long]("n_grams"), r0.toString)
+    // both single-bench cases actually occur in the fixture
+    assert(baseIds.exists(b => b % 97 == 0 && b % 89 != 0) &&
+      baseIds.exists(b => b % 89 == 0 && b % 97 != 0))
+  }
+
   test("provenance_license_gate: counts conserve, gate matches the ppm policy") {
     val rows = q("provenance_license_gate").collect()
     val nSources = spark.read.parquet(s"$sfDir/documents.parquet")

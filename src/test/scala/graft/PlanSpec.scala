@@ -779,6 +779,13 @@ class PlanSpec extends SparkSpec {
       && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("decontaminate_multi_bench (r15): tagged gram union broadcast, one probe join") {
+    val p = plan("decontaminate_multi_bench")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("decontaminate_incremental (r15): probe reads the materialized gram index, bench never re-tokenized") {
     val p = plan("decontaminate_incremental")
     // the bench gram set arrives as a parquet scan of the offline index
