@@ -552,14 +552,21 @@ private[graft] object EntryDedup {
         .select("id_a", "id_b")
       // join first, score after: quality is a regex-heavy expression, and
       // only cluster MEMBERS (the near-dup minority) need it — scoring
-      // the whole corpus before the join would do ~10× the regex work
+      // the whole corpus before the join would do ~10× the regex work.
+      // Quality is TRUNCATED basis points (floor(raw·10⁴), the
+      // text_quality pattern): the r15 sf1 sweep hit the known 0.86875
+      // round-midpoint doc through round(…,4)'s cross-engine tie-break —
+      // floor of the bit-identical raw double is engine-exact at every
+      // scale, and an integer election key is cleaner to replay anyway.
       val memb = Dedup.connectedComponents(pairs)
         .join(aug.select(col("doc_id"), col("text")), Seq("doc_id"))
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("quality_bp",
+          floor(TextFunctions.qualityScoreRaw(col("text")) * 10000)
+            .cast("long"))
         .drop("text")
-      Dedup.bestOfCluster(memb, "cluster_id", "doc_id", "quality")
+      Dedup.bestOfCluster(memb, "cluster_id", "doc_id", "quality_bp")
         .select(col("cluster_id"), col("keep_id"), col("n_members"),
-          col("best_score").as("best_quality"))
+          col("best_score").as("best_quality_bp"))
         .orderBy("cluster_id")
     }),
 
@@ -1448,25 +1455,25 @@ private[graft] object EntryDedup {
            FROM qb),
          qual AS (
            SELECT doc_id,
-             round(len_score * 0.3
+             CAST(floor((len_score * 0.3
                    + least(sw_ratio * 4.0, 1.0) * 0.3
                    + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2
-                   + (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
-                   4) AS quality
+                   + (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2)
+                   * 10000) AS BIGINT) AS quality
            FROM qm),
          memb AS (
            SELECT c.cluster_id, c.doc_id, q.quality
            FROM comp c JOIN qual q USING (doc_id)),
          best AS (
-           SELECT cluster_id, max(quality) AS best_quality,
+           SELECT cluster_id, max(quality) AS best_quality_bp,
              count(*) AS n_members
            FROM memb GROUP BY cluster_id),
          keep AS (
            SELECT m.cluster_id, min(m.doc_id) AS keep_id
            FROM memb m JOIN best b
-             ON m.cluster_id = b.cluster_id AND m.quality = b.best_quality
+             ON m.cluster_id = b.cluster_id AND m.quality = b.best_quality_bp
            GROUP BY m.cluster_id)
-         SELECT k.cluster_id, k.keep_id, b.n_members, b.best_quality
+         SELECT k.cluster_id, k.keep_id, b.n_members, b.best_quality_bp
          FROM keep k JOIN best b USING (cluster_id)
          ORDER BY cluster_id""",
 

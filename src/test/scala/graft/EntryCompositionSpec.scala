@@ -211,7 +211,9 @@ class EntryCompositionSpec extends AnyFunSuite {
     "privacy_pii_remediate",  // r13: span-level PII remediation audit
     "train_packing_boundary_audit", // r13: split-policy boundary waste audit
     "decontaminate_ngram_overlap", // r14: exact 13-gram collision policy
-    "provenance_license_gate") // r14: license/robots source gating
+    "provenance_license_gate", // r14: license/robots source gating
+    "decontaminate_incremental", // r15: batch grams vs materialized index
+    "decontaminate_multi_bench") // r15: per-benchmark attribution
 
   test("composed map equals the pin plus the explicit new-query list") {
     val expected = pinnedR10 ++ newSinceR10

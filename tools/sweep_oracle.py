@@ -14,6 +14,11 @@ merge_sf1_artifact.py).
 
 Usage: sweep_oracle.py <sfDir> <verifyOutDir> <out.json>
          [--adjudicate adj.json] [--timeout SECS (default 5400)]
+         [--resume prior.json]
+
+--resume seeds the report from a prior (same-tree!) artifact and skips
+every query already all-green there — recovery for a multi-hour sweep
+that died partway. Non-green prior rows re-run.
 """
 import json
 import os
@@ -26,6 +31,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def main(argv):
     adj_path = None
+    resume_path = None
     timeout = 5400
     pos = []
     i = 0
@@ -36,14 +42,28 @@ def main(argv):
         elif argv[i] == "--timeout":
             timeout = int(argv[i + 1])
             i += 2
+        elif argv[i] == "--resume":
+            resume_path = argv[i + 1]
+            i += 2
         else:
             pos.append(argv[i])
             i += 1
     sf_dir, out_dir, out_json = pos
     names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
     report = {}
+    skip = set()
+    if resume_path:
+        prior = json.load(open(resume_path))
+        for k, v in prior.items():
+            if k in names and v.get("rows_match") and v.get("schema_match") \
+               and v.get("hash_match"):
+                report[k] = v
+                skip.add(k)
+        print(f"resume: {len(skip)} green rows carried from {resume_path}")
     t_start = time.time()
     for n, name in enumerate(names):
+        if name in skip:
+            continue
         tmp = f"{out_json}.one.{name}.json"
         t0 = time.time()
         try:
