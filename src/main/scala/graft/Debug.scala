@@ -10,6 +10,10 @@ object Debug {
     val spark = GraftSession.getOrCreate()
     if (args.length > 1 && args(1) == "cc") { ccBreakdown(spark, sfDir); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloom") { bloomBreakdown(spark, sfDir); spark.stop(); return }
+    if (args.length > 1 && args(1) == "ab") {
+      abFanout(spark, sfDir, args.drop(2).mkString(",").split(",").map(_.trim))
+      spark.stop(); return
+    }
     val docs = {
       val d = graft.sources.Tables.load(spark, sfDir, "documents").select("doc_id", "text")
       val exact = d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -137,6 +141,37 @@ object Debug {
     }
     tm("full dedup_clusters query") {
       SparkEntry.queries("dedup_clusters")(spark, sfDir).count()
+    }
+  }
+
+  /** Interleaved A/B of the scan fan-out per query: alternate OFF/ON
+    * rounds within one JVM so a slow host phase hits both arms equally
+    * (the spot-bench runs disagreed by 30% on identical plans). Prints
+    * min-of-3 per arm. `names` may include `fanned=<csv>` to set the arm-B
+    * table list (default: the session default). */
+  private def abFanout(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String, names: Array[String]): Unit = {
+    val onTables = names.collectFirst {
+      case n if n.startsWith("fanned=") => n.stripPrefix("fanned=").replace('+', ',')
+    }.getOrElse("documents,embeddings,events")
+    val qs = names.filterNot(_.startsWith("fanned="))
+    def run(name: String, tables: String): Double = {
+      // "" = arm A: kill the fan-out entirely (including tF force sites);
+      // otherwise arm B with the given auto-fan table list
+      spark.conf.set("spark.graft.scan.fanout", (tables != "").toString)
+      spark.conf.set("spark.graft.scan.fanout.tables", tables)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      sec
+    }
+    for (q <- qs) {
+      run(q, "") // warmup (codegen etc.), fanout off
+      val (off, on) = (Array.fill(3)(0.0), Array.fill(3)(0.0))
+      for (i <- 0 until 3) { off(i) = run(q, ""); on(i) = run(q, onTables) }
+      println(f"[ab] $q%-32s off=${off.min}%6.2f on=${on.min}%6.2f " +
+        f"(off ${off.map(x => f"$x%.2f").mkString("/")} on ${on.map(x => f"$x%.2f").mkString("/")})")
     }
   }
 }

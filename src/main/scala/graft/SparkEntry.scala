@@ -24,6 +24,12 @@ object SparkEntry {
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** [[t]] with the scan fan-out forced (Tables.loadFanned) — opt-in for
+    * CPU-heavy consumers of the join tables (lineitem/orders), where the
+    * blanket auto-fan would tax shuffle-free broadcast-join siblings. */
+  private[graft] def tF(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadFanned(s, dir, name)
+
   private[graft] def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   /** NDCG@10 rank discounts floor(1e6 / log2(r+1)) for r = 1..10, as

@@ -923,7 +923,10 @@ private[graft] object EntryBusiness {
       // desc, keys) with lift as floor fixed-point of an exact integer
       // ratio — no float in any sort key. Top-20 via
       // TakeOrderedAndProject.
-      val li = t(s, dir, "lineitem")
+      // tF: the distinct, the within-order self-join and the pair agg all
+      // cluster on l_orderkey, so the fanned scan's exchange is reused —
+      // interleaved A/B measured 2.59 → 2.04 s at sf0.1 (r15 opt)
+      val li = tF(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nOrders = li.select("l_orderkey").distinct().count()

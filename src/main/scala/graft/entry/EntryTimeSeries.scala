@@ -423,7 +423,11 @@ private[graft] object EntryTimeSeries {
       // and the median is RANK-SELECTED (lower median at row_number
       // ⌈m/2⌉ over a total order), never interpolated — engine-exact
       // on negatives and ties.
-      val e = t(s, dir, "events")
+      // tF: the within-user pair self-join and the slope windows all key
+      // on user_id, so the fanned scan's exchange is REUSED by every
+      // downstream operator — interleaved A/B measured 2.69 → 0.70 s at
+      // sf0.1 (r15 opt; a no-op once the source splits naturally)
+      val e = tF(s, dir, "events")
         .select(col("user_id"), col("event_id"),
           expr("unix_millis(ts)").as("tms"),
           (dec(col("value")) * 100).cast("long").as("vc"))
