@@ -597,7 +597,16 @@ private[graft] object EntryDedup {
           array_distinct(col("hs")).as("shh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = shd.select(col("doc_id"), size(col("shh")).cast("long").as("n"))
-      val ex = shd.select(col("doc_id"), explode(col("shh")).as("h"))
+      val ex0 = shd.select(col("doc_id"), explode(col("shh")).as("h"))
+      // df ≥ 2 prefilter (r15 opt, the ngramJaccardPairs shape): a
+      // shingle held by one doc can never produce an id_a < id_b pair,
+      // so dropping the (dominant) unique-shingle tail before the
+      // self-join changes no `c` count while removing most of the
+      // shuffle; persisted because both join sides read it
+      val shared = ex0.groupBy("h").count()
+        .filter(col("count") >= 2).select("h")
+      val ex = ex0.join(broadcast(shared), Seq("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val common = ex.select(col("h"), col("doc_id").as("id_a"))
         .join(ex.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
         .filter(col("id_a") < col("id_b"))

@@ -373,9 +373,14 @@ private[graft] object EntryGraph {
           .crossJoin(broadcast(kRow))
           .filter(col("deg") >= col("k"))
           .select(col("src").as("node"))
+        // dst-side semi first, src-side semi LAST (r15 opt): the second
+        // join leaves the surviving edges hash-partitioned on src, so the
+        // degree re-aggregation (and the final readout) reuses that
+        // clustering instead of paying its own exchange every round —
+        // conjunctive endpoint filters commute, rows identical
         edges = edges
-          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       }
@@ -401,8 +406,12 @@ private[graft] object EntryGraph {
           (col("l_suppkey") * 2L).as("src"),
           (col("l_partkey") * 2L + 1L).as("dst"))
         .distinct()
+      // co-partitioned once on src (r15 opt, the graph_hits shape): all
+      // four BFS rounds join on src, so the persisted exchange is reused
+      // and iterations move only the node-sized masked frontier
       val und = e0.unionByName(
           e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // MS-BFS bitmask frontier (Then et al., VLDB 2014 "The More the
       // Merrier"): all 8 seeds travel as ONE 8-bit mask per node, so
@@ -430,7 +439,8 @@ private[graft] object EntryGraph {
       var frontier = state.select("node", "mask")
       for (d <- 1L to 4L) {
         val prop = und
-          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .join(frontier.withColumnRenamed("node", "src")
+            .hint("shuffle_hash"), Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(expr("bit_or(mask)").as("pm"))
         val st2 = state.join(prop, Seq("node"), "full_outer")
@@ -821,11 +831,20 @@ private[graft] object EntryGraph {
       val li = t(s, dir, "lineitem")
       val e0 = li.select((col("l_suppkey") * 2L).as("src"),
           (col("l_partkey") * 2L + 1L).as("dst")).distinct()
+      // co-partition the edge list ONCE on src (r15 opt, the graph_hits
+      // shape): every hop of BOTH passes joins on src, so the persisted
+      // exchange is reused by all six |E|-keyed joins — before this, each
+      // join re-exchanged the full undirected edge list; now iterations
+      // move only the (seed, node)-sized frontier/delta frames. The
+      // shuffle_hash hints keep the per-hop joins sort-free (the edge
+      // side would otherwise pay a per-partition SMJ sort every hop).
       val und = e0.unionByName(
           e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def expand(prev: DataFrame): DataFrame = und
-        .join(prev.withColumnRenamed("node", "src"), Seq("src"))
+        .join(prev.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
         .select(col("seed"), col("dst").as("node"), col("sigma"))
         .groupBy("seed", "node").agg(sum(col("sigma")).as("sigma"))
       val l0 = und.select(col("src").as("node")).distinct()
@@ -844,7 +863,8 @@ private[graft] object EntryGraph {
         val w = nxt.select(col("seed"), col("node").as("w"),
           col("sigma").as("sigma_w"), col("delta").as("delta_w"))
         val d = und
-          .join(cur.withColumnRenamed("node", "src"), Seq("src"))
+          .join(cur.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            Seq("src"))
           .select(col("seed"), col("src").as("node"),
             col("sigma").as("sigma_v"), col("dst").as("w"))
           .join(w, Seq("seed", "w"))
@@ -910,17 +930,27 @@ private[graft] object EntryGraph {
       val hf = hist(e0.select("src", "dst"))
       val hs = hist(e0.filter(col("keep") === 1).select("src", "dst"))
         .select((col("degree") * 4L).as("degree"), col("n_nodes"))
-      val grid = hf.select("degree").unionByName(hs.select("degree")).distinct()
-      def cdf(h: DataFrame, cumName: String) = grid.as("g")
-        .join(h.as("h"), col("h.degree") <= col("g.degree"), "left")
-        .groupBy(col("g.degree").as("degree"))
-        .agg(coalesce(sum("h.n_nodes"), lit(0L)).as(cumName))
-      val cf = cdf(hf, "cum_f"); val cs = cdf(hs, "cum_s")
+      // prefix-sum CDFs (r15 opt): the old form joined the union grid to each
+      // histogram with a `h.degree <= g.degree` theta join — a broadcast
+      // nested-loop producing O(|grid|·|hist|) comparisons, quadratic in
+      // the degree domain. The same exact integer cums fall out of two
+      // chained range-partitioned running sums (Rank.globalRunningSum —
+      // scale-safe, no single-task window), and the former cf⋈cs join
+      // disappears because both cums ride one frame.
+      // full-outer join IS the union grid (same degree domain), so the
+      // separate grid distinct + two left joins collapse into one join
+      val joined = hf.withColumnRenamed("n_nodes", "cnt_f")
+        .join(hs.withColumnRenamed("n_nodes", "cnt_s"),
+          Seq("degree"), "full_outer")
+        .select(col("degree"), coalesce(col("cnt_f"), lit(0L)).as("cnt_f"),
+          coalesce(col("cnt_s"), lit(0L)).as("cnt_s"))
+      val cum = graft.operators.Rank.globalRunningSums(joined, 32,
+        Seq("cum_f" -> col("cnt_f"), "cum_s" -> col("cnt_s")), col("degree"))
       val nf = hf.agg(sum("n_nodes").as("n_full"),
         sum(col("degree") * col("n_nodes")).as("deg_sum_full"))
       val ns = hs.agg(sum("n_nodes").as("n_samp"),
         sum(col("degree") * col("n_nodes")).as("deg_sum_samp"))
-      cf.join(cs, Seq("degree"))
+      cum
         .crossJoin(broadcast(nf)).crossJoin(broadcast(ns))
         .select(col("degree"), col("n_full"), col("n_samp"),
           col("deg_sum_full"), col("deg_sum_samp"),

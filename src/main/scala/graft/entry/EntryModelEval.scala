@@ -1171,15 +1171,23 @@ private[graft] object EntryModelEval {
         .select("custkey").distinct()
       val recs = evalUsers.crossJoin(broadcast(top10))
         .join(owned, Seq("custkey", "partkey"), "left_anti")
-      val a = recs.select(col("custkey"), col("partkey").as("pa"),
-        col("p_brand").as("ba"), col("p_type").as("ta"))
-      val b = recs.select(col("custkey"), col("partkey").as("pb"),
-        col("p_brand").as("bb"), col("p_type").as("tb"))
-      val perUser = a.join(b, Seq("custkey")).filter(col("pa") < col("pb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // counting identity (r15 opt): over a user's n-item list,
+      // Σ_{pa<pb}[ba≠bb] = C(n,2) − Σ_brand C(c_brand,2) (and likewise
+      // for types), all exact integers — so the per-user pair self-join
+      // (≤45 rows/user but a full shuffle join of user×10 rows) collapses
+      // into two keyed aggregations and a user-keyed join. Same d and
+      // n_prs values bit-for-bit; users with n < 2 drop exactly as the
+      // old pa<pb inner join dropped them.
+      def eqPairs(attr: String, out: String) = recs
+        .groupBy(col("custkey"), col(attr)).agg(count(lit(1)).as("c"))
         .groupBy("custkey")
-        .agg(count(lit(1)).as("n_prs"),
-          sum(expr("""CAST(CASE WHEN ba <> bb THEN 1 ELSE 0 END
-            + CASE WHEN ta <> tb THEN 1 ELSE 0 END AS BIGINT)""")).as("d"))
+        .agg(sum(expr("c * (c - 1) div 2")).as(out), sum(col("c")).as(s"n_$out"))
+      val perUser = eqPairs("p_brand", "eq_b")
+        .join(eqPairs("p_type", "eq_t"), Seq("custkey"))
+        .filter(col("n_eq_b") >= 2)
+        .withColumn("n_prs", expr("n_eq_b * (n_eq_b - 1) div 2"))
+        .withColumn("d", expr("2 * n_prs - eq_b - eq_t"))
         .select(col("custkey"),
           expr("(d * 1000000L) div (2L * n_prs)").as("ild_ppm"))
       perUser

@@ -76,6 +76,24 @@ object Bloom {
     arr
   }
 
+  /** Build SEVERAL filters in ONE Spark action (r15 opt): the per-filter
+    * word rows are tagged and unioned, so one job materializes every
+    * build input (persisted upstream frames included) with the union's
+    * branches running concurrently, instead of one serial job per
+    * filter. Word layout and probe semantics are byte-identical to
+    * [[buildWords]] per filter. */
+  def buildWordsMulti(parts: Seq[(DataFrame, String, Int, Int)]): Seq[Array[Long]] = {
+    import org.apache.spark.sql.functions.lit
+    val tagged = parts.zipWithIndex.map { case ((keys, keyCol, words, k), i) =>
+      wordRows(keys, keyCol, words, k)
+        .select(lit(i).as("f"), col("w"), col("bits"))
+    }
+    val arrs = parts.map { case (_, _, words, _) => new Array[Long](words) }
+    tagged.reduce(_ unionByName _).collect()
+      .foreach(r => arrs(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    arrs
+  }
+
   /** The collected filter as a plan literal for [[mightContain]]. */
   def literal(bloomWords: Array[Long]): Column = typedLit(bloomWords)
 

@@ -163,8 +163,10 @@ object Dedup {
   def minhashDedupFromIndexTables(docs: DataFrame, sh: DataFrame,
                                   buckets: DataFrame, idCol: String,
                                   threshold: Double = 0.8): DataFrame = {
+    // no distinct (r15 opt): LEFT ANTI is duplicate-insensitive on its
+    // right side — one exchange fewer at every scale
     val doomed = minhashPairsFromIndex(sh, buckets, idCol, threshold)
-      .select(col("id_b").as(idCol)).distinct()
+      .select(col("id_b").as(idCol))
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 
@@ -266,9 +268,11 @@ object Dedup {
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.8): DataFrame = {
+    // no distinct (r15 opt): LEFT ANTI is duplicate-insensitive on its
+    // right side — one exchange fewer at every scale
     val doomed = minhashPairs(docs, idCol, textCol, shingleSize, bands,
       rowsPerBand, threshold)
-      .select(col("id_b").as(idCol)).distinct()
+      .select(col("id_b").as(idCol))
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 
@@ -277,9 +281,10 @@ object Dedup {
   def minhashDedupFromShingles(docs: DataFrame, sh: DataFrame, idCol: String,
                                bands: Int = 16, rowsPerBand: Int = 4,
                                threshold: Double = 0.8): DataFrame = {
+    // no distinct (r15 opt): see minhashDedup
     val doomed = minhashPairsFromShingles(sh, idCol, bands, rowsPerBand,
       threshold)
-      .select(col("id_b").as(idCol)).distinct()
+      .select(col("id_b").as(idCol))
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 
@@ -661,8 +666,11 @@ object Dedup {
                        threshold: Double = 0.8): DataFrame = {
     def fp(d: DataFrame) = d.select(
       col(idCol), TextFunctions.contentFingerprint(col(textCol)).as("fp"))
+    // left_semi instead of inner-join-on-distinct (r15 opt): the doomed
+    // set feeds ONLY an anti join, so multiplicity never matters — the
+    // semi join drops the corpus-side distinct's exchange outright
     val exactDoomed = fp(newDocs)
-      .join(fp(corpus).select("fp").distinct(), Seq("fp"))
+      .join(fp(corpus).select("fp"), Seq("fp"), "left_semi")
       .select(col(idCol))
     val shNew = hashedShingleTable(newDocs, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -679,7 +687,10 @@ object Dedup {
     val nearDoomed = jaccardOverShingleSets(cands, shd, idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as(idCol))
-    val doomed = exactDoomed.unionByName(nearDoomed).distinct()
+    // no distinct on doomed (r15 opt): LEFT ANTI is duplicate-insensitive
+    // on its right side, so the union feeds the anti join directly — one
+    // exchange fewer at every scale
+    val doomed = exactDoomed.unionByName(nearDoomed)
     newDocs.join(doomed, Seq(idCol), "left_anti")
   }
 
@@ -724,20 +735,18 @@ object Dedup {
       .withColumn("key", xxhash64(col("fp")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusFp = fp(corpus)
-    // blooms are index artifacts: built distributed (map-side bit_or),
-    // reduced to words×8 bytes on the driver, inlined as plan LITERALS —
-    // the probe is a plain codegen'd filter, no join, no per-row copy of
-    // the filter array (offline, they'd be built next to the dedup index)
+    // Bloom sizing (r15 opt): fpWords keys = one fingerprint ROW per
+    // corpus doc and band keys = exactly `bands` bucket rows per corpus
+    // doc, so both sizes derive from ONE pruned count of the corpus —
+    // identical word counts to the old corpusFp.count()/bOld.count()
+    // row-count sizing (⇒ byte-identical filters), without the two jobs
+    // that each materialized a whole cached fingerprint/bucket table
+    // just to read its size. Offline, these counts come from the dedup
+    // index's catalog statistics.
+    val nCorpus =
+      if (bloomWords > 0) -1L else corpus.select(col(idCol)).count()
     val fpWords =
-      if (bloomWords > 0) bloomWords else sizedWords(corpusFp.count())
-    val fpBloom = Bloom.literal(
-      Bloom.buildWords(corpusFp, "key", fpWords, bloomK))
-    val fpSuspects = fp(newDocs)
-      .filter(Bloom.mightContain(fpBloom, col("key"), fpWords, bloomK))
-      .select(col(idCol), col("fp"))
-    val exactDoomed = fpSuspects
-      .join(corpusFp.select("fp").distinct(), Seq("fp"))
-      .select(col(idCol))
+      if (bloomWords > 0) bloomWords else sizedWords(nCorpus)
     val shNew = hashedShingleTable(newDocs, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shOld = hashedShingleTable(corpus, idCol, textCol, shingleSize)
@@ -751,10 +760,29 @@ object Dedup {
       .select(col("band"), col("band_key"), col(idCol).as("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandWords =
-      if (bloomWords > 0) bloomWords else sizedWords(bOld.count())
-    val bandBloom = Bloom.literal(Bloom.buildWords(
-      bOld.select(xxhash64(col("band"), col("band_key")).as("key")),
-      "key", bandWords, bloomK))
+      if (bloomWords > 0) bloomWords else sizedWords(nCorpus * bands)
+    // blooms are index artifacts: built distributed (map-side bit_or),
+    // reduced to words×8 bytes on the driver, inlined as plan LITERALS —
+    // the probe is a plain codegen'd filter, no join, no per-row copy of
+    // the filter array (offline, they'd be built next to the dedup
+    // index). BOTH filters build in one fused action (r15 opt — the
+    // fingerprint and bucket subtrees materialize concurrently instead
+    // of as two serial jobs; Debug's phase breakdown put the serial
+    // builds at the top of this operator's cost).
+    val Seq(fpArr, bandArr) = Bloom.buildWordsMulti(Seq(
+      (corpusFp, "key", fpWords, bloomK),
+      (bOld.select(xxhash64(col("band"), col("band_key")).as("key")),
+        "key", bandWords, bloomK)))
+    val fpBloom = Bloom.literal(fpArr)
+    val bandBloom = Bloom.literal(bandArr)
+    val fpSuspects = fp(newDocs)
+      .filter(Bloom.mightContain(fpBloom, col("key"), fpWords, bloomK))
+      .select(col(idCol), col("fp"))
+    // left_semi instead of inner-join-on-distinct (r15 opt, see
+    // incrementalDedup): doomed feeds an anti join, multiplicity is moot
+    val exactDoomed = fpSuspects
+      .join(corpusFp.select("fp"), Seq("fp"), "left_semi")
+      .select(col(idCol))
     val bNewSuspects = bNew
       .filter(Bloom.mightContain(bandBloom,
         xxhash64(col("band"), col("band_key")), bandWords, bloomK))
@@ -766,7 +794,8 @@ object Dedup {
     val nearDoomed = jaccardOverShingleSets(cands, shd, idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as(idCol))
-    val doomed = exactDoomed.unionByName(nearDoomed).distinct()
+    // no distinct: LEFT ANTI is duplicate-insensitive on its right side
+    val doomed = exactDoomed.unionByName(nearDoomed)
     newDocs.join(doomed, Seq(idCol), "left_anti")
   }
 
@@ -1139,9 +1168,11 @@ object Dedup {
                                         textCol: String, shingleSize: Int = 3,
                                         bands: Int = 16, rowsPerBand: Int = 4,
                                         threshold: Double = 0.8): DataFrame = {
+    // left_semi (r15 opt): doomed feeds an anti join, multiplicity moot
     val exactDoomed = newDocs
       .select(col(idCol), TextFunctions.contentFingerprint(col(textCol)).as("fp"))
-      .join(spark.table(s"${tablePrefix}_fp").hint("merge"), Seq("fp"))
+      .join(spark.table(s"${tablePrefix}_fp").hint("merge"), Seq("fp"),
+        "left_semi")
       .select(col(idCol))
     val shNew = hashedShingleTable(newDocs, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1167,7 +1198,8 @@ object Dedup {
     val nearDoomed = scored
       .filter(col("uni") > 0 && col("inter") / col("uni") >= threshold)
       .select(col("id_a").as(idCol))
-    val doomed = exactDoomed.unionByName(nearDoomed).distinct()
+    // no distinct: LEFT ANTI is duplicate-insensitive on its right side
+    val doomed = exactDoomed.unionByName(nearDoomed)
     newDocs.join(doomed, Seq(idCol), "left_anti")
   }
 
@@ -1182,9 +1214,10 @@ object Dedup {
                                 textCol: String, shingleSize: Int = 3,
                                 bands: Int = 16, rowsPerBand: Int = 4,
                                 threshold: Double = 0.8): DataFrame = {
+    // left_semi (r15 opt): doomed feeds an anti join, multiplicity moot
     val exactDoomed = newDocs
       .select(col(idCol), TextFunctions.contentFingerprint(col(textCol)).as("fp"))
-      .join(spark.read.parquet(s"$path/fp"), Seq("fp"))
+      .join(spark.read.parquet(s"$path/fp"), Seq("fp"), "left_semi")
       .select(col(idCol))
     val shNew = hashedShingleTable(newDocs, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1204,7 +1237,8 @@ object Dedup {
     val nearDoomed = scored
       .filter(col("uni") > 0 && col("inter") / col("uni") >= threshold)
       .select(col("id_a").as(idCol))
-    val doomed = exactDoomed.unionByName(nearDoomed).distinct()
+    // no distinct: LEFT ANTI is duplicate-insensitive on its right side
+    val doomed = exactDoomed.unionByName(nearDoomed)
     newDocs.join(doomed, Seq(idCol), "left_anti")
   }
 

@@ -69,22 +69,43 @@ object Rank {
     * (callers needing a unique value per row must pass a tiebreak
     * column, as with globalRowNumber). */
   def globalRunningSum(df: DataFrame, numPartitions: Int, sumCol: String,
-                       value: Column, order: Column*): DataFrame = {
-    val rp = df.withColumn("__v", value.cast("bigint"))
+                       value: Column, order: Column*): DataFrame =
+    globalRunningSums(df, numPartitions, Seq(sumCol -> value), order: _*)
+
+  /** Several exact global running sums over ONE total order in ONE
+    * range-repartition pass (r15 opt): chained [[globalRunningSum]] calls
+    * would each pay the sample job + exchange + offsets broadcast; the
+    * sums are independent per column, so they share all of it. */
+  def globalRunningSums(df: DataFrame, numPartitions: Int,
+                        sums: Seq[(String, Column)],
+                        order: Column*): DataFrame = {
+    val vCols = sums.indices.map(i => s"__v$i")
+    val withVals = sums.zipWithIndex.foldLeft(df) {
+      case (d, ((_, value), i)) => d.withColumn(vCols(i), value.cast("bigint"))
+    }
+    val rp = withVals
       .repartitionByRange(numPartitions, order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val totals = rp.groupBy(col("__pid")).agg(sum(col("__v")).as("__t"))
+    val totals = rp.groupBy(col("__pid")).agg(
+      sum(col(vCols.head)).as("__t0"),
+      vCols.tail.zipWithIndex.map { case (c, i) =>
+        sum(col(c)).as(s"__t${i + 1}") }: _*)
     // P rows of metadata — the only single-partition window
     val wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals
-      .withColumn("__off", coalesce(sum(col("__t")).over(wo), lit(0L)))
-      .drop("__t")
+    val offsets = sums.indices.foldLeft(totals) { (t, i) =>
+      t.withColumn(s"__off$i",
+        coalesce(sum(col(s"__t$i")).over(wo), lit(0L)))
+    }.drop(sums.indices.map(i => s"__t$i"): _*)
     val wr = Window.partitionBy("__pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rp.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(sumCol, sum(col("__v")).over(wr) + col("__off"))
-      .drop("__pid", "__off", "__v")
+    val joinedBack = rp.join(broadcast(offsets), Seq("__pid"))
+    sums.zipWithIndex.foldLeft(joinedBack) {
+      case (d, ((sumCol, _), i)) =>
+        d.withColumn(sumCol, sum(col(vCols(i))).over(wr) + col(s"__off$i"))
+    }.drop("__pid")
+      .drop(vCols: _*)
+      .drop(sums.indices.map(i => s"__off$i"): _*)
   }
 
   /** `ntile(k)` bucket (1-based, BIGINT) of a 1-based position in a

@@ -60,6 +60,17 @@ class BloomSpec extends SparkSpec {
     assert(bloomed.toSeq === base.toSeq)
   }
 
+  test("buildWordsMulti builds byte-identical filters to per-filter buildWords") {
+    val a = (1L to 300L).map(i => Tuple1(i * 31L)).toDF("key")
+    val b = (1L to 900L).map(i => Tuple1(i * 97L + 5L)).toDF("key")
+    val wa = Bloom.wordsFor(300)
+    val wb = Bloom.wordsFor(900)
+    val Seq(ma, mb) = Bloom.buildWordsMulti(Seq(
+      (a, "key", wa, 7), (b, "key", wb, 7)))
+    assert(ma.toSeq == Bloom.buildWords(a, "key", wa).toSeq)
+    assert(mb.toSeq == Bloom.buildWords(b, "key", wb).toSeq)
+  }
+
   test("prefilter shrinks the probe side for a mostly-novel batch") {
     // batch of novel docs: nothing should survive the fingerprint bloom
     val corpus = (1L to 500L)
