@@ -184,13 +184,18 @@ private[graft] object EntryGraph {
           (col("l_suppkey") * 2L).as("src"),
           (col("l_partkey") * 2L + 1L).as("dst"))
         .distinct()
+      // co-partitioned once on dst (r15 opt, the graph_hits shape): both
+      // LPA rounds join on dst, so the persisted exchange is reused and
+      // each round moves only the (node, label) frame
       val und = e0.unionByName(
           e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var labels = und.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
       for (_ <- 1 to 2) {
-        labels = und.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        labels = und.join(labels.withColumnRenamed("id", "dst")
+            .hint("shuffle_hash"), Seq("dst"))
           .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("src"))
           .agg(max_by(col("label"), struct(col("cnt"), negate(col("label"))))

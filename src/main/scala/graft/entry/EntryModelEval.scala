@@ -1169,9 +1169,11 @@ private[graft] object EntryModelEval {
         .join(top10.select("partkey"), Seq("partkey"))
       val evalUsers = buys.filter(col("o_orderdate") >= lit("2000-01-01"))
         .select("custkey").distinct()
+      // recs is read by both aggregations below but NOT persisted: its
+      // recompute is one broadcast cross join + one anti join — cheaper
+      // than a cache materialization barrier
       val recs = evalUsers.crossJoin(broadcast(top10))
         .join(owned, Seq("custkey", "partkey"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // counting identity (r15 opt): over a user's n-item list,
       // Σ_{pa<pb}[ba≠bb] = C(n,2) − Σ_brand C(c_brand,2) (and likewise
       // for types), all exact integers — so the per-user pair self-join
