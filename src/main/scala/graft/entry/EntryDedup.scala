@@ -602,10 +602,15 @@ private[graft] object EntryDedup {
       // shingle held by one doc can never produce an id_a < id_b pair,
       // so dropping the (dominant) unique-shingle tail before the
       // self-join changes no `c` count while removing most of the
-      // shuffle; persisted because both join sides read it
+      // shuffle; persisted because both join sides read it.
+      // LEFT SEMI with NO broadcast hint (ADVICE r15): `shared` is every
+      // distinct shingle hash held by 2+ docs — unbounded in corpus
+      // size, so a forced broadcast would exceed the 8 GB relation cap
+      // at scale. AQE still builds a broadcast semi join at runtime
+      // whenever the set actually fits.
       val shared = ex0.groupBy("h").count()
         .filter(col("count") >= 2).select("h")
-      val ex = ex0.join(broadcast(shared), Seq("h"))
+      val ex = ex0.join(shared, Seq("h"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val common = ex.select(col("h"), col("doc_id").as("id_a"))
         .join(ex.select(col("h"), col("doc_id").as("id_b")), Seq("h"))

@@ -370,22 +370,29 @@ private[graft] object EntryGraph {
       // is derived from — one degree aggregation, two consumers
       val deg0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val kRow = deg0.agg(
+      // the bar is computed ONCE as a driver scalar (r16 opt): the same
+      // percentile expression as before, collected a single time — the
+      // old per-round crossJoin(broadcast(kRow)) re-ran the single-task
+      // exact-percentile job inside every round's broadcast build (the
+      // profiler showed 3-4 serial ~1 s one-task stages). A one-row bar
+      // is metadata on the driver, not data.
+      val k = deg0.agg(
         expr("CAST(floor(percentile(deg, 0.25)) AS BIGINT)").as("k"))
+        .head().getLong(0)
       var deg = deg0
       for (_ <- 1 to 3) {
-        val keep = deg
-          .crossJoin(broadcast(kRow))
-          .filter(col("deg") >= col("k"))
+        // anti join against the DOOMED minority (deg < k), not semi
+        // against the surviving majority (r16 opt): identical edges —
+        // every endpoint of the symmetric edge list has a degree row,
+        // so NOT-in-doomed ⟺ in-keep — but the broadcast build each
+        // round pays twice now ships only the below-bar set (~a quarter
+        // of the nodes in round 1, just the cascade after) instead of
+        // the ~3/4 surviving majority
+        val doomed = deg.filter(col("deg") < k)
           .select(col("src").as("node"))
-        // dst-side semi first, src-side semi LAST (r15 opt): the second
-        // join leaves the surviving edges hash-partitioned on src, so the
-        // degree re-aggregation (and the final readout) reuses that
-        // clustering instead of paying its own exchange every round —
-        // conjunctive endpoint filters commute, rows identical
         edges = edges
-          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(doomed.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+          .join(doomed.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       }
@@ -661,9 +668,13 @@ private[graft] object EntryGraph {
             struct(col("b").as("x"), col("c").as("y")))).as("ed"))
           .select(col("ed.x").as("u"), col("ed.y").as("v"))
           .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-        e = e.join(sup, Seq("u", "v"), "left")
-          .filter(coalesce(col("sup"), lit(0L)) >= 2)
-          .select("u", "v")
+        // semi join against the support-qualified edges (r16 opt):
+        // identical rows to the old left-join + coalesce(sup,0) >= 2
+        // filter (an edge with no support row coalesces to 0 and dies),
+        // but the join's build side is only the ≥2-triangle edge set and
+        // no sup column ever materializes on the surviving frame
+        e = e.join(sup.filter(col("sup") >= 2).select("u", "v"),
+            Seq("u", "v"), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       e.select(explode(array(col("u"), col("v"))).as("node"))

@@ -238,7 +238,10 @@ private[graft] object EntryPipeline {
       // products, so nothing ever exceeds double range at any corpus
       // size; the cell counts stay exact BIGINTs in the output.
       // Embarrassingly parallel at 100 TB.
-      val flags = t(s, dir, "documents").select(
+      // tF (r16 opt): three regex-heavy gate structs over one scan and a
+      // single global agg — pure scan CPU, the exact shape the opt-in
+      // fan-out exists for. Interleaved A/B at sf0.1: 2.53 → 1.59 s.
+      val flags = tF(s, dir, "documents").select(
         gopherMetrics.getField("passes").as("g"),
         c4Metrics.getField("passes").as("c"),
         finewebMetrics.getField("passes").as("f"))
@@ -931,22 +934,37 @@ private[graft] object EntryPipeline {
       // survived the cheap stages — the standard cost ordering: O(scan)
       // filters first, the shuffle-bearing dedups on the shrunken tail.
       val d = t(s, dir, "documents")
-      val en = d.filter(TextFunctions.langIdHeuristic(col("text")) === "en")
-      val qual = en.filter(HashFunctions.linearMargin(
-        TextFunctions.tokens(lower(col("text")))) > 0)
+      val isEn = TextFunctions.langIdHeuristic(col("text")) === "en"
+      val isQual = isEn && HashFunctions.linearMargin(
+        TextFunctions.tokens(lower(col("text")))) > 0
+      // stages 0–2 fused into ONE conditional aggregation (r16 opt): the
+      // old five-branch union re-ran the language regex for the en count
+      // and the regex + margin again for the quality count — three full
+      // text scans for three integers one scan produces. coalesce keeps
+      // the empty-corpus counts at 0 exactly like the old count(1)
+      // branches.
+      val funnel = d.agg(count(lit(1)).as("n0"),
+        coalesce(sum(when(isEn, 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(isQual, 1L).otherwise(0L)), lit(0L)).as("n2"))
+      val qual = d.filter(isQual)
       val exact = Dedup.exactDedup(qual, "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // no distinct (r15 lesson): LEFT ANTI is duplicate-insensitive on
+      // its right side — one exchange fewer
       val doomed = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
           shingleSize = 3, threshold = 0.6)
-        .select(col("id_b").as("doc_id")).distinct()
+        .select(col("id_b").as("doc_id"))
       val near = exact.join(doomed, Seq("doc_id"), "left_anti")
       def stage(name: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(name).as("stage"), col("n_docs"))
-      Seq(stage("0_ingest", d), stage("1_lang_en", en),
-          stage("2_quality", qual), stage("3_exact_dedup", exact),
-          stage("4_near_dedup", near))
-        .reduce(_ unionByName _)
+      funnel.select(explode(array(
+          struct(lit("0_ingest").as("stage"), col("n0").as("n_docs")),
+          struct(lit("1_lang_en").as("stage"), col("n1").as("n_docs")),
+          struct(lit("2_quality").as("stage"), col("n2").as("n_docs")))).as("e"))
+        .select(col("e.stage").as("stage"), col("e.n_docs").as("n_docs"))
+        .unionByName(stage("3_exact_dedup", exact))
+        .unionByName(stage("4_near_dedup", near))
         .orderBy("stage")
     }),
 

@@ -818,8 +818,54 @@ private[graft] object EntryTimeSeries {
       // mechanism), with e-notation constants so both parse α as
       // DOUBLE. Recursion depth = #weeks (~12): calendar-sized at any
       // data scale; only the weekly rollup scans events.
+      // r16 opt: Spark executes each recursive-CTE step as its own job
+      // (~250 ms of scheduling per step — sql_recursive measures the
+      // same constant on a 5-row spine), so a ~13-week spine paid ~3 s
+      // of pure per-step overhead plus a full events re-scan per step
+      // (non-recursive CTEs are inlined into every iteration). The week
+      // spine is CALENDAR-sized at any corpus scale, so the recursion
+      // replays on the driver over the collected spine — the codebook
+      // pattern, weeks not rows — with the verbatim double tree of the
+      // oracle's hw CTE (l' = 0.3y + 0.7(l+b); b' = 0.3(l'−l) + 0.7b,
+      // l' recomputed inline exactly as the SQL text writes it): the
+      // same IEEE ops in the same order are bit-identical, and round()
+      // still evaluates IN SPARK on the assembled frame. Weeks travel
+      // as strings (a Date collect would detour through the JVM default
+      // timezone). The oracle keeps the original one-statement
+      // holtSqlText.
       Tables.registerAll(s, dir)
-      s.sql(holtSqlText)
+      val spine = s.sql(
+        """SELECT CAST(week AS STRING) AS week, y,
+                  CAST(row_number() OVER (ORDER BY week) AS INT) AS i
+           FROM (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                        CAST(count(*) AS DOUBLE) AS y
+                 FROM events GROUP BY 1)""")
+        .orderBy("i").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, Double, Double, Double)]
+      if (spine.length >= 2) {
+        var l = spine(0)._2
+        var b = spine(1)._2 - spine(0)._2
+        out += ((1, spine(0)._1, spine(0)._2, l, b))
+        var ti = 1
+        while (ti < spine.length) {
+          val y = spine(ti)._2
+          val l2 = 0.3e0 * y + 0.7e0 * (l + b)
+          val b2 = 0.3e0 * ((0.3e0 * y + 0.7e0 * (l + b)) - l) + 0.7e0 * b
+          l = l2; b = b2
+          out += ((ti + 1, spine(ti)._1, y, l, b))
+          ti += 1
+        }
+      }
+      s.createDataFrame(out.toSeq)
+        .toDF("week_idx", "week_s", "y_d", "l", "b")
+        .select(col("week_idx"), to_date(col("week_s")).as("week"),
+          col("y_d").cast("bigint").as("y"),
+          round(col("l"), 6).as("level"),
+          round(col("b"), 6).as("trend"),
+          round(col("l") + col("b"), 6).as("forecast_next"))
+        .orderBy("week_idx")
     }),
 
 

@@ -108,7 +108,10 @@ object Dedup {
     val ok = b.groupBy("band", "band_key").count()
       .filter(col("count") <= maxBucketSize)
       .select("band", "band_key")
-    val capped = b.join(broadcast(ok), Seq("band", "band_key"))
+    // LEFT SEMI, no broadcast hint (ADVICE r15 pattern): the sane-bucket
+    // key set grows with the corpus — AQE broadcasts it at runtime only
+    // when it actually fits
+    val capped = b.join(ok, Seq("band", "band_key"), "left_semi")
     val l = capped.select(col("band"), col("band_key"), col(idCol).as("id_a"))
     val r = capped.select(col("band"), col("band_key"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "band_key"))
@@ -204,7 +207,8 @@ object Dedup {
     val ok = e.groupBy("p").count()
       .filter(col("count").between(2, maxPrintDf))
       .select("p")
-    val capped = e.join(broadcast(ok), Seq("p"))
+    // LEFT SEMI, no hint (ADVICE r15 pattern): unbounded print-key set
+    val capped = e.join(ok, Seq("p"), "left_semi")
     capped.select(col("p"), col(idCol).as("id_a"))
       .join(capped.select(col("p"), col(idCol).as("id_b")), Seq("p"))
       .filter(col("id_a") < col("id_b"))
@@ -249,7 +253,9 @@ object Dedup {
     val ok = e.groupBy("j", "c").count()
       .filter(col("count").between(2, maxComponentDf))
       .select("j", "c")
-    val capped = e.join(broadcast(ok), Seq("j", "c"))
+    // LEFT SEMI, no hint (ADVICE r15 pattern): the (position, component)
+    // key set grows with the corpus hash domain
+    val capped = e.join(ok, Seq("j", "c"), "left_semi")
     val minMatches = math.ceil(minEstimate * k).toInt
     capped.select(col("j"), col("c"), col(idCol).as("id_a"))
       .join(capped.select(col("j"), col("c"), col(idCol).as("id_b")), Seq("j", "c"))
@@ -332,8 +338,12 @@ object Dedup {
       .filter(col("count").between(2, maxShingleDf))
       .select("h")
     // persist the capped exploded index — both self-join sides read it
-    // (see containmentPairsFromShingles)
-    val capped = e.join(broadcast(rare), Seq("h"))
+    // (see containmentPairsFromShingles). LEFT SEMI with no broadcast
+    // hint (ADVICE r15): the df-band set is unbounded in corpus size —
+    // AQE broadcasts it at runtime when it fits, falls back to a
+    // shuffle semi join when it does not, instead of dying on the 8 GB
+    // broadcast cap.
+    val capped = e.join(rare, Seq("h"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val common = capped.select(col("h"), col(idCol).as("id_a"))
       .join(capped.select(col("h"), col(idCol).as("id_b")), Seq("h"))
@@ -398,8 +408,10 @@ object Dedup {
       .select("h")
     // persist the CAPPED exploded index, not just the array table: both
     // sides of the self-join consume it, and without the cache each side
-    // re-runs explode + broadcast-filter over the full shingle table
-    val capped = e.join(broadcast(rare), Seq("h"))
+    // re-runs explode + semi-filter over the full shingle table. LEFT
+    // SEMI, no broadcast hint (ADVICE r15): the df-band set is unbounded
+    // in corpus size — AQE broadcasts at runtime only when it fits.
+    val capped = e.join(rare, Seq("h"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val common = capped.select(col("h"), col(idCol).as("id_a"))
       .join(capped.select(col("h"), col(idCol).as("id_b")), Seq("h"))
@@ -873,9 +885,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df ≥ 2 occurrences or the shingle can't match across docs; the cap
     // bounds Σdf² against boilerplate skew (matches the other families)
+    // LEFT SEMI, no broadcast hint (ADVICE r15): unbounded df-band set —
+    // AQE broadcasts at runtime only when it fits
     val shared = sh.groupBy("h").count()
       .filter(col("count").between(2, maxShingleDf)).select("h")
-    val capped = sh.join(broadcast(shared), Seq("h"))
+    val capped = sh.join(shared, Seq("h"), "left_semi")
     val matches = capped
       .select(col("h"), col("id").as("id_a"), col("pos").as("pa"))
       .join(capped.select(col("h"), col("id").as("id_b"), col("pos").as("pb")),
@@ -982,7 +996,9 @@ object Dedup {
         .filter(col("count") <= maxShingleDf).select("h")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        pos.join(broadcast(keep), Seq("h"))
+        // LEFT SEMI, no broadcast hint (ADVICE r15): the kept-hash set is
+        // unbounded in corpus size — AQE broadcasts only when it fits
+        pos.join(keep, Seq("h"), "left_semi")
           .select("id", "pos", "h")
           .write.mode(SaveMode.Overwrite).parquet(s"$path/pos")
         // bloom of the index's distinct shingle hashes, stored NEXT TO
@@ -1059,9 +1075,10 @@ object Dedup {
     val cp = positionalShingles(corpus, idCol, textCol, shingleSize)
     val keep = cp.groupBy("h").count()
       .filter(col("count") <= maxShingleDf).select("h")
+    // LEFT SEMI, no broadcast hint (ADVICE r15): unbounded kept-hash set
     spansAgainstPositional(
       positionalShingles(probe, idCol, textCol, shingleSize),
-      cp.join(broadcast(keep), Seq("h")), shingleSize, minRun)
+      cp.join(keep, Seq("h"), "left_semi"), shingleSize, minRun)
   }
 
   /** Docs → (id, pos, h) positional shingle triples. */

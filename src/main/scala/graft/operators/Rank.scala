@@ -79,6 +79,17 @@ object Rank {
   def globalRunningSums(df: DataFrame, numPartitions: Int,
                         sums: Seq[(String, Column)],
                         order: Column*): DataFrame = {
+    // ADVICE r15 hardening: an empty sums list would throw a confusing
+    // NoSuchElementException deep in the totals aggregation, and the
+    // internal temp columns would silently collide with (and corrupt)
+    // same-named caller columns
+    require(sums.nonEmpty, "globalRunningSums: sums must be non-empty")
+    val reserved = ("__pid" +: sums.indices.flatMap(i =>
+      Seq(s"__v$i", s"__t$i", s"__off$i"))).toSet
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"globalRunningSums: input columns ${clash.mkString(", ")} collide " +
+        "with reserved temp names (__pid/__vN/__tN/__offN)")
     val vCols = sums.indices.map(i => s"__v$i")
     val withVals = sums.zipWithIndex.foldLeft(df) {
       case (d, ((_, value), i)) => d.withColumn(vCols(i), value.cast("bigint"))

@@ -71,15 +71,25 @@ object Tables {
 
   private val defaultFanTables = ""
 
-  private def totalBytesAndFiles(p: String): (Long, Int) = {
-    val f = new java.io.File(p)
-    if (f.isDirectory) {
-      val parts = Option(f.listFiles()).getOrElse(Array.empty)
-        .filter(x => x.isFile && !x.getName.startsWith("_")
-          && !x.getName.startsWith("."))
-      (parts.map(_.length).sum, math.max(1, parts.length))
-    } else (f.length, 1)
-  }
+  /** Size + part-file count of a table path, resolved through Hadoop's
+    * FileSystem API (ADVICE r15): java.io.File returns length 0 for any
+    * non-local scheme (hdfs://, s3a://, abfss://), which would silently
+    * no-op the scale gate exactly where it matters. Unreadable/missing
+    * paths report (0, 1) — the gate then declines to fan, and the scan
+    * itself surfaces the real error. */
+  private def totalBytesAndFiles(spark: SparkSession, p: String): (Long, Int) =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(hp)
+      if (st.isDirectory) {
+        val parts = fs.listStatus(hp).filter { x =>
+          val n = x.getPath.getName
+          x.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        (parts.map(_.getLen).sum, math.max(1, parts.length))
+      } else (st.getLen, 1)
+    } catch { case _: java.io.IOException => (0L, 1) }
 
   /** Fan a freshly-scanned table out to the session's parallelism when its
     * file layout cannot split to it naturally; a no-op at warehouse scale
@@ -95,7 +105,7 @@ object Tables {
     fanKeys.get(name) match {
       case Some(key) if (force || listed) &&
           spark.conf.get("spark.graft.scan.fanout", "true").toBoolean =>
-        val (bytes, nFiles) = totalBytesAndFiles(path(dir, name))
+        val (bytes, nFiles) = totalBytesAndFiles(spark, path(dir, name))
         val minBytes = spark.conf
           .get("spark.graft.scan.fanout.minBytes", (256 * 1024).toString).toLong
         val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
