@@ -521,6 +521,13 @@ object SparkEntry {
     shingleDirs.getOrElseUpdate(dir, {
       val base = java.nio.file.Files
         .createTempDirectory("graft_shingles_").toString
+      // layout note (r16): a session-parallelism repartition before this
+      // write was measured and REVERTED — it halved the two heavy
+      // Σdf²-explode consumers (minhash_pr, containment) but taxed the
+      // five light index consumers with 32-task stage overhead
+      // (minhash_pairs 1.1 → 2.4 s, survivors 2.8 → 4.4 s). The heavy
+      // consumers instead re-key themselves at read (see
+      // dedup_minhash_pr / containmentPairsFromShingles).
       Dedup.hashedShingleTable(augmentedDocs(s, dir), "doc_id", "text",
         shingleSize = 3)
         .write.mode("overwrite").parquet(s"$base/sh")

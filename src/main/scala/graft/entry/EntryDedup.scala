@@ -532,7 +532,14 @@ private[graft] object EntryDedup {
       // near-SUPERSET dups: containment |A∩B|/min(|A|,|B|) catches a doc
       // embedded verbatim in a longer one where symmetric Jaccard fails
       // (100 shingles inside 1000 → J=0.1 but containment=1.0)
-      Dedup.containmentPairsFromShingles(augShingles(s, dir), "doc_id",
+      // re-keyed index read (r16 opt, the dedup_minhash_pr rationale):
+      // the 3-part-file index pinned the capped-index explode to 3-way
+      // parallelism; one up-front exchange of the packed arrays
+      // parallelizes it. Measured 5.0 → 2.1 s.
+      Dedup.containmentPairsFromShingles(
+        augShingles(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id",
         threshold = 0.9)
         .select(col("id_a"), col("id_b"),
           round(col("containment"), 6).as("containment"))
@@ -558,6 +565,15 @@ private[graft] object EntryDedup {
       // round-midpoint doc through round(…,4)'s cross-engine tie-break —
       // floor of the bit-identical raw double is engine-exact at every
       // scale, and an integer election key is cleaner to replay anyway.
+      // examined r16 and left alone: AQE coalesces the small post-join
+      // bytes to ONE partition, serializing the quality regex into a
+      // single ~1.1 s task (profiler stage 113) — but a pinned-width
+      // repartition before the regex measured NEUTRAL-to-worse
+      // (5.3 → 5.8-6.1 s min-of-2): the extra exchange plus 32-task
+      // overhead on every bestOfCluster consumer eats the regex win. At
+      // warehouse scale the coalesce never collapses to 1 partition
+      // (it is byte-based and members are cluster-sized), so the local
+      // single-task regex is a fixture artifact, not a scale bug.
       val memb = Dedup.connectedComponents(pairs)
         .join(aug.select(col("doc_id"), col("text")), Seq("doc_id"))
         .withColumn("quality_bp",
@@ -581,7 +597,17 @@ private[graft] object EntryDedup {
       // exact inverted index; both counts and the 0.7 cut are pure
       // integers (10c ≥ 7(na+nb−c)), so the confusion matrix is
       // engine-exact.
+      // re-key the index read to session width (r16 opt): the shingle
+      // index ships as 3 part-files (the augmented union's partition
+      // count), which pinned this query's dominant CPU — the k=16
+      // signature pass and the exact-index explode — to 3-way
+      // parallelism (profiler: one 4.9 s 3-task stage = 53% of wall).
+      // One cheap exchange of the packed arrays up front parallelizes
+      // every derived stage; measured 5.6 → 2.8 s. The light index
+      // consumers deliberately do NOT do this (32-task stage overhead
+      // exceeds their map CPU — measured, see augShingleBase).
       val sh = augShingles(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val sigs = sh.select(col("doc_id"),
           HashFunctions.minhashFromHashes(col("hs"), 16).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

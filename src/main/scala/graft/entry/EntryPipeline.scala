@@ -381,16 +381,19 @@ private[graft] object EntryPipeline {
       // the composite training-data pipeline: quality gate → language
       // gate → exact dedup → per-source stats
       val d = t(s, dir, "documents")
-      // persist the gate output: the quality/lang-id expressions are
-      // interpreted HOFs (the most expensive per-row work in the plan) and
-      // three consumers read the gated table (dedup keep-set, semi join,
-      // final agg) — without the cache the gate re-runs per consumer. The
-      // 100 TB shape is the same: materialize the gate, then dedup+agg.
+      // EAGERLY checkpoint the gate output (r16 opt, the
+      // pipeline_curation lesson): the quality/lang-id expressions are
+      // interpreted HOFs (the most expensive per-row work in the plan)
+      // and three consumers read the gated table (dedup keep-set, semi
+      // join, final agg) — a LAZY persist lets concurrent broadcast jobs
+      // race the first materialization and each re-run the gate;
+      // localCheckpoint runs it exactly once. The 100 TB shape is the
+      // same: materialize the gate, then dedup+agg.
       val gated = d
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .withColumn("lang_guess", TextFunctions.langIdHeuristic(col("text")))
         .filter(col("quality") >= 0.5 && col("lang_guess") === "en")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val deduped = Dedup.exactDedup(gated, "doc_id", "text")
       deduped.groupBy(col("source"))
         .agg(
@@ -609,12 +612,21 @@ private[graft] object EntryPipeline {
       // source — what a training-data team actually ships. One lazy plan;
       // the gate output is the only materialization point (three
       // consumers: exact keep-set, semi-join, near-dup shingles).
+      // EAGER checkpoint (r16 opt): the regex gate is the funnel's
+      // dominant map CPU, and the lazy persist let FOUR downstream
+      // broadcast jobs race its materialization before the cache filled
+      // (profiler: 4 concurrent 2.45 s single-task scans — 4× the gate's
+      // regex burned). localCheckpoint runs the gate exactly once;
+      // interleaved A/B: 4.05-4.78 → 3.05-4.00 s. Fanning the scan on
+      // top was re-measured and still loses (3.05 → 3.90 s) — the
+      // downstream dedup stages pay more in 32-partition overhead than
+      // the parallel gate saves.
       val d = t(s, dir, "documents")
       val gated = d
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .withColumn("lang_guess", TextFunctions.langIdHeuristic(col("text")))
         .filter(col("quality") >= 0.5 && col("lang_guess") === "en")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val exact = Dedup.exactDedup(gated, "doc_id", "text")
       val survivors = Dedup.minhashDedup(exact, "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)

@@ -889,7 +889,12 @@ object Dedup {
     // AQE broadcasts at runtime only when it fits
     val shared = sh.groupBy("h").count()
       .filter(col("count").between(2, maxShingleDf)).select("h")
+    // persist the CAPPED positional index (r16 opt, the ngramJaccard
+    // pattern): both self-join sides read it, and without the cache each
+    // side re-runs the posexplode + semi filter — the profiler showed
+    // the two sides racing as concurrent ~2.7 s materializations
     val capped = sh.join(shared, Seq("h"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matches = capped
       .select(col("h"), col("id").as("id_a"), col("pos").as("pa"))
       .join(capped.select(col("h"), col("id").as("id_b"), col("pos").as("pb")),
@@ -897,7 +902,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .withColumn("diff", col("pa") - col("pb"))
     // gaps-and-islands: within a (pair, delta) group, consecutive pa
-    // values share (pa − row_number), so each island is one maximal run
+    // values share (pa − row_number), so each island is one maximal run.
+    // (r16: a collect_list + array-fold variant of this step was
+    // implemented, oracle-verified and REJECTED on measurement — the
+    // ObjectHashAggregate's per-group array state more than doubled the
+    // family's wall: spans 5.6 → 12.5 s, index 3.5 → 5.6 s; the sorted
+    // window is the faster island builder here.)
     val wRun = Window.partitionBy("id_a", "id_b", "diff").orderBy("pa")
     val runs = matches
       .withColumn("grp", col("pa") - row_number().over(wRun))
