@@ -177,7 +177,9 @@ private[graft] object EntryAgg {
       // instead of Spark percentile's per-distinct-value map — the shape
       // that survives a 100 TB group. The sketch table is group×q-sized
       // and broadcast back.
-      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+      // tF (r16 opt): the GK sketch build is per-row CPU over the scan
+      // with group×q-sized state — interleaved A/B 1.69 → 1.25 s
+      val li = tF(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sk = li.groupBy("l_returnflag")
         .agg(graft.functions.GKQuantile
@@ -525,7 +527,9 @@ private[graft] object EntryAgg {
       // 8 bytes·4096 per shard, never a re-scan. Emits both estimates
       // (bit-identical) plus the exact global count and the equality
       // flag the property rests on.
-      val li = t(s, dir, "lineitem")
+      // tF (r16 opt): the splitmix64 register build is 5 chained hash
+      // expressions per row over the scan — interleaved A/B 1.97 → 1.49 s
+      val li = tF(s, dir, "lineitem")
       val rho = li.select(col("l_returnflag").as("flag"), col("l_partkey"))
         .withColumn("z1", expr(s"l_partkey + ${0x9e3779b97f4a7c15L}L"))
         .withColumn("z2",

@@ -658,7 +658,10 @@ private[graft] object EntrySimilarity {
       // dim-sized intermediate, 1-row output.
       val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
         (a, x) => a + x.cast("double") * x.cast("double")))
-      val unit = t(s, dir, "embeddings")
+      // tF (r16 opt): per-row normalization folds over every vector
+      // component — scan CPU with a dim-sized downstream; interleaved
+      // A/B 0.79 → 0.39 s
+      val unit = tF(s, dir, "embeddings")
         .withColumn("nrm", nrm).filter(col("nrm") > 0)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
